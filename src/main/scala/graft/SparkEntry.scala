@@ -1,13 +1,388 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.ODataFunctions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + §7 extension surface), each with DuckDB oracle SQL
+  * where SQL-expressible. Column names are aliased identically on both
+  * sides; counts are cast to BIGINT on both sides; money sums use the
+  * scaled-long trick (Analytics.moneySum) so hashes match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) // ns-timestamp normalization
+    else Tables.load(s, dir, name)
+
+  /** Flagship: the reference's full ETL chain (SURVEY §2.3 R1–R9) on
+    * the orders table — distinct-key restriction, rename, reorder,
+    * stringify+dedup. Driver smoke-checks rows > 0 at sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val orders = t(spark, dir, "orders")
+    Etl.pipeline(
+      main = orders, codes = orders, keyCol = "o_orderpriority",
+      renameMap = Map(
+        "o_orderkey" -> "order_id", "o_custkey" -> "customer_id",
+        "o_orderstatus" -> "status", "o_totalprice" -> "total_price",
+        "o_orderdate" -> "order_date", "o_orderpriority" -> "priority"),
+      expectedFirst = Seq("order_id", "priority", "status"))
+  }
+
+  // ---- money-sum SQL twin (see Analytics.moneySum) -----------------
+  private def msum(expr: String, scale: Int = 2): String = {
+    val f = math.pow(10, scale).toLong
+    s"CAST(sum(CAST(round(($expr)*$f, 0) AS BIGINT)) AS DOUBLE)/$f.0"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ================= reference ETL surface (SURVEY §2.3) =========
+    "etl_distinct_keys" -> ((s, dir) =>
+      Etl.distinctKeys(t(s, dir, "orders"), "o_orderpriority")),
+
+    "etl_partitioned_scan" -> ((s, dir) =>
+      Etl.valuePartitionedScan(t(s, dir, "orders"), t(s, dir, "orders"), "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "etl_rename_reorder" -> ((s, dir) =>
+      Etl.reorderColumns(
+        Etl.renameColumns(t(s, dir, "orders"), Map(
+          "o_orderkey" -> "order_id", "o_orderpriority" -> "priority",
+          "o_totalprice" -> "total_price")),
+        Seq("priority", "order_id")).orderBy("order_id")),
+
+    "etl_stringify_dedup" -> ((s, dir) =>
+      Etl.dedupRows(
+        t(s, dir, "orders").select(
+          struct(col("o_orderpriority").as("p")).as("meta"),
+          col("o_orderstatus").as("status")))
+        .orderBy("status", "meta")),
+
+    "etl_date_roundtrip" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        odataDateEncode(col("o_orderdate")).as("odata_date"),
+        odataDateDecode(odataDateEncode(col("o_orderdate"))).as("decoded"))
+        .orderBy("o_orderkey")),
+
+    "etl_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderkey") % 2 === 0).select(col("o_orderkey"), col("o_orderstatus"))
+      val b = o.where(col("o_orderkey") % 2 === 1).select(col("o_orderkey"), col("o_orderpriority"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+    }),
+
+    // ================= analytic surface ============================
+    "agg_pricing" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
+
+    "join_revenue" -> ((s, dir) =>
+      Analytics.revenueTopOrders(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"), "BUILDING", 10)),
+
+    "agg_rollup" -> ((s, dir) =>
+      Analytics.ordersByGeoRollup(t(s, dir, "region"), t(s, dir, "nation"),
+        t(s, dir, "customer"), t(s, dir, "orders"))),
+
+    "window_running" -> ((s, dir) => Analytics.runningSupplierQty(t(s, dir, "lineitem"))),
+
+    "topk_customers" -> ((s, dir) => Analytics.topCustomers(t(s, dir, "orders"), 10)),
+
+    // ================= dedup family ================================
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.12)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairsExact(
+        t(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.25)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairsLsh(
+        t(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.25, nbits = 4, numTables = 8)
+        .orderBy("id_a", "id_b")),
+
+    // ================= similarity search ===========================
+    "sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // ================= text analysis ===============================
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // ================= multimodal plumbing =========================
+    "mm_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        base64(encode(substring(col("text"), 1, 12), "UTF-8")).as("head_b64"))
+        .orderBy("doc_id")),
+
+    // ================= events / streaming-shaped ===================
+    "events_window_agg" -> ((s, dir) => Events.tumblingAgg(t(s, dir, "events"))),
+    "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
+    "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
+    "events_props" -> ((s, dir) => Events.extractProps(t(s, dir, "events"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "etl_distinct_keys" ->
+      """SELECT DISTINCT o_orderpriority FROM orders
+        | WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+        | ORDER BY o_orderpriority""".stripMargin,
+
+    "etl_partitioned_scan" ->
+      """SELECT * FROM orders WHERE o_orderpriority IN
+        | (SELECT o_orderpriority FROM orders
+        |   WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> '')
+        | ORDER BY o_orderkey""".stripMargin,
+
+    "etl_rename_reorder" ->
+      """SELECT o_orderpriority AS priority, o_orderkey AS order_id, o_custkey,
+        | o_orderstatus, o_totalprice AS total_price, o_orderdate
+        | FROM orders ORDER BY order_id""".stripMargin,
+
+    "etl_stringify_dedup" ->
+      """SELECT DISTINCT to_json(struct_pack(p := o_orderpriority))::VARCHAR AS meta,
+        | o_orderstatus AS status FROM orders ORDER BY status, meta""".stripMargin,
+
+    "etl_date_roundtrip" ->
+      """SELECT o_orderkey,
+        | '/Date(' || epoch_ms(o_orderdate) || ')/' AS odata_date,
+        | o_orderdate AS decoded
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "etl_union_by_name" ->
+      """SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+        |   FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT o_orderkey, NULL AS o_orderstatus, o_orderpriority
+        |   FROM orders WHERE o_orderkey % 2 = 1
+        | ORDER BY o_orderkey""".stripMargin,
+
+    "agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${msum("l_quantity")} AS sum_qty,
+         | ${msum("l_extendedprice")} AS sum_base_price,
+         | ${msum("l_extendedprice*(1-l_discount)", 4)} AS sum_disc_price,
+         | count(*) AS count_order
+         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         | GROUP BY l_returnflag, l_linestatus
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         | ${msum("l_extendedprice*(1-l_discount)", 4)} AS revenue
+         | FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | WHERE c_mktsegment = 'BUILDING'
+         | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS n_orders,
+         | ${msum("o_totalprice")} AS total_price
+         | FROM orders
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | GROUP BY ROLLUP(r_name, n_name)
+         | ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "window_running" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS running_qty,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem)
+        | WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "topk_customers" ->
+      s"""SELECT o_custkey, ${msum("o_totalprice")} AS total_spent,
+         | count(*) AS n_orders
+         | FROM orders GROUP BY o_custkey
+         | ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        | FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT doc_a, doc_b,
+        |  round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        | FROM common
+        | JOIN sizes sa ON sa.doc_id = doc_a
+        | JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) >= 0.12
+        | ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT id_a, id_b, cos FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id AND a.vec_id % 10 = 0 AND b.vec_id % 10 = 0)
+        | WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk" ->
+      """SELECT query_id, corpus_id, score, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |             c.vec_id) AS rnk
+        | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        | WHERE c.vec_id <> q.vec_id)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+        | CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH x AS (
+        | SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS n_char,
+        |  CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper
+        | FROM documents),
+        | y AS (
+        | SELECT doc_id, n_char, n_punct, n_digit, n_upper,
+        |  CAST(len(w) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) AS n_dist,
+        |  CAST(len(list_filter(w, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','that','it','for'],
+        |    lower(t)))) AS DOUBLE) AS n_stop
+        | FROM x)
+        | SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  round((n_char - (n_tok - 1))/n_tok, 6) AS mean_word_len,
+        |  round(n_stop/n_tok, 6) AS stopword_ratio,
+        |  round(n_punct/n_char, 6) AS punct_ratio,
+        |  round(n_digit/n_char, 6) AS digit_ratio,
+        |  round(n_upper/n_char, 6) AS upper_ratio,
+        |  round(n_dist/n_tok, 6) AS type_token_ratio,
+        |  round(least(1.0, greatest(0.0,
+        |    0.35 * least(n_stop/n_tok * 5.0, 1.0) +
+        |    0.25 * (n_dist/n_tok) +
+        |    0.25 * (CASE WHEN (n_char - (n_tok - 1))/n_tok BETWEEN 3.0 AND 10.0
+        |                 THEN 1.0 ELSE 0.0 END) +
+        |    0.15 * (1.0 - least(1.0, (n_punct/n_char + n_digit/n_char) * 4.0)))), 6)
+        |    AS quality_score
+        | FROM y ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS norm
+        | FROM documents)
+        | SELECT doc_id, md5(norm) AS fingerprint,
+        |  list_min(list_transform(range(1, length(norm)-6),
+        |    i -> md5(substr(norm, i, 8)))) AS winnow_fp
+        | FROM n ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256_hex,
+        | to_base64(encode(substr(text, 1, 12))) AS head_b64
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_window_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         | count(*) AS n_events, ${msum("value")} AS total_value
+         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        | y AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns
+        | FROM x),
+        | z AS (
+        | SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM y)
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        | FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "events_first_occurrence" ->
+      """SELECT user_id, event_type, event_id, ts FROM events
+        | QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts, event_id) = 1
+        | ORDER BY user_id, event_type""".stripMargin,
+
+    "events_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        | FROM events ORDER BY event_id""".stripMargin,
+  )
 }

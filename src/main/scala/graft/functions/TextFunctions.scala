@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / text-analysis operators.
+  * All built from codegen'd or HOF built-ins — no UDFs in the hot
+  * path, so the expressions distribute and pipeline at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (reference docs are space-separated). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** BPE-ish sub-word tokenization: split on word/number/punct
+    * boundaries like a byte-pair pre-tokenizer's regex pass.
+    * (Pattern class per the public GPT-2 pre-tokenizer idea:
+    * letters-runs, digit-runs, single punctuation.)
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))
+
+  /** Normalize for fingerprinting: lowercase, strip non-alnum, collapse
+    * whitespace. Deterministic and SQL-expressible (oracle parity).
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Word n-gram shingles as an array column: distinct contiguous
+    * n-token windows joined by a single space. Empty array when the
+    * doc has fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      )
+    )
+  }
+
+  /** Character n-gram shingles (for fingerprinting / language ID). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(length(text) - n, lit(-1))),
+        i => text.substr(i + 1, lit(n))
+      )
+    )
+
+  /** 64-bit stable hash of a string column (xxhash64, codegen'd). */
+  def stableHash(c: Column, seed: Int = 42): Column = xxhash64(lit(seed), c)
+}

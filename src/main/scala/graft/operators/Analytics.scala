@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytic query surface over the star schema: the aggregation /
+  * join / window / top-k shapes the engine must serve at 100 TB.
+  *
+  * Determinism for the DuckDB oracle: money sums go through
+  * [[moneySum]] (scaled-long arithmetic → exact, association-order-
+  * independent); every query ends in an explicit unique ORDER BY.
+  *
+  * Scale notes are on each operator; the common themes: partial
+  * aggregation shrinks shuffles to |groups|; dimension tables
+  * broadcast; windows partition by a key so no global sort ever runs.
+  */
+object Analytics {
+
+  /** Deterministic sum of 2-decimal money doubles: round each term to
+    * scaled long (exact), sum longs (associative, overflow-safe to
+    * ~9e16 cents), divide once. Spark and DuckDB produce bit-equal
+    * results regardless of partial-agg order — double-sum would not.
+    */
+  def moneySum(c: Column, scale: Int = 2): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f, 0).cast("long")) / f
+  }
+
+  /** SQL twin of [[moneySum]] for oracle strings. */
+  def moneySumSql(expr: String, scale: Int = 2): String = {
+    val f = math.pow(10, scale).toLong
+    s"sum(CAST(round(($expr)*$f, 0) AS BIGINT))/$f.0"
+  }
+
+  /** TPC-H Q1-shaped pricing summary: one wide hash aggregate.
+    * Map-side partial agg reduces 100 TB of lineitem to
+    * |flag×status| rows per task before the (tiny) shuffle.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped shipping-priority revenue: selective dimension
+    * (customer segment) BROADCAST into orders, result joined to
+    * lineitem on the shuffle key both sides already share. Top-k via
+    * sort-limit (Spark plans TakeOrderedAndProject — no global sort
+    * materialization).
+    */
+  def revenueTopOrders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String, k: Int): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.where(col("c_mktsegment") === segment)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(k)
+
+  /** Multi-way star join with grouped rollup: region ⨝ nation ⨝
+    * customer ⨝ orders, ROLLUP(region, nation). All dims broadcast;
+    * orders is the only scanned fact; rollup is one aggregate with
+    * grouping sets (no re-scan per level).
+    */
+  def ordersByGeoRollup(region: DataFrame, nation: DataFrame,
+                        customer: DataFrame, orders: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** Windowed running totals per supplier: partitioned window — the
+    * sort is per-key within shuffle partitions, never global. Unique
+    * tie-break (orderkey, linenumber) keeps the running sum
+    * deterministic. l_quantity is integral, so double running sums are
+    * exact.
+    */
+  def runningSupplierQty(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    lineitem
+      .withColumn("running_qty", sum(col("l_quantity")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5) // first 5 shipments per supplier
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+              col("running_qty"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** Top-k customers by exact spend — groupBy + TakeOrderedAndProject. */
+  def topCustomers(orders: DataFrame, k: Int): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .orderBy(desc("total_spent"), asc("o_custkey"))
+      .limit(k)
+}

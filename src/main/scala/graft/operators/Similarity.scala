@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design (100 TB): the corpus side NEVER shuffles on vector
+  * content. Brute force broadcasts the (small) query set and streams
+  * the corpus once — a map-only stage plus a per-query top-k
+  * aggregate. The LSH and IVF variants prune the corpus scan to
+  * matching buckets/cells first. Exact top-k re-ranking always runs on
+  * candidates only.
+  */
+object Similarity {
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    // rank on rounded score with id tie-break → deterministic result
+    // set even under float jitter; window is per-query, so the sort is
+    // a bounded per-key top-k (Spark optimizes rank<=k windows).
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("corpus_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rnk"))
+  }
+
+  /** Exact brute-force cosine top-k: corpus ⨯ (broadcast) queries.
+    * One pass over the corpus, no corpus shuffle except the per-query
+    * top-k aggregate (tiny: ≤ |queries|·k rows after the window
+    * filter's partial evaluation).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
+    topKPerQuery(scored, k)
+  }
+
+  /** LSH-bucketed ANN top-k: corpus and queries bucket by the same
+    * deterministic hyperplane function (numTables independent tables);
+    * candidates = same (table, bucket); exact cosine re-rank on
+    * candidates. Recall < 1 by construction; raise numTables / lower
+    * nbits to trade cost for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nbits: Int = 8, numTables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(id), col(vec),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("t"), hyperplaneBucket(col(vec), nbits, seed = 7 + t).as("bucket"))): _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+    val c = bucketed(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")), "corpus_id", "cvec")
+    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec")
+    val scored = c.as("c").join(broadcast(q).as("q"),
+        col("c.t") === col("q.t") && col("c.bucket") === col("q.bucket") &&
+          col("c.corpus_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.corpus_id").as("corpus_id"),
+              col("c.cvec").as("cvec"), col("q.qvec").as("qvec"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-style ANN: deterministic coarse quantizer (centroids = a
+    * seeded hash-sample of the corpus), assign every vector to its
+    * nearest centroid cell, probe the `nprobe` nearest cells per
+    * query, exact re-rank inside probed cells.
+    *
+    * At 100 TB: centroid table is tiny (broadcast both ways); the
+    * corpus is written partitioned by cell_id, so a query touches
+    * nprobe partitions — the parquet-partition-pruning analogue for
+    * vector search.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    // Deterministic "centroids": the numCells corpus vectors with the
+    // smallest xxhash64(id) — a seeded uniform sample without RNG state.
+    val centroids = c
+      .withColumn("h", xxhash64(col("corpus_id")))
+      .orderBy("h").limit(numCells)
+      .withColumn("cell_id", row_number().over(Window.orderBy("h")))
+      .select(col("cell_id"), col("cvec").as("centroid"))
+
+    def assign(df: DataFrame, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(df.columns.head).orderBy(desc("csim"))
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("csim", cosine(col(vec), col("centroid")))
+        .withColumn("crnk", row_number().over(w))
+        .where(col("crnk") <= keep)
+        .drop("centroid", "csim", "crnk")
+    }
+
+    val cCells = assign(c, "cvec", 1)
+    val qCells = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec", nprobe)
+    val scored = cCells.join(broadcast(qCells), Seq("cell_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
+    topKPerQuery(scored, k)
+  }
+}

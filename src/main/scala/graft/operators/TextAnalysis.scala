@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text analysis for training-data curation: token stats, quality
+  * scoring, language ID, fingerprinting. All per-row column
+  * expressions — map-only stages that scale linearly and survive any
+  * partitioning.
+  */
+object TextAnalysis {
+
+  /** Token statistics: whitespace tokens, distinct tokens, BPE-ish
+    * sub-word token count (regex pre-tokenizer pass).
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      size(bpeTokens(col(textCol))).as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+  }
+
+  /** Quality heuristics: mean word length, punctuation ratio, digit
+    * ratio, uppercase ratio, stopword ratio, type-token ratio — and a
+    * single blended [0,1] score. Thresholds follow the public
+    * Gopher/C4-style heuristic-filter recipes.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text  = col(textCol)
+    val t     = tokens(text)
+    val nTok  = size(t).cast("double")
+    val nChar = length(text).cast("double")
+    val stop  = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "that", "it", "for")
+    val nStop = size(filter(t, w => lower(w).isin(stop.map(_.asInstanceOf[Any]): _*))).cast("double")
+    // ASCII punct ranges (!-/ :-@ [-` {-~): portable between Java
+    // regex (Spark) and RE2 (DuckDB oracle), unlike \p{Punct}.
+    val nPunct = size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("double")
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
+    val nUpper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
+
+    val meanWordLen = (nChar - (nTok - 1)) / nTok // chars net of single separators
+    val stopRatio   = nStop / nTok
+    val punctRatio  = nPunct / nChar
+    val digitRatio  = nDigit / nChar
+    val upperRatio  = nUpper / nChar
+    val ttr         = size(array_distinct(t)).cast("double") / nTok
+
+    // Blend: reward stopwords + lexical diversity + sane word length,
+    // penalize symbol/digit soup. Clamped to [0,1].
+    val score =
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.35) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.25) * ttr +
+        lit(0.25) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.0) +
+        lit(0.15) * (lit(1.0) - least(lit(1.0), (punctRatio + digitRatio) * 4.0))))
+
+    docs.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(upperRatio, 6).as("upper_ratio"),
+      round(ttr, 6).as("type_token_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny: the point is the distributed scoring shape
+    * (argmax over per-language hit ratios), not lexicography.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "dans"))
+
+  /** Language ID: CJK-codepoint share decides `zh`; otherwise argmax
+    * of per-language stopword hit ratio; `und` when nothing matches.
+    * Ties break by profile order (en first) — deterministic.
+    */
+  def langId(text: Column): Column = {
+    val t = transform(tokens(lower(text)), w => regexp_replace(w, "[\\p{Punct}]", ""))
+    val nTok = size(t).cast("double")
+    val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))).cast("double")
+    val scores = langProfiles.map { case (lang, words) =>
+      (lang, size(filter(t, w => w.isin(words.map(_.asInstanceOf[Any]): _*))).cast("double") / nTok)
+    }
+    val best = scores.tail.foldLeft(struct(lit(scores.head._1).as("lang"), scores.head._2.as("s"))) {
+      case (acc, (lang, s)) =>
+        when(s > acc.getField("s"), struct(lit(lang).as("lang"), s.as("s"))).otherwise(acc)
+    }
+    when(cjk / greatest(length(text).cast("double"), lit(1.0)) > 0.2, lit("zh"))
+      .otherwise(when(best.getField("s") > 0.0, best.getField("lang")).otherwise(lit("und")))
+  }
+
+  def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), langId(col(textCol)).as("lang_pred"))
+
+  /** Document fingerprints:
+    *  - `fingerprint`: md5 of the normalized text (case/punct/ws-
+    *    insensitive exact-dup key);
+    *  - `winnow_fp`: min-hash over character 8-gram hashes of the
+    *    normalized text (MOSS-style winnowing collapsed to the single
+    *    minimum — a 1-element sketch, order-independent and
+    *    SQL-expressible for the oracle).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = normalized(col(textCol))
+    docs.select(
+      col(idCol),
+      md5(norm).as("fingerprint"),
+      array_min(transform(charShingles(norm, 8), s => md5(s))).as("winnow_fp"))
+  }
+}
