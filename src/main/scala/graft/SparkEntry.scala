@@ -129,7 +129,8 @@ object SparkEntry {
 
     "sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          nbits = 4, numTables = 8)
         .orderBy("query_id", "rnk")
     }),
 
@@ -308,10 +309,11 @@ object SparkEntry {
         |  CAST(length(text) AS DOUBLE) AS n_char,
         |  CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS n_punct,
         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper
+        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha
         | FROM documents),
         | y AS (
-        | SELECT doc_id, n_char, n_punct, n_digit, n_upper,
+        | SELECT doc_id, n_char, n_punct, n_digit, n_upper, n_alpha,
         |  CAST(len(w) AS DOUBLE) AS n_tok,
         |  CAST(len(list_distinct(w)) AS DOUBLE) AS n_dist,
         |  CAST(len(list_filter(w, t -> list_contains(
@@ -325,13 +327,15 @@ object SparkEntry {
         |  round(n_punct/n_char, 6) AS punct_ratio,
         |  round(n_digit/n_char, 6) AS digit_ratio,
         |  round(n_upper/n_char, 6) AS upper_ratio,
+        |  round(n_alpha/n_char, 6) AS alpha_ratio,
         |  round(n_dist/n_tok, 6) AS type_token_ratio,
         |  round(least(1.0, greatest(0.0,
+        |    least(n_alpha/n_char * 2.0, 1.0) * (
         |    0.35 * least(n_stop/n_tok * 5.0, 1.0) +
         |    0.25 * (n_dist/n_tok) +
         |    0.25 * (CASE WHEN (n_char - (n_tok - 1))/n_tok BETWEEN 3.0 AND 10.0
         |                 THEN 1.0 ELSE 0.0 END) +
-        |    0.15 * (1.0 - least(1.0, (n_punct/n_char + n_digit/n_char) * 4.0)))), 6)
+        |    0.15 * (1.0 - least(1.0, (n_punct/n_char + n_digit/n_char) * 4.0))))), 6)
         |    AS quality_score
         | FROM y ORDER BY doc_id""".stripMargin,
 

@@ -17,10 +17,13 @@ object ODataFunctions {
   private val DateRe = "^/Date\\((-?\\d+)\\)/$"
 
   /** `/Date(1776729600000)/` → TimestampType (UTC). Non-matching or
-    * null input → null (regexp_extract returns "" which casts to null).
+    * null input → null. The rlike guard keeps the cast total under
+    * ANSI mode (Spark 4 default): regexp_extract returns "" on
+    * no-match, and ANSI cast(''):bigint throws.
     */
   def odataDateDecode(c: Column): Column =
-    timestamp_millis(regexp_extract(c, DateRe, 1).cast(LongType))
+    when(c.rlike(DateRe),
+      timestamp_millis(regexp_extract(c, DateRe, 1).cast(LongType)))
 
   /** TimestampType → `/Date(ms)/` string (inverse of decode). The
     * cast lifts TIMESTAMP_NTZ inputs (parquet isAdjustedToUTC=false)

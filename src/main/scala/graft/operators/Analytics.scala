@@ -92,7 +92,7 @@ object Analytics {
     lineitem
       .withColumn("running_qty", sum(col("l_quantity")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 5) // first 5 shipments per supplier
       .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
               col("running_qty"))

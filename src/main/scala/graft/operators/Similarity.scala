@@ -22,7 +22,7 @@ object Similarity {
     // a bounded per-key top-k (Spark optimizes rank<=k windows).
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("corpus_id"))
     scored
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("corpus_id"), col("score"), col("rnk"))
   }

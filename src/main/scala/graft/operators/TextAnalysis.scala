@@ -18,10 +18,10 @@ object TextAnalysis {
     val t = tokens(col(textCol))
     docs.select(
       col(idCol),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_distinct_tokens"),
-      size(bpeTokens(col(textCol))).as("n_bpe_tokens"),
-      length(col(textCol)).as("n_chars"))
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      size(bpeTokens(col(textCol))).cast("long").as("n_bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
   }
 
   /** Quality heuristics: mean word length, punctuation ratio, digit
@@ -41,31 +41,37 @@ object TextAnalysis {
     val nPunct = size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("double")
     val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
     val nUpper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
+    val nAlpha = size(regexp_extract_all(text, lit("[\\p{L}]"), lit(0))).cast("double")
 
     val meanWordLen = (nChar - (nTok - 1)) / nTok // chars net of single separators
     val stopRatio   = nStop / nTok
     val punctRatio  = nPunct / nChar
     val digitRatio  = nDigit / nChar
     val upperRatio  = nUpper / nChar
+    val alphaRatio  = nAlpha / nChar
     val ttr         = size(array_distinct(t)).cast("double") / nTok
 
     // Blend: reward stopwords + lexical diversity + sane word length,
-    // penalize symbol/digit soup. Clamped to [0,1].
+    // penalize symbol/digit soup. The letter-share gate keeps
+    // diversity/word-length rewards from crediting non-linguistic
+    // content. Clamped to [0,1].
     val score =
       least(lit(1.0), greatest(lit(0.0),
-        lit(0.35) * least(stopRatio * 5.0, lit(1.0)) +
-        lit(0.25) * ttr +
-        lit(0.25) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.0) +
-        lit(0.15) * (lit(1.0) - least(lit(1.0), (punctRatio + digitRatio) * 4.0))))
+        least(alphaRatio * 2.0, lit(1.0)) * (
+          lit(0.35) * least(stopRatio * 5.0, lit(1.0)) +
+          lit(0.25) * ttr +
+          lit(0.25) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.0) +
+          lit(0.15) * (lit(1.0) - least(lit(1.0), (punctRatio + digitRatio) * 4.0)))))
 
     docs.select(
       col(idCol),
-      size(t).as("n_tokens"),
+      size(t).cast("long").as("n_tokens"),
       round(meanWordLen, 6).as("mean_word_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
       round(digitRatio, 6).as("digit_ratio"),
       round(upperRatio, 6).as("upper_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"),
       round(ttr, 6).as("type_token_ratio"),
       round(score, 6).as("quality_score"))
   }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val got = Dedup.exact(d, "doc_id", "text").orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words with nothing shared here at all"))
+    val got = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash finds the near-dup pair an exact jaccard finds") {
+    val base = "spark makes distributed data processing declarative and fast for everyone today"
+    val d = docs(
+      (1L, base),
+      (2L, base + " indeed"),  // near-dup of 1
+      (3L, "completely unrelated content talking about gardening tulips and soil quality"))
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashPairs(d, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    assert(lsh == exact) // identical verification threshold → LSH ⊆ exact; here recall is total
+  }
+
+  test("minhash recall vs exact jaccard on real docs (sf0.001)") {
+    val d = Tables.documents(spark, sf001)
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashPairs(d, "doc_id", "text", 3, 16, 4, 0.12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must verify candidates exactly")
+    assert(exact.nonEmpty && lsh.size >= (exact.size * 0.9),
+      s"recall ${lsh.size}/${exact.size} below 90%")
+  }
+
+  test("simhash: identical docs collide at hamming 0; unrelated docs don't pair at small radius") {
+    val d = docs(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val got = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 2)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0)))
+  }
+
+  test("embedding pairs exact vs lsh: lsh output is a subset with same scores") {
+    val e = Tables.embeddings(spark, sf001).where(col("vec_id") < 100)
+    val exact = Dedup.embeddingPairsExact(e, "vec_id", "embedding", 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(e, "vec_id", "embedding", 0.25, nbits = 4, numTables = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+}

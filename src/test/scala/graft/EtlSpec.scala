@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Etl
+import graft.functions.ODataFunctions._
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distinctKeys filters null/empty, distincts, sorts") {
+    val df = Seq("b", "a", "b", "", "a", "c").toDF("k")
+      .union(Seq[Option[String]](None).toDF("k"))
+    val got = Etl.distinctKeys(df, "k").as[String].collect().toSeq
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("valuePartitionedScan restricts main to codes' key set (semi-join semantics)") {
+    val main  = Seq(("x", 1), ("y", 2), ("z", 3), ("x", 4)).toDF("k", "v")
+    val codes = Seq("x", "z", "w").toDF("k") // w absent from main; y absent from codes
+    val got = Etl.valuePartitionedScan(main, codes, "k")
+      .orderBy("v").as[(String, Int)].collect().toSeq
+    assert(got == Seq(("x", 1), ("z", 3), ("x", 4)).sortBy(_._2))
+  }
+
+  test("renameColumns maps listed names, passes others through") {
+    val df  = Seq((1, "a", true)).toDF("c1", "c2", "c3")
+    val got = Etl.renameColumns(df, Map("c1" -> "id", "c3" -> "flag"))
+    assert(got.columns.toSeq == Seq("id", "c2", "flag"))
+  }
+
+  test("reorderColumns puts expected-first (present only), then rest in arrival order") {
+    val df  = Seq((1, 2, 3, 4)).toDF("d", "b", "a", "c")
+    val got = Etl.reorderColumns(df, Seq("a", "zz_missing", "b"))
+    assert(got.columns.toSeq == Seq("a", "b", "d", "c"))
+  }
+
+  test("stringifyNested converts struct cols to JSON, keeps scalars") {
+    val df = Seq((1, ("x", 2))).toDF("id", "s")
+    val got = Etl.stringifyNested(df)
+    assert(got.schema("s").dataType.typeName == "string")
+    assert(got.select("s").as[String].head() == """{"_1":"x","_2":2}""")
+  }
+
+  test("dedupRows dedups on stringified form (SURVEY §4.3.1)") {
+    val df = Seq((1, ("a", 1)), (1, ("a", 1)), (1, ("a", 2))).toDF("id", "s")
+    assert(Etl.dedupRows(df).count() == 2)
+  }
+
+  test("odata date decode: valid, negative, garbage, null") {
+    val df = Seq("/Date(1776729600000)/", "/Date(-1000)/", "not-a-date", null)
+      .toDF("d").select(odataDateDecode(col("d")).as("ts"))
+    val got = df.select(unix_millis(col("ts"))).as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(1776729600000L), Some(-1000L), None, None))
+  }
+
+  test("odata date encode/decode round-trips") {
+    val df = Seq(1776729600000L, 0L, -86400000L).toDF("ms")
+      .select(timestamp_millis(col("ms")).as("ts"))
+    val back = df.select(unix_millis(odataDateDecode(odataDateEncode(col("ts")))).as("ms"))
+    assert(back.as[Long].collect().toSeq == Seq(1776729600000L, 0L, -86400000L))
+  }
+
+  test("odata quote escape doubles single quotes (etl.py:147 semantics)") {
+    assert(odataQuoteEscape("O'Brien's") == "O''Brien''s")
+    assert(odataEqFilter("name", "O'x") == "name eq 'O''x'")
+  }
+
+  test("golden: reference employee CSV semantics from stub OData rows (FIXTURES A1/A2)") {
+    // Stub rows shaped like the reference's OData v2 payload after
+    // envelope decode — includes the accidental __metadata struct and
+    // the detected structure column.
+    val rows = Seq(
+      ("Timothy J. DeChant", "44", "/Date(1776729600000)/", "/Date(1776729600000)/", "1",
+        "006NZH27SNDOQH5K1H9AQXCE4", ("uri1", "sapbyd.T")),
+      ("Timothy J. DeChant", "44", "/Date(1776729600000)/", "/Date(1776729600000)/", "1",
+        "006NZH27SNDOQH5K1H9AQXCE4", ("uri1", "sapbyd.T")), // exact dup → dropped
+      ("Ada L.", "45", "/Date(1776729600000)/", "/Date(1776815999000)/", "1",
+        "006NZH27SNDOQH5K1H9AQXCE4", ("uri2", "sapbyd.T"))   // different __metadata → kept
+    ).toDF("TEMPLOYEE_UUID", "CEMPLOYEE_UUID", "C0DATEFROM", "C0DATETO",
+           "KCLEAVERS", "C0CHAR_STRUCTURE", "__metadata")
+    val renameMap = Map(
+      "TEMPLOYEE_UUID" -> "Employee", "CEMPLOYEE_UUID" -> "EmployeeID",
+      "C0DATEFROM" -> "DateFrom", "C0DATETO" -> "DateTo",
+      "KCLEAVERS" -> "KCleavers", "C0CHAR_STRUCTURE" -> "Structure")
+    val out = Etl.dedupRows(Etl.reorderColumns(
+      Etl.renameColumns(rows, renameMap),
+      Seq("Employee", "EmployeeID", "DateFrom", "DateTo", "KCleavers", "Structure")))
+    assert(out.columns.toSeq ==
+      Seq("Employee", "EmployeeID", "DateFrom", "DateTo", "KCleavers", "Structure", "__metadata"))
+    assert(out.count() == 2) // exact dup removed, __metadata-differing row kept
+    // dates survive verbatim (never parsed), per reference semantics
+    assert(out.select("DateFrom").as[String].collect().forall(_ == "/Date(1776729600000)/"))
+  }
+
+  test("csv sink writes a single header file (K1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Etl.writeCsv(Seq((1, "a"), (2, "b")).toDF("id", "v"), s"$dir/out")
+    val files = new java.io.File(s"$dir/out").listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head == "id,v" && lines.size == 3)
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector functions: dot, norm, cosine on known vectors") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val (d, ca) = df.select(
+      dot(col("a"), col("b")),
+      round(cosine(col("a"), col("b")), 6)).as[(Double, Double)].head()
+    assert(d == 32.0)
+    assert(math.abs(ca - 0.974632) < 1e-6)
+    val z = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(cosine(col("a"), col("b"))).as[Option[Double]].head()
+    assert(z.isEmpty, "zero-norm cosine must be null")
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, descending scores") {
+    val e = Tables.embeddings(spark, sf001)
+    val got = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 3), "vec_id", "embedding", 4)
+    val rows = got.as[(Long, Long, Double, Long)].collect()
+    assert(rows.length == 12)
+    assert(rows.forall { case (q, c, _, _) => q != c })
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh top-k recall vs brute force") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // This corpus has no strong neighbors (max cosine ≈ 0.4), the
+    // hardest regime for hyperplane LSH — few bits + many tables is
+    // the right operating point.
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", 5, nbits = 2, numTables = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low for 2 bits × 8 tables")
+  }
+
+  test("ivf top-k: k rows per query, deterministic across runs") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 4)
+    val run1 = Similarity.ivfTopK(e, q, "vec_id", "embedding", 3).collect().toSeq
+    val run2 = Similarity.ivfTopK(e, q, "vec_id", "embedding", 3).collect().toSeq
+    assert(run1 == run2)
+    assert(run1.size == 12)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats count whitespace and BPE-ish tokens") {
+    val d = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenStats(d, "doc_id", "text")
+      .select("n_tokens", "n_bpe_tokens").as[(Long, Long)].head()
+    // whitespace: [Hello,] [world!] [42] [times]
+    // bpe-ish:    [Hello] [,] [world] [!] [42] [times]
+    assert(got == ((4L, 6L)))
+  }
+
+  test("langid classifies crafted strings per language") {
+    val d = Seq(
+      (1L, "the cat is in the house and it is happy"),
+      (2L, "der hund ist nicht in das haus und die katze"),
+      (3L, "el perro y la casa de los vecinos en madrid"),
+      (4L, "le chien est dans la maison et les chats"),
+      (5L, "今天天气很好我们去公园散步吧这是中文文本内容"),
+      (6L, "xqzt bnmp vwry")).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdTable(d, "doc_id", "text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "zh", "und"))
+  }
+
+  test("quality score favors natural prose over symbol soup") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a fine day in the park"),
+      (2L, "@@@@ #### $$$$ 1234 %%%% ^^^^ 5678 &&&& !!!!")).toDF("doc_id", "text")
+    val scores = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .orderBy("doc_id").select("quality_score").as[Double].collect()
+    assert(scores(0) > 0.6 && scores(1) < 0.3)
+  }
+
+  test("fingerprint is invariant to case/punct/extra whitespace") {
+    val d = Seq(
+      (1L, "Hello, World! This is GREAT."),
+      (2L, "hello   world this is great"),
+      (3L, "something else entirely here")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(d, "doc_id", "text")
+      .orderBy("doc_id").select("fingerprint").as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
