@@ -162,6 +162,9 @@ object SparkEntry {
         base64(encode(substring(col("text"), 1, 12), "UTF-8")).as("head_b64"))
         .orderBy("doc_id")),
 
+    // ================= odata connector (self-hosted stub) ==========
+    "odata_scan" -> ((s, dir) => graft.sources.odata.testkit.ODataSelfServe.scan(s, dir)),
+
     // ================= events / streaming-shaped ===================
     "events_window_agg" -> ((s, dir) => Events.tumblingAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
@@ -356,6 +359,11 @@ object SparkEntry {
         | sha256(text) AS sha256_hex,
         | to_base64(encode(substr(text, 1, 12))) AS head_b64
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "odata_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders WHERE o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
 
     "events_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,105 @@
+package graft.sources.odata
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Minimal OData HTTP client (JDK HttpURLConnection + the Jackson that
+  * ships with Spark — zero extra deps). Mirrors the reference's
+  * request shape: JSON accept header, `$format=json`, Basic auth from
+  * options, per-request timeout (reference `src/etl.py:40-41,67-79`).
+  * Error diagnostics mirror etl.py:81-87: status, URL, first 2 000
+  * body chars.
+  */
+object ODataClient {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Response(status: Int, body: String)
+
+  final case class Page(rows: Seq[Map[String, String]], nextLink: Option[String])
+
+  final class ODataHttpException(val status: Int, val url: String, val body: String)
+    extends RuntimeException(
+      s"OData request failed: HTTP $status url=$url body=${body.take(2000)}")
+
+  def buildUrl(base: String, params: Seq[(String, String)]): String = {
+    if (params.isEmpty) base
+    else {
+      val q = params.map { case (k, v) =>
+        URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
+      val sep = if (base.contains("?")) "&" else "?"
+      s"$base$sep$q"
+    }
+  }
+
+  def get(url: String, user: Option[String], password: Option[String],
+          timeoutMs: Int): Response = {
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestProperty("Accept", "application/json")
+      for (u <- user; p <- password) {
+        val tok = Base64.getEncoder.encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
+        conn.setRequestProperty("Authorization", s"Basic $tok")
+      }
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (stream == null) ""
+        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      Response(status, body)
+    } finally conn.disconnect()
+  }
+
+  def getOrThrow(url: String, user: Option[String], password: Option[String],
+                 timeoutMs: Int): String = {
+    val r = get(url, user, password, timeoutMs)
+    if (r.status < 200 || r.status >= 300) throw new ODataHttpException(r.status, url, r.body)
+    r.body
+  }
+
+  /** Envelope decode, both dialects (reference `src/etl.py:89-93`):
+    * v2: `{"d": {"results": [...], "__next": url}}`
+    * v4: `{"value": [...], "@odata.nextLink": url}` (or `odata.nextLink`)
+    * Cell values arrive stringified: scalars via asText, nested
+    * objects/arrays as their JSON text (engine-semantics stringify,
+    * SURVEY §7.4.1), explicit null as SQL null.
+    */
+  def parsePage(body: String): Page = {
+    val root = mapper.readTree(body)
+    val d = root.path("d")
+    val (results, next) =
+      if (!d.isMissingNode && d.has("results"))
+        (d.path("results"), Option(d.get("__next")).map(_.asText()))
+      else if (d.isObject && d.isArray) (d, None) // unreachable; keep shape explicit
+      else if (root.has("value"))
+        (root.path("value"),
+          Option(root.get("@odata.nextLink")).orElse(Option(root.get("odata.nextLink"))).map(_.asText()))
+      else if (!d.isMissingNode && d.isArray) (d, None) // v2 minimal: {"d": [...]}
+      else throw new IllegalArgumentException(
+        s"Unrecognized OData envelope: ${body.take(200)}")
+    val rows = results.elements().asScala.map { row =>
+      row.properties().asScala.map { e =>
+        val v = e.getValue
+        val s =
+          if (v.isNull) null
+          else if (v.isValueNode) v.asText()
+          else v.toString // nested object/array → JSON text
+        e.getKey -> s
+      }.toMap
+    }.toSeq
+    Page(rows, next.filter(_.nonEmpty))
+  }
+
+  /** The probe's 404 discriminator (reference `src/etl.py:95-97`):
+    * a body mentioning `segment '<name>'` means "column absent". */
+  private val SegmentRe = "segment '([^']+)'".r
+  def missingSegment(body: String): Option[String] =
+    SegmentRe.findFirstMatchIn(body).map(_.group(1))
+}

@@ -1,0 +1,271 @@
+package graft.sources.odata
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 OData connector — the Spark-native rebuild of the
+  * reference's entire extract layer (reference `src/etl.py`, SURVEY
+  * §2.1/§2.2/§3):
+  *
+  *  - schema probe: `$select=<candidate>&$top=1`, 404 + `segment 'X'`
+  *    body → try next candidate (etl.py:100-121);
+  *  - value-partitioned parallel scan: one [[ODataInputPartition]] per
+  *    distinct partition-key value of the codes entity (etl.py:124-195
+  *    — sequential there, genuinely parallel here);
+  *  - pushdowns: `$select` (column pruning), `$filter` equality
+  *    (quote-doubled), `$top` (limit) — SURVEY §2.2 P1-P4;
+  *  - server-driven pagination inside one task (next-links are
+  *    sequential, etl.py:171-175);
+  *  - `failFast=false` reproduces per-partition error tolerance
+  *    (etl.py:191-194): log + 0 rows instead of task failure.
+  *
+  * Scale posture: the only driver-side work is the planning-time key
+  * enumeration (same shape as JDBC's partition-bound query); rows
+  * stream through `PartitionReader` without accumulation.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("odata")
+  *   .option("baseUrl", "http://host:8080")
+  *   .option("servicePath", "sap/byd/odata/analytics.svc")
+  *   .option("entity", "RPZ...QueryResults")
+  *   .option("selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,...")
+  *   .option("structureCandidates", "COCHAR_STRUCTURE,C0CHAR_STRUCTURE")
+  *   .load()
+  * }}}
+  */
+class ODataDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "odata"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = ODataOptions(options)
+    val structureField = ODataSchema.detectStructureField(opts)
+    StructType(
+      (opts.selectFields ++ structureField).map(f => StructField(f, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ODataTable(schema, ODataOptions(new CaseInsensitiveStringMap(properties)))
+}
+
+object ODataSchema extends Logging {
+  /** ≤ |candidates| probe GETs at `$top=1` (etl.py:100-121): a 404
+    * whose body names the missing segment means "column absent, try
+    * next"; any other failure is fatal; all candidates failing is
+    * fatal. No candidates configured → no structure column.
+    */
+  def detectStructureField(opts: ODataOptions): Option[String] = {
+    if (opts.structureCandidates.isEmpty) return None
+    val base = opts.entityUrl(opts.codesEntity)
+    opts.structureCandidates.foreach { cand =>
+      val url = ODataClient.buildUrl(base, Seq(
+        "$select" -> cand, "$top" -> "1", "$format" -> "json"))
+      val r = ODataClient.get(url, opts.user, opts.password, opts.timeoutMs)
+      if (r.status >= 200 && r.status < 300) return Some(cand)
+      else if (r.status == 404 && ODataClient.missingSegment(r.body).isDefined)
+        logInfo(s"odata probe: candidate '$cand' absent, trying next")
+      else
+        throw new ODataClient.ODataHttpException(r.status, url, r.body)
+    }
+    throw new RuntimeException(
+      s"odata source: none of the structure candidates ${opts.structureCandidates.mkString(",")} exist")
+  }
+}
+
+class ODataTable(tableSchema: StructType, opts: ODataOptions) extends Table with SupportsRead {
+  override def name(): String = s"odata:${opts.entity}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ODataScanBuilder(tableSchema, opts)
+}
+
+class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownV2Filters
+  with SupportsPushDownLimit {
+
+  private var prunedSchema: StructType = fullSchema
+  private var pushedPreds: Array[Predicate] = Array.empty
+  private var pushedEq: Seq[(String, String)] = Seq.empty
+  private var limit: Option[Int] = None
+
+  /** P1 — `$select` from Catalyst column pruning. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep declared field order; an empty projection (count(*)) still
+    // fetches the first field so rows can be counted
+    prunedSchema =
+      if (requiredSchema.isEmpty) StructType(fullSchema.fields.take(1))
+      else StructType(fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  /** P3 — translate `col = 'lit'` on string columns to `$filter`.
+    * Everything (translated included) is returned as residual so
+    * Spark re-evaluates — the server filter prunes transfer volume,
+    * Spark guarantees semantics even against a sloppy server.
+    */
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val translated = predicates.flatMap(translateEq)
+    pushedEq = translated.toSeq
+    pushedPreds = predicates.filter(p => translateEq(p).isDefined)
+    predicates // all residual (belt + suspenders)
+  }
+  override def pushedPredicates(): Array[Predicate] = pushedPreds
+
+  private def translateEq(p: Predicate): Option[(String, String)] =
+    if (p.name() != "=") None
+    else p.children() match {
+      case Array(ref: NamedReference, lit: V2Literal[_]) if lit.dataType() == StringType =>
+        Some(ref.fieldNames().mkString(".") -> String.valueOf(lit.value()))
+      case Array(lit: V2Literal[_], ref: NamedReference) if lit.dataType() == StringType =>
+        Some(ref.fieldNames().mkString(".") -> String.valueOf(lit.value()))
+      case _ => None
+    }
+
+  /** P2 — `$top`. Partial push: caps per-partition fetch, Spark
+    * still applies the global limit.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+  override def build(): Scan =
+    // the partition key comes from the FULL schema — Catalyst may have
+    // pruned it out of the read schema, but partition planning and the
+    // per-partition $filter still need it
+    new ODataScan(prunedSchema, opts, pushedEq, limit,
+      fullSchema.fieldNames.find(opts.structureCandidates.contains))
+}
+
+case class ODataInputPartition(structureField: Option[String],
+                               structureValue: Option[String]) extends InputPartition
+
+class ODataScan(schema: StructType, opts: ODataOptions,
+                pushedEq: Seq[(String, String)], limit: Option[Int],
+                structureField: Option[String])
+  extends Scan with Batch with Logging {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ODataScan(entity=${opts.entity}, select=${schema.fieldNames.mkString(",")}, " +
+      s"filter=${pushedEq.map { case (k, v) => s"$k eq '$v'" }.mkString(" and ")}, top=$limit)"
+
+  /** Planning-time key enumeration on the driver (SURVEY §3.2 — the
+    * JDBC-partition-bounds analogue; a control-plane query, not a
+    * data collect). An equality filter pushed on the structure field
+    * prunes to a single partition.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    structureField match {
+      case None => Array(ODataInputPartition(None, None))
+      case Some(f) =>
+        pushedEq.find(_._1 == f) match {
+          case Some((_, v)) =>
+            Array(ODataInputPartition(Some(f), Some(v))) // partition pruning
+          case None =>
+            val url = ODataClient.buildUrl(opts.entityUrl(opts.codesEntity), Seq(
+              "$select" -> f, "$top" -> opts.pageSize.toString, "$format" -> "json"))
+            val keys = scala.collection.mutable.TreeSet.empty[String]
+            var page = ODataClient.parsePage(
+              ODataClient.getOrThrow(url, opts.user, opts.password, opts.timeoutMs))
+            keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
+            while (page.nextLink.isDefined) {
+              page = ODataClient.parsePage(ODataClient.getOrThrow(
+                page.nextLink.get, opts.user, opts.password, opts.timeoutMs))
+              keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
+            }
+            if (keys.isEmpty) Array(ODataInputPartition(Some(f), None))
+            else keys.toArray.map(v => ODataInputPartition(Some(f), Some(v)): InputPartition)
+        }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ODataReaderFactory(schema, opts, pushedEq, limit)
+}
+
+class ODataReaderFactory(schema: StructType, opts: ODataOptions,
+                         pushedEq: Seq[(String, String)], limit: Option[Int])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ODataPartitionReader(schema, opts,
+      partition.asInstanceOf[ODataInputPartition], pushedEq, limit)
+}
+
+/** One task = one partition-key value = one paginated fetch chain.
+  * Pages stream row-by-row; nothing accumulates beyond the current
+  * page (the reference held the whole dataset in RAM — SURVEY §4.2).
+  */
+class ODataPartitionReader(schema: StructType, opts: ODataOptions,
+                           partition: ODataInputPartition,
+                           pushedEq: Seq[(String, String)], limit: Option[Int])
+  extends PartitionReader[InternalRow] with Logging {
+
+  private val structureField = partition.structureField
+
+  private def odataEscape(s: String): String = s.replace("'", "''")
+
+  private var rows: Iterator[Map[String, String]] = Iterator.empty
+  private var nextLink: Option[String] = None
+  private var started = false
+  private var finishedOk = false
+  private var current: Map[String, String] = _
+
+  private def firstUrl: String = {
+    val filters =
+      partition.structureValue.toSeq.flatMap(v => structureField.map(f => s"$f eq '${odataEscape(v)}'")) ++
+        pushedEq.filter { case (k, _) => !partition.structureValue.isDefined || !structureField.contains(k) }
+          .map { case (k, v) => s"$k eq '${odataEscape(v)}'" }
+    val params = Seq(
+      "$select" -> schema.fieldNames.mkString(","),
+      "$top" -> math.min(opts.pageSize.toLong, limit.map(_.toLong).getOrElse(Long.MaxValue)).toString,
+      "$format" -> "json") ++
+      (if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
+    ODataClient.buildUrl(opts.entityUrl(opts.entity), params)
+  }
+
+  private def loadPage(url: String): Unit = {
+    val page = ODataClient.parsePage(
+      ODataClient.getOrThrow(url, opts.user, opts.password, opts.timeoutMs))
+    rows = page.rows.iterator
+    nextLink = page.nextLink
+  }
+
+  override def next(): Boolean = {
+    try {
+      if (!started) { started = true; loadPage(firstUrl) }
+      while (!rows.hasNext && nextLink.isDefined) {
+        if (opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs) // R5 politeness
+        loadPage(nextLink.get)
+      }
+      if (rows.hasNext) { current = rows.next(); true } else { finishedOk = true; false }
+    } catch {
+      case e: Exception if !opts.failFast && !finishedOk =>
+        // R4 — per-partition tolerance: partial output instead of job failure
+        logWarning(s"odata partition ${partition.structureValue} failed, emitting partial data: ${e.getMessage}")
+        false
+    }
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map { f =>
+      current.get(f).filter(_ != null).map(UTF8String.fromString).orNull
+    })
+
+  override def close(): Unit = ()
+}

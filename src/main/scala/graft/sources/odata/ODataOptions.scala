@@ -1,0 +1,66 @@
+package graft.sources.odata
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Connector options — the Spark `.option(...)` surface replacing the
+  * reference's env-var config (reference `src/etl.py:24-38`,
+  * `.github/workflows/etl.yml:33-41`).
+  *
+  * @param baseUrl      service host, e.g. `http://host:port`
+  *                     (etl.py `SAP_BASE_URL`, defensive `/`-strip)
+  * @param servicePath  OData service path (etl.py `SAP_SERVICE_PATH`)
+  * @param entity       main entity set (etl.py `SAP_MAIN_QUERY`)
+  * @param codesEntity  entity enumerated for partition keys — defaults
+  *                     to `entity`, mirroring etl.py:31's default
+  * @param selectFields base `$select` list (etl.py:44-51)
+  * @param structureCandidates candidate partition-key columns probed
+  *                     in order (etl.py:64: COCHAR vs C0CHAR)
+  * @param failFast     false = a failing partition logs + yields 0
+  *                     rows (etl.py:191-194 semantics); true = task
+  *                     failure (Spark default posture)
+  */
+case class ODataOptions(
+    baseUrl: String,
+    servicePath: String,
+    entity: String,
+    codesEntity: String,
+    selectFields: Seq[String],
+    structureCandidates: Seq[String],
+    user: Option[String],
+    password: Option[String],
+    pageSize: Int,
+    requestPauseMs: Long,
+    timeoutMs: Int,
+    failFast: Boolean) {
+
+  /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
+  def entityUrl(e: String): String = {
+    val b = baseUrl.replaceAll("/+$", "")
+    val p = servicePath.replaceAll("^/+|/+$", "")
+    s"$b/$p/${e.replaceAll("^/+", "")}"
+  }
+}
+
+object ODataOptions {
+  def apply(map: CaseInsensitiveStringMap): ODataOptions = {
+    val m = map.asCaseSensitiveMap().asScala
+    def req(k: String): String =
+      m.getOrElse(k, throw new IllegalArgumentException(s"odata source: missing required option '$k'"))
+    val entity = req("entity")
+    ODataOptions(
+      baseUrl = req("baseUrl"),
+      servicePath = m.getOrElse("servicePath", ""),
+      entity = entity,
+      codesEntity = m.getOrElse("codesEntity", entity),
+      selectFields = req("selectFields").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      structureCandidates =
+        m.getOrElse("structureCandidates", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      user = m.get("user").filter(_.nonEmpty),
+      password = m.get("password").filter(_.nonEmpty),
+      pageSize = m.getOrElse("pageSize", "1000000").toInt,
+      requestPauseMs = m.getOrElse("requestPauseMs", "0").toLong,
+      timeoutMs = m.getOrElse("timeoutMs", "90000").toInt,
+      failFast = m.getOrElse("failFast", "false").toBoolean)
+  }
+}

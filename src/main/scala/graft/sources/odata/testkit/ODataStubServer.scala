@@ -1,0 +1,139 @@
+package graft.sources.odata.testkit
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.jdk.CollectionConverters._
+
+/** In-process OData stub (JDK HttpServer, no deps, no egress) shaped
+  * like the SAP ByD service the reference talks to (FIXTURES.md A1):
+  * v2/v4 envelopes, `$select`/`$filter`(eq)/`$top`, server-driven
+  * pagination, probe-404 with `segment '<name>'` body, Basic auth,
+  * per-value failure injection.
+  */
+class ODataStubServer(
+    rows: Seq[Map[String, String]],
+    structureField: String,
+    badCandidates: Set[String] = Set("COCHAR_STRUCTURE"),
+    serverPageSize: Int = 1000,
+    dialect: String = "v2",              // "v2" | "v4"
+    requireAuth: Option[(String, String)] = None,
+    failValues: Set[String] = Set.empty) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  @volatile var requestLog: Vector[String] = Vector.empty
+
+  def port: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$port"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def rowJson(r: Map[String, String], select: Seq[String]): String =
+    select.flatMap(f => r.get(f).map(v => s"${jsonStr(f)}: ${jsonStr(v)}"))
+      .mkString("{", ", ", "}")
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def parseQuery(q: String): Map[String, String] =
+    if (q == null || q.isEmpty) Map.empty
+    else q.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try handle(ex)
+    catch { case e: Exception => respond(ex, 500, s"""{"error": "${e.getMessage}"}""") }
+  })
+
+  private def handle(ex: HttpExchange): Unit = {
+    val q = parseQuery(ex.getRequestURI.getRawQuery)
+    requestLog :+= ex.getRequestURI.toString
+
+    for ((u, p) <- requireAuth) {
+      val expect = "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
+      if (ex.getRequestHeaders.getFirst("Authorization") != expect) {
+        respond(ex, 401, """{"error": "unauthorized"}"""); return
+      }
+    }
+
+    val select = q.get("$select").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(rows.headOption.map(_.keys.toSeq).getOrElse(Nil))
+
+    // probe-404 for configured bad candidates (etl.py:95-97 shape)
+    select.find(badCandidates.contains) match {
+      case Some(bad) =>
+        respond(ex, 404,
+          s"""{"error": {"message": "Resource not found for the segment '$bad'"}}""")
+        return
+      case None =>
+    }
+
+    // $filter: conjunction of `field eq 'value'` with '' unescaping
+    val filtered = q.get("$filter") match {
+      case None => rows
+      case Some(f) =>
+        val conds = f.split(" and ").toSeq.map { c =>
+          val m = "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(c.trim)
+            .getOrElse(throw new IllegalArgumentException(s"bad filter: $c"))
+          m.group(1) -> m.group(2).replace("''", "'")
+        }
+        if (conds.exists { case (k, v) => failValues.contains(v) }) {
+          respond(ex, 500, """{"error": "injected failure"}"""); return
+        }
+        rows.filter(r => conds.forall { case (k, v) => r.get(k).contains(v) })
+    }
+
+    val top = q.get("$top").map(_.toLong).getOrElse(Long.MaxValue)
+    val skip = q.get("$skiptoken").map(_.toInt).getOrElse(0)
+    val capped = filtered.take(if (top > Int.MaxValue) Int.MaxValue else top.toInt)
+    val page = capped.slice(skip, skip + serverPageSize)
+    val hasMore = skip + serverPageSize < capped.size
+    val path = ex.getRequestURI.getPath
+    val nextUrl =
+      if (!hasMore) None
+      else {
+        val keep = q - "$skiptoken" + ("$skiptoken" -> (skip + serverPageSize).toString)
+        val qs = keep.map { case (k, v) =>
+          java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+        }.mkString("&")
+        Some(s"$url$path?$qs")
+      }
+
+    val rowsJson = page.map(rowJson(_, select)).mkString("[", ", ", "]")
+    val body = dialect match {
+      case "v2" =>
+        val nxt = nextUrl.map(u => s""", "__next": ${jsonStr(u)}""").getOrElse("")
+        s"""{"d": {"results": $rowsJson$nxt}}"""
+      case "v4" =>
+        val nxt = nextUrl.map(u => s""", "@odata.nextLink": ${jsonStr(u)}""").getOrElse("")
+        s"""{"value": $rowsJson$nxt}"""
+    }
+    respond(ex, 200, body)
+  }
+
+  def start(): this.type = {
+    // daemon handler threads + a grace-period stop: HttpServer.stop(0)
+    // can strand its non-daemon dispatcher when an exchange is
+    // in-flight, which keeps a forked JVM alive after tests pass
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "odata-stub-handler"); t.setDaemon(true); t
+    }))
+    server.start(); this
+  }
+  def stop(): Unit = server.stop(1)
+}

@@ -1,0 +1,143 @@
+package graft.odata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.odata.testkit.ODataStubServer
+
+class ODataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val selectFields = "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS"
+  private val candidates   = "COCHAR_STRUCTURE,C0CHAR_STRUCTURE"
+
+  private def mkRows(n: Int): Seq[Map[String, String]] =
+    (0 until n).map { i =>
+      Map(
+        "TEMPLOYEE_UUID" -> s"Employee $i",
+        "CEMPLOYEE_UUID" -> i.toString,
+        "KCLEAVERS" -> "1",
+        "C0CHAR_STRUCTURE" -> s"STRUCT${i % 3}")
+    }
+
+  private def read(srv: ODataStubServer, extra: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "sap/byd/odata/analytics.svc")
+      .option("entity", "EmployeeQueryResults")
+      .option("selectFields", selectFields)
+      .option("structureCandidates", candidates)
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("schema probe skips 404'd candidate and appends detected structure column") {
+    val srv = new ODataStubServer(mkRows(5), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv)
+      assert(df.columns.toSeq ==
+        Seq("TEMPLOYEE_UUID", "CEMPLOYEE_UUID", "KCLEAVERS", "C0CHAR_STRUCTURE"))
+      assert(df.count() == 5)
+    } finally srv.stop()
+  }
+
+  test("value-partitioned scan: one input partition per distinct structure value") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv)
+      assert(df.rdd.getNumPartitions == 3) // STRUCT0/1/2
+      assert(df.count() == 9)
+      assert(df.select("C0CHAR_STRUCTURE").distinct().count() == 3)
+    } finally srv.stop()
+  }
+
+  test("column pruning reaches the server as \\$select") {
+    val srv = new ODataStubServer(mkRows(4), "C0CHAR_STRUCTURE").start()
+    try {
+      val got = read(srv).select("CEMPLOYEE_UUID").as[String].collect().toSet
+      assert(got == Set("0", "1", "2", "3"))
+      val dataRequests = srv.requestLog.filter(r => !r.contains("%24top=1&"))
+      assert(dataRequests.exists(r =>
+        r.contains("%24select=CEMPLOYEE_UUID") && !r.contains("TEMPLOYEE_UUID")),
+        s"no pruned \\$$select seen in: ${srv.requestLog.mkString("\n")}")
+    } finally srv.stop()
+  }
+
+  test("equality filter pushdown prunes to a single partition") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv).where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+      assert(df.count() == 3)
+      assert(df.rdd.getNumPartitions == 1)
+    } finally srv.stop()
+  }
+
+  test("quote-doubling in pushed filters round-trips values with single quotes") {
+    val rows = Seq(
+      Map("TEMPLOYEE_UUID" -> "O'Brien", "CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "1",
+        "C0CHAR_STRUCTURE" -> "O'STRUCT"),
+      Map("TEMPLOYEE_UUID" -> "Plain", "CEMPLOYEE_UUID" -> "2", "KCLEAVERS" -> "1",
+        "C0CHAR_STRUCTURE" -> "PLAIN"))
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      val got = read(srv).where(col("C0CHAR_STRUCTURE") === "O'STRUCT")
+        .select("TEMPLOYEE_UUID").as[String].collect().toSeq
+      assert(got == Seq("O'Brien"))
+    } finally srv.stop()
+  }
+
+  test("server-driven pagination follows next-links within one task") {
+    val srv = new ODataStubServer(mkRows(30), "C0CHAR_STRUCTURE", serverPageSize = 4).start()
+    try {
+      assert(read(srv).count() == 30)
+      assert(srv.requestLog.exists(_.contains("skiptoken")), "no pagination happened")
+    } finally srv.stop()
+  }
+
+  test("v4 envelope (value / @odata.nextLink) decodes identically") {
+    val srv = new ODataStubServer(mkRows(12), "C0CHAR_STRUCTURE",
+      serverPageSize = 5, dialect = "v4").start()
+    try assert(read(srv).count() == 12)
+    finally srv.stop()
+  }
+
+  test("basic auth header is sent from options") {
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      requireAuth = Some(("alice", "s3cr'et"))).start()
+    try {
+      assert(read(srv, Map("user" -> "alice", "password" -> "s3cr'et")).count() == 3)
+      val e = intercept[Exception] { read(srv).count() }
+      assert(e.getMessage.contains("401") || e.getCause != null)
+    } finally srv.stop()
+  }
+
+  test("failFast=false yields partial data on a failing partition (R4)") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      failValues = Set("STRUCT1")).start()
+    try {
+      assert(read(srv).count() == 6) // STRUCT1's 3 rows silently missing
+      val e = intercept[Exception] { read(srv, Map("failFast" -> "true")).count() }
+      assert(e.getMessage != null)
+    } finally srv.stop()
+  }
+
+  test("probe failure on all candidates is fatal") {
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      badCandidates = Set("COCHAR_STRUCTURE", "C0CHAR_STRUCTURE")).start()
+    try {
+      val e = intercept[Exception] { read(srv).count() }
+      assert(e.getMessage.contains("structure candidates"))
+    } finally srv.stop()
+  }
+
+  test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
+    val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
+    try {
+      val out = graft.operators.Etl.dedupRows(
+        graft.operators.Etl.renameColumns(read(srv), Map(
+          "TEMPLOYEE_UUID" -> "Employee", "CEMPLOYEE_UUID" -> "EmployeeID",
+          "C0CHAR_STRUCTURE" -> "Structure")))
+      assert(out.count() == 9) // dups dropped
+      assert(out.columns.toSeq == Seq("Employee", "EmployeeID", "KCLEAVERS", "Structure"))
+    } finally srv.stop()
+  }
+}
