@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted per partition.
+  *
+  * Spark-side design (all real and tested): schema, partition-batched
+  * UDF shape (`mapPartitions` over an iterator — the Scala analogue of
+  * a batched pandas UDF), deterministic output. The actual codec call
+  * is STUBBED (no image/audio libraries in this environment) behind
+  * [[MediaCodec.decodeStub]], clearly marked — swapping in a real
+  * decoder changes one function, not the pipeline.
+  *
+  * Scale posture: decode is a map-only stage; binary payloads never
+  * shuffle (metadata is extracted first, payloads dropped before any
+  * wide operator); `spark.sql.files.maxPartitionBytes` bounds
+  * per-task memory for large blobs.
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      sha256: String,
+      width: Int,          // stub-decoded
+      height: Int,         // stub-decoded
+      n_frames: Int,       // stub-decoded (1 for stills)
+      feature: Array[Float]) // stub feature vector (deterministic)
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * codec that is not available in this environment. Derives plausible
+    * dimensions and an 8-dim feature vector purely from the bytes, so
+    * tests are reproducible. Replace the body with a real codec
+    * (e.g. javax.imageio / ffmpeg bindings) to productionize; the
+    * signature and the partition-batched call shape are the contract.
+    */
+  object MediaCodec {
+    def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val width  = 16 + math.abs(h % 1920)
+      val height = 16 + math.abs((h / 7) % 1080)
+      val frames = 1 + math.abs((h / 13) % 4)
+      val feat = Array.tabulate(8)(i => ((h >> (i * 4)) & 0xf).toFloat / 15f)
+      (width, height, frames, feat)
+    }
+  }
+
+  /** Attach a binary payload column (here derived from text — the
+    * driver testdata has no real blobs; in production this is the
+    * parquet/file-source binary column, e.g. binaryFile format).
+    */
+  def withPayload(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+        .withColumn("media_type", lit("text/plain"))
+
+  /** Partition-batched decode: one iterator pass per partition, no
+    * per-row task overhead, payload dropped from the output.
+    */
+  def extractMeta(docs: DataFrame, idCol: String): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, mt, bytes) =>
+          val (w, h, fr, feat) = MediaCodec.decodeStub(bytes)
+          digest.reset()
+          val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+          MediaMeta(id, mt, bytes.length.toLong, sha, w, h, fr, feat)
+        }
+      }
+  }
+
+  /** Deterministic frame sampling plan for video-like media: every
+    * k-th frame index up to n_frames — pure column math, no decode.
+    */
+  def frameSamplePlan(meta: Dataset[MediaMeta], everyK: Int): DataFrame =
+    meta.toDF().select(
+      col("doc_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+}

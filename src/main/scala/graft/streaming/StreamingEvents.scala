@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of graft.operators.Events: the SAME
+  * aggregations run incrementally with watermark-bounded state. The
+  * reference is a snapshot-refresh batch cron (SURVEY §1.1); this is
+  * the scale path when the OData/event feed becomes continuous —
+  * state is bounded by the watermark, so a 100 TB/day stream holds
+  * only the open windows in state, never the history.
+  */
+object StreamingEvents {
+
+  /** Schema of the events table as the stream source sees it
+    * (ns-timestamps arrive as LongType under nanosAsLong, converted
+    * on ingest exactly like the batch path).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling-window count+sum with a watermark: append-mode capable,
+    * state evicted `delay` past the window end.
+    */
+  def tumblingAgg(events: DataFrame, windowExpr: String = "1 hour",
+                  delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowExpr).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon —
+    * the streaming form of exact dedup (state = one key per id seen
+    * inside the horizon, not the full history).
+    */
+  def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
+
+  /** Session windows per user (gap-based), the streaming twin of
+    * Events.sessionize.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+              col("w.end").as("session_end"), col("n_events"))
+
+  /** Run a streaming query over a bounded directory to completion and
+    * return the materialized result (memory sink). Batch-equivalence
+    * harness for tests: the streaming twin must agree with the batch
+    * operator on the same bounded input.
+    */
+  def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
+                      mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingEvents
+import graft.operators.{Events, Multimodal}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** File-source streams need a directory; testdata ships single
+    * parquet files — stage one into a temp dir.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling agg equals the batch operator on bounded input") {
+    val batch = Events.tumblingAgg(Tables.events(spark, sf001))
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    val stream = StreamingEvents.readEvents(spark, eventsDir)
+    // complete mode: bounded input, final state = batch answer
+    val got = StreamingEvents.runToCompletion(
+      spark, StreamingEvents.tumblingAgg(stream), "t_agg", mode = "complete")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    assert(got == batch)
+  }
+
+  test("streaming dedup keeps each event_id once within the horizon") {
+    val stream = StreamingEvents.readEvents(spark, eventsDir)
+    val got = StreamingEvents.runToCompletion(
+      spark, StreamingEvents.dedupEvents(stream), "t_dedup")
+    val n = Tables.events(spark, sf001).count()
+    assert(got.count() == n) // event_ids unique in testdata → nothing dropped
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
+  test("streaming session windows match batch sessionize session count") {
+    val stream = StreamingEvents.readEvents(spark, eventsDir)
+    val got = StreamingEvents.runToCompletion(
+      spark, StreamingEvents.sessionAgg(stream), "t_sess", mode = "complete")
+    val batchSessions = Events.sessionize(Tables.events(spark, sf001)).count()
+    assert(got.count() == batchSessions)
+    // per-user totals must agree too
+    val a = got.groupBy("user_id").agg(sum("n_events").as("n")).orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    val b = Events.sessionize(Tables.events(spark, sf001))
+      .groupBy("user_id").agg(sum("n_events").as("n")).orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("multimodal: partition-batched stub decode produces typed, deterministic metadata") {
+    val docs = Multimodal.withPayload(Tables.documents(spark, sf001), "text")
+    val meta = Multimodal.extractMeta(docs, "doc_id")
+    val rows = meta.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(m => m.n_bytes > 0 && m.sha256.length == 64 && m.feature.length == 8))
+    // deterministic: second run identical
+    val again = Multimodal.extractMeta(docs, "doc_id").collect()
+    assert(rows.map(_.sha256).toSeq == again.map(_.sha256).toSeq)
+    // frame sampling plan: 0-based indices stepped by k, bounded by n_frames
+    val plan = Multimodal.frameSamplePlan(meta, everyK = 2)
+    assert(plan.where(col("frame_idx") >= 5).count() == 0) // stub caps n_frames at 4
+  }
+}
