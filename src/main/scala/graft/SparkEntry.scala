@@ -104,8 +104,11 @@ object SparkEntry {
         shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.12)
         .orderBy("doc_a", "doc_b")),
 
+    // maxHamming=3 → 4 bands × 16 bits → 64Ki buckets: bucket
+    // occupancy stays O(1) as the corpus grows; 8 would mean 7-bit
+    // bands (128 buckets) and quadratic candidate blowup at scale
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_embedding" -> ((s, dir) =>

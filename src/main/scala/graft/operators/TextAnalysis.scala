@@ -116,11 +116,13 @@ object TextAnalysis {
     *    minimum — a 1-element sketch, order-independent and
     *    SQL-expressible for the oracle).
     */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = normalized(col(textCol))
-    docs.select(
-      col(idCol),
-      md5(norm).as("fingerprint"),
-      array_min(transform(charShingles(norm, 8), s => md5(s))).as("winnow_fp"))
-  }
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // normalized text materialized as an attribute first: charShingles
+    // references it per element, and the inline regexp chain would
+    // re-normalize once per 8-gram
+    docs.select(col(idCol), normalized(col(textCol)).as("norm"))
+      .select(
+        col(idCol),
+        md5(col("norm")).as("fingerprint"),
+        array_min(transform(charShingles(col("norm"), 8), s => md5(s))).as("winnow_fp"))
 }

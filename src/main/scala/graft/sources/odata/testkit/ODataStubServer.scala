@@ -127,13 +127,18 @@ class ODataStubServer(
   }
 
   def start(): this.type = {
-    // daemon handler threads + a grace-period stop: HttpServer.stop(0)
-    // can strand its non-daemon dispatcher when an exchange is
-    // in-flight, which keeps a forked JVM alive after tests pass
+    // daemon handler threads; and start() from a daemon thread so the
+    // JDK dispatcher (which inherits daemon status from its creator)
+    // can never keep a JVM alive after main returns — long-lived stubs
+    // (ODataSelfServe) are deliberately not stopped
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "odata-stub-handler"); t.setDaemon(true); t
     }))
-    server.start(); this
+    val starter = new Thread(() => server.start(), "odata-stub-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    this
   }
   def stop(): Unit = server.stop(1)
 }
