@@ -107,6 +107,16 @@ object Etl {
     dedupRows(reorderColumns(renamed, expectedFirst))
   }
 
+  /** Sink-time rename permitting DUPLICATE target names — the
+    * reference's CSV legally carries `Structure` twice because two
+    * source fields map to the same business name (etl.py:53-61,
+    * employee_data.csv:1). Internal plans keep unique names (Spark
+    * transformations reject duplicates); this runs as the LAST
+    * projection before a write.
+    */
+  def renameForSink(df: DataFrame, renameMap: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c => col(c).as(renameMap.getOrElse(c, c))).toIndexedSeq: _*)
+
   /** K1 — CSV sink: single file, header, UTF-8, overwrite
     * (etl.py:220-223; idempotent-overwrite semantics per etl.yml).
     * `coalesce(1)` matches the reference's one-CSV-in-git contract;
