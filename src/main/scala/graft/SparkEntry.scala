@@ -91,6 +91,13 @@ object SparkEntry {
 
     "topk_customers" -> ((s, dir) => Analytics.topCustomers(t(s, dir, "orders"), 10)),
 
+    "agg_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_parts"))
+        .orderBy("l_returnflag")),
+
     // ================= dedup family ================================
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
@@ -157,6 +164,14 @@ object SparkEntry {
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
     // ================= multimodal plumbing =========================
+    "mm_decode_meta" -> ((s, dir) => {
+      val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
+      Multimodal.extractMeta(docs, "doc_id").toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("sha256"),
+                col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     "mm_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -256,6 +271,41 @@ object SparkEntry {
          | count(*) AS n_orders
          | FROM orders GROUP BY o_custkey
          | ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "agg_distinct_counts" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_parts
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "text_langid" ->
+      """WITH x AS (
+        | SELECT doc_id,
+        |  list_transform(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> regexp_replace(w, '[!-/:-@[-`{-~]', '', 'g')) AS t,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
+        |  greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_char
+        | FROM documents),
+        | y AS (
+        | SELECT doc_id, cjk, n_char, CAST(len(t) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(t, w -> list_contains(
+        |   ['the','and','of','to','in','is','that','it','for','with','a'], w))) AS DOUBLE) AS s_en,
+        |  CAST(len(list_filter(t, w -> list_contains(
+        |   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], w))) AS DOUBLE) AS s_de,
+        |  CAST(len(list_filter(t, w -> list_contains(
+        |   ['el','la','de','que','y','en','los','una','por','con'], w))) AS DOUBLE) AS s_es,
+        |  CAST(len(list_filter(t, w -> list_contains(
+        |   ['le','la','les','et','de','un','une','est','que','dans'], w))) AS DOUBLE) AS s_fr
+        | FROM x)
+        | SELECT doc_id,
+        |  CASE WHEN cjk / n_char > 0.2 THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        | FROM y ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
