@@ -106,9 +106,13 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12)
         .orderBy("doc_a", "doc_b")),
 
+    // threshold at the 16×4 banding design point: P(candidate | J) =
+    // 1−(1−J⁴)¹⁶ ≈ 1 for J ≥ 0.9, so candidate recall is structural,
+    // not data luck — which is what lets this LSH op carry an EXACT
+    // oracle (the J ≥ 0.6 jaccard pairs) rather than a rows-only check
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.12)
+        shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.6)
         .orderBy("doc_a", "doc_b")),
 
     // maxHamming=3 → 4 bands × 16 bits → 64Ki buckets: bucket
@@ -311,6 +315,25 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         | FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT doc_a, doc_b,
+        |  round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        | FROM common
+        | JOIN sizes sa ON sa.doc_id = doc_a
+        | JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
+        | ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH toks AS (

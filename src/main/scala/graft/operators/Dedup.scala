@@ -26,31 +26,57 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-shingle Jaccard near-dup pairs, exact via an inverted-index
-    * self-join: explode distinct shingles, join on shingle, count
-    * common, Jaccard = |∩| / (|A|+|B|−|∩|).
+  /** Word-shingle Jaccard near-dup pairs, exact via an inverted
+    * index: posting list per shingle hash, ordered doc pairs from
+    * each list, count co-occurrences, Jaccard = |∩| / (|A|+|B|−|∩|).
     *
-    * Exact but quadratic in the worst case — a hot shingle joins every
-    * doc containing it. Correctness oracle for the sketch variants;
-    * the 100 TB path is [[minHashPairs]] (same answer shape, LSH
-    * candidates only).
+    * Docs carry their shingle count into the posting lists, so no
+    * sizes-table joins: the whole op is two shuffles (groupBy shingle,
+    * groupBy pair) plus a spread-repartition. Quadratic cost
+    * concentrates in high-document-frequency shingles; `maxDocFreq`
+    * drops them (a shingle shared by >maxDocFreq docs is a
+    * stopword-shingle carrying ~zero similarity signal — standard
+    * df-cut). Correctness oracle for the sketch variants; the 100 TB
+    * path is [[minHashPairs]] (same answer shape, LSH candidates
+    * only).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    // shingles join on their 64-bit hash, not the string: half the
-    // shuffle bytes and long-vs-long join compares; intersection
-    // counts are unchanged short of a 2^-64 collision
+                   n: Int, threshold: Double, maxDocFreq: Int = 10000): DataFrame = {
+    // shingles carry their 64-bit hash, not the string: smaller
+    // shuffle and long-vs-long compares; intersection counts are
+    // unchanged short of a 2^-64 collision. Each doc's shingle count
+    // rides along in the posting lists, so Jaccard needs no
+    // sizes-table joins — the whole op is exactly two shuffles
+    // (groupBy shingle, groupBy pair).
+    // n_sh is projected BEFORE the explode so the shingle array does
+    // not ride through the Generate (copied into every exploded row)
     val sh = docs
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("w"))
-      .select(col("doc"), explode(wordShinglesFromTokens(col("w"), n)).as("shs"))
-      .select(col("doc"), xxhash64(col("shs")).as("sh"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .select(col(idCol).as("doc"), wordShinglesFast(col(textCol), n).as("shs"))
+      .select(col("doc"), size(col("shs")).as("n_sh"), col("shs"))
+      .select(col("doc"), col("n_sh"), explode(col("shs")).as("s"))
+      .select(col("doc"), col("n_sh"), xxhash64(col("s")).as("h"))
+    // posting list per shingle: the aggregation is simultaneously the
+    // inverted index, the sizes carrier, and the df-cut (lists longer
+    // than maxDocFreq are stopword-shingles — dropped). Multi-doc
+    // lists are a small fraction of the corpus, so AQE would coalesce
+    // them onto few tasks; the pair explode amplifies C(df,2)-fold,
+    // so spread lists across full parallelism BEFORE exploding.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val postings = sh.groupBy("h")
+      .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
+      .where(size(col("ds")).between(2, maxDocFreq))
+      .repartition(nPart)
+    // ordered pairs via codegen'd double-explode (no join, no
+    // interpreted higher-order functions in the hot path)
+    val pairs = postings
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("a.n_sh").as("n_a"),
+              col("b.doc").as("doc_b"), col("b.n_sh").as("n_b"))
+    pairs
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard", round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -101,29 +127,30 @@ object Dedup {
                    shingleN: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.6): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    // one explode + one codegen'd string hash per (doc, shingle) —
-    // everything downstream (signatures AND verification sets) derives
-    // from these rows, never from interpreted array HOFs
+    // one codegen'd regex pass + explode + one codegen'd string hash
+    // per (doc, shingle) — everything downstream (signatures AND
+    // verification sets) derives from these rows, never from
+    // interpreted array HOFs
     val tok = docs
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("w"))
-      .select(col("doc"), explode(wordShinglesFromTokens(col("w"), shingleN)).as("s"))
+      .select(col(idCol).as("doc"), explode(wordShinglesFast(col(textCol), shingleN)).as("s"))
       .select(col("doc"), xxhash64(col("s")).as("h"))
 
-    // verification intersects 64-bit shingle hashes, not strings —
-    // identical counts short of 2^-64 collisions, much cheaper compares
-    val shingleTable = tok.groupBy(col("doc")).agg(collect_set(col("h")).as("sh"))
-
-    // signatures via explode + numHashes codegen'd MIN aggregates:
-    // the per-row HOF fold stays out of whole-stage codegen and is
-    // ~10× slower; here each exploded (doc, shingle-hash) row flows
-    // through numHashes xxhash64-over-long expressions inside one
-    // hash aggregate with map-side partial min
+    // ONE aggregation produces both the signature mins and the
+    // verification shingle-set: signatures via numHashes codegen'd MIN
+    // aggregates (the per-row HOF fold stays out of whole-stage
+    // codegen and is ~10× slower), the shingle-set via collect_set of
+    // the 64-bit hashes (verification intersects hashes, not strings —
+    // identical counts short of 2^-64 collisions). Both consumers
+    // below read the same exchange (ReuseExchange), so the corpus is
+    // scanned and shuffled once.
     val consts = affineConsts(numHashes, seed = 42L)
     val minAggs = consts.zipWithIndex.map { case ((a, _), i) =>
       min(xxhash64(col("h").bitwiseXOR(lit(a)))).as(s"m$i")
     }
-    val withSig = tok.groupBy(col("doc"))
-      .agg(minAggs.head, minAggs.tail: _*)
+    val docTable = tok.groupBy(col("doc"))
+      .agg(minAggs.head, minAggs.tail :+ collect_set(col("h")).as("sh"): _*)
+    val shingleTable = docTable.select(col("doc"), col("sh"))
+    val withSig = docTable
       .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
 
     // band keys only — the heavy shingle arrays must NOT ride through
