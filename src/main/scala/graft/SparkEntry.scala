@@ -98,6 +98,62 @@ object SparkEntry {
              countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_parts"))
         .orderBy("l_returnflag")),
 
+    "agg_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
+             round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+             round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
+             round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
+        .orderBy("l_returnflag")),
+
+    // explicit pivot value list: no driver-side distinct-collection
+    // job at plan time (the implicit form scans the table twice)
+    "agg_pivot" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+          "4-NOT SPECIFIED" -> "n_notspec", "5-LOW" -> "n_low"))
+        .orderBy("o_orderstatus")),
+
+    // ================= custom join shapes ==========================
+    "join_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+      val views = e.where(col("event_type") === "view")
+      Joins.asOfJoin(purchases, views, Seq("user_id"), "ts", "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("matched.r_event_id").as("view_event_id"),
+                col("matched.r_ts").as("view_ts"))
+        .orderBy("event_id")
+    }),
+
+    "join_range" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      Joins.rangeJoin(clicks, errors, Seq("user_id"), "ts", windowSeconds = 3600)
+        .select(col("l.event_id").as("click_id"), col("r.event_id").as("error_id"),
+                col("user_id"),
+                (unix_millis(col("r.ts")) - unix_millis(col("l.ts"))).as("lag_ms"))
+        .orderBy("click_id", "error_id")
+    }),
+
+    "join_salted" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      Joins.saltedJoin(orders, cust, Seq("c_custkey"), numSalts = 8, saltSource = "o_orderkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             Analytics.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ================= dedup family ================================
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
@@ -282,6 +338,55 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_parts
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+        | count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+        | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+        | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        | count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "join_asof" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT * FROM events WHERE event_type = 'view'),
+        | j AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |   v.event_id AS view_event_id, v.ts AS view_ts,
+        |   row_number() OVER (PARTITION BY p.event_id
+        |     ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+        | SELECT event_id, user_id, ts, view_event_id, view_ts
+        |  FROM j WHERE rn = 1
+        | UNION ALL
+        | SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM v
+        |    WHERE v.user_id = p.user_id AND v.ts <= p.ts)
+        | ORDER BY event_id""".stripMargin,
+
+    "join_range" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        | x AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+        | SELECT c.event_id AS click_id, x.event_id AS error_id, c.user_id,
+        |  epoch_ms(x.ts) - epoch_ms(c.ts) AS lag_ms
+        | FROM c JOIN x ON c.user_id = x.user_id AND x.ts >= c.ts
+        |  AND epoch_ms(x.ts) - epoch_ms(c.ts) < 3600000
+        | ORDER BY click_id, error_id""".stripMargin,
+
+    "join_salted" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         | ${msum("o_totalprice")} AS total_price
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "text_langid" ->
       """WITH x AS (

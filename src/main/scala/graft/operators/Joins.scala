@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join shapes Spark's built-in operators don't provide directly —
+  * as-of, range, and skew-salted equi-join — each written as the
+  * plan you'd want on a 1000-executor cluster, not the first plan
+  * that returns the right rows.
+  */
+object Joins {
+
+  /** As-of join: for every left row, the single latest right row with
+    * `right.tsCol <= left.tsCol` and equal keys (time-series
+    * enrichment / attribution).
+    *
+    * NOT an inequality join (quadratic, unprunable): both sides union
+    * into one stream tagged by side, then ONE window pass per key
+    * ordered by (ts, side, id) carries the last-seen right payload
+    * forward onto each left row (`last(_, ignoreNulls)` over a
+    * running frame). Cost = one shuffle + sort on the key — the same
+    * plan shape as sessionization, linear in |L|+|R| at any scale.
+    * Right rows sort BEFORE left rows at equal ts (side 0 < 1), so
+    * `<=` semantics hold; ties among right rows resolve to the
+    * greatest `idCol` — deterministic, unlike raw SQL ASOF.
+    *
+    * `rightPayload` columns come back null when no right row precedes
+    * the left row (left-outer semantics).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, idCol: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val payload = struct(
+      (Seq(tsCol, idCol) ++ rightPayload).map(c => col(c).as(s"r_$c")): _*)
+    // right rows carry (keys, ts, id) under the left's column names so
+    // the two sides union; the left side has no "r" column — unionByName
+    // null-fills it with the correct struct type
+    val r = right.select(
+      Seq(lit(0).as("side"), payload.as("r")) ++
+        (keyCols :+ tsCol :+ idCol).map(col): _*)
+    val l = left.withColumn("side", lit(1))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("side"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("matched", last(col("r"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .drop("side", "r")
+  }
+
+  /** Range join: all (left, right) pairs with equal keys and
+    * `right.tsCol − left.tsCol` in `[0, windowSeconds)`.
+    *
+    * The scale path is bin-bucketing: left rows replicate into the
+    * two `windowSeconds`-wide bins their window overlaps, right rows
+    * map to their single bin, and the match becomes an EQUI-join on
+    * (keys, bin) + an exact residual filter. Each true pair matches
+    * in exactly one bin (the right row's), so no dedup pass is
+    * needed. Replication factor is a constant 2 — at 100 TB this is
+    * a shuffled hash join on a composite key, never a cross product.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                tsCol: String, windowSeconds: Long): DataFrame = {
+    val binOf = (c: Column) => floor(unix_millis(c) / (windowSeconds * 1000))
+    val l = left.withColumn("bin", explode(array(binOf(col(tsCol)), binOf(col(tsCol)) + 1)))
+    val r = right.withColumn("bin", binOf(col(tsCol)))
+    val joinKeys = keyCols :+ "bin"
+    l.as("l").join(r.as("r"), joinKeys)
+      .where(col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+             unix_millis(col(s"r.$tsCol")) - unix_millis(col(s"l.$tsCol")) < windowSeconds * 1000)
+      .drop("bin")
+  }
+
+  /** Skew-salted equi-join: identical result to `left.join(right,
+    * keys)`, but a hot key's rows spread over `numSalts` reducers.
+    * The big/skewed side gets a deterministic salt from its row
+    * content; the small side replicates ×numSalts. Use when one key
+    * dominates (AQE skew-join split handles moderate skew; salting is
+    * the explicit form that also works mid-pipeline, e.g. under a
+    * window).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 numSalts: Int, saltSource: String): DataFrame = {
+    val l = big.withColumn("salt", pmod(xxhash64(col(saltSource)), lit(numSalts)))
+    val r = small.withColumn("salt", explode(sequence(lit(0), lit(numSalts - 1))))
+    l.join(r, keyCols :+ "salt").drop("salt")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, Long, String, String)*) =
+    rows.map { case (id, u, t, typ) => (id, u, ts(t), typ) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+
+  test("asOfJoin: latest right row at or before each left row, per key") {
+    val e = events(
+      (1L, 7L, "2026-01-01 10:00:00", "view"),
+      (2L, 7L, "2026-01-01 10:05:00", "view"),
+      (3L, 7L, "2026-01-01 10:05:00", "purchase"), // equal ts → view 2 matches (<=)
+      (4L, 7L, "2026-01-01 11:00:00", "purchase"), // latest view = 2
+      (5L, 9L, "2026-01-01 09:00:00", "purchase")) // no view for user 9 → null
+    val got = Joins.asOfJoin(
+        e.where($"event_type" === "purchase"), e.where($"event_type" === "view"),
+        Seq("user_id"), "ts", "event_id", Seq())
+      .select($"event_id", $"matched.r_event_id".as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(3L -> Some(2L), 4L -> Some(2L), 5L -> None))
+  }
+
+  test("asOfJoin: ties among right rows resolve to greatest id (deterministic)") {
+    val e = events(
+      (1L, 7L, "2026-01-01 10:00:00", "view"),
+      (2L, 7L, "2026-01-01 10:00:00", "view"), // same ts as 1
+      (3L, 7L, "2026-01-01 10:30:00", "purchase"))
+    val got = Joins.asOfJoin(
+        e.where($"event_type" === "purchase"), e.where($"event_type" === "view"),
+        Seq("user_id"), "ts", "event_id", Seq())
+      .select($"matched.r_event_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("rangeJoin: pairs within window, same key, no double counting across bins") {
+    val e = events(
+      (1L, 7L, "2026-01-01 10:00:00", "click"),
+      (2L, 7L, "2026-01-01 10:59:59", "error"), // in [0, 1h) of click 1
+      (3L, 7L, "2026-01-01 11:00:00", "error"), // exactly 1h → excluded
+      (4L, 7L, "2026-01-01 09:59:59", "error"), // before click → excluded
+      (5L, 8L, "2026-01-01 10:10:00", "error")) // other user → excluded
+    val got = Joins.rangeJoin(
+        e.where($"event_type" === "click"), e.where($"event_type" === "error"),
+        Seq("user_id"), "ts", windowSeconds = 3600)
+      .select($"l.event_id", $"r.event_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("saltedJoin equals the plain join") {
+    val big = (1L to 100L).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Joins.saltedJoin(big, small, Seq("k"), numSalts = 4, saltSource = "v")
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+}
