@@ -3,23 +3,31 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` / `array<double>` columns,
-  * built on Spark's higher-order functions (`zip_with` / `aggregate`).
-  * Everything is per-row, embarrassingly parallel, and null-safe; the
-  * `double` cast happens element-wise so Spark and the DuckDB oracle
-  * accumulate in the same precision and order (left-to-right fold).
+/** Dense-vector math over `array<float>` / `array<double>` columns.
+  *
+  * The dot/norm/bucket kernels are native Catalyst expressions with
+  * codegen (`graft.plans.VectorExpressions`) — the interpreted
+  * higher-order-function forms cost ~µs per element, which at ANN /
+  * near-dup pair cardinalities dominates the whole operator. Float
+  * elements are widened to double per element, and accumulation is a
+  * left-to-right double fold, so scores are bit-identical to the HOF
+  * forms and to the DuckDB oracle (`list_cosine_similarity` over
+  * `::DOUBLE[]`).
   */
 object VectorFunctions {
 
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  import graft.plans.{DotProduct, HyperplaneBuckets, L2Norm => L2NormExpr}
+
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Σ aᵢ·bᵢ — sequential left fold, deterministic. */
+  /** Σ aᵢ·bᵢ — codegen'd single-pass kernel, deterministic order. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+    column(DotProduct(expression(a), expression(b)))
 
-  /** ‖a‖₂ */
+  /** ‖a‖₂ — codegen'd single-pass kernel. */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
+    column(L2NormExpr(expression(a)))
 
   /** Cosine similarity in double precision; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
@@ -32,15 +40,16 @@ object VectorFunctions {
   def l2DistSq(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
-  /** Explicit double-cast of a float vector — materialize this once
-    * per row (withColumn) before a pairwise stage so the cast isn't
-    * re-done per pair.
+  /** Explicit double-cast of a float vector. The native kernels read
+    * float arrays directly (per-element widening), so this is only
+    * needed where a true `array<double>` column type is required.
     */
   def toDoubleVec(v: Column): Column = asDouble(v)
 
-  /** Dot product of already-double vectors (no per-pair cast). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Alias of [[dot]] — the native kernel needs no pre-cast, so the
+    * historical "already-double" variant is the same expression.
+    */
+  def dotD(a: Column, b: Column): Column = dot(a, b)
 
   /** Cosine from a pair dot and per-side precomputed norms (scalar
     * columns materialized on each join side). Pair cost drops from
@@ -60,27 +69,23 @@ object VectorFunctions {
 
   /** Random-hyperplane (SimHash-style) LSH bucket id: `nbits` sign
     * bits of projections onto deterministic pseudo-random hyperplanes.
-    * Plane components are PLAN-TIME literal arrays (splitmix64-seeded,
-    * in [-1, 1)) — no fitting step, no driver state, and no per-row
-    * hashing of plane components; each bit costs one dot product.
-    * The same bucketing function applies at any scale and on streams.
-    * Candidate generation for the 100 TB near-dup / ANN paths, with
-    * exact cosine re-ranking on candidates only.
+    * Plane components are PLAN-TIME constants (splitmix64-seeded, in
+    * [-1, 1)) shipped into the codegen'd kernel — no fitting step, no
+    * driver state; all nbits projections happen in ONE pass over the
+    * vector. The same bucketing function applies at any scale and on
+    * streams. Candidate generation for the 100 TB near-dup / ANN
+    * paths, with exact cosine re-ranking on candidates only.
     *
-    * @param dim vector dimensionality (plane literals are built at
+    * @param dim vector dimensionality (plane constants are built at
     *            plan time, so it cannot be inferred from data)
     */
   def hyperplaneBucket(v: Column, nbits: Int, seed: Int = 7, dim: Int = 64): Column = {
-    val dv = asDouble(v)
-    val bits = (0 until nbits).map { b =>
-      val plane = (0 until dim).map { i =>
+    val planes = (0 until nbits).map { b =>
+      (0 until dim).map { i =>
         val h = splitmix64(seed.toLong * 1000003L + b.toLong * 10007L + i.toLong)
         (java.lang.Math.floorMod(h, 2000000L).toDouble / 1000000.0) - 1.0
       }
-      val proj = aggregate(
-        zip_with(dv, typedlit(plane), _ * _), lit(0.0), _ + _)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bits.reduce(_.bitwiseOR(_))
+    column(HyperplaneBuckets(expression(v), planes))
   }
 }

@@ -262,7 +262,7 @@ object Dedup {
     */
   def embeddingPairsExact(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos", round(
@@ -278,7 +278,7 @@ object Dedup {
   def embeddingPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nbits: Int = 12,
                         numTables: Int = 4): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("vec"))
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
     val bucketed = v.select(
       col("id"), col("vec"), col("nrm"),

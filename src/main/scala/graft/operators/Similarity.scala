@@ -34,9 +34,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), toDoubleVec(col(vecCol)).as("cvec"))
+    // raw float vectors: the codegen'd kernels widen per element, so
+    // no interpreted cast pass, and join/shuffle rows are half as wide
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .withColumn("cnrm", l2Norm(col("cvec")))
-    val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qnrm", l2Norm(col("qvec")))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("score", round(
@@ -61,10 +63,10 @@ object Similarity {
         .withColumn("t", col("tb.t")).withColumn("bucket", col("tb.bucket")).drop("tb")
 
     val c = bucketed(
-      corpus.select(col(idCol).as("corpus_id"), toDoubleVec(col(vecCol)).as("cvec"))
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
         .withColumn("cnrm", l2Norm(col("cvec"))), "corpus_id", "cvec")
     val q = bucketed(
-      queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qvec"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
         .withColumn("qnrm", l2Norm(col("qvec"))), "query_id", "qvec")
     val scored = c.as("c").join(broadcast(q).as("q"),
         col("c.t") === col("q.t") && col("c.bucket") === col("q.bucket") &&
@@ -92,35 +94,43 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               numCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
     // Deterministic "centroids": the numCells corpus vectors with the
     // smallest xxhash64(id) — a seeded uniform sample without RNG state.
     val centroids = c
       .withColumn("h", xxhash64(col("corpus_id")))
       .orderBy("h").limit(numCells)
       .withColumn("cell_id", row_number().over(Window.orderBy("h")))
-      .select(col("cell_id"), col("cvec").as("centroid"))
+      .select(col("cell_id"), col("cvec").as("centroid"), col("cnrm").as("ctrnrm"))
 
     // corpus assignment: argmax via max(struct) hash aggregate — a
     // row_number window here would sort |corpus| single-digit-row
-    // partitions; the aggregate is one partial-agg shuffle
+    // partitions; the aggregate is one partial-agg shuffle. Group key
+    // is the id alone (first() carries the vector) — grouping by the
+    // vector would hash/compare a wide array per pair.
     val cCells = c.join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosine(col("cvec"), col("centroid")))
-      .groupBy(col("corpus_id"), col("cvec"))
-      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"))
+      .withColumn("csim",
+        cosineFromParts(dot(col("cvec"), col("centroid")), col("cnrm"), col("ctrnrm")))
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+           first(col("cvec")).as("cvec"), first(col("cnrm")).as("cnrm"))
 
     // query side is small by construction — the top-nprobe window is fine
     val qAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
       .join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosine(col("qvec"), col("centroid")))
+      .withColumn("csim",
+        cosineFromParts(dot(col("qvec"), col("centroid")), col("qnrm"), col("ctrnrm")))
     val qw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell_id"))
     val qCells = qAll
       .withColumn("crnk", row_number().over(qw))
       .where(col("crnk") <= nprobe)
-      .drop("centroid", "csim", "crnk")
+      .drop("centroid", "ctrnrm", "csim", "crnk")
     val scored = cCells.join(broadcast(qCells), Seq("cell_id"))
       .where(col("corpus_id") =!= col("query_id"))
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("score", round(cosine(col("cvec"), col("qvec")), 6))
+      .withColumn("score", round(
+        cosineFromParts(dot(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
     topKPerQuery(scored, k)
   }
 }
