@@ -223,6 +223,13 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")),
+
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.piiTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
     // ================= multimodal plumbing =========================
     "mm_decode_meta" -> ((s, dir) => {
       val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
@@ -245,6 +252,7 @@ object SparkEntry {
 
     // ================= events / streaming-shaped ===================
     "events_window_agg" -> ((s, dir) => Events.tumblingAgg(t(s, dir, "events"))),
+    "events_hopping_agg" -> ((s, dir) => Events.hoppingAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
     "events_props" -> ((s, dir) => Events.extractProps(t(s, dir, "events"))),
@@ -533,6 +541,44 @@ object SparkEntry {
         |  list_min(list_transform(range(1, length(norm)-6),
         |    i -> md5(substr(norm, i, 8)))) AS winnow_fp
         | FROM n ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        | sc AS (
+        |  SELECT doc_id, tf.term, tf,
+        |   round(tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1.0), 6) AS tfidf,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY round(tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1.0), 6) DESC,
+        |              tf.term) AS rnk
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        | SELECT doc_id, term, tf, tfidf, rnk FROM sc WHERE rnk <= 3
+        | ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_pii" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text,
+        |   '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_hopping_agg" ->
+      s"""SELECT make_timestamp(((epoch_ms(ts) // 1800000) - i) * 1800000 * 1000)
+         |   AS window_start, event_type,
+         |  count(*) AS n_events, ${msum("value")} AS total_value
+         | FROM events, UNNEST([0, 1]) AS t(i)
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

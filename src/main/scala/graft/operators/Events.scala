@@ -27,6 +27,22 @@ object Events {
               col("n_events"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Hopping (sliding) window aggregate: `windowExpr`-wide windows
+    * every `slideExpr`. Spark's `window()` expands each event into
+    * window÷slide rows (an Expand node, not a self-join), then one
+    * hash aggregate — the same plan Structured Streaming runs
+    * incrementally with a watermark.
+    */
+  def hoppingAgg(events: DataFrame, windowExpr: String = "1 hour",
+                 slideExpr: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowExpr, slideExpr).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Analytics.moneySum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
   /** First-occurrence dedup per (user, event_type): streaming
     * `dropDuplicates` semantics expressed as a batch window (the
     * oracle-checkable form). Keeps the earliest event by (ts,

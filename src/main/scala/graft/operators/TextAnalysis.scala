@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 
 /** Text analysis for training-data curation: token stats, quality
@@ -107,6 +108,65 @@ object TextAnalysis {
 
   def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), langId(col(textCol)).as("lang_pred"))
+
+  /** TF-IDF top-k terms per document (smoothed sklearn-style idf:
+    * ln((N+1)/(df+1)) + 1).
+    *
+    * Scale shape: one (doc, term) aggregation over the exploded
+    * corpus; document frequencies derive from THAT table (no second
+    * corpus pass); the corpus size N comes from a one-row aggregate
+    * cross-joined in (no driver-side collect); the final top-k is a
+    * bounded per-doc window. Scores round to 6 before ranking so the
+    * rank — not just the score — is reproducible cross-engine.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy("doc").orderBy(desc("tfidf"), asc("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc").as(idCol), col("term"), col("tf"), col("tfidf"), col("rnk"))
+  }
+
+  // PII patterns constrained to the RE2-compatible subset (no
+  // lookaround/backrefs) so the Spark (Java regex) and DuckDB (RE2)
+  // sides redact identically.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe    = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * phone-shaped digit runs replaced by typed placeholder tokens.
+    * Pure per-row regexp_replace chain — map-only, codegen'd, and
+    * streaming-safe. Replacement order (email → ip → phone) is part
+    * of the contract: earlier passes must not manufacture later
+    * matches.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Redacted text plus per-category match counts (counted on the
+    * original text, before any replacement).
+    */
+  def piiTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      redactPii(col(textCol)).as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long").as("n_phones"))
 
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the normalized text (case/punct/ws-

@@ -46,4 +46,26 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").select("fingerprint").as[String].collect()
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  test("tfidf ranks a doc-specific rare term above corpus-wide terms") {
+    val d = Seq(
+      (1L, "common words everywhere plus zebra zebra"),
+      (2L, "common words everywhere plus nothing"),
+      (3L, "common words everywhere plus little")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", k = 1)
+      .where($"doc_id" === 1).select("term").as[String].collect()
+    assert(top.toSeq == Seq("zebra")) // tf=2 and df=1 → max tfidf
+  }
+
+  test("pii redaction replaces emails/ips/phones and counts them") {
+    val d = Seq(
+      (1L, "contact bob@example.com or 10.0.0.1 or +1 (555) 123-4567 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiTable(d, "doc_id", "text").orderBy("doc_id")
+      .select("redacted", "n_emails", "n_ips", "n_phones")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got(0)._1 == "contact <EMAIL> or <IP> or <PHONE> now")
+    assert((got(0)._2, got(0)._3, got(0)._4) == ((1L, 1L, 1L)))
+    assert(got(1) == (("no pii here at all", 0L, 0L, 0L)))
+  }
 }
