@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.plans.{DotProduct, HyperplaneBuckets, L2Norm}
+
+/** SparkSessionExtensions entry point: registers the native vector
+  * kernels as SQL functions, so pure-SQL users (spark.sql strings,
+  * thrift/connect clients) get the codegen'd hot path too:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT graft_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * The DataFrame API (graft.functions.VectorFunctions) does NOT
+  * require the extension — it builds the expressions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("graft_dot expects 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2norm"),
+      info("graft_l2norm", "graft_l2norm(a) - L2 norm of a float/double array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => L2Norm(a)
+        case _ => throw new IllegalArgumentException("graft_l2norm expects 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.plans.CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("graft_cosine expects 2 arguments")
+      }))
+  }
+}

@@ -118,6 +118,31 @@ object SparkEntry {
           "4-NOT SPECIFIED" -> "n_notspec", "5-LOW" -> "n_low"))
         .orderBy("o_orderstatus")),
 
+    // deterministic reproducible sampling: first 4 hex chars of
+    // md5(key) compared against the rate threshold — same rows on any
+    // engine/cluster/run, unlike rand()-based sample(). ~10% here.
+    "sample_hash" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(substring(md5(concat_ws("-",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))), 1, 4) < "1999")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")).distinct()
+        .intersect(o.where(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
+        .orderBy("o_custkey")
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey")).distinct()
+        .except(o.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct())
+        .orderBy("o_custkey")
+    }),
+
     // ================= custom join shapes ==========================
     "join_asof" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -363,6 +388,23 @@ object SparkEntry {
         | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
         | count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
         | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 4) < '1999'
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | ORDER BY o_custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey FROM orders
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | ORDER BY o_custkey""".stripMargin,
 
     "join_asof" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

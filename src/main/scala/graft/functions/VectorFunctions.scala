@@ -29,12 +29,11 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     column(L2NormExpr(expression(a)))
 
-  /** Cosine similarity in double precision; null when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = l2Norm(a) * l2Norm(b)
-    when(nn === 0.0, lit(null)).otherwise(d / nn)
-  }
+  /** Cosine similarity in double precision; null when either norm is
+    * 0. Single codegen'd pass (dot and both norms in one loop).
+    */
+  def cosine(a: Column, b: Column): Column =
+    column(graft.plans.CosineSim(expression(a), expression(b)))
 
   /** Squared Euclidean distance. */
   def l2DistSq(a: Column, b: Column): Column =

@@ -134,6 +134,62 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Cosine similarity in ONE pass: Σab, Σa², Σb² accumulate in the
+  * same loop, then dot / (√Σa²·√Σb²). Null when either norm is zero
+  * (or either input is null) — matching the composed
+  * `when(nn === 0, null).otherwise(dot/nn)` form bit-for-bit.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with VectorElementType {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkVectorType(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else checkVectorType(right.dataType, "right")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = readElemValue(x, i, left.dataType)
+      val yv = readElemValue(y, i, right.dataType)
+      sab += xv * yv; saa += xv * xv; sbb += yv * yv
+      i += 1
+    }
+    val nn = math.sqrt(saa) * math.sqrt(sbb)
+    if (nn == 0.0) null else sab / nn
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val sab = ctx.freshName("sab"); val saa = ctx.freshName("saa")
+      val sbb = ctx.freshName("sbb"); val nn = ctx.freshName("nn")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sab = 0.0, $saa = 0.0, $sbb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${readElem(a, i, left.dataType)};
+         |  double $yv = ${readElem(b, i, right.dataType)};
+         |  $sab += $xv * $yv; $saa += $xv * $xv; $sbb += $yv * $yv;
+         |}
+         |double $nn = java.lang.Math.sqrt($saa) * java.lang.Math.sqrt($sbb);
+         |if ($nn == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $sab / $nn; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `nbits` hyperplane sign bits in ONE pass over the vector:
   * bit b = sign of ⟨v, plane_b⟩, packed into a long. Plane components
   * are plan-time constants shipped as a codegen reference object —

@@ -42,6 +42,21 @@ object StreamingEvents {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) window count+sum — same Expand + incremental
+    * aggregate as the batch Events.hoppingAgg; state holds
+    * window÷slide open windows per key, still watermark-bounded.
+    */
+  def hoppingAgg(events: DataFrame, windowExpr: String = "1 hour",
+                 slideExpr: String = "30 minutes",
+                 delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowExpr, slideExpr).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
   /** Streaming dedup on event_id within the watermark horizon —
     * the streaming form of exact dedup (state = one key per id seen
     * inside the horizon, not the full history).

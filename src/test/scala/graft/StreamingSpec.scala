@@ -33,6 +33,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming hopping agg equals the batch operator on bounded input") {
+    val batch = Events.hoppingAgg(Tables.events(spark, sf001))
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    val stream = StreamingEvents.readEvents(spark, eventsDir)
+    val got = StreamingEvents.runToCompletion(
+      spark, StreamingEvents.hoppingAgg(stream), "h_agg", mode = "complete")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    assert(got == batch)
+  }
+
   test("streaming dedup keeps each event_id once within the horizon") {
     val stream = StreamingEvents.readEvents(spark, eventsDir)
     val got = StreamingEvents.runToCompletion(
