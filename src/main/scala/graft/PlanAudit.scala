@@ -1,15 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** explain("formatted") audit of representative plans — run after
+  * changing an operator to confirm the plan is the one you'd want at
+  * scale: pushed filters, pruned schemas, broadcast joins where a side
+  * is small, no unexpected shuffles. Pass query names as args to
+  * audit specific plans.
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("agg_pricing", "join_revenue", "etl_partitioned_scan", "sim_topk")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("agg_pricing", "join_revenue", "etl_partitioned_scan", "sim_topk",
+               "join_asof", "join_range", "dedup_jaccard")
+    for (name <- names) {
       println(s"================ $name ================")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
