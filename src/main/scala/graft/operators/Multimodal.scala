@@ -82,4 +82,19 @@ object Multimodal {
     meta.toDF().select(
       col("doc_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+
+  /** Resize plan: target dimensions preserving aspect ratio within a
+    * bounding box (the control-plane math real thumbnailers run);
+    * the pixel resample itself is the stubbed codec step. Column-only
+    * arithmetic — composes with extractMeta's decoded dimensions.
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW) / col("width").cast("double"),
+                      lit(maxH) / col("height").cast("double"),
+                      lit(1.0)) // never upscale
+    meta.toDF().select(
+      col("doc_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_width"),
+      floor(col("height") * scale).cast("int").as("out_height"))
+  }
 }

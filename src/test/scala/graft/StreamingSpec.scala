@@ -83,5 +83,12 @@ class StreamingSpec extends SparkSpec {
     // frame sampling plan: 0-based indices stepped by k, bounded by n_frames
     val plan = Multimodal.frameSamplePlan(meta, everyK = 2)
     assert(plan.where(col("frame_idx") >= 5).count() == 0) // stub caps n_frames at 4
+    // resize plan: inside the box, aspect preserved (within floor), no upscale
+    val rs = Multimodal.resizePlan(meta, maxW = 256, maxH = 256)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(rs.forall { case (_, w, h, ow, oh) =>
+      ow <= 256 && oh <= 256 && ow <= w && oh <= h &&
+        // floor() may land a px under the box; unscaled stays exact
+        (ow == w || ow >= 255 || oh >= 255) })
   }
 }
