@@ -98,6 +98,14 @@ object SparkEntry {
              countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_parts"))
         .orderBy("l_returnflag")),
 
+    // typed Aggregator (udaf) — log-domain partial aggregation, so the
+    // product can't overflow at any group size and merge is map-side
+    "agg_geomean" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(graft.functions.Aggregators.geomean(col("l_quantity")), 6)
+          .as("qty_geomean"))
+        .orderBy("l_returnflag")),
+
     "agg_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
@@ -371,6 +379,12 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_parts
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_geomean" ->
+      """SELECT l_returnflag,
+        | round(exp(avg(ln(l_quantity))), 6) AS qty_geomean
+        | FROM lineitem WHERE l_quantity > 0
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_percentiles" ->
       """SELECT l_returnflag,
