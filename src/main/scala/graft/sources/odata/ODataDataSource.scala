@@ -151,8 +151,13 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       fullSchema.fieldNames.find(opts.structureCandidates.contains))
 }
 
+/** One scan partition: either the single unfiltered scan (no
+  * structure field), or a bin of partition-key values fetched
+  * sequentially by one task (`maxPartitions` bounds the bin count, so
+  * a million distinct keys cannot plan a million tasks).
+  */
 case class ODataInputPartition(structureField: Option[String],
-                               structureValue: Option[String]) extends InputPartition
+                               structureValues: Seq[String]) extends InputPartition
 
 class ODataScan(schema: StructType, opts: ODataOptions,
                 pushedEq: Seq[(String, String)], limit: Option[Int],
@@ -172,11 +177,11 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     structureField match {
-      case None => Array(ODataInputPartition(None, None))
+      case None => Array(ODataInputPartition(None, Nil))
       case Some(f) =>
         pushedEq.find(_._1 == f) match {
           case Some((_, v)) =>
-            Array(ODataInputPartition(Some(f), Some(v))) // partition pruning
+            Array(ODataInputPartition(Some(f), Seq(v))) // partition pruning
           case None =>
             val url = ODataClient.buildUrl(opts.entityUrl(opts.codesEntity), Seq(
               "$select" -> f, "$top" -> opts.pageSize.toString, "$format" -> "json"))
@@ -189,8 +194,20 @@ class ODataScan(schema: StructType, opts: ODataOptions,
                 page.nextLink.get, opts.user, opts.password, opts.timeoutMs))
               keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
             }
-            if (keys.isEmpty) Array(ODataInputPartition(Some(f), None))
-            else keys.toArray.map(v => ODataInputPartition(Some(f), Some(v)): InputPartition)
+            if (keys.isEmpty) {
+              // reference semantics (etl.py:197-199): no partition keys →
+              // empty result (plus a warning), NOT an unfiltered scan
+              logWarning(s"no distinct values of $f in codes entity — empty scan")
+              Array.empty[InputPartition]
+            } else {
+              // bin sorted keys into ≤ maxPartitions tasks: bounds the
+              // task count at any key cardinality AND caps the global
+              // request concurrency (politeness — the reference was
+              // fully sequential; SURVEY §7.4 risk 4)
+              val perBin = math.max(1, math.ceil(keys.size.toDouble / opts.maxPartitions).toInt)
+              keys.toSeq.grouped(perBin)
+                .map(vs => ODataInputPartition(Some(f), vs): InputPartition).toArray
+            }
         }
     }
   }
@@ -207,9 +224,11 @@ class ODataReaderFactory(schema: StructType, opts: ODataOptions,
       partition.asInstanceOf[ODataInputPartition], pushedEq, limit)
 }
 
-/** One task = one partition-key value = one paginated fetch chain.
-  * Pages stream row-by-row; nothing accumulates beyond the current
-  * page (the reference held the whole dataset in RAM — SURVEY §4.2).
+/** One task = one bin of partition-key values, each a paginated fetch
+  * chain run sequentially (next-links and the reference's politeness
+  * pause are inherently sequential). Pages stream row-by-row; nothing
+  * accumulates beyond the current page (the reference held the whole
+  * dataset in RAM — SURVEY §4.2).
   */
 class ODataPartitionReader(schema: StructType, opts: ODataOptions,
                            partition: ODataInputPartition,
@@ -220,16 +239,20 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
 
   private def odataEscape(s: String): String = s.replace("'", "''")
 
+  // queue of structure values this task owns; None = one unfiltered chain
+  private var pending: List[Option[String]] =
+    if (partition.structureValues.isEmpty) List(None)
+    else partition.structureValues.map(Some(_)).toList
+  private var anyChainStarted = false
+
   private var rows: Iterator[Map[String, String]] = Iterator.empty
   private var nextLink: Option[String] = None
-  private var started = false
-  private var finishedOk = false
   private var current: Map[String, String] = _
 
-  private def firstUrl: String = {
+  private def firstUrl(structureValue: Option[String]): String = {
     val filters =
-      partition.structureValue.toSeq.flatMap(v => structureField.map(f => s"$f eq '${odataEscape(v)}'")) ++
-        pushedEq.filter { case (k, _) => !partition.structureValue.isDefined || !structureField.contains(k) }
+      structureValue.toSeq.flatMap(v => structureField.map(f => s"$f eq '${odataEscape(v)}'")) ++
+        pushedEq.filter { case (k, _) => !structureValue.isDefined || !structureField.contains(k) }
           .map { case (k, v) => s"$k eq '${odataEscape(v)}'" }
     val params = Seq(
       "$select" -> schema.fieldNames.mkString(","),
@@ -246,21 +269,36 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     nextLink = page.nextLink
   }
 
-  override def next(): Boolean = {
-    try {
-      if (!started) { started = true; loadPage(firstUrl) }
-      while (!rows.hasNext && nextLink.isDefined) {
-        if (opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs) // R5 politeness
-        loadPage(nextLink.get)
+  /** Advance to the next value's chain; R4 tolerance is PER VALUE —
+    * one failing value logs and skips, the rest of the bin proceeds
+    * (matching the reference's per-structure try/except).
+    */
+  private def advance(): Boolean = {
+    while (!rows.hasNext) {
+      try {
+        if (nextLink.isDefined) {
+          if (opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs) // R5 politeness
+          loadPage(nextLink.get)
+        } else pending match {
+          case v :: rest =>
+            pending = rest
+            if (anyChainStarted && opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs)
+            anyChainStarted = true
+            loadPage(firstUrl(v))
+          case Nil => return false
+        }
+      } catch {
+        case e: Exception if !opts.failFast =>
+          logWarning(s"odata value chain failed, skipping (partial data): ${e.getMessage}")
+          rows = Iterator.empty
+          nextLink = None
       }
-      if (rows.hasNext) { current = rows.next(); true } else { finishedOk = true; false }
-    } catch {
-      case e: Exception if !opts.failFast && !finishedOk =>
-        // R4 — per-partition tolerance: partial output instead of job failure
-        logWarning(s"odata partition ${partition.structureValue} failed, emitting partial data: ${e.getMessage}")
-        false
     }
+    true
   }
+
+  override def next(): Boolean =
+    if (advance()) { current = rows.next(); true } else false
 
   override def get(): InternalRow =
     InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map { f =>

@@ -19,6 +19,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * @param failFast     false = a failing partition logs + yields 0
   *                     rows (etl.py:191-194 semantics); true = task
   *                     failure (Spark default posture)
+  * @param maxPartitions upper bound on planned input partitions: keys
+  *                     bin into ≤ this many tasks, bounding both task
+  *                     count at high key cardinality and the global
+  *                     concurrent-request pressure on the service
+  *                     (SURVEY §7.4 risk 4)
   */
 case class ODataOptions(
     baseUrl: String,
@@ -32,7 +37,8 @@ case class ODataOptions(
     pageSize: Int,
     requestPauseMs: Long,
     timeoutMs: Int,
-    failFast: Boolean) {
+    failFast: Boolean,
+    maxPartitions: Int) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -61,6 +67,7 @@ object ODataOptions {
       pageSize = m.getOrElse("pageSize", "1000000").toInt,
       requestPauseMs = m.getOrElse("requestPauseMs", "0").toLong,
       timeoutMs = m.getOrElse("timeoutMs", "90000").toInt,
-      failFast = m.getOrElse("failFast", "false").toBoolean)
+      failFast = m.getOrElse("failFast", "false").toBoolean,
+      maxPartitions = m.getOrElse("maxPartitions", "1000").toInt)
   }
 }

@@ -50,6 +50,28 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("maxPartitions bins keys into bounded tasks with identical results") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("maxPartitions" -> "2"))
+      assert(df.rdd.getNumPartitions == 2) // 3 keys → 2 bins
+      assert(df.count() == 9)
+      assert(df.select("C0CHAR_STRUCTURE").distinct().count() == 3)
+    } finally srv.stop()
+  }
+
+  test("empty codes result plans an empty scan (R10 semantics), not a full fetch") {
+    // rows exist in the main entity but carry no (non-empty) structure
+    // values → the codes enumeration finds no keys → empty output
+    val rows = (0 until 4).map(i => Map(
+      "TEMPLOYEE_UUID" -> s"E$i", "CEMPLOYEE_UUID" -> i.toString,
+      "KCLEAVERS" -> "1", "C0CHAR_STRUCTURE" -> ""))
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      assert(read(srv).count() == 0)
+    } finally srv.stop()
+  }
+
   test("column pruning reaches the server as \\$select") {
     val srv = new ODataStubServer(mkRows(4), "C0CHAR_STRUCTURE").start()
     try {
