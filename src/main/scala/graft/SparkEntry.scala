@@ -91,6 +91,28 @@ object SparkEntry {
 
     "topk_customers" -> ((s, dir) => Analytics.topCustomers(t(s, dir, "orders"), 10)),
 
+    "window_lag_lead" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("days_since_prev",
+          datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+        .where(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("prev_date"), col("next_date"), col("days_since_prev"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             Analytics.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
     "agg_distinct_counts" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n_orders"),
@@ -379,6 +401,23 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_parts
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | lag(o_orderdate) OVER w AS prev_date,
+        | lead(o_orderdate) OVER w AS next_date,
+        | CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+        |   AS days_since_prev
+        | FROM orders
+        | WHERE o_custkey <= 50
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        | ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         | ${msum("o_totalprice")} AS total_price
+         | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "agg_geomean" ->
       """SELECT l_returnflag,
