@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Proof of the bucketed co-located join path — THE shuffle-elimination
+  * technique for repeated large-table joins at 100 TB: both sides
+  * written bucketed by the join key join with zero Exchange (each
+  * bucket pair joins in place), versus the shuffle both sides pay
+  * otherwise.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-key tables join with no shuffle exchange") {
+    val orders = Tables.load(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_mktsegment")
+
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+    // broadcast would hide the bucketing; force the shuffle-join path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      val expected = orders.join(customer, col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("bucketed aggregation by the bucket key needs no exchange") {
+    Tables.load(spark, sf001, "orders")
+      .select("o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").saveAsTable("orders_b2")
+    try {
+      val agg = spark.table("orders_b2").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"aggregation on the bucket key must be exchange-free:\n$plan")
+      assert(agg.count() ==
+        Tables.load(spark, sf001, "orders").select("o_custkey").distinct().count())
+    } finally spark.sql("DROP TABLE IF EXISTS orders_b2")
+  }
+}
