@@ -53,4 +53,21 @@ class SimilaritySpec extends SparkSpec {
     assert(run1 == run2)
     assert(run1.size == 12)
   }
+
+  test("ivf recall rises with nprobe, reaching exact at nprobe = numCells") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+          numCells = 16, nprobe = nprobe)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r4 = recall(4)
+    val r16 = recall(16) // probe everything → brute force
+    assert(r16 == 1.0, s"full probe must equal brute force, got $r16")
+    assert(r4 <= r16 && r4 >= 0.3, s"nprobe=4 recall $r4 out of expected band")
+  }
 }
