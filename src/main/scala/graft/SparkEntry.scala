@@ -675,6 +675,17 @@ object SparkEntry {
          | FROM events, UNNEST([0, 1]) AS t(i)
          | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "mm_decode_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256,
+        | CAST(16 + h % 1920 AS INT) AS width,
+        | CAST(16 + (h // 7) % 1080 AS INT) AS height,
+        | CAST(1 + (h // 13) % 4 AS INT) AS n_frames
+        | FROM (SELECT *, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |       FROM documents)
+        | ORDER BY doc_id""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -32,18 +32,23 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for an image/audio
     * codec that is not available in this environment. Derives plausible
-    * dimensions and an 8-dim feature vector purely from the bytes, so
-    * tests are reproducible. Replace the body with a real codec
-    * (e.g. javax.imageio / ffmpeg bindings) to productionize; the
-    * signature and the partition-batched call shape are the contract.
+    * dimensions and an 8-dim feature vector from the md5 of the bytes —
+    * md5 (not a JVM hash) so the fake is reproducible by ANY engine,
+    * which is what lets mm_decode_meta carry a full DuckDB oracle.
+    * Replace the body with a real codec (e.g. javax.imageio / ffmpeg
+    * bindings) to productionize; the signature and the
+    * partition-batched call shape are the contract.
     */
   object MediaCodec {
     def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      val width  = 16 + math.abs(h % 1920)
-      val height = 16 + math.abs((h / 7) % 1080)
-      val frames = 1 + math.abs((h / 13) % 4)
-      val feat = Array.tabulate(8)(i => ((h >> (i * 4)) & 0xf).toFloat / 15f)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+      val width  = (16 + h % 1920).toInt
+      val height = (16 + (h / 7) % 1080).toInt
+      val frames = (1 + (h / 13) % 4).toInt
+      val feat = Array.tabulate(8)(i =>
+        Integer.parseInt(md5hex.substring(8 + i, 9 + i), 16).toFloat / 15f)
       (width, height, frames, feat)
     }
   }
