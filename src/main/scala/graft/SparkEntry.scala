@@ -39,6 +39,33 @@ object SparkEntry {
     s"CAST(sum(CAST(round(($expr)*$f, 0) AS BIGINT)) AS DOUBLE)/$f.0"
   }
 
+  // ---- simhash SQL twin: builder-generated 60 bit-sum columns ------
+  // (the md5-derived token hash makes the whole pipeline engine-
+  // neutral; banding is pigeonhole-exact, so all-pairs hamming in
+  // DuckDB is a true oracle, not an approximation check)
+  private def simhashSql(maxHamming: Int): String = {
+    val bits = Dedup.SimHashBits
+    val bitSums = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n   ")
+    val sigExpr = (0 until bits)
+      .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+       | FROM documents),
+       | h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+       | bits AS (SELECT doc_id,
+       |   $bitSums
+       |  FROM h GROUP BY doc_id),
+       | sig AS (SELECT doc_id, $sigExpr AS sig FROM bits)
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       | ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= reference ETL surface (SURVEY §2.3) =========
     "etl_distinct_keys" -> ((s, dir) =>
@@ -523,6 +550,8 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         | FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_simhash" -> simhashSql(maxHamming = 3),
 
     "dedup_minhash" ->
       """WITH toks AS (

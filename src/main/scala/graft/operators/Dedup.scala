@@ -182,42 +182,51 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash of a token multiset: bit j of the signature is the
-    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1).
-    * Per-row HOF fold — shuffle-free but interpreted; prefer
-    * [[simHashTable]] for corpus-scale signature computation.
+  /** SimHash of a token multiset: bit j of the signature is the sign
+    * of Σ_tokens (bit j of hash(token) ? +1 : −1). Per-row HOF fold —
+    * shuffle-free but interpreted; prefer [[simHashTable]] for
+    * corpus-scale signature computation (same hash, same bits).
     */
   def simHash(tokensCol: Column): Column = {
     val counts = aggregate(
       tokensCol,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), SimHashBits),
       (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
+        val h = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+        zip_with(acc, sequence(lit(0), lit(SimHashBits - 1)),
           (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       }
     )
     aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
+      zip_with(counts, sequence(lit(0), lit(SimHashBits - 1)),
         (c, j) => when(c >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
       lit(0L), _.bitwiseOR(_))
   }
 
-  /** Corpus SimHash signatures via explode + one 64-column hash
-    * aggregate: token rows hash once (codegen'd xxhash64), the 64
-    * per-bit ±1 sums are codegen'd aggregates with map-side partial
+  /** Signature width: 60 bits = 15 md5 hex chars. md5 (not xxhash64)
+    * keeps the token hash engine-neutral, so the ENTIRE simhash
+    * pipeline — signatures, banding, hamming — is reproducible in
+    * plain SQL and carries a full DuckDB oracle (pigeonhole banding
+    * is exact, not lossy: every pair within the radius is found).
+    * 60 divides evenly into the (maxHamming+1)=4 bands of 15 bits.
+    */
+  val SimHashBits = 60
+
+  /** Corpus SimHash signatures via explode + one hash aggregate per
+    * bit: token rows hash once (codegen'd md5 + conv), the per-bit
+    * ±1 sums are codegen'd aggregates with map-side partial
     * aggregation, and the signature assembles from the sums with
     * constant bit masks. ~20× faster than the per-row HOF fold and
-    * the shuffle carries only (doc, 64 longs) partials. Docs with no
+    * the shuffle carries only (doc, 60 longs) partials. Docs with no
     * tokens produce no signature.
     */
   def simHashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tk"))
-      .withColumn("h", xxhash64(col("tk")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("h", conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimHashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
-    val sig = (0 until 64)
+    val sig = (0 until SimHashBits)
       .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     tok.groupBy(col("doc"))
@@ -226,16 +235,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
-    * Banding by pigeonhole: split 64 bits into (maxHamming+1) bands —
-    * any pair within distance k agrees exactly on ≥1 band. Join on
-    * (band, bandBits), verify with bit_count(xor). Same
-    * bucket-join-verify shape as MinHash; signatures are 8 bytes, so
-    * the shuffle is tiny even at 100 TB.
+    * Banding by pigeonhole: split the signature into (maxHamming+1)
+    * bands — any pair within distance k agrees exactly on ≥1 band, so
+    * the candidate set is COMPLETE (this is a partition-pruning
+    * technique, not a lossy sketch). Join on (band, bandBits), verify
+    * with bit_count(xor). Same bucket-join-verify shape as MinHash;
+    * signatures are 8 bytes, so the shuffle is tiny even at 100 TB.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
-    val bandBits = 64 / nBands
+    val bandBits = SimHashBits / nBands
     val sigs = simHashTable(docs, idCol, textCol)
     val banded = sigs.select(
       col("doc"), col("sig"),
@@ -251,7 +261,7 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
               col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

@@ -56,8 +56,8 @@ class DedupSpec extends SparkSpec {
       (2L, "one two three four five six seven eight"),
       (3L, "alpha beta gamma delta epsilon zeta eta theta"))
     val got = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 2)
-      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSeq
-    assert(got == Seq((1L, 2L, 0)))
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L)))
   }
 
   test("embedding pairs exact vs lsh: lsh output is a subset with same scores") {
