@@ -37,12 +37,16 @@ object TextFunctions {
     * once per shingle — O(len²) per document.
     */
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-      )
-    )
+    // guard the short-doc case explicitly: sequence(0, -1) would
+    // produce a DESCENDING [0,-1] (Spark defaults step to -1), not an
+    // empty array, and the slice at i = -1 then throws
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+        )
+      )).otherwise(array().cast("array<string>"))
 
   /** Convenience one-shot form — ONLY for small inputs/tests; see
     * [[wordShinglesFromTokens]] for the per-element re-split hazard.
@@ -66,14 +70,19 @@ object TextFunctions {
     array_distinct(regexp_extract_all(norm, lit(pat), lit(1)))
   }
 
-  /** Character n-gram shingles (for fingerprinting / language ID). */
+  /** Character n-gram shingles (for fingerprinting / language ID).
+    * Same short-input guard as [[wordShinglesFromTokens]]: without it,
+    * sequence(0, -1) yields a descending [0, -1] and produces two
+    * bogus partial shingles for texts shorter than n.
+    */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(length(text) - n, lit(-1))),
-        i => text.substr(i + 1, lit(n))
-      )
-    )
+    when(length(text) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), length(text) - n),
+          i => text.substr(i + 1, lit(n))
+        )
+      )).otherwise(array().cast("array<string>"))
 
   /** 64-bit stable hash of a string column (xxhash64, codegen'd). */
   def stableHash(c: Column, seed: Int = 42): Column = xxhash64(lit(seed), c)

@@ -52,4 +52,85 @@ class PropertySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("Structure", "Structure", "v"))
     assert(out.collect().head.toSeq == Seq("x", "y", 1))
   }
+
+  test("codegen regex shingles equal the HOF shingles on arbitrary text") {
+    import graft.functions.TextFunctions._
+    // words with messy whitespace between them — the regex path
+    // normalizes, the HOF path tokenizes; results must agree
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val ws = Gen.oneOf(" ", "  ", "\t", " \n ")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      words <- Gen.listOfN(n, word)
+      seps <- Gen.listOfN(n, ws)
+    } yield words.zip(seps).map { case (w, s) => w + s }.mkString.trim
+    val texts = samples(textGen, 120).distinct
+    if (texts.nonEmpty) {
+      val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+      for (n <- Seq(2, 3)) {
+        val fast = df.select(col("id"), wordShinglesFast(col("text"), n).as("s"))
+          .as[(Int, Seq[String])].collect().toMap
+        val hof = df.select(col("id"), wordShingles(col("text"), n).as("s"))
+          .as[(Int, Seq[String])].collect().toMap
+        assert(fast == hof, s"shingle mismatch at n=$n")
+      }
+    }
+  }
+
+  test("asOfJoin agrees with a naive inequality-join oracle on random events") {
+    import graft.operators.Joins
+    val rowGen = for {
+      id <- Gen.choose(1L, 1000L)
+      user <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 100L)
+      side <- Gen.oneOf("L", "R")
+    } yield (id, user, t, side)
+    for (i <- 0 until 5) {
+      val rows = samples(Gen.listOfN(60, rowGen), 1)(0)
+        .distinctBy(_._1) // unique event ids
+      val df = rows.map { case (id, u, t, s) =>
+        (id, u, new java.sql.Timestamp(t * 1000), s) }
+        .toDF("event_id", "user_id", "ts", "side")
+      val left = df.where($"side" === "L").drop("side")
+      val right = df.where($"side" === "R").drop("side")
+      val got = Joins.asOfJoin(left, right, Seq("user_id"), "ts", "event_id", Seq())
+        .select($"event_id", $"matched.r_event_id".as("m"))
+        .as[(Long, Option[Long])].collect().toMap
+      // naive oracle: max-by (ts, id) of right rows at or before each left
+      val rts = rows.filter(_._4 == "R")
+      val want = rows.filter(_._4 == "L").map { case (id, u, t, _) =>
+        val cand = rts.filter(r => r._2 == u && r._3 <= t)
+        id -> (if (cand.isEmpty) None
+               else Some(cand.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      assert(got == want, s"iteration $i")
+    }
+  }
+
+  test("rangeJoin agrees with a naive filtered cross join on random events") {
+    import graft.operators.Joins
+    val rowGen = for {
+      id <- Gen.choose(1L, 1000L)
+      user <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 50000L) // seconds, spans many bins
+      side <- Gen.oneOf("L", "R")
+    } yield (id, user, t, side)
+    for (i <- 0 until 5) {
+      val rows = samples(Gen.listOfN(50, rowGen), 1)(0).distinctBy(_._1)
+      val df = rows.map { case (id, u, t, s) =>
+        (id, u, new java.sql.Timestamp(t * 1000), s) }
+        .toDF("event_id", "user_id", "ts", "side")
+      val left = df.where($"side" === "L").drop("side")
+      val right = df.where($"side" === "R").drop("side")
+      val w = 3600L
+      val got = Joins.rangeJoin(left, right, Seq("user_id"), "ts", w)
+        .select($"l.event_id", $"r.event_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        l <- rows if l._4 == "L"
+        r <- rows if r._4 == "R" && r._2 == l._2 &&
+          r._3 >= l._3 && r._3 - l._3 < w
+      } yield (l._1, r._1)).toSet
+      assert(got == want, s"iteration $i")
+    }
+  }
 }
