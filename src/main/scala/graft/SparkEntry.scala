@@ -240,6 +240,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
 
+    "dedup_keep_first" -> ((s, dir) =>
+      Dedup.keepFirst(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "text").orderBy("doc_id")),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12)
         .orderBy("doc_a", "doc_b")),
@@ -550,6 +554,11 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         | FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_keep_first" ->
+      """SELECT doc_id, text FROM documents
+        | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        | ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashSql(maxHamming = 3),
 

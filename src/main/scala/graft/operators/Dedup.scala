@@ -26,6 +26,21 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup, corpus form: the input rows minus all-but-first of
+    * each content group (keep = smallest id). What a training-data
+    * pipeline actually materializes; [[exact]] is the report form.
+    * One window over the 128-bit content hash — same single shuffle
+    * as the aggregate, but rows survive with all their columns.
+    */
+  def keepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Word-shingle Jaccard near-dup pairs, exact via an inverted
     * index: posting list per shingle hash, ordered doc pairs from
     * each list, count co-occurrences, Jaccard = |∩| / (|A|+|B|−|∩|).

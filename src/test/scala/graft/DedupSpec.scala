@@ -15,6 +15,13 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("keepFirst returns the corpus minus later duplicates, columns intact") {
+    val d = docs((3L, "a b c"), (1L, "a b c"), (2L, "x y z"))
+    val kept = Dedup.keepFirst(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(kept == Seq((1L, "a b c"), (2L, "x y z")))
+  }
+
   test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
