@@ -64,6 +64,32 @@ object ODataClient {
     r.body
   }
 
+  /** [[getOrThrow]] with bounded retry: transient failures (5xx,
+    * network I/O) back off exponentially and retry up to maxRetries
+    * times; 4xx are permanent and surface immediately (a retried 404
+    * would break the schema probe's discriminator). The reference has
+    * no retry at all — this is the production hardening a cron that
+    * talks to a SaaS API actually needs.
+    */
+  def getWithRetry(url: String, user: Option[String], password: Option[String],
+                   timeoutMs: Int, maxRetries: Int, backoffMs: Long): String = {
+    var attempt = 0
+    while (true) {
+      try {
+        val r = get(url, user, password, timeoutMs)
+        if (r.status >= 200 && r.status < 300) return r.body
+        if (r.status < 500 || attempt >= maxRetries)
+          throw new ODataHttpException(r.status, url, r.body)
+      } catch {
+        case e: ODataHttpException => throw e
+        case _: java.io.IOException if attempt < maxRetries => // retry
+      }
+      Thread.sleep(backoffMs * (1L << attempt))
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Envelope decode, both dialects (reference `src/etl.py:89-93`):
     * v2: `{"d": {"results": [...], "__next": url}}`
     * v4: `{"value": [...], "@odata.nextLink": url}` (or `odata.nextLink`)

@@ -186,12 +186,14 @@ class ODataScan(schema: StructType, opts: ODataOptions,
             val url = ODataClient.buildUrl(opts.entityUrl(opts.codesEntity), Seq(
               "$select" -> f, "$top" -> opts.pageSize.toString, "$format" -> "json"))
             val keys = scala.collection.mutable.TreeSet.empty[String]
-            var page = ODataClient.parsePage(
-              ODataClient.getOrThrow(url, opts.user, opts.password, opts.timeoutMs))
+            var page = ODataClient.parsePage(ODataClient.getWithRetry(
+              url, opts.user, opts.password, opts.timeoutMs,
+              opts.maxRetries, opts.retryBackoffMs))
             keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
             while (page.nextLink.isDefined) {
-              page = ODataClient.parsePage(ODataClient.getOrThrow(
-                page.nextLink.get, opts.user, opts.password, opts.timeoutMs))
+              page = ODataClient.parsePage(ODataClient.getWithRetry(
+                page.nextLink.get, opts.user, opts.password, opts.timeoutMs,
+                opts.maxRetries, opts.retryBackoffMs))
               keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
             }
             if (keys.isEmpty) {
@@ -263,8 +265,9 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   }
 
   private def loadPage(url: String): Unit = {
-    val page = ODataClient.parsePage(
-      ODataClient.getOrThrow(url, opts.user, opts.password, opts.timeoutMs))
+    val page = ODataClient.parsePage(ODataClient.getWithRetry(
+      url, opts.user, opts.password, opts.timeoutMs,
+      opts.maxRetries, opts.retryBackoffMs))
     rows = page.rows.iterator
     nextLink = page.nextLink
   }

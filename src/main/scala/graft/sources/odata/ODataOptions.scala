@@ -19,6 +19,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * @param failFast     false = a failing partition logs + yields 0
   *                     rows (etl.py:191-194 semantics); true = task
   *                     failure (Spark default posture)
+  * @param maxRetries   bounded retry of transient (5xx / network)
+  *                     failures with exponential backoff
+  *                     (retryBackoffMs · 2^attempt); 4xx never retry
   * @param maxPartitions upper bound on planned input partitions: keys
   *                     bin into ≤ this many tasks, bounding both task
   *                     count at high key cardinality and the global
@@ -38,7 +41,9 @@ case class ODataOptions(
     requestPauseMs: Long,
     timeoutMs: Int,
     failFast: Boolean,
-    maxPartitions: Int) {
+    maxPartitions: Int,
+    maxRetries: Int,
+    retryBackoffMs: Long) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -68,6 +73,8 @@ object ODataOptions {
       requestPauseMs = m.getOrElse("requestPauseMs", "0").toLong,
       timeoutMs = m.getOrElse("timeoutMs", "90000").toInt,
       failFast = m.getOrElse("failFast", "false").toBoolean,
-      maxPartitions = m.getOrElse("maxPartitions", "1000").toInt)
+      maxPartitions = m.getOrElse("maxPartitions", "1000").toInt,
+      maxRetries = m.getOrElse("maxRetries", "2").toInt,
+      retryBackoffMs = m.getOrElse("retryBackoffMs", "100").toLong)
   }
 }

@@ -18,7 +18,10 @@ class ODataStubServer(
     serverPageSize: Int = 1000,
     dialect: String = "v2",              // "v2" | "v4"
     requireAuth: Option[(String, String)] = None,
-    failValues: Set[String] = Set.empty) {
+    failValues: Set[String] = Set.empty,
+    transientFailures: Int = 0) {  // first N data requests 503, then succeed
+
+  private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   @volatile var requestLog: Vector[String] = Vector.empty
@@ -94,6 +97,9 @@ class ODataStubServer(
         }
         if (conds.exists { case (k, v) => failValues.contains(v) }) {
           respond(ex, 500, """{"error": "injected failure"}"""); return
+        }
+        if (transientLeft.getAndDecrement() > 0) {
+          respond(ex, 503, """{"error": "transient"}"""); return
         }
         rows.filter(r => conds.forall { case (k, v) => r.get(k).contains(v) })
     }

@@ -50,6 +50,25 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("transient 5xx failures retry with backoff and the scan succeeds") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      transientFailures = 2).start()
+    try {
+      val df = read(srv, Map("maxRetries" -> "3", "retryBackoffMs" -> "10",
+        "failFast" -> "true"))
+      assert(df.count() == 6) // would throw without retry (failFast=true)
+    } finally srv.stop()
+  }
+
+  test("maxRetries=0 with failFast surfaces the transient failure") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      transientFailures = 2).start()
+    try {
+      val df = read(srv, Map("maxRetries" -> "0", "failFast" -> "true"))
+      intercept[org.apache.spark.SparkException] { df.count() }
+    } finally srv.stop()
+  }
+
   test("maxPartitions bins keys into bounded tasks with identical results") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
