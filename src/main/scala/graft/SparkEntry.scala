@@ -316,6 +316,10 @@ object SparkEntry {
     "text_pii" -> ((s, dir) =>
       TextAnalysis.piiTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.charLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ================= multimodal plumbing =========================
     "mm_decode_meta" -> ((s, dir) => {
       val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
@@ -705,6 +709,21 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text,
         |   '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's RE2 has no lookahead, so the oracle builds overlapping
+    // bigrams with list_transform — same multiset, different mechanism
+    "text_lm_score" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+        | FROM documents WHERE length(text) >= 2),
+        | c2 AS (SELECT bg, count(*) AS c2 FROM tok GROUP BY bg),
+        | c1 AS (SELECT substr(bg, 1, 1) AS ch, count(*) AS c1 FROM tok GROUP BY 1)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((c2.c2 + 1.0)/(c1.c1 + 256.0))), 6) AS avg_logprob
+        | FROM tok JOIN c2 USING (bg)
+        | JOIN c1 ON substr(tok.bg, 1, 1) = c1.ch
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "events_hopping_agg" ->
       s"""SELECT make_timestamp(((epoch_ms(ts) // 1800000) - i) * 1800000 * 1000)

@@ -168,6 +168,33 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(ipRe), lit(0))).cast("long").as("n_ips"),
       size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long").as("n_phones"))
 
+  /** Character-bigram language-model score per document: the average
+    * log-probability of the doc's bigrams under an add-one-smoothed
+    * bigram model estimated from the corpus itself (the cheap,
+    * dependency-free stand-in for KenLM-perplexity filtering in
+    * training-data pipelines; low scores ≈ out-of-distribution text).
+    *
+    * Scale shape: bigrams explode once (overlapping windows via one
+    * codegen'd lookahead regex); the bigram and prefix count tables
+    * are tiny at ANY corpus size (≤ alphabet², aggregated map-side),
+    * so they BROADCAST back onto the token stream — no corpus-side
+    * shuffle except the final per-doc aggregate.
+    */
+  def charLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc"),
+      explode(regexp_extract_all(col(textCol), lit("(?s)(?=(..))"), lit(1))).as("bg"))
+    val c2 = tok.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = tok.groupBy(substring(col("bg"), 1, 1).as("ch")).agg(count(lit(1)).as("c1"))
+    tok
+      .join(broadcast(c2), "bg")
+      .join(broadcast(c1), substring(col("bg"), 1, 1) === col("ch"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(log((col("c2") + 1.0) / (col("c1") + 256.0))), 6).as("avg_logprob"))
+      .select(col("doc").as(idCol), col("n_bigrams"), col("avg_logprob"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the normalized text (case/punct/ws-
     *    insensitive exact-dup key);

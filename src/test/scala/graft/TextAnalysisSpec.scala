@@ -57,6 +57,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.toSeq == Seq("zebra")) // tf=2 and df=1 → max tfidf
   }
 
+  test("char-bigram LM scores in-distribution text above alien text") {
+    val common = (1 to 8).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val alien = Seq((9L, "zzqx jjvv wwkk qqpp xxyy zzqx jjvv"))
+    val d = (common ++ alien).toDF("doc_id", "text")
+    val scores = TextAnalysis.charLmScore(d, "doc_id", "text")
+      .orderBy("doc_id").select("avg_logprob").as[Double].collect()
+    assert(scores.take(8).forall(_ > scores.last),
+      s"alien doc must score lowest: ${scores.toSeq}")
+  }
+
   test("pii redaction replaces emails/ips/phones and counts them") {
     val d = Seq(
       (1L, "contact bob@example.com or 10.0.0.1 or +1 (555) 123-4567 now"),
