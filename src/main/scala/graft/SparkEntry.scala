@@ -185,6 +185,19 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // stratified variant: per-stratum rates (downsample the dominant
+    // 'O' status hard, keep rarer statuses) — same md5-prefix
+    // determinism, so the sample is reproducible and oracle-exact
+    "sample_stratified" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("cut",
+          when(col("o_orderstatus") === "O", lit("0ccc"))   // ~5%
+            .when(col("o_orderstatus") === "F", lit("1999")) // ~10%
+            .otherwise(lit("8000")))                         // ~50%
+        .where(substring(md5(col("o_orderkey").cast("string")), 1, 4) < col("cut"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
     "set_intersect" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")).distinct()
@@ -481,6 +494,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 4) < '1999'
         | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        | WHERE substr(md5(o_orderkey::VARCHAR), 1, 4) <
+        |   CASE o_orderstatus WHEN 'O' THEN '0ccc' WHEN 'F' THEN '1999'
+        |        ELSE '8000' END
+        | ORDER BY o_orderkey""".stripMargin,
 
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
