@@ -309,6 +309,10 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "cluster_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansIteration(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 8).orderBy("cell_id", "dim")),
+
     // ================= text analysis ===============================
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
@@ -698,6 +702,27 @@ object SparkEntry {
         |  list_min(list_transform(range(1, length(norm)-6),
         |    i -> md5(substr(norm, i, 8)))) AS winnow_fp
         | FROM n ORDER BY doc_id""".stripMargin,
+
+    "cluster_kmeans_step" ->
+      """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 8)),
+        | asg AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid::DOUBLE[]), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | ex AS (
+        |  SELECT cell_id, i AS dim, vec[i] AS val
+        |  FROM asg, UNNEST(range(1, len(vec) + 1)) AS t(i))
+        | SELECT cell_id, CAST(dim AS BIGINT) AS dim,
+        |  round(avg(val), 6) AS mean_val
+        | FROM ex GROUP BY cell_id, dim ORDER BY cell_id, dim""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (

@@ -80,6 +80,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** One deterministic Lloyd (k-means) iteration over an embedding
+    * corpus: seed centroids = the numCells vectors with the smallest
+    * md5(id) (engine-neutral, so the whole step is oracle-checkable),
+    * assign every vector to its max-cosine centroid, emit the new
+    * per-cell per-dimension means. Iterating = re-calling with the
+    * produced centroids; one call is the audited unit.
+    *
+    * Scale shape: centroids broadcast; assignment is map-only +
+    * an argmax aggregate keyed by id; the mean update is posexplode →
+    * one hash aggregate on (cell, dim) — numCells·dim output rows
+    * regardless of corpus size.
+    */
+  def kmeansIteration(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCells: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    val centroids = c
+      .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy("h").limit(numCells)
+      .withColumn("cell_id", row_number().over(Window.orderBy("h")).cast("long"))
+      .select(col("cell_id"), col("vec").as("centroid"), col("nrm").as("ctrnrm"))
+    // argmax cell per vector; cosine rounds to 6 BEFORE the argmax so
+    // the choice (not just the score) is reproducible cross-engine;
+    // ties go to the greatest cell_id (max struct = row_number DESC)
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy(col("id"))
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+           first(col("vec")).as("vec"))
+    assigned
+      .select(col("cell_id"), posexplode(col("vec")))
+      .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
+  }
+
   /** IVF-style ANN: deterministic coarse quantizer (centroids = a
     * seeded hash-sample of the corpus), assign every vector to its
     * nearest centroid cell, probe the `nprobe` nearest cells per
