@@ -35,7 +35,10 @@ def main():
             continue
         got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
         if name not in oracle:
-            results[name] = f"rows-only ({len(got)} rows)"
+            # the driver expects rows > 0 — an emptied rows-only query
+            # is a regression, not a pass
+            results[name] = (f"rows-only ({len(got)} rows)" if len(got) > 0
+                             else "EMPTY-ROWS-ONLY (0 rows)")
             continue
         try:
             exp = con.sql(oracle[name]).df()

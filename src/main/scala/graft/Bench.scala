@@ -26,6 +26,9 @@ object Bench {
     // timed run measures execution throughput — the quantity that
     // scales with data volume. SPARK_GRAFT_COLD=1 restores single-shot.
     val warmRuns = if (sys.env.get("SPARK_GRAFT_COLD").contains("1")) 0 else 1
+    // A failing query must be VISIBLE (stderr line, "errors" map, and
+    // n_failed count), never silently lower the total as a -1.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -34,12 +37,24 @@ object Bench {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
+        } catch { case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          errors(name) = msg
+          System.err.println(s"[bench] QUERY FAILED $name — $msg")
+          name -> -1.0
+        }
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -134,6 +134,18 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+object HyperplaneBuckets {
+  /** A vector shorter/longer than the plane would silently bucket on a
+    * prefix and quietly degrade LSH recall — fail loudly instead.
+    * Called from generated code, so it must be public + static-shaped.
+    */
+  def checkDim(vecLen: Int, planeLen: Int): Unit =
+    if (vecLen != planeLen)
+      throw new IllegalArgumentException(
+        s"hyperplaneBucket: vector dim $vecLen != plane dim $planeLen — " +
+          "pass dim=<vector dimensionality> explicitly")
+}
+
 /** Cosine similarity in ONE pass: Σab, Σa², Σb² accumulate in the
   * same loop, then dot / (√Σa²·√Σb²). Null when either norm is zero
   * (or either input is null) — matching the composed
@@ -212,10 +224,10 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]])
     var b = 0
     while (b < planeArr.length) {
       val plane = planeArr(b)
-      val n = math.min(x.numElements(), plane.length)
+      HyperplaneBuckets.checkDim(x.numElements(), plane.length)
       var s = 0.0
       var i = 0
-      while (i < n) {
+      while (i < plane.length) {
         s += readElemValue(x, i, child.dataType) * plane(i)
         i += 1
       }
@@ -229,7 +241,6 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]])
     nullSafeCodeGen(ctx, ev, a => {
       val planesRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
       val b = ctx.freshName("b")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val bk = ctx.freshName("bucket")
@@ -238,9 +249,9 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]])
          |long $bk = 0L;
          |for (int $b = 0; $b < $planesRef.length; $b++) {
          |  double[] $pl = $planesRef[$b];
-         |  int $n = java.lang.Math.min($a.numElements(), $pl.length);
+         |  graft.plans.HyperplaneBuckets.checkDim($a.numElements(), $pl.length);
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $pl.length; $i++) {
          |    $s += ${readElem(a, i, child.dataType)} * $pl[$i];
          |  }
          |  if ($s >= 0) $bk |= (1L << $b);

@@ -1,6 +1,5 @@
 package graft.sources.odata
 
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Connector options — the Spark `.option(...)` surface replacing the
@@ -55,7 +54,14 @@ case class ODataOptions(
 
 object ODataOptions {
   def apply(map: CaseInsensitiveStringMap): ODataOptions = {
-    val m = map.asCaseSensitiveMap().asScala
+    // look up through the CaseInsensitiveStringMap itself — DSv2
+    // options are conventionally case-insensitive ('baseurl' ==
+    // 'baseUrl'); asCaseSensitiveMap would silently re-impose exact-key
+    // matching
+    object m {
+      def get(k: String): Option[String] = Option(map.get(k))
+      def getOrElse(k: String, default: => String): String = get(k).getOrElse(default)
+    }
     def req(k: String): String =
       m.getOrElse(k, throw new IllegalArgumentException(s"odata source: missing required option '$k'"))
     val entity = req("entity")
