@@ -66,6 +66,75 @@ object SparkEntry {
        | ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- minhash SQL twin: replay the banding, don't assume recall ---
+  // Same md5-derived 60-bit shingle hashes, same affine mod-(2^31−1)
+  // permutations (Dedup.minHashConsts), same band-key folds — so the
+  // candidate set is identical in both engines by construction and the
+  // oracle is exact at ANY threshold, not just in the
+  // structural-recall regime (J ≥ 0.9).
+  private def minhashSql(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val p = Dedup.MinHashP
+    val consts = Dedup.minHashConsts(numBands * rowsPerBand, seed = 42L)
+    val mins = consts.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * h31 + $b) % $p) AS m$i" }
+      .mkString(",\n   ")
+    val bandArms = (0 until numBands).map { bnd =>
+      val key = (0 until rowsPerBand).foldLeft("0") {
+        (acc, j) => s"(($acc*1000003 + m${bnd * rowsPerBand + j}) % $p)"
+      }
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       | sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+       | h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h60,
+       |         ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h31
+       |  FROM sh),
+       | sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+       | band AS ($bandArms),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       | sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+       | common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN h ha ON ha.doc_id = c.doc_a
+       |  JOIN h hb ON hb.doc_id = c.doc_b AND ha.h60 = hb.h60
+       |  GROUP BY 1, 2)
+       | SELECT doc_a, doc_b,
+       |  round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       | FROM common
+       | JOIN sizes sa ON sa.doc_id = doc_a
+       | JOIN sizes sb ON sb.doc_id = doc_b
+       | WHERE round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) >= $threshold
+       | ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- hyperplane-LSH SQL twin --------------------------------------
+  // The plane constants are plan-time literals (VectorFunctions
+  // .planeConstants), so the oracle reproduces the EXACT bucket
+  // function: per table t, bucket = Σ_b (⟨v, plane_b⟩ ≥ 0 ? 2^b : 0).
+  // `Double.toString` literals parse back to bit-identical doubles,
+  // and SQL `+` is left-associative — the same left-to-right double
+  // fold as the codegen'd kernel — so bucket ids match bit-for-bit
+  // and the lossy LSH ops carry FULL oracles (both engines compute
+  // the same candidate set by construction, not by luck).
+  // Expects a CTE `e(id, v)` with v already DOUBLE[].
+  private def lshBucketArmsSql(nbits: Int, numTables: Int, dim: Int = 64): String =
+    (0 until numTables).map { t =>
+      val planes = graft.functions.VectorFunctions.planeConstants(nbits, seed = 7 + t, dim)
+      val bits = planes.zipWithIndex.map { case (p, b) =>
+        val dot = p.zipWithIndex.map { case (cst, i) => s"v[${i + 1}]*($cst)" }.mkString("+")
+        s"(CASE WHEN $dot >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT id, $t AS t, $bits AS bucket FROM e"
+    }.mkString("\n UNION ALL\n")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= reference ETL surface (SURVEY §2.3) =========
     "etl_distinct_keys" -> ((s, dir) =>
@@ -173,6 +242,9 @@ object SparkEntry {
         .withColumnsRenamed(Map(
           "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
           "4-NOT SPECIFIED" -> "n_notspec", "5-LOW" -> "n_low"))
+        // pivot yields NULL for empty (status, priority) cells; the
+        // oracle's count FILTER yields 0 — align on any data shape
+        .na.fill(0L, Seq("n_urgent", "n_high", "n_medium", "n_notspec", "n_low"))
         .orderBy("o_orderstatus")),
 
     // deterministic reproducible sampling: first 4 hex chars of
@@ -261,10 +333,12 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12)
         .orderBy("doc_a", "doc_b")),
 
-    // threshold at the 16×4 banding design point: P(candidate | J) =
-    // 1−(1−J⁴)¹⁶ ≈ 1 for J ≥ 0.9, so candidate recall is structural,
-    // not data luck — which is what lets this LSH op carry an EXACT
-    // oracle (the J ≥ 0.6 jaccard pairs) rather than a rows-only check
+    // full oracle WITHOUT assuming banding recall: the DuckDB SQL
+    // replays the identical md5-derived hashes, affine mod-(2^31−1)
+    // permutations, and band-key folds (minhashSql below), so both
+    // engines compute the same candidate set by construction — a true
+    // pair with J just above 0.6 that banding misses is missed by
+    // BOTH sides, never a data-dependent gate failure
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.6)
@@ -590,24 +664,7 @@ object SparkEntry {
 
     "dedup_simhash" -> simhashSql(maxHamming = 3),
 
-    "dedup_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        | sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
-        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        | common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        | SELECT doc_a, doc_b,
-        |  round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-        | FROM common
-        | JOIN sizes sa ON sa.doc_id = doc_a
-        | JOIN sizes sb ON sb.doc_id = doc_b
-        | WHERE round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
-        | ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6),
 
     "dedup_jaccard" ->
       """WITH toks AS (
@@ -635,6 +692,79 @@ object SparkEntry {
         | FROM embeddings a, embeddings b
         | WHERE a.vec_id < b.vec_id AND a.vec_id % 10 = 0 AND b.vec_id % 10 = 0)
         | WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 8)}),
+         | cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bkt a JOIN bkt b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+         | SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b,
+         |   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b)
+         | WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 8)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND q.id < 8 AND c.id <> q.id),
+         | scored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id)
+         | SELECT query_id, corpus_id, score, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, corpus_id) AS rnk
+         |  FROM scored)
+         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, cvec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(corpus_id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 16)),
+        | asg AS (
+        |  SELECT corpus_id, cell_id FROM (
+        |   SELECT c.corpus_id, cen.cell_id,
+        |    row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+        |      round(list_cosine_similarity(c.cvec, cen.centroid), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | qc AS (
+        |  SELECT query_id, cell_id FROM (
+        |   SELECT q.vec_id AS query_id, cen.cell_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_cosine_similarity(q.embedding::DOUBLE[], cen.centroid), 6) DESC,
+        |      cen.cell_id) AS crnk
+        |   FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cen)
+        |  WHERE crnk <= 4),
+        | cand AS (
+        |  SELECT DISTINCT qc.query_id, a.corpus_id
+        |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
+        |  WHERE a.corpus_id <> qc.query_id),
+        | scored AS (
+        |  SELECT query_id, corpus_id,
+        |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = corpus_id
+        |  JOIN embeddings qe ON qe.vec_id = query_id)
+        | SELECT query_id, corpus_id, score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) AS rnk
+        |  FROM scored)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "sim_topk" ->
       """SELECT query_id, corpus_id, score, rnk FROM (

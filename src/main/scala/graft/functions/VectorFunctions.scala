@@ -78,13 +78,20 @@ object VectorFunctions {
     * @param dim vector dimensionality (plane constants are built at
     *            plan time, so it cannot be inferred from data)
     */
-  def hyperplaneBucket(v: Column, nbits: Int, seed: Int = 7, dim: Int = 64): Column = {
-    val planes = (0 until nbits).map { b =>
+  def hyperplaneBucket(v: Column, nbits: Int, seed: Int = 7, dim: Int = 64): Column =
+    column(HyperplaneBuckets(expression(v), planeConstants(nbits, seed, dim)))
+
+  /** The deterministic plane constants behind [[hyperplaneBucket]] —
+    * public so oracle SQL can be generated against the SAME planes
+    * (bucket = Σ_b (⟨v, plane_b⟩ ≥ 0 ? 2^b : 0), left-to-right double
+    * summation; `Double.toString` round-trips, so SQL literals parse
+    * back to bit-identical values in any IEEE-754 engine).
+    */
+  def planeConstants(nbits: Int, seed: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until nbits).map { b =>
       (0 until dim).map { i =>
         val h = splitmix64(seed.toLong * 1000003L + b.toLong * 10007L + i.toLong)
         (java.lang.Math.floorMod(h, 2000000L).toDouble / 1000000.0) - 1.0
       }
     }
-    column(HyperplaneBuckets(expression(v), planes))
-  }
 }

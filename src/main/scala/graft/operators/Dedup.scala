@@ -97,43 +97,58 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Affine-permutation multipliers/offsets for MinHash, fixed at plan
-    * time from a seeded LCG (odd multipliers → bijections mod 2^64).
+  /** Modulus for the MinHash permutation family: the Mersenne prime
+    * 2^31−1. Values stay below 2^31, so an affine a·h+b never exceeds
+    * ~2^62 — no ANSI long overflow — and the identical arithmetic runs
+    * in plain SQL, which is what lets [[minHashPairs]] carry a FULL
+    * DuckDB oracle (the oracle reproduces the banding, so both engines
+    * compute the same candidate set by construction, not by recall
+    * luck).
     */
-  private def affineConsts(n: Int, seed: Long): IndexedSeq[(Long, Long)] = {
+  private[graft] val MinHashP: Long = 2147483647L
+
+  /** Affine-permutation multipliers/offsets over mod-[[MinHashP]],
+    * fixed at plan time from a seeded LCG: a ∈ [1, p−1], b ∈ [0, p−1].
+    */
+  private[graft] def minHashConsts(n: Int, seed: Long): IndexedSeq[(Long, Long)] = {
     var x = seed
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
-    IndexedSeq.fill(n)((next() | 1L, next()))
+    IndexedSeq.fill(n)((
+      java.lang.Math.floorMod(next(), MinHashP - 1) + 1,
+      java.lang.Math.floorMod(next(), MinHashP)))
   }
 
-  /** MinHash signature from a pre-hashed shingle column (one
-    * xxhash64 per shingle — the expensive string hash — paid once by
-    * the caller). The k permutations re-hash the 64-bit value XOR a
-    * plan-time constant through xxhash64-over-long — a handful of
-    * native long ops per element, no string traversal, and no ANSI
-    * overflow (an affine a·h+b family would throw under Spark 4's
-    * ANSI long multiply). Pure column expressions, no ML fitting, no
-    * driver state — a doc's signature is computable in isolation, so
-    * this runs identically in batch and streaming.
+  /** MinHash signature from a pre-hashed shingle column (one md5 per
+    * shingle — the expensive string hash — paid once by the caller;
+    * pass `h mod anything ≥ 2^31` or the raw 60-bit hash). The k
+    * permutations are affine maps mod the prime 2^31−1 — a multiply,
+    * add, and mod per element, cheaper than a re-hash and
+    * reproducible in any SQL engine. Pure column expressions, no ML
+    * fitting, no driver state — a doc's signature is computable in
+    * isolation, so this runs identically in batch and streaming.
     *
     * `hashes` must reference a materialized column (withColumn), not
     * an inline expression — it is referenced numHashes times and HOFs
     * get no common-subexpression elimination.
     */
   def minHashSignature(hashes: Column, numHashes: Int): Column = {
-    val consts = affineConsts(numHashes, seed = 42L)
-    array(consts.map { case (a, _) =>
-      array_min(transform(hashes, h => xxhash64(h.bitwiseXOR(lit(a)))))
+    val consts = minHashConsts(numHashes, seed = 42L)
+    array(consts.map { case (a, b) =>
+      array_min(transform(hashes, h => (lit(a) * (h % MinHashP) + lit(b)) % MinHashP))
     }: _*)
   }
 
   /** MinHash + LSH banding near-dup pairs (the scale path).
     *
-    * signature (numBands·rowsPerBand mins) → band keys (hash of each
-    * band's slice) → explode → self-join on (band, key) → distinct
-    * candidate pairs → exact Jaccard verification on candidates only.
-    * P(candidate | J=s) = 1 − (1 − s^r)^b; defaults (16 bands × 4)
-    * catch J ≥ 0.6 with ~99% recall.
+    * signature (numBands·rowsPerBand mins) → band keys (arithmetic
+    * fold of each band's slice) → explode → self-join on (band, key) →
+    * distinct candidate pairs → exact Jaccard verification on
+    * candidates only. P(candidate | J=s) = 1 − (1 − s^r)^b; with the
+    * 16×4 defaults that is ≈0.89 at J=0.6 and ≈1 at J≥0.9 — recall is
+    * structural only well above the banding design point. The DuckDB
+    * oracle therefore REPLAYS the banding (same hashes, same
+    * permutations, same band keys) instead of assuming recall=1
+    * against exact Jaccard.
     *
     * Every stage is a narrow map or a bucket-key join; the candidate
     * set (not the corpus) pays the quadratic cost.
@@ -145,22 +160,25 @@ object Dedup {
     // one codegen'd regex pass + explode + one codegen'd string hash
     // per (doc, shingle) — everything downstream (signatures AND
     // verification sets) derives from these rows, never from
-    // interpreted array HOFs
+    // interpreted array HOFs. md5 (60 bits, like simhash) rather than
+    // xxhash64 keeps the ENTIRE pipeline — permutations, band keys,
+    // verification intersections — engine-neutral, so the DuckDB
+    // oracle replays it exactly.
     val tok = docs
       .select(col(idCol).as("doc"), explode(wordShinglesFast(col(textCol), shingleN)).as("s"))
-      .select(col("doc"), xxhash64(col("s")).as("h"))
+      .select(col("doc"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
 
     // ONE aggregation produces both the signature mins and the
     // verification shingle-set: signatures via numHashes codegen'd MIN
     // aggregates (the per-row HOF fold stays out of whole-stage
     // codegen and is ~10× slower), the shingle-set via collect_set of
-    // the 64-bit hashes (verification intersects hashes, not strings —
-    // identical counts short of 2^-64 collisions). Both consumers
+    // the 60-bit hashes (verification intersects hashes, not strings —
+    // identical counts short of 2^-60 collisions). Both consumers
     // below read the same exchange (ReuseExchange), so the corpus is
     // scanned and shuffled once.
-    val consts = affineConsts(numHashes, seed = 42L)
-    val minAggs = consts.zipWithIndex.map { case ((a, _), i) =>
-      min(xxhash64(col("h").bitwiseXOR(lit(a)))).as(s"m$i")
+    val consts = minHashConsts(numHashes, seed = 42L)
+    val minAggs = consts.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * (col("h") % MinHashP) + lit(b)) % MinHashP).as(s"m$i")
     }
     val docTable = tok.groupBy(col("doc"))
       .agg(minAggs.head, minAggs.tail :+ collect_set(col("h")).as("sh"): _*)
@@ -170,12 +188,17 @@ object Dedup {
 
     // band keys only — the heavy shingle arrays must NOT ride through
     // the numBands× explode and the self-join shuffle; they join back
-    // on the (small) candidate set for verification
+    // on the (small) candidate set for verification. The key is an
+    // arithmetic fold of the band's mins mod p (engine-neutral, 8
+    // bytes); a cross-band key collision only adds a candidate that
+    // exact verification then filters — in BOTH engines alike.
     val banded = withSig.select(
       col("doc"),
       explode(
         transform(sequence(lit(0), lit(numBands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+          b => struct(b.as("band"),
+            aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), lit(0L),
+              (k, m) => (k * lit(1000003L) + m) % MinHashP).as("key")))
       ).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
 

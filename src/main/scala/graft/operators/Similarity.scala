@@ -80,6 +80,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Deterministic centroid seeding shared by k-means and IVF: the
+    * `numCells` vectors with the smallest engine-neutral md5-derived
+    * hash of their id, numbered 1..numCells in hash order.
+    *
+    * No global window: `orderBy().limit()` plans as
+    * TakeOrderedAndProject, and the ≤ numCells survivors collapse into
+    * ONE collect_list aggregate sorted by hash — so the bench log
+    * carries no `WindowExec: No Partition Defined` noise and a real
+    * single-partition window can't hide behind cosmetic ones.
+    *
+    * Input df must expose (idCol, vec, nrm); output is
+    * (cell_id: long, centroid, ctrnrm).
+    */
+  private[graft] def seedCentroids(c: DataFrame, idCol: String, numCells: Int): DataFrame =
+    c.withColumn("h", conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy("h").limit(numCells)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("h"), col("vec"), col("nrm")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("cell_id"),
+              col("x.vec").as("centroid"), col("x.nrm").as("ctrnrm"))
+
   /** One deterministic Lloyd (k-means) iteration over an embedding
     * corpus: seed centroids = the numCells vectors with the smallest
     * md5(id) (engine-neutral, so the whole step is oracle-checkable),
@@ -96,11 +118,7 @@ object Similarity {
                       numCells: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
-    val centroids = c
-      .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
-      .orderBy("h").limit(numCells)
-      .withColumn("cell_id", row_number().over(Window.orderBy("h")).cast("long"))
-      .select(col("cell_id"), col("vec").as("centroid"), col("nrm").as("ctrnrm"))
+    val centroids = seedCentroids(c, "id", numCells)
     // argmax cell per vector; cosine rounds to 6 BEFORE the argmax so
     // the choice (not just the score) is reproducible cross-engine;
     // ties go to the greatest cell_id (max struct = row_number DESC)
@@ -132,21 +150,22 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .withColumn("cnrm", l2Norm(col("cvec")))
     // Deterministic "centroids": the numCells corpus vectors with the
-    // smallest xxhash64(id) — a seeded uniform sample without RNG state.
-    val centroids = c
-      .withColumn("h", xxhash64(col("corpus_id")))
-      .orderBy("h").limit(numCells)
-      .withColumn("cell_id", row_number().over(Window.orderBy("h")))
-      .select(col("cell_id"), col("cvec").as("centroid"), col("cnrm").as("ctrnrm"))
+    // smallest md5-derived id hash — a seeded uniform sample without
+    // RNG state, engine-neutral so the whole op is oracle-checkable.
+    val centroids = seedCentroids(
+      c.select(col("corpus_id").as("id"), col("cvec").as("vec"), col("cnrm").as("nrm")),
+      "id", numCells)
 
     // corpus assignment: argmax via max(struct) hash aggregate — a
     // row_number window here would sort |corpus| single-digit-row
     // partitions; the aggregate is one partial-agg shuffle. Group key
     // is the id alone (first() carries the vector) — grouping by the
-    // vector would hash/compare a wide array per pair.
+    // vector would hash/compare a wide array per pair. Cosine rounds
+    // to 6 BEFORE the argmax so the cell choice is cross-engine
+    // reproducible; ties go to the greatest cell_id.
     val cCells = c.join(broadcast(centroids), lit(true))
-      .withColumn("csim",
-        cosineFromParts(dot(col("cvec"), col("centroid")), col("cnrm"), col("ctrnrm")))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("cvec"), col("centroid")), col("cnrm"), col("ctrnrm")), 6))
       .groupBy(col("corpus_id"))
       .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
            first(col("cvec")).as("cvec"), first(col("cnrm")).as("cnrm"))
@@ -155,8 +174,8 @@ object Similarity {
     val qAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qnrm", l2Norm(col("qvec")))
       .join(broadcast(centroids), lit(true))
-      .withColumn("csim",
-        cosineFromParts(dot(col("qvec"), col("centroid")), col("qnrm"), col("ctrnrm")))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("qvec"), col("centroid")), col("qnrm"), col("ctrnrm")), 6))
     val qw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell_id"))
     val qCells = qAll
       .withColumn("crnk", row_number().over(qw))
