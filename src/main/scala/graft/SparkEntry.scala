@@ -329,8 +329,12 @@ object SparkEntry {
       Dedup.keepFirst(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "text").orderBy("doc_id")),
 
+    // maxDocFreq high enough to disable the df-cut: this is the EXACT
+    // oracle twin (the DuckDB SQL has no cut); library callers get the
+    // scale-safe default (200) instead
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12,
+        maxDocFreq = 10000)
         .orderBy("doc_a", "doc_b")),
 
     // full oracle WITHOUT assuming banding recall: the DuckDB SQL
@@ -360,7 +364,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(
         t(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", threshold = 0.25, nbits = 4, numTables = 8)
+        "vec_id", "embedding", threshold = 0.25, nbits = 4, numTables = 16)
         .orderBy("id_a", "id_b")),
 
     // ================= similarity search ===========================
@@ -373,7 +377,7 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
-          nbits = 4, numTables = 8)
+          nbits = 4, numTables = 16)
         .orderBy("query_id", "rnk")
     }),
 
@@ -386,6 +390,27 @@ object SparkEntry {
     "cluster_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansIteration(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8).orderBy("cell_id", "dim")),
+
+    "cluster_kmeans_n" -> ((s, dir) =>
+      Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 8, iters = 2).orderBy("cell_id", "dim")),
+
+    // recall of the LSH path against its exact twin as a CHECKED
+    // NUMBER: both sides carry full oracles, so the recall itself is
+    // oracle-verified (not just spec-asserted)
+    "sim_lsh_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+          nbits = 4, numTables = 16)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
 
     // ================= text analysis ===============================
     "text_tokens" -> ((s, dir) =>
@@ -430,6 +455,51 @@ object SparkEntry {
 
     // ================= odata connector (self-hosted stub) ==========
     "odata_scan" -> ((s, dir) => graft.sources.odata.testkit.ODataSelfServe.scan(s, dir)),
+
+    // R4 (per-value failure tolerance) + R5 (rate-limit pause) + R10
+    // (zero-key empty-scan guard) in one driver-gated query: the
+    // poisoned 3-MEDIUM chain must drop out (not fail the job), the
+    // zero-key scan must contribute 0 rows (not a full scan) — any
+    // regression changes the row set and fails the oracle hash
+    "odata_partial_tolerance" -> ((s, dir) => {
+      import graft.sources.odata.testkit.ODataSelfServe
+      ODataSelfServe.partialScan(s, dir)
+        .unionByName(ODataSelfServe.emptyScan(s, dir))
+        .orderBy(col("o_orderkey").cast("long"))
+    }),
+
+    // ================= file sinks (K1) =============================
+    // write-then-read-back through the real sink: header, overwrite,
+    // single file; values must round-trip bit-exactly (CSV doubles via
+    // shortest-repr toString)
+    "etl_csv_roundtrip" -> ((s, dir) => {
+      val src = Etl.emptyGuard(t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice")))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
+      Etl.writeCsv(src, path)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING, o_totalprice DOUBLE")
+        .csv(path)
+        .orderBy("o_orderkey")
+    }),
+
+    // JSONL sink round-trip with a NESTED struct column — lossless
+    // where CSV needs stringification
+    "etl_jsonl_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+               col("o_orderpriority").as("priority")).as("meta"),
+        col("o_totalprice"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_${math.abs(dir.hashCode)}"
+      Etl.writeJsonl(src, path)
+      s.read
+        .schema("o_orderkey BIGINT, meta STRUCT<status: STRING, priority: STRING>, o_totalprice DOUBLE")
+        .json(path)
+        .select(col("o_orderkey"), col("meta.status").as("status"),
+                col("meta.priority").as("priority"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
 
     // ================= events / streaming-shaped ===================
     "events_window_agg" -> ((s, dir) => Events.tumblingAgg(t(s, dir, "events"))),
@@ -696,7 +766,7 @@ object SparkEntry {
     "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
          |           FROM embeddings WHERE vec_id % 10 = 0),
-         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 8)}),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
          | cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM bkt a JOIN bkt b
@@ -711,7 +781,7 @@ object SparkEntry {
 
     "sim_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 8)}),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
          | cand AS (
          |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
          |  FROM bkt c JOIN bkt q
@@ -854,6 +924,73 @@ object SparkEntry {
         |  round(avg(val), 6) AS mean_val
         | FROM ex GROUP BY cell_id, dim ORDER BY cell_id, dim""".stripMargin,
 
+    "cluster_kmeans_n" ->
+      """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 8)),
+        | asg1 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid::DOUBLE[]), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | m1 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg1, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen2 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM m1 GROUP BY cell_id),
+        | asg2 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen2.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen2.centroid), 6) DESC,
+        |      cen2.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen2)
+        |  WHERE rn = 1)
+        | SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        | FROM asg2, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        | GROUP BY 1, 2 ORDER BY cell_id, dim""".stripMargin,
+
+    "sim_lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND q.id < 8 AND c.id <> q.id),
+         | lscored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id),
+         | lsh AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, corpus_id) AS rnk
+         |   FROM lscored)
+         |  WHERE rnk <= 5),
+         | ex AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+         |               c.vec_id) AS rnk
+         |   FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+         |   WHERE c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5)
+         | SELECT ex.query_id,
+         |  round(sum(CASE WHEN lsh.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+         | FROM ex LEFT JOIN lsh
+         |   ON ex.query_id = lsh.query_id AND ex.corpus_id = lsh.corpus_id
+         | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -929,6 +1066,20 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
         | o_orderpriority FROM orders WHERE o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,
+
+    "odata_partial_tolerance" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey < 200 AND o_orderpriority <> '3-MEDIUM'
+        | ORDER BY o_orderkey""".stripMargin,
+
+    "etl_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "etl_jsonl_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
+        | o_totalprice FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "events_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -33,4 +33,44 @@ object Aggregators {
 
   /** Column form: geomean(col). */
   def geomean(c: Column): Column = udaf(geometricMean).apply(c)
+
+  /** SimHash signature aggregate: consumes per-token hash values,
+    * accumulates the per-bit ±1 counts in ONE primitive long[bits]
+    * buffer, finishes to the packed sign-bit signature. Replaces the
+    * previous 60 separate SUM(CASE…) columns — one aggregate
+    * expression instead of 60, and the partial/merge buffer is a
+    * single array column rather than 60 wide long columns, which cuts
+    * hash-aggregate memory and per-row merge dispatch ~bits-fold.
+    * Runs as an ObjectHashAggregate with normal map-side partial
+    * aggregation; bit semantics identical to the SUM form (bit j set
+    * iff Σ±1 ≥ 0).
+    */
+  final class SimHashSig(bits: Int) extends Aggregator[java.lang.Long, Array[Long], java.lang.Long] {
+    def zero: Array[Long] = new Array[Long](bits)
+    def reduce(b: Array[Long], h: java.lang.Long): Array[Long] = {
+      if (h != null) {
+        val v = h.longValue()
+        var j = 0
+        while (j < bits) { b(j) += (((v >>> j) & 1L) * 2L) - 1L; j += 1 }
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < bits) { x(j) += y(j); j += 1 }
+      x
+    }
+    def finish(b: Array[Long]): java.lang.Long = {
+      var sig = 0L
+      var j = 0
+      while (j < bits) { if (b(j) >= 0) sig |= (1L << j); j += 1 }
+      Long.box(sig)
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
+  }
+
+  /** Column form: simhashSig(tokenHash, bits). */
+  def simhashSig(c: Column, bits: Int): Column = udaf(new SimHashSig(bits)).apply(c)
 }

@@ -51,12 +51,17 @@ object Dedup {
     * concentrates in high-document-frequency shingles; `maxDocFreq`
     * drops them (a shingle shared by >maxDocFreq docs is a
     * stopword-shingle carrying ~zero similarity signal — standard
-    * df-cut). Correctness oracle for the sketch variants; the 100 TB
-    * path is [[minHashPairs]] (same answer shape, LSH candidates
-    * only).
+    * df-cut). The default is 200: a single hot shingle at df=10000
+    * would explode into C(10000,2) ≈ 5·10⁷ pairs — the op that falls
+    * over first at 100×. The cut is NOT silent: the posting-list stage
+    * carries an `observe` metric (`jaccard_df_cut`: dropped_shingles /
+    * max_doc_freq_seen) readable via QueryExecutionListener.
+    * Correctness-oracle callers pass maxDocFreq high enough to disable
+    * the cut; the 100 TB path is [[minHashPairs]] (same answer shape,
+    * LSH candidates only).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double, maxDocFreq: Int = 10000): DataFrame = {
+                   n: Int, threshold: Double, maxDocFreq: Int = 200): DataFrame = {
     // shingles carry their 64-bit hash, not the string: smaller
     // shuffle and long-vs-long compares; intersection counts are
     // unchanged short of a 2^-64 collision. Each doc's shingle count
@@ -79,6 +84,12 @@ object Dedup {
     val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val postings = sh.groupBy("h")
       .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
+      // no silent cap: CollectMetrics is a free pass-through aggregate
+      // (no extra job); listeners see how many shingles the df-cut
+      // dropped and the hottest df observed
+      .observe("jaccard_df_cut",
+        sum(when(size(col("ds")) > maxDocFreq, 1L).otherwise(0L)).as("dropped_shingles"),
+        max(size(col("ds"))).as("max_doc_freq_seen"))
       .where(size(col("ds")).between(2, maxDocFreq))
       .repartition(nPart)
     // ordered pairs via codegen'd double-explode (no join, no
@@ -250,26 +261,23 @@ object Dedup {
     */
   val SimHashBits = 60
 
-  /** Corpus SimHash signatures via explode + one hash aggregate per
-    * bit: token rows hash once (codegen'd md5 + conv), the per-bit
-    * ±1 sums are codegen'd aggregates with map-side partial
-    * aggregation, and the signature assembles from the sums with
-    * constant bit masks. ~20× faster than the per-row HOF fold and
-    * the shuffle carries only (doc, 60 longs) partials. Docs with no
-    * tokens produce no signature.
+  /** Corpus SimHash signatures via explode + ONE typed aggregate:
+    * token rows hash once (codegen'd md5 + conv), then a single
+    * `Aggregator` accumulates all per-bit ±1 counts in one primitive
+    * long[60] buffer (graft.functions.Aggregators.SimHashSig) with
+    * map-side partial aggregation — versus the previous 60 separate
+    * SUM(CASE…) columns, this is one aggregate expression and one
+    * array-typed partial instead of 60 wide long columns. ~20× faster
+    * than the per-row HOF fold; bit semantics unchanged (bit j set iff
+    * Σ±1 ≥ 0), so the DuckDB oracle's 60 bit-sum columns still match.
+    * Docs with no tokens produce no signature.
     */
   def simHashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tk"))
       .withColumn("h", conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until SimHashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
-    val sig = (0 until SimHashBits)
-      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
     tok.groupBy(col("doc"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc"), sig.as("sig"))
+      .agg(graft.functions.Aggregators.simhashSig(col("h"), SimHashBits).as("sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.

@@ -127,4 +127,13 @@ object Etl {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** K1b — JSONL sink: one JSON object per line, overwrite. Same
+    * single-file contract as [[writeCsv]]; JSONL keeps nested
+    * struct/array columns lossless where CSV needs [[stringifyNested]].
+    */
+  def writeJsonl(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
 }

@@ -134,6 +134,52 @@ object Similarity {
       .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
   }
 
+  /** n deterministic Lloyd iterations (the multi-step driver over
+    * [[kmeansIteration]]'s audited single step): per iteration, assign
+    * every vector to its max-cosine centroid (cosine rounded to 6
+    * BEFORE the argmax) and replace centroids with the per-cell
+    * per-dimension means rounded to 6 — the rounding at iteration
+    * boundaries is what keeps the whole chain reproducible
+    * cross-engine (the oracle replays it as iterated CTEs). Cells
+    * that lose all members disappear, in both engines alike. Output =
+    * the final (cell_id, dim, mean_val) table.
+    *
+    * Scale shape: each iteration is one broadcast join + an argmax
+    * hash-aggregate + a (cell, dim) hash-aggregate — centroid state
+    * stays ≤ numCells·dim rows regardless of corpus size. The lazy
+    * plan deepens linearly with iters; for iters ≫ 10 insert
+    * `localCheckpoint()` on the centroid table per few iterations.
+    */
+  def kmeansIterations(corpus: DataFrame, idCol: String, vecCol: String,
+                       numCells: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    var centroids = seedCentroids(c, "id", numCells)
+    var means: DataFrame = null
+    for (_ <- 0 until iters) {
+      val assigned = c.join(broadcast(centroids), lit(true))
+        .withColumn("csim", round(
+          cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+        .groupBy(col("id"))
+        .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+             first(col("vec")).as("vec"))
+      means = assigned
+        .select(col("cell_id"), posexplode(col("vec")))
+        .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
+      // rebuild centroid vectors from the (cell, dim) means — numCells
+      // rows, so the collect_list aggregate is constant-size
+      centroids = means
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("dm"))
+        .select(col("cell_id"),
+                transform(col("dm"), x => x.getField("mean_val")).as("centroid"))
+        .withColumn("ctrnrm", l2Norm(col("centroid")))
+    }
+    means
+  }
+
   /** IVF-style ANN: deterministic coarse quantizer (centroids = a
     * seeded hash-sample of the corpus), assign every vector to its
     * nearest centroid cell, probe the `nprobe` nearest cells per

@@ -52,4 +52,75 @@ object ODataSelfServe {
         col("O_PRIORITY").as("o_orderpriority"))
       .orderBy(col("o_orderkey").cast("long"))
   }
+
+  // second stub, same slice, but the 3-MEDIUM value chain is poisoned
+  // (every filtered request for it returns 500)
+  private val partialServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  private def partialServerFor(spark: SparkSession, dir: String): ODataStubServer =
+    partialServers.getOrElseUpdate(dir, {
+      val rows = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("string").as("O_ORDERKEY"),
+          col("o_orderstatus").as("O_STATUS"),
+          col("o_orderpriority").as("O_PRIORITY"))
+        .collect()
+        .map(r => Map(
+          "O_ORDERKEY" -> r.getString(0),
+          "O_STATUS" -> r.getString(1),
+          "O_PRIORITY" -> r.getString(2)))
+        .toSeq
+      new ODataStubServer(rows, "O_PRIORITY",
+        badCandidates = Set("OBAD_STRUCT"), serverPageSize = 50,
+        failValues = Set("3-MEDIUM")).start()
+    })
+
+  /** R4/R5 driver-gate (reference etl.py:191-194, :38): the 3-MEDIUM
+    * partition-value chain fails every request; `failFast=false` logs
+    * and skips EXACTLY that chain, so the result is the deterministic
+    * partial row-set (every priority except 3-MEDIUM). `maxRetries=0`
+    * keeps the poisoned chain from backoff-spinning;
+    * `requestPauseMs=1` exercises the politeness pause (R5) on the
+    * surviving chains.
+    */
+  def partialScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = partialServerFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("failFast", "false")
+      .option("maxRetries", "0")
+      .option("requestPauseMs", "1")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+  }
+
+  /** R10 driver-gate (reference etl.py:197-199): the structure
+    * candidate probes fine but NO row carries a value, so partition
+    * planning finds zero keys and must yield an EMPTY scan (plus a
+    * warning), never an unfiltered full scan. Unioned with
+    * [[partialScan]] in the gate query, a regression to full-scan
+    * doubles the row count and fails the oracle hash loudly.
+    */
+  def emptyScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = partialServerFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "O_MISSING")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        lit(null).cast("string").as("o_orderpriority"))
+  }
 }

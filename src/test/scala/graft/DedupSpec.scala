@@ -75,4 +75,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("jaccard df-cut drops hot shingles; oracle callers can disable it") {
+    val d = docs(
+      (1L, "common shingle text one"), (2L, "common shingle text two"),
+      (3L, "common shingle text six"), (4L, "unrelated totally other words"))
+    // df-cut at 2: the 'common shingle text' shingle appears in 3 docs -> dropped
+    val cut = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1, maxDocFreq = 2)
+    val full = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1, maxDocFreq = 100)
+    assert(cut.count() == 0, "df-cut must drop the hot shingle's pairs")
+    assert(full.count() == 3, "without the cut all 3 near-dup pairs surface")
+  }
+
+  test("SimHashSig aggregator equals the per-bit sum definition on a known multiset") {
+    import graft.functions.Aggregators
+    // hashes 0b01 and 0b11 twice: bit0 sums +1+1+1=3 (set), bit1 sums -1+1+1=1 (set),
+    // bits 2..59 sum -3 (clear) -> sig = 3
+    val df = Seq(1L, 3L, 3L).toDF("h")
+    val sig = df.agg(Aggregators.simhashSig(col("h"), 60)).as[Long].head()
+    assert(sig == 3L)
+  }
+
 }

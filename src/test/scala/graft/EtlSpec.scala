@@ -105,4 +105,20 @@ class EtlSpec extends SparkSpec {
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("writeJsonl round-trips nested struct columns losslessly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25))
+      .toDF("id", "status", "priority", "price")
+      .select(col("id"), struct(col("status"), col("priority")).as("meta"), col("price"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_jsonl"
+    Etl.writeJsonl(df, path)
+    val back = spark.read
+      .schema("id BIGINT, meta STRUCT<status: STRING, priority: STRING>, price DOUBLE")
+      .json(path)
+      .select(col("id"), col("meta.status"), col("meta.priority"), col("price"))
+      .as[(Long, String, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25)))
+  }
+
 }

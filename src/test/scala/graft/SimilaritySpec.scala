@@ -70,4 +70,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 == 1.0, s"full probe must equal brute force, got $r16")
     assert(r4 <= r16 && r4 >= 0.3, s"nprobe=4 recall $r4 out of expected band")
   }
+
+  test("kmeansIterations: iters=1 matches the audited single step; iters=2 deterministic") {
+    val e = Tables.embeddings(spark, sf001)
+    val one = Similarity.kmeansIterations(e, "vec_id", "embedding", numCells = 4, iters = 1)
+      .orderBy("cell_id", "dim").as[(Long, Long, Double)].collect().toSeq
+    val step = Similarity.kmeansIteration(e, "vec_id", "embedding", numCells = 4)
+      .orderBy("cell_id", "dim").as[(Long, Long, Double)].collect().toSeq
+    assert(one == step, "multi-iteration driver at n=1 must equal the single step")
+    val twoA = Similarity.kmeansIterations(e, "vec_id", "embedding", numCells = 4, iters = 2)
+      .orderBy("cell_id", "dim").as[(Long, Long, Double)].collect().toSeq
+    val twoB = Similarity.kmeansIterations(e, "vec_id", "embedding", numCells = 4, iters = 2)
+      .orderBy("cell_id", "dim").as[(Long, Long, Double)].collect().toSeq
+    assert(twoA == twoB, "iteration chain must be deterministic")
+    assert(twoA != one, "second iteration should move the centroids on this corpus")
+  }
+
 }
