@@ -66,6 +66,73 @@ object SparkEntry {
        | ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- text-analysis SQL twins, src-parameterized so the composite
+  // pipeline oracle can run them over a deduped CTE -------------------
+  private def qualitySql(src: String): String =
+    s"""SELECT * FROM (WITH x AS (
+       | SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS w,
+       |  CAST(length(text) AS DOUBLE) AS n_char,
+       |  CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS n_punct,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+       |  CAST(len(regexp_extract_all(text, '[\\p{L}]')) AS DOUBLE) AS n_alpha
+       | FROM $src),
+       | y AS (
+       | SELECT doc_id, n_char, n_punct, n_digit, n_upper, n_alpha,
+       |  CAST(len(w) AS DOUBLE) AS n_tok,
+       |  CAST(len(list_distinct(w)) AS DOUBLE) AS n_dist,
+       |  CAST(len(list_filter(w, t -> list_contains(
+       |    ['the','a','an','and','or','of','to','in','is','that','it','for'],
+       |    lower(t)))) AS DOUBLE) AS n_stop
+       | FROM x)
+       | SELECT doc_id,
+       |  CAST(n_tok AS BIGINT) AS n_tokens,
+       |  round((n_char - (n_tok - 1))/n_tok, 6) AS mean_word_len,
+       |  round(n_stop/n_tok, 6) AS stopword_ratio,
+       |  round(n_punct/n_char, 6) AS punct_ratio,
+       |  round(n_digit/n_char, 6) AS digit_ratio,
+       |  round(n_upper/n_char, 6) AS upper_ratio,
+       |  round(n_alpha/n_char, 6) AS alpha_ratio,
+       |  round(n_dist/n_tok, 6) AS type_token_ratio,
+       |  round(least(1.0, greatest(0.0,
+       |    least(n_alpha/n_char * 2.0, 1.0) * (
+       |    0.35 * least(n_stop/n_tok * 5.0, 1.0) +
+       |    0.25 * (n_dist/n_tok) +
+       |    0.25 * (CASE WHEN (n_char - (n_tok - 1))/n_tok BETWEEN 3.0 AND 10.0
+       |                 THEN 1.0 ELSE 0.0 END) +
+       |    0.15 * (1.0 - least(1.0, (n_punct/n_char + n_digit/n_char) * 4.0))))), 6)
+       |    AS quality_score
+       | FROM y)""".stripMargin
+
+  private def langidSql(src: String): String =
+    s"""SELECT * FROM (WITH x AS (
+       | SELECT doc_id,
+       |  list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |    w -> regexp_replace(w, '[!-/:-@[-`{-~]', '', 'g')) AS t,
+       |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) AS cjk,
+       |  greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_char
+       | FROM $src),
+       | y AS (
+       | SELECT doc_id, cjk, n_char, CAST(len(t) AS DOUBLE) AS n_tok,
+       |  CAST(len(list_filter(t, w -> list_contains(
+       |   ['the','and','of','to','in','is','that','it','for','with','a'], w))) AS DOUBLE) AS s_en,
+       |  CAST(len(list_filter(t, w -> list_contains(
+       |   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], w))) AS DOUBLE) AS s_de,
+       |  CAST(len(list_filter(t, w -> list_contains(
+       |   ['el','la','de','que','y','en','los','una','por','con'], w))) AS DOUBLE) AS s_es,
+       |  CAST(len(list_filter(t, w -> list_contains(
+       |   ['le','la','les','et','de','un','une','est','que','dans'], w))) AS DOUBLE) AS s_fr
+       | FROM x)
+       | SELECT doc_id,
+       |  CASE WHEN cjk / n_char > 0.2 THEN 'zh'
+       |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       |       WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+       |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       | FROM y)""".stripMargin
+
   // ---- minhash SQL twin: replay the banding, don't assume recall ---
   // Same md5-derived 60-bit shingle hashes, same affine mod-(2^31−1)
   // permutations (Dedup.minHashConsts), same band-key folds — so the
@@ -199,6 +266,21 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
                 col("prev_date"), col("next_date"), col("days_since_prev"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // per-customer quartiles: partition key is the HIGH-cardinality
+    // customer id, so the window distributes (never a global or
+    // 3-value-status window); the custkey prefilter commutes with the
+    // window and pushes to the scan
+    "window_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                ntile(4).over(w).cast("long").as("quartile"),
+                round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_custkey", "o_orderkey")
     }),
 
     "agg_cube" -> ((s, dir) =>
@@ -355,6 +437,14 @@ object SparkEntry {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // char 8-gram variant: catches whitespace/tokenization-mangled
+    // near-dups that word shingles miss; df-cut disabled for the
+    // exact oracle like dedup_jaccard
+    "dedup_jaccard_char" -> ((s, dir) =>
+      Dedup.jaccardPairsChar(t(s, dir, "documents"), "doc_id", "text", n = 8,
+        threshold = 0.3, maxDocFreq = 10000)
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairsExact(
         t(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
@@ -394,6 +484,10 @@ object SparkEntry {
     "cluster_kmeans_n" -> ((s, dir) =>
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8, iters = 2).orderBy("cell_id", "dim")),
+
+    "emb_quantize" -> ((s, dir) =>
+      Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("id", "dim")),
 
     // recall of the LSH path against its exact twin as a CHECKED
     // NUMBER: both sides carry full oracles, so the recall itself is
@@ -435,6 +529,23 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.charLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // end-to-end training-data prep: whole-row dedup → quality +
+    // langid (both map-only over the deduped set) → keep good English
+    // docs. The join is doc_id-keyed (high-cardinality shuffle, AQE
+    // coalesced); at 100 TB every stage is a narrow map except the
+    // dedup window and this one join.
+    "pipeline_training_prep" -> ((s, dir) => {
+      val dd = Dedup.keepFirst(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "text")
+      val q = TextAnalysis.qualityScore(dd, "doc_id", "text")
+        .select("doc_id", "quality_score", "n_tokens")
+      val l = TextAnalysis.langIdTable(dd, "doc_id", "text")
+      q.join(l, Seq("doc_id"))
+        .where(col("quality_score") >= 0.3 && col("lang_pred") === "en")
+        .select("doc_id", "lang_pred", "quality_score", "n_tokens")
+        .orderBy("doc_id")
+    }),
 
     // ================= multimodal plumbing =========================
     "mm_decode_meta" -> ((s, dir) => {
@@ -694,33 +805,7 @@ object SparkEntry {
          | FROM orders JOIN customer ON o_custkey = c_custkey
          | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
-    "text_langid" ->
-      """WITH x AS (
-        | SELECT doc_id,
-        |  list_transform(string_split_regex(trim(lower(text)), '\s+'),
-        |    w -> regexp_replace(w, '[!-/:-@[-`{-~]', '', 'g')) AS t,
-        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
-        |  greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_char
-        | FROM documents),
-        | y AS (
-        | SELECT doc_id, cjk, n_char, CAST(len(t) AS DOUBLE) AS n_tok,
-        |  CAST(len(list_filter(t, w -> list_contains(
-        |   ['the','and','of','to','in','is','that','it','for','with','a'], w))) AS DOUBLE) AS s_en,
-        |  CAST(len(list_filter(t, w -> list_contains(
-        |   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], w))) AS DOUBLE) AS s_de,
-        |  CAST(len(list_filter(t, w -> list_contains(
-        |   ['el','la','de','que','y','en','los','una','por','con'], w))) AS DOUBLE) AS s_es,
-        |  CAST(len(list_filter(t, w -> list_contains(
-        |   ['le','la','les','et','de','un','une','est','que','dans'], w))) AS DOUBLE) AS s_fr
-        | FROM x)
-        | SELECT doc_id,
-        |  CASE WHEN cjk / n_char > 0.2 THEN 'zh'
-        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-        |       WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
-        |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
-        |       WHEN s_es >= s_fr THEN 'es'
-        |       ELSE 'fr' END AS lang_pred
-        | FROM y ORDER BY doc_id""".stripMargin,
+    "text_langid" -> s"${langidSql("documents")}\n ORDER BY doc_id",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -733,6 +818,44 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashSql(maxHamming = 3),
+
+    "dedup_jaccard_char" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+        |  FROM documents, UNNEST(range(1, length(text) - 6)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT doc_a, doc_b,
+        |  round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        | FROM common
+        | JOIN sizes sa ON sa.doc_id = doc_a
+        | JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+        | ORDER BY doc_a, doc_b""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id AS id, embedding AS v,
+        |  greatest(list_max(embedding), -list_min(embedding))::DOUBLE AS maxabs
+        | FROM embeddings)
+        | SELECT id, CAST(i AS BIGINT) AS dim,
+        |  CAST(floor(v[i]::DOUBLE * (127.0/maxabs) + 0.5) AS BIGINT) AS q,
+        |  round(127.0/maxabs, 6) AS scale
+        | FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+        | WHERE maxabs > 0
+        | ORDER BY id, dim""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank
+        | FROM orders WHERE o_custkey <= 50
+        | WINDOW w AS (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey)
+        | ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "dedup_minhash" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6),
 
@@ -855,42 +978,21 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS n_chars
         | FROM documents ORDER BY doc_id""".stripMargin,
 
-    "text_quality" ->
-      """WITH x AS (
-        | SELECT doc_id,
-        |  string_split_regex(trim(text), '\s+') AS w,
-        |  CAST(length(text) AS DOUBLE) AS n_char,
-        |  CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS n_punct,
-        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
-        |  CAST(len(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha
-        | FROM documents),
-        | y AS (
-        | SELECT doc_id, n_char, n_punct, n_digit, n_upper, n_alpha,
-        |  CAST(len(w) AS DOUBLE) AS n_tok,
-        |  CAST(len(list_distinct(w)) AS DOUBLE) AS n_dist,
-        |  CAST(len(list_filter(w, t -> list_contains(
-        |    ['the','a','an','and','or','of','to','in','is','that','it','for'],
-        |    lower(t)))) AS DOUBLE) AS n_stop
-        | FROM x)
-        | SELECT doc_id,
-        |  CAST(n_tok AS BIGINT) AS n_tokens,
-        |  round((n_char - (n_tok - 1))/n_tok, 6) AS mean_word_len,
-        |  round(n_stop/n_tok, 6) AS stopword_ratio,
-        |  round(n_punct/n_char, 6) AS punct_ratio,
-        |  round(n_digit/n_char, 6) AS digit_ratio,
-        |  round(n_upper/n_char, 6) AS upper_ratio,
-        |  round(n_alpha/n_char, 6) AS alpha_ratio,
-        |  round(n_dist/n_tok, 6) AS type_token_ratio,
-        |  round(least(1.0, greatest(0.0,
-        |    least(n_alpha/n_char * 2.0, 1.0) * (
-        |    0.35 * least(n_stop/n_tok * 5.0, 1.0) +
-        |    0.25 * (n_dist/n_tok) +
-        |    0.25 * (CASE WHEN (n_char - (n_tok - 1))/n_tok BETWEEN 3.0 AND 10.0
-        |                 THEN 1.0 ELSE 0.0 END) +
-        |    0.15 * (1.0 - least(1.0, (n_punct/n_char + n_digit/n_char) * 4.0))))), 6)
-        |    AS quality_score
-        | FROM y ORDER BY doc_id""".stripMargin,
+    "text_quality" -> s"${qualitySql("documents")}\n ORDER BY doc_id",
+
+    // composite training-data prep: whole-row dedup → quality score →
+    // language ID → filter; the oracle composes the same three SQL
+    // twins over the deduped set
+    "pipeline_training_prep" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         | q AS (SELECT * FROM (${qualitySql("dd")})),
+         | l AS (SELECT * FROM (${langidSql("dd")}))
+         | SELECT q.doc_id, l.lang_pred, q.quality_score, q.n_tokens
+         | FROM q JOIN l ON q.doc_id = l.doc_id
+         | WHERE q.quality_score >= 0.3 AND l.lang_pred = 'en'
+         | ORDER BY q.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """WITH n AS (

@@ -84,6 +84,15 @@ object TextFunctions {
         )
       )).otherwise(array().cast("array<string>"))
 
+  /** Character n-gram shingles via ONE codegen'd regex pass (the
+    * hot-path form of [[charShingles]]): a zero-width lookahead
+    * captures the n chars starting at every position, so the matcher
+    * advances one char per match. (?s) makes `.` cross newlines,
+    * matching substr semantics in the SQL oracle.
+    */
+  def charShinglesFast(text: Column, n: Int): Column =
+    array_distinct(regexp_extract_all(text, lit(s"(?s)(?=(.{$n}))"), lit(1)))
+
   /** 64-bit stable hash of a string column (xxhash64, codegen'd). */
   def stableHash(c: Column, seed: Int = 42): Column = xxhash64(lit(seed), c)
 }

@@ -70,11 +70,36 @@ object Dedup {
     // (groupBy shingle, groupBy pair).
     // n_sh is projected BEFORE the explode so the shingle array does
     // not ride through the Generate (copied into every exploded row)
-    val sh = docs
-      .select(col(idCol).as("doc"), wordShinglesFast(col(textCol), n).as("shs"))
+    val sh = shingleHashRows(docs, idCol, wordShinglesFast(col(textCol), n))
+    jaccardFromShingleHashes(sh, docs, threshold, maxDocFreq)
+  }
+
+  /** Char n-gram Jaccard near-dup pairs — same exact inverted-index
+    * pipeline as [[jaccardPairs]] over character shingles
+    * (charShinglesFast): robust to tokenization differences /
+    * whitespace mangling that word shingles miss. Char grams are
+    * denser, so thresholds run higher than word-shingle thresholds.
+    */
+  def jaccardPairsChar(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, maxDocFreq: Int = 200): DataFrame = {
+    val sh = shingleHashRows(docs, idCol, charShinglesFast(col(textCol), n))
+    jaccardFromShingleHashes(sh, docs, threshold, maxDocFreq)
+  }
+
+  /** (doc, n_sh, h) rows: one codegen'd regex pass + explode + one
+    * codegen'd string hash per (doc, shingle). n_sh is projected
+    * BEFORE the explode so the shingle array does not ride through the
+    * Generate (copied into every exploded row).
+    */
+  private def shingleHashRows(docs: DataFrame, idCol: String, shingles: Column): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), shingles.as("shs"))
       .select(col("doc"), size(col("shs")).as("n_sh"), col("shs"))
       .select(col("doc"), col("n_sh"), explode(col("shs")).as("s"))
       .select(col("doc"), col("n_sh"), xxhash64(col("s")).as("h"))
+
+  private def jaccardFromShingleHashes(sh: DataFrame, docs: DataFrame,
+                                       threshold: Double, maxDocFreq: Int): DataFrame = {
     // posting list per shingle: the aggregation is simultaneously the
     // inverted index, the sizes carrier, and the df-cut (lists longer
     // than maxDocFreq are stopword-shingles — dropped). Multi-doc

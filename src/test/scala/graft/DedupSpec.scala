@@ -96,4 +96,19 @@ class DedupSpec extends SparkSpec {
     assert(sig == 3L)
   }
 
+
+  test("char-gram jaccard catches whitespace-mangled near-dups word shingles miss") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alphabeta gamma delta epsilonzeta"),   // spaces mangled
+      (3L, "totally different text goes here now"))
+    val word = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val char = Dedup.jaccardPairsChar(d, "doc_id", "text", n = 5, threshold = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!word.contains((1L, 2L)), "word shingles cannot see the mangled pair")
+    assert(char.contains((1L, 2L)), "char grams must recover the mangled pair")
+    assert(!char.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
 }

@@ -61,4 +61,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("aggregate(") && !p.contains("zip_with("),
       "no interpreted higher-order functions in the pair path")
   }
+
+  test("k-means centroid numbering needs no window at all (cluster_kmeans_step)") {
+    val p = plan("cluster_kmeans_step")
+    assert(!p.contains("Window"),
+      "centroid seeding must use the sorted-collect_list form, not a global window")
+  }
+
+  test("int8 quantization is map-only — zero shuffles") {
+    val e = Tables.embeddings(spark, sf001)
+    val p = graft.operators.Embeddings.quantizeInt8(e, "vec_id", "embedding")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"),
+      "quantization must stream through the scan with no shuffle")
+  }
+
+  test("LSH ANN broadcasts the bucketed query side (sim_lsh_topk)") {
+    val p = plan("sim_lsh_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket join must broadcast the (small) query side")
+  }
+
+  test("jaccard df-cut is observable in the plan (CollectMetrics), adds no shuffle") {
+    val p = graft.operators.Dedup
+      .jaccardPairs(Tables.load(spark, sf001, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("CollectMetrics"), "df-cut metric node must be present")
+    // two aggregation shuffles (shingle postings, pair counts) + the
+    // deliberate pre-explode spread — no hidden extras. Formatted
+    // explain shows each node once as a "(n) Exchange" detail header.
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"jaccard must stay a two-shuffle pipeline, saw $exchanges exchanges")
+  }
+
+  test("composite training-prep plans no cartesian join (pipeline_training_prep)") {
+    val p = plan("pipeline_training_prep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "quality/langid join must stay an equi-join on doc_id")
+  }
 }
