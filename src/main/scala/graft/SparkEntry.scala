@@ -133,6 +133,47 @@ object SparkEntry {
        |       ELSE 'fr' END AS lang_pred
        | FROM y)""".stripMargin
 
+  // ---- IVF SQL twin (shared by the in-memory and the materialized-
+  // index forms — the index changes WHERE the corpus lives, not the
+  // answer) ----------------------------------------------------------
+  private val ivfSql: String =
+    """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+      | cen AS (
+      |  SELECT row_number() OVER (ORDER BY h) AS cell_id, cvec AS centroid
+      |  FROM (SELECT *, ('0x' || substr(md5(corpus_id::VARCHAR), 1, 15))::BIGINT AS h
+      |        FROM c ORDER BY h LIMIT 16)),
+      | asg AS (
+      |  SELECT corpus_id, cell_id FROM (
+      |   SELECT c.corpus_id, cen.cell_id,
+      |    row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+      |      round(list_cosine_similarity(c.cvec, cen.centroid), 6) DESC,
+      |      cen.cell_id DESC) AS rn
+      |   FROM c CROSS JOIN cen)
+      |  WHERE rn = 1),
+      | qc AS (
+      |  SELECT query_id, cell_id FROM (
+      |   SELECT q.vec_id AS query_id, cen.cell_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_cosine_similarity(q.embedding::DOUBLE[], cen.centroid), 6) DESC,
+      |      cen.cell_id) AS crnk
+      |   FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cen)
+      |  WHERE crnk <= 4),
+      | cand AS (
+      |  SELECT DISTINCT qc.query_id, a.corpus_id
+      |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
+      |  WHERE a.corpus_id <> qc.query_id),
+      | scored AS (
+      |  SELECT query_id, corpus_id,
+      |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+      |  FROM cand
+      |  JOIN embeddings ce ON ce.vec_id = corpus_id
+      |  JOIN embeddings qe ON qe.vec_id = query_id)
+      | SELECT query_id, corpus_id, score, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, corpus_id) AS rnk
+      |  FROM scored)
+      | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // ---- minhash SQL twin: replay the banding, don't assume recall ---
   // Same md5-derived 60-bit shingle hashes, same affine mod-(2^31−1)
   // permutations (Dedup.minHashConsts), same band-key folds — so the
@@ -474,6 +515,18 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // materialized IVF index: corpus written partitioned by cell_id,
+    // the query scan partition-prunes to the probed cells — identical
+    // result (and identical oracle) to the in-memory sim_ivf_topk
+    "sim_ivf_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}"
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", path, numCells = 16)
+      Similarity.ivfTopKIndexed(path, e.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nprobe = 4)
         .orderBy("query_id", "rnk")
     }),
 
@@ -921,43 +974,9 @@ object SparkEntry {
          |  FROM scored)
          | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
-    "sim_ivf_topk" ->
-      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
-        | cen AS (
-        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, cvec AS centroid
-        |  FROM (SELECT *, ('0x' || substr(md5(corpus_id::VARCHAR), 1, 15))::BIGINT AS h
-        |        FROM c ORDER BY h LIMIT 16)),
-        | asg AS (
-        |  SELECT corpus_id, cell_id FROM (
-        |   SELECT c.corpus_id, cen.cell_id,
-        |    row_number() OVER (PARTITION BY c.corpus_id ORDER BY
-        |      round(list_cosine_similarity(c.cvec, cen.centroid), 6) DESC,
-        |      cen.cell_id DESC) AS rn
-        |   FROM c CROSS JOIN cen)
-        |  WHERE rn = 1),
-        | qc AS (
-        |  SELECT query_id, cell_id FROM (
-        |   SELECT q.vec_id AS query_id, cen.cell_id,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      round(list_cosine_similarity(q.embedding::DOUBLE[], cen.centroid), 6) DESC,
-        |      cen.cell_id) AS crnk
-        |   FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cen)
-        |  WHERE crnk <= 4),
-        | cand AS (
-        |  SELECT DISTINCT qc.query_id, a.corpus_id
-        |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
-        |  WHERE a.corpus_id <> qc.query_id),
-        | scored AS (
-        |  SELECT query_id, corpus_id,
-        |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
-        |  FROM cand
-        |  JOIN embeddings ce ON ce.vec_id = corpus_id
-        |  JOIN embeddings qe ON qe.vec_id = query_id)
-        | SELECT query_id, corpus_id, score, rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, corpus_id) AS rnk
-        |  FROM scored)
-        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_ivf_topk" -> ivfSql,
+
+    "sim_ivf_indexed" -> ivfSql,
 
     "sim_topk" ->
       """SELECT query_id, corpus_id, score, rnk FROM (

@@ -191,18 +191,25 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
-                   threshold: Double = 0.6): DataFrame = {
+                   threshold: Double = 0.6,
+                   engineNeutralHash: Boolean = true): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // one codegen'd regex pass + explode + one codegen'd string hash
     // per (doc, shingle) — everything downstream (signatures AND
     // verification sets) derives from these rows, never from
-    // interpreted array HOFs. md5 (60 bits, like simhash) rather than
-    // xxhash64 keeps the ENTIRE pipeline — permutations, band keys,
+    // interpreted array HOFs. The default md5 hash (60 bits, like
+    // simhash) keeps the ENTIRE pipeline — permutations, band keys,
     // verification intersections — engine-neutral, so the DuckDB
-    // oracle replays it exactly.
+    // oracle replays it exactly; engineNeutralHash=false swaps in
+    // xxhash64 (~2× cheaper string hash, same pipeline, same recall
+    // characteristics) for production callers that don't need a SQL
+    // twin.
+    val shingleHash: Column =
+      if (engineNeutralHash) conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+      else pmod(xxhash64(col("s")), lit(MinHashP))
     val tok = docs
       .select(col(idCol).as("doc"), explode(wordShinglesFast(col(textCol), shingleN)).as("s"))
-      .select(col("doc"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("doc"), shingleHash.as("h"))
 
     // ONE aggregation produces both the signature mins and the
     // verification shingle-set: signatures via numHashes codegen'd MIN

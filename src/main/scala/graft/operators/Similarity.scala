@@ -234,4 +234,66 @@ object Similarity {
         cosineFromParts(dot(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
     topKPerQuery(scored, k)
   }
+
+  /** Materialize the IVF index: the corpus written to parquet
+    * PARTITIONED BY cell_id (same deterministic assignment as
+    * [[ivfTopK]]), centroids in a SIBLING `<path>_centroids` directory
+    * (inside the index dir they'd be skipped but still warn on every
+    * partitioned read). This is the 100 TB shape: the expensive
+    * assignment runs ONCE at write time, and every query afterwards
+    * touches only its nprobe cell directories — the
+    * parquet-partition-pruning analogue of an ANN index.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, numCells: Int = 16): Unit = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val centroids = seedCentroids(
+      c.select(col("corpus_id").as("id"), col("cvec").as("vec"), col("cnrm").as("nrm")),
+      "id", numCells)
+    val cCells = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("cvec"), col("centroid")), col("cnrm"), col("ctrnrm")), 6))
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+           first(col("cvec")).as("cvec"), first(col("cnrm")).as("cnrm"))
+    cCells.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    centroids.write.mode("overwrite").parquet(s"${path}_centroids")
+  }
+
+  /** ANN top-k against a materialized [[writeIvfIndex]] index: rank
+    * the nprobe nearest cells per query against the stored centroids,
+    * then scan ONLY those cell partitions (the probed-cell set — ≤
+    * numCells ints — is collected on the driver, a control-plane
+    * lookup like JDBC partition bounds, and becomes a literal IN
+    * filter so Catalyst partition-prunes the read). Result is
+    * identical to [[ivfTopK]] on the same corpus/params.
+    */
+  def ivfTopKIndexed(path: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"${path}_centroids")
+    val qAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("qvec"), col("centroid")), col("qnrm"), col("ctrnrm")), 6))
+    val qw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell_id"))
+    val qCells = qAll
+      .withColumn("crnk", row_number().over(qw))
+      .where(col("crnk") <= nprobe)
+      .drop("centroid", "ctrnrm", "csim", "crnk")
+    // ≤ numCells longs — control-plane collect, not a data collect
+    val probedCells = qCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells: _*))
+    val scored = pruned.join(broadcast(qCells), Seq("cell_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("score", round(
+        cosineFromParts(dot(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
 }

@@ -111,4 +111,18 @@ class DedupSpec extends SparkSpec {
     assert(!char.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+
+  test("minhash fast-hash path finds the same near-dup pair as the oracle path") {
+    val base = "spark makes distributed data processing declarative and fast for everyone today"
+    val d = docs(
+      (1L, base), (2L, base + " indeed"),
+      (3L, "completely unrelated content talking about gardening tulips and soil quality"))
+    val neutral = Dedup.minHashPairs(d, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fast = Dedup.minHashPairs(d, "doc_id", "text", 3, 16, 4, 0.5, engineNeutralHash = false)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(neutral.contains((1L, 2L)) && fast.contains((1L, 2L)))
+    assert(!fast.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
 }

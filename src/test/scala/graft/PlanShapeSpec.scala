@@ -100,4 +100,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "quality/langid join must stay an equi-join on doc_id")
   }
+
+  test("IVF index scan partition-prunes to the probed cells") {
+    val e = Tables.embeddings(spark, sf001)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_prune"
+    graft.operators.Similarity.writeIvfIndex(e, "vec_id", "embedding", path, numCells = 16)
+    val p = graft.operators.Similarity
+      .ivfTopKIndexed(path, e.where(org.apache.spark.sql.functions.col("vec_id") < 2),
+        "vec_id", "embedding", 3, nprobe = 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [cell_id"),
+      "probed-cell IN filter must reach the scan as a partition filter")
+  }
+
 }

@@ -86,4 +86,17 @@ class SimilaritySpec extends SparkSpec {
     assert(twoA != one, "second iteration should move the centroids on this corpus")
   }
 
+
+  test("materialized IVF index returns exactly the in-memory IVF result") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 6)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_index"
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", path, numCells = 16)
+    val mem = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    val idx = Similarity.ivfTopKIndexed(path, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(idx == mem, "index changes where the corpus lives, not the answer")
+  }
+
 }
