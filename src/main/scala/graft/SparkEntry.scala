@@ -478,6 +478,16 @@ object SparkEntry {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // cluster materialization over the simhash near-dup graph:
+    // distributed min-label propagation (iterative join+agg, lineage
+    // cut per round); the oracle computes the same components with a
+    // recursive CTE
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      Dedup.connectedClusters(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // char 8-gram variant: catches whitespace/tokenization-mangled
     // near-dups that word shingles miss; df-cut disabled for the
     // exact oracle like dedup_jaccard
@@ -871,6 +881,17 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashSql(maxHamming = 3),
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |           UNION ALL SELECT doc_b, doc_a FROM prs),
+         | reach(id, lab) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+         | SELECT id AS doc_id, min(lab) AS cluster_id
+         | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_char" ->
       """WITH sh AS (

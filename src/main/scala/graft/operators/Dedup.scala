@@ -344,6 +344,44 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair graph: every doc gets
+    * `cluster_id` = the smallest doc id reachable through pairs
+    * (singletons cluster with themselves). This is what a dedup
+    * pipeline actually materializes — keep `doc_id == cluster_id`, or
+    * pick per-cluster representatives by any policy.
+    *
+    * Distributed min-label propagation: labels start as own id; each
+    * round takes the min of a vertex's label and its neighbors'
+    * labels; converges in O(component diameter) rounds — near-dup
+    * clusters are small and dense, so typically 2-4. Each round is one
+    * equi-join + one aggregate; `localCheckpoint` cuts lineage so the
+    * plan stays flat at any round count; the per-round convergence
+    * check is a control-plane count, not a data collect.
+    */
+  def connectedClusters(vertices: DataFrame, idCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lab"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lab").as("nlab")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("nlab")).as("nbrmin"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lab"),
+                least(col("lab"), coalesce(col("nbrmin"), col("lab"))).as("lab2"))
+        .localCheckpoint()
+      changed = updated.where(col("lab2") < col("lab")).count()
+      labels = updated.select(col("id"), col("lab2").as("lab"))
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+  }
+
   /** Embedding near-dup: exact cosine ≥ threshold over all pairs of a
     * (pre-filtered) set. Exact and quadratic — callers restrict the
     * input (correctness oracle) or use [[embeddingPairsLsh]].

@@ -125,4 +125,22 @@ class DedupSpec extends SparkSpec {
     assert(!fast.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+
+  test("connectedClusters: min-label propagation matches known components") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedClusters(vertices, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("connectedClusters: chain propagates across the full diameter") {
+    val n = 8
+    val vertices = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedClusters(vertices, "doc_id", pairs)
+      .select("cluster_id").distinct().as[Long].collect().toSeq
+    assert(got == Seq(1L), "a length-8 chain must collapse to one cluster")
+  }
+
 }
