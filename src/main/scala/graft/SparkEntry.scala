@@ -489,11 +489,16 @@ object SparkEntry {
     }),
 
     // char 8-gram variant: catches whitespace/tokenization-mangled
-    // near-dups that word shingles miss; df-cut disabled for the
-    // exact oracle like dedup_jaccard
+    // near-dups that word shingles miss. Char grams are DENSE —
+    // common English substrings are shared by most docs, so running
+    // without the df-cut is quadratic (47 s at sf0.1, worse at 100×).
+    // The gate therefore runs WITH the scale-safe cut, and the oracle
+    // replicates the identical cut (HAVING df BETWEEN 2 AND 200), so
+    // the check stays exact — the cut is part of the operator's
+    // semantics, not an approximation.
     "dedup_jaccard_char" -> ((s, dir) =>
       Dedup.jaccardPairsChar(t(s, dir, "documents"), "doc_id", "text", n = 8,
-        threshold = 0.3, maxDocFreq = 10000)
+        threshold = 0.3, maxDocFreq = 200)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_embedding" -> ((s, dir) =>
@@ -599,12 +604,21 @@ object SparkEntry {
     // coalesced); at 100 TB every stage is a narrow map except the
     // dedup window and this one join.
     "pipeline_training_prep" -> ((s, dir) => {
+      // materialize BOTH stage boundaries (localCheckpoint = the
+      // local-mode stand-in for writing intermediate tables, which is
+      // what a real pipeline does between stages): the deduped corpus
+      // so neither analysis branch recomputes the dedup window, and
+      // the joined analysis table so the quality/langid filter runs
+      // against materialized columns — predicate pushdown substitutes
+      // aliases through projections unconditionally, and re-expanding
+      // the interpreted-HOF scoring trees into the filter was a
+      // measured ~20× per-row blowup
       val dd = Dedup.keepFirst(t(s, dir, "documents"), "doc_id", "text")
-        .select("doc_id", "text")
+        .select("doc_id", "text").localCheckpoint()
       val q = TextAnalysis.qualityScore(dd, "doc_id", "text")
         .select("doc_id", "quality_score", "n_tokens")
       val l = TextAnalysis.langIdTable(dd, "doc_id", "text")
-      q.join(l, Seq("doc_id"))
+      q.join(l, Seq("doc_id")).localCheckpoint()
         .where(col("quality_score") >= 0.3 && col("lang_pred") === "en")
         .select("doc_id", "lang_pred", "quality_score", "n_tokens")
         .orderBy("doc_id")
@@ -893,14 +907,20 @@ object SparkEntry {
          | SELECT id AS doc_id, min(lab) AS cluster_id
          | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // the df-cut (HAVING BETWEEN 2 AND 200) replicates Spark's
+    // maxDocFreq=200 posting-list cut; sizes stay FULL per-doc shingle
+    // counts (the cut prunes candidate generation, not the
+    // denominator), exactly like the Spark pipeline
     "dedup_jaccard_char" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
         |  FROM documents, UNNEST(range(1, length(text) - 6)) AS t(i)),
+        | keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 200),
+        | shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         | common AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         | SELECT doc_a, doc_b,
         |  round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) AS jaccard

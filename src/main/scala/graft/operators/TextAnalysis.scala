@@ -31,26 +31,47 @@ object TextAnalysis {
     * Gopher/C4-style heuristic-filter recipes.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text  = col(textCol)
-    val t     = tokens(text)
-    val nTok  = size(t).cast("double")
-    val nChar = length(text).cast("double")
-    val stop  = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "that", "it", "for")
-    val nStop = size(filter(t, w => lower(w).isin(stop.map(_.asInstanceOf[Any]): _*))).cast("double")
+    val text = col(textCol)
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "that", "it", "for")
+    // STAGED projections, deliberately: each heavy expression (the
+    // tokenizing split, the regex counts, the HOF stopword filter)
+    // lands in its own projection and is referenced downstream only as
+    // an attribute. CollapseProject refuses to merge a projection
+    // whose non-cheap outputs are referenced more than once, so the
+    // expensive work runs ONCE per row — even when a consumer filters
+    // on quality_score and the predicate is pushed below the final
+    // projection. (A single flat expression tree gets duplicated
+    // wholesale by that pushdown: measured 20×+ slowdown under
+    // join+filter before this split.)
     // ASCII punct ranges (!-/ :-@ [-` {-~): portable between Java
     // regex (Spark) and RE2 (DuckDB oracle), unlike \p{Punct}.
-    val nPunct = size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("double")
-    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
-    val nUpper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
-    val nAlpha = size(regexp_extract_all(text, lit("[\\p{L}]"), lit(0))).cast("double")
+    val staged = docs
+      .select(
+        col(idCol),
+        tokens(text).as("_w"),
+        length(text).cast("double").as("_nchar"),
+        size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("double").as("_npunct"),
+        size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double").as("_ndigit"),
+        size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double").as("_nupper"),
+        size(regexp_extract_all(text, lit("[\\p{L}]"), lit(0))).cast("double").as("_nalpha"))
+      .select(
+        col(idCol), col("_nchar"), col("_npunct"), col("_ndigit"),
+        col("_nupper"), col("_nalpha"),
+        size(col("_w")).cast("double").as("_ntok"),
+        size(array_distinct(col("_w"))).cast("double").as("_ndist"),
+        size(filter(col("_w"), w => lower(w).isin(stop.map(_.asInstanceOf[Any]): _*)))
+          .cast("double").as("_nstop"))
 
+    // from here everything is cheap attribute arithmetic — safe to
+    // duplicate under any filter pushdown
+    val nTok = col("_ntok"); val nChar = col("_nchar")
     val meanWordLen = (nChar - (nTok - 1)) / nTok // chars net of single separators
-    val stopRatio   = nStop / nTok
-    val punctRatio  = nPunct / nChar
-    val digitRatio  = nDigit / nChar
-    val upperRatio  = nUpper / nChar
-    val alphaRatio  = nAlpha / nChar
-    val ttr         = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio   = col("_nstop") / nTok
+    val punctRatio  = col("_npunct") / nChar
+    val digitRatio  = col("_ndigit") / nChar
+    val upperRatio  = col("_nupper") / nChar
+    val alphaRatio  = col("_nalpha") / nChar
+    val ttr         = col("_ndist") / nTok
 
     // Blend: reward stopwords + lexical diversity + sane word length,
     // penalize symbol/digit soup. The letter-share gate keeps
@@ -64,9 +85,9 @@ object TextAnalysis {
           lit(0.25) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.0) +
           lit(0.15) * (lit(1.0) - least(lit(1.0), (punctRatio + digitRatio) * 4.0)))))
 
-    docs.select(
+    staged.select(
       col(idCol),
-      size(t).cast("long").as("n_tokens"),
+      col("_ntok").cast("long").as("n_tokens"),
       round(meanWordLen, 6).as("mean_word_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
@@ -106,8 +127,43 @@ object TextAnalysis {
       .otherwise(when(best.getField("s") > 0.0, best.getField("lang")).otherwise(lit("und")))
   }
 
-  def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), langId(col(textCol)).as("lang_pred"))
+  /** Corpus form of [[langId]], STAGED like [[qualityScore]]: the
+    * token normalization (split + per-token regexp_replace, the
+    * expensive part) and the per-language HOF counts each evaluate
+    * once per row as projection attributes. The flat [[langId]]
+    * column expression duplicates the token pipeline into every
+    * comparison branch of the argmax CASE (~20× per-row cost) — fine
+    * for a single ad-hoc column, pathological under filter pushdown.
+    * Identical output to `langId(col)` (same scores, same tie order).
+    */
+  def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val countCols = langProfiles.map { case (lang, words) =>
+      size(filter(col("_t"), w => w.isin(words.map(_.asInstanceOf[Any]): _*)))
+        .cast("double").as(s"_c_$lang")
+    }
+    val staged = docs
+      .select(
+        col(idCol),
+        transform(tokens(lower(text)), w => regexp_replace(w, "[\\p{Punct}]", "")).as("_t"),
+        size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))).cast("double").as("_cjk"),
+        greatest(length(text).cast("double"), lit(1.0)).as("_nchar"))
+      .select(
+        Seq(col(idCol), col("_cjk"), col("_nchar"),
+            size(col("_t")).cast("double").as("_ntok")) ++ countCols: _*)
+    // cheap attribute arithmetic from here on (ratios share the _ntok
+    // denominator, so the argmax over ratios equals argmax over counts)
+    val scores = langProfiles.map { case (lang, _) => (lang, col(s"_c_$lang") / col("_ntok")) }
+    val best = scores.tail.foldLeft(struct(lit(scores.head._1).as("lang"), scores.head._2.as("s"))) {
+      case (acc, (lang, s)) =>
+        when(s > acc.getField("s"), struct(lit(lang).as("lang"), s.as("s"))).otherwise(acc)
+    }
+    staged.select(
+      col(idCol),
+      when(col("_cjk") / col("_nchar") > 0.2, lit("zh"))
+        .otherwise(when(best.getField("s") > 0.0, best.getField("lang")).otherwise(lit("und")))
+        .as("lang_pred"))
+  }
 
   /** TF-IDF top-k terms per document (smoothed sklearn-style idf:
     * ln((N+1)/(df+1)) + 1).
