@@ -695,6 +695,16 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
     "events_props" -> ((s, dir) => Events.extractProps(t(s, dir, "events"))),
+
+    // ordered product-analytics funnel: view → click → purchase with
+    // strict first-completion-time sequencing per user
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    "events_retention" -> ((s, dir) =>
+      Events.retention(t(s, dir, "events"), maxDays = 30)
+        .orderBy("cohort_date", "day_offset")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1274,5 +1284,29 @@ object SparkEntry {
     "events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         | FROM events ORDER BY event_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        | SELECT s1.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached_step
+        | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        | ORDER BY s1.user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |            FROM events GROUP BY 1),
+        | act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events)
+        | SELECT cohort_date,
+        |  CAST(date_diff('day', cohort_date, active_date) AS BIGINT) AS day_offset,
+        |  count(DISTINCT act.user_id) AS n_users
+        | FROM act JOIN fs USING (user_id)
+        | WHERE date_diff('day', cohort_date, active_date) <= 30
+        | GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin,
   )
 }

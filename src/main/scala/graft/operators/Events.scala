@@ -87,4 +87,62 @@ object Events {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
       .orderBy("event_id")
+
+  /** Ordered funnel: per user, how many of `steps` completed in
+    * SEQUENCE — step i+1 counts only when it occurs strictly after the
+    * user's FIRST completion of step i (min-ts semantics, the standard
+    * product-analytics funnel).
+    *
+    * Scale shape: one filtered aggregate per step, each an equi-join
+    * on the high-cardinality user key against the (shrinking) set of
+    * users who reached the previous step — steps are few and fixed,
+    * users are many, so every stage distributes; no window over the
+    * full event stream, no per-user event collection.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+      .withColumn("reached_step", lit(1L))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      // only users who completed ALL previous steps can advance — a
+      // user stuck at step k must not match later steps out of order
+      val eligible = reached.where(col("reached_step") === (i + 1))
+        .select(col(userCol), col("t"))
+      val nxt = events.where(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("nts"))
+        .join(eligible, Seq(userCol))
+        .where(col("nts") > col("t"))
+        .groupBy(col(userCol)).agg(min(col("nts")).as("_t2"))
+      reached = reached.join(nxt, Seq(userCol), "left")
+        .select(col(userCol),
+          coalesce(col("_t2"), col("t")).as("t"),
+          (col("reached_step") + when(col("_t2").isNotNull, 1L).otherwise(0L))
+            .as("reached_step"))
+    }
+    reached.select(col(userCol), col("reached_step"))
+  }
+
+
+  /** Cohort retention: users grouped by their first-seen date
+    * (cohort), counted as retained on day k if active k days after
+    * the cohort date. Two aggregates (first-seen, distinct active
+    * days) and one user-keyed join — the classic retention matrix as
+    * plain distributed relational ops, no per-user collection.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", maxDays: Int = 30): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val active = events
+      .select(col(userCol), to_date(col(tsCol)).as("active_date")).distinct()
+    active.join(firstSeen, Seq(userCol))
+      .withColumn("day_offset", datediff(col("active_date"), col("cohort_date")).cast("long"))
+      .where(col("day_offset") <= maxDays)
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  test("funnel: strict in-order first-completion semantics per user") {
+    // u1: full funnel in order → 3
+    // u2: purchase BEFORE click → stuck at 2 (click counts, purchase doesn't recur)
+    // u3: view only → 1
+    // u4: click/purchase but never view → absent (funnel starts at step 1)
+    val e = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "view", ts(0)), (2L, "purchase", ts(5)), (2L, "click", ts(10)),
+      (3L, "view", ts(0)),
+      (4L, "click", ts(0)), (4L, "purchase", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(e, Seq("view", "click", "purchase"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("funnel: same-timestamp step does not count (strictly after)") {
+    val e = Seq(
+      (1L, "view", ts(5)), (1L, "click", ts(5)), // simultaneous → click rejected
+      (2L, "view", ts(5)), (2L, "click", ts(6))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(e, Seq("view", "click"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("retention: cohort by first-seen date, day-offset counts") {
+    val day = 86400000L
+    val e = Seq(
+      (1L, new Timestamp(0L)), (1L, new Timestamp(day)),        // d0 cohort, back d1
+      (2L, new Timestamp(0L)),                                  // d0 cohort only
+      (3L, new Timestamp(day)), (3L, new Timestamp(3 * day))    // d1 cohort, back d2
+    ).toDF("user_id", "ts")
+    val got = Events.retention(e, maxDays = 30)
+      .orderBy("cohort_date", "day_offset")
+      .select("day_offset", "n_users").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (1L, 1L), (0L, 1L), (2L, 1L)))
+  }
+
+}
