@@ -393,6 +393,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy("o_orderkey")),
 
+    // LEFT ANTI join — the "no matching fact rows" shape (customers
+    // with no URGENT order; every customer has SOME order in this
+    // corpus, so the filter keeps the gate row non-empty)
+    "join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // fixed-width histogram via engine-neutral floor bucketing (one
+    // hash aggregate; works identically at any scale)
+    "agg_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+             Analytics.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("bucket")),
+
     "set_intersect" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")).distinct()
@@ -633,6 +653,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // frame-sampling and resize CONTROL PLANS over the (stub-)decoded
+    // metadata: pure column math once extractMeta ran, so both carry
+    // full oracles via the same md5-derived stub formulas
+    "mm_frame_sample" -> ((s, dir) => {
+      val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
+      Multimodal.frameSamplePlan(Multimodal.extractMeta(docs, "doc_id"), everyK = 2)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    "mm_resize_plan" -> ((s, dir) => {
+      val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
+      Multimodal.resizePlan(Multimodal.extractMeta(docs, "doc_id"), maxW = 256, maxH = 256)
+        .orderBy("doc_id")
+    }),
+
     "mm_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -705,6 +740,23 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"), maxDays = 30)
         .orderBy("cohort_date", "day_offset")),
+
+    // top user paths: first 5 events per user in (ts, event_id) order
+    // joined into a path string, counted across users. Ordering is
+    // carried EXPLICITLY (array_sort over (rn, type) structs) —
+    // collect_list alone has no ordering guarantee across partitions.
+    "events_top_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("a"))
+        .select(concat_ws(">", transform(col("a"), x => x.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), asc("path"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -847,6 +899,28 @@ object SparkEntry {
         |   CASE o_orderstatus WHEN 'O' THEN '0ccc' WHEN 'F' THEN '1999'
         |        ELSE '8000' END
         | ORDER BY o_orderkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        | ORDER BY c_custkey""".stripMargin,
+
+    "agg_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice/50000) AS BIGINT) AS bucket,
+         | count(*) AS n_orders, ${msum("o_totalprice")} AS total_price
+         | FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        | p AS (
+        | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 5 GROUP BY user_id)
+        | SELECT path, count(*) AS n_users FROM p
+        | GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
 
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -1226,6 +1300,27 @@ object SparkEntry {
         | FROM (SELECT *, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
         |       FROM documents)
         | ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(1 + (h // 13) % 4 AS INT) AS n_frames
+        | FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |       FROM documents))
+        | SELECT doc_id, CAST(i AS INT) AS frame_idx
+        | FROM m, UNNEST(range(0, n_frames, 2)) AS t(i)
+        | ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(16 + h % 1920 AS INT) AS width,
+        |  CAST(16 + (h // 7) % 1080 AS INT) AS height
+        | FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |       FROM documents))
+        | SELECT doc_id, width, height,
+        |  CAST(floor(width * least(256.0/width, 256.0/height, 1.0)) AS INT) AS out_width,
+        |  CAST(floor(height * least(256.0/width, 256.0/height, 1.0)) AS INT) AS out_height
+        | FROM m ORDER BY doc_id""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,
