@@ -472,10 +472,21 @@ object SparkEntry {
       Dedup.keepFirst(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "text").orderBy("doc_id")),
 
-    // maxDocFreq high enough to disable the df-cut: this is the EXACT
-    // oracle twin (the DuckDB SQL has no cut); library callers get the
-    // scale-safe default (200) instead
+    // the gate runs the SCALE-SAFE form: df-cut active at the library
+    // default (200), and the oracle replicates the identical cut
+    // (HAVING df BETWEEN 2 AND 200) — the cut is part of the
+    // operator's semantics, so the check stays exact. The cut-free
+    // quadratic form is gated separately (dedup_jaccard_exhaustive).
     "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12,
+        maxDocFreq = 200)
+        .orderBy("doc_a", "doc_b")),
+
+    // explicit oracle-twin of the cut-free exhaustive form: quadratic
+    // per hot shingle BY CONSTRUCTION (C(df,2) pairs) — a correctness
+    // reference for small corpora, never the 100 TB path (that is
+    // dedup_jaccard with the cut, or dedup_minhash)
+    "dedup_jaccard_exhaustive" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.12,
         maxDocFreq = 10000)
         .orderBy("doc_a", "doc_b")),
@@ -1037,7 +1048,31 @@ object SparkEntry {
 
     "dedup_minhash" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6),
 
+    // df-cut replicated exactly (HAVING BETWEEN 2 AND 200): candidate
+    // generation is pruned, the Jaccard denominator keeps FULL per-doc
+    // shingle counts — identical to the Spark posting-list pipeline
     "dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+        | keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 200),
+        | shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT doc_a, doc_b,
+        |  round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        | FROM common
+        | JOIN sizes sa ON sa.doc_id = doc_a
+        | JOIN sizes sb ON sb.doc_id = doc_b
+        | WHERE round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) >= 0.12
+        | ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_jaccard_exhaustive" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         | sh AS (

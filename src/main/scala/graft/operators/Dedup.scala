@@ -54,11 +54,13 @@ object Dedup {
     * df-cut). The default is 200: a single hot shingle at df=10000
     * would explode into C(10000,2) ≈ 5·10⁷ pairs — the op that falls
     * over first at 100×. The cut is NOT silent: the posting-list stage
-    * carries an `observe` metric (`jaccard_df_cut`: dropped_shingles /
-    * max_doc_freq_seen) readable via QueryExecutionListener.
-    * Correctness-oracle callers pass maxDocFreq high enough to disable
-    * the cut; the 100 TB path is [[minHashPairs]] (same answer shape,
-    * LSH candidates only).
+    * carries an `observe` metric (`jaccard_df_cut_<n>`, unique per
+    * invocation so plans composing several jaccard ops stay
+    * analyzable: dropped_shingles / max_doc_freq_seen) readable via
+    * QueryExecutionListener. The cut is part of the operator's
+    * SEMANTICS, not an approximation — correctness oracles replicate
+    * it (HAVING df BETWEEN 2 AND maxDocFreq); the 100 TB path is
+    * [[minHashPairs]] (same answer shape, LSH candidates only).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDocFreq: Int = 200): DataFrame = {
@@ -98,6 +100,12 @@ object Dedup {
       .select(col("doc"), col("n_sh"), explode(col("shs")).as("s"))
       .select(col("doc"), col("n_sh"), xxhash64(col("s")).as("h"))
 
+  /** Observed-metric names must be unique per query plan; a counter
+    * suffix lets one plan compose several jaccard ops (word + char,
+    * or the same op twice) without an analysis failure.
+    */
+  private val dfCutMetricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def jaccardFromShingleHashes(sh: DataFrame, docs: DataFrame,
                                        threshold: Double, maxDocFreq: Int): DataFrame = {
     // posting list per shingle: the aggregation is simultaneously the
@@ -112,7 +120,7 @@ object Dedup {
       // no silent cap: CollectMetrics is a free pass-through aggregate
       // (no extra job); listeners see how many shingles the df-cut
       // dropped and the hottest df observed
-      .observe("jaccard_df_cut",
+      .observe(s"jaccard_df_cut_${dfCutMetricSeq.incrementAndGet()}",
         sum(when(size(col("ds")) > maxDocFreq, 1L).otherwise(0L)).as("dropped_shingles"),
         max(size(col("ds"))).as("max_doc_freq_seen"))
       .where(size(col("ds")).between(2, maxDocFreq))
@@ -350,37 +358,111 @@ object Dedup {
     * pipeline actually materializes — keep `doc_id == cluster_id`, or
     * pick per-cluster representatives by any policy.
     *
-    * Distributed min-label propagation: labels start as own id; each
-    * round takes the min of a vertex's label and its neighbors'
-    * labels; converges in O(component diameter) rounds — near-dup
-    * clusters are small and dense, so typically 2-4. Each round is one
-    * equi-join + one aggregate; `localCheckpoint` cuts lineage so the
-    * plan stays flat at any round count; the per-round convergence
-    * check is a control-plane count, not a data collect.
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * standard distributed CC. Converges in O(log n) rounds regardless
+    * of component DIAMETER; min-label propagation (the naive
+    * alternative) needs O(diameter) rounds, pathological for
+    * chain-shaped duplicate graphs (templated docs where each revision
+    * pairs only with its neighbors). Each round is two join+aggregate
+    * passes over the edge set; edges only ever re-point toward smaller
+    * ids, and at convergence every non-root points DIRECTLY at its
+    * component minimum — the label lookup is then one left join.
+    *
+    * Fault tolerance: pass `checkpointDir` to cut per-round lineage
+    * with RELIABLE `checkpoint()` writes (survive executor loss — the
+    * right mode on a real cluster); the default `localCheckpoint`
+    * (executor-local blocks) is the low-overhead local-mode stand-in.
+    * Either way the previous round's blocks are unpersisted as soon as
+    * the next round is materialized, so executor storage stays
+    * O(|edges|), not O(rounds·|edges|).
     */
-  def connectedClusters(vertices: DataFrame, idCol: String,
-                        pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lab"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("lab").as("nlab")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("nlab")).as("nbrmin"))
-      val updated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lab"),
-                least(col("lab"), coalesce(col("nbrmin"), col("lab"))).as("lab2"))
-        .localCheckpoint()
-      changed = updated.where(col("lab2") < col("lab")).count()
-      labels = updated.select(col("id"), col("lab2").as("lab"))
-    }
-    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+  def connectedClusters(vertices: DataFrame, idCol: String, pairs: DataFrame,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val stars = starEdges(pairs, checkpointDir)._1
+    vertices.select(col(idCol).as("doc_id"))
+      .join(stars.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
+
+  /** The large-star/small-star iteration: returns the converged star
+    * edge set (every edge (u, v) has v = u's component minimum) and
+    * the number of rounds it took — exposed so tests can assert the
+    * logarithmic round count on high-diameter graphs.
+    */
+  private[graft] def starEdges(pairs: DataFrame, checkpointDir: Option[String],
+                               maxRounds: Int = 64): (DataFrame, Int) = {
+    var edges = materialize(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+                   least(col("doc_a"), col("doc_b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct(),
+      checkpointDir)
+    var nEdges = edges.count()
+    var rounds = 0
+    var done = nEdges == 0L
+    while (!done && rounds < maxRounds) {
+      val next = materialize(smallStar(largeStar(edges)), checkpointDir)
+      val nNext = next.count()
+      // set equality = equal cardinality + (next \ edges) empty; the
+      // anti-join probe is a limit-1 job, not a data collect
+      done = nNext == nEdges && next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      unpersistBacking(edges)
+      edges = next
+      nEdges = nNext
+      rounds += 1
+    }
+    (edges, rounds)
+  }
+
+  /** Large-star: every node re-points its LARGER neighbors at the
+    * minimum of its closed neighborhood. Keeps the (u > v) edge
+    * orientation. One union + one aggregate + one equi-join.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    val mins = nbrs.groupBy("a").agg(least(col("a"), min(col("b"))).as("m"))
+    nbrs.join(mins, "a")
+      .where(col("b") > col("a"))
+      .select(col("b").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node links its SMALLER neighbors (and itself)
+    * to the minimum among them. Input and output are (u > v)-oriented.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+    edges.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Eagerly materialize an iteration state and cut its lineage:
+    * reliable `checkpoint()` when a checkpointDir is given (blocks
+    * survive executor loss), `localCheckpoint` otherwise.
+    */
+  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
+  /** Free the storage blocks behind a [[materialize]]d frame (the
+    * checkpointed RDD sits directly under a LogicalRDD leaf). Without
+    * this, an N-round loop accumulates N cached edge tables.
+    */
+  private def unpersistBacking(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Embedding near-dup: exact cosine ≥ threshold over all pairs of a
     * (pre-filtered) set. Exact and quadratic — callers restrict the

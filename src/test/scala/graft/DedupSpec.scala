@@ -126,7 +126,7 @@ class DedupSpec extends SparkSpec {
   }
 
 
-  test("connectedClusters: min-label propagation matches known components") {
+  test("connectedClusters: large-star/small-star matches known components") {
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val got = Dedup.connectedClusters(vertices, "doc_id", pairs)
@@ -141,6 +141,31 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.connectedClusters(vertices, "doc_id", pairs)
       .select("cluster_id").distinct().as[Long].collect().toSeq
     assert(got == Seq(1L), "a length-8 chain must collapse to one cluster")
+  }
+
+  test("connectedClusters: round count is logarithmic on a chain, not O(diameter)") {
+    // a 64-node chain has diameter 63 — min-label propagation would
+    // need 63 rounds; large-star/small-star must stay logarithmic
+    val n = 64L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (stars, rounds) = Dedup.starEdges(pairs, checkpointDir = None)
+    assert(rounds <= 10, s"expected O(log n) rounds on a 64-chain, got $rounds")
+    val roots = stars.select("v").distinct().as[Long].collect().toSeq
+    assert(roots == Seq(1L), "at convergence every node points at the component minimum")
+    assert(stars.count() == n - 1)
+  }
+
+  test("connectedClusters: reliable checkpointDir mode produces identical clusters") {
+    val vertices = (1L to 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val reliable = Dedup.connectedClusters(vertices, "doc_id", pairs, Some(dir))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val local = Dedup.connectedClusters(vertices, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(reliable == local)
+    assert(reliable.filter(_._1 <= 4).forall(_._2 == 1L))
   }
 
 }
