@@ -355,6 +355,35 @@ object SparkEntry {
              round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
         .orderBy("l_returnflag")),
 
+    // sketch twin of agg_distinct_counts: approx_count_distinct (HLL++,
+    // rsd 2%) is what a 100 TB pipeline reaches for FIRST — map-side
+    // partial sketches merge associatively, so the shuffle carries
+    // fixed-size sketches instead of distinct keys. The gate emits the
+    // EXACT counts plus a boolean "sketch within ±5%"; the oracle emits
+    // the same exact counts plus literal TRUE — an out-of-bound sketch
+    // flips the boolean and fails the hash loudly, so the approximate
+    // path is oracle-gated without pretending sketches are exact.
+    "agg_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n_approx"))
+        .select(col("l_returnflag"), col("n_orders"),
+                (abs(col("n_approx") - col("n_orders")) <= col("n_orders") * 0.05)
+                  .as("within_5pct"))
+        .orderBy("l_returnflag")),
+
+    // sketch twin of agg_percentiles: approx_percentile (the
+    // mergeable KLL-style quantile sketch) vs the exact interpolated
+    // percentile, gated the same boolean-bound way (±0.5 quantity
+    // units at accuracy 10000)
+    "agg_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+             expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"))
+        .select(col("l_returnflag"), col("qty_p50"),
+                (abs(col("p50_approx") - col("qty_p50")) <= lit(0.5)).as("within_half_unit"))
+        .orderBy("l_returnflag")),
+
     // explicit pivot value list: no driver-side distinct-collection
     // job at plan time (the implicit form scans the table twice)
     "agg_pivot" -> ((s, dir) =>
@@ -598,6 +627,26 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"))
       val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
           nbits = 4, numTables = 16)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // the SAME recall check at production-ish params (nbits=8, 4
+    // tables): bucket collision probability drops enough that the
+    // candidate set is genuinely lossy — the gate pins a recall
+    // STRICTLY below 1 (spec-asserted), with the oracle replaying the
+    // banding so the lossy value itself is oracle-exact. sim_lsh_recall
+    // above (nbits=4 × 16 tables) covers the near-exhaustive regime.
+    "sim_lsh_recall_lossy" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+          nbits = 6, numTables = 4)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
       exact.join(lsh, Seq("query_id", "corpus_id"), "left")
         .groupBy("query_id")
@@ -888,6 +937,17 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
         | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
         | round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        | TRUE AS within_5pct
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        | TRUE AS within_half_unit
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_pivot" ->
@@ -1241,6 +1301,40 @@ object SparkEntry {
     "sim_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND q.id < 8 AND c.id <> q.id),
+         | lscored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id),
+         | lsh AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, corpus_id) AS rnk
+         |   FROM lscored)
+         |  WHERE rnk <= 5),
+         | ex AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+         |               c.vec_id) AS rnk
+         |   FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+         |   WHERE c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5)
+         | SELECT ex.query_id,
+         |  round(sum(CASE WHEN lsh.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+         | FROM ex LEFT JOIN lsh
+         |   ON ex.query_id = lsh.query_id AND ex.corpus_id = lsh.corpus_id
+         | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
+
+    "sim_lsh_recall_lossy" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 6, numTables = 4)}),
          | cand AS (
          |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
          |  FROM bkt c JOIN bkt q

@@ -177,8 +177,11 @@ object Dedup {
     */
   def minHashSignature(hashes: Column, numHashes: Int): Column = {
     val consts = minHashConsts(numHashes, seed = 42L)
+    // pmod, not %: a caller passing raw xxhash64 values (negative half
+    // the time) must still land in [0, p) or the affine permutation
+    // family silently breaks
     array(consts.map { case (a, b) =>
-      array_min(transform(hashes, h => (lit(a) * (h % MinHashP) + lit(b)) % MinHashP))
+      array_min(transform(hashes, h => (lit(a) * pmod(h, lit(MinHashP)) + lit(b)) % MinHashP))
     }: _*)
   }
 
@@ -212,9 +215,15 @@ object Dedup {
     // xxhash64 (~2× cheaper string hash, same pipeline, same recall
     // characteristics) for production callers that don't need a SQL
     // twin.
+    // the fast path keeps the RAW 64-bit xxhash64 here: the
+    // verification collect_set below intersects these values, and
+    // reducing them mod 2^31−1 first would raise false-collision odds
+    // from ~2^-64 to ~2^-31 per pair (a few per 10^5-shingle doc).
+    // The mod-p reduction happens only inside the permutation min
+    // aggregates, via pmod (xxhash64 is negative half the time).
     val shingleHash: Column =
       if (engineNeutralHash) conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-      else pmod(xxhash64(col("s")), lit(MinHashP))
+      else xxhash64(col("s"))
     val tok = docs
       .select(col(idCol).as("doc"), explode(wordShinglesFast(col(textCol), shingleN)).as("s"))
       .select(col("doc"), shingleHash.as("h"))
@@ -229,7 +238,7 @@ object Dedup {
     // scanned and shuffled once.
     val consts = minHashConsts(numHashes, seed = 42L)
     val minAggs = consts.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * (col("h") % MinHashP) + lit(b)) % MinHashP).as(s"m$i")
+      min((lit(a) * pmod(col("h"), lit(MinHashP)) + lit(b)) % MinHashP).as(s"m$i")
     }
     val docTable = tok.groupBy(col("doc"))
       .agg(minAggs.head, minAggs.tail :+ collect_set(col("h")).as("sh"): _*)

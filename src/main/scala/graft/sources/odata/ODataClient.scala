@@ -17,7 +17,8 @@ object ODataClient {
 
   private val mapper = new ObjectMapper()
 
-  final case class Response(status: Int, body: String)
+  final case class Response(status: Int, body: String,
+                            retryAfterMs: Option[Long] = None)
 
   final case class Page(rows: Seq[Map[String, String]], nextLink: Option[String])
 
@@ -53,7 +54,12 @@ object ODataClient {
       val body =
         if (stream == null) ""
         else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-      Response(status, body)
+      // delta-seconds form only (an HTTP-date Retry-After falls back
+      // to the client's own exponential backoff)
+      val retryAfter = Option(conn.getHeaderField("Retry-After"))
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .filter(_ >= 0).map(_ * 1000L)
+      Response(status, body, retryAfter)
     } finally conn.disconnect()
   }
 
@@ -65,26 +71,33 @@ object ODataClient {
   }
 
   /** [[getOrThrow]] with bounded retry: transient failures (5xx,
-    * network I/O) back off exponentially and retry up to maxRetries
-    * times; 4xx are permanent and surface immediately (a retried 404
-    * would break the schema probe's discriminator). The reference has
-    * no retry at all — this is the production hardening a cron that
-    * talks to a SaaS API actually needs.
+    * 429 rate limits, network I/O) back off exponentially —
+    * `backoffMs · 2^attempt`, or the server's `Retry-After` delay when
+    * one is sent (a throttling SaaS tenant states exactly when to come
+    * back; guessing shorter hammers it, guessing longer wastes the
+    * task) — and retry up to maxRetries times. Other 4xx are permanent
+    * and surface immediately (a retried 404 would break the schema
+    * probe's discriminator). Retry is OFF by default (maxRetries=0):
+    * the reference raises on first failure (`src/etl.py:81-87`), so
+    * parity is the default posture and backoff is opt-in hardening.
     */
   def getWithRetry(url: String, user: Option[String], password: Option[String],
                    timeoutMs: Int, maxRetries: Int, backoffMs: Long): String = {
     var attempt = 0
     while (true) {
+      var retryAfterMs: Option[Long] = None
       try {
         val r = get(url, user, password, timeoutMs)
         if (r.status >= 200 && r.status < 300) return r.body
-        if (r.status < 500 || attempt >= maxRetries)
+        val retryable = r.status >= 500 || r.status == 429
+        if (!retryable || attempt >= maxRetries)
           throw new ODataHttpException(r.status, url, r.body)
+        retryAfterMs = r.retryAfterMs
       } catch {
         case e: ODataHttpException => throw e
         case _: java.io.IOException if attempt < maxRetries => // retry
       }
-      Thread.sleep(backoffMs * (1L << attempt))
+      Thread.sleep(retryAfterMs.getOrElse(backoffMs * (1L << attempt)))
       attempt += 1
     }
     throw new IllegalStateException("unreachable")

@@ -18,9 +18,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * @param failFast     false = a failing partition logs + yields 0
   *                     rows (etl.py:191-194 semantics); true = task
   *                     failure (Spark default posture)
-  * @param maxRetries   bounded retry of transient (5xx / network)
-  *                     failures with exponential backoff
-  *                     (retryBackoffMs · 2^attempt); 4xx never retry
+  * @param maxRetries   bounded retry of transient (5xx / 429 /
+  *                     network) failures with exponential backoff
+  *                     (retryBackoffMs · 2^attempt, or the server's
+  *                     Retry-After delay when present); other 4xx
+  *                     never retry. Default 0 = OFF — the reference
+  *                     raises on first failure (etl.py:81-87), so
+  *                     parity is the default and backoff is opt-in
   * @param maxPartitions upper bound on planned input partitions: keys
   *                     bin into ≤ this many tasks, bounding both task
   *                     count at high key cardinality and the global
@@ -80,7 +84,7 @@ object ODataOptions {
       timeoutMs = m.getOrElse("timeoutMs", "90000").toInt,
       failFast = m.getOrElse("failFast", "false").toBoolean,
       maxPartitions = m.getOrElse("maxPartitions", "1000").toInt,
-      maxRetries = m.getOrElse("maxRetries", "2").toInt,
+      maxRetries = m.getOrElse("maxRetries", "0").toInt,
       retryBackoffMs = m.getOrElse("retryBackoffMs", "100").toLong)
   }
 }

@@ -19,9 +19,11 @@ class ODataStubServer(
     dialect: String = "v2",              // "v2" | "v4"
     requireAuth: Option[(String, String)] = None,
     failValues: Set[String] = Set.empty,
-    transientFailures: Int = 0) {  // first N data requests 503, then succeed
+    transientFailures: Int = 0,    // first N data requests 503, then succeed
+    rateLimitFirst: Int = 0) {     // first N data requests 429 + Retry-After, then succeed
 
   private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
+  private val rateLimitLeft = new java.util.concurrent.atomic.AtomicInteger(rateLimitFirst)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   @volatile var requestLog: Vector[String] = Vector.empty
@@ -100,6 +102,10 @@ class ODataStubServer(
         }
         if (transientLeft.getAndDecrement() > 0) {
           respond(ex, 503, """{"error": "transient"}"""); return
+        }
+        if (rateLimitLeft.getAndDecrement() > 0) {
+          ex.getResponseHeaders.set("Retry-After", "0")
+          respond(ex, 429, """{"error": "rate limited"}"""); return
         }
         rows.filter(r => conds.forall { case (k, v) => r.get(k).contains(v) })
     }

@@ -41,6 +41,43 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("salted join bounds the hot key's partition, naive join concentrates it") {
+    import spark.implicits._
+    // deliberately skewed fixture: one key owns 50% of the big side
+    val n = 40000
+    val big = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(1L)).otherwise(col("id") % 500 + 2).as("k"),
+      col("id").as("row_id"))
+    val small = spark.range(502).select((col("id") + 1).as("k"), concat(lit("v"), col("id")).as("tag"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    // fixed shuffle layout: no AQE coalesce/skew-split, no broadcast —
+    // measure what the raw hash partitioning does with the hot key
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      val naive = big.join(small, Seq("k"))
+      val salted = graft.operators.Joins.saltedJoin(big, small, Seq("k"),
+        numSalts = 16, saltSource = "row_id")
+      assert(salted.count() == naive.count(), "salting must not change the result")
+      val naiveMax = maxPartitionRows(naive)
+      val saltedMax = maxPartitionRows(salted)
+      // hot key = 20k rows: naive puts them all in ONE reducer; salted
+      // spreads them over numSalts reducers. Demand at least a 2×
+      // reduction (observed ~8× with 16 salts over 16 partitions).
+      assert(naiveMax >= n / 2, s"fixture lost its skew: naive max $naiveMax")
+      assert(saltedMax * 2 <= naiveMax,
+        s"salting must move the skew needle: salted max $saltedMax vs naive $naiveMax")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
   test("bucketed aggregation by the bucket key needs no exchange") {
     Tables.load(spark, sf001, "orders")
       .select("o_custkey", "o_totalprice")

@@ -126,6 +126,22 @@ class DedupSpec extends SparkSpec {
   }
 
 
+  test("minhash fast path matches the md5 path pair set at the design threshold (sf0.001)") {
+    // gates the PRODUCTION configuration (engineNeutralHash=false):
+    // xxhash64 banding must surface the same near-dup pair set the
+    // oracle-neutral md5 pipeline does on real docs, so the fast path
+    // is verified, not dead code
+    val d = Tables.documents(spark, sf001)
+    val neutral = Dedup.minHashPairs(d, "doc_id", "text", 3, 16, 4, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fast = Dedup.minHashPairs(d, "doc_id", "text", 3, 16, 4, 0.6,
+        engineNeutralHash = false)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(neutral.nonEmpty, "fixture must contain near-dup pairs at J >= 0.6")
+    assert(fast == neutral,
+      s"fast-path pairs (${fast.size}) must equal md5-path pairs (${neutral.size})")
+  }
+
   test("connectedClusters: large-star/small-star matches known components") {
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")

@@ -87,6 +87,22 @@ class SimilaritySpec extends SparkSpec {
   }
 
 
+  test("lsh at production params (nbits=6, 4 tables) is genuinely lossy: 0 < recall < 1") {
+    // the sim_lsh_recall gate (nbits=4 × 16 tables) sits in the
+    // near-exhaustive regime where recall=1.0 is structural; this
+    // pins the LOSSY regime so the recall machinery is shown to
+    // measure something real, not a tautology
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, nbits = 6, numTables = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall > 0.0, "lossy params must still find some true neighbors")
+    assert(recall < 1.0, s"recall $recall == 1 means the gate is back in the structural regime")
+  }
+
   test("materialized IVF index returns exactly the in-memory IVF result") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.where(col("vec_id") < 6)

@@ -69,6 +69,25 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("429 rate limits retry when enabled, honoring Retry-After") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      rateLimitFirst = 2).start()
+    try {
+      val df = read(srv, Map("maxRetries" -> "3", "retryBackoffMs" -> "10",
+        "failFast" -> "true"))
+      assert(df.count() == 6) // flaky-then-healthy chain recovers
+    } finally srv.stop()
+  }
+
+  test("retry is OFF by default: a 429 surfaces immediately (reference parity)") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      rateLimitFirst = 2).start()
+    try {
+      val df = read(srv, Map("failFast" -> "true")) // no maxRetries option
+      intercept[org.apache.spark.SparkException] { df.count() }
+    } finally srv.stop()
+  }
+
   test("maxPartitions bins keys into bounded tasks with identical results") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
