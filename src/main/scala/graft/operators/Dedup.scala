@@ -414,7 +414,9 @@ object Dedup {
       val next = materialize(smallStar(largeStar(edges)), checkpointDir)
       val nNext = next.count()
       // set equality = equal cardinality + (next \ edges) empty; the
-      // anti-join probe is a limit-1 job, not a data collect
+      // anti-join probe (a limit-1 job, not a data collect) only runs
+      // when the cardinality matched — a changed count is already
+      // proof of non-convergence, so non-final rounds pay one job less
       done = nNext == nEdges && next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       unpersistBacking(edges)
       edges = next

@@ -11,6 +11,14 @@ import org.apache.spark.sql.types._
   * state is bounded by the watermark, so a 100 TB/day stream holds
   * only the open windows in state, never the history.
   */
+/** Keyed state for [[StreamingEvents.funnelState]]: the user's current
+  * step and its completion time — the whole per-user footprint.
+  */
+case class FunnelProgress(step: Int, lastTsMs: Long)
+
+/** One emitted funnel advance: user reached `reached_step` at `ts`. */
+case class FunnelHit(user_id: Long, reached_step: Long, ts: java.sql.Timestamp)
+
 object StreamingEvents {
 
   /** Schema of the events table as the stream source sees it
@@ -75,6 +83,59 @@ object StreamingEvents {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
               col("w.end").as("session_end"), col("n_events"))
+
+  /** Per-user funnel progress as CUSTOM KEYED STATE — the streaming
+    * twin of Events.funnel, and the flatMapGroupsWithState shape for
+    * logic no built-in stateful operator expresses (ordered step
+    * sequencing). State per user is one (step, ts) pair — bytes per
+    * ACTIVE user, never per event — and expires via EventTimeTimeout
+    * `stateHorizonMs` after the user's last advance, so state stays
+    * bounded on an unbounded stream. Emits one row per step a user
+    * completes (append mode).
+    *
+    * Within a micro-batch, events process in (ts, type) order, so the
+    * strictly-after semantics match the batch operator; cross-batch
+    * ordering is the file/source order, as with any streaming
+    * aggregation over late data.
+    */
+  def funnelState(events: DataFrame, steps: Seq[String],
+                  delay: String = "2 hours",
+                  stateHorizonMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepsArr = steps.toArray
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toIndexedSeq.sortBy(e => (e._3.getTime, e._2))
+            var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+            for ((_, tpe, ts) <- sorted) {
+              if (st.step < stepsArr.length && tpe == stepsArr(st.step) &&
+                  ts.getTime > st.lastTsMs) {
+                st = FunnelProgress(st.step + 1, ts.getTime)
+                out += FunnelHit(user, st.step.toLong, ts)
+              }
+            }
+            state.update(st)
+            // expire horizon after the newest event seen for this user;
+            // clamp above the watermark (a timeout in the past throws)
+            val maxTs = sorted.last._3.getTime
+            state.setTimeoutTimestamp(
+              math.max(maxTs + stateHorizonMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF()
+  }
 
   /** Run a streaming query over a bounded directory to completion and
     * return the materialized result (memory sink). Batch-equivalence

@@ -87,6 +87,33 @@ class DedupSpec extends SparkSpec {
     assert(full.count() == 3, "without the cut all 3 near-dup pairs surface")
   }
 
+  test("df-cut observe metric reaches the warning listener with real counters") {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val l = ObservedMetrics.registerDfCutWarnings(spark, (n, d, m) => buf.add((n, d, m)))
+    try {
+      // 'HOT HOT HOT' rides in all 4 docs (df=4 > maxDocFreq=3 →
+      // dropped); docs 1/2 still pair on their shared rare shingles, so
+      // the result is non-empty — with an empty result AQE's
+      // empty-relation propagation drops the whole metric stage from
+      // the final plan and nothing can observe it (known degenerate
+      // case; the metric exists to explain NON-empty-but-smaller
+      // results anyway)
+      val d = docs(
+        (1L, "red green blue yellow HOT HOT HOT"),
+        (2L, "red green blue yellow HOT HOT HOT"),
+        (3L, "aa bb cc dd HOT HOT HOT"),
+        (4L, "ee ff gg hh HOT HOT HOT"))
+      Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 3).count()
+      val deadline = System.currentTimeMillis + 15000
+      while (buf.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(!buf.isEmpty, "listener must observe the df-cut metric (async delivery)")
+      val (name, dropped, maxDf) = buf.peek()
+      assert(name.startsWith("jaccard_df_cut"))
+      assert(dropped >= 1L, s"expected >=1 dropped shingle, got $dropped")
+      assert(maxDf >= 4L, s"expected max df >= 4, got $maxDf")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("SimHashSig aggregator equals the per-bit sum definition on a known multiset") {
     import graft.functions.Aggregators
     // hashes 0b01 and 0b11 twice: bit0 sums +1+1+1=3 (set), bit1 sums -1+1+1=1 (set),

@@ -71,6 +71,20 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("streaming funnel custom state matches batch funnel on bounded input") {
+    val steps = Seq("view", "click", "purchase")
+    val batch = Events.funnel(Tables.events(spark, sf001), steps)
+      .as[(Long, Long)].collect().toMap
+    val stream = StreamingEvents.readEvents(spark, eventsDir)
+    val hits = StreamingEvents.runToCompletion(
+      spark, StreamingEvents.funnelState(stream, steps), "t_funnel")
+    // streaming emits one row per advance; the max step per user must
+    // equal the batch operator's reached_step
+    val got = hits.groupBy("user_id").agg(max("reached_step").as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("multimodal: partition-batched stub decode produces typed, deterministic metadata") {
     val docs = Multimodal.withPayload(Tables.documents(spark, sf001), "text")
     val meta = Multimodal.extractMeta(docs, "doc_id")
