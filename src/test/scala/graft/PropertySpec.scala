@@ -45,6 +45,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    import graft.operators.Dedup
+    // random sparse pair graphs vs an in-memory union-find: catches
+    // any star-contraction edge case (self-pairs, parallel edges,
+    // reversed orientation, multi-chain merges) the fixed specs miss
+    val nV = 24
+    val genEdges = Gen.listOfN(20, Gen.zip(Gen.choose(1L, nV.toLong), Gen.choose(1L, nV.toLong)))
+    for (edges <- samples(genEdges, 8)) {
+      val parent = Array.tabulate(nV + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to nV).map(v => v.toLong -> find(v).toLong).toMap
+      val vertices = (1L to nV.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedClusters(vertices, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
   test("renameForSink permits duplicate target names at the sink boundary") {
     val df = Seq(("x", "y", 1)).toDF("COCHAR_STRUCTURE", "C0CHAR_STRUCTURE", "v")
     val out = Etl.renameForSink(df,

@@ -87,6 +87,19 @@ class SimilaritySpec extends SparkSpec {
   }
 
 
+  test("kmeansIterations survives deep runs: checkpointEvery cuts lineage, result stable") {
+    val e = Tables.embeddings(spark, sf001).where(col("vec_id") < 64)
+    // 12 iterations crosses the checkpointEvery=10 boundary; the
+    // lineage cut must not change the (converged) result
+    val deep = Similarity.kmeansIterations(e, "vec_id", "embedding",
+        numCells = 4, iters = 12)
+      .orderBy("cell_id", "dim").as[(Long, Long, Double)].collect().toSeq
+    val deepNoCut = Similarity.kmeansIterations(e, "vec_id", "embedding",
+        numCells = 4, iters = 12, checkpointEvery = 100)
+      .orderBy("cell_id", "dim").as[(Long, Long, Double)].collect().toSeq
+    assert(deep == deepNoCut, "checkpointing is an execution detail, not a semantic one")
+  }
+
   test("lsh at production params (nbits=6, 4 tables) is genuinely lossy: 0 < recall < 1") {
     // the sim_lsh_recall gate (nbits=4 × 16 tables) sits in the
     // near-exhaustive regime where recall=1.0 is structural; this
