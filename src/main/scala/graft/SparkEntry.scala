@@ -280,6 +280,35 @@ object SparkEntry {
       a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
     }),
 
+    // incremental view of the reference's snapshot-refresh contract:
+    // what changed between yesterday's snapshot and today's. Both
+    // snapshots derive deterministically from orders (old = keys not
+    // ≡0 mod 7; new = keys not ≡0 mod 3, with prices bumped 10% for
+    // keys ≡0 mod 5), so the oracle reproduces them exactly.
+    "etl_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")))
+      Etl.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // date-partitioned event-lake layout: written once per JVM
+    // partitioned by event_date, then a date-bounded read that
+    // partition-prunes (spec-guarded) — the storage shape + query
+    // pattern of a 100 TB event corpus
+    "events_lake_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${math.abs(dir.hashCode)}"
+      Events.ensureDatePartitioned(t(s, dir, "events"), path)
+      s.read.parquet(path)
+        .where(col("event_date") < lit("2024-01-08").cast("date"))
+        .select(col("event_id"), col("event_date"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // ================= analytic surface ============================
     "agg_pricing" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
 
@@ -856,6 +885,34 @@ object SparkEntry {
         | SELECT o_orderkey, NULL AS o_orderstatus, o_orderpriority
         |   FROM orders WHERE o_orderkey % 2 = 1
         | ORDER BY o_orderkey""".stripMargin,
+
+    // the fingerprint only compares within one engine, so the oracle
+    // needs no canonical row form — plain column comparison suffices
+    "etl_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        | old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        | new AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |   CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.1, 2)
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 3 <> 0)
+        | SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        | FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+        | WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |    OR o.o_orderstatus <> n.o_orderstatus
+        |    OR o.o_orderpriority <> n.o_orderpriority
+        |    OR o.o_totalprice <> n.o_totalprice
+        | ORDER BY o_orderkey""".stripMargin,
+
+    "events_lake_scan" ->
+      """SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value
+        | FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08'
+        | ORDER BY event_id""".stripMargin,
 
     "agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

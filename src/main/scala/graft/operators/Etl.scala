@@ -136,4 +136,36 @@ object Etl {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").json(path)
   }
+
+  /** Snapshot diff — the incremental view of the reference's
+    * snapshot-refresh contract (etl.yml runs daily and overwrites;
+    * the question a consumer actually asks is "what changed since
+    * yesterday"). Rows keyed by `keyCols`; every non-key column feeds
+    * a per-row fingerprint; output is one row per difference with
+    * `change` ∈ added | removed | changed.
+    *
+    * Scale shape: each side shrinks to (keys, 128-bit fingerprint)
+    * BEFORE the full-outer join, so the shuffle carries ~48 bytes/row
+    * regardless of row width — diffing two 100 TB snapshots moves
+    * 2·|keys| fingerprints, not the snapshots. The fingerprint
+    * (md5 of the JSON row) only ever compares within one engine, so
+    * no cross-engine canonical form is needed.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      "snapshots must share a schema")
+    val nonKey = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    def fingerprinted(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        md5(to_json(struct(nonKey.map(col): _*))).as(as): _*)
+    fingerprinted(oldSnap, "fp_old")
+      .join(fingerprinted(newSnap, "fp_new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed"))
+      .where(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
 }

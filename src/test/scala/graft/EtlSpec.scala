@@ -106,6 +106,19 @@ class EtlSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("snapshotDiff classifies added, removed, changed, and silent rows") {
+    import org.apache.spark.sql.functions.col
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val newSnap = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = Etl.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // identical snapshots → empty diff
+    assert(Etl.snapshotDiff(oldSnap, oldSnap, Seq("k")).count() == 0)
+  }
+
   test("writeJsonl round-trips nested struct columns losslessly") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25))

@@ -101,6 +101,23 @@ class PlanShapeSpec extends SparkSpec {
       "quality/langid join must stay an equi-join on doc_id")
   }
 
+  test("date-partitioned event lake prunes the scan to the filtered date range") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_events_lake"
+    graft.operators.Events.writeDatePartitioned(Tables.events(spark, sf001), path)
+    val q = spark.read.parquet(path)
+      .where(col("event_date") < lit("2024-01-08").cast("date"))
+      .select("event_id", "event_type")
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [") && p.contains("event_date"),
+      s"date filter must reach the scan as a partition filter:\n$p")
+    // 7 of 30 days survive the filter — the scan must see only those
+    val pruned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    assert(pruned.exists(n => n > 0 && n <= 7), s"expected <=7 partitions read, got $pruned")
+  }
+
   test("IVF index scan partition-prunes to the probed cells") {
     val e = Tables.embeddings(spark, sf001)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_prune"
