@@ -686,6 +686,31 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // embedding hygiene: the map-only pre-ingest checks every vector
+    // corpus needs before ANN trusts it (dim, norm, NaN, degeneracy)
+    "emb_quality" -> ((s, dir) =>
+      Embeddings.embeddingQuality(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("id")),
+
+    // deterministic train/val/test split: md5-prefix threshold like
+    // sample_hash, but emitting the ASSIGNMENT — reproducible splits
+    // on any engine/cluster, immune to rand() reseeding
+    "sample_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+        .select(col("doc_id"),
+          when(col("h") < "0ccc", "val")          // ~5%
+            .when(col("h") < "1999", "test")      // ~5%
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")),
+
+    // token-budget sequence packing: per-shard running token totals
+    // assign docs to ~2048-token training packs (contiguous packer)
+    "text_pack" -> ((s, dir) =>
+      TextAnalysis.packTokenBudget(t(s, dir, "documents"), "doc_id", "text",
+        budget = 2048, nShards = 8)
+        .orderBy("doc_id")),
+
     // ================= text analysis ===============================
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
@@ -1268,6 +1293,38 @@ object SparkEntry {
         | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
         | WHERE c.vec_id <> q.vec_id)
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "emb_quality" ->
+      """SELECT vec_id AS id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS norm,
+        | len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan,
+        | (len(list_filter(embedding, x -> isnan(x))) > 0
+        |  OR sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) < 1e-6)
+        |   AS is_degenerate
+        | FROM embeddings ORDER BY id""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '0ccc' THEN 'val'
+        |      WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '1999' THEN 'test'
+        |      ELSE 'train' END AS split
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pack" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+        | FROM documents),
+        | c AS (
+        | SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t)
+        | SELECT doc_id, shard, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        | FROM c ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

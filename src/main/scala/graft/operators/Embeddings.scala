@@ -22,6 +22,24 @@ object Embeddings {
     * emitted `scale` column is rounded to 6 for display; qᵢ uses the
     * raw scale so both engines compute identical integers.
     */
+  /** Embedding hygiene — the checks a vector corpus needs BEFORE any
+    * ANN/dedup pass trusts it: dimensionality, L2 norm, NaN presence,
+    * and a degenerate flag (near-zero norm or NaN — cosine against
+    * such vectors is meaningless/unstable). Map-only: a narrow
+    * projection over the scan, no shuffle; at 100 TB this runs at
+    * scan speed as a pre-ingest filter.
+    */
+  def embeddingQuality(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("vec")))
+      .withColumn("has_nan", exists(col("vec"), x => isnan(x.cast("double"))))
+      .select(
+        col("id"),
+        size(col("vec")).cast("long").as("dim"),
+        round(col("nrm"), 6).as("norm"),
+        col("has_nan"),
+        (col("has_nan") || col("nrm") < 1e-6).as("is_degenerate"))
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       // max|v| via array_max/-array_min: single-pass collection ops,

@@ -268,4 +268,31 @@ object TextAnalysis {
         col(idCol),
         md5(col("norm")).as("fingerprint"),
         array_min(transform(charShingles(col("norm"), 8), s => md5(s))).as("winnow_fp"))
+
+  /** Token-budget sequence packing (contiguous form): assign docs to
+    * training packs of ~`budget` tokens. Docs shard deterministically
+    * (md5 of id mod nShards — engine-neutral), then a PER-SHARD
+    * running token total places each doc in the pack its first token
+    * falls in; a doc straddling a boundary spills into the next pack,
+    * the standard document-boundary contiguous packer.
+    *
+    * Scale shape: the only non-map stage is the running-sum window
+    * PARTITIONED BY shard — nShards independent streams, never a
+    * global single-partition window; pick nShards ≈ cluster
+    * parallelism and each shard packs independently (which is how
+    * production packers shard anyway).
+    */
+  def packTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                      budget: Int, nShards: Int = 32): DataFrame = {
+    val t = docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+        % nShards).as("shard"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+              floor((col("cum") - col("n_tokens")) / budget).as("pack_id"))
+  }
 }

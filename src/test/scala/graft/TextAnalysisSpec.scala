@@ -79,4 +79,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert((got(0)._2, got(0)._3, got(0)._4) == ((1L, 1L, 1L)))
     assert(got(1) == (("no pii here at all", 0L, 0L, 0L)))
   }
+
+  test("packTokenBudget: packs respect the budget boundary within a shard") {
+    // single shard (nShards=1) so the packing order is just doc_id
+    val d = Seq(
+      (1L, "a b c d"), (2L, "e f g"), (3L, "h i j k l"), (4L, "m n")
+    ).toDF("doc_id", "text")
+    // budget 7: doc1 starts at 0 (pack 0), doc2 at 4 (pack 0),
+    // doc3 at 7 (pack 1), doc4 at 12 (pack 1)
+    val got = TextAnalysis.packTokenBudget(d, "doc_id", "text", budget = 7, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("embeddingQuality flags NaN and near-zero vectors as degenerate") {
+    import graft.operators.Embeddings
+    val e = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(Float.NaN, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.embeddingQuality(e, "vec_id", "embedding")
+      .orderBy("id")
+      .select("id", "dim", "norm", "has_nan", "is_degenerate")
+      .as[(Long, Long, Double, Boolean, Boolean)].collect().toSeq
+    assert(got(0) == ((1L, 2L, 5.0, false, false)))
+    assert(got(1)._5 && !got(1)._4, "zero vector degenerate without NaN")
+    assert(got(2)._4 && got(2)._5, "NaN vector degenerate with NaN flag")
+  }
 }
