@@ -577,6 +577,16 @@ object SparkEntry {
       Dedup.connectedClusters(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // the terminal dedup materialization: the corpus that SURVIVES
+    // near-dup clustering (one representative per simhash cluster) —
+    // pairs → components → semi-join, the full dedup story end-to-end
+    "dedup_cluster_reps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // char 8-gram variant: catches whitespace/tokenization-mangled
     // near-dups that word shingles miss. Char grams are DENSE —
     // common English substrings are shared by most docs, so running
@@ -1146,6 +1156,20 @@ object SparkEntry {
          |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
          | SELECT id AS doc_id, min(lab) AS cluster_id
          | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_reps" ->
+      s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |           UNION ALL SELECT doc_b, doc_a FROM prs),
+         | reach(id, lab) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         | cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+         | SELECT d.doc_id, d.text FROM documents d
+         | JOIN cl ON d.doc_id = cl.doc_id
+         | WHERE cl.doc_id = cl.cluster_id
+         | ORDER BY d.doc_id""".stripMargin,
 
     // the df-cut (HAVING BETWEEN 2 AND 200) replicates Spark's
     // maxDocFreq=200 posting-list cut; sizes stay FULL per-doc shingle

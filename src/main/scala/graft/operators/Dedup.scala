@@ -394,6 +394,24 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** The terminal dedup step: keep ONE document per connected
+    * near-dup cluster (the minimum id — any deterministic policy
+    * works), dropping every other cluster member. Composes
+    * [[connectedClusters]] over the given pair graph with a semi-join
+    * back onto the corpus; at scale the cluster map is tiny relative
+    * to the corpus (only docs in ≥1 pair have non-trivial clusters),
+    * so the join shuffles ids, not documents.
+    */
+  def keepClusterRepresentatives(docs: DataFrame, idCol: String,
+                                 pairs: DataFrame,
+                                 checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = connectedClusters(docs.select(col(idCol)), idCol, pairs, checkpointDir)
+    docs.join(
+      clusters.where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** The large-star/small-star iteration: returns the converged star
     * edge set (every edge (u, v) has v = u's component minimum) and
     * the number of rounds it took — exposed so tests can assert the

@@ -78,6 +78,49 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the skewed partition at runtime (the salting alternative)") {
+    import spark.implicits._
+    // same skew shape as the salting test — here AQE's skew-join
+    // handles it at runtime with no query rewrite, the built-in path
+    // the operators doc points moderate skew at
+    val n = 40000
+    val big = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(1L)).otherwise(col("id") % 500 + 2).as("k"),
+      concat(lit("payload-"), col("id")).as("payload"))
+    val small = spark.range(502).select((col("id") + 1).as("k"))
+    val prev = Map(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled", "true"),
+      "spark.sql.shuffle.partitions" -> spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // thresholds low enough that the 20k-row hot partition counts as skewed
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try {
+      val joined = big.join(small, Seq("k"))
+      // collect() drives THIS dataset's own QueryExecution, so its
+      // AdaptiveSparkPlanExec holds the finalized runtime plan
+      // (count() would plan a separate execution and leave this one
+      // unfinalized)
+      assert(joined.collect().length == n)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot-key join as skew-handled:\n${plan.take(2000)}")
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("bucketed aggregation by the bucket key needs no exchange") {
     Tables.load(spark, sf001, "orders")
       .select("o_custkey", "o_totalprice")
