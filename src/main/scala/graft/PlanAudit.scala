@@ -19,7 +19,9 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("agg_pricing", "join_revenue", "etl_partitioned_scan", "sim_topk",
-               "join_asof", "join_range", "dedup_jaccard")
+               "join_asof", "join_range", "dedup_jaccard", "dedup_cluster_reps",
+               "sim_lsh_recall_lossy", "events_lake_scan", "etl_snapshot_diff",
+               "text_pack")
     for (name <- names) {
       println(s"================ $name ================")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

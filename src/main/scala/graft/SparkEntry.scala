@@ -303,8 +303,13 @@ object SparkEntry {
     "events_lake_scan" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${math.abs(dir.hashCode)}"
       Events.ensureDatePartitioned(t(s, dir, "events"), path)
+      // first-week cutoff derived from the data (a 1-value
+      // control-plane lookup over the partition column, like JDBC
+      // bounds) so the gate doesn't depend on the fixture's epoch; the
+      // resolved literal still partition-prunes at planning time
+      val minDate = s.read.parquet(path).agg(min(col("event_date"))).collect()(0).getDate(0)
       s.read.parquet(path)
-        .where(col("event_date") < lit("2024-01-08").cast("date"))
+        .where(col("event_date") < date_add(lit(minDate), 7))
         .select(col("event_id"), col("event_date"), col("event_type"), col("value"))
         .orderBy("event_id")
     }),
@@ -946,7 +951,9 @@ object SparkEntry {
 
     "events_lake_scan" ->
       """SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value
-        | FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08'
+        | FROM events
+        | WHERE CAST(ts AS DATE) <
+        |   (SELECT min(CAST(ts AS DATE)) + 7 FROM events)
         | ORDER BY event_id""".stripMargin,
 
     "agg_pricing" ->
