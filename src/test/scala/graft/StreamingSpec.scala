@@ -85,6 +85,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("streaming embedding near-dup pairs equal the batch LSH pairs on bounded input") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val sub = Tables.embeddings(spark, sf001).where(col("vec_id") < 150)
+    val batch = Dedup.embeddingPairsLsh(sub, "vec_id", "embedding",
+        threshold = 0.25, nbits = 4, numTables = 8)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_emb")
+    sub.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(dir.toString)
+    val got = StreamingEvents.runToCompletion(
+      spark, StreamingDedup.embeddingPairsStream(stream, "vec_id", "embedding",
+        threshold = 0.25, nbits = 4, numTables = 8, stateTtl = None), "t_embdedup")
+      .as[(Long, Long, Double)].collect().toSet // at-least-once → set compare
+    assert(batch.nonEmpty && got == batch)
+  }
+
   test("multimodal: partition-batched stub decode produces typed, deterministic metadata") {
     val docs = Multimodal.withPayload(Tables.documents(spark, sf001), "text")
     val meta = Multimodal.extractMeta(docs, "doc_id")
