@@ -327,6 +327,21 @@ object SparkEntry {
 
     "window_running" -> ((s, dir) => Analytics.runningSupplierQty(t(s, dir, "lineitem"))),
 
+    // Q5-shaped 6-way join: supplier must sit in the customer's nation
+    "join_local_supplier" -> ((s, dir) =>
+      Analytics.localSupplierRevenue(
+        t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
+        t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"),
+        regionName = "ASIA", orderYear = 1996)),
+
+    // Q8-shaped market share: 7-way join, ratio of two exact
+    // scaled-long money sums per order year
+    "agg_market_share" -> ((s, dir) =>
+      Analytics.marketShare(
+        t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
+        t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"),
+        t(s, dir, "part"), regionName = "EUROPE", supplierNation = "NATION_1")),
+
     "topk_customers" -> ((s, dir) => Analytics.topCustomers(t(s, dir, "orders"), 10)),
 
     "window_lag_lead" -> ((s, dir) => {
@@ -996,6 +1011,31 @@ object SparkEntry {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
         | FROM lineitem)
         | WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "join_local_supplier" ->
+      s"""SELECT n_name, ${msum("l_extendedprice*(1-l_discount)", 4)} AS revenue,
+         | count(*) AS n_items
+         | FROM customer, orders, lineitem, supplier, nation, region
+         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA' AND year(o_orderdate) = 1996
+         | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "agg_market_share" ->
+      s"""SELECT o_year,
+         | round(nation_volume / total_volume, 6) AS mkt_share,
+         | nation_volume, total_volume FROM (
+         | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${msum("CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END", 4)} AS nation_volume,
+         |  ${msum("l_extendedprice*(1-l_discount)", 4)} AS total_volume
+         | FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+         | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+         | GROUP BY 1)
+         | ORDER BY o_year""".stripMargin,
 
     "topk_customers" ->
       s"""SELECT o_custkey, ${msum("o_totalprice")} AS total_spent,

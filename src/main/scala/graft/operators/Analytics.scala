@@ -105,4 +105,70 @@ object Analytics {
       .agg(moneySum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
       .orderBy(desc("total_spent"), asc("o_custkey"))
       .limit(k)
+
+  /** TPC-H Q5-shaped local-supplier revenue: the 6-way join where the
+    * supplier must sit in the customer's nation. Facts (orders,
+    * lineitem) join on their keys. Only the ALWAYS-tiny dims (nation,
+    * the pre-filtered region) get an explicit broadcast hint —
+    * customer and supplier scale with the dataset (150M+ rows at real
+    * TPC-H SF100), so Catalyst/AQE picks their strategy from runtime
+    * sizes: broadcast locally, shuffled hash join at 100×. The year
+    * filter prunes orders at the scan.
+    */
+  def localSupplierRevenue(region: DataFrame, nation: DataFrame,
+                           customer: DataFrame, supplier: DataFrame,
+                           orders: DataFrame, lineitem: DataFrame,
+                           regionName: String, orderYear: Int): DataFrame =
+    lineitem
+      .join(orders.where(year(col("o_orderdate")) === orderYear),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** TPC-H Q8-shaped market share: of all revenue that `regionName`
+    * customers generated, the fraction supplied by `supplierNation`,
+    * per order year. Numerator and denominator are BOTH scaled-long
+    * money sums (exact, associative), so the final division is one
+    * double op on identical inputs in any engine — the rounded share
+    * hash-matches without float-sum order luck.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  part: DataFrame, regionName: String,
+                  supplierNation: String): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      // customer/part/supplier scale with the dataset — no broadcast
+      // hint; Catalyst/AQE picks from runtime sizes (see Q5 note)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+                                    col("n_regionkey").as("cn_region"))),
+            col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region.where(col("r_name") === regionName)),
+            col("cn_region") === col("r_regionkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+                                    col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("o_year"))
+      .agg(
+        moneySum(when(col("supp_nation") === supplierNation,
+                      col("l_extendedprice") * (lit(1) - col("l_discount")))
+                   .otherwise(lit(0.0)), 4).as("nation_volume"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("total_volume"))
+      .select(col("o_year"),
+              round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"),
+              col("nation_volume"), col("total_volume"))
+      .orderBy("o_year")
 }
