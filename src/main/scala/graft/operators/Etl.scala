@@ -153,8 +153,11 @@ object Etl {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String]): DataFrame = {
-    require(oldSnap.columns.sameElements(newSnap.columns),
-      "snapshots must share a schema")
+    require(oldSnap.columns.toSet == newSnap.columns.toSet,
+      s"snapshots must share a column set; old=${oldSnap.columns.toSeq} new=${newSnap.columns.toSeq}")
+    // fingerprint fields in the OLD snapshot's column order on both
+    // sides, so a refresh that merely reordered columns diffs as
+    // unchanged rows, not as 100% 'changed'
     val nonKey = oldSnap.columns.filterNot(keyCols.contains).toSeq
     def fingerprinted(df: DataFrame, as: String): DataFrame =
       df.select(keyCols.map(col) :+

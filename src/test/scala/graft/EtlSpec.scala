@@ -117,6 +117,9 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
     // identical snapshots → empty diff
     assert(Etl.snapshotDiff(oldSnap, oldSnap, Seq("k")).count() == 0)
+    // a refresh that only reordered columns is NOT a change
+    val reordered = oldSnap.select(col("v"), col("k"), col("s"))
+    assert(Etl.snapshotDiff(oldSnap, reordered, Seq("k")).count() == 0)
   }
 
   test("writeJsonl round-trips nested struct columns losslessly") {
