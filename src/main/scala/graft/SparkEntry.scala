@@ -334,6 +334,12 @@ object SparkEntry {
         t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"),
         regionName = "ASIA", orderYear = 1996)),
 
+    // Q10-shaped returned-item report: who returned the most revenue
+    "join_returned_items" -> ((s, dir) =>
+      Analytics.returnedItemRevenue(
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"),
+        t(s, dir, "nation"), orderYear = 1996, k = 20)),
+
     // Q8-shaped market share: 7-way join, ratio of two exact
     // scaled-long money sums per order year
     "agg_market_share" -> ((s, dir) =>
@@ -1021,6 +1027,16 @@ object SparkEntry {
          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
          |  AND r_name = 'ASIA' AND year(o_orderdate) = 1996
          | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | ${msum("l_extendedprice*(1-l_discount)", 4)} AS revenue
+         | FROM customer, orders, lineitem, nation
+         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_returnflag = 'R' AND year(o_orderdate) = 1996
+         |  AND c_nationkey = n_nationkey
+         | GROUP BY c_custkey, c_name, c_acctbal, n_name
+         | ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "agg_market_share" ->
       s"""SELECT o_year,

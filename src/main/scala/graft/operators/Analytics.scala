@@ -134,6 +134,26 @@ object Analytics {
            count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** TPC-H Q10-shaped returned-item report: customers ranked by the
+    * revenue they returned in one order year. The returnflag filter
+    * prunes lineitem AT THE SCAN (predicate pushdown carries it into
+    * the parquet reader), the year filter prunes orders likewise; the
+    * customer join keys the aggregate, nation broadcasts. Top-k is
+    * TakeOrderedAndProject over the aggregate — never a global sort.
+    */
+  def returnedItemRevenue(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, nation: DataFrame,
+                          orderYear: Int, k: Int): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders.where(year(col("o_orderdate")) === orderYear),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(k)
+
   /** TPC-H Q8-shaped market share: of all revenue that `regionName`
     * customers generated, the fraction supplied by `supplierNation`,
     * per order year. Numerator and denominator are BOTH scaled-long
