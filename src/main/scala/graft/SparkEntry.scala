@@ -894,6 +894,12 @@ object SparkEntry {
       Events.retention(t(s, dir, "events"), maxDays = 30)
         .orderBy("cohort_date", "day_offset")),
 
+    // statistical outlier filter: z-scores from EXACT scaled-long
+    // moment sums, so the flagged set is engine-independent
+    "events_anomalies" -> ((s, dir) =>
+      Events.valueAnomalies(t(s, dir, "events"), zThreshold = 3.0)
+        .orderBy("event_id")),
+
     // top user paths: first 5 events per user in (ts, event_id) order
     // joined into a path string, counted across users. Ordering is
     // carried EXPLICITLY (array_sort over (rn, type) structs) —
@@ -1725,6 +1731,27 @@ object SparkEntry {
         |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached_step
         | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         | ORDER BY s1.user_id""".stripMargin,
+
+    "events_anomalies" ->
+      """WITH sc AS (
+        | SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hr, value,
+        |  CAST(round(value*100, 0) AS BIGINT) AS v100
+        | FROM events),
+        | st AS (
+        | SELECT event_type, hr, count(*) AS n,
+        |  sum(v100) AS s1, sum(v100*v100) AS s2
+        | FROM sc GROUP BY 1, 2 HAVING count(*) >= 2),
+        | stv AS (
+        | SELECT event_type, hr,
+        |  CAST(s1 AS DOUBLE)/(n*100.0) AS mean,
+        |  (s2/10000.0 - (s1/100.0)*(s1/100.0)/n)/(n-1) AS variance
+        | FROM st
+        | WHERE (s2/10000.0 - (s1/100.0)*(s1/100.0)/n)/(n-1) > 0)
+        | SELECT event_id, sc.event_type, sc.hr, value,
+        |  round((value - mean)/sqrt(variance), 6) AS z
+        | FROM sc JOIN stv ON sc.event_type = stv.event_type AND sc.hr = stv.hr
+        | WHERE abs(round((value - mean)/sqrt(variance), 6)) > 3.0
+        | ORDER BY event_id""".stripMargin,
 
     "events_retention" ->
       """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date

@@ -145,6 +145,39 @@ object Events {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Value-anomaly detection: events whose value sits more than
+    * `zThreshold` standard deviations from their (event_type,
+    * hour-of-day) cohort mean — the statistical outlier filter a
+    * training-data pipeline runs before trusting numeric fields.
+    *
+    * The moments are EXACT scaled-long sums (value×100 as long, and
+    * its square): associative integer arithmetic, so mean/variance
+    * derive from identical numbers in any engine and the rounded
+    * z-scores hash-match — no float-sum ordering luck. Shape: one
+    * hash aggregate for the (type, hour) stats (tiny), one broadcast
+    * join back onto the stream, map-only filter.
+    */
+  def valueAnomalies(events: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val scaled = events.select(
+      col("event_id"), col("event_type"), hour(col("ts")).cast("long").as("hr"),
+      col("value"), round(col("value") * 100, 0).cast("long").as("v100"))
+    val stats = scaled.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("v100")).as("s1"),
+           sum(col("v100") * col("v100")).as("s2"))
+      .where(col("n") >= 2)
+      .withColumn("mean", col("s1").cast("double") / (col("n") * 100.0))
+      .withColumn("variance",
+        (col("s2") / 10000.0 - (col("s1") / 100.0) * (col("s1") / 100.0) / col("n"))
+          / (col("n") - 1))
+      .where(col("variance") > 0)
+    scaled
+      .join(broadcast(stats.select(col("event_type"), col("hr"), col("mean"), col("variance"))),
+            Seq("event_type", "hr"))
+      .withColumn("z", round((col("value") - col("mean")) / sqrt(col("variance")), 6))
+      .where(abs(col("z")) > zThreshold)
+      .select(col("event_id"), col("event_type"), col("hr"), col("value"), col("z"))
+  }
+
   /** Write the event table as a DATE-PARTITIONED lake layout
     * (`.../event_date=YYYY-MM-DD/part-*.parquet`) — the storage shape
     * a 100 TB event corpus actually lives in: every time-bounded query
