@@ -301,7 +301,8 @@ object SparkEntry {
     // partition-prunes (spec-guarded) — the storage shape + query
     // pattern of a 100 TB event corpus
     "events_lake_scan" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${math.abs(dir.hashCode)}"
+      val src = new java.io.File(s"$dir/events.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${math.abs(dir.hashCode)}_$src"
       Events.ensureDatePartitioned(t(s, dir, "events"), path)
       // first-week cutoff derived from the data (a 1-value
       // control-plane lookup over the partition column, like JDBC
@@ -666,7 +667,10 @@ object SparkEntry {
     // the bench should measure is the partition-pruned READ
     "sim_ivf_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}"
+      // path keyed by the source file's mtime too: a regenerated
+      // fixture can't be served from a previous JVM's stale index
+      val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}_$src"
       Similarity.ensureIvfIndex(e, "vec_id", "embedding", path, numCells = 16)
       Similarity.ivfTopKIndexed(path, e.where(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nprobe = 4)
@@ -702,7 +706,7 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
-    // the SAME recall check at production-ish params (nbits=8, 4
+    // the SAME recall check at production-ish params (nbits=6, 4
     // tables): bucket collision probability drops enough that the
     // candidate set is genuinely lossy — the gate pins a recall
     // STRICTLY below 1 (spec-asserted), with the oracle replaying the

@@ -388,8 +388,17 @@ object Dedup {
     */
   def connectedClusters(vertices: DataFrame, idCol: String, pairs: DataFrame,
                         checkpointDir: Option[String] = None): DataFrame = {
-    val stars = starEdges(pairs, checkpointDir)._1
-    vertices.select(col(idCol).as("doc_id"))
+    // components are over the pair graph INDUCED on the vertex set:
+    // edges touching ids outside `vertices` are dropped, so every
+    // cluster_id is guaranteed to be a member id (a pair endpoint
+    // filtered out of the corpus upstream must not become a phantom
+    // cluster minimum that no representative filter can match)
+    val ids = vertices.select(col(idCol).as("doc_id"))
+    val induced = pairs
+      .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val stars = starEdges(induced, checkpointDir)._1
+    ids
       .join(stars.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
@@ -441,6 +450,11 @@ object Dedup {
       nEdges = nNext
       rounds += 1
     }
+    // the alternating algorithm provably converges in O(log n) rounds;
+    // maxRounds is a runaway backstop — hitting it means a bug, and a
+    // silent non-converged label table would be WRONG clusters
+    if (!done) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds ($nEdges edges)")
     (edges, rounds)
   }
 
@@ -474,22 +488,43 @@ object Dedup {
     * reliable `checkpoint()` when a checkpointDir is given (blocks
     * survive executor loss), `localCheckpoint` otherwise.
     */
+  @volatile private var lastCheckpointDir: Option[String] = None
+
   private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // honor THIS caller's dir even when some earlier caller (or
+        // unrelated code) already set a different one on the context
+        if (!lastCheckpointDir.contains(dir)) {
+          sc.setCheckpointDir(dir)
+          lastCheckpointDir = Some(dir)
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }
 
-  /** Free the storage blocks behind a [[materialize]]d frame (the
-    * checkpointed RDD sits directly under a LogicalRDD leaf). Without
-    * this, an N-round loop accumulates N cached edge tables.
+  /** Free the storage behind a [[materialize]]d frame (the
+    * checkpointed RDD sits directly under a LogicalRDD leaf):
+    * unpersist the cached blocks (localCheckpoint mode) AND delete the
+    * round's reliable checkpoint files (checkpoint mode — Spark only
+    * auto-deletes them under spark.cleaner.referenceTracking
+    * .cleanCheckpoints, default off). Without both, an N-round loop
+    * accumulates N edge tables in executor storage / on the
+    * checkpoint volume. Only call once the NEXT round is materialized
+    * — its computation read this round's data.
     */
   private def unpersistBacking(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          } catch { case _: Exception => () } // cleanup is best-effort
+        }
       case _ => ()
     }
 
@@ -504,7 +539,10 @@ object Dedup {
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos", round(
         cosineFromParts(dotD(col("a.vec"), col("b.vec")), col("a.nrm"), col("b.nrm")), 6))
-      .where(col("cos") >= threshold)
+      // Spark orders NaN ABOVE every number, so a NaN-poisoned vector
+      // would pass `cos >= threshold`; degenerate vectors never pair
+      // (matching the streaming twin and emb_quality's guidance)
+      .where(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
@@ -532,7 +570,9 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(
         cosineFromParts(dotD(col("va"), col("vb")), col("na"), col("nb")), 6))
-      .where(col("cos") >= threshold)
+      // NaN excluded explicitly (Spark's NaN > everything ordering
+      // would otherwise admit it) — agrees with the streaming twin
+      .where(!isnan(col("cos")) && col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
 }

@@ -9,19 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Symmetric int8 scalar quantization, long form (id, dim, q,
-    * scale): per vector, scale = 127 / max|vᵢ| and qᵢ =
-    * ⌊vᵢ·scale + 0.5⌋. `floor(x + 0.5)` instead of round() so Spark
-    * and any SQL engine agree on halfway cases (round() half-up vs
-    * half-even differs per engine on negatives). All-zero vectors
-    * (scale undefined) are dropped. Dequantize error ≤ 0.5/scale per
-    * component; storage drops 4× (plus one double per vector).
-    *
-    * Scale shape: map-only — a narrow projection + posexplode, no
-    * shuffle at all; quantization streams through at scan speed. The
-    * emitted `scale` column is rounded to 6 for display; qᵢ uses the
-    * raw scale so both engines compute identical integers.
-    */
   /** Embedding hygiene — the checks a vector corpus needs BEFORE any
     * ANN/dedup pass trusts it: dimensionality, L2 norm, NaN presence,
     * and a degenerate flag (near-zero norm or NaN — cosine against
@@ -40,6 +27,19 @@ object Embeddings {
         col("has_nan"),
         (col("has_nan") || col("nrm") < 1e-6).as("is_degenerate"))
 
+  /** Symmetric int8 scalar quantization, long form (id, dim, q,
+    * scale): per vector, scale = 127 / max|vᵢ| and qᵢ =
+    * ⌊vᵢ·scale + 0.5⌋. `floor(x + 0.5)` instead of round() so Spark
+    * and any SQL engine agree on halfway cases (round() half-up vs
+    * half-even differs per engine on negatives). All-zero vectors
+    * (scale undefined) are dropped. Dequantize error ≤ 0.5/scale per
+    * component; storage drops 4× (plus one double per vector).
+    *
+    * Scale shape: map-only — a narrow projection + posexplode, no
+    * shuffle at all; quantization streams through at scan speed. The
+    * emitted `scale` column is rounded to 6 for display; qᵢ uses the
+    * raw scale so both engines compute identical integers.
+    */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       // max|v| via array_max/-array_min: single-pass collection ops,

@@ -55,10 +55,12 @@ object ODataClient {
         if (stream == null) ""
         else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
       // delta-seconds form only (an HTTP-date Retry-After falls back
-      // to the client's own exponential backoff)
+      // to the client's own exponential backoff); capped at 5 minutes
+      // BEFORE the millis conversion so a hostile/buggy header can
+      // neither overflow Long nor park an executor thread for hours
       val retryAfter = Option(conn.getHeaderField("Retry-After"))
         .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-        .filter(_ >= 0).map(_ * 1000L)
+        .filter(_ >= 0).map(s => math.min(s, 300L) * 1000L)
       Response(status, body, retryAfter)
     } finally conn.disconnect()
   }

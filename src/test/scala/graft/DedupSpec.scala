@@ -186,6 +186,22 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(1L), "a length-8 chain must collapse to one cluster")
   }
 
+  test("connectedClusters: pair endpoints outside the vertex set are ignored, not phantom minima") {
+    // doc 0 was filtered out of the corpus AFTER pair generation: its
+    // pair must neither label doc 5 with the absent id 0 (which would
+    // make keepClusterRepresentatives silently delete doc 5) nor
+    // bridge 5 and 6 through the absent node
+    val vertices = Seq(5L, 6L).toDF("doc_id")
+    val pairs = Seq((0L, 5L), (0L, 6L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.connectedClusters(vertices, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(clusters == Seq((5L, 5L), (6L, 6L)))
+    val docs = Seq((5L, "five"), (6L, "six")).toDF("doc_id", "text")
+    val kept = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(5L, 6L), "no member may vanish behind an absent cluster minimum")
+  }
+
   test("connectedClusters: round count is logarithmic on a chain, not O(diameter)") {
     // a 64-node chain has diameter 63 — min-label propagation would
     // need 63 rounds; large-star/small-star must stay logarithmic
