@@ -460,7 +460,11 @@ object Dedup {
 
   /** Large-star: every node re-points its LARGER neighbors at the
     * minimum of its closed neighborhood. Keeps the (u > v) edge
-    * orientation. One union + one aggregate + one equi-join.
+    * orientation. One union + one aggregate + one equi-join — NO
+    * distinct: duplicate (u, v) rows (two sources re-pointing the same
+    * node at the same minimum) don't perturb [[smallStar]]'s min
+    * aggregates, and smallStar's own distinct canonicalizes the round's
+    * output, so deduping here would only add a shuffle per round.
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
@@ -469,7 +473,6 @@ object Dedup {
     nbrs.join(mins, "a")
       .where(col("b") > col("a"))
       .select(col("b").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star: every node links its SMALLER neighbors (and itself)
