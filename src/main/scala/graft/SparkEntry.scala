@@ -335,6 +335,15 @@ object SparkEntry {
         t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"),
         regionName = "ASIA", orderYear = 1996)),
 
+    // Q4-shaped EXISTS: late-shipped orders per priority (semi join)
+    "agg_late_priority" -> ((s, dir) =>
+      Analytics.latePriorityCount(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    // Q18-shaped large-volume customers (exact scaled-long HAVING)
+    "join_large_orders" -> ((s, dir) =>
+      Analytics.largeVolumeOrders(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"), minQty = 150.0)),
+
     // Q10-shaped returned-item report: who returned the most revenue
     "join_returned_items" -> ((s, dir) =>
       Analytics.returnedItemRevenue(
@@ -1037,6 +1046,25 @@ object SparkEntry {
          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
          |  AND r_name = 'ASIA' AND year(o_orderdate) = 1996
          | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "agg_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        | WHERE EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey,
+        |  sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS q100
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(round(l_quantity*100, 0) AS BIGINT)) > 15000)
+        | SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  q100/100.0 AS total_qty
+        | FROM big
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
 
     "join_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -134,6 +134,41 @@ object Analytics {
            count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** TPC-H Q4-shaped priority check: orders with at least one
+    * late-shipped line item, counted per priority. The EXISTS becomes
+    * a LEFT SEMI join with a mixed equi + range condition — the fact
+    * table never widens, and the semi join short-circuits per order.
+    */
+  def latePriorityCount(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total
+    * quantity clears a threshold, with their customer. The HAVING
+    * filter runs on an EXACT scaled-long quantity sum (float sums at
+    * the threshold boundary would make membership engine-dependent);
+    * the big-order set is tiny, so the subsequent joins broadcast it.
+    */
+  def largeVolumeOrders(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, minQty: Double): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("q100"))
+      .where(col("q100") > (minQty * 100).toLong)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"),
+              (col("q100") / 100.0).as("total_qty"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+      .limit(50)
+  }
+
   /** TPC-H Q10-shaped returned-item report: customers ranked by the
     * revenue they returned in one order year. The returnflag filter
     * prunes lineitem AT THE SCAN (predicate pushdown carries it into
