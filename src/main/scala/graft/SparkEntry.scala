@@ -872,6 +872,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ORC sink round-trip: the third columnar format a consumer might
+    // demand (Hive/Presto estates); values must survive bit-exactly
+    "etl_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${math.abs(dir.hashCode)}"
+      Etl.writeOrc(src, path)
+      s.read.orc(path).orderBy("o_orderkey")
+    }),
+
     // JSONL sink round-trip with a NESTED struct column — lossless
     // where CSV needs stringification
     "etl_jsonl_roundtrip" -> ((s, dir) => {
@@ -1718,6 +1729,10 @@ object SparkEntry {
     "etl_jsonl_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
         | o_totalprice FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "etl_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "events_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -137,6 +137,14 @@ object Etl {
     out.write.mode("overwrite").json(path)
   }
 
+  /** K1c — ORC sink: the columnar alternative when a consumer is
+    * Hive/Presto-shaped rather than parquet-shaped. Same overwrite
+    * contract as the other sinks; no single-file coalesce by default —
+    * columnar outputs are meant to stay splittable.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Snapshot diff — the incremental view of the reference's
     * snapshot-refresh contract (etl.yml runs daily and overwrites;
     * the question a consumer actually asks is "what changed since
