@@ -26,6 +26,9 @@ object Bench {
     // timed run measures execution throughput — the quantity that
     // scales with data volume. SPARK_GRAFT_COLD=1 restores single-shot.
     val warmRuns = if (sys.env.get("SPARK_GRAFT_COLD").contains("1")) 0 else 1
+    // SPARK_GRAFT_REPS=N reports the MEDIAN of N timed runs per query —
+    // sketch-op variance on this box is ±30%, and medians don't chase it
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     // A failing query must be VISIBLE (stderr line, "errors" map, and
     // n_failed count), never silently lower the total as a -1.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -34,9 +37,12 @@ object Bench {
       .map { case (name, fn) =>
         try {
           (1 to warmRuns).foreach(_ => fn(spark, sfDir).count())
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          name -> times(times.size / 2)
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           errors(name) = msg
