@@ -13,6 +13,16 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
+  /** Engine-neutral 60-bit hash = top 60 bits of md5, as one fused
+    * native kernel (graft.plans.Md5Prefix64) — bit-identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` but without the hex
+    * string materialization, slice, and radix parse that chain pays
+    * per shingle/token.
+    */
+  def md5Prefix64(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.Md5Prefix64(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** BPE-ish sub-word tokenization: split on word/number/punct
     * boundaries like a byte-pair pre-tokenizer's regex pass.
     * (Pattern class per the public GPT-2 pre-tokenizer idea:

@@ -222,7 +222,7 @@ object Dedup {
     // The mod-p reduction happens only inside the permutation min
     // aggregates, via pmod (xxhash64 is negative half the time).
     val shingleHash: Column =
-      if (engineNeutralHash) conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+      if (engineNeutralHash) md5Prefix64(col("s"))
       else xxhash64(col("s"))
     val tok = docs
       .select(col(idCol).as("doc"), explode(wordShinglesFast(col(textCol), shingleN)).as("s"))
@@ -290,7 +290,7 @@ object Dedup {
       tokensCol,
       array_repeat(lit(0L), SimHashBits),
       (acc, t) => {
-        val h = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+        val h = md5Prefix64(t)
         zip_with(acc, sequence(lit(0), lit(SimHashBits - 1)),
           (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       }
@@ -324,7 +324,7 @@ object Dedup {
   def simHashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tk"))
-      .withColumn("h", conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", md5Prefix64(col("tk")))
     tok.groupBy(col("doc"))
       .agg(graft.functions.Aggregators.simhashSig(col("h"), SimHashBits).as("sig"))
   }

@@ -94,7 +94,7 @@ object Similarity {
     * (cell_id: long, centroid, ctrnrm).
     */
   private[graft] def seedCentroids(c: DataFrame, idCol: String, numCells: Int): DataFrame =
-    c.withColumn("h", conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"))
+    c.withColumn("h", graft.functions.TextFunctions.md5Prefix64(col(idCol).cast("string")))
       .orderBy("h").limit(numCells)
       .groupBy()
       .agg(array_sort(collect_list(struct(col("h"), col("vec"), col("nrm")))).as("arr"))

@@ -287,8 +287,7 @@ object TextAnalysis {
     val t = docs.select(
       col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
-        % nShards).as("shard"))
+      (md5Prefix64(col(idCol).cast("string")) % nShards).as("shard"))
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum", sum(col("n_tokens")).over(w))

@@ -45,6 +45,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused Md5Prefix64 equals the conv(substring(md5)) chain on arbitrary strings") {
+    import graft.functions.TextFunctions.md5Prefix64
+    // the fused kernel must be BIT-identical to the three-op chain it
+    // replaced — every sketch oracle replays the chain's arithmetic
+    val strs = samples(Gen.asciiPrintableStr, 300) ++
+      Seq("", "a", "ü-unicode-Ԋ", "x" * 5000)
+    val df = strs.toDF("s")
+    val mismatches = df.select(
+        md5Prefix64(col("s")).as("fused"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("chain"))
+      .where(col("fused") =!= col("chain")).count()
+    assert(mismatches == 0L)
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import graft.operators.Dedup
     // random sparse pair graphs vs an in-memory union-find: catches
