@@ -40,6 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("graft_l2norm expects 1 argument")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5prefix64"),
+      info("graft_md5prefix64",
+        "graft_md5prefix64(s) - top 60 bits of md5(s) as a non-negative bigint " +
+          "(= conv(substring(md5(s), 1, 15), 16, 10), fused)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.plans.Md5Prefix64(s)
+        case _ => throw new IllegalArgumentException("graft_md5prefix64 expects 1 argument")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays"),

@@ -15,6 +15,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((0.0, 1.0, 0.0), (25.0, 5.0, 1.0)))
   }
 
+  test("graft_md5prefix64 equals the builtin chain from pure SQL") {
+    Seq("hello", "", "spark graft").toDF("s").createOrReplaceTempView("strs")
+    val got = spark.sql(
+      """SELECT graft_md5prefix64(s) AS fused,
+        |       CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS chain
+        |  FROM strs""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.forall { case (f, c) => f == c && f >= 0 })
+  }
+
   test("graft_cosine returns null on a zero-norm vector") {
     Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
       .createOrReplaceTempView("zvec")
