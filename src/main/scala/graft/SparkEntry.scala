@@ -487,6 +487,22 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy("o_orderkey")),
 
+    // quality-WEIGHTED sampling: keep a doc with probability equal to
+    // its quality score (Bernoulli per doc, p = score) — the curation
+    // step between hard filtering and uniform sampling. The coin is
+    // the md5-prefix uniform (hash/16^4 ∈ [0,1)), so the sample is
+    // reproducible and engine-exact; map-only over the scored corpus.
+    "sample_weighted" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      q.withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .where(col("u") < col("quality_score"))
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    }),
+
     // LEFT ANTI join — the "no matching fact rows" shape (customers
     // with no URGENT order; every customer has SOME order in this
     // corpus, so the filter keeps the gate row non-empty)
@@ -1170,6 +1186,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 4) < '1999'
         | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "sample_weighted" ->
+      s"""SELECT doc_id, quality_score FROM (${qualitySql("documents")})
+         | WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT / 65536.0
+         |   < quality_score
+         | ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
