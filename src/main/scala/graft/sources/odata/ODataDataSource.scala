@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -100,12 +101,14 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownV2Filters
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private var prunedSchema: StructType = fullSchema
   private var pushedPreds: Array[Predicate] = Array.empty
   private var pushedEq: Seq[(String, String)] = Seq.empty
   private var limit: Option[Int] = None
+  private var orderBy: Seq[(String, Boolean)] = Seq.empty
 
   /** P1 — `$select` from Catalyst column pruning. */
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -143,11 +146,41 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
+  /** P5 — sort+limit to `$orderby` + `$top` (option-gated). PARTIAL
+    * push always: each value chain returns its server-side top-N and
+    * Spark re-sorts globally and re-applies the limit, so a server
+    * whose ordering agrees with Spark's transfers N·chains rows
+    * instead of everything. See ODataOptions.pushDownTopN for the
+    * collation caveat.
+    */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (!opts.pushDownTopN) return false
+    val translated = orders.toSeq.map { so =>
+      so.expression() match {
+        case ref: NamedReference =>
+          Some(ref.fieldNames().mkString(".") ->
+            (so.direction() == SortDirection.ASCENDING))
+        case _ => None
+      }
+    }
+    if (translated.isEmpty || translated.exists(_.isEmpty)) false
+    else {
+      orderBy = translated.flatten
+      limit = Some(l)
+      true // accepted — but only partially (isPartiallyPushed below)
+    }
+  }
+
+  /** Spark must keep its own Sort+Limit: chains are concatenated and
+    * server collation is not guaranteed to match Spark's.
+    */
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan =
     // the partition key comes from the FULL schema — Catalyst may have
     // pruned it out of the read schema, but partition planning and the
     // per-partition $filter still need it
-    new ODataScan(prunedSchema, opts, pushedEq, limit,
+    new ODataScan(prunedSchema, opts, pushedEq, limit, orderBy,
       fullSchema.fieldNames.find(opts.structureCandidates.contains))
 }
 
@@ -161,6 +194,7 @@ case class ODataInputPartition(structureField: Option[String],
 
 class ODataScan(schema: StructType, opts: ODataOptions,
                 pushedEq: Seq[(String, String)], limit: Option[Int],
+                orderBy: Seq[(String, Boolean)],
                 structureField: Option[String])
   extends Scan with Batch with Logging {
 
@@ -168,7 +202,8 @@ class ODataScan(schema: StructType, opts: ODataOptions,
   override def toBatch: Batch = this
   override def description(): String =
     s"ODataScan(entity=${opts.entity}, select=${schema.fieldNames.mkString(",")}, " +
-      s"filter=${pushedEq.map { case (k, v) => s"$k eq '$v'" }.mkString(" and ")}, top=$limit)"
+      s"filter=${pushedEq.map { case (k, v) => s"$k eq '$v'" }.mkString(" and ")}, top=$limit, " +
+      s"orderby=${orderBy.map { case (c, asc) => s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")})"
 
   /** Planning-time key enumeration on the driver (SURVEY §3.2 — the
     * JDBC-partition-bounds analogue; a control-plane query, not a
@@ -215,15 +250,16 @@ class ODataScan(schema: StructType, opts: ODataOptions,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(schema, opts, pushedEq, limit)
+    new ODataReaderFactory(schema, opts, pushedEq, limit, orderBy)
 }
 
 class ODataReaderFactory(schema: StructType, opts: ODataOptions,
-                         pushedEq: Seq[(String, String)], limit: Option[Int])
+                         pushedEq: Seq[(String, String)], limit: Option[Int],
+                         orderBy: Seq[(String, Boolean)])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(schema, opts,
-      partition.asInstanceOf[ODataInputPartition], pushedEq, limit)
+      partition.asInstanceOf[ODataInputPartition], pushedEq, limit, orderBy)
 }
 
 /** One task = one bin of partition-key values, each a paginated fetch
@@ -234,7 +270,8 @@ class ODataReaderFactory(schema: StructType, opts: ODataOptions,
   */
 class ODataPartitionReader(schema: StructType, opts: ODataOptions,
                            partition: ODataInputPartition,
-                           pushedEq: Seq[(String, String)], limit: Option[Int])
+                           pushedEq: Seq[(String, String)], limit: Option[Int],
+                           orderBy: Seq[(String, Boolean)] = Seq.empty)
   extends PartitionReader[InternalRow] with Logging {
 
   private val structureField = partition.structureField
@@ -260,6 +297,9 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
       "$select" -> schema.fieldNames.mkString(","),
       "$top" -> math.min(opts.pageSize.toLong, limit.map(_.toLong).getOrElse(Long.MaxValue)).toString,
       "$format" -> "json") ++
+      (if (orderBy.nonEmpty)
+         Seq("$orderby" -> orderBy.map { case (c, asc) =>
+           s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")) else Nil) ++
       (if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
     ODataClient.buildUrl(opts.entityUrl(opts.entity), params)
   }

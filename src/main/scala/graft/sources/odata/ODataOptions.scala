@@ -25,6 +25,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                     never retry. Default 0 = OFF — the reference
   *                     raises on first failure (etl.py:81-87), so
   *                     parity is the default and backoff is opt-in
+  * @param pushDownTopN translate Spark sort+limit into `$orderby` +
+  *                     `$top` (partial push: the server caps transfer
+  *                     per chain, Spark still re-sorts and applies the
+  *                     final limit). Caveat, as with JDBC TopN
+  *                     pushdown: if the SERVER's string collation or
+  *                     null placement orders rows differently than
+  *                     Spark's binary ordering, the server-truncated
+  *                     top-N may omit rows Spark would have ranked
+  *                     higher — disable on such tenants
   * @param maxPartitions upper bound on planned input partitions: keys
   *                     bin into ≤ this many tasks, bounding both task
   *                     count at high key cardinality and the global
@@ -46,7 +55,8 @@ case class ODataOptions(
     failFast: Boolean,
     maxPartitions: Int,
     maxRetries: Int,
-    retryBackoffMs: Long) {
+    retryBackoffMs: Long,
+    pushDownTopN: Boolean) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -85,6 +95,7 @@ object ODataOptions {
       failFast = m.getOrElse("failFast", "false").toBoolean,
       maxPartitions = m.getOrElse("maxPartitions", "1000").toInt,
       maxRetries = m.getOrElse("maxRetries", "0").toInt,
-      retryBackoffMs = m.getOrElse("retryBackoffMs", "100").toLong)
+      retryBackoffMs = m.getOrElse("retryBackoffMs", "100").toLong,
+      pushDownTopN = m.getOrElse("pushDownTopN", "true").toBoolean)
   }
 }

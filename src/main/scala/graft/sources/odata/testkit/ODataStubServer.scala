@@ -110,9 +110,29 @@ class ODataStubServer(
         rows.filter(r => conds.forall { case (k, v) => r.get(k).contains(v) })
     }
 
+    // $orderby: comma-separated `field asc|desc`, applied before $top —
+    // Java String ordering (binary for ASCII), matching Spark's
+    val ordered = q.get("$orderby") match {
+      case None => filtered
+      case Some(ob) =>
+        val keys = ob.split(",").toSeq.map { part =>
+          part.trim.split("\\s+") match {
+            case Array(f) => (f, true)
+            case Array(f, dir) => (f, dir.equalsIgnoreCase("asc"))
+            case _ => throw new IllegalArgumentException(s"bad orderby: $part")
+          }
+        }
+        filtered.sortWith { (a, b) =>
+          keys.iterator.map { case (f, asc) =>
+            val cmp = Ordering.Option[String].compare(a.get(f), b.get(f))
+            if (asc) cmp else -cmp
+          }.find(_ != 0).getOrElse(0) < 0
+        }
+    }
+
     val top = q.get("$top").map(_.toLong).getOrElse(Long.MaxValue)
     val skip = q.get("$skiptoken").map(_.toInt).getOrElse(0)
-    val capped = filtered.take(if (top > Int.MaxValue) Int.MaxValue else top.toInt)
+    val capped = ordered.take(if (top > Int.MaxValue) Int.MaxValue else top.toInt)
     val page = capped.slice(skip, skip + serverPageSize)
     val hasMore = skip + serverPageSize < capped.size
     val path = ex.getRequestURI.getPath

@@ -69,6 +69,29 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sort+limit pushes down as \\$orderby + \\$top (partial: Spark re-sorts)") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val got = read(srv).orderBy(desc("CEMPLOYEE_UUID")).limit(2)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq
+      assert(got == Seq("8", "7")) // string ordering, matching both engines
+      assert(srv.requestLog.exists(_.contains("%24orderby=CEMPLOYEE_UUID+desc")),
+        s"no \\$$orderby seen in: ${srv.requestLog.mkString("\n")}")
+    } finally srv.stop()
+  }
+
+  test("pushDownTopN=false keeps \\$orderby off the wire, same results") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val got = read(srv, Map("pushDownTopN" -> "false"))
+        .orderBy(desc("CEMPLOYEE_UUID")).limit(2)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq
+      assert(got == Seq("8", "7"))
+      assert(!srv.requestLog.exists(_.contains("%24orderby")),
+        "disabled TopN pushdown must not emit \\$orderby")
+    } finally srv.stop()
+  }
+
   test("429 rate limits retry when enabled, honoring Retry-After") {
     val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
       rateLimitFirst = 2).start()
