@@ -82,6 +82,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff matches a brute-force reference on random snapshot pairs") {
+    val genSnap = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0, 3)))
+      .map(_.toMap) // map ⇒ unique keys, like a snapshot
+    for ((oldM, newM) <- samples(Gen.zip(genSnap, genSnap), 8)) {
+      val expected = (oldM.keySet ++ newM.keySet).flatMap { k =>
+        (oldM.get(k), newM.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _ => None
+        }
+      }.toMap
+      val got = Etl.snapshotDiff(
+          oldM.toSeq.toDF("k", "v"), newM.toSeq.toDF("k", "v"), Seq("k"))
+        .as[(Long, String)].collect().toMap
+      assert(got == expected, s"old=$oldM new=$newM")
+    }
+  }
+
   test("renameForSink permits duplicate target names at the sink boundary") {
     val df = Seq(("x", "y", 1)).toDF("COCHAR_STRUCTURE", "C0CHAR_STRUCTURE", "v")
     val out = Etl.renameForSink(df,
