@@ -11,8 +11,12 @@ import graft.functions.VectorFunctions._
   * exact dedup buckets by content hash; near-dup buckets by MinHash
   * band, SimHash band, or hyperplane LSH. All-pairs comparison happens
   * only *within* buckets (candidate pairs), never globally. Hot-bucket
-  * skew is the known failure mode; `maxBucketSize` caps it (documented
-  * truncation) and AQE skew-join handles moderate skew.
+  * skew is the known failure mode; the controls differ per operator:
+  * the Jaccard inverted index caps posting lists with `maxDocFreq`
+  * (observable df-cut — see [[jaccardPairs]]); the MinHash/SimHash
+  * band keys derive from 60-bit signatures, so a hot band means a
+  * genuine near-dup clique (the quadratic cost IS the answer's size)
+  * and AQE skew-join spreads moderate residual skew at runtime.
   */
 object Dedup {
 
