@@ -152,6 +152,13 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * whose ordering agrees with Spark's transfers N·chains rows
     * instead of everything. See ODataOptions.pushDownTopN for the
     * collation caveat.
+    *
+    * Interplay: because [[pushPredicates]] keeps every predicate as
+    * residual, a filtered sort+limit retains Spark's Filter node and
+    * TopN does NOT push (Catalyst only pushes TopN when the sort sits
+    * directly on the scan) — a deliberate trade: the residual filter
+    * guards semantics against sloppy servers, at the cost of
+    * transferring the filtered (un-topped) rows in that shape.
     */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
     if (!opts.pushDownTopN) return false

@@ -80,6 +80,25 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("filtered sort+limit stays correct; residual filters block TopN push by design") {
+    // 30 rows, server pages of 4. The connector returns every pushed
+    // predicate as residual (belt + suspenders against sloppy
+    // servers), so Spark keeps a Filter between Sort and the scan and
+    // TopN cannot push — the FILTER still reaches the wire, the sort
+    // runs in Spark, results are exact either way.
+    val srv = new ODataStubServer(mkRows(30), "C0CHAR_STRUCTURE",
+      serverPageSize = 4).start()
+    try {
+      val got = read(srv)
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+        .orderBy(desc("CEMPLOYEE_UUID")).limit(3)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq
+      // STRUCT1 ⇔ i % 3 == 1 → ids 1,4,...,28; desc string order
+      assert(got == Seq("7", "4", "28"))
+      assert(srv.requestLog.exists(_.contains("%24filter")), "filter must reach the wire")
+    } finally srv.stop()
+  }
+
   test("pushDownTopN=false keeps \\$orderby off the wire, same results") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
