@@ -42,7 +42,7 @@ object Bench {
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }.sorted
-          name -> times(times.size / 2)
+          name -> times((times.size - 1) / 2) // lower-middle: an actual run, never the max for even N
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           errors(name) = msg

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -163,10 +163,18 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
     if (!opts.pushDownTopN) return false
     val translated = orders.toSeq.map { so =>
+      val asc = so.direction() == SortDirection.ASCENDING
+      // OData's SPEC default null placement (nulls first ascending,
+      // last descending) is exactly Spark's default — any OTHER null
+      // ordering cannot be expressed in $orderby, and a server
+      // truncating under the wrong placement drops rows the re-sort
+      // can never recover. Bail rather than push a lie.
+      val nullsMatch =
+        (asc && so.nullOrdering() == NullOrdering.NULLS_FIRST) ||
+          (!asc && so.nullOrdering() == NullOrdering.NULLS_LAST)
       so.expression() match {
-        case ref: NamedReference =>
-          Some(ref.fieldNames().mkString(".") ->
-            (so.direction() == SortDirection.ASCENDING))
+        case ref: NamedReference if nullsMatch =>
+          Some(ref.fieldNames().mkString(".") -> asc)
         case _ => None
       }
     }
@@ -302,7 +310,13 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
           .map { case (k, v) => s"$k eq '${odataEscape(v)}'" }
     val params = Seq(
       "$select" -> schema.fieldNames.mkString(","),
-      "$top" -> math.min(opts.pageSize.toLong, limit.map(_.toLong).getOrElse(Long.MaxValue)).toString,
+      // $top caps the ENTIRE chain in OData (the server keeps it across
+      // $skiptoken pages), so a pushed limit must travel UNCLAMPED — a
+      // min() with pageSize would truncate a top-5000 to pageSize rows
+      // and silently drop ranks pageSize+1..5000. Without a pushed
+      // limit, pageSize is the reference's requested cap (etl.py's
+      // $top=1e6 — reference parity, documented).
+      "$top" -> limit.map(_.toLong).getOrElse(opts.pageSize.toLong).toString,
       "$format" -> "json") ++
       (if (orderBy.nonEmpty)
          Seq("$orderby" -> orderBy.map { case (c, asc) =>

@@ -99,6 +99,30 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("non-default null ordering refuses TopN pushdown (server placement can't express it)") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val got = read(srv).orderBy(col("CEMPLOYEE_UUID").desc_nulls_first).limit(2)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq
+      assert(got == Seq("8", "7"))
+      assert(!srv.requestLog.exists(_.contains("%24orderby")),
+        "desc_nulls_first contradicts OData's desc placement — must not push")
+    } finally srv.stop()
+  }
+
+  test("pushed limit larger than pageSize travels unclamped in \\$top") {
+    val srv = new ODataStubServer(mkRows(30), "C0CHAR_STRUCTURE").start()
+    try {
+      val got = read(srv, Map("pageSize" -> "4"))
+        .orderBy(desc("CEMPLOYEE_UUID")).limit(10)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq
+      assert(got.size == 10 && got.take(3) == Seq("9", "8", "7"),
+        s"a \\$$top clamped to pageSize would lose ranks 5..10: $got")
+      assert(srv.requestLog.exists(_.contains("%24top=10")),
+        s"pushed limit must reach the wire whole: ${srv.requestLog.mkString("\n")}")
+    } finally srv.stop()
+  }
+
   test("pushDownTopN=false keeps \\$orderby off the wire, same results") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
