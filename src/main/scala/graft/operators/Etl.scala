@@ -39,10 +39,23 @@ object Etl {
     * pruning. At 100 TB the main side streams through a broadcast hash
     * semi-join; the per-key loop parallelism the reference lacks is
     * implicit in the scan's partitions.
+    *
+    * The broadcast is GUARDED: the key set materializes once
+    * (localCheckpoint — it exists to be joined against, and counting
+    * it afterwards is a control-plane job over cached blocks), and a
+    * key set larger than `maxBroadcastKeys` falls back to a shuffled
+    * semi-join instead of force-broadcasting an unbounded table to
+    * every executor. Codes entities are small by contract, but a
+    * million-key "codes" table must degrade to a shuffle, not an OOM;
+    * AQE may still pick broadcast at runtime if the byte size allows.
     */
-  def valuePartitionedScan(main: DataFrame, codes: DataFrame, keyCol: String): DataFrame = {
-    val keys = distinctKeys(codes, keyCol)
-    main.join(broadcast(keys), Seq(keyCol), "left_semi")
+  def valuePartitionedScan(main: DataFrame, codes: DataFrame, keyCol: String,
+                           maxBroadcastKeys: Long = 1000000L): DataFrame = {
+    val keys = distinctKeys(codes, keyCol).localCheckpoint()
+    if (keys.count() <= maxBroadcastKeys)
+      main.join(broadcast(keys), Seq(keyCol), "left_semi")
+    else
+      main.join(keys, Seq(keyCol), "left_semi")
   }
 
   /** R6 — rename via map; unmatched columns pass through

@@ -231,20 +231,33 @@ object TextAnalysis {
     * training-data pipelines; low scores ≈ out-of-distribution text).
     *
     * Scale shape: bigrams explode once (overlapping windows via one
-    * codegen'd lookahead regex); the bigram and prefix count tables
-    * are tiny at ANY corpus size (≤ alphabet², aggregated map-side),
-    * so they BROADCAST back onto the token stream — no corpus-side
-    * shuffle except the final per-doc aggregate.
+    * codegen'd lookahead regex); the bigram count table aggregates
+    * map-side and MATERIALIZES once (localCheckpoint — it's the
+    * model), the prefix counts derive from it (Σ c2 per prefix — no
+    * second corpus pass), and both broadcast back onto the token
+    * stream — no corpus-side shuffle except the final per-doc
+    * aggregate.
+    *
+    * The broadcast is GUARDED: the vocabulary is bounded by alphabet²,
+    * which is "tiny" only for ASCII-ish corpora — a CJK corpus has
+    * millions of distinct bigrams. Counting the materialized model is
+    * a control-plane job; above `maxBroadcastVocab` the joins fall
+    * back to shuffles (AQE may still broadcast at runtime if the byte
+    * size allows) instead of force-feeding an unbounded model table to
+    * every executor.
     */
-  def charLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def charLmScore(docs: DataFrame, idCol: String, textCol: String,
+                  maxBroadcastVocab: Long = 1L << 20): DataFrame = {
     val tok = docs.select(
       col(idCol).as("doc"),
       explode(regexp_extract_all(col(textCol), lit("(?s)(?=(..))"), lit(1))).as("bg"))
-    val c2 = tok.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = tok.groupBy(substring(col("bg"), 1, 1).as("ch")).agg(count(lit(1)).as("c1"))
+    val c2 = tok.groupBy("bg").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val c1 = c2.groupBy(substring(col("bg"), 1, 1).as("ch")).agg(sum(col("c2")).as("c1"))
+    val small = c2.count() <= maxBroadcastVocab
+    val (m2, m1) = if (small) (broadcast(c2), broadcast(c1)) else (c2, c1)
     tok
-      .join(broadcast(c2), "bg")
-      .join(broadcast(c1), substring(col("bg"), 1, 1) === col("ch"))
+      .join(m2, "bg")
+      .join(m1, substring(col("bg"), 1, 1) === col("ch"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_bigrams"),
            round(avg(log((col("c2") + 1.0) / (col("c1") + 256.0))), 6).as("avg_logprob"))

@@ -23,6 +23,24 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq(("x", 1), ("z", 3), ("x", 4)).sortBy(_._2))
   }
 
+  test("valuePartitionedScan: over-cap key set drops the broadcast hint, keeps semantics") {
+    val main  = Seq(("x", 1), ("y", 2), ("z", 3), ("x", 4)).toDF("k", "v")
+    val codes = Seq("x", "z", "w").toDF("k")
+    val hinted   = Etl.valuePartitionedScan(main, codes, "k")
+    val fallback = Etl.valuePartitionedScan(main, codes, "k", maxBroadcastKeys = 2)
+    // identical rows either way — the guard changes strategy, not semantics
+    assert(fallback.orderBy("v").as[(String, Int)].collect().toSeq ==
+           hinted.orderBy("v").as[(String, Int)].collect().toSeq)
+    // the hint itself must be present below / absent above the cap
+    // (Catalyst/AQE may still auto-broadcast the small side — that's
+    // the point: above the cap the ENGINE decides from byte sizes,
+    // we no longer force it)
+    assert(hinted.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"),
+      "under the cap the key side must carry an explicit broadcast hint")
+    assert(!fallback.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"),
+      "over the cap no broadcast hint may be forced")
+  }
+
   test("renameColumns maps listed names, passes others through") {
     val df  = Seq((1, "a", true)).toDF("c1", "c2", "c3")
     val got = Etl.renameColumns(df, Map("c1" -> "id", "c3" -> "flag"))

@@ -68,6 +68,22 @@ class TextAnalysisSpec extends SparkSpec {
       s"alien doc must score lowest: ${scores.toSeq}")
   }
 
+  test("charLmScore: over-cap vocabulary drops the broadcast hints, keeps scores") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val hinted   = TextAnalysis.charLmScore(d, "doc_id", "text")
+    val fallback = TextAnalysis.charLmScore(d, "doc_id", "text", maxBroadcastVocab = 1)
+    assert(fallback.orderBy("doc_id").select("n_bigrams", "avg_logprob")
+             .as[(Long, Double)].collect().toSeq ==
+           hinted.orderBy("doc_id").select("n_bigrams", "avg_logprob")
+             .as[(Long, Double)].collect().toSeq)
+    assert(hinted.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"),
+      "small vocab must carry explicit broadcast hints")
+    assert(!fallback.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"),
+      "over-cap vocab must leave the join strategy to the engine")
+  }
+
   test("pii redaction replaces emails/ips/phones and counts them") {
     val d = Seq(
       (1L, "contact bob@example.com or 10.0.0.1 or +1 (555) 123-4567 now"),
