@@ -890,6 +890,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey").cast("long"))
     }),
 
+    // permissive extra-column mode (reference etl.py:201,204-207 — the
+    // server spills __metadata on every row; from_records unions it
+    // into the output, employee_data.csv:1-2): extraColumns=map lands
+    // undeclared fields in a map column, here stringified through R8
+    // so the oracle checks the exact JSON-text payload. The default
+    // mode dropping the same spill is proven by odata_scan against
+    // the SAME stub.
+    "odata_extra_columns" -> ((s, dir) => {
+      import graft.sources.odata.testkit.ODataSelfServe
+      Etl.stringifyNested(
+        ODataSelfServe.extrasScan(s, dir)
+          .select(
+            col("O_ORDERKEY").as("o_orderkey"),
+            col("O_STATUS").as("o_orderstatus"),
+            col("_extra").as("extra")))
+        .orderBy(col("o_orderkey").cast("long"))
+    }),
+
     // ================= file sinks (K1) =============================
     // write-then-read-back through the real sink: header, overwrite,
     // single file; values must round-trip bit-exactly (CSV doubles via
@@ -1760,6 +1778,19 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
         | o_orderpriority FROM orders
         | WHERE o_orderkey < 200 AND o_orderpriority <> '3-MEDIUM'
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the stub's __metadata is deterministic per key, so the oracle
+    // rebuilds the exact to_json(map) text: the map has exactly one
+    // key and its value is the nested object's compact JSON (inner
+    // quotes escaped by the outer stringify)
+    "odata_extra_columns" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | '{"__metadata":"' ||
+        |   replace('{"uri":"Orders(''' || o_orderkey || ''')","type":"sapbyd.Orders"}',
+        |           '"', '\"') ||
+        | '"}' AS extra
+        | FROM orders WHERE o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,
 
     "etl_csv_roundtrip" ->

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedRe
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -55,8 +55,17 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ODataOptions(options)
     val structureField = ODataSchema.detectStructureField(opts)
-    StructType(
-      (opts.selectFields ++ structureField).map(f => StructField(f, StringType, nullable = true)))
+    val declared =
+      (opts.selectFields ++ structureField).map(f => StructField(f, StringType, nullable = true))
+    // permissive mode (reference etl.py:201,204-207 — from_records
+    // unions keys across records, so server-spilled fields like
+    // __metadata survive): undeclared fields land in one map column
+    val extras =
+      if (opts.extrasEnabled)
+        Seq(StructField(opts.extraColumnName,
+          MapType(StringType, StringType, valueContainsNull = true), nullable = true))
+      else Nil
+    StructType(declared ++ extras)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -291,6 +300,14 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
 
   private val structureField = partition.structureField
 
+  /** Fields the user DECLARED (select list + any structure candidate):
+    * in `extraColumns=map` mode, everything else the server returns
+    * lands in the extras map. Candidates count as declared so a
+    * detected structure column never duplicates into the map.
+    */
+  private val declaredFields: Set[String] =
+    (opts.selectFields ++ opts.structureCandidates).toSet
+
   private def odataEscape(s: String): String = s.replace("'", "''")
 
   // queue of structure values this task owns; None = one unfiltered chain
@@ -308,8 +325,14 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
       structureValue.toSeq.flatMap(v => structureField.map(f => s"$f eq '${odataEscape(v)}'")) ++
         pushedEq.filter { case (k, _) => !structureValue.isDefined || !structureField.contains(k) }
           .map { case (k, v) => s"$k eq '${odataEscape(v)}'" }
-    val params = Seq(
-      "$select" -> schema.fieldNames.mkString(","),
+    // the extras map is not a server-side field — it must never appear
+    // in $select. If pruning left ONLY the extras column, omit $select
+    // entirely (the server then returns every field, which is exactly
+    // what an extras-only projection asks for).
+    val selectList = schema.fieldNames.toSeq
+      .filterNot(f => opts.extrasEnabled && f == opts.extraColumnName)
+    val params = (
+      if (selectList.nonEmpty) Seq("$select" -> selectList.mkString(",")) else Nil) ++ Seq(
       // $top caps the ENTIRE chain in OData (the server keeps it across
       // $skiptoken pages), so a pushed limit must travel UNCLAMPED — a
       // min() with pageSize would truncate a top-5000 to pageSize rows
@@ -365,8 +388,23 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     if (advance()) { current = rows.next(); true } else false
 
   override def get(): InternalRow =
-    InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map { f =>
-      current.get(f).filter(_ != null).map(UTF8String.fromString).orNull
+    InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map {
+      case f if opts.extrasEnabled && f == opts.extraColumnName =>
+        // every server-returned field the user did not declare, in
+        // sorted key order (deterministic map layout → deterministic
+        // to_json downstream). Values carry parsePage's stringify:
+        // scalars as text, nested objects as their JSON text.
+        val extras = current.iterator
+          .filter { case (k, _) => !declaredFields.contains(k) }
+          .toArray.sortBy(_._1)
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            extras.map(e => UTF8String.fromString(e._1): Any)),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            extras.map(e =>
+              Option(e._2).map(UTF8String.fromString).orNull: Any)))
+      case f =>
+        current.get(f).filter(_ != null).map(UTF8String.fromString).orNull
     })
 
   override def close(): Unit = ()

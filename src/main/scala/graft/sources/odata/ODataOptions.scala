@@ -39,6 +39,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                     count at high key cardinality and the global
   *                     concurrent-request pressure on the service
   *                     (SURVEY §7.4 risk 4)
+  * @param extraColumns permissive-schema mode for servers that return
+  *                     MORE fields than `$select` asked for (real ByD
+  *                     tenants do — the reference's pandas
+  *                     `from_records` unions keys across records, so
+  *                     spilled fields like `__metadata` land in its
+  *                     CSV, etl.py:201,204-207 and
+  *                     data/employee_data.csv:1). `none` (default)
+  *                     keeps the declared schema and drops extras;
+  *                     `map` appends a `map<string,string>` column
+  *                     ([[extraColumnName]]) holding every undeclared
+  *                     field (nested objects as their JSON text, the
+  *                     same stringify the declared columns use)
+  * @param extraColumnName name of the extras map column (default
+  *                     `_extra`); only read when `extraColumns=map`
   */
 case class ODataOptions(
     baseUrl: String,
@@ -56,7 +70,9 @@ case class ODataOptions(
     maxPartitions: Int,
     maxRetries: Int,
     retryBackoffMs: Long,
-    pushDownTopN: Boolean) {
+    pushDownTopN: Boolean,
+    extraColumns: String,
+    extraColumnName: String) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -64,6 +80,8 @@ case class ODataOptions(
     val p = servicePath.replaceAll("^/+|/+$", "")
     s"$b/$p/${e.replaceAll("^/+", "")}"
   }
+
+  def extrasEnabled: Boolean = extraColumns == "map"
 }
 
 object ODataOptions {
@@ -96,6 +114,12 @@ object ODataOptions {
       maxPartitions = m.getOrElse("maxPartitions", "1000").toInt,
       maxRetries = m.getOrElse("maxRetries", "0").toInt,
       retryBackoffMs = m.getOrElse("retryBackoffMs", "100").toLong,
-      pushDownTopN = m.getOrElse("pushDownTopN", "true").toBoolean)
+      pushDownTopN = m.getOrElse("pushDownTopN", "true").toBoolean,
+      extraColumns = m.getOrElse("extraColumns", "none") match {
+        case v @ ("none" | "map") => v
+        case other => throw new IllegalArgumentException(
+          s"odata source: extraColumns must be 'none' or 'map', got '$other'")
+      },
+      extraColumnName = m.getOrElse("extraColumnName", "_extra"))
   }
 }

@@ -30,10 +30,18 @@ object ODataSelfServe {
         .map(r => Map(
           "O_ORDERKEY" -> r.getString(0),
           "O_STATUS" -> r.getString(1),
-          "O_PRIORITY" -> r.getString(2)))
+          "O_PRIORITY" -> r.getString(2),
+          // the ByD-shaped spill: a nested object served on EVERY row
+          // regardless of $select (reference employee_data.csv:1-2
+          // carries exactly this column). Deterministic per key so the
+          // oracle can reproduce it.
+          "__metadata" ->
+            s"""{"uri": "Orders('${r.getString(0)}')", "type": "sapbyd.Orders"}"""))
         .toSeq
       new ODataStubServer(rows, "O_PRIORITY",
-        badCandidates = Set("OBAD_STRUCT"), serverPageSize = 50).start()
+        badCandidates = Set("OBAD_STRUCT"), serverPageSize = 50,
+        extraServedFields = Seq("__metadata"),
+        rawJsonFields = Set("__metadata")).start()
     })
 
   /** Read the slice through the full connector path. */
@@ -51,6 +59,25 @@ object ODataSelfServe {
         col("O_STATUS").as("o_orderstatus"),
         col("O_PRIORITY").as("o_orderpriority"))
       .orderBy(col("o_orderkey").cast("long"))
+  }
+
+  /** The SAME stub (which spills `__metadata` on every row — [[scan]]
+    * proves the default mode drops it), read with `extraColumns=map`:
+    * undeclared server fields survive into the `_extra` map column,
+    * nested objects as their JSON text — the reference's
+    * pandas-from_records schema-union behavior (etl.py:201,204-207),
+    * option-gated.
+    */
+  def extrasScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("extraColumns", "map")
+      .load()
   }
 
   // second stub, same slice, but the 3-MEDIUM value chain is poisoned

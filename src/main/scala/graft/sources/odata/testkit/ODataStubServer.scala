@@ -20,7 +20,10 @@ class ODataStubServer(
     requireAuth: Option[(String, String)] = None,
     failValues: Set[String] = Set.empty,
     transientFailures: Int = 0,    // first N data requests 503, then succeed
-    rateLimitFirst: Int = 0) {     // first N data requests 429 + Retry-After, then succeed
+    rateLimitFirst: Int = 0,       // first N data requests 429 + Retry-After, then succeed
+    extraServedFields: Seq[String] = Nil, // served on EVERY row regardless of $select
+                                          // (real ByD tenants spill __metadata this way)
+    rawJsonFields: Set[String] = Set.empty) { // row values emitted as raw JSON, not strings
 
   private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
   private val rateLimitLeft = new java.util.concurrent.atomic.AtomicInteger(rateLimitFirst)
@@ -38,7 +41,11 @@ class ODataStubServer(
     } + "\""
 
   private def rowJson(r: Map[String, String], select: Seq[String]): String =
-    select.flatMap(f => r.get(f).map(v => s"${jsonStr(f)}: ${jsonStr(v)}"))
+    (select ++ extraServedFields).distinct
+      .flatMap(f => r.get(f).map { v =>
+        val cell = if (rawJsonFields.contains(f)) v else jsonStr(v)
+        s"${jsonStr(f)}: $cell"
+      })
       .mkString("{", ", ", "}")
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {

@@ -255,6 +255,72 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("extraColumns=map surfaces undeclared server fields; default drops them") {
+    // the server spills __metadata (a nested object) and a scalar
+    // C0EXTRA on every row, neither declared in selectFields
+    val rows = (0 until 4).map { i =>
+      Map(
+        "TEMPLOYEE_UUID" -> s"Employee $i",
+        "CEMPLOYEE_UUID" -> i.toString,
+        "KCLEAVERS" -> "1",
+        "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}",
+        "C0EXTRA" -> s"x$i",
+        "__metadata" -> s"""{"uri": "E($i)", "type": "sapbyd.T"}""")
+    }
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE",
+      extraServedFields = Seq("__metadata", "C0EXTRA"),
+      rawJsonFields = Set("__metadata")).start()
+    try {
+      // default mode: declared schema only, spill dropped
+      val plain = read(srv)
+      assert(plain.columns.toSeq ==
+        Seq("TEMPLOYEE_UUID", "CEMPLOYEE_UUID", "KCLEAVERS", "C0CHAR_STRUCTURE"))
+
+      // map mode: both undeclared fields in _extra, nested object as
+      // compact JSON text (parsePage stringify), keys sorted
+      val permissive = read(srv, Map("extraColumns" -> "map"))
+      assert(permissive.columns.toSeq ==
+        Seq("TEMPLOYEE_UUID", "CEMPLOYEE_UUID", "KCLEAVERS", "C0CHAR_STRUCTURE", "_extra"))
+      val got = permissive
+        .select(col("CEMPLOYEE_UUID"), col("_extra"))
+        .as[(String, Map[String, String])].collect().toMap
+      assert(got("2") == Map(
+        "C0EXTRA" -> "x2",
+        "__metadata" -> """{"uri":"E(2)","type":"sapbyd.T"}"""))
+
+      // structure candidates count as declared — never duplicated
+      // into the map even though the server returns the column
+      assert(got.values.forall(m => !m.contains("C0CHAR_STRUCTURE")))
+    } finally srv.stop()
+  }
+
+  test("extras map prunes away when not selected; extras-only projection still works") {
+    val rows = (0 until 3).map(i => Map(
+      "TEMPLOYEE_UUID" -> s"E$i", "CEMPLOYEE_UUID" -> i.toString,
+      "KCLEAVERS" -> "1", "C0CHAR_STRUCTURE" -> "S0", "C0EXTRA" -> s"x$i"))
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE",
+      extraServedFields = Seq("C0EXTRA")).start()
+    try {
+      val df = read(srv, Map("extraColumns" -> "map"))
+      // declared-only projection: _extra pruned, never on the wire
+      assert(df.select("CEMPLOYEE_UUID").as[String].collect().toSet == Set("0", "1", "2"))
+      // extras-only projection: $select omitted, map still populated
+      val extras = df.select(element_at(col("_extra"), "C0EXTRA"))
+        .as[String].collect().toSet
+      assert(extras == Set("x0", "x1", "x2"))
+    } finally srv.stop()
+  }
+
+  test("invalid extraColumns value is rejected") {
+    val srv = new ODataStubServer(mkRows(2), "C0CHAR_STRUCTURE").start()
+    try {
+      val e = intercept[Exception] {
+        read(srv, Map("extraColumns" -> "union")).collect()
+      }
+      assert(e.getMessage.contains("extraColumns"))
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
