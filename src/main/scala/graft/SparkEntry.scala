@@ -25,6 +25,11 @@ object SparkEntry {
   private val lakeMinDate =
     new java.util.concurrent.ConcurrentHashMap[String, java.sql.Date]()
 
+  /** Unique memory-sink names for repeated `events_funnel_stream`
+    * invocations in one JVM (bench warm + timed runs).
+    */
+  private val funnelStreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Flagship: the reference's full ETL chain (SURVEY §2.3 R1–R9) on
     * the orders table — distinct-key restriction, rename, reorder,
     * stringify+dedup. Driver smoke-checks rows > 0 at sf0.001.
@@ -965,6 +970,32 @@ object SparkEntry {
       Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // the STREAMING funnel (flatMapGroupsWithState custom keyed state,
+    // streaming/StreamingEvents.funnelState) driven over the bounded
+    // events fixture to completion: one emitted row per step advance,
+    // max(step) per user must equal the batch funnel — same oracle SQL.
+    // This gates the stateful streaming path itself, not just its spec.
+    "events_funnel_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      val src = new java.io.File(s"$dir/events.parquet")
+      // file streams read a DIRECTORY; stage the fixture once per
+      // (JVM, source mtime)
+      val streamDir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      if (!new java.io.File(streamDir, "events.parquet").exists()) {
+        streamDir.mkdirs()
+        java.nio.file.Files.copy(src.toPath, streamDir.toPath.resolve("events.parquet"))
+      }
+      val hits = StreamingEvents.runToCompletion(s,
+        StreamingEvents.funnelState(
+          StreamingEvents.readEvents(s, streamDir.toString),
+          Seq("view", "click", "purchase")),
+        s"events_funnel_stream_${funnelStreamSeq.incrementAndGet()}")
+      hits.groupBy("user_id")
+        .agg(max(col("reached_step")).as("reached_step"))
+        .orderBy("user_id")
+    }),
+
     "events_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"), maxDays = 30)
         .orderBy("cohort_date", "day_offset")),
@@ -1838,6 +1869,21 @@ object SparkEntry {
         | FROM events ORDER BY event_id""".stripMargin,
 
     "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        | SELECT s1.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached_step
+        | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        | ORDER BY s1.user_id""".stripMargin,
+
+    // identical oracle to events_funnel: the streaming twin must land
+    // on the same final per-user step table
+    "events_funnel_stream" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
         | s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
