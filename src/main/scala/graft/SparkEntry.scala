@@ -724,6 +724,29 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // recall of the TRAINED IVF index (2 Lloyd iterations refine the
+    // hash-seeded centroids before the one-time assignment) against
+    // the exact brute-force top-k. Both sides carry full oracles —
+    // the training replay is iterated CTEs (the cluster_kmeans_n
+    // technique), so the recall number itself is oracle-exact, not
+    // just spec-asserted. Hash-seeded centroids are a sample, not a
+    // quantizer; cell quality is what recall hinges on at 100 TB.
+    "sim_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_trained_${math.abs(dir.hashCode)}_$src"
+      Similarity.ensureIvfIndex(e, "vec_id", "embedding", path, numCells = 16, trainIters = 2)
+      val ivf = Similarity.ivfTopKIndexed(path, q, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      exact.join(ivf, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     "cluster_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansIteration(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8).orderBy("cell_id", "dim")),
@@ -1507,6 +1530,92 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfSql,
 
     "sim_ivf_indexed" -> ivfSql,
+
+    // trained-IVF recall: replay the 2 Lloyd training iterations as
+    // iterated CTEs (cen0 → asg1/m1 → cen1 → asg2/m2 → cen2, the
+    // cluster_kmeans_n technique at numCells=16), then the IVF
+    // assignment/probe/top-k with the trained centroids, then recall
+    // vs the exact top-k — every stage engine-neutral by the same
+    // rounding discipline as the other vector oracles
+    "sim_ivf_recall" ->
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | cen0 AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 16)),
+        | asg1 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen0.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec, cen0.centroid), 6) DESC,
+        |      cen0.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen0)
+        |  WHERE rn = 1),
+        | m1 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg1, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen1 AS (SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |          FROM m1 GROUP BY cell_id),
+        | asg2 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen1.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec, cen1.centroid), 6) DESC,
+        |      cen1.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen1)
+        |  WHERE rn = 1),
+        | m2 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg2, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen2 AS (SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |          FROM m2 GROUP BY cell_id),
+        | asg AS (
+        |  SELECT id AS corpus_id, cell_id FROM (
+        |   SELECT c.id, cen2.cell_id,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec, cen2.centroid), 6) DESC,
+        |      cen2.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen2)
+        |  WHERE rn = 1),
+        | qc AS (
+        |  SELECT query_id, cell_id FROM (
+        |   SELECT q.vec_id AS query_id, cen2.cell_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_cosine_similarity(q.embedding::DOUBLE[], cen2.centroid), 6) DESC,
+        |      cen2.cell_id) AS crnk
+        |   FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cen2)
+        |  WHERE crnk <= 4),
+        | cand AS (
+        |  SELECT DISTINCT qc.query_id, a.corpus_id
+        |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
+        |  WHERE a.corpus_id <> qc.query_id),
+        | scored AS (
+        |  SELECT query_id, corpus_id,
+        |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = corpus_id
+        |  JOIN embeddings qe ON qe.vec_id = query_id),
+        | ivf AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, corpus_id) AS rnk FROM scored)
+        |  WHERE rnk <= 5),
+        | ex AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.vec_id AS query_id, cc.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(cc.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |               cc.vec_id) AS rnk
+        |   FROM embeddings cc, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |   WHERE cc.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5)
+        | SELECT ex.query_id,
+        |  round(sum(CASE WHEN ivf.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+        | FROM ex LEFT JOIN ivf
+        |   ON ex.query_id = ivf.query_id AND ex.corpus_id = ivf.corpus_id
+        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
 
     "sim_topk" ->
       """SELECT query_id, corpus_id, score, rnk FROM (

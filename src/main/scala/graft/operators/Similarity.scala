@@ -162,28 +162,44 @@ object Similarity {
     var means: DataFrame = null
     var it = 0
     for (_ <- 0 until iters) {
-      val assigned = c.join(broadcast(centroids), lit(true))
-        .withColumn("csim", round(
-          cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
-        .groupBy(col("id"))
-        .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
-             first(col("vec")).as("vec"))
-      means = assigned
-        .select(col("cell_id"), posexplode(col("vec")))
-        .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("dim"))
-        .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
-      // rebuild centroid vectors from the (cell, dim) means — numCells
-      // rows, so the collect_list aggregate is constant-size
-      centroids = means
-        .groupBy("cell_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("dm"))
-        .select(col("cell_id"),
-                transform(col("dm"), x => x.getField("mean_val")).as("centroid"))
-        .withColumn("ctrnrm", l2Norm(col("centroid")))
+      val (m, next) = lloydStep(c, centroids)
+      means = m
+      centroids = next
       it += 1
       if (it % checkpointEvery == 0 && it < iters) centroids = centroids.localCheckpoint()
     }
     means
+  }
+
+  /** One Lloyd step over `c` (id, vec, nrm): argmax-cosine assignment
+    * (rounded to 6 BEFORE the argmax, ties to the greatest cell_id) →
+    * per-(cell, dim) means rounded to 6 → rebuilt centroid table.
+    * The iteration-boundary rounding keeps the chain reproducible
+    * cross-engine; shared by [[kmeansIterations]] and IVF training so
+    * both paths are the SAME audited arithmetic. Returns
+    * (means(cell_id, dim, mean_val), centroids(cell_id, centroid,
+    * ctrnrm)); cells that lose all members disappear from both.
+    */
+  private def lloydStep(c: DataFrame, centroids: DataFrame): (DataFrame, DataFrame) = {
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy(col("id"))
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+           first(col("vec")).as("vec"))
+    val means = assigned
+      .select(col("cell_id"), posexplode(col("vec")))
+      .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
+    // rebuild centroid vectors from the (cell, dim) means — numCells
+    // rows, so the collect_list aggregate is constant-size
+    val next = means
+      .groupBy("cell_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("dm"))
+      .select(col("cell_id"),
+              transform(col("dm"), x => x.getField("mean_val")).as("centroid"))
+      .withColumn("ctrnrm", l2Norm(col("centroid")))
+    (means, next)
   }
 
   /** IVF-style ANN: deterministic coarse quantizer (centroids = a
@@ -251,12 +267,19 @@ object Similarity {
     * parquet-partition-pruning analogue of an ANN index.
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    path: String, numCells: Int = 16): Unit = {
+                    path: String, numCells: Int = 16,
+                    trainIters: Int = 0): Unit = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .withColumn("cnrm", l2Norm(col("cvec")))
-    val centroids = seedCentroids(
-      c.select(col("corpus_id").as("id"), col("cvec").as("vec"), col("cnrm").as("nrm")),
-      "id", numCells)
+    val trainC = c.select(col("corpus_id").as("id"), col("cvec").as("vec"),
+                          col("cnrm").as("nrm"))
+    // hash-seeded centroids are a SAMPLE, not a quantizer: recall at
+    // scale hinges on cell quality, so `trainIters` Lloyd iterations
+    // (the same audited [[lloydStep]] arithmetic as kmeansIterations,
+    // oracle-replayable as iterated CTEs) refine them before the
+    // one-time assignment. trainIters=0 keeps the seeded quantizer.
+    var centroids = seedCentroids(trainC, "id", numCells)
+    for (_ <- 0 until trainIters) centroids = lloydStep(trainC, centroids)._2
     val cCells = c.join(broadcast(centroids), lit(true))
       .withColumn("csim", round(
         cosineFromParts(dot(col("cvec"), col("centroid")), col("cnrm"), col("ctrnrm")), 6))
@@ -275,9 +298,10 @@ object Similarity {
     * directory to force a rebuild.
     */
   def ensureIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                     path: String, numCells: Int = 16): Unit = {
+                     path: String, numCells: Int = 16,
+                     trainIters: Int = 0): Unit = {
     val marker = new java.io.File(s"${path}_centroids/_SUCCESS")
-    if (!marker.exists()) writeIvfIndex(corpus, idCol, vecCol, path, numCells)
+    if (!marker.exists()) writeIvfIndex(corpus, idCol, vecCol, path, numCells, trainIters)
   }
 
   /** ANN top-k against a materialized [[writeIvfIndex]] index: rank

@@ -116,6 +116,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall < 1.0, s"recall $recall == 1 means the gate is back in the structural regime")
   }
 
+  test("trained IVF index: Lloyd iterations move the quantizer, queries stay well-formed") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 6)
+    val seeded  = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_seeded"
+    val trained = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_trained"
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", seeded, numCells = 8)
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", trained, numCells = 8, trainIters = 2)
+    // training must actually move the centroids (raw sample → means)
+    // seeded centroids are raw float vectors, trained are rounded
+    // doubles — compare in double
+    val c0 = spark.read.parquet(s"${seeded}_centroids")
+      .select(col("cell_id"), col("centroid").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val c2 = spark.read.parquet(s"${trained}_centroids")
+      .select(col("cell_id"), col("centroid").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(c0 != c2, "2 Lloyd iterations must refine the seeded sample")
+    // and the trained index still answers exactly k rows per query
+    val got = Similarity.ivfTopKIndexed(trained, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.length == 30 && got.forall { case (qq, c, _, _) => qq != c })
+    // trained cells cover the corpus: every corpus vector is in the index
+    assert(spark.read.parquet(trained).count() == e.count())
+  }
+
   test("materialized IVF index returns exactly the in-memory IVF result") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.where(col("vec_id") < 6)
