@@ -309,6 +309,24 @@ object SparkEntry {
       Etl.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // column-level twin of etl_snapshot_diff: WHICH non-key columns
+    // differ per changed key (the consumer's follow-up question).
+    // Deterministic snapshots again, with a second mutated column
+    // (status flip on keys ≡0 mod 11) so changed_columns carries
+    // one-column, other-column, and two-column values.
+    "etl_snapshot_diff_cols" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")))
+      Etl.snapshotDiffDetail(oldSnap, newSnap, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
     // date-partitioned event-lake layout: written once per JVM
     // partitioned by event_date, then a date-bounded read that
     // partition-prunes (spec-guarded) — the storage shape + query
@@ -1098,6 +1116,40 @@ object SparkEntry {
         |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
         |       WHEN n.o_orderkey IS NULL THEN 'removed'
         |       ELSE 'changed' END AS change
+        | FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+        | WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |    OR o.o_orderstatus <> n.o_orderstatus
+        |    OR o.o_orderpriority <> n.o_orderpriority
+        |    OR o.o_totalprice <> n.o_totalprice
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // changed_columns list order = sorted column names (priority <
+    // status < totalprice), matching the Spark side's nonKey.sorted
+    "etl_snapshot_diff_cols" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        | old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        | new AS (
+        |  SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |   o_orderpriority,
+        |   CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.1, 2)
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 3 <> 0)
+        | SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN NULL
+        |   ELSE array_to_string(list_filter([
+        |     CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |          THEN 'o_orderpriority' END,
+        |     CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |          THEN 'o_orderstatus' END,
+        |     CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |          THEN 'o_totalprice' END],
+        |     x -> x IS NOT NULL), ',') END AS changed_columns
         | FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
         | WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
         |    OR o.o_orderstatus <> n.o_orderstatus

@@ -192,4 +192,38 @@ object Etl {
       .where(col("change").isNotNull)
       .select(keyCols.map(col) :+ col("change"): _*)
   }
+
+  /** [[snapshotDiff]] plus WHICH non-key columns differ — the question
+    * a consumer asks right after "what changed". `changed_columns` is
+    * the comma-joined, name-sorted list of differing columns
+    * (null-safe compare) for `changed` rows; NULL for added/removed.
+    *
+    * Scale shape: the cheap fingerprint diff runs first and only its
+    * `changed` KEYS (a tiny set next to the snapshots) pull wide rows
+    * back through the column-compare join — diffing two 100 TB
+    * snapshots still moves fingerprints, plus |changed| full rows,
+    * never the snapshots.
+    */
+  def snapshotDiffDetail(oldSnap: DataFrame, newSnap: DataFrame,
+                         keyCols: Seq[String]): DataFrame = {
+    val base = snapshotDiff(oldSnap, newSnap, keyCols)
+    val nonKey = oldSnap.columns.filterNot(keyCols.contains).toSeq.sorted
+    val changedKeys = base.where(col("change") === "changed").select(keyCols.map(col): _*)
+    val o = oldSnap.join(changedKeys, keyCols, "left_semi")
+      .select(keyCols.map(col) ++ nonKey.map(c => col(c).as(s"_old_$c")): _*)
+    val n = newSnap.join(changedKeys, keyCols, "left_semi")
+      .select(keyCols.map(col) ++ nonKey.map(c => col(c).as(s"_new_$c")): _*)
+    val detail = o.join(n, keyCols)
+      .select(keyCols.map(col) :+
+        array_join(
+          filter(
+            array(nonKey.map(c =>
+              when(!(col(s"_old_$c") <=> col(s"_new_$c")), lit(c))): _*),
+            x => x.isNotNull),
+          ",").as("_changed_cols"): _*)
+    base.join(detail, keyCols, "left")
+      .select(keyCols.map(col) :+ col("change") :+
+        when(col("change") === "changed", col("_changed_cols"))
+          .as("changed_columns"): _*)
+  }
 }

@@ -140,6 +140,21 @@ class EtlSpec extends SparkSpec {
     assert(Etl.snapshotDiff(oldSnap, reordered, Seq("k")).count() == 0)
   }
 
+  test("snapshotDiffDetail names exactly the differing non-key columns") {
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0))
+      .toDF("k", "s", "v")
+    val newSnap = Seq((2L, "B", 20.0), (3L, "c", 31.0), (4L, "d", 40.0), (5L, "E", 55.0))
+      .toDF("k", "s", "v")
+    val got = Etl.snapshotDiffDetail(oldSnap, newSnap, Seq("k"))
+      .orderBy("k").as[(Long, String, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, "removed", None),
+      (2L, "changed", Some("s")),
+      (3L, "changed", Some("v")),
+      (4L, "added", None),
+      (5L, "changed", Some("s,v"))))
+  }
+
   test("writeJsonl round-trips nested struct columns losslessly") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25))
