@@ -863,6 +863,28 @@ object SparkEntry {
       TextAnalysis.charLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher-style repetition filter signals: duplicate-3-gram ratio
+    // + most-repeated-gram share (the looping/template-text catch)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: training docs sharing any 3-gram with
+    // the (deterministic doc_id % 17 = 0 slice as the) benchmark set
+    "text_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.contaminationFlags(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // corpus-wide vocabulary top-k (term + doc frequency) — global
+    // top-k as TakeOrderedAndProject, ranks on the k survivors only
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 20)
+        .orderBy("rnk")),
+
     // end-to-end training-data prep: whole-row dedup → quality +
     // langid (both map-only over the deduped set) → keep good English
     // docs. The join is doc_id-keyed (high-cardinality shuffle, AQE
@@ -1914,6 +1936,47 @@ object SparkEntry {
         | FROM tok JOIN c2 USING (bg)
         | JOIN c1 ON substr(tok.bg, 1, 1) = c1.ch
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // multiset 3-grams (NO distinct — repetition needs every
+    // occurrence), same window construction as the jaccard oracles
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        | g AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+        | c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ratio,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_gram_share
+        | FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+        | b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        | tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 0),
+        | szs AS (SELECT doc_id, count(*) AS n_g FROM tr GROUP BY 1),
+        | hits AS (SELECT tr.doc_id, count(*) AS n_hit
+        |          FROM tr JOIN b USING (s) GROUP BY 1)
+        | SELECT h.doc_id, CAST(n_hit AS BIGINT) AS n_hit,
+        |  round(n_hit / CAST(n_g AS DOUBLE), 6) AS contamination_ratio
+        | FROM hits h JOIN szs s ON h.doc_id = s.doc_id
+        | ORDER BY h.doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        | tf AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |        FROM tok GROUP BY 1)
+        | SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  row_number() OVER (ORDER BY tf DESC, term) AS rnk
+        | FROM tf ORDER BY rnk LIMIT 20""".stripMargin,
 
     "events_hopping_agg" ->
       s"""SELECT make_timestamp(((epoch_ms(ts) // 1800000) - i) * 1800000 * 1000)

@@ -80,6 +80,17 @@ object TextFunctions {
     array_distinct(regexp_extract_all(norm, lit(pat), lit(1)))
   }
 
+  /** Word n-gram MULTISET via the same codegen'd one-pass regex as
+    * [[wordShinglesFast]] but WITHOUT the distinct: repetition
+    * analysis needs every occurrence (a doc that repeats one 3-gram
+    * fifty times is exactly what the distinct form hides).
+    */
+  def wordNgramsFast(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    val pat = "(?:^| )(?=(\\S+" + " \\S+" * (n - 1) + "))"
+    regexp_extract_all(norm, lit(pat), lit(1))
+  }
+
   /** Character n-gram shingles (for fingerprinting / language ID).
     * Same short-input guard as [[wordShinglesFromTokens]]: without it,
     * sequence(0, -1) yields a descending [0, -1] and produces two

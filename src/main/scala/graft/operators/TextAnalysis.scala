@@ -264,6 +264,82 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("n_bigrams"), col("avg_logprob"))
   }
 
+  /** Gopher-style repetition signals per document: the fraction of
+    * duplicate word n-grams (`dup_ratio` = 1 − distinct/total) and the
+    * share of the single most repeated n-gram (`top_gram_share`) —
+    * the filters that catch looping/template text which length and
+    * punctuation heuristics miss. Docs with fewer than n tokens have
+    * no n-grams and drop out.
+    *
+    * Scale shape: one codegen'd n-gram pass + explode, then two hash
+    * aggregates ((doc, gram) then doc) — no per-row HOF counting, so
+    * a pathological million-token doc distributes instead of pinning
+    * one task on an interpreted array fold.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc"), explode(wordNgramsFast(col(textCol), n)).as("g"))
+      .groupBy("doc", "g").agg(count(lit(1)).as("c"))
+    grams.groupBy(col("doc"))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+           count(lit(1)).cast("long").as("n_distinct_grams"),
+           max(col("c")).as("top_c"))
+      .select(col("doc").as(idCol), col("n_grams"), col("n_distinct_grams"),
+              round(lit(1.0) - col("n_distinct_grams") / col("n_grams"), 6).as("dup_ratio"),
+              round(col("top_c") / col("n_grams"), 6).as("top_gram_share"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word n-gram with a benchmark/eval set — the pre-training hygiene
+    * step that keeps test data out of the corpus. Emits one row per
+    * CONTAMINATED doc with the overlapping-distinct-gram count and its
+    * share of the doc's distinct grams.
+    *
+    * Scale shape: the benchmark gram set is tiny next to the corpus
+    * (eval suites are fixed-size), so it aggregates to distinct grams
+    * and BROADCASTS; the training side streams through the join —
+    * one corpus pass, no corpus-side shuffle except the per-doc
+    * aggregate.
+    */
+  def contaminationFlags(train: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val tg = train
+      .select(col(idCol).as("doc"), wordShinglesFast(col(textCol), n).as("gs"))
+      .select(col("doc"), size(col("gs")).as("n_g"), explode(col("gs")).as("g"))
+    val bg = benchmark
+      .select(explode(wordShinglesFast(col(textCol), n)).as("g")).distinct()
+    tg.join(broadcast(bg), Seq("g"))
+      .groupBy(col("doc"), col("n_g"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc").as(idCol), col("n_hit"),
+              round(col("n_hit") / col("n_g"), 6).as("contamination_ratio"))
+  }
+
+  /** Corpus-wide vocabulary top-k: total term frequency and document
+    * frequency for the k most frequent (lowercased, whitespace)
+    * terms. The global top-k runs as orderBy+limit
+    * (TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    * never a single-partition global sort), and ranks are assigned on
+    * the ≤k-row survivor set via one sorted collect_list aggregate —
+    * the seedCentroids technique, so no global window appears at any
+    * corpus size.
+    */
+  def vocabTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc")).as("df"))
+    tf.orderBy(desc("tf"), asc("term")).limit(k)
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct((-col("tf")).as("negtf"), col("term"), col("tf"), col("df")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select(col("x.term").as("term"), col("x.tf").as("tf"), col("x.df").as("df"),
+              (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the normalized text (case/punct/ws-
     *    insensitive exact-dup key);

@@ -96,6 +96,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) == (("no pii here at all", 0L, 0L, 0L)))
   }
 
+  test("repetitionStats flags looping text, passes varied text") {
+    val d = Seq(
+      (1L, "buy now click here buy now click here buy now click here buy now click here"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "a b")).toDF("doc_id", "text") // < 3 tokens → no grams → absent
+    val got = TextAnalysis.repetitionStats(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_ratio", "top_gram_share")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got(0)._2 > 0.5, s"looping doc must show high dup ratio: ${got(0)}")
+    assert(got(1)._2 == 0.0, s"varied doc has no duplicate 3-grams: ${got(1)}")
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("contaminationFlags finds docs overlapping the benchmark, scores the share") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // contains benchmark 3-gram
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma zeta")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationFlags(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 1 has 3 distinct 3-grams, exactly one ("alpha beta gamma") in the benchmark
+    assert(got == Seq((1L, 1L, 0.333333)))
+  }
+
+  test("vocabTopTerms ranks by total frequency with doc frequency carried") {
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry"),
+      (3L, "banana apple")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTopTerms(d, "doc_id", "text", k = 2)
+      .orderBy("rnk").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("apple", 4L, 3L, 1L), ("banana", 2L, 2L, 2L)))
+  }
+
   test("packTokenBudget: packs respect the budget boundary within a shard") {
     // single shard (nShards=1) so the packing order is just doc_id
     val d = Seq(
