@@ -395,6 +395,20 @@ object SparkEntry {
 
     "topk_customers" -> ((s, dir) => Analytics.topCustomers(t(s, dir, "orders"), 10)),
 
+    // Q6-shaped pure filter-aggregate (all predicates at the scan)
+    "agg_revenue_forecast" -> ((s, dir) =>
+      Analytics.revenueForecast(t(s, dir, "lineitem"),
+        minDiscount = 0.05, maxDiscount = 0.07, maxQty = 24.0)),
+
+    // Q14-shaped conditional-aggregate-over-join promo share
+    "agg_promo_share" -> ((s, dir) =>
+      Analytics.promoRevenueShare(t(s, dir, "lineitem"), t(s, dir, "part"))),
+
+    // Q15-shaped max-revenue supplier (exact scaled-long max, ties kept)
+    "join_top_supplier" -> ((s, dir) =>
+      Analytics.topSupplierRevenue(t(s, dir, "supplier"), t(s, dir, "lineitem"),
+        shipYear = 1996)),
+
     "window_lag_lead" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -703,6 +717,29 @@ object SparkEntry {
         t(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", threshold = 0.25, nbits = 4, numTables = 16)
         .orderBy("id_a", "id_b")),
+
+    // the STREAMING near-dup twin driven through the gate (like
+    // events_funnel_stream): per-(table, bucket) keyed state over the
+    // bounded restricted corpus, emitted pairs deduped (emission is
+    // at-least-once across tables) — oracle identical to
+    // dedup_embedding_lsh, so stream-equals-batch is hash-checked.
+    "dedup_embedding_stream" -> ((s, dir) => {
+      import graft.streaming.{StreamingDedup, StreamingEvents}
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_emb_stream_${math.abs(dir.hashCode)}_${src.lastModified()}"
+      if (!new java.io.File(s"$streamDir/_SUCCESS").exists())
+        t(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
+          .write.mode("overwrite").parquet(streamDir)
+      val stream = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(streamDir)
+      StreamingEvents.runToCompletion(s,
+        StreamingDedup.embeddingPairsStream(stream, "vec_id", "embedding",
+          threshold = 0.25, nbits = 4, numTables = 16, stateTtl = None),
+        s"dedup_embedding_stream_${funnelStreamSeq.incrementAndGet()}")
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
 
     // ================= similarity search ===========================
     "sim_topk" -> ((s, dir) => {
@@ -1287,6 +1324,35 @@ object SparkEntry {
          | FROM orders GROUP BY o_custkey
          | ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
 
+    "agg_revenue_forecast" ->
+      s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         | ${msum("l_extendedprice*l_discount", 4)} AS forecast_revenue,
+         | count(*) AS n_items
+         | FROM lineitem
+         | WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         | GROUP BY 1 ORDER BY ship_year""".stripMargin,
+
+    "agg_promo_share" ->
+      s"""SELECT ship_year,
+         | round(100.0 * promo_revenue / total_revenue, 6) AS promo_share,
+         | promo_revenue, total_revenue FROM (
+         | SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  ${msum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END", 4)} AS promo_revenue,
+         |  ${msum("l_extendedprice*(1-l_discount)", 4)} AS total_revenue
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | GROUP BY 1)
+         | ORDER BY ship_year""".stripMargin,
+
+    "join_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS r4
+        | FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
+        | SELECT s_suppkey, s_name, r4/10000.0 AS total_revenue
+        | FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE r4 = (SELECT max(r4) FROM rev)
+        | ORDER BY s_suppkey""".stripMargin,
+
     "agg_distinct_counts" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_orderkey) AS n_orders,
@@ -1567,6 +1633,25 @@ object SparkEntry {
         | WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bkt a JOIN bkt b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+         | SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b,
+         |   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b)
+         | WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    // stream-equals-batch, hash-checked: same oracle construction as
+    // dedup_embedding_lsh (the streaming twin must land on the exact
+    // batch pair set on bounded input)
+    "dedup_embedding_stream" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
          |           FROM embeddings WHERE vec_id % 10 = 0),
          | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),

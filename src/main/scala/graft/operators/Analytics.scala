@@ -189,6 +189,64 @@ object Analytics {
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(k)
 
+  /** TPC-H Q6-shaped revenue forecast: the pure filter-aggregate —
+    * every predicate (discount band, quantity cap) pushes to the
+    * parquet scan, then one exact scaled-long sum per ship year.
+    * The simplest shape there is, and the one where a lost pushdown
+    * is most visible: the scan should read 3 columns and skip rows
+    * before any operator runs.
+    */
+  def revenueForecast(lineitem: DataFrame, minDiscount: Double,
+                      maxDiscount: Double, maxQty: Double): DataFrame =
+    lineitem
+      .where(col("l_discount").between(minDiscount, maxDiscount) &&
+             col("l_quantity") < maxQty)
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"), 4).as("forecast_revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("ship_year")
+
+  /** TPC-H Q14-shaped promo revenue share per ship year: the
+    * conditional-aggregate-over-join shape. Numerator and denominator
+    * are both scaled-long sums over identical rows, so the percentage
+    * is one double division on identical inputs in any engine. Part
+    * scales with the dataset — no broadcast hint (see Q5 note).
+    */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        moneySum(when(col("p_type") === "PROMO",
+                      col("l_extendedprice") * (lit(1) - col("l_discount")))
+                   .otherwise(lit(0.0)), 4).as("promo_revenue"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("total_revenue"))
+      .select(col("ship_year"),
+              round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+                .as("promo_share"),
+              col("promo_revenue"), col("total_revenue"))
+      .orderBy("ship_year")
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    * revenue in one ship year. Revenue is an exact scaled-long sum, so
+    * "maximum" is well-defined cross-engine (a float-sum max could
+    * disagree at the boundary); the 1-row max table broadcasts back
+    * onto the per-supplier aggregate, and ties all surface (Q15's
+    * VIEW + max semantics).
+    */
+  def topSupplierRevenue(supplier: DataFrame, lineitem: DataFrame,
+                         shipYear: Int): DataFrame = {
+    val rev = lineitem.where(year(col("l_shipdate")) === shipYear)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("r4"))
+    rev
+      .join(broadcast(rev.agg(max(col("r4")).as("maxr"))), col("r4") === col("maxr"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), (col("r4") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q8-shaped market share: of all revenue that `regionName`
     * customers generated, the fraction supplied by `supplierNation`,
     * per order year. Numerator and denominator are BOTH scaled-long

@@ -95,6 +95,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3, s"jaccard must stay a two-shuffle pipeline, saw $exchanges exchanges")
   }
 
+  test("decontamination broadcasts the benchmark gram set (text_decontaminate)") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark side must broadcast — the corpus must not shuffle for the join")
+  }
+
+  test("vocab top-k plans TakeOrdered with no global window (text_vocab)") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must be per-partition top-k + k-row merge")
+    assert(!p.contains("Window"),
+      "ranks must come from the sorted-collect_list trick, not a global window")
+  }
+
+  test("Q6 filter predicates reach the parquet scan (agg_revenue_forecast)") {
+    val p = plan("agg_revenue_forecast")
+    assert(p.contains("PushedFilters: [") && p.contains("l_discount"),
+      "discount/quantity predicates must push to the scan")
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      "unused columns must be pruned")
+  }
+
   test("composite training-prep plans no cartesian join (pipeline_training_prep)") {
     val p = plan("pipeline_training_prep")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
