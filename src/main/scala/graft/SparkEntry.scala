@@ -1059,6 +1059,26 @@ object SparkEntry {
 
     // ================= events / streaming-shaped ===================
     "events_window_agg" -> ((s, dir) => Events.tumblingAgg(t(s, dir, "events"))),
+
+    // the STREAMING tumbling aggregate driven through the gate
+    // (complete mode over the bounded fixture): the watermarked
+    // incremental-state path must land on the batch answer — same
+    // oracle as events_window_agg
+    "events_window_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      val src = new java.io.File(s"$dir/events.parquet")
+      val streamDir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      if (!new java.io.File(streamDir, "events.parquet").exists()) {
+        streamDir.mkdirs()
+        java.nio.file.Files.copy(src.toPath, streamDir.toPath.resolve("events.parquet"))
+      }
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.tumblingAgg(
+          StreamingEvents.readEvents(s, streamDir.toString)),
+        s"events_window_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
+        .orderBy("window_start", "event_type")
+    }),
     "events_hopping_agg" -> ((s, dir) => Events.hoppingAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
@@ -2146,6 +2166,13 @@ object SparkEntry {
         | FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "events_window_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         | count(*) AS n_events, ${msum("value")} AS total_value
+         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical oracle to events_window_agg: the streaming incremental
+    // aggregate must converge to the batch answer on bounded input
+    "events_window_stream" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          | count(*) AS n_events, ${msum("value")} AS total_value
          | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

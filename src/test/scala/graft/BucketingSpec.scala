@@ -121,6 +121,45 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("runtime Bloom filter prunes the big side of a selective shuffle join") {
+    // the Spark-first form of Bloom-filter join pruning: Catalyst's
+    // InjectRuntimeFilter plants a bloom_filter_agg on the selective
+    // (filtered) side and a might_contain predicate on the big side's
+    // scan — rows that cannot join are dropped BEFORE the shuffle.
+    // Thresholds are lowered so the sf0.001 fixture qualifies; at real
+    // scale the defaults (10 MB creation side / 10 GB application
+    // side) gate it to exactly the joins where pruning pays.
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // broadcast would bypass
+    try {
+      val orders = Tables.load(spark, sf001, "orders")
+      val customer = Tables.load(spark, sf001, "customer")
+        .where(col("c_mktsegment") === "BUILDING") // selective creation side
+      val joined = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        s"runtime bloom filter must appear in the optimized plan:\n${plan.take(2000)}")
+      // semantics unchanged (bloom false positives die in the join)
+      val expected = Tables.load(spark, sf001, "orders")
+        .join(Tables.load(spark, sf001, "customer")
+          .where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      Seq("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("bucketed aggregation by the bucket key needs no exchange") {
     Tables.load(spark, sf001, "orders")
       .select("o_custkey", "o_totalprice")
