@@ -552,6 +552,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // balanced per-group sampling: cap documents per language at 30,
+    // chosen deterministically by md5(doc_id) order — the data-mixing
+    // step that stops one dominant source/language from swamping a
+    // training mix. The window partitions by the group key, so each
+    // group ranks independently (never a global sort), and the hash
+    // order makes the kept set engine-exact.
+    "sample_per_group" -> ((s, dir) => {
+      val lang = TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang_pred")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      lang
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 30)
+        .select(col("doc_id"), col("lang_pred"), col("rn"))
+        .orderBy("doc_id")
+    }),
+
     // LEFT ANTI join — the "no matching fact rows" shape (customers
     // with no URGENT order; every customer has SOME order in this
     // corpus, so the filter keeps the gate row non-empty)
@@ -626,6 +644,16 @@ object SparkEntry {
     // ================= dedup family ================================
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
+
+    // canonicalized exact dedup (C4-style): group on the normalized
+    // fingerprint (case/punct/whitespace-insensitive), so trivially
+    // reformatted copies collapse where byte-exact dedup misses them.
+    // Same one-shuffle hash-aggregate shape as dedup_exact.
+    "dedup_normalized" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
 
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.keepFirst(t(s, dir, "documents"), "doc_id", "text")
@@ -1442,6 +1470,14 @@ object SparkEntry {
          |   < quality_score
          | ORDER BY doc_id""".stripMargin,
 
+    "sample_per_group" ->
+      s"""SELECT doc_id, lang_pred, rn FROM (
+         | SELECT doc_id, lang_pred,
+         |  row_number() OVER (PARTITION BY lang_pred
+         |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+         | FROM (${langidSql("documents")}))
+         | WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         | WHERE substr(md5(o_orderkey::VARCHAR), 1, 4) <
@@ -1521,6 +1557,16 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         | FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_normalized" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS norm
+        | FROM documents)
+        | SELECT md5(norm) AS fingerprint, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        | FROM n GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT doc_id, text FROM documents
