@@ -25,10 +25,24 @@ object SparkEntry {
   private val lakeMinDate =
     new java.util.concurrent.ConcurrentHashMap[String, java.sql.Date]()
 
-  /** Unique memory-sink names for repeated `events_funnel_stream`
-    * invocations in one JVM (bench warm + timed runs).
+  /** Unique memory-sink names for repeated streaming-gate invocations
+    * in one JVM (bench warm + timed runs).
     */
   private val funnelStreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** File streams read a DIRECTORY; stage the events fixture once per
+    * (JVM, source mtime) for the streaming gate queries.
+    */
+  private def stagedEventsDir(dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val streamDir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
+    if (!new java.io.File(streamDir, "events.parquet").exists()) {
+      streamDir.mkdirs()
+      java.nio.file.Files.copy(src.toPath, streamDir.toPath.resolve("events.parquet"))
+    }
+    streamDir.toString
+  }
 
   /** Flagship: the reference's full ETL chain (SURVEY §2.3 R1–R9) on
     * the orders table — distinct-key restriction, rename, reorder,
@@ -307,6 +321,26 @@ object SparkEntry {
           when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 1.1, 2))
             .otherwise(col("o_totalprice")))
       Etl.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // incremental refresh closes the snapshotDiff loop: applying the
+    // diff between the deterministic old/new snapshots onto the old
+    // one must land EXACTLY on the new snapshot — the oracle IS the
+    // new snapshot, so any merge defect (lost delete, duplicate
+    // upsert, missed change) fails the hash. Only |delta| rows move.
+    "etl_incremental_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+      // the mutation is an exact IEEE add (no round(): its half-way
+      // tie-breaking differs between engines on doubles, and here the
+      // mutated VALUE itself is hash-compared, unlike the diff gates
+      // which only emit keys+change)
+      val newSnap = base.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+      Etl.incrementalApply(oldSnap, newSnap, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
     // column-level twin of etl_snapshot_diff: WHICH non-key columns
@@ -1094,18 +1128,29 @@ object SparkEntry {
     // oracle as events_window_agg
     "events_window_stream" -> ((s, dir) => {
       import graft.streaming.StreamingEvents
-      val src = new java.io.File(s"$dir/events.parquet")
-      val streamDir = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
-      if (!new java.io.File(streamDir, "events.parquet").exists()) {
-        streamDir.mkdirs()
-        java.nio.file.Files.copy(src.toPath, streamDir.toPath.resolve("events.parquet"))
-      }
       StreamingEvents.runToCompletion(s,
         StreamingEvents.tumblingAgg(
-          StreamingEvents.readEvents(s, streamDir.toString)),
+          StreamingEvents.readEvents(s, stagedEventsDir(dir))),
         s"events_window_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
         .orderBy("window_start", "event_type")
+    }),
+
+    // the STREAMING session-window twin driven through the gate:
+    // session_window(ts, 30 min) in complete mode must produce exactly
+    // the batch sessionize sessions. session_window's end = last event
+    // + gap, so the gate subtracts the gap to land on the batch
+    // max(ts) session_end; the oracle is the batch sessionize SQL
+    // projected without the per-user session numbering.
+    "events_session_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.sessionAgg(
+          StreamingEvents.readEvents(s, stagedEventsDir(dir))),
+        s"events_session_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
+        .select(col("user_id"), col("session_start"),
+                (col("session_end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+                col("n_events"))
+        .orderBy("user_id", "session_start")
     }),
     "events_hopping_agg" -> ((s, dir) => Events.hoppingAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
@@ -1125,18 +1170,9 @@ object SparkEntry {
     // This gates the stateful streaming path itself, not just its spec.
     "events_funnel_stream" -> ((s, dir) => {
       import graft.streaming.StreamingEvents
-      val src = new java.io.File(s"$dir/events.parquet")
-      // file streams read a DIRECTORY; stage the fixture once per
-      // (JVM, source mtime)
-      val streamDir = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
-      if (!new java.io.File(streamDir, "events.parquet").exists()) {
-        streamDir.mkdirs()
-        java.nio.file.Files.copy(src.toPath, streamDir.toPath.resolve("events.parquet"))
-      }
       val hits = StreamingEvents.runToCompletion(s,
         StreamingEvents.funnelState(
-          StreamingEvents.readEvents(s, streamDir.toString),
+          StreamingEvents.readEvents(s, stagedEventsDir(dir)),
           Seq("view", "click", "purchase")),
         s"events_funnel_stream_${funnelStreamSeq.incrementAndGet()}")
       hits.groupBy("user_id")
@@ -1228,6 +1264,14 @@ object SparkEntry {
         |    OR o.o_orderstatus <> n.o_orderstatus
         |    OR o.o_orderpriority <> n.o_orderpriority
         |    OR o.o_totalprice <> n.o_totalprice
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the merged result must BE the new snapshot
+    "etl_incremental_apply" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        | CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |      ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 3 <> 0
         | ORDER BY o_orderkey""".stripMargin,
 
     // changed_columns list order = sorted column names (priority <
@@ -2239,6 +2283,26 @@ object SparkEntry {
         | SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         | FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // the batch sessionize sessions without the per-user numbering —
+    // what the streaming session_window twin must reproduce exactly
+    "events_session_stream" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        | y AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns
+        | FROM x),
+        | z AS (
+        | SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM y)
+        | SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        | FROM z GROUP BY user_id, session_id
+        | ORDER BY user_id, session_start""".stripMargin,
 
     "events_first_occurrence" ->
       """SELECT user_id, event_type, event_id, ts FROM events

@@ -226,4 +226,25 @@ object Etl {
         when(col("change") === "changed", col("_changed_cols"))
           .as("changed_columns"): _*)
   }
+
+  /** Incremental refresh: apply the [[snapshotDiff]] delta between two
+    * snapshots onto the old one — delete removed/changed keys, insert
+    * the new side's added/changed rows — and land EXACTLY on the new
+    * snapshot. The MERGE the reference's overwrite-everything cron
+    * never needed, but any consumer at scale does: only |delta| rows
+    * move (the diff ships fingerprints; upserts semi-join the new
+    * snapshot down to the changed keys; the untouched bulk of the old
+    * snapshot passes through an anti-join untouched).
+    */
+  def incrementalApply(oldSnap: DataFrame, newSnap: DataFrame,
+                       keyCols: Seq[String]): DataFrame = {
+    val diff = snapshotDiff(oldSnap, newSnap, keyCols)
+    val upserts = newSnap.join(
+      diff.where(col("change").isin("added", "changed"))
+        .select(keyCols.map(col): _*),
+      keyCols, "left_semi")
+    val touchedKeys = diff.select(keyCols.map(col): _*)
+    oldSnap.join(touchedKeys, keyCols, "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -155,6 +155,18 @@ class EtlSpec extends SparkSpec {
       (5L, "changed", Some("s,v"))))
   }
 
+  test("incrementalApply lands exactly on the new snapshot (merge = delete + upsert)") {
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0))
+      .toDF("k", "s", "v")
+    val newSnap = Seq((2L, "B", 20.0), (3L, "c", 31.0), (4L, "d", 40.0), (5L, "e", 50.0))
+      .toDF("k", "s", "v")
+    val merged = Etl.incrementalApply(oldSnap, newSnap, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(merged == Seq((2L, "B", 20.0), (3L, "c", 31.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+    // empty delta: applying a snapshot onto itself is the identity
+    assert(Etl.incrementalApply(oldSnap, oldSnap, Seq("k")).count() == oldSnap.count())
+  }
+
   test("writeJsonl round-trips nested struct columns losslessly") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25))
