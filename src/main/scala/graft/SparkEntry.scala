@@ -31,15 +31,27 @@ object SparkEntry {
   private val funnelStreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** File streams read a DIRECTORY; stage the events fixture once per
-    * (JVM, source mtime) for the streaming gate queries.
+    * (JVM, source mtime) for the streaming gate queries. Crash-safe:
+    * the copy lands under a temp name and moves into place atomically,
+    * so a killed JVM can never leave a truncated file that later JVMs
+    * mistake for the staged fixture; a concurrent second stager loses
+    * the move race harmlessly.
     */
   private def stagedEventsDir(dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val streamDir = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
-    if (!new java.io.File(streamDir, "events.parquet").exists()) {
+    val target = streamDir.toPath.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target)) {
       streamDir.mkdirs()
-      java.nio.file.Files.copy(src.toPath, streamDir.toPath.resolve("events.parquet"))
+      val tmp = streamDir.toPath.resolve(s"events.parquet.inprogress.${System.nanoTime()}")
+      java.nio.file.Files.copy(src.toPath, tmp)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) // lost the race — fine
+      }
     }
     streamDir.toString
   }
@@ -2285,7 +2297,12 @@ object SparkEntry {
         | FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     // the batch sessionize sessions without the per-user numbering —
-    // what the streaming session_window twin must reproduce exactly
+    // what the streaming session_window twin must reproduce exactly.
+    // Split rule replicates session_window PRECISELY: new session iff
+    // the gap is >= 30 min at MICROSECOND precision (session_window
+    // merges only while next.start < prev.end strictly) — the batch
+    // sessionize's own ms-truncated `> gap` rule diverges from
+    // session_window in a ~1 ms boundary zone.
     "events_session_stream" ->
       """WITH x AS (
         | SELECT user_id, event_id, ts,
@@ -2293,7 +2310,7 @@ object SparkEntry {
         | FROM events),
         | y AS (
         | SELECT *, CASE WHEN prev_ts IS NULL
-        |   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns
+        |   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns
         | FROM x),
         | z AS (
         | SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id

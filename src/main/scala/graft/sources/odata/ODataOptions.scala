@@ -97,14 +97,28 @@ object ODataOptions {
     def req(k: String): String =
       m.getOrElse(k, throw new IllegalArgumentException(s"odata source: missing required option '$k'"))
     val entity = req("entity")
+    val selectFields0 = req("selectFields").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val candidates0 =
+      m.getOrElse("structureCandidates", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val extraColumns0 = m.getOrElse("extraColumns", "none") match {
+      case v @ ("none" | "map") => v
+      case other => throw new IllegalArgumentException(
+        s"odata source: extraColumns must be 'none' or 'map', got '$other'")
+    }
+    val extraColumnName0 = m.getOrElse("extraColumnName", "_extra")
+    // a collision would emit a duplicate-name schema and write MapData
+    // into the declared StringType slot — fail loudly at options time
+    if (extraColumns0 == "map" &&
+        (selectFields0.contains(extraColumnName0) || candidates0.contains(extraColumnName0)))
+      throw new IllegalArgumentException(
+        s"odata source: extraColumnName '$extraColumnName0' collides with a declared field")
     ODataOptions(
       baseUrl = req("baseUrl"),
       servicePath = m.getOrElse("servicePath", ""),
       entity = entity,
       codesEntity = m.getOrElse("codesEntity", entity),
-      selectFields = req("selectFields").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-      structureCandidates =
-        m.getOrElse("structureCandidates", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      selectFields = selectFields0,
+      structureCandidates = candidates0,
       user = m.get("user").filter(_.nonEmpty),
       password = m.get("password").filter(_.nonEmpty),
       pageSize = m.getOrElse("pageSize", "1000000").toInt,
@@ -115,11 +129,7 @@ object ODataOptions {
       maxRetries = m.getOrElse("maxRetries", "0").toInt,
       retryBackoffMs = m.getOrElse("retryBackoffMs", "100").toLong,
       pushDownTopN = m.getOrElse("pushDownTopN", "true").toBoolean,
-      extraColumns = m.getOrElse("extraColumns", "none") match {
-        case v @ ("none" | "map") => v
-        case other => throw new IllegalArgumentException(
-          s"odata source: extraColumns must be 'none' or 'map', got '$other'")
-      },
-      extraColumnName = m.getOrElse("extraColumnName", "_extra"))
+      extraColumns = extraColumns0,
+      extraColumnName = extraColumnName0)
   }
 }

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * only the open windows in state, never the history.
   */
 /** Keyed state for [[StreamingEvents.funnelState]]: the user's current
-  * step and its completion time — the whole per-user footprint.
+  * step and its completion time in MICROSECONDS — the whole per-user
+  * footprint. Micros, not millis: the batch funnel compares timestamps
+  * at full precision, and a ms-truncated comparison would misorder
+  * same-millisecond events.
   */
-case class FunnelProgress(step: Int, lastTsMs: Long)
+case class FunnelProgress(step: Int, lastTsUs: Long)
 
 /** One emitted funnel advance: user reached `reached_step` at `ts`. */
 case class FunnelHit(user_id: Long, reached_step: Long, ts: java.sql.Timestamp)
@@ -98,6 +101,13 @@ object StreamingEvents {
     * ordering is the file/source order, as with any streaming
     * aggregation over late data.
     */
+  /** Timestamp → epoch microseconds (full fractional-second precision;
+    * `getTime` alone truncates to ms and would misorder/mis-compare
+    * same-millisecond events against the full-precision batch oracle).
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   def funnelState(events: DataFrame, steps: Seq[String],
                   delay: String = "2 hours",
                   stateHorizonMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
@@ -115,22 +125,22 @@ object StreamingEvents {
          state: GroupState[FunnelProgress]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = evs.toIndexedSeq.sortBy(e => (e._3.getTime, e._2))
+            val sorted = evs.toIndexedSeq.sortBy(e => (tsMicros(e._3), e._2))
             var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
             for ((_, tpe, ts) <- sorted) {
               if (st.step < stepsArr.length && tpe == stepsArr(st.step) &&
-                  ts.getTime > st.lastTsMs) {
-                st = FunnelProgress(st.step + 1, ts.getTime)
+                  tsMicros(ts) > st.lastTsUs) {
+                st = FunnelProgress(st.step + 1, tsMicros(ts))
                 out += FunnelHit(user, st.step.toLong, ts)
               }
             }
             state.update(st)
             // expire horizon after the newest event seen for this user;
             // clamp above the watermark (a timeout in the past throws)
-            val maxTs = sorted.last._3.getTime
+            val maxTsMs = sorted.last._3.getTime
             state.setTimeoutTimestamp(
-              math.max(maxTs + stateHorizonMs, state.getCurrentWatermarkMs() + 1))
+              math.max(maxTsMs + stateHorizonMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -321,6 +321,23 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("extraColumnName colliding with a declared field is rejected at options time") {
+    val srv = new ODataStubServer(mkRows(2), "C0CHAR_STRUCTURE").start()
+    try {
+      val e = intercept[Exception] {
+        read(srv, Map("extraColumns" -> "map",
+          "extraColumnName" -> "KCLEAVERS")).collect()
+      }
+      assert(e.getMessage.contains("collides"))
+      // candidates count as declared too
+      val e2 = intercept[Exception] {
+        read(srv, Map("extraColumns" -> "map",
+          "extraColumnName" -> "C0CHAR_STRUCTURE")).collect()
+      }
+      assert(e2.getMessage.contains("collides"))
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
