@@ -396,6 +396,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ================= profiling / validation ======================
+    // one-pass long-format column profile (rows/nulls/ndv/min/max) —
+    // the pre-ingest report; columns restricted to engine-stable
+    // string renderings (ints/strings/dates)
+    "profile_orders" -> ((s, dir) =>
+      Profiling.profileColumns(
+        // date rendered as DATE (engine-stable '1996-01-02'); the raw
+        // timestamp's string form varies with fractional formatting
+        t(s, dir, "orders")
+          .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+        .orderBy("col_name")),
+
+    // deequ-style constraint checks in one aggregate pass: key
+    // completeness + uniqueness, value bounds, domain membership
+    "quality_checks" -> ((s, dir) =>
+      Profiling.checkConstraints(t(s, dir, "orders"), Seq(
+        "orderkey_not_null" -> (count(when(col("o_orderkey").isNull, 1)) === 0),
+        "orderkey_unique"   -> (countDistinct(col("o_orderkey")) === count(lit(1))),
+        "totalprice_nonneg" -> (min(col("o_totalprice")) >= 0.0),
+        "status_in_domain"  ->
+          (count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)) === 0)))
+        .orderBy("check_name")),
+
     // ================= analytic surface ============================
     "agg_pricing" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
 
@@ -1326,6 +1350,39 @@ object SparkEntry {
         | WHERE CAST(ts AS DATE) <
         |   (SELECT min(CAST(ts AS DATE)) + 7 FROM events)
         | ORDER BY event_id""".stripMargin,
+
+    "profile_orders" ->
+      """SELECT 'o_orderdate' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderdate) AS n_nulls,
+        |  count(DISTINCT o_orderdate) AS n_distinct,
+        |  CAST(min(o_orderdate)::DATE AS VARCHAR) AS min_s,
+        |  CAST(max(o_orderdate)::DATE AS VARCHAR) AS max_s FROM orders
+        | UNION ALL
+        | SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |  count(DISTINCT o_orderkey),
+        |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        | UNION ALL
+        | SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        | ORDER BY col_name""".stripMargin,
+
+    "quality_checks" ->
+      """SELECT 'orderkey_not_null' AS check_name,
+        |  count(*) FILTER (o_orderkey IS NULL) = 0 AS passed FROM orders
+        | UNION ALL
+        | SELECT 'orderkey_unique',
+        |  count(DISTINCT o_orderkey) = count(*) FROM orders
+        | UNION ALL
+        | SELECT 'status_in_domain',
+        |  count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) = 0 FROM orders
+        | UNION ALL
+        | SELECT 'totalprice_nonneg', min(o_totalprice) >= 0.0 FROM orders
+        | ORDER BY check_name""".stripMargin,
 
     "agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

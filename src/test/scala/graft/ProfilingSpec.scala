@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("a"), Some(10)),
+    (2L, Some("b"), None),
+    (3L, None, Some(30)),
+    (4L, Some("b"), Some(10))
+  ).toDF("id", "s", "v")
+
+  test("profileColumns: rows/nulls/ndv/min/max per column, long format") {
+    val p = Profiling.profileColumns(fixture, Seq("id", "s", "v"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)]
+      .collect()
+    assert(p.toSeq == Seq(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("s", 4L, 1L, 2L, "a", "b"),
+      ("v", 4L, 1L, 2L, "10", "30")))
+  }
+
+  test("profileColumns is one aggregate pass: a single scan in the plan") {
+    val plan = Profiling.profileColumns(fixture, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one scan, plan had $scans:\n$plan")
+  }
+
+  test("checkConstraints: named boolean verdicts in one pass") {
+    val checks = Profiling.checkConstraints(fixture, Seq(
+      "id_not_null" -> (count(when(col("id").isNull, 1)) === 0),
+      "id_unique"   -> (countDistinct(col("id")) === count(lit(1))),
+      "s_complete"  -> (count(when(col("s").isNull, 1)) === 0),
+      "v_min_bound" -> (min(col("v")) >= 0)))
+      .as[(String, Boolean)].collect().toMap
+    assert(checks == Map(
+      "id_not_null" -> true,
+      "id_unique"   -> true,
+      "s_complete"  -> false,
+      "v_min_bound" -> true))
+    val plan = Profiling.checkConstraints(fixture,
+      Seq("a" -> (min(col("v")) >= 0), "b" -> (max(col("v")) < 100)))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1)
+  }
+
+  test("empty column / constraint lists are rejected") {
+    intercept[IllegalArgumentException](Profiling.profileColumns(fixture, Nil))
+    intercept[IllegalArgumentException](Profiling.checkConstraints(fixture, Nil))
+  }
+}
