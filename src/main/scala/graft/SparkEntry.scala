@@ -420,6 +420,35 @@ object SparkEntry {
           (count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)) === 0)))
         .orderBy("check_name")),
 
+    // numeric profile over lineitem measures: mean/std from EXACT
+    // scaled-integer moments (decimal(38,0) sums — no float-order
+    // drift), rounded to 6 — the engine-neutral moment trick
+    // events_anomalies proved
+    "profile_numeric" -> ((s, dir) =>
+      Profiling.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")),
+
+    // key-skew report: 10 heaviest event users + corpus share — the
+    // "do I need to salt this join key" diagnostic; bounded top-k,
+    // boundary ties broken on the key value
+    "profile_skew" -> ((s, dir) =>
+      Profiling.keySkew(t(s, dir, "events"), "user_id", 10)),
+
+    // Efraimidis–Spirakis weighted reservoir: 10 docs per language,
+    // selection probability proportional to quality score (floored at
+    // 0.05 so zero-quality docs stay eligible); the uniform is
+    // md5-derived, so the oracle replays the draw exactly
+    "sample_reservoir" -> ((s, dir) => {
+      val lang = TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text")
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), greatest(col("quality_score"), lit(0.05)).as("wt"))
+      Sampling.weightedReservoirPerGroup(
+          lang.join(q, Seq("doc_id")), "lang_pred", "doc_id", "wt", k = 10)
+        .select(col("doc_id"), col("lang_pred"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // ================= analytic surface ============================
     "agg_pricing" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
 
@@ -1383,6 +1412,47 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'totalprice_nonneg', min(o_totalprice) >= 0.0 FROM orders
         | ORDER BY check_name""".stripMargin,
+
+    "profile_numeric" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  round(CAST(sum(v) AS DOUBLE)/(count($c)*100.0), 6) AS mean,
+           |  round(sqrt(greatest(
+           |    (CAST(sum(v*v) AS DOUBLE)/10000.0
+           |      - (CAST(sum(v) AS DOUBLE)/100.0)*(CAST(sum(v) AS DOUBLE)/100.0)/count($c))
+           |    / (count($c)-1), 0.0)), 6) AS std,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           | FROM (SELECT $c, CAST(round($c*100, 0) AS BIGINT) AS v FROM lineitem)""".stripMargin
+      s"""${one("l_quantity")}
+         | UNION ALL ${one("l_extendedprice")}
+         | UNION ALL ${one("l_discount")}
+         | ORDER BY col_name""".stripMargin
+    },
+
+    "profile_skew" ->
+      """WITH c AS (SELECT user_id::VARCHAR AS key_value, count(*) AS n
+        |           FROM events GROUP BY 1),
+        | t AS (SELECT sum(n) AS total FROM c)
+        | SELECT key_value, n,
+        |  round(CAST(n AS DOUBLE)/CAST(total AS DOUBLE), 6) AS share
+        | FROM c CROSS JOIN t
+        | ORDER BY n DESC, key_value LIMIT 10""".stripMargin,
+
+    "sample_reservoir" ->
+      s"""WITH lang AS (${langidSql("documents")}),
+         | q AS (SELECT doc_id, greatest(quality_score, 0.05) AS wt
+         |       FROM (${qualitySql("documents")})),
+         | b AS (SELECT lang.doc_id AS doc_id, lang_pred, wt
+         |       FROM lang JOIN q ON lang.doc_id = q.doc_id),
+         | keyed AS (SELECT doc_id, lang_pred,
+         |   row_number() OVER (PARTITION BY lang_pred ORDER BY
+         |     ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+         |        / 4294967296.0) / wt DESC,
+         |     doc_id) AS rk
+         |  FROM b WHERE wt > 0)
+         | SELECT doc_id, lang_pred, rk FROM keyed
+         | WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     "agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -41,6 +41,69 @@ object Profiling {
       .select(col("p.*"))
   }
 
+  /** Long-format NUMERIC profile: per column, row/null counts, mean,
+    * sample standard deviation, min, max. Moments come from EXACT
+    * integer sums of values scaled by `scale` (rounded to the nearest
+    * integer, accumulated as decimal(38,0) so no overflow and no
+    * float-summation-order drift) — the same numbers derive in any
+    * engine, so the rounded mean/std hash-match an oracle. Values
+    * must carry at most log10(scale) meaningful decimals; |v|*scale
+    * must fit a long (~9e18).
+    *
+    * One aggregate pass regardless of column count, like
+    * [[profileColumns]].
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String], scale: Int = 100): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    require(scale > 0, "scale must be positive")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = round(col(c) * scale, 0).cast("decimal(38,0)")
+      Seq(count(col(c)).as(s"_nn_$c"),
+          sum(v).as(s"_s1_$c"),
+          sum(v * v).as(s"_s2_$c"),
+          min(col(c)).cast("double").as(s"_mn_$c"),
+          max(col(c)).cast("double").as(s"_mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val sc = scale.toDouble
+    row
+      .select(explode(array(cols.map { c =>
+        val nn = col(s"_nn_$c")
+        val s1 = col(s"_s1_$c").cast("double")
+        val s2 = col(s"_s2_$c").cast("double")
+        val mean = s1 / (nn * sc)
+        val variance = (s2 / (sc * sc) - (s1 / sc) * (s1 / sc) / nn) / (nn - 1)
+        struct(lit(c).as("col_name"),
+               col("_n").as("n_rows"),
+               (col("_n") - nn).as("n_nulls"),
+               round(mean, 6).as("mean"),
+               when(nn >= 2, round(sqrt(greatest(variance, lit(0.0))), 6)).as("std"),
+               col(s"_mn_$c").as("min_v"),
+               col(s"_mx_$c").as("max_v"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** Key-skew report: the k heaviest values of a key column with
+    * their counts and corpus share — the pre-join diagnostic that
+    * tells you whether a shuffle on this key needs salting. Two hash
+    * aggregates (per-key counts, then a one-row total broadcast back)
+    * and a bounded top-k (TakeOrdered) — never a global sort; ties at
+    * the boundary break on the key value so the report is
+    * deterministic.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, "keySkew needs k > 0")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key_value"), col("n"),
+              round(col("n") / col("_total"), 6).as("share"))
+      .orderBy(desc("n"), asc("key_value"))
+      .limit(k)
+  }
+
   /** Constraint validation: each constraint is a named BOOLEAN
     * AGGREGATE expression over the table (completeness, uniqueness,
     * bounds, domain membership); output is one (check_name, passed)

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling for training-mix curation. The hash-rate /
+  * stratified / split samplers live in the gate layer as one-line
+  * filters; this hosts the one sampler that needs real machinery.
+  *
+  * Scale shape: one window partitioned by the group key — work
+  * shuffles once on the group, each group ranks independently, never
+  * a global sort. Determinism: the "random" uniform is md5-derived
+  * from the row id, so the kept set is reproducible across runs,
+  * engines, and cluster sizes (no rand() reseeding hazards).
+  */
+object Sampling {
+
+  /** Weighted reservoir sample of k rows per group, à la
+    * Efraimidis–Spirakis: each row draws a deterministic uniform
+    * u ∈ (0, 1] (md5 of its id) and is ranked by ln(u)/w descending —
+    * the top-k per group is then a weight-proportional sample without
+    * replacement. Rows with non-positive weight are excluded (the
+    * E-S key is undefined there); callers clamp weights to a floor
+    * when every row must stay eligible.
+    *
+    * Output: the input columns plus `rk` (1-based rank within the
+    * group's kept set).
+    */
+  def weightedReservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                                weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "weightedReservoirPerGroup needs k > 0")
+    // u in (0,1]: 32 bits of md5(id), +1 so ln never sees 0
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    // maximize u^(1/w)  <=>  maximize ln(u)/w  (w > 0)
+    val w = Window.partitionBy(groupCol).orderBy(desc("_es_key"), col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("_es_key", log(u) / col(weightCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .drop("_es_key")
+  }
+}

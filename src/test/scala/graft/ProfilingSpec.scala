@@ -49,8 +49,37 @@ class ProfilingSpec extends SparkSpec {
     assert("LocalTableScan".r.findAllIn(plan).size == 1)
   }
 
+  test("profileNumeric: exact moments from scaled-integer sums") {
+    val df = Seq(Some(1.25), Some(2.75), Some(4.0), None).toDF("x")
+    val p = Profiling.profileNumeric(df, Seq("x"))
+      .as[(String, Long, Long, Double, Double, Double, Double)].head()
+    // v100 = (125, 275, 400): s1 = 800, s2 = 251250
+    assert(p._1 == "x" && p._2 == 4L && p._3 == 1L)
+    assert(p._4 == 2.666667) // 800 / 300, rounded 6
+    assert(p._5 == 1.376893) // sqrt((25.125 - 64/3) / 2), rounded 6
+    assert(p._6 == 1.25 && p._7 == 4.0)
+  }
+
+  test("profileNumeric: std is null below two non-null values; one scan") {
+    val df = Seq(Some(3.0), None).toDF("x")
+    val row = Profiling.profileNumeric(df, Seq("x")).collect().head
+    assert(row.isNullAt(row.fieldIndex("std")))
+    val plan = Profiling.profileNumeric(fixture.select(col("v").cast("double").as("v")),
+      Seq("v")).queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1)
+  }
+
+  test("keySkew: heavy hitters with share, boundary ties break on key") {
+    val df = Seq("a", "a", "a", "b", "b", "c", "c").toDF("k")
+    val top = Profiling.keySkew(df, "k", 2)
+      .as[(String, Long, Double)].collect().toSeq
+    // b and c tie at 2; the boundary slot goes to 'b' (key asc)
+    assert(top == Seq(("a", 3L, 0.428571), ("b", 2L, 0.285714)))
+  }
+
   test("empty column / constraint lists are rejected") {
     intercept[IllegalArgumentException](Profiling.profileColumns(fixture, Nil))
     intercept[IllegalArgumentException](Profiling.checkConstraints(fixture, Nil))
+    intercept[IllegalArgumentException](Profiling.profileNumeric(fixture, Nil))
   }
 }
