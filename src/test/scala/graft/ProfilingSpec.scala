@@ -77,6 +77,17 @@ class ProfilingSpec extends SparkSpec {
     assert(top == Seq(("a", 3L, 0.428571), ("b", 2L, 0.285714)))
   }
 
+  test("keySkew scans the corpus once: total reuses the per-key exchange") {
+    val q = SparkEntry.queries("profile_skew")(spark, sf001)
+    q.collect() // AQE: exchange reuse materializes in the final plan
+    // toString prints final + initial plan; judge only the final one
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"total must reuse the per-key counts exchange, not rescan:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "the corpus must scan exactly once")
+  }
+
   test("empty column / constraint lists are rejected") {
     intercept[IllegalArgumentException](Profiling.profileColumns(fixture, Nil))
     intercept[IllegalArgumentException](Profiling.checkConstraints(fixture, Nil))
