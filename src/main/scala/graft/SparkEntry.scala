@@ -449,6 +449,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // source-mixing rates: cap each language at ~50 docs in
+    // expectation via per-group keep rates (min(1, target/n)) applied
+    // with the deterministic md5 uniform — mixing as RATES (map-only,
+    // no window) rather than ranks
+    "sample_mix" -> ((s, dir) => {
+      val lang = TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text")
+      Sampling.mixToGroupTarget(lang, "lang_pred", "doc_id", targetPerGroup = 50)
+        .select(col("doc_id"), col("lang_pred"), col("keep_rate"))
+        .orderBy("doc_id")
+    }),
+
     // ================= analytic surface ============================
     "agg_pricing" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
 
@@ -1453,6 +1464,16 @@ object SparkEntry {
          |  FROM b WHERE wt > 0)
          | SELECT doc_id, lang_pred, rk FROM keyed
          | WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "sample_mix" ->
+      s"""WITH lang AS (${langidSql("documents")}),
+         | r AS (SELECT lang_pred, least(1.0, 50.0/count(*)) AS rate
+         |       FROM lang GROUP BY lang_pred)
+         | SELECT doc_id, lang_pred, round(rate, 6) AS keep_rate
+         | FROM lang JOIN r USING (lang_pred)
+         | WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)
+         |       / 4294967296.0 < rate
+         | ORDER BY doc_id""".stripMargin,
 
     "agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

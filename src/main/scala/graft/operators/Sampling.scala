@@ -27,6 +27,34 @@ object Sampling {
     * Output: the input columns plus `rk` (1-based rank within the
     * group's kept set).
     */
+  /** Source-mixing downsampler: compute per-group keep rates that cap
+    * each group at ~`targetPerGroup` rows in expectation
+    * (rate = min(1, target/n)), then apply them with the deterministic
+    * md5 uniform — the "stop one source/language from swamping the
+    * mix" step, as rates instead of ranks (no window, no per-group
+    * sort; composes with a later global shuffle).
+    *
+    * Scale shape: one hash aggregate for the per-group counts (tiny —
+    * one row per group), broadcast back onto the corpus, map-only
+    * Bernoulli filter. Output: input columns plus `keep_rate`
+    * (rounded to 6).
+    */
+  def mixToGroupTarget(df: DataFrame, groupCol: String, idCol: String,
+                       targetPerGroup: Long): DataFrame = {
+    require(targetPerGroup > 0, "mixToGroupTarget needs targetPerGroup > 0")
+    val rates = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("_n"))
+      .select(col(groupCol),
+        least(lit(1.0), lit(targetPerGroup.toDouble) / col("_n")).as("_rate"))
+    // u in [0,1): 32 bits of md5(id) over an exact power-of-two divisor
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(u < col("_rate"))
+      .withColumn("keep_rate", round(col("_rate"), 6))
+      .drop("_rate")
+  }
+
   def weightedReservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
                                 weightCol: String, k: Int): DataFrame = {
     require(k > 0, "weightedReservoirPerGroup needs k > 0")

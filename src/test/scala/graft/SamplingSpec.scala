@@ -31,6 +31,27 @@ class SamplingSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("mixToGroupTarget: under-target groups keep everything, " +
+       "over-target groups downsample near the target") {
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+              (1001 to 1010).map(i => (i.toLong, "small")))
+      .toDF("id", "g")
+    val out = Sampling.mixToGroupTarget(df, "g", "id", 100)
+      .select("g", "id", "keep_rate").as[(String, Long, Double)].collect()
+    val small = out.filter(_._1 == "small")
+    assert(small.length == 10 && small.forall(_._3 == 1.0),
+      "a group under target must keep every row at rate 1")
+    val big = out.filter(_._1 == "big")
+    assert(big.forall(_._3 == 0.1))
+    // md5-Bernoulli at rate 0.1 over 1000 rows: expect ~100, allow 3 sigma
+    assert(big.length > 60 && big.length < 140,
+      s"expected ~100 kept from the big group, got ${big.length}")
+    // deterministic: the same draw every run
+    val again = Sampling.mixToGroupTarget(df, "g", "id", 100)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.map(_._2).toSet)
+  }
+
   test("non-positive weights are excluded") {
     val df = Seq((1L, "g", 1.0), (2L, "g", 0.0), (3L, "g", -2.0))
       .toDF("id", "g", "w")
