@@ -449,6 +449,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-quantile curation: keep docs at or above the median
+    // quality score. The cut is a one-row aggregate broadcast back
+    // (never a driver collect); exact percentile matches DuckDB
+    // quantile_cont (the agg_percentiles-proven pairing) and rounds
+    // to 6 before the comparison so the boundary is engine-stable.
+    // At 100 TB the same shape runs with approx_percentile; the exact
+    // form is the oracle-checkable twin.
+    "sample_quality_cut" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val cut = q.agg(round(expr("percentile(quality_score, 0.5)"), 6).as("p50"))
+      q.crossJoin(broadcast(cut))
+        .where(col("quality_score") >= col("p50"))
+        .select(col("doc_id"), col("quality_score"), col("p50"))
+        .orderBy("doc_id")
+    }),
+
     // source-mixing rates: cap each language at ~50 docs in
     // expectation via per-group keep rates (min(1, target/n)) applied
     // with the deterministic md5 uniform — mixing as RATES (map-only,
@@ -1464,6 +1481,12 @@ object SparkEntry {
          |  FROM b WHERE wt > 0)
          | SELECT doc_id, lang_pred, rk FROM keyed
          | WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "sample_quality_cut" ->
+      s"""WITH q AS (SELECT doc_id, quality_score FROM (${qualitySql("documents")})),
+         | c AS (SELECT round(quantile_cont(quality_score, 0.5), 6) AS p50 FROM q)
+         | SELECT doc_id, quality_score, p50 FROM q CROSS JOIN c
+         | WHERE quality_score >= p50 ORDER BY doc_id""".stripMargin,
 
     "sample_mix" ->
       s"""WITH lang AS (${langidSql("documents")}),
