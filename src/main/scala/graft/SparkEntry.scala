@@ -454,11 +454,20 @@ object SparkEntry {
     // (never a driver collect); exact percentile matches DuckDB
     // quantile_cont (the agg_percentiles-proven pairing) and rounds
     // to 6 before the comparison so the boundary is engine-stable.
+    // The scored corpus is repartitioned ONCE so the cut aggregate
+    // and the filter side consume the SAME exchange (ReuseExchange) —
+    // the heavy regex/tokenize scoring pass runs once, not twice.
     // At 100 TB the same shape runs with approx_percentile; the exact
     // form is the oracle-checkable twin.
     "sample_quality_cut" -> ((s, dir) => {
       val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("quality_score"))
+        // explicit isNotNull: the >= join condition infers this filter
+        // on the probe side; declaring it in the SHARED subtree keeps
+        // both branches' exchange subtrees identical so ReuseExchange
+        // fires (spec-pinned)
+        .where(col("quality_score").isNotNull)
+        .repartition(col("doc_id"))
       val cut = q.agg(round(expr("percentile(quality_score, 0.5)"), 6).as("p50"))
       q.crossJoin(broadcast(cut))
         .where(col("quality_score") >= col("p50"))
@@ -1411,7 +1420,7 @@ object SparkEntry {
     "profile_orders" ->
       """SELECT 'o_orderdate' AS col_name, count(*) AS n_rows,
         |  count(*) - count(o_orderdate) AS n_nulls,
-        |  count(DISTINCT o_orderdate) AS n_distinct,
+        |  count(DISTINCT o_orderdate::DATE) AS n_distinct,
         |  CAST(min(o_orderdate)::DATE AS VARCHAR) AS min_s,
         |  CAST(max(o_orderdate)::DATE AS VARCHAR) AS max_s FROM orders
         | UNION ALL
@@ -1446,10 +1455,10 @@ object SparkEntry {
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
            |  count(*) - count($c) AS n_nulls,
            |  round(CAST(sum(v) AS DOUBLE)/(count($c)*100.0), 6) AS mean,
-           |  round(sqrt(greatest(
+           |  CASE WHEN count($c) >= 2 THEN round(sqrt(greatest(
            |    (CAST(sum(v*v) AS DOUBLE)/10000.0
            |      - (CAST(sum(v) AS DOUBLE)/100.0)*(CAST(sum(v) AS DOUBLE)/100.0)/count($c))
-           |    / (count($c)-1), 0.0)), 6) AS std,
+           |    / (count($c)-1), 0.0)), 6) END AS std,
            |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
            | FROM (SELECT $c, CAST(round($c*100, 0) AS BIGINT) AS v FROM lineitem)""".stripMargin
       s"""${one("l_quantity")}
@@ -1465,7 +1474,7 @@ object SparkEntry {
         | SELECT key_value, n,
         |  round(CAST(n AS DOUBLE)/CAST(total AS DOUBLE), 6) AS share
         | FROM c CROSS JOIN t
-        | ORDER BY n DESC, key_value LIMIT 10""".stripMargin,
+        | ORDER BY n DESC, key_value NULLS LAST LIMIT 10""".stripMargin,
 
     "sample_reservoir" ->
       s"""WITH lang AS (${langidSql("documents")}),

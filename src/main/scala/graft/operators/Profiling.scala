@@ -6,13 +6,20 @@ import org.apache.spark.sql.functions._
 /** Data profiling and constraint validation — the deequ/Glue-style
   * quality layer a pipeline runs before trusting an ingest batch.
   *
-  * Scale shape: both operators are ONE aggregate pass over the table
+  * Scale shape: each report is ONE aggregate pass over the table
   * (multiple distinct-aggregates plan as a single Expand + aggregate;
   * map-side partials shrink the shuffle to one row), then a constant-
   * size explode into the long-format report — profiling a 100 TB
   * table costs one scan, never one scan per column.
   */
 object Profiling {
+
+  /** Wide one-row aggregate → long-format report: explode one struct
+    * per reported item and star-expand. The shared tail of every
+    * profiling operator.
+    */
+  private def longReport(row: DataFrame, items: Seq[Column]): DataFrame =
+    row.select(explode(array(items: _*)).as("_r")).select(col("_r.*"))
 
   /** Long-format column profile: per column, row count, null count,
     * exact distinct count, and min/max rendered as strings (one
@@ -29,16 +36,14 @@ object Profiling {
           min(col(c)).cast("string").as(s"_mn_$c"),
           max(col(c)).cast("string").as(s"_mx_$c"))
     }
-    val row = df.agg(count(lit(1)).as("_n"), aggs: _*)
-    row
-      .select(explode(array(cols.map(c =>
+    longReport(df.agg(count(lit(1)).as("_n"), aggs: _*),
+      cols.map(c =>
         struct(lit(c).as("col_name"),
                col("_n").as("n_rows"),
                (col("_n") - col(s"_nn_$c")).as("n_nulls"),
                col(s"_nd_$c").as("n_distinct"),
                col(s"_mn_$c").as("min_s"),
-               col(s"_mx_$c").as("max_s"))): _*)).as("p"))
-      .select(col("p.*"))
+               col(s"_mx_$c").as("max_s"))))
   }
 
   /** Long-format NUMERIC profile: per column, row/null counts, mean,
@@ -48,7 +53,8 @@ object Profiling {
     * float-summation-order drift) — the same numbers derive in any
     * engine, so the rounded mean/std hash-match an oracle. Values
     * must carry at most log10(scale) meaningful decimals; |v|*scale
-    * must fit a long (~9e18).
+    * must fit a long (~9e18). `std` is null below two non-null
+    * values (oracles must guard the same way).
     *
     * One aggregate pass regardless of column count, like
     * [[profileColumns]].
@@ -64,10 +70,9 @@ object Profiling {
           min(col(c)).cast("double").as(s"_mn_$c"),
           max(col(c)).cast("double").as(s"_mx_$c"))
     }
-    val row = df.agg(count(lit(1)).as("_n"), aggs: _*)
     val sc = scale.toDouble
-    row
-      .select(explode(array(cols.map { c =>
+    longReport(df.agg(count(lit(1)).as("_n"), aggs: _*),
+      cols.map { c =>
         val nn = col(s"_nn_$c")
         val s1 = col(s"_s1_$c").cast("double")
         val s2 = col(s"_s2_$c").cast("double")
@@ -80,17 +85,18 @@ object Profiling {
                when(nn >= 2, round(sqrt(greatest(variance, lit(0.0))), 6)).as("std"),
                col(s"_mn_$c").as("min_v"),
                col(s"_mx_$c").as("max_v"))
-      }: _*)).as("p"))
-      .select(col("p.*"))
+      })
   }
 
   /** Key-skew report: the k heaviest values of a key column with
     * their counts and corpus share — the pre-join diagnostic that
     * tells you whether a shuffle on this key needs salting. Two hash
-    * aggregates (per-key counts, then a one-row total broadcast back)
-    * and a bounded top-k (TakeOrdered) — never a global sort; ties at
-    * the boundary break on the key value so the report is
-    * deterministic.
+    * aggregates (per-key counts, then a one-row total broadcast back
+    * off the REUSED counts exchange — the corpus scans once) and a
+    * bounded top-k (TakeOrdered) — never a global sort. Ties at the
+    * boundary break on the key value, nulls last (a null key group —
+    * classic skew — reports as a null `key_value`, after equal-count
+    * non-null keys; matches SQL's default null ordering).
     */
   def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k > 0, "keySkew needs k > 0")
@@ -100,7 +106,7 @@ object Profiling {
     counts.crossJoin(broadcast(total))
       .select(col("key_value"), col("n"),
               round(col("n") / col("_total"), 6).as("share"))
-      .orderBy(desc("n"), asc("key_value"))
+      .orderBy(desc("n"), asc_nulls_last("key_value"))
       .limit(k)
   }
 
@@ -114,10 +120,9 @@ object Profiling {
                        constraints: Seq[(String, Column)]): DataFrame = {
     require(constraints.nonEmpty, "checkConstraints needs at least one constraint")
     val aggs = constraints.zipWithIndex.map { case ((_, c), i) => c.as(s"_c$i") }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(constraints.zipWithIndex.map { case ((name, _), i) =>
+    longReport(df.agg(aggs.head, aggs.tail: _*),
+      constraints.zipWithIndex.map { case ((name, _), i) =>
         struct(lit(name).as("check_name"), col(s"_c$i").as("passed"))
-      }: _*)).as("k"))
-      .select(col("k.*"))
+      })
   }
 }

@@ -1,20 +1,31 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Weighted sampling for training-mix curation. The hash-rate /
   * stratified / split samplers live in the gate layer as one-line
-  * filters; this hosts the one sampler that needs real machinery.
+  * filters; this hosts the samplers that need real machinery.
   *
-  * Scale shape: one window partitioned by the group key — work
-  * shuffles once on the group, each group ranks independently, never
-  * a global sort. Determinism: the "random" uniform is md5-derived
-  * from the row id, so the kept set is reproducible across runs,
-  * engines, and cluster sizes (no rand() reseeding hazards).
+  * Determinism: the "random" uniform is md5-derived from the row id,
+  * so kept sets are reproducible across runs, engines, and cluster
+  * sizes (no rand() reseeding hazards), and a SQL oracle can replay
+  * every draw exactly.
   */
 object Sampling {
+
+  /** Deterministic uniform from 32 bits of md5(id). `halfOpen` gives
+    * u ∈ [0, 1) (Bernoulli `u < rate` filters); otherwise u ∈ (0, 1]
+    * (safe under ln). One audit point for the formula — the DuckDB
+    * twin is `('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT
+    * [+ 1] / 4294967296.0`. Division by 2^32 is exact.
+    */
+  private def md5Uniform(idCol: String, halfOpen: Boolean): Column = {
+    val bits = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    (if (halfOpen) bits else bits + 1.0) / 4294967296.0
+  }
 
   /** Weighted reservoir sample of k rows per group, à la
     * Efraimidis–Spirakis: each row draws a deterministic uniform
@@ -24,9 +35,23 @@ object Sampling {
     * E-S key is undefined there); callers clamp weights to a floor
     * when every row must stay eligible.
     *
-    * Output: the input columns plus `rk` (1-based rank within the
-    * group's kept set).
+    * Scale shape: one window partitioned by the group key — work
+    * shuffles once on the group, each group ranks independently,
+    * never a global sort. Output: the input columns plus `rk`
+    * (1-based rank within the group's kept set).
     */
+  def weightedReservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                                weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "weightedReservoirPerGroup needs k > 0")
+    // maximize u^(1/w)  <=>  maximize ln(u)/w  (w > 0)
+    val w = Window.partitionBy(groupCol).orderBy(desc("_es_key"), col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("_es_key", log(md5Uniform(idCol, halfOpen = false)) / col(weightCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .drop("_es_key")
+  }
+
   /** Source-mixing downsampler: compute per-group keep rates that cap
     * each group at ~`targetPerGroup` rows in expectation
     * (rate = min(1, target/n)), then apply them with the deterministic
@@ -46,27 +71,9 @@ object Sampling {
       .agg(count(lit(1)).as("_n"))
       .select(col(groupCol),
         least(lit(1.0), lit(targetPerGroup.toDouble) / col("_n")).as("_rate"))
-    // u in [0,1): 32 bits of md5(id) over an exact power-of-two divisor
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
     df.join(broadcast(rates), Seq(groupCol))
-      .where(u < col("_rate"))
+      .where(md5Uniform(idCol, halfOpen = true) < col("_rate"))
       .withColumn("keep_rate", round(col("_rate"), 6))
       .drop("_rate")
-  }
-
-  def weightedReservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
-                                weightCol: String, k: Int): DataFrame = {
-    require(k > 0, "weightedReservoirPerGroup needs k > 0")
-    // u in (0,1]: 32 bits of md5(id), +1 so ln never sees 0
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 1.0) / 4294967296.0
-    // maximize u^(1/w)  <=>  maximize ln(u)/w  (w > 0)
-    val w = Window.partitionBy(groupCol).orderBy(desc("_es_key"), col(idCol))
-    df.where(col(weightCol) > 0)
-      .withColumn("_es_key", log(u) / col(weightCol))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .drop("_es_key")
   }
 }

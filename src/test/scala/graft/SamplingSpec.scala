@@ -52,6 +52,16 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(_._2).toSet)
   }
 
+  test("sample_quality_cut scores the corpus once: cut reuses the exchange") {
+    val q = SparkEntry.queries("sample_quality_cut")(spark, sf001)
+    q.collect() // AQE: exchange reuse materializes in the final plan
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"the percentile cut must reuse the scored-corpus exchange:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "the documents corpus must scan (and score) exactly once")
+  }
+
   test("non-positive weights are excluded") {
     val df = Seq((1L, "g", 1.0), (2L, "g", 0.0), (3L, "g", -2.0))
       .toDF("id", "g", "w")
