@@ -1015,6 +1015,32 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ANN over the int8-quantized corpus (4× smaller scan at 100 TB):
+    // cosine is scale-invariant so the per-vector quantization scale
+    // cancels — the search runs on raw integer vectors, and integer
+    // dots are exact in double, making the score itself deterministic
+    "sim_topk_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.int8TopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // measured recall of the int8 search against the float exact
+    // top-k — the quantization-error analogue of sim_lsh_recall; both
+    // sides carry full oracles so the recall number is hash-checked
+    "sim_int8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val i8 = Similarity.int8TopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(i8, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // embedding hygiene: the map-only pre-ingest checks every vector
     // corpus needs before ANN trusts it (dim, norm, NaN, degeneracy)
     "emb_quality" -> ((s, dir) =>
@@ -2088,6 +2114,60 @@ object SparkEntry {
         | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
         | WHERE c.vec_id <> q.vec_id)
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // quantize both sides with the emb_quantize arithmetic, then the
+    // identical brute-force top-k over the integer vectors — cosine's
+    // scale invariance means no dequantize step appears in either
+    // engine
+    "sim_topk_int8" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  greatest(list_max(embedding), -list_min(embedding))::DOUBLE AS maxabs
+        | FROM embeddings),
+        | qv AS (
+        | SELECT vec_id, list_transform(v, x -> floor(x * (127.0/maxabs) + 0.5)) AS q
+        | FROM e WHERE maxabs > 0)
+        | SELECT query_id, corpus_id, score, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(c.q, q.q), 6) AS score,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(c.q, q.q), 6) DESC,
+        |             c.vec_id) AS rnk
+        | FROM qv c, (SELECT * FROM qv WHERE vec_id < 8) q
+        | WHERE c.vec_id <> q.vec_id)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_int8_recall" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  greatest(list_max(embedding), -list_min(embedding))::DOUBLE AS maxabs
+        | FROM embeddings),
+        | qv AS (
+        | SELECT vec_id, list_transform(v, x -> floor(x * (127.0/maxabs) + 0.5)) AS q
+        | FROM e WHERE maxabs > 0),
+        | ex AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC,
+        |               c.vec_id) AS rnk
+        |   FROM e c, (SELECT * FROM e WHERE vec_id < 8) q
+        |   WHERE c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5),
+        | i8 AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(c.q, q.q), 6) DESC,
+        |               c.vec_id) AS rnk
+        |   FROM qv c, (SELECT * FROM qv WHERE vec_id < 8) q
+        |   WHERE c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5)
+        | SELECT ex.query_id,
+        |  round(sum(CASE WHEN i8.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+        | FROM ex LEFT JOIN i8
+        |   ON ex.query_id = i8.query_id AND ex.corpus_id = i8.corpus_id
+        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
 
     "emb_quality" ->
       """SELECT vec_id AS id,

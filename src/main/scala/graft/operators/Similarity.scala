@@ -80,6 +80,41 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Brute-force cosine top-k over int8-quantized vectors: both sides
+    * quantize per-vector (scale = 127 / max|vᵢ|, qᵢ = ⌊vᵢ·scale+0.5⌋ —
+    * the [[Embeddings.quantizeInt8]] arithmetic), then search runs
+    * directly on the integer vectors. Cosine is scale-invariant, so
+    * the per-vector scale CANCELS — no dequantization pass exists,
+    * and because integer dots and squared norms are exact in double,
+    * the score is bit-deterministic (unlike float-sum ANN, the
+    * accumulation order cannot perturb it). All-zero vectors (scale
+    * undefined) are dropped, as in quantizeInt8.
+    *
+    * 100 TB rationale: the quantized corpus is 4× smaller on disk and
+    * in scan, which at vector-corpus scale is the difference between
+    * a memory-resident index and not; recall loss is bounded by the
+    * quantization error (≤ 0.5/scale per component) — the
+    * `sim_int8_recall` gate pins the measured number.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    def quant(df: DataFrame, outId: String, outVec: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as("v"))
+        .withColumn("maxabs",
+          greatest(array_max(col("v")).cast("double"), -array_min(col("v")).cast("double")))
+        .where(col("maxabs") > 0)
+        .withColumn(outVec,
+          transform(col("v"),
+            x => floor(x.cast("double") * (lit(127.0) / col("maxabs")) + 0.5).cast("double")))
+        .drop("v", "maxabs")
+    val c = quant(corpus, "corpus_id", "cvec").withColumn("cnrm", l2Norm(col("cvec")))
+    val q = quant(queries, "query_id", "qvec").withColumn("qnrm", l2Norm(col("qvec")))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic centroid seeding shared by k-means and IVF: the
     * `numCells` vectors with the smallest engine-neutral md5-derived
     * hash of their id, numbered 1..numCells in hash order.

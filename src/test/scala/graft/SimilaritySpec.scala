@@ -153,4 +153,28 @@ class SimilaritySpec extends SparkSpec {
     assert(idx == mem, "index changes where the corpus lives, not the answer")
   }
 
+  test("int8 top-k: high recall vs float exact, zero vectors dropped, deterministic") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val i8 = Similarity.int8TopK(e, q, "vec_id", "embedding", 5)
+    val got = i8.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // quantization error (≤ 0.5/scale per component) only perturbs
+    // near-ties at the top-k boundary — recall stays high
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall below 0.8")
+    // integer dots are exact in double: two runs are bit-identical
+    val run2 = Similarity.int8TopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(run2 == got)
+    // an all-zero vector has no defined scale — dropped from both sides
+    import spark.implicits._
+    val withZero = e.select(col("vec_id"), col("embedding"))
+      .union(Seq((9999L, Array.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val z = Similarity.int8TopK(withZero, withZero.where(col("vec_id") === 9999L),
+      "vec_id", "embedding", 5)
+    assert(z.count() == 0, "zero vector must quantize away, not NaN-poison scores")
+  }
+
 }
