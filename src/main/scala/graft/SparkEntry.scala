@@ -499,6 +499,34 @@ object SparkEntry {
 
     "window_running" -> ((s, dir) => Analytics.runningSupplierQty(t(s, dir, "lineitem"))),
 
+    // time-interval RANGE frame (trailing 30-day revenue per customer)
+    // — frame membership is by day VALUE, so date ties can't make the
+    // result order-dependent the way a ROWS frame would
+    "window_range_frame" -> ((s, dir) =>
+      Analytics.trailingRevenue(t(s, dir, "orders"), days = 30)
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // explicit salted two-phase aggregate; the oracle is the DIRECT
+    // single group-by — scaled-long associativity makes the two forms
+    // bit-equal, which is exactly the property the gate checks
+    "agg_skew_twophase" -> ((s, dir) =>
+      Analytics.skewSafeRevenue(t(s, dir, "lineitem"), salts = 16)),
+
+    // GROUPING SETS — the explicit-subset cousin of rollup/cube; the
+    // grouping_id marker disambiguates a NULL group value from a
+    // superaggregate row (both engines use the same MSB-first bitmask)
+    "agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          | CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+          |FROM lineitem_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // Q5-shaped 6-way join: supplier must sit in the customer's nation
     "join_local_supplier" -> ((s, dir) =>
       Analytics.localSupplierRevenue(
@@ -1562,6 +1590,35 @@ object SparkEntry {
          | JOIN region ON n_regionkey = r_regionkey
          | GROUP BY ROLLUP(r_name, n_name)
          | ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) OVER w AS DOUBLE)/100.0
+        |   AS trail_rev,
+        | count(*) OVER w AS n_trail
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey
+        |   ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        | ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // the oracle is the DIRECT single-phase aggregate: scaled-long
+    // associativity is the property under test
+    "agg_skew_twophase" ->
+      s"""SELECT l_returnflag,
+         | ${msum("l_extendedprice*(1-l_discount)", 4)} AS revenue,
+         | count(*) AS n_rows
+         | FROM lineitem GROUP BY l_returnflag
+         | ORDER BY l_returnflag""".stripMargin,
+
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | count(*) AS n_rows,
+         | ${msum("l_quantity")} AS sum_qty
+         | FROM lineitem
+         | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         | ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "window_running" ->
       """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (

@@ -100,6 +100,58 @@ object Analytics {
   }
 
   /** Top-k customers by exact spend — groupBy + TakeOrderedAndProject. */
+  /** Trailing-`days`-day revenue per customer: a RANGE window frame
+    * over the order-date day number — the time-interval cousin of
+    * [[runningSupplierQty]]'s ROWS frame. RANGE includes ALL rows
+    * whose day falls inside the interval regardless of how many share
+    * a date, so the frame (and with scaled-long sums, the value) is
+    * deterministic even on date ties — a ROWS frame would not be.
+    *
+    * Scale shape: one window shuffle partitioned by the
+    * high-cardinality customer key; within a partition Spark slides
+    * the frame incrementally (no per-row rescan), so cost is
+    * O(rows per customer), not O(rows × frame width).
+    */
+  def trailingRevenue(orders: DataFrame, days: Int = 30): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_num"))
+      .rangeBetween(-(days - 1), 0)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("day_num", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      .withColumn("trail_rev",
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w).cast("double") / 100.0)
+      .withColumn("n_trail", count(lit(1)).over(w).cast("long"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "trail_rev", "n_trail")
+  }
+
+  /** Two-phase salted aggregate: phase 1 aggregates on (key, salt) —
+    * a hot key's rows spread over `salts` reducers — phase 2 merges
+    * the ≤ |keys|·salts partials. The manual form of skew-safe
+    * aggregation for when one key floods a reducer; because the
+    * partials are scaled longs, the two-phase result is bit-equal to
+    * the direct group-by (the oracle IS the direct form — associativity
+    * is the checked property, not an assumption).
+    *
+    * Note Spark's partial/final hash aggregation already does this
+    * per-PARTITION; the explicit salt matters when upstream
+    * partitioning is already keyed (no map-side combine possible) or
+    * for sum-of-distinct-heavy plans. The second aggregate's input is
+    * tiny, so the extra shuffle costs |keys|·salts rows.
+    */
+  def skewSafeRevenue(lineitem: DataFrame, salts: Int = 16): DataFrame =
+    lineitem
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("partial_cents"),
+        count(lit(1)).as("partial_n"))
+      .groupBy("l_returnflag")
+      .agg(
+        (sum(col("partial_cents")).cast("double") / 10000.0).as("revenue"),
+        sum(col("partial_n")).cast("long").as("n_rows"))
+      .orderBy("l_returnflag")
+
   def topCustomers(orders: DataFrame, k: Int): DataFrame =
     orders.groupBy(col("o_custkey"))
       .agg(moneySum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))

@@ -152,4 +152,39 @@ class PlanShapeSpec extends SparkSpec {
       "probed-cell IN filter must reach the scan as a partition filter")
   }
 
+  test("RANGE frame includes all date-tie peers; values match hand computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // customer 1: days 1, 2, 2, 40 — the day-2 rows are peers (both in
+    // each other's frame); day 40 sees only itself in a 30-day window
+    val o = Seq(
+      (1L, 10L, "1996-01-02", 10.0), (1L, 11L, "1996-01-03", 20.0),
+      (1L, 12L, "1996-01-03", 30.0), (1L, 13L, "1996-02-10", 40.0))
+      .toDF("o_custkey", "o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("d"))).drop("d")
+    val got = graft.operators.Analytics.trailingRevenue(o, days = 30)
+      .orderBy("o_orderkey")
+      .select("o_orderkey", "trail_rev", "n_trail")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((10L, 10.0, 1L), (11L, 60.0, 3L), (12L, 60.0, 3L), (13L, 40.0, 1L)))
+  }
+
+  test("salted two-phase aggregate is bit-equal to the direct group-by") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf001)
+    val direct = li.groupBy("l_returnflag")
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+              .cast("long")).cast("double") / 10000.0).as("revenue"),
+           count(lit(1)).cast("long").as("n_rows"))
+      .orderBy("l_returnflag").collect().toSeq
+    val twoPhase = graft.operators.Analytics.skewSafeRevenue(li, salts = 16)
+      .collect().toSeq
+    assert(twoPhase == direct, "scaled-long partials must merge exactly")
+    // and the salt really spreads: phase-1 output has >1 row per key
+    val p = graft.operators.Analytics.skewSafeRevenue(li, salts = 16)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("partial_cents") || p.contains("HashAggregate"),
+      "two-phase plan must show the partial aggregate stage")
+  }
+
 }
