@@ -373,6 +373,23 @@ object SparkEntry {
       Etl.snapshotDiffDetail(oldSnap, newSnap, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // SCD type-2 history from the same deterministic snapshot pair:
+    // closed versions for removed/changed keys, open versions for the
+    // whole new snapshot (valid_from keyed to when the row appeared).
+    // Mutation is the exact IEEE +1000.0 (values are hash-compared)
+    "etl_scd2" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+      Etl.scd2Build(oldSnap, newSnap, Seq("o_orderkey"),
+          oldDate = "2024-01-01", newDate = "2024-02-01")
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
     // date-partitioned event-lake layout: written once per JVM
     // partitioned by event_date, then a date-bounded read that
     // partition-prunes (spec-guarded) — the storage shape + query
@@ -1140,6 +1157,14 @@ object SparkEntry {
       TextAnalysis.vocabTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .orderBy("rnk")),
 
+    // strongest bigram collocations by PMI (phrase-vocab prep); the
+    // count floor is part of the statistic, the top-k is
+    // TakeOrderedAndProject + ranks on the survivors
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
+          minCount = 5, k = 30)
+        .orderBy("rnk")),
+
     // end-to-end training-data prep: whole-row dedup → quality +
     // langid (both map-only over the deduped set) → keep good English
     // docs. The join is doc_id-keyed (high-cardinality shuffle, AQE
@@ -1421,6 +1446,42 @@ object SparkEntry {
         |    OR o.o_orderpriority <> n.o_orderpriority
         |    OR o.o_totalprice <> n.o_totalprice
         | ORDER BY o_orderkey""".stripMargin,
+
+    // classification replayed column-wise (IS DISTINCT FROM ≡ the
+    // fingerprint compare, within-engine), then the two version
+    // branches unioned — (key, valid_from) is unique so the ORDER BY
+    // is total
+    "etl_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        | old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        | new AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 3 <> 0),
+        | cls AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |        WHEN n.o_orderkey IS NULL THEN 'removed'
+        |        WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |          OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+        |        ELSE 'unchanged' END AS change
+        |  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+        | SELECT o.o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+        |  DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to,
+        |  FALSE AS is_current
+        | FROM old o JOIN cls ON o.o_orderkey = cls.k
+        | WHERE change IN ('removed', 'changed')
+        | UNION ALL
+        | SELECT n.o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+        |  CASE WHEN change IN ('added', 'changed') THEN DATE '2024-02-01'
+        |       ELSE DATE '2024-01-01' END AS valid_from,
+        |  CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        | FROM new n JOIN cls ON n.o_orderkey = cls.k
+        | ORDER BY o_orderkey, valid_from""".stripMargin,
 
     // the merged result must BE the new snapshot
     "etl_incremental_apply" ->
@@ -2501,6 +2562,33 @@ object SparkEntry {
         | SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  row_number() OVER (ORDER BY tf DESC, term) AS rnk
         | FROM tf ORDER BY rnk LIMIT 20""".stripMargin,
+
+    // PMI arithmetic mirrored exactly: counts to DOUBLE before the
+    // products, ln, round 6 — the bigram window construction is the
+    // jaccard oracles' UNNEST(range) technique at n=2
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | uni AS (
+        |  SELECT t.w AS w, count(*) AS c
+        |  FROM (SELECT unnest(w) AS w FROM toks) t GROUP BY 1),
+        | n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens FROM uni),
+        | bi AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS g, count(*) AS c_ab
+        |  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        | sc AS (
+        |  SELECT g, c_ab,
+        |   round(ln(c_ab::DOUBLE * n_tokens
+        |     / (ua.c::DOUBLE * ub.c::DOUBLE)), 6) AS pmi
+        |  FROM bi
+        |  JOIN uni ua ON string_split(bi.g, ' ')[1] = ua.w
+        |  JOIN uni ub ON string_split(bi.g, ' ')[2] = ub.w
+        |  CROSS JOIN n)
+        | SELECT g AS bigram, c_ab, pmi,
+        |  row_number() OVER (ORDER BY pmi DESC, g) AS rnk
+        | FROM sc ORDER BY rnk LIMIT 30""".stripMargin,
 
     "events_hopping_agg" ->
       s"""SELECT make_timestamp(((epoch_ms(ts) // 1800000) - i) * 1800000 * 1000)

@@ -227,6 +227,42 @@ object Etl {
           .as("changed_columns"): _*)
   }
 
+  /** SCD type-2 history build from two snapshots: each key yields a
+    * CLOSED version (valid_from = oldDate, valid_to = newDate,
+    * is_current = false) when its row was removed or changed, and an
+    * OPEN version (valid_to = null, is_current = true) for every row
+    * in the new snapshot — with valid_from = newDate for added/changed
+    * keys and oldDate for unchanged ones (they've existed since the
+    * old snapshot).
+    *
+    * Scale shape: classification rides the [[snapshotDiff]]
+    * fingerprint join (~48 bytes/row); wide rows then move only
+    * through key-joins — the closed side pulls |removed ∪ changed|
+    * old rows, the open side streams the new snapshot once with a
+    * broadcast-friendly key flag join. Building the history of two
+    * 100 TB snapshots never shuffles the snapshots on row content.
+    */
+  def scd2Build(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
+                oldDate: String, newDate: String): DataFrame = {
+    val diff = snapshotDiff(oldSnap, newSnap, keyCols)
+    val closeKeys = diff.where(col("change").isin("removed", "changed"))
+      .select(keyCols.map(col): _*)
+    val closed = oldSnap.join(closeKeys, keyCols, "left_semi")
+      .withColumn("valid_from", to_date(lit(oldDate)))
+      .withColumn("valid_to", to_date(lit(newDate)))
+      .withColumn("is_current", lit(false))
+    val freshKeys = diff.where(col("change").isin("added", "changed"))
+      .select(keyCols.map(col) :+ lit(1).as("_fresh"): _*)
+    val open = newSnap.join(freshKeys, keyCols, "left")
+      .withColumn("valid_from",
+        when(col("_fresh").isNotNull, to_date(lit(newDate)))
+          .otherwise(to_date(lit(oldDate))))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .drop("_fresh")
+    closed.unionByName(open)
+  }
+
   /** Incremental refresh: apply the [[snapshotDiff]] delta between two
     * snapshots onto the old one — delete removed/changed keys, insert
     * the new side's added/changed rows — and land EXACTLY on the new

@@ -340,6 +340,49 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Corpus-level collocation mining (phrase-vocabulary prep for
+    * tokenizer training): the k strongest word bigrams by pointwise
+    * mutual information, PMI = ln(c_ab·N / (c_a·c_b)) over lowercased
+    * whitespace tokens, with a count floor — a one-occurrence pair
+    * has unbounded PMI noise, so `minCount` is part of the statistic,
+    * not an optimization. Counts cast to double BEFORE the products
+    * (c_a·c_b overflows long at web-corpus frequencies); ranks assign
+    * on the ≤k survivor set via the [[vocabTopTerms]]
+    * sorted-collect_list technique, so no global window exists.
+    *
+    * Scale shape: two corpus passes (bigram + unigram hash
+    * aggregates, both map-side-combined); the unigram table joins
+    * twice at vocabulary cardinality (≪ corpus); the total-count
+    * scalar broadcasts; the global top-k is TakeOrderedAndProject.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, k: Int = 50): DataFrame = {
+    val uni = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.select(sum(col("c")).cast("double").as("n_tokens"))
+    val bi = docs
+      .select(explode(wordNgramsFast(lower(col(textCol)), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        col("c_ab").cast("double") * col("n_tokens")
+          / (col("c_a").cast("double") * col("c_b").cast("double"))), 6))
+    scored.orderBy(desc("pmi"), asc("g")).limit(k)
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct((-col("pmi")).as("negpmi"), col("g"), col("c_ab"), col("pmi")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select(col("x.g").as("bigram"), col("x.c_ab").as("c_ab"), col("x.pmi").as("pmi"),
+              (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the normalized text (case/punct/ws-
     *    insensitive exact-dup key);

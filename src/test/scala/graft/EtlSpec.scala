@@ -167,6 +167,29 @@ class EtlSpec extends SparkSpec {
     assert(Etl.incrementalApply(oldSnap, oldSnap, Seq("k")).count() == oldSnap.count())
   }
 
+  test("scd2Build: closed/open versions partition the history; current rows = new snapshot") {
+    import org.apache.spark.sql.functions._
+    // key 1 removed, 2 changed, 3 unchanged, 4 added
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val newSnap = Seq((2L, "B", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val hist = Etl.scd2Build(oldSnap, newSnap, Seq("k"), "2024-01-01", "2024-02-01")
+    val rows = hist
+      .select(col("k"), col("s"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(Long, String, String, Option[String], Boolean)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(rows == Seq(
+      (1L, "a", "2024-01-01", Some("2024-02-01"), false), // removed: closed only
+      (2L, "b", "2024-01-01", Some("2024-02-01"), false), // changed: closed old...
+      (2L, "B", "2024-02-01", None, true),                // ...plus open new
+      (3L, "c", "2024-01-01", None, true),                // unchanged: open since old
+      (4L, "d", "2024-02-01", None, true)))               // added: open at new
+    // the current slice of the history IS the new snapshot
+    val current = hist.where(col("is_current")).select("k", "s", "v")
+      .as[(Long, String, Double)].collect().toSet
+    assert(current == newSnap.as[(Long, String, Double)].collect().toSet)
+  }
+
   test("writeJsonl round-trips nested struct columns losslessly") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25))

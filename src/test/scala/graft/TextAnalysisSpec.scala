@@ -160,4 +160,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._5 && !got(1)._4, "zero vector degenerate without NaN")
     assert(got(2)._4 && got(2)._5, "NaN vector degenerate with NaN flag")
   }
+
+  test("collocations: fixed pair outranks independent words; floor excludes rare pairs") {
+    import graft.operators.TextAnalysis
+    // "new york" always co-occurs (PMI high); "the" pairs freely with
+    // everything (PMI ~0); "rare pair" appears once (< minCount, cut)
+    val docs = (1 to 10).map { i =>
+      (i.toLong, s"new york is the city the a$i visited rare" +
+        (if (i == 1) " pair" else ""))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 5, k = 5)
+      .select("bigram", "rnk").as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty && got.map(_._2) == (1L to got.length))
+    assert(got.head._1 == "new york", s"strongest collocation should be 'new york', got $got")
+    assert(!got.exists(_._1 == "rare pair"), "below-floor pair must be cut")
+  }
 }
