@@ -78,6 +78,37 @@ object SparkEntry {
     s"CAST(sum(CAST(round(($expr)*$f, 0) AS BIGINT)) AS DOUBLE)/$f.0"
   }
 
+  // ---- PQ SQL twin: seeded subspace codebooks (m=8 × ksub=64 over
+  // dim 64), argmax-dot encode, reconstruction scoring; `tail`
+  // either selects the top-k from `pairs` or extends the WITH chain
+  // (the recall gate) -----------------------------------------------
+  private def pqSql(tail: String): String =
+    """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | seeds AS (
+      |  SELECT row_number() OVER (ORDER BY h) AS code, vec
+      |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+      |        FROM c ORDER BY h LIMIT 64)),
+      | cb AS (
+      |  SELECT s, code, vec[(s*8+1):(s*8+8)] AS subc
+      |  FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)),
+      | enc AS (
+      |  SELECT id, s, code FROM (
+      |   SELECT c.id, cb.s, cb.code,
+      |    row_number() OVER (PARTITION BY c.id, cb.s ORDER BY
+      |      round(list_inner_product(c.vec[(cb.s*8+1):(cb.s*8+8)], cb.subc), 6) DESC,
+      |      cb.code DESC) AS rn
+      |   FROM c CROSS JOIN cb)
+      |  WHERE rn = 1),
+      | rec AS (
+      |  SELECT id, flatten(list(subc ORDER BY s)) AS rvec
+      |  FROM enc JOIN cb USING (s, code) GROUP BY id),
+      | pairs AS (
+      |  SELECT q.id AS query_id, r.id AS corpus_id,
+      |   round(list_cosine_similarity(r.rvec, q.vec), 6) AS score
+      |  FROM rec r CROSS JOIN (SELECT * FROM c WHERE id < 8) q
+      |  WHERE r.id <> q.id)
+      |""".stripMargin + tail
+
   // ---- simhash SQL twin: builder-generated 60 bit-sum columns ------
   // (the md5-derived token hash makes the whole pipeline engine-
   // neutral; banding is pigeonhole-exact, so all-pairs hamming in
@@ -1081,6 +1112,32 @@ object SparkEntry {
       val i8 = Similarity.int8TopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
       exact.join(i8, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // product-quantization ANN: corpus stored as 8×6-bit codes (6 B
+    // per vector, ~42× smaller than raw floats), scored against the
+    // codebook reconstruction — the seeded codebooks keep the whole
+    // operator oracle-exact
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // measured PQ recall vs the float exact top-k (the coarsest
+    // compression in the family, so the lowest recall — the number
+    // itself is hash-checked like the LSH/IVF/int8 recall gates)
+    "sim_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(pq, Seq("query_id", "corpus_id"), "left")
         .groupBy("query_id")
         .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
         .orderBy("query_id")
@@ -2286,6 +2343,41 @@ object SparkEntry {
         | FROM ex LEFT JOIN i8
         |   ON ex.query_id = i8.query_id AND ex.corpus_id = i8.corpus_id
         | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
+
+    // PQ twin: md5-seeded codebooks per 16-dim subspace, argmax-dot
+    // encode (round 6 before the argmax, ties to the greatest code),
+    // reconstruction = concat of subcentroids in subspace order, one
+    // fixed-order cosine — every stage mirrors the Spark operator
+    "sim_pq_topk" -> pqSql(
+      """ SELECT query_id, corpus_id, score, rnk FROM (
+        |  SELECT query_id, corpus_id, score,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, corpus_id) AS rnk
+        |  FROM pairs)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+
+    "sim_pq_recall" -> pqSql(
+      """ , pq AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rnk
+        |   FROM pairs)
+        |  WHERE rnk <= 5),
+        | ex AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.id AS query_id, c.id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.id
+        |      ORDER BY round(list_cosine_similarity(c.vec, q.vec), 6) DESC,
+        |               c.id) AS rnk
+        |   FROM c, (SELECT * FROM c WHERE id < 8) q
+        |   WHERE c.id <> q.id)
+        |  WHERE rnk <= 5)
+        | SELECT ex.query_id,
+        |  round(sum(CASE WHEN pq.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+        | FROM ex LEFT JOIN pq
+        |   ON ex.query_id = pq.query_id AND ex.corpus_id = pq.corpus_id
+        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
 
     "emb_quality" ->
       """SELECT vec_id AS id,

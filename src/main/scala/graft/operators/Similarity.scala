@@ -115,6 +115,78 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization ANN: the vector splits into `m` contiguous
+    * subvectors; each subspace gets a `ksub`-entry codebook (the
+    * deterministic md5-seeded sample — the [[seedCentroids]] idea per
+    * subspace, engine-neutral so the whole operator is
+    * oracle-checkable); every corpus vector is encoded as m small
+    * codes (argmax subspace dot, rounded to 6 before the argmax, ties
+    * to the greatest code). Queries score against the RECONSTRUCTED
+    * corpus vector (concat of its m subcentroids) with one
+    * left-to-right cosine — chosen over summing per-subspace ADC
+    * partials because the single fixed-order dot is bit-reproducible
+    * cross-engine, while a partial-sum aggregation order is not; the
+    * scores are mathematically identical.
+    *
+    * 100 TB rationale: the stored corpus shrinks from dim floats to
+    * m·log₂(ksub) BITS per vector (the defaults: 64×4B → 8×6b = 6B,
+    * ~42×); the codebook (m·ksub rows) broadcasts everywhere, and
+    * scoring scans codes, never raw vectors. Recall is bounded by
+    * quantization coarseness — `sim_pq_recall` pins the measured
+    * number (≈0.3 on the weak-neighbor test corpus; sampled codebooks
+    * are the trainIters=0 analogue — per-subspace Lloyd refinement is
+    * the quality path, exactly as with the IVF coarse quantizer).
+    *
+    * @param dim vector dimensionality (must divide by m; codebook
+    *            slices are plan-time constants)
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 64, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subLen = dim / m
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    // per-subspace codebooks from ONE seed set: the ksub corpus
+    // vectors with the smallest md5(id), sliced per subspace
+    val seeds = c
+      .withColumn("h", graft.functions.TextFunctions.md5Prefix64(col("corpus_id").cast("string")))
+      .orderBy("h").limit(ksub)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("h"), col("cvec")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("code"), col("x.cvec").as("seedvec"))
+    val codebook = seeds
+      .select(col("code"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+               slice(col("seedvec"), s * subLen + 1, subLen).as("subc"))): _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("code"), col("sc.subc").as("subc"))
+    // encode: per (vector, subspace) the argmax-dot code — a hash
+    // aggregate, not a window (the ivfTopK argument: corpus-sized
+    // row_number windows sort tiny partitions; max(struct) shuffles
+    // once with partial aggregation)
+    val enc = c
+      .crossJoin(broadcast(codebook))
+      .withColumn("d", round(dot(
+        slice(col("cvec"), col("sub") * subLen + 1, lit(subLen)), col("subc")), 6))
+      .groupBy(col("corpus_id"), col("sub"))
+      .agg(max(struct(col("d"), col("code"))).getField("code").as("code"))
+    // reconstruct: m subcentroids concatenated in subspace order; the
+    // collect_list is bounded at m elements per vector
+    val rec = enc
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .groupBy("corpus_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("subc")))),
+        x => x.getField("subc"))).as("rvec"))
+      .withColumn("rnrm", l2Norm(col("rvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+    val scored = rec.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("rvec"), col("qvec")), col("rnrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic centroid seeding shared by k-means and IVF: the
     * `numCells` vectors with the smallest engine-neutral md5-derived
     * hash of their id, numbered 1..numCells in hash order.

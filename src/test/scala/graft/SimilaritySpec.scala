@@ -177,4 +177,29 @@ class SimilaritySpec extends SparkSpec {
     assert(z.count() == 0, "zero vector must quantize away, not NaN-poison scores")
   }
 
+  test("pq top-k: k rows per query, deterministic, finer codebooks raise recall") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val got = Similarity.pqTopK(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.length == 40 && got.forall { case (qq, c, _, _) => qq != c })
+    val run2 = Similarity.pqTopK(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.sortBy(r => (r._1, r._4)) == run2.sortBy(r => (r._1, r._4)))
+    // quantization-granularity monotonicity (the PQ design knob): a
+    // 1-subspace, tiny-codebook quantizer must not beat the default
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(m: Int, ksub: Int): Double = {
+      val r = Similarity.pqTopK(e, q, "vec_id", "embedding", 5, m = m, ksub = ksub)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact & r).size.toDouble / exact.size
+    }
+    val coarse = recall(1, 4)
+    val fine = recall(8, 64)
+    assert(fine >= coarse,
+      s"finer quantization (8x64 -> $fine) must not lose to coarser (1x4 -> $coarse)")
+    assert(fine >= 0.15, s"default-params recall $fine collapsed")
+  }
+
 }
