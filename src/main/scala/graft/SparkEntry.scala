@@ -477,6 +477,16 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_name")),
 
+    // exact-moment Pearson correlation (the corr() built-in sums
+    // doubles in partial-agg order and can't hash-match; this one
+    // derives from exact integer moments) — one scan for all pairs
+    "profile_corr" -> ((s, dir) =>
+      Profiling.pairwiseCorr(t(s, dir, "lineitem"),
+        Seq(("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "l_discount"),
+            ("l_quantity", "l_discount")))
+        .orderBy("col_x", "col_y")),
+
     // key-skew report: 10 heaviest event users + corpus share — the
     // "do I need to salt this join key" diagnostic; bounded top-k,
     // boundary ties broken on the key value
@@ -585,6 +595,11 @@ object SparkEntry {
     // Q4-shaped EXISTS: late-shipped orders per priority (semi join)
     "agg_late_priority" -> ((s, dir) =>
       Analytics.latePriorityCount(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    // Q13-shaped order-count distribution: LEFT join keeps the
+    // zero-order cohort an inner join would silently drop
+    "agg_order_count_dist" -> ((s, dir) =>
+      Analytics.orderCountDistribution(t(s, dir, "customer"), t(s, dir, "orders"))),
 
     // Q18-shaped large-volume customers (exact scaled-long HAVING)
     "join_large_orders" -> ((s, dir) =>
@@ -1393,6 +1408,10 @@ object SparkEntry {
     "events_hopping_agg" -> ((s, dir) => Events.hoppingAgg(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
+
+    // per-user cadence: exact integer ms gaps, one user-keyed window
+    "events_interarrival" -> ((s, dir) =>
+      Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
     "events_props" -> ((s, dir) => Events.extractProps(t(s, dir, "events"))),
 
     // ordered product-analytics funnel: view → click → purchase with
@@ -1639,6 +1658,30 @@ object SparkEntry {
          | ORDER BY col_name""".stripMargin
     },
 
+    // corr from the same exact scaled moments, formula term order
+    // mirrored exactly (n·Sxy − Sx·Sy over sqrt of the two variance
+    // terms, all after the casts to DOUBLE)
+    "profile_corr" -> {
+      def one(x: String, y: String) = {
+        val n = "CAST(count(*) AS DOUBLE)"
+        def d(e: String) = s"CAST($e AS DOUBLE)"
+        val varX = s"$n * ${d("sum(vx*vx)")} - ${d("sum(vx)")} * ${d("sum(vx)")}"
+        val varY = s"$n * ${d("sum(vy*vy)")} - ${d("sum(vy)")} * ${d("sum(vy)")}"
+        s"""SELECT '$x' AS col_x, '$y' AS col_y, count(*) AS n_pairs,
+           |  CASE WHEN count(*) >= 2 AND ($varX) > 0 AND ($varY) > 0
+           |   THEN round(($n * ${d("sum(vx*vy)")} - ${d("sum(vx)")} * ${d("sum(vy)")})
+           |     / sqrt(($varX) * ($varY)), 6)
+           |  END AS corr
+           | FROM (SELECT CAST(round($x*100, 0) AS BIGINT) AS vx,
+           |              CAST(round($y*100, 0) AS BIGINT) AS vy
+           |       FROM lineitem WHERE $x IS NOT NULL AND $y IS NOT NULL)""".stripMargin
+      }
+      s"""${one("l_quantity", "l_extendedprice")}
+         | UNION ALL ${one("l_extendedprice", "l_discount")}
+         | UNION ALL ${one("l_quantity", "l_discount")}
+         | ORDER BY col_x, col_y""".stripMargin
+    },
+
     "profile_skew" ->
       """WITH c AS (SELECT user_id::VARCHAR AS key_value, count(*) AS n
         |           FROM events GROUP BY 1),
@@ -1802,6 +1845,26 @@ object SparkEntry {
          |  AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
          | GROUP BY 1)
          | ORDER BY o_year""".stripMargin,
+
+    "agg_order_count_dist" ->
+      """SELECT c_count, count(*) AS n_custs FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) t
+        | GROUP BY c_count
+        | ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+
+    "events_interarrival" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        | FROM events)
+        | SELECT user_id, count(*) AS n_gaps,
+        |  round(avg(gap_ms), 6) AS mean_gap_ms,
+        |  min(gap_ms) AS min_gap_ms, max(gap_ms) AS max_gap_ms
+        | FROM g WHERE gap_ms IS NOT NULL
+        | GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "topk_customers" ->
       s"""SELECT o_custkey, ${msum("o_totalprice")} AS total_spent,

@@ -152,6 +152,22 @@ object Analytics {
         sum(col("partial_n")).cast("long").as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q13 shape: the distribution of orders-per-customer,
+    * INCLUDING zero-order customers — the left join is the point
+    * (an inner join silently drops the empty-cart cohort). Two-level
+    * aggregate: the first shrinks to |customers| rows, the second to
+    * |distinct counts|; the join is the only corpus-sized shuffle,
+    * keyed on the high-cardinality custkey.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(desc("n_custs"), desc("c_count"))
+
   def topCustomers(orders: DataFrame, k: Int): DataFrame =
     orders.groupBy(col("o_custkey"))
       .agg(moneySum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))

@@ -185,6 +185,31 @@ object Events {
     * instead of scanning the history. Pair with a `ts`-range filter
     * that Catalyst rewrites onto `event_date`.
     */
+  /** Per-user inter-arrival cadence: millisecond gaps between
+    * consecutive events (event_id tie-break on equal timestamps so
+    * the lag — and therefore every gap — is deterministic), reduced
+    * to count / mean / min / max per user. Gaps are exact integer
+    * milliseconds, and avg over longs is exact-sum-then-divide in
+    * both engines, so the rounded mean hash-matches.
+    *
+    * Scale shape: one window shuffle on the high-cardinality user
+    * key, then a hash aggregate that shrinks to |users| rows —
+    * engagement cadence over 100 TB of events costs one shuffle.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+              unix_millis(col("ts")).as("ms"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .where(col("gap_ms").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+           round(avg(col("gap_ms")), 6).as("mean_gap_ms"),
+           min(col("gap_ms")).as("min_gap_ms"),
+           max(col("gap_ms")).as("max_gap_ms"))
+  }
+
   def writeDatePartitioned(events: DataFrame, path: String,
                            tsCol: String = "ts"): Unit =
     events.withColumn("event_date", to_date(col(tsCol)))

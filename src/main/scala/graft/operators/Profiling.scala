@@ -88,6 +88,50 @@ object Profiling {
       })
   }
 
+  /** Pearson correlation for named column pairs via EXACT scaled
+    * moments: both columns of a pair scale to decimal(38,0) integers
+    * and all five sums (Σx, Σy, Σx², Σy², Σxy) accumulate as exact
+    * integer arithmetic — corr then derives from identical numbers in
+    * any engine (`corr()` built-ins sum doubles in partial-agg order
+    * and cannot hash-match). Null handling is pairwise deletion: a
+    * row missing either side drops from that pair's moments only.
+    * corr is null when n < 2 or either variance term is zero.
+    *
+    * The sums cast to double before the final formula — exact for
+    * magnitudes < 2⁵³ and identically rounded in both engines above
+    * it. One aggregate pass for ALL pairs (the [[profileColumns]]
+    * shape), so correlating p pairs over 100 TB costs one scan.
+    */
+  def pairwiseCorr(df: DataFrame, pairs: Seq[(String, String)],
+                   scale: Int = 100): DataFrame = {
+    require(pairs.nonEmpty, "pairwiseCorr needs at least one pair")
+    require(scale > 0, "scale must be positive")
+    val aggs: Seq[Column] = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val bothNn = col(x).isNotNull && col(y).isNotNull
+      val vx = when(bothNn, round(col(x) * scale, 0).cast("decimal(38,0)"))
+      val vy = when(bothNn, round(col(y) * scale, 0).cast("decimal(38,0)"))
+      Seq(count(when(bothNn, lit(1))).as(s"_n_$i"),
+          sum(vx).as(s"_sx_$i"), sum(vy).as(s"_sy_$i"),
+          sum(vx * vx).as(s"_sxx_$i"), sum(vy * vy).as(s"_syy_$i"),
+          sum(vx * vy).as(s"_sxy_$i"))
+    }
+    longReport(df.agg(aggs.head, aggs.tail: _*),
+      pairs.zipWithIndex.map { case ((x, y), i) =>
+        val n = col(s"_n_$i").cast("double")
+        val sx = col(s"_sx_$i").cast("double")
+        val sy = col(s"_sy_$i").cast("double")
+        val sxx = col(s"_sxx_$i").cast("double")
+        val syy = col(s"_syy_$i").cast("double")
+        val sxy = col(s"_sxy_$i").cast("double")
+        val varX = n * sxx - sx * sx
+        val varY = n * syy - sy * sy
+        struct(lit(x).as("col_x"), lit(y).as("col_y"),
+               col(s"_n_$i").as("n_pairs"),
+               when(col(s"_n_$i") >= 2 && varX > 0 && varY > 0,
+                 round((n * sxy - sx * sy) / sqrt(varX * varY), 6)).as("corr"))
+      })
+  }
+
   /** Key-skew report: the k heaviest values of a key column with
     * their counts and corpus share — the pre-join diagnostic that
     * tells you whether a shuffle on this key needs salting. Two hash

@@ -47,4 +47,22 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L), (1L, 1L), (0L, 1L), (2L, 1L)))
   }
 
+  test("interArrival: exact ms gaps, single-event users dropped, tie-break on event_id") {
+    val e = Seq(
+      (1L, "u1", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "u1", Timestamp.valueOf("2024-01-01 00:00:10")),
+      (3L, "u1", Timestamp.valueOf("2024-01-01 00:00:40")),
+      (5L, "u2", Timestamp.valueOf("2024-01-01 00:00:00")), // same ts: event_id
+      (4L, "u2", Timestamp.valueOf("2024-01-01 00:00:00")), // order 4 -> 5
+      (6L, "u3", Timestamp.valueOf("2024-01-01 00:00:00"))  // lone event: no gap
+    ).toDF("event_id", "user_id", "ts")
+    val got = Events.interArrival(e)
+      .orderBy("user_id")
+      .select("user_id", "n_gaps", "mean_gap_ms", "min_gap_ms", "max_gap_ms")
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("u1", 2L, 20000.0, 10000L, 30000L),
+      ("u2", 1L, 0.0, 0L, 0L)))
+  }
+
 }

@@ -92,5 +92,26 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiling.profileColumns(fixture, Nil))
     intercept[IllegalArgumentException](Profiling.checkConstraints(fixture, Nil))
     intercept[IllegalArgumentException](Profiling.profileNumeric(fixture, Nil))
+    intercept[IllegalArgumentException](Profiling.pairwiseCorr(fixture, Nil))
+  }
+
+  test("pairwiseCorr: exact ±1 on linear columns, null on constants, pairwise deletion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1.0, 2.0, Some(5.0), 7.0),
+      (2.0, 4.0, Some(3.0), 7.0),
+      (3.0, 6.0, Some(1.0), 7.0),
+      (4.0, 8.0, None, 7.0))
+      .toDF("x", "y2", "yneg", "c")
+    val got = Profiling.pairwiseCorr(df,
+        Seq(("x", "y2"), ("x", "yneg"), ("x", "c")))
+      .select("col_x", "col_y", "n_pairs", "corr")
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._2, r._3, r._4)).toSet
+    assert(got == Set(
+      ("y2", 4L, Some(1.0)),     // perfect linear
+      ("yneg", 3L, Some(-1.0)),  // null row dropped from THIS pair only
+      ("c", 4L, None)))          // zero variance -> null, not NaN
   }
 }
