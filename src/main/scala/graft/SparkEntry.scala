@@ -79,35 +79,89 @@ object SparkEntry {
   }
 
   // ---- PQ SQL twin: seeded subspace codebooks (m=8 × ksub=64 over
-  // dim 64), argmax-dot encode, reconstruction scoring; `tail`
-  // either selects the top-k from `pairs` or extends the WITH chain
-  // (the recall gate) -----------------------------------------------
-  private def pqSql(tail: String): String =
-    """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-      | seeds AS (
-      |  SELECT row_number() OVER (ORDER BY h) AS code, vec
-      |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
-      |        FROM c ORDER BY h LIMIT 64)),
-      | cb AS (
-      |  SELECT s, code, vec[(s*8+1):(s*8+8)] AS subc
-      |  FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)),
-      | enc AS (
-      |  SELECT id, s, code FROM (
-      |   SELECT c.id, cb.s, cb.code,
-      |    row_number() OVER (PARTITION BY c.id, cb.s ORDER BY
-      |      round(list_inner_product(c.vec[(cb.s*8+1):(cb.s*8+8)], cb.subc), 6) DESC,
-      |      cb.code DESC) AS rn
-      |   FROM c CROSS JOIN cb)
-      |  WHERE rn = 1),
-      | rec AS (
-      |  SELECT id, flatten(list(subc ORDER BY s)) AS rvec
-      |  FROM enc JOIN cb USING (s, code) GROUP BY id),
-      | pairs AS (
-      |  SELECT q.id AS query_id, r.id AS corpus_id,
-      |   round(list_cosine_similarity(r.rvec, q.vec), 6) AS score
-      |  FROM rec r CROSS JOIN (SELECT * FROM c WHERE id < 8) q
-      |  WHERE r.id <> q.id)
-      |""".stripMargin + tail
+  // dim 64), `trainIters` per-subspace Lloyd refinements (iterated
+  // CTEs, the cluster_kmeans_n technique with a subspace key), argmax
+  // encode, reconstruction scoring; `tail` either selects the top-k
+  // from `pairs` or extends the WITH chain (the recall gates) --------
+  private def pqSql(trainIters: Int, tail: String): String = {
+    val head =
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS code, vec
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 64)),
+        | cb0 AS (
+        |  SELECT s, code, vec[(s*8+1):(s*8+8)] AS subc
+        |  FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)),
+        | csub AS (
+        |  SELECT id, s, vec[(s*8+1):(s*8+8)] AS subvec
+        |  FROM c, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s))""".stripMargin
+    val iters = (1 to trainIters).map { i =>
+      s""",
+         | asg$i AS (
+         |  SELECT id, s, code, subvec FROM (
+         |   SELECT csub.id, csub.s, cb.code, csub.subvec,
+         |    row_number() OVER (PARTITION BY csub.id, csub.s ORDER BY
+         |      round(list_inner_product(csub.subvec, cb.subc), 6) DESC,
+         |      cb.code DESC) AS rn
+         |   FROM csub JOIN cb${i - 1} cb ON csub.s = cb.s)
+         |  WHERE rn = 1),
+         | m$i AS (
+         |  SELECT s, code, CAST(i AS BIGINT) AS dim,
+         |   round(avg(subvec[i]), 6) AS mean_val
+         |  FROM asg$i, UNNEST(range(1, len(subvec) + 1)) AS t(i)
+         |  GROUP BY 1, 2, 3),
+         | cb$i AS (
+         |  SELECT s, code, list(mean_val ORDER BY dim) AS subc
+         |  FROM m$i GROUP BY s, code)""".stripMargin
+    }.mkString
+    val fin = s"cb$trainIters"
+    head + iters + pqPairsToEnd(fin) + tail
+  }
+
+  // recall-gate tail shared by the untrained and trained PQ oracles
+  private val pqRecallTail: String =
+    """ , pq AS (
+      |  SELECT query_id, corpus_id FROM (
+      |   SELECT query_id, corpus_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, corpus_id) AS rnk
+      |   FROM pairs)
+      |  WHERE rnk <= 5),
+      | ex AS (
+      |  SELECT query_id, corpus_id FROM (
+      |   SELECT q.id AS query_id, c.id AS corpus_id,
+      |    row_number() OVER (PARTITION BY q.id
+      |      ORDER BY round(list_cosine_similarity(c.vec, q.vec), 6) DESC,
+      |               c.id) AS rnk
+      |   FROM c, (SELECT * FROM c WHERE id < 8) q
+      |   WHERE c.id <> q.id)
+      |  WHERE rnk <= 5)
+      | SELECT ex.query_id,
+      |  round(sum(CASE WHEN pq.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+      | FROM ex LEFT JOIN pq
+      |   ON ex.query_id = pq.query_id AND ex.corpus_id = pq.corpus_id
+      | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  private def pqPairsToEnd(fin: String): String =
+      s""",
+         | enc AS (
+         |  SELECT id, s, code FROM (
+         |   SELECT csub.id, csub.s, cb.code,
+         |    row_number() OVER (PARTITION BY csub.id, csub.s ORDER BY
+         |      round(list_inner_product(csub.subvec, cb.subc), 6) DESC,
+         |      cb.code DESC) AS rn
+         |   FROM csub JOIN $fin cb ON csub.s = cb.s)
+         |  WHERE rn = 1),
+         | rec AS (
+         |  SELECT id, flatten(list(subc ORDER BY s)) AS rvec
+         |  FROM enc JOIN $fin USING (s, code) GROUP BY id),
+         | pairs AS (
+         |  SELECT q.id AS query_id, r.id AS corpus_id,
+         |   round(list_cosine_similarity(r.rvec, q.vec), 6) AS score
+         |  FROM rec r CROSS JOIN (SELECT * FROM c WHERE id < 8) q
+         |  WHERE r.id <> q.id)
+         |""".stripMargin
 
   // ---- simhash SQL twin: builder-generated 60 bit-sum columns ------
   // (the md5-derived token hash makes the whole pipeline engine-
@@ -1158,6 +1212,24 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // PQ with TRAINED codebooks (2 per-subspace Lloyd iterations, the
+    // writeIvfIndex(trainIters) idea applied to product quantization)
+    // measured against the same exact top-k — training is the quality
+    // path for compressed search at 100 TB, and the gain is itself
+    // hash-checked (the oracle replays the training as iterated CTEs)
+    "sim_pq_trained_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5, trainIters = 2)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(pq, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // embedding hygiene: the map-only pre-ingest checks every vector
     // corpus needs before ANN trusts it (dim, norm, NaN, degeneracy)
     "emb_quality" -> ((s, dir) =>
@@ -1406,6 +1478,18 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
     "events_hopping_agg" -> ((s, dir) => Events.hoppingAgg(t(s, dir, "events"))),
+
+    // the STREAMING hopping twin (complete mode over the bounded
+    // fixture) — completes the streaming window family
+    // (tumbling/session/hopping); same oracle as events_hopping_agg
+    "events_hopping_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.hoppingAgg(
+          StreamingEvents.readEvents(s, stagedEventsDir(dir))),
+        s"events_hopping_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
+        .orderBy("window_start", "event_type")
+    }),
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
@@ -2411,7 +2495,7 @@ object SparkEntry {
     // encode (round 6 before the argmax, ties to the greatest code),
     // reconstruction = concat of subcentroids in subspace order, one
     // fixed-order cosine — every stage mirrors the Spark operator
-    "sim_pq_topk" -> pqSql(
+    "sim_pq_topk" -> pqSql(0,
       """ SELECT query_id, corpus_id, score, rnk FROM (
         |  SELECT query_id, corpus_id, score,
         |   row_number() OVER (PARTITION BY query_id
@@ -2419,28 +2503,12 @@ object SparkEntry {
         |  FROM pairs)
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
 
-    "sim_pq_recall" -> pqSql(
-      """ , pq AS (
-        |  SELECT query_id, corpus_id FROM (
-        |   SELECT query_id, corpus_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, corpus_id) AS rnk
-        |   FROM pairs)
-        |  WHERE rnk <= 5),
-        | ex AS (
-        |  SELECT query_id, corpus_id FROM (
-        |   SELECT q.id AS query_id, c.id AS corpus_id,
-        |    row_number() OVER (PARTITION BY q.id
-        |      ORDER BY round(list_cosine_similarity(c.vec, q.vec), 6) DESC,
-        |               c.id) AS rnk
-        |   FROM c, (SELECT * FROM c WHERE id < 8) q
-        |   WHERE c.id <> q.id)
-        |  WHERE rnk <= 5)
-        | SELECT ex.query_id,
-        |  round(sum(CASE WHEN pq.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
-        | FROM ex LEFT JOIN pq
-        |   ON ex.query_id = pq.query_id AND ex.corpus_id = pq.corpus_id
-        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
+    "sim_pq_recall" -> pqSql(0, pqRecallTail),
+
+    // the TRAINED codebooks (2 per-subspace Lloyd iterations) against
+    // the same exact top-k — the measured quality gain of training,
+    // itself hash-checked like sim_ivf_recall's trained index
+    "sim_pq_trained_recall" -> pqSql(2, pqRecallTail),
 
     "emb_quality" ->
       """SELECT vec_id AS id,
@@ -2746,6 +2814,15 @@ object SparkEntry {
         | FROM sc ORDER BY rnk LIMIT 30""".stripMargin,
 
     "events_hopping_agg" ->
+      s"""SELECT make_timestamp(((epoch_ms(ts) // 1800000) - i) * 1800000 * 1000)
+         |   AS window_start, event_type,
+         |  count(*) AS n_events, ${msum("value")} AS total_value
+         | FROM events, UNNEST([0, 1]) AS t(i)
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical oracle to events_hopping_agg: the streaming sliding
+    // aggregate must converge to the batch answer on bounded input
+    "events_hopping_stream" ->
       s"""SELECT make_timestamp(((epoch_ms(ts) // 1800000) - i) * 1800000 * 1000)
          |   AS window_start, event_type,
          |  count(*) AS n_events, ${msum("value")} AS total_value

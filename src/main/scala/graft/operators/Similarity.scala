@@ -139,10 +139,17 @@ object Similarity {
     *
     * @param dim vector dimensionality (must divide by m; codebook
     *            slices are plan-time constants)
+    * @param trainIters per-subspace Lloyd iterations refining the
+    *            seeded codebooks before encoding (the IVF
+    *            `trainIters` idea, independently per subspace; means
+    *            round to 6 at iteration boundaries so the chain is
+    *            oracle-replayable; codes that lose all members
+    *            disappear, in both engines alike)
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             m: Int = 8, ksub: Int = 64, dim: Int = 64): DataFrame = {
+             m: Int = 8, ksub: Int = 64, dim: Int = 64,
+             trainIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subLen = dim / m
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
@@ -155,19 +162,44 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("h"), col("cvec")))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("pos", "x")))
       .select((col("pos") + 1).cast("long").as("code"), col("x.cvec").as("seedvec"))
-    val codebook = seeds
+    var codebook = seeds
       .select(col("code"), explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"),
                slice(col("seedvec"), s * subLen + 1, subLen).as("subc"))): _*)).as("sc"))
       .select(col("sc.sub").as("sub"), col("code"), col("sc.subc").as("subc"))
+    // subvector frame: m rows per corpus vector, sliced once — every
+    // training iteration and the final encode join against it on the
+    // subspace id (ksub-way fanout, the codebook broadcasts)
+    val csub = c
+      .select(col("corpus_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+               slice(col("cvec"), s * subLen + 1, subLen).as("subvec"))): _*)).as("sv"))
+      .select(col("corpus_id"), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+    for (_ <- 0 until trainIters) {
+      // one Lloyd step per subspace, all subspaces in one plan: argmax
+      // assignment (round 6 before the argmax, ties to the greatest
+      // code), then per-(sub, code, dim) means rounded to 6
+      val asg = csub.join(broadcast(codebook), Seq("sub"))
+        .withColumn("d", round(dot(col("subvec"), col("subc")), 6))
+        .groupBy(col("corpus_id"), col("sub"))
+        .agg(max(struct(col("d"), col("code"))).getField("code").as("code"),
+             first(col("subvec")).as("subvec"))
+      codebook = asg
+        .select(col("sub"), col("code"), posexplode(col("subvec")))
+        .groupBy(col("sub"), col("code"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("dm"))
+        .select(col("sub"), col("code"),
+                transform(col("dm"), x => x.getField("mean_val")).as("subc"))
+    }
     // encode: per (vector, subspace) the argmax-dot code — a hash
     // aggregate, not a window (the ivfTopK argument: corpus-sized
     // row_number windows sort tiny partitions; max(struct) shuffles
     // once with partial aggregation)
-    val enc = c
-      .crossJoin(broadcast(codebook))
-      .withColumn("d", round(dot(
-        slice(col("cvec"), col("sub") * subLen + 1, lit(subLen)), col("subc")), 6))
+    val enc = csub
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", round(dot(col("subvec"), col("subc")), 6))
       .groupBy(col("corpus_id"), col("sub"))
       .agg(max(struct(col("d"), col("code"))).getField("code").as("code"))
     // reconstruct: m subcentroids concatenated in subspace order; the

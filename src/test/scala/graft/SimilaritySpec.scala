@@ -200,6 +200,15 @@ class SimilaritySpec extends SparkSpec {
     assert(fine >= coarse,
       s"finer quantization (8x64 -> $fine) must not lose to coarser (1x4 -> $coarse)")
     assert(fine >= 0.15, s"default-params recall $fine collapsed")
+    // Lloyd-trained codebooks must not lose to the raw seeded sample
+    // (on this corpus training lifts recall ~0.30 -> ~0.38 at sf0.01)
+    val trained = {
+      val r = Similarity.pqTopK(e, q, "vec_id", "embedding", 5, trainIters = 2)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact & r).size.toDouble / exact.size
+    }
+    assert(trained >= fine,
+      s"trained recall $trained must not drop below untrained $fine")
   }
 
 }
