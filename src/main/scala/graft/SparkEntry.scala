@@ -458,6 +458,27 @@ object SparkEntry {
       Etl.snapshotDiffDetail(oldSnap, newSnap, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // CDC merge: a 3-way change log (seq-1 upserts, seq-2 deletes,
+    // seq-2 upserts — the %45 keys carry BOTH seq-2 ops, exercising
+    // the U-over-D tie-break) applied onto the deterministic base;
+    // inserts, updates, deletes, and pass-through all present
+    "etl_cdc_apply" -> ((s, dir) => {
+      val proj = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val baseSnap = proj.where(col("o_orderkey") % 7 =!= 0)
+      val ch1 = proj.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
+      val ch2d = proj.where(col("o_orderkey") % 9 === 0)
+        .withColumn("_seq", lit(2L)).withColumn("_op", lit("D"))
+      val ch2u = proj.where(col("o_orderkey") % 15 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 2000.0)
+        .withColumn("_seq", lit(2L)).withColumn("_op", lit("U"))
+      Etl.applyChangeLog(baseSnap, ch1.unionByName(ch2d).unionByName(ch2u),
+          Seq("o_orderkey"), "_seq", "_op")
+        .orderBy("o_orderkey")
+    }),
+
     // SCD type-2 history from the same deterministic snapshot pair:
     // closed versions for removed/changed keys, open versions for the
     // whole new snapshot (valid_from keyed to when the row appeared).
@@ -529,6 +550,13 @@ object SparkEntry {
     "profile_numeric" -> ((s, dir) =>
       Profiling.profileNumeric(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")),
+
+    // Shannon entropy of the categorical label columns — the
+    // near-constant-column diagnostic; counts exact, one scan
+    "profile_entropy" -> ((s, dir) =>
+      Profiling.valueEntropy(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")),
 
     // exact-moment Pearson correlation (the corr() built-in sums
@@ -1496,6 +1524,11 @@ object SparkEntry {
     // per-user cadence: exact integer ms gaps, one user-keyed window
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
+
+    // first-order Markov transitions between event types (exact
+    // counts, row-stochastic probabilities)
+    "events_markov" -> ((s, dir) =>
+      Events.transitionMatrix(t(s, dir, "events")).orderBy("from_type", "to_type")),
     "events_props" -> ((s, dir) => Events.extractProps(t(s, dir, "events"))),
 
     // ordered product-analytics funnel: view → click → purchase with
@@ -1605,6 +1638,36 @@ object SparkEntry {
         |    OR o.o_orderstatus <> n.o_orderstatus
         |    OR o.o_orderpriority <> n.o_orderpriority
         |    OR o.o_totalprice <> n.o_totalprice
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // winner-per-key replayed as a QUALIFY window ordered exactly as
+    // the Spark max-struct comparator (seq, op, then payload fields)
+    "etl_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        | b AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        | ch AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |   o_totalprice + 1000.0 AS o_totalprice, 1 AS seq, 'U' AS op
+        |  FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice, 2, 'D'
+        |  FROM base WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |   o_totalprice + 2000.0, 2, 'U'
+        |  FROM base WHERE o_orderkey % 15 = 0),
+        | latest AS (
+        |  SELECT * FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC, op DESC, o_orderstatus DESC,
+        |             o_orderpriority DESC, o_totalprice DESC) = 1)
+        | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM latest WHERE op = 'U'
         | ORDER BY o_orderkey""".stripMargin,
 
     // classification replayed column-wise (IS DISTINCT FROM ≡ the
@@ -1937,6 +2000,39 @@ object SparkEntry {
         | GROUP BY c_custkey) t
         | GROUP BY c_count
         | ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+
+    "events_markov" ->
+      """WITH p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        | c AS (SELECT from_type, to_type, count(*) AS n_trans
+        |       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | t AS (SELECT from_type, sum(n_trans) AS n_from FROM c GROUP BY 1)
+        | SELECT c.from_type, c.to_type, n_trans,
+        |  round(n_trans / n_from, 6) AS prob
+        | FROM c JOIN t USING (from_type)
+        | ORDER BY from_type, to_type""".stripMargin,
+
+    "profile_entropy" ->
+      """WITH p AS (
+        | SELECT 'o_orderpriority' AS col_name, o_orderpriority::VARCHAR AS v
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', o_orderstatus::VARCHAR FROM orders),
+        | c AS (SELECT col_name, v, count(*) AS c FROM p
+        |       WHERE v IS NOT NULL GROUP BY 1, 2),
+        | t AS (SELECT col_name, sum(c) AS n, count(*) AS nd FROM c GROUP BY 1)
+        | SELECT c.col_name, CAST(t.n AS BIGINT) AS n_nonnull,
+        |  CAST(t.nd AS BIGINT) AS n_distinct,
+        |  round(-sum((c.c / t.n) * ln(c.c / t.n)), 6) AS entropy,
+        |  CASE WHEN t.nd > 1
+        |   THEN round(round(-sum((c.c / t.n) * ln(c.c / t.n)), 6)
+        |     / ln(CAST(t.nd AS DOUBLE)), 6) END AS norm_entropy
+        | FROM c JOIN t USING (col_name)
+        | GROUP BY c.col_name, t.n, t.nd
+        | ORDER BY col_name""".stripMargin,
 
     "events_interarrival" ->
       """WITH g AS (

@@ -227,6 +227,36 @@ object Etl {
           .as("changed_columns"): _*)
   }
 
+  /** CDC merge: apply an out-of-order change log onto a base
+    * snapshot — the Delta/Hudi MERGE shape. `changes` carries the key
+    * columns, a monotone sequence column, an op column ('U' upsert /
+    * 'D' delete), and the full payload for upserts. Per key the
+    * HIGHEST sequence wins (ties break to 'U' over 'D', then it is on
+    * the producer — a CDC stream with duplicate (key, seq, op) rows
+    * has no defined order anywhere); deletes drop the key, upserts
+    * replace the row, untouched base rows pass through an anti-join.
+    *
+    * Scale shape: the winner-per-key reduction is ONE max-struct hash
+    * aggregate on the (small) change log — no window over the base;
+    * the base moves through one anti-join keyed on the change log's
+    * keys (broadcastable when the delta is small, the normal case).
+    */
+  def applyChangeLog(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                     seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    // winner per key: max (seq, op, payload-struct) — op 'U' > 'D'
+    // lexically, so an upsert outranks a delete at the same seq
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct((col(seqCol) +: col(opCol) +: payload.map(col)): _*)).as("w"))
+      .select(keyCols.map(col) :+ col(s"w.$opCol").as("_op") :+
+        struct(payload.map(c => col(s"w.$c").as(c)): _*).as("_pl"): _*)
+    val upserts = latest.where(col("_op") === "U")
+      .select(keyCols.map(col) ++ payload.map(c => col(s"_pl.$c").as(c)): _*)
+    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+
   /** SCD type-2 history build from two snapshots: each key yields a
     * CLOSED version (valid_from = oldDate, valid_to = newDate,
     * is_current = false) when its row was removed or changed, and an

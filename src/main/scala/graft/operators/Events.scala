@@ -185,6 +185,29 @@ object Events {
     * instead of scanning the history. Pair with a `ts`-range filter
     * that Catalyst rewrites onto `event_date`.
     */
+  /** First-order Markov transition matrix over event types: counts of
+    * consecutive (from → to) pairs per user (lead window, event_id
+    * tie-break) normalized into row-stochastic probabilities. The
+    * "what do users do next" model behind path analysis; counts are
+    * exact longs, so the divided probabilities hash-match.
+    *
+    * Scale shape: one user-keyed window shuffle, one hash aggregate
+    * to |types|² rows, and a broadcast-size row-total join.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n_trans")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+              round(col("n_trans") / col("n_from"), 6).as("prob"))
+  }
+
   /** Per-user inter-arrival cadence: millisecond gaps between
     * consecutive events (event_id tie-break on equal timestamps so
     * the lag — and therefore every gap — is deterministic), reduced

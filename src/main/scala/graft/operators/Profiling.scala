@@ -132,6 +132,38 @@ object Profiling {
       })
   }
 
+  /** Shannon entropy of categorical columns: −Σ p·ln p over the
+    * value distribution (string-rendered, nulls excluded), plus the
+    * normalized form (entropy / ln n_distinct) — the "is this column
+    * informative or near-constant" diagnostic for feature/label
+    * audits. Counts are exact; the p·ln p doubles sum per column over
+    * |distinct| terms, whose association-order noise (~1e-16) sits
+    * far below the round-6 boundary (the agg_geomean precedent).
+    *
+    * Scale shape: one scan exploding to |cols| rows per input row,
+    * one (col, value) hash aggregate, then aggregates over the tiny
+    * distinct-value table.
+    */
+  def valueEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "valueEntropy needs at least one column")
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+    val counts = pairs.groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("col_name")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("nd"))
+    counts.join(totals, "col_name")
+      .groupBy("col_name")
+      .agg(first(col("n")).as("n_nonnull"),
+           first(col("nd")).as("n_distinct"),
+           round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 6)))
+  }
+
   /** Key-skew report: the k heaviest values of a key column with
     * their counts and corpus share — the pre-join diagnostic that
     * tells you whether a shuffle on this key needs salting. Two hash

@@ -190,6 +190,22 @@ class EtlSpec extends SparkSpec {
     assert(current == newSnap.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("applyChangeLog: latest seq wins, deletes drop, inserts land, U beats D on seq tie") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val changes = Seq(
+      (1L, "a1", 11.0, 1L, "U"), (1L, "a2", 12.0, 2L, "U"), // two updates: seq 2 wins
+      (2L, "b", 20.0, 1L, "D"),                             // delete key 2
+      (3L, "cD", 0.0, 5L, "D"), (3L, "cU", 33.0, 5L, "U"),  // tie: U outranks D
+      (4L, "d", 40.0, 1L, "U")                              // insert new key
+    ).toDF("k", "s", "v", "_seq", "_op")
+    val got = Etl.applyChangeLog(base, changes, Seq("k"), "_seq", "_op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a2", 12.0), (3L, "cU", 33.0), (4L, "d", 40.0)))
+    // empty change log is the identity
+    assert(Etl.applyChangeLog(base, changes.where($"k" < 0), Seq("k"), "_seq", "_op")
+      .count() == base.count())
+  }
+
   test("writeJsonl round-trips nested struct columns losslessly") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25))

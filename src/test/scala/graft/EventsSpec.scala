@@ -47,6 +47,25 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L), (1L, 1L), (0L, 1L), (2L, 1L)))
   }
 
+  test("transitionMatrix: row-stochastic per from_type, cross-user pairs never counted") {
+    val e = Seq(
+      (1L, "u1", "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "u1", "click", Timestamp.valueOf("2024-01-01 00:00:01")),
+      (3L, "u1", "view", Timestamp.valueOf("2024-01-01 00:00:02")),
+      (4L, "u2", "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (5L, "u2", "buy", Timestamp.valueOf("2024-01-01 00:00:01"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.transitionMatrix(e)
+      .orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "n_trans", "prob")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // u1: view->click, click->view; u2: view->buy. No u1-last -> u2-first pair.
+    assert(got == Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "buy", 1L, 0.5),
+      ("view", "click", 1L, 0.5)))
+  }
+
   test("interArrival: exact ms gaps, single-event users dropped, tie-break on event_id") {
     val e = Seq(
       (1L, "u1", Timestamp.valueOf("2024-01-01 00:00:00")),

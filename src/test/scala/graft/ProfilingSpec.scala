@@ -95,6 +95,19 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiling.pairwiseCorr(fixture, Nil))
   }
 
+  test("valueEntropy: uniform column normalizes to 1, constant column to zero entropy") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("d", "x"))
+      .toDF("uniform", "constant")
+    val got = Profiling.valueEntropy(df, Seq("uniform", "constant"))
+      .orderBy("col_name")
+      .select("col_name", "n_nonnull", "n_distinct", "entropy", "norm_entropy")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got(0) == (("constant", 4L, 1L, 0.0, None)), s"constant: ${got(0)}")
+    assert(got(1)._3 == 4L && math.abs(got(1)._4 - math.log(4)) < 1e-5)
+    assert(got(1)._5.exists(n => math.abs(n - 1.0) < 1e-6), "uniform normalizes to 1")
+  }
+
   test("pairwiseCorr: exact ±1 on linear columns, null on constants, pairwise deletion") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
