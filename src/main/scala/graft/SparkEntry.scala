@@ -163,6 +163,71 @@ object SparkEntry {
          |  WHERE r.id <> q.id)
          |""".stripMargin
 
+  // ---- IVF-PQ SQL twin: coarse seeded cells (16), PQ over the
+  // RESIDUAL space (subtract/add via list_zip in double — the same
+  // widen-then-operate order as the Spark zip_with), nprobe=4 probe,
+  // reconstruction scoring. CTE names `c` and `pairs` line up with
+  // the PQ twins so pqRecallTail composes unchanged. ----------------
+  private def ivfPqSql(tail: String): String =
+    """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | cen AS (
+      |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+      |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+      |        FROM c ORDER BY h LIMIT 16)),
+      | asg AS (
+      |  SELECT id, cell_id, vec FROM (
+      |   SELECT c.id, cen.cell_id, c.vec,
+      |    row_number() OVER (PARTITION BY c.id ORDER BY
+      |      round(list_cosine_similarity(c.vec, cen.centroid), 6) DESC,
+      |      cen.cell_id DESC) AS rn
+      |   FROM c CROSS JOIN cen)
+      |  WHERE rn = 1),
+      | res AS (
+      |  SELECT asg.id, asg.cell_id,
+      |   list_transform(list_zip(asg.vec, cen.centroid), x -> x[1] - x[2]) AS rvec
+      |  FROM asg JOIN cen USING (cell_id)),
+      | seeds AS (
+      |  SELECT row_number() OVER (ORDER BY h) AS code, rvec
+      |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+      |        FROM res ORDER BY h LIMIT 64)),
+      | cb AS (
+      |  SELECT s, code, rvec[(s*8+1):(s*8+8)] AS subc
+      |  FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)),
+      | rsub AS (
+      |  SELECT id, s, rvec[(s*8+1):(s*8+8)] AS subvec
+      |  FROM res, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)),
+      | enc AS (
+      |  SELECT id, s, code FROM (
+      |   SELECT rsub.id, rsub.s, cb.code,
+      |    row_number() OVER (PARTITION BY rsub.id, rsub.s ORDER BY
+      |      round(list_inner_product(rsub.subvec, cb.subc), 6) DESC,
+      |      cb.code DESC) AS rn
+      |   FROM rsub JOIN cb ON rsub.s = cb.s)
+      |  WHERE rn = 1),
+      | reconres AS (
+      |  SELECT id, flatten(list(subc ORDER BY s)) AS rr
+      |  FROM enc JOIN cb USING (s, code) GROUP BY id),
+      | approx AS (
+      |  SELECT res.id, res.cell_id,
+      |   list_transform(list_zip(cen.centroid, reconres.rr), x -> x[1] + x[2]) AS avec
+      |  FROM res JOIN reconres ON res.id = reconres.id
+      |  JOIN cen USING (cell_id)),
+      | qc AS (
+      |  SELECT query_id, cell_id FROM (
+      |   SELECT q.id AS query_id, cen.cell_id,
+      |    row_number() OVER (PARTITION BY q.id ORDER BY
+      |      round(list_cosine_similarity(q.vec, cen.centroid), 6) DESC,
+      |      cen.cell_id) AS crnk
+      |   FROM (SELECT * FROM c WHERE id < 8) q CROSS JOIN cen)
+      |  WHERE crnk <= 4),
+      | pairs AS (
+      |  SELECT DISTINCT qc.query_id, a.id AS corpus_id,
+      |   round(list_cosine_similarity(a.avec, q.vec), 6) AS score
+      |  FROM approx a JOIN qc ON a.cell_id = qc.cell_id
+      |  JOIN c q ON q.id = qc.query_id
+      |  WHERE a.id <> qc.query_id)
+      |""".stripMargin + tail
+
   // ---- simhash SQL twin: builder-generated 60 bit-sum columns ------
   // (the md5-derived token hash makes the whole pipeline engine-
   // neutral; banding is pigeonhole-exact, so all-pairs hamming in
@@ -1235,6 +1300,32 @@ object SparkEntry {
       val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
       exact.join(pq, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // IVF-PQ: the faiss-standard big-corpus composition — coarse
+    // cells partition the corpus (probe nprobe cells per query), PQ
+    // codes compress the RESIDUALS (vector − centroid, where the
+    // codebook's codes buy the most precision). Stored bytes per
+    // vector: one cell id + 6 B of codes; the query never touches a
+    // raw vector
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // measured IVF-PQ recall vs the float exact top-k, hash-checked
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(ivfpq, Seq("query_id", "corpus_id"), "left")
         .groupBy("query_id")
         .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
         .orderBy("query_id")
@@ -2600,6 +2691,18 @@ object SparkEntry {
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
 
     "sim_pq_recall" -> pqSql(0, pqRecallTail),
+
+    // IVF-PQ twin: probe-limited candidate set scored against
+    // centroid + reconstructed residual
+    "sim_ivfpq_topk" -> ivfPqSql(
+      """ SELECT query_id, corpus_id, score, rnk FROM (
+        |  SELECT query_id, corpus_id, score,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, corpus_id) AS rnk
+        |  FROM pairs)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+
+    "sim_ivfpq_recall" -> ivfPqSql(pqRecallTail),
 
     // the TRAINED codebooks (2 per-subspace Lloyd iterations) against
     // the same exact top-k — the measured quality gain of training,

@@ -396,6 +396,103 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-PQ: the standard big-corpus ANN composition — a coarse
+    * quantizer assigns every vector to a cell ([[ivfTopK]]'s seeded
+    * centroids), and the RESIDUAL (vector − cell centroid) is
+    * product-quantized ([[pqTopK]]'s seeded subspace codebooks over
+    * the residual space). Queries probe the `nprobe` nearest cells
+    * and score against centroid + reconstructed residual. Residuals
+    * concentrate near zero, so a PQ codebook spends its codes where
+    * the mass is — the reason IVF-PQ beats flat PQ at equal bits.
+    *
+    * All arithmetic is the audited deterministic kit: subtraction and
+    * addition happen in double AFTER explicit widening (float-op-
+    * then-widen would diverge from the oracle's `::DOUBLE[]` path),
+    * argmaxes round to 6 first, ties to the greatest id.
+    *
+    * 100 TB shape: cell assignment partitions the corpus (the
+    * materialized form would `partitionBy(cell_id)` exactly like
+    * [[writeIvfIndex]]); stored bytes per vector = one cell id +
+    * m·log₂(ksub) bits; a query touches nprobe cells of codes, never
+    * raw vectors; centroids and codebooks broadcast.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                numCells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 64, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subLen = dim / m
+    val minus = (a: Column, b: Column) => zip_with(a, b, (x, y) => x - y)
+    val plus  = (a: Column, b: Column) => zip_with(a, b, (x, y) => x + y)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val centroids = seedCentroids(
+      c.select(col("corpus_id").as("id"), col("cvec").as("vec"), col("cnrm").as("nrm")),
+      "id", numCells)
+    // coarse assignment (identical to ivfTopK), residual in double
+    val cCells = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("cvec"), col("centroid")), col("cnrm"), col("ctrnrm")), 6))
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+           first(col("cvec")).as("cvec"))
+    val res = cCells.join(broadcast(centroids), Seq("cell_id"))
+      .withColumn("rvec", minus(toDoubleVec(col("cvec")), toDoubleVec(col("centroid"))))
+      .select(col("corpus_id"), col("cell_id"), col("rvec"))
+    // PQ codebooks over the residual space, seeded by md5(id)
+    val seeds = res
+      .withColumn("h", graft.functions.TextFunctions.md5Prefix64(col("corpus_id").cast("string")))
+      .orderBy("h").limit(ksub)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("h"), col("rvec")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("code"), col("x.rvec").as("seedvec"))
+    val codebook = seeds
+      .select(col("code"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+               slice(col("seedvec"), s * subLen + 1, subLen).as("subc"))): _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("code"), col("sc.subc").as("subc"))
+    val rsub = res
+      .select(col("corpus_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+               slice(col("rvec"), s * subLen + 1, subLen).as("subvec"))): _*)).as("sv"))
+      .select(col("corpus_id"), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+    val enc = rsub
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", round(dot(col("subvec"), col("subc")), 6))
+      .groupBy(col("corpus_id"), col("sub"))
+      .agg(max(struct(col("d"), col("code"))).getField("code").as("code"))
+    // approximate vector = centroid + reconstructed residual
+    val approx = enc
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .groupBy("corpus_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("subc")))),
+        x => x.getField("subc"))).as("reconres"))
+      .join(cCells.select("corpus_id", "cell_id"), Seq("corpus_id"))
+      .join(broadcast(centroids.select("cell_id", "centroid")), Seq("cell_id"))
+      .withColumn("avec", plus(toDoubleVec(col("centroid")), col("reconres")))
+      .withColumn("anrm", l2Norm(col("avec")))
+      .select(col("corpus_id"), col("cell_id"), col("avec"), col("anrm"))
+    // query side: probe the nprobe nearest cells (identical to ivfTopK)
+    val qAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("qvec"), col("centroid")), col("qnrm"), col("ctrnrm")), 6))
+    val qw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell_id"))
+    val qCells = qAll
+      .withColumn("crnk", row_number().over(qw))
+      .where(col("crnk") <= nprobe)
+      .drop("centroid", "ctrnrm", "csim", "crnk")
+    val scored = approx.join(broadcast(qCells), Seq("cell_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("avec"), col("qvec")), col("anrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** Materialize the IVF index: the corpus written to parquet
     * PARTITIONED BY cell_id (same deterministic assignment as
     * [[ivfTopK]]), centroids in a SIBLING `<path>_centroids` directory

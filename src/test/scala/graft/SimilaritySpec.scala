@@ -211,4 +211,26 @@ class SimilaritySpec extends SparkSpec {
       s"trained recall $trained must not drop below untrained $fine")
   }
 
+  test("ivf-pq top-k: k rows per query, deterministic, recall rises with nprobe") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val got = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.length == 40 && got.forall { case (qq, c, _, _) => qq != c })
+    val run2 = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.sortBy(r => (r._1, r._4)) == run2.sortBy(r => (r._1, r._4)))
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val r = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5, nprobe = nprobe)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact & r).size.toDouble / exact.size
+    }
+    val narrow = recall(2)
+    val wide = recall(16) // all cells probed: candidate set = flat PQ on residuals
+    assert(wide >= narrow,
+      s"probing every cell ($wide) must not lose to 2 cells ($narrow)")
+  }
+
 }
