@@ -691,6 +691,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // temperature-scaled source mixing (α = 0.5, target 200): rare
+    // languages keep proportionally more, dominant ones are cut —
+    // the multilingual-mix standard, as deterministic keep rates
+    "sample_temperature" -> ((s, dir) => {
+      val lang = TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text")
+      Sampling.temperatureMix(lang, "lang_pred", "doc_id",
+          alpha = 0.5, targetTotal = 200)
+        .select(col("doc_id"), col("lang_pred"), col("keep_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // feature hashing: vocabulary-free fixed-width token counts via
+    // the engine-neutral 60-bit md5 bucket hash
+    "text_hash_features" -> ((s, dir) =>
+      TextAnalysis.hashFeatures(t(s, dir, "documents"), "doc_id", "text",
+          numBuckets = 32)
+        .orderBy("doc_id", "bucket")),
+
+    // where users stall: exact ms durations between funnel steps for
+    // full completers (same strict sequencing as events_funnel)
+    "events_funnel_times" -> ((s, dir) =>
+      Events.funnelDurations(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     // ================= analytic surface ============================
     "agg_pricing" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
 
@@ -1949,6 +1973,47 @@ object SparkEntry {
          | c AS (SELECT round(quantile_cont(quality_score, 0.5), 6) AS p50 FROM q)
          | SELECT doc_id, quality_score, p50 FROM q CROSS JOIN c
          | WHERE quality_score >= p50 ORDER BY doc_id""".stripMargin,
+
+    // rate formula term order mirrored exactly: (n^α / z) · target / n
+    "sample_temperature" ->
+      s"""WITH lang AS (${langidSql("documents")}),
+         | c AS (SELECT lang_pred, count(*) AS n FROM lang GROUP BY 1),
+         | z AS (SELECT sum(pow(n::DOUBLE, 0.5)) AS z FROM c),
+         | r AS (SELECT lang_pred,
+         |        least(1.0, pow(n::DOUBLE, 0.5) / z * 200.0 / n) AS rate
+         |       FROM c CROSS JOIN z)
+         | SELECT doc_id, lang_pred, round(rate, 6) AS keep_rate
+         | FROM lang JOIN r USING (lang_pred)
+         | WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |   / 4294967296.0 < rate
+         | ORDER BY doc_id""".stripMargin,
+
+    "text_hash_features" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents)
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(term), 1, 15))::BIGINT % 32 AS bucket,
+        |  count(*) AS cnt
+        | FROM tok GROUP BY 1, 2
+        | ORDER BY doc_id, bucket""".stripMargin,
+
+    // the events_funnel CTE chain, keeping the step times instead of
+    // collapsing them to a step count; inner joins keep completers
+    "events_funnel_times" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        | SELECT s1.user_id,
+        |  epoch_ms(t2) - epoch_ms(t1) AS ms_view_click,
+        |  epoch_ms(t3) - epoch_ms(t2) AS ms_click_purchase,
+        |  epoch_ms(t3) - epoch_ms(t1) AS ms_total
+        | FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        | ORDER BY user_id""".stripMargin,
 
     "sample_mix" ->
       s"""WITH lang AS (${langidSql("documents")}),

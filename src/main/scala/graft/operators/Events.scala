@@ -185,6 +185,38 @@ object Events {
     * instead of scanning the history. Pair with a `ts`-range filter
     * that Catalyst rewrites onto `event_date`.
     */
+  /** Per-user funnel step durations: for users who complete EVERY
+    * step (the [[funnel]] sequencing — each step's first occurrence
+    * strictly after the previous step's), the exact millisecond time
+    * spent between consecutive steps plus the total. The
+    * "where do users stall" follow-up to the funnel count.
+    *
+    * Scale shape: one min-aggregate + user-keyed join per step; each
+    * stage's row count shrinks to the surviving cohort.
+    */
+  def funnelDurations(events: DataFrame, steps: Seq[String],
+                      userCol: String = "user_id", typeCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, "funnelDurations needs at least two steps")
+    var cur = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    for (i <- 2 to steps.size) {
+      val prevCols = (1 until i).map(j => col(s"t$j"))
+      cur = events.where(col(typeCol) === steps(i - 1))
+        .select(col(userCol), col(tsCol).as("_nts"))
+        .join(cur, Seq(userCol))
+        .where(col("_nts") > col(s"t${i - 1}"))
+        .groupBy((col(userCol) +: prevCols): _*)
+        .agg(min(col("_nts")).as(s"t$i"))
+    }
+    val gaps = (1 until steps.size).map(j =>
+      (unix_millis(col(s"t${j + 1}")) - unix_millis(col(s"t$j")))
+        .as(s"ms_${steps(j - 1)}_${steps(j)}"))
+    val total = (unix_millis(col(s"t${steps.size}")) - unix_millis(col("t1")))
+      .as("ms_total")
+    cur.select((col(userCol) +: gaps) :+ total: _*)
+  }
+
   /** First-order Markov transition matrix over event types: counts of
     * consecutive (from → to) pairs per user (lead window, event_id
     * tie-break) normalized into row-stochastic probabilities. The

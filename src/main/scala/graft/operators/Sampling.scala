@@ -64,6 +64,35 @@ object Sampling {
     * Bernoulli filter. Output: input columns plus `keep_rate`
     * (rounded to 6).
     */
+  /** Temperature-scaled source mixing (the multilingual-corpus
+    * standard): target share of group i ∝ nᵢ^α, flattening the
+    * distribution toward uniform as α → 0 (α = 1 keeps natural
+    * proportions). Keep rate = min(1, targetTotal·qᵢ/nᵢ) with
+    * qᵢ = nᵢ^α / Σⱼ nⱼ^α, applied via the deterministic md5 uniform —
+    * rare sources keep (relatively) more of their rows, dominant ones
+    * are cut, and the expected output size is ≤ targetTotal.
+    *
+    * Scale shape: per-group counts (one tiny hash aggregate) + a
+    * one-row normalizer, both broadcast back; the filter is map-only.
+    * Output: input columns plus `keep_rate` (rounded to 6).
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperatureMix needs 0 < alpha <= 1")
+    require(targetTotal > 0, "temperatureMix needs targetTotal > 0")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
+    val z = counts.agg(sum(pow(col("_n").cast("double"), alpha)).as("_z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(groupCol),
+        least(lit(1.0),
+          pow(col("_n").cast("double"), alpha) / col("_z")
+            * targetTotal.toDouble / col("_n")).as("_rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(md5Uniform(idCol, halfOpen = true) < col("_rate"))
+      .withColumn("keep_rate", round(col("_rate"), 6))
+      .drop("_rate")
+  }
+
   def mixToGroupTarget(df: DataFrame, groupCol: String, idCol: String,
                        targetPerGroup: Long): DataFrame = {
     require(targetPerGroup > 0, "mixToGroupTarget needs targetPerGroup > 0")

@@ -383,6 +383,27 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Feature hashing (the hashing trick): lowercased whitespace
+    * tokens hash into `numBuckets` count features per document — a
+    * fixed-width, vocabulary-free text representation for fast
+    * downstream models. The bucket hash is the engine-neutral 60-bit
+    * md5 prefix (mod numBuckets), so the whole feature matrix is
+    * oracle-replayable; at scale the same function hashes any corpus
+    * with zero fitted state (no vocabulary to broadcast or version).
+    *
+    * Scale shape: one explode + one (doc, bucket) hash aggregate with
+    * map-side combine; output rows ≤ |docs|·numBuckets.
+    */
+  def hashFeatures(docs: DataFrame, idCol: String, textCol: String,
+                   numBuckets: Int = 32): DataFrame = {
+    require(numBuckets > 0, "hashFeatures needs numBuckets > 0")
+    docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .withColumn("bucket", pmod(md5Prefix64(col("term")), lit(numBuckets.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the normalized text (case/punct/ws-
     *    insensitive exact-dup key);

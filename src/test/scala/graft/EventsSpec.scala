@@ -66,6 +66,26 @@ class EventsSpec extends SparkSpec {
       ("view", "click", 1L, 0.5)))
   }
 
+  test("funnelDurations: exact step gaps for completers, stalled and out-of-order users drop") {
+    val e = Seq(
+      // u1 completes in order: 10 s then 30 s
+      (1L, "u1", "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "u1", "click", Timestamp.valueOf("2024-01-01 00:00:10")),
+      (3L, "u1", "purchase", Timestamp.valueOf("2024-01-01 00:00:40")),
+      // u2 stalls after click
+      (4L, "u2", "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (5L, "u2", "click", Timestamp.valueOf("2024-01-01 00:00:05")),
+      // u3's purchase precedes its click — not a completion
+      (6L, "u3", "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (7L, "u3", "purchase", Timestamp.valueOf("2024-01-01 00:00:01")),
+      (8L, "u3", "click", Timestamp.valueOf("2024-01-01 00:00:02"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.funnelDurations(e, Seq("view", "click", "purchase"))
+      .select("user_id", "ms_view_click", "ms_click_purchase", "ms_total")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("u1", 10000L, 30000L, 40000L)))
+  }
+
   test("interArrival: exact ms gaps, single-event users dropped, tie-break on event_id") {
     val e = Seq(
       (1L, "u1", Timestamp.valueOf("2024-01-01 00:00:00")),

@@ -69,4 +69,22 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("temperatureMix: α=1 keeps natural proportions, α<1 favors the rare group") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small"))
+    val d = df.toDF("id", "g")
+    def rates(alpha: Double): Map[String, Double] =
+      Sampling.temperatureMix(d, "g", "id", alpha, targetTotal = 50)
+        .select("g", "keep_rate").distinct()
+        .as[(String, Double)].collect().toMap
+    val natural = rates(1.0)
+    // α=1: rate = (n/N)·T/n = T/N for every group
+    assert(natural.values.forall(r => math.abs(r - 0.5) < 1e-6), s"$natural")
+    val flat = rates(0.5)
+    assert(flat("small") > flat("big"),
+      s"α<1 must favor the rare group: $flat")
+    assert(flat("small") <= 1.0 && flat("big") < 0.5)
+    intercept[IllegalArgumentException](Sampling.temperatureMix(d, "g", "id", 1.5, 10))
+  }
 }

@@ -161,6 +161,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2)._4 && got(2)._5, "NaN vector degenerate with NaN flag")
   }
 
+  test("hashFeatures: counts conserve tokens, buckets bounded, same term same bucket") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b a c"), (2L, "a a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashFeatures(docs, "doc_id", "text", numBuckets = 8)
+    val rows = got.select("doc_id", "bucket", "cnt").as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 8 })
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc == Map(1L -> 4L, 2L -> 3L), "bucket counts must conserve tokens")
+    // 'a' hashes identically in both docs: doc 2's single bucket is
+    // also present in doc 1
+    val d2bucket = rows.filter(_._1 == 2L).map(_._2).toSet
+    assert(d2bucket.size == 1 && rows.filter(_._1 == 1L).map(_._2).toSet.contains(d2bucket.head))
+  }
+
   test("collocations: fixed pair outranks independent words; floor excludes rare pairs") {
     import graft.operators.TextAnalysis
     // "new york" always co-occurs (PMI high); "the" pairs freely with
