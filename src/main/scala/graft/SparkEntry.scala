@@ -807,6 +807,27 @@ object SparkEntry {
       Analytics.topSupplierRevenue(t(s, dir, "supplier"), t(s, dir, "lineitem"),
         shipYear = 1996)),
 
+    // Q7-shaped trade volume between two nations: the nation filter is
+    // applied to the broadcast dimension BEFORE the join, so the join
+    // itself prunes lineitem to the two trading cohorts
+    "agg_nation_volume" -> ((s, dir) =>
+      Analytics.nationTradeVolume(
+        t(s, dir, "nation"), t(s, dir, "customer"), t(s, dir, "supplier"),
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        nationA = "NATION_9", nationB = "NATION_11")),
+
+    // Q17-shaped small-quantity revenue: exact scaled-long per-part
+    // average makes boundary membership engine-independent
+    "join_small_qty" -> ((s, dir) =>
+      Analytics.smallQuantityRevenue(t(s, dir, "part"), t(s, dir, "lineitem"),
+        brand = "Brand#4", frac = 0.2)),
+
+    // Q22-shaped dormant high-balance customers: broadcast 1-row
+    // threshold + LEFT ANTI join against date-pruned recent orders
+    "join_dormant_customers" -> ((s, dir) =>
+      Analytics.dormantHighBalance(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "nation"), dormantSince = "1998-01-01")),
+
     "window_lag_lead" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -2236,6 +2257,48 @@ object SparkEntry {
         | FROM rev JOIN supplier ON l_suppkey = s_suppkey
         | WHERE r4 = (SELECT max(r4) FROM rev)
         | ORDER BY s_suppkey""".stripMargin,
+
+    "agg_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         | ${msum("l_extendedprice*(1-l_discount)", 4)} AS volume,
+         | count(*) AS n_items
+         | FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |  AND c_nationkey = n2.n_nationkey
+         |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+         |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+         | GROUP BY 1, 2, 3
+         | ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    "join_small_qty" ->
+      s"""WITH li AS (
+         | SELECT l_partkey, l_quantity, l_extendedprice
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand = 'Brand#4'),
+         | a AS (
+         | SELECT l_partkey,
+         |  (CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS DOUBLE)/100.0)
+         |    / count(*) AS avg_qty
+         | FROM li GROUP BY 1)
+         | SELECT count(*) AS n_small,
+         |  ${msum("l_extendedprice")} AS total_revenue,
+         |  round((${msum("l_extendedprice")})/7.0, 6) AS avg_yearly
+         | FROM li JOIN a USING (l_partkey)
+         | WHERE l_quantity < 0.2*avg_qty""".stripMargin,
+
+    "join_dormant_customers" ->
+      s"""WITH cut AS (
+         | SELECT (CAST(sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS DOUBLE)/100.0)
+         |   / count(*) AS bal_cut
+         | FROM customer WHERE c_acctbal > 0)
+         | SELECT n_name, count(*) AS n_custs, ${msum("c_acctbal")} AS total_bal
+         | FROM customer, nation, cut
+         | WHERE c_nationkey = n_nationkey AND c_acctbal > bal_cut
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |    AND o_orderdate >= DATE '1998-01-01')
+         | GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "agg_distinct_counts" ->
       """SELECT l_returnflag,

@@ -315,6 +315,96 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q7-shaped trade volume: revenue shipped between two named
+    * nations (either direction, never within one nation), per ship
+    * year. The nation dimension is pre-filtered to the two names
+    * BEFORE the broadcast joins, so the inner joins themselves prune
+    * lineitem to the two trading cohorts — the selective predicate
+    * rides the join instead of running as a post-join residual; only
+    * the cheap cross-direction exclusion stays residual. Orders and
+    * lineitem meet on the orderkey they already share.
+    */
+  def nationTradeVolume(nation: DataFrame, customer: DataFrame,
+                        supplier: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, nationA: String,
+                        nationB: String): DataFrame = {
+    val pair = nation.where(col("n_name").isin(nationA, nationB))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(pair.select(col("n_nationkey").as("sn_key"),
+                                  col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+      .join(broadcast(pair.select(col("n_nationkey").as("cn_key"),
+                                  col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("volume"),
+           count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: for one brand, the
+    * revenue sitting in line items that order less than `frac` of
+    * their part's average quantity. The per-part average is an exact
+    * scaled-long sum over an exact count, so the threshold — and with
+    * it row membership at the boundary — is the same two IEEE
+    * divisions in every engine. The brand filter prunes part at the
+    * scan and the pruned key set broadcasts into BOTH lineitem
+    * passes, so neither corpus scan widens beyond the brand's
+    * line items; the per-part aggregate shuffles on the partkey the
+    * join already produced.
+    */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+                           brand: String, frac: Double = 0.2): DataFrame = {
+    val brandParts = part.where(col("p_brand") === brand).select(col("p_partkey"))
+    val li = lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg((sum(round(col("l_quantity") * 100, 0).cast("long")).cast("double") / 100.0
+              / count(lit(1))).as("avg_qty"))
+    li.join(avgQ, "l_partkey")
+      .where(col("l_quantity") < lit(frac) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_small"),
+           moneySum(col("l_extendedprice")).as("total_revenue"))
+      .select(col("n_small"), col("total_revenue"),
+              round(col("total_revenue") / 7.0, 6).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22-shaped dormant high-balance customers: customers whose
+    * balance beats the average positive balance but who placed no
+    * order on or after `dormantSince`, counted per nation. (The
+    * reference shape cohorts on phone prefixes; the fixtures carry no
+    * phone column, so nation plays that role.) The 1-row threshold
+    * broadcasts over customer; dormancy is a LEFT ANTI join keyed on
+    * the high-cardinality custkey whose date predicate prunes the
+    * orders scan BEFORE the shuffle — at 100 TB that's one shuffle of
+    * recent (custkey) pairs, never a NOT IN materialization. The
+    * threshold itself is exact scaled-long arithmetic, so boundary
+    * membership is engine-independent.
+    */
+  def dormantHighBalance(customer: DataFrame, orders: DataFrame,
+                         nation: DataFrame,
+                         dormantSince: String): DataFrame = {
+    val threshold = customer.where(col("c_acctbal") > 0)
+      .agg((sum(round(col("c_acctbal") * 100, 0).cast("long")).cast("double") / 100.0
+              / count(lit(1))).as("bal_cut"))
+    val recent = orders.where(col("o_orderdate") >= lit(dormantSince).cast("date"))
+    customer
+      .join(broadcast(threshold))
+      .where(col("c_acctbal") > col("bal_cut"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+           moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy("n_name")
+  }
+
   /** TPC-H Q8-shaped market share: of all revenue that `regionName`
     * customers generated, the fraction supplied by `supplierNation`,
     * per order year. Numerator and denominator are BOTH scaled-long
