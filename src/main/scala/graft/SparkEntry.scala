@@ -78,6 +78,43 @@ object SparkEntry {
     s"CAST(sum(CAST(round(($expr)*$f, 0) AS BIGINT)) AS DOUBLE)/$f.0"
   }
 
+  // ---- PageRank SQL twin: the event-type transition graph, then
+  // `iters` unrolled power-iteration rounds (the cluster_kmeans_n
+  // iterated-CTE technique). Every round re-rounds pr to 9 decimals —
+  // the same contract Graph.pageRank keeps — so float-sum association
+  // error can never accumulate across rounds. Constants interpolate
+  // from the SAME Scala doubles the engine uses (shortest-round-trip
+  // repr parses back bit-identical in DuckDB). -----------------------
+  private def pageRankSql(iters: Int, damping: Double): String = {
+    val head =
+      """WITH p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        | e AS (SELECT from_type AS src, to_type AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | nodes AS (SELECT DISTINCT src AS node FROM e
+        |           UNION SELECT DISTINCT dst AS node FROM e),
+        | outw AS (SELECT src AS node, sum(w) AS out_w FROM e GROUP BY 1),
+        | ne AS (SELECT src, dst, w / out_w AS p FROM e JOIN outw ON e.src = outw.node),
+        | n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+        | r0 AS (SELECT node, round(1.0 / n_nodes, 9) AS pr FROM nodes CROSS JOIN n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | d$i AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM r${i - 1}
+         |   WHERE node NOT IN (SELECT node FROM outw)),
+         | s$i AS (SELECT ne.dst AS node, sum(r.pr * ne.p) AS in_sum
+         |   FROM ne JOIN r${i - 1} r ON ne.src = r.node GROUP BY 1),
+         | r$i AS (SELECT nodes.node,
+         |   round(${1 - damping} / n_nodes
+         |     + $damping * (coalesce(in_sum, 0.0) + dang / n_nodes), 9) AS pr
+         |   FROM nodes CROSS JOIN n CROSS JOIN d$i
+         |   LEFT JOIN s$i ON nodes.node = s$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\n SELECT node, round(pr, 6) AS pr FROM r$iters ORDER BY node"
+  }
+
   // ---- PQ SQL twin: seeded subspace codebooks (m=8 × ksub=64 over
   // dim 64), `trainIters` per-subspace Lloyd refinements (iterated
   // CTEs, the cluster_kmeans_n technique with a subspace key), argmax
@@ -708,6 +745,29 @@ object SparkEntry {
       TextAnalysis.hashFeatures(t(s, dir, "documents"), "doc_id", "text",
           numBuckets = 32)
         .orderBy("doc_id", "bucket")),
+
+    // Okapi BM25 posting-list retrieval: query-term filter prunes the
+    // postings BEFORE the df aggregate; top-k is TakeOrderedAndProject
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "vector"), k = 10)),
+
+    // weighted PageRank over the event-type transition graph: the
+    // iterative-fixed-point family (per-round rank rounding makes the
+    // power iteration engine-exact; the oracle replays every round)
+    "events_pagerank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
 
     // where users stall: exact ms durations between funnel steps for
     // full completers (same strict sequencing as events_funnel)
@@ -3042,6 +3102,31 @@ object SparkEntry {
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
         | SELECT doc_id, term, tf, tfidf, rnk FROM sc WHERE rnk <= 3
         | ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         | FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         | stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+         | post AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector')),
+         | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         | sc AS (
+         |  SELECT post.doc_id,
+         |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+         |     * (tf * ${k1 + 1})) /
+         |   (tf + $k1 * ((${1 - b}) + ($b * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
+         |     AS part_score
+         |  FROM post JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+         | SELECT doc_id, round(sum(part_score), 6) AS score,
+         |  count(*) AS n_terms_hit
+         | FROM sc GROUP BY doc_id
+         | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 
     "text_pii" ->
       """SELECT doc_id,

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over edge-list DataFrames — the iterative
+  * fixed-point family (the structural cousin of
+  * [[Dedup.connectedClusters]]'s large-star/small-star loop).
+  */
+object Graph {
+
+  /** Weighted PageRank by fixed-round power iteration over an
+    * edge list (src, dst, weight).
+    *
+    * Scale shape: the normalized edge table is repartitioned ONCE on
+    * src and cached; each round shuffles only the |V|-row rank table
+    * into that layout, aggregates contributions by dst (map-side
+    * partial agg first — contributions to a hot dst combine before
+    * the shuffle), and folds the dangling mass through a 1-row
+    * broadcast. No collect anywhere; each round's |V|-row rank table
+    * is materialized eagerly (see the in-loop comment — the rank
+    * table is consumed twice per round, so lazy lineage would double
+    * every iteration).
+    *
+    * Determinism contract (DuckDB oracle parity): out-weights and the
+    * node count are exact count/sum-of-count aggregates; per-edge
+    * transition probabilities are one double division of exact
+    * inputs; every iteration's rank is rounded to 9 decimals, so each
+    * round's INPUTS are bit-identical in any engine and float-sum
+    * association error (~1e-16 per round) can never accumulate — the
+    * kmeans-iteration technique ([[Similarity.kmeansIterations]]).
+    * Callers round the final rank coarser (6) for comparison.
+    *
+    * Dangling nodes (no outgoing edges) donate their mass uniformly:
+    * pr'(v) = (1-d)/N + d·(Σ_in pr(u)·p(u,v) + dang/N).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val outW = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("out_w"))
+    val norm = e.join(outW.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+      .repartition(col("src"))
+      .persist()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 9).as("pr"))
+    for (i <- 1 to iters) {
+      val dangling = ranks.join(outW, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+      val contrib = norm.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("p")).as("in_sum"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          round(lit(1 - damping) / col("n_nodes") +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+                            col("dang") / col("n_nodes")),
+            9).as("pr"))
+      // EVERY round, eagerly: the rank table is referenced twice per
+      // round (dangling mass + contributions), so a lazy plan DOUBLES
+      // each iteration — 2^iters subplans by analysis time. An eager
+      // |V|-row localCheckpoint per round (the GraphX discipline)
+      // keeps the plan constant-size; the previous round's blocks are
+      // dropped as soon as the new round lands (ADVICE r3 lesson).
+      val prev = ranks
+      ranks = next.localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = ranks.select(col("node"), col("pr"))
+    norm.unpersist(blocking = false)
+    out
+  }
+
+  /** Drop the cached RDD behind an (eagerly) localCheckpoint'ed
+    * DataFrame — the localCheckpoint form of Dedup.unpersistBacking.
+    * Safe no-op on frames that were never checkpointed (round 1's
+    * predecessor is the lazy initial rank table).
+    */
+  private def unpersistBacking(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -192,6 +192,53 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("term"), col("tf"), col("tfidf"), col("rnk"))
   }
 
+  /** Okapi BM25 top-k retrieval for a fixed query-term set — the
+    * classic posting-list ranking over the corpus.
+    *
+    * Scale shape: one tokenization pass feeds both the per-(doc,term)
+    * tf postings and the doc-length table; the query-term filter
+    * prunes postings to |q| term groups BEFORE the df aggregate
+    * (Catalyst pushes the grouping-key predicate through the
+    * aggregate to the scan side), so df/idf cost |q| rows and
+    * broadcast; corpus stats (N, Σdl) are a 1-row broadcast; top-k is
+    * TakeOrderedAndProject — never a global sort. At 100 TB the only
+    * corpus-sized shuffles are the two token aggregates.
+    *
+    * Determinism (DuckDB oracle parity): tf/df/dl/N are exact counts,
+    * avgdl is one double division of exact longs, each term's partial
+    * score is a fixed IEEE expression of those, and the per-doc sum
+    * spans ≤|q| terms and is rounded to 6 before ranking with doc_id
+    * as the tiebreak.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val postings = tf.where(col("term").isin(queryTerms: _*))
+    val dfTab = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfTab), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)))
+      .withColumn("part_score",
+        (col("idf") * (col("tf").cast("double") * (k1 + 1))) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + (lit(b) * col("dl").cast("double")) / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("part_score")), 6).as("score"),
+           count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   // PII patterns constrained to the RE2-compatible subset (no
   // lookaround/backrefs) so the Spark (Java regex) and DuckDB (RE2)
   // sides redact identically.

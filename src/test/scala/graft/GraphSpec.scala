@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: 2-node cycle converges to equal ranks summing to 1") {
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, "src", "dst", "w", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("a") - 0.5) < 1e-9)
+    assert(math.abs(pr("b") - 0.5) < 1e-9)
+  }
+
+  test("pageRank: star graph ranks the hub above the leaves; mass conserved") {
+    // 4 leaves all pointing at the hub; hub is dangling (its mass
+    // redistributes uniformly), so total mass must stay 1.
+    val edges = (1 to 4).map(i => (s"leaf$i", "hub", 1.0)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, "src", "dst", "w", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub") > pr("leaf1"))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    (2 to 4).foreach(i => assert(math.abs(pr(s"leaf$i") - pr("leaf1")) < 1e-9))
+  }
+
+  test("pageRank: edge weights steer rank (heavier edge -> higher rank)") {
+    // c splits its vote 3:1 between a and b; a and b both return to c.
+    val edges = Seq(
+      ("c", "a", 3.0), ("c", "b", 1.0),
+      ("a", "c", 1.0), ("b", "c", 1.0)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, "src", "dst", "w", iters = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("a") > pr("b"))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+  }
+
+  test("bm25: exact-match doc outranks partial-match; k bounds output") {
+    val docs = Seq(
+      (1L, "hash join hash join vector"),
+      (2L, "hash table scan"),
+      (3L, "sort merge only"),
+      (4L, "vector vector vector vector vector vector vector vector")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("hash", "join", "vector"), k = 3)
+      .collect()
+    assert(got.length == 3)
+    // doc 1 hits all three query terms — must rank first
+    assert(got.head.getLong(0) == 1L)
+    // doc 3 matches nothing and must be absent entirely
+    assert(!got.map(_.getLong(0)).contains(3L))
+  }
+}
