@@ -406,7 +406,15 @@ object SparkEntry {
   // candidate set is identical in both engines by construction and the
   // oracle is exact at ANY threshold, not just in the
   // structural-recall regime (J ≥ 0.9).
-  private def minhashSql(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
+  // `candCond`/`candWhere` select which (a, b) bucket collisions
+  // become candidates: the self-join default, or the cross-corpus
+  // train-vs-benchmark-slice form (dedup_cross) — a doc's signature
+  // is corpus-independent, so banding once over ALL docs and slicing
+  // at the candidate join replays the engine's two-table pipeline
+  // exactly.
+  private def minhashSql(numBands: Int, rowsPerBand: Int, threshold: Double,
+                         candCond: String = "a.doc_id < b.doc_id",
+                         candWhere: String = ""): String = {
     val p = Dedup.MinHashP
     val consts = Dedup.minHashConsts(numBands * rowsPerBand, seed = 42L)
     val mins = consts.zipWithIndex
@@ -432,7 +440,8 @@ object SparkEntry {
        | cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM band a JOIN band b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.key = b.key AND $candCond
+       |  $candWhere),
        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
        | common AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -1109,6 +1118,23 @@ object SparkEntry {
         .orderBy("click_id", "error_id")
     }),
 
+    // interval OVERLAP join (both sides intervals): concurrent session
+    // pairs across the even/odd user cohorts — bucketed equi-join with
+    // single-bucket pair acceptance, never a cross product
+    "join_overlap" -> ((s, dir) => {
+      val sess = Events.sessionize(t(s, dir, "events"))
+      val l = sess.where(col("user_id") % 2 === 0).select(
+        col("user_id").as("l_user"), col("session_id").as("l_session"),
+        col("session_start").as("l_start"), col("session_end").as("l_end"))
+      val r = sess.where(col("user_id") % 2 === 1).select(
+        col("user_id").as("r_user"), col("session_id").as("r_session"),
+        col("session_start").as("r_start"), col("session_end").as("r_end"))
+      Joins.intervalOverlapJoin(l, r, Seq.empty,
+          "l_start", "l_end", "r_start", "r_end", bucketSeconds = 3600)
+        .select("l_user", "l_session", "r_user", "r_session")
+        .orderBy("l_user", "l_session", "r_user", "r_session")
+    }),
+
     "join_salted" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
         .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
@@ -1198,6 +1224,19 @@ object SparkEntry {
       val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
         .select("doc_id", "text").orderBy("doc_id")
+    }),
+
+    // doc-level benchmark contamination: near-dup (train, benchmark)
+    // pairs via cross-corpus MinHash banding — the %17 slice plays the
+    // benchmark (same convention as text_decontaminate). The oracle
+    // replays signatures, banding, AND the cross-join exactly.
+    "dedup_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashCrossPairs(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", threshold = 0.6)
+        .orderBy("doc_a", "doc_b")
     }),
 
     // char 8-gram variant: catches whitespace/tokenization-mangled
@@ -2504,6 +2543,29 @@ object SparkEntry {
         |  AND epoch_ms(x.ts) - epoch_ms(c.ts) < 3600000
         | ORDER BY click_id, error_id""".stripMargin,
 
+    "join_overlap" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        | y AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns
+        | FROM x),
+        | z AS (
+        | SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM y),
+        | s AS (
+        | SELECT user_id, session_id, min(ts) AS a, max(ts) AS b
+        | FROM z GROUP BY user_id, session_id)
+        | SELECT l.user_id AS l_user, l.session_id AS l_session,
+        |  r.user_id AS r_user, r.session_id AS r_session
+        | FROM s l JOIN s r
+        |  ON l.user_id % 2 = 0 AND r.user_id % 2 = 1
+        |  AND l.a <= r.b AND r.a <= l.b
+        | ORDER BY l_user, l_session, r_user, r_session""".stripMargin,
+
     "join_salted" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          | ${msum("o_totalprice")} AS total_price
@@ -2604,6 +2666,10 @@ object SparkEntry {
         | ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "dedup_minhash" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6),
+
+    "dedup_cross" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6,
+      candCond = "a.doc_id <> b.doc_id",
+      candWhere = "WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0"),
 
     // df-cut replicated exactly (HAVING BETWEEN 2 AND 200): candidate
     // generation is pruned, the Jaccard denominator keeps FULL per-doc

@@ -208,17 +208,68 @@ object Dedup {
                    shingleN: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.6,
                    engineNeutralHash: Boolean = true): DataFrame = {
+    val docTable = minHashDocTable(docs, idCol, textCol, shingleN,
+      numBands * rowsPerBand, engineNeutralHash)
+    val shingleTable = docTable.select(col("doc"), col("sh"))
+    val banded = bandKeyTable(docTable, numBands, rowsPerBand)
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    verifyJaccard(candidates, shingleTable, shingleTable, threshold)
+  }
+
+  /** Cross-corpus MinHash contamination report: near-dup (corpus,
+    * probe) pairs — the doc-LEVEL benchmark-decontamination companion
+    * to [[TextAnalysis]]'s n-gram overlap check. Identical signature /
+    * banding / verification machinery as [[minHashPairs]] (the DuckDB
+    * oracle replays it the same way); the only structural difference
+    * is that band keys join ACROSS the two tables instead of
+    * self-joining, so cost is |corpus buckets| ⋈ |probe buckets| —
+    * the probe side (a benchmark) is typically tiny and its banded
+    * table broadcasts. Pairs where both sides carry the same id are
+    * excluded (callers probing a corpus against its own slice).
+    */
+  def minHashCrossPairs(corpus: DataFrame, probe: DataFrame, idCol: String,
+                        textCol: String, shingleN: Int = 3,
+                        numBands: Int = 16, rowsPerBand: Int = 4,
+                        threshold: Double = 0.6,
+                        engineNeutralHash: Boolean = true): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    // one codegen'd regex pass + explode + one codegen'd string hash
-    // per (doc, shingle) — everything downstream (signatures AND
-    // verification sets) derives from these rows, never from
-    // interpreted array HOFs. The default md5 hash (60 bits, like
-    // simhash) keeps the ENTIRE pipeline — permutations, band keys,
-    // verification intersections — engine-neutral, so the DuckDB
-    // oracle replays it exactly; engineNeutralHash=false swaps in
-    // xxhash64 (~2× cheaper string hash, same pipeline, same recall
-    // characteristics) for production callers that don't need a SQL
-    // twin.
+    val ct = minHashDocTable(corpus, idCol, textCol, shingleN, numHashes, engineNeutralHash)
+    val pt = minHashDocTable(probe, idCol, textCol, shingleN, numHashes, engineNeutralHash)
+    val candidates = bandKeyTable(ct, numBands, rowsPerBand).as("a")
+      .join(bandKeyTable(pt, numBands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(candidates,
+      ct.select(col("doc"), col("sh")), pt.select(col("doc"), col("sh")), threshold)
+  }
+
+  /** One aggregation pass over the shingle stream producing BOTH the
+    * numHashes signature mins and the verification shingle-set (the
+    * two consumers read the same exchange — ReuseExchange).
+    *
+    * One codegen'd regex pass + explode + one codegen'd string hash
+    * per (doc, shingle) — everything downstream (signatures AND
+    * verification sets) derives from these rows, never from
+    * interpreted array HOFs. The default md5 hash (60 bits, like
+    * simhash) keeps the ENTIRE pipeline — permutations, band keys,
+    * verification intersections — engine-neutral, so the DuckDB
+    * oracle replays it exactly; engineNeutralHash=false swaps in
+    * xxhash64 (~2× cheaper string hash, same pipeline, same recall
+    * characteristics) for production callers that don't need a SQL
+    * twin.
+    */
+  private def minHashDocTable(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int, numHashes: Int,
+                              engineNeutralHash: Boolean): DataFrame = {
     // the fast path keeps the RAW 64-bit xxhash64 here: the
     // verification collect_set below intersects these values, and
     // reducing them mod 2^31−1 first would raise false-collision odds
@@ -244,45 +295,50 @@ object Dedup {
     val minAggs = consts.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * pmod(col("h"), lit(MinHashP)) + lit(b)) % MinHashP).as(s"m$i")
     }
-    val docTable = tok.groupBy(col("doc"))
+    tok.groupBy(col("doc"))
       .agg(minAggs.head, minAggs.tail :+ collect_set(col("h")).as("sh"): _*)
-    val shingleTable = docTable.select(col("doc"), col("sh"))
-    val withSig = docTable
+  }
+
+  /** Exploded (doc, band, key) table from a [[minHashDocTable]].
+    *
+    * Band keys only — the heavy shingle arrays must NOT ride through
+    * the numBands× explode and the banding-join shuffle; they join
+    * back on the (small) candidate set for verification. The key is
+    * an arithmetic fold of the band's mins mod p (engine-neutral, 8
+    * bytes); a cross-band key collision only adds a candidate that
+    * exact verification then filters — in BOTH engines alike.
+    */
+  private def bandKeyTable(docTable: DataFrame, numBands: Int,
+                           rowsPerBand: Int): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    docTable
       .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-
-    // band keys only — the heavy shingle arrays must NOT ride through
-    // the numBands× explode and the self-join shuffle; they join back
-    // on the (small) candidate set for verification. The key is an
-    // arithmetic fold of the band's mins mod p (engine-neutral, 8
-    // bytes); a cross-band key collision only adds a candidate that
-    // exact verification then filters — in BOTH engines alike.
-    val banded = withSig.select(
-      col("doc"),
-      explode(
-        transform(sequence(lit(0), lit(numBands - 1)),
-          b => struct(b.as("band"),
-            aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), lit(0L),
-              (k, m) => (k * lit(1000003L) + m) % MinHashP).as("key")))
-      ).as("bk"))
+      .select(
+        col("doc"),
+        explode(
+          transform(sequence(lit(0), lit(numBands - 1)),
+            b => struct(b.as("band"),
+              aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), lit(0L),
+                (k, m) => (k * lit(1000003L) + m) % MinHashP).as("key")))
+        ).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-
+  /** Exact Jaccard verification of candidate pairs against the two
+    * sides' (doc, sh) shingle-set tables — only the candidate set
+    * (never the corpus) pays the intersection cost.
+    */
+  private def verifyJaccard(candidates: DataFrame, left: DataFrame,
+                            right: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(shingleTable.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingleTable.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(left.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(right.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("n_common") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** SimHash of a token multiset: bit j of the signature is the sign
     * of Σ_tokens (bit j of hash(token) ? +1 : −1). Per-row HOF fold —

@@ -72,6 +72,43 @@ object Joins {
       .drop("bin")
   }
 
+  /** Interval overlap join: all (left, right) pairs with equal keys
+    * whose CLOSED intervals [lStart, lEnd] and [rStart, rEnd]
+    * intersect. The both-sides-are-intervals cousin of [[rangeJoin]]
+    * (whose right side is a point).
+    *
+    * Scale path: both sides replicate into every `bucketSeconds`-wide
+    * time bucket their interval covers and the match becomes an
+    * EQUI-join on (keys, bucket) + the exact overlap residual. A pair
+    * sharing several buckets would duplicate, so each true pair is
+    * ACCEPTED in exactly one bucket — the one holding
+    * max(lStart, rStart), which both intervals provably cover — and
+    * no distinct pass ever materializes the (potentially huge) pair
+    * set twice. Replication factor = interval length / bucketSeconds
+    * + 1: pick the bucket width near the typical interval length. At
+    * 100 TB this is a shuffled hash join on a composite key whose
+    * fan-out you control — never a cross product.
+    *
+    * Caller renames columns so the two sides are disjoint.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketSeconds: Long): DataFrame = {
+    val w = bucketSeconds * 1000
+    val bin = (c: Column) => floor(unix_millis(c) / w)
+    val l = left.withColumn("bucket",
+      explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
+    val r = right.withColumn("bucket",
+      explode(sequence(bin(col(rStart)), bin(col(rEnd)))))
+    l.join(r, (keyCols :+ "bucket").toSeq)
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+             col("bucket") ===
+               floor(greatest(unix_millis(col(lStart)), unix_millis(col(rStart))) / w))
+      .drop("bucket")
+  }
+
   /** Skew-salted equi-join: identical result to `left.join(right,
     * keys)`, but a hot key's rows spread over `numSalts` reducers.
     * The big/skewed side gets a deterministic salt from its row

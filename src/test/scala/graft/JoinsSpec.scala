@@ -54,6 +54,28 @@ class JoinsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("intervalOverlapJoin equals the brute-force inequality join") {
+    // random-ish intervals spanning 0..10 buckets, incl. exact-touch
+    // and containment cases; key splits the space in two
+    val mk = (rows: Seq[(Long, Long, Long, Long)], p: String) =>
+      rows.map { case (id, k, a, b) =>
+        (id, k, new Timestamp(a * 600000L), new Timestamp(b * 600000L)) }
+        .toDF(s"${p}_id", "k", s"${p}_start", s"${p}_end")
+    val lRows = Seq((1L, 0L, 0L, 5L), (2L, 0L, 10L, 12L), (3L, 1L, 3L, 30L),
+                    (4L, 1L, 40L, 41L), (5L, 0L, 7L, 7L))
+    val rRows = Seq((1L, 0L, 5L, 6L), (2L, 0L, 13L, 20L), (3L, 1L, 29L, 45L),
+                    (4L, 1L, 0L, 2L), (5L, 0L, 6L, 8L))
+    val l = mk(lRows, "l"); val r = mk(rRows, "r")
+    val brute = (for {
+      (li, lk, la, lb) <- lRows; (ri, rk, ra, rb) <- rRows
+      if lk == rk && la <= rb && ra <= lb
+    } yield (li, ri)).toSet
+    val got = Joins.intervalOverlapJoin(l, r, Seq("k"),
+        "l_start", "l_end", "r_start", "r_end", bucketSeconds = 1800)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("saltedJoin equals the plain join") {
     val big = (1L to 100L).map(i => (i % 3, i)).toDF("k", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
