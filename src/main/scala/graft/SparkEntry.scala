@@ -78,6 +78,33 @@ object SparkEntry {
     s"CAST(sum(CAST(round(($expr)*$f, 0) AS BIGINT)) AS DOUBLE)/$f.0"
   }
 
+  // ---- BM25 SQL twin, shared by text_bm25 and text_bm25_indexed
+  // (the index is an access path, not a semantics change). The k1 / b
+  // constants interpolate from the SAME Scala doubles the engine uses
+  // (shortest-round-trip repr parses back bit-identical). -----------
+  private val bm25Sql: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       | FROM documents),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       | stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+       | post AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector')),
+       | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       | sc AS (
+       |  SELECT post.doc_id,
+       |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+       |     * (tf * ${k1 + 1})) /
+       |   (tf + $k1 * ((${1 - b}) + ($b * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
+       |     AS part_score
+       |  FROM post JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       | SELECT doc_id, round(sum(part_score), 6) AS score,
+       |  count(*) AS n_terms_hit
+       | FROM sc GROUP BY doc_id
+       | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   // ---- PageRank SQL twin: the event-type transition graph, then
   // `iters` unrolled power-iteration rounds (the cluster_kmeans_n
   // iterated-CTE technique). Every round re-rounds pr to 9 decimals —
@@ -760,6 +787,18 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("hash", "join", "vector"), k = 10)),
+
+    // BM25 served from the materialized postings index: bucket set →
+    // partition-pruned scan → identical scoring (and oracle) to
+    // text_bm25. Index writes once per JVM (ensureBm25Index).
+    "text_bm25_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_${math.abs(dir.hashCode)}_$src"
+      TextAnalysis.ensureBm25Index(docs, "doc_id", "text", path, numBuckets = 64)
+      TextAnalysis.bm25TopKIndexed(s, path, Seq("hash", "join", "vector"), k = 10,
+        numBuckets = 64)
+    }),
 
     // weighted PageRank over the event-type transition graph: the
     // iterative-fixed-point family (per-round rank rounding makes the
@@ -3169,28 +3208,11 @@ object SparkEntry {
         | SELECT doc_id, term, tf, tfidf, rnk FROM sc WHERE rnk <= 3
         | ORDER BY doc_id, rnk""".stripMargin,
 
-    "text_bm25" -> {
-      val k1 = 1.2; val b = 0.75
-      s"""WITH tok AS (
-         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-         | FROM documents),
-         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-         | stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
-         | post AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector')),
-         | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-         | sc AS (
-         |  SELECT post.doc_id,
-         |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
-         |     * (tf * ${k1 + 1})) /
-         |   (tf + $k1 * ((${1 - b}) + ($b * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
-         |     AS part_score
-         |  FROM post JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-         | SELECT doc_id, round(sum(part_score), 6) AS score,
-         |  count(*) AS n_terms_hit
-         | FROM sc GROUP BY doc_id
-         | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "text_bm25" -> bm25Sql,
+
+    // the index is an access path, not a semantics change — the
+    // indexed serve must hash-match the same oracle
+    "text_bm25_indexed" -> bm25Sql,
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 

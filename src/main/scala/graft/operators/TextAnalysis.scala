@@ -218,7 +218,16 @@ object TextAnalysis {
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val postings = tf.where(col("term").isin(queryTerms: _*))
+    bm25Score(tf.where(col("term").isin(queryTerms: _*)), dl, stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring core over (doc_id, term, tf) postings
+    * already pruned to the query terms, the (doc_id, dl) length
+    * table, and the 1-row (n_docs, tot_dl) stats — df re-derives from
+    * the pruned postings (|q| groups), so an index never stores it.
+    */
+  private def bm25Score(postings: DataFrame, dl: DataFrame, stats: DataFrame,
+                        k: Int, k1: Double, b: Double): DataFrame = {
     val dfTab = postings.groupBy("term").agg(count(lit(1)).as("df"))
     postings
       .join(broadcast(dfTab), "term")
@@ -237,6 +246,63 @@ object TextAnalysis {
            count(lit(1)).as("n_terms_hit"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** Write a BM25 postings index: (doc_id, term, tf) rows PARTITIONED
+    * on a term hash bucket, plus `_dl` (doc lengths) and `_stats`
+    * (1-row N, Σdl) side tables. A query's terms map to ≤|q| buckets,
+    * so serving scans |q|/numBuckets of the postings — the text
+    * retrieval cousin of [[Similarity.writeIvfIndex]]. Size numBuckets
+    * ≈ the per-bucket postings volume you want one task to read; the
+    * repartition before the write keeps one file per bucket rather
+    * than one per (input partition × bucket).
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, numBuckets: Int = 64): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"${path}_dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"${path}_stats")
+  }
+
+  /** Write the index only if absent — an index exists to be written
+    * once and queried many times (the [[Similarity.ensureIvfIndex]]
+    * discipline), so steady state is the pruned read below.
+    */
+  def ensureBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                      path: String, numBuckets: Int = 64): Unit = {
+    val marker = new java.io.File(s"${path}_stats/_SUCCESS")
+    if (!marker.exists()) writeBm25Index(docs, idCol, textCol, path, numBuckets)
+  }
+
+  /** BM25 top-k served from a materialized [[writeBm25Index]] index:
+    * the query terms' bucket set (≤|q| longs — computed by a
+    * control-plane job with the ENGINE's own xxhash64, the IVF
+    * probed-cell discipline, so driver and executors can never
+    * disagree on the hash) becomes a literal IN filter that Catalyst
+    * partition-prunes at the scan; the term IN filter then prunes
+    * rows WITHIN the surviving buckets. Identical result (and
+    * identical oracle) to [[bm25TopK]].
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queryTerms: Seq[String], k: Int, numBuckets: Int = 64,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val buckets = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val postings = spark.read.parquet(path)
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(queryTerms: _*))
+      .select("doc_id", "term", "tf")
+    bm25Score(postings,
+      spark.read.parquet(s"${path}_dl"),
+      spark.read.parquet(s"${path}_stats"), k, k1, b)
   }
 
   // PII patterns constrained to the RE2-compatible subset (no

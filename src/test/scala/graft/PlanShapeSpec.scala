@@ -152,6 +152,31 @@ class PlanShapeSpec extends SparkSpec {
       "probed-cell IN filter must reach the scan as a partition filter")
   }
 
+  test("BM25 index scan partition-prunes to the query-term buckets") {
+    val docs = Tables.documents(spark, sf001)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm25_prune"
+    graft.operators.TextAnalysis.writeBm25Index(docs, "doc_id", "text", path,
+      numBuckets = 64)
+    val q = graft.operators.TextAnalysis.bm25TopKIndexed(spark, path,
+      Seq("hash", "join", "vector"), k = 5, numBuckets = 64)
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"bucket IN filter must reach the scan as a partition filter:\n$p")
+    // ≤3 of 64 buckets survive (terms may share a bucket); the
+    // pre-adaptive sparkPlan still has the raw scan nodes (AQE wraps
+    // the executed plan of this multi-join query)
+    val pruned = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.head.toString.contains("bm25_prune") =>
+        f.selectedPartitions.partitionCount
+    }.headOption
+    assert(pruned.exists(n => n > 0 && n <= 3), s"expected <=3 buckets read, got $pruned")
+    // indexed serve == direct serve
+    val direct = graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("hash", "join", "vector"), k = 5).collect().toSeq
+    assert(q.collect().toSeq == direct)
+  }
+
   test("RANGE frame includes all date-tie peers; values match hand computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
