@@ -1326,6 +1326,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the STREAMING exact-dedup twin: complete-mode streaming
+    // aggregate on the content hash — min/count are arrival-order-
+    // independent, so the final table hash-matches the dedup_exact
+    // oracle exactly (streaming dropDuplicates could not)
+    "dedup_exact_stream" -> ((s, dir) => {
+      import graft.streaming.{StreamingDedup, StreamingEvents}
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_stream_${math.abs(dir.hashCode)}_${src.lastModified()}"
+      if (!new java.io.File(s"$streamDir/_SUCCESS").exists())
+        t(s, dir, "documents").select("doc_id", "text")
+          .write.mode("overwrite").parquet(streamDir)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .parquet(streamDir)
+      StreamingEvents.runToCompletion(s,
+        StreamingDedup.exactDedupStream(stream, "doc_id", "text"),
+        s"dedup_exact_stream_${funnelStreamSeq.incrementAndGet()}",
+        mode = "complete")
+        .orderBy("keep_id")
+    }),
+
     // ================= similarity search ===========================
     "sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2614,6 +2635,13 @@ object SparkEntry {
     "text_langid" -> s"${langidSql("documents")}\n ORDER BY doc_id",
 
     "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        | FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // stream-equals-batch: the complete-mode streaming aggregate must
+    // land on exactly the batch dedup table
+    "dedup_exact_stream" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         | FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -39,10 +39,15 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(weightCol).cast("double").as("w"))
+    // nodes and outW are read EVERY round (the dangling-mass anti-join
+    // and the rank rebuild) — without the persist each round would
+    // recompute the whole upstream edge derivation
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .persist()
     val outW = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("out_w"))
+      .persist()
     val norm = e.join(outW.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
       .repartition(col("src"))
@@ -74,8 +79,12 @@ object Graph {
       ranks = next.localCheckpoint()
       unpersistBacking(prev)
     }
+    // `ranks` is already an eagerly-materialized LogicalRDD, so the
+    // working tables can drop now
     val out = ranks.select(col("node"), col("pr"))
     norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outW.unpersist(blocking = false)
     out
   }
 

@@ -39,6 +39,22 @@ case class EmbBucketState(ids: Seq[Long], vecs: Seq[Array[Float]], nrms: Seq[Dou
   */
 object StreamingDedup {
 
+  /** Streaming exact dedup — the Structured Streaming twin of
+    * `Dedup.exact`: a streaming aggregate keyed on the md5 content
+    * hash. State is one row per DISTINCT content (hash, min id,
+    * count) — bounded by the dedup'd corpus size, never the stream
+    * length — and min/count are arrival-order-independent, so the
+    * final table equals the batch answer by construction (unlike
+    * streaming dropDuplicates, which keeps whichever copy arrives
+    * first). Unbounded deployments run it in update mode behind a
+    * watermark; the bounded gate runs complete mode so the final
+    * memory table IS the batch result.
+    */
+  def exactDedupStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("content_hash"), col(idCol).as("id"))
+      .groupBy("content_hash")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   private def jvmRound6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
