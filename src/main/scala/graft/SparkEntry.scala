@@ -105,6 +105,65 @@ object SparkEntry {
        | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Event-type transition edge list (src, dst, w=count) — the graph
+    * both events_pagerank and events_hits iterate over.
+    */
+  private def transitionEdges(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  // shared CTE head for the graph oracles: transition edges + node
+  // set + initial uniform score r0/h0 (rounded to 9 like the engine).
+  // Every CTE here and in the per-round chains is AS MATERIALIZED:
+  // DuckDB inlines plain CTEs per REFERENCE, and the iterated rounds
+  // reference each table 2-3× — inlining would re-evaluate the whole
+  // chain-from-scratch exponentially many times (4^iters for HITS).
+  private val graphSqlHead: String =
+    """WITH p AS MATERIALIZED (
+      | SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      | FROM events),
+      | e AS MATERIALIZED (SELECT from_type AS src, to_type AS dst, CAST(count(*) AS DOUBLE) AS w
+      |       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      | nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+      |           UNION SELECT DISTINCT dst AS node FROM e),
+      | n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes)""".stripMargin
+
+  // ---- HITS SQL twin: `iters` unrolled rounds, each half-round
+  // L1-normalized and re-rounded to 9 decimals — the Graph.hits
+  // contract, replayed. ---------------------------------------------
+  private def hitsSql(iters: Int): String = {
+    val head = graphSqlHead +
+      """,
+        | h0 AS MATERIALIZED (SELECT node, round(1.0 / n_nodes, 9) AS hub FROM nodes CROSS JOIN n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub * e.w) AS raw
+         |   FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         | an$i AS MATERIALIZED (SELECT sum(raw) AS tot FROM ar$i),
+         | a$i AS MATERIALIZED (SELECT nodes.node,
+         |   round(coalesce(raw, 0.0) / tot, 9) AS auth
+         |   FROM nodes CROSS JOIN an$i LEFT JOIN ar$i ON nodes.node = ar$i.node),
+         | hr$i AS MATERIALIZED (SELECT e.src AS node, sum(a.auth * e.w) AS raw
+         |   FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         | hn$i AS MATERIALIZED (SELECT sum(raw) AS tot FROM hr$i),
+         | h$i AS MATERIALIZED (SELECT nodes.node,
+         |   round(coalesce(raw, 0.0) / tot, 9) AS hub
+         |   FROM nodes CROSS JOIN hn$i LEFT JOIN hr$i ON nodes.node = hr$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         | SELECT a.node, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+         | FROM a$iters a JOIN h$iters h ON a.node = h.node ORDER BY a.node""".stripMargin
+  }
+
   // ---- PageRank SQL twin: the event-type transition graph, then
   // `iters` unrolled power-iteration rounds (the cluster_kmeans_n
   // iterated-CTE technique). Every round re-rounds pr to 9 decimals —
@@ -113,26 +172,18 @@ object SparkEntry {
   // from the SAME Scala doubles the engine uses (shortest-round-trip
   // repr parses back bit-identical in DuckDB). -----------------------
   private def pageRankSql(iters: Int, damping: Double): String = {
-    val head =
-      """WITH p AS (
-        | SELECT event_type AS from_type,
-        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        | FROM events),
-        | e AS (SELECT from_type AS src, to_type AS dst, CAST(count(*) AS DOUBLE) AS w
-        |       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        | nodes AS (SELECT DISTINCT src AS node FROM e
-        |           UNION SELECT DISTINCT dst AS node FROM e),
-        | outw AS (SELECT src AS node, sum(w) AS out_w FROM e GROUP BY 1),
-        | ne AS (SELECT src, dst, w / out_w AS p FROM e JOIN outw ON e.src = outw.node),
-        | n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
-        | r0 AS (SELECT node, round(1.0 / n_nodes, 9) AS pr FROM nodes CROSS JOIN n)""".stripMargin
+    val head = graphSqlHead +
+      """,
+        | outw AS MATERIALIZED (SELECT src AS node, sum(w) AS out_w FROM e GROUP BY 1),
+        | ne AS MATERIALIZED (SELECT src, dst, w / out_w AS p FROM e JOIN outw ON e.src = outw.node),
+        | r0 AS MATERIALIZED (SELECT node, round(1.0 / n_nodes, 9) AS pr FROM nodes CROSS JOIN n)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s""",
-         | d$i AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM r${i - 1}
+         | d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dang FROM r${i - 1}
          |   WHERE node NOT IN (SELECT node FROM outw)),
-         | s$i AS (SELECT ne.dst AS node, sum(r.pr * ne.p) AS in_sum
+         | s$i AS MATERIALIZED (SELECT ne.dst AS node, sum(r.pr * ne.p) AS in_sum
          |   FROM ne JOIN r${i - 1} r ON ne.src = r.node GROUP BY 1),
-         | r$i AS (SELECT nodes.node,
+         | r$i AS MATERIALIZED (SELECT nodes.node,
          |   round(${1 - damping} / n_nodes
          |     + $damping * (coalesce(in_sum, 0.0) + dang / n_nodes), 9) AS pr
          |   FROM nodes CROSS JOIN n CROSS JOIN d$i
@@ -803,19 +854,22 @@ object SparkEntry {
     // weighted PageRank over the event-type transition graph: the
     // iterative-fixed-point family (per-round rank rounding makes the
     // power iteration engine-exact; the oracle replays every round)
-    "events_pagerank" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val edges = t(s, dir, "events")
-        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
-        .withColumn("to_type", lead(col("event_type"), 1).over(w))
-        .where(col("to_type").isNotNull)
-        .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
-        .agg(count(lit(1)).cast("double").as("w"))
-      Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+    "events_pagerank" -> ((s, dir) =>
+      Graph.pageRank(transitionEdges(t(s, dir, "events")), "src", "dst", "w",
+          iters = 5)
         .select(col("node"), round(col("pr"), 6).as("pr"))
-        .orderBy("node")
-    }),
+        .orderBy("node")),
+
+    // weighted HITS over the same graph: hub scores rank the types
+    // that FEED important destinations, authority scores the types
+    // fed BY important sources — both replayed round-for-round by the
+    // oracle like events_pagerank
+    "events_hits" -> ((s, dir) =>
+      Graph.hits(transitionEdges(t(s, dir, "events")), "src", "dst", "w",
+          iters = 5)
+        .select(col("node"), round(col("auth"), 6).as("auth"),
+                round(col("hub"), 6).as("hub"))
+        .orderBy("node")),
 
     // where users stall: exact ms durations between funnel steps for
     // full completers (same strict sequencing as events_funnel)
@@ -3243,6 +3297,8 @@ object SparkEntry {
     "text_bm25_indexed" -> bm25Sql,
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
+
+    "events_hits" -> hitsSql(iters = 5),
 
     "text_pii" ->
       """SELECT doc_id,

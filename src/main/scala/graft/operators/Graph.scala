@@ -88,6 +88,63 @@ object Graph {
     out
   }
 
+  /** Weighted HITS (hubs & authorities) by fixed-round power
+    * iteration: auth'(v) = Σ_{u→v} hub(u)·w, hub'(u) = Σ_{u→v}
+    * auth'(v)·w, each half-round L1-normalized. Same engine-parity
+    * contract as [[pageRank]] — exact count weights, every
+    * half-round's scores rounded to 9 decimals, the DuckDB oracle
+    * replays each unrolled round — and the same eager per-round
+    * materialization (both score tables are consumed twice per
+    * round, so lazy lineage would double every iteration).
+    *
+    * Scale shape: per half-round, one equi-join of the |V|-row score
+    * table into the cached edge list (map-side partial agg on the
+    * collecting endpoint), one 1-row total broadcast for the
+    * normalization. Nodes with no in-edges get auth 0; no out-edges,
+    * hub 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           weightCol: String, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("double").as("w"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var hubs = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 9).as("hub"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val prevH = hubs
+      val prevA = auths
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub") * col("w")).as("raw"))
+      val aTot = aRaw.agg(sum(col("raw")).as("tot"))
+      auths = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0.0)) / col("tot"), 9).as("auth"))
+        .localCheckpoint()
+      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth") * col("w")).as("raw"))
+      val hTot = hRaw.agg(sum(col("raw")).as("tot"))
+      hubs = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0.0)) / col("tot"), 9).as("hub"))
+        .localCheckpoint()
+      unpersistBacking(prevH)
+      if (prevA != null) unpersistBacking(prevA)
+    }
+    val out = auths.join(hubs, "node")
+      .select(col("node"), col("auth"), col("hub"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Drop the cached RDD behind an (eagerly) localCheckpoint'ed
     * DataFrame — the localCheckpoint form of Dedup.unpersistBacking.
     * Safe no-op on frames that were never checkpointed (round 1's

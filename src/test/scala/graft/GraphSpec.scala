@@ -36,6 +36,25 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr.values.sum - 1.0) < 1e-6)
   }
 
+  test("hits: star graph — leaves are pure hubs, the center the pure authority") {
+    val edges = (1 to 4).map(i => (s"leaf$i", "hub", 1.0)).toDF("src", "dst", "w")
+    val got = Graph.hits(edges, "src", "dst", "w", iters = 10)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (hubAuth, hubHub) = got("hub")
+    assert(math.abs(hubAuth - 1.0) < 1e-6 && math.abs(hubHub) < 1e-9)
+    (1 to 4).foreach { i =>
+      val (a, h) = got(s"leaf$i")
+      assert(math.abs(a) < 1e-9 && math.abs(h - 0.25) < 1e-6)
+    }
+  }
+
+  test("hits: heavier-weighted destination earns more authority") {
+    val edges = Seq(("s", "a", 3.0), ("s", "b", 1.0)).toDF("src", "dst", "w")
+    val got = Graph.hits(edges, "src", "dst", "w", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") > got("b"))
+  }
+
   test("bm25: exact-match doc outranks partial-match; k bounds output") {
     val docs = Seq(
       (1L, "hash join hash join vector"),
