@@ -78,6 +78,43 @@ object SparkEntry {
     s"CAST(sum(CAST(round(($expr)*$f, 0) AS BIGINT)) AS DOUBLE)/$f.0"
   }
 
+  // ---- PCA power-iteration SQL twin: exact scaled-long second
+  // moments, then `iters` unrolled rounds, each re-rounding the unit
+  // vector to 9 (the Embeddings.topPrincipalComponent contract). ----
+  private def pcaSql(iters: Int, scale: Long): String = {
+    val s2 = scale.toDouble * scale
+    val head =
+      s"""WITH x AS MATERIALIZED (
+         | SELECT vec_id AS id, CAST(i AS BIGINT) AS i,
+         |  CAST(round(embedding[i]::DOUBLE * $scale, 0) AS BIGINT) AS xl
+         | FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+         | nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         | mu AS MATERIALIZED (
+         |  SELECT i, CAST(sum(xl) AS DOUBLE) / n / $scale AS mu
+         |  FROM x CROSS JOIN nn GROUP BY i, n),
+         | cov AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j,
+         |   CAST(sum(a.xl * b.xl) AS DOUBLE) / $s2 / n - mi.mu * mj.mu AS c
+         |  FROM x a JOIN x b ON a.id = b.id CROSS JOIN nn
+         |  JOIN mu mi ON mi.i = a.i JOIN mu mj ON mj.i = b.i
+         |  GROUP BY 1, 2, n, mi.mu, mj.mu),
+         | dd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM mu),
+         | v0 AS MATERIALIZED (SELECT i AS j, round(1.0 / sqrt(d), 9) AS x
+         |   FROM mu CROSS JOIN dd)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         | w$k AS MATERIALIZED (SELECT cov.i, sum(cov.c * v.x) AS w
+         |   FROM cov JOIN v${k - 1} v ON cov.j = v.j GROUP BY 1),
+         | nm$k AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w$k),
+         | v$k AS MATERIALIZED (SELECT i AS j, round(w / nrm, 9) AS x
+         |   FROM w$k CROSS JOIN nm$k)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         | SELECT j AS dim, round(x, 6) AS loading, round(nrm, 6) AS eigenvalue
+         | FROM v$iters CROSS JOIN nm$iters ORDER BY dim""".stripMargin
+  }
+
   // ---- BM25 SQL twin, shared by text_bm25 and text_bm25_indexed
   // (the index is an access path, not a semantics change). The k1 / b
   // constants interpolate from the SAME Scala doubles the engine uses
@@ -1465,6 +1502,14 @@ object SparkEntry {
     "cluster_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansIteration(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8).orderBy("cell_id", "dim")),
+
+    // top principal component by power iteration: exact scaled-long
+    // second moments (any aggregation order) + per-round unit-vector
+    // rounding — the oracle replays every round
+    "emb_pca" -> ((s, dir) =>
+      Embeddings.topPrincipalComponent(t(s, dir, "embeddings"), "vec_id",
+          "embedding", iters = 8)
+        .orderBy("dim")),
 
     "cluster_kmeans_n" -> ((s, dir) =>
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -3299,6 +3344,8 @@ object SparkEntry {
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 
     "events_hits" -> hitsSql(iters = 5),
+
+    "emb_pca" -> pcaSql(iters = 8, scale = 10000L),
 
     "text_pii" ->
       """SELECT doc_id,

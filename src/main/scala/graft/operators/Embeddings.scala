@@ -27,6 +27,72 @@ object Embeddings {
         col("has_nan"),
         (col("has_nan") || col("nrm") < 1e-6).as("is_degenerate"))
 
+  /** Top principal component of the embedding corpus by power
+    * iteration — the drift/whitening diagnostic an embedding pipeline
+    * runs before trusting cosine geometry (a dominant component
+    * swallowing most variance means anisotropic, poorly-spread
+    * vectors).
+    *
+    * Exactness: components quantize to scaled longs (`scale`, default
+    * 1e4 — sum-of-products bound n·(scale·max|x|)² must stay under
+    * 2^63, which holds to ~10^9 rows at this scale; larger corpora
+    * pass a smaller scale), so the second-moment matrix is EXACT
+    * integer sums in any aggregation order; the covariance then
+    * derives per cell from two exact longs and two means. Each power
+    * round re-rounds the unit vector to 9 decimals (the
+    * [[Graph.pageRank]] discipline), so the whole iteration — and the
+    * DuckDB oracle that replays it round-for-round — is
+    * engine-exact. Eigenvalue = ‖Cv‖ of the final round (v is unit).
+    *
+    * Scale shape: the only corpus-sized work is the d²-fanout
+    * self-join feeding ONE hash aggregate (map-side combine shrinks
+    * every task to ≤ d² rows); everything after operates on d²-row
+    * tables, with the 1-row norm broadcast per round. The covariance
+    * localCheckpoints once — the iteration never re-touches the
+    * corpus.
+    */
+  def topPrincipalComponent(emb: DataFrame, idCol: String, vecCol: String,
+                            iters: Int = 8, scale: Long = 10000L): DataFrame = {
+    val x = emb.select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("i"),
+              round(col("col").cast("double") * scale, 0).cast("long").as("xl"))
+    val nRow = emb.agg(count(lit(1)).cast("double").as("n"))
+    val mu = x.groupBy("i").agg(sum(col("xl")).as("sxl"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), (col("sxl").cast("double") / col("n") / scale).as("mu"),
+              col("n"))
+    val cov = x.as("a").join(x.as("b"), col("a.id") === col("b.id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xl") * col("b.xl")).as("sxy"))
+      .join(mu.select(col("i"), col("mu").as("mu_i"), col("n")), "i")
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
+      .select(col("i"), col("j"),
+        (col("sxy").cast("double") / (scale.toDouble * scale) / col("n")
+          - col("mu_i") * col("mu_j")).as("c"))
+      .localCheckpoint() // d² rows; cuts the corpus-sized lineage
+    val dRow = mu.agg(count(lit(1)).cast("double").as("d"))
+    var v = mu.crossJoin(broadcast(dRow))
+      .select(col("i").as("j"), round(lit(1.0) / sqrt(col("d")), 9).as("x"))
+    var lam: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, "j").groupBy(col("i"))
+        .agg(sum(col("c") * col("x")).as("w"))
+      // eager per-round (the Graph.pageRank lazy-doubling lesson): w
+      // is consumed twice (norm + normalize), and lam outlives the
+      // round (the final output reads it) so it must not keep a lazy
+      // reference into a checkpoint we are about to drop
+      lam = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")).localCheckpoint()
+      val prev = v
+      v = w.crossJoin(broadcast(lam))
+        .select(col("i").as("j"), round(col("w") / col("nrm"), 9).as("x"))
+        .localCheckpoint()
+      Graph.unpersistBacking(prev)
+    }
+    v.crossJoin(broadcast(lam))
+      .select(col("j").as("dim"), round(col("x"), 6).as("loading"),
+              round(col("nrm"), 6).as("eigenvalue"))
+  }
+
   /** Symmetric int8 scalar quantization, long form (id, dim, q,
     * scale): per vector, scale = 127 / max|vᵢ| and qᵢ =
     * ⌊vᵢ·scale + 0.5⌋. `floor(x + 0.5)` instead of round() so Spark

@@ -148,9 +148,10 @@ object Graph {
   /** Drop the cached RDD behind an (eagerly) localCheckpoint'ed
     * DataFrame — the localCheckpoint form of Dedup.unpersistBacking.
     * Safe no-op on frames that were never checkpointed (round 1's
-    * predecessor is the lazy initial rank table).
+    * predecessor is the lazy initial rank table). Shared with the
+    * other per-round-checkpointing iterations (Embeddings PCA).
     */
-  private def unpersistBacking(df: DataFrame): Unit =
+  private[operators] def unpersistBacking(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

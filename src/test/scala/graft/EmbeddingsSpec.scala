@@ -23,6 +23,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(err.count() == 0, "dequantize error must stay within 0.5/scale")
   }
 
+  test("topPrincipalComponent recovers a planted dominant axis, unit-norm") {
+    // variance planted on dim 2 (σ²=4 vs σ²≈0 elsewhere): the top
+    // component must align with e₂ and report eigenvalue ≈ 4
+    val rows = (0 until 40).map { k =>
+      val sign = if (k % 2 == 0) 1f else -1f
+      (k.toLong, Array(0.01f * (k % 3), 2f * sign, 0.02f * (k % 2)))
+    }
+    val got = Embeddings.topPrincipalComponent(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", iters = 12)
+      .orderBy("dim")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val loadings = got.map(_._2)
+    assert(math.abs(math.abs(loadings(1)) - 1.0) < 0.01,
+      s"dim-2 loading should dominate, got ${loadings.toSeq}")
+    assert(math.abs(math.sqrt(loadings.map(x => x * x).sum) - 1.0) < 1e-6,
+      "component must be unit-norm")
+    assert(math.abs(got.head._3 - 4.0) < 0.1,
+      s"eigenvalue should be ~4 (planted variance), got ${got.head._3}")
+  }
+
   test("quantization drops all-zero vectors instead of dividing by zero") {
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
       .toDF("vec_id", "embedding")
