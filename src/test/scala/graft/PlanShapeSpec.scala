@@ -152,6 +152,12 @@ class PlanShapeSpec extends SparkSpec {
       "probed-cell IN filter must reach the scan as a partition filter")
   }
 
+  test("interval-overlap join is an equi-join on bucket, never a cross product") {
+    val p = plan("join_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must stay an equi-join on the bucket key:\n$p")
+  }
+
   test("BM25 index scan partition-prunes to the query-term buckets") {
     val docs = Tables.documents(spark, sf001)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm25_prune"
