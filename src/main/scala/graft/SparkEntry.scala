@@ -110,9 +110,12 @@ object SparkEntry {
          |   FROM w$k CROSS JOIN nm$k)""".stripMargin
     }.mkString
     head + rounds +
-      s"""
+      s""",
+         | wf AS MATERIALIZED (SELECT cov.i, sum(cov.c * v.x) AS w
+         |   FROM cov JOIN v$iters v ON cov.j = v.j GROUP BY 1),
+         | nf AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM wf)
          | SELECT j AS dim, round(x, 6) AS loading, round(nrm, 6) AS eigenvalue
-         | FROM v$iters CROSS JOIN nm$iters ORDER BY dim""".stripMargin
+         | FROM v$iters CROSS JOIN nf ORDER BY dim""".stripMargin
   }
 
   // ---- BM25 SQL twin, shared by text_bm25 and text_bm25_indexed
@@ -1366,6 +1369,21 @@ object SparkEntry {
         docs.where(col("doc_id") % 17 =!= 0),
         docs.where(col("doc_id") % 17 === 0),
         "doc_id", "text", threshold = 0.6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // exact containment contamination: fraction of each benchmark
+    // doc's shingles found in each training doc — catches the
+    // long-doc-swallowed-benchmark case Jaccard misses; exact
+    // broadcast join (no sketch), corpus-side df-cut replicated in
+    // the oracle
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossContainment(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", shingleN = 3, minContainment = 0.5,
+        maxDocFreq = 1000)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -2836,6 +2854,24 @@ object SparkEntry {
     "dedup_cross" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6,
       candCond = "a.doc_id <> b.doc_id",
       candWhere = "WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0"),
+
+    "dedup_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+        | c AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+        | b AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
+        | ps AS (SELECT doc_id, count(*) AS n FROM b GROUP BY 1),
+        | hot AS (SELECT s FROM c GROUP BY s HAVING count(*) > 1000)
+        | SELECT c.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(count(*) / ps.n, 6) AS containment
+        | FROM c JOIN b ON c.s = b.s JOIN ps ON ps.doc_id = b.doc_id
+        | WHERE c.s NOT IN (SELECT s FROM hot)
+        | GROUP BY 1, 2, ps.n
+        | HAVING round(count(*) / ps.n, 6) >= 0.5
+        | ORDER BY doc_a, doc_b""".stripMargin,
 
     // df-cut replicated exactly (HAVING BETWEEN 2 AND 200): candidate
     // generation is pruned, the Jaccard denominator keeps FULL per-doc

@@ -252,6 +252,38 @@ object Dedup {
       ct.select(col("doc"), col("sh")), pt.select(col("doc"), col("sh")), threshold)
   }
 
+  /** Exact cross-corpus containment: for every (corpus doc, probe
+    * doc) pair, the fraction of the PROBE doc's shingles found in the
+    * corpus doc — the quote/superset contamination metric Jaccard
+    * misses when the training doc is much longer than the benchmark
+    * doc it swallowed. No banding and no sketch: the probe side is a
+    * benchmark (small), so its shingle rows broadcast and the join is
+    * exact — recall 1.0 by construction, where MinHash-based
+    * containment would under-recall exactly the long-doc case it
+    * exists for. A corpus-side df-cut (shingles in > maxDocFreq
+    * corpus docs are boilerplate) bounds the join fan-out; the tiny
+    * hot-shingle set broadcasts as an anti-join. The cut is part of
+    * the semantics and the oracle replicates it.
+    */
+  def crossContainment(corpus: DataFrame, probe: DataFrame, idCol: String,
+                       textCol: String, shingleN: Int = 3,
+                       minContainment: Double = 0.5,
+                       maxDocFreq: Int = 1000): DataFrame = {
+    val cSh = shingleHashRows(corpus, idCol, wordShinglesFast(col(textCol), shingleN))
+    val pSh = shingleHashRows(probe, idCol, wordShinglesFast(col(textCol), shingleN))
+    val hot = cSh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select("h")
+    cSh.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(broadcast(pSh.select(col("h"), col("doc").as("pdoc"),
+                                 col("n_sh").as("p_n"))), "h")
+      .groupBy(col("doc").as("doc_a"), col("pdoc").as("doc_b"), col("p_n"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment", round(col("n_common") / col("p_n"), 6))
+      .where(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** One aggregation pass over the shingle stream producing BOTH the
     * numHashes signature mins and the verification shingle-set (the
     * two consumers read the same exchange — ReuseExchange).

@@ -73,21 +73,27 @@ object Embeddings {
     val dRow = mu.agg(count(lit(1)).cast("double").as("d"))
     var v = mu.crossJoin(broadcast(dRow))
       .select(col("i").as("j"), round(lit(1.0) / sqrt(col("d")), 9).as("x"))
-    var lam: DataFrame = null
     for (_ <- 1 to iters) {
+      // ONE eager job per round: the norm stays a lazy 1-row subquery
+      // inside the round's checkpoint, so w's d²-row matvec evaluates
+      // twice within one job (cov is checkpointed — cheap) instead of
+      // paying a second eager job per round. The checkpoint itself is
+      // still required — v is consumed twice NEXT round (the
+      // Graph.pageRank lazy-doubling lesson).
       val w = cov.join(v, "j").groupBy(col("i"))
         .agg(sum(col("c") * col("x")).as("w"))
-      // eager per-round (the Graph.pageRank lazy-doubling lesson): w
-      // is consumed twice (norm + normalize), and lam outlives the
-      // round (the final output reads it) so it must not keep a lazy
-      // reference into a checkpoint we are about to drop
-      lam = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")).localCheckpoint()
+      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       val prev = v
-      v = w.crossJoin(broadcast(lam))
+      v = w.crossJoin(broadcast(nrm))
         .select(col("i").as("j"), round(col("w") / col("nrm"), 9).as("x"))
         .localCheckpoint()
       Graph.unpersistBacking(prev)
     }
+    // eigenvalue as ‖C·v_final‖ (v is unit) — one extra matvec off
+    // the final checkpointed vector
+    val wf = cov.join(v, "j").groupBy(col("i"))
+      .agg(sum(col("c") * col("x")).as("w"))
+    val lam = wf.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     v.crossJoin(broadcast(lam))
       .select(col("j").as("dim"), round(col("x"), 6).as("loading"),
               round(col("nrm"), 6).as("eigenvalue"))
