@@ -21,7 +21,8 @@ object PlanAudit {
       else Seq("agg_pricing", "join_revenue", "etl_partitioned_scan", "sim_topk",
                "join_asof", "join_range", "dedup_jaccard", "dedup_cluster_reps",
                "sim_lsh_recall_lossy", "events_lake_scan", "etl_snapshot_diff",
-               "text_pack")
+               "text_pack", "text_bm25", "join_overlap", "dedup_containment",
+               "agg_nation_volume")
     for (name <- names) {
       println(s"================ $name ================")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -891,6 +891,26 @@ object SparkEntry {
         numBuckets = 64)
     }),
 
+    // incremental index maintenance: build the postings index on half
+    // the corpus, APPEND the other half as a delta — dynamic partition
+    // overwrite rewrites only the touched term buckets — then serve.
+    // Oracle = the full-corpus BM25: the maintenance op must be
+    // hash-invisible
+    "text_bm25_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upsert_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_delta_done").exists()) {
+        TextAnalysis.writeBm25Index(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", path, numBuckets = 64)
+        TextAnalysis.appendBm25Delta(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", path, numBuckets = 64)
+        new java.io.File(s"${path}_delta_done").mkdirs()
+      }
+      TextAnalysis.bm25TopKIndexed(s, path, Seq("hash", "join", "vector"),
+        k = 10, numBuckets = 64)
+    }),
+
     // weighted PageRank over the event-type transition graph: the
     // iterative-fixed-point family (per-round rank rounding makes the
     // power iteration engine-exact; the oracle replays every round)
@@ -3376,6 +3396,10 @@ object SparkEntry {
     // the index is an access path, not a semantics change — the
     // indexed serve must hash-match the same oracle
     "text_bm25_indexed" -> bm25Sql,
+
+    // ...and so must the incrementally-maintained index: base half +
+    // delta half ≡ full corpus
+    "text_bm25_upsert" -> bm25Sql,
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 

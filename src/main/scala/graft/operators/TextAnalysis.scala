@@ -281,6 +281,45 @@ object TextAnalysis {
     if (!marker.exists()) writeBm25Index(docs, idCol, textCol, path, numBuckets)
   }
 
+  /** Append a document delta to a [[writeBm25Index]] index WITHOUT
+    * rebuilding it: the delta's postings touch ≤ |delta terms| term
+    * buckets, and a DYNAMIC partition overwrite rewrites ONLY those
+    * buckets (merged old + new rows) — untouched buckets keep their
+    * files byte-for-byte. The affected-bucket rows are eagerly
+    * materialized BEFORE the overwrite (reading a path while
+    * overwriting the same partitions is undefined), and the `_dl` /
+    * `_stats` side tables are re-derived from the merged postings
+    * (dl ≡ Σ tf per doc), never read-modify-written in place. Serving
+    * afterwards is hash-identical to an index rebuilt from the full
+    * corpus — the maintenance op changes WHERE bytes live, not what
+    * they say.
+    */
+  def appendBm25Delta(delta: DataFrame, idCol: String, textCol: String,
+                      path: String, numBuckets: Int = 64): Unit = {
+    val spark = delta.sparkSession
+    val tok = delta.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tfNew = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets)))
+    // control-plane: ≤ numBuckets longs, the IVF probed-cells discipline
+    val affected = tfNew.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val oldAffected = spark.read.parquet(path)
+      .where(col("bucket").isin(affected: _*))
+      .select("doc_id", "term", "tf", "bucket")
+      .localCheckpoint() // materialize BEFORE overwriting what we read
+    oldAffected.unionByName(tfNew)
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+    val dl = spark.read.parquet(path)
+      .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"${path}_dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"${path}_stats")
+  }
+
   /** BM25 top-k served from a materialized [[writeBm25Index]] index:
     * the query terms' bucket set (≤|q| longs — computed by a
     * control-plane job with the ENGINE's own xxhash64, the IVF

@@ -183,6 +183,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(q.collect().toSeq == direct)
   }
 
+  test("appendBm25Delta rewrites only touched buckets; serving equals a full rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "alpha beta gamma"), (2L, "alpha delta zeta")).toDF("doc_id", "text")
+    val delta = Seq((3L, "epsilon alpha")).toDF("doc_id", "text")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm25_upsert_${System.nanoTime()}"
+    graft.operators.TextAnalysis.writeBm25Index(base, "doc_id", "text", path, numBuckets = 16)
+    def bucketFiles() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = bucketFiles()
+    graft.operators.TextAnalysis.appendBm25Delta(delta, "doc_id", "text", path,
+      numBuckets = 16)
+    val after = bucketFiles()
+    val deltaBuckets = Seq("epsilon", "alpha").toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(16))).as[Long].collect().toSet
+    val untouched = before.keys
+      .filter(k => !deltaBuckets.contains(k.stripPrefix("bucket=").toLong))
+    assert(untouched.nonEmpty, "fixture must leave some bucket untouched")
+    untouched.foreach { k =>
+      assert(after(k) == before(k), s"$k files must be byte-identical (not rewritten)")
+    }
+    val served = graft.operators.TextAnalysis
+      .bm25TopKIndexed(spark, path, Seq("alpha", "epsilon"), k = 5, numBuckets = 16)
+      .collect().toSeq
+    val direct = graft.operators.TextAnalysis
+      .bm25TopK(base.union(delta), "doc_id", "text", Seq("alpha", "epsilon"), k = 5)
+      .collect().toSeq
+    assert(served == direct, "incrementally-maintained index must serve the full-corpus answer")
+  }
+
   test("RANGE frame includes all date-tie peers; values match hand computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
