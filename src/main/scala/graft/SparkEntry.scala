@@ -891,6 +891,16 @@ object SparkEntry {
         numBuckets = 64)
     }),
 
+    // hybrid retrieval: BM25 arm + vector arm fused by reciprocal
+    // rank — each arm is a depth-50 TakeOrdered, so fusion is
+    // constant-size work at any corpus scale
+    "sim_hybrid_topk" -> ((s, dir) =>
+      TextAnalysis.hybridRrfTopK(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        queryTerms = Seq("hash", "join", "vector"), queryVecId = 3L,
+        k = 10, depth = 50)),
+
     // incremental index maintenance: build the postings index on half
     // the corpus, APPEND the other half as a delta — dynamic partition
     // overwrite rewrites only the touched term buckets — then serve.
@@ -3400,6 +3410,45 @@ object SparkEntry {
     // ...and so must the incrementally-maintained index: base half +
     // delta half ≡ full corpus
     "text_bm25_upsert" -> bm25Sql,
+
+    "sim_hybrid_topk" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         | FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         | stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+         | post AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'vector')),
+         | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         | sc AS (
+         |  SELECT post.doc_id,
+         |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+         |     * (tf * ${k1 + 1})) /
+         |   (tf + $k1 * ((${1 - b}) + ($b * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
+         |     AS part_score
+         |  FROM post JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         | bm AS (SELECT doc_id, round(sum(part_score), 6) AS score
+         |        FROM sc GROUP BY doc_id),
+         | bmr AS (SELECT doc_id, lex_rnk FROM (
+         |   SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rnk FROM bm)
+         |  WHERE lex_rnk <= 50),
+         | vr AS (SELECT corpus_id AS doc_id, rnk AS vec_rnk FROM (
+         |   SELECT c.vec_id AS corpus_id,
+         |    row_number() OVER (ORDER BY
+         |      round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+         |      c.vec_id) AS rnk
+         |   FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id = 3) q
+         |   WHERE c.vec_id <> q.vec_id)
+         |  WHERE rnk <= 50)
+         | SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
+         |  round(coalesce(1.0 / (60 + lex_rnk), 0.0)
+         |      + coalesce(1.0 / (60 + vec_rnk), 0.0), 6) AS rrf,
+         |  lex_rnk, vec_rnk
+         | FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id
+         | ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 

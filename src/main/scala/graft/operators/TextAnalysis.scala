@@ -248,6 +248,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion: the RAG-stack
+    * primitive fusing lexical ([[bm25TopK]]) and vector
+    * ([[Similarity.bruteForceTopK]]) rankings —
+    * rrf(d) = Σ_arms 1/(kRrf + rank_arm(d)), docs missing from an arm
+    * contribute 0. Rank fusion needs no score calibration between
+    * arms, which is exactly why RRF is the production default.
+    *
+    * Scale shape: each arm already ends in a `depth`-row
+    * TakeOrderedAndProject, so the fusion operates on ≤ 2·depth rows
+    * — the single-partition rank windows and the full-outer join are
+    * constant-size regardless of corpus scale; all corpus-sized work
+    * happens inside the arms (posting-list aggregates, broadcast
+    * vector scan). Determinism: both arms rank on round-6 scores with
+    * id tie-breaks, and the RRF sum is two fixed IEEE terms, rounded
+    * to 6 before the final rank.
+    */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, idCol: String,
+                    textCol: String, vecIdCol: String, vecCol: String,
+                    queryTerms: Seq[String], queryVecId: Long, k: Int,
+                    depth: Int = 50, kRrf: Int = 60): DataFrame = {
+    val lexRank = bm25TopK(docs, idCol, textCol, queryTerms, depth)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+          .cast("long").as("lex_rnk"))
+    val vecRank = Similarity
+      .bruteForceTopK(emb, emb.where(col(vecIdCol) === queryVecId),
+        vecIdCol, vecCol, depth)
+      .select(col("corpus_id").as("doc_id"), col("rnk").as("vec_rnk"))
+    lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(kRrf) + col("lex_rnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(kRrf) + col("vec_rnk")), lit(0.0)), 6)
+          .as("rrf"),
+        col("lex_rnk"), col("vec_rnk"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Write a BM25 postings index: (doc_id, term, tf) rows PARTITIONED
     * on a term hash bucket, plus `_dl` (doc lengths) and `_stats`
     * (1-row N, Σdl) side tables. A query's terms map to ≤|q| buckets,
