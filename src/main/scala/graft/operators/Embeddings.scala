@@ -90,13 +90,19 @@ object Embeddings {
       Graph.unpersistBacking(prev)
     }
     // eigenvalue as ‖C·v_final‖ (v is unit) — one extra matvec off
-    // the final checkpointed vector
+    // the final checkpointed vector. The d-row output materializes
+    // eagerly so the checkpointed covariance and vector can drop NOW
+    // instead of living for the caller's JVM lifetime.
     val wf = cov.join(v, "j").groupBy(col("i"))
       .agg(sum(col("c") * col("x")).as("w"))
     val lam = wf.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    v.crossJoin(broadcast(lam))
+    val out = v.crossJoin(broadcast(lam))
       .select(col("j").as("dim"), round(col("x"), 6).as("loading"),
               round(col("nrm"), 6).as("eigenvalue"))
+      .localCheckpoint()
+    Graph.unpersistBacking(cov)
+    Graph.unpersistBacking(v)
+    out
   }
 
   /** Symmetric int8 scalar quantization, long form (id, dim, q,

@@ -79,9 +79,12 @@ object Graph {
       ranks = next.localCheckpoint()
       unpersistBacking(prev)
     }
-    // `ranks` is already an eagerly-materialized LogicalRDD, so the
-    // working tables can drop now
-    val out = ranks.select(col("node"), col("pr"))
+    // re-materialize the projection so EVERY working table — including
+    // the last round's checkpoint — can drop now instead of living for
+    // the caller's JVM lifetime (at scale the rank table is |V| rows
+    // of executor storage)
+    val out = ranks.select(col("node"), col("pr")).localCheckpoint()
+    unpersistBacking(ranks)
     norm.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     outW.unpersist(blocking = false)
@@ -138,8 +141,13 @@ object Graph {
       unpersistBacking(prevH)
       if (prevA != null) unpersistBacking(prevA)
     }
+    // same discipline as pageRank's exit: materialize the final join
+    // eagerly, then drop both score checkpoints and the cached sides
     val out = auths.join(hubs, "node")
       .select(col("node"), col("auth"), col("hub"))
+      .localCheckpoint()
+    unpersistBacking(auths)
+    unpersistBacking(hubs)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
