@@ -329,16 +329,23 @@ object Analytics {
                         lineitem: DataFrame, nationA: String,
                         nationB: String): DataFrame = {
     val pair = nation.where(col("n_name").isin(nationA, nationB))
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(supplier, col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(pair.select(col("n_nationkey").as("sn_key"),
-                                  col("n_name").as("supp_nation"))),
-            col("s_nationkey") === col("sn_key"))
+    // prune the DIMENSIONS first (Spark keeps the written left-deep
+    // join order — a post-facts nation join would run every fact join
+    // at full cardinality before discarding ~(1 − (2/|nations|)²) of
+    // the rows); the pre-filtered customer/supplier then shrink each
+    // fact join as it happens
+    val tradingCust = customer
       .join(broadcast(pair.select(col("n_nationkey").as("cn_key"),
                                   col("n_name").as("cust_nation"))),
             col("c_nationkey") === col("cn_key"))
+    val tradingSupp = supplier
+      .join(broadcast(pair.select(col("n_nationkey").as("sn_key"),
+                                  col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(tradingCust, col("o_custkey") === col("c_custkey"))
+      .join(tradingSupp, col("l_suppkey") === col("s_suppkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
                year(col("l_shipdate")).cast("long").as("ship_year"))

@@ -242,8 +242,12 @@ object Dedup {
     val numHashes = numBands * rowsPerBand
     val ct = minHashDocTable(corpus, idCol, textCol, shingleN, numHashes, engineNeutralHash)
     val pt = minHashDocTable(probe, idCol, textCol, shingleN, numHashes, engineNeutralHash)
+    // explicit hint: the probe side is a benchmark (small) by
+    // contract, and auto-broadcast can't size an aggregate+explode
+    // plan reliably — without the hint a mis-estimate shuffles the
+    // full corpus banded table instead
     val candidates = bandKeyTable(ct, numBands, rowsPerBand).as("a")
-      .join(bandKeyTable(pt, numBands, rowsPerBand).as("b"),
+      .join(broadcast(bandKeyTable(pt, numBands, rowsPerBand)).as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") =!= col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

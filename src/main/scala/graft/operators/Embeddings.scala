@@ -70,8 +70,12 @@ object Embeddings {
         (col("sxy").cast("double") / (scale.toDouble * scale) / col("n")
           - col("mu_i") * col("mu_j")).as("c"))
       .localCheckpoint() // d² rows; cuts the corpus-sized lineage
-    val dRow = mu.agg(count(lit(1)).cast("double").as("d"))
-    var v = mu.crossJoin(broadcast(dRow))
+    // dims derive from the CHECKPOINTED covariance, not from mu —
+    // round 1 would otherwise re-run the corpus explode+aggregate
+    // that mu's lineage carries
+    val dims = cov.select(col("i")).distinct()
+    val dRow = dims.agg(count(lit(1)).cast("double").as("d"))
+    var v = dims.crossJoin(broadcast(dRow))
       .select(col("i").as("j"), round(lit(1.0) / sqrt(col("d")), 9).as("x"))
     for (_ <- 1 to iters) {
       // ONE eager job per round: the norm stays a lazy 1-row subquery

@@ -303,10 +303,9 @@ object TextAnalysis {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    dl.write.mode("overwrite").parquet(s"${path}_dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"${path}_stats")
+    // dl/stats derive from the WRITTEN postings (dl ≡ Σ tf per doc) —
+    // tokenizing once into the index instead of once per side table
+    writeBm25SideTables(docs.sparkSession, path)
   }
 
   /** Write the index only if absent — an index exists to be written
@@ -319,18 +318,26 @@ object TextAnalysis {
     if (!marker.exists()) writeBm25Index(docs, idCol, textCol, path, numBuckets)
   }
 
-  /** Append a document delta to a [[writeBm25Index]] index WITHOUT
-    * rebuilding it: the delta's postings touch ≤ |delta terms| term
-    * buckets, and a DYNAMIC partition overwrite rewrites ONLY those
-    * buckets (merged old + new rows) — untouched buckets keep their
-    * files byte-for-byte. The affected-bucket rows are eagerly
-    * materialized BEFORE the overwrite (reading a path while
-    * overwriting the same partitions is undefined), and the `_dl` /
-    * `_stats` side tables are re-derived from the merged postings
-    * (dl ≡ Σ tf per doc), never read-modify-written in place. Serving
-    * afterwards is hash-identical to an index rebuilt from the full
-    * corpus — the maintenance op changes WHERE bytes live, not what
-    * they say.
+  /** UPSERT a document delta into a [[writeBm25Index]] index WITHOUT
+    * rebuilding it. Affected buckets = buckets of the delta's new
+    * postings ∪ buckets still holding rows of a re-ingested doc's OLD
+    * version (a term dropped by the new text lives in a bucket the
+    * new postings never touch — missing those buckets would leave
+    * stale rows and silently inflate df/dl); a DYNAMIC partition
+    * overwrite rewrites ONLY those buckets, with the re-ingested
+    * docs' old rows anti-joined away before the merge. Untouched
+    * buckets keep their files byte-for-byte. The affected-bucket rows
+    * are eagerly materialized BEFORE the overwrite (reading a path
+    * while overwriting the same partitions is undefined), and the
+    * `_dl` / `_stats` side tables are re-derived from the merged
+    * postings (dl ≡ Σ tf per doc), never read-modify-written in
+    * place. Serving afterwards is hash-identical to an index rebuilt
+    * from the full corpus — insert or update alike.
+    *
+    * Cost: one column-pruned (doc_id, bucket) scan of the index to
+    * find stale-row buckets, plus the rewrite of the affected buckets
+    * — the id join is distributed; only the ≤ numBuckets bucket list
+    * ever reaches the driver (the IVF probed-cells discipline).
     */
   def appendBm25Delta(delta: DataFrame, idCol: String, textCol: String,
                       path: String, numBuckets: Int = 64): Unit = {
@@ -339,22 +346,54 @@ object TextAnalysis {
       explode(tokens(lower(col(textCol)))).as("term"))
     val tfNew = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets)))
-    // control-plane: ≤ numBuckets longs, the IVF probed-cells discipline
+      .localCheckpoint() // consumed three times below (buckets, merge, ids)
+    val deltaIds = tfNew.select("doc_id").distinct()
+    val staleBuckets = spark.read.parquet(path)
+      .select("doc_id", "bucket")
+      .join(deltaIds, Seq("doc_id"), "left_semi")
+      .select("bucket").distinct()
     val affected = tfNew.select("bucket").distinct()
+      .union(staleBuckets).distinct()
       .collect().map(_.getLong(0)).sorted
     val oldAffected = spark.read.parquet(path)
       .where(col("bucket").isin(affected: _*))
       .select("doc_id", "term", "tf", "bucket")
+      .join(deltaIds, Seq("doc_id"), "left_anti") // drop re-ingested docs' old rows
       .localCheckpoint() // materialize BEFORE overwriting what we read
-    oldAffected.unionByName(tfNew)
+    val merged = oldAffected.unionByName(tfNew).localCheckpoint()
+    merged
       .repartition(col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path)
-    val dl = spark.read.parquet(path)
+    // dynamic overwrite only touches partitions PRESENT in the written
+    // data — a bucket whose only rows were a re-ingested doc's old
+    // postings ends up with zero merged rows and would keep its stale
+    // files; delete those emptied bucket dirs explicitly
+    val mergedBuckets = merged.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(mergedBuckets).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    writeBm25SideTables(spark, path)
+    Graph.unpersistBacking(tfNew)
+    Graph.unpersistBacking(oldAffected)
+    Graph.unpersistBacking(merged)
+  }
+
+  /** Re-derive `_dl` / `_stats` from the written postings (dl ≡ Σ tf
+    * per doc — tokenization already happened once, into the index).
+    */
+  private def writeBm25SideTables(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Unit = {
+    spark.read.parquet(path)
       .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"${path}_dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"${path}_dl")
+    spark.read.parquet(s"${path}_dl")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"${path}_stats")
   }
 

@@ -55,20 +55,4 @@ class GraphSpec extends SparkSpec {
     assert(got("a") > got("b"))
   }
 
-  test("bm25: exact-match doc outranks partial-match; k bounds output") {
-    val docs = Seq(
-      (1L, "hash join hash join vector"),
-      (2L, "hash table scan"),
-      (3L, "sort merge only"),
-      (4L, "vector vector vector vector vector vector vector vector")
-    ).toDF("doc_id", "text")
-    val got = graft.operators.TextAnalysis
-      .bm25TopK(docs, "doc_id", "text", Seq("hash", "join", "vector"), k = 3)
-      .collect()
-    assert(got.length == 3)
-    // doc 1 hits all three query terms — must rank first
-    assert(got.head.getLong(0) == 1L)
-    // doc 3 matches nothing and must be absent entirely
-    assert(!got.map(_.getLong(0)).contains(3L))
-  }
 }

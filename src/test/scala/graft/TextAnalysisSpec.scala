@@ -190,4 +190,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.head._1 == "new york", s"strongest collocation should be 'new york', got $got")
     assert(!got.exists(_._1 == "rare pair"), "below-floor pair must be cut")
   }
+
+  test("bm25: exact-match doc outranks partial-match; k bounds output") {
+    val docs = Seq(
+      (1L, "hash join hash join vector"),
+      (2L, "hash table scan"),
+      (3L, "sort merge only"),
+      (4L, "vector vector vector vector vector vector vector vector")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("hash", "join", "vector"), k = 3)
+      .collect()
+    assert(got.length == 3)
+    // doc 1 hits all three query terms — must rank first
+    assert(got.head.getLong(0) == 1L)
+    // doc 3 matches nothing and must be absent entirely
+    assert(!got.map(_.getLong(0)).contains(3L))
+  }
+
+  test("appendBm25Delta UPDATE: re-ingested doc replaces its old postings everywhere") {
+    import graft.operators.TextAnalysis
+    val base = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    // doc 2 re-ingested WITHOUT 'gamma' and WITHOUT 'delta' — its old
+    // rows live in buckets the new text never touches; a merge that
+    // only rewrote new-term buckets would leave them stale
+    val update = Seq((2L, "epsilon zeta")).toDF("doc_id", "text")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm25_update_${System.nanoTime()}"
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", path, numBuckets = 16)
+    TextAnalysis.appendBm25Delta(update, "doc_id", "text", path, numBuckets = 16)
+    val rebuilt = Seq((1L, "alpha beta"), (2L, "epsilon zeta")).toDF("doc_id", "text")
+    Seq(Seq("gamma"), Seq("epsilon"), Seq("alpha", "zeta")).foreach { terms =>
+      val served = TextAnalysis.bm25TopKIndexed(spark, path, terms, k = 5,
+        numBuckets = 16).collect().toSeq
+      val direct = TextAnalysis.bm25TopK(rebuilt, "doc_id", "text", terms, k = 5)
+        .collect().toSeq
+      assert(served == direct, s"upsert must equal full rebuild for terms=$terms")
+    }
+  }
 }
