@@ -1500,6 +1500,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // fixed-radius RANGE search: every neighbor with cosine ≥ 0.2 —
+    // result size follows the data, not a k; same buckets (and same
+    // exact oracle replay) as sim_lsh_topk
+    "sim_range_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshRangeSearch(e, e.where(col("vec_id") < 8), "vec_id", "embedding",
+          threshold = 0.2, nbits = 4, numTables = 16)
+        .orderBy("query_id", "corpus_id")
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -3008,6 +3018,21 @@ object SparkEntry {
          |    ORDER BY score DESC, corpus_id) AS rnk
          |  FROM scored)
          | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND q.id < 8 AND c.id <> q.id)
+         | SELECT query_id, corpus_id,
+         |  round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         | FROM cand
+         | JOIN embeddings ce ON ce.vec_id = corpus_id
+         | JOIN embeddings qe ON qe.vec_id = query_id
+         | WHERE round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) >= 0.2
+         | ORDER BY query_id, corpus_id""".stripMargin,
 
     "sim_ivf_topk" -> ivfSql,
 

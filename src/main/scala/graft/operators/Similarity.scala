@@ -54,7 +54,32 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nbits: Int = 8, numTables: Int = 4): DataFrame = {
+              nbits: Int = 8, numTables: Int = 4): DataFrame =
+    topKPerQuery(
+      lshScoredCandidates(corpus, queries, idCol, vecCol, nbits, numTables), k)
+
+  /** LSH RANGE search: ALL corpus neighbors with cosine ≥ `threshold`
+    * of each query — the fixed-radius sibling of [[lshTopK]] (same
+    * buckets, same exact re-rank, a threshold filter instead of a
+    * rank cut). The result-set size follows the data, not a k, which
+    * is what near-duplicate sweeps and dense-region diagnostics
+    * need. Recall characteristics are lshTopK's; the oracle replays
+    * the buckets, so the gate is exact.
+    */
+  def lshRangeSearch(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, threshold: Double,
+                     nbits: Int = 8, numTables: Int = 4): DataFrame =
+    lshScoredCandidates(corpus, queries, idCol, vecCol, nbits, numTables)
+      .where(col("score") >= threshold)
+      .select("query_id", "corpus_id", "score")
+
+  /** Shared candidate scoring for [[lshTopK]] / [[lshRangeSearch]]:
+    * bucket both sides with the same deterministic hyperplane tables,
+    * join on (table, bucket), dedup candidates, exact round-6 cosine.
+    */
+  private def lshScoredCandidates(corpus: DataFrame, queries: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  nbits: Int, numTables: Int): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
         col("*"),
@@ -68,7 +93,7 @@ object Similarity {
     val q = bucketed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
         .withColumn("qnrm", l2Norm(col("qvec"))), "query_id", "qvec")
-    val scored = c.as("c").join(broadcast(q).as("q"),
+    c.as("c").join(broadcast(q).as("q"),
         col("c.t") === col("q.t") && col("c.bucket") === col("q.bucket") &&
           col("c.corpus_id") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col("c.corpus_id").as("corpus_id"),
@@ -77,7 +102,6 @@ object Similarity {
       .dropDuplicates("query_id", "corpus_id")
       .withColumn("score", round(
         cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
-    topKPerQuery(scored, k)
   }
 
   /** Brute-force cosine top-k over int8-quantized vectors: both sides
