@@ -479,13 +479,16 @@ object SparkEntry {
 
   // ---- IVF SQL twin (shared by the in-memory and the materialized-
   // index forms — the index changes WHERE the corpus lives, not the
-  // answer) ----------------------------------------------------------
-  private val ivfSql: String =
-    """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+  // answer). `cenWhere` restricts the SEED corpus: the upsert gate
+  // builds its index (and so its frozen centroids) from the even-id
+  // half before appending the odd half, so its oracle must seed from
+  // that half while still assigning the FULL corpus. ------------------
+  private def ivfSqlWith(cenWhere: String): String =
+    s"""WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
       | cen AS (
       |  SELECT row_number() OVER (ORDER BY h) AS cell_id, cvec AS centroid
       |  FROM (SELECT *, ('0x' || substr(md5(corpus_id::VARCHAR), 1, 15))::BIGINT AS h
-      |        FROM c ORDER BY h LIMIT 16)),
+      |        FROM c $cenWhere ORDER BY h LIMIT 16)),
       | asg AS (
       |  SELECT corpus_id, cell_id FROM (
       |   SELECT c.corpus_id, cen.cell_id,
@@ -517,6 +520,8 @@ object SparkEntry {
       |    ORDER BY score DESC, corpus_id) AS rnk
       |  FROM scored)
       | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  private val ivfSql: String = ivfSqlWith("")
 
   // ---- minhash SQL twin: replay the banding, don't assume recall ---
   // Same md5-derived 60-bit shingle hashes, same affine mod-(2^31−1)
@@ -1529,6 +1534,31 @@ object SparkEntry {
       val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}_$src"
       Similarity.ensureIvfIndex(e, "vec_id", "embedding", path, numCells = 16)
+      Similarity.ivfTopKIndexed(path, e.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // incremental ANN index maintenance: build the IVF index on the
+    // even-id half of the corpus — freezing its centroids, the FAISS
+    // discipline: retraining is a rebuild, not an upsert — then
+    // APPEND the odd half as a delta. Dynamic partition overwrite
+    // rewrites only the touched cell_id partitions; serving afterwards
+    // must hash-match an index holding the FULL corpus assigned
+    // against those same frozen (half-trained) centroids, which is
+    // exactly what the oracle replays (seed from the even half,
+    // assign everything).
+    "sim_ivf_upsert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_upsert_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_delta_done").exists()) {
+        Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", path, numCells = 16)
+        Similarity.appendIvfDelta(e.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", path)
+        new java.io.File(s"${path}_delta_done").mkdirs()
+      }
       Similarity.ivfTopKIndexed(path, e.where(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nprobe = 4)
         .orderBy("query_id", "rnk")
@@ -3037,6 +3067,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfSql,
 
     "sim_ivf_indexed" -> ivfSql,
+    "sim_ivf_upsert" -> ivfSqlWith("WHERE corpus_id % 2 = 0"),
 
     // trained-IVF recall: replay the 2 Lloyd training iterations as
     // iterated CTEs (cen0 → asg1/m1 → cen1 → asg2/m2 → cen2, the

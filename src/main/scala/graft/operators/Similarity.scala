@@ -540,15 +540,27 @@ object Similarity {
     // one-time assignment. trainIters=0 keeps the seeded quantizer.
     var centroids = seedCentroids(trainC, "id", numCells)
     for (_ <- 0 until trainIters) centroids = lloydStep(trainC, centroids)._2
-    val cCells = c.join(broadcast(centroids), lit(true))
+    assignToCells(c, centroids)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    centroids.write.mode("overwrite").parquet(s"${path}_centroids")
+  }
+
+  /** Assign `(corpus_id, cvec, cnrm)` rows to their nearest centroid
+    * cell with the rounded-argmax arithmetic both the initial build
+    * and the incremental upsert must share: cosine rounds to 6 BEFORE
+    * the max(struct) so the cell choice is cross-engine reproducible,
+    * ties to the greatest cell_id. This IS the frozen-quantizer
+    * contract — an index is consistent iff its content equals
+    * `assignToCells(full corpus, stored centroids)` (the
+    * [[appendIvfDelta]] invariant, spec-checked).
+    */
+  private[graft] def assignToCells(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.join(broadcast(centroids), lit(true))
       .withColumn("csim", round(
         cosineFromParts(dot(col("cvec"), col("centroid")), col("cnrm"), col("ctrnrm")), 6))
       .groupBy(col("corpus_id"))
       .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
            first(col("cvec")).as("cvec"), first(col("cnrm")).as("cnrm"))
-    cCells.write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    centroids.write.mode("overwrite").parquet(s"${path}_centroids")
-  }
 
   /** [[writeIvfIndex]] only if the index isn't already on disk (same
     * `_SUCCESS`-marker convention as any Spark output): the index is a
@@ -564,6 +576,80 @@ object Similarity {
     if (!marker.exists()) writeIvfIndex(corpus, idCol, vecCol, path, numCells, trainIters)
   }
 
+  /** UPSERT a vector delta into a [[writeIvfIndex]] index WITHOUT
+    * rebuilding it. The stored centroids are a FROZEN quantizer (the
+    * FAISS discipline: retraining is a rebuild, not an upsert), so
+    * delta vectors are assigned to the EXISTING cells with the same
+    * rounded-argmax arithmetic as the initial build. Affected cells =
+    * cells of the delta's new assignments ∪ cells still holding a
+    * re-ingested id's OLD row (a changed vector can migrate between
+    * cells — missing the old cell would leave a stale duplicate); a
+    * DYNAMIC partition overwrite rewrites ONLY those cells, with
+    * re-ingested ids' old rows anti-joined away before the merge.
+    * Untouched cells keep their files byte-for-byte. Cells emptied by
+    * a migration are deleted explicitly (dynamic overwrite skips
+    * partitions absent from the written data). Serving afterwards is
+    * hash-identical to an index rebuilt from the full corpus against
+    * the same frozen centroids — insert or re-ingest alike.
+    *
+    * Crash safety: the `_centroids/_SUCCESS` marker (the
+    * [[ensureIvfIndex]] marker) is removed before the first mutation
+    * and restored after the last, so a crash mid-upsert leaves a
+    * marker-less index that [[ivfTopKIndexed]] refuses to serve and
+    * [[ensureIvfIndex]] rebuilds from scratch — self-healing, never
+    * silently stale.
+    *
+    * Cost: one column-pruned (corpus_id, cell_id) scan of the index
+    * to find stale-row cells, plus the rewrite of the affected cells;
+    * only the ≤ numCells cell-id list ever reaches the driver (the
+    * probed-cells discipline).
+    */
+  def appendIvfDelta(delta: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val spark = delta.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"${path}_centroids/_SUCCESS")
+    val centroids = spark.read.parquet(s"${path}_centroids")
+    val d = delta.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val dCells = assignToCells(d, centroids)
+      .localCheckpoint() // consumed three times below (cells, merge, ids)
+    val deltaIds = dCells.select("corpus_id").distinct()
+    // partition columns read back under inference — cast to long
+    // explicitly rather than relying on union widening
+    val staleCells = spark.read.parquet(path)
+      .select(col("corpus_id"), col("cell_id").cast("long").as("cell_id"))
+      .join(deltaIds, Seq("corpus_id"), "left_semi")
+      .select("cell_id").distinct()
+    val affected = dCells.select("cell_id").distinct()
+      .union(staleCells).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val oldAffected = spark.read.parquet(path)
+      .where(col("cell_id").isin(affected: _*))
+      .select(col("corpus_id"), col("cvec"), col("cnrm"),
+              col("cell_id").cast("long").as("cell_id"))
+      .join(deltaIds, Seq("corpus_id"), "left_anti") // drop re-ingested ids' old rows
+      .localCheckpoint() // materialize BEFORE overwriting what we read
+    val merged = oldAffected
+      .unionByName(dCells.select("corpus_id", "cvec", "cnrm", "cell_id"))
+      .localCheckpoint()
+    if (fs.exists(marker)) fs.delete(marker, false) // index now in-flux
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell_id").parquet(path)
+    val mergedCells = merged.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    affected.filterNot(mergedCells).foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/cell_id=$c")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    fs.create(marker, true).close() // commit: index consistent again
+    Graph.unpersistBacking(dCells)
+    Graph.unpersistBacking(oldAffected)
+    Graph.unpersistBacking(merged)
+  }
+
   /** ANN top-k against a materialized [[writeIvfIndex]] index: rank
     * the nprobe nearest cells per query against the stored centroids,
     * then scan ONLY those cell partitions (the probed-cell set — ≤
@@ -576,6 +662,12 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int,
                      nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    // the _SUCCESS marker doubles as the commit marker for
+    // appendIvfDelta — absent means a maintenance op crashed midway
+    // and the on-disk cells may be inconsistent; rebuild, don't serve
+    require(new java.io.File(s"${path}_centroids/_SUCCESS").exists(),
+      s"IVF index at $path has no commit marker (crashed maintenance?); " +
+        "rebuild it with writeIvfIndex/ensureIvfIndex")
     val centroids = spark.read.parquet(s"${path}_centroids")
     val qAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qnrm", l2Norm(col("qvec")))

@@ -338,6 +338,13 @@ object TextAnalysis {
     * find stale-row buckets, plus the rewrite of the affected buckets
     * — the id join is distributed; only the ≤ numBuckets bucket list
     * ever reaches the driver (the IVF probed-cells discipline).
+    *
+    * Crash safety: the `_stats/_SUCCESS` marker (the
+    * [[ensureBm25Index]] marker) disappears before the first mutation
+    * and reappears when the side tables are rewritten at the end, so
+    * a crash mid-upsert leaves a marker-less index that
+    * [[bm25TopKIndexed]] refuses to serve and [[ensureBm25Index]]
+    * rebuilds from scratch — self-healing, never silently stale.
     */
   def appendBm25Delta(delta: DataFrame, idCol: String, textCol: String,
                       path: String, numBuckets: Int = 64): Unit = {
@@ -348,8 +355,10 @@ object TextAnalysis {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets)))
       .localCheckpoint() // consumed three times below (buckets, merge, ids)
     val deltaIds = tfNew.select("doc_id").distinct()
+    // partition columns read back under inference — cast to long
+    // explicitly rather than relying on union widening
     val staleBuckets = spark.read.parquet(path)
-      .select("doc_id", "bucket")
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"))
       .join(deltaIds, Seq("doc_id"), "left_semi")
       .select("bucket").distinct()
     val affected = tfNew.select("bucket").distinct()
@@ -357,10 +366,15 @@ object TextAnalysis {
       .collect().map(_.getLong(0)).sorted
     val oldAffected = spark.read.parquet(path)
       .where(col("bucket").isin(affected: _*))
-      .select("doc_id", "term", "tf", "bucket")
+      .select(col("doc_id"), col("term"), col("tf"),
+              col("bucket").cast("long").as("bucket"))
       .join(deltaIds, Seq("doc_id"), "left_anti") // drop re-ingested docs' old rows
       .localCheckpoint() // materialize BEFORE overwriting what we read
     val merged = oldAffected.unionByName(tfNew).localCheckpoint()
+    val fsPre = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"${path}_stats/_SUCCESS")
+    if (fsPre.exists(marker)) fsPre.delete(marker, false) // index now in-flux
     merged
       .repartition(col("bucket"))
       .write.mode("overwrite")
@@ -372,12 +386,11 @@ object TextAnalysis {
     // files; delete those emptied bucket dirs explicitly
     val mergedBuckets = merged.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.filterNot(mergedBuckets).foreach { b =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
-      if (fs.exists(dir)) fs.delete(dir, true)
+      if (fsPre.exists(dir)) fsPre.delete(dir, true)
     }
+    // the _stats overwrite recreates its _SUCCESS — the commit point
     writeBm25SideTables(spark, path)
     Graph.unpersistBacking(tfNew)
     Graph.unpersistBacking(oldAffected)
@@ -410,6 +423,12 @@ object TextAnalysis {
                       queryTerms: Seq[String], k: Int, numBuckets: Int = 64,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
+    // the _stats/_SUCCESS marker doubles as the commit marker for
+    // appendBm25Delta — absent means a maintenance op crashed midway
+    // and postings/df/dl may be inconsistent; rebuild, don't serve
+    require(new java.io.File(s"${path}_stats/_SUCCESS").exists(),
+      s"BM25 index at $path has no commit marker (crashed maintenance?); " +
+        "rebuild it with writeBm25Index/ensureBm25Index")
     val buckets = queryTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(numBuckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted

@@ -153,6 +153,76 @@ class SimilaritySpec extends SparkSpec {
     assert(idx == mem, "index changes where the corpus lives, not the answer")
   }
 
+  test("appendIvfDelta INSERT: untouched cells byte-identical, content equals frozen-centroid assignment") {
+    val e = Tables.embeddings(spark, sf001)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_upsert_${System.nanoTime()}"
+    // a SPARSE delta (3 vectors → ≤3 of 8 cells) so untouched cells
+    // exist to assert on; the driver gate covers the half-corpus case
+    Similarity.writeIvfIndex(e.where(col("vec_id") >= 3),
+      "vec_id", "embedding", path, numCells = 8)
+    def cellFiles() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = cellFiles()
+    Similarity.appendIvfDelta(e.where(col("vec_id") < 3),
+      "vec_id", "embedding", path)
+    val after = cellFiles()
+    // the frozen-quantizer invariant: post-upsert content == the FULL
+    // corpus assigned against the stored (half-trained) centroids
+    val centroids = spark.read.parquet(s"${path}_centroids")
+    val expect = Similarity.assignToCells(
+        e.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
+          .withColumn("cnrm", l2Norm(col("cvec"))), centroids)
+      .select(col("corpus_id"), col("cell_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = spark.read.parquet(path)
+      .select(col("corpus_id"), col("cell_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect, "index content must equal frozen-centroid full assignment")
+    // cells the delta never touched keep their files byte-for-byte
+    val touched = after.keySet.filter(k => !before.contains(k) || after(k) != before(k))
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "fixture must leave some cell untouched")
+    untouched.foreach { k =>
+      assert(after(k) == before(k), s"$k files must be byte-identical (not rewritten)")
+    }
+    assert(touched.size < before.size + touched.count(!before.contains(_)),
+      "a delta must not rewrite every pre-existing cell")
+    // commit marker restored — the index serves again
+    assert(new java.io.File(s"${path}_centroids/_SUCCESS").exists())
+  }
+
+  test("appendIvfDelta UPDATE: migrated vector leaves no stale row; emptied cell deleted; marker gates serving") {
+    // two orthogonal 2-d vectors → one per cell (numCells=2 seeds both)
+    val base = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_migrate_${System.nanoTime()}"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", path, numCells = 2)
+    val cellOf = spark.read.parquet(path)
+      .select(col("corpus_id"), col("cell_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(cellOf(1L) != cellOf(2L), "fixture must place the two vectors in distinct cells")
+    // re-ingest id 2 with a vector that now sits next to id 1 — it
+    // must MIGRATE cells, emptying its old cell entirely
+    Similarity.appendIvfDelta(Seq((2L, Array(1f, 0.01f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val rows = spark.read.parquet(path)
+      .select(col("corpus_id"), col("cell_id").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.count(_._1 == 2L) == 1, "re-ingested id must appear exactly once (no stale duplicate)")
+    assert(rows.toMap.apply(2L) == cellOf(1L), "updated vector must land in its new cell")
+    assert(!new java.io.File(s"$path/cell_id=${cellOf(2L)}").exists(),
+      "cell emptied by the migration must be deleted (dynamic overwrite skips it)")
+    // a crashed maintenance op leaves no marker — serving must refuse
+    new java.io.File(s"${path}_centroids/_SUCCESS").delete()
+    val q = Seq((9L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(path, q, "vec_id", "embedding", k = 1)
+    }
+    assert(ex.getMessage.contains("commit marker"))
+  }
+
   test("int8 top-k: high recall vs float exact, zero vectors dropped, deterministic") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.where(col("vec_id") < 8)
