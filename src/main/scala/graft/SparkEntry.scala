@@ -30,6 +30,24 @@ object SparkEntry {
     */
   private val funnelStreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The simhash near-dup cluster map for a fixture dir, materialized
+    * once per corpus (path embeds the source mtime): dedup_clusters
+    * and dedup_cluster_reps both serve from it, so the pair graph +
+    * connected components pipeline runs once no matter how many
+    * consumers — cluster once, dedup many.
+    */
+  private def simhashClusterMapPath(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_map_${math.abs(dir.hashCode)}_$src"
+  }
+
+  private def ensureSimhashClusterMap(s: SparkSession, dir: String): Unit = {
+    val docs = t(s, dir, "documents")
+    Dedup.ensureClusterMap(docs, "doc_id",
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3),
+      simhashClusterMapPath(dir))
+  }
+
   /** File streams read a DIRECTORY; stage the events fixture once per
     * (JVM, source mtime) for the streaming gate queries. Crash-safe:
     * the copy lands under a temp name and moves into place atomically,
@@ -1375,22 +1393,26 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     // cluster materialization over the simhash near-dup graph:
-    // distributed min-label propagation (iterative join+agg, lineage
-    // cut per round); the oracle computes the same components with a
-    // recursive CTE
+    // large-star/small-star components, materialized ONCE per corpus
+    // as a parquet cluster map (ensureClusterMap — the ensureIvfIndex
+    // discipline): whichever of dedup_clusters / dedup_cluster_reps
+    // runs first pays for the pair pipeline; the other serves from
+    // the map. That's the real 100 TB shape — cluster once, consume
+    // many. Oracle unchanged: the map IS connectedClusters' output.
     "dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
-      Dedup.connectedClusters(docs, "doc_id", pairs).orderBy("doc_id")
+      ensureSimhashClusterMap(s, dir)
+      s.read.parquet(simhashClusterMapPath(dir))
+        .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
     // the terminal dedup materialization: the corpus that SURVIVES
     // near-dup clustering (one representative per simhash cluster) —
-    // pairs → components → semi-join, the full dedup story end-to-end
+    // ONE semi-join against the materialized map's roots, no pair
+    // recomputation
     "dedup_cluster_reps" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
-      Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+      ensureSimhashClusterMap(s, dir)
+      Dedup.keepRepresentativesFromMap(t(s, dir, "documents"), "doc_id",
+          simhashClusterMapPath(dir))
         .select("doc_id", "text").orderBy("doc_id")
     }),
 

@@ -517,6 +517,49 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Materialize the near-dup cluster map (doc_id → cluster_id) to
+    * parquet. The map is the artifact a real dedup pipeline serves
+    * from: the expensive pair graph + connected components runs ONCE
+    * at write time, and every consumer afterwards — representative
+    * keeping, cluster-size stats, audit joins — is a plain scan of a
+    * two-column table (tiny relative to the corpus). The
+    * [[writeIvfIndex]]/[[TextAnalysis.writeBm25Index]] discipline
+    * applied to dedup.
+    */
+  def writeClusterMap(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      path: String,
+                      checkpointDir: Option[String] = None): Unit =
+    connectedClusters(docs, idCol, pairs, checkpointDir)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[writeClusterMap]] only if the map isn't already on disk (the
+    * `_SUCCESS`-marker convention). `pairs` is a lazy plan — when the
+    * map exists, nothing of the pair pipeline is ever evaluated, so
+    * repeated callers (cluster listing AND representative keeping in
+    * one job) pay for clustering exactly once.
+    */
+  def ensureClusterMap(docs: DataFrame, idCol: String, pairs: => DataFrame,
+                       path: String,
+                       checkpointDir: Option[String] = None): Unit = {
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      writeClusterMap(docs, idCol, pairs, path, checkpointDir)
+  }
+
+  /** Representative keeping served FROM a materialized
+    * [[writeClusterMap]] map: one semi-join of the corpus against the
+    * map's roots (`doc_id == cluster_id`). No pair computation, no
+    * components — the map already holds the answer; the join shuffles
+    * ids, not documents.
+    */
+  def keepRepresentativesFromMap(docs: DataFrame, idCol: String,
+                                 mapPath: String): DataFrame = {
+    val clusters = docs.sparkSession.read.parquet(mapPath)
+    docs.join(
+      clusters.where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** The large-star/small-star iteration: returns the converged star
     * edge set (every edge (u, v) has v = u's component minimum) and
     * the number of rounds it took — exposed so tests can assert the

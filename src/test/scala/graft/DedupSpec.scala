@@ -227,4 +227,28 @@ class DedupSpec extends SparkSpec {
     assert(reliable.filter(_._1 <= 4).forall(_._2 == 1L))
   }
 
+  test("cluster map: built once, reps served from the map equal the direct pipeline") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_cluster_map_${System.nanoTime()}"
+    Dedup.ensureClusterMap(docs, "doc_id", pairs, path)
+    def mapFiles() = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = mapFiles()
+    // second ensure must not recompute: its pairs plan raises on ANY
+    // evaluation — only a skipped build never touches it
+    Dedup.ensureClusterMap(docs, "doc_id",
+      docs.select(col("doc_id").as("doc_a"),
+        raise_error(lit("cluster pipeline must run once")).cast("long").as("doc_b")),
+      path)
+    assert(mapFiles() == before, "existing map must not be rewritten")
+    val fromMap = Dedup.keepRepresentativesFromMap(docs, "doc_id", path)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val direct = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(fromMap == Seq(1L, 3L) && fromMap == direct,
+      "map-served representatives must equal the direct pipeline")
+  }
+
 }
