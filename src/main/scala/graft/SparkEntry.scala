@@ -74,6 +74,57 @@ object SparkEntry {
     streamDir.toString
   }
 
+  /** Stage the events fixture as a DETERMINISTIC three-batch stream
+    * for the watermark late-data gate: batches 0-1 = everything at
+    * least one hour past the corpus minimum (split even/odd event_id
+    * — the split only sets batch boundaries, never the answer),
+    * batch 2 = the first hour. Late-event FILTERING uses the
+    * PREVIOUS batch's watermark while eviction uses the current one
+    * (the SPARK-40925 two-watermark split), so the watermark advanced
+    * by batch 0 becomes the late-event bound in batch 2 — where the
+    * replayed first hour sits far below it and every row is DROPPED.
+    * File-source triggers process files oldest-mtime-first, so the
+    * three files' mtimes pin the batch order. Same crash-safe
+    * stage-and-atomic-move dance as [[stagedEventsDir]]; the split
+    * cutoff is pure SQL (min(ts) + 1 hour, exact ns arithmetic) so
+    * the oracle recomputes it identically.
+    */
+  private def stagedLateEventsDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_late_${math.abs(dir.hashCode)}_${src.lastModified()}")
+    if (!root.exists()) {
+      val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
+      tmp.mkdirs()
+      // raw long-ns timestamps (nanosAsLong), exactly what readEvents
+      // expects back
+      val raw = s.read.parquet(src.getPath)
+      val cutNs = raw.agg(min(col("ts"))).collect()(0).getLong(0) +
+        3600L * 1000000000L // control-plane 1-row lookup, once per JVM
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(s"${tmp.getPath}.stage_$name")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        dst.setLastModified(mtime)
+      }
+      val t0 = src.lastModified()
+      val onTime = raw.where(col("ts") >= cutNs)
+      writeOne(onTime.where(col("event_id") % 2 === 0), "batch0_ontime.parquet", t0)
+      writeOne(onTime.where(col("event_id") % 2 === 1), "batch1_ontime.parquet", t0 + 60000)
+      writeOne(raw.where(col("ts") < cutNs), "batch2_late.parquet", t0 + 120000)
+      try java.nio.file.Files.move(tmp.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.listFiles().foreach(_.delete()); tmp.delete() // lost the race
+      }
+    }
+    root.getPath
+  }
+
   /** Flagship: the reference's full ETL chain (SURVEY §2.3 R1–R9) on
     * the orders table — distinct-key restriction, rename, reorder,
     * stringify+dedup. Driver smoke-checks rows > 0 at sf0.001.
@@ -2022,6 +2073,25 @@ object SparkEntry {
         s"events_hopping_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
         .orderBy("window_start", "event_type")
     }),
+    // the one genuinely STREAMING semantic no bounded/complete-mode
+    // twin can exercise: watermark late-data DROPPING. Batch 0 is the
+    // corpus minus its first hour (watermark advances to max − 2h);
+    // batch 1 replays that first hour — every row now far below the
+    // watermark and DROPPED. Append mode emits only finalized windows
+    // (end ≤ watermark). The oracle aggregates the on-time slice
+    // alone, finalized windows alone: if the engine failed to drop,
+    // late windows would (re-)emit under the already-passed watermark
+    // and break the hash; the result also differs from the
+    // no-watermark events_window_agg twin by construction.
+    "events_late_data_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.tumblingAgg(
+          StreamingEvents.readEvents(s, stagedLateEventsDir(s, dir))),
+        s"events_late_data_stream_${funnelStreamSeq.incrementAndGet()}", mode = "append")
+        .orderBy("window_start", "event_type")
+    }),
+
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
@@ -3733,6 +3803,23 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          | count(*) AS n_events, ${msum("value")} AS total_value
          | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // watermark late-data dropping: on-time slice = everything ≥
+    // min+1h (the staged batch 0); watermark = its max − 2h at ms
+    // precision (Spark tracks event-time stats in milliseconds);
+    // append mode emits exactly the windows with end ≤ watermark, and
+    // the replayed first hour (batch 1) contributes NOTHING
+    "events_late_data_stream" ->
+      s"""WITH mn AS (SELECT min(ts) + INTERVAL 1 HOUR AS cut FROM events),
+         | a AS (SELECT e.* FROM events e, mn WHERE e.ts >= mn.cut),
+         | wm AS (SELECT epoch_ms(max(ts)) - 7200000 AS w FROM a),
+         | g AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n_events, ${msum("value")} AS total_value
+         |  FROM a GROUP BY 1, 2)
+         | SELECT window_start, event_type, n_events, total_value
+         | FROM g, wm
+         | WHERE epoch_ms(window_start + INTERVAL 1 HOUR) <= wm.w
+         | ORDER BY window_start, event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (

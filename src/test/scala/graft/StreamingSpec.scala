@@ -47,6 +47,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("watermark DROPS late rows: two-batch file stream, append mode emits finalized windows only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_late")
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)],
+              name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_late_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    // one event per hour at HH:15 (off window/watermark boundaries);
+    // batch 0 = hours 0..9, so the watermark lands at 09:15 − 2h =
+    // 07:15. Late-event FILTERING uses the PREVIOUS batch's watermark
+    // (eviction the current one — the SPARK-40925 split), so the drop
+    // takes effect two batches after the advancing data: batch 1 is a
+    // filler (open window, never emitted) that commits 07:15 as the
+    // late-event bound, batch 2 replays hours 1 and 2 — both now far
+    // below it and DROPPED
+    val h = 3600L * 1000000000L
+    val base = 1704067200L * 1000000000L + 900L * 1000000000L
+    val onTime = (0 until 10).map(i => (i.toLong, base + i * h, 1L, "a", 1.0, "{}"))
+    val filler = Seq((50L, base + 8 * h + 60L * 1000000000L, 3L, "a", 1.0, "{}"))
+    val late = Seq((100L, base + 1 * h, 2L, "a", 1.0, "{}"),
+                   (101L, base + 2 * h, 2L, "a", 1.0, "{}"))
+    val t0 = System.currentTimeMillis() - 600000
+    write(onTime, "b0.parquet", t0)
+    write(filler, "b1.parquet", t0 + 60000)
+    write(late, "b2.parquet", t0 + 120000)
+    val got = StreamingEvents.runToCompletion(spark,
+      StreamingEvents.tumblingAgg(StreamingEvents.readEvents(spark, dir.toString)),
+      "late_drop_spec", mode = "append")
+      .select("window_start", "n_events")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq.sortBy(_._1.getTime)
+    // finalized = window end ≤ 07:15 → starts 00:00..06:00; every count
+    // stays 1: the replayed rows were DROPPED, not re-aggregated, and
+    // no window row appears twice (a failed drop would re-emit hours
+    // 1-2 under the already-passed watermark)
+    val expect = (0 until 7).map { i =>
+      (new java.sql.Timestamp(1704067200000L + i * 3600000L), 1L)
+    }
+    assert(got == expect,
+      s"expected 7 finalized windows with count 1, got $got")
+  }
+
   test("streaming dedup keeps each event_id once within the horizon") {
     val stream = StreamingEvents.readEvents(spark, eventsDir)
     val got = StreamingEvents.runToCompletion(
