@@ -302,6 +302,35 @@ object SparkEntry {
       s"\n SELECT node, round(pr, 6) AS pr FROM r$iters ORDER BY node"
   }
 
+  // ---- label-propagation SQL twin: `iters` unrolled sync rounds —
+  // symmetrized edges, per-round vote sums rounded to 9, max-score
+  // winner with min-label tie-break — the Graph.labelPropagation
+  // contract, replayed. -----------------------------------------------
+  private def labelPropSql(iters: Int): String = {
+    val head = graphSqlHead +
+      """,
+        | und AS MATERIALIZED (SELECT src, dst, sum(w) AS w FROM (
+        |   SELECT src, dst, w FROM e
+        |   UNION ALL SELECT dst AS src, src AS dst, w FROM e)
+        |  GROUP BY 1, 2),
+        | l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | v$i AS MATERIALIZED (SELECT und.dst AS node, l.label,
+         |   round(sum(und.w), 9) AS score
+         |  FROM und JOIN l${i - 1} l ON und.src = l.node GROUP BY 1, 2),
+         | m$i AS MATERIALIZED (SELECT node, max(score) AS mx FROM v$i GROUP BY 1),
+         | l$i AS MATERIALIZED (SELECT nodes.node,
+         |   coalesce(wn.label, nodes.node) AS label
+         |  FROM nodes LEFT JOIN (
+         |   SELECT v.node, min(v.label) AS label
+         |   FROM v$i v JOIN m$i ON v.node = m$i.node AND v.score = m$i.mx
+         |   GROUP BY 1) wn ON nodes.node = wn.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\n SELECT node, label AS community FROM l$iters ORDER BY node"
+  }
+
   // ---- PQ SQL twin: seeded subspace codebooks (m=8 × ksub=64 over
   // dim 64), `trainIters` per-subspace Lloyd refinements (iterated
   // CTEs, the cluster_kmeans_n technique with a subspace key), argmax
@@ -1013,6 +1042,17 @@ object SparkEntry {
           iters = 5)
         .select(col("node"), round(col("auth"), 6).as("auth"),
                 round(col("hub"), 6).as("hub"))
+        .orderBy("node")),
+
+    // label-propagation communities over the (symmetrized) transition
+    // graph: which event types cluster by transition volume. The one
+    // iterative-family algorithm with a SET-valued fixed point — sync
+    // rounds + min-label tie-break keep it deterministic, and the
+    // oracle replays every round as MATERIALIZED CTEs (the
+    // events_pagerank contract)
+    "events_communities" -> ((s, dir) =>
+      Graph.labelPropagation(transitionEdges(t(s, dir, "events")), "src", "dst", "w",
+          iters = 5)
         .orderBy("node")),
 
     // where users stall: exact ms durations between funnel steps for
@@ -3601,6 +3641,8 @@ object SparkEntry {
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 
     "events_hits" -> hitsSql(iters = 5),
+
+    "events_communities" -> labelPropSql(iters = 5),
 
     "emb_pca" -> pcaSql(iters = 8, scale = 10000L),
 

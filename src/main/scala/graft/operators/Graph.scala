@@ -159,6 +159,67 @@ object Graph {
     * predecessor is the lazy initial rank table). Shared with the
     * other per-round-checkpointing iterations (Embeddings PCA).
     */
+  /** Weighted synchronous label propagation communities: every node
+    * starts labeled with itself; each round, a node adopts the label
+    * with the greatest incident edge-weight sum among its neighbors'
+    * current labels, ties to the SMALLEST label. Fixed `iters` rounds
+    * — the fixed-point is set-valued (label sets, not scores), but
+    * the sync schedule plus the min tie-break make every round a
+    * deterministic function of the last, so a DuckDB oracle replays
+    * the rounds as MATERIALIZED CTEs exactly like [[pageRank]].
+    *
+    * The graph is SYMMETRIZED (community membership is mutual):
+    * und = e ∪ reverse(e), parallel edges summed — a self-loop
+    * doubles, which the oracle replays identically. Vote scores are
+    * sums of exact count weights rounded to 9, so the score-equality
+    * tie filter is engine-exact.
+    *
+    * Caveat (shared with GraphX's LabelPropagation, whose semantics
+    * this matches): sync LPA can oscillate with period 2 on
+    * bipartite-like structures — deterministically, which is exactly
+    * why the oracle can replay it. Pick even/odd `iters` consciously
+    * if that matters for the graph at hand.
+    *
+    * Scale shape: the symmetrized edge table is repartitioned once on
+    * src and cached; each round joins the |V|-row label table into
+    * that layout (map-side partial agg on the voting endpoint), takes
+    * a per-node max and a tie-filtered min — two |V·labels|-row
+    * aggregates, no collect. Same eager per-round |V|-row
+    * localCheckpoint as [[pageRank]] (the label table chains through
+    * every round).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("double").as("w"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    // symmetrized: every node appears as a src
+    val nodes = und.select(col("src").as("node")).distinct().persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = und.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(round(sum(col("w")), 9).as("score"))
+      val mx = votes.groupBy("node").agg(max(col("score")).as("mx"))
+      val winners = votes.join(mx, "node")
+        .where(col("score") === col("mx")) // exact: both sides round(…, 9) of identical inputs
+        .groupBy("node").agg(min(col("label")).as("label"))
+      val next = nodes.join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      val prev = labels
+      labels = next.localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = labels.select(col("node"), col("label").as("community")).localCheckpoint()
+    unpersistBacking(labels)
+    und.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   private[operators] def unpersistBacking(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

@@ -55,4 +55,30 @@ class GraphSpec extends SparkSpec {
     assert(got("a") > got("b"))
   }
 
+  test("labelPropagation: two triangles joined by a weak bridge split into their min-label communities") {
+    val edges = Seq(
+      ("a", "b", 10.0), ("b", "c", 10.0), ("a", "c", 10.0),
+      ("d", "e", 10.0), ("e", "f", 10.0), ("d", "f", 10.0),
+      ("c", "d", 1.0)).toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(edges, "src", "dst", "w", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+                      "d" -> "d", "e" -> "d", "f" -> "d"),
+      s"triangles must keep their own min labels across the weak bridge, got $got")
+  }
+
+  test("labelPropagation: sync schedule is deterministic, including the known pair oscillation") {
+    // a lone pair swaps labels every sync round (the documented
+    // GraphX-LPA bipartite oscillation) — the point is that the
+    // schedule is a pure function of the round count, which is what
+    // lets a SQL oracle replay it
+    val edges = Seq(("x", "y", 2.0)).toDF("src", "dst", "w")
+    val odd = Graph.labelPropagation(edges, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(odd == Map("x" -> "y", "y" -> "x"))
+    val even = Graph.labelPropagation(edges, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(even == Map("x" -> "x", "y" -> "y"))
+  }
+
 }
