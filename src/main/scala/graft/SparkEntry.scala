@@ -187,6 +187,65 @@ object SparkEntry {
          | FROM v$iters CROSS JOIN nf ORDER BY dim""".stripMargin
   }
 
+  // ---- multi-component PCA SQL twin: per component, `iters` unrolled
+  // power rounds off the current residual covariance, then a deflation
+  // CTE (c − λ·vᵢ·vⱼ re-rounded to 12, λ re-rounded to 9) — the
+  // Embeddings.topPrincipalComponents contract, replayed. -------------
+  private def pcaKSql(nComponents: Int, iters: Int, scale: Long): String = {
+    val s2 = scale.toDouble * scale
+    val head =
+      s"""WITH x AS MATERIALIZED (
+         | SELECT vec_id AS id, CAST(i AS BIGINT) AS i,
+         |  CAST(round(embedding[i]::DOUBLE * $scale, 0) AS BIGINT) AS xl
+         | FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+         | nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         | mu AS MATERIALIZED (
+         |  SELECT i, CAST(sum(xl) AS DOUBLE) / n / $scale AS mu
+         |  FROM x CROSS JOIN nn GROUP BY i, n),
+         | cov1 AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j,
+         |   CAST(sum(a.xl * b.xl) AS DOUBLE) / $s2 / n - mi.mu * mj.mu AS c
+         |  FROM x a JOIN x b ON a.id = b.id CROSS JOIN nn
+         |  JOIN mu mi ON mi.i = a.i JOIN mu mj ON mj.i = b.i
+         |  GROUP BY 1, 2, n, mi.mu, mj.mu),
+         | dd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM mu)""".stripMargin
+    val comps = (1 to nComponents).map { m =>
+      val v0 =
+        s""",
+           | v${m}_0 AS MATERIALIZED (SELECT i AS j, round(1.0 / sqrt(d), 9) AS x
+           |   FROM mu CROSS JOIN dd)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s""",
+           | w${m}_$k AS MATERIALIZED (SELECT cov.i, sum(cov.c * v.x) AS w
+           |   FROM cov$m cov JOIN v${m}_${k - 1} v ON cov.j = v.j GROUP BY 1),
+           | nm${m}_$k AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w${m}_$k),
+           | v${m}_$k AS MATERIALIZED (SELECT i AS j, round(w / nrm, 9) AS x
+           |   FROM w${m}_$k CROSS JOIN nm${m}_$k)""".stripMargin
+      }.mkString
+      val lam =
+        s""",
+           | wf$m AS MATERIALIZED (SELECT cov.i, sum(cov.c * v.x) AS w
+           |   FROM cov$m cov JOIN v${m}_$iters v ON cov.j = v.j GROUP BY 1),
+           | lam$m AS MATERIALIZED (SELECT round(sqrt(sum(w * w)), 9) AS lam FROM wf$m),
+           | out$m AS MATERIALIZED (SELECT CAST($m AS BIGINT) AS component, j AS dim,
+           |   round(x, 6) AS loading, round(lam, 6) AS eigenvalue
+           |  FROM v${m}_$iters CROSS JOIN lam$m)""".stripMargin
+      val deflate = if (m < nComponents)
+        s""",
+           | cov${m + 1} AS MATERIALIZED (SELECT cov.i, cov.j,
+           |   round(cov.c - lam * vi.x * vj.x, 12) AS c
+           |  FROM cov$m cov
+           |  JOIN v${m}_$iters vi ON cov.i = vi.j
+           |  JOIN v${m}_$iters vj ON cov.j = vj.j
+           |  CROSS JOIN lam$m)""".stripMargin
+      else ""
+      v0 + rounds + lam + deflate
+    }.mkString
+    val fin = (1 to nComponents).map(m => s"SELECT * FROM out$m")
+      .mkString("\n ", "\n UNION ALL ", "")
+    head + comps + fin + "\n ORDER BY component, dim"
+  }
+
   // ---- BM25 SQL twin, shared by text_bm25 and text_bm25_indexed
   // (the index is an access path, not a semantics change). The k1 / b
   // constants interpolate from the SAME Scala doubles the engine uses
@@ -1711,6 +1770,15 @@ object SparkEntry {
       Embeddings.topPrincipalComponent(t(s, dir, "embeddings"), "vec_id",
           "embedding", iters = 8)
         .orderBy("dim")),
+
+    // top-3 principal components by deflation: the small basis the
+    // whitening / anisotropy-correction hygiene pass actually needs
+    // (one component is only a diagnostic). Corpus touched once — the
+    // shared covariance feeds all three components' power rounds
+    "emb_pca_k" -> ((s, dir) =>
+      Embeddings.topPrincipalComponents(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nComponents = 3, iters = 8)
+        .orderBy("component", "dim")),
 
     "cluster_kmeans_n" -> ((s, dir) =>
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -3645,6 +3713,8 @@ object SparkEntry {
     "events_communities" -> labelPropSql(iters = 5),
 
     "emb_pca" -> pcaSql(iters = 8, scale = 10000L),
+
+    "emb_pca_k" -> pcaKSql(nComponents = 3, iters = 8, scale = 10000L),
 
     "text_pii" ->
       """SELECT doc_id,

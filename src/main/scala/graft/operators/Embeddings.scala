@@ -51,8 +51,12 @@ object Embeddings {
     * localCheckpoints once — the iteration never re-touches the
     * corpus.
     */
-  def topPrincipalComponent(emb: DataFrame, idCol: String, vecCol: String,
-                            iters: Int = 8, scale: Long = 10000L): DataFrame = {
+  /** The exact scaled-long covariance matrix (d² rows, checkpointed)
+    * shared by [[topPrincipalComponent]] and
+    * [[topPrincipalComponents]] — see the exactness notes there.
+    */
+  private def covarianceMatrix(emb: DataFrame, idCol: String, vecCol: String,
+                               scale: Long): DataFrame = {
     val x = emb.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .select(col("id"), (col("pos") + 1).cast("long").as("i"),
               round(col("col").cast("double") * scale, 0).cast("long").as("xl"))
@@ -61,7 +65,7 @@ object Embeddings {
       .crossJoin(broadcast(nRow))
       .select(col("i"), (col("sxl").cast("double") / col("n") / scale).as("mu"),
               col("n"))
-    val cov = x.as("a").join(x.as("b"), col("a.id") === col("b.id"))
+    x.as("a").join(x.as("b"), col("a.id") === col("b.id"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(sum(col("a.xl") * col("b.xl")).as("sxy"))
       .join(mu.select(col("i"), col("mu").as("mu_i"), col("n")), "i")
@@ -70,6 +74,11 @@ object Embeddings {
         (col("sxy").cast("double") / (scale.toDouble * scale) / col("n")
           - col("mu_i") * col("mu_j")).as("c"))
       .localCheckpoint() // d² rows; cuts the corpus-sized lineage
+  }
+
+  def topPrincipalComponent(emb: DataFrame, idCol: String, vecCol: String,
+                            iters: Int = 8, scale: Long = 10000L): DataFrame = {
+    val cov = covarianceMatrix(emb, idCol, vecCol, scale)
     // dims derive from the CHECKPOINTED covariance, not from mu —
     // round 1 would otherwise re-run the corpus explode+aggregate
     // that mu's lineage carries
@@ -107,6 +116,75 @@ object Embeddings {
     Graph.unpersistBacking(cov)
     Graph.unpersistBacking(v)
     out
+  }
+
+  /** Top `nComponents` principal components by power iteration with
+    * DEFLATION: after each component converges, its rank-1 projection
+    * λ·v·vᵀ is subtracted from the covariance and the iteration
+    * restarts on the residual — the classical sequential-eigenvector
+    * scheme. One component is a diagnostic; whitening / anisotropy
+    * correction (the embedding-hygiene use case) needs a small basis.
+    *
+    * Engine-parity extends [[topPrincipalComponent]]'s contract to the
+    * deflation step: λ is re-rounded to 9 before the subtraction, and
+    * every deflated cell re-rounds to 12 (cell arithmetic is scalar —
+    * deterministic per se — but the re-round pins the contract the
+    * oracle replays; 12 decimals keeps the residual's ~1e-2-magnitude
+    * cells at 10 significant digits). The DuckDB oracle replays every
+    * component's every round AND each deflation as MATERIALIZED CTEs.
+    *
+    * Scale shape: identical to the single-component op — the corpus is
+    * touched ONCE (the shared d²-fanout covariance); each deflation is
+    * a d²-row join, each round a d²-row matvec. Storage stays one d²
+    * table: the previous residual's checkpoint is released as soon as
+    * the next lands.
+    */
+  def topPrincipalComponents(emb: DataFrame, idCol: String, vecCol: String,
+                             nComponents: Int = 3, iters: Int = 8,
+                             scale: Long = 10000L): DataFrame = {
+    var cov = covarianceMatrix(emb, idCol, vecCol, scale)
+    val comps = Seq.newBuilder[DataFrame]
+    for (m <- 1 to nComponents) {
+      // dims re-derived from the CURRENT residual (each checkpointed):
+      // earlier residuals' blocks are released, so no lineage may
+      // reach back through them
+      val dims = cov.select(col("i")).distinct()
+      val dRow = dims.agg(count(lit(1)).cast("double").as("d"))
+      var v = dims.crossJoin(broadcast(dRow))
+        .select(col("i").as("j"), round(lit(1.0) / sqrt(col("d")), 9).as("x"))
+      for (_ <- 1 to iters) {
+        val w = cov.join(v, "j").groupBy(col("i"))
+          .agg(sum(col("c") * col("x")).as("w"))
+        val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        val prev = v
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"), round(col("w") / col("nrm"), 9).as("x"))
+          .localCheckpoint()
+        Graph.unpersistBacking(prev)
+      }
+      val wf = cov.join(v, "j").groupBy(col("i"))
+        .agg(sum(col("c") * col("x")).as("w"))
+      val lam = wf.agg(round(sqrt(sum(col("w") * col("w"))), 9).as("lam"))
+      comps += v.crossJoin(broadcast(lam))
+        .select(lit(m.toLong).as("component"), col("j").as("dim"),
+                round(col("x"), 6).as("loading"),
+                round(col("lam"), 6).as("eigenvalue"))
+        .localCheckpoint()
+      if (m < nComponents) {
+        val prevCov = cov
+        cov = cov
+          .join(v.select(col("j").as("i"), col("x").as("xi")), "i")
+          .join(v.select(col("j"), col("x").as("xj")), "j")
+          .crossJoin(broadcast(lam))
+          .select(col("i"), col("j"),
+            round(col("c") - col("lam") * col("xi") * col("xj"), 12).as("c"))
+          .localCheckpoint()
+        Graph.unpersistBacking(prevCov)
+      }
+      Graph.unpersistBacking(v)
+    }
+    Graph.unpersistBacking(cov)
+    comps.result().reduce(_ unionByName _)
   }
 
   /** Symmetric int8 scalar quantization, long form (id, dim, q,

@@ -43,6 +43,38 @@ class EmbeddingsSpec extends SparkSpec {
       s"eigenvalue should be ~4 (planted variance), got ${got.head._3}")
   }
 
+  test("topPrincipalComponents: deflation recovers two planted axes in variance order, near-orthogonal") {
+    // σ²=4 planted on dim 2, σ²=1 on dim 3, ~0 elsewhere: component 1
+    // must align with e₂ (λ≈4), component 2 with e₃ (λ≈1)
+    val rows = (0 until 40).map { k =>
+      val s2 = if (k % 2 == 0) 1f else -1f
+      val s3 = if ((k / 2) % 2 == 0) 1f else -1f
+      (k.toLong, Array(0.01f * (k % 3), 2f * s2, 1f * s3, 0.02f * (k % 2)))
+    }
+    val got = Embeddings.topPrincipalComponents(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nComponents = 2, iters = 12)
+      .orderBy("component", "dim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val c1 = got.filter(_._1 == 1L).sortBy(_._2)
+    val c2 = got.filter(_._1 == 2L).sortBy(_._2)
+    assert(math.abs(math.abs(c1(1)._3) - 1.0) < 0.01,
+      s"component 1 must align with dim 2, got ${c1.map(_._3).toSeq}")
+    assert(math.abs(math.abs(c2(2)._3) - 1.0) < 0.01,
+      s"component 2 must align with dim 3, got ${c2.map(_._3).toSeq}")
+    assert(math.abs(c1.head._4 - 4.0) < 0.1 && math.abs(c2.head._4 - 1.0) < 0.05,
+      s"eigenvalues must come out in variance order ~(4, 1), got ${(c1.head._4, c2.head._4)}")
+    val dot = c1.map(_._3).zip(c2.map(_._3)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3, s"components must be near-orthogonal, got dot=$dot")
+    // component 1 equals the single-component op (same covariance,
+    // same rounds)
+    val single = Embeddings.topPrincipalComponent(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", iters = 12)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    assert(c1.map(_._3).toSeq == single,
+      "first deflation component must equal the single-component op")
+  }
+
   test("quantization drops all-zero vectors instead of dividing by zero") {
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
       .toDF("vec_id", "embedding")
