@@ -273,6 +273,41 @@ object SparkEntry {
        | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ---- batch-BM25 SQL twin: the bm25Sql pipeline with a VALUES-
+  // derived queries table, per-query dedup'd terms, and a per-query
+  // rank window — the TextAnalysis.bm25TopKBatch contract. ------------
+  private val bm25BatchSql: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH q(query_id, qtext) AS (VALUES
+       |  (1, 'hash join'), (2, 'vector scan'), (3, 'sort merge filter')),
+       | qt AS (SELECT DISTINCT query_id, term FROM (
+       |  SELECT query_id,
+       |   unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS term
+       |  FROM q)),
+       | tok AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       | FROM documents),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       | stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+       | post AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+       | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       | sc AS (
+       |  SELECT CAST(qt.query_id AS BIGINT) AS query_id, post.doc_id,
+       |   round(sum((ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+       |     * (tf * ${k1 + 1})) /
+       |   (tf + $k1 * ((${1 - b}) + ($b * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))), 6)
+       |     AS score,
+       |   count(*) AS n_terms_hit
+       |  FROM post JOIN qt USING (term) JOIN dft USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       | SELECT query_id, doc_id, score, n_terms_hit, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       | WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Event-type transition edge list (src, dst, w=count) — the graph
     * both events_pagerank and events_hits iterate over.
     */
@@ -1081,6 +1116,19 @@ object SparkEntry {
       }
       TextAnalysis.bm25TopKIndexed(s, path, Seq("hash", "join", "vector"),
         k = 10, numBuckets = 64)
+    }),
+
+    // batch BM25 over a QUERIES TABLE — retrieval evaluation: three
+    // queries ranked in one pass, per-query rank window over the
+    // union-pruned postings (the sim_topk many-queries shape text
+    // never had)
+    "text_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash join"), (2L, "vector scan"), (3L, "sort merge filter"))
+        .toDF("query_id", "qtext")
+      TextAnalysis.bm25TopKBatch(t(s, dir, "documents"), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rnk")
     }),
 
     // weighted PageRank over the event-type transition graph: the
@@ -3666,6 +3714,7 @@ object SparkEntry {
     // ...and so must the incrementally-maintained index: base half +
     // delta half ≡ full corpus
     "text_bm25_upsert" -> bm25Sql,
+    "text_bm25_batch" -> bm25BatchSql,
 
     "sim_hybrid_topk" -> {
       val k1 = 1.2; val b = 0.75

@@ -221,6 +221,56 @@ object TextAnalysis {
     bm25Score(tf.where(col("term").isin(queryTerms: _*)), dl, stats, k, k1, b)
   }
 
+  /** Batch BM25: score a whole QUERIES TABLE in one pass — the
+    * retrieval-evaluation shape ([[Similarity.bruteForceTopK]]'s
+    * many-queries contract, brought to text). Query texts tokenize
+    * with the same pipeline as documents; per-query term sets dedupe
+    * (BM25 sums each distinct query term once, the [[bm25TopK]]
+    * convention).
+    *
+    * Scale shape: the postings prune to the UNION of all query terms
+    * via one broadcast semi-join before df/scoring (corpus-sized work
+    * is still just the two token aggregates); the query-term table
+    * broadcasts (queries are an evaluation set, not a corpus); the
+    * final top-k is a rank window PARTITIONED BY query_id over the
+    * pruned candidate set — per-query parallelism, never a global
+    * sort. Determinism: same exact-count inputs and round-6 +
+    * doc_id tie-break as [[bm25TopK]].
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        explode(tokens(lower(col(queryTextCol)))).as("term"))
+      .distinct()
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val post = tf.join(broadcast(qt.select("term").distinct()), "term")
+    val dfTab = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = post
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfTab), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)))
+      .withColumn("part_score",
+        (col("idf") * (col("tf").cast("double") * (k1 + 1))) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + (lit(b) * col("dl").cast("double")) / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("part_score")), 6).as("score"),
+           count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Shared BM25 scoring core over (doc_id, term, tf) postings
     * already pruned to the query terms, the (doc_id, dl) length
     * table, and the 1-row (n_docs, tot_dl) stats — df re-derives from

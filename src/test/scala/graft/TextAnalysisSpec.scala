@@ -208,6 +208,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.map(_.getLong(0)).contains(3L))
   }
 
+  test("bm25TopKBatch: per-query rankings equal the single-query op; duplicate query terms dedupe") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "hash join hash join vector"),
+      (2L, "hash table scan"),
+      (3L, "sort merge only"),
+      (4L, "vector vector vector vector vector vector vector vector")
+    ).toDF("doc_id", "text")
+    // query 2 repeats its term — batch must dedupe to the single-op
+    // Seq("vector") semantics
+    val qs = Seq((1L, "hash join"), (2L, "vector vector")).toDF("query_id", "qtext")
+    val batch = TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 3)
+      .select("query_id", "doc_id", "score", "n_terms_hit")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3, r._4)).toSet }
+    val singles = Map(
+      1L -> Seq("hash", "join"),
+      2L -> Seq("vector")).map { case (q, terms) =>
+      q -> TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 3)
+        .select("doc_id", "score", "n_terms_hit")
+        .as[(Long, Double, Long)].collect().toSet
+    }
+    assert(batch == singles,
+      s"batch rankings must equal per-query single runs: $batch vs $singles")
+  }
+
   test("appendBm25Delta UPDATE: re-ingested doc replaces its old postings everywhere") {
     import graft.operators.TextAnalysis
     val base = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
