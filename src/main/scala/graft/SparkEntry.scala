@@ -2098,6 +2098,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // audio chunking: stub-probed (duration, rate) metadata, then the
+    // REAL segment plumbing — 10 s chunks with 2 s overlap, per-chunk
+    // exact sample counts (the transcription-windowing control plane)
+    "mm_audio_chunks" -> ((s, dir) => {
+      val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
+      Multimodal.audioChunks(Multimodal.extractAudioMeta(docs, "doc_id"),
+          chunkMs = 10000L, overlapMs = 2000L)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "mm_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3897,6 +3907,27 @@ object SparkEntry {
         | SELECT doc_id, CAST(i AS INT) AS frame_idx
         | FROM m, UNNEST(range(0, n_frames, 2)) AS t(i)
         | ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // replays the stub audio probe (md5-derived duration/rate) and the
+    // chunk arithmetic: starts = range(0, duration, chunk − overlap),
+    // ends clamped to duration, integer sample counts
+    "mm_audio_chunks" ->
+      """WITH m AS (
+        | SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        | FROM documents),
+        | a AS (
+        | SELECT doc_id,
+        |  1000 + h % 120000 AS duration_ms,
+        |  CASE WHEN (h // 11) % 2 = 0 THEN 16000 ELSE 44100 END AS sample_rate
+        | FROM m),
+        | c AS (
+        | SELECT doc_id, duration_ms, sample_rate, s AS start_ms
+        | FROM a, UNNEST(range(0, duration_ms, 8000)) AS t(s))
+        | SELECT doc_id, start_ms // 8000 AS chunk_idx, start_ms,
+        |  least(start_ms + 10000, duration_ms) AS end_ms,
+        |  ((least(start_ms + 10000, duration_ms) - start_ms) * sample_rate) // 1000
+        |    AS n_samples
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "mm_resize_plan" ->
       """WITH m AS (

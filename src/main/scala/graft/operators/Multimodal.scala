@@ -80,6 +80,75 @@ object Multimodal {
       }
   }
 
+  case class AudioMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      duration_ms: Long,   // stub-decoded
+      sample_rate: Long)   // stub-decoded
+
+  /** STUB audio-header probe — same discipline as
+    * [[MediaCodec.decodeStub]]: a deterministic md5-derived fake
+    * (duration 1-121 s, 16 kHz or 44.1 kHz) standing in for an audio
+    * codec this environment doesn't ship. md5, not a JVM hash, so any
+    * engine reproduces it — the mm_audio_chunks oracle replays the
+    * same arithmetic in SQL. Swap the body for a real probe
+    * (javax.sound / ffprobe bindings) to productionize.
+    */
+  object AudioCodec {
+    def probeStub(bytes: Array[Byte]): (Long, Long) = {
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+      val durationMs = 1000L + h % 120000L
+      val sampleRate = if ((h / 11) % 2 == 0) 16000L else 44100L
+      (durationMs, sampleRate)
+    }
+  }
+
+  /** Partition-batched audio metadata probe (the [[extractMeta]]
+    * shape): payload in, typed (duration, rate) out, payload dropped
+    * before anything wide.
+    */
+  def extractAudioMeta(docs: DataFrame, idCol: String): Dataset[AudioMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (dur, rate) = AudioCodec.probeStub(bytes)
+          AudioMeta(id, bytes.length.toLong, dur, rate)
+        }
+      }
+  }
+
+  /** Fixed-duration audio chunking with overlap — the
+    * segment-for-transcription plumbing (Whisper-style 30 s windows
+    * with a stride): chunk m covers
+    * [m·(chunk−overlap), min(m·(chunk−overlap)+chunk, duration)), one
+    * row per chunk with its exact sample count. Pure column math off
+    * the probed metadata (sequence + posexplode — map-only, no
+    * shuffle, no decode): the cut POINTS are the control plane a real
+    * chunker feeds to the codec; the waveform slice itself is the
+    * stubbed step.
+    */
+  def audioChunks(meta: Dataset[AudioMeta], chunkMs: Long,
+                  overlapMs: Long): DataFrame = {
+    require(overlapMs >= 0 && overlapMs < chunkMs,
+      s"overlap must sit inside the chunk: overlap=$overlapMs chunk=$chunkMs")
+    val step = chunkMs - overlapMs
+    meta.toDF()
+      .select(col("doc_id"), col("duration_ms"), col("sample_rate"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(step))).as("start_ms"))
+      .select(
+        col("doc_id"),
+        (col("start_ms") / step).cast("long").as("chunk_idx"),
+        col("start_ms"),
+        least(col("start_ms") + chunkMs, col("duration_ms")).as("end_ms"),
+        ((least(col("start_ms") + chunkMs, col("duration_ms")) - col("start_ms"))
+          * col("sample_rate") / 1000).cast("long").as("n_samples"))
+  }
+
   /** Deterministic frame sampling plan for video-like media: every
     * k-th frame index up to n_frames — pure column math, no decode.
     */

@@ -171,4 +171,23 @@ class StreamingSpec extends SparkSpec {
         // floor() may land a px under the box; unscaled stays exact
         (ow == w || ow >= 255 || oh >= 255) })
   }
+
+  test("audio chunks: overlapping windows cover the duration, tail clamped, exact sample counts") {
+    // 25 s @ 16 kHz, 10 s chunks with 2 s overlap → starts every 8 s
+    val meta = Seq(Multimodal.AudioMeta(1L, 10L, 25000L, 16000L)).toDS()
+    val got = Multimodal.audioChunks(meta, chunkMs = 10000L, overlapMs = 2000L)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_ms", "end_ms", "n_samples")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 10000L, 160000L),
+      (1L, 8000L, 18000L, 160000L),
+      (2L, 16000L, 25000L, 144000L),
+      (3L, 24000L, 25000L, 16000L)),
+      s"hand-computed chunk plan mismatch: $got")
+    // an overlap as large as the chunk would loop forever — refused
+    intercept[IllegalArgumentException] {
+      Multimodal.audioChunks(meta, chunkMs = 1000L, overlapMs = 1000L)
+    }
+  }
 }
