@@ -35,21 +35,87 @@ object Sampling {
     * E-S key is undefined there); callers clamp weights to a floor
     * when every row must stay eligible.
     *
-    * Scale shape: one window partitioned by the group key — work
-    * shuffles once on the group, each group ranks independently,
-    * never a global sort. Output: the input columns plus `rk`
-    * (1-based rank within the group's kept set).
+    * Scale shape: a per-partition PARTIAL selection first — each
+    * input partition forwards at most k rows per group through a
+    * bounded heap (the TakeOrdered trick applied before the
+    * exchange; the global top-k per group is provably the top-k of
+    * the union of per-partition top-ks) — then one window partitioned
+    * by the group key ranks the ≤ k·partitions survivors per group.
+    * The group shuffle moves k·P rows per group instead of the full
+    * group, and the window's sort volume shrinks the same way; never
+    * a global sort. The heap ordering replicates the window's
+    * ORDER BY exactly (es-key desc, id asc, Spark default null
+    * placement); ids with non-numeric/temporal types skip the
+    * pre-selection (string comparison semantics differ between JVM
+    * and SQL for supplementary code points) and take the plain
+    * window path. Output: the input columns plus `rk` (1-based rank
+    * within the group's kept set).
     */
   def weightedReservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
                                 weightCol: String, k: Int): DataFrame = {
     require(k > 0, "weightedReservoirPerGroup needs k > 0")
     // maximize u^(1/w)  <=>  maximize ln(u)/w  (w > 0)
-    val w = Window.partitionBy(groupCol).orderBy(desc("_es_key"), col(idCol))
-    df.where(col(weightCol) > 0)
+    val keyed = df.where(col(weightCol) > 0)
       .withColumn("_es_key", log(md5Uniform(idCol, halfOpen = false)) / col(weightCol))
+    val pre = preSelectPerPartition(keyed, groupCol, idCol, k)
+    val w = Window.partitionBy(groupCol).orderBy(desc("_es_key"), col(idCol))
+    pre
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .drop("_es_key")
+  }
+
+  /** Bounded per-partition top-k per group on (`_es_key` desc, id
+    * asc) — the map-side partial form of the reservoir's window. Id
+    * types whose JVM ordering provably matches Spark's SQL ordering
+    * (numeric, date, timestamp) qualify; anything else returns the
+    * input unchanged, which is always correct (the window downstream
+    * is the authority — pre-selection only sheds rows that provably
+    * cannot rank ≤ k).
+    */
+  private def preSelectPerPartition(keyed: DataFrame, groupCol: String,
+                                    idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = keyed.schema
+    val idComparable = schema(schema.fieldIndex(idCol)).dataType match {
+      case _: NumericType | DateType | TimestampType => true
+      case _ => false
+    }
+    if (!idComparable) return keyed
+    val gi = schema.fieldIndex(groupCol)
+    val ki = schema.fieldIndex("_es_key")
+    val ii = schema.fieldIndex(idCol)
+    // goodness: higher es-key first (null = −∞, Spark's DESC NULLS
+    // LAST), then smaller id (null first, Spark's ASC NULLS FIRST)
+    val goodness: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val ea = if (a.isNullAt(ki)) Double.NegativeInfinity else a.getDouble(ki)
+        val eb = if (b.isNullAt(ki)) Double.NegativeInfinity else b.getDouble(ki)
+        val c = java.lang.Double.compare(ea, eb)
+        if (c != 0) c
+        else {
+          val an = a.isNullAt(ii); val bn = b.isNullAt(ii)
+          if (an && bn) 0
+          else if (an) 1 // null id ranks FIRST ascending → better
+          else if (bn) -1
+          else -a.get(ii).asInstanceOf[Comparable[Any]].compareTo(b.get(ii))
+        }
+      }
+    }
+    val preRdd = keyed.rdd.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        // worst-kept-on-top heap so the boundary row dequeues in O(log k)
+        val h = heaps.getOrElseUpdate(r.get(gi),
+          scala.collection.mutable.PriorityQueue.empty(goodness.reverse))
+        if (h.size < k) h.enqueue(r)
+        else if (goodness.compare(r, h.head) > 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    keyed.sparkSession.createDataFrame(preRdd, schema)
   }
 
   /** Source-mixing downsampler: compute per-group keep rates that cap

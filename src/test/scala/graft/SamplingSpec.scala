@@ -31,6 +31,21 @@ class SamplingSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("per-partition pre-selection is invisible: result identical across partitionings") {
+    // the bounded-heap partial top-k must forward exactly the rows the
+    // window would keep, however the input is split
+    def run(parts: Int) = Sampling.weightedReservoirPerGroup(
+        fixture.repartition(parts), "g", "id", "w", 5)
+      .select("id", "g", "rk").as[(Long, String, Long)].collect().toSet
+    assert(run(1) == run(7) && run(7) == run(32))
+    // string ids take the fallback (no pre-selection) path and must
+    // still produce k ranked rows per group
+    val sdf = fixture.selectExpr("cast(id as string) AS id", "g", "w").repartition(5)
+    val s = Sampling.weightedReservoirPerGroup(sdf, "g", "id", "w", 3)
+      .select("g", "rk").as[(String, Long)].collect()
+    assert(s.groupBy(_._1).view.mapValues(_.length).toMap == Map("g1" -> 3, "g2" -> 3))
+  }
+
   test("mixToGroupTarget: under-target groups keep everything, " +
        "over-target groups downsample near the target") {
     val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
