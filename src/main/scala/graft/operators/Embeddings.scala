@@ -65,9 +65,19 @@ object Embeddings {
       .crossJoin(broadcast(nRow))
       .select(col("i"), (col("sxl").cast("double") / col("n") / scale).as("mu"),
               col("n"))
-    x.as("a").join(x.as("b"), col("a.id") === col("b.id"))
+    // UPPER TRIANGLE only through the expensive corpus-sized
+    // join+aggregate (i ≤ j halves the per-id product fan-out from d²
+    // to d(d+1)/2), then mirror: the exact-long sums are commutative,
+    // so the mirrored cell is bit-identical to computing it directly
+    // and the downstream matvec/oracle see the same full matrix
+    val upper = x.as("a")
+      .join(x.as("b"), col("a.id") === col("b.id") && col("a.i") <= col("b.i"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(sum(col("a.xl") * col("b.xl")).as("sxy"))
+    val sxyFull = upper.union(
+      upper.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("sxy")))
+    sxyFull
       .join(mu.select(col("i"), col("mu").as("mu_i"), col("n")), "i")
       .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
       .select(col("i"), col("j"),
