@@ -125,6 +125,42 @@ object SparkEntry {
     root.getPath
   }
 
+  /** Stage the documents fixture as two mtime-ordered parquet files
+    * (even/odd doc_id) so a file stream ingests the corpus in two
+    * deterministic micro-batches — the [[stagedLateEventsDir]]
+    * crash-safe staging dance for the streaming index-maintenance
+    * gate.
+    */
+  private def stagedDocsTwoBatchDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_docs_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
+    if (!root.exists()) {
+      val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
+      tmp.mkdirs()
+      val raw = s.read.parquet(src.getPath)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(s"${tmp.getPath}.stage_$name")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        dst.setLastModified(mtime)
+      }
+      val t0 = src.lastModified()
+      writeOne(raw.where(col("doc_id") % 2 === 0), "batch0_even.parquet", t0)
+      writeOne(raw.where(col("doc_id") % 2 === 1), "batch1_odd.parquet", t0 + 60000)
+      try java.nio.file.Files.move(tmp.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.listFiles().foreach(_.delete()); tmp.delete() // lost the race
+      }
+    }
+    root.getPath
+  }
+
   /** Flagship: the reference's full ETL chain (SURVEY §2.3 R1–R9) on
     * the orders table — distinct-key restriction, rename, reorder,
     * stringify+dedup. Driver smoke-checks rows > 0 at sf0.001.
@@ -1113,6 +1149,26 @@ object SparkEntry {
         TextAnalysis.appendBm25Delta(docs.where(col("doc_id") % 2 === 1),
           "doc_id", "text", path, numBuckets = 64)
         new java.io.File(s"${path}_delta_done").mkdirs()
+      }
+      TextAnalysis.bm25TopKIndexed(s, path, Seq("hash", "join", "vector"),
+        k = 10, numBuckets = 64)
+    }),
+
+    // STREAM-maintained BM25 index: a two-batch file stream ingests
+    // the corpus through foreachBatch — batch 0 builds the index,
+    // batch 1 UPSERTS via appendBm25Delta (the daily-cron →
+    // continuous-ingest story, reusing the whole crash-safe dynamic-
+    // partition-overwrite machinery). Serving afterwards must
+    // hash-match the all-at-once full-corpus oracle: the index is
+    // independent of how the stream batched the corpus
+    "text_bm25_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingIndex
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stream_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_ingest_done").exists()) {
+        StreamingIndex.bm25IngestToCompletion(s, stagedDocsTwoBatchDir(s, dir),
+          path, numBuckets = 64)
+        new java.io.File(s"${path}_ingest_done").mkdirs()
       }
       TextAnalysis.bm25TopKIndexed(s, path, Seq("hash", "join", "vector"),
         k = 10, numBuckets = 64)
@@ -3724,6 +3780,7 @@ object SparkEntry {
     // ...and so must the incrementally-maintained index: base half +
     // delta half ≡ full corpus
     "text_bm25_upsert" -> bm25Sql,
+    "text_bm25_stream" -> bm25Sql,
     "text_bm25_batch" -> bm25BatchSql,
 
     "sim_hybrid_topk" -> {

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Streaming maintenance of the materialized retrieval indexes: the
+  * reference is a DAILY snapshot cron (SURVEY §3.3); when the feed
+  * becomes continuous, the index must absorb each micro-batch as an
+  * UPSERT instead of being rebuilt — exactly what
+  * [[graft.operators.TextAnalysis.appendBm25Delta]] provides for
+  * batch deltas. `foreachBatch` is the bridge: each micro-batch is a
+  * bounded DataFrame, so the whole crash-safe dynamic-partition-
+  * overwrite machinery (commit marker included) is REUSED, not
+  * reimplemented. Because every delta rewrites its affected buckets
+  * from merged postings and re-derives `_dl`/`_stats` from the full
+  * postings table, the final index is independent of how the corpus
+  * was split into batches — a stream-maintained index hash-matches
+  * the all-at-once build, which is what the driver gate checks.
+  */
+object StreamingIndex {
+
+  /** Schema of the documents table as the file-stream source needs it
+    * declared up front.
+    */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Drive BM25 index maintenance from a directory stream: the first
+    * non-empty batch builds the index, every later one upserts via
+    * [[graft.operators.TextAnalysis.appendBm25Delta]]. Runs the
+    * bounded stream to completion (the gate/testing form; production
+    * would leave the query running).
+    */
+  def bm25IngestToCompletion(spark: SparkSession, srcDir: String,
+                             path: String, numBuckets: Int = 64): Unit = {
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select("doc_id", "text")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val built = new java.io.File(s"${path}_stats/_SUCCESS").exists()
+          if (!built)
+            graft.operators.TextAnalysis.writeBm25Index(
+              batch, "doc_id", "text", path, numBuckets)
+          else
+            graft.operators.TextAnalysis.appendBm25Delta(
+              batch, "doc_id", "text", path, numBuckets)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}

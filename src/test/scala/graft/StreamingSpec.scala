@@ -172,6 +172,38 @@ class StreamingSpec extends SparkSpec {
         (ow == w || ow >= 255 || oh >= 255) })
   }
 
+  test("stream-maintained BM25 index equals the all-at-once build, re-ingest included") {
+    import graft.streaming.StreamingIndex
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_ingest")
+    def write(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_bm25_ingest_stage")
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(Seq((1L, "alpha beta"), (2L, "gamma delta")), "b0.parquet", t0)
+    // batch 1 carries a NEW doc and a RE-INGEST of doc 2 with changed
+    // text — the upsert path must replace doc 2's postings everywhere
+    write(Seq((3L, "epsilon alpha"), (2L, "zeta eta")), "b1.parquet", t0 + 60000)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm25_stream_${System.nanoTime()}"
+    StreamingIndex.bm25IngestToCompletion(spark, dir.toString, path, numBuckets = 16)
+    val full = Seq((1L, "alpha beta"), (2L, "zeta eta"), (3L, "epsilon alpha"))
+      .toDF("doc_id", "text")
+    Seq(Seq("gamma"), Seq("alpha", "zeta"), Seq("epsilon")).foreach { terms =>
+      val served = TextAnalysis.bm25TopKIndexed(spark, path, terms, k = 5,
+        numBuckets = 16).collect().toSeq
+      val direct = TextAnalysis.bm25TopK(full, "doc_id", "text", terms, k = 5)
+        .collect().toSeq
+      assert(served == direct, s"stream-built index must serve the final corpus for $terms")
+    }
+  }
+
   test("audio chunks: overlapping windows cover the duration, tail clamped, exact sample counts") {
     // 25 s @ 16 kHz, 10 s chunks with 2 s overlap → starts every 8 s
     val meta = Seq(Multimodal.AudioMeta(1L, 10L, 25000L, 16000L)).toDS()
