@@ -76,6 +76,32 @@ class PlanShapeSpec extends SparkSpec {
       "quantization must stream through the scan with no shuffle")
   }
 
+  test("audio chunking is map-only — zero shuffles (mm_audio_chunks)") {
+    import spark.implicits._
+    val docs = graft.operators.Multimodal.withPayload(
+      Tables.documents(spark, sf001), "text")
+    val p = graft.operators.Multimodal.audioChunks(
+        graft.operators.Multimodal.extractAudioMeta(docs, "doc_id"),
+        chunkMs = 10000L, overlapMs = 2000L)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"),
+      "probe + chunk explode must stream through the scan with no shuffle")
+  }
+
+  test("batch BM25 ranks per query — no global sort, window keyed by query_id") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    val qs = Seq((1L, "hash join"), (2L, "vector scan")).toDF("query_id", "qtext")
+    val p = graft.operators.TextAnalysis.bm25TopKBatch(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("Window"), "per-query top-k must be a rank window")
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Sort [score"),
+      "ranking must never collapse to a single partition or a global sort")
+    assert(p.contains("hashpartitioning(query_id"),
+      "the window must partition by query_id")
+  }
+
   test("LSH ANN broadcasts the bucketed query side (sim_lsh_topk)") {
     val p = plan("sim_lsh_topk")
     assert(p.contains("BroadcastHashJoin"),
