@@ -309,6 +309,20 @@ object SparkEntry {
        | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ---- connected-components SQL twin (simhash pair graph →
+  // recursive-CTE min-label reachability) — shared by dedup_clusters
+  // and its incremental-upsert twin. ----------------------------------
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),
+       | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |           UNION ALL SELECT doc_b, doc_a FROM prs),
+       | reach(id, lab) AS (
+       |   SELECT doc_id, doc_id FROM documents
+       |   UNION
+       |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+       | SELECT id AS doc_id, min(lab) AS cluster_id
+       | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- batch-BM25 SQL twin: the bm25Sql pipeline with a VALUES-
   // derived queries table, per-query dedup'd terms, and a per-query
   // rank window — the TextAnalysis.bm25TopKBatch contract. ------------
@@ -1657,6 +1671,28 @@ object SparkEntry {
       ensureSimhashClusterMap(s, dir)
       s.read.parquet(simhashClusterMapPath(dir))
         .select("doc_id", "cluster_id").orderBy("doc_id")
+    }),
+
+    // incremental cluster-map maintenance: build the map on the
+    // even-id half, UPSERT the odd half — old components enter as
+    // their compressed star edges, so only the delta's pairs are
+    // generated fresh; the final map must hash-match the full-corpus
+    // rebuild (the dedup_clusters oracle, unchanged)
+    "dedup_clusters_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_upsert_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_delta_done").exists()) {
+        val even = docs.where(col("doc_id") % 2 === 0)
+        Dedup.writeClusterMap(even, "doc_id",
+          Dedup.simHashPairs(even, "doc_id", "text", maxHamming = 3), path)
+        val deltaPairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+          .where(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+        Dedup.appendClusterDelta(docs.where(col("doc_id") % 2 === 1), "doc_id",
+          deltaPairs, path)
+        new java.io.File(s"${path}_delta_done").mkdirs()
+      }
+      s.read.parquet(path).select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
     // the terminal dedup materialization: the corpus that SURVIVES
@@ -3164,16 +3200,12 @@ object SparkEntry {
 
     "dedup_simhash" -> simhashSql(maxHamming = 3),
 
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),
-         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
-         |           UNION ALL SELECT doc_b, doc_a FROM prs),
-         | reach(id, lab) AS (
-         |   SELECT doc_id, doc_id FROM documents
-         |   UNION
-         |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-         | SELECT id AS doc_id, min(lab) AS cluster_id
-         | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersSql,
+
+    // identical oracle to dedup_clusters: the incremental map upsert
+    // must be invisible — components of (old stars ∪ delta pairs)
+    // equal a from-scratch rebuild
+    "dedup_clusters_upsert" -> clustersSql,
 
     "dedup_cluster_reps" ->
       s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),

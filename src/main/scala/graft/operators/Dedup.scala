@@ -556,6 +556,53 @@ object Dedup {
       writeClusterMap(docs, idCol, pairs, path, checkpointDir)
   }
 
+  /** UPSERT a document delta into a materialized [[writeClusterMap]]
+    * map WITHOUT recomputing the old corpus's pair graph — the
+    * [[Similarity.appendIvfDelta]] discipline applied to clustering.
+    * The old map IS a compressed, connectivity-preserving form of the
+    * old pair graph (each non-root points at its component minimum),
+    * so components of (old star edges ∪ delta pairs) over (old ids ∪
+    * new ids) equal components of the FULL pair graph — and since
+    * every old root is its component's minimum id, the merged
+    * components' labels come out identical to a from-scratch rebuild.
+    * The caller supplies `newPairs` = every near-dup pair TOUCHING a
+    * new doc (new-new and new-old alike; at scale that's a banding
+    * probe of the new docs against the corpus index, not a corpus
+    * self-join).
+    *
+    * Merges can relabel members of any old component a new doc
+    * bridges, so the map rewrites whole — it is two columns of ids,
+    * compressed-tiny relative to the corpus; what the upsert avoids
+    * is the corpus-sized pair GENERATION, which dwarfs it. The
+    * rewrite localCheckpoints before overwriting the path it read
+    * (the self-overwrite hazard), and the parquet `_SUCCESS` the
+    * overwrite drops doubles as the [[ensureClusterMap]] marker —
+    * a crash mid-rewrite leaves a marker-less map that ensure
+    * rebuilds from scratch.
+    *
+    * Append-only contract: a RE-INGESTED doc whose text changed would
+    * need its old pairs invalidated, which a pair-less map cannot
+    * express — rebuild for that case (documented, like the frozen IVF
+    * quantizer).
+    */
+  def appendClusterDelta(newDocs: DataFrame, idCol: String,
+                         newPairs: DataFrame, path: String,
+                         checkpointDir: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    val oldMap = spark.read.parquet(path)
+    val vertices = oldMap.select(col("doc_id"))
+      .union(newDocs.select(col(idCol).as("doc_id")))
+      .distinct()
+    val oldStars = oldMap.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val next = connectedClusters(vertices, "doc_id",
+        oldStars.unionByName(newPairs.select(col("doc_a"), col("doc_b"))),
+        checkpointDir)
+      .localCheckpoint() // materialize BEFORE overwriting what we read
+    next.write.mode("overwrite").parquet(path)
+    unpersistBacking(next)
+  }
+
   /** Representative keeping served FROM a materialized
     * [[writeClusterMap]] map: one semi-join of the corpus against the
     * map's roots (`doc_id == cluster_id`). No pair computation, no

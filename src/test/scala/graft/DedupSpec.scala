@@ -251,4 +251,30 @@ class DedupSpec extends SparkSpec {
       "map-served representatives must equal the direct pipeline")
   }
 
+  test("appendClusterDelta: new docs merge old components through bridges; labels equal full rebuild") {
+    val oldDocs = Seq(2L, 3L, 4L, 6L, 7L).toDF("doc_id")
+    val oldPairs = Seq((2L, 3L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_cluster_delta_${System.nanoTime()}"
+    Dedup.writeClusterMap(oldDocs, "doc_id", oldPairs, path)
+    // doc 1 joins {2,3} and becomes its new minimum; doc 5 BRIDGES the
+    // singleton 4 with {6,7} — three old components relabel
+    val newDocs = Seq(1L, 5L).toDF("doc_id")
+    val deltaPairs = Seq((1L, 3L), (5L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    Dedup.appendClusterDelta(newDocs, "doc_id", deltaPairs, path)
+    val got = spark.read.parquet(path).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val full = Dedup.connectedClusters(
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id"), "doc_id",
+        oldPairs.union(deltaPairs))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+                      (6L, 4L), (7L, 4L)))
+    assert(got == full, "incremental map must equal the from-scratch rebuild")
+    // marker restored by the overwrite — ensure must NOT rebuild
+    Dedup.ensureClusterMap(oldDocs, "doc_id",
+      oldDocs.select(col("doc_id").as("doc_a"),
+        raise_error(lit("must not rebuild")).cast("long").as("doc_b")),
+      path)
+  }
+
 }
