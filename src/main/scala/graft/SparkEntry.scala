@@ -125,16 +125,17 @@ object SparkEntry {
     root.getPath
   }
 
-  /** Stage the documents fixture as two mtime-ordered parquet files
-    * (even/odd doc_id) so a file stream ingests the corpus in two
+  /** Stage a fixture table as two mtime-ordered parquet files
+    * (even/odd id) so a file stream ingests the corpus in two
     * deterministic micro-batches — the [[stagedLateEventsDir]]
     * crash-safe staging dance for the streaming index-maintenance
-    * gate.
+    * gates.
     */
-  private def stagedDocsTwoBatchDir(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
+  private def stagedTwoBatchDir(s: SparkSession, dir: String,
+                                table: String, idCol: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_docs_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_${table}_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
     if (!root.exists()) {
       val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
       tmp.mkdirs()
@@ -149,8 +150,8 @@ object SparkEntry {
         dst.setLastModified(mtime)
       }
       val t0 = src.lastModified()
-      writeOne(raw.where(col("doc_id") % 2 === 0), "batch0_even.parquet", t0)
-      writeOne(raw.where(col("doc_id") % 2 === 1), "batch1_odd.parquet", t0 + 60000)
+      writeOne(raw.where(col(idCol) % 2 === 0), "batch0_even.parquet", t0)
+      writeOne(raw.where(col(idCol) % 2 === 1), "batch1_odd.parquet", t0 + 60000)
       try java.nio.file.Files.move(tmp.toPath, root.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -1180,12 +1181,32 @@ object SparkEntry {
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stream_${math.abs(dir.hashCode)}_$src"
       if (!new java.io.File(s"${path}_ingest_done").exists()) {
-        StreamingIndex.bm25IngestToCompletion(s, stagedDocsTwoBatchDir(s, dir),
-          path, numBuckets = 64)
+        StreamingIndex.bm25IngestToCompletion(s,
+          stagedTwoBatchDir(s, dir, "documents", "doc_id"), path, numBuckets = 64)
         new java.io.File(s"${path}_ingest_done").mkdirs()
       }
       TextAnalysis.bm25TopKIndexed(s, path, Seq("hash", "join", "vector"),
         k = 10, numBuckets = 64)
+    }),
+
+    // STREAM-maintained IVF ANN index — the vector twin of
+    // text_bm25_stream: batch 0 builds (freezing the quantizer on the
+    // even half), batch 1 upserts via appendIvfDelta; serving must
+    // hash-match the frozen-centroid full-corpus oracle (the
+    // sim_ivf_upsert contract, arrived at through foreachBatch)
+    "sim_ivf_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingIndex
+      val e = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stream_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_ingest_done").exists()) {
+        StreamingIndex.ivfIngestToCompletion(s,
+          stagedTwoBatchDir(s, dir, "embeddings", "vec_id"), path, numCells = 16)
+        new java.io.File(s"${path}_ingest_done").mkdirs()
+      }
+      Similarity.ivfTopKIndexed(path, e.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .orderBy("query_id", "rnk")
     }),
 
     // batch BM25 over a QUERIES TABLE — retrieval evaluation: three
@@ -3414,6 +3435,7 @@ object SparkEntry {
 
     "sim_ivf_indexed" -> ivfSql,
     "sim_ivf_upsert" -> ivfSqlWith("WHERE corpus_id % 2 = 0"),
+    "sim_ivf_stream" -> ivfSqlWith("WHERE corpus_id % 2 = 0"),
 
     // trained-IVF recall: replay the 2 Lloyd training iterations as
     // iterated CTEs (cen0 → asg1/m1 → cen1 → asg2/m2 → cen2, the

@@ -27,6 +27,40 @@ object StreamingIndex {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Schema of the embeddings table for the file-stream source. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Drive IVF ANN-index maintenance from a directory stream — the
+    * vector twin of [[bm25IngestToCompletion]]: the first non-empty
+    * batch builds the index (training and FREEZING the quantizer on
+    * that batch — the FAISS discipline; retraining is a rebuild),
+    * every later batch upserts via
+    * [[graft.operators.Similarity.appendIvfDelta]] (dynamic partition
+    * overwrite of only the affected cells, commit marker reused).
+    */
+  def ivfIngestToCompletion(spark: SparkSession, srcDir: String,
+                            path: String, numCells: Int = 16): Unit = {
+    val stream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val built = new java.io.File(s"${path}_centroids/_SUCCESS").exists()
+          if (!built)
+            graft.operators.Similarity.writeIvfIndex(
+              batch, "vec_id", "embedding", path, numCells)
+          else
+            graft.operators.Similarity.appendIvfDelta(
+              batch, "vec_id", "embedding", path)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drive BM25 index maintenance from a directory stream: the first
     * non-empty batch builds the index, every later one upserts via
     * [[graft.operators.TextAnalysis.appendBm25Delta]]. Runs the
