@@ -996,6 +996,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // daily-cron lake ingest: build the lake on the first 20 days,
+    // APPEND the rest via dynamic partition overwrite — only the
+    // delta's event_date partitions are written (the reference's
+    // daily snapshot cadence, applied to the 100 TB event lake).
+    // Serving aggregates the WHOLE lake so a lost or doubled delta
+    // day breaks the hash against the all-at-once oracle
+    "events_lake_upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val src = new java.io.File(s"$dir/events.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_upsert_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_delta_done").exists()) {
+        val cutoff = date_add(
+          lit(ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)), 20)
+        Events.writeDatePartitioned(ev.where(to_date(col("ts")) < cutoff), path)
+        Events.appendDatePartitioned(ev.where(to_date(col("ts")) >= cutoff), path)
+        new java.io.File(s"${path}_delta_done").mkdirs()
+      }
+      s.read.parquet(path)
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("event_date", "event_type")
+    }),
+
     // ================= profiling / validation ======================
     // one-pass long-format column profile (rows/nulls/ndv/min/max) —
     // the pre-ingest report; columns restricted to engine-stable
@@ -4106,6 +4129,13 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          | count(*) AS n_events, ${msum("value")} AS total_value
          | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the whole-lake aggregate over the incrementally-ingested layout
+    // must equal the all-at-once aggregate over the source table
+    "events_lake_upsert" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        | count(*) AS n_events
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // watermark late-data dropping: on-time slice = everything ≥
     // min+1h (the staged batch 0); watermark = its max − 2h at ms

@@ -279,4 +279,19 @@ object Events {
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       writeDatePartitioned(events, path, tsCol)
   }
+
+  /** Daily-cron ingest into a [[writeDatePartitioned]] lake: the
+    * delta's days land via DYNAMIC partition overwrite, touching ONLY
+    * the `event_date` partitions the delta carries — yesterday's 100
+    * TB of history is never rewritten for today's ingest. Partition
+    * REPLACEMENT semantics: a re-run of day D replaces day D wholesale
+    * (the idempotent reprocess a snapshot cron needs), so the delta
+    * must carry COMPLETE days, not intra-day increments.
+    */
+  def appendDatePartitioned(delta: DataFrame, path: String,
+                            tsCol: String = "ts"): Unit =
+    delta.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(path)
 }

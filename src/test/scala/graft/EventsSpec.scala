@@ -104,4 +104,27 @@ class EventsSpec extends SparkSpec {
       ("u2", 1L, 0.0, 0L, 0L)))
   }
 
+  test("appendDatePartitioned: untouched days byte-identical; a re-run day replaces wholesale") {
+    def ev(rows: (Long, String)*) = rows.map { case (id, d) =>
+      (id, Timestamp.valueOf(s"$d 12:00:00"), "view")
+    }.toDF("event_id", "ts", "event_type")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_lake_upsert_${System.nanoTime()}"
+    Events.writeDatePartitioned(
+      ev(1L -> "2024-01-01", 2L -> "2024-01-02", 3L -> "2024-01-02"), path)
+    def dayFiles(d: String) = new java.io.File(s"$path/event_date=$d")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val day1Before = dayFiles("2024-01-01")
+    // delta: new day 3 + a REPROCESS of day 2 (one event instead of two)
+    Events.appendDatePartitioned(
+      ev(9L -> "2024-01-02", 4L -> "2024-01-03"), path)
+    assert(dayFiles("2024-01-01") == day1Before,
+      "a day the delta never carries must not be rewritten")
+    val got = spark.read.parquet(path)
+      .selectExpr("event_id", "cast(event_date as string)")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "2024-01-01"), (9L, "2024-01-02"), (4L, "2024-01-03")),
+      s"reprocessed day must be replaced wholesale, got $got")
+  }
+
 }
