@@ -973,6 +973,31 @@ object SparkEntry {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // point-in-time SCD2 lookup: every order key probed at a date
+    // inside each validity era — mid-January hits the era-1 version
+    // (closed or still-open), mid-February the current one; keys
+    // REMOVED in era 2 match nothing at the February probe (the
+    // honest "did not exist then"). Completes the warehouse family:
+    // build history (etl_scd2) → enrich facts against it
+    "etl_scd2_lookup" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+      val dim = Etl.scd2Build(oldSnap, newSnap, Seq("o_orderkey"),
+        oldDate = "2024-01-01", newDate = "2024-02-01")
+      val facts = base.select("o_orderkey").distinct()
+        .withColumn("fact_date", explode(array(
+          to_date(lit("2024-01-15")), to_date(lit("2024-02-15")))))
+      Etl.scd2Lookup(facts, dim, Seq("o_orderkey"), "fact_date")
+        .select(col("o_orderkey"), col("fact_date"), col("o_orderstatus"),
+                col("o_orderpriority"), col("o_totalprice"), col("valid_from"))
+        .orderBy("o_orderkey", "fact_date")
+    }),
+
     // date-partitioned event-lake layout: written once per JVM
     // partitioned by event_date, then a date-bounded read that
     // partition-prunes (spec-guarded) — the storage shape + query
@@ -2581,6 +2606,49 @@ object SparkEntry {
         |  CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
         | FROM new n JOIN cls ON n.o_orderkey = cls.k
         | ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // the etl_scd2 history as a CTE, probed point-in-time: version in
+    // effect at each fact date, deleted-then keys matching nothing
+    "etl_scd2_lookup" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        | old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        | new AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 3 <> 0),
+        | cls AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |        WHEN n.o_orderkey IS NULL THEN 'removed'
+        |        WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |          OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+        |        ELSE 'unchanged' END AS change
+        |  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey),
+        | scd AS (
+        |  SELECT o.o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+        |   DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to
+        |  FROM old o JOIN cls ON o.o_orderkey = cls.k
+        |  WHERE change IN ('removed', 'changed')
+        |  UNION ALL
+        |  SELECT n.o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+        |   CASE WHEN change IN ('added', 'changed') THEN DATE '2024-02-01'
+        |        ELSE DATE '2024-01-01' END AS valid_from,
+        |   CAST(NULL AS DATE) AS valid_to
+        |  FROM new n JOIN cls ON n.o_orderkey = cls.k),
+        | probes AS (
+        |  SELECT o_orderkey, d AS fact_date
+        |  FROM (SELECT DISTINCT o_orderkey FROM base),
+        |       (VALUES (DATE '2024-01-15'), (DATE '2024-02-15')) v(d))
+        | SELECT p.o_orderkey, p.fact_date, s.o_orderstatus,
+        |  s.o_orderpriority, s.o_totalprice, s.valid_from
+        | FROM probes p JOIN scd s ON s.o_orderkey = p.o_orderkey
+        | WHERE s.valid_from <= p.fact_date
+        |   AND (s.valid_to IS NULL OR p.fact_date < s.valid_to)
+        | ORDER BY p.o_orderkey, p.fact_date""".stripMargin,
 
     // the merged result must BE the new snapshot
     "etl_incremental_apply" ->

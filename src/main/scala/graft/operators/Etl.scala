@@ -293,6 +293,28 @@ object Etl {
     closed.unionByName(open)
   }
 
+  /** Point-in-time dimension lookup against an [[scd2Build]] history:
+    * each fact row joins the dimension VERSION in effect at its own
+    * date — `valid_from <= fact_date < valid_to` (open versions have
+    * null `valid_to`). The enrichment step every warehouse fact load
+    * runs against a slowly-changing dimension.
+    *
+    * Scale shape: an EQUI-join on the dimension keys with the
+    * validity window as a residual filter — versions per key are few
+    * by construction (one per change), so the fan-out before the
+    * residual is bounded by the version count, never a range-join
+    * blow-up; the dimension broadcasts when small, shuffles on the
+    * key otherwise (Catalyst's choice). Facts dated outside every
+    * version's window (e.g. after their key was deleted) drop —
+    * inner-join semantics, the honest answer for "this key did not
+    * exist then".
+    */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                 factDateCol: String): DataFrame =
+    facts.join(dim, keyCols)
+      .where(col("valid_from") <= col(factDateCol) &&
+             (col("valid_to").isNull || col(factDateCol) < col("valid_to")))
+
   /** Incremental refresh: apply the [[snapshotDiff]] delta between two
     * snapshots onto the old one — delete removed/changed keys, insert
     * the new side's added/changed rows — and land EXACTLY on the new

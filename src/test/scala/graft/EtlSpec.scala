@@ -188,6 +188,21 @@ class EtlSpec extends SparkSpec {
     val current = hist.where(col("is_current")).select("k", "s", "v")
       .as[(Long, String, Double)].collect().toSet
     assert(current == newSnap.as[(Long, String, Double)].collect().toSet)
+
+    // point-in-time lookup: each probe date sees the version in
+    // effect then; a key removed in era 2 matches nothing afterwards
+    val facts = Seq(1L, 2L, 3L, 4L).toDF("k")
+      .withColumn("fact_date", explode(array(
+        to_date(lit("2024-01-15")), to_date(lit("2024-02-15")))))
+    val looked = Etl.scd2Lookup(facts, hist, Seq("k"), "fact_date")
+      .select(col("k"), col("fact_date").cast("string"), col("s"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(looked == Seq(
+      (1L, "2024-01-15", "a"),                           // removed: era 1 only
+      (2L, "2024-01-15", "b"), (2L, "2024-02-15", "B"),  // changed: old then new
+      (3L, "2024-01-15", "c"), (3L, "2024-02-15", "c"),  // unchanged: same both eras
+      (4L, "2024-02-15", "d")),                          // added: era 2 only
+      s"point-in-time lookup mismatch: $looked")
   }
 
   test("applyChangeLog: latest seq wins, deletes drop, inserts land, U beats D on seq tie") {
