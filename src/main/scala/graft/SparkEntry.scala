@@ -1764,6 +1764,25 @@ object SparkEntry {
       s.read.parquet(path).select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
+    // STREAM-maintained cluster map: two-batch document ingest through
+    // foreachBatch over an append-only SIGNATURE STORE — each batch's
+    // docs band-probe the store (cost follows the batch), the pairs
+    // fold into the map via appendClusterDelta; the final map must
+    // hash-match the full-corpus rebuild (the dedup_clusters oracle)
+    "dedup_clusters_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingIndex
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_stream_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${base}_ingest_done").exists()) {
+        StreamingIndex.clusterIngestToCompletion(s,
+          stagedTwoBatchDir(s, dir, "documents", "doc_id"),
+          s"${base}_map", s"${base}_sigs")
+        new java.io.File(s"${base}_ingest_done").mkdirs()
+      }
+      s.read.parquet(s"${base}_map")
+        .select("doc_id", "cluster_id").orderBy("doc_id")
+    }),
+
     // the terminal dedup materialization: the corpus that SURVIVES
     // near-dup clustering (one representative per simhash cluster) —
     // ONE semi-join against the materialized map's roots, no pair
@@ -3318,6 +3337,9 @@ object SparkEntry {
     // must be invisible — components of (old stars ∪ delta pairs)
     // equal a from-scratch rebuild
     "dedup_clusters_upsert" -> clustersSql,
+    // and the streamed form must also be invisible — signature-store
+    // probes batch by batch, same final map
+    "dedup_clusters_stream" -> clustersSql,
 
     "dedup_cluster_reps" ->
       s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),

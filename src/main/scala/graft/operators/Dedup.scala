@@ -446,21 +446,55 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    val banded = simHashBanded(simHashTable(docs, idCol, textCol), maxHamming)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The pigeonhole band explode over a `(doc, sig)` signature table —
+    * shared by the self-join ([[simHashPairs]]) and the probe-join
+    * ([[simHashPairsAgainst]]) forms.
+    */
+  private def simHashBanded(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands
-    val sigs = simHashTable(docs, idCol, textCol)
-    val banded = sigs.select(
+    sigs.select(
       col("doc"), col("sig"),
       explode(transform(sequence(lit(0), lit(nBands - 1)),
         b => struct(b.as("band"),
           call_function("shiftrightunsigned", col("sig"), b * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1)).as("key")))).as("bk"))
       .select(col("doc"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
+  }
+
+  /** SimHash near-dup pairs BETWEEN a probe signature set and a corpus
+    * signature set (probe ⊆ corpus allowed): every returned pair
+    * touches a probe doc, normalized to `doc_a < doc_b`. This is the
+    * incremental-ingest shape — only the NEW docs' band keys probe the
+    * accumulated signature store, so per-batch cost follows the batch,
+    * not the corpus. Completeness is the same pigeonhole argument as
+    * [[simHashPairs]]; signatures come from [[simHashTable]] and are
+    * append-only (a doc's signature never changes), which is what
+    * makes the store maintainable by plain parquet appends.
+    */
+  def simHashPairsAgainst(probeSigs: DataFrame, corpusSigs: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    val pa = simHashBanded(probeSigs, maxHamming)
+    val ca = simHashBanded(corpusSigs, maxHamming)
+    pa.as("a")
+      .join(ca.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+              greatest(col("a.doc"), col("b.doc")).as("doc_b"),
               col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))

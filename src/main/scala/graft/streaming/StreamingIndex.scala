@@ -61,6 +61,48 @@ object StreamingIndex {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Drive near-dup CLUSTER-MAP maintenance from a directory stream —
+    * the dedup twin of the index ingests, built on two append-friendly
+    * artifacts: a SIGNATURE STORE (a doc's simhash never changes, so
+    * new batches append plain parquet) and the cluster map
+    * ([[graft.operators.Dedup.appendClusterDelta]]). Per batch: sign
+    * the new docs, band-probe ONLY them against the accumulated store
+    * ([[graft.operators.Dedup.simHashPairsAgainst]] — cost follows the
+    * batch, not the corpus), fold the new pairs into the map through
+    * the old components' compressed star edges, append the new
+    * signatures. Append-only like the delta operator it wraps: a
+    * re-ingested doc with changed text needs a rebuild.
+    */
+  def clusterIngestToCompletion(spark: SparkSession, srcDir: String,
+                                mapPath: String, sigPath: String,
+                                maxHamming: Int = 3): Unit = {
+    import graft.operators.Dedup
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select("doc_id", "text")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val newSigs = Dedup.simHashTable(batch, "doc_id", "text")
+            .localCheckpoint() // consumed twice: pair probe + store append
+          val built = new java.io.File(s"$sigPath/_SUCCESS").exists()
+          if (!built) {
+            Dedup.writeClusterMap(batch, "doc_id",
+              Dedup.simHashPairsAgainst(newSigs, newSigs, maxHamming), mapPath)
+            newSigs.write.mode("overwrite").parquet(sigPath)
+          } else {
+            val corpusSigs = spark.read.parquet(sigPath).unionByName(newSigs)
+            Dedup.appendClusterDelta(batch.select("doc_id"), "doc_id",
+              Dedup.simHashPairsAgainst(newSigs, corpusSigs, maxHamming), mapPath)
+            newSigs.write.mode("append").parquet(sigPath)
+          }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drive BM25 index maintenance from a directory stream: the first
     * non-empty batch builds the index, every later one upserts via
     * [[graft.operators.TextAnalysis.appendBm25Delta]]. Runs the

@@ -251,6 +251,19 @@ class DedupSpec extends SparkSpec {
       "map-served representatives must equal the direct pipeline")
   }
 
+  test("simHashPairsAgainst: probe form equals the full pair set restricted to probe docs") {
+    val docs = Tables.documents(spark, sf001)
+    val sigs = Dedup.simHashTable(docs, "doc_id", "text")
+    val probeSigs = sigs.where(col("doc") % 5 === 0)
+    val got = Dedup.simHashPairsAgainst(probeSigs, sigs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .where(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == expected,
+      s"probe pairs must be the touching-probe slice of the full pair set (${got.size} vs ${expected.size})")
+  }
+
   test("appendClusterDelta: new docs merge old components through bridges; labels equal full rebuild") {
     val oldDocs = Seq(2L, 3L, 4L, 6L, 7L).toDF("doc_id")
     val oldPairs = Seq((2L, 3L), (6L, 7L)).toDF("doc_a", "doc_b")
