@@ -1044,6 +1044,23 @@ object SparkEntry {
         .orderBy("event_date", "event_type")
     }),
 
+    // snapshot-over-snapshot drift report: the monitoring pass a
+    // daily refresh runs before trusting new data — row/null/distinct
+    // movement plus min/max-changed flags (rendering-stable booleans,
+    // so the float column participates safely)
+    "profile_drift" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+      Profiling.profileDrift(oldSnap, newSnap,
+          Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+        .orderBy("col_name")
+    }),
+
     // ================= profiling / validation ======================
     // one-pass long-format column profile (rows/nulls/ndv/min/max) —
     // the pre-ingest report; columns restricted to engine-stable
@@ -2457,6 +2474,13 @@ object SparkEntry {
       Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // the funnel's per-step conversion summary — users reaching each
+    // step, step-over-step and overall rates; the rank window runs on
+    // the |steps|-row aggregate, never on users
+    "events_funnel_rates" -> ((s, dir) =>
+      Events.funnelRates(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
     // the STREAMING funnel (flatMapGroupsWithState custom keyed state,
     // streaming/StreamingEvents.funnelState) driven over the bounded
     // events fixture to completion: one emitted row per step advance,
@@ -2717,6 +2741,37 @@ object SparkEntry {
         | WHERE CAST(ts AS DATE) <
         |   (SELECT min(CAST(ts AS DATE)) + 7 FROM events)
         | ORDER BY event_id""".stripMargin,
+
+    // two per-snapshot profiles joined on the column-name report;
+    // min/max compare within each engine's own renderings, so only
+    // the booleans cross the engine boundary
+    "profile_drift" -> {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      def arm(src: String) = cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS mn, CAST(max($c) AS VARCHAR) AS mx
+           |  FROM $src""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+         |  FROM orders),
+         | old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+         | new AS (
+         |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         |   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+         |        ELSE o_totalprice END AS o_totalprice
+         |  FROM base WHERE o_orderkey % 3 <> 0),
+         | po AS (${arm("old")}),
+         | pn AS (${arm("new")})
+         | SELECT po.col_name, po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+         |  round(CAST(po.n_nulls AS DOUBLE) / po.n_rows, 6) AS null_ratio_old,
+         |  round(CAST(pn.n_nulls AS DOUBLE) / pn.n_rows, 6) AS null_ratio_new,
+         |  po.n_distinct AS n_distinct_old, pn.n_distinct AS n_distinct_new,
+         |  po.mn IS DISTINCT FROM pn.mn AS min_changed,
+         |  po.mx IS DISTINCT FROM pn.mx AS max_changed
+         | FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin
+    },
 
     "profile_orders" ->
       """SELECT 'o_orderdate' AS col_name, count(*) AS n_rows,
@@ -4308,6 +4363,31 @@ object SparkEntry {
         |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached_step
         | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         | ORDER BY s1.user_id""".stripMargin,
+
+    // the funnel per-user SQL folded to per-step counts + rates
+    "events_funnel_rates" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        | f AS (SELECT s1.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS reached_step
+        | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+        | st AS (SELECT CAST(s AS BIGINT) AS step, count(*) AS n_users
+        |        FROM f, UNNEST(range(1, reached_step + 1)) AS t(s) GROUP BY 1)
+        | SELECT step,
+        |  CASE step WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+        |       ELSE 'purchase' END AS step_name,
+        |  n_users,
+        |  round(CAST(n_users AS DOUBLE)
+        |    / coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6)
+        |    AS conv_from_prev,
+        |  round(CAST(n_users AS DOUBLE)
+        |    / first_value(n_users) OVER (ORDER BY step), 6) AS overall
+        | FROM st ORDER BY step""".stripMargin,
 
     // identical oracle to events_funnel: the streaming twin must land
     // on the same final per-user step table

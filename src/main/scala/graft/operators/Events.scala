@@ -280,6 +280,34 @@ object Events {
       writeDatePartitioned(events, path, tsCol)
   }
 
+  /** Funnel CONVERSION summary — the per-step aggregate every product
+    * dashboard draws over [[funnel]]'s per-user table: users reaching
+    * each step, step-over-step conversion, and overall conversion
+    * from step 1. The heavy work is the funnel itself; this adds one
+    * explode + one ≤|steps|-row aggregate, and the rank window runs
+    * on that constant-size table (single partition by construction,
+    * like RRF fusion — never corpus-sized).
+    */
+  def funnelRates(events: DataFrame, steps: Seq[String],
+                  userCol: String = "user_id", typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reached = funnel(events, steps, userCol, typeCol, tsCol)
+    val perStep = reached
+      .select(explode(sequence(lit(1L), col("reached_step"))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy("step")
+    perStep
+      .withColumn("step_name",
+        element_at(array(steps.map(lit): _*), col("step").cast("int")))
+      .withColumn("conv_from_prev", round(
+        col("n_users") / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
+      .withColumn("overall", round(
+        col("n_users") / first(col("n_users")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .select("step", "step_name", "n_users", "conv_from_prev", "overall")
+  }
+
   /** Daily-cron ingest into a [[writeDatePartitioned]] lake: the
     * delta's days land via DYNAMIC partition overwrite, touching ONLY
     * the `event_date` partitions the delta carries — yesterday's 100

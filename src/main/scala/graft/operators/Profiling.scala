@@ -46,6 +46,39 @@ object Profiling {
                col(s"_mx_$c").as("max_s"))))
   }
 
+  /** Snapshot-over-snapshot DRIFT report — the monitoring step a daily
+    * refresh runs before trusting new data: per column, old/new row
+    * counts, null ratios, exact distinct counts, and whether min/max
+    * moved. Min/max compare WITHIN each profile (null-safe string
+    * equality of one engine's own renderings), so the emitted booleans
+    * are rendering-stable even for floating-point columns where the
+    * strings themselves are not cross-engine comparable.
+    *
+    * Scale shape: two [[profileColumns]] single-pass aggregates (one
+    * per snapshot) joined on the |cols|-row report — corpus-sized work
+    * is exactly two scans, the join is constant-size.
+    */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      profileColumns(df, cols).select(
+        col("col_name"),
+        col("n_rows").as(s"n_rows_$sfx"),
+        col("n_nulls").as(s"_nn_$sfx"),
+        col("n_distinct").as(s"n_distinct_$sfx"),
+        col("min_s").as(s"_mn_$sfx"),
+        col("max_s").as(s"_mx_$sfx"))
+    side(oldDf, "old").join(side(newDf, "new"), "col_name")
+      .select(
+        col("col_name"),
+        col("n_rows_old"), col("n_rows_new"),
+        round(col("_nn_old") / col("n_rows_old"), 6).as("null_ratio_old"),
+        round(col("_nn_new") / col("n_rows_new"), 6).as("null_ratio_new"),
+        col("n_distinct_old"), col("n_distinct_new"),
+        (!(col("_mn_old") <=> col("_mn_new"))).as("min_changed"),
+        (!(col("_mx_old") <=> col("_mx_new"))).as("max_changed"))
+  }
+
   /** Long-format NUMERIC profile: per column, row/null counts, mean,
     * sample standard deviation, min, max. Moments come from EXACT
     * integer sums of values scaled by `scale` (rounded to the nearest

@@ -127,4 +127,38 @@ class ProfilingSpec extends SparkSpec {
       ("yneg", 3L, Some(-1.0)),  // null row dropped from THIS pair only
       ("c", 4L, None)))          // zero variance -> null, not NaN
   }
+
+  test("profileDrift: null-ratio movement, distinct deltas, min/max-changed flags") {
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, Some("c")))
+      .toDF("k", "s")
+    // new snapshot: a null appears, the max k grows, distinct s shrinks
+    val newDf = Seq((1L, Some("a")), (2L, None: Option[String]), (5L, Some("a")))
+      .toDF("k", "s")
+    val got = graft.operators.Profiling.profileDrift(oldDf, newDf, Seq("k", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Double, Double, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("k", 4L, 3L, 0.0, 0.0, 4L, 3L, false, true),      // max 4 -> 5
+      ("s", 4L, 3L, 0.0, 0.333333, 3L, 1L, false, true)), // max c -> a
+      s"drift report mismatch: $got")
+  }
+
+  test("funnelRates: per-step counts and conversion rates from a hand-built funnel") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val e = Seq(
+      (1L, "u1", "view", t(0)), (2L, "u1", "click", t(1)), (3L, "u1", "purchase", t(2)),
+      (4L, "u2", "view", t(0)), (5L, "u2", "click", t(1)),
+      (6L, "u3", "view", t(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Events.funnelRates(e, Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view", 3L, 1.0, 1.0),
+      (2L, "click", 2L, 0.666667, 0.666667),
+      (3L, "purchase", 1L, 0.5, 0.333333)),
+      s"funnel rates mismatch: $got")
+  }
 }
