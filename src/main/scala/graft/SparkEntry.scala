@@ -1781,6 +1781,20 @@ object SparkEntry {
       s.read.parquet(path).select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
+    // the PRODUCTION terminal-dedup policy: keep the HIGHEST-QUALITY
+    // doc per near-dup cluster (not the smallest id) — a third
+    // consumer of the same materialized cluster map, joined with the
+    // text_quality scores; per-cluster rank window, ties on doc_id
+    "dedup_cluster_best" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      val scored = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.keepBestFromMap(scored, "doc_id", "quality_score",
+          simhashClusterMapPath(dir))
+        .select("doc_id", "cluster_id", "quality_score")
+        .orderBy("doc_id")
+    }),
+
     // STREAM-maintained cluster map: two-batch document ingest through
     // foreachBatch over an append-only SIGNATURE STORE — each batch's
     // docs band-probe the store (cost follows the batch), the pairs
@@ -3395,6 +3409,18 @@ object SparkEntry {
     // and the streamed form must also be invisible — signature-store
     // probes batch by batch, same final map
     "dedup_clusters_stream" -> clustersSql,
+
+    // clusters CTE × quality CTE, argmax per cluster (score desc,
+    // doc_id tie) — both component oracles already hash-proven
+    "dedup_cluster_best" ->
+      s"""WITH cl AS (SELECT * FROM ($clustersSql)),
+         | q AS (SELECT doc_id, quality_score FROM (${qualitySql("documents")})),
+         | j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score
+         |       FROM cl JOIN q USING (doc_id))
+         | SELECT doc_id, cluster_id, quality_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+         | WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_reps" ->
       s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),

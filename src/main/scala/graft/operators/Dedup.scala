@@ -652,6 +652,27 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Keep the BEST document per cluster by an arbitrary score column
+    * — the production dedup policy (keep the highest-quality copy,
+    * not the smallest id), served from a materialized
+    * [[writeClusterMap]] map like [[keepRepresentativesFromMap]]:
+    * one equi-join of the scored corpus against the tiny map, then a
+    * rank window PARTITIONED BY cluster_id (per-cluster work, never a
+    * global sort). Ties break on the id, so the winner is
+    * deterministic on rounded scores.
+    */
+  def keepBestFromMap(scoredDocs: DataFrame, idCol: String, scoreCol: String,
+                      mapPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = scoredDocs.sparkSession.read.parquet(mapPath)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val w = Window.partitionBy("cluster_id").orderBy(desc(scoreCol), col(idCol))
+    scoredDocs.join(clusters, Seq(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** The large-star/small-star iteration: returns the converged star
     * edge set (every edge (u, v) has v = u's component minimum) and
     * the number of rounds it took — exposed so tests can assert the

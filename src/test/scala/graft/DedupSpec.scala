@@ -264,6 +264,20 @@ class DedupSpec extends SparkSpec {
       s"probe pairs must be the touching-probe slice of the full pair set (${got.size} vs ${expected.size})")
   }
 
+  test("keepBestFromMap: highest score wins its cluster, ties break on id, singletons survive") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_best_${System.nanoTime()}"
+    Dedup.writeClusterMap(docs, "doc_id", pairs, path)
+    // cluster {1,2}: 2 scores higher; cluster {3,4}: exact tie → min id 3
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (4L, 0.7), (5L, 0.1))
+      .toDF("doc_id", "score")
+    val kept = Dedup.keepBestFromMap(scored, "doc_id", "score", path)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 3L, 5L),
+      s"expected best-per-cluster {2, 3} plus singleton 5, got $kept")
+  }
+
   test("appendClusterDelta: new docs merge old components through bridges; labels equal full rebuild") {
     val oldDocs = Seq(2L, 3L, 4L, 6L, 7L).toDF("doc_id")
     val oldPairs = Seq((2L, 3L), (6L, 7L)).toDF("doc_a", "doc_b")
