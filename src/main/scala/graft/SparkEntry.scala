@@ -1645,6 +1645,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // as-of with a TOLERANCE bound (the feature-store contract: a
+    // view older than an hour is stale context, not attribution) —
+    // same one-window plan, stale matches null out after the pass
+    "join_asof_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+      val views = e.where(col("event_type") === "view")
+      Joins.asOfJoin(purchases, views, Seq("user_id"), "ts", "event_id",
+          Seq("value"), toleranceMs = Some(3600000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("matched.r_event_id").as("view_event_id"),
+                col("matched.r_ts").as("view_ts"))
+        .orderBy("event_id")
+    }),
+
     "join_range" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val clicks = e.where(col("event_type") === "click")
@@ -3324,6 +3339,30 @@ object SparkEntry {
         |     ORDER BY v.ts DESC, v.event_id DESC) AS rn
         |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
         | SELECT event_id, user_id, ts, view_event_id, view_ts
+        |  FROM j WHERE rn = 1
+        | UNION ALL
+        | SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM v
+        |    WHERE v.user_id = p.user_id AND v.ts <= p.ts)
+        | ORDER BY event_id""".stripMargin,
+
+    // join_asof with the last-view match nulled when older than 1 h —
+    // the winner is still the LATEST view (tolerance tightens
+    // acceptance, it does not change who wins)
+    "join_asof_tolerance" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT * FROM events WHERE event_type = 'view'),
+        | j AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |   v.event_id AS view_event_id, v.ts AS view_ts,
+        |   row_number() OVER (PARTITION BY p.event_id
+        |     ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+        | SELECT event_id, user_id, ts,
+        |  CASE WHEN epoch_ms(ts) - epoch_ms(view_ts) <= 3600000
+        |       THEN view_event_id END AS view_event_id,
+        |  CASE WHEN epoch_ms(ts) - epoch_ms(view_ts) <= 3600000
+        |       THEN view_ts END AS view_ts
         |  FROM j WHERE rn = 1
         | UNION ALL
         | SELECT p.event_id, p.user_id, p.ts, NULL, NULL FROM p

@@ -27,10 +27,18 @@ object Joins {
     *
     * `rightPayload` columns come back null when no right row precedes
     * the left row (left-outer semantics).
+    *
+    * `toleranceMs` bounds the lookback (the feature-store as-of
+    * contract: a feature older than the tolerance is stale, not a
+    * match): a carried right row further than `toleranceMs` behind
+    * the left row nulls out — applied AFTER the window pass, so the
+    * plan is unchanged (one shuffle + sort) and only the acceptance
+    * tightens.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, idCol: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               toleranceMs: Option[Long] = None): DataFrame = {
     val payload = struct(
       (Seq(tsCol, idCol) ++ rightPayload).map(c => col(c).as(s"r_$c")): _*)
     // right rows carry (keys, ts, id) under the left's column names so
@@ -43,10 +51,17 @@ object Joins {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val joined = l.unionByName(r, allowMissingColumns = true)
       .withColumn("matched", last(col("r"), ignoreNulls = true).over(w))
       .where(col("side") === 1)
       .drop("side", "r")
+    toleranceMs match {
+      case Some(tol) => joined.withColumn("matched",
+        when(unix_millis(col(tsCol))
+               - unix_millis(col(s"matched.r_$tsCol")) <= tol,
+          col("matched"))) // else null — stale match drops to no-match
+      case None => joined
+    }
   }
 
   /** Range join: all (left, right) pairs with equal keys and

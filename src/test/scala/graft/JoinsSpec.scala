@@ -40,6 +40,21 @@ class JoinsSpec extends SparkSpec {
     assert(got == Seq(2L))
   }
 
+  test("asOfJoin tolerance: stale matches null out, fresh ones survive, winner unchanged") {
+    val l = Seq((10L, 1L, new Timestamp(7200000L)), (11L, 2L, new Timestamp(7200000L)))
+      .toDF("event_id", "k", "ts")
+    // key 1's last right row is 2 h old (stale at 1 h tolerance);
+    // key 2 has a fresh one 30 min back
+    val r = Seq((1L, 1L, new Timestamp(0L)), (2L, 2L, new Timestamp(5400000L)))
+      .toDF("event_id", "k", "ts")
+    val got = Joins.asOfJoin(l, r, Seq("k"), "ts", "event_id", Seq(),
+        toleranceMs = Some(3600000L))
+      .select($"event_id", $"matched.r_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(10L -> None, 11L -> Some(2L)),
+      s"stale match must null, fresh must survive: $got")
+  }
+
   test("rangeJoin: pairs within window, same key, no double counting across bins") {
     val e = events(
       (1L, 7L, "2026-01-01 10:00:00", "click"),
