@@ -132,6 +132,84 @@ object Joins {
       .drop("bucket")
   }
 
+  /** Fuzzy string self-join: all id pairs whose strings are within
+    * Levenshtein distance `maxDist` — the entity-resolution /
+    * record-linkage primitive (near-identical names, typo'd keys).
+    *
+    * NOT a cross join: PassJoin-style pigeonhole segment blocking (Li
+    * et al., ICDE 2011). Each string splits into `maxDist + 1`
+    * contiguous segments; if edit(a, b) <= maxDist then at least one
+    * segment of `a` survives untouched and appears in `b` at a
+    * position shifted by at most `maxDist` (each edit moves later
+    * characters by at most one). So the indexed side emits its
+    * `maxDist + 1` segments keyed by (own length, segment index,
+    * segment text), the probe side emits every admissible substring —
+    * for each assumed partner length within ±maxDist, each segment
+    * slot, each shift in ±maxDist — and the match becomes an
+    * EQUI-join on that composite key plus an exact Levenshtein
+    * residual. Fan-out per row is the constant
+    * (maxDist+1)·(2·maxDist+1)² on the probe side; at 100 TB this is
+    * a shuffled hash join on the segment key, never a cross product.
+    * The residual uses the threshold form of `levenshtein`, which
+    * abandons a pair as soon as its running distance exceeds
+    * `maxDist` (O(maxDist·len) not O(len²) per pair).
+    *
+    * A candidate pair can match through several segments, so pairs
+    * dedupe (one `distinct` on the pair) BEFORE the Levenshtein
+    * verify — each surviving pair is verified once. Strings shorter
+    * than `maxDist + 1` produce empty segments whose keys degrade to
+    * (length, slot) — still correct (the verify filter holds), just
+    * unselective for very short strings.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist <= maxDist.
+    */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String,
+                    maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val m = maxDist + 1
+    val base = df.select(col(idCol).as("fid"), col(strCol).as("fs"))
+      .where(col("fs").isNotNull)
+      .withColumn("flen", length(col("fs")).cast("long"))
+    // indexed side: the m segments of its own string (0-based starts;
+    // substring() is 1-based). Boundary j of length L sits at
+    // floor(j*L/m), so segment lengths differ by at most one.
+    val indexed = base
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("seg_start", floor(col("j") * col("flen") / m))
+      .withColumn("seg_len",
+        floor((col("j") + 1) * col("flen") / m) - col("seg_start"))
+      .withColumn("seg", expr(
+        "substring(fs, cast(seg_start as int) + 1, cast(seg_len as int))"))
+      .select(col("fid").as("id_a"), col("fs").as("s_a"),
+              col("flen").as("len_a"), col("j"), col("seg"))
+    // probe side: for each assumed partner length (±maxDist), each
+    // segment slot of THAT length's scheme, each shift (±maxDist),
+    // the substring of this string at that window — windows that
+    // would run off the string can't hold a full segment and drop.
+    val probe = base
+      .withColumn("dl", explode(sequence(lit(-maxDist), lit(maxDist))))
+      .withColumn("len_a", col("flen") + col("dl"))
+      .where(col("len_a") >= 0)
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("seg_start", floor(col("j") * col("len_a") / m))
+      .withColumn("seg_len",
+        floor((col("j") + 1) * col("len_a") / m) - col("seg_start"))
+      .withColumn("shift", explode(sequence(lit(-maxDist), lit(maxDist))))
+      .withColumn("pos", col("seg_start") + col("shift"))
+      .where(col("pos") >= 0 && col("pos") + col("seg_len") <= col("flen"))
+      .withColumn("seg", expr(
+        "substring(fs, cast(pos as int) + 1, cast(seg_len as int))"))
+      .select(col("fid").as("id_b"), col("fs").as("s_b"),
+              col("len_a"), col("j"), col("seg"))
+    indexed.join(probe, Seq("len_a", "j", "seg"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0) // threshold form yields -1 above maxDist
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Skew-salted equi-join: identical result to `left.join(right,
     * keys)`, but a hot key's rows spread over `numSalts` reducers.
     * The big/skewed side gets a deterministic salt from its row

@@ -100,6 +100,51 @@ class JoinsSpec extends SparkSpec {
     assert(gotBad == brute, "inverted interval must match nothing and change nothing")
   }
 
+  // brute-force reference: every unordered pair within edit distance
+  private def bruteFuzzy(rows: Seq[(Long, String)], maxDist: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= maxDist
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+  }
+
+  test("fuzzySelfJoin: complete vs brute force across subst/insert/delete, k=1 and k=2") {
+    val rows = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "sittin", 4L -> "sitting",
+      5L -> "kitchen", 6L -> "mitten", 7L -> "smitten", 8L -> "bolt",
+      9L -> "boat", 10L -> "bat", 11L -> "unrelatedstring")
+    val df = rows.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = Joins.fuzzySelfJoin(df, "id", "s", maxDist = k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == bruteFuzzy(rows, k), s"k=$k blocking must be lossless")
+    }
+  }
+
+  test("fuzzySelfJoin: pairs matched through several segments appear once") {
+    // identical strings match in every segment slot and shift
+    val df = Seq(1L -> "aaaaaaaa", 2L -> "aaaaaaaa", 3L -> "aaaaaaab").toDF("id", "s")
+    val got = Joins.fuzzySelfJoin(df, "id", "s", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size && got.toSet ==
+      Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("fuzzySelfJoin: short strings (empty segments) still resolve correctly") {
+    val rows = Seq(1L -> "a", 2L -> "b", 3L -> "ab", 4L -> "", 5L -> "abc")
+    val got = Joins.fuzzySelfJoin(rows.toDF("id", "s"), "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteFuzzy(rows, 2))
+  }
+
   test("saltedJoin equals the plain join") {
     val big = (1L to 100L).map(i => (i % 3, i)).toDF("k", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
