@@ -1690,6 +1690,16 @@ object SparkEntry {
         .orderBy("l_user", "l_session", "r_user", "r_session")
     }),
 
+    // fuzzy string self-join (entity resolution): customer names
+    // within edit distance 1 — PassJoin pigeonhole segment blocking,
+    // so the oracle can be the PLAIN quadratic Levenshtein join: the
+    // blocking's losslessness is exactly what the hash check proves
+    "join_fuzzy" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      Joins.fuzzySelfJoin(c, "c_custkey", "c_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     "join_salted" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
         .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
@@ -1892,6 +1902,16 @@ object SparkEntry {
         t(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", threshold = 0.25, nbits = 4, numTables = 16)
         .orderBy("id_a", "id_b")),
+
+    // SemDeDup semantic dedup: kmeans-cell partition, exact cosine
+    // pairs WITHIN cells only, connected components → per-vector
+    // semantic cluster label. The full embedding table participates
+    // (no slice): the cell partition is what bounds the quadratic
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
+          numCells = 8, threshold = 0.3)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")),
 
     // the STREAMING near-dup twin driven through the gate (like
     // events_funnel_stream): per-(table, bucket) keyed state over the
@@ -3402,6 +3422,15 @@ object SparkEntry {
         |  AND l.a <= r.b AND r.a <= l.b
         | ORDER BY l_user, l_session, r_user, r_session""".stripMargin,
 
+    // the quadratic reference join: if the engine's segment blocking
+    // ever lost a true pair, this hash check would catch it
+    "join_fuzzy" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | levenshtein(a.c_name, b.c_name) AS dist
+        | FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1
+        | ORDER BY id_a, id_b""".stripMargin,
+
     "join_salted" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          | ${msum("o_totalprice")} AS total_price
@@ -3629,6 +3658,36 @@ object SparkEntry {
          |  JOIN embeddings ea ON ea.vec_id = id_a
          |  JOIN embeddings eb ON eb.vec_id = id_b)
          | WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    // the cluster_kmeans_step seeding/assignment replay + within-cell
+    // pair join + the clustersSql recursive-reach labeling, composed:
+    // every stage already hash-proven in its own gate
+    "dedup_semantic" ->
+      """WITH RECURSIVE c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 8)),
+        | asg AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid::DOUBLE[]), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | prs AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b
+        |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.id < b.id
+        |  WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 6) >= 0.3),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |           UNION ALL SELECT doc_b, doc_a FROM prs),
+        | reach(id, lab) AS (
+        |   SELECT vec_id, vec_id FROM embeddings
+        |   UNION
+        |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        | SELECT id AS vec_id, min(lab) AS cluster_id
+        | FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "sim_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -801,6 +801,51 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into k-means
+    * cells, compare pairs only WITHIN a cell, connect the
+    * above-threshold pairs, and label every vector with its
+    * component's minimum id — the semantic cluster map whose
+    * non-representative members a curation pipeline drops.
+    *
+    * Determinism contract (what makes the map oracle-checkable):
+    * centroids are the [[Similarity.seedCentroids]] md5-seeded
+    * sample; assignment is argmax cosine ROUNDED to 6 before the
+    * argmax with ties to the greatest cell — the identical audited
+    * arithmetic as `cluster_kmeans_step` / IVF, so the oracle reuses
+    * that replay. Pair acceptance rounds to 6 and excludes NaN
+    * (degenerate vectors never pair), matching
+    * [[embeddingPairsExact]].
+    *
+    * Scale shape: centroid table broadcasts (numCells rows);
+    * assignment is map-only + one argmax aggregate; the pair join is
+    * an equi-join ON cell_id — within-cell quadratic is the
+    * ALGORITHM's contract (SemDeDup picks numCells so cells stay
+    * bounded: cost ~ n²/numCells; at 100 TB you raise numCells, not
+    * the join shape), and the components run on the already-proven
+    * O(log n) large-star/small-star machinery.
+    */
+  def semanticClusters(emb: DataFrame, idCol: String, vecCol: String,
+                       numCells: Int, threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    val centroids = Similarity.seedCentroids(v, "id", numCells)
+    val assigned = v.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy(col("id"))
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+           first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(
+        cosineFromParts(dotD(col("a.vec"), col("b.vec")), col("a.nrm"), col("b.nrm")), 6))
+      .where(!isnan(col("cos")) && col("cos") >= threshold)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    connectedClusters(emb.select(col(idCol)), idCol, pairs)
+  }
+
   /** Embedding near-dup at scale: hyperplane-LSH bucket join, exact
     * cosine verification within buckets only. Multiple independent
     * bucket tables (numTables) recover recall lost to bit boundaries.

@@ -76,6 +76,41 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("semanticClusters: planted near-dups cluster, separated directions stay singletons") {
+    // two tight direction bundles + one outlier; with enough cells the
+    // bundles land wherever their argmax says, but each bundle's
+    // members must share a component labeled by its min id
+    val e = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.0f)), (2L, Seq(0.99f, 0.0f, 0.01f)),
+      (3L, Seq(0.98f, 0.01f, 0.02f)),                  // bundle A → cluster 1
+      (10L, Seq(0.0f, 1.0f, 0.03f)), (11L, Seq(0.01f, 0.97f, 0.0f)), // bundle B → 10
+      (20L, Seq(0.0f, 0.02f, -1.0f)))                  // outlier → singleton
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticClusters(e, "vec_id", "embedding",
+        numCells = 2, threshold = 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L, s"outlier must stay its own cluster: $got")
+  }
+
+  test("semanticClusters: a cross-cell near-dup pair is NOT connected (the cell partition is the contract)") {
+    // two antipodal-ish cells; vectors near the boundary that would
+    // pair under a global quadratic stay separate when assigned to
+    // different cells — SemDeDup's documented approximation
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.1f)),
+      (3L, Seq(0.6f, 0.8f)), (4L, Seq(0.55f, 0.83f)))
+      .toDF("vec_id", "embedding")
+    val all = Dedup.semanticClusters(e, "vec_id", "embedding",
+        numCells = 2, threshold = 0.95)
+      .as[(Long, Long)].collect().toMap
+    // 3 and 4 are near-identical: same component iff same cell; every
+    // label is a member id and labels never exceed their member
+    assert(all.values.toSet.subsetOf(all.keySet))
+    assert(all.forall { case (id, lab) => lab <= id })
+  }
+
   test("jaccard df-cut drops hot shingles; oracle callers can disable it") {
     val d = docs(
       (1L, "common shingle text one"), (2L, "common shingle text two"),
