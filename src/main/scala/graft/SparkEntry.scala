@@ -2197,6 +2197,32 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // two-stage retrieval: IVF-PQ candidates at depth 50, exact float
+    // re-rank to 5 — the faiss IndexRefineFlat standard; only
+    // candidates' raw vectors are ever fetched
+    "sim_ivfpq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqRerankTopK(e, e.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, kCand = 50)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // the refine step's recall gain vs plain sim_ivfpq_recall is
+    // itself hash-checked (same exact-top-k yardstick)
+    "sim_ivfpq_rerank_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val rr = Similarity.ivfPqRerankTopK(e, q, "vec_id", "embedding",
+          k = 5, kCand = 50)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(rr, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // PQ with TRAINED codebooks (2 per-subspace Lloyd iterations, the
     // writeIvfIndex(trainIters) idea applied to product quantization)
     // measured against the same exact top-k — training is the quality
@@ -3905,6 +3931,63 @@ object SparkEntry {
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
 
     "sim_ivfpq_recall" -> ivfPqSql(pqRecallTail),
+
+    // two-stage refine: candidates = PQ-scored top-50, re-scored on
+    // the raw float vectors, re-ranked to 5
+    "sim_ivfpq_rerank" -> ivfPqSql(
+      """ , cand AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rnk
+        |   FROM pairs)
+        |  WHERE rnk <= 50),
+        | rer AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |   round(list_cosine_similarity(cc.vec, q.vec), 6) AS score
+        |  FROM cand JOIN c cc ON cc.id = cand.corpus_id
+        |  JOIN c q ON q.id = cand.query_id)
+        | SELECT query_id, corpus_id, score, rnk FROM (
+        |  SELECT query_id, corpus_id, score,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, corpus_id) AS rnk FROM rer)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+
+    // refine recall vs the same exact yardstick: the pq CTE of
+    // pqRecallTail replaced by the re-ranked top-5
+    "sim_ivfpq_rerank_recall" -> ivfPqSql(
+      """ , cand AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rnk
+        |   FROM pairs)
+        |  WHERE rnk <= 50),
+        | rer AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |   round(list_cosine_similarity(cc.vec, q.vec), 6) AS score
+        |  FROM cand JOIN c cc ON cc.id = cand.corpus_id
+        |  JOIN c q ON q.id = cand.query_id),
+        | pq AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rnk FROM rer)
+        |  WHERE rnk <= 5),
+        | ex AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.id AS query_id, c.id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.id
+        |      ORDER BY round(list_cosine_similarity(c.vec, q.vec), 6) DESC,
+        |               c.id) AS rnk
+        |   FROM c, (SELECT * FROM c WHERE id < 8) q
+        |   WHERE c.id <> q.id)
+        |  WHERE rnk <= 5)
+        | SELECT ex.query_id,
+        |  round(sum(CASE WHEN pq.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+        | FROM ex LEFT JOIN pq
+        |   ON ex.query_id = pq.query_id AND ex.corpus_id = pq.corpus_id
+        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
 
     // the TRAINED codebooks (2 per-subspace Lloyd iterations) against
     // the same exact top-k — the measured quality gain of training,

@@ -517,6 +517,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Two-stage retrieval: [[ivfPqTopK]] generates `kCand` candidates
+    * per query from the compressed (cell id + PQ codes)
+    * representation, then ONLY those candidates' raw float vectors
+    * are fetched and exactly re-ranked to the final `k` — the
+    * faiss `IndexRefineFlat` / production-ANN standard. PQ
+    * reconstruction error costs recall at the top of the list; the
+    * refine step buys it back while still touching `kCand` (not
+    * |corpus|) raw vectors per query.
+    *
+    * 100 TB shape: stage 1 never reads raw vectors (nprobe cells of
+    * 6 B codes); stage 2 is a semi-join-sized fetch — |queries|·kCand
+    * id lookups against the (id-partitioned) vector store, then a
+    * bounded per-query window. The refine join keys on corpus_id, so
+    * it shuffles candidate ids, never the corpus.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      kCand: Int = 50, numCells: Int = 16, nprobe: Int = 4,
+                      m: Int = 8, ksub: Int = 64, dim: Int = 64): DataFrame = {
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, kCand,
+        numCells, nprobe, m, ksub, dim)
+      .select(col("query_id"), col("corpus_id"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+    val scored = cand
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** Materialize the IVF index: the corpus written to parquet
     * PARTITIONED BY cell_id (same deterministic assignment as
     * [[ivfTopK]]), centroids in a SIBLING `<path>_centroids` directory

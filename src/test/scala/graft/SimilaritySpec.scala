@@ -303,4 +303,26 @@ class SimilaritySpec extends SparkSpec {
       s"probing every cell ($wide) must not lose to 2 cells ($narrow)")
   }
 
+  test("ivf-pq rerank: exact scores on candidates, recall >= plain ivf-pq") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (qq, c, s, _) => (qq, c) -> s }.toMap
+    val rr = Similarity.ivfPqRerankTopK(e, q, "vec_id", "embedding", k = 5, kCand = 50)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rr.length == 40 && rr.forall { case (qq, c, _, _) => qq != c })
+    // stage-2 scores are EXACT cosines: any returned pair that the
+    // brute-force top-5 also contains must carry the identical score
+    rr.foreach { case (qq, c, s, _) =>
+      exact.get((qq, c)).foreach(es => assert(es == s,
+        s"rerank score $s != exact $es for ($qq,$c)")) }
+    val plain = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rrSet = rr.map(r => (r._1, r._2)).toSet
+    val exSet = exact.keySet
+    assert((exSet & rrSet).size >= (exSet & plain).size,
+      s"refine must not lose recall: rerank ${(exSet & rrSet).size} vs plain ${(exSet & plain).size}")
+  }
+
 }
