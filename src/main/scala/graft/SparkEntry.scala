@@ -390,6 +390,50 @@ object SparkEntry {
       |           UNION SELECT DISTINCT dst AS node FROM e),
       | n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes)""".stripMargin
 
+  // ---- SSSP SQL twin: `iters` unrolled Bellman-Ford rounds over the
+  // transition graph — edge len = round(1/count, 9), each relaxation
+  // rounds before the min, NULL plays infinity. ----------------------
+  private def ssspSql(source: String, iters: Int): String = {
+    val head = graphSqlHead +
+      s""",
+         | el AS MATERIALIZED (SELECT src, dst, round(1.0 / w, 9) AS len FROM e),
+         | t0 AS MATERIALIZED (SELECT node,
+         |   CASE WHEN node = '$source' THEN 0.0 END AS dist FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | c$i AS MATERIALIZED (SELECT el.dst AS node,
+         |   min(round(d.dist + el.len, 9)) AS cand
+         |  FROM el JOIN t${i - 1} d ON el.src = d.node
+         |  WHERE d.dist IS NOT NULL GROUP BY 1),
+         | t$i AS MATERIALIZED (SELECT d.node,
+         |   CASE WHEN d.dist IS NULL THEN c.cand
+         |        WHEN c.cand IS NULL THEN d.dist
+         |        WHEN c.cand < d.dist THEN c.cand ELSE d.dist END AS dist
+         |  FROM t${i - 1} d LEFT JOIN c$i c ON d.node = c.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\n SELECT node, round(dist, 6) AS dist FROM t$iters ORDER BY node"
+  }
+
+  // ---- triangle-count SQL twin: the oracle enumerates triangles by
+  // LEXICOGRAPHIC a<b<c over the canonical undirected support while
+  // the engine uses degree-ordered orientation — the hash match
+  // proves both enumerations visit each triangle exactly once.
+  // Node set = endpoints of the de-looped support (both engines). ----
+  private val triangleSql: String = graphSqlHead +
+    """,
+      | und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |       FROM e WHERE src <> dst),
+      | unodes AS MATERIALIZED (SELECT a AS node FROM und UNION SELECT b FROM und),
+      | tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      | m AS (SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+      | c AS (SELECT node, count(*) AS t FROM m GROUP BY 1)
+      | SELECT n.node, CAST(coalesce(c.t, 0) AS BIGINT) AS triangles
+      | FROM unodes n LEFT JOIN c ON n.node = c.node ORDER BY n.node""".stripMargin
+
   // ---- HITS SQL twin: `iters` unrolled rounds, each half-round
   // L1-normalized and re-rounded to 9 decimals — the Graph.hits
   // contract, replayed. ---------------------------------------------
@@ -1294,6 +1338,27 @@ object SparkEntry {
       Graph.pageRank(transitionEdges(t(s, dir, "events")), "src", "dst", "w",
           iters = 5)
         .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")),
+
+    // weighted SSSP over the same graph: fewest-expected-steps
+    // distance from the funnel entry ('signup'), edge length =
+    // round(1/count, 9) so frequent transitions are cheap — Bellman-
+    // Ford rounds replayed by the oracle like the other iteratives
+    "events_shortest_paths" -> ((s, dir) => {
+      val e = transitionEdges(t(s, dir, "events"))
+        .select(col("src"), col("dst"), round(lit(1.0) / col("w"), 9).as("len"))
+      Graph.shortestPaths(e, "src", "dst", "len", lit("signup"), iters = 4)
+        .select(col("node"), round(col("dist"), 6).as("dist"))
+        .orderBy("node")
+    }),
+
+    // per-node triangle counts over the undirected support of the
+    // transition graph — engine orients edges by (degree, node) rank
+    // so each triangle is generated at exactly one node; the oracle
+    // enumerates lexicographically, so the hash match proves both
+    // enumerations lossless
+    "events_triangles" -> ((s, dir) =>
+      Graph.triangleCount(transitionEdges(t(s, dir, "events")), "src", "dst")
         .orderBy("node")),
 
     // weighted HITS over the same graph: hub scores rank the types
@@ -4252,6 +4317,10 @@ object SparkEntry {
     },
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
+
+    "events_shortest_paths" -> ssspSql(source = "signup", iters = 4),
+
+    "events_triangles" -> triangleSql,
 
     "events_hits" -> hitsSql(iters = 5),
 

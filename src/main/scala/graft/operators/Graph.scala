@@ -220,6 +220,131 @@ object Graph {
     out
   }
 
+  /** Weighted single-source shortest paths by synchronous
+    * Bellman-Ford rounds: dist'(v) = min(dist(v), min over in-edges
+    * u→v of dist(u) + len(u, v)), `iters` rounds (paths up to `iters`
+    * hops — run ≥ graph diameter rounds for the fixed point).
+    * Unreached nodes carry NULL (the engine-neutral infinity: no
+    * sentinel value can collide with a real distance).
+    *
+    * Determinism contract ([[pageRank]]'s): edge lengths arrive
+    * already engine-exact from the caller (e.g. round(1/count, 9));
+    * each relaxation rounds dist + len to 9 BEFORE the min, so every
+    * round's inputs are bit-identical cross-engine and min/least are
+    * exact. The DuckDB oracle replays rounds as MATERIALIZED CTEs.
+    *
+    * Scale shape: edges repartition once on src and cache; each round
+    * shuffles the |V|-row frontier into that layout and takes one
+    * min-aggregate keyed by dst (map-side partial min first). The
+    * distance table is consumed twice per round (relaxation + fold) —
+    * same eager per-round |V|-row localCheckpoint as [[pageRank]].
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    lenCol: String, source: org.apache.spark.sql.Column,
+                    iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(lenCol).cast("double").as("len"))
+      .repartition(col("src"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    var dist = nodes.select(col("node"),
+      when(col("node") === source, lit(0.0))
+        .otherwise(lit(null).cast("double")).as("dist"))
+    for (_ <- 1 to iters) {
+      val relax = e
+        .join(dist.where(col("dist").isNotNull).withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(round(col("dist") + col("len"), 9)).as("cand"))
+      val next = dist.join(relax, Seq("node"), "left")
+        .select(col("node"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+      val prev = dist
+      dist = next.localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = dist.select(col("node"), col("dist")).localCheckpoint()
+    unpersistBacking(dist)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-node triangle counts by degree-ordered edge orientation
+    * (the Cohen / node-iterator++ MapReduce algorithm). Directions
+    * and self-loops are discarded first (a triangle is a property of
+    * the undirected support); each canonical edge is then oriented
+    * from the endpoint of LOWER (degree, node) rank to the higher, so
+    * every wedge — and therefore every triangle — is generated at
+    * exactly one node. Nodes in no triangle report 0.
+    *
+    * Scale shape: orientation bounds every node's out-degree by
+    * O(√|E|) (a node of degree d only keeps out-edges to
+    * higher-ranked neighbors, and fewer than √|E| nodes can have
+    * degree ≥ √|E|), so the wedge self-join — the quadratic step of
+    * naive triangle counting — generates O(|E|^1.5) wedge rows
+    * total instead of Σd² on the raw adjacency; the hub that breaks
+    * naive counting (a degree-10⁶ node would emit 10¹² wedges)
+    * contributes NO wedges because almost all its edges point at it.
+    * Wedges close via one equi-join against the oriented edge list;
+    * counts are exact integers, so oracle parity is arithmetic-free —
+    * the DuckDB twin enumerates triangles by lexicographic a<b<c
+    * instead, and the hash match proves both enumerations visit each
+    * triangle exactly once.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+              greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+      .persist()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total rank order: (deg, node) — ties broken by node id so the
+    // orientation is a strict total order and no edge is kept twice
+    val ra = deg.select(col("node").as("a"), col("deg").as("deg_a"))
+    val rb = deg.select(col("node").as("b"), col("deg").as("deg_b"))
+    val fwd = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = und.join(ra, "a").join(rb, "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("x"),
+        when(fwd, col("b")).otherwise(col("a")).as("y"),
+        // carry y's rank so the wedge pair (y, z) below orders
+        // without re-joining degrees
+        when(fwd, struct(col("deg_b").as("d"), col("b").as("n")))
+          .otherwise(struct(col("deg_a").as("d"), col("a").as("n"))).as("rank_y"))
+      .repartition(col("x"))
+      .persist()
+    // wedges at x: out-neighbor pairs (y, z) with rank(y) < rank(z);
+    // the triangle closes iff oriented edge y→z exists
+    val e1 = oriented.select(col("x"), col("y"), col("rank_y"))
+    val e2 = oriented.select(col("x"), col("y").as("z"), col("rank_y").as("rank_z"))
+    val tris = e1.join(e2, "x")
+      .where(col("rank_y") < col("rank_z"))
+      .join(oriented.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"),
+            "left_semi")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val out = nodes.join(tris, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint()
+    und.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    out
+  }
+
   private[operators] def unpersistBacking(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

@@ -67,6 +67,55 @@ class GraphSpec extends SparkSpec {
       s"triangles must keep their own min labels across the weak bridge, got $got")
   }
 
+  test("shortestPaths: relaxes multi-hop paths and prefers the cheaper route") {
+    // s->a->t costs 1+1=2, s->t direct costs 5; b is unreachable from s.
+    val edges = Seq(
+      ("s", "a", 1.0), ("a", "t", 1.0), ("s", "t", 5.0),
+      ("b", "s", 1.0)).toDF("src", "dst", "len")
+    val got = Graph.shortestPaths(edges, "src", "dst", "len", lit("s"), iters = 4)
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("s").contains(0.0))
+    assert(got("a").contains(1.0))
+    assert(got("t").contains(2.0), s"multi-hop must beat the direct edge, got ${got("t")}")
+    assert(got("b").isEmpty, "unreachable node must stay NULL (infinity)")
+  }
+
+  test("shortestPaths: iters bounds hop count — a path longer than iters stays unrelaxed") {
+    val chain = Seq(("n0", "n1", 1.0), ("n1", "n2", 1.0), ("n2", "n3", 1.0))
+      .toDF("src", "dst", "len")
+    val short = Graph.shortestPaths(chain, "src", "dst", "len", lit("n0"), iters = 2)
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(short("n2").contains(2.0) && short("n3").isEmpty)
+    val full = Graph.shortestPaths(chain, "src", "dst", "len", lit("n0"), iters = 3)
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(full("n3").contains(3.0))
+  }
+
+  test("triangleCount: counts per node; direction, duplicates, and self-loops ignored") {
+    // triangle a-b-c plus a pendant d off a; edge a->b also appears
+    // reversed and duplicated, a has a self-loop — none may change counts
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "b"),
+      ("b", "c"), ("c", "a"), ("a", "d"), ("a", "a")).toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L), s"got $got")
+  }
+
+  test("triangleCount: K4 gives every node C(3,2)=3 triangles; hub-and-spoke gives zero") {
+    val k4 = (for {
+      Seq(u, v) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (u, v)).toDF("src", "dst")
+    val gotK4 = Graph.triangleCount(k4, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotK4.values.toSet == Set(3L), s"K4 must give 3 per node, got $gotK4")
+    // star: the hub's neighbors never interconnect — no triangles anywhere
+    val star = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val gotStar = Graph.triangleCount(star, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotStar.values.forall(_ == 0L), s"star has no triangles, got $gotStar")
+  }
+
   test("labelPropagation: sync schedule is deterministic, including the known pair oscillation") {
     // a lone pair swaps labels every sync round (the documented
     // GraphX-LPA bipartite oscillation) — the point is that the
