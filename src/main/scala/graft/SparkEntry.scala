@@ -2445,6 +2445,16 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // image tiling: stub-decoded (width, height), then the REAL 2-D
+    // grid plumbing — 256x256 tiles with 64 px overlap, edge tiles
+    // clamped, exact pixel extents (the tiled-inference control plane)
+    "mm_image_tiles" -> ((s, dir) => {
+      val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
+      Multimodal.imageTiles(Multimodal.extractMeta(docs, "doc_id"),
+          tileW = 256, tileH = 256, overlap = 64)
+        .orderBy("doc_id", "tile_row", "tile_col")
+    }),
+
     "mm_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -4483,6 +4493,27 @@ object SparkEntry {
         |  ((least(start_ms + 10000, duration_ms) - start_ms) * sample_rate) // 1000
         |    AS n_samples
         | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // replays the stub image probe (md5-derived width/height) and the
+    // tile-grid arithmetic: starts = range(0, dim, tile − overlap),
+    // extents clamped to the border, exact pixel areas
+    "mm_image_tiles" ->
+      """WITH m AS (
+        | SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        | FROM documents),
+        | d AS (
+        | SELECT doc_id, 16 + h % 1920 AS width, 16 + (h // 7) % 1080 AS height
+        | FROM m),
+        | gx AS (
+        | SELECT doc_id, width, height, x AS x0
+        | FROM d, UNNEST(range(0, width, 192)) AS tx(x)),
+        | g AS (
+        | SELECT doc_id, width, height, x0, y AS y0
+        | FROM gx, UNNEST(range(0, height, 192)) AS ty(y))
+        | SELECT doc_id, x0 // 192 AS tile_col, y0 // 192 AS tile_row, x0, y0,
+        |  least(x0 + 256, width) AS x1, least(y0 + 256, height) AS y1,
+        |  (least(x0 + 256, width) - x0) * (least(y0 + 256, height) - y0) AS n_px
+        | FROM g ORDER BY doc_id, tile_row, tile_col""".stripMargin,
 
     "mm_resize_plan" ->
       """WITH m AS (

@@ -149,6 +149,43 @@ object Multimodal {
           * col("sample_rate") / 1000).cast("long").as("n_samples"))
   }
 
+  /** Overlapping tile grid over the (stub-)decoded image dimensions —
+    * the 2-D analogue of [[audioChunks]] and the control plane of
+    * tiled inference (SAM-style sliding windows, ViT patching with a
+    * stride): tile (r, c) covers
+    * [c·(tileW−overlap), min(c·(tileW−overlap)+tileW, width)) ×
+    * [r·(tileH−overlap), min(r·(tileH−overlap)+tileH, height)), one
+    * row per tile with its exact pixel extents and area. Pure column
+    * math off extractMeta's metadata (two sequence explodes — map-only,
+    * no shuffle, no decode): the crop rectangles are what a real tiler
+    * feeds to the codec; the pixel slice itself is the stubbed step.
+    * Edge tiles clamp to the image border (no padding — padding policy
+    * belongs to the model-side collate, not the data plane).
+    */
+  def imageTiles(meta: Dataset[MediaMeta], tileW: Int, tileH: Int,
+                 overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < tileW && overlap < tileH,
+      s"overlap must sit inside the tile: overlap=$overlap tile=${tileW}x$tileH")
+    val stepX = (tileW - overlap).toLong
+    val stepY = (tileH - overlap).toLong
+    meta.toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              explode(sequence(lit(0L), col("width").cast("long") - 1,
+                               lit(stepX))).as("x0"))
+      .select(col("doc_id"), col("width"), col("height"), col("x0"),
+              explode(sequence(lit(0L), col("height") - 1, lit(stepY))).as("y0"))
+      .select(
+        col("doc_id"),
+        (col("x0") / stepX).cast("long").as("tile_col"),
+        (col("y0") / stepY).cast("long").as("tile_row"),
+        col("x0"), col("y0"),
+        least(col("x0") + tileW, col("width")).as("x1"),
+        least(col("y0") + tileH, col("height")).as("y1"),
+        ((least(col("x0") + tileW, col("width")) - col("x0")) *
+         (least(col("y0") + tileH, col("height")) - col("y0"))).as("n_px"))
+  }
+
   /** Deterministic frame sampling plan for video-like media: every
     * k-th frame index up to n_frames — pure column math, no decode.
     */

@@ -88,6 +88,18 @@ class PlanShapeSpec extends SparkSpec {
       "probe + chunk explode must stream through the scan with no shuffle")
   }
 
+  test("image tiling is map-only — zero shuffles (mm_image_tiles)") {
+    import spark.implicits._
+    val docs = graft.operators.Multimodal.withPayload(
+      Tables.documents(spark, sf001), "text")
+    val p = graft.operators.Multimodal.imageTiles(
+        graft.operators.Multimodal.extractMeta(docs, "doc_id"),
+        tileW = 256, tileH = 256, overlap = 64)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"),
+      "probe + two grid explodes must stream through the scan with no shuffle")
+  }
+
   test("batch BM25 ranks per query — no global sort, window keyed by query_id") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)

@@ -222,4 +222,28 @@ class StreamingSpec extends SparkSpec {
       Multimodal.audioChunks(meta, chunkMs = 1000L, overlapMs = 1000L)
     }
   }
+
+  test("image tiles: overlapping grid covers the image, edge tiles clamped, exact areas") {
+    // 500x300 image, 256x256 tiles, 64 overlap → starts every 192 px:
+    // x0 ∈ {0, 192, 384}, y0 ∈ {0, 192}
+    val meta = Seq(Multimodal.MediaMeta(1L, "image/png", 10L, "x",
+      500, 300, 1, Array.empty[Float])).toDS()
+    val got = Multimodal.imageTiles(meta, tileW = 256, tileH = 256, overlap = 64)
+      .orderBy("tile_row", "tile_col")
+      .select("tile_row", "tile_col", "x0", "y0", "x1", "y1", "n_px")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 0L, 256L, 256L, 65536L),
+      (0L, 1L, 192L, 0L, 448L, 256L, 65536L),
+      (0L, 2L, 384L, 0L, 500L, 256L, 29696L),
+      (1L, 0L, 0L, 192L, 256L, 300L, 27648L),
+      (1L, 1L, 192L, 192L, 448L, 300L, 27648L),
+      (1L, 2L, 384L, 192L, 500L, 300L, 12528L)),
+      s"hand-computed tile grid mismatch: $got")
+    // a tile fully inside the image keeps the full area; the corner
+    // tile is clamped in BOTH dimensions
+    intercept[IllegalArgumentException] {
+      Multimodal.imageTiles(meta, tileW = 64, tileH = 64, overlap = 64)
+    }
+  }
 }
