@@ -1776,6 +1776,25 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // bloom-prefiltered fact join: urgent recent orders' keys build a
+    // bloom sketch that cuts lineitem down BEFORE its shuffle — the
+    // manual runtime-row-filter pattern; the exact join that follows
+    // removes the false-positive sliver, so the oracle is the PLAIN
+    // join (the prefilter must be result-invisible)
+    "join_bloom_prefilter" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+               col("o_orderdate") >= lit("1995-01-01"))
+        .select("o_orderkey", "o_orderpriority")
+      Joins.bloomPrefilterJoin(t(s, dir, "lineitem"), "l_orderkey",
+          urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+             Analytics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+               .as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // ================= dedup family ================================
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
@@ -3537,6 +3556,15 @@ object SparkEntry {
          | ${msum("o_totalprice")} AS total_price
          | FROM orders JOIN customer ON o_custkey = c_custkey
          | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the PLAIN join — the bloom prefilter must be result-invisible
+    "join_bloom_prefilter" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         | ${msum("l_extendedprice*(1-l_discount)", 4)} AS revenue
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_orderpriority = '1-URGENT'
+         |   AND o_orderdate >= DATE '1995-01-01'
+         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "text_langid" -> s"${langidSql("documents")}\n ORDER BY doc_id",
 

@@ -224,4 +224,45 @@ object Joins {
     val r = small.withColumn("salt", explode(sequence(lit(0), lit(numSalts - 1))))
     l.join(r, keyCols :+ "salt").drop("salt")
   }
+
+  /** Bloom-prefiltered equi-join: identical result to
+    * `big.join(small, bigKey === smallKey)`, but the BIG side is cut
+    * down BEFORE its shuffle by a bloom filter built from the small
+    * side's keys — the manual form of Spark's runtime row-level
+    * filter (SPARK-32268), for when the small side is the output of a
+    * pipeline the optimizer won't inject a runtime filter through.
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling only the ~selectivity fraction that can
+    * possibly match (plus the bloom's false-positive sliver, removed
+    * by the exact join that follows — which is why the oracle is the
+    * PLAIN join: the prefilter must be result-invisible).
+    *
+    * The sketch is one `numBits`-bit aggregate row (map-side partial
+    * merge, constant size regardless of |small|) collected to the
+    * driver and re-embedded as a LITERAL, so the probe on the big side
+    * stays codegen'd ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * requires a constant filter) — a control-plane collect of
+    * numBits/8 bytes, the same thing Spark's own runtime filter ships
+    * to executors as a subquery result.
+    */
+  def bloomPrefilterJoin(big: DataFrame, bigKey: String,
+                         small: DataFrame, smallKey: String,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bfAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(smallKey))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bfBytes = small.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    // empty small side → null sketch → nothing can match
+    val pre =
+      if (bfBytes == null) big.where(lit(false))
+      else big.where(ColumnBridge.column(BloomFilterMightContain(
+        Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col(bigKey))))))
+    pre.join(small, pre(bigKey) === small(smallKey))
+  }
 }

@@ -154,4 +154,27 @@ class JoinsSpec extends SparkSpec {
       .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
     assert(salted == plain)
   }
+
+  test("bloomPrefilterJoin equals the plain join — false positives removed, misses dropped") {
+    val big = (1L to 1000L).map(i => (i, s"row$i")).toDF("bk", "payload")
+    // small side hits only 1% of big keys — the prefilter's sweet spot
+    val small = (1L to 10L).map(i => (i * 100L, s"dim${i}")).toDF("sk", "name")
+    val plain = big.join(small, col("bk") === col("sk"))
+      .select("bk", "payload", "name")
+      .as[(Long, String, String)].collect().toSet
+    val bloomed = Joins.bloomPrefilterJoin(big, "bk", small, "sk",
+        expectedItems = 100L, numBits = 4096L)
+      .select("bk", "payload", "name")
+      .as[(Long, String, String)].collect().toSet
+    assert(bloomed == plain, "prefilter must be result-invisible")
+    // keys in small but absent from big contribute nothing
+    val smallMiss = Seq((99999L, "ghost")).toDF("sk", "name")
+    assert(Joins.bloomPrefilterJoin(big, "bk", smallMiss, "sk").count() == 0)
+  }
+
+  test("bloomPrefilterJoin: empty small side yields an empty result, not a crash") {
+    val big = Seq((1L, "a")).toDF("bk", "payload")
+    val small = Seq.empty[(Long, String)].toDF("sk", "name")
+    assert(Joins.bloomPrefilterJoin(big, "bk", small, "sk").count() == 0)
+  }
 }

