@@ -1579,6 +1579,25 @@ object SparkEntry {
                   .as("within_5pct"))
         .orderBy("l_returnflag")),
 
+    // the MERGE side of the sketch story: per-(type, day) HLL sketches
+    // (the daily-cron fine table) roll up to per-type distinct users
+    // WITHOUT re-touching raw events — sketches merge associatively,
+    // counts don't, which is why the fine table stores sketches. Gated
+    // boolean-bound like agg_approx_distinct: exact count + "merged
+    // estimate within ±5%", oracle emits exact + literal TRUE
+    "agg_sketch_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val approx = Analytics.distinctSketchRollup(ev,
+        fineKeys = Seq("event_type", "day"), coarseKeys = Seq("event_type"),
+        valueCol = "user_id")
+      ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_users"))
+        .join(approx, "event_type")
+        .select(col("event_type"), col("n_users"),
+                (abs(col("n_approx") - col("n_users")) <= col("n_users") * 0.05)
+                  .as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
     // sketch twin of agg_percentiles: approx_percentile (the
     // mergeable KLL-style quantile sketch) vs the exact interpolated
     // percentile, gated the same boolean-bound way (±0.5 quantity
@@ -3399,6 +3418,13 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
         | TRUE AS within_half_unit
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact distinct + literal TRUE — an out-of-bound merged sketch
+    // flips the boolean on the Spark side and fails the hash loudly
+    "agg_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | TRUE AS within_5pct
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_pivot" ->
       """SELECT o_orderstatus,

@@ -449,4 +449,26 @@ object Analytics {
               round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"),
               col("nation_volume"), col("total_volume"))
       .orderBy("o_year")
+
+  /** Warehouse sketch-rollup: distinct-count sketches built at a FINE
+    * grain (e.g. per type × day, the daily-cron output), merged upward
+    * to a coarser grain without touching the raw rows again — the
+    * pre-aggregated-sketch pattern that makes month/quarter distinct
+    * counts O(|groups|) instead of a re-scan of 100 TB of raw events.
+    * Built on the Apache DataSketches HLL aggregates
+    * (`hll_sketch_agg` / `hll_union_agg`): unlike exact distinct
+    * counts, sketches MERGE associatively, which is the whole reason
+    * a sketch (not a count) is what the fine table must store.
+    * Returns one row per coarse group with the merged estimate;
+    * callers bound it against the exact count (the boolean-bound gate
+    * contract — sketches are gated honestly, never pretended exact).
+    */
+  def distinctSketchRollup(df: DataFrame, fineKeys: Seq[String],
+                           coarseKeys: Seq[String], valueCol: String,
+                           lgK: Int = 14): DataFrame = {
+    val fine = df.groupBy(fineKeys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+    fine.groupBy(coarseKeys.map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_approx"))
+  }
 }

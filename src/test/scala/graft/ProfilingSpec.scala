@@ -161,4 +161,27 @@ class ProfilingSpec extends SparkSpec {
       (3L, "purchase", 1L, 0.5, 0.333333)),
       s"funnel rates mismatch: $got")
   }
+
+  test("distinctSketchRollup: merging fine sketches equals sketching the union; exact at small cardinality") {
+    import org.apache.spark.sql.functions._
+    // users overlap ACROSS days — a count rollup would double-count
+    // (g=a days sum to 5 rows but only 3 distinct users)
+    val df = Seq(
+      ("a", "d1", 10L), ("a", "d1", 11L), ("a", "d2", 10L),
+      ("a", "d2", 12L), ("a", "d3", 11L),
+      ("b", "d1", 20L), ("b", "d2", 20L)
+    ).toDF("g", "day", "u")
+    val merged = graft.operators.Analytics
+      .distinctSketchRollup(df, Seq("g", "day"), Seq("g"), "u")
+      .as[(String, Long)].collect().toMap
+    // sparse-mode HLL is exact at these cardinalities, so the merged
+    // estimate must equal the true distinct count — and in particular
+    // NOT the naive sum of per-day counts
+    assert(merged == Map("a" -> 3L, "b" -> 1L), s"got $merged")
+    // associativity: merging per-day sketches == one sketch of all rows
+    val direct = df.groupBy("g")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(u, 14))").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == direct, s"union-of-sketches must equal sketch-of-union: $merged vs $direct")
+  }
 }
