@@ -48,6 +48,16 @@ object SparkEntry {
       simhashClusterMapPath(dir))
   }
 
+  /** The MinHash-banded twin of [[simhashClusterMapPath]]: the SAME
+    * map artifact and CC machinery, fed by the Jaccard/MinHash pair
+    * pipeline instead of simhash — proof the cluster-map discipline
+    * is sketch-agnostic (one `pairs` argument is the only difference).
+    */
+  private def minhashClusterMapPath(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_cluster_map_${math.abs(dir.hashCode)}_$src"
+  }
+
   /** File streams read a DIRECTORY; stage the events fixture once per
     * (JVM, source mtime) for the streaming gate queries. Crash-safe:
     * the copy lands under a temp name and moves into place atomically,
@@ -315,6 +325,21 @@ object SparkEntry {
   // and its incremental-upsert twin. ----------------------------------
   private lazy val clustersSql: String =
     s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM (${simhashSql(maxHamming = 3)})),
+       | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |           UNION ALL SELECT doc_b, doc_a FROM prs),
+       | reach(id, lab) AS (
+       |   SELECT doc_id, doc_id FROM documents
+       |   UNION
+       |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+       | SELECT id AS doc_id, min(lab) AS cluster_id
+       | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  // ---- the minhash-fed twin: identical labeling CTE over the
+  // minhash pair graph — the cluster-map discipline is sketch-
+  // agnostic, and so is its oracle. -----------------------------------
+  private lazy val minhashClustersSql: String =
+    s"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM
+       |  (${minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6)})),
        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
        |           UNION ALL SELECT doc_b, doc_a FROM prs),
        | reach(id, lab) AS (
@@ -1884,6 +1909,21 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       ensureSimhashClusterMap(s, dir)
       s.read.parquet(simhashClusterMapPath(dir))
+        .select("doc_id", "cluster_id").orderBy("doc_id")
+    }),
+
+    // the SAME cluster-map machinery fed by MinHash band pairs instead
+    // of simhash — the map artifact is sketch-agnostic (the `pairs`
+    // argument is the only difference), unifying the two near-dup
+    // pipelines behind one materialized-map discipline. Oracle composes
+    // the proven minhash-pair replay with the recursive-reach labeling.
+    "dedup_minhash_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ensureClusterMap(docs, "doc_id",
+        Dedup.minHashPairs(docs, "doc_id", "text",
+          shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.6),
+        minhashClusterMapPath(dir))
+      s.read.parquet(minhashClusterMapPath(dir))
         .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
@@ -3629,6 +3669,8 @@ object SparkEntry {
     // must be invisible — components of (old stars ∪ delta pairs)
     // equal a from-scratch rebuild
     "dedup_clusters_upsert" -> clustersSql,
+
+    "dedup_minhash_clusters" -> minhashClustersSql,
     // and the streamed form must also be invisible — signature-store
     // probes batch by batch, same final map
     "dedup_clusters_stream" -> clustersSql,
