@@ -1623,6 +1623,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // set INTERSECTION from sketches — the estimate HLL can't give:
+    // per-type theta sketches of user_id, every pair's audience
+    // overlap computed from the 5-row sketch table without re-scanning
+    // events. Gated boolean-bound against the exact self-join overlap;
+    // at gate cardinalities theta runs in exact mode, so the bound is
+    // tight, not hopeful
+    "agg_theta_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val approx = Analytics.audienceOverlap(ev, "event_type", "user_id")
+      val ut = ev.select(col("event_type").as("tp"), col("user_id").as("u")).distinct()
+      ut.as("x").join(ut.as("y"),
+          col("x.u") === col("y.u") && col("x.tp") < col("y.tp"))
+        .groupBy(col("x.tp").as("type_a"), col("y.tp").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(approx, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+                (abs(col("n_overlap_approx") - col("n_both")) <= col("n_both") * 0.05)
+                  .as("within_5pct"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // sketch twin of agg_percentiles: approx_percentile (the
     // mergeable KLL-style quantile sketch) vs the exact interpolated
     // percentile, gated the same boolean-bound way (±0.5 quantity
@@ -3465,6 +3486,14 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | TRUE AS within_5pct
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact pairwise overlap + literal TRUE (the theta-sketch bound)
+    "agg_theta_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS tp, user_id AS u FROM events)
+        | SELECT x.tp AS type_a, y.tp AS type_b, count(*) AS n_both,
+        |  TRUE AS within_5pct
+        | FROM ut x JOIN ut y ON x.u = y.u AND x.tp < y.tp
+        | GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
 
     "agg_pivot" ->
       """SELECT o_orderstatus,

@@ -471,4 +471,30 @@ object Analytics {
     fine.groupBy(coarseKeys.map(col): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_approx"))
   }
+
+  /** Pairwise distinct-value overlap between groups via theta sketches
+    * — the estimate HLL structurally cannot give (HLL unions only;
+    * theta supports set INTERSECTION). One scan builds a sketch per
+    * group; every pair's overlap then comes from the |groups|-row
+    * sketch table alone, never from re-scanning raw rows — at 100 TB
+    * that's an audience-overlap / benchmark-contamination-rate matrix
+    * for the cost of one pass plus a tiny pairwise self-join (the
+    * joined table has one constant-size row per GROUP, so the
+    * |groups|² pairing is control-plane work at any corpus scale).
+    * Below ~2^lgK distinct values per group the theta sketch retains
+    * every hash and the intersection estimate is EXACT — the gate
+    * scale sits in that regime, which is what lets a boolean-bound
+    * oracle hold tightly.
+    */
+  def audienceOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                      lgK: Int = 14): DataFrame = {
+    val sk = df.groupBy(col(groupCol).as("g"))
+      .agg(expr(s"theta_sketch_agg($valueCol, $lgK)").as("sk"))
+    val a = sk.select(col("g").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("g").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+          .as("n_overlap_approx"))
+  }
 }

@@ -184,4 +184,19 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(merged == direct, s"union-of-sketches must equal sketch-of-union: $merged vs $direct")
   }
+
+  test("audienceOverlap: pairwise theta intersection is exact in sparse mode") {
+    // a∩b = {2,3}, a∩c = {1}, b∩c = {} — the empty overlap must
+    // report 0, not be absent (sketch intersection of disjoint sets)
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L),
+      ("c", 1L), ("c", 9L)
+    ).toDF("g", "u")
+    val got = graft.operators.Analytics.audienceOverlap(df, "g", "u")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 0L),
+      s"got $got")
+  }
 }
