@@ -2621,6 +2621,22 @@ object SparkEntry {
       s.read.orc(path).orderBy("o_orderkey")
     }),
 
+    // XML sink round-trip (built-in source since Spark 4.0) — the
+    // enterprise-integration format the OData side of this engine
+    // speaks; explicit read-back schema like the CSV path, values must
+    // survive bit-exactly
+    "etl_xml_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip_${math.abs(dir.hashCode)}"
+      Etl.writeXml(src, path)
+      s.read.option("rowTag", "row")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING, o_totalprice DOUBLE")
+        .format("xml").load(path)
+        .orderBy("o_orderkey")
+    }),
+
     // JSONL sink round-trip with a NESTED struct column — lossless
     // where CSV needs stringification
     "etl_jsonl_roundtrip" -> ((s, dir) => {
@@ -4692,6 +4708,10 @@ object SparkEntry {
         | o_totalprice FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "etl_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "etl_xml_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
 

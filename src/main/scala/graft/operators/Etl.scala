@@ -158,6 +158,18 @@ object Etl {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** K1d — XML sink (built into Spark since 4.0): the
+    * enterprise-integration format — OData/SOAP estates often demand
+    * XML exports of exactly the feeds this engine ingests. One
+    * `rowTag` element per row, overwrite; same single-file contract
+    * as [[writeCsv]].
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row",
+               singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("rowTag", rowTag).format("xml").save(path)
+  }
+
   /** Snapshot diff — the incremental view of the reference's
     * snapshot-refresh contract (etl.yml runs daily and overwrites;
     * the question a consumer actually asks is "what changed since

@@ -236,4 +236,25 @@ class EtlSpec extends SparkSpec {
     assert(back == Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25)))
   }
 
+  test("writeXml round-trips markup-significant characters and doubles") {
+    import org.apache.spark.sql.functions._
+    // <, >, & and quotes must survive entity-escaping; doubles must
+    // round-trip via shortest-repr like the CSV path
+    val df = Seq(
+      (1L, "a<b & c>d", 12.5),
+      (2L, "\"quoted\" 'text'", 0.1),
+      (3L, "plain", -99.25)
+    ).toDF("id", "v", "x")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_xml"
+    Etl.writeXml(df, path)
+    val back = spark.read.option("rowTag", "row")
+      .schema("id BIGINT, v STRING, x DOUBLE")
+      .format("xml").load(path)
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq(
+      (1L, "a<b & c>d", 12.5),
+      (2L, "\"quoted\" 'text'", 0.1),
+      (3L, "plain", -99.25)), s"got $back")
+  }
+
 }
