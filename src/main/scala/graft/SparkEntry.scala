@@ -1841,6 +1841,23 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // adaptive form of join_salted: only customers with ≥ 15 orders
+    // get salted (the hot set broadcasts from one count aggregate);
+    // cold keys keep salt 0 and never replicate the dimension side.
+    // Oracle identical to join_salted — salting must be result-
+    // invisible whatever the hot set is
+    "join_salted_adaptive" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      Joins.adaptiveSaltedJoin(orders, cust, Seq("c_custkey"),
+          hotThreshold = 15L, numSalts = 8, saltSource = "o_orderkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             Analytics.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // bloom-prefiltered fact join: urgent recent orders' keys build a
     // bloom sketch that cuts lineitem down BEFORE its shuffle — the
     // manual runtime-row-filter pattern; the exact join that follows
@@ -3663,6 +3680,13 @@ object SparkEntry {
         | ORDER BY id_a, id_b""".stripMargin,
 
     "join_salted" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         | ${msum("o_totalprice")} AS total_price
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // same plain join — adaptive salting must be result-invisible
+    "join_salted_adaptive" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          | ${msum("o_totalprice")} AS total_price
          | FROM orders JOIN customer ON o_custkey = c_custkey

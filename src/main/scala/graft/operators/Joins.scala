@@ -225,6 +225,39 @@ object Joins {
     l.join(r, keyCols :+ "salt").drop("salt")
   }
 
+  /** Adaptive skew salting: identical result to the plain join, but
+    * only keys whose BIG-side frequency reaches `hotThreshold` get
+    * salted — cold keys keep salt 0 and the small side replicates
+    * ONLY for the hot set, versus [[saltedJoin]]'s blanket ×numSalts
+    * replication of every small-side row. The hot-key probe is one
+    * count aggregate over the big side's keys (map-side partial
+    * count collapses it to per-partition distinct keys before the
+    * shuffle) whose above-threshold survivors broadcast — by
+    * construction a table small enough to broadcast, or the salt
+    * plan was wrong anyway. This is the deterministic, mid-pipeline
+    * form of what AQE's skew-join split does at runtime for
+    * shuffle-boundary skew only.
+    */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame,
+                         keyCols: Seq[String], hotThreshold: Long,
+                         numSalts: Int, saltSource: String): DataFrame = {
+    val hot = broadcast(
+      big.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= hotThreshold)
+        .select(keyCols.map(col) :+ lit(true).as("__hot"): _*))
+    val l = big.join(hot, keyCols, "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(xxhash64(col(saltSource)), lit(numSalts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val r = small.join(hot, keyCols, "left")
+      .withColumn("__salt", explode(
+        when(col("__hot"), sequence(lit(0L), lit(numSalts.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      .drop("__hot")
+    l.join(r, keyCols :+ "__salt").drop("__salt")
+  }
+
   /** Bloom-prefiltered equi-join: identical result to
     * `big.join(small, bigKey === smallKey)`, but the BIG side is cut
     * down BEFORE its shuffle by a bloom filter built from the small

@@ -155,6 +155,20 @@ class JoinsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("adaptiveSaltedJoin equals the plain join across all-cold, mixed, and all-hot thresholds") {
+    // key 0 is hot (34 rows), keys 1/2 are cold (33 each)
+    val big = (1L to 100L).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .as[(Long, Long, String)].collect().toSet
+    for (threshold <- Seq(1000L, 34L, 1L)) {
+      val got = Joins.adaptiveSaltedJoin(big, small, Seq("k"),
+          hotThreshold = threshold, numSalts = 4, saltSource = "v")
+        .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
+      assert(got == plain, s"threshold=$threshold salting must be result-invisible")
+    }
+  }
+
   test("bloomPrefilterJoin equals the plain join — false positives removed, misses dropped") {
     val big = (1L to 1000L).map(i => (i, s"row$i")).toDF("bk", "payload")
     // small side hits only 1% of big keys — the prefilter's sweet spot
