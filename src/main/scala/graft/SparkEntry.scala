@@ -2440,6 +2440,14 @@ object SparkEntry {
             .otherwise("train").as("split"))
         .orderBy("doc_id")),
 
+    // RAG chunking — the SPLIT side of sequence handling (text_pack is
+    // the PACK side): 64-token windows with a 16-token overlap, tail
+    // clamped, exact token extents plus the materialized chunk text
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkTokenWindows(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
     // token-budget sequence packing: per-shard running token totals
     // assign docs to ~2048-token training packs (contiguous packer)
     "text_pack" -> ((s, dir) =>
@@ -4265,6 +4273,20 @@ object SparkEntry {
         | SELECT doc_id, shard, n_tokens,
         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         | FROM c ORDER BY doc_id""".stripMargin,
+
+    // replays the tokenizer and the window arithmetic: starts =
+    // range(0, len, chunk − overlap), extents clamped, 1-based list
+    // slice re-joined with single spaces
+    "text_chunk" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents),
+        | g AS (SELECT doc_id, w, s FROM toks,
+        |       UNNEST(range(0, len(w), 48)) AS t(s) WHERE len(w) > 0)
+        | SELECT doc_id, s // 48 AS chunk_idx, s AS start_tok,
+        |  least(s + 64, len(w)) AS end_tok,
+        |  array_to_string(w[s+1 : least(s + 64, len(w))], ' ') AS chunk_text
+        | FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -733,6 +733,41 @@ object TextAnalysis {
     * parallelism and each shard packs independently (which is how
     * production packers shard anyway).
     */
+  /** RAG chunker — the SPLIT side of sequence handling where
+    * [[packTokenBudget]] is the PACK side: each document becomes
+    * overlapping token windows of `chunkTokens` with a
+    * `chunkTokens − overlapTokens` stride (the retrieval-chunking
+    * standard: overlap keeps sentences straddling a boundary
+    * retrievable from both neighbors). One row per chunk with exact
+    * token extents and the materialized chunk text; the tail chunk
+    * clamps to the document end, and empty documents yield no chunks.
+    *
+    * Scale shape: tokenize + two column ops per row — map-only, no
+    * shuffle (the [[Multimodal.audioChunks]] discipline over token
+    * arrays); the token array materializes once per doc and each
+    * chunk slices it, so cost is O(tokens × chunks/doc), not
+    * O(tokens²).
+    */
+  def chunkTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must sit inside the chunk: overlap=$overlapTokens chunk=$chunkTokens")
+    val step = chunkTokens - overlapTokens
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(step))).as("s"))
+      .select(
+        col(idCol),
+        (col("s") / step).cast("long").as("chunk_idx"),
+        col("s").cast("long").as("start_tok"),
+        least(col("s") + chunkTokens, size(col("toks"))).cast("long").as("end_tok"),
+        array_join(
+          slice(col("toks"), col("s") + 1,
+                least(lit(chunkTokens), size(col("toks")) - col("s"))),
+          " ").as("chunk_text"))
+  }
+
   def packTokenBudget(docs: DataFrame, idCol: String, textCol: String,
                       budget: Int, nShards: Int = 32): DataFrame = {
     val t = docs.select(

@@ -254,4 +254,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(served == direct, s"upsert must equal full rebuild for terms=$terms")
     }
   }
+
+  test("chunkTokenWindows: overlapping windows cover the doc, tail clamped, text materialized") {
+    import graft.operators.TextAnalysis
+    // 10 tokens, 4-token chunks, 1-token overlap → starts every 3
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokenWindows(docs, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "end_tok", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 3L, 7L, "t3 t4 t5 t6"),
+      (2L, 6L, 10L, "t6 t7 t8 t9"),
+      (3L, 9L, 10L, "t9")),
+      s"hand-computed chunk plan mismatch: $got")
+    // a doc shorter than one chunk yields exactly one clamped chunk
+    val short = TextAnalysis.chunkTokenWindows(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .select("start_tok", "end_tok", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(short == Seq((0L, 2L, "a b")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokenWindows(docs, "doc_id", "text", 4, 4)
+    }
+  }
 }
