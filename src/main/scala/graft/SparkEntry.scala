@@ -2749,6 +2749,16 @@ object SparkEntry {
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
     // per-user cadence: exact integer ms gaps, one user-keyed window
+    // last-touch attribution: each purchase credits its value to the
+    // latest preceding view/click by the same user within 24 h, else
+    // 'direct' — one window pass (the as-of shape), never a
+    // per-conversion lookback self-join
+    "events_attribution" -> ((s, dir) =>
+      Events.lastTouchAttribution(t(s, dir, "events"),
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackMs = 24L * 3600 * 1000)
+        .orderBy("channel")),
+
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
 
@@ -3382,6 +3392,27 @@ object SparkEntry {
         | FROM c JOIN t USING (col_name)
         | GROUP BY c.col_name, t.n, t.nd
         | ORDER BY col_name""".stripMargin,
+
+    // the same one-window last-touch carry, replayed: IGNORE NULLS
+    // last_value over (ts, event_id) rows frame, epoch_ms lookback
+    "events_attribution" ->
+      s"""WITH o AS (
+         | SELECT event_type, value, epoch_ms(ts) AS ms,
+         |  last_value(CASE WHEN event_type IN ('view', 'click')
+         |    THEN event_type END IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS touch_type,
+         |  last_value(CASE WHEN event_type IN ('view', 'click')
+         |    THEN epoch_ms(ts) END IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS touch_ms
+         | FROM events)
+         | SELECT CASE WHEN touch_ms IS NOT NULL
+         |   AND ms - touch_ms <= ${24L * 3600 * 1000} THEN touch_type
+         |   ELSE 'direct' END AS channel,
+         |  count(*) AS n_conversions, ${msum("value")} AS revenue
+         | FROM o WHERE event_type = 'purchase'
+         | GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "events_interarrival" ->
       """WITH g AS (

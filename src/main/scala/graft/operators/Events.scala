@@ -308,6 +308,39 @@ object Events {
       .select("step", "step_name", "n_users", "conv_from_prev", "overall")
   }
 
+  /** Last-touch attribution: every `conversionType` event credits its
+    * value to the LATEST preceding `touchTypes` event by the same user
+    * within `lookbackMs` — conversions with no in-window touch go to
+    * the 'direct' channel. One window pass per user carries the last
+    * touch (type, ms) forward (the as-of-join shape: `last(_,
+    * ignoreNulls)` over a running frame ordered by (ts, event_id)),
+    * then conversions aggregate per channel — ONE shuffle on user_id
+    * plus the channel-cardinality aggregate, linear at any scale;
+    * never a per-conversion lookback self-join (quadratic in events
+    * per user).
+    */
+  def lastTouchAttribution(events: DataFrame, touchTypes: Seq[String],
+                           conversionType: String,
+                           lookbackMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    events
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_ms",
+        last(when(isTouch, unix_millis(col("ts"))), ignoreNulls = true).over(w))
+      .where(col("event_type") === conversionType)
+      .select(
+        when(col("touch_ms").isNotNull &&
+             unix_millis(col("ts")) - col("touch_ms") <= lookbackMs,
+             col("touch_type")).otherwise(lit("direct")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+           Analytics.moneySum(col("value")).as("revenue"))
+  }
+
   /** Daily-cron ingest into a [[writeDatePartitioned]] lake: the
     * delta's days land via DYNAMIC partition overwrite, touching ONLY
     * the `event_date` partitions the delta carries — yesterday's 100

@@ -127,4 +127,27 @@ class EventsSpec extends SparkSpec {
       s"reprocessed day must be replaced wholesale, got $got")
   }
 
+  test("lastTouchAttribution: latest in-window touch wins; stale and missing touches go direct") {
+    import java.sql.Timestamp
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    val e = Seq(
+      // u1: view@0, click@1, purchase@2 → click (latest touch wins)
+      (1L, 1L, "view", t(0), 10.0), (2L, 1L, "click", t(1), 0.0),
+      (3L, 1L, "purchase", t(2), 100.0),
+      // u2: view@0, purchase@30 → touch outside the 24 h window → direct
+      (4L, 2L, "view", t(0), 0.0), (5L, 2L, "purchase", t(30), 50.0),
+      // u3: purchase with no touch at all → direct
+      (6L, 3L, "purchase", t(5), 25.0),
+      // u4: touch AFTER the purchase must not attribute
+      (7L, 4L, "purchase", t(1), 40.0), (8L, 4L, "click", t(2), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.lastTouchAttribution(e, Seq("view", "click"), "purchase",
+        lookbackMs = 24L * 3600 * 1000)
+      .as[(String, Long, Double)].collect()
+      .map { case (c, n, r) => c -> ((n, r)) }.toMap
+    assert(got == Map(
+      "click" -> ((1L, 100.0)),
+      "direct" -> ((3L, 115.0))), s"got $got")
+  }
+
 }
