@@ -2749,6 +2749,14 @@ object SparkEntry {
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
     // per-user cadence: exact integer ms gaps, one user-keyed window
+    // A/B test on purchase VALUE over the user_id mod 2 split: exact
+    // decimal-scaled moments → per-variant means → Welch z, every
+    // number one fixed IEEE expression rounded to 6 so the statistic
+    // itself is oracle-checked, not boolean-bounded
+    "events_ab_test" -> ((s, dir) =>
+      Events.abTest(t(s, dir, "events"), metricType = "purchase")
+        .orderBy("n_a")),
+
     // last-touch attribution: each purchase credits its value to the
     // latest preceding view/click by the same user within 24 h, else
     // 'direct' — one window pass (the as-of shape), never a
@@ -3392,6 +3400,41 @@ object SparkEntry {
         | FROM c JOIN t USING (col_name)
         | GROUP BY c.col_name, t.n, t.nd
         | ORDER BY col_name""".stripMargin,
+
+    // the same exact decimal moments → fixed IEEE expression →
+    // round(6) arithmetic, spelled out term-for-term in SQL
+    "events_ab_test" ->
+      """WITH m AS (
+        | SELECT user_id % 2 AS variant,
+        |  CAST(round(value * 100, 0) AS DECIMAL(38,0)) AS v
+        | FROM events WHERE event_type = 'purchase'),
+        | s AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  sum(CASE WHEN variant = 0 THEN v END) AS s1a,
+        |  sum(CASE WHEN variant = 0 THEN v * v END) AS s2a,
+        |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN variant = 1 THEN v END) AS s1b,
+        |  sum(CASE WHEN variant = 1 THEN v * v END) AS s2b
+        | FROM m)
+        | SELECT n_a, n_b,
+        |  round(CAST(s1a AS DOUBLE) / (n_a * 100.0), 6) AS mean_a,
+        |  round(CAST(s1b AS DOUBLE) / (n_b * 100.0), 6) AS mean_b,
+        |  round((CAST(s1a AS DOUBLE) / (n_a * 100.0) - CAST(s1b AS DOUBLE) / (n_b * 100.0)) /
+        |   sqrt(((CAST(s2a AS DOUBLE) / 10000.0
+        |          - (CAST(s1a AS DOUBLE) / 100.0) * (CAST(s1a AS DOUBLE) / 100.0) / n_a)
+        |         / (n_a - 1)) / n_a
+        |      + ((CAST(s2b AS DOUBLE) / 10000.0
+        |          - (CAST(s1b AS DOUBLE) / 100.0) * (CAST(s1b AS DOUBLE) / 100.0) / n_b)
+        |         / (n_b - 1)) / n_b), 6) AS z_score,
+        |  abs((CAST(s1a AS DOUBLE) / (n_a * 100.0) - CAST(s1b AS DOUBLE) / (n_b * 100.0)) /
+        |   sqrt(((CAST(s2a AS DOUBLE) / 10000.0
+        |          - (CAST(s1a AS DOUBLE) / 100.0) * (CAST(s1a AS DOUBLE) / 100.0) / n_a)
+        |         / (n_a - 1)) / n_a
+        |      + ((CAST(s2b AS DOUBLE) / 10000.0
+        |          - (CAST(s1b AS DOUBLE) / 100.0) * (CAST(s1b AS DOUBLE) / 100.0) / n_b)
+        |         / (n_b - 1)) / n_b)) > 1.96 AS significant
+        | FROM s ORDER BY n_a""".stripMargin,
 
     // the same one-window last-touch carry, replayed: IGNORE NULLS
     // last_value over (ts, event_id) rows frame, epoch_ms lookback

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -339,6 +339,57 @@ object Events {
       .groupBy("channel")
       .agg(count(lit(1)).as("n_conversions"),
            Analytics.moneySum(col("value")).as("revenue"))
+  }
+
+  /** A/B test on a continuous metric: variant = user_id mod 2 (in
+    * production, the hash-bucket assignment), the metric is the
+    * `value` of each `metricType` event, and the output is ONE row of
+    * per-variant counts, means, and the Welch z-statistic
+    * (mean_a − mean_b) / √(var_a/n_a + var_b/n_b) with its
+    * |z| > 1.96 verdict.
+    *
+    * Determinism contract ([[Profiling.profileNumeric]]'s): moments
+    * accumulate as EXACT decimal(38,0) sums of values scaled by
+    * `scale`, so no float-summation-order drift; means/variances are
+    * then ONE fixed IEEE double expression each, mirrored term-for-
+    * term in the SQL twin and rounded to 6 — the z-statistic itself
+    * is oracle-checked, not boolean-bounded. A two-PROPORTION test
+    * would degenerate here (every fixture user converts); a mean
+    * test cannot saturate.
+    *
+    * Scale shape: one filter + 1-row conditional aggregate over the
+    * metric events (map-side partial sums) — no window, no join, one
+    * shuffle carrying a single row of moments.
+    */
+  def abTest(events: DataFrame, metricType: String,
+             scale: Int = 100): DataFrame = {
+    val sc = scale.toDouble
+    val m = events.where(col("event_type") === metricType)
+      .select(pmod(col("user_id"), lit(2L)).as("variant"),
+              round(col("value") * scale, 0).cast("decimal(38,0)").as("v"))
+    val stats = m.agg(
+      sum(when(col("variant") === 0, lit(1L)).otherwise(lit(0L)))
+        .cast("long").as("n_a"),
+      sum(when(col("variant") === 0, col("v"))).as("_s1a"),
+      sum(when(col("variant") === 0, col("v") * col("v"))).as("_s2a"),
+      sum(when(col("variant") === 1, lit(1L)).otherwise(lit(0L)))
+        .cast("long").as("n_b"),
+      sum(when(col("variant") === 1, col("v"))).as("_s1b"),
+      sum(when(col("variant") === 1, col("v") * col("v"))).as("_s2b"))
+    def mean(s1: Column, n: Column) = s1.cast("double") / (n * sc)
+    def variance(s1: Column, s2: Column, n: Column) =
+      (s2.cast("double") / (sc * sc) -
+        (s1.cast("double") / sc) * (s1.cast("double") / sc) / n) / (n - 1)
+    val vA = variance(col("_s1a"), col("_s2a"), col("n_a"))
+    val vB = variance(col("_s1b"), col("_s2b"), col("n_b"))
+    val z = (mean(col("_s1a"), col("n_a")) - mean(col("_s1b"), col("n_b"))) /
+      sqrt(vA / col("n_a") + vB / col("n_b"))
+    stats.select(
+      col("n_a"), col("n_b"),
+      round(mean(col("_s1a"), col("n_a")), 6).as("mean_a"),
+      round(mean(col("_s1b"), col("n_b")), 6).as("mean_b"),
+      round(z, 6).as("z_score"),
+      (abs(z) > lit(1.96)).as("significant"))
   }
 
   /** Daily-cron ingest into a [[writeDatePartitioned]] lake: the

@@ -127,6 +127,31 @@ class EventsSpec extends SparkSpec {
       s"reprocessed day must be replaced wholesale, got $got")
   }
 
+  test("abTest: Welch z on purchase values from a hand-built split") {
+    import java.sql.Timestamp
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    // variant = user_id % 2: A (even users) values {30, 50}, B (odd) {10, 20, 40};
+    // non-purchase rows must not contribute
+    val e = Seq(
+      (1L, 2L, "purchase", 30.0), (2L, 2L, "purchase", 50.0),
+      (3L, 1L, "purchase", 10.0), (4L, 1L, "purchase", 20.0),
+      (5L, 3L, "purchase", 40.0), (6L, 2L, "view", 999.0)
+    ).map { case (id, u, tp, v) => (id, u, tp, t(id), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.abTest(e, "purchase")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSeq
+    // replicate the fixed IEEE expression on the exact scaled sums
+    val (s1a, s2a, na) = (8000.0, 34000000.0, 2L)   // 3000+5000; 3000²+5000²
+    val (s1b, s2b, nb) = (7000.0, 21000000.0, 3L)   // 1000+2000+4000
+    val meanA = s1a / (na * 100.0); val meanB = s1b / (nb * 100.0)
+    val vA = (s2a / 10000.0 - (s1a / 100.0) * (s1a / 100.0) / na) / (na - 1)
+    val vB = (s2b / 10000.0 - (s1b / 100.0) * (s1b / 100.0) / nb) / (nb - 1)
+    val z = (meanA - meanB) / math.sqrt(vA / na + vB / nb)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((2L, 3L, r6(meanA), r6(meanB), r6(z), math.abs(z) > 1.96)),
+      s"got $got (expected z=$z)")
+  }
+
   test("lastTouchAttribution: latest in-window touch wins; stale and missing touches go direct") {
     import java.sql.Timestamp
     def t(h: Long) = new Timestamp(h * 3600000L)
