@@ -1823,9 +1823,15 @@ object SparkEntry {
     // fuzzy string self-join (entity resolution): customer names
     // within edit distance 1 — PassJoin pigeonhole segment blocking,
     // so the oracle can be the PLAIN quadratic Levenshtein join: the
-    // blocking's losslessness is exactly what the hash check proves
+    // blocking's losslessness is exactly what the hash check proves.
+    // Gate input is the deterministic custkey % 10 slice (the
+    // dedup_jaccard_exhaustive precedent): the fixture's serial names
+    // share a constant "Customer#0000…" region, the documented
+    // adversarial case where positional-segment blocking degrades to
+    // the quadratic group (see fuzzySelfJoin's scaladoc)
     "join_fuzzy" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .where(col("c_custkey") % 10 === 0)
       Joins.fuzzySelfJoin(c, "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
@@ -2254,6 +2260,14 @@ object SparkEntry {
       Embeddings.topPrincipalComponents(t(s, dir, "embeddings"), "vec_id",
           "embedding", nComponents = 3, iters = 8)
         .orderBy("component", "dim")),
+
+    // PCA whitening — the application the emb_pca_k basis exists for:
+    // project each embedding onto the top-3 components and rescale to
+    // unit variance; exact-long sums, the published round-6 basis
+    "emb_whiten" -> ((s, dir) =>
+      Embeddings.whiten(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nComponents = 3, iters = 8)
+        .orderBy("id", "component")),
 
     "cluster_kmeans_n" -> ((s, dir) =>
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -3758,7 +3772,8 @@ object SparkEntry {
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         | levenshtein(a.c_name, b.c_name) AS dist
         | FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        | WHERE levenshtein(a.c_name, b.c_name) <= 1
+        | WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+        |   AND levenshtein(a.c_name, b.c_name) <= 1
         | ORDER BY id_a, id_b""".stripMargin,
 
     "join_salted" ->
@@ -4600,6 +4615,34 @@ object SparkEntry {
     "emb_pca" -> pcaSql(iters = 8, scale = 10000L),
 
     "emb_pca_k" -> pcaKSql(nComponents = 3, iters = 8, scale = 10000L),
+
+    // whitening over the SAME replayed basis: centered projection as
+    // two exact-long sums (Σ x·v and the μ-term), one double
+    // expression, round 6 — term-for-term the engine's arithmetic
+    "emb_whiten" ->
+      s"""WITH basis AS MATERIALIZED (
+         |  SELECT * FROM (${pcaKSql(nComponents = 3, iters = 8, scale = 10000L)})),
+         | lb AS MATERIALIZED (SELECT component, dim,
+         |   CAST(round(loading * 1000000, 0) AS BIGINT) AS ll, eigenvalue
+         |  FROM basis),
+         | xw AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(i AS BIGINT) AS dim,
+         |   CAST(round(embedding[i]::DOUBLE * 10000, 0) AS BIGINT) AS xl
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+         | nnw AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         | t1 AS MATERIALIZED (
+         |  SELECT xw.id, lb.component,
+         |   CAST(sum(xw.xl * lb.ll) AS DOUBLE) AS t1,
+         |   any_value(lb.eigenvalue) AS lam
+         |  FROM xw JOIN lb ON xw.dim = lb.dim GROUP BY 1, 2),
+         | sums AS (SELECT dim, sum(xl) AS sxl FROM xw GROUP BY 1),
+         | t2 AS (SELECT component, CAST(sum(sxl * ll) AS DOUBLE) AS t2
+         |  FROM sums JOIN lb USING (dim) GROUP BY 1)
+         | SELECT t1.id, t1.component,
+         |  round((t1.t1 / ${10000L * 1000000.0} - t2.t2 / (n * ${10000L * 1000000.0}))
+         |    / sqrt(t1.lam), 6) AS score
+         | FROM t1 JOIN t2 USING (component) CROSS JOIN nnw
+         | ORDER BY id, component""".stripMargin,
 
     "text_pii" ->
       """SELECT doc_id,

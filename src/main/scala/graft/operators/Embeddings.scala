@@ -197,6 +197,52 @@ object Embeddings {
     comps.result().reduce(_ unionByName _)
   }
 
+  /** PCA whitening — the APPLICATION the [[topPrincipalComponents]]
+    * basis exists for (anisotropy correction: embedding similarity
+    * scores degrade when a few directions carry most variance; the
+    * fix projects onto the top components and rescales each to unit
+    * variance): score(id, m) = (x − μ)ᵀ v_m / √λ_m over the PUBLISHED
+    * basis (loadings/eigenvalues at their round-6 contract, so the
+    * projection is a pure function of a table both engines already
+    * hash-match).
+    *
+    * Exactness: the centered projection splits into Σ x·v − Σ μ·v;
+    * both sums run over EXACT scaled longs (x at `scale`, loadings at
+    * 1e6 — products ≲ 1e10·d per row, the [[covarianceMatrix]] long
+    * bound), so no float-summation-order drift; the one double
+    * expression at the end rounds to 6.
+    *
+    * Scale shape: the basis is d·m rows and broadcasts; scoring is one
+    * map-side join + hash aggregate keyed (id, component) — a single
+    * shuffle of skinny rows, linear in corpus size; the μ-term is a
+    * d-row control-plane aggregate.
+    */
+  def whiten(emb: DataFrame, idCol: String, vecCol: String,
+             nComponents: Int = 3, iters: Int = 8,
+             scale: Long = 10000L): DataFrame = {
+    val basis = topPrincipalComponents(emb, idCol, vecCol, nComponents, iters, scale)
+    val lb = basis.select(col("component"), col("dim"),
+      round(col("loading") * 1000000, 0).cast("long").as("ll"),
+      col("eigenvalue"))
+    val x = emb.select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("dim"),
+              round(col("col").cast("double") * scale, 0).cast("long").as("xl"))
+    val nRow = emb.agg(count(lit(1)).cast("double").as("n"))
+    val f = scale.toDouble * 1000000.0
+    val t1 = x.join(broadcast(lb), "dim")
+      .groupBy("id", "component")
+      .agg(sum(col("xl") * col("ll")).cast("double").as("t1"),
+           first(col("eigenvalue")).as("lam"))
+    val sums = x.groupBy("dim").agg(sum(col("xl")).as("sxl"))
+    val t2 = sums.join(broadcast(lb), "dim")
+      .groupBy("component")
+      .agg(sum(col("sxl") * col("ll")).cast("double").as("t2"))
+    t1.join(broadcast(t2), "component").crossJoin(broadcast(nRow))
+      .select(col("id"), col("component"),
+        round((col("t1") / f - col("t2") / (col("n") * f)) / sqrt(col("lam")), 6)
+          .as("score"))
+  }
+
   /** Symmetric int8 scalar quantization, long form (id, dim, q,
     * scale): per vector, scale = 127 / max|vᵢ| and qᵢ =
     * ⌊vᵢ·scale + 0.5⌋. `floor(x + 0.5)` instead of round() so Spark

@@ -154,12 +154,23 @@ object Joins {
     * abandons a pair as soon as its running distance exceeds
     * `maxDist` (O(maxDist·len) not O(len²) per pair).
     *
-    * A candidate pair can match through several segments, so pairs
-    * dedupe (one `distinct` on the pair) BEFORE the Levenshtein
-    * verify — each surviving pair is verified once. Strings shorter
-    * than `maxDist + 1` produce empty segments whose keys degrade to
-    * (length, slot) — still correct (the verify filter holds), just
-    * unselective for very short strings.
+    * A candidate pair can match through several segments; the
+    * threshold-Levenshtein verify runs MAP-SIDE on the raw join
+    * output (each duplicate candidate re-verifies — the lev is
+    * cheaper than shuffling the candidate) and the surviving matches
+    * dedupe with one `distinct` on the skinny (id, id, dist) rows.
+    * Strings shorter than `maxDist + 1` produce empty segments whose
+    * keys degrade to (length, slot) — still correct (the verify
+    * filter holds), just unselective for very short strings.
+    *
+    * KNOWN ADVERSARIAL CASE: corpora where one positional segment is
+    * constant corpus-wide (synthetic serial ids — "Customer#0000…")
+    * put every row in one blocking group and the candidate set goes
+    * quadratic in that group; deeper PartEnum-style recursion only
+    * pushes the problem to the next constant region on such data.
+    * Positional-segment blocking is the wrong tool for
+    * serial-id-shaped strings — slice the input (the gate does) or
+    * use the content-hash dedup family instead.
     *
     * Returns (id_a, id_b, dist) with id_a < id_b, dist <= maxDist.
     */
@@ -201,13 +212,22 @@ object Joins {
         "substring(fs, cast(pos as int) + 1, cast(seg_len as int))"))
       .select(col("fid").as("id_b"), col("fs").as("s_b"),
               col("len_a"), col("j"), col("seg"))
+    // Threshold-Levenshtein BEFORE the dedup, not after: on
+    // low-entropy corpora (e.g. ids sharing a long constant prefix, so
+    // one segment is identical corpus-wide) the blocking join emits
+    // O(group²) candidates, and a distinct() on those wide candidate
+    // rows is a corpus²-sized shuffle. The banded lev (O(k·n) with
+    // early exit) is a MAP-SIDE filter the join output streams
+    // through under whole-stage codegen — nothing materializes — and
+    // only the true-match sliver reaches the distinct. Same result:
+    // dist is a pure function of the pair, so filter-then-dedup ==
+    // dedup-then-filter. (174 s → 4 s on the 15k-name gate corpus.)
     indexed.join(probe, Seq("len_a", "j", "seg"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "s_a", "s_b").distinct()
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
       .where(col("dist") >= 0) // threshold form yields -1 above maxDist
-      .select("id_a", "id_b", "dist")
+      .select("id_a", "id_b", "dist").distinct()
   }
 
   /** Skew-salted equi-join: identical result to `left.join(right,

@@ -75,6 +75,26 @@ class EmbeddingsSpec extends SparkSpec {
       "first deflation component must equal the single-component op")
   }
 
+  test("whiten: axis-aligned grid scores to exactly ±1 per component (unit variance)") {
+    // 4 points at (±2, ±1): covariance diag(4, 1), components = axes,
+    // so whitened scores are x/√4 = ±1 and y/√1 = ±1 exactly. 20
+    // rounds, not 8: the off-axis residue decays 4× per round and the
+    // round-9 contract snaps it to zero once below 5e-10, making the
+    // basis (and so the scores) exact instead of convergence-tailed
+    val rows = Seq(
+      (1L, Array(2f, 1f)), (2L, Array(2f, -1f)),
+      (3L, Array(-2f, 1f)), (4L, Array(-2f, -1f)))
+    val got = Embeddings.whiten(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nComponents = 2, iters = 20)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, c, s) => (id, c) -> s }.toMap
+    assert(got == Map(
+      (1L, 1L) -> 1.0, (1L, 2L) -> 1.0,
+      (2L, 1L) -> 1.0, (2L, 2L) -> -1.0,
+      (3L, 1L) -> -1.0, (3L, 2L) -> 1.0,
+      (4L, 1L) -> -1.0, (4L, 2L) -> -1.0), s"got $got")
+  }
+
   test("quantization drops all-zero vectors instead of dividing by zero") {
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
       .toDF("vec_id", "embedding")
