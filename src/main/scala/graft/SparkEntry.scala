@@ -2261,6 +2261,19 @@ object SparkEntry {
           "embedding", nComponents = 3, iters = 8)
         .orderBy("component", "dim")),
 
+    // EXACT two-sample KS between the price distributions of the
+    // odd/even order halves — the global ECDF prefix sum runs as
+    // range-partitioned partial sums + broadcast offsets, never a
+    // single-partition window; the statistic itself is oracle-checked
+    "profile_ks_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Profiling.ksDrift(
+        o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1),
+        "o_totalprice")
+        .orderBy("n_a")
+    }),
+
     // PCA whitening — the application the emb_pca_k basis exists for:
     // project each embedding onto the top-3 components and rescale to
     // unit variance; exact-long sums, the published round-6 basis
@@ -4615,6 +4628,24 @@ object SparkEntry {
     "emb_pca" -> pcaSql(iters = 8, scale = 10000L),
 
     "emb_pca_k" -> pcaKSql(nComponents = 3, iters = 8, scale = 10000L),
+
+    // the global-window form of the same ECDF arithmetic: exact
+    // cumulative integer counts, one double division each, max of
+    // the absolute differences, round 6
+    "profile_ks_drift" ->
+      """WITH c AS (
+        | SELECT o_totalprice AS v,
+        |  sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        | FROM orders GROUP BY 1),
+        | n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        | cum AS (
+        | SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+        |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+        | FROM c)
+        | SELECT round(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)), 6) AS ks_stat,
+        |  na AS n_a, nb AS n_b
+        | FROM cum CROSS JOIN n GROUP BY na, nb ORDER BY n_a""".stripMargin,
 
     // whitening over the SAME replayed basis: centered projection as
     // two exact-long sums (Σ x·v and the μ-term), one double

@@ -21,6 +21,71 @@ object Profiling {
   private def longReport(row: DataFrame, items: Seq[Column]): DataFrame =
     row.select(explode(array(items: _*)).as("_r")).select(col("_r.*"))
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between the
+    * `valueCol` distributions of two tables — the distribution-drift
+    * test [[profileDrift]]'s summary stats can't give (equal means
+    * and counts can hide a reshaped distribution).
+    *
+    * KS = max over pooled values v of |F_A(v) − F_B(v)|, ECDFs
+    * evaluated at each distinct value with that value included. Every
+    * cumulative count is an exact integer, each ECDF value one double
+    * division, the max allocation-free — so the statistic itself is
+    * oracle-checkable (round 6), no sketch, no sampling.
+    *
+    * Scale shape — the point of this implementation: an ECDF needs a
+    * GLOBAL prefix sum, and the naive window (ORDER BY v with no
+    * partition key) collapses 100 TB onto one reducer. Instead, the
+    * classical distributed prefix sum: per-value counts (one hash
+    * aggregate, |distinct| rows) range-repartition and sort by value;
+    * each partition's subtotal collects to the driver (≤ numPartitions
+    * rows — control-plane), exclusive offsets broadcast back, and one
+    * mapPartitions pass adds offset + running sum. Every stage is
+    * parallel; the only driver data is one row per partition. The
+    * result is provably independent of the (sampled) range-partitioner
+    * boundaries: offsets are computed FROM the actual partitions.
+    */
+  def ksDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+              numPartitions: Int = 32): DataFrame = {
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val counts = dfA.select(col(valueCol).cast("double").as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionAll(dfB.select(col(valueCol).cast("double").as("v"), lit(0L).as("ca"), lit(1L).as("cb")))
+      .where(col("v").isNotNull)
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .repartitionByRange(numPartitions, col("v"))
+      .sortWithinPartitions("v")
+      .persist()
+    val subtotals = counts.select(spark_partition_id().as("pid"), col("ca"), col("cb"))
+      .groupBy("pid").agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    val nA = subtotals.map(_._2._1).sum
+    val nB = subtotals.map(_._2._2).sum
+    // exclusive prefix offsets per partition id (control-plane array)
+    val offsets: Map[Int, (Long, Long)] = {
+      var (accA, accB) = (0L, 0L)
+      subtotals.map { case (pid, (ta, tb)) =>
+        val o = pid -> (accA, accB); accA += ta; accB += tb; o
+      }.toMap
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val diffs = counts.select("v", "ca", "cb").as[(Double, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var (ca, cb) = bOff.value.getOrElse(pid, (0L, 0L))
+        it.map { case (_, a, b) =>
+          ca += a; cb += b
+          math.abs(ca.toDouble / nA - cb.toDouble / nB)
+        }
+      }
+    val out = diffs.toDF("d")
+      .agg(round(max(col("d")), 6).as("ks_stat"))
+      .select(col("ks_stat"), lit(nA).as("n_a"), lit(nB).as("n_b"))
+      .localCheckpoint()
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** Long-format column profile: per column, row count, null count,
     * exact distinct count, and min/max rendered as strings (one
     * report schema across column types). Callers pick columns whose

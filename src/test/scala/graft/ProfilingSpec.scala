@@ -185,6 +185,22 @@ class ProfilingSpec extends SparkSpec {
     assert(merged == direct, s"union-of-sketches must equal sketch-of-union: $merged vs $direct")
   }
 
+  test("ksDrift: hand-computed statistic; result independent of partition count") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: ECDF gap peaks at v=2 (and v=4):
+    // |2/4 - 0/4| = 0.5
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("x")
+    for (p <- Seq(1, 3, 32)) {
+      val got = graft.operators.Profiling.ksDrift(a, b, "x", numPartitions = p)
+        .as[(Double, Long, Long)].head()
+      assert(got == ((0.5, 4L, 4L)), s"numPartitions=$p got $got")
+    }
+    // identical distributions → KS 0
+    val same = graft.operators.Profiling.ksDrift(a, a, "x")
+      .as[(Double, Long, Long)].head()
+    assert(same == ((0.0, 4L, 4L)))
+  }
+
   test("audienceOverlap: pairwise theta intersection is exact in sparse mode") {
     // a∩b = {2,3}, a∩c = {1}, b∩c = {} — the empty overlap must
     // report 0, not be absent (sketch intersection of disjoint sets)
