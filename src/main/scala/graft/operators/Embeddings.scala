@@ -219,8 +219,40 @@ object Embeddings {
     */
   def whiten(emb: DataFrame, idCol: String, vecCol: String,
              nComponents: Int = 3, iters: Int = 8,
-             scale: Long = 10000L): DataFrame = {
-    val basis = topPrincipalComponents(emb, idCol, vecCol, nComponents, iters, scale)
+             scale: Long = 10000L): DataFrame =
+    whitenWithBasis(emb, idCol, vecCol,
+      topPrincipalComponents(emb, idCol, vecCol, nComponents, iters, scale), scale)
+
+  /** Materialize the [[topPrincipalComponents]] basis once per corpus
+    * — the `ensureClusterMap` discipline applied to PCA: the basis is
+    * d·m rows, the pipeline that produces it touches the whole
+    * corpus, and every consumer (component listing, [[whiten]],
+    * future anisotropy reports) should pay for it exactly once. The
+    * parquet `_SUCCESS` is the build marker; a crashed build leaves
+    * no marker and ensure rebuilds.
+    */
+  def writePcaBasis(emb: DataFrame, idCol: String, vecCol: String,
+                    path: String, nComponents: Int = 3, iters: Int = 8,
+                    scale: Long = 10000L): Unit =
+    topPrincipalComponents(emb, idCol, vecCol, nComponents, iters, scale)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[writePcaBasis]] only if the basis isn't already on disk; `emb`
+    * is by-name so nothing of the corpus pipeline evaluates on the
+    * hot path.
+    */
+  def ensurePcaBasis(emb: => DataFrame, idCol: String, vecCol: String,
+                     path: String, nComponents: Int = 3, iters: Int = 8,
+                     scale: Long = 10000L): Unit = {
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      writePcaBasis(emb, idCol, vecCol, path, nComponents, iters, scale)
+  }
+
+  /** [[whiten]] against an already-materialized basis (the serving
+    * path — see [[ensurePcaBasis]]).
+    */
+  def whitenWithBasis(emb: DataFrame, idCol: String, vecCol: String,
+                      basis: DataFrame, scale: Long = 10000L): DataFrame = {
     val lb = basis.select(col("component"), col("dim"),
       round(col("loading") * 1000000, 0).cast("long").as("ll"),
       col("eigenvalue"))

@@ -392,6 +392,36 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Sliding-window distinct users from MERGED hourly sketches — the
+    * classic reason sliding distinct counts need sketches: distinct
+    * is not additive, so a naive per-window recount touches every raw
+    * event `windowHours` times, while HLL sketches union associatively
+    * — one hourly sketch table (the raw scan happens ONCE), then each
+    * sliding window is a union of `windowHours` constant-size sketch
+    * rows. Window w covers hours [w, w + windowHours); a window exists
+    * for every start that any event hour can contribute to, so edge
+    * windows are partial by construction (both engines derive the
+    * same set).
+    *
+    * Scale shape: the raw corpus feeds one hash aggregate keyed by
+    * hour (map-side partial sketch merge); the hourly table is
+    * |hours| rows of ~2^lgK bytes, and the explode-to-windows +
+    * union-per-window stage runs entirely on that small table.
+    */
+  def slidingDistinctSketch(events: DataFrame, windowHours: Int,
+                            lgK: Int = 14): DataFrame = {
+    val hourly = events
+      .select((floor(unix_millis(col("ts")) / 3600000L)).as("hour"), col("user_id"))
+      .groupBy("hour")
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+    hourly
+      .select(col("sk"),
+        explode(sequence(col("hour") - (windowHours - 1), col("hour"), lit(1L)))
+          .as("window_start"))
+      .groupBy("window_start")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_approx"))
+  }
+
   /** Daily-cron ingest into a [[writeDatePartitioned]] lake: the
     * delta's days land via DYNAMIC partition overwrite, touching ONLY
     * the `event_date` partitions the delta carries — yesterday's 100

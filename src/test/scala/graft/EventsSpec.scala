@@ -127,6 +127,25 @@ class EventsSpec extends SparkSpec {
       s"reprocessed day must be replaced wholesale, got $got")
   }
 
+  test("slidingDistinctSketch: windows merge hourly sketches; overlapping users counted once") {
+    import java.sql.Timestamp
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    // u1 appears in hours 0 AND 2 — any window spanning both must
+    // count them once; sparse-mode HLL is exact at these sizes
+    val e = Seq(
+      (1L, 1L, t(0)), (2L, 2L, t(0)), (3L, 1L, t(2)), (4L, 3L, t(2))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Events.slidingDistinctSketch(e, windowHours = 3)
+      .as[(Long, Long)].collect().toMap
+    // window w covers hours [w, w+2]; hours present: 0, 2
+    assert(got == Map(
+      -2L -> 2L,          // hours {0}
+      -1L -> 2L,          // hours {0}
+      0L -> 3L,           // hours {0, 2}: users {1, 2, 3}, u1 once
+      1L -> 2L,           // hours {2}
+      2L -> 2L), s"got $got")
+  }
+
   test("abTest: Welch z on purchase values from a hand-built split") {
     import java.sql.Timestamp
     def t(h: Long) = new Timestamp(h * 3600000L)
