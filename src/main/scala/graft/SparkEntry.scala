@@ -2688,6 +2688,26 @@ object SparkEntry {
       s.read.orc(path).orderBy("o_orderkey")
     }),
 
+    // Z-order clustered lake layout: orders rewritten clustered by the
+    // Morton code of (custkey, order day), then a two-dimensional
+    // filter reads it back — layout is result-invisible (plain-SQL
+    // oracle); the min/max-skipping proof lives in EtlSpec, which
+    // checks every z-file bounds BOTH dimensions at once
+    "etl_zorder_scan" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("o_day", datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${math.abs(dir.hashCode)}"
+      Etl.writeZOrdered(o, path, "o_custkey", "o_day")
+      s.read.parquet(path)
+        .where(col("o_custkey").between(100, 300) &&
+               col("o_orderdate") >= lit("1995-01-01") &&
+               col("o_orderdate") < lit("1996-01-01"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             Analytics.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // XML sink round-trip (built-in source since Spark 4.0) — the
     // enterprise-integration format the OData side of this engine
     // speaks; explicit read-back schema like the CSV path, values must
@@ -4954,6 +4974,16 @@ object SparkEntry {
     "etl_xml_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // layout is result-invisible — the plain filtered aggregate
+    "etl_zorder_scan" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         | ${msum("o_totalprice")} AS total_price
+         | FROM orders
+         | WHERE o_custkey BETWEEN 100 AND 300
+         |   AND o_orderdate >= DATE '1995-01-01'
+         |   AND o_orderdate < DATE '1996-01-01'
+         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "events_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -236,6 +236,40 @@ class EtlSpec extends SparkSpec {
     assert(back == Seq((1L, "O", "1-URGENT", 12.5), (2L, "F", "5-LOW", 99.25)))
   }
 
+  test("zOrderValue interleaves bits; writeZOrdered bounds BOTH dimensions per file") {
+    import org.apache.spark.sql.functions._
+    // Morton basics: (a=1, b=0) -> 2, (a=0, b=1) -> 1, (a=3, b=3) -> 15
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L)).toDF("a", "b")
+      .select(Etl.zOrderValue(col("a"), col("b"), bits = 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(z == Seq(2L, 1L, 15L), s"morton mismatch: $z")
+    // 64x64 uniform grid → 16 z-files must each cover a bounded cube
+    // on BOTH dims; a linear sort by `a` leaves b unbounded per file
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    val zPath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_zorder"
+    Etl.writeZOrdered(grid, zPath, "a", "b", numFiles = 16, bits = 6)
+    def fileRanges(path: String): Seq[(Double, Double)] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("a"), max("a"), min("b"), max("b")).head()
+        ((r.getLong(1) - r.getLong(0)) / 63.0, (r.getLong(3) - r.getLong(2)) / 63.0)
+      }
+    }
+    val zr = fileRanges(zPath)
+    assert(zr.nonEmpty && zr.forall { case (ra, rb) => ra <= 0.6 && rb <= 0.6 },
+      s"every z-file must bound both dims, got $zr")
+    // control: linear sort by a → some file spans (nearly) all of b
+    val linPath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_zorder_lin"
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(linPath)
+    val lr = fileRanges(linPath)
+    assert(lr.exists { case (_, rb) => rb >= 0.9 },
+      s"linear layout should leave b unbounded somewhere, got $lr")
+  }
+
   test("writeXml round-trips markup-significant characters and doubles") {
     import org.apache.spark.sql.functions._
     // <, >, & and quotes must survive entity-escaping; doubles must
