@@ -2811,6 +2811,15 @@ object SparkEntry {
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
     // per-user cadence: exact integer ms gaps, one user-keyed window
+    // Kaplan-Meier curve for time-to-first-purchase (entry = each
+    // user's first event, non-converters right-censored at the last
+    // observed ts): exact day-grain counts, the product as an
+    // exp-sum-log over the day-ordered frame so both engines add in
+    // the same order — the survival estimate itself is oracle-checked
+    "events_survival" -> ((s, dir) =>
+      Events.kaplanMeier(t(s, dir, "events"), conversionType = "purchase")
+        .orderBy("day")),
+
     // sliding 6 h distinct users from MERGED hourly HLL sketches —
     // distinct isn't additive, sketches are: raw events scanned once,
     // each window a union of 6 constant-size sketch rows; gated
@@ -3482,6 +3491,42 @@ object SparkEntry {
         | FROM c JOIN t USING (col_name)
         | GROUP BY c.col_name, t.n, t.nd
         | ORDER BY col_name""".stripMargin,
+
+    // the same day-grain K-M arithmetic: prior-frame at-risk counts,
+    // exp-sum-log survival with the everyone-converts guard
+    "events_survival" ->
+      """WITH pu AS (
+        | SELECT user_id, min(epoch_ms(ts)) AS t0,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS tc
+        | FROM events GROUP BY user_id),
+        | tm AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+        | dur AS (
+        | SELECT CAST(CASE WHEN tc IS NOT NULL
+        |   THEN floor((tc - t0) / 86400000.0)
+        |   ELSE floor((tmax - t0) / 86400000.0) END AS BIGINT) AS day,
+        |  (tc IS NOT NULL) AS converted
+        | FROM pu CROSS JOIN tm),
+        | d AS (
+        | SELECT day,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+        | FROM dur GROUP BY day),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dur),
+        | r AS (
+        | SELECT day, d, c,
+        |  CAST(n_total - coalesce(sum(d + c) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        | FROM d CROSS JOIN n),
+        | s AS (
+        | SELECT day, n_risk, d, c,
+        |  max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS zf,
+        |  sum(CASE WHEN d < n_risk THEN ln(1.0 - d / n_risk) ELSE 0.0 END)
+        |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS lsum
+        | FROM r)
+        | SELECT day, n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN zf = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS survival
+        | FROM s ORDER BY day""".stripMargin,
 
     // exact per-window distinct + literal TRUE (the sketch bound)
     "events_sliding_distinct" ->

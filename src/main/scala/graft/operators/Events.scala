@@ -392,6 +392,64 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Kaplan–Meier survival curve for time-to-first-`conversionType`:
+    * each user enters at their FIRST event of any type; users who
+    * never convert are right-censored at the corpus's last observed
+    * timestamp (the standard end-of-observation censor). For each
+    * day t with d_t conversions among n_t users still at risk,
+    * S(t) = Π_{i ≤ t} (1 − d_i / n_i) — the estimator retention
+    * curves, time-to-churn, and label-delay analyses all reduce to.
+    *
+    * Determinism: d/c/n are exact integer counts; the product
+    * accumulates as exp(Σ ln(1 − d/n)) over the day-ordered window,
+    * so both engines execute the SAME sequence of IEEE adds (the
+    * cumulative frame fixes the order); the curve rounds to 6.
+    *
+    * Scale shape: one hash aggregate per user (min/conditional-min —
+    * map-side partial), then everything runs on the DAY-grain table
+    * (|distinct durations| rows — control-plane size, like the skew
+    * report's top-k): its global-ordered window is over hundreds of
+    * rows, not the corpus. The censor time is a 1-row broadcast.
+    */
+  def kaplanMeier(events: DataFrame, conversionType: String): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      min(unix_millis(col("ts"))).as("t0"),
+      min(when(col("event_type") === conversionType, unix_millis(col("ts"))))
+        .as("tc"))
+    val tmax = events.agg(max(unix_millis(col("ts"))).as("tmax"))
+    val durations = perUser.crossJoin(broadcast(tmax))
+      .select(
+        when(col("tc").isNotNull,
+             floor((col("tc") - col("t0")) / 86400000.0))
+          .otherwise(floor((col("tmax") - col("t0")) / 86400000.0)).as("day"),
+        col("tc").isNotNull.as("converted"))
+    val days = durations.groupBy("day").agg(
+      sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    val total = durations.agg(count(lit(1)).as("n_total"))
+    val prior = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      // a day where EVERY remaining subject converts drives the curve
+      // to exactly 0; guarded explicitly because Spark's log(0) is
+      // NULL while SQL engines give -inf — the flag keeps both
+      // engines on the same arithmetic
+      .withColumn("_zero",
+        max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(cum))
+      .withColumn("survival",
+        when(col("_zero") === 1, lit(0.0)).otherwise(
+          round(exp(sum(
+            when(col("d") < col("n_risk"),
+                 log(lit(1.0) - col("d") / col("n_risk"))).otherwise(lit(0.0))
+          ).over(cum)), 6)))
+      .select(col("day"), col("n_risk"), col("d").as("n_events"),
+              col("c").as("n_censored"), col("survival"))
+  }
+
   /** Sliding-window distinct users from MERGED hourly sketches — the
     * classic reason sliding distinct counts need sketches: distinct
     * is not additive, so a naive per-window recount touches every raw

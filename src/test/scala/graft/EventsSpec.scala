@@ -127,6 +127,37 @@ class EventsSpec extends SparkSpec {
       s"reprocessed day must be replaced wholesale, got $got")
   }
 
+  test("kaplanMeier: hand-computed curve with conversion, censoring, and the terminal-day zero") {
+    import java.sql.Timestamp
+    def t(d: Long) = new Timestamp(d * 86400000L)
+    // 4 users, all entering at day 0 (first event):
+    //  u1 converts day 1, u2 converts day 2, u3 never (censored at
+    //  tmax = day 3), u4 converts day 3.
+    // Day 1: n=4, d=1 → S=3/4. Day 2: n=3, d=1 → S=3/4·2/3=1/2.
+    // Day 3: n=2, d=1, c=1 → 1−d/n=1/2 → S=1/4.
+    val e = Seq(
+      (1L, 1L, "view", t(0)), (2L, 1L, "purchase", t(1)),
+      (3L, 2L, "view", t(0)), (4L, 2L, "purchase", t(2)),
+      (5L, 3L, "view", t(0)),
+      (6L, 4L, "view", t(0)), (7L, 4L, "purchase", t(3))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.kaplanMeier(e, "purchase")
+      .orderBy("day")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 0L, 0.75),
+      (2L, 3L, 1L, 0L, 0.5),
+      (3L, 2L, 1L, 1L, 0.25)), s"got $got")
+    // terminal-day full conversion → survival exactly 0, not NULL
+    val all = Seq(
+      (1L, 1L, "view", t(0)), (2L, 1L, "purchase", t(1)),
+      (3L, 2L, "view", t(0)), (4L, 2L, "purchase", t(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val z = Events.kaplanMeier(all, "purchase")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(z == Seq((1L, 2L, 2L, 0L, 0.0)), s"got $z")
+  }
+
   test("slidingDistinctSketch: windows merge hourly sketches; overlapping users counted once") {
     import java.sql.Timestamp
     def t(h: Long) = new Timestamp(h * 3600000L)
