@@ -2271,6 +2271,14 @@ object SparkEntry {
       s.read.parquet(pcaBasisPath(dir)).orderBy("component", "dim")
     }),
 
+    // Benford first-digit screen over order totals: digit from the
+    // exact integer's decimal string (never libm log10), Benford
+    // expectations as shared Scala-double literals, chi-square total
+    // replicated per digit row
+    "profile_benford" -> ((s, dir) =>
+      Profiling.benford(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
     // EXACT two-sample KS between the price distributions of the
     // odd/even order halves — the global ECDF prefix sum runs as
     // range-partitioned partial sums + broadcast offsets, never a
@@ -4739,6 +4747,32 @@ object SparkEntry {
     "emb_pca" -> pcaSql(iters = 8, scale = 10000L),
 
     "emb_pca_k" -> pcaKSql(nComponents = 3, iters = 8, scale = 10000L),
+
+    // same exact-integer-string digit extraction; the Benford
+    // constants interpolate from the SAME Scala doubles the engine
+    // uses (shortest-repr round-trip)
+    "profile_benford" -> {
+      val vals = (1 to 9)
+        .map(d => s"(CAST($d AS BIGINT), CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH e(digit, p_benford) AS (VALUES $vals),
+         | sc AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS s
+         |        FROM orders),
+         | digs AS (SELECT CAST(substr(CAST(s AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |          FROM sc WHERE s >= 1),
+         | d AS (SELECT digit, count(*) AS n FROM digs GROUP BY 1),
+         | t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d),
+         | per AS (
+         | SELECT e.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n, n_total, e.p_benford,
+         |  (coalesce(d.n, 0) - n_total * e.p_benford)
+         |    * (coalesce(d.n, 0) - n_total * e.p_benford)
+         |    / (n_total * e.p_benford) AS chi2_term
+         | FROM e LEFT JOIN d ON e.digit = d.digit CROSS JOIN t),
+         | c AS (SELECT round(sum(chi2_term), 6) AS chi2_total FROM per)
+         | SELECT digit, n, round(n / n_total, 6) AS p_obs,
+         |  round(p_benford, 6) AS p_benford, chi2_total
+         | FROM per CROSS JOIN c ORDER BY digit""".stripMargin
+    },
 
     // the global-window form of the same ECDF arithmetic: exact
     // cumulative integer counts, one double division each, max of

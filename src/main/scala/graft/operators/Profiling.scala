@@ -186,6 +186,54 @@ object Profiling {
       })
   }
 
+  /** Benford's-law first-digit conformance — the classic
+    * fabricated-data / corrupted-feed screen: natural multi-scale
+    * magnitudes put digit d first with probability log10(1 + 1/d);
+    * heavy deviation flags synthetic or truncated values. Emits one
+    * row per digit with observed share, the Benford expectation, and
+    * the replicated χ² total.
+    *
+    * Engine-exactness: the first digit comes from the DECIMAL STRING
+    * of the value scaled to an exact integer (round(v·10^scale) →
+    * BIGINT → first character) — integer-to-string is exact in every
+    * engine, where floor(v/10^floor(log10 v)) would hang digit
+    * boundaries on each libm's log10 rounding. The Benford
+    * expectations are Scala-computed double literals interpolated
+    * into both engines (shortest-repr round-trip), shares/χ² are one
+    * fixed IEEE expression each, rounded to 6.
+    *
+    * Scale shape: one map stage (scale + stringify + substring) into
+    * a 9-row aggregate; the χ² fold is a 1-row broadcast back onto
+    * the digit rows.
+    */
+  def benford(df: DataFrame, valueCol: String, scale: Int = 2): DataFrame = {
+    val digits = df
+      .select(round(col(valueCol).cast("double") * math.pow(10, scale).toLong, 0)
+        .cast("long").as("s"))
+      .where(col("s") >= 1) // non-positive and rounds-to-zero values have no first digit
+      .select(substring(col("s").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    val expected = (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = expected.toDF("digit", "p_benford")
+    val per = exp.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+              col("n_total"), col("p_benford"))
+      .withColumn("chi2_term",
+        (col("n") - col("n_total") * col("p_benford")) *
+        (col("n") - col("n_total") * col("p_benford")) /
+        (col("n_total") * col("p_benford")))
+    val chi2 = per.agg(round(sum(col("chi2_term")), 6).as("chi2_total"))
+    per.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"),
+              round(col("n") / col("n_total"), 6).as("p_obs"),
+              round(col("p_benford"), 6).as("p_benford"),
+              col("chi2_total"))
+  }
+
   /** Pearson correlation for named column pairs via EXACT scaled
     * moments: both columns of a pair scale to decimal(38,0) integers
     * and all five sums (Σx, Σy, Σx², Σy², Σxy) accumulate as exact

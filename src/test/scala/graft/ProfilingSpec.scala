@@ -185,6 +185,28 @@ class ProfilingSpec extends SparkSpec {
     assert(merged == direct, s"union-of-sketches must equal sketch-of-union: $merged vs $direct")
   }
 
+  test("benford: exact string-digit extraction, zero/negative guard, chi-square fold") {
+    import org.apache.spark.sql.functions._
+    // digits: 1.0→1, 1.5→1, 25.0→2, 0.09→9; 0.004 rounds to 0 and
+    // -5 is negative — both must drop
+    val df = Seq(1.0, 1.5, 25.0, 0.09, 0.004, -5.0).toDF("x")
+    val got = graft.operators.Profiling.benford(df, "x")
+      .orderBy("digit")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val n = Map(1L -> 2L, 2L -> 1L, 9L -> 1L).withDefaultValue(0L)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = r6((1 to 9).map { d =>
+      val p = math.log10(1.0 + 1.0 / d)
+      val dev = n(d.toLong) - 4 * p
+      dev * dev / (4 * p)
+    }.sum)
+    val expect = (1 to 9).map { d =>
+      (d.toLong, n(d.toLong), r6(n(d.toLong) / 4.0),
+       r6(math.log10(1.0 + 1.0 / d)), chi2)
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   test("ksDrift: hand-computed statistic; result independent of partition count") {
     // A = {1,2,3,4}, B = {3,4,5,6}: ECDF gap peaks at v=2 (and v=4):
     // |2/4 - 0/4| = 0.5
