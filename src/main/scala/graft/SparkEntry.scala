@@ -2271,6 +2271,19 @@ object SparkEntry {
       s.read.parquet(pcaBasisPath(dir)).orderBy("component", "dim")
     }),
 
+    // PSI between the odd/even order halves' price distributions —
+    // the monitoring-dashboard companion to profile_ks_drift: 10
+    // equal-width reference bins, Laplace-smoothed shares, edge-bin
+    // clamping for out-of-range drift
+    "profile_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Profiling.psiDrift(
+        o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1),
+        "o_totalprice")
+        .orderBy("bin")
+    }),
+
     // Benford first-digit screen over order totals: digit from the
     // exact integer's decimal string (never libm log10), Benford
     // expectations as shared Scala-double literals, chi-square total
@@ -4747,6 +4760,40 @@ object SparkEntry {
     "emb_pca" -> pcaSql(iters = 8, scale = 10000L),
 
     "emb_pca_k" -> pcaKSql(nComponents = 3, iters = 8, scale = 10000L),
+
+    // same binning + smoothing arithmetic over the reference range
+    "profile_psi_drift" ->
+      """WITH rng AS (
+        | SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        | FROM orders WHERE o_orderkey % 2 = 0),
+        | bins AS (SELECT CAST(b AS BIGINT) AS bin FROM UNNEST(range(0, 10)) AS t(b)),
+        | br AS (
+        | SELECT greatest(0, least(9,
+        |   CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS BIGINT))) AS bin,
+        |  count(*) AS n_ref
+        | FROM orders CROSS JOIN rng WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        | bc AS (
+        | SELECT greatest(0, least(9,
+        |   CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS BIGINT))) AS bin,
+        |  count(*) AS n_cur
+        | FROM orders CROSS JOIN rng WHERE o_orderkey % 2 = 1 GROUP BY 1),
+        | j AS (
+        | SELECT bins.bin, CAST(coalesce(br.n_ref, 0) AS BIGINT) AS n_ref,
+        |  CAST(coalesce(bc.n_cur, 0) AS BIGINT) AS n_cur
+        | FROM bins LEFT JOIN br ON bins.bin = br.bin
+        |  LEFT JOIN bc ON bins.bin = bc.bin),
+        | tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |        CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j),
+        | per AS (
+        | SELECT bin, n_ref, n_cur,
+        |  (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t_ref AS DOUBLE) + 5.0) AS p_ref,
+        |  (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t_cur AS DOUBLE) + 5.0) AS p_cur
+        | FROM j CROSS JOIN tt),
+        | p AS (SELECT round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi_total
+        |       FROM per)
+        | SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref,
+        |  round(p_cur, 6) AS p_cur, psi_total
+        | FROM per CROSS JOIN p ORDER BY bin""".stripMargin,
 
     // same exact-integer-string digit extraction; the Benford
     // constants interpolate from the SAME Scala doubles the engine

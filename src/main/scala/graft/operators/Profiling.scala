@@ -186,6 +186,57 @@ object Profiling {
       })
   }
 
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * distribution over `numBins` equal-width bins of the reference
+    * range — the model-monitoring standard ([[ksDrift]] gives the
+    * sharpest statistic; PSI is what monitoring dashboards alarm on,
+    * with the conventional 0.1/0.25 thresholds). Laplace smoothing
+    * (+0.5 per bin) keeps empty bins finite — deterministic, unlike
+    * the ad-hoc epsilon clamps. Out-of-range current values clamp to
+    * the edge bins (the standard treatment: drift OUT of the
+    * reference range must register, not vanish).
+    *
+    * Scale shape: the reference range is a 1-row min/max broadcast;
+    * binning is a map stage into a numBins-row aggregate per side;
+    * PSI folds on the bin table. All counts exact; shares and the
+    * ln-ratio terms are fixed IEEE expressions rounded at the end.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               numBins: Int = 10): DataFrame = {
+    val range = ref.agg(min(col(valueCol).cast("double")).as("lo"),
+                        max(col(valueCol).cast("double")).as("hi"))
+    def binned(df: DataFrame, cnt: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .crossJoin(broadcast(range))
+      .select(greatest(lit(0L), least(lit(numBins.toLong - 1),
+        floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / numBins))))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val bins = (0L until numBins.toLong).toDF("bin")
+    val joined = bins
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+              coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+              coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val per = joined.crossJoin(broadcast(totals))
+      .withColumn("p_ref",
+        (col("n_ref") + 0.5) / (col("t_ref") + 0.5 * numBins))
+      .withColumn("p_cur",
+        (col("n_cur") + 0.5) / (col("t_cur") + 0.5 * numBins))
+      .withColumn("term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+    val psi = per.agg(round(sum(col("term")), 6).as("psi_total"))
+    per.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+              round(col("p_ref"), 6).as("p_ref"),
+              round(col("p_cur"), 6).as("p_cur"),
+              col("psi_total"))
+  }
+
   /** Benford's-law first-digit conformance — the classic
     * fabricated-data / corrupted-feed screen: natural multi-scale
     * magnitudes put digit d first with probability log10(1 + 1/d);

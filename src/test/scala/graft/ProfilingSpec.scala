@@ -185,6 +185,30 @@ class ProfilingSpec extends SparkSpec {
     assert(merged == direct, s"union-of-sketches must equal sketch-of-union: $merged vs $direct")
   }
 
+  test("psiDrift: zero for identical halves; out-of-range drift lands in the edge bin") {
+    import org.apache.spark.sql.functions._
+    val ref = (0 to 9).map(_.toDouble).toDF("x")
+    val same = graft.operators.Profiling.psiDrift(ref, ref, "x")
+      .select("psi_total").distinct().as[Double].head()
+    assert(same == 0.0, s"identical distributions must give PSI 0, got $same")
+    // every current value far beyond the reference range → all 10
+    // rows clamp into bin 9
+    val shifted = (0 to 9).map(v => v + 100.0).toDF("x")
+    val got = graft.operators.Profiling.psiDrift(ref, shifted, "x")
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._3) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 10L),
+      s"clamped counts wrong: $got")
+    // replicate the smoothed-share PSI in plain doubles
+    val terms = (0 until 10).map { b =>
+      val pR = (1 + 0.5) / (10 + 5.0)
+      val pC = ((if (b == 9) 10 else 0) + 0.5) / (10 + 5.0)
+      (pC - pR) * math.log(pC / pR)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._6 == r6(terms.sum), s"psi mismatch: ${got.head._6} vs ${r6(terms.sum)}")
+  }
+
   test("benford: exact string-digit extraction, zero/negative guard, chi-square fold") {
     import org.apache.spark.sql.functions._
     // digits: 1.0→1, 1.5→1, 25.0→2, 0.09→9; 0.004 rounds to 0 and
