@@ -2160,6 +2160,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // maximum-inner-product top-k: raw dot ranking — the norm carries
+    // signal cosine erases (recommendation scoring); the MIPS→cosine
+    // augmentation (the route onto the LSH/IVF machinery) is
+    // spec-proven equal in Similarity
+    "sim_mips" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mipsTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     "sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
@@ -4329,6 +4339,19 @@ object SparkEntry {
         |  round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
         |  row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |             c.vec_id) AS rnk
+        | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        | WHERE c.vec_id <> q.vec_id)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // raw inner-product ranking — same shape as sim_topk minus the
+    // normalization
+    "sim_mips" ->
+      """SELECT query_id, corpus_id, score, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
         |             c.vec_id) AS rnk
         | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
         | WHERE c.vec_id <> q.vec_id)

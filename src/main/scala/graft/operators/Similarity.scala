@@ -46,6 +46,58 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the recommendation-scoring
+    * retrieval: user × item affinity is a RAW dot product, where
+    * cosine would erase the item-popularity signal carried by vector
+    * NORM (a long vector that points the same way should outrank a
+    * short one; cosine calls them equal). Same brute shape as
+    * [[bruteForceTopK]] minus the normalization.
+    *
+    * Scale path (documented, spec-proven on [[mipsViaCosineAugmentation]]):
+    * MIPS reduces to cosine search by augmenting each corpus vector
+    * with √(M² − ‖c‖²) (M = max corpus norm) and queries with 0 —
+    * augmented norms are constant, so cosine order = dot order and
+    * the whole LSH/IVF machinery applies unchanged.
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", round(dotD(col("cvec"), col("qvec")), 6))
+    topKPerQuery(scored, k)
+  }
+
+  /** The MIPS→cosine reduction itself (Bachrach et al. / Shrivastava–
+    * Li asymmetric transform, exact variant): corpus vectors gain one
+    * coordinate √(M² − ‖c‖²) so every augmented corpus norm is exactly
+    * M; queries gain 0. cos(aug c, aug q) = ⟨c,q⟩/(M·‖q‖), monotone in
+    * ⟨c,q⟩ per query — so ranking by augmented COSINE equals ranking
+    * by dot, and the bucketed ANN machinery (LSH/IVF) applies to MIPS
+    * unchanged. The spec pins result equality with [[mipsTopK]].
+    */
+  def mipsViaCosineAugmentation(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String,
+                                k: Int): DataFrame = {
+    val base = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("nrm2", dotD(col("cvec"), col("cvec")))
+    val m2 = base.agg(max(col("nrm2")).as("m2"))
+    val caug = base.crossJoin(broadcast(m2))
+      .select(col("corpus_id"),
+        concat(col("cvec"),
+          array(sqrt(greatest(col("m2") - col("nrm2"), lit(0.0))).cast("float")))
+          .as("cvec"))
+    val qaug = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .select(col("query_id"),
+        concat(col("qvec"), array(lit(0.0f))).as("qvec"))
+    val cn = caug.withColumn("cnrm", l2Norm(col("cvec")))
+    val qn = qaug.withColumn("qnrm", l2Norm(col("qvec")))
+    val scored = cn.join(broadcast(qn), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN top-k: corpus and queries bucket by the same
     * deterministic hyperplane function (numTables independent tables);
     * candidates = same (table, bucket); exact cosine re-rank on

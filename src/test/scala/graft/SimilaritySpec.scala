@@ -325,4 +325,23 @@ class SimilaritySpec extends SparkSpec {
       s"refine must not lose recall: rerank ${(exSet & rrSet).size} vs plain ${(exSet & plain).size}")
   }
 
+  test("mips: norm carries signal cosine erases; augmentation reduction ranks identically") {
+    // v2 = 3·v1 (same direction): cosine ties them, MIPS must rank the
+    // longer one above for a positively-aligned query
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(3f, 0f)),
+      (3L, Array(0f, 2f)), (4L, Array(2f, 2f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") === 1L)
+    val mips = Similarity.mipsTopK(df, q, "vec_id", "embedding", k = 3)
+      .select("corpus_id", "score", "rnk")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(mips == Seq((2L, 3.0, 1L), (4L, 2.0, 2L), (3L, 0.0, 3L)), s"got $mips")
+    // the exact MIPS→cosine augmentation must produce the same result
+    // set in the same order (scores differ — order may not)
+    val aug = Similarity.mipsViaCosineAugmentation(df, q, "vec_id", "embedding", k = 3)
+      .select("corpus_id", "rnk").as[(Long, Long)].collect().toSeq
+    assert(aug == mips.map(r => (r._1, r._3)), s"augmented ranking diverged: $aug")
+  }
+
 }
