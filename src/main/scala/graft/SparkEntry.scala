@@ -1257,6 +1257,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic experiment-arm assignment: md5 → 100 buckets,
+    // arms claim contiguous ranges by weight (50/30/20) — stable
+    // across runs and engines by construction, the assignment side of
+    // the events_ab_test story
+    "sample_ab_assign" -> ((s, dir) =>
+      Sampling.abAssign(
+        t(s, dir, "events").select(col("user_id")).distinct(),
+        "user_id",
+        arms = Seq("control" -> 50, "treatment_a" -> 30, "treatment_b" -> 20))
+        .orderBy("user_id")),
+
     // feature hashing: vocabulary-free fixed-width token counts via
     // the engine-neutral 60-bit md5 bucket hash
     "text_hash_features" -> ((s, dir) =>
@@ -3320,6 +3331,18 @@ object SparkEntry {
          | WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
          |   / 4294967296.0 < rate
          | ORDER BY doc_id""".stripMargin,
+
+    // same md5 bucket draw, arms as a CASE over the cumulative ranges
+    "sample_ab_assign" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events)
+        | SELECT user_id,
+        |  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 100 < 50
+        |       THEN 'control'
+        |       WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        |       THEN 'treatment_a'
+        |       ELSE 'treatment_b' END AS arm
+        | FROM u ORDER BY user_id""".stripMargin,
 
     "text_hash_features" ->
       """WITH tok AS (

@@ -159,6 +159,31 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Deterministic experiment-arm assignment: each unit hashes into
+    * one of 100 buckets (md5 of its id — the engine-neutral draw every
+    * sampler here uses) and arms claim contiguous bucket ranges by
+    * weight. The industry-standard properties fall out by
+    * construction: assignment is a pure function of the id (stable
+    * across runs, days, and engines — no coordination, no state),
+    * arms are disjoint and exhaustive, and a weight change only moves
+    * units whose buckets change hands. Map-only; `weights` must sum
+    * to 100.
+    */
+  def abAssign(df: DataFrame, idCol: String,
+               arms: Seq[(String, Int)]): DataFrame = {
+    require(arms.nonEmpty && arms.map(_._2).sum == 100 && arms.forall(_._2 > 0),
+      s"arm weights must be positive and sum to 100, got $arms")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val cums = arms.scanLeft(0)(_ + _._2).tail
+    val arm = arms.zip(cums).tail.foldLeft(
+      when(bucket < cums.head, arms.head._1)) {
+        case (acc, ((name, _), cum)) => acc.when(bucket < cum, name)
+      }
+    df.select(col(idCol), bucket.as("bucket"), arm.as("arm"))
+  }
+
   def mixToGroupTarget(df: DataFrame, groupCol: String, idCol: String,
                        targetPerGroup: Long): DataFrame = {
     require(targetPerGroup > 0, "mixToGroupTarget needs targetPerGroup > 0")

@@ -102,4 +102,28 @@ class SamplingSpec extends SparkSpec {
     assert(flat("small") <= 1.0 && flat("big") < 0.5)
     intercept[IllegalArgumentException](Sampling.temperatureMix(d, "g", "id", 1.5, 10))
   }
+
+  test("abAssign: disjoint exhaustive arms, stable across runs, near-weight shares") {
+    val ids = (1L to 1000L).toDF("id")
+    val arms = Seq("control" -> 50, "treatment_a" -> 30, "treatment_b" -> 20)
+    val a1 = Sampling.abAssign(ids, "id", arms)
+      .as[(Long, Long, String)].collect().toSeq
+    // exhaustive + bucket→arm mapping respects the cumulative ranges
+    assert(a1.size == 1000)
+    a1.foreach { case (_, b, arm) =>
+      val expect = if (b < 50) "control" else if (b < 80) "treatment_a" else "treatment_b"
+      assert(arm == expect, s"bucket $b mapped to $arm")
+    }
+    // pure function of the id: a second run assigns identically
+    val a2 = Sampling.abAssign(ids, "id", arms)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(a1.sortBy(_._1) == a2.sortBy(_._1))
+    // md5 buckets are near-uniform: shares land within ±5pp of weights
+    val shares = a1.groupBy(_._3).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(shares("control") - 0.5) < 0.05 &&
+           math.abs(shares("treatment_a") - 0.3) < 0.05 &&
+           math.abs(shares("treatment_b") - 0.2) < 0.05, s"$shares")
+    intercept[IllegalArgumentException](
+      Sampling.abAssign(ids, "id", Seq("a" -> 60, "b" -> 60)))
+  }
 }
