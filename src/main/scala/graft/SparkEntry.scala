@@ -2730,6 +2730,23 @@ object SparkEntry {
       s.read.orc(path).orderBy("o_orderkey")
     }),
 
+    // small-file compaction: events deliberately fragmented into 64
+    // files, compacted by on-disk size into a handful — compaction is
+    // result-invisible (plain aggregate oracle); the file-count drop
+    // and row identity are spec-pinned
+    "etl_compact_scan" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(dir.hashCode)}"
+      val frag = s"$base/frag"; val out = s"$base/out"
+      t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      Etl.compactParquet(s, frag, out, targetBytes = 8L << 20)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             Analytics.moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // Z-order clustered lake layout: orders rewritten clustered by the
     // Morton code of (custkey, order day), then a two-dimensional
     // filter reads it back — layout is result-invisible (plain-SQL
@@ -2853,6 +2870,13 @@ object SparkEntry {
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
     // per-user cadence: exact integer ms gaps, one user-keyed window
+    // cohort LTV: the money companion to events_retention — purchase
+    // value per (first-activity cohort, day offset) with an exact-
+    // cents per-cohort cumulative
+    "events_ltv_cohort" -> ((s, dir) =>
+      Events.cohortLtv(t(s, dir, "events"), conversionType = "purchase")
+        .orderBy("cohort_date", "day_offset")),
+
     // Kaplan-Meier curve for time-to-first-purchase (entry = each
     // user's first event, non-converters right-censored at the last
     // observed ts): exact day-grain counts, the product as an
@@ -3545,6 +3569,25 @@ object SparkEntry {
         | FROM c JOIN t USING (col_name)
         | GROUP BY c.col_name, t.n, t.nd
         | ORDER BY col_name""".stripMargin,
+
+    // same cents-exact arithmetic, cumulative included
+    "events_ltv_cohort" ->
+      """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |             FROM events GROUP BY 1),
+        | p AS (SELECT user_id, CAST(ts AS DATE) AS pday,
+        |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |       FROM events WHERE event_type = 'purchase'),
+        | cells AS (
+        | SELECT cohort_date,
+        |  CAST(date_diff('day', cohort_date, pday) AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_buyers,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM p JOIN coh USING (user_id) GROUP BY 1, 2)
+        | SELECT cohort_date, day_offset, n_buyers,
+        |  CAST(cents AS DOUBLE) / 100 AS revenue,
+        |  CAST(CAST(sum(cents) OVER (PARTITION BY cohort_date ORDER BY day_offset
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / 100 AS cum_revenue
+        | FROM cells ORDER BY cohort_date, day_offset""".stripMargin,
 
     // the same day-grain K-M arithmetic: prior-frame at-risk counts,
     // exp-sum-log survival with the everyone-converts guard
@@ -5146,6 +5189,12 @@ object SparkEntry {
     "etl_xml_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // compaction is result-invisible — the plain aggregate
+    "etl_compact_scan" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         | ${msum("value")} AS total_value
+         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // layout is result-invisible — the plain filtered aggregate
     "etl_zorder_scan" ->

@@ -158,6 +158,34 @@ object Etl {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Lakehouse small-file compaction (the OPTIMIZE half that isn't
+    * Z-ordering): rewrite a fragmented parquet directory into
+    * ceil(totalBytes / targetBytes) files at `destPath`. Small files
+    * are the classic silent killer of 100 TB scans — every file costs
+    * a task, a footer read, and an open; a streaming sink or
+    * per-partition upsert that leaves 10⁶ kilobyte-files turns a scan
+    * into scheduler overhead. Sizing comes from the actual on-disk
+    * listing (control-plane: one local/object-store list), not a row
+    * count guess. Compacts INTO a destination — swapping the compacted
+    * directory in is the caller's catalog/commit-protocol concern
+    * (object stores and table formats each have their own), which is
+    * why this op does not pretend a local rename is atomic.
+    * Returns (input file count, output file count).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+                     destPath: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val files = Option(new java.io.File(srcPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $srcPath")
+    val nOut = math.max(1L, math.ceil(
+      files.map(_.length()).sum.toDouble / targetBytes).toLong).toInt
+    spark.read.parquet(srcPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(destPath)
+    (files.length, nOut)
+  }
+
   /** Z-order value: bit-interleave two non-negative long columns into
     * one locality-preserving key (Morton code) — `bits` low bits of
     * each, `a`'s bit at the higher position of each pair. A pure

@@ -392,6 +392,39 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Cohort LTV matrix — the MONEY companion to the retention count
+    * matrix: users cohort by their first-activity date; every
+    * `conversionType` event's value lands in (cohort, day-offset), and
+    * a per-cohort running total gives cumulative revenue per cohort
+    * age (the LTV curve payback analyses read off). Revenue
+    * accumulates as exact cents (scaled longs) including through the
+    * cumulative window, so the money column hash-matches at any
+    * aggregation order.
+    *
+    * Scale shape: one per-user min (map-side partial), one shuffle
+    * join of conversions against the |users| cohort table, a
+    * (cohort × offset) aggregate, and a window PARTITIONED by cohort
+    * — per-cohort streams, never a global sort.
+    */
+  def cohortLtv(events: DataFrame, conversionType: String): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    val purchases = events.where(col("event_type") === conversionType)
+      .select(col("user_id"), to_date(col("ts")).as("pday"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+    val cells = purchases.join(cohorts, "user_id")
+      .groupBy(col("cohort_date"),
+               datediff(col("pday"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+           sum(col("cents")).as("_cents"))
+    val w = Window.partitionBy("cohort_date").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("_cum", sum(col("_cents")).over(w))
+      .select(col("cohort_date"), col("day_offset"), col("n_buyers"),
+              (col("_cents").cast("double") / 100).as("revenue"),
+              (col("_cum").cast("double") / 100).as("cum_revenue"))
+  }
+
   /** Kaplan–Meier survival curve for time-to-first-`conversionType`:
     * each user enters at their FIRST event of any type; users who
     * never convert are right-censored at the corpus's last observed

@@ -270,6 +270,26 @@ class EtlSpec extends SparkSpec {
       s"linear layout should leave b unbounded somewhere, got $lr")
   }
 
+  test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_compact"
+    val frag = s"$base/frag"; val out = s"$base/out"
+    spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(32).write.mode("overwrite").parquet(frag)
+    val totalBytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target slightly above a third of the bytes → exactly 3 files
+    val (nIn, nOut) = Etl.compactParquet(spark, frag, out,
+      targetBytes = totalBytes / 3 + 1)
+    assert(nIn == 32 && nOut == 3, s"expected 32 -> 3 files, got $nIn -> $nOut")
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 3, s"on-disk file count $outFiles != planned 3")
+    val a = spark.read.parquet(frag).as[(Long, Long)].collect().sorted.toSeq
+    val b = spark.read.parquet(out).as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b, "compaction must preserve the exact row multiset")
+  }
+
   test("writeXml round-trips markup-significant characters and doubles") {
     import org.apache.spark.sql.functions._
     // <, >, & and quotes must survive entity-escaping; doubles must

@@ -189,4 +189,31 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"iteration $i")
     }
   }
+
+  test("triangleCount matches brute-force enumeration on random multigraphs") {
+    import graft.operators.Graph
+    // random directed multigraphs WITH self-loops and duplicates — the
+    // orientation trick must agree with the O(n^3) reference on the
+    // cleaned undirected support
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11)))
+    for (i <- 0 until 5) {
+      val edges = samples(edgeGen, 1)(0)
+      val df = edges.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst")
+      val got = Graph.triangleCount(df, "src", "dst")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val und = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap(e => Set(e._1, e._2))
+      val adj = (u: Int, v: Int) => und((math.min(u, v), math.max(u, v)))
+      val want = nodes.map { v =>
+        val others = (nodes - v).toSeq
+        s"n$v" -> (for {
+          Seq(x, y) <- others.combinations(2)
+          if adj(v, x) && adj(v, y) && adj(x, y)
+        } yield 1).size.toLong
+      }.toMap
+      assert(got == want, s"iteration $i: got $got want $want")
+    }
+  }
 }
