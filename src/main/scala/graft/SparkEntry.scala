@@ -2870,6 +2870,13 @@ object SparkEntry {
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
     // per-user cadence: exact integer ms gaps, one user-keyed window
+    // per-day peak concurrent sessions (+1/−1 boundary sweep over the
+    // sessionize intervals, day-split at midnight) — the capacity-
+    // planning number; sweep window partitioned per day
+    "events_peak_concurrency" -> ((s, dir) =>
+      Events.peakConcurrency(t(s, dir, "events"), gapMinutes = 30)
+        .orderBy("day")),
+
     // cohort LTV: the money companion to events_retention — purchase
     // value per (first-activity cohort, day offset) with an exact-
     // cents per-cohort cumulative
@@ -3569,6 +3576,45 @@ object SparkEntry {
         | FROM c JOIN t USING (col_name)
         | GROUP BY c.col_name, t.n, t.nd
         | ORDER BY col_name""".stripMargin,
+
+    // the sessionize CTE + the same day-split sweep; ends sort after
+    // starts at equal t (delta DESC) for closed-interval overlap
+    "events_peak_concurrency" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        | y AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns
+        | FROM x),
+        | z AS (
+        | SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM y),
+        | sess AS (
+        | SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end
+        | FROM z GROUP BY 1, 2),
+        | starts AS (
+        | SELECT CAST(d AS DATE) AS day,
+        |  greatest(session_start, CAST(CAST(d AS DATE) AS TIMESTAMP)) AS t,
+        |  1 AS delta
+        | FROM sess, UNNEST(generate_series(CAST(session_start AS DATE),
+        |   CAST(session_end AS DATE), INTERVAL 1 DAY)) AS g(d)),
+        | ends AS (
+        | SELECT CAST(session_end AS DATE) AS day, session_end AS t, -1 AS delta
+        | FROM sess),
+        | sweep AS (SELECT * FROM starts UNION ALL SELECT * FROM ends),
+        | run AS (
+        | SELECT day, delta,
+        |  sum(delta) OVER (PARTITION BY day ORDER BY t ASC, delta DESC
+        |    ROWS UNBOUNDED PRECEDING) AS conc
+        | FROM sweep)
+        | SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active_sessions
+        | FROM run GROUP BY day ORDER BY day""".stripMargin,
 
     // same cents-exact arithmetic, cumulative included
     "events_ltv_cohort" ->

@@ -392,6 +392,41 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Per-day peak concurrent sessions — the capacity-planning number:
+    * the classic +1/−1 boundary sweep over [[sessionize]]'s intervals.
+    * Sessions split at midnight (a day-spanner contributes a clamped
+    * segment to every day it touches); within each day the sweep is a
+    * running sum over boundaries ordered (t, +1-before-−1) — closed
+    * intervals, so a session starting the instant another ends counts
+    * as overlap. Only the per-day MAX and the active-session count are
+    * emitted, both of which are invariant to the arbitrary order
+    * among identical boundaries (ties share a sign, so the extremum
+    * sits at a tie-group edge).
+    *
+    * Scale shape: the sweep window is PARTITIONED BY day — per-day
+    * streams, never a global sort; the day-split explode is bounded
+    * by session length in days (gap-bounded sessions are short).
+    */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionize(events, gapMinutes)
+      .select("user_id", "session_id", "session_start", "session_end")
+    val starts = s
+      .withColumn("day",
+        explode(sequence(to_date(col("session_start")), to_date(col("session_end")))))
+      .select(col("day"),
+        greatest(col("session_start"), col("day").cast("timestamp")).as("t"),
+        lit(1L).as("delta"))
+    val ends = s.select(to_date(col("session_end")).as("day"),
+      col("session_end").as("t"), lit(-1L).as("delta"))
+    val w = Window.partitionBy("day").orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends)
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy("day")
+      .agg(max(col("conc")).as("peak_concurrency"),
+           sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_active_sessions"))
+  }
+
   /** Cohort LTV matrix — the MONEY companion to the retention count
     * matrix: users cohort by their first-activity date; every
     * `conversionType` event's value lands in (cohort, day-offset), and

@@ -127,6 +127,28 @@ class EventsSpec extends SparkSpec {
       s"reprocessed day must be replaced wholesale, got $got")
   }
 
+  test("peakConcurrency: overlap counting, closed intervals, midnight-spanning sessions") {
+    import java.sql.Timestamp
+    def t(d: Long, m: Long) = new Timestamp(d * 86400000L + m * 60000L)
+    val e = Seq(
+      // day 0: u1 session 600-610, u2 session 605-605 → overlap of 2
+      (1L, 1L, t(0, 600)), (2L, 1L, t(0, 610)), (3L, 2L, t(0, 605)),
+      // u3 lone session at 720
+      (4L, 3L, t(0, 720)),
+      // u4 spans midnight: 23:50 day0 → 00:05 day1 (15 min gap, one session)
+      (5L, 4L, t(0, 1430)), (6L, 4L, t(1, 5))
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+    val got = Events.peakConcurrency(e, gapMinutes = 30)
+      .orderBy("day")
+      .selectExpr("cast(day as string)", "peak_concurrency", "n_active_sessions")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1970-01-01", 2L, 4L),   // u1+u2 overlap; 4 sessions touch day 0
+      ("1970-01-02", 1L, 1L)),  // u4's clamped tail segment
+      s"got $got")
+  }
+
   test("kaplanMeier: hand-computed curve with conversion, censoring, and the terminal-day zero") {
     import java.sql.Timestamp
     def t(d: Long) = new Timestamp(d * 86400000L)
