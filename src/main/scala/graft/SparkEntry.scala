@@ -68,27 +68,35 @@ object SparkEntry {
   }
 
   /** File streams read a DIRECTORY; stage the events fixture once per
-    * (JVM, source mtime) for the streaming gate queries. Crash-safe:
-    * the copy lands under a temp name and moves into place atomically,
-    * so a killed JVM can never leave a truncated file that later JVMs
-    * mistake for the staged fixture; a concurrent second stager loses
-    * the move race harmlessly.
+    * (JVM, source mtime) for the streaming gate queries. The staged
+    * file is written in the CANONICAL stream format (`ts` as long
+    * epoch-MICROS, [[graft.streaming.StreamingEvents.rawSchema]]) via
+    * [[Tables.events]], so the stream contract no longer depends on
+    * which physical timestamp encoding the driver's fixture shipped
+    * with (ns-long vs µs-NTZ — both normalized at the batch boundary).
+    * Crash-safe: the part file lands under a temp name and moves into
+    * place atomically, so a killed JVM can never leave a truncated
+    * file that later JVMs mistake for the staged fixture; a concurrent
+    * second stager loses the move race harmlessly.
     */
-  private def stagedEventsDir(dir: String): String = {
+  private def stagedEventsDir(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val streamDir = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
     val target = streamDir.toPath.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
       streamDir.mkdirs()
-      val tmp = streamDir.toPath.resolve(s"events.parquet.inprogress.${System.nanoTime()}")
-      java.nio.file.Files.copy(src.toPath, tmp)
-      try java.nio.file.Files.move(tmp, target,
+      val stage = new java.io.File(s"${streamDir.getPath}/events.parquet.stage.${System.nanoTime()}")
+      Tables.events(s, dir)
+        .withColumn("ts", unix_micros(col("ts")))
+        .coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      try java.nio.file.Files.move(part.toPath, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp) // lost the race — fine
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race — fine
       }
+      stage.listFiles().foreach(_.delete()); stage.delete()
     }
     streamDir.toString
   }
@@ -105,7 +113,7 @@ object SparkEntry {
     * File-source triggers process files oldest-mtime-first, so the
     * three files' mtimes pin the batch order. Same crash-safe
     * stage-and-atomic-move dance as [[stagedEventsDir]]; the split
-    * cutoff is pure SQL (min(ts) + 1 hour, exact ns arithmetic) so
+    * cutoff is pure SQL (min(ts) + 1 hour, exact µs arithmetic) so
     * the oracle recomputes it identically.
     */
   private def stagedLateEventsDir(s: SparkSession, dir: String): String = {
@@ -115,11 +123,12 @@ object SparkEntry {
     if (!root.exists()) {
       val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
       tmp.mkdirs()
-      // raw long-ns timestamps (nanosAsLong), exactly what readEvents
-      // expects back
-      val raw = s.read.parquet(src.getPath)
-      val cutNs = raw.agg(min(col("ts"))).collect()(0).getLong(0) +
-        3600L * 1000000000L // control-plane 1-row lookup, once per JVM
+      // canonical long-µs timestamps (rawSchema), exactly what
+      // readEvents expects back — normalized via Tables.events so the
+      // fixture's physical encoding (ns-long vs µs-NTZ) is irrelevant
+      val raw = Tables.events(s, dir).withColumn("ts", unix_micros(col("ts")))
+      val cutUs = raw.agg(min(col("ts"))).collect()(0).getLong(0) +
+        3600L * 1000000L // control-plane 1-row lookup, once per JVM
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
         val stage = new java.io.File(s"${tmp.getPath}.stage_$name")
         df.coalesce(1).write.parquet(stage.getPath)
@@ -130,10 +139,10 @@ object SparkEntry {
         dst.setLastModified(mtime)
       }
       val t0 = src.lastModified()
-      val onTime = raw.where(col("ts") >= cutNs)
+      val onTime = raw.where(col("ts") >= cutUs)
       writeOne(onTime.where(col("event_id") % 2 === 0), "batch0_ontime.parquet", t0)
       writeOne(onTime.where(col("event_id") % 2 === 1), "batch1_ontime.parquet", t0 + 60000)
-      writeOne(raw.where(col("ts") < cutNs), "batch2_late.parquet", t0 + 120000)
+      writeOne(raw.where(col("ts") < cutUs), "batch2_late.parquet", t0 + 120000)
       try java.nio.file.Files.move(tmp.toPath, root.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -2326,6 +2335,26 @@ object SparkEntry {
         .orderBy("n_a")
     }),
 
+    // KS drift between TIME SLICES of the event lake (week 1 vs
+    // week 2 value distributions) — the lake-monitoring composition
+    // of profile_ks_drift: both slice reads partition-prune on
+    // event_date (the only rows a 100 TB lake ever scans for a
+    // weekly drift check are the two weeks under comparison)
+    "profile_ks_slices" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/events.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${math.abs(dir.hashCode)}_$src"
+      Events.ensureDatePartitioned(t(s, dir, "events"), path)
+      val minDate = lakeMinDate.computeIfAbsent(path, p =>
+        s.read.parquet(p).agg(min(col("event_date"))).collect()(0).getDate(0))
+      val lake = s.read.parquet(path)
+      Profiling.ksDrift(
+        lake.where(col("event_date") < date_add(lit(minDate), 7)),
+        lake.where(col("event_date") >= date_add(lit(minDate), 7) &&
+                   col("event_date") < date_add(lit(minDate), 14)),
+        "value")
+        .orderBy("n_a")
+    }),
+
     // PCA whitening — the application the emb_pca_k basis exists for:
     // project each embedding onto the top-3 components and rescale to
     // unit variance; exact-long sums, the published round-6 basis
@@ -2480,6 +2509,33 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("corpus_id"))
       val rr = Similarity.ivfPqRerankTopK(e, q, "vec_id", "embedding",
+          k = 5, kCand = 50)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(rr, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // flat-refine twin of sim_ivfpq_rerank: PQ codes over the WHOLE
+    // corpus (no coarse quantizer → no probe-miss loss), exact float
+    // re-rank of the depth-50 candidates — the right two-stage shape
+    // when the corpus fits a full code scan
+    "sim_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqRerankTopK(e, e.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, kCand = 50)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // refine gain over plain sim_pq_recall, hash-checked against the
+    // same exact-top-k yardstick
+    "sim_pq_rerank_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val rr = Similarity.pqRerankTopK(e, q, "vec_id", "embedding",
           k = 5, kCand = 50)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
       exact.join(rr, Seq("query_id", "corpus_id"), "left")
@@ -2812,7 +2868,7 @@ object SparkEntry {
       import graft.streaming.StreamingEvents
       StreamingEvents.runToCompletion(s,
         StreamingEvents.tumblingAgg(
-          StreamingEvents.readEvents(s, stagedEventsDir(dir))),
+          StreamingEvents.readEvents(s, stagedEventsDir(s, dir))),
         s"events_window_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
         .orderBy("window_start", "event_type")
     }),
@@ -2827,7 +2883,7 @@ object SparkEntry {
       import graft.streaming.StreamingEvents
       StreamingEvents.runToCompletion(s,
         StreamingEvents.sessionAgg(
-          StreamingEvents.readEvents(s, stagedEventsDir(dir))),
+          StreamingEvents.readEvents(s, stagedEventsDir(s, dir))),
         s"events_session_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
         .select(col("user_id"), col("session_start"),
                 (col("session_end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
@@ -2843,7 +2899,7 @@ object SparkEntry {
       import graft.streaming.StreamingEvents
       StreamingEvents.runToCompletion(s,
         StreamingEvents.hoppingAgg(
-          StreamingEvents.readEvents(s, stagedEventsDir(dir))),
+          StreamingEvents.readEvents(s, stagedEventsDir(s, dir))),
         s"events_hopping_stream_${funnelStreamSeq.incrementAndGet()}", mode = "complete")
         .orderBy("window_start", "event_type")
     }),
@@ -2962,7 +3018,7 @@ object SparkEntry {
       import graft.streaming.StreamingEvents
       val hits = StreamingEvents.runToCompletion(s,
         StreamingEvents.funnelState(
-          StreamingEvents.readEvents(s, stagedEventsDir(dir)),
+          StreamingEvents.readEvents(s, stagedEventsDir(s, dir)),
           Seq("view", "click", "purchase")),
         s"events_funnel_stream_${funnelStreamSeq.incrementAndGet()}")
       hits.groupBy("user_id")
@@ -4537,6 +4593,62 @@ object SparkEntry {
 
     "sim_pq_recall" -> pqSql(0, pqRecallTail),
 
+    // flat-refine: PQ candidates (whole-corpus code scan) re-scored on
+    // raw floats — the pairs/c CTE names line up with the IVF-PQ
+    // twins, so the same rerank tails compose unchanged
+    "sim_pq_rerank" -> pqSql(0,
+      """ , cand AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rnk
+        |   FROM pairs)
+        |  WHERE rnk <= 50),
+        | rer AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |   round(list_cosine_similarity(cc.vec, q.vec), 6) AS score
+        |  FROM cand JOIN c cc ON cc.id = cand.corpus_id
+        |  JOIN c q ON q.id = cand.query_id)
+        | SELECT query_id, corpus_id, score, rnk FROM (
+        |  SELECT query_id, corpus_id, score,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score DESC, corpus_id) AS rnk FROM rer)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+
+    "sim_pq_rerank_recall" -> pqSql(0,
+      """ , cand AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rnk
+        |   FROM pairs)
+        |  WHERE rnk <= 50),
+        | rer AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |   round(list_cosine_similarity(cc.vec, q.vec), 6) AS score
+        |  FROM cand JOIN c cc ON cc.id = cand.corpus_id
+        |  JOIN c q ON q.id = cand.query_id),
+        | pq AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT query_id, corpus_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS rnk FROM rer)
+        |  WHERE rnk <= 5),
+        | ex AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.id AS query_id, c.id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.id
+        |      ORDER BY round(list_cosine_similarity(c.vec, q.vec), 6) DESC,
+        |               c.id) AS rnk
+        |   FROM c, (SELECT * FROM c WHERE id < 8) q
+        |   WHERE c.id <> q.id)
+        |  WHERE rnk <= 5)
+        | SELECT ex.query_id,
+        |  round(sum(CASE WHEN pq.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+        | FROM ex LEFT JOIN pq
+        |   ON ex.query_id = pq.query_id AND ex.corpus_id = pq.corpus_id
+        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
+
     // IVF-PQ twin: probe-limited candidate set scored against
     // centroid + reconstructed residual
     "sim_ivfpq_topk" -> ivfPqSql(
@@ -4959,6 +5071,26 @@ object SparkEntry {
     // the global-window form of the same ECDF arithmetic: exact
     // cumulative integer counts, one double division each, max of
     // the absolute differences, round 6
+    // week-1 vs week-2 slices off the same lake cutoff the engine
+    // partition-prunes on (min event date recomputed in SQL)
+    "profile_ks_slices" ->
+      """WITH md AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        | c AS (
+        | SELECT value AS v,
+        |  sum(CASE WHEN CAST(ts AS DATE) < d0 + 7 THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN CAST(ts AS DATE) >= d0 + 7 THEN 1 ELSE 0 END) AS cb
+        | FROM events CROSS JOIN md
+        | WHERE value IS NOT NULL AND CAST(ts AS DATE) < d0 + 14
+        | GROUP BY 1),
+        | n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        | cum AS (
+        | SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+        |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+        | FROM c)
+        | SELECT round(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)), 6) AS ks_stat,
+        |  na AS n_a, nb AS n_b
+        | FROM cum CROSS JOIN n GROUP BY na, nb ORDER BY n_a""".stripMargin,
+
     "profile_ks_drift" ->
       """WITH c AS (
         | SELECT o_totalprice AS v,

@@ -22,18 +22,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by Verify/Bench sessions) it arrives as LongType nanos.
-    * Convert with integer division — double division would lose
-    * precision above 2^53 (~epoch 2262 in ns, but epoch-2024 ns are
-    * already 1.7e18).
+  /** events.parquet has shipped in two physical forms across testdata
+    * generations, both normalized here to a session-tz TimestampType
+    * `ts` so every downstream operator sees one type:
+    *  - TIMESTAMP(NANOS), which Spark's parquet reader rejects; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    Verify/Bench sessions) it arrives as LongType nanos. Convert
+    *    with integer division — double division would lose precision
+    *    above 2^53 (~epoch 2262 in ns, but epoch-2024 ns are already
+    *    1.7e18).
+    *  - TIMESTAMP(MICROS) without UTC adjustment, which Spark 4 infers
+    *    as TIMESTAMP_NTZ. Sessions here pin timeZone=UTC, so the cast
+    *    to TimestampType maps wall-clock to the same instant DuckDB
+    *    computes reading the file natively.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

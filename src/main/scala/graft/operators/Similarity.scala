@@ -603,6 +603,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** PQ-only two-stage retrieval: [[pqTopK]] candidates at depth
+    * `kCand`, exact float re-rank to `k` — the flat-refine variant of
+    * [[ivfPqRerankTopK]] for corpora small enough to scan every code
+    * (no coarse quantizer, so no probe-miss recall loss; the whole
+    * corpus's 6 B/vector codes are scanned, but raw vectors are only
+    * fetched for the |queries|·kCand candidate ids).
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   kCand: Int = 50, m: Int = 8, ksub: Int = 64,
+                   dim: Int = 64): DataFrame = {
+    val cand = pqTopK(corpus, queries, idCol, vecCol, kCand, m, ksub, dim)
+      .select(col("query_id"), col("corpus_id"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+    val scored = cand
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** Materialize the IVF index: the corpus written to parquet
     * PARTITIONED BY cell_id (same deterministic assignment as
     * [[ivfTopK]]), centroids in a SIBLING `<path>_centroids` directory

@@ -24,21 +24,26 @@ case class FunnelHit(user_id: Long, reached_step: Long, ts: java.sql.Timestamp)
 
 object StreamingEvents {
 
-  /** Schema of the events table as the stream source sees it
-    * (ns-timestamps arrive as LongType under nanosAsLong, converted
-    * on ingest exactly like the batch path).
+  /** Schema of the CANONICAL staged events stream: `ts` as long
+    * epoch-micros. The stagers (SparkEntry.stagedEventsDir /
+    * stagedLateEventsDir) write this format via Tables.events +
+    * unix_micros, so the stream contract is independent of the
+    * fixture's physical timestamp encoding (ns-long vs µs-NTZ).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of canonical staged events
+    * parquet (long-µs `ts`, converted to TimestampType on ingest
+    * exactly like the batch path).
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros(ts)"))
 
   /** Tumbling-window count+sum with a watermark: append-mode capable,
     * state evicted `delay` past the window end.

@@ -325,6 +325,27 @@ class SimilaritySpec extends SparkSpec {
       s"refine must not lose recall: rerank ${(exSet & rrSet).size} vs plain ${(exSet & plain).size}")
   }
 
+  test("pq rerank (flat refine): exact scores on candidates, recall >= plain pq") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (qq, c, s, _) => (qq, c) -> s }.toMap
+    val rr = Similarity.pqRerankTopK(e, q, "vec_id", "embedding", k = 5, kCand = 50)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rr.length == 40 && rr.forall { case (qq, c, _, _) => qq != c })
+    // stage-2 scores are EXACT cosines, same contract as ivfPqRerankTopK
+    rr.foreach { case (qq, c, s, _) =>
+      exact.get((qq, c)).foreach(es => assert(es == s,
+        s"rerank score $s != exact $es for ($qq,$c)")) }
+    val plain = Similarity.pqTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rrSet = rr.map(r => (r._1, r._2)).toSet
+    val exSet = exact.keySet
+    assert((exSet & rrSet).size >= (exSet & plain).size,
+      s"refine must not lose recall: rerank ${(exSet & rrSet).size} vs plain ${(exSet & plain).size}")
+  }
+
   test("mips: norm carries signal cosine erases; augmentation reduction ranks identically") {
     // v2 = 3·v1 (same direction): cosine ties them, MIPS must rank the
     // longer one above for a positively-aligned query

@@ -7,14 +7,17 @@ import graft.operators.{Events, Multimodal}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  /** File-source streams need a directory; testdata ships single
-    * parquet files — stage one into a temp dir.
+  /** File-source streams need a directory; stage the fixture into a
+    * temp dir in the canonical stream format (long-µs `ts`,
+    * [[StreamingEvents.rawSchema]]) — same normalization the
+    * SparkEntry stagers apply, so the fixture's physical timestamp
+    * encoding is irrelevant here.
     */
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf001/events.parquet"),
-      dir.resolve("events.parquet"))
+    Tables.events(spark, sf001)
+      .withColumn("ts", unix_micros(col("ts")))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 
@@ -67,10 +70,10 @@ class StreamingSpec extends SparkSpec {
     // filler (open window, never emitted) that commits 07:15 as the
     // late-event bound, batch 2 replays hours 1 and 2 — both now far
     // below it and DROPPED
-    val h = 3600L * 1000000000L
-    val base = 1704067200L * 1000000000L + 900L * 1000000000L
+    val h = 3600L * 1000000L // canonical stream ts is epoch-µs
+    val base = 1704067200L * 1000000L + 900L * 1000000L
     val onTime = (0 until 10).map(i => (i.toLong, base + i * h, 1L, "a", 1.0, "{}"))
-    val filler = Seq((50L, base + 8 * h + 60L * 1000000000L, 3L, "a", 1.0, "{}"))
+    val filler = Seq((50L, base + 8 * h + 60L * 1000000L, 3L, "a", 1.0, "{}"))
     val late = Seq((100L, base + 1 * h, 2L, "a", 1.0, "{}"),
                    (101L, base + 2 * h, 2L, "a", 1.0, "{}"))
     val t0 = System.currentTimeMillis() - 600000
