@@ -3026,6 +3026,22 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // stream-STREAM interval join (the one streaming join shape the
+    // other gates don't cover): clicks and purchases as two watermarked
+    // streams off the same staged source, symmetric-hash-joined on
+    // user within a 1-hour attribution window; bounded replay emits
+    // exactly the batch join, which is the oracle
+    "events_stream_join" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      val src = StreamingEvents.readEvents(s, stagedEventsDir(s, dir))
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.attributionJoin(
+          src.where(col("event_type") === "click"),
+          src.where(col("event_type") === "purchase")),
+        s"events_stream_join_${funnelStreamSeq.incrementAndGet()}", mode = "append")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     "events_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"), maxDays = 30)
         .orderBy("cohort_date", "day_offset")),
@@ -5419,6 +5435,17 @@ object SparkEntry {
          | FROM g, wm
          | WHERE epoch_ms(window_start + INTERVAL 1 HOUR) <= wm.w
          | ORDER BY window_start, event_type""".stripMargin,
+
+    // the batch twin of the watermarked stream-stream interval join:
+    // same user-key equi-join, same closed 1-hour bound both sides
+    "events_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (

@@ -157,6 +157,37 @@ object StreamingEvents {
     * harness for tests: the streaming twin must agree with the batch
     * operator on the same bounded input.
     */
+  /** Stream-STREAM interval join: each purchase matched to the same
+    * user's clicks in the `windowExpr` before it — last-touch
+    * attribution as a continuous query. Both sides carry a watermark
+    * and the join condition bounds event time in BOTH directions, so
+    * Spark's symmetric hash join evicts state once the watermark
+    * passes `ts + windowExpr` — at 100 TB/day each executor holds only
+    * the trailing window of its user_id hash range, never history.
+    * On bounded replay-to-completion the inner join emits exactly the
+    * batch join's matches (the watermark governs eviction, not
+    * matching), so the result is oracle-checkable with plain SQL.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowExpr: String = "1 hour",
+                      delay: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    c.join(p, expr(
+        s"""user_id = p_user
+           |AND click_ts >= purchase_ts - INTERVAL $windowExpr
+           |AND click_ts <= purchase_ts""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("gap_ms"))
+  }
+
   def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
                       mode: String = "append"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("stream-stream interval join equals the batch join on bounded input") {
+    val stream = StreamingEvents.readEvents(spark, eventsDir)
+    val got = StreamingEvents.runToCompletion(spark,
+      StreamingEvents.attributionJoin(
+        stream.where(col("event_type") === "click"),
+        stream.where(col("event_type") === "purchase")),
+      "t_ssjoin", mode = "append")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf001)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_millis(col("pts")) - unix_millis(col("cts"))).as("gap_ms"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && got == batch,
+      s"stream join ${got.size} pairs != batch ${batch.size}")
+  }
+
   test("streaming embedding near-dup pairs equal the batch LSH pairs on bounded input") {
     import graft.operators.Dedup
     import graft.streaming.StreamingDedup
