@@ -190,6 +190,64 @@ object SparkEntry {
     root.getPath
   }
 
+  /** Change-log schema of the staged CDC stream (the etl_cdc_apply
+    * orders projection + seq/op), declared up front as every file
+    * stream requires.
+    */
+  private val cdcChangesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_orderpriority", StringType), StructField("o_totalprice", DoubleType),
+      StructField("_seq", LongType), StructField("_op", StringType)))
+  }
+
+  /** Stage the etl_cdc_apply change log as two mtime-ordered files —
+    * batch 0 = the seq-1 updates, batch 1 = the seq-2 deletes+updates
+    * — so the streaming CDC gate replays the SAME deterministic log
+    * the batch gate resolves in one call, in change-log order (the
+    * order any CDC consumer requires). Same crash-safe staging dance
+    * as [[stagedTwoBatchDir]].
+    */
+  private def stagedCdcChangesDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdc_changes_${math.abs(dir.hashCode)}_${src.lastModified()}")
+    if (!root.exists()) {
+      val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
+      tmp.mkdirs()
+      val proj = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(s"${tmp.getPath}.stage_$name")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        dst.setLastModified(mtime)
+      }
+      val t0 = src.lastModified()
+      val ch1 = proj.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
+      val ch2 = proj.where(col("o_orderkey") % 9 === 0)
+        .withColumn("_seq", lit(2L)).withColumn("_op", lit("D"))
+        .unionByName(proj.where(col("o_orderkey") % 15 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 2000.0)
+          .withColumn("_seq", lit(2L)).withColumn("_op", lit("U")))
+      writeOne(ch1, "batch0_seq1.parquet", t0)
+      writeOne(ch2, "batch1_seq2.parquet", t0 + 60000)
+      try java.nio.file.Files.move(tmp.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.listFiles().foreach(_.delete()); tmp.delete() // lost the race
+      }
+    }
+    root.getPath
+  }
+
   /** Flagship: the reference's full ETL chain (SURVEY §2.3 R1–R9) on
     * the orders table — distinct-key restriction, rename, reorder,
     * stringify+dedup. Driver smoke-checks rows > 0 at sf0.001.
@@ -1041,6 +1099,28 @@ object SparkEntry {
       Etl.applyChangeLog(baseSnap, ch1.unionByName(ch2d).unionByName(ch2u),
           Seq("o_orderkey"), "_seq", "_op")
         .orderBy("o_orderkey")
+    }),
+
+    // the STREAMING form of etl_cdc_apply: the same change log
+    // replayed as two ORDERED micro-batches through foreachBatch into
+    // a bucket-partitioned materialized table (Etl.writeCdcTable /
+    // applyCdcDelta) — per-batch cost follows the batch's affected
+    // buckets, not the table, and the final table must match the
+    // one-shot batch resolution (same oracle)
+    "etl_cdc_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingIndex
+      val src = new java.io.File(s"$dir/orders.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_table_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_ingest_done").exists()) {
+        val proj = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        Etl.writeCdcTable(proj.where(col("o_orderkey") % 7 =!= 0),
+          "o_orderkey", path)
+        StreamingIndex.cdcIngestToCompletion(s, stagedCdcChangesDir(s, dir),
+          cdcChangesSchema, path, "o_orderkey", "_seq", "_op")
+        new java.io.File(s"${path}_ingest_done").mkdirs()
+      }
+      Etl.readCdcTable(s, path).orderBy("o_orderkey")
     }),
 
     // SCD type-2 history from the same deterministic snapshot pair:
@@ -3131,6 +3211,37 @@ object SparkEntry {
     // winner-per-key replayed as a QUALIFY window ordered exactly as
     // the Spark max-struct comparator (seq, op, then payload fields)
     "etl_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        | b AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        | ch AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |   o_totalprice + 1000.0 AS o_totalprice, 1 AS seq, 'U' AS op
+        |  FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice, 2, 'D'
+        |  FROM base WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |   o_totalprice + 2000.0, 2, 'U'
+        |  FROM base WHERE o_orderkey % 15 = 0),
+        | latest AS (
+        |  SELECT * FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC, op DESC, o_orderstatus DESC,
+        |             o_orderpriority DESC, o_totalprice DESC) = 1)
+        | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM latest WHERE op = 'U'
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the streaming CDC table lands on the SAME final state as the
+    // one-shot batch resolution: ordered batch replay composes to the
+    // per-key max-(seq, op, payload) winner
+    "etl_cdc_stream" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         |  FROM orders),

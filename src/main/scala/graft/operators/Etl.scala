@@ -410,4 +410,98 @@ object Etl {
     oldSnap.join(touchedKeys, keyCols, "left_anti")
       .unionByName(upserts)
   }
+
+  /** Materialize a snapshot as a key-hash-BUCKETED parquet table —
+    * the physical layout [[applyCdcDelta]] upserts into. Bucket =
+    * `pmod(xxhash64(key), numBuckets)` as a partition column, so a
+    * change batch touches only the bucket directories its keys hash
+    * into and everything else stays byte-identical (the
+    * `TextAnalysis.appendBm25Delta` / `Similarity.appendIvfDelta`
+    * layout applied to a warehouse table). The `<path>_commit/_SUCCESS`
+    * marker is the serve gate: absent while any mutation is in flight.
+    */
+  def writeCdcTable(snap: DataFrame, keyCol: String, path: String,
+                    numBuckets: Int = 16): Unit = {
+    snap.withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("bucket").parquet(path)
+    commitCdcMarker(snap.sparkSession, path, create = true)
+  }
+
+  /** Apply one ordered CDC batch to a [[writeCdcTable]] table IN
+    * PLACE, rewriting only the affected buckets. Per batch: the
+    * distinct bucket list (≤ numBuckets longs — the probed-cells
+    * control-plane discipline, never row data) becomes a partition-
+    * pruned read of current rows, [[applyChangeLog]] merges
+    * winner-per-key, and a dynamic partition overwrite lands exactly
+    * those buckets. A bucket whose rows were ALL deleted is absent
+    * from the written data — dynamic overwrite would keep its stale
+    * files, so emptied bucket dirs are deleted explicitly (the
+    * appendBm25Delta emptied-bucket case). Batches must arrive in
+    * change-log order (any CDC consumer's contract); within a batch
+    * the seq/op winner rule resolves ties.
+    *
+    * Crash safety: the commit marker disappears before the first
+    * mutation and reappears after, so a crash mid-upsert leaves a
+    * marker-less table [[readCdcTable]] refuses to serve — rebuild
+    * from snapshot + replay, never silently stale.
+    */
+  def applyCdcDelta(changes: DataFrame, keyCol: String, seqCol: String,
+                    opCol: String, path: String,
+                    numBuckets: Int = 16): Unit = {
+    val spark = changes.sparkSession
+    val bucketed = changes
+      .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)))
+      .localCheckpoint() // consumed twice (bucket list, merge)
+    val affected = bucketed.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cur = spark.read.parquet(path)
+      .where(col("bucket").isin(affected.toSeq: _*))
+      .drop("bucket")
+      .localCheckpoint() // materialize BEFORE overwriting what we read
+    val merged = applyChangeLog(cur, bucketed.drop("bucket"),
+        Seq(keyCol), seqCol, opCol)
+      .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)))
+      .localCheckpoint() // consumed twice (write, emptied-bucket list)
+    commitCdcMarker(spark, path, create = false) // table now in-flux
+    merged
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+    val written = merged.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(written).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    commitCdcMarker(spark, path, create = true)
+    Graph.unpersistBacking(bucketed)
+    Graph.unpersistBacking(cur)
+    Graph.unpersistBacking(merged)
+  }
+
+  /** Serve the CDC table (bucket column dropped). Refuses a
+    * marker-less table — that is a crashed maintenance run, not data.
+    */
+  def readCdcTable(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"${path}_commit/_SUCCESS")),
+      s"CDC table at $path has no commit marker (crashed maintenance?); " +
+        "rebuild from snapshot + change-log replay")
+    spark.read.parquet(path).drop("bucket")
+  }
+
+  private def commitCdcMarker(spark: org.apache.spark.sql.SparkSession,
+                              path: String, create: Boolean): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"${path}_commit/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (create) fs.create(marker, true).close()
+    else if (fs.exists(marker)) fs.delete(marker, false)
+  }
 }

@@ -130,4 +130,31 @@ object StreamingIndex {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Drive CDC warehouse-table maintenance from a change-log
+    * directory stream: each micro-batch of (key, payload, seq, op)
+    * rows upserts into the bucket-partitioned table via
+    * [[graft.operators.Etl.applyCdcDelta]] — only the buckets the
+    * batch's keys hash into are rewritten, so a continuous change
+    * feed maintains a 100 TB table with per-batch cost proportional
+    * to the batch, not the table. The base table must exist
+    * ([[graft.operators.Etl.writeCdcTable]]); file-source mtime order
+    * supplies the change-log order any CDC consumer requires.
+    */
+  def cdcIngestToCompletion(spark: SparkSession, srcDir: String,
+                            changesSchema: StructType, path: String,
+                            keyCol: String, seqCol: String, opCol: String,
+                            numBuckets: Int = 16): Unit = {
+    val stream = spark.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Etl.applyCdcDelta(
+            batch, keyCol, seqCol, opCol, path, numBuckets)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -311,4 +311,49 @@ class EtlSpec extends SparkSpec {
       (3L, "plain", -99.25)), s"got $back")
   }
 
+  test("cdc table: ordered deltas land on the batch resolution; untouched buckets byte-identical; marker gates serving") {
+    val proj = Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val base = proj.where(col("o_orderkey") % 7 =!= 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_cdc_${System.nanoTime()}"
+    Etl.writeCdcTable(base, "o_orderkey", path, numBuckets = 16)
+    def bucketFiles() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = bucketFiles()
+    // a SPARSE delta (3 keys) so untouched buckets exist to assert on;
+    // the driver gate covers the full change-log case
+    val ch1 = proj.where(col("o_orderkey").isin(3L, 9L, 15L))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("_seq", lit(1L)).withColumn("_op", lit("U"))
+    val ch2 = proj.where(col("o_orderkey") === 9L)
+      .withColumn("_seq", lit(2L)).withColumn("_op", lit("D"))
+    Etl.applyCdcDelta(ch1, "o_orderkey", "_seq", "_op", path, numBuckets = 16)
+    Etl.applyCdcDelta(ch2, "o_orderkey", "_seq", "_op", path, numBuckets = 16)
+    val got = Etl.readCdcTable(spark, path)
+      .as[(Long, String, String, Double)].collect().toSet
+    val want = Etl.applyChangeLog(base, ch1.unionByName(ch2),
+        Seq("o_orderkey"), "_seq", "_op")
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(got == want, "ordered streaming deltas must equal one-shot batch resolution")
+    assert(!got.exists(_._1 == 9L), "deleted key must be gone")
+    // buckets no change key hashed into keep their files byte-for-byte
+    val after = bucketFiles()
+    val touched = after.keySet.filter(k => !before.contains(k) || after(k) != before(k))
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "fixture must leave some bucket untouched")
+    untouched.foreach { k =>
+      assert(after(k) == before(k), s"$k files must be byte-identical (not rewritten)")
+    }
+    assert(touched.size < before.size, "a sparse delta must not rewrite every bucket")
+    // marker discipline: a marker-less table is a crashed maintenance
+    // run and must refuse to serve
+    val marker = new java.io.File(s"${path}_commit/_SUCCESS")
+    assert(marker.exists())
+    marker.delete()
+    intercept[IllegalArgumentException] { Etl.readCdcTable(spark, path) }
+  }
+
 }
