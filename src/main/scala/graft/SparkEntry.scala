@@ -2624,6 +2624,36 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // matryoshka truncation: retrieval on the leading 16 of 64 dims
+    // (4× smaller vectors before any index exists) — cosine is
+    // scale-invariant so the gate skips the re-norm, making the slice
+    // exactly oracle-replayable
+    "sim_matryoshka_topk" -> ((s, dir) => {
+      val e = Embeddings.matryoshkaTruncate(t(s, dir, "embeddings"),
+        "embedding", dims = 16, renorm = false)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // what the 4× shrink costs, against the full-dim exact top-k —
+    // the same hash-checked yardstick as the quantization recalls
+    "sim_matryoshka_recall" -> ((s, dir) => {
+      val full = t(s, dir, "embeddings")
+      val q = full.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(full, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val tr = Embeddings.matryoshkaTruncate(full, "embedding",
+        dims = 16, renorm = false)
+      val got = Similarity.bruteForceTopK(tr, tr.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(got, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // PQ with TRAINED codebooks (2 per-subspace Lloyd iterations, the
     // writeIvfIndex(trainIters) idea applied to product quantization)
     // measured against the same exact top-k — training is the quality
@@ -4638,6 +4668,44 @@ object SparkEntry {
         | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
         | WHERE c.vec_id <> q.vec_id)
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // sim_topk on the leading-16-dim slice (cosine is scale-invariant,
+    // so no re-norm enters the replay)
+    "sim_matryoshka_topk" ->
+      """SELECT query_id, corpus_id, score, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity((c.embedding[1:16])::DOUBLE[], (q.embedding[1:16])::DOUBLE[]), 6) AS score,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity((c.embedding[1:16])::DOUBLE[], (q.embedding[1:16])::DOUBLE[]), 6) DESC,
+        |             c.vec_id) AS rnk
+        | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        | WHERE c.vec_id <> q.vec_id)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_matryoshka_recall" ->
+      """WITH ex AS (
+        | SELECT query_id, corpus_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |              c.vec_id) AS rnk
+        |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  WHERE c.vec_id <> q.vec_id)
+        | WHERE rnk <= 5),
+        | tr AS (
+        | SELECT query_id, corpus_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY round(list_cosine_similarity((c.embedding[1:16])::DOUBLE[], (q.embedding[1:16])::DOUBLE[]), 6) DESC,
+        |              c.vec_id) AS rnk
+        |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  WHERE c.vec_id <> q.vec_id)
+        | WHERE rnk <= 5)
+        | SELECT ex.query_id,
+        |  round(sum(CASE WHEN tr.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+        | FROM ex LEFT JOIN tr
+        |   ON ex.query_id = tr.query_id AND ex.corpus_id = tr.corpus_id
+        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
 
     // raw inner-product ranking — same shape as sim_topk minus the
     // normalization

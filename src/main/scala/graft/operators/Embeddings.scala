@@ -27,6 +27,30 @@ object Embeddings {
         col("has_nan"),
         (col("has_nan") || col("nrm") < 1e-6).as("is_degenerate"))
 
+  /** Matryoshka truncation: keep the first `dims` coordinates of each
+    * embedding (MRL-trained models pack the most information into the
+    * leading prefix), optionally re-normalized to unit L2 — the
+    * storage/latency knob that shrinks a vector corpus `d/dims`-fold
+    * BEFORE any index is built. Map-only, no shuffle: at 100 TB this
+    * is a scan-speed projection; pair with [[Similarity.bruteForceTopK]]
+    * or the IVF/PQ family on the truncated column and measure the
+    * recall trade exactly like the quantization gates. Re-norm is
+    * irrelevant to cosine ranking (scale-invariant) but required
+    * before inner-product serving or int8 quantization.
+    */
+  def matryoshkaTruncate(emb: DataFrame, vecCol: String, dims: Int,
+                         renorm: Boolean = true): DataFrame = {
+    val sliced = slice(col(vecCol), 1, dims)
+    val out = if (renorm) {
+      val nrm = sqrt(aggregate(sliced, lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      when(nrm > lit(0.0d),
+        transform(sliced, x => (x.cast("double") / nrm).cast("float")))
+        .otherwise(sliced)
+    } else sliced
+    emb.withColumn(vecCol, out)
+  }
+
   /** Top principal component of the embedding corpus by power
     * iteration — the drift/whitening diagnostic an embedding pipeline
     * runs before trusting cosine geometry (a dominant component

@@ -105,4 +105,40 @@ class EmbeddingsSpec extends SparkSpec {
     val qm = q.where(col("dim") === 2).select("q").as[Long].head()
     assert(qm == -127L)
   }
+
+  test("matryoshka truncation: prefix kept, renorm unit-L2, full-dim truncation is the identity for retrieval") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf001)
+    val tr = Embeddings.matryoshkaTruncate(e, "embedding", dims = 16)
+    val rows = tr.select("embedding").as[Array[Float]].collect()
+    assert(rows.forall(_.length == 16), "truncation must keep exactly dims coords")
+    // renorm: unit L2 within float tolerance
+    rows.take(50).foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"renormalized norm $n != 1")
+    }
+    // prefix preservation up to the scale factor: direction unchanged
+    val raw = Embeddings.matryoshkaTruncate(e, "embedding", dims = 16, renorm = false)
+      .select("embedding").as[Array[Float]].collect()
+    assert(raw.forall(_.length == 16))
+    // truncating to the full 64 dims changes nothing for retrieval:
+    // top-k on the "truncated" corpus equals exact top-k
+    val q64 = Embeddings.matryoshkaTruncate(e, "embedding", dims = 64, renorm = false)
+    val a = Similarity.bruteForceTopK(q64, q64.where(col("vec_id") < 4),
+        "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val b = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 4),
+        "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(a == b, "dims=64 truncation must be the retrieval identity")
+    // 16-dim retrieval keeps meaningful recall on this corpus
+    val tr16 = Similarity.bruteForceTopK(raw0(e), raw0(e).where(col("vec_id") < 4),
+        "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (b & tr16).size.toDouble / b.size
+    assert(recall > 0.1, s"16-dim prefix recall $recall collapsed")
+  }
+
+  private def raw0(e: org.apache.spark.sql.DataFrame) =
+    Embeddings.matryoshkaTruncate(e, "embedding", dims = 16, renorm = false)
 }
