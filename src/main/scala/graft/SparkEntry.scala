@@ -2452,6 +2452,14 @@ object SparkEntry {
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8, iters = 2).orderBy("cell_id", "dim")),
 
+    // k-means|| seeding (Bahmani et al.): 3 parallel oversampling
+    // rounds (draw prob l·d/Σd, md5-deterministic), candidates
+    // weighted by capture count, k heaviest become the seeds — the
+    // corpus never shuffles; the oracle replays every round
+    "cluster_kmeanspp" -> ((s, dir) =>
+      Similarity.kmeansParallelInit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, l = 4, rounds = 3).orderBy("rnk")),
+
     "emb_quantize" -> ((s, dir) =>
       Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("id", "dim")),
@@ -5052,6 +5060,62 @@ object SparkEntry {
         | SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
         | FROM asg2, UNNEST(range(1, len(vec) + 1)) AS t(i)
         | GROUP BY 1, 2 ORDER BY cell_id, dim""".stripMargin,
+
+    // k-means|| replayed round-for-round: per round the round-6
+    // cosine distance scales to an exact long, Σ is exact, and the
+    // md5-uniform Bernoulli draw u·Σ < l·d is the engine's own test;
+    // final weights = capture counts over the candidate set
+    "cluster_kmeanspp" ->
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | u AS (SELECT id,
+        |   ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+        |  FROM c),
+        | cand0 AS (
+        |  SELECT id, vec FROM (
+        |   SELECT id, vec, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |   FROM c ORDER BY h LIMIT 1)),
+        | e1 AS (
+        |  SELECT c.id,
+        |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
+        |  FROM c CROSS JOIN cand0 k GROUP BY c.id),
+        | t1 AS (SELECT sum(dl) AS D FROM e1),
+        | cand1 AS (
+        |  SELECT * FROM cand0
+        |  UNION ALL
+        |  SELECT c.id, c.vec FROM c JOIN e1 USING (id) JOIN u USING (id) CROSS JOIN t1
+        |  WHERE u.u * t1.D < 4.0 * e1.dl),
+        | e2 AS (
+        |  SELECT c.id,
+        |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
+        |  FROM c CROSS JOIN cand1 k GROUP BY c.id),
+        | t2 AS (SELECT sum(dl) AS D FROM e2),
+        | cand2 AS (
+        |  SELECT * FROM cand1
+        |  UNION ALL
+        |  SELECT c.id, c.vec FROM c JOIN e2 USING (id) JOIN u USING (id) CROSS JOIN t2
+        |  WHERE u.u * t2.D < 4.0 * e2.dl),
+        | e3 AS (
+        |  SELECT c.id,
+        |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
+        |  FROM c CROSS JOIN cand2 k GROUP BY c.id),
+        | t3 AS (SELECT sum(dl) AS D FROM e3),
+        | cand3 AS (
+        |  SELECT * FROM cand2
+        |  UNION ALL
+        |  SELECT c.id, c.vec FROM c JOIN e3 USING (id) JOIN u USING (id) CROSS JOIN t3
+        |  WHERE u.u * t3.D < 4.0 * e3.dl),
+        | asg AS (
+        |  SELECT id, cand_id FROM (
+        |   SELECT c.id, k.id AS cand_id,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec, k.vec), 6) DESC, k.id DESC) AS rn
+        |   FROM c CROSS JOIN cand3 k)
+        |  WHERE rn = 1),
+        | w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight FROM asg GROUP BY 1)
+        | SELECT rnk, center_id, weight FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY weight DESC, cand_id) AS BIGINT) AS rnk,
+        |   cand_id AS center_id, weight FROM w)
+        | WHERE rnk <= 8 ORDER BY rnk""".stripMargin,
 
     "sim_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -386,6 +386,82 @@ object Similarity {
     means
   }
 
+  /** k-means|| (scalable k-means++, Bahmani et al., VLDB 2012)
+    * seeding: instead of k sequential driver-round-trip k-means++
+    * draws, each of `rounds` passes samples ~`l` new candidates IN
+    * PARALLEL with probability l·d(x,C)/Σd — far points oversampled —
+    * then the candidate set is weighted by how many points each
+    * candidate captures and the k heaviest (weight desc, id asc — a
+    * deterministic variant of the usual "recluster the candidates"
+    * finale) become the seeds for [[kmeansIterations]].
+    *
+    * Engine-exact by the repo's standard discipline: distances are
+    * round-6 cosine distances scaled to exact longs (so Σd is
+    * order-independent), the Bernoulli draw u(id) < l·d/Σd uses the
+    * md5-uniform (`Sampling` twin: `('0x' || substr(md5(id), 1,
+    * 8))::BIGINT / 2^32`), and every round re-materializes — the
+    * DuckDB oracle replays round-for-round. Already-chosen candidates
+    * have d = 0 and can never be redrawn. Σ(scaled d) must stay under
+    * 2^53 for the double compare to be exact — holds to ~10^9 rows at
+    * scale 1e6; larger corpora pass a smaller distance scale.
+    *
+    * Scale shape: per round one broadcast of the (small) candidate
+    * set, one argmax aggregate keyed by id, one 1-row total
+    * broadcast — the corpus shuffles ZERO times; candidates stay
+    * O(l·rounds) rows on the driver-free path end to end.
+    *
+    * Returns min(k, |candidate pool|) rows — the pool holds ~l·rounds
+    * candidates in expectation (the standard ≥ k w.h.p. guarantee);
+    * size l·rounds comfortably above k.
+    */
+  def kmeansParallelInit(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, l: Int = 4, rounds: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+      .localCheckpoint() // re-joined every round — scan once
+    val md5u = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val firstCenter = c
+      .withColumn("h", graft.functions.TextFunctions.md5Prefix64(col("id").cast("string")))
+      .orderBy("h").limit(1)
+      .select("id", "vec", "nrm")
+    var cand = firstCenter.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val d = c.join(broadcast(cand.select(col("vec").as("cvec"), col("nrm").as("cnrm"))),
+          lit(true))
+        .withColumn("csim", round(
+          cosineFromParts(dot(col("vec"), col("cvec")), col("nrm"), col("cnrm")), 6))
+        .groupBy("id")
+        .agg(first(col("vec")).as("vec"), first(col("nrm")).as("nrm"),
+             max(col("csim")).as("best"))
+        .withColumn("dl", round((lit(1.0) - col("best")) * 1e6, 0).cast("long"))
+      val tot = d.agg(sum(col("dl")).as("D"))
+      val drawn = d.crossJoin(broadcast(tot))
+        .where(md5u * col("D") < lit(l.toDouble) * col("dl"))
+        .select("id", "vec", "nrm")
+      val prev = cand
+      cand = prev.unionByName(drawn).localCheckpoint()
+      Graph.unpersistBacking(prev)
+    }
+    val weights = c.join(broadcast(
+        cand.select(col("id").as("cand_id"), col("vec").as("cvec"),
+                    col("nrm").as("cnrm"))), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("cvec")), col("nrm"), col("cnrm")), 6))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cand_id"))).getField("cand_id").as("cand_id"))
+      .groupBy("cand_id").agg(count(lit(1)).as("weight"))
+    // constant-size window: |candidates| = O(l·rounds) rows
+    val w = Window.orderBy(desc("weight"), asc("cand_id"))
+    // c and the final cand stay materialized — the caller consumes the
+    // returned plan lazily; superseded rounds were released above and
+    // the ContextCleaner reaps these two with the plan
+    weights
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("rnk"), col("cand_id").as("center_id"), col("weight"))
+  }
+
   /** One Lloyd step over `c` (id, vec, nrm): argmax-cosine assignment
     * (rounded to 6 BEFORE the argmax, ties to the greatest cell_id) →
     * per-(cell, dim) means rounded to 6 → rebuilt centroid table.

@@ -325,6 +325,31 @@ class SimilaritySpec extends SparkSpec {
       s"refine must not lose recall: rerank ${(exSet & rrSet).size} vs plain ${(exSet & plain).size}")
   }
 
+  test("kmeans|| seeding: k distinct corpus ids, weights descending, deterministic, far-spread beats none") {
+    val e = Tables.embeddings(spark, sf001)
+    // l·rounds = 24 expected candidates — comfortably above k on the
+    // 100-vector sf0.001 corpus (l=4 leaves a 7-candidate pool here)
+    val got = Similarity.kmeansParallelInit(e, "vec_id", "embedding",
+        k = 8, l = 8, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.length == 8, s"need 8 seeds, got ${got.length}")
+    assert(got.map(_._1) == (1L to 8L), "rnk must be 1..k")
+    assert(got.map(_._2).distinct.length == 8, "seeds must be distinct ids")
+    val ids = e.select("vec_id").as[Long].collect().toSet
+    assert(got.forall(r => ids(r._2)), "every seed must be a real corpus id")
+    val ws = got.map(_._3)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+      "weights must be non-increasing in rank order")
+    assert(ws.sum <= ids.size, "captured counts cannot exceed the corpus")
+    val again = Similarity.kmeansParallelInit(e, "vec_id", "embedding",
+        k = 8, l = 8, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == again, "md5-deterministic draws must reproduce exactly")
+    // the candidate pool must genuinely grow past the single first
+    // center — i.e. the oversampling rounds drew something
+    assert(ws.length > 1 && ws(1) > 0, "rounds must contribute candidates")
+  }
+
   test("pq rerank (flat refine): exact scores on candidates, recall >= plain pq") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.where(col("vec_id") < 8)
