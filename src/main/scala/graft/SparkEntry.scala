@@ -1738,6 +1738,16 @@ object SparkEntry {
     // events. Gated boolean-bound against the exact self-join overlap;
     // at gate cardinalities theta runs in exact mode, so the bound is
     // tight, not hopeful
+    // count-min sketch frequency estimates over event types: the
+    // md5-salted hash grid replays exactly in SQL, so the sketch's
+    // one-sided error (estimate ≥ exact, overestimate as data) is
+    // itself oracle-checked — the mergeable-counter companion to the
+    // HLL/theta distinct sketches
+    "agg_cms_estimates" -> ((s, dir) =>
+      Analytics.cmsEstimates(t(s, dir, "events"), "event_type",
+          depth = 4, width = 256)
+        .orderBy("key")),
+
     "agg_theta_overlap" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val approx = Analytics.audienceOverlap(ev, "event_type", "user_id")
@@ -4103,6 +4113,26 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | TRUE AS within_5pct
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the CMS grid rebuilt cell-for-cell: same md5-salted slots, same
+    // min-over-rows probe — exact integer arithmetic end to end
+    "agg_cms_estimates" ->
+      """WITH k AS (SELECT CAST(event_type AS VARCHAR) AS k FROM events),
+        | cells AS (
+        |  SELECT t.r,
+        |   ('0x' || substr(md5(t.r::VARCHAR || '|' || k.k), 1, 8))::BIGINT % 256 AS slot,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM k CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(r)
+        |  GROUP BY 1, 2),
+        | probes AS (SELECT k, CAST(count(*) AS BIGINT) AS exact FROM k GROUP BY 1),
+        | pc AS (
+        |  SELECT p.k, p.exact, c.cnt
+        |  FROM probes p CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(r)
+        |  JOIN cells c ON c.r = t.r
+        |   AND c.slot = ('0x' || substr(md5(t.r::VARCHAR || '|' || p.k), 1, 8))::BIGINT % 256)
+        | SELECT k AS key, min(cnt) AS estimate, exact,
+        |  min(cnt) - exact AS overestimate
+        | FROM pc GROUP BY k, exact ORDER BY key""".stripMargin,
 
     // exact pairwise overlap + literal TRUE (the theta-sketch bound)
     "agg_theta_overlap" ->

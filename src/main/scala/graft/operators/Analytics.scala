@@ -497,4 +497,45 @@ object Analytics {
         expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
           .as("n_overlap_approx"))
   }
+
+  /** Count-min sketch frequency estimates: `depth` hash rows ×
+    * `width` counter slots, estimate(q) = min over rows of the
+    * counter q hashes into — one-sided error (estimate ≥ true count,
+    * overestimate ≤ εN w.h.p.), and the counter matrix MERGES by
+    * cell-wise addition, which is why a 100 TB stream can keep a
+    * depth×width grid per partition, partial-agg them together, and
+    * answer any frequency query from d·w longs instead of a
+    * |keys|-sized exact table. Hashes are md5-derived (row index
+    * salted into the digest input), so the whole sketch — build and
+    * probe — replays exactly in the SQL oracle.
+    *
+    * Returns one row per probed key: the estimate, the exact count,
+    * and the (always ≥ 0) overestimate, so callers see the sketch's
+    * honesty bound as data.
+    */
+  def cmsEstimates(df: DataFrame, keyCol: String,
+                   depth: Int = 4, width: Int = 256): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+    def slot(r: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(r.toString), lit("|"), c)), 1, 8), 16, 10)
+        .cast("long"), lit(width.toLong))
+    // one pass builds all depth rows: explode each input row into its
+    // depth (row, slot) cells; map-side combine shrinks every task to
+    // ≤ depth·width rows before the shuffle
+    val cells = keyed.select(explode(array(
+        (0 until depth).map(r => struct(lit(r).as("r"), slot(r, col("k")).as("slot"))): _*))
+        .as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+    val probeCells = probes.select(col("k"), col("exact"), explode(array(
+        (0 until depth).map(r => struct(lit(r).as("r"), slot(r, col("k")).as("slot"))): _*))
+        .as("cell"))
+      .select(col("k"), col("exact"), col("cell.r").as("r"), col("cell.slot").as("slot"))
+    probeCells.join(broadcast(cells), Seq("r", "slot"))
+      .groupBy(col("k").as("key"), col("exact"))
+      .agg(min(col("cnt")).as("estimate"))
+      .select(col("key"), col("estimate"), col("exact"),
+        (col("estimate") - col("exact")).as("overestimate"))
+  }
 }

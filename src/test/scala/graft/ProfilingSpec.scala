@@ -261,4 +261,25 @@ class ProfilingSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 0L),
       s"got $got")
   }
+
+  test("cmsEstimates: one-sided error always; wide grid exact; width-1 grid returns N for every key") {
+    import graft.operators.Analytics
+    val ev = Tables.events(spark, sf001)
+    val wide = Analytics.cmsEstimates(ev, "event_type", depth = 4, width = 256)
+      .as[(String, Long, Long, Long)].collect()
+    assert(wide.nonEmpty)
+    // the CMS guarantee: never an underestimate
+    assert(wide.forall { case (_, est, exact, over) => est >= exact && over == est - exact },
+      s"one-sided error violated: ${wide.mkString(",")}")
+    // 5 keys across 4×256 cells: no collisions, so the sketch is exact
+    assert(wide.forall { case (_, est, exact, _) => est == exact },
+      s"width-256 grid must be collision-free for 5 keys: ${wide.mkString(",")}")
+    // degenerate width 1: every key collides into the same counter in
+    // every row, so each estimate is the TOTAL row count
+    val n = ev.count()
+    val tiny = Analytics.cmsEstimates(ev, "event_type", depth = 4, width = 1)
+      .as[(String, Long, Long, Long)].collect()
+    assert(tiny.forall(_._2 == n),
+      s"width-1 estimates must all equal N=$n: ${tiny.mkString(",")}")
+  }
 }
