@@ -1474,6 +1474,16 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy("node")),
 
+    // Adamic-Adar link prediction over the order-part bipartite
+    // relation (co-purchase recommendation): inverse-log container
+    // weight, postings-join pair explode with the df-cut defense,
+    // one TakeOrdered — exact scaled-long sums so the ranking is
+    // oracle-hashable
+    "graph_adamic_adar" -> ((s, dir) =>
+      Graph.adamicAdar(t(s, dir, "lineitem"), "l_partkey", "l_orderkey",
+          k = 20)
+        .orderBy(desc("score"), asc("item_a"), asc("item_b"))),
+
     // weighted SSSP over the same graph: fewest-expected-steps
     // distance from the funnel entry ('signup'), edge length =
     // round(1/count, 9) so frequent transitions are cheap — Bellman-
@@ -4133,6 +4143,21 @@ object SparkEntry {
         | SELECT k AS key, min(cnt) AS estimate, exact,
         |  min(cnt) - exact AS overestimate
         | FROM pc GROUP BY k, exact ORDER BY key""".stripMargin,
+
+    // same df-cut (2 ≤ order size ≤ 200), same round-9-scale-to-long
+    // weights, same TakeOrdered tiebreak
+    "graph_adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | d AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        | w AS (SELECT c, CAST(round(round(1.0/ln(deg), 9) * 1e9, 0) AS BIGINT) AS wl
+        |       FROM d WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c, w.wl FROM e JOIN w USING (c))
+        | SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  round(sum(a.wl) / 1e9, 6) AS score
+        | FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+        | GROUP BY 1, 2
+        | ORDER BY score DESC, item_a, item_b LIMIT 20""".stripMargin,
 
     // exact pairwise overlap + literal TRUE (the theta-sketch bound)
     "agg_theta_overlap" ->

@@ -345,6 +345,43 @@ object Graph {
     out
   }
 
+  /** Adamic-Adar link prediction over a bipartite (item, container)
+    * relation — "parts co-ordered through many small orders are more
+    * related than parts sharing one huge order": for each item pair,
+    * Σ over common containers of 1/ln(container size). The inverse-log
+    * weight is the whole point versus raw co-occurrence counts — a
+    * 10 000-line order says almost nothing about any single pair.
+    *
+    * Scale shape: the pair explode is the postings-join (shingle/
+    * Jaccard) pattern, with the same df-cut defense — containers
+    * above `maxContainerSize` are dropped BEFORE the self-join (a
+    * single 10⁵-item container would otherwise emit 10¹⁰ pairs), and
+    * that cut is part of the operator contract so the oracle applies
+    * it too. Top-k lands in one TakeOrdered, never a global sort.
+    *
+    * Exactness: per-container weight rounds to 9 decimals then scales
+    * to an exact long, so the pair sums are aggregation-order-
+    * independent and the DuckDB oracle matches by hash.
+    */
+  def adamicAdar(rel: DataFrame, itemCol: String, containerCol: String,
+                 k: Int = 20, maxContainerSize: Int = 200): DataFrame = {
+    val e = rel.select(col(itemCol).as("item"), col(containerCol).as("c")).distinct()
+    val wl = e.groupBy("c").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2 && col("deg") <= maxContainerSize)
+      .withColumn("wl",
+        round(round(lit(1.0) / log(col("deg").cast("double")), 9) * 1e9, 0)
+          .cast("long"))
+      .select("c", "wl")
+    val p = e.join(wl, Seq("c"))
+    p.as("a").join(p.as("b"),
+        col("a.c") === col("b.c") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_common"),
+           round(sum(col("a.wl")) / 1e9, 6).as("score"))
+      .orderBy(desc("score"), asc("item_a"), asc("item_b"))
+      .limit(k)
+  }
+
   private[operators] def unpersistBacking(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

@@ -130,4 +130,25 @@ class GraphSpec extends SparkSpec {
     assert(even == Map("x" -> "x", "y" -> "y"))
   }
 
+  test("adamicAdar: hand-computed inverse-log weights, size-1 and oversize containers cut, a<b canonical") {
+    // container A = {1,2} (deg 2), B = {1,2,3} (deg 3), C = {4} (deg 1
+    // → cut), D = 300 items incl. 1 and 2 (deg 300 > 200 → df-cut)
+    val rel = (Seq((1L, "A"), (2L, "A"), (1L, "B"), (2L, "B"), (3L, "B"),
+        (4L, "C")) ++ (1L to 300L).map(i => (i, "D")))
+      .toDF("item", "c")
+    val got = Graph.adamicAdar(rel, "item", "c", k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val w2 = math.rint(1.0 / math.log(2.0) * 1e9).toLong
+    val w3 = math.rint(1.0 / math.log(3.0) * 1e9).toLong
+    def sc(ws: Seq[Long]): Double =
+      BigDecimal(ws.sum / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pair (1,2): containers A and B; (1,3) and (2,3): B only. The
+    // size-300 container would have tied every pair upward — its
+    // absence IS the df-cut assertion
+    assert(got == Seq(
+      (1L, 2L, 2L, sc(Seq(w2, w3))),
+      (1L, 3L, 1L, sc(Seq(w3))),
+      (2L, 3L, 1L, sc(Seq(w3)))), s"got $got (w2=$w2 w3=$w3)")
+  }
+
 }
