@@ -2435,6 +2435,14 @@ object SparkEntry {
         .orderBy("n_a")
     }),
 
+    // robust median/MAD outliers on the same column events_anomalies
+    // screens with mean/σ — the 50%-breakdown twin (extreme rows
+    // can't inflate the spread estimate enough to hide each other)
+    "profile_mad_outliers" -> ((s, dir) =>
+      Profiling.madOutliers(t(s, dir, "events"), "event_id", "value",
+          cutoff = 3.5)
+        .orderBy("id")),
+
     // KS drift between TIME SLICES of the event lake (week 1 vs
     // week 2 value distributions) — the lake-monitoring composition
     // of profile_ks_drift: both slice reads partition-prune on
@@ -5385,6 +5393,18 @@ object SparkEntry {
     // the global-window form of the same ECDF arithmetic: exact
     // cumulative integer counts, one double division each, max of
     // the absolute differences, round 6
+    // exact quantile_cont medians (the percentile twin), per-row z
+    // arithmetic replayed with the same rounding
+    "profile_mad_outliers" ->
+      """WITH v AS (SELECT event_id AS id, CAST(value AS DOUBLE) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        | m AS (SELECT quantile_cont(v, 0.5) AS med FROM v),
+        | d AS (SELECT quantile_cont(abs(v - med), 0.5) AS mad FROM v CROSS JOIN m)
+        | SELECT id, v AS value, round((v - med) / (1.4826 * mad), 6) AS robust_z
+        | FROM v CROSS JOIN m CROSS JOIN d
+        | WHERE abs(round((v - med) / (1.4826 * mad), 6)) > 3.5
+        | ORDER BY id""".stripMargin,
+
     // week-1 vs week-2 slices off the same lake cutoff the engine
     // partition-prunes on (min event date recomputed in SQL)
     "profile_ks_slices" ->

@@ -398,4 +398,31 @@ object Profiling {
         struct(lit(name).as("check_name"), col(s"_c$i").as("passed"))
       })
   }
+
+  /** Robust outliers by median/MAD — the breakdown-resistant twin of
+    * the mean/σ z-score ([[Events.valueAnomalies]]): a few extreme
+    * rows shift the mean and INFLATE σ enough to hide each other,
+    * while the median and the median absolute deviation ignore them
+    * (50% breakdown point). robust_z = (v − median)/(1.4826·MAD),
+    * flagged where |robust_z| > cutoff.
+    *
+    * Three passes (median, MAD, filter) of exact `percentile` —
+    * exact medians don't stream, so at 100 TB the first two passes
+    * move to `approx_percentile` with a documented accuracy knob
+    * (the sample_quality_cut precedent); the per-row z is pure map
+    * arithmetic either way. Scalars ride 1-row broadcasts, never a
+    * driver round-trip.
+    */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+                  cutoff: Double = 3.5): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val med = v.agg(expr("percentile(v, 0.5)").as("med"))
+    val mad = v.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(v - med), 0.5)").as("mad"))
+    v.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .withColumn("robust_z", round((col("v") - col("med")) / (lit(1.4826) * col("mad")), 6))
+      .where(abs(col("robust_z")) > cutoff)
+      .select(col("id"), col("v").as("value"), col("robust_z"))
+  }
 }

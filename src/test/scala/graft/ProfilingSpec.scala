@@ -262,6 +262,23 @@ class ProfilingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("madOutliers: hand-computed median/MAD flags the spike only; robust to the spike itself") {
+    import graft.operators.Profiling
+    val df = ((1 to 9).map(i => (i.toLong, i.toDouble)) :+ (10L, 1000.0))
+      .toDF("id", "v")
+    val got = Profiling.madOutliers(df, "id", "v", cutoff = 3.5)
+      .as[(Long, Double, Double)].collect().toSeq
+    // median = 5.5, abs devs sorted = 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,
+    // 4.5,994.5 → MAD = 2.5; z(1000) = 994.5/(1.4826·2.5), z(9) ≈ 0.94
+    val expectZ = BigDecimal(994.5 / (1.4826 * 2.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((10L, 1000.0, expectZ)), s"got $got")
+    // the spike does NOT poison the estimator: removing it leaves the
+    // same median/MAD verdict for the rest (nothing flagged)
+    val clean = Profiling.madOutliers(df.where(col("id") < 10), "id", "v", cutoff = 3.5)
+    assert(clean.count() == 0)
+  }
+
   test("cmsEstimates: one-sided error always; wide grid exact; width-1 grid returns N for every key") {
     import graft.operators.Analytics
     val ev = Tables.events(spark, sf001)
