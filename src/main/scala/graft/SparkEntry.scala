@@ -911,6 +911,64 @@ object SparkEntry {
 
   private val ivfSql: String = ivfSqlWith("")
 
+  /** k-means|| seeding CTE chain, shared by the cluster_kmeanspp gate
+    * and its Lloyd-refinement composition: 3 oversampling rounds
+    * (round-6 cosine distance → exact scaled long, md5-uniform draw
+    * u·Σ < l·d), capture-count weights, top-8 seeds in `s`.
+    */
+  private val kmeansppCtes: String =
+    """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | u AS (SELECT id,
+      |   ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+      |  FROM c),
+      | cand0 AS (
+      |  SELECT id, vec FROM (
+      |   SELECT id, vec, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+      |   FROM c ORDER BY h LIMIT 1)),
+      | e1 AS (
+      |  SELECT c.id,
+      |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
+      |  FROM c CROSS JOIN cand0 k GROUP BY c.id),
+      | t1 AS (SELECT sum(dl) AS D FROM e1),
+      | cand1 AS (
+      |  SELECT * FROM cand0
+      |  UNION ALL
+      |  SELECT c.id, c.vec FROM c JOIN e1 USING (id) JOIN u USING (id) CROSS JOIN t1
+      |  WHERE u.u * t1.D < 4.0 * e1.dl),
+      | e2 AS (
+      |  SELECT c.id,
+      |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
+      |  FROM c CROSS JOIN cand1 k GROUP BY c.id),
+      | t2 AS (SELECT sum(dl) AS D FROM e2),
+      | cand2 AS (
+      |  SELECT * FROM cand1
+      |  UNION ALL
+      |  SELECT c.id, c.vec FROM c JOIN e2 USING (id) JOIN u USING (id) CROSS JOIN t2
+      |  WHERE u.u * t2.D < 4.0 * e2.dl),
+      | e3 AS (
+      |  SELECT c.id,
+      |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
+      |  FROM c CROSS JOIN cand2 k GROUP BY c.id),
+      | t3 AS (SELECT sum(dl) AS D FROM e3),
+      | cand3 AS (
+      |  SELECT * FROM cand2
+      |  UNION ALL
+      |  SELECT c.id, c.vec FROM c JOIN e3 USING (id) JOIN u USING (id) CROSS JOIN t3
+      |  WHERE u.u * t3.D < 4.0 * e3.dl),
+      | asg AS (
+      |  SELECT id, cand_id FROM (
+      |   SELECT c.id, k.id AS cand_id,
+      |    row_number() OVER (PARTITION BY c.id ORDER BY
+      |      round(list_cosine_similarity(c.vec, k.vec), 6) DESC, k.id DESC) AS rn
+      |   FROM c CROSS JOIN cand3 k)
+      |  WHERE rn = 1),
+      | w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight FROM asg GROUP BY 1),
+      | s AS (
+      |  SELECT rnk, center_id, weight FROM (
+      |   SELECT CAST(row_number() OVER (ORDER BY weight DESC, cand_id) AS BIGINT) AS rnk,
+      |    cand_id AS center_id, weight FROM w)
+      |  WHERE rnk <= 8)""".stripMargin
+
   // ---- minhash SQL twin: replay the banding, don't assume recall ---
   // Same md5-derived 60-bit shingle hashes, same affine mod-(2^31−1)
   // permutations (Dedup.minHashConsts), same band-key folds — so the
@@ -2487,6 +2545,12 @@ object SparkEntry {
     "cluster_kmeanspp" -> ((s, dir) =>
       Similarity.kmeansParallelInit(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, l = 4, rounds = 3).orderBy("rnk")),
+
+    // the full scalable-k-means pipeline: kmeans|| seeds straight
+    // into an audited Lloyd round — no stage touches driver-side RNG
+    "cluster_kmeanspp_refine" -> ((s, dir) =>
+      Similarity.kmeansParallelRefine(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, l = 4, rounds = 3, iters = 1).orderBy("cell_id", "dim")),
 
     "emb_quantize" -> ((s, dir) =>
       Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -5128,57 +5192,27 @@ object SparkEntry {
     // cosine distance scales to an exact long, Σ is exact, and the
     // md5-uniform Bernoulli draw u·Σ < l·d is the engine's own test;
     // final weights = capture counts over the candidate set
-    "cluster_kmeanspp" ->
-      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-        | u AS (SELECT id,
-        |   ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
-        |  FROM c),
-        | cand0 AS (
-        |  SELECT id, vec FROM (
-        |   SELECT id, vec, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
-        |   FROM c ORDER BY h LIMIT 1)),
-        | e1 AS (
-        |  SELECT c.id,
-        |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
-        |  FROM c CROSS JOIN cand0 k GROUP BY c.id),
-        | t1 AS (SELECT sum(dl) AS D FROM e1),
-        | cand1 AS (
-        |  SELECT * FROM cand0
-        |  UNION ALL
-        |  SELECT c.id, c.vec FROM c JOIN e1 USING (id) JOIN u USING (id) CROSS JOIN t1
-        |  WHERE u.u * t1.D < 4.0 * e1.dl),
-        | e2 AS (
-        |  SELECT c.id,
-        |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
-        |  FROM c CROSS JOIN cand1 k GROUP BY c.id),
-        | t2 AS (SELECT sum(dl) AS D FROM e2),
-        | cand2 AS (
-        |  SELECT * FROM cand1
-        |  UNION ALL
-        |  SELECT c.id, c.vec FROM c JOIN e2 USING (id) JOIN u USING (id) CROSS JOIN t2
-        |  WHERE u.u * t2.D < 4.0 * e2.dl),
-        | e3 AS (
-        |  SELECT c.id,
-        |   CAST(round((1 - max(round(list_cosine_similarity(c.vec, k.vec), 6))) * 1000000, 0) AS BIGINT) AS dl
-        |  FROM c CROSS JOIN cand2 k GROUP BY c.id),
-        | t3 AS (SELECT sum(dl) AS D FROM e3),
-        | cand3 AS (
-        |  SELECT * FROM cand2
-        |  UNION ALL
-        |  SELECT c.id, c.vec FROM c JOIN e3 USING (id) JOIN u USING (id) CROSS JOIN t3
-        |  WHERE u.u * t3.D < 4.0 * e3.dl),
-        | asg AS (
-        |  SELECT id, cand_id FROM (
-        |   SELECT c.id, k.id AS cand_id,
+    "cluster_kmeanspp" -> (kmeansppCtes +
+      """
+        | SELECT rnk, center_id, weight FROM s ORDER BY rnk""".stripMargin),
+
+    // the seeding CTEs feed straight into one Lloyd round (the
+    // cluster_kmeans_n asg/mean technique with cen0 = the seeds)
+    "cluster_kmeanspp_refine" -> (kmeansppCtes +
+      """,
+        | cen0 AS (SELECT s.center_id, s.rnk AS cell_id, c.vec AS centroid
+        |          FROM s JOIN c ON c.id = s.center_id),
+        | rasg AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen0.cell_id, c.vec,
         |    row_number() OVER (PARTITION BY c.id ORDER BY
-        |      round(list_cosine_similarity(c.vec, k.vec), 6) DESC, k.id DESC) AS rn
-        |   FROM c CROSS JOIN cand3 k)
-        |  WHERE rn = 1),
-        | w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight FROM asg GROUP BY 1)
-        | SELECT rnk, center_id, weight FROM (
-        |  SELECT CAST(row_number() OVER (ORDER BY weight DESC, cand_id) AS BIGINT) AS rnk,
-        |   cand_id AS center_id, weight FROM w)
-        | WHERE rnk <= 8 ORDER BY rnk""".stripMargin,
+        |      round(list_cosine_similarity(c.vec, cen0.centroid), 6) DESC,
+        |      cen0.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen0)
+        |  WHERE rn = 1)
+        | SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        | FROM rasg, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        | GROUP BY 1, 2 ORDER BY cell_id, dim""".stripMargin),
 
     "sim_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -415,7 +415,16 @@ object Similarity {
     * size l·rounds comfortably above k.
     */
   def kmeansParallelInit(corpus: DataFrame, idCol: String, vecCol: String,
-                         k: Int, l: Int = 4, rounds: Int = 3): DataFrame = {
+                         k: Int, l: Int = 4, rounds: Int = 3): DataFrame =
+    kmeansPPSeeds(corpus, idCol, vecCol, k, l, rounds)
+      .select(col("rnk"), col("id").as("center_id"), col("weight"))
+
+  /** [[kmeansParallelInit]] with the seed VECTORS retained —
+    * (rnk, id, vec, nrm, weight) — so [[kmeansParallelRefine]] can
+    * hand them straight to Lloyd as centroids.
+    */
+  private def kmeansPPSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, l: Int, rounds: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
       .localCheckpoint() // re-joined every round — scan once
@@ -459,7 +468,35 @@ object Similarity {
     weights
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
-      .select(col("rnk"), col("cand_id").as("center_id"), col("weight"))
+      .join(cand.select(col("id").as("cand_id"), col("vec"), col("nrm")), Seq("cand_id"))
+      .select(col("rnk"), col("cand_id").as("id"), col("vec"), col("nrm"),
+              col("weight"))
+  }
+
+  /** Close the seeding→Lloyd loop: the k [[kmeansParallelInit]] seeds
+    * become the initial centroids (cell_id = seed rank) and `iters`
+    * audited [[lloydStep]]s refine them — the full scalable-k-means
+    * pipeline (seed in parallel, refine in parallel) with no stage
+    * depending on driver-side RNG. Output = the final per-(cell, dim)
+    * means, the [[kmeansIterations]] contract; the oracle replays the
+    * seeding CTEs and the Lloyd rounds back to back.
+    */
+  def kmeansParallelRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, l: Int = 4, rounds: Int = 3,
+                           iters: Int = 1): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    var centroids = kmeansPPSeeds(corpus, idCol, vecCol, k, l, rounds)
+      .select(col("rnk").as("cell_id"), col("vec").as("centroid"),
+              col("nrm").as("ctrnrm"))
+    var means: DataFrame = null
+    for (_ <- 0 until iters) {
+      val (m, next) = lloydStep(c, centroids)
+      means = m
+      centroids = next
+    }
+    means
   }
 
   /** One Lloyd step over `c` (id, vec, nrm): argmax-cosine assignment

@@ -348,6 +348,18 @@ class SimilaritySpec extends SparkSpec {
     // the candidate pool must genuinely grow past the single first
     // center — i.e. the oversampling rounds drew something
     assert(ws.length > 1 && ws(1) > 0, "rounds must contribute candidates")
+    // refinement: one Lloyd round from the seeds emits a full
+    // (cell, dim) mean grid over exactly the seed cells, deterministic
+    val refined = Similarity.kmeansParallelRefine(e, "vec_id", "embedding",
+        k = 8, l = 8, rounds = 3, iters = 1)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val cells = refined.map(_._1).distinct
+    assert(cells == (1L to 8L), s"refined cells $cells must be the 8 seed ranks")
+    assert(refined.count(_._1 == 1L) == 64, "each surviving cell carries all 64 dims")
+    val refined2 = Similarity.kmeansParallelRefine(e, "vec_id", "embedding",
+        k = 8, l = 8, rounds = 3, iters = 1)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(refined == refined2, "refinement must be deterministic")
   }
 
   test("pq rerank (flat refine): exact scores on candidates, recall >= plain pq") {
