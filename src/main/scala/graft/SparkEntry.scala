@@ -190,6 +190,61 @@ object SparkEntry {
     root.getPath
   }
 
+  /** Stage the events fixture plus TWO far-future watermark-flush
+    * batches (mtime-ordered): on a bounded stream the watermark never
+    * passes the last real row, so OUTER-join state would sit
+    * unemitted forever — the flush batches push it past every real
+    * row's expiry, and the two-batch split respects the
+    * previous-batch-watermark rule (SPARK-40925). Each flush batch
+    * carries one click AND one purchase on sentinel negative users:
+    * Catalyst pushes the event-type filters BELOW the watermark node,
+    * so a neutral type would never reach it — the rows must survive
+    * each branch's filter to advance both watermark nodes (min
+    * policy). They can match nothing (distinct sentinel users), and
+    * the gate drops their own null-padded emissions by `click_id >=
+    * 0`. Same crash-safe staging dance as [[stagedLateEventsDir]].
+    */
+  private def stagedFlushEventsDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_flush_${math.abs(dir.hashCode)}_${src.lastModified()}")
+    if (!root.exists()) {
+      val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
+      tmp.mkdirs()
+      val raw = Tables.events(s, dir).withColumn("ts", unix_micros(col("ts")))
+      val maxUs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(s"${tmp.getPath}.stage_$name")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        dst.setLastModified(mtime)
+      }
+      def flushBatch(idBase: Long, ts: Long): DataFrame = {
+        val one = raw.limit(1)
+        def row(id: Long, user: Long, tp: String) =
+          one.select(lit(id).as("event_id"), lit(ts).as("ts"),
+            lit(user).as("user_id"), lit(tp).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+        row(idBase, -1L, "click").unionAll(row(idBase - 1, -2L, "purchase"))
+      }
+      val day = 86400L * 1000000L
+      val t0 = src.lastModified()
+      writeOne(raw, "batch0_events.parquet", t0)
+      writeOne(flushBatch(-1L, maxUs + 10 * day), "batch1_flush.parquet", t0 + 60000)
+      writeOne(flushBatch(-3L, maxUs + 20 * day), "batch2_flush.parquet", t0 + 120000)
+      try java.nio.file.Files.move(tmp.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.listFiles().foreach(_.delete()); tmp.delete() // lost the race
+      }
+    }
+    root.getPath
+  }
+
   /** Change-log schema of the staged CDC stream (the etl_cdc_apply
     * orders projection + seq/op), declared up front as every file
     * stream requires.
@@ -3252,6 +3307,21 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // LEFT-OUTER stream-stream join: unmatched clicks must emit
+    // null-padded at watermark expiry — the flush-staged source
+    // advances the watermark past every real row so the bounded run
+    // flushes its final state (matched rows identical to the inner
+    // gate; the DIFFERENCE is exactly the never-converted clicks)
+    "events_stream_join_outer" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.attributionJoinOuter(
+          StreamingEvents.readEvents(s, stagedFlushEventsDir(s, dir))),
+        s"events_stream_join_outer_${funnelStreamSeq.incrementAndGet()}", mode = "append")
+        .where(col("click_id") >= 0) // drop the sentinel flush clicks
+        .orderBy("click_id", "purchase_id")
+    }),
+
     "events_retention" -> ((s, dir) =>
       Events.retention(t(s, dir, "events"), maxDays = 30)
         .orderBy("cohort_date", "day_offset")),
@@ -5798,6 +5868,17 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the batch LEFT join — every click appears, unconverted ones
+    // null-padded; NULLS FIRST matches Spark's ASC ordering
+    "events_stream_join_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (

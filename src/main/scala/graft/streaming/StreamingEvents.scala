@@ -188,6 +188,33 @@ object StreamingEvents {
           .as("gap_ms"))
   }
 
+  /** LEFT-OUTER twin of [[attributionJoin]]: unmatched clicks emit
+    * null-padded once the watermark passes their join-state expiry —
+    * the semantic the inner join never exercises. The watermark is
+    * applied to the source BEFORE the event-type split, so rows of
+    * any type (including a staged far-future flush batch) advance
+    * it; on a bounded stream that flush is what lets the final
+    * unmatched state actually emit instead of sitting in the store
+    * forever. Matched pairs are identical to the inner join.
+    */
+  def attributionJoinOuter(events: DataFrame, windowExpr: String = "1 hour",
+                           delay: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", delay)
+    val c = wm.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    val p = wm.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+    c.join(p, expr(
+        s"""user_id = p_user
+           |AND click_ts >= purchase_ts - INTERVAL $windowExpr
+           |AND click_ts <= purchase_ts""".stripMargin), "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("gap_ms"))
+  }
+
   def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
                       mode: String = "append"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
