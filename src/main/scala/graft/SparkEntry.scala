@@ -3332,6 +3332,13 @@ object SparkEntry {
       Events.valueAnomalies(t(s, dir, "events"), zThreshold = 3.0)
         .orderBy("event_id")),
 
+    // EWMA baseline of daily value totals per type — closed-form
+    // contributions rounded+scaled to exact longs (a recursive window
+    // would single-partition the history AND drift by float order)
+    "events_ewma" -> ((s, dir) =>
+      Events.ewmaDaily(t(s, dir, "events"), alpha = 0.3)
+        .orderBy("event_type", "day")),
+
     // top user paths: first 5 events per user in (ts, event_id) order
     // joined into a path string, counted across users. Ordering is
     // carried EXPLICITLY (array_sort over (rn, type) structs) —
@@ -5497,6 +5504,23 @@ object SparkEntry {
     // the global-window form of the same ECDF arithmetic: exact
     // cumulative integer counts, one double division each, max of
     // the absolute differences, round 6
+    // closed-form EWMA replay: identical coefficient arithmetic
+    // (pow(0.7, Δdays)), identical round-9 scaled-long term sums
+    "events_ewma" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(round(value*100, 0) AS BIGINT))/100.0 AS x
+        | FROM events GROUP BY 1, 2),
+        | d AS (SELECT *, min(day) OVER (PARTITION BY event_type) AS d0 FROM daily),
+        | p AS (
+        |  SELECT t.event_type, t.day, t.x,
+        |   CAST(round(round(CASE WHEN i.day = i.d0
+        |     THEN pow(0.7, t.day - i.day)
+        |     ELSE 0.3 * pow(0.7, t.day - i.day) END * i.x, 9) * 1e9, 0) AS BIGINT) AS cl
+        |  FROM d t JOIN d i ON i.event_type = t.event_type AND i.day <= t.day)
+        | SELECT event_type, day, x AS value, round(sum(cl)/1e9, 6) AS ewma
+        | FROM p GROUP BY event_type, day, x ORDER BY event_type, day""".stripMargin,
+
     // exact quantile_cont medians (the percentile twin), per-row z
     // arithmetic replayed with the same rounding
     "profile_mad_outliers" ->

@@ -562,4 +562,42 @@ object Events {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date").parquet(path)
+
+  /** Exponentially-weighted moving average of daily value totals per
+    * event type — the smoothing/forecast-baseline companion to
+    * [[valueAnomalies]] (an EWMA is the standard drift-tolerant
+    * baseline an alerting threshold compares against). The recursion
+    * s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0 is computed in CLOSED
+    * FORM: s_t = Σ_{i>0} α(1−α)^{t−i}·x_i + (1−α)^t·x_0, each term
+    * rounded to 9 decimals and scaled to an exact long, so the sum is
+    * aggregation-order-independent and a SQL oracle replays it
+    * exactly — a recursive window would pin the whole history to one
+    * partition AND accumulate engine-specific float error.
+    *
+    * Scale shape: daily totals first (the 100 TB of raw rows reduce
+    * to |types|·|days| cells in one hash aggregate); the closed-form
+    * pair join is |days|² per type over that TINY table — bound the
+    * lookback window if |days| ever grows past a few thousand.
+    */
+  def ewmaDaily(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("x"))
+    val w = Window.partitionBy("event_type")
+    val d = daily.withColumn("d0", min(col("day")).over(w))
+    val src = d.select(col("event_type"), col("day").as("iday"),
+                       col("x").as("ix"), col("d0"))
+    val pairs = d.select(col("event_type"), col("day"), col("x"))
+      .join(src, Seq("event_type"))
+      .where(col("iday") <= col("day"))
+      .withColumn("coef",
+        when(col("iday") === col("d0"),
+             pow(lit(1.0 - alpha), datediff(col("day"), col("iday"))))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha),
+                                      datediff(col("day"), col("iday")))))
+      .withColumn("cl", round(round(col("coef") * col("ix"), 9) * 1e9, 0).cast("long"))
+    pairs.groupBy(col("event_type"), col("day"), col("x"))
+      .agg(round(sum(col("cl")) / 1e9, 6).as("ewma"))
+      .select(col("event_type"), col("day"), col("x").as("value"), col("ewma"))
+  }
 }

@@ -247,4 +247,20 @@ class EventsSpec extends SparkSpec {
       "direct" -> ((3L, 115.0))), s"got $got")
   }
 
+  test("ewmaDaily: closed form equals the recursion s_t = a*x_t + (1-a)*s_{t-1}") {
+    import org.apache.spark.sql.functions._
+    val day = 86400000L
+    val rows = Seq( // one event per day: x = 10, 20, 30 on days 0, 1, 2
+      (1L, new Timestamp(0L), 1L, "a", 10.0, "{}"),
+      (2L, new Timestamp(day), 1L, "a", 20.0, "{}"),
+      (3L, new Timestamp(2 * day), 1L, "a", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.ewmaDaily(rows, alpha = 0.3)
+      .select("day", "value", "ewma")
+      .as[(java.sql.Date, Double, Double)].collect().toSeq.sortBy(_._1.getTime)
+    // s0 = 10; s1 = .3·20 + .7·10 = 13; s2 = .3·30 + .7·13 = 18.1
+    assert(got.map(_._2) == Seq(10.0, 20.0, 30.0))
+    assert(got.map(_._3) == Seq(10.0, 13.0, 18.1), s"got $got")
+  }
+
 }
