@@ -2906,6 +2906,13 @@ object SparkEntry {
       TextAnalysis.vocabTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .orderBy("rnk")),
 
+    // Heaps-law vocabulary growth: distinct terms FIRST seen per
+    // doc-id decile, cumulative — the vocab-size sizing curve
+    "text_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+          buckets = 10)
+        .orderBy("bucket")),
+
     // strongest bigram collocations by PMI (phrase-vocab prep); the
     // count floor is part of the statistic, the top-k is
     // TakeOrderedAndProject + ranks on the survivors
@@ -5655,6 +5662,22 @@ object SparkEntry {
         |  round(n_hit / CAST(n_g AS DOUBLE), 6) AS contamination_ratio
         | FROM hits h JOIN szs s ON h.doc_id = s.doc_id
         | ORDER BY h.doc_id""".stripMargin,
+
+    // first-appearance buckets by exact integer id division; the
+    // 10-row cumulative window replayed verbatim
+    "text_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        | fd AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        | mx AS (SELECT max(doc_id) AS mx FROM documents),
+        | b AS (SELECT least(9, (first_doc * 10) // (mx + 1)) AS bucket,
+        |        count(*) AS new_terms
+        |       FROM fd CROSS JOIN mx GROUP BY 1)
+        | SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(new_terms AS BIGINT) AS new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
+        | FROM b ORDER BY bucket""".stripMargin,
 
     "text_vocab" ->
       """WITH tok AS (

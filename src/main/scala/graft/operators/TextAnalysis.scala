@@ -780,4 +780,32 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("n_tokens"),
               floor((col("cum") - col("n_tokens")) / budget).as("pack_id"))
   }
+
+  /** Heaps-law vocabulary growth curve: split the corpus into
+    * `buckets` doc-id ranges and count how many DISTINCT terms first
+    * appear in each — the "how fast does vocabulary still grow"
+    * number a tokenizer/vocab-size decision reads off directly (a
+    * flattening tail means the corpus has stopped contributing new
+    * types; a linear tail means the vocab budget is undersized).
+    *
+    * One explode + one (term → min doc) hash aggregate over the
+    * corpus; everything after operates on |vocab| rows, and the
+    * cumulative window runs over `buckets` rows (global window on a
+    * constant-size table — not a data-sized sort). Bucket boundaries
+    * use exact integer division on ids, never float quantiles.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val firstDoc = tok.groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+    val mx = docs.agg(max(col(idCol)).as("mx"))
+    val b = firstDoc.crossJoin(broadcast(mx))
+      .groupBy(least(lit(buckets - 1L),
+        expr(s"(first_doc * $buckets) div (mx + 1)")).as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_terms", sum(col("new_terms")).over(w))
+  }
 }

@@ -280,4 +280,20 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunkTokenWindows(docs, "doc_id", "text", 4, 4)
     }
   }
+
+  test("vocabGrowth: new terms land in their first-appearance bucket, cumulative monotone") {
+    // ids 0..9 with buckets=5 → 2 docs per bucket. Doc 0-1 introduce
+    // a,b; docs 4-5 introduce c (plus reuse); docs 8-9 only reuse —
+    // growth must be 2, then 1, then saturation
+    val docs = Seq(
+      (0L, "a b"), (1L, "a"), (2L, "b a"), (3L, "a"),
+      (4L, "c a"), (5L, "c"), (6L, "b c"), (7L, "a"),
+      (8L, "a b c"), (9L, "c b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", buckets = 5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 2L, 2L), (2L, 1L, 3L)),
+      s"got $got — expected a,b in bucket 0 and c in bucket 2, cumulative 2→3")
+    // the gate fixture saturates in bucket 0 (tiny shared vocabulary) —
+    // this synthetic corpus is what proves the bucketing itself
+  }
 }
