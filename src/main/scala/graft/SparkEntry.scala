@@ -1214,6 +1214,15 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // schema drift report on a deterministic snapshot mutation (one
+    // column dropped, one added) — pure metadata, zero data jobs
+    "etl_schema_drift" -> ((s, dir) => {
+      val oldSnap = t(s, dir, "orders")
+      val newSnap = oldSnap.drop("o_orderpriority")
+        .withColumn("o_priority_rank", lit(1L))
+      Etl.schemaDrift(oldSnap, newSnap).orderBy("column_name")
+    }),
+
     // the STREAMING form of etl_cdc_apply: the same change log
     // replayed as two ORDERED micro-batches through foreachBatch into
     // a bucket-partitioned materialized table (Etl.writeCdcTable /
@@ -3451,6 +3460,18 @@ object SparkEntry {
         | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM latest WHERE op = 'U'
         | ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle rebuilds both column sets from DESCRIBE — metadata
+    // computed, not hardcoded
+    "etl_schema_drift" ->
+      """WITH o AS (SELECT column_name FROM (DESCRIBE orders)),
+        | n AS (SELECT column_name FROM
+        |   (DESCRIBE SELECT * EXCLUDE (o_orderpriority), 1 AS o_priority_rank FROM orders))
+        | SELECT coalesce(o.column_name, n.column_name) AS column_name,
+        |  CASE WHEN o.column_name IS NULL THEN 'added'
+        |       WHEN n.column_name IS NULL THEN 'removed' ELSE 'kept' END AS status
+        | FROM o FULL JOIN n ON o.column_name = n.column_name
+        | ORDER BY column_name""".stripMargin,
 
     // the streaming CDC table lands on the SAME final state as the
     // one-shot batch resolution: ordered batch replay composes to the

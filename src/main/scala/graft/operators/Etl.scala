@@ -411,6 +411,30 @@ object Etl {
       .unionByName(upserts)
   }
 
+  /** Schema drift between two snapshots — the metadata companion to
+    * [[snapshotDiff]]: per column, `added` / `removed` / `kept` /
+    * `type_changed`. The daily-cron reference assumes the server's
+    * shape never moves; a real feed renames and retypes columns, and
+    * this is the report that turns a silent breakage into a diff.
+    * Schemas are driver-side metadata (hundreds of fields, not rows),
+    * so building the report from `df.schema` is control-plane work at
+    * any data scale — zero jobs touch the data.
+    */
+  def schemaDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val spark = oldSnap.sparkSession
+    import spark.implicits._
+    val o = oldSnap.schema.map(f => f.name -> f.dataType).toMap
+    val n = newSnap.schema.map(f => f.name -> f.dataType).toMap
+    (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status =
+        if (!o.contains(c)) "added"
+        else if (!n.contains(c)) "removed"
+        else if (o(c) != n(c)) "type_changed"
+        else "kept"
+      (c, status)
+    }.toDF("column_name", "status")
+  }
+
   /** Materialize a snapshot as a key-hash-BUCKETED parquet table —
     * the physical layout [[applyCdcDelta]] upserts into. Bucket =
     * `pmod(xxhash64(key), numBuckets)` as a partition column, so a

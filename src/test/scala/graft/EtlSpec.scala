@@ -311,6 +311,16 @@ class EtlSpec extends SparkSpec {
       (3L, "plain", -99.25)), s"got $back")
   }
 
+  test("schemaDrift: added/removed/kept/type_changed classification, zero data jobs") {
+    val a = Seq((1L, "x", 2.0)).toDF("id", "name", "score")
+    val b = Seq((1L, 2, true)).toDF("id", "score", "flag")
+    val got = Etl.schemaDrift(a, b)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("flag", "added"), ("id", "kept"), ("name", "removed"),
+      ("score", "type_changed")), s"got $got")
+  }
+
   test("cdc table: ordered deltas land on the batch resolution; untouched buckets byte-identical; marker gates serving") {
     val proj = Tables.orders(spark, sf001)
       .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
