@@ -217,8 +217,18 @@ object StreamingEvents {
 
   def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
                       mode: String = "append"): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // stateful queries pay state-store setup PER shuffle partition per
+    // micro-batch; every op driven through here is partition-count-
+    // independent by contract (hash-keyed state), so the bounded gate
+    // runs use 8 partitions instead of the session's 32 — on a real
+    // cluster the production query would size this to its key space
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
