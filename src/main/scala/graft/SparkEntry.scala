@@ -3355,6 +3355,14 @@ object SparkEntry {
       Events.ewmaDaily(t(s, dir, "events"), alpha = 0.3)
         .orderBy("event_type", "day")),
 
+    // bot screen by interarrival regularity: metronomic (low-CV) gap
+    // patterns flag scripted traffic; full per-user report, exact
+    // integer gap moments (human fixture → all is_bot=false; the
+    // spec's synthetic scheduler proves the flag)
+    "events_bot_screen" -> ((s, dir) =>
+      Events.botUsers(t(s, dir, "events"), minEvents = 20, maxCv = 0.5)
+        .orderBy("user_id")),
+
     // top user paths: first 5 events per user in (ts, event_id) order
     // joined into a path string, counted across users. Ordering is
     // carried EXPLICITLY (array_sort over (rn, type) structs) —
@@ -5532,6 +5540,26 @@ object SparkEntry {
     // the global-window form of the same ECDF arithmetic: exact
     // cumulative integer counts, one double division each, max of
     // the absolute differences, round 6
+    // identical integer gap moments; CV from the two exact sums with
+    // the same double arithmetic, verdict on the ROUNDED cv
+    "events_bot_screen" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS g
+        | FROM events),
+        | st AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g*g) AS BIGINT) AS sg2
+        | FROM g WHERE g IS NOT NULL GROUP BY 1)
+        | SELECT user_id, n_gaps + 1 AS n_events,
+        |  round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_ms,
+        |  round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) - 1.0), 6) AS cv,
+        |  round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) - 1.0), 6) < 0.5 AS is_bot
+        | FROM st WHERE n_gaps >= 19 AND sg > 0
+        | ORDER BY user_id""".stripMargin,
+
     // closed-form EWMA replay: identical coefficient arithmetic
     // (pow(0.7, Δdays)), identical round-9 scaled-long term sums
     "events_ewma" ->

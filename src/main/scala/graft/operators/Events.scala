@@ -563,6 +563,45 @@ object Events {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date").parquet(path)
 
+  /** Bot-like user screen by interarrival REGULARITY: humans arrive
+    * bursty (high coefficient of variation of gaps), schedulers and
+    * scripted traffic arrive metronomically (low CV) — the standard
+    * first-pass spam/bot filter a training-data pipeline runs before
+    * trusting engagement events. Flags users with ≥ `minEvents`
+    * events whose gap CV < `maxCv`; emits the full per-user report
+    * (n, mean gap, CV, verdict) rather than just the flagged slice,
+    * so a clean corpus still yields an auditable answer.
+    *
+    * Exactness: integer-ms gaps from one user-keyed window, then
+    * exact long Σg and Σg² (overflow bound: n·maxGap² must stay
+    * under 2^63 — holds to ~10⁵ events/user at day-scale gaps; the
+    * profileNumeric scaling note applies); mean and CV derive from
+    * the two exact sums with identical double arithmetic in both
+    * engines, rounded to 6.
+    */
+  def botUsers(events: DataFrame, minEvents: Int = 20,
+               maxCv: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("user_id"),
+        (unix_millis(col("ts")) - unix_millis(col("prev"))).as("g"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+           sum(col("g")).as("sg"),
+           sum(col("g") * col("g")).as("sg2"))
+      .where(col("n_gaps") >= minEvents - 1 && col("sg") > 0)
+      .withColumn("mean_gap_ms",
+        round(col("sg").cast("double") / col("n_gaps"), 6))
+      .withColumn("cv", round(
+        sqrt(col("n_gaps").cast("double") * col("sg2").cast("double") /
+             (col("sg").cast("double") * col("sg").cast("double")) - 1.0), 6))
+      .select(col("user_id"), (col("n_gaps") + 1).as("n_events"),
+              col("mean_gap_ms"), col("cv"),
+              (col("cv") < maxCv).as("is_bot"))
+  }
+
   /** Exponentially-weighted moving average of daily value totals per
     * event type — the smoothing/forecast-baseline companion to
     * [[valueAnomalies]] (an EWMA is the standard drift-tolerant

@@ -247,6 +247,32 @@ class EventsSpec extends SparkSpec {
       "direct" -> ((3L, 115.0))), s"got $got")
   }
 
+  test("botUsers: metronomic user flags, bursty human does not, short history excluded") {
+    import org.apache.spark.sql.functions._
+    val m = 60000L
+    // user 1: 30 events exactly 1 min apart (CV = 0 → bot)
+    val bot = (0 until 30).map(i => (100L + i, new Timestamp(i * m), 1L, "click", 1.0, "{}"))
+    // user 2: 30 events with alternating 1 min / 29 min gaps (CV ≈ 0.93)
+    val human = {
+      var t = 0L
+      (0 until 30).map { i =>
+        val r = (200L + i, new Timestamp(t), 2L, "click", 1.0, "{}")
+        t += (if (i % 2 == 0) 1 * m else 29 * m); r
+      }
+    }
+    // user 3: only 5 events — below minEvents, excluded entirely
+    val short = (0 until 5).map(i => (300L + i, new Timestamp(i * m), 3L, "click", 1.0, "{}"))
+    val df = (bot ++ human ++ short)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.botUsers(df, minEvents = 20, maxCv = 0.5)
+      .select("user_id", "n_events", "cv", "is_bot")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq((1L, 30L, true), (2L, 30L, false)),
+      s"got $got")
+    assert(got(0)._3 == 0.0, "constant gaps must give CV exactly 0")
+    assert(got(1)._3 > 0.8, s"alternating gaps must give high CV, got ${got(1)._3}")
+  }
+
   test("ewmaDaily: closed form equals the recursion s_t = a*x_t + (1-a)*s_{t-1}") {
     import org.apache.spark.sql.functions._
     val day = 86400000L
