@@ -2922,6 +2922,13 @@ object SparkEntry {
           buckets = 10)
         .orderBy("bucket")),
 
+    // boilerplate finder: the exact 8-token windows shared by the
+    // most distinct docs — per-doc-distinct postings + TakeOrdered
+    "text_dup_ngrams" -> ((s, dir) =>
+      TextAnalysis.duplicatedNgrams(t(s, dir, "documents"), "doc_id", "text",
+          n = 8, k = 20)
+        .orderBy(desc("n_docs"), asc("ngram"))),
+
     // strongest bigram collocations by PMI (phrase-vocab prep); the
     // count floor is part of the statistic, the top-k is
     // TakeOrderedAndProject + ranks on the survivors
@@ -5711,6 +5718,20 @@ object SparkEntry {
         |  round(n_hit / CAST(n_g AS DOUBLE), 6) AS contamination_ratio
         | FROM hits h JOIN szs s ON h.doc_id = s.doc_id
         | ORDER BY h.doc_id""".stripMargin,
+
+    // the UNNEST(range) window construction (the jaccard-oracle
+    // technique) rebuilds the same distinct per-doc 8-gram strings
+    "text_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        | g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS ngram
+        |       FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        | c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs,
+        |        min(doc_id) AS first_doc
+        |       FROM g GROUP BY 1)
+        | SELECT ngram, n_docs, first_doc FROM c WHERE n_docs >= 2
+        | ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
 
     // first-appearance buckets by exact integer id division; the
     // 10-row cumulative window replayed verbatim

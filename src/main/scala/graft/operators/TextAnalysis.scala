@@ -781,6 +781,28 @@ object TextAnalysis {
               floor((col("cum") - col("n_tokens")) / budget).as("pack_id"))
   }
 
+  /** Corpus-level duplicated n-gram mining — the boilerplate finder:
+    * which exact `n`-token windows appear in the MOST distinct
+    * documents (headers, footers, licence blocks, templated
+    * sentences). Cross-doc spread is the signal, so shingles are
+    * per-doc DISTINCT before counting; the hot tail this surfaces is
+    * exactly what the Jaccard df-cut later drops. One explode + one
+    * hash aggregate + a TakeOrdered — the postings shape; output
+    * carries the n-gram STRING (the report's value) plus its first
+    * containing doc as the inspection handle.
+    */
+  def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8, k: Int = 20): DataFrame = {
+    val g = docs.select(col(idCol).as("first_doc"),
+      explode(wordShinglesFast(lower(col(textCol)), n)).as("ngram"))
+    g.groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"), min(col("first_doc")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), asc("ngram"))
+      .limit(k)
+      .select(col("ngram"), col("n_docs"), col("first_doc"))
+  }
+
   /** Heaps-law vocabulary growth curve: split the corpus into
     * `buckets` doc-id ranges and count how many DISTINCT terms first
     * appear in each — the "how fast does vocabulary still grow"

@@ -281,6 +281,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedNgrams: cross-doc spread counted per-doc-distinct, singletons cut") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),       // shares 4-gram with doc 2
+      (2L, "the quick brown fox sleeps"),
+      (3L, "the quick brown fox jumps the quick brown fox jumps"), // repeats internally
+      (4L, "something completely different here")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedNgrams(docs, "doc_id", "text", n = 4, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // "the quick brown fox" in docs 1,2,3 — doc 3's internal repeat
+    // must count ONCE (per-doc distinct); all singleton 4-grams cut
+    assert(got.head == ("the quick brown fox", 3L, 1L), s"got $got")
+    assert(got.forall(_._2 >= 2), "singletons must be cut")
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
   test("vocabGrowth: new terms land in their first-appearance bucket, cumulative monotone") {
     // ids 0..9 with buckets=5 → 2 docs per bucket. Doc 0-1 introduce
     // a,b; docs 4-5 introduce c (plus reuse); docs 8-9 only reuse —
