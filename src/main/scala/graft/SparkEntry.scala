@@ -3211,6 +3211,13 @@ object SparkEntry {
     }),
 
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
+
+    // per-EVENT session features (sequence-model training prep):
+    // session id, index, exact integer-ms offsets — two window passes
+    // on one sort order
+    "events_session_features" -> ((s, dir) =>
+      Events.sessionFeatures(t(s, dir, "events"), gapMinutes = 30)
+        .orderBy("event_id")),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
     // per-user cadence: exact integer ms gaps, one user-keyed window
@@ -5996,6 +6003,30 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // same gap/cumsum session derivation, then per-session windows —
+    // all integer-ms arithmetic
+    "events_session_features" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        | y AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns
+        | FROM x),
+        | z AS (
+        | SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM y)
+        | SELECT event_id, user_id, session_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS idx_in_session,
+        |  epoch_ms(ts) - epoch_ms(min(ts) OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS ms_since_start,
+        |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id)) AS ms_since_prev
+        | FROM z ORDER BY event_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (

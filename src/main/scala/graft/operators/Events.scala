@@ -79,6 +79,39 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Per-EVENT session features — the sequence-model training prep
+    * [[sessionize]]'s per-session aggregate cannot serve: each event
+    * annotated with its session id, 1-based index within the session,
+    * integer-ms offsets from session start and from the previous
+    * event (null for session openers). Two user-keyed window passes
+    * over the same sort order (Catalyst collapses them into one
+    * sort); all arithmetic is exact integer milliseconds, so the
+    * feature table hash-matches the SQL window replay.
+    */
+  def sessionFeatures(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withSession = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMinutes * 60000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    withSession
+      .withColumn("idx_in_session", row_number().over(bySession).cast("long"))
+      .withColumn("ms_since_start",
+        unix_millis(col("ts")) -
+          unix_millis(min(col("ts")).over(
+            bySession.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("ms_since_prev",
+        unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(bySession)))
+      .select(col("event_id"), col("user_id"), col("session_id"),
+              col("idx_in_session"), col("ms_since_start"), col("ms_since_prev"))
+  }
+
   /** JSON prop extraction: schema-on-read over the string `props`
     * column (get_json_object → codegen'd path extraction, no UDF).
     */

@@ -247,6 +247,23 @@ class EventsSpec extends SparkSpec {
       "direct" -> ((3L, 115.0))), s"got $got")
   }
 
+  test("sessionFeatures: per-event ids/offsets consistent with sessionize boundaries") {
+    import org.apache.spark.sql.functions._
+    // user 1: events at 0, 10, 50 min → sessions {0,10} and {50}
+    val df = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"),
+      (2L, ts(10), 1L, "a", 1.0, "{}"),
+      (3L, ts(50), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sessionFeatures(df, gapMinutes = 30)
+      .select("event_id", "session_id", "idx_in_session", "ms_since_start", "ms_since_prev")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 1L, 1L, 0L, None),
+      (2L, 1L, 2L, 600000L, Some(600000L)),
+      (3L, 2L, 1L, 0L, None)), s"got $got")
+  }
+
   test("botUsers: metronomic user flags, bursty human does not, short history excluded") {
     import org.apache.spark.sql.functions._
     val m = 60000L
