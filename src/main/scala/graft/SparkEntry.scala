@@ -3369,6 +3369,14 @@ object SparkEntry {
       Events.ewmaDaily(t(s, dir, "events"), alpha = 0.3)
         .orderBy("event_type", "day")),
 
+    // class balancing: every o_orderstatus keeps exactly the
+    // minority-class count of rows, md5-deterministic draw
+    "sample_balanced" -> ((s, dir) =>
+      Sampling.balanceClasses(
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+          "o_orderstatus", "o_orderkey")
+        .orderBy("o_orderkey")),
+
     // bot screen by interarrival regularity: metronomic (low-CV) gap
     // patterns flag scripted traffic; full per-user report, exact
     // integer gap moments (human fixture → all is_bot=false; the
@@ -5554,6 +5562,20 @@ object SparkEntry {
     // the global-window form of the same ECDF arithmetic: exact
     // cumulative integer counts, one double division each, max of
     // the absolute differences, round 6
+    // same md5-rank draw per class, minority count as a scalar
+    "sample_balanced" ->
+      """WITH src AS (SELECT o_orderkey, o_orderstatus FROM orders),
+        | nm AS (SELECT min(n) AS n_min FROM
+        |   (SELECT count(*) AS n FROM src GROUP BY o_orderstatus)),
+        | rk AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |   row_number() OVER (PARTITION BY o_orderstatus
+        |     ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT,
+        |              o_orderkey) AS rk
+        |  FROM src)
+        | SELECT o_orderkey, o_orderstatus FROM rk CROSS JOIN nm
+        | WHERE rk <= n_min ORDER BY o_orderkey""".stripMargin,
+
     // identical integer gap moments; CV from the two exact sums with
     // the same double arithmetic, verdict on the ROUNDED cv
     "events_bot_screen" ->

@@ -27,6 +27,29 @@ object Sampling {
     (if (halfOpen) bits else bits + 1.0) / 4294967296.0
   }
 
+  /** Class balancing by deterministic downsampling: every class keeps
+    * exactly min-class-count rows, chosen by md5(id) order — the
+    * classifier-training prep that stops a 95:5 label skew from
+    * training a majority-class predictor, without RNG state (the same
+    * rows survive on any cluster size, and the SQL oracle replays the
+    * draw). The minority count rides a 1-row broadcast.
+    *
+    * Scale note: the per-class rank is a per-group window — the
+    * [[weightedReservoirPerGroup]] pre-selection trick applies
+    * verbatim if class cardinality is low and groups are huge.
+    */
+  def balanceClasses(df: DataFrame, classCol: String, idCol: String): DataFrame = {
+    val nMin = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("n_min"))
+    val w = Window.partitionBy(classCol).orderBy("_h", idCol)
+    df.withColumn("_h",
+        graft.functions.TextFunctions.md5Prefix64(col(idCol).cast("string")))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(nMin))
+      .where(col("_rk") <= col("n_min"))
+      .drop("_h", "_rk", "n_min")
+  }
+
   /** Weighted reservoir sample of k rows per group, à la
     * Efraimidis–Spirakis: each row draws a deterministic uniform
     * u ∈ (0, 1] (md5 of its id) and is ranked by ln(u)/w descending —

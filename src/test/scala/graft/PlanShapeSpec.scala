@@ -197,6 +197,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.exists(n => n > 0 && n <= 7), s"expected <=7 partitions read, got $pruned")
   }
 
+  test("CDC table delta reads prune to the affected buckets") {
+    import org.apache.spark.sql.functions._
+    val proj = Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_cdc_prune_${System.nanoTime()}"
+    graft.operators.Etl.writeCdcTable(proj, "o_orderkey", path, numBuckets = 16)
+    // the read applyCdcDelta issues for a delta hashing into 2 buckets
+    val affected = Seq(3L, 7L)
+    val q = spark.read.parquet(path).where(col("bucket").isin(affected: _*))
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [") && p.contains("bucket"),
+      s"bucket IN filter must reach the scan as a partition filter:\n$p")
+    val pruned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    assert(pruned.exists(n => n > 0 && n <= 2),
+      s"expected <=2 of 16 bucket partitions read, got $pruned")
+  }
+
   test("IVF index scan partition-prunes to the probed cells") {
     val e = Tables.embeddings(spark, sf001)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_prune"

@@ -126,4 +126,20 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.abAssign(ids, "id", Seq("a" -> 60, "b" -> 60)))
   }
+
+  test("balanceClasses: every class downsampled to exactly the minority count, deterministic") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+              (101 to 130).map(i => (i.toLong, "mid")) ++
+              (131 to 140).map(i => (i.toLong, "small")))
+      .toDF("id", "cls")
+    val got = Sampling.balanceClasses(df, "cls", "id")
+      .as[(Long, String)].collect().toSeq
+    val byClass = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byClass == Map("big" -> 10, "mid" -> 10, "small" -> 10), s"$byClass")
+    // the minority class survives INTACT (rank <= its own count)
+    assert(got.filter(_._2 == "small").map(_._1).toSet == (131L to 140L).toSet)
+    val again = Sampling.balanceClasses(df, "cls", "id")
+      .as[(Long, String)].collect().toSeq
+    assert(got.toSet == again.toSet, "md5 draw must reproduce exactly")
+  }
 }
