@@ -2585,6 +2585,16 @@ object SparkEntry {
         .orderBy("n_a")
     }),
 
+    // embedding centroid drift between the even/odd corpus halves —
+    // the cheapest distribution monitor; exact scaled-long dim means
+    "emb_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Embeddings.centroidDrift(
+          e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1), "embedding")
+        .orderBy("n_a")
+    }),
+
     // PCA whitening — the application the emb_pca_k basis exists for:
     // project each embedding onto the top-3 components and rescale to
     // unit variance; exact-long sums, the published round-6 basis
@@ -5562,6 +5572,30 @@ object SparkEntry {
     // the global-window form of the same ECDF arithmetic: exact
     // cumulative integer counts, one double division each, max of
     // the absolute differences, round 6
+    // exact scaled-long dim means per half, round-9 scaled diff² fold
+    "emb_centroid_drift" ->
+      """WITH a AS (
+        | SELECT CAST(i AS BIGINT) AS dim,
+        |  CAST(sum(CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        | WHERE vec_id % 2 = 0 GROUP BY 1),
+        | b AS (
+        | SELECT CAST(i AS BIGINT) AS dim,
+        |  CAST(sum(CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        | WHERE vec_id % 2 = 1 GROUP BY 1),
+        | d AS (
+        | SELECT a.dim,
+        |  CAST(round(round((CAST(a.s AS DOUBLE)/(10000*a.n) - CAST(b.s AS DOUBLE)/(10000*b.n))
+        |   * (CAST(a.s AS DOUBLE)/(10000*a.n) - CAST(b.s AS DOUBLE)/(10000*b.n)), 9) * 1e9, 0) AS BIGINT) AS dl,
+        |  a.n AS na, b.n AS nb
+        | FROM a JOIN b USING (dim))
+        | SELECT round(sqrt(sum(dl)/1e9), 6) AS l2_shift,
+        |  max(na) AS n_a, max(nb) AS n_b
+        | FROM d ORDER BY n_a""".stripMargin,
+
     // same md5-rank draw per class, minority count as a scalar
     "sample_balanced" ->
       """WITH src AS (SELECT o_orderkey, o_orderstatus FROM orders),

@@ -27,6 +27,38 @@ object Embeddings {
         col("has_nan"),
         (col("has_nan") || col("nrm") < 1e-6).as("is_degenerate"))
 
+  /** Centroid drift between two embedding slices — the cheapest
+    * embedding-distribution monitor: per-dimension means of each
+    * slice (exact scaled-long sums, the [[topPrincipalComponent]]
+    * moment discipline), then the L2 distance between the two mean
+    * vectors. A re-embedded corpus, a model swap, or upstream text
+    * drift all move this number before anything else does; alert on
+    * it BEFORE trusting recall numbers across snapshots. One hash
+    * aggregate per slice over (dim) — 2·d output rows regardless of
+    * corpus size; the final distance folds d rows with round-9
+    * scaled-long terms so the report hash-matches the SQL replay.
+    */
+  def centroidDrift(embA: DataFrame, embB: DataFrame,
+                    vecCol: String, scale: Double = 1e4): DataFrame = {
+    def dimMeans(df: DataFrame) = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(sum(round(col("x").cast("double") * scale, 0).cast("long")).as("s"),
+           count(lit(1)).as("n"))
+      .select(col("dim"),
+        (col("s").cast("double") / (lit(scale) * col("n"))).as("mean"),
+        col("n"))
+    val a = dimMeans(embA).select(col("dim"), col("mean").as("ma"), col("n").as("na"))
+    val b = dimMeans(embB).select(col("dim"), col("mean").as("mb"), col("n").as("nb"))
+    a.join(b, Seq("dim"))
+      .withColumn("dl", round(
+        (col("ma") - col("mb")) * (col("ma") - col("mb")), 9).cast("double"))
+      .withColumn("dl", round(col("dl") * 1e9, 0).cast("long"))
+      .groupBy()
+      .agg(round(sqrt(sum(col("dl")) / 1e9), 6).as("l2_shift"),
+           max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+  }
+
   /** Matryoshka truncation: keep the first `dims` coordinates of each
     * embedding (MRL-trained models pack the most information into the
     * leading prefix), optionally re-normalized to unit L2 — the

@@ -106,6 +106,18 @@ class EmbeddingsSpec extends SparkSpec {
     assert(qm == -127L)
   }
 
+  test("centroidDrift: zero for identical slices, exact L2 for a known shift") {
+    val a = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "embedding")
+    val same = graft.operators.Embeddings.centroidDrift(a, a, "embedding")
+      .as[(Double, Long, Long)].head()
+    assert(same == ((0.0, 2L, 2L)), s"identical slices must drift 0, got $same")
+    // shift every vector by +0.3 in dim 1: centroid moves exactly 0.3
+    val b = Seq((1L, Array(1.3f, 0f)), (2L, Array(0.3f, 1f))).toDF("id", "embedding")
+    val drift = graft.operators.Embeddings.centroidDrift(a, b, "embedding")
+      .as[(Double, Long, Long)].head()
+    assert(drift._1 == 0.3, s"known 0.3 shift, got $drift")
+  }
+
   test("matryoshka truncation: prefix kept, renorm unit-L2, full-dim truncation is the identity for retrieval") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf001)
