@@ -3228,6 +3228,12 @@ object SparkEntry {
     "events_session_features" -> ((s, dir) =>
       Events.sessionFeatures(t(s, dir, "events"), gapMinutes = 30)
         .orderBy("event_id")),
+
+    // LOCF resampling onto the hourly grid — irregular streams to a
+    // rectangular (user × time) feature matrix in one window pass
+    "events_resample_locf" -> ((s, dir) =>
+      Events.resampleLocf(t(s, dir, "events"), stepMinutes = 60)
+        .orderBy("user_id", "grid_ts")),
     "events_first_occurrence" -> ((s, dir) => Events.firstOccurrence(t(s, dir, "events"))),
 
     // per-user cadence: exact integer ms gaps, one user-keyed window
@@ -6059,6 +6065,29 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // same union + IGNORE NULLS window; generate_series is inclusive
+    // of the end like Spark's sequence
+    "events_resample_locf" ->
+      """WITH bounds AS (
+        | SELECT date_trunc('hour', min(ts)) AS t0, max(ts) AS t1 FROM events),
+        | grid AS (
+        | SELECT u.user_id, CAST(g AS TIMESTAMP) AS ts
+        | FROM (SELECT DISTINCT user_id FROM events) u
+        | CROSS JOIN bounds, UNNEST(generate_series(t0, t1, INTERVAL 60 MINUTE)) AS t(g)),
+        | uni AS (
+        | SELECT user_id, ts, value, 0 AS is_grid, event_id FROM events
+        | UNION ALL
+        | SELECT user_id, ts, NULL, 1, NULL FROM grid),
+        | f AS (
+        | SELECT user_id, ts, is_grid,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, is_grid, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS locf_value
+        | FROM uni)
+        | SELECT user_id, ts AS grid_ts, locf_value
+        | FROM f WHERE is_grid = 1
+        | ORDER BY user_id, grid_ts""".stripMargin,
 
     // same gap/cumsum session derivation, then per-session windows —
     // all integer-ms arithmetic

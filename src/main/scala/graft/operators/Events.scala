@@ -596,6 +596,36 @@ object Events {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date").parquet(path)
 
+  /** Resample each user's event values onto a fixed time grid with
+    * last-observation-carried-forward — the alignment step that turns
+    * irregular event streams into the rectangular (user × time)
+    * feature matrix a sequence model trains on. Grid = hourly points
+    * spanning the corpus (corpus bounds ride a 1-row broadcast);
+    * LOCF is ONE user-keyed window over the union of events and grid
+    * points (events sort before a same-timestamp grid point, so a
+    * value landing exactly on the grid is carried), never an
+    * inequality join. Grid points before a user's first event stay null — the
+    * honest "no observation yet".
+    */
+  def resampleLocf(events: DataFrame, stepMinutes: Int = 60): DataFrame = {
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+    val grid = events.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr(
+        s"sequence(t0, t1, interval $stepMinutes minutes)")).as("ts"))
+      .select(col("user_id"), col("ts"), lit(null).cast("double").as("value"),
+        lit(1).as("is_grid"), lit(null).cast("long").as("event_id"))
+    val obs = events.select(col("user_id"), col("ts"), col("value"),
+      lit(0).as("is_grid"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "is_grid", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid)
+      .withColumn("locf_value", last(col("value"), ignoreNulls = true).over(w))
+      .where(col("is_grid") === 1)
+      .select(col("user_id"), col("ts").as("grid_ts"), col("locf_value"))
+  }
+
   /** Bot-like user screen by interarrival REGULARITY: humans arrive
     * bursty (high coefficient of variation of gaps), schedulers and
     * scripted traffic arrive metronomically (low CV) — the standard

@@ -247,6 +247,25 @@ class EventsSpec extends SparkSpec {
       "direct" -> ((3L, 115.0))), s"got $got")
   }
 
+  test("resampleLocf: carry-forward across grid, on-grid events carried, leading nulls honest") {
+    import org.apache.spark.sql.functions._
+    // corpus spans 0..130 min → hourly grid at 0, 60, 120.
+    // user 1: value 5.0 at t=0 (ON the grid) then 7.0 at 70 min
+    // user 2: first event at 90 min → grid 0 and 60 must stay null
+    val df = Seq(
+      (1L, ts(0), 1L, "a", 5.0, "{}"),
+      (2L, ts(70), 1L, "a", 7.0, "{}"),
+      (3L, ts(90), 2L, "a", 9.0, "{}"),
+      (4L, ts(130), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.resampleLocf(df, stepMinutes = 60)
+      .as[(Long, java.sql.Timestamp, Option[Double])].collect().toSeq
+      .map { case (u, g, v) => (u, g.getTime / 60000, v) }.sorted
+    assert(got == Seq(
+      (1L, 0L, Some(5.0)), (1L, 60L, Some(5.0)), (1L, 120L, Some(7.0)),
+      (2L, 0L, None), (2L, 60L, None), (2L, 120L, Some(9.0))), s"got $got")
+  }
+
   test("sessionFeatures: per-event ids/offsets consistent with sessionize boundaries") {
     import org.apache.spark.sql.functions._
     // user 1: events at 0, 10, 50 min → sessions {0,10} and {50}
