@@ -2886,6 +2886,23 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
+    // per-SOURCE curation report: which feeds to down-weight — doc
+    // counts, exact scaled-long mean quality, token volume per source
+    "text_source_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(sum(round(col("quality_score") * 1e6, 0).cast("long")) / 1e6
+                   / count(lit(1)), 6).as("mean_quality"),
+             sum(col("n_tokens")).as("total_tokens"),
+             round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+               .as("mean_tokens"))
+        .orderBy("source")
+    }),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
@@ -5259,6 +5276,20 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" -> s"${qualitySql("documents")}\n ORDER BY doc_id",
+
+    // the SAME quality CTE aggregated per source; mean quality via
+    // round-6-scaled exact longs, divisions written in the engine's
+    // exact order
+    "text_source_report" ->
+      s"""WITH q AS (SELECT doc_id, n_tokens, quality_score
+         |  FROM (${qualitySql("documents")})),
+         | j AS (SELECT q.*, d.source FROM q JOIN documents d USING (doc_id))
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(sum(CAST(round(quality_score * 1e6, 0) AS BIGINT)) / 1e6
+         |        / count(*), 6) AS mean_quality,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens
+         | FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // composite training-data prep: whole-row dedup → quality score →
     // language ID → filter; the oracle composes the same three SQL
