@@ -1223,6 +1223,25 @@ object SparkEntry {
       Etl.schemaDrift(oldSnap, newSnap).orderBy("column_name")
     }),
 
+    // privacy release prep: salted-md5 surrogate tokens for the id
+    // columns (join-preserving, map-only), day-generalized timestamp,
+    // props/raw ids suppressed by omission
+    "etl_pseudonymize" -> ((s, dir) =>
+      Etl.pseudonymize(t(s, dir, "events"),
+          idCols = Seq("user_id", "event_id"), tsCol = "ts",
+          keep = Seq("event_type", "value"))
+        .orderBy("event_id_token")),
+
+    // the compliance audit AFTER the release: equivalence-class sizes
+    // over the released quasi-identifiers, k=5 at-risk flag
+    "profile_k_anon" -> ((s, dir) =>
+      Profiling.kAnonymityAudit(
+          Etl.pseudonymize(t(s, dir, "events"),
+            idCols = Seq("user_id", "event_id"), tsCol = "ts",
+            keep = Seq("event_type", "value")),
+          qiCols = Seq("day", "event_type"), k = 5)
+        .orderBy("day", "event_type")),
+
     // the STREAMING form of etl_cdc_apply: the same change log
     // replayed as two ORDERED micro-batches through foreachBatch into
     // a bucket-partitioned materialized table (Etl.writeCdcTable /
@@ -1606,6 +1625,23 @@ object SparkEntry {
           k = 20)
         .orderBy(desc("score"), asc("item_a"), asc("item_b"))),
 
+    // k-core backbone of the co-purchase graph (same basket edges and
+    // df-cut as graph_adamic_adar): synchronous integer peeling
+    // rounds, each replayed by the oracle as a MATERIALIZED CTE —
+    // k=65 cascades for real at gate scale without emptying the core
+    "graph_kcore" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("item"), col("l_orderkey").as("c")).distinct()
+      val ok = e.groupBy("c").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 2 && col("deg") <= 200).select("c")
+      val p = e.join(ok, Seq("c"))
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.c") === col("b.c") && col("a.item") < col("b.item"))
+        .select(col("a.item").as("src"), col("b.item").as("dst"))
+      Graph.kCore(pairs, "src", "dst", k = 65, iters = 4)
+        .orderBy("node")
+    }),
+
     // weighted SSSP over the same graph: fewest-expected-steps
     // distance from the funnel entry ('signup'), edge length =
     // round(1/count, 9) so frequent transitions are cheap — Bellman-
@@ -1879,6 +1915,13 @@ object SparkEntry {
       Analytics.cmsEstimates(t(s, dir, "events"), "event_type",
           depth = 4, width = 256)
         .orderBy("key")),
+
+    // RFM customer segmentation: quintile scores against broadcast
+    // percentile breakpoints (the sample_quality_cut pattern) — never
+    // a global ntile window, which would single-partition the corpus
+    "events_rfm" -> ((s, dir) =>
+      Analytics.rfmSegments(t(s, dir, "orders"))
+        .orderBy("o_custkey")),
 
     "agg_theta_overlap" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -3402,6 +3445,13 @@ object SparkEntry {
       Events.ewmaDaily(t(s, dir, "events"), alpha = 0.3)
         .orderBy("event_type", "day")),
 
+    // CUSUM mean-shift changepoint per event type: deviations kept
+    // mean-free as exact longs (n·x − total) so the running sum and
+    // the argmax flag replay bit-exact in any engine
+    "events_changepoint" -> ((s, dir) =>
+      Events.cusumChangepoints(t(s, dir, "events"))
+        .orderBy("event_type", "day")),
+
     // class balancing: every o_orderstatus keeps exactly the
     // minority-class count of rows, md5-deterministic draw
     "sample_balanced" -> ((s, dir) =>
@@ -3526,6 +3576,22 @@ object SparkEntry {
 
     // the oracle rebuilds both column sets from DESCRIBE — metadata
     // computed, not hardcoded
+    // same salt|column|id token recipe; day via DATE cast; value and
+    // event_type pass through untouched (no arithmetic to drift)
+    "etl_pseudonymize" ->
+      """SELECT
+        | substr(md5('graft|user_id|' || CAST(user_id AS VARCHAR)), 1, 16) AS user_id_token,
+        | substr(md5('graft|event_id|' || CAST(event_id AS VARCHAR)), 1, 16) AS event_id_token,
+        | CAST(ts AS DATE) AS day, event_type, value
+        |FROM events ORDER BY event_id_token""".stripMargin,
+
+    // exact integer class sizes over the released quasi-identifiers
+    "profile_k_anon" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS class_size,
+        | (count(*) < 5) AS at_risk
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
     "etl_schema_drift" ->
       """WITH o AS (SELECT column_name FROM (DESCRIBE orders)),
         | n AS (SELECT column_name FROM
@@ -4384,6 +4450,46 @@ object SparkEntry {
         |  min(cnt) - exact AS overestimate
         | FROM pc GROUP BY k, exact ORDER BY key""".stripMargin,
 
+    // quintile breakpoints via quantile_cont (the percentile pairing),
+    // rounded to 6 like the engine; score = 1 + #cuts strictly below,
+    // recency inverted; monetary through exact cents
+    "events_rfm" ->
+      """WITH per AS (SELECT o_custkey,
+        |  date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |    (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        | cuts AS (SELECT
+        |  round(quantile_cont(recency_days, 0.2), 6) AS r0,
+        |  round(quantile_cont(recency_days, 0.4), 6) AS r1,
+        |  round(quantile_cont(recency_days, 0.6), 6) AS r2,
+        |  round(quantile_cont(recency_days, 0.8), 6) AS r3,
+        |  round(quantile_cont(frequency, 0.2), 6) AS f0,
+        |  round(quantile_cont(frequency, 0.4), 6) AS f1,
+        |  round(quantile_cont(frequency, 0.6), 6) AS f2,
+        |  round(quantile_cont(frequency, 0.8), 6) AS f3,
+        |  round(quantile_cont(cents, 0.2), 6) AS m0,
+        |  round(quantile_cont(cents, 0.4), 6) AS m1,
+        |  round(quantile_cont(cents, 0.6), 6) AS m2,
+        |  round(quantile_cont(cents, 0.8), 6) AS m3
+        | FROM per),
+        | scored AS (SELECT o_custkey,
+        |  CAST(recency_days AS BIGINT) AS recency_days, frequency,
+        |  round(cents / 100.0, 2) AS monetary,
+        |  CAST(6 - (1 + (recency_days > r0)::INT + (recency_days > r1)::INT
+        |            + (recency_days > r2)::INT + (recency_days > r3)::INT)
+        |    AS BIGINT) AS r_score,
+        |  CAST(1 + (frequency > f0)::INT + (frequency > f1)::INT
+        |         + (frequency > f2)::INT + (frequency > f3)::INT
+        |    AS BIGINT) AS f_score,
+        |  CAST(1 + (cents > m0)::INT + (cents > m1)::INT
+        |         + (cents > m2)::INT + (cents > m3)::INT
+        |    AS BIGINT) AS m_score
+        | FROM per, cuts)
+        | SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+        | FROM scored ORDER BY o_custkey""".stripMargin,
+
     // same df-cut (2 ≤ order size ≤ 200), same round-9-scale-to-long
     // weights, same TakeOrdered tiebreak
     "graph_adamic_adar" ->
@@ -4398,6 +4504,35 @@ object SparkEntry {
         | FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
         | GROUP BY 1, 2
         | ORDER BY score DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // same basket edges + df-cut as graph_adamic_adar; 4 integer
+    // peeling rounds as MATERIALIZED CTEs (the labelProp contract),
+    // final within-core degree over the round-4 survivors
+    "graph_kcore" -> {
+      val head =
+        """WITH e AS MATERIALIZED (
+          |  SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+          | d AS (SELECT c FROM (SELECT c, count(*) AS deg FROM e GROUP BY 1)
+          |       WHERE deg BETWEEN 2 AND 200),
+          | p AS MATERIALIZED (SELECT e.item, e.c FROM e JOIN d USING (c)),
+          | und AS MATERIALIZED (
+          |  SELECT DISTINCT a.item AS src, b.item AS dst
+          |  FROM p a JOIN p b ON a.c = b.c AND a.item <> b.item),
+          | a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           | a$i AS MATERIALIZED (SELECT src AS node FROM und
+           |  JOIN a${i - 1} x ON und.src = x.node
+           |  JOIN a${i - 1} y ON und.dst = y.node
+           |  GROUP BY src HAVING count(*) >= 65)""".stripMargin
+      }.mkString
+      head + rounds +
+        """
+          | SELECT und.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+          | FROM und JOIN a4 x ON und.src = x.node
+          | JOIN a4 y ON und.dst = y.node
+          | GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // exact pairwise overlap + literal TRUE (the theta-sketch bound)
     "agg_theta_overlap" ->
@@ -5683,6 +5818,27 @@ object SparkEntry {
         |  FROM d t JOIN d i ON i.event_type = t.event_type AND i.day <= t.day)
         | SELECT event_type, day, x AS value, round(sum(cl)/1e9, 6) AS ewma
         | FROM p GROUP BY event_type, day, x ORDER BY event_type, day""".stripMargin,
+
+    // same scaled-long daily cents, mean-free integer deviations
+    // (n·x − total), running sum over the bounded daily table; the
+    // flag is an exact integer equality against the per-type max
+    "events_changepoint" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(round(value*100, 0) AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        sum(cents) AS total FROM daily GROUP BY 1),
+        | cs AS (SELECT d.event_type, d.day, d.cents, st.n,
+        |   sum(d.cents * st.n - st.total) OVER (PARTITION BY d.event_type
+        |     ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM daily d JOIN st USING (event_type)),
+        | mx AS (SELECT event_type, max(abs(s)) AS mx FROM cs GROUP BY 1)
+        | SELECT cs.event_type, cs.day, round(cs.cents/100.0, 2) AS value,
+        |  round(cs.s/(cs.n*100.0), 6) AS cusum,
+        |  (abs(cs.s) = mx.mx) AS is_changepoint
+        | FROM cs JOIN mx USING (event_type)
+        | ORDER BY event_type, day""".stripMargin,
 
     // exact quantile_cont medians (the percentile twin), per-row z
     // arithmetic replayed with the same rounding

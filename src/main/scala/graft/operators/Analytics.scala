@@ -538,4 +538,56 @@ object Analytics {
       .select(col("key"), col("estimate"), col("exact"),
         (col("estimate") - col("exact")).as("overestimate"))
   }
+
+  /** RFM customer segmentation: recency (days since the customer's
+    * last order, measured from the corpus max date), frequency (order
+    * count), monetary (exact scaled-long cents), each scored 1-5
+    * against corpus-wide quintile breakpoints; segment =
+    * r·100 + f·10 + m.
+    *
+    * Scale shape: one per-customer aggregate, then the breakpoints
+    * are a ONE-ROW aggregate broadcast back (the sample_quality_cut
+    * pattern) — never a global `ntile` window, which would funnel
+    * every customer through a single partition. Scoring is map-only:
+    * score = 1 + #breakpoints strictly below the value, so ties sit
+    * on the LOW side of each boundary deterministically. The scored
+    * table is repartitioned once so the breakpoint aggregate and the
+    * scoring side consume the same exchange (ReuseExchange).
+    *
+    * Determinism (DuckDB oracle parity): recency/frequency are ints,
+    * monetary is exact cents; breakpoints are `percentile` ↔
+    * `quantile_cont` (the agg_percentiles-proven pairing) rounded to
+    * 6 so boundary comparisons are engine-stable. Higher score =
+    * better customer on every axis (recency inverts: recent = 5).
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val maxD = orders.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val per = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+           count(lit(1)).as("frequency"),
+           sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxD)) // 1-row scalar, not a cartesian
+      .select(col("o_custkey"),
+              datediff(col("max_d"), col("last_d")).cast("long").as("recency_days"),
+              col("frequency"), col("cents"))
+      .repartition(col("o_custkey"))
+    def cutsOf(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
+      case (q, i) => round(expr(s"percentile($c, $q)"), 6).as(s"${c}_c$i")
+    }
+    val cuts = per.agg(cutsOf("recency_days").head,
+      (cutsOf("recency_days").tail ++ cutsOf("frequency") ++ cutsOf("cents")): _*)
+    def score(c: String): Column =
+      (0 until 4).map(i => (col(c) > col(s"${c}_c$i")).cast("int"))
+        .reduce(_ + _) + lit(1)
+    per.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"),
+              col("recency_days"), col("frequency"),
+              round(col("cents") / 100.0, 2).as("monetary"),
+              (lit(6) - score("recency_days")).cast("long").as("r_score"),
+              score("frequency").cast("long").as("f_score"),
+              score("cents").cast("long").as("m_score"))
+      .withColumn("segment",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("long"))
+  }
 }

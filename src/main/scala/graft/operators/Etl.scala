@@ -528,4 +528,29 @@ object Etl {
     if (create) fs.create(marker, true).close()
     else if (fs.exists(marker)) fs.delete(marker, false)
   }
+
+  /** Deterministic pseudonymization for releasing an interaction
+    * table into a training corpus: every identifier column is
+    * replaced by a salted-md5 64-bit surrogate token (irreversible
+    * without the salt, but join-PRESERVING — the same id maps to the
+    * same token across tables released with the same salt), the
+    * event timestamp is generalized to day granularity, and every
+    * column NOT listed is dropped (suppression — free-text props and
+    * raw ids never leave). The k-anonymity of the released
+    * quasi-identifiers is audited separately by
+    * [[Profiling.kAnonymityAudit]].
+    *
+    * Scale shape: map-only — one codegen'd projection, no shuffle,
+    * no UDF (md5/concat/substr are built-ins). Determinism: md5 of
+    * the decimal string form of the id, identical in any engine.
+    */
+  def pseudonymize(df: DataFrame, idCols: Seq[String], tsCol: String,
+                   keep: Seq[String], salt: String = "graft"): DataFrame = {
+    val tokens = idCols.map { c =>
+      substring(md5(concat_ws("|", lit(salt), lit(c), col(c).cast("string"))), 1, 16)
+        .as(s"${c}_token")
+    }
+    val day = to_date(col(tsCol)).as("day")
+    df.select(tokens ++ (day +: keep.map(col)): _*)
+  }
 }

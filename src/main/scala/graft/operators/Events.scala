@@ -702,4 +702,41 @@ object Events {
       .agg(round(sum(col("cl")) / 1e9, 6).as("ewma"))
       .select(col("event_type"), col("day"), col("x").as("value"), col("ewma"))
   }
+
+  /** CUSUM mean-shift changepoint scan over the daily value series
+    * per event type: the cumulative sum of deviations from the series
+    * mean, S_t = Σ_{i≤t}(x_i − x̄), peaks (in absolute value) at the
+    * most likely single shift point — the standard "did the metric's
+    * level change, and when" monitor over a pipeline's daily totals.
+    *
+    * Exactness (DuckDB oracle parity): daily totals are scaled-long
+    * cents; the deviation is computed mean-free as n·x_i − total
+    * (both exact longs — no division enters the recursion), so the
+    * running sum is integer-exact and the argmax comparison is an
+    * exact equality in any engine. Only the DISPLAYED cusum divides
+    * (by n·100, rounded 6).
+    *
+    * Scale shape: raw events reduce to |types|·|days| cells in one
+    * hash aggregate; the running-sum window partitions by event_type
+    * over that bounded daily table (the [[ewmaDaily]] justification —
+    * never a window over raw rows). Ties on max |S| flag every tied
+    * day, deterministically in both engines.
+    */
+  def cusumChangepoints(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = daily.join(stats, Seq("event_type"))
+      .withColumn("s", sum(col("cents") * col("n") - col("total")).over(w))
+    val mx = cs.groupBy("event_type").agg(max(abs(col("s"))).as("mx"))
+    cs.join(mx, Seq("event_type"))
+      .select(col("event_type"), col("day"),
+              round(col("cents") / 100.0, 2).as("value"),
+              round(col("s") / (col("n") * 100.0), 6).as("cusum"),
+              (abs(col("s")) === col("mx")).as("is_changepoint"))
+  }
 }

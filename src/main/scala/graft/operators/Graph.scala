@@ -382,6 +382,56 @@ object Graph {
       .limit(k)
   }
 
+  /** k-core subgraph by synchronous peeling rounds: each round drops
+    * every node whose degree within the surviving subgraph is < k;
+    * after enough rounds the survivors are exactly the k-core (the
+    * densely-connected backbone — the standard prefilter before
+    * community detection or embedding training on an interaction
+    * graph). Returns the surviving nodes with their within-core
+    * degree.
+    *
+    * Determinism: degrees are integer counts — no float enters the
+    * loop, so every round is bit-exact in any engine and the DuckDB
+    * oracle replays rounds as MATERIALIZED CTEs (the
+    * [[labelPropagation]] contract). Peeling is monotone (drops only
+    * shrink degrees), so `iters` rounds either reach the fixed point
+    * or a superset of it; run rounds ≥ the peel depth (near-dup /
+    * co-occurrence graphs converge in a handful).
+    *
+    * Scale shape: edges symmetrize + dedup once, repartition on src,
+    * and cache; each round is two semi-joins of the (shrinking)
+    * |V|-row alive set against that layout plus one count aggregate
+    * (map-side partial first). The alive table is consumed twice per
+    * round — same eager per-round localCheckpoint as [[pageRank]].
+    * No collect anywhere.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, iters: Int): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    def coreDeg(alive: DataFrame): DataFrame = und
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var alive = und.select(col("src").as("node")).distinct()
+    for (_ <- 1 to iters) {
+      val next = coreDeg(alive).where(col("deg") >= k).select("node")
+      val prev = alive
+      alive = next.localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = coreDeg(alive)
+      .select(col("node"), col("deg").as("core_deg"))
+      .localCheckpoint()
+    unpersistBacking(alive)
+    und.unpersist(blocking = false)
+    out
+  }
+
   private[operators] def unpersistBacking(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

@@ -425,4 +425,23 @@ object Profiling {
       .where(abs(col("robust_z")) > cutoff)
       .select(col("id"), col("v").as("value"), col("robust_z"))
   }
+
+  /** k-anonymity audit over a release's quasi-identifier columns:
+    * one row per QI combination with its equivalence-class size and
+    * an at-risk flag (class smaller than `k` — those rows re-identify
+    * under linkage attack and need further generalization or
+    * suppression before the release ships). The compliance gate a
+    * training-data pipeline runs AFTER [[Etl.pseudonymize]]:
+    * tokens protect direct identifiers, this audits the indirect
+    * ones.
+    *
+    * Scale shape: one hash aggregate on the QI tuple (map-side
+    * partial agg shrinks every task to |classes| rows); integer
+    * counts — exact in any engine. NULL QI values group as their own
+    * class (Spark and DuckDB GROUP BY agree on null grouping).
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
 }

@@ -130,6 +130,27 @@ class GraphSpec extends SparkSpec {
     assert(even == Map("x" -> "x", "y" -> "y"))
   }
 
+  test("kCore: 2-core peels pendant chain transitively; K4 core survives with degree 3") {
+    // K4 on a..d, plus a chain d-e-f: e and f have degree ≤ 2 only
+    // through each other — a 2-core peel must cascade f, then e
+    val k4 = (for {
+      Seq(u, v) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (u, v)) ++ Seq(("d", "e"), ("e", "f"))
+    val got = Graph.kCore(k4.toDF("src", "dst"), "src", "dst", k = 2, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $got")
+  }
+
+  test("kCore: direction, duplicate edges, and self-loops are ignored; k above max degree empties") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"), ("b", "c"))
+      .toDF("src", "dst")
+    val one = Graph.kCore(edges, "src", "dst", k = 1, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dup/reverse edges collapse to one undirected edge; self-loop gone
+    assert(one == Map("a" -> 1L, "b" -> 2L, "c" -> 1L), s"got $one")
+    assert(Graph.kCore(edges, "src", "dst", k = 3, iters = 2).count() == 0L)
+  }
+
   test("adamicAdar: hand-computed inverse-log weights, size-1 and oversize containers cut, a<b canonical") {
     // container A = {1,2} (deg 2), B = {1,2,3} (deg 3), C = {4} (deg 1
     // → cut), D = 300 items incl. 1 and 2 (deg 300 > 200 → df-cut)
