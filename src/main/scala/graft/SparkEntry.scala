@@ -2655,6 +2655,13 @@ object SparkEntry {
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8, iters = 2).orderBy("cell_id", "dim")),
 
+    // cluster-quality report over the SAME trained centroids: mean
+    // simplified silhouette per cluster ((b−a)/max(a,b) on round-6
+    // cosine distances, per-cluster mean through exact scaled longs)
+    "cluster_silhouette" -> ((s, dir) =>
+      Similarity.kmeansSilhouette(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 8, iters = 2).orderBy("cell_id")),
+
     // k-means|| seeding (Bahmani et al.): 3 parallel oversampling
     // rounds (draw prob l·d/Σd, md5-deterministic), candidates
     // weighted by capture count, k heaviest become the seeds — the
@@ -5504,6 +5511,67 @@ object SparkEntry {
         | SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
         | FROM asg2, UNNEST(range(1, len(vec) + 1)) AS t(i)
         | GROUP BY 1, 2 ORDER BY cell_id, dim""".stripMargin,
+
+    // the cluster_kmeans_n replay extended one step: final centroids
+    // cen3 from the round-2 means, then per-point (csim, cell) pairs
+    // sorted so own/second-best tiebreak exactly like the engine's
+    // argmax; silhouette rounds to 6, cluster means via exact longs
+    "cluster_silhouette" ->
+      """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 8)),
+        | asg1 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid::DOUBLE[]), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | m1 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg1, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen2 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM m1 GROUP BY cell_id),
+        | asg2 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen2.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen2.centroid), 6) DESC,
+        |      cen2.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen2)
+        |  WHERE rn = 1),
+        | m2 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg2, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen3 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM m2 GROUP BY cell_id),
+        | sc AS (
+        |  SELECT c.id, cen3.cell_id,
+        |   round(list_cosine_similarity(c.vec::DOUBLE[], cen3.centroid), 6) AS csim
+        |  FROM c CROSS JOIN cen3),
+        | arr AS (
+        |  SELECT id, list(struct_pack(csim := csim, cell_id := cell_id)
+        |                  ORDER BY csim DESC, cell_id DESC) AS a
+        |  FROM sc GROUP BY id),
+        | per AS (
+        |  SELECT a[1].cell_id AS cell_id,
+        |   round(1.0 - a[1].csim, 6) AS da, round(1.0 - a[2].csim, 6) AS db
+        |  FROM arr),
+        | sil AS (
+        |  SELECT cell_id, CASE WHEN greatest(da, db) = 0 THEN 0.0
+        |   ELSE round((db - da) / greatest(da, db), 6) END AS s
+        |  FROM per)
+        | SELECT cell_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(sum(CAST(round(s * 1e6, 0) AS BIGINT)) / 1e6 / count(*), 6)
+        |    AS mean_silhouette
+        | FROM sil GROUP BY 1 ORDER BY cell_id""".stripMargin,
 
     // k-means|| replayed round-for-round: per round the round-6
     // cosine distance scales to an exact long, Σ is exact, and the

@@ -915,4 +915,49 @@ object Similarity {
         cosineFromParts(dot(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
     topKPerQuery(scored, k)
   }
+
+  /** Per-cluster mean silhouette against trained k-means centroids —
+    * the centroid-based simplified silhouette: a = cosine distance to
+    * the OWN (nearest) centroid, b = distance to the second-nearest,
+    * s = (b − a)/max(a, b) ∈ [0, 1] here (a is the min by
+    * construction); near-0 clusters overlap their neighbor, near-1
+    * are well separated. The cluster-quality report to read BEFORE
+    * trusting cluster-based curation (per-cluster sampling, semantic
+    * dedup) built on the same centroids.
+    *
+    * Exactness (DuckDB oracle parity): centroids come from
+    * [[kmeansIterations]]' Lloyd loop (round-6 means each round —
+    * already engine-exact); scoring rounds the cosine to 6, sorts the
+    * per-point (csim, cell_id) pairs so own/second-best tiebreak
+    * exactly like [[lloydStep]]'s argmax, rounds s to 6, and the
+    * per-cluster mean goes through round-6-scaled exact longs.
+    *
+    * Scale shape: training never shuffles the corpus (centroids
+    * broadcast each round); scoring is ONE more broadcast pass with a
+    * constant-size (|cells|-element) collect_list per point, then a
+    * |cells|-row aggregate. No collect, no window.
+    */
+  def kmeansSilhouette(corpus: DataFrame, idCol: String, vecCol: String,
+                       numCells: Int = 8, iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    var centroids = seedCentroids(c, "id", numCells)
+    for (_ <- 0 until iters) centroids = lloydStep(c, centroids)._2
+    val arr = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("csim"), col("cell_id")))).as("arr"))
+    val per = arr.select(
+      element_at(col("arr"), -1).getField("cell_id").as("cell_id"),
+      round(lit(1.0) - element_at(col("arr"), -1).getField("csim"), 6).as("da"),
+      round(lit(1.0) - element_at(col("arr"), -2).getField("csim"), 6).as("db"))
+      .withColumn("s",
+        when(greatest(col("da"), col("db")) === 0, lit(0.0))
+          .otherwise(round((col("db") - col("da")) / greatest(col("da"), col("db")), 6)))
+    per.groupBy("cell_id")
+      .agg(count(lit(1)).as("n_points"),
+           round(sum(round(col("s") * 1e6, 0).cast("long")) / 1e6
+                 / count(lit(1)), 6).as("mean_silhouette"))
+  }
 }
