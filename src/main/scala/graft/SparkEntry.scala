@@ -3459,6 +3459,12 @@ object SparkEntry {
       Events.cusumChangepoints(t(s, dir, "events"))
         .orderBy("event_type", "day")),
 
+    // closed-form OLS drift per event type: exact long moments, IEEE
+    // divisions in a pinned order, one-day-ahead forecast
+    "events_trend" -> ((s, dir) =>
+      Events.dailyTrendOls(t(s, dir, "events"))
+        .orderBy("event_type")),
+
     // class balancing: every o_orderstatus keeps exactly the
     // minority-class count of rows, md5-deterministic draw
     "sample_balanced" -> ((s, dir) =>
@@ -5907,6 +5913,37 @@ object SparkEntry {
         |  (abs(cs.s) = mx.mx) AS is_changepoint
         | FROM cs JOIN mx USING (event_type)
         | ORDER BY event_type, day""".stripMargin,
+
+    // same exact long moments; every double cast sits at the same
+    // point in the expression so the IEEE rounding sequence matches
+    "events_trend" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(round(value*100, 0) AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        | d2 AS (SELECT event_type, day - DATE '1970-01-01' AS x, cents FROM daily),
+        | g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(x) AS xm,
+        |  sum(x) AS sx, sum(cents) AS sy, sum(x*x) AS sxx,
+        |  sum(x*cents) AS sxy, sum(cents*cents) AS syy
+        | FROM d2 GROUP BY 1),
+        | f AS (SELECT event_type, n,
+        |  n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy,
+        |  sx, sy, xm FROM g)
+        | SELECT event_type, n AS n_days,
+        |  CASE WHEN n > 1 AND dx <> 0
+        |   THEN round(num::DOUBLE / dx::DOUBLE / 100.0, 6) END AS slope,
+        |  CASE WHEN n > 1 AND dx <> 0
+        |   THEN round((sy::DOUBLE * dx::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |              / (n::DOUBLE * dx::DOUBLE) / 100.0, 6) END AS intercept,
+        |  CASE WHEN n > 1 AND dx <> 0 AND dy <> 0
+        |   THEN round(num::DOUBLE * num::DOUBLE / (dx::DOUBLE * dy::DOUBLE), 6)
+        |  END AS r2,
+        |  CASE WHEN n > 1 AND dx <> 0
+        |   THEN round(((sy::DOUBLE * dx::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |               / (n::DOUBLE * dx::DOUBLE)
+        |               + num::DOUBLE / dx::DOUBLE * (xm + 1)::DOUBLE) / 100.0, 6)
+        |  END AS forecast_next
+        | FROM f ORDER BY event_type""".stripMargin,
 
     // exact quantile_cont medians (the percentile twin), per-row z
     // arithmetic replayed with the same rounding

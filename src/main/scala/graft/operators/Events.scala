@@ -739,4 +739,55 @@ object Events {
               round(col("s") / (col("n") * 100.0), 6).as("cusum"),
               (abs(col("s")) === col("mx")).as("is_changepoint"))
   }
+
+  /** Closed-form OLS trend over the daily value series per event
+    * type: slope/intercept/R² of cents against the epoch-day index,
+    * plus the one-day-ahead forecast — the linear companion to
+    * [[ewmaDaily]] (level baseline) and [[cusumChangepoints]] (shift
+    * detector): "is the metric drifting, how fast, and where does it
+    * land tomorrow".
+    *
+    * Exactness: x = epoch day (long), y = exact cents (long); all
+    * five OLS moments (Σx, Σy, Σx², Σxy, Σy²) are exact long sums,
+    * so the normal-equation numerators/denominators are exact
+    * integers; doubles enter only at the final divisions, each factor
+    * cast to double FIRST on both sides so the IEEE rounding sequence
+    * is identical. Long-overflow bound: |y| ≲ 3·10⁹ cents/day at
+    * ~10⁵ days (Σy² < 2⁶³); a 100 TB corpus passes a coarser money
+    * scale.
+    *
+    * Scale shape: raw events reduce to |types|·|days| cells in one
+    * hash aggregate, then ONE |types|-row moment aggregate — no
+    * window at all (the closed form needs no per-row ordering).
+    * Degenerate series guard: a single day (or constant x) nulls
+    * slope/intercept/R²; constant y nulls R² only.
+    */
+  def dailyTrendOls(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .withColumn("x",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+    val g = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"), max(col("x")).as("xm"),
+      sum(col("x")).as("sx"), sum(col("cents")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("cents")).as("sxy"),
+      sum(col("cents") * col("cents")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val slopeCents = d(num) / d(dx)
+    val interceptCents =
+      (d(col("sy")) * d(dx) - d(num) * d(col("sx"))) / (d(col("n")) * d(dx))
+    g.select(col("event_type"), col("n").as("n_days"),
+      when(col("n") > 1 && dx =!= 0, round(slopeCents / 100.0, 6)).as("slope"),
+      when(col("n") > 1 && dx =!= 0, round(interceptCents / 100.0, 6)).as("intercept"),
+      when(col("n") > 1 && dx =!= 0 && dy =!= 0,
+        round(d(num) * d(num) / (d(dx) * d(dy)), 6)).as("r2"),
+      when(col("n") > 1 && dx =!= 0,
+        round((interceptCents + slopeCents * d(col("xm") + 1)) / 100.0, 6))
+        .as("forecast_next"))
+  }
 }
