@@ -1232,6 +1232,16 @@ object SparkEntry {
           keep = Seq("event_type", "value"))
         .orderBy("event_id_token")),
 
+    // data-contract audit: does the candidate key really determine
+    // the column — exact per-class distinct counts, one summary row
+    // per candidate FD (null rhs counts as a value)
+    "profile_fd_check" -> ((s, dir) =>
+      Profiling.fdAudit(t(s, dir, "orders"), Seq(
+          ("o_custkey", "o_orderpriority"),
+          ("o_orderkey", "o_orderstatus"),
+          ("o_orderdate", "o_orderstatus")))
+        .orderBy("lhs", "rhs")),
+
     // the compliance audit AFTER the release: equivalence-class sizes
     // over the released quasi-identifiers, k=5 at-risk flag
     "profile_k_anon" -> ((s, dir) =>
@@ -3465,6 +3475,12 @@ object SparkEntry {
       Events.dailyTrendOls(t(s, dir, "events"))
         .orderBy("event_type")),
 
+    // ISO-weekday seasonal index per event type: exact-ratio
+    // (s_dow·n_all)/(n_dow·s_all) over the bounded daily table
+    "events_seasonality" -> ((s, dir) =>
+      Events.dowSeasonality(t(s, dir, "events"))
+        .orderBy("event_type", "dow_iso")),
+
     // class balancing: every o_orderstatus keeps exactly the
     // minority-class count of rows, md5-deterministic draw
     "sample_balanced" -> ((s, dir) =>
@@ -3597,6 +3613,26 @@ object SparkEntry {
         | substr(md5('graft|event_id|' || CAST(event_id AS VARCHAR)), 1, 16) AS event_id_token,
         | CAST(ts AS DATE) AS day, event_type, value
         |FROM events ORDER BY event_id_token""".stripMargin,
+
+    // one per-class distinct aggregate per candidate, summarized and
+    // unioned; null rhs folded in exactly like the engine
+    "profile_fd_check" -> {
+      def arm(lhs: String, rhs: String) =
+        s"""(SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+           |  CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(sum((n_rhs > 1)::INT) AS BIGINT) AS n_violating,
+           |  round(CAST(sum((n_rhs > 1)::INT) AS DOUBLE)
+           |        / CAST(count(*) AS DOUBLE), 6) AS violation_share,
+           |  (sum((n_rhs > 1)::INT) = 0) AS holds
+           | FROM (SELECT $lhs AS l,
+           |   count(DISTINCT $rhs) + max(CASE WHEN $rhs IS NULL THEN 1 ELSE 0 END) AS n_rhs
+           |  FROM orders GROUP BY 1))""".stripMargin
+      Seq(("o_custkey", "o_orderpriority"),
+          ("o_orderkey", "o_orderstatus"),
+          ("o_orderdate", "o_orderstatus"))
+        .map { case (l, r) => arm(l, r) }
+        .mkString("", "\n UNION ALL\n", "\n ORDER BY lhs, rhs")
+    },
 
     // exact integer class sizes over the released quasi-identifiers
     "profile_k_anon" ->
@@ -5913,6 +5949,24 @@ object SparkEntry {
         |  (abs(cs.s) = mx.mx) AS is_changepoint
         | FROM cs JOIN mx USING (event_type)
         | ORDER BY event_type, day""".stripMargin,
+
+    // isodow ↔ weekday()+1; factor-first double casts in the ratio
+    "events_seasonality" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(round(value*100, 0) AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        | dw AS (SELECT event_type, CAST(isodow(day) AS BIGINT) AS dow_iso,
+        |  CAST(count(*) AS BIGINT) AS n_days, sum(cents) AS s
+        | FROM daily GROUP BY 1, 2),
+        | tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+        |  sum(cents) AS s_all FROM daily GROUP BY 1)
+        | SELECT dw.event_type, dw.dow_iso, dw.n_days,
+        |  round(s::DOUBLE / n_days::DOUBLE / 100.0, 6) AS mean_value,
+        |  round(s::DOUBLE * n_all::DOUBLE / (n_days::DOUBLE * s_all::DOUBLE), 6)
+        |    AS seasonal_index
+        | FROM dw JOIN tot USING (event_type)
+        | ORDER BY event_type, dow_iso""".stripMargin,
 
     // same exact long moments; every double cast sits at the same
     // point in the expression so the IEEE rounding sequence matches

@@ -762,6 +762,38 @@ object Events {
     * Degenerate series guard: a single day (or constant x) nulls
     * slope/intercept/R²; constant y nulls R² only.
     */
+  /** Day-of-week seasonality profile per event type: for each ISO
+    * weekday (1=Monday), the mean daily value and the seasonal index
+    * (weekday mean ÷ overall daily mean — >1 means that weekday runs
+    * hot). The de-seasonalization companion to [[dailyTrendOls]]:
+    * trend says where the level goes, this says which weekdays to
+    * normalize before alerting on it.
+    *
+    * Exactness: daily cents are exact longs; the index is the exact
+    * ratio (s_dow·n_all)/(n_dow·s_all) with every factor cast to
+    * double FIRST (one IEEE multiply each side, one divide) — no
+    * mean-of-means double chain. Scale shape: raw events reduce to
+    * |types|·|days| once; both aggregates and the join run on that
+    * bounded table.
+    */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val dw = daily
+      .withColumn("dow_iso", (weekday(col("day")) + 1).cast("long"))
+      .groupBy("event_type", "dow_iso")
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("s"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_all"), sum(col("cents")).as("s_all"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    dw.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("dow_iso"), col("n_days"),
+              round(d(col("s")) / d(col("n_days")) / 100.0, 6).as("mean_value"),
+              round(d(col("s")) * d(col("n_all"))
+                    / (d(col("n_days")) * d(col("s_all"))), 6).as("seasonal_index"))
+  }
+
   def dailyTrendOls(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

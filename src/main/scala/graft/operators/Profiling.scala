@@ -444,4 +444,36 @@ object Profiling {
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
       .withColumn("at_risk", col("class_size") < k)
+
+  /** Functional-dependency audit: for each candidate lhs → rhs, how
+    * many lhs equivalence classes exist, how many are VIOLATING
+    * (more than one distinct rhs value), and the violation share —
+    * the schema-inference / data-contract check ("is this column
+    * really determined by that key?") a warehouse runs before keying
+    * a dimension or trusting a denormalized feed.
+    *
+    * Scale shape: one exact distinct-pair aggregate per candidate
+    * ((lhs, rhs) distinct → per-lhs count — two shuffles keyed by
+    * lhs, map-side partial agg on both), then a 1-row summary per
+    * candidate, unioned. Candidates are a handful, rows are the
+    * corpus — the per-candidate passes run over the scan in
+    * parallel, none of them global-sorts. NULL rhs counts as a value
+    * (count distinct + a null-presence flag folded in via a
+    * sentinel-free max(is null)).
+    */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame =
+    candidates.map { case (lhs, rhs) =>
+      val perClass = df
+        .select(col(lhs).as("l"), col(rhs).as("r"))
+        .groupBy("l")
+        .agg((countDistinct(col("r")) +
+              max(col("r").isNull.cast("int"))).as("n_rhs"))
+      perClass.agg(
+        lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+        count(lit(1)).as("n_classes"),
+        sum((col("n_rhs") > 1).cast("long")).as("n_violating"),
+        round(sum((col("n_rhs") > 1).cast("long")) /
+              count(lit(1)).cast("double"), 6).as("violation_share"),
+        (sum((col("n_rhs") > 1).cast("long")) === 0).as("holds"))
+    }.reduce(_ unionByName _)
 }
