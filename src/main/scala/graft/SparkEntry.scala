@@ -2472,6 +2472,14 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // whole-corpus k-NN graph: the query side IS the corpus — no
+    // broadcast; the bucketed self-join co-partitions on (t, bucket)
+    // and both sides reuse one exchange
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+          nbits = 4, numTables = 16)
+        .orderBy("query_id", "rnk")),
+
     // fixed-radius RANGE search: every neighbor with cosine ≥ 0.2 —
     // result size follows the data, not a k; same buckets (and same
     // exact oracle replay) as sim_lsh_topk
@@ -5037,6 +5045,27 @@ object SparkEntry {
          |    ORDER BY score DESC, corpus_id) AS rnk
          |  FROM scored)
          | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the sim_lsh_topk replay without the q.id filter — every corpus
+    // vector is a query; same buckets, same (score, id) tiebreak
+    "sim_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND c.id <> q.id),
+         | scored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id)
+         | SELECT query_id, corpus_id, score, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, corpus_id) AS rnk
+         |  FROM scored)
+         | WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "sim_range_search" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

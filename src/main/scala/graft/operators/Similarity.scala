@@ -916,6 +916,44 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** k-NN graph over the WHOLE corpus via the LSH buckets: every
+    * vector's top-k neighbors among its bucket-mates — the input
+    * graph for semantic clustering, mutual-kNN dedup, and
+    * graph-based diversity sampling. Unlike [[lshTopK]] the query
+    * side IS the corpus, so nothing broadcasts: the bucketed table
+    * self-joins co-partitioned on (table, bucket) — the two sides
+    * share one exchange (ReuseExchange) and hot buckets spread
+    * across `numTables`·2^nbits partitions. Raise `nbits` with
+    * corpus size to bound the per-bucket pair fan-out (the
+    * [[graft.operators.Dedup.embeddingPairsLsh]] discipline).
+    *
+    * Recall is the LSH bargain (bucket-mates only); determinism is
+    * exact — same hyperplanes, round-6 cosine, (score, id) tiebreak
+    * — so the DuckDB oracle replays buckets and ranks bit-for-bit.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               nbits: Int = 4, numTables: Int = 16): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+      .select(col("id"), col("vec"), col("nrm"),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("t"),
+                 hyperplaneBucket(col("vec"), nbits, seed = 7 + t).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("id"), col("vec"), col("nrm"),
+              col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .repartition(col("t"), col("bucket"))
+    val pairs = b.as("x").join(b.as("y"), Seq("t", "bucket"))
+      .where(col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("corpus_id"),
+              col("x.vec").as("qvec"), col("x.nrm").as("qnrm"),
+              col("y.vec").as("cvec"), col("y.nrm").as("cnrm"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    topKPerQuery(pairs, k)
+  }
+
   /** Per-cluster mean silhouette against trained k-means centroids —
     * the centroid-based simplified silhouette: a = cosine distance to
     * the OWN (nearest) centroid, b = distance to the second-nearest,

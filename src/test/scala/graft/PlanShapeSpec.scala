@@ -139,6 +139,16 @@ class PlanShapeSpec extends SparkSpec {
       "bucket join must broadcast the (small) query side")
   }
 
+  test("knn-graph self-join shares one bucketed exchange, no broadcast of the corpus") {
+    val q = SparkEntry.queries("sim_knn_graph")(spark, sf001)
+    q.collect() // AQE: exchange reuse materializes in the final plan
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"both sides of the (t, bucket) self-join must share one exchange:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "the embedding corpus must scan (and bucket) exactly once")
+  }
+
   test("jaccard df-cut is observable in the plan (CollectMetrics), adds no shuffle") {
     val p = graft.operators.Dedup
       .jaccardPairs(Tables.load(spark, sf001, "documents"), "doc_id", "text",
