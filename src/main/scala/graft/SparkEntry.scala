@@ -2480,6 +2480,13 @@ object SparkEntry {
           nbits = 4, numTables = 16)
         .orderBy("query_id", "rnk")),
 
+    // reciprocity filter on the same graph: only pairs in each
+    // other's top-k survive (hub-artifact removal before clustering)
+    "sim_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+          nbits = 4, numTables = 16)
+        .orderBy("id_a", "id_b")),
+
     // fixed-radius RANGE search: every neighbor with cosine ≥ 0.2 —
     // result size follows the data, not a k; same buckets (and same
     // exact oracle replay) as sim_lsh_topk
@@ -2920,6 +2927,12 @@ object SparkEntry {
       Embeddings.embeddingQuality(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("id")),
 
+    // per-dimension activation report: exact scaled-long moments,
+    // integer min=max dead flag — the pre-PCA/whitening sanity check
+    "emb_dim_stats" -> ((s, dir) =>
+      Embeddings.dimStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")),
+
     // deterministic train/val/test split: md5-prefix threshold like
     // sample_hash, but emitting the ASSIGNMENT — reproducible splits
     // on any engine/cluster, immune to rand() reseeding
@@ -2973,6 +2986,27 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // declared-vs-detected language confusion matrix: where the feed
+    // metadata and the n-gram detector disagree is where a mix's
+    // language quotas silently drift
+    "text_lang_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.langIdTable(docs, "doc_id", "text")
+        .select("doc_id", "lang_pred")
+        .join(docs.select(col("doc_id"), col("lang").as("lang_declared")), Seq("doc_id"))
+        .groupBy("lang_declared", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("lang_declared") === col("lang_pred"))
+        .orderBy("lang_declared", "lang_pred")
+    }),
+
+    // diversity coreset: one representative per LSH bucket, argmin
+    // md5 hash — dense regions collapse, sparse regions survive
+    "sample_diverse" -> ((s, dir) =>
+      Sampling.diverseByBucket(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nbits = 6)
+        .orderBy("bucket")),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
@@ -4775,6 +4809,35 @@ object SparkEntry {
 
     "text_langid" -> s"${langidSql("documents")}\n ORDER BY doc_id",
 
+    // the langid CTE joined back to the declared metadata; agree
+    // derived after the group so it needs no grouping key
+    "text_lang_confusion" ->
+      s"""WITH li AS (SELECT doc_id, lang_pred FROM (${langidSql("documents")})),
+         | m AS (
+         |  SELECT d.lang AS lang_declared, li.lang_pred,
+         |   CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM li JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2)
+         | SELECT lang_declared, lang_pred, n_docs,
+         |  (lang_declared = lang_pred) AS agree
+         | FROM m ORDER BY lang_declared, lang_pred""".stripMargin,
+
+    // t=0 hyperplane arm at nbits=6; min-(h, id) representative via
+    // a min-h join so ties break on id exactly like the engine
+    "sample_diverse" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 6, numTables = 1)}),
+         | h AS (SELECT bucket, id,
+         |   ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM bkt),
+         | m AS (SELECT bucket, min(h) AS mh,
+         |   CAST(count(*) AS BIGINT) AS bucket_size FROM h GROUP BY 1)
+         | SELECT m.bucket AS bucket, CAST(min(h.id) AS BIGINT) AS rep_id,
+         |  m.bucket_size
+         | FROM h JOIN m ON h.bucket = m.bucket AND h.h = m.mh
+         | GROUP BY m.bucket, m.bucket_size
+         | ORDER BY m.bucket""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
@@ -5066,6 +5129,33 @@ object SparkEntry {
          |    ORDER BY score DESC, corpus_id) AS rnk
          |  FROM scored)
          | WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // the sim_knn_graph chain + a reversed-pair self-join; canonical
+    // a<b edges keep the forward score
+    "sim_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND c.id <> q.id),
+         | scored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id),
+         | knn AS (
+         |  SELECT query_id, corpus_id, score FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, corpus_id) AS rnk
+         |   FROM scored)
+         |  WHERE rnk <= 3)
+         | SELECT f.query_id AS id_a, f.corpus_id AS id_b, f.score AS score
+         | FROM knn f JOIN knn r
+         |   ON f.query_id = r.corpus_id AND f.corpus_id = r.query_id
+         | WHERE f.query_id < f.corpus_id
+         | ORDER BY id_a, id_b""".stripMargin,
 
     "sim_range_search" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5433,6 +5523,25 @@ object SparkEntry {
     // the same exact top-k — the measured quality gain of training,
     // itself hash-checked like sim_ivf_recall's trained index
     "sim_pq_trained_recall" -> pqSql(2, pqRecallTail),
+
+    // same round-6 scaled longs; variance via (n·Σx² − (Σx)²)/n²
+    "emb_dim_stats" ->
+      """WITH x AS (
+        | SELECT CAST(i AS BIGINT) AS dim,
+        |  CAST(round(v[i] * 1000000, 0) AS BIGINT) AS s
+        | FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |  UNNEST(range(1, len(v) + 1)) AS t(i)),
+        | g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  sum(s) AS sx, sum(s*s) AS sxx, min(s) AS mn, max(s) AS mx
+        | FROM x GROUP BY 1)
+        | SELECT dim, n,
+        |  round(sx::DOUBLE / n::DOUBLE / 1000000.0, 6) AS mean,
+        |  round((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |        / (n::DOUBLE * n::DOUBLE) / (1000000.0 * 1000000.0), 6) AS variance,
+        |  round(mn::DOUBLE / 1000000.0, 6) AS min_val,
+        |  round(mx::DOUBLE / 1000000.0, 6) AS max_val,
+        |  (mn = mx) AS is_dead
+        | FROM g ORDER BY dim""".stripMargin,
 
     "emb_quality" ->
       """SELECT vec_id AS id,

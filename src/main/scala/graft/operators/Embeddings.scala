@@ -16,6 +16,41 @@ object Embeddings {
     * projection over the scan, no shuffle; at 100 TB this runs at
     * scan speed as a pre-ingest filter.
     */
+  /** Per-dimension activation report: mean, variance, min/max, and a
+    * dead-dimension flag — the pre-PCA sanity check (a dead or
+    * near-constant dimension wastes model capacity and distorts
+    * whitening; collapsed dims are the classic symptom of a broken
+    * embedding export).
+    *
+    * Exactness: each component scales to a round-6 long, so Σx and
+    * Σx² are exact and variance = (n·Σx² − (Σx)²)/n² touches doubles
+    * only at the final division; the dead flag is the exact integer
+    * min = max. Long-overflow bound: |v| ≲ 30 at ~10⁹ rows·dims per
+    * dimension (Σx² < 2⁶³); larger corpora pass a coarser scale.
+    *
+    * Scale shape: one posexplode + one |dims|-row hash aggregate
+    * (map-side partial), no window, no collect.
+    */
+  def dimStats(emb: DataFrame, vecCol: String,
+               scale: Long = 1000000L): DataFrame = {
+    val x = emb.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+              round(col("v").cast("double") * scale, 0).cast("long").as("s"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val sc = scale.toDouble
+    x.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+           sum(col("s")).as("sx"), sum(col("s") * col("s")).as("sxx"),
+           min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .select(col("dim"), col("n"),
+        round(d(col("sx")) / d(col("n")) / sc, 6).as("mean"),
+        round((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+              / (d(col("n")) * d(col("n"))) / (sc * sc), 6).as("variance"),
+        round(d(col("mn")) / sc, 6).as("min_val"),
+        round(d(col("mx")) / sc, 6).as("max_val"),
+        (col("mn") === col("mx")).as("is_dead"))
+  }
+
   def embeddingQuality(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("vec")))

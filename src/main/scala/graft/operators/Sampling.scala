@@ -219,4 +219,28 @@ object Sampling {
       .withColumn("keep_rate", round(col("_rate"), 6))
       .drop("_rate")
   }
+
+  /** Diversity sample over an embedding column: ONE representative
+    * per LSH hyperplane bucket — a spread-out, deterministic subset
+    * (the cheap coreset for eval pools and seed sets: dense regions
+    * collapse to one pick, sparse regions always keep theirs, unlike
+    * any uniform draw). The representative is the bucket's min
+    * md5-hash id (hash-uniform within the bucket, not first-seen —
+    * arrival order can never change the pick).
+    *
+    * Scale shape: map (bucket + hash) + ONE bucket-keyed aggregate;
+    * output is ≤ 2^nbits rows. Raise `nbits` for a bigger sample —
+    * the knob is the bucket count, never a shuffle of the corpus
+    * beyond the one aggregate.
+    */
+  def diverseByBucket(corpus: DataFrame, idCol: String, vecCol: String,
+                      nbits: Int = 6): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket",
+        graft.functions.VectorFunctions.hyperplaneBucket(col("vec"), nbits, seed = 7))
+      .withColumn("h",
+        graft.functions.TextFunctions.md5Prefix64(col("id").cast("string")))
+      .groupBy("bucket")
+      .agg(min(struct(col("h"), col("id"))).getField("id").as("rep_id"),
+           count(lit(1)).as("bucket_size"))
 }

@@ -954,6 +954,31 @@ object Similarity {
     topKPerQuery(pairs, k)
   }
 
+  /** Mutual-kNN edge list from [[knnGraph]]: keep only pairs where
+    * EACH vector ranks inside the other's top-k — the standard
+    * precision filter before clustering a kNN graph (one-directional
+    * edges are usually hub artifacts: a generic vector appears in
+    * everyone's top-k without reciprocating). Canonical (id_a <
+    * id_b) edges with the shared round-6 score.
+    *
+    * Scale shape: the kNN result is |V|·k rows; the reciprocity
+    * check is a self-join on the reversed pair key — tiny next to
+    * the bucket join that produced it. In a real pipeline
+    * materialize [[knnGraph]] once and run this on the table; here
+    * the lineage recomputes it (gate queries are self-contained).
+    */
+  def mutualKnn(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                nbits: Int = 4, numTables: Int = 16): DataFrame = {
+    val knn = knnGraph(corpus, idCol, vecCol, k, nbits, numTables)
+      .select(col("query_id"), col("corpus_id"), col("score"))
+    knn.as("f").join(knn.as("r"),
+        col("f.query_id") === col("r.corpus_id") &&
+          col("f.corpus_id") === col("r.query_id"))
+      .where(col("f.query_id") < col("f.corpus_id"))
+      .select(col("f.query_id").as("id_a"), col("f.corpus_id").as("id_b"),
+              col("f.score").as("score"))
+  }
+
   /** Per-cluster mean silhouette against trained k-means centroids —
     * the centroid-based simplified silhouette: a = cosine distance to
     * the OWN (nearest) centroid, b = distance to the second-nearest,
