@@ -2987,6 +2987,13 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
+    // distributed BPE training: the corpus reduces to the word vocab
+    // once; 4 merge rounds run on that bounded table, winner per
+    // round via 1-row broadcast — output IS the tokenizer merge list
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 4)
+        .orderBy("round")),
+
     // declared-vs-detected language confusion matrix: where the feed
     // metadata and the n-gram detector disagree is where a mix's
     // language quotas silently drift
@@ -4808,6 +4815,44 @@ object SparkEntry {
          | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "text_langid" -> s"${langidSql("documents")}\n ORDER BY doc_id",
+
+    // round-for-round BPE replay: the parenthesis encoding makes the
+    // merge a plain left-to-right non-overlapping replace in both
+    // engines; winner = max count, then lexicographically min pattern
+    "text_bpe_train" -> {
+      val head =
+        """WITH v AS MATERIALIZED (
+          | SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+          |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          |  FROM documents)
+          | WHERE regexp_full_match(word, '[a-z]+')
+          | GROUP BY 1),
+          | s0 AS MATERIALIZED (
+          |  SELECT wc, regexp_replace(word, '(.)', '(\1)', 'g') AS s FROM v)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           | p$i AS MATERIALIZED (
+           |  SELECT a[j] AS l, a[j+1] AS r, sum(wc) AS cnt
+           |  FROM (SELECT wc, string_split_regex(trim(s, '()'), '\\)\\(') AS a
+           |        FROM s${i - 1})
+           |   , UNNEST(range(1, len(a))) AS t(j)
+           |  WHERE len(a) >= 2
+           |  GROUP BY 1, 2),
+           | b$i AS MATERIALIZED (
+           |  SELECT '(' || l || ')(' || r || ')' AS pat, '(' || l || r || ')' AS rep,
+           |   l, r, cnt
+           |  FROM p$i WHERE cnt = (SELECT max(cnt) FROM p$i)
+           |  ORDER BY pat LIMIT 1),
+           | s$i AS MATERIALIZED (
+           |  SELECT wc, replace(s, (SELECT pat FROM b$i), (SELECT rep FROM b$i)) AS s
+           |  FROM s${i - 1})""".stripMargin
+      }.mkString
+      val arms = (1 to 4).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+           |  CAST(cnt AS BIGINT) AS pair_count FROM b$i""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"$head$rounds\n $arms\n ORDER BY round"
+    },
 
     // the langid CTE joined back to the declared metadata; agree
     // derived after the group so it needs no grouping key

@@ -830,4 +830,63 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.withColumn("cum_terms", sum(col("new_terms")).over(w))
   }
+
+  /** Distributed BPE merge training: learn `rounds` byte-pair-
+    * encoding merges from the corpus — per round, count adjacent
+    * symbol pairs over the word VOCABULARY (weighted by word
+    * frequency), take the most frequent pair, splice it into every
+    * word, repeat. Returns the ordered merge table (round, left,
+    * right, pair_count) — i.e. the tokenizer.
+    *
+    * Scale design (the point of doing BPE on-cluster): the corpus
+    * reduces to the (word, count) vocabulary in ONE aggregate — all
+    * `rounds` iterations run on that bounded table, never touching
+    * raw text again; the winning pair per round is a 1-row broadcast.
+    *
+    * Determinism / oracle parity: words are encoded as
+    * parenthesis-delimited symbol strings ("(h)(e)(l)(l)(o)"), so
+    * the merge step is a plain non-overlapping left-to-right string
+    * `replace` of "(l)(l)" with "(ll)" — identical greedy semantics
+    * in the JVM and DuckDB, and exactly BPE's merge rule (the fold
+    * "aaaa" → "aa"+"aa" included). Pair counts are exact longs; the
+    * winner ties break on the lexicographically smallest encoded
+    * pair. Deviation from classic BPE: no end-of-word marker and a
+    * [a-z]+ word filter (documented; the marker is one concat away).
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val vocab = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    var s = vocab.select(col("wc"),
+      regexp_replace(col("word"), "(.)", "($1)").as("s"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to rounds) {
+      val pairs = s
+        .withColumn("a", split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\("))
+        .where(size(col("a")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(a)-2), i -> struct(a[i] AS l, a[i+1] AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .withColumn("pat", concat(lit("("), col("l"), lit(")("), col("r"), lit(")")))
+        .withColumn("rep", concat(lit("("), col("l"), col("r"), lit(")")))
+      val mx = pairs.agg(max(col("cnt")).as("mx"))
+      val best = pairs.crossJoin(broadcast(mx)) // 1-row scalar
+        .where(col("cnt") === col("mx"))
+        .agg(min(struct(col("pat"), col("rep"), col("l"), col("r"), col("cnt")))
+          .as("b"))
+        .select(col("b.pat").as("pat"), col("b.rep").as("rep"),
+                col("b.l").as("l"), col("b.r").as("r"), col("b.cnt").as("cnt"))
+      merges += best.select(lit(i.toLong).as("round"),
+        col("l").as("left_sym"), col("r").as("right_sym"),
+        col("cnt").as("pair_count"))
+      s = s.crossJoin(broadcast(best)) // 1-row scalar
+        .select(col("wc"), replace(col("s"), col("pat"), col("rep")).as("s"))
+    }
+    merges.reduce(_ unionByName _)
+  }
 }

@@ -311,4 +311,24 @@ class TextAnalysisSpec extends SparkSpec {
     // the gate fixture saturates in bucket 0 (tiny shared vocabulary) —
     // this synthetic corpus is what proves the bucketing itself
   }
+
+  test("bpeTrainMerges: hand-computed merges, vocab weighting, lexicographic tie-break") {
+    import spark.implicits._
+    // vocab: "aaab" ×3 → r1 pairs (a,a)=6 (a,b)=3 → merge (a,a);
+    // r2 on (aa)(a)(b): (aa,a)=3 ties (a,b)=3 → "(a)(b)" < "(aa)(a)"
+    // lexicographically → merge (a,b); r3: (aa,ab)=3
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "a", 6L), (2L, "a", "b", 3L), (3L, "aa", "ab", 3L)),
+      s"got $got")
+  }
+
+  test("bpeTrainMerges: greedy left-to-right non-overlap — aaaa merges to (aa)(aa)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)), s"got $got")
+  }
 }
