@@ -3015,6 +3015,13 @@ object SparkEntry {
           nbits = 6)
         .orderBy("bucket")),
 
+    // optimal-allocation eval sampling: stratum share ∝ n_h·s_h from
+    // exact long moments; rate rounds to 6 before the md5 draw
+    "sample_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars", targetTotal = 300)
+        .orderBy("id")),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
@@ -4866,6 +4873,27 @@ object SparkEntry {
          | SELECT lang_declared, lang_pred, n_docs,
          |  (lang_declared = lang_pred) AS agree
          | FROM m ORDER BY lang_declared, lang_pred""".stripMargin,
+
+    // exact long moments → nsd scaled long → order-independent total;
+    // same left-assoc division chain and round-6 rate as the engine
+    "sample_neyman" ->
+      """WITH v AS (SELECT doc_id AS id, lang AS stratum,
+        |   CAST(n_chars AS BIGINT) AS x FROM documents),
+        | st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(x*x) AS sxx FROM v GROUP BY 1),
+        | r AS (SELECT stratum, n,
+        |  CAST(round(n::DOUBLE * sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |                              / (n::DOUBLE * n::DOUBLE)) * 1e6, 0) AS BIGINT) AS nsd
+        |  FROM st),
+        | tot AS (SELECT sum(nsd) AS tot FROM r),
+        | rt AS (SELECT stratum,
+        |  round(least(1.0, 300.0 * nsd::DOUBLE / tot::DOUBLE / n::DOUBLE), 6) AS keep_rate
+        |  FROM r, tot)
+        | SELECT v.id, v.stratum, rt.keep_rate
+        | FROM v JOIN rt USING (stratum)
+        | WHERE (('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT)
+        |       / 4294967296.0 < keep_rate
+        | ORDER BY id""".stripMargin,
 
     // t=0 hyperplane arm at nbits=6; min-(h, id) representative via
     // a min-h join so ties break on id exactly like the engine

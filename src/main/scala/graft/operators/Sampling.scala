@@ -220,6 +220,48 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Neyman (optimal-allocation) stratified sampling: stratum h gets
+    * a share of the `targetTotal` draw proportional to n_h·s_h (size
+    * × standard deviation of `valueCol`) — high-variance strata are
+    * oversampled, near-constant strata contribute almost nothing,
+    * which minimizes the variance of the resulting estimator at a
+    * fixed budget (the eval-set construction answer to "uniform
+    * sampling wastes budget on homogeneous sources").
+    *
+    * Determinism: stratum variance comes from exact long moments
+    * (n·Σx² − (Σx)²); n_h·s_h rounds to a scaled long so the
+    * cross-strata total is aggregation-order-independent; the keep
+    * rate rounds to 6 BEFORE the comparison and the draw is the
+    * md5-uniform — fully replayable. `valueCol` must be
+    * integer-valued (pre-scale money/doubles).
+    *
+    * Scale shape: one moment aggregate (|strata| rows), a 1-row
+    * total broadcast, then a map-only rate filter — the
+    * [[mixToGroupTarget]] shape with a statistics-driven rate.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, idCol: String,
+                       valueCol: String, targetTotal: Long): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+                      col(valueCol).cast("long").as("x"))
+    val st = v.groupBy("stratum").agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    val r = st.select(col("stratum"), col("n"),
+      round(d(col("n")) *
+        sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+             / (d(col("n")) * d(col("n")))) * 1e6, 0)
+        .cast("long").as("nsd"))
+    val tot = r.agg(sum(col("nsd")).as("tot"))
+    val rates = r.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("stratum"),
+        round(least(lit(1.0),
+          lit(targetTotal.toDouble) * d(col("nsd")) / d(col("tot")) / d(col("n"))), 6)
+          .as("keep_rate"))
+    v.join(broadcast(rates), Seq("stratum"))
+      .where(md5Uniform("id", halfOpen = true) < col("keep_rate"))
+      .select(col("id"), col("stratum"), col("keep_rate"))
+  }
+
   /** Diversity sample over an embedding column: ONE representative
     * per LSH hyperplane bucket — a spread-out, deterministic subset
     * (the cheap coreset for eval pools and seed sets: dense regions
