@@ -3537,6 +3537,12 @@ object SparkEntry {
       Events.dowSeasonality(t(s, dir, "events"))
         .orderBy("event_type", "dow_iso")),
 
+    // the composition: divide by the weekday index, z-score the
+    // ADJUSTED series — full report with flag, thresholds are policy
+    "events_anomalies_deseason" -> ((s, dir) =>
+      Events.deseasonalizedAnomalies(t(s, dir, "events"))
+        .orderBy("event_type", "day")),
+
     // class balancing: every o_orderstatus keeps exactly the
     // minority-class count of rows, md5-deterministic draw
     "sample_balanced" -> ((s, dir) =>
@@ -6178,6 +6184,42 @@ object SparkEntry {
         |    AS seasonal_index
         | FROM dw JOIN tot USING (event_type)
         | ORDER BY event_type, dow_iso""".stripMargin,
+
+    // the seasonality CTEs + round-6 adjustment + 1e3-scaled exact
+    // moments; z replayed with the engine's division sequence
+    "events_anomalies_deseason" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(round(value*100, 0) AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        | dw AS (SELECT event_type, CAST(isodow(day) AS BIGINT) AS dow_iso,
+        |  CAST(count(*) AS BIGINT) AS n_days, sum(cents) AS s
+        | FROM daily GROUP BY 1, 2),
+        | tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+        |  sum(cents) AS s_all FROM daily GROUP BY 1),
+        | idx AS (SELECT dw.event_type, dw.dow_iso,
+        |  round(s::DOUBLE * n_all::DOUBLE / (n_days::DOUBLE * s_all::DOUBLE), 6)
+        |    AS seasonal_index
+        | FROM dw JOIN tot USING (event_type)),
+        | adj AS (SELECT d.event_type, d.day, d.cents, idx.seasonal_index,
+        |  round(d.cents::DOUBLE / 100.0 / idx.seasonal_index, 6) AS adj
+        | FROM (SELECT event_type, day, cents,
+        |       CAST(isodow(day) AS BIGINT) AS dow_iso FROM daily) d
+        | JOIN idx USING (event_type, dow_iso)),
+        | a3t AS (SELECT *, CAST(round(adj * 1000, 0) AS BIGINT) AS a3 FROM adj),
+        | stt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  sum(a3) AS s1, sum(a3*a3) AS s2 FROM a3t GROUP BY 1),
+        | st2 AS (SELECT event_type,
+        |  s1::DOUBLE / (n * 1000.0) AS mean,
+        |  (s2 / 1000000.0 - (s1/1000.0)*(s1/1000.0)/n) / (n - 1) AS variance
+        | FROM stt WHERE n >= 2)
+        | SELECT event_type, day, round(cents/100.0, 2) AS value,
+        |  seasonal_index, adj AS adj_value,
+        |  round((adj - mean)/sqrt(variance), 6) AS z,
+        |  (abs(round((adj - mean)/sqrt(variance), 6)) > 2.0) AS is_anomaly
+        | FROM a3t JOIN st2 USING (event_type)
+        | WHERE variance > 0
+        | ORDER BY event_type, day""".stripMargin,
 
     // same exact long moments; every double cast sits at the same
     // point in the expression so the IEEE rounding sequence matches

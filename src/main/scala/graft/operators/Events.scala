@@ -794,6 +794,52 @@ object Events {
                     / (d(col("n_days")) * d(col("s_all"))), 6).as("seasonal_index"))
   }
 
+  /** Seasonally-adjusted daily anomaly screen: divide each day's
+    * value by its [[dowSeasonality]] index, then z-score the ADJUSTED
+    * series per event type — a quiet Sunday no longer trips the alarm
+    * and a merely-average Sunday spike does (the composition
+    * [[valueAnomalies]] can't see: its per-hour stats normalize time
+    * of day, this normalizes day of week at daily grain).
+    *
+    * Determinism: the index and the adjusted value round to 6; the
+    * adjusted series scales by 1e3 to exact longs for the moment sums
+    * (bound: |adj| ≲ 3·10⁶ per day at ~10³ days keeps Σx² < 2⁶³ —
+    * the daily table is bounded, so this holds at any corpus scale;
+    * coarser scale if values ever grow 100×). The z divides doubles
+    * in the engine's exact sequence. Full report (flag, not filter) —
+    * thresholds are policy, the table is the artifact.
+    */
+  def deseasonalizedAnomalies(events: DataFrame,
+                              zThreshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val idx = dowSeasonality(events)
+      .select(col("event_type"), col("dow_iso"), col("seasonal_index"))
+    val adj = daily
+      .withColumn("dow_iso", (weekday(col("day")) + 1).cast("long"))
+      .join(idx, Seq("event_type", "dow_iso"))
+      .withColumn("adj",
+        round(col("cents").cast("double") / 100.0 / col("seasonal_index"), 6))
+      .withColumn("a3", round(col("adj") * 1e3, 0).cast("long"))
+    val stats = adj.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("a3")).as("s1"),
+           sum(col("a3") * col("a3")).as("s2"))
+      .where(col("n") >= 2)
+      .withColumn("mean", col("s1").cast("double") / (col("n") * 1e3))
+      .withColumn("variance",
+        (col("s2") / 1e6 - (col("s1") / 1e3) * (col("s1") / 1e3) / col("n"))
+          / (col("n") - 1))
+      .where(col("variance") > 0)
+    adj.join(broadcast(stats.select("event_type", "mean", "variance")),
+             Seq("event_type"))
+      .withColumn("z", round((col("adj") - col("mean")) / sqrt(col("variance")), 6))
+      .select(col("event_type"), col("day"),
+              round(col("cents") / 100.0, 2).as("value"),
+              col("seasonal_index"), col("adj").as("adj_value"), col("z"),
+              (abs(col("z")) > zThreshold).as("is_anomaly"))
+  }
+
   def dailyTrendOls(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
