@@ -892,6 +892,40 @@ object SparkEntry {
        |    AS quality_score
        | FROM y)""".stripMargin
 
+  // ---- BPE SQL twin: vocab reduction + per-round (pair count →
+  // max-count/min-pattern winner → vocab replace) CTEs shared by the
+  // train and apply oracles --------------------------------------
+  private def bpeTrainCtesSql(rounds: Int): String = {
+    val head =
+      """WITH v AS MATERIALIZED (
+        | SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents)
+        | WHERE regexp_full_match(word, '[a-z]+')
+        | GROUP BY 1),
+        | s0 AS MATERIALIZED (
+        |  SELECT wc, regexp_replace(word, '(.)', '(\1)', 'g') AS s FROM v)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      s""",
+         | p$i AS MATERIALIZED (
+         |  SELECT a[j] AS l, a[j+1] AS r, sum(wc) AS cnt
+         |  FROM (SELECT wc, string_split_regex(trim(s, '()'), '\\)\\(') AS a
+         |        FROM s${i - 1})
+         |   , UNNEST(range(1, len(a))) AS t(j)
+         |  WHERE len(a) >= 2
+         |  GROUP BY 1, 2),
+         | b$i AS MATERIALIZED (
+         |  SELECT '(' || l || ')(' || r || ')' AS pat, '(' || l || r || ')' AS rep,
+         |   l, r, cnt
+         |  FROM p$i WHERE cnt = (SELECT max(cnt) FROM p$i)
+         |  ORDER BY pat LIMIT 1),
+         | s$i AS MATERIALIZED (
+         |  SELECT wc, replace(s, (SELECT pat FROM b$i), (SELECT rep FROM b$i)) AS s
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString
+    head + rs
+  }
+
   private def langidSql(src: String): String =
     s"""SELECT * FROM (WITH x AS (
        | SELECT doc_id,
@@ -2994,6 +3028,13 @@ object SparkEntry {
       TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 4)
         .orderBy("round")),
 
+    // the serving half: apply the learned merges back to the corpus —
+    // 4 chained 1-row-broadcast replaces, counts by length arithmetic
+    "text_bpe_apply" -> ((s, dir) =>
+      TextAnalysis.bpeTokenStats(t(s, dir, "documents"), "doc_id", "text",
+          rounds = 4)
+        .orderBy("doc_id")),
+
     // declared-vs-detected language confusion matrix: where the feed
     // metadata and the n-gram detector disagree is where a mix's
     // language quotas silently drift
@@ -4833,38 +4874,36 @@ object SparkEntry {
     // merge a plain left-to-right non-overlapping replace in both
     // engines; winner = max count, then lexicographically min pattern
     "text_bpe_train" -> {
-      val head =
-        """WITH v AS MATERIALIZED (
-          | SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
-          |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
-          |  FROM documents)
-          | WHERE regexp_full_match(word, '[a-z]+')
-          | GROUP BY 1),
-          | s0 AS MATERIALIZED (
-          |  SELECT wc, regexp_replace(word, '(.)', '(\1)', 'g') AS s FROM v)""".stripMargin
-      val rounds = (1 to 4).map { i =>
-        s""",
-           | p$i AS MATERIALIZED (
-           |  SELECT a[j] AS l, a[j+1] AS r, sum(wc) AS cnt
-           |  FROM (SELECT wc, string_split_regex(trim(s, '()'), '\\)\\(') AS a
-           |        FROM s${i - 1})
-           |   , UNNEST(range(1, len(a))) AS t(j)
-           |  WHERE len(a) >= 2
-           |  GROUP BY 1, 2),
-           | b$i AS MATERIALIZED (
-           |  SELECT '(' || l || ')(' || r || ')' AS pat, '(' || l || r || ')' AS rep,
-           |   l, r, cnt
-           |  FROM p$i WHERE cnt = (SELECT max(cnt) FROM p$i)
-           |  ORDER BY pat LIMIT 1),
-           | s$i AS MATERIALIZED (
-           |  SELECT wc, replace(s, (SELECT pat FROM b$i), (SELECT rep FROM b$i)) AS s
-           |  FROM s${i - 1})""".stripMargin
-      }.mkString
       val arms = (1 to 4).map { i =>
         s"""SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym,
            |  CAST(cnt AS BIGINT) AS pair_count FROM b$i""".stripMargin
       }.mkString("\n UNION ALL\n")
-      s"$head$rounds\n $arms\n ORDER BY round"
+      s"${bpeTrainCtesSql(4)}\n $arms\n ORDER BY round"
+    },
+
+    // the training CTEs + 4 chained document-level replaces; counts
+    // by length arithmetic exactly like the engine
+    "text_bpe_apply" -> {
+      val docRounds = (1 to 4).map { i =>
+        s""",
+           | doc$i AS MATERIALIZED (
+           |  SELECT doc_id, n_alpha_chars,
+           |   replace(s, (SELECT pat FROM b$i), (SELECT rep FROM b$i)) AS s
+           |  FROM doc${i - 1})""".stripMargin
+      }.mkString
+      s"""${bpeTrainCtesSql(4)},
+         | doc0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |   CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+         |     AS n_alpha_chars,
+         |   regexp_replace(lower(text), '([a-z])', '(\\1)', 'g') AS s
+         |  FROM documents)$docRounds
+         | SELECT doc_id, n_alpha_chars,
+         |  CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS n_bpe_tokens,
+         |  CASE WHEN n_alpha_chars > 0 THEN
+         |   round((length(s) - length(replace(s, '(', '')))::DOUBLE
+         |         / n_alpha_chars::DOUBLE, 6) END AS tokens_per_char
+         | FROM doc4 ORDER BY doc_id""".stripMargin
     },
 
     // the langid CTE joined back to the declared metadata; agree

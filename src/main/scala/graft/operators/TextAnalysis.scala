@@ -854,7 +854,19 @@ object TextAnalysis {
     * [a-z]+ word filter (documented; the marker is one concat away).
     */
   def bpeTrainMerges(docs: DataFrame, textCol: String,
-                     rounds: Int): DataFrame = {
+                     rounds: Int): DataFrame =
+    bpeTrainRounds(docs, textCol, rounds).zipWithIndex.map { case (best, i) =>
+      best.select(lit((i + 1).toLong).as("round"),
+        col("l").as("left_sym"), col("r").as("right_sym"),
+        col("cnt").as("pair_count"))
+    }.reduce(_ unionByName _)
+
+  /** The [[bpeTrainMerges]] loop, exposing each round's winning merge
+    * as a 1-row (pat, rep, l, r, cnt) DataFrame so appliers can chain
+    * the same replaces ([[bpeTokenStats]]).
+    */
+  private def bpeTrainRounds(docs: DataFrame, textCol: String,
+                             rounds: Int): Seq[DataFrame] = {
     require(rounds >= 1, "rounds must be >= 1")
     val vocab = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
@@ -862,8 +874,8 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("wc"))
     var s = vocab.select(col("wc"),
       regexp_replace(col("word"), "(.)", "($1)").as("s"))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (i <- 1 to rounds) {
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
       val pairs = s
         .withColumn("a", split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\("))
         .where(size(col("a")) >= 2)
@@ -881,12 +893,42 @@ object TextAnalysis {
           .as("b"))
         .select(col("b.pat").as("pat"), col("b.rep").as("rep"),
                 col("b.l").as("l"), col("b.r").as("r"), col("b.cnt").as("cnt"))
-      merges += best.select(lit(i.toLong).as("round"),
-        col("l").as("left_sym"), col("r").as("right_sym"),
-        col("cnt").as("pair_count"))
+      bests += best
       s = s.crossJoin(broadcast(best)) // 1-row scalar
         .select(col("wc"), replace(col("s"), col("pat"), col("rep")).as("s"))
     }
-    merges.reduce(_ unionByName _)
+    bests.toSeq
+  }
+
+  /** Apply the [[bpeTrainMerges]] tokenizer back to the corpus:
+    * per-document BPE symbol counts before/after the learned merges
+    * and the resulting tokens-per-alpha-char compression — the
+    * "what does this tokenizer buy us" report, and the serving half
+    * of the train/apply pair. The whole document encodes at once
+    * (every [a-z] char wrapped); spaces, digits and punctuation stay
+    * raw, so no merge can cross a word (or non-alpha) boundary —
+    * the training-side adjacency semantics exactly.
+    *
+    * Scale shape: training reduces to the vocab as before; applying
+    * is `rounds` chained 1-row-broadcast string replaces over the
+    * corpus — map-only per round, counts by length arithmetic (no
+    * explode of the corpus at all).
+    */
+  def bpeTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                    rounds: Int): DataFrame = {
+    val bests = bpeTrainRounds(docs, textCol, rounds)
+    var enc = docs.select(col(idCol),
+      length(regexp_replace(lower(col(textCol)), "[^a-z]", ""))
+        .cast("long").as("n_alpha_chars"),
+      regexp_replace(lower(col(textCol)), "([a-z])", "($1)").as("s"))
+    for (b <- bests)
+      enc = enc.crossJoin(broadcast(b.select("pat", "rep"))) // 1-row scalar
+        .select(col(idCol), col("n_alpha_chars"),
+                replace(col("s"), col("pat"), col("rep")).as("s"))
+    val nTok = (length(col("s")) - length(replace(col("s"), lit("("), lit("")))).cast("long")
+    enc.select(col(idCol), col("n_alpha_chars"), nTok.as("n_bpe_tokens"),
+      when(col("n_alpha_chars") > 0,
+        round(nTok.cast("double") / col("n_alpha_chars").cast("double"), 6))
+        .as("tokens_per_char"))
   }
 }
