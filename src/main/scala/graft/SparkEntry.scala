@@ -1669,6 +1669,13 @@ object SparkEntry {
           k = 20)
         .orderBy(desc("score"), asc("item_a"), asc("item_b"))),
 
+    // association rules on the same baskets: exact distinct supports,
+    // factor-first double ratios, TakeOrdered top-20 by lift
+    "graph_assoc_rules" -> ((s, dir) =>
+      Graph.associationRules(t(s, dir, "lineitem"), "l_partkey", "l_orderkey",
+          k = 20, minSupport = 2)
+        .orderBy(desc("lift"), asc("item_a"), asc("item_b"))),
+
     // k-core backbone of the co-purchase graph (same basket edges and
     // df-cut as graph_adamic_adar): synchronous integer peeling
     // rounds, each replayed by the oracle as a MATERIALIZED CTE —
@@ -3584,6 +3591,11 @@ object SparkEntry {
       Events.deseasonalizedAnomalies(t(s, dir, "events"))
         .orderBy("event_type", "day")),
 
+    // quasi-experimental effect: 4-cell DiD in one conditional
+    // aggregate, integer 2·day > min+max post split, pooled SE
+    "events_did" -> ((s, dir) =>
+      Events.diffInDiff(t(s, dir, "events"))),
+
     // class balancing: every o_orderstatus keeps exactly the
     // minority-class count of rows, md5-deterministic draw
     "sample_balanced" -> ((s, dir) =>
@@ -4656,6 +4668,28 @@ object SparkEntry {
         | FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
         | GROUP BY 1, 2
         | ORDER BY score DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // supports over ALL baskets, pairs from df-cut baskets (like the
+    // engine); HAVING is the minSupport gate
+    "graph_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | ok AS (SELECT c FROM (SELECT c, count(*) AS deg FROM e GROUP BY 1)
+        |        WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN ok USING (c)),
+        | nt AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_total FROM e),
+        | it AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM e GROUP BY 1),
+        | pr AS (SELECT a.item AS item_a, b.item AS item_b,
+        |   CAST(count(*) AS BIGINT) AS n_both
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        | SELECT item_a, item_b, n_both, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  round(n_both::DOUBLE / ia.n_item::DOUBLE, 6) AS conf_a_to_b,
+        |  round(n_both::DOUBLE / ib.n_item::DOUBLE, 6) AS conf_b_to_a,
+        |  round(n_both::DOUBLE * n_total::DOUBLE
+        |        / (ia.n_item::DOUBLE * ib.n_item::DOUBLE), 6) AS lift
+        | FROM pr JOIN it ia ON pr.item_a = ia.item
+        | JOIN it ib ON pr.item_b = ib.item, nt
+        | ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
 
     // same basket edges + df-cut as graph_adamic_adar; 4 integer
     // peeling rounds as MATERIALIZED CTEs (the labelProp contract),
@@ -6223,6 +6257,46 @@ object SparkEntry {
         |    AS seasonal_index
         | FROM dw JOIN tot USING (event_type)
         | ORDER BY event_type, dow_iso""".stripMargin,
+
+    // 12 CASE sums (the engine's conditional aggregate), identical
+    // mean/variance arithmetic, least-cell guard
+    "events_did" -> {
+      def cellSql(cond: String, sfx: String) =
+        s"""  CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$sfx,
+           |  CAST(sum(CASE WHEN $cond THEN c ELSE 0 END) AS BIGINT) AS s_$sfx,
+           |  CAST(sum(CASE WHEN $cond THEN c*c ELSE 0 END) AS BIGINT) AS q_$sfx""".stripMargin
+      def meanSql(sfx: String) = s"(s_$sfx::DOUBLE / (n_$sfx::DOUBLE * 100.0))"
+      def vonSql(sfx: String) =
+        s"((n_$sfx::DOUBLE * q_$sfx::DOUBLE - s_$sfx::DOUBLE * s_$sfx::DOUBLE)" +
+          s" / (n_$sfx::DOUBLE * (n_$sfx::DOUBLE - 1.0)) / 10000.0 / n_$sfx::DOUBLE)"
+      val didSql = s"((${meanSql("t_post")} - ${meanSql("t_pre")})" +
+        s" - (${meanSql("c_post")} - ${meanSql("c_pre")}))"
+      val seSql = s"sqrt(${vonSql("c_pre")} + ${vonSql("c_post")}" +
+        s" + ${vonSql("t_pre")} + ${vonSql("t_post")})"
+      val guard = "least(n_c_pre, n_c_post, n_t_pre, n_t_post) >= 2"
+      s"""WITH base AS (
+         | SELECT user_id, CAST(ts AS DATE) - DATE '1970-01-01' AS ep,
+         |  CAST(round(value*100, 0) AS BIGINT) AS c
+         | FROM events WHERE event_type = 'purchase'),
+         | mm AS (SELECT min(ep) AS mn, max(ep) AS mx FROM base),
+         | cells AS (SELECT (user_id % 2 = 0) AS treated,
+         |  (ep*2 > mn + mx) AS post, c FROM base, mm),
+         | g AS (SELECT
+         |${cellSql("NOT treated AND NOT post", "c_pre")},
+         |${cellSql("NOT treated AND post", "c_post")},
+         |${cellSql("treated AND NOT post", "t_pre")},
+         |${cellSql("treated AND post", "t_post")}
+         | FROM cells)
+         | SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+         |  CASE WHEN $guard THEN round(${meanSql("c_pre")}, 6) END AS mean_c_pre,
+         |  CASE WHEN $guard THEN round(${meanSql("c_post")}, 6) END AS mean_c_post,
+         |  CASE WHEN $guard THEN round(${meanSql("t_pre")}, 6) END AS mean_t_pre,
+         |  CASE WHEN $guard THEN round(${meanSql("t_post")}, 6) END AS mean_t_post,
+         |  CASE WHEN $guard THEN round($didSql, 6) END AS did_estimate,
+         |  CASE WHEN $guard THEN round($seSql, 6) END AS std_err,
+         |  CASE WHEN $guard THEN round($didSql / $seSql, 6) END AS t_stat
+         | FROM g""".stripMargin
+    },
 
     // the seasonality CTEs + round-6 adjustment + 1e3-scaled exact
     // moments; z replayed with the engine's division sequence

@@ -762,6 +762,66 @@ object Events {
     * Degenerate series guard: a single day (or constant x) nulls
     * slope/intercept/R²; constant y nulls R² only.
     */
+  /** Difference-in-differences estimate over purchase values: treated
+    * = even user_id (the deterministic stand-in for an experiment
+    * flag), post = second half of the observed date range, effect =
+    * (Δ treated) − (Δ control) with a four-cell pooled standard
+    * error — the quasi-experimental companion to the Welch A/B test
+    * (which compares groups at one time; DiD nets out the shared
+    * time trend).
+    *
+    * Determinism: cents are exact longs; the post split compares
+    * 2·day > min+max in exact epoch-day ints (no division); all four
+    * cells aggregate in ONE conditional pass (12 exact sums), and
+    * doubles enter only in the final mean/variance arithmetic with
+    * factor-first casts. Degenerate cells (n < 2) null the estimate.
+    *
+    * Scale shape: one filtered scan + a 1-row min/max broadcast + a
+    * single hash aggregate to ONE row. Nothing shuffles but the
+    * 12-sum partial aggregate.
+    */
+  def diffInDiff(events: DataFrame,
+                 eventType: String = "purchase"): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val epoch0 = lit(java.sql.Date.valueOf("1970-01-01"))
+    val base = events.where(col("event_type") === eventType)
+      .select(col("user_id"),
+              datediff(to_date(col("ts")), epoch0).cast("long").as("ep"),
+              round(col("value") * 100, 0).cast("long").as("c"))
+    val mm = base.agg(min(col("ep")).as("mn"), max(col("ep")).as("mx"))
+    val cells = base.crossJoin(broadcast(mm)) // 1-row scalar
+      .select(
+        (col("user_id") % 2 === 0).as("treated"),
+        (col("ep") * 2 > col("mn") + col("mx")).as("post"),
+        col("c"))
+    def cell(t: Boolean, p: Boolean, sfx: String) = {
+      val in = col("treated") === t && col("post") === p
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+          sum(when(in, col("c")).otherwise(0L)).as(s"s_$sfx"),
+          sum(when(in, col("c") * col("c")).otherwise(0L)).as(s"q_$sfx"))
+    }
+    val aggs = cell(false, false, "c_pre") ++ cell(false, true, "c_post") ++
+      cell(true, false, "t_pre") ++ cell(true, true, "t_post")
+    val g = cells.agg(aggs.head, aggs.tail: _*)
+    def mean(sfx: String) = d(col(s"s_$sfx")) / (d(col(s"n_$sfx")) * 100.0)
+    def varOverN(sfx: String) =
+      (d(col(s"n_$sfx")) * d(col(s"q_$sfx")) - d(col(s"s_$sfx")) * d(col(s"s_$sfx"))) /
+        (d(col(s"n_$sfx")) * (d(col(s"n_$sfx")) - 1.0)) / 10000.0 / d(col(s"n_$sfx"))
+    val minN = least(col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"))
+    val did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    val se = sqrt(varOverN("c_pre") + varOverN("c_post") +
+                  varOverN("t_pre") + varOverN("t_post"))
+    g.select(
+      col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+      when(minN >= 2, round(mean("c_pre"), 6)).as("mean_c_pre"),
+      when(minN >= 2, round(mean("c_post"), 6)).as("mean_c_post"),
+      when(minN >= 2, round(mean("t_pre"), 6)).as("mean_t_pre"),
+      when(minN >= 2, round(mean("t_post"), 6)).as("mean_t_post"),
+      when(minN >= 2, round(did, 6)).as("did_estimate"),
+      when(minN >= 2, round(se, 6)).as("std_err"),
+      when(minN >= 2, round(did / se, 6)).as("t_stat"))
+  }
+
   /** Day-of-week seasonality profile per event type: for each ISO
     * weekday (1=Monday), the mean daily value and the seasonal index
     * (weekday mean ÷ overall daily mean — >1 means that weekday runs

@@ -382,6 +382,57 @@ object Graph {
       .limit(k)
   }
 
+  /** Association rules over item-container baskets: for canonical
+    * item pairs (a < b) co-occurring in ≥ `minSupport` containers,
+    * the support, both confidences (P(b|a), P(a|b)) and the lift
+    * (joint ÷ independence) — top-`k` by lift. The
+    * recommendation-rule cousin of [[adamicAdar]] (which ranks by
+    * weighted common neighbors; this quantifies directionality and
+    * over-representation).
+    *
+    * Determinism: supports are exact distinct counts; every ratio
+    * divides exact longs cast double factor-first, rounded 6; the
+    * top-k is a TakeOrdered on (lift, a, b). Same container df-cut
+    * as adamicAdar (size-1 containers carry no pair; oversize ones
+    * are degenerate hubs AND quadratic — cut before the pair
+    * explode).
+    *
+    * Scale shape: one distinct pass, one container-keyed pair
+    * explode bounded by the df-cut, hash aggregates keyed by item /
+    * pair, a broadcast of the (|items|-row) support table onto the
+    * pair table, and a constant-size TakeOrdered. No window.
+    */
+  def associationRules(rel: DataFrame, itemCol: String, containerCol: String,
+                       k: Int = 20, minSupport: Long = 2,
+                       maxContainerSize: Int = 200): DataFrame = {
+    val e = rel.select(col(itemCol).as("item"), col(containerCol).as("c")).distinct()
+    val ok = e.groupBy("c").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2 && col("deg") <= maxContainerSize).select("c")
+    val p = e.join(ok, Seq("c"))
+    val nTotal = e.select(col("c")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val items = e.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.c") === col("b.c") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minSupport)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pairs
+      .join(broadcast(items.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n_item", "n_a")), Seq("item_a"))
+      .join(broadcast(items.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n_item", "n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nTotal)) // 1-row scalar
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(d(col("n_both")) / d(col("n_a")), 6).as("conf_a_to_b"),
+        round(d(col("n_both")) / d(col("n_b")), 6).as("conf_b_to_a"),
+        round(d(col("n_both")) * d(col("n_total"))
+              / (d(col("n_a")) * d(col("n_b"))), 6).as("lift"))
+      .orderBy(desc("lift"), asc("item_a"), asc("item_b"))
+      .limit(k)
+  }
+
   /** k-core subgraph by synchronous peeling rounds: each round drops
     * every node whose degree within the surviving subgraph is < k;
     * after enough rounds the survivors are exactly the k-core (the
