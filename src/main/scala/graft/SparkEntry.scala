@@ -3106,6 +3106,11 @@ object SparkEntry {
       TextAnalysis.vocabTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .orderBy("rnk")),
 
+    // corpus health: Zipf slope of the top-50 vocabulary head —
+    // round-6-scaled ln values, events_trend OLS arithmetic
+    "text_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "doc_id", "text", k = 50)),
+
     // Heaps-law vocabulary growth: distinct terms FIRST seen per
     // doc-id decile, cumulative — the vocab-size sizing curve
     "text_vocab_growth" -> ((s, dir) =>
@@ -6539,6 +6544,34 @@ object SparkEntry {
         | SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  row_number() OVER (ORDER BY tf DESC, term) AS rnk
         | FROM tf ORDER BY rnk LIMIT 20""".stripMargin,
+
+    // same tokenization + ranking as text_vocab at k=50; ln values
+    // round-6-scaled to longs, then the events_trend normal equations
+    "text_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        | tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        | top AS (SELECT tf FROM (
+        |   SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rnk FROM tf)
+        |  WHERE rnk <= 50),
+        | pts AS (SELECT
+        |   CAST(round(ln(rnk::DOUBLE) * 1e6, 0) AS BIGINT) AS x,
+        |   CAST(round(ln(tf::DOUBLE) * 1e6, 0) AS BIGINT) AS y
+        |  FROM (SELECT tf, row_number() OVER (ORDER BY tf DESC) AS rnk FROM top)),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM pts),
+        | f AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx,
+        |  n*syy - sy*sy AS dy, sx, sy FROM g)
+        | SELECT n AS n_terms,
+        |  CASE WHEN dx <> 0 THEN round(num::DOUBLE / dx::DOUBLE, 6) END AS zipf_slope,
+        |  CASE WHEN dx <> 0 THEN
+        |   round((sy::DOUBLE * dx::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |         / (n::DOUBLE * dx::DOUBLE) / 1e6, 6) END AS intercept,
+        |  CASE WHEN dx <> 0 AND dy <> 0 THEN
+        |   round(num::DOUBLE * num::DOUBLE / (dx::DOUBLE * dy::DOUBLE), 6)
+        |  END AS r2
+        | FROM f""".stripMargin,
 
     // PMI arithmetic mirrored exactly: counts to DOUBLE before the
     // products, ln, round 6 — the bigram window construction is the

@@ -638,6 +638,47 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Zipf-law fit over the head of the vocabulary: OLS slope of
+    * ln(tf) against ln(rank) for the top-`k` terms — healthy natural
+    * text sits near −1; a much flatter slope flags template/boiler-
+    * plate corpora, a steeper one flags degenerate repetition. The
+    * corpus-level health metric next to the per-doc
+    * [[repetitionStats]].
+    *
+    * Determinism: tf is exact; ln values round to 6 and scale to
+    * exact longs (the adamicAdar round-before-use discipline — raw
+    * libm ulp differences can't reach the sums), then the
+    * [[vocabTopTerms]] no-window ranking and the events_trend OLS
+    * normal-equation arithmetic. The common 1e6 scale cancels in the
+    * slope and r²; the intercept divides it back out.
+    *
+    * Scale shape: one vocab aggregate + TakeOrdered k + a k-row
+    * moment aggregate. Constant-size beyond the vocab pass.
+    */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+              k: Int = 50): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val pts = vocabTopTerms(docs, idCol, textCol, k)
+      .select(
+        round(log(d(col("rnk"))) * 1e6, 0).cast("long").as("x"),
+        round(log(d(col("tf"))) * 1e6, 0).cast("long").as("y"))
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(col("n").as("n_terms"),
+      when(dx =!= 0, round(d(num) / d(dx), 6)).as("zipf_slope"),
+      when(dx =!= 0,
+        round((d(col("sy")) * d(dx) - d(num) * d(col("sx")))
+              / (d(col("n")) * d(dx)) / 1e6, 6)).as("intercept"),
+      when(dx =!= 0 && dy =!= 0,
+        round(d(num) * d(num) / (d(dx) * d(dy)), 6)).as("r2"))
+  }
+
   /** Corpus-level collocation mining (phrase-vocabulary prep for
     * tokenizer training): the k strongest word bigrams by pointwise
     * mutual information, PMI = ln(c_ab·N / (c_a·c_b)) over lowercased
