@@ -546,6 +546,30 @@ object SparkEntry {
       |           UNION SELECT DISTINCT dst AS node FROM e),
       | n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes)""".stripMargin
 
+  // ---- absorption SQL twin: `iters` unrolled value-iteration rounds
+  // — round-9 transition probs, per-round scaled-long sums, target
+  // pinned to 1, dangling states coalesce to 0. ----------------------
+  private def absorptionSql(target: String, iters: Int): String = {
+    val head = graphSqlHead +
+      s""",
+         | outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+         | en AS MATERIALIZED (SELECT e.src, e.dst, round(e.w / outw.out_w, 9) AS p
+         |   FROM e JOIN outw USING (src)),
+         | a0 AS MATERIALIZED (SELECT node,
+         |   CASE WHEN node = '$target' THEN 1.0 ELSE 0.0 END AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | f$i AS MATERIALIZED (SELECT en.src AS node,
+         |   round(sum(CAST(round(round(en.p * a.pr, 9) * 1e9, 0) AS BIGINT)) / 1e9, 9) AS v
+         |  FROM en JOIN a${i - 1} a ON en.dst = a.node GROUP BY 1),
+         | a$i AS MATERIALIZED (SELECT nodes.node,
+         |   CASE WHEN nodes.node = '$target' THEN 1.0 ELSE coalesce(f$i.v, 0.0) END AS pr
+         |  FROM nodes LEFT JOIN f$i ON nodes.node = f$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\n SELECT node, round(pr, 6) AS p_absorb FROM a$iters ORDER BY node"
+  }
+
   // ---- SSSP SQL twin: `iters` unrolled Bellman-Ford rounds over the
   // transition graph — edge len = round(1/count, 9), each relaxation
   // rounds before the min, NULL plays infinity. ----------------------
@@ -1734,6 +1758,14 @@ object SparkEntry {
     "events_communities" -> ((s, dir) =>
       Graph.labelPropagation(transitionEdges(t(s, dir, "events")), "src", "dst", "w",
           iters = 5)
+        .orderBy("node")),
+
+    // absorbing-state value iteration on the same transition graph:
+    // conversion probability within 6 steps, rounds replayed by the
+    // oracle like events_pagerank
+    "events_absorption" -> ((s, dir) =>
+      Graph.absorptionProbability(transitionEdges(t(s, dir, "events")),
+          "src", "dst", "w", lit("purchase"), iters = 6)
         .orderBy("node")),
 
     // where users stall: exact ms durations between funnel steps for
@@ -6075,6 +6107,8 @@ object SparkEntry {
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 
     "events_shortest_paths" -> ssspSql(source = "signup", iters = 4),
+
+    "events_absorption" -> absorptionSql(target = "purchase", iters = 6),
 
     "events_triangles" -> triangleSql,
 

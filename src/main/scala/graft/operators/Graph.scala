@@ -382,6 +382,65 @@ object Graph {
       .limit(k)
   }
 
+  /** Absorption probability by synchronous value iteration: the
+    * probability of reaching the absorbing `target` state within
+    * `iters` steps from each node, p'(v) = Σ_out P(v,u)·p(u) with
+    * p(target) pinned to 1 — the "how likely does this state
+    * eventually convert" readout the raw transition matrix
+    * ([[pageRank]]'s cousin with absorption instead of circulation).
+    * States with no outgoing edges stay at 0 (they can never reach
+    * the target).
+    *
+    * Determinism contract ([[pageRank]]'s): transition probabilities
+    * are one round-9 division of exact counts; each round's products
+    * round to 9 and scale to exact longs before the sum (order-
+    * independent), and the per-node value re-rounds to 9 — every
+    * round's inputs are bit-identical cross-engine. The DuckDB
+    * oracle replays rounds as MATERIALIZED CTEs.
+    *
+    * Scale shape: normalized edges repartition once on src and
+    * cache; each round shuffles the |V|-row probability table into
+    * that layout and takes one src-keyed aggregate (map-side partial
+    * first). Same eager per-round localCheckpoint as [[pageRank]].
+    */
+  def absorptionProbability(edges: DataFrame, srcCol: String, dstCol: String,
+                            weightCol: String, target: org.apache.spark.sql.Column,
+                            iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("double").as("w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val norm = e.join(outW, "src")
+      .select(col("src"), col("dst"), round(col("w") / col("out_w"), 9).as("p"))
+      .repartition(col("src"))
+      .persist()
+    val nodes = norm.select(col("src").as("node"))
+      .union(norm.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    var prob = nodes.select(col("node"),
+      when(col("node") === target, lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val folded = norm
+        .join(prob.withColumnRenamed("node", "dst"), "dst")
+        .withColumn("cl", round(round(col("p") * col("pr"), 9) * 1e9, 0).cast("long"))
+        .groupBy(col("src").as("node"))
+        .agg(round(sum(col("cl")) / 1e9, 9).as("v"))
+      val next = nodes.join(folded, Seq("node"), "left")
+        .select(col("node"),
+          when(col("node") === target, lit(1.0))
+            .otherwise(coalesce(col("v"), lit(0.0))).as("pr"))
+      val prev = prob
+      prob = next.localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = prob.select(col("node"), round(col("pr"), 6).as("p_absorb"))
+      .localCheckpoint()
+    unpersistBacking(prob)
+    norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Association rules over item-container baskets: for canonical
     * item pairs (a < b) co-occurring in ≥ `minSupport` containers,
     * the support, both confidences (P(b|a), P(a|b)) and the lift
