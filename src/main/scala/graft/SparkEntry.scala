@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.functions.ODataFunctions._
@@ -1281,6 +1281,26 @@ object SparkEntry {
       Etl.schemaDrift(oldSnap, newSnap).orderBy("column_name")
     }),
 
+    // replication audit: order-independent table fingerprints —
+    // bit_xor of per-row md5-prefix hashes (no overflow, no sort) +
+    // exact counts; compare two sides of a copy in O(rows) map work
+    "etl_table_checksum" -> ((s, dir) => {
+      def arm(name: String, df: DataFrame, cols: Seq[Column]) =
+        df.select(graft.functions.TextFunctions.md5Prefix64(
+            concat_ws("|", cols.map(_.cast("string")): _*)).as("h"))
+          .agg(lit(name).as("table_name"),
+               count(lit(1)).as("n_rows"),
+               expr("bit_xor(h)").as("xor_checksum"))
+      // doubles go through exact cents — double→string formatting is
+      // NOT engine-portable, scaled longs are
+      arm("orders", t(s, dir, "orders"),
+          Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              round(col("o_totalprice") * 100, 0).cast("long")))
+        .unionByName(arm("nation", t(s, dir, "nation"),
+          Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+        .orderBy("table_name")
+    }),
+
     // privacy release prep: salted-md5 surrogate tokens for the id
     // columns (join-preserving, map-only), day-generalized timestamp,
     // props/raw ids suppressed by omission
@@ -1851,6 +1871,42 @@ object SparkEntry {
         t(s, dir, "part"), regionName = "EUROPE", supplierNation = "NATION_1")),
 
     "topk_customers" -> ((s, dir) => Analytics.topCustomers(t(s, dir, "orders"), 10)),
+
+    // dedup-to-latest without a window: one max-struct hash aggregate
+    // carries the whole payload (the 100 TB answer to "latest row
+    // per key" — a row_number window sorts every group first)
+    "join_latest_order" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             max(struct(col("o_orderdate"), col("o_orderkey"),
+                        col("o_orderstatus"),
+                        round(col("o_totalprice") * 100, 0).cast("long")
+                          .as("cents"))).as("m"))
+        .select(col("o_custkey"), col("n_orders"),
+                col("m.o_orderdate").as("last_orderdate"),
+                col("m.o_orderkey").as("last_orderkey"),
+                col("m.o_orderstatus").as("last_status"),
+                round(col("m.cents") / 100.0, 2).as("last_totalprice"))
+        .orderBy("o_custkey")),
+
+    // time-in-state: each transition gap attributed to the state the
+    // user was IN; per-user window (high-cardinality key), exact ms
+    "events_state_time" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .where(col("next_ts").isNotNull)
+        .select(col("event_type"),
+                (unix_millis(col("next_ts")) - unix_millis(col("ts"))).as("dur_ms"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+             sum(col("dur_ms")).as("total_ms"),
+             round(sum(col("dur_ms")).cast("double")
+                   / count(lit(1)).cast("double"), 6).as("mean_ms"))
+        .orderBy("event_type")
+    }),
 
     // Q6-shaped pure filter-aggregate (all predicates at the scan)
     "agg_revenue_forecast" -> ((s, dir) =>
@@ -3757,6 +3813,25 @@ object SparkEntry {
 
     // the oracle rebuilds both column sets from DESCRIBE — metadata
     // computed, not hardcoded
+    // same md5-prefix row hash, xor-folded; ints cast to decimal
+    // strings identically in both engines
+    "etl_table_checksum" ->
+      """SELECT * FROM (
+        | SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |    || '|' || o_orderstatus || '|'
+        |    || CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+        |   ), 1, 15))::BIGINT) AS xor_checksum
+        | FROM orders
+        | UNION ALL
+        | SELECT 'nation', CAST(count(*) AS BIGINT),
+        |  bit_xor(('0x' || substr(md5(
+        |    CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|'
+        |    || CAST(n_regionkey AS VARCHAR)), 1, 15))::BIGINT)
+        | FROM nation)
+        | ORDER BY table_name""".stripMargin,
+
     // same salt|column|id token recipe; day via DATE cast; value and
     // event_type pass through untouched (no arithmetic to drift)
     "etl_pseudonymize" ->
@@ -4503,6 +4578,31 @@ object SparkEntry {
          | count(*) AS n_orders
          | FROM orders GROUP BY o_custkey
          | ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
+
+    // (date, orderkey) is unique, so the window replay and the
+    // engine's max-struct argmax pick the same row
+    "join_latest_order" ->
+      """SELECT o_custkey, n_orders, o_orderdate AS last_orderdate,
+        | o_orderkey AS last_orderkey, o_orderstatus AS last_status,
+        | round(CAST(round(o_totalprice*100, 0) AS BIGINT)/100.0, 2)
+        |   AS last_totalprice
+        | FROM (SELECT *, CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+        |   AS n_orders,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        | WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    // per-user lead gaps attributed to the source state, exact ms
+    "events_state_time" ->
+      """WITH g AS (SELECT event_type,
+        |  epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |   - epoch_ms(ts) AS dur_ms
+        | FROM events)
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+        |  round(CAST(sum(dur_ms) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_ms
+        | FROM g WHERE dur_ms IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_revenue_forecast" ->
       s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
