@@ -1310,6 +1310,27 @@ object SparkEntry {
           keep = Seq("event_type", "value"))
         .orderBy("event_id_token")),
 
+    // join-size preflight: exact Σ f_left(k)·f_right(k) from two key
+    // histograms — what the fact join will produce BEFORE running it,
+    // plus the hottest key's fan-out (the skew early-warning)
+    "profile_join_size" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("n_a"))
+      val b = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("n_b"))
+      val both = a.join(b, Seq("k"))
+        .select(col("k"), (col("n_a") * col("n_b")).as("prod"))
+      val ca = a.agg(count(lit(1)).as("n_keys_left"))
+      val cb = b.agg(count(lit(1)).as("n_keys_right"))
+      both.agg(count(lit(1)).as("n_keys_both"),
+               sum(col("prod")).as("est_join_rows"),
+               max(col("prod")).as("max_key_fanout"))
+        .crossJoin(broadcast(ca)) // 1-row scalars
+        .crossJoin(broadcast(cb))
+        .select(col("n_keys_left"), col("n_keys_right"), col("n_keys_both"),
+                col("est_join_rows"), col("max_key_fanout"))
+    }),
+
     // data-contract audit: does the candidate key really determine
     // the column — exact per-class distinct counts, one summary row
     // per candidate FD (null rhs counts as a value)
@@ -3840,6 +3861,20 @@ object SparkEntry {
         | substr(md5('graft|event_id|' || CAST(event_id AS VARCHAR)), 1, 16) AS event_id_token,
         | CAST(ts AS DATE) AS day, event_type, value
         |FROM events ORDER BY event_id_token""".stripMargin,
+
+    // two key histograms, exact product sum; scalar counts via CTEs
+    "profile_join_size" ->
+      """WITH a AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_a
+        |           FROM orders GROUP BY 1),
+        | b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_b
+        |        FROM lineitem GROUP BY 1),
+        | j AS (SELECT a.k, n_a * n_b AS prod FROM a JOIN b USING (k))
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_keys_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_keys_right,
+        |  CAST(count(*) AS BIGINT) AS n_keys_both,
+        |  CAST(sum(prod) AS BIGINT) AS est_join_rows,
+        |  CAST(max(prod) AS BIGINT) AS max_key_fanout
+        | FROM j""".stripMargin,
 
     // one per-class distinct aggregate per candidate, summarized and
     // unioned; null rhs folded in exactly like the engine

@@ -139,6 +139,15 @@ class PlanShapeSpec extends SparkSpec {
       "bucket join must broadcast the (small) query side")
   }
 
+  test("latest-row dedup is a max-struct aggregate — no Window in the plan") {
+    val p = plan("join_latest_order")
+    assert(!p.contains("Window"),
+      s"latest-per-key must be the argmax aggregate, not a row_number window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+           p.contains("SortAggregate"),
+      "expected an aggregate carrying the max-struct payload")
+  }
+
   test("knn-graph self-join shares one bucketed exchange, no broadcast of the corpus") {
     val q = SparkEntry.queries("sim_knn_graph")(spark, sf001)
     q.collect() // AQE: exchange reuse materializes in the final plan
