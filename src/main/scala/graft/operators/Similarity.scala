@@ -933,25 +933,33 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                nbits: Int = 4, numTables: Int = 16): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
-      .select(col("id"), col("vec"), col("nrm"),
+    // candidate pairs stay NARROW (two ids): the (t, bucket) self-join
+    // and the cross-table dedup shuffle 16-byte rows, and the wide
+    // vectors attach AFTERWARDS by id-join — shuffling both vectors
+    // through the dedup was the dominant cost (and at 100 TB would
+    // move the corpus |tables|× through the wire)
+    val b = base
+      .select(col("id"),
         explode(array((0 until numTables).map(t =>
           struct(lit(t).as("t"),
                  hyperplaneBucket(col("vec"), nbits, seed = 7 + t).as("bucket"))): _*))
           .as("tb"))
-      .select(col("id"), col("vec"), col("nrm"),
-              col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
       .repartition(col("t"), col("bucket"))
     val pairs = b.as("x").join(b.as("y"), Seq("t", "bucket"))
       .where(col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("query_id"), col("y.id").as("corpus_id"),
-              col("x.vec").as("qvec"), col("x.nrm").as("qnrm"),
-              col("y.vec").as("cvec"), col("y.nrm").as("cnrm"))
-      .dropDuplicates("query_id", "corpus_id")
+      .select(col("x.id").as("query_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    val qv = base.select(col("id").as("query_id"),
+      col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val cv = base.select(col("id").as("corpus_id"),
+      col("vec").as("cvec"), col("nrm").as("cnrm"))
+    val scored = pairs.join(cv, Seq("corpus_id")).join(qv, Seq("query_id"))
       .withColumn("score", round(
         cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
-    topKPerQuery(pairs, k)
+    topKPerQuery(scored, k)
   }
 
   /** Mutual-kNN edge list from [[knnGraph]]: keep only pairs where

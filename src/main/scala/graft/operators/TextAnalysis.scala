@@ -913,8 +913,14 @@ object TextAnalysis {
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
+    // eager |vocab|-row materialization per round (the Graph-loop
+    // discipline): every winner is a 1-row broadcast whose job would
+    // otherwise re-run the corpus reduction PLUS all prior rounds'
+    // replaces — ~2 such jobs per round makes the lazy chain
+    // quadratic in rounds over the raw corpus
     var s = vocab.select(col("wc"),
       regexp_replace(col("word"), "(.)", "($1)").as("s"))
+      .localCheckpoint()
     val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
       val pairs = s
@@ -937,6 +943,7 @@ object TextAnalysis {
       bests += best
       s = s.crossJoin(broadcast(best)) // 1-row scalar
         .select(col("wc"), replace(col("s"), col("pat"), col("rep")).as("s"))
+        .localCheckpoint()
     }
     bests.toSeq
   }

@@ -148,14 +148,18 @@ class PlanShapeSpec extends SparkSpec {
       "expected an aggregate carrying the max-struct payload")
   }
 
-  test("knn-graph self-join shares one bucketed exchange, no broadcast of the corpus") {
+  test("knn-graph self-join shares one bucketed exchange; candidate dedup is id-narrow") {
     val q = SparkEntry.queries("sim_knn_graph")(spark, sf001)
     q.collect() // AQE: exchange reuse materializes in the final plan
     val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"),
       s"both sides of the (t, bucket) self-join must share one exchange:\n$p")
-    assert("FileScan".r.findAllIn(p).size == 1,
-      "the embedding corpus must scan (and bucket) exactly once")
+    assert(!p.contains("CartesianProduct"),
+      "bucketed candidate generation must never degrade to a cross product")
+    // the dedup aggregate must group bare ids — a vector column inside
+    // the distinct means the wide rows ride the shuffle again
+    assert(!"HashAggregate\\(keys=\\[[^\\]]*vec".r.findFirstIn(p).isDefined,
+      s"pair dedup must not carry vector payloads:\n$p")
   }
 
   test("jaccard df-cut is observable in the plan (CollectMetrics), adds no shuffle") {
