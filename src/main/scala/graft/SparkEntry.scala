@@ -3083,6 +3083,11 @@ object SparkEntry {
       Embeddings.dimStats(t(s, dir, "embeddings"), "embedding")
         .orderBy("dim")),
 
+    // participation-ratio effective dimensionality from the same
+    // exact per-dim variances — the cheap anisotropy diagnostic
+    "emb_effective_dim" -> ((s, dir) =>
+      Embeddings.effectiveDim(t(s, dir, "embeddings"), "embedding")),
+
     // deterministic train/val/test split: md5-prefix threshold like
     // sample_hash, but emitting the ASSIGNMENT — reproducible splits
     // on any engine/cluster, immune to rand() reseeding
@@ -3709,6 +3714,27 @@ object SparkEntry {
     // aggregate, integer 2·day > min+max post split, pooled SE
     "events_did" -> ((s, dir) =>
       Events.diffInDiff(t(s, dir, "events"))),
+
+    // per-type user reach with Wilson 95% CI: exact distinct counts,
+    // closed-form interval in a pinned IEEE sequence (the honest
+    // error bar a dashboard should draw instead of the raw share)
+    "events_rate_ci" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def d(c: Column) = c.cast("double")
+      val per = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("x"))
+      val tot = ev.agg(countDistinct(col("user_id")).as("n"))
+      val ph = d(col("x")) / d(col("n"))
+      val den = lit(1.0) + lit(3.8416) / d(col("n"))
+      val center = ph + lit(3.8416) / (lit(2.0) * d(col("n")))
+      val rad = lit(1.96) * sqrt(ph * (lit(1.0) - ph) / d(col("n"))
+        + lit(3.8416) / (lit(4.0) * d(col("n")) * d(col("n"))))
+      per.crossJoin(broadcast(tot)) // 1-row scalar
+        .select(col("event_type"), col("x").as("n_users"), col("n").as("n_total"),
+                round(ph, 6).as("rate"),
+                round((center - rad) / den, 6).as("ci_low"),
+                round((center + rad) / den, 6).as("ci_high"))
+        .orderBy("event_type")
+    }),
 
     // class balancing: every o_orderstatus keeps exactly the
     // minority-class count of rows, md5-deterministic draw
@@ -5848,6 +5874,29 @@ object SparkEntry {
     // itself hash-checked like sim_ivf_recall's trained index
     "sim_pq_trained_recall" -> pqSql(2, pqRecallTail),
 
+    // dim-variance CTE (the emb_dim_stats replay) re-scaled to longs;
+    // participation ratio with one factor-cast division
+    "emb_effective_dim" ->
+      """WITH x AS (
+        | SELECT CAST(i AS BIGINT) AS dim,
+        |  CAST(round(v[i] * 1000000, 0) AS BIGINT) AS s
+        | FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |  UNNEST(range(1, len(v) + 1)) AS t(i)),
+        | g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  sum(s) AS sx, sum(s*s) AS sxx FROM x GROUP BY 1),
+        | vv AS (SELECT CAST(round(
+        |   round((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         / (n::DOUBLE * n::DOUBLE) / (1000000.0 * 1000000.0), 6)
+        |   * 1e6, 0) AS BIGINT) AS v6 FROM g),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |  sum(v6) AS sv, sum(v6*v6) AS svv FROM vv)
+        | SELECT n_dims,
+        |  round(sv::DOUBLE / 1e6, 6) AS total_variance,
+        |  round(sv::DOUBLE * sv::DOUBLE / svv::DOUBLE, 6) AS effective_dim,
+        |  round(sv::DOUBLE * sv::DOUBLE / svv::DOUBLE / n_dims::DOUBLE, 6)
+        |    AS isotropy_ratio
+        | FROM a""".stripMargin,
+
     // same round-6 scaled longs; variance via (n·Σx² − (Σx)²)/n²
     "emb_dim_stats" ->
       """WITH x AS (
@@ -6431,6 +6480,24 @@ object SparkEntry {
         |    AS seasonal_index
         | FROM dw JOIN tot USING (event_type)
         | ORDER BY event_type, dow_iso""".stripMargin,
+
+    // exact distinct counts; Wilson terms written in the engine's
+    // exact order (literal z² = 3.8416)
+    "events_rate_ci" -> {
+      val ph = "(x::DOUBLE / n::DOUBLE)"
+      val den = "(1.0 + 3.8416 / n::DOUBLE)"
+      val center = s"($ph + 3.8416 / (2.0 * n::DOUBLE))"
+      val rad = s"(1.96 * sqrt($ph * (1.0 - $ph) / n::DOUBLE" +
+        " + 3.8416 / (4.0 * n::DOUBLE * n::DOUBLE)))"
+      s"""WITH per AS (SELECT event_type,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS x FROM events GROUP BY 1),
+         | tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events)
+         | SELECT event_type, x AS n_users, n AS n_total,
+         |  round($ph, 6) AS rate,
+         |  round(($center - $rad) / $den, 6) AS ci_low,
+         |  round(($center + $rad) / $den, 6) AS ci_high
+         | FROM per, tot ORDER BY event_type""".stripMargin
+    },
 
     // 12 CASE sums (the engine's conditional aggregate), identical
     // mean/variance arithmetic, least-cell guard

@@ -51,6 +51,31 @@ object Embeddings {
         (col("mn") === col("mx")).as("is_dead"))
   }
 
+  /** Axis-aligned effective dimensionality (participation ratio):
+    * (Σ_d v_d)² / Σ_d v_d² over the per-dimension variances — ~n_dims
+    * for an isotropic cloud, ~1 when one axis dominates. The cheap
+    * anisotropy diagnostic before paying for the PCA basis (axis-
+    * aligned: it uses marginal variances, not eigenvalues — an
+    * approximation, and exactly the one [[dimStats]] already pays
+    * for).
+    *
+    * Determinism: variances come from [[dimStats]]' exact moments and
+    * re-scale to round-6 longs, so both cross-dimension sums are
+    * exact integers; the ratio divides factor-cast doubles once.
+    */
+  def effectiveDim(emb: DataFrame, vecCol: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val v = dimStats(emb, vecCol)
+      .select(round(col("variance") * 1e6, 0).cast("long").as("v6"))
+    v.agg(count(lit(1)).as("n_dims"),
+          sum(col("v6")).as("sv"), sum(col("v6") * col("v6")).as("svv"))
+      .select(col("n_dims"),
+        round(d(col("sv")) / 1e6, 6).as("total_variance"),
+        round(d(col("sv")) * d(col("sv")) / d(col("svv")), 6).as("effective_dim"),
+        round(d(col("sv")) * d(col("sv")) / d(col("svv"))
+              / d(col("n_dims")), 6).as("isotropy_ratio"))
+  }
+
   def embeddingQuality(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("vec")))
