@@ -3184,6 +3184,46 @@ object SparkEntry {
           "n_chars", targetTotal = 300)
         .orderBy("id")),
 
+    // TOKEN-budget source mixing: each source keeps rate = min(1,
+    // budget/source_tokens) — the mix knob training actually uses is
+    // tokens, not documents; md5-deterministic draw like sample_mix
+    "sample_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val rates = tok.groupBy("source")
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+        .select(col("source"),
+          round(least(lit(1.0),
+            lit(800.0) / col("src_tokens").cast("double")), 6).as("keep_rate"))
+      tok.join(broadcast(rates), Seq("source"))
+        .where((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+                  .cast("double") / 4294967296.0) < col("keep_rate"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // curriculum phases: quality terciles via broadcast percentile
+    // breakpoints (never ntile), deterministic shard within phase
+    "sample_curriculum" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .where(col("quality_score").isNotNull)
+        .repartition(col("doc_id"))
+      val cuts = q.agg(
+        round(expr("percentile(quality_score, 1.0/3)"), 6).as("c1"),
+        round(expr("percentile(quality_score, 2.0/3)"), 6).as("c2"))
+      q.crossJoin(broadcast(cuts)) // 1-row scalar
+        .select(col("doc_id"), col("quality_score"),
+          (lit(1) + (col("quality_score") > col("c1")).cast("int")
+                  + (col("quality_score") > col("c2")).cast("int"))
+            .cast("long").as("phase"),
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+                 .cast("long"), lit(8L)).as("shard"))
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
@@ -5150,6 +5190,35 @@ object SparkEntry {
          | SELECT lang_declared, lang_pred, n_docs,
          |  (lang_declared = lang_pred) AS agree
          | FROM m ORDER BY lang_declared, lang_pred""".stripMargin,
+
+    // the text_tokens token count per source; budget/total rate
+    // rounded 6 then the md5-uniform draw (the sample_mix contract)
+    "sample_token_budget" ->
+      """WITH tok AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  source FROM documents),
+        | r AS (SELECT source,
+        |  round(least(1.0, 800.0 / CAST(sum(n_tokens) AS DOUBLE)), 6) AS keep_rate
+        | FROM tok GROUP BY 1)
+        | SELECT doc_id, source, n_tokens, keep_rate
+        | FROM tok JOIN r USING (source)
+        | WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)
+        |       / 4294967296.0 < keep_rate
+        | ORDER BY doc_id""".stripMargin,
+
+    // quality CTE + tercile quantile_cont breakpoints; % 8 matches
+    // pmod on the non-negative md5 prefix
+    "sample_curriculum" ->
+      s"""WITH q AS (SELECT doc_id, quality_score
+         |  FROM (${qualitySql("documents")}) WHERE quality_score IS NOT NULL),
+         | cuts AS (SELECT
+         |  round(quantile_cont(quality_score, 1.0/3), 6) AS c1,
+         |  round(quantile_cont(quality_score, 2.0/3), 6) AS c2 FROM q)
+         | SELECT doc_id, quality_score,
+         |  CAST(1 + (quality_score > c1)::INT + (quality_score > c2)::INT
+         |    AS BIGINT) AS phase,
+         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+         | FROM q, cuts ORDER BY doc_id""".stripMargin,
 
     // exact long moments → nsd scaled long → order-independent total;
     // same left-assoc division chain and round-6 rate as the engine
