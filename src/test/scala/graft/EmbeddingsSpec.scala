@@ -153,4 +153,27 @@ class EmbeddingsSpec extends SparkSpec {
 
   private def raw0(e: org.apache.spark.sql.DataFrame) =
     Embeddings.matryoshkaTruncate(e, "embedding", dims = 16, renorm = false)
+
+  test("effectiveDim: single active axis → 1, two equal axes → 2") {
+    val oneAxis = Seq((1L, Array(1f, 0f)), (2L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val g1 = Embeddings.effectiveDim(oneAxis, "embedding")
+      .select("n_dims", "effective_dim", "isotropy_ratio")
+      .as[(Long, Double, Double)].collect().head
+    assert(g1 == ((2L, 1.0, 0.5)), s"got $g1")
+    val iso = Seq((1L, Array(1f, 1f)), (2L, Array(-1f, -1f)))
+      .toDF("vec_id", "embedding")
+    val g2 = Embeddings.effectiveDim(iso, "embedding")
+      .select("effective_dim").as[Double].collect().head
+    assert(g2 == 2.0, s"got $g2")
+  }
+
+  test("dimStats: exact moments and the integer dead-dimension flag") {
+    val e = Seq((1L, Array(1f, 3f)), (2L, Array(-1f, 3f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.dimStats(e, "embedding")
+      .select("dim", "mean", "variance", "is_dead")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 0.0, 1.0, false), (2L, 3.0, 0.0, true)), s"got $got")
+  }
 }

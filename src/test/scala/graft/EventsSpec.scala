@@ -325,4 +325,50 @@ class EventsSpec extends SparkSpec {
     assert(got.map(_._3) == Seq(10.0, 13.0, 18.1), s"got $got")
   }
 
+  test("cusumChangepoints: level shift peaks |S| at the last pre-shift day") {
+    def dts(d: Int) = new Timestamp(d * 86400000L)
+    // daily series 1,1,5,5 — mean 3; S (in value units) = -2,-4,-2,0:
+    // |S| maxes on day 2, the boundary of the shift
+    val e = Seq(
+      ("a", dts(0), 1.0), ("a", dts(1), 1.0),
+      ("a", dts(2), 5.0), ("a", dts(3), 5.0)
+    ).toDF("event_type", "ts", "value")
+    val byDay = Events.cusumChangepoints(e).orderBy("day")
+      .select("cusum", "is_changepoint").as[(Double, Boolean)].collect().toSeq
+    assert(byDay == Seq((-2.0, false), (-4.0, true), (-2.0, false), (0.0, false)),
+      s"got $byDay")
+  }
+
+  test("dowSeasonality: weekday index is the exact ratio of day means") {
+    // 2024-01-01 and 01-08 are Mondays (totals 1.0, 2.0), 01-02 Tuesday (3.0)
+    def d(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val e = Seq(
+      ("a", d("2024-01-01"), 1.0), ("a", d("2024-01-08"), 2.0),
+      ("a", d("2024-01-02"), 3.0)
+    ).toDF("event_type", "ts", "value")
+    val got = Events.dowSeasonality(e)
+      .select("dow_iso", "n_days", "mean_value", "seasonal_index")
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    // overall mean 2.0: Monday mean 1.5 → 0.75; Tuesday mean 3.0 → 1.5
+    assert(got == Seq((1L, 2L, 1.5, 0.75), (2L, 1L, 3.0, 1.5)), s"got $got")
+  }
+
+  test("diffInDiff: hand-computed 4-cell effect nets out the shared trend") {
+    def dts(d: Int) = new Timestamp(d * 86400000L)
+    // range days 0..10, post = day > 5. control (odd uid): 10,10 → 12,14
+    // (Δ = +3); treated (even uid): 20,22 → 30,32 (Δ = +10); DiD = +7
+    val rows = Seq(
+      (1L, 0, 10.0), (1L, 1, 10.0), (1L, 9, 12.0), (1L, 10, 14.0),
+      (2L, 0, 20.0), (2L, 1, 22.0), (2L, 9, 30.0), (2L, 10, 32.0))
+    val e = rows.map { case (u, d0, v) => (u, "purchase", dts(d0), v) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.diffInDiff(e)
+      .select("mean_c_pre", "mean_c_post", "mean_t_pre", "mean_t_post",
+              "did_estimate", "t_stat")
+      .as[(Double, Double, Double, Double, Double, Double)].collect().head
+    assert(got._1 == 10.0 && got._2 == 13.0 && got._3 == 21.0 && got._4 == 31.0,
+      s"cell means off: $got")
+    assert(got._5 == 7.0, s"did must be +7, got ${got._5}")
+    assert(got._6 > 0, "t-stat must be positive for a positive effect")
+  }
 }

@@ -151,6 +151,34 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, "src", "dst", k = 3, iters = 2).count() == 0L)
   }
 
+  test("associationRules: hand-computed support/confidence/lift with canonical a<b pairs") {
+    // baskets: {a,b}, {a,b}, {a,c} → n_total=3; n_a=3, n_b=2, n_c=1
+    val rel = Seq(("a", 1), ("b", 1), ("a", 2), ("b", 2), ("a", 3), ("c", 3))
+      .toDF("item", "c")
+    val got = Graph.associationRules(rel, "item", "c", k = 10, minSupport = 1)
+      .select("item_a", "item_b", "n_both", "conf_a_to_b", "conf_b_to_a", "lift")
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    // both pairs lift exactly 1.0 (independence on this fixture);
+    // tie order → (a,b) before (a,c)
+    assert(got == Seq(
+      ("a", "b", 2L, 0.666667, 1.0, 1.0),
+      ("a", "c", 1L, 0.333333, 1.0, 1.0)), s"got $got")
+  }
+
+  test("absorptionProbability: target pinned to 1, hops gated by iters, dangling stays 0") {
+    val chain = Seq(("a", "b", 1.0), ("b", "t", 1.0)).toDF("src", "dst", "w")
+    def p(iters: Int) = Graph.absorptionProbability(chain, "src", "dst", "w",
+        lit("t"), iters).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val one = p(1)
+    assert(one("t") == 1.0 && one("b") == 1.0 && one("a") == 0.0, s"got $one")
+    assert(p(2)("a") == 1.0)
+    // branch: a splits 50/50 between t and a dangling x → p(a) = 0.5
+    val branch = Seq(("a", "t", 1.0), ("a", "x", 1.0)).toDF("src", "dst", "w")
+    val b = Graph.absorptionProbability(branch, "src", "dst", "w", lit("t"), 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b("a") == 0.5 && b("x") == 0.0, s"got $b")
+  }
+
   test("adamicAdar: hand-computed inverse-log weights, size-1 and oversize containers cut, a<b canonical") {
     // container A = {1,2} (deg 2), B = {1,2,3} (deg 3), C = {4} (deg 1
     // → cut), D = 300 items incl. 1 and 2 (deg 300 > 200 → df-cut)

@@ -299,4 +299,17 @@ class ProfilingSpec extends SparkSpec {
     assert(tiny.forall(_._2 == n),
       s"width-1 estimates must all equal N=$n: ${tiny.mkString(",")}")
   }
+
+  test("fdAudit: holding and violated candidates, null rhs counts as a value") {
+    val got = Profiling.fdAudit(fixture, Seq(("id", "s"), ("s", "v")))
+      .select("lhs", "rhs", "n_classes", "n_violating", "violation_share", "holds")
+      .as[(String, String, Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    // id→s: ids unique → every class has exactly one rhs value (null
+    // for id 3 counts as that one value) → holds.
+    // s→v: classes a {10}, b {null, 10} → 2 rhs values → violating,
+    // null-s {30} → 1 of 3 classes violates
+    assert(got == Seq(
+      ("id", "s", 4L, 0L, 0.0, true),
+      ("s", "v", 3L, 1L, 0.333333, false)), s"got $got")
+  }
 }

@@ -142,4 +142,18 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(got.toSet == again.toSet, "md5 draw must reproduce exactly")
   }
+
+  test("neymanAllocation: zero-variance stratum gets rate 0, varying stratum absorbs the budget") {
+    // stratum A constant (s=0 → n·s = 0 → allocation 0); B varies →
+    // owns the whole budget; target ≥ n_B caps its rate at 1
+    val df = (1L to 6L).map(i => (i, "A", 50L)) ++
+      Seq((7L, "B", 10L), (8L, "B", 90L), (9L, "B", 20L), (10L, "B", 80L))
+    val got = Sampling.neymanAllocation(
+        df.toDF("id", "stratum", "x"), "stratum", "id", "x", targetTotal = 100)
+      .select("id", "stratum", "keep_rate")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got.forall(_._2 == "B"), s"constant stratum must keep nothing: $got")
+    assert(got.map(_._1).toSet == Set(7L, 8L, 9L, 10L), s"got $got")
+    assert(got.forall(_._3 == 1.0), "B's capped rate must be exactly 1.0")
+  }
 }
