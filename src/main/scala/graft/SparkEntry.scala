@@ -5232,9 +5232,12 @@ object SparkEntry {
         |                              / (n::DOUBLE * n::DOUBLE)) * 1e6, 0) AS BIGINT) AS nsd
         |  FROM st),
         | tot AS (SELECT sum(nsd) AS tot FROM r),
+        | na AS (SELECT sum(n) AS n_all FROM r),
         | rt AS (SELECT stratum,
-        |  round(least(1.0, 300.0 * nsd::DOUBLE / tot::DOUBLE / n::DOUBLE), 6) AS keep_rate
-        |  FROM r, tot)
+        |  CASE WHEN tot > 0 THEN
+        |    round(least(1.0, 300.0 * nsd::DOUBLE / tot::DOUBLE / n::DOUBLE), 6)
+        |  ELSE round(least(1.0, 300.0 / n_all::DOUBLE), 6) END AS keep_rate
+        |  FROM r, tot, na)
         | SELECT v.id, v.stratum, rt.keep_rate
         | FROM v JOIN rt USING (stratum)
         | WHERE (('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT)

@@ -517,6 +517,8 @@ object Graph {
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, iters: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1 (k = 0 peels nothing)")
+    require(iters >= 1, "iters must be >= 1")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))

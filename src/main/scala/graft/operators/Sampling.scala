@@ -252,10 +252,17 @@ object Sampling {
              / (d(col("n")) * d(col("n")))) * 1e6, 0)
         .cast("long").as("nsd"))
     val tot = r.agg(sum(col("nsd")).as("tot"))
-    val rates = r.crossJoin(broadcast(tot)) // 1-row scalar
+    // every-stratum-constant corpus → tot = 0: fall back to a uniform
+    // target/N split instead of silently emitting NaN rates (Neyman is
+    // undefined there; uniform is the sensible limit)
+    val nAll = r.agg(sum(col("n")).as("n_all"))
+    val rates = r.crossJoin(broadcast(tot)).crossJoin(broadcast(nAll)) // 1-row scalars
       .select(col("stratum"),
-        round(least(lit(1.0),
-          lit(targetTotal.toDouble) * d(col("nsd")) / d(col("tot")) / d(col("n"))), 6)
+        when(col("tot") > 0,
+          round(least(lit(1.0),
+            lit(targetTotal.toDouble) * d(col("nsd")) / d(col("tot")) / d(col("n"))), 6))
+          .otherwise(
+            round(least(lit(1.0), lit(targetTotal.toDouble) / d(col("n_all"))), 6))
           .as("keep_rate"))
     v.join(broadcast(rates), Seq("stratum"))
       .where(md5Uniform("id", halfOpen = true) < col("keep_rate"))

@@ -905,6 +905,12 @@ object TextAnalysis {
   /** The [[bpeTrainMerges]] loop, exposing each round's winning merge
     * as a 1-row (pat, rep, l, r, cnt) DataFrame so appliers can chain
     * the same replaces ([[bpeTokenStats]]).
+    *
+    * Degenerate corpora (no [a-z]+ word at all, or a vocabulary with
+    * no adjacent pair left after earlier merges) produce an all-NULL
+    * winner row for that and later rounds — callers training real
+    * tokenizers should bound `rounds` well below the corpus'
+    * distinct-pair count; the gate corpus is nowhere near this.
     */
   private def bpeTrainRounds(docs: DataFrame, textCol: String,
                              rounds: Int): Seq[DataFrame] = {
