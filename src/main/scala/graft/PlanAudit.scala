@@ -22,7 +22,12 @@ object PlanAudit {
                "join_asof", "join_range", "dedup_jaccard", "dedup_cluster_reps",
                "sim_lsh_recall_lossy", "events_lake_scan", "etl_snapshot_diff",
                "text_pack", "text_bm25", "join_overlap", "dedup_containment",
-               "agg_nation_volume")
+               "agg_nation_volume",
+               // round-5 closing surface: the plans worth re-reading
+               // after any change to their operators
+               "sim_knn_graph", "graph_kcore", "graph_assoc_rules",
+               "events_rfm", "join_latest_order", "sample_neyman",
+               "text_bpe_train", "events_absorption")
     for (name <- names) {
       println(s"================ $name ================")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
