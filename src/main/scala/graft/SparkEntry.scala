@@ -1741,6 +1741,15 @@ object SparkEntry {
           k = 20, minSupport = 2)
         .orderBy(desc("lift"), asc("item_a"), asc("item_b"))),
 
+    // neighborhood-Jaccard link prediction on the same baskets:
+    // set-overlap score from exact integer counts (inclusion-
+    // exclusion union), degrees and intersections both on the df-cut
+    // relation so the metric is self-consistent; TakeOrdered top-20
+    "graph_jaccard" -> ((s, dir) =>
+      Graph.neighborhoodJaccard(t(s, dir, "lineitem"), "l_partkey", "l_orderkey",
+          k = 20)
+        .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))),
+
     // k-core backbone of the co-purchase graph (same basket edges and
     // df-cut as graph_adamic_adar): synchronous integer peeling
     // rounds, each replayed by the oracle as a MATERIALIZED CTE —
@@ -2075,6 +2084,26 @@ object SparkEntry {
       Analytics.cmsEstimates(t(s, dir, "events"), "event_type",
           depth = 4, width = 256)
         .orderBy("key")),
+
+    // EXACT quantiles at scale: range-partitioned distributed prefix
+    // sums (the profile_ks_drift machinery) — never a global-sort
+    // window, never an approx sketch; cents-exact integer arithmetic
+    // so the oracle's window replay hash-matches
+    "agg_exact_quantiles" -> ((s, dir) =>
+      Profiling.exactQuantiles(
+        t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        "cents", Seq(25, 50, 75, 90))
+        .orderBy("pct")),
+
+    // EXACT heavy hitters (freq > N/5) with bounded per-task state:
+    // per-partition Misra-Gries candidate summaries (constant
+    // memory), broadcast-semi-join-restricted exact recount — the
+    // candidate set is a provable superset, so the oracle is the
+    // plain groupBy + HAVING
+    "agg_heavy_hitters" -> ((s, dir) =>
+      Analytics.heavyHitters(t(s, dir, "events"), "event_type", capacity = 4)
+        .orderBy(desc("cnt"), asc("key"))),
 
     // RFM customer segmentation: quintile scores against broadcast
     // percentile breakpoints (the sample_quality_cut pattern) — never
@@ -4832,6 +4861,32 @@ object SparkEntry {
         | TRUE AS within_5pct
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the oracle replays the rank semantics (value at 1-based rank
+    // ⌈p·N/100⌉) with a window prefix sum — fine at sf, which is
+    // exactly why the engine side doesn't do it that way
+    "agg_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice*100, 0) AS BIGINT) AS c
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        | d AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        | cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cm FROM d),
+        | r AS (SELECT CAST(p AS BIGINT) AS pct, (n*p + 99) // 100 AS rk
+        |       FROM tot CROSS JOIN UNNEST([25, 50, 75, 90]) AS t(p))
+        | SELECT pct, CAST(rk AS BIGINT) AS rk, CAST(min(c) AS BIGINT) AS value
+        | FROM r JOIN cum ON cum.cm >= r.rk
+        | GROUP BY pct, rk ORDER BY pct""".stripMargin,
+
+    // the Misra-Gries stage is result-invisible (candidate superset +
+    // exact recount), so the oracle is the plain groupBy + HAVING
+    "agg_heavy_hitters" ->
+      """WITH k AS (SELECT CAST(event_type AS VARCHAR) AS key FROM events
+        |           WHERE event_type IS NOT NULL),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM k)
+        | SELECT key, CAST(count(*) AS BIGINT) AS cnt
+        | FROM k, tot GROUP BY key, n_total
+        | HAVING count(*) * 5 > n_total
+        | ORDER BY cnt DESC, key""".stripMargin,
+
     // the CMS grid rebuilt cell-for-cell: same md5-salted slots, same
     // min-over-rows probe — exact integer arithmetic end to end
     "agg_cms_estimates" ->
@@ -4928,6 +4983,24 @@ object SparkEntry {
         | FROM pr JOIN it ia ON pr.item_a = ia.item
         | JOIN it ib ON pr.item_b = ib.item, nt
         | ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // degrees AND intersections on the df-cut relation (the engine's
+    // self-consistency contract); union by inclusion-exclusion
+    "graph_jaccard" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | ok AS (SELECT c FROM (SELECT c, count(*) AS deg FROM e GROUP BY 1)
+        |        WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN ok USING (c)),
+        | d AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM p GROUP BY 1),
+        | pr AS (SELECT a.item AS item_a, b.item AS item_b,
+        |   CAST(count(*) AS BIGINT) AS n_common
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item GROUP BY 1, 2)
+        | SELECT item_a, item_b, n_common,
+        |  round(n_common::DOUBLE
+        |        / (da.n_item + db.n_item - n_common)::DOUBLE, 6) AS jaccard
+        | FROM pr JOIN d da ON pr.item_a = da.item
+        | JOIN d db ON pr.item_b = db.item
+        | ORDER BY jaccard DESC, item_a, item_b LIMIT 20""".stripMargin,
 
     // same basket edges + df-cut as graph_adamic_adar; 4 integer
     // peeling rounds as MATERIALIZED CTEs (the labelProp contract),

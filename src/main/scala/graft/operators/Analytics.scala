@@ -590,4 +590,54 @@ object Analytics {
       .withColumn("segment",
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("long"))
   }
+
+  /** EXACT heavy hitters with bounded per-task state: every key whose
+    * frequency strictly exceeds N/(capacity+1), with its exact count.
+    *
+    * The scale problem this solves: a plain `groupBy(key).count()
+    * .filter(...)` shuffles one row per DISTINCT key — at 100 TB with
+    * a high-cardinality key that shuffle is the job. Here each input
+    * partition runs a Misra-Gries summary with `capacity` counters
+    * (constant memory, no shuffle), and only the surviving CANDIDATE
+    * keys — at most capacity × partitions rows — are exactly
+    * recounted in a second pass restricted by a broadcast semi-join,
+    * so the only per-key shuffle is over candidates.
+    *
+    * Exactness (why the prefilter is result-invisible): Misra-Gries
+    * with k counters retains every key whose local frequency exceeds
+    * n_p/(k+1); a key with global count > N/(k+1) must, by
+    * pigeonhole over Σn_p = N, exceed n_p/(k+1) in at least one
+    * partition — so the candidate union is a SUPERSET of the true
+    * heavy hitters and the exact recount + threshold filter recovers
+    * precisely the groupBy answer (the oracle is the plain groupBy).
+    * Counts are exact integers; no float anywhere.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val cands = keys.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        if (m.contains(x)) m(x) += 1L
+        else if (m.size < capacity) m(x) = 1L
+        else {
+          // decrement-all step: drop every counter by 1, evict zeros
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.foreach { case (k, v) => if (v == 1L) dead += k else m(k) = v - 1L }
+          dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("key").distinct()
+    val nTotal = keys.agg(count(lit(1)).as("n_total"))
+    keys.join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nTotal)) // 1-row scalar, not a cartesian
+      .where(col("cnt") * (capacity + 1) > col("n_total"))
+      .select(col("key"), col("cnt"))
+      .orderBy(desc("cnt"), asc("key"))
+  }
 }

@@ -382,6 +382,49 @@ object Graph {
       .limit(k)
   }
 
+  /** Neighborhood-Jaccard link prediction over the same bipartite
+    * (item, container) relation as [[adamicAdar]]: for each item pair
+    * sharing a container, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| where N(x)
+    * is x's container set — the set-overlap cousin of Adamic-Adar
+    * (no container weighting; symmetric normalization by both
+    * neighborhoods instead). Degrees and intersections are both
+    * computed on the df-cut relation, so the score is exact on the
+    * cut graph and self-consistent (an intersection over cut
+    * containers divided by uncut degrees would be biased low — the
+    * [[graft.operators.Dedup]] crossContainment caveat).
+    *
+    * Determinism: the score is one division of exact integer counts
+    * (union via inclusion-exclusion: deg_a + deg_b − n_common),
+    * rounded to 6 — bit-stable cross-engine; ties break on the item
+    * pair in one TakeOrdered.
+    *
+    * Scale shape: identical to [[adamicAdar]] — the container-keyed
+    * postings self-join bounded by the df-cut, one pair-keyed hash
+    * aggregate, two |items|-row degree joins, constant-size TakeOrdered.
+    */
+  def neighborhoodJaccard(rel: DataFrame, itemCol: String, containerCol: String,
+                          k: Int = 20, maxContainerSize: Int = 200): DataFrame = {
+    val e = rel.select(col(itemCol).as("item"), col(containerCol).as("c")).distinct()
+    val ok = e.groupBy("c").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2 && col("deg") <= maxContainerSize).select("c")
+    val p = e.join(ok, Seq("c"))
+    val deg = p.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    p.as("a").join(p.as("b"),
+        col("a.c") === col("b.c") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(deg.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n_item", "n_a")), Seq("item_a"))
+      .join(broadcast(deg.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n_item", "n_b")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_common"),
+        round(col("n_common").cast("double")
+              / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))
+      .limit(k)
+  }
+
   /** Absorption probability by synchronous value iteration: the
     * probability of reaching the absorbing `target` state within
     * `iters` steps from each node, p'(v) = Σ_out P(v,u)·p(u) with

@@ -86,6 +86,59 @@ object Profiling {
     out
   }
 
+  /** EXACT order-statistic quantiles of an integer column at scale —
+    * for each percentile p, the value at 1-based rank ⌈p·N/100⌉ —
+    * via the same distributed prefix-sum discipline as [[ksDrift]]:
+    * `approx_percentile` is a sketch (wrong answer by contract) and
+    * the naive `percentile`/window form single-partitions the global
+    * sort. Per-value counts (one hash aggregate) range-repartition
+    * by value; per-partition subtotals collect to the driver (≤
+    * numPartitions rows — control-plane), exclusive offsets broadcast
+    * back; one mapPartitions pass walks the running cumulative count
+    * and emits the value whose cumulative range covers each target
+    * rank — exactly one (partition, value) matches per rank, so the
+    * output is |pcts| rows with no further aggregation. All
+    * arithmetic is exact integers (ranks via ceiling division), so
+    * the DuckDB oracle hash-matches bit-for-bit.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, pcts: Seq[Int],
+                     numPartitions: Int = 32): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts must be within 1..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(numPartitions, col("v"))
+      .sortWithinPartitions("v")
+      .persist()
+    val subtotals = counts.select(spark_partition_id().as("pid"), col("cnt"))
+      .groupBy("pid").agg(sum("cnt").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = subtotals.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      subtotals.map { case (pid, t) => val o = pid -> acc; acc += t; o }.toMap
+    }
+    val ranks = pcts.sorted.map(p => (p.toLong, (n * p + 99L) / 100L))
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    val out = counts.select("v", "cnt").as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = bOff.value.getOrElse(pid, 0L)
+      it.flatMap { case (v, c) =>
+        val before = cum; cum += c
+        bRanks.value.collect { case (p, r) if before < r && r <= cum => (p, r, v) }
+      }
+    }.toDF("pct", "rk", "value")
+      .orderBy("pct")
+      .localCheckpoint()
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** Long-format column profile: per column, row count, null count,
     * exact distinct count, and min/max rendered as strings (one
     * report schema across column types). Callers pick columns whose

@@ -200,4 +200,22 @@ class GraphSpec extends SparkSpec {
       (2L, 3L, 1L, sc(Seq(w3)))), s"got $got (w2=$w2 w3=$w3)")
   }
 
+  test("neighborhoodJaccard: hand-computed overlap; degrees on the df-cut relation") {
+    // same fixture as adamicAdar: A = {1,2}, B = {1,2,3}, C = {4}
+    // (size 1 → cut), D = 300 items (df-cut). On the cut relation
+    // N(1) = N(2) = {A,B}, N(3) = {B}: J(1,2) = 2/2, J(1,3) =
+    // J(2,3) = 1/2. Had degrees used the UNCUT relation, D would
+    // have inflated every denominator — this fixture is the
+    // self-consistency assertion.
+    val rel = (Seq((1L, "A"), (2L, "A"), (1L, "B"), (2L, "B"), (3L, "B"),
+        (4L, "C")) ++ (1L to 300L).map(i => (i, "D")))
+      .toDF("item", "c")
+    val got = Graph.neighborhoodJaccard(rel, "item", "c", k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0),
+      (1L, 3L, 1L, 0.5),
+      (2L, 3L, 1L, 0.5)), s"got $got")
+  }
+
 }

@@ -312,4 +312,40 @@ class ProfilingSpec extends SparkSpec {
       ("id", "s", 4L, 0L, 0.0, true),
       ("s", "v", 3L, 1L, 0.333333, false)), s"got $got")
   }
+
+  test("exactQuantiles: value at rank ceil(p*N/100), duplicate-aware, partitioning-independent") {
+    // sorted: 10,20,20,30,40,50,60,70,80,100 (N=10) → ranks
+    // p25→3, p50→5, p75→8, p90→9, p100→10
+    val vals = Seq(50L, 20L, 10L, 100L, 30L, 20L, 80L, 40L, 70L, 60L).toDF("v")
+    val expect = Seq((25L, 3L, 20L), (50L, 5L, 40L), (75L, 8L, 70L),
+      (90L, 9L, 80L), (100L, 10L, 100L))
+    for (np <- Seq(1, 5)) {
+      val got = Profiling.exactQuantiles(vals, "v", Seq(25, 50, 75, 90, 100),
+          numPartitions = np)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == expect, s"numPartitions=$np got $got")
+    }
+    // empty input → empty output (rank 0 matches nothing)
+    assert(Profiling.exactQuantiles(vals.where(lit(false)), "v", Seq(50)).count() == 0)
+  }
+
+  test("heavyHitters: exact groupBy answer from bounded MG candidates under any partitioning") {
+    import graft.operators.Analytics
+    // 60×a + 25×b + 15 singletons: N=100, capacity 3 → threshold
+    // N/4 = 25 — a qualifies (60 > 25), b does NOT (25 > 25 is
+    // strict). The singletons force real decrement-all evictions.
+    val rows = (Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      (1 to 15).map(i => s"s$i")).toDF("k")
+    for (np <- Seq(1, 7)) {
+      val got = Analytics.heavyHitters(rows.repartition(np), "k", capacity = 3)
+        .as[(String, Long)].collect().toSeq
+      assert(got == Seq(("a", 60L)), s"np=$np got $got")
+    }
+    // capacity above the domain size: MG never evicts → equals the
+    // plain groupBy + HAVING answer wholesale
+    val all = Analytics.heavyHitters(rows, "k", capacity = 200)
+      .as[(String, Long)].collect().toSeq
+    assert(all == Seq(("a", 60L), ("b", 25L)) ++ (1 to 15).map(i => (s"s$i", 1L))
+      .sortBy(_._1), s"got $all")
+  }
 }
