@@ -153,6 +153,47 @@ object SparkEntry {
     root.getPath
   }
 
+  /** Stage the events fixture as two mtime-ordered files for the
+    * streaming-dedup gate: batch 0 = the full corpus, batch 1 = a
+    * REPLAY of the last hour's rows (duplicate event_ids). The
+    * replays sit well above the post-batch-0 watermark (max − 2 h
+    * under the SPARK-40925 previous-batch rule), so they pass the
+    * late filter and must be swallowed by the dedup STATE — the
+    * result equals the corpus exactly iff the dedup works. Same
+    * crash-safe staging dance as [[stagedLateEventsDir]].
+    */
+  private def stagedDupEventsDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_dup_${math.abs(dir.hashCode)}_${src.lastModified()}")
+    if (!root.exists()) {
+      val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
+      tmp.mkdirs()
+      val raw = Tables.events(s, dir).withColumn("ts", unix_micros(col("ts")))
+      val maxUs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(s"${tmp.getPath}.stage_$name")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        dst.setLastModified(mtime)
+      }
+      val t0 = src.lastModified()
+      writeOne(raw, "batch0_all.parquet", t0)
+      writeOne(raw.where(col("ts") >= maxUs - 3600L * 1000000L),
+        "batch1_replay.parquet", t0 + 60000)
+      try java.nio.file.Files.move(tmp.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.listFiles().foreach(_.delete()); tmp.delete() // lost the race
+      }
+    }
+    root.getPath
+  }
+
   /** Stage a fixture table as two mtime-ordered parquet files
     * (even/odd id) so a file stream ingests the corpus in two
     * deterministic micro-batches — the [[stagedLateEventsDir]]
@@ -1459,6 +1500,50 @@ object SparkEntry {
         .groupBy(col("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy("event_date", "event_type")
+    }),
+
+    // small-file compaction (the OPTIMIZE pass): a fragmented ingest
+    // (8 files/day) compacts each small partition to ONE file via a
+    // metadata-only survey + partition-pruned rewrite; compaction
+    // must be result-INVISIBLE, so serving aggregates the whole lake
+    // against the plain events oracle
+    "etl_compaction" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/events.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_compact_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_compacted_done").exists()) {
+        Events.writeDatePartitioned(t(s, dir, "events").repartition(8), path)
+        Events.compactSmallPartitions(s, path)
+        new java.io.File(s"${path}_compacted_done").mkdirs()
+      }
+      s.read.parquet(path)
+        .groupBy("event_date", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+             Analytics.moneySum(col("value")).as("total_value"))
+        .orderBy("event_date", "event_type")
+    }),
+
+    // GDPR user erasure over the date-partitioned lake: rewrite ONLY
+    // the days containing the requested users (dynamic partition
+    // overwrite + explicit emptied-day deletes, marker-guarded);
+    // serving aggregates the WHOLE post-erasure lake so a missed or
+    // over-deleted row breaks the hash
+    "etl_user_erasure" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/events.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_erasure_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_erased_done").exists()) {
+        Events.writeDatePartitioned(t(s, dir, "events"), path)
+        // the erasure request list — an external input at any scale
+        val users = t(s, dir, "events").select("user_id").distinct()
+          .where(col("user_id") % 7 === 0)
+          .collect().map(_.getLong(0)).toSeq
+        Events.eraseUsers(s, path, users)
+        new java.io.File(s"${path}_erased_done").mkdirs()
+      }
+      s.read.parquet(path)
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_date")
     }),
 
     // snapshot-over-snapshot drift report: the monitoring pass a
@@ -2866,6 +2951,15 @@ object SparkEntry {
       Similarity.kmeansSilhouette(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8, iters = 2).orderBy("cell_id")),
 
+    // embedding-hygiene outlier screen over the SAME trained
+    // centroids: round-6 distance to the OWN (argmax) centroid,
+    // keep everything past the exact p90 cut (broadcast 1-row
+    // scalar, never a global sort) — the off-manifold filter run
+    // before embeddings enter training
+    "emb_outliers" -> ((s, dir) =>
+      Similarity.kmeansOutliers(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 8, iters = 2, pct = 0.9).orderBy("id")),
+
     // k-means|| seeding (Bahmani et al.): 3 parallel oversampling
     // rounds (draw prob l·d/Σd, md5-deterministic), candidates
     // weighted by capture count, k heaviest become the seeds — the
@@ -2879,6 +2973,14 @@ object SparkEntry {
     "cluster_kmeanspp_refine" -> ((s, dir) =>
       Similarity.kmeansParallelRefine(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, l = 4, rounds = 3, iters = 1).orderBy("cell_id", "dim")),
+
+    // Bahmani's consensus stage done honestly: the oversampled pool
+    // reclusters to k by WEIGHTED Lloyd rounds (capture-count
+    // weights, exact scaled-long weighted means) — after seeding the
+    // corpus is never touched again; every round is pool-sized
+    "cluster_kmeansw" -> ((s, dir) =>
+      Similarity.kmeansWeightedConsensus(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, l = 4, rounds = 3, iters = 2).orderBy("cell_id", "dim")),
 
     "emb_quantize" -> ((s, dir) =>
       Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -3587,6 +3689,20 @@ object SparkEntry {
           StreamingEvents.readEvents(s, stagedLateEventsDir(s, dir))),
         s"events_late_data_stream_${funnelStreamSeq.incrementAndGet()}", mode = "append")
         .orderBy("window_start", "event_type")
+    }),
+
+    // watermark-bounded streaming dedup (dropDuplicatesWithinWatermark
+    // — evictable state, key = event_id only): batch 1 replays the
+    // last hour's ids inside the horizon and the dedup STATE must
+    // swallow them, so the result equals the corpus exactly
+    "events_dedup_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.dedupWithinWatermark(
+          StreamingEvents.readEvents(s, stagedDupEventsDir(s, dir)))
+          .select(col("event_id"), col("event_type")),
+        s"events_dedup_stream_${funnelStreamSeq.incrementAndGet()}", mode = "append")
+        .orderBy("event_id")
     }),
 
     "events_sessionize" -> ((s, dir) => Events.sessionize(t(s, dir, "events"))),
@@ -6297,6 +6413,100 @@ object SparkEntry {
         | FROM rasg, UNNEST(range(1, len(vec) + 1)) AS t(i)
         | GROUP BY 1, 2 ORDER BY cell_id, dim""".stripMargin),
 
+    // the cluster_silhouette replay with a different readout: final
+    // assignment per point (argmax, ties to greatest cell), round-6
+    // distance to the own centroid, exact p90 quantile_cont cut
+    "emb_outliers" ->
+      """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 8)),
+        | asg1 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid::DOUBLE[]), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | m1 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg1, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen2 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM m1 GROUP BY cell_id),
+        | asg2 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen2.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen2.centroid), 6) DESC,
+        |      cen2.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen2)
+        |  WHERE rn = 1),
+        | m2 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg2, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen3 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM m2 GROUP BY cell_id),
+        | sc AS (
+        |  SELECT c.id, cen3.cell_id,
+        |   round(list_cosine_similarity(c.vec::DOUBLE[], cen3.centroid), 6) AS csim
+        |  FROM c CROSS JOIN cen3),
+        | asgf AS (
+        |  SELECT id, cell_id, round(1.0 - csim, 6) AS dist FROM (
+        |   SELECT sc.*, row_number() OVER (PARTITION BY id ORDER BY
+        |     csim DESC, cell_id DESC) AS rn
+        |   FROM sc)
+        |  WHERE rn = 1),
+        | cut AS (SELECT round(quantile_cont(dist, 0.9), 6) AS cut FROM asgf)
+        | SELECT id, cell_id, dist FROM asgf, cut
+        | WHERE dist > cut ORDER BY id""".stripMargin,
+
+    // seeding CTEs + the weighted-consensus rounds: pool = ALL
+    // candidates with capture weights, two weighted Lloyd rounds with
+    // exact scaled-long weighted means (w·round(x·1e6) summed as
+    // BIGINT, one division)
+    "cluster_kmeansw" -> (kmeansppCtes +
+      """,
+        | pool AS (SELECT w.cand_id AS id, c.vec, w.weight
+        |          FROM w JOIN c ON c.id = w.cand_id),
+        | wcen0 AS (SELECT s.rnk AS cell_id, c.vec AS centroid
+        |           FROM s JOIN c ON c.id = s.center_id),
+        | wa1 AS (
+        |  SELECT id, cell_id, vec, weight FROM (
+        |   SELECT p.id, k.cell_id, p.vec, p.weight,
+        |    row_number() OVER (PARTITION BY p.id ORDER BY
+        |      round(list_cosine_similarity(p.vec, k.centroid), 6) DESC,
+        |      k.cell_id DESC) AS rn
+        |   FROM pool p CROSS JOIN wcen0 k)
+        |  WHERE rn = 1),
+        | wm1 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim,
+        |   round(sum(weight * CAST(round(vec[i]*1000000, 0) AS BIGINT))
+        |         / (1000000.0 * sum(weight)), 6) AS mean_val
+        |  FROM wa1, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | wcen1 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM wm1 GROUP BY cell_id),
+        | wa2 AS (
+        |  SELECT id, cell_id, vec, weight FROM (
+        |   SELECT p.id, k.cell_id, p.vec, p.weight,
+        |    row_number() OVER (PARTITION BY p.id ORDER BY
+        |      round(list_cosine_similarity(p.vec, k.centroid), 6) DESC,
+        |      k.cell_id DESC) AS rn
+        |   FROM pool p CROSS JOIN wcen1 k)
+        |  WHERE rn = 1)
+        | SELECT cell_id, CAST(i AS BIGINT) AS dim,
+        |  round(sum(weight * CAST(round(vec[i]*1000000, 0) AS BIGINT))
+        |        / (1000000.0 * sum(weight)), 6) AS mean_val
+        | FROM wa2, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        | GROUP BY 1, 2 ORDER BY cell_id, dim""".stripMargin),
+
     "sim_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
@@ -7153,6 +7363,22 @@ object SparkEntry {
         | count(*) AS n_events
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // compaction is result-invisible: the post-compaction lake must
+    // aggregate exactly like the raw events table
+    "etl_compaction" ->
+      s"""SELECT CAST(ts AS DATE) AS event_date, event_type,
+         | CAST(count(*) AS BIGINT) AS n_events, ${msum("value")} AS total_value
+         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // post-erasure lake == events minus the requested users (NULL
+    // users are not erasure targets)
+    "etl_user_erasure" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM events WHERE user_id IS NULL OR user_id % 7 <> 0
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // watermark late-data dropping: on-time slice = everything ≥
     // min+1h (the staged batch 0); watermark = its max − 2h at ms
     // precision (Spark tracks event-time stats in milliseconds);
@@ -7169,6 +7395,11 @@ object SparkEntry {
          | FROM g, wm
          | WHERE epoch_ms(window_start + INTERVAL 1 HOUR) <= wm.w
          | ORDER BY window_start, event_type""".stripMargin,
+
+    // the dedup stage is result-invisible on a unique-id corpus with
+    // in-horizon replays, so the oracle is the plain projection
+    "events_dedup_stream" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""".stripMargin,
 
     // the batch twin of the watermarked stream-stream interval join:
     // same user-key equi-join, same closed 1-hour bound both sides

@@ -313,6 +313,113 @@ object Events {
       writeDatePartitioned(events, path, tsCol)
   }
 
+  /** Small-file compaction over a partitioned lake — the OPTIMIZE
+    * pass every streaming/daily ingest needs: each micro-batch or
+    * cron append drops another file into the day's partition until
+    * scans drown in open/seek overhead (the classic 100 TB
+    * small-file problem). Every partition whose directory holds at
+    * least `minFiles` files AND totals at most `targetBytes` is
+    * rewritten as ONE file; larger partitions are left alone (they
+    * are not the problem this pass solves).
+    *
+    * Shape: the survey is pure FILE METADATA (one control-plane
+    * listing — no data job decides what to compact); the rewrite is
+    * one job reading ONLY the affected partitions (partition-pruned)
+    * and hash-repartitioning by the partition column, so each
+    * affected day lands in one task → one file, written via dynamic
+    * partition overwrite. Untouched partitions stay byte-identical
+    * (spec-proven). Same `_SUCCESS` marker dance as [[eraseUsers]]:
+    * removed before the first mutation, restored as the commit
+    * point. Content is bit-preserved — compaction must be
+    * result-invisible, which is exactly what the oracle checks.
+    *
+    * Returns the compacted partition values (control-plane, for the
+    * caller's audit log).
+    */
+  def compactSmallPartitions(spark: org.apache.spark.sql.SparkSession,
+                             path: String, partCol: String = "event_date",
+                             targetBytes: Long = 128L * 1024 * 1024,
+                             minFiles: Int = 2): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+    val affected = parts.flatMap { st =>
+      val files = fs.listStatus(st.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length >= minFiles && files.map(_.getLen).sum <= targetBytes)
+        Some(st.getPath.getName.stripPrefix(s"$partCol="))
+      else None
+    }.sorted.toSeq
+    if (affected.isEmpty) return affected
+    val dates = affected.map(java.sql.Date.valueOf)
+    val rows = spark.read.parquet(path)
+      .where(col(partCol).isin(dates: _*)) // partition-pruned
+      .localCheckpoint() // materialize BEFORE mutating what we read
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), false)
+    rows
+      .repartition(col(partCol)) // one task per day → one file per day
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), true).close()
+    graft.operators.Graph.unpersistBacking(rows)
+    affected
+  }
+
+  /** Right-to-be-forgotten over the date-partitioned event lake:
+    * delete every row of the given users by REWRITING ONLY the
+    * event_date partitions that contain them. The GDPR/CCPA erasure
+    * path a 100 TB lake actually runs — a naive `filter + overwrite
+    * the lake` rewrites every byte; this rewrites the affected days
+    * and leaves every other partition's files physically untouched
+    * (spec-proven byte-identical).
+    *
+    * Shape: one full-lake predicate scan finds the affected days
+    * (the lake is partitioned by date, not user — unavoidable
+    * without a user→day index, and it's a column-pruned scan of two
+    * columns); the surviving rows of ONLY those days (partition-
+    * pruned read) rewrite via dynamic partition overwrite; days the
+    * erasure EMPTIES are deleted explicitly — dynamic overwrite
+    * skips partitions absent from the written data (the
+    * appendBm25Delta lesson). Crash safety: the lake's `_SUCCESS`
+    * is removed before the first mutation; the overwrite job's
+    * committer restores it on success, so a half-erased lake is
+    * detectably marker-less rather than silently servable.
+    */
+  def eraseUsers(spark: org.apache.spark.sql.SparkSession, path: String,
+                 userIds: Seq[Long], userCol: String = "user_id"): Unit = {
+    if (userIds.isEmpty) return
+    val affected = spark.read.parquet(path)
+      .where(col(userCol).isin(userIds: _*))
+      .select("event_date").distinct()
+      .collect().map(_.getDate(0)) // control-plane: ≤ |days in lake|
+    if (affected.isEmpty) return
+    val remaining = spark.read.parquet(path)
+      .where(col("event_date").isin(affected.toSeq: _*)) // partition-pruned
+      // NULL-user rows are NOT erasure targets — a bare NOT IN would
+      // null out and silently delete them
+      .where(col(userCol).isNull || !col(userCol).isin(userIds: _*))
+      .localCheckpoint() // materialize BEFORE mutating what we read
+    val written = remaining.select("event_date").distinct()
+      .collect().map(_.getDate(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), false)
+    affected.filterNot(written).foreach { d =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/event_date=$d")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    remaining
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(path)
+    // the dynamic-overwrite committer does not rewrite the root
+    // marker — restore it explicitly as the commit point
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), true).close()
+    graft.operators.Graph.unpersistBacking(remaining)
+  }
+
   /** Funnel CONVERSION summary — the per-step aggregate every product
     * dashboard draws over [[funnel]]'s per-user table: users reaching
     * each step, step-over-step conversion, and overall conversion

@@ -416,15 +416,18 @@ object Similarity {
     */
   def kmeansParallelInit(corpus: DataFrame, idCol: String, vecCol: String,
                          k: Int, l: Int = 4, rounds: Int = 3): DataFrame =
-    kmeansPPSeeds(corpus, idCol, vecCol, k, l, rounds)
+    kmeansPPSeeds(corpus, idCol, vecCol, l, rounds)
+      .where(col("rnk") <= k)
       .select(col("rnk"), col("id").as("center_id"), col("weight"))
 
-  /** [[kmeansParallelInit]] with the seed VECTORS retained —
-    * (rnk, id, vec, nrm, weight) — so [[kmeansParallelRefine]] can
-    * hand them straight to Lloyd as centroids.
+  /** [[kmeansParallelInit]] with the seed VECTORS retained and the
+    * FULL ranked candidate pool returned — (rnk, id, vec, nrm,
+    * weight) — so [[kmeansParallelRefine]] can cut the top-k as
+    * centroids and [[kmeansWeightedConsensus]] can recluster the
+    * whole pool by capture weight.
     */
   private def kmeansPPSeeds(corpus: DataFrame, idCol: String, vecCol: String,
-                            k: Int, l: Int, rounds: Int): DataFrame = {
+                            l: Int, rounds: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
       .localCheckpoint() // re-joined every round — scan once
@@ -467,7 +470,6 @@ object Similarity {
     // the ContextCleaner reaps these two with the plan
     weights
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
       .join(cand.select(col("id").as("cand_id"), col("vec"), col("nrm")), Seq("cand_id"))
       .select(col("rnk"), col("cand_id").as("id"), col("vec"), col("nrm"),
               col("weight"))
@@ -487,7 +489,8 @@ object Similarity {
     require(iters >= 1, "iters must be >= 1")
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
-    var centroids = kmeansPPSeeds(corpus, idCol, vecCol, k, l, rounds)
+    var centroids = kmeansPPSeeds(corpus, idCol, vecCol, l, rounds)
+      .where(col("rnk") <= k)
       .select(col("rnk").as("cell_id"), col("vec").as("centroid"),
               col("nrm").as("ctrnrm"))
     var means: DataFrame = null
@@ -496,6 +499,65 @@ object Similarity {
       means = m
       centroids = next
     }
+    means
+  }
+
+  /** Bahmani's FINAL step, done honestly: recluster the whole
+    * oversampled candidate pool down to k by WEIGHTED Lloyd rounds,
+    * where each candidate's weight is its capture count (how many
+    * corpus points it was nearest to) — so a candidate that "speaks
+    * for" 500 points pulls the centroid 500× harder than a singleton.
+    * [[kmeansParallelRefine]] instead just keeps the top-k by weight;
+    * this is the missing consensus stage of scalable k-means||
+    * (k-means++ on the weighted pool, here as deterministic weighted
+    * Lloyd seeded by that same top-k cut).
+    *
+    * Scale shape: after seeding, the corpus is never touched again —
+    * every consensus round runs on the O(l·rounds)-row pool
+    * (broadcast joins only, no shuffle of anything corpus-sized).
+    * That is the whole point of the algorithm: the expensive
+    * consensus clustering collapses onto a bounded summary.
+    *
+    * Determinism: assignment is the round-6 argmax-cosine with ties
+    * to the greatest cell_id (the [[lloydStep]] contract); the
+    * weighted mean is exact — elements scale to long (round-6·1e6),
+    * multiply by the integer weight, sum exactly, and divide once —
+    * so aggregation order cannot move a bit and the DuckDB oracle
+    * replays seeding + both weighted rounds CTE-for-CTE. Cells
+    * that capture no candidate disappear (lloydStep's convention).
+    */
+  def kmeansWeightedConsensus(corpus: DataFrame, idCol: String, vecCol: String,
+                              k: Int, l: Int = 4, rounds: Int = 3,
+                              iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val pool = kmeansPPSeeds(corpus, idCol, vecCol, l, rounds)
+      .localCheckpoint() // O(l·rounds) rows, consumed every round
+    var centroids = pool.where(col("rnk") <= k)
+      .select(col("rnk").as("cell_id"), col("vec").as("centroid"),
+              col("nrm").as("ctrnrm"))
+    var means: DataFrame = null
+    for (_ <- 0 until iters) {
+      val assigned = pool.join(broadcast(centroids), lit(true))
+        .withColumn("csim", round(
+          cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+        .groupBy(col("id"))
+        .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+             first(col("vec")).as("vec"), first(col("weight")).as("weight"))
+      means = assigned
+        .select(col("cell_id"), col("weight"), posexplode(col("vec")))
+        .withColumn("xl", round(col("col").cast("double") * 1e6, 0).cast("long"))
+        .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(sum(col("weight") * col("xl")).cast("double")
+                   / (lit(1e6) * sum(col("weight")).cast("double")), 6).as("mean_val"))
+      centroids = means
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("dm"))
+        .select(col("cell_id"),
+                transform(col("dm"), x => x.getField("mean_val")).as("centroid"))
+        .withColumn("ctrnrm", l2Norm(col("centroid")))
+    }
+    // pool stays materialized — the caller consumes the returned plan
+    // lazily (the kmeansPPSeeds convention); ContextCleaner reaps it
     means
   }
 
@@ -1030,5 +1092,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_points"),
            round(sum(round(col("s") * 1e6, 0).cast("long")) / 1e6
                  / count(lit(1)), 6).as("mean_silhouette"))
+  }
+
+  /** Embedding-hygiene outlier screen against the trained cluster
+    * structure: every vector's round-6 cosine distance to its OWN
+    * (argmax-assigned) centroid, keeping the vectors whose distance
+    * exceeds the corpus `pct`-quantile — the "this point fits no
+    * cluster" cut that catches mojibake embeddings, encoder failures
+    * and genuinely off-manifold documents before they enter training.
+    * Same trained centroids as [[kmeansSilhouette]] (seeded +
+    * `iters` audited [[lloydStep]]s), so the quality report and the
+    * outlier screen describe the same model.
+    *
+    * Determinism: assignment is the round-6 argmax with ties to the
+    * greatest cell_id; the threshold is one exact `percentile` over
+    * round-6 distances (the agg_percentiles-proven DuckDB
+    * quantile_cont pairing), broadcast as a 1-row scalar — never a
+    * global sort. Result size follows the data (~(1−pct)·N rows).
+    */
+  def kmeansOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+                     numCells: Int = 8, iters: Int = 2,
+                     pct: Double = 0.9): DataFrame = {
+    require(pct > 0 && pct < 1, "pct must be in (0, 1)")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    var centroids = seedCentroids(c, "id", numCells)
+    for (_ <- 0 until iters) centroids = lloydStep(c, centroids)._2
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+           round(lit(1.0) - max(col("csim")), 6).as("dist"))
+    val cut = assigned.agg(round(expr(s"percentile(dist, $pct)"), 6).as("cut"))
+    assigned.crossJoin(broadcast(cut)) // 1-row scalar, not a cartesian
+      .where(col("dist") > col("cut"))
+      .select(col("id"), col("cell_id"), col("dist"))
   }
 }

@@ -80,6 +80,21 @@ object StreamingEvents {
   def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
 
+  /** Streaming exact dedup with WATERMARK-BOUNDED state —
+    * `dropDuplicatesWithinWatermark`: first arrival of each event_id
+    * emits immediately (append mode), replays arriving within
+    * `delay` of the original are swallowed, and the key's state is
+    * EVICTED once the watermark passes it — so state size follows
+    * the horizon, not the stream's full key history (the difference
+    * between a dedup that survives a year of uptime at 100 TB/day
+    * and one that OOMs). Unlike [[dedupEvents]] the event-time
+    * column is NOT part of the key, which is what makes the state
+    * evictable while still deduping same-id replays at differing
+    * arrival times.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows per user (gap-based), the streaming twin of
     * Events.sessionize.
     */

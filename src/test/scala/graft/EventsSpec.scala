@@ -371,4 +371,84 @@ class EventsSpec extends SparkSpec {
     assert(got._5 == 7.0, s"did must be +7, got ${got._5}")
     assert(got._6 > 0, "t-stat must be positive for a positive effect")
   }
+
+  test("eraseUsers: affected days rewritten, emptied day deleted, untouched days byte-identical") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_erasure").toString + "/lake"
+    val day = 86400000L
+    val base = 1704067200000L // 2024-01-01 UTC
+    // day0: users 1 and 2; day1: user 3 only; day2: user 1 only
+    val rows = Seq(
+      (1L, new Timestamp(base + 1000), 1L, "view", 1.0, "{}"),
+      (2L, new Timestamp(base + 2000), 2L, "view", 1.0, "{}"),
+      (3L, new Timestamp(base + day + 1000), 3L, "click", 1.0, "{}"),
+      (4L, new Timestamp(base + 2 * day + 1000), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Events.writeDatePartitioned(rows, path)
+    def fileState(d: String): Set[(String, Long, Long)] = {
+      val dir = new java.io.File(s"$path/event_date=$d")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val day0Before = fileState("2024-01-01")
+    val day2Before = fileState("2024-01-03")
+    assert(day0Before.nonEmpty && day2Before.nonEmpty)
+
+    // erasing user 3 empties day1 entirely; days 0 and 2 untouched
+    Events.eraseUsers(spark, path, Seq(3L))
+    assert(fileState("2024-01-02").isEmpty, "emptied day dir must be deleted")
+    assert(fileState("2024-01-01") == day0Before, "day0 files must be untouched")
+    assert(fileState("2024-01-03") == day2Before, "day2 files must be untouched")
+    assert(new java.io.File(s"$path/_SUCCESS").exists(), "marker must be restored")
+
+    // erasing user 2 rewrites day0 (user 1's row survives), day2 untouched
+    Events.eraseUsers(spark, path, Seq(2L))
+    assert(fileState("2024-01-01") != day0Before, "day0 must have been rewritten")
+    assert(fileState("2024-01-03") == day2Before, "day2 still untouched")
+    val left = spark.read.parquet(path)
+      .select("event_id").as[Long].collect().toSeq.sorted
+    assert(left == Seq(1L, 4L), s"got $left")
+
+    // erasing an absent user is a no-op (no marker churn, no rewrites)
+    val day2Mid = fileState("2024-01-03")
+    Events.eraseUsers(spark, path, Seq(99L))
+    assert(fileState("2024-01-03") == day2Mid)
+  }
+
+  test("compactSmallPartitions: fragmented day → one file; single-file and oversize days untouched; content preserved") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/lake"
+    val day = 86400000L
+    val base = 1704067200000L // 2024-01-01 UTC
+    val day0 = (1 to 6).map(i =>
+      (i.toLong, new Timestamp(base + i * 1000), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Events.writeDatePartitioned(day0.repartition(3), path)
+    val day1 = Seq((10L, new Timestamp(base + day + 1000), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    day1.withColumn("event_date", to_date(col("ts")))
+      .coalesce(1).write.mode("append").partitionBy("event_date").parquet(path)
+    def files(d: String): Set[(String, Long, Long)] = {
+      val dir = new java.io.File(s"$path/event_date=$d")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    assert(files("2024-01-01").size == 3 && files("2024-01-02").size == 1)
+    val day1Before = files("2024-01-02")
+
+    // everything "oversize" → survey alone, zero mutations
+    assert(Events.compactSmallPartitions(spark, path, targetBytes = 1L).isEmpty)
+    assert(files("2024-01-01").size == 3)
+
+    val compacted = Events.compactSmallPartitions(spark, path)
+    assert(compacted == Seq("2024-01-01"), s"got $compacted")
+    assert(files("2024-01-01").size == 1, "fragmented day must compact to one file")
+    assert(files("2024-01-02") == day1Before,
+      "single-file day must stay byte-identical (minFiles)")
+    assert(new java.io.File(s"$path/_SUCCESS").exists())
+    val ids = spark.read.parquet(path)
+      .select("event_id").as[Long].collect().toSeq.sorted
+    assert(ids == ((1L to 6L) :+ 10L), s"got $ids")
+  }
 }

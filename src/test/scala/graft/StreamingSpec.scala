@@ -105,6 +105,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("dropDuplicatesWithinWatermark swallows in-horizon replays; stale keys evict") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)],
+              name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_dup_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val h = 3600L * 1000000L
+    val base = 1704067200L * 1000000L + 900L * 1000000L
+    // batch 0: ids 0..9, one per hour. Watermark after it = 09:15−2h
+    // = 07:15. Batch 1 replays id 9 (ts 09:15, state present → must
+    // be swallowed) and adds the fresh id 100.
+    val b0 = (0 until 10).map(i => (i.toLong, base + i * h, 1L, "a", 1.0, "{}"))
+    val b1 = Seq((9L, base + 9 * h, 1L, "a", 1.0, "{}"),
+                 (100L, base + 9 * h + 60L * 1000000L, 2L, "a", 1.0, "{}"))
+    val t0 = System.currentTimeMillis() - 600000
+    write(b0, "b0.parquet", t0)
+    write(b1, "b1.parquet", t0 + 60000)
+    val got = StreamingEvents.runToCompletion(spark,
+      StreamingEvents.dedupWithinWatermark(
+        StreamingEvents.readEvents(spark, dir.toString)),
+      "dup_spec", mode = "append")
+      .select("event_id").as[Long].collect().toSeq.sorted
+    // the replay of id 9 vanished; everything else exactly once
+    assert(got == ((0L until 10L) :+ 100L), s"got $got")
+  }
+
   test("streaming session windows match batch sessionize session count") {
     val stream = StreamingEvents.readEvents(spark, eventsDir)
     val got = StreamingEvents.runToCompletion(
