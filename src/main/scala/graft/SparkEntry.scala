@@ -1123,6 +1123,31 @@ object SparkEntry {
       |    cand_id AS center_id, weight FROM w)
       |  WHERE rnk <= 8)""".stripMargin
 
+  /** Greedy k-center round replay: each round scores the remaining
+    * corpus against the accumulated center set (MATERIALIZED — the
+    * set is referenced twice per round) and takes the farthest
+    * point, (radius, id) descending.
+    */
+  private def kcenterSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s""" d$r AS (SELECT c.id, c.vec,
+         |  round(1 - max(round(list_cosine_similarity(c.vec, k.vec), 6)), 6) AS radius
+         |  FROM c CROSS JOIN ch${r - 1} k
+         |  WHERE c.id NOT IN (SELECT id FROM ch${r - 1}) GROUP BY c.id, c.vec),
+         | w$r AS (SELECT CAST($r AS BIGINT) AS rnk, id, vec, radius FROM d$r
+         |         ORDER BY radius DESC, id DESC LIMIT 1),
+         | ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       | s1 AS (SELECT id, vec FROM (
+       |   SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+       |   FROM c ORDER BY h LIMIT 1)),
+       | ch1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rnk, id, vec,
+       |   CAST(NULL AS DOUBLE) AS radius FROM s1),
+       |$rounds
+       | SELECT rnk, id AS center_id, radius FROM ch$k ORDER BY rnk""".stripMargin
+  }
+
   // ---- minhash SQL twin: replay the banding, don't assume recall ---
   // Same md5-derived 60-bit shingle hashes, same affine mod-(2^31−1)
   // permutations (Dedup.minHashConsts), same band-key folds — so the
@@ -2986,6 +3011,14 @@ object SparkEntry {
       Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("id", "dim")),
 
+    // greedy k-center diversity coreset (Gonzalez): md5-deterministic
+    // start, 5 farthest-point rounds, each one broadcast + one corpus
+    // max-aggregate + a 1-row TakeOrdered — the corpus never
+    // shuffles; the oracle replays rounds as MATERIALIZED CTEs
+    "sample_kcenter" -> ((s, dir) =>
+      Similarity.kcenterSample(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 6).orderBy("rnk")),
+
     // recall of the LSH path against its exact twin as a CHECKED
     // NUMBER: both sides carry full oracles, so the recall itself is
     // oracle-verified (not just spec-asserted)
@@ -3786,6 +3819,15 @@ object SparkEntry {
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
 
+    // CEP with a NEGATION — click then purchase within 1 h UNLESS an
+    // error intervened; three "most recent before me" columns under
+    // ONE user-keyed sort (never a corpus self-join)
+    "events_cep_pattern" -> ((s, dir) =>
+      Events.cepPattern(t(s, dir, "events"),
+          firstType = "click", thenType = "purchase", absentType = "error",
+          windowMs = 3600L * 1000)
+        .orderBy("then_id")),
+
     // first-order Markov transitions between event types (exact
     // counts, row-stochastic probabilities)
     "events_markov" -> ((s, dir) =>
@@ -3850,6 +3892,21 @@ object SparkEntry {
           StreamingEvents.readEvents(s, stagedFlushEventsDir(s, dir))),
         s"events_stream_join_outer_${funnelStreamSeq.incrementAndGet()}", mode = "append")
         .where(col("click_id") >= 0) // drop the sentinel flush clicks
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    // FULL-outer stream-stream join: unmatched rows on BOTH sides
+    // null-pad at watermark expiry (the flush batches push it);
+    // sentinel flush rows dropped by id sign on whichever side they
+    // materialized
+    "events_stream_join_full" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      StreamingEvents.runToCompletion(s,
+        StreamingEvents.attributionJoinFull(
+          StreamingEvents.readEvents(s, stagedFlushEventsDir(s, dir))),
+        s"events_stream_join_full_${funnelStreamSeq.incrementAndGet()}", mode = "append")
+        .where(coalesce(col("click_id"), lit(0L)) >= 0 &&
+               coalesce(col("purchase_id"), lit(0L)) >= 0)
         .orderBy("click_id", "purchase_id")
     }),
 
@@ -4806,6 +4863,30 @@ object SparkEntry {
          |  count(*) AS n_conversions, ${msum("value")} AS revenue
          | FROM o WHERE event_type = 'purchase'
          | GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // the attribution window shape with a third (blocking) column;
+    // strict-before = ROWS ... 1 PRECEDING under the same
+    // (ts, event_id) order; blocking compares ms only
+    "events_cep_pattern" ->
+      """WITH o AS (
+        | SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a_ms,
+        |  last_value(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS x_ms
+        | FROM events)
+        | SELECT user_id, a_id AS first_id, event_id AS then_id,
+        |  ms - a_ms AS gap_ms
+        | FROM o
+        | WHERE event_type = 'purchase' AND a_ms IS NOT NULL
+        |  AND ms - a_ms <= 3600000
+        |  AND (x_ms IS NULL OR x_ms <= a_ms)
+        | ORDER BY then_id""".stripMargin,
 
     "events_interarrival" ->
       """WITH g AS (
@@ -6413,6 +6494,10 @@ object SparkEntry {
         | FROM rasg, UNNEST(range(1, len(vec) + 1)) AS t(i)
         | GROUP BY 1, 2 ORDER BY cell_id, dim""".stripMargin),
 
+    // farthest-point rounds replayed CTE-for-CTE; argmax by
+    // (radius, id) descending, chosen ids excluded per round
+    "sample_kcenter" -> kcenterSql(6),
+
     // the cluster_silhouette replay with a different readout: final
     // assignment per point (argmax, ties to greatest cell), round-6
     // distance to the own centroid, exact p90 quantile_cont cut
@@ -7422,6 +7507,18 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // the symmetric batch FULL JOIN — unmatched purchases appear
+    // null-padded too, user_id coalesced across sides
+    "events_stream_join_full" ->
+      """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        | c.event_id AS click_id, p.event_id AS purchase_id,
+        | epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 
     // same union + IGNORE NULLS window; generate_series is inclusive
     // of the end like Spark's sequence

@@ -481,6 +481,46 @@ object Events {
            Analytics.moneySum(col("value")).as("revenue"))
   }
 
+  /** Complex-event-pattern match — "A then B within `windowMs`, with
+    * NO `absentType` event in between": for each `thenType` event,
+    * the most recent `firstType` strictly before it (in the
+    * (ts, event_id) total order) matches iff it falls inside the
+    * window AND no blocking event occurred after that `firstType`.
+    * The NEGATION is what distinguishes CEP from [[funnel]] /
+    * [[lastTouchAttribution]] — "purchase after click unless an
+    * error intervened" cannot be written as a step sequence.
+    *
+    * One user-keyed window pass computes all three "most recent
+    * before me" columns under a single sort (the attribution
+    * discipline) — never a self-join of the corpus against itself.
+    * Blocking compares timestamps only (an absent-type event at the
+    * exact ts of the match start does not block), so the semantics
+    * are frame-order-independent and the oracle replays them
+    * bit-for-bit with exact integer ms.
+    */
+  def cepPattern(events: DataFrame, firstType: String, thenType: String,
+                 absentType: String, windowMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("a_id", last(
+        when(col("event_type") === firstType, col("event_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("a_ms", last(
+        when(col("event_type") === firstType, unix_millis(col("ts"))),
+        ignoreNulls = true).over(w))
+      .withColumn("x_ms", last(
+        when(col("event_type") === absentType, unix_millis(col("ts"))),
+        ignoreNulls = true).over(w))
+      .where(col("event_type") === thenType &&
+             col("a_ms").isNotNull &&
+             unix_millis(col("ts")) - col("a_ms") <= windowMs &&
+             (col("x_ms").isNull || col("x_ms") <= col("a_ms")))
+      .select(col("user_id"), col("a_id").as("first_id"),
+              col("event_id").as("then_id"),
+              (unix_millis(col("ts")) - col("a_ms")).as("gap_ms"))
+  }
+
   /** A/B test on a continuous metric: variant = user_id mod 2 (in
     * production, the hash-bucket assignment), the metric is the
     * `value` of each `metricType` event, and the output is ONE row of

@@ -1129,4 +1129,59 @@ object Similarity {
       .where(col("dist") > col("cut"))
       .select(col("id"), col("cell_id"), col("dist"))
   }
+
+  /** Greedy k-center coreset (Gonzalez): start from the
+    * md5-deterministic first point, then k−1 rounds each add the
+    * point FARTHEST from the current center set — the
+    * maximal-diversity sample (2-approximation to the optimal
+    * k-center cover) used to pick evaluation exemplars or seed a
+    * curriculum, where hash sampling gives "uniform" and this gives
+    * "spread". Each center carries its selection radius (distance to
+    * the set when chosen — the monotone coverage-radius sequence,
+    * which is also the quality certificate: radius r at step k means
+    * no point is farther than r from the first k−1 centers).
+    *
+    * Determinism ([[kmeansParallelInit]]'s contract): round-6 cosine
+    * throughout, argmax by (radius, id) both descending, already-
+    * chosen ids excluded explicitly; the DuckDB oracle replays every
+    * round as MATERIALIZED CTEs.
+    *
+    * Scale shape: per round one broadcast of the (≤ k-row) center
+    * set, one corpus-keyed max aggregate, one constant-size
+    * TakeOrdered — the corpus never shuffles; k is small by
+    * definition of the op.
+    */
+  def kcenterSample(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+      .localCheckpoint() // re-joined every round — scan once
+    var chosen = c
+      .withColumn("h", graft.functions.TextFunctions.md5Prefix64(col("id").cast("string")))
+      .orderBy("h").limit(1)
+      .select(lit(1L).as("rnk"), col("id"), col("vec"), col("nrm"),
+              lit(null).cast("double").as("radius"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val win = c
+        .join(broadcast(chosen.select(col("id").as("cid"))), col("id") === col("cid"),
+          "left_anti")
+        .join(broadcast(chosen.select(col("vec").as("cvec"), col("nrm").as("cnrm"))),
+          lit(true))
+        .withColumn("csim", round(
+          cosineFromParts(dot(col("vec"), col("cvec")), col("nrm"), col("cnrm")), 6))
+        .groupBy("id")
+        .agg(first(col("vec")).as("vec"), first(col("nrm")).as("nrm"),
+             max(col("csim")).as("best"))
+        .withColumn("radius", round(lit(1.0) - col("best"), 6))
+        .orderBy(desc("radius"), desc("id")).limit(1)
+        .select(lit(r.toLong).as("rnk"), col("id"), col("vec"), col("nrm"),
+                col("radius"))
+      val prev = chosen
+      chosen = prev.unionByName(win).localCheckpoint()
+      Graph.unpersistBacking(prev)
+    }
+    chosen.select(col("rnk"), col("id").as("center_id"), col("radius"))
+  }
 }

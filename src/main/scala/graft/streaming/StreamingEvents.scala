@@ -230,6 +230,35 @@ object StreamingEvents {
           .as("gap_ms"))
   }
 
+  /** FULL-outer watermarked stream-stream interval join: every click
+    * AND every purchase appears — unmatched rows on EITHER side
+    * null-pad and emit when the watermark expires their join state
+    * (the [[attributionJoinOuter]] semantics, symmetric). The
+    * user_id is coalesced across sides because an unmatched
+    * purchase has no click-side key. The extra semantic over
+    * left-outer is purchase-side timeout emission: "purchases with
+    * no attributable click" is precisely the organic-conversion
+    * stream a marketing pipeline splits off.
+    */
+  def attributionJoinFull(events: DataFrame, windowExpr: String = "1 hour",
+                          delay: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", delay)
+    val c = wm.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    val p = wm.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+    c.join(p, expr(
+        s"""user_id = p_user
+           |AND click_ts >= purchase_ts - INTERVAL $windowExpr
+           |AND click_ts <= purchase_ts""".stripMargin), "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("gap_ms"))
+  }
+
   def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
                       mode: String = "append"): DataFrame = {
     // stateful queries pay state-store setup PER shuffle partition per

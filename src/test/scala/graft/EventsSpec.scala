@@ -416,6 +416,31 @@ class EventsSpec extends SparkSpec {
     assert(fileState("2024-01-03") == day2Mid)
   }
 
+  test("cepPattern: negation blocks, window bounds, error-before-click harmless") {
+    import org.apache.spark.sql.functions.col
+    // u1: click(1') → purchase(10') — match, gap 9 min
+    // u2: click(1') → error(5') → purchase(10') — BLOCKED
+    // u3: click(1') → purchase(120') — outside the 1 h window
+    // u4: purchase(10') with no click — no match
+    // u5: error(0') → click(1') → purchase(10') — error BEFORE the
+    //     click does not block
+    val rows = Seq(
+      (1L, 1, 1L, "click"), (2L, 10, 1L, "purchase"),
+      (3L, 1, 2L, "click"), (4L, 5, 2L, "error"), (5L, 10, 2L, "purchase"),
+      (6L, 1, 3L, "click"), (7L, 120, 3L, "purchase"),
+      (8L, 10, 4L, "purchase"),
+      (9L, 0, 5L, "error"), (10L, 1, 5L, "click"), (11L, 10, 5L, "purchase"))
+      .map { case (id, m, u, tp) => (id, ts(m), u, tp, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.cepPattern(rows, "click", "purchase", "error",
+        windowMs = 3600L * 1000)
+      .select("user_id", "first_id", "then_id", "gap_ms")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 1L, 2L, 9L * 60000),
+      (5L, 10L, 11L, 9L * 60000)), s"got $got")
+  }
+
   test("compactSmallPartitions: fragmented day → one file; single-file and oversize days untouched; content preserved") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/lake"

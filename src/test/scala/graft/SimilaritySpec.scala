@@ -402,4 +402,28 @@ class SimilaritySpec extends SparkSpec {
     assert(aug == mips.map(r => (r._1, r._3)), s"augmented ranking diverged: $aug")
   }
 
+  test("kcenterSample: one center per planted cluster, monotone radii, first radius null") {
+    // three tight direction-clusters; a 4th pick must be a near-dup
+    // of an existing center (tiny radius)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.01f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0.01f, 0.99f, 0f)),
+      (5L, Array(0f, 0f, 1f)), (6L, Array(0f, 0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSample(vecs, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), s"got $got")
+    assert(got.head._3.isEmpty, "first center has no radius")
+    val radii = got.tail.map(_._3.get)
+    assert(radii == radii.sorted.reverse, s"radii must be non-increasing: $radii")
+    // centers 1-3 cover the three clusters: each planted direction
+    // appears among the chosen ids' cluster (ids 1/2 = x, 3/4 = y,
+    // 5/6 = z)
+    val clusters = got.take(3).map(_._2).map(id => (id + 1) / 2).toSet
+    assert(clusters == Set(1L, 2L, 3L),
+      s"first 3 centers must hit all 3 planted clusters: $got")
+    // the 4th radius is tiny (everything is near a center by then)
+    assert(radii.last < 0.01, s"4th pick must be a near-dup: ${radii.last}")
+  }
+
 }

@@ -205,6 +205,47 @@ class StreamingSpec extends SparkSpec {
       s"got $got — the unmatched click must emit null-padded, the matched one exactly once")
   }
 
+  test("full-outer stream-stream join: unmatched rows on BOTH sides emit null-padded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_full")
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)],
+              name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_full_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val m = 60L * 1000000L
+    val base = 1704067200L * 1000000L
+    // u1 converts; u2's click dangles; u3's purchase is ORGANIC (no
+    // click) — the side left-outer cannot express
+    val real = Seq(
+      (1L, base, 1L, "click", 1.0, "{}"),
+      (2L, base + 30 * m, 1L, "purchase", 5.0, "{}"),
+      (3L, base + 10 * m, 2L, "click", 1.0, "{}"),
+      (4L, base + 20 * m, 3L, "purchase", 7.0, "{}"))
+    def flush(id: Long, ts: Long) = Seq(
+      (id, ts, -1L, "click", 0.0, "{}"), (id - 1, ts, -2L, "purchase", 0.0, "{}"))
+    val t0 = System.currentTimeMillis() - 600000
+    write(real, "b0.parquet", t0)
+    write(flush(-1L, base + 600 * m), "b1.parquet", t0 + 60000)
+    write(flush(-3L, base + 1200 * m), "b2.parquet", t0 + 120000)
+    val got = StreamingEvents.runToCompletion(spark,
+      StreamingEvents.attributionJoinFull(
+        StreamingEvents.readEvents(spark, dir.toString)),
+      "full_join_spec", mode = "append")
+      .where(coalesce(col("click_id"), lit(0L)) >= 0 &&
+             coalesce(col("purchase_id"), lit(0L)) >= 0)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, Some(1L), Some(2L), Some(30L * 60 * 1000)),
+      (2L, Some(3L), None, None),
+      (3L, None, Some(4L), None)),
+      s"got $got — organic purchase and dangling click must both null-pad")
+  }
+
   test("stream-stream interval join equals the batch join on bounded input") {
     val stream = StreamingEvents.readEvents(spark, eventsDir)
     val got = StreamingEvents.runToCompletion(spark,
