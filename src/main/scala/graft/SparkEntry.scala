@@ -570,6 +570,33 @@ object SparkEntry {
       .agg(count(lit(1)).cast("double").as("w"))
   }
 
+  /** Start-state mix for the Markov attribution: each user's FIRST
+    * event type (ts, event_id order — [[transitionEdges]]'
+    * determinism), counted per type.
+    */
+  private def firstEventCounts(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("event_type").as("node"))
+      .agg(count(lit(1)).as("n_start"))
+  }
+
+  /** Catalog names + external base path for the [[Joins
+    * .ensureBucketedTable]] pair (the mtime-tagged ensure
+    * discipline).
+    */
+  private def bucketedPairNames(dir: String): (String, String, String) = {
+    val m1 = new java.io.File(s"$dir/orders.parquet").lastModified()
+    val m2 = new java.io.File(s"$dir/customer.parquet").lastModified()
+    val tag = s"${math.abs(dir.hashCode)}_${m1}_$m2"
+    (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag",
+     s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$tag")
+  }
+
   // shared CTE head for the graph oracles: transition edges + node
   // set + initial uniform score r0/h0 (rounded to 9 like the engine).
   // Every CTE here and in the per-round chains is AS MATERIALIZED:
@@ -609,6 +636,72 @@ object SparkEntry {
     }.mkString
     head + rounds +
       s"\n SELECT node, round(pr, 6) AS p_absorb FROM a$iters ORDER BY node"
+  }
+
+  /** Oracle twin of [[graft.operators.Graph.markovRemovalAttribution]]:
+    * one [[absorptionSql]]-style round-replayed chain for the full
+    * graph plus one per removed channel (same `en` normalization —
+    * removal does NOT renormalize), start shares from each user's
+    * first event, conversions folded through the same round-9 /
+    * exact-long discipline.
+    */
+  private def markovAttributionSql(target: String, channels: Seq[String],
+                                   iters: Int): String = {
+    def chain(tag: String, pred: String): String = {
+      val a0 = s""",
+         | en_$tag AS MATERIALIZED (SELECT * FROM en$pred),
+         | a${tag}_0 AS MATERIALIZED (SELECT node,
+         |   CASE WHEN node = '$target' THEN 1.0 ELSE 0.0 END AS pr FROM nodes)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s""",
+           | f${tag}_$i AS MATERIALIZED (SELECT en_$tag.src AS node,
+           |   round(sum(CAST(round(round(en_$tag.p * a.pr, 9) * 1e9, 0) AS BIGINT)) / 1e9, 9) AS v
+           |  FROM en_$tag JOIN a${tag}_${i - 1} a ON en_$tag.dst = a.node GROUP BY 1),
+           | a${tag}_$i AS MATERIALIZED (SELECT nodes.node,
+           |   CASE WHEN nodes.node = '$target' THEN 1.0 ELSE coalesce(f${tag}_$i.v, 0.0) END AS pr
+           |  FROM nodes LEFT JOIN f${tag}_$i ON nodes.node = f${tag}_$i.node)""".stripMargin
+      }.mkString
+      val conv = s""",
+         | conv_$tag AS MATERIALIZED (SELECT
+         |   round(sum(CAST(round(round(sh.sh * a.pr, 9) * 1e9, 0) AS BIGINT)) / 1e9, 9) AS conv
+         |  FROM a${tag}_$iters a JOIN sh ON a.node = sh.node)""".stripMargin
+      a0 + rounds + conv
+    }
+    val head = graphSqlHead + s""",
+       | outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+       | en AS MATERIALIZED (SELECT e.src, e.dst, round(e.w / outw.out_w, 9) AS p
+       |   FROM e JOIN outw USING (src)),
+       | fe AS MATERIALIZED (SELECT event_type AS node FROM (
+       |    SELECT event_type,
+       |     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |    FROM events) WHERE rn = 1),
+       | stc AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS n_start
+       |   FROM fe GROUP BY 1),
+       | sh AS MATERIALIZED (SELECT stc.node,
+       |   round(stc.n_start::DOUBLE / t.n_all::DOUBLE, 9) AS sh
+       |  FROM stc CROSS JOIN
+       |   (SELECT CAST(sum(n_start) AS BIGINT) AS n_all FROM stc) t)""".stripMargin
+    val full = chain("full", "")
+    val per = channels.zipWithIndex.map { case (c, ix) =>
+      chain(s"c$ix", s" WHERE src <> '$c' AND dst <> '$c'")
+    }.mkString
+    val effRows = channels.zipWithIndex.map { case (c, ix) =>
+      s"""SELECT '$c' AS channel, (SELECT conv FROM conv_full) AS conv_full,
+         |   (SELECT conv FROM conv_c$ix) AS conv_removed""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$head$full$per,
+       | eff AS MATERIALIZED (SELECT channel, conv_full, conv_removed,
+       |   CASE WHEN conv_full > 0
+       |    THEN round(1.0 - conv_removed / conv_full, 6) END AS removal_effect
+       |  FROM ($effRows)),
+       | tot AS MATERIALIZED (SELECT
+       |   CAST(sum(CAST(round(greatest(coalesce(removal_effect, 0.0), 0.0) * 1e6, 0)
+       |     AS BIGINT)) AS BIGINT) / 1e6 AS eff_tot FROM eff)
+       | SELECT channel, conv_full, conv_removed, removal_effect,
+       |  CASE WHEN eff_tot > 0
+       |   THEN round(greatest(coalesce(removal_effect, 0.0), 0.0) / eff_tot, 6)
+       |  END AS attribution
+       | FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
   }
 
   // ---- SSSP SQL twin: `iters` unrolled Bellman-Ford rounds over the
@@ -4009,6 +4102,86 @@ object SparkEntry {
         .select(concat_ws(">", transform(col("a"), x => x.getField("event_type"))).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))
         .orderBy(desc("n_users"), asc("path"))
+    }),
+
+    // chi-square independence audit: order status × priority
+    // contingency (exact counts, scaled-long chi² fold)
+    "profile_chisq" -> ((s, dir) =>
+      Profiling.chiSquareIndependence(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
+
+    // monotonic-key continuity audit on TPC-H's famously gappy
+    // o_orderkey: bucketed (NO global window over the corpus) with
+    // boundary deltas from the bounded per-bucket table
+    "profile_gaps" -> ((s, dir) =>
+      Profiling.sequenceGaps(t(s, dir, "orders"), "o_orderkey",
+        bucketSize = 1000L)),
+
+    // CUPED variance-reduced A/B readout: pre-period spend as the
+    // covariate, one conditional 12-sum aggregate, exact cents
+    "events_cuped" -> ((s, dir) =>
+      Events.cupedEffect(t(s, dir, "events"))),
+
+    // Kish effective-sample-size audit of the per-source token
+    // weights (the reweighting health check run before sample_mix)
+    "sample_ess" -> ((s, dir) =>
+      Sampling.effectiveSampleSize(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("stratum")),
+
+    // Johnson–Lindenstrauss ±1 projection 64 → 8 with per-vector
+    // norm-distortion audit; map-only, exact long folds
+    "emb_jl_project" -> ((s, dir) =>
+      Embeddings.jlProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dIn = 64, dOut = 8)
+        .orderBy("id")),
+
+    // Markov removal-effect attribution over the channel transition
+    // graph: full-chain conversion vs per-channel-deleted chains,
+    // start mix = each user's first event type
+    "events_attribution_markov" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Graph.markovRemovalAttribution(
+        transitionEdges(ev), firstEventCounts(ev),
+        "src", "dst", "w", "node", "n_start",
+        target = "purchase",
+        channels = Seq("click", "error", "signup", "view"), iters = 4)
+        .orderBy("channel")
+    }),
+
+    // degree histogram + power-law tail fit over the supplier–part
+    // supply graph (namespaced node ids — the two key spaces collide
+    // numerically); the pre-flight audit for hub-dominated graphs
+    "graph_degree_dist" -> ((s, dir) =>
+      Graph.degreeDistribution(
+        t(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")),
+        "src", "dst")
+        .orderBy("degree")),
+
+    // experiment power analysis from observed per-user spend: per-arm
+    // n for each candidate MDE at α=0.05 / power 0.8, pinned z-sum
+    "events_power_analysis" -> ((s, dir) =>
+      Events.powerAnalysis(t(s, dir, "events"))
+        .orderBy("mde")),
+
+    // fact-to-fact co-located join served from bucketed tables: both
+    // sides scan pre-bucketed files, no exchange (BucketingSpec pins
+    // the plan); revenue-per-segment over the joined pair
+    "join_bucketed" -> ((s, dir) => {
+      val (ordersTbl, custTbl, base) = bucketedPairNames(dir)
+      Joins.ensureBucketedTable(s,
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        ordersTbl, s"$base/orders", "o_custkey", buckets = 8)
+      Joins.ensureBucketedTable(s,
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        custTbl, s"$base/customer", "c_custkey", buckets = 8)
+      Joins.bucketedEquiJoin(s, ordersTbl, custTbl, "o_custkey", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(round(col("o_totalprice") * 100, 0).cast("long"))
+               .as("revenue_cents"))
+        .orderBy("c_mktsegment")
     }),
   )
 
@@ -7703,5 +7876,222 @@ object SparkEntry {
         | FROM act JOIN fs USING (user_id)
         | WHERE date_diff('day', cohort_date, active_date) <= 30
         | GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin,
+
+    "profile_chisq" ->
+      """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |   CAST(count(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2),
+        | rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        | ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        | nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |   CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+        |   CAST(count(DISTINCT b) AS BIGINT) AS c_levels FROM obs),
+        | grid AS (SELECT rt.a AS a, ct.b AS b, ra, cb, coalesce(o, 0) AS o
+        |   FROM rt CROSS JOIN ct LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b),
+        | cells AS (SELECT n, r_levels, c_levels,
+        |   CAST(round((o::DOUBLE * n::DOUBLE - ra::DOUBLE * cb::DOUBLE)
+        |            * (o::DOUBLE * n::DOUBLE - ra::DOUBLE * cb::DOUBLE)
+        |            / (n::DOUBLE * ra::DOUBLE * cb::DOUBLE) * 1e6, 0) AS BIGINT) AS x
+        |  FROM grid CROSS JOIN nn),
+        | g AS (SELECT n, r_levels, c_levels,
+        |   round(CAST(sum(x) AS BIGINT) / 1e6, 6) AS chi2
+        |  FROM cells GROUP BY 1, 2, 3)
+        | SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+        |  n AS n_rows, r_levels, c_levels,
+        |  (r_levels - 1) * (c_levels - 1) AS dof, chi2,
+        |  CASE WHEN r_levels > 1 AND c_levels > 1
+        |   THEN round(sqrt(chi2 / (n::DOUBLE
+        |     * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        | FROM g""".stripMargin,
+
+    "profile_gaps" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+        |   WHERE o_orderkey IS NOT NULL),
+        | r AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders
+        |   WHERE o_orderkey IS NOT NULL),
+        | gp AS (SELECT lead(k) OVER (ORDER BY k) - k - 1 AS gap FROM k),
+        | gs AS (SELECT CAST(count(*) FILTER (gap > 0) AS BIGINT) AS n_gaps,
+        |   CAST(coalesce(sum(gap) FILTER (gap > 0), 0) AS BIGINT) AS missing_via_gaps,
+        |   max(gap) FILTER (gap > 0) AS max_gap FROM gp),
+        | ks AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |   min(k) AS min_key, max(k) AS max_key FROM k)
+        | SELECT n_rows, n_keys, n_rows - n_keys AS n_dup_rows, min_key, max_key,
+        |  max_key - min_key + 1 - n_keys AS n_missing,
+        |  n_gaps, missing_via_gaps, max_gap
+        | FROM ks CROSS JOIN r CROSS JOIN gs""".stripMargin,
+
+    "events_cuped" ->
+      """WITH b AS (SELECT user_id,
+        |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS ep,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        | mm AS (SELECT min(ep) AS mn, max(ep) AS mx FROM b),
+        | pu AS (SELECT user_id,
+        |   CAST(coalesce(sum(CASE WHEN NOT (ep * 2 > mn + mx) THEN c END), 0) AS BIGINT) AS x,
+        |   CAST(coalesce(sum(CASE WHEN ep * 2 > mn + mx THEN c END), 0) AS BIGINT) AS y
+        |  FROM b CROSS JOIN mm GROUP BY 1),
+        | pt AS (SELECT x, y, user_id % 2 = 0 AS t FROM pu),
+        | g AS (SELECT
+        |   CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |   CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+        |   CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+        |   CAST(sum(CASE WHEN t THEN x * x ELSE 0 END) AS BIGINT) AS sxx_t,
+        |   CAST(sum(CASE WHEN t THEN x * y ELSE 0 END) AS BIGINT) AS sxy_t,
+        |   CAST(sum(CASE WHEN t THEN y * y ELSE 0 END) AS BIGINT) AS syy_t,
+        |   CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |   CAST(sum(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+        |   CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+        |   CAST(sum(CASE WHEN NOT t THEN x * x ELSE 0 END) AS BIGINT) AS sxx_c,
+        |   CAST(sum(CASE WHEN NOT t THEN x * y ELSE 0 END) AS BIGINT) AS sxy_c,
+        |   CAST(sum(CASE WHEN NOT t THEN y * y ELSE 0 END) AS BIGINT) AS syy_c
+        |  FROM pt),
+        | g2 AS (SELECT *, n_t + n_c AS n, sx_t + sx_c AS sx, sy_t + sy_c AS sy,
+        |   sxx_t + sxx_c AS sxx, sxy_t + sxy_c AS sxy, syy_t + syy_c AS syy
+        |  FROM g),
+        | f AS (SELECT *,
+        |   n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covnum,
+        |   n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varxnum,
+        |   n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS varynum,
+        |   (n_t::DOUBLE * syy_t::DOUBLE - sy_t::DOUBLE * sy_t::DOUBLE)
+        |     / (n_t::DOUBLE * (n_t::DOUBLE - 1.0)) AS vyy_t,
+        |   (n_t::DOUBLE * sxx_t::DOUBLE - sx_t::DOUBLE * sx_t::DOUBLE)
+        |     / (n_t::DOUBLE * (n_t::DOUBLE - 1.0)) AS vxx_t,
+        |   (n_t::DOUBLE * sxy_t::DOUBLE - sx_t::DOUBLE * sy_t::DOUBLE)
+        |     / (n_t::DOUBLE * (n_t::DOUBLE - 1.0)) AS vxy_t,
+        |   (n_c::DOUBLE * syy_c::DOUBLE - sy_c::DOUBLE * sy_c::DOUBLE)
+        |     / (n_c::DOUBLE * (n_c::DOUBLE - 1.0)) AS vyy_c,
+        |   (n_c::DOUBLE * sxx_c::DOUBLE - sx_c::DOUBLE * sx_c::DOUBLE)
+        |     / (n_c::DOUBLE * (n_c::DOUBLE - 1.0)) AS vxx_c,
+        |   (n_c::DOUBLE * sxy_c::DOUBLE - sx_c::DOUBLE * sy_c::DOUBLE)
+        |     / (n_c::DOUBLE * (n_c::DOUBLE - 1.0)) AS vxy_c
+        |  FROM g2),
+        | h AS (SELECT *, covnum / varxnum AS theta,
+        |   sy_t::DOUBLE / n_t::DOUBLE AS my_t, sy_c::DOUBLE / n_c::DOUBLE AS my_c,
+        |   sx_t::DOUBLE / n_t::DOUBLE AS mx_t, sx_c::DOUBLE / n_c::DOUBLE AS mx_c,
+        |   sx::DOUBLE / n::DOUBLE AS mx_all
+        |  FROM f)
+        | SELECT n_t AS n_treated, n_c AS n_control,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2
+        |   THEN round((my_t - my_c) / 100.0, 6) END AS effect_raw,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2
+        |   THEN round(sqrt(vyy_t / n_t::DOUBLE + vyy_c / n_c::DOUBLE) / 100.0, 6)
+        |  END AS se_raw,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND varxnum <> 0
+        |   THEN round(theta, 6) END AS theta,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND varxnum <> 0
+        |   THEN round(((my_t - theta * (mx_t - mx_all))
+        |             - (my_c - theta * (mx_c - mx_all))) / 100.0, 6)
+        |  END AS effect_cuped,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND varxnum <> 0
+        |   THEN round(sqrt(
+        |     (vyy_t + theta * theta * vxx_t - 2.0 * theta * vxy_t) / n_t::DOUBLE
+        |     + (vyy_c + theta * theta * vxx_c - 2.0 * theta * vxy_c) / n_c::DOUBLE)
+        |     / 100.0, 6)
+        |  END AS se_cuped,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND varxnum <> 0 AND varynum <> 0
+        |   THEN round(covnum * covnum / (varxnum * varynum), 6)
+        |  END AS var_reduction
+        | FROM h""".stripMargin,
+
+    "sample_ess" ->
+      """WITH g AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(n_chars) AS BIGINT) AS sw,
+        |   CAST(sum(n_chars * n_chars) AS BIGINT) AS sww
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1)
+        | SELECT stratum, n, sw AS sum_w,
+        |  round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 6) AS ess,
+        |  round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE / n::DOUBLE, 6) AS efficiency
+        | FROM g ORDER BY stratum""".stripMargin,
+
+    "emb_jl_project" -> {
+      val signs = graft.operators.Embeddings.jlSigns(64, 8, "jl")
+      val values = signs.zipWithIndex.map { case (row, j) =>
+        s"(${j + 1}, [${row.mkString(", ")}]::BIGINT[])"
+      }.mkString(",\n        |   ").stripMargin
+      val pivot = (1 to 8)
+        .map(j => s"max(CASE WHEN j = $j THEN ys END) AS ys$j").mkString(", ")
+      val yCols = (1 to 8)
+        .map(j => s"round(ys$j::DOUBLE / 10000.0 / sqrt(8::DOUBLE), 6) AS y$j")
+        .mkString(",\n  ")
+      s"""WITH x AS (SELECT vec_id,
+         |  list_transform(embedding::DOUBLE[],
+         |    v -> CAST(round(v * 10000, 0) AS BIGINT)) AS xs
+         | FROM embeddings),
+         | sg AS (SELECT * FROM (VALUES $values) AS t(j, s)),
+         | y AS (SELECT vec_id, j, CAST(sum(xs[i] * s[i]) AS BIGINT) AS ys
+         |  FROM x, sg, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+         | n2 AS (SELECT vec_id, CAST(sum(xs[i] * xs[i]) AS BIGINT) AS nin2
+         |  FROM x, UNNEST(range(1, 65)) AS u(i) GROUP BY 1),
+         | w AS (SELECT vec_id, CAST(sum(ys * ys) AS BIGINT) AS nout2, $pivot
+         |  FROM y GROUP BY 1)
+         | SELECT n2.vec_id AS id,
+         |  round(sqrt(nin2::DOUBLE) / 10000.0, 6) AS norm_in,
+         |  round(sqrt(nout2::DOUBLE / 8) / 10000.0, 6) AS norm_out,
+         |  CASE WHEN nin2 > 0
+         |   THEN round(sqrt(nout2::DOUBLE / 8) / sqrt(nin2::DOUBLE), 6)
+         |  END AS distortion,
+         |  $yCols
+         | FROM n2 JOIN w USING (vec_id) ORDER BY id""".stripMargin
+    },
+
+    "events_attribution_markov" -> markovAttributionSql(
+      target = "purchase",
+      channels = Seq("click", "error", "signup", "view"), iters = 4),
+
+    "graph_degree_dist" ->
+      """WITH und AS (SELECT DISTINCT
+        |   least('s' || l_suppkey, 'p' || l_partkey) AS a,
+        |   greatest('s' || l_suppkey, 'p' || l_partkey) AS b
+        |  FROM lineitem),
+        | deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |   (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        | hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |   FROM deg GROUP BY 1),
+        | pts AS (SELECT CAST(round(ln(degree::DOUBLE) * 1e6, 0) AS BIGINT) AS x,
+        |   CAST(round(ln(n_nodes::DOUBLE) * 1e6, 0) AS BIGINT) AS y FROM hist),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM pts),
+        | f AS (SELECT n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx,
+        |   n*syy - sy*sy AS dy FROM g)
+        | SELECT degree, n_nodes,
+        |  (SELECT CASE WHEN dx <> 0 THEN round(num::DOUBLE / dx::DOUBLE, 6) END
+        |   FROM f) AS powerlaw_slope,
+        |  (SELECT CASE WHEN dx <> 0 AND dy <> 0 THEN
+        |    round(num::DOUBLE * num::DOUBLE / (dx::DOUBLE * dy::DOUBLE), 6) END
+        |   FROM f) AS fit_r2
+        | FROM hist ORDER BY degree""".stripMargin,
+
+    "events_power_analysis" ->
+      """WITH pu AS (SELECT user_id,
+        |   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s1,
+        |   CAST(sum(y * y) AS BIGINT) AS s2 FROM pu),
+        | f AS (SELECT n, s1::DOUBLE / n::DOUBLE AS mu,
+        |   (n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+        |     / (n::DOUBLE * (n::DOUBLE - 1.0)) AS variance
+        |  FROM g),
+        | m AS (SELECT unnest([0.01, 0.02, 0.05, 0.1]) AS mde),
+        | x AS (SELECT mde, n, mu, variance, mde * mu AS delta,
+        |   (n >= 2 AND variance > 0 AND mde * mu > 0) AS ok
+        |  FROM m CROSS JOIN f)
+        | SELECT mde, round(mu / 100.0, 6) AS baseline_mean,
+        |  CASE WHEN ok THEN round(sqrt(variance) / 100.0, 6) END AS stddev,
+        |  CASE WHEN ok THEN round(delta / 100.0, 6) END AS target_delta,
+        |  CASE WHEN ok THEN CAST(ceil(2.0 * (1.959964 + 0.841621)
+        |    * (1.959964 + 0.841621) * variance / (delta * delta)) AS BIGINT)
+        |  END AS n_per_arm,
+        |  n AS n_users_observed,
+        |  CASE WHEN ok THEN CAST(ceil(2.0 * (1.959964 + 0.841621)
+        |    * (1.959964 + 0.841621) * variance / (delta * delta)) AS BIGINT) * 2 <= n
+        |  END AS feasible_now
+        | FROM x ORDER BY mde""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |   AS revenue_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
   )
 }

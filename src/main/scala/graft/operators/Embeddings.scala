@@ -143,6 +143,81 @@ object Embeddings {
     emb.withColumn(vecCol, out)
   }
 
+  /** The deterministic ±1 Rademacher sign matrix behind [[jlProject]]
+    * (row j = output dimension, column i = input dimension): sign =
+    * parity of the first 32 md5 bits of "seed_j_i". Exposed so an
+    * external oracle can inline the IDENTICAL literals instead of
+    * trusting two engines' hash builtins to agree.
+    */
+  def jlSigns(dIn: Int, dOut: Int, seed: String): Seq[Seq[Long]] =
+    (0 until dOut).map { j =>
+      (0 until dIn).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${seed}_${j}_${i}".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection d → d′ with a
+    * deterministic Rademacher matrix (Achlioptas 2003: ±1 entries
+    * preserve pairwise distances in expectation like Gaussians, and
+    * the matvec is adds/subtracts only): y = R·x/√d′, reported with
+    * the per-vector norm distortion ‖y‖/‖x‖ — the dimensionality-
+    * reduction step a 100 TB vector corpus takes BEFORE paying for
+    * storage/ANN at full width, plus the audit of how much geometry
+    * the projection actually kept.
+    *
+    * Determinism: components quantize to scaled longs (`scale`,
+    * default 1e4); with ±1 signs every projected component is a plain
+    * SUM OF LONGS — exact in any aggregation or fold order — and both
+    * squared norms are exact long sums too. Doubles appear only in
+    * the final sqrt/divide chain (scale cancels in the distortion).
+    * Overflow bound: |y_scaled| ≤ d·scale·max|x| ≈ 2^31 at d = 64,
+    * so Σy² over d′ = 8 stays ≪ 2⁶³; wider inputs pass a coarser
+    * scale. The sign matrix derives from md5("seed_j_i") computed
+    * HERE (JVM md5) and exposed via [[jlSigns]] so an oracle replays
+    * the same literals.
+    *
+    * Scale shape: map-only — d′ zip_with/aggregate HOF folds per row
+    * inside one projection, zero exchanges (the [[quantizeInt8]]
+    * plan contract). Output: id, norms, distortion, and y1..yd′ as
+    * columns.
+    */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+                dIn: Int, dOut: Int, scale: Long = 10000L,
+                seed: String = "jl"): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val signs = jlSigns(dIn, dOut, seed)
+    val xs = transform(col(vecCol),
+      x => round(x.cast("double") * scale, 0).cast("long"))
+    val base = emb.select(col(idCol).as("id"), xs.as("xs"))
+    val ys = signs.zipWithIndex.map { case (row, j) =>
+      val sArr = array(row.map(lit): _*)
+      aggregate(zip_with(col("xs"), sArr, (x, s) => x * s),
+        lit(0L), (a, e) => a + e).as(s"_ys${j + 1}")
+    }
+    val nIn2 = aggregate(transform(col("xs"), x => x * x),
+      lit(0L), (a, e) => a + e).as("_nin2")
+    val wide = base.select((col("id") +: nIn2 +: ys): _*)
+    val nOut2 = (1 to dOut).map(j => col(s"_ys$j") * col(s"_ys$j"))
+      .reduce(_ + _)
+    val sc = scale.toDouble
+    val rtD = math.sqrt(dOut.toDouble)
+    val normIn = sqrt(d(col("_nin2"))) / sc
+    val normOut = sqrt(d(nOut2) / dOut) / sc
+    val outCols =
+      col("id") +:
+      round(normIn, 6).as("norm_in") +:
+      round(normOut, 6).as("norm_out") +:
+      when(col("_nin2") > 0,
+        round(sqrt(d(nOut2) / dOut) / sqrt(d(col("_nin2"))), 6))
+        .as("distortion") +:
+      (1 to dOut).map(j =>
+        round(d(col(s"_ys$j")) / sc / rtD, 6).as(s"y$j"))
+    wide.select(outCols: _*)
+  }
+
   /** Top principal component of the embedding corpus by power
     * iteration — the drift/whitening diagnostic an embedding pipeline
     * runs before trusting cosine geometry (a dominant component

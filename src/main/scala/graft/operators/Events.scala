@@ -969,6 +969,148 @@ object Events {
       when(minN >= 2, round(did / se, 6)).as("t_stat"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13
+    * — Controlled-experiment Using Pre-Experiment Data): per-user
+    * pre-period spend is the covariate, post-period spend the
+    * outcome; θ = cov(X,Y)/var(X) pooled over both arms, and each
+    * user's adjusted outcome Y − θ·(X − X̄) removes the variance the
+    * pre-period already explains. Reports the raw and the CUPED
+    * effect with both standard errors and the realized variance
+    * reduction — the difference between an A/B test that needs two
+    * more weeks and one that ships.
+    *
+    * Population and split reuse [[diffInDiff]]'s deterministic
+    * contract: treated = even user_id, post = exact-integer
+    * 2·day > min+max, cents as exact longs. Every per-arm and pooled
+    * moment (n, Σx, Σy, Σx², Σxy, Σy² × {treated, control}) comes
+    * from ONE conditional aggregate over the per-user table; doubles
+    * enter only in the final θ/mean/variance arithmetic with
+    * factor-first casts. Users with no pre-period rows carry X = 0
+    * (the standard CUPED convention — new users simply don't get
+    * adjusted). Degenerate guards: any arm with n < 2, or zero
+    * pre-period variance, nulls the CUPED columns; the raw effect
+    * still reports.
+    *
+    * Scale shape: one filtered scan + 1-row min/max broadcast + one
+    * per-user hash aggregate (map-side partials) + one 18-sum
+    * aggregate to a single row. Long-overflow bound: per-user cents
+    * ≲ 3·10⁶ keeps Σx²y² under 2⁶³ at 10⁹ users — coarser money
+    * scale at larger spend.
+    */
+  def cupedEffect(events: DataFrame,
+                  eventType: String = "purchase"): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val epoch0 = lit(java.sql.Date.valueOf("1970-01-01"))
+    val base = events.where(col("event_type") === eventType)
+      .select(col("user_id"),
+              datediff(to_date(col("ts")), epoch0).cast("long").as("ep"),
+              round(col("value") * 100, 0).cast("long").as("c"))
+    val mm = base.agg(min(col("ep")).as("mn"), max(col("ep")).as("mx"))
+    val perUser = base.crossJoin(broadcast(mm)) // 1-row scalar
+      .withColumn("post", col("ep") * 2 > col("mn") + col("mx"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(!col("post"), col("c"))), lit(0L)).as("x"),
+           coalesce(sum(when(col("post"), col("c"))), lit(0L)).as("y"))
+      .withColumn("t", col("user_id") % 2 === 0)
+    def arm(t: Boolean, sfx: String) = {
+      val in = col("t") === t
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+          sum(when(in, col("x")).otherwise(0L)).as(s"sx_$sfx"),
+          sum(when(in, col("y")).otherwise(0L)).as(s"sy_$sfx"),
+          sum(when(in, col("x") * col("x")).otherwise(0L)).as(s"sxx_$sfx"),
+          sum(when(in, col("x") * col("y")).otherwise(0L)).as(s"sxy_$sfx"),
+          sum(when(in, col("y") * col("y")).otherwise(0L)).as(s"syy_$sfx"))
+    }
+    val aggs = arm(true, "t") ++ arm(false, "c")
+    val g = perUser.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", col("n_t") + col("n_c"))
+      .withColumn("sx", col("sx_t") + col("sx_c"))
+      .withColumn("sy", col("sy_t") + col("sy_c"))
+      .withColumn("sxx", col("sxx_t") + col("sxx_c"))
+      .withColumn("sxy", col("sxy_t") + col("sxy_c"))
+      .withColumn("syy", col("syy_t") + col("syy_c"))
+    // pooled: cents² units; factor-first double casts
+    val covNum = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val varXNum = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varYNum = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val theta = covNum / varXNum
+    val meanXAll = d(col("sx")) / d(col("n"))
+    def meanY(s: String) = d(col(s"sy_$s")) / d(col(s"n_$s"))
+    def meanX(s: String) = d(col(s"sx_$s")) / d(col(s"n_$s"))
+    def adjMean(s: String) = meanY(s) - theta * (meanX(s) - meanXAll)
+    // per-arm sample variances (cents²)
+    def v(s: String, q: String, a: String, b: String) =
+      (d(col(s"n_$s")) * d(col(s"${q}_$s")) - d(col(s"${a}_$s")) * d(col(s"${b}_$s"))) /
+        (d(col(s"n_$s")) * (d(col(s"n_$s")) - 1.0))
+    def varAdj(s: String) =
+      v(s, "syy", "sy", "sy") + theta * theta * v(s, "sxx", "sx", "sx") -
+        lit(2.0) * theta * v(s, "sxy", "sx", "sy")
+    val seRaw = sqrt(v("t", "syy", "sy", "sy") / d(col("n_t")) +
+                     v("c", "syy", "sy", "sy") / d(col("n_c")))
+    val seAdj = sqrt(varAdj("t") / d(col("n_t")) + varAdj("c") / d(col("n_c")))
+    val effRaw = meanY("t") - meanY("c")
+    val effAdj = adjMean("t") - adjMean("c")
+    val ok = col("n_t") >= 2 && col("n_c") >= 2 && varXNum =!= 0
+    val okRaw = col("n_t") >= 2 && col("n_c") >= 2
+    g.select(
+      col("n_t").as("n_treated"), col("n_c").as("n_control"),
+      when(okRaw, round(effRaw / 100.0, 6)).as("effect_raw"),
+      when(okRaw, round(seRaw / 100.0, 6)).as("se_raw"),
+      when(ok, round(theta, 6)).as("theta"),
+      when(ok, round(effAdj / 100.0, 6)).as("effect_cuped"),
+      when(ok, round(seAdj / 100.0, 6)).as("se_cuped"),
+      when(ok && varYNum =!= 0,
+        round(covNum * covNum / (varXNum * varYNum), 6)).as("var_reduction"))
+  }
+
+  /** Experiment power analysis — the PLANNING twin of [[cupedEffect]]
+    * (CUPED shrinks the variance you have; this says what sample the
+    * next test needs): from the observed per-user spend distribution,
+    * the per-arm n required to detect each candidate minimum
+    * detectable effect at α = 0.05 two-sided, power 0.8 —
+    * n = 2·(z_{α/2}+z_β)²·σ²/δ², the two-sample z-test formula with
+    * z_{0.025}+z_{0.8} = 1.959964 + 0.841621 pinned as literals (both
+    * engines must square the SAME constant, not call their own
+    * quantile functions). One row per MDE with a feasibility flag
+    * against the observed population.
+    *
+    * Determinism: per-user cents and their moments are exact longs;
+    * σ², μ, δ and the ceil enter doubles in one pinned sequence
+    * (factor-first casts); n_per_arm = ceil cast long. Degenerate
+    * guards: n < 2 or zero variance nulls the estimate.
+    *
+    * Scale shape: one filtered scan → per-user hash aggregate →
+    * 3-sum 1-row aggregate; the MDE grid explodes from a literal
+    * array on that single row. Nothing data-sized survives the first
+    * aggregate.
+    */
+  def powerAnalysis(events: DataFrame, eventType: String = "purchase",
+                    mdes: Seq[Double] = Seq(0.01, 0.02, 0.05, 0.10)): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val perUser = events.where(col("event_type") === eventType)
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("user_id").agg(sum(col("c")).as("y"))
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("s1"), sum(col("y") * col("y")).as("s2"))
+    val zsum = lit(1.959964) + lit(0.841621)
+    val mu = d(col("s1")) / d(col("n"))
+    val variance = (d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1"))) /
+      (d(col("n")) * (d(col("n")) - 1.0))
+    val delta = col("mde") * mu
+    val nPerArm = ceil(lit(2.0) * zsum * zsum * variance / (delta * delta))
+      .cast("long")
+    val ok = col("n") >= 2 && variance > 0 && delta > 0
+    g.select(col("n"), col("s1"), col("s2"),
+        explode(array(mdes.map(lit): _*)).as("mde"))
+      .select(col("mde"),
+        round(mu / 100.0, 6).as("baseline_mean"),
+        when(ok, round(sqrt(variance) / 100.0, 6)).as("stddev"),
+        when(ok, round(delta / 100.0, 6)).as("target_delta"),
+        when(ok, nPerArm).as("n_per_arm"),
+        col("n").as("n_users_observed"),
+        when(ok, nPerArm * 2 <= col("n")).as("feasible_now"))
+  }
+
   /** Day-of-week seasonality profile per event type: for each ISO
     * weekday (1=Monday), the mean daily value and the seasonal index
     * (weekday mean ÷ overall daily mean — >1 means that weekday runs

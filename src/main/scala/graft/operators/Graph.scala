@@ -449,6 +449,23 @@ object Graph {
   def absorptionProbability(edges: DataFrame, srcCol: String, dstCol: String,
                             weightCol: String, target: org.apache.spark.sql.Column,
                             iters: Int): DataFrame = {
+    val (norm, nodes) = normalizedTransitions(edges, srcCol, dstCol, weightCol)
+    val prob = absorbIterate(norm, nodes, target, iters)
+    val out = prob.select(col("node"), round(col("pr"), 6).as("p_absorb"))
+      .localCheckpoint()
+    unpersistBacking(prob)
+    norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Round-9 transition probabilities + node set from a weighted edge
+    * table, both persisted — the shared head of
+    * [[absorptionProbability]] and [[markovRemovalAttribution]].
+    * Caller unpersists both.
+    */
+  private def normalizedTransitions(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String): (DataFrame, DataFrame) = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(weightCol).cast("double").as("w"))
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
@@ -460,6 +477,16 @@ object Graph {
       .union(norm.select(col("dst").as("node")))
       .distinct()
       .persist()
+    (norm, nodes)
+  }
+
+  /** The synchronous value-iteration core (see
+    * [[absorptionProbability]] for the determinism contract): returns
+    * the localCheckpointed round-`iters` (node, pr) table; caller
+    * releases it via [[unpersistBacking]].
+    */
+  private def absorbIterate(norm: DataFrame, nodes: DataFrame,
+      target: org.apache.spark.sql.Column, iters: Int): DataFrame = {
     var prob = nodes.select(col("node"),
       when(col("node") === target, lit(1.0)).otherwise(lit(0.0)).as("pr"))
     for (_ <- 1 to iters) {
@@ -474,14 +501,138 @@ object Graph {
             .otherwise(coalesce(col("v"), lit(0.0))).as("pr"))
       val prev = prob
       prob = next.localCheckpoint()
-      unpersistBacking(prev)
+      if (prev ne prob) unpersistBacking(prev)
     }
-    val out = prob.select(col("node"), round(col("pr"), 6).as("p_absorb"))
+    prob
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016 — the
+    * data-driven alternative to last-touch): model journeys as a
+    * first-order chain over channels, compute the `iters`-step
+    * conversion probability from the observed start-state mix, then
+    * for each channel DELETE its node (edges in and out drop; the
+    * lost mass is NOT renormalized — journeys that needed the channel
+    * die, which is the point) and re-run. Removal effect = 1 −
+    * P(conv | channel removed)/P(conv); attribution = each channel's
+    * share of the positive removal mass. One row per channel.
+    *
+    * Determinism: transition probabilities, start shares, and every
+    * iteration product follow [[absorptionProbability]]'s round-9 /
+    * exact-long-sum contract; the start-weighted conversion folds
+    * round-9 products through a long sum the same way; removal
+    * effects round to 6 and their attribution total sums 6-rounded
+    * values scaled to exact longs (order-independent). Negative
+    * effects (a channel whose removal HELPS) report as-is but
+    * contribute zero to the attribution denominator — the standard
+    * clamp, documented here rather than hidden.
+    *
+    * Scale shape: the corpus collapses to |channels|² edges and a
+    * |channels|-row start table in the caller's one window+aggregate
+    * pass; everything here is bounded-table work (channels are tens,
+    * never data-sized), so the 1 + |channels| value iterations cost
+    * |channels|·iters bounded jobs — no corpus rescan. `channels` is
+    * an explicit policy list (which nodes are paid media), not
+    * data-inferred.
+    */
+  def markovRemovalAttribution(edges: DataFrame, starts: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      startNodeCol: String, startWeightCol: String,
+      target: String, channels: Seq[String], iters: Int): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val (norm, nodes) = normalizedTransitions(edges, srcCol, dstCol, weightCol)
+    val st = starts.select(col(startNodeCol).as("node"),
+                           col(startWeightCol).cast("long").as("n_start"))
+    val stTot = st.agg(sum(col("n_start")).as("n_all"))
+    val share = st.crossJoin(broadcast(stTot)) // 1-row scalar
+      .select(col("node"), round(d(col("n_start")) / d(col("n_all")), 9).as("sh"))
       .localCheckpoint()
-    unpersistBacking(prob)
+    // start-mix conversion: Σ share(t)·pr(t), round-9 products through
+    // an exact long sum (the absorbIterate fold discipline)
+    def conv(prob: DataFrame): DataFrame = prob.join(share, Seq("node"))
+      .withColumn("cl", round(round(col("sh") * col("pr"), 9) * 1e9, 0).cast("long"))
+      .agg(round(sum(col("cl")) / 1e9, 9).as("conv"))
+    val full = absorbIterate(norm, nodes, lit(target), iters)
+    val convFull = conv(full).localCheckpoint()
+    unpersistBacking(full)
+    val perChannel = channels.map { c =>
+      val normC = norm.where(col("src") =!= c && col("dst") =!= c)
+      val probC = absorbIterate(normC, nodes, lit(target), iters)
+      val out = conv(probC).select(lit(c).as("channel"),
+                                   col("conv").as("conv_removed"))
+        .localCheckpoint()
+      unpersistBacking(probC)
+      out
+    }.reduce(_ unionByName _)
+    val eff = perChannel.crossJoin(broadcast(convFull)) // 1-row scalar
+      .withColumn("removal_effect",
+        when(col("conv") > 0,
+          round(lit(1.0) - col("conv_removed") / col("conv"), 6)))
+      .localCheckpoint()
+    val tot = eff.agg((sum(round(greatest(col("removal_effect"), lit(0.0)) * 1e6, 0)
+        .cast("long")) / lit(1e6)).as("eff_tot"))
+    val out = eff.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("channel"), col("conv").as("conv_full"), col("conv_removed"),
+        col("removal_effect"),
+        when(col("eff_tot") > 0,
+          round(greatest(col("removal_effect"), lit(0.0)) / col("eff_tot"), 6))
+          .as("attribution"))
+      .localCheckpoint()
     norm.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    unpersistBacking(share)
+    unpersistBacking(convFull)
+    unpersistBacking(eff)
     out
+  }
+
+  /** Degree distribution + power-law tail fit: the histogram of
+    * undirected-distinct node degrees, with a log-log OLS
+    * (slope/intercept/R²) over the BOUNDED histogram replicated onto
+    * every row — the pre-flight audit every graph algorithm here
+    * wants ("is this a hub-dominated power-law graph that needs the
+    * df-cut / salting path, or a bounded-degree mesh?").
+    *
+    * Determinism: degrees and histogram counts are exact longs; the
+    * fit quantizes ln(degree)/ln(count) to round-6-scaled longs (the
+    * [[TextAnalysis.zipfFit]] contract — libm ulp can't reach the
+    * sums) and the normal equations divide exact integers cast
+    * double factor-first. Degree-0 nodes can't exist here (nodes are
+    * defined by edges); a single-bin histogram nulls the fit.
+    *
+    * Scale shape: one distinct pass over edges, one node-keyed
+    * aggregate, one |degrees|-row aggregate; the fit runs on the
+    * bounded histogram and broadcasts back as a 1-row scalar. Same
+    * dedup conventions as [[kCore]] (direction, duplicate edges,
+    * self-loops ignored).
+    */
+  def degreeDistribution(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val und = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+                           greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val pts = hist.select(
+      round(log(d(col("degree"))) * 1e6, 0).cast("long").as("x"),
+      round(log(d(col("n_nodes"))) * 1e6, 0).cast("long").as("y"))
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val fit = g.select(
+      when(dx =!= 0, round(d(num) / d(dx), 6)).as("powerlaw_slope"),
+      when(dx =!= 0 && dy =!= 0,
+        round(d(num) * d(num) / (d(dx) * d(dy)), 6)).as("fit_r2"))
+    hist.crossJoin(broadcast(fit)) // 1-row scalar
+      .select(col("degree"), col("n_nodes"),
+              col("powerlaw_slope"), col("fit_r2"))
   }
 
   /** Association rules over item-container baskets: for canonical

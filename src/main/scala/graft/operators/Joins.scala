@@ -318,4 +318,42 @@ object Joins {
         ColumnBridge.expression(xxhash64(col(bigKey))))))
     pre.join(small, pre(bigKey) === small(smallKey))
   }
+
+  /** Materialize a table BUCKETED on its join key (hash-bucketed +
+    * per-bucket sorted files registered in the catalog) unless it
+    * already exists — the pay-the-shuffle-once side of the co-located
+    * join story: two fact tables bucketed the same way join with NO
+    * exchange on either side, forever after, because the scan itself
+    * reports the join's required hash distribution. At 100 TB this is
+    * the difference between shuffling both corpora per join and
+    * shuffling neither; AQE/broadcast solve the small-dim case, ONLY
+    * bucketing solves fact-to-fact. The external `path` keeps data
+    * out of the default warehouse; a fresh JVM whose catalog lost the
+    * table re-registers by rewriting (gate-scale rebuild — a real
+    * deployment re-attaches the existing files via CREATE TABLE).
+    */
+  def ensureBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                          df: => DataFrame, name: String, path: String,
+                          key: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      df.write.mode("overwrite").option("path", path)
+        .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(name)
+    }
+
+  /** Join two [[ensureBucketedTable]] tables on their bucket keys.
+    * With matching bucket counts the physical plan is a sort-merge
+    * join whose BOTH sides read pre-bucketed files — zero shuffle
+    * (spec-pinned with broadcast disabled in `BucketingSpec`-style
+    * assertions; at gate scale the optimizer may still prefer a
+    * broadcast, which is also exchange-free on the big side).
+    */
+  def bucketedEquiJoin(spark: org.apache.spark.sql.SparkSession,
+                       leftName: String, rightName: String,
+                       leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftName).join(spark.table(rightName),
+      col(leftKey) === col(rightKey))
 }

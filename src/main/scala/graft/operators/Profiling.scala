@@ -529,4 +529,112 @@ object Profiling {
               count(lit(1)).cast("double"), 6).as("violation_share"),
         (sum((col("n_rhs") > 1).cast("long")) === 0).as("holds"))
     }.reduce(_ unionByName _)
+
+  /** Chi-square test of independence between two categorical columns
+    * — the dependence audit [[pairwiseCorr]] can't run (correlation
+    * needs numerics; "is order priority independent of order status?"
+    * needs a contingency table). One summary row: chi², degrees of
+    * freedom, and Cramér's V (the [0,1] effect size that survives
+    * table size, unlike raw chi²).
+    *
+    * Determinism: cell counts and marginals are exact longs; each
+    * cell's contribution (o·n − r·c)²/(n·r·c) is computed with every
+    * factor cast to double FIRST (products ≤ n² ≈ 2^53-safe for
+    * n ≲ 9·10⁷ distinct cells·rows; the contingency table itself is
+    * category-bounded), then scaled to an exact long (×1e6) before
+    * the sum — the scaled-long discipline that makes the total
+    * aggregation-order-independent, so the hash survives any
+    * partition order.
+    * Zero-observed cells (grid cell with no rows) contribute their
+    * full expected mass — the grid is completed from the marginals,
+    * not just the observed pairs.
+    *
+    * Scale shape: one hash aggregate to |A|·|B| cells, two bounded
+    * marginal aggregates, a bounded marginal-grid join (category
+    * tables, broadcast), then a 1-row summary. The corpus is scanned
+    * once; everything after is category-sized.
+    */
+  def chiSquareIndependence(df: DataFrame, colA: String, colB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val obs = df.select(col(colA).as("a"), col(colB).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("a").agg(sum(col("o")).as("ra"))
+    val colT = obs.groupBy("b").agg(sum(col("o")).as("cb"))
+    // bounded category grid (|A|·|B| rows), NOT a data cartesian
+    val grid = rowT.crossJoin(broadcast(colT))
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val n1 = obs.agg(sum(col("o")).as("n"),
+                     countDistinct(col("a")).as("r_levels"),
+                     countDistinct(col("b")).as("c_levels"))
+    val dev = d(col("o")) * d(col("n")) - d(col("ra")) * d(col("cb"))
+    val contrib = round(
+      dev * dev / (d(col("n")) * d(col("ra")) * d(col("cb"))) * 1e6, 0)
+      .cast("long")
+    val cells = grid.crossJoin(broadcast(n1)) // 1-row scalar
+      .select(col("n"), col("r_levels"), col("c_levels"), contrib.as("x"))
+    cells.groupBy("n", "r_levels", "c_levels")
+      .agg(round(sum(col("x")) / 1e6, 6).as("chi2"))
+      .select(
+        lit(colA).as("col_a"), lit(colB).as("col_b"),
+        col("n").as("n_rows"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        col("chi2"),
+        when(col("r_levels") > 1 && col("c_levels") > 1,
+          round(sqrt(col("chi2") /
+            (d(col("n")) * d(least(col("r_levels"), col("c_levels")) - 1))), 6))
+          .as("cramers_v"))
+  }
+
+  /** Monotonic-key continuity audit: gaps and islands over an integer
+    * key column (invoice numbers, event ids, file sequence numbers) —
+    * the completeness check a warehouse runs on an ingest feed whose
+    * key SHOULD be dense ("did we drop a day of invoices?"). One
+    * summary row: distinct/duplicate counts, key range, total missing
+    * keys, number of gaps, and the widest gap.
+    *
+    * Scale shape — NO global window over the corpus: keys bucket by
+    * `key div bucketSize`, consecutive-key deltas come from a window
+    * partitioned BY BUCKET (parallel, each partition bucket-sized),
+    * and the cross-bucket boundary deltas come from a lead over the
+    * per-bucket min/max table — which has one row per bucket and is
+    * the only place a global order ever materializes. The invariant
+    * Σ gap = n_missing ties the two paths together (and the oracle
+    * recomputes both sides independently).
+    */
+  def sequenceGaps(df: DataFrame, keyCol: String,
+                   bucketSize: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(keyCol).cast("long").as("k"))
+      .where(col("k").isNotNull)
+    val totals = rows.agg(count(lit(1)).as("n_rows"))
+    val keys = rows.distinct()
+      .withColumn("bucket", floor(col("k") / bucketSize))
+    val wLocal = Window.partitionBy("bucket").orderBy("k")
+    val local = keys
+      .withColumn("gap", lead(col("k"), 1).over(wLocal) - col("k") - 1)
+      .where(col("gap") > 0).select(col("gap"))
+    val bounds = keys.groupBy("bucket")
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+           count(lit(1)).as("cnt"))
+    // bounded table (one row per occupied bucket): global order is fine
+    val wGlobal = Window.orderBy("bucket")
+    val boundary = bounds
+      .withColumn("gap", lead(col("mn"), 1).over(wGlobal) - col("mx") - 1)
+      .where(col("gap") > 0).select(col("gap"))
+    val gapStats = local.unionByName(boundary)
+      .agg(count(lit(1)).as("n_gaps"),
+           coalesce(sum(col("gap")), lit(0L)).as("missing_via_gaps"),
+           max(col("gap")).as("max_gap"))
+    val keyStats = bounds.agg(
+      sum(col("cnt")).as("n_keys"), min(col("mn")).as("min_key"),
+      max(col("mx")).as("max_key"))
+    keyStats.crossJoin(broadcast(totals)).crossJoin(broadcast(gapStats))
+      .select(
+        col("n_rows"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("n_dup_rows"),
+        col("min_key"), col("max_key"),
+        (col("max_key") - col("min_key") + 1 - col("n_keys")).as("n_missing"),
+        col("n_gaps"), col("missing_via_gaps"), col("max_gap"))
+  }
 }

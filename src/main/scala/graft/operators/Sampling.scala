@@ -292,4 +292,39 @@ object Sampling {
       .groupBy("bucket")
       .agg(min(struct(col("h"), col("id"))).getField("id").as("rep_id"),
            count(lit(1)).as("bucket_size"))
+
+  /** Effective-sample-size audit of a weighted corpus: per stratum,
+    * Kish's ESS = (Σw)²/Σw² and the efficiency ESS/n — the diagnostic
+    * that tells you whether [[weightedSample]]/temperature-style
+    * importance weights have quietly collapsed a million-row stratum
+    * onto a handful of heavy rows (efficiency → 0 means the weighted
+    * estimate rides on almost no data, however many rows survived).
+    * Run it AFTER every reweighting step, BEFORE trusting a weighted
+    * metric.
+    *
+    * Determinism: weights enter as exact integer units (`weightCol`
+    * already integral, e.g. token counts — no double sums), so Σw and
+    * Σw² are exact longs in any aggregation order; doubles appear
+    * only in the final two divisions, factor-first. Overflow bound:
+    * Σw² < 2⁶³ needs per-row w ≲ 3·10⁶ at 10⁹ rows — rescale heavier
+    * weights before the audit.
+    *
+    * Scale shape: ONE hash aggregate to |strata| rows (map-side
+    * partials), nothing else. The audit of a 100 TB corpus costs one
+    * scan.
+    */
+  def effectiveSampleSize(df: DataFrame, stratumCol: String,
+                          weightCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    df.select(col(stratumCol).as("stratum"),
+              col(weightCol).cast("long").as("w"))
+      .where(col("w").isNotNull && col("w") > 0)
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+           sum(col("w") * col("w")).as("sww"))
+      .select(col("stratum"), col("n"), col("sw").as("sum_w"),
+        round(d(col("sw")) * d(col("sw")) / d(col("sww")), 6).as("ess"),
+        round(d(col("sw")) * d(col("sw")) / d(col("sww")) / d(col("n")), 6)
+          .as("efficiency"))
+  }
 }

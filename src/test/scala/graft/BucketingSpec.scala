@@ -41,6 +41,37 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("ensureBucketedTable + bucketedEquiJoin: exchange-free serve, idempotent ensure") {
+    import graft.operators.Joins
+    val base = java.nio.file.Files.createTempDirectory("graft_bktspec").toString
+    val orders = Tables.load(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_mktsegment")
+    Joins.ensureBucketedTable(spark, orders, "bkt_o_spec", s"$base/o", "o_custkey", 8)
+    Joins.ensureBucketedTable(spark, customer, "bkt_c_spec", s"$base/c", "c_custkey", 8)
+    // second ensure must be a no-op (same files, frame never forced)
+    val mtime = new java.io.File(s"$base/o").lastModified()
+    Joins.ensureBucketedTable(spark,
+      sys.error("ensure must not re-evaluate the frame"): org.apache.spark.sql.DataFrame,
+      "bkt_o_spec", s"$base/o", "o_custkey", 8)
+    assert(new java.io.File(s"$base/o").lastModified() == mtime)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Joins.bucketedEquiJoin(spark, "bkt_o_spec", "bkt_c_spec",
+        "o_custkey", "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed pair must join with zero exchanges:\n$plan")
+      assert(joined.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_o_spec")
+      spark.sql("DROP TABLE IF EXISTS bkt_c_spec")
+    }
+  }
+
   test("salted join bounds the hot key's partition, naive join concentrates it") {
     import spark.implicits._
     // deliberately skewed fixture: one key owns 50% of the big side

@@ -176,4 +176,29 @@ class EmbeddingsSpec extends SparkSpec {
       .as[(Long, Double, Double, Boolean)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1L, 0.0, 1.0, false), (2L, 3.0, 0.0, true)), s"got $got")
   }
+
+  test("jlSigns: deterministic ±1 matrix; jlProject basis vector lands on the sign column") {
+    val s1 = Embeddings.jlSigns(64, 8, "jl")
+    assert(s1 == Embeddings.jlSigns(64, 8, "jl"))
+    assert(s1.size == 8 && s1.forall(_.size == 64))
+    assert(s1.flatten.forall(v => v == 1L || v == -1L))
+    assert(s1.flatten.toSet.size == 2, "a degenerate all-same matrix is no projection")
+    // e1 = (1, 0, …): y_j = sign(j,1)/√8, both norms 1, distortion 1
+    val e1 = (1L, Array.tabulate(64)(i => if (i == 0) 1f else 0f))
+    val zero = (2L, Array.fill(64)(0f))
+    val df = Seq(e1, zero).toDF("vec_id", "embedding")
+    val rows = Embeddings.jlProject(df, "vec_id", "embedding", dIn = 64, dOut = 8)
+      .orderBy("id").collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rows(0)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0,
+      s"unit basis vector must keep its norm exactly: $r")
+    (1 to 8).foreach { j =>
+      val expect = r6(s1(j - 1)(0).toDouble * 10000.0 / 10000.0 / math.sqrt(8.0))
+      assert(r.getDouble(3 + j) == expect, s"y$j: got ${r.getDouble(3 + j)}, want $expect")
+    }
+    val z = rows(1)
+    assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0 && z.isNullAt(3),
+      s"zero vector: zero norms, null distortion: $z")
+  }
 }

@@ -372,6 +372,54 @@ class EventsSpec extends SparkSpec {
     assert(got._6 > 0, "t-stat must be positive for a positive effect")
   }
 
+  test("cupedEffect: hand-computed integer moments; adjustment removes pre-period variance") {
+    def dts(d: Int) = new Timestamp(d * 86400000L)
+    // days 0..3, post = day ≥ 2. Per-user (x=pre, y=post) cents:
+    // treated u2 (1000,1200), u4 (500,600); control u1 (800,900), u3 (400,400)
+    val rows = Seq(
+      (2L, 0, 10.0), (2L, 2, 12.0), (4L, 1, 5.0), (4L, 3, 6.0),
+      (1L, 0, 8.0), (1L, 2, 9.0), (3L, 1, 4.0), (3L, 3, 4.0))
+    val e = rows.map { case (u, d0, v) => (u, "purchase", dts(d0), v) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.cupedEffect(e)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)].head()
+    // hand-derived exact sums: n=4 sx=2700 sy=3100 sxx=2050000
+    // sxy=2380000 syy=2770000 → covnum=1150000 varxnum=910000
+    // varynum=1470000; θ=1150000/910000; raw effect (900−650)/100=2.5;
+    // cuped effect (250 − θ·(750−675) + θ·(600−675))/100
+    val theta = 1150000.0 / 910000.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 2L && got._2 == 2L)
+    assert(got._3 == 2.5, s"raw effect: $got")
+    assert(got._5 == r6(theta), s"theta: $got")
+    assert(got._6 == r6((250.0 - theta * 150.0) / 100.0), s"cuped effect: $got")
+    assert(got._8 == r6(1150000.0 * 1150000.0 / (910000.0 * 1470000.0)),
+      s"var reduction: $got")
+    // the covariate-aligned fixture must cut the standard error
+    assert(got._7 < got._4, s"CUPED se must shrink: se_raw=${got._4} se_cuped=${got._7}")
+  }
+
+  test("powerAnalysis: hand-computed n-per-arm from exact moments, MDE grid, infeasible flag") {
+    def dts(d: Int) = new Timestamp(d * 86400000L)
+    // per-user totals (cents): 100, 200, 300, 400 → n=4 s1=1000
+    // s2=300000, μ=250, s² = (4·300000 − 10⁶)/12
+    val e = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .map { case (u, v) => (u, "purchase", dts(u.toInt), v) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.powerAnalysis(e, mdes = Seq(0.1, 0.5))
+      .orderBy("mde")
+      .as[(Double, Double, Double, Double, Long, Long, Boolean)].collect().toSeq
+    val variance = (4.0 * 300000.0 - 1000.0 * 1000.0) / (4.0 * 3.0)
+    val zsum = 1.959964 + 0.841621
+    def npa(delta: Double) = math.ceil(2.0 * zsum * zsum * variance / (delta * delta)).toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.size == 2)
+    assert(got(0) == ((0.1, 2.5, r6(math.sqrt(variance) / 100.0), 0.25,
+      npa(25.0), 4L, false)), s"got ${got(0)}")
+    assert(got(1)._4 == 1.25 && got(1)._5 == npa(125.0), s"got ${got(1)}")
+    assert(got(1)._5 < got(0)._5, "bigger effect needs fewer users")
+  }
+
   test("eraseUsers: affected days rewritten, emptied day deleted, untouched days byte-identical") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft_erasure").toString + "/lake"

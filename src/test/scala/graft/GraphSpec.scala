@@ -218,4 +218,40 @@ class GraphSpec extends SparkSpec {
       (2L, 3L, 1L, 0.5)), s"got $got")
   }
 
+  test("markovRemovalAttribution: removing the load-bearing channel kills its paths, no renormalization") {
+    // A → P always; B → P or C 50/50 (C is a dead end). Starts split
+    // A/B evenly → conv_full = 0.5·1 + 0.5·0.5 = 0.75.
+    // Remove A: only B's direct half survives → 0.25, effect 2/3.
+    // Remove C: B's P-edge keeps p = 0.5 (NOT renormalized to 1) →
+    // conv unchanged, effect 0 — the no-renormalization assertion.
+    val edges = Seq(("A", "P", 1.0), ("B", "P", 1.0), ("B", "C", 1.0))
+      .toDF("src", "dst", "w")
+    val starts = Seq(("A", 1L), ("B", 1L)).toDF("node", "n_start")
+    val got = Graph.markovRemovalAttribution(edges, starts,
+        "src", "dst", "w", "node", "n_start",
+        target = "P", channels = Seq("A", "C"), iters = 3)
+      .orderBy("channel")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 0.75, 0.25, 0.666667, 1.0),
+      ("C", 0.75, 0.75, 0.0, 0.0)), s"got $got")
+  }
+
+  test("degreeDistribution: exact histogram under dup/reversed/self edges; single-bin nulls the fit") {
+    // triangle a-b-c plus pendant d on c: degrees 2,2,3,1 →
+    // hist {1→1, 2→2, 3→1}; noise rows must not change it
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("b", "a"), ("a", "b"), ("d", "d")).toDF("src", "dst")
+    val got = Graph.degreeDistribution(edges, "src", "dst")
+      .orderBy("degree")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 1L), (2L, 2L), (3L, 1L)),
+      s"got $got")
+    assert(got.forall(_._3.isDefined), "3-bin histogram must fit a slope")
+    // one edge → every node degree 1 → single bin → dx = 0 → null fit
+    val k2 = Graph.degreeDistribution(Seq(("x", "y")).toDF("src", "dst"),
+        "src", "dst")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(k2 == Seq((1L, 2L, None, None)), s"got $k2")
+  }
 }

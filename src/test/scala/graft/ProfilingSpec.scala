@@ -348,4 +348,38 @@ class ProfilingSpec extends SparkSpec {
     assert(all == Seq(("a", 60L), ("b", 25L)) ++ (1 to 15).map(i => (s"s$i", 1L))
       .sortBy(_._1), s"got $all")
   }
+
+  test("chiSquareIndependence: hand-computed 2x2, zero cells completed from marginals") {
+    // symmetric association: obs (x,p)=3 (x,q)=1 (y,p)=1 (y,q)=3;
+    // n=8, all marginals 4, expected 2 per cell → chi2 = 4·0.5 = 2.0,
+    // dof 1, V = sqrt(2/8) = 0.5
+    val df = (Seq.fill(3)(("x", "p")) ++ Seq(("x", "q"), ("y", "p")) ++
+      Seq.fill(3)(("y", "q"))).toDF("a", "b")
+    val r = Profiling.chiSquareIndependence(df, "a", "b")
+      .select("n_rows", "r_levels", "c_levels", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(r == ((8L, 2L, 2L, 1L, 2.0, 0.5)), s"got $r")
+    // perfect association with EMPTY cells (x,q) and (y,p): the grid
+    // completion must charge their full expected mass → chi2 = n = 4
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val p = Profiling.chiSquareIndependence(perfect, "a", "b")
+      .select("chi2", "cramers_v").as[(Double, Double)].head()
+    assert(p == ((4.0, 1.0)), s"got $p")
+  }
+
+  test("sequenceGaps: bucket-local and cross-boundary gaps, dups, empty-gap case") {
+    // buckets of 10: {1,2,3,7} | {25,26} | {41}; local gap 3→7 (3),
+    // boundary gaps 7→25 (17) and 26→41 (14); Σgap = 34 = n_missing;
+    // one duplicate 25 → n_dup_rows 1
+    val keys = Seq(1L, 2L, 3L, 7L, 25L, 25L, 26L, 41L).toDF("k")
+    val g = Profiling.sequenceGaps(keys, "k", bucketSize = 10L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(g == ((8L, 7L, 1L, 1L, 41L, 34L, 3L, 34L, 17L)), s"got $g")
+    // dense keys: zero gaps, null max_gap
+    val dense = Seq(5L, 6L, 7L).toDF("k")
+    val d = Profiling.sequenceGaps(dense, "k", bucketSize = 10L)
+      .select("n_missing", "n_gaps", "max_gap")
+      .as[(Long, Long, Option[Long])].head()
+    assert(d == ((0L, 0L, None)), s"got $d")
+  }
 }

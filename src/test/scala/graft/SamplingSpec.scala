@@ -156,4 +156,21 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(7L, 8L, 9L, 10L), s"got $got")
     assert(got.forall(_._3 == 1.0), "B's capped rate must be exactly 1.0")
   }
+
+  test("effectiveSampleSize: uniform weights → ess = n; one dominant weight collapses it") {
+    // A: four equal weights → ESS 4, efficiency 1. B: (1000,1,1,1) →
+    // ESS = 1003²/1000003 ≈ 1.006 — four rows, one row of information
+    val df = ((1 to 4).map(i => (i.toLong, "A", 10L)) ++
+      Seq((5L, "B", 1000L), (6L, "B", 1L), (7L, "B", 1L), (8L, "B", 1L)) ++
+      Seq((9L, "C", 0L), (10L, "C", -5L))) // non-positive weights drop
+      .toDF("id", "stratum", "w")
+    val got = Sampling.effectiveSampleSize(df, "stratum", "w")
+      .orderBy("stratum")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.size == 2, s"stratum C had no positive weights: $got")
+    assert(got(0) == (("A", 4L, 40L, 4.0, 1.0)), s"got $got")
+    val essB = 1003.0 * 1003.0 / 1000003.0
+    assert(got(1) == (("B", 4L, 1003L, r6(essB), r6(essB / 4.0))), s"got $got")
+  }
 }
