@@ -834,6 +834,60 @@ object SparkEntry {
       s"\n SELECT node, label AS community FROM l$iters ORDER BY node"
   }
 
+  /** Modularity oracle: the [[labelPropSql]] round chain verbatim,
+    * then Newman's Q over the SAME symmetrized `und` table with
+    * weights cast back to exact longs (they are integral transition
+    * counts), contributions 6-rounded and ×1e6-scaled before the Q
+    * sum — [[graft.operators.Graph.modularity]]'s exact sequence.
+    */
+  private def modularitySql(iters: Int): String = {
+    val head = graphSqlHead +
+      """,
+        | und AS MATERIALIZED (SELECT src, dst, sum(w) AS w FROM (
+        |   SELECT src, dst, w FROM e
+        |   UNION ALL SELECT dst AS src, src AS dst, w FROM e)
+        |  GROUP BY 1, 2),
+        | l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | v$i AS MATERIALIZED (SELECT und.dst AS node, l.label,
+         |   round(sum(und.w), 9) AS score
+         |  FROM und JOIN l${i - 1} l ON und.src = l.node GROUP BY 1, 2),
+         | m$i AS MATERIALIZED (SELECT node, max(score) AS mx FROM v$i GROUP BY 1),
+         | l$i AS MATERIALIZED (SELECT nodes.node,
+         |   coalesce(wn.label, nodes.node) AS label
+         |  FROM nodes LEFT JOIN (
+         |   SELECT v.node, min(v.label) AS label
+         |   FROM v$i v JOIN m$i ON v.node = m$i.node AND v.score = m$i.mx
+         |   GROUP BY 1) wn ON nodes.node = wn.node)""".stripMargin
+    }.mkString
+    head + rounds + s""",
+       | undl AS MATERIALIZED (SELECT src, dst, CAST(w AS BIGINT) AS w FROM und),
+       | twom AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM undl),
+       | lj AS MATERIALIZED (SELECT u.w, ls.label AS cs, ld.label AS cd
+       |  FROM undl u JOIN l$iters ls ON u.src = ls.node
+       |   JOIN l$iters ld ON u.dst = ld.node),
+       | win AS MATERIALIZED (SELECT cs AS community, CAST(sum(w) AS BIGINT) AS w_in
+       |  FROM lj WHERE cs = cd GROUP BY 1),
+       | degn AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS k
+       |  FROM undl GROUP BY 1),
+       | degc AS MATERIALIZED (SELECT l.label AS community,
+       |   CAST(count(*) AS BIGINT) AS n_nodes,
+       |   CAST(sum(coalesce(degn.k, 0)) AS BIGINT) AS deg_tot
+       |  FROM l$iters l LEFT JOIN degn ON l.node = degn.node GROUP BY 1),
+       | contrib AS MATERIALIZED (SELECT community, n_nodes,
+       |   coalesce(w_in, 0) AS w_in, deg_tot,
+       |   round(coalesce(w_in, 0)::DOUBLE / m2::DOUBLE
+       |         - (deg_tot::DOUBLE / m2::DOUBLE) * (deg_tot::DOUBLE / m2::DOUBLE),
+       |     6) AS contribution
+       |  FROM degc LEFT JOIN win USING (community) CROSS JOIN twom),
+       | q AS MATERIALIZED (SELECT
+       |   round(CAST(sum(CAST(round(contribution * 1e6, 0) AS BIGINT)) AS BIGINT)
+       |     / 1e6, 6) AS q_modularity FROM contrib)
+       | SELECT community, n_nodes, w_in, deg_tot, contribution, q_modularity
+       | FROM contrib CROSS JOIN q ORDER BY community""".stripMargin
+  }
+
   // ---- PQ SQL twin: seeded subspace codebooks (m=8 × ksub=64 over
   // dim 64), `trainIters` per-subspace Lloyd refinements (iterated
   // CTEs, the cluster_kmeans_n technique with a subspace key), argmax
@@ -4147,6 +4201,33 @@ object SparkEntry {
         channels = Seq("click", "error", "signup", "view"), iters = 4)
         .orderBy("channel")
     }),
+
+    // content-addressed binary inventory: the no-codec multimodal
+    // dedup — payload pruned before the one content-keyed aggregate
+    "mm_dedup_binary" -> ((s, dir) =>
+      graft.operators.Multimodal.dedupBinary(
+        graft.operators.Multimodal.withPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "payload")
+        .orderBy("keeper_id")),
+
+    // Newman modularity of the label-prop partition: is the
+    // community structure denser than chance? Q + per-community
+    // contributions, exact long edge weights
+    "graph_modularity" -> ((s, dir) => {
+      val edges = transitionEdges(t(s, dir, "events"))
+      Graph.modularity(edges, "src", "dst", "w",
+          Graph.labelPropagation(edges, "src", "dst", "w", iters = 5),
+          "node", "community")
+        .orderBy("community")
+    }),
+
+    // Poisson-bootstrap CI on mean purchase value (Chamandy et al.):
+    // per-(row, replicate) Poisson(1) weights from the pinned md5
+    // ladder, 100 replicates sharing ONE shuffle, rank-based CI
+    "sample_bootstrap" -> ((s, dir) =>
+      Sampling.poissonBootstrapMean(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        "event_id", "value", reps = 100)),
 
     // degree histogram + power-law tail fit over the supplier–part
     // supply graph (namespaced node ids — the two key spaces collide
@@ -8037,6 +8118,56 @@ object SparkEntry {
     "events_attribution_markov" -> markovAttributionSql(
       target = "purchase",
       channels = Seq("click", "error", "signup", "view"), iters = 4),
+
+    "graph_modularity" -> modularitySql(iters = 5),
+
+    // DuckDB strings are UTF-8, so md5(text) hashes the same bytes
+    // the engine's binary payload carries
+    "mm_dedup_binary" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS content_md5,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        | g AS (SELECT content_md5, n_bytes,
+        |   min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM b GROUP BY 1, 2)
+        | SELECT keeper_id, content_md5, n_bytes, n_copies,
+        |  n_copies * n_bytes AS bytes_total,
+        |  (n_copies - 1) * n_bytes AS bytes_saved
+        | FROM g ORDER BY keeper_id""".stripMargin,
+
+    "sample_bootstrap" ->
+      """WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        | drawn AS (SELECT id, c, b,
+        |   ('0x' || substr(md5(id || '_' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+        |     / 4294967296.0 AS u
+        |  FROM base, UNNEST(range(1, 101)) AS t(b)),
+        | wtd AS (SELECT b, c,
+        |   CAST(len(list_filter([0.367879441, 0.735758882, 0.919698603,
+        |     0.981011843, 0.996340153, 0.999405815, 0.999916759, 0.999989751],
+        |     t -> u >= t)) AS BIGINT) AS w
+        |  FROM drawn),
+        | rm AS (SELECT b, round(sum(w * c)::DOUBLE / sum(w)::DOUBLE / 100.0, 6) AS m
+        |  FROM wtd GROUP BY 1 HAVING sum(w) > 0),
+        | rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rk FROM rm),
+        | st AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        |   min(CASE WHEN rk = 4 THEN m END) AS ci_low,
+        |   min(CASE WHEN rk = 97 THEN m END) AS ci_high,
+        |   CAST(sum(CAST(round(m * 1e6, 0) AS BIGINT)) AS BIGINT) AS s1,
+        |   CAST(sum(CAST(round(m * 1e6, 0) AS BIGINT)
+        |          * CAST(round(m * 1e6, 0) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM rk),
+        | pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |   CAST(sum(c) AS BIGINT) AS sc FROM base)
+        | SELECT n_rows, n_reps,
+        |  round(sc::DOUBLE / n_rows::DOUBLE / 100.0, 6) AS point_estimate,
+        |  ci_low, ci_high,
+        |  CASE WHEN n_reps >= 2 THEN
+        |   round(sqrt((n_reps::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+        |     / (n_reps::DOUBLE * (n_reps::DOUBLE - 1.0))) / 1e6, 6)
+        |  END AS se_boot
+        | FROM pt CROSS JOIN st""".stripMargin,
 
     "graph_degree_dist" ->
       """WITH und AS (SELECT DISTINCT

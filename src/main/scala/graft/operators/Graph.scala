@@ -585,6 +585,60 @@ object Graph {
     out
   }
 
+  /** Weighted modularity of a community assignment (Newman): per
+    * community c, contribution = Σ_in(c)/2m − (Σ_tot(c)/2m)², summed
+    * to Q ∈ [−0.5, 1] — the quality score that tells you whether
+    * [[labelPropagation]]'s partition actually has denser-than-chance
+    * internal structure or just converged somewhere. Reported per
+    * community with Q replicated (the degree-dist fit convention).
+    *
+    * Symmetrization contract matches [[labelPropagation]] (edges
+    * mirrored then weight-summed; every intra-community edge counts
+    * in both directions, consistent with the 2m normalization), but
+    * weights stay EXACT LONGS here — the label rounds need round-9
+    * doubles, modularity's sums don't, and long sums hash-match in
+    * any aggregation order. Contributions round to 6 and ×1e6-scale
+    * to longs before the Q sum. Communities without internal edges
+    * contribute −(Σ_tot/2m)² (w_in coalesced to 0).
+    *
+    * Scale shape: one symmetrize+sum aggregate, two |labels|-table
+    * joins onto the edge table (labels are |V|-sized — broadcast when
+    * small, shuffle-keyed otherwise), then community-bounded
+    * aggregates and a 1-row Q broadcast.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 weightCol: String, labels: DataFrame,
+                 labelNodeCol: String, labelCol: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("long").as("w"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val lab = labels.select(col(labelNodeCol).as("node"), col(labelCol).as("c"))
+    val twoM = und.agg(sum(col("w")).as("m2"))
+    val lj = und
+      .join(lab.withColumnRenamed("node", "src").withColumnRenamed("c", "cs"), "src")
+      .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("c", "cd"), "dst")
+    val wIn = lj.where(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community")).agg(sum(col("w")).as("w_in"))
+    val degN = und.groupBy(col("src").as("node")).agg(sum(col("w")).as("k"))
+    val degC = lab.join(degN, Seq("node"), "left")
+      .groupBy(col("c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+           sum(coalesce(col("k"), lit(0L))).as("deg_tot"))
+    val contrib = degC.join(wIn, Seq("community"), "left")
+      .crossJoin(broadcast(twoM)) // 1-row scalar
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"), col("deg_tot"),
+        round(d(coalesce(col("w_in"), lit(0L))) / d(col("m2"))
+              - (d(col("deg_tot")) / d(col("m2")))
+                * (d(col("deg_tot")) / d(col("m2"))), 6).as("contribution"))
+    val q = contrib.agg(
+      round(sum(round(col("contribution") * 1e6, 0).cast("long")) / 1e6, 6)
+        .as("q_modularity"))
+    contrib.crossJoin(broadcast(q)) // 1-row scalar
+  }
+
   /** Degree distribution + power-law tail fit: the histogram of
     * undirected-distinct node degrees, with a log-log OLS
     * (slope/intercept/R²) over the BOUNDED histogram replicated onto

@@ -61,6 +61,34 @@ object Multimodal {
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
         .withColumn("media_type", lit("text/plain"))
 
+  /** Content-addressed binary inventory — the NO-CODEC multimodal
+    * dedup (identical blobs are identical regardless of what they
+    * decode to): group payloads by (md5, byte length), report copy
+    * count, the deterministic keeper (min id), and the storage the
+    * duplicate copies waste. The first pass every media lake runs —
+    * re-uploaded and hot-linked assets collapse here before any
+    * perceptual/near-dup pass pays for decoding.
+    *
+    * Scale shape: the payload feeds two map-side expressions (md5 +
+    * octet_length) and is PRUNED before the one content-keyed hash
+    * aggregate — blobs never shuffle (the [[extractMeta]] posture).
+    * Exact integer counts/lengths; md5-of-bytes is engine-portable
+    * (for UTF-8-derived fixtures, SQL md5(text) hashes the same
+    * bytes).
+    */
+  def dedupBinary(media: DataFrame, idCol: String,
+                  payloadCol: String): DataFrame =
+    media.select(col(idCol).as("doc_id"),
+        md5(col(payloadCol)).as("content_md5"),
+        octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+      .groupBy("content_md5", "n_bytes")
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("content_md5"), col("n_bytes"),
+        col("n_copies"),
+        (col("n_copies") * col("n_bytes")).as("bytes_total"),
+        ((col("n_copies") - 1) * col("n_bytes")).as("bytes_saved"))
+
   /** Partition-batched decode: one iterator pass per partition, no
     * per-row task overhead, payload dropped from the output.
     */

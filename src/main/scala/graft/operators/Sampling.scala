@@ -293,6 +293,80 @@ object Sampling {
       .agg(min(struct(col("h"), col("id"))).getField("id").as("rep_id"),
            count(lit(1)).as("bucket_size"))
 
+  /** Cumulative Poisson(1) CDF ladder, pinned to 9 decimals so BOTH
+    * engines compare the same literals (never each engine's own
+    * `exp`): a uniform draw u maps to weight w = |{t : u ≥ t}|.
+    * Truncated at 8 (tail mass ~1.1e-6 — documented bias, far below
+    * bootstrap noise).
+    */
+  private val poisson1Cdf: Seq[Double] = Seq(
+    0.367879441, 0.735758882, 0.919698603, 0.981011843,
+    0.996340153, 0.999405815, 0.999916759, 0.999989751)
+
+  /** Poisson bootstrap confidence interval for a mean (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", Google
+    * 2012): instead of resampling n rows WITH replacement (impossible
+    * distributed — it needs global indexing), each row enters
+    * replicate b with weight ~ Poisson(1), independent across rows
+    * and replicates, which converges to the multinomial bootstrap at
+    * corpus n. THE way to put an error bar on a 100 TB metric in one
+    * pass: every replicate is just a weighted aggregate, and all
+    * `reps` of them share ONE shuffle.
+    *
+    * Determinism: the per-(row, replicate) weight derives from
+    * md5(id_b) through the pinned [[poisson1Cdf]] ladder — no RNG
+    * state, any partitioning, replayable by a SQL oracle. Replicate
+    * sums are exact cents·weight longs; the replicate means round to
+    * 6 and re-scale to exact longs for the bootstrap-SE moments. The
+    * CI is RANK-BASED on the bounded replicate table (sorted means at
+    * ranks ⌈0.025·reps⌉+1 and reps−⌈0.025·reps⌉ — no percentile
+    * interpolation, which engines implement differently).
+    *
+    * Scale shape: one scan exploded ×`reps` (map-side), ONE
+    * |reps|-group hash aggregate, then everything is reps-bounded
+    * (the rank window orders ≤ reps rows). Long-overflow bound:
+    * w ≤ 8, so Σ w·c inherits the money-scale bound ÷ 8.
+    */
+  def poissonBootstrapMean(df: DataFrame, idCol: String, valueCol: String,
+                           reps: Int = 100): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = df.select(col(idCol).cast("string").as("id"),
+      round(col(valueCol) * 100, 0).cast("long").as("c"))
+    val drawn = base
+      .withColumn("b", explode(sequence(lit(1), lit(reps))))
+      .withColumn("u",
+        conv(substring(md5(concat(col("id"), lit("_"), col("b").cast("string"))),
+          1, 8), 16, 10).cast("double") / 4294967296.0)
+      .withColumn("w",
+        size(filter(array(poisson1Cdf.map(lit): _*), t => col("u") >= t))
+          .cast("long"))
+    val repMeans = drawn.groupBy("b")
+      .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("b"),
+        round(d(col("swc")) / d(col("sw")) / 100.0, 6).as("m"))
+    val w6 = Window.orderBy("m", "b") // reps-bounded table
+    val ranked = repMeans.withColumn("rk", row_number().over(w6))
+    val lo = math.ceil(0.025 * reps).toLong + 1
+    val hi = reps - math.ceil(0.025 * reps).toLong
+    val stats = ranked
+      .withColumn("m6", round(col("m") * 1e6, 0).cast("long"))
+      .agg(count(lit(1)).as("n_reps"),
+           min(when(col("rk") === lo, col("m"))).as("ci_low"),
+           min(when(col("rk") === hi, col("m"))).as("ci_high"),
+           sum(col("m6")).as("s1"), sum(col("m6") * col("m6")).as("s2"))
+    val point = base.agg(count(lit(1)).as("n_rows"),
+      sum(col("c")).as("sc"))
+    val seBoot = sqrt(
+      (d(col("n_reps")) * d(col("s2")) - d(col("s1")) * d(col("s1"))) /
+        (d(col("n_reps")) * (d(col("n_reps")) - 1.0))) / 1e6
+    point.crossJoin(broadcast(stats)) // 1-row scalars
+      .select(col("n_rows"), col("n_reps"),
+        round(d(col("sc")) / d(col("n_rows")) / 100.0, 6).as("point_estimate"),
+        col("ci_low"), col("ci_high"),
+        when(col("n_reps") >= 2, round(seBoot, 6)).as("se_boot"))
+  }
+
   /** Effective-sample-size audit of a weighted corpus: per stratum,
     * Kish's ESS = (Σw)²/Σw² and the efficiency ESS/n — the diagnostic
     * that tells you whether [[weightedSample]]/temperature-style

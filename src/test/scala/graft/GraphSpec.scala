@@ -237,6 +237,28 @@ class GraphSpec extends SparkSpec {
       ("C", 0.75, 0.75, 0.0, 0.0)), s"got $got")
   }
 
+  test("modularity: two clean triangles score Q=0.357142; one-blob partition scores 0") {
+    // triangles a-b-c and d-e-f, bridge c-d, unit weights. Perfect
+    // partition: 2m=14, per triangle Σ_in=6, Σ_tot=7 →
+    // contribution 6/14 − (7/14)² = 0.178571 each, Q = 0.357142
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d"))
+      .map { case (s0, d0) => (s0, d0, 1L) }.toDF("src", "dst", "w")
+    val good = Seq(("a", "X"), ("b", "X"), ("c", "X"),
+      ("d", "Y"), ("e", "Y"), ("f", "Y")).toDF("node", "community")
+    val got = Graph.modularity(edges, "src", "dst", "w", good, "node", "community")
+      .orderBy("community")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("X", 3L, 6L, 7L, 0.178571, 0.357142),
+      ("Y", 3L, 6L, 7L, 0.178571, 0.357142)), s"got $got")
+    // degenerate one-community partition: Q must be exactly 0
+    val blob = good.select(col("node"), lit("Z").as("community"))
+    val q0 = Graph.modularity(edges, "src", "dst", "w", blob, "node", "community")
+      .select("q_modularity").as[Double].head()
+    assert(q0 == 0.0, s"one blob must score 0, got $q0")
+  }
+
   test("degreeDistribution: exact histogram under dup/reversed/self edges; single-bin nulls the fit") {
     // triangle a-b-c plus pendant d on c: degrees 2,2,3,1 →
     // hist {1→1, 2→2, 3→1}; noise rows must not change it

@@ -88,6 +88,26 @@ class PlanShapeSpec extends SparkSpec {
       "probe + chunk explode must stream through the scan with no shuffle")
   }
 
+  test("dedupBinary collapses identical payloads; blobs pruned before the shuffle (mm_dedup_binary)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val inv = graft.operators.Multimodal.dedupBinary(
+      graft.operators.Multimodal.withPayload(docs, "text"), "doc_id", "payload")
+    val got = inv.orderBy("keeper_id")
+      .select("keeper_id", "n_bytes", "n_copies", "bytes_saved")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, 4L), (3L, 5L, 1L, 0L)), s"got $got")
+    // the binary column must be pruned before the content aggregate:
+    // the blob feeds md5/octet_length map-side and never shuffles
+    val agg = inv.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.head
+    assert(!agg.child.output.exists(_.name == "payload"),
+      s"payload must not reach the aggregate input: ${agg.child.output}")
+  }
+
   test("image tiling is map-only — zero shuffles (mm_image_tiles)") {
     import spark.implicits._
     val docs = graft.operators.Multimodal.withPayload(

@@ -173,4 +173,23 @@ class SamplingSpec extends SparkSpec {
     val essB = 1003.0 * 1003.0 / 1000003.0
     assert(got(1) == (("B", 4L, 1003L, r6(essB), r6(essB / 4.0))), s"got $got")
   }
+
+  test("poissonBootstrapMean: constant metric has zero-width CI; deterministic under repartitioning") {
+    val df = (1L to 50L).map(i => (i, 2.0)).toDF("id", "v")
+    val got = Sampling.poissonBootstrapMean(df, "id", "v", reps = 100)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    // every replicate mean of a constant IS the constant, whatever
+    // the Poisson weights drew → degenerate interval, zero boot SE
+    assert(got == ((50L, 100L, 2.0, 2.0, 2.0, 0.0)), s"got $got")
+    // varying metric: identical output across partitionings (no RNG
+    // state; the md5 draw is row-content-derived)
+    val vary = (1L to 60L).map(i => (i, (i % 7).toDouble)).toDF("id", "v")
+    val a = Sampling.poissonBootstrapMean(vary, "id", "v", reps = 100).head()
+    val b = Sampling.poissonBootstrapMean(vary.repartition(7), "id", "v", reps = 100).head()
+    assert(a == b, s"partitioning changed the bootstrap: $a vs $b")
+    assert(a.getDouble(3) < a.getDouble(4), "varying metric must widen the CI")
+    assert(a.getDouble(5) > 0, "boot SE must be positive")
+    // the CI must bracket the point estimate
+    assert(a.getDouble(3) <= a.getDouble(2) && a.getDouble(2) <= a.getDouble(4))
+  }
 }
