@@ -27,7 +27,11 @@ object PlanAudit {
                // after any change to their operators
                "sim_knn_graph", "graph_kcore", "graph_assoc_rules",
                "events_rfm", "join_latest_order", "sample_neyman",
-               "text_bpe_train", "events_absorption")
+               "text_bpe_train", "events_absorption",
+               // round-5 continuation surface
+               "events_cuped", "profile_gaps", "emb_jl_project",
+               "sample_bootstrap", "join_bucketed", "graph_degree_dist",
+               "mm_dedup_binary")
     for (name <- names) {
       println(s"================ $name ================")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

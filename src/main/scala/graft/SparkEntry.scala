@@ -4202,6 +4202,24 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // DAU/WAU/MAU + stickiness: corpus reduces to user-days ONCE,
+    // trailing windows via bounded ×7/×30 replication (sliding
+    // count-distinct doesn't decompose into a window aggregate)
+    "events_active_users" -> ((s, dir) =>
+      Events.activeUsers(t(s, dir, "events"))
+        .orderBy("day")),
+
+    // missingness-pattern audit; the fixture ships no nulls, so the
+    // gate audits a nullif-derived view (production audits raw
+    // columns) — all four patterns appear
+    "profile_null_patterns" -> ((s, dir) =>
+      Profiling.nullPatterns(
+        t(s, dir, "orders").select(
+          expr("nullif(o_orderstatus, 'O')").as("status"),
+          expr("nullif(o_orderpriority, '1-URGENT')").as("priority")),
+        Seq("status", "priority"))
+        .orderBy("pattern")),
+
     // content-addressed binary inventory: the no-codec multimodal
     // dedup — payload pruned before the one content-keyed aggregate
     "mm_dedup_binary" -> ((s, dir) =>
@@ -8120,6 +8138,41 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"), iters = 4),
 
     "graph_modularity" -> modularitySql(iters = 5),
+
+    "events_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS ep
+        |  FROM events),
+        | mau AS (SELECT ep + d AS day_ep, count(DISTINCT user_id) AS mau
+        |  FROM ud, UNNEST(range(0, 30)) AS t(d) GROUP BY 1),
+        | wau AS (SELECT ep + d AS day_ep, count(DISTINCT user_id) AS wau
+        |  FROM ud, UNNEST(range(0, 7)) AS t(d) GROUP BY 1),
+        | dau AS (SELECT ep AS day_ep, count(DISTINCT user_id) AS dau
+        |  FROM ud GROUP BY 1),
+        | mx AS (SELECT max(ep) AS mx FROM ud)
+        | SELECT DATE '1970-01-01' + CAST(day_ep AS INT) AS day,
+        |  coalesce(dau, 0) AS dau, coalesce(wau, 0) AS wau, mau,
+        |  CASE WHEN coalesce(wau, 0) > 0
+        |   THEN round(coalesce(dau, 0)::DOUBLE / wau::DOUBLE, 6)
+        |  END AS stickiness_dw,
+        |  round(coalesce(dau, 0)::DOUBLE / mau::DOUBLE, 6) AS stickiness_dm
+        | FROM mau LEFT JOIN wau USING (day_ep) LEFT JOIN dau USING (day_ep)
+        |  CROSS JOIN mx
+        | WHERE day_ep <= mx ORDER BY day""".stripMargin,
+
+    "profile_null_patterns" ->
+      """WITH v AS (SELECT nullif(o_orderstatus, 'O') AS status,
+        |   nullif(o_orderpriority, '1-URGENT') AS priority FROM orders),
+        | g AS (SELECT
+        |   (status IS NULL)::INT::VARCHAR || ',' ||
+        |   (priority IS NULL)::INT::VARCHAR AS pattern,
+        |   CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM v GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM g)
+        | SELECT 'status,priority' AS columns, pattern, n_rows,
+        |  round(n_rows::DOUBLE / n_total::DOUBLE, 6) AS share,
+        |  (pattern = '0,0') AS is_complete
+        | FROM g CROSS JOIN tot ORDER BY pattern""".stripMargin,
 
     // DuckDB strings are UTF-8, so md5(text) hashes the same bytes
     // the engine's binary payload carries

@@ -1063,6 +1063,55 @@ object Events {
         round(covNum * covNum / (varXNum * varYNum), 6)).as("var_reduction"))
   }
 
+  /** DAU / WAU / MAU active-user rollup with stickiness ratios — the
+    * product-analytics headline metrics. Trailing windows (day d
+    * counts users active in (d−6..d] / (d−29..d]) computed EXACTLY:
+    * a sliding count-distinct can't be expressed as a window
+    * aggregate (distinct doesn't decompose), so the corpus first
+    * reduces to the bounded (user, day) table, each user-day then
+    * replicates onto the ≤30 trailing days it keeps that user active
+    * for, and one day-keyed distinct count per horizon finishes the
+    * job. Early days carry partial windows (standard dashboard
+    * semantics).
+    *
+    * Scale shape: the ONLY corpus-sized work is the first
+    * distinct-user-day aggregate; the ×7/×30 replication happens on
+    * the bounded user-day table (|users|·|days| rows), not raw
+    * events. Exact longs; stickiness divides exact counts cast
+    * double factor-first, round 6.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val epoch0 = lit(java.sql.Date.valueOf("1970-01-01"))
+    val userDays = events
+      .select(col("user_id"),
+              datediff(to_date(col("ts")), epoch0).cast("long").as("ep"))
+      .distinct()
+    def horizon(len: Int, name: String) = userDays
+      .withColumn("day_ep", explode(sequence(col("ep"), col("ep") + (len - 1))))
+      .groupBy("day_ep")
+      .agg(countDistinct(col("user_id")).as(name))
+    val dau = userDays.groupBy(col("ep").as("day_ep"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    // MAU's day set ⊇ WAU's ⊇ DAU's (wider trailing window); base on
+    // MAU so an idle day still reports its rolling actives, and trim
+    // the windows spilling past the observed range
+    val lastDay = userDays.agg(max(col("ep")).as("mx"))
+    horizon(30, "mau")
+      .join(horizon(7, "wau"), Seq("day_ep"), "left")
+      .join(dau, Seq("day_ep"), "left")
+      .crossJoin(broadcast(lastDay)) // 1-row scalar
+      .where(col("day_ep") <= col("mx"))
+      .select(date_add(epoch0, col("day_ep").cast("int")).as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"), col("mau"),
+        when(coalesce(col("wau"), lit(0L)) > 0,
+          round(d(coalesce(col("dau"), lit(0L))) / d(col("wau")), 6))
+          .as("stickiness_dw"),
+        round(d(coalesce(col("dau"), lit(0L))) / d(col("mau")), 6)
+          .as("stickiness_dm"))
+  }
+
   /** Experiment power analysis — the PLANNING twin of [[cupedEffect]]
     * (CUPED shrinks the variance you have; this says what sample the
     * next test needs): from the observed per-user spend distribution,

@@ -530,6 +530,31 @@ object Profiling {
         (sum((col("n_rhs") > 1).cast("long")) === 0).as("holds"))
     }.reduce(_ unionByName _)
 
+  /** Missingness-pattern audit: one row per observed NULL-combination
+    * across the audited columns (pattern string like "1,0,1" in
+    * column order, 1 = null), with count and share — the structural
+    * view [[profileColumns]]'s per-column null counts can't give:
+    * whether nulls co-occur (one broken upstream join) or scatter
+    * independently (organic sparsity) decides the repair strategy.
+    *
+    * Scale shape: ONE hash aggregate on the pattern tuple (map-side
+    * partials shrink every task to ≤ 2^|cols| rows), a 1-row total
+    * broadcast, exact counts; share divides exact longs factor-first.
+    */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val pat = concat_ws(",",
+      cols.map(c => col(c).isNull.cast("int").cast("string")): _*)
+    val g = df.select(pat.as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_rows"))
+    val tot = g.agg(sum(col("n_rows")).as("n_total"))
+    g.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(lit(cols.mkString(",")).as("columns"), col("pattern"),
+        col("n_rows"),
+        round(d(col("n_rows")) / d(col("n_total")), 6).as("share"),
+        (col("pattern") === cols.map(_ => "0").mkString(",")).as("is_complete"))
+  }
+
   /** Chi-square test of independence between two categorical columns
     * — the dependence audit [[pairwiseCorr]] can't run (correlation
     * needs numerics; "is order priority independent of order status?"

@@ -399,6 +399,23 @@ class EventsSpec extends SparkSpec {
     assert(got._7 < got._4, s"CUPED se must shrink: se_raw=${got._4} se_cuped=${got._7}")
   }
 
+  test("activeUsers: trailing windows, idle-day zero DAU, range trim, stickiness guards") {
+    def dts(d: Int) = new Timestamp(d * 86400000L)
+    // u1 active day 0; u2 active days 0 and 8 → 9 reported days
+    val e = Seq((1L, 0), (2L, 0), (2L, 8))
+      .map { case (u, d0) => (u, "view", dts(d0), 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.activeUsers(e).orderBy("day")
+      .select("dau", "wau", "mau", "stickiness_dw", "stickiness_dm")
+      .as[(Long, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(got.size == 9, s"windows past max(day) must trim: ${got.size}")
+    assert(got(0) == ((2L, 2L, 2L, Some(1.0), 1.0)), s"day0: ${got(0)}")
+    assert(got(1) == ((0L, 2L, 2L, Some(0.0), 0.0)), s"day1: ${got(1)}")
+    assert(got(7) == ((0L, 0L, 2L, None, 0.0)),
+      s"day7 leaves the 7d window → null stickiness: ${got(7)}")
+    assert(got(8) == ((1L, 1L, 2L, Some(1.0), 0.5)), s"day8: ${got(8)}")
+  }
+
   test("powerAnalysis: hand-computed n-per-arm from exact moments, MDE grid, infeasible flag") {
     def dts(d: Int) = new Timestamp(d * 86400000L)
     // per-user totals (cents): 100, 200, 300, 400 → n=4 s1=1000

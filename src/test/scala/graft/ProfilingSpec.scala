@@ -367,6 +367,20 @@ class ProfilingSpec extends SparkSpec {
     assert(p == ((4.0, 1.0)), s"got $p")
   }
 
+  test("nullPatterns: co-occurrence patterns with shares and the complete flag") {
+    val df = Seq(
+      (Some("x"), Some(1)), (None, Some(2)), (None, None), (None, Some(3))
+    ).toDF("a", "b")
+    val got = Profiling.nullPatterns(df, Seq("a", "b"))
+      .orderBy("pattern")
+      .select("pattern", "n_rows", "share", "is_complete")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("0,0", 1L, 0.25, true),
+      ("1,0", 2L, 0.5, false),
+      ("1,1", 1L, 0.25, false)), s"got $got")
+  }
+
   test("sequenceGaps: bucket-local and cross-boundary gaps, dups, empty-gap case") {
     // buckets of 10: {1,2,3,7} | {25,26} | {41}; local gap 3→7 (3),
     // boundary gaps 7→25 (17) and 26→41 (14); Σgap = 34 = n_missing;
