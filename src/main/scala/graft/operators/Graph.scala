@@ -554,7 +554,12 @@ object Graph {
     val full = absorbIterate(norm, nodes, lit(target), iters)
     val convFull = conv(full).localCheckpoint()
     unpersistBacking(full)
-    val perChannel = channels.map { c =>
+    // the removal chains are INDEPENDENT value iterations over the
+    // same persisted norm/nodes — run them concurrently (each chain
+    // is a string of tiny bounded-table jobs; serial execution pays
+    // |channels|× the per-job scheduling latency for nothing)
+    import scala.collection.parallel.CollectionConverters._
+    val perChannel = channels.par.map { c =>
       val normC = norm.where(col("src") =!= c && col("dst") =!= c)
       val probC = absorbIterate(normC, nodes, lit(target), iters)
       val out = conv(probC).select(lit(c).as("channel"),
@@ -562,7 +567,7 @@ object Graph {
         .localCheckpoint()
       unpersistBacking(probC)
       out
-    }.reduce(_ unionByName _)
+    }.seq.reduce(_ unionByName _)
     val eff = perChannel.crossJoin(broadcast(convFull)) // 1-row scalar
       .withColumn("removal_effect",
         when(col("conv") > 0,

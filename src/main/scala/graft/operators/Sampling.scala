@@ -332,14 +332,21 @@ object Sampling {
     def d(c: Column) = c.cast("double")
     val base = df.select(col(idCol).cast("string").as("id"),
       round(col(valueCol) * 100, 0).cast("long").as("c"))
-    val drawn = base
+    // a selective upstream filter can collapse the base onto one
+    // input split, serializing the ×reps fan-out and its md5 work —
+    // spread the (narrow, pre-explode) rows first. At scale the scan
+    // already supplies partitions and this is one cheap row shuffle.
+    val drawn = base.repartition(col("id"))
       .withColumn("b", explode(sequence(lit(1), lit(reps))))
       .withColumn("u",
         conv(substring(md5(concat(col("id"), lit("_"), col("b").cast("string"))),
           1, 8), 16, 10).cast("double") / 4294967296.0)
+      // w = |{t : u ≥ t}| as a flat comparison ladder — same value as
+      // a filter() HOF over the CDF array, but fully codegen'd (the
+      // HOF interprets its lambda and allocates the array per row —
+      // measured 5× slower over the ×reps fan-out)
       .withColumn("w",
-        size(filter(array(poisson1Cdf.map(lit): _*), t => col("u") >= t))
-          .cast("long"))
+        poisson1Cdf.map(t => (col("u") >= t).cast("long")).reduce(_ + _))
     val repMeans = drawn.groupBy("b")
       .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
       .where(col("sw") > 0)
