@@ -4202,6 +4202,28 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // set-completion funnel: all steps in ANY order, exact ms span
+    // from first step to set completion — one conditional aggregate
+    "events_funnel_unordered" -> ((s, dir) =>
+      Events.funnelUnordered(t(s, dir, "events"),
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // leave-one-out kNN label coherence: per-class accuracy of
+    // majority-vote classification over the bucketed kNN graph — the
+    // model-free embedding-quality eval (first use of the `label`
+    // column the fixture ships)
+    "sim_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", k = 3)
+        .orderBy("true_label")),
+
+    // group-integral k-fold assignment audit: folds derive from
+    // md5(user) so no user straddles a train/eval boundary
+    "sample_kfold" -> ((s, dir) =>
+      Sampling.groupKFold(t(s, dir, "events"), "user_id", k = 5)
+        .orderBy("fold")),
+
     // DAU/WAU/MAU + stickiness: corpus reduces to user-days ONCE,
     // trailing windows via bounded ×7/×30 replication (sliding
     // count-distinct doesn't decompose into a window aggregate)
@@ -8138,6 +8160,62 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"), iters = 4),
 
     "graph_modularity" -> modularitySql(iters = 5),
+
+    "events_funnel_unordered" ->
+      """WITH m AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t0,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t2
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        | GROUP BY 1)
+        | SELECT user_id,
+        |  greatest(t0, t1, t2) - least(t0, t1, t2) AS ms_to_complete
+        | FROM m WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        | ORDER BY user_id""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND c.id <> q.id),
+         | scored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id),
+         | knn AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, corpus_id) AS rnk
+         |  FROM scored) WHERE rnk <= 3),
+         | votes AS (SELECT k.query_id, l.label AS nbr_label,
+         |   CAST(count(*) AS BIGINT) AS votes
+         |  FROM knn k JOIN embeddings l ON l.vec_id = k.corpus_id GROUP BY 1, 2),
+         | pred AS (SELECT query_id, nbr_label AS pred_label FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, nbr_label) AS rn FROM votes) WHERE rn = 1),
+         | acc AS (SELECT emb.label AS true_label, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(coalesce(sum(CASE WHEN p.pred_label = emb.label THEN 1 END), 0)
+         |     AS BIGINT) AS n_correct
+         |  FROM embeddings emb LEFT JOIN pred p ON p.query_id = emb.vec_id
+         |  GROUP BY 1)
+         | SELECT true_label, n, n_correct,
+         |  round(n_correct::DOUBLE / n::DOUBLE, 6) AS accuracy
+         | FROM acc ORDER BY true_label""".stripMargin,
+
+    "sample_kfold" ->
+      """WITH a AS (SELECT
+        |   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5
+        |     AS fold, user_id
+        |  FROM events),
+        | g AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+        |   count(DISTINCT user_id) AS n_groups FROM a GROUP BY 1),
+        | t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM g)
+        | SELECT fold, n_rows, n_groups,
+        |  round(n_rows::DOUBLE / n_total::DOUBLE, 6) AS row_share
+        | FROM g CROSS JOIN t ORDER BY fold""".stripMargin,
 
     "events_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -1063,6 +1063,33 @@ object Events {
         round(covNum * covNum / (varXNum * varYNum), 6)).as("var_reduction"))
   }
 
+  /** Unordered (set-completion) funnel: users who performed ALL the
+    * `steps` in ANY order, with the exact span from their first step
+    * event to the moment the set completed (= the latest of the
+    * per-step FIRST occurrences) — the basket/checklist twin of the
+    * strictly-sequenced [[funnel]] (activation checklists and
+    * feature-adoption sets don't care about order; a strict funnel
+    * undercounts them).
+    *
+    * Determinism: one conditional min-per-step aggregate per user on
+    * exact epoch-millis; completion requires every min non-null.
+    * Scale shape: ONE user-keyed hash aggregate over the filtered
+    * scan (map-side partials), no window, no join.
+    */
+  def funnelUnordered(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col("event_type") === s, ms)).as(s"t$i")
+    }
+    val cols = steps.indices.map(i => col(s"t$i"))
+    events.where(col("event_type").isin(steps: _*))
+      .groupBy("user_id")
+      .agg(mins.head, mins.tail: _*)
+      .where(cols.map(_.isNotNull).reduce(_ && _))
+      .select(col("user_id"),
+        (greatest(cols: _*) - least(cols: _*)).as("ms_to_complete"))
+  }
+
   /** DAU / WAU / MAU active-user rollup with stickiness ratios — the
     * product-analytics headline metrics. Trailing windows (day d
     * counts users active in (d−6..d] / (d−29..d]) computed EXACTLY:

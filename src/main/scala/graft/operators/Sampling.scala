@@ -374,6 +374,34 @@ object Sampling {
         when(col("n_reps") >= 2, round(seBoot, 6)).as("se_boot"))
   }
 
+  /** Group-integral k-fold assignment: every row's fold derives from
+    * md5 of its GROUP key (mod k), so a group can never straddle a
+    * train/validation boundary — the leakage guard for grouped data
+    * (all of one user's rows stay together; a per-row split would
+    * leak user identity across folds and inflate eval). Returns the
+    * per-fold audit (rows, distinct groups, shares); the assignment
+    * itself is the deterministic expression any pipeline stage can
+    * re-derive.
+    *
+    * Scale shape: one hash aggregate on (fold) with an exact
+    * distinct-group count; md5 is content-derived — stable across
+    * runs, partitionings, and engines (the [[md5Uniform]] twin for
+    * integers: ('0x' || substr(md5(g), 1, 8))::BIGINT % k).
+    */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val fold = pmod(
+      conv(substring(md5(col(groupCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(k.toLong))
+    val g = df.select(fold.as("fold"), col(groupCol).as("g"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("g")).as("n_groups"))
+    val tot = g.agg(sum(col("n_rows")).as("n_total"))
+    g.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("fold"), col("n_rows"), col("n_groups"),
+        round(d(col("n_rows")) / d(col("n_total")), 6).as("row_share"))
+  }
+
   /** Effective-sample-size audit of a weighted corpus: per stratum,
     * Kish's ESS = (Σw)²/Σw² and the efficiency ESS/n — the diagnostic
     * that tells you whether [[weightedSample]]/temperature-style

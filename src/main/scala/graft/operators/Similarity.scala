@@ -994,7 +994,7 @@ object Similarity {
     * — so the DuckDB oracle replays buckets and ranks bit-for-bit.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               nbits: Int = 4, numTables: Int = 16): DataFrame = {
+               nbits: Int = 4, numTables: Int = 16, dim: Int = 64): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
     // candidate pairs stay NARROW (two ids): the (t, bucket) self-join
@@ -1006,7 +1006,7 @@ object Similarity {
       .select(col("id"),
         explode(array((0 until numTables).map(t =>
           struct(lit(t).as("t"),
-                 hyperplaneBucket(col("vec"), nbits, seed = 7 + t).as("bucket"))): _*))
+                 hyperplaneBucket(col("vec"), nbits, seed = 7 + t, dim = dim).as("bucket"))): _*))
           .as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
       .repartition(col("t"), col("bucket"))
@@ -1037,6 +1037,47 @@ object Similarity {
     * materialize [[knnGraph]] once and run this on the table; here
     * the lineage recomputes it (gate queries are self-contained).
     */
+  /** Leave-one-out kNN label-coherence evaluation: classify every
+    * vector by the majority label of its [[knnGraph]] neighbors and
+    * report per-class accuracy — the embedding-quality eval that
+    * needs no held-out model ("do same-label points actually sit
+    * together in this space?"). Run it before trusting the space for
+    * retrieval or clustering; a class whose accuracy sits at chance
+    * is not separable in this embedding.
+    *
+    * Determinism: the kNN graph is the deterministic bucketed join;
+    * the vote winner is max votes with MIN-LABEL tie-break via one
+    * min-struct aggregate (no window); counts are exact and accuracy
+    * divides exact longs factor-first, round 6.
+    *
+    * Scale shape: everything after the bucket join is |V|·k rows —
+    * two label joins keyed by id (broadcast when labels fit), one
+    * vote aggregate, one |classes|-row report.
+    */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, k: Int,
+                  nbits: Int = 4, numTables: Int = 16, dim: Int = 64): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val g = knnGraph(corpus, idCol, vecCol, k, nbits, numTables, dim)
+    val lab = corpus.select(col(idCol).as("corpus_id"),
+                            col(labelCol).as("nbr_label"))
+    val truth = corpus.select(col(idCol).as("query_id"),
+                              col(labelCol).as("true_label"))
+    val pred = g.join(lab, Seq("corpus_id"))
+      .groupBy("query_id", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(min(struct((-col("votes")).as("nv"), col("nbr_label")))
+        .getField("nbr_label").as("pred_label"))
+    truth.join(pred, Seq("query_id"), "left") // isolated vectors: no neighbors
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n"),
+           sum((col("pred_label") === col("true_label")).cast("long"))
+             .as("n_correct"))
+      .select(col("true_label"), col("n"), col("n_correct"),
+        round(d(col("n_correct")) / d(col("n")), 6).as("accuracy"))
+  }
+
   def mutualKnn(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                 nbits: Int = 4, numTables: Int = 16): DataFrame = {
     val knn = knnGraph(corpus, idCol, vecCol, k, nbits, numTables)

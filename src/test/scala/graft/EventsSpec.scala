@@ -399,6 +399,23 @@ class EventsSpec extends SparkSpec {
     assert(got._7 < got._4, s"CUPED se must shrink: se_raw=${got._4} se_cuped=${got._7}")
   }
 
+  test("funnelUnordered: any order completes, missing step excludes, span is first-to-set-complete") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val e = Seq(
+      // u1 completes in REVERSE order (strict funnel would reject)
+      (1L, "purchase", 1000L), (1L, "click", 2000L), (1L, "view", 5000L),
+      // u2 misses 'click'
+      (2L, "view", 1000L), (2L, "purchase", 2000L),
+      // u3 completes with repeats — first occurrences count
+      (3L, "view", 100L), (3L, "view", 9000L), (3L, "click", 300L),
+      (3L, "purchase", 700L))
+      .map { case (u, t0, m) => (u, t0, ts(m), 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.funnelUnordered(e, Seq("view", "click", "purchase"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4000L), (3L, 600L)), s"got $got")
+  }
+
   test("activeUsers: trailing windows, idle-day zero DAU, range trim, stickiness guards") {
     def dts(d: Int) = new Timestamp(d * 86400000L)
     // u1 active day 0; u2 active days 0 and 8 → 9 reported days

@@ -174,6 +174,20 @@ class SamplingSpec extends SparkSpec {
     assert(got(1) == (("B", 4L, 1003L, r6(essB), r6(essB / 4.0))), s"got $got")
   }
 
+  test("groupKFold: a group never straddles folds; shares sum to 1; assignment is stable") {
+    // 40 groups × 3 rows each — fold must be constant per group
+    val df = (1L to 40L).flatMap(g => (1 to 3).map(r => (g, r))).toDF("g", "r")
+    val audit = Sampling.groupKFold(df, "g", k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(audit.map(_._1).forall(f => f >= 0 && f < 5))
+    assert(audit.map(_._2).sum == 120L && audit.map(_._3).sum == 40L,
+      s"every row and group lands in exactly one fold: $audit")
+    assert(audit.forall(a => a._2 == a._3 * 3),
+      s"3 rows per group ⇒ n_rows = 3·n_groups per fold (group integrity): $audit")
+    assert(audit == Sampling.groupKFold(df.repartition(7), "g", k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1))
+  }
+
   test("poissonBootstrapMean: constant metric has zero-width CI; deterministic under repartitioning") {
     val df = (1L to 50L).map(i => (i, 2.0)).toDF("id", "v")
     val got = Sampling.poissonBootstrapMean(df, "id", "v", reps = 100)

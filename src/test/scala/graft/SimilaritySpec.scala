@@ -426,4 +426,30 @@ class SimilaritySpec extends SparkSpec {
     assert(radii.last < 0.01, s"4th pick must be a near-dup: ${radii.last}")
   }
 
+  test("knnClassify: separable clusters score 1.0 per class; vote ties break to the min label") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes, 4 vectors each — every
+    // neighbor shares the query's label
+    def jit(i: Int) = 0.01f * i
+    val rows = (1 to 4).map(i => (i.toLong, Array(1f, jit(i), 0f, 0f), 0)) ++
+      (5 to 8).map(i => (i.toLong, Array(0f, jit(i), 1f, 0f), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(e, "vec_id", "embedding", "label", k = 3,
+        dim = 4)
+      .orderBy("true_label")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 4L, 4L, 1.0), (1, 4L, 4L, 1.0)), s"got $got")
+    // 1-vs-1 vote tie (k=2, one neighbor each side): min label wins.
+    // mid sits between the two clusters; its two neighbors carry
+    // labels 7 and 3 → predicted 3 ≠ true 5 → class 5 scores 0
+    val tie = Seq(
+      (1L, Array(1f, 0f), 3), (2L, Array(0.8f, 0.6f), 5),
+      (3L, Array(0f, 1f), 7))
+    val t = Similarity.knnClassify(tie.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", k = 2, dim = 2)
+      .orderBy("true_label")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(t.find(_._1 == 5).exists(r => r._3 == 0L),
+      s"tied vote must break to min label (3), not true label 5: $t")
+  }
 }
