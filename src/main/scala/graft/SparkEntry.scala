@@ -4202,6 +4202,23 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // user-level event-type affinity: support/lift/jaccard per
+    // canonical pair — cross-sell readout; corpus reduces once to
+    // distinct (user, type)
+    "events_affinity" -> ((s, dir) =>
+      Events.typeAffinity(t(s, dir, "events"))
+        .orderBy("type_a", "type_b")),
+
+    // EXACT revenue-concentration Gini over per-customer cents:
+    // distributed ranking via range buckets + bounded prefix table
+    // (no global window); decimal rank·x sums
+    "agg_gini" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      Analytics.giniCoefficient(perCust, "o_custkey", "cents")
+    }),
+
     // set-completion funnel: all steps in ANY order, exact ms span
     // from first step to set completion — one conditional aggregate
     "events_funnel_unordered" -> ((s, dir) =>
@@ -8160,6 +8177,37 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"), iters = 4),
 
     "graph_modularity" -> modularitySql(iters = 5),
+
+    "events_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        | nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM ut),
+        | pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+        | pr AS (SELECT a.t AS type_a, b.t AS type_b,
+        |   CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        | SELECT type_a, type_b, pa.n_t AS n_a, pb.n_t AS n_b, n_both,
+        |  round(n_both::DOUBLE / n_users::DOUBLE, 6) AS support,
+        |  round(n_both::DOUBLE * n_users::DOUBLE
+        |        / (pa.n_t::DOUBLE * pb.n_t::DOUBLE), 6) AS lift,
+        |  round(n_both::DOUBLE
+        |        / (pa.n_t + pb.n_t - n_both)::DOUBLE, 6) AS jaccard
+        | FROM pr JOIN pt pa ON pa.t = type_a JOIN pt pb ON pb.t = type_b
+        |  CROSS JOIN nu
+        | ORDER BY type_a, type_b""".stripMargin,
+
+    "agg_gini" ->
+      """WITH v AS (SELECT o_custkey AS id,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        | r AS (SELECT x, row_number() OVER (ORDER BY x, id) AS rk FROM v),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS t,
+        |   sum(rk * x) AS s FROM r)
+        | SELECT n, CAST(t AS BIGINT) AS total,
+        |  CASE WHEN n > 0 AND t > 0 THEN
+        |   round(2.0 * s::DOUBLE / (n::DOUBLE * t::DOUBLE)
+        |         - (n::DOUBLE + 1.0) / n::DOUBLE, 6)
+        |  END AS gini
+        | FROM g""".stripMargin,
 
     "events_funnel_unordered" ->
       """WITH m AS (SELECT user_id,

@@ -640,4 +640,53 @@ object Analytics {
       .select(col("key"), col("cnt"))
       .orderBy(desc("cnt"), asc("key"))
   }
+
+  /** EXACT Gini coefficient of a positive integer metric (revenue
+    * concentration, token-mass inequality): G = 2·Σᵢ i·x₍ᵢ₎/(n·Σx) −
+    * (n+1)/n over the ascending-sorted values — the one-number
+    * concentration audit behind "do 1% of customers carry 80% of
+    * revenue" (pair it with [[Profiling.keySkew]], which shows the
+    * top keys; this scores the whole curve).
+    *
+    * Distributed EXACT ranking with NO global window: values bucket
+    * by range (integer-monotone mapping, so bucket order = value
+    * order), ranks = bounded bucket-prefix offsets (global window
+    * over the ≤`numBuckets`-row bucket table only) + a per-bucket
+    * row_number — the [[Profiling.sequenceGaps]] two-phase
+    * discipline. Σ rank·x accumulates in DECIMAL(38,0) (rank ≤ n
+    * and cents overflow a long product at ~10⁹ rows; decimal sums
+    * stay exact and order-independent in both engines). Ties rank
+    * arbitrarily among equal values — Σ i·x is tie-invariant — but
+    * the (x, id) order is pinned anyway so every engine walks the
+    * same permutation.
+    *
+    * Scale shape: one scan → bucketed sort windows (parallel,
+    * bucket-sized) → one 3-sum aggregate. The only global order is
+    * over the bounded bucket table.
+    */
+  def giniCoefficient(df: DataFrame, idCol: String, valueCol: String,
+                      numBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val v = df.select(col(idCol).as("id"), col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull && col("x") >= 0)
+    val mx = v.agg(max(col("x")).as("mx"))
+    val b = v.crossJoin(broadcast(mx)) // 1-row scalar
+      .withColumn("bucket",
+        floor(d(col("x")) * numBuckets / (d(col("mx")) + 1.0)))
+    val perBucket = b.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy("bucket") // bounded bucket table
+    val offsets = perBucket.withColumn("off",
+      coalesce(sum(col("cnt")).over(wb) - col("cnt"), lit(0L)))
+    val wr = Window.partitionBy("bucket").orderBy("x", "id")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ranked = b.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+      .withColumn("rk", col("off") + row_number().over(wr))
+    val g = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+      sum(col("rk").cast(dec) * col("x").cast(dec)).as("s"))
+    g.select(col("n"), col("t").as("total"),
+      when(col("n") > 0 && col("t") > 0,
+        round(lit(2.0) * d(col("s")) / (d(col("n")) * d(col("t")))
+              - (d(col("n")) + 1.0) / d(col("n")), 6)).as("gini"))
+  }
 }

@@ -1063,6 +1063,47 @@ object Events {
         round(covNum * covNum / (varXNum * varYNum), 6)).as("var_reduction"))
   }
 
+  /** Event-type affinity matrix: for every canonical type pair
+    * (a < b), how many users did both, the pair's user-level support,
+    * lift = P(A∩B)/(P(A)·P(B)) and Jaccard — the "users who do A
+    * also do B" readout behind cross-sell and feature-bundling calls
+    * (the user-level twin of [[graft.operators.Graph
+    * .associationRules]], which works on transaction baskets).
+    *
+    * Determinism: everything is exact distinct counts; lift's
+    * products cast to double factor-first (counts² overflow nothing
+    * at double precision ≤ 2^53), round 6.
+    *
+    * Scale shape: the corpus reduces ONCE to the distinct
+    * (user, type) table; the pair explode is a user-keyed self-join
+    * whose fan-out is bounded by |types|² per user; all remaining
+    * aggregates are type-pair-bounded. The |types|-row support table
+    * broadcasts onto the pair table.
+    */
+  def typeAffinity(events: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ut = events.select(col("user_id").as("u"), col("event_type").as("t"))
+      .distinct()
+    val nUsers = ut.select(col("u")).distinct().agg(count(lit(1)).as("n_users"))
+    val perType = ut.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("t").as("type_a"), col("n_t").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(perType.select(col("t").as("type_b"), col("n_t").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nUsers)) // 1-row scalar
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(d(col("n_both")) / d(col("n_users")), 6).as("support"),
+        round(d(col("n_both")) * d(col("n_users"))
+              / (d(col("n_a")) * d(col("n_b"))), 6).as("lift"),
+        round(d(col("n_both"))
+              / d(col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+  }
+
   /** Unordered (set-completion) funnel: users who performed ALL the
     * `steps` in ANY order, with the exact span from their first step
     * event to the moment the set completed (= the latest of the

@@ -399,6 +399,18 @@ class EventsSpec extends SparkSpec {
     assert(got._7 < got._4, s"CUPED se must shrink: se_raw=${got._4} se_cuped=${got._7}")
   }
 
+  test("typeAffinity: hand-computed support/lift/jaccard; repeats collapse to distinct users") {
+    def ts(ms: Long) = new Timestamp(ms)
+    // u1 {A,B} (B twice — distinct collapses), u2 {A,B}, u3 {A}
+    val e = Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "B", 3L),
+      (2L, "A", 4L), (2L, "B", 5L), (3L, "A", 6L))
+      .map { case (u, t0, m) => (u, t0, ts(m), 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.typeAffinity(e)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)].head()
+    assert(got == (("A", "B", 3L, 2L, 2L, 0.666667, 1.0, 0.666667)), s"got $got")
+  }
+
   test("funnelUnordered: any order completes, missing step excludes, span is first-to-set-complete") {
     def ts(ms: Long) = new Timestamp(ms)
     val e = Seq(

@@ -367,6 +367,25 @@ class ProfilingSpec extends SparkSpec {
     assert(p == ((4.0, 1.0)), s"got $p")
   }
 
+  test("giniCoefficient: 0 for equality, (n-1)/n for total concentration, bucket-count invariant") {
+    import graft.operators.Analytics
+    val equal = (1L to 4L).map(i => (i, 5L)).toDF("id", "v")
+    val g0 = Analytics.giniCoefficient(equal, "id", "v")
+      .as[(Long, Long, Double)].head()
+    assert(g0 == ((4L, 20L, 0.0)), s"equal shares must score 0: $g0")
+    // one holder of everything among 4 → (n−1)/n = 0.75; ranks span
+    // buckets because the zeros and the 100 land in different ranges
+    val conc = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 100L)).toDF("id", "v")
+    val g1 = Analytics.giniCoefficient(conc, "id", "v")
+      .as[(Long, Long, Double)].head()
+    assert(g1 == ((4L, 100L, 0.75)), s"total concentration must score 0.75: $g1")
+    // the bucketed two-phase rank must be invariant to bucket count
+    val mixed = (1L to 100L).map(i => (i, i * i % 97)).toDF("id", "v")
+    val a = Analytics.giniCoefficient(mixed, "id", "v", numBuckets = 1).head()
+    val b = Analytics.giniCoefficient(mixed, "id", "v", numBuckets = 1024).head()
+    assert(a == b, s"bucket count changed the exact rank sum: $a vs $b")
+  }
+
   test("nullPatterns: co-occurrence patterns with shares and the complete flag") {
     val df = Seq(
       (Some("x"), Some(1)), (None, Some(2)), (None, None), (None, Some(3))
