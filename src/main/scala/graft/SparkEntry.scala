@@ -4202,6 +4202,28 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // Lorenz curve companion to agg_gini: cumulative revenue share
+    // per ascending customer decile, same bucketed ranking core
+    "agg_lorenz" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      Analytics.lorenzDeciles(perCust, "o_custkey", "cents")
+        .orderBy("decile")
+    }),
+
+    // nearest-centroid (Rocchio) confusion matrix: the prototype
+    // twin of sim_knn_classify — multi-modal classes fail here first
+    "sim_centroid_classify" -> ((s, dir) =>
+      Similarity.centroidClassify(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy("true_label", "pred_label")),
+
+    // exponential-decay retention fit: λ, anchor, half-life, R² from
+    // round-6 ratios through the scaled-ln OLS contract
+    "events_retention_fit" -> ((s, dir) =>
+      Events.retentionFit(t(s, dir, "events"))),
+
     // user-level event-type affinity: support/lift/jaccard per
     // canonical pair — cross-sell readout; corpus reduces once to
     // distinct (user, type)
@@ -8177,6 +8199,77 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"), iters = 4),
 
     "graph_modularity" -> modularitySql(iters = 5),
+
+    "agg_lorenz" ->
+      """WITH v AS (SELECT o_custkey AS id,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        | nt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+        |  FROM v),
+        | r AS (SELECT x, row_number() OVER (ORDER BY x, id) AS rk FROM v),
+        | dec AS (SELECT
+        |   CAST(floor(((rk - 1) * 10)::DOUBLE / n::DOUBLE) AS BIGINT) + 1
+        |     AS decile, x, t
+        |  FROM r CROSS JOIN nt),
+        | g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_keys,
+        |   CAST(sum(x) AS BIGINT) AS mass, max(t) AS t
+        |  FROM dec GROUP BY 1),
+        | c AS (SELECT decile, n_keys, mass,
+        |   CAST(sum(mass) OVER (ORDER BY decile) AS BIGINT) AS cum_mass, t
+        |  FROM g)
+        | SELECT decile, n_keys, mass, cum_mass,
+        |  round(cum_mass::DOUBLE / t::DOUBLE, 6) AS cum_share
+        | FROM c ORDER BY decile""".stripMargin,
+
+    "sim_centroid_classify" ->
+      """WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings),
+        | dm AS (SELECT label AS cand, CAST(i AS BIGINT) AS dim,
+        |   round(avg(v[i]), 6) AS mean_val
+        |  FROM base, UNNEST(range(1, len(v) + 1)) AS t(i) GROUP BY 1, 2),
+        | cen AS (SELECT cand, list(mean_val ORDER BY dim) AS centroid
+        |  FROM dm GROUP BY 1),
+        | scored AS (SELECT id, label AS true_label, cand,
+        |   round(list_cosine_similarity(v, centroid), 6) AS score
+        |  FROM base CROSS JOIN cen),
+        | pred AS (SELECT id, true_label, cand AS pred_label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY score DESC, cand) AS rn
+        |  FROM scored WHERE score IS NOT NULL) WHERE rn = 1)
+        | SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+        | FROM pred GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
+
+    "events_retention_fit" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY 1),
+        | nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM fs),
+        | act AS (SELECT DISTINCT a.user_id,
+        |   CAST(date_diff('day', d0, a.d) AS BIGINT) AS k
+        |  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) a
+        |  JOIN fs ON a.user_id = fs.user_id
+        |  WHERE date_diff('day', d0, a.d) BETWEEN 1 AND 30),
+        | pts AS (SELECT x, CAST(round(ln(r) * 1e6, 0) AS BIGINT) AS y FROM (
+        |  SELECT k AS x, round(CAST(count(*) AS BIGINT)::DOUBLE
+        |    / n_users::DOUBLE, 6) AS r
+        |  FROM act CROSS JOIN nu GROUP BY k, n_users) WHERE r > 0),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM pts),
+        | f AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx,
+        |   n*syy - sy*sy AS dy, sx, sy FROM g),
+        | h AS (SELECT n, num, dx, dy,
+        |   -(num::DOUBLE / dx::DOUBLE) / 1e6 AS lambda,
+        |   (sy::DOUBLE * dx::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |     / (n::DOUBLE * dx::DOUBLE) / 1e6 AS intercept
+        |  FROM f)
+        | SELECT n AS n_points,
+        |  CASE WHEN dx <> 0 THEN round(lambda, 6) END AS decay_rate,
+        |  CASE WHEN dx <> 0 THEN round(exp(intercept), 6) END AS r0_fit,
+        |  CASE WHEN dx <> 0 AND lambda > 0
+        |   THEN round(0.693147180559945 / lambda, 6) END AS half_life_days,
+        |  CASE WHEN dx <> 0 AND dy <> 0 THEN
+        |   round(num::DOUBLE * num::DOUBLE / (dx::DOUBLE * dy::DOUBLE), 6)
+        |  END AS r2
+        | FROM h""".stripMargin,
 
     "events_affinity" ->
       """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),

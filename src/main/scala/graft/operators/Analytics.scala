@@ -666,6 +666,25 @@ object Analytics {
     */
   def giniCoefficient(df: DataFrame, idCol: String, valueCol: String,
                       numBuckets: Int = 1024): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ranked = rankByValue(df, idCol, valueCol, numBuckets)
+    val g = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+      sum(col("rk").cast(dec) * col("x").cast(dec)).as("s"))
+    g.select(col("n"), col("t").as("total"),
+      when(col("n") > 0 && col("t") > 0,
+        round(lit(2.0) * d(col("s")) / (d(col("n")) * d(col("t")))
+              - (d(col("n")) + 1.0) / d(col("n")), 6)).as("gini"))
+  }
+
+  /** The shared distributed-exact-ranking core of [[giniCoefficient]]
+    * and [[lorenzDeciles]]: ascending dense ranks over (value, id)
+    * with NO global window — range buckets (monotone in value) + a
+    * bounded bucket-prefix offset table + per-bucket row_numbers.
+    * Returns (id, x, rk).
+    */
+  private def rankByValue(df: DataFrame, idCol: String, valueCol: String,
+                          numBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def d(c: Column) = c.cast("double")
     val v = df.select(col(idCol).as("id"), col(valueCol).cast("long").as("x"))
@@ -679,14 +698,38 @@ object Analytics {
     val offsets = perBucket.withColumn("off",
       coalesce(sum(col("cnt")).over(wb) - col("cnt"), lit(0L)))
     val wr = Window.partitionBy("bucket").orderBy("x", "id")
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val ranked = b.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+    b.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
       .withColumn("rk", col("off") + row_number().over(wr))
-    val g = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
-      sum(col("rk").cast(dec) * col("x").cast(dec)).as("s"))
-    g.select(col("n"), col("t").as("total"),
-      when(col("n") > 0 && col("t") > 0,
-        round(lit(2.0) * d(col("s")) / (d(col("n")) * d(col("t")))
-              - (d(col("n")) + 1.0) / d(col("n")), 6)).as("gini"))
+      .select(col("id"), col("x"), col("rk"))
+  }
+
+  /** Lorenz curve at decile grain — [[giniCoefficient]]'s companion
+    * that shows WHERE the concentration sits: keys sort ascending by
+    * value, each decile reports its key count, its mass, and the
+    * cumulative mass share ("the bottom 80% of customers carry 31%
+    * of revenue"). Decile = ⌊(rank−1)·10/n⌋+1 — exact integer
+    * arithmetic on the [[rankByValue]] ranks, so decile edges are
+    * engine-identical.
+    *
+    * Scale shape: the ranking core (bucketed, no global window) +
+    * one 10-row aggregate; the cumulative sum windows over the
+    * bounded decile table only.
+    */
+  def lorenzDeciles(df: DataFrame, idCol: String, valueCol: String,
+                    numBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val ranked = rankByValue(df, idCol, valueCol, numBuckets)
+    val n1 = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val dec = ranked.crossJoin(broadcast(n1)) // 1-row scalar
+      .withColumn("decile",
+        (floor(d((col("rk") - 1) * 10) / d(col("n"))) + 1).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("mass"),
+           max(col("t")).as("t"))
+    val wd = Window.orderBy("decile") // ≤10-row table
+    dec.withColumn("cum_mass", sum(col("mass")).over(wd))
+      .select(col("decile"), col("n_keys"), col("mass"), col("cum_mass"),
+        round(d(col("cum_mass")) / d(col("t")), 6).as("cum_share"))
   }
 }

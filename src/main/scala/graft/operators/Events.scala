@@ -1063,6 +1063,64 @@ object Events {
         round(covNum * covNum / (varXNum * varYNum), 6)).as("var_reduction"))
   }
 
+  /** Exponential-decay fit of the overall retention curve: r(k) =
+    * share of all users active k days after their own first day;
+    * fit ln r = a − λk by OLS over k ≥ 1 (day 0 is 1.0 by
+    * construction and would anchor the fit) and report the decay
+    * rate, the model's k=0 anchor e^a (≈1 when the curve is cleanly
+    * exponential), the half-life ln2/λ,
+    * and R² — the one-line summary a growth team reads off the
+    * [[retention]] triangle ("we lose half the cohort every N
+    * days").
+    *
+    * Determinism: r(k) is an exact ratio rounded to 6 BEFORE the ln
+    * (libm ulp differences between engines can't survive a round-6
+    * input), ln values ×1e6-scale to longs (the zipfFit contract),
+    * and the normal equations divide exact integers factor-first.
+    * ln 2 is a pinned literal, never each engine's log(2).
+    *
+    * Scale shape: first-day table + distinct (user, offset) —
+    * two user-keyed aggregates — then everything is
+    * ≤`maxOffset`-row bounded.
+    */
+  def retentionFit(events: DataFrame, maxOffset: Int = 30): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val fs = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d0"))
+    val nUsers = fs.agg(count(lit(1)).as("n_users"))
+    val act = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .join(fs, Seq("user_id"))
+      .select(col("user_id"), datediff(col("d"), col("d0")).cast("long").as("k"))
+      .where(col("k") >= 1 && col("k") <= maxOffset)
+      .distinct()
+    val pts = act.groupBy("k").agg(count(lit(1)).as("n_k"))
+      .crossJoin(broadcast(nUsers)) // 1-row scalar
+      .select(col("k"),
+        round(d(col("n_k")) / d(col("n_users")), 6).as("r"))
+      .where(col("r") > 0)
+      .select(col("k").as("x"),
+        round(log(col("r")) * 1e6, 0).cast("long").as("y"))
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val lambda = -(d(num) / d(dx)) / 1e6
+    val intercept = (d(col("sy")) * d(dx) - d(num) * d(col("sx"))) /
+      (d(col("n")) * d(dx)) / 1e6
+    val ln2 = lit(0.693147180559945)
+    g.select(col("n").as("n_points"),
+      when(dx =!= 0, round(lambda, 6)).as("decay_rate"),
+      when(dx =!= 0, round(exp(intercept), 6)).as("r0_fit"),
+      when(dx =!= 0 && lambda > 0, round(ln2 / lambda, 6)).as("half_life_days"),
+      when(dx =!= 0 && dy =!= 0,
+        round(d(num) * d(num) / (d(dx) * d(dy)), 6)).as("r2"))
+  }
+
   /** Event-type affinity matrix: for every canonical type pair
     * (a < b), how many users did both, the pair's user-level support,
     * lift = P(A∩B)/(P(A)·P(B)) and Jaccard — the "users who do A

@@ -1078,6 +1078,48 @@ object Similarity {
         round(d(col("n_correct")) / d(col("n")), 6).as("accuracy"))
   }
 
+  /** Nearest-centroid (Rocchio) classification with a full confusion
+    * matrix: per-label mean centroids (round-6 per-dimension means of
+    * the raw components — the dimStats exactness discipline), every
+    * vector assigned to its max-cosine centroid, counts per
+    * (true, predicted) pair. The PROTOTYPE-based quality eval next to
+    * [[knnClassify]]'s instance-based one: kNN asks "are my
+    * neighbors my label", this asks "is my label's MEAN a better
+    * magnet than every other label's" — a class that fails here but
+    * passes kNN is multi-modal in the space.
+    *
+    * Determinism: centroid means round to 6 before any scoring;
+    * cosine rounds to 6; the argmax is a max-struct aggregate with
+    * MIN-label tie-break (no window). Scale shape: the centroid
+    * table is |labels|·d — broadcast onto one map-side scoring pass
+    * (corpus × |labels| fan-out, label-bounded), one argmax
+    * aggregate, one confusion-matrix aggregate.
+    */
+  def centroidClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+                             col(labelCol).as("lbl"))
+    val centroids = base
+      .select(col("lbl"), posexplode(col("vec")))
+      .groupBy(col("lbl"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
+      .groupBy("lbl")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("dm"))
+      .select(col("lbl").as("cand"),
+              transform(col("dm"), x => x.getField("mean_val")).as("centroid"))
+    val scored = base.crossJoin(broadcast(centroids)) // label-bounded fan-out
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("vec"), col("centroid")),
+          l2Norm(col("vec")), l2Norm(col("centroid"))), 6))
+      .where(col("score").isNotNull) // zero-norm vectors can't classify
+    val pred = scored
+      .groupBy(col("id"), col("lbl").as("true_label"))
+      .agg(min(struct((-col("score")).as("ns"), col("cand")))
+        .getField("cand").as("pred_label"))
+    pred.groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def mutualKnn(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                 nbits: Int = 4, numTables: Int = 16): DataFrame = {
     val knn = knnGraph(corpus, idCol, vecCol, k, nbits, numTables)

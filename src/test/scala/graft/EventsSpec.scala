@@ -399,6 +399,24 @@ class EventsSpec extends SparkSpec {
     assert(got._7 < got._4, s"CUPED se must shrink: se_raw=${got._4} se_cuped=${got._7}")
   }
 
+  test("retentionFit: a clean halving cohort fits λ≈ln2, half-life ≈ 1 day, R²≈1") {
+    def dts(d: Int) = new Timestamp(d * 86400000L)
+    // 8 users on day0; 4 return day1; 2 day2; 1 day3 →
+    // r = 0.5, 0.25, 0.125 — exact exponential with rate ln 2
+    val rows = (1 to 8).map(u => (u.toLong, 0)) ++
+      (1 to 4).map(u => (u.toLong, 1)) ++
+      (1 to 2).map(u => (u.toLong, 2)) ++ Seq((1L, 3))
+    val e = rows.map { case (u, d0) => (u, "view", dts(d0), 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.retentionFit(e)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got._1 == 3L, s"three fit points: $got")
+    assert(math.abs(got._2 - 0.693147) < 1e-3, s"decay must be ≈ ln2: $got")
+    assert(math.abs(got._4 - 1.0) < 1e-2, s"half-life ≈ 1 day: $got")
+    assert(got._5 > 0.9999, s"clean exponential must fit: $got")
+    assert(math.abs(got._3 - 1.0) < 1e-2, s"anchor e^a ≈ 1: $got")
+  }
+
   test("typeAffinity: hand-computed support/lift/jaccard; repeats collapse to distinct users") {
     def ts(ms: Long) = new Timestamp(ms)
     // u1 {A,B} (B twice — distinct collapses), u2 {A,B}, u3 {A}

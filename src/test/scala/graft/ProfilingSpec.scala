@@ -386,6 +386,23 @@ class ProfilingSpec extends SparkSpec {
     assert(a == b, s"bucket count changed the exact rank sum: $a vs $b")
   }
 
+  test("lorenzDeciles: values 1..10 land one per decile with triangular cumulative shares") {
+    import graft.operators.Analytics
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    val got = Analytics.lorenzDeciles(df, "id", "v")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 10 && got.forall(_._2 == 1L), s"got $got")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (dec, _, mass, cum, share) =>
+      assert(mass == dec && cum == dec * (dec + 1) / 2, s"decile $dec: $got")
+      assert(share == r6(dec * (dec + 1) / 2 / 55.0), s"decile $dec share: $got")
+    }
+    // bucket-count invariance of the shared ranking core
+    val a = Analytics.lorenzDeciles(df, "id", "v", numBuckets = 1).collect().toSeq
+    val b = Analytics.lorenzDeciles(df, "id", "v", numBuckets = 512).collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+  }
+
   test("nullPatterns: co-occurrence patterns with shares and the complete flag") {
     val df = Seq(
       (Some("x"), Some(1)), (None, Some(2)), (None, None), (None, Some(3))

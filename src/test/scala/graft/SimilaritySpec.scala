@@ -426,6 +426,28 @@ class SimilaritySpec extends SparkSpec {
     assert(radii.last < 0.01, s"4th pick must be a near-dup: ${radii.last}")
   }
 
+  test("centroidClassify: separable clusters give a diagonal confusion matrix; score ties break to min label") {
+    import spark.implicits._
+    def jit(i: Int) = 0.01f * i
+    val rows = (1 to 4).map(i => (i.toLong, Array(1f, jit(i), 0f, 0f), 0)) ++
+      (5 to 8).map(i => (i.toLong, Array(0f, jit(i), 1f, 0f), 1))
+    val got = Similarity.centroidClassify(rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label")
+      .orderBy("true_label", "pred_label")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got == Seq((0, 0, 4L), (1, 1, 4L)), s"diagonal expected: $got")
+    // label 7's two vectors cancel to a zero-norm centroid (dropped);
+    // both then sit equidistant from centroids 4 and 9 → min label 4
+    val tie = Seq((1L, Array(1f, 0f), 9), (2L, Array(0f, 1f), 4),
+      (3L, Array(1f, 1f), 7), (4L, Array(-1f, -1f), 7))
+    val t = Similarity.centroidClassify(tie.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label")
+      .as[(Int, Int, Long)].collect().toSeq
+    val mid = t.filter(_._1 == 7)
+    assert(mid == Seq((7, 4, 2L)),
+      s"equal cosine to labels 4 and 9 must pick 4: $t")
+  }
+
   test("knnClassify: separable clusters score 1.0 per class; vote ties break to the min label") {
     import spark.implicits._
     // two tight clusters on orthogonal axes, 4 vectors each — every
