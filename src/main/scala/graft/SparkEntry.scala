@@ -4202,6 +4202,32 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // MOSS winnowing fingerprints (Schleimer et al. SIGMOD'03):
+    // window-min gram hashes with the guaranteed-detection property;
+    // df-cut postings pair join on the selected ~2/(w+1) fraction
+    "text_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, minShared = 2)
+        .orderBy("doc_a", "doc_b")),
+
+    // Herfindahl concentration per nation market: share² sums over
+    // exact customer revenue, 1/HHI effective competitors
+    "agg_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Analytics.hhiByMarket(rev, "nation", "o_custkey", "cents")
+        .orderBy("market")
+    }),
+
+    // per-user daily-activity streaks: gaps-and-islands on distinct
+    // user-days, user-partitioned windows only
+    "events_streaks" -> ((s, dir) =>
+      Events.activityStreaks(t(s, dir, "events"))
+        .orderBy("user_id")),
+
     // Lorenz curve companion to agg_gini: cumulative revenue share
     // per ascending customer decile, same bucketed ranking core
     "agg_lorenz" -> ((s, dir) => {
@@ -8199,6 +8225,67 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"), iters = 4),
 
     "graph_modularity" -> modularitySql(iters = 5),
+
+    "text_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        | grams AS (
+        |  SELECT doc, CAST(len(w) - 4 AS BIGINT) AS ng, CAST(i - 1 AS BIGINT) AS pos,
+        |   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |     || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS h
+        |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5),
+        | fp AS (SELECT DISTINCT doc, wmin AS h FROM (
+        |  SELECT doc, pos, ng,
+        |   min(h) OVER (PARTITION BY doc ORDER BY pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM grams) WHERE pos <= ng - 4),
+        | keep AS (SELECT h FROM fp GROUP BY h
+        |  HAVING count(*) BETWEEN 2 AND 200),
+        | fpk AS (SELECT fp.doc, fp.h FROM fp JOIN keep USING (h)),
+        | sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+        | common AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc < b.doc
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        | SELECT doc_a, doc_b, sa.n_fp AS n_a, sb.n_fp AS n_b, n_shared,
+        |  round(n_shared::DOUBLE / (sa.n_fp + sb.n_fp - n_shared)::DOUBLE, 6)
+        |    AS fp_jaccard
+        | FROM common
+        | JOIN sizes sa ON sa.doc = doc_a
+        | JOIN sizes sb ON sb.doc = doc_b
+        | ORDER BY doc_a, doc_b""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH p AS (SELECT c_nationkey AS m, o_custkey AS p,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        | tot AS (SELECT m, CAST(sum(c) AS BIGINT) AS t,
+        |   CAST(count(*) AS BIGINT) AS n_participants FROM p GROUP BY 1),
+        | sq AS (SELECT p.m, t, n_participants,
+        |   CAST(round((c::DOUBLE / t::DOUBLE) * (c::DOUBLE / t::DOUBLE) * 1e9, 0)
+        |     AS BIGINT) AS sq
+        |  FROM p JOIN tot USING (m)),
+        | h AS (SELECT m, t, n_participants,
+        |   round(CAST(sum(sq) AS BIGINT) / 1e9, 6) AS hhi
+        |  FROM sq GROUP BY 1, 2, 3)
+        | SELECT m AS market, n_participants, t AS total, hhi,
+        |  CASE WHEN hhi > 0 THEN round(1.0 / hhi, 6) END AS effective_competitors
+        | FROM h ORDER BY market""".stripMargin,
+
+    "events_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |     AS ep
+        |  FROM events),
+        | runs AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len FROM (
+        |  SELECT user_id, ep,
+        |   ep - row_number() OVER (PARTITION BY user_id ORDER BY ep) AS island
+        |  FROM ud) GROUP BY 1, 2)
+        | SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  max(len) AS longest_streak, CAST(count(*) AS BIGINT) AS n_streaks
+        | FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "agg_lorenz" ->
       """WITH v AS (SELECT o_custkey AS id,

@@ -677,6 +677,45 @@ object Analytics {
               - (d(col("n")) + 1.0) / d(col("n")), 6)).as("gini"))
   }
 
+  /** Herfindahl–Hirschman concentration index per market:
+    * HHI = Σᵢ shareᵢ² over each market's participants (1/n for
+    * perfect competition, 1.0 for monopoly), with the effective-
+    * competitor count 1/HHI — the per-market companion to the
+    * global [[giniCoefficient]] curve (antitrust thresholds, vendor
+    * concentration, and traffic-source dependence all read this
+    * number).
+    *
+    * Determinism: participant masses are exact longs; each share²
+    * computes factor-first in doubles and ×1e9-scales to a long
+    * before the per-market sum (Σ share² ≤ 1, so the scaled sum
+    * can't overflow) — aggregation-order-independent, the chi-square
+    * discipline at higher precision because squares of small shares
+    * live near 1e-6.
+    *
+    * Scale shape: two hash aggregates (participant, then market) and
+    * a market-keyed broadcast of the bounded totals table. No
+    * window.
+    */
+  def hhiByMarket(df: DataFrame, marketCol: String, participantCol: String,
+                  valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val p = df.select(col(marketCol).as("m"), col(participantCol).as("p"),
+        col(valueCol).cast("long").as("x"))
+      .groupBy("m", "p").agg(sum(col("x")).as("c"))
+    val tot = p.groupBy("m").agg(sum(col("c")).as("t"),
+      count(lit(1)).as("n_participants"))
+    val sq = round(d(col("c")) / d(col("t")) * (d(col("c")) / d(col("t"))) * 1e9, 0)
+      .cast("long")
+    p.join(broadcast(tot), Seq("m"))
+      .select(col("m"), col("t"), col("n_participants"), sq.as("sq"))
+      .groupBy("m", "t", "n_participants")
+      .agg(round(sum(col("sq")) / 1e9, 6).as("hhi"))
+      .select(col("m").as("market"), col("n_participants"),
+        col("t").as("total"), col("hhi"),
+        when(col("hhi") > 0, round(lit(1.0) / col("hhi"), 6))
+          .as("effective_competitors"))
+  }
+
   /** The shared distributed-exact-ranking core of [[giniCoefficient]]
     * and [[lorenzDeciles]]: ascending dense ranks over (value, id)
     * with NO global window — range buckets (monotone in value) + a

@@ -1063,6 +1063,35 @@ object Events {
         round(covNum * covNum / (varXNum * varYNum), 6)).as("var_reduction"))
   }
 
+  /** Daily-activity streaks per user: longest consecutive-day run,
+    * streak count, and active-day total — the engagement/gamification
+    * readout ([[activeUsers]] says how many came back; this says how
+    * CONSISTENTLY each one did). Gaps-and-islands: island id =
+    * epoch-day − per-user day rank (constant exactly while days are
+    * consecutive), all exact integers.
+    *
+    * Scale shape: corpus → distinct (user, day) once; the rank
+    * window partitions BY USER (parallel, user-sized — never a
+    * global order); two bounded hash aggregates finish.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epoch0 = lit(java.sql.Date.valueOf("1970-01-01"))
+    val ud = events
+      .select(col("user_id"),
+              datediff(to_date(col("ts")), epoch0).cast("long").as("ep"))
+      .distinct()
+    val wu = Window.partitionBy("user_id").orderBy("ep")
+    val runs = ud
+      .withColumn("island", col("ep") - row_number().over(wu))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+           max(col("len")).as("longest_streak"),
+           count(lit(1)).as("n_streaks"))
+  }
+
   /** Exponential-decay fit of the overall retention curve: r(k) =
     * share of all users active k days after their own first day;
     * fit ln r = a − λk by OLS over k ≥ 1 (day 0 is 1.0 by

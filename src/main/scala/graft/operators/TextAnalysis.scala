@@ -985,4 +985,63 @@ object TextAnalysis {
         round(nTok.cast("double") / col("n_alpha_chars").cast("double"), 6))
         .as("tokens_per_char"))
   }
+
+  /** Winnowing document fingerprints + pair report (Schleimer,
+    * Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03, the MOSS algorithm): hash every
+    * k-token gram, slide a w-position window, keep each window's MIN
+    * hash; two docs sharing ≥ `minShared` selected fingerprints are
+    * reported with a fingerprint-Jaccard. The GUARANTEED-detection
+    * near-dup screen: any shared run of ≥ w+k−1 tokens must surface
+    * at least one common fingerprint — a property the random-sample
+    * sketches ([[graft.operators.Dedup]]'s MinHash/SimHash) don't
+    * give — while selecting ~2/(w+1) of the grams.
+    *
+    * Determinism: gram hashes are [[graft.functions.TextFunctions
+    * .md5Prefix64]] (the engine-portable 60-bit md5 prefix); window
+    * minima come from a per-doc ROWS frame (full windows only), and
+    * the pair counts are exact distinct counts. The usual df-cut
+    * kills boilerplate fingerprints before the pair explode.
+    *
+    * Scale shape: per-doc gram explode (corpus-linear) → per-doc
+    * frame windows (partitioned by doc — parallel, doc-sized) →
+    * distinct fingerprints (a ~2/(w+1) fraction) → df-cut postings
+    * self-join, the [[graft.operators.Dedup.jaccardPairs]] shape at
+    * a fraction of the postings volume.
+    */
+  def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4, minShared: Int = 2,
+                    maxDocFreq: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val grams = docs
+      .select(col(idCol).as("doc"),
+        graft.functions.TextFunctions.wordNgramsFast(col(textCol), k).as("gs"))
+      .select(col("doc"), size(col("gs")).as("ng"),
+        posexplode(col("gs")).as(Seq("pos", "g")))
+      .withColumn("h", graft.functions.TextFunctions.md5Prefix64(col("g")))
+    val wf = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val fp = grams
+      .withColumn("wmin", min(col("h")).over(wf))
+      .where(col("pos") <= col("ng") - w) // full windows only
+      .select(col("doc"), col("wmin").as("h"))
+      .distinct()
+    val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("h")
+    val fpk = fp.join(keep, Seq("h"))
+    val sizes = fp.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
+    val common = fpk.as("a").join(fpk.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_fp").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n_fp").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(d(col("n_shared")) / d(col("n_a") + col("n_b") - col("n_shared")), 6)
+          .as("fp_jaccard"))
+  }
 }

@@ -399,6 +399,17 @@ class EventsSpec extends SparkSpec {
     assert(got._7 < got._4, s"CUPED se must shrink: se_raw=${got._4} se_cuped=${got._7}")
   }
 
+  test("activityStreaks: islands split on gaps; repeats within a day collapse") {
+    def dts(d: Int) = new Timestamp(d * 86400000L)
+    // u1: days 1,2,3 then 7,8 (two streaks); u2: day 5 twice (one)
+    val e = (Seq(1, 2, 3, 7, 8).map(d0 => (1L, d0)) ++ Seq((2L, 5), (2L, 5)))
+      .map { case (u, d0) => (u, "view", dts(d0), 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Events.activityStreaks(e).orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 3L, 2L), (2L, 1L, 1L, 1L)), s"got $got")
+  }
+
   test("retentionFit: a clean halving cohort fits λ≈ln2, half-life ≈ 1 day, R²≈1") {
     def dts(d: Int) = new Timestamp(d * 86400000L)
     // 8 users on day0; 4 return day1; 2 day2; 1 day3 →

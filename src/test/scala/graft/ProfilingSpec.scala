@@ -386,6 +386,20 @@ class ProfilingSpec extends SparkSpec {
     assert(a == b, s"bucket count changed the exact rank sum: $a vs $b")
   }
 
+  test("hhiByMarket: monopoly 1.0, duopoly 0.5, effective competitors = 1/HHI") {
+    import graft.operators.Analytics
+    val df = Seq(
+      ("mono", "a", 100L),
+      ("duo", "a", 50L), ("duo", "b", 25L), ("duo", "b", 25L), // b split rows sum
+      ("asym", "a", 90L), ("asym", "b", 10L))
+      .toDF("m", "p", "x")
+    val got = Analytics.hhiByMarket(df, "m", "p", "x").orderBy("market")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got(0) == (("asym", 2L, 100L, 0.82, 1.219512)), s"got $got")
+    assert(got(1) == (("duo", 2L, 100L, 0.5, 2.0)), s"got $got")
+    assert(got(2) == (("mono", 1L, 100L, 1.0, 1.0)), s"got $got")
+  }
+
   test("lorenzDeciles: values 1..10 land one per decile with triangular cumulative shares") {
     import graft.operators.Analytics
     val df = (1L to 10L).map(i => (i, i)).toDF("id", "v")

@@ -331,4 +331,30 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)), s"got $got")
   }
+
+  test("winnowedPairs: a shared long run MUST surface a common fingerprint; strangers share none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 1 and 2 share a 12-token run (≥ w+k−1 = 8 → guaranteed
+    // detection); doc 3 is disjoint vocabulary
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zeta eta theta $shared iota"),
+      (3L, "completely different words with nothing in common here at all " +
+        "and still more unrelated filler tokens everywhere"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.winnowedPairs(
+        docs, "doc_id", "text", k = 5, w = 4, minShared = 1, maxDocFreq = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L)),
+      s"only the overlapping pair may report: $got")
+    assert(got.head._5 >= 1, s"guaranteed detection: $got")
+    // deterministic across partitionings
+    val again = graft.operators.TextAnalysis.winnowedPairs(
+        docs.repartition(3), "doc_id", "text", k = 5, w = 4,
+        minShared = 1, maxDocFreq = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == again)
+  }
 }
