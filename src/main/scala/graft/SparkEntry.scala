@@ -1212,6 +1212,72 @@ object SparkEntry {
 
   private val ivfSql: String = ivfSqlWith("")
 
+  /** Recall-vs-nprobe sweep oracle: ONE shared corpus/centroid/
+    * assignment chain (the [[ivfSqlWith]] structure verbatim — same
+    * seeding, same tie-breaks), a brute-force top-5 baseline, then
+    * one probed-retrieval + recall row per nprobe, unioned. Mirrors
+    * the engine's loop over `Similarity.ivfTopK(nprobe = …)`.
+    */
+  private def ivfSweepSql(nprobes: Seq[Int]): String = {
+    val head =
+      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, cvec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(corpus_id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 16)),
+        | asg AS (
+        |  SELECT corpus_id, cell_id FROM (
+        |   SELECT c.corpus_id, cen.cell_id,
+        |    row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+        |      round(list_cosine_similarity(c.cvec, cen.centroid), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | bq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |   FROM embeddings WHERE vec_id < 8),
+        | ball AS (SELECT query_id, corpus_id,
+        |   round(list_cosine_similarity(cvec, qv), 6) AS score
+        |  FROM c CROSS JOIN bq WHERE corpus_id <> query_id),
+        | bex AS (SELECT query_id, corpus_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) AS rnk FROM ball)
+        |  WHERE rnk <= 5)""".stripMargin
+    val arms = nprobes.map { np =>
+      s""",
+         | qc_$np AS (
+         |  SELECT query_id, cell_id FROM (
+         |   SELECT q.vec_id AS query_id, cen.cell_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(list_cosine_similarity(q.embedding::DOUBLE[], cen.centroid), 6) DESC,
+         |      cen.cell_id) AS crnk
+         |   FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cen)
+         |  WHERE crnk <= $np),
+         | cand_$np AS (
+         |  SELECT DISTINCT qc_$np.query_id, a.corpus_id
+         |  FROM asg a JOIN qc_$np ON a.cell_id = qc_$np.cell_id
+         |  WHERE a.corpus_id <> qc_$np.query_id),
+         | ivfk_$np AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT cand_$np.query_id, cand_$np.corpus_id,
+         |    row_number() OVER (PARTITION BY cand_$np.query_id ORDER BY
+         |      round(list_cosine_similarity(ce.embedding::DOUBLE[],
+         |        qe.embedding::DOUBLE[]), 6) DESC, cand_$np.corpus_id) AS rnk
+         |   FROM cand_$np
+         |   JOIN embeddings ce ON ce.vec_id = cand_$np.corpus_id
+         |   JOIN embeddings qe ON qe.vec_id = cand_$np.query_id)
+         |  WHERE rnk <= 5),
+         | r_$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+         |   CAST(count(*) AS BIGINT) AS n_pairs,
+         |   round(CAST(sum(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+         |     AS BIGINT)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |  FROM bex LEFT JOIN ivfk_$np i
+         |   ON i.query_id = bex.query_id AND i.corpus_id = bex.corpus_id)""".stripMargin
+    }.mkString
+    val tail = nprobes.map(np => s"SELECT * FROM r_$np")
+      .mkString("\n ", "\n UNION ALL\n ", "\n ORDER BY nprobe")
+    head + arms + tail
+  }
+
   /** k-means|| seeding CTE chain, shared by the cluster_kmeanspp gate
     * and its Lloyd-refinement composition: 3 oversampling rounds
     * (round-6 cosine distance → exact scaled long, md5-uniform draw
@@ -4200,6 +4266,26 @@ object SparkEntry {
         target = "purchase",
         channels = Seq("click", "error", "signup", "view"), iters = 4)
         .orderBy("channel")
+    }),
+
+    // recall-vs-nprobe tuning curve for the IVF index: the artifact
+    // that decides the latency/recall operating point — one shared
+    // quantizer, one probed arm per nprobe, brute-force baseline
+    "sim_ivf_probe_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      Seq(1, 2, 4, 8, 16).map { np =>
+        val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+            numCells = 16, nprobe = np)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+        exact.join(ivf, Seq("query_id", "corpus_id"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+               round(sum(coalesce(col("hit"), lit(0L))).cast("double")
+                     / count(lit(1)).cast("double"), 6).as("recall"))
+          .select(lit(np.toLong).as("nprobe"), col("n_pairs"), col("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
     }),
 
     // MOSS winnowing fingerprints (Schleimer et al. SIGMOD'03):
@@ -8225,6 +8311,8 @@ object SparkEntry {
       channels = Seq("click", "error", "signup", "view"), iters = 4),
 
     "graph_modularity" -> modularitySql(iters = 5),
+
+    "sim_ivf_probe_sweep" -> ivfSweepSql(Seq(1, 2, 4, 8, 16)),
 
     "text_winnowing" ->
       """WITH toks AS (
