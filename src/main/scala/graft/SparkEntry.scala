@@ -4268,6 +4268,13 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // strict funnel WITHIN sessions (gap rule → session key reuses
+    // the lifetime funnel machinery verbatim): per-visit conversion
+    "events_session_funnel" -> ((s, dir) =>
+      Events.sessionFunnel(t(s, dir, "events"),
+          Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
     // recall-vs-nprobe tuning curve for the IVF index: the artifact
     // that decides the latency/recall operating point — one shared
     // quantizer, one probed arm per nprobe, brute-force baseline
@@ -8313,6 +8320,38 @@ object SparkEntry {
     "graph_modularity" -> modularitySql(iters = 5),
 
     "sim_ivf_probe_sweep" -> ivfSweepSql(Seq(1, 2, 4, 8, 16)),
+
+    "events_session_funnel" ->
+      """WITH sk AS (SELECT user_id, event_id, ts, event_type,
+        |  user_id || ':' || CAST(session_id AS VARCHAR) AS sk FROM (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS session_id FROM (
+        |   SELECT *, CASE WHEN prev_ts IS NULL
+        |     OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS ns
+        |   FROM (SELECT user_id, event_id, ts, event_type,
+        |     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events)))),
+        | s1 AS (SELECT sk.sk, min(ts) AS t1 FROM sk
+        |        WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.sk, min(e.ts) AS t2 FROM sk e JOIN s1 USING (sk)
+        |        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        | s3 AS (SELECT e.sk, min(e.ts) AS t3 FROM sk e JOIN s2 USING (sk)
+        |        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        | f AS (SELECT s1.sk,
+        |  CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS reached_step
+        | FROM s1 LEFT JOIN s2 USING (sk) LEFT JOIN s3 USING (sk)),
+        | c AS (SELECT reached_step, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        | steps AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS step),
+        | grid AS (SELECT step,
+        |   CAST(coalesce(sum(CASE WHEN reached_step >= step THEN n END), 0)
+        |     AS BIGINT) AS n_sessions
+        |  FROM steps CROSS JOIN c GROUP BY 1),
+        | f1 AS (SELECT n_sessions AS n1 FROM grid WHERE step = 1)
+        | SELECT step, n_sessions,
+        |  CASE WHEN n1 > 0
+        |   THEN round(n_sessions::DOUBLE / n1::DOUBLE, 6) END AS share_of_first
+        | FROM grid CROSS JOIN f1 ORDER BY step""".stripMargin,
 
     "text_winnowing" ->
       """WITH toks AS (

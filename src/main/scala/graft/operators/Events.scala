@@ -159,6 +159,52 @@ object Events {
   }
 
 
+  /** Strict funnel WITHIN sessions: the [[funnel]] step semantics
+    * (each step strictly after the previous, no out-of-order credit)
+    * evaluated per (user, session) instead of per user lifetime —
+    * "did one visit carry view → click → purchase", the
+    * conversion-UX readout a lifetime funnel overstates (a purchase
+    * three weeks after the view is retention, not funnel flow).
+    * Output: one row per step with the session count reaching ≥ it
+    * and the share of step-1 sessions.
+    *
+    * Composition: session ids come from the [[sessionize]] gap rule;
+    * the session key (user:session) then IS [[funnel]]'s user key —
+    * the step machinery is reused verbatim, not re-implemented.
+    * Scale shape: one user-partitioned window pass for session ids,
+    * then funnel's per-step aggregates keyed by session; the
+    * step-count fold runs on a ≤|steps|² bounded grid.
+    */
+  def sessionFunnel(events: DataFrame, steps: Seq[String],
+                    gapMinutes: Int = 30): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMinutes * 60000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sk",
+        concat_ws(":", col("user_id").cast("string"),
+          col("session_id").cast("string")))
+    val reached = funnel(sess, steps, userCol = "sk")
+    val counts = reached.groupBy("reached_step").agg(count(lit(1)).as("n"))
+    val stepDf = events.sparkSession.range(1, steps.size + 1).toDF("step")
+    val grid = stepDf.crossJoin(broadcast(counts)) // bounded × bounded
+      .groupBy("step")
+      .agg(coalesce(sum(when(col("reached_step") >= col("step"), col("n"))),
+        lit(0L)).as("n_sessions"))
+    val first = grid.where(col("step") === 1)
+      .select(col("n_sessions").as("n1"))
+    grid.crossJoin(broadcast(first)) // 1-row scalar
+      .select(col("step"), col("n_sessions"),
+        when(col("n1") > 0, round(d(col("n_sessions")) / d(col("n1")), 6))
+          .as("share_of_first"))
+  }
+
   /** Cohort retention: users grouped by their first-seen date
     * (cohort), counted as retained on day k if active k days after
     * the cohort date. Two aggregates (first-seen, distinct active

@@ -399,6 +399,26 @@ class EventsSpec extends SparkSpec {
     assert(got._7 < got._4, s"CUPED se must shrink: se_raw=${got._4} se_cuped=${got._7}")
   }
 
+  test("sessionFunnel: in-session strict sequence counts; cross-session steps earn no credit") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val m = 60000L
+    val rows = Seq(
+      // u1 session 1: full strict sequence → reaches 3
+      (1L, 1L, "view", 0L), (2L, 1L, "click", m), (3L, 1L, "purchase", 2 * m),
+      // u2: view in session 1, click 2h later = SESSION 2 → step 1 twice
+      (4L, 2L, "view", 0L), (5L, 2L, "click", 120 * m),
+      // u3 session 1: click before view → only step 1 (strict order)
+      (6L, 3L, "click", 0L), (7L, 3L, "view", m))
+      .map { case (e, u, t0, off) => (e, u, t0, ts(off), 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.sessionFunnel(rows, Seq("view", "click", "purchase"))
+      .orderBy("step").as[(Long, Long, Double)].collect().toSeq
+    // step-1 sessions: u1s1, u2s1(view), u3s1(view) = 3; u2's click
+    // session has no view → not counted
+    assert(got == Seq((1L, 3L, 1.0), (2L, 1L, 0.333333), (3L, 1L, 0.333333)),
+      s"got $got")
+  }
+
   test("activityStreaks: islands split on gaps; repeats within a day collapse") {
     def dts(d: Int) = new Timestamp(d * 86400000L)
     // u1: days 1,2,3 then 7,8 (two streaks); u2: day 5 twice (one)
