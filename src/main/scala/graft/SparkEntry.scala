@@ -1419,6 +1419,75 @@ object SparkEntry {
        | ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Banding-calibration oracle: ONE shared shingle/signature chain
+    * (the [[minhashSql]] construction, signature width = the configs'
+    * common product), then per configuration its band arms, candidate
+    * count, and verified-at-τ count; s₅₀ literals are computed HERE
+    * with the same JVM math.pow + HALF_UP round the engine inlines.
+    */
+  private def minhashCalibrationSql(configs: Seq[(Int, Int)],
+                                    threshold: Double): String = {
+    val p = Dedup.MinHashP
+    val numHashes = configs.head._1 * configs.head._2
+    val consts = Dedup.minHashConsts(numHashes, seed = 42L)
+    val mins = consts.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * h31 + $b) % $p) AS m$i" }
+      .mkString(",\n   ")
+    val head =
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         | sh AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+         | h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h60,
+         |         ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h31
+         |  FROM sh),
+         | sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         | sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id)""".stripMargin
+    val arms = configs.map { case (nb, rpb) =>
+      val tag = s"${nb}_$rpb"
+      val bandArms = (0 until nb).map { bnd =>
+        val key = (0 until rpb).foldLeft("0") {
+          (acc, j) => s"(($acc*1000003 + m${bnd * rpb + j}) % $p)"
+        }
+        s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s""",
+         | band_$tag AS ($bandArms),
+         | cand_$tag AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band_$tag a JOIN band_$tag b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         | nc_$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand_$tag),
+         | com_$tag AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand_$tag c
+         |  JOIN h ha ON ha.doc_id = c.doc_a
+         |  JOIN h hb ON hb.doc_id = c.doc_b AND ha.h60 = hb.h60
+         |  GROUP BY 1, 2),
+         | nv_$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_verified
+         |  FROM com_$tag
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(n_common/(sa.n_sh + sb.n_sh - n_common), 6) >= $threshold)""".stripMargin
+    }.mkString
+    val rows = configs.map { case (nb, rpb) =>
+      val tag = s"${nb}_$rpb"
+      val s50 = BigDecimal(math.pow(1.0 / nb, 1.0 / rpb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""SELECT CAST($nb AS BIGINT) AS num_bands, CAST($rpb AS BIGINT) AS rows_per_band,
+         |  $s50 AS s50,
+         |  (SELECT n_candidates FROM nc_$tag) AS n_candidates,
+         |  (SELECT n_verified FROM nv_$tag) AS n_verified,
+         |  CASE WHEN (SELECT n_candidates FROM nc_$tag) > 0
+         |   THEN round((SELECT n_verified FROM nv_$tag)::DOUBLE
+         |        / (SELECT n_candidates FROM nc_$tag)::DOUBLE, 6) END AS precision
+         |""".stripMargin
+    }.mkString("\n ", "\n UNION ALL\n ", "\n ORDER BY rows_per_band")
+    head + arms + rows
+  }
+
   // ---- hyperplane-LSH SQL twin --------------------------------------
   // The plane constants are plan-time literals (VectorFunctions
   // .planeConstants), so the oracle reproduces the EXACT bucket
@@ -4267,6 +4336,13 @@ object SparkEntry {
         channels = Seq("click", "error", "signup", "view"), iters = 4)
         .orderBy("channel")
     }),
+
+    // LSH banding calibration: candidate volume + verified precision
+    // per (bands, rows) split of one shared 32-hash signature — the
+    // MinHash twin of the nprobe sweep
+    "dedup_lsh_calibration" -> ((s, dir) =>
+      Dedup.minHashCalibration(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("rows_per_band")),
 
     // strict funnel WITHIN sessions (gap rule → session key reuses
     // the lifetime funnel machinery verbatim): per-visit conversion
@@ -8320,6 +8396,9 @@ object SparkEntry {
     "graph_modularity" -> modularitySql(iters = 5),
 
     "sim_ivf_probe_sweep" -> ivfSweepSql(Seq(1, 2, 4, 8, 16)),
+
+    "dedup_lsh_calibration" -> minhashCalibrationSql(
+      configs = Seq((16, 2), (8, 4), (4, 8)), threshold = 0.12),
 
     "events_session_funnel" ->
       """WITH sk AS (SELECT user_id, event_id, ts, event_type,

@@ -371,6 +371,56 @@ object Dedup {
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** LSH banding calibration sweep — the [[minHashPairs]] tuning
+    * artifact: for each (bands, rows) split of the SAME signature
+    * width, the theoretical s-curve midpoint s₅₀ = (1/b)^(1/r), the
+    * measured candidate-pair count, how many candidates survive
+    * exact-Jaccard verification at `verifyThreshold`, and the
+    * resulting precision. More bands → lower s₅₀ → more candidates
+    * and lower precision: this table is how you pick the banding
+    * before paying for a corpus-scale run (the MinHash twin of the
+    * IVF nprobe sweep).
+    *
+    * One signature/shingle aggregation is shared by every
+    * configuration (the signature width is the configs' common
+    * product — enforced); each arm pays only its own band-key
+    * explode + join. Candidate tables are materialized once
+    * (consumed by both the count and the verification).
+    */
+  def minHashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3,
+                         configs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8)),
+                         verifyThreshold: Double = 0.12): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val numHashes = configs.head._1 * configs.head._2
+    require(configs.forall { case (b, r) => b * r == numHashes },
+      s"all configs must split the same signature width $numHashes")
+    val docTable = minHashDocTable(docs, idCol, textCol, shingleN,
+      numHashes, engineNeutralHash = true).localCheckpoint()
+    val shingleTable = docTable.select(col("doc"), col("sh"))
+    configs.map { case (b, r) =>
+      val banded = bandKeyTable(docTable, b, r)
+      val cands = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .localCheckpoint() // consumed twice: count + verification
+      val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+      val nVer = verifyJaccard(cands, shingleTable, shingleTable, verifyThreshold)
+        .agg(count(lit(1)).as("n_verified"))
+      val s50 = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      nCand.crossJoin(broadcast(nVer)) // 1-row scalars
+        .select(lit(b.toLong).as("num_bands"), lit(r.toLong).as("rows_per_band"),
+          lit(s50).as("s50"), col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") > 0,
+            round(d(col("n_verified")) / d(col("n_candidates")), 6))
+            .as("precision"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact Jaccard verification of candidate pairs against the two
     * sides' (doc, sh) shingle-set tables — only the candidate set
     * (never the corpus) pays the intersection cost.

@@ -339,4 +339,28 @@ class DedupSpec extends SparkSpec {
       path)
   }
 
+  test("minHashCalibration: aligned slicing nests candidate sets (wider rows ⊆ narrower); width guard") {
+    // two near-dup docs + one stranger: every config must verify the
+    // pair; looser bandings may only ADD candidates — a (4,8) band
+    // match implies all four covered (16,2) sub-bands match, so
+    // candidate counts are monotone non-increasing in rows_per_band
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra tail words here"),
+      (3L, (100 to 140).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashCalibration(docs, "doc_id", "text")
+      .orderBy("rows_per_band")
+      .as[(Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((16L, 2L), (8L, 4L), (4L, 8L)))
+    val cands = got.map(_._4)
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2),
+      s"aligned bands must nest: $got")
+    assert(got.forall(_._5 >= 1L), s"the true near-dup must verify everywhere: $got")
+    assert(got.head._3 == 0.25, s"s50 of (16,2) is (1/16)^(1/2) = 0.25: $got")
+    intercept[IllegalArgumentException] {
+      Dedup.minHashCalibration(docs, "doc_id", "text",
+        configs = Seq((16, 2), (8, 2)))
+    }
+  }
 }
