@@ -4391,6 +4391,17 @@ object SparkEntry {
         .orderBy("market")
     }),
 
+    // 2-D Pareto frontier over part (min price, max size): the
+    // sort-filter skyline in the bucket-prefix discipline — no
+    // global window, no pair join; the oracle is the O(n²)
+    // NOT EXISTS dominance definition
+    "agg_skyline" -> ((s, dir) =>
+      Analytics.skyline2D(t(s, dir, "part"), "p_partkey",
+          "p_retailprice", "p_size")
+        .select(col("id").as("p_partkey"), col("min_value").as("price"),
+          col("max_value").as("size"))
+        .orderBy("price", "p_partkey")),
+
     // per-user daily-activity streaks: gaps-and-islands on distinct
     // user-days, user-partitioned windows only
     "events_streaks" -> ((s, dir) =>
@@ -8479,6 +8490,15 @@ object SparkEntry {
         | SELECT m AS market, n_participants, t AS total, hhi,
         |  CASE WHEN hhi > 0 THEN round(1.0 / hhi, 6) END AS effective_competitors
         | FROM h ORDER BY market""".stripMargin,
+
+    "agg_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price,
+        |  CAST(p_size AS BIGINT) AS size
+        | FROM part p
+        | WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        | ORDER BY price, p_partkey""".stripMargin,
 
     "events_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -771,4 +771,58 @@ object Analytics {
       .select(col("decile"), col("n_keys"), col("mass"), col("cum_mass"),
         round(d(col("cum_mass")) / d(col("t")), 6).as("cum_share"))
   }
+
+  /** 2-D skyline (Pareto frontier): the rows no other row strictly
+    * dominates, minimizing `minCol` while maximizing `maxCol` — the
+    * price/quality efficient frontier ("no part is both cheaper and
+    * larger"). A row p is dominated iff some q has q.min ≤ p.min ∧
+    * q.max ≥ p.max with at least one strict; ties on BOTH axes keep
+    * both rows (neither strictly dominates).
+    *
+    * Distributed with NO global window and NO pair join — the
+    * classic sort-filter skyline re-expressed in the [[rankByValue]]
+    * bucket-prefix discipline. Factored per distinct `minCol` value
+    * v: a row survives iff (a) its max equals bestAt(v) = max(maxCol
+    * at v) and (b) bestAt(v) > Mlt(v) = max(maxCol over values < v).
+    * Mlt comes from range buckets (monotone in v, so bucket order =
+    * value order): a running max inside each bucket (parallel,
+    * bucket-sized windows over the DISTINCT-value table) plus a
+    * prefix-max over the bounded per-bucket-max table — exactness
+    * doesn't depend on bucket boundaries, any monotone binning gives
+    * the same Mlt. The frontier is then one equi-join back against
+    * the full table; its size is data-bounded (≤ one value per
+    * distinct minCol, anti-chain in practice), so AQE broadcasts it.
+    *
+    * Scale shape: one hash agg (distinct minCol), bucket-local
+    * windows, a ≤numBuckets-row prefix broadcast, one join. The
+    * oracle is the O(n²) NOT EXISTS dominance definition — exact and
+    * engine-independent, viable at oracle scale only.
+    */
+  def skyline2D(df: DataFrame, idCol: String, minCol: String, maxCol: String,
+                numBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val v = df.select(col(idCol).as("id"), d(col(minCol)).as("v"),
+        col(maxCol).cast("long").as("x"))
+      .where(col("v").isNotNull && col("x").isNotNull)
+    val pm = v.groupBy("v").agg(max(col("x")).as("best"))
+    val bounds = pm.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val b = pm.crossJoin(broadcast(bounds)) // 1-row scalar
+      .withColumn("bucket", least(lit(numBuckets - 1), floor(
+        (col("v") - col("mn")) * numBuckets / (col("mx") - col("mn") + lit(1e-9)))))
+    val perBucket = b.groupBy("bucket").agg(max(col("best")).as("bmax"))
+    val wb = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1) // bounded bucket table
+    val offsets = perBucket.withColumn("pfx", max(col("bmax")).over(wb))
+    val wr = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = b.join(broadcast(offsets.select("bucket", "pfx")), Seq("bucket"))
+      .withColumn("mlt", greatest(coalesce(max(col("best")).over(wr), lit(Long.MinValue)),
+        coalesce(col("pfx"), lit(Long.MinValue))))
+      .where(col("best") > col("mlt"))
+      .select(col("v").as("fv"), col("best").as("fbest"))
+    v.join(frontier, col("v") === col("fv") && col("x") === col("fbest"))
+      .select(col("id"), col("v").as("min_value"), col("x").as("max_value"))
+      .orderBy("min_value", "id")
+  }
 }

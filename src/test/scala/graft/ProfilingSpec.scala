@@ -386,6 +386,24 @@ class ProfilingSpec extends SparkSpec {
     assert(a == b, s"bucket count changed the exact rank sum: $a vs $b")
   }
 
+  test("skyline2D: dominance, both-axis ties kept, bucket-count invariant") {
+    import graft.operators.Analytics
+    // frontier: (1.0,3) and (2.0,5). (2.0,3) dominated by (1.0,3)
+    // (same size, cheaper); (3.0,5) dominated by (2.0,5); (1.5,1)
+    // dominated by (1.0,3). Duplicate (2.0,5) rows BOTH survive —
+    // neither strictly dominates the other.
+    val df = Seq((1L, 1.0, 3), (2L, 2.0, 3), (3L, 2.0, 5), (4L, 2.0, 5),
+      (5L, 3.0, 5), (6L, 1.5, 1)).toDF("id", "price", "size")
+    val got = Analytics.skyline2D(df, "id", "price", "size")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 1.0, 3L), (3L, 2.0, 5L), (4L, 2.0, 5L)), s"got $got")
+    // equal-price non-max rows drop; bucket count never changes the set
+    val a = Analytics.skyline2D(df, "id", "price", "size", numBuckets = 1)
+      .collect().toSeq
+    assert(a == Analytics.skyline2D(df, "id", "price", "size", numBuckets = 1024)
+      .collect().toSeq, "bucket count changed the frontier")
+  }
+
   test("hhiByMarket: monopoly 1.0, duopoly 0.5, effective competitors = 1/HHI") {
     import graft.operators.Analytics
     val df = Seq(
