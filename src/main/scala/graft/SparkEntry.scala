@@ -805,6 +805,38 @@ object SparkEntry {
       s"\n SELECT node, round(pr, 6) AS pr FROM r$iters ORDER BY node"
   }
 
+  // ---- personalized-PageRank SQL twin: pageRankSql with the restart
+  // vector concentrated (round-9) on the seed set — dangling mass
+  // restarts into the seeds too, r0 = s. ------------------------------
+  private def pprSql(seedList: Seq[String], iters: Int,
+                     damping: Double): String = {
+    val inList = seedList.map(x => s"'$x'").mkString(", ")
+    val head = graphSqlHead +
+      s""",
+         | outw AS MATERIALIZED (SELECT src AS node, sum(w) AS out_w FROM e GROUP BY 1),
+         | ne AS MATERIALIZED (SELECT src, dst, w / out_w AS p FROM e JOIN outw ON e.src = outw.node),
+         | nsd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_seeds
+         |   FROM nodes WHERE node IN ($inList)),
+         | sv AS MATERIALIZED (SELECT node,
+         |   round(CASE WHEN node IN ($inList) THEN 1.0 / n_seeds ELSE 0.0 END, 9) AS s
+         |   FROM nodes CROSS JOIN nsd),
+         | r0 AS MATERIALIZED (SELECT node, s AS pr FROM sv)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dang FROM r${i - 1} r
+         |   WHERE NOT EXISTS (SELECT 1 FROM outw WHERE outw.node = r.node)),
+         | s$i AS MATERIALIZED (SELECT ne.dst AS node, sum(r.pr * ne.p) AS in_sum
+         |   FROM ne JOIN r${i - 1} r ON ne.src = r.node GROUP BY 1),
+         | r$i AS MATERIALIZED (SELECT sv.node,
+         |   round(${1 - damping} * s
+         |     + $damping * (coalesce(in_sum, 0.0) + dang * s), 9) AS pr
+         |   FROM sv CROSS JOIN d$i
+         |   LEFT JOIN s$i ON sv.node = s$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\n SELECT node, round(pr, 6) AS pr FROM r$iters ORDER BY node"
+  }
+
   // ---- label-propagation SQL twin: `iters` unrolled sync rounds —
   // symmetrized edges, per-round vote sums rounded to 9, max-score
   // winner with min-label tie-break — the Graph.labelPropagation
@@ -2115,6 +2147,18 @@ object SparkEntry {
           iters = 5)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy("node")),
+
+    // personalized PageRank: restart mass uniform over the
+    // {view, signup} seed set (dangling mass restarts into the seeds
+    // too) — "how close is each state to the acquisition funnel",
+    // same per-round round-9 / round-replayed-oracle contract
+    "graph_ppr" -> ((s, dir) => {
+      import s.implicits._
+      Graph.personalizedPageRank(transitionEdges(t(s, dir, "events")),
+          "src", "dst", "w", Seq("view", "signup").toDF("node"), iters = 5)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
 
     // Adamic-Adar link prediction over the order-part bipartite
     // relation (co-purchase recommendation): inverse-log container
@@ -7268,6 +7312,7 @@ object SparkEntry {
     },
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
+    "graph_ppr" -> pprSql(Seq("view", "signup"), iters = 5, damping = 0.85),
 
     "events_shortest_paths" -> ssspSql(source = "signup", iters = 4),
 

@@ -91,6 +91,80 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank (random walk with restart): [[pageRank]]
+    * with the restart mass concentrated on a seed set instead of
+    * uniform — pr'(v) = (1−d)·s(v) + d·(Σ_in pr(u)·p(u,v) +
+    * dang·s(v)), where s is uniform over `seeds` (and 0 elsewhere),
+    * and the dangling mass also restarts INTO the seed
+    * distribution (the standard PPR convention — total mass stays
+    * 1). Ranks answer "how close is v to the seed neighborhood",
+    * the relevance/recommendation form of PageRank.
+    *
+    * Same engine-parity and scale contract as [[pageRank]]: exact
+    * count weights, per-round round-9, one |V|-row eager checkpoint
+    * per round, no collect; the seed vector is a |V|-row table
+    * joined once up front (seeds themselves are a semi-join, not a
+    * literal list, so a 10⁹-node seed set would still distribute).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: DataFrame,
+                           iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val outW = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("out_w"))
+      .persist()
+    val norm = e.join(outW.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+      .repartition(col("src"))
+      .persist()
+    // seeds restricted to nodes actually present — the mass must
+    // normalize over the graph's seed intersection or an absent seed
+    // would silently leak restart probability
+    val seedNodes = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val nSeeds = seedNodes.agg(count(lit(1)).cast("double").as("n_seeds"))
+    // restart vector: uniform over the seed set, round-9 so every
+    // round's inputs are bit-identical across engines
+    val sTab = nodes
+      .join(seedNodes.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        round(when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
+          .otherwise(lit(0.0)), 9).as("s"))
+      .persist()
+    var ranks = sTab.select(col("node"), col("s").as("pr"))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.join(outW, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
+      val contrib = norm.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("p")).as("in_sum"))
+      val next = sTab.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(lit(1 - damping) * col("s") +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+                            col("dang") * col("s")),
+            9).as("pr"))
+      // same two-consumers-per-round discipline as pageRank: eager
+      // |V|-row checkpoint, previous round's blocks dropped at once
+      val prev = ranks
+      ranks = next.localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = ranks.select(col("node"), col("pr")).localCheckpoint()
+    unpersistBacking(ranks)
+    norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outW.unpersist(blocking = false)
+    sTab.unpersist(blocking = false)
+    out
+  }
+
   /** Weighted HITS (hubs & authorities) by fixed-round power
     * iteration: auth'(v) = Σ_{u→v} hub(u)·w, hub'(u) = Σ_{u→v}
     * auth'(v)·w, each half-round L1-normalized. Same engine-parity

@@ -36,6 +36,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr.values.sum - 1.0) < 1e-6)
   }
 
+  test("personalizedPageRank: hand-computed 2 rounds; unreachable non-seed stays 0; absent seeds excluded") {
+    // a→b, c→a; seeds {a}. r1: a=0.15, b=0.85, c=0.
+    // r2: dang=pr(b)=0.85 restarts into a → a=0.15+0.85·0.85=0.8725,
+    // b=0.85·0.15=0.1275, c unreachable from the seed stays 0.
+    val edges = Seq(("a", "b", 1.0), ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val pr = Graph.personalizedPageRank(edges, "src", "dst", "w", seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("a") - 0.8725) < 1e-9, s"got $pr")
+    assert(math.abs(pr("b") - 0.1275) < 1e-9, s"got $pr")
+    assert(pr("c") == 0.0, s"got $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // a seed absent from the graph must not leak restart mass: the
+    // normalization runs over the seed ∩ node intersection
+    val pr2 = Graph.personalizedPageRank(edges, "src", "dst", "w",
+        Seq("a", "zzz").toDF("node"), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2 == pr, s"absent seed changed the ranks: $pr2 vs $pr")
+  }
+
   test("hits: star graph — leaves are pure hubs, the center the pure authority") {
     val edges = (1 to 4).map(i => (s"leaf$i", "hub", 1.0)).toDF("src", "dst", "w")
     val got = Graph.hits(edges, "src", "dst", "w", iters = 10)
