@@ -1540,6 +1540,62 @@ object SparkEntry {
       s"SELECT id, $t AS t, $bits AS bucket FROM e"
     }.mkString("\n UNION ALL\n")
 
+  // ---- nDCG/MRR eval SQL twin: LSH top-k arm vs brute-force truth,
+  // per-query DCG/RR as exact integer sums of the SAME ×1e9-scaled
+  // literal position discounts Similarity.rankingEval compiles into
+  // its when-ladders (irrational logs never hit either engine). ------
+  private def ndcgEvalSql(k: Int): String = {
+    val dcgCase = (1 to k).map(i =>
+      s"WHEN $i THEN ${math.round(1e9 / (math.log(i + 1) / math.log(2)))}")
+      .mkString(" ")
+    val rrCase = (1 to k).map(i => s"WHEN $i THEN ${math.round(1e9 / i)}")
+      .mkString(" ")
+    val idcg = (1 to k).map(i =>
+      math.round(1e9 / (math.log(i + 1) / math.log(2)))).sum
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+       | cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+       |  FROM bkt c JOIN bkt q
+       |    ON c.t = q.t AND c.bucket = q.bucket AND q.id < 8 AND c.id <> q.id),
+       | lscored AS (
+       |  SELECT query_id, corpus_id,
+       |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+       |  FROM cand
+       |  JOIN embeddings ce ON ce.vec_id = corpus_id
+       |  JOIN embeddings qe ON qe.vec_id = query_id),
+       | lsh AS (
+       |  SELECT query_id, corpus_id, rnk FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, corpus_id) AS rnk
+       |   FROM lscored)
+       |  WHERE rnk <= $k),
+       | ex AS (
+       |  SELECT query_id, corpus_id FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+       |               c.vec_id) AS rnk
+       |   FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+       |   WHERE c.vec_id <> q.vec_id)
+       |  WHERE rnk <= $k),
+       | j AS (SELECT lsh.query_id, lsh.rnk,
+       |   CASE WHEN ex.corpus_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM lsh LEFT JOIN ex
+       |    ON lsh.query_id = ex.query_id AND lsh.corpus_id = ex.corpus_id),
+       | perq AS (SELECT query_id,
+       |   CAST(sum(rel) AS BIGINT) AS n_hits,
+       |   CAST(sum(CASE WHEN rel = 1 THEN CASE rnk $dcgCase ELSE 0 END ELSE 0 END) AS BIGINT) AS dcg,
+       |   CAST(max(CASE WHEN rel = 1 THEN CASE rnk $rrCase ELSE 0 END ELSE 0 END) AS BIGINT) AS rr_s
+       |  FROM j GROUP BY 1)
+       | SELECT qs.query_id, coalesce(n_hits, 0) AS n_hits,
+       |  round(CAST(coalesce(dcg, 0) AS DOUBLE) / $idcg.0, 6) AS ndcg,
+       |  round(CAST(coalesce(rr_s, 0) AS DOUBLE) / 1e9, 6) AS rr
+       | FROM (SELECT DISTINCT query_id FROM ex) qs
+       | LEFT JOIN perq ON qs.query_id = perq.query_id
+       | ORDER BY qs.query_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= reference ETL surface (SURVEY §2.3) =========
     "etl_distinct_keys" -> ((s, dir) =>
@@ -3085,6 +3141,28 @@ object SparkEntry {
       Similarity.lshTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
           nbits = 4, numTables = 16)
         .orderBy("query_id", "rnk")
+    }),
+
+    // hard-negative mining: per anchor the top-5 nearest CROSS-label
+    // vectors (the contrastive-training near-misses) — label
+    // mismatch fused into the broadcast join, no label back-join
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 8), "vec_id",
+          "embedding", "label", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // ranking-quality eval of the LSH arm against brute-force truth:
+    // per-query nDCG@10 + reciprocal rank from ×1e9-scaled literal
+    // position discounts (exact integer sums, constant IDCG)
+    "sim_ndcg_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10,
+        nbits = 4, numTables = 16)
+      Similarity.rankingEval(approx, truth, k = 10).orderBy("query_id")
     }),
 
     // whole-corpus k-NN graph: the query side IS the corpus — no
@@ -6549,6 +6627,20 @@ object SparkEntry {
         | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
         | WHERE c.vec_id <> q.vec_id)
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """SELECT query_id, corpus_id, anchor_label, neg_label, score, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  q.label AS anchor_label, c.label AS neg_label,
+        |  round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |             c.vec_id) AS rnk
+        | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        | WHERE c.vec_id <> q.vec_id AND c.label <> q.label)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ndcg_eval" -> ndcgEvalSql(k = 10),
 
     // sim_topk on the leading-16-dim slice (cosine is scale-invariant,
     // so no re-norm enters the replay)

@@ -110,6 +110,82 @@ object Similarity {
     topKPerQuery(
       lshScoredCandidates(corpus, queries, idCol, vecCol, nbits, numTables), k)
 
+  /** Hard-negative mining for contrastive / embedding training: per
+    * anchor, the top-k most-similar corpus vectors whose LABEL
+    * differs — the near-misses a triplet/InfoNCE loss learns most
+    * from (easy negatives are already far; these sit just across the
+    * decision boundary). Same brute shape as [[bruteForceTopK]] with
+    * the label-mismatch predicate fused into the broadcast join, so
+    * cross-label pairs never materialize scores; swap in the LSH/IVF
+    * candidate generators for the 100 TB path exactly as for top-k.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+        col(labelCol).as("clab"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlab"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+    val scored = c.join(broadcast(q),
+        col("corpus_id") =!= col("query_id") && col("clab") =!= col("qlab"))
+      .withColumn("score", round(
+        cosineFromParts(dotD(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    // labels ride the scored rows (no back-join against the corpus);
+    // the rank<=k window is the bounded per-key top-k as everywhere
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("corpus_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("qlab").as("anchor_label"),
+        col("clab").as("neg_label"), col("score"), col("rnk"))
+  }
+
+  /** Ranking-quality evaluation of an approximate retrieval run
+    * against exact ground truth: per query, nDCG@k (binary relevance
+    * = membership in the true top-k) and reciprocal rank of the
+    * first relevant hit — the standard ANN operating-point metrics
+    * beyond plain recall (recall counts hits; nDCG penalizes putting
+    * them LOW; MRR reads time-to-first-good-result).
+    *
+    * Determinism: position discounts 1/log₂(i+1) and 1/i are
+    * precomputed ×1e9-scaled LITERAL longs per rank (irrational
+    * logs never hit engine math), so DCG and RR accumulate as exact
+    * integer sums; IDCG is the constant Σ_{i≤k} discount. Scale
+    * shape: one (query,corpus)-keyed equi-join of two ≤|Q|·k-row
+    * rankings, one per-query aggregate — trivially distributed.
+    *
+    * `approx`/`truth`: (query_id, corpus_id, rnk) as produced by the
+    * top-k family; every truth query reports even if approx returned
+    * nothing for it (nDCG 0, rr 0).
+    */
+  def rankingEval(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val dcgC = (1 to k).map(i =>
+      i -> math.round(1e9 / (math.log(i + 1) / math.log(2)))).toMap
+    val rrC = (1 to k).map(i => i -> math.round(1e9 / i)).toMap
+    // flat codegen'd when-ladders (the bootstrap lesson: no
+    // interpreted HOF in a per-row position lookup)
+    val dcgAt = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("rnk") === i, lit(dcgC(i))).otherwise(acc) }
+    val rrAt = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("rnk") === i, lit(rrC(i))).otherwise(acc) }
+    val idcg = (1 to k).map(dcgC).sum
+    val rel = truth.select(col("query_id"), col("corpus_id"), lit(1).as("rel"))
+    val perQ = approx.where(col("rnk") <= k)
+      .join(rel, Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("rel").isNotNull, lit(1)).otherwise(lit(0))).as("n_hits"),
+        sum(when(col("rel").isNotNull, dcgAt).otherwise(lit(0L))).as("dcg"),
+        max(when(col("rel").isNotNull, rrAt).otherwise(lit(0L))).as("rr_s"))
+    truth.select("query_id").distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+        round(coalesce(col("dcg"), lit(0L)).cast("double") / lit(idcg.toDouble), 6)
+          .as("ndcg"),
+        round(coalesce(col("rr_s"), lit(0L)).cast("double") / 1e9, 6).as("rr"))
+  }
+
   /** LSH RANGE search: ALL corpus neighbors with cosine ≥ `threshold`
     * of each query — the fixed-radius sibling of [[lshTopK]] (same
     * buckets, same exact re-rank, a threshold filter instead of a

@@ -31,6 +31,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: every result crosses labels; scores dominate same-label exclusions") {
+    val e = Tables.embeddings(spark, sf001)
+    val got = Similarity.hardNegatives(e, e.where(col("vec_id") < 3),
+      "vec_id", "embedding", "label", k = 4)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("anchor_label") != r.getAs[Int]("neg_label")),
+      "a hard negative shares its anchor's label")
+    // per anchor: exactly k rows, rnk 1..k, descending scores
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length == 4)
+      val sorted = g.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Double]("score")).sliding(2)
+        .forall(p => p.head >= p.last))
+    }
+  }
+
+  test("rankingEval: hand-computed nDCG/MRR, missing-query zeros, perfect run scores 1") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L), (3L, 31L, 2L)).toDF("query_id", "corpus_id", "rnk")
+    // q1: approx = truth reversed → both hits, first hit at rank 1 → rr 1.
+    // dcg = C(1)+C(2), idcg = C(1)+C(2) → ndcg 1 (set-identical, binary rel).
+    // q2: one hit at rank 2 → dcg = C(2) = round(1e9/log2(3)), rr = 0.5.
+    // q3: absent from approx → all zeros.
+    val approx = Seq((1L, 11L, 1L), (1L, 10L, 2L), (2L, 99L, 1L), (2L, 20L, 2L))
+      .toDF("query_id", "corpus_id", "rnk")
+    val got = Similarity.rankingEval(approx, truth, k = 2)
+      .orderBy("query_id").as[(Long, Long, Double, Double)].collect().toSeq
+    val c1 = 1e9
+    val c2 = math.round(1e9 / (math.log(3) / math.log(2))).toDouble
+    val ndcg2 = BigDecimal(c2 / (c1 + c2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, 1.0, 1.0), (2L, 1L, ndcg2, 0.5), (3L, 0L, 0.0, 0.0)),
+      s"got $got")
+  }
+
   test("lsh top-k recall vs brute force") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.where(col("vec_id") < 8)
