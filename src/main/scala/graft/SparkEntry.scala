@@ -2204,6 +2204,20 @@ object SparkEntry {
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy("node")),
 
+    // one ALS half-step on the implicit user×event-type matrix:
+    // per-user rank-2 factors solved in closed form from exact long
+    // moments (md5-derived milli-unit item factors the oracle
+    // replays); broadcast item side, one user aggregate
+    "graph_als_step" -> ((s, dir) => {
+      val ratings = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("r"))
+      Graph.alsUserStep(ratings, "user_id", "event_type", "r")
+        .select(col("user").as("user_id"), col("n_items").cast("long").as("n_items"),
+          col("x1"), col("x2"))
+        .orderBy("user_id")
+    }),
+
     // personalized PageRank: restart mass uniform over the
     // {view, signup} seed set (dangling mass restarts into the seeds
     // too) — "how close is each state to the acquisition funnel",
@@ -7405,6 +7419,31 @@ object SparkEntry {
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
     "graph_ppr" -> pprSql(Seq("view", "signup"), iters = 5, damping = 0.85),
+
+    "graph_als_step" ->
+      """WITH r AS (SELECT user_id AS u, event_type AS item,
+        |   CAST(count(*) AS BIGINT) AS r FROM events GROUP BY 1, 2),
+        | y AS (SELECT item,
+        |   ('0x' || substr(md5(item || ':1'), 1, 8))::BIGINT % 1000 AS y1s,
+        |   ('0x' || substr(md5(item || ':2'), 1, 8))::BIGINT % 1000 AS y2s
+        |  FROM (SELECT DISTINCT item FROM r)),
+        | g AS (SELECT u, CAST(count(*) AS BIGINT) AS n_items,
+        |   CAST(sum(y1s * y1s) AS BIGINT) AS a,
+        |   CAST(sum(y1s * y2s) AS BIGINT) AS b,
+        |   CAST(sum(y2s * y2s) AS BIGINT) AS c,
+        |   CAST(sum(r * y1s) AS BIGINT) AS d1,
+        |   CAST(sum(r * y2s) AS BIGINT) AS d2
+        |  FROM r JOIN y USING (item) GROUP BY 1)
+        | SELECT u AS user_id, n_items,
+        |  round(((CAST(c AS DOUBLE) / 1000000.0 + 0.1) * (CAST(d1 AS DOUBLE) / 1000.0)
+        |       - (CAST(b AS DOUBLE) / 1000000.0) * (CAST(d2 AS DOUBLE) / 1000.0))
+        |    / ((CAST(a AS DOUBLE) / 1000000.0 + 0.1) * (CAST(c AS DOUBLE) / 1000000.0 + 0.1)
+        |       - (CAST(b AS DOUBLE) / 1000000.0) * (CAST(b AS DOUBLE) / 1000000.0)), 6) AS x1,
+        |  round(((CAST(a AS DOUBLE) / 1000000.0 + 0.1) * (CAST(d2 AS DOUBLE) / 1000.0)
+        |       - (CAST(b AS DOUBLE) / 1000000.0) * (CAST(d1 AS DOUBLE) / 1000.0))
+        |    / ((CAST(a AS DOUBLE) / 1000000.0 + 0.1) * (CAST(c AS DOUBLE) / 1000000.0 + 0.1)
+        |       - (CAST(b AS DOUBLE) / 1000000.0) * (CAST(b AS DOUBLE) / 1000000.0)), 6) AS x2
+        | FROM g ORDER BY user_id""".stripMargin,
 
     "events_shortest_paths" -> ssspSql(source = "signup", iters = 4),
 

@@ -877,4 +877,56 @@ object Graph {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** One ALS half-step (rank 2): solve every user's factor vector in
+    * closed form given fixed item factors — the user half of the
+    * alternating-least-squares recommender iteration, the canonical
+    * distributed-Spark factorization workload. Per user u:
+    * x_u = (YᵀY + λI)⁻¹ Yᵀr_u over the items u rated, a 2×2 system
+    * inverted symbolically inside the aggregate projection.
+    *
+    * Determinism (oracle parity): item factors are md5-derived
+    * integer milli-units y = ys/1000 with ys ∈ [0,1000) (the
+    * [[Sampling]] md5 contract — DuckDB replays the same draw), so
+    * the five per-user moments a=Σy1s², b=Σy1s·y2s, c=Σy2s²,
+    * d1=Σr·y1s, d2=Σr·y2s accumulate as EXACT long sums in any
+    * aggregation order; the closed-form solve is one fixed double
+    * expression over those longs, written with identical structure
+    * in both engines.
+    *
+    * Scale shape: one hash agg to ratings, one join against the item
+    * factor table (broadcast here — items are event types; swap to a
+    * plain shuffle join when the item side outgrows the broadcast
+    * cap), one per-user aggregate. No window, no iteration state.
+    */
+  def alsUserStep(ratings: DataFrame, userCol: String, itemCol: String,
+                  ratingCol: String, lambda: Double = 0.1): DataFrame = {
+    def h(suffix: String) =
+      conv(substring(md5(concat(col("item"), lit(suffix))), 1, 8), 16, 10)
+        .cast("long") % 1000L
+    val r = ratings.select(col(userCol).as("user"), col(itemCol).as("item"),
+      col(ratingCol).cast("long").as("r"))
+    val y = r.select("item").distinct()
+      .withColumn("y1s", h(":1"))
+      .withColumn("y2s", h(":2"))
+    val g = r.join(broadcast(y), "item")
+      .groupBy("user")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("y1s") * col("y1s")).as("a"),
+        sum(col("y1s") * col("y2s")).as("b"),
+        sum(col("y2s") * col("y2s")).as("c"),
+        sum(col("r") * col("y1s")).as("d1"),
+        sum(col("r") * col("y2s")).as("d2"))
+    // A = YᵀY/1e6 + λI, rhs = Yᵀr/1e3; identical expression shape in
+    // the SQL twin so the IEEE double results match bit-for-bit
+    val a11 = col("a").cast("double") / lit(1e6) + lit(lambda)
+    val a12 = col("b").cast("double") / lit(1e6)
+    val a22 = col("c").cast("double") / lit(1e6) + lit(lambda)
+    val r1 = col("d1").cast("double") / lit(1e3)
+    val r2 = col("d2").cast("double") / lit(1e3)
+    val det = a11 * a22 - a12 * a12
+    g.select(col("user"), col("n_items"),
+      round((a22 * r1 - a12 * r2) / det, 6).as("x1"),
+      round((a11 * r2 - a12 * r1) / det, 6).as("x2"))
+  }
 }

@@ -56,6 +56,43 @@ class GraphSpec extends SparkSpec {
     assert(pr2 == pr, s"absent seed changed the ranks: $pr2 vs $pr")
   }
 
+  test("alsUserStep: closed-form solve matches an independent md5+normal-equations recompute") {
+    def md5mod(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    val ratings = Seq(("u1", "alpha", 3L), ("u1", "beta", 2L), ("u2", "beta", 5L))
+      .toDF("user", "item", "r")
+    val got = Graph.alsUserStep(ratings, "user", "item", "r")
+      .orderBy("user")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def solve(items: Seq[(String, Long)]): (Double, Double) = {
+      val ys = items.map { case (i, r) => (md5mod(i + ":1"), md5mod(i + ":2"), r) }
+      val a = ys.map(t => t._1 * t._1).sum.toDouble / 1e6 + 0.1
+      val b = ys.map(t => t._1 * t._2).sum.toDouble / 1e6
+      val c = ys.map(t => t._2 * t._2).sum.toDouble / 1e6 + 0.1
+      val d1 = ys.map(t => t._3 * t._1).sum.toDouble / 1e3
+      val d2 = ys.map(t => t._3 * t._2).sum.toDouble / 1e3
+      val det = a * c - b * b
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6((c * d1 - b * d2) / det), r6((a * d2 - b * d1) / det))
+    }
+    val (x1a, x2a) = solve(Seq(("alpha", 3L), ("beta", 2L)))
+    val (x1b, x2b) = solve(Seq(("beta", 5L)))
+    assert(got.toSeq == Seq(("u1", 2L, x1a, x2a), ("u2", 1L, x1b, x2b)),
+      s"got ${got.toSeq}, want ${Seq(("u1", 2L, x1a, x2a), ("u2", 1L, x1b, x2b))}")
+    // the solve must satisfy the regularized normal equations:
+    // (YᵀY+λI)x ≈ Yᵀr for u1 (residual at rounding precision)
+    val ys = Seq("alpha", "beta").map(i => (md5mod(i + ":1") / 1e3, md5mod(i + ":2") / 1e3))
+    val rs = Seq(3.0, 2.0)
+    val lhs1 = (ys.map(y => y._1 * y._1).sum + 0.1) * x1a + ys.map(y => y._1 * y._2).sum * x2a
+    val rhs1 = ys.zip(rs).map { case (y, r) => y._1 * r }.sum
+    assert(math.abs(lhs1 - rhs1) < 1e-4, s"normal equations violated: $lhs1 vs $rhs1")
+  }
+
   test("hits: star graph — leaves are pure hubs, the center the pure authority") {
     val edges = (1 to 4).map(i => (s"leaf$i", "hub", 1.0)).toDF("src", "dst", "w")
     val got = Graph.hits(edges, "src", "dst", "w", iters = 10)
