@@ -789,7 +789,14 @@ object SparkEntry {
         | outw AS MATERIALIZED (SELECT src AS node, sum(w) AS out_w FROM e GROUP BY 1),
         | ne AS MATERIALIZED (SELECT src, dst, w / out_w AS p FROM e JOIN outw ON e.src = outw.node),
         | r0 AS MATERIALIZED (SELECT node, round(1.0 / n_nodes, 9) AS pr FROM nodes CROSS JOIN n)""".stripMargin
-    val rounds = (1 to iters).map { i =>
+    head + pageRankRoundsSql(iters, damping) +
+      s"\n SELECT node, round(pr, 6) AS pr FROM r$iters ORDER BY node"
+  }
+
+  // shared unrolled power-iteration rounds: expects CTEs e/nodes/n/
+  // outw/ne/r0 from the caller's head (pageRankSql, textRankSql)
+  private def pageRankRoundsSql(iters: Int, damping: Double): String =
+    (1 to iters).map { i =>
       s""",
          | d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dang FROM r${i - 1} r
          |   WHERE NOT EXISTS (SELECT 1 FROM outw WHERE outw.node = r.node)),
@@ -801,8 +808,34 @@ object SparkEntry {
          |   FROM nodes CROSS JOIN n CROSS JOIN d$i
          |   LEFT JOIN s$i ON nodes.node = s$i.node)""".stripMargin
     }.mkString
-    head + rounds +
-      s"\n SELECT node, round(pr, 6) AS pr FROM r$iters ORDER BY node"
+
+  // ---- TextRank SQL twin: word co-occurrence edges from the SAME
+  // map-only zip-with-tail pair derivation (list_zip of the token
+  // array against its shift), symmetrized counts, then the shared
+  // unrolled pageRank rounds; top-k by (pr DESC, term). -------------
+  private def textRankSql(iters: Int, damping: Double, k: Int): String = {
+    val head =
+      """WITH tok AS MATERIALIZED (
+        | SELECT string_split_regex(trim(lower(text)), '\s+') AS arr FROM documents),
+        | zp AS MATERIALIZED (
+        |  SELECT unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS z FROM tok),
+        | ab AS MATERIALIZED (SELECT z[1] AS a, z[2] AS b FROM zp
+        |  WHERE z[1] <> z[2] AND z[1] <> '' AND z[2] <> ''),
+        | e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        |  SELECT a AS src, b AS dst FROM ab
+        |  UNION ALL SELECT b AS src, a AS dst FROM ab) GROUP BY 1, 2),
+        | nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst AS node FROM e),
+        | n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+        | outw AS MATERIALIZED (SELECT src AS node, sum(w) AS out_w FROM e GROUP BY 1),
+        | ne AS MATERIALIZED (SELECT src, dst, w / out_w AS p FROM e JOIN outw ON e.src = outw.node),
+        | r0 AS MATERIALIZED (SELECT node, round(1.0 / n_nodes, 9) AS pr FROM nodes CROSS JOIN n)""".stripMargin
+    head + pageRankRoundsSql(iters, damping) +
+      s"""
+         | SELECT node AS term, round(pr, 6) AS rank, rnk FROM (
+         |  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rnk
+         |  FROM r$iters)
+         | WHERE rnk <= $k ORDER BY rnk""".stripMargin
   }
 
   // ---- personalized-PageRank SQL twin: pageRankSql with the restart
@@ -3840,6 +3873,14 @@ object SparkEntry {
     // top-k as TakeOrderedAndProject, ranks on the k survivors only
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 20)
+        .orderBy("rnk")),
+
+    // TextRank keywords: PageRank over the word co-occurrence graph
+    // (map-only zip-with-tail pair derivation, symmetrized counts,
+    // the engine-exact round-9 power iteration), top-20 by rank
+    "text_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(t(s, dir, "documents"), "text",
+          iters = 4, k = 20)
         .orderBy("rnk")),
 
     // corpus health: Zipf slope of the top-50 vocabulary head —
@@ -7935,6 +7976,8 @@ object SparkEntry {
         | SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  row_number() OVER (ORDER BY tf DESC, term) AS rnk
         | FROM tf ORDER BY rnk LIMIT 20""".stripMargin,
+
+    "text_textrank" -> textRankSql(iters = 4, damping = 0.85, k = 20),
 
     // same tokenization + ranking as text_vocab at k=50; ln values
     // round-6-scaled to longs, then the events_trend normal equations

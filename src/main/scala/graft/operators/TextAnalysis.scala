@@ -623,6 +623,44 @@ object TextAnalysis {
     * the seedCentroids technique, so no global window appears at any
     * corpus size.
     */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): rank
+    * terms by PageRank over the word co-occurrence graph — adjacent
+    * token pairs become symmetric count-weighted edges, and
+    * [[Graph.pageRank]]'s engine-exact power iteration (per-round
+    * round-9) scores the vocabulary; top-k by rank. Degree alone
+    * over-ranks terms glued to stopword hubs; the recursion
+    * discounts edges from low-rank neighbors.
+    *
+    * Scale shape: the pair explode is MAP-ONLY (each doc zips its
+    * token array with its own tail — no self-join, no window); one
+    * hash agg builds the edge list, then the pageRank rounds run on
+    * the |vocab|-node graph. Top-k is TakeOrdered + the
+    * [[vocabTopTerms]] sorted-collect rank trick, never a global
+    * window.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+                       iters: Int = 4, k: Int = 20): DataFrame = {
+    val arr = tokens(lower(col(textCol)))
+    val n1 = greatest(size(arr) - 1, lit(0))
+    val adj = docs
+      .select(explode(arrays_zip(
+        slice(arr, lit(1), n1).as("w1"), slice(arr, lit(2), n1).as("w2"))).as("p"))
+      .select(col("p.w1").as("a"), col("p.w2").as("b"))
+      .where(col("a") =!= col("b") &&
+        length(col("a")) > 0 && length(col("b")) > 0)
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+      .union(adj.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+    val pr = Graph.pageRank(edges, "src", "dst", "w", iters)
+    pr.orderBy(desc("pr"), asc("node")).limit(k)
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct((-col("pr")).as("negpr"), col("node"), col("pr")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select(col("x.node").as("term"), round(col("x.pr"), 6).as("rank"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   def vocabTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val tf = docs

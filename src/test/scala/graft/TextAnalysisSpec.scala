@@ -122,6 +122,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0.333333)))
   }
 
+  test("textRankKeywords: hub word outranks leaves; rank mass sums to ~1; single-token docs safe") {
+    // star co-occurrence: "hub" adjacent to every leaf; leaves only
+    // ever touch hub → hub must take the top rank
+    val d = Seq((1L, "hub aa hub bb hub cc"), (2L, "hub dd"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(d, "text", iters = 6, k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.head._1 == "hub", s"got ${got.toSeq}")
+    assert(got.map(_._3).toSeq == (1L to got.length), "ranks must be 1..n")
+    // 'solo' has no adjacent pair → never becomes a node
+    assert(!got.exists(_._1 == "solo"))
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-3,
+      s"rank mass drifted: ${got.map(_._2).sum}")
+  }
+
   test("vocabTopTerms ranks by total frequency with doc frequency carried") {
     val d = Seq(
       (1L, "apple apple banana"),
