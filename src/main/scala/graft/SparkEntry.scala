@@ -4265,6 +4265,12 @@ object SparkEntry {
       Events.abTest(t(s, dir, "events"), metricType = "purchase")
         .orderBy("n_a")),
 
+    // permutation test for the A/B mean gap: 100 md5-deterministic
+    // user-grain relabelings over the per-user pre-agg (one shared
+    // shuffle), add-one-smoothed p-value
+    "events_perm_test" -> ((s, dir) =>
+      Events.permutationTest(t(s, dir, "events"), metricType = "purchase")),
+
     // last-touch attribution: each purchase credits its value to the
     // latest preceding view/click by the same user within 24 h, else
     // 'direct' — one window pass (the as-of shape), never a
@@ -5558,6 +5564,44 @@ object SparkEntry {
         |          - (CAST(s1b AS DOUBLE) / 100.0) * (CAST(s1b AS DOUBLE) / 100.0) / n_b)
         |         / (n_b - 1)) / n_b)) > 1.96 AS significant
         | FROM s ORDER BY n_a""".stripMargin,
+
+    "events_perm_test" ->
+      """WITH pu AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | obs AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(CASE WHEN user_id % 2 = 0 THEN s END) AS DOUBLE)
+        |     / (CAST(sum(CASE WHEN user_id % 2 = 0 THEN n END) AS DOUBLE) * 100.0)
+        |   - CAST(sum(CASE WHEN user_id % 2 = 1 THEN s END) AS DOUBLE)
+        |     / (CAST(sum(CASE WHEN user_id % 2 = 1 THEN n END) AS DOUBLE) * 100.0), 6)
+        |   AS obs_diff
+        | FROM pu),
+        | drawn AS (
+        | SELECT b,
+        |  ('0x' || substr(md5(user_id::VARCHAR || '_' || b::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+        |  n, s
+        | FROM pu, (SELECT unnest(generate_series(1, 100)) AS b)),
+        | reps AS (
+        | SELECT b,
+        |  sum(CASE WHEN arm = 0 THEN n END) AS n0,
+        |  sum(CASE WHEN arm = 0 THEN s END) AS s0,
+        |  sum(CASE WHEN arm = 1 THEN n END) AS n1,
+        |  sum(CASE WHEN arm = 1 THEN s END) AS s1
+        | FROM drawn GROUP BY 1),
+        | st AS (
+        | SELECT b, CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |   round(CAST(s0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * 100.0)
+        |       - CAST(s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 100.0), 6) END AS stat
+        | FROM reps)
+        | SELECT n_users, obs_diff,
+        |  CAST(count(*) AS BIGINT) AS n_reps,
+        |  CAST(sum(CASE WHEN abs(stat) >= abs(obs_diff) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extreme,
+        |  round((CAST(sum(CASE WHEN abs(stat) >= abs(obs_diff) THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+        |    / (CAST(count(*) AS DOUBLE) + 1.0), 6) AS p_value
+        | FROM st CROSS JOIN obs GROUP BY 1, 2 ORDER BY n_users""".stripMargin,
 
     // the same one-window last-touch carry, replayed: IGNORE NULLS
     // last_value over (ts, event_id) rows frame, epoch_ms lookback

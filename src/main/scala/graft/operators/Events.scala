@@ -618,6 +618,69 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Permutation test for the [[abTest]] mean difference — the
+    * assumption-free companion: is the observed variant gap larger
+    * than chance relabelings produce? Each replicate reassigns ARMS
+    * AT USER GRAIN (the unit of randomization — relabeling rows
+    * would break within-user correlation and overstate
+    * significance) via md5(user_b), recomputes the mean difference,
+    * and the p-value is the add-one-smoothed share of replicates at
+    * least as extreme as the observed |diff|.
+    *
+    * Determinism: the relabeling is the md5 draw ([[Sampling]]
+    * contract), per-arm masses are exact decimal sums of per-user
+    * long pre-aggregates, each replicate's statistic rounds to 6
+    * before the ≥ comparison — fully oracle-replayable.
+    *
+    * Scale shape: the ×reps fan-out explodes the per-USER pre-agg
+    * (not the event rows), all replicates share one |reps|-group
+    * hash aggregate, and the comparison table is reps-bounded.
+    */
+  def permutationTest(events: DataFrame, metricType: String,
+                      reps: Int = 100): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val perUser = events.where(col("event_type") === metricType)
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    def meanDiff(n0: Column, s0: Column, n1: Column, s1: Column) =
+      round(d(s0) / (d(n0) * lit(100.0)) - d(s1) / (d(n1) * lit(100.0)), 6)
+    val obs = perUser
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("n"), col("s"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, col("n"))).as("n0"),
+        sum(when(col("arm") === 0, col("s")).cast(dec)).as("s0"),
+        sum(when(col("arm") === 1, col("n"))).as("n1"),
+        sum(when(col("arm") === 1, col("s")).cast(dec)).as("s1"))
+      .select(col("n_users"),
+        meanDiff(col("n0"), col("s0"), col("n1"), col("s1")).as("obs_diff"))
+    // same pre-explode spread as poissonBootstrapMean: a selective
+    // metric filter can collapse the user table onto one split
+    val drawn = perUser.repartition(col("user_id"))
+      .withColumn("b", explode(sequence(lit(1), lit(reps))))
+      .withColumn("arm",
+        conv(substring(md5(concat(col("user_id").cast("string"), lit("_"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+    val repStats = drawn.groupBy("b")
+      .agg(sum(when(col("arm") === 0, col("n"))).as("n0"),
+        sum(when(col("arm") === 0, col("s")).cast(dec)).as("s0"),
+        sum(when(col("arm") === 1, col("n"))).as("n1"),
+        sum(when(col("arm") === 1, col("s")).cast(dec)).as("s1"))
+      .select(col("b"),
+        when(col("n0") > 0 && col("n1") > 0,
+          meanDiff(col("n0"), col("s0"), col("n1"), col("s1"))).as("stat"))
+    repStats.crossJoin(broadcast(obs)) // 1-row scalar
+      .agg(max(col("n_users")).as("n_users"),
+        max(col("obs_diff")).as("obs_diff"),
+        count(lit(1)).cast("long").as("n_reps"),
+        sum(when(abs(col("stat")) >= abs(col("obs_diff")), lit(1L))
+          .otherwise(lit(0L))).as("n_extreme"))
+      .select(col("n_users"), col("obs_diff"), col("n_reps"), col("n_extreme"),
+        round((d(col("n_extreme")) + 1.0) / (d(col("n_reps")) + 1.0), 6)
+          .as("p_value"))
+  }
+
   /** Per-day peak concurrent sessions — the capacity-planning number:
     * the classic +1/−1 boundary sweep over [[sessionize]]'s intervals.
     * Sessions split at midnight (a day-spanner contributes a clamped

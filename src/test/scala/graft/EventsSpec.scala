@@ -224,6 +224,30 @@ class EventsSpec extends SparkSpec {
       s"got $got (expected z=$z)")
   }
 
+  test("permutationTest: null-effect data yields a non-significant p; identical values give p=1") {
+    import java.sql.Timestamp
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    // all users share the same value → every NON-degenerate
+    // relabeling's mean diff is 0 = |obs| (a replicate that drew all
+    // users into one arm has no statistic and counts as not-extreme)
+    val flat = (1L to 8L).map(u => (u, u, "purchase", t(u), 25.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val g1 = Events.permutationTest(flat, "purchase", reps = 50)
+      .as[(Long, Double, Long, Long, Double)].head()
+    assert(g1._1 == 8L && g1._2 == 0.0 && g1._3 == 50L, s"got $g1")
+    assert(g1._4 >= 45L && g1._5 > 0.9, s"flat data must look null: $g1")
+    // user-grain relabeling: a user's rows move together — a user
+    // with two rows contributes both to whichever arm it draws, so
+    // per-replicate masses stay multiples of whole-user bundles
+    val multi = Seq((1L, 1L, 10.0), (2L, 1L, 10.0), (3L, 2L, 50.0), (4L, 3L, 30.0))
+      .map { case (id, u, v) => (id, u, "purchase", t(id), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val g2 = Events.permutationTest(multi, "purchase", reps = 50)
+      .as[(Long, Double, Long, Long, Double)].head()
+    assert(g2._1 == 3L && g2._3 == 50L, s"got $g2")
+    assert(g2._5 > 0.0 && g2._5 <= 1.0, s"p out of range: $g2")
+  }
+
   test("lastTouchAttribution: latest in-window touch wins; stale and missing touches go direct") {
     import java.sql.Timestamp
     def t(h: Long) = new Timestamp(h * 3600000L)
