@@ -4405,6 +4405,14 @@ object SparkEntry {
       Events.dailyTrendOls(t(s, dir, "events"))
         .orderBy("event_type")),
 
+    // rolling-origin backtest of the OLS trend: per type, each of
+    // the last 7 days predicted from strictly-earlier days only —
+    // all origins' training moments from ONE cumulative window over
+    // the bounded day table
+    "events_backtest" -> ((s, dir) =>
+      Events.forecastBacktest(t(s, dir, "events"), lastDays = 7)
+        .orderBy("event_type", "day")),
+
     // ISO-weekday seasonal index per event type: exact-ratio
     // (s_dow·n_all)/(n_dow·s_all) over the bounded daily table
     "events_seasonality" -> ((s, dir) =>
@@ -7845,6 +7853,39 @@ object SparkEntry {
         |               + num::DOUBLE / dx::DOUBLE * (xm + 1)::DOUBLE) / 100.0, 6)
         |  END AS forecast_next
         | FROM f ORDER BY event_type""".stripMargin,
+
+    "events_backtest" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(round(value*100, 0) AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        | d2 AS (SELECT event_type, day,
+        |  CAST(day - DATE '1970-01-01' AS BIGINT) AS x, cents FROM daily),
+        | pre AS (SELECT event_type, day, x, cents,
+        |  CAST(count(*) OVER wp AS BIGINT) AS n,
+        |  sum(x) OVER wp AS sx, sum(cents) OVER wp AS sy,
+        |  sum(x*x) OVER wp AS sxx, sum(x*cents) OVER wp AS sxy,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY x DESC) AS rn
+        | FROM d2
+        | WINDOW wp AS (PARTITION BY event_type ORDER BY x
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        | f AS (SELECT event_type, day, x, cents, n, sx, sy,
+        |  n*sxy - sx*sy AS num, n*sxx - sx*sx AS dxs
+        | FROM pre WHERE rn <= 7)
+        | SELECT event_type, day, n AS n_train,
+        |  round(cents / 100.0, 2) AS actual,
+        |  CASE WHEN n > 1 AND dxs <> 0
+        |   THEN round(((sy::DOUBLE * dxs::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |               / (n::DOUBLE * dxs::DOUBLE)
+        |               + num::DOUBLE / dxs::DOUBLE * x::DOUBLE) / 100.0, 6)
+        |  END AS predicted,
+        |  CASE WHEN n > 1 AND dxs <> 0
+        |   THEN round(((sy::DOUBLE * dxs::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |               / (n::DOUBLE * dxs::DOUBLE)
+        |               + num::DOUBLE / dxs::DOUBLE * x::DOUBLE) / 100.0
+        |             - cents::DOUBLE / 100.0, 6)
+        |  END AS error
+        | FROM f ORDER BY event_type, day""".stripMargin,
 
     // exact quantile_cont medians (the percentile twin), per-row z
     // arithmetic replayed with the same rounding

@@ -1530,4 +1530,53 @@ object Events {
         round((interceptCents + slopeCents * d(col("xm") + 1)) / 100.0, 6))
         .as("forecast_next"))
   }
+
+  /** Rolling-origin backtest of [[dailyTrendOls]] — the honesty
+    * check a single in-sample R² can't give: for each of the last
+    * `lastDays` days per event type, fit the OLS trend on STRICTLY
+    * EARLIER days only and report predicted vs actual. Each day's
+    * training moments (n, Σx, Σy, Σx², Σxy) come from ONE
+    * cumulative-window pass over the bounded per-type day table —
+    * every origin's fit is closed-form from its prefix row, so J
+    * backtests cost one window, not J scans.
+    *
+    * Determinism: the prefix moments are exact long sums (cents ×
+    * epoch-day), the per-day solve is the [[dailyTrendOls]] fixed
+    * double expression, predictions/errors round to 6 — term-for-
+    * term in the SQL twin. Guards: days with fewer than 2 training
+    * points (or a degenerate x-spread) emit null prediction.
+    *
+    * Scale shape: one day-grain hash agg, then windows over the
+    * bounded (type × day) table — the [[anomalies]] family's grain,
+    * never a per-event window.
+    */
+  def forecastBacktest(events: DataFrame, lastDays: Int = 7): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .withColumn("x",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("cents")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("sxy", sum(col("x") * col("cents")).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("x"))))
+      .where(col("rn") <= lastDays)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dxs = col("n") * col("sxx") - col("sx") * col("sx")
+    val predRaw = ((d(col("sy")) * d(dxs) - d(num) * d(col("sx")))
+        / (d(col("n")) * d(dxs))
+      + d(num) / d(dxs) * d(col("x"))) / 100.0
+    val ok = col("n") > 1 && dxs =!= 0
+    pre.select(col("event_type"), col("day"), col("n").as("n_train"),
+      round(col("cents") / 100.0, 2).as("actual"),
+      when(ok, round(predRaw, 6)).as("predicted"),
+      when(ok, round(predRaw - d(col("cents")) / 100.0, 6)).as("error"))
+  }
 }

@@ -224,6 +224,25 @@ class EventsSpec extends SparkSpec {
       s"got $got (expected z=$z)")
   }
 
+  test("forecastBacktest: strictly-earlier training, hand-checked predictions, degenerate origins null") {
+    import java.sql.Timestamp
+    def day(dd: Int) = new Timestamp(dd * 86400000L)
+    // one event per day, daily cents 100,200,300,500 at x=0..3
+    val e = Seq((1L, 0, 1.0), (2L, 1, 2.0), (3L, 2, 3.0), (4L, 3, 5.0))
+      .map { case (id, dd, v) => (id, 1L, "purchase", day(dd), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.forecastBacktest(e, lastDays = 7)
+      .orderBy("day")
+      .select("n_train", "actual", "predicted", "error")
+      .as[(Long, Double, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (0L, 1.0, None, None),              // no training days
+      (1L, 2.0, None, None),              // single point: dx = 0
+      (2L, 3.0, Some(3.0), Some(0.0)),    // fit on (0,1),(1,2) → ŷ(2)=3
+      (3L, 5.0, Some(4.0), Some(-1.0))),  // fit on first three → ŷ(3)=4
+      s"got $got")
+  }
+
   test("permutationTest: null-effect data yields a non-significant p; identical values give p=1") {
     import java.sql.Timestamp
     def t(h: Long) = new Timestamp(h * 3600000L)
