@@ -838,6 +838,34 @@ object SparkEntry {
          | WHERE rnk <= $k ORDER BY rnk""".stripMargin
   }
 
+  // ---- random-walk SQL twin: per-src cumulative CDF bounds ordered
+  // by dst, then `length` unrolled hop CTEs each replaying the md5
+  // draw and the same [cumlo, cum) inverse-CDF pick. ------------------
+  private def randomWalksSql(walksPerNode: Int, length: Int): String = {
+    val head = graphSqlHead +
+      s""",
+         | ce AS MATERIALIZED (SELECT src, dst, w,
+         |   sum(w) OVER (PARTITION BY src ORDER BY dst
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |   sum(w) OVER (PARTITION BY src) AS tot FROM e),
+         | ce2 AS MATERIALIZED (SELECT src, dst, cum - w AS cumlo, cum, tot FROM ce),
+         | s0 AS MATERIALIZED (SELECT node || '#' || r AS walk_id, node AS cur
+         |   FROM nodes, (SELECT unnest(generate_series(1, $walksPerNode)) AS r))""".stripMargin
+    val steps = (1 to length).map { i =>
+      s""",
+         | s$i AS MATERIALIZED (SELECT s.walk_id, ce2.dst AS cur
+         |  FROM s${i - 1} s LEFT JOIN ce2 ON s.cur = ce2.src
+         |   AND ('0x' || substr(md5(s.walk_id || '_$i'), 1, 8))::BIGINT / 4294967296.0 * ce2.tot >= ce2.cumlo
+         |   AND ('0x' || substr(md5(s.walk_id || '_$i'), 1, 8))::BIGINT / 4294967296.0 * ce2.tot < ce2.cum)""".stripMargin
+    }.mkString
+    val unions = (
+      s"SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM s0" +:
+      (1 to length).map(i =>
+        s"SELECT walk_id, CAST($i AS BIGINT) AS step, cur AS node FROM s$i WHERE cur IS NOT NULL"))
+      .mkString("\n UNION ALL ")
+    head + steps + "\n " + unions + "\n ORDER BY walk_id, step"
+  }
+
   // ---- personalized-PageRank SQL twin: pageRankSql with the restart
   // vector concentrated (round-9) on the seed set — dangling mass
   // restarts into the seeds too, r0 = s. ------------------------------
@@ -2236,6 +2264,14 @@ object SparkEntry {
           iters = 5)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy("node")),
+
+    // deterministic weighted random walks (the node2vec corpus): 4
+    // walks × 5 steps per node, inverse-CDF hop pick via the md5
+    // draw riding the state-edge join — no per-step window
+    "graph_walks" -> ((s, dir) =>
+      Graph.randomWalks(transitionEdges(t(s, dir, "events")), "src", "dst",
+          "w", walksPerNode = 4, length = 5)
+        .orderBy("walk_id", "step")),
 
     // one ALS half-step on the implicit user×event-type matrix:
     // per-user rank-2 factors solved in closed form from exact long
@@ -7512,6 +7548,8 @@ object SparkEntry {
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
     "graph_ppr" -> pprSql(Seq("view", "signup"), iters = 5, damping = 0.85),
+
+    "graph_walks" -> randomWalksSql(walksPerNode = 4, length = 5),
 
     "graph_als_step" ->
       """WITH r AS (SELECT user_id AS u, event_type AS item,

@@ -878,6 +878,71 @@ object Graph {
       case _ => ()
     }
 
+  /** Deterministic weighted random walks — the node2vec/DeepWalk
+    * corpus generator: `walksPerNode` walks of `length` steps start
+    * at every node; each step samples the next hop from the source's
+    * out-edge distribution via inverse-CDF lookup. The walk corpus
+    * is what skip-gram graph embeddings train on.
+    *
+    * Determinism (oracle parity): the step-i draw is the md5 uniform
+    * of (walk_id, i) — no RNG state — and the pick is the unique
+    * out-edge whose cumulative-weight interval [cumlo, cum) contains
+    * u·tot. Cumulative bounds are exact count sums ordered by dst;
+    * u·tot is one double product mirrored in the SQL twin, so both
+    * engines select the same edge.
+    *
+    * Scale shape: the CDF-annotated edge table builds once (per-src
+    * windows, key-partitioned) and persists; each step is ONE hash
+    * join of the |V|·walksPerNode-row state against it — the pick
+    * predicate rides the join, no per-step window. Walks hitting a
+    * dangling node terminate (left join, null next). Per-step state
+    * is eagerly checkpointed (two consumers: the output slice and
+    * the next hop — the [[pageRank]] discipline).
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, walksPerNode: Int,
+                  length: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val wCum = Window.partitionBy("src").orderBy("dst")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ce = e
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy("src")))
+      .withColumn("cumlo", col("cum") - col("w"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    var state = nodes
+      .withColumn("r", explode(sequence(lit(1), lit(walksPerNode))))
+      .select(concat(col("node"), lit("#"), col("r").cast("string")).as("walk_id"),
+        col("node").as("cur"))
+      .localCheckpoint()
+    val slices = scala.collection.mutable.ArrayBuffer(
+      state.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")))
+    val states = scala.collection.mutable.ArrayBuffer(state)
+    for (i <- 1 to length) {
+      val u = conv(substring(md5(concat(col("walk_id"), lit("_"), lit(i.toString))),
+        1, 8), 16, 10).cast("double") / 4294967296.0
+      state = state
+        .withColumn("u", u)
+        .join(ce, col("cur") === col("src") &&
+          col("u") * col("tot") >= col("cumlo") &&
+          col("u") * col("tot") < col("cum"), "left")
+        .select(col("walk_id"), col("dst").as("cur"))
+        .localCheckpoint()
+      states += state
+      slices += state.where(col("cur").isNotNull)
+        .select(col("walk_id"), lit(i.toLong).as("step"), col("cur").as("node"))
+    }
+    val out = slices.reduce(_ unionByName _).localCheckpoint()
+    states.foreach(unpersistBacking)
+    ce.unpersist(blocking = false)
+    out
+  }
+
   /** One ALS half-step (rank 2): solve every user's factor vector in
     * closed form given fixed item factors — the user half of the
     * alternating-least-squares recommender iteration, the canonical

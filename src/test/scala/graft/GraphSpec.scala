@@ -56,6 +56,31 @@ class GraphSpec extends SparkSpec {
     assert(pr2 == pr, s"absent seed changed the ranks: $pr2 vs $pr")
   }
 
+  test("randomWalks: hops follow edges, walks terminate at dangling nodes, deterministic") {
+    // a→b only; b dangling. Every walk from a must be a,b (stop); from
+    // b just b. Deterministic: two runs identical.
+    val line = Seq(("a", "b", 1.0)).toDF("src", "dst", "w")
+    val got = Graph.randomWalks(line, "src", "dst", "w", walksPerNode = 2, length = 3)
+      .orderBy("walk_id", "step")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("a#1", 0L, "a"), ("a#1", 1L, "b"), ("a#2", 0L, "a"), ("a#2", 1L, "b"),
+      ("b#1", 0L, "b"), ("b#2", 0L, "b")), s"got $got")
+    // weighted pick: c→x (w=3), c→y (w=1); every hop lands on x or y
+    // and the empirical mix over many walks leans to the heavy edge
+    val fork = Seq(("c", "x", 3.0), ("c", "y", 1.0)).toDF("src", "dst", "w")
+    val hops = Graph.randomWalks(fork, "src", "dst", "w", walksPerNode = 40, length = 1)
+      .where(col("step") === 1 && col("walk_id").startsWith("c#"))
+      .collect().map(_.getString(2)).toSeq
+    assert(hops.length == 40 && hops.forall(Set("x", "y")), s"got $hops")
+    assert(hops.count(_ == "x") > hops.count(_ == "y"),
+      s"3:1 edge weights must favor x: ${hops.count(_ == "x")} vs ${hops.count(_ == "y")}")
+    val again = Graph.randomWalks(fork, "src", "dst", "w", walksPerNode = 40, length = 1)
+      .where(col("step") === 1 && col("walk_id").startsWith("c#"))
+      .collect().map(_.getString(2)).toSeq
+    assert(again == hops, "walks must be deterministic")
+  }
+
   test("alsUserStep: closed-form solve matches an independent md5+normal-equations recompute") {
     def md5mod(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
