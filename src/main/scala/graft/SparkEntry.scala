@@ -4441,6 +4441,13 @@ object SparkEntry {
       Events.dailyTrendOls(t(s, dir, "events"))
         .orderBy("event_type")),
 
+    // split-conformal interval on the next-day forecast: parity-split
+    // train/calibration halves, rank-based residual quantile,
+    // forecast ± q̂ with finite-sample coverage (null = can't certify)
+    "events_conformal" -> ((s, dir) =>
+      Events.conformalForecast(t(s, dir, "events"), alpha = 0.1)
+        .orderBy("event_type")),
+
     // rolling-origin backtest of the OLS trend: per type, each of
     // the last 7 days predicted from strictly-earlier days only —
     // all origins' training moments from ONE cumulative window over
@@ -7891,6 +7898,56 @@ object SparkEntry {
         |               + num::DOUBLE / dx::DOUBLE * (xm + 1)::DOUBLE) / 100.0, 6)
         |  END AS forecast_next
         | FROM f ORDER BY event_type""".stripMargin,
+
+    "events_conformal" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  sum(CAST(round(value*100, 0) AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        | d2 AS (SELECT event_type, day,
+        |  CAST(day - DATE '1970-01-01' AS BIGINT) AS x, cents FROM daily),
+        | xmax AS (SELECT event_type, max(x) AS xm FROM d2 GROUP BY 1),
+        | g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(cents) AS sy, sum(x*x) AS sxx, sum(x*cents) AS sxy
+        | FROM d2 WHERE x % 2 = 0 GROUP BY 1),
+        | f AS (SELECT event_type, n, sx, sy,
+        |  n*sxy - sx*sy AS num, n*sxx - sx*sx AS dxs FROM g),
+        | cal AS (SELECT d2.event_type, d2.day,
+        |  round(abs(((sy::DOUBLE * dxs::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |             / (n::DOUBLE * dxs::DOUBLE)
+        |             + num::DOUBLE / dxs::DOUBLE * x::DOUBLE) / 100.0
+        |            - cents::DOUBLE / 100.0), 6) AS resid
+        | FROM d2 JOIN f ON d2.event_type = f.event_type
+        | WHERE x % 2 = 1 AND n > 1 AND dxs <> 0),
+        | nc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+        |  FROM cal GROUP BY 1),
+        | q AS (SELECT r.event_type, nc.n_cal, r.resid AS q_hat FROM (
+        |  SELECT event_type, resid,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY resid, day) AS rk
+        |  FROM cal) r
+        | JOIN nc ON r.event_type = nc.event_type
+        | WHERE r.rk = CAST(ceil((nc.n_cal::DOUBLE + 1.0) * 0.9) AS BIGINT))
+        | SELECT f.event_type, n AS n_train, q.n_cal,
+        |  CASE WHEN n > 1 AND dxs <> 0
+        |   THEN round(((sy::DOUBLE * dxs::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |               / (n::DOUBLE * dxs::DOUBLE)
+        |               + num::DOUBLE / dxs::DOUBLE * (xm + 1)::DOUBLE) / 100.0, 6)
+        |  END AS forecast_next, q.q_hat,
+        |  CASE WHEN n > 1 AND dxs <> 0 AND q.q_hat IS NOT NULL
+        |   THEN round(round(((sy::DOUBLE * dxs::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |               / (n::DOUBLE * dxs::DOUBLE)
+        |               + num::DOUBLE / dxs::DOUBLE * (xm + 1)::DOUBLE) / 100.0, 6)
+        |        - q.q_hat, 6)
+        |  END AS lo,
+        |  CASE WHEN n > 1 AND dxs <> 0 AND q.q_hat IS NOT NULL
+        |   THEN round(round(((sy::DOUBLE * dxs::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |               / (n::DOUBLE * dxs::DOUBLE)
+        |               + num::DOUBLE / dxs::DOUBLE * (xm + 1)::DOUBLE) / 100.0, 6)
+        |        + q.q_hat, 6)
+        |  END AS hi
+        | FROM xmax JOIN f ON xmax.event_type = f.event_type
+        | LEFT JOIN q ON f.event_type = q.event_type
+        | ORDER BY f.event_type""".stripMargin,
 
     "events_backtest" ->
       """WITH daily AS (

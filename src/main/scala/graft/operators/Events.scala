@@ -1579,4 +1579,64 @@ object Events {
       when(ok, round(predRaw, 6)).as("predicted"),
       when(ok, round(predRaw - d(col("cents")) / 100.0, 6)).as("error"))
   }
+
+  /** Split-conformal prediction interval for the next-day forecast —
+    * the distribution-free error bar [[dailyTrendOls]]'s point
+    * forecast lacks: days split deterministically by epoch-day
+    * parity into a training half (OLS fit) and a calibration half
+    * (absolute residuals); q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration residual and the interval is forecast ± q̂, with
+    * finite-sample ≥1−α coverage under exchangeability (Vovk et al.;
+    * Lei et al., JASA 2018). A type whose calibration half is too
+    * small for the quantile index (or whose fit is degenerate)
+    * reports null interval — "cannot certify at this α", never a
+    * silently-extrapolated bound.
+    *
+    * Determinism: exact long training moments, the fixed
+    * [[forecastBacktest]] double solve, residuals rounded to 6 and
+    * ranked (resid, day); scale shape: two day-grain aggregates, a
+    * broadcast of the per-type moment row, and a per-type window
+    * over the bounded calibration table.
+    */
+  def conformalForecast(events: DataFrame, alpha: Double = 0.1): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .withColumn("x",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+    val xmax = daily.groupBy("event_type")
+      .agg(max(col("x")).as("xm"), count(lit(1)).as("n_days"))
+    val g = daily.where(pmod(col("x"), lit(2L)) === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("cents")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("cents")).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dxs = col("n") * col("sxx") - col("sx") * col("sx")
+    def predRaw(xc: org.apache.spark.sql.Column) =
+      ((d(col("sy")) * d(dxs) - d(num) * d(col("sx")))
+          / (d(col("n")) * d(dxs))
+        + d(num) / d(dxs) * d(xc)) / 100.0
+    val ok = col("n") > 1 && dxs =!= 0
+    val cal = daily.where(pmod(col("x"), lit(2L)) === 1)
+      .join(broadcast(g), "event_type")
+      .where(ok)
+      .withColumn("resid",
+        round(abs(predRaw(col("x")) - d(col("cents")) / 100.0), 6))
+    val nc = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+    val wr = Window.partitionBy("event_type").orderBy("resid", "day")
+    val q = cal.withColumn("rk", row_number().over(wr))
+      .join(broadcast(nc), "event_type")
+      .where(col("rk") ===
+        ceil((d(col("n_cal")) + 1.0) * lit(1 - alpha)).cast("long"))
+      .select(col("event_type"), col("n_cal"), col("resid").as("q_hat"))
+    val f6 = round(predRaw(col("xm") + 1), 6)
+    xmax.join(g, "event_type")
+      .join(q, Seq("event_type"), "left")
+      .select(col("event_type"), col("n").as("n_train"), col("n_cal"),
+        when(ok, f6).as("forecast_next"), col("q_hat"),
+        when(ok && col("q_hat").isNotNull, round(f6 - col("q_hat"), 6)).as("lo"),
+        when(ok && col("q_hat").isNotNull, round(f6 + col("q_hat"), 6)).as("hi"))
+  }
 }

@@ -224,6 +224,29 @@ class EventsSpec extends SparkSpec {
       s"got $got (expected z=$z)")
   }
 
+  test("conformalForecast: hand-checked interval; too-small calibration refuses to certify") {
+    import java.sql.Timestamp
+    def day(dd: Int) = new Timestamp(dd * 86400000L)
+    // even days (train) exactly linear: cents 100+50x; odd days
+    // (calibration) off by ±10 cents → every |resid| = 0.1
+    val cents = Map(0 -> 100, 1 -> 160, 2 -> 200, 3 -> 240, 4 -> 300, 5 -> 340)
+    val e = cents.toSeq.map { case (dd, c) =>
+      (dd.toLong, 1L, "purchase", day(dd), c / 100.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    // α=0.5: k = ceil((3+1)·0.5) = 2 → q̂ = 0.1; ŷ(6) = 4.0
+    val got = Events.conformalForecast(e, alpha = 0.5)
+      .as[(String, Long, Option[Long], Option[Double], Option[Double],
+           Option[Double], Option[Double])].head()
+    assert(got == (("purchase", 3L, Some(3L), Some(4.0), Some(0.1),
+      Some(3.9), Some(4.1))), s"got $got")
+    // α=0.1 needs the 4th of 3 calibration residuals → null interval
+    val strict = Events.conformalForecast(e, alpha = 0.1)
+      .as[(String, Long, Option[Long], Option[Double], Option[Double],
+           Option[Double], Option[Double])].head()
+    assert(strict._4 == Some(4.0) && strict._5.isEmpty && strict._6.isEmpty,
+      s"got $strict")
+  }
+
   test("forecastBacktest: strictly-earlier training, hand-checked predictions, degenerate origins null") {
     import java.sql.Timestamp
     def day(dd: Int) = new Timestamp(dd * 86400000L)
