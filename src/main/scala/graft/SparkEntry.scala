@@ -838,6 +838,54 @@ object SparkEntry {
          | WHERE rnk <= $k ORDER BY rnk""".stripMargin
   }
 
+  // ---- elbow SQL twin: per k, the cluster_kmeans_n seed + iterated
+  // Lloyd CTE chain, then inertia as the exact scaled-long sum of
+  // squared round-6 own-centroid distances; one row per k. ----------
+  private def kmeansElbowSql(ks: Seq[Int], iters: Int): String = {
+    def chain(k: Int): String = {
+      val seed =
+        s""" cen${k}_0 AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec::DOUBLE[] AS centroid
+           |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+           |        FROM c ORDER BY h LIMIT $k)),""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""
+           | asg${k}_$i AS MATERIALIZED (SELECT id, cell_id, vec FROM (
+           |   SELECT c.id, cen.cell_id, c.vec,
+           |    row_number() OVER (PARTITION BY c.id ORDER BY
+           |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid), 6) DESC,
+           |      cen.cell_id DESC) AS rn
+           |   FROM c CROSS JOIN cen${k}_${i - 1} cen) WHERE rn = 1),
+           | m${k}_$i AS MATERIALIZED (
+           |   SELECT cell_id, CAST(di AS BIGINT) AS dim, round(avg(vec[di]), 6) AS mean_val
+           |   FROM asg${k}_$i, UNNEST(range(1, len(vec) + 1)) AS t(di) GROUP BY 1, 2),
+           | cen${k}_$i AS MATERIALIZED (
+           |   SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+           |   FROM m${k}_$i GROUP BY cell_id),""".stripMargin
+      }.mkString
+      val fin =
+        s"""
+           | fin$k AS MATERIALIZED (SELECT id, cell_id, csim FROM (
+           |   SELECT c.id, cen.cell_id,
+           |    round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid), 6) AS csim,
+           |    row_number() OVER (PARTITION BY c.id ORDER BY
+           |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid), 6) DESC,
+           |      cen.cell_id DESC) AS rn
+           |   FROM c CROSS JOIN cen${k}_$iters cen) WHERE rn = 1),
+           | row$k AS MATERIALIZED (
+           |  SELECT CAST($k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_points,
+           |   CAST(count(DISTINCT cell_id) AS BIGINT) AS n_cells,
+           |   round(sum(dl * dl) / 1e12, 6) AS inertia
+           |  FROM (SELECT cell_id,
+           |    CAST(round((1.0 - csim) * 1e6, 0) AS BIGINT) AS dl FROM fin$k))""".stripMargin
+      seed + rounds + fin
+    }
+    "WITH c AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),\n" +
+      ks.map(chain).mkString(",\n") + "\n " +
+      ks.map(k => s"SELECT * FROM row$k").mkString(" UNION ALL ") +
+      "\n ORDER BY k"
+  }
+
   // ---- random-walk SQL twin: per-src cumulative CDF bounds ordered
   // by dst, then `length` unrolled hop CTEs each replaying the md5
   // draw and the same [cumlo, cum) inverse-CDF pick. ------------------
@@ -3455,6 +3503,13 @@ object SparkEntry {
     "cluster_kmeans_n" -> ((s, dir) =>
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8, iters = 2).orderBy("cell_id", "dim")),
+
+    // elbow curve: inertia vs k over {2,4,8}, each k the standard
+    // seeded 2-Lloyd training; within-cluster squared round-6
+    // distances as exact scaled-long sums
+    "cluster_elbow" -> ((s, dir) =>
+      Similarity.kmeansElbow(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ks = Seq(2, 4, 8), iters = 2).orderBy("k")),
 
     // cluster-quality report over the SAME trained centroids: mean
     // simplified silhouette per cluster ((b−a)/max(a,b) on round-6
@@ -7198,6 +7253,8 @@ object SparkEntry {
         | SELECT cell_id, CAST(dim AS BIGINT) AS dim,
         |  round(avg(val), 6) AS mean_val
         | FROM ex GROUP BY cell_id, dim ORDER BY cell_id, dim""".stripMargin,
+
+    "cluster_elbow" -> kmeansElbowSql(ks = Seq(2, 4, 8), iters = 2),
 
     "cluster_kmeans_n" ->
       """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

@@ -1253,6 +1253,45 @@ object Similarity {
                  / count(lit(1)), 6).as("mean_silhouette"))
   }
 
+  /** Elbow curve — inertia vs k, the operating-point artifact for
+    * choosing the cluster count (the [[kmeansSilhouette]] companion:
+    * silhouette scores one k's quality, this sweeps k): for each k
+    * the same seeded + `iters`-Lloyd training as every cluster op,
+    * then the within-cluster sum of squared round-6 cosine distances
+    * to the OWN (argmax) centroid. Inertia decreases in k; the knee
+    * is the budget-quality trade.
+    *
+    * Determinism: per-point distances ×1e6-scale to exact longs and
+    * the sum of squares accumulates as exact long products (the
+    * silhouette discipline), so the curve hash-matches the oracle's
+    * per-k iterated-CTE replay. Scale shape: the corpus checkpoints
+    * once and each k costs the standard broadcast-join + argmax
+    * aggregate — |ks| passes, centroid state never exceeds k rows.
+    */
+  def kmeansElbow(corpus: DataFrame, idCol: String, vecCol: String,
+                  ks: Seq[Int], iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+      .localCheckpoint() // re-scanned per k and per Lloyd round
+    val per = ks.map { k =>
+      var centroids = seedCentroids(c, "id", k)
+      for (_ <- 0 until iters) centroids = lloydStep(c, centroids)._2
+      c.join(broadcast(centroids), lit(true))
+        .withColumn("csim", round(
+          cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+        .groupBy("id")
+        .agg(max(struct(col("csim"), col("cell_id"))).getField("csim").as("best"),
+          max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell"))
+        .withColumn("dl", round((lit(1.0) - col("best")) * 1e6, 0).cast("long"))
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(col("cell")).as("n_cells"),
+          sum(col("dl") * col("dl")).as("ssq"))
+        .select(lit(k.toLong).as("k"), col("n_points"), col("n_cells"),
+          round(col("ssq") / 1e12, 6).as("inertia"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
   /** Embedding-hygiene outlier screen against the trained cluster
     * structure: every vector's round-6 cosine distance to its OWN
     * (argmax-assigned) centroid, keeping the vectors whose distance

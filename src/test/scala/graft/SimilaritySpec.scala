@@ -67,6 +67,21 @@ class SimilaritySpec extends SparkSpec {
       s"got $got")
   }
 
+  test("kmeansElbow: inertia non-increasing in k, cells bounded by k, deterministic") {
+    val e = Tables.embeddings(spark, sf001)
+    val got = Similarity.kmeansElbow(e, "vec_id", "embedding", ks = Seq(2, 4, 8))
+      .orderBy("k").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 4L, 8L))
+    assert(got.forall(r => r._3 <= r._1 && r._3 >= 1), s"cells out of range: $got")
+    assert(got.map(_._2).distinct.size == 1, "every k must score the whole corpus")
+    // more clusters can only tighten (or tie) the fit
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last - 1e-9),
+      s"inertia must be non-increasing in k: $got")
+    val again = Similarity.kmeansElbow(e, "vec_id", "embedding", ks = Seq(2, 4, 8))
+      .orderBy("k").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again == got, "elbow must be deterministic")
+  }
+
   test("lsh top-k recall vs brute force") {
     val e = Tables.embeddings(spark, sf001)
     val q = e.where(col("vec_id") < 8)
