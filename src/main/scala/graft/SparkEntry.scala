@@ -3321,6 +3321,14 @@ object SparkEntry {
         .orderBy("query_id", "corpus_id")
     }),
 
+    // IVF quantizer health: per-cell member counts, shares, load
+    // factors over the exact coarse quantizer the search ops serve
+    // from — hot cells break the uniform nprobe latency model
+    "sim_ivf_balance" -> ((s, dir) =>
+      Similarity.ivfCellBalance(t(s, dir, "embeddings"), "vec_id", "embedding",
+          numCells = 16)
+        .orderBy("cell_id")),
+
     "sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -4594,6 +4602,13 @@ object SparkEntry {
     "profile_gaps" -> ((s, dir) =>
       Profiling.sequenceGaps(t(s, dir, "orders"), "o_orderkey",
         bucketSize = 1000L)),
+
+    // per-source freshness audit: last event vs the corpus
+    // watermark, trailing-7-day volume share, stale flag — one
+    // global-max broadcast + one group aggregate
+    "profile_freshness" -> ((s, dir) =>
+      Profiling.freshness(t(s, dir, "events"), "event_type", "ts")
+        .orderBy("event_type")),
 
     // CUPED variance-reduced A/B readout: pre-period spend as the
     // covariate, one conditional 12-sum aggregate, exact cents
@@ -6732,6 +6747,28 @@ object SparkEntry {
 
     "sim_ivf_topk" -> ivfSql,
 
+    "sim_ivf_balance" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, cvec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(corpus_id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 16)),
+        | asg AS (
+        |  SELECT corpus_id, cell_id FROM (
+        |   SELECT c.corpus_id, cen.cell_id,
+        |    row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+        |      round(list_cosine_similarity(c.cvec, cen.centroid), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | cells AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM asg GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_points) AS BIGINT) AS total FROM cells)
+        | SELECT cell_id, n_points,
+        |  round(CAST(n_points AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  round(CAST(n_points AS DOUBLE) * 16 / CAST(total AS DOUBLE), 6) AS load_factor
+        | FROM cells CROSS JOIN tot ORDER BY cell_id""".stripMargin,
+
     "sim_ivf_indexed" -> ivfSql,
     "sim_ivf_upsert" -> ivfSqlWith("WHERE corpus_id % 2 = 0"),
     "sim_ivf_stream" -> ivfSqlWith("WHERE corpus_id % 2 = 0"),
@@ -8741,6 +8778,21 @@ object SparkEntry {
         |  max_key - min_key + 1 - n_keys AS n_missing,
         |  n_gaps, missing_via_gaps, max_gap
         | FROM ks CROSS JOIN r CROSS JOIN gs""".stripMargin,
+
+    "profile_freshness" ->
+      """WITH b AS (SELECT event_type AS grp, epoch_ms(ts) AS ms FROM events),
+        | g AS (SELECT max(ms) AS gms FROM b),
+        | p AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN ms >= gms - 604800000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_last_7d,
+        |  max(ms) AS last_ms, max(gms) AS gms
+        | FROM b CROSS JOIN g GROUP BY 1)
+        | SELECT grp AS event_type, n_total, n_last_7d,
+        |  round(CAST(n_last_7d AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share_7d,
+        |  make_timestamp(last_ms * 1000) AS last_ts,
+        |  round(CAST(gms - last_ms AS DOUBLE) / 3600000.0, 6) AS lag_hours,
+        |  CAST(gms - last_ms AS DOUBLE) / 3600000.0 > 168.0 AS is_stale
+        | FROM p ORDER BY event_type""".stripMargin,
 
     "events_cuped" ->
       """WITH b AS (SELECT user_id,

@@ -662,4 +662,38 @@ object Profiling {
         (col("max_key") - col("min_key") + 1 - col("n_keys")).as("n_missing"),
         col("n_gaps"), col("missing_via_gaps"), col("max_gap"))
   }
+
+  /** Data-freshness audit per source/partition key — the "is this
+    * feed still alive" report an ingestion pipeline pages on: per
+    * group, its last event time, its lag behind the corpus
+    * watermark (the global max — at a daily cron cadence a feed
+    * lagging > `staleHours` is a stalled extractor, reference-world
+    * semantics), and how much of its volume arrived in the trailing
+    * 7 days of the watermark.
+    *
+    * Determinism: all time arithmetic on exact epoch-millis longs;
+    * lag and shares are one double division rounded to 6. Scale
+    * shape: one 1-row global-max broadcast + one group aggregate —
+    * no window, no second scan of the wide rows.
+    */
+  def freshness(df: DataFrame, groupCol: String, tsCol: String,
+                staleHours: Int = 168): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = df.select(col(groupCol).as("grp"),
+      unix_millis(col(tsCol)).as("ms"))
+    val gmax = base.agg(max(col("ms")).as("gms"))
+    base.crossJoin(broadcast(gmax)) // 1-row scalar
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("ms") >= col("gms") - lit(604800000L), lit(1L))
+          .otherwise(lit(0L))).as("n_last_7d"),
+        max(col("ms")).as("last_ms"),
+        max(col("gms")).as("gms"))
+      .select(col("grp").as(groupCol), col("n_total"), col("n_last_7d"),
+        round(d(col("n_last_7d")) / d(col("n_total")), 6).as("share_7d"),
+        timestamp_millis(col("last_ms")).as("last_ts"),
+        round(d(col("gms") - col("last_ms")) / lit(3600000.0), 6).as("lag_hours"),
+        (d(col("gms") - col("last_ms")) / lit(3600000.0) >
+          lit(staleHours.toDouble)).as("is_stale"))
+  }
 }

@@ -1253,6 +1253,37 @@ object Similarity {
                  / count(lit(1)), 6).as("mean_silhouette"))
   }
 
+  /** IVF quantizer health report — cell-size balance: per coarse
+    * cell, its member count, corpus share, and load factor
+    * (n / (N/numCells)). The number an ANN operator watches before
+    * trusting nprobe latency: a load factor ≫ 1 on hot cells means
+    * probes touch far more vectors than the uniform model promises,
+    * and empty cells (absent rows) mean wasted quantizer capacity.
+    * Same deterministic coarse quantizer as [[ivfTopK]], so this
+    * audits exactly the index the search ops serve from.
+    *
+    * Scale shape: broadcast centroids, one argmax hash aggregate,
+    * one ≤numCells-row count aggregate and a 1-row total broadcast.
+    */
+  def ivfCellBalance(corpus: DataFrame, idCol: String, vecCol: String,
+                     numCells: Int = 16): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    val centroids = seedCentroids(c, "id", numCells)
+    val cells = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"))
+      .groupBy("cell_id").agg(count(lit(1)).as("n_points"))
+    val tot = cells.agg(sum(col("n_points")).as("total"))
+    cells.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("cell_id"), col("n_points"),
+        round(d(col("n_points")) / d(col("total")), 6).as("share"),
+        round(d(col("n_points")) * numCells / d(col("total")), 6).as("load_factor"))
+  }
+
   /** Elbow curve — inertia vs k, the operating-point artifact for
     * choosing the cluster count (the [[kmeansSilhouette]] companion:
     * silhouette scores one k's quality, this sweeps k): for each k

@@ -386,6 +386,22 @@ class ProfilingSpec extends SparkSpec {
     assert(a == b, s"bucket count changed the exact rank sum: $a vs $b")
   }
 
+  test("freshness: lag vs corpus watermark, 7d share, stale flag") {
+    import java.sql.Timestamp
+    def h(hh: Long) = new Timestamp(hh * 3600000L)
+    // watermark = hour 1000. 'live' last at 1000 (lag 0, both rows in
+    // 7d); 'stale' last at hour 100 → lag 900 h > 168 → stale, and
+    // its rows fall outside the trailing 7 days
+    val df = Seq(("live", h(999)), ("live", h(1000)), ("stale", h(100)))
+      .toDF("src", "ts")
+    val got = Profiling.freshness(df, "src", "ts")
+      .orderBy("src")
+      .select("src", "n_total", "n_last_7d", "lag_hours", "is_stale")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(("live", 2L, 2L, 0.0, false),
+      ("stale", 1L, 0L, 900.0, true)), s"got $got")
+  }
+
   test("skyline2D: dominance, both-axis ties kept, bucket-count invariant") {
     import graft.operators.Analytics
     // frontier: (1.0,3) and (2.0,5). (2.0,3) dominated by (1.0,3)

@@ -67,6 +67,18 @@ class SimilaritySpec extends SparkSpec {
       s"got $got")
   }
 
+  test("ivfCellBalance: counts cover the corpus, shares sum to 1, load factors average 1 over present cells") {
+    val e = Tables.embeddings(spark, sf001)
+    val n = e.count()
+    val got = Similarity.ivfCellBalance(e, "vec_id", "embedding", numCells = 16)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2).sum == n, "every vector must land in exactly one cell")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4, s"shares must sum to 1: $got")
+    assert(got.forall(r => r._1 >= 1 && r._1 <= 16))
+    // load factor is share·numCells — exact scaling relation
+    got.foreach(r => assert(math.abs(r._4 - r._3 * 16) < 1e-4, s"bad load factor: $r"))
+  }
+
   test("kmeansElbow: inertia non-increasing in k, cells bounded by k, deterministic") {
     val e = Tables.embeddings(spark, sf001)
     val got = Similarity.kmeansElbow(e, "vec_id", "embedding", ks = Seq(2, 4, 8))
