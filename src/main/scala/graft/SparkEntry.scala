@@ -4364,6 +4364,16 @@ object SparkEntry {
       Events.abTest(t(s, dir, "events"), metricType = "purchase")
         .orderBy("n_a")),
 
+    // revenue-per-view ratio metric with delta-method SE and ±1.96
+    // CI: per-user exact sums, one decimal moment aggregate
+    "events_ratio_metric" -> ((s, dir) =>
+      Events.ratioMetric(t(s, dir, "events"))),
+
+    // sample-ratio-mismatch gate: χ²(df=1) on distinct-user arm
+    // counts vs the designed 50/50 split
+    "events_srm_check" -> ((s, dir) =>
+      Events.srmCheck(t(s, dir, "events"))),
+
     // permutation test for the A/B mean gap: 100 md5-deterministic
     // user-grain relabelings over the per-user pre-agg (one shared
     // shuffle), add-one-smoothed p-value
@@ -5685,6 +5695,56 @@ object SparkEntry {
         |          - (CAST(s1b AS DOUBLE) / 100.0) * (CAST(s1b AS DOUBLE) / 100.0) / n_b)
         |         / (n_b - 1)) / n_b)) > 1.96 AS significant
         | FROM s ORDER BY n_a""".stripMargin,
+
+    "events_ratio_metric" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        | FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+        |  sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+        |  sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+        | FROM pu),
+        | f AS (SELECT n,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+        |  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0) AS varx,
+        |  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0) AS vary,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0) AS cov,
+        |  sy, sx FROM g),
+        | f2 AS (SELECT n, r, sy,
+        |  sqrt((varx + r * r * vary - 2.0 * r * cov) / CAST(n AS DOUBLE)) / ybar AS se
+        | FROM f)
+        | SELECT n AS n_users,
+        |  CASE WHEN sy > 0 THEN round(r / 100.0, 6) END AS ratio,
+        |  CASE WHEN sy > 0 AND n > 1 THEN round(se / 100.0, 6) END AS se,
+        |  CASE WHEN sy > 0 AND n > 1 THEN round((r - 1.96 * se) / 100.0, 6) END AS ci_lo,
+        |  CASE WHEN sy > 0 AND n > 1 THEN round((r + 1.96 * se) / 100.0, 6) END AS ci_hi
+        | FROM f2 ORDER BY n_users""".stripMargin,
+
+    "events_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        | a AS (SELECT
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM u),
+        | c AS (SELECT n_a, n_b,
+        |  (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |   * (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |   / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |  + (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |   * (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |   / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0) AS chi2
+        | FROM a)
+        | SELECT n_a, n_b, round(chi2, 6) AS chi2, chi2 > 3.841 AS srm_detected
+        | FROM c ORDER BY n_a""".stripMargin,
 
     "events_perm_test" ->
       """WITH pu AS (

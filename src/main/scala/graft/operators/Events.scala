@@ -1580,6 +1580,77 @@ object Events {
       when(ok, round(predRaw - d(col("cents")) / 100.0, 6)).as("error"))
   }
 
+  /** Ratio-metric readout with DELTA-METHOD uncertainty (Deng,
+    * Knoblich & Lu, KDD'18 practice): revenue-per-view style metrics
+    * are ratios of per-user sums, and the naive t-test on per-user
+    * ratios is wrong (users with huge denominators count the same as
+    * one-view users; per-user ratios may not even exist). The
+    * estimator is R = Σx/Σy over users; its variance comes from the
+    * first-order Taylor expansion var(x̄/ȳ) ≈ (varx + R²·vary −
+    * 2R·cov)/(n·ȳ²), all moments per-USER (the randomization unit).
+    *
+    * Determinism: per-user x (cents) and y (counts) are exact longs;
+    * the six corpus moments accumulate as decimal(38,0); ratio, SE
+    * and the ±1.96 CI are one fixed double expression each, rounded
+    * to 6 and mirrored in the SQL twin. Scale: one filter + user
+    * aggregate + 1-row moment aggregate, no window.
+    */
+  def ratioMetric(events: DataFrame, numType: String = "purchase",
+                  denType: String = "view"): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val perUser = events
+      .where(col("event_type") === numType || col("event_type") === denType)
+      .select(col("user_id"),
+        when(col("event_type") === numType,
+          round(col("value") * 100, 0).cast("long")).otherwise(lit(0L)).as("x"),
+        when(col("event_type") === denType, lit(1L)).otherwise(lit(0L)).as("y"))
+      .groupBy("user_id")
+      .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+    val ybar = d(col("sy")) / d(col("n"))
+    val r = d(col("sx")) / d(col("sy"))
+    val varx = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) /
+      (d(col("n")) - 1.0)
+    val vary = (d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n"))) /
+      (d(col("n")) - 1.0)
+    val cov = (d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))) /
+      (d(col("n")) - 1.0)
+    val se = sqrt((varx + r * r * vary - lit(2.0) * r * cov) / d(col("n"))) / ybar
+    val ok = col("sy") > 0 && col("n") > 1
+    g.select(col("n").cast("long").as("n_users"),
+      when(col("sy") > 0, round(r / 100.0, 6)).as("ratio"),
+      when(ok, round(se / 100.0, 6)).as("se"),
+      when(ok, round((r - lit(1.96) * se) / 100.0, 6)).as("ci_lo"),
+      when(ok, round((r + lit(1.96) * se) / 100.0, 6)).as("ci_hi"))
+  }
+
+  /** Sample-ratio-mismatch gate — the first A/B health check: do the
+    * realized arm sizes match the designed 50/50 split? A χ² with
+    * df=1 on distinct-USER counts per arm; chi2 > 3.841 (α=0.05)
+    * flags a broken randomizer/logging path, which invalidates any
+    * downstream readout regardless of its p-value. Exact integer
+    * counts, one fixed double expression, no window.
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val arms = events.select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
+           sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"))
+    val e = (d(col("n_a")) + d(col("n_b"))) / 2.0
+    val chi2 = (d(col("n_a")) - e) * (d(col("n_a")) - e) / e +
+      (d(col("n_b")) - e) * (d(col("n_b")) - e) / e
+    arms.select(col("n_a").cast("long").as("n_a"),
+      col("n_b").cast("long").as("n_b"),
+      round(chi2, 6).as("chi2"),
+      (chi2 > lit(3.841)).as("srm_detected"))
+  }
+
   /** Split-conformal prediction interval for the next-day forecast —
     * the distribution-free error bar [[dailyTrendOls]]'s point
     * forecast lacks: days split deterministically by epoch-day

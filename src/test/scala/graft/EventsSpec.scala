@@ -224,6 +224,41 @@ class EventsSpec extends SparkSpec {
       s"got $got (expected z=$z)")
   }
 
+  test("ratioMetric: hand-computed delta-method SE and CI") {
+    import java.sql.Timestamp
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    // u1: 2 views + $3 purchase (x=300c, y=2); u2: 1 view (x=0, y=1)
+    // → R = 300/3 = 100 c/view; varx=45000, vary=0.5, cov=150
+    // → se = sqrt((45000+10000·0.5−2·100·150)/2)/1.5 = 66.6667 c
+    val e = Seq(
+      (1L, 1L, "view", 0.0), (2L, 1L, "view", 0.0), (3L, 1L, "purchase", 3.0),
+      (4L, 2L, "view", 0.0), (5L, 2L, "error", 9.0))
+      .map { case (id, u, tp, v) => (id, u, tp, t(id), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.ratioMetric(e)
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(got == ((2L, Some(1.0), Some(0.666667), Some(-0.306667),
+      Some(2.306667))), s"got $got")
+  }
+
+  test("srmCheck: distinct users per arm, chi-square flag at the 3.841 cut") {
+    import java.sql.Timestamp
+    def t(h: Long) = new Timestamp(h * 3600000L)
+    // users {1,2,3}: arm0={2}, arm1={1,3} → chi2 = 2·(0.5²/1.5) = 1/3
+    val bal = (1L to 3L).flatMap(u => Seq((u * 10, u), (u * 10 + 1, u)))
+      .map { case (id, u) => (id, u, "view", t(id), 0.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val g1 = Events.srmCheck(bal).as[(Long, Long, Double, Boolean)].head()
+    assert(g1 == ((1L, 2L, 0.333333, false)), s"got $g1")
+    // 20 vs 2 users: chi2 = 2·(9²/11) ≈ 14.7 → SRM
+    val skew = ((1L to 20L).map(_ * 2) ++ Seq(1L, 3L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u, "view", t(i.toLong), 0.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val g2 = Events.srmCheck(skew).as[(Long, Long, Double, Boolean)].head()
+    assert(g2._1 == 20L && g2._2 == 2L && g2._4, s"got $g2")
+  }
+
   test("conformalForecast: hand-checked interval; too-small calibration refuses to certify") {
     import java.sql.Timestamp
     def day(dd: Int) = new Timestamp(dd * 86400000L)
