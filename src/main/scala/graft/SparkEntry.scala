@@ -3836,6 +3836,13 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
+    // C4/Gopher rule cascade with FIRST-failing-rule attribution: the
+    // full per-doc violation vector plus where the cascade cut it —
+    // the per-rule accounting a cleaning pipeline reports
+    "text_c4_filters" -> ((s, dir) =>
+      TextAnalysis.c4FilterReport(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // per-SOURCE curation report: which feeds to down-weight — doc
     // counts, exact scaled-long mean quality, token volume per source
     "text_source_report" -> ((s, dir) => {
@@ -4808,6 +4815,16 @@ object SparkEntry {
         graft.operators.Multimodal.withPayload(t(s, dir, "documents"), "text"),
         "doc_id", "payload")
         .orderBy("keeper_id")),
+
+    // WebDataset-style shard packing: blobs laid out in doc_id order,
+    // 16 KiB fixed-boundary shards; the (shard, offset) manifest is the
+    // control plane a tar-shard writer consumes. Distributed prefix sum
+    // (bucketed, no global item window)
+    "mm_shard_manifest" -> ((s, dir) =>
+      graft.operators.Multimodal.shardManifest(
+        graft.operators.Multimodal.withPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "payload", shardBytes = 16384L)
+        .orderBy("doc_id")),
 
     // Newman modularity of the label-prop partition: is the
     // community structure denser than chance? Q + per-community
@@ -7291,6 +7308,46 @@ object SparkEntry {
 
     "text_quality" -> s"${qualitySql("documents")}\n ORDER BY doc_id",
 
+    // replays the rule cascade off the same staged counts as the
+    // quality oracle; first_fail is the same fixed-order CASE chain
+    "text_c4_filters" ->
+      """WITH x AS (
+        | SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS n_char,
+        |  CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha
+        | FROM documents),
+        | y AS (
+        | SELECT doc_id, n_char, n_punct, n_digit, n_alpha,
+        |  CAST(len(w) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) AS n_dist,
+        |  CAST(len(list_filter(w, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','that','it','for'],
+        |    lower(t)))) AS DOUBLE) AS n_stop
+        | FROM x),
+        | z AS (
+        | SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  (n_tok < 5.0) AS f_too_short,
+        |  NOT ((n_char - (n_tok - 1))/n_tok BETWEEN 3.0 AND 10.0) AS f_word_length,
+        |  ((n_punct + n_digit)/n_char > 0.3) AS f_symbol_soup,
+        |  (n_alpha/n_char < 0.6) AS f_low_alpha,
+        |  (n_stop < 1.0) AS f_no_stopword,
+        |  (n_dist/n_tok < 0.3) AS f_repetitive,
+        |  CASE WHEN n_tok < 5.0 THEN 'too_short'
+        |   WHEN NOT ((n_char - (n_tok - 1))/n_tok BETWEEN 3.0 AND 10.0)
+        |     THEN 'word_length'
+        |   WHEN (n_punct + n_digit)/n_char > 0.3 THEN 'symbol_soup'
+        |   WHEN n_alpha/n_char < 0.6 THEN 'low_alpha'
+        |   WHEN n_stop < 1.0 THEN 'no_stopword'
+        |   WHEN n_dist/n_tok < 0.3 THEN 'repetitive'
+        |   ELSE 'pass' END AS first_fail
+        | FROM y)
+        | SELECT *, (first_fail = 'pass') AS kept
+        | FROM z ORDER BY doc_id""".stripMargin,
+
     // the SAME quality CTE aggregated per source; mean quality via
     // round-6-scaled exact longs, divisions written in the engine's
     // exact order
@@ -9276,6 +9333,23 @@ object SparkEntry {
 
     // DuckDB strings are UTF-8, so md5(text) hashes the same bytes
     // the engine's binary payload carries
+    // replays the fixed-boundary packing rule off a window cumsum (the
+    // oracle may use the global window the engine's bucketed prefix
+    // sum avoids — DuckDB runs at gate scale)
+    "mm_shard_manifest" ->
+      """WITH b AS (SELECT doc_id,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        | p AS (SELECT doc_id, n_bytes,
+        |   CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS BIGINT) AS stream_offset
+        |  FROM b)
+        | SELECT doc_id, n_bytes, stream_offset,
+        |  stream_offset // 16384 AS shard_id,
+        |  stream_offset % 16384 AS shard_offset
+        | FROM p ORDER BY doc_id""".stripMargin,
+
     "mm_dedup_binary" ->
       """WITH b AS (SELECT doc_id, md5(text) AS content_md5,
         |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

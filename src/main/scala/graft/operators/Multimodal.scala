@@ -214,6 +214,52 @@ object Multimodal {
          (least(col("y0") + tileH, col("height")) - col("y0"))).as("n_px"))
   }
 
+  /** WebDataset-style shard-packing manifest: lay the blobs out in
+    * deterministic id order as one logical byte stream and cut it at
+    * fixed `shardBytes` boundaries — item i with exclusive byte prefix
+    * Pᵢ lands in shard ⌊Pᵢ/shardBytes⌋ at offset Pᵢ mod shardBytes.
+    * This is the fixed-boundary packing rule: a shard's realized size
+    * overshoots the capacity by at most one item (the item straddling
+    * the cut starts a new shard only once its START offset crosses it),
+    * which is what keeps the rule a pure function of the prefix sum —
+    * no sequential "close the shard when full" recurrence, so it
+    * distributes. The manifest (id → shard, offset) is the control
+    * plane a real tar/parquet shard writer consumes; payloads never
+    * move here.
+    *
+    * Scale shape: payload is pruned to `octet_length` map-side; the
+    * global prefix sum is the [[graft.operators.Profiling]] two-phase
+    * discipline — range buckets on the id (monotone, so bucket order =
+    * stream order), per-bucket windows, and a global window over the
+    * bounded ≤`numBuckets`-row bucket-totals table only. One scan, one
+    * bucket-keyed shuffle, no global window over items.
+    */
+  def shardManifest(media: DataFrame, idCol: String, payloadCol: String,
+                    shardBytes: Long, numBuckets: Int = 1024): DataFrame = {
+    require(shardBytes > 0, s"shardBytes must be positive: $shardBytes")
+    import org.apache.spark.sql.expressions.Window
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val items = media.select(col(idCol).cast("long").as("doc_id"),
+      octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+    val mx = items.agg(max(col("doc_id")).as("mx"))
+    val b = items.crossJoin(broadcast(mx)) // 1-row scalar
+      .withColumn("bucket",
+        floor(d(col("doc_id")) * numBuckets / (d(col("mx")) + 1.0)))
+      .drop("mx")
+    val perBucket = b.groupBy("bucket").agg(sum(col("n_bytes")).as("bytes"))
+    val wb = Window.orderBy("bucket") // bounded bucket table
+    val offsets = perBucket.withColumn("off",
+      coalesce(sum(col("bytes")).over(wb) - col("bytes"), lit(0L)))
+    val wr = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+      .withColumn("stream_offset",
+        col("off") + coalesce(sum(col("n_bytes")).over(wr), lit(0L)))
+      .select(col("doc_id"), col("n_bytes"), col("stream_offset"),
+        expr(s"stream_offset div $shardBytes").as("shard_id"),
+        (col("stream_offset") % shardBytes).as("shard_offset"))
+  }
+
   /** Deterministic frame sampling plan for video-like media: every
     * k-th frame index up to n_frames — pure column math, no decode.
     */

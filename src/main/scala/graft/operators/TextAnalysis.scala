@@ -98,6 +98,66 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** C4/Gopher-style rule-CASCADE filter with per-rule attribution:
+    * every doc carries the full rule-violation vector plus the FIRST
+    * failing rule in a fixed, documented order — the shape cleaning
+    * pipelines actually ship, because "12% dropped" is useless without
+    * "9% of that was symbol_soup". Rules (doc-level — fixture docs are
+    * single-line, so the line-level C4 variants collapse to these):
+    *   1 too_short     n_tokens < 5
+    *   2 word_length   mean word length outside [3, 10]
+    *   3 symbol_soup   (punct + digit) chars > 30% of chars
+    *   4 low_alpha     letter chars < 60% of chars
+    *   5 no_stopword   zero common-English stopwords
+    *   6 repetitive    type-token ratio < 0.3
+    * `first_fail` is 'pass' when no rule fires; `kept` mirrors it.
+    *
+    * Determinism: every ratio is ONE IEEE division of exact integer
+    * counts compared to a decimal-exact threshold — engine-portable
+    * (the [[qualityScore]] CASE discipline). Thresholds follow the
+    * published C4 / Gopher recipes scaled to the fixture's short docs.
+    *
+    * Scale shape: staged projections (the [[qualityScore]] pattern —
+    * heavy regex/HOF work runs once per row even under pushdown),
+    * map-only, no shuffle.
+    */
+  def c4FilterReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "that", "it", "for")
+    val staged = docs
+      .select(
+        col(idCol),
+        tokens(text).as("_w"),
+        length(text).cast("double").as("_nchar"),
+        size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("double").as("_npunct"),
+        size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double").as("_ndigit"),
+        size(regexp_extract_all(text, lit("[\\p{L}]"), lit(0))).cast("double").as("_nalpha"))
+      .select(
+        col(idCol), col("_nchar"), col("_npunct"), col("_ndigit"), col("_nalpha"),
+        size(col("_w")).cast("double").as("_ntok"),
+        size(array_distinct(col("_w"))).cast("double").as("_ndist"),
+        size(filter(col("_w"), w => lower(w).isin(stop.map(_.asInstanceOf[Any]): _*)))
+          .cast("double").as("_nstop"))
+    val nTok = col("_ntok"); val nChar = col("_nchar")
+    val meanWordLen = (nChar - (nTok - 1)) / nTok
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short"   -> (nTok < 5.0),
+      "word_length" -> !meanWordLen.between(3.0, 10.0),
+      "symbol_soup" -> ((col("_npunct") + col("_ndigit")) / nChar > 0.3),
+      "low_alpha"   -> (col("_nalpha") / nChar < 0.6),
+      "no_stopword" -> (col("_nstop") < 1.0),
+      "repetitive"  -> (col("_ndist") / nTok < 0.3))
+    val firstFail = rules.foldRight(lit("pass")) { case ((name, cond), rest) =>
+      when(cond, lit(name)).otherwise(rest)
+    }
+    staged.select(
+      col(idCol) +:
+      col("_ntok").cast("long").as("n_tokens") +:
+      rules.map { case (name, cond) => cond.as(s"f_$name") } :+
+      firstFail.as("first_fail") :+
+      (firstFail === "pass").as("kept"): _*)
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic.
     * Deliberately tiny: the point is the distributed scoring shape
     * (argmax over per-language hit ratios), not lexicography.

@@ -360,6 +360,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("shard manifest: fixed-boundary packing — offsets exact, shards bounded, partitioning-independent") {
+    // hand-sized blobs: 100-byte cap, items 60/60/60/30/120 in id order
+    // → prefixes 0/60/120/180/210 → shards 0/0/1/1/2
+    val docs = Seq((1L, "a" * 60), (2L, "b" * 60), (3L, "c" * 60),
+      (4L, "d" * 30), (5L, "e" * 120)).toDF("doc_id", "text")
+    val m = Multimodal.withPayload(docs, "text")
+    val got = Multimodal.shardManifest(m, "doc_id", "payload",
+        shardBytes = 100L, numBuckets = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bytes", "stream_offset", "shard_id", "shard_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 60L, 0L, 0L, 0L),
+      (2L, 60L, 60L, 0L, 60L),
+      (3L, 60L, 120L, 1L, 20L),
+      (4L, 30L, 180L, 1L, 80L),
+      (5L, 120L, 210L, 2L, 10L)),
+      s"hand-computed manifest mismatch: $got")
+    // invariants at fixture scale: conservation (offsets chain), offset
+    // inside the shard, realized shard size ≤ cap + one item, and the
+    // result is a pure function of the data (not its partitioning)
+    val fx = Multimodal.withPayload(
+      spark.read.parquet(s"$sf001/documents.parquet"), "text")
+    val a = Multimodal.shardManifest(fx, "doc_id", "payload", shardBytes = 16384L)
+    val rows = a.orderBy("doc_id")
+      .select("doc_id", "n_bytes", "stream_offset", "shard_id", "shard_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    rows.sliding(2).foreach { case Seq(p, n) =>
+      assert(n._3 == p._3 + p._2, s"offset chain broken at ${n._1}")
+    }
+    assert(rows.forall(r => r._5 >= 0 && r._5 < 16384L))
+    val maxItem = rows.map(_._2).max
+    rows.groupBy(_._4).foreach { case (sid, items) =>
+      assert(items.map(_._2).sum <= 16384L + maxItem,
+        s"shard $sid overshoots by more than one item")
+    }
+    val b = Multimodal.shardManifest(
+      fx.repartition(7, col("doc_id")), "doc_id", "payload", shardBytes = 16384L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bytes", "stream_offset", "shard_id", "shard_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(b == rows, "manifest must not depend on input partitioning")
+  }
+
   test("image tiles: overlapping grid covers the image, edge tiles clamped, exact areas") {
     // 500x300 image, 256x256 tiles, 64 overlap → starts every 192 px:
     // x0 ∈ {0, 192, 384}, y0 ∈ {0, 192}

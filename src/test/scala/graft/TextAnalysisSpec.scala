@@ -372,4 +372,29 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == again)
   }
+
+  test("c4FilterReport: each rule fires on its archetype; attribution follows cascade order") {
+    val d = Seq(
+      (1L, "the cat sat on the mat today with a friend"),          // clean -> pass
+      (2L, "tiny doc"),                                            // 2 tokens -> too_short
+      (3L, "the aa bb cc dd ee ff gg hh ij"),                      // mean len < 3 -> word_length
+      (4L, "the 12345 67890 11111 22222 33333 44444"),             // digits > 30% -> symbol_soup (fires before low_alpha)
+      (5L, "zzz yyy xxx www vvv uuu ttt sss"),                     // alpha fine, no stopword -> no_stopword
+      (6L, "the the the the the the the the the the")              // ttr 0.1 -> repetitive
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4FilterReport(d, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "first_fail", "kept")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "pass", true), (2L, "too_short", false), (3L, "word_length", false),
+      (4L, "symbol_soup", false), (5L, "no_stopword", false),
+      (6L, "repetitive", false)), s"cascade mismatch: $got")
+    // the violation VECTOR is independent of the cascade: doc 4 also
+    // trips low_alpha even though symbol_soup claimed attribution
+    val v4 = TextAnalysis.c4FilterReport(d, "doc_id", "text")
+      .where(col("doc_id") === 4L)
+      .select("f_symbol_soup", "f_low_alpha", "f_too_short")
+      .as[(Boolean, Boolean, Boolean)].head()
+    assert(v4 == ((true, true, false)))
+  }
 }
