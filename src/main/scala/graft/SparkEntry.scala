@@ -4508,6 +4508,13 @@ object SparkEntry {
       Events.ewmaDaily(t(s, dir, "events"), alpha = 0.3)
         .orderBy("event_type", "day")),
 
+    // Holt linear-trend smoothing (α=β=½): integer milli-cent state,
+    // every ÷2 an arithmetic shift (= floorDiv), so the recurrence is
+    // bit-exact and the oracle replays it as a recursive CTE
+    "events_holt" -> ((s, dir) =>
+      Events.holtDaily(t(s, dir, "events"))
+        .orderBy("event_type", "day")),
+
     // CUSUM mean-shift changepoint per event type: deviations kept
     // mean-free as exact longs (n·x − total) so the running sum and
     // the argmax flag replay bit-exact in any engine
@@ -7945,6 +7952,33 @@ object SparkEntry {
         |  FROM d t JOIN d i ON i.event_type = t.event_type AND i.day <= t.day)
         | SELECT event_type, day, x AS value, round(sum(cl)/1e9, 6) AS ewma
         | FROM p GROUP BY event_type, day, x ORDER BY event_type, day""".stripMargin,
+
+    // replays the integer Holt recurrence as a recursive CTE: state in
+    // milli-cents, floorDiv(x,2) written (x − posmod(x,2)) // 2 — the
+    // engine's arithmetic right shift, sign-safe in both engines
+    "events_holt" ->
+      """WITH RECURSIVE base AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        | d AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY day) AS rn FROM base),
+        | r AS (
+        |  SELECT event_type, rn, day, cents,
+        |   CAST(cents*1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type, rn, day, cents, CAST(l2 AS BIGINT) AS l,
+        |   CAST((l2 - l1 + b1 - (((l2 - l1 + b1) % 2) + 2) % 2) // 2 AS BIGINT) AS b
+        |  FROM (
+        |   SELECT d.event_type, d.rn, d.day, d.cents, r.l AS l1, r.b AS b1,
+        |    (d.cents*1000 + r.l + r.b
+        |     - (((d.cents*1000 + r.l + r.b) % 2) + 2) % 2) // 2 AS l2
+        |   FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1))
+        | SELECT event_type, day, round(cents/100.0, 2) AS value,
+        |  round(l/100000.0, 6) AS level, round(b/100000.0, 6) AS trend,
+        |  round((l+b)/100000.0, 6) AS forecast_next
+        | FROM r ORDER BY event_type, day""".stripMargin,
 
     // same scaled-long daily cents, mean-free integer deviations
     // (n·x − total), running sum over the bounded daily table; the

@@ -959,6 +959,58 @@ object Events {
       .select(col("event_type"), col("day"), col("x").as("value"), col("ewma"))
   }
 
+  /** Holt linear-trend (double exponential) smoothing of the daily
+    * value series per event type — [[ewmaDaily]]'s companion for
+    * series with drift: the EWMA lags a trending metric by design,
+    * Holt tracks the slope too. Recurrence (α = β = ½):
+    *   l_t = ½·y_t + ½·(l_{t−1} + b_{t−1}),   l_0 = y_0
+    *   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1},   b_0 = 0
+    * with the one-step-ahead forecast l_t + b_t per day.
+    *
+    * Exactness: the state lives in integer MILLI-CENTS and every ÷2
+    * is an arithmetic right shift (= floor division, sign-safe), so
+    * the recurrence is bit-exact and the oracle replays it with a
+    * recursive CTE using (x − posmod(x,2)) // 2 — the same floorDiv.
+    * Unlike [[ewmaDaily]] there is no closed form that avoids the
+    * recursion once the trend term enters, so the fold runs over the
+    * COLLECTED per-type daily array — bounded control-plane data
+    * (|days| per type), the same justification as the per-type
+    * windows here; the 100 TB of raw rows still reduce in the one
+    * hash aggregate. Days with no rows are skipped (the series is
+    * the observed days in order), matching the oracle's row_number.
+    */
+  def holtDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("ys"))
+    def fd2(c: Column) = shiftright(c, 1) // floorDiv(x, 2) on longs
+    val init = struct(
+      array(struct(col("ys")(0)("day").as("day"), col("ys")(0)("cents").as("cents"),
+        (col("ys")(0)("cents") * 1000).as("l"), lit(0L).as("b"))).as("rows"),
+      (col("ys")(0)("cents") * 1000).as("l"), lit(0L).as("b"))
+    val folded = series.withColumn("st",
+      aggregate(
+        slice(col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+        init,
+        (acc, y) => {
+          val lNew = fd2(y("cents") * 1000 + acc("l") + acc("b"))
+          val bNew = fd2(lNew - acc("l") + acc("b"))
+          struct(
+            concat(acc("rows"), array(struct(
+              y("day").as("day"), y("cents").as("cents"),
+              lNew.as("l"), bNew.as("b")))).as("rows"),
+            lNew.as("l"), bNew.as("b"))
+        }))
+    folded.select(col("event_type"), explode(col("st")("rows")).as("r"))
+      .select(col("event_type"), col("r")("day").as("day"),
+        round(col("r")("cents") / 100.0, 2).as("value"),
+        round(col("r")("l") / 100000.0, 6).as("level"),
+        round(col("r")("b") / 100000.0, 6).as("trend"),
+        round((col("r")("l") + col("r")("b")) / 100000.0, 6).as("forecast_next"))
+  }
+
   /** CUSUM mean-shift changepoint scan over the daily value series
     * per event type: the cumulative sum of deviations from the series
     * mean, S_t = Σ_{i≤t}(x_i − x̄), peaks (in absolute value) at the

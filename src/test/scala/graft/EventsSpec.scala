@@ -720,4 +720,34 @@ class EventsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq.sorted
     assert(ids == ((1L to 6L) :+ 10L), s"got $ids")
   }
+
+  test("holtDaily: hand-computed integer recurrence, sign-safe floor halving") {
+    // one type, six days; dollar values chosen so the milli-cent state
+    // hits an ODD positive dividend (day 5) and an ODD negative one
+    // (day 6) — pinning floorDiv (arithmetic shift) semantics
+    val e = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 12:00:00"), 10.00),
+      ("a", Timestamp.valueOf("2024-01-02 12:00:00"), 20.00),
+      ("a", Timestamp.valueOf("2024-01-03 12:00:00"), 10.00),
+      ("a", Timestamp.valueOf("2024-01-04 12:00:00"), 5.00),
+      ("a", Timestamp.valueOf("2024-01-05 12:00:00"), 0.01),
+      ("a", Timestamp.valueOf("2024-01-06 12:00:00"), 0.02)
+    ).toDF("event_type", "ts", "value")
+    val got = Events.holtDaily(e).orderBy("day")
+      .select("value", "level", "trend", "forecast_next")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (10.0, 10.0, 0.0, 10.0),
+      (20.0, 15.0, 2.5, 17.5),
+      (10.0, 13.75, 0.625, 14.375),
+      (5.0, 9.6875, -1.71875, 7.96875),
+      (0.01, 3.98937, -3.70844, 0.28093),
+      (0.02, 0.15046, -3.77368, -3.62322)),
+      s"hand-computed Holt state mismatch: $got")
+    // partitioning-independence: the fold runs off a sorted collect
+    val again = Events.holtDaily(e.repartition(5)).orderBy("day")
+      .select("value", "level", "trend", "forecast_next")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(again == got)
+  }
 }
