@@ -729,6 +729,48 @@ object SparkEntry {
       s"\n SELECT node, round(dist, 6) AS dist FROM t$iters ORDER BY node"
   }
 
+  // ---- multi-source SSSP + closeness SQL twin: the ssspSql rounds
+  // with `source` joined into every state/candidate key, then the
+  // scaled-long centrality aggregate. -------------------------------
+  private def closenessSql(sources: Seq[String], iters: Int): String = {
+    val srcList = sources.map(s => s"('$s')").mkString(", ")
+    val head = graphSqlHead +
+      s""",
+         | el AS MATERIALIZED (SELECT src, dst, round(1.0 / w, 9) AS len FROM e),
+         | srcs AS MATERIALIZED (SELECT * FROM (VALUES $srcList) AS s(source)),
+         | t0 AS MATERIALIZED (SELECT source, node,
+         |   CASE WHEN node = source THEN 0.0 END AS dist
+         |  FROM nodes CROSS JOIN srcs)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | c$i AS MATERIALIZED (SELECT d.source, el.dst AS node,
+         |   min(round(d.dist + el.len, 9)) AS cand
+         |  FROM el JOIN t${i - 1} d ON el.src = d.node
+         |  WHERE d.dist IS NOT NULL GROUP BY 1, 2),
+         | t$i AS MATERIALIZED (SELECT d.source, d.node,
+         |   CASE WHEN d.dist IS NULL THEN c.cand
+         |        WHEN c.cand IS NULL THEN d.dist
+         |        WHEN c.cand < d.dist THEN c.cand ELSE d.dist END AS dist
+         |  FROM t${i - 1} d LEFT JOIN c$i c
+         |   ON d.node = c.node AND d.source = c.source)""".stripMargin
+    }.mkString
+    head + rounds +
+      s""",
+         | sl AS (SELECT node,
+         |   CAST(count(dist) AS BIGINT) AS n_reached,
+         |   CAST(coalesce(sum(CAST(round(dist * 1e9, 0) AS BIGINT)), 0)
+         |     AS BIGINT) AS sdl,
+         |   CAST(coalesce(sum(CASE WHEN dist > 0
+         |     THEN CAST(round(round(1.0 / dist, 9) * 1e9, 0) AS BIGINT) END), 0)
+         |     AS BIGINT) AS hl
+         |  FROM t$iters GROUP BY node)
+         | SELECT node, n_reached, round(sdl / 1e9, 6) AS sum_dist,
+         |  CASE WHEN sdl > 0 THEN round(n_reached / (sdl / 1e9), 6) END
+         |    AS closeness,
+         |  round(hl / 1e9, 6) AS harmonic
+         | FROM sl ORDER BY node""".stripMargin
+  }
+
   // ---- triangle-count SQL twin: the oracle enumerates triangles by
   // LEXICOGRAPHIC a<b<c over the canonical undirected support while
   // the engine uses degree-ordered orientation — the hash match
@@ -2399,6 +2441,19 @@ object SparkEntry {
         .select(col("src"), col("dst"), round(lit(1.0) / col("w"), 9).as("len"))
       Graph.shortestPaths(e, "src", "dst", "len", lit("signup"), iters = 4)
         .select(col("node"), round(col("dist"), 6).as("dist"))
+        .orderBy("node")
+    }),
+
+    // sampled-source closeness + harmonic centrality (Eppstein–Wang
+    // shape): 3 pinned sources' Bellman-Ford frontiers ride ONE cached
+    // edge layout, state keyed by (source, node); centralities from
+    // 1e9-scaled-long distance sums
+    "graph_closeness" -> ((s, dir) => {
+      val e = transitionEdges(t(s, dir, "events"))
+        .select(col("src"), col("dst"), round(lit(1.0) / col("w"), 9).as("len"))
+      Graph.closenessFromDistances(
+        Graph.multiSourceShortestPaths(e, "src", "dst", "len",
+          Seq("click", "purchase", "signup"), iters = 4))
         .orderBy("node")
     }),
 
@@ -7802,6 +7857,9 @@ object SparkEntry {
         | FROM g ORDER BY user_id""".stripMargin,
 
     "events_shortest_paths" -> ssspSql(source = "signup", iters = 4),
+
+    "graph_closeness" ->
+      closenessSql(Seq("click", "purchase", "signup"), iters = 4),
 
     "events_absorption" -> absorptionSql(target = "purchase", iters = 6),
 

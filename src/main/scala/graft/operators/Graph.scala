@@ -348,6 +348,81 @@ object Graph {
     out
   }
 
+  /** Multi-source [[shortestPaths]]: one synchronous Bellman-Ford
+    * sweep whose state is keyed by (source, node), relaxing every
+    * source's frontier through the SAME cached edge layout per round —
+    * k single-source runs would pay the edge shuffle k times; this
+    * pays it once (the sources ride along as a key). The source set is
+    * bounded control-plane data (a pinned sample), so the state table
+    * is |S|·|V| rows. Same determinism contract as [[shortestPaths]]:
+    * round-9 before every min, NULL as infinity, per-round eager
+    * localCheckpoint.
+    */
+  def multiSourceShortestPaths(edges: DataFrame, srcCol: String,
+                               dstCol: String, lenCol: String,
+                               sources: Seq[String], iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(lenCol).cast("double").as("len"))
+      .repartition(col("src"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    var dist = nodes.crossJoin(broadcast(sources.toDF("source")))
+      .select(col("source"), col("node"),
+        when(col("node") === col("source"), lit(0.0))
+          .otherwise(lit(null).cast("double")).as("dist"))
+    for (_ <- 1 to iters) {
+      val relax = e
+        .join(dist.where(col("dist").isNotNull).withColumnRenamed("node", "src"), "src")
+        .groupBy(col("source"), col("dst").as("node"))
+        .agg(min(round(col("dist") + col("len"), 9)).as("cand"))
+      val next = dist.join(relax, Seq("source", "node"), "left")
+        .select(col("source"), col("node"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+      val prev = dist
+      dist = next.localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = dist.localCheckpoint()
+    unpersistBacking(dist)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Sampled-source closeness AND harmonic centrality off a
+    * [[multiSourceShortestPaths]] distance table (the Eppstein–Wang
+    * estimator shape: exact centralities need all-pairs distances;
+    * a pinned source sample estimates them with k·|V| state). Per
+    * node: sources reaching it, Σ distance, closeness = reached/Σd,
+    * and harmonic = Σ 1/d over d>0 — harmonic degrades gracefully
+    * under disconnection (unreached sources add 0 instead of
+    * poisoning the mean), which is why both are reported.
+    *
+    * Exactness: distances arrive round-9; Σd and Σ1/d accumulate as
+    * 1e9-scaled longs (order-independent), each 1/d a single IEEE
+    * division re-rounded to 9 first. One hash aggregate.
+    */
+  def closenessFromDistances(dist: DataFrame): DataFrame =
+    dist.groupBy("node")
+      .agg(count(col("dist")).as("n_reached"),
+        (coalesce(sum(round(col("dist") * 1e9, 0).cast("long")), lit(0L)) / 1e9)
+          .as("sd"),
+        (coalesce(sum(when(col("dist") > 0,
+            round(round(lit(1.0) / col("dist"), 9) * 1e9, 0).cast("long"))),
+          lit(0L)) / 1e9).as("h"))
+      .select(col("node"), col("n_reached"),
+        round(col("sd"), 6).as("sum_dist"),
+        when(col("sd") > 0, round(col("n_reached") / col("sd"), 6))
+          .as("closeness"),
+        round(col("h"), 6).as("harmonic"))
+
   /** Per-node triangle counts by degree-ordered edge orientation
     * (the Cohen / node-iterator++ MapReduce algorithm). Directions
     * and self-loops are discarded first (a triangle is a property of

@@ -358,4 +358,20 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
     assert(k2 == Seq((1L, 2L, None, None)), s"got $k2")
   }
+
+  test("multi-source SSSP + closeness: hand graph, unreachable sources excluded, harmonic graceful") {
+    // a -1-> b -2-> c; sources {a, c}: from a dists (0,1,3); from c
+    // only c itself (no out-edges) — b and a unreached
+    val e = Seq(("a", "b", 1.0), ("b", "c", 2.0)).toDF("src", "dst", "len")
+    val dist = Graph.multiSourceShortestPaths(e, "src", "dst", "len",
+      Seq("a", "c"), iters = 3)
+    val got = Graph.closenessFromDistances(dist).orderBy("node")
+      .select("node", "n_reached", "sum_dist", "closeness", "harmonic")
+      .as[(String, Long, Double, Option[Double], Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 0.0, None, 0.0),            // only its own 0-distance
+      ("b", 1L, 1.0, Some(1.0), 1.0),       // reached by a only
+      ("c", 2L, 3.0, Some(0.666667), 0.333333)), // 2/(0+3); 1/3
+      s"hand-computed closeness mismatch: $got")
+  }
 }
