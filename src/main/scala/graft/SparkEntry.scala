@@ -4014,6 +4014,13 @@ object SparkEntry {
       TextAnalysis.charLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // interpolated Kneser–Ney bigram LM: absolute discount, the freed
+    // mass re-spent on continuation probability; per-doc mean P from
+    // 1e9-scaled longs (the fluency score quality filters rank on)
+    "text_kn_lm" -> ((s, dir) =>
+      TextAnalysis.knLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Gopher-style repetition filter signals: duplicate-3-gram ratio
     // + most-repeated-gram share (the looping/template-text catch)
     "text_repetition" -> ((s, dir) =>
@@ -8387,6 +8394,37 @@ object SparkEntry {
         |  round(avg(ln((c2.c2 + 1.0)/(c1.c1 + 256.0))), 6) AS avg_logprob
         | FROM tok JOIN c2 USING (bg)
         | JOIN c1 ON substr(tok.bg, 1, 1) = c1.ch
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replays interpolated Kneser–Ney: model terms each a single
+    // division of exact counts re-rounded to 9 in the engine's pinned
+    // order; per-doc mean from 1e9-scaled longs
+    "text_kn_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | bo AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+        | cvw AS (SELECT g, CAST(count(*) AS BIGINT) AS c,
+        |   string_split(g, ' ')[1] AS v, string_split(g, ' ')[2] AS w
+        |  FROM bo GROUP BY 1),
+        | pre AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+        |   CAST(count(*) AS BIGINT) AS n1v FROM cvw GROUP BY 1),
+        | cont AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM cvw GROUP BY 1),
+        | nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM cvw),
+        | model AS (
+        |  SELECT g, CAST(round(round(
+        |    round((c - 0.75) / cv, 9)
+        |    + round(round(0.75 * n1v / cv, 9) * round(nw / ntot, 9), 9), 9)
+        |    * 1e9, 0) AS BIGINT) AS pl
+        |  FROM cvw JOIN pre USING (v) JOIN cont USING (w) CROSS JOIN nt),
+        | db AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS k
+        |  FROM bo GROUP BY 1, 2)
+        | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round((CAST(sum(k * pl) AS BIGINT) / CAST(sum(k) AS BIGINT)) / 1e9, 6)
+        |    AS kn_score
+        | FROM db JOIN model USING (g)
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // multiset 3-grams (NO distinct — repetition needs every

@@ -820,6 +820,55 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Interpolated Kneser–Ney bigram language-model scoring (Kneser &
+    * Ney 1995; Chen & Goodman 1998) — the principled upgrade of
+    * [[charLmScore]]'s add-one bigram model: absolute discount D on
+    * seen bigrams, with the discounted mass re-spent on the
+    * CONTINUATION probability P_cont(w) = N1+(·w)/N1+(··) ("how many
+    * contexts does w follow") instead of raw frequency — the fix for
+    * high-count-but-single-context tokens. Per seen bigram:
+    *   P(w|v) = (c(vw) − D)/c(v·) + [D·N1+(v·)/c(v·)] · P_cont(w)
+    * (c ≥ 1 and D < 1, so max(·,0) never binds on seen bigrams).
+    * Each doc scores the mean P over its bigram occurrences against
+    * the corpus-wide model — the fluency signal quality filters rank
+    * on. Docs with < 2 tokens carry no bigram and are absent.
+    *
+    * Determinism: every division is a single IEEE op on exact integer
+    * counts, re-rounded to 9 before the next op (t1, λ, P_cont, then
+    * λ·P_cont, then the sum — the pinned-order discipline); per-bigram
+    * P scales to a 1e9 long so the per-doc mean is order-independent.
+    *
+    * Scale shape: one bigram explode feeds BOTH the model aggregates
+    * and the per-doc counts; model tables are vocab-bounded; the
+    * scoring join is bigram-keyed with map-side-combined doc counts;
+    * the only broadcast is the 1-row N1+(··) scalar.
+    */
+  def knLmScore(docs: DataFrame, idCol: String, textCol: String,
+                discount: Double = 0.75): DataFrame = {
+    val bi = docs.select(col(idCol).as("did"),
+      explode(wordNgramsFast(lower(col(textCol)), 2)).as("g"))
+    val cvw = bi.groupBy("g").agg(count(lit(1)).as("c"))
+      .withColumn("v", split(col("g"), " ").getItem(0))
+      .withColumn("w", split(col("g"), " ").getItem(1))
+    val pre = cvw.groupBy("v").agg(sum(col("c")).as("cv"), count(lit(1)).as("n1v"))
+    val cont = cvw.groupBy("w").agg(count(lit(1)).as("nw"))
+    val ntot = cvw.agg(count(lit(1)).as("ntot")) // 1-row scalar
+    val model = cvw.join(pre, "v").join(cont, "w").crossJoin(broadcast(ntot))
+      .select(col("g"),
+        round((col("c") - discount) / col("cv"), 9).as("t1"),
+        round(lit(discount) * col("n1v") / col("cv"), 9).as("lam"),
+        round(col("nw") / col("ntot").cast("double"), 9).as("pc"))
+      .select(col("g"),
+        round(round(col("t1") + round(col("lam") * col("pc"), 9), 9) * 1e9, 0)
+          .cast("long").as("pl"))
+    val docBi = bi.groupBy("did", "g").agg(count(lit(1)).as("k"))
+    docBi.join(model, "g")
+      .groupBy("did")
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("pl")).as("spl"))
+      .select(col("did").as(idCol), col("n_bigrams"),
+        round((col("spl") / col("n_bigrams")) / 1e9, 6).as("kn_score"))
+  }
+
   /** Feature hashing (the hashing trick): lowercased whitespace
     * tokens hash into `numBuckets` count features per document — a
     * fixed-width, vocabulary-free text representation for fast

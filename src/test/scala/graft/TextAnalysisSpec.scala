@@ -397,4 +397,32 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Boolean, Boolean, Boolean)].head()
     assert(v4 == ((true, true, false)))
   }
+
+  test("knLmScore: hand-computed interpolated KN on a tiny corpus; repartition-stable") {
+    // corpus = one doc "a b a b a c": bigrams ab x2, ba x2, ac x1
+    // P(b|a) = (2-.75)/3 + (.75*2/3)*(1/3) ~= 0.5833333
+    // P(a|b) = (2-.75)/2 + (.75*1/2)*(1/3)  = 0.75
+    // P(c|a) = (1-.75)/3 + (.75*2/3)*(1/3) ~= 0.25
+    // mean over the 5 occurrences ~= 0.5833333
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knLmScore(d, "doc_id", "text")
+      .select("n_bigrams", "kn_score").as[(Long, Double)].head()
+    assert(got._1 == 5L)
+    assert(math.abs(got._2 - 0.5833333) < 2e-6, s"kn_score off: ${got._2}")
+    // discounted probabilities live in (0, 1]; a two-doc corpus where
+    // one doc is pure repetition must score the repetitive doc HIGHER
+    // on raw bigram probability (KN is fluency, not diversity)...
+    val d2 = Seq((1L, "x y x y x y x y"), (2L, "x y p q r s t u")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.knLmScore(d2, "doc_id", "text")
+      .orderBy("doc_id").select("kn_score").as[Double].collect().toSeq
+    assert(s2.forall(p => p > 0.0 && p <= 1.0))
+    assert(s2(0) > s2(1), s"high-frequency bigrams must score higher: $s2")
+    // ...and the model is a pure function of the corpus, not partitioning
+    val fx = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = TextAnalysis.knLmScore(fx, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val b = TextAnalysis.knLmScore(fx.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
 }
