@@ -4885,6 +4885,20 @@ object SparkEntry {
         "doc_id", "payload")
         .orderBy("keeper_id")),
 
+    // interleaved multimodal sequence packing: sequence cost = BPE-ish
+    // text tokens + 64 placeholder tokens per (closed-form) image tile;
+    // docs pack into 2048-token training sequences by the same
+    // fixed-boundary prefix-sum rule as the shard manifest
+    "mm_interleaved_pack" -> ((s, dir) => {
+      val docs = graft.operators.Multimodal.withPayload(t(s, dir, "documents"), "text")
+      graft.operators.Multimodal.interleavedPack(
+          graft.operators.Multimodal.extractMeta(docs, "doc_id"),
+          t(s, dir, "documents"), "doc_id", "text",
+          tileW = 256, tileH = 256, overlap = 64,
+          tokensPerTile = 64, seqTokens = 2048L)
+        .orderBy("doc_id")
+    }),
+
     // WebDataset-style shard packing: blobs laid out in doc_id order,
     // 16 KiB fixed-boundary shards; the (shard, offset) manifest is the
     // control plane a tar-shard writer consumes. Distributed prefix sum
@@ -9463,6 +9477,33 @@ object SparkEntry {
 
     // DuckDB strings are UTF-8, so md5(text) hashes the same bytes
     // the engine's binary payload carries
+    // replays the stub image probe, the closed-form integer tile
+    // count, the BPE token regex, and the prefix-sum packing rule
+    "mm_interleaved_pack" ->
+      """WITH m AS (
+        | SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))
+        |    AS BIGINT) AS n_text_tokens
+        | FROM documents),
+        | d AS (
+        | SELECT doc_id, n_text_tokens,
+        |  ((16 + h % 1920 + 191) // 192) * ((16 + (h // 7) % 1080 + 191) // 192)
+        |    AS n_tiles
+        | FROM m),
+        | c AS (
+        | SELECT doc_id, n_text_tokens, n_tiles,
+        |  n_text_tokens + n_tiles * 64 AS n_tokens
+        | FROM d),
+        | p AS (
+        | SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS stream_offset
+        | FROM c)
+        | SELECT doc_id, n_text_tokens, n_tiles, n_tokens, stream_offset,
+        |  stream_offset // 2048 AS seq_id,
+        |  stream_offset % 2048 AS seq_offset
+        | FROM p ORDER BY doc_id""".stripMargin,
+
     // replays the fixed-boundary packing rule off a window cumsum (the
     // oracle may use the global window the engine's bucketed prefix
     // sum avoids — DuckDB runs at gate scale)

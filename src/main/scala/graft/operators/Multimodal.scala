@@ -236,17 +236,31 @@ object Multimodal {
     */
   def shardManifest(media: DataFrame, idCol: String, payloadCol: String,
                     shardBytes: Long, numBuckets: Int = 1024): DataFrame = {
-    require(shardBytes > 0, s"shardBytes must be positive: $shardBytes")
-    import org.apache.spark.sql.expressions.Window
-    def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val items = media.select(col(idCol).cast("long").as("doc_id"),
       octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+    prefixPack(items, "n_bytes", shardBytes, numBuckets)
+      .select(col("doc_id"), col("n_bytes"), col("stream_offset"),
+        col("bin_id").as("shard_id"), col("bin_offset").as("shard_offset"))
+  }
+
+  /** The shared fixed-boundary packing core of [[shardManifest]] and
+    * [[interleavedPack]]: distributed exclusive prefix sum of
+    * `costCol` in `doc_id` order (range buckets + bounded bucket-
+    * offset table — no global item window), then bin = ⌊P/capacity⌋.
+    * Input must carry (doc_id, costCol); returns it plus
+    * (stream_offset, bin_id, bin_offset).
+    */
+  private def prefixPack(items: DataFrame, costCol: String, capacity: Long,
+                         numBuckets: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    import org.apache.spark.sql.expressions.Window
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val mx = items.agg(max(col("doc_id")).as("mx"))
     val b = items.crossJoin(broadcast(mx)) // 1-row scalar
       .withColumn("bucket",
         floor(d(col("doc_id")) * numBuckets / (d(col("mx")) + 1.0)))
       .drop("mx")
-    val perBucket = b.groupBy("bucket").agg(sum(col("n_bytes")).as("bytes"))
+    val perBucket = b.groupBy("bucket").agg(sum(col(costCol)).as("bytes"))
     val wb = Window.orderBy("bucket") // bounded bucket table
     val offsets = perBucket.withColumn("off",
       coalesce(sum(col("bytes")).over(wb) - col("bytes"), lit(0L)))
@@ -254,10 +268,49 @@ object Multimodal {
       .rowsBetween(Window.unboundedPreceding, -1)
     b.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
       .withColumn("stream_offset",
-        col("off") + coalesce(sum(col("n_bytes")).over(wr), lit(0L)))
-      .select(col("doc_id"), col("n_bytes"), col("stream_offset"),
-        expr(s"stream_offset div $shardBytes").as("shard_id"),
-        (col("stream_offset") % shardBytes).as("shard_offset"))
+        col("off") + coalesce(sum(col(costCol)).over(wr), lit(0L)))
+      .withColumn("bin_id", expr(s"stream_offset div $capacity"))
+      .withColumn("bin_offset", col("stream_offset") % capacity)
+      .drop("bucket", "off")
+  }
+
+  /** Interleaved MULTIMODAL sequence packing — the training-collate
+    * control plane for image-text models: each doc's sequence cost is
+    * its sub-word token count plus `tokensPerTile` placeholder tokens
+    * for every image tile the (stub-)decoded dimensions yield under
+    * [[imageTiles]]'s grid arithmetic (⌈w/stepX⌉·⌈h/stepY⌉ — same
+    * clamped-grid count, computed closed-form so no tile explode
+    * runs). Docs then pack into fixed `seqTokens`-capacity training
+    * sequences by the [[prefixPack]] fixed-boundary rule in doc order.
+    * One row per doc: its modality cost split, which sequence it
+    * lands in and where — what the batch assembler consumes.
+    *
+    * Scale: two map-only projections (token regex + closed-form tile
+    * count) feeding the bucketed prefix sum; no shuffle beyond it.
+    */
+  def interleavedPack(meta: Dataset[MediaMeta], docs: DataFrame,
+                      idCol: String, textCol: String,
+                      tileW: Int, tileH: Int, overlap: Int,
+                      tokensPerTile: Int, seqTokens: Long,
+                      numBuckets: Int = 1024): DataFrame = {
+    require(overlap >= 0 && overlap < tileW && overlap < tileH,
+      s"overlap must sit inside the tile: overlap=$overlap tile=${tileW}x$tileH")
+    val stepX = (tileW - overlap).toLong
+    val stepY = (tileH - overlap).toLong
+    val textCost = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(graft.functions.TextFunctions.bpeTokens(col(textCol)))
+        .cast("long").as("n_text_tokens"))
+    // integer ceil-div — same count sequence(0, dim-1, step) yields
+    val tileCost = meta.toDF().select(col("doc_id"),
+      expr(s"((cast(width as bigint) + ${stepX - 1}) div $stepX) * " +
+           s"((cast(height as bigint) + ${stepY - 1}) div $stepY)").as("n_tiles"))
+    val items = textCost.join(tileCost, "doc_id")
+      .select(col("doc_id"), col("n_text_tokens"), col("n_tiles"),
+        (col("n_text_tokens") + col("n_tiles") * tokensPerTile).as("n_tokens"))
+    prefixPack(items, "n_tokens", seqTokens, numBuckets)
+      .select(col("doc_id"), col("n_text_tokens"), col("n_tiles"),
+        col("n_tokens"), col("stream_offset"),
+        col("bin_id").as("seq_id"), col("bin_offset").as("seq_offset"))
   }
 
   /** Deterministic frame sampling plan for video-like media: every

@@ -404,6 +404,28 @@ class StreamingSpec extends SparkSpec {
     assert(b == rows, "manifest must not depend on input partitioning")
   }
 
+  test("interleaved pack: closed-form tile count equals the tile explode; cost and offsets consistent") {
+    val raw = spark.read.parquet(s"$sf001/documents.parquet")
+    val docs = Multimodal.withPayload(raw, "text")
+    val meta = Multimodal.extractMeta(docs, "doc_id")
+    val packed = Multimodal.interleavedPack(meta, raw, "doc_id", "text",
+      tileW = 256, tileH = 256, overlap = 64, tokensPerTile = 64,
+      seqTokens = 2048L)
+    val tiles = Multimodal.imageTiles(meta, 256, 256, 64)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(packed.join(tiles, "doc_id")
+      .where(col("n_tiles") =!= col("n")).count() == 0,
+      "closed-form tile count must equal the explode count")
+    val rows = packed.orderBy("doc_id")
+      .select("n_text_tokens", "n_tiles", "n_tokens", "stream_offset", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.forall(r => r._3 == r._1 + r._2 * 64))
+    assert(rows.forall(r => r._5 >= 0 && r._5 < 2048L))
+    rows.sliding(2).foreach { case Seq(p, n) =>
+      assert(n._4 == p._4 + p._3, "token-offset chain broken")
+    }
+  }
+
   test("image tiles: overlapping grid covers the image, edge tiles clamped, exact areas") {
     // 500x300 image, 256x256 tiles, 64 overlap → starts every 192 px:
     // x0 ∈ {0, 192, 384}, y0 ∈ {0, 192}
