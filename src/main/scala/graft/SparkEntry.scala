@@ -883,6 +883,51 @@ object SparkEntry {
   // ---- elbow SQL twin: per k, the cluster_kmeans_n seed + iterated
   // Lloyd CTE chain, then inertia as the exact scaled-long sum of
   // squared round-6 own-centroid distances; one row per k. ----------
+  // ---- spherical k-means SQL twin: the kmeans round CTEs with the
+  // centroid projected to the unit sphere each round (Σ mean² as
+  // 1e12-scaled longs → one sqrt → round-6 components), then the
+  // per-cell size/cohesion readout off the final assignment. --------
+  private def sphericalKmeansSql(numCells: Int, iters: Int): String = {
+    val seed =
+      s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         | cen0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec::DOUBLE[] AS centroid
+         |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+         |        FROM c ORDER BY h LIMIT $numCells))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | asg$i AS MATERIALIZED (SELECT id, cell_id, vec FROM (
+         |   SELECT c.id, cen.cell_id, c.vec,
+         |    row_number() OVER (PARTITION BY c.id ORDER BY
+         |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid), 6) DESC,
+         |      cen.cell_id DESC) AS rn
+         |   FROM c CROSS JOIN cen${i - 1} cen) WHERE rn = 1),
+         | m$i AS MATERIALIZED (
+         |   SELECT cell_id, CAST(di AS BIGINT) AS dim, round(avg(vec[di]), 6) AS mean_val
+         |   FROM asg$i, UNNEST(range(1, len(vec) + 1)) AS t(di) GROUP BY 1, 2),
+         | nr$i AS MATERIALIZED (
+         |   SELECT cell_id, sqrt(CAST(sum(CAST(round(mean_val * mean_val * 1e12, 0)
+         |     AS BIGINT)) AS BIGINT) / 1e12) AS mnrm
+         |   FROM m$i GROUP BY 1),
+         | cen$i AS MATERIALIZED (
+         |   SELECT m$i.cell_id, list(round(mean_val / mnrm, 6) ORDER BY dim) AS centroid
+         |   FROM m$i JOIN nr$i ON m$i.cell_id = nr$i.cell_id GROUP BY m$i.cell_id)""".stripMargin
+    }.mkString
+    seed + rounds +
+      s""",
+         | fin AS (SELECT id, cell_id, csim FROM (
+         |   SELECT c.id, cen.cell_id,
+         |    round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid), 6) AS csim,
+         |    row_number() OVER (PARTITION BY c.id ORDER BY
+         |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid), 6) DESC,
+         |      cen.cell_id DESC) AS rn
+         |   FROM c CROSS JOIN cen$iters cen) WHERE rn = 1)
+         | SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(CAST(sum(CAST(round(csim * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |    / 1e6 / count(*), 6) AS cohesion
+         | FROM fin GROUP BY cell_id ORDER BY cell_id""".stripMargin
+  }
+
   private def kmeansElbowSql(ks: Seq[Int], iters: Int): String = {
     def chain(k: Int): String = {
       val seed =
@@ -3566,6 +3611,13 @@ object SparkEntry {
     "cluster_kmeans_n" -> ((s, dir) =>
       Similarity.kmeansIterations(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8, iters = 2).orderBy("cell_id", "dim")),
+
+    // spherical k-means: cosine assignment + UNIT-SPHERE centroid
+    // projection per round (Dhillon-Modha) — per-cell size and mean
+    // member-to-centroid cosine (cohesion) off the final assignment
+    "cluster_spherical" -> ((s, dir) =>
+      Similarity.sphericalKmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 8, iters = 2).orderBy("cell_id")),
 
     // elbow curve: inertia vs k over {2,4,8}, each k the standard
     // seeded 2-Lloyd training; within-cluster squared round-6
@@ -7492,6 +7544,8 @@ object SparkEntry {
         | FROM ex GROUP BY cell_id, dim ORDER BY cell_id, dim""".stripMargin,
 
     "cluster_elbow" -> kmeansElbowSql(ks = Seq(2, 4, 8), iters = 2),
+
+    "cluster_spherical" -> sphericalKmeansSql(numCells = 8, iters = 2),
 
     "cluster_kmeans_n" ->
       """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

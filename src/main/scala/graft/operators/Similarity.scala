@@ -462,6 +462,73 @@ object Similarity {
     means
   }
 
+  /** Spherical k-means (Dhillon & Modha 2001) — the k-means variant
+    * text-embedding clustering actually wants: assignment maximizes
+    * COSINE (as [[lloydStep]] already does) and the centroid update
+    * projects the per-cell mean back onto the UNIT SPHERE, so the
+    * next round's assignment is a pure direction comparison — the
+    * mean's length (cell density) stops biasing it. Returns the
+    * iterated unit centroids (cell_id, centroid, ctrnrm ≈ 1).
+    *
+    * Determinism: means are round-6 as in [[lloydStep]]; the
+    * normalizing length accumulates Σ mean² as 1e12-scaled exact
+    * longs (order-independent) before one IEEE sqrt — sqrt is
+    * correctly rounded per IEEE-754, unlike the transcendentals —
+    * and each unit component re-rounds to 6.
+    */
+  private[graft] def sphericalCentroids(c: DataFrame, numCells: Int,
+                                        iters: Int): DataFrame = {
+    var centroids = seedCentroids(c, "id", numCells)
+    for (_ <- 1 to iters) {
+      val assigned = c.join(broadcast(centroids), lit(true))
+        .withColumn("csim", round(
+          cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+        .groupBy(col("id"))
+        .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
+             first(col("vec")).as("vec"))
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("vec")))
+        .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
+      val norms = means.groupBy("cell_id")
+        .agg(sqrt(sum(round(col("mean_val") * col("mean_val") * 1e12, 0)
+          .cast("long")) / 1e12).as("mnrm"))
+      centroids = means.join(norms, "cell_id")
+        .select(col("cell_id"), col("dim"),
+          round(col("mean_val") / col("mnrm"), 6).as("uv"))
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("uv")))).as("dm"))
+        .select(col("cell_id"),
+          transform(col("dm"), x => x.getField("uv")).as("centroid"))
+        .withColumn("ctrnrm", l2Norm(col("centroid")))
+    }
+    centroids
+  }
+
+  /** Per-cell readout of [[sphericalCentroids]]: final max-cosine
+    * assignment, then cell size and COHESION (mean cosine of members
+    * to their unit centroid, via 1e6-scaled longs) — the
+    * cluster-quality number a topic-discovery pass reports. Cells
+    * that captured no member in the final assignment are absent.
+    */
+  def sphericalKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCells: Int = 8, iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    val centroids = sphericalCentroids(c, numCells, iters)
+    val fin = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy(col("id"))
+      .agg(max(struct(col("csim"), col("cell_id"))).as("mx"))
+      .select(col("mx").getField("cell_id").as("cell_id"),
+              col("mx").getField("csim").as("csim"))
+    fin.groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"),
+           round(sum(round(col("csim") * 1e6, 0).cast("long")) / 1e6
+             / count(lit(1)), 6).as("cohesion"))
+  }
+
   /** k-means|| (scalable k-means++, Bahmani et al., VLDB 2012)
     * seeding: instead of k sequential driver-round-trip k-means++
     * draws, each of `rounds` passes samples ~`l` new candidates IN

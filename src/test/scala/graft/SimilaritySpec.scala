@@ -537,4 +537,29 @@ class SimilaritySpec extends SparkSpec {
     assert(t.find(_._1 == 5).exists(r => r._3 == 0L),
       s"tied vote must break to min label (3), not true label 5: $t")
   }
+
+  test("spherical k-means: unit centroids, direction beats magnitude, cohesion in range") {
+    // two directions in 2-D with wildly different magnitudes: spherical
+    // assignment must cluster by ANGLE, and each trained centroid must
+    // sit on the unit sphere
+    val vecs = Seq(
+      (1L, Array(10.0f, 0.1f)), (2L, Array(0.5f, 0.01f)), (3L, Array(8.0f, 0.2f)),
+      (4L, Array(0.1f, 12.0f)), (5L, Array(0.02f, 0.4f)), (6L, Array(0.3f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val c = vecs.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    val cen = Similarity.sphericalCentroids(c, numCells = 2, iters = 2)
+      .select("cell_id", "ctrnrm").as[(Long, Double)].collect().toSeq
+    assert(cen.size == 2)
+    cen.foreach { case (_, n) =>
+      assert(math.abs(n - 1.0) < 1e-4, s"centroid must be unit-norm, got $n")
+    }
+    val out = Similarity.sphericalKmeans(vecs, "vec_id", "embedding",
+        numCells = 2, iters = 2)
+      .orderBy("cell_id")
+      .select("n_members", "cohesion").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1).sum == 6L)
+    assert(out == Seq((3L, out(0)._2), (3L, out(1)._2)), s"3/3 split by direction: $out")
+    assert(out.forall(r => r._2 > 0.9 && r._2 <= 1.0), s"tight cones cohere: $out")
+  }
 }
