@@ -4674,6 +4674,15 @@ object SparkEntry {
     "events_did" -> ((s, dir) =>
       Events.diffInDiff(t(s, dir, "events"))),
 
+    // coarsened exact matching (CEM): error-HEAVY users (error share
+    // > 20%, integer-exact) vs the rest, matched on (view-count bin,
+    // click-count bin) cells; per matched cell the control
+    // reweighting and both arms' mean purchase value
+    "events_cem" -> ((s, dir) =>
+      Events.cemMatch(t(s, dir, "events"), treatType = "error",
+          outcomeType = "purchase", covA = "view", covB = "click")
+        .orderBy("cov1_bin", "cov2_bin")),
+
     // per-type user reach with Wilson 95% CI: exact distinct counts,
     // closed-form interval in a pinned IEEE sequence (the honest
     // error bar a dashboard should draw instead of the raw share)
@@ -8172,6 +8181,45 @@ object SparkEntry {
 
     // 12 CASE sums (the engine's conditional aggregate), identical
     // mean/variance arithmetic, least-cell guard
+    // replays CEM: integer covariate bins, matched-cell filter, the
+    // (m_t/m_c)·(Mc/Mt) control weight and per-arm means — every
+    // division a single IEEE op on exact longs in the engine's order
+    "events_cem" ->
+      """WITH u AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_treat,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value*100, 0) AS BIGINT) END), 0) AS BIGINT)
+        |    AS outcome_cents
+        | FROM events GROUP BY 1),
+        | cells AS (
+        | SELECT n_a // 5 AS cov1_bin, n_b // 5 AS cov2_bin,
+        |  CAST(CASE WHEN n_treat * 5 > n_events THEN 1 ELSE 0 END AS BIGINT)
+        |    AS treated,
+        |  outcome_cents
+        | FROM u),
+        | agg AS (
+        | SELECT cov1_bin, cov2_bin,
+        |  CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m_t,
+        |  CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_c,
+        |  CAST(sum(CASE WHEN treated = 1 THEN outcome_cents ELSE 0 END) AS BIGINT) AS y_t,
+        |  CAST(sum(CASE WHEN treated = 0 THEN outcome_cents ELSE 0 END) AS BIGINT) AS y_c
+        | FROM cells GROUP BY 1, 2
+        | HAVING m_t > 0 AND m_c > 0),
+        | tot AS (SELECT CAST(sum(m_t) AS BIGINT) AS mt_tot,
+        |         CAST(sum(m_c) AS BIGINT) AS mc_tot FROM agg)
+        | SELECT cov1_bin, cov2_bin, m_t, m_c,
+        |  round(m_t / m_c * (mc_tot / mt_tot), 6) AS control_weight,
+        |  round(y_t / m_t / 100.0, 6) AS y_t_mean,
+        |  round(y_c / m_c / 100.0, 6) AS y_c_mean
+        | FROM agg CROSS JOIN tot
+        | ORDER BY cov1_bin, cov2_bin""".stripMargin,
+
     "events_did" -> {
       def cellSql(cond: String, sfx: String) =
         s"""  CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$sfx,

@@ -959,6 +959,62 @@ object Events {
       .select(col("event_type"), col("day"), col("x").as("value"), col("ewma"))
   }
 
+  /** Coarsened Exact Matching (Iacus, King & Porro 2012) — the
+    * deterministic causal-matching design: coarsen pre-treatment
+    * covariates into discrete cells, keep only cells containing BOTH
+    * treated and control users, and reweight controls so each matched
+    * cell's control mass mirrors its treated mass:
+    *   w_c(cell) = (m_t/m_c) · (M_c/M_t)  over matched totals.
+    * Unlike propensity or nearest-neighbor matching there is no
+    * model and no sequential greedy pass — the match is a pure
+    * GROUP BY, which is exactly why it distributes.
+    *
+    * Here: treated = users whose `treatType` share of events exceeds
+    * 1/`shareMul` (an integer-exact `n_t·shareMul > n` compare — a
+    * mere "has one such event" is degenerate when every user has
+    * one); covariate cells = (`covA` count div `binWidth`, `covB`
+    * count div `binWidth`) — behavioral-intensity bins; outcome =
+    * the user's total `outcomeType` value in exact cents. Output per
+    * matched cell: sizes, the control weight, and both arms' mean
+    * outcomes — the table an ATT readout sums.
+    *
+    * Exactness: bins and the treatment split are integer arithmetic
+    * on exact counts; weights and means are single IEEE divisions of
+    * exact longs in a pinned order, rounded 6. Scale: two hash
+    * aggregates (user, then cell) and a 1-row matched-totals
+    * broadcast.
+    */
+  def cemMatch(events: DataFrame, treatType: String, outcomeType: String,
+               covA: String, covB: String, binWidth: Int = 5,
+               shareMul: Int = 5): DataFrame = {
+    val byUser = events.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("event_type") === treatType, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col("event_type") === covA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("event_type") === covB, 1L).otherwise(0L)).as("n_b"),
+      coalesce(sum(when(col("event_type") === outcomeType,
+        round(col("value") * 100, 0).cast("long"))), lit(0L)).as("outcome_cents"))
+    val cells = byUser.select(
+      expr(s"n_a div $binWidth").cast("long").as("cov1_bin"),
+      expr(s"n_b div $binWidth").cast("long").as("cov2_bin"),
+      when(col("n_treat") * shareMul > col("n_events"), 1L).otherwise(0L)
+        .as("treated"),
+      col("outcome_cents"))
+    val agg = cells.groupBy("cov1_bin", "cov2_bin")
+      .agg(sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("m_t"),
+           sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("m_c"),
+           sum(when(col("treated") === 1L, col("outcome_cents")).otherwise(0L)).as("y_t"),
+           sum(when(col("treated") === 0L, col("outcome_cents")).otherwise(0L)).as("y_c"))
+      .where(col("m_t") > 0 && col("m_c") > 0)
+    val tot = agg.agg(sum(col("m_t")).as("mt_tot"), sum(col("m_c")).as("mc_tot"))
+    agg.crossJoin(broadcast(tot)) // 1-row matched totals
+      .select(col("cov1_bin"), col("cov2_bin"), col("m_t"), col("m_c"),
+        round(col("m_t") / col("m_c") * (col("mc_tot") / col("mt_tot")), 6)
+          .as("control_weight"),
+        round(col("y_t") / col("m_t") / 100.0, 6).as("y_t_mean"),
+        round(col("y_c") / col("m_c") / 100.0, 6).as("y_c_mean"))
+  }
+
   /** Holt linear-trend (double exponential) smoothing of the daily
     * value series per event type — [[ewmaDaily]]'s companion for
     * series with drift: the EWMA lags a trending metric by design,

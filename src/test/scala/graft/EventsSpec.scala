@@ -750,4 +750,28 @@ class EventsSpec extends SparkSpec {
       .as[(Double, Double, Double, Double)].collect().toSeq
     assert(again == got)
   }
+
+  test("cemMatch: share-based treatment, matched-cell filter, control reweighting, arm means") {
+    // cell (view bin 1, click bin 0):
+    //  u1 treated (3/10 errors > 20%), buys 10.00 total
+    //  u2 control (1/7 errors), buys 6.00; u4 control, buys nothing
+    //  -> w_c = (1/2)*(2/1) = 1.0, y_t = 10.0, y_c = 3.0
+    // u3: 12 views -> cell (2, 0), control alone -> unmatched, dropped
+    def ev(u: String, t: String, m: Int, v: Double) =
+      (u, t, Timestamp.valueOf(f"2024-01-03 10:$m%02d:00"), v)
+    val rows =
+      (1 to 3).map(i => ev("u1", "error", i, 0.0)) ++
+      (4 to 8).map(i => ev("u1", "view", i, 0.0)) ++
+      Seq(ev("u1", "purchase", 9, 4.00), ev("u1", "purchase", 10, 6.00),
+          ev("u2", "error", 1, 0.0), ev("u2", "purchase", 2, 6.00)) ++
+      (3 to 7).map(i => ev("u2", "view", i, 0.0)) ++
+      (1 to 6).map(i => ev("u4", "view", i, 0.0)) ++
+      (1 to 12).map(i => ev("u3", "view", i, 0.0))
+    val e = rows.toDF("user_id", "event_type", "ts", "value")
+    val got = Events.cemMatch(e, "error", "purchase", "view", "click")
+      .select("cov1_bin", "cov2_bin", "m_t", "m_c", "control_weight",
+        "y_t_mean", "y_c_mean")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 0L, 1L, 2L, 1.0, 10.0, 3.0)), s"CEM cell mismatch: $got")
+  }
 }
