@@ -3726,6 +3726,29 @@ object SparkEntry {
     // measured recall of the int8 search against the float exact
     // top-k — the quantization-error analogue of sim_lsh_recall; both
     // sides carry full oracles so the recall number is hash-checked
+    // binary sign-hash retrieval: 64 dims → two 32-bit sign words
+    // (32× compression); ranking is integer Hamming via codegen'd
+    // bit_count(xor) — no rounding contract needed anywhere
+    "sim_binary_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.binaryTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // measured recall of the 1-bit sketch against exact cosine top-5
+    "sim_binary_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val bin = Similarity.binaryTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      exact.join(bin, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     "sim_int8_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
@@ -7177,6 +7200,62 @@ object SparkEntry {
         | FROM qv c, (SELECT * FROM qv WHERE vec_id < 8) q
         | WHERE c.vec_id <> q.vec_id)
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // replays the two 32-bit sign words and integer Hamming ranking
+    "sim_binary_topk" ->
+      """WITH s AS (
+        | SELECT vec_id,
+        |  CAST(coalesce(sum(CASE WHEN i <= 32 AND embedding[i] > 0
+        |    THEN (1::BIGINT << (i-1)) ELSE 0 END), 0) AS BIGINT) AS lo,
+        |  CAST(coalesce(sum(CASE WHEN i > 32 AND embedding[i] > 0
+        |    THEN (1::BIGINT << (i-33)) ELSE 0 END), 0) AS BIGINT) AS hi
+        | FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+        | GROUP BY vec_id),
+        | sc AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  CAST(bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi))
+        |    AS BIGINT) AS hamming
+        | FROM s c, (SELECT * FROM s WHERE vec_id < 8) q
+        | WHERE c.vec_id <> q.vec_id),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY hamming, corpus_id) AS rnk FROM sc)
+        | SELECT query_id, corpus_id, hamming, CAST(rnk AS BIGINT) AS rnk
+        | FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the sketch's measured recall vs exact cosine top-5
+    "sim_binary_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | s AS (
+        | SELECT vec_id,
+        |  CAST(coalesce(sum(CASE WHEN i <= 32 AND embedding[i] > 0
+        |    THEN (1::BIGINT << (i-1)) ELSE 0 END), 0) AS BIGINT) AS lo,
+        |  CAST(coalesce(sum(CASE WHEN i > 32 AND embedding[i] > 0
+        |    THEN (1::BIGINT << (i-33)) ELSE 0 END), 0) AS BIGINT) AS hi
+        | FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+        | GROUP BY vec_id),
+        | ex AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC,
+        |               c.vec_id) AS rnk
+        |   FROM e c, (SELECT * FROM e WHERE vec_id < 8) q
+        |   WHERE c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5),
+        | bn AS (
+        |  SELECT query_id, corpus_id FROM (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)),
+        |               c.vec_id) AS rnk
+        |   FROM s c, (SELECT * FROM s WHERE vec_id < 8) q
+        |   WHERE c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5)
+        | SELECT ex.query_id,
+        |  round(sum(CASE WHEN bn.corpus_id IS NOT NULL THEN 1 ELSE 0 END)/5.0, 6) AS recall
+        | FROM ex LEFT JOIN bn
+        |   ON ex.query_id = bn.query_id AND ex.corpus_id = bn.corpus_id
+        | GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
 
     "sim_int8_recall" ->
       """WITH e AS (

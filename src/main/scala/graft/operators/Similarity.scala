@@ -46,6 +46,46 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** One 32-bit word of a sign binarization: bit i set iff
+    * vec[lo+i] > 0. Built as a FLAT 32-term codegen ladder — the
+    * [[graft.operators.Sampling]] bootstrap lesson: a higher-order
+    * `aggregate` here would interpret its lambda per row on the
+    * hot corpus scan.
+    */
+  private[graft] def signPack32(vec: Column, lo: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(vec, lo + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Binary sign-hash retrieval (Charikar hyperplane sketch at its
+    * degenerate-but-standard "axis hyperplanes" operating point): each
+    * 64-dim vector compresses to TWO 32-bit sign words — 1 bit per
+    * dimension, 32× smaller than floats — and similarity becomes
+    * Hamming distance, two codegen'd `bit_count(xor)` kernels per
+    * pair instead of 64 multiply-adds. The cheapest re-rank funnel
+    * stage there is: integer-exact (no rounding contract needed at
+    * all), SIMD-friendly, and the sketch column is small enough to
+    * cache corpus-resident at 100 TB. Wider dims generalize by adding
+    * words. Ties rank by (hamming, corpus_id) — fully deterministic.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      signPack32(col(vecCol), 0).as("c_lo"),
+      signPack32(col(vecCol), 32).as("c_hi"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signPack32(col(vecCol), 0).as("q_lo"),
+      signPack32(col(vecCol), 32).as("q_hi"))
+    val w = Window.partitionBy("query_id").orderBy(asc("hamming"), asc("corpus_id"))
+    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("c_lo").bitwiseXOR(col("q_lo"))) +
+         bit_count(col("c_hi").bitwiseXOR(col("q_hi")))).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("hamming"), col("rnk"))
+  }
+
   /** Maximum-inner-product top-k (MIPS) — the recommendation-scoring
     * retrieval: user × item affinity is a RAW dot product, where
     * cosine would erase the item-popularity signal carried by vector

@@ -562,4 +562,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((3L, out(0)._2), (3L, out(1)._2)), s"3/3 split by direction: $out")
     assert(out.forall(r => r._2 > 0.9 && r._2 <= 1.0), s"tight cones cohere: $out")
   }
+
+  test("binaryTopK: sign words and Hamming ranking hand-checked") {
+    // 64-dim vectors; q sets dims {1, 33}; c1 identical; c2 flips dim 1
+    // and adds dim 2 (hamming 2); c3 orthogonal-ish {5, 40, 41} (h 5)
+    def vec(dims: Set[Int]): Array[Float] =
+      Array.tabulate(64)(i => if (dims.contains(i + 1)) 1.0f else -1.0f)
+    val rows = Seq(
+      (0L, vec(Set(1, 33))),
+      (1L, vec(Set(1, 33))),
+      (2L, vec(Set(2, 33))),
+      (3L, vec(Set(5, 40, 41)))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopK(rows, rows.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rnk")
+      .select("corpus_id", "hamming", "rnk")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 1L), (2L, 2L, 2L), (3L, 5L, 3L)),
+      s"hand-computed hamming ranking mismatch: $got")
+  }
 }
