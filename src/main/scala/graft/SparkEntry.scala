@@ -3203,6 +3203,15 @@ object SparkEntry {
     // doc per near-dup cluster (not the smallest id) — a third
     // consumer of the same materialized cluster map, joined with the
     // text_quality scores; per-cluster rank window, ties on doc_id
+    // soft dedup: weight 1/|cluster| per doc off the SAME materialized
+    // cluster map — each near-dup group contributes one doc-equivalent
+    // of training mass instead of being dropped
+    "sample_dup_weights" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      Dedup.duplicationWeightsFromMap(s, simhashClusterMapPath(dir))
+        .orderBy("doc_id")
+    }),
+
     "dedup_cluster_best" -> ((s, dir) => {
       ensureSimhashClusterMap(s, dir)
       val scored = TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
@@ -3965,6 +3974,12 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // Flesch/FK readability: vowel-run syllables, terminal-punct
+    // sentences, published coefficients over round-9 exact ratios
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // C4/Gopher rule cascade with FIRST-failing-rule attribution: the
     // full per-doc violation vector plus where the cascade cut it —
@@ -6698,6 +6713,15 @@ object SparkEntry {
 
     // clusters CTE × quality CTE, argmax per cluster (score desc,
     // doc_id tie) — both component oracles already hash-proven
+    "sample_dup_weights" ->
+      s"""WITH cl AS (SELECT * FROM ($clustersSql)),
+         | sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |        FROM cl GROUP BY 1)
+         | SELECT doc_id, cluster_id, cluster_size,
+         |  round(1.0 / cluster_size, 6) AS weight
+         | FROM cl JOIN sz USING (cluster_id)
+         | ORDER BY doc_id""".stripMargin,
+
     "dedup_cluster_best" ->
       s"""WITH cl AS (SELECT * FROM ($clustersSql)),
          | q AS (SELECT doc_id, quality_score FROM (${qualitySql("documents")})),
@@ -7530,6 +7554,28 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" -> s"${qualitySql("documents")}\n ORDER BY doc_id",
+
+    // replays Flesch/FK: same regex counts, round-9 ratios, literal
+    // coefficients in the engine's left-assoc order
+    "text_readability" ->
+      """WITH x AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables
+        | FROM documents),
+        | r AS (
+        | SELECT *, round(n_words / n_sentences, 9) AS wps,
+        |  round(n_syllables / n_words, 9) AS spw
+        | FROM x)
+        | SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(wps, 6) AS words_per_sentence,
+        |  round(spw, 6) AS syllables_per_word,
+        |  round(206.835 - 1.015 * wps - 84.6 * spw, 6) AS flesch_ease,
+        |  round(0.39 * wps + 11.8 * spw - 15.59, 6) AS fk_grade
+        | FROM r ORDER BY doc_id""".stripMargin,
 
     // replays the rule cascade off the same staged counts as the
     // quality oracle; first_fail is the same fixed-order CASE chain

@@ -723,6 +723,24 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** Soft dedup for training mixes (the SemDeDup/D4 weighting idea):
+    * instead of DROPPING near-duplicates, every doc keeps weight
+    * 1/|its cluster| from the materialized cluster map, so each
+    * near-dup GROUP contributes one doc-equivalent of training mass
+    * and no information is discarded outright. The downstream sampler
+    * consumes the weight column directly. Third consumer of the
+    * cluster-map artifact (with representative- and best-keeping) —
+    * one map-sized join, no recompute of the pair pipeline.
+    */
+  def duplicationWeightsFromMap(spark: org.apache.spark.sql.SparkSession,
+                                mapPath: String): DataFrame = {
+    val clusters = spark.read.parquet(mapPath).select(col("doc_id"), col("cluster_id"))
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** The large-star/small-star iteration: returns the converged star
     * edge set (every edge (u, v) has v = u's component minimum) and
     * the number of rounds it took — exposed so tests can assert the

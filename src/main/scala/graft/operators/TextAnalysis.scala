@@ -820,6 +820,42 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade readability: the
+    * classic audience-level features a curation mix balances on
+    * (children's text vs academic prose have very different training
+    * value per token). Syllables approximate as VOWEL RUNS
+    * (`[aeiouy]+` over the lowercased text — runs can't span
+    * whitespace, so the text-level count equals the per-word sum);
+    * sentences as terminal-punctuation runs (`[.!?]+`), clamped ≥ 1.
+    * Both formulas then take their published coefficients over two
+    * round-9 ratios of exact integer counts — single IEEE ops in a
+    * pinned order, so the oracle replays them literally.
+    *
+    * Scale: map-only (two regex counts + one split per row), the
+    * [[qualityScore]] staged-projection discipline.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val staged = docs.select(
+      col(idCol),
+      size(tokens(text)).cast("long").as("n_words"),
+      greatest(lit(1L),
+        size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+        .as("n_sentences"),
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("n_syllables"))
+    val wps = round(col("n_words") / col("n_sentences"), 9)
+    val spw = round(col("n_syllables") / col("n_words"), 9)
+    staged.select(col(idCol), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      round(wps, 6).as("words_per_sentence"),
+      round(spw, 6).as("syllables_per_word"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+        .as("flesch_ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+        .as("fk_grade"))
+  }
+
   /** Interpolated Kneser–Ney bigram language-model scoring (Kneser &
     * Ney 1995; Chen & Goodman 1998) — the principled upgrade of
     * [[charLmScore]]'s add-one bigram model: absolute discount D on

@@ -425,4 +425,20 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("readability: hand-counted words/sentences/vowel-run syllables and the published formulas") {
+    val d = Seq((1L, "The cat sat. It ran away!")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d, "doc_id", "text")
+      .select("n_words", "n_sentences", "n_syllables", "flesch_ease", "fk_grade")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert((got._1, got._2, got._3) == ((6L, 2L, 7L)), s"counts: $got")
+    // wps = 3, spw = 7/6: flesch = 206.835 - 3.045 - 84.6*(7/6) ~= 105.09
+    assert(math.abs(got._4 - 105.09) < 1e-4, s"flesch: ${got._4}")
+    assert(math.abs(got._5 - (-0.653333)) < 1e-4, s"fk: ${got._5}")
+    // no terminal punctuation -> sentence count clamps to 1
+    val d2 = Seq((1L, "no punctuation here")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.readability(d2, "doc_id", "text")
+      .select("n_sentences").as[Long].head()
+    assert(s2 == 1L)
+  }
 }
