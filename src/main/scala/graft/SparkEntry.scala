@@ -4523,6 +4523,13 @@ object SparkEntry {
       Events.abTest(t(s, dir, "events"), metricType = "purchase")
         .orderBy("n_a")),
 
+    // exact Mann–Whitney U on the same split: average ranks from the
+    // 2×-scaled integer 2·prefix+t+1 over per-value counts (bucketed
+    // prefix, no global item window), tie-corrected normal z
+    "events_mann_whitney" -> ((s, dir) =>
+      Events.mannWhitney(t(s, dir, "events"), metricType = "purchase")
+        .orderBy("n_a")),
+
     // revenue-per-view ratio metric with delta-method SE and ±1.96
     // CI: per-user exact sums, one decimal moment aggregate
     "events_ratio_metric" -> ((s, dir) =>
@@ -5894,6 +5901,44 @@ object SparkEntry {
         |          - (CAST(s1b AS DOUBLE) / 100.0) * (CAST(s1b AS DOUBLE) / 100.0) / n_b)
         |         / (n_b - 1)) / n_b)) > 1.96 AS significant
         | FROM s ORDER BY n_a""".stripMargin,
+
+    // replays Mann–Whitney: per-value counts, exclusive prefix (the
+    // oracle may use the global window the engine's bucketed prefix
+    // avoids), integer 2×-scaled average ranks, tie-corrected z
+    "events_mann_whitney" ->
+      """WITH m AS (
+        | SELECT user_id % 2 AS variant,
+        |  CAST(round(value*100, 0) AS BIGINT) AS v
+        | FROM events WHERE event_type = 'purchase'),
+        | bv AS (
+        | SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        | FROM m GROUP BY 1),
+        | pre AS (
+        | SELECT *, CAST(COALESCE(SUM(t) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS prefix
+        | FROM bv),
+        | agg AS (
+        | SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+        |  CAST(sum(t - ta) AS BIGINT) AS n_b,
+        |  CAST(sum(ta * (prefix * 2 + t + 1)) AS BIGINT) AS r2a,
+        |  CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+        | FROM pre),
+        | stat AS (
+        | SELECT n_a, n_b,
+        |  (r2a - n_a * (n_a + 1)) / 2.0 AS u_a,
+        |  n_a * n_b / 2.0 AS mu,
+        |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |   ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |    - CAST(tsum AS DOUBLE) /
+        |      (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+        |   AS sig2
+        | FROM agg)
+        | SELECT n_a, n_b, round(u_a, 6) AS u_stat,
+        |  round((u_a - mu) / sqrt(sig2), 6) AS z_score,
+        |  (abs((u_a - mu) / sqrt(sig2)) > 1.96) AS significant
+        | FROM stat ORDER BY n_a""".stripMargin,
 
     "events_ratio_metric" ->
       """WITH pu AS (

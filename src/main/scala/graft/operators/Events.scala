@@ -618,6 +618,58 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) for the [[abTest]]
+    * split — the rank-based companion that doesn't care about the
+    * metric's distribution (revenue is heavy-tailed; a mean test
+    * leans on moments the tail destabilizes, the rank test doesn't).
+    * Ties take AVERAGE ranks; the normal approximation carries the
+    * standard tie correction Σ(t³−t)/(N(N−1)).
+    *
+    * Exactness: ranks never materialize per row — per-VALUE counts
+    * (one hash aggregate) carry an exclusive prefix via the
+    * [[graft.operators.Analytics]] range-bucket discipline (bounded
+    * bucket-offset table, per-bucket windows — no global item
+    * window), and the average rank is the 2×-scaled INTEGER
+    * 2·prefix + t + 1, so the rank sum, U, and the tie term are all
+    * exact longs; only the final z divides, in a pinned IEEE order.
+    */
+  def mannWhitney(events: DataFrame, metricType: String,
+                  numBuckets: Int = 1024): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val m = events.where(col("event_type") === metricType)
+      .select(pmod(col("user_id"), lit(2L)).as("variant"),
+              round(col("value") * 100, 0).cast("long").as("v"))
+    val byVal = m.groupBy("v").agg(count(lit(1)).as("t"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ta"))
+    val mx = byVal.agg(max(col("v")).as("mxv"))
+    val b = byVal.crossJoin(broadcast(mx)) // 1-row scalar
+      .withColumn("bucket",
+        floor(d(col("v")) * numBuckets / (d(col("mxv")) + 1.0)))
+    val perB = b.groupBy("bucket").agg(sum(col("t")).as("bt"))
+    val wb = Window.orderBy("bucket") // bounded bucket table
+    val offs = perB.withColumn("off",
+      coalesce(sum(col("bt")).over(wb) - col("bt"), lit(0L)))
+    val wr = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = b.join(broadcast(offs.select("bucket", "off")), Seq("bucket"))
+      .withColumn("prefix", col("off") + coalesce(sum(col("t")).over(wr), lit(0L)))
+    val agg = pre.agg(
+      sum(col("ta")).as("n_a"),
+      sum(col("t") - col("ta")).as("n_b"),
+      sum(col("ta") * (col("prefix") * 2 + col("t") + 1)).as("r2a"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val nA = col("n_a"); val nB = col("n_b"); val n = nA + nB
+    val uA = (col("r2a") - nA * (nA + 1)) / lit(2.0)
+    val mu = nA * nB / lit(2.0)
+    val sig2 = d(nA) * d(nB) / 12.0 *
+      ((d(n) + 1.0) - d(col("tsum")) / (d(n) * (d(n) - 1.0)))
+    val z = (uA - mu) / sqrt(sig2)
+    agg.select(nA, nB,
+      round(uA, 6).as("u_stat"),
+      round(z, 6).as("z_score"),
+      (abs(z) > lit(1.96)).as("significant"))
+  }
+
   /** Permutation test for the [[abTest]] mean difference — the
     * assumption-free companion: is the observed variant gap larger
     * than chance relabelings produce? Each replicate reassigns ARMS

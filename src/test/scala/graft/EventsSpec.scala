@@ -774,4 +774,25 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
     assert(got == Seq((1L, 0L, 1L, 2L, 1.0, 10.0, 3.0)), s"CEM cell mismatch: $got")
   }
+
+  test("mannWhitney: hand-computed U with average ranks and tie correction") {
+    // A (even users): 1.00, 2.00, 2.00; B (odd): 2.00, 3.00
+    // ranks: 100->1, 200->avg(2,3,4)=3, 300->5; R_A=7, U_A=1
+    // mu=3, sig2=(6/12)*((5+1)-24/20)=2.4, z=-2/sqrt(2.4)=-1.290994
+    val e = Seq(
+      (0L, "purchase", Timestamp.valueOf("2024-01-01 10:00:00"), 1.00),
+      (2L, "purchase", Timestamp.valueOf("2024-01-01 10:01:00"), 2.00),
+      (2L, "purchase", Timestamp.valueOf("2024-01-01 10:02:00"), 2.00),
+      (1L, "purchase", Timestamp.valueOf("2024-01-01 10:03:00"), 2.00),
+      (3L, "purchase", Timestamp.valueOf("2024-01-01 10:04:00"), 3.00),
+      (0L, "view", Timestamp.valueOf("2024-01-01 10:05:00"), 9.99)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = Events.mannWhitney(e, "purchase", numBuckets = 4)
+      .select("n_a", "n_b", "u_stat", "z_score", "significant")
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3 == 1.0, s"U: ${got._3}")
+    assert(math.abs(got._4 - (-1.290994)) < 1e-6, s"z: ${got._4}")
+    assert(!got._5)
+  }
 }
