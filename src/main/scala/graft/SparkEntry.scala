@@ -4674,6 +4674,13 @@ object SparkEntry {
       Events.holtDaily(t(s, dir, "events"))
         .orderBy("event_type", "day")),
 
+    // Holt–Winters additive weekly seasonality: the Holt contract
+    // plus a 7-slot BIGINT seasonal state, rebuilt per step as an
+    // explicit 7-term CASE vector in both engines
+    "events_holt_winters" -> ((s, dir) =>
+      Events.holtWintersDaily(t(s, dir, "events"))
+        .orderBy("event_type", "day")),
+
     // CUSUM mean-shift changepoint per event type: deviations kept
     // mean-free as exact longs (n·x − total) so the running sum and
     // the argmax flag replay bit-exact in any engine
@@ -8290,6 +8297,54 @@ object SparkEntry {
         | SELECT event_type, day, round(cents/100.0, 2) AS value,
         |  round(l/100000.0, 6) AS level, round(b/100000.0, 6) AS trend,
         |  round((l+b)/100000.0, 6) AS forecast_next
+        | FROM r ORDER BY event_type, day""".stripMargin,
+
+    // replays Holt–Winters: the Holt recursive CTE carrying a
+    // BIGINT[7] seasonal column, slot = epoch-day % 7, the array
+    // rebuilt as an explicit 7-entry CASE list each step
+    "events_holt_winters" ->
+      """WITH RECURSIVE base AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        | d AS (SELECT *,
+        |  CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS slot,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        | FROM base),
+        | r AS (
+        |  SELECT event_type, rn, day, cents,
+        |   CAST(cents*1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+        |   [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)] AS s,
+        |   CAST(0 AS BIGINT) AS sv
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type, rn, day, cents, CAST(l2 AS BIGINT) AS l,
+        |   CAST((l2 - l1 + b1 - (((l2 - l1 + b1) % 2) + 2) % 2) // 2 AS BIGINT)
+        |     AS b,
+        |   [CASE WHEN slot = 0 THEN s2 ELSE s1[1] END,
+        |    CASE WHEN slot = 1 THEN s2 ELSE s1[2] END,
+        |    CASE WHEN slot = 2 THEN s2 ELSE s1[3] END,
+        |    CASE WHEN slot = 3 THEN s2 ELSE s1[4] END,
+        |    CASE WHEN slot = 4 THEN s2 ELSE s1[5] END,
+        |    CASE WHEN slot = 5 THEN s2 ELSE s1[6] END,
+        |    CASE WHEN slot = 6 THEN s2 ELSE s1[7] END] AS s,
+        |   s2 AS sv
+        |  FROM (
+        |   SELECT *, CAST((cents*1000 - l2 + sold
+        |     - (((cents*1000 - l2 + sold) % 2) + 2) % 2) // 2 AS BIGINT) AS s2
+        |   FROM (
+        |    SELECT d.event_type, d.rn, d.day, d.cents, d.slot,
+        |     r.l AS l1, r.b AS b1, r.s AS s1, r.s[d.slot + 1] AS sold,
+        |     CAST((d.cents*1000 - r.s[d.slot + 1] + r.l + r.b
+        |      - (((d.cents*1000 - r.s[d.slot + 1] + r.l + r.b) % 2) + 2) % 2)
+        |      // 2 AS BIGINT) AS l2
+        |    FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)))
+        | SELECT event_type, day, round(cents/100.0, 2) AS value,
+        |  round(l/100000.0, 6) AS level, round(b/100000.0, 6) AS trend,
+        |  round(sv/100000.0, 6) AS seasonal,
+        |  round((l+sv)/100000.0, 6) AS fitted
         | FROM r ORDER BY event_type, day""".stripMargin,
 
     // same scaled-long daily cents, mean-free integer deviations

@@ -1119,6 +1119,63 @@ object Events {
         round((col("r")("l") + col("r")("b")) / 100000.0, 6).as("forecast_next"))
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing (α = β = γ = ½, weekly
+    * period) — [[holtDaily]] plus a 7-slot seasonal state, the model
+    * that tracks both drift AND the weekday shape [[ewmaDaily]] and
+    * Holt smear away. Recurrences, slot = epoch-day mod 7:
+    *   l_t = ½(y_t − s[slot]) + ½(l_{t−1} + b_{t−1})
+    *   b_t = ½(l_t − l_{t−1}) + ½ b_{t−1}
+    *   s'[slot] = ½(y_t − l_t) + ½ s[slot]
+    * fitted_t = l_t + s'[slot]. Init: l = y_0, b = 0, s = 0⁷ (the
+    * first cycle learns the shape). Same exactness contract as
+    * [[holtDaily]]: milli-cent integer state, halving = arithmetic
+    * shift (= floorDiv), the seasonal array rebuilt as an explicit
+    * 7-term CASE vector (no index-lambda dependency in either
+    * engine), oracle = recursive CTE with a BIGINT[] state column.
+    */
+  def holtWintersDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .withColumn("slot", expr("datediff(day, date'1970-01-01') % 7").cast("long"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("slot"), col("cents")))).as("ys"))
+    def fd2(c: Column) = shiftright(c, 1)
+    val init = struct(
+      array(struct(col("ys")(0)("day").as("day"), col("ys")(0)("cents").as("cents"),
+        (col("ys")(0)("cents") * 1000).as("l"), lit(0L).as("b"),
+        lit(0L).as("sv"))).as("rows"),
+      (col("ys")(0)("cents") * 1000).as("l"), lit(0L).as("b"),
+      array((0 until 7).map(_ => lit(0L)): _*).as("s"))
+    val folded = series.withColumn("st",
+      aggregate(
+        slice(col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+        init,
+        (acc, y) => {
+          val slot = y("slot")
+          val sOld = element_at(acc("s"), (slot + 1).cast("int"))
+          val ycs = y("cents") * 1000
+          val lNew = fd2(ycs - sOld + acc("l") + acc("b"))
+          val bNew = fd2(lNew - acc("l") + acc("b"))
+          val sNew = fd2(ycs - lNew + sOld)
+          val sArr = array((0 until 7).map(j =>
+            when(lit(j.toLong) === slot, sNew)
+              .otherwise(element_at(acc("s"), j + 1))): _*)
+          struct(
+            concat(acc("rows"), array(struct(
+              y("day").as("day"), y("cents").as("cents"),
+              lNew.as("l"), bNew.as("b"), sNew.as("sv")))).as("rows"),
+            lNew.as("l"), bNew.as("b"), sArr.as("s"))
+        }))
+    folded.select(col("event_type"), explode(col("st")("rows")).as("r"))
+      .select(col("event_type"), col("r")("day").as("day"),
+        round(col("r")("cents") / 100.0, 2).as("value"),
+        round(col("r")("l") / 100000.0, 6).as("level"),
+        round(col("r")("b") / 100000.0, 6).as("trend"),
+        round(col("r")("sv") / 100000.0, 6).as("seasonal"),
+        round((col("r")("l") + col("r")("sv")) / 100000.0, 6).as("fitted"))
+  }
+
   /** CUSUM mean-shift changepoint scan over the daily value series
     * per event type: the cumulative sum of deviations from the series
     * mean, S_t = Σ_{i≤t}(x_i − x̄), peaks (in absolute value) at the

@@ -795,4 +795,46 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(got._4 - (-1.290994)) < 1e-6, s"z: ${got._4}")
     assert(!got._5)
   }
+
+  test("holtWintersDaily: constant series is a fixed point; weekly spike lands in its seasonal slot") {
+    // constant: l=y, b=0, s=0 exactly, every day
+    val flat = (0 until 10).map(i =>
+      ("a", new Timestamp(i * 86400000L + 3600000L), 5.00))
+      .toDF("event_type", "ts", "value")
+    val f = Events.holtWintersDaily(flat).orderBy("day")
+      .select("value", "level", "trend", "seasonal", "fitted")
+      .as[(Double, Double, Double, Double, Double)].collect().toSeq
+    assert(f.forall(_ == ((5.0, 5.0, 0.0, 0.0, 5.0))), s"constant fixed point broken: $f")
+    // weekly +70 spike on slot of day 0, 28 days: the spike's seasonal
+    // state turns strongly positive, base days' negative; the fitted
+    // value on the last spike day sits far above the level alone
+    val spiky = (0 until 28).map { i =>
+      val v = if (i % 7 == 0) 80.00 else 10.00
+      ("a", new Timestamp(i * 86400000L + 3600000L), v)
+    }.toDF("event_type", "ts", "value")
+    val s = Events.holtWintersDaily(spiky).orderBy("day")
+      .select("value", "level", "seasonal", "fitted")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    // NOTE: without seasonal-mean renormalization the (level, seasonal)
+    // split is not identifiable — only their SUM (fitted) is pinned.
+    // Assert fit quality and the spike slot's seasonal dominance.
+    val lastSpike = s(21); val lastBase = s.last
+    assert(lastSpike._1 == 80.0 && lastSpike._3 > lastBase._3 + 30.0,
+      s"spike slot's seasonal must dominate base slots: $lastSpike vs $lastBase")
+    assert(math.abs(lastSpike._4 - 80.0) < math.abs(lastSpike._2 - 80.0),
+      "fitted must beat bare level on the spike day")
+    // the seasonal model's claim: on a periodic series it beats plain
+    // Holt — compare mean |fit error| over the last two weeks
+    val hw = s.takeRight(14).map(r => math.abs(r._4 - r._1)).sum / 14.0
+    val holt = Events.holtDaily(spiky).orderBy("day")
+      .select("value", "forecast_next").as[(Double, Double)].collect().toSeq
+    val holtFit = holt.takeRight(14).map(r => math.abs(r._2 - r._1)).sum / 14.0
+    assert(hw < holtFit,
+      s"Holt-Winters must beat trend-only Holt on a weekly pattern: $hw vs $holtFit")
+    // partitioning never changes the fold
+    val again = Events.holtWintersDaily(spiky.repartition(5)).orderBy("day")
+      .select("value", "level", "seasonal", "fitted")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(again == s)
+  }
 }
