@@ -31,7 +31,11 @@ object PlanAudit {
                // round-5 continuation surface
                "events_cuped", "profile_gaps", "emb_jl_project",
                "sample_bootstrap", "join_bucketed", "graph_degree_dist",
-               "mm_dedup_binary")
+               "mm_dedup_binary",
+               // round-5 final-session surface
+               "mm_shard_manifest", "mm_interleaved_pack", "text_kn_lm",
+               "sim_binary_topk", "events_mann_whitney", "graph_closeness",
+               "cluster_spherical", "events_cem", "text_c4_filters")
     for (name <- names) {
       println(s"================ $name ================")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -883,6 +883,69 @@ object SparkEntry {
   // ---- elbow SQL twin: per k, the cluster_kmeans_n seed + iterated
   // Lloyd CTE chain, then inertia as the exact scaled-long sum of
   // squared round-6 own-centroid distances; one row per k. ----------
+  // ---- MMR re-rank SQL twin: candidate + pairwise-sim CTEs, then
+  // the greedy rounds unrolled — each round's argmax over the
+  // not-yet-selected candidates with its max-sim-to-selected
+  // diversity penalty. The score is the engine's EXACT INTEGER
+  // λ₁₀·rel₆ − (10−λ₁₀)·sim₆; the displayed mmr is score/1e7. ------
+  private def mmrSql(k: Int, depth: Int, lambdaTenths: Int,
+                     nQueries: Int): String = {
+    val lt = lambdaTenths; val rt = 10 - lambdaTenths
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | cand AS MATERIALIZED (
+         |  SELECT query_id, corpus_id, rel,
+         |   CAST(round(rel * 1e6, 0) AS BIGINT) AS rel6 FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    round(list_cosine_similarity(c.v, q.v), 6) AS rel,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC, c.vec_id) AS rnk
+         |   FROM e c, (SELECT * FROM e WHERE vec_id < $nQueries) q
+         |   WHERE c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $depth),
+         | sims AS MATERIALIZED (
+         |  SELECT ca.query_id, ca.corpus_id AS a, cb.corpus_id AS b,
+         |   CAST(round(round(list_cosine_similarity(ea.v, eb.v), 6) * 1e6, 0)
+         |     AS BIGINT) AS sim6
+         |  FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id
+         |    AND ca.corpus_id <> cb.corpus_id
+         |  JOIN e ea ON ea.vec_id = ca.corpus_id
+         |  JOIN e eb ON eb.vec_id = cb.corpus_id),
+         | sel1 AS MATERIALIZED (
+         |  SELECT query_id, corpus_id, CAST(1 AS BIGINT) AS rnk, rel, mmr_i FROM (
+         |   SELECT query_id, corpus_id, rel, $lt * rel6 AS mmr_i,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $lt * rel6 DESC, corpus_id) AS rn
+         |   FROM cand) WHERE rn = 1),
+         | selu1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
+    val rounds = (2 to k).map { j =>
+      s""",
+         | div$j AS MATERIALIZED (SELECT s.query_id, s.a AS corpus_id,
+         |   max(s.sim6) AS dv6
+         |  FROM sims s JOIN selu${j - 1} u
+         |    ON u.query_id = s.query_id AND u.corpus_id = s.b
+         |  GROUP BY 1, 2),
+         | sel$j AS MATERIALIZED (
+         |  SELECT query_id, corpus_id, CAST($j AS BIGINT) AS rnk, rel, mmr_i FROM (
+         |   SELECT c.query_id, c.corpus_id, c.rel,
+         |    $lt * c.rel6 - $rt * d.dv6 AS mmr_i,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY $lt * c.rel6 - $rt * d.dv6 DESC, c.corpus_id) AS rn
+         |   FROM cand c JOIN div$j d
+         |     ON d.query_id = c.query_id AND d.corpus_id = c.corpus_id
+         |   WHERE NOT EXISTS (SELECT 1 FROM selu${j - 1} u
+         |     WHERE u.query_id = c.query_id AND u.corpus_id = c.corpus_id))
+         |  WHERE rn = 1),
+         | selu$j AS MATERIALIZED (
+         |  SELECT * FROM selu${j - 1} UNION ALL SELECT * FROM sel$j)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         | SELECT query_id, corpus_id, rnk, rel,
+         |  CAST(mmr_i AS BIGINT) / 1e7 AS mmr
+         | FROM selu$k ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ---- spherical k-means SQL twin: the kmeans round CTEs with the
   // centroid projected to the unit sphere each round (Σ mean² as
   // 1e12-scaled longs → one sqrt → round-6 components), then the
@@ -3735,6 +3798,16 @@ object SparkEntry {
     // measured recall of the int8 search against the float exact
     // top-k — the quantization-error analogue of sim_lsh_recall; both
     // sides carry full oracles so the recall number is hash-checked
+    // MMR diversity re-rank: exact top-20 candidates, then 5 greedy
+    // rounds of λ·rel − (1−λ)·max-sim-to-selected over the bounded
+    // candidate set — near-dup hits can't crowd the list
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrRerank(e, e.where(col("vec_id") < 4), "vec_id", "embedding",
+          k = 5, depth = 20, lambdaTenths = 7)
+        .orderBy("query_id", "rnk")
+    }),
+
     // binary sign-hash retrieval: 64 dims → two 32-bit sign words
     // (32× compression); ranking is integer Hamming via codegen'd
     // bit_count(xor) — no rounding contract needed anywhere
@@ -7276,6 +7349,8 @@ object SparkEntry {
         | FROM qv c, (SELECT * FROM qv WHERE vec_id < 8) q
         | WHERE c.vec_id <> q.vec_id)
         | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_mmr_rerank" -> mmrSql(k = 5, depth = 20, lambdaTenths = 7, nQueries = 4),
 
     // replays the two 32-bit sign words and integer Hamming ranking
     "sim_binary_topk" ->

@@ -502,6 +502,76 @@ object Similarity {
     means
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity pass a RAG retriever runs AFTER
+    * similarity search: greedily pick k results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so near-duplicate
+    * hits can't crowd the result list. Candidates = exact top-`depth`
+    * per query; each greedy round is a join over that BOUNDED set
+    * (|Q|·depth rows, the pairwise sim table |Q|·depth² — all
+    * control-plane sized and localCheckpointed once, so the k−1
+    * rounds never recompute the corpus scan).
+    *
+    * Determinism: rel and pairwise sims are round-6 cosines SCALED TO
+    * 1e6 LONGS, λ is expressed in tenths, and the MMR score is the
+    * EXACT INTEGER λ₁₀·rel₆ − (10−λ₁₀)·sim₆ (×1e7-scaled) — a
+    * round-6 float score here would sit on the .5 boundary of its
+    * 7th decimal for EVERY candidate (6-decimal rel × 1-decimal λ)
+    * and the engines' rounding modes diverge there; integers cannot.
+    * The displayed mmr is the single exact division score/1e7. The
+    * oracle unrolls the greedy rounds as CTEs over the same set.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, depth: Int,
+                lambdaTenths: Int = 7): DataFrame = {
+    require(lambdaTenths > 0 && lambdaTenths < 10, "lambda in (0,1) tenths")
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, depth)
+      .select(col("query_id"), col("corpus_id"),
+        col("score").as("rel"),
+        round(col("score") * 1e6, 0).cast("long").as("rel6"))
+      .localCheckpoint()
+    val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", l2Norm(col("cvec")))
+    val cv = cand.select(col("query_id"), col("corpus_id"))
+      .join(vecs, col("corpus_id") === col("cid")).drop("cid")
+    val ca = cv.select(col("query_id"), col("corpus_id").as("a"),
+      col("cvec").as("va"), col("cnrm").as("na"))
+    val cb = cv.select(col("query_id"), col("corpus_id").as("b"),
+      col("cvec").as("vb"), col("cnrm").as("nb"))
+    val sims = ca.join(cb, Seq("query_id")).where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(round(cosineFromParts(dot(col("va"), col("vb")),
+          col("na"), col("nb")), 6) * 1e6, 0).cast("long").as("sim6"))
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(desc("mmr_i"), asc("corpus_id"))
+    var selected = cand
+      .withColumn("mmr_i", lit(lambdaTenths.toLong) * col("rel6"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("rnk"),
+        col("rel"), col("mmr_i"))
+      .localCheckpoint()
+    for (j <- 2 to k) {
+      val div = sims
+        .join(selected.select(col("query_id"), col("corpus_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("corpus_id"))
+        .agg(max(col("sim6")).as("dv6"))
+      val pick = cand
+        .join(selected.select("query_id", "corpus_id"),
+          Seq("query_id", "corpus_id"), "left_anti")
+        .join(div, Seq("query_id", "corpus_id"))
+        .withColumn("mmr_i",
+          lit(lambdaTenths.toLong) * col("rel6")
+            - lit((10 - lambdaTenths).toLong) * col("dv6"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("query_id"), col("corpus_id"), lit(j.toLong).as("rnk"),
+          col("rel"), col("mmr_i"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("corpus_id"), col("rnk"), col("rel"),
+      (col("mmr_i") / 1e7).as("mmr"))
+  }
+
   /** Spherical k-means (Dhillon & Modha 2001) — the k-means variant
     * text-embedding clustering actually wants: assignment maximizes
     * COSINE (as [[lloydStep]] already does) and the centroid update

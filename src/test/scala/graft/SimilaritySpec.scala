@@ -582,4 +582,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 1L), (2L, 2L, 2L), (3L, 5L, 3L)),
       s"hand-computed hamming ranking mismatch: $got")
   }
+
+  test("mmrRerank: near-duplicate of the top hit is demoted below a diverse result") {
+    // q = x-axis; A1 and A2 nearly identical (sim ~1), B diverse
+    // (sim ~0.57): relevance order is A1, A2, B but MMR (lambda 0.7)
+    // must pick A1, then B, then A2
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 1.0f, 0.0f)),    // A1
+      (2L, Array(2.0f, 1.01f, 0.0f)),   // A2 (near-dup of A1)
+      (3L, Array(2.0f, -1.1f, 0.0f))    // B (diverse)
+    ).toDF("vec_id", "embedding")
+    val q = rows.where(col("vec_id") === 0L)
+    val plain = Similarity.bruteForceTopK(rows, q, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").select("corpus_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L, 3L), s"relevance order: $plain")
+    val mmr = Similarity.mmrRerank(rows, q, "vec_id", "embedding",
+        k = 3, depth = 3, lambdaTenths = 7)
+      .orderBy("rnk").select("corpus_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L, 2L), s"MMR must demote the near-dup: $mmr")
+  }
 }
