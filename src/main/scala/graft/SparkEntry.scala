@@ -4267,6 +4267,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the modern pretraining prep chain END-TO-END: C4 rule cascade
+    // keeps clean docs → each keeps weight 1/|near-dup cluster| from
+    // the materialized map → survivors pack into 1024-token training
+    // sequences by the fixed-boundary prefix-sum rule. Every stage
+    // has its own gate; this one proves they COMPOSE
+    "pipeline_pretrain_pack" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      val docs = t(s, dir, "documents")
+      val kept = TextAnalysis.c4FilterReport(docs, "doc_id", "text")
+        .where(col("kept")).select("doc_id", "n_tokens")
+      val w = Dedup.duplicationWeightsFromMap(s, simhashClusterMapPath(dir))
+        .select(col("doc_id"), col("cluster_size"), col("weight"))
+      val packed = graft.operators.Multimodal.tokenPack(
+        kept, "doc_id", "n_tokens", seqTokens = 1024L)
+      packed.join(w, "doc_id")
+        .select(col("doc_id"), col("n_cost").as("n_tokens"),
+          col("cluster_size"), col("weight"),
+          col("stream_offset"), col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
     // ================= multimodal plumbing =========================
     "mm_decode_meta" -> ((s, dir) => {
       val docs = Multimodal.withPayload(t(s, dir, "documents"), "text")
@@ -6838,6 +6859,54 @@ object SparkEntry {
 
     // clusters CTE × quality CTE, argmax per cluster (score desc,
     // doc_id tie) — both component oracles already hash-proven
+    // the composed chain: c4-kept docs (the text_c4_filters counts),
+    // cluster-size weights, and the fixed-boundary token packing over
+    // the SURVIVORS' doc_id order
+    "pipeline_pretrain_pack" ->
+      ("""WITH x AS (
+        | SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS w,
+        |  CAST(length(text) AS DOUBLE) AS n_char,
+        |  CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha
+        | FROM documents),
+        | y AS (
+        | SELECT doc_id, n_char, n_punct, n_digit, n_alpha,
+        |  CAST(len(w) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) AS n_dist,
+        |  CAST(len(list_filter(w, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','that','it','for'],
+        |    lower(t)))) AS DOUBLE) AS n_stop
+        | FROM x),
+        | kept AS (
+        | SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens
+        | FROM y
+        | WHERE NOT (n_tok < 5.0
+        |   OR NOT ((n_char - (n_tok - 1))/n_tok BETWEEN 3.0 AND 10.0)
+        |   OR (n_punct + n_digit)/n_char > 0.3
+        |   OR n_alpha/n_char < 0.6
+        |   OR n_stop < 1.0
+        |   OR n_dist/n_tok < 0.3)),""".stripMargin +
+      s"""
+        | cl AS (SELECT * FROM ($clustersSql)),""".stripMargin +
+      """
+        | sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |        FROM cl GROUP BY 1),
+        | wt AS (SELECT doc_id, cluster_size, round(1.0/cluster_size, 6) AS weight
+        |        FROM cl JOIN sz USING (cluster_id)),
+        | p AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS stream_offset
+        | FROM kept)
+        | SELECT p.doc_id, p.n_tokens, wt.cluster_size, wt.weight,
+        |  p.stream_offset, p.stream_offset // 1024 AS seq_id,
+        |  p.stream_offset % 1024 AS seq_offset
+        | FROM p JOIN wt ON wt.doc_id = p.doc_id
+        | ORDER BY p.doc_id""".stripMargin),
+
     "sample_dup_weights" ->
       s"""WITH cl AS (SELECT * FROM ($clustersSql)),
          | sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size

@@ -274,6 +274,19 @@ object Multimodal {
       .drop("bucket", "off")
   }
 
+  /** Text-only sequence packing off a precomputed per-doc token cost
+    * — the [[prefixPack]] core with training-sequence naming; the
+    * composition point for pipelines that filter/weight docs first
+    * and then pack the survivors.
+    */
+  def tokenPack(items: DataFrame, idCol: String, costCol: String,
+                seqTokens: Long, numBuckets: Int = 1024): DataFrame =
+    prefixPack(items.select(col(idCol).cast("long").as("doc_id"),
+        col(costCol).cast("long").as("n_cost")),
+      "n_cost", seqTokens, numBuckets)
+      .select(col("doc_id"), col("n_cost"), col("stream_offset"),
+        col("bin_id").as("seq_id"), col("bin_offset").as("seq_offset"))
+
   /** Interleaved MULTIMODAL sequence packing — the training-collate
     * control plane for image-text models: each doc's sequence cost is
     * its sub-word token count plus `tokensPerTile` placeholder tokens
