@@ -4617,6 +4617,13 @@ object SparkEntry {
       Events.abTest(t(s, dir, "events"), metricType = "purchase")
         .orderBy("n_a")),
 
+    // metric-tree decomposition: ΔR attributed to views / conversion
+    // / AOV by sequential substitution in a fixed order (telescopes
+    // to exactly ΔR); periods split on the DiD integer rule
+    "events_metric_tree" -> ((s, dir) =>
+      Events.metricTree(t(s, dir, "events"))
+        .orderBy("factor")),
+
     // exact Mann–Whitney U on the same split: average ranks from the
     // 2×-scaled integer 2·prefix+t+1 over per-value counts (bucketed
     // prefix, no global item window), tie-corrected normal z
@@ -6002,6 +6009,49 @@ object SparkEntry {
         |          - (CAST(s1b AS DOUBLE) / 100.0) * (CAST(s1b AS DOUBLE) / 100.0) / n_b)
         |         / (n_b - 1)) / n_b)) > 1.96 AS significant
         | FROM s ORDER BY n_a""".stripMargin,
+
+    // replays the sequential substitution: one conditional aggregate,
+    // round-9 ratios, pinned left-assoc contribution products
+    "events_metric_tree" ->
+      """WITH base AS (
+        | SELECT event_type,
+        |  CAST(ts AS DATE) - DATE '1970-01-01' AS ep,
+        |  CAST(round(value*100, 0) AS BIGINT) AS c
+        | FROM events WHERE event_type IN ('view', 'purchase')),
+        | mm AS (SELECT min(ep) AS mn, max(ep) AS mx FROM base),
+        | g AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN NOT (ep*2 > mn+mx) AND event_type = 'view'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_a,
+        |  CAST(sum(CASE WHEN NOT (ep*2 > mn+mx) AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS p_a,
+        |  CAST(sum(CASE WHEN NOT (ep*2 > mn+mx) AND event_type = 'purchase'
+        |    THEN c ELSE 0 END) AS BIGINT) AS r_a,
+        |  CAST(sum(CASE WHEN ep*2 > mn+mx AND event_type = 'view'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_b,
+        |  CAST(sum(CASE WHEN ep*2 > mn+mx AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
+        |  CAST(sum(CASE WHEN ep*2 > mn+mx AND event_type = 'purchase'
+        |    THEN c ELSE 0 END) AS BIGINT) AS r_b
+        | FROM base CROSS JOIN mm),
+        | f AS (
+        | SELECT CAST(v_a AS DOUBLE) AS va, CAST(v_b AS DOUBLE) AS vb,
+        |  round(CAST(p_a AS DOUBLE) / CAST(v_a AS DOUBLE), 9) AS ca,
+        |  round(CAST(p_b AS DOUBLE) / CAST(v_b AS DOUBLE), 9) AS cb,
+        |  round(CAST(r_a AS DOUBLE) / CAST(p_a AS DOUBLE) / 100.0, 9) AS aa,
+        |  round(CAST(r_b AS DOUBLE) / CAST(p_b AS DOUBLE) / 100.0, 9) AS ab,
+        |  round(CAST(r_a AS DOUBLE) / 100.0, 6) AS ra,
+        |  round(CAST(r_b AS DOUBLE) / 100.0, 6) AS rb
+        | FROM g)
+        | SELECT 'views' AS factor, va AS value_a, vb AS value_b,
+        |  round((vb - va) * ca * aa, 6) AS contribution FROM f
+        | UNION ALL
+        | SELECT 'conversion', ca, cb, round(vb * (cb - ca) * aa, 6) FROM f
+        | UNION ALL
+        | SELECT 'aov', aa, ab, round(vb * cb * (ab - aa), 6) FROM f
+        | UNION ALL
+        | SELECT 'total_revenue', ra, rb, round(rb - ra, 6) FROM f
+        | ORDER BY factor""".stripMargin,
 
     // replays Mann–Whitney: per-value counts, exclusive prefix (the
     // oracle may use the global window the engine's bucketed prefix

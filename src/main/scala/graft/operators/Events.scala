@@ -618,6 +618,72 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Metric-tree (driver-tree) decomposition of revenue change by
+    * SEQUENTIAL SUBSTITUTION: revenue factors as
+    * R = views · (purchases/views) · (revenue/purchase), and the
+    * period-over-period ΔR attributes to each factor by swapping
+    * factors old→new one at a time in a FIXED order:
+    *   Δviews = (V_b − V_a)·c_a·a_a
+    *   Δconv  = V_b·(c_b − c_a)·a_a
+    *   Δaov   = V_b·c_b·(a_b − a_a)
+    * which telescopes to exactly ΔR — the "which lever moved the
+    * metric" readout dashboards decompose into. Periods split on the
+    * [[diffInDiff]] integer rule (2·day > min+max).
+    *
+    * Determinism: period masses are exact longs off ONE conditional
+    * aggregate; each ratio is a round-9 single division; every
+    * contribution is one pinned left-assoc product chain, rounded 6.
+    */
+  def metricTree(events: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val epoch0 = lit(java.sql.Date.valueOf("1970-01-01"))
+    val base = events
+      .where(col("event_type") === "view" || col("event_type") === "purchase")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), epoch0).cast("long").as("ep"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+    val mm = base.agg(min(col("ep")).as("mn"), max(col("ep")).as("mx"))
+    val cells = base.crossJoin(broadcast(mm)) // 1-row scalar
+      .select(col("event_type"), (col("ep") * 2 > col("mn") + col("mx")).as("post"),
+        col("c"))
+    def per(p: Boolean, sfx: String) = Seq(
+      sum(when(col("post") === p && col("event_type") === "view", 1L)
+        .otherwise(0L)).as(s"v_$sfx"),
+      sum(when(col("post") === p && col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as(s"p_$sfx"),
+      sum(when(col("post") === p && col("event_type") === "purchase", col("c"))
+        .otherwise(0L)).as(s"r_$sfx"))
+    val aggs = per(false, "a") ++ per(true, "b")
+    val g = cells.agg(aggs.head, aggs.tail: _*)
+    def conv(s: String) = round(d(col(s"p_$s")) / d(col(s"v_$s")), 9)
+    def aov(s: String) = round(d(col(s"r_$s")) / d(col(s"p_$s")) / 100.0, 9)
+    def rev(s: String) = round(d(col(s"r_$s")) / 100.0, 6)
+    val row = g.select(
+      d(col("v_a")).as("va"), d(col("v_b")).as("vb"),
+      conv("a").as("ca"), conv("b").as("cb"),
+      aov("a").as("aa"), aov("b").as("ab"),
+      rev("a").as("ra"), rev("b").as("rb"))
+    row.select(explode(array(
+      struct(lit("views").as("factor"), col("va").as("value_a"),
+        col("vb").as("value_b"),
+        round((col("vb") - col("va")) * col("ca") * col("aa"), 6)
+          .as("contribution")),
+      struct(lit("conversion").as("factor"), col("ca").as("value_a"),
+        col("cb").as("value_b"),
+        round(col("vb") * (col("cb") - col("ca")) * col("aa"), 6)
+          .as("contribution")),
+      struct(lit("aov").as("factor"), col("aa").as("value_a"),
+        col("ab").as("value_b"),
+        round(col("vb") * col("cb") * (col("ab") - col("aa")), 6)
+          .as("contribution")),
+      struct(lit("total_revenue").as("factor"), col("ra").as("value_a"),
+        col("rb").as("value_b"),
+        round(col("rb") - col("ra"), 6).as("contribution")))).as("r"))
+      .select(col("r.factor").as("factor"), col("r.value_a").as("value_a"),
+        col("r.value_b").as("value_b"),
+        col("r.contribution").as("contribution"))
+  }
+
   /** Exact Mann–Whitney U (Wilcoxon rank-sum) for the [[abTest]]
     * split — the rank-based companion that doesn't care about the
     * metric's distribution (revenue is heavy-tailed; a mean test

@@ -837,4 +837,29 @@ class EventsSpec extends SparkSpec {
       .as[(Double, Double, Double, Double)].collect().toSeq
     assert(again == s)
   }
+
+  test("metricTree: sequential substitution telescopes to exactly the revenue delta") {
+    // a: 10 views, 2 purchases of 10.00; b: 20 views, 3 of 15.00
+    // dViews=10*0.2*10=20, dConv=20*(-0.05)*10=-10, dAov=20*0.15*5=15 -> 25
+    def day(d: Int, t: String, v: Double, i: Int) =
+      (t, Timestamp.valueOf(f"1970-01-0$d 10:${i / 60}%02d:${i % 60}%02d"), v)
+    val rows =
+      (1 to 10).map(i => day(2, "view", 0.0, i)) ++
+      Seq(day(2, "purchase", 10.00, 11), day(2, "purchase", 10.00, 12)) ++
+      (1 to 20).map(i => day(4, "view", 0.0, i)) ++
+      (1 to 3).map(i => day(4, "purchase", 15.00, 30 + i))
+    val e = rows.toDF("event_type", "ts", "value")
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
+    val got = Events.metricTree(e).orderBy("factor")
+      .select("factor", "value_a", "value_b", "contribution")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("aov", 10.0, 15.0, 15.0),
+      ("conversion", 0.2, 0.15, -10.0),
+      ("total_revenue", 20.0, 45.0, 25.0),
+      ("views", 10.0, 20.0, 20.0)), s"decomposition mismatch: $got")
+    // the telescoping identity: factor contributions sum to the total
+    val parts = got.filter(_._1 != "total_revenue").map(_._4).sum
+    assert(math.abs(parts - 25.0) < 1e-9)
+  }
 }
