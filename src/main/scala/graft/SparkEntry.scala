@@ -1039,7 +1039,7 @@ object SparkEntry {
   // ---- random-walk SQL twin: per-src cumulative CDF bounds ordered
   // by dst, then `length` unrolled hop CTEs each replaying the md5
   // draw and the same [cumlo, cum) inverse-CDF pick. ------------------
-  private def randomWalksSql(walksPerNode: Int, length: Int): String = {
+  private def walkChainSql(walksPerNode: Int, length: Int): (String, String) = {
     val head = graphSqlHead +
       s""",
          | ce AS MATERIALIZED (SELECT src, dst, w,
@@ -1061,7 +1061,38 @@ object SparkEntry {
       (1 to length).map(i =>
         s"SELECT walk_id, CAST($i AS BIGINT) AS step, cur AS node FROM s$i WHERE cur IS NOT NULL"))
       .mkString("\n UNION ALL ")
-    head + steps + "\n " + unions + "\n ORDER BY walk_id, step"
+    (head + steps, unions)
+  }
+
+  private def randomWalksSql(walksPerNode: Int, length: Int): String = {
+    val (ctes, unions) = walkChainSql(walksPerNode, length)
+    ctes + "\n " + unions + "\n ORDER BY walk_id, step"
+  }
+
+  // ---- walk-PMI SQL twin: the walk chain as a CTE, then skip-gram
+  // window pairs, marginals, and round-6 ln PMI (the collocations
+  // contract over walk co-occurrences). ----------------------------
+  private def walkPmiSql(walksPerNode: Int, length: Int, window: Int,
+                         k: Int): String = {
+    val (ctes, unions) = walkChainSql(walksPerNode, length)
+    ctes +
+      s""",
+         | wk AS MATERIALIZED ($unions),
+         | pr AS MATERIALIZED (
+         |  SELECT a.node AS node, b.node AS context
+         |  FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+         |   AND a.step <> b.step AND abs(a.step - b.step) <= $window),
+         | co AS (SELECT node, context, CAST(count(*) AS BIGINT) AS c_nc
+         |        FROM pr GROUP BY 1, 2),
+         | nc AS (SELECT node, CAST(count(*) AS BIGINT) AS c_n FROM pr GROUP BY 1),
+         | cc AS (SELECT context, CAST(count(*) AS BIGINT) AS c_c FROM pr GROUP BY 1),
+         | np AS (SELECT CAST(count(*) AS DOUBLE) AS n_pairs FROM pr),
+         | sc AS (SELECT co.node, co.context, c_nc,
+         |   round(ln(c_nc::DOUBLE * n_pairs / (c_n::DOUBLE * c_c::DOUBLE)), 6) AS pmi
+         |  FROM co JOIN nc USING (node) JOIN cc USING (context) CROSS JOIN np)
+         | SELECT node, context, c_nc, pmi,
+         |  row_number() OVER (ORDER BY pmi DESC, node, context) AS rnk
+         | FROM sc ORDER BY rnk LIMIT $k""".stripMargin
   }
 
   // ---- personalized-PageRank SQL twin: pageRankSql with the restart
@@ -2470,6 +2501,16 @@ object SparkEntry {
       Graph.randomWalks(transitionEdges(t(s, dir, "events")), "src", "dst",
           "w", walksPerNode = 4, length = 5)
         .orderBy("walk_id", "step")),
+
+    // DeepWalk-style skip-gram PMI over the SAME deterministic walks
+    // (the matrix DeepWalk implicitly factorizes, as an explicit
+    // exact top-k feature table): ±2-step window pairs, round-6 ln
+    "graph_walk_pmi" -> ((s, dir) =>
+      Graph.walkPmi(
+        Graph.randomWalks(transitionEdges(t(s, dir, "events")), "src", "dst",
+          "w", walksPerNode = 4, length = 5),
+        window = 2, k = 30)
+        .orderBy("rnk")),
 
     // one ALS half-step on the implicit user×event-type matrix:
     // per-user rank-2 factors solved in closed form from exact long
@@ -8285,6 +8326,9 @@ object SparkEntry {
     "graph_ppr" -> pprSql(Seq("view", "signup"), iters = 5, damping = 0.85),
 
     "graph_walks" -> randomWalksSql(walksPerNode = 4, length = 5),
+
+    "graph_walk_pmi" ->
+      walkPmiSql(walksPerNode = 4, length = 5, window = 2, k = 30),
 
     "graph_als_step" ->
       """WITH r AS (SELECT user_id AS u, event_type AS item,

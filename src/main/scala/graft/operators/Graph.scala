@@ -348,6 +348,47 @@ object Graph {
     out
   }
 
+  /** DeepWalk-style node-context PMI features off [[randomWalks]]:
+    * skip-gram co-occurrence pairs within a ±`window` step radius of
+    * the generated walks, scored by pointwise mutual information —
+    * the matrix DeepWalk/node2vec implicitly factorize (the NetMF
+    * result), served as an explicit top-k feature table instead of a
+    * learned embedding, which keeps it exact and oracle-checkable.
+    *
+    * Determinism: walks are the md5-driven deterministic walks; PMI
+    * is one round-6 ln of a pinned ratio of exact counts (the
+    * [[graft.operators.TextAnalysis]] collocations contract); final
+    * ranks come from the sorted-collect of the k survivors.
+    *
+    * Scale shape: the pair window is a walk_id-keyed self-join whose
+    * fan-out is bounded by 2·window per position; marginals are hash
+    * aggregates; the global order only ever sees k rows
+    * (TakeOrdered).
+    */
+  def walkPmi(walks: DataFrame, window: Int = 2, k: Int = 30): DataFrame = {
+    val a = walks.select(col("walk_id"), col("step").as("sa"), col("node"))
+    val b = walks.select(col("walk_id"), col("step").as("sb"),
+      col("node").as("context"))
+    val pairs = a.join(b, Seq("walk_id"))
+      .where(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= window)
+      .select("node", "context")
+    val co = pairs.groupBy("node", "context").agg(count(lit(1)).as("c_nc"))
+    val nc = pairs.groupBy("node").agg(count(lit(1)).as("c_n"))
+    val cc = pairs.groupBy("context").agg(count(lit(1)).as("c_c"))
+    val tot = pairs.agg(count(lit(1)).cast("double").as("n_pairs"))
+    co.join(nc, "node").join(cc, "context").crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(col("c_nc").cast("double") * col("n_pairs")
+        / (col("c_n").cast("double") * col("c_c").cast("double"))), 6))
+      .orderBy(desc("pmi"), col("node"), col("context")).limit(k)
+      .groupBy()
+      .agg(array_sort(collect_list(struct((-col("pmi")).as("negpmi"),
+        col("node"), col("context"), col("c_nc"), col("pmi")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select(col("x.node").as("node"), col("x.context").as("context"),
+        col("x.c_nc").as("c_nc"), col("x.pmi").as("pmi"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Multi-source [[shortestPaths]]: one synchronous Bellman-Ford
     * sweep whose state is keyed by (source, node), relaxing every
     * source's frontier through the SAME cached edge layout per round —

@@ -374,4 +374,21 @@ class GraphSpec extends SparkSpec {
       ("c", 2L, 3.0, Some(0.666667), 0.333333)), // 2/(0+3); 1/3
       s"hand-computed closeness mismatch: $got")
   }
+
+  test("walkPmi: hand-computed skip-gram pairs and PMI over one walk") {
+    // walk x->y->z->x, window 1: 6 directed adjacent pairs, every
+    // marginal 2, every co-count 1 -> PMI = ln(6/4) for all
+    val w = Seq(
+      ("w1", 0L, "x"), ("w1", 1L, "y"), ("w1", 2L, "z"), ("w1", 3L, "x")
+    ).toDF("walk_id", "step", "node")
+    val got = Graph.walkPmi(w, window = 1, k = 10)
+      .orderBy("rnk")
+      .select("node", "context", "c_nc", "pmi")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val p = 0.405465 // round(ln(1.5), 6)
+    assert(got == Seq(
+      ("x", "y", 1L, p), ("x", "z", 1L, p), ("y", "x", 1L, p),
+      ("y", "z", 1L, p), ("z", "x", 1L, p), ("z", "y", 1L, p)),
+      s"hand-computed walk PMI mismatch: $got")
+  }
 }
