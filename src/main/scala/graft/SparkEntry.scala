@@ -4274,6 +4274,13 @@ object SparkEntry {
           n = 8, k = 20)
         .orderBy(desc("n_docs"), asc("ngram"))),
 
+    // per-doc novelty vs everything ingested before it (doc_id
+    // order): share of the doc's distinct 8-grams first appearing in
+    // itself — the duplication-pressure curve curation orders by
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
     // strongest bigram collocations by PMI (phrase-vocab prep); the
     // count floor is part of the statistic, the top-k is
     // TakeOrderedAndProject + ranks on the survivors
@@ -9039,6 +9046,22 @@ object SparkEntry {
 
     // the UNNEST(range) window construction (the jaccard-oracle
     // technique) rebuilds the same distinct per-doc 8-gram strings
+    // replays the novelty ratio off the same DISTINCT 8-gram windows
+    "text_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        | g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |       FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        | f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        | FROM g JOIN f USING (g)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_dup_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -1027,6 +1027,34 @@ object TextAnalysis {
       .select(col("ngram"), col("n_docs"), col("first_doc"))
   }
 
+  /** Per-doc n-gram NOVELTY against everything ingested before it
+    * (doc_id order): the share of a doc's distinct `n`-grams whose
+    * FIRST corpus appearance is the doc itself — the
+    * memorization/duplication-pressure curve curation orders by
+    * (a near-dup of earlier data scores ~0, fresh text ~1; the
+    * per-doc companion to [[duplicatedNgrams]]' corpus-level report
+    * and [[vocabGrowth]]'s term curve). Docs shorter than `n` tokens
+    * carry no gram and are absent.
+    *
+    * Exactness: counts are exact longs off one explode + a
+    * (gram → min doc) hash aggregate + one gram-keyed join back;
+    * novelty is a single IEEE division rounded 6. Scale: postings
+    * shape — no windows, no pairs.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    val g = docs.select(col(idCol).as("doc_id"),
+      explode(wordShinglesFast(lower(col(textCol)), n)).as("g"))
+    val first = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Heaps-law vocabulary growth curve: split the corpus into
     * `buckets` doc-id ranges and count how many DISTINCT terms first
     * appear in each — the "how fast does vocabulary still grow"

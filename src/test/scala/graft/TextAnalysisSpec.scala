@@ -441,4 +441,19 @@ class TextAnalysisSpec extends SparkSpec {
       .select("n_sentences").as[Long].head()
     assert(s2 == 1L)
   }
+
+  test("ngramNovelty: first-appearance attribution in doc_id order") {
+    val d = Seq(
+      (1L, "a b c d e f g h i"),   // grams a..h, b..i -> both novel
+      (2L, "a b c d e f g h i"),   // exact dup -> novelty 0
+      (3L, "a b c d e f g h x")    // a..h seen, b..x new -> 0.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)),
+      s"novelty mismatch: $got")
+  }
 }
