@@ -4665,6 +4665,13 @@ object SparkEntry {
       Events.abTest(t(s, dir, "events"), metricType = "purchase")
         .orderBy("n_a")),
 
+    // distribution-shape profile: skewness + excess kurtosis per type
+    // from the first four EXACT raw moments (decimal sums of scaled
+    // cents), central-moment algebra as one pinned IEEE sequence
+    "profile_moments" -> ((s, dir) =>
+      Profiling.momentsByGroup(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
     // metric-tree decomposition: ΔR attributed to views / conversion
     // / AOV by sequential substitution in a fixed order (telescopes
     // to exactly ΔR); periods split on the DiD integer rule
@@ -6057,6 +6064,35 @@ object SparkEntry {
         |          - (CAST(s1b AS DOUBLE) / 100.0) * (CAST(s1b AS DOUBLE) / 100.0) / n_b)
         |         / (n_b - 1)) / n_b)) > 1.96 AS significant
         | FROM s ORDER BY n_a""".stripMargin,
+
+    // replays the moment algebra: exact integer power sums, the same
+    // aᵢ → m₂/m₃/m₄ → skew/kurt pinned IEEE sequence
+    "profile_moments" ->
+      """WITH g AS (
+        | SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  sum(c) AS s1, sum(c*c) AS s2, sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+        | FROM (SELECT event_type, CAST(round(value*100, 0) AS BIGINT) AS c
+        |       FROM events)
+        | GROUP BY 1),
+        | f AS (
+        | SELECT grp, n,
+        |  CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS a1,
+        |  CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0 * 100.0) AS a2,
+        |  CAST(s3 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0 * 100.0 * 100.0) AS a3,
+        |  CAST(s4 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0 * 100.0 * 100.0 * 100.0)
+        |    AS a4
+        | FROM g),
+        | m AS (
+        | SELECT grp, n, a1,
+        |  a2 - a1*a1 AS m2,
+        |  a3 - 3.0*a1*a2 + 2.0*a1*a1*a1 AS m3,
+        |  a4 - 4.0*a1*a3 + 6.0*a1*a1*a2 - 3.0*a1*a1*a1*a1 AS m4
+        | FROM f)
+        | SELECT grp AS event_type, n, round(a1, 6) AS mean,
+        |  round(sqrt(m2), 6) AS stddev,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        | FROM m ORDER BY event_type""".stripMargin,
 
     // replays the sequential substitution: one conditional aggregate,
     // round-9 ratios, pinned left-assoc contribution products

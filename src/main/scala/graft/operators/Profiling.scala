@@ -210,6 +210,46 @@ object Profiling {
     * One aggregate pass regardless of column count, like
     * [[profileColumns]].
     */
+  /** Distribution-SHAPE profile per group: mean, stddev, skewness,
+    * and excess kurtosis from the first four EXACT raw moments —
+    * the tail/asymmetry audit [[profileNumeric]]'s two moments can't
+    * answer ("is this metric's tail why the mean moved"). Raw sums
+    * Σx..Σx⁴ accumulate as decimal(38,0) of `scale`-scaled integers
+    * (x⁴ of a 5-digit cent value is ~6e18 — inside a long per
+    * element, but the SUM needs decimal), so every engine sees the
+    * same exact integers; the central-moment algebra then runs as a
+    * PINNED sequence of IEEE ops (aᵢ = Σxⁱ/(n·scaleⁱ), then the
+    * standard m₂/m₃/m₄ expansions, skew = m₃/(m₂·√m₂),
+    * kurt = m₄/m₂² − 3), mirrored term-for-term in the oracle.
+    * One hash aggregate; no window.
+    */
+  def momentsByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                     scale: Int = 100): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val sc = scale.toDouble
+    val x = round(col(valueCol) * scale, 0).cast("decimal(38,0)")
+    val g = df.select(col(groupCol).as("grp"), x.as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    val n = d(col("n"))
+    val a1 = d(col("s1")) / (n * sc)
+    val a2 = d(col("s2")) / (n * sc * sc)
+    val a3 = d(col("s3")) / (n * sc * sc * sc)
+    val a4 = d(col("s4")) / (n * sc * sc * sc * sc)
+    val m2 = a2 - a1 * a1
+    val m3 = a3 - lit(3.0) * a1 * a2 + lit(2.0) * a1 * a1 * a1
+    val m4 = a4 - lit(4.0) * a1 * a3 + lit(6.0) * a1 * a1 * a2 -
+      lit(3.0) * a1 * a1 * a1 * a1
+    g.select(col("grp").as(groupCol), col("n"),
+      round(a1, 6).as("mean"),
+      round(sqrt(m2), 6).as("stddev"),
+      round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+  }
+
   def profileNumeric(df: DataFrame, cols: Seq[String], scale: Int = 100): DataFrame = {
     require(cols.nonEmpty, "profileNumeric needs at least one column")
     require(scale > 0, "scale must be positive")

@@ -480,4 +480,24 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Option[Long])].head()
     assert(d == ((0L, 0L, None)), s"got $d")
   }
+
+  test("momentsByGroup: symmetric data has ~0 skew; a planted outlier drives it positive") {
+    import java.sql.Timestamp
+    // symmetric {1,2,3} repeated: skewness 0, kurtosis of the
+    // 3-point uniform = -1.5 exactly
+    val sym = Seq.fill(10)(Seq(1.00, 2.00, 3.00)).flatten
+      .map(v => ("a", v)).toDF("event_type", "value")
+    val s = graft.operators.Profiling.momentsByGroup(sym, "event_type", "value")
+      .select("n", "mean", "skewness", "kurtosis_excess")
+      .as[(Long, Double, Double, Double)].head()
+    assert(s._1 == 30L && s._2 == 2.0)
+    assert(math.abs(s._3) < 1e-9, s"symmetric skew: ${s._3}")
+    assert(math.abs(s._4 - (-1.5)) < 1e-9, s"3-point-uniform kurtosis: ${s._4}")
+    // one huge outlier -> strongly right-skewed, heavy-tailed
+    val skewed = (Seq.fill(29)(1.00) :+ 1000.00)
+      .map(v => ("b", v)).toDF("event_type", "value")
+    val k = graft.operators.Profiling.momentsByGroup(skewed, "event_type", "value")
+      .select("skewness", "kurtosis_excess").as[(Double, Double)].head()
+    assert(k._1 > 5.0 && k._2 > 20.0, s"outlier must show in the tail stats: $k")
+  }
 }
