@@ -4882,6 +4882,13 @@ object SparkEntry {
     "events_did" -> ((s, dir) =>
       Events.diffInDiff(t(s, dir, "events"))),
 
+    // event-study curve for the DiD design: per-day treated-control
+    // gap net of the pre-period baseline — pre-days near zero =
+    // parallel trends, post-days show the dynamic response
+    "events_event_study" -> ((s, dir) =>
+      Events.eventStudy(t(s, dir, "events"))
+        .orderBy("day")),
+
     // coarsened exact matching (CEM): error-HEAVY users (error share
     // > 20%, integer-exact) vs the rest, matched on (view-count bin,
     // click-count bin) cells; per matched cell the control
@@ -8687,6 +8694,41 @@ object SparkEntry {
 
     // 12 CASE sums (the engine's conditional aggregate), identical
     // mean/variance arithmetic, least-cell guard
+    // replays the event study: one (day, arm) conditional aggregate,
+    // 1-row pre-period baseline, pinned-order mean differences
+    "events_event_study" ->
+      """WITH base AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(ts AS DATE) - DATE '1970-01-01' AS ep,
+        |  CAST(round(value*100, 0) AS BIGINT) AS c
+        | FROM events WHERE event_type = 'purchase'),
+        | mm AS (SELECT min(ep) AS mn, max(ep) AS mx FROM base),
+        | cells AS (
+        | SELECT day, (user_id % 2 = 0) AS treated,
+        |  (ep*2 > mn+mx) AS post, c
+        | FROM base CROSS JOIN mm),
+        | daily AS (
+        | SELECT day, post,
+        |  CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |  CAST(sum(CASE WHEN treated THEN c ELSE 0 END) AS BIGINT) AS s_t,
+        |  CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |  CAST(sum(CASE WHEN NOT treated THEN c ELSE 0 END) AS BIGINT) AS s_c
+        | FROM cells GROUP BY 1, 2),
+        | pre AS (
+        | SELECT CAST(sum(n_t) AS BIGINT) AS pn_t, CAST(sum(s_t) AS BIGINT) AS ps_t,
+        |  CAST(sum(n_c) AS BIGINT) AS pn_c, CAST(sum(s_c) AS BIGINT) AS ps_c
+        | FROM daily WHERE NOT post)
+        | SELECT day, post, n_t, n_c,
+        |  round(CAST(s_t AS DOUBLE) / (CAST(n_t AS DOUBLE) * 100.0)
+        |   - CAST(s_c AS DOUBLE) / (CAST(n_c AS DOUBLE) * 100.0), 6) AS day_gap,
+        |  round((CAST(s_t AS DOUBLE) / (CAST(n_t AS DOUBLE) * 100.0)
+        |   - CAST(s_c AS DOUBLE) / (CAST(n_c AS DOUBLE) * 100.0))
+        |   - (CAST(ps_t AS DOUBLE) / (CAST(pn_t AS DOUBLE) * 100.0)
+        |   - CAST(ps_c AS DOUBLE) / (CAST(pn_c AS DOUBLE) * 100.0)), 6) AS effect
+        | FROM daily CROSS JOIN pre
+        | WHERE n_t > 0 AND n_c > 0
+        | ORDER BY day""".stripMargin,
+
     // replays CEM: integer covariate bins, matched-cell filter, the
     // (m_t/m_c)·(Mc/Mt) control weight and per-arm means — every
     // division a single IEEE op on exact longs in the engine's order

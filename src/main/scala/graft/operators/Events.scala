@@ -618,6 +618,51 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Event-study curve for the [[diffInDiff]] design: the per-day
+    * treated-vs-control gap relative to its PRE-period baseline,
+    *   effect_d = (ȳ_T,d − ȳ_C,d) − (ȳ_T,pre − ȳ_C,pre),
+    * one row per day — the diagnostic that makes a DiD credible
+    * (pre-period effects should hover near zero = parallel trends;
+    * post-period effects show the dynamic response, not just the
+    * pooled average). Same integer split (2·day > min+max), same
+    * treated = even user_id.
+    *
+    * Exactness: per-(day, arm) masses are exact longs from ONE
+    * conditional aggregate keyed by day; the baseline is a 1-row
+    * broadcast of the pre-period sums; every mean is a single IEEE
+    * division in pinned order, rounded 6.
+    */
+  def eventStudy(events: DataFrame,
+                 eventType: String = "purchase"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val epoch0 = lit(java.sql.Date.valueOf("1970-01-01"))
+    val base = events.where(col("event_type") === eventType)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        datediff(to_date(col("ts")), epoch0).cast("long").as("ep"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+    val mm = base.agg(min(col("ep")).as("mn"), max(col("ep")).as("mx"))
+    val cells = base.crossJoin(broadcast(mm))
+      .select(col("day"), (col("user_id") % 2 === 0).as("treated"),
+        (col("ep") * 2 > col("mn") + col("mx")).as("post"), col("c"))
+    val daily = cells.groupBy("day", "post").agg(
+      sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("treated"), col("c")).otherwise(0L)).as("s_t"),
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(!col("treated"), col("c")).otherwise(0L)).as("s_c"))
+    val pre = daily.where(!col("post"))
+      .agg(sum(col("n_t")).as("pn_t"), sum(col("s_t")).as("ps_t"),
+           sum(col("n_c")).as("pn_c"), sum(col("s_c")).as("ps_c"))
+    val baseGap = d(col("ps_t")) / (d(col("pn_t")) * 100.0) -
+      d(col("ps_c")) / (d(col("pn_c")) * 100.0)
+    val dayGap = d(col("s_t")) / (d(col("n_t")) * 100.0) -
+      d(col("s_c")) / (d(col("n_c")) * 100.0)
+    daily.crossJoin(broadcast(pre)) // 1-row pre-period baseline
+      .where(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("day"), col("post"), col("n_t"), col("n_c"),
+        round(dayGap, 6).as("day_gap"),
+        round(dayGap - baseGap, 6).as("effect"))
+  }
+
   /** Metric-tree (driver-tree) decomposition of revenue change by
     * SEQUENTIAL SUBSTITUTION: revenue factors as
     * R = views · (purchases/views) · (revenue/purchase), and the

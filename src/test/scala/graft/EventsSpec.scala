@@ -862,4 +862,18 @@ class EventsSpec extends SparkSpec {
     val parts = got.filter(_._1 != "total_revenue").map(_._4).sum
     assert(math.abs(parts - 25.0) < 1e-9)
   }
+
+  test("eventStudy: pre-day effect is exactly zero; post-day shows the gap net of baseline") {
+    val e = Seq(
+      (0L, "purchase", Timestamp.valueOf("2024-01-01 10:00:00"), 10.00),
+      (1L, "purchase", Timestamp.valueOf("2024-01-01 11:00:00"), 8.00),
+      (0L, "purchase", Timestamp.valueOf("2024-01-03 10:00:00"), 20.00),
+      (1L, "purchase", Timestamp.valueOf("2024-01-03 11:00:00"), 9.00)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = Events.eventStudy(e).orderBy("day")
+      .select("post", "day_gap", "effect")
+      .as[(Boolean, Double, Double)].collect().toSeq
+    assert(got == Seq((false, 2.0, 0.0), (true, 11.0, 9.0)),
+      s"event-study curve mismatch: $got")
+  }
 }
