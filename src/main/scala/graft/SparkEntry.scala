@@ -3739,6 +3739,12 @@ object SparkEntry {
       Similarity.kmeansElbow(t(s, dir, "embeddings"), "vec_id", "embedding",
         ks = Seq(2, 4, 8), iters = 2).orderBy("k")),
 
+    // external validity of the SAME trained partition: per-cell
+    // majority-label share (purity) — geometry vs semantics
+    "cluster_purity" -> ((s, dir) =>
+      Similarity.kmeansPurity(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", numCells = 8, iters = 2).orderBy("cell_id")),
+
     // cluster-quality report over the SAME trained centroids: mean
     // simplified silhouette per cluster ((b−a)/max(a,b) on round-6
     // cosine distances, per-cluster mean through exact scaled longs)
@@ -8055,6 +8061,68 @@ object SparkEntry {
     // cen3 from the round-2 means, then per-point (csim, cell) pairs
     // sorted so own/second-best tiebreak exactly like the engine's
     // argmax; silhouette rounds to 6, cluster means via exact longs
+    // the silhouette training chain through cen3, then the final
+    // assignment joined back to labels: per-cell majority share
+    "cluster_purity" ->
+      """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, vec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 8)),
+        | asg1 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen.centroid::DOUBLE[]), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | m1 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg1, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen2 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM m1 GROUP BY cell_id),
+        | asg2 AS (
+        |  SELECT id, cell_id, vec FROM (
+        |   SELECT c.id, cen2.cell_id, c.vec,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen2.centroid), 6) DESC,
+        |      cen2.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen2)
+        |  WHERE rn = 1),
+        | m2 AS (
+        |  SELECT cell_id, CAST(i AS BIGINT) AS dim, round(avg(vec[i]), 6) AS mean_val
+        |  FROM asg2, UNNEST(range(1, len(vec) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        | cen3 AS (
+        |  SELECT cell_id, list(mean_val ORDER BY dim) AS centroid
+        |  FROM m2 GROUP BY cell_id),
+        | fin AS (
+        |  SELECT id, cell_id FROM (
+        |   SELECT c.id, cen3.cell_id,
+        |    row_number() OVER (PARTITION BY c.id ORDER BY
+        |      round(list_cosine_similarity(c.vec::DOUBLE[], cen3.centroid), 6) DESC,
+        |      cen3.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen3)
+        |  WHERE rn = 1),
+        | cnt AS (
+        |  SELECT fin.cell_id, e.label, CAST(count(*) AS BIGINT) AS n
+        |  FROM fin JOIN embeddings e ON e.vec_id = fin.id
+        |  GROUP BY 1, 2),
+        | maj AS (
+        |  SELECT cell_id, label AS majority_label, n AS n_majority FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY cell_id
+        |     ORDER BY n DESC, label DESC) AS rn FROM cnt)
+        |  WHERE rn = 1),
+        | tot AS (SELECT cell_id, CAST(sum(n) AS BIGINT) AS n_points
+        |         FROM cnt GROUP BY 1)
+        | SELECT tot.cell_id, tot.n_points, maj.majority_label, maj.n_majority,
+        |  round(maj.n_majority / CAST(tot.n_points AS DOUBLE), 6) AS purity
+        | FROM tot JOIN maj ON maj.cell_id = tot.cell_id
+        | ORDER BY tot.cell_id""".stripMargin,
+
     "cluster_silhouette" ->
       """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
         | cen AS (

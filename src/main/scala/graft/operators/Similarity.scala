@@ -1430,6 +1430,40 @@ object Similarity {
                  / count(lit(1)), 6).as("mean_silhouette"))
   }
 
+  /** Label PURITY of the trained k-means partition: per cell, the
+    * majority true label's share — the external-validity companion
+    * to [[kmeansSilhouette]]'s internal cohesion (a partition can be
+    * geometrically tight yet semantically mixed; purity reads the
+    * labels the geometry is supposed to recover). Same seeded
+    * 2-round Lloyd training and round-6 argmax assignment as the
+    * rest of the kmeans family; ties on the majority break to the
+    * GREATEST label (max-struct ↔ ORDER BY n DESC, label DESC).
+    * Exact counts; purity is one rounded division.
+    */
+  def kmeansPurity(corpus: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, numCells: Int = 8,
+                   iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    var centroids = seedCentroids(c, "id", numCells)
+    for (_ <- 0 until iters) centroids = lloydStep(c, centroids)._2
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("vec"), col("centroid")), col("nrm"), col("ctrnrm")), 6))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"))
+    val counts = assigned
+      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("label")), "id")
+      .groupBy("cell_id", "label").agg(count(lit(1)).as("n"))
+    counts.groupBy("cell_id")
+      .agg(sum(col("n")).as("n_points"),
+        max(struct(col("n"), col("label"))).getField("label").as("majority_label"),
+        max(struct(col("n"), col("label"))).getField("n").as("n_majority"))
+      .select(col("cell_id"), col("n_points"), col("majority_label"),
+        col("n_majority"),
+        round(col("n_majority") / col("n_points"), 6).as("purity"))
+  }
+
   /** IVF quantizer health report — cell-size balance: per coarse
     * cell, its member count, corpus share, and load factor
     * (n / (N/numCells)). The number an ANN operator watches before

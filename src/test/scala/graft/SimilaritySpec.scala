@@ -602,4 +602,25 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rnk").select("corpus_id").as[Long].collect().toSeq
     assert(mmr == Seq(1L, 3L, 2L), s"MMR must demote the near-dup: $mmr")
   }
+
+  test("kmeansPurity: invariants on the fixture and partitioning-independence") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val got = Similarity.kmeansPurity(e, "vec_id", "embedding", "label",
+        numCells = 8, iters = 2)
+      .orderBy("cell_id")
+      .select("cell_id", "n_points", "majority_label", "n_majority", "purity")
+      .as[(Long, Long, Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2).sum == e.count(), "every vector lands in exactly one cell")
+    got.foreach { r =>
+      assert(r._4 <= r._2 && r._4 >= 1)
+      assert(r._5 > 0.0 && r._5 <= 1.0)
+      assert(math.abs(r._5 - r._4.toDouble / r._2) < 1e-6)
+    }
+    val again = Similarity.kmeansPurity(e.repartition(7), "vec_id", "embedding",
+        "label", numCells = 8, iters = 2)
+      .orderBy("cell_id")
+      .select("cell_id", "n_points", "majority_label", "n_majority", "purity")
+      .as[(Long, Long, Int, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
 }
