@@ -771,6 +771,39 @@ object SparkEntry {
          | FROM sl ORDER BY node""".stripMargin
   }
 
+  // ---- greedy-matching SQL twin: min-neighbor handshake rounds
+  // unrolled; matched endpoints leave via NOT EXISTS (NULL-safe). ---
+  private def matchingSql(rounds: Int): String = {
+    val head =
+      """WITH und0 AS MATERIALIZED (
+        | SELECT DISTINCT u, v FROM (
+        |  SELECT 's' || l_suppkey AS u, 'p' || l_partkey AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'p' || l_partkey AS u, 's' || l_suppkey AS v FROM lineitem)
+        | WHERE u <> v)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s""",
+         | cand$r AS MATERIALIZED (
+         |  SELECT u, min(v) AS c FROM und${r - 1}
+         |  WHERE ('0x' || substr(md5(u || '_$r'), 1, 8))::BIGINT % 2 = 0
+         |    AND ('0x' || substr(md5(v || '_$r'), 1, 8))::BIGINT % 2 = 1
+         |  GROUP BY 1),
+         | p$r AS MATERIALIZED (
+         |  SELECT c AS node_a, min(u) AS node_b, CAST($r AS BIGINT) AS round
+         |  FROM cand$r GROUP BY 1),
+         | mn$r AS MATERIALIZED (
+         |  SELECT node_a AS n FROM p$r UNION SELECT node_b FROM p$r),
+         | und$r AS MATERIALIZED (
+         |  SELECT * FROM und${r - 1} e
+         |  WHERE NOT EXISTS (SELECT 1 FROM mn$r m WHERE m.n = e.u)
+         |    AND NOT EXISTS (SELECT 1 FROM mn$r m WHERE m.n = e.v))""".stripMargin
+    }.mkString
+    val unions = (1 to rounds)
+      .map(r => s"SELECT node_a, node_b, round FROM p$r")
+      .mkString("\n UNION ALL ")
+    head + rs + "\n " + unions + "\n ORDER BY node_a"
+  }
+
   // ---- triangle-count SQL twin: the oracle enumerates triangles by
   // LEXICOGRAPHIC a<b<c over the canonical undirected support while
   // the engine uses degree-ordered orientation — the hash match
@@ -5221,6 +5254,17 @@ object SparkEntry {
         "src", "dst")
         .orderBy("degree")),
 
+    // deterministic greedy maximal matching on the same namespaced
+    // supplier–part graph: min-neighbor handshakes, matched nodes
+    // leave, 3 synchronous rounds replayed by the oracle
+    "graph_matching" -> ((s, dir) =>
+      Graph.greedyMatching(
+        t(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")),
+        "src", "dst", rounds = 8)
+        .orderBy("node_a")),
+
     // experiment power analysis from observed per-user spend: per-arm
     // n for each candidate MDE at α=0.05 / power 0.8, pinned z-sum
     "events_power_analysis" -> ((s, dir) =>
@@ -8444,6 +8488,8 @@ object SparkEntry {
     "graph_ppr" -> pprSql(Seq("view", "signup"), iters = 5, damping = 0.85),
 
     "graph_walks" -> randomWalksSql(walksPerNode = 4, length = 5),
+
+    "graph_matching" -> matchingSql(rounds = 8),
 
     "graph_walk_pmi" ->
       walkPmiSql(walksPerNode = 4, length = 5, window = 2, k = 30),

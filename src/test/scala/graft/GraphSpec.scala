@@ -391,4 +391,31 @@ class GraphSpec extends SparkSpec {
       ("y", "z", 1L, p), ("z", "x", 1L, p), ("z", "y", 1L, p)),
       s"hand-computed walk PMI mismatch: $got")
   }
+
+  test("greedyMatching: valid conflict-free pairs; maximal on the fixture graph") {
+    // propose-accept with per-round md5 roles: verify STRUCTURE, not
+    // one hand round (roles are hash-drawn) — validity is the contract
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"))
+      .toDF("src", "dst")
+    val got = Graph.greedyMatching(e, "src", "dst", rounds = 8)
+      .select("node_a", "node_b").as[(String, String)].collect().toSeq
+    val gn = got.flatMap(p => Seq(p._1, p._2))
+    assert(gn.distinct.size == gn.size, "a node matched twice")
+    val gset = gn.toSet
+    val openSmall = Seq(("a","b"),("b","c"),("c","d"),("b","e"))
+      .count(p => !gset.contains(p._1) && !gset.contains(p._2))
+    assert(openSmall == 0, "small graph must reach a maximal matching")
+    // validity on the fixture graph: no node matched twice, and the
+    // matching is MAXIMAL (no remaining edge joins two unmatched)
+    val le = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .selectExpr("concat('s', l_suppkey) AS src", "concat('p', l_partkey) AS dst")
+    val m = Graph.greedyMatching(le, "src", "dst", rounds = 8)
+      .select("node_a", "node_b").as[(String, String)].collect().toSeq
+    val nodes = m.flatMap(p => Seq(p._1, p._2))
+    assert(nodes.distinct.size == nodes.size, "a node matched twice")
+    val matchedSet = nodes.toSet
+    val open = le.as[(String, String)].collect()
+      .count(p => !matchedSet.contains(p._1) && !matchedSet.contains(p._2))
+    assert(open == 0, s"$open edges still join two unmatched nodes (not maximal)")
+  }
 }
