@@ -3340,6 +3340,18 @@ object SparkEntry {
     // doc per near-dup cluster (not the smallest id) — a third
     // consumer of the same materialized cluster map, joined with the
     // text_quality scores; per-cluster rank window, ties on doc_id
+    // systematic PPS sample by token weight: 20 grid draws over the
+    // exact weight line — realized total weight has ZERO grid
+    // variance (Σ n_hits = 20 exactly); heavy docs may repeat
+    "sample_pps" -> ((s, dir) =>
+      Sampling.ppsSystematic(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", n = 20, seed = "pps_r5")
+        .orderBy("id")),
+
     // soft dedup: weight 1/|cluster| per doc off the SAME materialized
     // cluster map — each near-dup group contributes one doc-equivalent
     // of training mass instead of being dropped
@@ -7050,6 +7062,31 @@ object SparkEntry {
 
     // clusters CTE × quality CTE, argmax per cluster (score desc,
     // doc_id tie) — both component oracles already hash-proven
+    // replays the systematic grid: window cumsum intervals, the same
+    // (H·T)>>32 start, +T-shifted floor divisions
+    "sample_pps" ->
+      """WITH it AS (
+        | SELECT doc_id AS id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+        | FROM documents),
+        | pre AS (
+        | SELECT id, w,
+        |  CAST(COALESCE(SUM(w) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS lo
+        | FROM it WHERE w > 0),
+        | tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM it WHERE w > 0),
+        | sel AS (
+        | SELECT id, w, lo, lo + w AS hi, t,
+        |  (('0x' || substr(md5('pps_r5'), 1, 8))::BIGINT * t) // 4294967296 AS u
+        | FROM pre CROSS JOIN tot)
+        | SELECT id, w,
+        |  ((hi * 20 - u - 1 + t) // t) - ((lo * 20 - u + t + t - 1) // t) + 1
+        |    AS n_hits
+        | FROM sel
+        | WHERE ((hi * 20 - u - 1 + t) // t) >= ((lo * 20 - u + t + t - 1) // t)
+        | ORDER BY id""".stripMargin,
+
     // the composed chain: c4-kept docs (the text_c4_filters counts),
     // cluster-size weights, and the fixed-boundary token packing over
     // the SURVIVORS' doc_id order

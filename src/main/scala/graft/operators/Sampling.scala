@@ -27,6 +27,62 @@ object Sampling {
     (if (halfOpen) bits else bits + 1.0) / 4294967296.0
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling —
+    * the survey-sampling workhorse: lay the population out as one
+    * weight line, pick a deterministic start u ∈ [0, T) from
+    * md5(seed), and take every item whose weight interval contains a
+    * point u + k·(T/n). Inclusion probability is exactly n·w/T with
+    * ZERO variance in the realized total weight — the property
+    * Bernoulli/Poisson draws can't give — and an item heavier than
+    * the step is drawn multiple times (`n_hits`, the standard PPS
+    * multiplicity).
+    *
+    * Exactness: the whole selection is INTEGER — intervals come from
+    * the bucketed exclusive prefix sum (no global item window; the
+    * [[graft.operators.Multimodal]] packing core's shape), the grid
+    * test multiplies through by n (u′ + k·T ∈ [n·lo, n·hi)), and
+    * the floor divisions run on +T-shifted non-negative numerators
+    * so truncation IS floor in both engines. u′ = (H·T) >> 32 with
+    * H the 32-bit md5 of the seed literal — replayed verbatim in
+    * SQL. Bound: H·T needs T < 2³¹ to stay in a long; for heavier
+    * weight lines, pre-scale the weights down or widen u′ to
+    * decimal.
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+                    n: Int, seed: String,
+                    numBuckets: Int = 1024): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    def d(c: Column) = c.cast("double")
+    val items = df.select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("w") > 0)
+    val mx = items.agg(max(col("id")).as("mxid"))
+    val b = items.crossJoin(broadcast(mx))
+      .withColumn("bucket",
+        floor(d(col("id")) * numBuckets / (d(col("mxid")) + 1.0)))
+      .drop("mxid")
+    val perB = b.groupBy("bucket").agg(sum(col("w")).as("bw"))
+    val wb = Window.orderBy("bucket") // bounded bucket table
+    val offs = perB.withColumn("off",
+      coalesce(sum(col("bw")).over(wb) - col("bw"), lit(0L)))
+    val wr = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = b.join(broadcast(offs.select("bucket", "off")), Seq("bucket"))
+      .withColumn("lo", col("off") + coalesce(sum(col("w")).over(wr), lit(0L)))
+      .select(col("id"), col("w"), col("lo"), (col("lo") + col("w")).as("hi"))
+    val tot = items.agg(sum(col("w")).as("t"))
+    val h = conv(substring(md5(lit(seed)), 1, 8), 16, 10).cast("long")
+    pre.crossJoin(broadcast(tot)) // 1-row total
+      .withColumn("u", shiftright(h * col("t"), 32))
+      .withColumn("kmin1",
+        expr(s"(lo * $n - u + t + t - 1) div t"))
+      .withColumn("kmax1",
+        expr(s"(hi * $n - u - 1 + t) div t"))
+      .where(col("kmax1") >= col("kmin1"))
+      .select(col("id"), col("w"),
+        (col("kmax1") - col("kmin1") + 1).as("n_hits"))
+  }
+
   /** Class balancing by deterministic downsampling: every class keeps
     * exactly min-class-count rows, chosen by md5(id) order — the
     * classifier-training prep that stops a 95:5 label skew from

@@ -206,4 +206,25 @@ class SamplingSpec extends SparkSpec {
     // the CI must bracket the point estimate
     assert(a.getDouble(3) <= a.getDouble(2) && a.getDouble(2) <= a.getDouble(4))
   }
+
+  test("ppsSystematic: exactly n grid hits, heavy items guaranteed in, partitioning-independent") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "cast(size(split(trim(text), '\\s+')) as long) as n_tokens")
+    val s = Sampling.ppsSystematic(docs, "doc_id", "n_tokens",
+        n = 20, seed = "spec")
+      .select("id", "w", "n_hits").as[(Long, Long, Long)].collect().toSeq
+    // THE systematic property: the grid has exactly n points
+    assert(s.map(_._3).sum == 20L, s"grid must land exactly n hits: $s")
+    assert(s.forall(_._3 >= 1))
+    // an item with w >= T/n spans a full step and MUST be drawn
+    val t = docs.selectExpr("sum(n_tokens)").as[Long].head()
+    val ids = s.map(_._1).toSet
+    docs.selectExpr("doc_id", "n_tokens").as[(Long, Long)].collect()
+      .filter(r => r._2 * 20 >= t)
+      .foreach(r => assert(ids.contains(r._1), s"heavy item ${r._1} missed"))
+    val again = Sampling.ppsSystematic(docs.repartition(7), "doc_id", "n_tokens",
+        n = 20, seed = "spec")
+      .select("id", "w", "n_hits").as[(Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == s.sortBy(_._1))
+  }
 }
