@@ -388,6 +388,13 @@ object Graph {
         .select(col("node_a"), col("node_b"), lit(r.toLong).as("round"))
         .localCheckpoint()
       matched = if (matched == null) pairs else matched.union(pairs)
+      // convergence early-exit: a round with no matches can never be
+      // followed by a productive one ON THE SAME EDGE SET... it can
+      // (roles re-draw), but an EMPTY remaining edge set is final —
+      // stop as soon as the graph is drained instead of paying
+      // per-round job latency on nothing (one control-plane count per
+      // round, the connectedClusters precedent). The count runs on
+      // the checkpointed table, so it never re-derives the round.
       val mn = pairs.select(col("node_a").as("n"))
         .union(pairs.select(col("node_b").as("n")))
       val prev = und
@@ -396,6 +403,10 @@ object Graph {
         .join(mn, col("v") === col("n"), "left_anti")
         .localCheckpoint()
       unpersistBacking(prev)
+      if (und.isEmpty) {
+        unpersistBacking(und)
+        return matched
+      }
     }
     unpersistBacking(und)
     matched
