@@ -71,8 +71,8 @@ object Bench {
           name -> -1.0
         }
       }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qsJson(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -80,15 +80,21 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"n_retried":$nRetried,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist to a file: the driver captures stdout by tail, and a
-    // long per-query map can push the total off the captured window —
-    // the file copy is immune to truncation.
+    def line(qs: String, extra: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${errors.size},"n_retried":$nRetried,"errors":$errJson,"sf":"$sfDir"$extra}"""
+    // stdout gets a COMPACT line (total + counts + the 5 slowest
+    // queries): at 300+ queries the full per-query map overflows the
+    // driver's stdout capture window and the artifact records only a
+    // truncated tail (unparseable). The FULL map persists to
+    // target/bench.json, immune to truncation; the stdout line points
+    // at it.
+    val worst5 = results.toSeq.sortBy(-_._2).take(5)
+    println(line(qsJson(worst5), ",\"queries_truncated_to\":\"worst5\",\"full\":\"target/bench.json\""))
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out,
+        (line(qsJson(results.toSeq.sortBy(_._1)), "") + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }

@@ -943,4 +943,68 @@ object Dedup {
       .where(!isnan(col("cos")) && col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Exact-substring duplicate SPANS — the Lee et al. ExactSubstr
+    * primitive ("Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): per document, the MAXIMAL contiguous regions
+    * whose every `windowTokens`-token window also appears in at least
+    * `minDocs` distinct documents. The shingle families
+    * ([[jaccardPairs]], [[TextAnalysis.duplicatedNgrams]]) find that
+    * duplication EXISTS; this finds WHERE it starts and ends, which
+    * is what a surgical span-removal pass (cut the quote, keep the
+    * doc) needs.
+    *
+    * Restriction vs the paper (documented): Lee et al. build a suffix
+    * array over the byte-level corpus concat; this runs on
+    * word-boundary windows of a fixed token width, so spans resolve
+    * to token granularity and sub-window-length duplicates are
+    * invisible — the standard trade for a shuffle-native formulation.
+    * A shared region of L ≥ `windowTokens` tokens yields exactly
+    * L − windowTokens + 1 consecutive duplicated windows, so the
+    * maximal span reconstructs exactly: span_tokens = n_windows +
+    * windowTokens − 1.
+    *
+    * Cross-doc contract: a window must appear in ≥ `minDocs`
+    * DISTINCT docs — a phrase repeated only inside one doc is
+    * repetition ([[TextAnalysis]] text_repetition's business), not
+    * corpus duplication.
+    *
+    * Exactness: windows key by the engine-neutral 60-bit md5 prefix
+    * (the [[simHashPairs]] signature contract — the oracle replays
+    * the same hash, so parity holds bit-for-bit; a 60-bit collision
+    * would only merge two windows in BOTH engines identically).
+    *
+    * Scale shape: one posexplode (L windows per doc), windows
+    * immediately compressed to 8-byte hashes so the shuffle never
+    * moves window STRINGS; dup-window detection is one hash aggregate
+    * over per-doc-distinct (hash, doc) rows; the run merge is a
+    * gaps-and-islands window PARTITIONED BY doc (per-doc work,
+    * bounded by doc length — never a global sort). The equivalent
+    * suffix-array construction would need a repartitionByRange global
+    * sort + boundary exchange; the fixed window width is what lets a
+    * hash shuffle replace it.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(minDocs >= 2, "minDocs < 2 would mark every window duplicated")
+    val g = docs.select(col(idCol).as("doc_id"),
+        posexplode(wordShinglesFast(lower(col(textCol)), windowTokens))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5Prefix64(col("w")).as("wh"))
+    val dup = g.select("wh", "doc_id").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("wh")
+    val wI = Window.partitionBy("doc_id").orderBy("pos")
+    g.join(dup, Seq("wh"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(wI))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"),
+        (col("n_windows") + (windowTokens - 1)).as("span_tokens"),
+        col("n_windows"))
+  }
 }

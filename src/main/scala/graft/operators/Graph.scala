@@ -369,6 +369,7 @@ object Graph {
     */
   def greedyMatching(edges: DataFrame, srcCol: String, dstCol: String,
                      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1 (zero rounds match nothing)")
     def parity(c: Column, r: Int): Column =
       conv(substring(md5(concat(c, lit(s"_$r"))), 1, 8), 16, 10)
         .cast("long") % 2
@@ -1173,5 +1174,164 @@ object Graph {
     g.select(col("user"), col("n_items"),
       round((a22 * r1 - a12 * r2) / det, 6).as("x1"),
       round((a11 * r2 - a12 * r1) / det, 6).as("x2"))
+  }
+
+  /** Materialize the df-cut co-purchase PAIR GRAPH once per corpus —
+    * the [[graft.operators.Dedup.ensureClusterMap]] discipline applied
+    * to the basket family: [[adamicAdar]], [[neighborhoodJaccard]],
+    * [[associationRules]] and the k-core gate all start from the SAME
+    * container-keyed pair explode over the same distinct (item,
+    * container) relation, and that explode (the quadratic step the
+    * df-cut exists to bound) is the dominant cost of each. Build it
+    * once; every consumer is then a scan of a pair table that is tiny
+    * relative to the source relation.
+    *
+    * Three tables under `path`:
+    *  - `${path}_pairs`   (item_a, item_b, n_common, w_sum): one row
+    *    per canonical co-occurring pair on the df-cut graph, with the
+    *    shared-container count and the exact scaled-long Adamic-Adar
+    *    weight sum (Σ round(1/ln(deg), 9)·1e9 over shared containers);
+    *  - `${path}_degrees` (item, n_all, n_cut): per-item container
+    *    counts on the UNCUT and cut relations — association rules
+    *    normalize by uncut supports, neighborhood Jaccard by cut
+    *    degrees (self-consistency; see [[neighborhoodJaccard]]);
+    *  - `${path}_stats`   (n_total): total distinct containers
+    *    (uncut), written LAST so its `_SUCCESS` is the commit marker
+    *    (the [[graft.operators.TextAnalysis.writeBm25Index]]
+    *    convention — a crash mid-write leaves a marker-less graph
+    *    that [[ensureBasketGraph]] rebuilds).
+    *
+    * Exactness: every stored number is an exact integer (counts and
+    * scaled-long weight sums — aggregation-order-independent), so a
+    * consumer reading the graph produces bit-identical results to the
+    * direct operator and the direct operators' DuckDB oracles hold
+    * UNCHANGED.
+    *
+    * Scale shape: one distinct pass over the relation, one bounded
+    * pair explode (df-cut 2..`maxContainerSize` BEFORE the self-join),
+    * one pair-keyed hash aggregate — exactly the cost ONE direct
+    * consumer already paid; everything downstream is served.
+    */
+  def writeBasketGraph(rel: DataFrame, itemCol: String, containerCol: String,
+                       path: String, maxContainerSize: Int = 200): Unit = {
+    val e = rel.select(col(itemCol).as("item"), col(containerCol).as("c"))
+      .distinct()
+      .persist()
+    val wl = e.groupBy("c").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2 && col("deg") <= maxContainerSize)
+      .withColumn("wl",
+        round(round(lit(1.0) / log(col("deg").cast("double")), 9) * 1e9, 0)
+          .cast("long"))
+      .select("c", "wl")
+    val p = e.join(wl, Seq("c")).persist()
+    p.as("a").join(p.as("b"),
+        col("a.c") === col("b.c") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("a.wl")).as("w_sum"))
+      .write.mode("overwrite").parquet(s"${path}_pairs")
+    val nAll = e.groupBy("item").agg(count(lit(1)).as("n_all"))
+    val nCut = p.groupBy("item").agg(count(lit(1)).as("n_cut"))
+    nAll.join(nCut, Seq("item"), "left")
+      .select(col("item"), col("n_all"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+      .write.mode("overwrite").parquet(s"${path}_degrees")
+    e.select("c").distinct().agg(count(lit(1)).as("n_total"))
+      .write.mode("overwrite").parquet(s"${path}_stats")
+    p.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+  }
+
+  /** [[writeBasketGraph]] only if the `_stats/_SUCCESS` commit marker
+    * is absent — `rel` is by-name, so when the graph exists nothing of
+    * the source plan is evaluated (the
+    * [[graft.operators.Dedup.ensureClusterMap]] contract).
+    */
+  def ensureBasketGraph(rel: => DataFrame, itemCol: String,
+                        containerCol: String, path: String,
+                        maxContainerSize: Int = 200): Unit = {
+    if (!new java.io.File(s"${path}_stats/_SUCCESS").exists())
+      writeBasketGraph(rel, itemCol, containerCol, path, maxContainerSize)
+  }
+
+  private def requireBasketGraph(path: String): Unit =
+    require(new java.io.File(s"${path}_stats/_SUCCESS").exists(),
+      s"basket graph at $path has no commit marker (crashed write?); " +
+        "rebuild it with writeBasketGraph/ensureBasketGraph")
+
+  /** The materialized pair table as a symmetric-free edge list —
+    * k-core / components consumers feed this straight into
+    * [[kCore]]-style peeling (they symmetrize internally).
+    */
+  def basketPairEdges(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    requireBasketGraph(path)
+    spark.read.parquet(s"${path}_pairs")
+      .select(col("item_a").as("src"), col("item_b").as("dst"))
+  }
+
+  /** [[adamicAdar]] served from a materialized [[writeBasketGraph]]
+    * graph: the stored exact w_sum divides and rounds exactly as the
+    * direct operator's aggregate did, so results (and the oracle)
+    * are identical — but the pair explode never re-runs.
+    */
+  def adamicAdarFromGraph(spark: org.apache.spark.sql.SparkSession,
+                          path: String, k: Int = 20): DataFrame = {
+    requireBasketGraph(path)
+    spark.read.parquet(s"${path}_pairs")
+      .select(col("item_a"), col("item_b"), col("n_common"),
+        round(col("w_sum") / 1e9, 6).as("score"))
+      .orderBy(desc("score"), asc("item_a"), asc("item_b"))
+      .limit(k)
+  }
+
+  /** [[neighborhoodJaccard]] served from the materialized graph:
+    * n_common from the pair table, degrees from the CUT column of the
+    * degree table (the direct operator's self-consistency contract).
+    */
+  def neighborhoodJaccardFromGraph(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, k: Int = 20): DataFrame = {
+    requireBasketGraph(path)
+    val deg = spark.read.parquet(s"${path}_degrees")
+    spark.read.parquet(s"${path}_pairs")
+      .join(broadcast(deg.select(col("item").as("item_a"),
+        col("n_cut").as("n_a"))), Seq("item_a"))
+      .join(broadcast(deg.select(col("item").as("item_b"),
+        col("n_cut").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_common"),
+        round(col("n_common").cast("double")
+              / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))
+      .limit(k)
+  }
+
+  /** [[associationRules]] served from the materialized graph: pair
+    * supports from the pair table, item supports from the UNCUT
+    * column of the degree table, the container total from the stats
+    * row — the exact integers the direct operator aggregates, so
+    * every ratio and the top-k come out identical.
+    */
+  def associationRulesFromGraph(spark: org.apache.spark.sql.SparkSession,
+                                path: String, k: Int = 20,
+                                minSupport: Long = 2): DataFrame = {
+    requireBasketGraph(path)
+    def d(c: Column) = c.cast("double")
+    val deg = spark.read.parquet(s"${path}_degrees")
+    val nTotal = spark.read.parquet(s"${path}_stats")
+    spark.read.parquet(s"${path}_pairs")
+      .where(col("n_common") >= minSupport)
+      .withColumnRenamed("n_common", "n_both")
+      .join(broadcast(deg.select(col("item").as("item_a"),
+        col("n_all").as("n_a"))), Seq("item_a"))
+      .join(broadcast(deg.select(col("item").as("item_b"),
+        col("n_all").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nTotal)) // 1-row scalar
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(d(col("n_both")) / d(col("n_a")), 6).as("conf_a_to_b"),
+        round(d(col("n_both")) / d(col("n_b")), 6).as("conf_b_to_a"),
+        round(d(col("n_both")) * d(col("n_total"))
+              / (d(col("n_a")) * d(col("n_b"))), 6).as("lift"))
+      .orderBy(desc("lift"), asc("item_a"), asc("item_b"))
+      .limit(k)
   }
 }

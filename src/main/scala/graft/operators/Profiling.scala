@@ -215,8 +215,10 @@ object Profiling {
     * the tail/asymmetry audit [[profileNumeric]]'s two moments can't
     * answer ("is this metric's tail why the mean moved"). Raw sums
     * Σx..Σx⁴ accumulate as decimal(38,0) of `scale`-scaled integers
-    * (x⁴ of a 5-digit cent value is ~6e18 — inside a long per
-    * element, but the SUM needs decimal), so every engine sees the
+    * (x⁴ of a scaled cent value overflows a LONG once the value
+    * passes ~55 108 — 99999⁴ ≈ 1e20 > 2⁶³ — which is why every
+    * term, per-element power products included, runs in
+    * decimal(38,0); no long bound applies), so every engine sees the
     * same exact integers; the central-moment algebra then runs as a
     * PINNED sequence of IEEE ops (aᵢ = Σxⁱ/(n·scaleⁱ), then the
     * standard m₂/m₃/m₄ expansions, skew = m₃/(m₂·√m₂),

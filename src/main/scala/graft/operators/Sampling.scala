@@ -42,11 +42,14 @@ object Sampling {
     * [[graft.operators.Multimodal]] packing core's shape), the grid
     * test multiplies through by n (u′ + k·T ∈ [n·lo, n·hi)), and
     * the floor divisions run on +T-shifted non-negative numerators
-    * so truncation IS floor in both engines. u′ = (H·T) >> 32 with
+    * so truncation IS floor in both engines. u′ = (H·T) div 2³² with
     * H the 32-bit md5 of the seed literal — replayed verbatim in
-    * SQL. Bound: H·T needs T < 2³¹ to stay in a long; for heavier
-    * weight lines, pre-scale the weights down or widen u′ to
-    * decimal.
+    * SQL. Intervals, totals, and grid numerators all accumulate and
+    * multiply as decimal(38,0) (HUGEINT in the oracle), so H·T and
+    * n·lo never wrap; the one residual bound — T < 2⁶³ so u′ fits the
+    * integral-divide output — is ENFORCED with raise_error, never a
+    * silent wrap (a 100 TB token line is ~2.5e13, five orders of
+    * magnitude inside it; pre-scale weights down if you ever hit it).
     */
   def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
                     n: Int, seed: String,
@@ -61,19 +64,32 @@ object Sampling {
       .withColumn("bucket",
         floor(d(col("id")) * numBuckets / (d(col("mxid")) + 1.0)))
       .drop("mxid")
-    val perB = b.groupBy("bucket").agg(sum(col("w")).as("bw"))
+    val dec = "decimal(38,0)"
+    val zero = lit(0).cast(dec)
+    val perB = b.groupBy("bucket").agg(sum(col("w").cast(dec)).as("bw"))
     val wb = Window.orderBy("bucket") // bounded bucket table
     val offs = perB.withColumn("off",
-      coalesce(sum(col("bw")).over(wb) - col("bw"), lit(0L)))
+      coalesce(sum(col("bw")).over(wb) - col("bw"), zero))
     val wr = Window.partitionBy("bucket").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val pre = b.join(broadcast(offs.select("bucket", "off")), Seq("bucket"))
-      .withColumn("lo", col("off") + coalesce(sum(col("w")).over(wr), lit(0L)))
+      .withColumn("lo",
+        col("off") + coalesce(sum(col("w").cast(dec)).over(wr), zero))
       .select(col("id"), col("w"), col("lo"), (col("lo") + col("w")).as("hi"))
-    val tot = items.agg(sum(col("w")).as("t"))
+    // T accumulates in decimal so an over-2⁶³ line is SEEN, then the
+    // guard raises — u′ = (H·T) div 2³² must fit the bigint the
+    // integral divide emits, and a wrapped u would corrupt the draw
+    // silently (the one failure mode a sampling op must never have)
+    val tot = items.agg(sum(col("w").cast(dec)).as("t"))
+      .select(when(col("t") < lit(BigDecimal("9223372036854775808")).cast(dec),
+          col("t"))
+        .otherwise(raise_error(lit(
+          "ppsSystematic: total weight must be < 2^63; pre-scale the weights"))
+          .cast(dec)).as("t"))
     val h = conv(substring(md5(lit(seed)), 1, 8), 16, 10).cast("long")
     pre.crossJoin(broadcast(tot)) // 1-row total
-      .withColumn("u", shiftright(h * col("t"), 32))
+      .withColumn("h", h)
+      .withColumn("u", expr("(h * t) div 4294967296"))
       .withColumn("kmin1",
         expr(s"(lo * $n - u + t + t - 1) div t"))
       .withColumn("kmax1",

@@ -418,4 +418,43 @@ class GraphSpec extends SparkSpec {
       .count(p => !matchedSet.contains(p._1) && !matchedSet.contains(p._2))
     assert(open == 0, s"$open edges still join two unmatched nodes (not maximal)")
   }
+
+  test("basket graph: served consumers match direct operators; ensure never re-runs the explode") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_basket_${System.nanoTime()}"
+    val rel = spark.read.parquet(s"$sf001/lineitem.parquet")
+    Graph.ensureBasketGraph(rel, "l_partkey", "l_orderkey", path)
+    // byte-for-byte result parity: every served consumer must equal
+    // its direct operator (same exact integers, same rounding)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Graph.adamicAdarFromGraph(spark, path, k = 20)) ==
+      rows(Graph.adamicAdar(rel, "l_partkey", "l_orderkey", k = 20)))
+    assert(rows(Graph.neighborhoodJaccardFromGraph(spark, path, k = 20)) ==
+      rows(Graph.neighborhoodJaccard(rel, "l_partkey", "l_orderkey", k = 20)))
+    assert(rows(Graph.associationRulesFromGraph(spark, path, k = 20, minSupport = 2)) ==
+      rows(Graph.associationRules(rel, "l_partkey", "l_orderkey", k = 20,
+        minSupport = 2)))
+    // the pair edges are the distinct df-cut co-occurrence pairs
+    val e = rel.selectExpr("l_partkey AS item", "l_orderkey AS c").distinct()
+    val ok = e.groupBy("c").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2 && col("deg") <= 200).select("c")
+    val p = e.join(ok, Seq("c"))
+    val direct = p.as("a").join(p.as("b"),
+        col("a.c") === col("b.c") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val served = Graph.basketPairEdges(spark, path)
+      .as[(Long, Long)].collect().toSet
+    assert(served == direct, "materialized pair edges diverge from the direct explode")
+    // build-once proof: rel is by-name — with the commit marker
+    // present, a poisoned source plan must never be evaluated
+    Graph.ensureBasketGraph(
+      sys.error("ensureBasketGraph re-evaluated the source"): org.apache.spark.sql.DataFrame,
+      "l_partkey", "l_orderkey", path)
+    // a marker-less (crashed) graph refuses to serve
+    val bad = s"${path}_nonexistent"
+    intercept[IllegalArgumentException] {
+      Graph.adamicAdarFromGraph(spark, bad)
+    }
+  }
 }

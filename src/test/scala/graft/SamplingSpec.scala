@@ -227,4 +227,27 @@ class SamplingSpec extends SparkSpec {
       .select("id", "w", "n_hits").as[(Long, Long, Long)].collect().toSeq
     assert(again.sortBy(_._1) == s.sortBy(_._1))
   }
+
+  test("ppsSystematic: heavy weight lines (T >= 2^31) select exactly n; T >= 2^63 raises") {
+    // pre-widening, u = shiftright(h*t, 32) wrapped negative once
+    // T >= 2^31 and the grid predicate silently selected the wrong
+    // rows — this fixture (T ≈ 3·2^33) failed on that code
+    val heavy = Seq((1L, 1L << 33), (2L, (1L << 33) + 7L), (3L, (1L << 33) + 13L))
+      .toDF("id", "w")
+    val s = Sampling.ppsSystematic(heavy, "id", "w", n = 6, seed = "heavy")
+      .select("id", "n_hits").as[(Long, Long)].collect().toSeq
+    assert(s.map(_._2).sum == 6L, s"grid must land exactly n hits on a heavy line: $s")
+    // ~equal thirds of the line at n=6 → every item drawn ~twice
+    assert(s.map(_._1).toSet == Set(1L, 2L, 3L), s"all three heavy items must appear: $s")
+    // the residual bound is ENFORCED, not a silent wrap: three 2^62
+    // weights sum past 2^63 and the guard must raise
+    val over = Seq((1L, 1L << 62), (2L, 1L << 62), (3L, 1L << 62)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.ppsSystematic(over, "id", "w", n = 2, seed = "over").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("total weight must be < 2^63")),
+      s"expected the guard message, got: ${msgs(e)}")
+  }
 }
