@@ -824,6 +824,47 @@ object SparkEntry {
     head + rs + "\n " + unions + "\n ORDER BY node_a"
   }
 
+  // ---- weighted matching SQL twin: per round, every node's
+  // (w DESC, v DESC) row_number-1 pointer — the (w, node)-
+  // lexicographic argmax the engine's max(struct) takes — then the
+  // mutual-pointer join (a.p = b.u AND b.p = a.u, canonical a < b).
+  // Edge weight = lineitem count per (supplier, part); symmetrizing
+  // the raw rows and counting per (u, v) yields the same exact longs
+  // as counting the directed pairs first. ---------------------------
+  private def matchingWeightedSql(rounds: Int): String = {
+    val head =
+      """WITH und0 AS MATERIALIZED (
+        | SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+        |  SELECT 's' || l_suppkey AS u, 'p' || l_partkey AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'p' || l_partkey AS u, 's' || l_suppkey AS v FROM lineitem)
+        | WHERE u <> v GROUP BY u, v)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s""",
+         | pref$r AS MATERIALIZED (
+         |  SELECT u, v AS p, w FROM (
+         |   SELECT u, v, w,
+         |    row_number() OVER (PARTITION BY u ORDER BY w DESC, v DESC) AS rn
+         |   FROM und${r - 1})
+         |  WHERE rn = 1),
+         | p$r AS MATERIALIZED (
+         |  SELECT a.u AS node_a, b.u AS node_b, a.w AS w,
+         |   CAST($r AS BIGINT) AS round
+         |  FROM pref$r a JOIN pref$r b
+         |   ON a.p = b.u AND b.p = a.u AND a.u < b.u),
+         | mn$r AS MATERIALIZED (
+         |  SELECT node_a AS n FROM p$r UNION SELECT node_b FROM p$r),
+         | und$r AS MATERIALIZED (
+         |  SELECT * FROM und${r - 1} e
+         |  WHERE NOT EXISTS (SELECT 1 FROM mn$r m WHERE m.n = e.u)
+         |    AND NOT EXISTS (SELECT 1 FROM mn$r m WHERE m.n = e.v))""".stripMargin
+    }.mkString
+    val unions = (1 to rounds)
+      .map(r => s"SELECT node_a, node_b, w, round FROM p$r")
+      .mkString("\n UNION ALL ")
+    head + rs + "\n " + unions + "\n ORDER BY node_a"
+  }
+
   // ---- triangle-count SQL twin: the oracle enumerates triangles by
   // LEXICOGRAPHIC a<b<c over the canonical undirected support while
   // the engine uses degree-ordered orientation — the hash match
@@ -2627,6 +2668,35 @@ object SparkEntry {
           "src", "dst", k = 65, iters = 4)
         .orderBy("node")),
 
+    // HyperBall/ANF neighborhood function on the same materialized
+    // basket graph: every node's 2-hop ball estimated by HLL-union
+    // rounds (|V| fixed-size sketches — the 100 TB reachability
+    // profile); gated boolean-bound (the agg_sketch_rollup contract)
+    // against the EXACT 2-hop ball on the node slice item % 50 == 0,
+    // which the oracle replays with two unrolled joins + TRUE
+    "graph_anf" -> ((s, dir) => {
+      val e0 = Graph.basketPairEdges(s, ensureBasketGraph(s, dir))
+      val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      val approx = Graph.neighborhoodFunction(e0, "src", "dst", hops = 2)
+      val slice = und.select(col("src").as("node")).distinct()
+        .where(col("node") % 50 === 0)
+      val h1 = und
+        .join(slice.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("src").as("node"), col("dst").as("r"))
+      val h2 = h1.withColumnRenamed("r", "mid")
+        .join(und.withColumnRenamed("src", "mid"), Seq("mid"))
+        .select(col("node"), col("dst").as("r"))
+      slice.select(col("node"), col("node").as("r"))
+        .union(h1).union(h2).distinct()
+        .groupBy("node").agg(count(lit(1)).as("n_ball"))
+        .join(approx, "node")
+        .select(col("node"), col("n_ball"),
+          (abs(col("n_ball_approx") - col("n_ball")) <= col("n_ball") * 0.10)
+            .as("within_10pct"))
+        .orderBy("node")
+    }),
+
     // weighted SSSP over the same graph: fewest-expected-steps
     // distance from the funnel entry ('signup'), edge length =
     // round(1/count, 9) so frequent transitions are cheap — Bellman-
@@ -3426,6 +3496,16 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.6)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // exact-substring duplicate SPANS (Lee et al. ExactSubstr on
+    // word-boundary windows): per doc the MAXIMAL runs of 8-token
+    // windows shared with >= 2 distinct docs — where the duplication
+    // starts and ends, not just that it exists; hashed windows,
+    // per-doc gaps-and-islands merge, never a global sort
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
 
     // exact containment contamination: fraction of each benchmark
     // doc's shingles found in each training doc — catches the
@@ -5290,6 +5370,20 @@ object SparkEntry {
         "src", "dst", rounds = 8)
         .orderBy("node_a")),
 
+    // WEIGHTED matching on the same graph, edge weight = lineitem
+    // count per (supplier, part): mutual local-max pointers
+    // (Preis/Hoepman — the greedy 1/2-approx for max-weight
+    // matching), the (w, node)-lexicographic argmax replayed by the
+    // oracle as row_number windows + a mutual-pointer join
+    "graph_matching_weighted" -> ((s, dir) =>
+      Graph.greedyMatchingWeighted(
+        t(s, dir, "lineitem")
+          .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+                   concat(lit("p"), col("l_partkey")).as("dst"))
+          .agg(count(lit(1)).as("w")),
+        "src", "dst", "w", rounds = 8)
+        .orderBy("node_a")),
+
     // experiment power analysis from observed per-user spend: per-arm
     // n for each candidate MDE at α=0.05 / power 0.8, pinned z-sum
     "events_power_analysis" -> ((s, dir) =>
@@ -6704,6 +6798,31 @@ object SparkEntry {
     // same basket edges + df-cut as graph_adamic_adar; 4 integer
     // peeling rounds as MATERIALIZED CTEs (the labelProp contract),
     // final within-core degree over the round-4 survivors
+    // exact 2-hop balls on the slice: the pair CTE (same df-cut),
+    // symmetrize, two unrolled hop joins, distinct, count; the HLL
+    // side is sketch-deterministic, gated by the TRUE boolean
+    "graph_anf" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | ok AS (SELECT c FROM (SELECT c, count(*) AS deg FROM el GROUP BY 1)
+        |        WHERE deg BETWEEN 2 AND 200),
+        | p AS MATERIALIZED (SELECT el.item, el.c FROM el JOIN ok USING (c)),
+        | pr AS MATERIALIZED (
+        |  SELECT DISTINCT a.item AS src, b.item AS dst
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item),
+        | und AS MATERIALIZED (
+        |  SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+        | sl AS (SELECT DISTINCT src AS node FROM und WHERE src % 50 = 0),
+        | h1 AS MATERIALIZED (
+        |  SELECT u.src AS node, u.dst AS r FROM und u JOIN sl ON u.src = sl.node),
+        | h2 AS (SELECT h1.node, u2.dst AS r FROM h1 JOIN und u2 ON u2.src = h1.r),
+        | reach AS (
+        |  SELECT node, node AS r FROM sl
+        |  UNION SELECT node, r FROM h1
+        |  UNION SELECT node, r FROM h2)
+        | SELECT node, CAST(count(*) AS BIGINT) AS n_ball, TRUE AS within_10pct
+        | FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
     "graph_kcore" -> {
       val head =
         """WITH e AS MATERIALIZED (
@@ -7230,6 +7349,31 @@ object SparkEntry {
     "dedup_cross" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6,
       candCond = "a.doc_id <> b.doc_id",
       candWhere = "WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0"),
+
+    // replays the span machinery end-to-end: same 60-bit md5 window
+    // hashes, same cross-doc >= 2 cut, same pos - row_number island
+    // key, span_tokens = n_windows + 7
+    "dedup_substring" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        | g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |     AS wh
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        | dup AS (
+        |  SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM g)
+        |  GROUP BY wh HAVING count(*) >= 2),
+        | isl AS (
+        |  SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+        |  FROM g JOIN dup USING (wh))
+        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        | FROM isl GROUP BY doc_id, k
+        | ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_containment" ->
       """WITH toks AS (
@@ -8540,6 +8684,8 @@ object SparkEntry {
     "graph_walks" -> randomWalksSql(walksPerNode = 4, length = 5),
 
     "graph_matching" -> matchingSql(rounds = 8),
+
+    "graph_matching_weighted" -> matchingWeightedSql(rounds = 8),
 
     "graph_walk_pmi" ->
       walkPmiSql(walksPerNode = 4, length = 5, window = 2, k = 30),

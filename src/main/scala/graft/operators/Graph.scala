@@ -413,6 +413,138 @@ object Graph {
     matched
   }
 
+  /** WEIGHTED greedy matching by mutual local-max pointers — the
+    * Preis 1999 / Hoepman 2004 locally-dominant-edge algorithm: each
+    * round every node points at its MAX-(weight, node) remaining
+    * neighbor, edges whose endpoints point at EACH OTHER are matched
+    * (a mutual pointer means the edge is the heaviest remaining at
+    * both endpoints — locally dominant), and matched nodes leave the
+    * graph. The greedy ½-approximation for maximum weight matching —
+    * the form ad/assignment systems use when "any maximal matching"
+    * ([[greedyMatching]]) leaves money on the table. Multi-edges
+    * collapse to their max weight up front (deterministic,
+    * order-free).
+    *
+    * Why mutual pointers instead of [[greedyMatching]]'s md5-role
+    * propose-accept: with roles, an acceptor can take a LIGHT
+    * proposal in a round where its heavy partner drew the same role
+    * and stayed silent — which breaks local dominance and with it
+    * the ½ bound. Mutual max-pointers need no coin at all: the
+    * globally heaviest remaining edge is always mutual, so every
+    * round clears ≥ 1 edge (progress without randomness), and every
+    * cleared edge is locally dominant, which is exactly the
+    * ½-approx charging argument (each matched edge blocks ≤ 2
+    * optimum edges, neither heavier).
+    *
+    * Determinism contract: the pointer is a (w, node)-lexicographic
+    * argmax — a total order on exact integer weights with node
+    * tie-break — so the DuckDB oracle replays rounds as CTEs with
+    * row_number windows. Callers pre-scale decimal weights to longs
+    * (the repo-wide scaled-long contract). Maximal once the edge set
+    * drains; run `rounds` ≥ the clear depth (dense graphs clear in a
+    * handful; the drained-graph early exit stops paying round
+    * latency the moment it's done).
+    *
+    * Scale shape per round: one max-struct hash aggregate over
+    * remaining edges (the pointer table), one self-join of that
+    * |V|-row table for mutuality (canonical u < v keeps each pair
+    * once), two anti-joins to drop matched endpoints; per-round
+    * tables localCheckpoint eagerly (consumed twice — the
+    * [[pageRank]] discipline).
+    */
+  def greedyMatchingWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                             weightCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1 (zero rounds match nothing)")
+    val dir0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(weightCol).cast("long").as("w"))
+    var und = dir0
+      .union(dir0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .where(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(max(col("w")).as("w"))
+      .localCheckpoint()
+    var matched: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pref = und
+        .groupBy("u").agg(max(struct(col("w"), col("v"))).as("t"))
+        .select(col("u"), col("t.v").as("p"), col("t.w").as("w"))
+      val pairs = pref.as("a").join(pref.as("b"),
+          col("a.p") === col("b.u") && col("b.p") === col("a.u") &&
+            col("a.u") < col("b.u"))
+        .select(col("a.u").as("node_a"), col("b.u").as("node_b"),
+          col("a.w").as("w"), lit(r.toLong).as("round"))
+        .localCheckpoint()
+      matched = if (matched == null) pairs else matched.union(pairs)
+      val mn = pairs.select(col("node_a").as("n"))
+        .union(pairs.select(col("node_b").as("n")))
+      val prev = und
+      und = und
+        .join(mn, col("u") === col("n"), "left_anti")
+        .join(mn, col("v") === col("n"), "left_anti")
+        .localCheckpoint()
+      unpersistBacking(prev)
+      if (und.isEmpty) {
+        unpersistBacking(und)
+        return matched
+      }
+    }
+    unpersistBacking(und)
+    matched
+  }
+
+  /** Approximate per-node neighborhood function — the
+    * HyperBall/HyperANF shape (Boldi–Rosa–Vigna 2011; Palmer et al.
+    * ANF 2002): every node carries an HLL sketch of its ≤ r-hop
+    * reachable set, and each round unions every neighbor's sketch
+    * into the node's own (B_{k+1}(v) = B_k(v) ∪ ⋃_{(v,u)} B_k(u)).
+    * After `hops` rounds the estimate is |ball(v, hops)| — the
+    * graph-diameter / neighborhood-growth diagnostic that runs where
+    * exact per-node BFS (|V| frontiers) cannot. The sketch state is
+    * |V| fixed-size registers per round regardless of ball size —
+    * that is the entire trick, and why this is the standard 100 TB
+    * reachability profile.
+    *
+    * Exactness contract: HLL register updates are deterministic
+    * functions of the value set, so the estimate is bit-stable for a
+    * given input — callers gate it boolean-bound against an exact
+    * slice (the agg_sketch_rollup contract), not by hash.
+    *
+    * Scale shape per round: one |E|-row join of the symmetrized edge
+    * layout (repartitioned once on src, persisted) against the |V|-row
+    * sketch table, one node-keyed `hll_union_agg` (map-side partial
+    * merges — sketches are commutative monoids, the reason this
+    * composes at all), eager per-round localCheckpoint (the
+    * [[pageRank]] discipline). No collect, no window.
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+                           hops: Int, lgK: Int = 12): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var state = und.select(col("src").as("node")).distinct()
+      .groupBy("node").agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val fromNbr = und
+        .join(state.select(col("node").as("dst"), col("sk")), Seq("dst"))
+        .select(col("src").as("node"), col("sk"))
+      val prev = state
+      state = fromNbr.union(prev.select("node", "sk"))
+        .groupBy("node").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = state
+      .select(col("node"), hll_sketch_estimate(col("sk")).as("n_ball_approx"))
+      .localCheckpoint()
+    unpersistBacking(state)
+    und.unpersist(blocking = false)
+    out
+  }
+
   /** DeepWalk-style node-context PMI features off [[randomWalks]]:
     * skip-gram co-occurrence pairs within a ±`window` step radius of
     * the generated walks, scored by pointwise mutual information —

@@ -363,4 +363,43 @@ class DedupSpec extends SparkSpec {
         configs = Seq((16, 2), (8, 2)))
     }
   }
+
+  test("duplicatedSpans: hand-computed maximal spans, gaps split islands, cross-doc only") {
+    // docs 1 and 2 share the 10-token run "a b c d e f g h i j":
+    // 8-token windows at doc-1 positions 0,1,2 (and doc-2 2,3,4) are
+    // the ONLY duplicated windows -> one maximal span each,
+    // span_tokens = 3 + 8 - 1 = 10. doc 3 shares nothing; doc 4
+    // repeats a window only WITHIN itself (not cross-doc).
+    val d = docs(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y a b c d e f g h i j q r"),
+      (3L, "p q r s t u v w aa bb cc dd"),
+      (4L, "m m m m m m m m m m m m"))
+    val got = Dedup.duplicatedSpans(d, "doc_id", "text",
+        windowTokens = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_tokens", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 10L, 3L), (2L, 2L, 10L, 3L)), s"got $got")
+    // two shared runs separated by unique middles -> TWO islands per
+    // doc, each reconstructing its own maximal span
+    val d2 = docs(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 z1 z2 b1 b2 b3 b4 b5 b6 b7 b8"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 y1 y2 y3 b1 b2 b3 b4 b5 b6 b7 b8"))
+    val got2 = Dedup.duplicatedSpans(d2, "doc_id", "text",
+        windowTokens = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_tokens", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq(
+      (1L, 0L, 8L, 1L), (1L, 10L, 8L, 1L),
+      (2L, 0L, 8L, 1L), (2L, 11L, 8L, 1L)), s"got $got2")
+    // guards
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(d, "doc_id", "text", windowTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(d, "doc_id", "text", minDocs = 1)
+    }
+  }
 }

@@ -419,6 +419,70 @@ class GraphSpec extends SparkSpec {
     assert(open == 0, s"$open edges still join two unmatched nodes (not maximal)")
   }
 
+  test("greedyMatchingWeighted: valid matching, prefers heavy edges, beats half the optimum") {
+    // path a-b-c with w(a,b)=10, w(b,c)=1: the weighted matcher must
+    // take the heavy edge (greedy local-max), never strand it
+    val p = Seq(("a", "b", 10L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val m1 = Graph.greedyMatchingWeighted(p, "src", "dst", "w", rounds = 8)
+      .select("node_a", "node_b", "w").as[(String, String, Long)].collect().toSeq
+    assert(m1.map(_._3).sum == 10L, s"must match the heavy edge: $m1")
+    // supplier–part graph with count weights: matching is valid (no
+    // node twice), maximal (no open edge), deterministic across
+    // partitionings, and total weight >= 1/2 a per-node upper bound
+    val le = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+               concat(lit("p"), col("l_partkey")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val m = Graph.greedyMatchingWeighted(le, "src", "dst", "w", rounds = 8)
+      .select("node_a", "node_b", "w").as[(String, String, Long)].collect().toSeq
+    val nodes = m.flatMap(x => Seq(x._1, x._2))
+    assert(nodes.distinct.size == nodes.size, "a node matched twice")
+    val matchedSet = nodes.toSet
+    val edges = le.as[(String, String, Long)].collect()
+    val open = edges.count(e =>
+      !matchedSet.contains(e._1) && !matchedSet.contains(e._2))
+    assert(open == 0, s"$open edges still join two unmatched nodes (not maximal)")
+    // 1/2-approx witness: any concrete matching lower-bounds OPT, and
+    // the algorithm guarantees total >= OPT/2 — so total*2 must beat
+    // the SEQUENTIAL greedy-by-weight matching's total
+    val free = scala.collection.mutable.Set.empty[String]
+    var wGreedy = 0L
+    edges.sortBy(e => (-e._3, e._1, e._2)).foreach { e =>
+      if (!free.contains(e._1) && !free.contains(e._2)) {
+        free += e._1; free += e._2; wGreedy += e._3
+      }
+    }
+    assert(m.map(_._3).sum * 2 >= wGreedy,
+      s"total weight ${m.map(_._3).sum} below half the greedy witness $wGreedy")
+    val again = Graph.greedyMatchingWeighted(le.repartition(7), "src", "dst", "w",
+        rounds = 8)
+      .select("node_a", "node_b", "w").as[(String, String, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == m.sortBy(_._1), "partitioning changed the matching")
+    intercept[IllegalArgumentException] {
+      Graph.greedyMatchingWeighted(p, "src", "dst", "w", rounds = 0)
+    }
+  }
+
+  test("neighborhoodFunction: tiny-graph balls exact (HLL sparse mode), monotone in hops") {
+    // path a-b-c-d, 2-hop balls: |B(a)|=3, |B(b)|=4, |B(c)|=4,
+    // |B(d)|=3 — at these cardinalities HLL is exact, so the
+    // estimates are the true counts
+    val p = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.neighborhoodFunction(p, "src", "dst", hops = 2)
+      .select(col("node"), round(col("n_ball_approx")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 4L, "c" -> 4L, "d" -> 3L), s"got $got")
+    // 1-hop is the degree+1 ball; ball sizes are monotone in hops
+    val h1 = Graph.neighborhoodFunction(p, "src", "dst", hops = 1)
+      .select(col("node"), round(col("n_ball_approx")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(h1 == Map("a" -> 2L, "b" -> 3L, "c" -> 3L, "d" -> 2L), s"got $h1")
+    assert(got.forall { case (k, v) => v >= h1(k) })
+    intercept[IllegalArgumentException] {
+      Graph.neighborhoodFunction(p, "src", "dst", hops = 0)
+    }
+  }
+
   test("basket graph: served consumers match direct operators; ensure never re-runs the explode") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_basket_${System.nanoTime()}"
     val rel = spark.read.parquet(s"$sf001/lineitem.parquet")
