@@ -824,6 +824,23 @@ object SparkEntry {
     head + rs + "\n " + unions + "\n ORDER BY node_a"
   }
 
+  // ---- Adamic-Adar SQL twin, shared by graph_adamic_adar (direct /
+  // served-from-graph) and graph_basket_upsert (served from the
+  // incrementally-maintained graph — same result by the additive
+  // merge contract). ------------------------------------------------
+  private val adamicAdarSql: String =
+    """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+      | d AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      | w AS (SELECT c, CAST(round(round(1.0/ln(deg), 9) * 1e9, 0) AS BIGINT) AS wl
+      |       FROM d WHERE deg BETWEEN 2 AND 200),
+      | p AS (SELECT e.item, e.c, w.wl FROM e JOIN w USING (c))
+      | SELECT a.item AS item_a, b.item AS item_b,
+      |  CAST(count(*) AS BIGINT) AS n_common,
+      |  round(sum(a.wl) / 1e9, 6) AS score
+      | FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+      | GROUP BY 1, 2
+      | ORDER BY score DESC, item_a, item_b LIMIT 20""".stripMargin
+
   // ---- weighted matching SQL twin: per round, every node's
   // (w DESC, v DESC) row_number-1 pointer — the (w, node)-
   // lexicographic argmax the engine's max(struct) takes — then the
@@ -2668,6 +2685,27 @@ object SparkEntry {
           "src", "dst", k = 65, iters = 4)
         .orderBy("node")),
 
+    // incremental basket-graph maintenance: build on the even-order
+    // half, UPSERT the odd half (whole containers — the additive
+    // case), serve Adamic-Adar from the merged tables; the oracle is
+    // the UNCHANGED full-corpus graph_adamic_adar SQL, so the merge
+    // must be bit-identical to a rebuild. Only delta-touched pair
+    // buckets rewrite (dynamic partition overwrite)
+    "graph_basket_upsert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val src = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_basket_upsert_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_delta_done").exists()) {
+        Graph.writeBasketGraph(li.where(col("l_orderkey") % 2 === 0),
+          "l_partkey", "l_orderkey", path)
+        Graph.appendBasketDelta(li.where(col("l_orderkey") % 2 === 1),
+          "l_partkey", "l_orderkey", path)
+        new java.io.File(s"${path}_delta_done").createNewFile()
+      }
+      Graph.adamicAdarFromGraph(s, path, k = 20)
+        .orderBy(desc("score"), asc("item_a"), asc("item_b"))
+    }),
+
     // HyperBall/ANF neighborhood function on the same materialized
     // basket graph: every node's 2-hop ball estimated by HLL-union
     // rounds (|V| fixed-size sketches — the 100 TB reachability
@@ -3506,6 +3544,15 @@ object SparkEntry {
       Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
           windowTokens = 8, minDocs = 2)
         .orderBy("doc_id", "span_start")),
+
+    // the removal step: cut the spans, keep the rest — one row per
+    // doc with before/after token counts and the cleaned text; docs
+    // with no duplication pass through, fully-duplicated docs come
+    // out empty (a downstream min-length filter's business)
+    "dedup_substring_clean" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 8, minDocs = 2)
+        .orderBy("doc_id")),
 
     // exact containment contamination: fraction of each benchmark
     // doc's shingles found in each training doc — catches the
@@ -6742,18 +6789,12 @@ object SparkEntry {
 
     // same df-cut (2 ≤ order size ≤ 200), same round-9-scale-to-long
     // weights, same TakeOrdered tiebreak
-    "graph_adamic_adar" ->
-      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
-        | d AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-        | w AS (SELECT c, CAST(round(round(1.0/ln(deg), 9) * 1e9, 0) AS BIGINT) AS wl
-        |       FROM d WHERE deg BETWEEN 2 AND 200),
-        | p AS (SELECT e.item, e.c, w.wl FROM e JOIN w USING (c))
-        | SELECT a.item AS item_a, b.item AS item_b,
-        |  CAST(count(*) AS BIGINT) AS n_common,
-        |  round(sum(a.wl) / 1e9, 6) AS score
-        | FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
-        | GROUP BY 1, 2
-        | ORDER BY score DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "graph_adamic_adar" -> adamicAdarSql,
+
+    // the upserted graph must serve results indistinguishable from a
+    // from-scratch build — the oracle IS graph_adamic_adar's, on the
+    // full relation
+    "graph_basket_upsert" -> adamicAdarSql,
 
     // supports over ALL baskets, pairs from df-cut baskets (like the
     // engine); HAVING is the minSupport gate
@@ -7374,6 +7415,49 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         | FROM isl GROUP BY doc_id, k
         | ORDER BY doc_id, span_start""".stripMargin,
+
+    // the span CTEs replayed, then original-case tokens anti-joined
+    // against span ranges and re-agglutinated in pos order; docs with
+    // every token cut fall out of the string_agg and coalesce to ''
+    "dedup_substring_clean" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        | g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |     AS wh
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        | dup AS (
+        |  SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM g)
+        |  GROUP BY wh HAVING count(*) >= 2),
+        | isl AS (
+        |  SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+        |  FROM g JOIN dup USING (wh)),
+        | sp AS (
+        |  SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 7 AS e
+        |  FROM isl GROUP BY doc_id, k),
+        | toks0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        | tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+        |  FROM toks0, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        | kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = k.doc_id AND k.pos >= sp.s AND k.pos < sp.e)),
+        | ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |   string_agg(tok, ' ' ORDER BY pos) AS ct
+        |  FROM kept GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks0)
+        | SELECT n.doc_id, n.n_tokens,
+        |  n.n_tokens - coalesce(ag.n_kept, 0) AS n_removed,
+        |  coalesce(ag.ct, '') AS clean_text
+        | FROM n LEFT JOIN ag USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
 
     "dedup_containment" ->
       """WITH toks AS (

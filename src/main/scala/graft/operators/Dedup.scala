@@ -278,25 +278,52 @@ object Dedup {
     * conservative direction for contamination screening (boilerplate
     * overlap is exactly what the metric should not reward), but
     * callers comparing against an uncut containment number must
-    * expect the gap.
+    * expect the gap. `informativeDenominator = true` removes the
+    * bias by normalizing over only the probe shingles that SURVIVE
+    * the df-cut ("containment among informative shingles" — the
+    * numerator and denominator then share the same universe): a
+    * probe doc that is 90% boilerplate plus a fully-contained quote
+    * scores 1.0 instead of 0.1. A probe doc whose every shingle is
+    * hot has an empty denominator and is ABSENT from the output
+    * (there is nothing informative to measure).
     */
   def crossContainment(corpus: DataFrame, probe: DataFrame, idCol: String,
                        textCol: String, shingleN: Int = 3,
                        minContainment: Double = 0.5,
-                       maxDocFreq: Int = 1000): DataFrame = {
+                       maxDocFreq: Int = 1000,
+                       informativeDenominator: Boolean = false): DataFrame = {
     val cSh = shingleHashRows(corpus, idCol, wordShinglesFast(col(textCol), shingleN))
     val pSh = shingleHashRows(probe, idCol, wordShinglesFast(col(textCol), shingleN))
     val hot = cSh.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq)
       .select("h")
-    cSh.join(broadcast(hot), Seq("h"), "left_anti")
-      .join(broadcast(pSh.select(col("h"), col("doc").as("pdoc"),
-                                 col("n_sh").as("p_n"))), "h")
-      .groupBy(col("doc").as("doc_a"), col("pdoc").as("doc_b"), col("p_n"))
-      .agg(count(lit(1)).as("n_common"))
-      .withColumn("containment", round(col("n_common") / col("p_n"), 6))
-      .where(col("containment") >= minContainment)
-      .select("doc_a", "doc_b", "containment")
+    val cut = cSh.join(broadcast(hot), Seq("h"), "left_anti")
+    if (!informativeDenominator) {
+      cut
+        .join(broadcast(pSh.select(col("h"), col("doc").as("pdoc"),
+                                   col("n_sh").as("p_n"))), "h")
+        .groupBy(col("doc").as("doc_a"), col("pdoc").as("doc_b"), col("p_n"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("containment", round(col("n_common") / col("p_n"), 6))
+        .where(col("containment") >= minContainment)
+        .select("doc_a", "doc_b", "containment")
+    } else {
+      // denominator = the probe doc's shingles NOT hot in the corpus
+      // (same universe as the numerator); both sides of the ratio are
+      // exact counts off the cut tables, so the score stays
+      // oracle-replayable
+      val pCut = pSh.join(broadcast(hot), Seq("h"), "left_anti")
+      val pDen = pCut.groupBy(col("doc").as("pdoc"))
+        .agg(count(lit(1)).as("p_n"))
+      cut
+        .join(broadcast(pCut.select(col("h"), col("doc").as("pdoc"))), "h")
+        .groupBy(col("doc").as("doc_a"), col("pdoc").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(pDen), col("doc_b") === col("pdoc"))
+        .withColumn("containment", round(col("n_common") / col("p_n"), 6))
+        .where(col("containment") >= minContainment)
+        .select("doc_a", "doc_b", "containment")
+    }
   }
 
   /** One aggregation pass over the shingle stream producing BOTH the
@@ -1006,5 +1033,47 @@ object Dedup {
       .select(col("doc_id"), col("span_start"),
         (col("n_windows") + (windowTokens - 1)).as("span_tokens"),
         col("n_windows"))
+  }
+
+  /** The Lee et al. REMOVAL step on [[duplicatedSpans]]: cut every
+    * maximal duplicated span out of each document and keep the rest —
+    * "remove the quote, keep the doc", the surgical alternative to
+    * dropping whole near-dup documents (which loses their unique
+    * text). Output is one row per input doc: token counts before and
+    * after plus the cleaned text (docs with no spans pass through
+    * unchanged; a fully-duplicated doc comes out empty, which a
+    * downstream min-length filter then drops — composition, not
+    * special-casing).
+    *
+    * Span positions come from LOWERCASED tokens (the
+    * [[duplicatedSpans]] contract) but apply to the ORIGINAL-case
+    * token stream — whitespace tokenization is case-invariant, so
+    * positions align by construction.
+    *
+    * Scale shape: the span table is tiny (only docs with duplication
+    * appear) and joins back LEFT onto the corpus by doc id; removal
+    * is a per-row indexed-filter HOF bounded by doc length × span
+    * count — map-only, no extra shuffle. For adversarial span counts
+    * per doc, the explode + range-anti-join form trades the HOF for
+    * one more shuffle; corpora where that wins are rare (it means
+    * most of the corpus is duplicated spans).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, windowTokens, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        (col("span_start") + col("span_tokens")).as("e"))).as("spans"))
+    val kept = when(col("spans").isNull, col("toks"))
+      .otherwise(filter(col("toks"), (_, i) =>
+        !exists(col("spans"), sp =>
+          i.cast("long") >= sp.getField("s") && i.cast("long") < sp.getField("e"))))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", kept)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 }

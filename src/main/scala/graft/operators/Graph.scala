@@ -1322,7 +1322,9 @@ object Graph {
     *  - `${path}_pairs`   (item_a, item_b, n_common, w_sum): one row
     *    per canonical co-occurring pair on the df-cut graph, with the
     *    shared-container count and the exact scaled-long Adamic-Adar
-    *    weight sum (Σ round(1/ln(deg), 9)·1e9 over shared containers);
+    *    weight sum (Σ round(1/ln(deg), 9)·1e9 over shared containers),
+    *    hash-bucketed by item_a ([[appendBasketDelta]] partition-
+    *    prunes its merge to the buckets a delta touches);
     *  - `${path}_degrees` (item, n_all, n_cut): per-item container
     *    counts on the UNCUT and cut relations — association rules
     *    normalize by uncut supports, neighborhood Jaccard by cut
@@ -1344,8 +1346,16 @@ object Graph {
     * one pair-keyed hash aggregate — exactly the cost ONE direct
     * consumer already paid; everything downstream is served.
     */
-  def writeBasketGraph(rel: DataFrame, itemCol: String, containerCol: String,
-                       path: String, maxContainerSize: Int = 200): Unit = {
+  /** The three basket-graph aggregates of one (item, container)
+    * relation, shared verbatim by [[writeBasketGraph]] (full build)
+    * and [[appendBasketDelta]] (delta build) — same df-cut, same
+    * exact integers, so a delta merge is bit-identical to a rebuild.
+    * Caller unpersists the returned handles.
+    */
+  private def basketAggregates(rel: DataFrame, itemCol: String,
+                               containerCol: String, maxContainerSize: Int,
+                               numBuckets: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = rel.select(col(itemCol).as("item"), col(containerCol).as("c"))
       .distinct()
       .persist()
@@ -1356,19 +1366,30 @@ object Graph {
           .cast("long"))
       .select("c", "wl")
     val p = e.join(wl, Seq("c")).persist()
-    p.as("a").join(p.as("b"),
+    val pairs = p.as("a").join(p.as("b"),
         col("a.c") === col("b.c") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("a.wl")).as("w_sum"))
-      .write.mode("overwrite").parquet(s"${path}_pairs")
+      .withColumn("bucket", pmod(xxhash64(col("item_a")), lit(numBuckets.toLong)))
     val nAll = e.groupBy("item").agg(count(lit(1)).as("n_all"))
     val nCut = p.groupBy("item").agg(count(lit(1)).as("n_cut"))
-    nAll.join(nCut, Seq("item"), "left")
+    val deg = nAll.join(nCut, Seq("item"), "left")
       .select(col("item"), col("n_all"),
         coalesce(col("n_cut"), lit(0L)).as("n_cut"))
-      .write.mode("overwrite").parquet(s"${path}_degrees")
-    e.select("c").distinct().agg(count(lit(1)).as("n_total"))
-      .write.mode("overwrite").parquet(s"${path}_stats")
+    val stats = e.select("c").distinct().agg(count(lit(1)).as("n_total"))
+    (e, p, pairs, deg, stats)
+  }
+
+  def writeBasketGraph(rel: DataFrame, itemCol: String, containerCol: String,
+                       path: String, maxContainerSize: Int = 200,
+                       numBuckets: Int = 64): Unit = {
+    val (e, p, pairs, deg, stats) =
+      basketAggregates(rel, itemCol, containerCol, maxContainerSize, numBuckets)
+    pairs
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"${path}_pairs")
+    deg.write.mode("overwrite").parquet(s"${path}_degrees")
+    stats.write.mode("overwrite").parquet(s"${path}_stats")
     p.unpersist(blocking = false)
     e.unpersist(blocking = false)
   }
@@ -1383,6 +1404,93 @@ object Graph {
                         maxContainerSize: Int = 200): Unit = {
     if (!new java.io.File(s"${path}_stats/_SUCCESS").exists())
       writeBasketGraph(rel, itemCol, containerCol, path, maxContainerSize)
+  }
+
+  /** UPSERT a WHOLE-CONTAINER delta into a materialized
+    * [[writeBasketGraph]] graph without re-touching the old relation —
+    * the [[graft.operators.TextAnalysis.writeBm25Index]] maintenance
+    * discipline applied to the pair graph. Every stored number is
+    * ADDITIVE across container-disjoint halves: a container lives
+    * entirely in one ingest (orders arrive whole), so its df-cut
+    * degree, its pair contributions (n_common, w_sum) and the degree/
+    * total counts computed on the delta alone are exactly the
+    * missing addends — old + delta aggregates merge by SUM into the
+    * same exact integers a from-scratch rebuild produces (spec-proven
+    * bit-equality).
+    *
+    * Append-only contract ([[graft.operators.Dedup.appendClusterDelta]]'s):
+    * the delta must contain only NEW containers — re-ingesting a
+    * changed container would need its old contributions subtracted,
+    * which the summed tables cannot express; rebuild for that case.
+    *
+    * Scale shape: the delta's pair explode is delta-sized; the pair
+    * table is hash-bucketed by item_a, so the merge reads ONLY the
+    * buckets the delta touches (partition-pruned scan) and dynamic
+    * partition overwrite rewrites only those — untouched buckets stay
+    * byte-identical (spec-pinned). Additive merges never empty a
+    * bucket, so there is no emptied-partition cleanup (unlike the
+    * BM25 re-ingest path). Degrees/stats are |items|-row and 1-row —
+    * they rewrite whole. Crash safety: the `_stats/_SUCCESS` commit
+    * marker is deleted before the first mutation and restored by the
+    * final stats write; a crash mid-upsert leaves a marker-less graph
+    * that [[ensureBasketGraph]] rebuilds and serving refuses.
+    */
+  def appendBasketDelta(deltaRel: DataFrame, itemCol: String,
+                        containerCol: String, path: String,
+                        maxContainerSize: Int = 200,
+                        numBuckets: Int = 64): Unit = {
+    val spark = deltaRel.sparkSession
+    val (e, p, dPairsPlan, dDeg, dStats) =
+      basketAggregates(deltaRel, itemCol, containerCol, maxContainerSize,
+        numBuckets)
+    val dPairs = dPairsPlan.localCheckpoint() // consumed twice (buckets, merge)
+    val affected = dPairs.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted // control-plane, <= numBuckets values
+    val oldAffected = spark.read.parquet(s"${path}_pairs")
+      .where(col("bucket").isin(affected: _*))
+      // partition columns read back under inference — cast explicitly
+      .select(col("item_a"), col("item_b"), col("n_common"), col("w_sum"),
+        col("bucket").cast("long").as("bucket"))
+      .localCheckpoint() // materialize BEFORE overwriting what we read
+    val merged = oldAffected.unionByName(dPairs)
+      .groupBy("bucket", "item_a", "item_b")
+      .agg(sum(col("n_common")).as("n_common"), sum(col("w_sum")).as("w_sum"))
+      .select("item_a", "item_b", "n_common", "w_sum", "bucket")
+      .localCheckpoint()
+    val oldDeg = spark.read.parquet(s"${path}_degrees")
+      .select(col("item"), col("n_all").as("o_all"), col("n_cut").as("o_cut"))
+    val mergedDeg = oldDeg
+      .join(dDeg.select(col("item"), col("n_all").as("d_all"),
+        col("n_cut").as("d_cut")), Seq("item"), "full_outer")
+      .select(col("item"),
+        (coalesce(col("o_all"), lit(0L)) + coalesce(col("d_all"), lit(0L)))
+          .as("n_all"),
+        (coalesce(col("o_cut"), lit(0L)) + coalesce(col("d_cut"), lit(0L)))
+          .as("n_cut"))
+      .localCheckpoint()
+    val mergedStats = spark.read.parquet(s"${path}_stats")
+      .crossJoin(broadcast(dStats.withColumnRenamed("n_total", "d_total")))
+      .select((col("n_total") + col("d_total")).as("n_total"))
+      .localCheckpoint()
+    val fsPre = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"${path}_stats/_SUCCESS")
+    if (fsPre.exists(marker)) fsPre.delete(marker, false) // graph now in-flux
+    merged
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"${path}_pairs")
+    mergedDeg.write.mode("overwrite").parquet(s"${path}_degrees")
+    // the _stats overwrite recreates its _SUCCESS — the commit point
+    mergedStats.write.mode("overwrite").parquet(s"${path}_stats")
+    p.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    unpersistBacking(dPairs)
+    unpersistBacking(oldAffected)
+    unpersistBacking(merged)
+    unpersistBacking(mergedDeg)
+    unpersistBacking(mergedStats)
   }
 
   private def requireBasketGraph(path: String): Unit =

@@ -364,6 +364,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossContainment: informative denominator removes the df-cut bias") {
+    // hot1/hot2 appear in 4 corpus docs (> maxDocFreq = 2 -> cut);
+    // quotea/quoteb are informative and fully contained in c1
+    val corpus = docs(
+      (1L, "hot1 hot2 quotea quoteb"), (2L, "hot1 hot2"),
+      (3L, "hot1 hot2"), (4L, "hot1 hot2"))
+    val probe = docs(
+      (11L, "hot1 hot2 quotea quoteb"), // half boilerplate, half quote
+      (12L, "hot1 hot2"))               // pure boilerplate
+    // biased default: quote matches (2) over the FULL probe count (4)
+    val biased = Dedup.crossContainment(corpus, probe, "doc_id", "text",
+        shingleN = 1, minContainment = 0.4, maxDocFreq = 2)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(biased == Seq((1L, 11L, 0.5)), s"got $biased")
+    // informative: same numerator over the SURVIVING probe count (2)
+    val inf = Dedup.crossContainment(corpus, probe, "doc_id", "text",
+        shingleN = 1, minContainment = 0.4, maxDocFreq = 2,
+        informativeDenominator = true)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(inf == Seq((1L, 11L, 1.0)), s"got $inf")
+    // the all-boilerplate probe doc (12) is absent under BOTH forms
+    assert(!biased.exists(_._2 == 12L) && !inf.exists(_._2 == 12L))
+  }
+
   test("duplicatedSpans: hand-computed maximal spans, gaps split islands, cross-doc only") {
     // docs 1 and 2 share the 10-token run "a b c d e f g h i j":
     // 8-token windows at doc-1 positions 0,1,2 (and doc-2 2,3,4) are
@@ -401,5 +427,17 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(d, "doc_id", "text", minDocs = 1)
     }
+    // removal: spans cut, the rest keeps original order; span-free
+    // docs (3) and within-doc-only repetition (4) pass through
+    val clean = Dedup.removeDuplicatedSpans(d, "doc_id", "text",
+        windowTokens = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(clean == Seq(
+      (1L, 12L, 10L, "k l"),
+      (2L, 14L, 10L, "x y q r"),
+      (3L, 12L, 0L, "p q r s t u v w aa bb cc dd"),
+      (4L, 12L, 0L, "m m m m m m m m m m m m")), s"got $clean")
   }
 }

@@ -521,4 +521,52 @@ class GraphSpec extends SparkSpec {
       Graph.adamicAdarFromGraph(spark, bad)
     }
   }
+
+  test("appendBasketDelta: merge equals rebuild; untouched buckets byte-identical") {
+    val rel = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val up = s"$tmp/graft_spec_basket_up_${System.nanoTime()}"
+    val full = s"$tmp/graft_spec_basket_full_${System.nanoTime()}"
+    // half/half split on the CONTAINER key (whole containers — the
+    // additive contract), then upsert must reproduce the full build
+    Graph.writeBasketGraph(rel.where(col("l_orderkey") % 2 === 0),
+      "l_partkey", "l_orderkey", up)
+    Graph.appendBasketDelta(rel.where(col("l_orderkey") % 2 === 1),
+      "l_partkey", "l_orderkey", up)
+    Graph.writeBasketGraph(rel, "l_partkey", "l_orderkey", full)
+    def pairsOf(p: String) = spark.read.parquet(s"${p}_pairs")
+      .select("item_a", "item_b", "n_common", "w_sum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairsOf(up) == pairsOf(full), "merged pairs diverge from rebuild")
+    def degOf(p: String) = spark.read.parquet(s"${p}_degrees")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(degOf(up) == degOf(full), "merged degrees diverge from rebuild")
+    def totOf(p: String) = spark.read.parquet(s"${p}_stats")
+      .as[Long].collect().toSeq
+    assert(totOf(up) == totOf(full), "merged container total diverges")
+    // commit marker restored after the upsert
+    assert(new java.io.File(s"${up}_stats/_SUCCESS").exists())
+    // a one-pair delta touches ONE bucket; every other bucket's files
+    // must remain byte-identical (same names, sizes, mtimes)
+    def listing(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"${p}_pairs"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = listing(up)
+    val tinyDelta = Seq((900001L, 1L), (900002L, 1L))
+      .toDF("item", "container") // one new container, one new pair
+    Graph.appendBasketDelta(tinyDelta, "item", "container", up)
+    val after = listing(up)
+    val touched = spark.read.parquet(s"${up}_pairs")
+      .where(col("item_a") === 900001L)
+      .select(col("bucket").cast("long")).as[Long].collect().toSeq.distinct
+    assert(touched.size == 1)
+    val keptBefore = before.filterNot(_._1.contains(s"bucket=${touched.head}"))
+    val keptAfter = after.filterNot(_._1.contains(s"bucket=${touched.head}"))
+    assert(keptBefore == keptAfter,
+      "an untouched bucket was rewritten by the delta merge")
+  }
 }
