@@ -3545,6 +3545,19 @@ object SparkEntry {
           windowTokens = 8, minDocs = 2)
         .orderBy("doc_id", "span_start")),
 
+    // cross-corpus contamination SPANS: where benchmark text sits
+    // inside each training doc (train = id%17<>0, bench = id%17=0 —
+    // the dedup_cross split); benchmark window hashes broadcast into
+    // a semi-join, within-train duplication alone marks nothing
+    "dedup_substring_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossDuplicatedSpans(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", windowTokens = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // the removal step: cut the spans, keep the rest — one row per
     // doc with before/after token counts and the cleaned text; docs
     // with no duplication pass through, fully-duplicated docs come
@@ -7410,6 +7423,29 @@ object SparkEntry {
         |  SELECT doc_id, pos,
         |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
         |  FROM g JOIN dup USING (wh))
+        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        | FROM isl GROUP BY doc_id, k
+        | ORDER BY doc_id, span_start""".stripMargin,
+
+    // the window-hash CTE restricted per side of the %17 split; a
+    // train window marks only when its hash appears in the benchmark
+    // window set, then the same islands merge
+    "dedup_substring_cross" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        | g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |     AS wh
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        | pw AS (SELECT DISTINCT wh FROM g WHERE doc_id % 17 = 0),
+        | isl AS (
+        |  SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+        |  FROM g WHERE doc_id % 17 <> 0 AND wh IN (SELECT wh FROM pw))
         | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(count(*) + 7 AS BIGINT) AS span_tokens,
         |  CAST(count(*) AS BIGINT) AS n_windows

@@ -1011,28 +1011,70 @@ object Dedup {
     * sort + boundary exchange; the fixed window width is what lets a
     * hash shuffle replace it.
     */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(windowTokens >= 1, "windowTokens must be >= 1")
-    require(minDocs >= 2, "minDocs < 2 would mark every window duplicated")
-    val g = docs.select(col(idCol).as("doc_id"),
+  /** (doc_id, pos, wh) — every `windowTokens`-token window of every
+    * doc, keyed by the engine-neutral 60-bit hash; the shared head of
+    * the [[duplicatedSpans]] family.
+    */
+  private def windowHashRows(docs: DataFrame, idCol: String, textCol: String,
+                             windowTokens: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         posexplode(wordShinglesFast(lower(col(textCol)), windowTokens))
           .as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5Prefix64(col("w")).as("wh"))
-    val dup = g.select("wh", "doc_id").distinct()
-      .groupBy("wh").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs)
-      .select("wh")
+
+  /** Gaps-and-islands merge of marked window positions into maximal
+    * spans — per-doc window, never a global sort; the shared tail of
+    * the [[duplicatedSpans]] family.
+    */
+  private def maximalSpans(marked: DataFrame, windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wI = Window.partitionBy("doc_id").orderBy("pos")
-    g.join(dup, Seq("wh"), "left_semi")
+    marked
       .withColumn("isl", col("pos") - row_number().over(wI))
       .groupBy("doc_id", "isl")
       .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"),
         (col("n_windows") + (windowTokens - 1)).as("span_tokens"),
         col("n_windows"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(minDocs >= 2, "minDocs < 2 would mark every window duplicated")
+    val g = windowHashRows(docs, idCol, textCol, windowTokens)
+    val dup = g.select("wh", "doc_id").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("wh")
+    maximalSpans(g.join(dup, Seq("wh"), "left_semi"), windowTokens)
+  }
+
+  /** CROSS-corpus [[duplicatedSpans]] — the contamination-span
+    * report: for every TRAINING doc, the maximal contiguous regions
+    * whose every window also appears somewhere in the benchmark
+    * corpus. [[crossContainment]] scores how MUCH of a benchmark doc
+    * a training doc contains; this answers WHERE the shared text
+    * sits in the training doc, which is what a span-level
+    * decontamination pass (cut the leaked benchmark quote, keep the
+    * doc — [[removeDuplicatedSpans]]'s cross cousin) operates on.
+    *
+    * Scale shape: the benchmark side is small by contract, so its
+    * DISTINCT window-hash set broadcasts into a semi-join against the
+    * corpus windows (the [[crossContainment]] probe shape); the rest
+    * is the per-doc islands merge. Within-corpus duplication alone
+    * does NOT mark a window — only benchmark overlap does.
+    */
+  def crossDuplicatedSpans(corpus: DataFrame, probe: DataFrame, idCol: String,
+                           textCol: String,
+                           windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    val g = windowHashRows(corpus, idCol, textCol, windowTokens)
+    val probeWh = windowHashRows(probe, idCol, textCol, windowTokens)
+      .select("wh").distinct()
+    maximalSpans(g.join(broadcast(probeWh), Seq("wh"), "left_semi"),
+      windowTokens)
   }
 
   /** The Lee et al. REMOVAL step on [[duplicatedSpans]]: cut every

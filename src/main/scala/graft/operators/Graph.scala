@@ -508,11 +508,17 @@ object Graph {
     * given input — callers gate it boolean-bound against an exact
     * slice (the agg_sketch_rollup contract), not by hash.
     *
-    * Scale shape per round: one |E|-row join of the symmetrized edge
-    * layout (repartitioned once on src, persisted) against the |V|-row
-    * sketch table, one node-keyed `hll_union_agg` (map-side partial
-    * merges — sketches are commutative monoids, the reason this
-    * composes at all), eager per-round localCheckpoint (the
+    * Scale shape: the FIRST hop never unions sketches — B₁(v) is one
+    * `hll_sketch_agg` over the raw (node, member) rows {v} ∪ N(v),
+    * and a sketch INSERT is O(1) per value where a union is O(2^lgK)
+    * register maxes (measured ~4× on the sf0.1 co-purchase graph, the
+    * dominant cost). Hops ≥ 2 then pay one |E|-row join of the
+    * symmetrized edge layout (repartitioned once on src, persisted)
+    * against the |V|-row sketch table and one node-keyed
+    * `hll_union_agg` per round (map-side partial merges — sketches
+    * are commutative monoids, the reason this composes at all; the
+    * src-aligned layout means partials collapse to |V| rows BEFORE
+    * the exchange), eager per-round localCheckpoint (the
     * [[pageRank]] discipline). No collect, no window.
     */
   def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
@@ -524,10 +530,12 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist()
-    var state = und.select(col("src").as("node")).distinct()
-      .groupBy("node").agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
-      .localCheckpoint()
-    for (_ <- 1 to hops) {
+    val nodes = und.select(col("src").as("node")).distinct()
+    var state = und.select(col("src").as("node"), col("dst").as("m"))
+      .union(nodes.select(col("node"), col("node").as("m")))
+      .groupBy("node").agg(hll_sketch_agg(col("m"), lit(lgK)).as("sk"))
+      .localCheckpoint() // B₁ by raw inserts — no union round
+    for (_ <- 2 to hops) {
       val fromNbr = und
         .join(state.select(col("node").as("dst"), col("sk")), Seq("dst"))
         .select(col("src").as("node"), col("sk"))

@@ -364,6 +364,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossDuplicatedSpans: marks only benchmark-shared regions, not within-train dup") {
+    val train = docs(
+      // shares its first 9 tokens with the benchmark -> one span of
+      // 2 windows / 9 tokens at pos 0
+      (1L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 u1 u2 u3"),
+      // 2 and 3 duplicate EACH OTHER, nothing from the benchmark
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8 x1"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 x2"))
+    val bench = docs((11L, "z0 q1 q2 q3 q4 q5 q6 q7 q8 q9 z1"))
+    val got = Dedup.crossDuplicatedSpans(train, bench, "doc_id", "text",
+        windowTokens = 8)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_tokens", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 9L, 2L)), s"got $got")
+  }
+
   test("crossContainment: informative denominator removes the df-cut bias") {
     // hot1/hot2 appear in 4 corpus docs (> maxDocFreq = 2 -> cut);
     // quotea/quoteb are informative and fully contained in c1
