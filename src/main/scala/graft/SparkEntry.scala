@@ -2706,6 +2706,25 @@ object SparkEntry {
         .orderBy(desc("score"), asc("item_a"), asc("item_b"))
     }),
 
+    // STREAM-maintained basket graph — the lifecycle's fourth leg
+    // (build / ensure / upsert / stream, like BM25 and IVF): a
+    // two-batch order feed ingests through foreachBatch, batch 0
+    // builds, batch 1 upserts; serving afterwards must hash-match
+    // the all-at-once full-corpus Adamic-Adar oracle (batching is
+    // invisible — the additive-merge contract, arrived at streaming)
+    "graph_basket_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingIndex
+      val src = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_basket_stream_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_ingest_done").exists()) {
+        StreamingIndex.basketIngestToCompletion(s,
+          stagedTwoBatchDir(s, dir, "lineitem", "l_orderkey"), path)
+        new java.io.File(s"${path}_ingest_done").mkdirs()
+      }
+      Graph.adamicAdarFromGraph(s, path, k = 20)
+        .orderBy(desc("score"), asc("item_a"), asc("item_b"))
+    }),
+
     // HyperBall/ANF neighborhood function on the same materialized
     // basket graph: every node's 2-hop ball estimated by HLL-union
     // rounds (|V| fixed-size sketches — the 100 TB reachability
@@ -6808,6 +6827,9 @@ object SparkEntry {
     // from-scratch build — the oracle IS graph_adamic_adar's, on the
     // full relation
     "graph_basket_upsert" -> adamicAdarSql,
+
+    // same contract arrived at through the two-batch stream
+    "graph_basket_stream" -> adamicAdarSql,
 
     // supports over ALL baskets, pairs from df-cut baskets (like the
     // engine); HAVING is the minSupport gate

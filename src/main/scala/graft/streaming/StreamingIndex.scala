@@ -32,6 +32,45 @@ object StreamingIndex {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** The two basket-graph columns of the lineitem table — a declared
+    * SUBSET schema, so the parquet file stream prunes every other
+    * column at the scan.
+    */
+  val basketSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+
+  /** Drive co-occurrence PAIR-GRAPH maintenance from a directory
+    * stream — the graph twin of [[bm25IngestToCompletion]]: the first
+    * non-empty batch builds the graph
+    * ([[graft.operators.Graph.writeBasketGraph]]), every later batch
+    * upserts via [[graft.operators.Graph.appendBasketDelta]] (bucket-
+    * pruned dynamic partition overwrite, commit marker reused).
+    * Stream batching must respect the WHOLE-CONTAINER contract — a
+    * container split across micro-batches would double-count its
+    * df-cut degree — which is the natural shape of an order feed
+    * (orders land complete).
+    */
+  def basketIngestToCompletion(spark: SparkSession, srcDir: String,
+                               path: String): Unit = {
+    val stream = spark.readStream.schema(basketSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val built = new java.io.File(s"${path}_stats/_SUCCESS").exists()
+          if (!built)
+            graft.operators.Graph.writeBasketGraph(
+              batch, "l_partkey", "l_orderkey", path)
+          else
+            graft.operators.Graph.appendBasketDelta(
+              batch, "l_partkey", "l_orderkey", path)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drive IVF ANN-index maintenance from a directory stream — the
     * vector twin of [[bm25IngestToCompletion]]: the first non-empty
     * batch builds the index (training and FREEZING the quantizer on
