@@ -370,4 +370,34 @@ class PlanShapeSpec extends SparkSpec {
       "two-phase plan must show the partial aggregate stage")
   }
 
+  test("served basket consumers scan the pair graph, never lineitem (graph_adamic_adar)") {
+    val p = plan("graph_adamic_adar")
+    assert(!p.contains("lineitem"),
+      "a served consumer must not re-touch the source relation")
+    assert(p.contains("_pairs"), "the pair-table scan must appear")
+    // top-k lands in one TakeOrdered, not a global Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject")
+  }
+
+  test("substring spans: windows hash before the shuffle; islands window keyed by doc (dedup_substring)") {
+    val p = plan("dedup_substring")
+    // the duplicate-window aggregate exchanges 8-byte hashes, never
+    // the window STRINGS — no concat/array_join feeds an exchange key
+    assert(p.contains("md5prefix64") || p.contains("Md5Prefix64")
+        || p.contains("wh"),
+      "window hashing must happen below the aggregate")
+    // the islands window partitions by doc_id — a global (empty
+    // partition spec) window would single-thread the merge
+    assert(!p.contains("Window [") ||
+           p.linesIterator.filter(_.contains("windowspecdefinition"))
+             .forall(_.contains("doc_id")),
+      "the islands window must be partitioned by doc_id")
+  }
+
+  test("cross spans broadcast the benchmark window set (dedup_substring_cross)") {
+    val p = plan("dedup_substring_cross")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark window hashes must broadcast into the semi-join")
+  }
 }
