@@ -3577,6 +3577,19 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // span-level DECONTAMINATION: cut the benchmark-shared regions
+    // out of every training doc, keep its unique text — the surgical
+    // alternative to text_decontaminate's whole-doc drop; one row
+    // per train doc
+    "dedup_substring_cross_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.removeCrossDuplicatedSpans(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", windowTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     // the removal step: cut the spans, keep the rest — one row per
     // doc with before/after token counts and the cleaned text; docs
     // with no duplication pass through, fully-duplicated docs come
@@ -7473,6 +7486,45 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         | FROM isl GROUP BY doc_id, k
         | ORDER BY doc_id, span_start""".stripMargin,
+
+    // cross-span CTEs + the removal tail restricted to the train side
+    "dedup_substring_cross_clean" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        | g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+        |     AS wh
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        | pw AS (SELECT DISTINCT wh FROM g WHERE doc_id % 17 = 0),
+        | isl AS (
+        |  SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+        |  FROM g WHERE doc_id % 17 <> 0 AND wh IN (SELECT wh FROM pw)),
+        | sp AS (
+        |  SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 7 AS e
+        |  FROM isl GROUP BY doc_id, k),
+        | toks0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        | tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+        |  FROM toks0, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        | kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = k.doc_id AND k.pos >= sp.s AND k.pos < sp.e)),
+        | ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |   string_agg(tok, ' ' ORDER BY pos) AS ct
+        |  FROM kept GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks0)
+        | SELECT n.doc_id, n.n_tokens,
+        |  n.n_tokens - coalesce(ag.n_kept, 0) AS n_removed,
+        |  coalesce(ag.ct, '') AS clean_text
+        | FROM n LEFT JOIN ag USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
 
     // the span CTEs replayed, then original-case tokens anti-joined
     // against span ranges and re-agglutinated in pos order; docs with

@@ -1101,8 +1101,32 @@ object Dedup {
     * most of the corpus is duplicated spans).
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                            windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, windowTokens, minDocs)
+                            windowTokens: Int = 8, minDocs: Long = 2): DataFrame =
+    removeSpans(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, windowTokens, minDocs))
+
+  /** Span-level DECONTAMINATION — [[removeDuplicatedSpans]]' cross
+    * cousin and the surgical alternative to [[crossContainment]]-
+    * driven whole-doc dropping (text_decontaminate's policy): cut
+    * every region of a training doc that [[crossDuplicatedSpans]]
+    * finds shared with the benchmark corpus, keep everything else.
+    * The benchmark loses its leak; the training doc keeps its unique
+    * text.
+    */
+  def removeCrossDuplicatedSpans(corpus: DataFrame, probe: DataFrame,
+                                 idCol: String, textCol: String,
+                                 windowTokens: Int = 8): DataFrame =
+    removeSpans(corpus, idCol, textCol,
+      crossDuplicatedSpans(corpus, probe, idCol, textCol, windowTokens))
+
+  /** Cut `spans` (doc_id, span_start, span_tokens) out of `docs` —
+    * the shared removal core: spans aggregate per doc (tiny — only
+    * docs with duplication appear), join back LEFT, and a per-row
+    * indexed-filter HOF keeps the tokens outside every span.
+    */
+  private def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spans: DataFrame): DataFrame = {
+    val spanSets = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         (col("span_start") + col("span_tokens")).as("e"))).as("spans"))
@@ -1111,7 +1135,7 @@ object Dedup {
         !exists(col("spans"), sp =>
           i.cast("long") >= sp.getField("s") && i.cast("long") < sp.getField("e"))))
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(spanSets, Seq("doc_id"), "left")
       .withColumn("kept", kept)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),

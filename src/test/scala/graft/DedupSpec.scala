@@ -379,6 +379,17 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "span_start", "span_tokens", "n_windows")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 0L, 9L, 2L)), s"got $got")
+    // decontamination: the leaked region is cut out of doc 1, the
+    // within-train duplicates (2, 3) keep their text untouched
+    val clean = Dedup.removeCrossDuplicatedSpans(train, bench, "doc_id", "text",
+        windowTokens = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(clean == Seq(
+      (1L, 9L, "u1 u2 u3"),
+      (2L, 0L, "d1 d2 d3 d4 d5 d6 d7 d8 x1"),
+      (3L, 0L, "d1 d2 d3 d4 d5 d6 d7 d8 x2")), s"got $clean")
   }
 
   test("crossContainment: informative denominator removes the df-cut bias") {
