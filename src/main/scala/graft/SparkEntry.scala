@@ -3069,6 +3069,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // frequent-items MERGE: per-day approx_top_k sketches combine to
+    // the global top-3 without re-touching raw events — the counts
+    // companion of agg_sketch_rollup. All 5 types fit the 16-item
+    // sketch, so estimates are exact and the boolean gate is
+    // deterministic; the estimate asks for all items (k=5) so a
+    // count tie at the top-3 boundary can never orphan the join
+    "agg_topk_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val est = Analytics.topKSketchRollup(ev, Seq("day"), "event_type", k = 5)
+      ev.groupBy(col("event_type").as("item"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("item")).limit(3)
+        .join(est, Seq("item"), "left")
+        .select(col("item"), col("n"),
+          (col("n_est") === col("n")).as("sketch_exact"))
+        .orderBy(desc("n"), asc("item"))
+    }),
+
     // set INTERSECTION from sketches — the estimate HLL can't give:
     // per-type theta sketches of user_id, every pair's audience
     // overlap computed from the 5-row sketch table without re-scanning
@@ -6738,6 +6756,14 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
         | TRUE AS within_half_unit
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact top-3 + literal TRUE — a lossy merged frequent-items
+    // sketch flips the boolean and fails the hash loudly
+    "agg_topk_rollup" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n,
+        | TRUE AS sketch_exact
+        | FROM events GROUP BY 1
+        | ORDER BY n DESC, item LIMIT 3""".stripMargin,
 
     // exact distinct + literal TRUE — an out-of-bound merged sketch
     // flips the boolean on the Spark side and fails the hash loudly

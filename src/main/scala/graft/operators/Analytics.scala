@@ -472,6 +472,36 @@ object Analytics {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_approx"))
   }
 
+  /** Frequent-items rollup via mergeable approx_top_k sketches — the
+    * COUNTS companion of [[distinctSketchRollup]]: per-fine-group
+    * DataSketches frequent-items sketches (`approx_top_k_accumulate`)
+    * combine associatively (`approx_top_k_combine`) into the coarse
+    * top-`k` WITHOUT re-touching raw rows — the daily-cron fine table
+    * stores sketches precisely so the global heavy-hitter report is a
+    * |fine-groups|-row merge at any corpus scale. Below
+    * `maxItemsTracked` distinct values per sketch the structure
+    * retains exact counts (no eviction ever fires), so the estimate
+    * is EXACT — the gate cardinality sits in that regime, which is
+    * what lets a boolean-bound oracle hold deterministically (the
+    * [[distinctSketchRollup]] / theta contract).
+    *
+    * Output: the estimated top-k as (item, n_est) rows. Determinism
+    * note: the SKETCH's own output order breaks count ties by
+    * retention order, so gate consumers re-rank with an explicit
+    * (count, item) order and compare per-item counts, never sketch
+    * positions.
+    */
+  def topKSketchRollup(df: DataFrame, fineKeys: Seq[String],
+                       valueCol: String, k: Int,
+                       maxItemsTracked: Int = 16): DataFrame = {
+    val fine = df.groupBy(fineKeys.map(col): _*)
+      .agg(expr(s"approx_top_k_accumulate($valueCol, $maxItemsTracked)").as("sk"))
+    fine
+      .agg(expr(s"approx_top_k_combine(sk, $maxItemsTracked)").as("sk"))
+      .select(explode(expr(s"approx_top_k_estimate(sk, $k)")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n_est"))
+  }
+
   /** Pairwise distinct-value overlap between groups via theta sketches
     * — the estimate HLL structurally cannot give (HLL unions only;
     * theta supports set INTERSECTION). One scan builds a sketch per

@@ -247,6 +247,30 @@ class ProfilingSpec extends SparkSpec {
     assert(same == ((0.0, 4L, 4L)))
   }
 
+  test("topKSketchRollup: merged frequent-items counts are exact under the tracking cap") {
+    import org.apache.spark.sql.functions._
+    // items spread across fine groups — a per-group top-k union would
+    // miss x's global dominance (never top-1 in any single day)
+    val df = Seq(
+      ("d1", "y"), ("d1", "y"), ("d1", "x"),
+      ("d2", "z"), ("d2", "z"), ("d2", "x"),
+      ("d3", "w"), ("d3", "w"), ("d3", "x"), ("d3", "x")
+    ).toDF("day", "v")
+    val got = graft.operators.Analytics
+      .topKSketchRollup(df, Seq("day"), "v", k = 2)
+      .as[(String, Long)].collect().toMap
+    // 4 distinct items < maxItemsTracked=16 -> no eviction, counts
+    // exact: x=4 globally tops every per-day winner (y/z/w = 2)
+    assert(got("x") == 4L, s"got $got")
+    assert(got.size == 2 && got.values.forall(Set(4L, 2L)), s"got $got")
+    // merge equals direct: combining per-day sketches must count like
+    // one global pass
+    val direct = df.groupBy("v").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got.forall { case (k, n) => direct(k) == n },
+      s"merged counts diverge from exact: $got vs $direct")
+  }
+
   test("audienceOverlap: pairwise theta intersection is exact in sparse mode") {
     // a∩b = {2,3}, a∩c = {1}, b∩c = {} — the empty overlap must
     // report 0, not be absent (sketch intersection of disjoint sets)
