@@ -3145,6 +3145,64 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     }),
 
+    // set SUBTRACTION from the same sketch table — the difference
+    // completing theta's set algebra (union/intersection/difference):
+    // "users who did A but never B" for every ordered type pair,
+    // computed without re-scanning events. Theta is deterministic
+    // (θ from hash order, no RNG) and exact below 2^14 per type —
+    // the gate regime; exact side replays as one distinct self-join
+    "agg_theta_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val est = Analytics.audienceDifference(ev, "event_type", "user_id")
+      val ut = ev.select(col("event_type").as("tp"), col("user_id").as("u")).distinct()
+      val nA = ut.groupBy(col("tp")).agg(count(lit(1)).as("n_t"))
+      val both = ut.as("x").join(ut.as("y"),
+          col("x.u") === col("y.u") && col("x.tp") =!= col("y.tp"))
+        .groupBy(col("x.tp").as("type_a"), col("y.tp").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      nA.select(col("tp").as("type_a"), col("n_t").as("n_a"))
+        .crossJoin(broadcast(nA.select(col("tp").as("type_b")))) // |types|² pair frame — control-plane
+        .where(col("type_a") =!= col("type_b"))
+        .join(both, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          (col("n_a") - coalesce(col("n_both"), lit(0L))).as("n_only_a"))
+        .join(est, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_only_a"),
+          (abs(col("n_only_a_est") - col("n_only_a")) <= col("n_only_a") * 0.02)
+            .as("within_2pct"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // the QUANTILES member of the mergeable-sketch family: per-day
+    // KLL sketches of purchase cents merge to global p25/50/75/90
+    // without re-touching raw events; at gate n (< k = 65535) the
+    // sketch retains every value, so the randomized compaction path
+    // never fires and the estimate is exact + deterministic. Gated
+    // by the estimate's exact RANK (±1%), which also absorbs the
+    // sketch's inclusive-rank convention; exact values replay via
+    // the agg_exact_quantiles rank rule
+    "agg_kll_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .where(col("c").isNotNull)
+      val est = Analytics.kllQuantileRollup(ev, Seq("day"), "c",
+        Seq(25, 50, 75, 90))
+      val exact = Profiling.exactQuantiles(
+        ev.select(col("c").as("cents")), "cents", Seq(25, 50, 75, 90))
+      val n = ev.agg(count(lit(1)).as("n"))
+      val nle = ev.crossJoin(broadcast(est)) // 4-row est — bounded fan-out
+        .groupBy("pct", "q_est")
+        .agg(sum(when(col("c") <= col("q_est"), 1L).otherwise(0L)).as("n_le"))
+      exact.join(nle, Seq("pct"))
+        .crossJoin(broadcast(n)) // 1-row scalar
+        .select(col("pct"), col("rk"), col("value"),
+          (abs(col("n_le").cast("double") / col("n")
+               - col("pct").cast("double") / 100.0) <= 0.01)
+            .as("within_1pct_rank"))
+        .orderBy("pct")
+    }),
+
     // sketch twin of agg_percentiles: approx_percentile (the
     // mergeable KLL-style quantile sketch) vs the exact interpolated
     // percentile, gated the same boolean-bound way (±0.5 quantity
@@ -6971,6 +7029,38 @@ object SparkEntry {
         |  TRUE AS within_5pct
         | FROM ut x JOIN ut y ON x.u = y.u AND x.tp < y.tp
         | GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    // the exact-quantile rank rule on purchase cents + literal TRUE
+    // (the KLL retain-all-regime bound)
+    "agg_kll_rollup" ->
+      """WITH v AS (SELECT CAST(round(value*100, 0) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND value IS NOT NULL),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        | d AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        | cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cm FROM d),
+        | r AS (SELECT CAST(p AS BIGINT) AS pct, (n*p + 99) // 100 AS rk
+        |       FROM tot CROSS JOIN UNNEST([25, 50, 75, 90]) AS t(p))
+        | SELECT pct, CAST(rk AS BIGINT) AS rk, CAST(min(c) AS BIGINT) AS value,
+        |  TRUE AS within_1pct_rank
+        | FROM r JOIN cum ON cum.cm >= r.rk
+        | GROUP BY pct, rk ORDER BY pct""".stripMargin,
+
+    // exact per-pair subtraction (n_a − n_both over the full ordered
+    // pair frame) + literal TRUE (the theta-difference bound)
+    "agg_theta_diff" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS tp, user_id AS u FROM events),
+        | na AS (SELECT tp, CAST(count(*) AS BIGINT) AS n_t FROM tu GROUP BY 1),
+        | nb AS (SELECT x.tp AS type_a, y.tp AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |        FROM tu x JOIN tu y ON x.u = y.u AND x.tp <> y.tp
+        |        GROUP BY 1, 2)
+        | SELECT a.tp AS type_a, b.tp AS type_b,
+        |  a.n_t - coalesce(nb.n_both, 0) AS n_only_a,
+        |  TRUE AS within_2pct
+        | FROM na a JOIN na b ON a.tp <> b.tp
+        | LEFT JOIN nb ON nb.type_a = a.tp AND nb.type_b = b.tp
+        | ORDER BY type_a, type_b""".stripMargin,
 
     "agg_pivot" ->
       """SELECT o_orderstatus,

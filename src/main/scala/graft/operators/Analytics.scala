@@ -502,6 +502,64 @@ object Analytics {
       .select(col("e.item").as("item"), col("e.count").as("n_est"))
   }
 
+  /** Mergeable QUANTILES rollup via KLL sketches — the distribution
+    * member of the sketch family (HLL distincts, theta sets, CMS /
+    * approx_top_k counts): per-fine-group `kll_sketch_agg_bigint`
+    * sketches merge associatively (`kll_merge_agg_bigint`) into
+    * global quantile estimates without re-touching raw rows — the
+    * fine table a daily cron stores so "this quarter's p90" is a
+    * |fine-groups|-row merge at any history length.
+    *
+    * Determinism regime (the [[audienceOverlap]] contract's quantile
+    * analogue): KLL compaction is RANDOMIZED (DataSketches draws a
+    * coin per level compaction), so estimates are only bit-stable
+    * while no compaction fires — i.e. while total n ≤ k, where the
+    * sketch simply retains every value and quantiles are EXACT. `k`
+    * defaults to the format maximum (65535) to make that regime as
+    * wide as possible; the gate cardinality sits inside it, and gate
+    * consumers bound the estimate by its exact RANK (±tolerance),
+    * which also absorbs the inclusive-rank convention.
+    */
+  def kllQuantileRollup(df: DataFrame, fineKeys: Seq[String],
+                        valueCol: String, pcts: Seq[Int],
+                        k: Int = 65535): DataFrame = {
+    val fine = df.groupBy(fineKeys.map(col): _*)
+      .agg(expr(s"kll_sketch_agg_bigint($valueCol, $k)").as("sk"))
+    fine
+      .agg(expr(s"kll_merge_agg_bigint(sk, $k)").as("sk"))
+      // the rank argument must be FOLDABLE — one literal probe per pct
+      // on the single merged row, then unpivot
+      .select(pcts.map(p =>
+        expr(s"kll_sketch_get_quantile_bigint(sk, ${p / 100.0})").as(s"q$p")): _*)
+      .select(explode(array(pcts.map(p =>
+        struct(lit(p.toLong).as("pct"), col(s"q$p").as("q_est"))): _*)).as("e"))
+      .select(col("e.pct").as("pct"), col("e.q_est").as("q_est"))
+  }
+
+  /** Pairwise audience SUBTRACTION via theta sketches — the set
+    * DIFFERENCE [[audienceOverlap]]'s intersections complete the
+    * algebra with: for every ordered group pair (a, b), the estimated
+    * distinct values in a but NOT in b ("viewed but never purchased"),
+    * computed from the |groups|-row sketch table alone — never from
+    * re-scanning raw rows. Theta sketches are DETERMINISTIC functions
+    * of the input set (θ comes from the hash order, no RNG), so the
+    * estimate is bit-stable at any scale; below ~2^lgK distinct
+    * values per group the sketch retains every hash and the
+    * difference is EXACT — the gate scale sits in that regime (the
+    * [[audienceOverlap]] contract).
+    */
+  def audienceDifference(df: DataFrame, groupCol: String, valueCol: String,
+                         lgK: Int = 14): DataFrame = {
+    val sk = df.groupBy(col(groupCol).as("g"))
+      .agg(expr(s"theta_sketch_agg($valueCol, $lgK)").as("sk"))
+    val a = sk.select(col("g").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("g").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") =!= col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
+          .as("n_only_a_est"))
+  }
+
   /** Pairwise distinct-value overlap between groups via theta sketches
     * — the estimate HLL structurally cannot give (HLL unions only;
     * theta supports set INTERSECTION). One scan builds a sketch per

@@ -271,6 +271,42 @@ class ProfilingSpec extends SparkSpec {
       s"merged counts diverge from exact: $got vs $direct")
   }
 
+  test("audienceDifference: theta A-not-B is exact in sparse mode, ordered pairs") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L),
+      ("c", 9L)).toDF("g", "u")
+    val got = graft.operators.Analytics.audienceDifference(df, "g", "u")
+      .select(col("type_a"), col("type_b"),
+        round(col("n_only_a_est")).cast("long").as("n"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // a={1,2,3}, b={2,3,4}, c={9}: a\b=1, b\a=1, a\c=3, c\a=1, ...
+    assert(got(("a", "b")) == 1L && got(("b", "a")) == 1L, s"got $got")
+    assert(got(("a", "c")) == 3L && got(("c", "a")) == 1L, s"got $got")
+    assert(got(("b", "c")) == 3L && got(("c", "b")) == 1L, s"got $got")
+    assert(got.size == 6, s"ordered pair frame must be |groups|^2 - diag: $got")
+  }
+
+  test("kllQuantileRollup: merged per-group sketches are exact in the retain-all regime") {
+    import org.apache.spark.sql.functions._
+    // 1..100 scattered across 4 fine groups — merge must see the
+    // global distribution, not any single group's
+    val df = (1L to 100L).map(v => (s"g${v % 4}", v)).toDF("g", "v")
+    val got = graft.operators.Analytics
+      .kllQuantileRollup(df, Seq("g"), "v", Seq(25, 50, 75, 90))
+      .as[(Long, Long)].collect().toMap
+    // n = 100 << k: retain-all regime, quantiles are real data values
+    // within one rank of the target
+    for ((p, q) <- got) assert(math.abs(q - p) <= 1, s"p$p -> $q: $got")
+    // deterministic: same input, same partitioning-independent result
+    val again = graft.operators.Analytics
+      .kllQuantileRollup(df.repartition(7), Seq("g"), "v", Seq(25, 50, 75, 90))
+      .as[(Long, Long)].collect().toMap
+    assert(again == got, s"partitioning changed retain-all quantiles: $again vs $got")
+  }
+
   test("audienceOverlap: pairwise theta intersection is exact in sparse mode") {
     // a∩b = {2,3}, a∩c = {1}, b∩c = {} — the empty overlap must
     // report 0, not be absent (sketch intersection of disjoint sets)
