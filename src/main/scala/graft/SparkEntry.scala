@@ -422,8 +422,12 @@ object SparkEntry {
          | wf AS MATERIALIZED (SELECT cov.i, sum(cov.c * v.x) AS w
          |   FROM cov JOIN v$iters v ON cov.j = v.j GROUP BY 1),
          | nf AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM wf)
-         | SELECT j AS dim, round(x, 6) AS loading, round(nrm, 6) AS eigenvalue
+         | SELECT j AS dim, round(x, 6) AS loading,
+         |  round(round(nrm, 9), 6) AS eigenvalue
          | FROM v$iters CROSS JOIN nf ORDER BY dim""".stripMargin
+    // eigenvalue rounds 9-then-6: emb_pca serves component 1 of the
+    // materialized deflation basis, whose λ pins to 9 before the
+    // output round (the topPrincipalComponents contract)
   }
 
   // ---- multi-component PCA SQL twin: per component, `iters` unrolled
@@ -3927,10 +3931,17 @@ object SparkEntry {
     // top principal component by power iteration: exact scaled-long
     // second moments (any aggregation order) + per-round unit-vector
     // rounding — the oracle replays every round
-    "emb_pca" -> ((s, dir) =>
-      Embeddings.topPrincipalComponent(t(s, dir, "embeddings"), "vec_id",
-          "embedding", iters = 8)
-        .orderBy("dim")),
+    // SERVED as component 1 of the materialized deflation basis (the
+    // ensurePcaBasis discipline — emb_pca_k and emb_whiten already
+    // share it, so the corpus-sized covariance pipeline runs once
+    // for all three gates); topPrincipalComponent remains the direct
+    // single-component op for library callers
+    "emb_pca" -> ((s, dir) => {
+      Embeddings.ensurePcaBasis(t(s, dir, "embeddings"), "vec_id", "embedding",
+        pcaBasisPath(dir), nComponents = 3, iters = 8)
+      s.read.parquet(pcaBasisPath(dir)).where(col("component") === 1)
+        .select("dim", "loading", "eigenvalue").orderBy("dim")
+    }),
 
     // top-3 principal components by deflation: the small basis the
     // whitening / anisotropy-correction hygiene pass actually needs

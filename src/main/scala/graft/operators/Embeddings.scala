@@ -431,6 +431,19 @@ object Embeddings {
   /** [[writePcaBasis]] only if the basis isn't already on disk; `emb`
     * is by-name so nothing of the corpus pipeline evaluates on the
     * hot path.
+    *
+    * No `appendPcaDelta` — DELIBERATELY out of the incremental-
+    * maintenance contract the other artifacts carry (BM25 / IVF /
+    * cluster map / basket graph): those artifacts are sums or unions
+    * of per-row contributions, so a delta merges exactly; an
+    * eigenbasis is a GLOBAL nonlinear function of the covariance —
+    * no bounded summary of the old corpus reconstructs the new
+    * basis exactly. The honest incremental alternatives (Oja /
+    * incremental SVD) are approximations whose output depends on
+    * arrival order, which breaks this repo's exact-oracle contract.
+    * Policy: REBUILD on delta (the ensure marker makes that one
+    * cheap line), or accept a stale basis between scheduled rebuilds
+    * — the standard production trade for drift-tolerant whitening.
     */
   def ensurePcaBasis(emb: => DataFrame, idCol: String, vecCol: String,
                      path: String, nComponents: Int = 3, iters: Int = 8,
