@@ -1374,15 +1374,56 @@ object Similarity {
   }
 
   def mutualKnn(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-                nbits: Int = 4, numTables: Int = 16): DataFrame = {
-    val knn = knnGraph(corpus, idCol, vecCol, k, nbits, numTables)
-      .select(col("query_id"), col("corpus_id"), col("score"))
+                nbits: Int = 4, numTables: Int = 16): DataFrame =
+    mutualizeKnn(knnGraph(corpus, idCol, vecCol, k, nbits, numTables))
+
+  /** Reciprocity filter over an already-computed [[knnGraph]] edge
+    * table — the shared tail of [[mutualKnn]] (direct) and
+    * [[mutualKnnFromGraph]] (served).
+    */
+  private def mutualizeKnn(knnEdges: DataFrame): DataFrame = {
+    val knn = knnEdges.select(col("query_id"), col("corpus_id"), col("score"))
     knn.as("f").join(knn.as("r"),
         col("f.query_id") === col("r.corpus_id") &&
           col("f.corpus_id") === col("r.query_id"))
       .where(col("f.query_id") < col("f.corpus_id"))
       .select(col("f.query_id").as("id_a"), col("f.corpus_id").as("id_b"),
               col("f.score").as("score"))
+  }
+
+  /** Materialize the [[knnGraph]] edge table once per corpus — the
+    * `ensureClusterMap`/`ensureBasketGraph` discipline applied to the
+    * kNN graph: the bucket self-join that produces the |V|·k edge
+    * list is the dominant cost, and every consumer (the edge listing
+    * itself, the [[mutualKnn]] reciprocity filter, downstream
+    * clustering) should pay for it exactly once. The parquet
+    * `_SUCCESS` is the build marker.
+    */
+  def writeKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, k: Int, nbits: Int = 4,
+                    numTables: Int = 16): Unit =
+    knnGraph(corpus, idCol, vecCol, k, nbits, numTables)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[writeKnnGraph]] only if absent; `corpus` is by-name so the
+    * bucket pipeline never evaluates on the served path.
+    */
+  def ensureKnnGraph(corpus: => DataFrame, idCol: String, vecCol: String,
+                     path: String, k: Int, nbits: Int = 4,
+                     numTables: Int = 16): Unit = {
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      writeKnnGraph(corpus, idCol, vecCol, path, k, nbits, numTables)
+  }
+
+  /** [[mutualKnn]] served from a materialized [[writeKnnGraph]]
+    * table: identical rows (the table IS the direct op's output),
+    * no bucket join.
+    */
+  def mutualKnnFromGraph(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    require(new java.io.File(s"$path/_SUCCESS").exists(),
+      s"kNN graph at $path has no build marker; rebuild with ensureKnnGraph")
+    mutualizeKnn(spark.read.parquet(path))
   }
 
   /** Per-cluster mean silhouette against trained k-means centroids —
