@@ -169,7 +169,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("knn-graph self-join shares one bucketed exchange; candidate dedup is id-narrow") {
-    val q = SparkEntry.queries("sim_knn_graph")(spark, sf001)
+    // the DIRECT operator (the gate now serves from the materialized
+    // edge table — writeKnnGraph runs this plan at build time)
+    val q = graft.operators.Similarity.knnGraph(
+      spark.read.parquet(s"$sf001/embeddings.parquet"),
+      "vec_id", "embedding", k = 3, nbits = 4, numTables = 16)
     q.collect() // AQE: exchange reuse materializes in the final plan
     val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"),
@@ -399,5 +403,19 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("dedup_substring_cross")
     assert(p.contains("BroadcastHashJoin"),
       "benchmark window hashes must broadcast into the semi-join")
+  }
+
+  test("served kNN consumers scan the edge table, never embeddings (sim_mutual_knn)") {
+    val p = plan("sim_mutual_knn")
+    assert(!p.contains("embeddings.parquet"),
+      "a served consumer must not re-run the bucket self-join")
+    assert(p.contains("graft_knn_graph"), "the edge-table scan must appear")
+  }
+
+  test("served PCA component scans the basis, never embeddings (emb_pca)") {
+    val p = plan("emb_pca")
+    assert(!p.contains("embeddings.parquet"),
+      "a served component must not re-run the covariance pipeline")
+    assert(p.contains("graft_pca_basis"), "the basis scan must appear")
   }
 }
