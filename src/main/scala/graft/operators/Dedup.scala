@@ -1013,12 +1013,16 @@ object Dedup {
     */
   /** (doc_id, pos, wh) — every `windowTokens`-token window of every
     * doc, keyed by the engine-neutral 60-bit hash; the shared head of
-    * the [[duplicatedSpans]] family.
+    * the [[duplicatedSpans]] family. MUST be the multiset form
+    * ([[wordNgramsFast]], not the distinct shingle form): `pos` is a
+    * TOKEN position, and a doc that repeats a window internally would
+    * otherwise shift every later position and mis-place its spans —
+    * caught by the PropertySpec brute-force reference.
     */
   private def windowHashRows(docs: DataFrame, idCol: String, textCol: String,
                              windowTokens: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        posexplode(wordShinglesFast(lower(col(textCol)), windowTokens))
+        posexplode(wordNgramsFast(lower(col(textCol)), windowTokens))
           .as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5Prefix64(col("w")).as("wh"))

@@ -216,4 +216,72 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"iteration $i: got $got want $want")
     }
   }
+
+  test("duplicatedSpans equals a brute-force span reference on random corpora") {
+    import graft.operators.Dedup
+    // small vocab forces cross-doc window collisions; windowTokens=3
+    // keeps runs short enough for multiple islands per doc
+    val docGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    for (i <- 0 until 4) {
+      val texts = samples(docGen, 6).zipWithIndex
+        .map { case (t, j) => (j.toLong, t) }
+      val got = Dedup.duplicatedSpans(texts.toDF("doc_id", "text"),
+          "doc_id", "text", windowTokens = 3, minDocs = 2)
+        .select("doc_id", "span_start", "span_tokens", "n_windows")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // reference: mark every 3-token window appearing in >= 2 docs,
+      // merge consecutive marked positions per doc
+      val wins = texts.map { case (id, t) =>
+        id -> t.split("\\s+").sliding(3).map(_.mkString(" ")).toVector
+      }
+      val docsPerWin = wins.flatMap { case (id, ws) => ws.map(_ -> id) }
+        .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+      val want = (for {
+        (id, ws) <- wins
+        marked = ws.zipWithIndex.filter(x => docsPerWin(x._1) >= 2).map(_._2)
+        run <- marked.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && acc.last.last == p - 1)
+            acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+      } yield (id, run.head.toLong, run.size.toLong + 2, run.size.toLong)).toSet
+      assert(got == want, s"iteration $i: got $got want $want")
+    }
+  }
+
+  test("ppsSystematic lands exactly n grid hits for random weight lines") {
+    import graft.operators.Sampling
+    val wGen = Gen.listOfN(25, Gen.choose(1L, 1L << 40))
+    for ((ws, i) <- samples(wGen, 5).zipWithIndex) {
+      val df = ws.zipWithIndex.map { case (w, j) => (j.toLong, w) }.toDF("id", "w")
+      for (n <- Seq(1, 7, 25)) {
+        val hits = Sampling.ppsSystematic(df, "id", "w", n = n, seed = s"prop$i")
+          .select("n_hits").as[Long].collect()
+        assert(hits.sum == n.toLong,
+          s"iteration $i n=$n: grid hits ${hits.sum}")
+        assert(hits.forall(_ >= 1))
+      }
+    }
+  }
+
+  test("greedyMatchingWeighted yields a valid maximal matching on random graphs") {
+    import graft.operators.Graph
+    val eGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9), Gen.choose(1L, 100L)))
+    for ((raw, i) <- samples(eGen, 4).zipWithIndex) {
+      val edges = raw.collect { case (u, v, w) if u != v => (s"n$u", s"n$v", w) }
+      if (edges.nonEmpty) {
+        val m = Graph.greedyMatchingWeighted(edges.toDF("src", "dst", "w"),
+            "src", "dst", "w", rounds = 12)
+          .select("node_a", "node_b").as[(String, String)].collect().toSeq
+        val nodes = m.flatMap(p => Seq(p._1, p._2))
+        assert(nodes.distinct.size == nodes.size, s"iteration $i: node matched twice")
+        val matched = nodes.toSet
+        val open = edges.count(e =>
+          e._1 != e._2 && !matched.contains(e._1) && !matched.contains(e._2))
+        assert(open == 0, s"iteration $i: $open open edges (not maximal)")
+      }
+    }
+  }
 }
