@@ -1454,11 +1454,22 @@ object Graph {
     val dPairs = dPairsPlan.localCheckpoint() // consumed twice (buckets, merge)
     val affected = dPairs.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted // control-plane, <= numBuckets values
-    val oldAffected = spark.read.parquet(s"${path}_pairs")
+    // a base build whose df-cut produced ZERO pairs leaves a
+    // footerless (schema-less) _pairs dir — read it as empty instead
+    // of failing schema inference (caught by the PropertySpec random
+    // whole-container splits)
+    val oldPairs =
+      try spark.read.parquet(s"${path}_pairs")
+        .select(col("item_a"), col("item_b"), col("n_common"), col("w_sum"),
+          // partition columns read back under inference — cast explicitly
+          col("bucket").cast("long").as("bucket"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          dPairs.limit(0)
+      }
+    val oldAffected = oldPairs
       .where(col("bucket").isin(affected: _*))
-      // partition columns read back under inference — cast explicitly
-      .select(col("item_a"), col("item_b"), col("n_common"), col("w_sum"),
-        col("bucket").cast("long").as("bucket"))
       .localCheckpoint() // materialize BEFORE overwriting what we read
     val merged = oldAffected.unionByName(dPairs)
       .groupBy("bucket", "item_a", "item_b")

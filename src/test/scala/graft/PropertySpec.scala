@@ -265,6 +265,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("appendBasketDelta merge equals rebuild for random whole-container splits") {
+    import graft.operators.Graph
+    val relGen = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 9L)))
+    for ((rel, i) <- samples(relGen, 3).zipWithIndex) {
+      val df = rel.toDF("item", "c")
+      // random whole-container split: containers with odd hash go to
+      // the delta — the additive contract's precondition
+      val oldRel = df.where(pmod(xxhash64(col("c") + i), lit(2)) === 0)
+      val newRel = df.where(pmod(xxhash64(col("c") + i), lit(2)) === 1)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val up = s"$tmp/graft_prop_basket_${System.nanoTime()}"
+      val full = s"$tmp/graft_prop_basket_f_${System.nanoTime()}"
+      Graph.writeBasketGraph(oldRel, "item", "c", up, maxContainerSize = 4)
+      Graph.appendBasketDelta(newRel, "item", "c", up, maxContainerSize = 4)
+      Graph.writeBasketGraph(df, "item", "c", full, maxContainerSize = 4)
+      def pairs(p: String) = spark.read.parquet(s"${p}_pairs")
+        .select("item_a", "item_b", "n_common", "w_sum")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(pairs(up) == pairs(full), s"iteration $i: merged pairs diverge")
+      def deg(p: String) = spark.read.parquet(s"${p}_degrees")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(deg(up) == deg(full), s"iteration $i: merged degrees diverge")
+    }
+  }
+
+  test("neighborhoodFunction equals exact BFS ball sizes on random graphs (HLL sparse regime)") {
+    import graft.operators.Graph
+    val eGen = Gen.listOfN(14, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)))
+    for ((raw, i) <- samples(eGen, 3).zipWithIndex) {
+      val edges = raw.collect { case (u, v) if u != v => (s"n$u", s"n$v") }
+      if (edges.nonEmpty) {
+        val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).toSet }
+        for (hops <- Seq(1, 2)) {
+          val got = Graph.neighborhoodFunction(edges.toDF("src", "dst"),
+              "src", "dst", hops = hops)
+            .select(col("node"), round(col("n_ball_approx")).cast("long").as("n"))
+            .as[(String, Long)].collect().toMap
+          val want = adj.keys.map { v =>
+            var ball = Set(v)
+            for (_ <- 1 to hops) ball = ball ++ ball.flatMap(adj.getOrElse(_, Set.empty))
+            v -> ball.size.toLong
+          }.toMap
+          assert(got == want, s"iteration $i hops=$hops: got $got want $want")
+        }
+      }
+    }
+  }
+
   test("greedyMatchingWeighted yields a valid maximal matching on random graphs") {
     import graft.operators.Graph
     val eGen = Gen.listOfN(40,
