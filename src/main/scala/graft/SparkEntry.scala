@@ -7649,7 +7649,9 @@ object SparkEntry {
         |  SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 7 AS e
         |  FROM isl GROUP BY doc_id, k),
         | toks0 AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id,
+        |   list_filter(string_split_regex(trim(text), '\s+'),
+        |               x -> len(x) > 0) AS t
         |  FROM documents WHERE doc_id % 17 <> 0),
         | tok AS (
         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
@@ -7692,7 +7694,9 @@ object SparkEntry {
         |  SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 7 AS e
         |  FROM isl GROUP BY doc_id, k),
         | toks0 AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id,
+        |   list_filter(string_split_regex(trim(text), '\s+'),
+        |               x -> len(x) > 0) AS t
         |  FROM documents),
         | tok AS (
         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok

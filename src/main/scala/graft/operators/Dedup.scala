@@ -663,7 +663,7 @@ object Dedup {
   def ensureClusterMap(docs: DataFrame, idCol: String, pairs: => DataFrame,
                        path: String,
                        checkpointDir: Option[String] = None): Unit = {
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    if (!Markers.exists(s"$path/_SUCCESS"))
       writeClusterMap(docs, idCol, pairs, path, checkpointDir)
   }
 
@@ -1138,7 +1138,12 @@ object Dedup {
       .otherwise(filter(col("toks"), (_, i) =>
         !exists(col("spans"), sp =>
           i.cast("long") >= sp.getField("s") && i.cast("long") < sp.getField("e"))))
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // empty/whitespace-only text splits to [""] — filter it so such
+    // docs report n_tokens = 0, not 1. For non-empty trimmed text a
+    // \s+ split never yields an empty token, so span positions
+    // (computed on the unfiltered array) are unaffected.
+    docs.select(col(idCol).as("doc_id"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
       .join(spanSets, Seq("doc_id"), "left")
       .withColumn("kept", kept)
       .select(col("doc_id"),

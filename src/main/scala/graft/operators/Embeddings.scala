@@ -448,7 +448,7 @@ object Embeddings {
   def ensurePcaBasis(emb: => DataFrame, idCol: String, vecCol: String,
                      path: String, nComponents: Int = 3, iters: Int = 8,
                      scale: Long = 10000L): Unit = {
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    if (!Markers.exists(s"$path/_SUCCESS"))
       writePcaBasis(emb, idCol, vecCol, path, nComponents, iters, scale)
   }
 

@@ -355,7 +355,7 @@ object Events {
     */
   def ensureDatePartitioned(events: DataFrame, path: String,
                             tsCol: String = "ts"): Unit = {
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    if (!Markers.exists(s"$path/_SUCCESS"))
       writeDatePartitioned(events, path, tsCol)
   }
 

@@ -362,10 +362,26 @@ object Graph {
     * graph. Every draw and min is engine-replayable, so the DuckDB
     * oracle unrolls rounds as CTEs. Maximal once no edge survives.
     *
-    * Scale shape per round: one min hash-aggregate over remaining
-    * edges, one min aggregate over proposals, two anti-joins;
-    * per-round tables localCheckpoint eagerly (consumed twice — the
-    * [[pageRank]] discipline).
+    * Scale shape (measured decomposition in NOTES "r7 matching"):
+    *  - ONE shuffle total: repartition(u) first, then dedupe
+    *    (HashPartitioning(u) already co-locates equal (u, v) rows so
+    *    dropDuplicates adds no exchange) — the dedupe is load-bearing
+    *    at scale (multi-edge relations collapse before any round);
+    *    localCheckpoint preserves the layout so every round's
+    *    groupBy("u") min is exchange-free.
+    *  - The whole role schedule draws ONCE, per NODE: a ≤62-round
+    *    schedule packs into one long bitmask (|V|·rounds md5 total,
+    *    broadcast-joined onto both edge endpoints at build), so the
+    *    rounds test a bit instead of re-drawing 2·|E| md5 per round
+    *    (the old shape's largest single hot-path cost). Beyond 62
+    *    rounds the round filter falls back to inline md5 — same
+    *    draws, same results.
+    *  - Matched-node removals are BROADCAST anti-joins (each round's
+    *    matched set is ≤ 2·|matches| ids — node-bounded; a graph
+    *    whose per-round matching outgrows the driver wants shuffle
+    *    anti-joins — flip the hint), one reused exchange per round,
+    *    so the shrinking edge table is map-side-copied, never
+    *    re-shuffled, and drained trailing rounds cost ~nothing.
     */
   def greedyMatching(edges: DataFrame, srcCol: String, dstCol: String,
                      rounds: Int): DataFrame = {
@@ -373,44 +389,70 @@ object Graph {
     def parity(c: Column, r: Int): Column =
       conv(substring(md5(concat(c, lit(s"_$r"))), 1, 8), 16, 10)
         .cast("long") % 2
-    var und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // the base pair frame feeds four plan branches (two symmetrize
+    // unions, two role-table scans) — checkpoint it once so the
+    // source scans once, not four times
+    val dir0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))
-        .where(col("u") =!= col("v")))
-      .distinct()
       .localCheckpoint()
+    // per-node role bitmask: bit r-1 of mask(node) is round r's coin
+    val packRounds = rounds <= 62
+    val bits =
+      if (!packRounds) null
+      else dir0.select(col("u").as("node"))
+        .union(dir0.select(col("v").as("node")))
+        .distinct()
+        .select(col("node"),
+          (1 to rounds).map(r => shiftleft(parity(col("node"), r), r - 1))
+            .reduce(_ + _).as("mask"))
+    def coin(maskCol: Column, nodeCol: Column, r: Int): Column =
+      if (packRounds) shiftright(maskCol, r - 1).bitwiseAND(lit(1L))
+      else parity(nodeCol, r)
+    var und = {
+      val sym = dir0
+        .union(dir0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
+        .dropDuplicates("u", "v")
+      if (!packRounds) sym.withColumn("bu", lit(0L)).withColumn("bv", lit(0L))
+      else sym
+        .join(broadcast(bits.select(col("node").as("u"), col("mask").as("bu"))),
+          Seq("u"))
+        .join(broadcast(bits.select(col("node").as("v"), col("mask").as("bv"))),
+          Seq("v"))
+        .select("u", "v", "bu", "bv")
+    }.localCheckpoint()
     var matched: DataFrame = null
     for (r <- 1 to rounds) {
-      val prop = und
-        .where(parity(col("u"), r) === 0 && parity(col("v"), r) === 1)
+      val pairs = und
+        .where(coin(col("bu"), col("u"), r) === 0 &&
+               coin(col("bv"), col("v"), r) === 1)
         .groupBy("u").agg(min(col("v")).as("c"))
-      val pairs = prop.groupBy(col("c").as("node_a"))
-        .agg(min(col("u")).as("node_b"))
+        .groupBy(col("c").as("node_a")).agg(min(col("u")).as("node_b"))
         .select(col("node_a"), col("node_b"), lit(r.toLong).as("round"))
         .localCheckpoint()
       matched = if (matched == null) pairs else matched.union(pairs)
-      // convergence early-exit: a round with no matches can never be
-      // followed by a productive one ON THE SAME EDGE SET... it can
-      // (roles re-draw), but an EMPTY remaining edge set is final —
-      // stop as soon as the graph is drained instead of paying
-      // per-round job latency on nothing (one control-plane count per
-      // round, the connectedClusters precedent). The count runs on
-      // the checkpointed table, so it never re-derives the round.
       val mn = pairs.select(col("node_a").as("n"))
         .union(pairs.select(col("node_b").as("n")))
       val prev = und
       und = und
-        .join(mn, col("u") === col("n"), "left_anti")
-        .join(mn, col("v") === col("n"), "left_anti")
+        .join(broadcast(mn), col("u") === col("n"), "left_anti")
+        .join(broadcast(mn), col("v") === col("n"), "left_anti")
         .localCheckpoint()
       unpersistBacking(prev)
-      if (und.isEmpty) {
+      // drained-graph early exit (maximal = drained: any surviving
+      // edge would have two unmatched endpoints). Probe from round 4
+      // — no nontrivial graph drains in 3 synchronous rounds, so
+      // earlier probes would be pure job latency. Runs on the
+      // checkpointed table; never re-derives the round.
+      if (r >= 4 && und.isEmpty) {
         unpersistBacking(und)
+        unpersistBacking(dir0)
         return matched
       }
     }
     unpersistBacking(und)
-    matched
+    unpersistBacking(dir0)
+    matched // a lazy union of the checkpointed per-round pair tables
   }
 
   /** WEIGHTED greedy matching by mutual local-max pointers — the
@@ -461,6 +503,7 @@ object Graph {
       .union(dir0.select(col("v").as("u"), col("u").as("v"), col("w")))
       .where(col("u") =!= col("v"))
       .groupBy("u", "v").agg(max(col("w")).as("w"))
+      .repartition(col("u")) // per-round groupBy("u") reuses this layout
       .localCheckpoint()
     var matched: DataFrame = null
     for (r <- 1 to rounds) {
@@ -477,12 +520,14 @@ object Graph {
       val mn = pairs.select(col("node_a").as("n"))
         .union(pairs.select(col("node_b").as("n")))
       val prev = und
+      // broadcast removals + round-4 probe start: [[greedyMatching]]'s
+      // per-round scale shape, same bounds (matched set ≤ 2·|matches|)
       und = und
-        .join(mn, col("u") === col("n"), "left_anti")
-        .join(mn, col("v") === col("n"), "left_anti")
+        .join(broadcast(mn), col("u") === col("n"), "left_anti")
+        .join(broadcast(mn), col("v") === col("n"), "left_anti")
         .localCheckpoint()
       unpersistBacking(prev)
-      if (und.isEmpty) {
+      if (r >= 4 && und.isEmpty) {
         unpersistBacking(und)
         return matched
       }
@@ -1393,13 +1438,16 @@ object Graph {
                        numBuckets: Int = 64): Unit = {
     val (e, p, pairs, deg, stats) =
       basketAggregates(rel, itemCol, containerCol, maxContainerSize, numBuckets)
-    pairs
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"${path}_pairs")
-    deg.write.mode("overwrite").parquet(s"${path}_degrees")
-    stats.write.mode("overwrite").parquet(s"${path}_stats")
-    p.unpersist(blocking = false)
-    e.unpersist(blocking = false)
+    try {
+      pairs
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"${path}_pairs")
+      deg.write.mode("overwrite").parquet(s"${path}_degrees")
+      stats.write.mode("overwrite").parquet(s"${path}_stats")
+    } finally { // a failed write must not leak the cached blocks
+      p.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 
   /** [[writeBasketGraph]] only if the `_stats/_SUCCESS` commit marker
@@ -1410,7 +1458,7 @@ object Graph {
   def ensureBasketGraph(rel: => DataFrame, itemCol: String,
                         containerCol: String, path: String,
                         maxContainerSize: Int = 200): Unit = {
-    if (!new java.io.File(s"${path}_stats/_SUCCESS").exists())
+    if (!Markers.exists(s"${path}_stats/_SUCCESS"))
       writeBasketGraph(rel, itemCol, containerCol, path, maxContainerSize)
   }
 
@@ -1442,6 +1490,16 @@ object Graph {
     * marker is deleted before the first mutation and restored by the
     * final stats write; a crash mid-upsert leaves a marker-less graph
     * that [[ensureBasketGraph]] rebuilds and serving refuses.
+    *
+    * Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS
+    * during the upsert window. The `*FromGraph` servers check the
+    * marker once at plan time, so a reader that passed the check
+    * before the upsert's marker delete can still observe merged
+    * `_pairs` joined with stale `_degrees`/`_stats` mid-write, and
+    * two concurrent upserts would double-apply the additive sums.
+    * Serialize maintenance against serving (the usual index-rotation
+    * discipline: stop serving, upsert, resume) or upsert into a copy
+    * and swap paths. Markers are crash-safety, not a lock.
     */
   def appendBasketDelta(deltaRel: DataFrame, itemCol: String,
                         containerCol: String, path: String,
@@ -1451,6 +1509,7 @@ object Graph {
     val (e, p, dPairsPlan, dDeg, dStats) =
       basketAggregates(deltaRel, itemCol, containerCol, maxContainerSize,
         numBuckets)
+    try {
     val dPairs = dPairsPlan.localCheckpoint() // consumed twice (buckets, merge)
     val affected = dPairs.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted // control-plane, <= numBuckets values
@@ -1503,17 +1562,19 @@ object Graph {
     mergedDeg.write.mode("overwrite").parquet(s"${path}_degrees")
     // the _stats overwrite recreates its _SUCCESS — the commit point
     mergedStats.write.mode("overwrite").parquet(s"${path}_stats")
-    p.unpersist(blocking = false)
-    e.unpersist(blocking = false)
     unpersistBacking(dPairs)
     unpersistBacking(oldAffected)
     unpersistBacking(merged)
     unpersistBacking(mergedDeg)
     unpersistBacking(mergedStats)
+    } finally { // a failed stage must not leak the cached blocks
+      p.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 
   private def requireBasketGraph(path: String): Unit =
-    require(new java.io.File(s"${path}_stats/_SUCCESS").exists(),
+    require(Markers.exists(s"${path}_stats/_SUCCESS"),
       s"basket graph at $path has no commit marker (crashed write?); " +
         "rebuild it with writeBasketGraph/ensureBasketGraph")
 

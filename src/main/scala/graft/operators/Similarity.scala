@@ -1111,8 +1111,7 @@ object Similarity {
   def ensureIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                      path: String, numCells: Int = 16,
                      trainIters: Int = 0): Unit = {
-    val marker = new java.io.File(s"${path}_centroids/_SUCCESS")
-    if (!marker.exists()) writeIvfIndex(corpus, idCol, vecCol, path, numCells, trainIters)
+    if (!Markers.exists(s"${path}_centroids/_SUCCESS")) writeIvfIndex(corpus, idCol, vecCol, path, numCells, trainIters)
   }
 
   /** UPSERT a vector delta into a [[writeIvfIndex]] index WITHOUT
@@ -1204,7 +1203,7 @@ object Similarity {
     // the _SUCCESS marker doubles as the commit marker for
     // appendIvfDelta — absent means a maintenance op crashed midway
     // and the on-disk cells may be inconsistent; rebuild, don't serve
-    require(new java.io.File(s"${path}_centroids/_SUCCESS").exists(),
+    require(Markers.exists(s"${path}_centroids/_SUCCESS"),
       s"IVF index at $path has no commit marker (crashed maintenance?); " +
         "rebuild it with writeIvfIndex/ensureIvfIndex")
     val centroids = spark.read.parquet(s"${path}_centroids")
@@ -1411,7 +1410,7 @@ object Similarity {
   def ensureKnnGraph(corpus: => DataFrame, idCol: String, vecCol: String,
                      path: String, k: Int, nbits: Int = 4,
                      numTables: Int = 16): Unit = {
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    if (!Markers.exists(s"$path/_SUCCESS"))
       writeKnnGraph(corpus, idCol, vecCol, path, k, nbits, numTables)
   }
 
@@ -1421,7 +1420,7 @@ object Similarity {
     */
   def mutualKnnFromGraph(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
-    require(new java.io.File(s"$path/_SUCCESS").exists(),
+    require(Markers.exists(s"$path/_SUCCESS"),
       s"kNN graph at $path has no build marker; rebuild with ensureKnnGraph")
     mutualizeKnn(spark.read.parquet(path))
   }

@@ -424,8 +424,7 @@ object TextAnalysis {
     */
   def ensureBm25Index(docs: DataFrame, idCol: String, textCol: String,
                       path: String, numBuckets: Int = 64): Unit = {
-    val marker = new java.io.File(s"${path}_stats/_SUCCESS")
-    if (!marker.exists()) writeBm25Index(docs, idCol, textCol, path, numBuckets)
+    if (!Markers.exists(s"${path}_stats/_SUCCESS")) writeBm25Index(docs, idCol, textCol, path, numBuckets)
   }
 
   /** UPSERT a document delta into a [[writeBm25Index]] index WITHOUT
@@ -536,7 +535,7 @@ object TextAnalysis {
     // the _stats/_SUCCESS marker doubles as the commit marker for
     // appendBm25Delta — absent means a maintenance op crashed midway
     // and postings/df/dl may be inconsistent; rebuild, don't serve
-    require(new java.io.File(s"${path}_stats/_SUCCESS").exists(),
+    require(Markers.exists(s"${path}_stats/_SUCCESS"),
       s"BM25 index at $path has no commit marker (crashed maintenance?); " +
         "rebuild it with writeBm25Index/ensureBm25Index")
     val buckets = queryTerms.toDF("term")
