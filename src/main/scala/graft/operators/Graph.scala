@@ -598,6 +598,42 @@ object Graph {
     out
   }
 
+  /** Materialize a [[neighborhoodFunction]] profile — the
+    * [[writeBasketGraph]] serving discipline applied to ANF: the
+    * hop-round HLL pipeline (the |E|-per-round sketch-union cost) is
+    * pure derived data of a static graph, so it runs ONCE per corpus
+    * and every consumer (diameter diagnostics, growth monitors, the
+    * driver gate's exact-slice comparison) reads the |V|-row
+    * (node, n_ball_approx) table. HLL register updates are
+    * deterministic functions of the value set, so the served
+    * estimates are bit-identical to a fresh run — consumers' bounds
+    * and oracles hold unchanged. The parquet `_SUCCESS` is the build
+    * marker ([[Markers]]).
+    */
+  def writeAnfProfile(edges: DataFrame, srcCol: String, dstCol: String,
+                      path: String, hops: Int, lgK: Int = 12): Unit =
+    neighborhoodFunction(edges, srcCol, dstCol, hops, lgK)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[writeAnfProfile]] only if absent; `edges` is by-name so the
+    * sketch rounds never evaluate on the served path.
+    */
+  def ensureAnfProfile(edges: => DataFrame, srcCol: String, dstCol: String,
+                       path: String, hops: Int, lgK: Int = 12): Unit = {
+    if (!Markers.exists(s"$path/_SUCCESS"))
+      writeAnfProfile(edges, srcCol, dstCol, path, hops, lgK)
+  }
+
+  /** The materialized per-node neighborhood profile (the table IS
+    * [[neighborhoodFunction]]'s output — identical rows, no rounds).
+    */
+  def anfFromProfile(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    require(Markers.exists(s"$path/_SUCCESS"),
+      s"ANF profile at $path has no build marker; rebuild with ensureAnfProfile")
+    spark.read.parquet(path)
+  }
+
   /** DeepWalk-style node-context PMI features off [[randomWalks]]:
     * skip-gram co-occurrence pairs within a ±`window` step radius of
     * the generated walks, scored by pointwise mutual information —
@@ -1201,12 +1237,18 @@ object Graph {
     * or a superset of it; run rounds ≥ the peel depth (near-dup /
     * co-occurrence graphs converge in a handful).
     *
-    * Scale shape: edges symmetrize + dedup once, repartition on src,
-    * and cache; each round is two semi-joins of the (shrinking)
-    * |V|-row alive set against that layout plus one count aggregate
-    * (map-side partial first). The alive table is consumed twice per
-    * round — same eager per-round localCheckpoint as [[pageRank]].
-    * No collect anywhere.
+    * Scale shape: edges symmetrize + dedup ONCE with one shuffle
+    * total (repartition(src) first — HashPartitioning(src) already
+    * co-locates equal (src, dst) rows, so the dedupe adds no
+    * exchange — then cache, so every round's count aggregate reuses
+    * the layout exchange-free). Each round's alive set is ≤ |V| ids
+    * (node-bounded), so both survival semi-joins BROADCAST it (one
+    * reused exchange) instead of re-shuffling the |E|-row edge table
+    * by dst every round — the whole round is one map-side stage; a
+    * graph whose alive set outgrows the driver wants shuffle
+    * semi-joins back. The alive table is consumed twice per round —
+    * same eager per-round localCheckpoint as [[pageRank]]. No
+    * collect anywhere.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, iters: Int): DataFrame = {
@@ -1215,12 +1257,14 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist()
     def coreDeg(alive: DataFrame): DataFrame = und
-      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .join(broadcast(alive.withColumnRenamed("node", "src")), Seq("src"),
+        "left_semi")
+      .join(broadcast(alive.withColumnRenamed("node", "dst")), Seq("dst"),
+        "left_semi")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     var alive = und.select(col("src").as("node")).distinct()
     for (_ <- 1 to iters) {

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Spark-side design (all real and tested): schema, partition-batched
   * UDF shape (`mapPartitions` over an iterator — the Scala analogue of
-  * a batched pandas UDF), deterministic output. The actual codec call
-  * is STUBBED (no image/audio libraries in this environment) behind
-  * [[MediaCodec.decodeStub]], clearly marked — swapping in a real
-  * decoder changes one function, not the pipeline.
+  * a batched pandas UDF), deterministic output. STILL IMAGES decode
+  * for real via the JDK's `javax.imageio` ([[ImageCodec]] — encode →
+  * decode round-trip proven by the mm_decode_meta oracle); only media
+  * the JDK has no codec for (video containers, compressed audio) use
+  * the deterministic [[MediaCodec.decodeStub]] probe, clearly marked —
+  * swapping in ffmpeg bindings changes one function, not the pipeline.
   *
   * Scale posture: decode is a map-only stage; binary payloads never
   * shuffle (metadata is extracted first, payloads dropped before any
@@ -60,6 +62,109 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
         .withColumn("media_type", lit("text/plain"))
+
+  case class ImageMeta(
+      doc_id: Long,
+      media_type: String,
+      decode_ok: Boolean,  // ImageIO recognized and decoded the bytes
+      width: Int,          // REAL decoded pixel width  (-1 on failure)
+      height: Int,         // REAL decoded pixel height (-1 on failure)
+      channels: Int)       // REAL decoded raster bands (-1 on failure)
+
+  /** REAL image decode — `javax.imageio.ImageIO`, which ships in the
+    * JDK (PNG/BMP/GIF/JPEG readers, zero external dependency). This
+    * retires the decode-is-a-stub caveat for still images; the
+    * [[MediaCodec.decodeStub]] path remains only for media the JDK
+    * cannot probe (video containers, compressed audio).
+    */
+  object ImageCodec {
+    /** (width, height, raster bands) of a decodable image payload. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
+      try {
+        Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          .map(img => (img.getWidth, img.getHeight,
+            img.getRaster.getNumBands))
+      } catch { case _: java.io.IOException => None }
+    }
+
+    /** A deterministic w×h RGB PNG (pixel (x, y) = a fixed function
+      * of its coordinates, 3-band color model, default encoder
+      * params — no timestamp chunks, so identical inputs produce
+      * identical bytes across JVMs). Fixture generator for
+      * [[withImagePayload]]; also the reference encoder a real
+      * ingest would replace.
+      */
+    def png(width: Int, height: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((x * 31 + y * 17) & 0xff) << 16 |
+            ((x * 7 + y * 3) & 0xff) << 8 | ((x + y) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Attach a REAL PNG payload per document — the fixture-side half
+    * of the real-decode path (the driver testdata ships no blobs).
+    * Dimensions derive from the id (w = 16 + 4·(id mod 13),
+    * h = 16 + 4·((id div 7) mod 11) — 143 distinct shapes), so the
+    * DISTINCT payloads are bounded: each shape encodes ONCE on the
+    * executors and broadcast-joins onto the rows, instead of
+    * re-encoding per row. The dimension formulas are what the DuckDB
+    * oracle replays ([[ImageCodec.decode]] must recover them from
+    * the actual bytes — that round-trip is the test).
+    */
+  def withImagePayload(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dims = docs.select(
+        (lit(16) + (col(idCol) % 13) * 4).cast("int").as("img_w"),
+        (lit(16) + ((col(idCol) / 7).cast("long") % 11) * 4).cast("int")
+          .as("img_h"))
+      .distinct()
+    val payloads = dims.as[(Int, Int)]
+      .map { case (w, h) => (w, h, ImageCodec.png(w, h)) } // executor-side
+      .toDF("img_w", "img_h", "payload")
+    docs
+      .withColumn("img_w", (lit(16) + (col(idCol) % 13) * 4).cast("int"))
+      .withColumn("img_h",
+        (lit(16) + ((col(idCol) / 7).cast("long") % 11) * 4).cast("int"))
+      .join(broadcast(payloads), Seq("img_w", "img_h"))
+      .drop("img_w", "img_h")
+      .withColumn("media_type", lit("image/png"))
+  }
+
+  /** Partition-batched REAL decode ([[extractMeta]]'s shape with
+    * [[ImageCodec.decode]] in place of the stub): one iterator pass
+    * per partition, payload dropped from the output, unreadable
+    * payloads surface as `decode_ok = false` rows (never an
+    * exception — one poisoned blob must not kill a 100 TB scan).
+    */
+  def extractImageMeta(docs: DataFrame, idCol: String): Dataset[ImageMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes) =>
+          ImageCodec.decode(bytes) match {
+            case Some((w, h, c)) => ImageMeta(id, mt, decode_ok = true, w, h, c)
+            case None => ImageMeta(id, mt, decode_ok = false, -1, -1, -1)
+          }
+        }
+      }
+  }
 
   /** Content-addressed binary inventory — the NO-CODEC multimodal
     * dedup (identical blobs are identical regardless of what they

@@ -483,6 +483,28 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("ANF profile: served estimates identical to a fresh run; ensure never re-runs the rounds") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_anf_${System.nanoTime()}"
+    val p = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e"))
+      .toDF("src", "dst")
+    Graph.ensureAnfProfile(p, "src", "dst", path, hops = 2)
+    // deterministic sketches: the served table IS a fresh run's output
+    val served = Graph.anfFromProfile(spark, path)
+      .as[(String, Double)].collect().toMap
+    val direct = Graph.neighborhoodFunction(p, "src", "dst", hops = 2)
+      .as[(String, Double)].collect().toMap
+    assert(served == direct, s"served $served diverges from direct $direct")
+    // build-once proof: edges is by-name — with the marker present, a
+    // poisoned source plan must never be evaluated
+    Graph.ensureAnfProfile(
+      sys.error("ensureAnfProfile re-ran the rounds"): org.apache.spark.sql.DataFrame,
+      "src", "dst", path, hops = 2)
+    // a marker-less (crashed) profile refuses to serve
+    intercept[IllegalArgumentException] {
+      Graph.anfFromProfile(spark, s"${path}_nonexistent")
+    }
+  }
+
   test("basket graph: served consumers match direct operators; ensure never re-runs the explode") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_basket_${System.nanoTime()}"
     val rel = spark.read.parquet(s"$sf001/lineitem.parquet")

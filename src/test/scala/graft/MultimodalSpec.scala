@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The REAL still-image decode path (javax.imageio): encode→decode
+  * round-trip, corrupt-payload tolerance, and the fixture-side
+  * bounded-distinct payload join.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ImageCodec: PNG encode->decode round-trips exact dimensions and 3 bands") {
+    for ((w, h) <- Seq((16, 16), (17, 23), (64, 56), (1, 1))) {
+      val bytes = Multimodal.ImageCodec.png(w, h)
+      // a real PNG container, not a fake: magic bytes present
+      assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      assert(Multimodal.ImageCodec.decode(bytes) == Some((w, h, 3)),
+        s"round-trip failed for ${w}x$h")
+    }
+    // deterministic: identical input -> identical bytes (what lets
+    // the bounded-distinct payload table stand in for per-row encode)
+    assert(Multimodal.ImageCodec.png(20, 24).toSeq ==
+      Multimodal.ImageCodec.png(20, 24).toSeq)
+  }
+
+  test("extractImageMeta: corrupt payloads surface as decode_ok=false, never an exception") {
+    val rows = Seq(
+      (1L, "image/png", Multimodal.ImageCodec.png(20, 16)),
+      (2L, "image/png", "not an image".getBytes("UTF-8")),
+      (3L, "image/png", Array.empty[Byte]))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.extractImageMeta(rows, "doc_id")
+      .collect().map(m => m.doc_id -> (m.decode_ok, m.width, m.height, m.channels))
+      .toMap
+    assert(got(1L) == ((true, 20, 16, 3)))
+    assert(got(2L) == ((false, -1, -1, -1)))
+    assert(got(3L) == ((false, -1, -1, -1)))
+  }
+
+  test("withImagePayload: every fixture doc decodes to its generation formula") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id").limit(200)
+    val meta = Multimodal.extractImageMeta(
+        Multimodal.withImagePayload(docs, "doc_id"), "doc_id")
+      .toDF()
+    assert(meta.count() == 200, "payload join must not drop or duplicate rows")
+    val bad = meta.where(!col("decode_ok") ||
+      col("width") =!= (lit(16) + (col("doc_id") % 13) * 4) ||
+      col("height") =!= (lit(16) + ((col("doc_id") / 7).cast("long") % 11) * 4) ||
+      col("channels") =!= 3)
+    assert(bad.count() == 0, s"decode diverged: ${bad.take(3).mkString(", ")}")
+  }
+}
