@@ -3255,6 +3255,38 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // the LOSSY KLL regime (the sketch's advertised operating point):
+    // k = 200 over the FULL event corpus, so the randomized
+    // compaction path fires for real and the estimate is NOT
+    // deterministic — but its normalized rank error is bounded by
+    // ε(k) ≈ 2.296/k^0.9433 ≈ 1.55% at 99% confidence (the published
+    // DataSketches KLL bound), so the gate checks the estimate's
+    // exact RANK against 2.1×ε ≈ 3.3% (headroom keeps the boolean
+    // stable across the coin flips). Every emitted column (pct, rk,
+    // exact value, bound boolean) is deterministic; the estimate
+    // itself is consumed only through the rank probe
+    "agg_kll_rollup_lossy" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .where(col("c").isNotNull)
+      val est = Analytics.kllQuantileRollup(ev, Seq("day"), "c",
+        Seq(25, 50, 75, 90), k = 200)
+      val exact = Profiling.exactQuantiles(
+        ev.select(col("c").as("cents")), "cents", Seq(25, 50, 75, 90))
+      val n = ev.agg(count(lit(1)).as("n"))
+      val nle = ev.crossJoin(broadcast(est)) // 4-row est — bounded fan-out
+        .groupBy("pct", "q_est")
+        .agg(sum(when(col("c") <= col("q_est"), 1L).otherwise(0L)).as("n_le"))
+      exact.join(nle, Seq("pct"))
+        .crossJoin(broadcast(n)) // 1-row scalar
+        .select(col("pct"), col("rk"), col("value"),
+          (abs(col("n_le").cast("double") / col("n")
+               - col("pct").cast("double") / 100.0) <= 0.033)
+            .as("within_kll_eps_rank"))
+        .orderBy("pct")
+    }),
+
     // sketch twin of agg_percentiles: approx_percentile (the
     // mergeable KLL-style quantile sketch) vs the exact interpolated
     // percentile, gated the same boolean-bound way (±0.5 quantity
@@ -7119,6 +7151,22 @@ object SparkEntry {
         |       FROM tot CROSS JOIN UNNEST([25, 50, 75, 90]) AS t(p))
         | SELECT pct, CAST(rk AS BIGINT) AS rk, CAST(min(c) AS BIGINT) AS value,
         |  TRUE AS within_1pct_rank
+        | FROM r JOIN cum ON cum.cm >= r.rk
+        | GROUP BY pct, rk ORDER BY pct""".stripMargin,
+
+    // the same exact rank rule over ALL events + literal TRUE (the
+    // published KLL ε(k=200) rank bound with 2.1x headroom)
+    "agg_kll_rollup_lossy" ->
+      """WITH v AS (SELECT CAST(round(value*100, 0) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE value IS NOT NULL),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        | d AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        | cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cm FROM d),
+        | r AS (SELECT CAST(p AS BIGINT) AS pct, (n*p + 99) // 100 AS rk
+        |       FROM tot CROSS JOIN UNNEST([25, 50, 75, 90]) AS t(p))
+        | SELECT pct, CAST(rk AS BIGINT) AS rk, CAST(min(c) AS BIGINT) AS value,
+        |  TRUE AS within_kll_eps_rank
         | FROM r JOIN cum ON cum.cm >= r.rk
         | GROUP BY pct, rk ORDER BY pct""".stripMargin,
 

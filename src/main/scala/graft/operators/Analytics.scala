@@ -518,7 +518,13 @@ object Analytics {
     * defaults to the format maximum (65535) to make that regime as
     * wide as possible; the gate cardinality sits inside it, and gate
     * consumers bound the estimate by its exact RANK (±tolerance),
-    * which also absorbs the inclusive-rank convention.
+    * which also absorbs the inclusive-rank convention. The LOSSY
+    * regime (small k, compaction firing) is exercised too — the
+    * agg_kll_rollup_lossy gate runs k = 200 over the full corpus and
+    * bounds the estimate by the published normalized rank error
+    * ε(k) ≈ 2.296/k^0.9433 (99% confidence) with 2.1× headroom, the
+    * contract randomized estimates CAN honor where bit-equality
+    * cannot.
     */
   def kllQuantileRollup(df: DataFrame, fineKeys: Seq[String],
                         valueCol: String, pcts: Seq[Int],

@@ -502,8 +502,12 @@ object Graph {
     var und = dir0
       .union(dir0.select(col("v").as("u"), col("u").as("v"), col("w")))
       .where(col("u") =!= col("v"))
+      // one shuffle total: repartition(u) FIRST — HashPartitioning(u)
+      // already co-locates equal (u, v) rows, so the max-collapse
+      // adds no exchange and the layout feeds every round's
+      // groupBy("u") pointer aggregate exchange-free
+      .repartition(col("u"))
       .groupBy("u", "v").agg(max(col("w")).as("w"))
-      .repartition(col("u")) // per-round groupBy("u") reuses this layout
       .localCheckpoint()
     var matched: DataFrame = null
     for (r <- 1 to rounds) {
@@ -609,6 +613,17 @@ object Graph {
     * estimates are bit-identical to a fresh run — consumers' bounds
     * and oracles hold unchanged. The parquet `_SUCCESS` is the build
     * marker ([[Markers]]).
+    *
+    * No `appendAnfDelta` — deliberately (the
+    * [[graft.operators.Embeddings.ensurePcaBasis]] precedent): an
+    * edge delta changes the r-hop ball of every node within r hops
+    * of either endpoint, and HLL unions can only ADD members, so a
+    * stored profile cannot absorb edge deletions at all and edge
+    * additions would need r propagation rounds over the delta's
+    * r-hop neighborhood — a scoped rebuild, not a merge. Policy:
+    * rebuild on delta (the ensure marker makes that one cheap line),
+    * or accept a stale profile between scheduled rebuilds — the
+    * standard trade for a diagnostic artifact.
     */
   def writeAnfProfile(edges: DataFrame, srcCol: String, dstCol: String,
                       path: String, hops: Int, lgK: Int = 12): Unit =
