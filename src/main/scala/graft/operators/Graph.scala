@@ -363,12 +363,20 @@ object Graph {
     * oracle unrolls rounds as CTEs. Maximal once no edge survives.
     *
     * Scale shape (measured decomposition in NOTES "r7 matching"):
-    *  - ONE shuffle total: repartition(u) first, then dedupe
-    *    (HashPartitioning(u) already co-locates equal (u, v) rows so
-    *    dropDuplicates adds no exchange) — the dedupe is load-bearing
-    *    at scale (multi-edge relations collapse before any round);
-    *    localCheckpoint preserves the layout so every round's
-    *    groupBy("u") min is exchange-free.
+    *  - ONE shuffle total at build: an EXPLICIT-WIDTH repartition on
+    *    u, then dedupe (HashPartitioning(u) already co-locates equal
+    *    (u, v) rows so dropDuplicates adds no exchange) — the dedupe
+    *    is load-bearing at scale (multi-edge relations collapse
+    *    before any round). The explicit partition count matters:
+    *    localCheckpoint does NOT preserve the logical partitioning,
+    *    and AQE coalesces a by-column repartition of this size to ~1
+    *    partition (measured), which would single-thread every round
+    *    over the checkpointed table — REPARTITION_BY_NUM is exempt
+    *    from coalescing, so the rounds keep their parallelism. The
+    *    per-round min aggregates still exchange, but only their
+    *    POST-partial-aggregation rows (≤ |V| per partition) — the
+    *    map-side combine is what keeps rounds cheap, not layout
+    *    reuse.
     *  - The whole role schedule draws ONCE, per NODE: a ≤62-round
     *    schedule packs into one long bitmask (|V|·rounds md5 total,
     *    broadcast-joined onto both edge endpoints at build), so the
@@ -409,9 +417,11 @@ object Graph {
       if (packRounds) shiftright(maskCol, r - 1).bitwiseAND(lit(1L))
       else parity(nodeCol, r)
     var und = {
+      val np = edges.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
       val sym = dir0
         .union(dir0.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
+        .repartition(np, col("u")) // by-NUM: AQE must not coalesce the checkpoint width
         .dropDuplicates("u", "v")
       if (!packRounds) sym.withColumn("bu", lit(0L)).withColumn("bv", lit(0L))
       else sym
@@ -502,11 +512,14 @@ object Graph {
     var und = dir0
       .union(dir0.select(col("v").as("u"), col("u").as("v"), col("w")))
       .where(col("u") =!= col("v"))
-      // one shuffle total: repartition(u) FIRST — HashPartitioning(u)
-      // already co-locates equal (u, v) rows, so the max-collapse
-      // adds no exchange and the layout feeds every round's
-      // groupBy("u") pointer aggregate exchange-free
-      .repartition(col("u"))
+      // one shuffle total: explicit-width repartition(u) FIRST —
+      // HashPartitioning(u) co-locates equal (u, v) rows so the
+      // max-collapse adds no exchange, and the by-NUM form keeps the
+      // checkpointed round tables at full parallelism (AQE coalesces
+      // by-column repartitions, and localCheckpoint does not preserve
+      // the logical layout — the greedyMatching build contract)
+      .repartition(edges.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("u"))
       .groupBy("u", "v").agg(max(col("w")).as("w"))
       .localCheckpoint()
     var matched: DataFrame = null
@@ -1253,10 +1266,12 @@ object Graph {
     * co-occurrence graphs converge in a handful).
     *
     * Scale shape: edges symmetrize + dedup ONCE with one shuffle
-    * total (repartition(src) first — HashPartitioning(src) already
-    * co-locates equal (src, dst) rows, so the dedupe adds no
-    * exchange — then cache, so every round's count aggregate reuses
-    * the layout exchange-free). Each round's alive set is ≤ |V| ids
+    * total (explicit-width repartition(src) first —
+    * HashPartitioning(src) already co-locates equal (src, dst) rows,
+    * so the dedupe adds no exchange, and the by-NUM form keeps the
+    * cached table at full parallelism instead of AQE-coalescing it
+    * to ~1 partition — then cache; round aggregates exchange only
+    * their post-partial rows). Each round's alive set is ≤ |V| ids
     * (node-bounded), so both survival semi-joins BROADCAST it (one
     * reused exchange) instead of re-shuffling the |E|-row edge table
     * by dst every round — the whole round is one map-side stage; a
@@ -1272,7 +1287,8 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .repartition(edges.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("src"))
       .dropDuplicates("src", "dst")
       .persist()
     def coreDeg(alive: DataFrame): DataFrame = und

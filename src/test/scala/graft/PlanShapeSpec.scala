@@ -418,4 +418,80 @@ class PlanShapeSpec extends SparkSpec {
       "a served component must not re-run the covariance pipeline")
     assert(p.contains("graft_pca_basis"), "the basis scan must appear")
   }
+
+  test("served ANF gate scans the profile tables, never the pair explode (graph_anf)") {
+    val p = plan("graph_anf")
+    assert(p.contains("graft_anf_profile"), "the HLL profile scan must appear")
+    assert(p.contains("graft_anf_exact"), "the exact-slice scan must appear")
+    assert(!p.contains("hll_union"),
+      "a served gate must not re-run the sketch rounds")
+  }
+
+  /** The matching/kcore round shapes execute EAGERLY inside the
+    * operators (per-round checkpoints), so the gate plan can't show
+    * them — these pins reconstruct the exact per-round plan the
+    * operators build and assert its scale-critical properties.
+    */
+  test("matching round shape: by-NUM checkpoint width survives AQE; rounds combine map-side and broadcast removals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, min}
+    // localCheckpoint does NOT preserve the logical partitioning, and
+    // AQE coalesces a by-COLUMN repartition of tiny data to 1
+    // partition — the by-NUM form is exempt, which is what keeps the
+    // per-round work parallel (the greedyMatching build contract)
+    val coalesced = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("u", "v")
+      .repartition(col("u")).localCheckpoint()
+    assert(coalesced.rdd.getNumPartitions == 1,
+      "precondition drifted: AQE no longer coalesces by-column repartitions " +
+        "(re-audit whether the by-NUM pin is still needed)")
+    val und = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("u", "v")
+      .repartition(4, col("u")).localCheckpoint()
+    assert(und.rdd.getNumPartitions == 4,
+      "the checkpointed edge table must keep the explicit width")
+    // the per-round min aggregate must combine map-side — only
+    // post-partial rows may reach its exchange
+    val agg = und.groupBy("u").agg(min(col("v")).as("c"))
+      .queryExecution.explainString(FormattedMode)
+    val lines = agg.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange"))
+    val partialAt = lines.indexWhere(_.contains("partial_min"))
+    assert(exchangeAt >= 0 && partialAt > exchangeAt,
+      s"partial aggregation must run below the round exchange:\n$agg")
+    // the matched-node removals: BROADCAST anti-joins, never a
+    // shuffle of the edge table
+    val mn = Seq("a").toDF("n")
+    val anti = und
+      .join(broadcast(mn), col("u") === col("n"), "left_anti")
+      .join(broadcast(mn), col("v") === col("n"), "left_anti")
+      .queryExecution.explainString(FormattedMode)
+    assert(anti.contains("BroadcastHashJoin") && anti.contains("LeftAnti"),
+      "removals must be broadcast hash anti-joins")
+    assert(!anti.contains("SortMergeJoin") && !anti.contains("ShuffledHashJoin"),
+      "the edge table must never re-shuffle for a removal")
+  }
+
+  test("kcore round shape: dedupe rides the repartition shuffle; peeling semi-joins broadcast the alive set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val und0 = Seq(("a", "b"), ("b", "a"), ("a", "c"))
+      .toDF("src", "dst")
+      .repartition(4, col("src"))
+      .dropDuplicates("src", "dst")
+    // HashPartitioning(src) satisfies the (src, dst) clustering — the
+    // dedupe must add NO second exchange
+    val build = und0.queryExecution.explainString(FormattedMode)
+    assert(build.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 1,
+      s"edge build must shuffle exactly once:\n$build")
+    val und = und0.localCheckpoint()
+    val alive = Seq("a", "b").toDF("node")
+    val round = und
+      .join(broadcast(alive.withColumnRenamed("node", "src")), Seq("src"), "left_semi")
+      .join(broadcast(alive.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .queryExecution.explainString(FormattedMode)
+    assert(round.contains("BroadcastHashJoin") && round.contains("LeftSemi"),
+      "survival filters must broadcast the alive set")
+    assert(!round.contains("SortMergeJoin") && !round.contains("ShuffledHashJoin"),
+      "the edge table must never re-shuffle inside a peel round")
+  }
 }
