@@ -34,6 +34,16 @@ object Graph {
     * Dangling nodes (no outgoing edges) donate their mass uniformly:
     * pr'(v) = (1-d)/N + d·(Σ_in pr(u)·p(u,v) + dang/N).
     */
+  /** The session's configured shuffle width. Iterated-over cached or
+    * checkpointed layouts repartition BY NUMBER with this width: AQE
+    * coalesces by-column repartitions (collapsing a gate-sized layout
+    * to ~1 partition and single-threading every round against it),
+    * but REPARTITION_BY_NUM is exempt — the measured finding behind
+    * the [[greedyMatching]] build contract, applied family-wide.
+    */
+  private def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int,
                damping: Double = 0.85): DataFrame = {
@@ -50,7 +60,7 @@ object Graph {
       .persist()
     val norm = e.join(outW.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
-      .repartition(col("src"))
+      .repartition(shuffleWidth(e), col("src"))
       .persist()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nRow))
@@ -119,7 +129,7 @@ object Graph {
       .persist()
     val norm = e.join(outW.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
-      .repartition(col("src"))
+      .repartition(shuffleWidth(e), col("src"))
       .persist()
     // seeds restricted to nodes actually present — the mass must
     // normalize over the graph's seed intersection or an absent seed
@@ -267,8 +277,10 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(weightCol).cast("double").as("w"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      // explicit width first: HashPartitioning(src) satisfies the
+      // (src, dst) clustering, so the weight collapse adds no exchange
+      .repartition(shuffleWidth(e), col("src"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .repartition(col("src"))
       .persist()
     // symmetrized: every node appears as a src
     val nodes = und.select(col("src").as("node")).distinct().persist()
@@ -318,7 +330,7 @@ object Graph {
                     iters: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(lenCol).cast("double").as("len"))
-      .repartition(col("src"))
+      .repartition(shuffleWidth(edges), col("src"))
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -589,8 +601,10 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
+      // explicit width first: HashPartitioning(src) satisfies the
+      // (src, dst) clustering, so the dedupe adds no exchange
+      .repartition(shuffleWidth(edges), col("src"))
+      .dropDuplicates("src", "dst")
       .persist()
     val nodes = und.select(col("src").as("node")).distinct()
     var state = und.select(col("src").as("node"), col("dst").as("m"))
@@ -720,7 +734,7 @@ object Graph {
     import spark.implicits._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(lenCol).cast("double").as("len"))
-      .repartition(col("src"))
+      .repartition(shuffleWidth(edges), col("src"))
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -828,7 +842,7 @@ object Graph {
         // without re-joining degrees
         when(fwd, struct(col("deg_b").as("d"), col("b").as("n")))
           .otherwise(struct(col("deg_a").as("d"), col("a").as("n"))).as("rank_y"))
-      .repartition(col("x"))
+      .repartition(shuffleWidth(edges), col("x"))
       .persist()
     // wedges at x: out-neighbor pairs (y, z) with rank(y) < rank(z);
     // the triangle closes iff oriented edge y→z exists
@@ -975,7 +989,7 @@ object Graph {
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val norm = e.join(outW, "src")
       .select(col("src"), col("dst"), round(col("w") / col("out_w"), 9).as("p"))
-      .repartition(col("src"))
+      .repartition(shuffleWidth(e), col("src"))
       .persist()
     val nodes = norm.select(col("src").as("node"))
       .union(norm.select(col("dst").as("node")))
