@@ -34,16 +34,6 @@ object Graph {
     * Dangling nodes (no outgoing edges) donate their mass uniformly:
     * pr'(v) = (1-d)/N + d·(Σ_in pr(u)·p(u,v) + dang/N).
     */
-  /** The session's configured shuffle width. Iterated-over cached or
-    * checkpointed layouts repartition BY NUMBER with this width: AQE
-    * coalesces by-column repartitions (collapsing a gate-sized layout
-    * to ~1 partition and single-threading every round against it),
-    * but REPARTITION_BY_NUM is exempt — the measured finding behind
-    * the [[greedyMatching]] build contract, applied family-wide.
-    */
-  private def shuffleWidth(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int,
                damping: Double = 0.85): DataFrame = {
@@ -60,7 +50,7 @@ object Graph {
       .persist()
     val norm = e.join(outW.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
-      .repartition(shuffleWidth(e), col("src"))
+      .repartition(col("src"))
       .persist()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nRow))
@@ -129,7 +119,7 @@ object Graph {
       .persist()
     val norm = e.join(outW.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
-      .repartition(shuffleWidth(e), col("src"))
+      .repartition(col("src"))
       .persist()
     // seeds restricted to nodes actually present — the mass must
     // normalize over the graph's seed intersection or an absent seed
@@ -279,7 +269,7 @@ object Graph {
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       // explicit width first: HashPartitioning(src) satisfies the
       // (src, dst) clustering, so the weight collapse adds no exchange
-      .repartition(shuffleWidth(e), col("src"))
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .persist()
     // symmetrized: every node appears as a src
@@ -330,7 +320,7 @@ object Graph {
                     iters: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(lenCol).cast("double").as("len"))
-      .repartition(shuffleWidth(edges), col("src"))
+      .repartition(col("src"))
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -375,20 +365,21 @@ object Graph {
     * oracle unrolls rounds as CTEs. Maximal once no edge survives.
     *
     * Scale shape (measured decomposition in NOTES "r7 matching"):
-    *  - ONE shuffle total at build: an EXPLICIT-WIDTH repartition on
-    *    u, then dedupe (HashPartitioning(u) already co-locates equal
-    *    (u, v) rows so dropDuplicates adds no exchange) — the dedupe
-    *    is load-bearing at scale (multi-edge relations collapse
-    *    before any round). The explicit partition count matters:
-    *    localCheckpoint does NOT preserve the logical partitioning,
-    *    and AQE coalesces a by-column repartition of this size to ~1
-    *    partition (measured), which would single-thread every round
-    *    over the checkpointed table — REPARTITION_BY_NUM is exempt
-    *    from coalescing, so the rounds keep their parallelism. The
-    *    per-round min aggregates still exchange, but only their
-    *    POST-partial-aggregation rows (≤ |V| per partition) — the
-    *    map-side combine is what keeps rounds cheap, not layout
-    *    reuse.
+    *  - ONE shuffle total at build: repartition on u, then dedupe
+    *    (HashPartitioning(u) already co-locates equal (u, v) rows so
+    *    dropDuplicates adds no exchange) — the dedupe is load-bearing
+    *    at scale (multi-edge relations collapse before any round).
+    *    Width honesty (measured, spec-pinned): localCheckpoint does
+    *    NOT preserve the logical partitioning, and AQE coalesces this
+    *    by-column repartition data-proportionally (~64 MB advisory
+    *    target) — a sub-advisory gate-sized table collapses to ONE
+    *    partition, where single-threaded rounds are actually cheapest
+    *    (fewer tiny tasks; an explicit by-NUM width measured ~15%
+    *    SLOWER here), while a 100 TB-scale layout keeps
+    *    size/advisory partitions, so the rounds scale. The per-round
+    *    min aggregates exchange only their POST-partial-aggregation
+    *    rows (≤ |V| per partition) — the map-side combine is what
+    *    keeps rounds cheap, not layout reuse.
     *  - The whole role schedule draws ONCE, per NODE: a ≤62-round
     *    schedule packs into one long bitmask (|V|·rounds md5 total,
     *    broadcast-joined onto both edge endpoints at build), so the
@@ -429,11 +420,9 @@ object Graph {
       if (packRounds) shiftright(maskCol, r - 1).bitwiseAND(lit(1L))
       else parity(nodeCol, r)
     var und = {
-      val np = edges.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt
       val sym = dir0
         .union(dir0.select(col("v").as("u"), col("u").as("v")))
-        .repartition(np, col("u")) // by-NUM: AQE must not coalesce the checkpoint width
+        .repartition(col("u"))
         .dropDuplicates("u", "v")
       if (!packRounds) sym.withColumn("bu", lit(0L)).withColumn("bv", lit(0L))
       else sym
@@ -524,14 +513,11 @@ object Graph {
     var und = dir0
       .union(dir0.select(col("v").as("u"), col("u").as("v"), col("w")))
       .where(col("u") =!= col("v"))
-      // one shuffle total: explicit-width repartition(u) FIRST —
-      // HashPartitioning(u) co-locates equal (u, v) rows so the
-      // max-collapse adds no exchange, and the by-NUM form keeps the
-      // checkpointed round tables at full parallelism (AQE coalesces
-      // by-column repartitions, and localCheckpoint does not preserve
-      // the logical layout — the greedyMatching build contract)
-      .repartition(edges.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("u"))
+      // one shuffle total: repartition(u) FIRST — HashPartitioning(u)
+      // co-locates equal (u, v) rows so the max-collapse adds no
+      // exchange (the greedyMatching build contract; see its scaladoc
+      // for the AQE width trade)
+      .repartition(col("u"))
       .groupBy("u", "v").agg(max(col("w")).as("w"))
       .localCheckpoint()
     var matched: DataFrame = null
@@ -603,7 +589,7 @@ object Graph {
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       // explicit width first: HashPartitioning(src) satisfies the
       // (src, dst) clustering, so the dedupe adds no exchange
-      .repartition(shuffleWidth(edges), col("src"))
+      .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .persist()
     val nodes = und.select(col("src").as("node")).distinct()
@@ -734,7 +720,7 @@ object Graph {
     import spark.implicits._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(lenCol).cast("double").as("len"))
-      .repartition(shuffleWidth(edges), col("src"))
+      .repartition(col("src"))
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -842,7 +828,7 @@ object Graph {
         // without re-joining degrees
         when(fwd, struct(col("deg_b").as("d"), col("b").as("n")))
           .otherwise(struct(col("deg_a").as("d"), col("a").as("n"))).as("rank_y"))
-      .repartition(shuffleWidth(edges), col("x"))
+      .repartition(col("x"))
       .persist()
     // wedges at x: out-neighbor pairs (y, z) with rank(y) < rank(z);
     // the triangle closes iff oriented edge y→z exists
@@ -989,7 +975,7 @@ object Graph {
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val norm = e.join(outW, "src")
       .select(col("src"), col("dst"), round(col("w") / col("out_w"), 9).as("p"))
-      .repartition(shuffleWidth(e), col("src"))
+      .repartition(col("src"))
       .persist()
     val nodes = norm.select(col("src").as("node"))
       .union(norm.select(col("dst").as("node")))
@@ -1280,12 +1266,11 @@ object Graph {
     * co-occurrence graphs converge in a handful).
     *
     * Scale shape: edges symmetrize + dedup ONCE with one shuffle
-    * total (explicit-width repartition(src) first —
-    * HashPartitioning(src) already co-locates equal (src, dst) rows,
-    * so the dedupe adds no exchange, and the by-NUM form keeps the
-    * cached table at full parallelism instead of AQE-coalescing it
-    * to ~1 partition — then cache; round aggregates exchange only
-    * their post-partial rows). Each round's alive set is ≤ |V| ids
+    * total (repartition(src) first — HashPartitioning(src) already
+    * co-locates equal (src, dst) rows, so the dedupe adds no
+    * exchange — then cache; AQE sizes the cached width
+    * data-proportionally, see [[greedyMatching]]'s width note; round
+    * aggregates exchange only their post-partial rows). Each round's alive set is ≤ |V| ids
     * (node-bounded), so both survival semi-joins BROADCAST it (one
     * reused exchange) instead of re-shuffling the |E|-row edge table
     * by dst every round — the whole round is one map-side stage; a
@@ -1301,8 +1286,7 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(edges.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("src"))
+      .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .persist()
     def coreDeg(alive: DataFrame): DataFrame = und

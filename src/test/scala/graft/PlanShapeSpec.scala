@@ -432,22 +432,27 @@ class PlanShapeSpec extends SparkSpec {
     * them — these pins reconstruct the exact per-round plan the
     * operators build and assert its scale-critical properties.
     */
-  test("matching round shape: by-NUM checkpoint width survives AQE; rounds combine map-side and broadcast removals") {
+  test("matching round shape: AQE width mechanics documented; rounds combine map-side and broadcast removals") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col, min}
-    // localCheckpoint does NOT preserve the logical partitioning, and
-    // AQE coalesces a by-COLUMN repartition of tiny data to 1
-    // partition — the by-NUM form is exempt, which is what keeps the
-    // per-round work parallel (the greedyMatching build contract)
+    // Width mechanics the iterative family's build contract rests on
+    // (greedyMatching scaladoc): localCheckpoint does NOT preserve
+    // the logical partitioning, and AQE coalesces a by-COLUMN
+    // repartition DATA-PROPORTIONALLY (~64 MB advisory target) — a
+    // sub-advisory table collapses to one partition (cheapest for
+    // tiny rounds; measured faster than forcing width), while a
+    // 100 TB layout keeps size/advisory partitions. If either half
+    // stops holding, re-audit the family's repartition choices.
     val coalesced = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("u", "v")
       .repartition(col("u")).localCheckpoint()
     assert(coalesced.rdd.getNumPartitions == 1,
-      "precondition drifted: AQE no longer coalesces by-column repartitions " +
-        "(re-audit whether the by-NUM pin is still needed)")
+      "canary drifted: AQE no longer coalesces by-column repartitions")
+    // ... and the by-NUM escape hatch stays exempt from coalescing
+    // (what a compute-heavy sub-advisory layout would switch to)
     val und = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("u", "v")
       .repartition(4, col("u")).localCheckpoint()
     assert(und.rdd.getNumPartitions == 4,
-      "the checkpointed edge table must keep the explicit width")
+      "canary drifted: REPARTITION_BY_NUM no longer keeps its width")
     // the per-round min aggregate must combine map-side — only
     // post-partial rows may reach its exchange
     val agg = und.groupBy("u").agg(min(col("v")).as("c"))
