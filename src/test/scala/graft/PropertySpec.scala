@@ -314,6 +314,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("greedyMatching equals the plain-Scala round recurrence on random graphs") {
+    // Brute-force twin of the md5 propose-accept rounds: guards the
+    // bitmask-packed role schedule (round-7 rewrite) pair-for-pair,
+    // round-for-round against an independent implementation — the
+    // DuckDB oracle replays ONE fixed corpus; this replays many
+    // random graphs.
+    import graft.operators.Graph
+    def parity(s: String, r: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((s + "_" + r).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2
+    }
+    def ref(edges: Seq[(String, String)], rounds: Int): Set[(String, String, Long)] = {
+      var und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).toSet
+      val out = scala.collection.mutable.Set.empty[(String, String, Long)]
+      for (r <- 1 to rounds) {
+        val pairs = und.toSeq
+          .filter { case (u, v) => parity(u, r) == 0 && parity(v, r) == 1 }
+          .groupBy(_._1).map { case (u, es) => (u, es.map(_._2).min) }.toSeq
+          .groupBy(_._2).map { case (c, ps) => (c, ps.map(_._1).min) }
+        out ++= pairs.map { case (a, b) => (a, b, r.toLong) }
+        val mn = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet
+        und = und.filter { case (u, v) => !mn(u) && !mn(v) }
+      }
+      out.toSet
+    }
+    val eGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)))
+    for ((raw, i) <- samples(eGen, 4).zipWithIndex) {
+      val edges = raw.collect { case (u, v) if u != v => (s"n$u", s"n$v") }
+      if (edges.nonEmpty) {
+        val rounds = 2 + i * 3 // exercise short, mid, and drained horizons
+        val got = Graph.greedyMatching(edges.toDF("src", "dst"),
+            "src", "dst", rounds = rounds)
+          .as[(String, String, Long)].collect().toSet
+        val want = ref(edges, rounds)
+        assert(got == want, s"iteration $i rounds=$rounds: got $got want $want")
+      }
+    }
+  }
+
   test("greedyMatchingWeighted yields a valid maximal matching on random graphs") {
     import graft.operators.Graph
     val eGen = Gen.listOfN(40,
