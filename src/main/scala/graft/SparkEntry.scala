@@ -3324,6 +3324,16 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // deterministic seeded epoch shuffle: every doc gets a global
+    // training-order position 0..n-1 in md5(seed|id) order — the
+    // per-epoch order randomization a pretraining pipeline replays
+    // from the seed alone; global rank WITHOUT a global sort (hash-
+    // prefix range buckets + bounded offset table), oracle replays
+    // the rank as one window
+    "sample_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", "epoch1")
+        .orderBy("doc_id")),
+
     // stratified variant: per-stratum rates (downsample the dominant
     // 'O' status hard, keep rarer statuses) — same md5-prefix
     // determinism, so the sample is reproducible and oracle-exact
@@ -7199,6 +7209,15 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 4) < '1999'
         | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the epoch-shuffle rank replayed as one window: position = exact
+    // rank of (md5('epoch1|' || id), id)
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (
+        |   ORDER BY md5('epoch1|' || doc_id::VARCHAR), doc_id) - 1
+        |  AS BIGINT) AS position
+        | FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_weighted" ->
       s"""SELECT doc_id, quality_score FROM (${qualitySql("documents")})

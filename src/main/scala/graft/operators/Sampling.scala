@@ -494,6 +494,45 @@ object Sampling {
     * partials), nothing else. The audit of a 100 TB corpus costs one
     * scan.
     */
+  /** Deterministic seeded EPOCH SHUFFLE — the training-order
+    * randomization a pretraining pipeline runs per epoch: every row
+    * gets a global position 0..n−1 in md5(seed | id) order, so the
+    * order is uniform-random-looking, reproducible from the seed
+    * alone (re-run an epoch, get the identical order — the
+    * data-order-reproducibility requirement), and changes completely
+    * per seed. Compose with the packers: shuffle → `tokenPack` /
+    * `shardManifest` consumes the positions as its layout order.
+    *
+    * Determinism (oracle parity): position is the exact rank of
+    * (md5(seed|id), id) — both engines sort the same strings; the id
+    * tie-break makes rank total even under the no-collision
+    * assumption failing.
+    *
+    * Scale shape — a GLOBAL rank with no global sort/window: the
+    * first two hex chars of the key partition its lexicographic
+    * ORDER into 256 RANGES (a hash prefix is an order-preserving
+    * bucketing, and uniform by construction — no skew, no sampled
+    * range boundaries), so position = bucket offset (a 256-row
+    * cumulative table, broadcast) + within-bucket rank (windows
+    * partitioned per bucket). The [[graft.operators.Multimodal]]
+    * prefixPack discipline keyed by hash instead of id.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"),
+      md5(concat_ws("|", lit(seed), col(idCol).cast("string"))).as("sk"))
+    val b = keyed.withColumn("bucket",
+      conv(substring(col("sk"), 1, 2), 16, 10).cast("long"))
+    val perBucket = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val wb = Window.orderBy("bucket") // bounded 256-row table
+    val offsets = perBucket.withColumn("off",
+      coalesce(sum(col("n")).over(wb) - col("n"), lit(0L)))
+    val wr = Window.partitionBy("bucket").orderBy("sk", "doc_id")
+    b.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+      .withColumn("position",
+        col("off") + row_number().over(wr).cast("long") - 1L)
+      .select(col("doc_id"), col("position"))
+  }
+
   def effectiveSampleSize(df: DataFrame, stratumCol: String,
                           weightCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")

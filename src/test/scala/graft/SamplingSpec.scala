@@ -250,4 +250,34 @@ class SamplingSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("total weight must be < 2^63")),
       s"expected the guard message, got: ${msgs(e)}")
   }
+
+  test("epochShuffle: positions are an exact permutation matching the md5 rank") {
+    val ids = (1 to 300).map(_.toLong)
+    val df = ids.toDF("doc_id")
+    val out = Sampling.epochShuffle(df, "doc_id", "epochX")
+      .as[(Long, Long)].collect().toMap
+    // permutation 0..n-1
+    assert(out.values.toSeq.sorted == (0L until 300L).toSeq)
+    // exact rank of (md5(seed|id), id) — the order the oracle replays
+    def hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expect = ids.sortBy(i => (hex(s"epochX|$i"), i)).zipWithIndex
+      .map { case (i, p) => i -> p.toLong }.toMap
+    assert(out == expect)
+  }
+
+  test("epochShuffle: reproducible from the seed alone; a new seed reorders") {
+    val df = (1 to 300).map(_.toLong).toDF("doc_id")
+    def run(seed: String, parts: Int) =
+      Sampling.epochShuffle(df.repartition(parts), "doc_id", seed)
+        .as[(Long, Long)].collect().toMap
+    // partitioning-invariant and run-to-run identical
+    assert(run("e1", 1) == run("e1", 13) && run("e1", 13) == run("e1", 32))
+    // a different seed is a genuinely different epoch order
+    val a = run("e1", 8); val b = run("e2", 8)
+    assert(a != b && a.count { case (k, v) => b(k) == v } < 30,
+      "two seeds must agree on almost no positions")
+  }
 }
