@@ -3334,6 +3334,35 @@ object SparkEntry {
       Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", "epoch1")
         .orderBy("doc_id")),
 
+    // the shuffle CONSUMED: fixed-capacity training sequences packed
+    // in epoch order instead of ingest order (ingest-order packing
+    // puts same-source neighbors in one sequence — the correlation
+    // the shuffle exists to break); rank machinery + bucketed prefix
+    // sum, no global window
+    "pipeline_epoch_pack" -> ((s, dir) => {
+      val items = TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      Sampling.epochPack(items, "doc_id", "n_tokens", "epoch1", seqTokens = 1024L)
+        .select(col("doc_id"), col("position"), col("n_cost").as("n_tokens"),
+          col("stream_offset"), col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // multi-epoch mixture plan — the UPsampling twin of
+    // sample_token_budget: per-source integer token target
+    // (budget·w) div Σw, full passes + fractional-last-pass keep
+    // rate; weights derived from the source name so the plan is
+    // fixture-agnostic
+    "sample_epoch_plan" -> ((s, dir) =>
+      Sampling.epochPlan(
+        TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"))
+          .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id")),
+        "source", "n_tokens",
+        expr("cast(substring(source, 4, 10) as bigint) % 4 + 1"),
+        budget = 50000L)
+        .orderBy("source")),
+
     // stratified variant: per-stratum rates (downsample the dominant
     // 'O' status hard, keep rarer statuses) — same md5-prefix
     // determinism, so the sample is reproducible and oracle-exact
@@ -4505,6 +4534,14 @@ object SparkEntry {
     // ================= text analysis ===============================
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // char + word unigram Shannon entropy — the degenerate-text
+    // detectors (single-symbol runs, base64 blobs, non-adjacent
+    // boilerplate); scaled-ln exact-integer numerators, two IEEE
+    // divisions at the end
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.entropyStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
@@ -7219,6 +7256,29 @@ object SparkEntry {
         |  AS BIGINT) AS position
         | FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the shuffle rank feeding the fixed-boundary packing rule: the
+    // exclusive prefix sum runs in POSITION order
+    "pipeline_epoch_pack" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  md5('epoch1|' || doc_id::VARCHAR) AS sk
+        | FROM documents),
+        | p AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT) AS position
+        | FROM tok),
+        | q AS (
+        | SELECT doc_id, position, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY position
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS stream_offset
+        | FROM p)
+        | SELECT doc_id, position, n_tokens, stream_offset,
+        |  stream_offset // 1024 AS seq_id,
+        |  stream_offset % 1024 AS seq_offset
+        | FROM q ORDER BY doc_id""".stripMargin,
+
     "sample_weighted" ->
       s"""SELECT doc_id, quality_score FROM (${qualitySql("documents")})
          | WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT / 65536.0
@@ -7444,6 +7504,31 @@ object SparkEntry {
         | WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)
         |       / 4294967296.0 < keep_rate
         | ORDER BY doc_id""".stripMargin,
+
+    // the upsampling twin: exact integer share (budget·w) div Σw,
+    // epoch counts by floor division, the two rates as single IEEE
+    // divisions of exact longs
+    "sample_epoch_plan" ->
+      """WITH tok AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  source FROM documents),
+        | src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+        |  CAST(substring(source, 4, 10) AS BIGINT) % 4 + 1 AS w
+        | FROM tok GROUP BY source),
+        | tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM src),
+        | x AS (SELECT source, w, src_tokens,
+        |  CAST((50000 * w) // wsum AS BIGINT) AS target_tokens
+        | FROM src, tot)
+        | SELECT source, w, src_tokens, target_tokens,
+        |  CAST(target_tokens // src_tokens AS BIGINT) AS full_epochs,
+        |  CAST(target_tokens // src_tokens
+        |   + CASE WHEN target_tokens % src_tokens > 0 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS n_epochs,
+        |  round(CAST(target_tokens % src_tokens AS DOUBLE)
+        |        / CAST(src_tokens AS DOUBLE), 6) AS last_keep_rate,
+        |  round(CAST(target_tokens AS DOUBLE)
+        |        / CAST(src_tokens AS DOUBLE), 6) AS repeat_factor
+        | FROM x ORDER BY source""".stripMargin,
 
     // quality CTE + tercile quantile_cont breakpoints; % 8 matches
     // pmod on the non-negative md5 prefix
@@ -8590,6 +8675,35 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // unigram-count entropies: the scaled-ln exact-integer numerator
+    // n·⌊ln n⌋₆ − Σ k·⌊ln k⌋₆, then two IEEE divisions rounded 6;
+    // word side keeps the [""] artifact on empty text (text_tokens
+    // convention), char side LEFT-joins so empty docs read n_chars 0
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |   unnest(regexp_extract_all(text, '[\s\S]')) AS u FROM documents),
+        | cc AS (SELECT doc_id, u, CAST(count(*) AS BIGINT) AS k
+        |        FROM ch GROUP BY 1, 2),
+        | ce AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+        |   CAST(sum(k * CAST(round(ln(k::DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM cc GROUP BY 1),
+        | wd AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(text), '\s+')) AS u FROM documents),
+        | wc AS (SELECT doc_id, u, CAST(count(*) AS BIGINT) AS k
+        |        FROM wd GROUP BY 1, 2),
+        | we AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+        |   CAST(sum(k * CAST(round(ln(k::DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM wc GROUP BY 1)
+        | SELECT we.doc_id,
+        |  COALESCE(ce.n, 0) AS n_chars,
+        |  round(CAST(ce.n * CAST(round(ln(ce.n::DOUBLE) * 1e6, 0) AS BIGINT) - ce.s
+        |    AS DOUBLE) / CAST(ce.n AS DOUBLE) / 1e6, 6) AS char_entropy,
+        |  we.n AS n_words,
+        |  round(CAST(we.n * CAST(round(ln(we.n::DOUBLE) * 1e6, 0) AS BIGINT) - we.s
+        |    AS DOUBLE) / CAST(we.n AS DOUBLE) / 1e6, 6) AS word_entropy
+        | FROM we LEFT JOIN ce ON ce.doc_id = we.doc_id
+        | ORDER BY we.doc_id""".stripMargin,
 
     "text_quality" -> s"${qualitySql("documents")}\n ORDER BY doc_id",
 

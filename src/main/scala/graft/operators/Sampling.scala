@@ -533,6 +533,77 @@ object Sampling {
       .select(col("doc_id"), col("position"))
   }
 
+  /** Epoch-order SEQUENCE PACKING — [[epochShuffle]] composed with
+    * [[graft.operators.Multimodal.tokenPack]]: every doc's shuffled
+    * position becomes the packing order, so fixed-capacity training
+    * sequences fill in per-epoch random order instead of ingest
+    * order (packing in ingest order puts same-source neighbors in
+    * the same sequence — the correlation the shuffle exists to
+    * break). One row per doc: its epoch position, token cost, and
+    * (seq_id, seq_offset) — what the batch assembler consumes.
+    *
+    * Scale shape: the shuffle's rank machinery (256 hash-range
+    * buckets) feeds the packer's bucketed prefix sum keyed by the
+    * DENSE position (0..n−1 — perfectly uniform range buckets), then
+    * one id-join re-attaches doc_id. No global window anywhere.
+    */
+  def epochPack(items: DataFrame, idCol: String, costCol: String,
+                seed: String, seqTokens: Long): DataFrame = {
+    val pos = epochShuffle(items, idCol, seed) // (doc_id, position)
+    val cost = items.select(col(idCol).cast("long").as("doc_id"),
+      col(costCol).cast("long").as("n_cost"))
+    val packed = Multimodal.tokenPack(
+      pos.join(cost, "doc_id").select(col("position"), col("n_cost")),
+      "position", "n_cost", seqTokens)
+    packed.select(col("doc_id").as("position"), col("n_cost"),
+        col("stream_offset"), col("seq_id"), col("seq_offset"))
+      .join(pos, "position")
+      .select(col("doc_id"), col("position"), col("n_cost"),
+        col("stream_offset"), col("seq_id"), col("seq_offset"))
+  }
+
+  /** Multi-epoch MIXTURE PLAN — the upsampling twin of the
+    * token-budget downsampler: given a per-source weight (parts of
+    * the target mixture) and a total token budget, each source's
+    * token target is its exact integer share (budget·w) div Σw, and
+    * the plan reports how many FULL passes over the source that
+    * takes plus the keep rate of the fractional last pass — the
+    * "epochs per source" table a pretraining run is configured from
+    * (small sources repeat, large sources subsample; repeat_factor
+    * > ~4 is the over-repetition warning line in the public
+    * data-constrained-scaling literature).
+    *
+    * Exactness: targets/epochs are integer arithmetic on exact token
+    * sums; the two reported rates are single IEEE divisions of exact
+    * longs, rounded 6. Bound (documented, not enforceable here):
+    * budget·max(w) must stay below 2⁶³ — weights are small integer
+    * parts by contract.
+    *
+    * Scale shape: one map-side-combined aggregate to |sources| rows;
+    * everything after runs on the bounded source table (1-row total
+    * broadcast-joined).
+    */
+  def epochPlan(docs: DataFrame, sourceCol: String, costCol: String,
+                weightExpr: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val src = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(costCol).cast("long")).as("src_tokens"))
+      .withColumn("w", weightExpr.cast("long"))
+    val tot = src.agg(sum(col("w")).as("wsum")) // 1-row scalar
+    def d(c: Column) = c.cast("double")
+    src.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(s"($budget * w) div wsum"))
+      .withColumn("full_epochs", expr("target_tokens div src_tokens"))
+      .withColumn("n_epochs", col("full_epochs") +
+        when(col("target_tokens") % col("src_tokens") > 0, 1L).otherwise(0L))
+      .withColumn("last_keep_rate",
+        round(d(col("target_tokens") % col("src_tokens")) / d(col("src_tokens")), 6))
+      .withColumn("repeat_factor",
+        round(d(col("target_tokens")) / d(col("src_tokens")), 6))
+      .select("source", "w", "src_tokens", "target_tokens",
+        "full_epochs", "n_epochs", "last_keep_rate", "repeat_factor")
+  }
+
   def effectiveSampleSize(df: DataFrame, stratumCol: String,
                           weightCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")

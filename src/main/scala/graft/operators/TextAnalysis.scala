@@ -735,6 +735,46 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Per-doc Shannon entropy of the character and whitespace-token
+    * unigram distributions — the classic degenerate-text detectors:
+    * near-zero character entropy flags single-symbol runs and
+    * base64/hex blobs sit well above prose, while low word entropy
+    * against a normal token count flags boilerplate repetition the
+    * [[repetitionStats]] n-gram share can miss when the repeats are
+    * non-adjacent. H = ln n − (Σ k·ln k)/n over unigram counts k.
+    *
+    * Determinism: counts are exact; each ln rounds to 6 and scales
+    * to an exact long (the [[zipfFit]] round-before-use discipline),
+    * so the per-doc numerator n·⌊ln n⌋₆ − Σ k·⌊ln k⌋₆ accumulates as
+    * exact integers in any order; the final value is two IEEE
+    * divisions of that exact numerator, rounded 6. Empty text has no
+    * characters: n_chars 0 and a NULL char_entropy (the whitespace
+    * tokenizer's [""] artifact keeps n_words at 1 — the [[tokenStats]]
+    * parity convention).
+    *
+    * Scale shape: two explode → hash-aggregate passes (both
+    * map-side-combined, keyed by (doc, unigram) — the tfidf shuffle
+    * shape) and one id-join; no windows, no collects.
+    */
+  def entropyStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def lnScaled(c: Column) = round(log(d(c)) * 1e6, 0).cast("long")
+    def ent(unit: Column, nName: String, eName: String) =
+      docs.select(col(idCol).as("doc_id"), explode(unit).as("u"))
+        .groupBy("doc_id", "u").agg(count(lit(1)).as("k"))
+        .withColumn("t", col("k") * lnScaled(col("k")))
+        .groupBy("doc_id").agg(sum("k").as("n"), sum("t").as("s"))
+        .select(col("doc_id"), col("n").as(nName),
+          round(d(col("n") * lnScaled(col("n")) - col("s"))
+                / d(col("n")) / 1e6, 6).as(eName))
+    val chars = ent(regexp_extract_all(col(textCol), lit("[\\s\\S]"), lit(0)),
+      "n_chars", "char_entropy")
+    val words = ent(tokens(col(textCol)), "n_words", "word_entropy")
+    words.join(chars, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        col("char_entropy"), col("n_words"), col("word_entropy"))
+  }
+
   /** Zipf-law fit over the head of the vocabulary: OLS slope of
     * ln(tf) against ln(rank) for the top-`k` terms — healthy natural
     * text sits near −1; a much flatter slope flags template/boiler-

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Sampling
+import org.apache.spark.sql.functions.expr
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -279,5 +280,49 @@ class SamplingSpec extends SparkSpec {
     val a = run("e1", 8); val b = run("e2", 8)
     assert(a != b && a.count { case (k, v) => b(k) == v } < 30,
       "two seeds must agree on almost no positions")
+  }
+
+  test("epochPack: offsets are the exact prefix sum in shuffle-position order") {
+    val items = (1 to 120).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.epochPack(items, "doc_id", "n_tokens", "eP", seqTokens = 16L)
+      .select("doc_id", "position", "n_cost", "stream_offset", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val pos = Sampling.epochShuffle(items, "doc_id", "eP")
+      .as[(Long, Long)].collect().toMap
+    // replay the pack as a plain fold over position order
+    val inOrder = out.sortBy(_._2)
+    var off = 0L
+    inOrder.foreach { case (id, p, c, so, seq, sq) =>
+      assert(p == pos(id), s"doc $id position drifted")
+      assert(so == off && seq == off / 16 && sq == off % 16,
+        s"doc $id at position $p: offset $so expected $off")
+      off += c
+    }
+    // partitioning-invariant
+    val again = Sampling.epochPack(items.repartition(13), "doc_id", "n_tokens",
+        "eP", 16L)
+      .select("doc_id", "stream_offset").as[(Long, Long)].collect().toMap
+    assert(again == out.map(r => r._1 -> r._4).toMap)
+  }
+
+  test("epochPlan: integer targets, epoch counts, and rates on a hand fixture") {
+    // two sources: srcA 100 tokens w=3, srcB 50 tokens w=1 -> wsum 4
+    val docs = ((1 to 10).map(i => (i.toLong, "srcA", 10L)) ++
+                (11 to 15).map(i => (i.toLong, "srcB", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.epochPlan(docs, "source", "n_tokens",
+        expr("CASE WHEN source = 'srcA' THEN 3 ELSE 1 END"), budget = 420L)
+      .orderBy("source")
+      .select("source", "w", "src_tokens", "target_tokens", "full_epochs",
+        "n_epochs", "last_keep_rate", "repeat_factor")
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // srcA: target (420*3) div 4 = 315 -> 3 full + 15/100 partial
+    assert(out(0) == (("srcA", 3L, 100L, 315L, 3L, 4L, 0.15, 3.15)), s"srcA: ${out(0)}")
+    // srcB: target (420*1) div 4 = 105 -> 2 full + 5/50 partial
+    assert(out(1) == (("srcB", 1L, 50L, 105L, 2L, 3L, 0.1, 2.1)), s"srcB: ${out(1)}")
+    // floor shares never overshoot the budget
+    assert(out.map(_._4).sum <= 420L)
   }
 }

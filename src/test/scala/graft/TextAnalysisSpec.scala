@@ -456,4 +456,34 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)),
       s"novelty mismatch: $got")
   }
+
+  test("entropyStats: uniform, degenerate, and empty cases") {
+    val d = Seq(
+      (1L, "abcd"),        // 4 distinct chars, uniform -> ln 4
+      (2L, "aaaa"),        // single symbol -> 0
+      (3L, "x y x y"),     // words: {x:2, y:2} uniform -> ln 2
+      (4L, "")             // empty: n_chars 0, [""] word artifact
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.entropyStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_chars", "char_entropy", "n_words", "word_entropy")
+      .as[(Long, Long, Option[Double], Long, Double)].collect().toSeq
+    val ln4 = math.rint(math.log(4) * 1e6) / 1e6
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    assert(got(0) == ((1L, 4L, Some(ln4), 1L, 0.0)), s"uniform: ${got(0)}")
+    assert(got(1) == ((2L, 4L, Some(0.0), 1L, 0.0)), s"degenerate: ${got(1)}")
+    assert(got(2)._5 == ln2 && got(2)._4 == 4L, s"word uniform: ${got(2)}")
+    assert(got(3) == ((4L, 0L, None, 1L, 0.0)), s"empty: ${got(3)}")
+  }
+
+  test("entropyStats: H = ln n - (sum k ln k)/n on a skewed hand case") {
+    // "aab" chars: {a:2, b:1}, n=3 -> ln3 - (2 ln2)/3
+    val d = Seq((1L, "aab")).toDF("doc_id", "text")
+    val got = TextAnalysis.entropyStats(d, "doc_id", "text")
+      .select("char_entropy").as[Double].head()
+    val ln3s = math.rint(math.log(3) * 1e6)
+    val ln2s = math.rint(math.log(2) * 1e6)
+    val expect = math.rint((3 * ln3s - 2 * ln2s) / 3.0 / 1e6 * 1e6) / 1e6
+    assert(math.abs(got - expect) < 1e-9, s"got $got expect $expect")
+  }
 }
