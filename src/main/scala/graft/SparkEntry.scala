@@ -3139,6 +3139,21 @@ object SparkEntry {
         .orderBy(desc("n"), asc("item"))
     }),
 
+    // mergeable KMV bottom-k DISTINCT SAMPLE: per-day sketches of the
+    // k=10 smallest user hashes merge (distinct-union, re-cut) to the
+    // global sketch — min-k of a union is min-k of the min-k's, so
+    // the ORACLE's direct single-pass cut must match the engine's
+    // per-day rollup BIT-EXACTLY (the merge law itself is under
+    // test); the k-th hash gives the deterministic KMV estimate
+    "agg_kmv_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val fine = Analytics.bottomKSketch(ev, Seq("day"), "user_id", k = 10)
+      Analytics.bottomKRollup(fine, k = 10)
+        .select(col("rnk"), col("key").cast("long").as("user_id"),
+          col("h"), col("est_distinct"))
+        .orderBy("rnk")
+    }),
+
     // set INTERSECTION from sketches — the estimate HLL can't give:
     // per-type theta sketches of user_id, every pair's audience
     // overlap computed from the 5-row sketch table without re-scanning
@@ -6977,6 +6992,24 @@ object SparkEntry {
         | TRUE AS sketch_exact
         | FROM events GROUP BY 1
         | ORDER BY n DESC, item LIMIT 3""".stripMargin,
+
+    // the DIRECT single-pass global cut — the engine serves the
+    // per-day merge, so equality here proves the KMV merge law;
+    // estimate = (k−1)·2⁶⁰/h_k off the k-th hash, exact count when
+    // the union is smaller than k
+    "agg_kmv_rollup" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        | hh AS (SELECT user_id,
+        |  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h FROM u),
+        | s AS (SELECT user_id, h,
+        |  CAST(row_number() OVER (ORDER BY h, user_id) AS BIGINT) AS rnk FROM hh),
+        | cut AS (SELECT * FROM s WHERE rnk <= 10),
+        | kk AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS n_kept FROM cut)
+        | SELECT rnk, user_id, h,
+        |  CASE WHEN n_kept < 10 THEN CAST(n_kept AS DOUBLE)
+        |   ELSE round((10 - 1) * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+        |  END AS est_distinct
+        | FROM cut, kk ORDER BY rnk""".stripMargin,
 
     // exact distinct + literal TRUE — an out-of-bound merged sketch
     // flips the boolean on the Spark side and fails the hash loudly

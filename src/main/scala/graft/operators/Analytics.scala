@@ -472,6 +472,55 @@ object Analytics {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_approx"))
   }
 
+  /** Mergeable bottom-k (KMV) DISTINCT SAMPLE — the member of the
+    * sketch algebra that carries the KEYS themselves (HLL carries
+    * counts, KLL quantiles, CMS frequencies, theta membership,
+    * approx_top_k heavy hitters): per fine group, the `k` distinct
+    * keys with the smallest engine-neutral 60-bit md5 hashes. The
+    * min-k of a union is the min-k of the per-part min-k's, so the
+    * fine sketches in [[bottomKRollup]] merge to EXACTLY the sketch a
+    * direct global pass builds — and because the hash is md5 (no RNG,
+    * no engine-private seed), the whole object is deterministic and
+    * oracle-exact, not boolean-bound. The k-th normalized hash also
+    * yields the classic KMV cardinality estimate n̂ = (k−1)/U_k.
+    *
+    * Scale: one distinct + per-group rank-cut at the fine grain (hash
+    * aggregate, map-side combined; the rank window partitions per
+    * fine group); everything downstream runs on |groups|·k rows.
+    */
+  def bottomKSketch(df: DataFrame, fineKeys: Seq[String], valueCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    val h = graft.functions.TextFunctions.md5Prefix64(col("key").cast("string"))
+    val w = Window.partitionBy(fineKeys.map(col): _*).orderBy("h", "key")
+    df.select(fineKeys.map(col) :+ col(valueCol).as("key"): _*).distinct()
+      .withColumn("h", h)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Merge [[bottomKSketch]] fine sketches to the global bottom-k +
+    * the KMV estimate: distinct-union of the kept keys, re-cut to the
+    * k smallest, estimate (k−1)·2⁶⁰/h_k from the k-th hash — exact
+    * count when the union holds fewer than k keys (the sketch IS the
+    * population there). The final rank runs on a ≤|groups|·k-row
+    * bounded table (annotated control-plane single-partition window).
+    */
+  def bottomKRollup(sketches: DataFrame, k: Int): DataFrame = {
+    val u = sketches.select("key", "h").distinct()
+    val cut = u.orderBy("h", "key").limit(k) // TakeOrdered, k bounded
+      .withColumn("rnk",
+        row_number().over(Window.orderBy("h", "key")).cast("long"))
+    val stats = cut.agg(max(col("h")).as("hk"),
+      count(lit(1)).cast("long").as("n_kept"))
+    cut.crossJoin(broadcast(stats)) // 1-row scalar
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+                           / col("hk").cast("double"), 6)))
+      .select(col("rnk"), col("key"), col("h"), col("est_distinct"))
+  }
+
   /** Frequent-items rollup via mergeable approx_top_k sketches — the
     * COUNTS companion of [[distinctSketchRollup]]: per-fine-group
     * DataSketches frequent-items sketches (`approx_top_k_accumulate`)

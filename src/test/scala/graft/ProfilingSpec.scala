@@ -560,4 +560,24 @@ class ProfilingSpec extends SparkSpec {
       .select("skewness", "kurtosis_excess").as[(Double, Double)].head()
     assert(k._1 > 5.0 && k._2 > 20.0, s"outlier must show in the tail stats: $k")
   }
+
+  test("bottomK: merge law — per-group rollup equals the direct global cut") {
+    import graft.operators.Analytics
+    val df = (1 to 500).map(i => (i % 13, s"u${i % 97}")).toDF("g", "uid")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("rnk", "key", "h").as[(Long, String, Long)].collect().toSet
+    val merged = Analytics.bottomKRollup(
+      Analytics.bottomKSketch(df, Seq("g"), "uid", k = 8), k = 8)
+    val direct = Analytics.bottomKRollup(
+      Analytics.bottomKSketch(df.withColumn("one", lit(1)), Seq("one"), "uid", k = 8),
+      k = 8)
+    assert(rows(merged) == rows(direct), "per-group merge must equal direct cut")
+    assert(merged.select("est_distinct").distinct().count() == 1)
+    // population smaller than k: the sketch IS the population, est exact
+    val tiny = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("g", "uid")
+    val t = Analytics.bottomKRollup(
+      Analytics.bottomKSketch(tiny, Seq("g"), "uid", k = 8), k = 8)
+      .select("key", "est_distinct").as[(String, Double)].collect()
+    assert(t.map(_._1).toSet == Set("x", "y") && t.forall(_._2 == 2.0), t.toSeq.toString)
+  }
 }
