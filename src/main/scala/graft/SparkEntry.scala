@@ -4558,6 +4558,17 @@ object SparkEntry {
       TextAnalysis.entropyStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // supervised multinomial Naive Bayes trained on the declared lang
+    // labels and applied back (resubstitution) — train + apply as ONE
+    // declarative plan; scores are exact integer dot products of
+    // round-6-scaled log-likelihoods
+    "text_nb_classify" -> ((s, dir) =>
+      TextAnalysis.naiveBayesClassify(t(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("label").as("lang"),
+          col("pred_label").as("pred_lang"), col("score"), col("correct"))
+        .orderBy("doc_id")),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
@@ -8737,6 +8748,52 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(we.n AS DOUBLE) / 1e6, 6) AS word_entropy
         | FROM we LEFT JOIN ce ON ce.doc_id = we.doc_id
         | ORDER BY we.doc_id""".stripMargin,
+
+    // NB replayed: Laplace likelihood table, postings-join dot
+    // product, unseen-in-class floor charged to the remainder,
+    // argmax by (score, class)
+    "text_nb_classify" ->
+      """WITH tok AS (SELECT doc_id, lang AS c,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        | dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |        FROM tok GROUP BY 1, 2),
+        | dn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_d FROM dw GROUP BY 1),
+        | cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs
+        |         FROM documents GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+        | cw AS (SELECT c, w, CAST(count(*) AS BIGINT) AS kc
+        |        FROM tok GROUP BY 1, 2),
+        | ct AS (SELECT c, CAST(sum(kc) AS BIGINT) AS tok_c FROM cw GROUP BY 1),
+        | v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM tok),
+        | lp AS (SELECT c, w,
+        |   CAST(round(ln((kc + 1)::DOUBLE / (tok_c + vsz)::DOUBLE) * 1e6, 0)
+        |     AS BIGINT) AS lps
+        |  FROM cw JOIN ct USING (c), v),
+        | fl AS (SELECT c,
+        |   CAST(round(ln(1.0 / (tok_c + vsz)::DOUBLE) * 1e6, 0) AS BIGINT)
+        |     AS floor_s,
+        |   CAST(round(ln(n_docs::DOUBLE / n_all::DOUBLE) * 1e6, 0) AS BIGINT)
+        |     AS prior_s
+        |  FROM ct JOIN cls USING (c), v, tot),
+        | m AS (SELECT dw.doc_id, lp.c,
+        |   CAST(sum(dw.k * lp.lps) AS BIGINT) AS s_present,
+        |   CAST(sum(dw.k) AS BIGINT) AS matched
+        |  FROM dw JOIN lp ON lp.w = dw.w GROUP BY 1, 2),
+        | sc AS (SELECT g.doc_id, g.c,
+        |   g.prior_s + COALESCE(m.s_present, 0)
+        |    + (g.n_d - COALESCE(m.matched, 0)) * g.floor_s AS score_s
+        |  FROM (SELECT dn.doc_id, dn.n_d, fl.c, fl.floor_s, fl.prior_s
+        |        FROM dn, fl) g
+        |  LEFT JOIN m ON m.doc_id = g.doc_id AND m.c = g.c),
+        | best AS (SELECT doc_id, c, score_s,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score_s DESC, c) AS r FROM sc)
+        | SELECT b.doc_id, d.lang, b.c AS pred_lang,
+        |  round(CAST(b.score_s AS DOUBLE) / 1e6, 6) AS score,
+        |  (b.c = d.lang) AS correct
+        | FROM best b JOIN documents d USING (doc_id)
+        | WHERE b.r = 1 ORDER BY b.doc_id""".stripMargin,
 
     "text_quality" -> s"${qualitySql("documents")}\n ORDER BY doc_id",
 

@@ -735,6 +735,68 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Distributed multinomial NAIVE BAYES — train and apply in one
+    * declarative plan: the CCNet/fastText-style supervised quality /
+    * language classifier a curation pipeline trains on labeled seed
+    * corpora and applies to everything else. Class priors
+    * ln(n_c/N), Laplace word likelihoods ln((k_wc+1)/(tok_c+V)),
+    * score(d,c) = prior + Σ_tokens ln p(w|c) with the unseen-in-class
+    * floor ln(1/(tok_c+V)) charged to every token the class never
+    * saw. Winner by (score, class) — resubstitution accuracy comes
+    * out as the `correct` flag.
+    *
+    * Determinism: every ln is round-6-scaled to an exact long
+    * BEFORE any sum (the [[zipfFit]] discipline), so per-(doc,class)
+    * scores are exact integer dot products in any order; ties break
+    * on class name.
+    *
+    * Scale shape: the model is two hash aggregates (class-word
+    * counts, class totals — both map-side combined) producing a
+    * vocabulary-sized likelihood table; apply is the BM25 postings
+    * join (doc-distinct words × per-class likelihood rows), partial-
+    * aggregated to |docs|·|classes| score rows; the class table,
+    * priors, and scalars broadcast. No global windows — the argmax
+    * partitions per doc.
+    */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+                         classCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
+    val tok = docs.select(col(idCol).as("doc_id"), col(classCol).as("c"),
+      explode(tokens(lower(col(textCol)))).as("w"))
+    val dw = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+    val dn = dw.groupBy("doc_id").agg(sum("k").as("n_d"))
+    val cls = docs.groupBy(col(classCol).as("c")).agg(count(lit(1)).as("n_docs"))
+    val nAll = docs.agg(count(lit(1)).as("n_all")) // 1-row scalar
+    val cw = tok.groupBy("c", "w").agg(count(lit(1)).as("kc"))
+    val ct = cw.groupBy("c").agg(sum("kc").as("tok_c"))
+    val vsz = tok.agg(countDistinct("w").as("vsz")) // 1-row scalar
+    val lp = cw.join(broadcast(ct), "c").crossJoin(broadcast(vsz))
+      .select(col("c"), col("w"),
+        lnS(d(col("kc") + 1) / d(col("tok_c") + col("vsz"))).as("lps"))
+    val fl = ct.crossJoin(broadcast(vsz)).join(broadcast(cls), "c")
+      .crossJoin(broadcast(nAll)) // |classes| rows
+      .select(col("c"),
+        lnS(lit(1.0) / d(col("tok_c") + col("vsz"))).as("floor_s"),
+        lnS(d(col("n_docs")) / d(col("n_all"))).as("prior_s"))
+    val m = dw.join(lp, "w") // postings join, then partial-agg to |docs|·|classes|
+      .groupBy("doc_id", "c")
+      .agg(sum(col("k") * col("lps")).as("s_present"), sum("k").as("matched"))
+    val sc = dn.crossJoin(broadcast(fl))
+      .join(m, Seq("doc_id", "c"), "left")
+      .select(col("doc_id"), col("c"),
+        (col("prior_s") + coalesce(col("s_present"), lit(0L)) +
+         (col("n_d") - coalesce(col("matched"), lit(0L))) * col("floor_s"))
+          .as("score_s"))
+    val win = Window.partitionBy("doc_id").orderBy(desc("score_s"), asc("c"))
+    sc.withColumn("r", row_number().over(win)).where(col("r") === 1)
+      .join(docs.select(col(idCol).as("doc_id"), col(classCol).as("label")),
+        "doc_id")
+      .select(col("doc_id"), col("label"), col("c").as("pred_label"),
+        round(d(col("score_s")) / 1e6, 6).as("score"),
+        (col("c") === col("label")).as("correct"))
+  }
+
   /** Per-doc Shannon entropy of the character and whitespace-token
     * unigram distributions — the classic degenerate-text detectors:
     * near-zero character entropy flags single-symbol runs and

@@ -476,6 +476,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, None, 1L, 0.0)), s"empty: ${got(3)}")
   }
 
+  test("naiveBayesClassify: disjoint vocabularies separate; score matches the closed form") {
+    val d = Seq(
+      (1L, "x x y", "A"), (2L, "z z w", "B"),
+      (3L, "x y y", "A"), (4L, "w z z", "B")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.naiveBayesClassify(d, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .select("doc_id", "label", "pred_label", "score", "correct")
+      .as[(Long, String, String, Double, Boolean)].collect().toSeq
+    assert(out.forall(_._5), s"disjoint vocab must classify perfectly: $out")
+    // doc 1 under A: V=4, tok_A=6, counts x:3 y:3 -> p = (3+1)/(6+4) = 0.4
+    // score = ln(2/4) + 2·ln(0.4) + 1·ln(0.4), each ln round-6-scaled
+    val s = math.rint(math.log(0.5) * 1e6) + 3 * math.rint(math.log(0.4) * 1e6)
+    val expect = BigDecimal(s / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(out.head._4 == expect, s"closed-form score: got ${out.head._4}, want $expect")
+    // partitioning-invariant
+    val again = TextAnalysis.naiveBayesClassify(d.repartition(7),
+        "doc_id", "text", "lang")
+      .select("doc_id", "pred_label", "score")
+      .as[(Long, String, Double)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3, r._4)).toSet)
+  }
+
   test("entropyStats: H = ln n - (sum k ln k)/n on a skewed hand case") {
     // "aab" chars: {a:2, b:1}, n=3 -> ln3 - (2 ln2)/3
     val d = Seq((1L, "aab")).toDF("doc_id", "text")
