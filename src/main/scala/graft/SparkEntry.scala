@@ -4569,6 +4569,21 @@ object SparkEntry {
           col("pred_label").as("pred_lang"), col("score"), col("correct"))
         .orderBy("doc_id")),
 
+    // the HELD-OUT eval: fit on even doc_ids, score the odd half
+    // (OOV words match no likelihood row and pay every class's
+    // floor — no special case), then the per-class
+    // precision/recall/F1 report
+    "text_nb_holdout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val preds = TextAnalysis.naiveBayesApply(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang")
+      TextAnalysis.classifierReport(preds)
+        .withColumnRenamed("class", "lang")
+        .orderBy("lang")
+    }),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
@@ -8794,6 +8809,66 @@ object SparkEntry {
         |  (b.c = d.lang) AS correct
         | FROM best b JOIN documents d USING (doc_id)
         | WHERE b.r = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // the same NB replay with an even/odd train/apply split, then
+    // the two bounded per-class aggregates; F1 recombines the
+    // ROUNDED rates exactly as the engine does
+    "text_nb_holdout" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        | ap AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        | ttok AS (SELECT lang AS c,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM tr),
+        | tok AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM ap),
+        | dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |        FROM tok GROUP BY 1, 2),
+        | dn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_d FROM dw GROUP BY 1),
+        | cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs
+        |         FROM tr GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM tr),
+        | cw AS (SELECT c, w, CAST(count(*) AS BIGINT) AS kc
+        |        FROM ttok GROUP BY 1, 2),
+        | ct AS (SELECT c, CAST(sum(kc) AS BIGINT) AS tok_c FROM cw GROUP BY 1),
+        | v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM ttok),
+        | lp AS (SELECT c, w,
+        |   CAST(round(ln((kc + 1)::DOUBLE / (tok_c + vsz)::DOUBLE) * 1e6, 0)
+        |     AS BIGINT) AS lps
+        |  FROM cw JOIN ct USING (c), v),
+        | fl AS (SELECT c,
+        |   CAST(round(ln(1.0 / (tok_c + vsz)::DOUBLE) * 1e6, 0) AS BIGINT)
+        |     AS floor_s,
+        |   CAST(round(ln(n_docs::DOUBLE / n_all::DOUBLE) * 1e6, 0) AS BIGINT)
+        |     AS prior_s
+        |  FROM ct JOIN cls USING (c), v, tot),
+        | m AS (SELECT dw.doc_id, lp.c,
+        |   CAST(sum(dw.k * lp.lps) AS BIGINT) AS s_present,
+        |   CAST(sum(dw.k) AS BIGINT) AS matched
+        |  FROM dw JOIN lp ON lp.w = dw.w GROUP BY 1, 2),
+        | sc AS (SELECT g.doc_id, g.c,
+        |   g.prior_s + COALESCE(m.s_present, 0)
+        |    + (g.n_d - COALESCE(m.matched, 0)) * g.floor_s AS score_s
+        |  FROM (SELECT dn.doc_id, dn.n_d, fl.c, fl.floor_s, fl.prior_s
+        |        FROM dn, fl) g
+        |  LEFT JOIN m ON m.doc_id = g.doc_id AND m.c = g.c),
+        | best AS (SELECT doc_id, c, score_s,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score_s DESC, c) AS r FROM sc),
+        | pr AS (SELECT b.doc_id, d.lang AS label, b.c AS pred
+        |  FROM best b JOIN ap d USING (doc_id) WHERE b.r = 1),
+        | bt AS (SELECT label AS lang, CAST(count(*) AS BIGINT) AS n_true,
+        |   CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM pr GROUP BY 1),
+        | bp AS (SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+        |        FROM pr GROUP BY 1),
+        | j AS (SELECT bt.lang, n_true, COALESCE(n_pred, 0) AS n_pred, tp,
+        |   CASE WHEN COALESCE(n_pred, 0) > 0
+        |    THEN round(tp::DOUBLE / n_pred::DOUBLE, 6) END AS precision,
+        |   round(tp::DOUBLE / n_true::DOUBLE, 6) AS recall
+        |  FROM bt LEFT JOIN bp USING (lang))
+        | SELECT lang, n_true, n_pred, tp, precision, recall,
+        |  CASE WHEN n_pred > 0 AND precision + recall > 0 THEN
+        |   round(2.0 * precision * recall / (precision + recall), 6) END AS f1
+        | FROM j ORDER BY lang""".stripMargin,
 
     "text_quality" -> s"${qualitySql("documents")}\n ORDER BY doc_id",
 

@@ -759,18 +759,31 @@ object TextAnalysis {
     * partitions per doc.
     */
   def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
-                         classCol: String): DataFrame = {
+                         classCol: String): DataFrame =
+    naiveBayesApply(docs, docs, idCol, textCol, classCol)
+
+  /** The train/apply split of [[naiveBayesClassify]]: fit the model
+    * on `train`, score `apply` — the held-out evaluation a real
+    * curation classifier ships with. Apply-side words the model
+    * never saw anywhere simply match no likelihood row, so every
+    * class charges them its floor — the OOV behavior falls out of
+    * the (n_d − matched)·floor accounting with no special case.
+    */
+  def naiveBayesApply(train: DataFrame, apply: DataFrame, idCol: String,
+                      textCol: String, classCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
     def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
-    val tok = docs.select(col(idCol).as("doc_id"), col(classCol).as("c"),
+    val trainTok = train.select(col(classCol).as("c"),
+      explode(tokens(lower(col(textCol)))).as("w"))
+    val tok = apply.select(col(idCol).as("doc_id"), col(classCol).as("c"),
       explode(tokens(lower(col(textCol)))).as("w"))
     val dw = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
     val dn = dw.groupBy("doc_id").agg(sum("k").as("n_d"))
-    val cls = docs.groupBy(col(classCol).as("c")).agg(count(lit(1)).as("n_docs"))
-    val nAll = docs.agg(count(lit(1)).as("n_all")) // 1-row scalar
-    val cw = tok.groupBy("c", "w").agg(count(lit(1)).as("kc"))
+    val cls = train.groupBy(col(classCol).as("c")).agg(count(lit(1)).as("n_docs"))
+    val nAll = train.agg(count(lit(1)).as("n_all")) // 1-row scalar
+    val cw = trainTok.groupBy("c", "w").agg(count(lit(1)).as("kc"))
     val ct = cw.groupBy("c").agg(sum("kc").as("tok_c"))
-    val vsz = tok.agg(countDistinct("w").as("vsz")) // 1-row scalar
+    val vsz = trainTok.agg(countDistinct("w").as("vsz")) // 1-row scalar
     val lp = cw.join(broadcast(ct), "c").crossJoin(broadcast(vsz))
       .select(col("c"), col("w"),
         lnS(d(col("kc") + 1) / d(col("tok_c") + col("vsz"))).as("lps"))
@@ -790,11 +803,39 @@ object TextAnalysis {
           .as("score_s"))
     val win = Window.partitionBy("doc_id").orderBy(desc("score_s"), asc("c"))
     sc.withColumn("r", row_number().over(win)).where(col("r") === 1)
-      .join(docs.select(col(idCol).as("doc_id"), col(classCol).as("label")),
+      .join(apply.select(col(idCol).as("doc_id"), col(classCol).as("label")),
         "doc_id")
       .select(col("doc_id"), col("label"), col("c").as("pred_label"),
         round(d(col("score_s")) / 1e6, 6).as("score"),
         (col("c") === col("label")).as("correct"))
+  }
+
+  /** Per-class quality report over a [[naiveBayesApply]] prediction
+    * table (or any frame with label / pred_label / correct):
+    * precision, recall, F1 per class — tp splits identically by true
+    * or predicted class (correct ⇒ pred = label), so the report is
+    * two bounded |classes|-row aggregates joined. Rates round 6;
+    * F1 recombines the ROUNDED rates (2pr/(p+r), round 6) so both
+    * engines derive it from identical doubles; a never-predicted
+    * class reads precision/F1 NULL, never 0/0.
+    */
+  def classifierReport(preds: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val byTrue = preds.groupBy(col("label").as("class"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("tp"))
+    val byPred = preds.groupBy(col("pred_label").as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("class"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("precision",
+        when(col("n_pred") > 0, round(d(col("tp")) / d(col("n_pred")), 6)))
+      .withColumn("recall", round(d(col("tp")) / d(col("n_true")), 6))
+      .withColumn("f1",
+        when(col("n_pred") > 0 && col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall")
+                / (col("precision") + col("recall")), 6)))
+      .select("class", "n_true", "n_pred", "tp", "precision", "recall", "f1")
   }
 
   /** Per-doc Shannon entropy of the character and whitespace-token

@@ -499,6 +499,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == out.map(r => (r._1, r._3, r._4)).toSet)
   }
 
+  test("naiveBayesApply: all-OOV doc falls back to priors + floors") {
+    // train: A has 3 docs/6 tokens, B has 1 doc/2 tokens, V=4
+    val train = Seq(
+      (1L, "x x", "A"), (2L, "x y", "A"), (3L, "y y", "A"),
+      (4L, "z w", "B")).toDF("doc_id", "text", "lang")
+    val apply = Seq((9L, "q q q", "A")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.naiveBayesApply(train, apply, "doc_id", "text", "lang")
+      .select("pred_label", "score").as[(String, Double)].head()
+    // score_c = ln(n_c/4) + 3·ln(1/(tok_c+4)); A: ln(3/4)+3·ln(1/10),
+    // B: ln(1/4)+3·ln(1/6) — each ln round-6-scaled before the sum
+    def s(p: Double, f: Double) =
+      math.rint(math.log(p) * 1e6) + 3 * math.rint(math.log(f) * 1e6)
+    val (sa, sb) = (s(0.75, 0.1), s(0.25, 1.0 / 6))
+    assert(got._1 == (if (sa >= sb) "A" else "B"))
+    val expect = BigDecimal(math.max(sa, sb) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._2 == expect, s"OOV score: got ${got._2}, want $expect")
+  }
+
+  test("classifierReport: per-class rates, never-predicted class has NULL precision/f1") {
+    val preds = Seq(
+      ("a", "a", true), ("a", "a", true), ("a", "b", false),
+      ("b", "a", false), ("b", "b", true),
+      ("c", "a", false)).toDF("label", "pred_label", "correct")
+    val got = TextAnalysis.classifierReport(preds).orderBy("class")
+      .select("class", "n_true", "n_pred", "tp", "precision", "recall", "f1")
+      .as[(String, Long, Long, Long, Option[Double], Double, Option[Double])]
+      .collect().toSeq
+    // a: n_true 3, pred 4, tp 2 -> p=.5, r=.666667, f1 = 2pr/(p+r)
+    val f1a = BigDecimal(2 * 0.5 * 0.666667 / (0.5 + 0.666667))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == (("a", 3L, 4L, 2L, Some(0.5), 0.666667, Some(f1a))), got(0).toString)
+    assert(got(1) == (("b", 2L, 2L, 1L, Some(0.5), 0.5, Some(0.5))), got(1).toString)
+    // c never predicted: precision and f1 NULL, recall 0
+    assert(got(2) == (("c", 1L, 0L, 0L, None, 0.0, None)), got(2).toString)
+  }
+
   test("entropyStats: H = ln n - (sum k ln k)/n on a skewed hand case") {
     // "aab" chars: {a:2, b:1}, n=3 -> ln3 - (2 ln2)/3
     val d = Seq((1L, "aab")).toDF("doc_id", "text")
