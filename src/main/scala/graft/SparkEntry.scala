@@ -5220,6 +5220,16 @@ object SparkEntry {
           lookbackMs = 24L * 3600 * 1000)
         .orderBy("channel")),
 
+    // exact Shapley credit over the 2^4 exposure lattice — the
+    // game-theoretic third leg next to last-touch and Markov
+    // removal; 100 TB of events reduce to 16 integers before any
+    // lattice arithmetic, and the single ÷k! happens at the end
+    "events_attribution_shapley" -> ((s, dir) =>
+      Events.shapleyAttribution(t(s, dir, "events"),
+          channels = Seq("click", "view", "signup", "error"),
+          conversionType = "purchase")
+        .orderBy("channel")),
+
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
 
@@ -6823,6 +6833,38 @@ object SparkEntry {
          |  count(*) AS n_conversions, ${msum("value")} AS revenue
          | FROM o WHERE event_type = 'purchase'
          | GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // the 2^4 lattice replayed: mask histogram, subset-sum v(S),
+    // marginal gains with |S|!(k−1−|S|)! integer weights, ÷4! once
+    "events_attribution_shapley" ->
+      """WITH u AS (SELECT user_id,
+        |   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
+        |   + max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 2
+        |   + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+        |   + max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 8 AS mask,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        | cells AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS n_conv
+        |           FROM u GROUP BY mask),
+        | v AS (SELECT r.s, CAST(COALESCE(sum(c.n_conv), 0) AS BIGINT) AS v
+        |  FROM range(0, 16) r(s) LEFT JOIN cells c ON (c.mask & r.s) = c.mask
+        |  GROUP BY r.s),
+        | chan(channel, bit) AS (VALUES ('click', 1), ('view', 2),
+        |   ('signup', 4), ('error', 8)),
+        | gains AS (SELECT ch.channel,
+        |   CAST(sum((CASE bit_count(a.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |             WHEN 2 THEN 2 ELSE 6 END) * (b.v - a.v)) AS BIGINT) AS num
+        |  FROM chan ch JOIN v a ON (a.s & ch.bit) = 0
+        |  JOIN v b ON b.s = a.s + ch.bit
+        |  GROUP BY ch.channel),
+        | tot AS (SELECT
+        |  (SELECT v FROM v WHERE s = 15) AS v_all,
+        |  (SELECT v FROM v WHERE s = 0) AS v_none)
+        | SELECT channel, round(num::DOUBLE / 24.0, 6) AS phi, v_all, v_none,
+        |  CASE WHEN v_all - v_none > 0 THEN
+        |   round(num::DOUBLE / 24.0 / CAST(v_all - v_none AS DOUBLE), 6)
+        |  END AS share
+        | FROM gains, tot ORDER BY channel""".stripMargin,
 
     // the attribution window shape with a third (blocking) column;
     // strict-before = ROWS ... 1 PRECEDING under the same

@@ -13,6 +13,71 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events {
 
+  /** Exact SHAPLEY-VALUE attribution (Zhao et al. 2018's coalition
+    * formulation) — the game-theoretic companion to last-touch
+    * ([[lastTouchAttribution]]) and Markov removal effects: the
+    * coalition value v(S) counts conversions among users whose
+    * channel-exposure set is contained in S, and each channel's
+    * credit is its exact Shapley value φ_i = Σ_{S∌i}
+    * |S|!(k−1−|S|)!/k! · (v(S∪{i}) − v(S)). Efficiency axiom
+    * Σφ = v(all) − v(∅) comes out as the `share` denominator.
+    *
+    * Exactness: v is an integer count table; the factorial weights
+    * multiply through by k! so every partial sum is exact integer
+    * arithmetic — the single division by k! happens once at the end
+    * (round 6). No sampling, no permutation Monte Carlo: with a
+    * bounded channel set the 2^k lattice is enumerated outright.
+    *
+    * Scale shape: ONE pass over events (per-user conditional
+    * aggregate, map-side combined) → a ≤2^k-row exposure-mask
+    * histogram; the subset lattice, the v(S) subset-sum, and the
+    * marginal-gain join are all ≤2^k·k-row broadcast control-plane
+    * frames. 100 TB of events reduce to 2^k integers before any
+    * lattice work happens.
+    */
+  def shapleyAttribution(events: DataFrame, channels: Seq[String],
+                         conversionType: String): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12,
+      s"the exact 2^k lattice needs a bounded channel set: $channels")
+    val k = channels.size
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val flags = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, 1L).otherwise(0L)) * (1L << i) }
+    val users = events.groupBy("user_id")
+      .agg(flags.reduce(_ + _).as("mask"),
+        max(when(col("event_type") === conversionType, 1L).otherwise(0L))
+          .as("conv"))
+    val cells = users.groupBy("mask").agg(sum("conv").as("n_conv")) // ≤2^k rows
+    val sp = events.sparkSession
+    val subsets = sp.range(1L << k).select(col("id").as("s"))
+    // v(S) = Σ converters with mask ⊆ S — a bounded lattice join
+    val v = subsets.join(broadcast(cells),
+        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .groupBy("s").agg(coalesce(sum("n_conv"), lit(0L)).as("v"))
+    import sp.implicits._
+    val chan = channels.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }.toDF("channel", "bit")
+    val weight = (0 until k).foldLeft(lit(0L)) { case (acc, j) =>
+      when(bit_count(col("s")) === j, lit(fact(j) * fact(k - 1 - j)))
+        .otherwise(acc) }
+    val gains = chan.crossJoin(v) // k·2^k bounded control plane
+      .where(col("s").bitwiseAND(col("bit")) === 0)
+      .join(v.select(col("s").as("s2"), col("v").as("v2")),
+        col("s2") === col("s") + col("bit"))
+      .groupBy("channel").agg(sum(weight * (col("v2") - col("v"))).as("num"))
+    val total = v.where(col("s") === (1L << k) - 1)
+      .select(col("v").as("v_all")) // 1-row scalar
+      .crossJoin(v.where(col("s") === 0).select(col("v").as("v_none")))
+    gains.crossJoin(broadcast(total))
+      .select(col("channel"),
+        round(col("num").cast("double") / fact(k).toDouble, 6).as("phi"),
+        col("v_all"), col("v_none"),
+        // efficiency: Σφ = v(all) − v(∅) — the share denominator
+        when(col("v_all") - col("v_none") > 0,
+          round(col("num").cast("double") / fact(k).toDouble
+            / (col("v_all") - col("v_none")).cast("double"), 6)).as("share"))
+  }
+
   /** Tumbling-window aggregate: count + exact money sum per
     * (window, event_type). In streaming this runs with a watermark and
     * incremental state; in batch it's a plain hash aggregate on the

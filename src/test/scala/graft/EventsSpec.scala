@@ -348,6 +348,25 @@ class EventsSpec extends SparkSpec {
       "direct" -> ((3L, 115.0))), s"got $got")
   }
 
+  test("shapleyAttribution: hand-solved 2-channel lattice, efficiency axiom holds") {
+    // u1 {A} converts, u2 {A,B} converts, u3 {B} doesn't, u4 {} converts
+    // v: v(∅)=1, v({A})=2, v({B})=1, v({A,B})=3
+    // φ_A = (1·(2−1) + 1·(3−1))/2 = 1.5 ; φ_B = (0 + 1·(3−2))/2 = 0.5
+    val e = Seq(
+      (1L, "A"), (1L, "buy"),
+      (2L, "A"), (2L, "B"), (2L, "buy"),
+      (3L, "B"),
+      (4L, "buy")).toDF("user_id", "event_type")
+    val got = Events.shapleyAttribution(e, Seq("A", "B"), "buy")
+      .select("channel", "phi", "v_all", "v_none", "share")
+      .as[(String, Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 1.5, 3L, 1L, 0.75)), got("A").toString)
+    assert(got("B") == (("B", 0.5, 3L, 1L, 0.25)), got("B").toString)
+    // efficiency: Σφ = v(all) − v(∅)
+    assert(got.values.map(_._2).sum == 2.0)
+  }
+
   test("resampleLocf: carry-forward across grid, on-grid events carried, leading nulls honest") {
     import org.apache.spark.sql.functions._
     // corpus spans 0..130 min → hourly grid at 0, 60, 120.
