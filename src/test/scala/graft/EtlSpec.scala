@@ -366,4 +366,25 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Etl.readCdcTable(spark, path) }
   }
 
+  test("consistentShards: moved keys land ONLY on the new shard, movement is bounded") {
+    val df = (1L to 2000L).toDF("id")
+    val out = Etl.consistentShards(df, "id", nShards = 4, vnodes = 32)
+      .select("key", "shard_before", "shard_after", "moved")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.size == 2000 && out.map(_._1).distinct.size == 2000,
+      "exactly one interval must match every key")
+    // the defining property: old shards only SHRINK — a moved key's
+    // new home is always the added shard, never a lateral move
+    val moved = out.filter(_._4)
+    assert(moved.nonEmpty && moved.forall(_._3 == 4L),
+      s"lateral move detected: ${moved.filterNot(_._3 == 4L).take(3)}")
+    assert(out.filterNot(_._4).forall(r => r._2 == r._3))
+    // expected 1/(n+1) = 20%; allow generous vnode variance
+    assert(moved.size.toDouble / out.size < 0.4, s"${moved.size} of 2000 moved")
+    // all 4 old shards populated, and deterministic across partitionings
+    assert(out.map(_._2).distinct.sorted == Seq(0L, 1L, 2L, 3L))
+    val again = Etl.consistentShards(df.repartition(7), "id", 4, 32)
+      .select("key", "shard_before").as[(Long, Long)].collect().toMap
+    assert(again == out.map(r => r._1 -> r._2).toMap)
+  }
 }
