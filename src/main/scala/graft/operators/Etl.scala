@@ -598,11 +598,18 @@ object Etl {
     }
     val keyed = df.select(col(idCol).as("key"),
       hash60(col(idCol).cast("string")).as("h"))
-    def assign(iv: DataFrame, out: String) =
-      keyed.join(broadcast(iv), col("h") > col("lo") && col("h") <= col("point"))
-        .select(col("key"), col("h"), col("shard").as(out))
-    assign(intervals(nShards), "shard_before")
-      .join(assign(intervals(nShards + 1), "shard_after").drop("h"), "key")
-      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+    // CHAINED broadcast range joins (each key matches exactly one
+    // interval per ring) — the corpus side stays map-only end to
+    // end, no shuffle, no self-join
+    def tagged(n: Int, tag: String) = intervals(n).select(
+      col("shard").as(s"shard_$tag"), col("point").as(s"pt_$tag"),
+      col("lo").as(s"lo_$tag"))
+    keyed
+      .join(broadcast(tagged(nShards, "before")),
+        col("h") > col("lo_before") && col("h") <= col("pt_before"))
+      .join(broadcast(tagged(nShards + 1, "after")),
+        col("h") > col("lo_after") && col("h") <= col("pt_after"))
+      .select(col("key"), col("h"), col("shard_before"), col("shard_after"),
+        (col("shard_before") =!= col("shard_after")).as("moved"))
   }
 }

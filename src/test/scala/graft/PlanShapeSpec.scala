@@ -499,4 +499,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!round.contains("SortMergeJoin") && !round.contains("ShuffledHashJoin"),
       "the edge table must never re-shuffle inside a peel round")
   }
+
+  test("consistent-hash assignment keeps the corpus map-only (etl_consistent_shards)") {
+    val p = plan("etl_consistent_shards")
+    // both ring lookups are broadcast range joins; the corpus never
+    // shuffles and never self-joins
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "ring interval lookup must be a broadcast range join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle into a join")
+    assert(p.contains("doc_id:bigint") && !p.contains("text:string"),
+      "the scan must prune everything but the key")
+  }
+
+  test("epoch shuffle ranks inside hash-range buckets, offsets broadcast (sample_shuffle)") {
+    val p = plan("sample_shuffle")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row bucket-offset table must broadcast")
+    assert(p.contains("windowspecdefinition(bucket"),
+      "the rank window must partition by the hash-range bucket")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no corpus-level merge join belongs in a rank assignment")
+  }
 }
