@@ -3164,6 +3164,26 @@ object SparkEntry {
         .orderBy("rnk")
     }),
 
+    // the sketch's STREAMING leg: two micro-batches fold through
+    // union → re-cut; the stored sketch must equal the direct
+    // single-pass cut the oracle computes — the lifecycle discipline
+    // (build/merge/stream) applied to the KMV member
+    "agg_kmv_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingIndex
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_stream_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${base}_done").exists()) {
+        StreamingIndex.kmvIngestToCompletion(s,
+          stagedTwoBatchDir(s, dir, "documents", "doc_id"),
+          s"${base}_sketch", k = 10)
+        new java.io.File(s"${base}_done").mkdirs()
+      }
+      Analytics.bottomKRollup(s.read.parquet(s"${base}_sketch"), k = 10)
+        .select(col("rnk"), col("key").cast("long").as("doc_id"),
+          col("h"), col("est_distinct"))
+        .orderBy("rnk")
+    }),
+
     // set INTERSECTION from sketches — the estimate HLL can't give:
     // per-type theta sketches of user_id, every pair's audience
     // overlap computed from the 5-row sketch table without re-scanning
@@ -7118,6 +7138,22 @@ object SparkEntry {
         | cut AS (SELECT * FROM s WHERE rnk <= 10),
         | kk AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS n_kept FROM cut)
         | SELECT rnk, user_id, h,
+        |  CASE WHEN n_kept < 10 THEN CAST(n_kept AS DOUBLE)
+        |   ELSE round((10 - 1) * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
+        |  END AS est_distinct
+        | FROM cut, kk ORDER BY rnk""".stripMargin,
+
+    // direct single-pass cut over doc_ids — equality proves the
+    // streamed union → re-cut folds lost nothing
+    "agg_kmv_stream" ->
+      """WITH hh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        | s AS (SELECT doc_id, h,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rnk FROM hh),
+        | cut AS (SELECT * FROM s WHERE rnk <= 10),
+        | kk AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS n_kept FROM cut)
+        | SELECT rnk, doc_id, h,
         |  CASE WHEN n_kept < 10 THEN CAST(n_kept AS DOUBLE)
         |   ELSE round((10 - 1) * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
         |  END AS est_distinct

@@ -499,6 +499,18 @@ object Analytics {
       .where(col("rnk") <= k)
   }
 
+  /** The single-frame build/merge primitive of the KMV lifecycle:
+    * distinct keys, hashed, k smallest (TakeOrdered — never a global
+    * sort). [[bottomKSketch]] is its per-fine-group batch form;
+    * [[graft.streaming.StreamingIndex.kmvIngestToCompletion]] folds
+    * micro-batches through it.
+    */
+  def bottomKOf(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.select(col(keyCol).as("key")).distinct()
+      .withColumn("h",
+        graft.functions.TextFunctions.md5Prefix64(col("key").cast("string")))
+      .orderBy("h", "key").limit(k)
+
   /** Merge [[bottomKSketch]] fine sketches to the global bottom-k +
     * the KMV estimate: distinct-union of the kept keys, re-cut to the
     * k smallest, estimate (k−1)·2⁶⁰/h_k from the k-th hash — exact

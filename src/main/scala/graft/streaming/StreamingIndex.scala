@@ -196,4 +196,42 @@ object StreamingIndex {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** KMV bottom-k sketch maintenance from a directory stream — the
+    * sketch-algebra member gets the same streaming leg as the real
+    * indexes (BM25/IVF/cluster map/basket graph): the first batch
+    * writes the cut, every later batch merges (union → re-cut —
+    * min-k of a union IS the min-k of the per-part min-k's), so the
+    * stored sketch equals the from-scratch global cut after EVERY
+    * batch, which is exactly what the driver gate's direct oracle
+    * checks. The merged frame is ≤2k rows and is collected before
+    * the overwrite (bounded control-plane; the path is read and
+    * rewritten inside one foreachBatch — single-writer contract).
+    */
+  def kmvIngestToCompletion(spark: SparkSession, srcDir: String,
+                            path: String, k: Int): Unit = {
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select("doc_id")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{col, min}
+          val cut = graft.operators.Analytics.bottomKOf(batch, "doc_id", k)
+          val built = new java.io.File(s"$path/_SUCCESS").exists()
+          val merged =
+            if (!built) cut
+            else spark.read.parquet(path).unionByName(cut)
+              .groupBy("key").agg(min("h").as("h"))
+              .orderBy("h", "key").limit(k)
+          val rows = merged.collect().toSeq // ≤ k rows, bounded
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(rows.asJava, merged.schema)
+            .coalesce(1).write.mode("overwrite").parquet(path)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -449,4 +449,42 @@ class StreamingSpec extends SparkSpec {
       Multimodal.imageTiles(meta, tileW = 64, tileH = 64, overlap = 64)
     }
   }
+
+  test("stream-maintained KMV sketch equals the direct cut after every batch count") {
+    import graft.operators.Analytics
+    import graft.streaming.StreamingIndex
+    val all = (1L to 300L).map(i => (i, s"t$i", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def stageFile(dir: java.io.File, df: org.apache.spark.sql.DataFrame,
+                  name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(dir, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      stage.listFiles().foreach(_.delete()); stage.delete()
+      dst.setLastModified(mtime)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("kmv_stream_").toFile
+    // three deterministic micro-batch files, mtime-ordered
+    Seq(0L, 1L, 2L).foreach { m =>
+      stageFile(dir, all.where(col("doc_id") % 3 === m),
+        s"batch$m.parquet", 1000000L + m * 60000L)
+    }
+    val path = java.nio.file.Files.createTempDirectory("kmv_out_").toFile.getPath + "/sketch"
+    StreamingIndex.kmvIngestToCompletion(spark, dir.getPath, path, k = 12)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("key", "h").as[(Long, Long)].collect().toSet
+    assert(rows(spark.read.parquet(path)) ==
+           rows(Analytics.bottomKOf(all, "doc_id", 12)),
+      "three folded micro-batches must equal the single-pass cut")
+    // n < k edge: a 5-key population keeps all 5 and reports it exactly
+    val tinyDir = java.nio.file.Files.createTempDirectory("kmv_tiny_").toFile
+    stageFile(tinyDir, all.where(col("doc_id") <= 5), "b0.parquet", 1000000L)
+    val tinyPath = java.nio.file.Files.createTempDirectory("kmv_out2_").toFile.getPath + "/sketch"
+    StreamingIndex.kmvIngestToCompletion(spark, tinyDir.getPath, tinyPath, k = 12)
+    val est = Analytics.bottomKRollup(spark.read.parquet(tinyPath), k = 12)
+      .select("est_distinct").as[Double].collect()
+    assert(est.length == 5 && est.forall(_ == 5.0), est.toSeq.toString)
+  }
 }
