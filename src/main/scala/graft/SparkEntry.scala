@@ -721,6 +721,34 @@ object SparkEntry {
     * first event, conversions folded through the same round-9 /
     * exact-long discipline.
     */
+  /** Single-linkage rounds replayed as chained CTEs: cluster-pair
+    * min distances off the membership table, the (dist, ca, cb)
+    * minimum picked per round, losers relabeled — the engine's
+    * driver-paced loop unrolled.
+    */
+  private def hierSql(nPts: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pts AS MATERIALIZED (SELECT vec_id AS p, embedding FROM embeddings WHERE vec_id < $nPts),
+ pd AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb,
+  round(1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+ FROM pts a JOIN pts b ON a.p < b.p),
+ m0 AS MATERIALIZED (SELECT p, p AS c FROM pts)"""
+    for (r <- 1 to rounds) sb ++= s""",
+ d$r AS MATERIALIZED (SELECT least(la.c, lb.c) AS ca, greatest(la.c, lb.c) AS cb, min(dist) AS dist
+  FROM pd JOIN m${r - 1} la ON la.p = pd.pa JOIN m${r - 1} lb ON lb.p = pd.pb
+  WHERE la.c <> lb.c GROUP BY 1, 2),
+ p$r AS MATERIALIZED (SELECT ca, cb, dist FROM d$r ORDER BY dist, ca, cb LIMIT 1),
+ m$r AS MATERIALIZED (SELECT m.p, CASE WHEN m.c = (SELECT cb FROM p$r)
+   THEN (SELECT ca FROM p$r) ELSE m.c END AS c FROM m${r - 1} m)"""
+    sb ++= "\n SELECT * FROM ("
+    sb ++= (1 to rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS step, ca AS cluster_a, cb AS cluster_b,
+ dist, CAST(${nPts - r} AS BIGINT) AS n_clusters FROM p$r""")
+      .mkString(" UNION ALL ")
+    sb ++= ") ORDER BY step"
+    sb.toString
+  }
+
   private def markovAttributionSql(target: String, channels: Seq[String],
                                    iters: Int): String = {
     def chain(tag: String, pred: String): String = {
@@ -4219,6 +4247,16 @@ object SparkEntry {
     "cluster_spherical" -> ((s, dir) =>
       Similarity.sphericalKmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
         numCells = 8, iters = 2).orderBy("cell_id")),
+
+    // single-linkage dendrogram over the bounded vec_id<12 slice —
+    // the merge log IS the hierarchy (cut at any dist for a flat
+    // clustering); exhaustive-input convention, rounds replayed as
+    // materialized CTEs in the oracle
+    "cluster_hier" -> ((s, dir) =>
+      Similarity.hierSingleLinkage(
+          t(s, dir, "embeddings").where(col("vec_id") < 12),
+          "vec_id", "embedding", rounds = 11)
+        .orderBy("step")),
 
     // elbow curve: inertia vs k over {2,4,8}, each k the standard
     // seeded 2-Lloyd training; within-cluster squared round-6
@@ -9119,6 +9157,8 @@ object SparkEntry {
     "cluster_elbow" -> kmeansElbowSql(ks = Seq(2, 4, 8), iters = 2),
 
     "cluster_spherical" -> sphericalKmeansSql(numCells = 8, iters = 2),
+
+    "cluster_hier" -> hierSql(nPts = 12, rounds = 11),
 
     "cluster_kmeans_n" ->
       """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

@@ -1664,4 +1664,62 @@ object Similarity {
     }
     chosen.select(col("rnk"), col("id").as("center_id"), col("radius"))
   }
+
+  /** Agglomerative SINGLE-LINKAGE clustering — the dendrogram classic
+    * the kmeans family can't give (no k to guess; nested structure
+    * falls out as the merge log). Starts from singletons; every round
+    * merges the two clusters with the smallest round-6 cosine
+    * distance between their CLOSEST members (min-linkage), labels
+    * surviving as the smaller cluster id. Returns the merge log —
+    * (step, cluster_a, cluster_b, dist, n_clusters) — which IS the
+    * dendrogram: cut it at any dist threshold to read off a flat
+    * clustering.
+    *
+    * Exhaustive-input convention (the dedup_jaccard_exhaustive
+    * precedent): linkage needs the full pair matrix, so the input is
+    * a BOUNDED point set (a slice, a centroid table, a per-cell
+    * sample) — n² pairs and n−1 driver-paced rounds are the honest
+    * cost of exact single linkage; at corpus scale the route is
+    * kmeans cells first, hierarchy over the bounded centroid table.
+    * Rounds localCheckpoint (the BPE lesson) so round r's plan does
+    * not replay rounds 1..r−1; every per-round frame is ≤n² rows.
+    *
+    * Determinism: distances round to 6 before ANY comparison; the
+    * merge pick orders by (dist, cluster_a, cluster_b) — ties are
+    * impossible to draw differently across engines.
+    */
+  def hierSingleLinkage(points: DataFrame, idCol: String, vecCol: String,
+                        rounds: Int): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("p"), col(vecCol).as("v"))
+    val n = pts.count() // bounded control-plane scalar
+    require(rounds >= 1 && rounds < n,
+      s"rounds must fit the point count: rounds=$rounds n=$n")
+    val pd = pts.select(col("p").as("pa"), col("v").as("va"))
+      .join(pts.select(col("p").as("pb"), col("v").as("vb")),
+        col("pa") < col("pb"))
+      .select(col("pa"), col("pb"),
+        round(lit(1.0) - cosine(col("va"), col("vb")), 6).as("dist"))
+      .localCheckpoint()
+    var m = pts.select(col("p"), col("p").as("c")).localCheckpoint()
+    val logs = (1 to rounds).map { r =>
+      val cd = pd
+        .join(m.select(col("p").as("pa"), col("c").as("ca0")), "pa")
+        .join(m.select(col("p").as("pb"), col("c").as("cb0")), "pb")
+        .where(col("ca0") =!= col("cb0"))
+        .groupBy(least(col("ca0"), col("cb0")).as("ca"),
+          greatest(col("ca0"), col("cb0")).as("cb"))
+        .agg(min(col("dist")).as("dist"))
+      val pick = cd.orderBy("dist", "ca", "cb").limit(1).localCheckpoint()
+      val prev = m
+      val pk = pick.select(col("ca"), col("cb"))
+      m = m.join(broadcast(pk), m("c") === pk("cb"), "left")
+        .select(col("p"), coalesce(col("ca"), col("c")).as("c"))
+        .localCheckpoint()
+      Graph.unpersistBacking(prev)
+      pick.select(lit(r.toLong).as("step"), col("ca").as("cluster_a"),
+        col("cb").as("cluster_b"), col("dist"))
+    }
+    logs.reduce(_ unionByName _)
+      .withColumn("n_clusters", lit(n) - col("step"))
+  }
 }

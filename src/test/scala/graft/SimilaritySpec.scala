@@ -623,4 +623,31 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int, Long, Double)].collect().toSeq
     assert(again == got)
   }
+
+  test("hierSingleLinkage: planted two-group structure resolves; merge distances are monotone") {
+    // group A hugs e1, group B hugs e2 — tiny within-group angles,
+    // 90° between groups; the dendrogram must exhaust both groups
+    // before the final cross-group merge
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    val pts = Seq(
+      (0L, v(1f, 0.01f, 0f)), (1L, v(1f, 0.02f, 0f)), (2L, v(1f, 0f, 0.01f)),
+      (10L, v(0.01f, 1f, 0f)), (11L, v(0.02f, 1f, 0f)), (12L, v(0f, 1f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val log = Similarity.hierSingleLinkage(pts, "vec_id", "embedding", rounds = 5)
+      .orderBy("step")
+      .select("step", "cluster_a", "cluster_b", "dist", "n_clusters")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(log.map(_._5) == Seq(5L, 4L, 3L, 2L, 1L))
+    // single linkage is monotone: each merge at >= the previous dist
+    assert(log.sliding(2).forall { case Seq(a, b) => b._4 >= a._4 },
+      s"non-monotone dendrogram: $log")
+    // the last merge is the cross-group one: clusters 0 and 10
+    assert(log.last._2 == 0L && log.last._3 == 10L, log.last.toString)
+    // ...and it sits far above the within-group merges
+    assert(log.last._4 > 0.9 && log.init.forall(_._4 < 0.01), log.toString)
+    // rounds must fit the point count
+    intercept[IllegalArgumentException] {
+      Similarity.hierSingleLinkage(pts, "vec_id", "embedding", rounds = 6)
+    }
+  }
 }
