@@ -3530,6 +3530,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // NEAREST-in-time as-of: smallest |Δts| either side, backward
+    // wins ties — both directional carries share ONE sort (a single
+    // WindowExec pass), so nearest costs what backward does
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+      val views = e.where(col("event_type") === "view")
+      Joins.asOfJoinNearest(purchases, views, Seq("user_id"), "ts",
+          "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("matched.r_event_id").as("view_event_id"),
+          col("matched.r_ts").as("view_ts"), col("direction"))
+        .orderBy("event_id")
+    }),
+
     // as-of with a TOLERANCE bound (the feature-store contract: a
     // view older than an hour is stale context, not attribution) —
     // same one-window plan, stale matches null out after the pass
@@ -7569,6 +7584,36 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM v
         |    WHERE v.user_id = p.user_id AND v.ts <= p.ts)
         | ORDER BY event_id""".stripMargin,
+
+    // both directional rank-1 picks replayed, then the min-|Δ| choice
+    // with the backward tie preference; ms-truncated diffs both sides
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT * FROM events WHERE event_type = 'view'),
+        | pr AS (SELECT event_id, pid, pts FROM (
+        |  SELECT p.event_id, v.event_id AS pid, v.ts AS pts,
+        |   row_number() OVER (PARTITION BY p.event_id
+        |     ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |  WHERE rn = 1),
+        | nx AS (SELECT event_id, nid, nts FROM (
+        |  SELECT p.event_id, v.event_id AS nid, v.ts AS nts,
+        |   row_number() OVER (PARTITION BY p.event_id
+        |     ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts > p.ts)
+        |  WHERE rn = 1),
+        | j AS (SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN pid IS NULL THEN nid WHEN nid IS NULL THEN pid
+        |   WHEN epoch_ms(p.ts) - epoch_ms(pts) <= epoch_ms(nts) - epoch_ms(p.ts)
+        |   THEN pid ELSE nid END AS view_event_id,
+        |  CASE WHEN pid IS NULL THEN nts WHEN nid IS NULL THEN pts
+        |   WHEN epoch_ms(p.ts) - epoch_ms(pts) <= epoch_ms(nts) - epoch_ms(p.ts)
+        |   THEN pts ELSE nts END AS view_ts
+        |  FROM p LEFT JOIN pr USING (event_id) LEFT JOIN nx USING (event_id))
+        | SELECT event_id, user_id, ts, view_event_id, view_ts,
+        |  CASE WHEN view_event_id IS NULL THEN NULL
+        |   WHEN view_ts <= ts THEN 'backward' ELSE 'forward' END AS direction
+        | FROM j ORDER BY event_id""".stripMargin,
 
     // join_asof with the last-view match nulled when older than 1 h —
     // the winner is still the LATEST view (tolerance tightens

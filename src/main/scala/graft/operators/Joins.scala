@@ -64,6 +64,49 @@ object Joins {
     }
   }
 
+  /** NEAREST-in-time as-of join — the bidirectional cousin of
+    * [[asOfJoin]] (sensor/feature alignment where context can sit on
+    * either side of the observation): each left row takes the right
+    * row with the smallest |Δts|, preferring the backward match on a
+    * tie (Δ=0 included — an equal-ts right row sorts before the left
+    * row and is picked up by the backward pass).
+    *
+    * Scale shape: the SAME one-union one-sort plan as [[asOfJoin]] —
+    * both directional carries share a single window ordering (the
+    * backward `last` and forward `first` frames run in one
+    * WindowExec pass), so nearest costs exactly what backward does:
+    * one shuffle by key, one sort, never an inequality join.
+    */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      tsCol: String, idCol: String,
+                      rightPayload: Seq[String]): DataFrame = {
+    val payload = struct(
+      (Seq(tsCol, idCol) ++ rightPayload).map(c => col(c).as(s"r_$c")): _*)
+    val r = right.select(
+      Seq(lit(0).as("side"), payload.as("r")) ++
+        (keyCols :+ tsCol :+ idCol).map(col): _*)
+    val l = left.withColumn("side", lit(1))
+    def w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("side"), col(idCol))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("prev", last(col("r"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", first(col("r"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .where(col("side") === 1)
+    val dp = unix_millis(col(tsCol)) - unix_millis(col(s"prev.r_$tsCol"))
+    val dn = unix_millis(col(s"nxt.r_$tsCol")) - unix_millis(col(tsCol))
+    u.withColumn("matched",
+        when(col("prev").isNull, col("nxt"))
+          .when(col("nxt").isNull, col("prev"))
+          .when(dp <= dn, col("prev")).otherwise(col("nxt")))
+      .withColumn("direction",
+        when(col("matched").isNull, lit(null).cast("string"))
+          .when(col(s"matched.r_$tsCol") <= col(tsCol), lit("backward"))
+          .otherwise(lit("forward")))
+      .drop("side", "r", "prev", "nxt")
+  }
+
   /** Range join: all (left, right) pairs with equal keys and
     * `right.tsCol − left.tsCol` in `[0, windowSeconds)`.
     *

@@ -40,6 +40,29 @@ class JoinsSpec extends SparkSpec {
     assert(got == Seq(2L))
   }
 
+  test("asOfJoinNearest: min |Δts| either side, backward wins ties, nulls only when no view exists") {
+    val e = events(
+      (1L, 7L, "2026-01-01 09:00:00", "view"),
+      (2L, 7L, "2026-01-01 10:10:00", "view"),
+      (3L, 7L, "2026-01-01 10:00:00", "purchase"), // prev 60m, next 10m → forward 2
+      (4L, 7L, "2026-01-01 09:01:00", "purchase"), // prev 1m, next 69m → backward 1
+      (5L, 8L, "2026-01-01 10:00:00", "purchase"), // no view for user 8 → null
+      (6L, 9L, "2026-01-01 10:00:00", "view"),
+      (7L, 9L, "2026-01-01 10:20:00", "view"),
+      (8L, 9L, "2026-01-01 10:10:00", "purchase")) // tie 10m/10m → backward 6
+    val got = Joins.asOfJoinNearest(
+        e.where($"event_type" === "purchase"), e.where($"event_type" === "view"),
+        Seq("user_id"), "ts", "event_id", Seq())
+      .select($"event_id", $"matched.r_event_id".as("m"), $"direction")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (k, v, d) => k -> ((v, d)) }.toMap
+    assert(got == Map(
+      3L -> ((Some(2L), Some("forward"))),
+      4L -> ((Some(1L), Some("backward"))),
+      5L -> ((None, None)),
+      8L -> ((Some(6L), Some("backward")))), s"got $got")
+  }
+
   test("asOfJoin tolerance: stale matches null out, fresh ones survive, winner unchanged") {
     val l = Seq((10L, 1L, new Timestamp(7200000L)), (11L, 2L, new Timestamp(7200000L)))
       .toDF("event_id", "k", "ts")
