@@ -4273,6 +4273,17 @@ object SparkEntry {
           "vec_id", "embedding", rounds = 11)
         .orderBy("step")),
 
+    // DBSCAN over the bounded %4 slice: density cores, CC clusters
+    // (large-star/small-star), min-cluster border rule, noise bucket
+    // — the exhaustive ε-graph convention, LSH-bucketed at corpus
+    // scale
+    "cluster_dbscan" -> ((s, dir) =>
+      Similarity.dbscan(t(s, dir, "embeddings").where(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", eps = 0.74, minPts = 4)
+        .select(col("p").as("vec_id"), col("n_eps"), col("role"),
+          col("cluster_id"))
+        .orderBy("vec_id")),
+
     // elbow curve: inertia vs k over {2,4,8}, each k the standard
     // seeded 2-Lloyd training; within-cluster squared round-6
     // distances as exact scaled-long sums
@@ -9204,6 +9215,38 @@ object SparkEntry {
     "cluster_spherical" -> sphericalKmeansSql(numCells = 8, iters = 2),
 
     "cluster_hier" -> hierSql(nPts = 12, rounds = 11),
+
+    // density rule + the recursive-reach CC (the clustersSql
+    // technique) + min-cluster border attachment, all replayed
+    "cluster_dbscan" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id AS p, embedding
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        | pd AS (SELECT a.p AS pa, b.p AS pb,
+        |  round(1.0 - list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS dist
+        | FROM pts a JOIN pts b ON a.p <> b.p),
+        | pe AS (SELECT pa, pb FROM pd WHERE dist <= 0.74),
+        | nb AS (SELECT p.p, CAST(COALESCE(c.n, 0) + 1 AS BIGINT) AS n_eps
+        |  FROM pts p LEFT JOIN (SELECT pa, count(*) AS n FROM pe GROUP BY 1) c
+        |   ON c.pa = p.p),
+        | core AS (SELECT p FROM nb WHERE n_eps >= 4),
+        | ce AS (SELECT pa AS src, pb AS dst FROM pe
+        |  WHERE pa IN (SELECT p FROM core) AND pb IN (SELECT p FROM core)),
+        | reach(id, lab) AS (
+        |  SELECT p, p FROM core
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN ce e ON e.src = r.id),
+        | cl AS (SELECT id AS p, min(lab) AS cluster_id FROM reach GROUP BY id),
+        | border AS (SELECT pe.pa AS p, min(cl.cluster_id) AS cluster_id
+        |  FROM pe JOIN cl ON cl.p = pe.pb
+        |  WHERE pe.pa NOT IN (SELECT p FROM core) GROUP BY 1)
+        | SELECT nb.p AS vec_id, nb.n_eps,
+        |  CASE WHEN cl.cluster_id IS NOT NULL THEN 'core'
+        |   WHEN border.cluster_id IS NOT NULL THEN 'border'
+        |   ELSE 'noise' END AS role,
+        |  COALESCE(cl.cluster_id, border.cluster_id) AS cluster_id
+        | FROM nb LEFT JOIN cl ON cl.p = nb.p LEFT JOIN border ON border.p = nb.p
+        | ORDER BY vec_id""".stripMargin,
 
     "cluster_kmeans_n" ->
       """WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

@@ -1665,6 +1665,65 @@ object Similarity {
     chosen.select(col("rnk"), col("id").as("center_id"), col("radius"))
   }
 
+  /** DBSCAN (Ester et al. 1996) — the density classic next to the
+    * kmeans family: a point with ≥ `minPts` neighbors inside cosine
+    * distance `eps` (self included) is CORE; clusters are the
+    * connected components of the core-core ε-graph (the
+    * [[graft.operators.Dedup]] large-star/small-star machinery —
+    * O(log n) rounds); a non-core point inside ε of a core joins the
+    * MINIMUM core cluster among its neighbors (deterministic border
+    * rule); the rest is NOISE. No k to guess, arbitrary-shape
+    * clusters, and the noise bucket is exactly what a curation
+    * pipeline routes to manual review.
+    *
+    * Input convention: the ε-graph here is the exhaustive pair
+    * matrix, so callers pass a BOUNDED point set (slice / centroid
+    * table / per-cell sample — the [[hierSingleLinkage]] contract).
+    * At corpus scale the candidate pairs come from the LSH-bucket /
+    * IVF-cell generators instead ([[graft.operators.Dedup
+    * .embeddingPairs]]-style: only within-bucket pairs, recall
+    * documented) — the density rule and the CC are unchanged.
+    *
+    * Determinism: round-6 distances before any comparison; border
+    * assignment by min cluster id; components labeled by component
+    * minimum.
+    */
+  def dbscan(points: DataFrame, idCol: String, vecCol: String,
+             eps: Double, minPts: Int): DataFrame = {
+    require(eps >= 0 && minPts >= 1, s"bad dbscan params: eps=$eps minPts=$minPts")
+    val pts = points.select(col(idCol).cast("long").as("p"), col(vecCol).as("v"))
+    val pd = pts.select(col("p").as("pa"), col("v").as("va"))
+      .join(pts.select(col("p").as("pb"), col("v").as("vb")),
+        col("pa") =!= col("pb"))
+      .select(col("pa"), col("pb"),
+        round(lit(1.0) - cosine(col("va"), col("vb")), 6).as("dist"))
+      .where(col("dist") <= eps)
+      .localCheckpoint() // the ε-graph serves three consumers
+    val nEps = pts.select("p")
+      .join(pd.groupBy(col("pa").as("p")).agg(count(lit(1)).as("n")),
+        Seq("p"), "left")
+      .select(col("p"), (coalesce(col("n"), lit(0L)) + 1).as("n_eps"))
+    val core = nEps.where(col("n_eps") >= minPts).select("p")
+    val ce = pd
+      .join(core.select(col("p").as("pa")), Seq("pa"), "left_semi")
+      .join(core.select(col("p").as("pb")), Seq("pb"), "left_semi")
+      .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+    val cl = Dedup.connectedClusters(core, "p", ce)
+      .select(col("doc_id").as("p"), col("cluster_id"))
+    val border = pd
+      .join(core.select(col("p").as("pa")), Seq("pa"), "left_anti")
+      .join(cl.select(col("p").as("pb"), col("cluster_id").as("bc")), Seq("pb"))
+      .groupBy(col("pa").as("p")).agg(min(col("bc")).as("b_cluster"))
+    nEps
+      .join(cl, Seq("p"), "left")
+      .join(border, Seq("p"), "left")
+      .select(col("p"), col("n_eps"),
+        when(col("cluster_id").isNotNull, lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster_id"), col("b_cluster")).as("cluster_id"))
+  }
+
   /** Agglomerative SINGLE-LINKAGE clustering — the dendrogram classic
     * the kmeans family can't give (no k to guess; nested structure
     * falls out as the merge log). Starts from singletons; every round

@@ -624,6 +624,34 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("dbscan: planted arc — dense blob is core, fringe point is border, far point is noise") {
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f)
+    }
+    // blob at 0..4° (pairwise dist ≤ 1−cos4° ≈ 0.0024), fringe at 8°
+    // (inside ε of ONLY the 4° point), noise at 90°
+    val pts = (Seq(1L, 2L, 3L, 4L, 5L).zipWithIndex.map { case (id, i) =>
+      (id, at(i.toDouble)) } ++ Seq((10L, at(8.0)), (20L, at(90.0))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dbscan(pts, "vec_id", "embedding",
+        eps = 0.003, minPts = 5)
+      .select("p", "role", "cluster_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (1L to 5L).foreach(id =>
+      assert(got(id) == (("core", Some(1L))), s"$id: ${got(id)}"))
+    assert(got(10L) == (("border", Some(1L))), s"border: ${got(10L)}")
+    assert(got(20L) == (("noise", None)), s"noise: ${got(20L)}")
+    // partitioning-invariant
+    val again = Similarity.dbscan(pts.repartition(5), "vec_id", "embedding",
+        0.003, 5)
+      .select("p", "role", "cluster_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == got)
+  }
+
   test("hierSingleLinkage: planted two-group structure resolves; merge distances are monotone") {
     // group A hugs e1, group B hugs e2 — tiny within-group angles,
     // 90° between groups; the dendrogram must exhaust both groups
