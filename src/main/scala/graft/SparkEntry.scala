@@ -5584,6 +5584,15 @@ object SparkEntry {
       Profiling.freshness(t(s, dir, "events"), "event_type", "ts")
         .orderBy("event_type")),
 
+    // slice finder: which (dimension, value) segment moved the
+    // metric — |z| of slice mean vs global off exact cents moments;
+    // one Expand pass + slice-cardinality aggregate + TakeOrdered
+    "profile_slices" -> ((s, dir) =>
+      Profiling.sliceFinder(t(s, dir, "events"),
+          Seq("event_type" -> col("event_type"), "hour" -> hour(col("ts"))),
+          "value", topK = 10)
+        .orderBy("rnk")),
+
     // CUPED variance-reduced A/B readout: pre-period spend as the
     // covariate, one conditional 12-sum aggregate, exact cents
     "events_cuped" -> ((s, dir) =>
@@ -11017,6 +11026,31 @@ object SparkEntry {
         |  round(CAST(gms - last_ms AS DOUBLE) / 3600000.0, 6) AS lag_hours,
         |  CAST(gms - last_ms AS DOUBLE) / 3600000.0 > 168.0 AS is_stale
         | FROM p ORDER BY event_type""".stripMargin,
+
+    // cents-exact slice/global moments, the fixed-order z chain,
+    // rank on the ROUNDED |z| with (dim, value) tie-break
+    "profile_slices" ->
+      """WITH x AS (SELECT CAST(round(value * 100, 0) AS HUGEINT) AS x,
+        |  event_type, CAST(hour(ts) AS VARCHAR) AS hr FROM events),
+        | st AS (SELECT 'event_type' AS dim, event_type AS value, x FROM x
+        |  UNION ALL SELECT 'hour' AS dim, hr AS value, x FROM x),
+        | g AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n, sum(x) AS s1
+        |  FROM st GROUP BY 1, 2),
+        | gl AS (SELECT CAST(count(*) AS BIGINT) AS gn, sum(x) AS gs1,
+        |  sum(x * x) AS gs2 FROM x),
+        | zz AS (SELECT dim, value, n,
+        |  round(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS mean_slice,
+        |  round((CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+        |    - CAST(gs1 AS DOUBLE) / (CAST(gn AS DOUBLE) * 100.0))
+        |   / sqrt((CAST(gs2 AS DOUBLE) / (CAST(gn AS DOUBLE) * 100.0 * 100.0)
+        |     - (CAST(gs1 AS DOUBLE) / (CAST(gn AS DOUBLE) * 100.0))
+        |       * (CAST(gs1 AS DOUBLE) / (CAST(gn AS DOUBLE) * 100.0)))
+        |    / CAST(n AS DOUBLE)), 6) AS z
+        |  FROM g, gl)
+        | SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY abs(z) DESC, dim, value)
+        |    AS BIGINT) AS rnk, dim, value, n, mean_slice, z FROM zz)
+        | WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     "events_cuped" ->
       """WITH b AS (SELECT user_id,

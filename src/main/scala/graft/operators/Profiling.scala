@@ -738,4 +738,54 @@ object Profiling {
         (d(col("gms") - col("last_ms")) / lit(3600000.0) >
           lit(staleHours.toDouble)).as("is_stale"))
   }
+
+  /** SLICE FINDER — the metric-debugging sweep (the SliceFinder /
+    * "which segment moved the metric" idea): every (dimension, value)
+    * slice from a declared dimension set is scored by the z-statistic
+    * of its metric mean against the global mean, z = (x̄_s − x̄) /
+    * √(σ²/n_s), and the top |z| slices come back ranked — where an
+    * on-call engineer looks first when the aggregate drifts.
+    *
+    * Exactness: the [[momentsByGroup]] cents-scaled decimal-sum
+    * discipline — slice and global moments are exact integer sums in
+    * any order; each reported number is a short fixed-order IEEE
+    * chain off those exact sums, rounded 6; ranking runs on the
+    * ROUNDED |z| with a (dim, value) tie-break.
+    *
+    * Scale shape: one Expand pass (|dims| rows per input row) into a
+    * map-side-combined aggregate at slice cardinality, one 1-row
+    * global aggregate broadcast, TakeOrdered top-k; the final rank
+    * window touches ≤ topK rows.
+    */
+  def sliceFinder(df: DataFrame, dims: Seq[(String, Column)],
+                  valueCol: String, topK: Int, scale: Int = 100): DataFrame = {
+    require(dims.nonEmpty && topK >= 1, s"need dims and topK: $dims $topK")
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val sc = scale.toDouble
+    val x = round(col(valueCol) * scale, 0).cast("decimal(38,0)")
+    val base = df.select(
+      dims.map { case (n, c) => c.cast("string").as(s"d_$n") } :+ x.as("x"): _*)
+    val stacked = base.select(explode(array(dims.map { case (n, _) =>
+        struct(lit(n).as("dim"), col(s"d_$n").as("value")) }: _*)).as("s"),
+        col("x"))
+      .select(col("s.dim").as("dim"), col("s.value").as("value"), col("x"))
+    val g = stacked.groupBy("dim", "value")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"))
+    val glob = df.select(x.as("x"))
+      .agg(count(lit(1)).as("gn"), sum("x").as("gs1"),
+        sum(col("x") * col("x")).as("gs2")) // 1-row scalar
+    val meanS = d(col("s1")) / (d(col("n")) * sc)
+    val meanG = d(col("gs1")) / (d(col("gn")) * sc)
+    val varG = d(col("gs2")) / (d(col("gn")) * sc * sc) - meanG * meanG
+    val z = (meanS - meanG) / sqrt(varG / d(col("n")))
+    val scored = g.crossJoin(broadcast(glob))
+      .select(col("dim"), col("value"), col("n"),
+        round(meanS, 6).as("mean_slice"), round(z, 6).as("z"))
+      .orderBy(abs(col("z")).desc, col("dim"), col("value")).limit(topK)
+    scored.withColumn("rnk", row_number() // ≤ topK rows
+        .over(Window.orderBy(abs(col("z")).desc, col("dim"), col("value")))
+        .cast("long"))
+      .select("rnk", "dim", "value", "n", "mean_slice", "z")
+  }
 }

@@ -561,6 +561,24 @@ class ProfilingSpec extends SparkSpec {
     assert(k._1 > 5.0 && k._2 > 20.0, s"outlier must show in the tail stats: $k")
   }
 
+  test("sliceFinder: shifted slice ranks first with the hand-computed z") {
+    import graft.operators.Profiling
+    val df = (Seq.fill(30)(("a", 0.0)) ++ Seq.fill(10)(("b", 4.0)))
+      .toDF("g", "value")
+    val got = Profiling.sliceFinder(df, Seq("g" -> col("g")), "value", topK = 10)
+      .orderBy("rnk")
+      .select("rnk", "dim", "value", "n", "mean_slice", "z")
+      .as[(Long, String, String, Long, Double, Double)].collect().toSeq
+    // global mean 1, population var 3; z_b = 3/sqrt(3/10), z_a = -1/sqrt(3/30)
+    def z(meanS: Double, n: Double) =
+      BigDecimal((meanS - 1.0) / math.sqrt(3.0 / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, "g", "b", 10L, 4.0, z(4.0, 10))), got(0).toString)
+    assert(got(1) == ((2L, "g", "a", 30L, 0.0, z(0.0, 30))), got(1).toString)
+    assert(math.abs(got(0)._6) > math.abs(got(1)._6),
+      "the shifted slice must out-rank the baseline slice")
+  }
+
   test("bottomK: merge law — per-group rollup equals the direct global cut") {
     import graft.operators.Analytics
     val df = (1 to 500).map(i => (i % 13, s"u${i % 97}")).toDF("g", "uid")
