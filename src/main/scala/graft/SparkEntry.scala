@@ -2595,6 +2595,14 @@ object SparkEntry {
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("hash", "join", "vector"), k = 10)),
 
+    // pseudo-relevance feedback: round-1 top-5 docs mine 3 expansion
+    // terms (feedback tf × corpus idf), round 2 rescores with the
+    // expanded query; the expansion list rides along for audit
+    "text_bm25_prf" -> ((s, dir) =>
+      TextAnalysis.bm25Prf(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("hash", "join"), k = 10, fbDocs = 5, fbTerms = 3)
+        .orderBy("rnk")),
+
     // BM25 served from the materialized postings index: bucket set →
     // partition-pruned scan → identical scoring (and oracle) to
     // text_bm25. Index writes once per JVM (ensureBm25Index).
@@ -9623,6 +9631,54 @@ object SparkEntry {
         | ORDER BY doc_id, rnk""".stripMargin,
 
     "text_bm25" -> bm25Sql,
+
+    // both retrieval rounds + the candidate mine replayed; expansion
+    // weights round 6 before the top-3 cut, string_agg ordered
+    "text_bm25_prf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        | p1 AS (SELECT * FROM tf WHERE term IN ('hash', 'join')),
+        | df1 AS (SELECT term, count(*) AS df FROM p1 GROUP BY 1),
+        | s1 AS (
+        |  SELECT p1.doc_id,
+        |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |   (tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
+        |     AS part_score
+        |  FROM p1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        | fb AS (SELECT doc_id FROM (
+        |  SELECT doc_id, round(sum(part_score), 6) AS score FROM s1 GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 5)),
+        | cand AS (SELECT term, CAST(sum(tf) AS BIGINT) AS fb_tf
+        |  FROM tf JOIN fb USING (doc_id)
+        |  WHERE term NOT IN ('hash', 'join') GROUP BY 1),
+        | dfall AS (SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM cand) GROUP BY 1),
+        | exp AS (SELECT term,
+        |   round(CAST(fb_tf AS DOUBLE)
+        |     * ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)), 6) AS w
+        |  FROM cand JOIN dfall USING (term) CROSS JOIN stats
+        |  ORDER BY w DESC, term LIMIT 3),
+        | q2(term) AS (SELECT term FROM exp
+        |  UNION SELECT 'hash' UNION SELECT 'join'),
+        | p2 AS (SELECT tf.* FROM tf JOIN q2 USING (term)),
+        | df2 AS (SELECT term, count(*) AS df FROM p2 GROUP BY 1),
+        | s2 AS (
+        |  SELECT p2.doc_id,
+        |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |   (tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
+        |     AS part_score
+        |  FROM p2 JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        | r2 AS (SELECT doc_id, round(sum(part_score), 6) AS score,
+        |  count(*) AS n_terms_hit FROM s2 GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 10),
+        | ex AS (SELECT string_agg(term, ',' ORDER BY term) AS expansion FROM exp)
+        | SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |   AS rnk, doc_id, score, n_terms_hit, expansion
+        | FROM r2, ex ORDER BY rnk""".stripMargin,
 
     // the index is an access path, not a semantics change — the
     // indexed serve must hash-match the same oracle

@@ -331,6 +331,57 @@ object TextAnalysis {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Pseudo-relevance-feedback QUERY EXPANSION (the Rocchio/RM3
+    * idea): retrieve once, mine the top `fbDocs` results for the
+    * `fbTerms` strongest co-occurring terms (feedback tf × corpus
+    * idf, original terms excluded), retrieve again with the expanded
+    * query — the classic recall lever when queries underspecify the
+    * vocabulary. Both rounds are the [[bm25TopK]] scorer; the result
+    * carries the expansion term list so the caller can audit what
+    * the feedback added.
+    *
+    * Scale shape: the corpus pays the same two token aggregates
+    * once; round-1 postings prune to the query terms, the candidate
+    * mine runs on the BOUNDED feedback-doc slice (broadcast
+    * semi-join), candidate df prunes corpus postings to the bounded
+    * candidate vocabulary, and round 2 prunes to |q|+fbTerms terms.
+    * Determinism: expansion weights round 6 with a term tie-break
+    * BEFORE the top-fbTerms cut; scores round 6 with doc_id ties.
+    */
+  def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], k: Int, fbDocs: Int = 5,
+              fbTerms: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val fb = bm25Score(tf.where(col("term").isin(queryTerms: _*)),
+      dl, stats, fbDocs, k1, b).select("doc_id")
+    val cand = tf.join(broadcast(fb), "doc_id")
+      .where(!col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(sum("tf").as("fb_tf"))
+    val dfAll = tf.join(broadcast(cand.select("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val exp = cand.join(dfAll, "term").crossJoin(broadcast(stats))
+      .withColumn("w", round(col("fb_tf").cast("double") *
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5)), 6))
+      .orderBy(desc("w"), asc("term")).limit(fbTerms)
+      .localCheckpoint() // consumed twice: term filter + audit column
+    val q2 = exp.select("term").unionByName(queryTerms.toDF("term")).distinct()
+    val r2 = bm25Score(tf.join(broadcast(q2), Seq("term"), "left_semi"),
+      dl, stats, k, k1, b)
+    r2.crossJoin(broadcast(exp.agg(
+        concat_ws(",", sort_array(collect_list("term"))).as("expansion"))))
+      .withColumn("rnk", row_number() // ≤ k rows
+        .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .select("rnk", "doc_id", "score", "n_terms_hit", "expansion")
+  }
+
   /** Shared BM25 scoring core over (doc_id, term, tf) postings
     * already pruned to the query terms, the (doc_id, dl) length
     * table, and the 1-row (n_docs, tot_dl) stats — df re-derives from

@@ -223,6 +223,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.map(_.getLong(0)).contains(3L))
   }
 
+  test("bm25Prf: feedback terms expand recall to docs the raw query cannot reach") {
+    // 'probe' rides with 'hash' in the feedback docs; doc 5 contains
+    // ONLY 'probe' and is invisible to the raw query — expansion
+    // must surface it
+    val docs = Seq(
+      (1L, "hash probe hash probe"),
+      (2L, "hash probe build"),
+      (3L, "hash build side"),
+      (4L, "sort merge only"),
+      (5L, "probe probe probe")
+    ).toDF("doc_id", "text")
+    val raw = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("hash"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!raw.contains(5L), "precondition: raw query must miss doc 5")
+    val prf = graft.operators.TextAnalysis
+      .bm25Prf(docs, "doc_id", "text", Seq("hash"), k = 10,
+        fbDocs = 3, fbTerms = 2)
+      .select("doc_id", "expansion").as[(Long, String)].collect()
+    assert(prf.map(_._1).contains(5L), s"expansion must surface doc 5: ${prf.toSeq}")
+    val expansion = prf.head._2.split(",").toSet
+    assert(expansion.contains("probe"), s"'probe' must be mined: $expansion")
+    assert(!expansion.contains("hash"), "original terms never re-enter the expansion")
+  }
+
   test("bm25TopKBatch: per-query rankings equal the single-query op; duplicate query terms dedupe") {
     import graft.operators.TextAnalysis
     val docs = Seq(
