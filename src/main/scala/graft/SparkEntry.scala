@@ -4675,6 +4675,16 @@ object SparkEntry {
     // (OOV words match no likelihood row and pay every class's
     // floor — no special case), then the per-class
     // precision/recall/F1 report
+    // active-learning margin sampling: the 25 docs where the NB
+    // model's top-2 class scores sit closest — the annotation batch
+    // that buys the most model; exact integer margins
+    "sample_uncertainty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.nbUncertaintySample(docs, docs, "doc_id", "text", "lang",
+          k = 25)
+        .orderBy("rnk")
+    }),
+
     "text_nb_holdout" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val preds = TextAnalysis.naiveBayesApply(
@@ -9042,6 +9052,56 @@ object SparkEntry {
         |  (b.c = d.lang) AS correct
         | FROM best b JOIN documents d USING (doc_id)
         | WHERE b.r = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // the resubstitution NB score table, top-2 per doc, margin cut
+    "sample_uncertainty" ->
+      """WITH tok AS (SELECT doc_id, lang AS c,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        | dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |        FROM tok GROUP BY 1, 2),
+        | dn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_d FROM dw GROUP BY 1),
+        | cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs
+        |         FROM documents GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+        | cw AS (SELECT c, w, CAST(count(*) AS BIGINT) AS kc
+        |        FROM tok GROUP BY 1, 2),
+        | ct AS (SELECT c, CAST(sum(kc) AS BIGINT) AS tok_c FROM cw GROUP BY 1),
+        | v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM tok),
+        | lp AS (SELECT c, w,
+        |   CAST(round(ln((kc + 1)::DOUBLE / (tok_c + vsz)::DOUBLE) * 1e6, 0)
+        |     AS BIGINT) AS lps
+        |  FROM cw JOIN ct USING (c), v),
+        | fl AS (SELECT c,
+        |   CAST(round(ln(1.0 / (tok_c + vsz)::DOUBLE) * 1e6, 0) AS BIGINT)
+        |     AS floor_s,
+        |   CAST(round(ln(n_docs::DOUBLE / n_all::DOUBLE) * 1e6, 0) AS BIGINT)
+        |     AS prior_s
+        |  FROM ct JOIN cls USING (c), v, tot),
+        | m AS (SELECT dw.doc_id, lp.c,
+        |   CAST(sum(dw.k * lp.lps) AS BIGINT) AS s_present,
+        |   CAST(sum(dw.k) AS BIGINT) AS matched
+        |  FROM dw JOIN lp ON lp.w = dw.w GROUP BY 1, 2),
+        | sc AS (SELECT g.doc_id, g.c,
+        |   g.prior_s + COALESCE(m.s_present, 0)
+        |    + (g.n_d - COALESCE(m.matched, 0)) * g.floor_s AS score_s
+        |  FROM (SELECT dn.doc_id, dn.n_d, fl.c, fl.floor_s, fl.prior_s
+        |        FROM dn, fl) g
+        |  LEFT JOIN m ON m.doc_id = g.doc_id AND m.c = g.c),
+        | rk AS (SELECT doc_id, c, score_s,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score_s DESC, c) AS r FROM sc),
+        | top AS (SELECT doc_id,
+        |   max(CASE WHEN r = 1 THEN score_s END) AS s1,
+        |   max(CASE WHEN r = 2 THEN score_s END) AS s2,
+        |   max(CASE WHEN r = 1 THEN c END) AS pred
+        |  FROM rk WHERE r <= 2 GROUP BY 1)
+        | SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY margin, doc_id) AS BIGINT)
+        |    AS rnk, doc_id, pred, margin FROM (
+        |   SELECT doc_id, pred,
+        |    round(CAST(s1 - s2 AS DOUBLE) / 1e6, 6) AS margin FROM top))
+        | WHERE rnk <= 25 ORDER BY rnk""".stripMargin,
 
     // the same NB replay with an even/odd train/apply split, then
     // the two bounded per-class aggregates; F1 recombines the

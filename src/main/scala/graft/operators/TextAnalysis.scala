@@ -823,6 +823,24 @@ object TextAnalysis {
   def naiveBayesApply(train: DataFrame, apply: DataFrame, idCol: String,
                       textCol: String, classCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
+    val sc = naiveBayesScores(train, apply, idCol, textCol, classCol)
+    val win = Window.partitionBy("doc_id").orderBy(desc("score_s"), asc("c"))
+    sc.withColumn("r", row_number().over(win)).where(col("r") === 1)
+      .join(apply.select(col(idCol).as("doc_id"), col(classCol).as("label")),
+        "doc_id")
+      .select(col("doc_id"), col("label"), col("c").as("pred_label"),
+        round(d(col("score_s")) / 1e6, 6).as("score"),
+        (col("c") === col("label")).as("correct"))
+  }
+
+  /** The (doc_id, class, integer score) table behind
+    * [[naiveBayesApply]] — exposed so consumers that need the whole
+    * posterior shape (uncertainty sampling, margin audits,
+    * calibration) don't re-derive the model.
+    */
+  def naiveBayesScores(train: DataFrame, apply: DataFrame, idCol: String,
+                       textCol: String, classCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
     def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
     val trainTok = train.select(col(classCol).as("c"),
       explode(tokens(lower(col(textCol)))).as("w"))
@@ -852,13 +870,37 @@ object TextAnalysis {
         (col("prior_s") + coalesce(col("s_present"), lit(0L)) +
          (col("n_d") - coalesce(col("matched"), lit(0L))) * col("floor_s"))
           .as("score_s"))
+    sc
+  }
+
+  /** ACTIVE-LEARNING batch selection by classifier uncertainty: the
+    * `k` pool documents with the smallest margin between the model's
+    * top two class scores — where one annotation buys the most model
+    * improvement (the classic margin-sampling rule). Composes
+    * [[naiveBayesScores]]: margin = (s₁ − s₂)/10⁶ off the exact
+    * integer scores, so the selection is deterministic; assumes ≥2
+    * training classes (with one class there is no margin).
+    *
+    * Scale shape: the score table is |pool|·|classes| rows; top-2
+    * per doc is a per-doc rank window; the batch cut is TakeOrdered.
+    */
+  def nbUncertaintySample(train: DataFrame, pool: DataFrame, idCol: String,
+                          textCol: String, classCol: String,
+                          k: Int): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val sc = naiveBayesScores(train, pool, idCol, textCol, classCol)
     val win = Window.partitionBy("doc_id").orderBy(desc("score_s"), asc("c"))
-    sc.withColumn("r", row_number().over(win)).where(col("r") === 1)
-      .join(apply.select(col(idCol).as("doc_id"), col(classCol).as("label")),
-        "doc_id")
-      .select(col("doc_id"), col("label"), col("c").as("pred_label"),
-        round(d(col("score_s")) / 1e6, 6).as("score"),
-        (col("c") === col("label")).as("correct"))
+    val top = sc.withColumn("r", row_number().over(win)).where(col("r") <= 2)
+      .groupBy("doc_id").agg(
+        max(when(col("r") === 1, col("score_s"))).as("s1"),
+        max(when(col("r") === 2, col("score_s"))).as("s2"),
+        max(when(col("r") === 1, col("c"))).as("pred"))
+    top.select(col("doc_id"), col("pred"),
+        round(d(col("s1") - col("s2")) / 1e6, 6).as("margin"))
+      .orderBy(asc("margin"), asc("doc_id")).limit(k)
+      .withColumn("rnk", row_number() // ≤ k rows
+        .over(Window.orderBy(asc("margin"), asc("doc_id"))).cast("long"))
+      .select("rnk", "doc_id", "pred", "margin")
   }
 
   /** Per-class quality report over a [[naiveBayesApply]] prediction

@@ -561,6 +561,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == (("c", 1L, 0L, 0L, None, 0.0, None)), got(2).toString)
   }
 
+  test("nbUncertaintySample: the genuinely ambiguous doc ranks first") {
+    val train = Seq(
+      (1L, "x x y", "A"), (2L, "x y y", "A"),
+      (3L, "z z w", "B"), (4L, "z w w", "B")).toDF("doc_id", "text", "lang")
+    val pool = Seq(
+      (10L, "x y", "A"),   // clearly A
+      (11L, "z w", "B"),   // clearly B
+      (12L, "x z", "A")    // one term from each side — minimal margin
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.nbUncertaintySample(train, pool,
+        "doc_id", "text", "lang", k = 3)
+      .orderBy("rnk").select("rnk", "doc_id", "margin")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.head._2 == 12L, s"the x/z doc must be most uncertain: $got")
+    // margins come back sorted ascending and the symmetric doc's is 0
+    assert(got.map(_._3) == got.map(_._3).sorted && got.head._3 == 0.0,
+      got.toString)
+  }
+
   test("entropyStats: H = ln n - (sum k ln k)/n on a skewed hand case") {
     // "aab" chars: {a:2, b:1}, n=3 -> ln3 - (2 ln2)/3
     val d = Seq((1L, "aab")).toDF("doc_id", "text")
