@@ -721,6 +721,40 @@ object SparkEntry {
     * first event, conversions folded through the same round-9 /
     * exact-long discipline.
     */
+  /** 3-truss peel rounds replayed: the df-cut support-2 basket
+    * backbone, per-round wedge-join support recounts, edges kept at
+    * sup ≥ 1, final support recomputed on the survivors.
+    */
+  private def ktrussSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+ ok AS MATERIALIZED (SELECT c FROM (SELECT c, count(*) AS deg FROM e GROUP BY 1)
+      WHERE deg BETWEEN 2 AND 200),
+ p AS MATERIALIZED (SELECT e.item, e.c FROM e JOIN ok USING (c)),
+ e0 AS MATERIALIZED (SELECT a.item AS x, b.item AS y
+  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    for (r <- 1 to rounds) sb ++= s""",
+ s${r - 1} AS MATERIALIZED (SELECT x, y FROM e${r - 1}
+  UNION ALL SELECT y, x FROM e${r - 1}),
+ t$r AS MATERIALIZED (SELECT xy.x, xy.y, CAST(count(*) AS BIGINT) AS sup
+  FROM e${r - 1} xy JOIN s${r - 1} xs ON xs.x = xy.x
+  JOIN s${r - 1} ys ON ys.x = xy.y AND ys.y = xs.y
+  GROUP BY 1, 2),
+ e$r AS MATERIALIZED (SELECT e${r - 1}.x, e${r - 1}.y FROM e${r - 1}
+  JOIN t$r USING (x, y) WHERE t$r.sup >= 1)"""
+    sb ++= s""",
+ sf AS MATERIALIZED (SELECT x, y FROM e$rounds UNION ALL SELECT y, x FROM e$rounds),
+ tf AS MATERIALIZED (SELECT xy.x, xy.y, CAST(count(*) AS BIGINT) AS sup
+  FROM e$rounds xy JOIN sf xs ON xs.x = xy.x
+  JOIN sf ys ON ys.x = xy.y AND ys.y = xs.y
+  GROUP BY 1, 2)
+ SELECT e$rounds.x AS item_a, e$rounds.y AS item_b,
+  COALESCE(tf.sup, 0) AS support
+ FROM e$rounds LEFT JOIN tf USING (x, y) ORDER BY item_a, item_b"""
+    sb.toString
+  }
+
   /** Single-linkage rounds replayed as chained CTEs: cluster-pair
     * min distances off the membership table, the (dist, ca, cb)
     * minimum picked per round, losers relabeled — the engine's
@@ -2777,6 +2811,15 @@ object SparkEntry {
     "graph_jaccard" -> ((s, dir) =>
       Graph.neighborhoodJaccardFromGraph(s, ensureBasketGraph(s, dir), k = 20)
         .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))),
+
+    // 3-truss of the support-2 co-purchase backbone: every surviving
+    // edge sits in a triangle of surviving edges — cohesive product
+    // communities, not k-core's hub stars; 3 peel rounds with
+    // per-round support recounts, replayed as materialized CTEs
+    "graph_ktruss" -> ((s, dir) =>
+      Graph.kTrussFromGraph(s, ensureBasketGraph(s, dir), k = 3,
+          rounds = 3, minSupport = 2)
+        .orderBy("item_a", "item_b")),
 
     // k-core backbone of the co-purchase graph (same basket edges and
     // df-cut as graph_adamic_adar): synchronous integer peeling
@@ -9292,6 +9335,8 @@ object SparkEntry {
     "cluster_spherical" -> sphericalKmeansSql(numCells = 8, iters = 2),
 
     "cluster_hier" -> hierSql(nPts = 12, rounds = 11),
+
+    "graph_ktruss" -> ktrussSql(rounds = 3),
 
     // density rule + the recursive-reach CC (the clustersSql
     // technique) + min-cluster border attachment, all replayed

@@ -1681,6 +1681,51 @@ object Graph {
     * n_common from the pair table, degrees from the CUT column of the
     * degree table (the direct operator's self-consistency contract).
     */
+  /** k-TRUSS decomposition of the co-purchase backbone — the
+    * triangle-cohesion classic one level above [[kCore]]: every
+    * surviving edge must sit in ≥ k−2 triangles among surviving
+    * edges, so a truss is a set of overlapping triangles (k-core
+    * keeps hub-and-spoke stars; truss does not). Edges are the
+    * materialized basket pairs at `minSupport`+ co-occurrences (the
+    * association-rules backbone); `rounds` synchronous peel rounds
+    * run with per-round support recounts — a complete triangle is a
+    * 3-truss fixed point, so the output is stable structure, not an
+    * artifact of the round count. Returns the surviving edges with
+    * their final-graph support.
+    *
+    * Scale shape: each round is one wedge join (Σdeg² on the
+    * support-FILTERED backbone — orders of magnitude below the raw
+    * pair graph; the corpus-scale variant orients wedges by degree
+    * like [[triangleCounts]]), a per-edge count aggregate, and a
+    * filter; rounds localCheckpoint so round r never replays r−1.
+    */
+  def kTrussFromGraph(spark: org.apache.spark.sql.SparkSession,
+                      path: String, k: Int = 3, rounds: Int = 3,
+                      minSupport: Long = 2): DataFrame = {
+    requireBasketGraph(path)
+    require(k >= 3 && rounds >= 1, s"need k>=3, rounds>=1: $k/$rounds")
+    def support(ed: DataFrame): DataFrame = {
+      val s = ed.unionByName(ed.select(col("y").as("x"), col("x").as("y")))
+      ed.join(s.select(col("x"), col("y").as("z")), "x")
+        .join(s.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"))
+        .groupBy("x", "y").agg(count(lit(1)).as("sup"))
+    }
+    var e = spark.read.parquet(s"${path}_pairs")
+      .where(col("n_common") >= minSupport)
+      .select(col("item_a").as("x"), col("item_b").as("y"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prev = e
+      e = e.join(support(e), Seq("x", "y"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("x", "y").localCheckpoint()
+      unpersistBacking(prev)
+    }
+    e.join(support(e), Seq("x", "y"), "left")
+      .select(col("x").as("item_a"), col("y").as("item_b"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
   def neighborhoodJaccardFromGraph(spark: org.apache.spark.sql.SparkSession,
                                    path: String, k: Int = 20): DataFrame = {
     requireBasketGraph(path)

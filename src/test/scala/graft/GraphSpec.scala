@@ -591,4 +591,23 @@ class GraphSpec extends SparkSpec {
     assert(keptBefore == keptAfter,
       "an untouched bucket was rewritten by the delta merge")
   }
+
+  test("kTruss: the pendant edge peels, the triangle survives as a 3-truss fixed point") {
+    // triangle {1,2,3} (each pair co-purchased twice) + pendant edge
+    // (1,4) — k-core at k=1 keeps the star, the 3-truss must not
+    val rel = Seq(
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 3L), (104L, 1L), (104L, 3L),
+      (105L, 2L), (105L, 3L), (106L, 2L), (106L, 3L),
+      (107L, 1L), (107L, 4L), (108L, 1L), (108L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_truss_${System.nanoTime()}"
+    Graph.ensureBasketGraph(rel, "l_partkey", "l_orderkey", path)
+    val got = Graph.kTrussFromGraph(spark, path, k = 3, rounds = 3,
+        minSupport = 2)
+      .select("item_a", "item_b", "support")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"expected exactly the triangle with support 1: $got")
+  }
 }
