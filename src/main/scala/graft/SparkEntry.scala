@@ -3234,6 +3234,14 @@ object SparkEntry {
     // the ORACLE's direct single-pass cut must match the engine's
     // per-day rollup BIT-EXACTLY (the merge law itself is under
     // test); the k-th hash gives the deterministic KMV estimate
+    // time-decayed heavy hitters ("trending parts"): weight halves
+    // every 30 days from the newest shipdate — exact dyadic integer
+    // weights summed as longs, zero beyond 40 half-lives
+    "agg_decayed_topk" -> ((s, dir) =>
+      Analytics.decayedTopK(t(s, dir, "lineitem"), "l_partkey", "l_shipdate",
+          halfLifeDays = 30, k = 20)
+        .orderBy(desc("decayed"), asc("key"))),
+
     "agg_kmv_rollup" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
       val fine = Analytics.bottomKSketch(ev, Seq("day"), "user_id", k = 10)
@@ -7276,6 +7284,20 @@ object SparkEntry {
         |   ELSE round((10 - 1) * 1152921504606846976.0 / CAST(hk AS DOUBLE), 6)
         |  END AS est_distinct
         | FROM cut, kk ORDER BY rnk""".stripMargin,
+
+    // same dyadic integer weights: 2^(40 − age div 30) summed as
+    // BIGINT, one division at the end
+    "agg_decayed_topk" ->
+      """WITH mx AS (SELECT max(l_shipdate) AS mx FROM lineitem),
+        | w AS (SELECT l_partkey AS key,
+        |   date_diff('day', l_shipdate, mx) // 30 AS hl FROM lineitem, mx),
+        | g AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN hl <= 40
+        |     THEN CAST(1 AS BIGINT) << (40 - hl) ELSE 0 END) AS BIGINT) AS ssum
+        |  FROM w GROUP BY 1)
+        | SELECT key, n,
+        |  round(CAST(ssum AS DOUBLE) / 1099511627776.0, 6) AS decayed
+        | FROM g ORDER BY decayed DESC, key LIMIT 20""".stripMargin,
 
     // direct single-pass cut over doc_ids — equality proves the
     // streamed union → re-cut folds lost nothing

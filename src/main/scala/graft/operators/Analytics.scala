@@ -499,6 +499,33 @@ object Analytics {
       .where(col("rnk") <= k)
   }
 
+  /** Time-decayed heavy hitters — the "trending now" rank: each
+    * fact's weight halves every `halfLifeDays` relative to the
+    * newest date, so recent activity dominates without a hard
+    * window cliff. DETERMINISTIC decay: weights are the exact dyadic
+    * integers 2^(cap − age div halfLife), summed as longs — order-
+    * independent, no pow() in the hot path; facts older than `cap`
+    * half-lives weigh 0 (a 2⁻⁴⁰ tail is invisible at round 6
+    * anyway, and the cutoff is what keeps the integer sum exact).
+    * One map-side-combined aggregate + TakeOrdered.
+    */
+  def decayedTopK(facts: DataFrame, keyCol: String, dateCol: String,
+                  halfLifeDays: Int, k: Int, cap: Int = 40): DataFrame = {
+    require(halfLifeDays >= 1 && k >= 1 && cap >= 1 && cap <= 60,
+      s"bad decay params: $halfLifeDays/$k/$cap")
+    val mx = facts.agg(max(col(dateCol)).as("mx")) // 1-row scalar
+    facts.select(col(keyCol).as("key"), col(dateCol).as("d"))
+      .crossJoin(broadcast(mx))
+      .withColumn("hl", expr(s"datediff(mx, d) div $halfLifeDays"))
+      .withColumn("ws", expr(
+        s"CASE WHEN hl <= $cap THEN shiftleft(CAST(1 AS BIGINT), $cap - hl) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("key").agg(count(lit(1)).as("n"), sum("ws").as("ssum"))
+      .select(col("key"), col("n"),
+        round(col("ssum").cast("double") / math.pow(2.0, cap), 6).as("decayed"))
+      .orderBy(desc("decayed"), asc("key")).limit(k)
+  }
+
   /** The single-frame build/merge primitive of the KMV lifecycle:
     * distinct keys, hashed, k smallest (TakeOrdered — never a global
     * sort). [[bottomKSketch]] is its per-fine-group batch form;

@@ -561,6 +561,25 @@ class ProfilingSpec extends SparkSpec {
     assert(k._1 > 5.0 && k._2 > 20.0, s"outlier must show in the tail stats: $k")
   }
 
+  test("decayedTopK: recency beats raw count; weights are exact dyadic integers") {
+    import graft.operators.Analytics
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // item A: 3 hits 60 days old (2 half-lives: 3·2^-2 = 0.75)
+    // item B: 1 fresh hit (weight 1) — fewer hits, higher decayed score
+    // item C: 1 hit beyond the 40-half-life cap — weight exactly 0
+    val df = (Seq.fill(3)(("A", d("2026-01-01"))) :+ ("B", d("2026-03-02"))
+      :+ ("C", d("2020-01-01"))).toDF("k", "dt")
+    val got = Analytics.decayedTopK(df, "k", "dt", halfLifeDays = 30, k = 5)
+      .select("key", "n", "decayed").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("B") == ((1L, 1.0)) && got("A") == ((3L, 0.75)), got.toString)
+    assert(got("C") == ((1L, 0.0)), s"beyond the cap must weigh exactly 0: $got")
+    val order = Analytics.decayedTopK(df, "k", "dt", 30, 5)
+      .select("key").as[String].collect().toSeq
+    assert(order == Seq("B", "A", "C"), s"recency must outrank count: $order")
+  }
+
   test("sliceFinder: shifted slice ranks first with the hand-computed z") {
     import graft.operators.Profiling
     val df = (Seq.fill(30)(("a", 0.0)) ++ Seq.fill(10)(("b", 4.0)))
