@@ -2265,6 +2265,18 @@ object SparkEntry {
           keep = Seq("event_type", "value"))
         .orderBy("event_id_token")),
 
+    // ingest triage: ordered rule cascade routes each row to
+    // valid / quarantine / dead_letter with first-failing-rule
+    // attribution + the full flag vector — map-only at any scale
+    "etl_quarantine_router" -> ((s, dir) =>
+      Etl.routeRows(t(s, dir, "events"), "event_id", Seq(
+        ("missing_prop", "dead_letter",
+          get_json_object(col("props"), "$.k").isNull),
+        ("value_outlier", "quarantine", col("value") > 190.0),
+        ("prop_range", "quarantine",
+          get_json_object(col("props"), "$.k").cast("long") >= 95)))
+        .orderBy("event_id")),
+
     // consistent-hash shard layout + the reshard-stability report:
     // ring intervals broadcast, corpus side map-only; adding shard 9
     // may move only the keys whose arc the new vnodes capture
@@ -6073,6 +6085,23 @@ object SparkEntry {
         | substr(md5('graft|event_id|' || CAST(event_id AS VARCHAR)), 1, 16) AS event_id_token,
         | CAST(ts AS DATE) AS day, event_type, value
         |FROM events ORDER BY event_id_token""".stripMargin,
+
+    // the cascade as nested CASE chains; flags coalesce NULL
+    // predicates to FALSE exactly like the engine
+    "etl_quarantine_router" ->
+      """WITH x AS (SELECT event_id, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        | SELECT event_id,
+        |  CASE WHEN k IS NULL THEN 'dead_letter'
+        |   WHEN value > 190.0 THEN 'quarantine'
+        |   WHEN k >= 95 THEN 'quarantine' ELSE 'valid' END AS disposition,
+        |  CASE WHEN k IS NULL THEN 'missing_prop'
+        |   WHEN value > 190.0 THEN 'value_outlier'
+        |   WHEN k >= 95 THEN 'prop_range' END AS reason,
+        |  (k IS NULL) AS rule_missing_prop,
+        |  COALESCE(value > 190.0, FALSE) AS rule_value_outlier,
+        |  COALESCE(k >= 95, FALSE) AS rule_prop_range
+        | FROM x ORDER BY event_id""".stripMargin,
 
     // both rings replayed: sorted vnode points with lag intervals +
     // the wrap sentinel, successor lookup as a range join

@@ -554,6 +554,32 @@ object Etl {
     df.select(tokens ++ (day +: keep.map(col)): _*)
   }
 
+  /** Row-disposition ROUTER — the ingest-time triage every warehouse
+    * loader runs: an ordered rule cascade sends each row to `valid`,
+    * `quarantine` (fixable, hold for review) or `dead_letter`
+    * (structurally broken), with FIRST-failing-rule attribution (the
+    * c4FilterReport pattern on relational data) plus the full
+    * per-rule flag vector so downstream triage sees every violation,
+    * not just the one that cut. Map-only — one codegen'd projection,
+    * any scale.
+    *
+    * `rules` are (reason, disposition, predicate) in priority order;
+    * a row matching no rule is `valid` with a NULL reason.
+    */
+  def routeRows(df: DataFrame, idCol: String,
+                rules: Seq[(String, String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "routeRows needs at least one rule")
+    require(rules.forall(r => r._2 == "quarantine" || r._2 == "dead_letter"),
+      s"dispositions must be quarantine|dead_letter: ${rules.map(_._2)}")
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((r, _, p), acc) => when(p, lit(r)).otherwise(acc) }
+    val disp = rules.foldRight(lit("valid")) {
+      case ((_, d, p), acc) => when(p, lit(d)).otherwise(acc) }
+    df.select(col(idCol) +: disp.as("disposition") +: reason.as("reason") +:
+      rules.map { case (r, _, p) =>
+        coalesce(p.cast("boolean"), lit(false)).as(s"rule_$r") }: _*)
+  }
+
   /** CONSISTENT-HASH shard assignment (the Karger ring with virtual
     * nodes) + the reshard-stability report: each key hashes onto the
     * 60-bit md5 ring and belongs to the clockwise-successor virtual

@@ -366,6 +366,34 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Etl.readCdcTable(spark, path) }
   }
 
+  test("routeRows: first failing rule attributes, flags record every violation, null predicates fall through") {
+    val df = Seq(
+      (1L, Some(5.0), Some(10L)),    // clean → valid
+      (2L, Some(500.0), Some(99L)),  // fails BOTH → first rule wins, both flags set
+      (3L, Some(5.0), None),         // missing prop → dead_letter
+      (4L, Some(5.0), Some(99L))     // prop range only → quarantine
+    ).toDF("id", "value", "k")
+    val got = Etl.routeRows(df, "id", Seq(
+        ("missing_prop", "dead_letter", col("k").isNull),
+        ("value_outlier", "quarantine", col("value") > 190.0),
+        ("prop_range", "quarantine", col("k") >= 95)))
+      .orderBy("id")
+      .select("id", "disposition", "reason", "rule_missing_prop",
+        "rule_value_outlier", "rule_prop_range")
+      .as[(Long, String, Option[String], Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got(0) == ((1L, "valid", None, false, false, false)), got(0).toString)
+    assert(got(1) == ((2L, "quarantine", Some("value_outlier"), false, true, true)),
+      got(1).toString)
+    assert(got(2) == ((3L, "dead_letter", Some("missing_prop"), true, false, false)),
+      got(2).toString)
+    assert(got(3) == ((4L, "quarantine", Some("prop_range"), false, false, true)),
+      got(3).toString)
+    intercept[IllegalArgumentException] {
+      Etl.routeRows(df, "id", Seq(("x", "discard", col("k").isNull)))
+    }
+  }
+
   test("consistentShards: moved keys land ONLY on the new shard, movement is bounded") {
     val df = (1L to 2000L).toDF("id")
     val out = Etl.consistentShards(df, "id", nShards = 4, vnodes = 32)
