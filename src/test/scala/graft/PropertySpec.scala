@@ -375,4 +375,94 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dbscan matches a plain-Scala density reference on random point sets") {
+    import graft.operators.Similarity
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val genPts = Gen.listOfN(22, Gen.listOfN(4, Gen.choose(-3, 3)))
+    for ((raw, it) <- samples(genPts, 6).zipWithIndex) {
+      val eps = Seq(0.2, 0.6, 1.0)(it % 3)
+      val minPts = 2 + it % 3
+      val pts = raw.zipWithIndex
+        .map { case (v, id) => (id.toLong, v.map(_.toFloat).toArray) }
+        .filter(_._2.exists(_ != 0f)) // cosine undefined on the zero vector
+      // plain-Scala reference: exact same double op order as the kernel
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val ids = pts.map(_._1)
+      val vec = pts.toMap
+      val nbr = ids.map { a =>
+        a -> ids.filter(b => b != a && r6(1.0 - cos(vec(a), vec(b))) <= eps)
+      }.toMap
+      val cores = ids.filter(a => nbr(a).size + 1 >= minPts).toSet
+      // union-find over core-core eps-edges
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for (a <- ids if cores(a); b <- nbr(a) if cores(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val cl = cores.map(c => c -> find(c)).toMap
+      val expected = ids.map { p =>
+        if (cores(p)) p -> (("core", Some(cl(p))))
+        else {
+          val cn = nbr(p).filter(cores).map(cl)
+          if (cn.nonEmpty) p -> (("border", Some(cn.min)))
+          else p -> (("noise", None))
+        }
+      }.toMap
+      val got = Similarity.dbscan(pts.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", eps, minPts)
+        .select("p", "role", "cluster_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"iteration $it eps=$eps minPts=$minPts")
+    }
+  }
+
+  test("kTruss matches a plain-Scala peel reference on random basket relations") {
+    import graft.operators.Graph
+    // random (container, item) relations; the reference recomputes the
+    // df-cut pair graph and peels supports in plain Scala
+    val genRel = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 10L)))
+    for ((rel, it) <- samples(genRel, 4).zipWithIndex) {
+      val df = rel.toDF("c", "i")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_prop_truss_${System.nanoTime()}"
+      Graph.ensureBasketGraph(df, "i", "c", path)
+      val got = Graph.kTrussFromGraph(spark, path, k = 3, rounds = 3,
+          minSupport = 2)
+        .select("item_a", "item_b", "support")
+        .as[(Long, Long, Long)].collect().toSet
+      // reference: distinct (c, i), containers with 2..200 items,
+      // pair co-occurrence counts, support-2 edges, 3 peel rounds
+      val byC = rel.distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted).toMap
+        .filter { case (_, items) => items.size >= 2 && items.size <= 200 }
+      val pairCount = scala.collection.mutable.Map[(Long, Long), Int]()
+      for ((_, items) <- byC; a <- items; b <- items if a < b)
+        pairCount((a, b)) = pairCount.getOrElse((a, b), 0) + 1
+      var e = pairCount.filter(_._2 >= 2).keySet.toSet
+      def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+        val adj = es.flatMap(p => Seq(p, p.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        es.map { case (x, y) =>
+          (x, y) -> adj.getOrElse(x, Set.empty[Long])
+            .count(z => adj.getOrElse(y, Set.empty[Long]).contains(z))
+        }.toMap
+      }
+      for (_ <- 1 to 3) e = support(e).filter(_._2 >= 1).keySet.toSet
+      val fin = support(e)
+      val expected = e.map(p => (p._1, p._2, fin(p).toLong))
+      assert(got == expected, s"iteration $it rel=$rel")
+    }
+  }
 }
