@@ -3492,6 +3492,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // length-bucket padding economics: power-of-two boundary ladder,
+    // per-bucket waste ratio and clamp loss — why dynamic batching
+    // exists, priced on the real token distribution
+    "sample_length_buckets" -> ((s, dir) =>
+      Sampling.lengthBuckets(
+        TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("n_tokens")),
+        "n_tokens", minLen = 16, maxLen = 1024)
+        .orderBy("bucket")),
+
     // multi-epoch mixture plan — the UPsampling twin of
     // sample_token_budget: per-source integer token target
     // (budget·w) div Σw, full passes + fractional-last-pass keep
@@ -4993,6 +5003,16 @@ object SparkEntry {
     // the materialized map → survivors pack into 1024-token training
     // sequences by the fixed-boundary prefix-sum rule. Every stage
     // has its own gate; this one proves they COMPOSE
+    // contrastive training pairs off the cluster map: near-dup mates
+    // as positives, one deterministic half-epoch-away negative per
+    // anchor (dropped if it lands in the anchor's own cluster)
+    "pipeline_contrastive_pairs" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      Dedup.contrastivePairsFromMap(s, t(s, dir, "documents"), "doc_id",
+          simhashClusterMapPath(dir), seed = "negpair")
+        .orderBy("label", "doc_a", "doc_b")
+    }),
+
     "pipeline_pretrain_pack" -> ((s, dir) => {
       ensureSimhashClusterMap(s, dir)
       val docs = t(s, dir, "documents")
@@ -7901,6 +7921,28 @@ object SparkEntry {
         |       / 4294967296.0 < keep_rate
         | ORDER BY doc_id""".stripMargin,
 
+    // the same boundary CASE ladder; rates recombine the aggregated
+    // integers exactly like the engine
+    "sample_length_buckets" ->
+      """WITH tok AS (SELECT
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        | FROM documents),
+        | b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |   WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+        |   WHEN n <= 512 THEN 512 ELSE 1024 END AS bucket FROM tok),
+        | g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(least(n, bucket)) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(bucket) AS BIGINT) AS padded_slots
+        | FROM b GROUP BY 1)
+        | SELECT bucket, n_docs, total_tokens, kept_tokens, padded_slots,
+        |  round(1.0 - CAST(kept_tokens AS DOUBLE)
+        |        / CAST(padded_slots AS DOUBLE), 6) AS pad_waste,
+        |  round(1.0 - CAST(kept_tokens AS DOUBLE)
+        |        / CAST(total_tokens AS DOUBLE), 6) AS truncation_loss
+        | FROM g ORDER BY bucket""".stripMargin,
+
     // the upsampling twin: exact integer share (budget·w) div Σw,
     // epoch counts by floor division, the two rates as single IEEE
     // divisions of exact longs
@@ -8047,6 +8089,32 @@ object SparkEntry {
         | FROM sel
         | WHERE ((hi * 20 - u - 1 + t) // t) >= ((lo * 20 - u + t + t - 1) // t)
         | ORDER BY id""".stripMargin,
+
+    // cluster-mate positives + the half-epoch-away md5 negative with
+    // the own-cluster drop, replayed off the shared clusters CTE
+    "pipeline_contrastive_pairs" ->
+      s"""WITH cl AS (SELECT * FROM ($clustersSql)),
+         | pos AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cl a JOIN cl b
+         |  ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+         | shuf AS (SELECT doc_id,
+         |  CAST(row_number() OVER (
+         |    ORDER BY md5('negpair|' || doc_id::VARCHAR), doc_id) - 1
+         |   AS BIGINT) AS p
+         |  FROM documents),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         | neg AS (SELECT nc.doc_a, nc.doc_b FROM (
+         |   SELECT pa.doc_a, s2.doc_id AS doc_b
+         |   FROM (SELECT DISTINCT doc_a FROM pos) pa
+         |   JOIN shuf s1 ON s1.doc_id = pa.doc_a
+         |   CROSS JOIN nn
+         |   JOIN shuf s2 ON s2.p = (s1.p + n // 2) % n) nc
+         |  JOIN cl ca ON ca.doc_id = nc.doc_a
+         |  JOIN cl cb ON cb.doc_id = nc.doc_b
+         |  WHERE ca.cluster_id <> cb.cluster_id)
+         | SELECT doc_a, doc_b, 'pos' AS label FROM pos
+         | UNION ALL SELECT doc_a, doc_b, 'neg' FROM neg
+         | ORDER BY label, doc_a, doc_b""".stripMargin,
 
     // the composed chain: c4-kept docs (the text_c4_filters counts),
     // cluster-size weights, and the fixed-boundary token packing over

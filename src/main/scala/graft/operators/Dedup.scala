@@ -768,6 +768,46 @@ object Dedup {
         round(lit(1.0) / col("cluster_size"), 6).as("weight"))
   }
 
+  /** CONTRASTIVE-PAIR dataset construction off the materialized
+    * cluster map — the embedding-model training feed: positives are
+    * the near-dup cluster-mate pairs (the map's whole point: pairs a
+    * human would call "the same document"), and each distinct anchor
+    * draws ONE deterministic negative — the doc sitting half an
+    * epoch away in the [[Sampling.epochShuffle]] order (a seeded
+    * pseudo-random partner both engines can replay), DROPPED if it
+    * lands in the anchor's own cluster (a "negative" that's actually
+    * a near-dup would poison the loss). Fourth consumer of the
+    * cluster-map artifact.
+    *
+    * Scale shape: positives are a map-sized self-join keyed by
+    * cluster; negatives ride the shuffle's rank machinery plus two
+    * map-sized lookups; nothing re-touches text or signatures.
+    */
+  def contrastivePairsFromMap(spark: org.apache.spark.sql.SparkSession,
+                              docs: DataFrame, idCol: String,
+                              mapPath: String, seed: String): DataFrame = {
+    val cl = spark.read.parquet(mapPath).select("doc_id", "cluster_id")
+    val pos = cl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+      .join(cl.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")),
+        col("ca") === col("cb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val shuf = Sampling.epochShuffle(docs, idCol, seed)
+    val neg = pos.select(col("doc_a")).distinct()
+      .join(shuf.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .crossJoin(broadcast(shuf.agg(count(lit(1)).as("n")))) // 1-row scalar
+      .withColumn("tp", expr("(position + n div 2) % n"))
+      .join(shuf.select(col("position").as("tp"), col("doc_id").as("doc_b")),
+        "tp")
+      .join(cl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
+        "doc_a")
+      .join(cl.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")),
+        "doc_b")
+      .where(col("ca") =!= col("cb"))
+      .select(col("doc_a"), col("doc_b"))
+    pos.withColumn("label", lit("pos"))
+      .unionByName(neg.withColumn("label", lit("neg")))
+  }
+
   /** The large-star/small-star iteration: returns the converged star
     * edge set (every edge (u, v) has v = u's component minimum) and
     * the number of rounds it took — exposed so tests can assert the

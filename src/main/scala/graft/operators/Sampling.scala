@@ -604,6 +604,40 @@ object Sampling {
         "full_epochs", "n_epochs", "last_keep_rate", "repeat_factor")
   }
 
+  /** LENGTH-BUCKET padding economics — why dynamic batching exists:
+    * each doc pads to the smallest power-of-two boundary holding its
+    * token count (clamped at `maxLen`, overflow truncated), and the
+    * report prices every bucket: docs, real tokens, padded slots,
+    * the waste ratio 1 − kept/padded, and the share of tokens lost
+    * to the clamp. Sum the padded column against a
+    * single-bucket-at-maxLen baseline to read the saving directly.
+    * One map-side-combined aggregate; the boundary ladder is a
+    * codegen'd CASE chain, identical in the SQL twin.
+    */
+  def lengthBuckets(items: DataFrame, costCol: String,
+                    minLen: Int = 16, maxLen: Int = 1024): DataFrame = {
+    require(minLen >= 1 && Integer.bitCount(minLen) == 1 &&
+      Integer.bitCount(maxLen) == 1 && maxLen > minLen,
+      s"power-of-two ladder required: $minLen..$maxLen")
+    val bounds = Iterator.iterate(minLen)(_ * 2).takeWhile(_ <= maxLen).toSeq
+    val n = col(costCol).cast("long")
+    val boundary = bounds.init.foldRight(lit(maxLen.toLong)) {
+      case (b, acc) => when(n <= b, lit(b.toLong)).otherwise(acc) }
+    def d(c: Column) = c.cast("double")
+    items.select(n.as("n"), boundary.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), col("bucket"))).as("kept_tokens"),
+        sum(col("bucket")).as("padded_slots"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("padded_slots"),
+        round(lit(1.0) - d(col("kept_tokens")) / d(col("padded_slots")), 6)
+          .as("pad_waste"),
+        round(lit(1.0) - d(col("kept_tokens")) / d(col("total_tokens")), 6)
+          .as("truncation_loss"))
+  }
+
   def effectiveSampleSize(df: DataFrame, stratumCol: String,
                           weightCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")

@@ -468,4 +468,33 @@ class DedupSpec extends SparkSpec {
       (3L, 12L, 0L, "p q r s t u v w aa bb cc dd"),
       (4L, 12L, 0L, "m m m m m m m m m m m m")), s"got $clean")
   }
+
+  test("contrastivePairsFromMap: positives are cluster mates, negatives never are") {
+    import org.apache.spark.sql.SaveMode
+    // planted map: {1,2,3} one cluster, {4,5} another, 6..20 singletons
+    val map = ((1L to 3L).map(i => (i, 1L)) ++ Seq((4L, 4L), (5L, 4L)) ++
+      (6L to 20L).map(i => (i, i))).toDF("doc_id", "cluster_id")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_cpairs_${System.nanoTime()}"
+    map.write.mode(SaveMode.Overwrite).parquet(path)
+    val docs = (1L to 20L).toDF("doc_id")
+    val got = Dedup.contrastivePairsFromMap(spark, docs, "doc_id", path, "s1")
+      .select("doc_a", "doc_b", "label")
+      .as[(Long, Long, String)].collect().toSeq
+    val pos = got.filter(_._3 == "pos").map(r => (r._1, r._2)).toSet
+    assert(pos == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)),
+      s"positives must be exactly the cluster-mate pairs: $pos")
+    val cl = map.as[(Long, Long)].collect().toMap
+    val neg = got.filter(_._3 == "neg")
+    assert(neg.nonEmpty && neg.forall(r => cl(r._1) != cl(r._2)),
+      s"a negative landed inside its anchor's cluster: $neg")
+    // at most one negative per distinct positive anchor
+    assert(neg.map(_._1).distinct.size == neg.size &&
+      neg.map(_._1).toSet.subsetOf(pos.map(_._1)))
+    // deterministic across partitionings
+    val again = Dedup.contrastivePairsFromMap(spark, docs.repartition(7),
+        "doc_id", path, "s1")
+      .select("doc_a", "doc_b", "label")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(again.toSet == got.toSet)
+  }
 }

@@ -306,6 +306,25 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(r => r._1 -> r._4).toMap)
   }
 
+  test("lengthBuckets: boundary ladder, waste ratios, and clamp accounting") {
+    val df = Seq(10L, 16L, 17L, 100L, 2000L).toDF("n_tokens")
+    val got = Sampling.lengthBuckets(df, "n_tokens", minLen = 16, maxLen = 1024)
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "total_tokens", "kept_tokens",
+        "padded_slots", "pad_waste", "truncation_loss")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // 10,16 → bucket 16; 17 → 32; 100 → 128; 2000 → clamped 1024
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((16L, 2L), (32L, 1L), (128L, 1L), (1024L, 1L)), got.toString)
+    val b16 = got.head
+    assert(b16._3 == 26L && b16._4 == 26L && b16._5 == 32L &&
+      b16._6 == 0.1875 && b16._7 == 0.0, b16.toString)
+    val clamped = got.last
+    // 2000 tokens into a 1024 slot: 976 lost to the clamp, no padding
+    assert(clamped._3 == 2000L && clamped._4 == 1024L && clamped._5 == 1024L &&
+      clamped._6 == 0.0 && clamped._7 == 0.488, clamped.toString)
+  }
+
   test("epochPlan: integer targets, epoch counts, and rates on a hand fixture") {
     // two sources: srcA 100 tokens w=3, srcB 50 tokens w=1 -> wsum 4
     val docs = ((1 to 10).map(i => (i.toLong, "srcA", 10L)) ++
