@@ -721,6 +721,41 @@ object SparkEntry {
     * first event, conversions folded through the same round-9 /
     * exact-long discipline.
     */
+  /** SimRank rounds unrolled off the shared type-graph head: the
+    * in-neighbor pair aggregate, the C/(|I(a)||I(b)|) scaling in the
+    * engine's op order, round-9 scaled-long state per round.
+    */
+  private def simrankSql(c: Double, rounds: Int): String = {
+    val sb = new StringBuilder(graphSqlHead)
+    sb ++= """,
+ inn AS MATERIALIZED (SELECT dst AS node, src AS i FROM e),
+ ind AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS ind
+   FROM inn GROUP BY 1),
+ s0 AS MATERIALIZED (SELECT na.node AS a, nb.node AS b,
+   CAST(CASE WHEN na.node = nb.node THEN 1000000000 ELSE 0 END AS BIGINT) AS s9
+  FROM nodes na CROSS JOIN nodes nb)"""
+    for (r <- 1 to rounds) sb ++= s""",
+ g$r AS MATERIALIZED (SELECT ia.node AS a, ib.node AS b,
+   CAST(sum(s.s9) AS BIGINT) AS ssum
+  FROM inn ia CROSS JOIN inn ib
+  JOIN s${r - 1} s ON s.a = ia.i AND s.b = ib.i
+  GROUP BY 1, 2),
+ c$r AS MATERIALIZED (SELECT g.a, g.b,
+   round($c * (CAST(g.ssum AS DOUBLE) / 1e9)
+     / CAST(da.ind * db.ind AS DOUBLE), 9) AS sv
+  FROM g$r g JOIN ind da ON da.node = g.a JOIN ind db ON db.node = g.b),
+ s$r AS MATERIALIZED (SELECT na.node AS a, nb.node AS b,
+   CAST(CASE WHEN na.node = nb.node THEN 1000000000
+    ELSE CAST(round(COALESCE(c$r.sv, 0.0) * 1e9, 0) AS BIGINT) END AS BIGINT)
+     AS s9
+  FROM nodes na CROSS JOIN nodes nb
+  LEFT JOIN c$r ON c$r.a = na.node AND c$r.b = nb.node)"""
+    sb ++= s"""
+ SELECT a, b, round(CAST(s9 AS DOUBLE) / 1e9, 9) AS simrank
+ FROM s$rounds ORDER BY a, b"""
+    sb.toString
+  }
+
   /** 3-truss peel rounds replayed: the df-cut support-2 basket
     * backbone, per-round wedge-join support recounts, edges kept at
     * sup ≥ 1, final support recomputed on the survivors.
@@ -2752,6 +2787,14 @@ object SparkEntry {
           iters = 5)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy("node")),
+
+    // SimRank on the type-transition graph: recursive in-neighbor
+    // similarity (Adamic/Jaccard see only SHARED neighbors) — 3
+    // synchronous rounds, round-9 scaled-long state, oracle-unrolled
+    "graph_simrank" -> ((s, dir) =>
+      Graph.simRank(transitionEdges(t(s, dir, "events")), "src", "dst",
+          c = 0.8, rounds = 3)
+        .orderBy("a", "b")),
 
     // deterministic weighted random walks (the node2vec corpus): 4
     // walks × 5 steps per node, inverse-CDF hop pick via the md5
@@ -9954,6 +9997,8 @@ object SparkEntry {
     },
 
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
+
+    "graph_simrank" -> simrankSql(c = 0.8, rounds = 3),
     "graph_ppr" -> pprSql(Seq("view", "signup"), iters = 5, damping = 0.85),
 
     "graph_walks" -> randomWalksSql(walksPerNode = 4, length = 5),

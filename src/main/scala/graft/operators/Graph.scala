@@ -34,6 +34,60 @@ object Graph {
     * Dangling nodes (no outgoing edges) donate their mass uniformly:
     * pr'(v) = (1-d)/N + d·(Σ_in pr(u)·p(u,v) + dang/N).
     */
+  /** SimRank (Jeh & Widom, KDD 2002) — "two nodes are similar if
+    * their in-neighbors are similar": s(a,b) = C/(|I(a)||I(b)|) ·
+    * Σ_{i∈I(a), j∈I(b)} s(i,j), s(a,a)=1, 0 when either in-set is
+    * empty. The structural-similarity classic next to the local
+    * overlap scores (Adamic-Adar / Jaccard see only SHARED
+    * neighbors; SimRank propagates similarity recursively). Rounds
+    * are synchronous and pinned; per-round scores re-round to 9 and
+    * live as scaled longs between rounds (the pageRank determinism
+    * contract), so the oracle replays every round exactly.
+    *
+    * Scale: s is a |V|²-row table — SimRank is for BOUNDED node sets
+    * (type graphs, category graphs, a hub subgraph), which is also
+    * the published algorithm's regime; each round is the in-neighbor
+    * pair join + one aggregate, all on |V|²·d̄² bounded frames.
+    */
+  def simRank(edges: DataFrame, srcCol: String, dstCol: String,
+              c: Double = 0.8, rounds: Int = 3): DataFrame = {
+    require(c > 0 && c < 1 && rounds >= 1, s"bad simrank params: $c/$rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val inn = e.select(col("dst").as("node"), col("src").as("i"))
+    val ind = inn.groupBy("node").agg(count(lit(1)).as("ind"))
+    val grid = nodes.select(col("node").as("a"))
+      .crossJoin(nodes.select(col("node").as("b"))) // |V|² bounded
+    var s = grid.withColumn("s9",
+        when(col("a") === col("b"), lit(1000000000L)).otherwise(lit(0L)))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val g = inn.select(col("node").as("a"), col("i").as("ia"))
+        .crossJoin(inn.select(col("node").as("b"), col("i").as("ib")))
+        .join(s.select(col("a").as("ia"), col("b").as("ib"), col("s9")),
+          Seq("ia", "ib"))
+        .groupBy("a", "b").agg(sum("s9").as("ssum"))
+      val contrib = g
+        .join(ind.select(col("node").as("a"), col("ind").as("na")), "a")
+        .join(ind.select(col("node").as("b"), col("ind").as("nb")), "b")
+        .select(col("a"), col("b"),
+          round(lit(c) * (col("ssum").cast("double") / 1e9)
+            / (col("na") * col("nb")).cast("double"), 9).as("sv"))
+      val prev = s
+      s = grid.join(contrib, Seq("a", "b"), "left")
+        .withColumn("s9",
+          when(col("a") === col("b"), lit(1000000000L))
+            .otherwise(round(coalesce(col("sv"), lit(0.0)) * 1e9, 0)
+              .cast("long")))
+        .select("a", "b", "s9").localCheckpoint()
+      unpersistBacking(prev)
+    }
+    s.select(col("a"), col("b"),
+      round(col("s9").cast("double") / 1e9, 9).as("simrank"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int,
                damping: Double = 0.85): DataFrame = {

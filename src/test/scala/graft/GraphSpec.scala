@@ -592,6 +592,22 @@ class GraphSpec extends SparkSpec {
       "an untouched bucket was rewritten by the delta merge")
   }
 
+  test("simRank: shared in-neighbor scores C, disjoint ancestry scores 0, diagonal 1") {
+    // x → {a, b}, y → c : I(a)=I(b)={x} ⇒ s(a,b)=C·s(x,x)=0.8 and
+    // stays there; c's ancestry is disjoint ⇒ 0 against everything
+    val e = Seq(("x", "a"), ("x", "b"), ("y", "c")).toDF("src", "dst")
+    val got = Graph.simRank(e, "src", "dst", c = 0.8, rounds = 3)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val nodes = Seq("a", "b", "c", "x", "y")
+    nodes.foreach(n => assert(got((n, n)) == 1.0, s"diagonal $n"))
+    assert(got(("a", "b")) == 0.8 && got(("b", "a")) == 0.8, got.toString)
+    // every other off-diagonal pair has no similar ancestry
+    for (p <- nodes; q <- nodes
+         if p != q && Set(p, q) != Set("a", "b"))
+      assert(got((p, q)) == 0.0, s"($p,$q) must be 0: ${got((p, q))}")
+  }
+
   test("kTruss: the pendant edge peels, the triangle survives as a 3-truss fixed point") {
     // triangle {1,2,3} (each pair co-purchased twice) + pendant edge
     // (1,4) — k-core at k=1 keeps the star, the 3-truss must not
