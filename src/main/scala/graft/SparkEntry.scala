@@ -714,6 +714,31 @@ object SparkEntry {
       s"\n SELECT node, round(pr, 6) AS p_absorb FROM a$iters ORDER BY node"
   }
 
+  /** The expected-steps twin of [[absorptionSql]]: same en
+    * normalization, t starts at 0, each round 1 + the round-9 fold,
+    * target pinned to 0.
+    */
+  private def absorptionTimeSql(target: String, iters: Int): String = {
+    val head = graphSqlHead +
+      s""",
+         | outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+         | en AS MATERIALIZED (SELECT e.src, e.dst, round(e.w / outw.out_w, 9) AS p
+         |   FROM e JOIN outw USING (src)),
+         | t0 AS MATERIALIZED (SELECT node, 0.0 AS et FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         | f$i AS MATERIALIZED (SELECT en.src AS node,
+         |   round(sum(CAST(round(round(en.p * a.et, 9) * 1e9, 0) AS BIGINT)) / 1e9, 9) AS v
+         |  FROM en JOIN t${i - 1} a ON en.dst = a.node GROUP BY 1),
+         | t$i AS MATERIALIZED (SELECT nodes.node,
+         |   CASE WHEN nodes.node = '$target' THEN 0.0
+         |    ELSE round(1.0 + coalesce(f$i.v, 0.0), 9) END AS et
+         |  FROM nodes LEFT JOIN f$i ON nodes.node = f$i.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\n SELECT node, round(et, 6) AS expected_steps FROM t$iters ORDER BY node"
+  }
+
   /** Oracle twin of [[graft.operators.Graph.markovRemovalAttribution]]:
     * one [[absorptionSql]]-style round-replayed chain for the full
     * graph plus one per removed channel (same `en` normalization —
@@ -3011,6 +3036,14 @@ object SparkEntry {
     // oracle like events_pagerank
     "events_absorption" -> ((s, dir) =>
       Graph.absorptionProbability(transitionEdges(t(s, dir, "events")),
+          "src", "dst", "w", lit("purchase"), iters = 6)
+        .orderBy("node")),
+
+    // the "how long to convert" companion: truncated expected steps
+    // E[min(T, 6)] to the purchase state — same round-9 value
+    // iteration, t(target)=0, rounds oracle-unrolled
+    "events_absorption_time" -> ((s, dir) =>
+      Graph.expectedAbsorptionTime(transitionEdges(t(s, dir, "events")),
           "src", "dst", "w", lit("purchase"), iters = 6)
         .orderBy("node")),
 
@@ -10041,6 +10074,8 @@ object SparkEntry {
       closenessSql(Seq("click", "purchase", "signup"), iters = 4),
 
     "events_absorption" -> absorptionSql(target = "purchase", iters = 6),
+
+    "events_absorption_time" -> absorptionTimeSql(target = "purchase", iters = 6),
 
     "events_triangles" -> triangleSql,
 

@@ -1017,6 +1017,45 @@ object Graph {
     out
   }
 
+  /** Expected STEPS to absorption — the "how long to convert"
+    * companion of [[absorptionProbability]]: t(target) = 0 and
+    * t(s) = 1 + Σ_j P(s,j)·t(j), iterated `iters` synchronous rounds
+    * from t ≡ 0 — i.e. the TRUNCATED expectation E[min(T, horizon)]
+    * (states that cannot reach the target grow with the horizon
+    * instead of faking a finite time; a dangling state reads 1 —
+    * one step into nowhere — by the same truncation). Same round-9 /
+    * exact-long-sum discipline as the probability leg, so the oracle
+    * replays every round.
+    */
+  def expectedAbsorptionTime(edges: DataFrame, srcCol: String, dstCol: String,
+                             weightCol: String,
+                             target: org.apache.spark.sql.Column,
+                             iters: Int): DataFrame = {
+    val (norm, nodes) = normalizedTransitions(edges, srcCol, dstCol, weightCol)
+    var t = nodes.select(col("node"), lit(0.0).as("et")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val folded = norm
+        .join(t.withColumnRenamed("node", "dst"), "dst")
+        .withColumn("cl", round(round(col("p") * col("et"), 9) * 1e9, 0).cast("long"))
+        .groupBy(col("src").as("node"))
+        .agg(round(sum(col("cl")) / 1e9, 9).as("v"))
+      val prev = t
+      t = nodes.join(folded, Seq("node"), "left")
+        .select(col("node"),
+          when(col("node") === target, lit(0.0))
+            .otherwise(round(lit(1.0) + coalesce(col("v"), lit(0.0)), 9))
+            .as("et"))
+        .localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = t.select(col("node"), round(col("et"), 6).as("expected_steps"))
+      .localCheckpoint()
+    unpersistBacking(t)
+    norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Round-9 transition probabilities + node set from a weighted edge
     * table, both persisted — the shared head of
     * [[absorptionProbability]] and [[markovRemovalAttribution]].

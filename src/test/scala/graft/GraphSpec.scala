@@ -592,6 +592,26 @@ class GraphSpec extends SparkSpec {
       "an untouched bucket was rewritten by the delta merge")
   }
 
+  test("expectedAbsorptionTime: deterministic chain counts its exact distance; truncation caps it") {
+    // a → b → c → T (probability-1 hops): exact distances 3, 2, 1
+    val e = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "T", 1.0))
+      .toDF("src", "dst", "w")
+    val got = Graph.expectedAbsorptionTime(e, "src", "dst", "w", lit("T"),
+        iters = 6)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 3.0, "b" -> 2.0, "c" -> 1.0, "T" -> 0.0), got.toString)
+    // a state that cannot reach the target grows with the horizon
+    // (truncated expectation, never a fake finite answer)
+    val loop = Seq(("x", "y", 1.0), ("y", "x", 1.0), ("c", "T", 1.0))
+      .toDF("src", "dst", "w")
+    val t4 = Graph.expectedAbsorptionTime(loop, "src", "dst", "w", lit("T"), 4)
+      .as[(String, Double)].collect().toMap
+    val t8 = Graph.expectedAbsorptionTime(loop, "src", "dst", "w", lit("T"), 8)
+      .as[(String, Double)].collect().toMap
+    assert(t4("x") == 4.0 && t8("x") == 8.0,
+      s"unreachable state must track the horizon: ${t4("x")}/${t8("x")}")
+  }
+
   test("simRank: shared in-neighbor scores C, disjoint ancestry scores 0, diagonal 1") {
     // x → {a, b}, y → c : I(a)=I(b)={x} ⇒ s(a,b)=C·s(x,x)=0.8 and
     // stays there; c's ancestry is disjoint ⇒ 0 against everything
