@@ -5116,6 +5116,14 @@ object SparkEntry {
     // md5 stub probes remain only where the JDK has no codec
     // (video frames, compressed audio — mm_frame_sample /
     // mm_audio_chunks below).
+    // perceptual dHash from the REAL decoded pixels: integer 9×8
+    // average-pool + row-gradient bits; the oracle replays the
+    // pooled sums off the pixel formula, so a pass proves the
+    // encode→decode→featurize round trip bit-for-bit
+    "mm_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
     "mm_decode_meta" -> ((s, dir) => {
       val docs = Multimodal.withImagePayload(t(s, dir, "documents"), "doc_id")
       Multimodal.extractImageMeta(docs, "doc_id").toDF()
@@ -10919,6 +10927,44 @@ object SparkEntry {
     // the PNG generation parameters (what the real ImageIO decode
     // must recover from the actual bytes): w = 16 + 4*(id % 13),
     // h = 16 + 4*((id // 7) % 11), 3-band RGB, every payload decodable
+    // the pooled-gray grid recomputed from the pixel FORMULA per
+    // distinct shape (the engine recovers the same pixels from the
+    // PNG bytes): cell membership by the ⌊c·w/9⌋ boundaries, integer
+    // block averages, row-gradient bits
+    "mm_image_dhash" ->
+      """WITH dims AS (SELECT DISTINCT
+        |  16 + (doc_id % 13) * 4 AS w, 16 + ((doc_id // 7) % 11) * 4 AS h
+        |  FROM documents),
+        | px AS (SELECT d.w, d.h, rx.x, ry.y,
+        |   (((rx.x * 31 + ry.y * 17) % 256) + ((rx.x * 7 + ry.y * 3) % 256)
+        |    + ((rx.x + ry.y) % 256)) // 3 AS gray
+        |  FROM dims d
+        |  CROSS JOIN range(0, 64) rx(x) CROSS JOIN range(0, 64) ry(y)
+        |  WHERE rx.x < d.w AND ry.y < d.h),
+        | cells AS (SELECT px.w, px.h, rr.r, rc.c, px.gray
+        |  FROM px CROSS JOIN range(0, 9) rc(c) CROSS JOIN range(0, 8) rr(r)
+        |  WHERE px.x >= (rc.c * px.w) // 9 AND px.x < ((rc.c + 1) * px.w) // 9
+        |    AND px.y >= (rr.r * px.h) // 8 AND px.y < ((rr.r + 1) * px.h) // 8),
+        | ca AS (SELECT w, h, r, c,
+        |   CAST(sum(gray) // count(*) AS BIGINT) AS g
+        |  FROM cells GROUP BY 1, 2, 3, 4),
+        | bits AS (SELECT a.w, a.h,
+        |   CAST(sum(CASE WHEN a.g < b.g AND a.r * 8 + a.c < 32
+        |     THEN CAST(1 AS BIGINT) << CAST(a.r * 8 + a.c AS INT)
+        |     ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |   CAST(sum(CASE WHEN a.g < b.g AND a.r * 8 + a.c >= 32
+        |     THEN CAST(1 AS BIGINT) << CAST(a.r * 8 + a.c - 32 AS INT)
+        |     ELSE 0 END) AS BIGINT) AS dhash_hi
+        |  FROM ca a JOIN ca b
+        |   ON b.w = a.w AND b.h = a.h AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8 GROUP BY 1, 2)
+        | SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height, bits.dhash_lo, bits.dhash_hi
+        | FROM (SELECT doc_id, 16 + (doc_id % 13) * 4 AS w,
+        |   16 + ((doc_id // 7) % 11) * 4 AS h FROM documents) d
+        | JOIN bits ON bits.w = d.w AND bits.h = d.h
+        | ORDER BY d.doc_id""".stripMargin,
+
     "mm_decode_meta" ->
       """SELECT doc_id, 'image/png' AS media_type,
         | TRUE AS decode_ok,

