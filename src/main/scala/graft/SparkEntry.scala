@@ -2892,6 +2892,12 @@ object SparkEntry {
       Graph.neighborhoodJaccardFromGraph(s, ensureBasketGraph(s, dir), k = 20)
         .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))),
 
+    // degree assortativity of the co-purchase backbone: do popular
+    // products co-occur with popular products? One number off exact
+    // degree-product moments, the topology diagnostic
+    "graph_assortativity" -> ((s, dir) =>
+      Graph.assortativityFromGraph(s, ensureBasketGraph(s, dir))),
+
     // 3-truss of the support-2 co-purchase backbone: every surviving
     // edge sits in a triangle of surviving edges — cohesive product
     // communities, not k-core's hub stars; 3 peel rounds with
@@ -9540,6 +9546,38 @@ object SparkEntry {
     "cluster_hier" -> hierSql(nPts = 12, rounds = 11),
 
     "graph_ktruss" -> ktrussSql(rounds = 3),
+
+    // degree moments over the symmetrized df-cut pair graph; the
+    // events_trend closed form on exact longs, round 6
+    "graph_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | ok AS (SELECT c FROM (SELECT c, count(*) AS deg FROM e GROUP BY 1)
+        |        WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN ok USING (c)),
+        | d AS (SELECT item, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY 1),
+        | pr AS (SELECT a.item AS u, b.item AS v
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item GROUP BY 1, 2),
+        | sym AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+        | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(du.deg) AS BIGINT) AS sx,
+        |  CAST(sum(dv.deg) AS BIGINT) AS sy,
+        |  CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+        |  CAST(sum(dv.deg * dv.deg) AS BIGINT) AS syy,
+        |  CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy
+        | FROM sym JOIN d du ON du.item = sym.u JOIN d dv ON dv.item = sym.v)
+        | SELECT n // 2 AS n_edges,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS assortativity
+        | FROM m ORDER BY n_edges""".stripMargin,
 
     // density rule + the recursive-reach CC (the clustersSql
     // technique) + min-cluster border attachment, all replayed

@@ -1819,6 +1819,46 @@ object Graph {
         coalesce(col("sup"), lit(0L)).as("support"))
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002) of the co-purchase backbone —
+    * one number answering "do popular products co-occur with popular
+    * products?": the Pearson correlation of endpoint degrees over the
+    * SYMMETRIZED edge list. Positive = hubs link to hubs (social
+    * shape), negative = hub-and-spoke (catalog/star shape) — the
+    * topology diagnostic that tells you whether k-core/truss
+    * structure even exists to find.
+    *
+    * Exactness: degrees are exact integer counts off the served pair
+    * table; the five moment sums accumulate as exact longs
+    * (degree ≤ |V|, products fit comfortably); r is the events_trend
+    * closed form over those exact sums, round 6. One |pairs|-sized
+    * join against the broadcast degree table, one 1-row aggregate.
+    */
+  def assortativityFromGraph(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame = {
+    requireBasketGraph(path)
+    def d(c: Column) = c.cast("double")
+    val deg = spark.read.parquet(s"${path}_degrees")
+      .select(col("item"), col("n_cut").as("deg"))
+    val ends = spark.read.parquet(s"${path}_pairs")
+      .select(col("item_a").as("u"), col("item_b").as("v"))
+    val sym = ends.unionByName(
+      ends.select(col("v").as("u"), col("u").as("v")))
+    val g = sym
+      .join(broadcast(deg.select(col("item").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("item").as("v"), col("deg").as("dv"))), "v")
+      .agg(count(lit(1)).as("n"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val dx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val dy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    g.select(expr("n div 2").as("n_edges"),
+      when(dx > 0 && dy > 0,
+        round(num / sqrt(dx * dy), 6)).as("assortativity"))
+  }
+
   def neighborhoodJaccardFromGraph(spark: org.apache.spark.sql.SparkSession,
                                    path: String, k: Int = 20): DataFrame = {
     requireBasketGraph(path)

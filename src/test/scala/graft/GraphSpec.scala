@@ -592,6 +592,25 @@ class GraphSpec extends SparkSpec {
       "an untouched bucket was rewritten by the delta merge")
   }
 
+  test("assortativity: a pure star scores -1; a degree-regular graph is undefined") {
+    // 5 orders, each {hub, leaf_i}: deg(hub)=5, deg(leaf)=1 → r = −1
+    val star = (1L to 5L).flatMap(i => Seq((100L + i, 1L), (100L + i, 10L + i)))
+      .toDF("l_orderkey", "l_partkey")
+    val p1 = s"${System.getProperty("java.io.tmpdir")}/graft_spec_assort_${System.nanoTime()}"
+    Graph.ensureBasketGraph(star, "l_partkey", "l_orderkey", p1)
+    val r1 = Graph.assortativityFromGraph(spark, p1)
+      .as[(Long, Option[Double])].head()
+    assert(r1 == ((5L, Some(-1.0))), r1.toString)
+    // two disjoint edges: every endpoint degree 1 → zero variance → NULL
+    val reg = Seq((201L, 1L), (201L, 2L), (202L, 3L), (202L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val p2 = s"${System.getProperty("java.io.tmpdir")}/graft_spec_assort2_${System.nanoTime()}"
+    Graph.ensureBasketGraph(reg, "l_partkey", "l_orderkey", p2)
+    val r2 = Graph.assortativityFromGraph(spark, p2)
+      .as[(Long, Option[Double])].head()
+    assert(r2 == ((2L, None)), s"degree-regular must be undefined, got $r2")
+  }
+
   test("expectedAbsorptionTime: deterministic chain counts its exact distance; truncation caps it") {
     // a → b → c → T (probability-1 hops): exact distances 3, 2, 1
     val e = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "T", 1.0))
