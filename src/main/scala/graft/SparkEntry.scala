@@ -5025,6 +5025,13 @@ object SparkEntry {
     "text_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "doc_id", "text", k = 50)),
 
+    // Fano-factor burstiness of the top-30 terms: Poisson-flat glue
+    // vs clumping topical words — exact per-doc count moments,
+    // zeros included by construction
+    "text_burstiness" -> ((s, dir) =>
+      TextAnalysis.burstiness(t(s, dir, "documents"), "doc_id", "text", k = 30)
+        .orderBy("rnk")),
+
     // Heaps-law vocabulary growth: distinct terms FIRST seen per
     // doc-id decile, cumulative — the vocab-size sizing curve
     "text_vocab_growth" -> ((s, dir) =>
@@ -10893,6 +10900,27 @@ object SparkEntry {
 
     // same tokenization + ranking as text_vocab at k=50; ln values
     // round-6-scaled to longs, then the events_trend normal equations
+    // same moment sums and the identical IEEE chain; top-30 by
+    // (tf, term) before the division
+    "text_burstiness" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        | dw AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS x
+        |        FROM tok GROUP BY 1, 2),
+        | st AS (SELECT term, CAST(sum(x) AS BIGINT) AS tf,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx,
+        |   CAST(count(*) AS BIGINT) AS n_docs_with FROM dw GROUP BY 1),
+        | nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        | top AS (SELECT * FROM st ORDER BY tf DESC, term LIMIT 30)
+        | SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT)
+        |   AS rnk, term, tf, n_docs_with,
+        |  round((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)))
+        |   / (CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS vmr
+        | FROM top, nd ORDER BY rnk""".stripMargin,
+
     "text_zipf_fit" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -971,6 +971,40 @@ object TextAnalysis {
         col("char_entropy"), col("n_words"), col("word_entropy"))
   }
 
+  /** Word BURSTINESS — the variance-to-mean ratio (Fano factor) of
+    * per-document counts over ALL documents, zeros included, for the
+    * top-k corpus terms: ≈1 reads Poisson (function words spread
+    * evenly), ≫1 reads bursty (content/topic words clump into the
+    * few documents about them) — the classic Church–Gale signal
+    * separating topical vocabulary from glue, and a stopword-list
+    * generator that needs no hand-curated list.
+    *
+    * Exactness: Σx and Σx² are exact longs (absent docs contribute
+    * exactly 0 to both, so only present-doc rows are touched); the
+    * VMR is a fixed-order IEEE chain off those sums and the 1-row
+    * doc count, rounded 6. Top-k by (tf, term) is TakeOrdered; the
+    * rank window touches ≤ k rows.
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 30): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val dw = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("x"))
+    val st = dw.groupBy("term").agg(sum(col("x")).as("tf"),
+      sum(col("x") * col("x")).as("sxx"),
+      count(lit(1)).as("n_docs_with"))
+    val nd = docs.agg(count(lit(1)).as("n")) // 1-row scalar
+    val top = st.orderBy(desc("tf"), asc("term")).limit(k)
+      .crossJoin(broadcast(nd))
+    val mean = d(col("tf")) / d(col("n"))
+    top.select(col("term"), col("tf"), col("n_docs_with"),
+        round((d(col("sxx")) / d(col("n")) - mean * mean) / mean, 6).as("vmr"))
+      .withColumn("rnk", row_number() // ≤ k rows
+        .over(Window.orderBy(desc("tf"), asc("term"))).cast("long"))
+      .select("rnk", "term", "tf", "n_docs_with", "vmr")
+  }
+
   /** Zipf-law fit over the head of the vocabulary: OLS slope of
     * ln(tf) against ln(rank) for the top-`k` terms — healthy natural
     * text sits near −1; a much flatter slope flags template/boiler-

@@ -561,6 +561,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == (("c", 1L, 0L, 0L, None, 0.0, None)), got(2).toString)
   }
 
+  test("burstiness: clumped word scores above the evenly-spread word at equal tf") {
+    // 'even' appears once in each of 4 docs (VMR < 1 at equal counts);
+    // 'burst' appears 4× in one doc (VMR ≫ 1) — same total tf 4
+    val d = Seq(
+      (1L, "even burst burst burst burst"), (2L, "even"),
+      (3L, "even"), (4L, "even")).toDF("doc_id", "text")
+    val got = TextAnalysis.burstiness(d, "doc_id", "text", k = 5)
+      .select("term", "tf", "n_docs_with", "vmr")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // even: x = (1,1,1,1), mean 1, var 0 → vmr 0
+    assert(got("even") == (("even", 4L, 4L, 0.0)), got("even").toString)
+    // burst: x = (4,0,0,0), mean 1, E[x²] 4, var 3 → vmr 3
+    assert(got("burst") == (("burst", 4L, 1L, 3.0)), got("burst").toString)
+  }
+
   test("nbUncertaintySample: the genuinely ambiguous doc ranks first") {
     val train = Seq(
       (1L, "x x y", "A"), (2L, "x y y", "A"),
