@@ -4201,6 +4201,15 @@ object SparkEntry {
       s.read.parquet(knnGraphPath(dir)).orderBy("query_id", "rnk")
     }),
 
+    // TwoNN intrinsic dimension off the SAME materialized kNN table
+    // (fifth consumer): d̂ = n/Σ ln(d₂/d₁) — the representation-
+    // collapse diagnostic, no vector re-scan
+    "emb_intrinsic_dim" -> ((s, dir) => {
+      Similarity.ensureKnnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        knnGraphPath(dir), k = 3, nbits = 4, numTables = 16)
+      Similarity.intrinsicDimFromKnn(s, knnGraphPath(dir))
+    }),
+
     // reciprocity filter on the same materialized graph: only pairs
     // in each other's top-k survive (hub-artifact removal before
     // clustering)
@@ -8652,6 +8661,42 @@ object SparkEntry {
          |    ORDER BY score DESC, corpus_id) AS rnk
          |  FROM scored)
          | WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // the sim_knn_graph chain pivoted to (d1, d2) per query, the
+    // scaled-ln MLE with the duplicate/no-2nd-neighbor drops
+    "emb_intrinsic_dim" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND c.id <> q.id),
+         | scored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id),
+         | rk AS (SELECT query_id, score, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rnk
+         |  FROM scored),
+         | top2 AS (SELECT query_id,
+         |   max(CASE WHEN rnk = 1 THEN score END) AS s1,
+         |   max(CASE WHEN rnk = 2 THEN score END) AS s2
+         |  FROM rk WHERE rnk <= 2 GROUP BY 1),
+         | dd AS (SELECT query_id, round(1.0 - s1, 6) AS d1,
+         |   round(1.0 - s2, 6) AS d2
+         |  FROM top2 WHERE s2 IS NOT NULL),
+         | u AS (SELECT CAST(round(ln(d2 / d1) * 1e6, 0) AS BIGINT) AS li
+         |       FROM dd WHERE d1 > 0),
+         | agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_pairs,
+         |  CAST(count(*) AS BIGINT) AS n_used, CAST(sum(li) AS BIGINT) AS sli
+         |  FROM u)
+         | SELECT n_pairs, n_used,
+         |  CASE WHEN sli > 0 THEN
+         |   round(CAST(n_used AS DOUBLE) / (CAST(sli AS DOUBLE) / 1e6), 6)
+         |  END AS intrinsic_dim
+         | FROM agg ORDER BY n_pairs""".stripMargin,
 
     // the sim_knn_graph chain + a reversed-pair self-join; canonical
     // a<b edges keep the forward score

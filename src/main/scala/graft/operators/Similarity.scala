@@ -1665,6 +1665,47 @@ object Similarity {
     chosen.select(col("rnk"), col("id").as("center_id"), col("radius"))
   }
 
+  /** TwoNN INTRINSIC DIMENSION (Facco et al. 2017) — how many
+    * degrees of freedom the embedding cloud actually uses,
+    * independent of the ambient width: under a locally uniform
+    * density the ratio μ = d₂/d₁ of each point's two nearest-
+    * neighbor distances follows P(μ>x) = x^(−d), so the MLE is
+    * d̂ = n/Σ ln μ. The representation-collapse diagnostic next to
+    * [[graft.operators.Embeddings]]' participation ratio (which
+    * measures variance spread, not manifold dimension). Served from
+    * the materialized kNN edge table (fifth consumer of
+    * ensureKnnGraph) — no vector re-scan; points whose nearest
+    * neighbor sits at distance 0 (exact duplicates — no local
+    * scale) or that lack a second in-bucket neighbor are dropped
+    * and counted.
+    *
+    * Determinism: distances are the table's round-6 cosine scores;
+    * each ln μ round-6-scales to an exact long before the sum (the
+    * zipfFit discipline); the estimator is one division at the end.
+    */
+  def intrinsicDimFromKnn(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    require(Markers.exists(s"$path/_SUCCESS"),
+      s"kNN graph at $path has no build marker; rebuild with ensureKnnGraph")
+    def d(c: Column) = c.cast("double")
+    val top2 = spark.read.parquet(path).where(col("rnk") <= 2)
+      .groupBy("query_id").agg(
+        max(when(col("rnk") === 1, col("score"))).as("s1"),
+        max(when(col("rnk") === 2, col("score"))).as("s2"))
+      .where(col("s2").isNotNull)
+    val dd = top2.select(col("query_id"),
+      round(lit(1.0) - col("s1"), 6).as("d1"),
+      round(lit(1.0) - col("s2"), 6).as("d2"))
+    val used = dd.where(col("d1") > 0)
+      .select(round(log(col("d2") / col("d1")) * 1e6, 0).cast("long").as("li"))
+    val nAll = dd.agg(count(lit(1)).as("n_pairs")) // 1-row scalar
+    used.agg(count(lit(1)).as("n_used"), sum("li").as("sli"))
+      .crossJoin(broadcast(nAll))
+      .select(col("n_pairs"), col("n_used"),
+        when(col("sli") > 0, round(d(col("n_used"))
+          / (d(col("sli")) / 1e6), 6)).as("intrinsic_dim"))
+  }
+
   /** DBSCAN (Ester et al. 1996) — the density classic next to the
     * kmeans family: a point with ≥ `minPts` neighbors inside cosine
     * distance `eps` (self included) is CORE; clusters are the

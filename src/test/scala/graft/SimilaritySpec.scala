@@ -624,6 +624,37 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("intrinsicDimFromKnn: a 1-D curve reads far lower than a full-rank cloud; duplicates drop") {
+    def knnDim(pts: Seq[(Long, Array[Float])]): (Long, Long, Option[Double]) = {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_twonn_${System.nanoTime()}"
+      val df = pts.toDF("vec_id", "embedding")
+      Similarity.ensureKnnGraph(df, "vec_id", "embedding", path,
+        k = 3, nbits = 2, numTables = 8)
+      Similarity.intrinsicDimFromKnn(spark, path)
+        .as[(Long, Long, Option[Double])].head()
+    }
+    def pad64(v: Array[Float]) = v ++ Array.fill(64 - v.length)(0f)
+    // 60 points on a 1-D arc (deterministic irrational spacing)
+    val curve = (0 until 60).map { i =>
+      val th = 0.02 * i + 0.003 * ((i * 37) % 11)
+      (i.toLong, pad64(Array(math.cos(th).toFloat, math.sin(th).toFloat, 0f)))
+    }
+    // 60 points of a full-rank 16-D md5-derived cloud
+    val cloud = (0 until 60).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p$i".getBytes).map(b => (b & 0xff).toFloat / 255f - 0.5f)
+      (i.toLong, pad64(h.take(16)))
+    }
+    val (np1, nu1, d1) = knnDim(curve)
+    val (np2, nu2, d2) = knnDim(cloud)
+    assert(d1.isDefined && d2.isDefined && d1.get < d2.get / 2,
+      s"curve must read much lower than cloud: $d1 vs $d2")
+    // exact duplicates have no local scale and must be dropped
+    val dup = curve.take(20) ++ Seq((100L, curve.head._2), (101L, curve.head._2))
+    val (np3, nu3, _) = knnDim(dup)
+    assert(nu3 < np3, s"duplicate points must be dropped from the MLE: $np3/$nu3")
+  }
+
   test("dbscan: planted arc — dense blob is core, fringe point is border, far point is noise") {
     def at(deg: Double) = {
       val r = math.toRadians(deg)
