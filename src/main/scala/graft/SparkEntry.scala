@@ -1002,6 +1002,45 @@ object SparkEntry {
     head + rs + "\n " + unions + "\n ORDER BY node_a"
   }
 
+  // ---- raking/IPF SQL twin: the biased cut's cell table, then each
+  // Sinkhorn round as two MATERIALIZED margin-rescale CTEs (exact
+  // long margins, one fixed IEEE rescale chain per step). -----------
+  private def rakingSql(rounds: Int): String = {
+    val head =
+      """WITH evp AS MATERIALIZED (
+        | SELECT event_type AS a, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS b,
+        |  user_id FROM events),
+        | ta AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS ta
+        |  FROM evp GROUP BY 1),
+        | tb AS MATERIALIZED (SELECT b, CAST(count(*) AS BIGINT) AS tb
+        |  FROM evp GROUP BY 1),
+        | c0 AS MATERIALIZED (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(1000000000 AS BIGINT) AS w9
+        |  FROM evp WHERE NOT (a = 'view' AND user_id % 2 = 0)
+        |  GROUP BY 1, 2)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s""",
+         | ma$r AS MATERIALIZED (SELECT a, CAST(sum(n * w9) AS BIGINT) AS ma
+         |  FROM c${r - 1} GROUP BY 1),
+         | sa$r AS MATERIALIZED (SELECT c.a, c.b, c.n,
+         |   CAST(round(w9::DOUBLE * ta::DOUBLE * 1e9 / ma::DOUBLE, 0) AS BIGINT) AS w9
+         |  FROM c${r - 1} c JOIN ma$r USING (a) JOIN ta USING (a)),
+         | mb$r AS MATERIALIZED (SELECT b, CAST(sum(n * w9) AS BIGINT) AS mb
+         |  FROM sa$r GROUP BY 1),
+         | c$r AS MATERIALIZED (SELECT s.a, s.b, s.n,
+         |   CAST(round(w9::DOUBLE * tb::DOUBLE * 1e9 / mb::DOUBLE, 0) AS BIGINT) AS w9
+         |  FROM sa$r s JOIN mb$r USING (b) JOIN tb USING (b))""".stripMargin
+    }.mkString
+    head + rs +
+      s"""
+         | SELECT c.a, c.b, c.n AS n_cell, ta AS target_a, tb AS target_b,
+         |  round(w9::DOUBLE / 1e9, 9) AS weight,
+         |  round((n * w9)::DOUBLE / 1e9, 6) AS weighted_n
+         | FROM c$rounds c JOIN ta USING (a) JOIN tb USING (b)
+         | ORDER BY a, b""".stripMargin
+  }
+
   // ---- Adamic-Adar SQL twin, shared by graph_adamic_adar (direct /
   // served-from-graph) and graph_basket_upsert (served from the
   // incrementally-maintained graph — same result by the additive
@@ -4785,6 +4824,11 @@ object SparkEntry {
     "emb_effective_dim" -> ((s, dir) =>
       Embeddings.effectiveDim(t(s, dir, "embeddings"), "embedding")),
 
+    // mean-pairwise-cosine isotropy via the sum-vector identity —
+    // the all-pairs cone diagnostic for ONE scan, no pairwise join
+    "emb_isotropy" -> ((s, dir) =>
+      Embeddings.isotropy(t(s, dir, "embeddings"), "embedding")),
+
     // deterministic train/val/test split: md5-prefix threshold like
     // sample_hash, but emitting the ASSIGNMENT — reproducible splits
     // on any engine/cluster, immune to rand() reseeding
@@ -5777,6 +5821,23 @@ object SparkEntry {
       Profiling.chiSquareIndependence(t(s, dir, "orders"),
         "o_orderstatus", "o_orderpriority")),
 
+    // HBOS multivariate outlier screen over the line-item numerics:
+    // equal-width histograms off one broadcast min/max row, scaled-ln
+    // integer score folds, TakeOrdered top-25
+    "profile_hbos" -> ((s, dir) =>
+      Profiling.hbosOutliers(
+        t(s, dir, "lineitem").withColumn("lid",
+          col("l_orderkey") * 10 + col("l_linenumber")),
+        "lid", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        bins = 16, topK = 25)),
+
+    // mutual information + NMI on the same contingency: the exact
+    // effect-size companion to the chi² audit (scaled-ln integer
+    // folds, NMI off the rounded components)
+    "profile_mutual_info" -> ((s, dir) =>
+      Profiling.mutualInformation(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
+
     // monotonic-key continuity audit on TPC-H's famously gappy
     // o_orderkey: bucketed (NO global window over the corpus) with
     // boundary deltas from the bounded per-bucket table
@@ -5810,6 +5871,22 @@ object SparkEntry {
     "sample_ess" -> ((s, dir) =>
       Sampling.effectiveSampleSize(t(s, dir, "documents"), "source", "n_chars")
         .orderBy("stratum")),
+
+    // raking/IPF: a deliberately biased cut (half the views dropped)
+    // reweighted back to the FULL corpus (type × iso-dow) margins —
+    // 5 Sinkhorn rounds on the bounded cell table, scaled-long
+    // weights, rounds replayed by the oracle
+    "sample_raking" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("a"),
+          (weekday(to_date(col("ts"))) + 1).cast("long").as("b"),
+          col("user_id"))
+      val tgtA = ev.groupBy("a").agg(count(lit(1)).as("target"))
+      val tgtB = ev.groupBy("b").agg(count(lit(1)).as("target"))
+      val biased = ev.where(!(col("a") === "view" && col("user_id") % 2 === 0))
+      Sampling.rakeWeights(biased, "a", "b", tgtA, tgtB, rounds = 5)
+        .orderBy("a", "b")
+    }),
 
     // Johnson–Lindenstrauss ±1 projection 64 → 8 with per-vector
     // norm-distortion audit; map-only, exact long folds
@@ -9209,6 +9286,28 @@ object SparkEntry {
         |    AS isotropy_ratio
         | FROM a""".stripMargin,
 
+    // sum-vector identity replayed: rounded unit components, exact
+    // per-dim sums, HUGEINT ‖S‖² (S_d² alone can reach 2⁶²)
+    "emb_isotropy" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        | nr AS (SELECT v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        | u AS (SELECT CAST(i AS BIGINT) AS dim,
+        |   CAST(round(v[i] / nrm * 1e6, 0) AS BIGINT) AS s
+        |  FROM nr, UNNEST(range(1, len(v) + 1)) AS t(i)
+        |  WHERE nrm > 0),
+        | g AS (SELECT dim, CAST(sum(s) AS BIGINT) AS sd,
+        |   CAST(sum(s * s) AS BIGINT) AS t2 FROM u GROUP BY 1),
+        | nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |   CAST(max(len(v)) AS BIGINT) AS n_dims FROM nr WHERE nrm > 0),
+        | a AS (SELECT sum(sd::HUGEINT * sd::HUGEINT) AS ss,
+        |   CAST(sum(t2) AS HUGEINT) AS tt FROM g)
+        | SELECT n_vecs, n_dims,
+        |  round(CAST(ss - tt AS DOUBLE) / 1e12
+        |    / (n_vecs::DOUBLE * (n_vecs::DOUBLE - 1)), 6) AS mean_pairwise_cos,
+        |  round(sqrt(CAST(ss AS DOUBLE)) / 1e6 / n_vecs::DOUBLE, 6)
+        |    AS mean_vec_norm
+        | FROM a CROSS JOIN nv""".stripMargin,
+
     // same round-6 scaled longs; variance via (n·Σx² − (Σx)²)/n²
     "emb_dim_stats" ->
       """WITH x AS (
@@ -11513,6 +11612,74 @@ object SparkEntry {
         |  END AS cramers_v
         | FROM g""".stripMargin,
 
+    // HBOS replayed: per-feature stacked bins off the one min/max
+    // row, scaled-ln count fold, top-25 by (score, id)
+    "profile_hbos" ->
+      """WITH base AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |   l_quantity::DOUBLE AS f1, l_extendedprice::DOUBLE AS f2,
+        |   l_discount::DOUBLE AS f3, l_tax::DOUBLE AS f4 FROM lineitem),
+        | mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2, max(f2) AS mx2,
+        |   min(f3) AS mn3, max(f3) AS mx3, min(f4) AS mn4, max(f4) AS mx4
+        |  FROM base),
+        | st AS (
+        |  SELECT id, n, 'f1' AS f, CASE WHEN mx1 = mn1 THEN 0
+        |   ELSE CAST(least(floor((f1 - mn1) / (mx1 - mn1) * 16), 15) AS BIGINT)
+        |   END AS b FROM base CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id, n, 'f2', CASE WHEN mx2 = mn2 THEN 0
+        |   ELSE CAST(least(floor((f2 - mn2) / (mx2 - mn2) * 16), 15) AS BIGINT)
+        |   END FROM base CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id, n, 'f3', CASE WHEN mx3 = mn3 THEN 0
+        |   ELSE CAST(least(floor((f3 - mn3) / (mx3 - mn3) * 16), 15) AS BIGINT)
+        |   END FROM base CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id, n, 'f4', CASE WHEN mx4 = mn4 THEN 0
+        |   ELSE CAST(least(floor((f4 - mn4) / (mx4 - mn4) * 16), 15) AS BIGINT)
+        |   END FROM base CROSS JOIN mm),
+        | cnt AS (SELECT f, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM st GROUP BY 1, 2),
+        | sc AS (SELECT id, CAST(sum(
+        |    CAST(round(ln(n::DOUBLE) * 1e6, 0) AS BIGINT)
+        |    - CAST(round(ln(c::DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM st JOIN cnt USING (f, b) GROUP BY 1),
+        | top AS (SELECT id, round(s::DOUBLE / 1e6, 6) AS hbos
+        |  FROM sc ORDER BY hbos DESC, id LIMIT 25)
+        | SELECT CAST(row_number() OVER (ORDER BY hbos DESC, id) AS BIGINT) AS rnk,
+        |  id, hbos
+        | FROM top ORDER BY rnk""".stripMargin,
+
+    // MI replayed: observed-cell scaled-ln ratio fold + the two
+    // marginal-entropy numerators; NMI off the rounded mi/h values
+    "profile_mutual_info" ->
+      """WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |   CAST(count(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2),
+        | rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        | ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        | nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |   CAST(count(DISTINCT a) AS BIGINT) AS a_levels,
+        |   CAST(count(DISTINCT b) AS BIGINT) AS b_levels FROM obs),
+        | smi AS (SELECT CAST(coalesce(sum(o * CAST(round(ln(
+        |     o::DOUBLE * n::DOUBLE / (ra::DOUBLE * cb::DOUBLE)) * 1e6, 0)
+        |     AS BIGINT)), 0) AS BIGINT) AS s_mi
+        |  FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn),
+        | sa AS (SELECT CAST(coalesce(sum(ra * CAST(round(ln(ra::DOUBLE) * 1e6, 0)
+        |     AS BIGINT)), 0) AS BIGINT) AS sa FROM rt),
+        | sb AS (SELECT CAST(coalesce(sum(cb * CAST(round(ln(cb::DOUBLE) * 1e6, 0)
+        |     AS BIGINT)), 0) AS BIGINT) AS sb FROM ct),
+        | base AS (SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+        |   n AS n_rows, a_levels, b_levels,
+        |   round(s_mi::DOUBLE / n::DOUBLE / 1e6, 6) AS mi,
+        |   round(CAST(n * CAST(round(ln(n::DOUBLE) * 1e6, 0) AS BIGINT) - sa
+        |     AS DOUBLE) / n::DOUBLE / 1e6, 6) AS h_a,
+        |   round(CAST(n * CAST(round(ln(n::DOUBLE) * 1e6, 0) AS BIGINT) - sb
+        |     AS DOUBLE) / n::DOUBLE / 1e6, 6) AS h_b
+        |  FROM nn CROSS JOIN smi CROSS JOIN sa CROSS JOIN sb)
+        | SELECT *, CASE WHEN h_a > 0 AND h_b > 0
+        |   THEN round(mi / sqrt(h_a * h_b), 6) END AS nmi
+        | FROM base""".stripMargin,
+
     "profile_gaps" ->
       """WITH k AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
         |   WHERE o_orderkey IS NOT NULL),
@@ -11641,6 +11808,8 @@ object SparkEntry {
         |   THEN round(covnum * covnum / (varxnum * varynum), 6)
         |  END AS var_reduction
         | FROM h""".stripMargin,
+
+    "sample_raking" -> rakingSql(rounds = 5),
 
     "sample_ess" ->
       """WITH g AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n,

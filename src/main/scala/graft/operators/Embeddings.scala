@@ -76,6 +76,53 @@ object Embeddings {
               / d(col("n_dims")), 6).as("isotropy_ratio"))
   }
 
+  /** Mean pairwise cosine ISOTROPY report — the anisotropy
+    * diagnostic of Ethayarajh (2019) and the "common direction" of
+    * Mu & Viswanath (2018, all-but-the-top): contextual/embedding
+    * clouds routinely collapse into a narrow cone, which inflates
+    * every cosine score and breaks cosine-based retrieval. Reported
+    * via the sum-vector identity — for unit vectors uᵢ, the mean
+    * cosine over ordered pairs i≠j is (‖Σuᵢ‖² − Σ‖uᵢ‖²)/(n(n−1)) —
+    * so the ALL-PAIRS quantity costs one scan and d sums, never a
+    * pairwise join (the [[effectiveDim]] posture: cheap diagnostic
+    * before any quadratic work). Complements [[effectiveDim]]:
+    * participation ratio reads variance spread per axis, this reads
+    * the mean-direction bias ‖μ‖ that variance cannot see.
+    *
+    * Determinism: each unit component rounds to 6 and scales to an
+    * exact long; per-dim sums S_d and the self-term Σs² are exact
+    * integer aggregates (order-independent); ‖S‖² accumulates
+    * S_d·S_d as decimal(38,0) (S_d² alone can reach 2⁶² — a long sum
+    * would overflow; HUGEINT on the oracle side). The two reported
+    * values are fixed IEEE chains off those exact integers, round 6.
+    * Zero-norm vectors have no direction and are dropped (counted
+    * out of n_vecs by construction).
+    */
+  def isotropy(emb: DataFrame, vecCol: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val u = emb.select(col(vecCol).as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+      .where(col("nrm") > 0)
+    val s = u.select(posexplode(transform(col("v"),
+        x => round(d(x) / col("nrm") * 1e6, 0).cast("long")))
+      .as(Seq("pos", "s")))
+    val perDim = s.groupBy("pos").agg(sum(col("s")).as("sd"),
+      sum(col("s") * col("s")).as("t2"))
+    val nv = u.agg(count(lit(1)).as("n_vecs"),
+      max(size(col("v"))).cast("long").as("n_dims")) // 1-row scalar
+    perDim.agg(
+        sum(col("sd").cast("decimal(38,0)") * col("sd").cast("decimal(38,0)"))
+          .as("ss"),
+        sum(col("t2")).cast("decimal(38,0)").as("tt"))
+      .crossJoin(broadcast(nv))
+      .select(col("n_vecs"), col("n_dims"),
+        round(d(col("ss") - col("tt")) / 1e12
+          / (d(col("n_vecs")) * (d(col("n_vecs")) - 1)), 6)
+          .as("mean_pairwise_cos"),
+        round(sqrt(d(col("ss"))) / 1e6 / d(col("n_vecs")), 6)
+          .as("mean_vec_norm"))
+  }
+
   def embeddingQuality(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("vec")))

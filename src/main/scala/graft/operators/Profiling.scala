@@ -653,6 +653,66 @@ object Profiling {
           .as("cramers_v"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns (nats) plus
+    * the normalized variant — the feature-relevance / redundancy
+    * screen (Cover & Thomas ch. 2; the mRMR selection criterion's
+    * core quantity) that [[chiSquareIndependence]]'s χ² approximates
+    * only in the small-deviation limit: MI is exact at any effect
+    * size and comparable across tables after normalization.
+    * I(A;B) = Σ_xy p_xy ln(p_xy / (p_x p_y)); NMI = I / √(H_A·H_B)
+    * (Strehl & Ghosh 2002), 1 at a bijection, 0 at independence.
+    *
+    * Determinism: cell/marginal counts are exact longs; each cell's
+    * log-ratio ln(o·N / (ra·cb)) rounds to 6 and scales to an exact
+    * long BEFORE the o-weighted sum (the [[graft.operators
+    * .TextAnalysis.entropyStats]] discipline — order-independent
+    * integer accumulation), as do the marginal-entropy numerators
+    * N·⌊ln N⌋₆ − Σ m·⌊ln m⌋₆; the final MI/H/NMI values are a fixed
+    * IEEE chain over those exact integers, each rounded 6 with NMI
+    * computed off the ALREADY-ROUNDED mi/h_a/h_b (the oracle replays
+    * the same chain).
+    *
+    * Scale shape: one hash aggregate to |A|·|B| observed cells
+    * (map-side combined), two category-sized marginal aggregates,
+    * category-sized joins, 1-row output. Zero-observed cells
+    * contribute 0 to MI by the p·ln p convention, so the grid never
+    * needs completing — one corpus scan total.
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
+    val obs = df.select(col(colA).as("a"), col(colB).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("a").agg(sum(col("o")).as("ra"))
+    val colT = obs.groupBy("b").agg(sum(col("o")).as("cb"))
+    val n1 = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("a_levels"),
+      countDistinct(col("b")).as("b_levels")) // 1-row scalar
+    val sMi = obs.join(rowT, "a").join(colT, "b")
+      .crossJoin(broadcast(n1.select(col("n").as("nn"))))
+      .select((col("o") *
+        lnS(d(col("o")) * d(col("nn")) / (d(col("ra")) * d(col("cb")))))
+        .as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("s_mi"))
+    val sa = rowT.agg(coalesce(sum(col("ra") * lnS(d(col("ra")))), lit(0L))
+      .as("sa"))
+    val sb = colT.agg(coalesce(sum(col("cb") * lnS(d(col("cb")))), lit(0L))
+      .as("sb"))
+    val mi = round(d(col("s_mi")) / d(col("n")) / 1e6, 6)
+    val hA = round(d(col("n") * lnS(d(col("n"))) - col("sa"))
+      / d(col("n")) / 1e6, 6)
+    val hB = round(d(col("n") * lnS(d(col("n"))) - col("sb"))
+      / d(col("n")) / 1e6, 6)
+    n1.crossJoin(broadcast(sMi)).crossJoin(broadcast(sa))
+      .crossJoin(broadcast(sb)) // all 1-row scalars
+      .select(lit(colA).as("col_a"), lit(colB).as("col_b"),
+        col("n").as("n_rows"), col("a_levels"), col("b_levels"),
+        mi.as("mi"), hA.as("h_a"), hB.as("h_b"))
+      .withColumn("nmi",
+        when(col("h_a") > 0 && col("h_b") > 0,
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)))
+  }
+
   /** Monotonic-key continuity audit: gaps and islands over an integer
     * key column (invoice numbers, event ids, file sequence numbers) —
     * the completeness check a warehouse runs on an ingest feed whose
@@ -757,6 +817,64 @@ object Profiling {
     * global aggregate broadcast, TakeOrdered top-k; the final rank
     * window touches ≤ topK rows.
     */
+  /** HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    * per-feature equal-width histograms, score = Σ_f −ln p_f(bin(x))
+    * — the linear-time multivariate outlier screen that scales where
+    * distance/density methods (LOF, isolation forest) cannot: it
+    * assumes feature independence and pays two scans total,
+    * regardless of dimensionality. Complements [[madOutliers]]
+    * (univariate, median-based): HBOS flags rows whose COMBINATION
+    * of bins is rare even when each marginal looks ordinary.
+    *
+    * Determinism: bin edges come from the exact min/max scalar row
+    * (broadcast control-plane); bin(x) = min(⌊(x−mn)/(mx−mn)·B⌋,
+    * B−1) is one fixed IEEE chain; −ln p = ⌊ln n⌋₆ − ⌊ln c⌋₆ with
+    * both logs round-6-scaled to exact longs before the per-row sum
+    * (the [[mutualInformation]] discipline), so scores are
+    * aggregation-order-independent. Constant features (mx = mn) fall
+    * into one bin with p = 1, contributing exactly 0.
+    *
+    * Scale shape: one min/max aggregate (1 row, broadcast), one
+    * bin+stack pass (|rows|·|features|, map-only off the broadcast
+    * edges), a bins·features count aggregate (broadcast back), one
+    * id-keyed score aggregate, TakeOrdered top-k; the rank window
+    * touches ≤ k rows.
+    */
+  def hbosOutliers(df: DataFrame, idCol: String, features: Seq[String],
+                   bins: Int = 16, topK: Int = 25): DataFrame = {
+    require(features.nonEmpty && bins >= 2 && topK >= 1,
+      s"need features, bins >= 2, topK >= 1: $features $bins $topK")
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
+    val base = df.select(col(idCol).cast("long").as("id") +:
+      features.map(f => col(f).cast("double").as(f)): _*)
+    val mm = base.agg(
+      count(lit(1)).as("n"),
+      features.flatMap(f => Seq(min(col(f)).as(s"mn_$f"),
+        max(col(f)).as(s"mx_$f"))): _*) // 1-row scalar
+    val binned = base.crossJoin(broadcast(mm))
+    def binOf(f: String): Column = {
+      val mn = col(s"mn_$f"); val mx = col(s"mx_$f")
+      when(mx === mn, lit(0L)).otherwise(
+        least(floor((col(f) - mn) / (mx - mn) * bins), lit(bins - 1L))
+          .cast("long"))
+    }
+    val stacked = binned.select(col("id"), col("n"),
+        explode(array(features.map(f =>
+          struct(lit(f).as("f"), binOf(f).as("b"))): _*)).as("s"))
+      .select(col("id"), col("n"), col("s.f").as("f"), col("s.b").as("b"))
+    val cnt = stacked.groupBy("f", "b").agg(count(lit(1)).as("c"))
+    val scored = stacked.join(broadcast(cnt), Seq("f", "b"))
+      .select(col("id"), (lnS(d(col("n"))) - lnS(d(col("c")))).as("t"))
+      .groupBy("id").agg(sum(col("t")).as("sc"))
+      .select(col("id"), round(d(col("sc")) / 1e6, 6).as("hbos"))
+      .orderBy(desc("hbos"), asc("id")).limit(topK)
+    scored.withColumn("rnk", row_number() // ≤ topK rows
+        .over(Window.orderBy(desc("hbos"), asc("id"))).cast("long"))
+      .select("rnk", "id", "hbos")
+  }
+
   def sliceFinder(df: DataFrame, dims: Seq[(String, Column)],
                   valueCol: String, topK: Int, scale: Int = 100): DataFrame = {
     require(dims.nonEmpty && topK >= 1, s"need dims and topK: $dims $topK")

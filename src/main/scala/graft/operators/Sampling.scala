@@ -638,6 +638,74 @@ object Sampling {
           .as("truncation_loss"))
   }
 
+  /** RAKING — iterative proportional fitting (Deming & Stephan 1940;
+    * the survey-weighting workhorse): reweight a biased sample so its
+    * WEIGHTED margins match target margins on two categorical
+    * dimensions simultaneously. Each round rescales every (a, b)
+    * cell's weight by targetA_a / marginA_a, then by targetB_b /
+    * marginB_b; margins converge geometrically (Sinkhorn's theorem —
+    * this IS Sinkhorn matrix balancing on the cell count matrix).
+    * The training-mix use: force a post-filter corpus back to the
+    * pre-filter (type × day-of-week) composition without re-reading
+    * the dropped rows.
+    *
+    * Determinism: the corpus reduces to |A|·|B| exact cell counts in
+    * one aggregate; weights live as 1e9-scaled longs, and each round
+    * recomputes them through one fixed IEEE chain w' = round(w·t·1e9
+    * /m) off exact-integer margins m = Σ n·w9 (order-independent
+    * sums) — the [[graft.operators.Graph.pageRank]] round-replay
+    * contract, so the oracle unrolls the same rounds as CTEs. Cells
+    * absent from a target (or targets without support in the sample)
+    * drop at the initial inner join — IPF has no finite fixed point
+    * for them; the count columns expose the drop.
+    *
+    * Scale shape: ONE corpus-scan aggregate; every round then
+    * touches only the bounded cell table (category-sized joins, no
+    * corpus re-scan) — the per-row weight application is a broadcast
+    * join at consumption time.
+    */
+  def rakeWeights(sample: DataFrame, dimA: String, dimB: String,
+                  targetA: DataFrame, targetB: DataFrame,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    def d(c: Column) = c.cast("double")
+    val tA = broadcast(targetA.select(col(dimA).as("a"),
+      col("target").cast("long").as("ta")))
+    val tB = broadcast(targetB.select(col(dimB).as("b"),
+      col("target").cast("long").as("tb")))
+    var cells = sample.groupBy(col(dimA).as("a"), col(dimB).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .join(tA, "a").join(tB, "b")
+      .withColumn("w9", lit(1000000000L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val mA = cells.groupBy("a")
+        .agg(sum(col("n") * col("w9")).as("ma")) // exact long margin
+      val stepA = cells.join(mA, "a")
+        .withColumn("w9",
+          round(d(col("w9")) * d(col("ta")) * 1e9 / d(col("ma")), 0)
+            .cast("long"))
+        .drop("ma")
+      val mB = stepA.groupBy("b")
+        .agg(sum(col("n") * col("w9")).as("mb"))
+      val prev = cells
+      cells = stepA.join(mB, "b")
+        .withColumn("w9",
+          round(d(col("w9")) * d(col("tb")) * 1e9 / d(col("mb")), 0)
+            .cast("long"))
+        .drop("mb")
+        .localCheckpoint()
+      Graph.unpersistBacking(prev)
+    }
+    val out = cells.select(col("a"), col("b"), col("n").as("n_cell"),
+        col("ta").as("target_a"), col("tb").as("target_b"),
+        round(d(col("w9")) / 1e9, 9).as("weight"),
+        round(d(col("n") * col("w9")) / 1e9, 6).as("weighted_n"))
+      .localCheckpoint()
+    Graph.unpersistBacking(cells)
+    out
+  }
+
   def effectiveSampleSize(df: DataFrame, stratumCol: String,
                           weightCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")

@@ -201,4 +201,23 @@ class EmbeddingsSpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0 && z.isNullAt(3),
       s"zero vector: zero norms, null distortion: $z")
   }
+
+  test("isotropy: collapsed cone reads 1, orthogonal basis reads 0, zero vectors drop") {
+    def basis(i: Int) = Array.tabulate(8)(j => if (j == i) 2f else 0f)
+    def run(vs: Seq[Array[Float]]) =
+      Embeddings.isotropy(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding"), "embedding")
+        .select("n_vecs", "mean_pairwise_cos", "mean_vec_norm")
+        .as[(Long, Double, Double)].head()
+    // all vectors identical (scaled copies): every pairwise cos = 1
+    val cone = run(Seq(basis(0), basis(0), Array.tabulate(8)(j => if (j == 0) 5f else 0f)))
+    assert(cone == ((3L, 1.0, 1.0)), s"collapsed cone must read 1: $cone")
+    // orthogonal basis: every pairwise cos = 0; ‖Σu‖ = √4/4 = 0.5
+    val ortho = run((0 until 4).map(basis))
+    assert(ortho._1 == 4L && ortho._2 == 0.0 && ortho._3 == 0.5, s"$ortho")
+    // antipodal pair: the one ordered-pair mean is −1; zero vec drops
+    val anti = run(Seq(basis(1), basis(1).map(-_), Array.fill(8)(0f)))
+    assert(anti._1 == 2L && anti._2 == -1.0 && anti._3 == 0.0, s"$anti")
+  }
 }

@@ -617,4 +617,47 @@ class ProfilingSpec extends SparkSpec {
       .select("key", "est_distinct").as[(String, Double)].collect()
     assert(t.map(_._1).toSet == Set("x", "y") && t.forall(_._2 == 2.0), t.toSeq.toString)
   }
+
+  test("mutualInformation: bijection reads NMI=1 with MI=H; independence reads MI=0") {
+    // bijection: b is a relabeling of a → I(A;B) = H(A) = H(B), NMI = 1
+    val bij = Seq("x", "x", "y", "z", "z", "z").map(a => (a, a.toUpperCase))
+      .toDF("a", "b")
+    val r1 = Profiling.mutualInformation(bij, "a", "b")
+      .select("mi", "h_a", "h_b", "nmi")
+      .as[(Double, Double, Double, Option[Double])].head()
+    assert(r1._1 == r1._2 && r1._2 == r1._3, s"MI must equal H at a bijection: $r1")
+    assert(r1._4.contains(1.0), s"NMI must be 1 at a bijection: $r1")
+    // independent balanced grid: every (a, b) cell equally likely → MI = 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r") } yield (a, b))
+      .toDF("a", "b")
+    val r2 = Profiling.mutualInformation(ind, "a", "b")
+      .select("mi", "nmi", "a_levels", "b_levels")
+      .as[(Double, Option[Double], Long, Long)].head()
+    assert(r2._1 == 0.0 && r2._2.contains(0.0), s"independence must read MI=0: $r2")
+    assert(r2._3 == 2 && r2._4 == 3)
+    // constant column: zero entropy on one side → NMI undefined (null)
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val r3 = Profiling.mutualInformation(const, "a", "b")
+      .select("h_a", "nmi").as[(Double, Option[Double])].head()
+    assert(r3._1 == 0.0 && r3._2.isEmpty, s"constant side must null NMI: $r3")
+  }
+
+  test("hbosOutliers: the doubly-rare row ranks first; constant features contribute 0") {
+    // 40 inliers hug the low corner; one row is alone in the top bin
+    // of BOTH features, one is rare on a single feature only
+    val rows = (1L to 40L).map(i => (i, 1.0 + (i % 3) * 0.1, 10.0)) ++
+      Seq((97L, 99.0, 10.0), (99L, 99.0, 999.0))
+    val df = rows.toDF("rid", "x", "y")
+    val top = Profiling.hbosOutliers(df, "rid", Seq("x", "y"), bins = 4, topK = 3)
+      .select("rnk", "id", "hbos").as[(Long, Long, Double)].collect()
+    assert(top.head._2 == 99L, s"doubly-rare row must rank first: ${top.toSeq}")
+    assert(top(1)._2 == 97L, s"singly-rare row second: ${top.toSeq}")
+    assert(top.head._3 > top(1)._3 && top(1)._3 > top(2)._3)
+    // a constant feature lands every row in one bin with p=1 → +0
+    val withConst = Profiling.hbosOutliers(df.withColumn("z", lit(7.0)),
+        "rid", Seq("x", "y", "z"), bins = 4, topK = 3)
+      .select("rnk", "id", "hbos").as[(Long, Long, Double)].collect()
+    assert(withConst.toSeq == top.toSeq,
+      s"constant feature must not move any score: ${withConst.toSeq} vs ${top.toSeq}")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Sampling
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -343,5 +343,30 @@ class SamplingSpec extends SparkSpec {
     assert(out(1) == (("srcB", 1L, 50L, 105L, 2L, 3L, 0.1, 2.1)), s"srcB: ${out(1)}")
     // floor shares never overshoot the budget
     assert(out.map(_._4).sum <= 420L)
+  }
+
+  test("rakeWeights: unbiased sample keeps weight 1; biased cut converges to both margins") {
+    def cells(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
+    val pop = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L), ("y", 2L))
+    val tA = cells(pop).groupBy("a").agg(count(lit(1)).as("target"))
+    val tB = cells(pop).groupBy("b").agg(count(lit(1)).as("target"))
+    // sample == population → every factor is exactly 1, weights stay 1.0
+    val same = Sampling.rakeWeights(cells(pop), "a", "b", tA, tB, rounds = 3)
+      .select("weight").as[Double].collect()
+    assert(same.forall(_ == 1.0), s"unbiased sample must keep weight 1: ${same.toSeq}")
+    // drop one (x,1) row → IPF must push both weighted margins back
+    val biased = Sampling.rakeWeights(cells(pop.tail), "a", "b", tA, tB, rounds = 8)
+    val mA = biased.groupBy("a").agg(sum("weighted_n").as("m"))
+      .join(tA, "a").select(col("a"), (col("m") - col("target")).as("d"))
+      .as[(String, Double)].collect()
+    val mB = biased.groupBy("b").agg(sum("weighted_n").as("m"))
+      .join(tB, "b").select(col("b"), (col("m") - col("target")).as("d"))
+      .as[(Long, Double)].collect()
+    assert(mA.forall(r => math.abs(r._2) < 0.01), s"A margins: ${mA.toSeq}")
+    assert(mB.forall(r => math.abs(r._2) < 0.01), s"B margins: ${mB.toSeq}")
+    // upweighted cell is the depleted one
+    val w = biased.where(col("a") === "x" && col("b") === 1)
+      .select("weight").as[Double].head()
+    assert(w > 1.5, s"depleted cell must be upweighted: $w")
   }
 }
