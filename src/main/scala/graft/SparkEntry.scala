@@ -2916,6 +2916,18 @@ object SparkEntry {
       Graph.adamicAdarFromGraph(s, ensureBasketGraph(s, dir), k = 20)
         .orderBy(desc("score"), asc("item_a"), asc("item_b"))),
 
+    // GraphSAGE-style layered neighbor sampling off the SAME
+    // materialized pair graph: md5-ranked fanouts (5, 3) from the
+    // %50 seed items — deterministic, prefix-consistent GNN blocks
+    "graph_neighbor_sample" -> ((s, dir) => {
+      val pairs = Graph.basketPairEdges(s, ensureBasketGraph(s, dir))
+      val seeds = t(s, dir, "part")
+        .where(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("seed"))
+      Graph.neighborSample(pairs, "src", "dst", seeds, "seed", Seq(5, 3))
+        .orderBy("hop", "src", "rnk")
+    }),
+
     // association rules on the same baskets: exact distinct supports,
     // factor-first double ratios, TakeOrdered top-20 by lift
     "graph_assoc_rules" -> ((s, dir) =>
@@ -4041,6 +4053,18 @@ object SparkEntry {
         docs.where(col("doc_id") % 17 === 0),
         "doc_id", "text", threshold = 0.6)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Bloom pre-filter on the same cross-corpus split: md5-derived
+    // bit positions, broadcast position table, ground-truth join
+    // auditing the FP rate (no false negatives by construction)
+    "dedup_bloom_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bloomCrossMembership(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", mBits = 32768, kHashes = 3)
+        .orderBy("doc_id")
     }),
 
     // exact-substring duplicate SPANS (Lee et al. ExactSubstr on
@@ -7644,6 +7668,30 @@ object SparkEntry {
     // weights, same TakeOrdered tiebreak
     "graph_adamic_adar" -> adamicAdarSql,
 
+    // the df-cut pair graph symmetrized, then per-hop md5-ranked
+    // fanout prefixes (QUALIFY) with the hop-2 frontier drawn from
+    // the hop-1 samples only
+    "graph_neighbor_sample" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | d AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        | w AS (SELECT c FROM d WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN w USING (c)),
+        | pr AS (SELECT a.item AS ia, b.item AS ib
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item GROUP BY 1, 2),
+        | und AS (SELECT ia AS src, ib AS dst FROM pr
+        |         UNION SELECT ib, ia FROM pr),
+        | h1 AS (SELECT CAST(1 AS BIGINT) AS hop, src, dst,
+        |   CAST(row_number() OVER (PARTITION BY src
+        |     ORDER BY md5(src || '_' || dst), dst) AS BIGINT) AS rnk
+        |  FROM und WHERE src % 50 = 0 QUALIFY rnk <= 5),
+        | h2 AS (SELECT CAST(2 AS BIGINT) AS hop, src, dst,
+        |   CAST(row_number() OVER (PARTITION BY src
+        |     ORDER BY md5(src || '_' || dst), dst) AS BIGINT) AS rnk
+        |  FROM und WHERE src IN (SELECT DISTINCT dst FROM h1)
+        |  QUALIFY rnk <= 3)
+        | SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        | ORDER BY hop, src, rnk""".stripMargin,
+
     // the upserted graph must serve results indistinguishable from a
     // from-scratch build — the oracle IS graph_adamic_adar's, on the
     // full relation
@@ -8429,6 +8477,29 @@ object SparkEntry {
     "dedup_cross" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6,
       candCond = "a.doc_id <> b.doc_id",
       candWhere = "WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0"),
+
+    // bloom replayed: distinct train-hash positions as the bit set,
+    // per-probe distinct-position probe counts, exact-truth join
+    "dedup_bloom_cross" ->
+      """WITH tr AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 17 <> 0),
+        | sfx AS (SELECT unnest(['_b1', '_b2', '_b3']) AS j),
+        | bits AS (SELECT DISTINCT
+        |   ('0x' || substr(md5(h || j), 1, 8))::BIGINT % 32768 AS p
+        |  FROM tr CROSS JOIN sfx),
+        | ph AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 17 = 0),
+        | pp AS (SELECT DISTINCT doc_id, h,
+        |   ('0x' || substr(md5(h || j), 1, 8))::BIGINT % 32768 AS p
+        |  FROM ph CROSS JOIN sfx),
+        | ag AS (SELECT pp.doc_id, pp.h, CAST(count(*) AS BIGINT) AS n_pos,
+        |   CAST(count(b.p) AS BIGINT) AS n_found
+        |  FROM pp LEFT JOIN bits b ON pp.p = b.p GROUP BY 1, 2)
+        | SELECT ag.doc_id, (n_found = n_pos) AS bloom_hit,
+        |  (tr.h IS NOT NULL) AS exact_hit,
+        |  ((n_found = n_pos) AND tr.h IS NULL) AS is_false_positive
+        | FROM ag LEFT JOIN tr ON ag.h = tr.h
+        | ORDER BY ag.doc_id""".stripMargin,
 
     // replays the span machinery end-to-end: same 60-bit md5 window
     // hashes, same cross-doc >= 2 cut, same pos - row_number island

@@ -1191,4 +1191,56 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("clean_text"))
   }
+
+  /** BLOOM-FILTER cross-corpus membership (Bloom 1970; the Broder
+    * et al. web-dedup pre-filter): a bit array built from the
+    * training corpus' content hashes answers "possibly seen /
+    * definitely new" for every probe doc in O(k) hash probes — the
+    * constant-memory first gate a 100 TB ingest runs BEFORE paying
+    * for an exact [[crossContainment]] join on the survivors. The
+    * report carries the ground truth next to the filter's answer
+    * (`exact_hit` via the real hash join) so the false-positive rate
+    * is measured, not assumed — no false negatives by construction
+    * (spec-pinned).
+    *
+    * Determinism: bit positions are md5-derived (pos_j = 32-bit
+    * md5(content_hash ∥ "_bj") mod `mBits`) — no RNG, identical on
+    * any cluster, replayable in SQL. The bit array is represented as
+    * the distinct-position table (≤ mBits rows, broadcast) — the
+    * semantics of the packed bitmap without engine-specific binary
+    * state; a physical deployment would fold the same positions into
+    * `spark.util.sketch.BloomFilter` bytes.
+    *
+    * Scale shape: building is one distinct + k-way position explode
+    * + distinct (all map-side-combined); probing is a broadcast join
+    * against the ≤ mBits position table (map-only over the probe
+    * corpus). Only the exact-truth join shuffles, and only to audit
+    * the filter — the production path drops it.
+    */
+  def bloomCrossMembership(train: DataFrame, probe: DataFrame,
+                           idCol: String, textCol: String,
+                           mBits: Int = 32768, kHashes: Int = 3): DataFrame = {
+    require(mBits >= 2 && kHashes >= 1, s"bad bloom params: $mBits/$kHashes")
+    def pos(h: Column, j: Int): Column =
+      conv(substring(md5(concat(h, lit(s"_b$j"))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    def positions(h: Column): Column =
+      array((1 to kHashes).map(j => pos(h, j)): _*)
+    val th = train.select(md5(col(textCol)).as("h")).distinct()
+    val bits = th.select(explode(positions(col("h"))).as("p")).distinct()
+      .withColumn("in_filter", lit(1))
+    val ph = probe.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val probed = ph
+      .select(col("doc_id"), col("h"), explode(positions(col("h"))).as("p"))
+      .dropDuplicates("doc_id", "p") // k probes may collide within a key
+      .join(broadcast(bits), Seq("p"), "left")
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("n_pos"), count(col("in_filter")).as("n_found"))
+    probed
+      .join(th.withColumn("exact_hit", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"),
+        (col("n_found") === col("n_pos")).as("bloom_hit"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+      .withColumn("is_false_positive", col("bloom_hit") && !col("exact_hit"))
+  }
 }

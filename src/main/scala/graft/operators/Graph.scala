@@ -757,6 +757,63 @@ object Graph {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** GraphSAGE-style deterministic NEIGHBOR SAMPLING (Hamilton et
+    * al., NeurIPS 2017) — the minibatch-construction primitive of
+    * every sampled GNN trainer: from a seed set, keep `fanouts(0)`
+    * neighbors per seed, then `fanouts(1)` neighbors of each sampled
+    * frontier node, and so on — the output is the layered edge block
+    * a GNN consumes, built where full neighborhoods (hub nodes with
+    * millions of edges) cannot be.
+    *
+    * Determinism: the "random" fanout draw ranks each adjacency by
+    * md5(src_dst) (the [[randomWalks]] coin) — reproducible on any
+    * cluster size, replayable in SQL, and PREFIX-CONSISTENT: a node
+    * sampled at several hops (or at several fanouts) always keeps a
+    * prefix of the same md5 order, so caches of sampled blocks
+    * compose instead of fragmenting.
+    *
+    * Scale shape: the symmetrized adjacency builds once (one
+    * repartition(src) shuffle, the [[neighborhoodFunction]] layout)
+    * and persists across hops; each hop is a frontier semi-join
+    * (broadcastable — frontiers are fanout-bounded) and a per-src
+    * rank window bounded by max degree (for extreme hubs the
+    * [[graft.operators.Sampling.weightedReservoirPerGroup]]
+    * per-partition bounded-heap pre-selection applies verbatim —
+    * top-k by md5 is its uniform-weight case). Eager per-hop
+    * localCheckpoint (the [[pageRank]] discipline) so hop h never
+    * replays hop h−1.
+    */
+  def neighborSample(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, seedCol: String,
+                     fanouts: Seq[Int]): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"need at least one positive fanout: $fanouts")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .persist()
+    var frontier = seeds.select(col(seedCol).as("src")).distinct()
+    var out: DataFrame = null
+    for ((s, i) <- fanouts.zipWithIndex) {
+      val w = Window.partitionBy("src").orderBy("u", "dst")
+      val h = und.join(frontier, Seq("src"), "left_semi")
+        .withColumn("u", md5(concat(col("src").cast("string"), lit("_"),
+          col("dst").cast("string"))))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= s)
+        .select(lit((i + 1).toLong).as("hop"), col("src"), col("dst"),
+          col("rnk"))
+        .localCheckpoint()
+      out = if (out == null) h else out.union(h)
+      frontier = h.select(col("dst").as("src")).distinct()
+    }
+    und.unpersist(blocking = false)
+    out
+  }
+
   /** Multi-source [[shortestPaths]]: one synchronous Bellman-Ford
     * sweep whose state is keyed by (source, node), relaxing every
     * source's frontier through the SAME cached edge layout per round —

@@ -497,4 +497,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSeq
     assert(again.toSet == got.toSet)
   }
+
+  test("bloomCrossMembership: no false negatives ever; saturated filter flags FPs honestly") {
+    val train = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val probe = Seq((10L, "alpha"), (11L, "delta"), (12L, "beta")).toDF("doc_id", "text")
+    val wide = Dedup.bloomCrossMembership(train, probe, "doc_id", "text",
+        mBits = 32768, kHashes = 3)
+      .select("doc_id", "bloom_hit", "exact_hit", "is_false_positive")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    // every exact hit MUST bloom-hit (the defining bloom guarantee)
+    assert(wide.filter(_._3).forall(_._2), s"false negative: ${wide.toSeq}")
+    assert(wide.filter(_._1 != 11L).forall(r => r._2 && r._3 && !r._4))
+    // a 2-bit filter saturates: everything hits, the novel doc is
+    // flagged as a false positive rather than silently passed off
+    val tiny = Dedup.bloomCrossMembership(train, probe, "doc_id", "text",
+        mBits = 2, kHashes = 3)
+      .select("doc_id", "bloom_hit", "is_false_positive")
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(tiny.forall(_._2), s"2-bit filter must saturate: ${tiny.toSeq}")
+    assert(tiny.find(_._1 == 11L).exists(_._3),
+      s"novel doc through a saturated filter is a FLAGGED fp: ${tiny.toSeq}")
+  }
 }

@@ -665,4 +665,36 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)),
       s"expected exactly the triangle with support 1: $got")
   }
+
+  test("neighborSample: fanout bounds, hop-2 frontier from samples only, prefix-consistent") {
+    import spark.implicits._
+    // star: hub 1 touches 2..8; node 2 also touches 9 (hop-2 reach)
+    val edges = ((2L to 8L).map(n => (1L, n)) :+ (2L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    def run(fanouts: Seq[Int]) =
+      Graph.neighborSample(edges, "src", "dst", seeds, "seed", fanouts)
+        .select("hop", "src", "dst", "rnk").as[(Long, Long, Long, Long)]
+        .collect().toSeq.sorted
+    val got = run(Seq(3, 2))
+    val h1 = got.filter(_._1 == 1L)
+    assert(h1.size == 3 && h1.forall(_._2 == 1L) && h1.map(_._4).sorted == Seq(1L, 2L, 3L))
+    // hop 2 expands ONLY the sampled hop-1 dsts
+    val h2 = got.filter(_._1 == 2L)
+    val f1 = h1.map(_._3).toSet
+    assert(h2.nonEmpty && h2.forall(r => f1.contains(r._2)), s"$h2 vs $f1")
+    assert(h2.groupBy(_._2).values.forall(_.size <= 2), "hop-2 fanout bound")
+    // deterministic; a smaller fanout is a PREFIX of the larger one
+    assert(run(Seq(3, 2)) == got)
+    val wide = run(Seq(5, 2)).filter(r => r._1 == 1L && r._4 <= 3)
+    assert(wide == h1, s"fanout-3 sample must be the fanout-5 prefix: $wide vs $h1")
+  }
+
+  test("neighborSample: undirected reach (an edge stored one way samples both ways)") {
+    import spark.implicits._
+    val edges = Seq((5L, 6L)).toDF("src", "dst")
+    val fromDst = Graph.neighborSample(edges, "src", "dst",
+        Seq(6L).toDF("seed"), "seed", Seq(2))
+      .select("src", "dst").as[(Long, Long)].collect().toSeq
+    assert(fromDst == Seq((6L, 5L)), s"must traverse the reverse direction: $fromDst")
+  }
 }
