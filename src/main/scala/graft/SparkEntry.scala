@@ -5097,6 +5097,14 @@ object SparkEntry {
           iters = 4, k = 20)
         .orderBy("rnk")),
 
+    // RAKE keyphrases: stopword-delimited candidate runs, word
+    // scores deg/freq as scaled longs, phrase = sum of word scores,
+    // top-25 TakeOrdered — multi-word units where textrank ranks
+    // single words
+    "text_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("rnk")),
+
     // corpus health: Zipf slope of the top-50 vocabulary head —
     // round-6-scaled ln values, events_trend OLS arithmetic
     "text_zipf_fit" -> ((s, dir) =>
@@ -5541,6 +5549,14 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) =>
       Events.abTest(t(s, dir, "events"), metricType = "purchase")
         .orderBy("n_a")),
+
+    // group-sequential monitor: one Pocock look per day on the
+    // purchase-rate gap between the parity arms — cumulative exact
+    // counts, constant boundary, running stop flag
+    "events_sequential" -> ((s, dir) =>
+      Events.sequentialMonitor(t(s, dir, "events"),
+          convType = "purchase", zCrit = 2.8)
+        .orderBy("day")),
 
     // distribution-shape profile: skewness + excess kurtosis per type
     // from the first four EXACT raw moments (decimal sums of scaled
@@ -7044,6 +7060,41 @@ object SparkEntry {
 
     // the same exact decimal moments → fixed IEEE expression →
     // round(6) arithmetic, spelled out term-for-term in SQL
+    // sequential monitor replayed: daily conditional counts, window
+    // cumulative looks, the same fixed z chain and boundary verdicts
+    "events_sequential" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS dn_a,
+        |  CAST(count(*) FILTER (user_id % 2 = 0 AND event_type = 'purchase')
+        |    AS BIGINT) AS dx_a,
+        |  CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS dn_b,
+        |  CAST(count(*) FILTER (user_id % 2 = 1 AND event_type = 'purchase')
+        |    AS BIGINT) AS dx_b
+        | FROM events GROUP BY 1),
+        | cum AS (SELECT day,
+        |  CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+        |  CAST(sum(dx_a) OVER w AS BIGINT) AS x_a,
+        |  CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+        |  CAST(sum(dx_b) OVER w AS BIGINT) AS x_b
+        | FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        | z AS (SELECT day, n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND
+        |   sqrt((x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)
+        |    * (1.0 - (x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE))
+        |    * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) > 0
+        |  THEN round((x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE)
+        |   / sqrt((x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)
+        |    * (1.0 - (x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE))
+        |    * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6)
+        |  END AS z FROM cum),
+        | sg AS (SELECT *, coalesce(abs(z) >= 2.8, false) AS significant
+        |  FROM z)
+        | SELECT day, n_a, x_a, n_b, x_b, z, significant,
+        |  max(CASE WHEN significant THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1 AS stopped
+        | FROM sg ORDER BY day""".stripMargin,
+
     "events_ab_test" ->
       """WITH m AS (
         | SELECT user_id % 2 AS variant,
@@ -11161,6 +11212,40 @@ object SparkEntry {
         |   round(num::DOUBLE * num::DOUBLE / (dx::DOUBLE * dy::DOUBLE), 6)
         |  END AS r2
         | FROM f""".stripMargin,
+
+    // RAKE replayed: stopword-delimited islands via pos − row_number,
+    // per-instance word deg/freq, scaled-long word scores, phrase sum
+    "text_rake" ->
+      """WITH tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS w
+        |  FROM (SELECT doc_id,
+        |         string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents),
+        |   UNNEST(range(1, len(w) + 1)) AS t(i)),
+        | cand AS (SELECT doc_id, pos, w FROM tok
+        |  WHERE length(w) > 0 AND w NOT IN ('the', 'a', 'an', 'and', 'or',
+        |   'of', 'to', 'in', 'is', 'that', 'it', 'for')),
+        | runs AS (SELECT doc_id, pos, w,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cand),
+        | ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |   CAST(count(*) AS BIGINT) AS len
+        |  FROM runs GROUP BY 1, 2 HAVING count(*) <= 6),
+        | ws AS (SELECT w, CAST(round(sum(len)::DOUBLE * 1e6
+        |     / count(*)::DOUBLE, 0) AS BIGINT) AS s6
+        |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM ph)
+        |  GROUP BY 1),
+        | pt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |   CAST(min(len) AS BIGINT) AS n_words FROM ph GROUP BY 1),
+        | sc AS (SELECT phrase, CAST(sum(s6) AS BIGINT) AS s
+        |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM pt)
+        |  JOIN ws USING (w) GROUP BY 1),
+        | top AS (SELECT pt.phrase, n_words, n_occ,
+        |   round(s::DOUBLE / 1e6, 6) AS score
+        |  FROM pt JOIN sc USING (phrase)
+        |  ORDER BY score DESC, pt.phrase LIMIT 25)
+        | SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase)
+        |   AS BIGINT) AS rnk, phrase, n_words, n_occ, score
+        | FROM top ORDER BY rnk""".stripMargin,
 
     // PMI arithmetic mirrored exactly: counts to DOUBLE before the
     // products, ln, round 6 — the bigram window construction is the

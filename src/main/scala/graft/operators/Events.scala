@@ -683,6 +683,56 @@ object Events {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** GROUP-SEQUENTIAL A/B monitoring (Pocock 1977) — the "peeking
+    * problem" fix: an experimenter who tests at α = 0.05 after every
+    * day of data will false-positive far above 5% over the campaign;
+    * group-sequential designs spend the error budget across K
+    * interim looks by testing each against a HIGHER constant
+    * boundary `zCrit`. One look per day: cumulative two-proportion
+    * z of the `convType` conversion rate between the user-parity
+    * arms ([[abTest]]'s assignment), the boundary verdict, and the
+    * running has-stopped flag (first boundary crossing ends the
+    * experiment; later rows report what a still-running monitor
+    * would show). zCrit is policy — Pocock's constant for K daily
+    * looks at α = 0.05 (≈2.8 at K ≈ 60); callers pass their design's
+    * value.
+    *
+    * Exactness: per-day arm counts are exact longs from one
+    * conditional aggregate; cumulative counts are integer window
+    * sums; each look's z is one fixed IEEE chain off those integers,
+    * rounded 6. The cumulative windows run on the |days|-row look
+    * table (bounded, control-plane sized) — never on the corpus.
+    */
+  def sequentialMonitor(events: DataFrame, convType: String,
+                        zCrit: Double): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val daily = events.select(to_date(col("ts")).as("day"),
+        pmod(col("user_id"), lit(2L)).as("variant"),
+        (col("event_type") === convType).cast("long").as("x"))
+      .groupBy("day").agg(
+        sum(when(col("variant") === 0, lit(1L)).otherwise(lit(0L))).as("dn_a"),
+        coalesce(sum(when(col("variant") === 0, col("x"))), lit(0L)).as("dx_a"),
+        sum(when(col("variant") === 1, lit(1L)).otherwise(lit(0L))).as("dn_b"),
+        coalesce(sum(when(col("variant") === 1, col("x"))), lit(0L)).as("dx_b"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"), // |days|-row table: bounded window
+      sum(col("dn_a")).over(w).as("n_a"), sum(col("dx_a")).over(w).as("x_a"),
+      sum(col("dn_b")).over(w).as("n_b"), sum(col("dx_b")).over(w).as("x_b"))
+    val pA = d(col("x_a")) / d(col("n_a"))
+    val pB = d(col("x_b")) / d(col("n_b"))
+    val pp = (d(col("x_a")) + d(col("x_b"))) / (d(col("n_a")) + d(col("n_b")))
+    val se = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    val looks = cum
+      .withColumn("z", when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        round((pA - pB) / se, 6)))
+      .withColumn("significant",
+        coalesce(abs(col("z")) >= zCrit, lit(false)))
+    looks.withColumn("stopped",
+      max(col("significant").cast("int")).over(w) === 1)
+  }
+
   /** Event-study curve for the [[diffInDiff]] design: the per-day
     * treated-vs-control gap relative to its PRE-period baseline,
     *   effect_d = (ȳ_T,d − ȳ_C,d) − (ȳ_T,pre − ȳ_C,pre),

@@ -1005,6 +1005,68 @@ object TextAnalysis {
       .select("rnk", "term", "tf", "n_docs_with", "vmr")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — candidate
+    * phrases are the maximal token runs BETWEEN stopword delimiters;
+    * each word scores deg(w)/freq(w) over the candidate set (deg =
+    * Σ length of every phrase containing the occurrence — rewards
+    * words that travel in long collocations; freq alone would rank
+    * bare high-frequency terms), and a phrase scores the sum of its
+    * word scores. The document-set keyphrase miner that needs no
+    * model and no parse — the corpus-level companion to [[textRank]]
+    * (which ranks single words by co-occurrence recursion; RAKE
+    * surfaces multi-word units directly). Phrases longer than
+    * `maxLen` are discarded (the rake-nltk practical cap — unbounded
+    * runs in low-stopword text are noise, not keyphrases).
+    *
+    * Determinism: freq/deg are exact longs; each word score rounds
+    * deg·1e6/freq to an exact long (one IEEE division), phrase
+    * scores sum those longs (order-independent), top-k is
+    * TakeOrdered by (score, phrase); the rank window touches ≤ k
+    * rows.
+    *
+    * Scale shape: tokenization + the per-doc island window (bounded
+    * by doc length), two hash aggregates for word stats, one
+    * phrase-keyed aggregate, a words→scores join keyed by the
+    * bounded word table (broadcastable), TakeOrdered. No global
+    * windows, no collects.
+    */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+                     stop: Seq[String] = Seq("the", "a", "an", "and", "or",
+                       "of", "to", "in", "is", "that", "it", "for"),
+                     maxLen: Int = 6, k: Int = 25): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+    val cand = tok.where(length(col("w")) > 0 &&
+      !col("w").isin(stop.map(_.asInstanceOf[Any]): _*))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = cand.withColumn("grp", col("pos") - row_number().over(wd))
+    val phrases = runs.groupBy("doc_id", "grp")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .where(col("len") <= maxLen)
+    val wordStats = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("s6",
+        round(d(col("deg")) * 1e6 / d(col("freq")), 0).cast("long"))
+    val pt = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), first(col("len")).as("n_words"))
+    val scored = pt.select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(wordStats.select("w", "s6")), "w")
+      .groupBy("phrase").agg(sum(col("s6")).as("s"))
+    pt.join(scored, "phrase")
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        round(d(col("s")) / 1e6, 6).as("score"))
+      .orderBy(desc("score"), asc("phrase")).limit(k)
+      .withColumn("rnk", row_number() // ≤ k rows
+        .over(Window.orderBy(desc("score"), asc("phrase"))).cast("long"))
+      .select("rnk", "phrase", "n_words", "n_occ", "score")
+  }
+
   /** Zipf-law fit over the head of the vocabulary: OLS slope of
     * ln(tf) against ln(rank) for the top-`k` terms — healthy natural
     * text sits near −1; a much flatter slope flags template/boiler-

@@ -895,4 +895,36 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq((false, 2.0, 0.0), (true, 11.0, 9.0)),
       s"event-study curve mismatch: $got")
   }
+
+  test("sequentialMonitor: boundary crossing stops; the stop flag survives a later lapse") {
+    import java.sql.Timestamp
+    // arm A = even user_id, arm B = odd; one look per day
+    def batch(day: String, n: Int, convA: Int, convB: Int) =
+      (0 until n).flatMap { i =>
+        Seq((2L * i, day, if (i < convA) "purchase" else "view"),
+            (2L * i + 1, day, if (i < convB) "purchase" else "view"))
+      }
+    val rows = batch("2024-01-01", 10, 1, 1) ++   // z = 0, no stop
+      batch("2024-01-02", 10, 10, 0) ++           // cum 11/20 vs 1/20: z > 2.8
+      batch("2024-01-03", 200, 100, 100)          // balanced flood: z lapses
+    val df = rows.map { case (u, d, t) =>
+      (u, Timestamp.valueOf(s"$d 12:00:00"), t)
+    }.toDF("user_id", "ts", "event_type")
+    val got = Events.sequentialMonitor(df, "purchase", zCrit = 2.8)
+      .select("day", "n_a", "x_a", "n_b", "x_b", "significant", "stopped")
+      .as[(java.sql.Date, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(_._1.toString)
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) ==
+      Seq((10L, 1L, 10L, 1L), (20L, 11L, 20L, 1L), (220L, 111L, 220L, 101L)),
+      s"cumulative counts: $got")
+    assert(got.map(r => (r._6, r._7)) ==
+      Seq((false, false), (true, true), (false, true)),
+      s"look verdicts: day-2 crossing must stop; day-3 lapse must stay stopped: $got")
+    // z at the crossing look: hand chain 0.5 / sqrt(0.3·0.7·0.1)
+    val z2 = Events.sequentialMonitor(df, "purchase", zCrit = 2.8)
+      .where(org.apache.spark.sql.functions.col("n_a") === 20)
+      .select("z").as[Double].head()
+    val expect = math.rint(0.5 / math.sqrt(0.3 * 0.7 * 0.1) * 1e6) / 1e6
+    assert(math.abs(z2 - expect) < 1e-9, s"z: $z2 vs $expect")
+  }
 }

@@ -606,4 +606,24 @@ class TextAnalysisSpec extends SparkSpec {
     val expect = math.rint((3 * ln3s - 2 * ln2s) / 3.0 / 1e6 * 1e6) / 1e6
     assert(math.abs(got - expect) < 1e-9, s"got $got expect $expect")
   }
+
+  test("rakeKeyphrases: hand-computed deg/freq scores; stopwords split; maxLen drops runs") {
+    val docs = Seq(
+      (1L, "deep learning of deep learning and fast gpu"),
+      (2L, "gpu")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs, "doc_id", "text")
+      .select("rnk", "phrase", "n_words", "n_occ", "score")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // word scores: deep 4/2=2, learning 4/2=2, fast 2/1=2, gpu 3/2=1.5
+    assert(got == Seq(
+      (1L, "deep learning", 2L, 2L, 4.0),
+      (2L, "fast gpu", 2L, 1L, 3.5),
+      (3L, "gpu", 1L, 1L, 1.5)), s"$got")
+    // a run longer than maxLen is dropped entirely
+    val long = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 and w9")).toDF("doc_id", "text")
+    val kept = TextAnalysis.rakeKeyphrases(long, "doc_id", "text", maxLen = 6)
+      .select("phrase").as[String].collect().toSeq
+    assert(kept == Seq("w9"), s"7-token run must be discarded: $kept")
+  }
 }
