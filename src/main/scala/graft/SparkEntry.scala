@@ -1002,6 +1002,63 @@ object SparkEntry {
     head + rs + "\n " + unions + "\n ORDER BY node_a"
   }
 
+  // ---- sampled-source Brandes SQL twin: BFS levels with exact σ
+  // path counts unrolled forward, then the dependency accumulation
+  // unrolled BACKWARD by level (each δ level final before it feeds
+  // the one below), scaled-long contributions. ----------------------
+  private def betweennessSql(hops: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | d AS (SELECT c, count(*) AS deg FROM e GROUP BY 1),
+        | w AS (SELECT c FROM d WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN w USING (c)),
+        | pr AS (SELECT a.item AS ia, b.item AS ib
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | und AS MATERIALIZED (SELECT ia AS u, ib AS v FROM pr
+        |        UNION SELECT ib, ia FROM pr),
+        | src AS (SELECT u AS s FROM (SELECT DISTINCT u FROM und
+        |  WHERE u % 50 = 0 ORDER BY u LIMIT 40)),
+        | st0 AS (SELECT s, s AS v, CAST(0 AS BIGINT) AS dist,
+        |  CAST(1 AS BIGINT) AS sigma FROM src)""".stripMargin
+    val fwd = (1 to hops).map { r =>
+      s""",
+         | rel$r AS (SELECT f.s, e.v AS ev, CAST(sum(f.sigma) AS BIGINT) AS sig
+         |  FROM st${r - 1} f JOIN und e ON f.v = e.u
+         |  WHERE f.dist = ${r - 1} GROUP BY 1, 2),
+         | st$r AS MATERIALIZED (SELECT * FROM st${r - 1} UNION ALL
+         |  SELECT r.s, r.ev, CAST($r AS BIGINT), r.sig FROM rel$r r
+         |  WHERE NOT EXISTS (SELECT 1 FROM st${r - 1} q
+         |   WHERE q.s = r.s AND q.v = r.ev))""".stripMargin
+    }.mkString
+    val succ =
+      s""",
+         | succ AS MATERIALIZED (SELECT a.s, a.v, a.sigma AS sig_v,
+         |   b.v AS w, b.sigma AS sig_w, b.dist AS dw
+         |  FROM st$hops a JOIN und e ON a.v = e.u
+         |  JOIN st$hops b ON b.s = a.s AND b.v = e.v
+         |   AND b.dist = a.dist + 1),
+         | d$hops AS (SELECT s, v, CAST(0 AS BIGINT) AS d9 FROM st$hops)""".stripMargin
+    val back = (hops to 1 by -1).map { lvl =>
+      s""",
+         | c$lvl AS (SELECT su.s, su.v, CAST(sum(CAST(round(
+         |    su.sig_v::DOUBLE * (1e9 + d.d9::DOUBLE) / su.sig_w::DOUBLE, 0)
+         |    AS BIGINT)) AS BIGINT) AS add9
+         |  FROM succ su JOIN d$lvl d ON d.s = su.s AND d.v = su.w
+         |  WHERE su.dw = $lvl GROUP BY 1, 2),
+         | d${lvl - 1} AS MATERIALIZED (SELECT d.s, d.v,
+         |   d.d9 + coalesce(c.add9, 0) AS d9
+         |  FROM d$lvl d LEFT JOIN c$lvl c ON c.s = d.s AND c.v = d.v)""".stripMargin
+    }.mkString
+    head + fwd + succ + back +
+      """
+        | SELECT v AS node, CAST(count(*) AS BIGINT) AS n_sources,
+        |  round(sum(d9)::DOUBLE / 1e9, 6) AS betweenness
+        | FROM d0 WHERE s <> v GROUP BY 1
+        | HAVING sum(d9) > 0
+        | ORDER BY betweenness DESC, node LIMIT 30""".stripMargin
+  }
+
   // ---- raking/IPF SQL twin: the biased cut's cell table, then each
   // Sinkhorn round as two MATERIALIZED margin-rescale CTEs (exact
   // long margins, one fixed IEEE rescale chain per step). -----------
@@ -2915,6 +2972,22 @@ object SparkEntry {
     "graph_adamic_adar" -> ((s, dir) =>
       Graph.adamicAdarFromGraph(s, ensureBasketGraph(s, dir), k = 20)
         .orderBy(desc("score"), asc("item_a"), asc("item_b"))),
+
+    // sampled-source Brandes betweenness on the SUPPORT-2 co-purchase
+    // backbone (Brandes & Pich 2007; the kTruss edge set — the raw
+    // pair graph's 240-degree noise edges make every node 2 hops from
+    // everything and betweenness degenerate): ≤40 pinned sources,
+    // 4-hop truncation, scaled-long dependency rounds — top-30
+    // bridge items
+    "graph_betweenness" -> ((s, dir) => {
+      val pairs = Graph.basketPairEdges(s, ensureBasketGraph(s, dir),
+        minSupport = 2)
+      val nodes = pairs.select(col("src").as("u"))
+        .union(pairs.select(col("dst").as("u"))).distinct()
+      val sources = nodes.where(col("u") % 50 === 0).orderBy("u").limit(40)
+      Graph.betweennessSampled(pairs, "src", "dst", sources, "u", hops = 4)
+        .orderBy(desc("betweenness"), asc("node")).limit(30)
+    }),
 
     // GraphSAGE-style layered neighbor sampling off the SAME
     // materialized pair graph: md5-ranked fanouts (5, 3) from the
@@ -7718,6 +7791,8 @@ object SparkEntry {
     // same df-cut (2 ≤ order size ≤ 200), same round-9-scale-to-long
     // weights, same TakeOrdered tiebreak
     "graph_adamic_adar" -> adamicAdarSql,
+
+    "graph_betweenness" -> betweennessSql(hops = 4),
 
     // the df-cut pair graph symmetrized, then per-hop md5-ranked
     // fanout prefixes (QUALIFY) with the hop-2 frontier drawn from

@@ -689,6 +689,29 @@ class GraphSpec extends SparkSpec {
     assert(wide == h1, s"fanout-3 sample must be the fanout-5 prefix: $wide vs $h1")
   }
 
+  test("betweennessSampled: path graph puts all load on the interior; square splits σ") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], srcs: Seq[Long]) =
+      Graph.betweennessSampled(edges.toDF("src", "dst"), "src", "dst",
+          srcs.toDF("u"), "u", hops = 4)
+        .select("node", "n_sources", "betweenness")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // path 1-2-3-4, all sources: interior nodes carry 4 ordered pairs
+    val path = run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L, 2L, 3L, 4L))
+    assert(path == Seq((2L, 3L, 4.0), (3L, 3L, 4.0)),
+      s"endpoints drop (zero), interior carries 4 (3 non-self sources): $path")
+    // square 1-2-4-3-1: two equal-length 1→4 paths split σ — each
+    // midpoint carries 0.5 per traversing direction
+    val sq = run(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L)),
+      Seq(1L, 2L, 3L, 4L))
+    assert(sq == Seq((1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 3L, 1.0), (4L, 3L, 1.0)),
+      s"every node bridges one pair at σ-share 1/2 each way: $sq")
+    // hop truncation: a 5-node path at hops=4 still reaches, but a
+    // source subset only counts ITS pairs
+    val sub = run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L))
+    assert(sub == Seq((2L, 1L, 2.0), (3L, 1L, 1.0)), s"single-source deps: $sub")
+  }
+
   test("neighborSample: undirected reach (an edge stored one way samples both ways)") {
     import spark.implicits._
     val edges = Seq((5L, 6L)).toDF("src", "dst")
