@@ -4337,6 +4337,18 @@ object SparkEntry {
       s.read.parquet(knnGraphPath(dir)).orderBy("query_id", "rnk")
     }),
 
+    // label propagation over the SAME materialized kNN table (sixth
+    // consumer): 20% seeds, 3 sync majority rounds with min-label
+    // tie-break, non-seed accuracy audited in-row
+    "sim_label_spread" -> ((s, dir) => {
+      Similarity.ensureKnnGraph(t(s, dir, "embeddings"), "vec_id",
+        "embedding", knnGraphPath(dir), k = 3, nbits = 4, numTables = 16)
+      Similarity.labelSpreadFromKnn(s, knnGraphPath(dir),
+          t(s, dir, "embeddings"), "vec_id", "label",
+          seedMod = 5, rounds = 3)
+        .orderBy("vec_id")
+    }),
+
     // TwoNN intrinsic dimension off the SAME materialized kNN table
     // (fifth consumer): d̂ = n/Σ ln(d₂/d₁) — the representation-
     // collapse diagnostic, no vector re-scan
@@ -8935,6 +8947,59 @@ object SparkEntry {
          |    ORDER BY score DESC, corpus_id) AS rnk
          |  FROM scored)
          | WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // the sim_knn_graph chain symmetrized into an edge set, then the
+    // hard-label LP rounds unrolled: per-round labeled-neighbor vote
+    // counts, (n DESC, label ASC) argmax, seeds clamped
+    "sim_label_spread" -> {
+      val rounds = 3
+      val head =
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+           | cand AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+           |  FROM bkt c JOIN bkt q
+           |    ON c.t = q.t AND c.bucket = q.bucket AND c.id <> q.id),
+           | scored AS (
+           |  SELECT query_id, corpus_id,
+           |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+           |  FROM cand
+           |  JOIN embeddings ce ON ce.vec_id = corpus_id
+           |  JOIN embeddings qe ON qe.vec_id = query_id),
+           | knn AS (SELECT query_id, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rnk
+           |  FROM scored) WHERE rnk <= 3),
+           | ed AS MATERIALIZED (SELECT query_id AS u, corpus_id AS v FROM knn
+           |       UNION SELECT corpus_id, query_id FROM knn),
+           | base AS MATERIALIZED (SELECT vec_id AS id,
+           |   CAST(label AS BIGINT) AS label_true,
+           |   (vec_id % 5 = 0) AS is_seed FROM embeddings),
+           | lp0 AS (SELECT id, CASE WHEN is_seed THEN label_true END AS lab
+           |  FROM base)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        s""",
+           | vt$r AS (SELECT ed.u, s.lab, CAST(count(*) AS BIGINT) AS n
+           |  FROM ed JOIN lp${r - 1} s ON s.id = ed.v
+           |  WHERE s.lab IS NOT NULL GROUP BY 1, 2),
+           | wn$r AS (SELECT u AS id, lab AS vote FROM (
+           |  SELECT u, lab, row_number() OVER (PARTITION BY u
+           |    ORDER BY n DESC, lab ASC) AS rn FROM vt$r) WHERE rn = 1),
+           | lp$r AS MATERIALIZED (SELECT b.id,
+           |   CASE WHEN b.is_seed THEN b.label_true
+           |    ELSE coalesce(w.vote, p.lab) END AS lab
+           |  FROM base b JOIN lp${r - 1} p ON p.id = b.id
+           |  LEFT JOIN wn$r w ON w.id = b.id)""".stripMargin
+      }.mkString
+      head + rs +
+        s"""
+           | SELECT b.id AS vec_id, b.label_true, b.is_seed,
+           |  s.lab AS label_pred,
+           |  CASE WHEN NOT b.is_seed AND s.lab IS NOT NULL
+           |   THEN s.lab = b.label_true END AS correct
+           | FROM base b JOIN lp$rounds s ON s.id = b.id
+           | ORDER BY vec_id""".stripMargin
+    },
 
     // the sim_knn_graph chain pivoted to (d1, d2) per query, the
     // scaled-ln MLE with the duplicate/no-2nd-neighbor drops

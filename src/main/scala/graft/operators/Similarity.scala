@@ -1425,6 +1425,80 @@ object Similarity {
     mutualizeKnn(spark.read.parquet(path))
   }
 
+  /** LABEL PROPAGATION over the materialized kNN graph (Zhu &
+    * Ghahramani 2002, the hard-label variant) — semi-supervised data
+    * labeling: a small seeded fraction carries ground-truth labels
+    * and everything else takes the majority label of its labeled
+    * graph neighbors, re-voted for `rounds` synchronous rounds
+    * (labels flow outward one hop per round). The standard cheap
+    * path from "we can only afford to label 20%" to a fully-labeled
+    * training set, plus its own audit: non-seed nodes whose true
+    * label is known here report `correct`, measuring the
+    * propagation's accuracy the way a real pipeline would on a
+    * held-out slice.
+    *
+    * Determinism: votes are exact neighbor counts over the served
+    * edge set (symmetrized); the winner is the (count, label)
+    * lexicographic argmax via one max(struct) with min-label
+    * tie-break — no RNG; seeds are clamped every round; a node with
+    * no labeled neighbor keeps its previous label (null until
+    * reached). Sixth consumer of [[ensureKnnGraph]] — no vector
+    * re-scan.
+    *
+    * Scale shape: per round, one |E|-row join against the labeled
+    * state and two node-keyed hash aggregates (map-side combined);
+    * eager per-round localCheckpoint (the
+    * [[graft.operators.Graph.pageRank]] discipline). No windows.
+    */
+  def labelSpreadFromKnn(spark: org.apache.spark.sql.SparkSession,
+                         path: String, emb: DataFrame, idCol: String,
+                         labelCol: String, seedMod: Int,
+                         rounds: Int): DataFrame = {
+    require(Markers.exists(s"$path/_SUCCESS"),
+      s"kNN graph at $path has no build marker; rebuild with ensureKnnGraph")
+    require(seedMod >= 2 && rounds >= 1, s"bad params: $seedMod/$rounds")
+    val e0 = spark.read.parquet(path)
+      .select(col("query_id").as("u"), col("corpus_id").as("v"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
+      .dropDuplicates("u", "v")
+      .persist()
+    val base = emb.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("label_true"),
+        (col(idCol) % seedMod === 0).as("is_seed"))
+      .localCheckpoint()
+    var state = base.select(col("id"),
+      when(col("is_seed"), col("label_true")).as("lab"))
+    for (_ <- 1 to rounds) {
+      val win = edges
+        .join(state.where(col("lab").isNotNull)
+          .select(col("id").as("v"), col("lab")), "v")
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("n"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("n"), (-col("lab")).as("neg"),
+          col("lab").as("l"))).as("t"))
+        .select(col("u").as("id"), col("t.l").as("vote"))
+      val prev = state
+      state = base
+        .join(prev.select(col("id"), col("lab").as("old")), "id")
+        .join(win, Seq("id"), "left")
+        .select(col("id"), when(col("is_seed"), col("label_true"))
+          .otherwise(coalesce(col("vote"), col("old"))).as("lab"))
+        .localCheckpoint()
+      graft.operators.Graph.unpersistBacking(prev)
+    }
+    val out = base.join(state, "id")
+      .select(col("id").as("vec_id"), col("label_true"), col("is_seed"),
+        col("lab").as("label_pred"),
+        when(!col("is_seed") && col("lab").isNotNull,
+          col("lab") === col("label_true")).as("correct"))
+      .localCheckpoint()
+    graft.operators.Graph.unpersistBacking(state)
+    graft.operators.Graph.unpersistBacking(base)
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Per-cluster mean silhouette against trained k-means centroids —
     * the centroid-based simplified silhouette: a = cosine distance to
     * the OWN (nearest) centroid, b = distance to the second-nearest,

@@ -655,6 +655,53 @@ class SimilaritySpec extends SparkSpec {
     assert(nu3 < np3, s"duplicate points must be dropped from the MLE: $np3/$nu3")
   }
 
+  test("labelSpreadFromKnn: labels flow to cluster mates; seeds stay clamped") {
+    def pad(v: Array[Float]) = v ++ Array.fill(64 - v.length)(0f)
+    def jit(base: Array[Float], i: Int) =
+      pad(base.zipWithIndex.map { case (x, j) =>
+        x + (if (j < 3) 0.01f * ((i * 7 + j) % 5) else 0f) })
+    val a = Array(1f, 0f, 0f); val b = Array(0f, 1f, 0f)
+    // cluster A: ids 0 (seed, label 7), 1, 2; cluster B: ids 5 (seed,
+    // label 9), 6, 7; id 10 sits INSIDE cluster A but is a seed with
+    // label 9 — propagation must never overwrite it (A's non-seeds
+    // see a 7-vs-9 seed tie and keep 7 via the min-label tie-break)
+    val rows = Seq(
+      (0L, jit(a, 0), 7), (1L, jit(a, 1), 7), (2L, jit(a, 2), 7),
+      (5L, jit(b, 0), 9), (6L, jit(b, 1), 9), (7L, jit(b, 2), 9),
+      (10L, jit(a, 3), 9))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_lspread_${System.nanoTime()}"
+    Similarity.ensureKnnGraph(df, "vec_id", "embedding", path,
+      k = 3, nbits = 2, numTables = 8)
+    val got = Similarity.labelSpreadFromKnn(spark, path, df,
+        "vec_id", "label", seedMod = 5, rounds = 3)
+      .select("vec_id", "is_seed", "label_pred", "correct")
+      .as[(Long, Boolean, Option[Long], Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 && byId(0L)._3.contains(7L) && byId(0L)._4.isEmpty,
+      s"seed reports no accuracy: $got")
+    // A's non-seeds sit between a 7-seed and a 9-seed: they must be
+    // REACHED (some seed label, audited), whichever the LSH-shaped
+    // neighborhood elects
+    Seq(1L, 2L).foreach { id =>
+      assert(byId(id)._3.exists(Set(7L, 9L)) && byId(id)._4.isDefined,
+        s"A non-seed unreached: $got")
+    }
+    // B is clean: only seed 5 feeds it
+    assert(byId(6L)._3.contains(9L) && byId(6L)._4.contains(true), s"$got")
+    assert(byId(7L)._3.contains(9L) && byId(7L)._4.contains(true), s"$got")
+    // the A-embedded seed keeps ITS label against the majority vote
+    assert(byId(10L)._2 && byId(10L)._3.contains(9L), s"clamp broken: $got")
+    // deterministic across partitionings
+    val again = Similarity.labelSpreadFromKnn(spark, path,
+        df.repartition(5), "vec_id", "label", seedMod = 5, rounds = 3)
+      .select("vec_id", "is_seed", "label_pred", "correct")
+      .as[(Long, Boolean, Option[Long], Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
   test("dbscan: planted arc — dense blob is core, fringe point is border, far point is noise") {
     def at(deg: Double) = {
       val r = math.toRadians(deg)
