@@ -1002,6 +1002,25 @@ object SparkEntry {
     head + rs + "\n " + unions + "\n ORDER BY node_a"
   }
 
+  // ---- bloom PROBE SQL twin (production path, no ground truth):
+  // the distinct train-position bit set, per-probe distinct-position
+  // counts — shared by the upsert and stream serving gates. --------
+  private val bloomProbeSql: String =
+    """WITH tr AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE doc_id % 17 <> 0),
+      | sfx AS (SELECT unnest(['_b1', '_b2', '_b3']) AS j),
+      | bits AS (SELECT DISTINCT
+      |   ('0x' || substr(md5(h || j), 1, 8))::BIGINT % 32768 AS p
+      |  FROM tr CROSS JOIN sfx),
+      | ph AS (SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE doc_id % 17 = 0),
+      | pp AS (SELECT DISTINCT doc_id,
+      |   ('0x' || substr(md5(h || j), 1, 8))::BIGINT % 32768 AS p
+      |  FROM ph CROSS JOIN sfx)
+      | SELECT pp.doc_id, (count(b.p) = count(*)) AS bloom_hit
+      | FROM pp LEFT JOIN bits b ON pp.p = b.p
+      | GROUP BY 1 ORDER BY pp.doc_id""".stripMargin
+
   // ---- sampled-source Brandes SQL twin: BFS levels with exact σ
   // path counts unrolled forward, then the dependency accumulation
   // unrolled BACKWARD by level (each δ level final before it feeds
@@ -4137,6 +4156,46 @@ object SparkEntry {
         docs.where(col("doc_id") % 17 =!= 0),
         docs.where(col("doc_id") % 17 === 0),
         "doc_id", "text", mBits = 32768, kHashes = 3)
+        .orderBy("doc_id")
+    }),
+
+    // incrementally-maintained bloom filter: build on half the train
+    // split, upsert the rest — the union-monoid merge law makes the
+    // served probe equal the all-at-once build's oracle
+    "dedup_bloom_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_upsert_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_delta_done").exists()) {
+        val train = docs.where(col("doc_id") % 17 =!= 0)
+        Dedup.writeBloomFilter(train.where(col("doc_id") % 2 === 0),
+          "text", path)
+        Dedup.appendBloomDelta(train.where(col("doc_id") % 2 === 1),
+          "text", path)
+        new java.io.File(s"${path}_delta_done").createNewFile()
+      }
+      Dedup.bloomProbeFromFilter(s, path,
+          docs.where(col("doc_id") % 17 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // STREAM-maintained bloom filter — the lifecycle's fourth leg:
+    // a two-batch doc feed ingests through foreachBatch (batch 0
+    // builds, batch 1 upserts); the served probe hash-matches the
+    // same all-at-once oracle (batching invisible, arrived streaming)
+    "dedup_bloom_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingIndex
+      val src = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_stream_${math.abs(dir.hashCode)}_$src"
+      if (!new java.io.File(s"${path}_ingest_done").exists()) {
+        StreamingIndex.bloomIngestToCompletion(s,
+          stagedTwoBatchDir(s, dir, "documents", "doc_id"), path,
+          trainPredicate = "doc_id % 17 != 0")
+        new java.io.File(s"${path}_ingest_done").mkdirs()
+      }
+      Dedup.bloomProbeFromFilter(s, path,
+          t(s, dir, "documents").where(col("doc_id") % 17 === 0),
+          "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -8615,6 +8674,11 @@ object SparkEntry {
     "dedup_cross" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6,
       candCond = "a.doc_id <> b.doc_id",
       candWhere = "WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0"),
+
+    // the serving legs share one oracle: the all-at-once probe over
+    // the FULL train split (merge law / stream-batching invisibility)
+    "dedup_bloom_upsert" -> bloomProbeSql,
+    "dedup_bloom_stream" -> bloomProbeSql,
 
     // bloom replayed: distinct train-hash positions as the bit set,
     // per-probe distinct-position probe counts, exact-truth join

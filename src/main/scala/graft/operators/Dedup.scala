@@ -1217,21 +1217,29 @@ object Dedup {
     * corpus). Only the exact-truth join shuffles, and only to audit
     * the filter — the production path drops it.
     */
+  /** The k md5-derived bit positions of one content hash — the one
+    * audit point for the bloom family's position formula (the
+    * DuckDB twin is `('0x' || substr(md5(h || '_bj'), 1, 8))::BIGINT
+    * % mBits`).
+    */
+  private def bloomPositions(h: Column, mBits: Int, kHashes: Int): Column =
+    array((1 to kHashes).map(j =>
+      conv(substring(md5(concat(h, lit(s"_b$j"))), 1, 8), 16, 10)
+        .cast("long") % mBits): _*)
+
   def bloomCrossMembership(train: DataFrame, probe: DataFrame,
                            idCol: String, textCol: String,
                            mBits: Int = 32768, kHashes: Int = 3): DataFrame = {
     require(mBits >= 2 && kHashes >= 1, s"bad bloom params: $mBits/$kHashes")
-    def pos(h: Column, j: Int): Column =
-      conv(substring(md5(concat(h, lit(s"_b$j"))), 1, 8), 16, 10)
-        .cast("long") % mBits
-    def positions(h: Column): Column =
-      array((1 to kHashes).map(j => pos(h, j)): _*)
     val th = train.select(md5(col(textCol)).as("h")).distinct()
-    val bits = th.select(explode(positions(col("h"))).as("p")).distinct()
+    val bits = th
+      .select(explode(bloomPositions(col("h"), mBits, kHashes)).as("p"))
+      .distinct()
       .withColumn("in_filter", lit(1))
     val ph = probe.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
     val probed = ph
-      .select(col("doc_id"), col("h"), explode(positions(col("h"))).as("p"))
+      .select(col("doc_id"), col("h"),
+        explode(bloomPositions(col("h"), mBits, kHashes)).as("p"))
       .dropDuplicates("doc_id", "p") // k probes may collide within a key
       .join(broadcast(bits), Seq("p"), "left")
       .groupBy("doc_id", "h")
@@ -1242,5 +1250,100 @@ object Dedup {
         (col("n_found") === col("n_pos")).as("bloom_hit"),
         coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
       .withColumn("is_false_positive", col("bloom_hit") && !col("exact_hit"))
+  }
+
+  /** Materialize a [[bloomCrossMembership]]-style filter as a
+    * lakehouse artifact — the seen-content gate of a CONTINUOUS
+    * ingest, following the house lifecycle (build / `ensure*` serve /
+    * delta upsert / streaming ingest — the BM25/IVF/cluster-map/
+    * basket-graph discipline). Two tables under `path`: `_bits`
+    * (the distinct set positions — the packed bitmap's semantics in
+    * ≤ mBits rows, engine-neutral and SQL-replayable) and `_meta`
+    * (m_bits, k_hashes), written LAST as the commit marker.
+    *
+    * The bloom bit array is a UNION monoid — OR of two filters over
+    * the same (m, k) equals the filter of the unioned key sets — so
+    * [[appendBloomDelta]]'s distinct-union merge is bit-identical to
+    * a from-scratch rebuild (the additive-merge law the upsert gate
+    * proves), and deletion is impossible by construction (rebuild on
+    * retraction — the standard bloom trade).
+    */
+  def writeBloomFilter(train: DataFrame, textCol: String, path: String,
+                       mBits: Int = 32768, kHashes: Int = 3): Unit = {
+    require(mBits >= 2 && kHashes >= 1, s"bad bloom params: $mBits/$kHashes")
+    val spark = train.sparkSession
+    train.select(md5(col(textCol)).as("h")).distinct()
+      .select(explode(bloomPositions(col("h"), mBits, kHashes)).as("p"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"${path}_bits")
+    spark.range(1)
+      .select(lit(mBits.toLong).as("m_bits"), lit(kHashes.toLong).as("k_hashes"))
+      .write.mode("overwrite").parquet(s"${path}_meta") // commit marker
+  }
+
+  /** [[writeBloomFilter]] only if absent; `train` is by-name so the
+    * build pipeline never evaluates on the served path.
+    */
+  def ensureBloomFilter(train: => DataFrame, textCol: String, path: String,
+                        mBits: Int = 32768, kHashes: Int = 3): Unit =
+    if (!Markers.exists(s"${path}_meta/_SUCCESS"))
+      writeBloomFilter(train, textCol, path, mBits, kHashes)
+
+  /** Absorb a document delta into a materialized bloom filter: the
+    * delta's positions (under the STORED m/k — the filter geometry is
+    * frozen at build, the FAISS-quantizer discipline) distinct-union
+    * into `_bits`. Single-writer contract as [[Graph
+    * .appendBasketDelta]]: the marker drops before the `_bits`
+    * rewrite and the `_meta` rewrite recreates it — a crash between
+    * the two leaves a marker-less filter that [[ensureBloomFilter]]
+    * rebuilds rather than serving half-merged bits.
+    */
+  def appendBloomDelta(delta: DataFrame, textCol: String,
+                       path: String): Unit = {
+    val spark = delta.sparkSession
+    require(Markers.exists(s"${path}_meta/_SUCCESS"),
+      s"bloom filter at $path has no commit marker; rebuild with writeBloomFilter")
+    val meta = spark.read.parquet(s"${path}_meta").head()
+    val (m, k) = (meta.getAs[Long]("m_bits").toInt,
+      meta.getAs[Long]("k_hashes").toInt)
+    val merged = spark.read.parquet(s"${path}_bits")
+      .union(delta.select(md5(col(textCol)).as("h")).distinct()
+        .select(explode(bloomPositions(col("h"), m, k)).as("p")))
+      .distinct()
+      .localCheckpoint() // materialize BEFORE overwriting what we read
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"${path}_meta/_SUCCESS")
+    if (fs.exists(marker)) fs.delete(marker, false) // filter now in-flux
+    merged.write.mode("overwrite").parquet(s"${path}_bits")
+    spark.range(1)
+      .select(lit(m.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"))
+      .write.mode("overwrite").parquet(s"${path}_meta") // commit point
+    graft.operators.Graph.unpersistBacking(merged)
+  }
+
+  /** Probe a materialized bloom filter — the PRODUCTION membership
+    * path ([[bloomCrossMembership]] with the ground-truth audit
+    * dropped: the filter is all a deployed pre-gate keeps). Broadcast
+    * of the ≤ mBits position table, map-only over the probe corpus.
+    */
+  def bloomProbeFromFilter(spark: org.apache.spark.sql.SparkSession,
+                           path: String, probe: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    require(Markers.exists(s"${path}_meta/_SUCCESS"),
+      s"bloom filter at $path has no commit marker; rebuild with writeBloomFilter")
+    val meta = spark.read.parquet(s"${path}_meta").head()
+    val (m, k) = (meta.getAs[Long]("m_bits").toInt,
+      meta.getAs[Long]("k_hashes").toInt)
+    val bits = spark.read.parquet(s"${path}_bits")
+      .withColumn("in_filter", lit(1))
+    probe.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      .select(col("doc_id"), explode(bloomPositions(col("h"), m, k)).as("p"))
+      .dropDuplicates("doc_id", "p")
+      .join(broadcast(bits), Seq("p"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"), count(col("in_filter")).as("n_found"))
+      .select(col("doc_id"),
+        (col("n_found") === col("n_pos")).as("bloom_hit"))
   }
 }

@@ -234,4 +234,38 @@ object StreamingIndex {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Drive seen-content BLOOM-FILTER maintenance from a directory
+    * stream — the membership twin of [[bm25IngestToCompletion]]: the
+    * first non-empty batch builds the filter (freezing its (m, k)
+    * geometry — the quantizer discipline), every later batch upserts
+    * via [[graft.operators.Dedup.appendBloomDelta]]. The bit array is
+    * a union monoid, so the stream-maintained filter is bit-identical
+    * to an all-at-once build over the same rows — batching is
+    * invisible, which is what the driver gate's oracle checks.
+    * `trainPredicate` selects the tracked rows inside each batch
+    * (e.g. the training split of a train/benchmark cut).
+    */
+  def bloomIngestToCompletion(spark: SparkSession, srcDir: String,
+                              path: String, trainPredicate: String = "true",
+                              mBits: Int = 32768, kHashes: Int = 3): Unit = {
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.expr
+        val train = batch.where(expr(trainPredicate))
+        if (!train.isEmpty) {
+          val built = new java.io.File(s"${path}_meta/_SUCCESS").exists()
+          if (!built)
+            graft.operators.Dedup.writeBloomFilter(train, "text", path,
+              mBits, kHashes)
+          else
+            graft.operators.Dedup.appendBloomDelta(train, "text", path)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -518,4 +518,30 @@ class DedupSpec extends SparkSpec {
     assert(tiny.find(_._1 == 11L).exists(_._3),
       s"novel doc through a saturated filter is a FLAGGED fp: ${tiny.toSeq}")
   }
+
+  test("bloom lifecycle: upsert merge equals rebuild; ensure never re-runs; probe serves") {
+    def tmp(tag: String) =
+      s"${System.getProperty("java.io.tmpdir")}/graft_spec_bloom_${tag}_${System.nanoTime()}"
+    val docs = (1L to 40L).map(i => (i, s"document number $i")).toDF("doc_id", "text")
+    // all-at-once build vs build-half + upsert-half: identical bit sets
+    val full = tmp("full"); val inc = tmp("inc")
+    Dedup.writeBloomFilter(docs, "text", full, mBits = 1024, kHashes = 3)
+    Dedup.writeBloomFilter(docs.where(col("doc_id") % 2 === 0), "text", inc,
+      mBits = 1024, kHashes = 3)
+    Dedup.appendBloomDelta(docs.where(col("doc_id") % 2 === 1), "text", inc)
+    def bitsOf(p: String) =
+      spark.read.parquet(s"${p}_bits").as[Long].collect().toSet
+    assert(bitsOf(full) == bitsOf(inc), "merge law broken: OR != rebuild")
+    // probe: every member hits (no false negatives through the lifecycle)
+    val probe = Seq((100L, "document number 7"), (101L, "never ingested text zz"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomProbeFromFilter(spark, inc, probe, "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(100L), s"member must hit: $got")
+    // ensure with a live marker must not evaluate the by-name source
+    Dedup.ensureBloomFilter(
+      sys.error("ensure must not rebuild over a committed filter"),
+      "text", inc, mBits = 1024, kHashes = 3)
+    assert(bitsOf(inc) == bitsOf(full))
+  }
 }
