@@ -3008,6 +3008,15 @@ object SparkEntry {
         .orderBy(desc("betweenness"), asc("node")).limit(30)
     }),
 
+    // per-node CORE NUMBER by the h-index iteration (Lü et al. 2016)
+    // on the support-2 backbone — the node-granular decomposition
+    // where graph_kcore answers one k's membership; 4 sync rounds
+    "graph_coreness" -> ((s, dir) =>
+      Graph.coreness(
+        Graph.basketPairEdges(s, ensureBasketGraph(s, dir), minSupport = 2),
+        "src", "dst", rounds = 4)
+        .orderBy("node")),
+
     // GraphSAGE-style layered neighbor sampling off the SAME
     // materialized pair graph: md5-ranked fanouts (5, 3) from the
     // %50 seed items — deterministic, prefix-consistent GNN blocks
@@ -5694,6 +5703,14 @@ object SparkEntry {
       Events.abTest(t(s, dir, "events"), metricType = "purchase")
         .orderBy("n_a")),
 
+    // linear-interpolation resample of a deliberately sparse daily
+    // series (the %97 user cut): interior gaps lerp between the
+    // bracketing observations, edges stay null
+    "events_resample_lerp" -> ((s, dir) =>
+      Events.resampleLerp(
+        t(s, dir, "events").where(col("user_id") % 97 === 0))
+        .orderBy("event_type", "day")),
+
     // group-sequential monitor: one Pocock look per day on the
     // purchase-rate gap between the parity arms — cumulative exact
     // counts, constant boundary, running stop flag
@@ -7204,6 +7221,38 @@ object SparkEntry {
 
     // the same exact decimal moments → fixed IEEE expression →
     // round(6) arithmetic, spelled out term-for-term in SQL
+    // lerp resample replayed: daily cents, per-type calendar spine,
+    // bracketing-observation windows, one fixed lerp chain
+    "events_resample_lerp" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+        | b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        | spine AS (SELECT event_type, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN b),
+        | m AS (SELECT s.event_type, s.day, d.cents,
+        |   last(d.cents IGNORE NULLS) OVER wb AS pc,
+        |   last(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+        |     OVER wb AS pd,
+        |   first(d.cents IGNORE NULLS) OVER wf AS nc,
+        |   first(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+        |     OVER wf AS nd
+        |  FROM spine s LEFT JOIN daily d
+        |   ON d.event_type = s.event_type AND d.day = s.day
+        |  WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wf AS (PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        | SELECT event_type, day, (cents IS NOT NULL) AS observed,
+        |  CASE WHEN cents IS NOT NULL THEN round(cents::DOUBLE / 100.0, 6)
+        |   WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+        |    round((pc::DOUBLE + (nc::DOUBLE - pc::DOUBLE)
+        |     * CAST(date_diff('day', pd, day) AS DOUBLE)
+        |     / CAST(date_diff('day', pd, nd) AS DOUBLE)) / 100.0, 6)
+        |  END AS value
+        | FROM m ORDER BY event_type, day""".stripMargin,
+
     // sequential monitor replayed: daily conditional counts, window
     // cumulative looks, the same fixed z chain and boundary verdicts
     "events_sequential" ->
@@ -7864,6 +7913,36 @@ object SparkEntry {
     "graph_adamic_adar" -> adamicAdarSql,
 
     "graph_betweenness" -> betweennessSql(hops = 4),
+
+    // h-index rounds unrolled on the same support-2 backbone:
+    // degrees seed c0, each round a desc-rank window + h cut
+    "graph_coreness" -> {
+      val rounds = 4
+      val head =
+        """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+          | d AS (SELECT c, count(*) AS deg FROM e GROUP BY 1),
+          | w AS (SELECT c FROM d WHERE deg BETWEEN 2 AND 200),
+          | p AS (SELECT e.item, e.c FROM e JOIN w USING (c)),
+          | pr AS (SELECT a.item AS ia, b.item AS ib
+          |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          | und AS MATERIALIZED (SELECT ia AS u, ib AS v FROM pr
+          |        UNION SELECT ib, ia FROM pr),
+          | c0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS c
+          |  FROM und GROUP BY 1)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        s""",
+           | nb$r AS (SELECT und.u, und.v, p.c AS cv
+           |  FROM und JOIN c${r - 1} p ON p.node = und.v),
+           | c$r AS MATERIALIZED (SELECT u AS node, CAST(max(rk) AS BIGINT) AS c
+           |  FROM (SELECT u, cv, row_number() OVER (PARTITION BY u
+           |    ORDER BY cv DESC, v) AS rk FROM nb$r)
+           |  WHERE cv >= rk GROUP BY 1)""".stripMargin
+      }.mkString
+      head + rs +
+        s"""
+           | SELECT node, c AS coreness FROM c$rounds ORDER BY node""".stripMargin
+    },
 
     // the df-cut pair graph symmetrized, then per-hop md5-ranked
     // fanout prefixes (QUALIFY) with the hop-2 frontier drawn from

@@ -1160,6 +1160,53 @@ object Events {
       .select(col("user_id"), col("ts").as("grid_ts"), col("locf_value"))
   }
 
+  /** Linear-interpolation resampling of a sparse daily series — the
+    * companion to [[resampleLocf]] for metrics where carrying the
+    * last value forward biases a trend (LOCF holds a stale level
+    * through a gap; interpolation splits the gap's change evenly —
+    * the standard prep before trend/seasonality fits on irregular
+    * data). One row per (event_type, calendar day) over the global
+    * day span: observed days carry their exact daily value, interior
+    * gaps lerp between the bracketing observations, and leading/
+    * trailing gaps stay NULL (extrapolation is a modeling choice,
+    * not a resample).
+    *
+    * Exactness: daily masses are exact cents longs; the lerp
+    * p + (n − p)·pos/len is ONE fixed IEEE chain off those longs and
+    * integer day offsets, rounded 6 (the [[dowSeasonality]]
+    * contract). The fill windows run per type over the bounded
+    * |days| spine — never over the event corpus.
+    */
+  def resampleLerp(events: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wb = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wb))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wf))
+    val lerp = (d(col("pc")) + (d(col("nc")) - d(col("pc")))
+      * d(datediff(col("day"), col("pd")))
+      / d(datediff(col("nd"), col("pd")))) / 100.0
+    marked.select(col("event_type"), col("day"),
+      col("cents").isNotNull.as("observed"),
+      when(col("cents").isNotNull, round(d(col("cents")) / 100.0, 6))
+        .when(col("pc").isNotNull && col("nc").isNotNull, round(lerp, 6))
+        .as("value"))
+  }
+
   /** Bot-like user screen by interarrival REGULARITY: humans arrive
     * bursty (high coefficient of variation of gaps), schedulers and
     * scripted traffic arrive metronomically (low CV) — the standard

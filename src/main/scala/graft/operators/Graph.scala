@@ -757,6 +757,61 @@ object Graph {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** CORENESS (core number) of every node by the H-INDEX ITERATION
+    * (Lü, Zhou, Zhang & Stanley, "The H-index of a network node",
+    * 2016): c₀(v) = deg(v), then cᵣ₊₁(v) = H of the multiset
+    * {cᵣ(u) : u ∈ N(v)} (the largest h with ≥ h neighbors at value
+    * ≥ h). The sequence decreases monotonically to the exact core
+    * number — the node-granular answer where [[kCore]] gives one
+    * k's membership — and unlike the classic sequential peel, every
+    * round is a SYNCHRONOUS neighbor aggregate, which is why this
+    * is the published distributed formulation. `rounds` truncation
+    * yields a (documented) upper bound on non-converged nodes; the
+    * oracle replays the same rounds.
+    *
+    * Determinism: values are exact longs; the h-index is a rank
+    * window per node (desc value, node tie-break pinned) + one max —
+    * no RNG, no floats anywhere.
+    *
+    * Scale shape: one symmetrize + repartition(u) shuffle builds the
+    * persisted edge layout; each round is one |E|-row broadcast-able
+    * join of the |V|-row value table, a per-node rank window
+    * (bounded by max degree — the hub caveat and its
+    * per-partition-pre-selection remedy are
+    * [[graft.operators.Sampling.weightedReservoirPerGroup]]'s), and
+    * a node-keyed max; eager per-round localCheckpoint.
+    */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+               rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v"))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
+      .persist()
+    var c = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nb = und.join(broadcast(c.select(col("node").as("v"), col("c").as("cv"))),
+        Seq("v"))
+      val w = Window.partitionBy("u").orderBy(desc("cv"), asc("v"))
+      val prev = c
+      c = nb.withColumn("rk", row_number().over(w))
+        .where(col("cv") >= col("rk"))
+        .groupBy(col("u").as("node"))
+        .agg(max(col("rk")).cast("long").as("c"))
+        .localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = c.select(col("node"), col("c").as("coreness"))
+      .localCheckpoint()
+    unpersistBacking(c)
+    und.unpersist(blocking = false)
+    out
+  }
+
   /** Sampled-source BETWEENNESS centrality — Brandes' algorithm
     * (2001) from a pinned source sample (Brandes & Pich 2007), the
     * same estimator trade [[multiSourceShortestPaths]]+closeness

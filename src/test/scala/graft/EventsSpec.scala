@@ -896,6 +896,27 @@ class EventsSpec extends SparkSpec {
       s"event-study curve mismatch: $got")
   }
 
+  test("resampleLerp: interior gaps interpolate linearly, edges stay null, observed exact") {
+    import java.sql.Timestamp
+    def ev(day: Int, typ: String, v: Double) =
+      (1L, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), typ, v)
+    // type A observed days 1 and 4 (values 1.0, 4.0) → days 2, 3 lerp
+    // to 2.0, 3.0; type B observed only day 3 → its other spine days
+    // are leading/trailing and stay null
+    val df = Seq(ev(1, "A", 1.0), ev(4, "A", 4.0), ev(3, "B", 9.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.resampleLerp(df)
+      .select("event_type", "day", "observed", "value")
+      .as[(String, java.sql.Date, Boolean, Option[Double])]
+      .collect().toSeq.sortBy(r => (r._1, r._2.toString))
+    val a = got.filter(_._1 == "A").map(r => (r._3, r._4))
+    assert(a == Seq((true, Some(1.0)), (false, Some(2.0)),
+      (false, Some(3.0)), (true, Some(4.0))), s"lerp: $got")
+    val b = got.filter(_._1 == "B").map(r => (r._3, r._4))
+    assert(b == Seq((false, None), (false, None), (true, Some(9.0)),
+      (false, None)), s"edges must stay null: $got")
+  }
+
   test("sequentialMonitor: boundary crossing stops; the stop flag survives a later lapse") {
     import java.sql.Timestamp
     // arm A = even user_id, arm B = odd; one look per day

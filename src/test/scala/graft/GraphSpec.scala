@@ -689,6 +689,24 @@ class GraphSpec extends SparkSpec {
     assert(wide == h1, s"fanout-3 sample must be the fanout-5 prefix: $wide vs $h1")
   }
 
+  test("coreness: K4 with a pendant chain — clique reads 3, chain reads 1, bridge node both") {
+    import spark.implicits._
+    // K4 on 1-4; chain 4-5-6 hangs off node 4
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.coreness(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L),
+      s"core numbers: $got")
+    // monotone truncation: one round gives an UPPER bound (node 5's
+    // h-index over degrees {4's deg 4, 6's deg 1} is 1 already; node
+    // 4 starts at its degree 4 and settles to 3)
+    val r1 = Graph.coreness(edges, "src", "dst", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.forall { case (n, c) => c >= got(n) },
+      s"earlier rounds must upper-bound the fixed point: $r1 vs $got")
+  }
+
   test("betweennessSampled: path graph puts all load on the interior; square splits σ") {
     import spark.implicits._
     def run(edges: Seq[(Long, Long)], srcs: Seq[Long]) =
