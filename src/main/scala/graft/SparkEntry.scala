@@ -5792,6 +5792,13 @@ object SparkEntry {
     // counts, row-stochastic probabilities)
     "events_markov" -> ((s, dir) =>
       Events.transitionMatrix(t(s, dir, "events")).orderBy("from_type", "to_type")),
+
+    // stationary distribution of the same chain: 8 scaled-long power
+    // rounds from the uniform start — where the chain settles,
+    // independent of the start mix
+    "events_markov_steady" -> ((s, dir) =>
+      Events.markovSteadyState(t(s, dir, "events"), rounds = 8)
+        .orderBy("state")),
     "events_props" -> ((s, dir) => Events.extractProps(t(s, dir, "events"))),
 
     // ordered product-analytics funnel: view → click → purchase with
@@ -7094,6 +7101,42 @@ object SparkEntry {
         |  round(n_trans / n_from, 6) AS prob
         | FROM c JOIN t USING (from_type)
         | ORDER BY from_type, to_type""".stripMargin,
+
+    // steady state replayed: the transition matrix, uniform round-9
+    // start, 8 scaled-long mass rounds, final round 6
+    "events_markov_steady" -> {
+      val rounds = 8
+      val head =
+        """WITH p AS (
+          | SELECT event_type AS from_type,
+          |  lead(event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          | FROM events),
+          | c AS (SELECT from_type, to_type, count(*) AS n_trans
+          |       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          | t AS (SELECT from_type, sum(n_trans) AS n_from FROM c GROUP BY 1),
+          | tm AS MATERIALIZED (SELECT c.from_type, c.to_type,
+          |   round(n_trans / n_from, 6) AS prob
+          |  FROM c JOIN t USING (from_type)),
+          | st AS (SELECT DISTINCT state FROM (
+          |  SELECT from_type AS state FROM tm
+          |  UNION SELECT to_type FROM tm)),
+          | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM st),
+          | pi0 AS (SELECT state, round(1.0 / n, 9) AS pi
+          |  FROM st CROSS JOIN nn)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        s""",
+           | pi$r AS MATERIALIZED (SELECT tm.to_type AS state,
+           |   round(CAST(sum(CAST(round(round(p.pi * tm.prob, 9) * 1e9, 0)
+           |     AS BIGINT)) AS BIGINT) / 1e9, 9) AS pi
+           |  FROM tm JOIN pi${r - 1} p ON p.state = tm.from_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString
+      head + rs +
+        s"""
+           | SELECT state, round(pi, 6) AS stationary_prob FROM pi$rounds
+           | ORDER BY state""".stripMargin
+    },
 
     "profile_entropy" ->
       """WITH p AS (

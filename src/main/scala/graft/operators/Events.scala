@@ -384,6 +384,54 @@ object Events {
               round(col("n_trans") / col("n_from"), 6).as("prob"))
   }
 
+  /** STATIONARY DISTRIBUTION of the event-type Markov chain — π with
+    * πP = π, by synchronous power iteration over the
+    * [[transitionMatrix]] probabilities: where the chain SETTLES,
+    * independent of where users start (the long-run share of
+    * attention each state claims), next to [[transitionMatrix]]'s
+    * one-step view and the absorption family's hitting analysis. The
+    * fixture chain is irreducible (every observed type reaches every
+    * other), so the limit exists and the truncated iterate is gated
+    * exactly — the oracle replays the same `rounds`.
+    *
+    * Determinism: the [[graft.operators.Graph.pageRank]] contract —
+    * [[transitionMatrix]]'s round-6 probs, per-round mass terms
+    * round-9-scaled to exact longs before the sum, uniform start
+    * 1/|states| round-9.
+    * The state space is the bounded type set (control-plane sized);
+    * every round is one join + one hash aggregate on it.
+    */
+  def markovSteadyState(events: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val tm = transitionMatrix(events)
+      .select(col("from_type"), col("to_type"), col("prob"))
+      .localCheckpoint()
+    val states = tm.select(col("from_type").as("state")).distinct()
+      .union(tm.select(col("to_type").as("state")).distinct())
+      .distinct()
+    val n1 = states.agg(count(lit(1)).as("n")) // 1-row scalar
+    var pi = states.crossJoin(broadcast(n1))
+      .select(col("state"), round(lit(1.0) / d(col("n")), 9).as("pi"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prev = pi
+      pi = tm.join(prev.select(col("state").as("from_type"), col("pi")),
+          "from_type")
+        .select(col("to_type").as("state"),
+          round(round(col("pi") * col("prob"), 9) * 1e9, 0).cast("long")
+            .as("m9"))
+        .groupBy("state").agg(round(sum(col("m9")) / 1e9, 9).as("pi"))
+        .localCheckpoint()
+      graft.operators.Graph.unpersistBacking(prev)
+    }
+    val out = pi.select(col("state"), round(col("pi"), 6).as("stationary_prob"))
+      .localCheckpoint()
+    graft.operators.Graph.unpersistBacking(pi)
+    graft.operators.Graph.unpersistBacking(tm)
+    out
+  }
+
   /** Per-user inter-arrival cadence: millisecond gaps between
     * consecutive events (event_id tie-break on equal timestamps so
     * the lag — and therefore every gap — is deterministic), reduced

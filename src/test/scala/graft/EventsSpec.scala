@@ -896,6 +896,26 @@ class EventsSpec extends SparkSpec {
       s"event-study curve mismatch: $got")
   }
 
+  test("markovSteadyState: symmetric chain is uniform; biased chain converges to pi*P = pi") {
+    import java.sql.Timestamp
+    def seq2ev(types: Seq[String]) = types.zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong, Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), t, 1.0)
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    // A <-> B round robin: uniform is the exact fixed point
+    val sym = Events.markovSteadyState(seq2ev(Seq("A", "B", "A", "B", "A")),
+        rounds = 5)
+      .as[(String, Double)].collect().toMap
+    assert(sym == Map("A" -> 0.5, "B" -> 0.5), s"$sym")
+    // P(A->B)=1, P(B->A)=1/3, P(B->B)=2/3: stationary (0.25, 0.75);
+    // second eigenvalue -1/3 → 8 rounds land well inside 1e-3
+    val bias = Events.markovSteadyState(seq2ev(Seq("A", "B", "B", "B", "A")),
+        rounds = 8)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(bias("A") - 0.25) < 1e-3 &&
+      math.abs(bias("B") - 0.75) < 1e-3, s"$bias")
+    assert(math.abs(bias.values.sum - 1.0) < 1e-4, s"mass leak: $bias")
+  }
+
   test("resampleLerp: interior gaps interpolate linearly, edges stay null, observed exact") {
     import java.sql.Timestamp
     def ev(day: Int, typ: String, v: Double) =
