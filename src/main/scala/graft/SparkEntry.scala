@@ -5304,6 +5304,14 @@ object SparkEntry {
     // docs. The join is doc_id-keyed (high-cardinality shuffle, AQE
     // coalesced); at 100 TB every stage is a narrow map except the
     // dedup window and this one join.
+    // dataset-release data card: corpus totals, dup rate, token
+    // profile, mean quality, lang/source composition — one
+    // long-format artifact, two corpus scans total
+    "pipeline_data_card" -> ((s, dir) =>
+      TextAnalysis.dataCard(t(s, dir, "documents"),
+          "doc_id", "text", "lang", "source")
+        .orderBy("section", "metric")),
+
     "pipeline_training_prep" -> ((s, dir) => {
       // materialize BOTH stage boundaries (localCheckpoint = the
       // local-mode stand-in for writing intermediate tables, which is
@@ -10095,6 +10103,45 @@ object SparkEntry {
     // composite training-data prep: whole-row dedup → quality score →
     // language ID → filter; the oracle composes the same three SQL
     // twins over the deduped set
+    // data card replayed: one token/hash aggregate, the qualitySql
+    // mean as scaled longs, category share unions
+    "pipeline_data_card" ->
+      s"""WITH toks AS (SELECT lang, source,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+         |  CAST(length(text) AS BIGINT) AS nc, md5(text) AS h
+         | FROM documents),
+         | corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         |  CAST(min(nt) AS BIGINT) AS t_min,
+         |  CAST(max(nt) AS BIGINT) AS t_max FROM toks),
+         | q AS (SELECT CAST(sum(CAST(round(quality_score * 1e6, 0) AS BIGINT))
+         |    AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS nq
+         |  FROM (${qualitySql("documents")}))
+         | SELECT 'corpus' AS section, 'n_docs' AS metric,
+         |  n_docs::DOUBLE AS value FROM corp
+         | UNION ALL SELECT 'corpus', 'n_tokens', n_tokens::DOUBLE FROM corp
+         | UNION ALL SELECT 'corpus', 'n_chars', n_chars::DOUBLE FROM corp
+         | UNION ALL SELECT 'corpus', 'n_distinct_docs', n_distinct::DOUBLE
+         |  FROM corp
+         | UNION ALL SELECT 'corpus', 'dup_rate',
+         |  round((n_docs::DOUBLE - n_distinct::DOUBLE) / n_docs::DOUBLE, 6)
+         |  FROM corp
+         | UNION ALL SELECT 'corpus', 'tokens_per_doc_mean',
+         |  round(n_tokens::DOUBLE / n_docs::DOUBLE, 6) FROM corp
+         | UNION ALL SELECT 'corpus', 'tokens_min', t_min::DOUBLE FROM corp
+         | UNION ALL SELECT 'corpus', 'tokens_max', t_max::DOUBLE FROM corp
+         | UNION ALL SELECT 'corpus', 'mean_quality',
+         |  round(sq::DOUBLE / nq::DOUBLE / 1e6, 6) FROM q
+         | UNION ALL SELECT 'lang_share', lang,
+         |  round(count(*)::DOUBLE / n_docs::DOUBLE, 6)
+         |  FROM toks CROSS JOIN corp GROUP BY lang, n_docs
+         | UNION ALL SELECT 'source_share', source,
+         |  round(count(*)::DOUBLE / n_docs::DOUBLE, 6)
+         |  FROM toks CROSS JOIN corp GROUP BY source, n_docs
+         | ORDER BY section, metric""".stripMargin,
+
     "pipeline_training_prep" ->
       s"""WITH dd AS (
          |  SELECT doc_id, text FROM documents

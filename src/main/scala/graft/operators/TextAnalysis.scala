@@ -1005,6 +1005,68 @@ object TextAnalysis {
       .select("rnk", "term", "tf", "n_docs_with", "vmr")
   }
 
+  /** DATA CARD — the one-page dataset documentation artifact
+    * (Gebru et al., "Datasheets for Datasets", 2021; every public
+    * corpus release ships one): corpus totals, exact-duplicate rate,
+    * token-length profile, mean heuristic quality, and the language/
+    * source composition, as ONE long-format (section, metric, value)
+    * table a release pipeline can diff across snapshots. Assembled
+    * from the operators the engine already trusts ([[tokenStats]]'
+    * token convention, [[graft.operators.Dedup.exact]]'s content
+    * hash, [[qualityScore]]).
+    *
+    * Determinism: counts and sums are exact longs (counts surface as
+    * exact doubles — every value here sits far under 2⁵³); the mean
+    * quality folds round-6 per-doc scores as 1e6-scaled longs; every
+    * ratio is one fixed IEEE chain rounded 6.
+    *
+    * Scale shape: two corpus scans (token/hash aggregate + the
+    * quality pass), two category-sized share aggregates, constant-
+    * size explode — a 100 TB data card costs two scans, never one
+    * per metric.
+    */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String, sourceCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val toks = docs.select(col(langCol).as("lang"),
+      col(sourceCol).as("source"),
+      size(tokens(col(textCol))).cast("long").as("nt"),
+      length(col(textCol)).cast("long").as("nc"),
+      md5(col(textCol)).as("h"))
+    val corp = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"),
+      countDistinct(col("h")).as("n_distinct"),
+      min(col("nt")).as("t_min"), max(col("nt")).as("t_max"))
+    val q = qualityScore(docs, idCol, textCol)
+      .agg(sum(round(col("quality_score") * 1e6, 0).cast("long")).as("sq"),
+        count(lit(1)).as("nq"))
+    def m(metric: String, value: Column) =
+      struct(lit("corpus").as("section"), lit(metric).as("metric"),
+        value.as("value"))
+    val corpusRows = corp.crossJoin(broadcast(q)) // two 1-row scalars
+      .select(explode(array(
+        m("n_docs", d(col("n_docs"))),
+        m("n_tokens", d(col("n_tokens"))),
+        m("n_chars", d(col("n_chars"))),
+        m("n_distinct_docs", d(col("n_distinct"))),
+        m("dup_rate", round((d(col("n_docs")) - d(col("n_distinct")))
+          / d(col("n_docs")), 6)),
+        m("tokens_per_doc_mean", round(d(col("n_tokens")) / d(col("n_docs")), 6)),
+        m("tokens_min", d(col("t_min"))),
+        m("tokens_max", d(col("t_max"))),
+        m("mean_quality", round(d(col("sq")) / d(col("nq")) / 1e6, 6))))
+        .as("r"))
+      .select(col("r.*"))
+    def shares(c: String, section: String) =
+      toks.groupBy(col(c)).agg(count(lit(1)).as("k"))
+        .crossJoin(broadcast(corp.select(col("n_docs"))))
+        .select(lit(section).as("section"), col(c).as("metric"),
+          round(d(col("k")) / d(col("n_docs")), 6).as("value"))
+    corpusRows
+      .unionByName(shares("lang", "lang_share"))
+      .unionByName(shares("source", "source_share"))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010) — candidate
     * phrases are the maximal token runs BETWEEN stopword delimiters;
     * each word scores deg(w)/freq(w) over the candidate set (deg =

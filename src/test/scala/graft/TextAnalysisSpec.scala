@@ -607,6 +607,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-9, s"got $got expect $expect")
   }
 
+  test("dataCard: totals, dup rate, shares, and quality fold on a hand fixture") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "web"),
+      (2L, "the quick brown fox", "en", "web"),
+      (3L, "ein kleiner hund", "de", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.dataCard(docs, "doc_id", "text", "lang", "source")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("corpus", "n_docs")) == 3.0)
+    assert(got(("corpus", "n_tokens")) == 11.0)
+    assert(got(("corpus", "n_distinct_docs")) == 2.0)
+    assert(got(("corpus", "dup_rate")) == 0.333333)
+    assert(got(("corpus", "tokens_min")) == 3.0 &&
+      got(("corpus", "tokens_max")) == 4.0)
+    assert(got(("lang_share", "en")) == 0.666667 &&
+      got(("lang_share", "de")) == 0.333333)
+    assert(got(("source_share", "web")) == 0.666667 &&
+      got(("source_share", "books")) == 0.333333)
+    val mq = got(("corpus", "mean_quality"))
+    assert(mq > 0.0 && mq <= 1.0, s"quality mean out of range: $mq")
+  }
+
   test("rakeKeyphrases: hand-computed deg/freq scores; stopwords split; maxLen drops runs") {
     val docs = Seq(
       (1L, "deep learning of deep learning and fast gpu"),
