@@ -521,4 +521,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "no corpus-level merge join belongs in a rank assignment")
   }
+
+  test("bloom probe broadcasts the bit set; the probe corpus never shuffles into a join (dedup_bloom_upsert)") {
+    val p = plan("dedup_bloom_upsert")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <= mBits position table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the probe side must stay map-only up to its per-doc aggregate")
+  }
+
+  test("HBOS bins off one broadcast min/max row; score fold never sees a window (profile_hbos)") {
+    val p = plan("profile_hbos")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row min/max scalar and the bin-count table must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-level merge join belongs in a two-scan screen")
+  }
+
+  test("raking rounds touch only the bounded cell table (sample_raking)") {
+    val p = plan("sample_raking")
+    // the one corpus aggregate feeds category-sized joins; no round
+    // may re-scan the events table through a merge join
+    assert(!p.contains("SortMergeJoin"),
+      "Sinkhorn rounds must run on the broadcastable cell table")
+  }
+
+  test("mutual information is one corpus scan plus category-sized joins (profile_mutual_info)") {
+    val p = plan("profile_mutual_info")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "marginal/scalar joins must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "category-sized tables must never merge-join")
+  }
 }
