@@ -6054,6 +6054,14 @@ object SparkEntry {
       Profiling.mutualInformation(t(s, dir, "orders"),
         "o_orderstatus", "o_orderpriority")),
 
+    // empirical-Bayes shrinkage of per-part return rates: beta-
+    // binomial MoM prior off the exact rate moments, posterior-mean
+    // rates that small-n parts can't dominate
+    "agg_eb_shrinkage" -> ((s, dir) =>
+      Analytics.ebShrunkRates(t(s, dir, "lineitem"), "l_partkey",
+          col("l_returnflag") === "R")
+        .orderBy("key")),
+
     // monotonic-key continuity audit on TPC-H's famously gappy
     // o_orderkey: bucketed (NO global window over the corpus) with
     // boundary deltas from the bounded per-bucket table
@@ -12140,6 +12148,33 @@ object SparkEntry {
         |     * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         | FROM g""".stripMargin,
+
+    // EB shrinkage replayed: exact per-key counts, scaled-long rate
+    // moments, the same MoM prior chain and posterior means
+    "agg_eb_shrinkage" ->
+      """WITH per AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        | p6 AS (SELECT *, CAST(round(x::DOUBLE / n::DOUBLE * 1e6, 0)
+        |   AS BIGINT) AS r6 FROM per),
+        | mom AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(r6) AS BIGINT) AS s1,
+        |  CAST(sum(r6 * r6) AS BIGINT) AS s2 FROM p6),
+        | mv AS (SELECT s1::DOUBLE / k::DOUBLE / 1e6 AS m,
+        |  (k::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+        |    / (k::DOUBLE * k::DOUBLE) / 1e12 AS v FROM mom),
+        | pr AS (SELECT
+        |  CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+        |   THEN round(m * (m * (1.0 - m) / v - 1.0), 6) END AS alpha,
+        |  CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+        |   THEN round((1.0 - m) * (m * (1.0 - m) / v - 1.0), 6) END AS beta
+        | FROM mv)
+        | SELECT key, n, x, round(x::DOUBLE / n::DOUBLE, 6) AS raw_rate,
+        |  CASE WHEN alpha IS NOT NULL THEN
+        |   round((x::DOUBLE + alpha) / (n::DOUBLE + alpha + beta), 6)
+        |  ELSE round(x::DOUBLE / n::DOUBLE, 6) END AS shrunk_rate,
+        |  alpha, beta
+        | FROM p6 CROSS JOIN pr ORDER BY key""".stripMargin,
 
     // HBOS replayed: per-feature stacked bins off the one min/max
     // row, scaled-ln count fold, top-25 by (score, id)

@@ -1007,4 +1007,53 @@ object Analytics {
       .select(col("id"), col("v").as("min_value"), col("x").as("max_value"))
       .orderBy("min_value", "id")
   }
+
+  /** EMPIRICAL-BAYES rate shrinkage (beta-binomial, method-of-moments
+    * prior — the Efron & Morris "Stein's paradox in statistics"
+    * workhorse): per-key success rates x/n are wildly overdispersed
+    * at small n (an item returned 1-of-1 times is not a 100%-return
+    * item); fit Beta(α, β) to the observed rate spread and report
+    * the shrunk posterior mean (x + α)/(n + α + β), which pulls
+    * small-n keys toward the pooled prior and leaves large-n keys
+    * nearly alone. The standard leaderboard/rate-ranking fix before
+    * sorting keys by a ratio.
+    *
+    * MoM prior off the unweighted per-key rate moments: m = mean(r),
+    * v = population var(r), α+β = m(1−m)/v − 1, α = m(α+β). When the
+    * spread carries no signal (v = 0, or v ≥ m(1−m) which would give
+    * a negative concentration) the prior is undefined — keys then
+    * report their raw rate and a null prior (documented, spec-pinned).
+    *
+    * Determinism: per-key x/n are exact longs; each rate rounds to 6
+    * and scales to a long, so the moment sums are exact integers;
+    * m, v, α, β, and every shrunk rate are fixed IEEE chains off
+    * those integers, rounded 6. One key aggregate + one 1-row moment
+    * fold broadcast back — two shuffles total, no windows.
+    */
+  def ebShrunkRates(df: DataFrame, keyCol: String, successCol: Column):
+      DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val per = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(successCol, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("x"))
+      .withColumn("r6", round(d(col("x")) / d(col("n")) * 1e6, 0).cast("long"))
+    val mom = per.agg(count(lit(1)).as("k"),
+      sum(col("r6")).as("s1"), sum(col("r6") * col("r6")).as("s2"))
+    val m = d(col("s1")) / d(col("k")) / 1e6
+    val v = (d(col("k")) * d(col("s2")) - d(col("s1")) * d(col("s1"))) /
+      (d(col("k")) * d(col("k"))) / 1e12
+    val ab = m * (lit(1.0) - m) / v - 1.0
+    val prior = mom.select(
+      when(v > 0 && ab > 0, round(m * ab, 6)).as("alpha"),
+      when(v > 0 && ab > 0, round((lit(1.0) - m) * ab, 6)).as("beta"))
+    per.crossJoin(broadcast(prior)) // 1-row prior
+      .select(col("key"), col("n"), col("x"),
+        round(d(col("x")) / d(col("n")), 6).as("raw_rate"),
+        when(col("alpha").isNotNull,
+          round((d(col("x")) + col("alpha"))
+            / (d(col("n")) + col("alpha") + col("beta")), 6))
+          .otherwise(round(d(col("x")) / d(col("n")), 6)).as("shrunk_rate"),
+        col("alpha"), col("beta"))
+  }
 }

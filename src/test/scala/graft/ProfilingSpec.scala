@@ -642,6 +642,35 @@ class ProfilingSpec extends SparkSpec {
     assert(r3._1 == 0.0 && r3._2.isEmpty, s"constant side must null NMI: $r3")
   }
 
+  test("ebShrunkRates: small-n keys pull toward the prior, big-n keys stay; flat spread disables") {
+    import graft.operators.Analytics
+    // 10 well-measured keys at rate .2 with some spread, plus a
+    // lucky 1-of-1 and an unlucky 0-of-1
+    val rows = (1 to 10).flatMap { k =>
+      (1 to 100).map(i => (k.toLong, i <= 15 + k)) // rates .16 .. .25
+    } ++ Seq((90L, true), (91L, false))
+    val got = Analytics.ebShrunkRates(rows.toDF("key", "ok"), "key",
+        col("ok"))
+      .select("key", "raw_rate", "shrunk_rate")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (rawLucky, shrunkLucky) = got(90L)
+    assert(rawLucky == 1.0 && shrunkLucky < 0.6 && shrunkLucky > 0.15,
+      s"1-of-1 must shrink hard toward the pool: $got")
+    val (_, shrunkUnlucky) = got(91L)
+    assert(shrunkUnlucky > 0.05, s"0-of-1 must be pulled up off zero: $got")
+    val (rawBig, shrunkBig) = got(5L)
+    assert(math.abs(shrunkBig - rawBig) < 0.05,
+      s"n=100 keys must barely move: $got")
+    // zero spread: no signal in the rates → prior undefined, raw served
+    val flat = Analytics.ebShrunkRates(
+      (1 to 4).flatMap(k => Seq((k.toLong, true), (k.toLong, false)))
+        .toDF("key", "ok"), "key", col("ok"))
+      .select("raw_rate", "shrunk_rate", "alpha")
+      .as[(Double, Double, Option[Double])].collect()
+    assert(flat.forall(r => r._1 == r._2 && r._3.isEmpty),
+      s"flat spread must disable shrinkage: ${flat.toSeq}")
+  }
+
   test("hbosOutliers: the doubly-rare row ranks first; constant features contribute 0") {
     // 40 inliers hug the low corner; one row is alone in the top bin
     // of BOTH features, one is rare on a single feature only
