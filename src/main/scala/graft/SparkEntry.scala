@@ -5956,6 +5956,13 @@ object SparkEntry {
       Events.deseasonalizedAnomalies(t(s, dir, "events"))
         .orderBy("event_type", "day")),
 
+    // uplift/Qini curve by targeting depth: pre-period activity
+    // score, post-period conversions, cumulative arm comparison on
+    // the bounded distinct-score ladder
+    "events_uplift_curve" -> ((s, dir) =>
+      Events.upliftCurve(t(s, dir, "events"), convType = "purchase")
+        .orderBy(desc("score"))),
+
     // quasi-experimental effect: 4-cell DiD in one conditional
     // aggregate, integer 2·day > min+max post split, pooled SE
     "events_did" -> ((s, dir) =>
@@ -11132,6 +11139,42 @@ object SparkEntry {
         |  round(y_c / m_c / 100.0, 6) AS y_c_mean
         | FROM agg CROSS JOIN tot
         | ORDER BY cov1_bin, cov2_bin""".stripMargin,
+
+    // uplift curve replayed: per-user pre-score/post-conversion, the
+    // integer midpoint split, cumulative desc-score window, same
+    // uplift/qini chains
+    "events_uplift_curve" ->
+      """WITH base AS (SELECT user_id,
+        |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |     AS BIGINT) AS ep, event_type FROM events),
+        | mm AS (SELECT min(ep) AS mn, max(ep) AS mx FROM base),
+        | pu AS (SELECT user_id,
+        |   CAST(count(*) FILTER (NOT (ep * 2 > mn + mx)) AS BIGINT) AS score,
+        |   CAST(max(CASE WHEN ep * 2 > mn + mx AND event_type = 'purchase'
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM base CROSS JOIN mm GROUP BY 1),
+        | pa AS (SELECT (user_id % 2 = 0) AS treated, score, conv FROM pu),
+        | ps AS (SELECT score,
+        |   CAST(coalesce(sum(CASE WHEN treated THEN 1 END), 0) AS BIGINT) AS dn_t,
+        |   CAST(coalesce(sum(CASE WHEN treated THEN conv END), 0) AS BIGINT) AS dx_t,
+        |   CAST(coalesce(sum(CASE WHEN NOT treated THEN 1 END), 0) AS BIGINT) AS dn_c,
+        |   CAST(coalesce(sum(CASE WHEN NOT treated THEN conv END), 0) AS BIGINT) AS dx_c
+        |  FROM pa GROUP BY 1),
+        | cum AS (SELECT score,
+        |   CAST(sum(dn_t) OVER w AS BIGINT) AS n_t,
+        |   CAST(sum(dx_t) OVER w AS BIGINT) AS x_t,
+        |   CAST(sum(dn_c) OVER w AS BIGINT) AS n_c,
+        |   CAST(sum(dx_c) OVER w AS BIGINT) AS x_c
+        |  FROM ps WINDOW w AS (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        | SELECT score, n_t, x_t, n_c, x_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |   round(x_t::DOUBLE / n_t::DOUBLE - x_c::DOUBLE / n_c::DOUBLE, 6)
+        |  END AS uplift,
+        |  CASE WHEN n_c > 0 THEN
+        |   round(x_t::DOUBLE - x_c::DOUBLE * n_t::DOUBLE / n_c::DOUBLE, 6)
+        |  END AS qini
+        | FROM cum ORDER BY score DESC""".stripMargin,
 
     "events_did" -> {
       def cellSql(cond: String, sfx: String) =

@@ -896,6 +896,27 @@ class EventsSpec extends SparkSpec {
       s"event-study curve mismatch: $got")
   }
 
+  test("upliftCurve: effect concentrated on high-score users; qini cumulative") {
+    import java.sql.Timestamp
+    // pre = 2024-01-01, post = 2024-01-02 (integer midpoint split).
+    // high-score users (3 pre views): treated 2,4 convert post,
+    // control 1,3 don't. low-score users 5 (control), 6 (treated):
+    // one pre view, nobody converts.
+    val pre = Seq(1L, 2L, 3L, 4L).flatMap(u => Seq.fill(3)(u)) ++ Seq(5L, 6L)
+    val rows = pre.map(u => (u, "2024-01-01", "view")) ++
+      Seq((2L, "2024-01-02", "purchase"), (4L, "2024-01-02", "purchase"))
+    val df = rows.zipWithIndex.map { case ((u, d, t), i) =>
+      (u, i.toLong, Timestamp.valueOf(s"$d 10:00:00"), t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.upliftCurve(df, "purchase")
+      .select("score", "n_t", "x_t", "n_c", "x_c", "uplift", "qini")
+      .as[(Long, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(-_._1).toSeq
+    assert(got == Seq(
+      (3L, 2L, 2L, 2L, 0L, 1.0, 2.0),
+      (1L, 3L, 2L, 3L, 0L, 0.666667, 2.0)), s"$got")
+  }
+
   test("markovSteadyState: symmetric chain is uniform; biased chain converges to pi*P = pi") {
     import java.sql.Timestamp
     def seq2ev(types: Seq[String]) = types.zipWithIndex.map { case (t, i) =>
