@@ -1768,6 +1768,38 @@ object SparkEntry {
   // (the md5-derived token hash makes the whole pipeline engine-
   // neutral; banding is pigeonhole-exact, so all-pairs hamming in
   // DuckDB is a true oracle, not an approximation check)
+  // edit-distance verify over the simhash candidate head: full
+  // Levenshtein in the oracle (the engine's thresholded variant
+  // returns the same distance within the cut)
+  private def editDistanceSql(maxHamming: Int, maxDist: Int): String = {
+    val bits = Dedup.SimHashBits
+    val bitSums = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n   ")
+    val sigExpr = (0 until bits)
+      .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+       | FROM documents),
+       | h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+       | bits AS (SELECT doc_id,
+       |   $bitSums
+       |  FROM h GROUP BY doc_id),
+       | sig AS (SELECT doc_id, $sigExpr AS sig FROM bits),
+       | cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)
+       | SELECT c.doc_a, c.doc_b, c.hamming,
+       |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+       | FROM cand c
+       | JOIN documents ta ON ta.doc_id = c.doc_a
+       | JOIN documents tb ON tb.doc_id = c.doc_b
+       | WHERE levenshtein(ta.text, tb.text) <= $maxDist
+       | ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def simhashSql(maxHamming: Int): String = {
     val bits = Dedup.SimHashBits
     val bitSums = (0 until bits)
@@ -4024,6 +4056,14 @@ object SparkEntry {
     // maxHamming=3 → 4 bands × 16 bits → 64Ki buckets: bucket
     // occupancy stays O(1) as the corpus grows; 8 would mean 7-bit
     // bands (128 buckets) and quadratic candidate blowup at scale
+    // simhash candidates verified by exact thresholded Levenshtein —
+    // the order-sensitive near-dup predicate (bag-of-token views
+    // can't see in-place edits vs shuffles)
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, maxDist = 6)
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
@@ -8623,6 +8663,8 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashSql(maxHamming = 3),
+
+    "dedup_edit_distance" -> editDistanceSql(maxHamming = 3, maxDist = 6),
 
     "dedup_clusters" -> clustersSql,
 

@@ -536,6 +536,42 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** EDIT-DISTANCE near-dup pairs: [[simHashPairs]] candidates
+    * verified by exact Levenshtein distance ≤ `maxDist` — the
+    * strictest near-dup predicate in the family (Jaccard and SimHash
+    * are bag-of-tokens views; edit distance sees ORDER and catches
+    * small in-place edits while rejecting shuffled bags with the
+    * same vocabulary). The classic two-stage shape: cheap complete
+    * candidates (pigeonhole banding), expensive exact verify — the
+    * O(len²) DP runs only on banded pairs, never corpus-quadratic,
+    * and Spark's thresholded `levenshtein` abandons a pair as soon
+    * as the running distance exceeds `maxDist` (the oracle computes
+    * the full distance and filters — same kept set and identical
+    * distances within the threshold).
+    *
+    * Caveat (documented contract): Spark counts CODEPOINTS while the
+    * DuckDB twin counts bytes — identical on ASCII corpora (the
+    * fixture; spec-pinned), divergent on multi-byte text. Candidate
+    * completeness is [[simHashPairs]]' pigeonhole bound: an edit
+    * within `maxDist` chars can still flip > maxHamming signature
+    * bits for SHORT docs (few tokens), so the pair set is complete
+    * w.r.t. the SimHash ball, not the raw edit ball — the standard
+    * two-stage trade, stated rather than hidden.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val cand = simHashPairs(docs, idCol, textCol, maxHamming)
+    val txt = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    cand
+      .join(txt.select(col("doc").as("doc_a"), col("txt").as("ta")), "doc_a")
+      .join(txt.select(col("doc").as("doc_b"), col("txt").as("tb")), "doc_b")
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select("doc_a", "doc_b", "hamming", "edit_dist")
+  }
+
   /** The pigeonhole band explode over a `(doc, sig)` signature table —
     * shared by the self-join ([[simHashPairs]]) and the probe-join
     * ([[simHashPairsAgainst]]) forms.

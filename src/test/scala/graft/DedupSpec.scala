@@ -519,6 +519,25 @@ class DedupSpec extends SparkSpec {
       s"novel doc through a saturated filter is a FLAGGED fp: ${tiny.toSeq}")
   }
 
+  test("editDistancePairs: order-sensitive verify — small edit kept, shuffled bag cut") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("gamma", "gamme")),          // 1-char edit
+      (3L, "theta eta zeta epsilon delta gamma beta alpha"), // same bag, reversed
+      (4L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxHamming = 60, maxDist = 6) // hamming 60 = all pairs candidate
+      .select("doc_a", "doc_b", "edit_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)),
+      s"only the in-place edit survives; the reversed bag (same tokens, " +
+        s"same simhash) must be cut by the exact verify: $got")
+    // threshold variant returns the exact distance within the cut
+    assert(got.head._3 == 1L)
+  }
+
   test("bloom lifecycle: upsert merge equals rebuild; ensure never re-runs; probe serves") {
     def tmp(tag: String) =
       s"${System.getProperty("java.io.tmpdir")}/graft_spec_bloom_${tag}_${System.nanoTime()}"
