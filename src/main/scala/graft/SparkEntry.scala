@@ -2436,6 +2436,14 @@ object SparkEntry {
 
     // schema drift report on a deterministic snapshot mutation (one
     // column dropped, one added) — pure metadata, zero data jobs
+    // schema-on-read inference over an all-VARCHAR view of orders:
+    // anchored pattern classes, strictest-covering-type verdict
+    "etl_infer_types" -> ((s, dir) =>
+      Etl.inferTypes(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
+
     "etl_schema_drift" -> ((s, dir) => {
       val oldSnap = t(s, dir, "orders")
       val newSnap = oldSnap.drop("o_orderpriority")
@@ -6651,6 +6659,43 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS class_size,
         | (count(*) < 5) AS at_risk
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // inference replayed: the same stacked VARCHAR view and anchored
+    // classes (RE2 == Java on these character-class patterns)
+    "etl_infer_types" ->
+      """WITH st AS (
+        | SELECT 'o_orderkey' AS col_name, o_orderkey::VARCHAR AS v FROM orders
+        | UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+        | UNION ALL SELECT 'o_orderstatus', o_orderstatus::VARCHAR FROM orders
+        | UNION ALL SELECT 'o_totalprice', o_totalprice::VARCHAR FROM orders
+        | UNION ALL SELECT 'o_orderdate', o_orderdate::VARCHAR FROM orders
+        | UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR
+        |  FROM orders),
+        | g AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN v IS NOT NULL
+        |    AND lower(v) IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bool,
+        |  CAST(sum(CASE WHEN v IS NOT NULL
+        |    AND NOT lower(v) IN ('true', 'false')
+        |    AND regexp_matches(v, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_int,
+        |  CAST(sum(CASE WHEN v IS NOT NULL AND regexp_matches(v,
+        |    '^-?[0-9]+\.[0-9]+([eE][+-]?[0-9]+)?$') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_float,
+        |  CAST(sum(CASE WHEN v IS NOT NULL AND regexp_matches(v,
+        |    '^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?)?$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_date
+        | FROM st GROUP BY 1)
+        | SELECT col_name, n_rows, n_null, n_bool, n_int, n_float, n_date,
+        |  n_rows - n_null - n_bool - n_int - n_float - n_date AS n_other,
+        |  CASE WHEN n_rows - n_null = 0 THEN 'unknown'
+        |   WHEN n_bool = n_rows - n_null THEN 'boolean'
+        |   WHEN n_int = n_rows - n_null THEN 'bigint'
+        |   WHEN n_int + n_float = n_rows - n_null THEN 'double'
+        |   WHEN n_date = n_rows - n_null THEN 'timestamp'
+        |   ELSE 'varchar' END AS inferred_type
+        | FROM g ORDER BY col_name""".stripMargin,
 
     "etl_schema_drift" ->
       """WITH o AS (SELECT column_name FROM (DESCRIBE orders)),

@@ -435,6 +435,56 @@ object Etl {
     }.toDF("column_name", "status")
   }
 
+  /** SCHEMA-ON-READ TYPE INFERENCE — the ingest profiler that turns
+    * an all-VARCHAR landing table (CSV, JSON strings, schemaless
+    * feeds) into typed columns: every value classifies by anchored
+    * pattern (bool / int / float / timestamp-like / other), and the
+    * column's inferred type is the STRICTEST type covering every
+    * non-null value (one stray letter demotes a numeric column to
+    * varchar — the demotion a silent cast would hide as nulls).
+    * Complements [[schemaDrift]] (declared-schema diff) with the
+    * value-level evidence.
+    *
+    * Determinism: pure counting over anchored regex classes (RE2-
+    * and Java-compatible character classes — the qualityScore
+    * portability rule); the float class accepts scientific notation
+    * so engine-specific double rendering never flips a class.
+    *
+    * Scale shape: one Expand pass (|rows|·|cols| stacked values,
+    * map-side combined) into a |cols|-row aggregate — inferring a
+    * 100 TB landing table costs one scan, never one per column.
+    */
+  def inferTypes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+      .as("s")).select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    val isBool = lower(col("v")).isin("true", "false")
+    val isInt = col("v").rlike("^-?[0-9]+$")
+    val isFloat = col("v").rlike("^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$")
+    val isDate = col("v").rlike(
+      "^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?)?$")
+    val g = stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("v").isNotNull && isBool, 1L).otherwise(0L)).as("n_bool"),
+      sum(when(col("v").isNotNull && !isBool && isInt, 1L).otherwise(0L))
+        .as("n_int"),
+      sum(when(col("v").isNotNull && isFloat, 1L).otherwise(0L)).as("n_float"),
+      sum(when(col("v").isNotNull && isDate, 1L).otherwise(0L)).as("n_date"))
+    val nn = col("n_rows") - col("n_null")
+    g.select(col("col_name"), col("n_rows"), col("n_null"), col("n_bool"),
+      col("n_int"), col("n_float"), col("n_date"),
+      (nn - col("n_bool") - col("n_int") - col("n_float") - col("n_date"))
+        .as("n_other"),
+      when(nn === 0, "unknown")
+        .when(col("n_bool") === nn, "boolean")
+        .when(col("n_int") === nn, "bigint")
+        .when(col("n_int") + col("n_float") === nn, "double")
+        .when(col("n_date") === nn, "timestamp")
+        .otherwise("varchar").as("inferred_type"))
+  }
+
   /** Materialize a snapshot as a key-hash-BUCKETED parquet table —
     * the physical layout [[applyCdcDelta]] upserts into. Bucket =
     * `pmod(xxhash64(key), numBuckets)` as a partition column, so a

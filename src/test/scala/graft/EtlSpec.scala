@@ -415,4 +415,24 @@ class EtlSpec extends SparkSpec {
       .select("key", "shard_before").as[(Long, Long)].collect().toMap
     assert(again == out.map(r => r._1 -> r._2).toMap)
   }
+
+  test("inferTypes: strictest covering type per column; one stray letter demotes") {
+    val df = Seq(
+      ("1", "1.5", "true", "2024-01-02 10:00:00", "abc", null.asInstanceOf[String]),
+      ("22", "2", "FALSE", "2024-02-03", "42", null.asInstanceOf[String]),
+      ("-3", "3.25e2", "true", "2024-03-04T05:06:07.5", "9x", null.asInstanceOf[String])
+    ).toDF("ints", "mixed_num", "bools", "dates", "dirty", "empty")
+    val got = Etl.inferTypes(df,
+        Seq("ints", "mixed_num", "bools", "dates", "dirty", "empty"))
+      .select("col_name", "inferred_type", "n_other")
+      .as[(String, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("ints") == (("bigint", 0L)), s"$got")
+    // ints are acceptable doubles: int+float covers all non-null
+    assert(got("mixed_num") == (("double", 0L)), s"$got")
+    assert(got("bools") == (("boolean", 0L)), s"$got")
+    assert(got("dates") == (("timestamp", 0L)), s"$got")
+    // "42" is int-like but "abc"/"9x" demote the column to varchar
+    assert(got("dirty") == (("varchar", 2L)), s"$got")
+    assert(got("empty") == (("unknown", 0L)), s"$got")
+  }
 }
