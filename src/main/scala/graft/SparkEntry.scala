@@ -5782,6 +5782,12 @@ object SparkEntry {
       Profiling.momentsByGroup(t(s, dir, "events"), "event_type", "value")
         .orderBy("event_type")),
 
+    // Jarque–Bera normality gate off the same exact moments — run
+    // before trusting z-scores or ±kσ fences on a metric
+    "profile_jarque_bera" -> ((s, dir) =>
+      Profiling.jarqueBera(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
     // metric-tree decomposition: ΔR attributed to views / conversion
     // / AOV by sequential substitution in a fixed order (telescopes
     // to exactly ΔR); periods split on the DiD integer rule
@@ -7500,6 +7506,43 @@ object SparkEntry {
         |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
         |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
         | FROM m ORDER BY event_type""".stripMargin,
+
+    // JB replayed: the moments chain, then n/6·(S² + K²/4) off the
+    // ROUNDED skewness/kurtosis, 5.991 χ²(2) verdict
+    "profile_jarque_bera" ->
+      """WITH g AS (
+        | SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  sum(c) AS s1, sum(c*c) AS s2, sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+        | FROM (SELECT event_type, CAST(round(value*100, 0) AS HUGEINT) AS c
+        |       FROM events)
+        | GROUP BY 1),
+        | f AS (
+        | SELECT grp, n,
+        |  CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS a1,
+        |  CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0 * 100.0) AS a2,
+        |  CAST(s3 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0 * 100.0 * 100.0) AS a3,
+        |  CAST(s4 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0 * 100.0 * 100.0 * 100.0)
+        |    AS a4
+        | FROM g),
+        | m AS (
+        | SELECT grp, n, a1,
+        |  a2 - a1*a1 AS m2,
+        |  a3 - 3.0*a1*a2 + 2.0*a1*a1*a1 AS m3,
+        |  a4 - 4.0*a1*a3 + 6.0*a1*a1*a2 - 3.0*a1*a1*a1*a1 AS m4
+        | FROM f),
+        | sk AS (
+        | SELECT grp, n,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        | FROM m),
+        | jb AS (
+        | SELECT grp AS event_type, n, skewness, kurtosis_excess,
+        |  round(n::DOUBLE / 6.0 * (skewness * skewness
+        |    + kurtosis_excess * kurtosis_excess / 4.0), 6) AS jb
+        | FROM sk)
+        | SELECT event_type, n, skewness, kurtosis_excess, jb,
+        |  (jb <= 5.991) AS normal_at_5pct
+        | FROM jb ORDER BY event_type""".stripMargin,
 
     // replays the sequential substitution: one conditional aggregate,
     // round-9 ratios, pinned left-assoc contribution products

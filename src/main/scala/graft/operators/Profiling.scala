@@ -252,6 +252,31 @@ object Profiling {
       round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
   }
 
+  /** JARQUE–BERA normality test (Jarque & Bera 1980) per group —
+    * JB = n/6 · (S² + K²/4) over the sample skewness S and excess
+    * kurtosis K: the moment-based gate a pipeline runs before
+    * trusting z-scores, CUSUM thresholds, or ±kσ outlier fences that
+    * all assume normal tails. Asymptotically χ²(2) under normality;
+    * `normal_at_5pct` compares against the 5.991 critical value
+    * (policy constant, reported not hidden).
+    *
+    * Exactness: S and K come from [[momentsByGroup]]' exact
+    * decimal(38,0) power sums and are already round-6; JB is one
+    * fixed IEEE chain off those ROUNDED values, rounded 6 — the
+    * oracle replays the same composition.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String,
+                 scale: Int = 100): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    momentsByGroup(df, groupCol, valueCol, scale)
+      .withColumn("jb", round(d(col("n")) / 6.0
+        * (col("skewness") * col("skewness")
+          + col("kurtosis_excess") * col("kurtosis_excess") / 4.0), 6))
+      .select(col(groupCol), col("n"), col("skewness"),
+        col("kurtosis_excess"), col("jb"),
+        (col("jb") <= 5.991).as("normal_at_5pct"))
+  }
+
   def profileNumeric(df: DataFrame, cols: Seq[String], scale: Int = 100): DataFrame = {
     require(cols.nonEmpty, "profileNumeric needs at least one column")
     require(scale > 0, "scale must be positive")

@@ -642,6 +642,19 @@ class ProfilingSpec extends SparkSpec {
     assert(r3._1 == 0.0 && r3._2.isEmpty, s"constant side must null NMI: $r3")
   }
 
+  test("jarqueBera: symmetric light-tail sample passes, a planted heavy tail fails") {
+    // near-uniform symmetric values: K ≈ -1.2, S ≈ 0 → JB small at n=20
+    val tame = (1 to 20).map(i => ("a", (i % 10).toDouble))
+    // same body plus two extreme spikes → huge kurtosis, JB explodes
+    val spiky = tame.map { case (_, v) => ("b", v) } ++
+      Seq(("b", 5000.0), ("b", -5000.0))
+    val got = Profiling.jarqueBera((tame ++ spiky).toDF("g", "v"), "g", "v")
+      .select("g", "jb", "normal_at_5pct")
+      .as[(String, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("a")._2 && got("a")._1 < 5.991, s"tame group must pass: $got")
+    assert(!got("b")._2 && got("b")._1 > 5.991, s"spiked group must fail: $got")
+  }
+
   test("ebShrunkRates: small-n keys pull toward the prior, big-n keys stay; flat spread disables") {
     import graft.operators.Analytics
     // 10 well-measured keys at rate .2 with some spread, plus a
