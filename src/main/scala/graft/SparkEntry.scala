@@ -5788,6 +5788,13 @@ object SparkEntry {
       Profiling.jarqueBera(t(s, dir, "events"), "event_type", "value")
         .orderBy("event_type")),
 
+    // robust location: 5%-trimmed and winsorized means next to the
+    // raw mean — exact integer rank bounds on the bounded
+    // value-count table, a large gap IS the outlier alarm
+    "agg_trimmed_mean" -> ((s, dir) =>
+      Profiling.trimmedMeans(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
     // metric-tree decomposition: ΔR attributed to views / conversion
     // / AOV by sequential substitution in a fixed order (telescopes
     // to exactly ΔR); periods split on the DiD integer rule
@@ -7506,6 +7513,39 @@ object SparkEntry {
         |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
         |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
         | FROM m ORDER BY event_type""".stripMargin,
+
+    // trimmed/winsorized replayed: cents value-count table, window
+    // cumulative ranks, overlap arithmetic, fence values by
+    // conditional min
+    "agg_trimmed_mean" ->
+      """WITH vc AS (SELECT event_type AS grp,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS c,
+        |   CAST(count(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2),
+        | cum AS (SELECT *, CAST(sum(k) OVER (PARTITION BY grp ORDER BY c
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM vc),
+        | tot AS (SELECT grp, CAST(sum(k) AS BIGINT) AS n,
+        |   CAST(sum(c * k) AS BIGINT) AS s,
+        |   CAST(floor(sum(k)::DOUBLE * 0.05) AS BIGINT) AS t
+        |  FROM vc GROUP BY 1),
+        | j AS (SELECT cum.grp, c, k, cum, n, s, t,
+        |   t + 1 AS lo, n - t AS hi, cum - k + 1 AS strt,
+        |   greatest(0, least(cum, n - t) - greatest(cum - k + 1, t + 1) + 1)
+        |     AS ov
+        |  FROM cum JOIN tot ON tot.grp = cum.grp),
+        | g AS (SELECT grp, any_value(n) AS n, any_value(s) AS s,
+        |   any_value(t) AS t, CAST(sum(c * ov) AS BIGINT) AS ts,
+        |   min(CASE WHEN cum >= lo THEN c END) AS v_lo,
+        |   min(CASE WHEN cum >= hi THEN c END) AS v_hi
+        |  FROM j GROUP BY 1)
+        | SELECT grp AS event_type, n, t AS n_trimmed_each_side,
+        |  round(s::DOUBLE / n::DOUBLE / 100.0, 6) AS mean,
+        |  round(ts::DOUBLE / CAST(n - t * 2 AS DOUBLE) / 100.0, 6)
+        |    AS trimmed_mean,
+        |  round((ts::DOUBLE + t::DOUBLE * (v_lo::DOUBLE + v_hi::DOUBLE))
+        |    / n::DOUBLE / 100.0, 6) AS winsorized_mean
+        | FROM g ORDER BY event_type""".stripMargin,
 
     // JB replayed: the moments chain, then n/6·(S² + K²/4) off the
     // ROUNDED skewness/kurtosis, 5.991 χ²(2) verdict

@@ -252,6 +252,59 @@ object Profiling {
       round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
   }
 
+  /** TRIMMED and WINSORIZED means per group (Tukey's robust-location
+    * classics): drop — or clamp to the fence values — exactly
+    * ⌊trimPct·n⌋ observations from each tail before averaging, so a
+    * handful of fat-finger rows cannot move the reported level the
+    * way they move [[momentsByGroup]]' raw mean. Reported side by
+    * side with the plain mean: a large gap IS the outlier alarm.
+    *
+    * Exactness — all integer until the final divisions: values scale
+    * to cents longs; the per-(group, value) COUNT table (bounded by
+    * distinct values, not rows) carries cumulative ranks, each value
+    * row contributes c · |[start, end] ∩ [lo, hi]| to the trimmed
+    * sum, and the winsorized sum adds t·(v_lo + v_hi) with the fence
+    * values found by conditional min over the same cumulative table.
+    * No corpus-level window — the rank window runs on the bounded
+    * value-count table.
+    */
+  def trimmedMeans(df: DataFrame, groupCol: String, valueCol: String,
+                   trimPct: Double = 0.05, scale: Int = 100): DataFrame = {
+    require(trimPct >= 0 && trimPct < 0.5, s"trimPct in [0, 0.5): $trimPct")
+    def d(c: Column) = c.cast("double")
+    val sc = scale.toDouble
+    val vc = df.select(col(groupCol).as("grp"),
+        round(col(valueCol) * scale, 0).cast("long").as("c"))
+      .groupBy("grp", "c").agg(count(lit(1)).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = vc.withColumn("cum", sum(col("k")).over(w)) // bounded values
+    val tot = vc.groupBy("grp")
+      .agg(sum(col("k")).as("n"), sum(col("c") * col("k")).as("s"))
+      .withColumn("t", floor(d(col("n")) * trimPct).cast("long"))
+    val j = cum.join(tot, "grp")
+      .withColumn("lo", col("t") + 1)
+      .withColumn("hi", col("n") - col("t"))
+      .withColumn("start", col("cum") - col("k") + 1)
+      .withColumn("ov", greatest(lit(0L),
+        least(col("cum"), col("hi")) - greatest(col("start"), col("lo")) + 1))
+    j.groupBy("grp").agg(
+        first(col("n")).as("n"), first(col("s")).as("s"),
+        first(col("t")).as("t"),
+        sum(col("c") * col("ov")).as("ts"),
+        min(when(col("cum") >= col("lo"), col("c"))).as("v_lo"),
+        min(when(col("cum") >= col("hi"), col("c"))).as("v_hi"))
+      .select(col("grp").as(groupCol), col("n"),
+        col("t").as("n_trimmed_each_side"),
+        round(d(col("s")) / d(col("n")) / sc, 6).as("mean"),
+        round(d(col("ts")) / d(col("n") - col("t") * 2) / sc, 6)
+          .as("trimmed_mean"),
+        round((d(col("ts")) + d(col("t")) * (d(col("v_lo")) + d(col("v_hi"))))
+          / d(col("n")) / sc, 6).as("winsorized_mean"))
+  }
+
   /** JARQUE–BERA normality test (Jarque & Bera 1980) per group —
     * JB = n/6 · (S² + K²/4) over the sample skewness S and excess
     * kurtosis K: the moment-based gate a pipeline runs before

@@ -642,6 +642,23 @@ class ProfilingSpec extends SparkSpec {
     assert(r3._1 == 0.0 && r3._2.isEmpty, s"constant side must null NMI: $r3")
   }
 
+  test("trimmedMeans: one fat-finger row moves the mean, not the robust pair") {
+    // 1..19 plus one 1000: t = floor(20*.05) = 1 from each side
+    val vals = ((1 to 19).map(_.toDouble) :+ 1000.0).map(("a", _))
+    val got = Profiling.trimmedMeans(vals.toDF("g", "v"), "g", "v")
+      .select("n", "n_trimmed_each_side", "mean", "trimmed_mean",
+        "winsorized_mean")
+      .as[(Long, Long, Double, Double, Double)].head()
+    // trimmed: mean(2..19) = 10.5; winsorized clamps 1→2 and 1000→19
+    assert(got == ((20L, 1L, 59.5, 10.5, 10.5)), s"$got")
+    // duplicates straddle the fence: 5×7 with t=... n=5, t=0 → all kept
+    val dup = Seq.fill(5)(("b", 7.0))
+    val g2 = Profiling.trimmedMeans(dup.toDF("g", "v"), "g", "v")
+      .select("mean", "trimmed_mean", "winsorized_mean")
+      .as[(Double, Double, Double)].head()
+    assert(g2 == ((7.0, 7.0, 7.0)), s"$g2")
+  }
+
   test("jarqueBera: symmetric light-tail sample passes, a planted heavy tail fails") {
     // near-uniform symmetric values: K ≈ -1.2, S ≈ 0 → JB small at n=20
     val tame = (1 to 20).map(i => ("a", (i % 10).toDouble))
