@@ -3048,6 +3048,15 @@ object SparkEntry {
         .orderBy(desc("betweenness"), asc("node")).limit(30)
     }),
 
+    // global clustering coefficient + 3-node motif census on the
+    // same backbone: wedges off the degree table, triangles off the
+    // degree-oriented enumeration — the is-there-local-structure
+    // sanity gate before trusting communities or trusses
+    "graph_clustering_coef" -> ((s, dir) =>
+      Graph.clusteringCoefficient(
+        Graph.basketPairEdges(s, ensureBasketGraph(s, dir), minSupport = 2),
+        "src", "dst")),
+
     // per-node CORE NUMBER by the h-index iteration (Lü et al. 2016)
     // on the support-2 backbone — the node-granular decomposition
     // where graph_kcore answers one k's membership; 4 sync rounds
@@ -8147,6 +8156,32 @@ object SparkEntry {
     "graph_adamic_adar" -> adamicAdarSql,
 
     "graph_betweenness" -> betweennessSql(hops = 4),
+
+    // census replayed: canonical a<b<c triangle enumeration on the
+    // already-canonical pair table, HUGEINT wedge sums
+    "graph_clustering_coef" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | d AS (SELECT c, count(*) AS deg FROM e GROUP BY 1),
+        | w AS (SELECT c FROM d WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN w USING (c)),
+        | pr AS (SELECT a.item AS ia, b.item AS ib
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | und AS (SELECT ia AS u, ib AS v FROM pr
+        |        UNION SELECT ib, ia FROM pr),
+        | dg AS (SELECT u, CAST(count(*) AS BIGINT) AS dd FROM und GROUP BY 1),
+        | wd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(CAST(sum(dd) AS HUGEINT) // 2 AS BIGINT) AS n_edges,
+        |  sum(CAST(dd AS HUGEINT) * CAST(dd - 1 AS HUGEINT)) AS w2
+        | FROM dg),
+        | tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM pr e1 JOIN pr e2 ON e2.ia = e1.ib
+        |  JOIN pr e3 ON e3.ia = e1.ia AND e3.ib = e2.ib)
+        | SELECT n_nodes, n_edges, CAST(w2 // 2 AS BIGINT) AS n_wedges,
+        |  n_triangles,
+        |  CASE WHEN w2 > 0 THEN round(3.0 * n_triangles::DOUBLE
+        |   / CAST(w2 // 2 AS DOUBLE), 6) END AS clustering_coef
+        | FROM wd CROSS JOIN tri""".stripMargin,
 
     // h-index rounds unrolled on the same support-2 backbone:
     // degrees seed c0, each round a desc-rank window + h cut

@@ -757,6 +757,44 @@ object Graph {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** GLOBAL CLUSTERING COEFFICIENT and the 3-node motif census —
+    * C = 3·triangles / wedges (Watts–Strogatz transitivity, the
+    * corpus-level "do my neighbors know each other" number): wedges
+    * W = Σ_v C(deg(v), 2) from the degree table, closed wedges from
+    * [[triangleCount]]'s degree-oriented enumeration (each triangle
+    * closes exactly 3 wedges). One row: nodes, edges, wedges,
+    * triangles, C — the smallest useful summary of a graph's local
+    * structure, and the sanity gate before trusting community or
+    * truss output (C ≈ 0 means there IS no local structure to find).
+    *
+    * Exactness: all counts exact longs (wedge sums as
+    * decimal(38,0) — a hub of degree 3·10⁹ alone overflows a long's
+    * C(d,2)); C is one division rounded 6. Scale shape: the degree
+    * aggregate + the [[triangleCount]] O(|E|^1.5) oriented wedge
+    * join — the published bound for exact global counting.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val dec = "decimal(38,0)"
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d").cast(dec)) / 2).cast("long").as("n_edges"),
+      sum(col("d").cast(dec) * (col("d") - 1).cast(dec)).as("w2"))
+    val tri = triangleCount(edges, srcCol, dstCol)
+      .agg((coalesce(sum(col("triangles")), lit(0L)) / 3).cast("long")
+        .as("n_triangles")) // per-node counts triple-count each triangle
+    wedges.crossJoin(broadcast(tri)) // two 1-row scalars
+      .select(col("n_nodes"), col("n_edges"),
+        (col("w2") / 2).cast("long").as("n_wedges"), col("n_triangles"),
+        when(col("w2") > 0, round(lit(3.0) * col("n_triangles")
+          .cast("double") / ((col("w2") / 2).cast("double")), 6))
+          .as("clustering_coef"))
+  }
+
   /** CORENESS (core number) of every node by the H-INDEX ITERATION
     * (Lü, Zhou, Zhang & Stanley, "The H-index of a network node",
     * 2016): c₀(v) = deg(v), then cᵣ₊₁(v) = H of the multiset

@@ -689,6 +689,23 @@ class GraphSpec extends SparkSpec {
     assert(wide == h1, s"fanout-3 sample must be the fanout-5 prefix: $wide vs $h1")
   }
 
+  test("clusteringCoefficient: K4 reads 1, a star reads 0, triangle+pendant hand value") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)]) =
+      Graph.clusteringCoefficient(es.toDF("src", "dst"), "src", "dst")
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+          "clustering_coef")
+        .as[(Long, Long, Long, Long, Option[Double])].head()
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(run(k4) == ((4L, 6L, 12L, 4L, Some(1.0))), s"${run(k4)}")
+    val star = (2L to 5L).map(n => (1L, n))
+    assert(run(star) == ((5L, 4L, 6L, 0L, Some(0.0))), s"${run(star)}")
+    // triangle 1-2-3 with pendant 4 on node 3: wedges = 1+1+3+0 = 5,
+    // one triangle → C = 3/5
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(run(tp) == ((4L, 4L, 5L, 1L, Some(0.6))), s"${run(tp)}")
+  }
+
   test("coreness: K4 with a pendant chain — clique reads 3, chain reads 1, bridge node both") {
     import spark.implicits._
     // K4 on 1-4; chain 4-5-6 hangs off node 4
