@@ -4098,6 +4098,15 @@ object SparkEntry {
         .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
+    // leakage-free split off the SAME served cluster map: assignment
+    // hashes the CLUSTER, so near-dup mates can never straddle
+    // train/test (the eval-contamination fix)
+    "sample_leakage_free_split" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      Sampling.leakageFreeSplit(s.read.parquet(simhashClusterMapPath(dir)))
+        .orderBy("doc_id")
+    }),
+
     // the SAME cluster-map machinery fed by MinHash band pairs instead
     // of simhash — the map artifact is sketch-agnostic (the `pairs`
     // argument is the only difference), unifying the two near-dup
@@ -5314,6 +5323,16 @@ object SparkEntry {
     "text_rake" -> ((s, dir) =>
       TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("rnk")),
+
+    // Jensen–Shannon drift between the even/odd corpus halves:
+    // symmetric, always-finite, ln-2-bounded — the source-vs-source
+    // distribution monitor; scaled-ln exact-integer folds
+    "text_js_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.jsDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text")
+    }),
 
     // corpus health: Zipf slope of the top-50 vocabulary head —
     // round-6-scaled ln values, events_trend OLS arithmetic
@@ -8831,6 +8850,16 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersSql,
 
+    // the cluster labeling CTE + the doc-level split's md5 thresholds
+    // applied to the CLUSTER id
+    "sample_leakage_free_split" ->
+      s"""WITH cm AS (SELECT * FROM ($clustersSql))
+         | SELECT doc_id, cluster_id,
+         |  CASE WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < '0ccc' THEN 'val'
+         |   WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < '1999' THEN 'test'
+         |   ELSE 'train' END AS split
+         | FROM cm ORDER BY doc_id""".stripMargin,
+
     // identical oracle to dedup_clusters: the incremental map upsert
     // must be invisible — components of (old stars ∪ delta pairs)
     // equal a from-scratch rebuild
@@ -11841,6 +11870,41 @@ object SparkEntry {
         |   round(num::DOUBLE * num::DOUBLE / (dx::DOUBLE * dy::DOUBLE), 6)
         |  END AS r2
         | FROM f""".stripMargin,
+
+    // JS replayed: full-outer term join, the division-cleared ratio
+    // 2aB/(aB+bA) per side, count-weighted scaled-ln folds
+    "text_js_drift" ->
+      """WITH ca AS (SELECT w, CAST(count(*) AS BIGINT) AS a FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+        | cb AS (SELECT w, CAST(count(*) AS BIGINT) AS b FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+        | j AS (SELECT coalesce(ca.a, 0) AS a, coalesce(cb.b, 0) AS b
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        | tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+        |  CAST(sum(b) AS BIGINT) AS tb,
+        |  CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
+        |  CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
+        |  CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_terms_shared FROM j),
+        | f AS (SELECT
+        |  CAST(sum(CASE WHEN a > 0 THEN a * CAST(round(ln(
+        |    2.0 * a::DOUBLE * tb::DOUBLE
+        |    / (a::DOUBLE * tb::DOUBLE + b::DOUBLE * ta::DOUBLE)) * 1e6, 0)
+        |    AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN b > 0 THEN b * CAST(round(ln(
+        |    2.0 * b::DOUBLE * ta::DOUBLE
+        |    / (a::DOUBLE * tb::DOUBLE + b::DOUBLE * ta::DOUBLE)) * 1e6, 0)
+        |    AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+        |  FROM j CROSS JOIN tot)
+        | SELECT n_terms_a, n_terms_b, n_terms_shared,
+        |  round((s1::DOUBLE / ta::DOUBLE + s2::DOUBLE / tb::DOUBLE)
+        |    / 2.0 / 1e6, 6) AS js_divergence,
+        |  round(sqrt(greatest(
+        |   round((s1::DOUBLE / ta::DOUBLE + s2::DOUBLE / tb::DOUBLE)
+        |     / 2.0 / 1e6, 6), 0.0)), 6) AS js_distance
+        | FROM tot CROSS JOIN f""".stripMargin,
 
     // RAKE replayed: stopword-delimited islands via pos − row_number,
     // per-instance word deg/freq, scaled-long word scores, phrase sum

@@ -706,6 +706,25 @@ object Sampling {
     out
   }
 
+  /** LEAKAGE-FREE train/val/test split: assign by the near-dup
+    * CLUSTER, not the document — the eval-contamination fix for the
+    * classic bug where a train doc's near-duplicate lands in test
+    * and inflates every metric (the Lee et al. 2022 dedup paper's
+    * central warning). All cluster mates share md5(cluster_id), so
+    * they land on the SAME side by construction; the thresholds are
+    * the hash-split convention of the doc-level `sample_split`
+    * (~5% val, ~5% test). Consumes a materialized
+    * [[graft.operators.Dedup.ensureClusterMap]] artifact — another
+    * served-map consumer, no pair recompute.
+    */
+  def leakageFreeSplit(clusterMap: DataFrame): DataFrame =
+    clusterMap.select(col("doc_id"), col("cluster_id"))
+      .withColumn("h", substring(md5(col("cluster_id").cast("string")), 1, 4))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h") < "0ccc", "val")
+          .when(col("h") < "1999", "test")
+          .otherwise("train").as("split"))
+
   def effectiveSampleSize(df: DataFrame, stratumCol: String,
                           weightCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")

@@ -1005,6 +1005,61 @@ object TextAnalysis {
       .select("rnk", "term", "tf", "n_docs_with", "vmr")
   }
 
+  /** JENSEN–SHANNON DIVERGENCE between two corpora's unigram
+    * distributions (Lin 1991) — the symmetric, always-finite
+    * distribution-drift detector for TEXT: KL explodes on any term
+    * one side lacks, χ²/PSI need binning; JS is bounded by ln 2 and
+    * handles disjoint vocabulary gracefully, which is why corpus
+    * comparisons (source vs source, snapshot vs snapshot, train vs
+    * eval) standardize on it. JS = ½·KL(p‖m) + ½·KL(q‖m) with
+    * m = (p+q)/2; also reported as the metric √JS.
+    *
+    * Determinism: term counts are exact longs; each log-ratio
+    * ln(2aB / (aB + bA)) — the p_i/m_i ratio cleared of divisions —
+    * rounds to 6 and scales to an exact long before the count-
+    * weighted sums (the [[entropyStats]] discipline), so both KL
+    * halves fold order-independently; the final JS is one fixed IEEE
+    * chain, rounded 6.
+    *
+    * Scale shape: two token aggregates (map-side combined), one
+    * full-outer term join keyed by the bounded vocabulary, two 1-row
+    * scalar folds. One scan per corpus.
+    */
+  def jsDrift(docsA: DataFrame, docsB: DataFrame, textCol: String):
+      DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
+    def cnt(df: DataFrame, name: String) =
+      df.select(explode(tokens(lower(col(textCol)))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(name))
+    val ca = cnt(docsA, "a"); val cb = cnt(docsB, "b")
+    val j = ca.join(cb, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val tot = j.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      sum(when(col("a") > 0, 1L).otherwise(0L)).as("n_terms_a"),
+      sum(when(col("b") > 0, 1L).otherwise(0L)).as("n_terms_b"),
+      sum(when(col("a") > 0 && col("b") > 0, 1L).otherwise(0L))
+        .as("n_terms_shared")) // 1-row scalar
+    val folded = j.crossJoin(broadcast(tot))
+      .select(
+        when(col("a") > 0, col("a") * lnS(
+          lit(2.0) * d(col("a")) * d(col("tb"))
+            / (d(col("a")) * d(col("tb")) + d(col("b")) * d(col("ta")))))
+          .otherwise(lit(0L)).as("s1"),
+        when(col("b") > 0, col("b") * lnS(
+          lit(2.0) * d(col("b")) * d(col("ta"))
+            / (d(col("a")) * d(col("tb")) + d(col("b")) * d(col("ta")))))
+          .otherwise(lit(0L)).as("s2"))
+      .agg(sum(col("s1")).as("s1"), sum(col("s2")).as("s2"))
+    val js = round((d(col("s1")) / d(col("ta"))
+      + d(col("s2")) / d(col("tb"))) / 2.0 / 1e6, 6)
+    tot.crossJoin(broadcast(folded)) // two 1-row scalars
+      .select(col("n_terms_a"), col("n_terms_b"), col("n_terms_shared"),
+        js.as("js_divergence"),
+        round(sqrt(greatest(js, lit(0.0))), 6).as("js_distance"))
+  }
+
   /** DATA CARD — the one-page dataset documentation artifact
     * (Gebru et al., "Datasheets for Datasets", 2021; every public
     * corpus release ships one): corpus totals, exact-duplicate rate,

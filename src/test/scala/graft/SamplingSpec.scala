@@ -345,6 +345,23 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._4).sum <= 420L)
   }
 
+  test("leakageFreeSplit: cluster mates never straddle a split boundary") {
+    val map = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L)).toDF("doc_id", "cluster_id")
+    val got = Sampling.leakageFreeSplit(map)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(byCluster.values.forall(_.size == 1),
+      s"a cluster straddles splits: $got")
+    assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // assignment depends only on the cluster id (doc ids irrelevant)
+    val relabeled = Sampling.leakageFreeSplit(
+        map.withColumn("doc_id", col("doc_id") + 100))
+      .select("cluster_id", "split").as[(Long, String)].collect().toSet
+    assert(relabeled == got.map(r => (r._2, r._3)).toSet)
+  }
+
   test("rakeWeights: unbiased sample keeps weight 1; biased cut converges to both margins") {
     def cells(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
     val pop = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L), ("y", 2L))

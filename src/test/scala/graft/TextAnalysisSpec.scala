@@ -607,6 +607,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-9, s"got $got expect $expect")
   }
 
+  test("jsDrift: identical corpora read 0, disjoint vocabularies read ln 2") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val same = TextAnalysis.jsDrift(a, a, "text")
+      .select("js_divergence", "js_distance", "n_terms_shared")
+      .as[(Double, Double, Long)].head()
+    assert(same == ((0.0, 0.0, 3L)), s"identical corpora: $same")
+    val b = Seq((3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val far = TextAnalysis.jsDrift(a, b, "text")
+      .select("js_divergence", "n_terms_shared").as[(Double, Long)].head()
+    assert(far._2 == 0L && math.abs(far._1 - math.log(2)) < 1e-5,
+      s"disjoint vocab must read ln 2: $far")
+    // asymmetric mixes sit strictly between
+    val c = Seq((4L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val mid = TextAnalysis.jsDrift(a, c, "text")
+      .select("js_divergence").as[Double].head()
+    assert(mid > 0.0 && mid < math.log(2), s"partial overlap in (0, ln2): $mid")
+  }
+
   test("dataCard: totals, dup rate, shares, and quality fold on a hand fixture") {
     val docs = Seq(
       (1L, "the quick brown fox", "en", "web"),
