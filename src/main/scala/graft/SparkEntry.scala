@@ -5459,6 +5459,13 @@ object SparkEntry {
       Multimodal.imageDHash(t(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")),
 
+    // per-channel pixel means from the SAME real decode: the
+    // normalization-constants pass, numerically proving the
+    // encode→decode→aggregate round trip per channel
+    "mm_image_stats" -> ((s, dir) =>
+      Multimodal.imageChannelStats(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
     "mm_decode_meta" -> ((s, dir) => {
       val docs = Multimodal.withImagePayload(t(s, dir, "documents"), "doc_id")
       Multimodal.extractImageMeta(docs, "doc_id").toDF()
@@ -11986,6 +11993,32 @@ object SparkEntry {
     // the PNG generation parameters (what the real ImageIO decode
     // must recover from the actual bytes): w = 16 + 4*(id % 13),
     // h = 16 + 4*((id // 7) % 11), 3-band RGB, every payload decodable
+    // channel sums recomputed from the pixel FORMULA per distinct
+    // shape (engine: the decoded bytes) — exact integer sums, one
+    // division per mean
+    "mm_image_stats" ->
+      """WITH ids AS (SELECT doc_id,
+        |   CAST(16 + (doc_id % 13) * 4 AS BIGINT) AS w,
+        |   CAST(16 + ((doc_id // 7) % 11) * 4 AS BIGINT) AS h
+        |  FROM documents),
+        | dims AS (SELECT DISTINCT w, h FROM ids),
+        | px AS (SELECT w, h,
+        |   (x * 31 + y * 17) & 255 AS r, (x * 7 + y * 3) & 255 AS g,
+        |   (x + y) & 255 AS b
+        |  FROM dims, UNNEST(range(0, w)) AS tx(x),
+        |   UNNEST(range(0, h)) AS ty(y)),
+        | st AS (SELECT w, h, CAST(sum(r) AS BIGINT) AS sr,
+        |   CAST(sum(g) AS BIGINT) AS sg, CAST(sum(b) AS BIGINT) AS sb,
+        |   CAST(sum((r + g + b) // 3) AS BIGINT) AS sl
+        |  FROM px GROUP BY 1, 2)
+        | SELECT doc_id, ids.w AS width, ids.h AS height,
+        |  round(sr::DOUBLE / CAST(ids.w * ids.h AS DOUBLE), 6) AS mean_r,
+        |  round(sg::DOUBLE / CAST(ids.w * ids.h AS DOUBLE), 6) AS mean_g,
+        |  round(sb::DOUBLE / CAST(ids.w * ids.h AS DOUBLE), 6) AS mean_b,
+        |  round(sl::DOUBLE / CAST(ids.w * ids.h AS DOUBLE), 6) AS mean_luma
+        | FROM ids JOIN st ON st.w = ids.w AND st.h = ids.h
+        | ORDER BY doc_id""".stripMargin,
+
     // the pooled-gray grid recomputed from the pixel FORMULA per
     // distinct shape (the engine recovers the same pixels from the
     // PNG bytes): cell membership by the ⌊c·w/9⌋ boundaries, integer

