@@ -4098,6 +4098,16 @@ object SparkEntry {
         .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
+    // c-TF-IDF topic labels for the SAME served clusters: what IS
+    // this near-dup cluster — top terms the cluster uses heavily and
+    // the rest of the corpus does not
+    "text_cluster_topics" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      TextAnalysis.clusterTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          s.read.parquet(simhashClusterMapPath(dir)), k = 3)
+        .orderBy("cluster_id", "rnk")
+    }),
+
     // leakage-free split off the SAME served cluster map: assignment
     // hashes the CLUSTER, so near-dup mates can never straddle
     // train/test (the eval-contamination fix)
@@ -8856,6 +8866,32 @@ object SparkEntry {
     "dedup_edit_distance" -> editDistanceSql(maxHamming = 3, maxDist = 6),
 
     "dedup_clusters" -> clustersSql,
+
+    // the cluster labeling CTE + cluster-tf × scaled-ln idf, rank
+    // window per cluster with (score, term) tie-break
+    "text_cluster_topics" ->
+      s"""WITH cm AS (SELECT * FROM ($clustersSql)),
+         | sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM cm GROUP BY 1 HAVING count(*) >= 2),
+         | tok AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         | FROM documents),
+         | dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+         | nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         | ctf AS (SELECT cm.cluster_id, sizes.n_docs, term,
+         |   CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok JOIN cm USING (doc_id) JOIN sizes USING (cluster_id)
+         |  GROUP BY 1, 2, 3),
+         | sc AS (SELECT cluster_id, n_docs, term, tf,
+         |   tf * CAST(round(ln(n::DOUBLE / df::DOUBLE) * 1e6, 0) AS BIGINT)
+         |     AS s6
+         |  FROM ctf JOIN dfreq USING (term) CROSS JOIN nd)
+         | SELECT cluster_id, n_docs, rnk, term, tf,
+         |  round(s6::DOUBLE / 1e6, 6) AS score
+         | FROM (SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+         |   ORDER BY s6 DESC, term) AS BIGINT) AS rnk FROM sc)
+         | WHERE rnk <= 3 ORDER BY cluster_id, rnk""".stripMargin,
 
     // the cluster labeling CTE + the doc-level split's md5 thresholds
     // applied to the CLUSTER id

@@ -1005,6 +1005,45 @@ object TextAnalysis {
       .select("rnk", "term", "tf", "n_docs_with", "vmr")
   }
 
+  /** CLUSTER TOPIC LABELS — the curation question after any
+    * clustering: WHAT is this cluster? Top-k terms per (non-
+    * singleton) near-dup cluster by cluster-tf × corpus-idf — the
+    * c-TF-IDF shape (class-based TF-IDF, the BERTopic labeling
+    * rule): a term scores high when the cluster uses it heavily AND
+    * the rest of the corpus does not, so boilerplate glue never
+    * labels anything. Consumes a materialized
+    * [[graft.operators.Dedup.ensureClusterMap]] artifact — another
+    * served-map consumer, no pair recompute.
+    *
+    * Determinism: tf/df are exact longs; idf = ln(N/df) rounds to 6
+    * and scales to a long before the tf weight (the [[entropyStats]]
+    * discipline); top-k per cluster is a rank window over the
+    * bounded cluster-term table with (score, term) tie-break.
+    */
+  def clusterTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                      clusterMap: DataFrame, k: Int = 3): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
+    val cm = clusterMap.select(col("doc_id"), col("cluster_id"))
+    val sizes = cm.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val dfreq = tok.dropDuplicates("doc_id", "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n")) // 1-row scalar
+    val ctf = tok.join(cm, "doc_id").join(broadcast(sizes), "cluster_id")
+      .groupBy("cluster_id", "n_docs", "term").agg(count(lit(1)).as("tf"))
+    val scored = ctf.join(dfreq, "term").crossJoin(broadcast(nd))
+      .withColumn("s6", col("tf") * lnS(d(col("n")) / d(col("df"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("s6"), asc("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("cluster_id"), col("n_docs"), col("rnk"), col("term"),
+        col("tf"), round(d(col("s6")) / 1e6, 6).as("score"))
+  }
+
   /** JENSEN–SHANNON DIVERGENCE between two corpora's unigram
     * distributions (Lin 1991) — the symmetric, always-finite
     * distribution-drift detector for TEXT: KL explodes on any term

@@ -607,6 +607,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-9, s"got $got expect $expect")
   }
 
+  test("clusterTopTerms: cluster-specific vocabulary outranks corpus glue; singletons drop") {
+    val docs = Seq(
+      (1L, "rocket engine thrust common common"),
+      (2L, "rocket engine nozzle common common"),
+      (3L, "garden soil common common"),
+      (4L, "garden seeds common common"),
+      (5L, "lonely unique words common")
+    ).toDF("doc_id", "text")
+    val map = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = TextAnalysis.clusterTopTerms(docs, "doc_id", "text", map, k = 2)
+      .select("cluster_id", "rnk", "term")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    // "common" appears in EVERY doc → idf ln(5/5) = 0 → never a label
+    assert(!got.exists(_._3 == "common"), s"glue must not label: $got")
+    assert(got.filter(_._1 == 1L).map(_._3).contains("rocket"), s"$got")
+    assert(got.filter(_._1 == 3L).map(_._3).contains("garden"), s"$got")
+    // singleton cluster 5 reports nothing
+    assert(!got.exists(_._1 == 5L), s"singletons must drop: $got")
+  }
+
   test("jsDrift: identical corpora read 0, disjoint vocabularies read ln 2") {
     val a = Seq((1L, "alpha beta gamma"), (2L, "beta gamma")).toDF("doc_id", "text")
     val same = TextAnalysis.jsDrift(a, a, "text")
