@@ -4481,6 +4481,20 @@ object SparkEntry {
       s.read.parquet(knnGraphPath(dir)).orderBy("query_id", "rnk")
     }),
 
+    // embedding COMMUNITIES without choosing k: connected components
+    // over the mutual-kNN edges (reciprocity already filtered hub
+    // artifacts) — the cluster-map CC machinery on the served table
+    "sim_knn_communities" -> ((s, dir) => {
+      Similarity.ensureKnnGraph(t(s, dir, "embeddings"), "vec_id",
+        "embedding", knnGraphPath(dir), k = 3, nbits = 4, numTables = 16)
+      val mutual = Similarity.mutualKnnFromGraph(s, knnGraphPath(dir))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.connectedClusters(
+          t(s, dir, "embeddings").select(col("vec_id")), "vec_id", mutual)
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("community_id"))
+        .orderBy("vec_id")
+    }),
+
     // label propagation over the SAME materialized kNN table (sixth
     // consumer): 20% seeds, 3 sync majority rounds with min-label
     // tie-break, non-seed accuracy audited in-row
@@ -9549,6 +9563,41 @@ object SparkEntry {
          |   ON f.query_id = r.corpus_id AND f.corpus_id = r.query_id
          | WHERE f.query_id < f.corpus_id
          | ORDER BY id_a, id_b""".stripMargin,
+
+    // the mutual-kNN chain + the recursive-reach labeling CTE (the
+    // dedup_clusters oracle pattern on the embedding graph)
+    "sim_knn_communities" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         | bkt AS (${lshBucketArmsSql(nbits = 4, numTables = 16)}),
+         | cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+         |  FROM bkt c JOIN bkt q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND c.id <> q.id),
+         | scored AS (
+         |  SELECT query_id, corpus_id,
+         |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+         |  FROM cand
+         |  JOIN embeddings ce ON ce.vec_id = corpus_id
+         |  JOIN embeddings qe ON qe.vec_id = query_id),
+         | knn AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, corpus_id) AS rnk
+         |   FROM scored)
+         |  WHERE rnk <= 3),
+         | mut AS (SELECT f.query_id AS a, f.corpus_id AS b
+         |  FROM knn f JOIN knn r
+         |    ON f.query_id = r.corpus_id AND f.corpus_id = r.query_id
+         |  WHERE f.query_id < f.corpus_id),
+         | edges AS (SELECT a AS src, b AS dst FROM mut
+         |           UNION ALL SELECT b, a FROM mut),
+         | reach(id, lab) AS (
+         |   SELECT vec_id, vec_id FROM embeddings
+         |   UNION
+         |   SELECT ed.dst, r.lab FROM reach r JOIN edges ed ON ed.src = r.id)
+         | SELECT id AS vec_id, min(lab) AS community_id
+         | FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "sim_range_search" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
