@@ -556,4 +556,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "category-sized tables must never merge-join")
   }
+
+  test("knn communities never re-score vectors: the served edge table feeds CC (sim_knn_communities)") {
+    val p = plan("sim_knn_communities")
+    assert(!p.contains("cosinesim(") && !p.contains("dotproduct("),
+      "the mutual filter must read stored scores, never re-run the kernels")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      "the embeddings scan must prune to the id column")
+  }
+
+  test("image stats decode once per distinct shape and broadcast back (mm_image_stats)") {
+    val p = plan("mm_image_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 143-shape stats table must broadcast onto the id stream")
+    assert(!p.contains("SortMergeJoin"),
+      "payload bytes must never shuffle into a merge join")
+  }
+
+  test("JS drift is two token aggregates and scalar broadcasts (text_js_drift)") {
+    val p = plan("text_js_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row totals must broadcast onto the vocabulary join")
+    assert(!p.contains("CartesianProduct"),
+      "scalar attachment must be a broadcast, never a cartesian")
+  }
 }
