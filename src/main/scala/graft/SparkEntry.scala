@@ -6181,6 +6181,13 @@ object SparkEntry {
       Profiling.mutualInformation(t(s, dir, "orders"),
         "o_orderstatus", "o_orderpriority")),
 
+    // ABC/Pareto classification of parts by revenue: integer
+    // cumulative-share boundaries (A to 80%, B to 95%), rank window
+    // on the catalog-bounded key table
+    "agg_abc_analysis" -> ((s, dir) =>
+      Analytics.abcAnalysis(t(s, dir, "lineitem"), "l_partkey")
+        .orderBy("rnk")),
+
     // empirical-Bayes shrinkage of per-part return rates: beta-
     // binomial MoM prior off the exact rate moments, posterior-mean
     // rates that small-n parts can't dominate
@@ -12578,6 +12585,26 @@ object SparkEntry {
         |     * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         | FROM g""".stripMargin,
+
+    // ABC replayed: exact cents masses, desc-rank windows, integer
+    // boundary tests ((cum−cents)·100 < t·80), class at the crosser
+    "agg_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey AS key,
+        |   CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0)
+        |     AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+        | r AS (SELECT key, cents,
+        |   CAST(sum(cents) OVER (ORDER BY cents DESC, key
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |   CAST(row_number() OVER (ORDER BY cents DESC, key) AS BIGINT) AS rnk
+        |  FROM rev)
+        | SELECT rnk, key, cents / 100.0 AS revenue,
+        |  round(cum::DOUBLE / t::DOUBLE, 6) AS cum_share,
+        |  CASE WHEN (cum - cents) * 100 < t * 80 THEN 'A'
+        |   WHEN (cum - cents) * 100 < t * 95 THEN 'B'
+        |   ELSE 'C' END AS abc_class
+        | FROM r CROSS JOIN t ORDER BY rnk""".stripMargin,
 
     // EB shrinkage replayed: exact per-key counts, scaled-long rate
     // moments, the same MoM prior chain and posterior means

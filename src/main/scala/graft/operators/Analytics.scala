@@ -1008,6 +1008,44 @@ object Analytics {
       .orderBy("min_value", "id")
   }
 
+  /** ABC / PARETO CLASSIFICATION — the inventory-management classic:
+    * rank keys by revenue and class them A (the keys carrying the
+    * first 80% of cumulative revenue), B (to 95%), C (the long
+    * tail); effort follows the class (count A daily, C yearly). The
+    * assortment-level summary [[graft.operators.Profiling]]'s Gini/
+    * Lorenz curves describe but don't operationalize.
+    *
+    * Exactness: revenue masses are exact cents longs; the cumulative
+    * share test is INTEGER (100·cum ≤ 80·total — no float share per
+    * row), classed at the key whose interval CONTAINS the boundary
+    * (the first key crossing 80% is still A — the standard
+    * convention). The rank window runs over the key table (catalog-
+    * bounded — |parts|, not |lineitem|), after the one corpus
+    * aggregate.
+    */
+  def abcAnalysis(lineitem: DataFrame, keyCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val rev = lineitem.groupBy(col(keyCol).as("key"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .withColumn("cents", round(col("revenue") * 100, 0).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cents"), asc("key")) // catalog-bounded key table
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = rev.agg(sum(col("cents")).as("t")) // 1-row scalar
+    rev.withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cents"), asc("key"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("key"), col("revenue"),
+        round(d(col("cum")) / d(col("t")), 6).as("cum_share"),
+        when((col("cum") - col("cents")) * 100 < col("t") * 80, "A")
+          .when((col("cum") - col("cents")) * 100 < col("t") * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** EMPIRICAL-BAYES rate shrinkage (beta-binomial, method-of-moments
     * prior — the Efron & Morris "Stein's paradox in statistics"
     * workhorse): per-key success rates x/n are wildly overdispersed

@@ -642,6 +642,21 @@ class ProfilingSpec extends SparkSpec {
     assert(r3._1 == 0.0 && r3._2.isEmpty, s"constant side must null NMI: $r3")
   }
 
+  test("abcAnalysis: boundary crosser stays A; classes partition the catalog") {
+    import graft.operators.Analytics
+    // revenues 50, 40, 9, 1 → cum shares .5, .9, .99, 1.0
+    // A: keys starting below 80% (50, 40); B: below 95% (9); C: rest
+    val rows = Seq((1L, 50.0), (2L, 40.0), (3L, 9.0), (4L, 1.0))
+      .flatMap { case (k, r) => Seq((k, r, 0.0)) }
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = Analytics.abcAnalysis(rows, "l_partkey")
+      .select("rnk", "key", "cum_share", "abc_class")
+      .as[(Long, Long, Double, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 1L, 0.5, "A"), (2L, 2L, 0.9, "A"),
+      (3L, 3L, 0.99, "B"), (4L, 4L, 1.0, "C")), s"$got")
+  }
+
   test("trimmedMeans: one fat-finger row moves the mean, not the robust pair") {
     // 1..19 plus one 1000: t = floor(20*.05) = 1 from each side
     val vals = ((1 to 19).map(_.toDouble) :+ 1000.0).map(("a", _))
