@@ -3323,6 +3323,18 @@ object SparkEntry {
         t(s, dir, "lineitem"), minQty = 150.0)),
 
     // Q10-shaped returned-item report: who returned the most revenue
+    // relational division (Codd's ÷): who ordered EVERY part of the
+    // pinned %97 bundle — count-matching form, full coverage report
+    "join_division" -> ((s, dir) => {
+      val bundle = t(s, dir, "part")
+        .where(col("p_partkey") % 97 === 0)
+        .orderBy("p_partkey").limit(2)
+        .select(col("p_partkey"))
+      Joins.relationalDivision(t(s, dir, "orders"), t(s, dir, "lineitem"),
+          bundle, "p_partkey")
+        .orderBy("o_custkey")
+    }),
+
     "join_returned_items" -> ((s, dir) =>
       Analytics.returnedItemRevenue(
         t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"),
@@ -7241,6 +7253,21 @@ object SparkEntry {
         | JOIN orders ON o_orderkey = l_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    // division replayed: bundle restriction, per-customer distinct
+    // coverage, count-matching quotient flag
+    "join_division" ->
+      """WITH bundle AS (SELECT p_partkey FROM part
+        |  WHERE p_partkey % 97 = 0 ORDER BY p_partkey LIMIT 2),
+        | k AS (SELECT CAST(count(*) AS BIGINT) AS bundle_size FROM bundle),
+        | li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM bundle)),
+        | cov AS (SELECT o_custkey,
+        |   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_covered
+        |  FROM li JOIN orders ON o_orderkey = l_orderkey GROUP BY 1)
+        | SELECT o_custkey, n_covered, bundle_size,
+        |  (n_covered = bundle_size) AS qualifies
+        | FROM cov CROSS JOIN k ORDER BY o_custkey""".stripMargin,
 
     "join_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -399,4 +399,35 @@ object Joins {
                        leftKey: String, rightKey: String): DataFrame =
     spark.table(leftName).join(spark.table(rightName),
       col(leftKey) === col(rightKey))
+
+  /** RELATIONAL DIVISION (Codd's ÷, the "for all" join): which
+    * customers ordered EVERY part in a probe bundle — the classic
+    * requirement SQL has no operator for and analysts routinely get
+    * wrong with chained EXISTS. Implemented as the count-matching
+    * form: restrict the fact table to bundle parts (broadcast — the
+    * divisor is bounded by definition), count DISTINCT covered parts
+    * per customer, compare against the bundle size. Emits the full
+    * coverage report (every customer touching ≥ 1 bundle part, with
+    * `qualifies`) rather than only the divided set, so an empty
+    * quotient still yields an auditable answer.
+    *
+    * Scale shape: the bundle restriction is a broadcast semi-join
+    * BEFORE the orders join, so the fact scan shrinks to bundle
+    * rows first; one distinct-count aggregate per customer; the
+    * bundle size rides as a 1-row broadcast.
+    */
+  def relationalDivision(orders: DataFrame, lineitem: DataFrame,
+                         bundle: DataFrame, bundleCol: String): DataFrame = {
+    val b = bundle.select(col(bundleCol).as("l_partkey")).distinct()
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(b), Seq("l_partkey"))
+    val k = b.agg(count(lit(1)).as("bundle_size")) // 1-row scalar
+    li.join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")), "l_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_covered"))
+      .crossJoin(broadcast(k))
+      .select(col("o_custkey"), col("n_covered"), col("bundle_size"),
+        (col("n_covered") === col("bundle_size")).as("qualifies"))
+  }
 }

@@ -214,4 +214,18 @@ class JoinsSpec extends SparkSpec {
     val small = Seq.empty[(Long, String)].toDF("sk", "name")
     assert(Joins.bloomPrefilterJoin(big, "bk", small, "sk").count() == 0)
   }
+
+  test("relationalDivision: only full-bundle customers qualify; partial coverage reported") {
+    val orders = Seq((10L, 1L), (11L, 1L), (20L, 2L), (30L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    // cust 1 covers parts 7 and 8 across two orders; cust 2 covers 7
+    // twice (distinct = 1); cust 3 touches nothing in the bundle
+    val li = Seq((10L, 7L), (11L, 8L), (20L, 7L), (20L, 7L), (30L, 99L))
+      .toDF("l_orderkey", "l_partkey")
+    val bundle = Seq(7L, 8L).toDF("p")
+    val got = Joins.relationalDivision(orders, li, bundle, "p")
+      .select("o_custkey", "n_covered", "qualifies")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L, true), (2L, 1L, false)), s"quotient: $got")
+  }
 }
