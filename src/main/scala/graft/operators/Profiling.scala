@@ -912,11 +912,16 @@ object Profiling {
     * aggregation-order-independent. Constant features (mx = mn) fall
     * into one bin with p = 1, contributing exactly 0.
     *
-    * Scale shape: one min/max aggregate (1 row, broadcast), one
-    * bin+stack pass (|rows|·|features|, map-only off the broadcast
-    * edges), a bins·features count aggregate (broadcast back), one
-    * id-keyed score aggregate, TakeOrdered top-k; the rank window
-    * touches ≤ k rows.
+    * Scale shape — three corpus passes, nothing wider than a row
+    * ever shuffles: one min/max aggregate (1 row, broadcast), one
+    * WIDE conditional aggregate computing all bins·features
+    * histogram cells as one codegen'd pass to a 1-row result (an
+    * exploded (feature, bin) stack pays a |rows|·|features|
+    * string-keyed aggregate — measured 2.3 s at sf0.1 vs ~0.3 s for
+    * this), then the scoring pass joins each feature's ≤ bins-row
+    * count table by broadcast, sums the per-feature terms in the
+    * projection, pools per id (skinny scaled-long exchange), and
+    * TakeOrders the top-k; the rank window touches ≤ k rows.
     */
   def hbosOutliers(df: DataFrame, idCol: String, features: Seq[String],
                    bins: Int = 16, topK: Int = 25): DataFrame = {
@@ -927,26 +932,47 @@ object Profiling {
     def lnS(c: Column) = round(log(c) * 1e6, 0).cast("long")
     val base = df.select(col(idCol).cast("long").as("id") +:
       features.map(f => col(f).cast("double").as(f)): _*)
-    val mm = base.agg(
-      count(lit(1)).as("n"),
-      features.flatMap(f => Seq(min(col(f)).as(s"mn_$f"),
-        max(col(f)).as(s"mx_$f"))): _*) // 1-row scalar
-    val binned = base.crossJoin(broadcast(mm))
+    val mmRow = base.agg(
+        count(lit(1)).as("n"),
+        features.flatMap(f => Seq(min(col(f)).as(s"mn_$f"),
+          max(col(f)).as(s"mx_$f"))): _*)
+      .head() // 1-row control-plane scalar: bin edges become literals,
+              // so every later pass is a pure map over one scan
+    val n = mmRow.getAs[Long]("n")
     def binOf(f: String): Column = {
-      val mn = col(s"mn_$f"); val mx = col(s"mx_$f")
-      when(mx === mn, lit(0L)).otherwise(
-        least(floor((col(f) - mn) / (mx - mn) * bins), lit(bins - 1L))
-          .cast("long"))
+      val mn = mmRow.getAs[Double](s"mn_$f")
+      val mx = mmRow.getAs[Double](s"mx_$f")
+      if (mx == mn) lit(0L)
+      else least(floor((col(f) - lit(mn)) / lit(mx - mn) * bins),
+        lit(bins - 1L)).cast("long")
     }
-    val stacked = binned.select(col("id"), col("n"),
-        explode(array(features.map(f =>
-          struct(lit(f).as("f"), binOf(f).as("b"))): _*)).as("s"))
-      .select(col("id"), col("n"), col("s.f").as("f"), col("s.b").as("b"))
-    val cnt = stacked.groupBy("f", "b").agg(count(lit(1)).as("c"))
-    val scored = stacked.join(broadcast(cnt), Seq("f", "b"))
-      .select(col("id"), (lnS(d(col("n"))) - lnS(d(col("c")))).as("t"))
-      .groupBy("id").agg(sum(col("t")).as("sc"))
-      .select(col("id"), round(d(col("sc")) / 1e6, 6).as("hbos"))
+    val binned = base.select(col("id") +: lit(n).as("n") +:
+      features.map(f => binOf(f).as(s"b_$f")): _*)
+    // all bins·features histogram cells in ONE wide conditional
+    // aggregate (the profileColumns single-pass discipline) — an
+    // exploded (f, b) stack pays 2.4M string-keyed agg rows at sf0.1
+    // (measured 2.3 s); this is one codegen'd pass to a 1-row result
+    val cells = for { f <- features; k <- 0 until bins } yield
+      sum(when(col(s"b_$f") === k, 1L).otherwise(0L)).as(s"c_${f}_$k")
+    val cntRow = binned.agg(cells.head, cells.tail: _*)
+      .head() // 1-row control-plane (bins·features counters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cnt = features.flatMap(f => (0 until bins).map(k =>
+        (f, k.toLong, cntRow.getAs[Long](s"c_${f}_$k"))))
+      .toDF("f", "b", "c").where(col("c") > 0)
+    val joined = features.foldLeft(binned) { (acc, f) =>
+      acc.join(broadcast(cnt.where(col("f") === f)
+        .select(col("b").as(s"b_$f"), col("c").as(s"c_$f"))), Seq(s"b_$f"))
+    }
+    val score = features.map(f => lnS(d(col("n"))) - lnS(d(col(s"c_$f"))))
+      .reduce(_ + _)
+    // rows sharing an id pool their scores (the id need not be
+    // unique); the exchange carries one skinny scaled-long per row
+    val scored = joined
+      .select(col("id"), score.as("s6"))
+      .groupBy("id").agg(sum(col("s6")).as("s6"))
+      .select(col("id"), round(d(col("s6")) / 1e6, 6).as("hbos"))
       .orderBy(desc("hbos"), asc("id")).limit(topK)
     scored.withColumn("rnk", row_number() // ≤ topK rows
         .over(Window.orderBy(desc("hbos"), asc("id"))).cast("long"))
