@@ -5802,6 +5802,12 @@ object SparkEntry {
       Events.kaplanMeier(t(s, dir, "events"), conversionType = "purchase")
         .orderBy("day")),
 
+    // Weibull shape/scale read off the SAME survival curve by the
+    // probability-plot OLS — k < 1 reads decelerating hazard; r²
+    // reports how Weibull the curve actually is
+    "events_weibull_fit" -> ((s, dir) =>
+      Events.weibullFit(t(s, dir, "events"), conversionType = "purchase")),
+
     // sliding 6 h distinct users from MERGED hourly HLL sketches —
     // distinct isn't additive, sketches are: raw events scanned once,
     // each window a union of 6 constant-size sketch rows; gated
@@ -7464,6 +7470,71 @@ object SparkEntry {
         | SELECT day, n_risk, d AS n_events, c AS n_censored,
         |  CASE WHEN zf = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS survival
         | FROM s ORDER BY day""".stripMargin,
+
+    // Weibull replayed: the survival CTE chain, interior points to
+    // scaled-long (x, y), the zipfFit OLS sums, λ off the ROUNDED
+    // slope/intercept
+    "events_weibull_fit" ->
+      """WITH pu AS (
+        | SELECT user_id, min(epoch_ms(ts)) AS t0,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS tc
+        | FROM events GROUP BY user_id),
+        | tm AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+        | dur AS (
+        | SELECT CAST(CASE WHEN tc IS NOT NULL
+        |   THEN floor((tc - t0) / 86400000.0)
+        |   ELSE floor((tmax - t0) / 86400000.0) END AS BIGINT) AS day,
+        |  (tc IS NOT NULL) AS converted
+        | FROM pu CROSS JOIN tm),
+        | d AS (
+        | SELECT day,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+        | FROM dur GROUP BY day),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dur),
+        | r AS (
+        | SELECT day, d, c,
+        |  CAST(n_total - coalesce(sum(d + c) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        | FROM d CROSS JOIN n),
+        | s AS (
+        | SELECT day,
+        |  max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS zf,
+        |  sum(CASE WHEN d < n_risk THEN ln(1.0 - d / n_risk) ELSE 0.0 END)
+        |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS lsum
+        | FROM r),
+        | sv AS (SELECT day,
+        |  CASE WHEN zf = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS survival
+        | FROM s),
+        | pts AS (SELECT
+        |  CAST(round(ln(day::DOUBLE) * 1e6, 0) AS BIGINT) AS x,
+        |  CAST(round(ln(-ln(survival)) * 1e6, 0) AS BIGINT) AS y
+        | FROM sv WHERE day > 0 AND survival > 0 AND survival < 1),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(y * y) AS BIGINT) AS syy FROM pts),
+        | f AS (SELECT n,
+        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx,
+        |  n * syy - sy * sy AS dy, sx, sy FROM g),
+        | o AS (SELECT n AS n_points,
+        |  CASE WHEN dx <> 0 THEN round(num::DOUBLE / dx::DOUBLE, 6) END
+        |    AS shape_k,
+        |  CASE WHEN dx <> 0 THEN
+        |   round((sy::DOUBLE * dx::DOUBLE - num::DOUBLE * sx::DOUBLE)
+        |     / (n::DOUBLE * dx::DOUBLE) / 1e6, 6) END AS icept,
+        |  CASE WHEN dx <> 0 AND dy <> 0 THEN
+        |   round(num::DOUBLE * num::DOUBLE / (dx::DOUBLE * dy::DOUBLE), 6)
+        |  END AS r2
+        | FROM f)
+        | SELECT n_points, shape_k,
+        |  CASE WHEN shape_k IS NOT NULL AND shape_k <> 0
+        |   THEN round(exp(-icept / shape_k), 6) END AS scale_lambda,
+        |  r2, CASE WHEN shape_k IS NOT NULL THEN shape_k < 1.0 END
+        |    AS decelerating_hazard
+        | FROM o""".stripMargin,
 
     // exact per-window distinct + literal TRUE (the sketch bound)
     "events_sliding_distinct" ->

@@ -1133,6 +1133,51 @@ object Events {
               col("c").as("n_censored"), col("survival"))
   }
 
+  /** WEIBULL FIT of the [[kaplanMeier]] curve by the linearized
+    * probability-plot regression: S(t) = exp(−(t/λ)^k) ⟺
+    * ln(−ln S(t)) = k·ln t − k·ln λ, so an OLS of y = ln(−ln S) on
+    * x = ln t over the curve's interior points (0 < S < 1, t > 0)
+    * reads off the SHAPE k and SCALE λ — the two numbers a
+    * time-to-event curve is usually summarized by: k < 1 means the
+    * hazard DECELERATES (users who survive the first days are
+    * progressively safer — the churn classic), k > 1 accelerates
+    * (wear-out), k = 1 is exponential/memoryless. r² reports how
+    * Weibull the curve actually is before anyone trusts k.
+    *
+    * Determinism: the day-grain survival values are [[kaplanMeier]]'s
+    * round-6 outputs; x and y round-6-scale to exact longs before
+    * the OLS sums (the zipfFit/trend discipline); k, λ, r² are fixed
+    * IEEE chains off those exact integers, rounded 6 (λ uses the
+    * ROUNDED slope and intercept — the oracle replays the same
+    * composition).
+    */
+  def weibullFit(events: DataFrame, conversionType: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pts = kaplanMeier(events, conversionType)
+      .where(col("day") > 0 && col("survival") > 0 && col("survival") < 1)
+      .select(
+        round(log(d(col("day"))) * 1e6, 0).cast("long").as("x"),
+        round(log(-log(col("survival"))) * 1e6, 0).cast("long").as("y"))
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = round(d(num) / d(dx), 6)
+    val icept = round((d(col("sy")) * d(dx) - d(num) * d(col("sx")))
+      / (d(col("n")) * d(dx)) / 1e6, 6)
+    g.select(col("n").as("n_points"),
+      when(dx =!= 0, slope).as("shape_k"),
+      when(dx =!= 0 && slope =!= 0,
+        round(exp(-icept / slope), 6)).as("scale_lambda"),
+      when(dx =!= 0 && dy =!= 0,
+        round(d(num) * d(num) / (d(dx) * d(dy)), 6)).as("r2"),
+      when(dx =!= 0, slope < 1.0).as("decelerating_hazard"))
+  }
+
   /** Sliding-window distinct users from MERGED hourly sketches — the
     * classic reason sliding distinct counts need sketches: distinct
     * is not additive, so a naive per-window recount touches every raw

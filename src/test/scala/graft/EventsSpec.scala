@@ -896,6 +896,33 @@ class EventsSpec extends SparkSpec {
       s"event-study curve mismatch: $got")
   }
 
+  test("weibullFit: heavy-tail conversions read k < 1, late-clustered read k > 1") {
+    import java.sql.Timestamp
+    def fixture(durations: Seq[Int]) =
+      durations.zipWithIndex.flatMap { case (dd, i) =>
+        val u = i.toLong + 1
+        Seq((u, 2L * u, Timestamp.valueOf("2024-01-01 00:00:00"), "view"),
+          (u, 2L * u + 1,
+            Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+              .plusDays(dd).format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss"))), "purchase"))
+      }.toDF("user_id", "event_id", "ts", "event_type")
+    // geometric-ish heavy tail: survivors get progressively safer
+    val decel = Events.weibullFit(
+        fixture(Seq(1, 1, 1, 1, 1, 2, 2, 2, 4, 4, 8, 16, 32, 64, 128, 256)),
+        "purchase")
+      .select("shape_k", "r2", "decelerating_hazard")
+      .as[(Double, Double, Boolean)].head()
+    assert(decel._1 < 1.0 && decel._3, s"heavy tail must read k < 1: $decel")
+    assert(decel._2 > 0.8, s"the linearized fit should be tight: $decel")
+    // wear-out: almost everyone converts in a narrow late band
+    val accel = Events.weibullFit(
+        fixture(Seq(40, 45, 48, 50, 52, 54, 55, 56, 57, 58)), "purchase")
+      .select("shape_k", "decelerating_hazard")
+      .as[(Double, Boolean)].head()
+    assert(accel._1 > 1.0 && !accel._2, s"late cluster must read k > 1: $accel")
+  }
+
   test("upliftCurve: effect concentrated on high-score users; qini cumulative") {
     import java.sql.Timestamp
     // pre = 2024-01-01, post = 2024-01-02 (integer midpoint split).
