@@ -6199,6 +6199,13 @@ object SparkEntry {
       Profiling.mutualInformation(t(s, dir, "orders"),
         "o_orderstatus", "o_orderpriority")),
 
+    // RFM migration matrix: per-half quintile scoring (cuts relative
+    // to their period), full-outer transition counts with 'absent'
+    // acquisition/churn cells
+    "events_rfm_migration" -> ((s, dir) =>
+      Analytics.rfmMigration(t(s, dir, "orders"))
+        .orderBy("seg_before", "seg_after")),
+
     // ABC/Pareto classification of parts by revenue: integer
     // cumulative-share boundaries (A to 80%, B to 95%), rank window
     // on the catalog-bounded key table
@@ -12683,6 +12690,58 @@ object SparkEntry {
         |     * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         | FROM g""".stripMargin,
+
+    // migration replayed: integer-midpoint halves, the rfm chain per
+    // half (cuts from ITS period), full-outer transition counts
+    "events_rfm_migration" -> {
+      def rfmCte(src: String, x: String): String =
+        s"""per$x AS (SELECT o_custkey,
+           |  date_diff('day', max(CAST(o_orderdate AS DATE)),
+           |    (SELECT max(CAST(o_orderdate AS DATE)) FROM $src)) AS recency_days,
+           |  CAST(count(*) AS BIGINT) AS frequency,
+           |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           | FROM $src GROUP BY 1),
+           | cuts$x AS (SELECT
+           |  round(quantile_cont(recency_days, 0.2), 6) AS r0,
+           |  round(quantile_cont(recency_days, 0.4), 6) AS r1,
+           |  round(quantile_cont(recency_days, 0.6), 6) AS r2,
+           |  round(quantile_cont(recency_days, 0.8), 6) AS r3,
+           |  round(quantile_cont(frequency, 0.2), 6) AS f0,
+           |  round(quantile_cont(frequency, 0.4), 6) AS f1,
+           |  round(quantile_cont(frequency, 0.6), 6) AS f2,
+           |  round(quantile_cont(frequency, 0.8), 6) AS f3,
+           |  round(quantile_cont(cents, 0.2), 6) AS m0,
+           |  round(quantile_cont(cents, 0.4), 6) AS m1,
+           |  round(quantile_cont(cents, 0.6), 6) AS m2,
+           |  round(quantile_cont(cents, 0.8), 6) AS m3
+           | FROM per$x),
+           | seg$x AS (SELECT o_custkey,
+           |  CAST((6 - (1 + (recency_days > r0)::INT + (recency_days > r1)::INT
+           |        + (recency_days > r2)::INT + (recency_days > r3)::INT)) * 100
+           |   + (1 + (frequency > f0)::INT + (frequency > f1)::INT
+           |        + (frequency > f2)::INT + (frequency > f3)::INT) * 10
+           |   + (1 + (cents > m0)::INT + (cents > m1)::INT
+           |        + (cents > m2)::INT + (cents > m3)::INT)
+           |   AS BIGINT) AS segment
+           | FROM per$x, cuts$x)""".stripMargin
+      s"""WITH bounds AS (SELECT
+         |  min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS mn,
+         |  max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS mx
+         | FROM orders),
+         | pre AS (SELECT o.* FROM orders o CROSS JOIN bounds
+         |  WHERE 2 * date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |   <= mn + mx),
+         | post AS (SELECT o.* FROM orders o CROSS JOIN bounds
+         |  WHERE 2 * date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |   > mn + mx),
+         | ${rfmCte("pre", "a")},
+         | ${rfmCte("post", "b")}
+         | SELECT coalesce(a.segment::VARCHAR, 'absent') AS seg_before,
+         |  coalesce(b.segment::VARCHAR, 'absent') AS seg_after,
+         |  CAST(count(*) AS BIGINT) AS n_customers
+         | FROM sega a FULL OUTER JOIN segb b ON a.o_custkey = b.o_custkey
+         | GROUP BY 1, 2 ORDER BY seg_before, seg_after""".stripMargin
+    },
 
     // ABC replayed: exact cents masses, desc-rank windows, integer
     // boundary tests ((cum−cents)·100 < t·80), class at the crosser

@@ -773,6 +773,44 @@ object Analytics {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("long"))
   }
 
+  /** RFM SEGMENT MIGRATION — the CRM follow-up to [[rfmSegments]]:
+    * score every customer in the FIRST and SECOND half of the order
+    * history independently (quintile cuts recomputed per half — the
+    * standard convention, segments are always relative to their
+    * period) and count the (before, after) transitions, with
+    * customers absent from a half reported as 'absent' (acquisitions
+    * and churn are the matrix's most actionable cells, not noise to
+    * drop). The per-period [[rfmSegments]] says who is valuable NOW;
+    * the migration matrix says which way they are MOVING.
+    *
+    * Determinism: the period split is the [[graft.operators.Events
+    * .diffInDiff]] integer midpoint; each half reuses
+    * [[rfmSegments]]' exact counts/cents and round-6 percentile
+    * cuts; the output is a bounded (≤ 126²) transition count table.
+    */
+  def rfmMigration(orders: DataFrame): DataFrame = {
+    val epoch0 = lit(java.sql.Date.valueOf("1970-01-01"))
+    val base = orders.withColumn("ep",
+      datediff(to_date(col("o_orderdate")), epoch0).cast("long"))
+    val mm = base.agg(min(col("ep")).as("mn"), max(col("ep")).as("mx"))
+    def half(pre: Boolean): DataFrame = {
+      val cond =
+        if (pre) col("ep") * 2 <= col("mn") + col("mx")
+        else col("ep") * 2 > col("mn") + col("mx")
+      rfmSegments(base.crossJoin(broadcast(mm)) // 1-row bounds
+        .where(cond).drop("ep", "mn", "mx"))
+    }
+    val a = half(pre = true)
+      .select(col("o_custkey"), col("segment").as("sa"))
+    val b = half(pre = false)
+      .select(col("o_custkey"), col("segment").as("sb"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .groupBy(
+        coalesce(col("sa").cast("string"), lit("absent")).as("seg_before"),
+        coalesce(col("sb").cast("string"), lit("absent")).as("seg_after"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** EXACT heavy hitters with bounded per-task state: every key whose
     * frequency strictly exceeds N/(capacity+1), with its exact count.
     *

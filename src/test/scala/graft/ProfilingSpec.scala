@@ -642,6 +642,30 @@ class ProfilingSpec extends SparkSpec {
     assert(r3._1 == 0.0 && r3._2.isEmpty, s"constant side must null NMI: $r3")
   }
 
+  test("rfmMigration: every customer lands in one transition cell; halves make absences") {
+    import graft.operators.Analytics
+    import java.sql.Timestamp
+    // days 1..10 (midpoint split at day 5): cust 1 orders in both
+    // halves, cust 2 only early (churn), cust 3 only late (acquired)
+    val rows = Seq(
+      (1L, "2024-01-01", 100.0), (1L, "2024-01-09", 200.0),
+      (2L, "2024-01-02", 50.0),
+      (3L, "2024-01-10", 75.0))
+    val df = rows.map { case (c, d, p) =>
+      (c, Timestamp.valueOf(s"$d 00:00:00"), p)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.rfmMigration(df)
+      .select("seg_before", "seg_after", "n_customers")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.map(_._3).sum == 3L, s"3 customers, 3 cells: $got")
+    assert(got.exists(r => r._1 != "absent" && r._2 == "absent"),
+      s"churned customer must show: $got")
+    assert(got.exists(r => r._1 == "absent" && r._2 != "absent"),
+      s"acquired customer must show: $got")
+    assert(got.exists(r => r._1 != "absent" && r._2 != "absent"),
+      s"retained customer must show: $got")
+  }
+
   test("abcAnalysis: boundary crosser stays A; classes partition the catalog") {
     import graft.operators.Analytics
     // revenues 50, 40, 9, 1 → cum shares .5, .9, .99, 1.0
