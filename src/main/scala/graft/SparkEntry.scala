@@ -4110,6 +4110,16 @@ object SparkEntry {
         .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
+    // cross-source near-dup matrix off the SAME served map: which
+    // sources copy from which — pair counts from per-cluster source
+    // counts (linear, never quadratic in cluster size)
+    "dedup_source_matrix" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      Dedup.sourceMatrixFromMap(s.read.parquet(simhashClusterMapPath(dir)),
+          t(s, dir, "documents"), "doc_id", "source")
+        .orderBy("source_a", "source_b")
+    }),
+
     // c-TF-IDF topic labels for the SAME served clusters: what IS
     // this near-dup cluster — top terms the cluster uses heavily and
     // the rest of the corpus does not
@@ -8992,6 +9002,24 @@ object SparkEntry {
     "dedup_edit_distance" -> editDistanceSql(maxHamming = 3, maxDist = 6),
 
     "dedup_clusters" -> clustersSql,
+
+    // matrix replayed: cluster labeling CTE, per-cluster source
+    // counts, the product/choose-2 pair formulas (HUGEINT folds)
+    "dedup_source_matrix" ->
+      s"""WITH cm AS (SELECT * FROM ($clustersSql)),
+         | cs AS (SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS c
+         |  FROM cm JOIN documents USING (doc_id) GROUP BY 1, 2),
+         | same AS (SELECT source AS source_a, source AS source_b,
+         |   CAST(sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT) // 2)
+         |     AS BIGINT) AS n_pairs
+         |  FROM cs WHERE c >= 2 GROUP BY 1, 2),
+         | cross_src AS (SELECT x.source AS source_a, y.source AS source_b,
+         |   CAST(sum(CAST(x.c AS HUGEINT) * CAST(y.c AS HUGEINT)) AS BIGINT)
+         |     AS n_pairs
+         |  FROM cs x JOIN cs y ON x.cluster_id = y.cluster_id
+         |   AND x.source < y.source GROUP BY 1, 2)
+         | SELECT * FROM (SELECT * FROM same UNION ALL SELECT * FROM cross_src)
+         | WHERE n_pairs > 0 ORDER BY source_a, source_b""".stripMargin,
 
     // the cluster labeling CTE + cluster-tf × scaled-ln idf, rank
     // window per cluster with (score, term) tie-break

@@ -1253,6 +1253,43 @@ object Dedup {
     * corpus). Only the exact-truth join shuffles, and only to audit
     * the filter — the production path drops it.
     */
+  /** CROSS-SOURCE NEAR-DUP MATRIX — the provenance question behind a
+    * dup rate: WHICH sources copy from which (mirrors, scrapes of
+    * scrapes, syndication) — per ordered source pair (a ≤ b), how
+    * many near-dup DOC PAIRS the corpus holds across them. Counted
+    * WITHOUT materializing pairs: a cluster with per-source member
+    * counts c_s contributes c_a·c_b cross pairs and C(c_s, 2) same-
+    * source pairs, so the whole matrix is linear in |docs| off the
+    * served cluster map — never quadratic in cluster size (the giant-
+    * cluster hazard every pairwise formulation hits).
+    *
+    * Exactness: counts are exact longs folded as decimal(38,0) (one
+    * 10⁹-member cluster alone overflows a long's C(c,2)); output is
+    * the bounded |sources|² matrix.
+    */
+  def sourceMatrixFromMap(clusterMap: DataFrame, docs: DataFrame,
+                          idCol: String, sourceCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cs = clusterMap.select(col("doc_id"), col("cluster_id"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source")), "doc_id")
+      .groupBy("cluster_id", "source").agg(count(lit(1)).as("c"))
+    val same = cs.where(col("c") >= 2)
+      .groupBy(col("source").as("source_a"))
+      .agg(sum((col("c").cast(dec) * (col("c") - 1).cast(dec)) / 2)
+        .cast("long").as("n_pairs"))
+      .select(col("source_a"), col("source_a").as("source_b"),
+        col("n_pairs"))
+    val cross = cs.as("x").join(cs.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"),
+        col("y.source").as("source_b"))
+      .agg(sum(col("x.c").cast(dec) * col("y.c").cast(dec))
+        .cast("long").as("n_pairs"))
+    same.unionByName(cross).where(col("n_pairs") > 0)
+  }
+
   /** The k md5-derived bit positions of one content hash — the one
     * audit point for the bloom family's position formula (the
     * DuckDB twin is `('0x' || substr(md5(h || '_bj'), 1, 8))::BIGINT

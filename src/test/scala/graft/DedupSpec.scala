@@ -538,6 +538,24 @@ class DedupSpec extends SparkSpec {
     assert(got.head._3 == 1L)
   }
 
+  test("sourceMatrixFromMap: pair counts from the product formulas, singletons invisible") {
+    val map = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, "web"), (2L, "web"), (3L, "books"), // cluster 1: web², books¹
+      (4L, "web"),                             // singleton
+      (5L, "news"), (6L, "news")               // cluster 5: news²
+    ).toDF("doc_id", "source")
+    val got = Dedup.sourceMatrixFromMap(map, docs, "doc_id", "source")
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("web", "web", 1L),      // C(2,2) in cluster 1
+      ("books", "web", 2L),    // 1·2 cross pairs in cluster 1
+      ("news", "news", 1L)),   // C(2,2) in cluster 5
+      s"matrix: $got")
+  }
+
   test("bloom lifecycle: upsert merge equals rebuild; ensure never re-runs; probe serves") {
     def tmp(tag: String) =
       s"${System.getProperty("java.io.tmpdir")}/graft_spec_bloom_${tag}_${System.nanoTime()}"
