@@ -6209,6 +6209,13 @@ object SparkEntry {
       Profiling.mutualInformation(t(s, dir, "orders"),
         "o_orderstatus", "o_orderpriority")),
 
+    // Hill tail index of order totals: how heavy the revenue tail is
+    // (α ≤ 2 = infinite variance) — TakeOrdered top-100, scaled-ln
+    // folds, everything after the cut touches ≤ k rows
+    "agg_hill_tail" -> ((s, dir) =>
+      Analytics.hillTailIndex(t(s, dir, "orders"), "o_totalprice",
+        k = 100)),
+
     // RFM migration matrix: per-half quintile scoring (cuts relative
     // to their period), full-outer transition counts with 'absent'
     // acquisition/churn cells
@@ -12718,6 +12725,25 @@ object SparkEntry {
         |     * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         | FROM g""".stripMargin,
+
+    // Hill replayed: top-k cents cut, threshold min, scaled-ln
+    // excess folds (ties contribute 0)
+    "agg_hill_tail" ->
+      """WITH top AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        |  FROM orders WHERE round(o_totalprice * 100, 0) > 0
+        |  ORDER BY c DESC LIMIT 100),
+        | thr AS (SELECT CAST(min(c) AS BIGINT) AS xk,
+        |  CAST(count(*) AS BIGINT) AS n FROM top),
+        | f AS (SELECT n, xk, CAST(sum(CAST(round(
+        |    ln(c::DOUBLE / xk::DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s6
+        |  FROM top CROSS JOIN thr GROUP BY 1, 2)
+        | SELECT n AS k_used, round(xk::DOUBLE / 100.0, 2) AS threshold,
+        |  CASE WHEN s6 > 0 THEN
+        |   round(CAST(n - 1 AS DOUBLE) / (s6::DOUBLE / 1e6), 6) END AS alpha,
+        |  CASE WHEN s6 > 0 THEN
+        |   round(s6::DOUBLE / 1e6 / CAST(n - 1 AS DOUBLE), 6)
+        |  END AS mean_excess_log
+        | FROM f""".stripMargin,
 
     // migration replayed: integer-midpoint halves, the rfm chain per
     // half (cuts from ITS period), full-outer transition counts

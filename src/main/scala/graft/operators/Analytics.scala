@@ -773,6 +773,43 @@ object Analytics {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("long"))
   }
 
+  /** HILL TAIL-INDEX estimator (Hill 1975) over the top-k order
+    * statistics: α̂ = (k−1) / Σ_{i<k} ln(x_(i)/x_(k)) — HOW heavy the
+    * upper tail is, the number the Gini/Lorenz and Zipf views imply
+    * but don't estimate: α ≤ 2 means infinite variance (means of
+    * per-key revenue stop converging — sampling and CI machinery
+    * needs the robust path), α ≤ 1 means even the mean is infinite.
+    * The standard diagnostic before trusting any average over a
+    * revenue-like column.
+    *
+    * Determinism: the top-k is TakeOrdered by (cents, key); each
+    * ln(x_i/x_k) rounds to 6 and scales to an exact long before the
+    * sum (the zipfFit discipline); α̂ is one division off those
+    * integers, rounded 6. Everything after the TakeOrdered touches
+    * ≤ k rows.
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String,
+                    k: Int = 100): DataFrame = {
+    require(k >= 3, s"need k >= 3 order statistics: $k")
+    def d(c: Column) = c.cast("double")
+    val top = df.select(round(col(valueCol) * 100, 0).cast("long").as("c"))
+      .where(col("c") > 0)
+      .orderBy(desc("c")).limit(k)
+    val thr = top.agg(min(col("c")).as("xk"), count(lit(1)).as("n")) // ≤ k rows
+    top.crossJoin(broadcast(thr))
+      // threshold ties contribute ln(1) = 0 — exactly Hill's k−1 terms
+      .select(col("n"), col("xk"),
+        round(log(d(col("c")) / d(col("xk"))) * 1e6, 0).cast("long").as("l6"))
+      .groupBy("n", "xk")
+      .agg(sum(col("l6")).as("s6"))
+      .select(col("n").as("k_used"),
+        round(d(col("xk")) / 100.0, 2).as("threshold"),
+        when(col("s6") > 0,
+          round(d(col("n") - 1) / (d(col("s6")) / 1e6), 6)).as("alpha"),
+        when(col("s6") > 0,
+          round(d(col("s6")) / 1e6 / d(col("n") - 1), 6)).as("mean_excess_log"))
+  }
+
   /** RFM SEGMENT MIGRATION — the CRM follow-up to [[rfmSegments]]:
     * score every customer in the FIRST and SECOND half of the order
     * history independently (quintile cuts recomputed per half — the

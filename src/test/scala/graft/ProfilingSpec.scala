@@ -642,6 +642,25 @@ class ProfilingSpec extends SparkSpec {
     assert(r3._1 == 0.0 && r3._2.isEmpty, s"constant side must null NMI: $r3")
   }
 
+  test("hillTailIndex: exact Pareto sample recovers its alpha; ties contribute zero") {
+    import graft.operators.Analytics
+    // exact Pareto(alpha=2) order stats: x_i = xk / sqrt(u_i) with
+    // u ranks — use x_i = 100 * (n/i)^(1/2) for i = 1..n: Hill on the
+    // full sample estimates alpha ≈ 2 (bias O(1/k))
+    val n = 200
+    val xs = (1 to n).map(i => 100.0 * math.sqrt(n.toDouble / i))
+    val df = xs.map(x => Tuple1(x)).toDF("v")
+    val got = Analytics.hillTailIndex(df, "v", k = n)
+      .select("k_used", "alpha").as[(Long, Double)].head()
+    assert(got._1 == n && math.abs(got._2 - 2.0) < 0.15,
+      s"planted Pareto(2) must read alpha near 2: $got")
+    // all-equal values: every log excess is 0 -> alpha undefined (null)
+    val flat = Analytics.hillTailIndex(
+        Seq.fill(10)(Tuple1(5.0)).toDF("v"), "v", k = 5)
+      .select("alpha").as[Option[Double]].head()
+    assert(flat.isEmpty, s"flat tail must null alpha: $flat")
+  }
+
   test("rfmMigration: every customer lands in one transition cell; halves make absences") {
     import graft.operators.Analytics
     import java.sql.Timestamp
