@@ -39,14 +39,18 @@ object Bench {
     // Two mechanisms, both ON by default:
     //  (a) same-sweep outlier retry — when a recorded value exceeds 3×
     //      the fastest observed run of that same query, re-run once and
-    //      record the minimum (SPARK_GRAFT_RETRY_OUTLIERS=0 disables);
+    //      record the MEDIAN of the samples
+    //      (SPARK_GRAFT_RETRY_OUTLIERS=0 disables);
     //  (b) final-pass worst-N re-run — SUSTAINED contention inflates
     //      warm and timed samples together (queries run alphabetically,
     //      so e.g. the heavy graph_* block is contiguous and a busy
     //      window hits all of it), which (a) is structurally blind to.
     //      After the sweep, the N slowest queries re-run once more, far
-    //      from the contended window, and the minimum is recorded
-    //      (SPARK_GRAFT_FINALPASS=N, default 10, 0 disables).
+    //      from the contended window, and the MEDIAN of all samples is
+    //      recorded (SPARK_GRAFT_FINALPASS=N, default 10, 0 disables).
+    // Medians, not minima: a one-sided min() can only lower the
+    // headline and systematically favors the engine; the median (two
+    // samples average) corrects contention in either direction.
     // Every retry records BOTH samples in the artifact ("retries":
     // {name: [recorded, rerun]}) so a judge can separate environment
     // drift from code regressions without a controlled re-run. COLD
@@ -66,6 +70,16 @@ object Bench {
     }
     val queryFns = SparkEntry.queries
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Median of ALL samples taken for a query (sweep record + any
+    // retries). Even counts average the two middles — symmetric, so a
+    // rerun can correct contention UP or DOWN; the old min() policy
+    // could only lower the headline and biased it against a
+    // fixed-protocol run.
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     queryFns.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -79,7 +93,7 @@ object Bench {
             System.err.println(
               f"[bench] outlier retry $name: recorded $rec%.2fs vs fastest $fastest%.2fs -> retry $again%.2fs")
             retries(name) = retries.getOrElse(name, List(rec)) :+ again
-            rec = math.min(rec, again)
+            rec = medianOf(retries(name))
             nRetried += 1
           }
           results(name) = rec
@@ -97,7 +111,8 @@ object Bench {
           val again = timedRun(queryFns(name))
           System.err.println(f"[bench] final-pass $name: recorded $rec%.2fs -> rerun $again%.2fs")
           retries(name) = retries.getOrElse(name, List(rec)) :+ again
-          if (again < rec) { results(name) = again; nRetried += 1 }
+          val med = medianOf(retries(name))
+          if (med != rec) { results(name) = med; nRetried += 1 }
         } catch { case e: Throwable =>
           // The sweep run succeeded; keep its number and note the rerun failure.
           System.err.println(s"[bench] final-pass rerun failed $name — ${e.getClass.getSimpleName}")
@@ -133,6 +148,11 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line(qsJson(results.toSeq.sortBy(_._1)), "") + "\n").getBytes("UTF-8"))
+      // A prefix-free copy of the compact line for any parser that
+      // chokes on sbt's [info]/[error] stdout prefixes.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_summary.json"),
+        (compact + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }

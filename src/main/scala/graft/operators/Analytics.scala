@@ -507,7 +507,10 @@ object Analytics {
     * independent, no pow() in the hot path; facts older than `cap`
     * half-lives weigh 0 (a 2⁻⁴⁰ tail is invisible at round 6
     * anyway, and the cutoff is what keeps the integer sum exact).
-    * One map-side-combined aggregate + TakeOrdered.
+    * The sum accumulates as decimal(38,0) — a plain long wraps past
+    * ~2³⁸·2⁴⁰ ≈ 8.4M newest-date facts per key, well inside 100 TB
+    * territory; decimal holds ~10²⁶ of them. One map-side-combined
+    * aggregate + TakeOrdered.
     */
   def decayedTopK(facts: DataFrame, keyCol: String, dateCol: String,
                   halfLifeDays: Int, k: Int, cap: Int = 40): DataFrame = {
@@ -520,7 +523,9 @@ object Analytics {
       .withColumn("ws", expr(
         s"CASE WHEN hl <= $cap THEN shiftleft(CAST(1 AS BIGINT), $cap - hl) " +
           "ELSE CAST(0 AS BIGINT) END"))
-      .groupBy("key").agg(count(lit(1)).as("n"), sum("ws").as("ssum"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ws").cast("decimal(38,0)")).as("ssum"))
       .select(col("key"), col("n"),
         round(col("ssum").cast("double") / math.pow(2.0, cap), 6).as("decayed"))
       .orderBy(desc("decayed"), asc("key")).limit(k)
@@ -782,11 +787,14 @@ object Analytics {
     * The standard diagnostic before trusting any average over a
     * revenue-like column.
     *
-    * Determinism: the top-k is TakeOrdered by (cents, key); each
-    * ln(x_i/x_k) rounds to 6 and scales to an exact long before the
-    * sum (the zipfFit discipline); α̂ is one division off those
-    * integers, rounded 6. Everything after the TakeOrdered touches
-    * ≤ k rows.
+    * Determinism: the top-k is TakeOrdered by cents alone — ties at
+    * the cut are value-equivalent (whichever tied row survives the
+    * limit contributes the same ln(x/x_k), and ties AT the threshold
+    * contribute ln(1) = 0), so no key tie-break is needed for a
+    * deterministic output; each ln(x_i/x_k) rounds to 6 and scales to
+    * an exact long before the sum (the zipfFit discipline); α̂ is one
+    * division off those integers, rounded 6. Everything after the
+    * TakeOrdered touches ≤ k rows.
     */
   def hillTailIndex(df: DataFrame, valueCol: String,
                     k: Int = 100): DataFrame = {
@@ -1151,8 +1159,13 @@ object Analytics {
         coalesce(sum(when(successCol, lit(1L)).otherwise(lit(0L))), lit(0L))
           .as("x"))
       .withColumn("r6", round(d(col("x")) / d(col("n")) * 1e6, 0).cast("long"))
+    // s2 terms reach 1e12 each — a long sum wraps past ~9.2M keys, so
+    // the squared moment accumulates as decimal(38,0) (the
+    // clusteringCoefficient/isotropy discipline); s1 is safe to ~9e12
+    // keys but rides along for symmetry.
     val mom = per.agg(count(lit(1)).as("k"),
-      sum(col("r6")).as("s1"), sum(col("r6") * col("r6")).as("s2"))
+      sum(col("r6").cast("decimal(38,0)")).as("s1"),
+      sum((col("r6") * col("r6")).cast("decimal(38,0)")).as("s2"))
     val m = d(col("s1")) / d(col("k")) / 1e6
     val v = (d(col("k")) * d(col("s2")) - d(col("s1")) * d(col("s1"))) /
       (d(col("k")) * d(col("k"))) / 1e12

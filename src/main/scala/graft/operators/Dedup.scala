@@ -997,7 +997,19 @@ object Dedup {
     * O(log n) large-star/small-star machinery.
     */
   def semanticClusters(emb: DataFrame, idCol: String, vecCol: String,
-                       numCells: Int, threshold: Double): DataFrame = {
+                       numCells: Int, threshold: Double): DataFrame =
+    connectedClusters(emb.select(col(idCol)), idCol,
+      semanticPairs(emb, idCol, vecCol, numCells, threshold))
+
+  /** The pair half of [[semanticClusters]], exposed so the cluster
+    * map can be MATERIALIZED per corpus through [[ensureClusterMap]]
+    * (the simhash/minhash map discipline — SemDeDup is just a third
+    * pair generator feeding the same artifact): kmeans-cell
+    * assignment bounds the quadratic, exact round-6 cosine within
+    * cells only.
+    */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    numCells: Int, threshold: Double): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
     val centroids = Similarity.seedCentroids(v, "id", numCells)
@@ -1007,14 +1019,13 @@ object Dedup {
       .groupBy(col("id"))
       .agg(max(struct(col("csim"), col("cell_id"))).getField("cell_id").as("cell_id"),
            first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
-    val pairs = assigned.as("a")
+    assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell_id") === col("b.cell_id") && col("a.id") < col("b.id"))
       .withColumn("cos", round(
         cosineFromParts(dotD(col("a.vec"), col("b.vec")), col("a.nrm"), col("b.nrm")), 6))
       .where(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-    connectedClusters(emb.select(col(idCol)), idCol, pairs)
   }
 
   /** Embedding near-dup at scale: hyperplane-LSH bucket join, exact

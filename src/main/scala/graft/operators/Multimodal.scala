@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * UDF shape (`mapPartitions` over an iterator — the Scala analogue of
   * a batched pandas UDF), deterministic output. STILL IMAGES decode
   * for real via the JDK's `javax.imageio` ([[ImageCodec]] — encode →
-  * decode round-trip proven by the mm_decode_meta oracle); only media
-  * the JDK has no codec for (video containers, compressed audio) use
-  * the deterministic [[MediaCodec.decodeStub]] probe, clearly marked —
-  * swapping in ffmpeg bindings changes one function, not the pipeline.
+  * decode round-trip proven by the mm_decode_meta oracle) and
+  * UNCOMPRESSED AUDIO decodes for real via the JDK's
+  * `javax.sound.sampled` WAV/PCM codec ([[WavCodec]] — encode →
+  * decode → exact waveform sums proven by the mm_audio_decode
+  * oracle); only media the JDK has no codec for (video containers,
+  * compressed audio codecs) use the deterministic
+  * [[MediaCodec.decodeStub]] probe, clearly marked — swapping in
+  * ffmpeg bindings changes one function, not the pipeline.
   *
   * Scale posture: decode is a map-only stage; binary payloads never
   * shuffle (metadata is extracted first, payloads dropped before any
@@ -380,6 +384,158 @@ object Multimodal {
           AudioMeta(id, bytes.length.toLong, dur, rate)
         }
       }
+  }
+
+  /** REAL audio decode — `javax.sound.sampled.AudioSystem`, which
+    * ships a WAV/PCM codec in the JDK (zero external dependency).
+    * This retires the decode-is-a-stub caveat for uncompressed audio
+    * the way [[ImageCodec]] retired it for still images; the
+    * [[MediaCodec.decodeStub]] path remains only for media the JDK
+    * genuinely cannot probe (video containers, compressed codecs).
+    */
+  object WavCodec {
+    /** A deterministic 16-bit signed little-endian mono PCM WAV:
+      * sample i = ((i·37 + 11·k) mod 2048) − 1024 — pure integer
+      * arithmetic a SQL oracle replays exactly — encoded through the
+      * JDK's own WAVE writer (canonical RIFF header off format +
+      * length, no timestamp fields, so identical inputs produce
+      * identical bytes across JVMs). Fixture generator for
+      * [[withAudioPayload]]; also the reference encoder a real
+      * ingest would replace.
+      */
+    def wav(sampleRate: Int, nSamples: Int, k: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = ((i * 37 + 11 * k) % 2048) - 1024
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat,
+        /* bigEndian = */ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload FROM ITS BYTES: header probe (rate,
+      * channels, frame count) plus a full-waveform pass producing
+      * exact integer sample sums — the proof the whole stream
+      * decoded, not just the header. Unreadable or non-PCM-16
+      * payloads return None (one poisoned blob must not kill a
+      * 100 TB scan).
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val frames = ais.getFrameLength
+          val ch = fmt.getChannels
+          val pcm = ais.readAllBytes()
+          var sum = 0L; var sabs = 0L; var i = 0
+          val n = (frames * ch).toInt
+          while (i < n) {
+            val lo = pcm(2 * i) & 0xff
+            val hi = pcm(2 * i + 1).toInt // sign-extends
+            val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                    else (hi << 8) | lo
+            sum += s; sabs += math.abs(s)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, ch, frames, sum, sabs))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Attach a REAL WAV payload per document — the fixture-side half
+    * of the real audio-decode path (the driver testdata ships no
+    * blobs). Shape derives from the id: rate = 8000 or 16000 by
+    * id mod 2, n_samples = 400 + 40·(id mod 11), phase k = id mod 5
+    * — ≤ 110 distinct shapes, so each WAV encodes ONCE on the
+    * executors and broadcast-joins onto the rows (the
+    * [[withImagePayload]] bounded-shapes discipline). The shape
+    * formulas are what the DuckDB oracle replays ([[WavCodec.decode]]
+    * must recover them from the actual bytes — that round-trip is
+    * the test).
+    */
+  def withAudioPayload(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shapes = docs.select(
+        when(col(idCol) % 2 === 0, 8000).otherwise(16000).as("wav_rate"),
+        (lit(400) + (col(idCol) % 11) * 40).cast("int").as("wav_n"),
+        (col(idCol) % 5).cast("int").as("wav_k"))
+      .distinct()
+    val payloads = shapes.as[(Int, Int, Int)]
+      .map { case (r, n, k) => (r, n, k, WavCodec.wav(r, n, k)) } // executor-side
+      .toDF("wav_rate", "wav_n", "wav_k", "payload")
+    docs
+      .withColumn("wav_rate",
+        when(col(idCol) % 2 === 0, 8000).otherwise(16000))
+      .withColumn("wav_n", (lit(400) + (col(idCol) % 11) * 40).cast("int"))
+      .withColumn("wav_k", (col(idCol) % 5).cast("int"))
+      .join(broadcast(payloads), Seq("wav_rate", "wav_n", "wav_k"))
+      .drop("wav_rate", "wav_n", "wav_k")
+      .withColumn("media_type", lit("audio/wav"))
+  }
+
+  /** Partition-batched REAL audio decode ([[extractImageMeta]]'s
+    * shape for WAV): payload in, typed meta + exact waveform sums
+    * out, payload dropped before anything wide. Decode runs once per
+    * DISTINCT payload (bounded shapes) and broadcast-joins back by
+    * the shape key — a real lake with unbounded distinct audio runs
+    * the same kernel per row after [[dedupBinary]] collapses exact
+    * copies.
+    */
+  def audioDecodeStats(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The decode is keyed by the FULL shape triple — two payloads can
+    // share (rate, n) yet differ in phase k (different waveform, so
+    // different sums); every reported column below the key still
+    // comes FROM THE BYTES, never from the key.
+    val payloads = withAudioPayload(docs, idCol)
+      .withColumn("wav_rate",
+        when(col(idCol) % 2 === 0, 8000).otherwise(16000))
+      .withColumn("wav_n", (lit(400) + (col(idCol) % 11) * 40).cast("int"))
+      .withColumn("wav_k", (col(idCol) % 5).cast("int"))
+      .select("wav_rate", "wav_n", "wav_k", "payload").distinct()
+    val decoded = payloads.as[(Int, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (r, n, k, bytes) =>
+          WavCodec.decode(bytes) match {
+            case Some((rate, ch, frames, sum, sabs)) =>
+              (r, n, k, true, rate.toLong, ch.toLong, frames, sum, sabs)
+            case None => (r, n, k, false, -1L, -1L, -1L, 0L, 0L)
+          }
+        }
+      }.toDF("wav_rate", "wav_n", "wav_k", "decode_ok", "dec_rate",
+        "channels", "n_samples", "sum_samples", "sum_abs")
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("wav_rate",
+        when(col("doc_id") % 2 === 0, 8000).otherwise(16000))
+      .withColumn("wav_n", (lit(400) + (col("doc_id") % 11) * 40).cast("int"))
+      .withColumn("wav_k", (col("doc_id") % 5).cast("int"))
+      .join(broadcast(decoded), Seq("wav_rate", "wav_n", "wav_k"))
+      .select(col("doc_id"), col("decode_ok"),
+        col("dec_rate").as("sample_rate"), col("channels"),
+        col("n_samples"),
+        round(col("n_samples").cast("double") * 1000.0
+          / col("dec_rate").cast("double"), 6).as("duration_ms"),
+        col("sum_samples"), col("sum_abs"))
   }
 
   /** Fixed-duration audio chunking with overlap — the

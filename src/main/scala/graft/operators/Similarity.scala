@@ -1807,24 +1807,135 @@ object Similarity {
              eps: Double, minPts: Int): DataFrame = {
     require(eps >= 0 && minPts >= 1, s"bad dbscan params: eps=$eps minPts=$minPts")
     val pts = points.select(col(idCol).cast("long").as("p"), col(vecCol).as("v"))
-    val pd = pts.select(col("p").as("pa"), col("v").as("va"))
+    val pd = epsGraph(points, idCol, vecCol, eps)
+      .localCheckpoint() // the ε-graph serves three consumers
+    dbscanFromPairs(pts.select("p"), pd, eps, minPts)
+  }
+
+  /** The exhaustive bounded-input ε-GRAPH [[dbscan]] consumes: both
+    * orientations of every pair within round-6 cosine distance
+    * `maxEps`. Materialized via [[ensureEpsGraph]] it is a RANGE
+    * INDEX: any dbscan run with `eps <= maxEps` is a filter cut of
+    * this table — the n² vector-distance compute (the dominant cost)
+    * runs once per (corpus, slice), not per query.
+    */
+  def epsGraph(points: DataFrame, idCol: String, vecCol: String,
+               maxEps: Double): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("p"), col(vecCol).as("v"))
+    pts.select(col("p").as("pa"), col("v").as("va"))
       .join(pts.select(col("p").as("pb"), col("v").as("vb")),
         col("pa") =!= col("pb"))
       .select(col("pa"), col("pb"),
         round(lit(1.0) - cosine(col("va"), col("vb")), 6).as("dist"))
-      .where(col("dist") <= eps)
-      .localCheckpoint() // the ε-graph serves three consumers
-    val nEps = pts.select("p")
-      .join(pd.groupBy(col("pa").as("p")).agg(count(lit(1)).as("n")),
-        Seq("p"), "left")
-      .select(col("p"), (coalesce(col("n"), lit(0L)) + 1).as("n_eps"))
-    val core = nEps.where(col("n_eps") >= minPts).select("p")
+      .where(col("dist") <= maxEps)
+  }
+
+  /** Materialize [[epsGraph]] once per (corpus, slice, maxEps) — the
+    * [[ensureKnnGraph]] discipline for the density family; parquet
+    * `_SUCCESS` is the build marker.
+    */
+  def writeEpsGraph(points: DataFrame, idCol: String, vecCol: String,
+                    path: String, maxEps: Double): Unit =
+    epsGraph(points, idCol, vecCol, maxEps).write.mode("overwrite").parquet(path)
+
+  /** [[writeEpsGraph]] only if absent; `points` is by-name so the n²
+    * distance pipeline never evaluates on the served path.
+    */
+  def ensureEpsGraph(points: => DataFrame, idCol: String, vecCol: String,
+                     path: String, maxEps: Double): Unit = {
+    if (!Markers.exists(s"$path/_SUCCESS"))
+      writeEpsGraph(points, idCol, vecCol, path, maxEps)
+  }
+
+  /** [[dbscan]] served from a materialized [[writeEpsGraph]] table:
+    * identical output (the table holds every pair the direct op
+    * computes, cut to `eps` by a pushed-down parquet filter), no
+    * vector re-scan. `ids` is the full point list (1 long column) —
+    * isolated points carry no ε-graph row yet must report as noise.
+    */
+  def dbscanFromGraph(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String,
+                      eps: Double, minPts: Int): DataFrame = {
+    require(Markers.exists(s"$path/_SUCCESS"),
+      s"eps graph at $path has no build marker; rebuild with ensureEpsGraph")
+    dbscanFromPairs(ids.select(col(idCol).cast("long").as("p")),
+      spark.read.parquet(path), eps, minPts)
+  }
+
+  /** Materialize the CORE-GRAPH cluster map for one (eps, minPts)
+    * off a served [[writeEpsGraph]] table — the
+    * [[Dedup.ensureClusterMap]] discipline applied to dbscan's only
+    * iterative piece: the core set and core-core edges are
+    * deterministic cuts of the ε-graph, so the O(log n) CC rounds run
+    * once per (fixture, eps, minPts) and [[dbscanServed]] afterwards
+    * is three non-iterative joins. The path should encode the params
+    * (a map is only valid for the cut that built it).
+    */
+  def ensureDbscanMap(spark: org.apache.spark.sql.SparkSession,
+                      epsPath: String, mapPath: String,
+                      eps: Double, minPts: Int): Unit = {
+    require(Markers.exists(s"$epsPath/_SUCCESS"),
+      s"eps graph at $epsPath has no build marker; rebuild with ensureEpsGraph")
+    val pd = spark.read.parquet(epsPath).where(col("dist") <= eps)
+    val core = pd.groupBy(col("pa").as("p")).agg(count(lit(1)).as("n"))
+      .where(col("n") + 1 >= minPts).select("p")
+    val ce = pd
+      .join(core.select(col("p").as("pa")), Seq("pa"), "left_semi")
+      .join(core.select(col("p").as("pb")), Seq("pb"), "left_semi")
+      .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+    Dedup.ensureClusterMap(core.select(col("p")), "p", ce, mapPath)
+  }
+
+  /** [[dbscanFromGraph]] with the CC ALSO served (from
+    * [[ensureDbscanMap]]): identical output, no iterative rounds —
+    * steady state is two parquet reads and the role/border joins.
+    */
+  def dbscanServed(spark: org.apache.spark.sql.SparkSession,
+                   epsPath: String, mapPath: String,
+                   ids: DataFrame, idCol: String,
+                   eps: Double, minPts: Int): DataFrame = {
+    require(Markers.exists(s"$epsPath/_SUCCESS"),
+      s"eps graph at $epsPath has no build marker; rebuild with ensureEpsGraph")
+    require(Markers.exists(s"$mapPath/_SUCCESS"),
+      s"dbscan map at $mapPath has no build marker; rebuild with ensureDbscanMap")
+    val cl = spark.read.parquet(mapPath)
+      .select(col("doc_id").as("p"), col("cluster_id"))
+    dbscanAssemble(ids.select(col(idCol).cast("long").as("p")),
+      spark.read.parquet(epsPath).where(col("dist") <= eps), cl, eps, minPts)
+  }
+
+  /** The density core shared by [[dbscan]] (direct) and
+    * [[dbscanFromGraph]] (served): `pts` = one `p` column of all
+    * point ids, `pairs` = (pa, pb, dist) in both orientations.
+    */
+  private def dbscanFromPairs(pts: DataFrame, pairs: DataFrame,
+                              eps: Double, minPts: Int): DataFrame = {
+    require(eps >= 0 && minPts >= 1, s"bad dbscan params: eps=$eps minPts=$minPts")
+    val pd = pairs.where(col("dist") <= eps)
+    val core = pd.groupBy(col("pa").as("p")).agg(count(lit(1)).as("n"))
+      .where(col("n") + 1 >= minPts).select("p")
     val ce = pd
       .join(core.select(col("p").as("pa")), Seq("pa"), "left_semi")
       .join(core.select(col("p").as("pb")), Seq("pb"), "left_semi")
       .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
     val cl = Dedup.connectedClusters(core, "p", ce)
       .select(col("doc_id").as("p"), col("cluster_id"))
+    dbscanAssemble(pts, pd, cl, eps, minPts)
+  }
+
+  /** Assembly tail shared by the direct and fully-served paths:
+    * density counts, role classification, min-cluster border rule.
+    * `cl` = the core-graph cluster map (from live CC or a served
+    * artifact); everything here is plain joins, no iteration.
+    */
+  private def dbscanAssemble(pts: DataFrame, pd: DataFrame, cl: DataFrame,
+                             eps: Double, minPts: Int): DataFrame = {
+    require(eps >= 0 && minPts >= 1, s"bad dbscan params: eps=$eps minPts=$minPts")
+    val nEps = pts.select("p")
+      .join(pd.groupBy(col("pa").as("p")).agg(count(lit(1)).as("n")),
+        Seq("p"), "left")
+      .select(col("p"), (coalesce(col("n"), lit(0L)) + 1).as("n_eps"))
+    val core = nEps.where(col("n_eps") >= minPts).select("p")
     val border = pd
       .join(core.select(col("p").as("pa")), Seq("pa"), "left_anti")
       .join(cl.select(col("p").as("pb"), col("cluster_id").as("bc")), Seq("pb"))

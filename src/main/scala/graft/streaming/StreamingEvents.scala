@@ -37,11 +37,19 @@ object StreamingEvents {
 
   /** File-source stream over a directory of canonical staged events
     * parquet (long-µs `ts`, converted to TimestampType on ingest
-    * exactly like the batch path).
+    * exactly like the batch path). `maxFilesPerTrigger` sets the
+    * micro-batch grain: gates proving per-batch watermark progression
+    * (late-data, dedup-replay) need 1; gates that only need the
+    * watermark to pass the data ONCE (the outer-join flush staging)
+    * group the data file with the first flush file — every stateful
+    * batch pays state-store setup per shuffle partition, so fewer
+    * batches is directly less fixed overhead with identical output
+    * (the second flush batch still arrives later and evicts).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts)"))
 
@@ -259,20 +267,56 @@ object StreamingEvents {
           .as("gap_ms"))
   }
 
+  /** `noDataBatches = false` skips the trailing empty micro-batches
+    * the engine otherwise runs to advance eviction after the data is
+    * exhausted — each one pays full incremental-planning +
+    * state-store-load cost. Safe ONLY for gates whose every output
+    * row emits during a DATA batch: the stream-stream joins (matches
+    * emit on arrival; outer null-pads emit during the later flush
+    * batch, whose eviction watermark the PREVIOUS data batch already
+    * set). Windowed-aggregate gates need the default: their final
+    * windows only emit once a no-data batch advances the watermark
+    * past the window end.
+    */
   def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
-                      mode: String = "append"): DataFrame = {
+                      mode: String = "append",
+                      noDataBatches: Boolean = true): DataFrame = {
     // stateful queries pay state-store setup PER shuffle partition per
-    // micro-batch; every op driven through here is partition-count-
-    // independent by contract (hash-keyed state), so the bounded gate
-    // runs use 8 partitions instead of the session's 32 — on a real
-    // cluster the production query would size this to its key space
+    // micro-batch (a stream-stream join loads FOUR stores per
+    // partition per batch); every op driven through here is
+    // partition-count-independent by contract (hash-keyed state), so
+    // the bounded gate runs use 2 partitions instead of the session's
+    // 32 — on a real cluster the production query would size this to
+    // its key space
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "2")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, noDataBatches.toString)
+    // Checkpoint (offsets/commits + the HDFS-backed state-store delta
+    // files) on tmpfs when the box has one — the bounded gate's
+    // checkpoint is throwaway by construction (fresh dir per run,
+    // memory sink), so durability of /dev/shm is irrelevant while its
+    // write latency is what every micro-batch commit serializes on.
+    // Production queries point this at durable storage instead.
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                 else System.getProperty("java.io.tmpdir")
+    val ck = s"$ckRoot/graft_ck_${name}_${System.nanoTime()}"
     try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .option("checkpointLocation", ck).queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(ndKey, ndPrev)
+      // best-effort cleanup — tmpfs is RAM; leaking dirs there is a cost
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(ck))
+    }
     spark.table(name)
   }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
+import graft.operators.Markers
 
 /** Streaming maintenance of the materialized retrieval indexes: the
   * reference is a DAILY snapshot cron (SURVEY §3.3); when the feed
@@ -58,7 +59,7 @@ object StreamingIndex {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val built = new java.io.File(s"${path}_stats/_SUCCESS").exists()
+          val built = Markers.exists(s"${path}_stats/_SUCCESS")
           if (!built)
             graft.operators.Graph.writeBasketGraph(
               batch, "l_partkey", "l_orderkey", path)
@@ -87,7 +88,7 @@ object StreamingIndex {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val built = new java.io.File(s"${path}_centroids/_SUCCESS").exists()
+          val built = Markers.exists(s"${path}_centroids/_SUCCESS")
           if (!built)
             graft.operators.Similarity.writeIvfIndex(
               batch, "vec_id", "embedding", path, numCells)
@@ -125,7 +126,7 @@ object StreamingIndex {
         if (!batch.isEmpty) {
           val newSigs = Dedup.simHashTable(batch, "doc_id", "text")
             .localCheckpoint() // consumed twice: pair probe + store append
-          val built = new java.io.File(s"$sigPath/_SUCCESS").exists()
+          val built = Markers.exists(s"$sigPath/_SUCCESS")
           if (!built) {
             Dedup.writeClusterMap(batch, "doc_id",
               Dedup.simHashPairsAgainst(newSigs, newSigs, maxHamming), mapPath)
@@ -157,7 +158,7 @@ object StreamingIndex {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val built = new java.io.File(s"${path}_stats/_SUCCESS").exists()
+          val built = Markers.exists(s"${path}_stats/_SUCCESS")
           if (!built)
             graft.operators.TextAnalysis.writeBm25Index(
               batch, "doc_id", "text", path, numBuckets)
@@ -219,7 +220,7 @@ object StreamingIndex {
         if (!batch.isEmpty) {
           import org.apache.spark.sql.functions.{col, min}
           val cut = graft.operators.Analytics.bottomKOf(batch, "doc_id", k)
-          val built = new java.io.File(s"$path/_SUCCESS").exists()
+          val built = Markers.exists(s"$path/_SUCCESS")
           val merged =
             if (!built) cut
             else spark.read.parquet(path).unionByName(cut)
@@ -257,7 +258,7 @@ object StreamingIndex {
         import org.apache.spark.sql.functions.expr
         val train = batch.where(expr(trainPredicate))
         if (!train.isEmpty) {
-          val built = new java.io.File(s"${path}_meta/_SUCCESS").exists()
+          val built = Markers.exists(s"${path}_meta/_SUCCESS")
           if (!built)
             graft.operators.Dedup.writeBloomFilter(train, "text", path,
               mBits, kHashes)

@@ -110,4 +110,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq(expect(7L), expect(20L)),
       s"decoded stats must equal the formula recompute: $got")
   }
+
+  test("WavCodec: WAV encode->decode round-trips rate/channels/frames and exact sums") {
+    for ((rate, n, k) <- Seq((8000, 400, 0), (16000, 840, 4), (8000, 440, 2))) {
+      val bytes = Multimodal.WavCodec.wav(rate, n, k)
+      // a real RIFF/WAVE container, not a fake: magic bytes present
+      assert(bytes.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq &&
+        bytes.slice(8, 12).toSeq == "WAVE".getBytes("US-ASCII").toSeq)
+      var sum = 0L; var sabs = 0L
+      for (i <- 0 until n) {
+        val s = ((i * 37 + 11 * k) % 2048) - 1024
+        sum += s; sabs += math.abs(s)
+      }
+      assert(Multimodal.WavCodec.decode(bytes) ==
+        Some((rate, 1, n.toLong, sum, sabs)),
+        s"round-trip failed for rate=$rate n=$n k=$k")
+    }
+    // deterministic: identical input -> identical bytes
+    assert(Multimodal.WavCodec.wav(8000, 400, 1).toSeq ==
+      Multimodal.WavCodec.wav(8000, 400, 1).toSeq)
+    // corrupt payloads decode to None, never an exception
+    assert(Multimodal.WavCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.WavCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioDecodeStats: every fixture doc decodes to its generation formula") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id").limit(150)
+    val got = Multimodal.audioDecodeStats(docs, "doc_id")
+    assert(got.count() == 150, "payload join must not drop or duplicate rows")
+    val bad = got.where(!col("decode_ok") ||
+      col("channels") =!= 1 ||
+      col("sample_rate") =!=
+        when(col("doc_id") % 2 === 0, 8000L).otherwise(16000L) ||
+      col("n_samples") =!= (lit(400L) + (col("doc_id") % 11) * 40))
+    assert(bad.count() == 0, s"decode diverged: ${bad.take(3).mkString(", ")}")
+    // phase matters: docs sharing (rate, n) but differing in k must
+    // report different waveform sums (the join is keyed on the triple)
+    val pair = Multimodal.audioDecodeStats(
+        Seq(2L, 24L).toDF("doc_id"), "doc_id")
+      .select("doc_id", "sum_samples").as[(Long, Long)].collect().toMap
+    assert(pair.size == 2 && pair(2L) != pair(24L),
+      s"docs 2 and 24 share (rate=8000, n=480) but k=2 vs k=4 — sums must differ: $pair")
+  }
 }

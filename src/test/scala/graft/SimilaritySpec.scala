@@ -756,4 +756,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.hierSingleLinkage(pts, "vec_id", "embedding", rounds = 6)
     }
   }
+
+  test("dbscan served path: epsGraph + core-map artifacts reproduce the direct op and build once") {
+    val slice = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .where(col("vec_id") % 4 === 0)
+    val direct = Similarity.dbscan(slice, "vec_id", "embedding",
+        eps = 0.74, minPts = 4)
+      .select("p", "n_eps", "role", "cluster_id")
+      .as[(Long, Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    val epsPath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_eps_${System.nanoTime()}"
+    val mapPath = s"${epsPath}_map"
+    Similarity.ensureEpsGraph(slice, "vec_id", "embedding", epsPath, maxEps = 0.8)
+    Similarity.ensureDbscanMap(spark, epsPath, mapPath, eps = 0.74, minPts = 4)
+    val served = Similarity.dbscanServed(spark, epsPath, mapPath,
+        slice.select("vec_id"), "vec_id", eps = 0.74, minPts = 4)
+      .select("p", "n_eps", "role", "cluster_id")
+      .as[(Long, Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(served == direct, "served artifacts must reproduce the direct op")
+    assert(direct.exists(_._3 == "core") && direct.exists(_._3 == "noise"),
+      "fixture must exercise core and noise roles")
+    // SINGLE-BUILD: re-ensure with a poisoned by-name points argument —
+    // the marker short-circuit must never dereference it
+    Similarity.ensureEpsGraph(
+      sys.error("eps graph must not rebuild"): org.apache.spark.sql.DataFrame,
+      "vec_id", "embedding", epsPath, maxEps = 0.8)
+    // ...and neither ensure rewrites an existing artifact (marker mtime)
+    def mtime(p: String) = new java.io.File(s"$p/_SUCCESS").lastModified()
+    val (m1, m2) = (mtime(epsPath), mtime(mapPath))
+    Similarity.ensureDbscanMap(spark, epsPath, mapPath, eps = 0.74, minPts = 4)
+    assert(mtime(epsPath) == m1 && mtime(mapPath) == m2,
+      "re-ensure must not rewrite existing artifacts")
+  }
 }
