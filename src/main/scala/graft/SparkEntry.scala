@@ -2991,6 +2991,14 @@ object SparkEntry {
     // SimRank on the type-transition graph: recursive in-neighbor
     // similarity (Adamic/Jaccard see only SHARED neighbors) — 3
     // synchronous rounds, round-9 scaled-long state, oracle-unrolled
+    // directed-graph reciprocity over the event-type transition
+    // graph: share of edges whose reverse also exists, globally and
+    // per source node — one self-join of the distinct edge set on the
+    // reversed key, exact counts, round-6 ratios
+    "graph_reciprocity" -> ((s, dir) =>
+      Graph.reciprocity(transitionEdges(t(s, dir, "events")), "src", "dst")
+        .orderBy("node")),
+
     "graph_simrank" -> ((s, dir) =>
       Graph.simRank(transitionEdges(t(s, dir, "events")), "src", "dst",
           c = 0.8, rounds = 3)
@@ -5358,6 +5366,21 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk")),
 
+    // document kNN by tf-idf COSINE over the shared-term inverted
+    // index — the sparse-vector twin of the embedding retrieval
+    // family: dots and norms as decimal(38,0) sums of exact long
+    // products, per-doc top-3 by (cos desc, neighbor id). The fixture
+    // vocabulary is 31 terms with median df ≈ 78% — every term is a
+    // hub — so the gate runs the EXHAUSTIVE form on a bounded slice
+    // (the dedup_jaccard_exhaustive input-restriction convention,
+    // dfCutShare = 1) while the df-cut scale path is spec-covered on
+    // a corpus whose vocabulary actually has a tail
+    "text_tfidf_knn" -> ((s, dir) =>
+      TextAnalysis.tfidfKnn(
+          t(s, dir, "documents").where(col("doc_id") % 29 === 0),
+          "doc_id", "text", k = 3, dfCutShare = 1.0)
+        .orderBy("doc_id", "rnk")),
+
     "text_pii" -> ((s, dir) =>
       TextAnalysis.piiTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
@@ -5596,6 +5619,17 @@ object SparkEntry {
     "mm_audio_decode" -> ((s, dir) =>
       Multimodal.audioDecodeStats(t(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")),
+
+    // the chunker composed with the REAL codec path: chunk boundaries
+    // in SAMPLES over the decoded frame counts (160-frame windows,
+    // 40-frame stride overlap — the 10 ms/2.5 ms shape at 16 kHz),
+    // exact per-chunk sample counts, round-6 ms extents off the
+    // decoded rate; the oracle replays decode formulas + grid math
+    "mm_audio_chunks_real" -> ((s, dir) =>
+      Multimodal.audioChunksBySamples(
+          Multimodal.audioDecodeStats(t(s, dir, "documents"), "doc_id"),
+          chunkSamples = 160L, overlapSamples = 40L)
+        .orderBy("doc_id", "chunk_idx")),
 
     // image tiling: stub-decoded (width, height), then the REAL 2-D
     // grid plumbing — 256x256 tiles with 64 px overlap, edge tiles
@@ -5982,6 +6016,18 @@ object SparkEntry {
       Events.shapleyAttribution(t(s, dir, "events"),
           channels = Seq("click", "view", "signup", "error"),
           conversionType = "purchase")
+        .orderBy("channel")),
+
+    // POSITION-BASED (U-shaped 40/20/40) attribution — the rule-based
+    // midpoint between last-touch and the Shapley/Markov model pair:
+    // first and last touch take 40% each, middles split 20%; touches
+    // range-join per user inside the bounded 24 h lookback (never a
+    // corpus self-join), credit shares round-6-scale to exact longs
+    // before the channel sum
+    "events_attribution_position" -> ((s, dir) =>
+      Events.positionAttribution(t(s, dir, "events"),
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackMs = 24L * 3600 * 1000)
         .orderBy("channel")),
 
     "events_interarrival" -> ((s, dir) =>
@@ -8018,6 +8064,37 @@ object SparkEntry {
          |  count(*) AS n_conversions, ${msum("value")} AS revenue
          | FROM o WHERE event_type = 'purchase'
          | GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // the U-shaped split replayed: per-conversion touch ranks inside
+    // the 24 h lookback, 40/20/40 (or 100 / 50-50) shares, credits
+    // round-6-scaled to exact longs before the channel sum
+    "events_attribution_position" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS cms,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        | touch AS (SELECT event_id AS touch_id, user_id,
+        |   event_type AS channel, epoch_ms(ts) AS tms
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        | j AS (SELECT conv_id, cents, channel, tms, touch_id
+        |  FROM conv JOIN touch USING (user_id)
+        |  WHERE tms <= cms AND tms > cms - 86400000),
+        | r AS (SELECT conv_id, cents, channel,
+        |   row_number() OVER (PARTITION BY conv_id ORDER BY tms, touch_id) AS rk,
+        |   count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM j),
+        | cr AS (SELECT conv_id, channel,
+        |   round(cents::DOUBLE / 100.0 * (CASE WHEN n = 1 THEN 1.0
+        |     WHEN n = 2 THEN 0.5
+        |     WHEN rk = 1 OR rk = n THEN 0.4
+        |     ELSE round(0.2 / CAST(n - 2 AS DOUBLE), 6) END), 6) AS credit
+        |  FROM r),
+        | dir AS (SELECT conv_id, 'direct' AS channel,
+        |   round(cents::DOUBLE / 100.0, 6) AS credit
+        |  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM j)),
+        | allc AS (SELECT * FROM cr UNION ALL SELECT * FROM dir)
+        | SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+        |  sum(CAST(round(credit * 1e6, 0) AS BIGINT)) / 1e6 AS credited_revenue
+        | FROM allc GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // the 2^4 lattice replayed: mask histogram, subset-sum v(S),
     // marginal gains with |S|!(k−1−|S|)! integer weights, ÷4! once
@@ -11167,6 +11244,43 @@ object SparkEntry {
         | SELECT doc_id, term, tf, tfidf, rnk FROM sc WHERE rnk <= 3
         | ORDER BY doc_id, rnk""".stripMargin,
 
+    // the inverted-index cosine replayed: round-6 tf-idf weights
+    // scaled to exact longs, HUGEINT dots/norms (the engine sums
+    // decimal(38,0)), one fixed IEEE cosine rounded 6, per-doc top-3
+    // by (cos desc, neighbor)
+    "text_tfidf_knn" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+        | tok AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM docs),
+        | tf AS (SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM docs),
+        | wtd AS (SELECT doc, tf.term,
+        |   CAST(round(round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+        |     * 1e6, 0) AS BIGINT) AS wl
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |  WHERE df::DOUBLE <= n_docs * 1.0),
+        | nrm AS (SELECT doc, sum(CAST(wl AS HUGEINT) * wl) AS n2
+        |  FROM wtd GROUP BY 1),
+        | dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |   sum(CAST(a.wl AS HUGEINT) * b.wl) AS dot
+        |  FROM wtd a JOIN wtd b ON a.term = b.term AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        | cosv AS (SELECT doc_a, doc_b,
+        |   round(dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6) AS cos
+        |  FROM dots JOIN nrm na ON na.doc = dots.doc_a
+        |  JOIN nrm nb ON nb.doc = dots.doc_b),
+        | sym AS (SELECT doc_a, doc_b, cos FROM cosv
+        |  UNION ALL SELECT doc_b, doc_a, cos FROM cosv),
+        | rk AS (SELECT doc_a, doc_b, cos,
+        |   row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b) AS rnk
+        |  FROM sym)
+        | SELECT doc_a AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+        |  doc_b AS neighbor_id, cos
+        | FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     "text_bm25" -> bm25Sql,
 
     // both retrieval rounds + the candidate mine replayed; expansion
@@ -11269,6 +11383,32 @@ object SparkEntry {
     "events_pagerank" -> pageRankSql(iters = 5, damping = 0.85),
 
     "graph_simrank" -> simrankSql(c = 0.8, rounds = 3),
+
+    // the distinct transition-edge set replayed (lead per user in
+    // (ts, event_id) order, self-loops out), one reversed-key
+    // self-join for mutuality, exact counts, round-6 ratios
+    "graph_reciprocity" ->
+      """WITH seqd AS (SELECT event_type AS a,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events),
+        | e AS (SELECT DISTINCT a AS u, b AS v FROM seqd
+        |  WHERE b IS NOT NULL AND a <> b),
+        | m AS (SELECT e1.u, e1.v FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v AND e2.v = e1.u),
+        | per AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS n_out
+        |  FROM e GROUP BY 1),
+        | pm AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS n_mutual
+        |  FROM m GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS e_all,
+        |   (SELECT coalesce(CAST(sum(n_mutual) AS BIGINT), 0) FROM pm) AS e_mutual
+        |  FROM per)
+        | SELECT per.node, per.n_out,
+        |  coalesce(pm.n_mutual, 0) AS n_mutual,
+        |  round(coalesce(pm.n_mutual, 0)::DOUBLE / per.n_out::DOUBLE, 6)
+        |    AS node_reciprocity,
+        |  round(e_mutual::DOUBLE / e_all::DOUBLE, 6) AS graph_reciprocity
+        | FROM per LEFT JOIN pm USING (node) CROSS JOIN tot
+        | ORDER BY node""".stripMargin,
     "graph_ppr" -> pprSql(Seq("view", "signup"), iters = 5, damping = 0.85),
 
     "graph_walks" -> randomWalksSql(walksPerNode = 4, length = 5),
@@ -12412,6 +12552,23 @@ object SparkEntry {
         |  s.sum_samples, s.sum_abs
         | FROM ids JOIN s ON s.rate = ids.rate AND s.n = ids.n AND s.k = ids.k
         | ORDER BY ids.doc_id""".stripMargin,
+
+    // replays the WAV shape formulas + the sample-domain grid math:
+    // starts = range(0, n, chunk − overlap), ends clamped to the
+    // decoded frame count, round-6 ms extents off the decoded rate
+    "mm_audio_chunks_real" ->
+      """WITH ids AS (SELECT doc_id,
+        |   CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT)
+        |     AS rate,
+        |   CAST(400 + (doc_id % 11) * 40 AS BIGINT) AS n
+        |  FROM documents),
+        | c AS (SELECT doc_id, rate, n, s
+        |  FROM ids, UNNEST(range(0, n, 120)) AS t(s))
+        | SELECT doc_id, s // 120 AS chunk_idx, s AS start_sample,
+        |  least(s + 160, n) AS end_sample,
+        |  least(s + 160, n) - s AS n_chunk_samples,
+        |  round(s::DOUBLE * 1000.0 / rate::DOUBLE, 6) AS start_ms
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // replays the stub image probe (md5-derived width/height) and the
     // tile-grid arithmetic: starts = range(0, dim, tile − overlap),

@@ -2346,4 +2346,56 @@ object Events {
         when(ok && col("q_hat").isNotNull, round(f6 - col("q_hat"), 6)).as("lo"),
         when(ok && col("q_hat").isNotNull, round(f6 + col("q_hat"), 6)).as("hi"))
   }
+
+  /** POSITION-BASED (U-shaped 40/20/40) attribution — the rule-based
+    * midpoint between last-touch (all credit to the final touch) and
+    * Shapley/Markov (model-based): each conversion's value splits
+    * 40% to its FIRST touch, 40% to its LAST, and the remaining 20%
+    * evenly across the middles; one touch takes 100%, two take 50/50.
+    * Touch = a `touchTypes` event by the same user within
+    * `lookbackMs` before the conversion; conversions with no touch
+    * credit 'direct'.
+    *
+    * Scale shape: conversions range-join touches per user inside the
+    * bounded lookback (the [[cepPattern]] regime — per-user×window
+    * fan-out, never a corpus self-join); per-conversion position
+    * ranks run window-partitioned BY CONVERSION over its bounded
+    * touch list. Credit shares round to 6 and scale to exact longs
+    * before the channel sum (order-independent), so revenue splits
+    * hash-match; per-channel credited revenue sums those longs.
+    */
+  def positionAttribution(events: DataFrame, touchTypes: Seq[String],
+                          conversionType: String,
+                          lookbackMs: Long): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val conv = events.where(col("event_type") === conversionType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_millis(col("ts")).as("cms"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val touch = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("event_type").as("channel"), unix_millis(col("ts")).as("tms"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .where(col("tms") <= col("cms") && col("tms") > col("cms") - lookbackMs)
+    val wAsc = Window.partitionBy("conv_id").orderBy(col("tms"), col("touch_id"))
+    val ranked = joined
+      .withColumn("rk", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+    val share =
+      when(col("n") === 1, lit(1.0))
+        .when(col("n") === 2, lit(0.5))
+        .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+        .otherwise(round(lit(0.2) / d(col("n") - 2), 6))
+    val credited = ranked.select(col("conv_id"), col("channel"),
+      round(d(col("cents")) / 100.0 * share, 6).as("credit"))
+    val direct = conv
+      .join(joined.select(col("conv_id")).distinct(), Seq("conv_id"), "left_anti")
+      .select(col("conv_id"), lit("direct").as("channel"),
+        round(d(col("cents")) / 100.0, 6).as("credit"))
+    credited.unionByName(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"),
+        (sum(round(col("credit") * 1e6, 0).cast("long")) / lit(1e6))
+          .as("credited_revenue"))
+  }
 }

@@ -63,10 +63,10 @@ object Graph {
     var s = grid.withColumn("s9",
         when(col("a") === col("b"), lit(1000000000L)).otherwise(lit(0L)))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    def roundOf(sPrev: DataFrame): DataFrame = {
       val g = inn.select(col("node").as("a"), col("i").as("ia"))
         .crossJoin(inn.select(col("node").as("b"), col("i").as("ib")))
-        .join(s.select(col("a").as("ia"), col("b").as("ib"), col("s9")),
+        .join(sPrev.select(col("a").as("ia"), col("b").as("ib"), col("s9")),
           Seq("ia", "ib"))
         .groupBy("a", "b").agg(sum("s9").as("ssum"))
       val contrib = g
@@ -75,13 +75,19 @@ object Graph {
         .select(col("a"), col("b"),
           round(lit(c) * (col("ssum").cast("double") / 1e9)
             / (col("na") * col("nb")).cast("double"), 9).as("sv"))
-      val prev = s
-      s = grid.join(contrib, Seq("a", "b"), "left")
+      grid.join(contrib, Seq("a", "b"), "left")
         .withColumn("s9",
           when(col("a") === col("b"), lit(1000000000L))
             .otherwise(round(coalesce(col("sv"), lit(0.0)) * 1e9, 0)
               .cast("long")))
-        .select("a", "b", "s9").localCheckpoint()
+        .select("a", "b", "s9")
+    }
+    // one eager checkpoint per round (round fusing measured slower —
+    // see pageRank's round-8 note)
+    for (_ <- 1 to rounds) {
+      val next = roundOf(s)
+      val prev = s
+      s = next.localCheckpoint()
       unpersistBacking(prev)
     }
     s.select(col("a"), col("b"),
@@ -109,13 +115,13 @@ object Graph {
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 9).as("pr"))
-    for (i <- 1 to iters) {
-      val dangling = ranks.join(outW, Seq("node"), "left_anti")
+    def roundOf(r: DataFrame): DataFrame = {
+      val dangling = r.join(outW, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
-      val contrib = norm.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = norm.join(r.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("p")).as("in_sum"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nRow))
         .select(col("node"),
@@ -123,12 +129,21 @@ object Graph {
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
                             col("dang") / col("n_nodes")),
             9).as("pr"))
-      // EVERY round, eagerly: the rank table is referenced twice per
-      // round (dangling mass + contributions), so a lazy plan DOUBLES
-      // each iteration — 2^iters subplans by analysis time. An eager
-      // |V|-row localCheckpoint per round (the GraphX discipline)
-      // keeps the plan constant-size; the previous round's blocks are
-      // dropped as soon as the new round lands (ADVICE r3 lesson).
+    }
+    // EVERY round, eagerly: the rank table is referenced twice per
+    // round (dangling mass + contributions), so a lazy plan DOUBLES
+    // each iteration — 2^iters subplans by analysis time. An eager
+    // |V|-row localCheckpoint per round (the GraphX discipline)
+    // keeps the plan constant-size; the previous round's blocks are
+    // dropped as soon as the new round lands (ADVICE r3 lesson).
+    // MEASURED NEGATIVE (round 8): fusing two rounds per checkpoint —
+    // halving the job count — ran ~25% SLOWER at sf0.1 (pagerank
+    // 3.6→4.6 s, hits 5.5→6.7 s, 3-rep medians): the fused lazy round
+    // re-evaluates its two-consumer inner state, and the per-round
+    // checkpoint is also what lets AQE right-size each round's input.
+    // Per-round checkpoints stay.
+    for (_ <- 1 to iters) {
+      val next = roundOf(ranks)
       val prev = ranks
       ranks = next.localCheckpoint()
       unpersistBacking(prev)
@@ -191,21 +206,25 @@ object Graph {
           .otherwise(lit(0.0)), 9).as("s"))
       .persist()
     var ranks = sTab.select(col("node"), col("s").as("pr"))
-    for (_ <- 1 to iters) {
-      val dangling = ranks.join(outW, Seq("node"), "left_anti")
+    def pprRoundOf(r: DataFrame): DataFrame = {
+      val dangling = r.join(outW, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
-      val contrib = norm.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = norm.join(r.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("p")).as("in_sum"))
-      val next = sTab.join(contrib, Seq("node"), "left")
+      sTab.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           round(lit(1 - damping) * col("s") +
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
                             col("dang") * col("s")),
             9).as("pr"))
-      // same two-consumers-per-round discipline as pageRank: eager
-      // |V|-row checkpoint, previous round's blocks dropped at once
+    }
+    // same two-consumers-per-round discipline as pageRank: eager
+    // |V|-row checkpoint per round, previous blocks dropped at once
+    // (round fusing measured slower — see pageRank's note)
+    for (_ <- 1 to iters) {
+      val next = pprRoundOf(ranks)
       val prev = ranks
       ranks = next.localCheckpoint()
       unpersistBacking(prev)
@@ -247,6 +266,9 @@ object Graph {
     var hubs = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 9).as("hub"))
     var auths: DataFrame = null
+    // per-HALF-round eager checkpoints (fusing the two half-rounds
+    // under one checkpoint measured ~20% slower at sf0.1 — see
+    // pageRank's round-8 note)
     for (_ <- 1 to iters) {
       val prevH = hubs
       val prevA = auths
@@ -1338,16 +1360,21 @@ object Graph {
       target: org.apache.spark.sql.Column, iters: Int): DataFrame = {
     var prob = nodes.select(col("node"),
       when(col("node") === target, lit(1.0)).otherwise(lit(0.0)).as("pr"))
-    for (_ <- 1 to iters) {
+    def roundOf(r: DataFrame): DataFrame = {
       val folded = norm
-        .join(prob.withColumnRenamed("node", "dst"), "dst")
+        .join(r.withColumnRenamed("node", "dst"), "dst")
         .withColumn("cl", round(round(col("p") * col("pr"), 9) * 1e9, 0).cast("long"))
         .groupBy(col("src").as("node"))
         .agg(round(sum(col("cl")) / 1e9, 9).as("v"))
-      val next = nodes.join(folded, Seq("node"), "left")
+      nodes.join(folded, Seq("node"), "left")
         .select(col("node"),
           when(col("node") === target, lit(1.0))
             .otherwise(coalesce(col("v"), lit(0.0))).as("pr"))
+    }
+    // one eager checkpoint per round (round fusing measured slower —
+    // see pageRank's round-8 note)
+    for (_ <- 1 to iters) {
+      val next = roundOf(prob)
       val prev = prob
       prob = next.localCheckpoint()
       if (prev ne prob) unpersistBacking(prev)
@@ -2157,5 +2184,38 @@ object Graph {
               / (d(col("n_a")) * d(col("n_b"))), 6).as("lift"))
       .orderBy(desc("lift"), asc("item_a"), asc("item_b"))
       .limit(k)
+  }
+
+  /** DIRECTED-GRAPH RECIPROCITY (Newman/Garlaschelli): the share of
+    * directed edges whose reverse edge also exists — how two-way the
+    * graph's relationships are (a transition graph where A→B implies
+    * B→A behaves very differently under every diffusion operator
+    * above). Reported globally plus per source node (a node whose
+    * out-edges are never returned is a pure broadcaster — the
+    * follow-back metric). Self-loops are excluded on both sides of
+    * the ratio.
+    *
+    * Scale shape: distinct directed edges once, one self-join on the
+    * reversed key (both sides shuffle on the same (u, v) hash —
+    * co-partitioned), one node aggregate + one 1-row global broadcast.
+    * Exact integer counts; ratios are single divisions rounded 6.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val mutual = e.join(e.select(col("v").as("u"), col("u").as("v")),
+      Seq("u", "v"), "left_semi")
+    val per = e.groupBy("u").agg(count(lit(1)).as("n_out"))
+      .join(mutual.groupBy("u").agg(count(lit(1)).as("n_mutual")),
+        Seq("u"), "left")
+      .select(col("u").as("node"), col("n_out"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+    val tot = per.agg(sum(col("n_out")).as("e_all"),
+      sum(col("n_mutual")).as("e_mutual"))
+    per.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("node"), col("n_out"), col("n_mutual"),
+        round(d(col("n_mutual")) / d(col("n_out")), 6).as("node_reciprocity"),
+        round(d(col("e_mutual")) / d(col("e_all")), 6).as("graph_reciprocity"))
   }
 }

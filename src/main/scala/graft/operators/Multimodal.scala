@@ -565,6 +565,35 @@ object Multimodal {
           * col("sample_rate") / 1000).cast("long").as("n_samples"))
   }
 
+  /** [[audioChunks]] in the SAMPLE domain, driven by REAL decoded
+    * metadata: chunk boundaries in frames over [[audioDecodeStats]]'
+    * `n_samples` (recovered from the WAV bytes), so the
+    * transcription-windowing control plane composes with the real
+    * codec path end-to-end — chunk m covers
+    * [m·(chunk−overlap), min(m·(chunk−overlap)+chunk, n_samples)),
+    * with exact per-chunk sample counts and round-6 ms extents off
+    * the decoded rate. Pure column math (sequence + explode),
+    * map-only, no decode in this step.
+    */
+  def audioChunksBySamples(decoded: DataFrame, chunkSamples: Long,
+                           overlapSamples: Long): DataFrame = {
+    require(overlapSamples >= 0 && overlapSamples < chunkSamples,
+      s"overlap must sit inside the chunk: $overlapSamples/$chunkSamples")
+    val step = chunkSamples - overlapSamples
+    decoded
+      .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+        explode(sequence(lit(0L), col("n_samples") - 1, lit(step))).as("s0"))
+      .select(
+        col("doc_id"),
+        (col("s0") / step).cast("long").as("chunk_idx"),
+        col("s0").as("start_sample"),
+        least(col("s0") + chunkSamples, col("n_samples")).as("end_sample"),
+        (least(col("s0") + chunkSamples, col("n_samples")) - col("s0"))
+          .as("n_chunk_samples"),
+        round(col("s0").cast("double") * 1000.0
+          / col("sample_rate").cast("double"), 6).as("start_ms"))
+  }
+
   /** Overlapping tile grid over the (stub-)decoded image dimensions —
     * the 2-D analogue of [[audioChunks]] and the control plane of
     * tiled inference (SAM-style sliding windows, ViT patching with a

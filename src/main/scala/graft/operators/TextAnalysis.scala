@@ -252,6 +252,64 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("term"), col("tf"), col("tfidf"), col("rnk"))
   }
 
+  /** Document kNN by TF-IDF COSINE over the shared-term inverted
+    * index — the sparse-vector twin of the embedding retrieval family
+    * ([[graft.operators.Similarity]]): candidate pairs come from
+    * co-occurring terms (docs sharing no term have cosine 0 and are
+    * never generated), weights are the [[tfidfTopTerms]] smoothed
+    * idf, and hub terms with df > `dfCutShare`·N are PRUNED before
+    * the pair join — they carry ~no discrimination while generating
+    * ~N² pair rows (the [[jaccardPairs]] df-cut convention; cosine is
+    * computed in the pruned term space, documented).
+    *
+    * Determinism: weights round to 6 and scale to exact longs; dots
+    * and squared norms are decimal(38,0) sums of long products
+    * (order-independent at any corpus size); the cosine is one fixed
+    * IEEE expression off those integers, rounded 6; the per-doc top-k
+    * rank orders by (cos desc, neighbor id).
+    *
+    * Scale shape: one (doc, term) aggregate, the df table derived
+    * from it, one term-keyed pair join bounded by the df cut, one
+    * pair aggregate, a rank window per doc over its bounded candidate
+    * set. No corpus self-join, no global window.
+    */
+  def tfidfKnn(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, dfCutShare: Double = 0.5): DataFrame = {
+    require(k >= 1 && dfCutShare > 0 && dfCutShare <= 1,
+      s"bad knn params: k=$k cut=$dfCutShare")
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val wtd = tf.join(df, "term").crossJoin(broadcast(n))
+      .where(col("df").cast("double") <= col("n_docs") * dfCutShare)
+      .select(col("doc"), col("term"),
+        round(round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0))
+            + 1.0), 6) * 1e6, 0).cast("long").as("wl"))
+    val nrm2 = wtd.groupBy("doc")
+      .agg(sum((col("wl") * col("wl")).cast("decimal(38,0)")).as("n2"))
+    val dots = wtd.select(col("doc").as("doc_a"), col("term"), col("wl").as("wa"))
+      .join(wtd.select(col("doc").as("doc_b"), col("term"), col("wl").as("wb")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum((col("wa") * col("wb")).cast("decimal(38,0)")).as("dot"))
+    def d(c: Column) = c.cast("double")
+    val cos = dots
+      .join(nrm2.select(col("doc").as("doc_a"), col("n2").as("na2")), Seq("doc_a"))
+      .join(nrm2.select(col("doc").as("doc_b"), col("n2").as("nb2")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(d(col("dot")) / sqrt(d(col("na2")) * d(col("nb2"))), 6).as("cos"))
+    val sym = cos.unionByName(cos.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"), col("cos")))
+    val w = Window.partitionBy("doc_a").orderBy(desc("cos"), asc("doc_b"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_a").as(idCol), col("rnk"),
+        col("doc_b").as("neighbor_id"), col("cos"))
+  }
+
   /** Okapi BM25 top-k retrieval for a fixed query-term set — the
     * classic posting-list ranking over the corpus.
     *

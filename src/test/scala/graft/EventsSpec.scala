@@ -1016,4 +1016,37 @@ class EventsSpec extends SparkSpec {
     val expect = math.rint(0.5 / math.sqrt(0.3 * 0.7 * 0.1) * 1e6) / 1e6
     assert(math.abs(z2 - expect) < 1e-9, s"z: $z2 vs $expect")
   }
+
+  test("positionAttribution: U-shaped 40/20/40 credit, 1-touch 100%, 2-touch 50/50, no-touch direct") {
+    def ev(id: Long, user: Long, t: String, tp: String, v: Double) =
+      (id, user, Timestamp.valueOf(t), tp, v)
+    val rows = Seq(
+      // user 1: 4 touches then a 100.00 purchase -> 40/6.67·3? no:
+      // first view 40, last click 40, two middles 10 each
+      ev(1, 1, "2024-01-01 10:00:00", "view", 0),
+      ev(2, 1, "2024-01-01 11:00:00", "click", 0),
+      ev(3, 1, "2024-01-01 12:00:00", "view", 0),
+      ev(4, 1, "2024-01-01 13:00:00", "click", 0),
+      ev(5, 1, "2024-01-01 14:00:00", "purchase", 100.0),
+      // user 2: one touch -> 100% to click
+      ev(6, 2, "2024-01-01 10:00:00", "click", 0),
+      ev(7, 2, "2024-01-01 11:00:00", "purchase", 50.0),
+      // user 3: two touches -> 50/50
+      ev(8, 3, "2024-01-01 10:00:00", "view", 0),
+      ev(9, 3, "2024-01-01 11:00:00", "click", 0),
+      ev(10, 3, "2024-01-01 12:00:00", "purchase", 10.0),
+      // user 4: touch OUTSIDE the 24h lookback -> direct
+      ev(11, 4, "2024-01-01 10:00:00", "view", 0),
+      ev(12, 4, "2024-01-03 10:00:00", "purchase", 7.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.positionAttribution(rows, Seq("view", "click"),
+        "purchase", lookbackMs = 24L * 3600 * 1000)
+      .orderBy("channel")
+      .as[(String, Long, Double)].collect().toSeq
+    // view: 40 (first of u1) + 10 (middle of u1) + 5 (50% of u3) = 55
+    // click: 40 (last of u1) + 10 (middle) + 50 (u2) + 5 (u3) = 105
+    // direct: 7 (u4)
+    assert(got == Seq(("click", 4L, 105.0), ("direct", 1L, 7.0),
+      ("view", 3L, 55.0)), s"credits: $got")
+  }
 }

@@ -755,4 +755,23 @@ class GraphSpec extends SparkSpec {
       .select("src", "dst").as[(Long, Long)].collect().toSeq
     assert(fromDst == Seq((6L, 5L)), s"must traverse the reverse direction: $fromDst")
   }
+
+  test("reciprocity: mutual edges counted per node and globally; self-loops and dups ignored") {
+    import spark.implicits._
+    // a<->b mutual, a->c one-way, c->a one-way (so a-c IS mutual),
+    // b->c one-way, self-loop d->d dropped, duplicate a->b collapses
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("d", "d"), ("a", "b")).toDF("src", "dst")
+    val got = Graph.reciprocity(edges, "src", "dst")
+      .orderBy("node")
+      .select("node", "n_out", "n_mutual", "node_reciprocity",
+        "graph_reciprocity")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // distinct non-loop edges: a->b, b->a, a->c, c->a, b->c (5);
+    // mutual: a->b, b->a, a->c, c->a (4) -> global 0.8
+    assert(got == Seq(
+      ("a", 2L, 2L, 1.0, 0.8),
+      ("b", 2L, 1L, 0.5, 0.8),
+      ("c", 1L, 1L, 1.0, 0.8)), s"reciprocity: $got")
+  }
 }

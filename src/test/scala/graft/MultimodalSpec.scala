@@ -153,4 +153,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pair.size == 2 && pair(2L) != pair(24L),
       s"docs 2 and 24 share (rate=8000, n=480) but k=2 vs k=4 — sums must differ: $pair")
   }
+
+  test("audioChunksBySamples: grid math off the decoded frame count, tail clamped") {
+    // doc 1: rate 16000, n = 400 + 40 = 440; step 120 -> starts 0,120,240,360
+    val got = Multimodal.audioChunksBySamples(
+        Multimodal.audioDecodeStats(Seq(1L).toDF("doc_id"), "doc_id"),
+        chunkSamples = 160L, overlapSamples = 40L)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_sample", "end_sample", "n_chunk_samples",
+        "start_ms")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 160L, 160L, 0.0),
+      (1L, 120L, 280L, 160L, 7.5),
+      (2L, 240L, 400L, 160L, 15.0),
+      (3L, 360L, 440L, 80L, 22.5)), s"chunk grid: $got")
+    // overlap must sit inside the chunk
+    intercept[IllegalArgumentException] {
+      Multimodal.audioChunksBySamples(
+        Multimodal.audioDecodeStats(Seq(1L).toDF("doc_id"), "doc_id"),
+        chunkSamples = 100L, overlapSamples = 100L)
+    }
+  }
 }

@@ -688,4 +688,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select("phrase").as[String].collect().toSeq
     assert(kept == Seq("w9"), s"7-token run must be discarded: $kept")
   }
+
+  test("tfidfKnn: identical docs rank first; df cut prunes hub terms from the pair join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta common"),     // 1 and 2 identical -> cos 1.0
+      (2L, "alpha beta common"),
+      (3L, "alpha gamma common"),    // shares alpha+common with 1/2
+      (4L, "delta epsilon common"))  // shares only the hub 'common'
+      .toDF("doc_id", "text")
+    val knn = TextAnalysis.tfidfKnn(docs, "doc_id", "text", k = 3,
+        dfCutShare = 1.0)
+      .select("doc_id", "rnk", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(knn(1L).head._3 == 2L && knn(1L).head._4 == 1.0,
+      s"identical doc must be doc 1's top neighbor at cos 1: ${knn(1L)}")
+    assert(knn(1L).map(_._3).toSet == Set(2L, 3L, 4L))
+    // 'common' has df 4/4 — a 0.9 cut drops it; doc 4 then shares NO
+    // term with 1/2/3 and must vanish from their candidate lists
+    val cut = TextAnalysis.tfidfKnn(docs, "doc_id", "text", k = 3,
+        dfCutShare = 0.9)
+      .select("doc_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(!cut.exists(p => p._1 == 4L || p._2 == 4L),
+      s"hub-only doc must leave the candidate set under the cut: $cut")
+    assert(cut.exists(p => p._1 == 1L && p._2 == 2L),
+      "non-hub overlap must survive the cut")
+  }
 }
