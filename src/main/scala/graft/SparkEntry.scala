@@ -4739,6 +4739,19 @@ object SparkEntry {
         .orderBy("n_a")
     }),
 
+    // 1-Wasserstein (earth-mover) drift on the ks_drift split — the
+    // INTEGRAL drift companion to KS's max gap, in the column's own
+    // units; same distributed-ECDF prefix machinery, terms
+    // round-9-scaled to exact longs before the order-free sum
+    "profile_w1_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Profiling.w1Drift(
+        o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1),
+        "o_totalprice")
+        .orderBy("n_a")
+    }),
+
     // robust median/MAD outliers on the same column events_anomalies
     // screens with mean/σ — the 50%-breakdown twin (extreme rows
     // can't inflate the spread estimate enough to hide each other)
@@ -6050,6 +6063,13 @@ object SparkEntry {
     // stationary distribution of the same chain: 8 scaled-long power
     // rounds from the uniform start — where the chain settles,
     // independent of the start mix
+    // entropy rate of the same chain: π-weighted conditional state
+    // entropies, −p·ln p/ln 2 terms round-9-scaled to exact longs,
+    // pinned ln 2 literal — how predictable the behavior stream is
+    "events_markov_entropy" -> ((s, dir) =>
+      Events.markovEntropyRate(t(s, dir, "events"), rounds = 8)
+        .orderBy("state")),
+
     "events_markov_steady" -> ((s, dir) =>
       Events.markovSteadyState(t(s, dir, "events"), rounds = 8)
         .orderBy("state")),
@@ -7483,6 +7503,56 @@ object SparkEntry {
         s"""
            | SELECT state, round(pi, 6) AS stationary_prob FROM pi$rounds
            | ORDER BY state""".stripMargin
+    },
+
+    // the steady-state replay extended with the entropy tail: per-state
+    // conditional entropies off round-6 probs (round-9-scaled long
+    // terms, pinned ln 2), π-weighted rate folded the same way
+    "events_markov_entropy" -> {
+      val rounds = 8
+      val head =
+        """WITH p AS (
+          | SELECT event_type AS from_type,
+          |  lead(event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          | FROM events),
+          | c AS (SELECT from_type, to_type, count(*) AS n_trans
+          |       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          | t AS (SELECT from_type, sum(n_trans) AS n_from FROM c GROUP BY 1),
+          | tm AS MATERIALIZED (SELECT c.from_type, c.to_type,
+          |   round(n_trans / n_from, 6) AS prob
+          |  FROM c JOIN t USING (from_type)),
+          | st AS (SELECT DISTINCT state FROM (
+          |  SELECT from_type AS state FROM tm
+          |  UNION SELECT to_type FROM tm)),
+          | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM st),
+          | pi0 AS (SELECT state, round(1.0 / n, 9) AS pi
+          |  FROM st CROSS JOIN nn)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        s""",
+           | pi$r AS MATERIALIZED (SELECT tm.to_type AS state,
+           |   round(CAST(sum(CAST(round(round(p.pi * tm.prob, 9) * 1e9, 0)
+           |     AS BIGINT)) AS BIGINT) / 1e9, 9) AS pi
+           |  FROM tm JOIN pi${r - 1} p ON p.state = tm.from_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString
+      head + rs +
+        s""",
+           | hs AS (SELECT from_type AS state,
+           |   round(CAST(sum(CAST(round(
+           |     round(-prob * ln(prob) / 0.6931471805599453, 9) * 1e9, 0)
+           |     AS BIGINT)) AS BIGINT) / 1e9, 6) AS h_state_bits
+           |  FROM tm GROUP BY 1),
+           | contrib AS (SELECT pif.state,
+           |   round(pif.pi, 6) AS stationary_prob,
+           |   coalesce(hs.h_state_bits, 0.0) AS h_state_bits,
+           |   CAST(round(round(round(pif.pi, 6)
+           |     * coalesce(hs.h_state_bits, 0.0), 9) * 1e9, 0) AS BIGINT) AS c9
+           |  FROM pi$rounds pif LEFT JOIN hs USING (state)),
+           | tot AS (SELECT round(CAST(sum(c9) AS BIGINT) / 1e9, 6)
+           |   AS entropy_rate_bits FROM contrib)
+           | SELECT state, stationary_prob, h_state_bits, entropy_rate_bits
+           | FROM contrib CROSS JOIN tot ORDER BY state""".stripMargin
     },
 
     "profile_entropy" ->
@@ -12080,6 +12150,32 @@ object SparkEntry {
         | SELECT round(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)), 6) AS ks_stat,
         |  na AS n_a, nb AS n_b
         | FROM cum CROSS JOIN n GROUP BY na, nb ORDER BY n_a""".stripMargin,
+
+    // the global-window twin of the engine's distributed W1 pass:
+    // |ECDF gap| × gap-to-successor per merged distinct value, each
+    // term round-9-scaled to an exact long before the sum
+    "profile_w1_drift" ->
+      """WITH c AS (
+        | SELECT o_totalprice AS v,
+        |  sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        | FROM orders GROUP BY 1),
+        | n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |   CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        | cum AS (
+        | SELECT v,
+        |  sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+        |  sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb,
+        |  lead(v) OVER (ORDER BY v) AS nv
+        | FROM c),
+        | terms AS (
+        | SELECT CAST(round(round(
+        |    abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+        |    * (nv - v), 9) * 1e9, 0) AS BIGINT) AS t9
+        | FROM cum CROSS JOIN n WHERE nv IS NOT NULL)
+        | SELECT round(CAST(sum(t9) AS BIGINT) / 1e9, 6) AS w1,
+        |  (SELECT na FROM n) AS n_a, (SELECT nb FROM n) AS n_b
+        | FROM terms ORDER BY n_a""".stripMargin,
 
     // whitening over the SAME replayed basis: centered projection as
     // two exact-long sums (Σ x·v and the μ-term), one double

@@ -432,6 +432,45 @@ object Events {
     out
   }
 
+  /** ENTROPY RATE of the event-type Markov chain — H = −Σ_s π_s Σ_t
+    * p_st log₂ p_st, the information-theoretic summary of how
+    * PREDICTABLE user behavior is (0 bits = deterministic next
+    * action; log₂|states| = uniform chaos). The per-state conditional
+    * entropies H_s say WHERE the unpredictability lives; the
+    * π-weighted rate is the one number (Shannon 1948's source rate,
+    * with the stationary mix from [[markovSteadyState]]).
+    *
+    * Determinism: [[transitionMatrix]]'s round-6 probs; each
+    * −p·ln p/ln 2 term rounds to 9 and ×1e9-scales to an exact long
+    * before its sum (the zipfFit discipline — a 1-ulp cross-engine ln
+    * difference dies at round-9); ln 2 is a pinned literal, never
+    * each engine's log2; π enters at its published round-6; the rate
+    * folds round-9 products through a long sum. States with no
+    * out-transitions carry H_s = 0. All bounded-table work after the
+    * one corpus window pass both inputs already share.
+    */
+  def markovEntropyRate(events: DataFrame, rounds: Int): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val tm = transitionMatrix(events)
+      .select(col("from_type"), col("prob"))
+      .localCheckpoint() // shared with the steady-state pass upstream
+    val hs = tm
+      .withColumn("t9", round(round(-col("prob") * log(col("prob")) / ln2, 9)
+        * 1e9, 0).cast("long"))
+      .groupBy(col("from_type").as("state"))
+      .agg(round(sum(col("t9")) / 1e9, 6).as("h_state_bits"))
+    val contrib = markovSteadyState(events, rounds)
+      .join(hs, Seq("state"), "left")
+      .select(col("state"), col("stationary_prob"),
+        coalesce(col("h_state_bits"), lit(0.0)).as("h_state_bits"))
+      .withColumn("c9", round(round(col("stationary_prob")
+        * col("h_state_bits"), 9) * 1e9, 0).cast("long"))
+    val tot = contrib.agg(round(sum(col("c9")) / 1e9, 6).as("entropy_rate_bits"))
+    contrib.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("state"), col("stationary_prob"), col("h_state_bits"),
+        col("entropy_rate_bits"))
+  }
+
   /** Per-user inter-arrival cadence: millisecond gaps between
     * consecutive events (event_id tie-break on equal timestamps so
     * the lag — and therefore every gap — is deterministic), reduced

@@ -86,6 +86,86 @@ object Profiling {
     out
   }
 
+  /** EXACT 1-Wasserstein (earth-mover) drift between two tables'
+    * value distributions — ∫|F_A − F_B| dx over the merged support:
+    * the INTEGRAL companion to [[ksDrift]]'s max (KS sees the single
+    * worst vertical gap; W₁ sees how much probability mass moved how
+    * FAR — a small shift of everything and a large shift of a sliver
+    * can share a KS yet differ 100× in W₁, and W₁ is the metric with
+    * units of the column). Per merged distinct value v with
+    * successor v′: term = |F_A(v) − F_B(v)|·(v′ − v), summed.
+    *
+    * Scale shape: the [[ksDrift]] distributed-ECDF discipline — one
+    * hash aggregate to per-value counts, range repartition,
+    * ≤numPartitions-row subtotal collect (control-plane), exclusive
+    * offsets broadcast, one mapPartitions running-sum pass. The
+    * cross-partition successor comes from the per-partition FIRST
+    * values (a second ≤numPartitions-row control-plane collect).
+    *
+    * Determinism: ECDF ratios are fixed IEEE divisions of exact
+    * longs; each term rounds to 9 and ×1e9-scales to an exact long
+    * IN CATALYST (not JVM math — Spark's round half-ups exactly like
+    * the oracle's) before the order-independent sum.
+    */
+  def w1Drift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+              numPartitions: Int = 32): DataFrame = {
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val counts = dfA.select(col(valueCol).cast("double").as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionAll(dfB.select(col(valueCol).cast("double").as("v"), lit(0L).as("ca"), lit(1L).as("cb")))
+      .where(col("v").isNotNull)
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .repartitionByRange(numPartitions, col("v"))
+      .sortWithinPartitions("v")
+      .persist()
+    val subtotals = counts.select(spark_partition_id().as("pid"), col("ca"), col("cb"))
+      .groupBy("pid").agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    val nA = subtotals.map(_._2._1).sum
+    val nB = subtotals.map(_._2._2).sum
+    val offsets: Map[Int, (Long, Long)] = {
+      var (accA, accB) = (0L, 0L)
+      subtotals.map { case (pid, (ta, tb)) =>
+        val o = pid -> (accA, accB); accA += ta; accB += tb; o
+      }.toMap
+    }
+    // first value of each non-empty partition (≤numPartitions rows,
+    // control-plane): partition p's LAST value takes its successor
+    // from the next non-empty partition's first
+    val firsts = counts.select(spark_partition_id().as("pid"), col("v"))
+      .groupBy("pid").agg(min(col("v")).as("fv"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val nextFirst: Map[Int, Double] = subtotals.map(_._1).map { pid =>
+      pid -> firsts.collectFirst { case (p, fv) if p > pid => fv }
+    }.collect { case (pid, Some(fv)) => pid -> fv }.toMap
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val bNext = spark.sparkContext.broadcast(nextFirst)
+    val terms = counts.select("v", "ca", "cb").as[(Double, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var (ca, cb) = bOff.value.getOrElse(pid, (0L, 0L))
+        var prev = Option.empty[(Double, Double)] // (v, |Fa-Fb| after v)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+        it.foreach { case (v, a, b) =>
+          prev.foreach { case (pv, gap) => out += gap * (v - pv) }
+          ca += a; cb += b
+          prev = Some((v, math.abs(ca.toDouble / nA - cb.toDouble / nB)))
+        }
+        prev.foreach { case (pv, gap) =>
+          bNext.value.get(pid).foreach(nv => out += gap * (nv - pv))
+        }
+        out.iterator
+      }
+    val out = terms.toDF("t")
+      .select(round(round(col("t"), 9) * 1e9, 0).cast("long").as("t9"))
+      .agg(round(sum(col("t9")) / 1e9, 6).as("w1"))
+      .select(col("w1"), lit(nA).as("n_a"), lit(nB).as("n_b"))
+      .localCheckpoint()
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** EXACT order-statistic quantiles of an integer column at scale —
     * for each percentile p, the value at 1-based rank ⌈p·N/100⌉ —
     * via the same distributed prefix-sum discipline as [[ksDrift]]:

@@ -1049,4 +1049,28 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq(("click", 4L, 105.0), ("direct", 1L, 7.0),
       ("view", 3L, 55.0)), s"credits: $got")
   }
+
+  test("markovEntropyRate: deterministic chain reads 0 bits; fair coin reads 1") {
+    def mk(rows: Seq[(Long, String)]) =
+      rows.zipWithIndex.map { case ((u, tp), i) =>
+        (i.toLong, u, Timestamp.valueOf(s"2024-01-01 10:${"%02d".format(i % 60)}:00"), tp)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+    // deterministic 2-cycle a->b->a->b...: every row entropy 0
+    val cyc = mk((0 until 20).map(i => (1L, if (i % 2 == 0) "a" else "b")))
+    val got0 = Events.markovEntropyRate(cyc, rounds = 8)
+      .select("state", "h_state_bits", "entropy_rate_bits")
+      .as[(String, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got0.forall(r => r._2 == 0.0 && r._3 == 0.0),
+      s"deterministic chain must read 0 bits: $got0")
+    // fair coin: (a a b b)×4 + a gives 16 transitions with counts
+    // aa = ab = bb = ba = 4 — every conditional entropy exactly 1 bit
+    val coin = mk(((0 until 16).map(i =>
+      1L -> (if (i % 4 < 2) "a" else "b")) :+ (1L -> "a")))
+    val got1 = Events.markovEntropyRate(coin, rounds = 16)
+      .select("h_state_bits", "entropy_rate_bits")
+      .as[(Double, Double)].collect().toSeq
+    assert(got1.forall(r => math.abs(r._1 - 1.0) < 1e-6 &&
+      math.abs(r._2 - 1.0) < 1e-5),
+      s"fair-coin chain must read 1 bit: $got1")
+  }
 }

@@ -247,6 +247,27 @@ class ProfilingSpec extends SparkSpec {
     assert(same == ((0.0, 4L, 4L)))
   }
 
+  test("w1Drift: hand-computed earth-mover integral; partition-count invariant") {
+    // A = {1,2,3,4}, B = {3,4,5,6} — |F_A-F_B| over merged support:
+    // [1,2): 0.25, [2,3): 0.5, [3,4): 0.5, [4,5): 0.5, [5,6): 0.25
+    // → W1 = 0.25+0.5+0.5+0.5+0.25 = 2.0 (a pure shift by 2 of half
+    // the mass... exactly the mean shift for a translation)
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("x")
+    for (p <- Seq(1, 3, 32)) {
+      val got = graft.operators.Profiling.w1Drift(a, b, "x", numPartitions = p)
+        .as[(Double, Long, Long)].head()
+      assert(got == ((2.0, 4L, 4L)), s"numPartitions=$p got $got")
+    }
+    // identical distributions → W1 0; and W1 of a pure +c shift = c
+    assert(graft.operators.Profiling.w1Drift(a, a, "x")
+      .as[(Double, Long, Long)].head() == ((0.0, 4L, 4L)))
+    val shifted = Seq(1.5, 2.5, 3.5, 4.5).toDF("x")
+    assert(graft.operators.Profiling.w1Drift(a, shifted, "x")
+      .as[(Double, Long, Long)].head() == ((0.5, 4L, 4L)),
+      "W1 of a +0.5 translation must be 0.5")
+  }
+
   test("topKSketchRollup: merged frequent-items counts are exact under the tracking cap") {
     import org.apache.spark.sql.functions._
     // items spread across fine groups — a per-group top-k union would
