@@ -3060,6 +3060,15 @@ object SparkEntry {
       Graph.adamicAdarFromGraph(s, ensureBasketGraph(s, dir), k = 20)
         .orderBy(desc("score"), asc("item_a"), asc("item_b"))),
 
+    // preferential attachment deg(a)·deg(b) — the popularity-only
+    // third leg of the link-prediction triad (AA = neighbor quality,
+    // Jaccard = neighbor share); exact integer products off the
+    // served cut degrees, broadcast onto the pair scan
+    "graph_pref_attachment" -> ((s, dir) =>
+      Graph.preferentialAttachmentFromGraph(s, ensureBasketGraph(s, dir),
+          k = 20)
+        .orderBy(desc("pa_score"), asc("item_a"), asc("item_b"))),
+
     // sampled-source Brandes betweenness on the SUPPORT-2 co-purchase
     // backbone (Brandes & Pich 2007; the kTruss edge set — the raw
     // pair graph's 240-degree noise edges make every node 2 hops from
@@ -4739,6 +4748,15 @@ object SparkEntry {
         .orderBy("n_a")
     }),
 
+    // candidate-key discovery over orders: native-type exact distinct
+    // counts (one Expand pass), distinct ratio, key verdict — the
+    // profiling step before choosing join/dedup keys on a raw feed
+    "profile_key_candidates" -> ((s, dir) =>
+      Profiling.keyCandidates(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // 1-Wasserstein (earth-mover) drift on the ks_drift split — the
     // INTEGRAL drift companion to KS's max gap, in the column's own
     // units; same distributed-ECDF prefix machinery, terms
@@ -5509,6 +5527,37 @@ object SparkEntry {
       TextAnalysis.dataCard(t(s, dir, "documents"),
           "doc_id", "text", "lang", "source")
         .orderBy("section", "metric")),
+
+    // the RAG ingestion chain END-TO-END: chunk documents into
+    // overlapping token windows → BM25 retrieval over the CHUNK table
+    // → top-10 chunks with a doc-level comparison flag (is the parent
+    // doc also in the doc-granularity top-10? — the chunk-vs-doc
+    // retrieval difference is exactly why RAG stacks index chunks).
+    // Chunk key = doc_id·1000 + chunk_idx (≤3 chunks/doc at the
+    // fixture's ~130 tokens, the arithmetic is collision-free)
+    "pipeline_rag_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = TextAnalysis.chunkTokenWindows(docs, "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+          col("chunk_text"))
+        .localCheckpoint() // stage boundary (the training_prep discipline)
+      val hits = TextAnalysis.bm25TopK(chunks, "chunk_key", "chunk_text",
+          queryTerms = Seq("hash", "join", "vector"), k = 10)
+        .select(col("doc_id").as("chunk_key"), col("score"),
+          col("n_terms_hit"))
+      val docTop = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          queryTerms = Seq("hash", "join", "vector"), k = 10)
+        .select(col("doc_id"), lit(true).as("in_doc_top10"))
+      hits
+        .withColumn("doc_id", (col("chunk_key") / 1000).cast("long"))
+        .withColumn("chunk_idx", col("chunk_key") % 1000)
+        .join(broadcast(docTop), Seq("doc_id"), "left")
+        .select(col("chunk_key"), col("doc_id"), col("chunk_idx"),
+          col("score"), col("n_terms_hit"),
+          coalesce(col("in_doc_top10"), lit(false)).as("in_doc_top10"))
+        .orderBy(desc("score"), asc("chunk_key"))
+    }),
 
     "pipeline_training_prep" -> ((s, dir) => {
       // materialize BOTH stage boundaries (localCheckpoint = the
@@ -8668,6 +8717,24 @@ object SparkEntry {
         | JOIN d db ON pr.item_b = db.item
         | ORDER BY jaccard DESC, item_a, item_b LIMIT 20""".stripMargin,
 
+    // same cut-pair CTE with the popularity product instead of the
+    // overlap ratio — exact BIGINT degree products
+    "graph_pref_attachment" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | ok AS (SELECT c FROM (SELECT c, count(*) AS deg FROM e GROUP BY 1)
+        |        WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN ok USING (c)),
+        | d AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM p GROUP BY 1),
+        | pr AS (SELECT a.item AS item_a, b.item AS item_b,
+        |   CAST(count(*) AS BIGINT) AS n_common
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item GROUP BY 1, 2)
+        | SELECT item_a, item_b, n_common,
+        |  da.n_item AS n_a, db.n_item AS n_b,
+        |  da.n_item * db.n_item AS pa_score
+        | FROM pr JOIN d da ON pr.item_a = da.item
+        | JOIN d db ON pr.item_b = db.item
+        | ORDER BY pa_score DESC, item_a, item_b LIMIT 20""".stripMargin,
+
     // same basket edges + df-cut as graph_adamic_adar; 4 integer
     // peeling rounds as MATERIALIZED CTEs (the labelProp contract),
     // final within-core degree over the round-4 survivors
@@ -11353,6 +11420,58 @@ object SparkEntry {
 
     "text_bm25" -> bm25Sql,
 
+    // the chunk → chunk-BM25 → doc-comparison chain composed from the
+    // proven text_chunk and text_bm25 replays (same 64/16 window
+    // grid, same k1/b literals), plus the doc-level top-10 membership
+    "pipeline_rag_chunks" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents),
+        | g AS (SELECT doc_id, w, s FROM toks,
+        |       UNNEST(range(0, len(w), 48)) AS t(s) WHERE len(w) > 0),
+        | ch AS (SELECT doc_id * 1000 + s // 48 AS chunk_key,
+        |   array_to_string(w[s+1 : least(s + 64, len(w))], ' ') AS chunk_text
+        |  FROM g),
+        | ctok AS (SELECT chunk_key,
+        |   unnest(string_split_regex(trim(lower(chunk_text)), '\s+')) AS term
+        |  FROM ch),
+        | ctf AS (SELECT chunk_key, term, count(*) AS tf FROM ctok GROUP BY 1, 2),
+        | cdl AS (SELECT chunk_key, count(*) AS dl FROM ctok GROUP BY 1),
+        | cstats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM cdl),
+        | cpost AS (SELECT * FROM ctf WHERE term IN ('hash', 'join', 'vector')),
+        | cdft AS (SELECT term, count(*) AS df FROM cpost GROUP BY 1),
+        | csc AS (
+        |  SELECT cpost.chunk_key,
+        |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |   (tf + 1.2 * ((0.25) + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
+        |     AS part_score
+        |  FROM cpost JOIN cdft USING (term) JOIN cdl USING (chunk_key)
+        |  CROSS JOIN cstats),
+        | chits AS (SELECT chunk_key, round(sum(part_score), 6) AS score,
+        |   count(*) AS n_terms_hit
+        |  FROM csc GROUP BY 1 ORDER BY score DESC, chunk_key LIMIT 10),
+        | dtok AS (SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        | dtf AS (SELECT doc_id, term, count(*) AS tf FROM dtok GROUP BY 1, 2),
+        | ddl AS (SELECT doc_id, count(*) AS dl FROM dtok GROUP BY 1),
+        | dstats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM ddl),
+        | dpost AS (SELECT * FROM dtf WHERE term IN ('hash', 'join', 'vector')),
+        | ddft AS (SELECT term, count(*) AS df FROM dpost GROUP BY 1),
+        | dsc AS (
+        |  SELECT dpost.doc_id,
+        |   (ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |   (tf + 1.2 * ((0.25) + (0.75 * dl) / (CAST(tot_dl AS DOUBLE) / n_docs)))
+        |     AS part_score
+        |  FROM dpost JOIN ddft USING (term) JOIN ddl USING (doc_id)
+        |  CROSS JOIN dstats),
+        | dhits AS (SELECT doc_id, round(sum(part_score), 6) AS dscore
+        |  FROM dsc GROUP BY 1 ORDER BY dscore DESC, doc_id LIMIT 10)
+        | SELECT chunk_key, chunk_key // 1000 AS doc_id,
+        |  chunk_key % 1000 AS chunk_idx, score, n_terms_hit,
+        |  (chunk_key // 1000) IN (SELECT doc_id FROM dhits) AS in_doc_top10
+        | FROM chits ORDER BY score DESC, chunk_key""".stripMargin,
+
     // both retrieval rounds + the candidate mine replayed; expansion
     // weights round 6 before the top-3 cut, string_agg ordered
     "text_bm25_prf" ->
@@ -12150,6 +12269,24 @@ object SparkEntry {
         | SELECT round(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)), 6) AS ks_stat,
         |  na AS n_a, nb AS n_b
         | FROM cum CROSS JOIN n GROUP BY na, nb ORDER BY n_a""".stripMargin,
+
+    // native-type exact distinct counts per column — a UNION of six
+    // 1-row aggregates (bounded), never a string rendering
+    "profile_key_candidates" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           | CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count($c) AS BIGINT) AS n_nonnull,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | round(count(DISTINCT $c)::DOUBLE / count(*)::DOUBLE, 6)
+           |   AS distinct_ratio,
+           | (count(DISTINCT $c) = count(*) AND count($c) = count(*))
+           |   AS is_key
+           | FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // the global-window twin of the engine's distributed W1 pass:
     // |ECDF gap| × gap-to-successor per merged distinct value, each

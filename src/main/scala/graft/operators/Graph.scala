@@ -2156,6 +2156,36 @@ object Graph {
       .limit(k)
   }
 
+  /** PREFERENTIAL-ATTACHMENT link score served from the materialized
+    * graph — the third leg of the classic link-prediction triad
+    * next to Adamic-Adar (shared-neighbor quality) and Jaccard
+    * (shared-neighbor share): score(a, b) = deg(a)·deg(b), the
+    * rich-get-richer baseline (Barabási-Albert). AA and Jaccard
+    * reward OVERLAP; PA rewards pure popularity — comparing the
+    * three rankings is how one diagnoses whether a graph grows by
+    * affinity or by fame. Exact integer products of the CUT degrees
+    * (the [[neighborhoodJaccardFromGraph]] self-consistency
+    * contract), reported for the observed pairs; k smallest-first
+    * tie-break on ids.
+    *
+    * Scale shape: one broadcast of the node-bounded degree table
+    * onto the served pair scan, TakeOrdered for the top-k.
+    */
+  def preferentialAttachmentFromGraph(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, k: Int = 20): DataFrame = {
+    requireBasketGraph(path)
+    val deg = spark.read.parquet(s"${path}_degrees")
+    spark.read.parquet(s"${path}_pairs")
+      .join(broadcast(deg.select(col("item").as("item_a"),
+        col("n_cut").as("n_a"))), Seq("item_a"))
+      .join(broadcast(deg.select(col("item").as("item_b"),
+        col("n_cut").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_common"),
+        col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("pa_score"))
+      .orderBy(desc("pa_score"), asc("item_a"), asc("item_b"))
+      .limit(k)
+  }
+
   /** [[associationRules]] served from the materialized graph: pair
     * supports from the pair table, item supports from the UNCUT
     * column of the degree table, the container total from the stats

@@ -86,6 +86,36 @@ object Profiling {
     out
   }
 
+  /** CANDIDATE-KEY discovery — which columns could serve as a unique
+    * key: per column, exact non-null and distinct counts, the
+    * distinct ratio, and the key verdict (distinct == rows ==
+    * non-null). The schema-inference companion to [[fdCheck]]'s
+    * pairwise dependencies: a profiler runs this before choosing
+    * join/dedup keys on an undocumented feed.
+    *
+    * Exactness: NATIVE-type distinct counts (never a string
+    * rendering — engines disagree on float/date formatting, they
+    * cannot disagree on value equality). One pass: Spark plans the
+    * multi-column count(DISTINCT) set via a single Expand (|cols|×
+    * row fan-out, one shuffle), and everything after the 1-row
+    * aggregate is bounded column math.
+    */
+  def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def d(c: Column) = c.cast("double")
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"nd_$c"),
+      count(col(c)).as(s"nn_$c")))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    cols.map { c =>
+      one.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+        round(d(col(s"nd_$c")) / d(col("n_rows")), 6).as("distinct_ratio"),
+        (col(s"nd_$c") === col("n_rows") && col(s"nn_$c") === col("n_rows"))
+          .as("is_key"))
+    }.reduce(_ unionByName _)
+  }
+
   /** EXACT 1-Wasserstein (earth-mover) drift between two tables'
     * value distributions — ∫|F_A − F_B| dx over the merged support:
     * the INTEGRAL companion to [[ksDrift]]'s max (KS sees the single

@@ -520,6 +520,15 @@ class GraphSpec extends SparkSpec {
     assert(rows(Graph.associationRulesFromGraph(spark, path, k = 20, minSupport = 2)) ==
       rows(Graph.associationRules(rel, "l_partkey", "l_orderkey", k = 20,
         minSupport = 2)))
+    // preferential attachment: exact cut-degree products, and the
+    // score is the degree product row by row
+    val pa = Graph.preferentialAttachmentFromGraph(spark, path, k = 20)
+      .select("n_a", "n_b", "pa_score")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pa.nonEmpty && pa.forall(r => r._3 == r._1 * r._2),
+      s"pa_score must be the exact degree product: ${pa.take(3)}")
+    assert(pa.map(_._3) == pa.map(_._3).sorted.reverse,
+      "top-k must be pa_score-descending")
     // the pair edges are the distinct df-cut co-occurrence pairs
     val e = rel.selectExpr("l_partkey AS item", "l_orderkey AS c").distinct()
     val ok = e.groupBy("c").agg(count(lit(1)).as("deg"))

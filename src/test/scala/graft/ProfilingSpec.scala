@@ -268,6 +268,21 @@ class ProfilingSpec extends SparkSpec {
       "W1 of a +0.5 translation must be 0.5")
   }
 
+  test("keyCandidates: unique, duplicated, and nullable columns classify correctly") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(20.0)),
+      (3L, "b", None), (4L, "b", Some(40.0)))
+      .toDF("id", "grp", "v")
+    val got = graft.operators.Profiling.keyCandidates(df, Seq("id", "grp", "v"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("grp", 4L, 4L, 2L, 0.5, false),
+      ("id", 4L, 4L, 4L, 1.0, true),
+      // v is unique among its 3 non-nulls but the null disqualifies it
+      ("v", 4L, 3L, 3L, 0.75, false)), s"key verdicts: $got")
+  }
+
   test("topKSketchRollup: merged frequent-items counts are exact under the tracking cap") {
     import org.apache.spark.sql.functions._
     // items spread across fine groups — a per-group top-k union would
