@@ -4625,6 +4625,20 @@ object SparkEntry {
     // The index writes once per JVM (ensureIvfIndex) — an index exists
     // to be written once and queried many times, so the steady state
     // the bench should measure is the partition-pruned READ
+    // serving-hygiene check between upserts: build the index on the
+    // 90% slice, audit it against the FULL corpus — the 10% gap is
+    // exactly what the report must surface (recall silently lost
+    // until the next upsert); id-width anti-joins, one report row
+    "sim_index_staleness" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stale_${math.abs(dir.hashCode)}_$src"
+      Similarity.ensureIvfIndex(e.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", path, numCells = 16)
+      Similarity.indexStalenessReport(s, path, e, "vec_id")
+        .orderBy("n_corpus")
+    }),
+
     "sim_ivf_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // path keyed by the source file's mtime too: a regenerated
@@ -10057,6 +10071,26 @@ object SparkEntry {
         | FROM cells CROSS JOIN tot ORDER BY cell_id""".stripMargin,
 
     "sim_ivf_indexed" -> ivfSql,
+
+    // the id-set audit replayed: index ids = the build slice, corpus
+    // = the full table; exact counts, one round-6 share
+    "sim_index_staleness" ->
+      """WITH c AS (SELECT vec_id FROM embeddings),
+        | idx AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0)
+        | SELECT
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_corpus,
+        |  CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_indexed,
+        |  CAST((SELECT count(*) FROM c
+        |    WHERE vec_id NOT IN (SELECT vec_id FROM idx)) AS BIGINT)
+        |    AS n_missing,
+        |  CAST((SELECT count(*) FROM idx
+        |    WHERE vec_id NOT IN (SELECT vec_id FROM c)) AS BIGINT)
+        |    AS n_orphaned,
+        |  round(((SELECT count(*) FROM c)::DOUBLE
+        |    - (SELECT count(*) FROM c
+        |       WHERE vec_id NOT IN (SELECT vec_id FROM idx))::DOUBLE)
+        |    / (SELECT count(*) FROM c)::DOUBLE, 6) AS fresh_share
+        | ORDER BY n_corpus""".stripMargin,
     "sim_ivf_upsert" -> ivfSqlWith("WHERE corpus_id % 2 = 0"),
     "sim_ivf_stream" -> ivfSqlWith("WHERE corpus_id % 2 = 0"),
 

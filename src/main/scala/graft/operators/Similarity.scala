@@ -1114,6 +1114,43 @@ object Similarity {
     if (!Markers.exists(s"${path}_centroids/_SUCCESS")) writeIvfIndex(corpus, idCol, vecCol, path, numCells, trainIters)
   }
 
+  /** INDEX-STALENESS report — the serving-hygiene check every ANN
+    * deployment runs between [[appendIvfDelta]] upserts: how much of
+    * the CURRENT corpus the materialized index actually covers.
+    * Reports exact corpus/index cardinalities, ids the corpus has
+    * but the index is missing (not yet upserted — these queries
+    * silently lose recall), ids the index holds that left the corpus
+    * (deletions the upsert path cannot express — rebuild debt), and
+    * the fresh share. The number that decides between "upsert now"
+    * and "rebuild tonight".
+    *
+    * Scale shape: both sides project to bare ids before anything
+    * wide; two left-anti joins on the id hash + one 1-row aggregate
+    * — id-width work regardless of vector dimension.
+    */
+  def indexStalenessReport(spark: org.apache.spark.sql.SparkSession,
+                           path: String, corpus: DataFrame,
+                           idCol: String): DataFrame = {
+    require(Markers.exists(s"${path}_centroids/_SUCCESS"),
+      s"IVF index at $path has no commit marker; rebuild with ensureIvfIndex")
+    def d(c: Column) = c.cast("double")
+    val cIds = corpus.select(col(idCol).cast("long").as("id"))
+    val iIds = spark.read.parquet(path)
+      .select(col("corpus_id").cast("long").as("id"))
+    val missing = cIds.join(iIds, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphaned = iIds.join(cIds, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphaned"))
+    cIds.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(broadcast(iIds.agg(count(lit(1)).as("n_indexed"))))
+      .crossJoin(broadcast(missing))  // 1-row scalars
+      .crossJoin(broadcast(orphaned))
+      .select(col("n_corpus"), col("n_indexed"), col("n_missing"),
+        col("n_orphaned"),
+        round((d(col("n_corpus")) - d(col("n_missing")))
+          / d(col("n_corpus")), 6).as("fresh_share"))
+  }
+
   /** UPSERT a vector delta into a [[writeIvfIndex]] index WITHOUT
     * rebuilding it. The stored centroids are a FROZEN quantizer (the
     * FAISS discipline: retraining is a rebuild, not an upsert), so

@@ -787,4 +787,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mtime(epsPath) == m1 && mtime(mapPath) == m2,
       "re-ensure must not rewrite existing artifacts")
   }
+
+  test("indexStalenessReport: missing, orphaned, and fresh-share counts are exact") {
+    def vec(i: Int) = Array.tabulate(8)(j => (i * 7 + j).toFloat / 10f)
+    val indexed = (1 to 10).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val corpus = (3 to 12).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_stale_${System.nanoTime()}"
+    Similarity.ensureIvfIndex(indexed, "vec_id", "embedding", path, numCells = 4)
+    val got = Similarity.indexStalenessReport(spark, path, corpus, "vec_id")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // corpus 3..12 vs index 1..10: missing {11,12}, orphaned {1,2}
+    assert(got == ((10L, 10L, 2L, 2L, 0.8)), s"staleness report: $got")
+    // a marker-less index refuses to report
+    intercept[IllegalArgumentException] {
+      Similarity.indexStalenessReport(spark, s"${path}_nonexistent", corpus, "vec_id")
+    }
+  }
 }
