@@ -129,6 +129,17 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_pca_basis_${math.abs(dir.hashCode)}_$src"
   }
 
+  /** Materialized full-corpus IVF index (the cluster-map path
+    * discipline): sim_ivf_indexed and sim_filtered_topk serve from
+    * one artifact. Path keyed by the source file's mtime too: a
+    * regenerated fixture can't be served from a previous JVM's
+    * stale index.
+    */
+  private def ivfIndexPath(dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}_$src"
+  }
+
   /** Materialized SemDeDup cluster map per corpus — the simhash/
     * minhash map discipline with the semantic pair generator:
     * dedup_semantic serves the map, paying the cell-bounded cosine
@@ -4641,12 +4652,25 @@ object SparkEntry {
 
     "sim_ivf_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // path keyed by the source file's mtime too: a regenerated
-      // fixture can't be served from a previous JVM's stale index
-      val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}_$src"
-      Similarity.ensureIvfIndex(e, "vec_id", "embedding", path, numCells = 16)
-      Similarity.ivfTopKIndexed(path, e.where(col("vec_id") < 8), "vec_id", "embedding",
+      Similarity.ensureIvfIndex(e, "vec_id", "embedding", ivfIndexPath(dir),
+        numCells = 16)
+      Similarity.ivfTopKIndexed(ivfIndexPath(dir), e.where(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // FILTERED retrieval off the SAME served index (one artifact,
+    // many consumers): nearest even-label vectors — the predicate
+    // cuts candidates by an id-width semi-join BEFORE any dot
+    // product, so the k returned are the true filtered top-k of the
+    // probed cells (pre-filtering, not a lossy post-filter)
+    "sim_filtered_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ensureIvfIndex(e, "vec_id", "embedding", ivfIndexPath(dir),
+        numCells = 16)
+      Similarity.ivfTopKFiltered(ivfIndexPath(dir), e.where(col("vec_id") < 8),
+          "vec_id", "embedding",
+          allowedIds = e.where(col("label") % 2 === 0), allowedIdCol = "vec_id",
           k = 5, nprobe = 4)
         .orderBy("query_id", "rnk")
     }),
@@ -10071,6 +10095,49 @@ object SparkEntry {
         | FROM cells CROSS JOIN tot ORDER BY cell_id""".stripMargin,
 
     "sim_ivf_indexed" -> ivfSql,
+
+    // the ivf replay with the label predicate cutting candidates
+    // BEFORE scoring — same full-corpus centroids/assignment, same
+    // probing, the filter applied at the candidate join
+    "sim_filtered_topk" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+        | cen AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS cell_id, cvec AS centroid
+        |  FROM (SELECT *, ('0x' || substr(md5(corpus_id::VARCHAR), 1, 15))::BIGINT AS h
+        |        FROM c ORDER BY h LIMIT 16)),
+        | asg AS (
+        |  SELECT corpus_id, cell_id FROM (
+        |   SELECT c.corpus_id, cen.cell_id,
+        |    row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+        |      round(list_cosine_similarity(c.cvec, cen.centroid), 6) DESC,
+        |      cen.cell_id DESC) AS rn
+        |   FROM c CROSS JOIN cen)
+        |  WHERE rn = 1),
+        | qc AS (
+        |  SELECT query_id, cell_id FROM (
+        |   SELECT q.vec_id AS query_id, cen.cell_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_cosine_similarity(q.embedding::DOUBLE[], cen.centroid), 6) DESC,
+        |      cen.cell_id) AS crnk
+        |   FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cen)
+        |  WHERE crnk <= 4),
+        | cand AS (
+        |  SELECT DISTINCT qc.query_id, a.corpus_id
+        |  FROM asg a
+        |  JOIN embeddings m ON m.vec_id = a.corpus_id AND m.label % 2 = 0
+        |  JOIN qc ON a.cell_id = qc.cell_id
+        |  WHERE a.corpus_id <> qc.query_id),
+        | scored AS (
+        |  SELECT query_id, corpus_id,
+        |   round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = corpus_id
+        |  JOIN embeddings qe ON qe.vec_id = query_id)
+        | SELECT query_id, corpus_id, score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) AS rnk
+        |  FROM scored)
+        | WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // the id-set audit replayed: index ids = the build slice, corpus
     // = the full table; exact counts, one round-6 share

@@ -1267,6 +1267,56 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** FILTERED ANN retrieval — [[ivfTopKIndexed]] under a metadata
+    * predicate (the production "nearest English documents", "nearest
+    * in-stock items" shape): the caller pre-applies the predicate to
+    * its metadata table and passes the surviving id set; candidates
+    * are cut by an id-width semi-join BEFORE any dot product runs —
+    * PRE-filtering, so the returned k are the true filtered top-k of
+    * the probed cells (post-filtering an unfiltered top-k loses
+    * recall exactly when the filter is selective). The classic
+    * filtered-ANN caveat applies and is the caller's dial: as
+    * selectivity rises, raise `nprobe` — the probed-cell candidate
+    * pool thins by the filter rate.
+    *
+    * Scale shape: identical to [[ivfTopKIndexed]] (partition-pruned
+    * cell scan, broadcast query cells) plus one semi-join of the
+    * pruned cells against the allowed ids — id-hash work; the wide
+    * vectors never move for rows the filter drops.
+    */
+  def ivfTopKFiltered(path: String, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      allowedIds: DataFrame, allowedIdCol: String,
+                      k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    require(Markers.exists(s"${path}_centroids/_SUCCESS"),
+      s"IVF index at $path has no commit marker (crashed maintenance?); " +
+        "rebuild it with writeIvfIndex/ensureIvfIndex")
+    val centroids = spark.read.parquet(s"${path}_centroids")
+    val qAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(
+        cosineFromParts(dot(col("qvec"), col("centroid")), col("qnrm"), col("ctrnrm")), 6))
+    val qw = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell_id"))
+    val qCells = qAll
+      .withColumn("crnk", row_number().over(qw))
+      .where(col("crnk") <= nprobe)
+      .drop("centroid", "ctrnrm", "csim", "crnk")
+    val probedCells = qCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted // ≤ numCells — control-plane
+    val pruned = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells: _*))
+      .join(allowedIds.select(col(allowedIdCol).as("corpus_id")),
+        Seq("corpus_id"), "left_semi")
+    val scored = pruned.join(broadcast(qCells), Seq("cell_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("score", round(
+        cosineFromParts(dot(col("cvec"), col("qvec")), col("cnrm"), col("qnrm")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** k-NN graph over the WHOLE corpus via the LSH buckets: every
     * vector's top-k neighbors among its bucket-mates — the input
     * graph for semantic clustering, mutual-kNN dedup, and

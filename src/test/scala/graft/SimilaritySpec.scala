@@ -788,6 +788,30 @@ class SimilaritySpec extends SparkSpec {
       "re-ensure must not rewrite existing artifacts")
   }
 
+  test("ivfTopKFiltered: neighbors honor the predicate; pre-filter beats post-filter") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_filt_${System.nanoTime()}"
+    Similarity.ensureIvfIndex(e, "vec_id", "embedding", path, numCells = 16)
+    val queries = e.where(col("vec_id") < 8)
+    val allowed = e.where(col("label") % 2 === 0)
+    val filt = Similarity.ivfTopKFiltered(path, queries, "vec_id", "embedding",
+        allowed, "vec_id", k = 5, nprobe = 4)
+      .select("query_id", "rnk", "corpus_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(filt.nonEmpty)
+    val allowedSet = allowed.select("vec_id").as[Long].collect().toSet
+    assert(filt.forall(r => allowedSet(r._3)),
+      "every filtered neighbor must satisfy the predicate")
+    // pre-filtering returns a FULL k for queries where post-filtering
+    // the unfiltered top-5 would keep fewer — the recall point
+    val unf = Similarity.ivfTopKIndexed(path, queries, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSeq
+    val postKept = unf.count(r => allowedSet(r._2))
+    assert(filt.size > postKept,
+      s"pre-filter (${filt.size} rows) must out-recall post-filter ($postKept rows)")
+  }
+
   test("indexStalenessReport: missing, orphaned, and fresh-share counts are exact") {
     def vec(i: Int) = Array.tabulate(8)(j => (i * 7 + j).toFloat / 10f)
     val indexed = (1 to 10).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
