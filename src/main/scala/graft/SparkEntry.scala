@@ -2164,7 +2164,8 @@ object SparkEntry {
   // exactly.
   private def minhashSql(numBands: Int, rowsPerBand: Int, threshold: Double,
                          candCond: String = "a.doc_id < b.doc_id",
-                         candWhere: String = ""): String = {
+                         candWhere: String = "",
+                         docsFrom: String = "documents"): String = {
     val p = Dedup.MinHashP
     val consts = Dedup.minHashConsts(numBands * rowsPerBand, seed = 42L)
     val mins = consts.zipWithIndex
@@ -2177,7 +2178,7 @@ object SparkEntry {
       s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $docsFrom),
        | sh AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
@@ -4129,6 +4130,15 @@ object SparkEntry {
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.6)
         .orderBy("doc_a", "doc_b")),
+
+    // layered-dedup YIELD report (the curation "onion"): exact layer
+    // first, MinHash near-dup on its survivors with the greedy
+    // single-pass keep policy — per layer n_in / n_removed / n_out,
+    // the numbers that justify each layer's compute budget
+    "dedup_onion" -> ((s, dir) =>
+      Dedup.onionReport(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numBands = 16, rowsPerBand = 4, threshold = 0.6)
+        .orderBy("layer")),
 
     // maxHamming=3 → 4 bands × 16 bits → 64Ki buckets: bucket
     // occupancy stays O(1) as the corpus grows; 8 would mean 7-bit
@@ -9562,6 +9572,32 @@ object SparkEntry {
         | ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "dedup_minhash" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6),
+
+    // the onion replayed: keep-first exact layer as a CTE, the proven
+    // minhash pair chain over ITS survivors (docsFrom subquery), the
+    // greedy doc_b drop, per-layer exact counts
+    "dedup_onion" -> {
+      val l1 = "(SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1)"
+      s"""WITH prs AS (SELECT doc_a, doc_b FROM (
+         |  ${minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6,
+               docsFrom = l1)})),
+         | n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         | l1t AS (SELECT doc_id FROM $l1),
+         | n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l1t),
+         | n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l1t
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM prs))
+         | SELECT '1_exact' AS layer, n0.n AS n_in,
+         |  n0.n - n1.n AS n_removed, n1.n AS n_out,
+         |  round((n0.n - n1.n)::DOUBLE / n0.n::DOUBLE, 6) AS removal_rate
+         | FROM n0, n1
+         | UNION ALL
+         | SELECT '2_near_dup', n1.n, n1.n - n2.n, n2.n,
+         |  round((n1.n - n2.n)::DOUBLE / n1.n::DOUBLE, 6)
+         | FROM n1, n2
+         | ORDER BY layer""".stripMargin
+    },
 
     "dedup_cross" -> minhashSql(numBands = 16, rowsPerBand = 4, threshold = 0.6,
       candCond = "a.doc_id <> b.doc_id",

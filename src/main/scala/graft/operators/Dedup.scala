@@ -45,6 +45,46 @@ object Dedup {
       .drop("rn")
   }
 
+  /** LAYERED-DEDUP YIELD REPORT (the "onion" every curation pipeline
+    * publishes): run the cheap exact layer first, the sketch-based
+    * near-dup layer on its survivors, and report per layer how much
+    * of the corpus each peel removed — the number that justifies (or
+    * kills) each layer's compute budget. Layer 1 = [[keepFirst]]
+    * exact content dedup; layer 2 = MinHash near-dup with the
+    * GREEDY single-pass keep policy: a doc drops iff it is
+    * near-duplicate of ANY lower-id survivor (the conservative
+    * one-pass convention production pipelines run between full CC
+    * rebuilds; [[connectedClusters]] + reps is the exact
+    * transitive alternative this report deliberately is not).
+    *
+    * Scale shape: layer 1 is one content-hash window; layer 2's pair
+    * generation is the banded [[minHashPairs]] (never all-pairs) and
+    * the keep policy is one id-width anti-join; every count is a
+    * 1-row aggregate crossed into the bounded 2-row report.
+    */
+  def onionReport(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, numBands: Int = 16,
+                  rowsPerBand: Int = 4, threshold: Double = 0.6): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n0 = docs.agg(count(lit(1)).as("n")) // 1-row scalar
+    val l1 = keepFirst(docs.select(col(idCol), col(textCol)), idCol, textCol)
+      .localCheckpoint() // consumed by the count AND the pair layer
+    val n1 = l1.agg(count(lit(1)).as("n"))
+    val pairs = minHashPairs(l1, idCol, textCol, shingleN, numBands,
+      rowsPerBand, threshold)
+    val l2 = l1.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val n2 = l2.agg(count(lit(1)).as("n"))
+    def layer(name: String, nin: DataFrame, nout: DataFrame) =
+      nin.select(col("n").as("n_in"))
+        .crossJoin(broadcast(nout.select(col("n").as("n_out")))) // 1-row
+        .select(lit(name).as("layer"), col("n_in"),
+          (col("n_in") - col("n_out")).as("n_removed"), col("n_out"),
+          round((d(col("n_in")) - d(col("n_out"))) / d(col("n_in")), 6)
+            .as("removal_rate"))
+    layer("1_exact", n0, n1).unionByName(layer("2_near_dup", n1, n2))
+  }
+
   /** Word-shingle Jaccard near-dup pairs, exact via an inverted
     * index: posting list per shingle hash, ordered doc pairs from
     * each list, count co-occurrences, Jaccard = |∩| / (|A|+|B|−|∩|).

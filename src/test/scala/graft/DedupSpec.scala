@@ -4,6 +4,24 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
+
+  test("onionReport: exact layer peels copies, near-dup layer peels the paraphrase") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight again"
+    val docs = Seq(
+      (1L, base),                                   // original
+      (2L, base),                                   // exact copy -> layer 1
+      (3L, base.replace("runs", "walks")),          // near-dup   -> layer 2
+      (4L, "completely different words in this document nothing shared at all here today"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.onionReport(docs, "doc_id", "text")
+      .orderBy("layer")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("1_exact", 4L, 1L, 3L, 0.25),
+      ("2_near_dup", 3L, 1L, 2L, round6(1.0 / 3))), s"onion: $got")
+  }
+  private def round6(x: Double) = math.rint(x * 1e6) / 1e6
   import spark.implicits._
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
