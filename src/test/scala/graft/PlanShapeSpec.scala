@@ -580,4 +580,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "scalar attachment must be a broadcast, never a cartesian")
   }
+
+  test("WAV decode runs once per distinct shape and broadcasts back (mm_audio_decode)") {
+    val p = plan("mm_audio_decode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤110-shape decoded table must broadcast onto the id stream")
+    assert(!p.contains("SortMergeJoin"),
+      "payload bytes must never shuffle into a merge join")
+  }
+
+  test("tf-idf kNN pairs join on the term key — no cartesian, per-doc rank window (text_tfidf_knn)") {
+    val p = plan("text_tfidf_knn")
+    // the only nested-loop is the 1-row n_docs scalar broadcast; the
+    // PAIR generator must be a term-keyed equi-join, never a cartesian
+    assert(!p.contains("CartesianProduct"),
+      "the pair generator must be the term-keyed equi-join")
+    assert(p.contains("[doc_a"), // Window partition spec carries doc_a
+      "ranking must stay per-doc, never a global window")
+  }
+
+  test("filtered ANN prunes cells and cuts candidates id-width before scoring (sim_filtered_topk)") {
+    val p = plan("sim_filtered_topk")
+    assert(p.contains("cell_id IN") || p.contains("PartitionFilters"),
+      "the probed-cell cut must prune index partitions")
+    assert(p.contains("LeftSemi"),
+      "the predicate must apply as a semi-join before the score join")
+  }
+
+  test("staleness audit projects to bare ids on both sides (sim_index_staleness)") {
+    val p = plan("sim_index_staleness")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      "the corpus scan must prune to the id column")
+    assert(p.contains("LeftAnti"), "missing/orphaned counts are anti-joins")
+  }
 }
