@@ -4796,6 +4796,33 @@ object SparkEntry {
         .orderBy("n_a")
     }),
 
+    // profile-then-validate: numeric bounds + null budget learned
+    // from the even-key reference snapshot, checked on the odd-key
+    // current snapshot — the expectation suite a pipeline bootstraps
+    // on day one (two 1-row aggregates, |cols|-row report)
+    "quality_auto_expectations" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Profiling.autoExpectations(
+          o.where(col("o_orderkey") % 2 === 0),
+          o.where(col("o_orderkey") % 2 === 1),
+          Seq("o_totalprice", "o_orderkey", "o_custkey"))
+        .orderBy("col_name")
+    }),
+
+    // packing-efficiency audit over the 1024-token fixed-boundary
+    // layout: per bin, items starting in it, summed cost, fill rate
+    // (> 1 marks the overshoot bin) — wasted capacity is wasted
+    // training compute, this tunes seqTokens
+    "sample_pack_stats" -> ((s, dir) => {
+      val items = t(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(trim(col("text"))))
+          .cast("long").as("n_tokens"))
+      Multimodal.packStats(
+          Multimodal.tokenPack(items, "doc_id", "n_tokens", seqTokens = 1024L),
+          "seq_id", "n_cost", "seq_offset", capacity = 1024L)
+        .orderBy("bin_id")
+    }),
+
     // candidate-key discovery over orders: native-type exact distinct
     // counts (one Expand pass), distinct ratio, key verdict — the
     // profiling step before choosing join/dedup keys on a raw feed
@@ -12406,6 +12433,48 @@ object SparkEntry {
         | SELECT round(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)), 6) AS ks_stat,
         |  na AS n_a, nb AS n_b
         | FROM cum CROSS JOIN n GROUP BY na, nb ORDER BY n_a""".stripMargin,
+
+    // bounds learned on the even half, checked on the odd — native
+    // min/max, round-6 null shares
+    "quality_auto_expectations" -> {
+      val cols = Seq("o_totalprice", "o_orderkey", "o_custkey")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           | (SELECT min($c)::DOUBLE FROM orders WHERE o_orderkey % 2 = 0) AS exp_min,
+           | (SELECT max($c)::DOUBLE FROM orders WHERE o_orderkey % 2 = 0) AS exp_max,
+           | (SELECT min($c)::DOUBLE FROM orders WHERE o_orderkey % 2 = 1) AS obs_min,
+           | (SELECT max($c)::DOUBLE FROM orders WHERE o_orderkey % 2 = 1) AS obs_max,
+           | (SELECT min($c) FROM orders WHERE o_orderkey % 2 = 1)
+           |   >= (SELECT min($c) FROM orders WHERE o_orderkey % 2 = 0) AS min_ok,
+           | (SELECT max($c) FROM orders WHERE o_orderkey % 2 = 1)
+           |   <= (SELECT max($c) FROM orders WHERE o_orderkey % 2 = 0) AS max_ok,
+           | (SELECT round((count(*) - count($c))::DOUBLE / count(*)::DOUBLE, 6)
+           |   FROM orders WHERE o_orderkey % 2 = 0) AS exp_null_share,
+           | (SELECT round((count(*) - count($c))::DOUBLE / count(*)::DOUBLE, 6)
+           |   FROM orders WHERE o_orderkey % 2 = 1) AS obs_null_share,
+           | (SELECT round((count(*) - count($c))::DOUBLE / count(*)::DOUBLE, 6)
+           |   FROM orders WHERE o_orderkey % 2 = 1)
+           |   <= (SELECT round((count(*) - count($c))::DOUBLE / count(*)::DOUBLE, 6)
+           |   FROM orders WHERE o_orderkey % 2 = 0) AS null_ok""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // the fixed-boundary prefix layout re-derived, then one bin
+    // aggregate — exact sums, round-6 fill
+    "sample_pack_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | p AS (SELECT doc_id, n_tokens,
+        |   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |     AS so
+        |  FROM t)
+        | SELECT so // 1024 AS bin_id, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_cost,
+        |  CAST(min(so % 1024) AS BIGINT) AS first_offset,
+        |  round(sum(n_tokens)::DOUBLE / 1024, 6) AS fill_rate
+        | FROM p GROUP BY 1 ORDER BY bin_id""".stripMargin,
 
     // native-type exact distinct counts per column — a UNION of six
     // 1-row aggregates (bounded), never a string rendering

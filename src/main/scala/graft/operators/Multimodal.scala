@@ -704,6 +704,30 @@ object Multimodal {
       .select(col("doc_id"), col("n_cost"), col("stream_offset"),
         col("bin_id").as("seq_id"), col("bin_offset").as("seq_offset"))
 
+  /** PACKING-EFFICIENCY report over a [[tokenPack]] /
+    * [[shardManifest]] layout — the fill-factor audit a packing run
+    * publishes: per bin, how many items start in it, their summed
+    * cost, and the fill rate against capacity (> 1 flags the
+    * overshoot bin the fixed-boundary rule allows — at most one
+    * straddling item). Wasted capacity IS wasted training compute;
+    * this is the number that tunes `seqTokens`.
+    *
+    * One hash aggregate on the bin key; exact integer sums, round-6
+    * rates. The report is |bins| rows — corpus-sized inputs shrink
+    * by the capacity factor before anything else happens.
+    */
+  def packStats(packed: DataFrame, binCol: String, costCol: String,
+                offsetCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    packed.groupBy(col(binCol).as("bin_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col(costCol)).as("sum_cost"),
+        min(col(offsetCol)).as("first_offset"))
+      .select(col("bin_id"), col("n_items"), col("sum_cost"),
+        col("first_offset"),
+        round(col("sum_cost").cast("double") / capacity, 6).as("fill_rate"))
+  }
+
   /** Interleaved MULTIMODAL sequence packing — the training-collate
     * control plane for image-text models: each doc's sequence cost is
     * its sub-word token count plus `tokensPerTile` placeholder tokens

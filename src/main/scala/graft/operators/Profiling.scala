@@ -86,6 +86,46 @@ object Profiling {
     out
   }
 
+  /** AUTO-GENERATED EXPECTATION SUITE — the profile-then-validate
+    * loop (the Great Expectations workflow as two aggregates): learn
+    * numeric bounds and a null budget from a REFERENCE snapshot, then
+    * check the CURRENT snapshot against them. Per column: the learned
+    * [min, max], the observed range, the two range verdicts, and the
+    * null-rate verdict (current null share may not exceed the
+    * reference's rounded share). The hand-written [[quality_checks]]
+    * encode what a human knows; this encodes what the last good
+    * snapshot knew — the check a pipeline can bootstrap on day one.
+    *
+    * Exactness: native min/max (no string renderings), exact counts;
+    * null shares round to 6 before the comparison so the verdict is
+    * engine-stable. Two 1-row aggregates crossed into a |cols|-row
+    * report — bounded everything.
+    */
+  def autoExpectations(ref: DataFrame, cur: DataFrame,
+                       cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def d(c: Column) = c.cast("double")
+    def prof(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as(s"n_$tag"),
+        cols.flatMap(c => Seq(
+          min(col(c)).as(s"min_${tag}_$c"), max(col(c)).as(s"max_${tag}_$c"),
+          count(col(c)).as(s"nn_${tag}_$c"))): _*)
+    val both = prof(ref, "r").crossJoin(broadcast(prof(cur, "c"))) // 1-row × 1-row
+    cols.map { c =>
+      val nullR = round((d(col("n_r")) - d(col(s"nn_r_$c"))) / d(col("n_r")), 6)
+      val nullC = round((d(col("n_c")) - d(col(s"nn_c_$c"))) / d(col("n_c")), 6)
+      both.select(lit(c).as("col_name"),
+        col(s"min_r_$c").cast("double").as("exp_min"),
+        col(s"max_r_$c").cast("double").as("exp_max"),
+        col(s"min_c_$c").cast("double").as("obs_min"),
+        col(s"max_c_$c").cast("double").as("obs_max"),
+        (col(s"min_c_$c") >= col(s"min_r_$c")).as("min_ok"),
+        (col(s"max_c_$c") <= col(s"max_r_$c")).as("max_ok"),
+        nullR.as("exp_null_share"), nullC.as("obs_null_share"),
+        (nullC <= nullR).as("null_ok"))
+    }.reduce(_ unionByName _)
+  }
+
   /** CANDIDATE-KEY discovery — which columns could serve as a unique
     * key: per column, exact non-null and distinct counts, the
     * distinct ratio, and the key verdict (distinct == rows ==

@@ -175,4 +175,21 @@ class MultimodalSpec extends SparkSpec {
         chunkSamples = 100L, overlapSamples = 100L)
     }
   }
+
+  test("packStats: per-bin fill with the overshoot bin flagged above 1") {
+    // costs 600, 600, 600 into capacity 1024: offsets 0, 600, 1200 →
+    // bin 0 holds items 1+2 (cost 1200, fill > 1 — the straddler),
+    // bin 1 holds item 3
+    val items = Seq((1L, 600L), (2L, 600L), (3L, 600L)).toDF("doc_id", "n")
+    val packed = Multimodal.tokenPack(items, "doc_id", "n", seqTokens = 1024L)
+    val got = Multimodal.packStats(packed, "seq_id", "n_cost", "seq_offset",
+        capacity = 1024L)
+      .orderBy("bin_id")
+      .select("bin_id", "n_items", "sum_cost", "first_offset", "fill_rate")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1200L, 0L, math.rint(1200.0 / 1024 * 1e6) / 1e6),
+      (1L, 1L, 600L, 176L, math.rint(600.0 / 1024 * 1e6) / 1e6)),
+      s"pack stats: $got")
+  }
 }

@@ -268,6 +268,22 @@ class ProfilingSpec extends SparkSpec {
       "W1 of a +0.5 translation must be 0.5")
   }
 
+  test("autoExpectations: learned bounds catch range breaks and null-budget breaches") {
+    val ref = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+      (4L, None)).toDF("k", "v") // null share 0.25
+    val ok = Seq((5L, Some(15.0)), (6L, Some(25.0)), (7L, Some(30.0)),
+      (8L, None)).toDF("k", "v")
+    val bad = Seq((5L, Some(5.0)), (6L, Some(35.0)), (7L, None),
+      (8L, None)).toDF("k", "v") // range broken both ways, nulls 0.5
+    def run(cur: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profiling.autoExpectations(ref, cur, Seq("v"))
+        .select("min_ok", "max_ok", "null_ok")
+        .as[(Boolean, Boolean, Boolean)].head()
+    assert(run(ok) == ((true, true, true)), "in-bounds snapshot must pass")
+    assert(run(bad) == ((false, false, false)),
+      "range breaks and null breach must all flag")
+  }
+
   test("keyCandidates: unique, duplicated, and nullable columns classify correctly") {
     val df = Seq(
       (1L, "a", Some(10.0)), (2L, "a", Some(20.0)),
