@@ -3072,6 +3072,16 @@ object SparkEntry {
       Graph.adamicAdarFromGraph(s, ensureBasketGraph(s, dir), k = 20)
         .orderBy(desc("score"), asc("item_a"), asc("item_b"))),
 
+    // exact hop profile + 90% effective diameter on the support-2
+    // backbone: distinct-frontier expansion rounds (exact N(h)), the
+    // connectivity one-number — the HLL ANF profile is the same
+    // curve's corpus-scale estimate
+    "graph_hop_profile" -> ((s, dir) =>
+      Graph.hopProfile(
+          Graph.basketPairEdges(s, ensureBasketGraph(s, dir), minSupport = 2),
+          "src", "dst", maxHops = 3)
+        .orderBy("hop")),
+
     // preferential attachment deg(a)·deg(b) — the popularity-only
     // third leg of the link-prediction triad (AA = neighbor quality,
     // Jaccard = neighbor share); exact integer products off the
@@ -6170,6 +6180,13 @@ object SparkEntry {
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
 
+    // co-engagement audience overlap between event types: exact
+    // both-count, Jaccard, lift vs independence — the audience view
+    // next to the transition matrix's sequential view
+    "events_type_overlap" -> ((s, dir) =>
+      Events.typeOverlapMatrix(t(s, dir, "events"))
+        .orderBy("type_a", "type_b")),
+
     // CEP with a NEGATION — click then purchase within 1 h UNLESS an
     // error intervened; three "most recent before me" columns under
     // ONE user-keyed sort (never a corpus self-join)
@@ -8259,6 +8276,26 @@ object SparkEntry {
          | FROM o WHERE event_type = 'purchase'
          | GROUP BY 1 ORDER BY channel""".stripMargin,
 
+    // distinct (user, type) once, user-keyed pair join, exact counts
+    "events_type_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        | tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ut GROUP BY 1),
+        | na AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        | pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        | SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        |  round(n_both::DOUBLE / (ta.n + tb.n - n_both)::DOUBLE, 6) AS jaccard,
+        |  round(n_both::DOUBLE * n_users::DOUBLE
+        |    / (ta.n::DOUBLE * tb.n::DOUBLE), 6) AS lift
+        | FROM pr JOIN tot ta ON ta.event_type = pr.type_a
+        | JOIN tot tb ON tb.event_type = pr.type_b
+        | CROSS JOIN na
+        | ORDER BY type_a, type_b""".stripMargin,
+
     // the U-shaped split replayed: per-conversion touch ranks inside
     // the 24 h lookback, 40/20/40 (or 100 / 50-50) shares, credits
     // round-6-scaled to exact longs before the channel sum
@@ -8791,6 +8828,38 @@ object SparkEntry {
         | FROM pr JOIN d da ON pr.item_a = da.item
         | JOIN d db ON pr.item_b = db.item
         | ORDER BY jaccard DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // the support-2 backbone CTE, three unrolled frontier hops
+    // (UNION distinct), exact pair counts, round-6 shares
+    "graph_hop_profile" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS c FROM lineitem),
+        | d AS (SELECT c, count(*) AS deg FROM e GROUP BY 1),
+        | w AS (SELECT c FROM d WHERE deg BETWEEN 2 AND 200),
+        | p AS (SELECT e.item, e.c FROM e JOIN w USING (c)),
+        | pr AS (SELECT a.item AS ia, b.item AS ib
+        |  FROM p a JOIN p b ON a.c = b.c AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | und AS (SELECT ia AS u, ib AS v FROM pr
+        |        UNION SELECT ib, ia FROM pr),
+        | nodes AS (SELECT DISTINCT u AS node FROM und),
+        | b1 AS (SELECT node, node AS m FROM nodes
+        |        UNION SELECT u, v FROM und),
+        | b2 AS (SELECT und.u AS node, b1.m FROM und JOIN b1 ON b1.node = und.v
+        |        UNION SELECT * FROM b1),
+        | b3 AS (SELECT und.u AS node, b2.m FROM und JOIN b2 ON b2.node = und.v
+        |        UNION SELECT * FROM b2),
+        | cc AS (SELECT CAST(1 AS BIGINT) AS hop,
+        |          CAST(count(*) AS BIGINT) AS n_pairs FROM b1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM b2
+        |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM b3),
+        | lastc AS (SELECT n_pairs AS n_last FROM cc WHERE hop = 3),
+        | sh AS (SELECT hop, n_pairs,
+        |   round(n_pairs::DOUBLE / n_last::DOUBLE, 6) AS share
+        |  FROM cc CROSS JOIN lastc),
+        | de AS (SELECT min(hop) AS d_eff FROM sh WHERE share >= 0.9)
+        | SELECT hop, n_pairs, share,
+        |  hop = d_eff AS is_effective_diameter
+        | FROM sh CROSS JOIN de ORDER BY hop""".stripMargin,
 
     // same cut-pair CTE with the popularity product instead of the
     // overlap ratio — exact BIGINT degree products

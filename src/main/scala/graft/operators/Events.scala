@@ -471,6 +471,43 @@ object Events {
         col("entropy_rate_bits"))
   }
 
+  /** CO-ENGAGEMENT overlap matrix between event types — which
+    * behaviors share an audience: for every type pair, the exact
+    * count of users doing BOTH, the Jaccard overlap of the two
+    * audiences, and the lift against independence
+    * (n_both·N / (n_a·n_b) — > 1 means the behaviors attract the
+    * same users). The audience-planning view next to
+    * [[transitionMatrix]]'s sequential view: transitions need the
+    * events to be ADJACENT, overlap only needs them to share a user.
+    *
+    * Scale shape: the corpus shrinks ONCE to distinct (user, type);
+    * the pair join is user-keyed (co-partitioned self-join, fan-out
+    * bounded by types-per-user ≤ |types|); everything after
+    * aggregates to ≤|types|² rows. Exact counts; ratios are single
+    * round-6 divisions.
+    */
+  def typeOverlapMatrix(events: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // feeds totals AND the pair join
+    val tot = ut.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+    val nAll = ut.agg(countDistinct(col("user_id")).as("n_users")) // 1-row
+    ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(tot.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(tot.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nAll)) // 1-row scalar
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(d(col("n_both")) / (d(col("n_a")) + d(col("n_b")) - d(col("n_both"))), 6)
+          .as("jaccard"),
+        round(d(col("n_both")) * d(col("n_users"))
+          / (d(col("n_a")) * d(col("n_b"))), 6).as("lift"))
+  }
+
   /** Per-user inter-arrival cadence: millisecond gaps between
     * consecutive events (event_id tie-break on equal timestamps so
     * the lag — and therefore every gap — is deterministic), reduced

@@ -2216,6 +2216,70 @@ object Graph {
       .limit(k)
   }
 
+  /** EXACT HOP PROFILE + EFFECTIVE DIAMETER of a bounded backbone —
+    * the neighborhood function N(h) = Σ_v |B_h(v)| computed exactly
+    * by h distinct-frontier expansion rounds, with the classic
+    * 90%-effective-diameter read-off (Palmer/Faloutsos ANF
+    * semantics, exact instead of sketched): per hop, the reached
+    * pair count (self included, the [[neighborhoodFunction]]
+    * convention), its share of the horizon-H count, and whether this
+    * hop is the first to reach ≥ 90% — "most of the graph is within
+    * d_eff hops" is the one-number connectivity summary.
+    *
+    * Input convention: exact balls are |V|·|B_h| rows, so callers
+    * pass a BOUNDED backbone (the support-cut co-purchase graph —
+    * the [[betweennessSampled]] contract); at corpus scale the HLL
+    * [[neighborhoodFunction]]/[[ensureAnfProfile]] route estimates
+    * the same curve in |V|-row state. Per-round eager checkpoint
+    * (the pageRank discipline); per-hop counts are 1-row aggregates
+    * unioned into a ≤maxHops-row report.
+    */
+  def hopProfile(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    def d(c: Column) = c.cast("double")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .persist()
+    val nodes = und.select(col("src").as("node")).distinct()
+    var reach = und.select(col("src").as("node"), col("dst").as("m"))
+      .union(nodes.select(col("node"), col("node").as("m")))
+      .distinct()
+      .localCheckpoint()
+    // each per-hop count materializes EAGERLY while its reach table's
+    // blocks are still alive — the counts are what survive the loop,
+    // the |V|·|B_h| frames do not
+    def countOf(h: Long, r: DataFrame) =
+      r.agg(count(lit(1)).as("n_pairs"))
+        .select(lit(h).as("hop"), col("n_pairs")).localCheckpoint()
+    val counts = scala.collection.mutable.ArrayBuffer(countOf(1L, reach))
+    for (h <- 2 to maxHops) {
+      val prev = reach
+      reach = und.join(prev.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("m"))
+        .union(prev)
+        .distinct()
+        .localCheckpoint()
+      unpersistBacking(prev)
+      counts += countOf(h.toLong, reach)
+    }
+    unpersistBacking(reach)
+    und.unpersist(blocking = false)
+    val curve = counts.reduce(_ unionByName _) // ≤maxHops 1-row checkpoints
+    val last = curve.where(col("hop") === maxHops)
+      .select(col("n_pairs").as("n_last"))
+    val shared = curve.crossJoin(broadcast(last)) // bounded × 1-row
+      .withColumn("share", round(d(col("n_pairs")) / d(col("n_last")), 6))
+    val deff = shared.where(col("share") >= 0.9)
+      .agg(min(col("hop")).as("d_eff"))
+    shared.crossJoin(broadcast(deff)) // 1-row scalar
+      .select(col("hop"), col("n_pairs"), col("share"),
+        (col("hop") === col("d_eff")).as("is_effective_diameter"))
+  }
+
   /** DIRECTED-GRAPH RECIPROCITY (Newman/Garlaschelli): the share of
     * directed edges whose reverse edge also exists — how two-way the
     * graph's relationships are (a transition graph where A→B implies

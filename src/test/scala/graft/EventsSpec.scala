@@ -1050,6 +1050,27 @@ class EventsSpec extends SparkSpec {
       ("view", 3L, 55.0)), s"credits: $got")
   }
 
+  test("typeOverlapMatrix: exact both-counts, Jaccard, and lift vs independence") {
+    val rows = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"),            // user 1: a, b
+      (3L, 2L, "a"), (4L, 2L, "b"), (5L, 2L, "a"), // user 2: a, b (dup a)
+      (6L, 3L, "a"),                            // user 3: a only
+      (7L, 4L, "c"))                            // user 4: c only
+      .map { case (e, u, tp) =>
+        (e, u, Timestamp.valueOf("2024-01-01 10:00:00"), tp) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.typeOverlapMatrix(rows)
+      .orderBy("type_a", "type_b")
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    // audiences: a = {1,2,3}, b = {1,2}, c = {4}; N = 4
+    // (a,b): both 2, jaccard 2/3, lift 2*4/(3*2) = 4/3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == Seq(
+      ("a", "b", 3L, 2L, 2L, r6(2.0 / 3), r6(4.0 / 3))),
+      s"overlap matrix (disjoint pairs must not appear): $got")
+  }
+
   test("markovEntropyRate: deterministic chain reads 0 bits; fair coin reads 1") {
     def mk(rows: Seq[(Long, String)]) =
       rows.zipWithIndex.map { case ((u, tp), i) =>

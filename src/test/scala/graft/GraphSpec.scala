@@ -765,6 +765,24 @@ class GraphSpec extends SparkSpec {
     assert(fromDst == Seq((6L, 5L)), s"must traverse the reverse direction: $fromDst")
   }
 
+  test("hopProfile: exact N(h) on a path graph; 90% effective diameter reads off the curve") {
+    import spark.implicits._
+    // path 1-2-3-4-5: |B_1| sums = 5 + 2*4 = 13; B_2 adds 2-hop pairs
+    // (1,3),(2,4),(3,5) both ways = 19; B_3 adds (1,4),(2,5)x2 = 23;
+    // full horizon N(4) would be 25 — at maxHops 3 the last hop IS
+    // the horizon, share 1.0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.hopProfile(edges, "src", "dst", maxHops = 3)
+      .orderBy("hop")
+      .select("hop", "n_pairs", "share", "is_effective_diameter")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    def sh(n: Long) = math.rint(n.toDouble / 23 * 1e6) / 1e6
+    assert(got == Seq(
+      (1L, 13L, sh(13), false),
+      (2L, 19L, sh(19), false), // 0.826 < 0.9
+      (3L, 23L, 1.0, true)), s"hop curve: $got")
+  }
+
   test("reciprocity: mutual edges counted per node and globally; self-loops and dups ignored") {
     import spark.implicits._
     // a<->b mutual, a->c one-way, c->a one-way (so a-c IS mutual),
