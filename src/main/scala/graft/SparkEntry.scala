@@ -3003,6 +3003,15 @@ object SparkEntry {
     // SimRank on the type-transition graph: recursive in-neighbor
     // similarity (Adamic/Jaccard see only SHARED neighbors) — 3
     // synchronous rounds, round-9 scaled-long state, oracle-unrolled
+    // Katz centrality truncated to 6 walk lengths over the stochastic
+    // transition matrix (β = 0.5): influence counting ALL incoming
+    // damped walks — the centrality leg PageRank's stationary-flow
+    // view doesn't give; same round-replay contract
+    "graph_katz" -> ((s, dir) =>
+      Graph.katzCentrality(transitionEdges(t(s, dir, "events")),
+          "src", "dst", "w", beta = 0.5, iters = 6)
+        .orderBy("node")),
+
     // directed-graph reciprocity over the event-type transition
     // graph: share of edges whose reverse also exists, globally and
     // per source node — one self-join of the distinct edge set on the
@@ -4204,6 +4213,15 @@ object SparkEntry {
     "sample_leakage_free_split" -> ((s, dir) => {
       ensureSimhashClusterMap(s, dir)
       Sampling.leakageFreeSplit(s.read.parquet(simhashClusterMapPath(dir)))
+        .orderBy("doc_id")
+    }),
+
+    // the k-way generalization: folds assigned to the CLUSTER
+    // (md5 mod k off the served map), so near-dups never straddle
+    // folds — group k-fold cross-validation without memorization leaks
+    "sample_group_kfold" -> ((s, dir) => {
+      ensureSimhashClusterMap(s, dir)
+      Sampling.groupKFold(s.read.parquet(simhashClusterMapPath(dir)), k = 5)
         .orderBy("doc_id")
     }),
 
@@ -5765,6 +5783,14 @@ object SparkEntry {
     // now for audio; the md5 stub remains only for video/compressed)
     "mm_audio_decode" -> ((s, dir) =>
       Multimodal.audioDecodeStats(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
+    // perceptual audio fingerprint over the REAL decoded waveform —
+    // the image-dHash analogue for sound: 33-window sign-of-delta
+    // bits compared by sign-safe integer cross-multiplies (no
+    // division anywhere); the oracle replays the waveform formula
+    "mm_wav_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprints(t(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")),
 
     // the chunker composed with the REAL codec path: chunk boundaries
@@ -9479,6 +9505,15 @@ object SparkEntry {
          |   ELSE 'train' END AS split
          | FROM cm ORDER BY doc_id""".stripMargin,
 
+    // folds off the same recursive-reach map: engine-neutral 60-bit
+    // md5 of the cluster id, mod k
+    "sample_group_kfold" ->
+      s"""WITH cm AS (SELECT * FROM ($clustersSql))
+         | SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 5
+         |    AS fold
+         | FROM cm ORDER BY doc_id""".stripMargin,
+
     // identical oracle to dedup_clusters: the incremental map upsert
     // must be invisible — components of (old stars ∪ delta pairs)
     // equal a from-scratch rebuild
@@ -11806,6 +11841,43 @@ object SparkEntry {
 
     "graph_simrank" -> simrankSql(c = 0.8, rounds = 3),
 
+    // the unrolled Katz rounds: per-round walk mass round-9-scaled to
+    // longs, the accumulator held as an exact long between rounds
+    "graph_katz" -> {
+      val rounds = 6
+      val head =
+        """WITH p AS (
+          | SELECT event_type AS from_type,
+          |  lead(event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          | FROM events),
+          | c AS (SELECT from_type, to_type, count(*) AS n_trans
+          |       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          | t AS (SELECT from_type, sum(n_trans) AS n_from FROM c GROUP BY 1),
+          | tm AS MATERIALIZED (SELECT c.from_type, c.to_type,
+          |   round(n_trans / n_from, 9) AS prob
+          |  FROM c JOIN t USING (from_type)),
+          | st AS (SELECT DISTINCT state FROM (
+          |  SELECT from_type AS state FROM tm
+          |  UNION SELECT to_type FROM tm)),
+          | w0 AS (SELECT state, 1.0 AS w, CAST(0 AS BIGINT) AS c9 FROM st)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        s""",
+           | f$r AS (SELECT tm.to_type AS state,
+           |   round(0.5 * CAST(sum(CAST(round(round(p.w * tm.prob, 9) * 1e9, 0)
+           |     AS BIGINT)) AS BIGINT) / 1e9, 9) AS w
+           |  FROM tm JOIN w${r - 1} p ON p.state = tm.from_type
+           |  GROUP BY 1),
+           | w$r AS MATERIALIZED (SELECT p.state, coalesce(f.w, 0.0) AS w,
+           |   p.c9 + CAST(round(coalesce(f.w, 0.0) * 1e9, 0) AS BIGINT) AS c9
+           |  FROM w${r - 1} p LEFT JOIN f$r f USING (state))""".stripMargin
+      }.mkString
+      head + rs +
+        s"""
+           | SELECT state AS node, round(c9 / 1e9, 6) AS katz
+           | FROM w$rounds ORDER BY node""".stripMargin
+    },
+
     // the distinct transition-edge set replayed (lead per user in
     // (ts, event_id) order, self-loops out), one reversed-key
     // self-join for mutuality, exact counts, round-6 ratios
@@ -13059,6 +13131,30 @@ object SparkEntry {
         |  round(ids.n::DOUBLE * 1000.0 / ids.rate::DOUBLE, 6) AS duration_ms,
         |  s.sum_samples, s.sum_abs
         | FROM ids JOIN s ON s.rate = ids.rate AND s.n = ids.n AND s.k = ids.k
+        | ORDER BY ids.doc_id""".stripMargin,
+
+    // the window sums recomputed from the sample FORMULA per distinct
+    // (n, k) shape (engine: the decoded bytes); sign-safe
+    // cross-multiply comparisons, bits packed into one BIGINT
+    "mm_wav_fingerprint" ->
+      """WITH ids AS (SELECT doc_id,
+        |   CAST(400 + (doc_id % 11) * 40 AS BIGINT) AS n,
+        |   CAST(doc_id % 5 AS BIGINT) AS k
+        |  FROM documents),
+        | shapes AS (SELECT DISTINCT n, k FROM ids),
+        | sm AS (SELECT n, k, (i * 33) // n AS w,
+        |   CAST(sum(((i * 37 + 11 * k) % 2048) - 1024) AS BIGINT) AS s,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM shapes, UNNEST(range(0, n)) AS t(i) GROUP BY 1, 2, 3),
+        | bits AS (SELECT a.n, a.k,
+        |   CAST(sum(CASE WHEN a.s * b.c < b.s * a.c
+        |     THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE 0 END)
+        |     AS BIGINT) AS fp
+        |  FROM sm a JOIN sm b ON b.n = a.n AND b.k = a.k AND b.w = a.w + 1
+        |  GROUP BY 1, 2)
+        | SELECT ids.doc_id, TRUE AS decode_ok, ids.n AS n_samples,
+        |  coalesce(bits.fp, 0) AS fingerprint
+        | FROM ids LEFT JOIN bits ON bits.n = ids.n AND bits.k = ids.k
         | ORDER BY ids.doc_id""".stripMargin,
 
     // replays the WAV shape formulas + the sample-domain grid math:

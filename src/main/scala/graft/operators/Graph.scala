@@ -2280,6 +2280,53 @@ object Graph {
         (col("hop") === col("d_eff")).as("is_effective_diameter"))
   }
 
+  /** KATZ CENTRALITY (Katz 1953), truncated to `iters` walk lengths
+    * over the COLUMN-STOCHASTIC transition matrix: c(v) = Σ_{k=1..K}
+    * Σ_u β^k P^k(u→v) — influence that counts ALL incoming walks,
+    * geometrically damped by length, where [[pageRank]] counts only
+    * the stationary flow (Katz rewards being reachable MANY ways;
+    * PageRank splits each source's vote). On the stochastic matrix
+    * β < 1 guarantees the series converges and the K-truncation
+    * error is ≤ β^{K+1}/(1−β) of the total mass — the truncated
+    * iterate is what's gated, replayed round-for-round.
+    *
+    * Determinism: [[pageRank]]'s contract — round-6 input probs,
+    * per-round walk mass rounded to 9 with the accumulator kept as
+    * an exact ×1e9 long between rounds, final score one division
+    * rounded 6. One join + one node aggregate per round on the
+    * bounded state (eager checkpoint, the pageRank discipline).
+    */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                     weightCol: String, beta: Double, iters: Int): DataFrame = {
+    require(beta > 0 && beta < 1 && iters >= 1, s"bad katz params: $beta/$iters")
+    val (norm, nodes) = normalizedTransitions(edges, srcCol, dstCol, weightCol)
+    var state = nodes
+      .select(col("node"), lit(1.0).as("w"), lit(0L).as("c9"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val flowed = norm
+        .join(state.select(col("node").as("src"), col("w")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(round(lit(beta) * sum(round(round(col("p") * col("w"), 9) * 1e9, 0)
+          .cast("long")) / 1e9, 9).as("w_next"))
+      val prev = state
+      state = state.join(flowed, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("w_next"), lit(0.0)).as("w"),
+          (col("c9") + round(coalesce(col("w_next"), lit(0.0)) * 1e9, 0)
+            .cast("long")).as("c9"))
+        .localCheckpoint()
+      unpersistBacking(prev)
+    }
+    val out = state
+      .select(col("node"), round(col("c9") / 1e9, 6).as("katz"))
+      .localCheckpoint()
+    unpersistBacking(state)
+    norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** DIRECTED-GRAPH RECIPROCITY (Newman/Garlaschelli): the share of
     * directed edges whose reverse edge also exists — how two-way the
     * graph's relationships are (a transition graph where A→B implies

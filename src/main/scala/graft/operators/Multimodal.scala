@@ -460,6 +460,91 @@ object Multimodal {
       }
   }
 
+  /** Perceptual AUDIO fingerprint over the REAL decoded waveform —
+    * the [[imageDHash]] analogue for sound (a chromaprint-style
+    * sign-of-delta sketch): pool the decoded samples into `windows`
+    * near-equal spans (sample i → window ⌊i·W/n⌋), then bit w is set
+    * iff window w's mean is below window w+1's — compared by the
+    * sign-safe integer cross-multiply sum_w·cnt_{w+1} <
+    * sum_{w+1}·cnt_w, so no division (and no floor-vs-truncate
+    * divergence on negative sums) ever runs. W−1 bits pack into one
+    * long. Byte-identical re-encodes AND resampled copies of the
+    * same waveform shape collide here — the near-dup audio key
+    * [[dedupBinary]]'s exact hash can't give.
+    */
+  object WavFingerprint {
+    def of(bytes: Array[Byte], windows: Int = 33): Option[(Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val n = ais.getFrameLength
+          val pcm = ais.readAllBytes()
+          val sums = new Array[Long](windows)
+          val cnts = new Array[Long](windows)
+          var i = 0L
+          while (i < n) {
+            val lo = pcm((2 * i).toInt) & 0xff
+            val hi = pcm((2 * i + 1).toInt).toInt
+            val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                    else (hi << 8) | lo
+            val w = ((i * windows) / n).toInt
+            sums(w) += s; cnts(w) += 1
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < windows - 1) {
+            if (cnts(w) > 0 && cnts(w + 1) > 0 &&
+                sums(w) * cnts(w + 1) < sums(w + 1) * cnts(w))
+              fp |= 1L << w
+            w += 1
+          }
+          Some((n, fp))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** [[audioDecodeStats]]' fingerprint twin: decode once per DISTINCT
+    * payload (shape-triple keyed), fingerprint the waveform, and
+    * broadcast back — one 33-window sign-of-delta long per doc.
+    */
+  def audioFingerprints(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads = withAudioPayload(docs, idCol)
+      .withColumn("wav_rate",
+        when(col(idCol) % 2 === 0, 8000).otherwise(16000))
+      .withColumn("wav_n", (lit(400) + (col(idCol) % 11) * 40).cast("int"))
+      .withColumn("wav_k", (col(idCol) % 5).cast("int"))
+      .select("wav_rate", "wav_n", "wav_k", "payload").distinct()
+    val fps = payloads.as[(Int, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (r, n, k, bytes) =>
+          WavFingerprint.of(bytes) match {
+            case Some((frames, fp)) => (r, n, k, true, frames, fp)
+            case None => (r, n, k, false, -1L, 0L)
+          }
+        }
+      }.toDF("wav_rate", "wav_n", "wav_k", "decode_ok", "n_samples",
+        "fingerprint")
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("wav_rate",
+        when(col("doc_id") % 2 === 0, 8000).otherwise(16000))
+      .withColumn("wav_n", (lit(400) + (col("doc_id") % 11) * 40).cast("int"))
+      .withColumn("wav_k", (col("doc_id") % 5).cast("int"))
+      .join(broadcast(fps), Seq("wav_rate", "wav_n", "wav_k"))
+      .select(col("doc_id"), col("decode_ok"), col("n_samples"),
+        col("fingerprint"))
+  }
+
   /** Attach a REAL WAV payload per document — the fixture-side half
     * of the real audio-decode path (the driver testdata ships no
     * blobs). Shape derives from the id: rate = 8000 or 16000 by

@@ -725,6 +725,24 @@ object Sampling {
           .when(col("h") < "1999", "test")
           .otherwise("train").as("split"))
 
+  /** GROUP k-FOLD off the served near-dup cluster map — the k-way
+    * generalization of [[leakageFreeSplit]]: a fold is assigned to
+    * the CLUSTER (md5 of the cluster id, mod k), so near-duplicate
+    * documents can never land in different folds — the
+    * cross-validation analogue of the leakage-free split (a fold
+    * evaluated against siblings of its own training docs measures
+    * memorization, not generalization). Deterministic md5 draw, no
+    * RNG; map-only over the served two-column map.
+    */
+  def groupKFold(clusterMap: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds: $k")
+    clusterMap.select(col("doc_id"), col("cluster_id"))
+      .withColumn("fold",
+        pmod(graft.functions.TextFunctions.md5Prefix64(
+          col("cluster_id").cast("string")), lit(k.toLong)))
+      .select(col("doc_id"), col("cluster_id"), col("fold"))
+  }
+
   def effectiveSampleSize(df: DataFrame, stratumCol: String,
                           weightCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")

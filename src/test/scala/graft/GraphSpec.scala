@@ -765,6 +765,26 @@ class GraphSpec extends SparkSpec {
     assert(fromDst == Seq((6L, 5L)), s"must traverse the reverse direction: $fromDst")
   }
 
+  test("katzCentrality: a 2-cycle gives every node the geometric series sum") {
+    import spark.implicits._
+    // a<->b deterministic chain: P is the swap permutation, so each
+    // round's walk mass is exactly beta^k at every node and
+    // katz = sum_{k=1..6} 0.5^k = 0.984375
+    val edges = Seq(("a", "b", 3.0), ("b", "a", 7.0)).toDF("src", "dst", "w")
+    val got = Graph.katzCentrality(edges, "src", "dst", "w",
+        beta = 0.5, iters = 6)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 0.984375), ("b", 0.984375)), s"katz: $got")
+    // a pure sink collects the source's damped mass but returns none:
+    // source keeps only its round-1 self-start flow-out (gets 0)
+    val oneWay = Seq(("s", "t", 1.0)).toDF("src", "dst", "w")
+    val g2 = Graph.katzCentrality(oneWay, "src", "dst", "w",
+        beta = 0.5, iters = 6)
+      .orderBy("node").as[(String, Double)].collect().toMap
+    assert(g2("s") == 0.0 && g2("t") == 0.5,
+      s"sink receives 0.5 once, source receives nothing: $g2")
+  }
+
   test("hopProfile: exact N(h) on a path graph; 90% effective diameter reads off the curve") {
     import spark.implicits._
     // path 1-2-3-4-5: |B_1| sums = 5 + 2*4 = 13; B_2 adds 2-hop pairs

@@ -176,6 +176,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavFingerprint: decoded-waveform bits equal the sample-formula recompute") {
+    val (rate, n, k) = (8000, 440, 2)
+    val bytes = Multimodal.WavCodec.wav(rate, n, k)
+    val got = Multimodal.WavFingerprint.of(bytes)
+    // recompute straight from the generation formula (no WAV)
+    val windows = 33
+    val sums = new Array[Long](windows); val cnts = new Array[Long](windows)
+    for (i <- 0 until n) {
+      val s = ((i * 37 + 11 * k) % 2048) - 1024
+      val w = (i.toLong * windows / n).toInt
+      sums(w) += s; cnts(w) += 1
+    }
+    var fp = 0L
+    for (w <- 0 until windows - 1)
+      if (sums(w) * cnts(w + 1) < sums(w + 1) * cnts(w)) fp |= 1L << w
+    assert(got == Some((n.toLong, fp)), s"fingerprint: $got vs $fp")
+    assert(fp != 0L, "the sawtooth waveform must set some bits")
+    // corrupt bytes refuse quietly
+    assert(Multimodal.WavFingerprint.of("junk".getBytes).isEmpty)
+  }
+
   test("packStats: per-bin fill with the overshoot bin flagged above 1") {
     // costs 600, 600, 600 into capacity 1024: offsets 0, 600, 1200 →
     // bin 0 holds items 1+2 (cost 1200, fill > 1 — the straddler),

@@ -4,6 +4,24 @@ import graft.operators.Sampling
 import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 
 class SamplingSpec extends SparkSpec {
+
+  test("groupKFold: cluster members share a fold; folds stay in range") {
+    import spark.implicits._
+    val cm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L), (8L, 8L), (9L, 9L), (10L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val got = graft.operators.Sampling.groupKFold(cm, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall(r => r._3 >= 0 && r._3 < 5), s"fold range: $got")
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.forall(_._2.size == 1),
+      s"every cluster must land whole in one fold: ${byCluster.toMap}")
+    // the md5 draw actually spreads clusters across folds
+    assert(got.map(_._3).toSet.size >= 2, "folds must not collapse")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.groupKFold(cm, k = 1)
+    }
+  }
   import spark.implicits._
 
   private def fixture = (1 to 200).map { i =>
