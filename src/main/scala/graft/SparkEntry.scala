@@ -6206,6 +6206,13 @@ object SparkEntry {
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
 
+    // the canonical BG/NBD-CLV input frame: per customer x / t_x / T
+    // plus the Gamma-Gamma mean repeat value — the reduction every
+    // CLV stack runs before fitting anything; exact day diffs, money
+    // through exact cents
+    "events_btyd_summary" -> ((s, dir) =>
+      Events.btydSummary(t(s, dir, "events")).orderBy("user_id")),
+
     // co-engagement audience overlap between event types: exact
     // both-count, Jaccard, lift vs independence — the audience view
     // next to the transition matrix's sequential view
@@ -8301,6 +8308,27 @@ object SparkEntry {
          |  count(*) AS n_conversions, ${msum("value")} AS revenue
          | FROM o WHERE event_type = 'purchase'
          | GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // one user aggregate + the corpus-max horizon; the first
+    // purchase picked by the (day, cents) struct min
+    "events_btyd_summary" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        | h AS (SELECT max(day) AS obs_end FROM p),
+        | per AS (SELECT user_id,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   min(day) AS birth, max(day) AS last,
+        |   CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |   min(row(day, cents))[2] AS first_cents
+        |  FROM p GROUP BY 1)
+        | SELECT user_id, n - 1 AS x,
+        |  CAST(date_diff('day', birth, last) AS BIGINT) AS t_x,
+        |  CAST(date_diff('day', birth, obs_end) AS BIGINT) AS t_age,
+        |  CASE WHEN n > 1 THEN
+        |   round((sum_cents - first_cents)::DOUBLE / 100.0
+        |     / (n - 1)::DOUBLE, 6) END AS monetary_value
+        | FROM per CROSS JOIN h ORDER BY user_id""".stripMargin,
 
     // distinct (user, type) once, user-keyed pair join, exact counts
     "events_type_overlap" ->

@@ -471,6 +471,47 @@ object Events {
         col("entropy_rate_bits"))
   }
 
+  /** BTYD (buy-till-you-die) SUMMARY TABLE — the canonical
+    * BG/NBD / Pareto-NBD model input (Fader, Hardie & Lee 2005),
+    * one row per customer: x = repeat-purchase count (first purchase
+    * is the birth, not a repeat), t_x = recency in days (birth →
+    * last purchase), T = age in days (birth → end of observation =
+    * the corpus max purchase date), plus monetary_value = mean
+    * repeat-purchase value (the Gamma-Gamma companion input, null
+    * for zero-repeat customers by convention). Every CLV stack
+    * aggregates the raw event log down to exactly this frame before
+    * any likelihood is fit — the reduction IS the distributed work;
+    * the fit runs on |customers| rows.
+    *
+    * Determinism: exact integer day diffs off event dates; money
+    * through exact cents (mean = exact-sum-then-divide, round 6).
+    * One user-keyed aggregate + one 1-row horizon broadcast.
+    */
+  def btydSummary(events: DataFrame,
+                  conversionType: String = "purchase"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val p = events.where(col("event_type") === conversionType)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val horizon = p.agg(max(col("day")).as("obs_end")) // 1-row scalar
+    val per = p.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("day")).as("birth"), max(col("day")).as("last"),
+        sum(col("cents")).as("sum_cents"),
+        // repeat money: total minus the FIRST purchase's cents (min
+        // (day, cents) struct — deterministic first-day tie-break to
+        // the cheapest purchase, documented)
+        min(struct(col("day"), col("cents"))).getField("cents").as("first_cents"))
+    per.crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        (col("n_purchases") - 1).as("x"),
+        datediff(col("last"), col("birth")).cast("long").as("t_x"),
+        datediff(col("obs_end"), col("birth")).cast("long").as("t_age"),
+        when(col("n_purchases") > 1,
+          round((d(col("sum_cents")) - d(col("first_cents"))) / 100.0
+            / d(col("n_purchases") - 1), 6)).as("monetary_value"))
+  }
+
   /** CO-ENGAGEMENT overlap matrix between event types — which
     * behaviors share an audience: for every type pair, the exact
     * count of users doing BOTH, the Jaccard overlap of the two

@@ -1050,6 +1050,28 @@ class EventsSpec extends SparkSpec {
       ("view", 3L, 55.0)), s"credits: $got")
   }
 
+  test("btydSummary: x/t_x/T and mean repeat value match the hand computation") {
+    val rows = Seq(
+      // user 1: purchases on days 1, 5, 11 (values 10, 20, 30);
+      // obs_end = day 21 (user 2's last) → x=2, t_x=10, T=20,
+      // monetary = (20+30)/2 = 25
+      (1L, 1L, "2024-01-01", "purchase", 10.0),
+      (2L, 1L, "2024-01-05", "purchase", 20.0),
+      (3L, 1L, "2024-01-11", "purchase", 30.0),
+      (4L, 2L, "2024-01-21", "purchase", 99.0), // one-shot: x=0, null money
+      (5L, 2L, "2024-01-22", "view", 1.0))      // non-purchase ignored
+      .map { case (e, u, d, tp, v) =>
+        (e, u, Timestamp.valueOf(s"$d 12:00:00"), tp, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.btydSummary(rows)
+      .orderBy("user_id")
+      .select("user_id", "x", "t_x", "t_age", "monetary_value")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 10L, 20L, Some(25.0)),
+      (2L, 0L, 0L, 0L, None)), s"btyd frame: $got")
+  }
+
   test("typeOverlapMatrix: exact both-counts, Jaccard, and lift vs independence") {
     val rows = Seq(
       (1L, 1L, "a"), (2L, 1L, "b"),            // user 1: a, b
