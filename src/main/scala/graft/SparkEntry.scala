@@ -6206,6 +6206,12 @@ object SparkEntry {
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
 
+    // the growth dashboard's lead chart: one first-day row per user,
+    // per-day acquisition counts, cumulative over the BOUNDED day
+    // table only — never a data-sized global window
+    "events_cumulative_users" -> ((s, dir) =>
+      Events.cumulativeUsers(t(s, dir, "events")).orderBy("day")),
+
     // the canonical BG/NBD-CLV input frame: per customer x / t_x / T
     // plus the Gamma-Gamma mean repeat value — the reduction every
     // CLV stack runs before fitting anything; exact day diffs, money
@@ -8308,6 +8314,17 @@ object SparkEntry {
          |  count(*) AS n_conversions, ${msum("value")} AS revenue
          | FROM o WHERE event_type = 'purchase'
          | GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // first-seen day per user, day counts, running sum over days
+    "events_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        | pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM f GROUP BY 1)
+        | SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
+        | FROM pd ORDER BY day""".stripMargin,
 
     // one user aggregate + the corpus-max horizon; the first
     // purchase picked by the (day, cents) struct min

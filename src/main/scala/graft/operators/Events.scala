@@ -471,6 +471,25 @@ object Events {
         col("entropy_rate_bits"))
   }
 
+  /** USER-ACQUISITION GROWTH CURVE — cumulative distinct users by
+    * day: each user counts once, on their FIRST-seen day, and the
+    * running total is the "total users" chart every growth dashboard
+    * leads with. Computed scalably: the corpus collapses to one
+    * first-day row per user (a user-keyed aggregate), shrinks to
+    * per-day acquisition counts, and only the BOUNDED day table rides
+    * the cumulative window — a global window over days is
+    * calendar-sized, never data-sized. Exact integer counts.
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day") // ≤|days| rows — control-plane window
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("n_cumulative", sum(col("n_new")).over(w))
+      .select(col("day"), col("n_new"), col("n_cumulative"))
+  }
+
   /** BTYD (buy-till-you-die) SUMMARY TABLE — the canonical
     * BG/NBD / Pareto-NBD model input (Fader, Hardie & Lee 2005),
     * one row per customer: x = repeat-purchase count (first purchase

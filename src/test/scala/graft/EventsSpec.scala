@@ -1050,6 +1050,22 @@ class EventsSpec extends SparkSpec {
       ("view", 3L, 55.0)), s"credits: $got")
   }
 
+  test("cumulativeUsers: each user counts once on the first-seen day") {
+    val rows = Seq(
+      (1L, 1L, "2024-01-01"), (2L, 1L, "2024-01-03"), // user 1 -> day 1 only
+      (3L, 2L, "2024-01-01"),                          // user 2 -> day 1
+      (4L, 3L, "2024-01-03"), (5L, 3L, "2024-01-05"))  // user 3 -> day 3
+      .map { case (e, u, d) =>
+        (e, u, Timestamp.valueOf(s"$d 12:00:00"), "view", 0.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.cumulativeUsers(rows).orderBy("day")
+      .select("day", "n_new", "n_cumulative")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+      .map(r => (r._1.toString, r._2, r._3))
+    assert(got == Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)),
+      s"growth curve: $got")
+  }
+
   test("btydSummary: x/t_x/T and mean repeat value match the hand computation") {
     val rows = Seq(
       // user 1: purchases on days 1, 5, 11 (values 10, 20, 30);
