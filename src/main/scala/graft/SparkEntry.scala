@@ -6206,6 +6206,12 @@ object SparkEntry {
     "events_interarrival" -> ((s, dir) =>
       Events.interArrival(t(s, dir, "events")).orderBy("user_id")),
 
+    // the DAU decomposition every growth review runs: new + retained
+    // + resurrected = today's actives, churned = yesterday's actives
+    // who didn't return — user-keyed day-1 self-join, day-level rollup
+    "events_growth_accounting" -> ((s, dir) =>
+      Events.growthAccounting(t(s, dir, "events")).orderBy("day")),
+
     // the growth dashboard's lead chart: one first-day row per user,
     // per-day acquisition counts, cumulative over the BOUNDED day
     // table only — never a data-sized global window
@@ -8314,6 +8320,31 @@ object SparkEntry {
          |  count(*) AS n_conversions, ${msum("value")} AS revenue
          | FROM o WHERE event_type = 'purchase'
          | GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // distinct (user, day), first-day, the (user, day-1) self-join,
+    // churn off the bounded day table
+    "events_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        | fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        | wp AS (SELECT ud.user_id, ud.day, fd.first_day,
+        |   (y.user_id IS NOT NULL) AS was_active
+        |  FROM ud JOIN fd USING (user_id)
+        |  LEFT JOIN ud y ON y.user_id = ud.user_id
+        |    AND y.day = ud.day - INTERVAL 1 DAY),
+        | act AS (SELECT day,
+        |   CAST(count(*) AS BIGINT) AS n_active,
+        |   CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_new,
+        |   CAST(sum(CASE WHEN was_active THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_retained,
+        |   CAST(sum(CASE WHEN day <> first_day AND NOT was_active
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM wp GROUP BY 1)
+        | SELECT a.day, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+        |  coalesce(p.n_active, 0) - a.n_retained AS n_churned
+        | FROM act a LEFT JOIN act p ON p.day = a.day - INTERVAL 1 DAY
+        | ORDER BY a.day""".stripMargin,
 
     // first-seen day per user, day counts, running sum over days
     "events_cumulative_users" ->

@@ -471,6 +471,48 @@ object Events {
         col("entropy_rate_bits"))
   }
 
+  /** GROWTH ACCOUNTING — the daily active-user decomposition every
+    * growth review runs (new + retained + resurrected = today's DAU;
+    * churned = yesterday's actives who didn't return): per day,
+    * new = first-ever-seen today, retained = also active yesterday,
+    * resurrected = back after a gap, churned = active yesterday but
+    * not today (attributed to TODAY, the day the loss shows). DAU
+    * alone hides whether growth is acquisition or resurrection
+    * masking churn — this is the decomposition that shows it.
+    *
+    * Scale shape: distinct (user, day) once; "active yesterday" is a
+    * user-keyed self-join on (user, day−1) — co-partitioned, fan-out
+    * 1; first-day is one user aggregate; everything rolls up to
+    * |days| rows. Exact integer counts, identity n_active = n_new +
+    * n_retained + n_resurrected by construction.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint() // three consumers: first-day, today, yesterday
+    val firstDay = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val withPrev = ud
+      .join(firstDay, "user_id")
+      .join(ud.select(col("user_id"), date_add(col("day"), 1).as("day"),
+          lit(1).as("was_active")),
+        Seq("user_id", "day"), "left")
+    val act = withPrev.groupBy("day").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("was_active").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("day") =!= col("first_day") && col("was_active").isNull,
+        1L).otherwise(0L)).as("n_resurrected"))
+    // churned(d) = active(d−1) − retained(d): yesterday's actives who
+    // didn't come back — computed on the bounded day table
+    val churn = act.select(date_add(col("day"), 1).as("day"),
+      col("n_active").as("n_active_prev"))
+    act.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("n_active_prev"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
   /** USER-ACQUISITION GROWTH CURVE — cumulative distinct users by
     * day: each user counts once, on their FIRST-seen day, and the
     * running total is the "total users" chart every growth dashboard

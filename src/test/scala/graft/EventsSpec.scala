@@ -1050,6 +1050,28 @@ class EventsSpec extends SparkSpec {
       ("view", 3L, 55.0)), s"credits: $got")
   }
 
+  test("growthAccounting: new/retained/resurrected sum to DAU; churn reads off yesterday") {
+    val rows = Seq(
+      (1L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"),   // d1: 2 new
+      (3L, 1L, "2024-01-02"), (4L, 3L, "2024-01-02"),   // d2: 1 retained, 1 new; 2 churned? no: u2 churns
+      (5L, 2L, "2024-01-04"))                           // d4: u2 resurrects
+      .map { case (e, u, d) =>
+        (e, u, Timestamp.valueOf(s"$d 12:00:00"), "view", 0.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.growthAccounting(rows).orderBy("day")
+      .select("day", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1.toString, r._2, r._3, r._4, r._5, r._6))
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L, 0L, 0L, 0L),
+      ("2024-01-02", 2L, 1L, 1L, 0L, 1L),  // u2 didn't return
+      ("2024-01-04", 1L, 0L, 0L, 1L, 0L)), // gap day absent; u2 back
+      s"growth accounting: $got")
+    // the identity holds on every row
+    assert(got.forall(r => r._2 == r._3 + r._4 + r._5))
+  }
+
   test("cumulativeUsers: each user counts once on the first-seen day") {
     val rows = Seq(
       (1L, 1L, "2024-01-01"), (2L, 1L, "2024-01-03"), // user 1 -> day 1 only
