@@ -51,11 +51,14 @@ object Dedup {
     * of the corpus each peel removed — the number that justifies (or
     * kills) each layer's compute budget. Layer 1 = [[keepFirst]]
     * exact content dedup; layer 2 = MinHash near-dup with the
-    * GREEDY single-pass keep policy: a doc drops iff it is
-    * near-duplicate of ANY lower-id survivor (the conservative
-    * one-pass convention production pipelines run between full CC
-    * rebuilds; [[connectedClusters]] + reps is the exact
-    * transitive alternative this report deliberately is not).
+    * ONE-SHOT doc_b drop policy: a doc drops iff it appears as the
+    * higher id in ANY MinHash pair — i.e. it is a near-duplicate of
+    * any lower-id doc, survivor or not (chain A–B, B–C drops BOTH B
+    * and C; the sequential greedy that re-checks survivorship would
+    * keep C). This is the single anti-join convention production
+    * pipelines run between full CC rebuilds — one pass, no
+    * iteration; [[connectedClusters]] + reps is the exact transitive
+    * alternative this report deliberately is not.
     *
     * Scale shape: layer 1 is one content-hash window; layer 2's pair
     * generation is the banded [[minHashPairs]] (never all-pairs) and

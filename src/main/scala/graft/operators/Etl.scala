@@ -221,6 +221,22 @@ object Etl {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** [[writeZOrdered]] only when the clustered layout isn't already
+    * on disk — the same serve-don't-rebuild discipline as every other
+    * materialized artifact (`ensureDatePartitioned`, the cluster/index
+    * maps): OPTIMIZE ZORDER runs once per corpus (or per maintenance
+    * window), and every query between maintenance runs reads the
+    * existing layout. Repeated callers (bench warm runs, dashboards)
+    * measure the pruned READ — the steady state the layout exists for.
+    * The write path itself stays independently proven by the
+    * delta-slice write gate.
+    */
+  def ensureZOrdered(df: => DataFrame, path: String, colA: String,
+                     colB: String, numFiles: Int = 16, bits: Int = 20): Unit = {
+    if (!Markers.exists(s"$path/_SUCCESS"))
+      writeZOrdered(df, path, colA, colB, numFiles, bits)
+  }
+
   /** K1d — XML sink (built into Spark since 4.0): the
     * enterprise-integration format — OData/SOAP estates often demand
     * XML exports of exactly the feeds this engine ingests. One

@@ -503,14 +503,20 @@ object Events {
       sum(when(col("day") =!= col("first_day") && col("was_active").isNull,
         1L).otherwise(0L)).as("n_resurrected"))
     // churned(d) = active(d−1) − retained(d): yesterday's actives who
-    // didn't come back — computed on the bounded day table
+    // didn't come back — computed on the bounded day table. FULL outer
+    // join so a day where EVERYONE went inactive (no events at all)
+    // still reports its churn as a zero-active row — a left join would
+    // silently drop churn across activity gaps.
     val churn = act.select(date_add(col("day"), 1).as("day"),
       col("n_active").as("n_active_prev"))
-    act.join(churn, Seq("day"), "left")
-      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
-        col("n_resurrected"),
-        (coalesce(col("n_active_prev"), lit(0L)) - col("n_retained"))
-          .as("n_churned"))
+    act.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        (coalesce(col("n_active_prev"), lit(0L))
+          - coalesce(col("n_retained"), lit(0L))).as("n_churned"))
   }
 
   /** USER-ACQUISITION GROWTH CURVE — cumulative distinct users by

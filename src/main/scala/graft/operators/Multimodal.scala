@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * UNCOMPRESSED AUDIO decodes for real via the JDK's
   * `javax.sound.sampled` WAV/PCM codec ([[WavCodec]] — encode →
   * decode → exact waveform sums proven by the mm_audio_decode
-  * oracle); only media the JDK has no codec for (video containers,
-  * compressed audio codecs) use the deterministic
-  * [[MediaCodec.decodeStub]] probe, clearly marked — swapping in
-  * ffmpeg bindings changes one function, not the pipeline.
+  * oracle). COMPRESSED AUDIO decodes for real via the JDK's G.711
+  * µ-law/A-law expansion codec ([[G711Codec]] — mm_g711_decode
+  * oracle replays the expansion formulas) and UNCOMPRESSED VIDEO
+  * decodes for real via a genuine RIFF/AVI chunk walker over raw-RGB
+  * frames ([[AviCodec]] — mm_video_decode / mm_video_frames); only
+  * formats genuinely requiring third-party codecs (H.264/VP9,
+  * MP3/AAC) use the deterministic [[MediaCodec.decodeStub]] probe,
+  * clearly marked — swapping in ffmpeg bindings changes one
+  * function, not the pipeline.
   *
   * Scale posture: decode is a map-only stage; binary payloads never
   * shuffle (metadata is extracted first, payloads dropped before any
@@ -36,14 +41,19 @@ object Multimodal {
       n_frames: Int,       // stub-decoded (1 for stills)
       feature: Array[Float]) // stub feature vector (deterministic)
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec that is not available in this environment. Derives plausible
-    * dimensions and an 8-dim feature vector from the md5 of the bytes —
-    * md5 (not a JVM hash) so the fake is reproducible by ANY engine,
-    * which is what lets mm_decode_meta carry a full DuckDB oracle.
-    * Replace the body with a real codec (e.g. javax.imageio / ffmpeg
-    * bindings) to productionize; the signature and the
-    * partition-batched call shape are the contract.
+  /** STUB decoder — deterministic fake standing in for a codec that is
+    * not available in this environment. Real decode now exists for
+    * still images ([[ImageCodec]], javax.imageio), linear-PCM WAV
+    * ([[WavCodec]]), G.711 µ-law/A-law compressed audio ([[G711Codec]])
+    * and uncompressed raw-RGB AVI video ([[AviCodec]]) — so this stub
+    * remains ONLY for formats genuinely requiring third-party codecs
+    * (H.264/VP9 video, MP3/AAC audio; the JDK ships none). Derives
+    * plausible dimensions and an 8-dim feature vector from the md5 of
+    * the bytes — md5 (not a JVM hash) so the fake is reproducible by
+    * ANY engine, which is what lets mm_decode_meta carry a full DuckDB
+    * oracle. Replace the body with an ffmpeg binding to productionize;
+    * the signature and the partition-batched call shape are the
+    * contract.
     */
   object MediaCodec {
     def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
@@ -389,9 +399,10 @@ object Multimodal {
   /** REAL audio decode — `javax.sound.sampled.AudioSystem`, which
     * ships a WAV/PCM codec in the JDK (zero external dependency).
     * This retires the decode-is-a-stub caveat for uncompressed audio
-    * the way [[ImageCodec]] retired it for still images; the
-    * [[MediaCodec.decodeStub]] path remains only for media the JDK
-    * genuinely cannot probe (video containers, compressed codecs).
+    * the way [[ImageCodec]] retired it for still images; see
+    * [[G711Codec]] (compressed audio) and [[AviCodec]] (uncompressed
+    * video) for the rest — [[MediaCodec.decodeStub]] remains only for
+    * formats genuinely requiring third-party codecs.
     */
   object WavCodec {
     /** A deterministic 16-bit signed little-endian mono PCM WAV:
@@ -445,10 +456,12 @@ object Multimodal {
           var sum = 0L; var sabs = 0L; var i = 0
           val n = (frames * ch).toInt
           while (i < n) {
-            val lo = pcm(2 * i) & 0xff
-            val hi = pcm(2 * i + 1).toInt // sign-extends
-            val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
-                    else (hi << 8) | lo
+            // The MSB (first byte if big-endian, second if little) must
+            // sign-extend; the LSB must be masked. AudioSystem accepts
+            // big-endian PCM streams (e.g. AIFF) so both branches are live.
+            val b0 = pcm(2 * i); val b1 = pcm(2 * i + 1)
+            val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                    else (b1.toInt << 8) | (b0 & 0xff)
             sum += s; sabs += math.abs(s)
             i += 1
           }
@@ -488,10 +501,10 @@ object Multimodal {
           val cnts = new Array[Long](windows)
           var i = 0L
           while (i < n) {
-            val lo = pcm((2 * i).toInt) & 0xff
-            val hi = pcm((2 * i + 1).toInt).toInt
-            val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
-                    else (hi << 8) | lo
+            // MSB sign-extends, LSB masks — see WavCodec.decode.
+            val b0 = pcm((2 * i).toInt); val b1 = pcm((2 * i + 1).toInt)
+            val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                    else (b1.toInt << 8) | (b0 & 0xff)
             val w = ((i * windows) / n).toInt
             sums(w) += s; cnts(w) += 1
             i += 1
@@ -666,6 +679,10 @@ object Multimodal {
       s"overlap must sit inside the chunk: $overlapSamples/$chunkSamples")
     val step = chunkSamples - overlapSamples
     decoded
+      // Failed decodes carry the n_samples = -1 sentinel; sequence(0, -2)
+      // with a positive step throws at runtime, so one poisoned blob would
+      // kill the job. Filter them out — tolerance, not propagation.
+      .where(col("n_samples") > 0)
       .select(col("doc_id"), col("n_samples"), col("sample_rate"),
         explode(sequence(lit(0L), col("n_samples") - 1, lit(step))).as("s0"))
       .select(
@@ -677,6 +694,553 @@ object Multimodal {
           .as("n_chunk_samples"),
         round(col("s0").cast("double") * 1000.0
           / col("sample_rate").cast("double"), 6).as("start_ms"))
+  }
+
+  /** REAL COMPRESSED-audio decode — G.711 µ-law / A-law, the two
+    * compressed encodings `javax.sound.sampled` converts natively
+    * (`AudioFormat.Encoding.ULAW`/`ALAW`, the telephony codecs): a
+    * ULAW/ALAW WAV is companded 8-bit-per-sample audio, and the JDK
+    * codec expands it to 16-bit linear PCM. This retires the
+    * decode-is-a-stub caveat for compressed audio the way [[WavCodec]]
+    * retired it for linear PCM; [[MediaCodec.decodeStub]] now remains
+    * only for formats genuinely requiring third-party codecs (MP3/AAC,
+    * compressed video).
+    *
+    * The oracle replays the exact G.711 expansion formulas
+    * (spec-pinned against the JDK table for all 256 codes of BOTH
+    * codecs): µ-law code c → u = 255−c,
+    * t = (((u & 15)·8) + 132) · 2^((u≫4) & 7),
+    * sample = 132−t if u ≥ 128 else t−132; A-law code c → x = c⊕0x55,
+    * seg = (x≫4) & 7, v = ((x & 15)·16) + 8 (+256 and ·2^(seg−1) for
+    * seg ≥ 1), sample = +v if x & 0x80 else −v.
+    */
+  object G711Codec {
+    /** A deterministic companded WAV: code i = (i·37 + 11·k) mod 256
+      * — pure integer arithmetic a SQL oracle replays exactly —
+      * wrapped in the JDK's own WAVE writer (format tag 7 = µ-law /
+      * 6 = A-law). Fixture generator; also the reference encoder a
+      * real telephony ingest would replace.
+      */
+    def compandedWav(encoding: javax.sound.sampled.AudioFormat.Encoding,
+                     sampleRate: Int, nSamples: Int, k: Int): Array[Byte] = {
+      val codes = new Array[Byte](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        codes(i) = ((i * 37 + 11 * k) % 256).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        encoding, sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(codes), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a companded (µ-law/A-law) payload FROM ITS BYTES: probe
+      * the container, EXPAND through the JDK's format-conversion
+      * codec to 16-bit linear PCM, and sum the linear waveform —
+      * proof the full compressed stream decoded, not just the header.
+      * Returns (codec, rate, channels, frames, sum, sumAbs); None for
+      * anything that isn't an 8-bit ULAW/ALAW stream (one poisoned
+      * blob must not kill a 100 TB scan).
+      */
+    def decode(bytes: Array[Byte]): Option[(String, Int, Int, Long, Long, Long)] =
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding.{ULAW, ALAW, PCM_SIGNED}
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val name = fmt.getEncoding match {
+          case ULAW => "ulaw"
+          case ALAW => "alaw"
+          case _ => return None
+        }
+        if (fmt.getSampleSizeInBits != 8) return None
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          PCM_SIGNED, fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, /* bigEndian = */ false)
+        val pcmIn = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(pcmFmt, in)
+        val pcm = pcmIn.readAllBytes()
+        var sum = 0L; var sabs = 0L; var i = 0
+        val n = pcm.length / 2
+        while (i < n) {
+          // little-endian by construction of pcmFmt: byte 1 is the MSB
+          val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+          sum += s; sabs += math.abs(s)
+          i += 1
+        }
+        Some((name, fmt.getSampleRate.toInt, fmt.getChannels,
+          in.getFrameLength, sum, sabs))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: IllegalArgumentException => None // no conversion path
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Attach a REAL companded (G.711) payload per document — µ-law for
+    * even ids, A-law for odd (both telephony codecs exercise in one
+    * corpus pass). Shape derives from the id: rate 8000 (the G.711
+    * line rate), n = 240 + 24·(id mod 9), phase k = id mod 5 — ≤ 90
+    * distinct shapes, so each file encodes ONCE on the executors and
+    * broadcast-joins onto the rows (the [[withAudioPayload]] bounded-
+    * shapes discipline).
+    */
+  def withCompandedPayload(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shapes = docs.select(
+        when(col(idCol) % 2 === 0, "ulaw").otherwise("alaw").as("g_codec"),
+        (lit(240) + (col(idCol) % 9) * 24).cast("int").as("g_n"),
+        (col(idCol) % 5).cast("int").as("g_k"))
+      .distinct()
+    val payloads = shapes.as[(String, Int, Int)]
+      .map { case (c, n, k) => // executor-side encode
+        val e = if (c == "ulaw") javax.sound.sampled.AudioFormat.Encoding.ULAW
+                else javax.sound.sampled.AudioFormat.Encoding.ALAW
+        (c, n, k, G711Codec.compandedWav(e, 8000, n, k))
+      }
+      .toDF("g_codec", "g_n", "g_k", "payload")
+    docs
+      .withColumn("g_codec",
+        when(col(idCol) % 2 === 0, "ulaw").otherwise("alaw"))
+      .withColumn("g_n", (lit(240) + (col(idCol) % 9) * 24).cast("int"))
+      .withColumn("g_k", (col(idCol) % 5).cast("int"))
+      .join(broadcast(payloads), Seq("g_codec", "g_n", "g_k"))
+      .drop("g_codec", "g_n", "g_k")
+      .withColumn("media_type", lit("audio/basic"))
+  }
+
+  /** Partition-batched REAL compressed-audio decode
+    * ([[audioDecodeStats]]' shape for G.711): companded payload in,
+    * codec + typed meta + exact LINEAR-waveform sums out. Decode runs
+    * once per DISTINCT payload (bounded shapes) and broadcast-joins
+    * back by the shape key; every reported column comes FROM THE
+    * BYTES through the JDK's expansion codec, never from the key.
+    */
+  def compressedAudioStats(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads = withCompandedPayload(docs, idCol)
+      .withColumn("g_codec",
+        when(col(idCol) % 2 === 0, "ulaw").otherwise("alaw"))
+      .withColumn("g_n", (lit(240) + (col(idCol) % 9) * 24).cast("int"))
+      .withColumn("g_k", (col(idCol) % 5).cast("int"))
+      .select("g_codec", "g_n", "g_k", "payload").distinct()
+    val decoded = payloads.as[(String, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (c, n, k, bytes) =>
+          G711Codec.decode(bytes) match {
+            case Some((codec, rate, ch, frames, sum, sabs)) =>
+              (c, n, k, true, codec, rate.toLong, ch.toLong, frames, sum, sabs)
+            case None => (c, n, k, false, "", -1L, -1L, -1L, 0L, 0L)
+          }
+        }
+      }.toDF("g_codec", "g_n", "g_k", "decode_ok", "codec", "dec_rate",
+        "channels", "n_samples", "sum_samples", "sum_abs")
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("g_codec",
+        when(col("doc_id") % 2 === 0, "ulaw").otherwise("alaw"))
+      .withColumn("g_n", (lit(240) + (col("doc_id") % 9) * 24).cast("int"))
+      .withColumn("g_k", (col("doc_id") % 5).cast("int"))
+      .join(broadcast(decoded), Seq("g_codec", "g_n", "g_k"))
+      .select(col("doc_id"), col("decode_ok"), col("codec"),
+        col("dec_rate").as("sample_rate"), col("channels"),
+        col("n_samples"),
+        col("sum_samples"), col("sum_abs"))
+  }
+
+  /** REAL VIDEO-frame decode — uncompressed RIFF/AVI with raw 24-bit
+    * RGB ('DIB ') frames, parsed by pure byte-offset arithmetic (the
+    * same method the PNG/WAV kernels use): the container is plain
+    * RIFF chunk grammar, the frames are plain bottom-up BGR rasters,
+    * so no codec is involved at all — the JDK ships everything needed
+    * (nothing). This retires the decode-is-a-stub caveat for
+    * UNCOMPRESSED video; [[MediaCodec.decodeStub]] now remains only
+    * for formats genuinely requiring third-party codecs (H.264/VP9,
+    * MP3/AAC), documented as such.
+    *
+    * The writer emits a spec-conformant AVI (RIFF('AVI ' hdrl(avih,
+    * strl(strh,strf)) movi('00db'×frames))) any player could open;
+    * the reader is a genuine RIFF walker — it follows the chunk size
+    * fields, takes (width, height, frames) from the avih header, the
+    * bit depth from strf's BITMAPINFOHEADER, and the pixels from the
+    * movi '00db' chunks, skipping each row's DWORD padding. Nothing
+    * is recomputed from the generation formula.
+    */
+  object AviCodec {
+    private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+      b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+    }
+    private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    }
+    private def fourcc(b: java.io.ByteArrayOutputStream, s: String): Unit =
+      b.write(s.getBytes("US-ASCII"))
+
+    /** Deterministic raw-RGB AVI: frame f, pixel (x, y), channel
+      * c ∈ {0=B, 1=G, 2=R} carries byte (x·7 + y·13 + f·29 + k·3 + c)
+      * mod 256 — pure integer arithmetic a SQL oracle replays
+      * exactly. Rows bottom-up, DWORD-padded (standard DIB); 25 fps
+      * nominal timing.
+      */
+    def avi(width: Int, height: Int, nFrames: Int, k: Int): Array[Byte] = {
+      val stride = ((width * 3 + 3) / 4) * 4
+      val frameBytes = stride * height
+      def frame(f: Int): Array[Byte] = {
+        val d = new Array[Byte](frameBytes)
+        var r = 0
+        while (r < height) {
+          val y = height - 1 - r // bottom-up row order
+          var x = 0
+          while (x < width) {
+            var c = 0
+            while (c < 3) {
+              d(r * stride + x * 3 + c) =
+                ((x * 7 + y * 13 + f * 29 + k * 3 + c) % 256).toByte
+              c += 1
+            }
+            x += 1
+          }
+          r += 1
+        }
+        d
+      }
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        fourcc(b, id); le32(b, body.length); b.write(body)
+        if (body.length % 2 == 1) b.write(0) // RIFF word alignment
+        b.toByteArray
+      }
+      def list(typ: String, body: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        fourcc(b, "LIST"); le32(b, body.length + 4); fourcc(b, typ)
+        b.write(body); b.toByteArray
+      }
+      val avih = { // MainAVIHeader: 14 dwords
+        val b = new java.io.ByteArrayOutputStream()
+        le32(b, 40000)          // dwMicroSecPerFrame (25 fps)
+        le32(b, frameBytes * 25) // dwMaxBytesPerSec
+        le32(b, 0); le32(b, 0)  // padding, flags
+        le32(b, nFrames)        // dwTotalFrames
+        le32(b, 0); le32(b, 1)  // initial frames, streams
+        le32(b, frameBytes)     // suggested buffer
+        le32(b, width); le32(b, height)
+        le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0) // reserved
+        chunk("avih", b.toByteArray)
+      }
+      val strh = { // AVIStreamHeader
+        val b = new java.io.ByteArrayOutputStream()
+        fourcc(b, "vids"); fourcc(b, "DIB ")
+        le32(b, 0)              // flags
+        le16(b, 0); le16(b, 0)  // priority, language
+        le32(b, 0)              // initial frames
+        le32(b, 1); le32(b, 25) // scale, rate = 25 fps
+        le32(b, 0); le32(b, nFrames) // start, length
+        le32(b, frameBytes)     // suggested buffer
+        le32(b, -1)             // quality (default)
+        le32(b, 0)              // sample size
+        le16(b, 0); le16(b, 0); le16(b, width); le16(b, height) // rcFrame
+        chunk("strh", b.toByteArray)
+      }
+      val strf = { // BITMAPINFOHEADER
+        val b = new java.io.ByteArrayOutputStream()
+        le32(b, 40); le32(b, width); le32(b, height)
+        le16(b, 1); le16(b, 24) // planes, bit count
+        le32(b, 0)              // BI_RGB: uncompressed
+        le32(b, frameBytes)
+        le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+        chunk("strf", b.toByteArray)
+      }
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        (0 until nFrames).toArray.flatMap(f => chunk("00db", frame(f))))
+      val out = new java.io.ByteArrayOutputStream()
+      fourcc(out, "RIFF"); le32(out, hdrl.length + movi.length + 4)
+      fourcc(out, "AVI ")
+      out.write(hdrl); out.write(movi)
+      out.toByteArray
+    }
+
+    private def rdLe32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def rdCc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** Parse an AVI FROM ITS BYTES: (width, height, header frame
+      * count, per-frame pixel-byte sums) — the per-frame sums walk
+      * every movi '00db'/'00dc' chunk row by row (skipping DWORD
+      * padding), so a pass proves the whole pixel stream decoded.
+      * None for anything that isn't RIFF/AVI with uncompressed 24-bit
+      * DIB frames (one poisoned blob must not kill a 100 TB scan).
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Long])] =
+      try {
+        if (bytes.length < 12 || rdCc(bytes, 0) != "RIFF" ||
+            rdCc(bytes, 8) != "AVI ") return None
+        var width = -1; var height = -1; var nFrames = -1; var depth = -1
+        var compression = -1
+        val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // walk chunks; LIST bodies recurse with their own cursor
+        def walk(from: Int, to: Int): Unit = {
+          var o = from
+          var halt = false
+          while (!halt && o + 8 <= to) {
+            val id = rdCc(bytes, o)
+            val sz = rdLe32(bytes, o + 4)
+            if (sz < 0 || o + 8 + sz > to) halt = true // malformed: stop
+            else if (id == "LIST") {
+              walk(o + 12, o + 8 + sz) // skip the list-type fourcc
+            } else if (id == "avih") {
+              nFrames = rdLe32(bytes, o + 8 + 16)
+              width = rdLe32(bytes, o + 8 + 32)
+              height = rdLe32(bytes, o + 8 + 36)
+            } else if (id == "strf") {
+              depth = (bytes(o + 8 + 14) & 0xff) |
+                ((bytes(o + 8 + 15) & 0xff) << 8)
+              compression = rdLe32(bytes, o + 8 + 16)
+            } else if (id == "00db" || id == "00dc") {
+              // pixel rows: stride = DWORD-padded 3·width; sum ONLY
+              // the pixel bytes, skip the per-row padding
+              val stride = ((width * 3 + 3) / 4) * 4
+              var s = 0L
+              var r = 0
+              while (r < height) {
+                var x = 0
+                while (x < width * 3) {
+                  s += (bytes(o + 8 + r * stride + x) & 0xff)
+                  x += 1
+                }
+                r += 1
+              }
+              frameSums += s
+            }
+            o += 8 + sz + (sz % 2) // chunks are word-aligned
+          }
+        }
+        walk(12, bytes.length)
+        if (width <= 0 || height <= 0 || nFrames < 0 || depth != 24 ||
+            compression != 0 || frameSums.length != nFrames) None
+        else Some((width, height, nFrames, frameSums.toArray))
+      } catch {
+        case _: ArrayIndexOutOfBoundsException => None
+        case _: java.io.UnsupportedEncodingException => None
+      }
+  }
+
+  /** Attach a REAL raw-RGB AVI payload per document. Shape derives
+    * from the id: width = 8 + 4·(id mod 3), height = 6 + 2·(id mod 2),
+    * frames = 4 + id mod 4, phase k = id mod 5 — ≤ 120 distinct
+    * shapes, each AVI encodes ONCE on the executors and
+    * broadcast-joins onto the rows (the [[withAudioPayload]]
+    * bounded-shapes discipline).
+    */
+  def withVideoPayload(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shapes = docs.select(
+        (lit(8) + (col(idCol) % 3) * 4).cast("int").as("v_w"),
+        (lit(6) + (col(idCol) % 2) * 2).cast("int").as("v_h"),
+        (lit(4) + col(idCol) % 4).cast("int").as("v_f"),
+        (col(idCol) % 5).cast("int").as("v_k"))
+      .distinct()
+    val payloads = shapes.as[(Int, Int, Int, Int)]
+      .map { case (w, h, f, k) => (w, h, f, k, AviCodec.avi(w, h, f, k)) }
+      .toDF("v_w", "v_h", "v_f", "v_k", "payload")
+    docs
+      .withColumn("v_w", (lit(8) + (col(idCol) % 3) * 4).cast("int"))
+      .withColumn("v_h", (lit(6) + (col(idCol) % 2) * 2).cast("int"))
+      .withColumn("v_f", (lit(4) + col(idCol) % 4).cast("int"))
+      .withColumn("v_k", (col(idCol) % 5).cast("int"))
+      .join(broadcast(payloads), Seq("v_w", "v_h", "v_f", "v_k"))
+      .drop("v_w", "v_h", "v_f", "v_k")
+      .withColumn("media_type", lit("video/x-msvideo"))
+  }
+
+  private def videoDecoded(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads = withVideoPayload(docs, idCol)
+      .withColumn("v_w", (lit(8) + (col(idCol) % 3) * 4).cast("int"))
+      .withColumn("v_h", (lit(6) + (col(idCol) % 2) * 2).cast("int"))
+      .withColumn("v_f", (lit(4) + col(idCol) % 4).cast("int"))
+      .withColumn("v_k", (col(idCol) % 5).cast("int"))
+      .select("v_w", "v_h", "v_f", "v_k", "payload").distinct()
+    payloads.as[(Int, Int, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (w, h, f, k, bytes) =>
+          AviCodec.decode(bytes) match {
+            case Some((dw, dh, df, sums)) =>
+              (w, h, f, k, true, dw, dh, df, sums)
+            case None => (w, h, f, k, false, -1, -1, -1, Array.empty[Long])
+          }
+        }
+      }.toDF("v_w", "v_h", "v_f", "v_k", "decode_ok", "dec_w", "dec_h",
+        "dec_frames", "frame_sums")
+  }
+
+  private def withVideoShapeKeys(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("v_w", (lit(8) + (col(idCol) % 3) * 4).cast("int"))
+      .withColumn("v_h", (lit(6) + (col(idCol) % 2) * 2).cast("int"))
+      .withColumn("v_f", (lit(4) + col(idCol) % 4).cast("int"))
+      .withColumn("v_k", (col(idCol) % 5).cast("int"))
+
+  /** Partition-batched REAL video decode ([[audioDecodeStats]]' shape
+    * for AVI): container in, header dims + frame count + exact
+    * whole-stream pixel sums out. Decode runs once per DISTINCT
+    * payload (bounded shapes) and broadcast-joins back by the shape
+    * key; every reported column comes FROM THE BYTES through the
+    * RIFF walker, never from the key.
+    */
+  def videoDecodeStats(docs: DataFrame, idCol: String): DataFrame = {
+    val perPayload = videoDecoded(docs, idCol)
+      .select(col("v_w"), col("v_h"), col("v_f"), col("v_k"),
+        col("decode_ok"), col("dec_w"), col("dec_h"), col("dec_frames"),
+        aggregate(col("frame_sums"), lit(0L), (a, x) => a + x)
+          .as("sum_pixels"))
+    withVideoShapeKeys(docs.select(col(idCol).as("doc_id")), "doc_id")
+      .join(broadcast(perPayload), Seq("v_w", "v_h", "v_f", "v_k"))
+      .select(col("doc_id"), col("decode_ok"),
+        col("dec_w").cast("long").as("width"),
+        col("dec_h").cast("long").as("height"),
+        col("dec_frames").cast("long").as("n_frames"), col("sum_pixels"),
+        round(col("sum_pixels").cast("double")
+          / (col("dec_w") * col("dec_h") * lit(3) * col("dec_frames"))
+            .cast("double"), 6).as("mean_pixel"))
+  }
+
+  /** Per-FRAME pixel sums off the real AVI decode — one row per
+    * (doc, frame), the frame-sampling precursor: a real pipeline
+    * filters this to every-Kth frame before the expensive model pass.
+    * Explode happens on the ≤120-shape decoded frame, never per doc.
+    */
+  def videoFrameStats(docs: DataFrame, idCol: String): DataFrame = {
+    val perFrame = videoDecoded(docs, idCol)
+      .where(col("decode_ok"))
+      .select(col("v_w"), col("v_h"), col("v_f"), col("v_k"),
+        posexplode(col("frame_sums")).as(Seq("frame_idx", "frame_sum")))
+    withVideoShapeKeys(docs.select(col(idCol).as("doc_id")), "doc_id")
+      .join(broadcast(perFrame), Seq("v_w", "v_h", "v_f", "v_k"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_sum"))
+  }
+
+  /** SCENE-CUT detection over the REAL AVI decode — the
+    * shot-boundary pass every video curation pipeline runs before
+    * sampling frames (sampling within one shot wastes the model
+    * budget on near-identical frames): a cut lands at frame f > 0
+    * iff |sum_f − sum_{f−1}| > threshold, and scene_id is the
+    * running cut count — frames between cuts share a scene. Real
+    * systems difference color histograms; the per-frame pixel sum is
+    * the 1-bin histogram, same plumbing, exact arithmetic.
+    *
+    * Scale shape: the lag/cumsum windows partition BY DOC over ≤
+    * frame-count rows each — never a global window; the decode
+    * itself is the ≤120-shape broadcast-back of [[videoFrameStats]].
+    */
+  def videoSceneCuts(docs: DataFrame, idCol: String,
+                     threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    videoFrameStats(docs, idCol)
+      .withColumn("delta",
+        abs(col("frame_sum") - lag(col("frame_sum"), 1).over(w)))
+      .withColumn("is_cut",
+        coalesce(col("delta") > threshold, lit(false)))
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("frame_idx"), col("frame_sum"),
+        coalesce(col("delta"), lit(0L)).as("delta"), col("is_cut"),
+        col("scene_id"))
+  }
+
+  /** Windowed per-sample stats FROM the real decoded waveform — the
+    * shared kernel of [[WavFingerprint]] (sign-of-delta bits) and
+    * [[audioActivity]] (energy gating): sample i lands in window
+    * ⌊i·W/n⌋; each window reports exact integer (count, sum, |sum|).
+    */
+  private[operators] object WavWindows {
+    def of(bytes: Array[Byte], windows: Int): Option[Array[(Long, Long, Long)]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val n = ais.getFrameLength
+          val pcm = ais.readAllBytes()
+          val cnts = new Array[Long](windows)
+          val sums = new Array[Long](windows)
+          val sabs = new Array[Long](windows)
+          var i = 0L
+          while (i < n) {
+            // MSB sign-extends, LSB masks — see WavCodec.decode.
+            val b0 = pcm((2 * i).toInt); val b1 = pcm((2 * i + 1).toInt)
+            val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                    else (b1.toInt << 8) | (b0 & 0xff)
+            val w = ((i * windows) / n).toInt
+            cnts(w) += 1; sums(w) += s; sabs(w) += math.abs(s)
+            i += 1
+          }
+          Some(Array.tabulate(windows)(w => (cnts(w), sums(w), sabs(w))))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** ACTIVITY (VAD-style) segmentation over the REAL WAV decode —
+    * the silence-trimming pass every speech pipeline runs before
+    * transcription (sending silence to the model wastes the budget):
+    * the waveform splits into `windows` near-equal spans, and a
+    * window is ACTIVE iff its mean |amplitude| exceeds `threshold` —
+    * compared as the integer cross-multiply sum_abs > threshold·count
+    * (no division ever runs; same discipline as [[WavFingerprint]]).
+    *
+    * Scale shape: decode once per DISTINCT payload (bounded shapes)
+    * with per-window exact integer sums, explode on the decoded
+    * frame (≤ shapes·windows rows), broadcast back per doc.
+    */
+  def audioActivity(docs: DataFrame, idCol: String, windows: Int,
+                    threshold: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads = withAudioPayload(docs, idCol)
+      .withColumn("wav_rate",
+        when(col(idCol) % 2 === 0, 8000).otherwise(16000))
+      .withColumn("wav_n", (lit(400) + (col(idCol) % 11) * 40).cast("int"))
+      .withColumn("wav_k", (col(idCol) % 5).cast("int"))
+      .select("wav_rate", "wav_n", "wav_k", "payload").distinct()
+    val perWindow = payloads.as[(Int, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (r, n, k, bytes) =>
+          WavWindows.of(bytes, windows).toSeq.flatMap { ws =>
+            ws.iterator.zipWithIndex.map { case ((cnt, _, sa), w) =>
+              (r, n, k, w.toLong, cnt, sa)
+            }
+          }
+        }
+      }.toDF("wav_rate", "wav_n", "wav_k", "window_idx", "n_in_window",
+        "sum_abs")
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("wav_rate",
+        when(col("doc_id") % 2 === 0, 8000).otherwise(16000))
+      .withColumn("wav_n", (lit(400) + (col("doc_id") % 11) * 40).cast("int"))
+      .withColumn("wav_k", (col("doc_id") % 5).cast("int"))
+      .join(broadcast(perWindow), Seq("wav_rate", "wav_n", "wav_k"))
+      .select(col("doc_id"), col("window_idx"), col("n_in_window"),
+        col("sum_abs"),
+        (col("sum_abs") > col("n_in_window") * threshold).as("active"))
   }
 
   /** Overlapping tile grid over the (stub-)decoded image dimensions —

@@ -226,6 +226,44 @@ object Similarity {
         round(coalesce(col("rr_s"), lit(0L)).cast("double") / 1e9, 6).as("rr"))
   }
 
+  /** IR METRICS AGAINST LABELED QRELS — precision@k, recall@k and hit
+    * counts of a retrieval run against a LABELED relevance table,
+    * the form every retrieval benchmark (TREC/BEIR-style) actually
+    * consumes: [[rankingEval]] grades approx-vs-exact SYSTEM
+    * agreement; this grades against ground-truth relevance judgments.
+    * `qrels` is (query_id, corpus_id) relevant pairs; `retrieved` is
+    * any ranked (query_id, corpus_id, rnk) frame from the top-k
+    * family.
+    *
+    * precision@k divides by k (the retrieval budget, even when fewer
+    * rows came back — the standard convention), recall@k by the
+    * query's judged-relevant count. Every query with qrels reports,
+    * even if retrieval returned nothing for it (both metrics 0).
+    *
+    * Scale shape: one (query,corpus)-keyed equi-join of the ≤|Q|·k
+    * ranking against qrels, one per-query aggregate on each side —
+    * trivially distributed; qrels never broadcast-explodes (it is
+    * query-keyed, co-partitioned with the ranking).
+    */
+  def irMetrics(retrieved: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val nrel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val perQ = retrieved.where(col("rnk") <= k)
+      .join(qrels.select(col("query_id"), col("corpus_id"), lit(1).as("rel")),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("rel").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hits"))
+    nrel.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_retrieved"), lit(0L)).cast("long").as("n_retrieved"),
+        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+        col("n_rel").cast("long").as("n_rel"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("precision_at_k"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_rel").cast("double"), 6).as("recall_at_k"))
+  }
+
   /** LSH RANGE search: ALL corpus neighbors with cosine ≥ `threshold`
     * of each query — the fixed-radius sibling of [[lshTopK]] (same
     * buckets, same exact re-rank, a threshold filter instead of a

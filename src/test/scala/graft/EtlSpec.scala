@@ -270,6 +270,30 @@ class EtlSpec extends SparkSpec {
       s"linear layout should leave b unbounded somewhere, got $lr")
   }
 
+  test("ensureZOrdered: builds once, serves the existing layout after") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_zorder_ensure"
+    val dir = new java.io.File(path)
+    if (dir.exists()) { // clean slate so the first call must build
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+    val grid = spark.range(256)
+      .select((col("id") % 16).as("a"), (col("id") / 16).cast("long").as("b"))
+    var built = 0
+    def src = { built += 1; grid } // by-name: counts actual builds
+    Etl.ensureZOrdered(src, path, "a", "b", numFiles = 4, bits = 4)
+    assert(built == 1, "first call must build the layout")
+    val mtimes = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Etl.ensureZOrdered(src, path, "a", "b", numFiles = 4, bits = 4)
+    assert(built == 1, "second call must SERVE, not rebuild (by-name df untouched)")
+    val after = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == mtimes, "served layout must be byte-untouched on disk")
+    assert(spark.read.parquet(path).count() == 256)
+  }
+
   test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_compact"

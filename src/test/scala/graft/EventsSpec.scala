@@ -1066,7 +1066,12 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq(
       ("2024-01-01", 2L, 2L, 0L, 0L, 0L),
       ("2024-01-02", 2L, 1L, 1L, 0L, 1L),  // u2 didn't return
-      ("2024-01-04", 1L, 0L, 0L, 1L, 0L)), // gap day absent; u2 back
+      ("2024-01-03", 0L, 0L, 0L, 0L, 2L),  // EVERYONE went inactive: the
+                                           // churn-only day still reports
+                                           // (full-outer fix — a left join
+                                           // silently lost this churn)
+      ("2024-01-04", 1L, 0L, 0L, 1L, 0L),  // u2 back
+      ("2024-01-05", 0L, 0L, 0L, 0L, 1L)), // u2's final churn, day after
       s"growth accounting: $got")
     // the identity holds on every row
     assert(got.forall(r => r._2 == r._3 + r._4 + r._5))

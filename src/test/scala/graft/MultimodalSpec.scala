@@ -197,6 +197,159 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavFingerprint.of("junk".getBytes).isEmpty)
   }
 
+  test("G711Codec: JDK expansion equals the G.711 formulas for ALL 256 codes, both codecs") {
+    // This is the pin that justifies the mm_g711_decode oracle: the
+    // DuckDB SQL replays exactly these formulas, so the JDK table must
+    // match them code-for-code.
+    import javax.sound.sampled.AudioFormat.Encoding.{ULAW, ALAW}
+    def expand(bytes: Array[Byte]): Seq[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pf = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        in.getFormat.getSampleRate, 16, 1, 2, in.getFormat.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(pf, in).readAllBytes()
+      (0 until pcm.length / 2).map(i =>
+        (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+    }
+    // a fixture whose codes sweep all 256 values: n = 256, k = 0 gives
+    // code i = (i*37) % 256, a bijection (37 odd → coprime with 256)
+    val uGot = expand(Multimodal.G711Codec.compandedWav(ULAW, 8000, 256, 0))
+    val uExp = (0 until 256).map { i =>
+      val u = 255 - ((i * 37) % 256)
+      val t = (((u & 0xf) << 3) + 132) << ((u >> 4) & 7)
+      if ((u & 0x80) != 0) 132 - t else t - 132
+    }
+    assert(uGot == uExp, "ulaw JDK expansion != G.711 formula")
+    val aGot = expand(Multimodal.G711Codec.compandedWav(ALAW, 8000, 256, 0))
+    val aExp = (0 until 256).map { i =>
+      val x = ((i * 37) % 256) ^ 0x55
+      val seg = (x >> 4) & 7
+      var v = ((x & 0xf) << 4) + 8
+      if (seg >= 1) v += 0x100
+      if (seg > 1) v <<= (seg - 1)
+      if ((x & 0x80) != 0) v else -v
+    }
+    assert(aGot == aExp, "alaw JDK expansion != G.711 formula")
+    // corrupt / non-companded payloads refuse quietly
+    assert(Multimodal.G711Codec.decode("junk".getBytes).isEmpty)
+    assert(Multimodal.G711Codec.decode(
+      Multimodal.WavCodec.wav(8000, 100, 1)).isEmpty,
+      "a linear-PCM WAV is not a G.711 payload")
+  }
+
+  test("compressedAudioStats: codec + sums FROM THE BYTES, broadcast back per shape") {
+    val docs = Seq(0L, 1L, 2L, 9L).toDF("doc_id")
+    val got = Multimodal.compressedAudioStats(docs, "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "codec", "n_samples", "sum_samples")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    def sums(codec: String, n: Int, k: Int): Long =
+      (0 until n).map { i =>
+        val c = (i * 37 + 11 * k) % 256
+        if (codec == "ulaw") {
+          val u = 255 - c
+          val t = (((u & 0xf) << 3) + 132) << ((u >> 4) & 7)
+          if ((u & 0x80) != 0) 132 - t else t - 132
+        } else {
+          val x = c ^ 0x55
+          val seg = (x >> 4) & 7
+          var v = ((x & 0xf) << 4) + 8
+          if (seg >= 1) v += 0x100
+          if (seg > 1) v <<= (seg - 1)
+          if ((x & 0x80) != 0) v else -v
+        }
+      }.map(_.toLong).sum
+    val exp = Seq(
+      (0L, "ulaw", 240L, sums("ulaw", 240, 0)),
+      (1L, "alaw", 264L, sums("alaw", 264, 1)),
+      (2L, "ulaw", 288L, sums("ulaw", 288, 2)),
+      (9L, "alaw", 240L, sums("alaw", 240, 4)))
+    assert(got == exp, s"g711 stats: $got vs $exp")
+  }
+
+  test("AviCodec: container round-trips dims/frames/pixel sums, pads DWORD rows, rejects junk") {
+    // w=10 forces real DWORD padding (3*10=30 → stride 32): the
+    // decoder must skip the 2 pad bytes per row or the sums drift
+    for ((w, h, f, k) <- Seq((10, 6, 3, 1), (8, 6, 4, 0), (16, 8, 7, 4))) {
+      val bytes = Multimodal.AviCodec.avi(w, h, f, k)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+      val Some((dw, dh, df, sums)) = Multimodal.AviCodec.decode(bytes)
+      assert((dw, dh, df) == (w, h, f), s"dims for ${w}x$h f=$f: got ($dw,$dh,$df)")
+      val expSums = (0 until f).map { fr =>
+        (for (x <- 0 until w; y <- 0 until h; c <- 0 until 3)
+          yield ((x * 7 + y * 13 + fr * 29 + k * 3 + c) % 256).toLong).sum
+      }
+      assert(sums.toSeq == expSums, s"frame sums for ${w}x$h f=$f")
+    }
+    assert(Multimodal.AviCodec.decode("junk but long enough".getBytes).isEmpty)
+    assert(Multimodal.AviCodec.decode(
+      Multimodal.ImageCodec.png(8, 8)).isEmpty, "a PNG is not an AVI")
+  }
+
+  test("videoFrameStats: per-frame sums join back per doc; sentinel rows filtered") {
+    val docs = Seq(0L, 5L).toDF("doc_id")
+    val got = Multimodal.videoFrameStats(docs, "doc_id")
+      .orderBy("doc_id", "frame_idx")
+      .select("doc_id", "frame_idx", "frame_sum")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 0: w=8 h=6 f=4 k=0; doc 5: w=16 h=8 f=5 k=0
+    def fs(w: Int, h: Int, f: Int, k: Int): Seq[Long] =
+      (0 until f).map { fr =>
+        (for (x <- 0 until w; y <- 0 until h; c <- 0 until 3)
+          yield ((x * 7 + y * 13 + fr * 29 + k * 3 + c) % 256).toLong).sum
+      }
+    val exp = fs(8, 6, 4, 0).zipWithIndex.map { case (s, i) => (0L, i.toLong, s) } ++
+      fs(16, 8, 5, 0).zipWithIndex.map { case (s, i) => (5L, i.toLong, s) }
+    assert(got == exp, s"video frame stats: $got")
+  }
+
+  test("videoSceneCuts: first frame anchors scene 0, cuts advance the scene id") {
+    val docs = Seq(0L).toDF("doc_id") // w=8 h=6 f=4 k=0
+    val got = Multimodal.videoSceneCuts(docs, "doc_id", threshold = 2000L)
+      .orderBy("frame_idx")
+      .select("frame_idx", "delta", "is_cut", "scene_id")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(got.size == 4)
+    assert(got.head == ((0L, 0L, false, 0L)),
+      s"frame 0 has no predecessor: delta 0, never a cut: ${got.head}")
+    // scene id must equal the running cut count at every frame
+    var cuts = 0L
+    got.foreach { case (_, _, isCut, sid) =>
+      if (isCut) cuts += 1
+      assert(sid == cuts, s"scene id drift: $got")
+    }
+    // deltas recompute from the per-frame formula sums
+    def fsum(fr: Int): Long =
+      (for (x <- 0 until 8; y <- 0 until 6; c <- 0 until 3)
+        yield ((x * 7 + y * 13 + fr * 29 + c) % 256).toLong).sum
+    val expDeltas = Seq(0L) ++ (1 until 4).map(f => math.abs(fsum(f) - fsum(f - 1)))
+    assert(got.map(_._2) == expDeltas, s"deltas: ${got.map(_._2)} vs $expDeltas")
+  }
+
+  test("audioActivity: window sums from the decoded bytes, integer-compare gating") {
+    val docs = Seq(1L).toDF("doc_id") // rate 16000, n=440, k=1
+    val got = Multimodal.audioActivity(docs, "doc_id", windows = 16,
+        threshold = 512L)
+      .orderBy("window_idx")
+      .select("window_idx", "n_in_window", "sum_abs", "active")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.size == 16 && got.map(_._2).sum == 440L,
+      s"16 windows must cover all 440 samples: $got")
+    // recompute straight from the generation formula (no WAV)
+    val cnts = new Array[Long](16); val sabs = new Array[Long](16)
+    for (i <- 0 until 440) {
+      val s = ((i * 37 + 11) % 2048) - 1024
+      val w = (i.toLong * 16 / 440).toInt
+      cnts(w) += 1; sabs(w) += math.abs(s)
+    }
+    val exp = (0 until 16).map(w =>
+      (w.toLong, cnts(w), sabs(w), sabs(w) > cnts(w) * 512))
+    assert(got == exp, s"vad windows: $got vs $exp")
+  }
+
   test("packStats: per-bin fill with the overshoot bin flagged above 1") {
     // costs 600, 600, 600 into capacity 1024: offsets 0, 600, 1200 →
     // bin 0 holds items 1+2 (cost 1200, fill > 1 — the straddler),

@@ -67,6 +67,25 @@ class SimilaritySpec extends SparkSpec {
       s"got $got")
   }
 
+  test("irMetrics: hand-computed precision/recall@k, empty-retrieval queries report zeros") {
+    import spark.implicits._
+    // q1: 3 relevant, retrieved 2 of them in the top-2 → p@2 = 1.0,
+    //     recall = 2/3. q2: 2 relevant, retrieved ranks hold 1 hit +
+    //     1 miss → p@2 = 0.5, recall = 0.5. q3: judged but nothing
+    //     retrieved → zeros with n_rel intact. rank-3 rows are cut.
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("query_id", "corpus_id")
+    val retrieved = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 99L, 1L), (2L, 20L, 2L)).toDF("query_id", "corpus_id", "rnk")
+    val got = Similarity.irMetrics(retrieved, qrels, k = 2)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 3L, 1.0, 0.666667),
+      (2L, 2L, 1L, 2L, 0.5, 0.5),
+      (3L, 0L, 0L, 1L, 0.0, 0.0)), s"ir metrics: $got")
+  }
+
   test("ivfCellBalance: counts cover the corpus, shares sum to 1, load factors average 1 over present cells") {
     val e = Tables.embeddings(spark, sf001)
     val n = e.count()
