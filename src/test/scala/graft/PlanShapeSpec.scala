@@ -613,4 +613,34 @@ class PlanShapeSpec extends SparkSpec {
       "the corpus scan must prune to the id column")
     assert(p.contains("LeftAnti"), "missing/orphaned counts are anti-joins")
   }
+
+  test("G.711 decode runs once per distinct shape and broadcasts back (mm_g711_decode)") {
+    val p = plan("mm_g711_decode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤90-shape decoded table must broadcast onto the id stream")
+    assert(!p.contains("SortMergeJoin"),
+      "companded payload bytes must never shuffle into a merge join")
+  }
+
+  test("AVI decode runs once per distinct shape and broadcasts back (mm_video_decode, mm_video_scenes)") {
+    for (name <- Seq("mm_video_decode", "mm_video_scenes")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the ≤120-shape decoded table must broadcast onto the id stream")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: container bytes must never shuffle into a merge join")
+    }
+    // scene windows stay per-doc — never a global (empty-key) window
+    val sc = plan("mm_video_scenes")
+    assert(sc.contains("[doc_id"),
+      "scene lag/cumsum windows must partition by doc")
+  }
+
+  test("IR metrics join qrels on (query, corpus) keys — no cartesian (sim_ir_metrics)") {
+    val p = plan("sim_ir_metrics")
+    // the only nested-loop is the broadcast query side of the
+    // brute-force ranking; the qrels/metrics joins are all hash joins
+    assert(!p.contains("CartesianProduct"),
+      "qrels must join on keys, never a cartesian")
+  }
 }
