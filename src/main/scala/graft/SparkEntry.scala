@@ -111,6 +111,19 @@ object SparkEntry {
     path
   }
 
+  /** Deterministic scored-binary-classification task for the
+    * profile_roc_* / profile_calibration gates: score = the first
+    * embedding coordinate clamped to [−1, 1] and squashed to [0, 1]
+    * (a stand-in for any model's predicted probability), positive =
+    * label ≤ 4. Both engines derive score and label from the same
+    * column arithmetic, so the eval gates stay hash-exact.
+    */
+  private def clsScored(e: DataFrame): DataFrame =
+    e.select(
+      ((greatest(least(element_at(col("embedding"), 1).cast("double"),
+        lit(1.0)), lit(-1.0)) + 1.0) / 2.0).as("score"),
+      (col("label") <= 4).as("is_pos"))
+
   /** Materialized kNN edge table per corpus (the cluster-map path
     * discipline): sim_knn_graph and sim_mutual_knn both serve from
     * it, so the bucket self-join runs once per (JVM, fixture).
@@ -4897,6 +4910,51 @@ object SparkEntry {
       Profiling.madOutliers(t(s, dir, "events"), "event_id", "value",
           cutoff = 3.5)
         .orderBy("id")),
+
+    // classifier-eval family: a deterministic scored binary task off
+    // the embeddings (score = first coordinate squashed to [0,1],
+    // positive = label <= 4); scores quantize to 1000 bins — the
+    // histogram-ROC semantics both engines replay exactly
+    "profile_roc_curve" -> ((s, dir) =>
+      Profiling.rocCurve(clsScored(t(s, dir, "embeddings")),
+          "score", "is_pos")
+        .orderBy(desc("threshold"))),
+
+    // exact Mann-Whitney AUC (integer 2U accumulator) + Gini + Brier
+    // (exact integer squared-error numerator) in one row
+    "profile_roc_auc" -> ((s, dir) =>
+      Profiling.rocAuc(clsScored(t(s, dir, "embeddings")),
+          "score", "is_pos")),
+
+    // reliability table: 10 equal-width score bands, mean predicted
+    // vs observed positive rate, miscalibration in the gap column
+    "profile_calibration" -> ((s, dir) =>
+      Profiling.calibrationReport(clsScored(t(s, dir, "embeddings")),
+          "score", "is_pos")
+        .orderBy("bucket")),
+
+    // precision-recall sweep on the same scored task — the
+    // imbalance-honest twin of the ROC curve
+    "profile_pr_curve" -> ((s, dir) =>
+      Profiling.prCurve(clsScored(t(s, dir, "embeddings")),
+          "score", "is_pos")
+        .orderBy(desc("threshold"))),
+
+    // step-interpolated average precision, each DeltaR*P term
+    // 1e9-scaled to an exact long before the order-free sum
+    "profile_avg_precision" -> ((s, dir) =>
+      Profiling.avgPrecision(clsScored(t(s, dir, "embeddings")),
+          "score", "is_pos")),
+
+    // weight-of-evidence / information value of order priority vs
+    // the finished-status label — the credit-scoring feature screen;
+    // zero-sided categories excluded (documented convention)
+    "profile_woe_iv" -> ((s, dir) =>
+      Profiling.woeIv(
+          t(s, dir, "orders")
+            .withColumn("is_f", col("o_orderstatus") === "F"),
+          "o_orderpriority", "is_f")
+        .orderBy("category")),
 
     // KS drift between TIME SLICES of the event lake (week 1 vs
     // week 2 value distributions) — the lake-monitoring composition
@@ -12862,6 +12920,155 @@ object SparkEntry {
         | SELECT round(CAST(sum(t9) AS BIGINT) / 1e9, 6) AS w1,
         |  (SELECT na FROM n) AS n_a, (SELECT nb FROM n) AS n_b
         | FROM terms ORDER BY n_a""".stripMargin,
+
+    // the quantized score bins, then descending cumulative TPR/FPR —
+    // the histogram-ROC both engines derive from the same arithmetic
+    "profile_roc_curve" ->
+      """WITH s AS (SELECT
+        |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
+        |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
+        |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
+        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1),
+        | t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |   CAST(sum(neg) AS BIGINT) AS n FROM b),
+        | c AS (SELECT q,
+        |   CAST(sum(pos) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_pos,
+        |   CAST(sum(neg) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_neg
+        |  FROM b)
+        | SELECT round(q::DOUBLE / 1000, 6) AS threshold,
+        |  cum_pos AS n_tp, cum_neg AS n_fp,
+        |  round(cum_pos::DOUBLE / p::DOUBLE, 6) AS tpr,
+        |  round(cum_neg::DOUBLE / n::DOUBLE, 6) AS fpr
+        | FROM c, t ORDER BY threshold DESC""".stripMargin,
+
+    // Mann-Whitney 2U as an exact integer over the bin table; Brier
+    // numerator exact since y is 0/1 and q integral
+    "profile_roc_auc" ->
+      """WITH s AS (SELECT
+        |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
+        |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
+        |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
+        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1),
+        | cb AS (SELECT q, pos, neg,
+        |   coalesce(CAST(sum(neg) OVER (ORDER BY q
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |     0) AS cnb
+        |  FROM b)
+        | SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  round(sum(pos * (cnb * 2 + neg))::DOUBLE
+        |    / (sum(pos)::DOUBLE * sum(neg)::DOUBLE * 2), 6) AS auc,
+        |  round(sum(pos * (cnb * 2 + neg))::DOUBLE
+        |    / (sum(pos)::DOUBLE * sum(neg)::DOUBLE) - 1, 6) AS gini,
+        |  round(sum(pos * (q - 1000) * (q - 1000) + neg * q * q)::DOUBLE
+        |    / ((sum(pos)::DOUBLE + sum(neg)::DOUBLE) * 1000 * 1000), 6)
+        |    AS brier
+        | FROM cb""".stripMargin,
+
+    // bucket off the integer q (exact band edges), then the
+    // reliability columns as exact-count ratios
+    "profile_calibration" ->
+      """WITH s AS (SELECT
+        |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
+        |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
+        |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
+        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1)
+        | SELECT least(q * 10 // 1000, 9) AS bucket,
+        |  CAST(sum(pos + neg) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  round(sum((pos + neg) * q)::DOUBLE
+        |    / (sum(pos + neg)::DOUBLE * 1000), 6) AS mean_pred,
+        |  round(sum(pos)::DOUBLE / sum(pos + neg)::DOUBLE, 6) AS pos_rate,
+        |  round(sum(pos)::DOUBLE / sum(pos + neg)::DOUBLE
+        |    - sum((pos + neg) * q)::DOUBLE
+        |      / (sum(pos + neg)::DOUBLE * 1000), 6) AS gap
+        | FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // descending cumulative precision/recall off the same bin table
+    "profile_pr_curve" ->
+      """WITH s AS (SELECT
+        |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
+        |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
+        |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
+        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1),
+        | t AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM b),
+        | c AS (SELECT q,
+        |   CAST(sum(pos) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_pos,
+        |   CAST(sum(neg) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_neg
+        |  FROM b)
+        | SELECT round(q::DOUBLE / 1000, 6) AS threshold,
+        |  cum_pos AS n_tp,
+        |  round(cum_pos::DOUBLE / (cum_pos::DOUBLE + cum_neg::DOUBLE), 6)
+        |    AS precision,
+        |  round(cum_pos::DOUBLE / p::DOUBLE, 6) AS recall
+        | FROM c, t ORDER BY threshold DESC""".stripMargin,
+
+    // each DeltaR*P term 1e9-rounded to an exact long before the sum
+    "profile_avg_precision" ->
+      """WITH s AS (SELECT
+        |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
+        |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
+        |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
+        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1),
+        | t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |   CAST(sum(neg) AS BIGINT) AS n FROM b),
+        | c AS (SELECT q, pos,
+        |   CAST(sum(pos) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_pos,
+        |   CAST(sum(neg) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_neg
+        |  FROM b),
+        | terms AS (SELECT p, n,
+        |   CAST(round(round(pos::DOUBLE * cum_pos::DOUBLE
+        |     / (p::DOUBLE * (cum_pos::DOUBLE + cum_neg::DOUBLE)), 9)
+        |     * 1e9, 0) AS BIGINT) AS t9
+        |  FROM c, t)
+        | SELECT max(p) AS n_pos, max(n) AS n_neg,
+        |  round(CAST(sum(t9) AS BIGINT) / 1e9, 6) AS avg_precision
+        | FROM terms""".stripMargin,
+
+    // per-category WoE + 1e6-scaled IV terms, zero-sided categories
+    // excluded by the HAVING cut (the operator's documented semantics)
+    "profile_woe_iv" ->
+      """WITH b AS (SELECT o_orderpriority AS category,
+        |   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS pos,
+        |   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |     AS BIGINT) AS neg
+        |  FROM orders GROUP BY 1
+        |  HAVING sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) > 0),
+        | t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |   CAST(sum(neg) AS BIGINT) AS n FROM b),
+        | pc AS (SELECT category, pos, neg,
+        |   ln((pos::DOUBLE * n::DOUBLE) / (neg::DOUBLE * p::DOUBLE))
+        |     AS woe_raw,
+        |   (pos::DOUBLE / p::DOUBLE - neg::DOUBLE / n::DOUBLE)
+        |     * ln((pos::DOUBLE * n::DOUBLE) / (neg::DOUBLE * p::DOUBLE))
+        |     AS iv_raw
+        |  FROM b, t),
+        | pc6 AS (SELECT category, pos, neg, round(woe_raw, 6) AS woe,
+        |   CAST(round(round(iv_raw, 6) * 1e6, 0) AS BIGINT) AS iv6
+        |  FROM pc),
+        | tot AS (SELECT round(CAST(sum(iv6) AS BIGINT) / 1e6, 6)
+        |   AS iv_total FROM pc6)
+        | SELECT category, pos AS n_pos, neg AS n_neg, woe,
+        |  round(iv6::DOUBLE / 1e6, 6) AS iv_term, iv_total
+        | FROM pc6, tot ORDER BY category""".stripMargin,
 
     // whitening over the SAME replayed basis: centered projection as
     // two exact-long sums (Σ x·v and the μ-term), one double

@@ -1160,4 +1160,195 @@ object Profiling {
         .cast("long"))
       .select("rnk", "dim", "value", "n", "mean_slice", "z")
   }
+
+  /** Shared binning for the classifier-evaluation family
+    * ([[rocCurve]] / [[rocAuc]] / [[calibrationReport]]): scores in
+    * [0, 1] quantize to q = round(score·bins) ∈ {0..bins}, and the
+    * corpus collapses to one (q, n_pos, n_neg) row per OCCUPIED bin —
+    * ≤ bins+1 rows however large the input. This quantization is the
+    * operator's SEMANTICS (the standard histogram-ROC at scale — an
+    * exact per-distinct-score curve is data-sized at 100 TB and the
+    * curve beyond ~3 decimals is invisible anyway); oracles replay
+    * the same quantization, so every gate stays exact.
+    */
+  private def scoreBins(df: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int): DataFrame =
+    df.select(
+        round(col(scoreCol).cast("double") * bins, 0).cast("long").as("q"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("q")
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+
+  /** ROC CURVE of a scored binary classifier — one (threshold, TPR,
+    * FPR) row per occupied score bin, threshold descending: the
+    * operating-point sweep every model eval publishes. TPR/FPR at
+    * threshold t count predictions with score ≥ t — exact integer
+    * cumulative counts over the ≤ bins+1 bin table (the cumsum
+    * window rides the BOUNDED bin table, never the corpus — the
+    * [[graft.operators.Events.cumulativeUsers]] discipline).
+    */
+  def rocCurve(df: DataFrame, scoreCol: String, labelCol: String,
+               bins: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val b = scoreBins(df, scoreCol, labelCol, bins)
+    val tot = b.agg(sum("pos").as("p"), sum("neg").as("n")) // 1-row scalar
+    val w = Window.orderBy(col("q").desc) // ≤ bins+1 rows — control-plane
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_pos", sum("pos").over(w))
+      .withColumn("cum_neg", sum("neg").over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        round(d(col("q")) / bins, 6).as("threshold"),
+        col("cum_pos").as("n_tp"), col("cum_neg").as("n_fp"),
+        round(d(col("cum_pos")) / d(col("p")), 6).as("tpr"),
+        round(d(col("cum_neg")) / d(col("n")), 6).as("fpr"))
+  }
+
+  /** Exact AUC (Mann–Whitney rank-sum form) + Gini + Brier of a
+    * scored binary classifier over the quantized scores:
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), accumulated as
+    * the exact INTEGER 2U = Σ_b pos_b·(2·cumNegBelow_b + neg_b) so no
+    * float ever sums; Gini = 2·AUC − 1; Brier = Σ(q − y·bins)² /
+    * (n·bins²) — an exact integer numerator because y ∈ {0,1} and q
+    * is already integral. One aggregate + one bounded-bin-table
+    * window; the 100 TB cost is the single corpus scan in
+    * [[scoreBins]].
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+             bins: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val b = scoreBins(df, scoreCol, labelCol, bins)
+    val w = Window.orderBy("q") // ≤ bins+1 rows — control-plane
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binsD = lit(bins.toLong)
+    b.withColumn("cum_neg_below", coalesce(sum("neg").over(w), lit(0L)))
+      .agg(
+        sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (col("cum_neg_below") * 2 + col("neg"))).as("two_u"),
+        sum(col("pos") * (col("q") - binsD) * (col("q") - binsD)
+          + col("neg") * col("q") * col("q")).as("sq_err"))
+      .select(col("n_pos"), col("n_neg"),
+        round(d(col("two_u")) / (d(col("n_pos")) * d(col("n_neg")) * 2), 6)
+          .as("auc"),
+        round(d(col("two_u")) / (d(col("n_pos")) * d(col("n_neg"))) - 1, 6)
+          .as("gini"),
+        round(d(col("sq_err"))
+          / ((d(col("n_pos")) + d(col("n_neg"))) * bins.toDouble * bins), 6)
+          .as("brier"))
+  }
+
+  /** PRECISION–RECALL CURVE — [[rocCurve]]'s twin for imbalanced
+    * tasks (ROC flatters a classifier when negatives dominate;
+    * precision reads the cost of acting on predictions directly):
+    * one (threshold, precision, recall) row per occupied bin,
+    * threshold descending, exact integer cumulative counts over the
+    * bounded bin table.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              bins: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val b = scoreBins(df, scoreCol, labelCol, bins)
+    val tot = b.agg(sum("pos").as("p")) // 1-row scalar
+    val w = Window.orderBy(col("q").desc) // ≤ bins+1 rows — control-plane
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_pos", sum("pos").over(w))
+      .withColumn("cum_neg", sum("neg").over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        round(d(col("q")) / bins, 6).as("threshold"),
+        col("cum_pos").as("n_tp"),
+        round(d(col("cum_pos")) / (d(col("cum_pos")) + d(col("cum_neg"))), 6)
+          .as("precision"),
+        round(d(col("cum_pos")) / d(col("p")), 6).as("recall"))
+  }
+
+  /** AVERAGE PRECISION (the PR curve's area, step-interpolated —
+    * what "AP" means in every detection/retrieval benchmark):
+    * AP = Σ_b ΔRecall_b · Precision_b over descending thresholds
+    *    = Σ_b (pos_b / P) · (cumPos_b / (cumPos_b + cumNeg_b)).
+    * Each term ×1e9-rounds to an exact long BEFORE the sum (the
+    * [[w1Drift]] discipline — float += in an arbitrary reduce order
+    * is not associative; integer sums are), so the result is
+    * order-free and oracle-exact.
+    */
+  def avgPrecision(df: DataFrame, scoreCol: String, labelCol: String,
+                   bins: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val b = scoreBins(df, scoreCol, labelCol, bins)
+    val tot = b.agg(sum("pos").as("p"), sum("neg").as("n")) // 1-row scalar
+    val w = Window.orderBy(col("q").desc) // ≤ bins+1 rows — control-plane
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_pos", sum("pos").over(w))
+      .withColumn("cum_neg", sum("neg").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("t9", round(round(
+          d(col("pos")) * d(col("cum_pos"))
+            / (d(col("p")) * (d(col("cum_pos")) + d(col("cum_neg")))), 9)
+          * 1e9, 0).cast("long"))
+      .agg(max(col("p")).as("n_pos"), max(col("n")).as("n_neg"),
+        round(sum(col("t9")) / 1e9, 6).as("avg_precision"))
+  }
+
+  /** WEIGHT OF EVIDENCE / INFORMATION VALUE of a categorical feature
+    * against a binary label — the credit-scoring feature screen
+    * (IV < 0.02 useless, > 0.5 suspicious): per category,
+    * WoE = ln((pos_c/P)/(neg_c/N)) and the IV term
+    * (pos_c/P − neg_c/N)·WoE; total IV rides every row. Categories
+    * with a zero side are excluded (their WoE is ±∞ — the standard
+    * convention; a production screen bins them away first), and the
+    * exclusion is part of the operator's semantics (oracles
+    * replicate the pos > 0 AND neg > 0 cut). IV terms ×1e6-round to
+    * exact longs before the total sum ([[mutualInformation]]'s
+    * discipline). One category-sized aggregate after one corpus scan.
+    */
+  def woeIv(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val b = df.select(col(catCol).cast("string").as("category"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("category")
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+      .where(col("pos") > 0 && col("neg") > 0)
+    val tot = b.agg(sum("pos").as("p"), sum("neg").as("n")) // 1-row scalar
+    val woeRaw = log((d(col("pos")) * d(col("n")))
+      / (d(col("neg")) * d(col("p"))))
+    val ivTerm = (d(col("pos")) / d(col("p"))
+      - d(col("neg")) / d(col("n"))) * woeRaw
+    val perCat = b.crossJoin(broadcast(tot))
+      .withColumn("iv6", round(round(ivTerm, 6) * 1e6, 0).cast("long"))
+      .withColumn("woe", round(woeRaw, 6))
+    val ivTot = perCat.agg(round(sum(col("iv6")) / 1e6, 6).as("iv_total"))
+    perCat.crossJoin(broadcast(ivTot)) // 1-row scalar
+      .select(col("category"), col("pos").as("n_pos"), col("neg").as("n_neg"),
+        col("woe"), round(d(col("iv6")) / 1e6, 6).as("iv_term"),
+        col("iv_total"))
+  }
+
+  /** CALIBRATION (reliability) table — does a score of 0.7 mean 70%?
+    * Scores bucket into `buckets` equal-width bands (assignment off
+    * the integer quantized q, so the bucket edge is exact: bucket =
+    * min(⌊q·buckets/bins⌋, buckets−1)); each band reports its mean
+    * predicted score, observed positive rate, and the gap — the
+    * reliability-diagram rows, miscalibration read directly off
+    * `gap`. One corpus scan + a buckets-sized aggregate.
+    */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        buckets: Int = 10, bins: Int = 1000): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    scoreBins(df, scoreCol, labelCol, bins)
+      .withColumn("bucket", // q·buckets ≤ 10⁴ — exact in doubles, floor exact
+        least(floor(col("q") * buckets / lit(bins)), lit((buckets - 1).toLong))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(sum(col("pos") + col("neg")).as("n"), sum("pos").as("n_pos"),
+        sum((col("pos") + col("neg")) * col("q")).as("sum_q"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(d(col("sum_q")) / (d(col("n")) * bins), 6).as("mean_pred"),
+        round(d(col("n_pos")) / d(col("n")), 6).as("pos_rate"),
+        round(d(col("n_pos")) / d(col("n"))
+          - d(col("sum_q")) / (d(col("n")) * bins), 6).as("gap"))
+  }
 }

@@ -829,4 +829,91 @@ class ProfilingSpec extends SparkSpec {
     assert(withConst.toSeq == top.toSeq,
       s"constant feature must not move any score: ${withConst.toSeq} vs ${top.toSeq}")
   }
+
+  test("rocAuc: perfect separation scores 1, all-ties score 0.5, hand case exact") {
+    import spark.implicits._
+    // perfect: every positive outscores every negative
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "y")
+    val p = Profiling.rocAuc(perfect, "score", "y")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(p == ((2L, 2L, 1.0, 1.0, 0.025)), s"perfect: $p")
+    // Brier check: q in {900, 800, 200, 100}; errors (1000-q) for pos,
+    // q for neg: (100²+200²+200²+100²)/(4·10⁶) = 100000/4e6 = 0.025 ✓
+    // all scores tie → AUC exactly 0.5 (the ½·P(=) term)
+    val ties = Seq((0.5, true), (0.5, true), (0.5, false)).toDF("score", "y")
+    val t = Profiling.rocAuc(ties, "score", "y")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(t._3 == 0.5 && t._4 == 0.0, s"ties: $t")
+    // hand case: pos scores {0.9, 0.4}, neg {0.6, 0.1}; concordant
+    // pairs: (0.9>0.6), (0.9>0.1), (0.4>0.1) = 3 of 4 → AUC 0.75
+    val hand = Seq((0.9, true), (0.4, true), (0.6, false), (0.1, false))
+      .toDF("score", "y")
+    val h = Profiling.rocAuc(hand, "score", "y")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(h._3 == 0.75 && h._4 == 0.5, s"hand: $h")
+  }
+
+  test("rocCurve: monotone cumulative rates ending at (1, 1)") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.7, false), (0.7, true), (0.3, false),
+      (0.1, true)).toDF("score", "y")
+    val got = Profiling.rocCurve(df, "score", "y")
+      .orderBy(org.apache.spark.sql.functions.desc("threshold"))
+      .as[(Double, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0.9, 0.7, 0.3, 0.1), s"thresholds: $got")
+    // cum counts monotone, final point is (tpr, fpr) = (1, 1)
+    assert(got.map(_._2) == Seq(1L, 2L, 2L, 3L) &&
+      got.map(_._3) == Seq(0L, 1L, 2L, 2L), s"cums: $got")
+    assert(got.last._4 == 1.0 && got.last._5 == 1.0, s"terminal: ${got.last}")
+  }
+
+  test("avgPrecision: perfect run scores 1, hand case matches the step sum") {
+    import spark.implicits._
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("score", "y")
+    val p = Profiling.avgPrecision(perfect, "score", "y")
+      .as[(Long, Long, Double)].head()
+    assert(p == ((2L, 1L, 1.0)), s"perfect AP: $p")
+    // ranking pos, neg, pos: terms (1/2)*(1/1) + (1/2)*(2/3) = 0.833333
+    val hand = Seq((0.9, true), (0.6, false), (0.3, true)).toDF("score", "y")
+    val h = Profiling.avgPrecision(hand, "score", "y")
+      .as[(Long, Long, Double)].head()
+    assert(h == ((2L, 1L, 0.833333)), s"hand AP: $h")
+  }
+
+  test("woeIv: hand-computed WoE/IV; a zero-sided category is excluded") {
+    import spark.implicits._
+    // cat A: 3 pos / 1 neg; cat B: 1 pos / 3 neg; cat C: 2 pos / 0 neg
+    // (excluded). P = N = 4 over surviving cats.
+    val df = (Seq.fill(3)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(3)(("B", false)) ++
+      Seq.fill(2)(("C", true))).toDF("cat", "y")
+    val got = Profiling.woeIv(df, "cat", "y").orderBy("category")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    val woeA = BigDecimal(math.log(3.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ivA = BigDecimal(BigDecimal((3.0 / 4 - 1.0 / 4) * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ivTot = BigDecimal(2 * ivA).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1) == Seq("A", "B"), s"C must be excluded: $got")
+    assert(got.head == (("A", 3L, 1L, woeA, ivA, ivTot)), s"A: ${got.head}")
+    // B mirrors A: woe = -ln 3, same IV term
+    assert(got(1) == (("B", 1L, 3L, -woeA, ivA, ivTot)), s"B: ${got(1)}")
+  }
+
+  test("calibrationReport: bands split on exact edges, gap = pos_rate - mean_pred") {
+    import spark.implicits._
+    // q = 100, 100, 500, 900 → buckets 1, 1, 5, 9
+    val df = Seq((0.1, true), (0.1, false), (0.5, true), (0.9, false))
+      .toDF("score", "y")
+    val got = Profiling.calibrationReport(df, "score", "y")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.1, 0.5, 0.4),
+      (5L, 1L, 1L, 0.5, 1.0, 0.5),
+      (9L, 1L, 0L, 0.9, 0.0, -0.9)), s"calibration: $got")
+  }
 }
