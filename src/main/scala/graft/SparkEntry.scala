@@ -124,6 +124,15 @@ object SparkEntry {
         lit(1.0)), lit(-1.0)) + 1.0) / 2.0).as("score"),
       (col("label") <= 4).as("is_pos"))
 
+  /** [[clsScored]]'s multiclass sibling: predicted class = the decile
+    * of the squashed first coordinate (0..9), actual = the label.
+    */
+  private def clsMulti(e: DataFrame): DataFrame =
+    e.select(col("label").cast("long").as("actual"),
+      least(floor((greatest(least(element_at(col("embedding"), 1)
+        .cast("double"), lit(1.0)), lit(-1.0)) + 1.0) / 2.0 * 10), lit(9.0))
+        .cast("long").as("predicted"))
+
   /** Materialized kNN edge table per corpus (the cluster-map path
     * discipline): sim_knn_graph and sim_mutual_knn both serve from
     * it, so the bucket self-join runs once per (JVM, fixture).
@@ -4955,6 +4964,38 @@ object SparkEntry {
             .withColumn("is_f", col("o_orderstatus") === "F"),
           "o_orderpriority", "is_f")
         .orderBy("category")),
+
+    // regression scorecard (MAE/bias/RMSE/R2) of a deterministic
+    // "model" for order totals — cent-exact decimal(38,0) sums,
+    // metrics as single double expressions over them
+    "profile_regression_eval" -> ((s, dir) =>
+      Profiling.regressionEval(
+        t(s, dir, "orders").select(
+          (floor(round(col("o_totalprice") * 100, 0) * 9 / lit(10)) / 100.0
+            + col("o_orderkey") % 1000).as("pred"),
+          col("o_totalprice").as("actual")),
+        "pred", "actual")),
+
+    // multiclass confusion cells: true embedding label vs the
+    // first-coordinate decile "classifier" — ≤ |classes|^2 rows
+    "profile_confusion" -> ((s, dir) =>
+      Profiling.confusionMatrix(clsMulti(t(s, dir, "embeddings")),
+          "actual", "predicted")
+        .orderBy("actual", "predicted")),
+
+    // per-class precision/recall/F1 off exact TP/FP/FN integers;
+    // never-predicted classes report precision 0 (documented)
+    "profile_class_report" -> ((s, dir) =>
+      Profiling.classReport(clsMulti(t(s, dir, "embeddings")),
+          "actual", "predicted")
+        .orderBy("class")),
+
+    // campaign-targeting lift/gains: 10 tie-respecting midpoint-rank
+    // tiles off the bounded bin table, never a data-sized ntile
+    "profile_lift_chart" -> ((s, dir) =>
+      Profiling.liftChart(clsScored(t(s, dir, "embeddings")),
+          "score", "is_pos")
+        .orderBy("tile")),
 
     // KS drift between TIME SLICES of the event lake (week 1 vs
     // week 2 value distributions) — the lake-monitoring composition
@@ -13069,6 +13110,93 @@ object SparkEntry {
         | SELECT category, pos AS n_pos, neg AS n_neg, woe,
         |  round(iv6::DOUBLE / 1e6, 6) AS iv_term, iv_total
         | FROM pc6, tot ORDER BY category""".stripMargin,
+
+    // the same deterministic model replayed, cent-exact HUGEINT sums,
+    // metric expressions term-for-term the engine's
+    "profile_regression_eval" ->
+      """WITH s AS (SELECT
+        |   CAST(round((floor(round(o_totalprice * 100, 0) * 9 / 10)
+        |     / 100.0 + o_orderkey % 1000) * 100, 0) AS HUGEINT) AS p,
+        |   CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS a
+        |  FROM orders)
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(abs(p - a))::DOUBLE / (count(*)::DOUBLE * 100), 6)
+        |    AS mae,
+        |  round(sum(p - a)::DOUBLE / (count(*)::DOUBLE * 100), 6) AS bias,
+        |  round(sqrt(sum((p - a) * (p - a))::DOUBLE / count(*)::DOUBLE)
+        |    / 100, 6) AS rmse,
+        |  round(1.0 - sum((p - a) * (p - a))::DOUBLE
+        |    / (sum(a * a)::DOUBLE
+        |       - sum(a)::DOUBLE * sum(a)::DOUBLE / count(*)::DOUBLE), 6)
+        |    AS r2
+        | FROM s""".stripMargin,
+
+    // the decile "classifier" replayed, exact cell counts
+    "profile_confusion" ->
+      """SELECT label::BIGINT AS actual,
+        | CAST(least(floor((greatest(least(embedding[1]::DOUBLE, 1.0),
+        |   -1.0) + 1.0) / 2.0 * 10), 9) AS BIGINT) AS predicted,
+        | CAST(count(*) AS BIGINT) AS n
+        | FROM embeddings GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+
+    // per-class TP/FP/FN integers, F1 as the single 2TP ratio,
+    // never-predicted classes report precision 0
+    "profile_class_report" ->
+      """WITH cm AS (SELECT label::BIGINT AS actual,
+        |   CAST(least(floor((greatest(least(embedding[1]::DOUBLE, 1.0),
+        |     -1.0) + 1.0) / 2.0 * 10), 9) AS BIGINT) AS predicted,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        | ba AS (SELECT actual AS class, CAST(sum(n) AS BIGINT) AS support,
+        |   CAST(sum(CASE WHEN predicted = actual THEN n ELSE 0 END)
+        |     AS BIGINT) AS tp
+        |  FROM cm GROUP BY 1),
+        | bp AS (SELECT predicted AS class,
+        |   CAST(sum(n) AS BIGINT) AS n_predicted FROM cm GROUP BY 1)
+        | SELECT ba.class, ba.support, ba.tp,
+        |  coalesce(bp.n_predicted, 0) AS n_predicted,
+        |  CASE WHEN coalesce(bp.n_predicted, 0) = 0 THEN 0.0
+        |   ELSE round(ba.tp::DOUBLE / bp.n_predicted::DOUBLE, 6) END
+        |   AS precision,
+        |  round(ba.tp::DOUBLE / ba.support::DOUBLE, 6) AS recall,
+        |  round(ba.tp::DOUBLE * 2 / (ba.tp::DOUBLE * 2
+        |    + (coalesce(bp.n_predicted, 0)::DOUBLE - ba.tp::DOUBLE)
+        |    + (ba.support::DOUBLE - ba.tp::DOUBLE)), 6) AS f1
+        | FROM ba LEFT JOIN bp USING (class) ORDER BY ba.class""".stripMargin,
+
+    // midpoint-rank tiles off the bin table (tie-respecting, the
+    // operator's documented semantics), exact ratios per tile
+    "profile_lift_chart" ->
+      """WITH s AS (SELECT
+        |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
+        |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
+        |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
+        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1),
+        | t AS (SELECT CAST(sum(pos + neg) AS BIGINT) AS total,
+        |   CAST(sum(pos) AS BIGINT) AS p FROM b),
+        | ca AS (SELECT q, pos, neg,
+        |   coalesce(CAST(sum(pos + neg) OVER (ORDER BY q DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |     0) AS cum_above
+        |  FROM b),
+        | td AS (SELECT pos, neg, total, p,
+        |   CAST(least(floor((cum_above * 2 + pos + neg) * 10
+        |     / (total * 2)), 9) AS BIGINT) AS tile
+        |  FROM ca, t),
+        | pt AS (SELECT tile, CAST(sum(pos + neg) AS BIGINT) AS n,
+        |   CAST(sum(pos) AS BIGINT) AS n_pos,
+        |   max(total) AS total, max(p) AS p
+        |  FROM td GROUP BY 1),
+        | cp AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY tile
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos FROM pt)
+        | SELECT tile, n, n_pos,
+        |  round(n_pos::DOUBLE / n::DOUBLE, 6) AS pos_rate,
+        |  round((n_pos::DOUBLE / n::DOUBLE)
+        |    / (p::DOUBLE / total::DOUBLE), 6) AS lift,
+        |  round(cum_pos::DOUBLE / p::DOUBLE, 6) AS cum_capture
+        | FROM cp ORDER BY tile""".stripMargin,
 
     // whitening over the SAME replayed basis: centered projection as
     // two exact-long sums (Σ x·v and the μ-term), one double

@@ -1327,6 +1327,122 @@ object Profiling {
         col("iv_total"))
   }
 
+  /** REGRESSION EVALUATION — MAE, RMSE, bias and R² of a predicted
+    * numeric column against the actual, the scorecard every
+    * regression eval publishes. Values quantize to `scale` units
+    * (money-style 2dp by default) so every accumulator is an EXACT
+    * integer: Σ|Δ|, ΣΔ, ΣΔ² and the R² pieces (ΣA, ΣA²) sum as
+    * decimal(38,0) — squares of cent-scaled values overflow a long at
+    * corpus scale, the [[graft.operators.Analytics]] lesson. The
+    * final MAE/RMSE/R² are single double expressions over the exact
+    * sums, round 6. One corpus scan, one 1-row aggregate.
+    */
+  def regressionEval(df: DataFrame, predCol: String, actualCol: String,
+                     scale: Int = 100): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val sc = scale.toDouble
+    val p = round(col(predCol).cast("double") * scale, 0).cast("decimal(38,0)")
+    val a = round(col(actualCol).cast("double") * scale, 0).cast("decimal(38,0)")
+    df.select(p.as("p"), a.as("a"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("p") - col("a"))).as("sae"),
+        sum(col("p") - col("a")).as("se"),
+        sum((col("p") - col("a")) * (col("p") - col("a"))).as("sse"),
+        sum(col("a")).as("sa"),
+        sum(col("a") * col("a")).as("saa"))
+      .select(col("n"),
+        round(d(col("sae")) / (d(col("n")) * sc), 6).as("mae"),
+        round(d(col("se")) / (d(col("n")) * sc), 6).as("bias"),
+        round(sqrt(d(col("sse")) / d(col("n"))) / sc, 6).as("rmse"),
+        // R² = 1 − SSE/SST with SST = ΣA² − (ΣA)²/n — exact pieces
+        round(lit(1.0) - d(col("sse"))
+          / (d(col("saa")) - d(col("sa")) * d(col("sa")) / d(col("n"))), 6)
+          .as("r2"))
+  }
+
+  /** CONFUSION MATRIX of a multiclass prediction — one (actual,
+    * predicted, n) row per occupied cell; ≤ |classes|² rows however
+    * large the corpus. The raw material of every per-class eval.
+    */
+  def confusionMatrix(df: DataFrame, actualCol: String,
+                      predCol: String): DataFrame =
+    df.groupBy(col(actualCol).cast("long").as("actual"),
+        col(predCol).cast("long").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** PER-CLASS CLASSIFICATION REPORT — precision, recall, F1 and
+    * support per actual class, computed from exact integer TP/FP/FN
+    * counts (F1 as the single ratio 2·TP/(2·TP+FP+FN) — no
+    * intermediate float P and R feed it). A class never predicted
+    * reports precision 0 (the standard zero-division convention,
+    * replicated by the oracle). Two class-sized aggregates off the
+    * ≤|classes|² confusion cells.
+    */
+  def classReport(df: DataFrame, actualCol: String,
+                  predCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val cm = confusionMatrix(df, actualCol, predCol)
+      .localCheckpoint() // ≤|classes|² rows; three consumers
+    val byActual = cm.groupBy(col("actual").as("class"))
+      .agg(sum("n").as("support"),
+        sum(when(col("predicted") === col("actual"), col("n"))
+          .otherwise(0L)).as("tp"))
+    val byPred = cm.groupBy(col("predicted").as("class"))
+      .agg(sum("n").as("n_predicted"))
+    val np = coalesce(col("n_predicted"), lit(0L)) // left-join null = 0
+    byActual.join(byPred, Seq("class"), "left")
+      .select(col("class"), col("support"), col("tp"),
+        np.as("n_predicted"),
+        when(np === 0, lit(0.0))
+          .otherwise(round(d(col("tp")) / d(np), 6)).as("precision"),
+        round(d(col("tp")) / d(col("support")), 6).as("recall"),
+        round(d(col("tp")) * 2 / (d(col("tp")) * 2
+          + (d(np) - d(col("tp")))
+          + (d(col("support")) - d(col("tp")))), 6).as("f1"))
+  }
+
+  /** LIFT / GAINS CHART — the campaign-targeting readout: rank by
+    * score descending, split into `tiles` near-equal-population
+    * bands, and per band report the positive rate, its LIFT over the
+    * base rate, and the cumulative capture share. Band assignment is
+    * tie-respecting and integer-exact off the quantized bin table:
+    * bin b (all its rows) lands in tile ⌊tiles·(2·cumAbove_b + n_b) /
+    * (2·total)⌋ — the tile of the bin's MIDPOINT rank, so equal
+    * scores never split across tiles and no data-sized window ever
+    * runs (a true per-row ntile is a global sort at 100 TB; the
+    * midpoint-of-bin convention is this operator's documented
+    * semantics, replayed by the oracle).
+    */
+  def liftChart(df: DataFrame, scoreCol: String, labelCol: String,
+                tiles: Int = 10, bins: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val b = scoreBins(df, scoreCol, labelCol, bins)
+    val tot = b.agg(sum(col("pos") + col("neg")).as("total"),
+      sum("pos").as("p")) // 1-row scalar
+    val w = Window.orderBy(col("q").desc) // ≤ bins+1 rows — control-plane
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tiled = b
+      .withColumn("cum_above", coalesce(sum(col("pos") + col("neg")).over(w),
+        lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("tile", // midpoint-rank tile, integer-exact
+        least(floor((col("cum_above") * 2 + col("pos") + col("neg"))
+          * tiles / (col("total") * 2)), lit((tiles - 1).toLong))
+          .cast("long"))
+    val perTile = tiled.groupBy("tile")
+      .agg(sum(col("pos") + col("neg")).as("n"), sum("pos").as("n_pos"),
+        max("total").as("total"), max("p").as("p"))
+    val w2 = Window.orderBy("tile") // ≤ tiles rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTile.withColumn("cum_pos", sum("n_pos").over(w2))
+      .select(col("tile"), col("n"), col("n_pos"),
+        round(d(col("n_pos")) / d(col("n")), 6).as("pos_rate"),
+        round((d(col("n_pos")) / d(col("n")))
+          / (d(col("p")) / d(col("total"))), 6).as("lift"),
+        round(d(col("cum_pos")) / d(col("p")), 6).as("cum_capture"))
+  }
+
   /** CALIBRATION (reliability) table — does a score of 0.7 mean 70%?
     * Scores bucket into `buckets` equal-width bands (assignment off
     * the integer quantized q, so the bucket edge is exact: bucket =

@@ -903,6 +903,54 @@ class ProfilingSpec extends SparkSpec {
     assert(got(1) == (("B", 1L, 3L, -woeA, ivA, ivTot)), s"B: ${got(1)}")
   }
 
+  test("regressionEval: perfect predictions score MAE 0 / R2 1; hand case exact") {
+    import spark.implicits._
+    val perfect = Seq((1.5, 1.5), (2.0, 2.0), (4.5, 4.5)).toDF("p", "a")
+    val gp = Profiling.regressionEval(perfect, "p", "a")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(gp == ((3L, 0.0, 0.0, 0.0, 1.0)), s"perfect: $gp")
+    // preds 1 unit high and low: MAE 1, bias 0, RMSE 1;
+    // actuals {1, 3}: SST = 2, SSE = 2 -> R2 = 0
+    val hand = Seq((2.0, 1.0), (2.0, 3.0)).toDF("p", "a")
+    val gh = Profiling.regressionEval(hand, "p", "a")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(gh == ((2L, 1.0, 0.0, 1.0, 0.0)), s"hand: $gh")
+  }
+
+  test("classReport: hand-computed P/R/F1; never-predicted class reports precision 0") {
+    import spark.implicits._
+    // actual 0: predicted {0, 0, 1}; actual 1: predicted {1};
+    // actual 2: predicted {1} — class 2 never predicted
+    val df = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (2L, 1L))
+      .toDF("actual", "predicted")
+    val got = Profiling.classReport(df, "actual", "predicted")
+      .orderBy("class")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // class 0: tp 2, fp 0, fn 1 -> P 1, R 2/3, F1 4/5
+    // class 1: tp 1, fp 2, fn 0 -> P 1/3, R 1, F1 1/2
+    // class 2: tp 0, predicted never -> P 0 (convention), R 0, F1 0
+    assert(got == Seq(
+      (0L, 3L, 2L, 2L, 1.0, 0.666667, 0.8),
+      (1L, 1L, 1L, 3L, 0.333333, 1.0, 0.5),
+      (2L, 1L, 0L, 0L, 0.0, 0.0, 0.0)), s"report: $got")
+  }
+
+  test("liftChart: ties never split across tiles; capture sums to 1") {
+    import spark.implicits._
+    // 10 rows, two score levels (ties): 5 at 0.9 (4 pos), 5 at 0.1
+    // (1 pos) — each level is one bin, midpoint-rank tiles keep each
+    // level together (level 1 -> tile floor(10*5/20)=2, level 2 ->
+    // floor(10*15/20)=7)
+    val df = (Seq.fill(4)((0.9, true)) ++ Seq((0.9, false)) ++
+      Seq((0.1, true)) ++ Seq.fill(4)((0.1, false))).toDF("score", "y")
+    val got = Profiling.liftChart(df, "score", "y")
+      .orderBy("tile")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (2L, 5L, 4L, 0.8, 1.6, 0.8),
+      (7L, 5L, 1L, 0.2, 0.4, 1.0)), s"lift: $got")
+  }
+
   test("calibrationReport: bands split on exact edges, gap = pos_rate - mean_pred") {
     import spark.implicits._
     // q = 100, 100, 500, 900 → buckets 1, 1, 5, 9
