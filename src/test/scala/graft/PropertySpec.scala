@@ -465,4 +465,32 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"iteration $it rel=$rel")
     }
   }
+
+  test("rocAuc: label swap flips AUC to 1-AUC; AUC matches the O(P*N) pair count") {
+    import graft.operators.Profiling
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 1000), Gen.oneOf(true, false)))
+    for (rows <- samples(gen, 8)
+         if rows.exists(_._2) && rows.exists(!_._2)) {
+      val df = rows.map { case (q, y) => (q / 1000.0, y) }.toDF("score", "y")
+      val (p, n, auc, gini, _) = Profiling.rocAuc(df, "score", "y")
+        .as[(Long, Long, Double, Double, Double)].head()
+      // brute-force pair definition on the quantized scores
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val wins = (for (a <- pos; b <- neg)
+        yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+      val exact = BigDecimal(wins.toDouble / (2.0 * pos.size * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((p, n) == ((pos.size.toLong, neg.size.toLong)))
+      assert(auc == exact, s"auc $auc != pairwise $exact for $rows")
+      // label swap: P(s+ > s-) mirrors, ties stay halved -> 1 - AUC
+      val sw = rows.map { case (q, y) => (q / 1000.0, !y) }.toDF("score", "y")
+      val aucSw = Profiling.rocAuc(sw, "score", "y")
+        .as[(Long, Long, Double, Double, Double)].head()._3
+      assert(math.abs(auc + aucSw - 1.0) < 2e-6,
+        s"swap symmetry: $auc + $aucSw != 1")
+      assert(math.abs(gini - (2 * auc - 1)) < 2e-6, s"gini: $gini vs $auc")
+    }
+  }
 }
