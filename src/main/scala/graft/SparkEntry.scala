@@ -6102,6 +6102,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // fixed-width flat-file round-trip (the COBOL-copybook feed
+    // format, no delimiters): write orders into declared column
+    // spans, substring them back out, values must survive bit-exactly
+    "etl_fixed_width_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      val widths = Seq("o_orderkey" -> 12, "o_orderstatus" -> 2,
+        "o_orderpriority" -> 16, "o_totalprice" -> 14)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixedwidth_${math.abs(dir.hashCode)}"
+      Etl.writeFixedWidth(src, path, widths)
+      Etl.readFixedWidth(s, path, widths)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // XML sink round-trip (built-in source since Spark 4.0) — the
     // enterprise-integration format the OData side of this engine
     // speaks; explicit read-back schema like the CSV path, values must
@@ -13937,6 +13955,11 @@ object SparkEntry {
         | FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "etl_xml_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the fixed-width spans must reproduce the source values exactly
+    "etl_fixed_width_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
 

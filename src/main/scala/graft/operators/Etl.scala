@@ -150,6 +150,49 @@ object Etl {
     out.write.mode("overwrite").json(path)
   }
 
+  /** FIXED-WIDTH flat-file SINK — the mainframe/enterprise feed
+    * format OData estates still exchange (COBOL copybook layouts, no
+    * delimiters): every column renders into exactly `width`
+    * characters, right-padded with spaces, rows concatenated in
+    * declaration order. Map-only (one codegen'd concat of rpads), no
+    * shuffle beyond the single-file coalesce. A value WIDER than its
+    * declared column would silently corrupt every following field of
+    * the row, so the writer fails fast instead (one all-columns
+    * validity aggregate — the empty-result guard discipline).
+    */
+  def writeFixedWidth(df: DataFrame, path: String,
+                      widths: Seq[(String, Int)],
+                      singleFile: Boolean = true): Unit = {
+    require(widths.nonEmpty, "need at least one (column, width)")
+    val over = df.select(widths.map { case (c, w) =>
+      sum(when(length(col(c).cast("string")) > w, 1L).otherwise(0L))
+        .as(c) }: _*).head()
+    widths.zipWithIndex.foreach { case ((c, w), i) =>
+      require(over.getLong(i) == 0L,
+        s"${over.getLong(i)} values of '$c' exceed width $w — widen the column") }
+    val line = concat(widths.map { case (c, w) =>
+      rpad(coalesce(col(c).cast("string"), lit("")), w, " ") }: _*)
+    val out = df.select(line.as("value"))
+    (if (singleFile) out.coalesce(1) else out)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** FIXED-WIDTH SOURCE — [[writeFixedWidth]]'s read side: substring
+    * each declared span out of the line and right-trim the padding;
+    * all columns come back as strings (the caller casts — copybook
+    * layouts carry no type metadata). Map-only over the text scan:
+    * the substrings are codegen'd, so a 100 TB feed parses at scan
+    * throughput with no UDF in the path.
+    */
+  def readFixedWidth(spark: org.apache.spark.sql.SparkSession, path: String,
+                     widths: Seq[(String, Int)]): DataFrame = {
+    require(widths.nonEmpty, "need at least one (column, width)")
+    val offsets = widths.scanLeft(1) { case (o, (_, w)) => o + w }
+    spark.read.text(path).select(
+      widths.zip(offsets).map { case ((c, w), o) =>
+        rtrim(substring(col("value"), o, w)).as(c) }: _*)
+  }
+
   /** K1c — ORC sink: the columnar alternative when a consumer is
     * Hive/Presto-shaped rather than parquet-shaped. Same overwrite
     * contract as the other sinks; no single-file coalesce by default —

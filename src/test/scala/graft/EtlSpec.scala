@@ -294,6 +294,29 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 256)
   }
 
+  test("fixed-width sink/source: exact spans, null as empty, fail-fast on overflow") {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_fixedwidth"
+    val df = Seq((1L, "AB", 12.5), (22L, "C", 0.25), (333L, null, 99.0))
+      .toDF("k", "s", "v")
+    val widths = Seq("k" -> 5, "s" -> 4, "v" -> 8)
+    Etl.writeFixedWidth(df, path, widths)
+    // raw lines carry exact spans (right-padded, null -> spaces)
+    val lines = spark.read.text(path).as[String].collect().sorted.toSeq
+    assert(lines == Seq("1    AB  12.5    ", "22   C   0.25    ",
+      "333      99.0    "), s"raw lines: $lines")
+    val back = Etl.readFixedWidth(spark, path, widths)
+      .select(col("k").cast("long"), col("s"), col("v").cast("double"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    // fixed-width cannot distinguish null from empty — documented
+    assert(back == Seq((1L, "AB", 12.5), (22L, "C", 0.25), (333L, "", 99.0)),
+      s"round-trip: $back")
+    // a too-wide value must fail fast, never corrupt following spans
+    intercept[IllegalArgumentException] {
+      Etl.writeFixedWidth(df, path, Seq("k" -> 2, "s" -> 4, "v" -> 8))
+    }
+  }
+
   test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_compact"
