@@ -4056,6 +4056,27 @@ object SparkEntry {
         .orderBy("l_user", "l_session", "r_user", "r_session")
     }),
 
+    // spatial point-in-rectangle join via grid bucketing: points
+    // hash to ONE cell, rectangles explode to their bounded cell
+    // cover, hash equi-join on the cell + exact containment residual
+    // — the oracle is the PLAIN quadratic containment join, so the
+    // hash check proves the grid blocking lossless
+    "join_spatial_grid" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        (pmod(round(col("c_acctbal") * 100, 0).cast("long"), lit(100000L))
+          .cast("double") / 100.0).as("x"),
+        pmod(col("c_custkey") * 13, lit(1000)).cast("double").as("y"))
+      val rects = t(s, dir, "nation").select(col("n_nationkey").as("rect_id"),
+          (col("n_nationkey") * 37 % 900).cast("double").as("x0"),
+          (col("n_nationkey") * 53 % 900).cast("double").as("y0"))
+        .withColumn("x1", col("x0") + lit(80.0))
+        .withColumn("y1", col("y0") + lit(150.0))
+      Joins.spatialGridJoin(pts, "c_custkey", "x", "y", rects, "rect_id",
+          cellSize = 100.0)
+        .groupBy("rect_id").agg(count(lit(1)).as("n_points"))
+        .orderBy("rect_id")
+    }),
+
     // fuzzy string self-join (entity resolution): customer names
     // within edit distance 1 — PassJoin pigeonhole segment blocking,
     // so the oracle can be the PLAIN quadratic Levenshtein join: the
@@ -9502,6 +9523,23 @@ object SparkEntry {
         |  ON l.user_id % 2 = 0 AND r.user_id % 2 = 1
         |  AND l.a <= r.b AND r.a <= l.b
         | ORDER BY l_user, l_session, r_user, r_session""".stripMargin,
+
+    // the quadratic reference containment join: if the engine's grid
+    // blocking ever lost (or duplicated) a pair, the counts would drift
+    "join_spatial_grid" ->
+      """WITH pts AS (SELECT c_custkey,
+        |   ((CAST(round(c_acctbal * 100, 0) AS BIGINT) % 100000
+        |     + 100000) % 100000)::DOUBLE / 100.0 AS x,
+        |   (c_custkey * 13 % 1000)::DOUBLE AS y
+        |  FROM customer),
+        | rects AS (SELECT n_nationkey AS rect_id,
+        |   (n_nationkey * 37 % 900)::DOUBLE AS x0,
+        |   (n_nationkey * 53 % 900)::DOUBLE AS y0
+        |  FROM nation)
+        | SELECT rect_id, CAST(count(*) AS BIGINT) AS n_points
+        | FROM pts JOIN rects
+        |  ON x BETWEEN x0 AND x0 + 80 AND y BETWEEN y0 AND y0 + 150
+        | GROUP BY 1 ORDER BY rect_id""".stripMargin,
 
     // the quadratic reference join: if the engine's segment blocking
     // ever lost a true pair, this hash check would catch it

@@ -430,4 +430,40 @@ object Joins {
       .select(col("o_custkey"), col("n_covered"), col("bundle_size"),
         (col("n_covered") === col("bundle_size")).as("qualifies"))
   }
+
+  /** SPATIAL point-in-rectangle join via GRID BUCKETING — the
+    * geo-join shape (points × regions) Spark has no native operator
+    * for, written as the plan that survives 100 TB: a raw
+    * containment theta-join is a quadratic nested loop, so instead
+    * every point hashes to its single grid cell (⌊x/cell⌋, ⌊y/cell⌋),
+    * every rectangle EXPLODES to the bounded set of cells it
+    * overlaps, and the join becomes a hash EQUI-join on the cell key
+    * with the exact containment predicate as the residual. A point
+    * lives in exactly one cell, so each (point, rect) pair can match
+    * at most once — no post-join dedup. Fan-out is bounded by
+    * cells-per-rectangle (choose `cellSize` near the typical rect
+    * extent); the rect side is region-sized and broadcasts.
+    *
+    * `rects`: (rectId, x0, y0, x1, y1), inclusive bounds.
+    */
+  def spatialGridJoin(points: DataFrame, pidCol: String, xCol: String,
+                      yCol: String, rects: DataFrame, rectIdCol: String,
+                      cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive: $cellSize")
+    val pc = points.select(col(pidCol), col(xCol).as("px"), col(yCol).as("py"),
+      floor(col(xCol) / cellSize).cast("long").as("cx"),
+      floor(col(yCol) / cellSize).cast("long").as("cy"))
+    val rcells = rects
+      .select(col(rectIdCol), col("x0"), col("y0"), col("x1"), col("y1"),
+        explode(sequence(floor(col("x0") / cellSize).cast("long"),
+          floor(col("x1") / cellSize).cast("long"))).as("cx"))
+      .select(col(rectIdCol), col("x0"), col("y0"), col("x1"), col("y1"),
+        col("cx"),
+        explode(sequence(floor(col("y0") / cellSize).cast("long"),
+          floor(col("y1") / cellSize).cast("long"))).as("cy"))
+    pc.join(broadcast(rcells), Seq("cx", "cy"))
+      .where(col("px").between(col("x0"), col("x1")) &&
+             col("py").between(col("y0"), col("y1")))
+      .select(col(pidCol), col(rectIdCol), col("px"), col("py"))
+  }
 }

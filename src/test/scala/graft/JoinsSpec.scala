@@ -228,4 +228,28 @@ class JoinsSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1L, 2L, true), (2L, 1L, false)), s"quotient: $got")
   }
+
+  test("spatialGridJoin equals the brute-force containment join; boundary points inclusive") {
+    import org.apache.spark.sql.functions._
+    // points on cell boundaries and rect edges; rect B spans 3x2 cells
+    val pts = Seq((1L, 0.0, 0.0), (2L, 100.0, 50.0), (3L, 250.0, 149.9),
+      (4L, 80.0, 150.0), (5L, 300.0, 10.0), (6L, 99.99, 99.99))
+      .toDF("pid", "x", "y")
+    val rects = Seq((10L, 0.0, 0.0, 80.0, 150.0), (20L, 50.0, 40.0, 299.0, 149.9))
+      .toDF("rect_id", "x0", "y0", "x1", "y1")
+    val got = Joins.spatialGridJoin(pts, "pid", "x", "y", rects, "rect_id",
+        cellSize = 100.0)
+      .select("pid", "rect_id").as[(Long, Long)].collect().toSeq.sorted
+    // brute force replay
+    val p = pts.as[(Long, Double, Double)].collect()
+    val r = rects.as[(Long, Double, Double, Double, Double)].collect()
+    val exp = (for ((pid, x, y) <- p; (rid, x0, y0, x1, y1) <- r
+      if x >= x0 && x <= x1 && y >= y0 && y <= y1) yield (pid, rid))
+      .toSeq.sorted
+    assert(got == exp, s"grid join: $got vs brute $exp")
+    // sanity: the boundary point (80, 150) is inside rect 10 (inclusive)
+    assert(got.contains((4L, 10L)), s"inclusive bounds: $got")
+    // each pair appears exactly once (a point lives in ONE cell)
+    assert(got.distinct == got, "no duplicate pairs")
+  }
 }

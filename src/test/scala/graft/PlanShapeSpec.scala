@@ -636,6 +636,14 @@ class PlanShapeSpec extends SparkSpec {
       "scene lag/cumsum windows must partition by doc")
   }
 
+  test("spatial join is a hash equi-join on the grid cell, never a theta nested loop (join_spatial_grid)") {
+    val p = plan("join_spatial_grid")
+    assert(p.contains("BroadcastHashJoin"),
+      "the rect-cell side must broadcast into a hash equi-join on (cx, cy)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containment must be a residual filter, never the join condition")
+  }
+
   test("IR metrics join qrels on (query, corpus) keys — no cartesian (sim_ir_metrics)") {
     val p = plan("sim_ir_metrics")
     // the only nested-loop is the broadcast query side of the
