@@ -38,7 +38,7 @@ object SparkEntry {
     */
   private def simhashClusterMapPath(dir: String): String = {
     val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_map_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_map_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   private def ensureSimhashClusterMap(s: SparkSession, dir: String): Unit = {
@@ -58,7 +58,7 @@ object SparkEntry {
     */
   private def basketGraphPath(dir: String): String = {
     val src = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_basket_graph_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_basket_graph_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   private def ensureBasketGraph(s: SparkSession, dir: String): String = {
@@ -77,7 +77,7 @@ object SparkEntry {
     */
   private def anfProfilePath(dir: String): String = {
     val src = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_anf_profile_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_anf_profile_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   /** The gate's EXACT 2-hop ball sizes on the item % 50 slice —
@@ -89,7 +89,7 @@ object SparkEntry {
   private def ensureAnfExactSlice(s: SparkSession, dir: String,
                                   gPath: String): String = {
     val src = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_anf_exact_${math.abs(dir.hashCode)}_$src"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_anf_exact_${(dir.hashCode & Int.MaxValue)}_$src"
     if (!graft.operators.Markers.exists(s"$path/_SUCCESS")) {
       val e0 = Graph.basketPairEdges(s, gPath)
       // no distinct needed: the pair table is canonical (item_a <
@@ -139,7 +139,7 @@ object SparkEntry {
     */
   private def knnGraphPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_knn_graph_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_knn_graph_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   /** Materialized PCA basis per corpus (the cluster-map path
@@ -148,7 +148,7 @@ object SparkEntry {
     */
   private def pcaBasisPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_pca_basis_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_pca_basis_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   /** Materialized full-corpus IVF index (the cluster-map path
@@ -159,7 +159,7 @@ object SparkEntry {
     */
   private def ivfIndexPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   /** Materialized SemDeDup cluster map per corpus — the simhash/
@@ -169,7 +169,7 @@ object SparkEntry {
     */
   private def semanticClusterMapPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_semantic_cluster_map_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_semantic_cluster_map_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   /** Materialized exhaustive ε-graph over the dbscan slice (the
@@ -179,7 +179,7 @@ object SparkEntry {
     */
   private def epsGraphPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_eps_graph_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_eps_graph_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   /** The MinHash-banded twin of [[simhashClusterMapPath]]: the SAME
@@ -189,7 +189,7 @@ object SparkEntry {
     */
   private def minhashClusterMapPath(dir: String): String = {
     val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_cluster_map_${math.abs(dir.hashCode)}_$src"
+    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_cluster_map_${(dir.hashCode & Int.MaxValue)}_$src"
   }
 
   /** File streams read a DIRECTORY; stage the events fixture once per
@@ -207,7 +207,7 @@ object SparkEntry {
   private def stagedEventsDir(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val streamDir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_stream_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}")
     val target = streamDir.toPath.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
       streamDir.mkdirs()
@@ -244,7 +244,7 @@ object SparkEntry {
   private def stagedLateEventsDir(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_events_late_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_late_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}")
     if (!root.exists()) {
       val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
       tmp.mkdirs()
@@ -290,7 +290,7 @@ object SparkEntry {
   private def stagedDupEventsDir(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_events_dup_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_dup_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}")
     if (!root.exists()) {
       val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
       tmp.mkdirs()
@@ -329,7 +329,7 @@ object SparkEntry {
                                 table: String, idCol: String): String = {
     val src = new java.io.File(s"$dir/$table.parquet")
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_${table}_stream_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_${table}_stream_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}")
     if (!root.exists()) {
       val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
       tmp.mkdirs()
@@ -373,7 +373,7 @@ object SparkEntry {
   private def stagedFlushEventsDir(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_events_flush_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_events_flush_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}")
     if (!root.exists()) {
       val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
       tmp.mkdirs()
@@ -433,7 +433,7 @@ object SparkEntry {
   private def stagedCdcChangesDir(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/orders.parquet")
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_cdc_changes_${math.abs(dir.hashCode)}_${src.lastModified()}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdc_changes_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}")
     if (!root.exists()) {
       val tmp = new java.io.File(s"${root.getPath}.inprogress.${System.nanoTime()}")
       tmp.mkdirs()
@@ -721,7 +721,7 @@ object SparkEntry {
   private def bucketedPairNames(dir: String): (String, String, String) = {
     val m1 = new java.io.File(s"$dir/orders.parquet").lastModified()
     val m2 = new java.io.File(s"$dir/customer.parquet").lastModified()
-    val tag = s"${math.abs(dir.hashCode)}_${m1}_$m2"
+    val tag = s"${(dir.hashCode & Int.MaxValue)}_${m1}_$m2"
     (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag",
      s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$tag")
   }
@@ -2606,7 +2606,7 @@ object SparkEntry {
     "etl_cdc_stream" -> ((s, dir) => {
       import graft.streaming.StreamingIndex
       val src = new java.io.File(s"$dir/orders.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_table_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_table_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_ingest_done").exists()) {
         val proj = t(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
@@ -2667,7 +2667,7 @@ object SparkEntry {
     // pattern of a 100 TB event corpus
     "events_lake_scan" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/events.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${(dir.hashCode & Int.MaxValue)}_$src"
       Events.ensureDatePartitioned(t(s, dir, "events"), path)
       // first-week cutoff derived from the data (a 1-value
       // control-plane lookup over the partition column, like JDBC
@@ -2693,7 +2693,7 @@ object SparkEntry {
     "events_lake_upsert" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val src = new java.io.File(s"$dir/events.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_upsert_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_upsert_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_delta_done").exists()) {
         val cutoff = date_add(
           lit(ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)), 20)
@@ -2714,7 +2714,7 @@ object SparkEntry {
     // against the plain events oracle
     "etl_compaction" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/events.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_compact_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_compact_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_compacted_done").exists()) {
         Events.writeDatePartitioned(t(s, dir, "events").repartition(8), path)
         Events.compactSmallPartitions(s, path)
@@ -2734,7 +2734,7 @@ object SparkEntry {
     // over-deleted row breaks the hash
     "etl_user_erasure" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/events.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_erasure_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_erasure_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_erased_done").exists()) {
         Events.writeDatePartitioned(t(s, dir, "events"), path)
         // the erasure request list — an external input at any scale
@@ -2924,7 +2924,7 @@ object SparkEntry {
     "text_bm25_indexed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_${(dir.hashCode & Int.MaxValue)}_$src"
       TextAnalysis.ensureBm25Index(docs, "doc_id", "text", path, numBuckets = 64)
       TextAnalysis.bm25TopKIndexed(s, path, Seq("hash", "join", "vector"), k = 10,
         numBuckets = 64)
@@ -2948,7 +2948,7 @@ object SparkEntry {
     "text_bm25_upsert" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upsert_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_upsert_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_delta_done").exists()) {
         TextAnalysis.writeBm25Index(docs.where(col("doc_id") % 2 === 0),
           "doc_id", "text", path, numBuckets = 64)
@@ -2970,7 +2970,7 @@ object SparkEntry {
     "text_bm25_stream" -> ((s, dir) => {
       import graft.streaming.StreamingIndex
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stream_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stream_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_ingest_done").exists()) {
         StreamingIndex.bm25IngestToCompletion(s,
           stagedTwoBatchDir(s, dir, "documents", "doc_id"), path, numBuckets = 64)
@@ -2989,7 +2989,7 @@ object SparkEntry {
       import graft.streaming.StreamingIndex
       val e = t(s, dir, "embeddings")
       val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stream_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stream_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_ingest_done").exists()) {
         StreamingIndex.ivfIngestToCompletion(s,
           stagedTwoBatchDir(s, dir, "embeddings", "vec_id"), path, numCells = 16)
@@ -3216,7 +3216,7 @@ object SparkEntry {
     "graph_basket_upsert" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val src = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_basket_upsert_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_basket_upsert_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_delta_done").exists()) {
         Graph.writeBasketGraph(li.where(col("l_orderkey") % 2 === 0),
           "l_partkey", "l_orderkey", path)
@@ -3237,7 +3237,7 @@ object SparkEntry {
     "graph_basket_stream" -> ((s, dir) => {
       import graft.streaming.StreamingIndex
       val src = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_basket_stream_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_basket_stream_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_ingest_done").exists()) {
         StreamingIndex.basketIngestToCompletion(s,
           stagedTwoBatchDir(s, dir, "lineitem", "l_orderkey"), path)
@@ -3655,7 +3655,7 @@ object SparkEntry {
     "agg_kmv_stream" -> ((s, dir) => {
       import graft.streaming.StreamingIndex
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_stream_${math.abs(dir.hashCode)}_$src"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_stream_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${base}_done").exists()) {
         StreamingIndex.kmvIngestToCompletion(s,
           stagedTwoBatchDir(s, dir, "documents", "doc_id"),
@@ -4291,7 +4291,7 @@ object SparkEntry {
     "dedup_clusters_upsert" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_upsert_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_upsert_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_delta_done").exists()) {
         val even = docs.where(col("doc_id") % 2 === 0)
         Dedup.writeClusterMap(even, "doc_id",
@@ -4348,7 +4348,7 @@ object SparkEntry {
     "dedup_clusters_stream" -> ((s, dir) => {
       import graft.streaming.StreamingIndex
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_stream_${math.abs(dir.hashCode)}_$src"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_stream_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${base}_ingest_done").exists()) {
         StreamingIndex.clusterIngestToCompletion(s,
           stagedTwoBatchDir(s, dir, "documents", "doc_id"),
@@ -4401,7 +4401,7 @@ object SparkEntry {
     "dedup_bloom_upsert" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_upsert_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_upsert_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_delta_done").exists()) {
         val train = docs.where(col("doc_id") % 17 =!= 0)
         Dedup.writeBloomFilter(train.where(col("doc_id") % 2 === 0),
@@ -4422,7 +4422,7 @@ object SparkEntry {
     "dedup_bloom_stream" -> ((s, dir) => {
       import graft.streaming.StreamingIndex
       val src = new java.io.File(s"$dir/documents.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_stream_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_stream_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_ingest_done").exists()) {
         StreamingIndex.bloomIngestToCompletion(s,
           stagedTwoBatchDir(s, dir, "documents", "doc_id"), path,
@@ -4548,7 +4548,7 @@ object SparkEntry {
     "dedup_embedding_stream" -> ((s, dir) => {
       import graft.streaming.{StreamingDedup, StreamingEvents}
       val src = new java.io.File(s"$dir/embeddings.parquet")
-      val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_emb_stream_${math.abs(dir.hashCode)}_${src.lastModified()}"
+      val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_emb_stream_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}"
       if (!new java.io.File(s"$streamDir/_SUCCESS").exists())
         t(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
           .write.mode("overwrite").parquet(streamDir)
@@ -4570,7 +4570,7 @@ object SparkEntry {
     "dedup_exact_stream" -> ((s, dir) => {
       import graft.streaming.{StreamingDedup, StreamingEvents}
       val src = new java.io.File(s"$dir/documents.parquet")
-      val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_stream_${math.abs(dir.hashCode)}_${src.lastModified()}"
+      val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_stream_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}"
       if (!new java.io.File(s"$streamDir/_SUCCESS").exists())
         t(s, dir, "documents").select("doc_id", "text")
           .write.mode("overwrite").parquet(streamDir)
@@ -4741,7 +4741,7 @@ object SparkEntry {
     "sim_index_staleness" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stale_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stale_${(dir.hashCode & Int.MaxValue)}_$src"
       Similarity.ensureIvfIndex(e.where(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", path, numCells = 16)
       Similarity.indexStalenessReport(s, path, e, "vec_id")
@@ -4785,7 +4785,7 @@ object SparkEntry {
     "sim_ivf_upsert" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_upsert_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_upsert_${(dir.hashCode & Int.MaxValue)}_$src"
       if (!new java.io.File(s"${path}_delta_done").exists()) {
         Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0),
           "vec_id", "embedding", path, numCells = 16)
@@ -4809,7 +4809,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
       val src = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_trained_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_trained_${(dir.hashCode & Int.MaxValue)}_$src"
       Similarity.ensureIvfIndex(e, "vec_id", "embedding", path, numCells = 16, trainIters = 2)
       val ivf = Similarity.ivfTopKIndexed(path, q, "vec_id", "embedding", k = 5, nprobe = 4)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
@@ -5025,7 +5025,7 @@ object SparkEntry {
     // weekly drift check are the two weeks under comparison)
     "profile_ks_slices" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/events.parquet").lastModified()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${math.abs(dir.hashCode)}_$src"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_lake_${(dir.hashCode & Int.MaxValue)}_$src"
       Events.ensureDatePartitioned(t(s, dir, "events"), path)
       val minDate = lakeMinDate.computeIfAbsent(path, p =>
         s.read.parquet(p).agg(min(col("event_date"))).collect()(0).getDate(0))
@@ -6042,7 +6042,7 @@ object SparkEntry {
     "etl_csv_roundtrip" -> ((s, dir) => {
       val src = Etl.emptyGuard(t(s, dir, "orders").select(
         col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice")))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${(dir.hashCode & Int.MaxValue)}"
       Etl.writeCsv(src, path)
       s.read.option("header", "true")
         .schema("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING, o_totalprice DOUBLE")
@@ -6056,7 +6056,7 @@ object SparkEntry {
       val src = t(s, dir, "orders").select(
         col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
         col("o_totalprice"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${(dir.hashCode & Int.MaxValue)}"
       Etl.writeOrc(src, path)
       s.read.orc(path).orderBy("o_orderkey")
     }),
@@ -6066,7 +6066,7 @@ object SparkEntry {
     // result-invisible (plain aggregate oracle); the file-count drop
     // and row identity are spec-pinned
     "etl_compact_scan" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(dir.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${(dir.hashCode & Int.MaxValue)}"
       val frag = s"$base/frag"; val out = s"$base/out"
       t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
         .repartition(64).write.mode("overwrite").parquet(frag)
@@ -6087,7 +6087,11 @@ object SparkEntry {
     // checks every z-file bounds BOTH dimensions at once. The write
     // path stays per-invocation-proven by etl_zorder_write.
     "etl_zorder_scan" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${math.abs(dir.hashCode)}"
+      // path embeds the fixture mtime (the cluster-map discipline) so
+      // a regenerated corpus at the same dir rebuilds the layout
+      // instead of silently serving a stale one
+      val src = new java.io.File(s"$dir/orders.parquet").lastModified()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${(dir.hashCode & Int.MaxValue)}_$src"
       Etl.ensureZOrdered(
         t(s, dir, "orders").withColumn("o_day",
           datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")),
@@ -6114,7 +6118,7 @@ object SparkEntry {
                col("o_orderdate") < lit("1995-04-01"))
         .withColumn("o_day",
           datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_delta_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_delta_${(dir.hashCode & Int.MaxValue)}"
       Etl.writeZOrdered(slice, path, "o_custkey", "o_day", numFiles = 4)
       s.read.parquet(path)
         .groupBy("o_orderpriority")
@@ -6132,7 +6136,7 @@ object SparkEntry {
         col("o_totalprice"))
       val widths = Seq("o_orderkey" -> 12, "o_orderstatus" -> 2,
         "o_orderpriority" -> 16, "o_totalprice" -> 14)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixedwidth_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixedwidth_${(dir.hashCode & Int.MaxValue)}"
       Etl.writeFixedWidth(src, path, widths)
       Etl.readFixedWidth(s, path, widths)
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
@@ -6149,7 +6153,7 @@ object SparkEntry {
       val src = t(s, dir, "orders").select(
         col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
         col("o_totalprice"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip_${(dir.hashCode & Int.MaxValue)}"
       Etl.writeXml(src, path)
       s.read.option("rowTag", "row")
         .schema("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING, o_totalprice DOUBLE")
@@ -6165,7 +6169,7 @@ object SparkEntry {
         struct(col("o_orderstatus").as("status"),
                col("o_orderpriority").as("priority")).as("meta"),
         col("o_totalprice"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_${(dir.hashCode & Int.MaxValue)}"
       Etl.writeJsonl(src, path)
       s.read
         .schema("o_orderkey BIGINT, meta STRUCT<status: STRING, priority: STRING>, o_totalprice DOUBLE")

@@ -157,21 +157,23 @@ object Etl {
     * declaration order. Map-only (one codegen'd concat of rpads), no
     * shuffle beyond the single-file coalesce. A value WIDER than its
     * declared column would silently corrupt every following field of
-    * the row, so the writer fails fast instead (one all-columns
-    * validity aggregate — the empty-result guard discipline).
+    * the row, so the writer fails fast instead — the overflow guard
+    * is `raise_error` folded INTO the render expression (a second
+    * validity scan would double the read of a 100 TB feed, and its
+    * `sum()` returns null on an empty input; inline, an empty frame
+    * just writes an empty file and the first offending row aborts the
+    * write with the column name and value in the message).
     */
   def writeFixedWidth(df: DataFrame, path: String,
                       widths: Seq[(String, Int)],
                       singleFile: Boolean = true): Unit = {
     require(widths.nonEmpty, "need at least one (column, width)")
-    val over = df.select(widths.map { case (c, w) =>
-      sum(when(length(col(c).cast("string")) > w, 1L).otherwise(0L))
-        .as(c) }: _*).head()
-    widths.zipWithIndex.foreach { case ((c, w), i) =>
-      require(over.getLong(i) == 0L,
-        s"${over.getLong(i)} values of '$c' exceed width $w — widen the column") }
     val line = concat(widths.map { case (c, w) =>
-      rpad(coalesce(col(c).cast("string"), lit("")), w, " ") }: _*)
+      val s = coalesce(col(c).cast("string"), lit(""))
+      when(length(s) > w, raise_error(concat(
+          lit(s"fixed-width overflow: value of '$c' exceeds width $w — "),
+          lit("widen the column; value='"), s, lit("'"))))
+        .otherwise(rpad(s, w, " ")) }: _*)
     val out = df.select(line.as("value"))
     (if (singleFile) out.coalesce(1) else out)
       .write.mode("overwrite").text(path)
@@ -273,6 +275,11 @@ object Etl {
     * measure the pruned READ — the steady state the layout exists for.
     * The write path itself stays independently proven by the
     * delta-slice write gate.
+    *
+    * The marker proves only that SOME layout finished at `path` —
+    * callers MUST key `path` by a fingerprint of the source data
+    * (fixture mtime / snapshot version, the cluster-map discipline),
+    * or a regenerated corpus would silently serve the stale layout.
     */
   def ensureZOrdered(df: => DataFrame, path: String, colA: String,
                      colB: String, numFiles: Int = 16, bits: Int = 20): Unit = {

@@ -444,12 +444,30 @@ object Joins {
     * cells-per-rectangle (choose `cellSize` near the typical rect
     * extent); the rect side is region-sized and broadcasts.
     *
+    * The cell-cover explode is VALIDATED against `maxCellsPerRect`
+    * before the join builds: a rectangle huge relative to `cellSize`
+    * (or a mis-chosen `cellSize`) would multiply the broadcast side by
+    * x-cells × y-cells with no diagnostic until the broadcast limit or
+    * driver OOM — instead the guard fails with the worst offender's
+    * fan-out and the fix (raise `cellSize`). The probe is one 1-row
+    * aggregate over the region-sized rect table (control-plane).
+    *
     * `rects`: (rectId, x0, y0, x1, y1), inclusive bounds.
     */
   def spatialGridJoin(points: DataFrame, pidCol: String, xCol: String,
                       yCol: String, rects: DataFrame, rectIdCol: String,
-                      cellSize: Double): DataFrame = {
+                      cellSize: Double, maxCellsPerRect: Long = 4096L): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive: $cellSize")
+    require(maxCellsPerRect > 0, s"maxCellsPerRect must be positive")
+    val worst = rects.agg(max(
+      (floor(col("x1") / cellSize) - floor(col("x0") / cellSize) + 1) *
+      (floor(col("y1") / cellSize) - floor(col("y0") / cellSize) + 1))
+      .cast("long")).head() // 1-row scalar: bounded control-plane
+    if (!worst.isNullAt(0))
+      require(worst.getLong(0) <= maxCellsPerRect,
+        s"a rectangle covers ${worst.getLong(0)} grid cells > " +
+        s"maxCellsPerRect=$maxCellsPerRect — raise cellSize (now " +
+        s"$cellSize) toward the typical rectangle extent, or raise the cap")
     val pc = points.select(col(pidCol), col(xCol).as("px"), col(yCol).as("py"),
       floor(col(xCol) / cellSize).cast("long").as("cx"),
       floor(col(yCol) / cellSize).cast("long").as("cy"))

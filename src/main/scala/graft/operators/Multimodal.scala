@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with
@@ -986,6 +986,10 @@ object Multimodal {
             rdCc(bytes, 8) != "AVI ") return None
         var width = -1; var height = -1; var nFrames = -1; var depth = -1
         var compression = -1
+        // a frame chunk BEFORE hdrl established dims cannot be summed
+        // (rows would loop zero times and a zeroed sum could later
+        // masquerade as decode_ok) — mark the container malformed
+        var prematureFrame = false
         val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
         // walk chunks; LIST bodies recurse with their own cursor
         def walk(from: Int, to: Int): Unit = {
@@ -1005,6 +1009,9 @@ object Multimodal {
               depth = (bytes(o + 8 + 14) & 0xff) |
                 ((bytes(o + 8 + 15) & 0xff) << 8)
               compression = rdLe32(bytes, o + 8 + 16)
+            } else if ((id == "00db" || id == "00dc") &&
+                       (width <= 0 || height <= 0)) {
+              prematureFrame = true; halt = true // movi before hdrl
             } else if (id == "00db" || id == "00dc") {
               // pixel rows: stride = DWORD-padded 3·width; sum ONLY
               // the pixel bytes, skip the per-row padding
@@ -1025,8 +1032,9 @@ object Multimodal {
           }
         }
         walk(12, bytes.length)
-        if (width <= 0 || height <= 0 || nFrames < 0 || depth != 24 ||
-            compression != 0 || frameSums.length != nFrames) None
+        if (prematureFrame || width <= 0 || height <= 0 || nFrames < 0 ||
+            depth != 24 || compression != 0 ||
+            frameSums.length != nFrames) None
         else Some((width, height, nFrames, frameSums.toArray))
       } catch {
         case _: ArrayIndexOutOfBoundsException => None
@@ -1104,15 +1112,19 @@ object Multimodal {
         col("decode_ok"), col("dec_w"), col("dec_h"), col("dec_frames"),
         aggregate(col("frame_sums"), lit(0L), (a, x) => a + x)
           .as("sum_pixels"))
+    // failed decodes carry -1 sentinels — gate every metric on
+    // decode_ok so a poisoned blob reports nulls, never a sum/−3
+    def ok(c: Column): Column = when(col("decode_ok"), c)
     withVideoShapeKeys(docs.select(col(idCol).as("doc_id")), "doc_id")
       .join(broadcast(perPayload), Seq("v_w", "v_h", "v_f", "v_k"))
       .select(col("doc_id"), col("decode_ok"),
-        col("dec_w").cast("long").as("width"),
-        col("dec_h").cast("long").as("height"),
-        col("dec_frames").cast("long").as("n_frames"), col("sum_pixels"),
-        round(col("sum_pixels").cast("double")
+        ok(col("dec_w").cast("long")).as("width"),
+        ok(col("dec_h").cast("long")).as("height"),
+        ok(col("dec_frames").cast("long")).as("n_frames"),
+        ok(col("sum_pixels")).as("sum_pixels"),
+        ok(round(col("sum_pixels").cast("double")
           / (col("dec_w") * col("dec_h") * lit(3) * col("dec_frames"))
-            .cast("double"), 6).as("mean_pixel"))
+            .cast("double"), 6)).as("mean_pixel"))
   }
 
   /** Per-FRAME pixel sums off the real AVI decode — one row per

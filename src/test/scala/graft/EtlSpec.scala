@@ -311,10 +311,20 @@ class EtlSpec extends SparkSpec {
     // fixed-width cannot distinguish null from empty — documented
     assert(back == Seq((1L, "AB", 12.5), (22L, "C", 0.25), (333L, "", 99.0)),
       s"round-trip: $back")
-    // a too-wide value must fail fast, never corrupt following spans
-    intercept[IllegalArgumentException] {
+    // a too-wide value must fail fast, never corrupt following spans —
+    // the guard rides the write expression (raise_error), so it
+    // surfaces as a SparkException wrapping USER_RAISED_EXCEPTION
+    val ex = intercept[Exception] {
       Etl.writeFixedWidth(df, path, Seq("k" -> 2, "s" -> 4, "v" -> 8))
     }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("exceeds width 2"), s"unexpected failure: $msgs")
+    // empty input writes an empty file (the old pre-scan sum() was
+    // null here and threw NPE) — and costs no second validation scan
+    val emptyPath = s"${path}_empty"
+    Etl.writeFixedWidth(df.where(lit(false)), emptyPath, widths)
+    assert(spark.read.text(emptyPath).count() == 0)
   }
 
   test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {

@@ -251,5 +251,12 @@ class JoinsSpec extends SparkSpec {
     assert(got.contains((4L, 10L)), s"inclusive bounds: $got")
     // each pair appears exactly once (a point lives in ONE cell)
     assert(got.distinct == got, "no duplicate pairs")
+    // the cell-cover fan-out guard: a rect huge relative to cellSize
+    // must fail with an actionable message BEFORE the explode builds
+    val ex = intercept[IllegalArgumentException] {
+      Joins.spatialGridJoin(pts, "pid", "x", "y", rects, "rect_id",
+        cellSize = 0.01, maxCellsPerRect = 1000L)
+    }
+    assert(ex.getMessage.contains("raise cellSize"), ex.getMessage)
   }
 }

@@ -287,6 +287,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AviCodec.decode("junk but long enough".getBytes).isEmpty)
     assert(Multimodal.AviCodec.decode(
       Multimodal.ImageCodec.png(8, 8)).isEmpty, "a PNG is not an AVI")
+    // a malformed RIFF ordering movi BEFORE hdrl must decode as None —
+    // dims are unknown when the frame chunk arrives, so zeroed sums
+    // could otherwise masquerade as a clean decode
+    val good = Multimodal.AviCodec.avi(8, 6, 2, 0)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    // splice a bare '00db' frame chunk right after the 'AVI ' fourcc,
+    // ahead of the original hdrl LIST
+    val rogue = cc("00db") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    val body = rogue ++ good.drop(12)
+    val spliced = cc("RIFF") ++ le32(body.length + 4) ++ cc("AVI ") ++ body
+    assert(Multimodal.AviCodec.decode(spliced).isEmpty,
+      "movi before hdrl must be rejected, not zero-summed")
   }
 
   test("videoFrameStats: per-frame sums join back per doc; sentinel rows filtered") {
