@@ -6017,6 +6017,16 @@ object SparkEntry {
         .orderBy(col("o_orderkey").cast("long"))
     }),
 
+    // P6 aggregate pushdown (SupportsPushDownAggregates → OData V4
+    // $apply): the grouped count/min/max/countdistinct is answered by
+    // the SERVER in one request — no Aggregate node survives the
+    // optimized plan (pinned in PlanShapeSpec), the wire carries
+    // |groups| rows. The oracle replays the same aggregate over the
+    // stub's source slice, so a translation bug (wrong alias order,
+    // wrong function mapping, dropped group) breaks the hash.
+    "odata_agg_pushdown" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.aggScan(s, dir)),
+
     // permissive extra-column mode (reference etl.py:201,204-207 — the
     // server spills __metadata on every row; from_records unions it
     // into the output, employee_data.csv:1-2): extraColumns=map lands
@@ -13970,6 +13980,18 @@ object SparkEntry {
         | o_orderpriority FROM orders
         | WHERE o_orderkey < 200 AND o_orderpriority <> '3-MEDIUM'
         | ORDER BY o_orderkey""".stripMargin,
+
+    // min/max ride the connector's all-string schema, so the oracle
+    // compares VARCHAR min/max (binary collation both sides)
+    "odata_agg_pushdown" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | min(CAST(o_orderkey AS VARCHAR)) AS min_key,
+        | max(CAST(o_orderkey AS VARCHAR)) AS max_key,
+        | CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+        | FROM orders WHERE o_orderkey < 200
+        | GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
 
     // the stub's __metadata is deterministic per key, so the oracle
     // rebuilds the exact to_json(map) text: the map has exactly one

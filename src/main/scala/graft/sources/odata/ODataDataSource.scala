@@ -9,10 +9,11 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -106,18 +107,38 @@ class ODataTable(tableSchema: StructType, opts: ODataOptions) extends Table with
     new ODataScanBuilder(tableSchema, opts)
 }
 
+/** One output column of a pushed-aggregate scan: `name` is BOTH the
+  * schema field name and the JSON key the server answers under (group
+  * columns come back under their own property name; aggregates under
+  * their `as` alias). Counts surface as longs, everything else keeps
+  * the connector's string typing.
+  */
+case class ODataAggField(name: String, isCount: Boolean)
+
+/** A Spark [[Aggregation]] fully translated to one OData V4
+  * `$apply` transformation sequence. Field order is the DSv2
+  * contract: group-by columns first, then aggregate columns.
+  */
+case class ODataPushedAgg(applyParam: String, fields: Seq[ODataAggField]) {
+  def schema: StructType = StructType(fields.map(f =>
+    if (f.isCount) StructField(f.name, LongType, nullable = false)
+    else StructField(f.name, StringType, nullable = true)))
+}
+
 class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownV2Filters
   with SupportsPushDownLimit
-  with SupportsPushDownTopN {
+  with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var prunedSchema: StructType = fullSchema
   private var pushedPreds: Array[Predicate] = Array.empty
   private var pushedEq: Seq[(String, String)] = Seq.empty
   private var limit: Option[Int] = None
   private var orderBy: Seq[(String, Boolean)] = Seq.empty
+  private var pushedAgg: Option[ODataPushedAgg] = None
 
   /** P1 — `$select` from Catalyst column pruning. */
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -200,12 +221,97 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     */
   override def isPartiallyPushed: Boolean = true
 
+  /** P6 — aggregate pushdown to OData V4 `$apply` (option-gated, off
+    * by default — the documented v2 fallback: no `$apply` in v2, so
+    * declining here makes Spark compute the aggregate from streamed
+    * rows). Translated COMPLETELY, never partially: the whole
+    * Aggregate collapses into ONE server request returning |groups|
+    * rows — `count(*)` over a 100 TB entity ships one number instead
+    * of every row. Supported: `count(*)` → `aggregate($count as aN)`;
+    * `count(distinct c)` → `c with countdistinct`; `min(c)`/`max(c)`
+    * → `c with min/max`; grouping on plain columns →
+    * `groupby((c1,..),aggregate(..))`; `count(c)` (non-null count) →
+    * `filter(c ne null)/aggregate($count ..)`, only when it is the
+    * SOLE aggregate with no grouping (the filter scopes the whole
+    * `$apply`, which would drop all-null GROUPS a grouped count(c)
+    * must keep at 0). Anything else — or any pushed predicate, any
+    * extras-map reference — declines, and Spark computes.
+    *
+    * Catalyst only attempts this when no residual Filter sits between
+    * Aggregate and scan; since [[pushPredicates]] keeps every
+    * predicate residual by design, FILTERED aggregates always take
+    * the fallback path. Min/max keep the connector's string typing —
+    * correct for this all-string schema because OData string ordering
+    * and Spark's agree on the server side being trusted anyway (the
+    * same trust `supportCompletePushDown` declares).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val t = translateAgg(agg)
+    pushedAgg = t
+    t.isDefined
+  }
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+  /** A pushable plain column: declared in the schema and not the
+    * extras map (which is client-side synthesized, not a server field).
+    */
+  private def serverCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    refName(e).filter(n => fullSchema.fieldNames.contains(n) &&
+      !(opts.extrasEnabled && n == opts.extraColumnName))
+
+  private def translateAgg(agg: Aggregation): Option[ODataPushedAgg] = {
+    if (!opts.pushDownAggregates || pushedEq.nonEmpty) return None
+    val groupCols = agg.groupByExpressions().toSeq.map(serverCol)
+    if (groupCols.exists(_.isEmpty)) return None
+    val groups = groupCols.flatten
+    // translate each aggregate to (spec, isCount); count(col) marks
+    // the filter-prefix form and is handled after the loop
+    var nonNullCountCol: Option[String] = None
+    val specs = agg.aggregateExpressions().toSeq.zipWithIndex.map {
+      case (_: CountStar, i) => Some((s"$$count as agg$i", true))
+      case (c: Count, i) if c.isDistinct =>
+        serverCol(c.column()).map(n => (s"$n with countdistinct as agg$i", true))
+      case (c: Count, i) if !c.isDistinct =>
+        serverCol(c.column()).map { n =>
+          nonNullCountCol = Some(n); (s"$$count as agg$i", true)
+        }
+      case (m: Min, i) =>
+        serverCol(m.column()).map(n => (s"$n with min as agg$i", false))
+      case (m: Max, i) =>
+        serverCol(m.column()).map(n => (s"$n with max as agg$i", false))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return None
+    if (nonNullCountCol.isDefined && (specs.length > 1 || groups.nonEmpty))
+      return None // the filter prefix scopes the whole $apply
+    val aggPart = s"aggregate(${specs.flatten.map(_._1).mkString(",")})"
+    val apply =
+      if (groups.nonEmpty) s"groupby((${groups.mkString(",")}),$aggPart)"
+      else nonNullCountCol.map(c => s"filter($c ne null)/$aggPart").getOrElse(aggPart)
+    val fields = groups.map(g => ODataAggField(g, isCount = false)) ++
+      specs.flatten.zipWithIndex.map { case ((_, isCount), i) =>
+        ODataAggField(s"agg$i", isCount) }
+    Some(ODataPushedAgg(apply, fields))
+  }
+
   override def build(): Scan =
     // the partition key comes from the FULL schema — Catalyst may have
     // pruned it out of the read schema, but partition planning and the
     // per-partition $filter still need it
-    new ODataScan(prunedSchema, opts, pushedEq, limit, orderBy,
-      fullSchema.fieldNames.find(opts.structureCandidates.contains))
+    new ODataScan(
+      pushedAgg.map(_.schema).getOrElse(prunedSchema), opts, pushedEq,
+      limit, orderBy,
+      fullSchema.fieldNames.find(opts.structureCandidates.contains),
+      pushedAgg)
 }
 
 /** One scan partition: either the single unfiltered scan (no
@@ -219,7 +325,8 @@ case class ODataInputPartition(structureField: Option[String],
 class ODataScan(schema: StructType, opts: ODataOptions,
                 pushedEq: Seq[(String, String)], limit: Option[Int],
                 orderBy: Seq[(String, Boolean)],
-                structureField: Option[String])
+                structureField: Option[String],
+                pushedAgg: Option[ODataPushedAgg] = None)
   extends Scan with Batch with Logging {
 
   override def readSchema(): StructType = schema
@@ -227,7 +334,8 @@ class ODataScan(schema: StructType, opts: ODataOptions,
   override def description(): String =
     s"ODataScan(entity=${opts.entity}, select=${schema.fieldNames.mkString(",")}, " +
       s"filter=${pushedEq.map { case (k, v) => s"$k eq '$v'" }.mkString(" and ")}, top=$limit, " +
-      s"orderby=${orderBy.map { case (c, asc) => s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")})"
+      s"orderby=${orderBy.map { case (c, asc) => s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")}" +
+      pushedAgg.map(a => s", apply=${a.applyParam}").getOrElse("") + ")"
 
   /** Planning-time key enumeration on the driver (SURVEY §3.2 — the
     * JDBC-partition-bounds analogue; a control-plane query, not a
@@ -235,6 +343,11 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     * prunes to a single partition.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    // a pushed COMPLETE aggregate is one request whose answer is
+    // |groups| rows — value-partitioning the corpus is pointless (the
+    // server aggregates over everything regardless of how the raw
+    // rows would have been fetched), so plan exactly one task
+    if (pushedAgg.isDefined) return Array(ODataInputPartition(None, Nil))
     structureField match {
       case None => Array(ODataInputPartition(None, Nil))
       case Some(f) =>
@@ -274,7 +387,67 @@ class ODataScan(schema: StructType, opts: ODataOptions,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(schema, opts, pushedEq, limit, orderBy)
+    pushedAgg match {
+      case Some(agg) => new ODataAggReaderFactory(agg, opts)
+      case None => new ODataReaderFactory(schema, opts, pushedEq, limit, orderBy)
+    }
+}
+
+class ODataAggReaderFactory(agg: ODataPushedAgg, opts: ODataOptions)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ODataAggPartitionReader(agg, opts)
+}
+
+/** Reader for a pushed-complete aggregate: one `$apply` request (plus
+  * server-driven pagination if the group count exceeds a page). Always
+  * fail-fast regardless of the tolerance option — a PARTIAL aggregate
+  * is not partial data, it is a wrong answer (Spark plans no final
+  * aggregation above a complete push, so nothing would re-check it).
+  */
+class ODataAggPartitionReader(agg: ODataPushedAgg, opts: ODataOptions)
+  extends PartitionReader[InternalRow] with Logging {
+
+  private var started = false
+  private var rows: Iterator[Map[String, String]] = Iterator.empty
+  private var nextLink: Option[String] = None
+  private var current: Map[String, String] = _
+
+  private def loadPage(url: String): Unit = {
+    val page = ODataClient.parsePage(ODataClient.getWithRetry(
+      url, opts.user, opts.password, opts.timeoutMs,
+      opts.maxRetries, opts.retryBackoffMs))
+    rows = page.rows.iterator
+    nextLink = page.nextLink
+  }
+
+  override def next(): Boolean = {
+    while (!rows.hasNext) {
+      if (!started) {
+        started = true
+        loadPage(ODataClient.buildUrl(opts.entityUrl(opts.entity),
+          Seq("$apply" -> agg.applyParam, "$format" -> "json")))
+      } else nextLink match {
+        case Some(u) =>
+          if (opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs)
+          loadPage(u)
+        case None => return false
+      }
+    }
+    current = rows.next(); true
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(agg.fields.map { f =>
+      val v = current.get(f.name).orNull
+      if (f.isCount)
+        // $count / countdistinct are never null; a server omitting the
+        // alias is a protocol violation worth a loud parse error
+        java.lang.Long.parseLong(v): Any
+      else Option(v).map(UTF8String.fromString).orNull: Any
+    })
+
+  override def close(): Unit = ()
 }
 
 class ODataReaderFactory(schema: StructType, opts: ODataOptions,

@@ -53,6 +53,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                     same stringify the declared columns use)
   * @param extraColumnName name of the extras map column (default
   *                     `_extra`); only read when `extraColumns=map`
+  * @param pushDownAggregates translate Spark aggregates (count(*),
+  *                     count(distinct col), min, max, with optional
+  *                     GROUP BY) into one OData V4
+  *                     `$apply=groupby(...)/aggregate(...)` request —
+  *                     the server returns |groups| rows instead of the
+  *                     corpus, the single biggest transfer lever for a
+  *                     dashboard-style count/min/max over a large
+  *                     entity. Default FALSE — the documented v2
+  *                     fallback: OData v2 has no `$apply`, so the
+  *                     builder declines the push and Spark computes
+  *                     the aggregate from the streamed rows (same
+  *                     result, full transfer). Enable only on v4
+  *                     tenants whose `$apply` support is trusted: a
+  *                     complete pushdown replaces Spark's own
+  *                     aggregation, so unlike the residual-filter
+  *                     belt-and-suspenders there is no re-check.
   */
 case class ODataOptions(
     baseUrl: String,
@@ -72,7 +88,8 @@ case class ODataOptions(
     retryBackoffMs: Long,
     pushDownTopN: Boolean,
     extraColumns: String,
-    extraColumnName: String) {
+    extraColumnName: String,
+    pushDownAggregates: Boolean) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -130,6 +147,7 @@ object ODataOptions {
       retryBackoffMs = m.getOrElse("retryBackoffMs", "100").toLong,
       pushDownTopN = m.getOrElse("pushDownTopN", "true").toBoolean,
       extraColumns = extraColumns0,
-      extraColumnName = extraColumnName0)
+      extraColumnName = extraColumnName0,
+      pushDownAggregates = m.getOrElse("pushDownAggregates", "false").toBoolean)
   }
 }

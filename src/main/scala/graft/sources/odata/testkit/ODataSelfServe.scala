@@ -80,6 +80,36 @@ object ODataSelfServe {
       .load()
   }
 
+  /** P6 driver-gate: the SAME stub as [[scan]], but the whole GROUP BY
+    * collapses server-side via `$apply=groupby(...)/aggregate(...)`
+    * (pushDownAggregates=true — the v4 path; the option's default
+    * false is the documented v2 fallback, proven by spec). The server
+    * answers |priorities| rows instead of the row slice; at a real
+    * tenant's scale that is the difference between shipping a table
+    * and shipping a handful of numbers. Grouping and aggregation run
+    * on RAW column names (aliases land in the post-agg projection) so
+    * Catalyst's pushdown rule sees Aggregate directly over the scan.
+    */
+  def aggScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("pushDownAggregates", "true")
+      .load()
+      .groupBy(col("O_PRIORITY"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("O_ORDERKEY")).as("min_key"),
+           max(col("O_ORDERKEY")).as("max_key"),
+           countDistinct(col("O_STATUS")).as("n_status"))
+      .select(col("O_PRIORITY").as("o_orderpriority"), col("n_orders"),
+        col("min_key"), col("max_key"), col("n_status"))
+      .orderBy("o_orderpriority")
+  }
+
   // second stub, same slice, but the 3-MEDIUM value chain is poisoned
   // (every filtered request for it returns 500)
   private val partialServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]

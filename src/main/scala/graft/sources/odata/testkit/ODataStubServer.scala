@@ -40,14 +40,6 @@ class ODataStubServer(
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  private def rowJson(r: Map[String, String], select: Seq[String]): String =
-    (select ++ extraServedFields).distinct
-      .flatMap(f => r.get(f).map { v =>
-        val cell = if (rawJsonFields.contains(f)) v else jsonStr(v)
-        s"${jsonStr(f)}: $cell"
-      })
-      .mkString("{", ", ", "}")
-
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -117,6 +109,58 @@ class ODataStubServer(
         rows.filter(r => conds.forall { case (k, v) => r.get(k).contains(v) })
     }
 
+    // OData V4 `$apply` (the aggregate-pushdown surface):
+    //   aggregate(<specs>) | groupby((C1,..),aggregate(<specs>)) |
+    //   filter(C ne null)/aggregate(<specs>)
+    // spec: `$count as a` | `C with min|max|countdistinct as a`.
+    // Counts emit as raw JSON numbers (per the OData spec), everything
+    // else as strings.
+    q.get("$apply") match {
+      case Some(apply0) =>
+        val (applyRows, applyExpr) =
+          "^filter\\((\\S+) ne null\\)/(.*)$".r.findFirstMatchIn(apply0) match {
+            case Some(m) => (filtered.filter(_.get(m.group(1)).exists(_ != null)), m.group(2))
+            case None => (filtered, apply0)
+          }
+        val (groupCols, aggExpr) =
+          "^groupby\\(\\(([^)]*)\\),(aggregate\\(.*\\))\\)$".r.findFirstMatchIn(applyExpr) match {
+            case Some(m) => (m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, m.group(2))
+            case None => (Nil, applyExpr)
+          }
+        val specs = "^aggregate\\((.*)\\)$".r.findFirstMatchIn(aggExpr)
+          .getOrElse(throw new IllegalArgumentException(s"bad \\$$apply: $apply0"))
+          .group(1).split(",").map(_.trim).toSeq
+        def aggCell(group: Seq[Map[String, String]], spec: String): (String, String, Boolean) =
+          spec match {
+            case s if s.startsWith("$count as ") =>
+              (s.stripPrefix("$count as "), group.size.toString, true)
+            case _ =>
+              val m = "^(\\S+) with (min|max|countdistinct) as (\\w+)$".r
+                .findFirstMatchIn(spec)
+                .getOrElse(throw new IllegalArgumentException(s"bad aggregate spec: $spec"))
+              val vals = group.flatMap(_.get(m.group(1))).filter(_ != null)
+              m.group(2) match {
+                case "countdistinct" => (m.group(3), vals.distinct.size.toString, true)
+                case "min" => (m.group(3), if (vals.isEmpty) null else vals.min, false)
+                case "max" => (m.group(3), if (vals.isEmpty) null else vals.max, false)
+              }
+          }
+        val groups: Seq[(Seq[Option[String]], Seq[Map[String, String]])] =
+          if (groupCols.isEmpty) Seq(Nil -> applyRows)
+          else applyRows.groupBy(r => groupCols.map(r.get)).toSeq.sortBy(_._1.toString)
+        val countAliases = scala.collection.mutable.Set.empty[String]
+        val aggRows = groups.map { case (keys, grp) =>
+          val cells = specs.map(aggCell(grp, _))
+          cells.foreach { case (a, _, isCount) => if (isCount) countAliases += a }
+          (groupCols.zip(keys).collect { case (c, Some(v)) => c -> v } ++
+            cells.collect { case (a, v, _) if v != null => a -> v }).toMap
+        }
+        emitPage(ex, q, ex.getRequestURI.getPath, aggRows,
+          groupCols ++ specs.map(s => aggCell(Nil, s)._1), countAliases.toSet)
+        return
+      case None =>
+    }
+
     // $orderby: comma-separated `field asc|desc`, applied before $top —
     // Java String ordering (binary for ASCII), matching Spark's
     val ordered = q.get("$orderby") match {
@@ -137,12 +181,21 @@ class ODataStubServer(
         }
     }
 
+    emitPage(ex, q, ex.getRequestURI.getPath, ordered,
+      (select ++ extraServedFields).distinct, rawJsonFields)
+  }
+
+  /** Shared page emission: `$top`/`$skiptoken` pagination, field
+    * projection (`raw` fields as unquoted JSON), dialect envelope.
+    */
+  private def emitPage(ex: HttpExchange, q: Map[String, String], path: String,
+                       data: Seq[Map[String, String]], fields: Seq[String],
+                       raw: Set[String]): Unit = {
     val top = q.get("$top").map(_.toLong).getOrElse(Long.MaxValue)
     val skip = q.get("$skiptoken").map(_.toInt).getOrElse(0)
-    val capped = ordered.take(if (top > Int.MaxValue) Int.MaxValue else top.toInt)
+    val capped = data.take(if (top > Int.MaxValue) Int.MaxValue else top.toInt)
     val page = capped.slice(skip, skip + serverPageSize)
     val hasMore = skip + serverPageSize < capped.size
-    val path = ex.getRequestURI.getPath
     val nextUrl =
       if (!hasMore) None
       else {
@@ -153,7 +206,14 @@ class ODataStubServer(
         Some(s"$url$path?$qs")
       }
 
-    val rowsJson = page.map(rowJson(_, select)).mkString("[", ", ", "]")
+    val rowsJson = page.map { r =>
+      fields.flatMap(f => r.get(f).map { v =>
+        // a null cell emits as explicit JSON null (the other lawful
+        // server behavior, omission, is exercised by absent keys)
+        val cell = if (v == null) "null" else if (raw.contains(f)) v else jsonStr(v)
+        s"${jsonStr(f)}: $cell"
+      }).mkString("{", ", ", "}")
+    }.mkString("[", ", ", "]")
     val body = dialect match {
       case "v2" =>
         val nxt = nextUrl.map(u => s""", "__next": ${jsonStr(u)}""").getOrElse("")

@@ -21,6 +21,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("l_comment"), "unused wide columns must be pruned")
   }
 
+  test("OData aggregate pushdown leaves no Aggregate above the scan (odata_agg_pushdown)") {
+    val df = SparkEntry.queries("odata_agg_pushdown")(spark, sf001)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty,
+      s"the aggregate must never leave the scan (complete pushdown):\n${df.queryExecution.optimizedPlan}")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("apply=groupby((O_PRIORITY),aggregate($count as agg0," +
+      "O_ORDERKEY with min as agg1,O_ORDERKEY with max as agg2," +
+      "O_STATUS with countdistinct as agg3))"),
+      s"scan description must carry the \\$$apply translation:\n$p")
+    assert(!p.contains("HashAggregate"), "no physical aggregate either")
+  }
+
   test("dimension joins broadcast (join_revenue)") {
     val p = plan("join_revenue")
     assert(p.contains("BroadcastHashJoin"), "customer/orders dims must broadcast")

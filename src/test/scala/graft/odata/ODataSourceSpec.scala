@@ -338,6 +338,111 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  test("aggregate pushdown: grouped count/min/max/countdistinct collapse into one \\$apply request") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true"))
+        .groupBy("C0CHAR_STRUCTURE")
+        .agg(count(lit(1)).as("n"),
+             min("TEMPLOYEE_UUID").as("lo"),
+             max("TEMPLOYEE_UUID").as("hi"),
+             countDistinct("KCLEAVERS").as("nk"))
+      val got = df.as[(String, Long, String, String, Long)]
+        .collect().toSeq.sortBy(_._1)
+      // expected: 9 rows, structure i%3; employees "Employee 0".."Employee 8"
+      val exp = Seq(
+        ("STRUCT0", 3L, "Employee 0", "Employee 6", 1L),
+        ("STRUCT1", 3L, "Employee 1", "Employee 7", 1L),
+        ("STRUCT2", 3L, "Employee 2", "Employee 8", 1L))
+      assert(got == exp, s"pushed agg: $got")
+      // plan pin: the aggregate never leaves the scan — no Aggregate
+      // node survives in the optimized plan (complete pushdown)
+      assert(!hasAggregate(df), df.queryExecution.optimizedPlan.toString)
+      // wire pin: exactly one data request, carrying $apply=groupby
+      val applies = srv.requestLog.filter(_.contains("%24apply="))
+      assert(applies.size == 1, s"requests: ${srv.requestLog}")
+      assert(java.net.URLDecoder.decode(applies.head, "UTF-8").contains(
+        "groupby((C0CHAR_STRUCTURE),aggregate($count as agg0," +
+        "TEMPLOYEE_UUID with min as agg1,TEMPLOYEE_UUID with max as agg2," +
+        "KCLEAVERS with countdistinct as agg3))"), applies.head)
+    } finally srv.stop()
+  }
+
+  test("aggregate pushdown: ungrouped count(*) ships one number, not the rows") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true"))
+        .agg(count(lit(1)).as("n"))
+      assert(df.as[Long].collect().toSeq == Seq(9L))
+      assert(!hasAggregate(df))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains("$apply=aggregate($count as agg0)")),
+        s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("aggregate pushdown: sole count(col) rides a filter(col ne null) prefix") {
+    val rows = mkRows(6).zipWithIndex.map { case (r, i) =>
+      if (i % 2 == 0) r.updated("KCLEAVERS", null) else r }
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true"))
+        .agg(count(col("KCLEAVERS")).as("n"))
+      assert(df.as[Long].collect().toSeq == Seq(3L))
+      assert(!hasAggregate(df))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "$apply=filter(KCLEAVERS ne null)/aggregate($count as agg0)")),
+        s"requests: $decoded")
+      // grouped count(col) must NOT push (the filter would drop
+      // all-null groups a grouped count keeps at 0) — Spark computes
+      val grouped = read(srv, Map("pushDownAggregates" -> "true"))
+        .groupBy("C0CHAR_STRUCTURE").agg(count(col("KCLEAVERS")).as("n"))
+      assert(hasAggregate(grouped))
+      assert(grouped.as[(String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq(("STRUCT0", 1L), ("STRUCT1", 1L), ("STRUCT2", 1L)))
+    } finally srv.stop()
+  }
+
+  test("aggregate pushdown OFF by default (v2 fallback): same numbers, Spark computes") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv) // default pushDownAggregates=false
+        .groupBy("C0CHAR_STRUCTURE")
+        .agg(count(lit(1)).as("n"), min("TEMPLOYEE_UUID").as("lo"))
+      assert(hasAggregate(df), "fallback must keep Spark's Aggregate")
+      assert(df.as[(String, Long, String)].collect().sortBy(_._1).toSeq == Seq(
+        ("STRUCT0", 3L, "Employee 0"),
+        ("STRUCT1", 3L, "Employee 1"),
+        ("STRUCT2", 3L, "Employee 2")))
+      assert(!srv.requestLog.exists(_.contains("%24apply=")),
+        "no $apply may reach a v2 server")
+    } finally srv.stop()
+  }
+
+  test("aggregate pushdown declines unsupported shapes (sum, avg, filtered agg) and stays correct") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val sums = read(srv, Map("pushDownAggregates" -> "true"))
+        .agg(sum(col("CEMPLOYEE_UUID").cast("long")).as("s"))
+      assert(hasAggregate(sums), "sum is not translatable — Spark computes")
+      assert(sums.as[Long].collect().toSeq == Seq((0 until 9).sum.toLong))
+      // residual filters block the push BY DESIGN (belt + suspenders
+      // filtering keeps a Filter between Aggregate and scan)
+      val filtered = read(srv, Map("pushDownAggregates" -> "true"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+        .agg(count(lit(1)).as("n"))
+      assert(hasAggregate(filtered))
+      assert(filtered.as[Long].collect().toSeq == Seq(3L))
+      assert(!srv.requestLog.exists(_.contains("%24apply=")))
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
