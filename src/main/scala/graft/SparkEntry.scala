@@ -133,6 +133,36 @@ object SparkEntry {
         .cast("double"), lit(1.0)), lit(-1.0)) + 1.0) / 2.0 * 10), lit(9.0))
         .cast("long").as("predicted"))
 
+  /** Shared rocAuc oracle — profile_roc_auc (batch) and
+    * profile_roc_stream (complete-mode streaming twin) converge to
+    * the identical one-row answer, so one SQL serves both: a
+    * divergence means the streaming aggregate is NOT order-independent
+    * and fails loudly.
+    */
+  private val rocAucSql: String =
+    """WITH s AS (SELECT
+      |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
+      |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
+      |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
+      |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1),
+      | cb AS (SELECT q, pos, neg,
+      |   coalesce(CAST(sum(neg) OVER (ORDER BY q
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |     0) AS cnb
+      |  FROM b)
+      | SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  CAST(sum(neg) AS BIGINT) AS n_neg,
+      |  round(sum(pos * (cnb * 2 + neg))::DOUBLE
+      |    / (sum(pos)::DOUBLE * sum(neg)::DOUBLE * 2), 6) AS auc,
+      |  round(sum(pos * (cnb * 2 + neg))::DOUBLE
+      |    / (sum(pos)::DOUBLE * sum(neg)::DOUBLE) - 1, 6) AS gini,
+      |  round(sum(pos * (q - 1000) * (q - 1000) + neg * q * q)::DOUBLE
+      |    / ((sum(pos)::DOUBLE + sum(neg)::DOUBLE) * 1000 * 1000), 6)
+      |    AS brier
+      | FROM cb""".stripMargin
+
   /** Materialized kNN edge table per corpus (the cluster-map path
     * discipline): sim_knn_graph and sim_mutual_knn both serve from
     * it, so the bucket self-join runs once per (JVM, fixture).
@@ -4955,6 +4985,31 @@ object SparkEntry {
     "profile_roc_auc" -> ((s, dir) =>
       Profiling.rocAuc(clsScored(t(s, dir, "embeddings")),
           "score", "is_pos")),
+
+    // the STREAMING eval twin: the score-bin aggregate runs as a
+    // complete-mode streaming groupBy over the bounded {0..bins} key
+    // space — ≤ 1001 state rows however long the scored stream — and
+    // bin counts are arrival-order-independent, so the final bin
+    // table equals batch scoreBins exactly and the AUC post-pass on
+    // it hash-matches the batch rocAuc oracle (the dedup_exact_stream
+    // discipline applied to model evaluation: score an unbounded
+    // prediction stream, read off exact ROC/AUC at any time)
+    "profile_roc_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingEvents
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val streamDir = s"${System.getProperty("java.io.tmpdir")}/graft_roc_stream_${(dir.hashCode & Int.MaxValue)}_${src.lastModified()}"
+      if (!new java.io.File(s"$streamDir/_SUCCESS").exists())
+        t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(streamDir)
+      val stream = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .parquet(streamDir)
+      val binTable = StreamingEvents.runToCompletion(s,
+        Profiling.scoreBins(clsScored(stream), "score", "is_pos", bins = 1000),
+        s"profile_roc_stream_${funnelStreamSeq.incrementAndGet()}",
+        mode = "complete")
+      Profiling.rocAucFromBins(binTable, bins = 1000)
+    }),
 
     // reliability table: 10 equal-width score bands, mean predicted
     // vs observed positive rate, miscalibration in the gap column
@@ -13058,29 +13113,10 @@ object SparkEntry {
 
     // Mann-Whitney 2U as an exact integer over the bin table; Brier
     // numerator exact since y is 0/1 and q integral
-    "profile_roc_auc" ->
-      """WITH s AS (SELECT
-        |   CAST(round((greatest(least(embedding[1]::DOUBLE, 1.0), -1.0)
-        |     + 1.0) / 2.0 * 1000, 0) AS BIGINT) AS q,
-        |   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
-        |  FROM embeddings),
-        | b AS (SELECT q, CAST(sum(y) AS BIGINT) AS pos,
-        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM s GROUP BY 1),
-        | cb AS (SELECT q, pos, neg,
-        |   coalesce(CAST(sum(neg) OVER (ORDER BY q
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |     0) AS cnb
-        |  FROM b)
-        | SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-        |  CAST(sum(neg) AS BIGINT) AS n_neg,
-        |  round(sum(pos * (cnb * 2 + neg))::DOUBLE
-        |    / (sum(pos)::DOUBLE * sum(neg)::DOUBLE * 2), 6) AS auc,
-        |  round(sum(pos * (cnb * 2 + neg))::DOUBLE
-        |    / (sum(pos)::DOUBLE * sum(neg)::DOUBLE) - 1, 6) AS gini,
-        |  round(sum(pos * (q - 1000) * (q - 1000) + neg * q * q)::DOUBLE
-        |    / ((sum(pos)::DOUBLE + sum(neg)::DOUBLE) * 1000 * 1000), 6)
-        |    AS brier
-        | FROM cb""".stripMargin,
+    "profile_roc_auc" -> rocAucSql,
+
+    // the streaming twin converges to the identical one-row answer
+    "profile_roc_stream" -> rocAucSql,
 
     // bucket off the integer q (exact band edges), then the
     // reliability columns as exact-count ratios

@@ -1171,8 +1171,8 @@ object Profiling {
     * curve beyond ~3 decimals is invisible anyway); oracles replay
     * the same quantization, so every gate stays exact.
     */
-  private def scoreBins(df: DataFrame, scoreCol: String, labelCol: String,
-                        bins: Int): DataFrame =
+  private[graft] def scoreBins(df: DataFrame, scoreCol: String, labelCol: String,
+                               bins: Int): DataFrame =
     df.select(
         round(col(scoreCol).cast("double") * bins, 0).cast("long").as("q"),
         when(col(labelCol), 1L).otherwise(0L).as("y"))
@@ -1216,23 +1216,53 @@ object Profiling {
     * [[scoreBins]].
     */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
-             bins: Int = 1000): DataFrame = {
+             bins: Int = 1000, onDegenerate: String = "null"): DataFrame =
+    rocAucFromBins(scoreBins(df, scoreCol, labelCol, bins), bins, onDegenerate)
+
+  /** [[rocAuc]]'s arithmetic over an ALREADY-MATERIALIZED (q, pos,
+    * neg) bin table — shared with the streaming twin (a complete-mode
+    * streaming aggregate converges to the exact same bin table because
+    * the bin counts are arrival-order-independent; this post-pass then
+    * rides ≤ bins+1 rows, control-plane).
+    *
+    * `onDegenerate` is the single-class posture (the connector's
+    * `failFast` pattern): a corpus with zero positives or zero
+    * negatives has no ROC — `"null"` (default) reports auc/gini as
+    * explicit SQL nulls with the class counts still exact; `"fail"`
+    * raises with both counts in the message, for pipelines where a
+    * degenerate eval means an upstream labeling bug, not a report.
+    */
+  private[graft] def rocAucFromBins(binTable: DataFrame, bins: Int,
+                                    onDegenerate: String = "null"): DataFrame = {
+    require(onDegenerate == "null" || onDegenerate == "fail",
+      s"onDegenerate must be 'null' or 'fail', got '$onDegenerate'")
     import org.apache.spark.sql.expressions.Window
     def d(c: Column) = c.cast("double")
-    val b = scoreBins(df, scoreCol, labelCol, bins)
     val w = Window.orderBy("q") // ≤ bins+1 rows — control-plane
       .rowsBetween(Window.unboundedPreceding, -1)
     val binsD = lit(bins.toLong)
-    b.withColumn("cum_neg_below", coalesce(sum("neg").over(w), lit(0L)))
+    val degenerate = col("n_pos") === 0 || col("n_neg") === 0
+    val guard: Column => Column =
+      if (onDegenerate == "fail")
+        c => when(degenerate, raise_error(concat(
+               lit("rocAuc: degenerate input (n_pos="),
+               col("n_pos").cast("string"), lit(", n_neg="),
+               col("n_neg").cast("string"),
+               lit(") — a single-class corpus has no ROC"))))
+             .otherwise(c)
+      else
+        c => when(!degenerate, c)
+    binTable
+      .withColumn("cum_neg_below", coalesce(sum("neg").over(w), lit(0L)))
       .agg(
         sum("pos").as("n_pos"), sum("neg").as("n_neg"),
         sum(col("pos") * (col("cum_neg_below") * 2 + col("neg"))).as("two_u"),
         sum(col("pos") * (col("q") - binsD) * (col("q") - binsD)
           + col("neg") * col("q") * col("q")).as("sq_err"))
       .select(col("n_pos"), col("n_neg"),
-        round(d(col("two_u")) / (d(col("n_pos")) * d(col("n_neg")) * 2), 6)
+        guard(round(d(col("two_u")) / (d(col("n_pos")) * d(col("n_neg")) * 2), 6))
           .as("auc"),
-        round(d(col("two_u")) / (d(col("n_pos")) * d(col("n_neg"))) - 1, 6)
+        guard(round(d(col("two_u")) / (d(col("n_pos")) * d(col("n_neg"))) - 1, 6))
           .as("gini"),
         round(d(col("sq_err"))
           / ((d(col("n_pos")) + d(col("n_neg"))) * bins.toDouble * bins), 6)

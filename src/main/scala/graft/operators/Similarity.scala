@@ -244,8 +244,19 @@ object Similarity {
     * ranking against qrels, one per-query aggregate on each side —
     * trivially distributed; qrels never broadcast-explodes (it is
     * query-keyed, co-partitioned with the ranking).
+    *
+    * `onDegenerate` is the unjudged-query posture (the connector's
+    * `failFast` pattern): a retrieved query with NO qrels row has no
+    * denominator for recall — `"null"` (default) omits it from the
+    * report (the judged-queries-only convention retrieval benchmarks
+    * use); `"fail"` raises naming the first unjudged query, for
+    * pipelines where an unjudged query means the qrels join key is
+    * broken, not that judging is sparse.
     */
-  def irMetrics(retrieved: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+  def irMetrics(retrieved: DataFrame, qrels: DataFrame, k: Int,
+                onDegenerate: String = "null"): DataFrame = {
+    require(onDegenerate == "null" || onDegenerate == "fail",
+      s"onDegenerate must be 'null' or 'fail', got '$onDegenerate'")
     val nrel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val perQ = retrieved.where(col("rnk") <= k)
       .join(qrels.select(col("query_id"), col("corpus_id"), lit(1).as("rel")),
@@ -253,7 +264,18 @@ object Similarity {
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_retrieved"),
         sum(when(col("rel").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hits"))
-    nrel.join(perQ, Seq("query_id"), "left")
+    // "fail": a FULL join keeps unjudged retrieved queries visible so
+    // the raise_error fires on the first null n_rel; "null" keeps the
+    // left join, which drops them (the documented default)
+    val joined =
+      if (onDegenerate == "fail")
+        nrel.join(perQ, Seq("query_id"), "full")
+          .withColumn("n_rel", when(col("n_rel").isNull, raise_error(concat(
+            lit("irMetrics: query '"), col("query_id").cast("string"),
+            lit("' has retrieved results but no qrels judgment"))))
+            .otherwise(col("n_rel")))
+      else nrel.join(perQ, Seq("query_id"), "left")
+    joined
       .select(col("query_id"),
         coalesce(col("n_retrieved"), lit(0L)).cast("long").as("n_retrieved"),
         coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),

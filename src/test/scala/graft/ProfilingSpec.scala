@@ -854,6 +854,31 @@ class ProfilingSpec extends SparkSpec {
     assert(h._3 == 0.75 && h._4 == 0.5, s"hand: $h")
   }
 
+  test("rocAuc: degenerate single-class input — nulls by default, raises under onDegenerate=fail") {
+    import spark.implicits._
+    val onePos = Seq((0.9, true), (0.4, true)).toDF("score", "y")
+    // default posture: class counts exact, auc/gini explicit nulls
+    val r = Profiling.rocAuc(onePos, "score", "y").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L, s"counts: $r")
+    assert(r.isNullAt(2) && r.isNullAt(3), s"auc/gini must be null: $r")
+    // fail posture: the degenerate eval raises with both counts
+    val ex = intercept[Exception] {
+      Profiling.rocAuc(onePos, "score", "y", onDegenerate = "fail").collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("n_neg=0"), s"unexpected failure: $msgs")
+    // a healthy input under fail mode is untouched
+    val ok = Profiling.rocAuc(
+      Seq((0.9, true), (0.1, false)).toDF("score", "y"),
+      "score", "y", onDegenerate = "fail")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(ok._3 == 1.0, s"healthy fail-mode: $ok")
+    intercept[IllegalArgumentException] {
+      Profiling.rocAuc(onePos, "score", "y", onDegenerate = "bogus")
+    }
+  }
+
   test("rocCurve: monotone cumulative rates ending at (1, 1)") {
     import spark.implicits._
     val df = Seq((0.9, true), (0.7, false), (0.7, true), (0.3, false),

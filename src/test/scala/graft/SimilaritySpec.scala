@@ -86,6 +86,30 @@ class SimilaritySpec extends SparkSpec {
       (3L, 0L, 0L, 1L, 0.0, 0.0)), s"ir metrics: $got")
   }
 
+  test("irMetrics: unjudged retrieved query — omitted by default, raises under onDegenerate=fail") {
+    import spark.implicits._
+    val qrels = Seq((1L, 10L)).toDF("query_id", "corpus_id")
+    val retrieved = Seq((1L, 10L, 1L), (9L, 99L, 1L))
+      .toDF("query_id", "corpus_id", "rnk")
+    // default: query 9 (no qrels row) silently drops from the report
+    val got = Similarity.irMetrics(retrieved, qrels, k = 2)
+      .select("query_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"default must omit unjudged queries: $got")
+    // fail: the unjudged query raises by name
+    val ex = intercept[Exception] {
+      Similarity.irMetrics(retrieved, qrels, k = 2, onDegenerate = "fail").collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("query '9'"), s"unexpected failure: $msgs")
+    // fully judged input under fail mode matches the default output
+    val healthy = Similarity.irMetrics(
+      retrieved.where(col("query_id") === 1L), qrels, k = 2,
+      onDegenerate = "fail")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(healthy == Seq((1L, 1L, 1L, 1L, 0.5, 1.0)), s"healthy: $healthy")
+  }
+
   test("ivfCellBalance: counts cover the corpus, shares sum to 1, load factors average 1 over present cells") {
     val e = Tables.embeddings(spark, sf001)
     val n = e.count()
