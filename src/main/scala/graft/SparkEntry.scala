@@ -4107,6 +4107,43 @@ object SparkEntry {
         .orderBy("rect_id")
     }),
 
+    // rect-rect OVERLAP join on the same grid machinery: both sides
+    // cell-cover-explode, pairs accepted only in the intersection's
+    // lower-left-corner cell (single-cell acceptance — no dedup
+    // pass); oracle is the plain quadratic separating-axis join, so
+    // the hash match proves the 2-D blocking lossless
+    "join_spatial_overlap" -> ((s, dir) => {
+      val ra = t(s, dir, "nation").select(col("n_nationkey").as("a_id"),
+          (col("n_nationkey") * 37 % 900).cast("double").as("x0"),
+          (col("n_nationkey") * 53 % 900).cast("double").as("y0"))
+        .withColumn("x1", col("x0") + lit(80.0))
+        .withColumn("y1", col("y0") + lit(150.0))
+      val rb = t(s, dir, "supplier").select(col("s_suppkey").as("b_id"),
+          (col("s_suppkey") * 29 % 850).cast("double").as("x0"),
+          (col("s_suppkey") * 43 % 850).cast("double").as("y0"))
+        .withColumn("x1", col("x0") + lit(60.0))
+        .withColumn("y1", col("y0") + lit(120.0))
+      Joins.spatialOverlapJoin(ra, "a_id", rb, "b_id", cellSize = 100.0)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // fixed-radius grid kNN: cells sized AT the radius, so the 3x3
+    // ring probe is provably complete for neighbors within radius —
+    // the oracle is the quadratic distance join with the same
+    // (distance, id) rank, proving the ring blocking lossless
+    "join_spatial_knn" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        (pmod(round(col("c_acctbal") * 100, 0).cast("long"), lit(100000L))
+          .cast("double") / 100.0).as("x"),
+        pmod(col("c_custkey") * 13, lit(1000)).cast("double").as("y"))
+      val qs = t(s, dir, "nation").select(col("n_nationkey").as("query_id"),
+        (col("n_nationkey") * 41 % 900).cast("double").as("qx"),
+        (col("n_nationkey") * 59 % 900).cast("double").as("qy"))
+      Joins.spatialKnnJoin(pts, "c_custkey", "x", "y",
+          qs, "query_id", "qx", "qy", k = 5, radius = 60.0)
+        .orderBy("query_id", "rnk")
+    }),
+
     // fuzzy string self-join (entity resolution): customer names
     // within edit distance 1 — PassJoin pigeonhole segment blocking,
     // so the oracle can be the PLAIN quadratic Levenshtein join: the
@@ -9609,6 +9646,50 @@ object SparkEntry {
         | FROM pts JOIN rects
         |  ON x BETWEEN x0 AND x0 + 80 AND y BETWEEN y0 AND y0 + 150
         | GROUP BY 1 ORDER BY rect_id""".stripMargin,
+
+    // the quadratic separating-axis reference join for the 2-D
+    // cell-cover blocking with single-cell pair acceptance
+    "join_spatial_overlap" ->
+      """WITH a AS (SELECT n_nationkey AS a_id,
+        |   (n_nationkey * 37 % 900)::DOUBLE AS x0,
+        |   (n_nationkey * 53 % 900)::DOUBLE AS y0,
+        |   (n_nationkey * 37 % 900)::DOUBLE + 80.0 AS x1,
+        |   (n_nationkey * 53 % 900)::DOUBLE + 150.0 AS y1
+        |  FROM nation),
+        | b AS (SELECT s_suppkey AS b_id,
+        |   (s_suppkey * 29 % 850)::DOUBLE AS x0,
+        |   (s_suppkey * 43 % 850)::DOUBLE AS y0,
+        |   (s_suppkey * 29 % 850)::DOUBLE + 60.0 AS x1,
+        |   (s_suppkey * 43 % 850)::DOUBLE + 120.0 AS y1
+        |  FROM supplier)
+        | SELECT a_id, b_id FROM a, b
+        | WHERE a.x0 <= b.x1 AND b.x0 <= a.x1
+        |   AND a.y0 <= b.y1 AND b.y0 <= a.y1
+        | ORDER BY a_id, b_id""".stripMargin,
+
+    // the quadratic distance-rank reference for the ring-probe kNN:
+    // same squared-distance arithmetic, same (dist2, id) tie-break
+    "join_spatial_knn" ->
+      """WITH pts AS (SELECT c_custkey,
+        |   ((CAST(round(c_acctbal * 100, 0) AS BIGINT) % 100000
+        |     + 100000) % 100000)::DOUBLE / 100.0 AS x,
+        |   (c_custkey * 13 % 1000)::DOUBLE AS y
+        |  FROM customer),
+        | qs AS (SELECT n_nationkey AS query_id,
+        |   (n_nationkey * 41 % 900)::DOUBLE AS qx,
+        |   (n_nationkey * 59 % 900)::DOUBLE AS qy
+        |  FROM nation),
+        | cand AS (SELECT query_id, c_custkey,
+        |   (x - qx) * (x - qx) + (y - qy) * (y - qy) AS dist2
+        |  FROM pts, qs
+        |  WHERE (x - qx) * (x - qx) + (y - qy) * (y - qy) <= 60.0 * 60.0),
+        | ranked AS (SELECT query_id, c_custkey, dist2,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY dist2, c_custkey) AS BIGINT) AS rnk
+        |  FROM cand)
+        | SELECT query_id, rnk, c_custkey, round(sqrt(dist2), 6) AS dist
+        | FROM ranked WHERE rnk <= 5
+        | ORDER BY query_id, rnk""".stripMargin,
 
     // the quadratic reference join: if the engine's segment blocking
     // ever lost a true pair, this hash check would catch it

@@ -457,17 +457,7 @@ object Joins {
   def spatialGridJoin(points: DataFrame, pidCol: String, xCol: String,
                       yCol: String, rects: DataFrame, rectIdCol: String,
                       cellSize: Double, maxCellsPerRect: Long = 4096L): DataFrame = {
-    require(cellSize > 0, s"cellSize must be positive: $cellSize")
-    require(maxCellsPerRect > 0, s"maxCellsPerRect must be positive")
-    val worst = rects.agg(max(
-      (floor(col("x1") / cellSize) - floor(col("x0") / cellSize) + 1) *
-      (floor(col("y1") / cellSize) - floor(col("y0") / cellSize) + 1))
-      .cast("long")).head() // 1-row scalar: bounded control-plane
-    if (!worst.isNullAt(0))
-      require(worst.getLong(0) <= maxCellsPerRect,
-        s"a rectangle covers ${worst.getLong(0)} grid cells > " +
-        s"maxCellsPerRect=$maxCellsPerRect — raise cellSize (now " +
-        s"$cellSize) toward the typical rectangle extent, or raise the cap")
+    validateCellCover(rects, cellSize, maxCellsPerRect)
     val pc = points.select(col(pidCol), col(xCol).as("px"), col(yCol).as("py"),
       floor(col(xCol) / cellSize).cast("long").as("cx"),
       floor(col(yCol) / cellSize).cast("long").as("cy"))
@@ -483,5 +473,127 @@ object Joins {
       .where(col("px").between(col("x0"), col("x1")) &&
              col("py").between(col("y0"), col("y1")))
       .select(col(pidCol), col(rectIdCol), col("px"), col("py"))
+  }
+
+  /** Guard shared by the grid-bucketed spatial family: a rectangle
+    * huge relative to `cellSize` (or a mis-chosen `cellSize`) would
+    * multiply the exploded side by x-cells × y-cells with no
+    * diagnostic until the broadcast limit or driver OOM — fail first
+    * with the worst offender's fan-out and the fix. One 1-row
+    * aggregate over the rect table (control-plane).
+    */
+  private def validateCellCover(rects: DataFrame, cellSize: Double,
+                                maxCellsPerRect: Long): Unit = {
+    require(cellSize > 0, s"cellSize must be positive: $cellSize")
+    require(maxCellsPerRect > 0, s"maxCellsPerRect must be positive")
+    val worst = rects.agg(max(
+      (floor(col("x1") / cellSize) - floor(col("x0") / cellSize) + 1) *
+      (floor(col("y1") / cellSize) - floor(col("y0") / cellSize) + 1))
+      .cast("long")).head() // 1-row scalar: bounded control-plane
+    if (!worst.isNullAt(0))
+      require(worst.getLong(0) <= maxCellsPerRect,
+        s"a rectangle covers ${worst.getLong(0)} grid cells > " +
+        s"maxCellsPerRect=$maxCellsPerRect — raise cellSize (now " +
+        s"$cellSize) toward the typical rectangle extent, or raise the cap")
+  }
+
+  /** Explode a rectangle set to its grid-cell cover (the
+    * [[spatialGridJoin]] blocking), columns prefixed so two covers
+    * can meet in one join without name collisions.
+    */
+  private def cellCover(rects: DataFrame, idCol: String, prefix: String,
+                        cellSize: Double): DataFrame =
+    rects
+      .select(col(idCol), col("x0").as(s"${prefix}x0"),
+        col("y0").as(s"${prefix}y0"), col("x1").as(s"${prefix}x1"),
+        col("y1").as(s"${prefix}y1"))
+      .withColumn("cx", explode(sequence(
+        floor(col(s"${prefix}x0") / cellSize).cast("long"),
+        floor(col(s"${prefix}x1") / cellSize).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor(col(s"${prefix}y0") / cellSize).cast("long"),
+        floor(col(s"${prefix}y1") / cellSize).cast("long"))))
+
+  /** SPATIAL rectangle–rectangle OVERLAP join — the polygon-bbox
+    * intersection shape (region × region, geofence × coverage-area):
+    * both sets explode to their bounded cell covers, candidates meet
+    * in a hash EQUI-join on the cell key with the exact separating-
+    * axis overlap test as residual, and each overlapping pair is
+    * accepted in exactly ONE cell — the cell containing the
+    * intersection's lower-left corner (max of the x0s, max of the
+    * y0s), which both rectangles cover iff they overlap. That is
+    * [[spatialGridJoin]]'s at-most-one-match argument generalized to
+    * two exploded sides (the `join_overlap` single-bucket trick in
+    * 2-D), so no post-join dedup pass exists to become the shuffle
+    * bottleneck. Fan-out on BOTH sides is validated against
+    * `maxCellsPerRect` before anything builds.
+    *
+    * Inclusive bounds on both sets: (rectId, x0, y0, x1, y1).
+    */
+  def spatialOverlapJoin(rectsA: DataFrame, aIdCol: String,
+                         rectsB: DataFrame, bIdCol: String,
+                         cellSize: Double,
+                         maxCellsPerRect: Long = 4096L): DataFrame = {
+    validateCellCover(rectsA, cellSize, maxCellsPerRect)
+    validateCellCover(rectsB, cellSize, maxCellsPerRect)
+    val a = cellCover(rectsA, aIdCol, "a_", cellSize)
+    val b = cellCover(rectsB, bIdCol, "b_", cellSize)
+    a.join(b, Seq("cx", "cy"))
+      .where(col("a_x0") <= col("b_x1") && col("b_x0") <= col("a_x1") &&
+             col("a_y0") <= col("b_y1") && col("b_y0") <= col("a_y1"))
+      // single-cell acceptance: claim the pair only where the
+      // intersection's lower-left corner lives
+      .where(col("cx") ===
+               floor(greatest(col("a_x0"), col("b_x0")) / cellSize).cast("long") &&
+             col("cy") ===
+               floor(greatest(col("a_y0"), col("b_y0")) / cellSize).cast("long"))
+      .select(col(aIdCol), col(bIdCol))
+  }
+
+  /** FIXED-RADIUS k-NEAREST-NEIGHBOR join on the grid — "the k
+    * closest points within distance `radius` of each query", the form
+    * geo pipelines actually run (nearest stores to a customer,
+    * nearest POIs to a coordinate; an unbounded global kNN over sparse
+    * regions is a full-corpus scan by definition). Grid cells are
+    * sized AT the radius, so every point within `radius` of a query
+    * provably lies in the 3×3 ring around the query's cell
+    * (|Δx| ≤ radius ⇒ adjacent cell index): queries explode to their
+    * 9 probe cells — constant fan-out, the ring-expansion probe with
+    * the expansion bounded to one ring by construction — candidates
+    * meet in a hash equi-join on the cell key, the exact
+    * squared-distance test prunes the corners, and a per-query
+    * window (bounded by the candidate count of 9 cells, never the
+    * corpus) keeps rank ≤ k with a deterministic (distance, id)
+    * tie-break. A point lives in ONE cell, so no candidate pair
+    * duplicates — no dedup pass.
+    */
+  def spatialKnnJoin(points: DataFrame, pidCol: String, xCol: String,
+                     yCol: String, queries: DataFrame, qidCol: String,
+                     qxCol: String, qyCol: String, k: Int,
+                     radius: Double): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(radius > 0, s"radius must be positive: $radius")
+    import org.apache.spark.sql.expressions.Window
+    val pc = points.select(col(pidCol), col(xCol).as("px"), col(yCol).as("py"),
+      floor(col(xCol) / radius).cast("long").as("cx"),
+      floor(col(yCol) / radius).cast("long").as("cy"))
+    val ring = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val qc = queries
+      .select(col(qidCol), col(qxCol).as("qx"), col(qyCol).as("qy"),
+        explode(ring).as("d"))
+      .select(col(qidCol), col("qx"), col("qy"),
+        (floor(col("qx") / radius).cast("long") + col("d.dx")).as("cx"),
+        (floor(col("qy") / radius).cast("long") + col("d.dy")).as("cy"))
+    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
+             (col("py") - col("qy")) * (col("py") - col("qy"))
+    val w = Window.partitionBy(qidCol).orderBy(col("dist2"), col(pidCol))
+    pc.join(broadcast(qc), Seq("cx", "cy"))
+      .withColumn("dist2", d2)
+      .where(col("dist2") <= lit(radius * radius))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(qidCol), col("rnk"), col(pidCol),
+        round(sqrt(col("dist2")), 6).as("dist"))
   }
 }

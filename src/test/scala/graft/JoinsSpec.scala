@@ -259,4 +259,51 @@ class JoinsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("raise cellSize"), ex.getMessage)
   }
+
+  test("spatialOverlapJoin equals the brute-force separating-axis join; each pair exactly once") {
+    // A1 spans 3x3 cells; B10 touches A1 only at the single corner
+    // point (250,250) — inclusive bounds must count it; B12 is
+    // disjoint from everything; B11 is strictly inside A1
+    val ra = Seq((1L, 0.0, 0.0, 250.0, 250.0), (2L, 500.0, 500.0, 600.0, 520.0))
+      .toDF("a_id", "x0", "y0", "x1", "y1")
+    val rb = Seq((10L, 250.0, 250.0, 300.0, 300.0),
+      (11L, 100.0, 90.0, 120.0, 110.0), (12L, 601.0, 500.0, 700.0, 505.0),
+      (13L, 0.0, 480.0, 990.0, 530.0)) // wide strip crossing A2 in many cells
+      .toDF("b_id", "x0", "y0", "x1", "y1")
+    val got = Joins.spatialOverlapJoin(ra, "a_id", rb, "b_id", cellSize = 100.0)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val a = ra.as[(Long, Double, Double, Double, Double)].collect()
+    val b = rb.as[(Long, Double, Double, Double, Double)].collect()
+    val exp = (for ((ai, ax0, ay0, ax1, ay1) <- a; (bi, bx0, by0, bx1, by1) <- b
+      if ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1)
+      yield (ai, bi)).toSeq.sorted
+    assert(got == exp, s"overlap join: $got vs brute $exp")
+    assert(got.contains((1L, 10L)), "corner-touch must count (inclusive bounds)")
+    assert(got.contains((2L, 13L)), "multi-cell shared cover must emit once")
+    assert(got.distinct == got, "single-cell acceptance must prevent duplicates")
+  }
+
+  test("spatialKnnJoin: 3x3 ring finds every neighbor within radius; rank/tie-break/radius-cut exact") {
+    // points on a lattice around the query, including two exact ties
+    // and one point at exactly the radius (inclusive)
+    val pts = Seq((1L, 10.0, 0.0), (2L, -10.0, 0.0), (3L, 0.0, 25.0),
+      (4L, 60.0, 0.0), (5L, 0.0, -61.0), (6L, 59.0, 59.0), (7L, 3.0, 4.0))
+      .toDF("pid", "x", "y")
+    val qs = Seq((100L, 0.0, 0.0)).toDF("qid", "qx", "qy")
+    val got = Joins.spatialKnnJoin(pts, "pid", "x", "y", qs, "qid", "qx", "qy",
+        k = 4, radius = 60.0)
+      .select("qid", "rnk", "pid", "dist")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    // dists: p7=5, p1=10, p2=10 (tie broken by pid), p3=25, p4=60
+    // (exactly radius, inclusive — but rank 5 > k), p5=61 out,
+    // p6=sqrt(2)*59>60 out (the corner the residual must prune)
+    assert(got == Seq((100L, 1L, 7L, 5.0), (100L, 2L, 1L, 10.0),
+      (100L, 3L, 2L, 10.0), (100L, 4L, 3L, 25.0)), s"knn: $got")
+    // k above the neighbor count: the radius cut governs; p4 at
+    // exactly the radius is IN, p5/p6 stay out
+    val all = Joins.spatialKnnJoin(pts, "pid", "x", "y", qs, "qid", "qx", "qy",
+        k = 10, radius = 60.0)
+      .select("pid").as[Long].collect().toSeq.sorted
+    assert(all == Seq(1L, 2L, 3L, 4L, 7L), s"radius cut: $all")
+  }
 }

@@ -659,6 +659,22 @@ class PlanShapeSpec extends SparkSpec {
       "containment must be a residual filter, never the join condition")
   }
 
+  test("rect-rect overlap is a hash equi-join on the shared cell, never a theta join (join_spatial_overlap)") {
+    val p = plan("join_spatial_overlap")
+    assert(p.contains("HashJoin"),
+      "both cell covers must meet in a hash equi-join on (cx, cy)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the separating-axis test must be a residual, never the join condition")
+  }
+
+  test("grid kNN is a hash equi-join on the probe cell, never a distance theta join (join_spatial_knn)") {
+    val p = plan("join_spatial_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 9-cell query probe side must broadcast into a hash equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the distance test must be a residual, never the join condition")
+  }
+
   test("IR metrics join qrels on (query, corpus) keys — no cartesian (sim_ir_metrics)") {
     val p = plan("sim_ir_metrics")
     // the only nested-loop is the broadcast query side of the
