@@ -6247,6 +6247,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // BINARY fixed-record round-trip with COMP-3 packed decimals (the
+    // true mainframe wire shape: undelimited length-addressed records,
+    // text + nibble-packed numeric spans side by side): customer keys
+    // and SIGNED account-balance cents pack through the native BCD
+    // kernel and must survive bit-exactly — acctbal goes negative in
+    // the fixture, so the sign nibble is exercised end-to-end
+    "etl_packed_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val src = t(s, dir, "customer").select(
+        col("c_custkey").cast(DecimalType(12, 0)).as("c_custkey"),
+        col("c_name"),
+        round(col("c_acctbal") * 100, 0).cast("long")
+          .cast(DecimalType(13, 0)).as("acct_cents"))
+      val spans = Seq(Etl.PackedSpan("c_custkey", 12, 0),
+        Etl.CharSpan("c_name", 25), Etl.PackedSpan("acct_cents", 13, 0))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_packedrec_${(dir.hashCode & Int.MaxValue)}"
+      Etl.writeFixedRecords(src, path, spans)
+      Etl.readFixedRecords(s, path, spans)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("acct_cents").cast("long").as("acct_cents"))
+        .orderBy("c_custkey")
+    }),
+
     // XML sink round-trip (built-in source since Spark 4.0) — the
     // enterprise-integration format the OData side of this engine
     // speaks; explicit read-back schema like the CSV path, values must
@@ -14143,6 +14166,13 @@ object SparkEntry {
     "etl_fixed_width_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // COMP-3 packing is representation-invisible: keys and SIGNED
+    // cents come back as the exact integers that went in
+    "etl_packed_roundtrip" ->
+      """SELECT c_custkey, c_name,
+        | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents
+        | FROM customer ORDER BY c_custkey""".stripMargin,
 
     // compaction is result-invisible — the plain aggregate
     "etl_compact_scan" ->

@@ -327,6 +327,82 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.text(emptyPath).count() == 0)
   }
 
+  test("PackedDecimal: hand-checked BCD bytes, sign nibble conventions, malformed spans decode null") {
+    import graft.plans.PackedDecimal
+    import org.apache.spark.sql.types.Decimal
+    // 12345 at p=5: nibbles 1 2 3 4 5 C → 0x12 0x34 0x5C
+    assert(PackedDecimal.encode(Decimal(12345L, 5, 0), 5).toSeq ==
+      Seq(0x12, 0x34, 0x5C).map(_.toByte))
+    // -987.65 at p=5 s=2: unscaled -98765 → 0x98 0x76 0x5D
+    assert(PackedDecimal.encode(Decimal(-98765L, 5, 2), 5).toSeq ==
+      Seq(0x98.toByte, 0x76, 0x5D.toByte))
+    // even precision pads one leading zero nibble: 42 at p=2 → 0x04 0x2C
+    assert(PackedDecimal.encode(Decimal(42L, 2, 0), 2).toSeq ==
+      Seq(0x04, 0x2C).map(_.toByte))
+    // decode round-trips, including every lawful sign nibble
+    assert(PackedDecimal.decode(Array[Byte](0x98.toByte, 0x76, 0x5D.toByte), 5, 2)
+      == Decimal(BigDecimal("-987.65"), 5, 2))
+    assert(PackedDecimal.decode(Array[Byte](0x12, 0x34, 0x5F), 5, 0)
+      == Decimal(12345L, 5, 0), "0xF = unsigned positive")
+    assert(PackedDecimal.decode(Array[Byte](0x12, 0x34, 0x5B), 5, 0)
+      == Decimal(-12345L, 5, 0), "0xB = negative")
+    // malformed: digit nibble > 9; digit in the sign slot; bad length;
+    // even-precision leading nibble used (value exceeds p digits)
+    assert(PackedDecimal.decode(Array[Byte](0xA2.toByte, 0x34, 0x5C), 5, 0) == null)
+    assert(PackedDecimal.decode(Array[Byte](0x12, 0x34, 0x55), 5, 0) == null)
+    assert(PackedDecimal.decode(Array[Byte](0x12, 0x3C), 5, 0) == null)
+    assert(PackedDecimal.decode(Array[Byte](0x99.toByte, 0x9C.toByte), 2, 0) == null,
+      "999 does not fit PIC 9(2)")
+    // declaration guards surface at expression construction
+    intercept[IllegalArgumentException] {
+      graft.plans.PackedDecimalDecode(
+        org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](0x1C)), 19, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.PackedDecimalDecode(
+        org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](0x1C)), 5, 6)
+    }
+  }
+
+  test("fixed binary records: COMP-3 + text spans round-trip; negatives exact; nulls and overflow fail fast") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_fixedrec"
+    val df = Seq((1L, "AB", BigDecimal("-987.65")), (22L, "C", BigDecimal("0.05")),
+      (333L, "DE F", BigDecimal("12345678901.00")))
+      .toDF("k", "s", "v")
+      .select(col("k").cast(DecimalType(9, 0)).as("k"), col("s"),
+        col("v").cast(DecimalType(13, 2)).as("v"))
+    val spans = Seq(Etl.PackedSpan("k", 9, 0), Etl.CharSpan("s", 6),
+      Etl.PackedSpan("v", 13, 2))
+    Etl.writeFixedRecords(df, path, spans)
+    // raw layout: every record exactly 5 + 6 + 7 = 18 bytes, no delimiters
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".bin")).head.getPath))
+    assert(raw.length == 3 * 18, s"raw bytes: ${raw.length}")
+    val back = Etl.readFixedRecords(spark, path, spans)
+      .select(col("k").cast("long"), col("s"), col("v").cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "AB", "-987.65"), (22L, "C", "0.05"),
+      (333L, "DE F", "12345678901.00")), s"round-trip: $back")
+    // a null packed value must fail fast (no null representation)
+    val exNull = intercept[Exception] {
+      Etl.writeFixedRecords(df.withColumn("v", lit(null).cast(DecimalType(13, 2))),
+        s"${path}_null", spans)
+    }
+    val msgs = Iterator.iterate(exNull: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("cannot encode SQL NULL"), msgs)
+    // a too-wide text value fails fast, same inline-guard discipline
+    val exWide = intercept[Exception] {
+      Etl.writeFixedRecords(df, s"${path}_wide",
+        Seq(Etl.PackedSpan("k", 9, 0), Etl.CharSpan("s", 2), Etl.PackedSpan("v", 13, 2)))
+    }
+    val msgs2 = Iterator.iterate(exWide: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("exceeds width 2"), msgs2)
+  }
+
   test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_compact"
