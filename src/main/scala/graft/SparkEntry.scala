@@ -6255,18 +6255,20 @@ object SparkEntry {
     // the fixture, so the sign nibble is exercised end-to-end
     "etl_packed_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
+      val cents = round(col("c_acctbal") * 100, 0).cast("long")
+        .cast(DecimalType(13, 0))
       val src = t(s, dir, "customer").select(
         col("c_custkey").cast(DecimalType(12, 0)).as("c_custkey"),
-        col("c_name"),
-        round(col("c_acctbal") * 100, 0).cast("long")
-          .cast(DecimalType(13, 0)).as("acct_cents"))
+        col("c_name"), cents.as("acct_cents"), cents.as("acct_zoned"))
       val spans = Seq(Etl.PackedSpan("c_custkey", 12, 0),
-        Etl.CharSpan("c_name", 25), Etl.PackedSpan("acct_cents", 13, 0))
+        Etl.CharSpan("c_name", 25), Etl.PackedSpan("acct_cents", 13, 0),
+        Etl.ZonedSpan("acct_zoned", 13, 0))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_packedrec_${(dir.hashCode & Int.MaxValue)}"
       Etl.writeFixedRecords(src, path, spans)
       Etl.readFixedRecords(s, path, spans)
         .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
-          col("acct_cents").cast("long").as("acct_cents"))
+          col("acct_cents").cast("long").as("acct_cents"),
+          col("acct_zoned").cast("long").as("acct_zoned"))
         .orderBy("c_custkey")
     }),
 
@@ -14167,11 +14169,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
 
-    // COMP-3 packing is representation-invisible: keys and SIGNED
-    // cents come back as the exact integers that went in
+    // COMP-3/zoned packing is representation-invisible: keys and
+    // SIGNED cents come back as the exact integers that went in
     "etl_packed_roundtrip" ->
       """SELECT c_custkey, c_name,
-        | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents
+        | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
+        | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_zoned
         | FROM customer ORDER BY c_custkey""".stripMargin,
 
     // compaction is result-invisible — the plain aggregate

@@ -216,6 +216,13 @@ object Etl {
     extends FixedSpan {
     def bytes: Int = graft.plans.PackedDecimal.bytesFor(precision)
   }
+  /** `PIC S9(p−s)V9(s)` DISPLAY — zoned decimal with the overpunched
+    * sign, one byte per digit (see [[graft.plans.ZonedDecimal]]).
+    */
+  final case class ZonedSpan(name: String, precision: Int, scale: Int)
+    extends FixedSpan {
+    def bytes: Int = precision
+  }
 
   private def packedEncode(c: Column, p: Int, s: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
@@ -225,6 +232,16 @@ object Etl {
   private def packedDecode(c: Column, p: Int, s: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.PackedDecimalDecode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), p, s))
+
+  private def zonedEncode(c: Column, p: Int, s: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.ZonedDecimalEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), p, s))
+
+  private def zonedDecode(c: Column, p: Int, s: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.ZonedDecimalDecode(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), p, s))
 
   /** BINARY fixed-record SINK — [[writeFixedWidth]]'s COMP-3-capable
@@ -261,6 +278,10 @@ object Etl {
         when(col(n).isNull, raise_error(lit(
             s"fixed-record: packed span '$n' cannot encode SQL NULL")))
           .otherwise(packedEncode(col(n), p, sc))
+      case ZonedSpan(n, p, sc) =>
+        when(col(n).isNull, raise_error(lit(
+            s"fixed-record: zoned span '$n' cannot encode SQL NULL")))
+          .otherwise(zonedEncode(col(n), p, sc))
     }: _*)
     val out = df.select(record.as("record"))
     val rows = (if (singleFile) out.coalesce(1) else out).rdd
@@ -314,6 +335,8 @@ object Etl {
         rtrim(decode(substring(col("record"), o, w), "ISO-8859-1")).as(n)
       case (sp @ PackedSpan(n, p, sc), o) =>
         packedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
+      case (sp @ ZonedSpan(n, p, sc), o) =>
+        zonedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
     }: _*)
   }
 

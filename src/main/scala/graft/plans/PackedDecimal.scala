@@ -92,6 +92,117 @@ object PackedDecimal {
   }
 }
 
+/** ZONED decimal (COBOL `PIC S9(p−s)V9(s)` DISPLAY, ASCII convention)
+  * — COMP-3's human-readable sibling, one digit per byte with the
+  * SIGN OVERPUNCHED into the final digit: '{' = +0, 'A'..'I' =
+  * +1..+9, '}' = −0, 'J'..'R' = −1..−9, and a plain trailing digit
+  * reads as positive (unsigned fields). This is the standard form
+  * after an EBCDIC→ASCII transfer; a `precision`-digit field occupies
+  * exactly `precision` bytes. Same malformed-span-to-null posture as
+  * [[PackedDecimal]].
+  */
+object ZonedDecimal {
+  val MaxPrecision: Int = PackedDecimal.MaxPrecision
+
+  private val posPunch = "{ABCDEFGHI".toCharArray // +0..+9
+  private val negPunch = "}JKLMNOPQR".toCharArray // −0..−9
+
+  def encode(d: Decimal, precision: Int): Array[Byte] = {
+    val unscaled = d.toUnscaledLong
+    val neg = unscaled < 0
+    var v = if (neg) -unscaled else unscaled
+    val out = new Array[Byte](precision)
+    val last = (v % 10).toInt
+    out(precision - 1) =
+      (if (neg) negPunch(last) else posPunch(last)).toByte
+    v /= 10
+    var i = precision - 2
+    while (i >= 0) { out(i) = ('0' + (v % 10)).toByte; v /= 10; i -= 1 }
+    out
+  }
+
+  def decode(b: Array[Byte], precision: Int, scale: Int): Decimal = {
+    if (b == null || b.length != precision) return null
+    var v = 0L
+    var i = 0
+    while (i < precision - 1) {
+      val c = b(i)
+      if (c < '0' || c > '9') return null
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    val last = b(precision - 1).toChar
+    val (digit, neg) =
+      if (last >= '0' && last <= '9') (last - '0', false) // unsigned
+      else {
+        val p = posPunch.indexOf(last)
+        if (p >= 0) (p, false)
+        else {
+          val n = negPunch.indexOf(last)
+          if (n >= 0) (n, true) else return null
+        }
+      }
+    v = v * 10 + digit
+    Decimal(if (neg) -v else v, precision, scale)
+  }
+}
+
+/** `decimal(precision, scale)` → zoned-decimal bytes (overpunch sign). */
+case class ZonedDecimalEncode(child: Expression, precision: Int, scale: Int)
+  extends UnaryExpression {
+  PackedDecimal.checkDeclaration(precision, scale)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case dt: DecimalType if dt.precision == precision && dt.scale == scale =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zoned_encode($precision,$scale) expects decimal($precision,$scale), " +
+        s"got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(d: Any): Any =
+    ZonedDecimal.encode(d.asInstanceOf[Decimal], precision)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ZonedDecimal.encode($c, $precision);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Zoned-decimal bytes → `decimal(precision, scale)`; null on a
+  * malformed span.
+  */
+case class ZonedDecimalDecode(child: Expression, precision: Int, scale: Int)
+  extends UnaryExpression {
+  PackedDecimal.checkDeclaration(precision, scale)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zoned_decode expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DecimalType(precision, scale)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(b: Any): Any =
+    ZonedDecimal.decode(b.asInstanceOf[Array[Byte]], precision, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.ZonedDecimal.decode($c, $precision, $scale);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `decimal(precision, scale)` → COMP-3 packed bytes. */
 case class PackedDecimalEncode(child: Expression, precision: Int, scale: Int)
   extends UnaryExpression {

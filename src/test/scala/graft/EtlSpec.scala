@@ -362,6 +362,24 @@ class EtlSpec extends SparkSpec {
       graft.plans.PackedDecimalDecode(
         org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](0x1C)), 5, 6)
     }
+    // ZONED (overpunch) sibling: +12345 → "1234E", −98765 → "9876N",
+    // +0 → "{"; a plain trailing digit reads as unsigned positive
+    import graft.plans.ZonedDecimal
+    assert(new String(ZonedDecimal.encode(Decimal(12345L, 5, 0), 5),
+      "ISO-8859-1") == "1234E")
+    assert(new String(ZonedDecimal.encode(Decimal(-98765L, 5, 2), 5),
+      "ISO-8859-1") == "9876N")
+    assert(new String(ZonedDecimal.encode(Decimal(0L, 1, 0), 1),
+      "ISO-8859-1") == "{")
+    assert(ZonedDecimal.decode("9876N".getBytes("ISO-8859-1"), 5, 2)
+      == Decimal(BigDecimal("-987.65"), 5, 2))
+    assert(ZonedDecimal.decode("12345".getBytes("ISO-8859-1"), 5, 0)
+      == Decimal(12345L, 5, 0), "unsigned trailing digit is positive")
+    assert(ZonedDecimal.decode("12E45".getBytes("ISO-8859-1"), 5, 0) == null,
+      "overpunch only in the last position")
+    assert(ZonedDecimal.decode("1234Z".getBytes("ISO-8859-1"), 5, 0) == null)
+    assert(ZonedDecimal.decode("123E".getBytes("ISO-8859-1"), 5, 0) == null,
+      "wrong span length")
   }
 
   test("fixed binary records: COMP-3 + text spans round-trip; negatives exact; nulls and overflow fail fast") {
@@ -374,20 +392,24 @@ class EtlSpec extends SparkSpec {
       .select(col("k").cast(DecimalType(9, 0)).as("k"), col("s"),
         col("v").cast(DecimalType(13, 2)).as("v"))
     val spans = Seq(Etl.PackedSpan("k", 9, 0), Etl.CharSpan("s", 6),
-      Etl.PackedSpan("v", 13, 2))
-    Etl.writeFixedRecords(df, path, spans)
-    // raw layout: every record exactly 5 + 6 + 7 = 18 bytes, no delimiters
+      Etl.PackedSpan("v", 13, 2), Etl.ZonedSpan("z", 13, 2))
+    val dfz = df.withColumn("z", col("v"))
+    Etl.writeFixedRecords(dfz, path, spans)
+    // raw layout: every record exactly 5 + 6 + 7 + 13 = 31 bytes,
+    // no delimiters
     val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       new java.io.File(path).listFiles().filter(_.getName.endsWith(".bin")).head.getPath))
-    assert(raw.length == 3 * 18, s"raw bytes: ${raw.length}")
+    assert(raw.length == 3 * 31, s"raw bytes: ${raw.length}")
     val back = Etl.readFixedRecords(spark, path, spans)
-      .select(col("k").cast("long"), col("s"), col("v").cast("string"))
-      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
-    assert(back == Seq((1L, "AB", "-987.65"), (22L, "C", "0.05"),
-      (333L, "DE F", "12345678901.00")), s"round-trip: $back")
+      .select(col("k").cast("long"), col("s"), col("v").cast("string"),
+        col("z").cast("string"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "AB", "-987.65", "-987.65"),
+      (22L, "C", "0.05", "0.05"),
+      (333L, "DE F", "12345678901.00", "12345678901.00")), s"round-trip: $back")
     // a null packed value must fail fast (no null representation)
     val exNull = intercept[Exception] {
-      Etl.writeFixedRecords(df.withColumn("v", lit(null).cast(DecimalType(13, 2))),
+      Etl.writeFixedRecords(dfz.withColumn("v", lit(null).cast(DecimalType(13, 2))),
         s"${path}_null", spans)
     }
     val msgs = Iterator.iterate(exNull: Throwable)(_.getCause).takeWhile(_ != null)
@@ -395,8 +417,9 @@ class EtlSpec extends SparkSpec {
     assert(msgs.contains("cannot encode SQL NULL"), msgs)
     // a too-wide text value fails fast, same inline-guard discipline
     val exWide = intercept[Exception] {
-      Etl.writeFixedRecords(df, s"${path}_wide",
-        Seq(Etl.PackedSpan("k", 9, 0), Etl.CharSpan("s", 2), Etl.PackedSpan("v", 13, 2)))
+      Etl.writeFixedRecords(dfz, s"${path}_wide",
+        Seq(Etl.PackedSpan("k", 9, 0), Etl.CharSpan("s", 2),
+          Etl.PackedSpan("v", 13, 2), Etl.ZonedSpan("z", 13, 2)))
     }
     val msgs2 = Iterator.iterate(exWide: Throwable)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
