@@ -35,7 +35,11 @@ object PlanAudit {
                // round-5 final-session surface
                "mm_shard_manifest", "mm_interleaved_pack", "text_kn_lm",
                "sim_binary_topk", "events_mann_whitney", "graph_closeness",
-               "cluster_spherical", "events_cem", "text_c4_filters")
+               "cluster_spherical", "events_cem", "text_c4_filters",
+               // round-10 surface
+               "odata_agg_pushdown", "join_spatial_overlap",
+               "join_spatial_knn", "etl_packed_roundtrip",
+               "profile_roc_stream")
     for (name <- names) {
       println(s"================ $name ================")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

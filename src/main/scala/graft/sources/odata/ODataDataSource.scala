@@ -293,10 +293,18 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     if (specs.exists(_.isEmpty)) return None
     if (nonNullCountCol.isDefined && (specs.length > 1 || groups.nonEmpty))
       return None // the filter prefix scopes the whole $apply
-    val aggPart = s"aggregate(${specs.flatten.map(_._1).mkString(",")})"
+    // zero aggregate expressions happens when a consumer prunes every
+    // aggregate column (e.g. a bare count() over the grouped result
+    // needs only the distinct keys): OData's lawful form is a bare
+    // groupby((cols)) — `aggregate()` with an empty list is invalid
     val apply =
-      if (groups.nonEmpty) s"groupby((${groups.mkString(",")}),$aggPart)"
-      else nonNullCountCol.map(c => s"filter($c ne null)/$aggPart").getOrElse(aggPart)
+      if (specs.isEmpty && groups.nonEmpty) s"groupby((${groups.mkString(",")}))"
+      else if (specs.isEmpty) return None // nothing to push
+      else {
+        val aggPart = s"aggregate(${specs.flatten.map(_._1).mkString(",")})"
+        if (groups.nonEmpty) s"groupby((${groups.mkString(",")}),$aggPart)"
+        else nonNullCountCol.map(c => s"filter($c ne null)/$aggPart").getOrElse(aggPart)
+      }
     val fields = groups.map(g => ODataAggField(g, isCount = false)) ++
       specs.flatten.zipWithIndex.map { case ((_, isCount), i) =>
         ODataAggField(s"agg$i", isCount) }

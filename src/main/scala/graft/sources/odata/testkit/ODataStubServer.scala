@@ -125,11 +125,17 @@ class ODataStubServer(
         val (groupCols, aggExpr) =
           "^groupby\\(\\(([^)]*)\\),(aggregate\\(.*\\))\\)$".r.findFirstMatchIn(applyExpr) match {
             case Some(m) => (m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, m.group(2))
-            case None => (Nil, applyExpr)
+            case None =>
+              // bare groupby((C1,..)) — distinct group keys, no aggregates
+              "^groupby\\(\\(([^)]*)\\)\\)$".r.findFirstMatchIn(applyExpr) match {
+                case Some(m) =>
+                  (m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq, "aggregate()")
+                case None => (Nil, applyExpr)
+              }
           }
         val specs = "^aggregate\\((.*)\\)$".r.findFirstMatchIn(aggExpr)
           .getOrElse(throw new IllegalArgumentException(s"bad \\$$apply: $apply0"))
-          .group(1).split(",").map(_.trim).toSeq
+          .group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         def aggCell(group: Seq[Map[String, String]], spec: String): (String, String, Boolean) =
           spec match {
             case s if s.startsWith("$count as ") =>

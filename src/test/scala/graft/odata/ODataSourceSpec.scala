@@ -409,6 +409,32 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("aggregate pushdown: zero aggregate expressions (distinct / count-over-grouped) pushes a bare groupby") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      // SELECT DISTINCT keys is Aggregate(groups, no aggs) — the
+      // lawful OData form is groupby((C)) with NO aggregate() part
+      val distinctKeys = read(srv, Map("pushDownAggregates" -> "true"))
+        .select("C0CHAR_STRUCTURE").distinct()
+      assert(distinctKeys.as[String].collect().sorted.toSeq ==
+        Seq("STRUCT0", "STRUCT1", "STRUCT2"))
+      assert(!hasAggregate(distinctKeys))
+      // count() over a grouped result prunes every aggregate column —
+      // the inner aggregate reaches the scan with an empty agg list
+      // (the bench-discovered shape)
+      val n = read(srv, Map("pushDownAggregates" -> "true"))
+        .groupBy("C0CHAR_STRUCTURE")
+        .agg(count(lit(1)).as("n"), min("TEMPLOYEE_UUID").as("lo"))
+        .count()
+      assert(n == 3L)
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains("$apply=groupby((C0CHAR_STRUCTURE))")),
+        s"requests: $decoded")
+      assert(!decoded.exists(_.contains("aggregate()")),
+        "an empty aggregate() list must never reach the wire")
+    } finally srv.stop()
+  }
+
   test("aggregate pushdown OFF by default (v2 fallback): same numbers, Spark computes") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
