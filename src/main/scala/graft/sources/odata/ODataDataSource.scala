@@ -174,7 +174,13 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   /** P2 — `$top`. Partial push: caps per-partition fetch, Spark
     * still applies the global limit.
     */
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+  override def pushLimit(l: Int): Boolean = {
+    // a limit over a pushed-complete aggregate is Spark's to apply —
+    // the agg request has no $top, so don't record one the reader
+    // would ignore (the plan must not claim a push that doesn't run)
+    if (pushedAgg.isDefined) return false
+    limit = Some(l); false
+  }
 
   /** P5 — sort+limit to `$orderby` + `$top` (option-gated). PARTIAL
     * push always: each value chain returns its server-side top-N and
@@ -192,6 +198,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
     if (!opts.pushDownTopN) return false
+    if (pushedAgg.isDefined) return false // see pushLimit
     val translated = orders.toSeq.map { so =>
       val asc = so.direction() == SortDirection.ASCENDING
       // OData's SPEC default null placement (nulls first ascending,

@@ -435,6 +435,21 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("aggregate pushdown: a limit above the pushed aggregate stays Spark's (no \\$top on the wire)") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true"))
+        .groupBy("C0CHAR_STRUCTURE").agg(count(lit(1)).as("n"))
+        .limit(2)
+      val got = df.as[(String, Long)].collect().toSeq
+      assert(got.length == 2 && got.forall(_._2 == 3L), s"limited agg: $got")
+      val applies = srv.requestLog.filter(_.contains("%24apply="))
+        .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(applies.nonEmpty && applies.forall(!_.contains("$top")),
+        s"the agg request must not claim a \\$$top push it ignores: $applies")
+    } finally srv.stop()
+  }
+
   test("aggregate pushdown OFF by default (v2 fallback): same numbers, Spark computes") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
