@@ -6119,6 +6119,14 @@ object SparkEntry {
     "odata_agg_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.aggScan(s, dir)),
 
+    // P6 + fullyPushFilters: the FILTERED aggregate composes into one
+    // $apply=filter(O_STATUS eq 'O')/groupby(...) request — neither a
+    // Filter nor an Aggregate node survives the optimized plan (pinned
+    // in PlanShapeSpec); a composition bug (post-aggregation filter,
+    // dropped condition, bad escape) breaks the oracle hash
+    "odata_agg_filter_pushdown" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.aggFilterScan(s, dir)),
+
     // permissive extra-column mode (reference etl.py:201,204-207 — the
     // server spills __metadata on every row; from_records unions it
     // into the output, employee_data.csv:1-2): extraColumns=map lands
@@ -6269,6 +6277,29 @@ object SparkEntry {
         .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
           col("acct_cents").cast("long").as("acct_cents"),
           col("acct_zoned").cast("long").as("acct_zoned"))
+        .orderBy("c_custkey")
+    }),
+
+    // EBCDIC (IBM037) fixed-record round-trip: the text spans travel
+    // in the TRUE mainframe codepage — space pads as 0x40, 'C' is
+    // 0xC3, digits are 0xF0-0xF9, so an ASCII-decoding regression
+    // garbles every value and fails the hash. Keys ride a packed
+    // COMP-3 span alongside (codepage text + BCD numerics in ONE
+    // record, the real copybook shape); the codepage kernels are
+    // codegen'd (Spark's encode/decode built-ins whitelist six
+    // charsets, none EBCDIC)
+    "etl_ebcdic_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val src = t(s, dir, "customer").select(
+        col("c_custkey").cast(DecimalType(12, 0)).as("c_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      val spans = Seq(Etl.PackedSpan("c_custkey", 12, 0),
+        Etl.EbcdicSpan("c_name", 25), Etl.EbcdicSpan("c_mktsegment", 12))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ebcdicrec_${(dir.hashCode & Int.MaxValue)}"
+      Etl.writeFixedRecords(src, path, spans)
+      Etl.readFixedRecords(s, path, spans)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"))
         .orderBy("c_custkey")
     }),
 
@@ -14135,6 +14166,18 @@ object SparkEntry {
         | GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
 
+    // the filter must act BEFORE aggregation (WHERE semantics) — a
+    // composition that filtered the aggregated rows instead would
+    // change every group's numbers
+    "odata_agg_filter_pushdown" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | min(CAST(o_orderkey AS VARCHAR)) AS min_key,
+        | max(CAST(o_orderkey AS VARCHAR)) AS max_key
+        | FROM orders WHERE o_orderkey < 200 AND o_orderstatus = 'O'
+        | GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
+
     // the stub's __metadata is deterministic per key, so the oracle
     // rebuilds the exact to_json(map) text: the map has exactly one
     // key and its value is the nested object's compact JSON (inner
@@ -14175,6 +14218,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
         | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_zoned
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the EBCDIC encode→decode round-trip is an exact identity on
+    // every IBM037-mappable string, so the source values come back
+    // bit-for-bit
+    "etl_ebcdic_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment
         | FROM customer ORDER BY c_custkey""".stripMargin,
 
     // compaction is result-invisible — the plain aggregate

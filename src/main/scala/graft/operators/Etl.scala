@@ -223,6 +223,21 @@ object Etl {
     extends FixedSpan {
     def bytes: Int = precision
   }
+  /** `PIC X(width)` in a true mainframe codepage — EBCDIC IBM037 by
+    * default, the charset an UNTRANSLATED transfer actually arrives
+    * in (space pads as EBCDIC 0x40, 'A' is 0xC1, digits are 0xF0-0xF9
+    * — nothing ASCII survives). Spark's `encode`/`decode` built-ins
+    * whitelist six charsets, none EBCDIC, so the span rides the
+    * native codegen'd [[graft.plans.Codepage]] kernels instead. Any
+    * single-byte bijective JDK charset name works (IBM1047, IBM500,
+    * ...).
+    */
+  final case class EbcdicSpan(name: String, width: Int,
+                              codepage: String = "IBM037") extends FixedSpan {
+    require(width > 0, s"EbcdicSpan '$name' width must be positive: $width")
+    graft.plans.Codepage.checkCharset(codepage)
+    def bytes: Int = width
+  }
 
   private def packedEncode(c: Column, p: Int, s: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
@@ -243,6 +258,16 @@ object Etl {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.ZonedDecimalDecode(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), p, s))
+
+  private def codepageEncode(c: Column, charset: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CodepageEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), charset))
+
+  private def codepageDecode(c: Column, charset: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CodepageDecode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), charset))
 
   /** BINARY fixed-record SINK — [[writeFixedWidth]]'s COMP-3-capable
     * sibling. The record renders as ONE codegen'd `concat` of binary
@@ -282,6 +307,15 @@ object Etl {
         when(col(n).isNull, raise_error(lit(
             s"fixed-record: zoned span '$n' cannot encode SQL NULL")))
           .otherwise(zonedEncode(col(n), p, sc))
+      case EbcdicSpan(n, w, cp) =>
+        // rpad BEFORE the codepage encode so padding spaces become the
+        // codepage's own space byte (EBCDIC 0x40); unmappable chars
+        // fail inside the kernel itself (write-side fail-fast)
+        val s = coalesce(col(n).cast("string"), lit(""))
+        codepageEncode(when(length(s) > w, raise_error(concat(
+            lit(s"fixed-record overflow: value of '$n' exceeds width $w — "),
+            lit("widen the span; value='"), s, lit("'"))))
+          .otherwise(rpad(s, w, " ")), cp)
     }: _*)
     val out = df.select(record.as("record"))
     val rows = (if (singleFile) out.coalesce(1) else out).rdd
@@ -337,6 +371,8 @@ object Etl {
         packedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
       case (sp @ ZonedSpan(n, p, sc), o) =>
         zonedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
+      case (EbcdicSpan(n, w, cp), o) =>
+        rtrim(codepageDecode(substring(col("record"), o, w), cp)).as(n)
     }: _*)
   }
 

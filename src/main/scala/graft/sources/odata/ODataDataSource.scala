@@ -149,25 +149,49 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       else StructType(fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   /** P3 — translate `col = 'lit'` on string columns to `$filter`.
-    * Everything (translated included) is returned as residual so
-    * Spark re-evaluates — the server filter prunes transfer volume,
-    * Spark guarantees semantics even against a sloppy server.
+    * Default posture: everything (translated included) is returned as
+    * residual so Spark re-evaluates — the server filter prunes
+    * transfer volume, Spark guarantees semantics even against a
+    * sloppy server. With `fullyPushFilters=true` the translated eq
+    * predicates are CONSUMED (no residual Filter node), which is what
+    * lets a filtered aggregate compose into one
+    * `$apply=filter(...)/...` request and a filtered sort+limit take
+    * the TopN push — the documented trusted-server trade.
     */
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     val translated = predicates.flatMap(translateEq)
     pushedEq = translated.toSeq
-    pushedPreds = predicates.filter(p => translateEq(p).isDefined)
-    predicates // all residual (belt + suspenders)
+    // Catalyst infers an IsNotNull alongside every eq; `c = 'v'`
+    // implies it (OData eq never matches null), so in fully-pushed
+    // mode the pair is consumed together — the IsNotNull residual
+    // would otherwise keep the very Filter node the option removes
+    val eqCols = pushedEq.map(_._1).toSet
+    def impliedNotNull(p: Predicate): Boolean =
+      p.name() == "IS_NOT_NULL" && (p.children() match {
+        case Array(ref: NamedReference) => serverCol(ref).exists(eqCols.contains)
+        case _ => false
+      })
+    pushedPreds = predicates.filter(p => translateEq(p).isDefined ||
+      (opts.fullyPushFilters && impliedNotNull(p)))
+    if (opts.fullyPushFilters)
+      predicates.filter(p => translateEq(p).isEmpty && !impliedNotNull(p))
+    else predicates // all residual (belt + suspenders)
   }
   override def pushedPredicates(): Array[Predicate] = pushedPreds
 
+  /** Only single-segment references to real server fields translate —
+    * the extras map is client-side synthesized and must never reach
+    * `$filter` (it cannot appear here as a bare eq-on-string anyway,
+    * but the guard keeps the fully-pushed mode honest by
+    * construction).
+    */
   private def translateEq(p: Predicate): Option[(String, String)] =
     if (p.name() != "=") None
     else p.children() match {
       case Array(ref: NamedReference, lit: V2Literal[_]) if lit.dataType() == StringType =>
-        Some(ref.fieldNames().mkString(".") -> String.valueOf(lit.value()))
+        serverCol(ref).map(_ -> String.valueOf(lit.value()))
       case Array(lit: V2Literal[_], ref: NamedReference) if lit.dataType() == StringType =>
-        Some(ref.fieldNames().mkString(".") -> String.valueOf(lit.value()))
+        serverCol(ref).map(_ -> String.valueOf(lit.value()))
       case _ => None
     }
 
@@ -190,11 +214,14 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * collation caveat.
     *
     * Interplay: because [[pushPredicates]] keeps every predicate as
-    * residual, a filtered sort+limit retains Spark's Filter node and
-    * TopN does NOT push (Catalyst only pushes TopN when the sort sits
-    * directly on the scan) — a deliberate trade: the residual filter
-    * guards semantics against sloppy servers, at the cost of
-    * transferring the filtered (un-topped) rows in that shape.
+    * residual BY DEFAULT, a filtered sort+limit retains Spark's Filter
+    * node and TopN does NOT push (Catalyst only pushes TopN when the
+    * sort sits directly on the scan) — a deliberate trade: the
+    * residual filter guards semantics against sloppy servers, at the
+    * cost of transferring the filtered (un-topped) rows in that shape.
+    * `fullyPushFilters=true` removes the residual and lets the
+    * filtered TopN push (the per-chain `$filter` already carries the
+    * pushed eq, so the server tops the FILTERED rows).
     */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
     if (!opts.pushDownTopN) return false
@@ -245,9 +272,13 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * extras-map reference — declines, and Spark computes.
     *
     * Catalyst only attempts this when no residual Filter sits between
-    * Aggregate and scan; since [[pushPredicates]] keeps every
-    * predicate residual by design, FILTERED aggregates always take
-    * the fallback path. Min/max keep the connector's string typing —
+    * Aggregate and scan; with the default residual posture FILTERED
+    * aggregates therefore always take the fallback path, while
+    * `fullyPushFilters=true` consumes the eq predicates and the
+    * filtered aggregate composes into ONE
+    * `$apply=filter(...)/groupby(...)` request — the full
+    * filter-then-aggregate collapse, |groups| rows over the wire.
+    * Min/max keep the connector's string typing —
     * correct for this all-string schema because OData string ordering
     * and Spark's agree on the server side being trusted anyway (the
     * same trust `supportCompletePushDown` declares).
@@ -276,7 +307,16 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       !(opts.extrasEnabled && n == opts.extraColumnName))
 
   private def translateAgg(agg: Aggregation): Option[ODataPushedAgg] = {
-    if (!opts.pushDownAggregates || pushedEq.nonEmpty) return None
+    if (!opts.pushDownAggregates) return None
+    // pushed eq filters survive into an aggregate plan ONLY in
+    // fullyPushFilters mode (otherwise the residual Filter node sits
+    // between Aggregate and scan and Catalyst never attempts the push
+    // — this guard is belt + suspenders). There they compose as a
+    // filter() transformation PREFIX of the $apply: V4 evaluates
+    // $apply before every other query option, so a plain $filter
+    // would filter the AGGREGATED rows — the prefix is the only form
+    // with WHERE-clause (pre-aggregation) semantics.
+    if (pushedEq.nonEmpty && !opts.fullyPushFilters) return None
     val groupCols = agg.groupByExpressions().toSeq.map(serverCol)
     if (groupCols.exists(_.isEmpty)) return None
     val groups = groupCols.flatten
@@ -304,14 +344,22 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // aggregate column (e.g. a bare count() over the grouped result
     // needs only the distinct keys): OData's lawful form is a bare
     // groupby((cols)) — `aggregate()` with an empty list is invalid
-    val apply =
+    val base =
       if (specs.isEmpty && groups.nonEmpty) s"groupby((${groups.mkString(",")}))"
       else if (specs.isEmpty) return None // nothing to push
       else {
         val aggPart = s"aggregate(${specs.flatten.map(_._1).mkString(",")})"
         if (groups.nonEmpty) s"groupby((${groups.mkString(",")}),$aggPart)"
-        else nonNullCountCol.map(c => s"filter($c ne null)/$aggPart").getOrElse(aggPart)
+        else aggPart
       }
+    // pre-aggregation conditions: fully-pushed eq filters (trusted by
+    // option) and the sole-ungrouped count(col)'s ne-null — one
+    // filter() prefix scoping the whole transformation sequence
+    val conds = pushedEq.map { case (k, v) =>
+      s"$k eq '${v.replace("'", "''")}'" } ++
+      nonNullCountCol.map(c => s"$c ne null")
+    val apply =
+      if (conds.nonEmpty) s"filter(${conds.mkString(" and ")})/$base" else base
     val fields = groups.map(g => ODataAggField(g, isCount = false)) ++
       specs.flatten.zipWithIndex.map { case ((_, isCount), i) =>
         ODataAggField(s"agg$i", isCount) }

@@ -69,6 +69,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                     complete pushdown replaces Spark's own
   *                     aggregation, so unlike the residual-filter
   *                     belt-and-suspenders there is no re-check.
+  * @param fullyPushFilters trust the server to evaluate pushed
+  *                     `$filter` equality EXACTLY: translated eq
+  *                     predicates are consumed by the scan instead of
+  *                     being returned as residuals, so Spark plans no
+  *                     re-checking Filter node. Two effects at scale:
+  *                     (1) a filtered aggregate can now compose into
+  *                     ONE `$apply=filter(...)/groupby(...)` request
+  *                     (with the residual posture, the Filter node
+  *                     between Aggregate and scan blocks aggregate
+  *                     pushdown entirely — Catalyst only pushes
+  *                     aggregates sitting directly on the scan); (2) a
+  *                     filtered sort+limit can take the `$orderby` +
+  *                     `$top` TopN push. Default FALSE — the
+  *                     belt-and-suspenders residual re-check stays the
+  *                     posture for untrusted tenants; enable it on
+  *                     servers whose eq semantics are trusted (the
+  *                     same trust `pushDownAggregates` already
+  *                     declares for `$apply`).
   */
 case class ODataOptions(
     baseUrl: String,
@@ -89,7 +107,8 @@ case class ODataOptions(
     pushDownTopN: Boolean,
     extraColumns: String,
     extraColumnName: String,
-    pushDownAggregates: Boolean) {
+    pushDownAggregates: Boolean,
+    fullyPushFilters: Boolean) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -148,6 +167,7 @@ object ODataOptions {
       pushDownTopN = m.getOrElse("pushDownTopN", "true").toBoolean,
       extraColumns = extraColumns0,
       extraColumnName = extraColumnName0,
-      pushDownAggregates = m.getOrElse("pushDownAggregates", "false").toBoolean)
+      pushDownAggregates = m.getOrElse("pushDownAggregates", "false").toBoolean,
+      fullyPushFilters = m.getOrElse("fullyPushFilters", "false").toBoolean)
   }
 }

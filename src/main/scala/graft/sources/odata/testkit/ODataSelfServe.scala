@@ -110,6 +110,39 @@ object ODataSelfServe {
       .orderBy("o_orderpriority")
   }
 
+  /** P6 + fullyPushFilters driver-gate: the filtered aggregate
+    * collapses into ONE `$apply=filter(O_STATUS eq 'O')/groupby(...)`
+    * request — with the default residual posture the Filter node
+    * between Aggregate and scan blocks the aggregate push entirely,
+    * so this gate proves the WHOLE composition: eq predicate consumed
+    * by the scan (no Spark re-filter), filter prefix scoping the
+    * aggregation server-side (pre-aggregation WHERE semantics), and
+    * the |groups|-row wire shape. The oracle replays the same
+    * filter+aggregate over the stub's source slice, so a composition
+    * bug (filter applied post-aggregation, dropped condition, wrong
+    * escape) breaks the hash.
+    */
+  def aggFilterScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("pushDownAggregates", "true")
+      .option("fullyPushFilters", "true")
+      .load()
+      .where(col("O_STATUS") === "O")
+      .groupBy(col("O_PRIORITY"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("O_ORDERKEY")).as("min_key"),
+           max(col("O_ORDERKEY")).as("max_key"))
+      .select(col("O_PRIORITY").as("o_orderpriority"), col("n_orders"),
+        col("min_key"), col("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   // second stub, same slice, but the 3-MEDIUM value chain is poisoned
   // (every filtered request for it returns 500)
   private val partialServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]

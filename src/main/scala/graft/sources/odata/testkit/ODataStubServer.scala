@@ -110,16 +110,32 @@ class ODataStubServer(
     }
 
     // OData V4 `$apply` (the aggregate-pushdown surface):
-    //   aggregate(<specs>) | groupby((C1,..),aggregate(<specs>)) |
-    //   filter(C ne null)/aggregate(<specs>)
+    //   [filter(<conds>)/] aggregate(<specs>) |
+    //   [filter(<conds>)/] groupby((C1,..)[,aggregate(<specs>)])
+    // where <conds> is an `and`-conjunction of `C eq 'v'` (with ''
+    // unescape) and `C ne null` — the pre-aggregation filter prefix
+    // the fullyPushFilters + count(col) pushes compose.
     // spec: `$count as a` | `C with min|max|countdistinct as a`.
     // Counts emit as raw JSON numbers (per the OData spec), everything
     // else as strings.
     q.get("$apply") match {
       case Some(apply0) =>
         val (applyRows, applyExpr) =
-          "^filter\\((\\S+) ne null\\)/(.*)$".r.findFirstMatchIn(apply0) match {
-            case Some(m) => (filtered.filter(_.get(m.group(1)).exists(_ != null)), m.group(2))
+          // greedy (.*) binds to the LAST `)/` before the aggregation
+          // step, so eq values containing `)` stay inside the conds
+          "^filter\\((.*)\\)/((?:groupby|aggregate).*)$".r.findFirstMatchIn(apply0) match {
+            case Some(m) =>
+              val conds = m.group(1).split(" and ").toSeq.map(_.trim)
+              val pred = (r: Map[String, String]) => conds.forall { c =>
+                "^(\\S+) ne null$".r.findFirstMatchIn(c) match {
+                  case Some(n) => r.get(n.group(1)).exists(_ != null)
+                  case None =>
+                    val e = "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(c)
+                      .getOrElse(throw new IllegalArgumentException(s"bad apply filter: $c"))
+                    r.get(e.group(1)).contains(e.group(2).replace("''", "'"))
+                }
+              }
+              (filtered.filter(pred), m.group(2))
             case None => (filtered, apply0)
           }
         val (groupCols, aggExpr) =

@@ -426,6 +426,73 @@ class EtlSpec extends SparkSpec {
     assert(msgs2.contains("exceeds width 2"), msgs2)
   }
 
+  test("Codepage: IBM037 byte pins, total decode, unmappable chars fail fast") {
+    import graft.plans.Codepage
+    import org.apache.spark.unsafe.types.UTF8String
+    // hand-checked EBCDIC code points: 'A'=0xC1, 'a'=0x81, '0'=0xF0,
+    // space=0x40, '#'=0x7B (the fixture names' chars all land here)
+    assert(Codepage.encode(UTF8String.fromString("A0a #"), "IBM037").toSeq ==
+      Seq(0xC1, 0xF0, 0x81, 0x40, 0x7B).map(_.toByte))
+    assert(Codepage.decode(
+      Array(0xC1, 0xF0, 0x81, 0x40, 0x7B).map(_.toByte), "IBM037").toString
+      == "A0a #")
+    // nothing ASCII survives: an ASCII read of EBCDIC bytes garbles
+    assert(new String(Codepage.encode(UTF8String.fromString("AB"), "IBM037"),
+      "ISO-8859-1") != "AB")
+    // decode is TOTAL, and encode→decode is an exact identity on the
+    // decode of every byte (the string round-trip the gate rides);
+    // byte-level re-encode differs ONLY at the one JDK-table
+    // ambiguity: NL 0x15 and LF 0x25 both decode to U+000A and
+    // re-encode canonicalizes to LF 0x25
+    val all = Array.tabulate(256)(_.toByte)
+    val asChars = Codepage.decode(all, "IBM037")
+    assert(Codepage.decode(
+      Codepage.encode(asChars, "IBM037"), "IBM037").toString == asChars.toString)
+    val reenc = Codepage.encode(asChars, "IBM037")
+    val diffs = all.indices.filter(i => reenc(i) != all(i))
+    assert(diffs == Seq(0x15) && reenc(0x15) == 0x25.toByte,
+      s"unexpected non-identity bytes: ${diffs.map(i => f"$i%02X")}")
+    // write-side fail-fast: IBM037 has no '€' (that is IBM1140)
+    val ex = intercept[IllegalArgumentException] {
+      Codepage.encode(UTF8String.fromString("€"), "IBM037")
+    }
+    assert(ex.getMessage.contains("cannot encode"), ex.getMessage)
+    // a multi-byte charset is rejected at table build
+    intercept[IllegalArgumentException] { Codepage.checkCharset("UTF-8") }
+  }
+
+  test("fixed binary records: EBCDIC spans travel as true IBM037 bytes and round-trip exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ebcdicrec"
+    val df = Seq((1L, "AB c#1"), (22L, ""), (333L, "x y"))
+      .toDF("k", "s")
+      .select(col("k").cast(DecimalType(9, 0)).as("k"), col("s"))
+    val spans = Seq(Etl.PackedSpan("k", 9, 0), Etl.EbcdicSpan("s", 8))
+    Etl.writeFixedRecords(df, path, spans)
+    // byte-level pin on record 1 (k=1): packed 0x00..0x1C then
+    // "AB c#1  " in EBCDIC — 'A'=0xC1,'B'=0xC2,' '=0x40,'c'=0x83,
+    // '#'=0x7B,'1'=0xF1, space-padded with 0x40 (NOT ASCII 0x20)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".bin")).head.getPath))
+    assert(raw.length == 3 * (5 + 8), s"raw bytes: ${raw.length}")
+    assert(raw.slice(5, 13).toSeq ==
+      Seq(0xC1, 0xC2, 0x40, 0x83, 0x7B, 0xF1, 0x40, 0x40).map(_.toByte),
+      raw.slice(5, 13).map(b => f"$b%02X").mkString(" "))
+    val back = Etl.readFixedRecords(spark, path, spans)
+      .select(col("k").cast("long"), col("s"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "AB c#1"), (22L, ""), (333L, "x y")), s"round-trip: $back")
+    // an unmappable char fails the WRITE fast (never a silent
+    // substitution byte into a 100 TB feed)
+    val ex = intercept[Exception] {
+      Etl.writeFixedRecords(df.withColumn("s", lit("bad €")), s"${path}_bad", spans)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("cannot encode"), msgs)
+  }
+
   test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_compact"

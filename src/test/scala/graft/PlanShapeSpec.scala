@@ -36,6 +36,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "no physical aggregate either")
   }
 
+  test("OData filter+aggregate composition leaves neither Filter nor Aggregate above the scan (odata_agg_filter_pushdown)") {
+    val df = SparkEntry.queries("odata_agg_filter_pushdown")(spark, sf001)
+    val survivors = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a: Any
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f: Any
+    }
+    assert(survivors.isEmpty,
+      s"the WHOLE filter+aggregate must collapse into the scan:\n${df.queryExecution.optimizedPlan}")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("apply=filter(O_STATUS eq 'O')/groupby((O_PRIORITY)," +
+      "aggregate($count as agg0,O_ORDERKEY with min as agg1," +
+      "O_ORDERKEY with max as agg2))"),
+      s"scan description must carry the composed \\$$apply:\n$p")
+    assert(!p.contains("HashAggregate"), "no physical aggregate either")
+  }
+
   test("dimension joins broadcast (join_revenue)") {
     val p = plan("join_revenue")
     assert(p.contains("BroadcastHashJoin"), "customer/orders dims must broadcast")

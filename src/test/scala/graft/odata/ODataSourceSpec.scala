@@ -484,6 +484,122 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def hasFilter(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty
+
+  test("fullyPushFilters: eq predicates consumed (no residual Filter), untranslatable ones stay residual") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+      assert(!hasFilter(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.select("CEMPLOYEE_UUID").as[String].collect().toSet ==
+        Set("1", "4", "7"), "server-filtered rows must be exact")
+      // a predicate the connector cannot translate (string >) keeps
+      // its residual Filter even in fully-pushed mode
+      val mixed = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(col("CEMPLOYEE_UUID") > "3")
+      assert(hasFilter(mixed))
+      assert(mixed.count() == 5) // "4".."8"
+    } finally srv.stop()
+  }
+
+  test("fullyPushFilters + aggregate: the filtered aggregate composes into ONE \\$apply=filter(...)/ request") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true",
+          "fullyPushFilters" -> "true"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+        .agg(count(lit(1)).as("n"), max("TEMPLOYEE_UUID").as("hi"))
+      assert(df.as[(Long, String)].collect().toSeq == Seq((3L, "Employee 7")))
+      assert(!hasAggregate(df) && !hasFilter(df),
+        df.queryExecution.optimizedPlan.toString)
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "$apply=filter(C0CHAR_STRUCTURE eq 'STRUCT1')/" +
+          "aggregate($count as agg0,TEMPLOYEE_UUID with max as agg1)")),
+        s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("fullyPushFilters + aggregate: grouped composition keeps WHERE (pre-aggregation) semantics") {
+    // KCLEAVERS alternates 0/1 — filtering it then grouping by
+    // structure only counts the kept rows, NEVER filters the groups
+    val rows = mkRows(9).zipWithIndex.map { case (r, i) =>
+      r.updated("KCLEAVERS", (i % 2).toString) }
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true",
+          "fullyPushFilters" -> "true"))
+        .where(col("KCLEAVERS") === "1")
+        .groupBy("C0CHAR_STRUCTURE").agg(count(lit(1)).as("n"))
+      // odd i: 1,3,5,7 → structures STRUCT1,STRUCT0,STRUCT2,STRUCT1
+      assert(df.as[(String, Long)].collect().sortBy(_._1).toSeq ==
+        Seq(("STRUCT0", 1L), ("STRUCT1", 2L), ("STRUCT2", 1L)))
+      assert(!hasAggregate(df) && !hasFilter(df))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "$apply=filter(KCLEAVERS eq '1')/" +
+          "groupby((C0CHAR_STRUCTURE),aggregate($count as agg0))")),
+        s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("fullyPushFilters + aggregate: apostrophes double-quote through the composed filter") {
+    val rows = mkRows(6).map(r =>
+      r.updated("TEMPLOYEE_UUID", s"O'Hara ${r("CEMPLOYEE_UUID")}"))
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true",
+          "fullyPushFilters" -> "true"))
+        .where(col("TEMPLOYEE_UUID") === "O'Hara 4")
+        .agg(count(lit(1)).as("n"))
+      assert(df.as[Long].collect().toSeq == Seq(1L))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "$apply=filter(TEMPLOYEE_UUID eq 'O''Hara 4')/aggregate($count as agg0)")),
+        s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("fullyPushFilters: sole count(col) composes eq and ne-null into one filter prefix") {
+    val rows = mkRows(6).zipWithIndex.map { case (r, i) =>
+      if (i % 2 == 0) r.updated("KCLEAVERS", null) else r }
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true",
+          "fullyPushFilters" -> "true"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+        .agg(count(col("KCLEAVERS")).as("n"))
+      // STRUCT1 ⇔ i ∈ {1,4}; KCLEAVERS null on even i → only i=1 counts
+      assert(df.as[Long].collect().toSeq == Seq(1L))
+      assert(!hasAggregate(df) && !hasFilter(df))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "$apply=filter(C0CHAR_STRUCTURE eq 'STRUCT1' and KCLEAVERS ne null)/" +
+          "aggregate($count as agg0)")),
+        s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("fullyPushFilters: a filtered sort+limit now takes the TopN push") {
+    val srv = new ODataStubServer(mkRows(30), "C0CHAR_STRUCTURE",
+      serverPageSize = 4).start()
+    try {
+      val got = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+        .orderBy(desc("CEMPLOYEE_UUID")).limit(3)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq
+      assert(got == Seq("7", "4", "28")) // desc string order of i%3==1
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(u => u.contains("$orderby=CEMPLOYEE_UUID desc") &&
+          u.contains("$filter=") && u.contains("$top=3")),
+        s"the filtered chain must carry \\$$orderby + \\$$top + \\$$filter: $decoded")
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
