@@ -6119,6 +6119,13 @@ object SparkEntry {
     "odata_agg_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.aggScan(s, dir)),
 
+    // IN-list pushdown: membership on the STRUCTURE field plans
+    // chains for exactly the listed values (no codes enumeration),
+    // each chain's $filter carrying its own eq — residual mode keeps
+    // Spark's re-check, the transfer prune is the point
+    "odata_in_pushdown" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.inScan(s, dir)),
+
     // P6 + fullyPushFilters: the FILTERED aggregate composes into one
     // $apply=filter(O_STATUS eq 'O')/groupby(...) request — neither a
     // Filter nor an Aggregate node survives the optimized plan (pinned
@@ -14165,6 +14172,13 @@ object SparkEntry {
         | FROM orders WHERE o_orderkey < 200
         | GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+
+    "odata_in_pushdown" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey < 200
+        |   AND o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+        | ORDER BY o_orderkey""".stripMargin,
 
     // the filter must act BEFORE aggregation (WHERE semantics) — a
     // composition that filtered the aggregated rows instead would

@@ -136,6 +136,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   private var prunedSchema: StructType = fullSchema
   private var pushedPreds: Array[Predicate] = Array.empty
   private var pushedEq: Seq[(String, String)] = Seq.empty
+  private var pushedIn: Seq[(String, Seq[String])] = Seq.empty
   private var limit: Option[Int] = None
   private var orderBy: Seq[(String, Boolean)] = Seq.empty
   private var pushedAgg: Option[ODataPushedAgg] = None
@@ -159,22 +160,25 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * the TopN push — the documented trusted-server trade.
     */
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
-    val translated = predicates.flatMap(translateEq)
-    pushedEq = translated.toSeq
-    // Catalyst infers an IsNotNull alongside every eq; `c = 'v'`
-    // implies it (OData eq never matches null), so in fully-pushed
-    // mode the pair is consumed together — the IsNotNull residual
-    // would otherwise keep the very Filter node the option removes
-    val eqCols = pushedEq.map(_._1).toSet
+    pushedEq = predicates.flatMap(translateEq).toSeq
+    pushedIn = predicates.flatMap(translateIn).toSeq
+    // Catalyst infers an IsNotNull alongside every eq/IN; `c = 'v'`
+    // (and membership in a literal list) implies it — OData eq never
+    // matches null — so in fully-pushed mode the pair is consumed
+    // together: the IsNotNull residual would otherwise keep the very
+    // Filter node the option removes
+    val filterCols = pushedEq.map(_._1).toSet ++ pushedIn.map(_._1)
     def impliedNotNull(p: Predicate): Boolean =
       p.name() == "IS_NOT_NULL" && (p.children() match {
-        case Array(ref: NamedReference) => serverCol(ref).exists(eqCols.contains)
+        case Array(ref: NamedReference) => serverCol(ref).exists(filterCols.contains)
         case _ => false
       })
-    pushedPreds = predicates.filter(p => translateEq(p).isDefined ||
+    def translated(p: Predicate): Boolean =
+      translateEq(p).isDefined || translateIn(p).isDefined
+    pushedPreds = predicates.filter(p => translated(p) ||
       (opts.fullyPushFilters && impliedNotNull(p)))
     if (opts.fullyPushFilters)
-      predicates.filter(p => translateEq(p).isEmpty && !impliedNotNull(p))
+      predicates.filter(p => !translated(p) && !impliedNotNull(p))
     else predicates // all residual (belt + suspenders)
   }
   override def pushedPredicates(): Array[Predicate] = pushedPreds
@@ -192,6 +196,26 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
         serverCol(ref).map(_ -> String.valueOf(lit.value()))
       case Array(lit: V2Literal[_], ref: NamedReference) if lit.dataType() == StringType =>
         serverCol(ref).map(_ -> String.valueOf(lit.value()))
+      case _ => None
+    }
+
+  /** `col IN ('a','b',…)` on string columns → an OData or-group
+    * `(col eq 'a' or col eq 'b')`. The membership list is what a
+    * dashboard's picker actually sends; at tenant scale pushing it
+    * matters twice — the transfer prunes server-side, and an IN on
+    * the STRUCTURE field prunes the planned value chains to exactly
+    * the listed values with no codes-entity enumeration at all.
+    */
+  private def translateIn(p: Predicate): Option[(String, Seq[String])] =
+    if (p.name() != "IN") None
+    else p.children() match {
+      case Array(ref: NamedReference, vals @ _*)
+          if vals.nonEmpty && vals.forall {
+            case l: V2Literal[_] => l.dataType() == StringType
+            case _ => false
+          } =>
+        serverCol(ref).map(_ -> vals.map {
+          case l: V2Literal[_] => String.valueOf(l.value()) }.toSeq)
       case _ => None
     }
 
@@ -316,7 +340,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // $apply before every other query option, so a plain $filter
     // would filter the AGGREGATED rows — the prefix is the only form
     // with WHERE-clause (pre-aggregation) semantics.
-    if (pushedEq.nonEmpty && !opts.fullyPushFilters) return None
+    if ((pushedEq.nonEmpty || pushedIn.nonEmpty) && !opts.fullyPushFilters) return None
     val groupCols = agg.groupByExpressions().toSeq.map(serverCol)
     if (groupCols.exists(_.isEmpty)) return None
     val groups = groupCols.flatten
@@ -357,6 +381,9 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // filter() prefix scoping the whole transformation sequence
     val conds = pushedEq.map { case (k, v) =>
       s"$k eq '${v.replace("'", "''")}'" } ++
+      pushedIn.map { case (k, vs) =>
+        vs.map(v => s"$k eq '${v.replace("'", "''")}'")
+          .mkString("(", " or ", ")") } ++
       nonNullCountCol.map(c => s"$c ne null")
     val apply =
       if (conds.nonEmpty) s"filter(${conds.mkString(" and ")})/$base" else base
@@ -374,7 +401,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       pushedAgg.map(_.schema).getOrElse(prunedSchema), opts, pushedEq,
       limit, orderBy,
       fullSchema.fieldNames.find(opts.structureCandidates.contains),
-      pushedAgg)
+      pushedAgg, pushedIn)
 }
 
 /** One scan partition: either the single unfiltered scan (no
@@ -389,21 +416,27 @@ class ODataScan(schema: StructType, opts: ODataOptions,
                 pushedEq: Seq[(String, String)], limit: Option[Int],
                 orderBy: Seq[(String, Boolean)],
                 structureField: Option[String],
-                pushedAgg: Option[ODataPushedAgg] = None)
+                pushedAgg: Option[ODataPushedAgg] = None,
+                pushedIn: Seq[(String, Seq[String])] = Seq.empty)
   extends Scan with Batch with Logging {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"ODataScan(entity=${opts.entity}, select=${schema.fieldNames.mkString(",")}, " +
-      s"filter=${pushedEq.map { case (k, v) => s"$k eq '$v'" }.mkString(" and ")}, top=$limit, " +
+      s"filter=${(pushedEq.map { case (k, v) => s"$k eq '$v'" } ++
+        pushedIn.map { case (k, vs) =>
+          vs.map(v => s"$k eq '$v'").mkString("(", " or ", ")") })
+        .mkString(" and ")}, top=$limit, " +
       s"orderby=${orderBy.map { case (c, asc) => s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")}" +
       pushedAgg.map(a => s", apply=${a.applyParam}").getOrElse("") + ")"
 
   /** Planning-time key enumeration on the driver (SURVEY §3.2 — the
     * JDBC-partition-bounds analogue; a control-plane query, not a
     * data collect). An equality filter pushed on the structure field
-    * prunes to a single partition.
+    * prunes to a single partition; a pushed IN on it prunes to
+    * exactly the listed values — in both cases the codes-entity
+    * enumeration is skipped entirely.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     // a pushed COMPLETE aggregate is one request whose answer is
@@ -417,6 +450,15 @@ class ODataScan(schema: StructType, opts: ODataOptions,
         pushedEq.find(_._1 == f) match {
           case Some((_, v)) =>
             Array(ODataInputPartition(Some(f), Seq(v))) // partition pruning
+          case None => pushedIn.find(_._1 == f) match {
+          case Some((_, vs0)) =>
+            // chains for exactly the IN values: a value absent from
+            // the tenant simply answers an empty chain. Bin like the
+            // enumerated path so a huge picker list stays bounded.
+            val vs = vs0.distinct.sorted
+            val perBin = math.max(1, math.ceil(vs.size.toDouble / opts.maxPartitions).toInt)
+            vs.grouped(perBin)
+              .map(b => ODataInputPartition(Some(f), b): InputPartition).toArray
           case None =>
             val url = ODataClient.buildUrl(opts.entityUrl(opts.codesEntity), Seq(
               "$select" -> f, "$top" -> opts.pageSize.toString, "$format" -> "json"))
@@ -445,6 +487,7 @@ class ODataScan(schema: StructType, opts: ODataOptions,
               keys.toSeq.grouped(perBin)
                 .map(vs => ODataInputPartition(Some(f), vs): InputPartition).toArray
             }
+          }
         }
     }
   }
@@ -452,7 +495,8 @@ class ODataScan(schema: StructType, opts: ODataOptions,
   override def createReaderFactory(): PartitionReaderFactory =
     pushedAgg match {
       case Some(agg) => new ODataAggReaderFactory(agg, opts)
-      case None => new ODataReaderFactory(schema, opts, pushedEq, limit, orderBy)
+      case None =>
+        new ODataReaderFactory(schema, opts, pushedEq, limit, orderBy, pushedIn)
     }
 }
 
@@ -515,11 +559,13 @@ class ODataAggPartitionReader(agg: ODataPushedAgg, opts: ODataOptions)
 
 class ODataReaderFactory(schema: StructType, opts: ODataOptions,
                          pushedEq: Seq[(String, String)], limit: Option[Int],
-                         orderBy: Seq[(String, Boolean)])
+                         orderBy: Seq[(String, Boolean)],
+                         pushedIn: Seq[(String, Seq[String])] = Seq.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(schema, opts,
-      partition.asInstanceOf[ODataInputPartition], pushedEq, limit, orderBy)
+      partition.asInstanceOf[ODataInputPartition], pushedEq, limit, orderBy,
+      pushedIn)
 }
 
 /** One task = one bin of partition-key values, each a paginated fetch
@@ -531,7 +577,8 @@ class ODataReaderFactory(schema: StructType, opts: ODataOptions,
 class ODataPartitionReader(schema: StructType, opts: ODataOptions,
                            partition: ODataInputPartition,
                            pushedEq: Seq[(String, String)], limit: Option[Int],
-                           orderBy: Seq[(String, Boolean)] = Seq.empty)
+                           orderBy: Seq[(String, Boolean)] = Seq.empty,
+                           pushedIn: Seq[(String, Seq[String])] = Seq.empty)
   extends PartitionReader[InternalRow] with Logging {
 
   private val structureField = partition.structureField
@@ -560,7 +607,16 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     val filters =
       structureValue.toSeq.flatMap(v => structureField.map(f => s"$f eq '${odataEscape(v)}'")) ++
         pushedEq.filter { case (k, _) => !structureValue.isDefined || !structureField.contains(k) }
-          .map { case (k, v) => s"$k eq '${odataEscape(v)}'" }
+          .map { case (k, v) => s"$k eq '${odataEscape(v)}'" } ++
+        // a structure-field IN whose list CONTAINS this chain's value
+        // is implied by the chain's own eq and drops; one that
+        // EXCLUDES it (eq + IN on the same field) must stay — the
+        // contradictory filter lawfully answers 0 rows
+        pushedIn.filter { case (k, vs) =>
+          !(structureValue.isDefined && structureField.contains(k) &&
+            vs.contains(structureValue.get)) }
+          .map { case (k, vs) =>
+            vs.map(v => s"$k eq '${odataEscape(v)}'").mkString("(", " or ", ")") }
     // the extras map is not a server-side field — it must never appear
     // in $select. If pruning left ONLY the extras column, omit $select
     // entirely (the server then returns every field, which is exactly

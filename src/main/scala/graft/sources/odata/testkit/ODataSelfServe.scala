@@ -110,6 +110,31 @@ object ODataSelfServe {
       .orderBy("o_orderpriority")
   }
 
+  /** IN-list pushdown driver-gate: `O_PRIORITY IN (…)` on the
+    * STRUCTURE field plans chains for exactly the listed values — no
+    * codes-entity enumeration at all — and each chain's `$filter`
+    * carries its own eq (default residual mode, so Spark re-checks;
+    * the reduced transfer is the point). A pruning bug (extra chains,
+    * a dropped value, a full scan) changes the row set or at minimum
+    * the oracle hash.
+    */
+  def inScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .load()
+      .where(col("O_PRIORITY").isin("1-URGENT", "3-MEDIUM", "5-LOW"))
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   /** P6 + fullyPushFilters driver-gate: the filtered aggregate
     * collapses into ONE `$apply=filter(O_STATUS eq 'O')/groupby(...)`
     * request — with the default residual posture the Filter node

@@ -48,6 +48,32 @@ class ODataStubServer(
     ex.close()
   }
 
+  /** One filter condition: `X eq 'v'` | `X ne null` | a parenthesized
+    * or-group of eq's. Returns the row predicate plus the eq values it
+    * mentions (for the per-value failure injection).
+    */
+  private def parseCondition(c0: String): (Map[String, String] => Boolean, Seq[String]) = {
+    val c = c0.trim
+    if (c.startsWith("(") && c.endsWith(")")) {
+      val parts = c.substring(1, c.length - 1).split(" or ").toSeq.map(parseEq)
+      ((r: Map[String, String]) =>
+        parts.exists { case (k, v) => r.get(k).contains(v) },
+        parts.map(_._2))
+    } else "^(\\S+) ne null$".r.findFirstMatchIn(c) match {
+      case Some(m) =>
+        ((r: Map[String, String]) => r.get(m.group(1)).exists(_ != null), Nil)
+      case None =>
+        val (k, v) = parseEq(c)
+        ((r: Map[String, String]) => r.get(k).contains(v), Seq(v))
+    }
+  }
+
+  private def parseEq(c: String): (String, String) = {
+    val m = "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(c.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad filter: $c"))
+    m.group(1) -> m.group(2).replace("''", "'")
+  }
+
   private def parseQuery(q: String): Map[String, String] =
     if (q == null || q.isEmpty) Map.empty
     else q.split("&").toSeq.flatMap { kv =>
@@ -87,16 +113,13 @@ class ODataStubServer(
       case None =>
     }
 
-    // $filter: conjunction of `field eq 'value'` with '' unescaping
+    // $filter: conjunction of conditions (parseCondition — eq,
+    // ne-null, parenthesized or-groups of eq)
     val filtered = q.get("$filter") match {
       case None => rows
       case Some(f) =>
-        val conds = f.split(" and ").toSeq.map { c =>
-          val m = "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(c.trim)
-            .getOrElse(throw new IllegalArgumentException(s"bad filter: $c"))
-          m.group(1) -> m.group(2).replace("''", "'")
-        }
-        if (conds.exists { case (k, v) => failValues.contains(v) }) {
+        val conds = f.split(" and (?![^(]*\\))").toSeq.map(parseCondition)
+        if (conds.flatMap(_._2).exists(failValues.contains)) {
           respond(ex, 500, """{"error": "injected failure"}"""); return
         }
         if (transientLeft.getAndDecrement() > 0) {
@@ -106,7 +129,7 @@ class ODataStubServer(
           ex.getResponseHeaders.set("Retry-After", "0")
           respond(ex, 429, """{"error": "rate limited"}"""); return
         }
-        rows.filter(r => conds.forall { case (k, v) => r.get(k).contains(v) })
+        rows.filter(r => conds.forall(_._1(r)))
     }
 
     // OData V4 `$apply` (the aggregate-pushdown surface):
@@ -125,17 +148,8 @@ class ODataStubServer(
           // step, so eq values containing `)` stay inside the conds
           "^filter\\((.*)\\)/((?:groupby|aggregate).*)$".r.findFirstMatchIn(apply0) match {
             case Some(m) =>
-              val conds = m.group(1).split(" and ").toSeq.map(_.trim)
-              val pred = (r: Map[String, String]) => conds.forall { c =>
-                "^(\\S+) ne null$".r.findFirstMatchIn(c) match {
-                  case Some(n) => r.get(n.group(1)).exists(_ != null)
-                  case None =>
-                    val e = "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(c)
-                      .getOrElse(throw new IllegalArgumentException(s"bad apply filter: $c"))
-                    r.get(e.group(1)).contains(e.group(2).replace("''", "'"))
-                }
-              }
-              (filtered.filter(pred), m.group(2))
+              val conds = m.group(1).split(" and (?![^(]*\\))").toSeq.map(parseCondition)
+              (filtered.filter(r => conds.forall(_._1(r))), m.group(2))
             case None => (filtered, apply0)
           }
         val (groupCols, aggExpr) =

@@ -600,6 +600,63 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("IN pushdown: membership on the structure field prunes chains to the listed values, no enumeration") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv)
+        .where(col("C0CHAR_STRUCTURE").isin("STRUCT0", "STRUCT2", "STRUCT9"))
+      // chains = exactly the 3 listed values (the absent STRUCT9
+      // simply answers an empty chain) — and the codes entity is
+      // never enumerated
+      assert(df.rdd.getNumPartitions == 3)
+      assert(df.select("CEMPLOYEE_UUID").as[String].collect().toSet ==
+        Set("0", "3", "6", "2", "5", "8"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      // no unfiltered codes-enumeration request (every data request
+      // carries a $filter; the only filterless GETs are the probes,
+      // which carry $top=1)
+      assert(!decoded.exists(u => !u.contains("$filter") && !u.contains("$top=1")),
+        s"requests: $decoded")
+      // each chain's filter is its own eq — the IN group is implied
+      // by the chain value and must NOT be re-sent
+      assert(decoded.exists(_.contains("$filter=C0CHAR_STRUCTURE eq 'STRUCT0'")))
+      assert(!decoded.exists(_.contains(" or ")), s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("IN pushdown: membership on a non-structure column rides each chain's \\$filter as an or-group") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv)
+        .where(col("CEMPLOYEE_UUID").isin("1", "4"))
+      assert(df.select("TEMPLOYEE_UUID").as[String].collect().toSet ==
+        Set("Employee 1", "Employee 4"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "(CEMPLOYEE_UUID eq '1' or CEMPLOYEE_UUID eq '4')")),
+        s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("IN pushdown + fullyPushFilters: consumed (no residual Filter) and composes into the \\$apply prefix") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("pushDownAggregates" -> "true",
+          "fullyPushFilters" -> "true"))
+        .where(col("C0CHAR_STRUCTURE").isin("STRUCT0", "STRUCT2"))
+        .agg(count(lit(1)).as("n"), max("TEMPLOYEE_UUID").as("hi"))
+      assert(df.as[(Long, String)].collect().toSeq == Seq((6L, "Employee 8")))
+      assert(!hasAggregate(df) && !hasFilter(df),
+        df.queryExecution.optimizedPlan.toString)
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "$apply=filter((C0CHAR_STRUCTURE eq 'STRUCT0' or " +
+          "C0CHAR_STRUCTURE eq 'STRUCT2'))/" +
+          "aggregate($count as agg0,TEMPLOYEE_UUID with max as agg1)")),
+        s"requests: $decoded")
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
