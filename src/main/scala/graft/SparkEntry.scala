@@ -6310,6 +6310,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // VARIABLE-length (RECFM=V, RDW-framed) record round-trip: fixed
+    // packed key + fixed EBCDIC segment + an UNPADDED variable EBCDIC
+    // name tail — every record a different length, framed by the
+    // 4-byte big-endian RDW. A framing bug (off-by-one length, padded
+    // tail, byte-order flip) shifts every later record and fails the
+    // hash loudly
+    "etl_rdw_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val src = t(s, dir, "customer").select(
+        col("c_custkey").cast(DecimalType(12, 0)).as("c_custkey"),
+        col("c_mktsegment"), col("c_name"))
+      val spans = Seq(Etl.PackedSpan("c_custkey", 12, 0),
+        Etl.EbcdicSpan("c_mktsegment", 12))
+      val tail = Some("c_name" -> "IBM037")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rdwrec_${(dir.hashCode & Int.MaxValue)}"
+      Etl.writeRdwRecords(src, path, spans, tail)
+      Etl.readRdwRecords(s, path, spans, tail)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
     // XML sink round-trip (built-in source since Spark 4.0) — the
     // enterprise-integration format the OData side of this engine
     // speaks; explicit read-back schema like the CSV path, values must
@@ -14232,6 +14254,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
         | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_zoned
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // RDW framing is representation-invisible: the variable-length
+    // tail comes back unpadded and bit-exact
+    "etl_rdw_roundtrip" ->
+      """SELECT c_custkey, c_mktsegment, c_name
         | FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the EBCDIC encode→decode round-trip is an exact identity on

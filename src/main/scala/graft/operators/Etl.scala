@@ -269,6 +269,53 @@ object Etl {
       graft.plans.CodepageDecode(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), charset))
 
+  /** One span's codegen'd binary piece for the record `concat`: text
+    * spans rpad + raise_error-overflow-guarded (the inline discipline
+    * — no second validation scan) then single-byte encoded; numeric
+    * spans through the native BCD kernels with a raise_error null
+    * guard (fixed layouts have no null representation for numerics —
+    * an absent value is an upstream bug, not an encodable state).
+    * EBCDIC spans rpad BEFORE the codepage encode so padding spaces
+    * become the codepage's own space byte (0x40); unmappable chars
+    * fail inside the kernel itself (write-side fail-fast).
+    */
+  private def spanEncode(sp: FixedSpan): Column = sp match {
+    case CharSpan(n, w) =>
+      val s = coalesce(col(n).cast("string"), lit(""))
+      encode(when(length(s) > w, raise_error(concat(
+          lit(s"fixed-record overflow: value of '$n' exceeds width $w — "),
+          lit("widen the span; value='"), s, lit("'"))))
+        .otherwise(rpad(s, w, " ")), "ISO-8859-1")
+    case PackedSpan(n, p, sc) =>
+      when(col(n).isNull, raise_error(lit(
+          s"fixed-record: packed span '$n' cannot encode SQL NULL")))
+        .otherwise(packedEncode(col(n), p, sc))
+    case ZonedSpan(n, p, sc) =>
+      when(col(n).isNull, raise_error(lit(
+          s"fixed-record: zoned span '$n' cannot encode SQL NULL")))
+        .otherwise(zonedEncode(col(n), p, sc))
+    case EbcdicSpan(n, w, cp) =>
+      val s = coalesce(col(n).cast("string"), lit(""))
+      codepageEncode(when(length(s) > w, raise_error(concat(
+          lit(s"fixed-record overflow: value of '$n' exceeds width $w — "),
+          lit("widen the span; value='"), s, lit("'"))))
+        .otherwise(rpad(s, w, " ")), cp)
+  }
+
+  /** One span's decode off a binary `record` column at 1-based offset
+    * `o` — codegen'd binary substring into the matching codec.
+    */
+  private def spanDecode(sp: FixedSpan, o: Int): Column = sp match {
+    case CharSpan(n, w) =>
+      rtrim(decode(substring(col("record"), o, w), "ISO-8859-1")).as(n)
+    case sp @ PackedSpan(n, p, sc) =>
+      packedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
+    case sp @ ZonedSpan(n, p, sc) =>
+      zonedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
+    case EbcdicSpan(n, w, cp) =>
+      rtrim(codepageDecode(substring(col("record"), o, w), cp)).as(n)
+  }
+
   /** BINARY fixed-record SINK — [[writeFixedWidth]]'s COMP-3-capable
     * sibling. The record renders as ONE codegen'd `concat` of binary
     * pieces: text spans rpad + raise_error-overflow-guarded (the
@@ -292,35 +339,25 @@ object Etl {
                         singleFile: Boolean = true): Unit = {
     require(spans.nonEmpty, "need at least one span")
     val recLen = spans.map(_.bytes).sum
-    val record = concat(spans.map {
-      case CharSpan(n, w) =>
-        val s = coalesce(col(n).cast("string"), lit(""))
-        encode(when(length(s) > w, raise_error(concat(
-            lit(s"fixed-record overflow: value of '$n' exceeds width $w — "),
-            lit("widen the span; value='"), s, lit("'"))))
-          .otherwise(rpad(s, w, " ")), "ISO-8859-1")
-      case PackedSpan(n, p, sc) =>
-        when(col(n).isNull, raise_error(lit(
-            s"fixed-record: packed span '$n' cannot encode SQL NULL")))
-          .otherwise(packedEncode(col(n), p, sc))
-      case ZonedSpan(n, p, sc) =>
-        when(col(n).isNull, raise_error(lit(
-            s"fixed-record: zoned span '$n' cannot encode SQL NULL")))
-          .otherwise(zonedEncode(col(n), p, sc))
-      case EbcdicSpan(n, w, cp) =>
-        // rpad BEFORE the codepage encode so padding spaces become the
-        // codepage's own space byte (EBCDIC 0x40); unmappable chars
-        // fail inside the kernel itself (write-side fail-fast)
-        val s = coalesce(col(n).cast("string"), lit(""))
-        codepageEncode(when(length(s) > w, raise_error(concat(
-            lit(s"fixed-record overflow: value of '$n' exceeds width $w — "),
-            lit("widen the span; value='"), s, lit("'"))))
-          .otherwise(rpad(s, w, " ")), cp)
-    }: _*)
+    val record = concat(spans.map(spanEncode): _*)
     val out = df.select(record.as("record"))
+    streamRecordsToFiles(out, path, singleFile, fixedLen = Some(recLen))
+  }
+
+  /** Shared raw-record sink: stream a one-binary-column frame into
+    * `part-NNNNN.bin` files of concatenated records through the
+    * Hadoop FileSystem (no Spark sink emits undelimited binary), with
+    * overwrite semantics and a `_SUCCESS` commit marker. The
+    * per-partition imperative IO is the documented
+    * mapPartitions-as-last-resort case — IO, not row logic; record
+    * bytes are built by codegen upstream.
+    */
+  private def streamRecordsToFiles(out: DataFrame, path: String,
+                                   singleFile: Boolean,
+                                   fixedLen: Option[Int]): Unit = {
     val rows = (if (singleFile) out.coalesce(1) else out).rdd
       .map(_.getAs[Array[Byte]](0))
-    val spark = df.sparkSession
+    val spark = out.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(hconf)
@@ -336,8 +373,8 @@ object Etl {
         val os = pfs.create(
           new org.apache.hadoop.fs.Path(path, f"part-$i%05d.bin"), true)
         try it.foreach { r =>
-          require(r.length == recLen,
-            s"record is ${r.length} bytes, expected $recLen") // belt
+          fixedLen.foreach(n => require(r.length == n,
+            s"record is ${r.length} bytes, expected $n")) // belt
           os.write(r)
         } finally os.close()
       }
@@ -364,16 +401,93 @@ object Etl {
     val df = spark.createDataset(rdd)(
       org.apache.spark.sql.Encoders.BINARY).toDF("record")
     val offsets = spans.scanLeft(1) { case (o, s) => o + s.bytes }
-    df.select(spans.zip(offsets).map {
-      case (CharSpan(n, w), o) =>
-        rtrim(decode(substring(col("record"), o, w), "ISO-8859-1")).as(n)
-      case (sp @ PackedSpan(n, p, sc), o) =>
-        packedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
-      case (sp @ ZonedSpan(n, p, sc), o) =>
-        zonedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
-      case (EbcdicSpan(n, w, cp), o) =>
-        rtrim(codepageDecode(substring(col("record"), o, w), cp)).as(n)
-    }: _*)
+    df.select(spans.zip(offsets).map { case (sp, o) => spanDecode(sp, o) }: _*)
+  }
+
+  /** VARIABLE-length binary record SINK — the IBM `RECFM=V/VB` wire
+    * shape: each record carries a 4-byte Record Descriptor Word
+    * (big-endian u16 length INCLUDING the RDW itself, then two zero
+    * bytes) in front of fixed spans plus an optional UNPADDED
+    * variable-length text tail. This is what a variable copybook
+    * (`OCCURS DEPENDING ON` / trailing `PIC X` text) actually ships —
+    * padding a free-text field to its maximum width can multiply a
+    * feed's size, which is the entire reason V-format exists.
+    *
+    * The RDW renders with BUILT-INS only — `unhex(lpad(hex(len),4))`
+    * is the big-endian u16 — so the whole record stays one codegen'd
+    * concat; records longer than the RDW's 32 KiB ceiling raise (the
+    * inline fail-fast discipline). Files stream through
+    * [[streamRecordsToFiles]] like the fixed sink.
+    */
+  def writeRdwRecords(df: DataFrame, path: String, spans: Seq[FixedSpan],
+                      tail: Option[(String, String)] = None,
+                      singleFile: Boolean = true): Unit = {
+    require(spans.nonEmpty || tail.nonEmpty, "need at least one span or a tail")
+    val pieces = spans.map(spanEncode) ++ tail.map { case (n, cp) =>
+      codepageEncode(coalesce(col(n).cast("string"), lit("")), cp) }
+    val payload = concat(pieces: _*)
+    val len = octet_length(payload) + lit(4)
+    val record = concat(
+      when(len > 32760, raise_error(concat(
+          lit("rdw overflow: record of "), len.cast("string"),
+          lit(" bytes exceeds the RDW's 32760-byte ceiling"))))
+        .otherwise(unhex(lpad(hex(len), 4, "0"))),
+      lit(Array[Byte](0, 0)), payload)
+    streamRecordsToFiles(df.select(record.as("record")), path, singleFile,
+      fixedLen = None)
+  }
+
+  /** VARIABLE-length binary record SOURCE — walks [[writeRdwRecords]]'
+    * (or a mainframe transfer's) RDW-framed records. Framing is
+    * length-CHAINED, so a V-format file cannot split mid-file (there
+    * is no boundary to resync on — same posture as gzip); parallelism
+    * comes from MANY part files, one task each, which is exactly what
+    * the sink's `singleFile=false` mode and any real dataset's
+    * member/extent layout provide. Records stream off a bounded
+    * `DataInputStream` (never whole-file buffering); a malformed RDW
+    * fails fast — framing corruption is unrecoverable by definition,
+    * unlike a bad SPAN, which still decodes to null (poisoned-blob
+    * discipline). Fixed spans slice at their declared offsets; the
+    * optional tail takes the record's remainder, unpadded.
+    */
+  def readRdwRecords(spark: org.apache.spark.sql.SparkSession, path: String,
+                     spans: Seq[FixedSpan],
+                     tail: Option[(String, String)] = None): DataFrame = {
+    require(spans.nonEmpty || tail.nonEmpty, "need at least one span or a tail")
+    val fixedLen = spans.map(_.bytes).sum
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .filter(_._1.endsWith(".bin"))
+      .flatMap { case (file, pds) =>
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(pds.open()))
+        new Iterator[Array[Byte]] {
+          private var rec: Array[Byte] = advance()
+          private def advance(): Array[Byte] = {
+            val b0 = in.read()
+            if (b0 < 0) { in.close(); null }
+            else {
+              val b1 = in.read(); val z0 = in.read(); val z1 = in.read()
+              require(b1 >= 0 && z0 == 0 && z1 == 0,
+                s"malformed RDW in $file (truncated or nonzero reserved bytes)")
+              val len = (b0 << 8) | b1
+              require(len >= 4 + fixedLen,
+                s"malformed RDW in $file: length $len < ${4 + fixedLen}")
+              val buf = new Array[Byte](len - 4)
+              in.readFully(buf)
+              buf
+            }
+          }
+          def hasNext: Boolean = rec != null
+          def next(): Array[Byte] = { val r = rec; rec = advance(); r }
+        }
+      }
+    val df = spark.createDataset(rdd)(
+      org.apache.spark.sql.Encoders.BINARY).toDF("record")
+    val offsets = spans.scanLeft(1) { case (o, s) => o + s.bytes }
+    df.select(spans.zip(offsets).map { case (sp, o) => spanDecode(sp, o) } ++
+      tail.map { case (n, cp) =>
+        codepageDecode(col("record").substr(lit(fixedLen + 1),
+          octet_length(col("record")) - fixedLen), cp).as(n) }: _*)
   }
 
   /** K1c — ORC sink: the columnar alternative when a consumer is

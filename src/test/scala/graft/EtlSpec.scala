@@ -493,6 +493,56 @@ class EtlSpec extends SparkSpec {
     assert(msgs.contains("cannot encode"), msgs)
   }
 
+  test("RDW records: variable-length framing byte-exact, unpadded tail, overflow and corruption fail fast") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_rdwrec"
+    val df = Seq((1L, "AB"), (22L, ""), (333L, "a longer tail x"))
+      .toDF("k", "s")
+      .select(col("k").cast(DecimalType(9, 0)).as("k"), col("s"))
+    val spans = Seq(Etl.PackedSpan("k", 9, 0))
+    val tail = Some("s" -> "IBM037")
+    Etl.writeRdwRecords(df, path, spans, tail)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".bin")).head.getPath))
+    // records: 4+5+2, 4+5+0, 4+5+15 bytes — lengths INCLUDE the RDW
+    assert(raw.length == 11 + 9 + 24, s"raw bytes: ${raw.length}")
+    // first RDW: 0x000B 0x0000 (big-endian 11, reserved zeros)
+    assert(raw.slice(0, 4).toSeq == Seq(0x00, 0x0B, 0x00, 0x00).map(_.toByte),
+      raw.slice(0, 4).map(b => f"$b%02X").mkString(" "))
+    // second record starts right after: its RDW says 9 (empty tail —
+    // genuinely UNPADDED, the whole point of V-format)
+    assert(raw.slice(11, 15).toSeq == Seq(0x00, 0x09, 0x00, 0x00).map(_.toByte))
+    // tail bytes of record 1 are EBCDIC: 'A'=0xC1,'B'=0xC2
+    assert(raw.slice(9, 11).toSeq == Seq(0xC1, 0xC2).map(_.toByte))
+    val back = Etl.readRdwRecords(spark, path, spans, tail)
+      .select(col("k").cast("long"), col("s"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "AB"), (22L, ""), (333L, "a longer tail x")),
+      s"round-trip: $back")
+    // a record beyond the RDW's 32760-byte ceiling fails the write
+    val exBig = intercept[Exception] {
+      Etl.writeRdwRecords(
+        df.withColumn("s", concat_ws("", (0 until 4000).map(_ => lit("0123456789")): _*)),
+        s"${path}_big", spans, tail)
+    }
+    val msgs = Iterator.iterate(exBig: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("rdw overflow"), msgs)
+    // corrupt framing (nonzero reserved byte) fails the READ fast —
+    // length-chained framing cannot resync, unlike a bad span
+    val corrupt = raw.clone(); corrupt(2) = 0x01
+    val cdir = new java.io.File(s"${path}_corrupt"); cdir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}_corrupt/part-00000.bin"), corrupt)
+    val exCorrupt = intercept[Exception] {
+      Etl.readRdwRecords(spark, s"${path}_corrupt", spans, tail).count()
+    }
+    val msgs2 = Iterator.iterate(exCorrupt: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("malformed RDW"), msgs2)
+  }
+
   test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_compact"
