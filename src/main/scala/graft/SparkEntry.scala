@@ -6119,6 +6119,13 @@ object SparkEntry {
     "odata_agg_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.aggScan(s, dir)),
 
+    // skip-range parallel scan: a structure-less entity tiles into 4
+    // $skip/$top range tasks off one /$count — the scan parallelism
+    // the reference's sequential extract never had; a tiling bug
+    // duplicates or drops rows and fails the hash
+    "odata_skip_ranges" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.skipRangeScan(s, dir)),
+
     // IN-list pushdown: membership on the STRUCTURE field plans
     // chains for exactly the listed values (no codes enumeration),
     // each chain's $filter carrying its own eq — residual mode keeps
@@ -14194,6 +14201,14 @@ object SparkEntry {
         | FROM orders WHERE o_orderkey < 200
         | GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+
+    // range tiling is result-invisible: the union of the 4 windows is
+    // exactly the slice
+    "odata_skip_ranges" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
 
     "odata_in_pushdown" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,

@@ -404,13 +404,16 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       pushedAgg, pushedIn)
 }
 
-/** One scan partition: either the single unfiltered scan (no
-  * structure field), or a bin of partition-key values fetched
-  * sequentially by one task (`maxPartitions` bounds the bin count, so
-  * a million distinct keys cannot plan a million tasks).
+/** One scan partition: the single unfiltered scan (no structure
+  * field), a bin of partition-key values fetched sequentially by one
+  * task (`maxPartitions` bounds the bin count, so a million distinct
+  * keys cannot plan a million tasks), or — structure-less tenants
+  * with `skipRangePartitions` — one `$skip`/`$top` row range.
   */
 case class ODataInputPartition(structureField: Option[String],
-                               structureValues: Seq[String]) extends InputPartition
+                               structureValues: Seq[String],
+                               skipRange: Option[(Long, Long)] = None)
+  extends InputPartition
 
 class ODataScan(schema: StructType, opts: ODataOptions,
                 pushedEq: Seq[(String, String)], limit: Option[Int],
@@ -445,7 +448,30 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     // rows would have been fetched), so plan exactly one task
     if (pushedAgg.isDefined) return Array(ODataInputPartition(None, Nil))
     structureField match {
-      case None => Array(ODataInputPartition(None, Nil))
+      case None =>
+        // structure-less tenants can still parallelize: tile a
+        // point-in-time /$count into $skip/$top ranges, each fetched
+        // $orderby <unique key> asc (option-gated; a pushed limit or
+        // TopN is a GLOBAL cap range fetches would break, so those
+        // shapes keep the single chain)
+        if (opts.skipRangePartitions > 1 && limit.isEmpty && orderBy.isEmpty) {
+          val filters = pushedEq.map { case (k, v) =>
+            s"$k eq '${v.replace("'", "''")}'" } ++
+            pushedIn.map { case (k, vs) =>
+              vs.map(v => s"$k eq '${v.replace("'", "''")}'")
+                .mkString("(", " or ", ")") }
+          val countUrl = ODataClient.buildUrl(
+            opts.entityUrl(opts.entity) + "/$count",
+            if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
+          val total = ODataClient.getWithRetry(countUrl, opts.user, opts.password,
+            opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs).trim.toLong
+          if (total == 0) return Array.empty[InputPartition]
+          val n = math.min(opts.skipRangePartitions.toLong, total)
+          val per = (total + n - 1) / n
+          (0L until total by per).map(off =>
+            ODataInputPartition(None, Nil,
+              Some((off, math.min(per, total - off)))): InputPartition).toArray
+        } else Array(ODataInputPartition(None, Nil))
       case Some(f) =>
         pushedEq.find(_._1 == f) match {
           case Some((_, v)) =>
@@ -623,8 +649,21 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     // what an extras-only projection asks for).
     val selectList = schema.fieldNames.toSeq
       .filterNot(f => opts.extrasEnabled && f == opts.extraColumnName)
-    val params = (
-      if (selectList.nonEmpty) Seq("$select" -> selectList.mkString(",")) else Nil) ++ Seq(
+    val selectParam =
+      if (selectList.nonEmpty) Seq("$select" -> selectList.mkString(",")) else Nil
+    // a $skip/$top range task: the stable-order range fetch replaces
+    // the chain's own limit/orderby entirely (engagement already
+    // excluded pushed limit/TopN shapes)
+    partition.skipRange.foreach { case (off, size) =>
+      val params = selectParam ++ Seq(
+        "$orderby" -> s"${opts.skipRangeOrderKey.get} asc",
+        "$skip" -> off.toString,
+        "$top" -> size.toString,
+        "$format" -> "json") ++
+        (if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
+      return ODataClient.buildUrl(opts.entityUrl(opts.entity), params)
+    }
+    val params = selectParam ++ Seq(
       // $top caps the ENTIRE chain in OData (the server keeps it across
       // $skiptoken pages), so a pushed limit must travel UNCLAMPED — a
       // min() with pageSize would truncate a top-5000 to pageSize rows
@@ -667,7 +706,12 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
           case Nil => return false
         }
       } catch {
-        case e: Exception if !opts.failFast =>
+        // R4 tolerance is scoped to structure-VALUE chains (the
+        // reference's per-structure try/except — a skipped value is a
+        // meaningful unit of partial data). A $skip/$top RANGE is not:
+        // silently dropping an arbitrary row window is plain data
+        // loss, so range tasks fail fast regardless of the option.
+        case e: Exception if !opts.failFast && partition.skipRange.isEmpty =>
           logWarning(s"odata value chain failed, skipping (partial data): ${e.getMessage}")
           rows = Iterator.empty
           nextLink = None

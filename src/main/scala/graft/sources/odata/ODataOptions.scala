@@ -87,6 +87,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                     servers whose eq semantics are trusted (the
   *                     same trust `pushDownAggregates` already
   *                     declares for `$apply`).
+  * @param skipRangePartitions parallelize a STRUCTURE-LESS entity scan
+  *                     into N `$skip`/`$top` range tasks (the JDBC
+  *                     offset-partitioning analogue): planning issues
+  *                     one `/$count` request (carrying any pushed
+  *                     `$filter`) and tiles the row space into ≤ N
+  *                     ranges, each fetched `$orderby <key> asc` so
+  *                     the tiling is stable. Default 1 = off (the
+  *                     reference's sequential chain). Requires
+  *                     [[skipRangeOrderKey]]; engaged only when no
+  *                     structure field partitions the scan and no
+  *                     limit/TopN was pushed (a pushed `$top` is a
+  *                     GLOBAL cap that range fetches would break).
+  *                     Caveats: the key must be UNIQUE server-side or
+  *                     ties can straddle a range boundary and
+  *                     duplicate/drop rows; ranges tile a
+  *                     point-in-time `$count`, so rows appended after
+  *                     planning land past the last range (the same
+  *                     snapshot caveat as any live-server scan).
+  * @param skipRangeOrderKey the unique server column `$orderby`-ing
+  *                     every range fetch; required when
+  *                     skipRangePartitions > 1
   */
 case class ODataOptions(
     baseUrl: String,
@@ -108,7 +129,9 @@ case class ODataOptions(
     extraColumns: String,
     extraColumnName: String,
     pushDownAggregates: Boolean,
-    fullyPushFilters: Boolean) {
+    fullyPushFilters: Boolean,
+    skipRangePartitions: Int,
+    skipRangeOrderKey: Option[String]) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -142,6 +165,11 @@ object ODataOptions {
         s"odata source: extraColumns must be 'none' or 'map', got '$other'")
     }
     val extraColumnName0 = m.getOrElse("extraColumnName", "_extra")
+    val skipRangePartitions0 = m.getOrElse("skipRangePartitions", "1").toInt
+    val skipRangeOrderKey0 = m.get("skipRangeOrderKey").filter(_.nonEmpty)
+    if (skipRangePartitions0 > 1 && skipRangeOrderKey0.isEmpty)
+      throw new IllegalArgumentException(
+        "odata source: skipRangePartitions > 1 requires skipRangeOrderKey (a UNIQUE server column)")
     // a collision would emit a duplicate-name schema and write MapData
     // into the declared StringType slot — fail loudly at options time
     if (extraColumns0 == "map" &&
@@ -168,6 +196,8 @@ object ODataOptions {
       extraColumns = extraColumns0,
       extraColumnName = extraColumnName0,
       pushDownAggregates = m.getOrElse("pushDownAggregates", "false").toBoolean,
-      fullyPushFilters = m.getOrElse("fullyPushFilters", "false").toBoolean)
+      fullyPushFilters = m.getOrElse("fullyPushFilters", "false").toBoolean,
+      skipRangePartitions = skipRangePartitions0,
+      skipRangeOrderKey = skipRangeOrderKey0)
   }
 }

@@ -110,6 +110,31 @@ object ODataSelfServe {
       .orderBy("o_orderpriority")
   }
 
+  /** Skip-range driver-gate: a STRUCTURE-LESS read of the same slice
+    * parallelized into 4 `$skip`/`$top` range tasks off one `/$count`
+    * (the JDBC offset-partitioning analogue — the reference's
+    * sequential single-chain extract is the fallback this replaces).
+    * A tiling bug (overlapping or gapped ranges, off-by-one skip,
+    * unstable order) duplicates or drops rows and fails the oracle
+    * hash.
+    */
+  def skipRangeScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS,O_PRIORITY")
+      .option("skipRangePartitions", "4")
+      .option("skipRangeOrderKey", "O_ORDERKEY")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   /** IN-list pushdown driver-gate: `O_PRIORITY IN (…)` on the
     * STRUCTURE field plans chains for exactly the listed values — no
     * codes-entity enumeration at all — and each chain's `$filter`

@@ -132,6 +132,17 @@ class ODataStubServer(
         rows.filter(r => conds.forall(_._1(r)))
     }
 
+    // /$count endpoint: the FILTERED cardinality as plain text (what
+    // skip-range planning asks for)
+    if (ex.getRequestURI.getPath.endsWith("/$count")) {
+      val bytes = filtered.size.toString.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+      return
+    }
+
     // OData V4 `$apply` (the aggregate-pushdown surface):
     //   [filter(<conds>)/] aggregate(<specs>) |
     //   [filter(<conds>)/] groupby((C1,..)[,aggregate(<specs>)])
@@ -229,7 +240,11 @@ class ODataStubServer(
                        raw: Set[String]): Unit = {
     val top = q.get("$top").map(_.toLong).getOrElse(Long.MaxValue)
     val skip = q.get("$skiptoken").map(_.toInt).getOrElse(0)
-    val capped = data.take(if (top > Int.MaxValue) Int.MaxValue else top.toInt)
+    // $skip (client offset) applies after $orderby, before $top —
+    // the OData evaluation order skip-range partitioning rides
+    val offset = q.get("$skip").map(_.toInt).getOrElse(0)
+    val capped = data.drop(offset)
+      .take(if (top > Int.MaxValue) Int.MaxValue else top.toInt)
     val page = capped.slice(skip, skip + serverPageSize)
     val hasMore = skip + serverPageSize < capped.size
     val nextUrl =

@@ -657,6 +657,91 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def readNoStructure(srv: ODataStubServer,
+                              extra: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "sap/byd/odata/analytics.svc")
+      .option("entity", "EmployeeQueryResults")
+      .option("selectFields", selectFields + ",C0CHAR_STRUCTURE")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("skip ranges: a structure-less scan tiles /\\$count into \\$skip/\\$top tasks, rows exact") {
+    val srv = new ODataStubServer(mkRows(10), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = readNoStructure(srv, Map(
+        "skipRangePartitions" -> "4", "skipRangeOrderKey" -> "CEMPLOYEE_UUID"))
+      assert(df.rdd.getNumPartitions == 4)
+      assert(df.select("CEMPLOYEE_UUID").as[String].collect().toSet ==
+        (0 until 10).map(_.toString).toSet, "the 4 windows must tile exactly")
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains("/$count")), s"requests: $decoded")
+      // ceil(10/4)=3 → skips 0,3,6,9 with sizes 3,3,3,1, each ordered
+      Seq(("$skip=0", "$top=3"), ("$skip=3", "$top=3"),
+          ("$skip=6", "$top=3"), ("$skip=9", "$top=1")).foreach { case (s, t) =>
+        assert(decoded.exists(u => u.contains(s) && u.contains(t) &&
+          u.contains("$orderby=CEMPLOYEE_UUID asc")), s"missing $s $t in: $decoded")
+      }
+    } finally srv.stop()
+  }
+
+  test("skip ranges: /\\$count carries the pushed filter, ranges tile the FILTERED set") {
+    val srv = new ODataStubServer(mkRows(12), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = readNoStructure(srv, Map(
+          "skipRangePartitions" -> "2", "skipRangeOrderKey" -> "CEMPLOYEE_UUID"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+      // i % 3 == 1 → 4 rows → 2 ranges of 2
+      assert(df.rdd.getNumPartitions == 2)
+      assert(df.select("CEMPLOYEE_UUID").as[String].collect().toSet ==
+        Set("1", "4", "7", "10"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(u => u.contains("/$count") &&
+        u.contains("$filter=C0CHAR_STRUCTURE eq 'STRUCT1'")), s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("skip ranges: structure chains win when a structure field exists; pushed limit keeps one chain") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      // the standard candidates-probed read: value chains, no $skip
+      val structured = read(srv, Map(
+        "skipRangePartitions" -> "4", "skipRangeOrderKey" -> "CEMPLOYEE_UUID"))
+      assert(structured.rdd.getNumPartitions == 3) // STRUCT0/1/2 chains
+      assert(!srv.requestLog.exists(_.contains("%24skip=")),
+        s"no range fetch may ride a structure-partitioned scan: ${srv.requestLog}")
+      // a pushed limit is a GLOBAL cap — range fetches would break it
+      val limited = readNoStructure(srv, Map(
+          "skipRangePartitions" -> "4", "skipRangeOrderKey" -> "CEMPLOYEE_UUID"))
+        .limit(2)
+      assert(limited.collect().length == 2)
+      assert(!srv.requestLog.exists(_.contains("%24skip=")),
+        s"no range fetch may ride a pushed limit: ${srv.requestLog}")
+      // missing order key is rejected at options time
+      val e = intercept[Exception] {
+        readNoStructure(srv, Map("skipRangePartitions" -> "4")).collect()
+      }
+      assert(e.getMessage.contains("skipRangeOrderKey"), e.getMessage)
+    } finally srv.stop()
+  }
+
+  test("skip ranges: a poisoned filter value fails LOUDLY even with failFast=false (no silent window)") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      failValues = Set("STRUCT1")).start()
+    try {
+      val df = readNoStructure(srv, Map(
+          "skipRangePartitions" -> "2", "skipRangeOrderKey" -> "CEMPLOYEE_UUID",
+          "failFast" -> "false", "maxRetries" -> "0"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1")
+      intercept[Exception] { df.collect() }
+      // contrast: the SAME poisoned value on a structure-VALUE chain
+      // is the reference's per-value tolerance and yields partial data
+      val tolerant = read(srv, Map("failFast" -> "false", "maxRetries" -> "0"))
+      assert(tolerant.count() == 6) // STRUCT0 + STRUCT2 survive
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
