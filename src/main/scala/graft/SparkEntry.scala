@@ -6119,6 +6119,14 @@ object SparkEntry {
     "odata_agg_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.aggScan(s, dir)),
 
+    // v4 change tracking (delta links): initial tracked
+    // materialization + one delta application (upserts, additions,
+    // @removed deletes) converge the local table to the fixture's
+    // [50,200) slice — the incremental-sync answer to the reference's
+    // full re-extract on every run
+    "odata_delta_sync" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.deltaSync(s, dir)),
+
     // skip-range parallel scan: a structure-less entity tiles into 4
     // $skip/$top range tasks off one /$count — the scan parallelism
     // the reference's sequential extract never had; a tiling bug
@@ -14201,6 +14209,14 @@ object SparkEntry {
         | FROM orders WHERE o_orderkey < 200
         | GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+
+    // the synced table must converge to the post-delta truth: stale
+    // rows repaired, new keys present, removed keys gone
+    "odata_delta_sync" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey >= 50 AND o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
 
     // range tiling is result-invisible: the union of the 4 windows is
     // exactly the slice

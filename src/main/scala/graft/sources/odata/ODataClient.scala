@@ -20,7 +20,8 @@ object ODataClient {
   final case class Response(status: Int, body: String,
                             retryAfterMs: Option[Long] = None)
 
-  final case class Page(rows: Seq[Map[String, String]], nextLink: Option[String])
+  final case class Page(rows: Seq[Map[String, String]], nextLink: Option[String],
+                        deltaLink: Option[String] = None)
 
   final class ODataHttpException(val status: Int, val url: String, val body: String)
     extends RuntimeException(
@@ -135,7 +136,12 @@ object ODataClient {
         e.getKey -> s
       }.toMap
     }.toSeq
-    Page(rows, next.filter(_.nonEmpty))
+    // v4 change tracking: the FINAL page of a tracked read (and of a
+    // delta feed) carries @odata.deltaLink — the resumption token the
+    // incremental-sync operator persists (ODataDelta)
+    val delta = Option(root.get("@odata.deltaLink"))
+      .orElse(Option(root.get("odata.deltaLink"))).map(_.asText())
+    Page(rows, next.filter(_.nonEmpty), delta.filter(_.nonEmpty))
   }
 
   /** The probe's 404 discriminator (reference `src/etl.py:95-97`):

@@ -1,0 +1,169 @@
+package graft.sources.odata
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OData V4 CHANGE TRACKING (delta links) — the connector's
+  * incremental-sync story. The reference re-extracts the full entity
+  * on every scheduled run (`src/etl.py` pulls everything, the
+  * workflow commits the CSV); against a large tenant that is the
+  * single most wasteful thing an extract can do. V4's
+  * `Prefer: odata.track-changes` protocol fixes it server-side: the
+  * tracked read's final page carries `@odata.deltaLink`, and GETting
+  * that link later returns ONLY what changed — upserted entities as
+  * plain rows, deletions as `@removed` entries carrying just the key
+  * — plus a fresh deltaLink to persist for the next round.
+  *
+  * [[syncToParquet]] is one sync step: first call materializes the
+  * entity to a local parquet table and stores the deltaLink beside
+  * it; every later call GETs the stored link, applies the changes
+  * (last-write-wins upsert by key, delete on `@removed`), rewrites
+  * the table, and stores the new link. Change APPLICATION is the
+  * engine's existing merge machinery (the etl_cdc / lake-upsert
+  * shape: changes anti-join the base, union, one exchange); what this
+  * operator adds is the PROTOCOL — link persistence, `@removed`
+  * parsing, fail-fast on a lost link (a delta feed with no resumable
+  * token can only restart from a full read, never silently).
+  *
+  * State layout under `tablePath`: `data/` (the parquet table, its
+  * own `_SUCCESS`), `_delta_link` (the token file, written LAST = the
+  * commit marker — a crash between data and link re-applies the same
+  * delta, which last-write-wins upserts and idempotent deletes
+  * absorb).
+  *
+  * Scale posture: one sync transfers O(|changes|) rows; the rewrite
+  * joins by key through the same plans the CDC gates audit. The
+  * driver-side page walk mirrors the planning-time key enumeration
+  * (control plane, bounded by the change volume per round).
+  */
+object ODataDelta extends Logging {
+
+  /** One applied sync round: rows now in the table, how many arrived
+    * as upserts / removals this round, and whether this was the
+    * initial full materialization.
+    */
+  final case class SyncReport(tableRows: Long, upserts: Long, removals: Long,
+                              initial: Boolean)
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readLink(spark: SparkSession, linkPath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(linkPath)
+    val f = fs(spark, linkPath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writeLink(spark: SparkSession, linkPath: String, link: String): Unit = {
+    val out = fs(spark, linkPath).create(
+      new org.apache.hadoop.fs.Path(linkPath), true)
+    try out.write(link.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Walk one paginated feed (initial tracked read or a delta feed),
+    * splitting plain rows from `@removed` entries and returning the
+    * feed's closing deltaLink. Fail-fast throughout: a partial change
+    * feed is a corrupt table, not partial data (the pushed-aggregate
+    * reader's argument), and a feed that closes WITHOUT a deltaLink
+    * cannot be resumed — raise rather than strand the next sync.
+    */
+  private def walkFeed(url0: String, opts: ODataOptions,
+                       trackChanges: Boolean)
+      : (Seq[Map[String, String]], Seq[Map[String, String]], String) = {
+    val rows = Seq.newBuilder[Map[String, String]]
+    val removed = Seq.newBuilder[Map[String, String]]
+    var deltaLink: Option[String] = None
+    var url = Option(url0)
+    while (url.isDefined) {
+      val page = ODataClient.parsePage(ODataClient.getWithRetry(
+        url.get, opts.user, opts.password, opts.timeoutMs,
+        opts.maxRetries, opts.retryBackoffMs))
+      page.rows.foreach { r =>
+        if (r.contains("@removed")) removed += r else rows += r
+      }
+      if (page.deltaLink.isDefined) deltaLink = page.deltaLink // last wins
+      url = page.nextLink
+      if (url.isDefined && opts.requestPauseMs > 0)
+        Thread.sleep(opts.requestPauseMs)
+    }
+    (rows.result(), removed.result(), deltaLink.getOrElse(throw new IllegalStateException(
+      "odata delta sync: the feed closed without an @odata.deltaLink — " +
+        "the server did not honor change tracking" +
+        (if (trackChanges) " (Prefer: odata.track-changes)" else "") +
+        "; cannot resume incrementally")))
+  }
+
+  /** Perform one sync round of `opts.entity` into `tablePath` (see
+    * object doc). `keyCol` is the entity key the delta feed's upserts
+    * and removals address. Returns the round's [[SyncReport]].
+    */
+  def syncToParquet(spark: SparkSession, opts: ODataOptions, keyCol: String,
+                    tablePath: String): SyncReport = {
+    import spark.implicits._
+    require(opts.selectFields.contains(keyCol),
+      s"keyCol '$keyCol' must be one of selectFields")
+    val dataPath = s"$tablePath/data"
+    val linkPath = s"$tablePath/_delta_link"
+    val fields = opts.selectFields
+
+    def toDf(rows: Seq[Map[String, String]]): DataFrame =
+      spark.createDataset(rows.map(r => fields.map(f => r.get(f).orNull)))
+        .toDF("vs")
+        .select(fields.zipWithIndex.map { case (f, i) =>
+          col("vs").getItem(i).as(f) }: _*)
+
+    readLink(spark, linkPath) match {
+      case None =>
+        // initial full materialization with change tracking preferred
+        val url = ODataClient.buildUrl(opts.entityUrl(opts.entity), Seq(
+          "$select" -> fields.mkString(","), "$format" -> "json"))
+        val (rows, removed, link) = walkFeed(url, opts, trackChanges = true)
+        require(removed.isEmpty, "odata delta sync: @removed in an initial read")
+        val df = toDf(rows)
+        df.write.mode("overwrite").parquet(dataPath)
+        writeLink(spark, linkPath, link) // link LAST = commit
+        logInfo(s"odata delta sync: initial materialization, ${rows.size} rows")
+        SyncReport(spark.read.parquet(dataPath).count(), rows.size.toLong, 0L,
+          initial = true)
+      case Some(link) =>
+        val (changed, removed, newLink) = walkFeed(link, opts, trackChanges = false)
+        val removedKeys = removed.flatMap(_.get(keyCol)).filter(_ != null)
+        require(removedKeys.size == removed.size,
+          s"odata delta sync: an @removed entry lacks the key '$keyCol'")
+        val base = spark.read.parquet(dataPath)
+        if (changed.isEmpty && removedKeys.isEmpty) {
+          writeLink(spark, linkPath, newLink)
+          return SyncReport(base.count(), 0L, 0L, initial = false)
+        }
+        // last-write-wins upsert + key deletes: base rows whose key is
+        // touched drop (anti-join against the bounded change-key set,
+        // broadcast by size), changed rows union in — the lake-upsert
+        // merge shape
+        val changedDf = toDf(changed)
+        val touched = (changed.flatMap(_.get(keyCol)) ++ removedKeys)
+          .distinct.toDF(keyCol)
+        val next = base.join(broadcast(touched), Seq(keyCol), "left_anti")
+          .unionByName(changedDf)
+        // rewrite via a temp dir: the base parquet is an INPUT of this
+        // plan, so overwriting it in place would read-under-write
+        val tmp = s"$tablePath/data_next"
+        next.write.mode("overwrite").parquet(tmp)
+        val f = fs(spark, tablePath)
+        f.delete(new org.apache.hadoop.fs.Path(dataPath), true)
+        require(f.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(dataPath)),
+          s"odata delta sync: rename $tmp -> $dataPath failed")
+        writeLink(spark, linkPath, newLink) // link LAST = commit
+        logInfo(s"odata delta sync: ${changed.size} upserts, ${removedKeys.size} removals")
+        SyncReport(spark.read.parquet(dataPath).count(),
+          changed.size.toLong, removedKeys.size.toLong, initial = false)
+    }
+  }
+}

@@ -193,6 +193,73 @@ object ODataSelfServe {
       .orderBy("o_orderpriority")
   }
 
+  // v4 change-tracking stub: initial snapshot misses keys ≥ 150,
+  // carries a STALE priority for keys in [50,100), and still holds
+  // keys < 50; the one delta batch upserts the true [50,100) rows,
+  // adds [150,200), and removes every key < 50 — so the synced table
+  // converges to exactly the fixture's [50,200) slice
+  private val deltaServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  private def deltaServerFor(spark: SparkSession, dir: String): ODataStubServer =
+    deltaServers.getOrElseUpdate(dir, {
+      val all = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("O_STATUS"),
+          col("o_orderpriority").as("O_PRIORITY"))
+        .collect()
+        .map(r => (r.getLong(0), Map(
+          "O_ORDERKEY" -> r.getLong(0).toString,
+          "O_STATUS" -> r.getString(1),
+          "O_PRIORITY" -> r.getString(2))))
+        .sortBy(_._1)
+      val initial = all.filter(_._1 < 150).map { case (k, r) =>
+        if (k >= 50 && k < 100) r.updated("O_PRIORITY", "0-STALE") else r }
+      val upserts = all.filter { case (k, _) => (k >= 50 && k < 100) || k >= 150 }
+        .map(_._2)
+      val removedKeys = all.filter(_._1 < 50).map(_._2("O_ORDERKEY"))
+      new ODataStubServer(initial.toSeq, "O_PRIORITY", dialect = "v4",
+        serverPageSize = 50,
+        deltaBatches = Seq((upserts.toSeq, removedKeys.toSeq)),
+        deltaKeyField = "O_ORDERKEY").start()
+    })
+
+  /** V4 change-tracking driver-gate: one INITIAL tracked
+    * materialization plus one DELTA application (upserts of stale and
+    * new keys, removals of retired ones) must converge the local
+    * parquet table to the fixture's [50,200) slice exactly — a
+    * protocol bug (missed @removed, unapplied upsert, wrong key, a
+    * stale link) leaves stale/extra rows and breaks the hash. State
+    * is rebuilt from scratch each invocation so the gate is
+    * deterministic.
+    */
+  def deltaSync(spark: SparkSession, dir: String): DataFrame = {
+    val srv = deltaServerFor(spark, dir)
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_odata_delta_${dir.hashCode & Int.MaxValue}"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val opts = graft.sources.odata.ODataOptions(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of(
+          "baseUrl", srv.url, "servicePath", "svc", "entity", "Orders",
+          "selectFields", "O_ORDERKEY,O_STATUS,O_PRIORITY")))
+    val r1 = graft.sources.odata.ODataDelta.syncToParquet(
+      spark, opts, "O_ORDERKEY", tablePath)
+    require(r1.initial, "first sync must be the initial materialization")
+    val r2 = graft.sources.odata.ODataDelta.syncToParquet(
+      spark, opts, "O_ORDERKEY", tablePath)
+    require(!r2.initial && r2.removals > 0,
+      s"second sync must apply the delta batch: $r2")
+    spark.read.parquet(s"$tablePath/data")
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   // second stub, same slice, but the 3-MEDIUM value chain is poisoned
   // (every filtered request for it returns 500)
   private val partialServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]

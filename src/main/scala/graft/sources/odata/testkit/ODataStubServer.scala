@@ -23,7 +23,13 @@ class ODataStubServer(
     rateLimitFirst: Int = 0,       // first N data requests 429 + Retry-After, then succeed
     extraServedFields: Seq[String] = Nil, // served on EVERY row regardless of $select
                                           // (real ByD tenants spill __metadata this way)
-    rawJsonFields: Set[String] = Set.empty) { // row values emitted as raw JSON, not strings
+    rawJsonFields: Set[String] = Set.empty, // row values emitted as raw JSON, not strings
+    // v4 change tracking: batch i of (changed rows, removed keys) is
+    // served at $deltatoken=i; the tracked initial read's final page
+    // carries a deltaLink at token 0, batch i links to token i+1, and
+    // a token past the last batch answers an empty delta (stable link)
+    deltaBatches: Seq[(Seq[Map[String, String]], Seq[String])] = Nil,
+    deltaKeyField: String = "") {
 
   private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
   private val rateLimitLeft = new java.util.concurrent.atomic.AtomicInteger(rateLimitFirst)
@@ -132,6 +138,27 @@ class ODataStubServer(
         rows.filter(r => conds.forall(_._1(r)))
     }
 
+    // v4 change tracking: a $deltatoken request serves that batch's
+    // upserts + @removed entries and links to the NEXT token; past
+    // the last batch, an empty delta with a stable link
+    q.get("$deltatoken") match {
+      case Some(tok) if deltaBatches.nonEmpty =>
+        val i = tok.toInt
+        val (chg, rem) =
+          if (i < deltaBatches.length) deltaBatches(i) else (Nil, Nil)
+        val remRows = rem.map(k => Map(
+          "@removed" -> """{"reason": "deleted"}""", deltaKeyField -> k))
+        val data = chg ++ remRows
+        val dFields = data.flatMap(_.keys).distinct
+        val nextTok = math.min(i + 1, deltaBatches.length)
+        emitPage(ex, q, ex.getRequestURI.getPath, data, dFields,
+          rawJsonFields + "@removed",
+          deltaLink = Some(s"$url${ex.getRequestURI.getPath}?" +
+            java.net.URLEncoder.encode("$deltatoken", "UTF-8") + s"=$nextTok"))
+        return
+      case _ =>
+    }
+
     // /$count endpoint: the FILTERED cardinality as plain text (what
     // skip-range planning asks for)
     if (ex.getRequestURI.getPath.endsWith("/$count")) {
@@ -229,15 +256,22 @@ class ODataStubServer(
     }
 
     emitPage(ex, q, ex.getRequestURI.getPath, ordered,
-      (select ++ extraServedFields).distinct, rawJsonFields)
+      (select ++ extraServedFields).distinct, rawJsonFields,
+      // a tracked tenant's initial read closes with the first delta link
+      deltaLink = if (deltaBatches.nonEmpty)
+        Some(s"$url${ex.getRequestURI.getPath}?" +
+          java.net.URLEncoder.encode("$deltatoken", "UTF-8") + "=0")
+      else None)
   }
 
   /** Shared page emission: `$top`/`$skiptoken` pagination, field
-    * projection (`raw` fields as unquoted JSON), dialect envelope.
+    * projection (`raw` fields as unquoted JSON), dialect envelope;
+    * `deltaLink` rides the FINAL page only (the v4 tracking contract).
     */
   private def emitPage(ex: HttpExchange, q: Map[String, String], path: String,
                        data: Seq[Map[String, String]], fields: Seq[String],
-                       raw: Set[String]): Unit = {
+                       raw: Set[String],
+                       deltaLink: Option[String] = None): Unit = {
     val top = q.get("$top").map(_.toLong).getOrElse(Long.MaxValue)
     val skip = q.get("$skiptoken").map(_.toInt).getOrElse(0)
     // $skip (client offset) applies after $orderby, before $top —
@@ -271,7 +305,9 @@ class ODataStubServer(
         s"""{"d": {"results": $rowsJson$nxt}}"""
       case "v4" =>
         val nxt = nextUrl.map(u => s""", "@odata.nextLink": ${jsonStr(u)}""").getOrElse("")
-        s"""{"value": $rowsJson$nxt}"""
+        val dlt = (if (hasMore) None else deltaLink)
+          .map(u => s""", "@odata.deltaLink": ${jsonStr(u)}""").getOrElse("")
+        s"""{"value": $rowsJson$nxt$dlt}"""
     }
     respond(ex, 200, body)
   }

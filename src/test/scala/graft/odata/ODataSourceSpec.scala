@@ -742,6 +742,57 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("delta sync: tracked initial read, upsert/removal application, idempotent empty delta, lost link fails") {
+    import graft.sources.odata.{ODataDelta, ODataOptions}
+    val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
+      "CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "1")
+    val add = Map("TEMPLOYEE_UUID" -> "Employee 9",
+      "CEMPLOYEE_UUID" -> "9", "KCLEAVERS" -> "1")
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4",
+      deltaBatches = Seq((Seq(upd, add), Seq("0"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_delta"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      def opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("baseUrl", srv.url, "servicePath", "svc",
+          "entity", "EmployeeQueryResults",
+          "selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")))
+      val r1 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(r1.initial && r1.tableRows == 6, r1.toString)
+      val r2 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(!r2.initial && r2.upserts == 2 && r2.removals == 1 &&
+        r2.tableRows == 6, r2.toString)
+      val rows = spark.read.parquet(s"$tablePath/data")
+        .select("CEMPLOYEE_UUID", "TEMPLOYEE_UUID")
+        .as[(String, String)].collect().toMap
+      assert(!rows.contains("0"), "removed key must be gone")
+      assert(rows("9") == "Employee 9", "added key must be present")
+      assert(rows("1") == "Employee 1 RENAMED", "upsert must be last-write-wins")
+      // third sync hits the stable past-the-end token: an empty delta
+      // is a clean no-op and the table is untouched
+      val r3 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(!r3.initial && r3.upserts == 0 && r3.removals == 0 &&
+        r3.tableRows == 6, r3.toString)
+      // a server that never honors change tracking (v2, no deltaLink)
+      // fails the sync LOUDLY — nothing to resume from
+      val v2srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE").start()
+      try {
+        val v2opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("baseUrl", v2srv.url, "servicePath", "svc",
+            "entity", "EmployeeQueryResults",
+            "selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")))
+        val e = intercept[IllegalStateException] {
+          ODataDelta.syncToParquet(spark, v2opts, "CEMPLOYEE_UUID",
+            s"${tablePath}_v2")
+        }
+        assert(e.getMessage.contains("deltaLink"), e.getMessage)
+      } finally v2srv.stop()
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
