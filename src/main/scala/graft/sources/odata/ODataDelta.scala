@@ -67,15 +67,15 @@ object ODataDelta extends Logging {
     try out.write(link.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Walk one paginated feed (initial tracked read or a delta feed),
+  /** Walk one DELTA feed (bounded by the round's change volume —
+    * control plane, like the planning-time key enumeration),
     * splitting plain rows from `@removed` entries and returning the
     * feed's closing deltaLink. Fail-fast throughout: a partial change
     * feed is a corrupt table, not partial data (the pushed-aggregate
     * reader's argument), and a feed that closes WITHOUT a deltaLink
     * cannot be resumed — raise rather than strand the next sync.
     */
-  private def walkFeed(url0: String, opts: ODataOptions,
-                       trackChanges: Boolean)
+  private def walkFeed(url0: String, opts: ODataOptions)
       : (Seq[Map[String, String]], Seq[Map[String, String]], String) = {
     val rows = Seq.newBuilder[Map[String, String]]
     val removed = Seq.newBuilder[Map[String, String]]
@@ -95,9 +95,8 @@ object ODataDelta extends Logging {
     }
     (rows.result(), removed.result(), deltaLink.getOrElse(throw new IllegalStateException(
       "odata delta sync: the feed closed without an @odata.deltaLink — " +
-        "the server did not honor change tracking" +
-        (if (trackChanges) " (Prefer: odata.track-changes)" else "") +
-        "; cannot resume incrementally")))
+        "the server did not close the delta feed lawfully; " +
+        "cannot resume incrementally")))
   }
 
   /** Perform one sync round of `opts.entity` into `tablePath` (see
@@ -121,19 +120,50 @@ object ODataDelta extends Logging {
 
     readLink(spark, linkPath) match {
       case None =>
-        // initial full materialization with change tracking preferred
-        val url = ODataClient.buildUrl(opts.entityUrl(opts.entity), Seq(
-          "$select" -> fields.mkString(","), "$format" -> "json"))
-        val (rows, removed, link) = walkFeed(url, opts, trackChanges = true)
-        require(removed.isEmpty, "odata delta sync: @removed in an initial read")
-        val df = toDf(rows)
-        df.write.mode("overwrite").parquet(dataPath)
-        writeLink(spark, linkPath, link) // link LAST = commit
-        logInfo(s"odata delta sync: initial materialization, ${rows.size} rows")
-        SyncReport(spark.read.parquet(dataPath).count(), rows.size.toLong, 0L,
+        // Initial full materialization. The tracking protocol makes
+        // this walk inherently SEQUENTIAL — the deltaLink exists only
+        // at the end of ONE coherent enumeration, so a parallel scan
+        // has no single feed to close — but memory must not follow
+        // the entity: each page streams straight into a parquet
+        // APPEND, so the driver holds one page at a time. (The
+        // steady state this operator exists for is the delta rounds,
+        // bounded by change volume; a tenant too large for one
+        // sequential initial walk seeds the table from a parallel
+        // connector scan out-of-band and accepts the coherence
+        // window, which is the trade every change-tracking consumer
+        // makes.)
+        val f = fs(spark, tablePath)
+        f.delete(new org.apache.hadoop.fs.Path(dataPath), true)
+        var url: Option[String] = Some(ODataClient.buildUrl(
+          opts.entityUrl(opts.entity), Seq(
+            "$select" -> fields.mkString(","), "$format" -> "json")))
+        var link: Option[String] = None
+        var total = 0L
+        while (url.isDefined) {
+          val page = ODataClient.parsePage(ODataClient.getWithRetry(
+            url.get, opts.user, opts.password, opts.timeoutMs,
+            opts.maxRetries, opts.retryBackoffMs))
+          require(!page.rows.exists(_.contains("@removed")),
+            "odata delta sync: @removed in an initial read")
+          if (page.rows.nonEmpty) {
+            toDf(page.rows).write.mode("append").parquet(dataPath)
+            total += page.rows.size
+          }
+          if (page.deltaLink.isDefined) link = page.deltaLink // last wins
+          url = page.nextLink
+          if (url.isDefined && opts.requestPauseMs > 0)
+            Thread.sleep(opts.requestPauseMs)
+        }
+        if (total == 0) toDf(Nil).write.mode("overwrite").parquet(dataPath)
+        writeLink(spark, linkPath, link.getOrElse(throw new IllegalStateException(
+          "odata delta sync: the initial read closed without an " +
+            "@odata.deltaLink — the server did not honor change tracking " +
+            "(Prefer: odata.track-changes); cannot sync incrementally")))
+        logInfo(s"odata delta sync: initial materialization, $total rows")
+        SyncReport(spark.read.parquet(dataPath).count(), total, 0L,
           initial = true)
       case Some(link) =>
-        val (changed, removed, newLink) = walkFeed(link, opts, trackChanges = false)
+        val (changed, removed, newLink) = walkFeed(link, opts)
         val removedKeys = removed.flatMap(_.get(keyCol)).filter(_ != null)
         require(removedKeys.size == removed.size,
           s"odata delta sync: an @removed entry lacks the key '$keyCol'")
