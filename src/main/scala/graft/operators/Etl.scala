@@ -460,23 +460,29 @@ object Etl {
       .flatMap { case (file, pds) =>
         val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(pds.open()))
+        // the stream must not leak when iteration stops early (a
+        // limit abandoning the iterator) or a malformed RDW throws —
+        // close at task completion, and eagerly on EOF/error
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         new Iterator[Array[Byte]] {
           private var rec: Array[Byte] = advance()
-          private def advance(): Array[Byte] = {
-            val b0 = in.read()
-            if (b0 < 0) { in.close(); null }
-            else {
-              val b1 = in.read(); val z0 = in.read(); val z1 = in.read()
-              require(b1 >= 0 && z0 == 0 && z1 == 0,
-                s"malformed RDW in $file (truncated or nonzero reserved bytes)")
-              val len = (b0 << 8) | b1
-              require(len >= 4 + fixedLen,
-                s"malformed RDW in $file: length $len < ${4 + fixedLen}")
-              val buf = new Array[Byte](len - 4)
-              in.readFully(buf)
-              buf
-            }
-          }
+          private def advance(): Array[Byte] =
+            try {
+              val b0 = in.read()
+              if (b0 < 0) { in.close(); null }
+              else {
+                val b1 = in.read(); val z0 = in.read(); val z1 = in.read()
+                require(b1 >= 0 && z0 == 0 && z1 == 0,
+                  s"malformed RDW in $file (truncated or nonzero reserved bytes)")
+                val len = (b0 << 8) | b1
+                require(len >= 4 + fixedLen,
+                  s"malformed RDW in $file: length $len < ${4 + fixedLen}")
+                val buf = new Array[Byte](len - 4)
+                in.readFully(buf)
+                buf
+              }
+            } catch { case e: Throwable => in.close(); throw e }
           def hasNext: Boolean = rec != null
           def next(): Array[Byte] = { val r = rec; rec = advance(); r }
         }

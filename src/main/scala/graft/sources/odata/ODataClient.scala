@@ -39,13 +39,14 @@ object ODataClient {
   }
 
   def get(url: String, user: Option[String], password: Option[String],
-          timeoutMs: Int): Response = {
+          timeoutMs: Int, extraHeaders: Seq[(String, String)] = Nil): Response = {
     val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setRequestMethod("GET")
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
       conn.setRequestProperty("Accept", "application/json")
+      extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       for (u <- user; p <- password) {
         val tok = Base64.getEncoder.encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
         conn.setRequestProperty("Authorization", s"Basic $tok")
@@ -85,12 +86,13 @@ object ODataClient {
     * parity is the default posture and backoff is opt-in hardening.
     */
   def getWithRetry(url: String, user: Option[String], password: Option[String],
-                   timeoutMs: Int, maxRetries: Int, backoffMs: Long): String = {
+                   timeoutMs: Int, maxRetries: Int, backoffMs: Long,
+                   extraHeaders: Seq[(String, String)] = Nil): String = {
     var attempt = 0
     while (true) {
       var retryAfterMs: Option[Long] = None
       try {
-        val r = get(url, user, password, timeoutMs)
+        val r = get(url, user, password, timeoutMs, extraHeaders)
         if (r.status >= 200 && r.status < 300) return r.body
         val retryable = r.status >= 500 || r.status == 429
         if (!retryable || attempt >= maxRetries)

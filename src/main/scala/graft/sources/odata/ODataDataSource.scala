@@ -107,6 +107,23 @@ class ODataTable(tableSchema: StructType, opts: ODataOptions) extends Table with
     new ODataScanBuilder(tableSchema, opts)
 }
 
+/** Shared rendering of pushed predicates to OData `$filter`/`$apply`
+  * condition strings — ONE home for the `''` quote-doubling and the
+  * or-group layout, used by the per-chain `$filter`, the `$apply`
+  * filter prefix, the skip-range `/$count`, and the scan description
+  * (four call sites that must never drift apart).
+  */
+private[odata] object ODataFilters {
+  def esc(s: String): String = s.replace("'", "''")
+  def eqCond(k: String, v: String): String = s"$k eq '${esc(v)}'"
+  def inCond(k: String, vs: Seq[String]): String =
+    vs.map(eqCond(k, _)).mkString("(", " or ", ")")
+  def render(eqs: Seq[(String, String)],
+             ins: Seq[(String, Seq[String])]): Seq[String] =
+    eqs.map { case (k, v) => eqCond(k, v) } ++
+      ins.map { case (k, vs) => inCond(k, vs) }
+}
+
 /** One output column of a pushed-aggregate scan: `name` is BOTH the
   * schema field name and the JSON key the server answers under (group
   * columns come back under their own property name; aggregates under
@@ -189,13 +206,22 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * but the guard keeps the fully-pushed mode honest by
     * construction).
     */
+  /** A NULL literal never translates: `c = NULL` / `NULL ∈ list` is
+    * never-true in SQL, but `String.valueOf(null)` would push the
+    * 4-char string `'null'` and (fully-pushed) wrongly MATCH rows
+    * holding that literal text — decline and let Spark evaluate.
+    */
+  private def litStr(lit: V2Literal[_]): Option[String] =
+    if (lit.dataType() != StringType) None
+    else Option(lit.value()).map(String.valueOf)
+
   private def translateEq(p: Predicate): Option[(String, String)] =
     if (p.name() != "=") None
     else p.children() match {
-      case Array(ref: NamedReference, lit: V2Literal[_]) if lit.dataType() == StringType =>
-        serverCol(ref).map(_ -> String.valueOf(lit.value()))
-      case Array(lit: V2Literal[_], ref: NamedReference) if lit.dataType() == StringType =>
-        serverCol(ref).map(_ -> String.valueOf(lit.value()))
+      case Array(ref: NamedReference, lit: V2Literal[_]) =>
+        for (c <- serverCol(ref); v <- litStr(lit)) yield c -> v
+      case Array(lit: V2Literal[_], ref: NamedReference) =>
+        for (c <- serverCol(ref); v <- litStr(lit)) yield c -> v
       case _ => None
     }
 
@@ -211,11 +237,11 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     else p.children() match {
       case Array(ref: NamedReference, vals @ _*)
           if vals.nonEmpty && vals.forall {
-            case l: V2Literal[_] => l.dataType() == StringType
+            case l: V2Literal[_] => litStr(l).isDefined // see litStr
             case _ => false
           } =>
         serverCol(ref).map(_ -> vals.map {
-          case l: V2Literal[_] => String.valueOf(l.value()) }.toSeq)
+          case l: V2Literal[_] => litStr(l).get }.toSeq)
       case _ => None
     }
 
@@ -379,11 +405,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // pre-aggregation conditions: fully-pushed eq filters (trusted by
     // option) and the sole-ungrouped count(col)'s ne-null — one
     // filter() prefix scoping the whole transformation sequence
-    val conds = pushedEq.map { case (k, v) =>
-      s"$k eq '${v.replace("'", "''")}'" } ++
-      pushedIn.map { case (k, vs) =>
-        vs.map(v => s"$k eq '${v.replace("'", "''")}'")
-          .mkString("(", " or ", ")") } ++
+    val conds = ODataFilters.render(pushedEq, pushedIn) ++
       nonNullCountCol.map(c => s"$c ne null")
     val apply =
       if (conds.nonEmpty) s"filter(${conds.mkString(" and ")})/$base" else base
@@ -427,10 +449,7 @@ class ODataScan(schema: StructType, opts: ODataOptions,
   override def toBatch: Batch = this
   override def description(): String =
     s"ODataScan(entity=${opts.entity}, select=${schema.fieldNames.mkString(",")}, " +
-      s"filter=${(pushedEq.map { case (k, v) => s"$k eq '$v'" } ++
-        pushedIn.map { case (k, vs) =>
-          vs.map(v => s"$k eq '$v'").mkString("(", " or ", ")") })
-        .mkString(" and ")}, top=$limit, " +
+      s"filter=${ODataFilters.render(pushedEq, pushedIn).mkString(" and ")}, top=$limit, " +
       s"orderby=${orderBy.map { case (c, asc) => s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")}" +
       pushedAgg.map(a => s", apply=${a.applyParam}").getOrElse("") + ")"
 
@@ -455,11 +474,7 @@ class ODataScan(schema: StructType, opts: ODataOptions,
         // TopN is a GLOBAL cap range fetches would break, so those
         // shapes keep the single chain)
         if (opts.skipRangePartitions > 1 && limit.isEmpty && orderBy.isEmpty) {
-          val filters = pushedEq.map { case (k, v) =>
-            s"$k eq '${v.replace("'", "''")}'" } ++
-            pushedIn.map { case (k, vs) =>
-              vs.map(v => s"$k eq '${v.replace("'", "''")}'")
-                .mkString("(", " or ", ")") }
+          val filters = ODataFilters.render(pushedEq, pushedIn)
           val countUrl = ODataClient.buildUrl(
             opts.entityUrl(opts.entity) + "/$count",
             if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
@@ -617,8 +632,6 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private val declaredFields: Set[String] =
     (opts.selectFields ++ opts.structureCandidates).toSet
 
-  private def odataEscape(s: String): String = s.replace("'", "''")
-
   // queue of structure values this task owns; None = one unfiltered chain
   private var pending: List[Option[String]] =
     if (partition.structureValues.isEmpty) List(None)
@@ -630,19 +643,21 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private var current: Map[String, String] = _
 
   private def firstUrl(structureValue: Option[String]): String = {
+    // pushed predicates on the structure field drop ONLY when the
+    // chain's own `f eq '<value>'` already implies them (an eq for
+    // the same value; an IN whose list contains it) — a CONTRADICTORY
+    // one (a second eq for a different value, an IN excluding this
+    // chain) must stay so the server lawfully answers 0 rows; in
+    // fullyPushFilters mode nothing above the scan would re-check
     val filters =
-      structureValue.toSeq.flatMap(v => structureField.map(f => s"$f eq '${odataEscape(v)}'")) ++
-        pushedEq.filter { case (k, _) => !structureValue.isDefined || !structureField.contains(k) }
-          .map { case (k, v) => s"$k eq '${odataEscape(v)}'" } ++
-        // a structure-field IN whose list CONTAINS this chain's value
-        // is implied by the chain's own eq and drops; one that
-        // EXCLUDES it (eq + IN on the same field) must stay — the
-        // contradictory filter lawfully answers 0 rows
-        pushedIn.filter { case (k, vs) =>
-          !(structureValue.isDefined && structureField.contains(k) &&
-            vs.contains(structureValue.get)) }
-          .map { case (k, vs) =>
-            vs.map(v => s"$k eq '${odataEscape(v)}'").mkString("(", " or ", ")") }
+      structureValue.toSeq.flatMap(v =>
+        structureField.map(f => ODataFilters.eqCond(f, v))) ++
+        ODataFilters.render(
+          pushedEq.filter { case (k, v) =>
+            !(structureValue.contains(v) && structureField.contains(k)) },
+          pushedIn.filter { case (k, vs) =>
+            !(structureValue.isDefined && structureField.contains(k) &&
+              vs.contains(structureValue.get)) })
     // the extras map is not a server-side field — it must never appear
     // in $select. If pruning left ONLY the extras column, omit $select
     // entirely (the server then returns every field, which is exactly

@@ -61,39 +61,51 @@ object ODataDelta extends Logging {
     }
   }
 
+  /** Durable link write: temp file + rename, so the previous good
+    * link is never truncated in place. The worst crash window leaves
+    * NO link (the tmp was written but not renamed, or delete landed
+    * before rename) — which degrades to a fresh initial
+    * materialization, an expensive but CORRECT recovery; an in-place
+    * overwrite could leave a truncated token that poisons every later
+    * sync instead.
+    */
   private def writeLink(spark: SparkSession, linkPath: String, link: String): Unit = {
-    val out = fs(spark, linkPath).create(
-      new org.apache.hadoop.fs.Path(linkPath), true)
+    val f = fs(spark, linkPath)
+    val tmp = new org.apache.hadoop.fs.Path(linkPath + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(linkPath)
+    val out = f.create(tmp, true)
     try out.write(link.getBytes("UTF-8")) finally out.close()
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"odata delta sync: rename $tmp -> $dst failed")
   }
 
   /** Walk one DELTA feed (bounded by the round's change volume —
     * control plane, like the planning-time key enumeration),
-    * splitting plain rows from `@removed` entries and returning the
-    * feed's closing deltaLink. Fail-fast throughout: a partial change
-    * feed is a corrupt table, not partial data (the pushed-aggregate
-    * reader's argument), and a feed that closes WITHOUT a deltaLink
-    * cannot be resumed — raise rather than strand the next sync.
+    * returning the entries IN FEED ORDER (the v4 spec lets one entity
+    * appear several times in a delta response and the LAST state
+    * governs — splitting upserts from removals up front would lose
+    * that) plus the feed's closing deltaLink. Fail-fast throughout: a
+    * partial change feed is a corrupt table, not partial data (the
+    * pushed-aggregate reader's argument), and a feed that closes
+    * WITHOUT a deltaLink cannot be resumed — raise rather than strand
+    * the next sync.
     */
   private def walkFeed(url0: String, opts: ODataOptions)
-      : (Seq[Map[String, String]], Seq[Map[String, String]], String) = {
-    val rows = Seq.newBuilder[Map[String, String]]
-    val removed = Seq.newBuilder[Map[String, String]]
+      : (Seq[Map[String, String]], String) = {
+    val entries = Seq.newBuilder[Map[String, String]]
     var deltaLink: Option[String] = None
     var url = Option(url0)
     while (url.isDefined) {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs))
-      page.rows.foreach { r =>
-        if (r.contains("@removed")) removed += r else rows += r
-      }
+      entries ++= page.rows
       if (page.deltaLink.isDefined) deltaLink = page.deltaLink // last wins
       url = page.nextLink
       if (url.isDefined && opts.requestPauseMs > 0)
         Thread.sleep(opts.requestPauseMs)
     }
-    (rows.result(), removed.result(), deltaLink.getOrElse(throw new IllegalStateException(
+    (entries.result(), deltaLink.getOrElse(throw new IllegalStateException(
       "odata delta sync: the feed closed without an @odata.deltaLink — " +
         "the server did not close the delta feed lawfully; " +
         "cannot resume incrementally")))
@@ -117,6 +129,22 @@ object ODataDelta extends Logging {
         .toDF("vs")
         .select(fields.zipWithIndex.map { case (f, i) =>
           col("vs").getItem(i).as(f) }: _*)
+
+    /** Change rows with per-field PRESENCE flags: a v4 delta upsert
+      * may carry only the properties that changed — an ABSENT field
+      * means "unchanged" (keep the base value) while an explicit JSON
+      * null means "set to null"; collapsing both to SQL null would
+      * silently erase data the server never touched.
+      */
+    def toChangedDf(rows: Seq[Map[String, String]]): DataFrame =
+      spark.createDataset(rows.map(r =>
+          fields.map(f => r.get(f).orNull) ++
+            fields.map(f => if (r.contains(f)) "1" else "0")))
+        .toDF("vs")
+        .select(fields.zipWithIndex.map { case (f, i) =>
+            col("vs").getItem(i).as(f) } ++
+          fields.zipWithIndex.map { case (f, i) =>
+            (col("vs").getItem(fields.size + i) === "1").as(s"${f}__present") }: _*)
 
     readLink(spark, linkPath) match {
       case None =>
@@ -142,7 +170,11 @@ object ODataDelta extends Logging {
         while (url.isDefined) {
           val page = ODataClient.parsePage(ODataClient.getWithRetry(
             url.get, opts.user, opts.password, opts.timeoutMs,
-            opts.maxRetries, opts.retryBackoffMs))
+            opts.maxRetries, opts.retryBackoffMs,
+            // change tracking is a PREFERENCE the client must state —
+            // without this header no lawful v4 server returns a
+            // deltaLink (sent on every page: next-links must keep it)
+            extraHeaders = Seq("Prefer" -> "odata.track-changes")))
           require(!page.rows.exists(_.contains("@removed")),
             "odata delta sync: @removed in an initial read")
           if (page.rows.nonEmpty) {
@@ -163,24 +195,50 @@ object ODataDelta extends Logging {
         SyncReport(spark.read.parquet(dataPath).count(), total, 0L,
           initial = true)
       case Some(link) =>
-        val (changed, removed, newLink) = walkFeed(link, opts)
-        val removedKeys = removed.flatMap(_.get(keyCol)).filter(_ != null)
-        require(removedKeys.size == removed.size,
-          s"odata delta sync: an @removed entry lacks the key '$keyCol'")
+        val (entries, newLink) = walkFeed(link, opts)
+        // collapse the feed to one FINAL state per key, in feed order
+        // (the v4 contract: an entity may appear several times and the
+        // last entry governs — so an upsert followed by @removed IS a
+        // delete, and a duplicate upsert keeps only its last version)
+        val finalState =
+          scala.collection.mutable.LinkedHashMap.empty[String, Option[Map[String, String]]]
+        entries.foreach { e =>
+          val key = e.get(keyCol).flatMap(Option(_)).getOrElse(
+            throw new IllegalStateException(
+              s"odata delta sync: a delta entry lacks the key '$keyCol': " +
+                e.keys.mkString(",")))
+          finalState(key) = if (e.contains("@removed")) None else Some(e)
+        }
+        val upserts = finalState.valuesIterator.flatten.toSeq
+        val removedKeys = finalState.collect { case (k, None) => k }.toSeq
         val base = spark.read.parquet(dataPath)
-        if (changed.isEmpty && removedKeys.isEmpty) {
+        if (finalState.isEmpty) {
           writeLink(spark, linkPath, newLink)
           return SyncReport(base.count(), 0L, 0L, initial = false)
         }
-        // last-write-wins upsert + key deletes: base rows whose key is
-        // touched drop (anti-join against the bounded change-key set,
-        // broadcast by size), changed rows union in — the lake-upsert
-        // merge shape
-        val changedDf = toDf(changed)
-        val touched = (changed.flatMap(_.get(keyCol)) ++ removedKeys)
+        // merge: touched base rows drop (anti-join against the bounded
+        // change-key set, broadcast), upserts re-enter with PRESENT
+        // fields taking the new value and absent fields KEEPING the
+        // base value (partial-properties semantics). The base scans
+        // map-only twice: the per-field merge only needs base rows for
+        // touched keys, prefiltered by a broadcast semi-join.
+        val touched = (upserts.map(_(keyCol)) ++ removedKeys)
           .distinct.toDF(keyCol)
+        val merged =
+          if (upserts.isEmpty) toDf(Nil)
+          else {
+            val baseTouched = base.join(broadcast(touched), Seq(keyCol), "left_semi")
+            toChangedDf(upserts).as("c")
+              .join(broadcast(baseTouched).as("b"),
+                col(s"c.$keyCol") === col(s"b.$keyCol"), "left")
+              .select(fields.map { fl =>
+                if (fl == keyCol) col(s"c.$keyCol").as(fl)
+                else when(col(s"c.${fl}__present"), col(s"c.$fl"))
+                  .otherwise(col(s"b.$fl")).as(fl)
+              }: _*)
+          }
         val next = base.join(broadcast(touched), Seq(keyCol), "left_anti")
-          .unionByName(changedDf)
+          .unionByName(merged)
         // rewrite via a temp dir: the base parquet is an INPUT of this
         // plan, so overwriting it in place would read-under-write
         val tmp = s"$tablePath/data_next"
@@ -191,9 +249,9 @@ object ODataDelta extends Logging {
           new org.apache.hadoop.fs.Path(dataPath)),
           s"odata delta sync: rename $tmp -> $dataPath failed")
         writeLink(spark, linkPath, newLink) // link LAST = commit
-        logInfo(s"odata delta sync: ${changed.size} upserts, ${removedKeys.size} removals")
+        logInfo(s"odata delta sync: ${upserts.size} upserts, ${removedKeys.size} removals")
         SyncReport(spark.read.parquet(dataPath).count(),
-          changed.size.toLong, removedKeys.size.toLong, initial = false)
+          upserts.size.toLong, removedKeys.size.toLong, initial = false)
     }
   }
 }

@@ -255,10 +255,14 @@ class ODataStubServer(
         }
     }
 
+    // a TRACKED read closes with the first delta link — but only when
+    // the client actually stated the preference (the v4 contract: no
+    // `Prefer: odata.track-changes`, no deltaLink)
+    val trackRequested = Option(ex.getRequestHeaders.getFirst("Prefer"))
+      .exists(_.contains("odata.track-changes"))
     emitPage(ex, q, ex.getRequestURI.getPath, ordered,
       (select ++ extraServedFields).distinct, rawJsonFields,
-      // a tracked tenant's initial read closes with the first delta link
-      deltaLink = if (deltaBatches.nonEmpty)
+      deltaLink = if (deltaBatches.nonEmpty && trackRequested)
         Some(s"$url${ex.getRequestURI.getPath}?" +
           java.net.URLEncoder.encode("$deltatoken", "UTF-8") + "=0")
       else None)

@@ -742,15 +742,57 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("a NULL literal declines translation: IN with null stays residual, never pushes 'null' text") {
+    val rows = mkRows(6) :+ Map(
+      "TEMPLOYEE_UUID" -> "Employee X", "CEMPLOYEE_UUID" -> "null",
+      "KCLEAVERS" -> "1", "C0CHAR_STRUCTURE" -> "STRUCT0")
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      // SQL semantics: NULL in an IN list never matches — pushing the
+      // 4-char text 'null' would wrongly match the row whose column
+      // HOLDS that literal string
+      val df = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(col("CEMPLOYEE_UUID").isin("1", null))
+      assert(hasFilter(df), "the untranslatable IN must stay residual")
+      assert(df.select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("1"))
+      assert(!srv.requestLog.exists(u =>
+          java.net.URLDecoder.decode(u, "UTF-8").contains("eq 'null'")),
+        s"'null' text must never reach the wire: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
+  test("contradictory structure-field predicates still answer 0 rows under fullyPushFilters") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      // eq pins the chain to STRUCT1 while the IN excludes it — the
+      // chain's request must CARRY the contradictory predicate (the
+      // consumed filters have no Spark re-check to fall back on)
+      val df = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(col("C0CHAR_STRUCTURE") === "STRUCT1" &&
+               col("C0CHAR_STRUCTURE").isin("STRUCT0", "STRUCT2"))
+      assert(df.count() == 0, "a provably-empty query must return 0 rows")
+    } finally srv.stop()
+  }
+
   test("delta sync: tracked initial read, upsert/removal application, idempotent empty delta, lost link fails") {
     import graft.sources.odata.{ODataDelta, ODataOptions}
+    // a PARTIAL-properties upsert: only the changed property + key —
+    // the v4-lawful shape; absent KCLEAVERS must KEEP its base value
     val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
-      "CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "1")
-    val add = Map("TEMPLOYEE_UUID" -> "Employee 9",
+      "CEMPLOYEE_UUID" -> "1")
+    // duplicate upserts for one key: the LAST entry governs
+    val addV1 = Map("TEMPLOYEE_UUID" -> "Employee 9 DRAFT",
       "CEMPLOYEE_UUID" -> "9", "KCLEAVERS" -> "1")
+    val addV2 = Map("TEMPLOYEE_UUID" -> "Employee 9",
+      "CEMPLOYEE_UUID" -> "9", "KCLEAVERS" -> "1")
+    // key 2 is upserted AND @removed in the SAME feed (removals render
+    // after the changed rows) — the later removal must win; a naive
+    // split-then-union would resurrect it
+    val updDoomed = Map("TEMPLOYEE_UUID" -> "Employee 2 GHOST",
+      "CEMPLOYEE_UUID" -> "2", "KCLEAVERS" -> "1")
     val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
       dialect = "v4",
-      deltaBatches = Seq((Seq(upd, add), Seq("0"))),
+      deltaBatches = Seq((Seq(upd, addV1, addV2, updDoomed), Seq("0", "2"))),
       deltaKeyField = "CEMPLOYEE_UUID").start()
     val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_delta"
     val p = new org.apache.hadoop.fs.Path(tablePath)
@@ -763,19 +805,26 @@ class ODataSourceSpec extends SparkSpec {
       val r1 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
       assert(r1.initial && r1.tableRows == 6, r1.toString)
       val r2 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
-      assert(!r2.initial && r2.upserts == 2 && r2.removals == 1 &&
-        r2.tableRows == 6, r2.toString)
+      // final per-key states: 1 upserted, 9 upserted (last version),
+      // 0 removed, 2 removed (the removal outlives its upsert)
+      assert(!r2.initial && r2.upserts == 2 && r2.removals == 2 &&
+        r2.tableRows == 5, r2.toString)
       val rows = spark.read.parquet(s"$tablePath/data")
-        .select("CEMPLOYEE_UUID", "TEMPLOYEE_UUID")
-        .as[(String, String)].collect().toMap
+        .select("CEMPLOYEE_UUID", "TEMPLOYEE_UUID", "KCLEAVERS")
+        .as[(String, String, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
       assert(!rows.contains("0"), "removed key must be gone")
-      assert(rows("9") == "Employee 9", "added key must be present")
-      assert(rows("1") == "Employee 1 RENAMED", "upsert must be last-write-wins")
+      assert(!rows.contains("2"),
+        "a key upserted then @removed in one feed must be GONE (last entry governs)")
+      assert(rows("9")._1 == "Employee 9",
+        "duplicate upserts must keep only the LAST version")
+      assert(rows("1") == (("Employee 1 RENAMED", "1")),
+        "partial upsert: present field updates, ABSENT field keeps the base value")
       // third sync hits the stable past-the-end token: an empty delta
       // is a clean no-op and the table is untouched
       val r3 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
       assert(!r3.initial && r3.upserts == 0 && r3.removals == 0 &&
-        r3.tableRows == 6, r3.toString)
+        r3.tableRows == 5, r3.toString)
       // a server that never honors change tracking (v2, no deltaLink)
       // fails the sync LOUDLY — nothing to resume from
       val v2srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE").start()
