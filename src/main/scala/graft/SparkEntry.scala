@@ -6347,6 +6347,36 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // null imputation by per-group exact median: deterministic
+    // md5-bucket null injection (the oracle replays the holes), then
+    // each group's lower-middle order statistic fills them — rank
+    // window on the bounded (group, value) count table, never the
+    // corpus; medians broadcast onto the map-only fill
+    "etl_impute" -> ((s, dir) => {
+      val holed = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          when(substring(md5(concat_ws("-",
+                col("l_orderkey").cast("string"),
+                col("l_linenumber").cast("string"))), 1, 1) === "0",
+              lit(null))
+            .otherwise(round(col("l_quantity"), 0).cast("long")).as("qty"))
+      Etl.imputeByGroupMedian(holed, "l_returnflag", "qty")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "qty")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "qty")
+    }),
+
+    // wide→long melt (the inverse of agg_pivot): every lineitem row
+    // emits one (measure, value) row per numeric column — one
+    // map-only Expand pass, no shuffle (spec-pinned); the long form
+    // per-measure aggregation and drift profiling consume
+    "etl_unpivot" -> ((s, dir) =>
+      Etl.meltColumns(
+          t(s, dir, "lineitem").where(col("l_orderkey") < 1000),
+          idCols = Seq("l_orderkey", "l_linenumber"),
+          valueCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")),
+
     // XML sink round-trip (built-in source since Spark 4.0) — the
     // enterprise-integration format the OData side of this engine
     // speaks; explicit read-back schema like the CSV path, values must
@@ -14286,6 +14316,43 @@ object SparkEntry {
         | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
         | CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_zoned
         | FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the hole set replays from the md5 condition, the median as the
+    // rank-⌈n/2⌉ order statistic on the per-(group, value) counts —
+    // no interpolation, so the filled values hash-match exactly
+    "etl_impute" ->
+      """WITH holed AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 1) = '0'
+        |         THEN NULL ELSE CAST(round(l_quantity, 0) AS BIGINT) END AS qty
+        |  FROM lineitem WHERE l_orderkey < 5000),
+        |med AS (
+        |  SELECT l_returnflag, _v AS _median FROM (
+        |    SELECT l_returnflag, _v, _c,
+        |           SUM(_c) OVER (PARTITION BY l_returnflag ORDER BY _v) AS _cum,
+        |           (SUM(_c) OVER (PARTITION BY l_returnflag) + 1) // 2 AS _r
+        |    FROM (SELECT l_returnflag, qty AS _v, count(*) AS _c
+        |          FROM holed WHERE qty IS NOT NULL GROUP BY 1, 2))
+        |  WHERE _cum - _c < _r AND _r <= _cum)
+        |SELECT h.l_orderkey, h.l_linenumber, h.l_returnflag,
+        |       COALESCE(h.qty, m._median) AS qty
+        |FROM holed h LEFT JOIN med m USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, qty""".stripMargin,
+
+    // the UNION ALL stack IS the unpivot semantics — one branch per
+    // measure, ids replicated (null VALUE handling is spec-pinned;
+    // the fixture measures are non-null so both engines agree here
+    // by construction, and the hash catches any divergence)
+    "etl_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 1000
+        |) ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
 
     // RDW framing is representation-invisible: the variable-length
     // tail comes back unpadded and bit-exact

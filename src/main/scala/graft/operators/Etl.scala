@@ -496,6 +496,56 @@ object Etl {
           octet_length(col("record")) - fixedLen), cp).as(n) }: _*)
   }
 
+  /** Wide→long reshape (pandas `melt` / SQL UNPIVOT) — the INVERSE of
+    * the pivot the analytics layer already serves: each input row
+    * emits one (measure, value) row per value column, id columns
+    * replicated. Rides Spark's native `Dataset.unpivot` (Catalyst
+    * `Expand` — ONE map-only pass, no shuffle, no join; output is
+    * |values| × rows by construction, which is the reshape's honest
+    * cost at any scale). The feature-pipeline use: long form is what
+    * per-measure aggregation, drift profiling and plotting layers
+    * consume, and what the reference's pandas world reshapes with
+    * `melt` routinely.
+    */
+  def meltColumns(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+                  varName: String = "measure",
+                  valueName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valueName)
+  }
+
+  /** Null imputation by per-group EXACT median — the classic ML-prep
+    * fill, here with the LOWER-MIDDLE order statistic (1-based rank
+    * ⌈n/2⌉): deterministic and interpolation-free, so the value is
+    * always one the group actually contains and the oracle replays it
+    * bit-for-bit (linear interpolation would put float arithmetic
+    * between the engines). Scale shape: one hash aggregate folds the
+    * corpus to per-(group, value) counts; the rank window rides THAT
+    * bounded table, never the corpus; the |groups|-row median table
+    * broadcasts back onto the fill (map-only). A group with no
+    * non-null value keeps its nulls — there is nothing honest to
+    * impute, and inventing a global fallback silently changes the
+    * distribution the imputation is supposed to preserve.
+    */
+  def imputeByGroupMedian(df: DataFrame, groupCol: String,
+                          valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val byVal = Window.partitionBy(groupCol).orderBy("_v")
+    val whole = Window.partitionBy(groupCol)
+    val medians = counts
+      .withColumn("_cum", sum("_c").over(byVal))
+      .withColumn("_r", ((sum("_c").over(whole) + 1) / 2).cast("long"))
+      .where(col("_cum") - col("_c") < col("_r") && col("_r") <= col("_cum"))
+      .select(col(groupCol), col("_v").as("_median"))
+    df.join(broadcast(medians), Seq(groupCol), "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("_median")))
+      .drop("_median")
+  }
+
   /** K1c — ORC sink: the columnar alternative when a consumer is
     * Hive/Presto-shaped rather than parquet-shaped. Same overwrite
     * contract as the other sinks; no single-file coalesce by default —

@@ -543,6 +543,45 @@ class EtlSpec extends SparkSpec {
     assert(msgs2.contains("malformed RDW"), msgs2)
   }
 
+  test("imputeByGroupMedian: lower-middle medians fill nulls; empty groups keep nulls") {
+    import org.apache.spark.sql.functions._
+    // group a: values 1,3,5,9 (even n → LOWER middle = 3); group b:
+    // values 7,7,8 (median 7); group c: nothing non-null
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(3L)), ("a", Some(5L)), ("a", Some(9L)),
+      ("a", None), ("b", Some(7L)), ("b", Some(7L)), ("b", Some(8L)),
+      ("b", None), ("c", None))
+      .toDF("g", "v")
+    val got = Etl.imputeByGroupMedian(df, "g", "v")
+      .as[(String, Option[Long])].collect().sorted.toSeq
+    assert(got == Seq(("a", Some(1L)), ("a", Some(3L)), ("a", Some(3L)),
+      ("a", Some(5L)), ("a", Some(9L)), ("b", Some(7L)), ("b", Some(7L)),
+      ("b", Some(7L)), ("b", Some(8L)), ("c", None)), got.toString)
+    // the median table broadcasts onto the fill — never a shuffled join
+    val p = Etl.imputeByGroupMedian(df, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("meltColumns: wide-to-long reshape is one map-only Expand pass; null values KEPT") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("k", "a", "b")
+    val long = Etl.meltColumns(df, Seq("k"), Seq("a", "b"))
+    assert(long.columns.toSeq == Seq("k", "measure", "value"))
+    assert(long.as[(Long, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq ==
+      Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "a", 30.0), (2L, "b", 40.0)))
+    // plan: a single Expand, no shuffle — the reshape is map-only
+    val p = long.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), s"melt must not shuffle:\n$p")
+    // Dataset.unpivot KEEPS null values (unlike SQL UNPIVOT's
+    // default EXCLUDE NULLS) — pin it so an engine change is caught
+    val withNull = Seq((1L, Some(10.0), Option.empty[Double]))
+      .toDF("k", "a", "b")
+    assert(Etl.meltColumns(withNull, Seq("k"), Seq("a", "b")).count() == 2,
+      "null measure values must survive the reshape")
+  }
+
   test("compactParquet: sizes output from on-disk bytes, preserves the row multiset") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_compact"
