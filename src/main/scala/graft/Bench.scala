@@ -83,14 +83,19 @@ object Bench {
     // Median of TWO degenerates to an average: one contended sample
     // still moves the record by half its excursion ([25.3, 1.1] would
     // record 13.2 — a measurement artifact at the top of the board).
-    // Whenever the retry set has even size AND the samples diverge >3×,
+    // Whenever the retry set has even size AND the samples diverge >2×,
     // take ONE more sample so a true middle-order statistic exists; no
     // single sample can then move the record by more than one rank.
-    // All samples stay in `retries` for the artifact.
+    // All samples stay in `retries` for the artifact. (Trigger was 3×
+    // through round 10; r10 recorded events_hits 4.42 s as the mean of
+    // [6.20, 2.64] — 2.3× divergence escaped the tiebreak and landed
+    // ~1.4 s above the controlled band. 2× catches that band of
+    // contention artifacts while still skipping the third run when the
+    // two samples genuinely agree.)
     def settled(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       var samples = retries(name)
-      if (samples.size % 2 == 0 && samples.max > 3 * samples.min) {
+      if (samples.size % 2 == 0 && samples.max > 2 * samples.min) {
         val extra = timedRun(fn)
         System.err.println(
           f"[bench] tiebreak sample $name: ${samples.mkString("[", ", ", "]")} -> +$extra%.2fs")

@@ -478,6 +478,13 @@ object Etl {
                 val len = (b0 << 8) | b1
                 require(len >= 4 + fixedLen,
                   s"malformed RDW in $file: length $len < ${4 + fixedLen}")
+                // without a variable tail every byte of the record is
+                // accounted for by the fixed spans — excess payload is
+                // a misdeclared layout (or corrupted length) and must
+                // fail fast, not read "successfully" truncated
+                require(tail.isDefined || len == 4 + fixedLen,
+                  s"malformed RDW in $file: length $len != ${4 + fixedLen} " +
+                    "but the layout declares no variable tail")
                 val buf = new Array[Byte](len - 4)
                 in.readFully(buf)
                 buf
@@ -523,10 +530,15 @@ object Etl {
     * between the engines). Scale shape: one hash aggregate folds the
     * corpus to per-(group, value) counts; the rank window rides THAT
     * bounded table, never the corpus; the |groups|-row median table
-    * broadcasts back onto the fill (map-only). A group with no
-    * non-null value keeps its nulls — there is nothing honest to
-    * impute, and inventing a global fallback silently changes the
-    * distribution the imputation is supposed to preserve.
+    * joins back onto the fill — WITHOUT a broadcast hint: |groups| is
+    * the group column's cardinality, which nothing here bounds, and a
+    * forced broadcast of a high-cardinality median table would fail or
+    * OOM at the driver's broadcast limit. AQE sizes the built side at
+    * runtime and broadcasts exactly when the table is actually small
+    * (the common case), degrading to a shuffled join when it is not.
+    * A group with no non-null value keeps its nulls — there is nothing
+    * honest to impute, and inventing a global fallback silently
+    * changes the distribution the imputation is supposed to preserve.
     */
   def imputeByGroupMedian(df: DataFrame, groupCol: String,
                           valueCol: String): DataFrame = {
@@ -541,7 +553,7 @@ object Etl {
       .withColumn("_r", ((sum("_c").over(whole) + 1) / 2).cast("long"))
       .where(col("_cum") - col("_c") < col("_r") && col("_r") <= col("_cum"))
       .select(col(groupCol), col("_v").as("_median"))
-    df.join(broadcast(medians), Seq(groupCol), "left")
+    df.join(medians, Seq(groupCol), "left")
       .withColumn(valueCol, coalesce(col(valueCol), col("_median")))
       .drop("_median")
   }

@@ -459,8 +459,21 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     * prunes to a single partition; a pushed IN on it prunes to
     * exactly the listed values — in both cases the codes-entity
     * enumeration is skipped entirely.
+    *
+    * Cached per scan instance: Spark may call this more than once for
+    * one execution (AQE re-plans, speculative planning), and the
+    * skip-range path issues a live `/$count` — re-issuing it could
+    * tile a DIFFERENT snapshot mid-job, duplicating or dropping rows
+    * between plans of the same query. One scan = one tiling. (A new
+    * ACTION builds a new scan and re-counts — the usual live-server
+    * snapshot caveat; within-range drift is caught at read time by
+    * the range reader's row-count check.)
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val plannedPartitions: Array[InputPartition] = planPartitions()
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  private def planPartitions(): Array[InputPartition] = {
     // a pushed COMPLETE aggregate is one request whose answer is
     // |groups| rows — value-partitioning the corpus is pointless (the
     // server aggregates over everything regardless of how the raw
@@ -641,6 +654,7 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private var rows: Iterator[Map[String, String]] = Iterator.empty
   private var nextLink: Option[String] = None
   private var current: Map[String, String] = _
+  private var rangeRowsRead: Long = 0L
 
   private def firstUrl(structureValue: Option[String]): String = {
     // pushed predicates on the structure field drop ONLY when the
@@ -735,8 +749,33 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     true
   }
 
+  /** A `$skip`/`$top` range task must yield EXACTLY its planned size:
+    * the ranges tile a planning-time `/$count`, so a short (or long)
+    * range means rows moved under the tiling between the count and
+    * this fetch — silent duplication/loss across range boundaries.
+    * Detect it at read time and fail the task (ranges are always
+    * fail-fast); the job re-plans with a fresh count on retry.
+    */
   override def next(): Boolean =
-    if (advance()) { current = rows.next(); true } else false
+    if (advance()) {
+      current = rows.next()
+      partition.skipRange.foreach { case (_, size) =>
+        rangeRowsRead += 1
+        require(rangeRowsRead <= size,
+          s"odata skip-range drift: range of $size rows returned more — " +
+            "the server's row set changed under the planned tiling")
+      }
+      true
+    } else {
+      partition.skipRange.foreach { case (off, size) =>
+        require(rangeRowsRead == size,
+          s"odata skip-range drift: range [$off, ${off + size}) returned " +
+            s"$rangeRowsRead of $size planned rows — the server's row set " +
+            "changed under the planned tiling (rows inserted/removed " +
+            "between /$count and this fetch)")
+      }
+      false
+    }
 
   override def get(): InternalRow =
     InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map {

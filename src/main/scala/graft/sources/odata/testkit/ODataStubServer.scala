@@ -29,7 +29,11 @@ class ODataStubServer(
     // carries a deltaLink at token 0, batch i links to token i+1, and
     // a token past the last batch answers an empty delta (stable link)
     deltaBatches: Seq[(Seq[Map[String, String]], Seq[String])] = Nil,
-    deltaKeyField: String = "") {
+    deltaKeyField: String = "",
+    // fault injection: /$count answers size + bias — simulates rows
+    // inserted/removed between the count and the range fetches (the
+    // skip-range snapshot-drift window)
+    countBias: Int = 0) {
 
   private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
   private val rateLimitLeft = new java.util.concurrent.atomic.AtomicInteger(rateLimitFirst)
@@ -162,7 +166,7 @@ class ODataStubServer(
     // /$count endpoint: the FILTERED cardinality as plain text (what
     // skip-range planning asks for)
     if (ex.getRequestURI.getPath.endsWith("/$count")) {
-      val bytes = filtered.size.toString.getBytes(StandardCharsets.UTF_8)
+      val bytes = (filtered.size + countBias).toString.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/plain")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)

@@ -541,6 +541,15 @@ class EtlSpec extends SparkSpec {
     val msgs2 = Iterator.iterate(exCorrupt: Throwable)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs2.contains("malformed RDW"), msgs2)
+    // a tail-less layout must account for EVERY payload byte: reading
+    // the tailed file with a no-tail layout is a layout mismatch, not
+    // a "successful" truncated read
+    val exExcess = intercept[Exception] {
+      Etl.readRdwRecords(spark, path, spans, tail = None).count()
+    }
+    val msgs3 = Iterator.iterate(exExcess: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs3.contains("declares no variable tail"), msgs3)
   }
 
   test("imputeByGroupMedian: lower-middle medians fill nulls; empty groups keep nulls") {

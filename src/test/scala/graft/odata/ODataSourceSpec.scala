@@ -726,6 +726,24 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("skip ranges: snapshot drift (count != fetched rows) fails the read, never silent loss") {
+    // the /$count lies by +3 — as if rows were deleted between the
+    // count and the range fetches; the short range must FAIL, not
+    // read "successfully" with rows silently missing from the tiling
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      countBias = 3).start()
+    try {
+      val e = intercept[Exception] {
+        readNoStructure(srv, Map(
+          "skipRangePartitions" -> "3",
+          "skipRangeOrderKey" -> "CEMPLOYEE_UUID")).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("skip-range drift"), msgs)
+    } finally srv.stop()
+  }
+
   test("skip ranges: a poisoned filter value fails LOUDLY even with failFast=false (no silent window)") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
       failValues = Set("STRUCT1")).start()
