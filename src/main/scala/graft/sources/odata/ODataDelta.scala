@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   * own `_SUCCESS`), `_delta_link` (the token file, written LAST = the
   * commit marker — a crash between data and link re-applies the same
   * delta, which last-write-wins upserts and idempotent deletes
-  * absorb).
+  * absorb). The delta-round table swap (write `data_next/`, delete
+  * `data/`, rename into place) self-heals: a crash inside the swap
+  * window leaves the completed `data_next/` beside a missing `data/`,
+  * and the next sync FINISHES the promotion before walking the feed
+  * (then re-applies the old link's delta — absorbed as above); a
+  * crash before the delete leaves a stale `data_next/` that the next
+  * sync discards. No crash point strands the sync or loses the link.
   *
   * Scale posture: one sync transfers O(|changes|) rows; the rewrite
   * joins by key through the same plans the CDC gates audit. The
@@ -195,6 +201,38 @@ object ODataDelta extends Logging {
         SyncReport(spark.read.parquet(dataPath).count(), total, 0L,
           initial = true)
       case Some(link) =>
+        // swap recovery BEFORE anything else reads data/: a crash in a
+        // previous round's table swap (between delete(data) and
+        // rename(data_next→data)) left the link pointing at a missing
+        // table with the COMPLETED data_next beside it — finish the
+        // promotion; the old link then re-applies the same delta,
+        // which last-write-wins upserts and idempotent removals
+        // absorb. A stale data_next NEXT TO an intact data/ is the
+        // other crash shape (write finished, delete never ran — or the
+        // write itself died; either way the base is authoritative):
+        // discard it so this round's own swap starts clean.
+        locally {
+          val f = fs(spark, tablePath)
+          val dataP = new org.apache.hadoop.fs.Path(dataPath)
+          val nextP = new org.apache.hadoop.fs.Path(s"$tablePath/data_next")
+          if (f.exists(nextP)) {
+            if (!f.exists(dataP)) {
+              val committed = f.exists(
+                new org.apache.hadoop.fs.Path(nextP, "_SUCCESS"))
+              require(committed, "odata delta sync: crash recovery found " +
+                s"neither an intact $dataPath nor a committed $nextP — " +
+                "remove the _delta_link to restart from a full materialization")
+              require(f.rename(nextP, dataP),
+                s"odata delta sync: recovery rename $nextP -> $dataP failed")
+              logWarning("odata delta sync: completed an interrupted table " +
+                "swap from a previous round (data_next promoted)")
+            } else {
+              f.delete(nextP, true)
+              logWarning("odata delta sync: discarded a stale data_next " +
+                "from an interrupted previous round")
+            }
+          }
+        }
         val (entries, newLink) = walkFeed(link, opts)
         // collapse the feed to one FINAL state per key, in feed order
         // (the v4 contract: an entity may appear several times and the

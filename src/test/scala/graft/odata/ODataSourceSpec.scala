@@ -860,6 +860,68 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("delta sync: an interrupted table swap self-heals on the next round") {
+    import graft.sources.odata.{ODataDelta, ODataOptions}
+    val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
+      "CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "1")
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4",
+      deltaBatches = Seq((Seq(upd), Seq("0"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_crash"
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      val opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("baseUrl", srv.url, "servicePath", "svc",
+          "entity", "EmployeeQueryResults",
+          "selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")))
+      assert(ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath).initial)
+      // crash shape 1: stale data_next beside an intact data/ (the
+      // rewrite finished or died but the swap never started) — the
+      // next sync discards it and applies the delta normally
+      fs.mkdirs(P(s"$tablePath/data_next"))
+      fs.create(P(s"$tablePath/data_next/garbage.parquet"), true).close()
+      val r2 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(!r2.initial && r2.upserts == 1 && r2.removals == 1 &&
+        r2.tableRows == 5, r2.toString)
+      assert(!fs.exists(P(s"$tablePath/data_next")), "stale tmp must be discarded")
+      // crash shape 2: the swap died between delete(data) and
+      // rename(data_next->data) — data/ missing, COMMITTED data_next
+      // present, link still the pre-swap token. The next sync must
+      // finish the promotion and re-apply that token's delta, which
+      // idempotent upserts/removals absorb: same converged table.
+      val before = spark.read.parquet(s"$tablePath/data")
+        .select("CEMPLOYEE_UUID", "TEMPLOYEE_UUID")
+        .as[(String, String)].collect().toMap
+      require(fs.rename(P(s"$tablePath/data"), P(s"$tablePath/data_next")))
+      // the pre-swap link is the token whose delta was being applied
+      // when the swap died — restore it so the recovery round really
+      // RE-APPLIES a non-empty delta onto the already-converged table
+      val tok0 = s"${srv.url}/svc/EmployeeQueryResults?" +
+        java.net.URLEncoder.encode("$deltatoken", "UTF-8") + "=0"
+      val out = fs.create(P(s"$tablePath/_delta_link"), true)
+      out.write(tok0.getBytes("UTF-8")); out.close()
+      val r3 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(!r3.initial && r3.upserts == 1 && r3.removals == 1 &&
+        r3.tableRows == 5, r3.toString)
+      val after = spark.read.parquet(s"$tablePath/data")
+        .select("CEMPLOYEE_UUID", "TEMPLOYEE_UUID")
+        .as[(String, String)].collect().toMap
+      assert(after == before, s"recovery must converge: $after vs $before")
+      // crash shape 3: data/ missing and data_next UNCOMMITTED (no
+      // _SUCCESS) — unrecoverable; fail with the restart instruction
+      require(fs.rename(P(s"$tablePath/data"), P(s"$tablePath/data_next")))
+      fs.delete(P(s"$tablePath/data_next/_SUCCESS"), false)
+      val e = intercept[Exception] {
+        ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      }
+      assert(e.getMessage.contains("crash recovery"), e.getMessage)
+    } finally srv.stop()
+  }
+
   test("end-to-end: odata scan through the reference ETL pipeline (golden shape)") {
     val srv = new ODataStubServer(mkRows(9) ++ mkRows(2), "C0CHAR_STRUCTURE").start() // dups
     try {
