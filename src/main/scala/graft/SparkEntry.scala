@@ -6149,6 +6149,16 @@ object SparkEntry {
     "odata_agg_filter_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.aggFilterScan(s, dir)),
 
+    // $expand navigation-property expansion: one header+items+customer
+    // request per chain returns Customer as a nested struct and Items
+    // as array<struct>, projected by the connector-rendered nested
+    // $select; the gate flattens both and the oracle replays the
+    // equivalent joins over the same parquet — so a dropped nav,
+    // mis-keyed child row, cardinality mix-up, or envelope bug breaks
+    // the hash
+    "odata_expand" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.expandScan(s, dir)),
+
     // permissive extra-column mode (reference etl.py:201,204-207 — the
     // server spills __metadata on every row; from_records unions it
     // into the output, employee_data.csv:1-2): extraColumns=map lands
@@ -14274,6 +14284,22 @@ object SparkEntry {
         | FROM orders WHERE o_orderkey < 200 AND o_orderstatus = 'O'
         | GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+
+    // the flattened expand is exactly the two joins the server ran:
+    // orders→customer (single-valued nav) and orders→lineitem
+    // (collection nav, exploded); quantities were served as
+    // BIGINT-cast strings, so the oracle casts identically
+    "odata_expand" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+        | c.c_name AS c_name,
+        | c.c_mktsegment AS c_mktsegment,
+        | CAST(l.l_linenumber AS VARCHAR) AS l_linenumber,
+        | CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) AS l_quantity
+        | FROM orders o
+        | JOIN customer c ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderkey < 200
+        | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
 
     // the stub's __metadata is deterministic per key, so the oracle
     // rebuilds the exact to_json(map) text: the map has exactly one

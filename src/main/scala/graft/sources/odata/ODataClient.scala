@@ -146,6 +146,11 @@ object ODataClient {
     Page(rows, next.filter(_.nonEmpty), delta.filter(_.nonEmpty))
   }
 
+  /** Parse one JSON text (an expanded nav cell parsePage preserved as
+    * its JSON text) — the connector's one shared Jackson instance.
+    */
+  def parseJson(s: String): JsonNode = mapper.readTree(s)
+
   /** The probe's 404 discriminator (reference `src/etl.py:95-97`):
     * a body mentioning `segment '<name>'` means "column absent". */
   private val SegmentRe = "segment '([^']+)'".r

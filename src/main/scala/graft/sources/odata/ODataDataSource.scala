@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count,
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -58,6 +58,11 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
     val structureField = ODataSchema.detectStructureField(opts)
     val declared =
       (opts.selectFields ++ structureField).map(f => StructField(f, StringType, nullable = true))
+    // declared $expand navs surface as NESTED columns: struct for a
+    // single-valued nav, array<struct> for a collection (the declared
+    // cardinality); nested fields keep the connector's string typing
+    val navCols = opts.expands.map(e =>
+      StructField(e.nav, ODataSchema.navType(e), nullable = true))
     // permissive mode (reference etl.py:201,204-207 — from_records
     // unions keys across records, so server-spilled fields like
     // __metadata survive): undeclared fields land in one map column
@@ -66,7 +71,7 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
         Seq(StructField(opts.extraColumnName,
           MapType(StringType, StringType, valueContainsNull = true), nullable = true))
       else Nil
-    StructType(declared ++ extras)
+    StructType(declared ++ navCols ++ extras)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -75,6 +80,15 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ODataSchema extends Logging {
+  /** Spark type of one declared nav expansion. Collections are
+    * `containsNull=false`: a lawful expanded collection holds entities,
+    * never a null element.
+    */
+  def navType(e: ExpandSpec): DataType = {
+    val st = StructType(e.fields.map(f => StructField(f, StringType, nullable = true)))
+    if (e.collection) ArrayType(st, containsNull = false) else st
+  }
+
   /** ≤ |candidates| probe GETs at `$top=1` (etl.py:100-121): a 404
     * whose body names the missing segment means "column absent, try
     * next"; any other failure is fatal; all candidates failing is
@@ -158,13 +172,41 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   private var orderBy: Seq[(String, Boolean)] = Seq.empty
   private var pushedAgg: Option[ODataPushedAgg] = None
 
-  /** P1 — `$select` from Catalyst column pruning. */
+  /** P1 — `$select` from Catalyst column pruning, including NESTED
+    * pruning through declared `$expand` navs: Catalyst's
+    * nestedSchemaPruning hands a required schema whose struct columns
+    * carry only the touched subfields, and the scan narrows the
+    * nav's nested `$select` to exactly those (a query touching only
+    * `Nav.F1` ships one child property; one not touching the nav at
+    * all drops the `$expand` entirely — the pruned schema simply has
+    * no nav column and the reader builds no expand param).
+    */
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep declared field order; an empty projection (count(*)) still
     // fetches the first field so rows can be counted
     prunedSchema =
       if (requiredSchema.isEmpty) StructType(fullSchema.fields.take(1))
-      else StructType(fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      else StructType(fullSchema.fields.flatMap { f =>
+        requiredSchema.fields.find(_.name == f.name).map { rf =>
+          (f.dataType, rf.dataType) match {
+            case (full: StructType, req: StructType) =>
+              f.copy(dataType = pruneStruct(full, req))
+            case (ArrayType(full: StructType, n), ArrayType(req: StructType, _)) =>
+              f.copy(dataType = ArrayType(pruneStruct(full, req), n))
+            case _ => f
+          }
+        }
+      })
+
+  /** Declared nested fields, narrowed to the required ones — declared
+    * ORDER and typing win (the wire projection is ours to choose); a
+    * fully-pruned struct keeps its first field so the column can
+    * still materialize (mirrors the top-level empty-projection rule).
+    */
+  private def pruneStruct(full: StructType, req: StructType): StructType = {
+    val kept = full.fields.filter(sf => req.fieldNames.contains(sf.name))
+    StructType(if (kept.isEmpty) full.fields.take(1) else kept)
+  }
 
   /** P3 — translate `col = 'lit'` on string columns to `$filter`.
     * Default posture: everything (translated included) is returned as
@@ -637,13 +679,33 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
 
   private val structureField = partition.structureField
 
-  /** Fields the user DECLARED (select list + any structure candidate):
-    * in `extraColumns=map` mode, everything else the server returns
-    * lands in the extras map. Candidates count as declared so a
-    * detected structure column never duplicates into the map.
+  /** Fields the user DECLARED (select list + any structure candidate
+    * + expand navs): in `extraColumns=map` mode, everything else the
+    * server returns lands in the extras map. Candidates and navs count
+    * as declared so a detected structure column or an expanded nav
+    * never duplicates into the map.
     */
   private val declaredFields: Set[String] =
-    (opts.selectFields ++ opts.structureCandidates).toSet
+    (opts.selectFields ++ opts.structureCandidates ++
+      opts.expands.map(_.nav)).toSet
+
+  /** Nav expansions SURVIVING column pruning, reconstructed from the
+    * pruned read schema itself (struct = single-valued, array<struct>
+    * = collection; the nested fields are the pruned projection) — the
+    * schema IS the builder→reader contract, so a nav Catalyst pruned
+    * away builds no `$expand` at all.
+    */
+  private val effExpands: Seq[ExpandSpec] = schema.fields.toSeq.flatMap { f =>
+    f.dataType match {
+      case st: StructType =>
+        Some(ExpandSpec(f.name, collection = false, st.fieldNames.toSeq))
+      case ArrayType(st: StructType, _) =>
+        Some(ExpandSpec(f.name, collection = true, st.fieldNames.toSeq))
+      case _ => None
+    }
+  }
+  private val navByName: Map[String, ExpandSpec] =
+    effExpands.map(e => e.nav -> e).toMap
 
   // queue of structure values this task owns; None = one unfiltered chain
   private var pending: List[Option[String]] =
@@ -676,10 +738,28 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     // in $select. If pruning left ONLY the extras column, omit $select
     // entirely (the server then returns every field, which is exactly
     // what an extras-only projection asks for).
-    val selectList = schema.fieldNames.toSeq
-      .filterNot(f => opts.extrasEnabled && f == opts.extraColumnName)
+    val selectScalars = schema.fieldNames.toSeq
+      .filterNot(f => (opts.extrasEnabled && f == opts.extraColumnName) ||
+        navByName.contains(f))
+    // surviving navs render per dialect: v4 nests the projection in
+    // the expand itself ($expand=Nav($select=F1,F2), with the nav
+    // named in the parent $select — lawful and prunes parent fields);
+    // v2 has no nested options, so the projection rides the parent
+    // $select as Nav/F1 paths
+    val expandParam =
+      if (effExpands.isEmpty) Nil
+      else if (opts.expandStyle == "v2")
+        Seq("$expand" -> effExpands.map(_.nav).mkString(","))
+      else
+        Seq("$expand" -> effExpands.map(e =>
+          s"${e.nav}($$select=${e.fields.mkString(",")})").mkString(","))
+    val selectList = selectScalars ++
+      (if (opts.expandStyle == "v2")
+         effExpands.flatMap(e => e.fields.map(f => s"${e.nav}/$f"))
+       else effExpands.map(_.nav))
     val selectParam =
-      if (selectList.nonEmpty) Seq("$select" -> selectList.mkString(",")) else Nil
+      (if (selectList.nonEmpty) Seq("$select" -> selectList.mkString(",")) else Nil) ++
+        expandParam
     // a $skip/$top range task: the stable-order range fetch replaces
     // the chain's own limit/orderby entirely (engagement already
     // excluded pushed limit/TopN shapes)
@@ -777,8 +857,47 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
       false
     }
 
+  /** Decode one EXPANDED nav cell — parsePage preserved the nested
+    * value as its JSON text — into Catalyst data: single-valued nav →
+    * one nested row of the projected string fields; collection nav →
+    * an array of such rows, unwrapping the v2 `{"results": [...]}`
+    * envelope when present. A cell of the WRONG cardinality (array
+    * where a single entity was declared, or vice versa) fails fast:
+    * silently nulling a mis-declared nav would read an entire feed
+    * "successfully" with the association data gone.
+    */
+  private def navCell(txt: String, e: ExpandSpec): Any = {
+    val node = ODataClient.parseJson(txt)
+    def cell(n: com.fasterxml.jackson.databind.JsonNode, f: String): Any = {
+      val v = n.get(f)
+      if (v == null || v.isNull) null
+      else if (v.isValueNode) UTF8String.fromString(v.asText())
+      else UTF8String.fromString(v.toString) // deeper nesting → JSON text
+    }
+    def row(n: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
+      require(n.isObject, s"odata expand: nav '${e.nav}' entity is not " +
+        s"a JSON object: ${n.toString.take(200)}")
+      InternalRow.fromSeq(e.fields.map(cell(n, _)))
+    }
+    if (e.collection) {
+      val arr =
+        if (node.isArray) node
+        else if (node.isObject && node.has("results")) node.get("results") // v2 envelope
+        else throw new IllegalArgumentException(
+          s"odata expand: collection nav '${e.nav}' cell is neither an " +
+            s"array nor a v2 results envelope: ${txt.take(200)}")
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        arr.elements().asScala.map(row(_): Any).toArray)
+    } else row(node)
+  }
+
   override def get(): InternalRow =
     InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map {
+      case f if navByName.contains(f) =>
+        current.get(f) match {
+          case None | Some(null) => null // nav omitted or explicit null
+          case Some(txt) => navCell(txt, navByName(f))
+        }
       case f if opts.extrasEnabled && f == opts.extraColumnName =>
         // every server-returned field the user did not declare, in
         // sorted key order (deterministic map layout → deterministic

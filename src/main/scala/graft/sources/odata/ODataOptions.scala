@@ -108,6 +108,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * @param skipRangeOrderKey the unique server column `$orderby`-ing
   *                     every range fetch; required when
   *                     skipRangePartitions > 1
+  * @param expands      navigation properties to `$expand` inline as
+  *                     NESTED columns — the ByD payloads the reference
+  *                     extracts carry exactly such nested objects
+  *                     (`__metadata`, employee_data.csv:2), and a
+  *                     header+items entity is the canonical OData
+  *                     shape. Spec syntax, comma-separated:
+  *                     `Nav(F1,F2)` declares a SINGLE-VALUED nav →
+  *                     one `struct<F1:string,F2:string>` column;
+  *                     `Nav*(F1,F2)` declares a COLLECTION nav →
+  *                     `array<struct<...>>`. Cardinality is declared,
+  *                     not probed: OData exposes it only via
+  *                     `$metadata`, which ByD tenants gate separately.
+  *                     Nested fields keep the connector's string
+  *                     typing. Catalyst's nested-schema pruning flows
+  *                     through: a query touching only `Nav.F1` sends
+  *                     `$expand=Nav($select=F1)`, and a query not
+  *                     touching the nav at all sends no `$expand` —
+  *                     at tenant scale the difference is shipping the
+  *                     items table exactly once vs. with every scan.
+  *                     One header+items request REPLACES the two-scan
+  *                     join for denormalized extraction; the join
+  *                     runs server-side where the association index
+  *                     already exists.
+  * @param expandStyle  `v4` (default): nested `$select` inside the
+  *                     expand — `$expand=Nav($select=F1,F2)` (OData
+  *                     v4.0 §5.1.2). `v2`: the v2 dialect has no
+  *                     nested options, so the projection rides the
+  *                     PARENT `$select` as paths —
+  *                     `$expand=Nav&$select=...,Nav/F1,Nav/F2` (OData
+  *                     v2 conventions; what a ByD tenant accepts).
+  *                     Both return the same nested JSON (v2 wraps
+  *                     collections in `{"results": [...]}` — the
+  *                     reader unwraps either shape).
   */
 case class ODataOptions(
     baseUrl: String,
@@ -131,7 +164,9 @@ case class ODataOptions(
     pushDownAggregates: Boolean,
     fullyPushFilters: Boolean,
     skipRangePartitions: Int,
-    skipRangeOrderKey: Option[String]) {
+    skipRangeOrderKey: Option[String],
+    expands: Seq[ExpandSpec] = Nil,
+    expandStyle: String = "v4") {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -143,7 +178,33 @@ case class ODataOptions(
   def extrasEnabled: Boolean = extraColumns == "map"
 }
 
+/** One declared navigation-property expansion (see
+  * [[ODataOptions.expands]]): `nav` is the navigation property name
+  * (and the nested column's name), `collection` its declared
+  * cardinality, `fields` the child properties to project.
+  */
+case class ExpandSpec(nav: String, collection: Boolean, fields: Seq[String])
+
 object ODataOptions {
+
+  // Nav(F1,F2) single-valued | Nav*(F1,F2) collection-valued
+  private val ExpandEntryRe = "^([A-Za-z_][A-Za-z0-9_]*)(\\*?)\\(([^)]*)\\)$".r
+
+  /** Parse the `expand` option — entries split on commas OUTSIDE
+    * parens (field lists have their own commas).
+    */
+  private[odata] def parseExpands(s: String): Seq[ExpandSpec] =
+    s.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case ExpandEntryRe(nav, star, fl) =>
+        val fields = fl.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (fields.isEmpty) throw new IllegalArgumentException(
+          s"odata source: expand entry '$nav' declares no fields — " +
+            "the nested schema must be declared (Nav(F1,F2) or Nav*(F1,F2))")
+        ExpandSpec(nav, star == "*", fields)
+      case other => throw new IllegalArgumentException(
+        s"odata source: bad expand entry '$other' — " +
+          "expected Nav(F1,F2) or Nav*(F1,F2)")
+    }
   def apply(map: CaseInsensitiveStringMap): ODataOptions = {
     // look up through the CaseInsensitiveStringMap itself — DSv2
     // options are conventionally case-insensitive ('baseurl' ==
@@ -176,6 +237,24 @@ object ODataOptions {
         (selectFields0.contains(extraColumnName0) || candidates0.contains(extraColumnName0)))
       throw new IllegalArgumentException(
         s"odata source: extraColumnName '$extraColumnName0' collides with a declared field")
+    val expands0 = m.get("expand").map(parseExpands).getOrElse(Nil)
+    val expandStyle0 = m.getOrElse("expandStyle", "v4") match {
+      case v @ ("v4" | "v2") => v
+      case other => throw new IllegalArgumentException(
+        s"odata source: expandStyle must be 'v4' or 'v2', got '$other'")
+    }
+    // a nav column shares the read schema's namespace with every other
+    // declared column — collisions would emit a duplicate-name schema
+    locally {
+      val navNames = expands0.map(_.nav)
+      val dups = navNames.diff(navNames.distinct) ++
+        navNames.filter(n => selectFields0.contains(n) ||
+          candidates0.contains(n) ||
+          (extraColumns0 == "map" && n == extraColumnName0))
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        s"odata source: expand nav name(s) ${dups.distinct.mkString(",")} " +
+          "collide with a declared field or each other")
+    }
     ODataOptions(
       baseUrl = req("baseUrl"),
       servicePath = m.getOrElse("servicePath", ""),
@@ -198,6 +277,8 @@ object ODataOptions {
       pushDownAggregates = m.getOrElse("pushDownAggregates", "false").toBoolean,
       fullyPushFilters = m.getOrElse("fullyPushFilters", "false").toBoolean,
       skipRangePartitions = skipRangePartitions0,
-      skipRangeOrderKey = skipRangeOrderKey0)
+      skipRangeOrderKey = skipRangeOrderKey0,
+      expands = expands0,
+      expandStyle = expandStyle0)
   }
 }

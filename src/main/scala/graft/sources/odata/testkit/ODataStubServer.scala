@@ -5,6 +5,14 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import scala.jdk.CollectionConverters._
 
+/** One navigation property the stub can `$expand`: child rows joined
+  * to a parent row by `parentKeyField` = `childKeyField`; `collection`
+  * controls the JSON shape (array — v2-wrapped in `{"results": ...}`
+  * — vs a single object, null when no child matches).
+  */
+case class StubNav(collection: Boolean, parentKeyField: String,
+                   childKeyField: String, rows: Seq[Map[String, String]])
+
 /** In-process OData stub (JDK HttpServer, no deps, no egress) shaped
   * like the SAP ByD service the reference talks to (FIXTURES.md A1):
   * v2/v4 envelopes, `$select`/`$filter`(eq)/`$top`, server-driven
@@ -33,7 +41,13 @@ class ODataStubServer(
     // fault injection: /$count answers size + bias — simulates rows
     // inserted/removed between the count and the range fetches (the
     // skip-range snapshot-drift window)
-    countBias: Int = 0) {
+    countBias: Int = 0,
+    // navigation properties servable via $expand (strict: expanding an
+    // undeclared nav is a 400, as a lawful server rejects it). Nav
+    // values are served ONLY when the request carries $expand — never
+    // spilled — and projected by the nested $select (v4) or the
+    // parent's Nav/Field path selects (v2 conventions).
+    navProps: Map[String, StubNav] = Map.empty) {
 
   private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
   private val rateLimitLeft = new java.util.concurrent.atomic.AtomicInteger(rateLimitFirst)
@@ -111,8 +125,40 @@ class ODataStubServer(
       }
     }
 
-    val select = q.get("$select").map(_.split(",").map(_.trim).toSeq)
+    val select0 = q.get("$select").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(rows.headOption.map(_.keys.toSeq).getOrElse(Nil))
+    // v2 conventions project expanded navs via PARENT $select paths
+    // (Nav/Field); split them off the scalar projection
+    val (pathSel, select) = select0.partition(_.contains("/"))
+    val navPathSel: Map[String, Seq[String]] =
+      pathSel.map(_.split("/", 2)).groupBy(_(0))
+        .map { case (n, arr) => n -> arr.map(_(1)).toSeq }
+
+    // $expand entries: `Nav` (v2 style) or `Nav($select=F1,F2)` (v4
+    // nested options), comma-split outside parens
+    val expandEntries: Seq[(String, Option[Seq[String]])] =
+      q.get("$expand").map(_.split(",(?![^(]*\\))").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map { ent =>
+          "^([A-Za-z_][A-Za-z0-9_]*)\\(\\$select=([^)]*)\\)$".r
+            .findFirstMatchIn(ent) match {
+            case Some(m) =>
+              m.group(1) -> Some(m.group(2).split(",").map(_.trim).toSeq)
+            case None =>
+              require(ent.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"bad expand entry: $ent")
+              ent -> None
+          }
+        }).getOrElse(Nil)
+    // strict: a lawful server 400s an unknown navigation property —
+    // silently ignoring it would mask a connector rendering bug
+    expandEntries.collectFirst {
+      case (n, _) if !navProps.contains(n) => n
+    } match {
+      case Some(bad) =>
+        respond(ex, 400, s"""{"error": {"message": "Could not find a property named '$bad'"}}""")
+        return
+      case None =>
+    }
 
     // probe-404 for configured bad candidates (etl.py:95-97 shape)
     select.find(badCandidates.contains) match {
@@ -259,13 +305,41 @@ class ODataStubServer(
         }
     }
 
+    // expanded navs join child rows to each parent and attach as raw
+    // JSON cells — shape per declared cardinality and dialect
+    def navJson(n: String, sel: Seq[String], parent: Map[String, String]): String = {
+      val nd = navProps(n)
+      val kids = nd.rows.filter(r =>
+        parent.get(nd.parentKeyField).exists(pk =>
+          r.get(nd.childKeyField).contains(pk)))
+      def obj(r: Map[String, String]): String =
+        sel.flatMap(f => r.get(f).map(v =>
+          s"${jsonStr(f)}: ${if (v == null) "null" else jsonStr(v)}"))
+          .mkString("{", ", ", "}")
+      if (nd.collection) {
+        val arr = kids.map(obj).mkString("[", ", ", "]")
+        if (dialect == "v2") s"""{"results": $arr}""" else arr
+      } else kids.headOption.map(obj).orNull
+    }
+    val expandNames = expandEntries.map(_._1)
+    val withNav =
+      if (expandEntries.isEmpty) ordered
+      else ordered.map { r =>
+        r ++ expandEntries.map { case (n, selOpt) =>
+          val sel = selOpt.orElse(navPathSel.get(n)).getOrElse(
+            navProps(n).rows.flatMap(_.keys).distinct)
+          n -> navJson(n, sel, r)
+        }
+      }
+
     // a TRACKED read closes with the first delta link — but only when
     // the client actually stated the preference (the v4 contract: no
     // `Prefer: odata.track-changes`, no deltaLink)
     val trackRequested = Option(ex.getRequestHeaders.getFirst("Prefer"))
       .exists(_.contains("odata.track-changes"))
-    emitPage(ex, q, ex.getRequestURI.getPath, ordered,
-      (select ++ extraServedFields).distinct, rawJsonFields,
+    emitPage(ex, q, ex.getRequestURI.getPath, withNav,
+      (select ++ extraServedFields).distinct ++ expandNames,
+      rawJsonFields ++ expandNames,
       deltaLink = if (deltaBatches.nonEmpty && trackRequested)
         Some(s"$url${ex.getRequestURI.getPath}?" +
           java.net.URLEncoder.encode("$deltatoken", "UTF-8") + "=0")

@@ -3,7 +3,7 @@ package graft.odata
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.sources.odata.testkit.ODataStubServer
+import graft.sources.odata.testkit.{ODataStubServer, StubNav}
 
 class ODataSourceSpec extends SparkSpec {
   import spark.implicits._
@@ -919,6 +919,145 @@ class ODataSourceSpec extends SparkSpec {
         ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
       }
       assert(e.getMessage.contains("crash recovery"), e.getMessage)
+    } finally srv.stop()
+  }
+
+  // nav fixture: employee i carries i%3 Assignments (so some have
+  // none) and a Manager only when i is even (so some are null)
+  private def navFixture(n: Int): Map[String, StubNav] = {
+    val assignments = (0 until n).flatMap { i =>
+      (0 until (i % 3)).map { j =>
+        Map("A_EMP" -> i.toString, "A_PROJ" -> s"P$j",
+          "A_HOURS" -> ((i + j) * 10).toString)
+      }
+    }
+    val managers = (0 until n).filter(_ % 2 == 0).map { i =>
+      Map("M_EMP" -> i.toString, "M_NAME" -> s"Manager of $i",
+        "M_LEVEL" -> (i % 4).toString)
+    }
+    Map(
+      "Assignments" -> StubNav(collection = true, "CEMPLOYEE_UUID", "A_EMP", assignments),
+      "Manager" -> StubNav(collection = false, "CEMPLOYEE_UUID", "M_EMP", managers))
+  }
+  private val expandOpt =
+    "Manager(M_NAME,M_LEVEL),Assignments*(A_PROJ,A_HOURS)"
+
+  test("\\$expand: navs surface as nested struct / array<struct> columns (v4 style + v4 dialect)") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navFixture(6)).start()
+    try {
+      val df = read(srv, Map("expand" -> expandOpt))
+      val sch = df.schema
+      assert(sch("Manager").dataType.simpleString ==
+        "struct<M_NAME:string,M_LEVEL:string>", sch("Manager").dataType)
+      assert(sch("Assignments").dataType.simpleString ==
+        "array<struct<A_PROJ:string,A_HOURS:string>>", sch("Assignments").dataType)
+      // select the WHOLE structs so the full declared projection ships
+      val rows = df.select(col("CEMPLOYEE_UUID"), col("Manager"), col("Assignments"))
+        .collect().map { r =>
+          val m = Option(r.getStruct(1)).map(s => (s.getString(0), s.getString(1)))
+          r.getString(0) -> ((m,
+            r.getSeq[org.apache.spark.sql.Row](2).map(a =>
+              (a.getString(0), a.getString(1)))))
+        }.toMap
+      assert(rows("4") == ((Some(("Manager of 4", "0")), Seq(("P0", "40")))), rows("4"))
+      assert(rows("1") == ((None, Seq(("P0", "10")))),
+        s"odd employee has NULL manager: ${rows("1")}")
+      assert(rows("0") == ((Some(("Manager of 0", "0")), Nil)),
+        s"0 assignments = EMPTY array, not null: ${rows("0")}")
+      assert(rows("5") == ((None, Seq(("P0", "50"), ("P1", "60")))), rows("5"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(u =>
+        u.contains("$expand=Manager($select=M_NAME,M_LEVEL)," +
+          "Assignments($select=A_PROJ,A_HOURS)")), s"requests: $decoded")
+    } finally srv.stop()
+  }
+
+  test("\\$expand v2 style: projection rides parent \\$select as Nav/Field paths; v2 results envelope unwraps") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      navProps = navFixture(6)).start() // v2 dialect default
+    try {
+      val df = read(srv, Map("expand" -> expandOpt, "expandStyle" -> "v2"))
+      val rows = df.select("CEMPLOYEE_UUID", "Manager.M_NAME", "Assignments")
+        .collect().map(r => r.getString(0) ->
+          ((Option(r.getString(1)),
+            r.getSeq[org.apache.spark.sql.Row](2).map(a =>
+              (a.getString(0), a.getString(1)))))).toMap
+      assert(rows("5") == ((None, Seq(("P0", "50"), ("P1", "60")))), rows("5"))
+      assert(rows("0") == ((Some("Manager of 0"), Nil)), rows("0"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(u => u.contains("$expand=Manager,Assignments") &&
+        u.contains("Manager/M_NAME") && u.contains("Assignments/A_HOURS")),
+        s"requests: $decoded")
+      assert(!decoded.exists(_.contains("Manager($select")),
+        "v2 style must not send nested options")
+    } finally srv.stop()
+  }
+
+  test("\\$expand nested pruning: touching only Nav.F1 narrows the nested \\$select; untouched navs drop the expand") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navFixture(6)).start()
+    try {
+      val got = read(srv, Map("expand" -> expandOpt))
+        .select(col("Manager.M_NAME").as("m"))
+        .where(col("m").isNotNull).as[String].collect().toSet
+      assert(got == Set("Manager of 0", "Manager of 2", "Manager of 4"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      val dataReqs = decoded.filter(_.contains("$expand"))
+      assert(dataReqs.nonEmpty && dataReqs.forall(u =>
+        u.contains("$expand=Manager($select=M_NAME)") &&
+          !u.contains("M_LEVEL") && !u.contains("Assignments")),
+        s"nested projection must narrow to the touched subfield: $decoded")
+      // a projection not touching any nav sends NO $expand at all
+      srv.requestLog = Vector.empty
+      assert(read(srv, Map("expand" -> expandOpt))
+        .select("TEMPLOYEE_UUID").count() == 6)
+      assert(!srv.requestLog.exists(_.contains("%24expand")),
+        s"pruned navs must drop the expand: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
+  test("\\$expand strictness: unknown nav 400s loudly; declared cardinality mismatch fails fast; bad specs rejected") {
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navFixture(3)).start()
+    try {
+      val eNav = intercept[Exception] {
+        read(srv, Map("expand" -> "Bogus(F1)", "failFast" -> "true")).collect()
+      }
+      assert(eNav.getMessage.contains("400") ||
+        Option(eNav.getCause).exists(_.getMessage.contains("400")), eNav.getMessage)
+      // Manager declared COLLECTION while the server serves an object:
+      // fail, never a silent null
+      val eCard = intercept[Exception] {
+        read(srv, Map("expand" -> "Manager*(M_NAME)", "failFast" -> "true"))
+          .where(col("CEMPLOYEE_UUID") === "0").collect()
+      }
+      val msgs = Iterator.iterate(eCard: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("neither an array nor a v2 results envelope"), msgs)
+      intercept[IllegalArgumentException] {
+        read(srv, Map("expand" -> "Manager()")).schema
+      }
+      intercept[IllegalArgumentException] {
+        read(srv, Map("expand" -> "TEMPLOYEE_UUID(F1)")).schema // name collision
+      }
+    } finally srv.stop()
+  }
+
+  test("\\$expand + extras map: an expanded nav is DECLARED — it must not duplicate into _extra") {
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navFixture(3),
+      extraServedFields = Seq("__metadata"),
+      rawJsonFields = Set("__metadata")).start()
+    try {
+      val df = read(srv, Map("expand" -> "Manager(M_NAME,M_LEVEL)",
+        "extraColumns" -> "map"))
+      val r = df.where(col("CEMPLOYEE_UUID") === "0")
+        .select(col("Manager.M_NAME"), map_keys(col("_extra")))
+        .collect().head
+      assert(r.getString(0) == "Manager of 0")
+      assert(!r.getSeq[String](1).contains("Manager"),
+        s"nav must not leak into extras: ${r.getSeq[String](1)}")
     } finally srv.stop()
   }
 
