@@ -6127,6 +6127,14 @@ object SparkEntry {
     "odata_delta_sync" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.deltaSync(s, dir)),
 
+    // seed-then-track: the link-FIRST key-only tracked walk + parallel
+    // skip-range seed + first delta round converge to the same truth
+    // as the sequential initial materialization — the big-tenant
+    // bootstrap path (a link taken after the scan would silently lose
+    // changes that land during the seed)
+    "odata_delta_seeded" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.deltaSeededSync(s, dir)),
+
     // skip-range parallel scan: a structure-less entity tiles into 4
     // $skip/$top range tasks off one /$count — the scan parallelism
     // the reference's sequential extract never had; a tiling bug
@@ -14253,6 +14261,14 @@ object SparkEntry {
     // the synced table must converge to the post-delta truth: stale
     // rows repaired, new keys present, removed keys gone
     "odata_delta_sync" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey >= 50 AND o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the seeded path must converge to the SAME truth as the
+    // sequential initial materialization
+    "odata_delta_seeded" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
         | o_orderpriority FROM orders
         | WHERE o_orderkey >= 50 AND o_orderkey < 200

@@ -85,33 +85,59 @@ object ODataDelta extends Logging {
     require(f.rename(tmp, dst), s"odata delta sync: rename $tmp -> $dst failed")
   }
 
-  /** Walk one DELTA feed (bounded by the round's change volume —
-    * control plane, like the planning-time key enumeration),
-    * returning the entries IN FEED ORDER (the v4 spec lets one entity
-    * appear several times in a delta response and the LAST state
-    * governs — splitting upserts from removals up front would lose
-    * that) plus the feed's closing deltaLink. Fail-fast throughout: a
-    * partial change feed is a corrupt table, not partial data (the
-    * pushed-aggregate reader's argument), and a feed that closes
-    * WITHOUT a deltaLink cannot be resumed — raise rather than strand
-    * the next sync.
+  /** Walk one DELTA feed — entries kept IN FEED ORDER (the v4 spec
+    * lets one entity appear several times in a delta response and the
+    * LAST state governs — splitting upserts from removals up front
+    * would lose that) plus the feed's closing deltaLink. Fail-fast
+    * throughout: a partial change feed is a corrupt table, not partial
+    * data (the pushed-aggregate reader's argument), and a feed that
+    * closes WITHOUT a deltaLink cannot be resumed — raise rather than
+    * strand the next sync.
+    *
+    * DRIVER MEMORY IS BOUNDED: the normal round's change volume stays
+    * under `threshold` and folds in memory, but a monster delta (a
+    * backfill, a bulk re-key) is exactly when a driver-side structure
+    * would hurt — so once the walk passes the threshold, everything
+    * accumulated and every later page SPILLS to a transient parquet
+    * feed (`spillPath`, one `__idx` column preserving feed order) and
+    * the fold runs distributed; from then on the driver holds one page
+    * at a time, same as the initial materialization. Returns
+    * Left(entries) for the in-memory case, Right(entryCount) when
+    * spilled, plus the new link.
     */
-  private def walkFeed(url0: String, opts: ODataOptions)
-      : (Seq[Map[String, String]], String) = {
-    val entries = Seq.newBuilder[Map[String, String]]
+  private def walkFeed(spark: SparkSession, url0: String, opts: ODataOptions,
+                       toFeedDf: (Seq[Map[String, String]], Long) => DataFrame,
+                       spillPath: String, threshold: Int)
+      : (Either[Seq[Map[String, String]], Long], String) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    var spilledCount = -1L // -1 = still in memory
     var deltaLink: Option[String] = None
     var url = Option(url0)
     while (url.isDefined) {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs))
-      entries ++= page.rows
+      if (spilledCount < 0 && buf.size + page.rows.size > threshold) {
+        logInfo(s"odata delta sync: feed exceeds $threshold entries — " +
+          "spilling to a distributed fold")
+        if (buf.nonEmpty)
+          toFeedDf(buf.toSeq, 0L).write.mode("append").parquet(spillPath)
+        spilledCount = buf.size
+        buf.clear()
+      }
+      if (spilledCount >= 0) {
+        if (page.rows.nonEmpty)
+          toFeedDf(page.rows, spilledCount).write.mode("append").parquet(spillPath)
+        spilledCount += page.rows.size
+      } else buf ++= page.rows
       if (page.deltaLink.isDefined) deltaLink = page.deltaLink // last wins
       url = page.nextLink
       if (url.isDefined && opts.requestPauseMs > 0)
         Thread.sleep(opts.requestPauseMs)
     }
-    (entries.result(), deltaLink.getOrElse(throw new IllegalStateException(
+    val entries: Either[Seq[Map[String, String]], Long] =
+      if (spilledCount >= 0) Right(spilledCount) else Left(buf.toSeq)
+    (entries, deltaLink.getOrElse(throw new IllegalStateException(
       "odata delta sync: the feed closed without an @odata.deltaLink — " +
         "the server did not close the delta feed lawfully; " +
         "cannot resume incrementally")))
@@ -121,8 +147,83 @@ object ODataDelta extends Logging {
     * object doc). `keyCol` is the entity key the delta feed's upserts
     * and removals address. Returns the round's [[SyncReport]].
     */
+  /** PARALLEL SEED for a tenant too large for [[syncToParquet]]'s
+    * inherently sequential initial walk (the documented trade, now a
+    * tested path): obtain the delta link FIRST via a tracked KEY-ONLY
+    * enumeration (`$select=keyCol` — the walk is still O(|entity|)
+    * requests, but each page carries keys, not rows; the rows are
+    * discarded, only the closing deltaLink matters), then seed `data/`
+    * from the PARALLEL connector scan (value-partitioned or
+    * skip-ranged, per the options), then persist the link.
+    *
+    * Ordering is what makes this CORRECT, not merely fast: the link
+    * predates the seed scan, so every change after the link's
+    * snapshot — including anything that lands DURING the seed scan —
+    * arrives in the next delta round; a change the seed already
+    * caught re-applies idempotently (last-write-wins upsert / removal
+    * of an absent key). Link taken AFTER the scan would instead lose
+    * forever any change that fell between the scan's snapshot and the
+    * link's. Link written LAST = commit, as everywhere.
+    *
+    * Takes the raw option map (not [[ODataOptions]]) because the seed
+    * IS a `spark.read.format("odata")` scan — the map is the scan's
+    * contract.
+    */
+  def seedWithParallelScan(spark: SparkSession, options: Map[String, String],
+                           keyCol: String, tablePath: String): SyncReport = {
+    import scala.jdk.CollectionConverters._
+    val opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      options.asJava))
+    require(opts.selectFields.contains(keyCol),
+      s"keyCol '$keyCol' must be one of selectFields")
+    val dataPath = s"$tablePath/data"
+    val linkPath = s"$tablePath/_delta_link"
+    require(readLink(spark, linkPath).isEmpty,
+      "odata delta seed: a _delta_link already exists — the table is " +
+        "already tracking; use syncToParquet")
+    // 1. tracked key-only walk, kept only for its closing deltaLink
+    var url: Option[String] = Some(ODataClient.buildUrl(
+      opts.entityUrl(opts.entity), Seq(
+        "$select" -> keyCol, "$format" -> "json")))
+    var link: Option[String] = None
+    while (url.isDefined) {
+      val page = ODataClient.parsePage(ODataClient.getWithRetry(
+        url.get, opts.user, opts.password, opts.timeoutMs,
+        opts.maxRetries, opts.retryBackoffMs,
+        extraHeaders = Seq("Prefer" -> "odata.track-changes")))
+      if (page.deltaLink.isDefined) link = page.deltaLink // last wins
+      url = page.nextLink
+      if (url.isDefined && opts.requestPauseMs > 0)
+        Thread.sleep(opts.requestPauseMs)
+    }
+    val theLink = link.getOrElse(throw new IllegalStateException(
+      "odata delta seed: the tracked key walk closed without an " +
+        "@odata.deltaLink — the server did not honor change tracking " +
+        "(Prefer: odata.track-changes); cannot sync incrementally"))
+    // 2. parallel connector seed — the full DSv2 scan (value chains or
+    // skip ranges per the options), projected to the declared fields
+    // so the table schema matches syncToParquet's
+    val f = fs(spark, tablePath)
+    f.delete(new org.apache.hadoop.fs.Path(dataPath), true)
+    spark.read.format("odata").options(options.asJava).load()
+      .select(opts.selectFields.map(col): _*)
+      .write.mode("overwrite").parquet(dataPath)
+    // 3. link LAST = commit
+    writeLink(spark, linkPath, theLink)
+    val n = spark.read.parquet(dataPath).count()
+    logInfo(s"odata delta seed: parallel seed of $n rows, link persisted")
+    SyncReport(n, n, 0L, initial = true)
+  }
+
+  /** @param feedFoldThreshold delta feeds up to this many entries fold
+    *   in driver memory (the steady-state round: small, feed-ordered,
+    *   no Spark jobs); past it the walk SPILLS the feed to a transient
+    *   parquet table and the fold runs distributed — a backfill-sized
+    *   delta never grows a driver-side structure.
+    */
   def syncToParquet(spark: SparkSession, opts: ODataOptions, keyCol: String,
-                    tablePath: String): SyncReport = {
+                    tablePath: String,
+                    feedFoldThreshold: Int = 100000): SyncReport = {
     import spark.implicits._
     require(opts.selectFields.contains(keyCol),
       s"keyCol '$keyCol' must be one of selectFields")
@@ -151,6 +252,24 @@ object ODataDelta extends Logging {
             col("vs").getItem(i).as(f) } ++
           fields.zipWithIndex.map { case (f, i) =>
             (col("vs").getItem(fields.size + i) === "1").as(s"${f}__present") }: _*)
+
+    /** One feed entry as the spilled fold's wire row: field values,
+      * presence flags, the @removed marker, and the feed-order index
+      * the distributed last-state fold sorts by.
+      */
+    def toFeedDf(rows: Seq[Map[String, String]], startIdx: Long): DataFrame =
+      spark.createDataset(rows.zipWithIndex.map { case (e, i) =>
+          fields.map(f => e.get(f).orNull) ++
+            fields.map(f => if (e.contains(f)) "1" else "0") ++
+            Seq(if (e.contains("@removed")) "1" else "0",
+              (startIdx + i).toString) })
+        .toDF("vs")
+        .select(fields.zipWithIndex.map { case (f, i) =>
+            col("vs").getItem(i).as(f) } ++
+          fields.zipWithIndex.map { case (f, i) =>
+            (col("vs").getItem(fields.size + i) === "1").as(s"${f}__present") } ++
+          Seq((col("vs").getItem(2 * fields.size) === "1").as("__removed"),
+            col("vs").getItem(2 * fields.size + 1).cast("long").as("__idx")): _*)
 
     readLink(spark, linkPath) match {
       case None =>
@@ -233,49 +352,76 @@ object ODataDelta extends Logging {
             }
           }
         }
-        val (entries, newLink) = walkFeed(link, opts)
-        // collapse the feed to one FINAL state per key, in feed order
-        // (the v4 contract: an entity may appear several times and the
-        // last entry governs — so an upsert followed by @removed IS a
-        // delete, and a duplicate upsert keeps only its last version)
-        val finalState =
-          scala.collection.mutable.LinkedHashMap.empty[String, Option[Map[String, String]]]
-        entries.foreach { e =>
-          val key = e.get(keyCol).flatMap(Option(_)).getOrElse(
-            throw new IllegalStateException(
-              s"odata delta sync: a delta entry lacks the key '$keyCol': " +
-                e.keys.mkString(",")))
-          finalState(key) = if (e.contains("@removed")) None else Some(e)
-        }
-        val upserts = finalState.valuesIterator.flatten.toSeq
-        val removedKeys = finalState.collect { case (k, None) => k }.toSeq
+        val spillPath = s"$tablePath/_delta_feed"
+        // a stale spill from a crashed round is garbage — this round
+        // re-walks its feed from the persisted link anyway
+        fs(spark, tablePath).delete(
+          new org.apache.hadoop.fs.Path(spillPath), true)
+        val (entriesOrSpill, newLink) =
+          walkFeed(spark, link, opts, toFeedDf, spillPath, feedFoldThreshold)
         val base = spark.read.parquet(dataPath)
-        if (finalState.isEmpty) {
+        if (entriesOrSpill == Left(Nil)) {
           writeLink(spark, linkPath, newLink)
           return SyncReport(base.count(), 0L, 0L, initial = false)
         }
-        // merge: touched base rows drop (anti-join against the bounded
-        // change-key set, broadcast), upserts re-enter with PRESENT
-        // fields taking the new value and absent fields KEEPING the
-        // base value (partial-properties semantics). The base scans
-        // map-only twice: the per-field merge only needs base rows for
-        // touched keys, prefiltered by a broadcast semi-join.
-        val touched = (upserts.map(_(keyCol)) ++ removedKeys)
-          .distinct.toDF(keyCol)
-        val merged =
-          if (upserts.isEmpty) toDf(Nil)
-          else {
-            val baseTouched = base.join(broadcast(touched), Seq(keyCol), "left_semi")
-            toChangedDf(upserts).as("c")
-              .join(broadcast(baseTouched).as("b"),
-                col(s"c.$keyCol") === col(s"b.$keyCol"), "left")
-              .select(fields.map { fl =>
-                if (fl == keyCol) col(s"c.$keyCol").as(fl)
-                else when(col(s"c.${fl}__present"), col(s"c.$fl"))
-                  .otherwise(col(s"b.$fl")).as(fl)
-              }: _*)
-          }
-        val next = base.join(broadcast(touched), Seq(keyCol), "left_anti")
+        // Both fold paths collapse the feed to one FINAL state per
+        // key, in feed order (the v4 contract: an entity may appear
+        // several times and the last entry governs — so an upsert
+        // followed by @removed IS a delete, and a duplicate upsert
+        // keeps only its last version), producing the same shapes:
+        // the changed rows WITH presence flags, the touched-key
+        // table, counts, and the join hint (the in-memory fold is
+        // bounded by the threshold, so broadcasting its tables is
+        // safe by construction; the spilled fold's tables are only
+        // bounded by the feed, so AQE decides at runtime).
+        val (changed, touched, nUpserts, nRemovals, hint) = entriesOrSpill match {
+          case Left(entries) =>
+            val finalState = scala.collection.mutable.LinkedHashMap
+              .empty[String, Option[Map[String, String]]]
+            entries.foreach { e =>
+              val key = e.get(keyCol).flatMap(Option(_)).getOrElse(
+                throw new IllegalStateException(
+                  s"odata delta sync: a delta entry lacks the key '$keyCol': " +
+                    e.keys.mkString(",")))
+              finalState(key) = if (e.contains("@removed")) None else Some(e)
+            }
+            val upserts = finalState.valuesIterator.flatten.toSeq
+            val removedKeys = finalState.collect { case (k, None) => k }.toSeq
+            (toChangedDf(upserts),
+              (upserts.map(_(keyCol)) ++ removedKeys).distinct.toDF(keyCol),
+              upserts.size.toLong, removedKeys.size.toLong,
+              (df: DataFrame) => broadcast(df))
+          case Right(_) =>
+            val feed = spark.read.parquet(spillPath)
+            require(feed.where(col(keyCol).isNull).isEmpty,
+              s"odata delta sync: a delta entry lacks the key '$keyCol'")
+            // last-state fold: one shuffle on the key, feed order by __idx
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCol).orderBy(col("__idx").desc)
+            val last = feed.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1).drop("__rn", "__idx")
+            (last.where(!col("__removed")).drop("__removed"),
+              last.select(col(keyCol)),
+              last.where(!col("__removed")).count(),
+              last.where(col("__removed")).count(),
+              (df: DataFrame) => df)
+        }
+        // merge: touched base rows drop (anti-join against the
+        // change-key set), upserts re-enter with PRESENT fields taking
+        // the new value and absent fields KEEPING the base value
+        // (partial-properties semantics). The base scans map-only
+        // twice: the per-field merge only needs base rows for touched
+        // keys, prefiltered by a semi-join.
+        val baseTouched = base.join(hint(touched), Seq(keyCol), "left_semi")
+        val merged = changed.as("c")
+          .join(hint(baseTouched).as("b"),
+            col(s"c.$keyCol") === col(s"b.$keyCol"), "left")
+          .select(fields.map { fl =>
+            if (fl == keyCol) col(s"c.$keyCol").as(fl)
+            else when(col(s"c.${fl}__present"), col(s"c.$fl"))
+              .otherwise(col(s"b.$fl")).as(fl)
+          }: _*)
+        val next = base.join(hint(touched), Seq(keyCol), "left_anti")
           .unionByName(merged)
         // rewrite via a temp dir: the base parquet is an INPUT of this
         // plan, so overwriting it in place would read-under-write
@@ -287,9 +433,10 @@ object ODataDelta extends Logging {
           new org.apache.hadoop.fs.Path(dataPath)),
           s"odata delta sync: rename $tmp -> $dataPath failed")
         writeLink(spark, linkPath, newLink) // link LAST = commit
-        logInfo(s"odata delta sync: ${upserts.size} upserts, ${removedKeys.size} removals")
+        f.delete(new org.apache.hadoop.fs.Path(spillPath), true) // transient
+        logInfo(s"odata delta sync: $nUpserts upserts, $nRemovals removals")
         SyncReport(spark.read.parquet(dataPath).count(),
-          upserts.size.toLong, removedKeys.size.toLong, initial = false)
+          nUpserts, nRemovals, initial = false)
     }
   }
 }

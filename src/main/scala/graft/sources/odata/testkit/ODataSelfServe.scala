@@ -335,6 +335,46 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey").cast("long"))
   }
 
+  /** Seed-then-track driver-gate: the SAME change-tracking fixture as
+    * [[deltaSync]], but the initial table comes from the PARALLEL
+    * skip-range connector scan after a key-only tracked walk captured
+    * the delta link (link-first ordering — see
+    * `ODataDelta.seedWithParallelScan`); the first delta round then
+    * converges the seeded table to the same [50,200) truth. An
+    * ordering bug (link after scan), a seed/track schema mismatch, or
+    * a non-idempotent re-application breaks the hash against the same
+    * oracle as the sequential path.
+    */
+  def deltaSeededSync(spark: SparkSession, dir: String): DataFrame = {
+    val srv = deltaServerFor(spark, dir)
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_odata_seed_${dir.hashCode & Int.MaxValue}"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val options = Map(
+      "baseUrl" -> srv.url, "servicePath" -> "svc", "entity" -> "Orders",
+      "selectFields" -> "O_ORDERKEY,O_STATUS,O_PRIORITY",
+      "skipRangePartitions" -> "4", "skipRangeOrderKey" -> "O_ORDERKEY")
+    val r1 = graft.sources.odata.ODataDelta.seedWithParallelScan(
+      spark, options, "O_ORDERKEY", tablePath)
+    require(r1.initial && r1.tableRows > 0, s"seed must materialize: $r1")
+    val opts = graft.sources.odata.ODataOptions(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of(
+          "baseUrl", srv.url, "servicePath", "svc", "entity", "Orders",
+          "selectFields", "O_ORDERKEY,O_STATUS,O_PRIORITY")))
+    val r2 = graft.sources.odata.ODataDelta.syncToParquet(
+      spark, opts, "O_ORDERKEY", tablePath)
+    require(!r2.initial && r2.removals > 0,
+      s"first sync after the seed must apply the delta batch: $r2")
+    spark.read.parquet(s"$tablePath/data")
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   // second stub, same slice, but the 3-MEDIUM value chain is poisoned
   // (every filtered request for it returns 500)
   private val partialServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]

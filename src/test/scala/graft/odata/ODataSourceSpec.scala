@@ -860,6 +860,101 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("delta sync: a feed past the fold threshold spills and folds DISTRIBUTED, same converged table") {
+    import graft.sources.odata.{ODataDelta, ODataOptions}
+    // same feed-order semantics as the in-memory fold: partial upsert,
+    // duplicate upserts (last wins), upsert-then-@removed (removal wins)
+    val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
+      "CEMPLOYEE_UUID" -> "1")
+    val addV1 = Map("TEMPLOYEE_UUID" -> "Employee 9 DRAFT",
+      "CEMPLOYEE_UUID" -> "9", "KCLEAVERS" -> "1")
+    val addV2 = Map("TEMPLOYEE_UUID" -> "Employee 9",
+      "CEMPLOYEE_UUID" -> "9", "KCLEAVERS" -> "1")
+    val updDoomed = Map("TEMPLOYEE_UUID" -> "Employee 2 GHOST",
+      "CEMPLOYEE_UUID" -> "2", "KCLEAVERS" -> "1")
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4",
+      deltaBatches = Seq((Seq(upd, addV1, addV2, updDoomed), Seq("0", "2"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_spill"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    try {
+      val opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("baseUrl", srv.url, "servicePath", "svc",
+          "entity", "EmployeeQueryResults",
+          "selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")))
+      assert(ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath,
+        feedFoldThreshold = 1).initial)
+      // threshold 1 forces the spill on the 6-entry feed (4 upserts +
+      // 2 removals); results must be IDENTICAL to the in-memory fold
+      val r2 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath,
+        feedFoldThreshold = 1)
+      assert(!r2.initial && r2.upserts == 2 && r2.removals == 2 &&
+        r2.tableRows == 5, r2.toString)
+      val rows = spark.read.parquet(s"$tablePath/data")
+        .select("CEMPLOYEE_UUID", "TEMPLOYEE_UUID", "KCLEAVERS")
+        .as[(String, String, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(!rows.contains("0") && !rows.contains("2"), rows.toString)
+      assert(rows("9")._1 == "Employee 9", "last duplicate upsert wins")
+      assert(rows("1") == (("Employee 1 RENAMED", "1")),
+        "partial upsert keeps the absent field's base value")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/_delta_feed")),
+        "the transient spilled feed must be cleaned up")
+    } finally srv.stop()
+  }
+
+  test("delta seed: link-first parallel seed + first delta converge; seeding a tracking table refuses") {
+    import graft.sources.odata.{ODataDelta, ODataOptions}
+    val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
+      "CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "1")
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", serverPageSize = 2, // key walk paginates
+      deltaBatches = Seq((Seq(upd), Seq("0"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_seed"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      val options = Map(
+        "baseUrl" -> srv.url, "servicePath" -> "svc",
+        "entity" -> "EmployeeQueryResults",
+        "selectFields" -> "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS",
+        "skipRangePartitions" -> "3", "skipRangeOrderKey" -> "CEMPLOYEE_UUID")
+      val r1 = ODataDelta.seedWithParallelScan(
+        spark, options, "CEMPLOYEE_UUID", tablePath)
+      assert(r1.initial && r1.tableRows == 6, r1.toString)
+      // the seed ran as a genuinely parallel range scan
+      assert(srv.requestLog.exists(_.contains("%24skip=")),
+        s"seed must ride the range scan: ${srv.requestLog}")
+      // the key walk stated the tracking preference BEFORE the seed:
+      // the first $select=key request precedes any $skip range fetch
+      val firstKeyWalk = srv.requestLog.indexWhere(u =>
+        u.contains("%24select=CEMPLOYEE_UUID&") && !u.contains("%24skip="))
+      val firstRange = srv.requestLog.indexWhere(_.contains("%24skip="))
+      assert(firstKeyWalk >= 0 && firstKeyWalk < firstRange,
+        s"link must be taken before the seed scan: ${srv.requestLog}")
+      val opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("baseUrl", srv.url, "servicePath", "svc",
+          "entity", "EmployeeQueryResults",
+          "selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")))
+      val r2 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(!r2.initial && r2.upserts == 1 && r2.removals == 1 &&
+        r2.tableRows == 5, r2.toString)
+      val rows = spark.read.parquet(s"$tablePath/data")
+        .select("CEMPLOYEE_UUID", "TEMPLOYEE_UUID")
+        .as[(String, String)].collect().toMap
+      assert(!rows.contains("0") && rows("1") == "Employee 1 RENAMED", rows.toString)
+      // a table that is already tracking refuses a re-seed
+      val e = intercept[Exception] {
+        ODataDelta.seedWithParallelScan(spark, options, "CEMPLOYEE_UUID", tablePath)
+      }
+      assert(e.getMessage.contains("already tracking"), e.getMessage)
+    } finally srv.stop()
+  }
+
   test("delta sync: an interrupted table swap self-heals on the next round") {
     import graft.sources.odata.{ODataDelta, ODataOptions}
     val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
