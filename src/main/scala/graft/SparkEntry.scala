@@ -6365,6 +6365,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // BLOCKED variable records (RECFM=VB, BDW+RDW) round-trip — what
+    // real mainframe transfers actually ship: the same variable
+    // records packed first-fit into 512-byte BDW-framed blocks (small
+    // on purpose, so the fixture spans MANY blocks and a blocking bug
+    // — BDW length drift, a record straddling its block, slack bytes —
+    // shifts everything after it and fails the hash)
+    "etl_rdwb_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val src = t(s, dir, "customer").select(
+        col("c_custkey").cast(DecimalType(12, 0)).as("c_custkey"),
+        col("c_mktsegment"), col("c_name"))
+      val spans = Seq(Etl.PackedSpan("c_custkey", 12, 0),
+        Etl.EbcdicSpan("c_mktsegment", 12))
+      val tail = Some("c_name" -> "IBM037")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rdwbrec_${(dir.hashCode & Int.MaxValue)}"
+      Etl.writeRdwbRecords(src, path, spans, tail, blockBytes = 512)
+      Etl.readRdwbRecords(s, path, spans, tail)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
     // null imputation by per-group exact median: deterministic
     // md5-bucket null injection (the oracle replays the holes), then
     // each group's lower-middle order statistic fills them — rank
@@ -14399,6 +14421,11 @@ object SparkEntry {
     // RDW framing is representation-invisible: the variable-length
     // tail comes back unpadded and bit-exact
     "etl_rdw_roundtrip" ->
+      """SELECT c_custkey, c_mktsegment, c_name
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // BDW blocking is equally representation-invisible
+    "etl_rdwb_roundtrip" ->
       """SELECT c_custkey, c_mktsegment, c_name
         | FROM customer ORDER BY c_custkey""".stripMargin,
 

@@ -354,7 +354,8 @@ object Etl {
     */
   private def streamRecordsToFiles(out: DataFrame, path: String,
                                    singleFile: Boolean,
-                                   fixedLen: Option[Int]): Unit = {
+                                   fixedLen: Option[Int],
+                                   blockBytes: Option[Int] = None): Unit = {
     val rows = (if (singleFile) out.coalesce(1) else out).rdd
       .map(_.getAs[Array[Byte]](0))
     val spark = out.sparkSession
@@ -372,10 +373,34 @@ object Etl {
           new org.apache.hadoop.conf.Configuration())
         val os = pfs.create(
           new org.apache.hadoop.fs.Path(path, f"part-$i%05d.bin"), true)
-        try it.foreach { r =>
-          fixedLen.foreach(n => require(r.length == n,
-            s"record is ${r.length} bytes, expected $n")) // belt
-          os.write(r)
+        try blockBytes match {
+          case None => it.foreach { r =>
+            fixedLen.foreach(n => require(r.length == n,
+              s"record is ${r.length} bytes, expected $n")) // belt
+            os.write(r)
+          }
+          case Some(bs) =>
+            // RECFM=VB blocking: records pack into blocks of ≤ bs
+            // bytes, each fronted by a BDW (big-endian u16 block
+            // length INCLUDING the BDW, two zero bytes) — the IBM
+            // BLKSIZE contract. A record that cannot fit even an
+            // empty block is a layout error, not a bigger block.
+            val buf = new java.io.ByteArrayOutputStream()
+            def flush(): Unit = if (buf.size > 0) {
+              val len = buf.size + 4
+              os.write(Array[Byte](
+                ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte, 0, 0))
+              buf.writeTo(os)
+              buf.reset()
+            }
+            it.foreach { r =>
+              require(r.length + 4 <= bs,
+                s"rdwb overflow: record of ${r.length} bytes cannot fit " +
+                  s"a $bs-byte block (need blockBytes >= ${r.length + 4})")
+              if (4 + buf.size + r.length > bs) flush()
+              buf.write(r)
+            }
+            flush()
         } finally os.close()
       }
       Iterator.empty
@@ -423,18 +448,26 @@ object Etl {
                       tail: Option[(String, String)] = None,
                       singleFile: Boolean = true): Unit = {
     require(spans.nonEmpty || tail.nonEmpty, "need at least one span or a tail")
+    streamRecordsToFiles(df.select(rdwRecordColumn(spans, tail).as("record")),
+      path, singleFile, fixedLen = None)
+  }
+
+  /** One RDW-framed record as a codegen'd binary column (shared by the
+    * V and VB sinks): big-endian u16 length including the RDW, two
+    * zero bytes, fixed spans, optional unpadded tail.
+    */
+  private def rdwRecordColumn(spans: Seq[FixedSpan],
+                              tail: Option[(String, String)]): Column = {
     val pieces = spans.map(spanEncode) ++ tail.map { case (n, cp) =>
       codepageEncode(coalesce(col(n).cast("string"), lit("")), cp) }
     val payload = concat(pieces: _*)
     val len = octet_length(payload) + lit(4)
-    val record = concat(
+    concat(
       when(len > 32760, raise_error(concat(
           lit("rdw overflow: record of "), len.cast("string"),
           lit(" bytes exceeds the RDW's 32760-byte ceiling"))))
         .otherwise(unhex(lpad(hex(len), 4, "0"))),
       lit(Array[Byte](0, 0)), payload)
-    streamRecordsToFiles(df.select(record.as("record")), path, singleFile,
-      fixedLen = None)
   }
 
   /** VARIABLE-length binary record SOURCE — walks [[writeRdwRecords]]'
@@ -494,6 +527,18 @@ object Etl {
           def next(): Array[Byte] = { val r = rec; rec = advance(); r }
         }
       }
+    decodeVariableRecords(spark, rdd, spans, tail)
+  }
+
+  /** Shared decode of RDW-stripped variable records (the V and VB
+    * sources): fixed spans at their declared offsets, the optional
+    * tail taking the record's remainder, unpadded.
+    */
+  private def decodeVariableRecords(spark: org.apache.spark.sql.SparkSession,
+                                    rdd: org.apache.spark.rdd.RDD[Array[Byte]],
+                                    spans: Seq[FixedSpan],
+                                    tail: Option[(String, String)]): DataFrame = {
+    val fixedLen = spans.map(_.bytes).sum
     val df = spark.createDataset(rdd)(
       org.apache.spark.sql.Encoders.BINARY).toDF("record")
     val offsets = spans.scanLeft(1) { case (o, s) => o + s.bytes }
@@ -501,6 +546,98 @@ object Etl {
       tail.map { case (n, cp) =>
         codepageDecode(col("record").substr(lit(fixedLen + 1),
           octet_length(col("record")) - fixedLen), cp).as(n) }: _*)
+  }
+
+  /** RECFM=VB SINK — BLOCKED variable records, the shape real
+    * mainframe transfers actually ship: a 4-byte Block Descriptor
+    * Word (big-endian u16 block length INCLUDING the BDW, two zero
+    * bytes) fronts each block of [[writeRdwRecords]]-framed RDW
+    * records, packed first-fit up to `blockBytes` (the IBM BLKSIZE,
+    * default the 32760 device maximum). Record bytes stay one
+    * codegen'd concat; the blocking is pure write-side IO in the
+    * shared record streamer.
+    */
+  def writeRdwbRecords(df: DataFrame, path: String, spans: Seq[FixedSpan],
+                       tail: Option[(String, String)] = None,
+                       blockBytes: Int = 32760,
+                       singleFile: Boolean = true): Unit = {
+    require(spans.nonEmpty || tail.nonEmpty, "need at least one span or a tail")
+    require(blockBytes >= 8 && blockBytes <= 32760,
+      s"blockBytes must be in [8, 32760], got $blockBytes")
+    streamRecordsToFiles(df.select(rdwRecordColumn(spans, tail).as("record")),
+      path, singleFile, fixedLen = None, blockBytes = Some(blockBytes))
+  }
+
+  /** RECFM=VB SOURCE — walks [[writeRdwbRecords]]' (or a mainframe
+    * transfer's) BDW-blocked RDW records. Same posture as the V
+    * reader: length-chained framing cannot split mid-file, so
+    * parallelism comes from many part files; records stream off a
+    * bounded `DataInputStream` one BLOCK at a time; any framing
+    * corruption — a bad BDW, an RDW straddling its block's end, slack
+    * bytes a record length doesn't account for — fails fast (framing
+    * is unrecoverable by definition, unlike a bad span which decodes
+    * to null).
+    */
+  def readRdwbRecords(spark: org.apache.spark.sql.SparkSession, path: String,
+                      spans: Seq[FixedSpan],
+                      tail: Option[(String, String)] = None): DataFrame = {
+    require(spans.nonEmpty || tail.nonEmpty, "need at least one span or a tail")
+    val fixedLen = spans.map(_.bytes).sum
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .filter(_._1.endsWith(".bin"))
+      .flatMap { case (file, pds) =>
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(pds.open()))
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        new Iterator[Array[Byte]] {
+          private var block: Array[Byte] = Array.emptyByteArray
+          private var off = 0
+          private var rec: Array[Byte] = advance()
+          // one block's RECORD AREA (BDW stripped) into memory at a
+          // time — bounded by the 32 KiB BDW ceiling, never the file
+          private def nextBlock(): Boolean = {
+            val b0 = in.read()
+            if (b0 < 0) { in.close(); false }
+            else {
+              val b1 = in.read(); val z0 = in.read(); val z1 = in.read()
+              require(b1 >= 0 && z0 == 0 && z1 == 0,
+                s"malformed BDW in $file (truncated or nonzero reserved bytes)")
+              val len = (b0 << 8) | b1
+              require(len >= 8,
+                s"malformed BDW in $file: block length $len < 8")
+              block = new Array[Byte](len - 4)
+              in.readFully(block)
+              off = 0
+              true
+            }
+          }
+          private def advance(): Array[Byte] =
+            try {
+              if (off >= block.length && !nextBlock()) null
+              else {
+                require(off + 4 <= block.length,
+                  s"malformed RDW in $file: descriptor straddles the block end")
+                val len = ((block(off) & 0xFF) << 8) | (block(off + 1) & 0xFF)
+                require(block(off + 2) == 0 && block(off + 3) == 0,
+                  s"malformed RDW in $file (nonzero reserved bytes)")
+                require(len >= 4 + fixedLen,
+                  s"malformed RDW in $file: length $len < ${4 + fixedLen}")
+                require(tail.isDefined || len == 4 + fixedLen,
+                  s"malformed RDW in $file: length $len != ${4 + fixedLen} " +
+                    "but the layout declares no variable tail")
+                require(off + len <= block.length,
+                  s"malformed RDW in $file: record overruns its block")
+                val r = java.util.Arrays.copyOfRange(block, off + 4, off + len)
+                off += len
+                r
+              }
+            } catch { case e: Throwable => in.close(); throw e }
+          def hasNext: Boolean = rec != null
+          def next(): Array[Byte] = { val r = rec; rec = advance(); r }
+        }
+      }
+    decodeVariableRecords(spark, rdd, spans, tail)
   }
 
   /** Wide→long reshape (pandas `melt` / SQL UNPIVOT) — the INVERSE of

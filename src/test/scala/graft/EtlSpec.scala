@@ -552,6 +552,67 @@ class EtlSpec extends SparkSpec {
     assert(msgs3.contains("declares no variable tail"), msgs3)
   }
 
+  test("RDWB blocked records: BDW framing byte-exact, multi-block round-trip, corruption and overflow fail fast") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_rdwbrec"
+    val df = Seq((1L, "AB"), (22L, ""), (333L, "a longer tail x"))
+      .toDF("k", "s")
+      .select(col("k").cast(DecimalType(9, 0)).as("k"), col("s"))
+    val spans = Seq(Etl.PackedSpan("k", 9, 0))
+    val tail = Some("s" -> "IBM037")
+    // blockBytes=28: records are 11, 9, 24 bytes — the first block
+    // packs records 1+2 (4+11+9=24 ≤ 28, and +24 more would burst),
+    // record 3 fills its own 28-byte block exactly
+    Etl.writeRdwbRecords(df, path, spans, tail, blockBytes = 28)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".bin")).head.getPath))
+    assert(raw.length == 4 + 20 + 4 + 24, s"raw bytes: ${raw.length}")
+    // first BDW: 0x0018 0x0000 (big-endian 24 = 4 + 11 + 9)
+    assert(raw.slice(0, 4).toSeq == Seq(0x00, 0x18, 0x00, 0x00).map(_.toByte),
+      raw.slice(0, 4).map(b => f"$b%02X").mkString(" "))
+    // the first RDW follows immediately inside the block
+    assert(raw.slice(4, 8).toSeq == Seq(0x00, 0x0B, 0x00, 0x00).map(_.toByte))
+    // second BDW at offset 24: 0x001C (28 = 4 + 24)
+    assert(raw.slice(24, 28).toSeq == Seq(0x00, 0x1C, 0x00, 0x00).map(_.toByte))
+    val back = Etl.readRdwbRecords(spark, path, spans, tail)
+      .select(col("k").cast("long"), col("s"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "AB"), (22L, ""), (333L, "a longer tail x")),
+      s"round-trip: $back")
+    // a record too large for the block size fails the WRITE
+    val exBig = intercept[Exception] {
+      Etl.writeRdwbRecords(df, s"${path}_big", spans, tail, blockBytes = 20)
+    }
+    val msgs = Iterator.iterate(exBig: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("rdwb overflow"), msgs)
+    // corrupt BDW (nonzero reserved byte) fails the READ fast
+    val corruptB = raw.clone(); corruptB(2) = 0x01
+    val cdir = new java.io.File(s"${path}_corrupt"); cdir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}_corrupt/part-00000.bin"), corruptB)
+    val exB = intercept[Exception] {
+      Etl.readRdwbRecords(spark, s"${path}_corrupt", spans, tail).count()
+    }
+    val msgsB = Iterator.iterate(exB: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgsB.contains("malformed BDW"), msgsB)
+    // a BDW whose length leaves slack after the last record (an RDW
+    // would have to straddle or descriptor-read garbage) fails fast
+    val slack = raw.clone(); slack(1) = 0x19 // first block claims 25 bytes
+    val sdir = new java.io.File(s"${path}_slack"); sdir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}_slack/part-00000.bin"),
+      slack ++ Array[Byte](0)) // keep the stream long enough
+    val exS = intercept[Exception] {
+      Etl.readRdwbRecords(spark, s"${path}_slack", spans, tail).count()
+    }
+    val msgsS = Iterator.iterate(exS: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgsS.contains("malformed"), msgsS)
+  }
+
   test("imputeByGroupMedian: lower-middle medians fill nulls; empty groups keep nulls") {
     import org.apache.spark.sql.functions._
     // group a: values 1,3,5,9 (even n → LOWER middle = 3); group b:
