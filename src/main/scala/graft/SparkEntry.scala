@@ -6365,6 +6365,36 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // COPYBOOK-driven round-trip: the layout comes from parsing a
+    // COBOL copybook (PIC/COMP-3/FILLER/group/88 clauses), not a
+    // hand-built span list — the copybook IS the schema. The parsed
+    // spans drive the EBCDIC fixed-record write AND read; a parse bug
+    // (wrong width, dropped FILLER, wrong scale) shifts every field
+    // and fails the hash
+    "etl_copybook_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cpy = """
+        |      * CUSTOMER MASTER RECORD
+        |       01  CUST-REC.
+        |           05  C-CUSTKEY      PIC S9(12) COMP-3.
+        |           05  FILLER         PIC X(2).
+        |           05  C-MKTSEGMENT   PIC X(12).
+        |           05  C-NAME         PIC X(25).
+        |""".stripMargin
+      val spans = Etl.parseCopybook(cpy, textCodepage = Some("IBM037"))
+      val src = t(s, dir, "customer").select(
+        col("c_custkey").cast(DecimalType(12, 0)).as("C_CUSTKEY"),
+        lit("").as("filler_1"),
+        col("c_mktsegment").as("C_MKTSEGMENT"),
+        col("c_name").as("C_NAME"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_copybook_${(dir.hashCode & Int.MaxValue)}"
+      Etl.writeFixedRecords(src, path, spans)
+      Etl.readFixedRecords(s, path, spans)
+        .select(col("C_CUSTKEY").cast("long").as("c_custkey"),
+          col("C_MKTSEGMENT").as("c_mktsegment"), col("C_NAME").as("c_name"))
+        .orderBy("c_custkey")
+    }),
+
     // BLOCKED variable records (RECFM=VB, BDW+RDW) round-trip — what
     // real mainframe transfers actually ship: the same variable
     // records packed first-fit into 512-byte BDW-framed blocks (small
@@ -14426,6 +14456,11 @@ object SparkEntry {
 
     // BDW blocking is equally representation-invisible
     "etl_rdwb_roundtrip" ->
+      """SELECT c_custkey, c_mktsegment, c_name
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the copybook-parsed layout is representation-invisible too
+    "etl_copybook_roundtrip" ->
       """SELECT c_custkey, c_mktsegment, c_name
         | FROM customer ORDER BY c_custkey""".stripMargin,
 

@@ -239,6 +239,143 @@ object Etl {
     def bytes: Int = width
   }
 
+  /** Parse a COBOL COPYBOOK (the layout language every mainframe feed
+    * is actually documented in) into the [[FixedSpan]]s the
+    * fixed/RDW/RDWB sources and sinks consume — so the copybook IS the
+    * schema, not a hand-transcription of it. Supported subset, chosen
+    * to cover data-record layouts (anything else fails FAST with the
+    * offending clause — a silently mis-parsed layout shifts every
+    * later field, the worst possible outcome):
+    *
+    *  - elementary items with `PIC X/A...` text (→ [[CharSpan]], or
+    *    [[EbcdicSpan]] when `textCodepage` is given) and
+    *    `PIC [S]9...[V9...]` numerics — repeat-counts `X(8)`,
+    *    shorthand runs `XXX`/`99V99`, implied decimal `V`;
+    *  - `COMP-3`/`PACKED-DECIMAL` usage (→ [[PackedSpan]]), explicit
+    *    or absent `DISPLAY` (→ [[ZonedSpan]]), with or without
+    *    `USAGE [IS]`;
+    *  - `OCCURS n TIMES` on elementary items (→ `name_1..name_n`);
+    *  - `FILLER` (→ `filler_i` spans — they occupy bytes, so they
+    *    must decode; drop the columns after the read);
+    *  - group items (no PIC — storage lives in their children),
+    *    level-88 condition names (no storage), `VALUE` clauses
+    *    (meaningless for a transfer layout; the remainder of that
+    *    sentence is ignored), comment lines (first non-blank `*`).
+    *
+    * Rejected, by name: `COMP`/`BINARY`/`COMP-1/2/4/5` (binary
+    * usages this engine's spans don't model), `REDEFINES` (two
+    * layouts for one region — the caller must pick one and write it
+    * as its own copybook), `OCCURS` on a GROUP and
+    * `OCCURS DEPENDING ON` (variable layouts belong to the RDW tail),
+    * `SYNCHRONIZED`/`JUSTIFIED` (alignment/semantics this parser
+    * cannot honor), level-66 `RENAMES`.
+    */
+  def parseCopybook(text: String, textCodepage: Option[String] = None): Seq[FixedSpan] = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"copybook: $msg")
+    val body = text.linesIterator
+      .filterNot(_.trim.startsWith("*")) // comment lines
+      .mkString(" ")
+    // sentences end at a period before whitespace/end (periods inside
+    // numeric literals like 1.5 have no following space)
+    val sentences = body.split("\\.(\\s+|\\s*$)").map(_.trim).filter(_.nonEmpty)
+    var fillerIdx = 0
+    val spans = Seq.newBuilder[FixedSpan]
+    def expandPic(pic: String): String = {
+      val up = pic.toUpperCase
+      val sb = new StringBuilder
+      var i = 0
+      while (i < up.length) {
+        val c = up(i)
+        if (i + 1 < up.length && up(i + 1) == '(') {
+          val close = up.indexOf(')', i + 2)
+          if (close < 0) fail(s"unbalanced repeat in PIC '$pic'")
+          val n = scala.util.Try(up.substring(i + 2, close).trim.toInt)
+            .getOrElse(fail(s"bad repeat count in PIC '$pic'"))
+          sb.append(c.toString * n)
+          i = close + 1
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    sentences.foreach { sentence =>
+      val toks = sentence.split("\\s+").toList
+      toks match {
+        case lvl :: rest if lvl.nonEmpty && lvl.forall(_.isDigit) =>
+          val level = lvl.toInt
+          if (level == 66) fail(s"level-66 RENAMES not supported: '$sentence'")
+          if (level != 88) rest match {
+            case rawName :: tail0 =>
+              // VALUE has no storage meaning in a transfer layout —
+              // drop it and everything after it in this sentence
+              val tail = tail0.map(_.toUpperCase)
+                .takeWhile(t => t != "VALUE" && t != "VALUES")
+              Seq("REDEFINES", "SYNCHRONIZED", "SYNC", "JUSTIFIED", "JUST")
+                .foreach(kw => if (tail.contains(kw))
+                  fail(s"$kw not supported: '$sentence'"))
+              val picIdx = tail.indexWhere(t => t == "PIC" || t == "PICTURE")
+              val occursIdx = tail.indexOf("OCCURS")
+              val occurs =
+                if (occursIdx < 0) None
+                else Some(scala.util.Try(tail(occursIdx + 1).toInt).getOrElse(
+                  fail(s"bad OCCURS count: '$sentence'")))
+              if (tail.contains("DEPENDING"))
+                fail(s"OCCURS DEPENDING ON not supported (variable " +
+                  s"layouts belong to the RDW tail): '$sentence'")
+              if (picIdx < 0) {
+                // group item: storage lives in its children
+                if (occurs.isDefined)
+                  fail(s"OCCURS on a GROUP not supported: '$sentence'")
+              } else {
+                if (picIdx + 1 >= tail.length) fail(s"PIC without a picture: '$sentence'")
+                val usageToks = tail.patch(picIdx, Nil, 2)
+                  .filterNot(t => t == "USAGE" || t == "IS" || t == "OCCURS" ||
+                    t == "TIMES" || occurs.exists(_.toString == t))
+                usageToks.find(t => Set("COMP", "COMP-1", "COMP-2", "COMP-4",
+                    "COMP-5", "BINARY", "COMPUTATIONAL").contains(t))
+                  .foreach(t => fail(s"binary usage $t not supported: '$sentence'"))
+                val packed = usageToks.exists(t =>
+                  t == "COMP-3" || t == "PACKED-DECIMAL")
+                val name =
+                  if (rawName.toUpperCase == "FILLER") {
+                    fillerIdx += 1; s"filler_$fillerIdx"
+                  } else rawName.replace('-', '_')
+                val pic = expandPic(tail(picIdx + 1))
+                def mk(n: String): FixedSpan =
+                  if (pic.matches("[XA]+")) {
+                    if (packed) fail(s"COMP-3 on a text PIC: '$sentence'")
+                    textCodepage.map(cp => EbcdicSpan(n, pic.length, cp))
+                      .getOrElse(CharSpan(n, pic.length))
+                  } else if (pic.matches("S?9+(V9+)?|S?V9+")) {
+                    val unsigned = !pic.startsWith("S")
+                    val digits = pic.stripPrefix("S")
+                    val v = digits.indexOf('V')
+                    val (ip, fp) =
+                      if (v < 0) (digits.length, 0)
+                      else (v, digits.length - v - 1)
+                    if (unsigned && !packed)
+                      fail(s"unsigned DISPLAY numeric not supported (the " +
+                        s"zoned codec models the overpunched sign; declare " +
+                        s"S9 or use COMP-3): '$sentence'")
+                    if (packed) PackedSpan(n, ip + fp, fp)
+                    else ZonedSpan(n, ip + fp, fp)
+                  } else fail(s"unsupported PICTURE '$pic': '$sentence'")
+                occurs match {
+                  case None => spans += mk(name)
+                  case Some(k) =>
+                    if (k <= 0) fail(s"OCCURS count must be positive: '$sentence'")
+                    (1 to k).foreach(i => spans += mk(s"${name}_$i"))
+                }
+              }
+            case Nil => fail(s"level $lvl with no name: '$sentence'")
+          }
+        case _ => fail(s"unparseable sentence '$sentence'")
+      }
+    }
+    val out = spans.result()
+    if (out.isEmpty) fail("no elementary items found")
+    out
+  }
+
   private def packedEncode(c: Column, p: Int, s: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.PackedDecimalEncode(

@@ -613,6 +613,47 @@ class EtlSpec extends SparkSpec {
     assert(msgsS.contains("malformed"), msgsS)
   }
 
+  test("parseCopybook: PIC clauses, usages, OCCURS, FILLER, groups, 88s; unsupported clauses fail by name") {
+    import Etl._
+    val cpy = """
+      |      * CUSTOMER MASTER RECORD (comment line)
+      |       01  CUST-REC.
+      |           05  CUST-KEY        PIC S9(12)  COMP-3.
+      |           05  FILLER          PIC X(2).
+      |           05  CUST-NAME       PIC X(25).
+      |           05  SEGMENT         PIC A(12).
+      |           05  BALANCE         PIC S9(7)V99.
+      |           05  SCORES          PIC S999 OCCURS 2 TIMES.
+      |           05  FLAGS.
+      |               10  ACTIVE      PIC X.
+      |           88  IS-ACTIVE       VALUE 'Y'.
+      |""".stripMargin
+    assert(Etl.parseCopybook(cpy) == Seq(
+      PackedSpan("CUST_KEY", 12, 0), CharSpan("filler_1", 2),
+      CharSpan("CUST_NAME", 25), CharSpan("SEGMENT", 12),
+      ZonedSpan("BALANCE", 9, 2),
+      ZonedSpan("SCORES_1", 3, 0), ZonedSpan("SCORES_2", 3, 0),
+      CharSpan("ACTIVE", 1)))
+    // EBCDIC mode: text spans carry the codepage
+    assert(Etl.parseCopybook("01 R. 05 NAME PIC X(5).", Some("IBM037")) ==
+      Seq(EbcdicSpan("NAME", 5, "IBM037")))
+    // USAGE IS PACKED-DECIMAL spelled out; shorthand digit runs
+    assert(Etl.parseCopybook("05 AMT PIC S99V99 USAGE IS PACKED-DECIMAL.") ==
+      Seq(PackedSpan("AMT", 4, 2)))
+    // rejections fail by clause name, never a silent mis-parse
+    def rejects(src: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Etl.parseCopybook(src) }
+      assert(e.getMessage.contains(needle), s"$src -> ${e.getMessage}")
+    }
+    rejects("05 A PIC 9(4) COMP.", "binary usage")
+    rejects("05 A REDEFINES B PIC X(4).", "REDEFINES")
+    rejects("05 T OCCURS 3 TIMES.", "OCCURS on a GROUP")
+    rejects("05 T PIC X(4) OCCURS 3 TIMES DEPENDING ON N.", "DEPENDING")
+    rejects("05 N PIC 9(3).", "unsigned DISPLAY")
+    rejects("66 X RENAMES Y.", "RENAMES")
+    rejects("05 E PIC ZZ9.99.", "unsupported PICTURE")
+  }
+
   test("imputeByGroupMedian: lower-middle medians fill nulls; empty groups keep nulls") {
     import org.apache.spark.sql.functions._
     // group a: values 1,3,5,9 (even n → LOWER middle = 3); group b:
