@@ -225,11 +225,18 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // (and membership in a literal list) implies it — OData eq never
     // matches null — so in fully-pushed mode the pair is consumed
     // together: the IsNotNull residual would otherwise keep the very
-    // Filter node the option removes
-    val filterCols = pushedEq.map(_._1).toSet ++ pushedIn.map(_._1)
+    // Filter node the option removes. A NAV-PATH eq (`Nav/F eq 'v'`)
+    // implies BOTH `Nav/F` and the nav root non-null, so the inferred
+    // IsNotNull on either form is covered.
+    val filterCols = (pushedEq.map(_._1) ++ pushedIn.map(_._1))
+      .flatMap(k => Seq(k) ++ k.split("/").headOption).toSet
     def impliedNotNull(p: Predicate): Boolean =
       p.name() == "IS_NOT_NULL" && (p.children() match {
-        case Array(ref: NamedReference) => serverCol(ref).exists(filterCols.contains)
+        case Array(ref: NamedReference) =>
+          serverPath(ref).exists(filterCols.contains) ||
+            (ref.fieldNames().length == 1 &&
+              filterCols.contains(ref.fieldNames()(0)) &&
+              opts.expands.exists(_.nav == ref.fieldNames()(0)))
         case _ => false
       })
     def translated(p: Predicate): Boolean =
@@ -261,9 +268,9 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     if (p.name() != "=") None
     else p.children() match {
       case Array(ref: NamedReference, lit: V2Literal[_]) =>
-        for (c <- serverCol(ref); v <- litStr(lit)) yield c -> v
+        for (c <- serverPath(ref); v <- litStr(lit)) yield c -> v
       case Array(lit: V2Literal[_], ref: NamedReference) =>
-        for (c <- serverCol(ref); v <- litStr(lit)) yield c -> v
+        for (c <- serverPath(ref); v <- litStr(lit)) yield c -> v
       case _ => None
     }
 
@@ -282,7 +289,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
             case l: V2Literal[_] => litStr(l).isDefined // see litStr
             case _ => false
           } =>
-        serverCol(ref).map(_ -> vals.map {
+        serverPath(ref).map(_ -> vals.map {
           case l: V2Literal[_] => litStr(l).get }.toSeq)
       case _ => None
     }
@@ -397,6 +404,23 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   private def serverCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     refName(e).filter(n => fullSchema.fieldNames.contains(n) &&
       !(opts.extrasEnabled && n == opts.extraColumnName))
+
+  /** A pushable column OR nav path: `Nav.F` on a declared
+    * SINGLE-VALUED expand translates to OData's `Nav/F` — both engines
+    * agree a null nav never matches an eq, so the parent-row filter
+    * semantics line up; a COLLECTION nav would need a `any()` lambda
+    * (and Spark never hands element predicates down as plain eq
+    * anyway), so only single-valued navs translate.
+    */
+  private def serverPath(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames().length == 2 =>
+        val Array(nav, f) = r.fieldNames()
+        opts.expands.find(x =>
+          x.nav == nav && !x.collection && x.fields.contains(f))
+          .map(_ => s"$nav/$f")
+      case _ => serverCol(e)
+    }
 
   private def translateAgg(agg: Aggregation): Option[ODataPushedAgg] = {
     if (!opts.pushDownAggregates) return None

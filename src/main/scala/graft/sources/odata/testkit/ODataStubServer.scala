@@ -72,6 +72,23 @@ class ODataStubServer(
     ex.close()
   }
 
+  /** Resolve a filter key against a row: a plain property, or a
+    * `Nav/Field` path through a declared SINGLE-VALUED nav (what the
+    * connector's nav-path eq pushdown sends; a lawful server evaluates
+    * the path without requiring the nav to be `$expand`ed).
+    */
+  private def resolveKey(r: Map[String, String], k: String): Option[String] =
+    if (!k.contains("/")) r.get(k)
+    else k.split("/", 2) match {
+      case Array(nav, f) => navProps.get(nav) match {
+        case Some(nd) if !nd.collection =>
+          nd.rows.find(c => r.get(nd.parentKeyField).exists(pk =>
+            c.get(nd.childKeyField).contains(pk))).flatMap(_.get(f))
+        case _ => throw new IllegalArgumentException(s"bad filter path: $k")
+      }
+      case _ => throw new IllegalArgumentException(s"bad filter path: $k")
+    }
+
   /** One filter condition: `X eq 'v'` | `X ne null` | a parenthesized
     * or-group of eq's. Returns the row predicate plus the eq values it
     * mentions (for the per-value failure injection).
@@ -81,14 +98,14 @@ class ODataStubServer(
     if (c.startsWith("(") && c.endsWith(")")) {
       val parts = c.substring(1, c.length - 1).split(" or ").toSeq.map(parseEq)
       ((r: Map[String, String]) =>
-        parts.exists { case (k, v) => r.get(k).contains(v) },
+        parts.exists { case (k, v) => resolveKey(r, k).contains(v) },
         parts.map(_._2))
     } else "^(\\S+) ne null$".r.findFirstMatchIn(c) match {
       case Some(m) =>
-        ((r: Map[String, String]) => r.get(m.group(1)).exists(_ != null), Nil)
+        ((r: Map[String, String]) => resolveKey(r, m.group(1)).exists(_ != null), Nil)
       case None =>
         val (k, v) = parseEq(c)
-        ((r: Map[String, String]) => r.get(k).contains(v), Seq(v))
+        ((r: Map[String, String]) => resolveKey(r, k).contains(v), Seq(v))
     }
   }
 

@@ -1112,6 +1112,40 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("\\$expand nav-path filter pushdown: Nav/Field eq rides \\$filter; collection navs decline") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navFixture(6)).start()
+    try {
+      // residual mode: the filter ships server-side AND Spark re-checks
+      val df = read(srv, Map("expand" -> expandOpt))
+        .where(col("Manager.M_NAME") === "Manager of 2")
+        .select("CEMPLOYEE_UUID")
+      assert(df.as[String].collect().toSeq == Seq("2"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains("Manager/M_NAME eq 'Manager of 2'")),
+        s"nav-path eq must push: $decoded")
+      // fullyPushFilters: consumed — no Filter node survives (the
+      // inferred IsNotNull on the nav/path is consumed with it)
+      val consumed = read(srv, Map("expand" -> expandOpt,
+          "fullyPushFilters" -> "true"))
+        .where(col("Manager.M_NAME") === "Manager of 4")
+        .select("CEMPLOYEE_UUID")
+      assert(consumed.as[String].collect().toSeq == Seq("4"))
+      assert(!consumed.queryExecution.optimizedPlan.toString.contains("Filter"),
+        consumed.queryExecution.optimizedPlan.toString)
+      // a COLLECTION nav element predicate never translates — the
+      // request carries no Assignments path filter, Spark evaluates
+      srv.requestLog = Vector.empty
+      val coll = read(srv, Map("expand" -> expandOpt))
+        .where(try_element_at(col("Assignments"), lit(1))("A_PROJ") === "P0")
+        .select("CEMPLOYEE_UUID")
+      assert(coll.as[String].collect().toSet == Set("1", "2", "4", "5"))
+      assert(!srv.requestLog.exists(u =>
+          java.net.URLDecoder.decode(u, "UTF-8").contains("Assignments/")),
+        s"collection nav must not ride \\$$filter: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
   test("\\$expand strictness: unknown nav 400s loudly; declared cardinality mismatch fails fast; bad specs rejected") {
     val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
       dialect = "v4", navProps = navFixture(3)).start()
