@@ -6377,6 +6377,7 @@ object SparkEntry {
         |      * CUSTOMER MASTER RECORD
         |       01  CUST-REC.
         |           05  C-CUSTKEY      PIC S9(12) COMP-3.
+        |           05  C-NATIONKEY    PIC S9(9)  COMP.
         |           05  FILLER         PIC X(2).
         |           05  C-MKTSEGMENT   PIC X(12).
         |           05  C-NAME         PIC X(25).
@@ -6384,6 +6385,7 @@ object SparkEntry {
       val spans = Etl.parseCopybook(cpy, textCodepage = Some("IBM037"))
       val src = t(s, dir, "customer").select(
         col("c_custkey").cast(DecimalType(12, 0)).as("C_CUSTKEY"),
+        col("c_nationkey").cast(DecimalType(9, 0)).as("C_NATIONKEY"),
         lit("").as("filler_1"),
         col("c_mktsegment").as("C_MKTSEGMENT"),
         col("c_name").as("C_NAME"))
@@ -6391,6 +6393,7 @@ object SparkEntry {
       Etl.writeFixedRecords(src, path, spans)
       Etl.readFixedRecords(s, path, spans)
         .select(col("C_CUSTKEY").cast("long").as("c_custkey"),
+          col("C_NATIONKEY").cast("int").as("c_nationkey"),
           col("C_MKTSEGMENT").as("c_mktsegment"), col("C_NAME").as("c_name"))
         .orderBy("c_custkey")
     }),
@@ -14461,7 +14464,7 @@ object SparkEntry {
 
     // the copybook-parsed layout is representation-invisible too
     "etl_copybook_roundtrip" ->
-      """SELECT c_custkey, c_mktsegment, c_name
+      """SELECT c_custkey, c_nationkey, c_mktsegment, c_name
         | FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the EBCDIC encode→decode round-trip is an exact identity on

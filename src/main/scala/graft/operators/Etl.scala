@@ -238,6 +238,15 @@ object Etl {
     graft.plans.Codepage.checkCharset(codepage)
     def bytes: Int = width
   }
+  /** `PIC S9(p−s)V9(s) COMP` / `COMP-4` / `BINARY` — big-endian
+    * two's-complement unscaled value in the IBM storage sizes
+    * (halfword/fullword/doubleword by digit count; see
+    * [[graft.plans.BinaryInt]]).
+    */
+  final case class BinarySpan(name: String, precision: Int, scale: Int)
+    extends FixedSpan {
+    def bytes: Int = graft.plans.BinaryInt.bytesFor(precision)
+  }
 
   /** Parse a COBOL COPYBOOK (the layout language every mainframe feed
     * is actually documented in) into the [[FixedSpan]]s the
@@ -251,8 +260,9 @@ object Etl {
     *    [[EbcdicSpan]] when `textCodepage` is given) and
     *    `PIC [S]9...[V9...]` numerics — repeat-counts `X(8)`,
     *    shorthand runs `XXX`/`99V99`, implied decimal `V`;
-    *  - `COMP-3`/`PACKED-DECIMAL` usage (→ [[PackedSpan]]), explicit
-    *    or absent `DISPLAY` (→ [[ZonedSpan]]), with or without
+    *  - `COMP-3`/`PACKED-DECIMAL` usage (→ [[PackedSpan]]),
+    *    `COMP`/`COMP-4`/`BINARY` (→ [[BinarySpan]]), explicit or
+    *    absent `DISPLAY` (→ [[ZonedSpan]]), with or without
     *    `USAGE [IS]`;
     *  - `OCCURS n TIMES` on elementary items (→ `name_1..name_n`);
     *  - `FILLER` (→ `filler_i` spans — they occupy bytes, so they
@@ -262,8 +272,8 @@ object Etl {
     *    (meaningless for a transfer layout; the remainder of that
     *    sentence is ignored), comment lines (first non-blank `*`).
     *
-    * Rejected, by name: `COMP`/`BINARY`/`COMP-1/2/4/5` (binary
-    * usages this engine's spans don't model), `REDEFINES` (two
+    * Rejected, by name: `COMP-1`/`COMP-2` (floating point) and
+    * `COMP-5` (native-endian), `REDEFINES` (two
     * layouts for one region — the caller must pick one and write it
     * as its own copybook), `OCCURS` on a GROUP and
     * `OCCURS DEPENDING ON` (variable layouts belong to the RDW tail),
@@ -330,11 +340,13 @@ object Etl {
                 val usageToks = tail.patch(picIdx, Nil, 2)
                   .filterNot(t => t == "USAGE" || t == "IS" || t == "OCCURS" ||
                     t == "TIMES" || occurs.exists(_.toString == t))
-                usageToks.find(t => Set("COMP", "COMP-1", "COMP-2", "COMP-4",
-                    "COMP-5", "BINARY", "COMPUTATIONAL").contains(t))
-                  .foreach(t => fail(s"binary usage $t not supported: '$sentence'"))
+                usageToks.find(t => Set("COMP-1", "COMP-2", "COMP-5").contains(t))
+                  .foreach(t => fail(s"usage $t not supported (floating-point" +
+                    s"/native-endian storage): '$sentence'"))
                 val packed = usageToks.exists(t =>
                   t == "COMP-3" || t == "PACKED-DECIMAL")
+                val binary = usageToks.exists(t => t == "COMP" ||
+                  t == "COMP-4" || t == "BINARY" || t == "COMPUTATIONAL")
                 val name =
                   if (rawName.toUpperCase == "FILLER") {
                     fillerIdx += 1; s"filler_$fillerIdx"
@@ -342,7 +354,8 @@ object Etl {
                 val pic = expandPic(tail(picIdx + 1))
                 def mk(n: String): FixedSpan =
                   if (pic.matches("[XA]+")) {
-                    if (packed) fail(s"COMP-3 on a text PIC: '$sentence'")
+                    if (packed || binary)
+                      fail(s"numeric usage on a text PIC: '$sentence'")
                     textCodepage.map(cp => EbcdicSpan(n, pic.length, cp))
                       .getOrElse(CharSpan(n, pic.length))
                   } else if (pic.matches("S?9+(V9+)?|S?V9+")) {
@@ -352,11 +365,12 @@ object Etl {
                     val (ip, fp) =
                       if (v < 0) (digits.length, 0)
                       else (v, digits.length - v - 1)
-                    if (unsigned && !packed)
+                    if (unsigned && !packed && !binary)
                       fail(s"unsigned DISPLAY numeric not supported (the " +
                         s"zoned codec models the overpunched sign; declare " +
                         s"S9 or use COMP-3): '$sentence'")
                     if (packed) PackedSpan(n, ip + fp, fp)
+                    else if (binary) BinarySpan(n, ip + fp, fp)
                     else ZonedSpan(n, ip + fp, fp)
                   } else fail(s"unsupported PICTURE '$pic': '$sentence'")
                 occurs match {
@@ -396,6 +410,16 @@ object Etl {
       graft.plans.ZonedDecimalDecode(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), p, s))
 
+  private def binaryEncode(c: Column, p: Int, s: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.BinaryIntEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), p, s))
+
+  private def binaryDecode(c: Column, p: Int, s: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.BinaryIntDecode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), p, s))
+
   private def codepageEncode(c: Column, charset: String): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.CodepageEncode(
@@ -431,6 +455,10 @@ object Etl {
       when(col(n).isNull, raise_error(lit(
           s"fixed-record: zoned span '$n' cannot encode SQL NULL")))
         .otherwise(zonedEncode(col(n), p, sc))
+    case BinarySpan(n, p, sc) =>
+      when(col(n).isNull, raise_error(lit(
+          s"fixed-record: binary span '$n' cannot encode SQL NULL")))
+        .otherwise(binaryEncode(col(n), p, sc))
     case EbcdicSpan(n, w, cp) =>
       val s = coalesce(col(n).cast("string"), lit(""))
       codepageEncode(when(length(s) > w, raise_error(concat(
@@ -449,6 +477,8 @@ object Etl {
       packedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
     case sp @ ZonedSpan(n, p, sc) =>
       zonedDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
+    case sp @ BinarySpan(n, p, sc) =>
+      binaryDecode(substring(col("record"), o, sp.bytes), p, sc).as(n)
     case EbcdicSpan(n, w, cp) =>
       rtrim(codepageDecode(substring(col("record"), o, w), cp)).as(n)
   }

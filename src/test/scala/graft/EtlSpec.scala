@@ -613,6 +613,44 @@ class EtlSpec extends SparkSpec {
     assert(msgsS.contains("malformed"), msgsS)
   }
 
+  test("BinarySpan: COMP big-endian round-trip, IBM storage sizes, out-of-declaration magnitude decodes null") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_spec_binspan"
+    val df = Seq((1L, -1L, BigDecimal("123456789.01")),
+        (9999L, 999999999L, BigDecimal("-999999999.99")))
+      .toDF("a", "b", "c")
+      .select(col("a").cast(DecimalType(4, 0)).as("a"),
+        col("b").cast(DecimalType(9, 0)).as("b"),
+        col("c").cast(DecimalType(11, 2)).as("c"))
+    val spans = Seq(Etl.BinarySpan("a", 4, 0), Etl.BinarySpan("b", 9, 0),
+      Etl.BinarySpan("c", 11, 2))
+    assert(spans.map(_.bytes) == Seq(2, 4, 8), "halfword/fullword/doubleword")
+    Etl.writeFixedRecords(df, path, spans)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".bin")).head.getPath))
+    assert(raw.length == 28, s"raw: ${raw.length}")
+    // row 1: a=1 → 0x0001; b=-1 → 0xFFFFFFFF (two's complement)
+    assert(raw.slice(0, 6).toSeq ==
+      Seq(0x00, 0x01, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte),
+      raw.slice(0, 6).map(x => f"$x%02X").mkString(" "))
+    val back = Etl.readFixedRecords(spark, path, spans)
+      .select(col("a").cast("long"), col("b").cast("long"),
+        col("c").cast("string"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, -1L, "123456789.01"),
+      (9999L, 999999999L, "-999999999.99")), s"round-trip: $back")
+    // poisoned-blob: a halfword holding 32767 under PIC S9(4) (max
+    // 9999) decodes to NULL, not a wrong number and not a task failure
+    val pdir = new java.io.File(s"${path}_poison"); pdir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}_poison/part-00000.bin"),
+      Array[Byte](0x7F, 0xFF.toByte))
+    val got = Etl.readFixedRecords(spark, s"${path}_poison",
+      Seq(Etl.BinarySpan("a", 4, 0))).collect()
+    assert(got.length == 1 && got.head.isNullAt(0), got.mkString(","))
+  }
+
   test("parseCopybook: PIC clauses, usages, OCCURS, FILLER, groups, 88s; unsupported clauses fail by name") {
     import Etl._
     val cpy = """
@@ -640,12 +678,18 @@ class EtlSpec extends SparkSpec {
     // USAGE IS PACKED-DECIMAL spelled out; shorthand digit runs
     assert(Etl.parseCopybook("05 AMT PIC S99V99 USAGE IS PACKED-DECIMAL.") ==
       Seq(PackedSpan("AMT", 4, 2)))
+    // COMP/COMP-4/BINARY → big-endian BinarySpan (halfword/fullword/
+    // doubleword per digit count); unsigned binary is fine
+    assert(Etl.parseCopybook(
+        "05 N1 PIC 9(4) COMP. 05 N2 PIC S9(9) BINARY. 05 N3 PIC S9(11)V9(2) COMP-4.") ==
+      Seq(BinarySpan("N1", 4, 0), BinarySpan("N2", 9, 0), BinarySpan("N3", 13, 2)))
     // rejections fail by clause name, never a silent mis-parse
     def rejects(src: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] { Etl.parseCopybook(src) }
       assert(e.getMessage.contains(needle), s"$src -> ${e.getMessage}")
     }
-    rejects("05 A PIC 9(4) COMP.", "binary usage")
+    rejects("05 A PIC 9(4) COMP-5.", "COMP-5")
+    rejects("05 A PIC 9(4) COMP-1.", "COMP-1")
     rejects("05 A REDEFINES B PIC X(4).", "REDEFINES")
     rejects("05 T OCCURS 3 TIMES.", "OCCURS on a GROUP")
     rejects("05 T PIC X(4) OCCURS 3 TIMES DEPENDING ON N.", "DEPENDING")
