@@ -6149,6 +6149,14 @@ object SparkEntry {
     "odata_in_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.inScan(s, dir)),
 
+    // runtime filtering (SupportsRuntimeV2Filtering / DPP): the
+    // broadcast join's build-side key set prunes the planned value
+    // chains at EXECUTION time — the join-driven analogue of the
+    // static IN pushdown (spec pins the pruned request log; this gate
+    // pins end-to-end correctness of the pruned join)
+    "odata_runtime_prune" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.runtimePruneScan(s, dir)),
+
     // P6 + fullyPushFilters: the FILTERED aggregate composes into one
     // $apply=filter(O_STATUS eq 'O')/groupby(...) request — neither a
     // Filter nor an Aggregate node survives the optimized plan (pinned
@@ -14342,6 +14350,14 @@ object SparkEntry {
         | o_orderpriority FROM orders
         | WHERE o_orderkey < 200
         |   AND o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the runtime-pruned join equals the static semi-join
+    "odata_runtime_prune" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey < 200
+        |   AND o_orderpriority IN ('1-URGENT', '5-LOW')
         | ORDER BY o_orderkey""".stripMargin,
 
     // the filter must act BEFORE aggregation (WHERE semantics) — a

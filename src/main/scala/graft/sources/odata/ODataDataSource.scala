@@ -509,10 +509,63 @@ class ODataScan(schema: StructType, opts: ODataOptions,
                 structureField: Option[String],
                 pushedAgg: Option[ODataPushedAgg] = None,
                 pushedIn: Seq[(String, Seq[String])] = Seq.empty)
-  extends Scan with Batch with Logging {
+  extends Scan with Batch with SupportsRuntimeV2Filtering with Logging {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** RUNTIME filtering (the DSv2 dynamic-partition-pruning hook): a
+    * join whose other side broadcasts hands this scan the build side's
+    * actual key set at EXECUTION time, and chains plan for exactly
+    * those structure values — the join-driven analogue of the static
+    * IN pushdown, and at tenant scale the difference between fetching
+    * every value chain and fetching the handful the join can match.
+    * Runtime predicates are semantically REDUNDANT (the join
+    * re-checks), so the merge may only ever prune: values INTERSECT
+    * any compile-time constraint, an untranslatable predicate is
+    * ignored, and a structure-less scan ignores them entirely.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (pushedAgg.isDefined) Array.empty
+    else structureField.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f)).toArray
+
+  // None = no runtime constraint; Some(values) = structure values the
+  // join can still match (possibly empty — a provably-empty join)
+  @volatile private var runtimeValues: Option[Set[String]] = None
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sf = structureField.getOrElse(return)
+    def litStr(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: V2Literal[_] if l.dataType() == StringType =>
+          Option(l.value()).map(String.valueOf)
+        case _ => None
+      }
+    def colIsSf(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames().sameElements(Array(sf))
+        case _ => false
+      }
+    val sets = predicates.toSeq.flatMap { p =>
+      (p.name(), p.children()) match {
+        case ("IN", Array(ref, vals @ _*))
+            if colIsSf(ref) && vals.forall(litStr(_).isDefined) =>
+          Some(vals.flatMap(litStr).toSet)
+        case ("=", Array(ref, l)) if colIsSf(ref) && litStr(l).isDefined =>
+          Some(Set(litStr(l).get))
+        case ("=", Array(l, ref)) if colIsSf(ref) && litStr(l).isDefined =>
+          Some(Set(litStr(l).get))
+        case _ => None // untranslatable runtime predicate — ignore (redundant)
+      }
+    }
+    if (sets.nonEmpty) {
+      val merged = sets.reduce(_ intersect _)
+      runtimeValues = Some(runtimeValues.fold(merged)(_ intersect merged))
+      planned = null // re-plan with the runtime constraint
+      logInfo(s"odata runtime filter: $sf pruned to ${merged.size} values")
+    }
+  }
   override def description(): String =
     s"ODataScan(entity=${opts.entity}, select=${schema.fieldNames.mkString(",")}, " +
       s"filter=${ODataFilters.render(pushedEq, pushedIn).mkString(" and ")}, top=$limit, " +
@@ -533,11 +586,15 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     * between plans of the same query. One scan = one tiling. (A new
     * ACTION builds a new scan and re-counts — the usual live-server
     * snapshot caveat; within-range drift is caught at read time by
-    * the range reader's row-count check.)
+    * the range reader's row-count check.) A runtime [[filter]]
+    * invalidates the cache — that is the one legitimate re-plan.
     */
-  private lazy val plannedPartitions: Array[InputPartition] = planPartitions()
+  @volatile private var planned: Array[InputPartition] = null
 
-  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (planned == null) planned = planPartitions()
+    planned
+  }
 
   private def planPartitions(): Array[InputPartition] = {
     // a pushed COMPLETE aggregate is one request whose answer is
@@ -567,18 +624,33 @@ class ODataScan(schema: StructType, opts: ODataOptions,
               Some((off, math.min(per, total - off)))): InputPartition).toArray
         } else Array(ODataInputPartition(None, Nil))
       case Some(f) =>
+        // the runtime-filter constraint (see [[filter]]) intersects
+        // every static path: an eq outside it is a provably-empty
+        // scan, an IN/enumeration restricts to the surviving values,
+        // and — the best case — a runtime set with NO static values
+        // replaces the codes enumeration entirely (values absent from
+        // the tenant answer empty chains, same correctness)
+        def restrict(vs: Seq[String]): Seq[String] =
+          runtimeValues.fold(vs)(rv => vs.filter(rv.contains))
+        def bins(vs0: Seq[String]): Array[InputPartition] = {
+          val vs = vs0.distinct.sorted
+          if (vs.isEmpty) return Array.empty
+          val perBin = math.max(1, math.ceil(vs.size.toDouble / opts.maxPartitions).toInt)
+          vs.grouped(perBin)
+            .map(b => ODataInputPartition(Some(f), b): InputPartition).toArray
+        }
         pushedEq.find(_._1 == f) match {
           case Some((_, v)) =>
-            Array(ODataInputPartition(Some(f), Seq(v))) // partition pruning
+            if (restrict(Seq(v)).isEmpty) Array.empty
+            else Array(ODataInputPartition(Some(f), Seq(v))) // partition pruning
           case None => pushedIn.find(_._1 == f) match {
           case Some((_, vs0)) =>
             // chains for exactly the IN values: a value absent from
             // the tenant simply answers an empty chain. Bin like the
             // enumerated path so a huge picker list stays bounded.
-            val vs = vs0.distinct.sorted
-            val perBin = math.max(1, math.ceil(vs.size.toDouble / opts.maxPartitions).toInt)
-            vs.grouped(perBin)
-              .map(b => ODataInputPartition(Some(f), b): InputPartition).toArray
+            bins(restrict(vs0))
+          case None if runtimeValues.isDefined =>
+            bins(runtimeValues.get.toSeq)
           case None =>
             val url = ODataClient.buildUrl(opts.entityUrl(opts.codesEntity), Seq(
               "$select" -> f, "$top" -> opts.pageSize.toString, "$format" -> "json"))

@@ -193,6 +193,35 @@ object ODataSelfServe {
       .orderBy("o_orderpriority")
   }
 
+  /** Runtime-filter (DPP) driver-gate: the odata scan joins a
+    * parquet-backed dim whose selective filter survives optimization,
+    * so Spark inserts a dynamic-pruning subquery and the broadcast
+    * build side's key set reaches
+    * `ODataScan.filter` (SupportsRuntimeV2Filtering) at execution —
+    * value chains plan for exactly the join's surviving priorities.
+    * The oracle replays the equivalent join as a static IN, so a
+    * pruning bug that drops or duplicates chains breaks the hash.
+    */
+  def runtimePruneScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority").as("grp")).distinct()
+      .where(col("grp").isin("1-URGENT", "5-LOW"))
+    val fact = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .load()
+    fact.join(broadcast(dim), fact("O_PRIORITY") === dim("grp"))
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   // header+items+customer stub for the $expand gate: Orders carry a
   // single-valued Customer nav and a collection Items nav, served
   // ONLY when the request $expands them (v4 dialect; values

@@ -1146,6 +1146,38 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("runtime filtering (DPP): a broadcast join's key set prunes the planned value chains at execution") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      // dim with a SELECTIVE filter (DPP's precondition — note it must
+      // SURVIVE optimization as a Filter node, which a folded-away
+      // local Seq would not) that keeps one key; the broadcast join's
+      // build-side key set reaches the scan through
+      // SupportsRuntimeV2Filtering.filter at execution
+      val dim = spark.range(3)
+        .select(concat(lit("STRUCT"), col("id").cast("string")).as("grp"),
+          when(col("id") === 1, "keep").otherwise("drop").as("label"))
+      val fact = read(srv)
+      val joined = fact
+        .join(broadcast(dim.where(col("label") === "keep")),
+          fact("C0CHAR_STRUCTURE") === dim("grp"))
+      assert(joined.queryExecution.optimizedPlan.toString.contains("dynamicpruning"),
+        joined.queryExecution.optimizedPlan.toString)
+      val rows = joined.select("CEMPLOYEE_UUID").as[String].collect().toSet
+      assert(rows == Set("1", "4", "7"))
+      // only the surviving value's chain may have been fetched: no
+      // request for STRUCT0/STRUCT2 chains anywhere in the log
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      val chainReqs = decoded.filter(_.contains("$filter="))
+      assert(chainReqs.nonEmpty && chainReqs.forall(_.contains("STRUCT1")),
+        s"runtime filter must prune chains to the join's key set: $decoded")
+      // (one codes-entity enumeration still runs: Spark plans the
+      // ORIGINAL partitions for outputPartitioning before applying
+      // runtime filters — a control-plane request; the DATA chains
+      // above are what the pruning collapses)
+    } finally srv.stop()
+  }
+
   test("\\$expand strictness: unknown nav 400s loudly; declared cardinality mismatch fails fast; bad specs rejected") {
     val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
       dialect = "v4", navProps = navFixture(3)).start()
