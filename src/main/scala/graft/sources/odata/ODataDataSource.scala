@@ -509,10 +509,44 @@ class ODataScan(schema: StructType, opts: ODataOptions,
                 structureField: Option[String],
                 pushedAgg: Option[ODataPushedAgg] = None,
                 pushedIn: Seq[(String, Seq[String])] = Seq.empty)
-  extends Scan with Batch with SupportsRuntimeV2Filtering with Logging {
+  extends Scan with Batch with SupportsRuntimeV2Filtering
+  with SupportsReportStatistics with Logging {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Planner statistics from one filtered `/$count` (option-gated —
+    * see ODataOptions.reportStatistics): row count exact at count
+    * time, size = rows × the read schema's Spark default width (the
+    * same estimate a LocalRelation reports — conservative enough that
+    * a "small" answer really is broadcastable). Cached per scan; a
+    * pushed-complete aggregate reports unknown (|groups| is not
+    * knowable without running the aggregate), as does any count
+    * failure — statistics must never fail a plan.
+    */
+  private lazy val reportedStats: (java.util.OptionalLong, java.util.OptionalLong) =
+    if (!opts.reportStatistics || pushedAgg.isDefined)
+      (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+    else try {
+      val filters = ODataFilters.render(pushedEq, pushedIn)
+      val countUrl = ODataClient.buildUrl(
+        opts.entityUrl(opts.entity) + "/$count",
+        if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
+      val rows = ODataClient.getWithRetry(countUrl, opts.user, opts.password,
+        opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs).trim.toLong
+      val width = math.max(schema.defaultSize, 1)
+      (java.util.OptionalLong.of(math.max(rows, 1L) * width),
+        java.util.OptionalLong.of(rows))
+    } catch {
+      case e: Exception =>
+        logWarning(s"odata statistics /$$count failed — reporting unknown: ${e.getMessage}")
+        (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+    }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = reportedStats._1
+    override def numRows(): java.util.OptionalLong = reportedStats._2
+  }
 
   /** RUNTIME filtering (the DSv2 dynamic-partition-pruning hook): a
     * join whose other side broadcasts hands this scan the build side's
@@ -527,8 +561,13 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     */
   override def filterAttributes(): Array[NamedReference] =
     if (pushedAgg.isDefined) Array.empty
-    else structureField.map(f =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(f)).toArray
+    // only when the column SURVIVED pruning: Spark resolves these refs
+    // against the scan's output and FAILS THE PLAN (not just the
+    // pruning) on a miss — a join on other columns must not die
+    // because the structure field was projected away
+    else structureField.filter(schema.fieldNames.contains)
+      .map(f =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f)).toArray
 
   // None = no runtime constraint; Some(values) = structure values the
   // join can still match (possibly empty — a provably-empty join)

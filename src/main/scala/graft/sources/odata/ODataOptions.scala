@@ -131,6 +131,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                     join for denormalized extraction; the join
   *                     runs server-side where the association index
   *                     already exists.
+  * @param reportStatistics report row-count/size statistics to Spark's
+  *                     planner from one `/$count` request (carrying any
+  *                     pushed `$filter`) — what lets Catalyst
+  *                     AUTO-broadcast a small OData dimension in a
+  *                     join instead of shuffling the big side, the
+  *                     same planning leverage JDBC gets from table
+  *                     stats. Default FALSE: every fresh plan issues
+  *                     one extra HTTP request, so the tenant operator
+  *                     opts in. Size estimate = rows × a conservative
+  *                     per-row width derived from the read schema
+  *                     (pessimistic beats an OOM'd broadcast). A
+  *                     pushed-complete aggregate reports unknown (the
+  *                     server-side |groups| is not knowable without
+  *                     running the aggregate).
   * @param expandStyle  `v4` (default): nested `$select` inside the
   *                     expand — `$expand=Nav($select=F1,F2)` (OData
   *                     v4.0 §5.1.2). `v2`: the v2 dialect has no
@@ -166,7 +180,8 @@ case class ODataOptions(
     skipRangePartitions: Int,
     skipRangeOrderKey: Option[String],
     expands: Seq[ExpandSpec] = Nil,
-    expandStyle: String = "v4") {
+    expandStyle: String = "v4",
+    reportStatistics: Boolean = false) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -279,6 +294,7 @@ object ODataOptions {
       skipRangePartitions = skipRangePartitions0,
       skipRangeOrderKey = skipRangeOrderKey0,
       expands = expands0,
-      expandStyle = expandStyle0)
+      expandStyle = expandStyle0,
+      reportStatistics = m.getOrElse("reportStatistics", "false").toBoolean)
   }
 }

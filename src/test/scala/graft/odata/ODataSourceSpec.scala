@@ -1146,6 +1146,31 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("reportStatistics: a /\\$count-backed row estimate lets Catalyst AUTO-broadcast the odata dim") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      // a fact too big to broadcast (3M rows × ~28B estimated ≫ the
+      // 10MB threshold) joined to the 9-row odata dim with NO hint:
+      // with statistics the planner broadcasts the ODATA side on its
+      // own (BuildRight)
+      def fact = spark.range(3000000)
+        .select((col("id") % 9).cast("string").as("CEMPLOYEE_UUID"),
+          col("id").as("v"))
+      val dim = read(srv, Map("reportStatistics" -> "true"))
+      val joined = fact.join(dim, Seq("CEMPLOYEE_UUID"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
+        plan)
+      assert(joined.count() == 3000000)
+      // without the option: unknown stats → default (huge) size on the
+      // odata side and an unbroadcastable fact, so the same UNHINTED
+      // join must not broadcast anything
+      val plan2 = fact.join(read(srv), Seq("CEMPLOYEE_UUID"))
+        .queryExecution.sparkPlan.toString
+      assert(!plan2.contains("BroadcastHashJoin"), plan2)
+    } finally srv.stop()
+  }
+
   test("runtime filtering (DPP): a broadcast join's key set prunes the planned value chains at execution") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
