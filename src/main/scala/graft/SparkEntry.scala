@@ -6127,6 +6127,14 @@ object SparkEntry {
     "odata_delta_sync" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.deltaSync(s, dir)),
 
+    // streaming CDC over the same change-tracking fixture: the
+    // odata-delta Structured Streaming source emits batch 0 = tracked
+    // initial read, batch 1 = the delta round's upserts + @removed
+    // deletes; the raw CDC row multiset must equal the oracle's
+    // three-slice UNION ALL
+    "odata_delta_stream" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.deltaStreamScan(s, dir)),
+
     // seed-then-track: the link-FIRST key-only tracked walk + parallel
     // skip-range seed + first delta round converge to the same truth
     // as the sequential initial materialization — the big-tenant
@@ -14328,6 +14336,26 @@ object SparkEntry {
         | o_orderpriority FROM orders
         | WHERE o_orderkey >= 50 AND o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,
+
+    // the CDC stream's raw rows: initial snapshot (stale [50,100)
+    // priorities), the delta round's true upserts for [50,100) and
+    // [150,200), and key-only deletes for [0,50)
+    "odata_delta_stream" ->
+      """SELECT * FROM (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey >= 50 AND o_orderkey < 100 THEN '0-STALE'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    'upsert' AS _change
+        |  FROM orders WHERE o_orderkey < 150
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority,
+        |    'upsert'
+        |  FROM orders WHERE (o_orderkey >= 50 AND o_orderkey < 100)
+        |     OR (o_orderkey >= 150 AND o_orderkey < 200)
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), NULL, NULL, 'delete'
+        |  FROM orders WHERE o_orderkey < 50
+        |) ORDER BY CAST(o_orderkey AS BIGINT), _change, o_orderpriority""".stripMargin,
 
     // the seeded path must converge to the SAME truth as the
     // sequential initial materialization

@@ -404,6 +404,45 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey").cast("long"))
   }
 
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming CDC driver-gate: the `odata-delta` Structured
+    * Streaming source rides the SAME change-tracking fixture as
+    * [[deltaSync]] — batch 0 is the tracked initial read (stale
+    * [50,100) rows included), batch 1 the delta round's upserts and
+    * `@removed` deletes. The memory sink accumulates the raw CDC rows
+    * and the oracle replays all three slices as a UNION ALL, so an
+    * offset bug (skipped round, re-run initial read, duplicated
+    * batch), a mis-flagged `_change`, or a dropped removal changes the
+    * row multiset and breaks the hash. Fresh checkpoint per
+    * invocation = deterministic.
+    */
+  def deltaStreamScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = deltaServerFor(spark, dir)
+    val name = s"graft_odata_cdc_${streamRuns.incrementAndGet()}"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/$name/ckpt"
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val q = spark.readStream.format("odata-delta")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS,O_PRIORITY")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"),
+        col("_change"))
+      .orderBy(col("o_orderkey").cast("long"), col("_change"),
+        col("o_orderpriority"))
+  }
+
   // second stub, same slice, but the 3-MEDIUM value chain is poisoned
   // (every filtered request for it returns 500)
   private val partialServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]

@@ -955,6 +955,55 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("odata-delta stream: micro-batches ride the delta links, CDC rows exact, restart resumes from the checkpoint") {
+    val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED", "CEMPLOYEE_UUID" -> "1")
+    val addV1 = Map("TEMPLOYEE_UUID" -> "Employee 9 DRAFT",
+      "CEMPLOYEE_UUID" -> "9", "KCLEAVERS" -> "1")
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", serverPageSize = 4, // initial read paginates
+      deltaBatches = Seq((Seq(upd, addV1), Seq("0", "2"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_stream"
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      // parquet sink: supports checkpoint RECOVERY (memory does not),
+      // so the restart leg is the real resume path
+      def run(): Unit = {
+        val q = spark.readStream.format("odata-delta")
+          .option("baseUrl", srv.url)
+          .option("servicePath", "svc")
+          .option("entity", "EmployeeQueryResults")
+          .option("selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      val rows = spark.read.parquet(out)
+        .select("CEMPLOYEE_UUID", "_change", "TEMPLOYEE_UUID")
+        .as[(String, String, String)].collect().toSeq
+      // batch 0: 6 initial upserts; batch 1: 2 upserts + 2 deletes
+      assert(rows.size == 10, rows.mkString("\n"))
+      assert(rows.count(_._2 == "delete") == 2)
+      assert(rows.filter(_._2 == "delete").map(_._1).toSet == Set("0", "2"))
+      assert(rows.filter(_._2 == "delete").forall(_._3 == null),
+        "a delete carries only the key")
+      assert(rows.contains(("1", "upsert", "Employee 1 RENAMED")))
+      assert(rows.contains(("9", "upsert", "Employee 9 DRAFT")))
+      // restart from the SAME checkpoint: the stable past-the-end
+      // token answers an empty round — no new batch, no duplicates,
+      // no re-run of the initial read
+      run()
+      assert(spark.read.parquet(out).count() == 10,
+        "an empty delta round must not produce a batch on restart")
+    } finally srv.stop()
+  }
+
   test("delta sync: an interrupted table swap self-heals on the next round") {
     import graft.sources.odata.{ODataDelta, ODataOptions}
     val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
