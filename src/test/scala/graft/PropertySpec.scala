@@ -17,6 +17,38 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("BinaryInt: encode/decode identity on random declarations; magnitude overflow decodes null") {
+    import org.apache.spark.sql.types.Decimal
+    val gen = for {
+      p <- Gen.choose(1, 18)
+      s <- Gen.choose(0, p)
+      // unscaled magnitude within the declared digits
+      lim = (BigInt(10).pow(p) - 1).min(BigInt(Long.MaxValue)).toLong
+      v <- Gen.choose(-lim, lim)
+    } yield (p, s, v)
+    for ((p, s, v) <- samples(gen, 400)) {
+      val d = Decimal(v, p, s)
+      val bytes = graft.plans.BinaryInt.encode(d, p)
+      assert(bytes.length == graft.plans.BinaryInt.bytesFor(p))
+      val back = graft.plans.BinaryInt.decode(bytes, p, s)
+      assert(back != null && back.toUnscaledLong == v && back.scale == s,
+        s"p=$p s=$s v=$v -> $back")
+    }
+    // every in-storage-but-over-declaration magnitude decodes NULL
+    val over = for {
+      p <- Gen.choose(1, 9) // storage headroom exists below 10 digits
+      bits = graft.plans.BinaryInt.bytesFor(p) * 8 - 1
+      lim = BigInt(10).pow(p).toLong
+      v <- Gen.choose(lim, (BigInt(2).pow(bits) - 1).toLong)
+    } yield (p, v)
+    for ((p, v) <- samples(over, 200)) {
+      val n = graft.plans.BinaryInt.bytesFor(p)
+      val bytes = (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+      assert(graft.plans.BinaryInt.decode(bytes, p, 0) == null,
+        s"p=$p v=$v must exceed the declaration")
+    }
+  }
+
   test("quote escape round-trips through the stub server's unescape") {
     for (s <- samples(Gen.asciiPrintableStr, 200)) {
       val escaped = odataQuoteEscape(s)
