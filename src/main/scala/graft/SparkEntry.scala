@@ -6157,6 +6157,13 @@ object SparkEntry {
     "odata_in_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.inScan(s, dir)),
 
+    // gzip transport: the same slice served Content-Encoding: gzip
+    // (negotiated — the stub compresses only because the client
+    // offered) must decode to the identical rows; requests-parity
+    // (the reference's HTTP client offers gzip by default)
+    "odata_gzip" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.gzipScan(s, dir)),
+
     // runtime filtering (SupportsRuntimeV2Filtering / DPP): the
     // broadcast join's build-side key set prunes the planned value
     // chains at EXECUTION time — the join-driven analogue of the
@@ -14378,6 +14385,13 @@ object SparkEntry {
         | o_orderpriority FROM orders
         | WHERE o_orderkey < 200
         |   AND o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // gzip is representation-invisible
+    "odata_gzip" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,
 
     // the runtime-pruned join equals the static semi-join

@@ -46,13 +46,23 @@ object ODataClient {
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
       conn.setRequestProperty("Accept", "application/json")
+      // the reference's HTTP client (python-requests) sends
+      // Accept-Encoding: gzip by default and auto-decompresses — NOT
+      // offering it was a parity gap, and JSON feeds compress ~10×,
+      // so at tenant scale this is most of the transfer. A server
+      // that cannot gzip lawfully ignores the offer.
+      conn.setRequestProperty("Accept-Encoding", "gzip")
       extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       for (u <- user; p <- password) {
         val tok = Base64.getEncoder.encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
         conn.setRequestProperty("Authorization", s"Basic $tok")
       }
       val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val stream0 = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val stream =
+        if (stream0 != null && "gzip".equalsIgnoreCase(conn.getContentEncoding))
+          new java.util.zip.GZIPInputStream(stream0)
+        else stream0
       val body =
         if (stream == null) ""
         else new String(stream.readAllBytes(), StandardCharsets.UTF_8)

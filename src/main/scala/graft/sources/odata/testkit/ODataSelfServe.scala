@@ -193,6 +193,47 @@ object ODataSelfServe {
       .orderBy("o_orderpriority")
   }
 
+  private val gzipServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  /** Gzip-transport driver-gate: the SAME slice as [[scan]] served
+    * with `Content-Encoding: gzip` (only because the client offered
+    * it — the stub enforces the negotiation) must decode to the
+    * identical row set. A transport bug (missing offer, skipped
+    * inflate, double inflate) breaks the parse or the hash; at tenant
+    * scale gzip is ~10× of the JSON transfer.
+    */
+  def gzipScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = gzipServers.getOrElseUpdate(dir, {
+      val rows = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("string").as("O_ORDERKEY"),
+          col("o_orderstatus").as("O_STATUS"),
+          col("o_orderpriority").as("O_PRIORITY"))
+        .collect()
+        .map(r => Map(
+          "O_ORDERKEY" -> r.getString(0),
+          "O_STATUS" -> r.getString(1),
+          "O_PRIORITY" -> r.getString(2)))
+        .toSeq
+      new ODataStubServer(rows, "O_PRIORITY",
+        badCandidates = Set("OBAD_STRUCT"), serverPageSize = 50,
+        gzipResponses = true).start()
+    })
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   /** Runtime-filter (DPP) driver-gate: the odata scan joins a
     * parquet-backed dim whose selective filter survives optimization,
     * so Spark inserts a dynamic-pruning subquery and the broadcast

@@ -47,7 +47,15 @@ class ODataStubServer(
     // values are served ONLY when the request carries $expand — never
     // spilled — and projected by the nested $select (v4) or the
     // parent's Nav/Field path selects (v2 conventions).
-    navProps: Map[String, StubNav] = Map.empty) {
+    navProps: Map[String, StubNav] = Map.empty,
+    // serve gzip-compressed bodies — but ONLY when the request offered
+    // Accept-Encoding: gzip (the lawful content-negotiation contract;
+    // a stub that gzips unconditionally would mask a client that
+    // forgot to offer)
+    gzipResponses: Boolean = false) {
+
+  /** How many responses actually went out gzip-compressed. */
+  val gzipServed = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
   private val rateLimitLeft = new java.util.concurrent.atomic.AtomicInteger(rateLimitFirst)
@@ -65,7 +73,18 @@ class ODataStubServer(
     } + "\""
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val plain = body.getBytes(StandardCharsets.UTF_8)
+    val offered = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.contains("gzip"))
+    val bytes =
+      if (gzipResponses && offered) {
+        gzipServed.incrementAndGet()
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        bos.toByteArray
+      } else plain
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length)
     ex.getResponseBody.write(bytes)

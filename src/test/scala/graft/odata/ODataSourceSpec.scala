@@ -1195,6 +1195,17 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("gzip transport: the client offers Accept-Encoding and decodes compressed bodies transparently") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      gzipResponses = true).start()
+    try {
+      val got = read(srv).select("CEMPLOYEE_UUID").as[String].collect().toSet
+      assert(got == (0 until 9).map(_.toString).toSet)
+      assert(srv.gzipServed.get() > 0,
+        "the stub must have actually served gzip bodies")
+    } finally srv.stop()
+  }
+
   test("reportStatistics: a /\\$count-backed row estimate lets Catalyst AUTO-broadcast the odata dim") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
