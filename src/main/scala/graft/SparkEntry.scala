@@ -6157,6 +6157,12 @@ object SparkEntry {
     "odata_in_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.inScan(s, dir)),
 
+    // OAuth2 client-credentials: the same slice behind a token
+    // endpoint with deliberately short-lived tokens, so the scan
+    // forces at least one transparent mid-scan re-auth
+    "odata_oauth" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.oauthScan(s, dir)),
+
     // gzip transport: the same slice served Content-Encoding: gzip
     // (negotiated — the stub compresses only because the client
     // offered) must decode to the identical rows; requests-parity
@@ -14385,6 +14391,13 @@ object SparkEntry {
         | o_orderpriority FROM orders
         | WHERE o_orderkey < 200
         |   AND o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // auth is representation-invisible
+    "odata_oauth" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,
 
     // gzip is representation-invisible

@@ -17,6 +17,74 @@ object ODataClient {
 
   private val mapper = new ObjectMapper()
 
+  /** OAuth2 client-credentials config (SAP-style API access: a token
+    * endpoint exchanges the client id/secret for a short-lived bearer
+    * token). Carried alongside basic auth; when present it WINS.
+    */
+  final case class OAuthConfig(tokenUrl: String, clientId: String,
+                               clientSecret: String)
+
+  // one cached token per (tokenUrl, clientId), shared by every task
+  // thread in the JVM; value = (token, fetchedAtMs, expiresInMs)
+  private val tokenCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Long, Long)]
+
+  /** Current bearer token for `cfg`, fetching via the
+    * client-credentials grant when absent or ≥80% through its
+    * lifetime. `invalidate` drops a token the server just 401'd
+    * (expiry clocks disagree; the server is right) so the retry
+    * fetches fresh.
+    */
+  def bearerToken(cfg: OAuthConfig, timeoutMs: Int,
+                  invalidate: Option[String] = None): String = {
+    val key = (cfg.tokenUrl, cfg.clientId)
+    invalidate.foreach { bad =>
+      tokenCache.get(key).filter(_._1 == bad).foreach(_ => tokenCache.remove(key))
+    }
+    tokenCache.get(key) match {
+      case Some((tok, at, ttl)) if System.currentTimeMillis() - at < ttl * 8 / 10 =>
+        tok
+      case _ =>
+        val body = Seq(
+          "grant_type" -> "client_credentials",
+          "client_id" -> cfg.clientId,
+          "client_secret" -> cfg.clientSecret)
+          .map { case (k, v) =>
+            URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8") }
+          .mkString("&")
+        val conn = new URI(cfg.tokenUrl).toURL.openConnection()
+          .asInstanceOf[HttpURLConnection]
+        val resp = try {
+          conn.setRequestMethod("POST")
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+          conn.setRequestProperty("Accept", "application/json")
+          val out = conn.getOutputStream
+          try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+          val status = conn.getResponseCode
+          val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+          val text =
+            if (stream == null) ""
+            else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+          if (status < 200 || status >= 300)
+            throw new ODataHttpException(status, cfg.tokenUrl, text)
+          text
+        } finally conn.disconnect()
+        val node = mapper.readTree(resp)
+        val tok = Option(node.get("access_token")).map(_.asText())
+          .filter(_.nonEmpty)
+          .getOrElse(throw new IllegalStateException(
+            s"oauth token endpoint returned no access_token: ${resp.take(200)}"))
+        val ttlMs = Option(node.get("expires_in")).map(_.asLong() * 1000L)
+          .filter(_ > 0).getOrElse(3600 * 1000L)
+        tokenCache.put((cfg.tokenUrl, cfg.clientId),
+          (tok, System.currentTimeMillis(), ttlMs))
+        tok
+    }
+  }
+
   final case class Response(status: Int, body: String,
                             retryAfterMs: Option[Long] = None)
 
@@ -39,7 +107,8 @@ object ODataClient {
   }
 
   def get(url: String, user: Option[String], password: Option[String],
-          timeoutMs: Int, extraHeaders: Seq[(String, String)] = Nil): Response = {
+          timeoutMs: Int, extraHeaders: Seq[(String, String)] = Nil,
+          oauth: Option[OAuthConfig] = None): Response = {
     val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setRequestMethod("GET")
@@ -53,9 +122,15 @@ object ODataClient {
       // that cannot gzip lawfully ignores the offer.
       conn.setRequestProperty("Accept-Encoding", "gzip")
       extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      for (u <- user; p <- password) {
-        val tok = Base64.getEncoder.encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
-        conn.setRequestProperty("Authorization", s"Basic $tok")
+      oauth match {
+        case Some(cfg) =>
+          conn.setRequestProperty("Authorization",
+            s"Bearer ${bearerToken(cfg, timeoutMs)}")
+        case None =>
+          for (u <- user; p <- password) {
+            val tok = Base64.getEncoder.encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
+            conn.setRequestProperty("Authorization", s"Basic $tok")
+          }
       }
       val status = conn.getResponseCode
       val stream0 = if (status >= 400) conn.getErrorStream else conn.getInputStream
@@ -97,23 +172,36 @@ object ODataClient {
     */
   def getWithRetry(url: String, user: Option[String], password: Option[String],
                    timeoutMs: Int, maxRetries: Int, backoffMs: Long,
-                   extraHeaders: Seq[(String, String)] = Nil): String = {
+                   extraHeaders: Seq[(String, String)] = Nil,
+                   oauth: Option[OAuthConfig] = None): String = {
     var attempt = 0
+    // one transparent re-auth per request: a 401 under oauth means the
+    // cached token outlived its server-side validity (clocks disagree;
+    // the server is right) — drop it and retry once with a fresh
+    // grant. A second 401 is a real credential problem and surfaces.
+    var reauthed = false
     while (true) {
       var retryAfterMs: Option[Long] = None
       try {
-        val r = get(url, user, password, timeoutMs, extraHeaders)
+        val r = get(url, user, password, timeoutMs, extraHeaders, oauth)
         if (r.status >= 200 && r.status < 300) return r.body
-        val retryable = r.status >= 500 || r.status == 429
-        if (!retryable || attempt >= maxRetries)
-          throw new ODataHttpException(r.status, url, r.body)
-        retryAfterMs = r.retryAfterMs
+        if (r.status == 401 && oauth.isDefined && !reauthed) {
+          reauthed = true
+          oauth.foreach(cfg => tokenCache.remove((cfg.tokenUrl, cfg.clientId)))
+        } else {
+          val retryable = r.status >= 500 || r.status == 429
+          if (!retryable || attempt >= maxRetries)
+            throw new ODataHttpException(r.status, url, r.body)
+          retryAfterMs = r.retryAfterMs
+          Thread.sleep(retryAfterMs.getOrElse(backoffMs * (1L << attempt)))
+          attempt += 1
+        }
       } catch {
         case e: ODataHttpException => throw e
-        case _: java.io.IOException if attempt < maxRetries => // retry
+        case _: java.io.IOException if attempt < maxRetries =>
+          Thread.sleep(backoffMs * (1L << attempt))
+          attempt += 1
       }
-      Thread.sleep(retryAfterMs.getOrElse(backoffMs * (1L << attempt)))
-      attempt += 1
     }
     throw new IllegalStateException("unreachable")
   }

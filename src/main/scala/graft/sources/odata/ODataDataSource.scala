@@ -100,7 +100,8 @@ object ODataSchema extends Logging {
     opts.structureCandidates.foreach { cand =>
       val url = ODataClient.buildUrl(base, Seq(
         "$select" -> cand, "$top" -> "1", "$format" -> "json"))
-      val r = ODataClient.get(url, opts.user, opts.password, opts.timeoutMs)
+      val r = ODataClient.get(url, opts.user, opts.password, opts.timeoutMs,
+        oauth = opts.oauth)
       if (r.status >= 200 && r.status < 300) return Some(cand)
       else if (r.status == 404 && ODataClient.missingSegment(r.body).isDefined)
         logInfo(s"odata probe: candidate '$cand' absent, trying next")
@@ -533,7 +534,8 @@ class ODataScan(schema: StructType, opts: ODataOptions,
         opts.entityUrl(opts.entity) + "/$count",
         if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
       val rows = ODataClient.getWithRetry(countUrl, opts.user, opts.password,
-        opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs).trim.toLong
+        opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs,
+        oauth = opts.oauth).trim.toLong
       val width = math.max(schema.defaultSize, 1)
       (java.util.OptionalLong.of(math.max(rows, 1L) * width),
         java.util.OptionalLong.of(rows))
@@ -654,7 +656,8 @@ class ODataScan(schema: StructType, opts: ODataOptions,
             opts.entityUrl(opts.entity) + "/$count",
             if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
           val total = ODataClient.getWithRetry(countUrl, opts.user, opts.password,
-            opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs).trim.toLong
+            opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs,
+            oauth = opts.oauth).trim.toLong
           if (total == 0) return Array.empty[InputPartition]
           val n = math.min(opts.skipRangePartitions.toLong, total)
           val per = (total + n - 1) / n
@@ -696,12 +699,12 @@ class ODataScan(schema: StructType, opts: ODataOptions,
             val keys = scala.collection.mutable.TreeSet.empty[String]
             var page = ODataClient.parsePage(ODataClient.getWithRetry(
               url, opts.user, opts.password, opts.timeoutMs,
-              opts.maxRetries, opts.retryBackoffMs))
+              opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
             keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
             while (page.nextLink.isDefined) {
               page = ODataClient.parsePage(ODataClient.getWithRetry(
                 page.nextLink.get, opts.user, opts.password, opts.timeoutMs,
-                opts.maxRetries, opts.retryBackoffMs))
+                opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
               keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
             }
             if (keys.isEmpty) {
@@ -754,7 +757,7 @@ class ODataAggPartitionReader(agg: ODataPushedAgg, opts: ODataOptions)
   private def loadPage(url: String): Unit = {
     val page = ODataClient.parsePage(ODataClient.getWithRetry(
       url, opts.user, opts.password, opts.timeoutMs,
-      opts.maxRetries, opts.retryBackoffMs))
+      opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
     rows = page.rows.iterator
     nextLink = page.nextLink
   }
@@ -926,7 +929,7 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private def loadPage(url: String): Unit = {
     val page = ODataClient.parsePage(ODataClient.getWithRetry(
       url, opts.user, opts.password, opts.timeoutMs,
-      opts.maxRetries, opts.retryBackoffMs))
+      opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
     rows = page.rows.iterator
     nextLink = page.nextLink
   }

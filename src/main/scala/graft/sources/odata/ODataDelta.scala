@@ -116,7 +116,7 @@ object ODataDelta extends Logging {
     while (url.isDefined) {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
-        opts.maxRetries, opts.retryBackoffMs))
+        opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
       if (spilledCount < 0 && buf.size + page.rows.size > threshold) {
         logInfo(s"odata delta sync: feed exceeds $threshold entries — " +
           "spilling to a distributed fold")
@@ -190,7 +190,8 @@ object ODataDelta extends Logging {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs,
-        extraHeaders = Seq("Prefer" -> "odata.track-changes")))
+        extraHeaders = Seq("Prefer" -> "odata.track-changes"),
+        oauth = opts.oauth))
       if (page.deltaLink.isDefined) link = page.deltaLink // last wins
       url = page.nextLink
       if (url.isDefined && opts.requestPauseMs > 0)
@@ -299,7 +300,8 @@ object ODataDelta extends Logging {
             // change tracking is a PREFERENCE the client must state —
             // without this header no lawful v4 server returns a
             // deltaLink (sent on every page: next-links must keep it)
-            extraHeaders = Seq("Prefer" -> "odata.track-changes")))
+            extraHeaders = Seq("Prefer" -> "odata.track-changes"),
+            oauth = opts.oauth))
           require(!page.rows.exists(_.contains("@removed")),
             "odata delta sync: @removed in an initial read")
           if (page.rows.nonEmpty) {

@@ -121,7 +121,8 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs,
-        extraHeaders = Seq("Prefer" -> "odata.track-changes")))
+        extraHeaders = Seq("Prefer" -> "odata.track-changes"),
+        oauth = opts.oauth))
       n += page.rows.size
       if (page.deltaLink.isDefined) link = page.deltaLink
       url = page.nextLink
@@ -180,7 +181,8 @@ class ODataDeltaStreamReader(schema: StructType, opts: ODataOptions,
     val page = ODataClient.parsePage(ODataClient.getWithRetry(
       url, opts.user, opts.password, opts.timeoutMs,
       opts.maxRetries, opts.retryBackoffMs,
-      extraHeaders = Seq("Prefer" -> "odata.track-changes")))
+      extraHeaders = Seq("Prefer" -> "odata.track-changes"),
+      oauth = opts.oauth))
     if (partition.fromLink.isEmpty)
       require(!page.rows.exists(_.contains("@removed")),
         "odata-delta stream: @removed in the initial read")

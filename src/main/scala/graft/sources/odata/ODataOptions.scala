@@ -131,6 +131,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                     join for denormalized extraction; the join
   *                     runs server-side where the association index
   *                     already exists.
+  * @param oauth        OAuth2 client-credentials auth (the SAP API
+  *                     pattern): `authType=oauth` plus `tokenUrl`,
+  *                     `clientId`, `clientSecret` — the client
+  *                     exchanges the credentials for a bearer token at
+  *                     the token endpoint, caches it JVM-wide per
+  *                     (tokenUrl, clientId), refreshes at 80% of
+  *                     `expires_in`, and transparently re-auths ONCE
+  *                     on a 401 (the server's validity clock wins); a
+  *                     second 401 surfaces as a credential error.
+  *                     Default `authType=basic` keeps the reference's
+  *                     Basic-auth parity (etl.py:40-41). When oauth is
+  *                     configured it wins over user/password.
   * @param reportStatistics report row-count/size statistics to Spark's
   *                     planner from one `/$count` request (carrying any
   *                     pushed `$filter`) — what lets Catalyst
@@ -181,7 +193,8 @@ case class ODataOptions(
     skipRangeOrderKey: Option[String],
     expands: Seq[ExpandSpec] = Nil,
     expandStyle: String = "v4",
-    reportStatistics: Boolean = false) {
+    reportStatistics: Boolean = false,
+    oauth: Option[ODataClient.OAuthConfig] = None) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -253,6 +266,17 @@ object ODataOptions {
       throw new IllegalArgumentException(
         s"odata source: extraColumnName '$extraColumnName0' collides with a declared field")
     val expands0 = m.get("expand").map(parseExpands).getOrElse(Nil)
+    val oauth0 = m.getOrElse("authType", "basic") match {
+      case "basic" => None
+      case "oauth" =>
+        def reqO(k: String): String = m.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"odata source: authType=oauth requires option '$k'"))
+        Some(ODataClient.OAuthConfig(
+          reqO("tokenUrl"), reqO("clientId"), reqO("clientSecret")))
+      case other => throw new IllegalArgumentException(
+        s"odata source: authType must be 'basic' or 'oauth', got '$other'")
+    }
     val expandStyle0 = m.getOrElse("expandStyle", "v4") match {
       case v @ ("v4" | "v2") => v
       case other => throw new IllegalArgumentException(
@@ -295,6 +319,7 @@ object ODataOptions {
       skipRangeOrderKey = skipRangeOrderKey0,
       expands = expands0,
       expandStyle = expandStyle0,
-      reportStatistics = m.getOrElse("reportStatistics", "false").toBoolean)
+      reportStatistics = m.getOrElse("reportStatistics", "false").toBoolean,
+      oauth = oauth0)
   }
 }

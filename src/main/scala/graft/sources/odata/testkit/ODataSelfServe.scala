@@ -234,6 +234,53 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey").cast("long"))
   }
 
+  private val oauthServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  /** OAuth2 driver-gate: the SAME slice as [[scan]] behind a
+    * client-credentials token endpoint, with tokens deliberately
+    * short-lived (4 requests) so the gate's probe+enumeration+chains
+    * FORCE at least one mid-scan 401 → transparent re-grant. An auth
+    * bug (missing bearer, no re-auth, token in the URL) fails the scan
+    * or the hash.
+    */
+  def oauthScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = oauthServers.getOrElseUpdate(dir, {
+      val rows = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("string").as("O_ORDERKEY"),
+          col("o_orderstatus").as("O_STATUS"),
+          col("o_orderpriority").as("O_PRIORITY"))
+        .collect()
+        .map(r => Map(
+          "O_ORDERKEY" -> r.getString(0),
+          "O_STATUS" -> r.getString(1),
+          "O_PRIORITY" -> r.getString(2)))
+        .toSeq
+      new ODataStubServer(rows, "O_PRIORITY",
+        badCandidates = Set("OBAD_STRUCT"), serverPageSize = 50,
+        oauthCreds = Some(("graft-extract", "graft-secret")),
+        tokenValidRequests = 4).start()
+    })
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("authType", "oauth")
+      .option("tokenUrl", s"${srv.url}/token")
+      .option("clientId", "graft-extract")
+      .option("clientSecret", "graft-secret")
+      .option("failFast", "true")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   /** Runtime-filter (DPP) driver-gate: the odata scan joins a
     * parquet-backed dim whose selective filter survives optimization,
     * so Spark inserts a dynamic-pruning subquery and the broadcast

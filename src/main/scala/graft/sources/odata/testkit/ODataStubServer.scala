@@ -52,10 +52,23 @@ class ODataStubServer(
     // Accept-Encoding: gzip (the lawful content-negotiation contract;
     // a stub that gzips unconditionally would mask a client that
     // forgot to offer)
-    gzipResponses: Boolean = false) {
+    gzipResponses: Boolean = false,
+    // OAuth2 client-credentials: when set, /token exchanges these
+    // (clientId, clientSecret) for a bearer token and every DATA
+    // request must carry a LIVE one — each token answers at most
+    // tokenValidRequests requests, then 401s (forcing the client's
+    // transparent re-auth); wrong creds 401 at the token endpoint
+    oauthCreds: Option[(String, String)] = None,
+    tokenValidRequests: Int = Int.MaxValue) {
 
   /** How many responses actually went out gzip-compressed. */
   val gzipServed = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** How many token grants the /token endpoint issued. */
+  val tokensIssued = new java.util.concurrent.atomic.AtomicInteger(0)
+  // live tokens → remaining request budget
+  private val liveTokens =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicInteger]
 
   private val transientLeft = new java.util.concurrent.atomic.AtomicInteger(transientFailures)
   private val rateLimitLeft = new java.util.concurrent.atomic.AtomicInteger(rateLimitFirst)
@@ -152,6 +165,32 @@ class ODataStubServer(
   private def handle(ex: HttpExchange): Unit = {
     val q = parseQuery(ex.getRequestURI.getRawQuery)
     requestLog :+= ex.getRequestURI.toString
+
+    // OAuth token endpoint: POST form client-credentials grant
+    if (oauthCreds.isDefined && ex.getRequestURI.getPath.endsWith("/token")) {
+      val form = parseQuery(new String(
+        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val ok = ex.getRequestMethod == "POST" &&
+        form.get("grant_type").contains("client_credentials") &&
+        oauthCreds.contains((form.getOrElse("client_id", ""),
+          form.getOrElse("client_secret", "")))
+      if (!ok) { respond(ex, 401, """{"error": "invalid_client"}"""); return }
+      val tok = s"tok-${tokensIssued.incrementAndGet()}"
+      liveTokens.put(tok,
+        new java.util.concurrent.atomic.AtomicInteger(tokenValidRequests))
+      respond(ex, 200, s"""{"access_token": "$tok", "expires_in": 3600}""")
+      return
+    }
+    // OAuth-protected data: a live bearer token with budget, or 401
+    for (_ <- oauthCreds) {
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+      val live = bearer.flatMap(liveTokens.get)
+        .exists(_.getAndDecrement() > 0)
+      if (!live) {
+        respond(ex, 401, """{"error": "invalid_token"}"""); return
+      }
+    }
 
     for ((u, p) <- requireAuth) {
       val expect = "Basic " + java.util.Base64.getEncoder

@@ -1206,6 +1206,39 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("oauth: client-credentials grant, bearer on every request, transparent re-auth on expiry, bad creds loud") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      oauthCreds = Some(("my-client", "s3cret")),
+      tokenValidRequests = 3).start()
+    try {
+      val df = read(srv, Map("authType" -> "oauth",
+        "tokenUrl" -> s"${srv.url}/token",
+        "clientId" -> "my-client", "clientSecret" -> "s3cret",
+        "failFast" -> "true"))
+      assert(df.count() == 9)
+      // probes + enumeration + 3 chains exceed one 3-request token:
+      // at least one 401 → transparent re-grant happened
+      assert(srv.tokensIssued.get() >= 2,
+        s"expected a token refresh, issued: ${srv.tokensIssued.get()}")
+      // a fresh client id with a wrong secret fails LOUDLY at the
+      // token endpoint (a fresh id so the JVM-wide token cache cannot
+      // serve the good leg's live token)
+      val bad = intercept[Exception] {
+        read(srv, Map("authType" -> "oauth", "tokenUrl" -> s"${srv.url}/token",
+          "clientId" -> "other-client", "clientSecret" -> "wrong",
+          "failFast" -> "true")).count()
+      }
+      val msgs = Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("401"), msgs)
+      // incomplete oauth options are rejected at options time
+      val miss = intercept[IllegalArgumentException] {
+        read(srv, Map("authType" -> "oauth")).count()
+      }
+      assert(miss.getMessage.contains("tokenUrl"), miss.getMessage)
+    } finally srv.stop()
+  }
+
   test("reportStatistics: a /\\$count-backed row estimate lets Catalyst AUTO-broadcast the odata dim") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
