@@ -316,8 +316,14 @@ object Etl {
           if (level != 88) rest match {
             case rawName :: tail0 =>
               // VALUE has no storage meaning in a transfer layout —
-              // drop it and everything after it in this sentence
+              // drop it and everything after it in this sentence.
+              // COMPUTATIONAL[-N] is the long synonym of COMP[-N]
+              // (ISO COBOL): normalize so the usage matching below
+              // cannot silently mis-parse COMPUTATIONAL-3 as DISPLAY
+              // (which would shift every later field)
               val tail = tail0.map(_.toUpperCase)
+                .map(t => if (t.startsWith("COMPUTATIONAL"))
+                  t.replaceFirst("^COMPUTATIONAL", "COMP") else t)
                 .takeWhile(t => t != "VALUE" && t != "VALUES")
               Seq("REDEFINES", "SYNCHRONIZED", "SYNC", "JUSTIFIED", "JUST")
                 .foreach(kw => if (tail.contains(kw))
@@ -346,7 +352,7 @@ object Etl {
                 val packed = usageToks.exists(t =>
                   t == "COMP-3" || t == "PACKED-DECIMAL")
                 val binary = usageToks.exists(t => t == "COMP" ||
-                  t == "COMP-4" || t == "BINARY" || t == "COMPUTATIONAL")
+                  t == "COMP-4" || t == "BINARY")
                 val name =
                   if (rawName.toUpperCase == "FILLER") {
                     fillerIdx += 1; s"filler_$fillerIdx"

@@ -31,16 +31,11 @@ object ODataClient {
 
   /** Current bearer token for `cfg`, fetching via the
     * client-credentials grant when absent or ≥80% through its
-    * lifetime. `invalidate` drops a token the server just 401'd
-    * (expiry clocks disagree; the server is right) so the retry
-    * fetches fresh.
+    * lifetime. (A 401'd token is evicted by [[getWithRetry]]'s
+    * re-auth branch; this method only reads/refreshes the cache.)
     */
-  def bearerToken(cfg: OAuthConfig, timeoutMs: Int,
-                  invalidate: Option[String] = None): String = {
+  def bearerToken(cfg: OAuthConfig, timeoutMs: Int): String = {
     val key = (cfg.tokenUrl, cfg.clientId)
-    invalidate.foreach { bad =>
-      tokenCache.get(key).filter(_._1 == bad).foreach(_ => tokenCache.remove(key))
-    }
     tokenCache.get(key) match {
       case Some((tok, at, ttl)) if System.currentTimeMillis() - at < ttl * 8 / 10 =>
         tok
@@ -133,14 +128,22 @@ object ODataClient {
           }
       }
       val status = conn.getResponseCode
-      val stream0 = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val stream =
-        if (stream0 != null && "gzip".equalsIgnoreCase(conn.getContentEncoding))
-          new java.util.zip.GZIPInputStream(stream0)
-        else stream0
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val raw =
+        if (stream == null) Array.emptyByteArray else stream.readAllBytes()
+      // inflate AFTER reading the raw bytes so a gzip-flagged but
+      // empty/corrupt ERROR body cannot eat the HTTP status (and its
+      // Retry-After pacing) — the diagnostic degrades to empty, the
+      // status survives. A corrupt gzip DATA body (2xx) still throws:
+      // that is payload corruption, not a diagnostics nicety.
       val body =
-        if (stream == null) ""
-        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        if (raw.nonEmpty && "gzip".equalsIgnoreCase(conn.getContentEncoding))
+          try new String(new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw)).readAllBytes(),
+            StandardCharsets.UTF_8)
+          catch { case _: java.io.IOException if status >= 400 => "" }
+        else if (raw.isEmpty) ""
+        else new String(raw, StandardCharsets.UTF_8)
       // delta-seconds form only (an HTTP-date Retry-After falls back
       // to the client's own exponential backoff); capped at 5 minutes
       // BEFORE the millis conversion so a hostile/buggy header can
@@ -174,29 +177,50 @@ object ODataClient {
                    timeoutMs: Int, maxRetries: Int, backoffMs: Long,
                    extraHeaders: Seq[(String, String)] = Nil,
                    oauth: Option[OAuthConfig] = None): String = {
+    val r = getWithRetryResponse(url, user, password, timeoutMs, maxRetries,
+      backoffMs, extraHeaders, oauth)
+    if (r.status >= 200 && r.status < 300) r.body
+    else throw new ODataHttpException(r.status, url, r.body)
+  }
+
+  /** The retry core, returning the final [[Response]] so callers that
+    * DISCRIMINATE on status (the schema probe's 404-segment check) can
+    * still ride the transient-failure budget. Absorbed within
+    * `maxRetries`: 5xx/429 from the DATA url, 5xx/429 from the OAUTH
+    * TOKEN endpoint (bearerToken throws ODataHttpException(tokenUrl)
+    * from inside get — a token-endpoint blip deserves the same budget
+    * as a data-url one), and network IOExceptions. One transparent
+    * re-auth per request: a 401 under oauth evicts the cached token
+    * (the server's validity clock wins) and retries with a fresh
+    * grant; a second 401 — like any other non-retryable or
+    * budget-exhausted status — is RETURNED for the caller to judge.
+    */
+  def getWithRetryResponse(url: String, user: Option[String],
+                           password: Option[String], timeoutMs: Int,
+                           maxRetries: Int, backoffMs: Long,
+                           extraHeaders: Seq[(String, String)] = Nil,
+                           oauth: Option[OAuthConfig] = None): Response = {
     var attempt = 0
-    // one transparent re-auth per request: a 401 under oauth means the
-    // cached token outlived its server-side validity (clocks disagree;
-    // the server is right) — drop it and retry once with a fresh
-    // grant. A second 401 is a real credential problem and surfaces.
     var reauthed = false
     while (true) {
-      var retryAfterMs: Option[Long] = None
       try {
         val r = get(url, user, password, timeoutMs, extraHeaders, oauth)
-        if (r.status >= 200 && r.status < 300) return r.body
+        if (r.status >= 200 && r.status < 300) return r
         if (r.status == 401 && oauth.isDefined && !reauthed) {
           reauthed = true
           oauth.foreach(cfg => tokenCache.remove((cfg.tokenUrl, cfg.clientId)))
         } else {
           val retryable = r.status >= 500 || r.status == 429
-          if (!retryable || attempt >= maxRetries)
-            throw new ODataHttpException(r.status, url, r.body)
-          retryAfterMs = r.retryAfterMs
-          Thread.sleep(retryAfterMs.getOrElse(backoffMs * (1L << attempt)))
+          if (!retryable || attempt >= maxRetries) return r
+          Thread.sleep(r.retryAfterMs.getOrElse(backoffMs * (1L << attempt)))
           attempt += 1
         }
       } catch {
+        case e: ODataHttpException
+            if oauth.exists(_.tokenUrl == e.url) &&
+              (e.status >= 500 || e.status == 429) && attempt < maxRetries =>
+          Thread.sleep(backoffMs * (1L << attempt))
+          attempt += 1
         case e: ODataHttpException => throw e
         case _: java.io.IOException if attempt < maxRetries =>
           Thread.sleep(backoffMs * (1L << attempt))

@@ -100,7 +100,12 @@ object ODataSchema extends Logging {
     opts.structureCandidates.foreach { cand =>
       val url = ODataClient.buildUrl(base, Seq(
         "$select" -> cand, "$top" -> "1", "$format" -> "json"))
-      val r = ODataClient.get(url, opts.user, opts.password, opts.timeoutMs,
+      // the retrying RESPONSE form: the probe discriminates on status
+      // (404-segment = try next candidate), and with maxRetries > 0 a
+      // transient 5xx — data url or oauth token endpoint — is
+      // absorbed instead of failing schema inference
+      val r = ODataClient.getWithRetryResponse(url, opts.user, opts.password,
+        opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs,
         oauth = opts.oauth)
       if (r.status >= 200 && r.status < 300) return Some(cand)
       else if (r.status == 404 && ODataClient.missingSegment(r.body).isDefined)

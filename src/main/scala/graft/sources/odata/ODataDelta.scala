@@ -148,13 +148,25 @@ object ODataDelta extends Logging {
     * and removals address. Returns the round's [[SyncReport]].
     */
   /** PARALLEL SEED for a tenant too large for [[syncToParquet]]'s
-    * inherently sequential initial walk (the documented trade, now a
-    * tested path): obtain the delta link FIRST via a tracked KEY-ONLY
-    * enumeration (`$select=keyCol` — the walk is still O(|entity|)
-    * requests, but each page carries keys, not rows; the rows are
-    * discarded, only the closing deltaLink matters), then seed `data/`
-    * from the PARALLEL connector scan (value-partitioned or
-    * skip-ranged, per the options), then persist the link.
+    * inherently sequential initial path (the documented trade, now a
+    * tested path): obtain the delta link FIRST via a tracked
+    * enumeration whose rows are DISCARDED, then seed `data/` from the
+    * PARALLEL connector scan (value-partitioned or skip-ranged, per
+    * the options), then persist the link.
+    *
+    * The tracked walk carries the FULL `$select=<fields>` — it must:
+    * a v4 delta link resumes its DEFINING QUERY, projection included
+    * (OData v4 Protocol §11.3 — delta responses carry at most the
+    * properties of the initial request), so a key-only walk would
+    * strip every later delta round to bare keys and the
+    * partial-properties merge would silently keep stale values
+    * forever. The walk is therefore a full sequential transfer whose
+    * rows are thrown away; what the seed buys is NOT bytes but the
+    * heavy half of the bootstrap — parse, decode, partition, and the
+    * parquet write all run on executors in parallel instead of
+    * page-at-a-time through the driver, and the seed scan can ride
+    * every connector lever (skip ranges, gzip, maxPartitions) the
+    * tracked chain cannot.
     *
     * Ordering is what makes this CORRECT, not merely fast: the link
     * predates the seed scan, so every change after the link's
@@ -181,10 +193,12 @@ object ODataDelta extends Logging {
     require(readLink(spark, linkPath).isEmpty,
       "odata delta seed: a _delta_link already exists — the table is " +
         "already tracking; use syncToParquet")
-    // 1. tracked key-only walk, kept only for its closing deltaLink
+    // 1. tracked full-projection walk, kept only for its closing
+    // deltaLink (the defining query's $select governs every later
+    // delta round — see the class doc; keyCol alone would be unlawful)
     var url: Option[String] = Some(ODataClient.buildUrl(
       opts.entityUrl(opts.entity), Seq(
-        "$select" -> keyCol, "$format" -> "json")))
+        "$select" -> opts.selectFields.mkString(","), "$format" -> "json")))
     var link: Option[String] = None
     while (url.isDefined) {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
@@ -198,7 +212,7 @@ object ODataDelta extends Logging {
         Thread.sleep(opts.requestPauseMs)
     }
     val theLink = link.getOrElse(throw new IllegalStateException(
-      "odata delta seed: the tracked key walk closed without an " +
+      "odata delta seed: the tracked walk closed without an " +
         "@odata.deltaLink — the server did not honor change tracking " +
         "(Prefer: odata.track-changes); cannot sync incrementally"))
     // 2. parallel connector seed — the full DSv2 scan (value chains or

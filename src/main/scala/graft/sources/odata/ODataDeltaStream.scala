@@ -104,9 +104,25 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  // the last delta round the driver walked: (start link, its entries).
+  // The batch CARRIES these (bounded by the round's change volume —
+  // the same driver bound as ODataDelta's in-memory fold), so the
+  // batch's contents are exactly what the committed (start, end]
+  // offsets described: an executor re-walking the link LIVE would see
+  // changes that landed after the driver's walk, emitting them in
+  // batch i AND (from the next link) in batch i+1. The INITIAL read
+  // is deliberately NOT carried — a full snapshot must not live on
+  // the driver — so batch 0 re-enumerates on the executor and a row
+  // changing during it may appear in both batch 0 and batch 1
+  // (documented at-least-once; a folding consumer keeps the last
+  // state either way). A crash-replayed DELTA batch (cache gone)
+  // falls back to the live re-walk with the same caveat.
+  @volatile private var lastWalk: Option[(String, Seq[Map[String, String]])] = None
+
   /** One driver walk from `start` to learn the round's closing link
-    * (rows discarded — see class doc). "" = the tracked initial read.
-    * An empty delta round returns `start` unchanged.
+    * ("" = the tracked initial read, rows discarded — see class doc;
+    * delta rounds keep their entries for the batch). An empty delta
+    * round returns `start` unchanged.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ODataLinkOffset].link
@@ -117,6 +133,7 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
       else from)
     var link: Option[String] = None
     var n = 0L
+    val kept = Seq.newBuilder[Map[String, String]]
     while (url.isDefined) {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
@@ -124,6 +141,7 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
         extraHeaders = Seq("Prefer" -> "odata.track-changes"),
         oauth = opts.oauth))
       n += page.rows.size
+      if (from.nonEmpty) kept ++= page.rows
       if (page.deltaLink.isDefined) link = page.deltaLink
       url = page.nextLink
       if (url.isDefined && opts.requestPauseMs > 0)
@@ -133,16 +151,21 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
       "odata-delta stream: the feed closed without an @odata.deltaLink — " +
         "the server did not honor change tracking; cannot stream incrementally"))
     if (from.nonEmpty && n == 0) start // empty round: no batch, no link churn
-    else ODataLinkOffset(end)
+    else {
+      if (from.nonEmpty) lastWalk = Some((from, kept.result()))
+      ODataLinkOffset(end)
+    }
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-control entry point")
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(ODataDeltaStreamPartition(
-      start.asInstanceOf[ODataLinkOffset].link))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ODataLinkOffset].link
+    val carried = lastWalk.collect { case (l, es) if l == from => es }
+    Array(ODataDeltaStreamPartition(from, carried))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ODataDeltaStreamReaderFactory(schema, opts)
@@ -152,7 +175,9 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
   override def stop(): Unit = ()
 }
 
-case class ODataDeltaStreamPartition(fromLink: String) extends InputPartition
+case class ODataDeltaStreamPartition(
+    fromLink: String,
+    entries: Option[Seq[Map[String, String]]] = None) extends InputPartition
 
 class ODataDeltaStreamReaderFactory(schema: StructType, opts: ODataOptions)
   extends PartitionReaderFactory {
@@ -161,11 +186,14 @@ class ODataDeltaStreamReaderFactory(schema: StructType, opts: ODataOptions)
       partition.asInstanceOf[ODataDeltaStreamPartition])
 }
 
-/** Streams one round's feed (the tracked initial read when
-  * `fromLink` is empty) page-by-page — nothing accumulates beyond the
-  * current page. `@removed` entries emit `_change = "delete"` with
-  * only the properties the removal carried (the key, per the v4
-  * shape); plain entries emit `"upsert"`.
+/** Streams one round's rows: the entries the DRIVER walked when the
+  * partition carries them (the deterministic delta-round path — see
+  * the stream's `lastWalk` doc), otherwise a live page-by-page walk
+  * (the tracked initial read, and crash-replayed delta batches) —
+  * nothing accumulates beyond the current page. `@removed` entries
+  * emit `_change = "delete"` with only the properties the removal
+  * carried (the key, per the v4 shape); plain entries emit
+  * `"upsert"`.
   */
 class ODataDeltaStreamReader(schema: StructType, opts: ODataOptions,
                              partition: ODataDeltaStreamPartition)
@@ -194,11 +222,14 @@ class ODataDeltaStreamReader(schema: StructType, opts: ODataOptions,
     while (!rows.hasNext) {
       if (!started) {
         started = true
-        loadPage(
-          if (partition.fromLink.isEmpty)
-            ODataClient.buildUrl(opts.entityUrl(opts.entity), Seq(
-              "$select" -> fields.mkString(","), "$format" -> "json"))
-          else partition.fromLink)
+        partition.entries match {
+          case Some(es) => rows = es.iterator // driver-walked round
+          case None => loadPage(
+            if (partition.fromLink.isEmpty)
+              ODataClient.buildUrl(opts.entityUrl(opts.entity), Seq(
+                "$select" -> fields.mkString(","), "$format" -> "json"))
+            else partition.fromLink)
+        }
       } else nextLink match {
         case Some(u) =>
           if (opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs)

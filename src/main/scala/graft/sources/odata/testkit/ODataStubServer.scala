@@ -59,13 +59,26 @@ class ODataStubServer(
     // tokenValidRequests requests, then 401s (forcing the client's
     // transparent re-auth); wrong creds 401 at the token endpoint
     oauthCreds: Option[(String, String)] = None,
-    tokenValidRequests: Int = Int.MaxValue) {
+    tokenValidRequests: Int = Int.MaxValue,
+    // fault injection: first N token grants answer 503 (transient)
+    tokenTransientFailures: Int = 0) {
+
+  private val tokenTransientLeft =
+    new java.util.concurrent.atomic.AtomicInteger(tokenTransientFailures)
 
   /** How many responses actually went out gzip-compressed. */
   val gzipServed = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** How many token grants the /token endpoint issued. */
   val tokensIssued = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // the defining query's projection, captured when a tracked read is
+  // issued its deltaLink: per OData v4 §11.3 delta responses carry AT
+  // MOST the properties of the initial request, so $deltatoken
+  // responses project change entries to THIS select — a client that
+  // tracked a narrow read gets narrow deltas (the lawful behavior a
+  // lenient stub would mask)
+  @volatile private var definingSelect: Option[Seq[String]] = None
   // live tokens → remaining request budget
   private val liveTokens =
     scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicInteger]
@@ -168,6 +181,9 @@ class ODataStubServer(
 
     // OAuth token endpoint: POST form client-credentials grant
     if (oauthCreds.isDefined && ex.getRequestURI.getPath.endsWith("/token")) {
+      if (tokenTransientLeft.getAndDecrement() > 0) {
+        respond(ex, 503, """{"error": "token endpoint transient"}"""); return
+      }
       val form = parseQuery(new String(
         ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
       val ok = ex.getRequestMethod == "POST" &&
@@ -273,7 +289,12 @@ class ODataStubServer(
           if (i < deltaBatches.length) deltaBatches(i) else (Nil, Nil)
         val remRows = rem.map(k => Map(
           "@removed" -> """{"reason": "deleted"}""", deltaKeyField -> k))
-        val data = chg ++ remRows
+        // delta entries carry AT MOST the defining query's projection
+        // (plus the key and the @removed marker) — v4 §11.3
+        val data = (chg ++ remRows).map { e =>
+          definingSelect.fold(e)(sel => e.filter { case (k, _) =>
+            sel.contains(k) || k == deltaKeyField || k == "@removed" })
+        }
         val dFields = data.flatMap(_.keys).distinct
         val nextTok = math.min(i + 1, deltaBatches.length)
         emitPage(ex, q, ex.getRequestURI.getPath, data, dFields,
@@ -412,6 +433,11 @@ class ODataStubServer(
     // `Prefer: odata.track-changes`, no deltaLink)
     val trackRequested = Option(ex.getRequestHeaders.getFirst("Prefer"))
       .exists(_.contains("odata.track-changes"))
+    if (trackRequested && deltaBatches.nonEmpty)
+      // capture the DEFINING QUERY's projection: every later delta
+      // round is served at most these properties (v4 §11.3)
+      definingSelect = q.get("$select")
+        .map(_.split(",").map(_.trim).filterNot(_.contains("/")).toSeq)
     emitPage(ex, q, ex.getRequestURI.getPath, withNav,
       (select ++ extraServedFields).distinct ++ expandNames,
       rawJsonFields ++ expandNames,

@@ -688,8 +688,16 @@ class EtlSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException] { Etl.parseCopybook(src) }
       assert(e.getMessage.contains(needle), s"$src -> ${e.getMessage}")
     }
+    // COMPUTATIONAL[-N] long synonyms normalize to COMP[-N] — a
+    // COMPUTATIONAL-3 silently parsed as DISPLAY would shift every
+    // later field
+    assert(Etl.parseCopybook("05 AMT PIC S9(5) COMPUTATIONAL-3.") ==
+      Seq(PackedSpan("AMT", 5, 0)))
+    assert(Etl.parseCopybook("05 N PIC S9(4) COMPUTATIONAL.") ==
+      Seq(BinarySpan("N", 4, 0)))
     rejects("05 A PIC 9(4) COMP-5.", "COMP-5")
     rejects("05 A PIC 9(4) COMP-1.", "COMP-1")
+    rejects("05 A PIC 9(4) COMPUTATIONAL-2.", "COMP-2")
     rejects("05 A REDEFINES B PIC X(4).", "REDEFINES")
     rejects("05 T OCCURS 3 TIMES.", "OCCURS on a GROUP")
     rejects("05 T PIC X(4) OCCURS 3 TIMES DEPENDING ON N.", "DEPENDING")

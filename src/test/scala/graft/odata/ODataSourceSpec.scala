@@ -929,13 +929,17 @@ class ODataSourceSpec extends SparkSpec {
       // the seed ran as a genuinely parallel range scan
       assert(srv.requestLog.exists(_.contains("%24skip=")),
         s"seed must ride the range scan: ${srv.requestLog}")
-      // the key walk stated the tracking preference BEFORE the seed:
-      // the first $select=key request precedes any $skip range fetch
-      val firstKeyWalk = srv.requestLog.indexWhere(u =>
-        u.contains("%24select=CEMPLOYEE_UUID&") && !u.contains("%24skip="))
-      val firstRange = srv.requestLog.indexWhere(_.contains("%24skip="))
-      assert(firstKeyWalk >= 0 && firstKeyWalk < firstRange,
-        s"link must be taken before the seed scan: ${srv.requestLog}")
+      // the tracked walk stated the preference BEFORE the seed scan —
+      // and with the FULL projection (a key-only defining query would
+      // lawfully strip every later delta round to bare keys); it is
+      // the only full-select request with neither $skip nor $orderby
+      val decoded0 = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      val firstWalk = decoded0.indexWhere(u =>
+        u.contains("$select=TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS") &&
+          !u.contains("$skip") && !u.contains("$orderby"))
+      val firstRange = decoded0.indexWhere(_.contains("$skip="))
+      assert(firstWalk >= 0 && firstWalk < firstRange,
+        s"full-projection link walk must precede the seed scan: $decoded0")
       val opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("baseUrl", srv.url, "servicePath", "svc",
           "entity", "EmployeeQueryResults",
@@ -1236,6 +1240,58 @@ class ODataSourceSpec extends SparkSpec {
         read(srv, Map("authType" -> "oauth")).count()
       }
       assert(miss.getMessage.contains("tokenUrl"), miss.getMessage)
+    } finally srv.stop()
+  }
+
+  test("oauth: a transient token-endpoint 5xx consumes the retry budget like a data-URL one") {
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      oauthCreds = Some(("c", "s")), tokenTransientFailures = 2).start()
+    try {
+      // maxRetries=3 absorbs the two token-endpoint 503s
+      assert(read(srv, Map("authType" -> "oauth",
+        "tokenUrl" -> s"${srv.url}/token", "clientId" -> "c",
+        "clientSecret" -> "s", "failFast" -> "true",
+        "maxRetries" -> "3", "retryBackoffMs" -> "10")).count() == 3)
+    } finally srv.stop()
+    val srv2 = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      oauthCreds = Some(("c2", "s")), tokenTransientFailures = 2).start()
+    try {
+      // maxRetries=0: the first token-endpoint 503 surfaces
+      val e = intercept[Exception] {
+        read(srv2, Map("authType" -> "oauth",
+          "tokenUrl" -> s"${srv2.url}/token", "clientId" -> "c2",
+          "clientSecret" -> "s", "failFast" -> "true",
+          "maxRetries" -> "0")).count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("503"), msgs)
+    } finally srv2.stop()
+  }
+
+  test("strict stub: delta rounds project to the DEFINING query's \\$select (v4 11.3)") {
+    import graft.sources.odata.ODataClient
+    val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
+      "CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "9")
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      dialect = "v4", deltaBatches = Seq((Seq(upd), Nil)),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    try {
+      // track with a KEY-ONLY defining query...
+      val tracked = ODataClient.parsePage(ODataClient.get(
+        ODataClient.buildUrl(s"${srv.url}/svc/EmployeeQueryResults",
+          Seq("$select" -> "CEMPLOYEE_UUID", "$format" -> "json")),
+        None, None, 5000,
+        extraHeaders = Seq("Prefer" -> "odata.track-changes")).body)
+      val link = tracked.deltaLink.get
+      // ...and the delta round lawfully carries ONLY the key: the
+      // changed TEMPLOYEE_UUID/KCLEAVERS are stripped (this is WHY
+      // seedWithParallelScan must track the full projection)
+      val delta = ODataClient.parsePage(ODataClient.get(
+        link, None, None, 5000).body)
+      assert(delta.rows.size == 1)
+      assert(delta.rows.head.keySet == Set("CEMPLOYEE_UUID"),
+        delta.rows.head.toString)
     } finally srv.stop()
   }
 
