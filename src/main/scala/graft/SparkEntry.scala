@@ -6196,6 +6196,15 @@ object SparkEntry {
     "odata_expand" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.expandScan(s, dir)),
 
+    // SERVER-PAGED expanded collections: same query and truth as
+    // odata_expand, but the stub pages every Items collection past 3
+    // entries behind a v4 `Items@odata.nextLink` sibling annotation
+    // (protocol §11.2.4.2) the reader must follow in-task — ignoring
+    // the continuation silently drops the tail of every large
+    // collection and breaks the hash
+    "odata_expand_paged" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.pagedExpandScan(s, dir)),
+
     // permissive extra-column mode (reference etl.py:201,204-207 — the
     // server spills __metadata on every row; from_records unions it
     // into the output, employee_data.csv:1-2): extraColumns=map lands
@@ -14432,6 +14441,20 @@ object SparkEntry {
     // (collection nav, exploded); quantities were served as
     // BIGINT-cast strings, so the oracle casts identically
     "odata_expand" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+        | c.c_name AS c_name,
+        | c.c_mktsegment AS c_mktsegment,
+        | CAST(l.l_linenumber AS VARCHAR) AS l_linenumber,
+        | CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) AS l_quantity
+        | FROM orders o
+        | JOIN customer c ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderkey < 200
+        | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+
+    // same truth as odata_expand: the server paging an expanded
+    // collection is result-invisible when the continuation is followed
+    "odata_expand_paged" ->
       """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
         | c.c_name AS c_name,
         | c.c_mktsegment AS c_mktsegment,

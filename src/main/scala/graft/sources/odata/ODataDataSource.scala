@@ -1008,8 +1008,18 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     * where a single entity was declared, or vice versa) fails fast:
     * silently nulling a mis-declared nav would read an entire feed
     * "successfully" with the association data gone.
+    *
+    * A SERVER-PAGED collection — the inline cell carries only a
+    * prefix plus a continuation: a v4 sibling `Nav@odata.nextLink`
+    * annotation (protocol §11.2.4.2, handed in as `v4Cont`) or a v2
+    * `__next` inside the nested results envelope — is FOLLOWED here,
+    * chaining the nested pages inside the task exactly like the
+    * entity's own pagination (S5). Ignoring the continuation would be
+    * the one silent-partial-data shape the connector elsewhere treats
+    * as a hard error. A continuation on a single-valued nav is a
+    * protocol violation and fails fast.
     */
-  private def navCell(txt: String, e: ExpandSpec): Any = {
+  private def navCell(txt: String, e: ExpandSpec, v4Cont: Option[String]): Any = {
     val node = ODataClient.parseJson(txt)
     def cell(n: com.fasterxml.jackson.databind.JsonNode, f: String): Any = {
       val v = n.get(f)
@@ -1023,23 +1033,68 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
       InternalRow.fromSeq(e.fields.map(cell(n, _)))
     }
     if (e.collection) {
-      val arr =
-        if (node.isArray) node
-        else if (node.isObject && node.has("results")) node.get("results") // v2 envelope
+      val (arr, v2Cont) =
+        if (node.isArray) (node, None)
+        else if (node.isObject && node.has("results")) // v2 envelope
+          (node.get("results"),
+            Option(node.get("__next")).map(_.asText()).filter(_.nonEmpty))
         else throw new IllegalArgumentException(
           s"odata expand: collection nav '${e.nav}' cell is neither an " +
             s"array nor a v2 results envelope: ${txt.take(200)}")
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        arr.elements().asScala.map(row(_): Any).toArray)
-    } else row(node)
+      val inline = arr.elements().asScala.map(row(_): Any).toArray
+      val rest = v4Cont.orElse(v2Cont).map(followNavPages(_, e))
+        .getOrElse(Array.empty[Any])
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(inline ++ rest)
+    } else {
+      require(v4Cont.isEmpty, s"odata expand: single-valued nav " +
+        s"'${e.nav}' carries a pagination annotation — protocol violation")
+      row(node)
+    }
   }
+
+  /** Chain a paged expanded collection's continuation pages: each is a
+    * standard (dialect-shaped) collection payload the shared envelope
+    * parser decodes, possibly paged again. ALWAYS fail-fast, even
+    * under `failFast=false`: the tolerance unit is a structure-value
+    * CHAIN — silently truncating one parent's child collection is
+    * partial association data nothing downstream can detect.
+    */
+  private def followNavPages(first: String, e: ExpandSpec): Array[Any] = {
+    val out = Array.newBuilder[Any]
+    var url: Option[String] = Some(first)
+    while (url.isDefined) {
+      if (opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs) // R5
+      val page = ODataClient.parsePage(ODataClient.getWithRetry(
+        url.get, opts.user, opts.password, opts.timeoutMs,
+        opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
+      out ++= page.rows.map(r => InternalRow.fromSeq(e.fields.map(f =>
+        r.get(f).filter(_ != null).map(UTF8String.fromString).orNull)): Any)
+      url = page.nextLink
+    }
+    out.result()
+  }
+
+  // the paging annotations of declared navs are protocol plumbing this
+  // reader CONSUMES — they must not leak into the extras map
+  private val navAnnotations: Set[String] =
+    opts.expands.map(e => s"${e.nav}@odata.nextLink").toSet
 
   override def get(): InternalRow =
     InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map {
       case f if navByName.contains(f) =>
-        current.get(f) match {
-          case None | Some(null) => null // nav omitted or explicit null
-          case Some(txt) => navCell(txt, navByName(f))
+        val e = navByName(f)
+        val v4Cont = current.get(s"$f@odata.nextLink").flatMap(Option(_))
+        current.get(f).flatMap(Option(_)) match {
+          case Some(txt) => navCell(txt, e, v4Cont)
+          case None if v4Cont.isDefined && e.collection =>
+            // annotation with no inline prefix: the whole collection
+            // lives behind the continuation
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              followNavPages(v4Cont.get, e))
+          case None if v4Cont.isDefined =>
+            throw new IllegalStateException(s"odata expand: single-valued " +
+              s"nav '$f' carries a pagination annotation — protocol violation")
+          case None => null // nav omitted or explicit null
         }
       case f if opts.extrasEnabled && f == opts.extraColumnName =>
         // every server-returned field the user did not declare, in
@@ -1047,7 +1102,8 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
         // to_json downstream). Values carry parsePage's stringify:
         // scalars as text, nested objects as their JSON text.
         val extras = current.iterator
-          .filter { case (k, _) => !declaredFields.contains(k) }
+          .filter { case (k, _) =>
+            !declaredFields.contains(k) && !navAnnotations.contains(k) }
           .toArray.sortBy(_._1)
         new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(

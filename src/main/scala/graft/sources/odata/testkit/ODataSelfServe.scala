@@ -385,6 +385,75 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
   }
 
+  // the SAME header+items+customer fixture, but the server PAGES every
+  // expanded Items collection past 3 entries (TPC-H orders carry up to
+  // 7 lines, so most orders force a Nav@odata.nextLink continuation)
+  private val pagedExpandServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  /** Server-paged `$expand` driver-gate: identical query and oracle to
+    * [[expandScan]], but every Items collection larger than 3 arrives
+    * as an inline prefix plus a v4 `Items@odata.nextLink` continuation
+    * the reader must FOLLOW (OData v4 protocol §11.2.4.2) — a client
+    * ignoring the annotation reads "successfully" with the tail of
+    * every large collection silently gone, which is exactly the hash
+    * mismatch this gate exists to catch.
+    */
+  def pagedExpandScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = pagedExpandServers.getOrElseUpdate(dir, {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("string").as("O_ORDERKEY"),
+          col("o_orderstatus").as("O_STATUS"),
+          col("o_custkey").cast("string").as("O_CUSTKEY"))
+        .collect()
+        .map(r => Map("O_ORDERKEY" -> r.getString(0),
+          "O_STATUS" -> r.getString(1), "O_CUSTKEY" -> r.getString(2)))
+        .toSeq
+      val customers = spark.read.parquet(s"$dir/customer.parquet")
+        .select(
+          col("c_custkey").cast("string").as("C_CUSTKEY"),
+          col("c_name").as("C_NAME"),
+          col("c_mktsegment").as("C_MKTSEGMENT"))
+        .collect()
+        .map(r => Map("C_CUSTKEY" -> r.getString(0),
+          "C_NAME" -> r.getString(1), "C_MKTSEGMENT" -> r.getString(2)))
+        .toSeq
+      val items = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") < 200)
+        .select(
+          col("l_orderkey").cast("string").as("L_ORDERKEY"),
+          col("l_linenumber").cast("string").as("L_LINENUMBER"),
+          col("l_quantity").cast("long").cast("string").as("L_QUANTITY"))
+        .collect()
+        .map(r => Map("L_ORDERKEY" -> r.getString(0),
+          "L_LINENUMBER" -> r.getString(1), "L_QUANTITY" -> r.getString(2)))
+        .toSeq
+      new ODataStubServer(orders, "O_STATUS", dialect = "v4",
+        serverPageSize = 50, navPageSize = 3,
+        navProps = Map(
+          "Customer" -> StubNav(collection = false, "O_CUSTKEY", "C_CUSTKEY", customers),
+          "Items" -> StubNav(collection = true, "O_ORDERKEY", "L_ORDERKEY", items))).start()
+    })
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("expand",
+        "Customer(C_NAME,C_MKTSEGMENT),Items*(L_LINENUMBER,L_QUANTITY)")
+      .option("failFast", "true")
+      .load()
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        col("Customer.C_NAME").as("c_name"),
+        col("Customer.C_MKTSEGMENT").as("c_mktsegment"),
+        explode(col("Items")).as("item"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("item.L_LINENUMBER").as("l_linenumber"),
+        col("item.L_QUANTITY").as("l_quantity"))
+      .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
+  }
+
   // v4 change-tracking stub: initial snapshot misses keys ≥ 150,
   // carries a STALE priority for keys in [50,100), and still holds
   // keys < 50; the one delta batch upserts the true [50,100) rows,

@@ -48,6 +48,15 @@ class ODataStubServer(
     // spilled — and projected by the nested $select (v4) or the
     // parent's Nav/Field path selects (v2 conventions).
     navProps: Map[String, StubNav] = Map.empty,
+    // SERVER-PAGE expanded collections past this size: the inline cell
+    // carries only the first page and a continuation — a v4 sibling
+    // `Nav@odata.nextLink` annotation (OData v4 protocol §11.2.4.2) or
+    // a v2 `__next` inside the nested results envelope. The
+    // continuation URL answers a standard collection payload, itself
+    // paged. This is the fixture for the one silent-truncation hole a
+    // lenient stub would mask: a client ignoring the continuation
+    // reads "successfully" with every large collection's tail gone.
+    navPageSize: Int = Int.MaxValue,
     // serve gzip-compressed bodies — but ONLY when the request offered
     // Accept-Encoding: gzip (the lawful content-negotiation contract;
     // a stub that gzips unconditionally would mask a client that
@@ -116,6 +125,25 @@ class ODataStubServer(
     ex.getResponseBody.write(bytes)
     ex.close()
   }
+
+  private def navObj(r: Map[String, String], sel: Seq[String]): String =
+    sel.flatMap(f => r.get(f).map(v =>
+      s"${jsonStr(f)}: ${if (v == null) "null" else jsonStr(v)}"))
+      .mkString("{", ", ", "}")
+
+  /** Continuation URL for a server-paged expanded collection — carries
+    * everything the stateless stub needs to serve the next page:
+    * which nav, which parent, the projection, and the offset.
+    */
+  private def navContUrl(n: String, parentKey: String, sel: Seq[String],
+                         skip: Int): String =
+    s"$url/navcont?" + Seq(
+      "$navname" -> n, "$navparent" -> parentKey,
+      "$navskip" -> skip.toString, "$navsel" -> sel.mkString(","))
+      .map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+          java.net.URLEncoder.encode(v, "UTF-8") }
+      .mkString("&")
 
   /** Resolve a filter key against a row: a plain property, or a
     * `Nav/Field` path through a declared SINGLE-VALUED nav (what the
@@ -214,6 +242,36 @@ class ODataStubServer(
       if (ex.getRequestHeaders.getFirst("Authorization") != expect) {
         respond(ex, 401, """{"error": "unauthorized"}"""); return
       }
+    }
+
+    // continuation page of a server-paged expanded collection: a
+    // standard (dialect-shaped) collection payload of the remaining
+    // child rows, itself paged by navPageSize
+    q.get("$navname") match {
+      case Some(n) =>
+        val nd = navProps(n)
+        val parentKey = q("$navparent")
+        val sel = q.get("$navsel").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(nd.rows.flatMap(_.keys).distinct)
+        val skip = q.get("$navskip").map(_.toInt).getOrElse(0)
+        val kids = nd.rows.filter(_.get(nd.childKeyField).contains(parentKey))
+        val pageRows = kids.slice(skip, skip + navPageSize)
+        val cont =
+          if (skip + navPageSize < kids.size)
+            Some(navContUrl(n, parentKey, sel, skip + navPageSize))
+          else None
+        val arr = pageRows.map(navObj(_, sel)).mkString("[", ", ", "]")
+        val body = dialect match {
+          case "v2" =>
+            val nxt = cont.map(u => s""", "__next": ${jsonStr(u)}""").getOrElse("")
+            s"""{"d": {"results": $arr$nxt}}"""
+          case _ =>
+            val nxt = cont.map(u => s""", "@odata.nextLink": ${jsonStr(u)}""").getOrElse("")
+            s"""{"value": $arr$nxt}"""
+        }
+        respond(ex, 200, body)
+        return
+      case None =>
     }
 
     val select0 = q.get("$select").map(_.split(",").map(_.trim).toSeq)
@@ -402,29 +460,37 @@ class ODataStubServer(
     }
 
     // expanded navs join child rows to each parent and attach as raw
-    // JSON cells — shape per declared cardinality and dialect
-    def navJson(n: String, sel: Seq[String], parent: Map[String, String]): String = {
+    // JSON cells — shape per declared cardinality and dialect; a
+    // collection past navPageSize is truncated to its first page plus
+    // a continuation (v2: nested __next; v4: the SIBLING annotation
+    // returned as the second tuple element for the row to carry)
+    def navJson(n: String, sel: Seq[String], parent: Map[String, String])
+        : (String, Option[String]) = {
       val nd = navProps(n)
       val kids = nd.rows.filter(r =>
         parent.get(nd.parentKeyField).exists(pk =>
           r.get(nd.childKeyField).contains(pk)))
-      def obj(r: Map[String, String]): String =
-        sel.flatMap(f => r.get(f).map(v =>
-          s"${jsonStr(f)}: ${if (v == null) "null" else jsonStr(v)}"))
-          .mkString("{", ", ", "}")
       if (nd.collection) {
-        val arr = kids.map(obj).mkString("[", ", ", "]")
-        if (dialect == "v2") s"""{"results": $arr}""" else arr
-      } else kids.headOption.map(obj).orNull
+        val cont =
+          if (kids.size > navPageSize)
+            Some(navContUrl(n, parent(nd.parentKeyField), sel, navPageSize))
+          else None
+        val arr = kids.take(navPageSize).map(navObj(_, sel)).mkString("[", ", ", "]")
+        if (dialect == "v2") {
+          val nxt = cont.map(u => s""", "__next": ${jsonStr(u)}""").getOrElse("")
+          (s"""{"results": $arr$nxt}""", None)
+        } else (arr, cont)
+      } else (kids.headOption.map(navObj(_, sel)).orNull, None)
     }
     val expandNames = expandEntries.map(_._1)
     val withNav =
       if (expandEntries.isEmpty) ordered
       else ordered.map { r =>
-        r ++ expandEntries.map { case (n, selOpt) =>
+        r ++ expandEntries.flatMap { case (n, selOpt) =>
           val sel = selOpt.orElse(navPathSel.get(n)).getOrElse(
             navProps(n).rows.flatMap(_.keys).distinct)
-          n -> navJson(n, sel, r)
+          val (cell, cont) = navJson(n, sel, r)
+          Seq(n -> cell) ++ cont.map(u => s"$n@odata.nextLink" -> u)
         }
       }
 
@@ -439,7 +505,8 @@ class ODataStubServer(
       definingSelect = q.get("$select")
         .map(_.split(",").map(_.trim).filterNot(_.contains("/")).toSeq)
     emitPage(ex, q, ex.getRequestURI.getPath, withNav,
-      (select ++ extraServedFields).distinct ++ expandNames,
+      (select ++ extraServedFields).distinct ++ expandNames ++
+        expandNames.map(_ + "@odata.nextLink"),
       rawJsonFields ++ expandNames,
       deltaLink = if (deltaBatches.nonEmpty && trackRequested)
         Some(s"$url${ex.getRequestURI.getPath}?" +

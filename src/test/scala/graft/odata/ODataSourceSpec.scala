@@ -1352,6 +1352,65 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  // paged-nav fixture: one employee with MANY assignments so the
+  // stub's navPageSize forces a continuation chain on the expanded
+  // collection (the silent-truncation hole the follow closes)
+  private def wideNavFixture(kids: Int): Map[String, StubNav] = {
+    val assignments = (0 until kids).map { j =>
+      Map("A_EMP" -> "0", "A_PROJ" -> s"P$j", "A_HOURS" -> (j * 10).toString)
+    }
+    Map("Assignments" -> StubNav(collection = true, "CEMPLOYEE_UUID", "A_EMP", assignments))
+  }
+
+  test("\\$expand paged collection (v4): the Nav@odata.nextLink continuation chain is followed, not truncated") {
+    val srv = new ODataStubServer(mkRows(2), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = wideNavFixture(8), navPageSize = 3).start()
+    try {
+      val df = read(srv, Map("expand" -> "Assignments*(A_PROJ,A_HOURS)",
+        "failFast" -> "true"))
+      val rows = df.select(col("CEMPLOYEE_UUID"), col("Assignments"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))).toMap
+      // 8 kids at navPageSize=3 → inline 3 + two continuation pages
+      assert(rows("0") == (0 until 8).map(j => s"P$j"),
+        s"paged collection must arrive complete: ${rows("0")}")
+      assert(rows("1") == Nil)
+      val contReqs = srv.requestLog.filter(_.contains("navcont"))
+      assert(contReqs.size == 2, s"expected 2 continuation fetches: $contReqs")
+      // the annotation is plumbing — it must not leak into the array
+      assert(rows("0").size == 8)
+    } finally srv.stop()
+  }
+
+  test("\\$expand paged collection (v2): the nested __next inside the results envelope is followed") {
+    val srv = new ODataStubServer(mkRows(2), "C0CHAR_STRUCTURE",
+      dialect = "v2", navProps = wideNavFixture(7), navPageSize = 3).start()
+    try {
+      val df = read(srv, Map("expand" -> "Assignments*(A_PROJ,A_HOURS)",
+        "expandStyle" -> "v2", "failFast" -> "true"))
+      val got = df.where(col("CEMPLOYEE_UUID") === "0")
+        .select(explode(col("Assignments")).as("a"))
+        .select(col("a.A_PROJ")).as[String].collect().toSeq
+      assert(got == (0 until 7).map(j => s"P$j"), got)
+      assert(srv.requestLog.count(_.contains("navcont")) == 2,
+        s"7 kids at page 3 → inline 3 + pages of 3 and 1: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
+  test("\\$expand paged collection + extras map: the pagination annotation is consumed, never leaked to _extra") {
+    val srv = new ODataStubServer(mkRows(1), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = wideNavFixture(5), navPageSize = 2).start()
+    try {
+      val df = read(srv, Map("expand" -> "Assignments*(A_PROJ,A_HOURS)",
+        "extraColumns" -> "map", "failFast" -> "true"))
+      val r = df.select(size(col("Assignments")).as("n"),
+        map_keys(col("_extra")).as("ks")).collect().head
+      assert(r.getInt(0) == 5, r)
+      assert(!r.getSeq[String](1).exists(_.contains("nextLink")),
+        s"annotation leaked into extras: ${r.getSeq[String](1)}")
+    } finally srv.stop()
+  }
+
   test("\\$expand strictness: unknown nav 400s loudly; declared cardinality mismatch fails fast; bad specs rejected") {
     val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
       dialect = "v4", navProps = navFixture(3)).start()
