@@ -6143,6 +6143,14 @@ object SparkEntry {
     "odata_delta_seeded" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.deltaSeededSync(s, dir)),
 
+    // seed→stream handoff: the parallel-seeded table hands its
+    // persisted link to the odata-delta stream as startLink, so batch
+    // 0 is the first DELTA round (the request log proves no
+    // re-enumeration) and the folded CDC rows converge the seeded
+    // table to the same [50,200) truth as the batch sync paths
+    "odata_delta_stream_seeded" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.deltaStreamSeededScan(s, dir)),
+
     // skip-range parallel scan: a structure-less entity tiles into 4
     // $skip/$top range tasks off one /$count — the scan parallelism
     // the reference's sequential extract never had; a tiling bug
@@ -14382,6 +14390,14 @@ object SparkEntry {
     // the seeded path must converge to the SAME truth as the
     // sequential initial materialization
     "odata_delta_seeded" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders
+        | WHERE o_orderkey >= 50 AND o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // seed + startLink stream + fold must converge to the same truth
+    // as every other sync path
+    "odata_delta_stream_seeded" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
         | o_orderpriority FROM orders
         | WHERE o_orderkey >= 50 AND o_orderkey < 200

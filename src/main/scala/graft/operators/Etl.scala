@@ -393,6 +393,25 @@ object Etl {
     }
     val out = spans.result()
     if (out.isEmpty) fail("no elementary items found")
+    // generated names can collide with genuine fields: OCCURS suffixes
+    // (SCORES OCCURS 2 → SCORES_2 vs a declared SCORES-2), FILLER slots
+    // (filler_1 vs a field named FILLER-1), and the '-'→'_'
+    // normalization (A-B vs A_B) all map distinct copybook items onto
+    // one span name — which would surface much later as an
+    // ambiguous-column error in the read/write plans. Fail fast, by
+    // name, at parse time.
+    locally {
+      // case-INSENSITIVE: Spark's default column resolution is, so
+      // FILLER_1 (a declared FILLER-1) vs filler_1 (a generated slot)
+      // is just as ambiguous as an exact duplicate
+      val dups = out.map(_.name).groupBy(_.toLowerCase).collect {
+        case (_, occ) if occ.size > 1 => occ.distinct.mkString("/") }
+      if (dups.nonEmpty)
+        fail(s"generated span name(s) ${dups.toSeq.sorted.mkString(", ")} " +
+          "collide (OCCURS suffixing, FILLER numbering, and '-'→'_' " +
+          "normalization share one case-insensitive namespace) — rename " +
+          "the conflicting copybook items")
+    }
     out
   }
 

@@ -29,55 +29,88 @@ object ODataClient {
   private val tokenCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, Long, Long)]
 
+  // single-flight guard per cache key: token expiry mid-scan 401s
+  // every reader thread at once, and without serialization each would
+  // re-POST the token endpoint simultaneously (a grant stampede a
+  // rate-limited real endpoint then 429s). Waiters re-check the cache
+  // under the lock and share the one fresh grant.
+  private val tokenLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
+  /** Evict the cached token ONLY if it is still the one that 401'd: a
+    * stale 401 landing after a concurrent re-grant must not kill the
+    * fresh token (that would trigger a pointless extra grant).
+    */
+  private[odata] def evictToken(cfg: OAuthConfig, usedToken: String): Unit = {
+    val key = (cfg.tokenUrl, cfg.clientId)
+    tokenCache.get(key).foreach { v =>
+      if (v._1 == usedToken) tokenCache.remove(key, v)
+    }
+  }
+
   /** Current bearer token for `cfg`, fetching via the
     * client-credentials grant when absent or ≥80% through its
-    * lifetime. (A 401'd token is evicted by [[getWithRetry]]'s
-    * re-auth branch; this method only reads/refreshes the cache.)
+    * lifetime. SINGLE-FLIGHT per (tokenUrl, clientId): concurrent
+    * misses serialize on a per-key lock and all but the first reuse
+    * the grant the first one fetched. (A 401'd token is evicted by
+    * [[getWithRetryResponse]]'s re-auth branch — conditionally, see
+    * [[evictToken]]; this method only reads/refreshes the cache.)
     */
   def bearerToken(cfg: OAuthConfig, timeoutMs: Int): String = {
     val key = (cfg.tokenUrl, cfg.clientId)
-    tokenCache.get(key) match {
+    def cached: Option[String] = tokenCache.get(key) match {
       case Some((tok, at, ttl)) if System.currentTimeMillis() - at < ttl * 8 / 10 =>
-        tok
-      case _ =>
-        val body = Seq(
-          "grant_type" -> "client_credentials",
-          "client_id" -> cfg.clientId,
-          "client_secret" -> cfg.clientSecret)
-          .map { case (k, v) =>
-            URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8") }
-          .mkString("&")
-        val conn = new URI(cfg.tokenUrl).toURL.openConnection()
-          .asInstanceOf[HttpURLConnection]
-        val resp = try {
-          conn.setRequestMethod("POST")
-          conn.setConnectTimeout(timeoutMs)
-          conn.setReadTimeout(timeoutMs)
-          conn.setDoOutput(true)
-          conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
-          conn.setRequestProperty("Accept", "application/json")
-          val out = conn.getOutputStream
-          try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-          val status = conn.getResponseCode
-          val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-          val text =
-            if (stream == null) ""
-            else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-          if (status < 200 || status >= 300)
-            throw new ODataHttpException(status, cfg.tokenUrl, text)
-          text
-        } finally conn.disconnect()
-        val node = mapper.readTree(resp)
-        val tok = Option(node.get("access_token")).map(_.asText())
-          .filter(_.nonEmpty)
-          .getOrElse(throw new IllegalStateException(
-            s"oauth token endpoint returned no access_token: ${resp.take(200)}"))
-        val ttlMs = Option(node.get("expires_in")).map(_.asLong() * 1000L)
-          .filter(_ > 0).getOrElse(3600 * 1000L)
-        tokenCache.put((cfg.tokenUrl, cfg.clientId),
-          (tok, System.currentTimeMillis(), ttlMs))
-        tok
+        Some(tok)
+      case _ => None
     }
+    cached.getOrElse {
+      val lock = tokenLocks.getOrElseUpdate(key, new Object)
+      lock.synchronized {
+        // double-check: a concurrent grant may have landed while this
+        // thread waited on the lock
+        cached.getOrElse(fetchToken(cfg, timeoutMs))
+      }
+    }
+  }
+
+  private def fetchToken(cfg: OAuthConfig, timeoutMs: Int): String = {
+    val body = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> cfg.clientId,
+      "client_secret" -> cfg.clientSecret)
+      .map { case (k, v) =>
+        URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8") }
+      .mkString("&")
+    val conn = new URI(cfg.tokenUrl).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    val resp = try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      conn.setRequestProperty("Accept", "application/json")
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val text =
+        if (stream == null) ""
+        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      if (status < 200 || status >= 300)
+        throw new ODataHttpException(status, cfg.tokenUrl, text)
+      text
+    } finally conn.disconnect()
+    val node = mapper.readTree(resp)
+    val tok = Option(node.get("access_token")).map(_.asText())
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"oauth token endpoint returned no access_token: ${resp.take(200)}"))
+    val ttlMs = Option(node.get("expires_in")).map(_.asLong() * 1000L)
+      .filter(_ > 0).getOrElse(3600 * 1000L)
+    tokenCache.put((cfg.tokenUrl, cfg.clientId),
+      (tok, System.currentTimeMillis(), ttlMs))
+    tok
   }
 
   final case class Response(status: Int, body: String,
@@ -204,11 +237,22 @@ object ODataClient {
     var reauthed = false
     while (true) {
       try {
-        val r = get(url, user, password, timeoutMs, extraHeaders, oauth)
+        // resolve the bearer HERE (not inside get) so a 401 can evict
+        // exactly the token this attempt used — see evictToken
+        val usedTok = oauth.map(bearerToken(_, timeoutMs))
+        val hdrs = usedTok.map(t =>
+          extraHeaders :+ ("Authorization" -> s"Bearer $t"))
+          .getOrElse(extraHeaders)
+        // oauth WINS over basic (the ODataOptions contract): drop the
+        // user/password when a bearer rides the headers, or get()
+        // would overwrite the Authorization with Basic
+        val r =
+          if (usedTok.isDefined) get(url, None, None, timeoutMs, hdrs, None)
+          else get(url, user, password, timeoutMs, hdrs, None)
         if (r.status >= 200 && r.status < 300) return r
         if (r.status == 401 && oauth.isDefined && !reauthed) {
           reauthed = true
-          oauth.foreach(cfg => tokenCache.remove((cfg.tokenUrl, cfg.clientId)))
+          for (cfg <- oauth; t <- usedTok) evictToken(cfg, t)
         } else {
           val retryable = r.status >= 500 || r.status == 429
           if (!retryable || attempt >= maxRetries) return r

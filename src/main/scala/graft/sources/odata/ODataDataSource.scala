@@ -976,8 +976,13 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     * the ranges tile a planning-time `/$count`, so a short (or long)
     * range means rows moved under the tiling between the count and
     * this fetch — silent duplication/loss across range boundaries.
-    * Detect it at read time and fail the task (ranges are always
-    * fail-fast); the job re-plans with a fresh count on retry.
+    * Detect it at read time and FAIL THE JOB: task retries re-run the
+    * same InputPartition against the same (cached) tiling, so a
+    * drifted range deterministically re-fails every retry — there is
+    * no self-healing re-plan; the operator re-runs the action, whose
+    * new scan re-counts and tiles the current snapshot. Failing loud
+    * is the design (the alternative is silent row loss/duplication);
+    * the error message says exactly that.
     */
   override def next(): Boolean =
     if (advance()) {
@@ -995,7 +1000,9 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
           s"odata skip-range drift: range [$off, ${off + size}) returned " +
             s"$rangeRowsRead of $size planned rows — the server's row set " +
             "changed under the planned tiling (rows inserted/removed " +
-            "between /$count and this fetch)")
+            "between /$count and this fetch). Task retries re-use the " +
+            "same tiling and will fail the same way; re-run the job to " +
+            "re-count and tile the current snapshot")
       }
       false
     }

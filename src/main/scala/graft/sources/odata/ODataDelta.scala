@@ -67,6 +67,15 @@ object ODataDelta extends Logging {
     }
   }
 
+  /** The table's persisted delta link, if it is tracking — the token
+    * a seeded table ([[seedWithParallelScan]]) hands to the streaming
+    * source as its `startLink` option, so the stream's batch 0 is the
+    * first DELTA round over the seeded table instead of a full
+    * at-least-once re-enumeration.
+    */
+  def persistedLink(spark: SparkSession, tablePath: String): Option[String] =
+    readLink(spark, s"$tablePath/_delta_link")
+
   /** Durable link write: temp file + rename, so the previous good
     * link is never truncated in place. The worst crash window leaves
     * NO link (the tmp was written but not renamed, or delete landed

@@ -34,18 +34,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * OFFSET = the delta link itself (the v4 resumption token): the
   * initial offset is the empty link ("nothing read"), batch 0 is the
   * tracked initial enumeration closing at link L0, and batch i+1 is
-  * the feed at Li closing at Li+1. Admission control
-  * ([[SupportsAdmissionControl]]) receives the START offset each
-  * trigger, so a restart resumes from the checkpointed link with no
-  * side-state; `ReadLimit` is ignored because a delta round is atomic
-  * — v4 offers no partial-feed resumption token. Determining the END
+  * the feed at Li closing at Li+1. With the `startLink` option the
+  * initial offset IS that link — the handoff for a table bootstrapped
+  * by [[ODataDelta.seedWithParallelScan]] (read its persisted token
+  * via [[ODataDelta.persistedLink]]): batch 0 becomes the first DELTA
+  * round over the seeded table, no initial enumeration at all.
+  * Admission control ([[SupportsAdmissionControl]]) receives the
+  * START offset each trigger, so a restart resumes from the
+  * checkpointed link with no side-state; `ReadLimit` is ignored
+  * because a delta round is atomic — v4 offers no partial-feed
+  * resumption token, so the walk that discovers the END offset must
+  * traverse the whole round regardless of any admission cap (the cap
+  * could only delay the round, never split it). Determining the END
   * offset requires walking the feed (the link only exists on the
-  * final page), so the driver walks each round ONCE discarding rows
-  * (control plane, bounded by the round's change volume) and the
-  * executor re-GETs the same link for the data — lawful v4 links are
-  * resumable until server-side expiry, which is also why
-  * [[MicroBatchStream.commit]] is a no-op. An empty round does NOT
-  * advance the offset (no empty batches, no link churn).
+  * final page), so the driver walks each round ONCE and — up to
+  * `carryThreshold` entries — CARRIES the walked rows into the batch;
+  * past the threshold the carried walk is dropped (driver memory and
+  * task serialization stay bounded) and the executor re-GETs the same
+  * link for the data — lawful v4 links are resumable until
+  * server-side expiry, which is also why [[MicroBatchStream.commit]]
+  * is a no-op. An empty round does NOT advance the offset (no empty
+  * batches, no link churn).
+  *
+  * ==Delivery contract (user-facing)==
+  * This source is AT-LEAST-ONCE at three edges, EXACTLY-ONCE
+  * everywhere else:
+  *  1. the initial enumeration (no `startLink`): a row changing while
+  *     batch 0 enumerates may appear in batch 0 AND batch 1;
+  *  2. a crash-replayed batch whose driver-carried walk is gone (the
+  *     cache dies with the driver): the replay re-walks the link
+  *     LIVE, so rows that landed after the batch's recorded end
+  *     offset are emitted in that batch and again in the next one —
+  *     the same (start, end] offset pair can yield different data
+  *     across replays;
+  *  3. a round past `carryThreshold` (deliberate — see above).
+  * A FOLDING consumer (`foreachBatch` + last-write-wins merge by key,
+  * e.g. the `ODataDelta.syncToParquet` machinery) converges
+  * identically under all three. A non-folding sink (file append, a
+  * log) will persist duplicates across those edges — if byte-exact
+  * replay matters, fold, or seed + `startLink` to close edge 1 and
+  * keep rounds under the threshold for 2/3.
   */
 class ODataDeltaStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "odata-delta"
@@ -92,7 +120,8 @@ case class ODataLinkOffset(link: String) extends Offset {
 class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
   extends MicroBatchStream with SupportsAdmissionControl with Logging {
 
-  override def initialOffset(): Offset = ODataLinkOffset("")
+  override def initialOffset(): Offset =
+    ODataLinkOffset(opts.streamStartLink.getOrElse(""))
 
   override def deserializeOffset(json: String): Offset = {
     // the one field is "link"; a hand-rolled parse would re-implement
@@ -133,6 +162,7 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
       else from)
     var link: Option[String] = None
     var n = 0L
+    var overflowed = false
     val kept = Seq.newBuilder[Map[String, String]]
     while (url.isDefined) {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
@@ -141,7 +171,23 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
         extraHeaders = Seq("Prefer" -> "odata.track-changes"),
         oauth = opts.oauth))
       n += page.rows.size
-      if (from.nonEmpty) kept ++= page.rows
+      if (from.nonEmpty && !overflowed) {
+        // BOUND the carried round: a backfill-sized delta must not
+        // accumulate on the driver nor ship inside one serialized
+        // InputPartition — past the threshold, drop the walk and let
+        // the executor re-walk the link live (delivery contract
+        // edge 3; the batch sibling spills to parquet for the same
+        // case, ODataDelta.walkFeed)
+        if (n > opts.streamCarryThreshold) {
+          overflowed = true
+          kept.clear()
+          logWarning(s"odata-delta stream: round at $from exceeds " +
+            s"carryThreshold=${opts.streamCarryThreshold} entries — " +
+            "dropping the driver-carried walk; the batch re-walks the " +
+            "link live on the executor (at-least-once for rows landing " +
+            "mid-round)")
+        } else kept ++= page.rows
+      }
       if (page.deltaLink.isDefined) link = page.deltaLink
       url = page.nextLink
       if (url.isDefined && opts.requestPauseMs > 0)
@@ -152,7 +198,8 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
         "the server did not honor change tracking; cannot stream incrementally"))
     if (from.nonEmpty && n == 0) start // empty round: no batch, no link churn
     else {
-      if (from.nonEmpty) lastWalk = Some((from, kept.result()))
+      lastWalk = if (from.nonEmpty && !overflowed) Some((from, kept.result()))
+                 else None
       ODataLinkOffset(end)
     }
   }

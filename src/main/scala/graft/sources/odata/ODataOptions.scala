@@ -194,7 +194,22 @@ case class ODataOptions(
     expands: Seq[ExpandSpec] = Nil,
     expandStyle: String = "v4",
     reportStatistics: Boolean = false,
-    oauth: Option[ODataClient.OAuthConfig] = None) {
+    oauth: Option[ODataClient.OAuthConfig] = None,
+    // odata-delta STREAM options (ignored by the batch scan):
+    // startLink: begin streaming AT this delta link instead of a
+    // tracked initial enumeration — the handoff for a table
+    // bootstrapped by ODataDelta.seedWithParallelScan (whose persisted
+    // link predates the seed scan, so batch 0 becomes the first DELTA
+    // round over the seeded table and the at-least-once initial-read
+    // window disappears entirely)
+    streamStartLink: Option[String] = None,
+    // carryThreshold: a delta round whose entry count stays under this
+    // is carried from the driver's offset-walk into the batch (exact
+    // replay); a backfill-sized round past it DROPS the carried walk —
+    // bounding driver memory and task-serialization size — and the
+    // executor re-walks the link live (at-least-once for rows landing
+    // mid-round, same caveat as a crash-replayed batch)
+    streamCarryThreshold: Int = 100000) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -320,6 +335,8 @@ object ODataOptions {
       expands = expands0,
       expandStyle = expandStyle0,
       reportStatistics = m.getOrElse("reportStatistics", "false").toBoolean,
-      oauth = oauth0)
+      oauth = oauth0,
+      streamStartLink = m.get("startLink").filter(_.nonEmpty),
+      streamCarryThreshold = m.getOrElse("carryThreshold", "100000").toInt)
   }
 }

@@ -600,6 +600,66 @@ object ODataSelfServe {
         col("o_orderpriority"))
   }
 
+  /** Seed→stream handoff driver-gate: the table bootstraps via the
+    * PARALLEL seed (link captured FIRST, then the skip-range scan),
+    * hands its persisted link to the `odata-delta` stream as
+    * `startLink`, and the stream's batch 0 is the first DELTA round —
+    * NO initial enumeration at all (the request log proves it: every
+    * post-seed request carries `$deltatoken`). The gate folds the CDC
+    * rows onto the seeded table with the same last-write-wins merge a
+    * consumer would run, so the result must converge to the same
+    * [50,200) truth as the batch sync paths — a handoff bug (link
+    * re-walked from scratch, a skipped or duplicated round, an
+    * unapplied delete) changes the folded table and breaks the hash.
+    */
+  def deltaStreamSeededScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = deltaServerFor(spark, dir)
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_odata_seedstream_${dir.hashCode & Int.MaxValue}"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val options = Map(
+      "baseUrl" -> srv.url, "servicePath" -> "svc", "entity" -> "Orders",
+      "selectFields" -> "O_ORDERKEY,O_STATUS,O_PRIORITY",
+      "skipRangePartitions" -> "4", "skipRangeOrderKey" -> "O_ORDERKEY")
+    val r1 = graft.sources.odata.ODataDelta.seedWithParallelScan(
+      spark, options, "O_ORDERKEY", tablePath)
+    require(r1.initial && r1.tableRows > 0, s"seed must materialize: $r1")
+    val link = graft.sources.odata.ODataDelta.persistedLink(spark, tablePath)
+      .getOrElse(throw new IllegalStateException("seed persisted no link"))
+    val reqsBeforeStream = srv.requestLog.size
+    val name = s"graft_odata_seedcdc_${streamRuns.incrementAndGet()}"
+    val ckpt = s"$tablePath/ckpt"
+    val q = spark.readStream.format("odata-delta")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS,O_PRIORITY")
+      .option("startLink", link)
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamReqs = srv.requestLog.drop(reqsBeforeStream)
+      .filterNot(_.contains("/token"))
+    require(streamReqs.nonEmpty && streamReqs.forall(_.contains("deltatoken")),
+      s"a startLink stream must issue ONLY delta-round requests, got: $streamReqs")
+    // fold the CDC rows onto the seeded table — the consumer's
+    // last-write-wins merge (one round here, so each key appears once)
+    val cdc = spark.table(name)
+    val touched = cdc.select(col("O_ORDERKEY")).distinct()
+    val upserts = cdc.where(col("_change") === "upsert")
+      .select(col("O_ORDERKEY"), col("O_STATUS"), col("O_PRIORITY"))
+    spark.read.parquet(s"$tablePath/data")
+      .join(broadcast(touched), Seq("O_ORDERKEY"), "left_anti")
+      .unionByName(upserts)
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
   // second stub, same slice, but the 3-MEDIUM value chain is poisoned
   // (every filtered request for it returns 500)
   private val partialServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]

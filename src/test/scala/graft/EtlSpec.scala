@@ -704,6 +704,12 @@ class EtlSpec extends SparkSpec {
     rejects("05 N PIC 9(3).", "unsigned DISPLAY")
     rejects("66 X RENAMES Y.", "RENAMES")
     rejects("05 E PIC ZZ9.99.", "unsupported PICTURE")
+    // generated-name collisions fail fast BY NAME: OCCURS suffixing,
+    // FILLER numbering, and '-'→'_' normalization share one namespace
+    rejects("05 SCORES PIC X(2) OCCURS 2 TIMES. 05 SCORES-2 PIC X(3).",
+      "SCORES_2")
+    rejects("05 FILLER PIC X(2). 05 FILLER-1 PIC X(3).", "filler_1")
+    rejects("05 A-B PIC X(2). 05 A_B PIC X(3).", "A_B")
   }
 
   test("imputeByGroupMedian: lower-middle medians fill nulls; empty groups keep nulls") {

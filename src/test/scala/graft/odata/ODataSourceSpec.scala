@@ -1008,6 +1008,78 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("odata-delta stream: startLink skips the initial enumeration — batch 0 is the first DELTA round") {
+    val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED", "CEMPLOYEE_UUID" -> "1")
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4",
+      deltaBatches = Seq((Seq(upd), Seq("0", "2"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_startlink"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      // the seeded table's persisted token points at delta round 0
+      val link = s"${srv.url}/svc/EmployeeQueryResults?" +
+        java.net.URLEncoder.encode("$deltatoken", "UTF-8") + "=0"
+      val q = spark.readStream.format("odata-delta")
+        .option("baseUrl", srv.url)
+        .option("servicePath", "svc")
+        .option("entity", "EmployeeQueryResults")
+        .option("selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")
+        .option("startLink", link)
+        .load()
+        .writeStream.format("memory").queryName("startlink_cdc")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table("startlink_cdc")
+        .select("CEMPLOYEE_UUID", "_change")
+        .as[(String, String)].collect().toSeq.sorted
+      // ONLY the delta round: 1 upsert + 2 deletes, no initial read
+      assert(rows == Seq(("0", "delete"), ("1", "upsert"), ("2", "delete")), rows)
+      assert(srv.requestLog.forall(_.contains("deltatoken")),
+        s"startLink must suppress the initial enumeration: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
+  test("odata-delta stream: a round past carryThreshold drops the driver carry and re-walks live (bounded driver)") {
+    val upds = (1 to 4).map(i => Map(
+      "TEMPLOYEE_UUID" -> s"Employee $i RENAMED", "CEMPLOYEE_UUID" -> i.toString))
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4",
+      deltaBatches = Seq((upds, Seq("0"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_carrycap"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      val link = s"${srv.url}/svc/EmployeeQueryResults?" +
+        java.net.URLEncoder.encode("$deltatoken", "UTF-8") + "=0"
+      val q = spark.readStream.format("odata-delta")
+        .option("baseUrl", srv.url)
+        .option("servicePath", "svc")
+        .option("entity", "EmployeeQueryResults")
+        .option("selectFields", "TEMPLOYEE_UUID,CEMPLOYEE_UUID,KCLEAVERS")
+        .option("startLink", link)
+        .option("carryThreshold", "2") // 5 entries > 2 → overflow
+        .load()
+        .writeStream.format("memory").queryName("carrycap_cdc")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table("carrycap_cdc")
+        .select("CEMPLOYEE_UUID", "_change")
+        .as[(String, String)].collect().toSeq.sorted
+      assert(rows == (("0", "delete") +: (1 to 4).map(i => (i.toString, "upsert"))),
+        rows) // rows exact despite the dropped carry (deterministic stub)
+      // the round-0 link was fetched TWICE: the driver's offset walk
+      // (carry dropped) plus the executor's live re-walk
+      val round0 = srv.requestLog.count(u =>
+        java.net.URLDecoder.decode(u, "UTF-8").contains("$deltatoken=0"))
+      assert(round0 == 2, s"expected driver walk + live executor re-walk: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
   test("delta sync: an interrupted table swap self-heals on the next round") {
     import graft.sources.odata.{ODataDelta, ODataOptions}
     val upd = Map("TEMPLOYEE_UUID" -> "Employee 1 RENAMED",
@@ -1267,6 +1339,28 @@ class ODataSourceSpec extends SparkSpec {
         .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
       assert(msgs.contains("503"), msgs)
     } finally srv2.stop()
+  }
+
+  test("oauth: concurrent token misses single-flight into ONE grant (no stampede)") {
+    import graft.sources.odata.ODataClient
+    val srv = new ODataStubServer(mkRows(1), "C0CHAR_STRUCTURE",
+      oauthCreds = Some(("sf-client", "sf-secret"))).start()
+    try {
+      val cfg = ODataClient.OAuthConfig(s"${srv.url}/token", "sf-client", "sf-secret")
+      // 16 threads race a cold cache — without the per-key lock each
+      // would POST its own client-credentials grant
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val toks = try {
+        val tasks = (1 to 16).map(_ => (() =>
+          ODataClient.bearerToken(cfg, 5000)): java.util.concurrent.Callable[String])
+        pool.invokeAll(java.util.Arrays.asList(tasks: _*))
+          .asInstanceOf[java.util.List[java.util.concurrent.Future[String]]]
+      } finally pool.shutdown()
+      val distinct = (0 until 16).map(toks.get(_).get()).distinct
+      assert(distinct.size == 1, s"threads must share one grant: $distinct")
+      assert(srv.tokensIssued.get() == 1,
+        s"stampede: ${srv.tokensIssued.get()} grants for one cold miss")
+    } finally srv.stop()
   }
 
   test("strict stub: delta rounds project to the DEFINING query's \\$select (v4 11.3)") {
