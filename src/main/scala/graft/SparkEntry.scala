@@ -6213,6 +6213,14 @@ object SparkEntry {
     "odata_expand_paged" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.pagedExpandScan(s, dir)),
 
+    // $metadata-driven TYPED schema: the stub publishes an EDMX typing
+    // the slice and the scan surfaces native Spark types (bigint, int,
+    // double, timestamp, boolean) whose values hash-match DuckDB
+    // reading the same parquet with NO cast layer — the typed mode's
+    // whole point; string mode stays the reference-parity default
+    "odata_metadata_schema" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.metadataScan(s, dir)),
+
     // permissive extra-column mode (reference etl.py:201,204-207 — the
     // server spills __metadata on every row; from_records unions it
     // into the output, employee_data.csv:1-2): extraColumns=map lands
@@ -14481,6 +14489,16 @@ object SparkEntry {
         | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         | WHERE o.o_orderkey < 200
         | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+
+    // typed columns compare NATIVELY (no VARCHAR casts): the scan's
+    // bigint/int/double/timestamp/boolean must equal DuckDB's own
+    // types over the same parquet
+    "odata_metadata_schema" ->
+      """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+        | o_orderstatus, o_totalprice, o_orderdate,
+        | (o_orderpriority = '1-URGENT') AS o_urgent
+        | FROM orders WHERE o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
 
     // the stub's __metadata is deterministic per key, so the oracle
     // rebuilds the exact to_json(map) text: the map has exactly one

@@ -56,8 +56,29 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ODataOptions(options)
     val structureField = ODataSchema.detectStructureField(opts)
+    // metadataSchema=true: the EDMX document types the declared
+    // columns (ODataMetadata); string mode stays the parity default.
+    // A select field ABSENT from the entity type fails by name — the
+    // typed mode must not silently string-type a typo. The structure
+    // field must be Edm.String: its values ride quoted $filter eq's
+    // and the chain planning.
+    val typeOf: String => DataType =
+      if (!opts.metadataSchema) _ => StringType
+      else {
+        val props = ODataMetadata.fetchTypes(opts)
+        f => props.getOrElse(f, throw new IllegalStateException(
+          s"odata metadataSchema: select field '$f' is not a declared " +
+            s"property of entity '${opts.entity}' in \\$$metadata " +
+            s"(declared: ${props.keys.toSeq.sorted.mkString(",")})")).sparkType
+      }
+    structureField.filter(_ => opts.metadataSchema).foreach { f =>
+      require(typeOf(f) == StringType,
+        s"odata metadataSchema: structure field '$f' must be Edm.String " +
+          "— its values are quoted into per-chain $filter conditions")
+    }
     val declared =
-      (opts.selectFields ++ structureField).map(f => StructField(f, StringType, nullable = true))
+      (opts.selectFields ++ structureField).map(f =>
+        StructField(f, typeOf(f), nullable = true))
     // declared $expand navs surface as NESTED columns: struct for a
     // single-valued nav, array<struct> for a collection (the declared
     // cardinality); nested fields keep the connector's string typing
@@ -439,7 +460,14 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // would filter the AGGREGATED rows — the prefix is the only form
     // with WHERE-clause (pre-aggregation) semantics.
     if ((pushedEq.nonEmpty || pushedIn.nonEmpty) && !opts.fullyPushFilters) return None
-    val groupCols = agg.groupByExpressions().toSeq.map(serverCol)
+    // under metadataSchema a column may be natively typed; the pushed
+    // agg's wire decode (and its schema contract) is string-typed for
+    // groups and min/max, so those DECLINE on a non-string column and
+    // Spark computes — counts only need the column to exist
+    def stringTyped(n: String): Boolean =
+      fullSchema.fields.find(_.name == n).forall(_.dataType == StringType)
+    val groupCols = agg.groupByExpressions().toSeq
+      .map(serverCol(_).filter(stringTyped))
     if (groupCols.exists(_.isEmpty)) return None
     val groups = groupCols.flatten
     // translate each aggregate to (spec, isCount); count(col) marks
@@ -454,9 +482,11 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
           nonNullCountCol = Some(n); (s"$$count as agg$i", true)
         }
       case (m: Min, i) =>
-        serverCol(m.column()).map(n => (s"$n with min as agg$i", false))
+        serverCol(m.column()).filter(stringTyped)
+          .map(n => (s"$n with min as agg$i", false))
       case (m: Max, i) =>
-        serverCol(m.column()).map(n => (s"$n with max as agg$i", false))
+        serverCol(m.column()).filter(stringTyped)
+          .map(n => (s"$n with max as agg$i", false))
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return None
@@ -1086,6 +1116,12 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private val navAnnotations: Set[String] =
     opts.expands.map(e => s"${e.nav}@odata.nextLink").toSet
 
+  // per-field Catalyst type from the (possibly metadata-typed) read
+  // schema — the scalar decode dispatches on it; string mode takes
+  // the same path with the StringType fast case
+  private val fieldType: Map[String, DataType] =
+    schema.fields.map(f => f.name -> f.dataType).toMap
+
   override def get(): InternalRow =
     InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map {
       case f if navByName.contains(f) =>
@@ -1119,7 +1155,12 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
             extras.map(e =>
               Option(e._2).map(UTF8String.fromString).orNull: Any)))
       case f =>
-        current.get(f).filter(_ != null).map(UTF8String.fromString).orNull
+        current.get(f).filter(_ != null).map { v =>
+          fieldType(f) match {
+            case StringType => UTF8String.fromString(v): Any
+            case dt => ODataMetadata.convert(v, dt, f)
+          }
+        }.orNull
     })
 
   override def close(): Unit = ()

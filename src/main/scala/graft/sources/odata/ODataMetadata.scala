@@ -1,0 +1,158 @@
+package graft.sources.odata
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `$metadata`-driven TYPED schema (opt-in via `metadataSchema=true`).
+  *
+  * Every real OData service publishes an EDMX `$metadata` document
+  * (OData CSDL) describing each entity type's properties and their
+  * `Edm.*` types — it is how every real OData client discovers shape.
+  * The reference never reads it (its ByD tenant gates `$metadata`
+  * separately, hence the `$select`+`$top=1` probe, `etl.py:100-121`),
+  * so STRING-typed columns remain the connector's reference-parity
+  * default and the probe remains the fallback; this module adds the
+  * typed mode on top: parse the EDMX, map Edm types to native Spark
+  * types at the scan, and decode each JSON cell accordingly — deleting
+  * the hand-written cast layer every typed consumer otherwise builds.
+  *
+  * Type mapping (v4 names; the v2 synonyms map the same way):
+  *  - Edm.String, Edm.Guid            → string
+  *  - Edm.Boolean                     → boolean
+  *  - Edm.SByte                       → tinyint
+  *  - Edm.Byte, Edm.Int16             → smallint (Byte is unsigned)
+  *  - Edm.Int32                       → int
+  *  - Edm.Int64                       → bigint
+  *  - Edm.Single                      → float
+  *  - Edm.Double                      → double
+  *  - Edm.Decimal(P,S)                → decimal(P,S) (default 38,18)
+  *  - Edm.Date                        → date
+  *  - Edm.DateTimeOffset, Edm.DateTime→ timestamp (v2 `/Date(ms)/`
+  *                                      wire form decoded too)
+  *  - anything else (Edm.Binary, Edm.TimeOfDay, streams, enums…)
+  *                                    → string — the faithful
+  *    stringified representation the default mode uses everywhere; an
+  *    unknown type must degrade to lawful behavior, never to a guess.
+  *
+  * Parsing is namespace-agnostic on LOCAL element names (EntitySet /
+  * EntityType / Property / EntityContainer), which covers both the v4
+  * OASIS namespaces and the v2 Microsoft ones with one pass.
+  */
+object ODataMetadata {
+
+  final case class EdmProperty(name: String, edmType: String,
+                               precision: Option[Int], scale: Option[Int]) {
+    def sparkType: DataType = edmType match {
+      case "Edm.String" | "Edm.Guid" => StringType
+      case "Edm.Boolean" => BooleanType
+      case "Edm.SByte" => ByteType
+      case "Edm.Byte" | "Edm.Int16" => ShortType
+      case "Edm.Int32" => IntegerType
+      case "Edm.Int64" => LongType
+      case "Edm.Single" => FloatType
+      case "Edm.Double" => DoubleType
+      case "Edm.Decimal" =>
+        DecimalType(precision.getOrElse(38), scale.getOrElse(18))
+      case "Edm.Date" => DateType
+      case "Edm.DateTimeOffset" | "Edm.DateTime" => TimestampType
+      case _ => StringType // lawful degradation, see object doc
+    }
+  }
+
+  /** Fetch `{service}/$metadata` and resolve `opts.entity`'s property
+    * types. Fail-fast throughout: metadataSchema is an explicit opt-in,
+    * so a missing document, an unknown entity set, or a declared select
+    * field absent from the entity type is a configuration error worth
+    * a loud name — silently string-typing it would defeat the mode.
+    */
+  def fetchTypes(opts: ODataOptions): Map[String, EdmProperty] = {
+    val url = opts.entityUrl("$metadata")
+    val xml = ODataClient.getWithRetry(url, opts.user, opts.password,
+      opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs,
+      oauth = opts.oauth)
+    parse(xml, opts.entity)
+  }
+
+  /** Parse one EDMX document and return the property map of the entity
+    * type backing `entitySet`. JDK DOM — no extra dependencies.
+    */
+  def parse(xml: String, entitySet: String): Map[String, EdmProperty] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    // the document is fetched from a remote service: no external
+    // entity resolution, ever
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+
+    def elems(parent: org.w3c.dom.Element, local: String): Seq[org.w3c.dom.Element] = {
+      val nl = parent.getElementsByTagNameNS("*", local)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    val root = doc.getDocumentElement
+
+    val entityTypeFqn = elems(root, "EntitySet")
+      .find(_.getAttribute("Name") == entitySet)
+      .map(_.getAttribute("EntityType"))
+      .getOrElse(throw new IllegalStateException(
+        s"odata \\$$metadata: no EntitySet named '$entitySet' in the " +
+          "service document — check the 'entity' option against the " +
+          "container's entity sets"))
+    val typeName = entityTypeFqn.split('.').last
+
+    val entityType = elems(root, "EntityType")
+      .find(_.getAttribute("Name") == typeName)
+      .getOrElse(throw new IllegalStateException(
+        s"odata \\$$metadata: EntitySet '$entitySet' names entity type " +
+          s"'$entityTypeFqn' but no EntityType '$typeName' is declared"))
+
+    elems(entityType, "Property").map { p =>
+      def intAttr(a: String): Option[Int] =
+        Option(p.getAttribute(a)).filter(_.nonEmpty)
+          .flatMap(s => scala.util.Try(s.toInt).toOption)
+      val name = p.getAttribute("Name")
+      name -> EdmProperty(name, p.getAttribute("Type"),
+        intAttr("Precision"), intAttr("Scale"))
+    }.toMap
+  }
+
+  /** Decode one stringified JSON cell (the client's uniform wire form —
+    * scalars via asText, so both `123` and `"123"` arrive as "123")
+    * into the Catalyst value of `dt`. Parse failures fail LOUDLY with
+    * the field name and offending text: a typed mode that silently
+    * nulls a malformed cell is worse than the string mode it replaces.
+    */
+  def convert(s: String, dt: DataType, field: String): Any =
+    try dt match {
+      case StringType => UTF8String.fromString(s)
+      case BooleanType => s.toBoolean
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(s), d.precision, d.scale)
+      case DateType =>
+        java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType =>
+        // v4 wire form: ISO-8601 with offset (Edm.DateTimeOffset);
+        // v2 wire form: the legacy "/Date(ms)/" envelope
+        if (s.startsWith("/Date(")) {
+          val ms = s.stripPrefix("/Date(").stripSuffix(")/").toLong
+          ms * 1000L
+        } else {
+          val odt = java.time.OffsetDateTime.parse(s)
+          odt.toInstant.getEpochSecond * 1000000L + odt.getNano / 1000L
+        }
+      case other => throw new IllegalStateException(
+        s"unsupported typed-decode target $other")
+    } catch {
+      case e: IllegalStateException => throw e
+      case e: Exception => throw new IllegalStateException(
+        s"odata typed decode: field '$field' value '${s.take(100)}' does " +
+          s"not parse as ${dt.simpleString}: ${e.getMessage}")
+    }
+}

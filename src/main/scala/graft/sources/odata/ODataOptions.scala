@@ -209,7 +209,18 @@ case class ODataOptions(
     // bounding driver memory and task-serialization size — and the
     // executor re-walks the link live (at-least-once for rows landing
     // mid-round, same caveat as a crash-replayed batch)
-    streamCarryThreshold: Int = 100000) {
+    streamCarryThreshold: Int = 100000,
+    // metadataSchema=true: read the service's EDMX $metadata document
+    // and surface the declared selectFields with NATIVE Spark types
+    // (Edm.Int64→bigint, Edm.DateTimeOffset→timestamp, …, see
+    // ODataMetadata) — deleting the cast layer every typed consumer
+    // builds by hand. Default FALSE: string typing is the
+    // reference-parity posture, and ByD tenants gate $metadata
+    // separately (why the reference probes instead, etl.py:100-121).
+    // The structure field must be Edm.String (its values ride $filter
+    // quotes and chain planning); nav columns and the extras map keep
+    // string typing.
+    metadataSchema: Boolean = false) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -337,6 +348,7 @@ object ODataOptions {
       reportStatistics = m.getOrElse("reportStatistics", "false").toBoolean,
       oauth = oauth0,
       streamStartLink = m.get("startLink").filter(_.nonEmpty),
-      streamCarryThreshold = m.getOrElse("carryThreshold", "100000").toInt)
+      streamCarryThreshold = m.getOrElse("carryThreshold", "100000").toInt,
+      metadataSchema = m.getOrElse("metadataSchema", "false").toBoolean)
   }
 }

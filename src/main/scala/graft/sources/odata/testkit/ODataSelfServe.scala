@@ -385,6 +385,86 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
   }
 
+  private val metadataServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  /** `$metadata`-typed-schema driver-gate: the stub publishes an EDMX
+    * document typing the orders slice (Edm.Int64 key, Edm.Int32
+    * custkey, Edm.Double price, Edm.DateTimeOffset date, Edm.Boolean
+    * flag) and serves the values as native JSON scalars; the scan with
+    * `metadataSchema=true` must surface NATIVE Spark types whose
+    * values hash-match DuckDB reading the same parquet with no cast
+    * layer in between — a mapping bug (wrong Edm map, a mis-parsed
+    * timestamp, string leakage) breaks the schema or the hash.
+    */
+  def metadataScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = metadataServers.getOrElseUpdate(dir, {
+      val edmx = """<?xml version="1.0" encoding="utf-8"?>
+        |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+        |  <edmx:DataServices>
+        |    <Schema Namespace="graft.byd" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+        |      <EntityType Name="Order">
+        |        <Key><PropertyRef Name="O_ORDERKEY"/></Key>
+        |        <Property Name="O_ORDERKEY" Type="Edm.Int64" Nullable="false"/>
+        |        <Property Name="O_CUSTKEY" Type="Edm.Int32"/>
+        |        <Property Name="O_STATUS" Type="Edm.String"/>
+        |        <Property Name="O_TOTALPRICE" Type="Edm.Double"/>
+        |        <Property Name="O_ORDERDATE" Type="Edm.DateTimeOffset"/>
+        |        <Property Name="O_URGENT" Type="Edm.Boolean"/>
+        |        <Property Name="O_PRIORITY" Type="Edm.String"/>
+        |      </EntityType>
+        |      <EntityContainer Name="Container">
+        |        <EntitySet Name="Orders" EntityType="graft.byd.Order"/>
+        |      </EntityContainer>
+        |    </Schema>
+        |  </edmx:DataServices>
+        |</edmx:Edmx>""".stripMargin
+      val rows = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("string").as("K"),
+          col("o_custkey").cast("string").as("C"),
+          col("o_orderstatus").as("S"),
+          col("o_totalprice").cast("string").as("T"),
+          col("o_orderdate").cast("timestamp").as("D"),
+          (col("o_orderpriority") === "1-URGENT").cast("string").as("U"),
+          col("o_orderpriority").as("P"))
+        .collect()
+        .map(r => Map(
+          "O_ORDERKEY" -> r.getString(0),
+          "O_CUSTKEY" -> r.getString(1),
+          "O_STATUS" -> r.getString(2),
+          "O_TOTALPRICE" -> r.getString(3),
+          "O_ORDERDATE" -> r.getTimestamp(4).toInstant.toString, // ISO, UTC
+          "O_URGENT" -> r.getString(5),
+          "O_PRIORITY" -> r.getString(6)))
+        .toSeq
+      new ODataStubServer(rows, "O_PRIORITY", dialect = "v4",
+        serverPageSize = 50, metadataDoc = Some(edmx),
+        // typed values ride the wire as native JSON scalars, the
+        // lawful v4 shape (the client's stringify-then-decode path
+        // must handle real numbers/booleans, not just quoted strings)
+        rawJsonFields = Set("O_ORDERKEY", "O_CUSTKEY", "O_TOTALPRICE", "O_URGENT")).start()
+    })
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields",
+        "O_ORDERKEY,O_CUSTKEY,O_STATUS,O_TOTALPRICE,O_ORDERDATE,O_URGENT")
+      .option("structureCandidates", "O_PRIORITY")
+      .option("metadataSchema", "true")
+      .option("failFast", "true")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_CUSTKEY").as("o_custkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_TOTALPRICE").as("o_totalprice"),
+        col("O_ORDERDATE").as("o_orderdate"),
+        col("O_URGENT").as("o_urgent"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // the SAME header+items+customer fixture, but the server PAGES every
   // expanded Items collection past 3 entries (TPC-H orders carry up to
   // 7 lines, so most orders force a Nav@odata.nextLink continuation)

@@ -57,6 +57,10 @@ class ODataStubServer(
     // lenient stub would mask: a client ignoring the continuation
     // reads "successfully" with every large collection's tail gone.
     navPageSize: Int = Int.MaxValue,
+    // serve this EDMX document at {path}/$metadata (the typed-schema
+    // mode's discovery surface); None = 404, like a ByD tenant that
+    // gates $metadata — the probe fallback's reason to exist
+    metadataDoc: Option[String] = None,
     // serve gzip-compressed bodies — but ONLY when the request offered
     // Accept-Encoding: gzip (the lawful content-negotiation contract;
     // a stub that gzips unconditionally would mask a client that
@@ -242,6 +246,21 @@ class ODataStubServer(
       if (ex.getRequestHeaders.getFirst("Authorization") != expect) {
         respond(ex, 401, """{"error": "unauthorized"}"""); return
       }
+    }
+
+    // EDMX service document (typed-schema discovery)
+    if (ex.getRequestURI.getPath.endsWith("/$metadata")) {
+      metadataDoc match {
+        case Some(doc) =>
+          val bytes = doc.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/xml")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        case None =>
+          respond(ex, 404, """{"error": {"message": "$metadata is not exposed"}}""")
+      }
+      return
     }
 
     // continuation page of a server-paged expanded collection: a

@@ -1341,6 +1341,162 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  // EDMX fixture: an entity type exercising every mapped Edm type plus
+  // an unmapped one (Edm.TimeOfDay → lawful string degradation)
+  private val edmxDoc = """<?xml version="1.0" encoding="utf-8"?>
+    |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+    |  <edmx:DataServices>
+    |    <Schema Namespace="graft.test" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+    |      <EntityType Name="Employee">
+    |        <Key><PropertyRef Name="CEMPLOYEE_UUID"/></Key>
+    |        <Property Name="CEMPLOYEE_UUID" Type="Edm.String" Nullable="false"/>
+    |        <Property Name="TEMPLOYEE_UUID" Type="Edm.String"/>
+    |        <Property Name="KCLEAVERS" Type="Edm.Int32"/>
+    |        <Property Name="BIGN" Type="Edm.Int64"/>
+    |        <Property Name="SALARY" Type="Edm.Decimal" Precision="10" Scale="2"/>
+    |        <Property Name="RATIO" Type="Edm.Double"/>
+    |        <Property Name="ACTIVE" Type="Edm.Boolean"/>
+    |        <Property Name="HIRED" Type="Edm.Date"/>
+    |        <Property Name="SEEN" Type="Edm.DateTimeOffset"/>
+    |        <Property Name="SHIFT" Type="Edm.TimeOfDay"/>
+    |        <Property Name="C0CHAR_STRUCTURE" Type="Edm.String"/>
+    |        <Property Name="BADSTRUCT" Type="Edm.Int32"/>
+    |      </EntityType>
+    |      <EntityContainer Name="Container">
+    |        <EntitySet Name="EmployeeQueryResults" EntityType="graft.test.Employee"/>
+    |      </EntityContainer>
+    |    </Schema>
+    |  </edmx:DataServices>
+    |</edmx:Edmx>""".stripMargin
+
+  test("$metadata parse: EntitySet→EntityType resolution, Edm type map, precision/scale, unknown→string") {
+    import graft.sources.odata.ODataMetadata
+    import org.apache.spark.sql.types._
+    val props = ODataMetadata.parse(edmxDoc, "EmployeeQueryResults")
+    def t(f: String) = props(f).sparkType
+    assert(t("CEMPLOYEE_UUID") == StringType)
+    assert(t("KCLEAVERS") == IntegerType)
+    assert(t("BIGN") == LongType)
+    assert(t("SALARY") == DecimalType(10, 2))
+    assert(t("RATIO") == DoubleType)
+    assert(t("ACTIVE") == BooleanType)
+    assert(t("HIRED") == DateType)
+    assert(t("SEEN") == TimestampType)
+    assert(t("SHIFT") == StringType, "unmapped Edm type degrades to string")
+    val e = intercept[IllegalStateException] {
+      ODataMetadata.parse(edmxDoc, "NoSuchSet")
+    }
+    assert(e.getMessage.contains("NoSuchSet"), e.getMessage)
+  }
+
+  test("metadataSchema=true: typed scan end-to-end — native Spark types, nulls, v2 /Date(ms)/ decode, loud misconfig") {
+    import org.apache.spark.sql.types._
+    val typedRows = (0 until 4).map { i =>
+      Map(
+        "CEMPLOYEE_UUID" -> i.toString,
+        "KCLEAVERS" -> i.toString,
+        "BIGN" -> (10000000000L + i).toString,
+        "SALARY" -> s"$i.25",
+        "RATIO" -> s"$i.5",
+        "ACTIVE" -> (if (i % 2 == 0) "true" else "false"),
+        "HIRED" -> s"2024-01-0${i + 1}",
+        "SEEN" -> (if (i == 3) s"/Date(${86400000L * i})/" // v2 wire form
+                   else s"2024-01-0${i + 1}T06:30:00Z"),
+        "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}") ++
+        (if (i == 2) Map("KCLEAVERS" -> null, "SALARY" -> null) else Map.empty)
+    }
+    val srv = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      rawJsonFields = Set("KCLEAVERS", "BIGN", "SALARY", "RATIO", "ACTIVE")).start()
+    try {
+      def typedRead(fields: String) = spark.read.format("odata")
+        .option("baseUrl", srv.url)
+        .option("servicePath", "sap/byd/odata/analytics.svc")
+        .option("entity", "EmployeeQueryResults")
+        .option("selectFields", fields)
+        .option("structureCandidates", candidates)
+        .option("metadataSchema", "true")
+        .option("failFast", "true")
+        .load()
+      val df = typedRead("CEMPLOYEE_UUID,KCLEAVERS,BIGN,SALARY,RATIO,ACTIVE,HIRED,SEEN")
+      assert(df.schema.map(f => f.name -> f.dataType.simpleString).toMap ==
+        Map("CEMPLOYEE_UUID" -> "string", "KCLEAVERS" -> "int",
+          "BIGN" -> "bigint", "SALARY" -> "decimal(10,2)",
+          "RATIO" -> "double", "ACTIVE" -> "boolean", "HIRED" -> "date",
+          "SEEN" -> "timestamp", "C0CHAR_STRUCTURE" -> "string"),
+        df.schema.treeString)
+      val r1 = df.where(col("CEMPLOYEE_UUID") === "1").collect().head
+      assert(r1.getAs[Int]("KCLEAVERS") == 1)
+      assert(r1.getAs[Long]("BIGN") == 10000000001L)
+      assert(r1.getAs[java.math.BigDecimal]("SALARY")
+        .compareTo(new java.math.BigDecimal("1.25")) == 0)
+      assert(r1.getAs[Double]("RATIO") == 1.5)
+      assert(!r1.getAs[Boolean]("ACTIVE"))
+      assert(r1.getAs[java.sql.Date]("HIRED").toString == "2024-01-02")
+      // explicit nulls survive typed decode
+      val r2 = df.where(col("CEMPLOYEE_UUID") === "2").collect().head
+      assert(r2.isNullAt(r2.fieldIndex("KCLEAVERS")) &&
+        r2.isNullAt(r2.fieldIndex("SALARY")))
+      // the v2 /Date(ms)/ form decodes to the same instant space
+      val seen = df.select(col("CEMPLOYEE_UUID"),
+          unix_timestamp(col("SEEN")).as("s"))
+        .as[(String, Long)].collect().toMap
+      assert(seen("3") == 86400L * 3, seen)
+      assert(seen("0") == java.time.OffsetDateTime.parse("2024-01-01T06:30:00Z")
+        .toInstant.getEpochSecond)
+      // a select field absent from the entity type fails BY NAME
+      val e1 = intercept[Exception] { typedRead("CEMPLOYEE_UUID,TYPO_FIELD").schema }
+      assert(e1.getMessage.contains("TYPO_FIELD"), e1.getMessage)
+      // a non-string structure candidate fails at schema time
+      val e2 = intercept[Exception] {
+        spark.read.format("odata")
+          .option("baseUrl", srv.url)
+          .option("servicePath", "sap/byd/odata/analytics.svc")
+          .option("entity", "EmployeeQueryResults")
+          .option("selectFields", "CEMPLOYEE_UUID")
+          .option("structureCandidates", "BADSTRUCT")
+          .option("metadataSchema", "true")
+          .load().schema
+      }
+      assert(e2.getMessage.contains("Edm.String"), e2.getMessage)
+    } finally srv.stop()
+  }
+
+  test("metadataSchema + aggregate pushdown: min/max and grouping on a TYPED column decline; string columns still push") {
+    val typedRows = (0 until 6).map(i => Map(
+      "CEMPLOYEE_UUID" -> i.toString, "TEMPLOYEE_UUID" -> s"Employee $i",
+      "KCLEAVERS" -> (i % 2).toString, "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}"))
+    val srv = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      rawJsonFields = Set("KCLEAVERS")).start()
+    try {
+      val df = spark.read.format("odata")
+        .option("baseUrl", srv.url)
+        .option("servicePath", "sap/byd/odata/analytics.svc")
+        .option("entity", "EmployeeQueryResults")
+        .option("selectFields", "CEMPLOYEE_UUID,TEMPLOYEE_UUID,KCLEAVERS")
+        .option("structureCandidates", candidates)
+        .option("metadataSchema", "true")
+        .option("pushDownAggregates", "true")
+        .option("failFast", "true")
+        .load()
+      // min over the Int32 column: the push DECLINES (the $apply wire
+      // decode is string-typed) and Spark computes the right answer
+      val m = df.agg(min(col("KCLEAVERS"))).collect().head.getInt(0)
+      assert(m == 0)
+      assert(!srv.requestLog.exists(_.contains("KCLEAVERS+with+min")),
+        s"typed min must not push: ${srv.requestLog.filter(_.contains("apply"))}")
+      // …while a STRING column's aggregate still collapses server-side
+      srv.requestLog = Vector.empty
+      val c = df.groupBy(col("C0CHAR_STRUCTURE")).agg(count(lit(1)).as("n"))
+        .orderBy("C0CHAR_STRUCTURE")
+        .as[(String, Long)].collect().toSeq
+      assert(c == Seq(("STRUCT0", 3L), ("STRUCT1", 3L)), c)
+      assert(srv.requestLog.exists(u => u.contains("%24apply") ||
+        u.contains("$apply")), s"string groupby must push: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
   test("oauth: concurrent token misses single-flight into ONE grant (no stampede)") {
     import graft.sources.odata.ODataClient
     val srv = new ODataStubServer(mkRows(1), "C0CHAR_STRUCTURE",
