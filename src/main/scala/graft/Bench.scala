@@ -42,12 +42,20 @@ object Bench {
     //      record the MEDIAN of the samples
     //      (SPARK_GRAFT_RETRY_OUTLIERS=0 disables);
     //  (b) final-pass worst-N re-run — SUSTAINED contention inflates
-    //      warm and timed samples together (queries run alphabetically,
-    //      so e.g. the heavy graph_* block is contiguous and a busy
-    //      window hits all of it), which (a) is structurally blind to.
-    //      After the sweep, the N slowest queries re-run once more, far
-    //      from the contended window, and the MEDIAN of all samples is
-    //      recorded (SPARK_GRAFT_FINALPASS=N, default 10, 0 disables).
+    //      warm and timed samples together, which (a) is structurally
+    //      blind to. After the sweep, the N slowest queries re-run in a
+    //      FRESH JVM (a subprocess with the same classpath and module
+    //      opens — the controlled-rep methodology, decorrelated from
+    //      this JVM's GC/compile state AND from the sweep's contention
+    //      window), and the MEDIAN of all samples is recorded
+    //      (SPARK_GRAFT_FINALPASS=N, default 10, 0 disables; if the
+    //      subprocess cannot run, falls back to an in-JVM rerun).
+    // The sweep order is a SEEDED SHUFFLE (SPARK_GRAFT_ORDER_SEED,
+    // default 12), not alphabetical: heavy families (graph_*, dedup_*)
+    // are alphabetically contiguous, so a busy window used to capture
+    // a whole family's warm and timed samples at once — shuffling
+    // spreads any contention window across unrelated queries where the
+    // outlier retry can see it.
     // Medians, not minima: a one-sided min() can only lower the
     // headline and systematically favors the engine; the median (two
     // samples average) corrects contention in either direction.
@@ -104,7 +112,9 @@ object Bench {
       }
       medianOf(samples)
     }
-    queryFns.toSeq.sortBy(_._1)
+    val orderSeed = sys.env.getOrElse("SPARK_GRAFT_ORDER_SEED", "12").toLong
+    new scala.util.Random(orderSeed)
+      .shuffle(queryFns.toSeq.sortBy(_._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try {
@@ -128,12 +138,64 @@ object Bench {
           results(name) = -1.0
         }
       }
+    // Fresh-JVM re-samples of the worst queries: one subprocess runs
+    // them all (same classpath + module opens, its own warm-up run per
+    // query — the controlled-rep methodology), so the re-samples share
+    // neither this JVM's GC/compile state nor the sweep's contention
+    // window. Returns only the queries that ran; anything missing
+    // falls back to the in-JVM rerun.
+    def freshJvmSamples(names: Seq[String]): Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      if (names.isEmpty) return Map.empty
+      try {
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.filter(a =>
+            a.startsWith("--add-opens") || a.contains("=ALL-UNNAMED") ||
+              a.startsWith("-D") || a.startsWith("-X")).toSeq
+        val tmp = java.nio.file.Files.createTempFile("graft_bench_fresh", ".json")
+        val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++ Seq(
+          "-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_ONLY", names.mkString(","))
+        env.put("SPARK_GRAFT_FINALPASS", "0") // no recursion
+        env.put("SPARK_GRAFT_RETRY_OUTLIERS", "0")
+        env.put("SPARK_GRAFT_REPS", "1")
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        env.put("SPARK_GRAFT_JSON_OUT", tmp.toString)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly()
+          System.err.println("[bench] fresh-JVM final pass timed out — in-JVM fallback")
+          return Map.empty
+        }
+        // exit 1 = some query failed in the subprocess; the partial
+        // map is still usable for the ones that ran
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(tmp))
+        java.nio.file.Files.deleteIfExists(tmp)
+        val qs = node.get("queries")
+        names.flatMap(n => Option(qs.get(n)).map(_.asDouble())
+          .filter(_ > 0).map(n -> _)).toMap
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] fresh-JVM final pass unavailable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — in-JVM fallback")
+        Map.empty
+      }
+    }
     if (finalPassN > 0) {
       val worst = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(finalPassN)
+      val fresh = freshJvmSamples(worst.map(_._1))
       worst.foreach { case (name, rec) =>
         try {
-          val again = timedRun(queryFns(name))
-          System.err.println(f"[bench] final-pass $name: recorded $rec%.2fs -> rerun $again%.2fs")
+          val (again, how) = fresh.get(name)
+            .map((_, "fresh-jvm")).getOrElse((timedRun(queryFns(name)), "in-jvm"))
+          System.err.println(
+            f"[bench] final-pass $name: recorded $rec%.2fs -> $how rerun $again%.2fs")
           retries(name) = retries.getOrElse(name, List(rec)) :+ again
           val med = settled(name, queryFns(name))
           if (med != rec) { results(name) = med; nRetried += 1 }
@@ -168,8 +230,12 @@ object Bench {
     val compact = line(qsJson(worst5), ",\"queries_truncated_to\":\"worst5\",\"full\":\"target/bench.json\"")
     println(compact)
     try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
+      // SPARK_GRAFT_JSON_OUT: where the FULL per-query map lands (the
+      // fresh-JVM final-pass subprocess points it at a temp file so it
+      // never clobbers the parent's target/bench.json)
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_JSON_OUT", "target/bench.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line(qsJson(results.toSeq.sortBy(_._1)), "") + "\n").getBytes("UTF-8"))
       // A prefix-free copy of the compact line for any parser that
