@@ -6221,6 +6221,13 @@ object SparkEntry {
     "odata_metadata_schema" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.metadataScan(s, dir)),
 
+    // $batch control-plane transport: schema probing bundles both
+    // candidates into ONE v4.01 JSON $batch POST (the gate requires
+    // the batch in the request log) and the result is byte-identical
+    // to the plain-transport scan — same oracle as odata_scan
+    "odata_batch_probe" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.batchScan(s, dir)),
+
     // permissive extra-column mode (reference etl.py:201,204-207 — the
     // server spills __metadata on every row; from_records unions it
     // into the output, employee_data.csv:1-2): extraColumns=map lands
@@ -14345,6 +14352,12 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     "odata_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders WHERE o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the $batch transport is result-invisible: same truth as odata_scan
+    "odata_batch_probe" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
         | o_orderpriority FROM orders WHERE o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,

@@ -274,6 +274,107 @@ object ODataClient {
     throw new IllegalStateException("unreachable")
   }
 
+  /** OData v4.01 JSON `$batch` (protocol §11.7, JSON format §19): POST
+    * one `{"requests": [{id, method, url}…]}` envelope and decode the
+    * per-request `{"responses": [{id, status, body}…]}` answers —
+    * bundling N control-plane GETs (the schema probe's candidates,
+    * counts) into ONE HTTP round-trip. Sub-responses come back as
+    * [[Response]]s so callers keep their status discrimination (the
+    * probe's 404-segment check). The batch POST itself rides the same
+    * transient-retry budget as any GET; a missing sub-response (a
+    * server answering fewer ids than asked) fails loudly — silently
+    * dropping a probe candidate would mis-detect the schema.
+    */
+  def postJsonBatch(batchUrl: String, requests: Seq[(String, String)],
+                    user: Option[String], password: Option[String],
+                    timeoutMs: Int, maxRetries: Int, backoffMs: Long,
+                    oauth: Option[OAuthConfig] = None): Map[String, Response] = {
+    val payload = {
+      val sb = new StringBuilder("{\"requests\": [")
+      requests.zipWithIndex.foreach { case ((id, u), i) =>
+        if (i > 0) sb.append(", ")
+        sb.append(s"""{"id": ${jsonQuote(id)}, "method": "GET", "url": ${jsonQuote(u)}}""")
+      }
+      sb.append("]}").toString
+    }
+    var attempt = 0
+    var reauthed = false
+    while (true) {
+      // a token-endpoint 5xx/429 rides the same retry budget as the
+      // batch POST itself (the getWithRetryResponse convention)
+      var usedTok: Option[String] = None
+      var tokenOk = true
+      try usedTok = oauth.map(bearerToken(_, timeoutMs))
+      catch {
+        case e: ODataHttpException
+            if oauth.exists(_.tokenUrl == e.url) &&
+              (e.status >= 500 || e.status == 429) && attempt < maxRetries =>
+          Thread.sleep(backoffMs * (1L << attempt))
+          attempt += 1
+          tokenOk = false
+      }
+      if (tokenOk) {
+      val conn = new URI(batchUrl).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val r = try {
+        conn.setRequestMethod("POST")
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setRequestProperty("Accept", "application/json")
+        usedTok match {
+          case Some(t) => conn.setRequestProperty("Authorization", s"Bearer $t")
+          case None =>
+            for (u <- user; p <- password) {
+              val tok = Base64.getEncoder.encodeToString(
+                s"$u:$p".getBytes(StandardCharsets.UTF_8))
+              conn.setRequestProperty("Authorization", s"Basic $tok")
+            }
+        }
+        val out = conn.getOutputStream
+        try out.write(payload.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        val status = conn.getResponseCode
+        val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (stream == null) ""
+          else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        Response(status, body)
+      } finally conn.disconnect()
+      if (r.status >= 200 && r.status < 300) {
+        val node = mapper.readTree(r.body)
+        val resps = Option(node.get("responses")).getOrElse(
+          throw new IllegalStateException(
+            s"odata \\$$batch: no 'responses' in: ${r.body.take(200)}"))
+        val byId = resps.elements().asScala.map { rn =>
+          val id = rn.get("id").asText()
+          val st = rn.get("status").asInt()
+          val b = Option(rn.get("body")).map(bn =>
+            if (bn.isValueNode) bn.asText() else bn.toString).getOrElse("")
+          id -> Response(st, b)
+        }.toMap
+        requests.foreach { case (id, u) =>
+          require(byId.contains(id),
+            s"odata \\$$batch: the server answered no response for request " +
+              s"id=$id url=$u — refusing to treat a dropped sub-request as data")
+        }
+        return byId
+      } else if (r.status == 401 && oauth.isDefined && !reauthed) {
+        reauthed = true
+        for (cfg <- oauth; t <- usedTok) evictToken(cfg, t)
+      } else if ((r.status >= 500 || r.status == 429) && attempt < maxRetries) {
+        Thread.sleep(r.retryAfterMs.getOrElse(backoffMs * (1L << attempt)))
+        attempt += 1
+      } else throw new ODataHttpException(r.status, batchUrl, r.body)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
   /** Envelope decode, both dialects (reference `src/etl.py:89-93`):
     * v2: `{"d": {"results": [...], "__next": url}}`
     * v4: `{"value": [...], "@odata.nextLink": url}` (or `odata.nextLink`)

@@ -118,6 +118,31 @@ object ODataSchema extends Logging {
   def detectStructureField(opts: ODataOptions): Option[String] = {
     if (opts.structureCandidates.isEmpty) return None
     val base = opts.entityUrl(opts.codesEntity)
+    // batch mode: ALL candidate probes ride ONE $batch POST (v4.01
+    // JSON format) and the responses discriminate exactly like the
+    // sequential path — first 2xx in candidate order wins, a
+    // 404-naming-the-segment means "absent, try next", anything else
+    // is fatal. One round-trip instead of ≤|candidates|.
+    if (opts.batchControlPlane) {
+      val reqs = opts.structureCandidates.zipWithIndex.map { case (cand, i) =>
+        i.toString -> ODataClient.buildUrl(base, Seq(
+          "$select" -> cand, "$top" -> "1", "$format" -> "json"))
+      }
+      val resps = ODataClient.postJsonBatch(
+        opts.entityUrl("$batch"), reqs, opts.user, opts.password,
+        opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs,
+        oauth = opts.oauth)
+      opts.structureCandidates.zipWithIndex.foreach { case (cand, i) =>
+        val r = resps(i.toString)
+        if (r.status >= 200 && r.status < 300) return Some(cand)
+        else if (r.status == 404 && ODataClient.missingSegment(r.body).isDefined)
+          logInfo(s"odata probe (batched): candidate '$cand' absent, trying next")
+        else
+          throw new ODataClient.ODataHttpException(r.status, reqs(i)._2, r.body)
+      }
+      throw new RuntimeException(
+        s"odata source: none of the structure candidates ${opts.structureCandidates.mkString(",")} exist")
+    }
     opts.structureCandidates.foreach { cand =>
       val url = ODataClient.buildUrl(base, Seq(
         "$select" -> cand, "$top" -> "1", "$format" -> "json"))

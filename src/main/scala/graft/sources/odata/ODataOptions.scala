@@ -220,7 +220,14 @@ case class ODataOptions(
     // The structure field must be Edm.String (its values ride $filter
     // quotes and chain planning); nav columns and the extras map keep
     // string typing.
-    metadataSchema: Boolean = false) {
+    metadataSchema: Boolean = false,
+    // batchControlPlane=true: bundle control-plane GETs into one OData
+    // v4.01 JSON $batch POST (protocol §11.7) — today the schema
+    // probe's candidate requests, which a multi-candidate tenant pays
+    // per fresh plan. The politeness lever for planning latency; data
+    // chains stay plain GETs (streaming pagination cannot batch).
+    // Default FALSE: v2 services and many v4 gateways lack $batch.
+    batchControlPlane: Boolean = false) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -349,6 +356,7 @@ object ODataOptions {
       oauth = oauth0,
       streamStartLink = m.get("startLink").filter(_.nonEmpty),
       streamCarryThreshold = m.getOrElse("carryThreshold", "100000").toInt,
-      metadataSchema = m.getOrElse("metadataSchema", "false").toBoolean)
+      metadataSchema = m.getOrElse("metadataSchema", "false").toBoolean,
+      batchControlPlane = m.getOrElse("batchControlPlane", "false").toBoolean)
   }
 }

@@ -385,6 +385,50 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
   }
 
+  private val batchServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  /** `$batch` control-plane driver-gate: the SAME slice and truth as
+    * [[scan]], but schema probing rides ONE v4.01 JSON `$batch` POST
+    * (both candidates bundled, 404-segment discrimination intact) —
+    * the request log must show the batch and the oracle hash must be
+    * untouched (the transport is result-invisible by construction).
+    */
+  def batchScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = batchServers.getOrElseUpdate(dir, {
+      val rows = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("string").as("O_ORDERKEY"),
+          col("o_orderstatus").as("O_STATUS"),
+          col("o_orderpriority").as("O_PRIORITY"))
+        .collect()
+        .map(r => Map(
+          "O_ORDERKEY" -> r.getString(0),
+          "O_STATUS" -> r.getString(1),
+          "O_PRIORITY" -> r.getString(2)))
+        .toSeq
+      new ODataStubServer(rows, "O_PRIORITY",
+        badCandidates = Set("OBAD_STRUCT"), serverPageSize = 50).start()
+    })
+    val df = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("batchControlPlane", "true")
+      .option("failFast", "true")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+    require(srv.requestLog.exists(_.contains("$batch")),
+      "the probe must have ridden a $batch POST")
+    df
+  }
+
   private val metadataServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
 
   /** `$metadata`-typed-schema driver-gate: the stub publishes an EDMX

@@ -102,6 +102,12 @@ class ODataStubServer(
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   @volatile var requestLog: Vector[String] = Vector.empty
 
+  /** CLIENT round-trips: every inbound request except the stub's own
+    * `$batch` loopback dispatches — what the batch-control-plane spec
+    * pins (bundled probes must collapse the count).
+    */
+  val clientRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def port: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$port"
 
@@ -210,6 +216,44 @@ class ODataStubServer(
   private def handle(ex: HttpExchange): Unit = {
     val q = parseQuery(ex.getRequestURI.getRawQuery)
     requestLog :+= ex.getRequestURI.toString
+    if (ex.getRequestHeaders.getFirst("X-Graft-Loopback") == null)
+      clientRequests.incrementAndGet()
+
+    // OData v4.01 JSON $batch: dispatch each sub-request back through
+    // this same server via loopback GETs (header-marked so they do not
+    // count as client round-trips) and bundle the answers — the
+    // control-plane transport the connector's batchControlPlane rides
+    if (ex.getRequestURI.getPath.endsWith("/$batch") &&
+        ex.getRequestMethod == "POST") {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(new String(
+        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val reqs = Option(node.get("requests")).getOrElse(
+        throw new IllegalArgumentException("$batch body lacks 'requests'"))
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val parts = reqs.elements().asScala.map { rn =>
+        require(rn.get("method").asText() == "GET",
+          s"stub \\$$batch supports GET only: ${rn.toString.take(100)}")
+        val id = rn.get("id").asText()
+        val u = rn.get("url").asText()
+        val conn = new java.net.URI(u).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val (st, body) = try {
+          conn.setRequestMethod("GET")
+          conn.setRequestProperty("Accept", "application/json")
+          conn.setRequestProperty("X-Graft-Loopback", "1")
+          auth.foreach(conn.setRequestProperty("Authorization", _))
+          val s = conn.getResponseCode
+          val is = if (s >= 400) conn.getErrorStream else conn.getInputStream
+          (s, if (is == null) "null"
+              else new String(is.readAllBytes(), StandardCharsets.UTF_8))
+        } finally conn.disconnect()
+        // body rides inline as JSON (it IS json from this stub)
+        s"""{"id": ${jsonStr(id)}, "status": $st, "body": ${if (body.isEmpty) "null" else body}}"""
+      }.mkString(", ")
+      respond(ex, 200, s"""{"responses": [$parts]}""")
+      return
+    }
 
     // OAuth token endpoint: POST form client-credentials grant
     if (oauthCreds.isDefined && ex.getRequestURI.getPath.endsWith("/token")) {

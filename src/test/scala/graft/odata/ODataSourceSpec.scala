@@ -1341,6 +1341,41 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("batchControlPlane: all probe candidates ride ONE \\$batch POST; planning round-trips collapse") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("batchControlPlane" -> "true", "failFast" -> "true"))
+      assert(df.columns.contains("C0CHAR_STRUCTURE"))
+      assert(df.count() == 9)
+      val batches = srv.requestLog.filter(_.contains("$batch"))
+      assert(batches.size == 1, s"exactly one batch POST: ${srv.requestLog}")
+      // 1 batch (both candidates inside) + 1 codes enumeration +
+      // 3 value chains = 5 client round-trips (sequential probing
+      // would pay 6: the 404'd candidate is its own request)
+      assert(srv.clientRequests.get() == 5,
+        s"round-trips: ${srv.clientRequests.get()} log=${srv.requestLog}")
+      // the batched discrimination is EXACT: the bad candidate 404'd
+      // inside the batch and the good one won
+      val loopbacks = srv.requestLog.filter(u =>
+        u.contains("%24top=1") || u.contains("$top=1"))
+      assert(loopbacks.exists(_.contains("COCHAR_STRUCTURE")) &&
+        loopbacks.exists(_.contains("C0CHAR_STRUCTURE")), s"$loopbacks")
+    } finally srv.stop()
+  }
+
+  test("batchControlPlane: a fatal probe status inside the batch still fails loudly") {
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      requireAuth = Some(("u", "p"))).start()
+    try {
+      // wrong creds: the sub-request 401s (NOT a 404-segment) → fatal
+      val e = intercept[Exception] {
+        read(srv, Map("batchControlPlane" -> "true",
+          "user" -> "u", "password" -> "WRONG")).schema
+      }
+      assert(e.getMessage.contains("401"), e.getMessage)
+    } finally srv.stop()
+  }
+
   // EDMX fixture: an entity type exercising every mapped Edm type plus
   // an unmapped one (Edm.TimeOfDay → lawful string degradation)
   private val edmxDoc = """<?xml version="1.0" encoding="utf-8"?>
