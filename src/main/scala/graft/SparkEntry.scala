@@ -6213,6 +6213,14 @@ object SparkEntry {
     "odata_expand_paged" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.pagedExpandScan(s, dir)),
 
+    // expand-as-JOIN: both navs plan as separate child entity scans +
+    // Spark-side key joins (the wide-to-many scale strategy: the child
+    // table ships once, AQE/broadcast picks the join shape) — the
+    // strategies are interchangeable by construction, so this gate
+    // rides odata_expand's oracle unchanged
+    "odata_expand_join" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.expandJoinScan(s, dir)),
+
     // $metadata-driven TYPED schema: the stub publishes an EDMX typing
     // the slice and the scan surfaces native Spark types (bigint, int,
     // double, timestamp, boolean) whose values hash-match DuckDB
@@ -14478,6 +14486,19 @@ object SparkEntry {
     // (collection nav, exploded); quantities were served as
     // BIGINT-cast strings, so the oracle casts identically
     "odata_expand" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+        | c.c_name AS c_name,
+        | c.c_mktsegment AS c_mktsegment,
+        | CAST(l.l_linenumber AS VARCHAR) AS l_linenumber,
+        | CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) AS l_quantity
+        | FROM orders o
+        | JOIN customer c ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderkey < 200
+        | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+
+    // the join strategy must be result-identical to inline $expand
+    "odata_expand_join" ->
       """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
         | c.c_name AS c_name,
         | c.c_mktsegment AS c_mktsegment,

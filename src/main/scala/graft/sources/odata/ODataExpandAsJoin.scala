@@ -1,0 +1,106 @@
+package graft.sources.odata
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** EXPAND-AS-JOIN — the scale alternative to inline `$expand` for wide
+  * to-many navigations.
+  *
+  * Inline `$expand`'s cost model is the 100×-scale cliff for
+  * collection navs: every parent row carries its ENTIRE child array
+  * through every page of every chain, so the child table ships
+  * duplicated into the parent stream (and compressed JSON or not, a
+  * 50-item order ships its 50 items inside the order row). This
+  * strategy plans the nav as what it relationally is: a SEPARATE child
+  * entity scan (its own partitioning, its own pushdowns, shipped
+  * exactly once) plus a Spark-side key join — AQE/broadcast decides
+  * the join shape, exactly the planning Spark is built for.
+  *
+  * The two strategies are interchangeable by construction: the result
+  * schema is identical (parent columns ++ one struct column per
+  * single-valued nav, one `array<struct>` per collection nav, nested
+  * fields string-typed in declared order), a parent with no children
+  * gets an EMPTY array / null struct — the same shapes the inline
+  * reader produces. One documented deviation: a collection's element
+  * ORDER is `array_sort` order (lexicographic by the declared fields)
+  * rather than server order — a deterministic order the join can
+  * guarantee; consumers needing server order use inline `$expand`.
+  *
+  * Contract: `parentKey` must be in the parent's `selectFields`; a
+  * single-valued nav's `childKey` must be unique child-side (the same
+  * cardinality declaration the inline reader enforces by failing fast
+  * on an array — here a duplicate key would surface as duplicated
+  * parent rows).
+  */
+object ODataExpandAsJoin {
+
+  /** One navigation planned as a join: `nav`/`collection`/`fields`
+    * mirror [[ExpandSpec]]; `childEntity` is the child's entity set,
+    * joined on parent.`parentKey` = child.`childKey`. `childOptions`
+    * overrides/extends the inherited connection options for the child
+    * scan (e.g. its own `skipRangePartitions`, or a different
+    * `baseUrl` for a federated association).
+    */
+  final case class JoinNav(nav: String, collection: Boolean,
+                           fields: Seq[String], childEntity: String,
+                           parentKey: String, childKey: String,
+                           childOptions: Map[String, String] = Map.empty)
+
+  // option keys that must NOT leak from the parent scan into a child
+  // scan (entity addressing, parent-shaped partitioning/projection);
+  // connection/auth/pacing options inherit
+  private val nonInherited = Set(
+    "entity", "selectfields", "structurecandidates", "codesentity",
+    "expand", "expandstyle", "skiprangepartitions", "skiprangeorderkey",
+    "extracolumns", "extracolumnname", "pushdownaggregates",
+    "metadataschema", "startlink", "carrythreshold")
+
+  def scan(spark: SparkSession, options: Map[String, String],
+           navs: Seq[JoinNav]): DataFrame = {
+    require(navs.nonEmpty, "expand-as-join: no navigations declared")
+    require(!options.keys.exists(_.equalsIgnoreCase("expand")),
+      "expand-as-join: the parent options must not also declare inline " +
+        "'expand' — pick one strategy per nav")
+    val parentFields = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("selectFields") =>
+        v.split(",").map(_.trim).toSet
+    }.getOrElse(Set.empty[String])
+    navs.foreach { n =>
+      require(parentFields.contains(n.parentKey),
+        s"expand-as-join: parent key '${n.parentKey}' of nav '${n.nav}' " +
+          "must be in the parent's selectFields")
+    }
+    val inherit = options.filterNot { case (k, _) =>
+      nonInherited.contains(k.toLowerCase) }
+
+    import scala.jdk.CollectionConverters._
+    val parent = spark.read.format("odata").options(options.asJava).load()
+
+    navs.foldLeft(parent) { (df, n) =>
+      val childOpts = inherit ++ n.childOptions ++ Map(
+        "entity" -> n.childEntity,
+        "selectFields" -> (n.childKey +: n.fields).distinct.mkString(","))
+      val child = spark.read.format("odata").options(childOpts.asJava).load()
+      val elem: Column = struct(n.fields.map(child(_)): _*)
+      if (n.collection) {
+        val elemType = StructType(
+          n.fields.map(f => StructField(f, StringType, nullable = true)))
+        // array_sort for a DETERMINISTIC element order the join can
+        // guarantee (see object doc); collect_list alone is
+        // plan-order-dependent
+        val grouped = child.groupBy(child(n.childKey).as("__graft_k"))
+          .agg(array_sort(collect_list(elem)).as(n.nav))
+        df.join(grouped, df(n.parentKey) === grouped("__graft_k"), "left")
+          .drop("__graft_k")
+          // no children = EMPTY array, the inline reader's shape
+          .withColumn(n.nav, coalesce(col(n.nav),
+            array().cast(ArrayType(elemType, containsNull = false))))
+      } else {
+        val one = child.select(child(n.childKey).as("__graft_k"), elem.as(n.nav))
+        df.join(one, df(n.parentKey) === col("__graft_k"), "left")
+          .drop("__graft_k")
+      }
+    }
+  }
+}

@@ -352,7 +352,10 @@ object ODataSelfServe {
         serverPageSize = 50,
         navProps = Map(
           "Customer" -> StubNav(collection = false, "O_CUSTKEY", "C_CUSTKEY", customers),
-          "Items" -> StubNav(collection = true, "O_ORDERKEY", "L_ORDERKEY", items))).start()
+          "Items" -> StubNav(collection = true, "O_ORDERKEY", "L_ORDERKEY", items)),
+        // the same associations exposed as plain entity sets — what
+        // the expand-as-join strategy scans instead of $expand-ing
+        extraEntities = Map("Customers" -> customers, "Items" -> items)).start()
     })
 
   /** `$expand` driver-gate: ONE header+items+customer request per
@@ -507,6 +510,39 @@ object ODataSelfServe {
         col("O_ORDERDATE").as("o_orderdate"),
         col("O_URGENT").as("o_urgent"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Expand-as-JOIN driver-gate: the SAME service and truth as
+    * [[expandScan]], but both navs plan as separate child entity scans
+    * plus Spark-side key joins (the 100×-scale strategy for wide
+    * to-many navs — the child table ships once instead of duplicated
+    * into every parent row). The strategies must be interchangeable:
+    * this gate flattens identically and rides the same oracle.
+    */
+  def expandJoinScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = expandServerFor(spark, dir)
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    ODataExpandAsJoin.scan(spark,
+      Map(
+        "baseUrl" -> srv.url,
+        "servicePath" -> "svc",
+        "entity" -> "Orders",
+        "selectFields" -> "O_ORDERKEY,O_STATUS,O_CUSTKEY",
+        "failFast" -> "true"),
+      Seq(
+        JoinNav("Customer", collection = false,
+          Seq("C_NAME", "C_MKTSEGMENT"), "Customers", "O_CUSTKEY", "C_CUSTKEY"),
+        JoinNav("Items", collection = true,
+          Seq("L_LINENUMBER", "L_QUANTITY"), "Items", "O_ORDERKEY", "L_ORDERKEY")))
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        col("Customer.C_NAME").as("c_name"),
+        col("Customer.C_MKTSEGMENT").as("c_mktsegment"),
+        explode(col("Items")).as("item"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("item.L_LINENUMBER").as("l_linenumber"),
+        col("item.L_QUANTITY").as("l_quantity"))
+      .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
   }
 
   // the SAME header+items+customer fixture, but the server PAGES every

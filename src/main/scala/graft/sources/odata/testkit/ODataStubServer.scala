@@ -61,6 +61,11 @@ class ODataStubServer(
     // mode's discovery surface); None = 404, like a ByD tenant that
     // gates $metadata — the probe fallback's reason to exist
     metadataDoc: Option[String] = None,
+    // additional top-level entity sets, keyed by the URL's last path
+    // segment (a real service hosts many sets in one container — what
+    // the expand-as-join strategy scans as plain child entities); any
+    // unknown segment falls through to the primary `rows`
+    extraEntities: Map[String, Seq[Map[String, String]]] = Map.empty,
     // serve gzip-compressed bodies — but ONLY when the request offered
     // Accept-Encoding: gzip (the lawful content-negotiation contract;
     // a stub that gzips unconditionally would mask a client that
@@ -337,8 +342,16 @@ class ODataStubServer(
       case None =>
     }
 
+    // dispatch to the addressed entity set (extraEntities) or fall
+    // through to the primary rows
+    val entityRows = {
+      val seg = ex.getRequestURI.getPath.stripSuffix("/$count")
+        .split('/').lastOption.getOrElse("")
+      extraEntities.getOrElse(seg, rows)
+    }
+
     val select0 = q.get("$select").map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(rows.headOption.map(_.keys.toSeq).getOrElse(Nil))
+      .getOrElse(entityRows.headOption.map(_.keys.toSeq).getOrElse(Nil))
     // v2 conventions project expanded navs via PARENT $select paths
     // (Nav/Field); split them off the scalar projection
     val (pathSel, select) = select0.partition(_.contains("/"))
@@ -384,7 +397,7 @@ class ODataStubServer(
     // $filter: conjunction of conditions (parseCondition — eq,
     // ne-null, parenthesized or-groups of eq)
     val filtered = q.get("$filter") match {
-      case None => rows
+      case None => entityRows
       case Some(f) =>
         val conds = f.split(" and (?![^(]*\\))").toSeq.map(parseCondition)
         if (conds.flatMap(_._2).exists(failValues.contains)) {
@@ -397,7 +410,7 @@ class ODataStubServer(
           ex.getResponseHeaders.set("Retry-After", "0")
           respond(ex, 429, """{"error": "rate limited"}"""); return
         }
-        rows.filter(r => conds.forall(_._1(r)))
+        entityRows.filter(r => conds.forall(_._1(r)))
     }
 
     // v4 change tracking: a $deltatoken request serves that batch's

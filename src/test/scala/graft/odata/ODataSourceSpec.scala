@@ -1696,6 +1696,56 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("expand-as-join: identical nested result to inline \\$expand, no \\$expand on the wire, empty/null shapes match") {
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    val navs = navFixture(6)
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navs,
+      extraEntities = Map(
+        "AssignmentSet" -> navs("Assignments").rows,
+        "ManagerSet" -> navs("Manager").rows)).start()
+    try {
+      val inline = read(srv, Map("expand" -> expandOpt, "failFast" -> "true"))
+      val joined = ODataExpandAsJoin.scan(spark,
+        Map("baseUrl" -> srv.url,
+          "servicePath" -> "sap/byd/odata/analytics.svc",
+          "entity" -> "EmployeeQueryResults",
+          "selectFields" -> selectFields,
+          "structureCandidates" -> candidates,
+          "failFast" -> "true"),
+        Seq(
+          JoinNav("Manager", collection = false,
+            Seq("M_NAME", "M_LEVEL"), "ManagerSet", "CEMPLOYEE_UUID", "M_EMP"),
+          JoinNav("Assignments", collection = true,
+            Seq("A_PROJ", "A_HOURS"), "AssignmentSet", "CEMPLOYEE_UUID", "A_EMP")))
+      assert(joined.schema("Manager").dataType.simpleString ==
+        "struct<M_NAME:string,M_LEVEL:string>")
+      assert(joined.schema("Assignments").dataType.simpleString ==
+        "array<struct<A_PROJ:string,A_HOURS:string>>")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("CEMPLOYEE_UUID"), col("Manager"),
+            array_sort(col("Assignments")).as("Assignments"))
+          .collect().map(_.toString).sorted.toSeq
+      assert(canon(joined) == canon(inline),
+        s"strategies must be interchangeable:\n${canon(joined)}\nvs\n${canon(inline)}")
+      // the join plan never $expands — the child sets were scanned as
+      // their own entities
+      val joinReqs = srv.requestLog.filter(u =>
+        u.contains("AssignmentSet") || u.contains("ManagerSet"))
+      assert(joinReqs.nonEmpty, srv.requestLog)
+      assert(!joinReqs.exists(u => u.contains("expand")), joinReqs)
+      // shape edges: employee 0 has no assignments (EMPTY array, not
+      // null), employee 1 has no manager (null struct)
+      val r = joined.where(col("CEMPLOYEE_UUID").isin("0", "1"))
+        .select(col("CEMPLOYEE_UUID"), col("Manager").isNull.as("mnull"),
+          size(col("Assignments")).as("an"))
+        .collect().map(x => x.getString(0) -> ((x.getBoolean(1), x.getInt(2)))).toMap
+      assert(r("0") == ((false, 0)), r)
+      assert(r("1") == ((true, 1)), r)
+    } finally srv.stop()
+  }
+
   test("\\$expand strictness: unknown nav 400s loudly; declared cardinality mismatch fails fast; bad specs rejected") {
     val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
       dialect = "v4", navProps = navFixture(3)).start()
