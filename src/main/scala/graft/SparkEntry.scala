@@ -6236,6 +6236,13 @@ object SparkEntry {
     "odata_batch_probe" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.batchScan(s, dir)),
 
+    // typed NESTED expand: the nav resolves through the EDMX
+    // NavigationProperty to its target entity type, so the exploded
+    // item fields arrive as native int/bigint and compare against
+    // DuckDB's own lineitem types with no cast layer
+    "odata_expand_typed" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.metadataExpandScan(s, dir)),
+
     // permissive extra-column mode (reference etl.py:201,204-207 — the
     // server spills __metadata on every row; from_records unions it
     // into the output, employee_data.csv:1-2): extraColumns=map lands
@@ -14493,6 +14500,17 @@ object SparkEntry {
         | CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) AS l_quantity
         | FROM orders o
         | JOIN customer c ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderkey < 200
+        | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+
+    // typed nested expand compares NATIVELY: bigint key, int
+    // linenumber, bigint quantity — no VARCHAR casts anywhere
+    "odata_expand_typed" ->
+      """SELECT o.o_orderkey,
+        | l.l_linenumber AS l_linenumber,
+        | CAST(l.l_quantity AS BIGINT) AS l_quantity
+        | FROM orders o
         | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         | WHERE o.o_orderkey < 200
         | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,

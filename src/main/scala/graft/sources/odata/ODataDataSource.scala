@@ -62,15 +62,17 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
     // typed mode must not silently string-type a typo. The structure
     // field must be Edm.String: its values ride quoted $filter eq's
     // and the chain planning.
-    val typeOf: String => DataType =
-      if (!opts.metadataSchema) _ => StringType
-      else {
-        val props = ODataMetadata.fetchTypes(opts)
+    val model: Option[ODataMetadata.EdmModel] =
+      if (opts.metadataSchema) Some(ODataMetadata.fetchModel(opts)) else None
+    val typeOf: String => DataType = model match {
+      case None => _ => StringType
+      case Some(m) =>
+        val props = m.entityType(opts.entity).props
         f => props.getOrElse(f, throw new IllegalStateException(
           s"odata metadataSchema: select field '$f' is not a declared " +
             s"property of entity '${opts.entity}' in \\$$metadata " +
             s"(declared: ${props.keys.toSeq.sorted.mkString(",")})")).sparkType
-      }
+    }
     structureField.filter(_ => opts.metadataSchema).foreach { f =>
       require(typeOf(f) == StringType,
         s"odata metadataSchema: structure field '$f' must be Edm.String " +
@@ -80,10 +82,41 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
       (opts.selectFields ++ structureField).map(f =>
         StructField(f, typeOf(f), nullable = true))
     // declared $expand navs surface as NESTED columns: struct for a
-    // single-valued nav, array<struct> for a collection (the declared
-    // cardinality); nested fields keep the connector's string typing
+    // single-valued nav, array<struct> for a collection. In string
+    // mode the declared cardinality and string typing govern; with
+    // metadataSchema the nav resolves through the entity type's
+    // NavigationProperty — declared cardinality is VALIDATED against
+    // the document (a mismatch would otherwise fail row-by-row at
+    // read time) and the nested fields take the TARGET type's Edm
+    // types, failing by name when absent.
+    val navTypeOf: ExpandSpec => DataType = model match {
+      case None => ODataSchema.navType
+      case Some(m) =>
+        val navs = m.entityType(opts.entity).navs
+        e => {
+          val nav = navs.getOrElse(e.nav, throw new IllegalStateException(
+            s"odata metadataSchema: '${e.nav}' is not a navigation " +
+              s"property of entity '${opts.entity}' in \\$$metadata " +
+              s"(declared: ${navs.keys.toSeq.sorted.mkString(",")})"))
+          require(nav.collection == e.collection,
+            s"odata metadataSchema: nav '${e.nav}' is declared " +
+              s"${if (e.collection) "collection" else "single-valued"} but " +
+              s"\\$$metadata says ${if (nav.collection) "Collection(" + nav.targetType + ")" else nav.targetType}")
+          val child = m.types.getOrElse(nav.targetType,
+            throw new IllegalStateException(
+              s"odata metadataSchema: nav '${e.nav}' targets entity type " +
+                s"'${nav.targetType}' which \\$$metadata does not declare"))
+          val st = StructType(e.fields.map(f => StructField(f,
+            child.props.getOrElse(f, throw new IllegalStateException(
+              s"odata metadataSchema: field '$f' of nav '${e.nav}' is not " +
+                s"a property of '${nav.targetType}' " +
+                s"(declared: ${child.props.keys.toSeq.sorted.mkString(",")})")).sparkType,
+            nullable = true)))
+          if (e.collection) ArrayType(st, containsNull = false) else st
+        }
+    }
     val navCols = opts.expands.map(e =>
-      StructField(e.nav, ODataSchema.navType(e), nullable = true))
+      StructField(e.nav, navTypeOf(e), nullable = true))
     // permissive mode (reference etl.py:201,204-207 — from_records
     // unions keys across records, so server-spilled fields like
     // __metadata survive): undeclared fields land in one map column
@@ -905,6 +938,18 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private val navByName: Map[String, ExpandSpec] =
     effExpands.map(e => e.nav -> e).toMap
 
+  // the PRUNED nested schema per nav — under metadataSchema its fields
+  // carry native types the nested decode dispatches on (string mode:
+  // all StringType, the fast path)
+  private val navSchemas: Map[String, StructType] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => Some(f.name -> st)
+        case ArrayType(st: StructType, _) => Some(f.name -> st)
+        case _ => None
+      }
+    }.toMap
+
   // queue of structure values this task owns; None = one unfiltered chain
   private var pending: List[Option[String]] =
     if (partition.structureValues.isEmpty) List(None)
@@ -1083,16 +1128,24 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     */
   private def navCell(txt: String, e: ExpandSpec, v4Cont: Option[String]): Any = {
     val node = ODataClient.parseJson(txt)
-    def cell(n: com.fasterxml.jackson.databind.JsonNode, f: String): Any = {
-      val v = n.get(f)
+    val nested = navSchemas(e.nav)
+    def cell(n: com.fasterxml.jackson.databind.JsonNode, sf: StructField): Any = {
+      val v = n.get(sf.name)
       if (v == null || v.isNull) null
-      else if (v.isValueNode) UTF8String.fromString(v.asText())
-      else UTF8String.fromString(v.toString) // deeper nesting → JSON text
+      else sf.dataType match {
+        case StringType =>
+          if (v.isValueNode) UTF8String.fromString(v.asText())
+          else UTF8String.fromString(v.toString) // deeper nesting → JSON text
+        case dt => // metadataSchema-typed nested field
+          ODataMetadata.convert(
+            if (v.isValueNode) v.asText() else v.toString,
+            dt, s"${e.nav}.${sf.name}")
+      }
     }
     def row(n: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
       require(n.isObject, s"odata expand: nav '${e.nav}' entity is not " +
         s"a JSON object: ${n.toString.take(200)}")
-      InternalRow.fromSeq(e.fields.map(cell(n, _)))
+      InternalRow.fromSeq(nested.fields.toIndexedSeq.map(cell(n, _)))
     }
     if (e.collection) {
       val (arr, v2Cont) =
@@ -1122,6 +1175,7 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     * partial association data nothing downstream can detect.
     */
   private def followNavPages(first: String, e: ExpandSpec): Array[Any] = {
+    val nested = navSchemas(e.nav)
     val out = Array.newBuilder[Any]
     var url: Option[String] = Some(first)
     while (url.isDefined) {
@@ -1129,8 +1183,15 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
-      out ++= page.rows.map(r => InternalRow.fromSeq(e.fields.map(f =>
-        r.get(f).filter(_ != null).map(UTF8String.fromString).orNull)): Any)
+      out ++= page.rows.map(r => InternalRow.fromSeq(
+        nested.fields.toIndexedSeq.map { sf =>
+          r.get(sf.name).filter(_ != null).map { v =>
+            sf.dataType match {
+              case StringType => UTF8String.fromString(v): Any
+              case dt => ODataMetadata.convert(v, dt, s"${e.nav}.${sf.name}")
+            }
+          }.orNull
+        }): Any)
       url = page.nextLink
     }
     out.result()

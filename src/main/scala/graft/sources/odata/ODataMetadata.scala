@@ -59,24 +59,51 @@ object ODataMetadata {
     }
   }
 
-  /** Fetch `{service}/$metadata` and resolve `opts.entity`'s property
-    * types. Fail-fast throughout: metadataSchema is an explicit opt-in,
-    * so a missing document, an unknown entity set, or a declared select
-    * field absent from the entity type is a configuration error worth
-    * a loud name — silently string-typing it would defeat the mode.
+  /** One navigation property of an entity type: the TARGET type's
+    * local name and the declared cardinality (`Collection(ns.T)` vs
+    * `ns.T`). */
+  final case class EdmNav(targetType: String, collection: Boolean)
+
+  /** One entity type: scalar properties + navigation properties. */
+  final case class EdmEntityType(props: Map[String, EdmProperty],
+                                 navs: Map[String, EdmNav])
+
+  /** The parsed document: entity-set name → type local name, and type
+    * local name → its declaration. */
+  final case class EdmModel(setToType: Map[String, String],
+                            types: Map[String, EdmEntityType]) {
+    def entityType(entitySet: String): EdmEntityType = {
+      val tn = setToType.getOrElse(entitySet, throw new IllegalStateException(
+        s"odata \\$$metadata: no EntitySet named '$entitySet' in the " +
+          "service document — check the 'entity' option against the " +
+          "container's entity sets"))
+      types.getOrElse(tn, throw new IllegalStateException(
+        s"odata \\$$metadata: EntitySet '$entitySet' names entity type " +
+          s"'$tn' but no EntityType '$tn' is declared"))
+    }
+  }
+
+  /** Fetch `{service}/$metadata` and parse it. Fail-fast throughout:
+    * metadataSchema is an explicit opt-in, so a missing document, an
+    * unknown entity set, or a declared select field absent from the
+    * entity type is a configuration error worth a loud name —
+    * silently string-typing it would defeat the mode.
     */
-  def fetchTypes(opts: ODataOptions): Map[String, EdmProperty] = {
+  def fetchModel(opts: ODataOptions): EdmModel = {
     val url = opts.entityUrl("$metadata")
     val xml = ODataClient.getWithRetry(url, opts.user, opts.password,
       opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs,
       oauth = opts.oauth)
-    parse(xml, opts.entity)
+    parseModel(xml)
   }
 
-  /** Parse one EDMX document and return the property map of the entity
-    * type backing `entitySet`. JDK DOM — no extra dependencies.
-    */
-  def parse(xml: String, entitySet: String): Map[String, EdmProperty] = {
+  /** Property map of the entity type backing `entitySet` (the scalar
+    * half of [[parseModel]] — kept as the simple entry point). */
+  def parse(xml: String, entitySet: String): Map[String, EdmProperty] =
+    parseModel(xml).entityType(entitySet).props
+
+  /** Parse one EDMX document. JDK DOM — no extra dependencies. */
+  def parseModel(xml: String): EdmModel = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
     // the document is fetched from a remote service: no external
@@ -91,29 +118,31 @@ object ODataMetadata {
     }
     val root = doc.getDocumentElement
 
-    val entityTypeFqn = elems(root, "EntitySet")
-      .find(_.getAttribute("Name") == entitySet)
-      .map(_.getAttribute("EntityType"))
-      .getOrElse(throw new IllegalStateException(
-        s"odata \\$$metadata: no EntitySet named '$entitySet' in the " +
-          "service document — check the 'entity' option against the " +
-          "container's entity sets"))
-    val typeName = entityTypeFqn.split('.').last
+    val setToType = elems(root, "EntitySet").map(es =>
+      es.getAttribute("Name") -> es.getAttribute("EntityType").split('.').last
+    ).toMap
 
-    val entityType = elems(root, "EntityType")
-      .find(_.getAttribute("Name") == typeName)
-      .getOrElse(throw new IllegalStateException(
-        s"odata \\$$metadata: EntitySet '$entitySet' names entity type " +
-          s"'$entityTypeFqn' but no EntityType '$typeName' is declared"))
-
-    elems(entityType, "Property").map { p =>
-      def intAttr(a: String): Option[Int] =
-        Option(p.getAttribute(a)).filter(_.nonEmpty)
-          .flatMap(s => scala.util.Try(s.toInt).toOption)
-      val name = p.getAttribute("Name")
-      name -> EdmProperty(name, p.getAttribute("Type"),
-        intAttr("Precision"), intAttr("Scale"))
+    val CollectionRe = "^Collection\\((.*)\\)$".r
+    val types = elems(root, "EntityType").map { et =>
+      val props = elems(et, "Property").map { p =>
+        def intAttr(a: String): Option[Int] =
+          Option(p.getAttribute(a)).filter(_.nonEmpty)
+            .flatMap(s => scala.util.Try(s.toInt).toOption)
+        val name = p.getAttribute("Name")
+        name -> EdmProperty(name, p.getAttribute("Type"),
+          intAttr("Precision"), intAttr("Scale"))
+      }.toMap
+      val navs = elems(et, "NavigationProperty").map { np =>
+        val t = np.getAttribute("Type")
+        val nav = t match {
+          case CollectionRe(inner) => EdmNav(inner.split('.').last, collection = true)
+          case other => EdmNav(other.split('.').last, collection = false)
+        }
+        np.getAttribute("Name") -> nav
+      }.toMap
+      et.getAttribute("Name") -> EdmEntityType(props, navs)
     }.toMap
+    EdmModel(setToType, types)
   }
 
   /** Decode one stringified JSON cell (the client's uniform wire form —

@@ -443,8 +443,8 @@ object ODataSelfServe {
     * layer in between — a mapping bug (wrong Edm map, a mis-parsed
     * timestamp, string leakage) breaks the schema or the hash.
     */
-  def metadataScan(spark: SparkSession, dir: String): DataFrame = {
-    val srv = metadataServers.getOrElseUpdate(dir, {
+  private def metadataServerFor(spark: SparkSession, dir: String): ODataStubServer =
+    metadataServers.getOrElseUpdate(dir, {
       val edmx = """<?xml version="1.0" encoding="utf-8"?>
         |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
         |  <edmx:DataServices>
@@ -458,6 +458,13 @@ object ODataSelfServe {
         |        <Property Name="O_ORDERDATE" Type="Edm.DateTimeOffset"/>
         |        <Property Name="O_URGENT" Type="Edm.Boolean"/>
         |        <Property Name="O_PRIORITY" Type="Edm.String"/>
+        |        <NavigationProperty Name="Items" Type="Collection(graft.byd.Item)"/>
+        |      </EntityType>
+        |      <EntityType Name="Item">
+        |        <Key><PropertyRef Name="L_ORDERKEY"/></Key>
+        |        <Property Name="L_ORDERKEY" Type="Edm.Int64"/>
+        |        <Property Name="L_LINENUMBER" Type="Edm.Int32"/>
+        |        <Property Name="L_QUANTITY" Type="Edm.Int64"/>
         |      </EntityType>
         |      <EntityContainer Name="Container">
         |        <EntitySet Name="Orders" EntityType="graft.byd.Order"/>
@@ -485,13 +492,28 @@ object ODataSelfServe {
           "O_URGENT" -> r.getString(5),
           "O_PRIORITY" -> r.getString(6)))
         .toSeq
+      val items = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") < 200)
+        .select(
+          col("l_orderkey").cast("string").as("L_ORDERKEY"),
+          col("l_linenumber").cast("string").as("L_LINENUMBER"),
+          col("l_quantity").cast("long").cast("string").as("L_QUANTITY"))
+        .collect()
+        .map(r => Map("L_ORDERKEY" -> r.getString(0),
+          "L_LINENUMBER" -> r.getString(1), "L_QUANTITY" -> r.getString(2)))
+        .toSeq
       new ODataStubServer(rows, "O_PRIORITY", dialect = "v4",
         serverPageSize = 50, metadataDoc = Some(edmx),
+        navProps = Map("Items" ->
+          StubNav(collection = true, "O_ORDERKEY", "L_ORDERKEY", items)),
         // typed values ride the wire as native JSON scalars, the
         // lawful v4 shape (the client's stringify-then-decode path
         // must handle real numbers/booleans, not just quoted strings)
         rawJsonFields = Set("O_ORDERKEY", "O_CUSTKEY", "O_TOTALPRICE", "O_URGENT")).start()
     })
+
+  def metadataScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = metadataServerFor(spark, dir)
     spark.read.format("odata")
       .option("baseUrl", srv.url)
       .option("servicePath", "svc")
@@ -510,6 +532,32 @@ object ODataSelfServe {
         col("O_ORDERDATE").as("o_orderdate"),
         col("O_URGENT").as("o_urgent"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Typed nested `$expand` driver-gate: metadataSchema resolves the
+    * Items nav through the EDMX NavigationProperty to the Item entity
+    * type, so the exploded nested fields arrive as NATIVE int/bigint
+    * (no casts anywhere) and hash-match DuckDB's own lineitem types —
+    * a nav-resolution or nested-decode bug breaks schema or hash.
+    */
+  def metadataExpandScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = metadataServerFor(spark, dir)
+    spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "O_PRIORITY")
+      .option("expand", "Items*(L_LINENUMBER,L_QUANTITY)")
+      .option("metadataSchema", "true")
+      .option("failFast", "true")
+      .load()
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        explode(col("Items")).as("item"))
+      .select(col("o_orderkey"),
+        col("item.L_LINENUMBER").as("l_linenumber"),
+        col("item.L_QUANTITY").as("l_quantity"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
   }
 
   /** Expand-as-JOIN driver-gate: the SAME service and truth as

@@ -1396,6 +1396,20 @@ class ODataSourceSpec extends SparkSpec {
     |        <Property Name="SHIFT" Type="Edm.TimeOfDay"/>
     |        <Property Name="C0CHAR_STRUCTURE" Type="Edm.String"/>
     |        <Property Name="BADSTRUCT" Type="Edm.Int32"/>
+    |        <NavigationProperty Name="Assignments" Type="Collection(graft.test.Assignment)"/>
+    |        <NavigationProperty Name="Manager" Type="graft.test.Mgr"/>
+    |      </EntityType>
+    |      <EntityType Name="Assignment">
+    |        <Key><PropertyRef Name="A_EMP"/></Key>
+    |        <Property Name="A_EMP" Type="Edm.String"/>
+    |        <Property Name="A_PROJ" Type="Edm.String"/>
+    |        <Property Name="A_HOURS" Type="Edm.Int32"/>
+    |      </EntityType>
+    |      <EntityType Name="Mgr">
+    |        <Key><PropertyRef Name="M_EMP"/></Key>
+    |        <Property Name="M_EMP" Type="Edm.String"/>
+    |        <Property Name="M_NAME" Type="Edm.String"/>
+    |        <Property Name="M_LEVEL" Type="Edm.Int32"/>
     |      </EntityType>
     |      <EntityContainer Name="Container">
     |        <EntitySet Name="EmployeeQueryResults" EntityType="graft.test.Employee"/>
@@ -1494,6 +1508,44 @@ class ODataSourceSpec extends SparkSpec {
           .load().schema
       }
       assert(e2.getMessage.contains("Edm.String"), e2.getMessage)
+    } finally srv.stop()
+  }
+
+  test("metadataSchema + \\$expand: nested fields take the nav TARGET type's Edm types; cardinality validated against the doc") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navFixture(6),
+      metadataDoc = Some(edmxDoc)).start()
+    try {
+      def typedRead(expand: String) = spark.read.format("odata")
+        .option("baseUrl", srv.url)
+        .option("servicePath", "sap/byd/odata/analytics.svc")
+        .option("entity", "EmployeeQueryResults")
+        .option("selectFields", "CEMPLOYEE_UUID")
+        .option("structureCandidates", candidates)
+        .option("metadataSchema", "true")
+        .option("expand", expand)
+        .option("failFast", "true")
+        .load()
+      val df = typedRead("Manager(M_NAME,M_LEVEL),Assignments*(A_PROJ,A_HOURS)")
+      assert(df.schema("Assignments").dataType.simpleString ==
+        "array<struct<A_PROJ:string,A_HOURS:int>>", df.schema.treeString)
+      assert(df.schema("Manager").dataType.simpleString ==
+        "struct<M_NAME:string,M_LEVEL:int>", df.schema.treeString)
+      val hours = df.where(col("CEMPLOYEE_UUID") === "5")
+        .select(explode(col("Assignments")).as("a"))
+        .select(col("a.A_HOURS")).as[Int].collect().toSeq.sorted
+      assert(hours == Seq(50, 60), hours) // native ints, not strings
+      assert(df.where(col("CEMPLOYEE_UUID") === "4")
+        .select(col("Manager.M_LEVEL")).as[Int].head() == 0)
+      // declared cardinality contradicting $metadata fails at schema time
+      val e1 = intercept[Exception] { typedRead("Assignments(A_PROJ)").schema }
+      assert(e1.getMessage.contains("Collection"), e1.getMessage)
+      // an undeclared nav fails by name
+      val e2 = intercept[Exception] { typedRead("Bogus*(F1)").schema }
+      assert(e2.getMessage.contains("Bogus"), e2.getMessage)
+      // a nested field absent from the target type fails by name
+      val e3 = intercept[Exception] { typedRead("Assignments*(A_TYPO)").schema }
+      assert(e3.getMessage.contains("A_TYPO"), e3.getMessage)
     } finally srv.stop()
   }
 
