@@ -283,7 +283,11 @@ object ODataClient {
     * probe's 404-segment check). The batch POST itself rides the same
     * transient-retry budget as any GET; a missing sub-response (a
     * server answering fewer ids than asked) fails loudly — silently
-    * dropping a probe candidate would mis-detect the schema.
+    * dropping a probe candidate would mis-detect the schema. The
+    * transparent 401 re-auth covers the batch POST itself; a 401
+    * INSIDE a sub-response (a server validating per sub-request) is
+    * returned to the caller, where the probe treats it as fatal —
+    * loud, never silent.
     */
   def postJsonBatch(batchUrl: String, requests: Seq[(String, String)],
                     user: Option[String], password: Option[String],

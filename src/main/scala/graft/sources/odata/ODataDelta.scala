@@ -197,6 +197,9 @@ object ODataDelta extends Logging {
       options.asJava))
     require(opts.selectFields.contains(keyCol),
       s"keyCol '$keyCol' must be one of selectFields")
+    require(!opts.metadataSchema && opts.expands.isEmpty,
+      "odata delta seed: metadataSchema / expand are not supported on " +
+        "the tracked table — the sync merge that follows is string-typed")
     val dataPath = s"$tablePath/data"
     val linkPath = s"$tablePath/_delta_link"
     require(readLink(spark, linkPath).isEmpty,
@@ -251,6 +254,13 @@ object ODataDelta extends Logging {
     import spark.implicits._
     require(opts.selectFields.contains(keyCol),
       s"keyCol '$keyCol' must be one of selectFields")
+    // the merge fold is string-typed end to end; a typed table seeded
+    // under metadataSchema would type-clash with the first merge —
+    // reject at the door instead of failing mid-union
+    require(!opts.metadataSchema && opts.expands.isEmpty,
+      "odata delta sync: metadataSchema / expand are not supported on " +
+        "the tracked table (the merge contract is string-typed entity " +
+        "properties); cast or join downstream")
     val dataPath = s"$tablePath/data"
     val linkPath = s"$tablePath/_delta_link"
     val fields = opts.selectFields

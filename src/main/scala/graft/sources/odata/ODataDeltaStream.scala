@@ -81,6 +81,16 @@ class ODataDeltaStreamSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ODataOptions(options)
+    // options the batch scan honors but this source does NOT: reject
+    // loudly — a CDC consumer that declared an expand or typed mode
+    // and silently got neither would ship wrong expectations downstream
+    require(opts.expands.isEmpty,
+      "odata-delta stream: $expand is not supported on the change feed " +
+        "(v4 delta responses carry entity properties, not expansions) — " +
+        "join the nav downstream or use expand-as-join on the base table")
+    require(!opts.metadataSchema,
+      "odata-delta stream: metadataSchema is not supported — CDC rows are " +
+        "string-typed (the merge/fold contract); cast downstream")
     StructType(
       opts.selectFields.map(f => StructField(f, StringType, nullable = true)) :+
         StructField("_change", StringType, nullable = false))

@@ -643,7 +643,11 @@ class ODataStubServer(
     // JDK dispatcher (which inherits daemon status from its creator)
     // can never keep a JVM alive after main returns — long-lived stubs
     // (ODataSelfServe) are deliberately not stopped
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+    // CACHED pool, not fixed: a $batch handler HOLDS its thread while
+    // its loopback sub-requests are served by this same pool — a fixed
+    // pool saturated by concurrent batch POSTs would deadlock waiting
+    // on itself
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "odata-stub-handler"); t.setDaemon(true); t
     }))
     val starter = new Thread(() => server.start(), "odata-stub-starter")
