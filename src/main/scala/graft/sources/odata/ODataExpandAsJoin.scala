@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructTyp
   * entity scan (its own partitioning, its own pushdowns, shipped
   * exactly once) plus a Spark-side key join — AQE/broadcast decides
   * the join shape, exactly the planning Spark is built for.
+  * `reportStatistics=true` INHERITS into the child scan, so a small
+  * child entity reports its `/$count` to the planner and
+  * auto-broadcasts — the two options compose into the classic
+  * broadcast-dim join with zero hints.
   *
   * The two strategies are interchangeable by construction: the result
   * schema is identical (parent columns ++ one struct column per

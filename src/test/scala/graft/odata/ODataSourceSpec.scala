@@ -1657,6 +1657,33 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("expand-as-join + reportStatistics: the child entity's /\\$count stats auto-broadcast the join") {
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    val navs = navFixture(6)
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      extraEntities = Map("ManagerSet" -> navs("Manager").rows)).start()
+    try {
+      // reportStatistics INHERITS into the child scan: the tiny
+      // ManagerSet reports its /$count and Catalyst broadcasts it
+      // with no hint — the two options composing into the classic
+      // broadcast-dim join
+      val joined = ODataExpandAsJoin.scan(spark,
+        Map("baseUrl" -> srv.url,
+          "servicePath" -> "sap/byd/odata/analytics.svc",
+          "entity" -> "EmployeeQueryResults",
+          "selectFields" -> selectFields,
+          "structureCandidates" -> candidates,
+          "reportStatistics" -> "true",
+          "failFast" -> "true"),
+        Seq(JoinNav("Manager", collection = false,
+          Seq("M_NAME", "M_LEVEL"), "ManagerSet", "CEMPLOYEE_UUID", "M_EMP")))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(joined.where(col("Manager").isNotNull).count() == 3) // 0,2,4
+    } finally srv.stop()
+  }
+
   test("runtime filtering (DPP): a broadcast join's key set prunes the planned value chains at execution") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
