@@ -2,7 +2,7 @@ package graft.sources.odata
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** EXPAND-AS-JOIN — the scale alternative to inline `$expand` for wide
   * to-many navigations.
@@ -53,12 +53,16 @@ object ODataExpandAsJoin {
 
   // option keys that must NOT leak from the parent scan into a child
   // scan (entity addressing, parent-shaped partitioning/projection);
-  // connection/auth/pacing options inherit
+  // connection/auth/pacing options inherit — and so does
+  // metadataSchema, keeping the two expand strategies interchangeable
+  // in TYPED mode too (the child entity set resolves its own types
+  // from the same EDMX document, matching what inline $expand derives
+  // through the NavigationProperty)
   private val nonInherited = Set(
     "entity", "selectfields", "structurecandidates", "codesentity",
     "expand", "expandstyle", "skiprangepartitions", "skiprangeorderkey",
     "extracolumns", "extracolumnname", "pushdownaggregates",
-    "metadataschema", "startlink", "carrythreshold")
+    "startlink", "carrythreshold")
 
   def scan(spark: SparkSession, options: Map[String, String],
            navs: Seq[JoinNav]): DataFrame = {
@@ -88,8 +92,12 @@ object ODataExpandAsJoin {
       val child = spark.read.format("odata").options(childOpts.asJava).load()
       val elem: Column = struct(n.fields.map(child(_)): _*)
       if (n.collection) {
-        val elemType = StructType(
-          n.fields.map(f => StructField(f, StringType, nullable = true)))
+        // element type from the child's RESOLVED schema (string mode:
+        // all strings; metadataSchema: the child entity's Edm types) —
+        // hardwiring strings here would type-clash the empty-array
+        // branch against a typed collect_list
+        val elemType = StructType(n.fields.map(f =>
+          StructField(f, child.schema(f).dataType, nullable = true)))
         // array_sort for a DETERMINISTIC element order the join can
         // guarantee (see object doc); collect_list alone is
         // plan-order-dependent

@@ -525,4 +525,54 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(gini - (2 * auc - 1)) < 2e-6, s"gini: $gini vs $auc")
     }
   }
+
+  test("ODataMetadata.convert: typed decode roundtrips random values exactly; garbage fails naming the field") {
+    import graft.sources.odata.ODataMetadata.convert
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // integers: text → native and back through toString
+    for (v <- samples(Gen.choose(Long.MinValue, Long.MaxValue), 200))
+      assert(convert(v.toString, LongType, "f") == v)
+    for (v <- samples(Gen.choose(Int.MinValue, Int.MaxValue), 200))
+      assert(convert(v.toString, IntegerType, "f") == v)
+    // doubles: Double.toString is the shortest uniquely-parsing form,
+    // so text → double is bit-exact
+    for (v <- samples(Gen.choose(-1e12, 1e12), 200))
+      assert(java.lang.Double.doubleToLongBits(
+        convert(v.toString, DoubleType, "f").asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(v))
+    // decimals: unscaled-long magnitudes within the declared digits
+    val decGen = for {
+      p <- Gen.choose(1, 18); s <- Gen.choose(0, p)
+      lim = (BigInt(10).pow(p) - 1).min(BigInt(Long.MaxValue)).toLong
+      v <- Gen.choose(-lim, lim)
+    } yield (p, s, v)
+    for ((p, s, v) <- samples(decGen, 200)) {
+      val txt = Decimal(v, p, s).toJavaBigDecimal.toPlainString
+      val back = convert(txt, DecimalType(p, s), "f")
+        .asInstanceOf[Decimal]
+      assert(back.toUnscaledLong == v && back.scale == s, s"p=$p s=$s v=$v -> $back")
+    }
+    // timestamps: epoch micros → ISO instant text → micros (whole-ms
+    // grain, the OData wire's practical precision)
+    for (ms <- samples(Gen.choose(-62135596800000L, 253402300799000L), 200)) {
+      val iso = java.time.Instant.ofEpochMilli(ms).toString
+      assert(convert(iso, TimestampType, "f") == ms * 1000L, s"$ms / $iso")
+      // the v2 envelope decodes to the same instant space
+      assert(convert(s"/Date($ms)/", TimestampType, "f") == ms * 1000L)
+    }
+    // dates: epoch days → ISO → days
+    for (d <- samples(Gen.choose(-719162, 2932896), 200)) {
+      val iso = java.time.LocalDate.ofEpochDay(d.toLong).toString
+      assert(convert(iso, DateType, "f") == d, s"$d / $iso")
+    }
+    // strings pass through untouched
+    for (s <- samples(Gen.asciiPrintableStr, 100))
+      assert(convert(s, StringType, "f") == UTF8String.fromString(s))
+    // garbage fails LOUDLY, naming the field and the offending text
+    val e = intercept[IllegalStateException] {
+      convert("not-a-number", LongType, "MY_FIELD") }
+    assert(e.getMessage.contains("MY_FIELD") &&
+      e.getMessage.contains("not-a-number"), e.getMessage)
+  }
 }

@@ -1413,6 +1413,8 @@ class ODataSourceSpec extends SparkSpec {
     |      </EntityType>
     |      <EntityContainer Name="Container">
     |        <EntitySet Name="EmployeeQueryResults" EntityType="graft.test.Employee"/>
+    |        <EntitySet Name="AssignmentSet" EntityType="graft.test.Assignment"/>
+    |        <EntitySet Name="ManagerSet" EntityType="graft.test.Mgr"/>
     |      </EntityContainer>
     |    </Schema>
     |  </edmx:DataServices>
@@ -1546,6 +1548,51 @@ class ODataSourceSpec extends SparkSpec {
       // a nested field absent from the target type fails by name
       val e3 = intercept[Exception] { typedRead("Assignments*(A_TYPO)").schema }
       assert(e3.getMessage.contains("A_TYPO"), e3.getMessage)
+    } finally srv.stop()
+  }
+
+  test("expand-as-join + metadataSchema: the strategies stay interchangeable in TYPED mode (child types from the same EDMX)") {
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    val navs = navFixture(6)
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navs, metadataDoc = Some(edmxDoc),
+      extraEntities = Map(
+        "AssignmentSet" -> navs("Assignments").rows,
+        "ManagerSet" -> navs("Manager").rows)).start()
+    try {
+      val base = Map("baseUrl" -> srv.url,
+        "servicePath" -> "sap/byd/odata/analytics.svc",
+        "entity" -> "EmployeeQueryResults",
+        "selectFields" -> "CEMPLOYEE_UUID",
+        "structureCandidates" -> candidates,
+        "metadataSchema" -> "true", "failFast" -> "true")
+      val joined = ODataExpandAsJoin.scan(spark, base, Seq(
+        JoinNav("Manager", collection = false,
+          Seq("M_NAME", "M_LEVEL"), "ManagerSet", "CEMPLOYEE_UUID", "M_EMP"),
+        JoinNav("Assignments", collection = true,
+          Seq("A_PROJ", "A_HOURS"), "AssignmentSet", "CEMPLOYEE_UUID", "A_EMP")))
+      // the child entity types resolve from the same EDMX: typed
+      // nested fields, identical to the inline NavigationProperty path
+      assert(joined.schema("Manager").dataType.simpleString ==
+        "struct<M_NAME:string,M_LEVEL:int>", joined.schema.treeString)
+      assert(joined.schema("Assignments").dataType.simpleString ==
+        "array<struct<A_PROJ:string,A_HOURS:int>>", joined.schema.treeString)
+      val inline = spark.read.format("odata")
+        .options(scala.jdk.CollectionConverters.MapHasAsJava(
+          base + ("expand" ->
+            "Manager(M_NAME,M_LEVEL),Assignments*(A_PROJ,A_HOURS)")).asJava)
+        .load()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("CEMPLOYEE_UUID"), col("Manager"),
+            array_sort(col("Assignments")).as("Assignments"))
+          .collect().map(_.toString).sorted.toSeq
+      assert(canon(joined) == canon(inline),
+        s"typed strategies must be interchangeable:\n${canon(joined)}\nvs\n${canon(inline)}")
+      // empty-array branch types correctly too (the hardwired-string
+      // cast would have failed analysis here)
+      assert(joined.where(col("CEMPLOYEE_UUID") === "0")
+        .select(size(col("Assignments"))).head().getInt(0) == 0)
     } finally srv.stop()
   }
 
