@@ -1704,6 +1704,33 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("expand-as-join childOptions: a federated child scans a DIFFERENT service (baseUrl override)") {
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    val navs = navFixture(6)
+    val parentSrv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE").start()
+    val childSrv = new ODataStubServer(navs("Assignments").rows, "A_PROJ").start()
+    try {
+      val joined = ODataExpandAsJoin.scan(spark,
+        Map("baseUrl" -> parentSrv.url,
+          "servicePath" -> "sap/byd/odata/analytics.svc",
+          "entity" -> "EmployeeQueryResults",
+          "selectFields" -> selectFields,
+          "structureCandidates" -> candidates,
+          "failFast" -> "true"),
+        Seq(JoinNav("Assignments", collection = true,
+          Seq("A_PROJ", "A_HOURS"), "Assignments", "CEMPLOYEE_UUID", "A_EMP",
+          childOptions = Map("baseUrl" -> childSrv.url, "servicePath" -> "other/svc"))))
+      val n = joined.select(explode(col("Assignments"))).count()
+      assert(n == navs("Assignments").rows.size, s"$n")
+      // the child rows really came from the OTHER service
+      assert(childSrv.requestLog.exists(_.contains("Assignments")),
+        childSrv.requestLog)
+      assert(!parentSrv.requestLog.exists(_.contains("other/svc")),
+        parentSrv.requestLog)
+    } finally { parentSrv.stop(); childSrv.stop() }
+  }
+
   test("expand-as-join + reportStatistics: the child entity's /\\$count stats auto-broadcast the join") {
     import graft.sources.odata.ODataExpandAsJoin
     import graft.sources.odata.ODataExpandAsJoin.JoinNav
