@@ -34,10 +34,23 @@ import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
   * Contract: `parentKey` must be in the parent's `selectFields`; a
   * single-valued nav's `childKey` must be unique child-side (the same
   * cardinality declaration the inline reader enforces by failing fast
-  * on an array — here a duplicate key would surface as duplicated
-  * parent rows).
+  * on an array — here a duplicate key is detected by a count guard in
+  * the child aggregation and fails BY KEY at execution, never
+  * silently duplicating parent rows).
+  *
+  * Failure semantics match the inline reader's too: the child scan is
+  * forced `failFast=true` regardless of the parent's tolerance
+  * setting. The reader's `failFast=false` tolerance unit is a
+  * structure-value chain, and a child entity scan IS one chain — a
+  * tolerated child fetch failure would yield zero child rows and hand
+  * every parent a clean empty array / null struct, exactly the silent
+  * partial-association shape `followNavPages` refuses even under
+  * tolerance (the inline strategy drops parent+children coherently).
+  * `childOptions` may still set `failFast=false` explicitly — a loud,
+  * logged opt-out for a child whose absence the caller can genuinely
+  * tolerate.
   */
-object ODataExpandAsJoin {
+object ODataExpandAsJoin extends org.apache.spark.internal.Logging {
 
   /** One navigation planned as a join: `nav`/`collection`/`fields`
     * mirror [[ExpandSpec]]; `childEntity` is the child's entity set,
@@ -62,7 +75,10 @@ object ODataExpandAsJoin {
     "entity", "selectfields", "structurecandidates", "codesentity",
     "expand", "expandstyle", "skiprangepartitions", "skiprangeorderkey",
     "extracolumns", "extracolumnname", "pushdownaggregates",
-    "startlink", "carrythreshold")
+    "startlink", "carrythreshold",
+    // never inherited: the child scan is fail-fast BY DESIGN (object
+    // doc) — only an explicit childOptions entry may relax it
+    "failfast")
 
   def scan(spark: SparkSession, options: Map[String, String],
            navs: Seq[JoinNav]): DataFrame = {
@@ -86,9 +102,18 @@ object ODataExpandAsJoin {
     val parent = spark.read.format("odata").options(options.asJava).load()
 
     navs.foldLeft(parent) { (df, n) =>
-      val childOpts = inherit ++ n.childOptions ++ Map(
+      val childFailFast = n.childOptions.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("failFast") => v }
+      childFailFast.filterNot(_.toBoolean).foreach { _ =>
+        logWarning(s"expand-as-join: childOptions for nav '${n.nav}' " +
+          "explicitly set failFast=false — a tolerated child-chain " +
+          "failure yields EMPTY associations under parents that are " +
+          "present, which nothing downstream can detect") }
+      val childOpts = inherit ++
+        n.childOptions.filterNot(_._1.equalsIgnoreCase("failFast")) ++ Map(
         "entity" -> n.childEntity,
-        "selectFields" -> (n.childKey +: n.fields).distinct.mkString(","))
+        "selectFields" -> (n.childKey +: n.fields).distinct.mkString(","),
+        "failFast" -> childFailFast.getOrElse("true"))
       val child = spark.read.format("odata").options(childOpts.asJava).load()
       val elem: Column = struct(n.fields.map(child(_)): _*)
       if (n.collection) {
@@ -109,7 +134,21 @@ object ODataExpandAsJoin {
           .withColumn(n.nav, coalesce(col(n.nav),
             array().cast(ArrayType(elemType, containsNull = false))))
       } else {
-        val one = child.select(child(n.childKey).as("__graft_k"), elem.as(n.nav))
+        // enforce the declared cardinality: the inline reader fails
+        // fast when a single-valued nav serves an array — here the
+        // equivalent violation is a duplicate childKey, which a plain
+        // join would silently turn into duplicated parent rows. The
+        // count guard shares the join key's shuffle (same hash
+        // partitioning, exchange-reusable) and fails BY KEY.
+        val one = child.groupBy(child(n.childKey).as("__graft_k"))
+          .agg(count(lit(1)).as("__graft_cnt"), first(elem).as(n.nav))
+          .select(col("__graft_k"),
+            when(col("__graft_cnt") > 1, raise_error(concat(
+              lit(s"expand-as-join: nav '${n.nav}' is declared " +
+                s"single-valued but child entity '${n.childEntity}' " +
+                s"has multiple rows for ${n.childKey}='"),
+              col("__graft_k").cast("string"), lit("'"))))
+              .otherwise(col(n.nav)).as(n.nav))
         df.join(one, df(n.parentKey) === col("__graft_k"), "left")
           .drop("__graft_k")
       }

@@ -66,6 +66,11 @@ class ODataStubServer(
     // the expand-as-join strategy scans as plain child entities); any
     // unknown segment falls through to the primary `rows`
     extraEntities: Map[String, Seq[Map[String, String]]] = Map.empty,
+    // fault injection: every data request addressing one of these
+    // entity sets answers 500 permanently — the poisoned-child fixture
+    // for expand-as-join's fail-fast contract (a tolerant child scan
+    // would read "successfully" with every association silently empty)
+    failEntities: Set[String] = Set.empty,
     // serve gzip-compressed bodies — but ONLY when the request offered
     // Accept-Encoding: gzip (the lawful content-negotiation contract;
     // a stub that gzips unconditionally would mask a client that
@@ -344,11 +349,12 @@ class ODataStubServer(
 
     // dispatch to the addressed entity set (extraEntities) or fall
     // through to the primary rows
-    val entityRows = {
-      val seg = ex.getRequestURI.getPath.stripSuffix("/$count")
-        .split('/').lastOption.getOrElse("")
-      extraEntities.getOrElse(seg, rows)
+    val entitySeg = ex.getRequestURI.getPath.stripSuffix("/$count")
+      .split('/').lastOption.getOrElse("")
+    if (failEntities.contains(entitySeg)) {
+      respond(ex, 500, """{"error": "injected entity failure"}"""); return
     }
+    val entityRows = extraEntities.getOrElse(entitySeg, rows)
 
     val select0 = q.get("$select").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(entityRows.headOption.map(_.keys.toSeq).getOrElse(Nil))

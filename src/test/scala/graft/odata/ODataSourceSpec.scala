@@ -1899,6 +1899,68 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("expand-as-join: a poisoned child entity FAILS the scan even under parent failFast=false — never silently-empty associations") {
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    val navs = navFixture(5)
+    val srv = new ODataStubServer(mkRows(5), "C0CHAR_STRUCTURE",
+      dialect = "v4",
+      extraEntities = Map("AssignmentSet" -> navs("Assignments").rows),
+      failEntities = Set("AssignmentSet")).start()
+    try {
+      val base = Map("baseUrl" -> srv.url,
+        "servicePath" -> "sap/byd/odata/analytics.svc",
+        "entity" -> "EmployeeQueryResults",
+        "selectFields" -> selectFields,
+        "structureCandidates" -> candidates,
+        // the parent is TOLERANT — the child scan must not inherit it
+        "failFast" -> "false", "maxRetries" -> "0")
+      val nav = JoinNav("Assignments", collection = true,
+        Seq("A_PROJ", "A_HOURS"), "AssignmentSet", "CEMPLOYEE_UUID", "A_EMP")
+      val e = intercept[Exception] {
+        ODataExpandAsJoin.scan(spark, base, Seq(nav)).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("500") || msgs.contains("injected"), msgs)
+      // the explicit childOptions opt-out IS honored (loud, logged):
+      // the tolerated child chain yields zero rows → every parent
+      // carries an empty array — the caller asked for exactly this
+      val tolerated = ODataExpandAsJoin.scan(spark, base,
+        Seq(nav.copy(childOptions = Map("failFast" -> "false"))))
+      val sizes = tolerated.select(size(col("Assignments")).as("n"))
+        .collect().map(_.getInt(0))
+      assert(sizes.length == 5 && sizes.forall(_ == 0), sizes.toSeq)
+    } finally srv.stop()
+  }
+
+  test("expand-as-join: duplicate childKey under a single-valued nav fails BY KEY, never duplicates parent rows") {
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    val managers = Seq(
+      Map("M_EMP" -> "0", "M_NAME" -> "Manager A", "M_LEVEL" -> "1"),
+      Map("M_EMP" -> "0", "M_NAME" -> "Manager B", "M_LEVEL" -> "2"), // dup key
+      Map("M_EMP" -> "2", "M_NAME" -> "Manager C", "M_LEVEL" -> "3"))
+    val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      dialect = "v4",
+      extraEntities = Map("ManagerSet" -> managers)).start()
+    try {
+      val joined = ODataExpandAsJoin.scan(spark,
+        Map("baseUrl" -> srv.url,
+          "servicePath" -> "sap/byd/odata/analytics.svc",
+          "entity" -> "EmployeeQueryResults",
+          "selectFields" -> selectFields,
+          "structureCandidates" -> candidates,
+          "failFast" -> "true"),
+        Seq(JoinNav("Manager", collection = false,
+          Seq("M_NAME", "M_LEVEL"), "ManagerSet", "CEMPLOYEE_UUID", "M_EMP")))
+      val e = intercept[Exception] { joined.collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("single-valued") && msgs.contains("M_EMP='0'"), msgs)
+    } finally srv.stop()
+  }
+
   test("\\$expand strictness: unknown nav 400s loudly; declared cardinality mismatch fails fast; bad specs rejected") {
     val srv = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
       dialect = "v4", navProps = navFixture(3)).start()
