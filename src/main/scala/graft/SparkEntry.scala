@@ -6229,6 +6229,13 @@ object SparkEntry {
     "odata_metadata_schema" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.metadataScan(s, dir)),
 
+    // typed-literal $filter pushdown: the Edm.Boolean eq renders the
+    // lawful v4 bare literal (`O_URGENT eq true`) into $filter — the
+    // gate REQUIRES the typed literal in the request log, so a typed
+    // scan now prunes transfer server-side like string mode always did
+    "odata_typed_filter_pushdown" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.typedFilterScan(s, dir)),
+
     // $batch control-plane transport: schema probing bundles both
     // candidates into ONE v4.01 JSON $batch POST (the gate requires
     // the batch in the request log) and the result is byte-identical
@@ -14550,6 +14557,15 @@ object SparkEntry {
         | o_orderstatus, o_totalprice, o_orderdate,
         | (o_orderpriority = '1-URGENT') AS o_urgent
         | FROM orders WHERE o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the typed boolean eq filters the SAME slice server-side; the
+    // oracle replays the urgency predicate on the raw parquet
+    "odata_typed_filter_pushdown" ->
+      """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+        | o_orderstatus, o_orderdate
+        | FROM orders
+        | WHERE o_orderkey < 200 AND o_orderpriority = '1-URGENT'
         | ORDER BY o_orderkey""".stripMargin,
 
     // the stub's __metadata is deterministic per key, so the oracle

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count,
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DateType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -212,14 +212,30 @@ class ODataTable(tableSchema: StructType, opts: ODataOptions) extends Table with
   * filter prefix, the skip-range `/$count`, and the scan description
   * (four call sites that must never drift apart).
   */
+/** A pushed `$filter` literal. `raw` is the value's plain string form
+  * — what structure-chain planning and the chain-drop logic compare
+  * against (the structure field is Edm.String by contract, so those
+  * compares only ever see string literals, but every consumer goes
+  * through `raw` uniformly). `wire` is the literal as lawfully
+  * rendered into `$filter` per the OData grammar: quote-doubled and
+  * quoted for strings, bare for v4 numbers/booleans/dates, the v2
+  * suffix/prefix forms (`42L`, `datetimeoffset'…'`) under
+  * `filterDialect=v2`.
+  */
+private[odata] final case class OLit(raw: String, wire: String)
+private[odata] object OLit {
+  def str(s: String): OLit = OLit(s, s"'${ODataFilters.esc(s)}'")
+}
+
 private[odata] object ODataFilters {
   def esc(s: String): String = s.replace("'", "''")
   def eqCond(k: String, v: String): String = s"$k eq '${esc(v)}'"
-  def inCond(k: String, vs: Seq[String]): String =
-    vs.map(eqCond(k, _)).mkString("(", " or ", ")")
-  def render(eqs: Seq[(String, String)],
-             ins: Seq[(String, Seq[String])]): Seq[String] =
-    eqs.map { case (k, v) => eqCond(k, v) } ++
+  def eqLit(k: String, v: OLit): String = s"$k eq ${v.wire}"
+  def inCond(k: String, vs: Seq[OLit]): String =
+    vs.map(eqLit(k, _)).mkString("(", " or ", ")")
+  def render(eqs: Seq[(String, OLit)],
+             ins: Seq[(String, Seq[OLit])]): Seq[String] =
+    eqs.map { case (k, v) => eqLit(k, v) } ++
       ins.map { case (k, vs) => inCond(k, vs) }
 }
 
@@ -251,8 +267,8 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
 
   private var prunedSchema: StructType = fullSchema
   private var pushedPreds: Array[Predicate] = Array.empty
-  private var pushedEq: Seq[(String, String)] = Seq.empty
-  private var pushedIn: Seq[(String, Seq[String])] = Seq.empty
+  private var pushedEq: Seq[(String, OLit)] = Seq.empty
+  private var pushedIn: Seq[(String, Seq[OLit])] = Seq.empty
   private var limit: Option[Int] = None
   private var orderBy: Seq[(String, Boolean)] = Seq.empty
   private var pushedAgg: Option[ODataPushedAgg] = None
@@ -344,18 +360,49 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * never-true in SQL, but `String.valueOf(null)` would push the
     * 4-char string `'null'` and (fully-pushed) wrongly MATCH rows
     * holding that literal text — decline and let Spark evaluate.
+    *
+    * Typed literals (metadataSchema mode types the scan's columns, so
+    * Catalyst hands eq/IN predicates with native-typed literals)
+    * render their lawful OData `$filter` forms: Int16/32/64 and
+    * Boolean bare, Edm.Date as the bare ISO date, Edm.DateTimeOffset
+    * as the bare ISO instant (`filterDialect=v2` instead emits the v2
+    * grammar: `42L`, `datetimeoffset'…'`, and declines Edm.Date —
+    * which cannot arise from a v2 EDMX). Float/Double/Decimal stay
+    * residual by design: their text rendering is not guaranteed
+    * round-trip-exact against the server's parse, and a wrong pushed
+    * filter under fullyPushFilters would silently drop rows.
     */
-  private def litStr(lit: V2Literal[_]): Option[String] =
-    if (lit.dataType() != StringType) None
-    else Option(lit.value()).map(String.valueOf)
+  private def renderLit(lit: V2Literal[_]): Option[OLit] = {
+    val v = lit.value()
+    if (v == null) return None
+    val v2 = opts.filterDialect == "v2"
+    lit.dataType() match {
+      case StringType => Some(OLit.str(String.valueOf(v)))
+      case BooleanType | ByteType | ShortType | IntegerType =>
+        Some(OLit(v.toString, v.toString))
+      case LongType =>
+        Some(OLit(v.toString, if (v2) s"${v}L" else v.toString))
+      case DateType if !v2 =>
+        val iso = java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+        Some(OLit(iso, iso))
+      case TimestampType =>
+        // Catalyst timestamps are epoch MICROS; Instant.toString is
+        // the ISO-8601 UTC instant both grammars accept
+        val iso = java.time.Instant.EPOCH.plus(
+          v.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS).toString
+        Some(OLit(iso, if (v2) s"datetimeoffset'$iso'" else iso))
+      case _ => None
+    }
+  }
 
-  private def translateEq(p: Predicate): Option[(String, String)] =
+  private def translateEq(p: Predicate): Option[(String, OLit)] =
     if (p.name() != "=") None
     else p.children() match {
       case Array(ref: NamedReference, lit: V2Literal[_]) =>
-        for (c <- serverPath(ref); v <- litStr(lit)) yield c -> v
+        for (c <- serverPath(ref); v <- renderLit(lit)) yield c -> v
       case Array(lit: V2Literal[_], ref: NamedReference) =>
-        for (c <- serverPath(ref); v <- litStr(lit)) yield c -> v
+        for (c <- serverPath(ref); v <- renderLit(lit)) yield c -> v
       case _ => None
     }
 
@@ -366,16 +413,16 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * the STRUCTURE field prunes the planned value chains to exactly
     * the listed values with no codes-entity enumeration at all.
     */
-  private def translateIn(p: Predicate): Option[(String, Seq[String])] =
+  private def translateIn(p: Predicate): Option[(String, Seq[OLit])] =
     if (p.name() != "IN") None
     else p.children() match {
       case Array(ref: NamedReference, vals @ _*)
           if vals.nonEmpty && vals.forall {
-            case l: V2Literal[_] => litStr(l).isDefined // see litStr
+            case l: V2Literal[_] => renderLit(l).isDefined // see renderLit
             case _ => false
           } =>
         serverPath(ref).map(_ -> vals.map {
-          case l: V2Literal[_] => litStr(l).get }.toSeq)
+          case l: V2Literal[_] => renderLit(l).get }.toSeq)
       case _ => None
     }
 
@@ -420,11 +467,14 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       val nullsMatch =
         (asc && so.nullOrdering() == NullOrdering.NULLS_FIRST) ||
           (!asc && so.nullOrdering() == NullOrdering.NULLS_LAST)
-      so.expression() match {
-        case ref: NamedReference if nullsMatch =>
-          Some(ref.fieldNames().mkString(".") -> asc)
-        case _ => None
-      }
+      // route through serverPath: a declared plain column renders as
+      // itself, a nested field on a declared SINGLE-VALUED nav renders
+      // as OData path syntax `Nav/F` (never `Nav.F` — not $orderby
+      // grammar; a sloppy server ignoring it would truncate to N under
+      // the WRONG order, and the partial push's re-sort cannot recover
+      // the dropped rows). Everything serverPath declines — collection
+      // navs, extras, undeclared fields — declines the whole push.
+      if (nullsMatch) serverPath(so.expression()).map(_ -> asc) else None
     }
     if (translated.isEmpty || translated.exists(_.isEmpty)) false
     else {
@@ -598,11 +648,11 @@ case class ODataInputPartition(structureField: Option[String],
   extends InputPartition
 
 class ODataScan(schema: StructType, opts: ODataOptions,
-                pushedEq: Seq[(String, String)], limit: Option[Int],
+                pushedEq: Seq[(String, OLit)], limit: Option[Int],
                 orderBy: Seq[(String, Boolean)],
                 structureField: Option[String],
                 pushedAgg: Option[ODataPushedAgg] = None,
-                pushedIn: Seq[(String, Seq[String])] = Seq.empty)
+                pushedIn: Seq[(String, Seq[OLit])] = Seq.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics with Logging {
 
@@ -776,14 +826,14 @@ class ODataScan(schema: StructType, opts: ODataOptions,
         }
         pushedEq.find(_._1 == f) match {
           case Some((_, v)) =>
-            if (restrict(Seq(v)).isEmpty) Array.empty
-            else Array(ODataInputPartition(Some(f), Seq(v))) // partition pruning
+            if (restrict(Seq(v.raw)).isEmpty) Array.empty
+            else Array(ODataInputPartition(Some(f), Seq(v.raw))) // partition pruning
           case None => pushedIn.find(_._1 == f) match {
           case Some((_, vs0)) =>
             // chains for exactly the IN values: a value absent from
             // the tenant simply answers an empty chain. Bin like the
             // enumerated path so a huge picker list stays bounded.
-            bins(restrict(vs0))
+            bins(restrict(vs0.map(_.raw)))
           case None if runtimeValues.isDefined =>
             bins(runtimeValues.get.toSeq)
           case None =>
@@ -885,9 +935,9 @@ class ODataAggPartitionReader(agg: ODataPushedAgg, opts: ODataOptions)
 }
 
 class ODataReaderFactory(schema: StructType, opts: ODataOptions,
-                         pushedEq: Seq[(String, String)], limit: Option[Int],
+                         pushedEq: Seq[(String, OLit)], limit: Option[Int],
                          orderBy: Seq[(String, Boolean)],
-                         pushedIn: Seq[(String, Seq[String])] = Seq.empty)
+                         pushedIn: Seq[(String, Seq[OLit])] = Seq.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(schema, opts,
@@ -903,9 +953,9 @@ class ODataReaderFactory(schema: StructType, opts: ODataOptions,
   */
 class ODataPartitionReader(schema: StructType, opts: ODataOptions,
                            partition: ODataInputPartition,
-                           pushedEq: Seq[(String, String)], limit: Option[Int],
+                           pushedEq: Seq[(String, OLit)], limit: Option[Int],
                            orderBy: Seq[(String, Boolean)] = Seq.empty,
-                           pushedIn: Seq[(String, Seq[String])] = Seq.empty)
+                           pushedIn: Seq[(String, Seq[OLit])] = Seq.empty)
   extends PartitionReader[InternalRow] with Logging {
 
   private val structureField = partition.structureField
@@ -973,10 +1023,10 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
         structureField.map(f => ODataFilters.eqCond(f, v))) ++
         ODataFilters.render(
           pushedEq.filter { case (k, v) =>
-            !(structureValue.contains(v) && structureField.contains(k)) },
+            !(structureValue.contains(v.raw) && structureField.contains(k)) },
           pushedIn.filter { case (k, vs) =>
             !(structureValue.isDefined && structureField.contains(k) &&
-              vs.contains(structureValue.get)) })
+              vs.exists(_.raw == structureValue.get)) })
     // the extras map is not a server-side field — it must never appear
     // in $select. If pruning left ONLY the extras column, omit $select
     // entirely (the server then returns every field, which is exactly

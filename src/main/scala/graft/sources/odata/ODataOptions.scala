@@ -221,6 +221,14 @@ case class ODataOptions(
     // quotes and chain planning); nav columns and the extras map keep
     // string typing.
     metadataSchema: Boolean = false,
+    // filterDialect: the $filter literal grammar for TYPED pushed
+    // predicates (metadataSchema mode). "v4" (default): bare
+    // int/boolean literals, bare ISO `Edm.Date` / `Edm.DateTimeOffset`
+    // forms (OData v4 ABNF). "v2": the v2 grammar — Int64 takes the
+    // `L` suffix, DateTimeOffset the `datetimeoffset'…'` prefix form,
+    // and Edm.Date declines (no such type in v2). String literals
+    // render identically in both. Irrelevant in string mode.
+    filterDialect: String = "v4",
     // batchControlPlane=true: bundle control-plane GETs into one OData
     // v4.01 JSON $batch POST (protocol §11.7) — today the schema
     // probe's candidate requests, which a multi-candidate tenant pays
@@ -357,6 +365,11 @@ object ODataOptions {
       streamStartLink = m.get("startLink").filter(_.nonEmpty),
       streamCarryThreshold = m.getOrElse("carryThreshold", "100000").toInt,
       metadataSchema = m.getOrElse("metadataSchema", "false").toBoolean,
+      filterDialect = m.getOrElse("filterDialect", "v4") match {
+        case v @ ("v4" | "v2") => v
+        case other => throw new IllegalArgumentException(
+          s"odata source: filterDialect must be 'v4' or 'v2', got '$other'")
+      },
       batchControlPlane = m.getOrElse("batchControlPlane", "false").toBoolean)
   }
 }

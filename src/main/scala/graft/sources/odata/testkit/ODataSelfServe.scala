@@ -560,6 +560,44 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey"), col("l_linenumber"))
   }
 
+  /** Typed-filter-pushdown driver-gate: the SAME typed service as
+    * [[metadataScan]], filtered on the Edm.Boolean column with a
+    * native `true` literal. metadataSchema types the scan, so Catalyst
+    * hands the eq predicate with a BooleanType literal; the connector
+    * renders the lawful v4 bare form (`O_URGENT eq true`) into
+    * `$filter` — the request log must prove the typed literal reached
+    * the wire (before this round every typed eq stayed residual and
+    * the scan transferred rows a string-mode scan would have filtered
+    * server-side). The residual-filter default keeps Spark
+    * re-checking, so the oracle stays exact regardless of server
+    * behavior; the log requirement is what gates the transfer saving.
+    */
+  def typedFilterScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = metadataServerFor(spark, dir)
+    val df = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields",
+        "O_ORDERKEY,O_CUSTKEY,O_STATUS,O_TOTALPRICE,O_ORDERDATE,O_URGENT")
+      .option("structureCandidates", "O_PRIORITY")
+      .option("metadataSchema", "true")
+      .option("failFast", "true")
+      .load()
+      .where(col("O_URGENT") === true)
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_CUSTKEY").as("o_custkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_ORDERDATE").as("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+    df.count() // drive one execution so the pushed filter hits the wire
+    require(srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+        .exists(_.contains("O_URGENT eq true")),
+      "the typed boolean eq must reach the wire as a bare v4 literal")
+    df
+  }
+
   /** Expand-as-JOIN driver-gate: the SAME service and truth as
     * [[expandScan]], but both navs plan as separate child entity scans
     * plus Spark-side key joins (the 100×-scale strategy for wide

@@ -203,9 +203,24 @@ class ODataStubServer(
   }
 
   private def parseEq(c: String): (String, String) = {
-    val m = "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(c.trim)
-      .getOrElse(throw new IllegalArgumentException(s"bad filter: $c"))
-    m.group(1) -> m.group(2).replace("''", "'")
+    val t = c.trim
+    "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(t) match {
+      case Some(m) => m.group(1) -> m.group(2).replace("''", "'")
+      case None =>
+        // typed literal grammar: v4 bare int/boolean/date/datetime
+        // (`AGE eq 42`, `ACTIVE eq true`, `HIRED eq 2024-01-15`), the
+        // v2 Int64 `L` suffix, and the v2 `datetimeoffset'…'` prefix
+        // form. The stub compares the literal's text against the
+        // row's stored string cell — fixtures use canonical forms.
+        val m = "^(\\S+) eq (datetimeoffset'([^']*)'|[^'\\s]\\S*)$".r
+          .findFirstMatchIn(t)
+          .getOrElse(throw new IllegalArgumentException(s"bad filter: $c"))
+        val v =
+          if (m.group(2).startsWith("datetimeoffset'")) m.group(3)
+          else if (m.group(2).matches("-?\\d+L")) m.group(2).stripSuffix("L")
+          else m.group(2)
+        m.group(1) -> v
+    }
   }
 
   private def parseQuery(q: String): Map[String, String] =
@@ -522,7 +537,13 @@ class ODataStubServer(
     }
 
     // $orderby: comma-separated `field asc|desc`, applied before $top —
-    // Java String ordering (binary for ASCII), matching Spark's
+    // Java String ordering (binary for ASCII), matching Spark's. A key
+    // may be a nav PATH `Nav/Field` on a declared SINGLE-VALUED nav
+    // (OData path syntax); anything else — `.`-joined pseudo-paths, an
+    // undeclared nav, a collection nav — 400s, as a lawful server
+    // rejects an unknown property path rather than silently ignoring
+    // it (silently ignoring + $top = truncation under the wrong order,
+    // the exact client bug this strictness exists to catch).
     val ordered = q.get("$orderby") match {
       case None => filtered
       case Some(ob) =>
@@ -533,9 +554,27 @@ class ODataStubServer(
             case _ => throw new IllegalArgumentException(s"bad orderby: $part")
           }
         }
+        keys.map(_._1).find { f =>
+          f.contains(".") || (f.contains("/") &&
+            !f.split("/", 2).headOption.exists(n =>
+              navProps.get(n).exists(!_.collection)))
+        } match {
+          case Some(bad) =>
+            respond(ex, 400,
+              s"""{"error": {"message": "Could not find a property named '$bad'"}}""")
+            return
+          case None =>
+        }
+        def cellOf(row: Map[String, String], f: String): Option[String] =
+          if (f.contains("/")) {
+            val Array(nav, sub) = f.split("/", 2)
+            val nd = navProps(nav)
+            nd.rows.find(r => row.get(nd.parentKeyField).exists(pk =>
+              r.get(nd.childKeyField).contains(pk))).flatMap(_.get(sub))
+          } else row.get(f)
         filtered.sortWith { (a, b) =>
           keys.iterator.map { case (f, asc) =>
-            val cmp = Ordering.Option[String].compare(a.get(f), b.get(f))
+            val cmp = Ordering.Option[String].compare(cellOf(a, f), cellOf(b, f))
             if (asc) cmp else -cmp
           }.find(_ != 0).getOrElse(0) < 0
         }

@@ -123,6 +123,29 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("TopN on a single-valued nav field renders OData path syntax (\\$orderby=Manager/M_NAME, never 'Manager.M_NAME')") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = navFixture(9)).start()
+    try {
+      // Spark's default desc placement (nulls LAST) matches OData's —
+      // the push is legal; odd employees have no Manager (null struct)
+      val got = read(srv, Map("expand" -> "Manager(M_NAME,M_LEVEL)",
+        "failFast" -> "true"))
+        .orderBy(desc("Manager.M_NAME")).limit(2)
+        .select(col("Manager.M_NAME")).as[String].collect().toSeq
+      assert(got == Seq("Manager of 8", "Manager of 6"), got)
+      // the strict stub 400s any non-`/` path (incl. the '.'-joined
+      // pseudo-path a naive renderer emits), so reaching here proves
+      // the wire carried lawful syntax — pin it explicitly too
+      val decoded = srv.requestLog.map(
+        java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains("$orderby=Manager/M_NAME desc")),
+        s"nav-path \\$$orderby must use '/' syntax: $decoded")
+      assert(!decoded.exists(_.contains("Manager.M_NAME")),
+        s"'.'-joined pseudo-path leaked to the wire: $decoded")
+    } finally srv.stop()
+  }
+
   test("pushDownTopN=false keeps \\$orderby off the wire, same results") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
@@ -1594,6 +1617,83 @@ class ODataSourceSpec extends SparkSpec {
       assert(joined.where(col("CEMPLOYEE_UUID") === "0")
         .select(size(col("Assignments"))).head().getInt(0) == 0)
     } finally srv.stop()
+  }
+
+  test("metadataSchema: typed eq/IN literals push as lawful v4 \\$filter grammar; Double stays residual; v2 dialect forms") {
+    val typedRows = (0 until 6).map { i =>
+      Map(
+        "CEMPLOYEE_UUID" -> i.toString,
+        "KCLEAVERS" -> i.toString,
+        "BIGN" -> (10000000000L + i).toString,
+        "RATIO" -> s"$i.5",
+        "ACTIVE" -> (if (i % 2 == 0) "true" else "false"),
+        "HIRED" -> s"2024-01-0${i + 1}",
+        "SEEN" -> s"2024-01-0${i + 1}T06:30:00Z",
+        "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}")
+    }
+    def mkSrv() = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      rawJsonFields = Set("KCLEAVERS", "BIGN", "RATIO", "ACTIVE")).start()
+    def typedRead(srv: ODataStubServer, extra: Map[String, String] = Map.empty) = {
+      val b = spark.read.format("odata")
+        .option("baseUrl", srv.url)
+        .option("servicePath", "sap/byd/odata/analytics.svc")
+        .option("entity", "EmployeeQueryResults")
+        .option("selectFields", "CEMPLOYEE_UUID,KCLEAVERS,BIGN,RATIO,ACTIVE,HIRED,SEEN")
+        .option("structureCandidates", candidates)
+        .option("metadataSchema", "true")
+        .option("failFast", "true")
+      extra.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    def decoded(srv: ODataStubServer) =
+      srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+    val srv = mkSrv()
+    try {
+      val df = typedRead(srv)
+      // Int32 eq: bare literal on the wire, exact rows back
+      assert(df.where(col("KCLEAVERS") === 3)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("3"))
+      assert(decoded(srv).exists(_.contains("KCLEAVERS eq 3")), decoded(srv))
+      // Int64 eq: bare in v4
+      assert(df.where(col("BIGN") === 10000000002L)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("2"))
+      assert(decoded(srv).exists(_.contains("BIGN eq 10000000002")), decoded(srv))
+      // Date eq: bare ISO
+      assert(df.where(col("HIRED") === java.sql.Date.valueOf("2024-01-04"))
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("3"))
+      assert(decoded(srv).exists(_.contains("HIRED eq 2024-01-04")), decoded(srv))
+      // Timestamp eq: bare ISO instant
+      assert(df.where(col("SEEN") === lit(java.time.Instant.parse("2024-01-02T06:30:00Z")))
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("1"))
+      assert(decoded(srv).exists(_.contains("SEEN eq 2024-01-02T06:30:00Z")),
+        decoded(srv))
+      // typed IN: or-group of bare literals
+      assert(df.where(col("KCLEAVERS").isin(1, 4))
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq.sorted == Seq("1", "4"))
+      assert(decoded(srv).exists(
+        _.contains("(KCLEAVERS eq 1 or KCLEAVERS eq 4)")), decoded(srv))
+      // Double eq stays RESIDUAL (text rendering not round-trip-exact):
+      // right rows, no RATIO on the wire
+      assert(df.where(col("RATIO") === 2.5)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("2"))
+      assert(!decoded(srv).exists(_.contains("RATIO eq")), decoded(srv))
+    } finally srv.stop()
+    // v2 dialect: Int64 takes the L suffix, DateTimeOffset the
+    // datetimeoffset'…' prefix, Edm.Date DECLINES (no v2 date literal)
+    val srv2 = mkSrv()
+    try {
+      val df2 = typedRead(srv2, Map("filterDialect" -> "v2"))
+      assert(df2.where(col("BIGN") === 10000000004L)
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("4"))
+      assert(decoded(srv2).exists(_.contains("BIGN eq 10000000004L")), decoded(srv2))
+      assert(df2.where(col("SEEN") === lit(java.time.Instant.parse("2024-01-03T06:30:00Z")))
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("2"))
+      assert(decoded(srv2).exists(
+        _.contains("SEEN eq datetimeoffset'2024-01-03T06:30:00Z'")), decoded(srv2))
+      assert(df2.where(col("HIRED") === java.sql.Date.valueOf("2024-01-01"))
+        .select("CEMPLOYEE_UUID").as[String].collect().toSeq == Seq("0"))
+      assert(!decoded(srv2).exists(_.contains("HIRED eq")), decoded(srv2))
+    } finally srv2.stop()
   }
 
   test("metadataSchema + aggregate pushdown: min/max and grouping on a TYPED column decline; string columns still push") {
