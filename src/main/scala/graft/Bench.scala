@@ -150,10 +150,17 @@ object Bench {
       try {
         val javaBin = java.nio.file.Paths
           .get(System.getProperty("java.home"), "bin", "java").toString
+        // the parent's full heap stays live while the subprocess runs,
+        // so the two -Xmx demands ADD transiently; SPARK_GRAFT_FRESH_MEM
+        // caps the subprocess heap independently (default: inherit —
+        // the parent-proven size; on a constrained host set it lower)
+        val freshMem = sys.env.get("SPARK_GRAFT_FRESH_MEM")
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.filter(a =>
             a.startsWith("--add-opens") || a.contains("=ALL-UNNAMED") ||
               a.startsWith("-D") || a.startsWith("-X")).toSeq
+          .filterNot(a => freshMem.isDefined && a.startsWith("-Xmx")) ++
+          freshMem.map(m => s"-Xmx$m").toSeq
         val tmp = java.nio.file.Files.createTempFile("graft_bench_fresh", ".json")
         val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++ Seq(
           "-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava)
@@ -187,6 +194,10 @@ object Bench {
         Map.empty
       }
     }
+    // per-query provenance of the final pass — RECORDED in the full
+    // JSON so a silent in-JVM fallback (subprocess OOM-killed, timeout)
+    // is visible in the artifact, not just in a scrolled-away stderr
+    val finalPassHow = scala.collection.mutable.Map.empty[String, String]
     if (finalPassN > 0) {
       val worst = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(finalPassN)
       val fresh = freshJvmSamples(worst.map(_._1))
@@ -194,6 +205,7 @@ object Bench {
         try {
           val (again, how) = fresh.get(name)
             .map((_, "fresh-jvm")).getOrElse((timedRun(queryFns(name)), "in-jvm"))
+          finalPassHow(name) = how
           System.err.println(
             f"[bench] final-pass $name: recorded $rec%.2fs -> $how rerun $again%.2fs")
           retries(name) = retries.getOrElse(name, List(rec)) :+ again
@@ -216,8 +228,10 @@ object Bench {
     val retriesJson = retries.map { case (k, v) => s"${jstr(k)}:[${v.mkString(",")}]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val finalPassJson = finalPassHow.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     def line(qs: String, extra: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${errors.size},"n_retried":$nRetried,"retries":$retriesJson,"errors":$errJson,"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${errors.size},"n_retried":$nRetried,"retries":$retriesJson,"errors":$errJson,"final_pass":$finalPassJson,"sf":"$sfDir"$extra}"""
     // stdout gets a COMPACT line (total + counts + the 5 slowest
     // queries): at 300+ queries the full per-query map overflows the
     // driver's stdout capture window and the artifact records only a

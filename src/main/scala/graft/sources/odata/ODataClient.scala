@@ -341,7 +341,12 @@ object ODataClient {
         val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
         val body = if (stream == null) ""
           else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-        Response(status, body)
+        // same capped delta-seconds parse as get(): a batch 429's
+        // pacing contract is no weaker than a GET's
+        val retryAfter = Option(conn.getHeaderField("Retry-After"))
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .filter(_ >= 0).map(s => math.min(s, 300L) * 1000L)
+        Response(status, body, retryAfter)
       } finally conn.disconnect()
       if (r.status >= 200 && r.status < 300) {
         val node = mapper.readTree(r.body)
@@ -385,8 +390,16 @@ object ODataClient {
     * Cell values arrive stringified: scalars via asText, nested
     * objects/arrays as their JSON text (engine-semantics stringify,
     * SURVEY §7.4.1), explicit null as SQL null.
+    *
+    * `base` — the URL this page was fetched from. v2 servers in the
+    * wild emit RELATIVE `__next` continuations (and v4 ones lawfully
+    * may: OData v4 protocol §11.2.5.7 allows any valid URL); RFC 3986
+    * resolution against the fetched URL follows both. An empty base
+    * keeps the previous posture: a relative link fails loudly at URI
+    * parse when followed.
     */
-  def parsePage(body: String): Page = {
+  def parsePage(body: String, base: String = ""): Page = {
+    def abs(link: String): String = resolveLink(base, link)
     val root = mapper.readTree(body)
     val d = root.path("d")
     val (results, next) =
@@ -414,8 +427,17 @@ object ODataClient {
     // incremental-sync operator persists (ODataDelta)
     val delta = Option(root.get("@odata.deltaLink"))
       .orElse(Option(root.get("odata.deltaLink"))).map(_.asText())
-    Page(rows, next.filter(_.nonEmpty), delta.filter(_.nonEmpty))
+    Page(rows, next.filter(_.nonEmpty).map(abs),
+      delta.filter(_.nonEmpty).map(abs))
   }
+
+  /** RFC 3986 resolution of a (possibly relative) continuation link
+    * against the URL it was served from. An empty base keeps the link
+    * verbatim — a relative one then fails loudly at fetch time.
+    */
+  def resolveLink(base: String, link: String): String =
+    if (base.isEmpty || link.matches("(?i)^https?://.*")) link
+    else new URI(base).resolve(link).toString
 
   /** Parse one JSON text (an expanded nav cell parsePage preserved as
     * its JSON text) — the connector's one shared Jackson instance.

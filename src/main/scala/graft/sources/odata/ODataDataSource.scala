@@ -102,7 +102,7 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
             s"odata metadataSchema: nav '${e.nav}' is declared " +
               s"${if (e.collection) "collection" else "single-valued"} but " +
               s"\\$$metadata says ${if (nav.collection) "Collection(" + nav.targetType + ")" else nav.targetType}")
-          val child = m.types.getOrElse(nav.targetType,
+          val child = m.findType(nav.targetType).getOrElse(
             throw new IllegalStateException(
               s"odata metadataSchema: nav '${e.nav}' targets entity type " +
                 s"'${nav.targetType}' which \\$$metadata does not declare"))
@@ -842,12 +842,14 @@ class ODataScan(schema: StructType, opts: ODataOptions,
             val keys = scala.collection.mutable.TreeSet.empty[String]
             var page = ODataClient.parsePage(ODataClient.getWithRetry(
               url, opts.user, opts.password, opts.timeoutMs,
-              opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
+              opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth),
+              base = url)
             keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
             while (page.nextLink.isDefined) {
               page = ODataClient.parsePage(ODataClient.getWithRetry(
                 page.nextLink.get, opts.user, opts.password, opts.timeoutMs,
-                opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
+                opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth),
+                base = page.nextLink.get)
               keys ++= page.rows.flatMap(_.get(f)).filter(v => v != null && v.nonEmpty)
             }
             if (keys.isEmpty) {
@@ -900,7 +902,8 @@ class ODataAggPartitionReader(agg: ODataPushedAgg, opts: ODataOptions)
   private def loadPage(url: String): Unit = {
     val page = ODataClient.parsePage(ODataClient.getWithRetry(
       url, opts.user, opts.password, opts.timeoutMs,
-      opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
+      opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth),
+      base = url)
     rows = page.rows.iterator
     nextLink = page.nextLink
   }
@@ -1084,7 +1087,8 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private def loadPage(url: String): Unit = {
     val page = ODataClient.parsePage(ODataClient.getWithRetry(
       url, opts.user, opts.password, opts.timeoutMs,
-      opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
+      opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth),
+      base = url)
     rows = page.rows.iterator
     nextLink = page.nextLink
   }
@@ -1227,12 +1231,19 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
   private def followNavPages(first: String, e: ExpandSpec): Array[Any] = {
     val nested = navSchemas(e.nav)
     val out = Array.newBuilder[Any]
-    var url: Option[String] = Some(first)
+    // the annotation's URL may be RELATIVE (it never passed through
+    // parsePage's base resolution — it rides a CELL of the parent
+    // page); the entity URL shares the host+path root the parent page
+    // was fetched from, so RFC 3986 resolution against it is exact for
+    // path-absolute links and the lawful default for path-relative
+    var url: Option[String] =
+      Some(ODataClient.resolveLink(opts.entityUrl(opts.entity), first))
     while (url.isDefined) {
       if (opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs) // R5
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
-        opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
+        opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth),
+        base = url.get)
       out ++= page.rows.map(r => InternalRow.fromSeq(
         nested.fields.toIndexedSeq.map { sf =>
           r.get(sf.name).filter(_ != null).map { v =>

@@ -125,7 +125,8 @@ object ODataDelta extends Logging {
     while (url.isDefined) {
       val page = ODataClient.parsePage(ODataClient.getWithRetry(
         url.get, opts.user, opts.password, opts.timeoutMs,
-        opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth))
+        opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth),
+        base = url.get)
       if (spilledCount < 0 && buf.size + page.rows.size > threshold) {
         logInfo(s"odata delta sync: feed exceeds $threshold entries — " +
           "spilling to a distributed fold")
@@ -217,7 +218,7 @@ object ODataDelta extends Logging {
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs,
         extraHeaders = Seq("Prefer" -> "odata.track-changes"),
-        oauth = opts.oauth))
+        oauth = opts.oauth), base = url.get)
       if (page.deltaLink.isDefined) link = page.deltaLink // last wins
       url = page.nextLink
       if (url.isDefined && opts.requestPauseMs > 0)
@@ -334,7 +335,7 @@ object ODataDelta extends Logging {
             // without this header no lawful v4 server returns a
             // deltaLink (sent on every page: next-links must keep it)
             extraHeaders = Seq("Prefer" -> "odata.track-changes"),
-            oauth = opts.oauth))
+            oauth = opts.oauth), base = url.get)
           require(!page.rows.exists(_.contains("@removed")),
             "odata delta sync: @removed in an initial read")
           if (page.rows.nonEmpty) {

@@ -179,7 +179,7 @@ class ODataDeltaMicroBatchStream(schema: StructType, opts: ODataOptions)
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs,
         extraHeaders = Seq("Prefer" -> "odata.track-changes"),
-        oauth = opts.oauth))
+        oauth = opts.oauth), base = url.get)
       n += page.rows.size
       if (from.nonEmpty && !overflowed) {
         // BOUND the carried round: a backfill-sized delta must not
@@ -267,7 +267,7 @@ class ODataDeltaStreamReader(schema: StructType, opts: ODataOptions,
       url, opts.user, opts.password, opts.timeoutMs,
       opts.maxRetries, opts.retryBackoffMs,
       extraHeaders = Seq("Prefer" -> "odata.track-changes"),
-      oauth = opts.oauth))
+      oauth = opts.oauth), base = url)
     if (partition.fromLink.isEmpty)
       require(!page.rows.exists(_.contains("@removed")),
         "odata-delta stream: @removed in the initial read")

@@ -60,24 +60,46 @@ object ODataMetadata {
   }
 
   /** One navigation property of an entity type: the TARGET type's
-    * local name and the declared cardinality (`Collection(ns.T)` vs
-    * `ns.T`). */
+    * namespace-qualified name (aliases normalized at parse) and the
+    * declared cardinality (`Collection(ns.T)` vs `ns.T`). */
   final case class EdmNav(targetType: String, collection: Boolean)
 
   /** One entity type: scalar properties + navigation properties. */
   final case class EdmEntityType(props: Map[String, EdmProperty],
                                  navs: Map[String, EdmNav])
 
-  /** The parsed document: entity-set name → type local name, and type
-    * local name → its declaration. */
+  /** The parsed document: entity-set name → namespace-qualified type
+    * name, and qualified type name → its declaration. Qualified keying
+    * is load-bearing: one EDMX may carry MANY `<Schema>` elements, and
+    * two schemas lawfully declare the same local type name — a
+    * local-name table would collide last-wins and silently type one
+    * entity with the other's properties. */
   final case class EdmModel(setToType: Map[String, String],
                             types: Map[String, EdmEntityType]) {
+    /** Resolve a type reference. References in a lawful document are
+      * always namespace- or alias-qualified (parse normalizes aliases
+      * to namespaces), so the exact lookup hits; a bare local name —
+      * seen from lenient producers — resolves only when exactly one
+      * schema declares it, and FAILS BY NAME when two do. */
+    def findType(ref: String): Option[EdmEntityType] =
+      types.get(ref).orElse {
+        if (ref.contains(".")) None
+        else types.filter(_._1.split('.').last == ref) match {
+          case m if m.size == 1 => Some(m.head._2)
+          case m if m.size > 1 => throw new IllegalStateException(
+            s"odata \\$$metadata: type reference '$ref' is ambiguous — " +
+              s"declared as ${m.keys.toSeq.sorted.mkString(" and ")}; " +
+              "the document must reference it namespace-qualified")
+          case _ => None
+        }
+      }
+
     def entityType(entitySet: String): EdmEntityType = {
       val tn = setToType.getOrElse(entitySet, throw new IllegalStateException(
         s"odata \\$$metadata: no EntitySet named '$entitySet' in the " +
           "service document — check the 'entity' option against the " +
           "container's entity sets"))
-      types.getOrElse(tn, throw new IllegalStateException(
+      findType(tn).getOrElse(throw new IllegalStateException(
         s"odata \\$$metadata: EntitySet '$entitySet' names entity type " +
           s"'$tn' but no EntityType '$tn' is declared"))
     }
@@ -118,29 +140,50 @@ object ODataMetadata {
     }
     val root = doc.getDocumentElement
 
+    // alias → namespace across every <Schema> (CSDL lets a document
+    // reference types through a schema Alias; normalize all references
+    // to namespace-qualified form so one table serves both spellings)
+    val schemas = elems(root, "Schema")
+    val aliasToNs: Map[String, String] = schemas.flatMap { sc =>
+      val ns = sc.getAttribute("Namespace")
+      Seq(ns -> ns) ++
+        Option(sc.getAttribute("Alias")).filter(_.nonEmpty).map(_ -> ns)
+    }.toMap
+    def qualify(ref: String): String = {
+      val i = ref.lastIndexOf('.')
+      if (i < 0) ref // bare local name — findType's lenient path
+      else {
+        val (q, local) = (ref.substring(0, i), ref.substring(i + 1))
+        s"${aliasToNs.getOrElse(q, q)}.$local"
+      }
+    }
+
     val setToType = elems(root, "EntitySet").map(es =>
-      es.getAttribute("Name") -> es.getAttribute("EntityType").split('.').last
+      es.getAttribute("Name") -> qualify(es.getAttribute("EntityType"))
     ).toMap
 
     val CollectionRe = "^Collection\\((.*)\\)$".r
-    val types = elems(root, "EntityType").map { et =>
-      val props = elems(et, "Property").map { p =>
-        def intAttr(a: String): Option[Int] =
-          Option(p.getAttribute(a)).filter(_.nonEmpty)
-            .flatMap(s => scala.util.Try(s.toInt).toOption)
-        val name = p.getAttribute("Name")
-        name -> EdmProperty(name, p.getAttribute("Type"),
-          intAttr("Precision"), intAttr("Scale"))
-      }.toMap
-      val navs = elems(et, "NavigationProperty").map { np =>
-        val t = np.getAttribute("Type")
-        val nav = t match {
-          case CollectionRe(inner) => EdmNav(inner.split('.').last, collection = true)
-          case other => EdmNav(other.split('.').last, collection = false)
-        }
-        np.getAttribute("Name") -> nav
-      }.toMap
-      et.getAttribute("Name") -> EdmEntityType(props, navs)
+    val types = schemas.flatMap { sc =>
+      val ns = sc.getAttribute("Namespace")
+      elems(sc, "EntityType").map { et =>
+        val props = elems(et, "Property").map { p =>
+          def intAttr(a: String): Option[Int] =
+            Option(p.getAttribute(a)).filter(_.nonEmpty)
+              .flatMap(s => scala.util.Try(s.toInt).toOption)
+          val name = p.getAttribute("Name")
+          name -> EdmProperty(name, p.getAttribute("Type"),
+            intAttr("Precision"), intAttr("Scale"))
+        }.toMap
+        val navs = elems(et, "NavigationProperty").map { np =>
+          val t = np.getAttribute("Type")
+          val nav = t match {
+            case CollectionRe(inner) => EdmNav(qualify(inner), collection = true)
+            case other => EdmNav(qualify(other), collection = false)
+          }
+          np.getAttribute("Name") -> nav
+        }.toMap
+        s"$ns.${et.getAttribute("Name")}" -> EdmEntityType(props, navs)
+      }
     }.toMap
     EdmModel(setToType, types)
   }
@@ -170,7 +213,14 @@ object ODataMetadata {
         // v4 wire form: ISO-8601 with offset (Edm.DateTimeOffset);
         // v2 wire form: the legacy "/Date(ms)/" envelope
         if (s.startsWith("/Date(")) {
-          val ms = s.stripPrefix("/Date(").stripSuffix(")/").toLong
+          // the epoch-ms value is already UTC; the equally lawful
+          // /Date(ms±hhmm)/ variant's trailing offset is display-only
+          // and must not break the parse
+          val inner = s.stripPrefix("/Date(").stripSuffix(")/")
+          val ms = "^(-?\\d+)(?:[+-]\\d{4})?$".r.findFirstMatchIn(inner)
+            .map(_.group(1).toLong)
+            .getOrElse(throw new IllegalArgumentException(
+              s"malformed /Date(…)/ literal"))
           ms * 1000L
         } else {
           val odt = java.time.OffsetDateTime.parse(s)

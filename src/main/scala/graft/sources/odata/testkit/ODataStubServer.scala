@@ -71,6 +71,11 @@ class ODataStubServer(
     // for expand-as-join's fail-fast contract (a tolerant child scan
     // would read "successfully" with every association silently empty)
     failEntities: Set[String] = Set.empty,
+    // emit RELATIVE continuation URLs (path-absolute `/svc/Entity?…`
+    // form) instead of absolute ones — the shape real v2 tenants emit
+    // in `__next` and v4 lawfully may (protocol §11.2.5.7); a client
+    // must RFC-3986-resolve these against the fetched URL
+    relativeNextLinks: Boolean = false,
     // serve gzip-compressed bodies — but ONLY when the request offered
     // Accept-Encoding: gzip (the lawful content-negotiation contract;
     // a stub that gzips unconditionally would mask a client that
@@ -157,7 +162,7 @@ class ODataStubServer(
     */
   private def navContUrl(n: String, parentKey: String, sel: Seq[String],
                          skip: Int): String =
-    s"$url/navcont?" + Seq(
+    (if (relativeNextLinks) "/navcont?" else s"$url/navcont?") + Seq(
       "$navname" -> n, "$navparent" -> parentKey,
       "$navskip" -> skip.toString, "$navsel" -> sel.mkString(","))
       .map { case (k, v) =>
@@ -659,7 +664,8 @@ class ODataStubServer(
         val qs = keep.map { case (k, v) =>
           java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
         }.mkString("&")
-        Some(s"$url$path?$qs")
+        if (relativeNextLinks) Some(s"$path?$qs")
+        else Some(s"$url$path?$qs")
       }
 
     val rowsJson = page.map { r =>

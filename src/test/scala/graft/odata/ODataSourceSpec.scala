@@ -158,6 +158,28 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("relative continuation URLs resolve against the fetched URL (v2 __next entity chain + v4 nav continuation)") {
+    // v2 entity chain: every page's __next is path-relative
+    val srv = new ODataStubServer(mkRows(30), "C0CHAR_STRUCTURE",
+      serverPageSize = 4, relativeNextLinks = true).start()
+    try {
+      assert(read(srv).count() == 30)
+      assert(srv.requestLog.count(_.contains("skiptoken")) >= 7,
+        s"the relative chain must have been followed: ${srv.requestLog}")
+    } finally srv.stop()
+    // v4 nav continuation: the Nav@odata.nextLink sibling is relative
+    val srv2 = new ODataStubServer(mkRows(3), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = wideNavFixture(5), navPageSize = 2,
+      relativeNextLinks = true).start()
+    try {
+      val n = read(srv2, Map("expand" -> "Assignments*(A_PROJ,A_HOURS)",
+        "failFast" -> "true"))
+        .select(size(col("Assignments")).as("n")).collect().head.getInt(0)
+      assert(n == 5, s"relative nav continuation must be followed: $n")
+      assert(srv2.requestLog.exists(_.startsWith("/navcont")), srv2.requestLog)
+    } finally srv2.stop()
+  }
+
   test("429 rate limits retry when enabled, honoring Retry-After") {
     val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
       rateLimitFirst = 2).start()
@@ -1461,6 +1483,62 @@ class ODataSourceSpec extends SparkSpec {
       ODataMetadata.parse(edmxDoc, "NoSuchSet")
     }
     assert(e.getMessage.contains("NoSuchSet"), e.getMessage)
+  }
+
+  test("$metadata: two schemas declaring the SAME local type name resolve independently (namespace-qualified keying); aliases normalize") {
+    import graft.sources.odata.ODataMetadata
+    import org.apache.spark.sql.types._
+    val doc = """<?xml version="1.0" encoding="utf-8"?>
+      |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+      |  <edmx:DataServices>
+      |    <Schema Namespace="sales.core" Alias="SC" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      |      <EntityType Name="Record">
+      |        <Property Name="ID" Type="Edm.String"/>
+      |        <Property Name="AMOUNT" Type="Edm.Int64"/>
+      |      </EntityType>
+      |    </Schema>
+      |    <Schema Namespace="hr.core" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      |      <EntityType Name="Record">
+      |        <Property Name="ID" Type="Edm.String"/>
+      |        <Property Name="RANK" Type="Edm.Int32"/>
+      |        <NavigationProperty Name="Sibling" Type="SC.Record"/>
+      |      </EntityType>
+      |      <EntityContainer Name="C">
+      |        <EntitySet Name="SalesRecords" EntityType="SC.Record"/>
+      |        <EntitySet Name="HrRecords" EntityType="hr.core.Record"/>
+      |      </EntityContainer>
+      |    </Schema>
+      |  </edmx:DataServices>
+      |</edmx:Edmx>""".stripMargin
+    val m = ODataMetadata.parseModel(doc)
+    // before qualified keying this was a LAST-WINS collision: both
+    // sets typed by whichever schema parsed second
+    assert(m.entityType("SalesRecords").props("AMOUNT").sparkType == LongType)
+    assert(!m.entityType("SalesRecords").props.contains("RANK"))
+    assert(m.entityType("HrRecords").props("RANK").sparkType == IntegerType)
+    // the alias-qualified nav target resolves to the sales schema
+    val nav = m.entityType("HrRecords").navs("Sibling")
+    assert(nav.targetType == "sales.core.Record", nav)
+    assert(m.findType(nav.targetType).exists(_.props.contains("AMOUNT")))
+    // a BARE local name shared by two schemas fails BY NAME
+    val e = intercept[IllegalStateException] { m.findType("Record") }
+    assert(e.getMessage.contains("hr.core.Record") &&
+      e.getMessage.contains("sales.core.Record"), e.getMessage)
+  }
+
+  test("typed decode: the lawful /Date(ms±hhmm)/ offset variant parses (epoch ms is UTC; the suffix is display-only)") {
+    import graft.sources.odata.ODataMetadata
+    import org.apache.spark.sql.types._
+    assert(ODataMetadata.convert("/Date(86400000)/", TimestampType, "F") ==
+      86400000L * 1000L)
+    assert(ODataMetadata.convert("/Date(86400000+0530)/", TimestampType, "F") ==
+      86400000L * 1000L)
+    assert(ODataMetadata.convert("/Date(-86400000-0200)/", TimestampType, "F") ==
+      -86400000L * 1000L)
+    val e = intercept[IllegalStateException] {
+      ODataMetadata.convert("/Date(oops)/", TimestampType, "F")
+    }
+    assert(e.getMessage.contains("'F'"), e.getMessage)
   }
 
   test("metadataSchema=true: typed scan end-to-end — native Spark types, nulls, v2 /Date(ms)/ decode, loud misconfig") {
