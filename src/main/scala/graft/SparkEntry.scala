@@ -6243,6 +6243,12 @@ object SparkEntry {
     "odata_batch_probe" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.batchScan(s, dir)),
 
+    // data-plane $batch: one task owns every value chain and their
+    // FIRST pages ride ONE $batch POST (gate requires it in the log);
+    // same oracle as odata_scan — the transport is result-invisible
+    "odata_batch_pages" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.batchPagesScan(s, dir)),
+
     // typed NESTED expand: the nav resolves through the EDMX
     // NavigationProperty to its target entity type, so the exploded
     // item fields arrive as native int/bigint and compare against
@@ -14380,6 +14386,13 @@ object SparkEntry {
 
     // the $batch transport is result-invisible: same truth as odata_scan
     "odata_batch_probe" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        | o_orderpriority FROM orders WHERE o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // data-plane $batch is equally result-invisible: chain first pages
+    // ride one POST, rows are byte-identical to odata_scan's
+    "odata_batch_pages" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
         | o_orderpriority FROM orders WHERE o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,

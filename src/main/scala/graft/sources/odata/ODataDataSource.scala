@@ -1009,6 +1009,26 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     else partition.structureValues.map(Some(_)).toList
   private var anyChainStarted = false
 
+  // batchFirstPages: this task's chain FIRST pages, fetched in one
+  // $batch POST keyed by structure value, dropped as each chain
+  // consumes its page (see ODataOptions.batchFirstPages). null until
+  // the one-time prefetch runs; stays empty when the option is off,
+  // the bin has <2 values, or this is a skip-range task.
+  private var prefetched: scala.collection.mutable.Map[String, ODataClient.Response] = null
+  private def prefetchFirstPages(): Unit = {
+    if (prefetched != null) return
+    prefetched = scala.collection.mutable.Map.empty
+    if (!opts.batchFirstPages || partition.skipRange.isDefined) return
+    val vals = pending.flatten
+    if (vals.size < 2) return
+    val reqs = vals.map(v => v -> firstUrl(Some(v)))
+    val resps = ODataClient.postJsonBatch(
+      opts.entityUrl("$batch"), reqs, opts.user, opts.password,
+      opts.timeoutMs, opts.maxRetries, opts.retryBackoffMs,
+      oauth = opts.oauth)
+    reqs.foreach { case (v, _) => prefetched(v) = resps(v) }
+  }
+
   private var rows: Iterator[Map[String, String]] = Iterator.empty
   private var nextLink: Option[String] = None
   private var current: Map[String, String] = _
@@ -1098,6 +1118,11 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     * (matching the reference's per-structure try/except).
     */
   private def advance(): Boolean = {
+    // one-time, OUTSIDE the per-value tolerance try: a failed $batch
+    // POST is a transport/misconfiguration failure and stays loud
+    // regardless of failFast (the batchControlPlane posture); per-VALUE
+    // tolerance applies to SUB-responses, decoded at chain start below
+    prefetchFirstPages()
     while (!rows.hasNext) {
       try {
         if (nextLink.isDefined) {
@@ -1106,9 +1131,22 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
         } else pending match {
           case v :: rest =>
             pending = rest
-            if (anyChainStarted && opts.requestPauseMs > 0) Thread.sleep(opts.requestPauseMs)
+            val pre = v.flatMap(prefetched.remove)
+            // R5 politeness paces LIVE requests; a prefetched first
+            // page already rode the one $batch round-trip
+            if (pre.isEmpty && anyChainStarted && opts.requestPauseMs > 0)
+              Thread.sleep(opts.requestPauseMs)
             anyChainStarted = true
-            loadPage(firstUrl(v))
+            pre match {
+              case Some(r) =>
+                if (r.status < 200 || r.status >= 300)
+                  throw new ODataClient.ODataHttpException(
+                    r.status, firstUrl(v), r.body)
+                val page = ODataClient.parsePage(r.body, base = firstUrl(v))
+                rows = page.rows.iterator
+                nextLink = page.nextLink
+              case None => loadPage(firstUrl(v))
+            }
           case Nil => return false
         }
       } catch {

@@ -235,7 +235,20 @@ case class ODataOptions(
     // per fresh plan. The politeness lever for planning latency; data
     // chains stay plain GETs (streaming pagination cannot batch).
     // Default FALSE: v2 services and many v4 gateways lack $batch.
-    batchControlPlane: Boolean = false) {
+    batchControlPlane: Boolean = false,
+    // batchFirstPages=true: within one task, the FIRST pages of all
+    // its value chains ride ONE OData v4.01 JSON $batch POST instead
+    // of one GET each — on a high-latency tenant a bin of K values
+    // drops K-1 round-trips at chain start. Continuation pages still
+    // chain individually (they are inherently sequential). The task
+    // buffers at most its bin's first pages (pageSize × bin size must
+    // fit task memory — the reason this is opt-in). Failure semantics
+    // are unchanged: a failed $batch POST is loud regardless of
+    // failFast (a transport/misconfiguration error, same posture as
+    // batchControlPlane), while a non-2xx SUB-response fails exactly
+    // one value chain — the same per-VALUE tolerance unit as the
+    // sequential path.
+    batchFirstPages: Boolean = false) {
 
   /** Entity-set URL, defensively stripping `/` like etl.py:72-76. */
   def entityUrl(e: String): String = {
@@ -370,6 +383,7 @@ object ODataOptions {
         case other => throw new IllegalArgumentException(
           s"odata source: filterDialect must be 'v4' or 'v2', got '$other'")
       },
-      batchControlPlane = m.getOrElse("batchControlPlane", "false").toBoolean)
+      batchControlPlane = m.getOrElse("batchControlPlane", "false").toBoolean,
+      batchFirstPages = m.getOrElse("batchFirstPages", "false").toBoolean)
   }
 }

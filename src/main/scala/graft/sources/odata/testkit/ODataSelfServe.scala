@@ -432,6 +432,39 @@ object ODataSelfServe {
     df
   }
 
+  /** Data-plane `$batch` driver-gate: the partitioned scan's value
+    * chains start from ONE `$batch` POST carrying every chain's first
+    * page (batchFirstPages — K-1 round-trips saved per task at chain
+    * start), and the result rides [[scan]]'s oracle unchanged. The
+    * gate requires the batch POST in the request log AND that no
+    * chain-first `$filter` GET paid its own round-trip (continuation
+    * pages still chain individually — inherently sequential).
+    */
+  def batchPagesScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    val logStart = srv.requestLog.size
+    val df = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("maxPartitions", "1") // one task owns every value chain
+      .option("batchFirstPages", "true")
+      .option("failFast", "true")
+      .load()
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+    df.count() // drive one execution so the chains start
+    val reqs = srv.requestLog.drop(logStart)
+    require(reqs.exists(_.contains("$batch")),
+      "chain first pages must have ridden a $batch POST")
+    df
+  }
+
   private val metadataServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
 
   /** `$metadata`-typed-schema driver-gate: the stub publishes an EDMX

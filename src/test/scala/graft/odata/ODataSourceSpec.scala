@@ -158,6 +158,50 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("batchFirstPages: a task's chain first pages collapse into ONE \\$batch POST — same rows, K-1 round-trips saved, per-value tolerance intact") {
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      dialect = "v4").start()
+    try {
+      // maxPartitions=1 → all 3 structure values in one bin/task
+      val plainStart = srv.clientRequests.get()
+      val plain = read(srv, Map("maxPartitions" -> "1"))
+        .collect().map(_.toString).sorted.toSeq
+      val plainCost = srv.clientRequests.get() - plainStart
+      val batchStart = srv.clientRequests.get()
+      val logStart = srv.requestLog.size
+      val batched = read(srv, Map("maxPartitions" -> "1",
+        "batchFirstPages" -> "true"))
+        .collect().map(_.toString).sorted.toSeq
+      val batchCost = srv.clientRequests.get() - batchStart
+      assert(batched == plain, s"$batched\nvs\n$plain")
+      assert(srv.requestLog.drop(logStart).exists(_.contains("$batch")),
+        srv.requestLog.drop(logStart))
+      // 3 chain-first GETs became 1 POST: exactly K-1 = 2 fewer
+      // client round-trips (probe + codes enumeration unchanged)
+      assert(batchCost == plainCost - 2, s"batched=$batchCost plain=$plainCost")
+    } finally srv.stop()
+    // per-VALUE tolerance: one poisoned value's sub-response 500s;
+    // failFast=false skips exactly that chain, the batch POST itself
+    // succeeded
+    val srv2 = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      dialect = "v4", failValues = Set("STRUCT1")).start()
+    try {
+      val got = read(srv2, Map("maxPartitions" -> "1",
+        "batchFirstPages" -> "true", "failFast" -> "false",
+        "maxRetries" -> "0"))
+        .select("C0CHAR_STRUCTURE").as[String].collect().toSet
+      assert(got == Set("STRUCT0", "STRUCT2"), got)
+      // ...and failFast=true dies loudly on the same sub-response
+      val e = intercept[Exception] {
+        read(srv2, Map("maxPartitions" -> "1", "batchFirstPages" -> "true",
+          "failFast" -> "true", "maxRetries" -> "0")).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("500"), msgs)
+    } finally srv2.stop()
+  }
+
   test("relative continuation URLs resolve against the fetched URL (v2 __next entity chain + v4 nav continuation)") {
     // v2 entity chain: every page's __next is path-relative
     val srv = new ODataStubServer(mkRows(30), "C0CHAR_STRUCTURE",
