@@ -6044,6 +6044,23 @@ object SparkEntry {
       Multimodal.compressedAudioStats(t(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")),
 
+    // MP3 frame-HEADER probe: bitrate/rate/channels/duration recovered
+    // FROM THE BYTES by pure bit-grammar (sync, indices, the spec's
+    // frame-length formula) — no codec; the stub boundary narrows to
+    // the Layer III waveform itself. Corrupt payloads (every 13th doc)
+    // yield decode_ok=false rows, never errors
+    "mm_mp3_probe" -> ((s, dir) =>
+      Multimodal.mp3ProbeStats(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
+    // ISO BMFF (MP4) box-grammar probe: ftyp major brand + mvhd
+    // (timescale, duration) walked big-endian from the bytes, both
+    // mvhd versions (32/64-bit); duration_ms = duration*1000 DIV
+    // timescale — exact integer both engines floor identically
+    "mm_mp4_probe" -> ((s, dir) =>
+      Multimodal.mp4ProbeStats(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
     // REAL VIDEO-frame decode: spec-conformant uncompressed raw-RGB
     // RIFF/AVI fixtures, parsed back by a genuine RIFF chunk walker
     // (header dims + frame count + whole-stream pixel sums all FROM
@@ -14233,6 +14250,53 @@ object SparkEntry {
         | FROM ids JOIN s ON s.codec = ids.codec AND s.n = ids.n
         |   AND s.k = ids.k
         | ORDER BY ids.doc_id""".stripMargin,
+
+    // the MP3 fixture parameters (what the header walker must recover
+    // from the actual frame bytes): bitrate index 5+(id%7) → the
+    // MPEG-1 Layer III kbps table, rate index id%3 → {44100,48000,
+    // 32000}, mono when id%2=0, 3+(id%4) frames of 1152 samples;
+    // every 13th doc is corrupt → decode_ok=false sentinel row
+    "mm_mp3_probe" ->
+      """SELECT doc_id,
+        | (doc_id % 13 <> 4) AS decode_ok,
+        | CASE WHEN doc_id % 13 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(CASE (5 + doc_id % 7) WHEN 5 THEN 64 WHEN 6 THEN 80
+        |    WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |    WHEN 10 THEN 160 ELSE 192 END AS BIGINT) END AS bitrate_kbps,
+        | CASE WHEN doc_id % 13 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(CASE (doc_id % 3) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    ELSE 32000 END AS BIGINT) END AS sample_rate,
+        | CASE WHEN doc_id % 13 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |  END AS channels,
+        | CASE WHEN doc_id % 13 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(3 + doc_id % 4 AS BIGINT) END AS n_frames,
+        | CASE WHEN doc_id % 13 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST((3 + doc_id % 4) * 1152 AS BIGINT) END AS n_samples,
+        | CASE WHEN doc_id % 13 = 4 THEN -1.0
+        |  ELSE round((3 + doc_id % 4) * 1152 * 1000.0 /
+        |    (CASE (doc_id % 3) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |     ELSE 32000 END), 6) END AS duration_ms
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the MP4 fixture parameters (what the box walker must recover
+    // from the container bytes): timescale 1000*(1+id%3), duration
+    // 90000+(id%100)*37, brand isom/mp42 by parity, mvhd v1 every
+    // 5th doc (64-bit fields), corrupt every 11th; duration_ms is
+    // integer floor division both engines share
+    "mm_mp4_probe" ->
+      """SELECT doc_id,
+        | (doc_id % 11 <> 4) AS decode_ok,
+        | CASE WHEN doc_id % 11 = 4 THEN ''
+        |  WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        | CASE WHEN doc_id % 11 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(1000 * (1 + doc_id % 3) AS BIGINT) END AS timescale,
+        | CASE WHEN doc_id % 11 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(90000 + (doc_id % 100) * 37 AS BIGINT) END AS duration,
+        | CASE WHEN doc_id % 11 = 4 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST((90000 + (doc_id % 100) * 37) * 1000
+        |    // (1000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms
+        | FROM documents ORDER BY doc_id""".stripMargin,
 
     // the AVI generation parameters (what the RIFF walker must
     // recover from the actual container bytes): w = 8 + 4*(id%3),

@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   * µ-law/A-law expansion codec ([[G711Codec]] — mm_g711_decode
   * oracle replays the expansion formulas) and UNCOMPRESSED VIDEO
   * decodes for real via a genuine RIFF/AVI chunk walker over raw-RGB
-  * frames ([[AviCodec]] — mm_video_decode / mm_video_frames); only
-  * formats genuinely requiring third-party codecs (H.264/VP9,
-  * MP3/AAC) use the deterministic [[MediaCodec.decodeStub]] probe,
-  * clearly marked — swapping in ffmpeg bindings changes one
-  * function, not the pipeline.
+  * frames ([[AviCodec]] — mm_video_decode / mm_video_frames).
+  * COMPRESSED-format CONTAINER metadata probes for real too: MP3
+  * frame headers ([[Mp3Codec]] — bitrate/rate/channels/duration by
+  * pure bit-grammar, mm_mp3_probe) and ISO BMFF/MP4 boxes
+  * ([[Mp4Codec]] — ftyp brand + mvhd timescale/duration,
+  * mm_mp4_probe). Only the compressed ESSENCE itself (H.264/VP9
+  * frames, MP3/AAC waveforms — genuinely needing third-party codecs)
+  * uses the deterministic [[MediaCodec.decodeStub]] probe, clearly
+  * marked — swapping in ffmpeg bindings changes one function, not
+  * the pipeline.
   *
   * Scale posture: decode is a map-only stage; binary payloads never
   * shuffle (metadata is extracted first, payloads dropped before any
@@ -852,6 +857,255 @@ object Multimodal {
         col("dec_rate").as("sample_rate"), col("channels"),
         col("n_samples"),
         col("sum_samples"), col("sum_abs"))
+  }
+
+  /** MP3 frame-HEADER probe — MPEG-1 Audio Layer III (ISO/IEC
+    * 11172-3). Decoding Layer III SAMPLES genuinely requires a
+    * third-party codec (the JDK ships none — the documented stub
+    * boundary), but the frame HEADERS are plain bit-grammar: sync,
+    * version, layer, bitrate index, sampling-rate index, padding,
+    * channel mode, and the spec's frame-length formula
+    * (⌊144·bitrate/rate⌋ + padding) let a pure byte walker recover
+    * bitrate/rate/channels/duration FROM THE BYTES with no codec at
+    * all — what ffprobe reports without decoding one granule. This
+    * narrows the compressed-audio stub boundary to the waveform
+    * itself.
+    */
+  object Mp3Codec {
+    /** MPEG-1 Layer III bitrate table (kbps), wire index 1..14. */
+    val bitrateKbps: Array[Int] =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    /** MPEG-1 sampling-rate table, wire index 0..2. */
+    val sampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+    /** A spec-conformant CBR frame stream: 11-bit sync, MPEG-1 (0b11),
+      * Layer III (0b01), no CRC, no padding; deterministic filler
+      * bodies (the probe never reads them). Fixture generator — the
+      * exact header grammar a real encoder emits.
+      */
+    def frameStream(bitrateIdx: Int, rateIdx: Int, mono: Boolean,
+                    nFrames: Int): Array[Byte] = {
+      require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2,
+        s"mp3 fixture: reserved index bitrate=$bitrateIdx rate=$rateIdx")
+      val frameLen =
+        144 * bitrateKbps(bitrateIdx) * 1000 / sampleRates(rateIdx)
+      val out = new Array[Byte](frameLen * nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val o = f * frameLen
+        out(o) = 0xFF.toByte
+        out(o + 1) = 0xFB.toByte // 111 | MPEG1=11 | LayerIII=01 | noCRC=1
+        out(o + 2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte
+        out(o + 3) = (if (mono) 0xC0 else 0x00).toByte // channel mode
+        var i = o + 4
+        while (i < o + frameLen) { out(i) = ((i * 31 + f) & 0xFF).toByte; i += 1 }
+        f += 1
+      }
+      out
+    }
+
+    /** Probe a CBR MPEG-1 Layer III stream FROM ITS BYTES: returns
+      * (bitrate_kbps, sample_rate, channels, n_frames), or None for
+      * anything that is not a clean constant-parameter frame chain
+      * covering the whole payload — lost sync, reserved indices, a
+      * truncated tail, parameter drift (a VBR stream needs per-frame
+      * bookkeeping this probe deliberately refuses to fake). Never an
+      * exception: one poisoned blob must not kill a 100 TB scan.
+      */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      var pos = 0; var n = 0L
+      var br = -1; var rate = -1; var ch = -1
+      while (pos + 4 <= bytes.length) {
+        val b1 = bytes(pos) & 0xFF; val b2 = bytes(pos + 1) & 0xFF
+        if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None // lost sync
+        if (((b2 >> 3) & 3) != 3 || ((b2 >> 1) & 3) != 1)
+          return None // MPEG-1 Layer III only (this probe's contract)
+        val b3 = bytes(pos + 2) & 0xFF
+        val bi = (b3 >> 4) & 15; val ri = (b3 >> 2) & 3; val pad = (b3 >> 1) & 1
+        if (bi == 0 || bi == 15 || ri == 3) return None // free/reserved
+        val b4 = bytes(pos + 3) & 0xFF
+        val thisCh = if (((b4 >> 6) & 3) == 3) 1 else 2
+        val tb = bitrateKbps(bi); val tr = sampleRates(ri)
+        if (br < 0) { br = tb; rate = tr; ch = thisCh }
+        else if (br != tb || rate != tr || ch != thisCh) return None
+        pos += 144 * tb * 1000 / tr + pad
+        n += 1
+      }
+      if (n == 0 || pos != bytes.length) None else Some((br, rate, ch, n))
+    }
+  }
+
+  /** ISO BMFF (MP4/M4A — ISO/IEC 14496-12) box-grammar probe: the
+    * `ftyp` major brand and `moov`/`mvhd`'s (timescale, duration) are
+    * plain big-endian box walking — no codec involved. Same posture
+    * as [[Mp3Codec]]: the compressed ESSENCE stays behind the stub
+    * boundary; the container metadata a real ingest shards and
+    * filters on is recovered from bytes.
+    */
+  object Mp4Codec {
+    /** A minimal spec-conformant stream: ftyp(major brand, minor 0,
+      * one compatible brand) + moov(mvhd) — §8.2.2's full field
+      * layout, version 0 (32-bit times) or 1 (64-bit), unity matrix.
+      */
+    def stream(brand: String, timescale: Long, duration: Long,
+               v1: Boolean): Array[Byte] = {
+      require(brand.length == 4, s"mp4 brand must be 4 chars: '$brand'")
+      val mvhdSize = if (v1) 120 else 108
+      val bb = java.nio.ByteBuffer.allocate(20 + 8 + mvhdSize) // big-endian
+      bb.putInt(20); bb.put("ftyp".getBytes("US-ASCII"))
+      bb.put(brand.getBytes("US-ASCII")); bb.putInt(0)
+      bb.put("isom".getBytes("US-ASCII"))
+      bb.putInt(8 + mvhdSize); bb.put("moov".getBytes("US-ASCII"))
+      bb.putInt(mvhdSize); bb.put("mvhd".getBytes("US-ASCII"))
+      bb.putInt(if (v1) 0x01000000 else 0) // version + flags
+      if (v1) {
+        bb.putLong(0L); bb.putLong(0L) // creation, modification
+        bb.putInt(timescale.toInt); bb.putLong(duration)
+      } else {
+        bb.putInt(0); bb.putInt(0)
+        bb.putInt(timescale.toInt); bb.putInt(duration.toInt)
+      }
+      bb.putInt(0x00010000)        // rate 1.0
+      bb.putShort(0x0100.toShort)  // volume 1.0
+      bb.putShort(0); bb.putLong(0L) // reserved
+      bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0) // unity matrix
+      bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2) // next_track_ID
+      bb.array()
+    }
+
+    /** Probe an ISO BMFF payload FROM ITS BYTES: walk the top-level
+      * box grammar (32-bit size, 4-char type, 64-bit largesize when
+      * size == 1), take the major brand from `ftyp` and
+      * (timescale, duration) from `moov`/`mvhd`, both mvhd versions.
+      * None when the grammar breaks or either box is absent — never
+      * an exception.
+      */
+    def probe(bytes: Array[Byte]): Option[(String, Long, Long)] =
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        var brand: Option[String] = None
+        var td: Option[(Long, Long)] = None
+        var innerOk = true
+        def walk(start: Int, end: Int,
+                 f: (String, Int, Int) => Unit): Boolean = {
+          var p = start
+          while (p < end) {
+            if (p + 8 > end) return false
+            var size = bb.getInt(p).toLong & 0xFFFFFFFFL
+            val typ = new String(bytes, p + 4, 4, "US-ASCII")
+            var body = p + 8
+            if (size == 1) {
+              if (p + 16 > end) return false
+              size = bb.getLong(p + 8); body = p + 16
+            }
+            if (size < (body - p) || p + size > end) return false
+            f(typ, body, p + size.toInt)
+            p += size.toInt
+          }
+          true
+        }
+        val topOk = walk(0, bytes.length, { (typ, b, e) =>
+          if (typ == "ftyp" && e - b >= 4)
+            brand = Some(new String(bytes, b, 4, "US-ASCII"))
+          if (typ == "moov")
+            innerOk &= walk(b, e, { (t2, b2, e2) =>
+              if (t2 == "mvhd" && e2 > b2) {
+                val ver = bytes(b2) & 0xFF
+                if (ver == 1 && e2 - b2 >= 32)
+                  td = Some((bb.getInt(b2 + 20).toLong & 0xFFFFFFFFL,
+                    bb.getLong(b2 + 24)))
+                else if (ver == 0 && e2 - b2 >= 20)
+                  td = Some((bb.getInt(b2 + 12).toLong & 0xFFFFFFFFL,
+                    bb.getInt(b2 + 16).toLong & 0xFFFFFFFFL))
+              }
+            })
+        })
+        if (!topOk || !innerOk) None
+        else for (br <- brand; (ts, d) <- td if ts > 0) yield (br, ts, d)
+      } catch { case _: Exception => None }
+  }
+
+  /** MP3 header probe over per-doc shapes (modular formulas the
+    * oracle replays): payload per DISTINCT shape, probed FROM BYTES
+    * executor-side, broadcast-joined back — [[audioDecodeStats]]'
+    * plan shape. One corrupt shape (plain text bytes) pins the
+    * tolerance contract: decode_ok=false row, never an exception.
+    */
+  def mp3ProbeStats(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def shaped(df: DataFrame, id: Column): DataFrame = df
+      .withColumn("m_bi", (lit(5) + id % 7).cast("int"))
+      .withColumn("m_ri", (id % 3).cast("int"))
+      .withColumn("m_mono", id % 2 === 0)
+      .withColumn("m_nf", (lit(3) + id % 4).cast("int"))
+      .withColumn("m_bad", id % 13 === 4)
+    val shapes = shaped(docs, col(idCol))
+      .select("m_bi", "m_ri", "m_mono", "m_nf", "m_bad").distinct()
+    val decoded = shapes.as[(Int, Int, Boolean, Int, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (bi, ri, mono, nf, bad) =>
+          val bytes =
+            if (bad) s"not an mpeg stream $bi/$ri/$nf".getBytes("UTF-8")
+            else Mp3Codec.frameStream(bi, ri, mono, nf)
+          Mp3Codec.probe(bytes) match {
+            case Some((kbps, rate, ch, n)) =>
+              (bi, ri, mono, nf, bad, true, kbps.toLong, rate.toLong,
+                ch.toLong, n)
+            case None => (bi, ri, mono, nf, bad, false, -1L, -1L, -1L, -1L)
+          }
+        }
+      }.toDF("m_bi", "m_ri", "m_mono", "m_nf", "m_bad", "decode_ok",
+        "bitrate_kbps", "sample_rate", "channels", "n_frames")
+    shaped(docs.select(col(idCol).as("doc_id")), col("doc_id"))
+      .join(broadcast(decoded), Seq("m_bi", "m_ri", "m_mono", "m_nf", "m_bad"))
+      .select(col("doc_id"), col("decode_ok"), col("bitrate_kbps"),
+        col("sample_rate"), col("channels"), col("n_frames"),
+        when(col("decode_ok"), col("n_frames") * 1152)
+          .otherwise(-1L).as("n_samples"),
+        when(col("decode_ok"), round(col("n_frames") * 1152 * 1000.0
+          / col("sample_rate"), 6)).otherwise(-1.0).as("duration_ms"))
+  }
+
+  /** MP4 container probe over per-doc shapes — same plan shape as
+    * [[mp3ProbeStats]]; duration_ms is the exact integer
+    * duration·1000 DIV timescale both engines floor identically.
+    */
+  def mp4ProbeStats(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def shaped(df: DataFrame, id: Column): DataFrame = df
+      .withColumn("p_ts", (lit(1000) * (lit(1) + id % 3)).cast("long"))
+      .withColumn("p_dur", (lit(90000) + (id % 100) * 37).cast("long"))
+      .withColumn("p_brand",
+        when(id % 2 === 0, "isom").otherwise("mp42"))
+      .withColumn("p_v1", id % 5 === 0)
+      .withColumn("p_bad", id % 11 === 4)
+    val shapes = shaped(docs, col(idCol))
+      .select("p_ts", "p_dur", "p_brand", "p_v1", "p_bad").distinct()
+    val decoded = shapes.as[(Long, Long, String, Boolean, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (ts, dur, brand, v1, bad) =>
+          val bytes =
+            if (bad) s"no boxes here $ts/$dur".getBytes("UTF-8")
+            else Mp4Codec.stream(brand, ts, dur, v1)
+          Mp4Codec.probe(bytes) match {
+            case Some((br, t, d)) => (ts, dur, brand, v1, bad, true, br, t, d)
+            case None => (ts, dur, brand, v1, bad, false, "", -1L, -1L)
+          }
+        }
+      }.toDF("p_ts", "p_dur", "p_brand", "p_v1", "p_bad", "decode_ok",
+        "brand", "timescale", "duration")
+    shaped(docs.select(col(idCol).as("doc_id")), col("doc_id"))
+      .join(broadcast(decoded), Seq("p_ts", "p_dur", "p_brand", "p_v1", "p_bad"))
+      .select(col("doc_id"), col("decode_ok"), col("brand"),
+        col("timescale"), col("duration"),
+        when(col("decode_ok"),
+          expr("duration * 1000 DIV timescale")).otherwise(-1L)
+          .as("duration_ms"))
   }
 
   /** REAL VIDEO-frame decode — uncompressed RIFF/AVI with raw 24-bit

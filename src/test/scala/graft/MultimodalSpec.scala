@@ -10,6 +10,42 @@ import graft.operators.Multimodal
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Mp3Codec: header probe recovers CBR parameters from bytes; refuses garbage, truncation, drift") {
+    import Multimodal.Mp3Codec
+    for (bi <- 1 to 14; ri <- 0 to 2; mono <- Seq(true, false)) {
+      val bytes = Mp3Codec.frameStream(bi, ri, mono, nFrames = 4)
+      assert(Mp3Codec.probe(bytes) == Some((Mp3Codec.bitrateKbps(bi),
+        Mp3Codec.sampleRates(ri), if (mono) 1 else 2, 4L)),
+        s"bi=$bi ri=$ri mono=$mono")
+    }
+    assert(Mp3Codec.probe("not an mpeg stream".getBytes("UTF-8")).isEmpty)
+    assert(Mp3Codec.probe(Array.empty[Byte]).isEmpty)
+    // a truncated tail is not a clean frame chain
+    val full = Mp3Codec.frameStream(9, 0, mono = false, nFrames = 3)
+    assert(Mp3Codec.probe(full.dropRight(7)).isEmpty)
+    // parameter drift (two streams glued) refuses — this probe does
+    // not fake VBR bookkeeping
+    val glued = Mp3Codec.frameStream(9, 0, mono = false, 2) ++
+      Mp3Codec.frameStream(10, 0, mono = false, 2)
+    assert(Mp3Codec.probe(glued).isEmpty)
+  }
+
+  test("Mp4Codec: box walker recovers brand/timescale/duration from bytes, both mvhd versions; refuses broken grammar") {
+    import Multimodal.Mp4Codec
+    assert(Mp4Codec.probe(Mp4Codec.stream("isom", 1000L, 90037L, v1 = false)) ==
+      Some(("isom", 1000L, 90037L)))
+    // v1 exercises the 64-bit field layout, incl. a duration past 2^32
+    assert(Mp4Codec.probe(Mp4Codec.stream("mp42", 48000L, 5000000000L, v1 = true)) ==
+      Some(("mp42", 48000L, 5000000000L)))
+    assert(Mp4Codec.probe("no boxes here".getBytes("UTF-8")).isEmpty)
+    assert(Mp4Codec.probe(Array.empty[Byte]).isEmpty)
+    // a size field pointing past the payload is broken grammar
+    val broken = Mp4Codec.stream("isom", 1000L, 1000L, v1 = false)
+    val bb = java.nio.ByteBuffer.wrap(broken)
+    bb.putInt(0, broken.length * 2)
+    assert(Mp4Codec.probe(broken).isEmpty)
+  }
+
   test("ImageCodec: PNG encode->decode round-trips exact dimensions and 3 bands") {
     for ((w, h) <- Seq((16, 16), (17, 23), (64, 56), (1, 1))) {
       val bytes = Multimodal.ImageCodec.png(w, h)
