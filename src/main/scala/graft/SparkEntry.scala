@@ -6253,6 +6253,14 @@ object SparkEntry {
     "odata_typed_filter_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.typedFilterScan(s, dir)),
 
+    // typed-AGGREGATE pushdown: the grouped min/max/count over
+    // metadata-typed columns collapses into ONE $apply request whose
+    // answers decode natively (int, timestamp, long) — the gate
+    // requires the $apply in the request log; the oracle computes the
+    // same aggregate from the raw parquet
+    "odata_typed_agg_pushdown" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.typedAggScan(s, dir)),
+
     // $batch control-plane transport: schema probing bundles both
     // candidates into ONE v4.01 JSON $batch POST (the gate requires
     // the batch in the request log) and the result is byte-identical
@@ -14644,6 +14652,17 @@ object SparkEntry {
         | FROM orders
         | WHERE o_orderkey < 200 AND o_orderpriority = '1-URGENT'
         | ORDER BY o_orderkey""".stripMargin,
+
+    // typed grouped aggregate: native int min/max, timestamp min,
+    // bigint count per status over the same slice
+    "odata_typed_agg_pushdown" ->
+      """SELECT o_orderstatus,
+        | CAST(min(o_custkey) AS INTEGER) AS min_custkey,
+        | CAST(max(o_custkey) AS INTEGER) AS max_custkey,
+        | CAST(min(o_orderdate) AS TIMESTAMP) AS min_orderdate,
+        | CAST(count(*) AS BIGINT) AS n
+        | FROM orders WHERE o_orderkey < 200
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the stub's __metadata is deterministic per key, so the oracle
     // rebuilds the exact to_json(map) text: the map has exactly one

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count,
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DateType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -242,10 +242,15 @@ private[odata] object ODataFilters {
 /** One output column of a pushed-aggregate scan: `name` is BOTH the
   * schema field name and the JSON key the server answers under (group
   * columns come back under their own property name; aggregates under
-  * their `as` alias). Counts surface as longs, everything else keeps
-  * the connector's string typing.
+  * their `as` alias). Counts surface as longs; everything else keeps
+  * the SCAN's typing for that column — string in string mode, the
+  * EDMX-mapped native type under metadataSchema (the wire cell
+  * decodes through the same [[ODataMetadata.convert]] the row scan
+  * uses, so a typed group key or min/max answer round-trips the same
+  * way a plain row cell does).
   */
-case class ODataAggField(name: String, isCount: Boolean)
+case class ODataAggField(name: String, isCount: Boolean,
+                         dataType: DataType = StringType)
 
 /** A Spark [[Aggregation]] fully translated to one OData V4
   * `$apply` transformation sequence. Field order is the DSv2
@@ -254,7 +259,7 @@ case class ODataAggField(name: String, isCount: Boolean)
 case class ODataPushedAgg(applyParam: String, fields: Seq[ODataAggField]) {
   def schema: StructType = StructType(fields.map(f =>
     if (f.isCount) StructField(f.name, LongType, nullable = false)
-    else StructField(f.name, StringType, nullable = true)))
+    else StructField(f.name, f.dataType, nullable = true)))
 }
 
 class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
@@ -512,10 +517,15 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * filtered aggregate composes into ONE
     * `$apply=filter(...)/groupby(...)` request — the full
     * filter-then-aggregate collapse, |groups| rows over the wire.
-    * Min/max keep the connector's string typing —
-    * correct for this all-string schema because OData string ordering
-    * and Spark's agree on the server side being trusted anyway (the
-    * same trust `supportCompletePushDown` declares).
+    * In string mode min/max keep the connector's string typing —
+    * correct because OData string ordering and Spark's agree on the
+    * server side being trusted anyway (the same trust
+    * `supportCompletePushDown` declares). Under metadataSchema typed
+    * groups and typed min/max push too, carrying the column's Spark
+    * type into the pushed schema — the server compares NATIVE values
+    * (numeric min over Edm.Int32, chronological over DateTimeOffset),
+    * and the answer decodes through ODataMetadata.convert exactly
+    * like a row cell.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     translateAgg(agg).isDefined
@@ -568,33 +578,44 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // would filter the AGGREGATED rows — the prefix is the only form
     // with WHERE-clause (pre-aggregation) semantics.
     if ((pushedEq.nonEmpty || pushedIn.nonEmpty) && !opts.fullyPushFilters) return None
-    // under metadataSchema a column may be natively typed; the pushed
-    // agg's wire decode (and its schema contract) is string-typed for
-    // groups and min/max, so those DECLINE on a non-string column and
-    // Spark computes — counts only need the column to exist
-    def stringTyped(n: String): Boolean =
-      fullSchema.fields.find(_.name == n).forall(_.dataType == StringType)
+    // under metadataSchema a column is natively typed and its wire
+    // cell decodes through the same ODataMetadata.convert the row
+    // scan uses — so typed groups and typed min/max PUSH, carrying
+    // their Spark type into the pushed schema (a server min over a
+    // native Edm.Int32 compares numerically — strictly better than
+    // the string collation the all-string mode trusts). Only a type
+    // the typed decode cannot round-trip declines; counts only need
+    // the column to exist.
+    def colType(n: String): DataType =
+      fullSchema.fields.find(_.name == n).map(_.dataType).getOrElse(StringType)
+    def decodable(n: String): Boolean = colType(n) match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | FloatType | DoubleType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
     val groupCols = agg.groupByExpressions().toSeq
-      .map(serverCol(_).filter(stringTyped))
+      .map(serverCol(_).filter(decodable))
     if (groupCols.exists(_.isEmpty)) return None
     val groups = groupCols.flatten
-    // translate each aggregate to (spec, isCount); count(col) marks
-    // the filter-prefix form and is handled after the loop
+    // translate each aggregate to (spec, isCount, resultType);
+    // count(col) marks the filter-prefix form, handled after the loop
     var nonNullCountCol: Option[String] = None
     val specs = agg.aggregateExpressions().toSeq.zipWithIndex.map {
-      case (_: CountStar, i) => Some((s"$$count as agg$i", true))
+      case (_: CountStar, i) => Some((s"$$count as agg$i", true, LongType: DataType))
       case (c: Count, i) if c.isDistinct =>
-        serverCol(c.column()).map(n => (s"$n with countdistinct as agg$i", true))
+        serverCol(c.column()).map(n =>
+          (s"$n with countdistinct as agg$i", true, LongType: DataType))
       case (c: Count, i) if !c.isDistinct =>
         serverCol(c.column()).map { n =>
-          nonNullCountCol = Some(n); (s"$$count as agg$i", true)
+          nonNullCountCol = Some(n); (s"$$count as agg$i", true, LongType: DataType)
         }
       case (m: Min, i) =>
-        serverCol(m.column()).filter(stringTyped)
-          .map(n => (s"$n with min as agg$i", false))
+        serverCol(m.column()).filter(decodable)
+          .map(n => (s"$n with min as agg$i", false, colType(n)))
       case (m: Max, i) =>
-        serverCol(m.column()).filter(stringTyped)
-          .map(n => (s"$n with max as agg$i", false))
+        serverCol(m.column()).filter(decodable)
+          .map(n => (s"$n with max as agg$i", false, colType(n)))
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return None
@@ -619,9 +640,9 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       nonNullCountCol.map(c => s"$c ne null")
     val apply =
       if (conds.nonEmpty) s"filter(${conds.mkString(" and ")})/$base" else base
-    val fields = groups.map(g => ODataAggField(g, isCount = false)) ++
-      specs.flatten.zipWithIndex.map { case ((_, isCount), i) =>
-        ODataAggField(s"agg$i", isCount) }
+    val fields = groups.map(g => ODataAggField(g, isCount = false, colType(g))) ++
+      specs.flatten.zipWithIndex.map { case ((_, isCount, dt), i) =>
+        ODataAggField(s"agg$i", isCount, dt) }
     Some(ODataPushedAgg(apply, fields))
   }
 
@@ -931,7 +952,12 @@ class ODataAggPartitionReader(agg: ODataPushedAgg, opts: ODataOptions)
         // $count / countdistinct are never null; a server omitting the
         // alias is a protocol violation worth a loud parse error
         java.lang.Long.parseLong(v): Any
-      else Option(v).map(UTF8String.fromString).orNull: Any
+      else Option(v).map { s =>
+        // typed group keys / min-max answers decode through the same
+        // path as row cells; malformed cells fail loudly BY NAME
+        if (f.dataType == StringType) UTF8String.fromString(s): Any
+        else ODataMetadata.convert(s, f.dataType, f.name)
+      }.orNull: Any
     })
 
   override def close(): Unit = ()

@@ -631,6 +631,50 @@ object ODataSelfServe {
     df
   }
 
+  /** Typed-aggregate-pushdown driver-gate: the typed service's grouped
+    * aggregate collapses into ONE `$apply=groupby((O_STATUS),
+    * aggregate(O_CUSTKEY with min/max, $count))` request and the
+    * answers decode NATIVELY (int min/max, timestamp min, long count)
+    * — before this round every min/max/groupby on a metadata-typed
+    * column declined and Spark streamed the rows. The request log must
+    * prove the $apply went to the wire.
+    */
+  def typedAggScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = metadataServerFor(spark, dir)
+    val df = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields",
+        "O_ORDERKEY,O_CUSTKEY,O_STATUS,O_TOTALPRICE,O_ORDERDATE,O_URGENT")
+      .option("structureCandidates", "O_PRIORITY")
+      .option("metadataSchema", "true")
+      .option("pushDownAggregates", "true")
+      .option("failFast", "true")
+      .load()
+      // group on the PLAIN column (an alias inside groupBy puts a
+      // Project between Aggregate and scan and Catalyst declines the
+      // push); rename after the aggregate
+      .groupBy(col("O_STATUS"))
+      .agg(
+        min(col("O_CUSTKEY")).as("min_custkey"),
+        max(col("O_CUSTKEY")).as("max_custkey"),
+        min(col("O_ORDERDATE")).as("min_orderdate"),
+        count(lit(1)).as("n"))
+      .select(col("O_STATUS").as("o_orderstatus"), col("min_custkey"),
+        col("max_custkey"), col("min_orderdate"), col("n"))
+      .orderBy(col("o_orderstatus"))
+    // drive one FULL-projection execution (a count() would prune the
+    // aggregate list to a bare groupby and the wire check below would
+    // see the wrong $apply form) — |status| rows, trivially small
+    df.collect()
+    require(srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+        .exists(u => u.contains("$apply=groupby((O_STATUS)") &&
+          u.contains("O_CUSTKEY with min")),
+      "the typed grouped aggregate must collapse into one $apply request")
+    df
+  }
+
   /** Expand-as-JOIN driver-gate: the SAME service and truth as
     * [[expandScan]], but both navs plan as separate child entity scans
     * plus Spark-side key joins (the 100×-scale strategy for wide

@@ -132,6 +132,21 @@ class ODataStubServer(
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  // properties the stub's OWN $metadata declares with a numeric Edm
+  // type — the $apply min/max compare domain (see aggCell). A stub
+  // without a metadata document serves an all-string entity and
+  // compares everything lexicographically, like the v2 tenant the
+  // reference talks to.
+  private lazy val numericTypedFields: Set[String] =
+    metadataDoc.toSeq.flatMap { doc =>
+      graft.sources.odata.ODataMetadata.parseModel(doc).types.values
+        .flatMap(_.props.values)
+        .filter(p => Set("Edm.SByte", "Edm.Byte", "Edm.Int16", "Edm.Int32",
+          "Edm.Int64", "Edm.Single", "Edm.Double", "Edm.Decimal")
+          .contains(p.edmType))
+        .map(_.name)
+    }.toSet
+
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val plain = body.getBytes(StandardCharsets.UTF_8)
     val offered = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
@@ -519,10 +534,20 @@ class ODataStubServer(
                 .findFirstMatchIn(spec)
                 .getOrElse(throw new IllegalArgumentException(s"bad aggregate spec: $spec"))
               val vals = group.flatMap(_.get(m.group(1))).filter(_ != null)
+              // a real server compares per the property's EDM TYPE: a
+              // property its own $metadata declares numeric compares
+              // numerically (lexicographic "9" > "10" would be a wrong
+              // server), everything else — Edm.String, and dates whose
+              // ISO text orders chronologically anyway — compares
+              // lexicographically (binary collation, matching Spark)
+              val ord: Ordering[String] =
+                if (numericTypedFields.contains(m.group(1)))
+                  Ordering.by((v: String) => BigDecimal(v))
+                else Ordering.String
               m.group(2) match {
                 case "countdistinct" => (m.group(3), vals.distinct.size.toString, true)
-                case "min" => (m.group(3), if (vals.isEmpty) null else vals.min, false)
-                case "max" => (m.group(3), if (vals.isEmpty) null else vals.max, false)
+                case "min" => (m.group(3), if (vals.isEmpty) null else vals.min(ord), false)
+                case "max" => (m.group(3), if (vals.isEmpty) null else vals.max(ord), false)
               }
           }
         val groups: Seq[(Seq[Option[String]], Seq[Map[String, String]])] =

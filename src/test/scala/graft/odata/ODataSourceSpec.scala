@@ -1818,10 +1818,13 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
-  test("metadataSchema + aggregate pushdown: min/max and grouping on a TYPED column decline; string columns still push") {
+  test("metadataSchema + aggregate pushdown: typed min/max and typed grouping PUSH with native decode; expressions decline") {
+    // KCLEAVERS = 5i so numeric vs lexicographic ordering DIVERGE
+    // (lexicographic max of {"0","5","10","15","20","25"} is "5") —
+    // the assert below catches a string-comparing path on either side
     val typedRows = (0 until 6).map(i => Map(
       "CEMPLOYEE_UUID" -> i.toString, "TEMPLOYEE_UUID" -> s"Employee $i",
-      "KCLEAVERS" -> (i % 2).toString, "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}"))
+      "KCLEAVERS" -> (i * 5).toString, "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}"))
     val srv = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
       dialect = "v4", metadataDoc = Some(edmxDoc),
       rawJsonFields = Set("KCLEAVERS")).start()
@@ -1836,13 +1839,31 @@ class ODataSourceSpec extends SparkSpec {
         .option("pushDownAggregates", "true")
         .option("failFast", "true")
         .load()
-      // min over the Int32 column: the push DECLINES (the $apply wire
-      // decode is string-typed) and Spark computes the right answer
-      val m = df.agg(min(col("KCLEAVERS"))).collect().head.getInt(0)
-      assert(m == 0)
-      assert(!srv.requestLog.exists(_.contains("KCLEAVERS+with+min")),
-        s"typed min must not push: ${srv.requestLog.filter(_.contains("apply"))}")
-      // …while a STRING column's aggregate still collapses server-side
+      // min over the Int32 column PUSHES and decodes NATIVELY — the
+      // server compares numeric values (a string-compare server would
+      // answer "9" > "10" wrong; the strict stub compares numerically
+      // when all cells parse, like a real typed server)
+      val mm = df.agg(min(col("KCLEAVERS")), max(col("KCLEAVERS"))).collect().head
+      assert((mm.getInt(0), mm.getInt(1)) == ((0, 25)), mm)
+      assert(srv.requestLog.exists(u => java.net.URLDecoder.decode(u, "UTF-8")
+          .contains("KCLEAVERS with min")),
+        s"typed min must push: ${srv.requestLog.filter(_.contains("apply"))}")
+      // typed GROUPING pushes too: group keys decode through the row
+      // cell path, counts stay long
+      srv.requestLog = Vector.empty
+      val g = df.groupBy(col("KCLEAVERS") % 2).agg(count(lit(1)))
+      // modulo is an EXPRESSION, not a plain column — must decline
+      assert(g.count() == 2)
+      assert(!srv.requestLog.exists(u => u.contains("%24apply") ||
+        u.contains("$apply")), s"expression groupby must not push: ${srv.requestLog}")
+      srv.requestLog = Vector.empty
+      val tg = df.groupBy(col("KCLEAVERS")).agg(count(lit(1)).as("n"))
+        .orderBy("KCLEAVERS")
+        .as[(Int, Long)].collect().toSeq
+      assert(tg == (0 until 6).map(i => (i * 5, 1L)), tg)
+      assert(srv.requestLog.exists(u => u.contains("%24apply") ||
+        u.contains("$apply")), s"typed groupby must push: ${srv.requestLog}")
+      // …and a STRING column's aggregate still collapses server-side
       srv.requestLog = Vector.empty
       val c = df.groupBy(col("C0CHAR_STRUCTURE")).agg(count(lit(1)).as("n"))
         .orderBy("C0CHAR_STRUCTURE")
