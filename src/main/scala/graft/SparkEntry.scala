@@ -6061,6 +6061,15 @@ object SparkEntry {
       Multimodal.mp4ProbeStats(t(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")),
 
+    // AAC ADTS header probe: profile/rate/channels/duration from the
+    // 7-byte transport headers (12-bit sync, frequency-index table,
+    // explicit 13-bit frame length, 1024 samples per frame) — same
+    // no-codec posture as mm_mp3_probe, with variable per-frame
+    // payload lengths exercising the length-field walk honestly
+    "mm_aac_probe" -> ((s, dir) =>
+      Multimodal.aacProbeStats(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
     // REAL VIDEO-frame decode: spec-conformant uncompressed raw-RGB
     // RIFF/AVI fixtures, parsed back by a genuine RIFF chunk walker
     // (header dims + frame count + whole-stream pixel sums all FROM
@@ -14304,6 +14313,36 @@ object SparkEntry {
         | CASE WHEN doc_id % 11 = 4 THEN CAST(-1 AS BIGINT)
         |  ELSE CAST((90000 + (doc_id % 100) * 37) * 1000
         |    // (1000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the ADTS fixture parameters (what the header walker must
+    // recover from the transport bytes): rate index id%13 → the §1.A.2
+    // frequency table, channels 1+(id%6), 2+(id%5) frames of 1024
+    // samples, AAC-LC profile (2); every 17th doc is corrupt
+    "mm_aac_probe" ->
+      """SELECT doc_id,
+        | (doc_id % 17 <> 6) AS decode_ok,
+        | CASE WHEN doc_id % 17 = 6 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(2 AS BIGINT) END AS profile,
+        | CASE WHEN doc_id % 17 = 6 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(CASE (doc_id % 13) WHEN 0 THEN 96000 WHEN 1 THEN 88200
+        |    WHEN 2 THEN 64000 WHEN 3 THEN 48000 WHEN 4 THEN 44100
+        |    WHEN 5 THEN 32000 WHEN 6 THEN 24000 WHEN 7 THEN 22050
+        |    WHEN 8 THEN 16000 WHEN 9 THEN 12000 WHEN 10 THEN 11025
+        |    WHEN 11 THEN 8000 ELSE 7350 END AS BIGINT) END AS sample_rate,
+        | CASE WHEN doc_id % 17 = 6 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(1 + doc_id % 6 AS BIGINT) END AS channels,
+        | CASE WHEN doc_id % 17 = 6 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(2 + doc_id % 5 AS BIGINT) END AS n_frames,
+        | CASE WHEN doc_id % 17 = 6 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST((2 + doc_id % 5) * 1024 AS BIGINT) END AS n_samples,
+        | CASE WHEN doc_id % 17 = 6 THEN -1.0
+        |  ELSE round((2 + doc_id % 5) * 1024 * 1000.0 /
+        |    (CASE (doc_id % 13) WHEN 0 THEN 96000 WHEN 1 THEN 88200
+        |     WHEN 2 THEN 64000 WHEN 3 THEN 48000 WHEN 4 THEN 44100
+        |     WHEN 5 THEN 32000 WHEN 6 THEN 24000 WHEN 7 THEN 22050
+        |     WHEN 8 THEN 16000 WHEN 9 THEN 12000 WHEN 10 THEN 11025
+        |     WHEN 11 THEN 8000 ELSE 7350 END), 6) END AS duration_ms
         | FROM documents ORDER BY doc_id""".stripMargin,
 
     // the AVI generation parameters (what the RIFF walker must

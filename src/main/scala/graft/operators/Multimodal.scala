@@ -935,6 +935,87 @@ object Multimodal {
     }
   }
 
+  /** AAC ADTS frame-header probe — ISO/IEC 14496-3 §1.A.2. Same
+    * posture as [[Mp3Codec]]: decoding AAC SPECTRA needs a real codec
+    * (stub boundary), but the ADTS transport headers are plain
+    * bit-grammar — 12-bit sync, MPEG version, profile, the
+    * sampling-frequency index table, channel configuration, and an
+    * explicit 13-bit frame-length field — so profile/rate/channels/
+    * duration (1024 samples per raw data block) recover from bytes
+    * with no codec.
+    */
+  object AacCodec {
+    /** ADTS sampling-frequency index table (index 0..12). */
+    val sampleRates: Array[Int] = Array(96000, 88200, 64000, 48000, 44100,
+      32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+    /** A spec-conformant ADTS stream: MPEG-4, no CRC (protection
+      * absent = 1, 7-byte headers), AAC-LC (profile 1), one raw data
+      * block per frame; deterministic filler payloads of a
+      * per-frame-varying length (the 13-bit length field is the walk
+      * contract, so variable payloads exercise it honestly).
+      */
+    def adtsStream(rateIdx: Int, channels: Int, nFrames: Int): Array[Byte] = {
+      require(rateIdx >= 0 && rateIdx <= 12 && channels >= 1 && channels <= 7,
+        s"adts fixture: rateIdx=$rateIdx channels=$channels")
+      val out = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nFrames) {
+        val payloadLen = 40 + 7 * (f % 5)
+        val frameLen = 7 + payloadLen
+        val h = new Array[Byte](7)
+        h(0) = 0xFF.toByte
+        h(1) = 0xF1.toByte // sync(4) | MPEG-4(0) | layer 00 | no-CRC(1)
+        // profile AAC-LC (01) | rateIdx(4) | private(0) | chanCfg high bit
+        h(2) = ((1 << 6) | (rateIdx << 2) | ((channels >> 2) & 1)).toByte
+        // chanCfg low 2 | orig/home/copy bits 0 | frameLen high 2
+        h(3) = (((channels & 3) << 6) | ((frameLen >> 11) & 3)).toByte
+        h(4) = ((frameLen >> 3) & 0xFF).toByte
+        // frameLen low 3 | buffer fullness high 5 (0x1F of 0x7FF VBR)
+        h(5) = (((frameLen & 7) << 5) | 0x1F).toByte
+        h(6) = 0xFC.toByte // fullness low 6 = all-ones | blocks-1 = 0
+        out.write(h)
+        var i = 0
+        while (i < payloadLen) { out.write((i * 17 + f * 3) & 0xFF); i += 1 }
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** Probe an ADTS stream FROM ITS BYTES: returns (profile, rate,
+      * channels, n_frames) — profile 1-based as the spec names them
+      * (1 = Main, 2 = LC, 3 = SSR, 4 = LTP). None on lost sync, a
+      * reserved rate index, parameter drift, or a frame-length field
+      * walking past the payload. Never an exception.
+      */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      var pos = 0; var n = 0L
+      var prof = -1; var rate = -1; var ch = -1
+      while (pos + 7 <= bytes.length) {
+        val b0 = bytes(pos) & 0xFF; val b1 = bytes(pos + 1) & 0xFF
+        if (b0 != 0xFF || (b1 & 0xF6) != 0xF0) return None // sync + layer 00
+        val crcAbsent = b1 & 1
+        val b2 = bytes(pos + 2) & 0xFF
+        val ri = (b2 >> 2) & 15
+        if (ri > 12) return None // reserved/escape
+        val thisProf = ((b2 >> 6) & 3) + 1
+        val b3 = bytes(pos + 3) & 0xFF
+        val thisCh = ((b2 & 1) << 2) | ((b3 >> 6) & 3)
+        if (thisCh == 0) return None // PCE-carried config: not probed
+        val frameLen = ((b3 & 3) << 11) | ((bytes(pos + 4) & 0xFF) << 3) |
+          ((bytes(pos + 5) & 0xFF) >> 5)
+        if (frameLen < (if (crcAbsent == 1) 7 else 9) ||
+            pos + frameLen > bytes.length) return None
+        if (prof < 0) { prof = thisProf; rate = sampleRates(ri); ch = thisCh }
+        else if (prof != thisProf || rate != sampleRates(ri) || ch != thisCh)
+          return None
+        pos += frameLen
+        n += 1
+      }
+      if (n == 0 || pos != bytes.length) None else Some((prof, rate, ch, n))
+    }
+  }
+
   /** ISO BMFF (MP4/M4A — ISO/IEC 14496-12) box-grammar probe: the
     * `ftyp` major brand and `moov`/`mvhd`'s (timescale, duration) are
     * plain big-endian box walking — no codec involved. Same posture
@@ -1067,6 +1148,44 @@ object Multimodal {
         when(col("decode_ok"), col("n_frames") * 1152)
           .otherwise(-1L).as("n_samples"),
         when(col("decode_ok"), round(col("n_frames") * 1152 * 1000.0
+          / col("sample_rate"), 6)).otherwise(-1.0).as("duration_ms"))
+  }
+
+  /** AAC ADTS header probe over per-doc shapes — same plan shape as
+    * [[mp3ProbeStats]]; 1024 samples per frame, round-6 ms duration
+    * off the recovered rate.
+    */
+  def aacProbeStats(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def shaped(df: DataFrame, id: Column): DataFrame = df
+      .withColumn("a_ri", (id % 13).cast("int"))
+      .withColumn("a_ch", (lit(1) + id % 6).cast("int"))
+      .withColumn("a_nf", (lit(2) + id % 5).cast("int"))
+      .withColumn("a_bad", id % 17 === 6)
+    val shapes = shaped(docs, col(idCol))
+      .select("a_ri", "a_ch", "a_nf", "a_bad").distinct()
+    val decoded = shapes.as[(Int, Int, Int, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (ri, ch, nf, bad) =>
+          val bytes =
+            if (bad) s"no adts sync here $ri/$ch/$nf".getBytes("UTF-8")
+            else AacCodec.adtsStream(ri, ch, nf)
+          AacCodec.probe(bytes) match {
+            case Some((prof, rate, c, n)) =>
+              (ri, ch, nf, bad, true, prof.toLong, rate.toLong, c.toLong, n)
+            case None => (ri, ch, nf, bad, false, -1L, -1L, -1L, -1L)
+          }
+        }
+      }.toDF("a_ri", "a_ch", "a_nf", "a_bad", "decode_ok", "profile",
+        "sample_rate", "channels", "n_frames")
+    shaped(docs.select(col(idCol).as("doc_id")), col("doc_id"))
+      .join(broadcast(decoded), Seq("a_ri", "a_ch", "a_nf", "a_bad"))
+      .select(col("doc_id"), col("decode_ok"), col("profile"),
+        col("sample_rate"), col("channels"), col("n_frames"),
+        when(col("decode_ok"), col("n_frames") * 1024)
+          .otherwise(-1L).as("n_samples"),
+        when(col("decode_ok"), round(col("n_frames") * 1024 * 1000.0
           / col("sample_rate"), 6)).otherwise(-1.0).as("duration_ms"))
   }
 

@@ -30,6 +30,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp3Codec.probe(glued).isEmpty)
   }
 
+  test("AacCodec: ADTS probe recovers profile/rate/channels from bytes across the frequency table; refuses garbage and truncation") {
+    import Multimodal.AacCodec
+    for (ri <- 0 to 12; ch <- Seq(1, 2, 6)) {
+      val bytes = AacCodec.adtsStream(ri, ch, nFrames = 3)
+      assert(AacCodec.probe(bytes) ==
+        Some((2, AacCodec.sampleRates(ri), ch, 3L)), s"ri=$ri ch=$ch")
+    }
+    assert(AacCodec.probe("no adts sync here".getBytes("UTF-8")).isEmpty)
+    assert(AacCodec.probe(Array.empty[Byte]).isEmpty)
+    val full = AacCodec.adtsStream(4, 2, nFrames = 3)
+    assert(AacCodec.probe(full.dropRight(5)).isEmpty, "truncated tail")
+    val glued = AacCodec.adtsStream(4, 2, 2) ++ AacCodec.adtsStream(4, 1, 2)
+    assert(AacCodec.probe(glued).isEmpty, "parameter drift")
+  }
+
   test("Mp4Codec: box walker recovers brand/timescale/duration from bytes, both mvhd versions; refuses broken grammar") {
     import Multimodal.Mp4Codec
     assert(Mp4Codec.probe(Mp4Codec.stream("isom", 1000L, 90037L, v1 = false)) ==
