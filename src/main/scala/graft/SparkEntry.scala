@@ -6153,6 +6153,14 @@ object SparkEntry {
     "odata_delta_sync" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.deltaSync(s, dir)),
 
+    // TYPED change tracking: the same sync protocol under
+    // metadataSchema=true — the tracked table carries native types
+    // (bigint key, int custkey) through initial materialization,
+    // typed partial upserts, removals, and the merge fold; the oracle
+    // compares with no Spark-side cast layer
+    "odata_delta_typed" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.deltaSyncTyped(s, dir)),
+
     // streaming CDC over the same change-tracking fixture: the
     // odata-delta Structured Streaming source emits batch 0 = tracked
     // initial read, batch 1 = the delta round's upserts + @removed
@@ -14531,6 +14539,14 @@ object SparkEntry {
     "odata_delta_sync" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
         | o_orderpriority FROM orders
+        | WHERE o_orderkey >= 50 AND o_orderkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the typed tracked table converges to the same slice with NATIVE
+    // types both sides (bigint/int — no VARCHAR casts anywhere)
+    "odata_delta_typed" ->
+      """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+        | o_orderstatus FROM orders
         | WHERE o_orderkey >= 50 AND o_orderkey < 200
         | ORDER BY o_orderkey""".stripMargin,
 

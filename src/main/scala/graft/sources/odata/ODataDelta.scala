@@ -1,8 +1,9 @@
 package graft.sources.odata
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField, StructType}
 
 /** OData V4 CHANGE TRACKING (delta links) — the connector's
   * incremental-sync story. The reference re-extracts the full entity
@@ -198,9 +199,12 @@ object ODataDelta extends Logging {
       options.asJava))
     require(opts.selectFields.contains(keyCol),
       s"keyCol '$keyCol' must be one of selectFields")
-    require(!opts.metadataSchema && opts.expands.isEmpty,
-      "odata delta seed: metadataSchema / expand are not supported on " +
-        "the tracked table — the sync merge that follows is string-typed")
+    // metadataSchema INHERITS into both the seed scan and the sync
+    // rounds that follow (same EDMX, same decode path — the table is
+    // typed end to end); expand stays rejected as in syncToParquet
+    require(opts.expands.isEmpty,
+      "odata delta seed: expand is not supported on the tracked table " +
+        "(v4 delta responses carry entity properties, not expansions)")
     val dataPath = s"$tablePath/data"
     val linkPath = s"$tablePath/_delta_link"
     require(readLink(spark, linkPath).isEmpty,
@@ -255,22 +259,43 @@ object ODataDelta extends Logging {
     import spark.implicits._
     require(opts.selectFields.contains(keyCol),
       s"keyCol '$keyCol' must be one of selectFields")
-    // the merge fold is string-typed end to end; a typed table seeded
-    // under metadataSchema would type-clash with the first merge —
-    // reject at the door instead of failing mid-union
-    require(!opts.metadataSchema && opts.expands.isEmpty,
-      "odata delta sync: metadataSchema / expand are not supported on " +
-        "the tracked table (the merge contract is string-typed entity " +
-        "properties); cast or join downstream")
+    // the merge fold is COLUMN-GENERIC; what types it is the row
+    // construction below. String mode (the reference-parity default)
+    // keeps every entity property a string; metadataSchema resolves
+    // the EDMX ONCE and the builders decode each wire cell through
+    // the same ODataMetadata path the batch scan uses, so the tracked
+    // TABLE carries native types (a malformed typed cell fails loudly
+    // BY NAME — a corrupt table is never silently written). Expand
+    // stays rejected: v4 delta responses carry entity properties, not
+    // expansions.
+    require(opts.expands.isEmpty,
+      "odata delta sync: expand is not supported on the tracked table " +
+        "(v4 delta responses carry entity properties, not expansions); " +
+        "join the nav downstream or use expand-as-join on the base table")
     val dataPath = s"$tablePath/data"
     val linkPath = s"$tablePath/_delta_link"
     val fields = opts.selectFields
+    val fieldType: String => DataType =
+      if (!opts.metadataSchema) _ => StringType
+      else {
+        val props = ODataMetadata.fetchModel(opts).entityType(opts.entity).props
+        f => props.getOrElse(f, throw new IllegalStateException(
+          s"odata delta sync: select field '$f' is not a declared " +
+            s"property of entity '${opts.entity}' in $$metadata " +
+            s"(declared: ${props.keys.toSeq.sorted.mkString(",")})")).sparkType
+      }
+    val dataSchema = StructType(fields.map(f =>
+      StructField(f, fieldType(f), nullable = true)))
+    def cell(r: Map[String, String], f: String): Any =
+      r.get(f).flatMap(Option(_))
+        .map(v => ODataMetadata.convertExternal(v, fieldType(f), f)).orNull
+    def mkDf(rows: Seq[Row], schema: StructType): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+    }
 
     def toDf(rows: Seq[Map[String, String]]): DataFrame =
-      spark.createDataset(rows.map(r => fields.map(f => r.get(f).orNull)))
-        .toDF("vs")
-        .select(fields.zipWithIndex.map { case (f, i) =>
-          col("vs").getItem(i).as(f) }: _*)
+      mkDf(rows.map(r => Row.fromSeq(fields.map(cell(r, _)))), dataSchema)
 
     /** Change rows with per-field PRESENCE flags: a v4 delta upsert
       * may carry only the properties that changed — an ABSENT field
@@ -278,33 +303,29 @@ object ODataDelta extends Logging {
       * null means "set to null"; collapsing both to SQL null would
       * silently erase data the server never touched.
       */
+    val changedSchema = StructType(dataSchema.fields ++ fields.map(f =>
+      StructField(s"${f}__present", BooleanType, nullable = false)))
     def toChangedDf(rows: Seq[Map[String, String]]): DataFrame =
-      spark.createDataset(rows.map(r =>
-          fields.map(f => r.get(f).orNull) ++
-            fields.map(f => if (r.contains(f)) "1" else "0")))
-        .toDF("vs")
-        .select(fields.zipWithIndex.map { case (f, i) =>
-            col("vs").getItem(i).as(f) } ++
-          fields.zipWithIndex.map { case (f, i) =>
-            (col("vs").getItem(fields.size + i) === "1").as(s"${f}__present") }: _*)
+      mkDf(rows.map(r => Row.fromSeq(
+        fields.map(cell(r, _)) ++ fields.map(r.contains))), changedSchema)
 
     /** One feed entry as the spilled fold's wire row: field values,
       * presence flags, the @removed marker, and the feed-order index
       * the distributed last-state fold sorts by.
       */
+    val feedSchema = StructType(changedSchema.fields ++ Seq(
+      StructField("__removed", BooleanType, nullable = false),
+      StructField("__idx", LongType, nullable = false)))
     def toFeedDf(rows: Seq[Map[String, String]], startIdx: Long): DataFrame =
-      spark.createDataset(rows.zipWithIndex.map { case (e, i) =>
-          fields.map(f => e.get(f).orNull) ++
-            fields.map(f => if (e.contains(f)) "1" else "0") ++
-            Seq(if (e.contains("@removed")) "1" else "0",
-              (startIdx + i).toString) })
-        .toDF("vs")
-        .select(fields.zipWithIndex.map { case (f, i) =>
-            col("vs").getItem(i).as(f) } ++
-          fields.zipWithIndex.map { case (f, i) =>
-            (col("vs").getItem(fields.size + i) === "1").as(s"${f}__present") } ++
-          Seq((col("vs").getItem(2 * fields.size) === "1").as("__removed"),
-            col("vs").getItem(2 * fields.size + 1).cast("long").as("__idx")): _*)
+      mkDf(rows.zipWithIndex.map { case (e, i) =>
+        Row.fromSeq(fields.map(cell(e, _)) ++ fields.map(e.contains) ++
+          Seq(e.contains("@removed"), startIdx + i)) }, feedSchema)
+
+    /** The touched-key table, typed like the key column. */
+    def keysDf(keys: Seq[String]): DataFrame =
+      mkDf(keys.map(k => Row(
+        ODataMetadata.convertExternal(k, fieldType(keyCol), keyCol))),
+        StructType(Seq(StructField(keyCol, fieldType(keyCol), nullable = true))))
 
     readLink(spark, linkPath) match {
       case None =>
@@ -424,7 +445,7 @@ object ODataDelta extends Logging {
             val upserts = finalState.valuesIterator.flatten.toSeq
             val removedKeys = finalState.collect { case (k, None) => k }.toSeq
             (toChangedDf(upserts),
-              (upserts.map(_(keyCol)) ++ removedKeys).distinct.toDF(keyCol),
+              keysDf((upserts.map(_(keyCol)) ++ removedKeys).distinct),
               upserts.size.toLong, removedKeys.size.toLong,
               (df: DataFrame) => broadcast(df))
           case Right(_) =>

@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * batch/manual sibling; this source speaks the same protocol —
   * `Prefer: odata.track-changes`, `@odata.deltaLink`, `@removed`).
   *
-  * Output schema: the declared `selectFields` (string-typed, as
-  * everywhere in the connector) plus `_change` — `"upsert"` for a
+  * Output schema: the declared `selectFields` (string-typed by
+  * default; EDMX-typed under `metadataSchema`, decoding through the
+  * batch scan's path) plus `_change` — `"upsert"` for a
   * plain entry (the entity's FINAL state at feed time; absent
   * properties arrive as null, the partial-properties caveat a CDC
   * CONSUMER must resolve against its own base, exactly as
@@ -88,11 +89,21 @@ class ODataDeltaStreamSource extends TableProvider with DataSourceRegister {
       "odata-delta stream: $expand is not supported on the change feed " +
         "(v4 delta responses carry entity properties, not expansions) — " +
         "join the nav downstream or use expand-as-join on the base table")
-    require(!opts.metadataSchema,
-      "odata-delta stream: metadataSchema is not supported — CDC rows are " +
-        "string-typed (the merge/fold contract); cast downstream")
+    // metadataSchema types the CDC rows through the same EDMX path
+    // the batch scan uses (string mode stays the reference-parity
+    // default); `_change` is always a string marker
+    val fieldType: String => org.apache.spark.sql.types.DataType =
+      if (!opts.metadataSchema) _ => StringType
+      else {
+        val props = ODataMetadata.fetchModel(opts).entityType(opts.entity).props
+        f => props.getOrElse(f, throw new IllegalStateException(
+          s"odata-delta stream: select field '$f' is not a declared " +
+            s"property of entity '${opts.entity}' in $$metadata " +
+            s"(declared: ${props.keys.toSeq.sorted.mkString(",")})")).sparkType
+      }
     StructType(
-      opts.selectFields.map(f => StructField(f, StringType, nullable = true)) :+
+      opts.selectFields.map(f =>
+        StructField(f, fieldType(f), nullable = true)) :+
         StructField("_change", StringType, nullable = false))
   }
 
@@ -298,12 +309,22 @@ class ODataDeltaStreamReader(schema: StructType, opts: ODataOptions,
   }
 
   override def get(): InternalRow =
-    InternalRow.fromSeq(schema.fieldNames.toIndexedSeq.map {
-      case "_change" =>
-        UTF8String.fromString(
-          if (current.contains("@removed")) "delete" else "upsert"): Any
-      case f =>
-        current.get(f).filter(_ != null).map(UTF8String.fromString).orNull: Any
+    InternalRow.fromSeq(schema.fields.toIndexedSeq.map { sf =>
+      sf.name match {
+        case "_change" =>
+          UTF8String.fromString(
+            if (current.contains("@removed")) "delete" else "upsert"): Any
+        case f =>
+          // typed CDC cells decode through the batch scan's path; a
+          // malformed cell fails loudly BY NAME (never a silent null
+          // into a change stream)
+          current.get(f).filter(_ != null).map { v =>
+            sf.dataType match {
+              case StringType => UTF8String.fromString(v): Any
+              case dt => ODataMetadata.convert(v, dt, f)
+            }
+          }.orNull: Any
+      }
     })
 
   override def close(): Unit = ()

@@ -234,4 +234,25 @@ object ODataMetadata {
         s"odata typed decode: field '$field' value '${s.take(100)}' does " +
           s"not parse as ${dt.simpleString}: ${e.getMessage}")
     }
+
+  /** [[convert]]'s EXTERNAL-row twin — java.sql.Date/Timestamp,
+    * java.math.BigDecimal, plain String — for driver-side DataFrame
+    * construction (delta-sync merge rows). Delegates to [[convert]]
+    * so the decode semantics (incl. the v2 `/Date(ms±hhmm)/` form and
+    * the loud-by-name failure) exist exactly once.
+    */
+  def convertExternal(s: String, dt: DataType, field: String): Any = {
+    val v = convert(s, dt, field)
+    dt match {
+      case StringType => v.asInstanceOf[UTF8String].toString
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case TimestampType => java.sql.Timestamp.from(
+        java.time.Instant.EPOCH.plus(v.asInstanceOf[Long],
+          java.time.temporal.ChronoUnit.MICROS))
+      case _: DecimalType =>
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+      case _ => v // Boolean / integral / floating are external already
+    }
+  }
 }

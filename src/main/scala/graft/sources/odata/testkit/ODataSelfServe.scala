@@ -844,6 +844,91 @@ object ODataSelfServe {
       .orderBy(col("o_orderkey").cast("long"))
   }
 
+  // the same change-tracking shape as deltaServerFor, but the stub
+  // publishes an EDMX typing the slice (Int64 key, Int32 custkey) —
+  // the typed-sync gate's fixture: stale [50,100) custkeys are 0 in
+  // the initial snapshot, corrected by the delta batch
+  private val typedDeltaServers = scala.collection.concurrent.TrieMap.empty[String, ODataStubServer]
+
+  private def typedDeltaServerFor(spark: SparkSession, dir: String): ODataStubServer =
+    typedDeltaServers.getOrElseUpdate(dir, {
+      val edmx = """<?xml version="1.0" encoding="utf-8"?>
+        |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+        |  <edmx:DataServices>
+        |    <Schema Namespace="graft.byd" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+        |      <EntityType Name="Order">
+        |        <Key><PropertyRef Name="O_ORDERKEY"/></Key>
+        |        <Property Name="O_ORDERKEY" Type="Edm.Int64" Nullable="false"/>
+        |        <Property Name="O_CUSTKEY" Type="Edm.Int32"/>
+        |        <Property Name="O_STATUS" Type="Edm.String"/>
+        |        <Property Name="O_PRIORITY" Type="Edm.String"/>
+        |      </EntityType>
+        |      <EntityContainer Name="Container">
+        |        <EntitySet Name="Orders" EntityType="graft.byd.Order"/>
+        |      </EntityContainer>
+        |    </Schema>
+        |  </edmx:DataServices>
+        |</edmx:Edmx>""".stripMargin
+      val all = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("string").as("C"),
+          col("o_orderstatus").as("S"))
+        .collect()
+        .map(r => (r.getLong(0), Map(
+          "O_ORDERKEY" -> r.getLong(0).toString,
+          "O_CUSTKEY" -> r.getString(1),
+          "O_STATUS" -> r.getString(2))))
+        .sortBy(_._1)
+      val initial = all.filter(_._1 < 150).map { case (k, r) =>
+        if (k >= 50 && k < 100) r.updated("O_CUSTKEY", "0") else r }
+      val upserts = all.filter { case (k, _) => (k >= 50 && k < 100) || k >= 150 }
+        .map(_._2)
+      val removedKeys = all.filter(_._1 < 50).map(_._2("O_ORDERKEY"))
+      new ODataStubServer(initial.toSeq, "O_PRIORITY", dialect = "v4",
+        serverPageSize = 50, metadataDoc = Some(edmx),
+        rawJsonFields = Set("O_ORDERKEY", "O_CUSTKEY"),
+        deltaBatches = Seq((upserts.toSeq, removedKeys.toSeq)),
+        deltaKeyField = "O_ORDERKEY").start()
+    })
+
+  /** TYPED change-tracking driver-gate: the [[deltaSync]] protocol
+    * under `metadataSchema=true` — the tracked parquet table carries
+    * NATIVE types end to end (bigint key, int custkey), the delta
+    * round's typed upserts/removals converge it to the [50,200) slice,
+    * and the oracle compares with NO cast layer on the Spark side.
+    */
+  def deltaSyncTyped(spark: SparkSession, dir: String): DataFrame = {
+    val srv = typedDeltaServerFor(spark, dir)
+    val tablePath = s"${System.getProperty("java.io.tmpdir")}/graft_odata_delta_typed_${dir.hashCode & Int.MaxValue}"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val opts = graft.sources.odata.ODataOptions(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of(
+          "baseUrl", srv.url, "servicePath", "svc", "entity", "Orders",
+          "selectFields", "O_ORDERKEY,O_CUSTKEY,O_STATUS",
+          "metadataSchema", "true")))
+    val r1 = graft.sources.odata.ODataDelta.syncToParquet(
+      spark, opts, "O_ORDERKEY", tablePath)
+    require(r1.initial, "first sync must be the initial materialization")
+    val r2 = graft.sources.odata.ODataDelta.syncToParquet(
+      spark, opts, "O_ORDERKEY", tablePath)
+    require(!r2.initial && r2.removals > 0,
+      s"second sync must apply the delta batch: $r2")
+    val out = spark.read.parquet(s"$tablePath/data")
+    require(out.schema("O_ORDERKEY").dataType.simpleString == "bigint" &&
+      out.schema("O_CUSTKEY").dataType.simpleString == "int",
+      s"the tracked table must be natively typed: ${out.schema.treeString}")
+    out.select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_CUSTKEY").as("o_custkey"),
+        col("O_STATUS").as("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Seed-then-track driver-gate: the SAME change-tracking fixture as
     * [[deltaSync]], but the initial table comes from the PARALLEL
     * skip-range connector scan after a key-only tracked walk captured

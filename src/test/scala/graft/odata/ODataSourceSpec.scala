@@ -949,6 +949,78 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("delta sync + metadataSchema: the tracked table is TYPED end to end — typed merge, typed partial upsert, loud malformed cell") {
+    import graft.sources.odata.{ODataDelta, ODataOptions}
+    val typedRows = (0 until 4).map(i => Map(
+      "CEMPLOYEE_UUID" -> i.toString,
+      "KCLEAVERS" -> (i * 5).toString,
+      "HIRED" -> s"2024-01-0${i + 1}",
+      "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}"))
+    // partial typed upsert: KCLEAVERS changes (int), HIRED absent —
+    // the base's DATE value must survive the merge
+    val upd = Map("CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "41")
+    val srv = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      rawJsonFields = Set("KCLEAVERS"),
+      deltaBatches = Seq((Seq(upd), Seq("0"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_delta_typed"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      def opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("baseUrl", srv.url, "servicePath", "svc",
+          "entity", "EmployeeQueryResults",
+          "selectFields", "CEMPLOYEE_UUID,KCLEAVERS,HIRED",
+          "metadataSchema", "true")))
+      val r1 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(r1.initial && r1.tableRows == 4, r1.toString)
+      val table0 = spark.read.parquet(s"$tablePath/data")
+      assert(table0.schema.map(f => f.name -> f.dataType.simpleString).toMap ==
+        Map("CEMPLOYEE_UUID" -> "string", "KCLEAVERS" -> "int",
+          "HIRED" -> "date"), table0.schema.treeString)
+      val r2 = ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", tablePath)
+      assert(!r2.initial && r2.upserts == 1 && r2.removals == 1 &&
+        r2.tableRows == 3, r2.toString)
+      val rows = spark.read.parquet(s"$tablePath/data")
+        .select("CEMPLOYEE_UUID", "KCLEAVERS", "HIRED")
+        .as[(String, Int, java.sql.Date)].collect()
+        .map(t => t._1 -> ((t._2, t._3.toString))).toMap
+      assert(!rows.contains("0"), "removed key must be gone")
+      assert(rows("1") == ((41, "2024-01-02")),
+        "typed partial upsert: int field updates, absent DATE keeps base")
+      assert(rows("3") == ((15, "2024-01-04")), rows)
+    } finally srv.stop()
+    // a malformed typed cell in a delta entry fails the sync LOUDLY by
+    // field name — a corrupt typed table is never silently written
+    // KCLEAVERS served QUOTED here (both wire shapes are lawful; the
+    // decode path stringifies either) so the malformed text is valid
+    // JSON and the failure is the TYPED DECODE's, by field name
+    val badSrv = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      deltaBatches = Seq((Seq(Map("CEMPLOYEE_UUID" -> "1",
+        "KCLEAVERS" -> "not-an-int")), Nil)),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val badPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_delta_typed_bad"
+    val bp = new org.apache.hadoop.fs.Path(badPath)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    try {
+      def opts = ODataOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("baseUrl", badSrv.url, "servicePath", "svc",
+          "entity", "EmployeeQueryResults",
+          "selectFields", "CEMPLOYEE_UUID,KCLEAVERS",
+          "metadataSchema", "true")))
+      ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", badPath)
+      val e = intercept[IllegalStateException] {
+        ODataDelta.syncToParquet(spark, opts, "CEMPLOYEE_UUID", badPath)
+      }
+      assert(e.getMessage.contains("KCLEAVERS") &&
+        e.getMessage.contains("not-an-int"), e.getMessage)
+    } finally badSrv.stop()
+  }
+
   test("delta sync: a feed past the fold threshold spills and folds DISTRIBUTED, same converged table") {
     import graft.sources.odata.{ODataDelta, ODataOptions}
     // same feed-order semantics as the in-memory fold: partial upsert,
@@ -1094,6 +1166,51 @@ class ODataSourceSpec extends SparkSpec {
       run()
       assert(spark.read.parquet(out).count() == 10,
         "an empty delta round must not produce a batch on restart")
+    } finally srv.stop()
+  }
+
+  test("odata-delta stream + metadataSchema: CDC rows are TYPED (int/date decode through the batch scan's path)") {
+    val typedRows = (0 until 4).map(i => Map(
+      "CEMPLOYEE_UUID" -> i.toString,
+      "KCLEAVERS" -> (i * 5).toString,
+      "HIRED" -> s"2024-01-0${i + 1}",
+      "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}"))
+    val upd = Map("CEMPLOYEE_UUID" -> "1", "KCLEAVERS" -> "41")
+    val srv = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      rawJsonFields = Set("KCLEAVERS"),
+      deltaBatches = Seq((Seq(upd), Seq("0"))),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_stream_typed"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      val q = spark.readStream.format("odata-delta")
+        .option("baseUrl", srv.url)
+        .option("servicePath", "svc")
+        .option("entity", "EmployeeQueryResults")
+        .option("selectFields", "CEMPLOYEE_UUID,KCLEAVERS,HIRED")
+        .option("metadataSchema", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.schema.map(f => f.name -> f.dataType.simpleString).toMap ==
+        Map("CEMPLOYEE_UUID" -> "string", "KCLEAVERS" -> "int",
+          "HIRED" -> "date", "_change" -> "string"), out.schema.treeString)
+      val rows = out.select("CEMPLOYEE_UUID", "_change", "KCLEAVERS", "HIRED")
+        .as[(String, String, Option[Int], Option[java.sql.Date])]
+        .collect().toSeq
+      // batch 0: 4 typed initial upserts; batch 1: 1 partial upsert
+      // (HIRED absent → null, the documented CDC caveat) + 1 delete
+      assert(rows.size == 6, rows.mkString("\n"))
+      assert(rows.contains(("2", "upsert", Some(10),
+        Some(java.sql.Date.valueOf("2024-01-03")))), rows)
+      assert(rows.contains(("1", "upsert", Some(41), None)), rows)
+      assert(rows.contains(("0", "delete", None, None)), rows)
     } finally srv.stop()
   }
 
