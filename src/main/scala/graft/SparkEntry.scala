@@ -6070,6 +6070,32 @@ object SparkEntry {
       Multimodal.aacProbeStats(t(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")),
 
+    // WebDataset shard manifest: each doc's ustar shard walked FROM
+    // BYTES (magic + checksum validated per header), entries grouped
+    // to SAMPLES by shared basename — the WebDataset convention; one
+    // row per sample with file count / bytes / payload sum / label
+    "mm_webdataset_manifest" -> ((s, dir) =>
+      graft.operators.ShardFormats.webdatasetManifest(
+          t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id", "sample")),
+
+    // ZIP manifest through the JDK's REAL inflate codec: entry names,
+    // exact uncompressed sizes and byte sums of what actually
+    // inflated (CRC32 of the decoded bytes is spec-pinned JVM-side)
+    "mm_zip_manifest" -> ((s, dir) =>
+      graft.operators.ShardFormats.zipManifest(
+          t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "decode_ok", "entry", "n_bytes", "sum_bytes")
+        .orderBy("doc_id", "entry")),
+
+    // WARC record walk (ISO 28500 — the Common Crawl wire format):
+    // version line, Content-Length framing, CRLF CRLF separators;
+    // per-record type/URI/length/payload sum from the bytes
+    "mm_warc_records" -> ((s, dir) =>
+      graft.operators.ShardFormats.warcRecords(
+          t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id", "rec_idx")),
+
     // REAL VIDEO-frame decode: spec-conformant uncompressed raw-RGB
     // RIFF/AVI fixtures, parsed back by a genuine RIFF chunk walker
     // (header dims + frame count + whole-stream pixel sums all FROM
@@ -14352,6 +14378,92 @@ object SparkEntry {
         |     WHEN 8 THEN 16000 WHEN 9 THEN 12000 WHEN 10 THEN 11025
         |     WHEN 11 THEN 8000 ELSE 7350 END), 6) END AS duration_ms
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays the WebDataset tar fixture: per non-corrupt doc,
+    // samples s in [0, 2+id%3) each carry a txt payload (byte j =
+    // (j*7+s*13+k*3) mod 256, length 20+(s%4)*10) and a 1-byte ASCII
+    // label (s+k)%10; corrupt docs (id%19=7) one refused-shard row
+    "mm_webdataset_manifest" ->
+      """WITH ids AS (SELECT doc_id,
+        |   CAST(2 + doc_id % 3 AS BIGINT) AS n,
+        |   CAST(doc_id % 5 AS BIGINT) AS k,
+        |   (doc_id % 19 = 7) AS bad
+        |  FROM documents),
+        | samp AS (SELECT doc_id, k, s
+        |  FROM ids, UNNEST(range(0, n)) AS t(s) WHERE NOT bad),
+        | txt AS (SELECT doc_id, k, s,
+        |   CAST(sum((j*7 + s*13 + k*3) % 256) AS BIGINT) AS tsum,
+        |   CAST(count(*) AS BIGINT) AS tlen
+        |  FROM samp, UNNEST(range(0, 20 + (s % 4) * 10)) AS u(j)
+        |  GROUP BY 1, 2, 3)
+        | SELECT * FROM (
+        |  SELECT doc_id, TRUE AS decode_ok,
+        |   lpad(CAST(s AS VARCHAR), 5, '0') AS sample,
+        |   CAST(2 AS BIGINT) AS n_files,
+        |   tlen + 1 AS total_bytes,
+        |   tsum + 48 + (s + k) % 10 AS sum_bytes,
+        |   CAST((s + k) % 10 AS VARCHAR) AS label
+        |  FROM txt
+        |  UNION ALL
+        |  SELECT doc_id, FALSE, '', CAST(-1 AS BIGINT),
+        |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), ''
+        |  FROM ids WHERE bad)
+        | ORDER BY doc_id, sample""".stripMargin,
+
+    // replays the zip fixture (sizes + byte sums of what the JDK
+    // inflater must recover): entry i of 2+id%4 has length
+    // 30+(i%5)*8, byte j = (j*11+i*17+k) mod 256; corrupt id%23=9
+    "mm_zip_manifest" ->
+      """WITH ids AS (SELECT doc_id,
+        |   CAST(2 + doc_id % 4 AS BIGINT) AS n,
+        |   CAST(doc_id % 7 AS BIGINT) AS k,
+        |   (doc_id % 23 = 9) AS bad
+        |  FROM documents),
+        | ent AS (SELECT doc_id, k, i
+        |  FROM ids, UNNEST(range(0, n)) AS t(i) WHERE NOT bad),
+        | b AS (SELECT doc_id, k, i,
+        |   CAST(sum((j*11 + i*17 + k) % 256) AS BIGINT) AS bsum,
+        |   CAST(count(*) AS BIGINT) AS blen
+        |  FROM ent, UNNEST(range(0, 30 + (i % 5) * 8)) AS u(j)
+        |  GROUP BY 1, 2, 3)
+        | SELECT * FROM (
+        |  SELECT doc_id, TRUE AS decode_ok,
+        |   'part-' || lpad(CAST(i AS VARCHAR), 4, '0') || '.bin' AS entry,
+        |   blen AS n_bytes, bsum AS sum_bytes
+        |  FROM b
+        |  UNION ALL
+        |  SELECT doc_id, FALSE, '', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |  FROM ids WHERE bad)
+        | ORDER BY doc_id, entry""".stripMargin,
+
+    // replays the WARC fixture: record r of 2+id%5 is a response
+    // (request when r%4=3) for http://example.com/doc/r with payload
+    // length 25+(r%5)*15, byte j = (j*5+r*19+k*7) mod 256; corrupt
+    // id%29=11
+    "mm_warc_records" ->
+      """WITH ids AS (SELECT doc_id,
+        |   CAST(2 + doc_id % 5 AS BIGINT) AS n,
+        |   CAST(doc_id % 6 AS BIGINT) AS k,
+        |   (doc_id % 29 = 11) AS bad
+        |  FROM documents),
+        | rec AS (SELECT doc_id, k, r
+        |  FROM ids, UNNEST(range(0, n)) AS t(r) WHERE NOT bad),
+        | b AS (SELECT doc_id, k, r,
+        |   CAST(sum((j*5 + r*19 + k*7) % 256) AS BIGINT) AS psum,
+        |   CAST(count(*) AS BIGINT) AS plen
+        |  FROM rec, UNNEST(range(0, 25 + (r % 5) * 15)) AS u(j)
+        |  GROUP BY 1, 2, 3)
+        | SELECT * FROM (
+        |  SELECT doc_id, TRUE AS decode_ok, CAST(r AS INTEGER) AS rec_idx,
+        |   CASE WHEN r % 4 = 3 THEN 'request' ELSE 'response' END AS warc_type,
+        |   'http://example.com/doc/' || r AS target_uri,
+        |   plen AS content_length, psum AS sum_bytes
+        |  FROM b
+        |  UNION ALL
+        |  SELECT doc_id, FALSE, CAST(-1 AS INTEGER), '', '',
+        |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |  FROM ids WHERE bad)
+        | ORDER BY doc_id, rec_idx""".stripMargin,
 
     // the AVI generation parameters (what the RIFF walker must
     // recover from the actual container bytes): w = 8 + 4*(id%3),
