@@ -1164,13 +1164,23 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
               Thread.sleep(opts.requestPauseMs)
             anyChainStarted = true
             pre match {
-              case Some(r) =>
-                if (r.status < 200 || r.status >= 300)
-                  throw new ODataClient.ODataHttpException(
-                    r.status, firstUrl(v), r.body)
+              case Some(r) if r.status >= 200 && r.status < 300 =>
                 val page = ODataClient.parsePage(r.body, base = firstUrl(v))
                 rows = page.rows.iterator
                 nextLink = page.nextLink
+              case Some(r) if opts.maxRetries > 0 =>
+                // a failed SUB-response re-fetches LIVE so the
+                // per-request retry budget applies to batched chains
+                // exactly as it does to sequential ones (the $batch
+                // transport must not weaken the retry contract); a
+                // permanent failure then fails — or is tolerated —
+                // through the same GET path
+                logWarning(s"odata batchFirstPages: sub-response " +
+                  s"${r.status} for chain $v — re-fetching live")
+                loadPage(firstUrl(v))
+              case Some(r) =>
+                throw new ODataClient.ODataHttpException(
+                  r.status, firstUrl(v), r.body)
               case None => loadPage(firstUrl(v))
             }
           case Nil => return false

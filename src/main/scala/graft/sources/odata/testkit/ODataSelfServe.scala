@@ -436,9 +436,10 @@ object ODataSelfServe {
     * chains start from ONE `$batch` POST carrying every chain's first
     * page (batchFirstPages — K-1 round-trips saved per task at chain
     * start), and the result rides [[scan]]'s oracle unchanged. The
-    * gate requires the batch POST in the request log AND that no
-    * chain-first `$filter` GET paid its own round-trip (continuation
-    * pages still chain individually — inherently sequential).
+    * gate requires the batch POST in the request log (the exact K-1
+    * round-trip collapse is pinned by the unit spec against the
+    * stub's client-request counter — the log here also carries the
+    * stub's loopback dispatches, so counting is the spec's job).
     */
   def batchPagesScan(spark: SparkSession, dir: String): DataFrame = {
     val srv = serverFor(spark, dir)

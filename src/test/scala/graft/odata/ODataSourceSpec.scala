@@ -202,6 +202,56 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("batchFirstPages: a transient sub-response re-fetches LIVE under the retry budget — batching must not weaken the retry contract") {
+    // the 3 chain-first sub-requests each eat one transient 503; the
+    // per-chain live re-fetch then succeeds within the retry budget —
+    // the same outcome the sequential path's getWithRetry would reach
+    val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE",
+      dialect = "v4", transientFailures = 3).start()
+    try {
+      val n = read(srv, Map("maxPartitions" -> "1",
+        "batchFirstPages" -> "true", "failFast" -> "true",
+        "maxRetries" -> "2", "retryBackoffMs" -> "1")).count()
+      assert(n == 9)
+    } finally srv.stop()
+  }
+
+  test("delta sync: flipping metadataSchema between rounds fails BY FIELD — never a silently string-coerced table") {
+    import graft.sources.odata.{ODataDelta, ODataOptions}
+    val typedRows = (0 until 3).map(i => Map(
+      "CEMPLOYEE_UUID" -> i.toString, "KCLEAVERS" -> i.toString,
+      "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}"))
+    val srv = new ODataStubServer(typedRows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      deltaBatches = Seq((Seq(Map("CEMPLOYEE_UUID" -> "1",
+        "KCLEAVERS" -> "9")), Nil)),
+      deltaKeyField = "CEMPLOYEE_UUID").start()
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_spec_odata_delta_flip"
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    try {
+      def mkOpts(typed: Boolean) = ODataOptions(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("baseUrl", srv.url, "servicePath", "svc",
+            "entity", "EmployeeQueryResults",
+            "selectFields", "CEMPLOYEE_UUID,KCLEAVERS",
+            "metadataSchema", typed.toString)))
+      // materialize STRING-typed, then flip the option for round 2:
+      // Spark would quietly coerce the coalesce branches to string —
+      // the guard fails by field name instead
+      ODataDelta.syncToParquet(spark, mkOpts(typed = false),
+        "CEMPLOYEE_UUID", tablePath)
+      val e = intercept[IllegalArgumentException] {
+        ODataDelta.syncToParquet(spark, mkOpts(typed = true),
+          "CEMPLOYEE_UUID", tablePath)
+      }
+      assert(e.getMessage.contains("KCLEAVERS") &&
+        e.getMessage.contains("string") && e.getMessage.contains("int"),
+        e.getMessage)
+    } finally srv.stop()
+  }
+
   test("relative continuation URLs resolve against the fetched URL (v2 __next entity chain + v4 nav continuation)") {
     // v2 entity chain: every page's __next is path-relative
     val srv = new ODataStubServer(mkRows(30), "C0CHAR_STRUCTURE",
