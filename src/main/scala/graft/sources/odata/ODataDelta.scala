@@ -377,25 +377,6 @@ object ODataDelta extends Logging {
         SyncReport(spark.read.parquet(dataPath).count(), total, 0L,
           initial = true)
       case Some(link) =>
-        // the tracked table's schema is part of the sync contract:
-        // flipping metadataSchema (or editing the EDMX types) between
-        // rounds would otherwise COERCE the merge — Spark resolves
-        // string-vs-typed coalesce branches to string, silently
-        // rewriting a typed table as strings (or vice versa). Fail BY
-        // FIELD instead; re-materialize to change the typing.
-        locally {
-          val existing = spark.read.parquet(dataPath).schema
-          fields.foreach { f =>
-            val have = existing.find(_.name == f).map(_.dataType)
-            require(have.contains(fieldType(f)),
-              s"odata delta sync: tracked table types '$f' as " +
-                s"${have.map(_.simpleString).getOrElse("<absent>")} but this " +
-                s"round resolves it as ${fieldType(f).simpleString} — the " +
-                "metadataSchema option (or the service's EDMX) changed " +
-                "since the table was materialized; delete the table to " +
-                "re-materialize under the new typing")
-          }
-        }
         // swap recovery BEFORE anything else reads data/: a crash in a
         // previous round's table swap (between delete(data) and
         // rename(data_next→data)) left the link pointing at a missing
@@ -426,6 +407,25 @@ object ODataDelta extends Logging {
               logWarning("odata delta sync: discarded a stale data_next " +
                 "from an interrupted previous round")
             }
+          }
+        }
+        // the tracked table's schema is part of the sync contract:
+        // flipping metadataSchema (or editing the EDMX types) between
+        // rounds would otherwise COERCE the merge — Spark resolves
+        // string-vs-typed coalesce branches to string, silently
+        // rewriting a typed table as strings (or vice versa). Fail BY
+        // FIELD instead; re-materialize to change the typing.
+        locally {
+          val existing = spark.read.parquet(dataPath).schema
+          fields.foreach { f =>
+            val have = existing.find(_.name == f).map(_.dataType)
+            require(have.contains(fieldType(f)),
+              s"odata delta sync: tracked table types '$f' as " +
+                s"${have.map(_.simpleString).getOrElse("<absent>")} but this " +
+                s"round resolves it as ${fieldType(f).simpleString} — the " +
+                "metadataSchema option (or the service's EDMX) changed " +
+                "since the table was materialized; delete the table to " +
+                "re-materialize under the new typing")
           }
         }
         val spillPath = s"$tablePath/_delta_feed"
