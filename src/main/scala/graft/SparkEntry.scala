@@ -6296,6 +6296,21 @@ object SparkEntry {
     "odata_typed_filter_pushdown" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.typedFilterScan(s, dir)),
 
+    // comparison pushdown: typed int ranges (gt/le) and a string <>
+    // render into $filter null-guarded and are CONSUMED under
+    // fullyPushFilters — the gate requires the guarded comparisons in
+    // the request log, the oracle replays the ranges on raw parquet
+    "odata_range_filter_pushdown" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.rangeFilterScan(s, dir)),
+
+    // string-function pushdown: an OR of startsWith/contains renders
+    // as a grouped or-group of OData string functions — against the
+    // v2-dialect stub `contains` must become `substringof` with
+    // reversed args (the gate requires the exact grouped form in the
+    // request log; residual posture keeps Spark's re-check)
+    "odata_string_fn_pushdown" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.stringFnScan(s, dir)),
+
     // typed-AGGREGATE pushdown: the grouped min/max/count over
     // metadata-typed columns collapses into ONE $apply request whose
     // answers decode natively (int, timestamp, long) — the gate
@@ -14819,6 +14834,25 @@ object SparkEntry {
         | FROM orders
         | WHERE o_orderkey < 200 AND o_orderpriority = '1-URGENT'
         | ORDER BY o_orderkey""".stripMargin,
+
+    // the pushed ranges + ne replay as plain SQL ranges on the parquet
+    "odata_range_filter_pushdown" ->
+      """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+        | o_orderstatus
+        | FROM orders
+        | WHERE o_orderkey < 200 AND o_custkey > 30 AND o_custkey <= 140
+        |   AND o_orderstatus <> 'P'
+        | ORDER BY o_orderkey""".stripMargin,
+
+    // the pushed string functions replay as LIKE/contains predicates
+    "odata_string_fn_pushdown" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        | o_orderstatus, o_orderpriority
+        | FROM orders
+        | WHERE o_orderkey < 200
+        |   AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '%MED%')
+        |   AND o_orderstatus <> 'P'
+        | ORDER BY CAST(o_orderkey AS BIGINT)""".stripMargin,
 
     // typed grouped aggregate: native int min/max, timestamp min,
     // bigint count per status over the same slice

@@ -233,10 +233,39 @@ private[odata] object ODataFilters {
   def eqLit(k: String, v: OLit): String = s"$k eq ${v.wire}"
   def inCond(k: String, vs: Seq[OLit]): String =
     vs.map(eqLit(k, _)).mkString("(", " or ", ")")
+
+  /** A comparison (`gt|ge|lt|le|ne`) rendered with an EXPLICIT
+    * `K ne null` conjunct. SQL comparison semantics drop null rows
+    * (`NULL > 5` is unknown), and while OData's null-comparison
+    * convention agrees for `gt/ge/lt/le` (and CHANGED for `ne`
+    * between protocol 4.0 and 4.01 — `null ne 'v'` is TRUE in 4.01,
+    * which would wrongly KEEP null rows under `fullyPushFilters`),
+    * the guard makes the pushed form correct under EITHER reading —
+    * the connector never bets row semantics on which spec revision
+    * the server implements.
+    */
+  def cmpCond(k: String, op: String, v: OLit): String =
+    s"($k $op ${v.wire} and $k ne null)"
+
+  /** A string-function predicate (`startswith|endswith|contains`),
+    * null-guarded like [[cmpCond]] (the functions propagate null,
+    * which is not-true — but the guard keeps the form
+    * convention-independent for free). v2 has no `contains`; its
+    * equivalent is `substringof` with REVERSED argument order.
+    */
+  def strFnCond(fn: String, k: String, raw: String, v2: Boolean): String = {
+    val call =
+      if (fn == "contains" && v2) s"substringof('${esc(raw)}',$k)"
+      else s"$fn($k,'${esc(raw)}')"
+    s"($call and $k ne null)"
+  }
+
   def render(eqs: Seq[(String, OLit)],
-             ins: Seq[(String, Seq[OLit])]): Seq[String] =
+             ins: Seq[(String, Seq[OLit])],
+             conds: Seq[String] = Seq.empty): Seq[String] =
     eqs.map { case (k, v) => eqLit(k, v) } ++
-      ins.map { case (k, vs) => inCond(k, vs) }
+      ins.map { case (k, vs) => inCond(k, vs) } ++
+      conds
 }
 
 /** One output column of a pushed-aggregate scan: `name` is BOTH the
@@ -274,6 +303,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   private var pushedPreds: Array[Predicate] = Array.empty
   private var pushedEq: Seq[(String, OLit)] = Seq.empty
   private var pushedIn: Seq[(String, Seq[OLit])] = Seq.empty
+  private var pushedConds: Seq[String] = Seq.empty
   private var limit: Option[Int] = None
   private var orderBy: Seq[(String, Boolean)] = Seq.empty
   private var pushedAgg: Option[ODataPushedAgg] = None
@@ -327,14 +357,24 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     pushedEq = predicates.flatMap(translateEq).toSeq
     pushedIn = predicates.flatMap(translateIn).toSeq
-    // Catalyst infers an IsNotNull alongside every eq/IN; `c = 'v'`
-    // (and membership in a literal list) implies it — OData eq never
-    // matches null — so in fully-pushed mode the pair is consumed
-    // together: the IsNotNull residual would otherwise keep the very
-    // Filter node the option removes. A NAV-PATH eq (`Nav/F eq 'v'`)
-    // implies BOTH `Nav/F` and the nav root non-null, so the inferred
-    // IsNotNull on either form is covered.
-    val filterCols = (pushedEq.map(_._1) ++ pushedIn.map(_._1))
+    // comparisons, <>, string functions, and or-groups translate as
+    // pre-rendered wire conditions; a predicate already translated as
+    // eq/IN never re-translates here
+    val condPushes = predicates.toSeq
+      .filter(p => translateEq(p).isEmpty && translateIn(p).isEmpty)
+      .flatMap(p => translateCond(p).map(p -> _))
+    pushedConds = condPushes.map(_._2.wire)
+    // Catalyst infers an IsNotNull alongside every eq/IN/comparison;
+    // `c = 'v'`, membership in a literal list, and `c > 5` all imply
+    // it — the translated OData forms never match null rows (eq by
+    // spec, comparisons by the explicit ne-null guard) — so in
+    // fully-pushed mode the pair is consumed together: the IsNotNull
+    // residual would otherwise keep the very Filter node the option
+    // removes. A NAV-PATH eq (`Nav/F eq 'v'`) implies BOTH `Nav/F`
+    // and the nav root non-null, so the inferred IsNotNull on either
+    // form is covered.
+    val filterCols = (pushedEq.map(_._1) ++ pushedIn.map(_._1) ++
+      condPushes.flatMap(_._2.notNull))
       .flatMap(k => Seq(k) ++ k.split("/").headOption).toSet
     def impliedNotNull(p: Predicate): Boolean =
       p.name() == "IS_NOT_NULL" && (p.children() match {
@@ -345,8 +385,41 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
               opts.expands.exists(_.nav == ref.fieldNames()(0)))
         case _ => false
       })
+    // a STANDALONE null test (not the IsNotNull a pushed predicate
+    // already implies and guards) renders its exact OData form:
+    // `c IS NULL` ↔ `c eq null`, `c IS NOT NULL` ↔ `c ne null` —
+    // collation-free and exact under both protocol revisions. Ordered
+    // AFTER the implied-not-null check so an eq's companion IsNotNull
+    // keeps its silent consumption (wire forms stay minimal).
+    // …but NEVER on a nav column itself: Catalyst infers
+    // `IsNotNull(Nav)` over the materialized struct/array column
+    // (e.g. alongside any element predicate), which is a CLIENT-side
+    // fact about the expanded value — `Nav ne null` on the wire is
+    // not even lawful for a collection, and a server filtering on it
+    // drops rows nothing can recover. A nav-PATH null test
+    // (`Nav/F ne null`) stays lawful and translates.
+    def scalarPath(ref: NamedReference): Option[String] =
+      serverPath(ref).filter { c =>
+        c.contains("/") || fullSchema.fields.find(_.name == c).exists(f =>
+          !f.dataType.isInstanceOf[StructType] &&
+            !f.dataType.isInstanceOf[ArrayType])
+      }
+    val nullTests: Seq[(Predicate, String)] = predicates.toSeq
+      .filter(p => !impliedNotNull(p))
+      .flatMap { p =>
+        (p.name(), p.children()) match {
+          case ("IS_NULL", Array(ref: NamedReference)) =>
+            scalarPath(ref).map(c => p -> s"$c eq null")
+          case ("IS_NOT_NULL", Array(ref: NamedReference)) =>
+            scalarPath(ref).map(c => p -> s"$c ne null")
+          case _ => None
+        }
+      }
+    pushedConds ++= nullTests.map(_._2)
+    val condSet = condPushes.map(_._1).toSet ++ nullTests.map(_._1)
     def translated(p: Predicate): Boolean =
-      translateEq(p).isDefined || translateIn(p).isDefined
+      translateEq(p).isDefined || translateIn(p).isDefined ||
+        condSet.contains(p)
     pushedPreds = predicates.filter(p => translated(p) ||
       (opts.fullyPushFilters && impliedNotNull(p)))
     if (opts.fullyPushFilters)
@@ -430,6 +503,141 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
           case l: V2Literal[_] => renderLit(l).get }.toSeq)
       case _ => None
     }
+
+  /** A translated non-eq condition: the pre-rendered `$filter` wire
+    * form plus the columns whose non-nullness the condition implies
+    * (what lets [[pushPredicates]] consume Catalyst's inferred
+    * IsNotNull in fully-pushed mode).
+    */
+  private case class CondPush(wire: String, notNull: Set[String])
+
+  /** Comparisons (`> >= < <= <>`), string functions
+    * (`STARTS_WITH`/`ENDS_WITH`/`CONTAINS`), and boolean combinations
+    * (`OR`, nested `AND`) translate to `$filter` — completing the
+    * pushdown surface beyond eq/IN. Every leaf renders null-guarded
+    * (see [[ODataFilters.cmpCond]]) so the pushed form has SQL's
+    * null-dropping semantics under either OData null convention, and
+    * declines anywhere a lawful rendering is not guaranteed:
+    * Float/Double/Decimal literals (renderLit — text rendering not
+    * round-trip-exact), undeclared columns and collection navs
+    * (serverPath), and `NOT` (OData `not (c eq 'v')` KEEPS null rows
+    * where SQL drops them, and no guard fixes a negation's
+    * semantics without re-deriving the operand's null domain).
+    * STRING comparisons need care: the residual re-check only repairs
+    * over-INCLUSION — a server whose collation wrongly EXCLUDES a row
+    * (case-insensitive `ne`, locale ordering) loses data nothing
+    * downstream can recover. So, per form:
+    *   - string `gt/ge/lt/le` NEVER translate (Spark's binary
+    *     ordering is not expressible in `$filter`; a collation
+    *     disagreement excludes rows even in residual mode);
+    *   - string `ne` translates only under `fullyPushFilters` — that
+    *     option already bets consumed-eq semantics on the server
+    *     comparing strings exactly, and `ne` is the same bet;
+    *   - startswith/endswith/contains translate in both modes: any
+    *     case-insensitive match is a SUPERSET of the binary match, so
+    *     a collation disagreement only over-includes, which the
+    *     residual posture re-checks (and fullyPushFilters trusts,
+    *     as documented).
+    * Numeric/date/boolean comparisons are collation-free canonical
+    * wire forms and translate in both modes.
+    */
+  private def translateCond(p: Predicate): Option[CondPush] = {
+    val v2 = opts.filterDialect == "v2"
+    def hasStringLit(p: Predicate): Boolean = p.children().exists {
+      case l: V2Literal[_] => l.dataType() == StringType
+      case _ => false
+    }
+    def refLit(p: Predicate): Option[(String, OLit, Boolean)] =
+      p.children() match {
+        case Array(ref: NamedReference, lit: V2Literal[_]) =>
+          for (c <- serverPath(ref); v <- renderLit(lit)) yield (c, v, false)
+        case Array(lit: V2Literal[_], ref: NamedReference) =>
+          for (c <- serverPath(ref); v <- renderLit(lit)) yield (c, v, true)
+        case _ => None
+      }
+    def strArg(p: Predicate): Option[(String, String)] =
+      p.children() match {
+        case Array(ref: NamedReference, lit: V2Literal[_])
+            if lit.dataType() == StringType && lit.value() != null =>
+          serverPath(ref).map(_ -> String.valueOf(lit.value()))
+        case _ => None
+      }
+    p.name() match {
+      case ">" | ">=" | "<" | "<=" =>
+        if (hasStringLit(p)) None // see Scaladoc: ordering ≠ binary collation
+        else refLit(p).map { case (c, v, flipped) =>
+          val op = (p.name(), flipped) match {
+            case (">", false) | ("<", true)  => "gt"
+            case (">=", false) | ("<=", true) => "ge"
+            case ("<", false) | (">", true)  => "lt"
+            case _                            => "le"
+          }
+          CondPush(ODataFilters.cmpCond(c, op, v), Set(c))
+        }
+      case "<>" =>
+        if (hasStringLit(p) && !opts.fullyPushFilters) None // see Scaladoc
+        else refLit(p).map { case (c, v, _) =>
+          CondPush(ODataFilters.cmpCond(c, "ne", v), Set(c)) }
+      case "NOT" =>
+        // Catalyst hands `=!=` as NOT(=) rather than `<>`. NOT(=) and
+        // NOT(IN) have exact null-guarded renderings (SQL's NOT is
+        // true only on non-null operands: `(c ne v and c ne null)`,
+        // resp. the conjunction of ne's); any OTHER negation declines
+        // — OData's `not` keeps null rows SQL drops, and no generic
+        // guard recovers the operand's null domain.
+        p.children() match {
+          case Array(c: Predicate) if c.name() == "=" =>
+            if (hasStringLit(c) && !opts.fullyPushFilters) None // string ne
+            else translateEq(c).map { case (k, v) =>
+              CondPush(ODataFilters.cmpCond(k, "ne", v), Set(k)) }
+          case Array(c: Predicate) if c.name() == "IN" =>
+            if (hasStringLit(c) && !opts.fullyPushFilters) None // string ne's
+            else translateIn(c).map { case (k, vs) =>
+              CondPush(vs.map(v => s"$k ne ${v.wire}")
+                .mkString("(", " and ", s" and $k ne null)"), Set(k)) }
+          case _ => None
+        }
+      case "STARTS_WITH" =>
+        strArg(p).map { case (c, raw) =>
+          CondPush(ODataFilters.strFnCond("startswith", c, raw, v2), Set(c)) }
+      case "ENDS_WITH" =>
+        strArg(p).map { case (c, raw) =>
+          CondPush(ODataFilters.strFnCond("endswith", c, raw, v2), Set(c)) }
+      case "CONTAINS" =>
+        strArg(p).map { case (c, raw) =>
+          CondPush(ODataFilters.strFnCond("contains", c, raw, v2), Set(c)) }
+      case "OR" =>
+        // a disjunction implies a column non-null only when EVERY
+        // branch does (intersection); each branch may itself be an
+        // eq/IN, a comparison, or a nested combination
+        p.children() match {
+          case Array(l: Predicate, r: Predicate) =>
+            for (a <- branch(l); b <- branch(r)) yield
+              CondPush(s"(${a.wire} or ${b.wire})", a.notNull & b.notNull)
+          case _ => None
+        }
+      case "AND" =>
+        // top-level conjuncts arrive pre-split; an AND node only
+        // appears nested under OR
+        p.children() match {
+          case Array(l: Predicate, r: Predicate) =>
+            for (a <- branch(l); b <- branch(r)) yield
+              CondPush(s"(${a.wire} and ${b.wire})", a.notNull | b.notNull)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** An OR/AND branch: eq and IN render through their dedicated
+    * forms, everything else recurses through [[translateCond]].
+    */
+  private def branch(p: Predicate): Option[CondPush] =
+    translateEq(p).map { case (k, v) =>
+      CondPush(ODataFilters.eqLit(k, v), Set(k)) }
+      .orElse(translateIn(p).map { case (k, vs) =>
+        CondPush(ODataFilters.inCond(k, vs), Set(k)) })
+      .orElse(translateCond(p))
 
   /** P2 — `$top`. Partial push: caps per-partition fetch, Spark
     * still applies the global limit.
@@ -577,7 +785,8 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // $apply before every other query option, so a plain $filter
     // would filter the AGGREGATED rows — the prefix is the only form
     // with WHERE-clause (pre-aggregation) semantics.
-    if ((pushedEq.nonEmpty || pushedIn.nonEmpty) && !opts.fullyPushFilters) return None
+    if ((pushedEq.nonEmpty || pushedIn.nonEmpty || pushedConds.nonEmpty) &&
+      !opts.fullyPushFilters) return None
     // under metadataSchema a column is natively typed and its wire
     // cell decodes through the same ODataMetadata.convert the row
     // scan uses — so typed groups and typed min/max PUSH, carrying
@@ -636,7 +845,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     // pre-aggregation conditions: fully-pushed eq filters (trusted by
     // option) and the sole-ungrouped count(col)'s ne-null — one
     // filter() prefix scoping the whole transformation sequence
-    val conds = ODataFilters.render(pushedEq, pushedIn) ++
+    val conds = ODataFilters.render(pushedEq, pushedIn, pushedConds) ++
       nonNullCountCol.map(c => s"$c ne null")
     val apply =
       if (conds.nonEmpty) s"filter(${conds.mkString(" and ")})/$base" else base
@@ -654,7 +863,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       pushedAgg.map(_.schema).getOrElse(prunedSchema), opts, pushedEq,
       limit, orderBy,
       fullSchema.fieldNames.find(opts.structureCandidates.contains),
-      pushedAgg, pushedIn)
+      pushedAgg, pushedIn, pushedConds)
 }
 
 /** One scan partition: the single unfiltered scan (no structure
@@ -673,7 +882,8 @@ class ODataScan(schema: StructType, opts: ODataOptions,
                 orderBy: Seq[(String, Boolean)],
                 structureField: Option[String],
                 pushedAgg: Option[ODataPushedAgg] = None,
-                pushedIn: Seq[(String, Seq[OLit])] = Seq.empty)
+                pushedIn: Seq[(String, Seq[OLit])] = Seq.empty,
+                pushedConds: Seq[String] = Seq.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics with Logging {
 
@@ -693,7 +903,7 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     if (!opts.reportStatistics || pushedAgg.isDefined)
       (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
     else try {
-      val filters = ODataFilters.render(pushedEq, pushedIn)
+      val filters = ODataFilters.render(pushedEq, pushedIn, pushedConds)
       val countUrl = ODataClient.buildUrl(
         opts.entityUrl(opts.entity) + "/$count",
         if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
@@ -773,7 +983,7 @@ class ODataScan(schema: StructType, opts: ODataOptions,
   }
   override def description(): String =
     s"ODataScan(entity=${opts.entity}, select=${schema.fieldNames.mkString(",")}, " +
-      s"filter=${ODataFilters.render(pushedEq, pushedIn).mkString(" and ")}, top=$limit, " +
+      s"filter=${ODataFilters.render(pushedEq, pushedIn, pushedConds).mkString(" and ")}, top=$limit, " +
       s"orderby=${orderBy.map { case (c, asc) => s"$c ${if (asc) "asc" else "desc"}" }.mkString(",")}" +
       pushedAgg.map(a => s", apply=${a.applyParam}").getOrElse("") + ")"
 
@@ -815,7 +1025,7 @@ class ODataScan(schema: StructType, opts: ODataOptions,
         // TopN is a GLOBAL cap range fetches would break, so those
         // shapes keep the single chain)
         if (opts.skipRangePartitions > 1 && limit.isEmpty && orderBy.isEmpty) {
-          val filters = ODataFilters.render(pushedEq, pushedIn)
+          val filters = ODataFilters.render(pushedEq, pushedIn, pushedConds)
           val countUrl = ODataClient.buildUrl(
             opts.entityUrl(opts.entity) + "/$count",
             if (filters.nonEmpty) Seq("$filter" -> filters.mkString(" and ")) else Nil)
@@ -896,7 +1106,8 @@ class ODataScan(schema: StructType, opts: ODataOptions,
     pushedAgg match {
       case Some(agg) => new ODataAggReaderFactory(agg, opts)
       case None =>
-        new ODataReaderFactory(schema, opts, pushedEq, limit, orderBy, pushedIn)
+        new ODataReaderFactory(schema, opts, pushedEq, limit, orderBy,
+          pushedIn, pushedConds)
     }
 }
 
@@ -966,12 +1177,13 @@ class ODataAggPartitionReader(agg: ODataPushedAgg, opts: ODataOptions)
 class ODataReaderFactory(schema: StructType, opts: ODataOptions,
                          pushedEq: Seq[(String, OLit)], limit: Option[Int],
                          orderBy: Seq[(String, Boolean)],
-                         pushedIn: Seq[(String, Seq[OLit])] = Seq.empty)
+                         pushedIn: Seq[(String, Seq[OLit])] = Seq.empty,
+                         pushedConds: Seq[String] = Seq.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(schema, opts,
       partition.asInstanceOf[ODataInputPartition], pushedEq, limit, orderBy,
-      pushedIn)
+      pushedIn, pushedConds)
 }
 
 /** One task = one bin of partition-key values, each a paginated fetch
@@ -984,7 +1196,8 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
                            partition: ODataInputPartition,
                            pushedEq: Seq[(String, OLit)], limit: Option[Int],
                            orderBy: Seq[(String, Boolean)] = Seq.empty,
-                           pushedIn: Seq[(String, Seq[OLit])] = Seq.empty)
+                           pushedIn: Seq[(String, Seq[OLit])] = Seq.empty,
+                           pushedConds: Seq[String] = Seq.empty)
   extends PartitionReader[InternalRow] with Logging {
 
   private val structureField = partition.structureField
@@ -1075,7 +1288,8 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
             !(structureValue.contains(v.raw) && structureField.contains(k)) },
           pushedIn.filter { case (k, vs) =>
             !(structureValue.isDefined && structureField.contains(k) &&
-              vs.exists(_.raw == structureValue.get)) })
+              vs.exists(_.raw == structureValue.get)) },
+          pushedConds)
     // the extras map is not a server-side field — it must never appear
     // in $select. If pruning left ONLY the extras column, omit $select
     // entirely (the server then returns every field, which is exactly

@@ -632,6 +632,90 @@ object ODataSelfServe {
     df
   }
 
+  /** Range-filter-pushdown driver-gate: comparison predicates on a
+    * typed column (`O_CUSTKEY > a`, `<= b` on Edm.Int32) and a `<>` on
+    * a string column all render into `$filter` as null-guarded OData
+    * comparisons — with `fullyPushFilters` the predicates are CONSUMED
+    * (no Spark re-filter), so a rendering bug (wrong operator, a
+    * missed null guard keeping v4.01's `null ne 'v'` rows, a string
+    * compared in the wrong domain) is a wrong answer, not a slowdown.
+    * The request log must prove the guarded comparisons went to the
+    * wire; the oracle replays the ranges on the raw parquet.
+    */
+  def rangeFilterScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = metadataServerFor(spark, dir)
+    val df = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields",
+        "O_ORDERKEY,O_CUSTKEY,O_STATUS,O_TOTALPRICE,O_ORDERDATE,O_URGENT")
+      .option("structureCandidates", "O_PRIORITY")
+      .option("metadataSchema", "true")
+      .option("fullyPushFilters", "true")
+      .option("failFast", "true")
+      .load()
+      .where(col("O_CUSTKEY") > 30 && col("O_CUSTKEY") <= 140 &&
+        col("O_STATUS") =!= "P")
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_CUSTKEY").as("o_custkey"),
+        col("O_STATUS").as("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+    df.count() // drive one execution so the pushed ranges hit the wire
+    val log = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+    require(log.exists(u =>
+        u.contains("(O_CUSTKEY gt 30 and O_CUSTKEY ne null)") &&
+          u.contains("(O_CUSTKEY le 140 and O_CUSTKEY ne null)") &&
+          u.contains("(O_STATUS ne 'P' and O_STATUS ne null)")),
+      "the typed range + ne predicates must reach the wire null-guarded")
+    df
+  }
+
+  /** String-function-pushdown driver-gate: `startsWith`/`contains`
+    * predicates — including an OR combination — render as OData
+    * string functions into every chain's `$filter` under the DEFAULT
+    * residual posture (Spark re-checks; the server-side prune is the
+    * point, and the wire check proves it happened). The stub speaks
+    * the v2 dialect, so `contains` must render as v2's `substringof`
+    * with REVERSED argument order (the stub 400s a v2-unknown
+    * `contains`). The or-group's rendering must keep its grouping
+    * parens: a flattening bug would conjoin the branches and silently
+    * over-filter on a server that honors it.
+    */
+  def stringFnScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = serverFor(spark, dir)
+    val df = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("structureCandidates", "OBAD_STRUCT,O_PRIORITY")
+      .option("filterDialect", "v2")
+      .load()
+      .where((col("O_PRIORITY").startsWith("1") ||
+        col("O_PRIORITY").contains("MED")) && col("O_STATUS") =!= "P")
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"),
+        col("O_STATUS").as("o_orderstatus"),
+        col("O_PRIORITY").as("o_orderpriority"))
+      .orderBy(col("o_orderkey").cast("long"))
+    df.count() // drive one execution so the pushed functions hit the wire
+    val log = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+    require(log.exists(_.contains(
+        "((startswith(O_PRIORITY,'1') and O_PRIORITY ne null) " +
+          "or (substringof('MED',O_PRIORITY) and O_PRIORITY ne null))")),
+      "the or-group of string functions must reach the wire grouped")
+    // the string `<>`'s VALUE compare must NOT have rendered: in
+    // residual mode a collation disagreement on ne would wrongly
+    // EXCLUDE rows nothing re-checks — it stays Spark's (only the
+    // collation-free inferred `O_STATUS ne null` may ride along; see
+    // translateCond's Scaladoc)
+    require(!log.exists(_.contains("ne 'P'")),
+      "a string ne must stay residual under the default posture")
+    df
+  }
+
   /** Typed-aggregate-pushdown driver-gate: the typed service's grouped
     * aggregate collapses into ONE `$apply=groupby((O_STATUS),
     * aggregate(O_CUSTKEY with min/max, $count))` request and the

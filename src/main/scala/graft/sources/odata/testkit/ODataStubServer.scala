@@ -202,45 +202,159 @@ class ODataStubServer(
       case _ => throw new IllegalArgumentException(s"bad filter path: $k")
     }
 
-  /** One filter condition: `X eq 'v'` | `X ne null` | a parenthesized
-    * or-group of eq's. Returns the row predicate plus the eq values it
-    * mentions (for the per-value failure injection).
+  /** One filter condition — the full boolean grammar a lawful server
+    * evaluates: comparisons (`eq ne gt ge lt le`), `X ne null`, string
+    * functions (v4 `startswith/endswith/contains`; v2 `substringof`
+    * with REVERSED args), and arbitrarily nested parenthesized
+    * `and`/`or` combinations. Strict by design: an unknown operator,
+    * a v4 `substringof`, a v2 `contains`, or trailing garbage throws
+    * (→ the 400/500 a sloppy request deserves). Returns the row
+    * predicate plus the eq values it mentions (for the per-value
+    * failure injection).
+    *
+    * Null semantics follow OData v4.01 URL Conventions §5.1.1.1:
+    * `eq` matches null only to null, `ne` is TRUE for a null cell
+    * against any literal, ordering comparisons with a null operand
+    * are false, and functions over a null cell are not-true. The
+    * compare domain follows the stub's OWN `$metadata` Edm types
+    * (numeric for declared numeric properties, lexicographic
+    * otherwise — ISO date/datetimeoffset strings order correctly
+    * lexicographically), the same typed-compare rule `aggCell` uses.
     */
   private def parseCondition(c0: String): (Map[String, String] => Boolean, Seq[String]) = {
-    val c = c0.trim
-    if (c.startsWith("(") && c.endsWith(")")) {
-      val parts = c.substring(1, c.length - 1).split(" or ").toSeq.map(parseEq)
-      ((r: Map[String, String]) =>
-        parts.exists { case (k, v) => resolveKey(r, k).contains(v) },
-        parts.map(_._2))
-    } else "^(\\S+) ne null$".r.findFirstMatchIn(c) match {
-      case Some(m) =>
-        ((r: Map[String, String]) => resolveKey(r, m.group(1)).exists(_ != null), Nil)
-      case None =>
-        val (k, v) = parseEq(c)
-        ((r: Map[String, String]) => resolveKey(r, k).contains(v), Seq(v))
+    val s = c0.trim
+    var i = 0
+    val eqVals = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ws(): Unit = while (i < s.length && s.charAt(i) == ' ') i += 1
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bad filter: $msg in '$s' at $i")
+    def word(w: String): Boolean = {
+      ws()
+      if (s.regionMatches(i, w, 0, w.length) &&
+        (i + w.length == s.length || !s.charAt(i + w.length).isLetterOrDigit)) {
+        i += w.length; true
+      } else false
     }
-  }
-
-  private def parseEq(c: String): (String, String) = {
-    val t = c.trim
-    "^(\\S+) eq '(.*)'$".r.findFirstMatchIn(t) match {
-      case Some(m) => m.group(1) -> m.group(2).replace("''", "'")
-      case None =>
-        // typed literal grammar: v4 bare int/boolean/date/datetime
-        // (`AGE eq 42`, `ACTIVE eq true`, `HIRED eq 2024-01-15`), the
-        // v2 Int64 `L` suffix, and the v2 `datetimeoffset'…'` prefix
-        // form. The stub compares the literal's text against the
-        // row's stored string cell — fixtures use canonical forms.
-        val m = "^(\\S+) eq (datetimeoffset'([^']*)'|[^'\\s]\\S*)$".r
-          .findFirstMatchIn(t)
-          .getOrElse(throw new IllegalArgumentException(s"bad filter: $c"))
-        val v =
-          if (m.group(2).startsWith("datetimeoffset'")) m.group(3)
-          else if (m.group(2).matches("-?\\d+L")) m.group(2).stripSuffix("L")
-          else m.group(2)
-        m.group(1) -> v
+    def quoted(): String = {
+      if (s.charAt(i) != '\'') fail("expected quoted literal")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+          else { i += 1; return sb.toString }
+        } else { sb += s.charAt(i); i += 1 }
+      }
+      fail("unterminated string literal")
     }
+    def bare(): String = {
+      val start = i
+      while (i < s.length && s.charAt(i) != ' ' && s.charAt(i) != ')' &&
+        s.charAt(i) != ',') i += 1
+      if (i == start) fail("expected token")
+      s.substring(start, i)
+    }
+    // a literal: quoted string, v2 datetimeoffset'…', v2 42L, or bare
+    def literal(): (String, Boolean) = { // (value, isNullLiteral)
+      ws()
+      if (s.charAt(i) == '\'') (quoted(), false)
+      else if (s.regionMatches(i, "datetimeoffset'", 0, 15)) {
+        i += 14; (quoted(), false)
+      } else {
+        val t = bare()
+        if (t == "null") (null, true)
+        else if (t.matches("-?\\d+L")) (t.stripSuffix("L"), false)
+        else (t, false)
+      }
+    }
+    def typedCmp(key: String, cell: String, lit: String): Int =
+      if (numericTypedFields.contains(key.split("/").last))
+        BigDecimal(cell).compare(BigDecimal(lit))
+      else cell.compareTo(lit)
+    def leaf(): Map[String, String] => Boolean = {
+      ws()
+      val fns = Seq("startswith", "endswith", "contains", "substringof")
+      fns.find(f => s.regionMatches(i, f + "(", 0, f.length + 1)) match {
+        case Some(fn) =>
+          if (fn == "contains" && dialect == "v2") fail("v2 has no contains")
+          if (fn == "substringof" && dialect != "v2") fail("substringof is v2")
+          i += fn.length + 1
+          // substringof('x',K) reverses the (key, literal) order
+          val (key, lit) =
+            if (fn == "substringof") { val l = quoted(); ws()
+              if (s.charAt(i) != ',') fail("expected ','"); i += 1; ws()
+              (bare(), l) }
+            else { val k = bare(); ws()
+              if (s.charAt(i) != ',') fail("expected ','"); i += 1; ws()
+              (k, quoted()) }
+          ws(); if (i >= s.length || s.charAt(i) != ')') fail("expected ')'")
+          i += 1
+          (r: Map[String, String]) => resolveKey(r, key) match {
+            case Some(c) if c != null => fn match {
+              case "startswith" => c.startsWith(lit)
+              case "endswith" => c.endsWith(lit)
+              case _ => c.contains(lit) // contains | substringof
+            }
+            case _ => false
+          }
+        case None =>
+          val key = bare(); ws()
+          val op = bare(); ws()
+          val (lit, isNull) = literal()
+          op match {
+            case "eq" =>
+              if (isNull) (r: Map[String, String]) =>
+                resolveKey(r, key).forall(_ == null)
+              else {
+                eqVals += lit
+                (r: Map[String, String]) => resolveKey(r, key).contains(lit)
+              }
+            case "ne" =>
+              if (isNull) (r: Map[String, String]) =>
+                resolveKey(r, key).exists(_ != null)
+              else (r: Map[String, String]) => resolveKey(r, key) match {
+                case Some(c) if c != null => c != lit
+                case _ => true // v4.01: null is not equal to any value
+              }
+            case "gt" | "ge" | "lt" | "le" =>
+              if (isNull) fail("ordering comparison with null literal")
+              else (r: Map[String, String]) => resolveKey(r, key) match {
+                case Some(c) if c != null =>
+                  val d = typedCmp(key, c, lit)
+                  op match {
+                    case "gt" => d > 0; case "ge" => d >= 0
+                    case "lt" => d < 0; case _ => d <= 0
+                  }
+                case _ => false
+              }
+            case other => fail(s"unknown operator '$other'")
+          }
+      }
+    }
+    def atom(): Map[String, String] => Boolean = {
+      ws()
+      if (i < s.length && s.charAt(i) == '(') {
+        i += 1
+        val e = orExpr()
+        ws(); if (i >= s.length || s.charAt(i) != ')') fail("expected ')'")
+        i += 1; e
+      } else leaf()
+    }
+    def andExpr(): Map[String, String] => Boolean = {
+      var e = atom()
+      while (word("and")) { val l = e; val r0 = atom()
+        e = (r: Map[String, String]) => l(r) && r0(r) }
+      e
+    }
+    def orExpr(): Map[String, String] => Boolean = {
+      var e = andExpr()
+      while (word("or")) { val l = e; val r0 = andExpr()
+        e = (r: Map[String, String]) => l(r) || r0(r) }
+      e
+    }
+    val root = orExpr()
+    ws(); if (i != s.length) fail("trailing input")
+    (root, eqVals.toSeq)
   }
 
   private def parseQuery(q: String): Map[String, String] =
@@ -435,13 +549,13 @@ class ODataStubServer(
       case None =>
     }
 
-    // $filter: conjunction of conditions (parseCondition — eq,
-    // ne-null, parenthesized or-groups of eq)
+    // $filter: one full boolean expression (parseCondition — the
+    // whole grammar: comparisons, functions, nested and/or)
     val filtered = q.get("$filter") match {
       case None => entityRows
       case Some(f) =>
-        val conds = f.split(" and (?![^(]*\\))").toSeq.map(parseCondition)
-        if (conds.flatMap(_._2).exists(failValues.contains)) {
+        val (pred, eqVals) = parseCondition(f)
+        if (eqVals.exists(failValues.contains)) {
           respond(ex, 500, """{"error": "injected failure"}"""); return
         }
         if (transientLeft.getAndDecrement() > 0) {
@@ -451,7 +565,7 @@ class ODataStubServer(
           ex.getResponseHeaders.set("Retry-After", "0")
           respond(ex, 429, """{"error": "rate limited"}"""); return
         }
-        entityRows.filter(r => conds.forall(_._1(r)))
+        entityRows.filter(pred)
     }
 
     // v4 change tracking: a $deltatoken request serves that batch's
@@ -507,8 +621,8 @@ class ODataStubServer(
           // step, so eq values containing `)` stay inside the conds
           "^filter\\((.*)\\)/((?:groupby|aggregate).*)$".r.findFirstMatchIn(apply0) match {
             case Some(m) =>
-              val conds = m.group(1).split(" and (?![^(]*\\))").toSeq.map(parseCondition)
-              (filtered.filter(r => conds.forall(_._1(r))), m.group(2))
+              val (pred, _) = parseCondition(m.group(1))
+              (filtered.filter(pred), m.group(2))
             case None => (filtered, apply0)
           }
         val (groupCols, aggExpr) =

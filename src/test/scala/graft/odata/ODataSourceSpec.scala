@@ -645,6 +645,121 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("comparison pushdown: typed int ranges push null-guarded, compare NUMERICALLY, and are consumed under fullyPushFilters") {
+    // KCLEAVERS ∈ {0,1,2,10,null,4}: the 10 pins the compare domain
+    // (lexicographic '10' > '2' is FALSE; numeric 10 > 2 is TRUE) and
+    // the null pins the ne-null guard end-to-end
+    val rows = Seq("0", "1", "2", "10", null, "4").zipWithIndex.map {
+      case (k, i) => Map(
+        "TEMPLOYEE_UUID" -> s"Employee $i",
+        "CEMPLOYEE_UUID" -> i.toString,
+        "KCLEAVERS" -> k,
+        "C0CHAR_STRUCTURE" -> s"STRUCT${i % 2}")
+    }
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE",
+      dialect = "v4", metadataDoc = Some(edmxDoc),
+      rawJsonFields = Set("KCLEAVERS")).start()
+    try {
+      val df = read(srv, Map("metadataSchema" -> "true",
+          "fullyPushFilters" -> "true", "failFast" -> "true"))
+        .where(col("KCLEAVERS") > 2 && col("KCLEAVERS") <= 10)
+        .select("CEMPLOYEE_UUID")
+      assert(df.as[String].collect().toSet == Set("3", "5"), // 10 and 4
+        "numeric compare domain: 10 > 2 must hold, null must drop")
+      assert(!hasFilter(df), df.queryExecution.optimizedPlan.toString)
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(u =>
+          u.contains("(KCLEAVERS gt 2 and KCLEAVERS ne null)") &&
+            u.contains("(KCLEAVERS le 10 and KCLEAVERS ne null)")),
+        s"guarded comparisons must ride \\$$filter: $decoded")
+      // literal-first flips the operator: 2 < k ≡ k > 2
+      val flipped = read(srv, Map("metadataSchema" -> "true",
+          "failFast" -> "true"))
+        .where(lit(2) < col("KCLEAVERS"))
+        .select("CEMPLOYEE_UUID")
+      assert(flipped.as[String].collect().toSet == Set("3", "5"))
+    } finally srv.stop()
+  }
+
+  test("ne pushdown: the explicit ne-null guard drops null rows a v4.01 server would otherwise KEEP; NOT(IN) renders the ne conjunction") {
+    // v4.01: `null ne 'v'` is TRUE — without the guard a consumed
+    // string ne would wrongly surface the null row
+    val rows = mkRows(4).updated(2,
+      mkRows(4)(2).updated("TEMPLOYEE_UUID", null))
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      val df = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(col("TEMPLOYEE_UUID") =!= "Employee 1")
+        .select("CEMPLOYEE_UUID")
+      assert(df.as[String].collect().toSet == Set("0", "3"),
+        "both the matching row AND the null row must drop")
+      assert(!hasFilter(df), df.queryExecution.optimizedPlan.toString)
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+          "(TEMPLOYEE_UUID ne 'Employee 1' and TEMPLOYEE_UUID ne null)")),
+        s"the guarded ne must ride \\$$filter: $decoded")
+      // NOT(IN) → conjunction of ne's + one guard
+      srv.requestLog = Vector.empty
+      val notIn = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(!col("C0CHAR_STRUCTURE").isin("STRUCT0", "STRUCT2"))
+        .select("CEMPLOYEE_UUID")
+      assert(notIn.as[String].collect().toSet == Set("1"))
+      assert(srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+          .exists(_.contains("(C0CHAR_STRUCTURE ne 'STRUCT0' and " +
+            "C0CHAR_STRUCTURE ne 'STRUCT2' and C0CHAR_STRUCTURE ne null)")),
+        s"NOT(IN) must render the ne conjunction: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
+  test("string collation posture: ordering never pushes; string ne stays residual in default mode; or-groups and null tests push") {
+    val rows = mkRows(4).updated(3,
+      mkRows(4)(3).updated("TEMPLOYEE_UUID", null))
+    val srv = new ODataStubServer(rows, "C0CHAR_STRUCTURE").start()
+    try {
+      // string ordering: no gt/lt on the wire in EITHER mode (a
+      // collation disagreement would wrongly EXCLUDE rows — the
+      // residual re-check can't recover them)
+      val ord = read(srv).where(col("TEMPLOYEE_UUID") > "Employee 1")
+        .select("CEMPLOYEE_UUID")
+      assert(ord.as[String].collect().toSet == Set("2"))
+      assert(!srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+          .exists(u => u.contains(" gt ") || u.contains(" lt ")),
+        s"string ordering must never ride \\$$filter: ${srv.requestLog}")
+      // string ne in DEFAULT mode: the VALUE compare stays residual
+      // (over-exclusion under a sloppy collation is unrecoverable);
+      // only the inferred not-null — which the =!= implies and which
+      // is collation-free — rides the wire
+      srv.requestLog = Vector.empty
+      val ne = read(srv).where(col("TEMPLOYEE_UUID") =!= "Employee 0")
+        .select("CEMPLOYEE_UUID")
+      assert(ne.as[String].collect().toSet == Set("1", "2"))
+      assert(!srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+          .exists(_.contains("ne 'Employee 0'")),
+        s"string ne must stay residual by default: ${srv.requestLog}")
+      // an OR of eq's over DIFFERENT columns pushes grouped and is
+      // consumed (neither branch's IsNotNull is inferred from an OR)
+      srv.requestLog = Vector.empty
+      val or = read(srv, Map("fullyPushFilters" -> "true"))
+        .where(col("TEMPLOYEE_UUID") === "Employee 1" ||
+          col("C0CHAR_STRUCTURE") === "STRUCT2")
+        .select("CEMPLOYEE_UUID")
+      assert(or.as[String].collect().toSet == Set("1", "2"))
+      assert(!hasFilter(or), or.queryExecution.optimizedPlan.toString)
+      assert(srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+          .exists(_.contains("(TEMPLOYEE_UUID eq 'Employee 1' or " +
+            "C0CHAR_STRUCTURE eq 'STRUCT2')")),
+        s"the or-group must ride \\$$filter grouped: ${srv.requestLog}")
+      // standalone null tests render their exact OData forms
+      srv.requestLog = Vector.empty
+      val isNull = read(srv).where(col("TEMPLOYEE_UUID").isNull)
+        .select("CEMPLOYEE_UUID")
+      assert(isNull.as[String].collect().toSeq == Seq("3"))
+      assert(srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+          .exists(_.contains("TEMPLOYEE_UUID eq null")),
+        s"isNull must render eq null: ${srv.requestLog}")
+    } finally srv.stop()
+  }
+
   test("fullyPushFilters + aggregate: the filtered aggregate composes into ONE \\$apply=filter(...)/ request") {
     val srv = new ODataStubServer(mkRows(9), "C0CHAR_STRUCTURE").start()
     try {
