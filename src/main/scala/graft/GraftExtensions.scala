@@ -56,5 +56,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => graft.plans.CosineSim(a, b)
         case _ => throw new IllegalArgumentException("graft_cosine expects 2 arguments")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_damerau_levenshtein"),
+      info("graft_damerau_levenshtein",
+        "graft_damerau_levenshtein(a, b) - true (unrestricted) Damerau-Levenshtein " +
+          "edit distance: insertions, deletions, substitutions, adjacent transpositions"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.plans.DamerauLevenshtein(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_damerau_levenshtein expects 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] " +
+          "(boost threshold 0.7, prefix cap 4, scale 0.1; empty input scores 0)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.plans.JaroWinkler(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_jaro_winkler expects 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(s) - Unicode NFC normalization (UAX #15 canonical composition)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.plans.NfcNormalize(s)
+        case _ => throw new IllegalArgumentException("graft_nfc expects 1 argument")
+      }))
   }
 }

@@ -4153,6 +4153,34 @@ object SparkEntry {
     // share a constant "Customer#0000…" region, the documented
     // adversarial case where positional-segment blocking degrades to
     // the quadratic group (see fuzzySelfJoin's scaladoc)
+    // transposition-aware typo linkage: all pairs within TRUE
+    // Damerau-Levenshtein 1 via the lossless two-leg blocking
+    // (PassJoin for ins/del/sub + anagram fingerprint for the
+    // transposition case — `lev` rides along so the lev-2/dl-1 pairs
+    // a Levenshtein linkage misses are visible). The oracle is the
+    // plain quadratic damerau_levenshtein join: the blocking's
+    // losslessness is exactly what the hash check proves. Same
+    // deterministic slice as join_fuzzy.
+    "join_typo_dl" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .where(col("c_custkey") % 10 === 0)
+      Joins.typoSelfJoin(c, "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // blocked Jaro-Winkler best-match linkage: per part, the single
+    // most similar OTHER part name within its (brand, size) block —
+    // the classical block-then-score record-linkage shape; scores
+    // round to 6 BEFORE ranking so the top-1 is engine-stable, ties
+    // break by partner key. The custom codegen'd JaroWinkler kernel
+    // is the scorer; DuckDB's jaro_winkler_similarity replays it.
+    "join_jw_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      Joins.jwBestMatch(p, "p_partkey", "p_name", Seq("p_brand", "p_size"))
+        .orderBy("id")
+    }),
+
     "join_fuzzy" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
         .where(col("c_custkey") % 10 === 0)
@@ -5639,6 +5667,29 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // Unicode NFC normalization over the corpus: the fixture is
+    // ASCII, so the gate deterministically DECOMPOSES first (every
+    // 'e' → 'e' + combining acute, the same regexp_replace both
+    // engines run) and then normalizes with the codegen'd NFC kernel
+    // — recomposition must shrink each doc by exactly its combining
+    // marks and produce byte-identical text to DuckDB's
+    // nfc_normalize (utf8proc), pinned per language by an
+    // order-independent md5-prefix checksum
+    "text_unicode_nfc" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{md5Prefix64, nfcNormalize}
+      val dec = regexp_replace(substring(col("text"), 1, 80), "e", "e\u0301")
+      t(s, dir, "documents")
+        .select(col("lang"), dec.as("dec"))
+        .withColumn("norm", nfcNormalize(col("dec")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("norm") =!= col("dec")).cast("long")).as("changed"),
+          sum(length(col("dec")) - length(col("norm"))).as("delta"),
+          sum(md5Prefix64(col("norm")) % 1000000007L).as("checksum"))
+        .orderBy("lang")
+    }),
 
     // distributed BPE training: the corpus reduces to the word vocab
     // once; 4 merge rounds run on that bounded table, winner per
@@ -10066,6 +10117,35 @@ object SparkEntry {
         | FROM ranked WHERE rnk <= 5
         | ORDER BY query_id, rnk""".stripMargin,
 
+    // the quadratic reference DL join: if either blocking leg
+    // (PassJoin for ins/del/sub, anagram fingerprint for
+    // transpositions) ever lost a true pair, this hash would catch it
+    // — and the lev column pins the lev-2/dl-1 transposition pairs
+    "join_typo_dl" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev,
+        | CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dl
+        | FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        | WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+        |   AND damerau_levenshtein(a.c_name, b.c_name) <= 1
+        | ORDER BY id_a, id_b""".stripMargin,
+
+    // the same block-score-rank linkage in SQL; jaro_winkler rounds
+    // to 6 BEFORE the rank so both engines break ties identically
+    "join_jw_linkage" ->
+      """WITH pairs AS (
+        |  SELECT a.p_partkey AS id, b.p_partkey AS other,
+        |         round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.p_partkey <> b.p_partkey),
+        | ranked AS (
+        |  SELECT id, other, jw,
+        |         row_number() OVER (PARTITION BY id ORDER BY jw DESC, other) AS rn
+        |  FROM pairs)
+        | SELECT id, other, jw FROM ranked WHERE rn = 1
+        | ORDER BY id""".stripMargin,
+
     // the quadratic reference join: if the engine's segment blocking
     // ever lost a true pair, this hash check would catch it
     "join_fuzzy" ->
@@ -10099,6 +10179,22 @@ object SparkEntry {
          | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "text_langid" -> s"${langidSql("documents")}\n ORDER BY doc_id",
+
+    // the same decompose-then-normalize recipe: utf8proc's
+    // nfc_normalize must recompose to byte-identical text (md5-prefix
+    // checksum), shrinking each doc by exactly its combining marks
+    "text_unicode_nfc" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    regexp_replace(substr(text, 1, 80), 'e', 'e' || chr(769), 'g') AS dec
+        |  FROM documents),
+        | n AS (SELECT lang, dec, nfc_normalize(dec) AS norm FROM d)
+        | SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN norm <> dec THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(sum(length(dec) - length(norm)) AS BIGINT) AS delta,
+        |  CAST(sum(('0x' || substr(md5(norm), 1, 15))::BIGINT % 1000000007) AS BIGINT) AS checksum
+        | FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
     // round-for-round BPE replay: the parenthesis encoding makes the
     // merge a plain left-to-right non-overlapping replace in both

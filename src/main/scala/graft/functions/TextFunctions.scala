@@ -23,6 +23,38 @@ object TextFunctions {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.Md5Prefix64(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** TRUE Damerau-Levenshtein edit distance (adjacent transpositions
+    * cost 1, and — unlike the restricted OSA variant — a transposed
+    * pair may be edited again). Native codegen'd kernel
+    * (graft.plans.DamerauLevenshtein); DuckDB's
+    * `damerau_levenshtein` is the oracle twin on ASCII text.
+    */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.DamerauLevenshtein(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Jaro-Winkler similarity in [0,1] (classical constants: boost
+    * threshold 0.7, prefix cap 4, scale 0.1; empty input scores 0).
+    * Native codegen'd kernel (graft.plans.JaroWinkler); DuckDB's
+    * `jaro_winkler_similarity` is the oracle twin on ASCII text.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.JaroWinkler(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Unicode NFC normalization (UAX #15) — composed/decomposed forms
+    * of the same text hash identically after this. DuckDB's
+    * `nfc_normalize` (utf8proc) is the oracle twin.
+    */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** BPE-ish sub-word tokenization: split on word/number/punct
     * boundaries like a byte-pair pre-tokenizer's regex pass.
     * (Pattern class per the public GPT-2 pre-tokenizer idea:

@@ -596,4 +596,92 @@ object Joins {
       .select(col(qidCol), col("rnk"), col(pidCol),
         round(sqrt(col("dist2")), 6).as("dist"))
   }
+
+  /** Typo self-join: all id pairs within TRUE Damerau-Levenshtein
+    * distance 1 — [[fuzzySelfJoin]]'s transposition-aware sibling
+    * (`smtih`/`smith` is DL 1 but Levenshtein 2, so a lev-threshold
+    * linkage misses the most common typo class entirely).
+    *
+    * LOSSLESS blocking by case analysis on the one allowed edit:
+    *   - insert / delete / substitute → Levenshtein(a,b) <= 1, and
+    *     [[fuzzySelfJoin]]'s PassJoin pigeonhole blocking is lossless
+    *     for that (one edit breaks at most one of the two segments);
+    *   - adjacent transposition → same length AND same character
+    *     MULTISET (an anagram), so blocking on the sorted-character
+    *     fingerprint catches every such pair exactly.
+    * PassJoin alone would NOT be lossless here: a transposition
+    * straddling the two segments' boundary edits both segments with
+    * one operation. The union of the two candidate sets is verified
+    * with the exact DL kernel and deduped on the skinny id-pair rows.
+    * The anagram block is an equi-join on the fingerprint — never a
+    * cross product; fingerprint groups are typo-scale small (a
+    * corpus-wide anagram cluster would be a data oddity worth
+    * seeing, not a plan failure).
+    *
+    * Fixed at maxDist = 1 BY DESIGN: for k >= 2 the case analysis
+    * breaks (a transposition plus a substitution is neither within
+    * lev k nor an anagram) — a correct k >= 2 blocking needs
+    * PartEnum-style signatures, and DL 1 is what record linkage
+    * actually uses for the typo pass.
+    *
+    * Returns (id_a, id_b, lev, dl) with id_a < id_b, dl <= 1 — lev
+    * kept alongside so the transposition pairs (lev 2, dl 1) are
+    * visible in the output.
+    */
+  def typoSelfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    import graft.functions.TextFunctions.damerauLevenshtein
+    val base = df.select(col(idCol).as("fid"), col(strCol).as("fs"))
+      .where(col("fs").isNotNull)
+    // leg 1: everything within plain Levenshtein 1 (lossless for the
+    // ins/del/sub cases) — already (id_a, id_b, dist) with id_a < id_b
+    val levPairs = fuzzySelfJoin(df, idCol, strCol, maxDist = 1)
+      .select(col("id_a"), col("id_b"))
+    // leg 2: anagram blocks (lossless for the transposition case)
+    val finger = base.withColumn("fp",
+      array_join(array_sort(split(col("fs"), "")), ""))
+    val anaPairs = finger.select(col("fid").as("id_a"), col("fp"))
+      .join(finger.select(col("fid").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val named = base.select(col("fid"), col("fs"))
+    levPairs.unionByName(anaPairs).distinct()
+      .join(named.select(col("fid").as("id_a"), col("fs").as("s_a")), Seq("id_a"))
+      .join(named.select(col("fid").as("id_b"), col("fs").as("s_b")), Seq("id_b"))
+      .withColumn("dl", damerauLevenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dl") <= 1)
+      .withColumn("lev", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .select(col("id_a"), col("id_b"), col("lev"), col("dl"))
+  }
+
+  /** Blocked Jaro-Winkler best-match linkage: for every row that
+    * shares its blocking key with at least one OTHER row, the single
+    * most similar partner by Jaro-Winkler (the de-facto name-matching
+    * score), ties broken by partner id. The classical two-stage
+    * record-linkage shape: a cheap deterministic BLOCK (an equi-join
+    * — shuffled hash, never a cross product; block sizes bound the
+    * per-block pair count) then the expensive SCORE only within
+    * blocks, then a per-row top-1 window partitioned by id (fully
+    * distributed — no global sort).
+    *
+    * Scores are rounded to 6 decimals BEFORE ranking so the ranking
+    * is stable across engines (the oracle replays the same rounded
+    * compare); rows with no block partner are absent from the output
+    * (inner-join semantics — linkage found nothing to link).
+    */
+  def jwBestMatch(df: DataFrame, idCol: String, strCol: String,
+                  blockCols: Seq[String]): DataFrame = {
+    import graft.functions.TextFunctions.jaroWinkler
+    val l = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+ col(strCol).as("s_l")): _*)
+    val r = df.select(
+      (blockCols.map(col) :+ col(idCol).as("other") :+ col(strCol).as("s_r")): _*)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("jw").desc, col("other"))
+    l.join(r, blockCols)
+      .where(col("id") =!= col("other"))
+      .withColumn("jw", round(jaroWinkler(col("s_l"), col("s_r")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("other"), col("jw"))
+  }
 }
