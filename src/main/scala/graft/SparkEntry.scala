@@ -6332,6 +6332,20 @@ object SparkEntry {
     "odata_expand_join" -> ((s, dir) =>
       graft.sources.odata.testkit.ODataSelfServe.expandJoinScan(s, dir)),
 
+    // NESTED $expand: TWO navigation levels in one request
+    // (Orders→Items→Part), the v4 nested form on the wire, decoded
+    // recursively — the part struct rides INSIDE each item struct;
+    // the oracle replays the three-way join
+    "odata_expand_nested" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.nestedExpandScan(s, dir)),
+
+    // nested expand with the strategies COMPOSED: level 1 as a child
+    // entity scan + Spark join, level 2 riding that child scan's own
+    // inline $expand — same oracle as odata_expand_nested (the
+    // composition is result-invisible by construction)
+    "odata_expand_nested_join" -> ((s, dir) =>
+      graft.sources.odata.testkit.ODataSelfServe.nestedExpandJoinScan(s, dir)),
+
     // $metadata-driven TYPED schema: the stub publishes an EDMX typing
     // the slice and the scan surfaces native Spark types (bigint, int,
     // double, timestamp, boolean) whose values hash-match DuckDB
@@ -14895,6 +14909,30 @@ object SparkEntry {
         | FROM orders o
         | JOIN customer c ON c.c_custkey = o.o_custkey
         | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderkey < 200
+        | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+
+    // the two-level expansion replays as the three-way join
+    "odata_expand_nested" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+        | CAST(l.l_linenumber AS VARCHAR) AS l_linenumber,
+        | CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) AS l_quantity,
+        | p.p_name AS p_name, p.p_brand AS p_brand
+        | FROM orders o
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | JOIN part p ON p.p_partkey = l.l_partkey
+        | WHERE o.o_orderkey < 200
+        | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+
+    // same truth through the composed join strategy
+    "odata_expand_nested_join" ->
+      """SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+        | CAST(l.l_linenumber AS VARCHAR) AS l_linenumber,
+        | CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR) AS l_quantity,
+        | p.p_name AS p_name, p.p_brand AS p_brand
+        | FROM orders o
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | JOIN part p ON p.p_partkey = l.l_partkey
         | WHERE o.o_orderkey < 200
         | ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
 

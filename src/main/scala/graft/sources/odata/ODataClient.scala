@@ -444,6 +444,21 @@ object ODataClient {
     */
   def parseJson(s: String): JsonNode = mapper.readTree(s)
 
+  /** One entity JsonNode → the same stringified cell map
+    * [[parsePage]] builds for top-level rows (scalars via asText,
+    * nested objects/arrays as their JSON text, nulls as null) — the
+    * shared shape the nested-expand decode recurses on.
+    */
+  def nodeToMap(row: JsonNode): Map[String, String] =
+    row.properties().asScala.map { e =>
+      val v = e.getValue
+      val s =
+        if (v.isNull) null
+        else if (v.isValueNode) v.asText()
+        else v.toString
+      e.getKey -> s
+    }.toMap
+
   /** The probe's 404 discriminator (reference `src/etl.py:95-97`):
     * a body mentioning `segment '<name>'` means "column absent". */
   private val SegmentRe = "segment '([^']+)'".r

@@ -92,11 +92,17 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
     val navTypeOf: ExpandSpec => DataType = model match {
       case None => ODataSchema.navType
       case Some(m) =>
-        val navs = m.entityType(opts.entity).navs
-        e => {
+        // RECURSIVE through nested expansions: each level's nav
+        // resolves against ITS OWN entity type's NavigationProperty
+        // declarations, and the nested scalar fields take that
+        // target type's Edm types — same validation (cardinality
+        // against the doc, absent fields fail BY NAME) at every depth
+        def resolve(owner: String,
+                    navs: Map[String, ODataMetadata.EdmNav],
+                    e: ExpandSpec): DataType = {
           val nav = navs.getOrElse(e.nav, throw new IllegalStateException(
             s"odata metadataSchema: '${e.nav}' is not a navigation " +
-              s"property of entity '${opts.entity}' in \\$$metadata " +
+              s"property of entity '$owner' in \\$$metadata " +
               s"(declared: ${navs.keys.toSeq.sorted.mkString(",")})"))
           require(nav.collection == e.collection,
             s"odata metadataSchema: nav '${e.nav}' is declared " +
@@ -106,14 +112,18 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
             throw new IllegalStateException(
               s"odata metadataSchema: nav '${e.nav}' targets entity type " +
                 s"'${nav.targetType}' which \\$$metadata does not declare"))
-          val st = StructType(e.fields.map(f => StructField(f,
-            child.props.getOrElse(f, throw new IllegalStateException(
-              s"odata metadataSchema: field '$f' of nav '${e.nav}' is not " +
-                s"a property of '${nav.targetType}' " +
-                s"(declared: ${child.props.keys.toSeq.sorted.mkString(",")})")).sparkType,
-            nullable = true)))
+          val st = StructType(
+            e.fields.map(f => StructField(f,
+              child.props.getOrElse(f, throw new IllegalStateException(
+                s"odata metadataSchema: field '$f' of nav '${e.nav}' is not " +
+                  s"a property of '${nav.targetType}' " +
+                  s"(declared: ${child.props.keys.toSeq.sorted.mkString(",")})")).sparkType,
+              nullable = true)) ++
+              e.children.map(c => StructField(c.nav,
+                resolve(nav.targetType, child.navs, c), nullable = true)))
           if (e.collection) ArrayType(st, containsNull = false) else st
         }
+        e => resolve(opts.entity, m.entityType(opts.entity).navs, e)
     }
     val navCols = opts.expands.map(e =>
       StructField(e.nav, navTypeOf(e), nullable = true))
@@ -134,12 +144,16 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ODataSchema extends Logging {
-  /** Spark type of one declared nav expansion. Collections are
-    * `containsNull=false`: a lawful expanded collection holds entities,
-    * never a null element.
+  /** Spark type of one declared nav expansion — RECURSIVE: a nested
+    * `children` expansion surfaces inside the struct as its own
+    * struct / array<struct> column after the scalar fields.
+    * Collections are `containsNull=false`: a lawful expanded
+    * collection holds entities, never a null element.
     */
   def navType(e: ExpandSpec): DataType = {
-    val st = StructType(e.fields.map(f => StructField(f, StringType, nullable = true)))
+    val st = StructType(
+      e.fields.map(f => StructField(f, StringType, nullable = true)) ++
+        e.children.map(c => StructField(c.nav, navType(c), nullable = true)))
     if (e.collection) ArrayType(st, containsNull = false) else st
   }
 
@@ -1216,14 +1230,30 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     * pruned read schema itself (struct = single-valued, array<struct>
     * = collection; the nested fields are the pruned projection) — the
     * schema IS the builder→reader contract, so a nav Catalyst pruned
-    * away builds no `$expand` at all.
+    * away builds no `$expand` at all. RECURSIVE: a struct/array field
+    * INSIDE a nav struct is a nested expansion, everything else a
+    * scalar projection.
     */
+  private def specOf(name: String, st: StructType, collection: Boolean): ExpandSpec = {
+    val (navFields, scalarFields) = st.fields.toSeq.partition(f =>
+      f.dataType.isInstanceOf[StructType] ||
+        (f.dataType match {
+          case ArrayType(_: StructType, _) => true
+          case _ => false
+        }))
+    ExpandSpec(name, collection, scalarFields.map(_.name),
+      navFields.map(f => f.dataType match {
+        case cst: StructType => specOf(f.name, cst, collection = false)
+        case ArrayType(cst: StructType, _) => specOf(f.name, cst, collection = true)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }))
+  }
   private val effExpands: Seq[ExpandSpec] = schema.fields.toSeq.flatMap { f =>
     f.dataType match {
       case st: StructType =>
-        Some(ExpandSpec(f.name, collection = false, st.fieldNames.toSeq))
+        Some(specOf(f.name, st, collection = false))
       case ArrayType(st: StructType, _) =>
-        Some(ExpandSpec(f.name, collection = true, st.fieldNames.toSeq))
+        Some(specOf(f.name, st, collection = true))
       case _ => None
     }
   }
@@ -1299,19 +1329,35 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
         navByName.contains(f))
     // surviving navs render per dialect: v4 nests the projection in
     // the expand itself ($expand=Nav($select=F1,F2), with the nav
-    // named in the parent $select — lawful and prunes parent fields);
-    // v2 has no nested options, so the projection rides the parent
-    // $select as Nav/F1 paths
+    // named in the parent $select — lawful and prunes parent fields),
+    // and a NESTED expansion rides the same entry's $expand option
+    // behind the v4 semicolon separator
+    // ($expand=Nav($select=F1;$expand=Child($select=G1))); v2 has no
+    // nested options, so expansions render as path entries
+    // ($expand=Nav,Nav/Child) and the whole projection rides the
+    // parent $select as Nav/F1 and Nav/Child/G1 paths
+    def v4Expand(e: ExpandSpec): String = {
+      val sel = s"$$select=${e.fields.mkString(",")}"
+      val exp =
+        if (e.children.isEmpty) ""
+        else s";$$expand=${e.children.map(v4Expand).mkString(",")}"
+      s"${e.nav}($sel$exp)"
+    }
+    def v2ExpandPaths(e: ExpandSpec, prefix: String): Seq[String] =
+      (prefix + e.nav) +:
+        e.children.flatMap(c => v2ExpandPaths(c, s"$prefix${e.nav}/"))
+    def v2SelectPaths(e: ExpandSpec, prefix: String): Seq[String] =
+      e.fields.map(f => s"$prefix${e.nav}/$f") ++
+        e.children.flatMap(c => v2SelectPaths(c, s"$prefix${e.nav}/"))
     val expandParam =
       if (effExpands.isEmpty) Nil
       else if (opts.expandStyle == "v2")
-        Seq("$expand" -> effExpands.map(_.nav).mkString(","))
+        Seq("$expand" -> effExpands.flatMap(v2ExpandPaths(_, "")).mkString(","))
       else
-        Seq("$expand" -> effExpands.map(e =>
-          s"${e.nav}($$select=${e.fields.mkString(",")})").mkString(","))
+        Seq("$expand" -> effExpands.map(v4Expand).mkString(","))
     val selectList = selectScalars ++
       (if (opts.expandStyle == "v2")
-         effExpands.flatMap(e => e.fields.map(f => s"${e.nav}/$f"))
+         effExpands.flatMap(v2SelectPaths(_, ""))
        else effExpands.map(_.nav))
     val selectParam =
       (if (selectList.nonEmpty) Seq("$select" -> selectList.mkString(",")) else Nil) ++
@@ -1468,26 +1514,13 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     * as a hard error. A continuation on a single-valued nav is a
     * protocol violation and fails fast.
     */
-  private def navCell(txt: String, e: ExpandSpec, v4Cont: Option[String]): Any = {
+  private def navCell(txt: String, e: ExpandSpec, nested: StructType,
+                      v4Cont: Option[String]): Any = {
     val node = ODataClient.parseJson(txt)
-    val nested = navSchemas(e.nav)
-    def cell(n: com.fasterxml.jackson.databind.JsonNode, sf: StructField): Any = {
-      val v = n.get(sf.name)
-      if (v == null || v.isNull) null
-      else sf.dataType match {
-        case StringType =>
-          if (v.isValueNode) UTF8String.fromString(v.asText())
-          else UTF8String.fromString(v.toString) // deeper nesting → JSON text
-        case dt => // metadataSchema-typed nested field
-          ODataMetadata.convert(
-            if (v.isValueNode) v.asText() else v.toString,
-            dt, s"${e.nav}.${sf.name}")
-      }
-    }
     def row(n: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
       require(n.isObject, s"odata expand: nav '${e.nav}' entity is not " +
         s"a JSON object: ${n.toString.take(200)}")
-      InternalRow.fromSeq(nested.fields.toIndexedSeq.map(cell(n, _)))
+      rowFromMap(ODataClient.nodeToMap(n), e, nested)
     }
     if (e.collection) {
       val (arr, v2Cont) =
@@ -1499,7 +1532,7 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
           s"odata expand: collection nav '${e.nav}' cell is neither an " +
             s"array nor a v2 results envelope: ${txt.take(200)}")
       val inline = arr.elements().asScala.map(row(_): Any).toArray
-      val rest = v4Cont.orElse(v2Cont).map(followNavPages(_, e))
+      val rest = v4Cont.orElse(v2Cont).map(followNavPages(_, e, nested))
         .getOrElse(Array.empty[Any])
       new org.apache.spark.sql.catalyst.util.GenericArrayData(inline ++ rest)
     } else {
@@ -1509,6 +1542,51 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     }
   }
 
+  /** One nav entity from its stringified cell map — the ONE decode
+    * shape both the inline path (JsonNode → [[ODataClient.nodeToMap]])
+    * and the continuation path (parsePage rows) share. RECURSIVE: a
+    * nested-expansion field's cell is itself a nav cell (JSON text +
+    * optional sibling pagination annotation) and decodes through
+    * [[navCell]] with the child spec — so a grandchild collection
+    * pages, validates cardinality, and types its fields exactly like
+    * a first-level nav, at any depth.
+    */
+  private def rowFromMap(r: Map[String, String], e: ExpandSpec,
+                         nested: StructType): InternalRow = {
+    val childByName = e.children.map(c => c.nav -> c).toMap
+    InternalRow.fromSeq(nested.fields.toIndexedSeq.map { sf =>
+      childByName.get(sf.name) match {
+        case Some(c) =>
+          val cst = sf.dataType match {
+            case st: StructType => st
+            case ArrayType(st: StructType, _) => st
+            case other => throw new IllegalStateException(
+              s"odata expand: nested nav '${sf.name}' has non-struct " +
+                s"type ${other.catalogString}")
+          }
+          val cont = r.get(s"${sf.name}@odata.nextLink").flatMap(Option(_))
+          r.get(sf.name).flatMap(Option(_)) match {
+            case Some(txt) => navCell(txt, c, cst, cont)
+            case None if cont.isDefined && c.collection =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                followNavPages(cont.get, c, cst))
+            case None if cont.isDefined =>
+              throw new IllegalStateException(s"odata expand: single-valued " +
+                s"nav '${sf.name}' carries a pagination annotation — " +
+                "protocol violation")
+            case None => null
+          }
+        case None =>
+          r.get(sf.name).filter(_ != null).map { v =>
+            sf.dataType match {
+              case StringType => UTF8String.fromString(v): Any
+              case dt => ODataMetadata.convert(v, dt, s"${e.nav}.${sf.name}")
+            }
+          }.orNull
+      }
+    })
+  }
+
   /** Chain a paged expanded collection's continuation pages: each is a
     * standard (dialect-shaped) collection payload the shared envelope
     * parser decodes, possibly paged again. ALWAYS fail-fast, even
@@ -1516,8 +1594,8 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     * CHAIN — silently truncating one parent's child collection is
     * partial association data nothing downstream can detect.
     */
-  private def followNavPages(first: String, e: ExpandSpec): Array[Any] = {
-    val nested = navSchemas(e.nav)
+  private def followNavPages(first: String, e: ExpandSpec,
+                             nested: StructType): Array[Any] = {
     val out = Array.newBuilder[Any]
     // the annotation's URL may be RELATIVE (it never passed through
     // parsePage's base resolution — it rides a CELL of the parent
@@ -1532,15 +1610,7 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
         url.get, opts.user, opts.password, opts.timeoutMs,
         opts.maxRetries, opts.retryBackoffMs, oauth = opts.oauth),
         base = url.get)
-      out ++= page.rows.map(r => InternalRow.fromSeq(
-        nested.fields.toIndexedSeq.map { sf =>
-          r.get(sf.name).filter(_ != null).map { v =>
-            sf.dataType match {
-              case StringType => UTF8String.fromString(v): Any
-              case dt => ODataMetadata.convert(v, dt, s"${e.nav}.${sf.name}")
-            }
-          }.orNull
-        }): Any)
+      out ++= page.rows.map(rowFromMap(_, e, nested): Any)
       url = page.nextLink
     }
     out.result()
@@ -1563,12 +1633,12 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
         val e = navByName(f)
         val v4Cont = current.get(s"$f@odata.nextLink").flatMap(Option(_))
         current.get(f).flatMap(Option(_)) match {
-          case Some(txt) => navCell(txt, e, v4Cont)
+          case Some(txt) => navCell(txt, e, navSchemas(f), v4Cont)
           case None if v4Cont.isDefined && e.collection =>
             // annotation with no inline prefix: the whole collection
             // lives behind the continuation
             new org.apache.spark.sql.catalyst.util.GenericArrayData(
-              followNavPages(v4Cont.get, e))
+              followNavPages(v4Cont.get, e, navSchemas(f)))
           case None if v4Cont.isDefined =>
             throw new IllegalStateException(s"odata expand: single-valued " +
               s"nav '$f' carries a pagination annotation — protocol violation")

@@ -57,12 +57,19 @@ object ODataExpandAsJoin extends org.apache.spark.internal.Logging {
     * joined on parent.`parentKey` = child.`childKey`. `childOptions`
     * overrides/extends the inherited connection options for the child
     * scan (e.g. its own `skipRangePartitions`, or a different
-    * `baseUrl` for a federated association).
+    * `baseUrl` for a federated association). `childExpand`, when set,
+    * is an `expand` option the CHILD scan declares for its own navs
+    * (the grandchild level of a nested expansion) — the strategies
+    * compose: the first level joins, the second level rides the child
+    * scan's inline `$expand`, and the grandchild columns surface
+    * inside this nav's element struct exactly where the fully-inline
+    * nested expansion puts them.
     */
   final case class JoinNav(nav: String, collection: Boolean,
                            fields: Seq[String], childEntity: String,
                            parentKey: String, childKey: String,
-                           childOptions: Map[String, String] = Map.empty)
+                           childOptions: Map[String, String] = Map.empty,
+                           childExpand: Option[String] = None)
 
   // option keys that must NOT leak from the parent scan into a child
   // scan (entity addressing, parent-shaped partitioning/projection);
@@ -113,15 +120,22 @@ object ODataExpandAsJoin extends org.apache.spark.internal.Logging {
         n.childOptions.filterNot(_._1.equalsIgnoreCase("failFast")) ++ Map(
         "entity" -> n.childEntity,
         "selectFields" -> (n.childKey +: n.fields).distinct.mkString(","),
-        "failFast" -> childFailFast.getOrElse("true"))
+        "failFast" -> childFailFast.getOrElse("true")) ++
+        n.childExpand.map("expand" -> _).toMap
       val child = spark.read.format("odata").options(childOpts.asJava).load()
-      val elem: Column = struct(n.fields.map(child(_)): _*)
+      // grandchild navs (childExpand) ride the child scan's own
+      // inline $expand and surface as nested columns in the element
+      // struct, after the scalar fields — the fully-inline nested
+      // expansion's layout
+      val elemFields = n.fields ++
+        n.childExpand.toSeq.flatMap(ODataOptions.parseExpands(_).map(_.nav))
+      val elem: Column = struct(elemFields.map(child(_)): _*)
       if (n.collection) {
         // element type from the child's RESOLVED schema (string mode:
         // all strings; metadataSchema: the child entity's Edm types) —
         // hardwiring strings here would type-clash the empty-array
         // branch against a typed collect_list
-        val elemType = StructType(n.fields.map(f =>
+        val elemType = StructType(elemFields.map(f =>
           StructField(f, child.schema(f).dataType, nullable = true)))
         // array_sort for a DETERMINISTIC element order the join can
         // guarantee (see object doc); collect_list alone is

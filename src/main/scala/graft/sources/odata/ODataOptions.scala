@@ -263,30 +263,79 @@ case class ODataOptions(
 /** One declared navigation-property expansion (see
   * [[ODataOptions.expands]]): `nav` is the navigation property name
   * (and the nested column's name), `collection` its declared
-  * cardinality, `fields` the child properties to project.
+  * cardinality, `fields` the child SCALAR properties to project,
+  * `children` further expansions hanging off this nav's target
+  * entity (OData's nested `$expand` — `Orders→Items→Product`). A
+  * child surfaces inside the nav's struct as its own nested
+  * struct / array<struct> column after the scalar fields.
   */
-case class ExpandSpec(nav: String, collection: Boolean, fields: Seq[String])
+case class ExpandSpec(nav: String, collection: Boolean,
+                      fields: Seq[String],
+                      children: Seq[ExpandSpec] = Nil) {
+  /** Back to the option grammar (what a child scan re-parses). */
+  def render: String =
+    s"$nav${if (collection) "*" else ""}(${
+      (fields ++ children.map(_.render)).mkString(",")})"
+}
 
 object ODataOptions {
 
-  // Nav(F1,F2) single-valued | Nav*(F1,F2) collection-valued
-  private val ExpandEntryRe = "^([A-Za-z_][A-Za-z0-9_]*)(\\*?)\\(([^)]*)\\)$".r
-
-  /** Parse the `expand` option — entries split on commas OUTSIDE
-    * parens (field lists have their own commas).
+  /** Parse the `expand` option — the recursive grammar
+    * `Nav(F1,F2,Child(G1),…)` / `Nav*(…)` where a parenthesized
+    * entry inside a field list declares a NESTED expansion. Split on
+    * commas at paren depth 0 only (nested field lists carry their
+    * own commas and parens).
     */
-  private[odata] def parseExpands(s: String): Seq[ExpandSpec] =
-    s.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case ExpandEntryRe(nav, star, fl) =>
-        val fields = fl.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (fields.isEmpty) throw new IllegalArgumentException(
-          s"odata source: expand entry '$nav' declares no fields — " +
-            "the nested schema must be declared (Nav(F1,F2) or Nav*(F1,F2))")
-        ExpandSpec(nav, star == "*", fields)
-      case other => throw new IllegalArgumentException(
-        s"odata source: bad expand entry '$other' — " +
-          "expected Nav(F1,F2) or Nav*(F1,F2)")
+  def parseExpands(s: String): Seq[ExpandSpec] =
+    splitTop(s).map(parseExpandEntry)
+
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
     }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseExpandEntry(e: String): ExpandSpec = {
+    val open = e.indexOf('(')
+    if (open < 0 || !e.endsWith(")")) throw new IllegalArgumentException(
+      s"odata source: bad expand entry '$e' — " +
+        "expected Nav(F1,F2,...) or Nav*(F1,F2,...)")
+    val head = e.substring(0, open)
+    val (nav, coll) =
+      if (head.endsWith("*")) (head.dropRight(1), true) else (head, false)
+    if (!nav.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      throw new IllegalArgumentException(
+        s"odata source: bad expand nav name '$nav' in '$e'")
+    val parts = splitTop(e.substring(open + 1, e.length - 1))
+    val (navParts, fieldParts) = parts.partition(_.contains("("))
+    val children = navParts.map(parseExpandEntry)
+    val dup = (fieldParts ++ children.map(_.nav))
+      .groupBy(identity).collectFirst { case (n, vs) if vs.size > 1 => n }
+    if (dup.isDefined) throw new IllegalArgumentException(
+      s"odata source: expand entry '$nav' declares '${dup.get}' twice")
+    if (fieldParts.isEmpty && children.isEmpty)
+      throw new IllegalArgumentException(
+        s"odata source: expand entry '$nav' declares no fields — " +
+          "the nested schema must be declared (Nav(F1,F2) or Nav*(F1,F2))")
+    if (fieldParts.isEmpty) throw new IllegalArgumentException(
+      s"odata source: expand entry '$nav' declares only nested " +
+        "expansions — project at least one scalar field (the child " +
+        "rows need identity beyond their own children)")
+    ExpandSpec(nav, coll, fieldParts, children)
+  }
   def apply(map: CaseInsensitiveStringMap): ODataOptions = {
     // look up through the CaseInsensitiveStringMap itself — DSv2
     // options are conventionally case-insensitive ('baseurl' ==

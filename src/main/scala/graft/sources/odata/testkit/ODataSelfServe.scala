@@ -343,16 +343,31 @@ object ODataSelfServe {
         .select(
           col("l_orderkey").cast("string").as("L_ORDERKEY"),
           col("l_linenumber").cast("string").as("L_LINENUMBER"),
-          col("l_quantity").cast("long").cast("string").as("L_QUANTITY"))
+          col("l_quantity").cast("long").cast("string").as("L_QUANTITY"),
+          col("l_partkey").cast("string").as("L_PARTKEY"))
         .collect()
         .map(r => Map("L_ORDERKEY" -> r.getString(0),
-          "L_LINENUMBER" -> r.getString(1), "L_QUANTITY" -> r.getString(2)))
+          "L_LINENUMBER" -> r.getString(1), "L_QUANTITY" -> r.getString(2),
+          "L_PARTKEY" -> r.getString(3)))
+        .toSeq
+      val parts = spark.read.parquet(s"$dir/part.parquet")
+        .select(
+          col("p_partkey").cast("string").as("P_PARTKEY"),
+          col("p_name").as("P_NAME"),
+          col("p_brand").as("P_BRAND"))
+        .collect()
+        .map(r => Map("P_PARTKEY" -> r.getString(0),
+          "P_NAME" -> r.getString(1), "P_BRAND" -> r.getString(2)))
         .toSeq
       new ODataStubServer(orders, "O_STATUS", dialect = "v4",
         serverPageSize = 50,
         navProps = Map(
           "Customer" -> StubNav(collection = false, "O_CUSTKEY", "C_CUSTKEY", customers),
-          "Items" -> StubNav(collection = true, "O_ORDERKEY", "L_ORDERKEY", items)),
+          "Items" -> StubNav(collection = true, "O_ORDERKEY", "L_ORDERKEY", items),
+          // the GRANDCHILD level: each item's part, keyed off the
+          // ITEM row — what the nested-expand gates walk two levels
+          // down (Orders → Items → Part)
+          "Part" -> StubNav(collection = false, "L_PARTKEY", "P_PARTKEY", parts)),
         // the same associations exposed as plain entity sets — what
         // the expand-as-join strategy scans instead of $expand-ing
         extraEntities = Map("Customers" -> customers, "Items" -> items)).start()
@@ -790,6 +805,77 @@ object ODataSelfServe {
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
         col("item.L_LINENUMBER").as("l_linenumber"),
         col("item.L_QUANTITY").as("l_quantity"))
+      .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
+  }
+
+  /** NESTED `$expand` driver-gate: TWO navigation levels in one
+    * request — Orders → Items → Part — rendered as the v4 nested
+    * form (`$expand=Items($select=…;$expand=Part($select=…))`, the
+    * request log must show it) and decoded recursively: each item
+    * row carries its part as a struct INSIDE the item struct. The
+    * oracle replays the three-way join over the same parquet, so a
+    * dropped level, mis-keyed grandchild, or projection leak breaks
+    * the hash.
+    */
+  def nestedExpandScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = expandServerFor(spark, dir)
+    val df = spark.read.format("odata")
+      .option("baseUrl", srv.url)
+      .option("servicePath", "svc")
+      .option("entity", "Orders")
+      .option("selectFields", "O_ORDERKEY,O_STATUS")
+      .option("expand",
+        "Items*(L_LINENUMBER,L_QUANTITY,Part(P_NAME,P_BRAND))")
+      .load()
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        explode(col("Items")).as("item"))
+      .select(col("o_orderkey"),
+        col("item.L_LINENUMBER").as("l_linenumber"),
+        col("item.L_QUANTITY").as("l_quantity"),
+        col("item.Part.P_NAME").as("p_name"),
+        col("item.Part.P_BRAND").as("p_brand"))
+      .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
+    // drive one FULL-projection execution (count() would prune the
+    // navs away entirely and no $expand would ride the wire — the
+    // round-12 wire-proof lesson)
+    df.collect()
+    require(srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+        .exists(_.contains("$expand=Items($select=L_LINENUMBER,L_QUANTITY;" +
+          "$expand=Part($select=P_NAME,P_BRAND))")),
+      "the v4 nested $expand form must ride the wire")
+    df
+  }
+
+  /** Nested expand-as-JOIN driver-gate: the SAME two-level truth as
+    * [[nestedExpandScan]] with the strategies COMPOSED — level 1
+    * (Items) plans as a child entity scan + Spark-side join, level 2
+    * (Part) rides that child scan's own inline `$expand` — and the
+    * same oracle, so the composition is result-invisible by
+    * construction.
+    */
+  def nestedExpandJoinScan(spark: SparkSession, dir: String): DataFrame = {
+    val srv = expandServerFor(spark, dir)
+    import graft.sources.odata.ODataExpandAsJoin
+    import graft.sources.odata.ODataExpandAsJoin.JoinNav
+    ODataExpandAsJoin.scan(spark,
+      Map(
+        "baseUrl" -> srv.url,
+        "servicePath" -> "svc",
+        "entity" -> "Orders",
+        "selectFields" -> "O_ORDERKEY,O_STATUS",
+        "failFast" -> "true"),
+      Seq(
+        JoinNav("Items", collection = true,
+          Seq("L_LINENUMBER", "L_QUANTITY"), "Items", "O_ORDERKEY",
+          "L_ORDERKEY",
+          childExpand = Some("Part(P_NAME,P_BRAND)"))))
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        explode(col("Items")).as("item"))
+      .select(col("o_orderkey"),
+        col("item.L_LINENUMBER").as("l_linenumber"),
+        col("item.L_QUANTITY").as("l_quantity"),
+        col("item.Part.P_NAME").as("p_name"),
+        col("item.Part.P_BRAND").as("p_brand"))
       .orderBy(col("o_orderkey").cast("long"), col("l_linenumber").cast("long"))
   }
 

