@@ -349,13 +349,36 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
       })
 
   /** Declared nested fields, narrowed to the required ones — declared
-    * ORDER and typing win (the wire projection is ours to choose); a
-    * fully-pruned struct keeps its first field so the column can
-    * still materialize (mirrors the top-level empty-projection rule).
+    * ORDER and typing win (the wire projection is ours to choose),
+    * RECURSIVELY: a nested-expansion member narrows to its own
+    * touched subfields, so a query reading only `Items.Part.P_NAME`
+    * ships one grandchild property. Every level keeps at least one
+    * SCALAR field (mirroring the top-level empty-projection rule, and
+    * because the rendered nested `$select=` must not be empty) — so a
+    * projection touching only a nav's grandchild still fetches the
+    * nav's first declared scalar alongside.
     */
   private def pruneStruct(full: StructType, req: StructType): StructType = {
-    val kept = full.fields.filter(sf => req.fieldNames.contains(sf.name))
-    StructType(if (kept.isEmpty) full.fields.take(1) else kept)
+    def isNavField(f: StructField): Boolean = f.dataType match {
+      case _: StructType => true
+      case ArrayType(_: StructType, _) => true
+      case _ => false
+    }
+    val kept = full.fields.flatMap { sf =>
+      req.fields.find(_.name == sf.name).map { rf =>
+        (sf.dataType, rf.dataType) match {
+          case (f: StructType, r: StructType) =>
+            sf.copy(dataType = pruneStruct(f, r))
+          case (ArrayType(f: StructType, n), ArrayType(r: StructType, _)) =>
+            sf.copy(dataType = ArrayType(pruneStruct(f, r), n))
+          case _ => sf
+        }
+      }
+    }
+    val withScalar =
+      if (kept.exists(!isNavField(_))) kept
+      else full.fields.filter(!isNavField(_)).take(1) ++ kept
+    StructType(if (withScalar.isEmpty) full.fields.take(1) else withScalar)
   }
 
   /** P3 — translate `col = 'lit'` on string columns to `$filter`.

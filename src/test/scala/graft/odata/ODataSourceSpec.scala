@@ -1672,6 +1672,26 @@ class ODataSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("nested \\$expand pruning: touching only a GRANDCHILD field narrows both levels' \\$select") {
+    val srv = new ODataStubServer(mkRows(6), "C0CHAR_STRUCTURE",
+      dialect = "v4", navProps = nestedNavFixture(6)).start()
+    try {
+      val df = read(srv, Map("expand" -> nestedExpandOpt))
+        .select(explode(col("Assignments")).as("a"))
+        .select(col("a.Reviewer.R_NAME"))
+      df.collect()
+      val decoded = srv.requestLog.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      // the child level keeps its FIRST declared scalar (the nested
+      // $select must not be empty), the grandchild narrows to exactly
+      // the touched field, and the untouched Tasks expansion drops
+      assert(decoded.exists(u =>
+        u.contains("$expand=Assignments($select=A_PROJ;" +
+          "$expand=Reviewer($select=R_NAME))") &&
+          !u.contains("Tasks") && !u.contains("A_HOURS")),
+        s"both levels must prune: $decoded")
+    } finally srv.stop()
+  }
+
   test("expand option grammar: nested entries parse, duplicates and field-less navs are rejected") {
     import graft.sources.odata.{ODataOptions, ExpandSpec}
     val specs = ODataOptions.parseExpands(
