@@ -412,16 +412,7 @@ object ODataClient {
       else if (!d.isMissingNode && d.isArray) (d, None) // v2 minimal: {"d": [...]}
       else throw new IllegalArgumentException(
         s"Unrecognized OData envelope: ${body.take(200)}")
-    val rows = results.elements().asScala.map { row =>
-      row.properties().asScala.map { e =>
-        val v = e.getValue
-        val s =
-          if (v.isNull) null
-          else if (v.isValueNode) v.asText()
-          else v.toString // nested object/array → JSON text
-        e.getKey -> s
-      }.toMap
-    }.toSeq
+    val rows = results.elements().asScala.map(nodeToMap).toSeq
     // v4 change tracking: the FINAL page of a tracked read (and of a
     // delta feed) carries @odata.deltaLink — the resumption token the
     // incremental-sync operator persists (ODataDelta)

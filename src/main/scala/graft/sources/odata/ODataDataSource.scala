@@ -144,6 +144,18 @@ class ODataDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ODataSchema extends Logging {
+  /** The struct payload of a nav-shaped column type —
+    * `Some((fields, isCollection))` for the two nav representations
+    * (struct = single-valued, array<struct> = collection), None for
+    * scalars. The ONE place the representation dispatch lives.
+    */
+  private[odata] def navStructOf(dt: DataType): Option[(StructType, Boolean)] =
+    dt match {
+      case st: StructType => Some((st, false))
+      case ArrayType(st: StructType, _) => Some((st, true))
+      case _ => None
+    }
+
   /** Spark type of one declared nav expansion — RECURSIVE: a nested
     * `children` expansion surfaces inside the struct as its own
     * struct / array<struct> column after the scalar fields.
@@ -359,11 +371,8 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     * nav's first declared scalar alongside.
     */
   private def pruneStruct(full: StructType, req: StructType): StructType = {
-    def isNavField(f: StructField): Boolean = f.dataType match {
-      case _: StructType => true
-      case ArrayType(_: StructType, _) => true
-      case _ => false
-    }
+    def isNavField(f: StructField): Boolean =
+      ODataSchema.navStructOf(f.dataType).isDefined
     val kept = full.fields.flatMap { sf =>
       req.fields.find(_.name == sf.name).map { rf =>
         (sf.dataType, rf.dataType) match {
@@ -438,8 +447,7 @@ class ODataScanBuilder(fullSchema: StructType, opts: ODataOptions)
     def scalarPath(ref: NamedReference): Option[String] =
       serverPath(ref).filter { c =>
         c.contains("/") || fullSchema.fields.find(_.name == c).exists(f =>
-          !f.dataType.isInstanceOf[StructType] &&
-            !f.dataType.isInstanceOf[ArrayType])
+          ODataSchema.navStructOf(f.dataType).isEmpty)
       }
     val nullTests: Seq[(Predicate, String)] = predicates.toSeq
       .filter(p => !impliedNotNull(p))
@@ -1259,17 +1267,12 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     */
   private def specOf(name: String, st: StructType, collection: Boolean): ExpandSpec = {
     val (navFields, scalarFields) = st.fields.toSeq.partition(f =>
-      f.dataType.isInstanceOf[StructType] ||
-        (f.dataType match {
-          case ArrayType(_: StructType, _) => true
-          case _ => false
-        }))
+      ODataSchema.navStructOf(f.dataType).isDefined)
     ExpandSpec(name, collection, scalarFields.map(_.name),
-      navFields.map(f => f.dataType match {
-        case cst: StructType => specOf(f.name, cst, collection = false)
-        case ArrayType(cst: StructType, _) => specOf(f.name, cst, collection = true)
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }))
+      navFields.map { f =>
+        val (cst, coll) = ODataSchema.navStructOf(f.dataType).get
+        specOf(f.name, cst, coll)
+      })
   }
   private val effExpands: Seq[ExpandSpec] = schema.fields.toSeq.flatMap { f =>
     f.dataType match {
@@ -1580,13 +1583,10 @@ class ODataPartitionReader(schema: StructType, opts: ODataOptions,
     InternalRow.fromSeq(nested.fields.toIndexedSeq.map { sf =>
       childByName.get(sf.name) match {
         case Some(c) =>
-          val cst = sf.dataType match {
-            case st: StructType => st
-            case ArrayType(st: StructType, _) => st
-            case other => throw new IllegalStateException(
+          val cst = ODataSchema.navStructOf(sf.dataType).map(_._1)
+            .getOrElse(throw new IllegalStateException(
               s"odata expand: nested nav '${sf.name}' has non-struct " +
-                s"type ${other.catalogString}")
-          }
+                s"type ${sf.dataType.catalogString}"))
           val cont = r.get(s"${sf.name}@odata.nextLink").flatMap(Option(_))
           r.get(sf.name).flatMap(Option(_)) match {
             case Some(txt) => navCell(txt, c, cst, cont)

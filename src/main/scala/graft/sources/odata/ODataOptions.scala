@@ -297,13 +297,18 @@ object ODataOptions {
     while (i < s.length) {
       s.charAt(i) match {
         case '(' => depth += 1
-        case ')' => depth -= 1
+        case ')' =>
+          depth -= 1
+          if (depth < 0) throw new IllegalArgumentException(
+            s"odata source: unbalanced ')' in expand option '$s'")
         case ',' if depth == 0 =>
           out += s.substring(start, i); start = i + 1
         case _ =>
       }
       i += 1
     }
+    if (depth != 0) throw new IllegalArgumentException(
+      s"odata source: unbalanced '(' in expand option '$s'")
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
   }
@@ -313,6 +318,24 @@ object ODataOptions {
     if (open < 0 || !e.endsWith(")")) throw new IllegalArgumentException(
       s"odata source: bad expand entry '$e' — " +
         "expected Nav(F1,F2,...) or Nav*(F1,F2,...)")
+    // the paren at `open` must close at the entry's LAST char — a
+    // depth-0 close earlier means garbage like `A(F1)(F2)` that the
+    // substring below would silently fold into a field name
+    var depth = 0
+    var i = open
+    while (i < e.length) {
+      e.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && i != e.length - 1)
+            throw new IllegalArgumentException(
+              s"odata source: bad expand entry '$e' — " +
+                "expected Nav(F1,F2,...) or Nav*(F1,F2,...)")
+        case _ =>
+      }
+      i += 1
+    }
     val head = e.substring(0, open)
     val (nav, coll) =
       if (head.endsWith("*")) (head.dropRight(1), true) else (head, false)

@@ -1712,6 +1712,14 @@ class ODataSourceSpec extends SparkSpec {
       ODataOptions.parseExpands("A(B(G1))")
     }
     assert(bare.getMessage.contains("scalar"), bare.getMessage)
+    // malformed parens fail at OPTION time, never fold into a field
+    // name that would ride the wire as garbage
+    for (bad <- Seq("Items*(L_QTY))", "A(F1)(F2)", "A((F1)", "A)F1(")) {
+      val e = intercept[IllegalArgumentException] {
+        ODataOptions.parseExpands(bad)
+      }
+      assert(e.getMessage.contains("expand"), s"$bad: ${e.getMessage}")
+    }
   }
 
   test("\\$expand: navs surface as nested struct / array<struct> columns (v4 style + v4 dialect)") {
