@@ -4181,6 +4181,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // entity resolution end-to-end: the DL-1 typo matches become an
+    // identity graph and every record gets its ENTITY id (smallest
+    // reachable member) via the O(log n) large-star/small-star CC —
+    // the match→cluster→canonicalize shape of a real MDM pipeline;
+    // the oracle replays the quadratic match + a recursive
+    // reachability CTE
+    "join_er_clusters" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .where(col("c_custkey") % 10 === 0)
+      val pairs = Joins.typoSelfJoin(c, "c_custkey", "c_name")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.connectedClusters(c.select(col("c_custkey")), "c_custkey", pairs)
+        .select(col("doc_id").as("c_custkey"), col("cluster_id").as("entity_id"))
+        .orderBy("c_custkey")
+    }),
+
     "join_fuzzy" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
         .where(col("c_custkey") % 10 === 0)
@@ -10143,6 +10159,23 @@ object SparkEntry {
         | WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
         |   AND damerau_levenshtein(a.c_name, b.c_name) <= 1
         | ORDER BY id_a, id_b""".stripMargin,
+
+    // the identity graph replayed quadratically, clusters via the
+    // same recursive reachability CTE the dedup cluster oracles use
+    "join_er_clusters" ->
+      """WITH RECURSIVE prs AS (
+        |  SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+        |    AND damerau_levenshtein(a.c_name, b.c_name) <= 1),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |           UNION ALL SELECT doc_b, doc_a FROM prs),
+        | reach(id, lab) AS (
+        |   SELECT c_custkey, c_custkey FROM customer WHERE c_custkey % 10 = 0
+        |   UNION
+        |   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        | SELECT id AS c_custkey, CAST(min(lab) AS BIGINT) AS entity_id
+        | FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
 
     // the same block-score-rank linkage in SQL; jaro_winkler rounds
     // to 6 BEFORE the rank so both engines break ties identically
