@@ -260,6 +260,16 @@ class ODataStubServer(
           java.net.URLEncoder.encode(v, "UTF-8") }
       .mkString("&")
 
+  // child rows indexed by their key field, once per nav — the nested
+  // expand walk would otherwise linear-scan the child table per
+  // parent row (quadratic in the fixture size, and a bench phantom:
+  // the stub's cost is not the connector's)
+  private lazy val navIndex: Map[String, Map[String, Seq[Map[String, String]]]] =
+    navProps.map { case (n, nd) =>
+      n -> nd.rows.groupBy(_.get(nd.childKeyField).orNull)
+        .collect { case (k, rs) if k != null => k -> rs }
+    }
+
   /** One expanded entity as JSON: the projected scalar fields plus —
     * RECURSIVELY — each nested expansion's cell (and, when that
     * nested collection pages, its sibling `@odata.nextLink`
@@ -289,9 +299,8 @@ class ODataStubServer(
   private def navJson(req: NavReq, parent: Map[String, String])
       : (String, Option[String]) = {
     val nd = navProps(req.nav)
-    val kids = nd.rows.filter(r =>
-      parent.get(nd.parentKeyField).exists(pk =>
-        r.get(nd.childKeyField).contains(pk)))
+    val kids = parent.get(nd.parentKeyField).flatMap(Option(_))
+      .flatMap(navIndex(req.nav).get).getOrElse(Nil)
     if (nd.collection) {
       val cont =
         if (kids.size > navPageSize)
@@ -600,7 +609,7 @@ class ODataStubServer(
         val children = q.get("$navexp").map(parseV4ExpandEntries).getOrElse(Nil)
         val req = NavReq(n, sel, children)
         val skip = q.get("$navskip").map(_.toInt).getOrElse(0)
-        val kids = nd.rows.filter(_.get(nd.childKeyField).contains(parentKey))
+        val kids = navIndex(n).getOrElse(parentKey, Nil)
         val pageRows = kids.slice(skip, skip + navPageSize)
         val cont =
           if (skip + navPageSize < kids.size)
