@@ -1372,7 +1372,10 @@ object Graph {
             .otherwise(coalesce(col("v"), lit(0.0))).as("pr"))
     }
     // one eager checkpoint per round (round fusing measured slower —
-    // see pageRank's round-8 note)
+    // see pageRank's round-8 note; RE-MEASURED r13: lazy fusion of
+    // these single-consumer rounds was ~25% slower at sf0.1 — AQE
+    // re-planning the deep fused tree costs more than the per-round
+    // checkpoint jobs save)
     for (_ <- 1 to iters) {
       val next = roundOf(prob)
       val prev = prob
@@ -1405,9 +1408,11 @@ object Graph {
     * Scale shape: the corpus collapses to |channels|² edges and a
     * |channels|-row start table in the caller's one window+aggregate
     * pass; everything here is bounded-table work (channels are tens,
-    * never data-sized), so the 1 + |channels| value iterations cost
-    * |channels|·iters bounded jobs — no corpus rescan. `channels` is
-    * an explicit policy list (which nodes are paid media), not
+    * never data-sized). The 1 + |channels| value iterations are
+    * BATCHED under a variant key into one iteration over
+    * |variants|·|nodes| rows, costing `iters` bounded jobs total
+    * instead of (1+|channels|)·iters — no corpus rescan. `channels`
+    * is an explicit policy list (which nodes are paid media), not
     * data-inferred.
     */
   def markovRemovalAttribution(edges: DataFrame, starts: DataFrame,
@@ -1422,28 +1427,57 @@ object Graph {
     val share = st.crossJoin(broadcast(stTot)) // 1-row scalar
       .select(col("node"), round(d(col("n_start")) / d(col("n_all")), 9).as("sh"))
       .localCheckpoint()
-    // start-mix conversion: Σ share(t)·pr(t), round-9 products through
-    // an exact long sum (the absorbIterate fold discipline)
-    def conv(prob: DataFrame): DataFrame = prob.join(share, Seq("node"))
-      .withColumn("cl", round(round(col("sh") * col("pr"), 9) * 1e9, 0).cast("long"))
-      .agg(round(sum(col("cl")) / 1e9, 9).as("conv"))
-    val full = absorbIterate(norm, nodes, lit(target), iters)
-    val convFull = conv(full).localCheckpoint()
-    unpersistBacking(full)
-    // the removal chains are INDEPENDENT value iterations over the
-    // same persisted norm/nodes — run them concurrently (each chain
-    // is a string of tiny bounded-table jobs; serial execution pays
-    // |channels|× the per-job scheduling latency for nothing)
-    import scala.collection.parallel.CollectionConverters._
-    val perChannel = channels.par.map { c =>
-      val normC = norm.where(col("src") =!= c && col("dst") =!= c)
-      val probC = absorbIterate(normC, nodes, lit(target), iters)
-      val out = conv(probC).select(lit(c).as("channel"),
-                                   col("conv").as("conv_removed"))
+    // ONE variant-keyed value iteration instead of 1 + |channels|
+    // independent chains (optimization r13, guide §2.4/§2.6): the
+    // full chain and every removal chain compute the SAME per-round
+    // recurrence over disjoint key spaces, so batching them under a
+    // `vt` (variant) column turns (1+|channels|)·iters checkpoint
+    // jobs into `iters` — per-variant arithmetic (join keys, round-9
+    // products, exact long sums) is untouched, so every number is
+    // bit-identical to the serial chains. State stays bounded:
+    // |variants|·|nodes| rows (channels are a policy list of tens,
+    // nodes are event types — see the scale-shape note above).
+    require(!channels.contains(""),
+      "channel names must be non-empty (\"\" is the full-chain variant key)")
+    val vtDf = {
+      val s = edges.sparkSession
+      import s.implicits._
+      ("" +: channels).toDF("vt") // "" = no channel removed (full chain)
+    }
+    val normV = norm.crossJoin(broadcast(vtDf))
+      .where(col("vt") === "" ||
+             (col("src") =!= col("vt") && col("dst") =!= col("vt")))
+    val nodesV = nodes.crossJoin(broadcast(vtDf))
+    var prob = nodesV.select(col("vt"), col("node"),
+      when(col("node") === target, lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    // one eager checkpoint per round (lazy round fusion RE-MEASURED
+    // slower in r13 even for this single-consumer recurrence — AQE
+    // re-planning the deep fused tree costs more than the per-round
+    // checkpoint jobs save; see absorbIterate's note)
+    for (_ <- 1 to iters) {
+      val folded = normV
+        .join(prob.withColumnRenamed("node", "dst"), Seq("vt", "dst"))
+        .withColumn("cl", round(round(col("p") * col("pr"), 9) * 1e9, 0).cast("long"))
+        .groupBy(col("vt"), col("src").as("node"))
+        .agg(round(sum(col("cl")) / 1e9, 9).as("v"))
+      val prev = prob
+      prob = nodesV.join(folded, Seq("vt", "node"), "left")
+        .select(col("vt"), col("node"),
+          when(col("node") === target, lit(1.0))
+            .otherwise(coalesce(col("v"), lit(0.0))).as("pr"))
         .localCheckpoint()
-      unpersistBacking(probC)
-      out
-    }.seq.reduce(_ unionByName _)
+      unpersistBacking(prev)
+    }
+    // start-mix conversion per variant — the conv(...) fold keyed by vt
+    val convAll = prob.join(share, Seq("node"))
+      .withColumn("cl", round(round(col("sh") * col("pr"), 9) * 1e9, 0).cast("long"))
+      .groupBy(col("vt"))
+      .agg(round(sum(col("cl")) / 1e9, 9).as("conv"))
+      .localCheckpoint()
+    unpersistBacking(prob)
+    val convFull = convAll.where(col("vt") === "").select(col("conv"))
+    val perChannel = convAll.where(col("vt") =!= "")
+      .select(col("vt").as("channel"), col("conv").as("conv_removed"))
     val eff = perChannel.crossJoin(broadcast(convFull)) // 1-row scalar
       .withColumn("removal_effect",
         when(col("conv") > 0,
@@ -1461,7 +1495,7 @@ object Graph {
     norm.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     unpersistBacking(share)
-    unpersistBacking(convFull)
+    unpersistBacking(convAll)
     unpersistBacking(eff)
     out
   }
