@@ -1527,8 +1527,16 @@ object Graph {
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(weightCol).cast("long").as("w"))
+    // und feeds THREE consumers (2m total, the label join, the degree
+    // sum) and sits under the final 1-row crossJoin, so a lazy plan
+    // re-derived the whole upstream edge pipeline ~6× (measured: a
+    // 230-operator / 102-Exchange plan on the transition-graph gate —
+    // optimization r13). Materialize it once; it is the collapsed
+    // (src, dst) weight table, the same size the consumers each
+    // shuffle anyway.
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint()
     val lab = labels.select(col(labelNodeCol).as("node"), col(labelCol).as("c"))
     val twoM = und.agg(sum(col("w")).as("m2"))
     val lj = und
@@ -1541,6 +1549,9 @@ object Graph {
       .groupBy(col("c").as("community"))
       .agg(count(lit(1)).as("n_nodes"),
            sum(coalesce(col("k"), lit(0L))).as("deg_tot"))
+    // contrib is consumed twice (the Q sum and the final join) —
+    // checkpoint the |communities|-row table so the join tree above
+    // runs once (r13; same rationale as und)
     val contrib = degC.join(wIn, Seq("community"), "left")
       .crossJoin(broadcast(twoM)) // 1-row scalar
       .select(col("community"), col("n_nodes"),
@@ -1548,10 +1559,15 @@ object Graph {
         round(d(coalesce(col("w_in"), lit(0L))) / d(col("m2"))
               - (d(col("deg_tot")) / d(col("m2")))
                 * (d(col("deg_tot")) / d(col("m2"))), 6).as("contribution"))
+      .localCheckpoint()
     val q = contrib.agg(
       round(sum(round(col("contribution") * 1e6, 0).cast("long")) / 1e6, 6)
         .as("q_modularity"))
-    contrib.crossJoin(broadcast(q)) // 1-row scalar
+    val out = contrib.crossJoin(broadcast(q)) // 1-row scalar
+      .localCheckpoint()
+    unpersistBacking(und)
+    unpersistBacking(contrib)
+    out
   }
 
   /** Degree distribution + power-law tail fit: the histogram of

@@ -248,7 +248,21 @@ object Joins {
       .withColumn("seg_start", floor(col("j") * col("len_a") / m))
       .withColumn("seg_len",
         floor((col("j") + 1) * col("len_a") / m) - col("seg_start"))
-      .withColumn("shift", explode(sequence(lit(-maxDist), lit(maxDist))))
+      // PassJoin's tight shift bound (optimization r13, Li et al.'s
+      // position filter): an unedited segment of the partner moves in
+      // the probe string by (insertions − deletions) among the ≤ k
+      // edits BEFORE it; with len(partner) − len(probe) = dl that
+      // nets I ≤ ⌊(k−dl)/2⌋ insertions and D ≤ ⌊(k+dl)/2⌋ deletions,
+      // so shift ∈ [−⌊(k+dl)/2⌋, +⌊(k−dl)/2⌋] — the full ±k box the
+      // previous probe enumerated is a strict superset (for k=1 the
+      // equal-length arm needs ONLY shift 0: a substitution moves
+      // nothing — 3× fewer candidates through the verify on
+      // same-length-heavy corpora). Completeness is the PassJoin
+      // position-filter theorem; the verify filter is unchanged, so
+      // the output set is identical.
+      .withColumn("shift", explode(sequence(
+        (lit(0) - floor((lit(maxDist) + col("dl")) / 2)).cast("int"),
+        floor((lit(maxDist) - col("dl")) / 2).cast("int"))))
       .withColumn("pos", col("seg_start") + col("shift"))
       .where(col("pos") >= 0 && col("pos") + col("seg_len") <= col("flen"))
       .withColumn("seg", expr(
