@@ -255,8 +255,21 @@ object Events {
       .withColumn("sk",
         concat_ws(":", col("user_id").cast("string"),
           col("session_id").cast("string")))
+      // [[funnel]]'s reached table is consumed twice per step, so its
+      // lazy plan references the input 2^(steps−1) times — for the
+      // LIFETIME funnel gate that is free (count-pruning eliminates
+      // the unique left joins), but THIS caller aggregates
+      // reached_step values, so every copy re-ran the session window
+      // pass (measured: 28 events scans / 86 Exchanges in the gate
+      // plan — optimization r13). Materialize the sessionized table
+      // once; funnel() itself stays lazy so the lifetime gate keeps
+      // its pruning.
+      .localCheckpoint()
     val reached = funnel(sess, steps, userCol = "sk")
+    // ≤|steps| rows, consumed by every grid arm below — checkpoint so
+    // the funnel fold runs once
     val counts = reached.groupBy("reached_step").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val stepDf = events.sparkSession.range(1, steps.size + 1).toDF("step")
     val grid = stepDf.crossJoin(broadcast(counts)) // bounded × bounded
       .groupBy("step")
@@ -264,10 +277,14 @@ object Events {
         lit(0L)).as("n_sessions"))
     val first = grid.where(col("step") === 1)
       .select(col("n_sessions").as("n1"))
-    grid.crossJoin(broadcast(first)) // 1-row scalar
+    val out = grid.crossJoin(broadcast(first)) // 1-row scalar
       .select(col("step"), col("n_sessions"),
         when(col("n1") > 0, round(d(col("n_sessions")) / d(col("n1")), 6))
           .as("share_of_first"))
+      .localCheckpoint() // bounded; lets sess/counts release below
+    graft.operators.Graph.unpersistBacking(sess)
+    graft.operators.Graph.unpersistBacking(counts)
+    out
   }
 
   /** Cohort retention: users grouped by their first-seen date
