@@ -232,7 +232,7 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${errors.size},"n_retried":$nRetried,"retries":$retriesJson,"errors":$errJson,"final_pass":$finalPassJson,"sf":"$sfDir"$extra}"""
-    // stdout gets a COMPACT line (total + counts + the 5 slowest
+    // stdout gets a COMPACT line (total + counts + the slowest
     // queries): at 300+ queries the full per-query map overflows the
     // driver's stdout capture window and the artifact records only a
     // truncated tail (unparseable). The FULL map persists to
@@ -240,8 +240,14 @@ object Bench {
     // at it. The compact line prints TWICE (and once to stderr) so a
     // parser scanning for the first OR last JSON-looking line finds it
     // whatever else the launcher appends after our exit.
-    val worst5 = results.toSeq.sortBy(-_._2).take(5)
-    val compact = line(qsJson(worst5), ",\"queries_truncated_to\":\"worst5\",\"full\":\"target/bench.json\"")
+    // worst-20, widened from worst-5 in r14 (additions-only — same
+    // schema, more entries): worst-5 left only ONE query in common
+    // between consecutive rounds' records, which blinded the driver's
+    // round-over-round per-query comparison; 20 entries still fit the
+    // capture window with room to spare (the r11 overflow was the
+    // full 457-entry map, not 20).
+    val worstN = results.toSeq.sortBy(-_._2).take(20)
+    val compact = line(qsJson(worstN), ",\"queries_truncated_to\":\"worst20\",\"full\":\"target/bench.json\"")
     println(compact)
     try {
       // SPARK_GRAFT_JSON_OUT: where the FULL per-query map lands (the
