@@ -31,5 +31,23 @@ class TablesSpec extends SparkSpec {
     val second = Tables.load(spark, dir.getAbsolutePath, "t")
     assert(second ne first, "a new mtime must re-resolve")
     assert(second.count() == 5)
+    // r14: the superseded entry is EVICTED, not retained — the same
+    // (session, path, mtime) keeps hitting the single live entry
+    val third = Tables.load(spark, dir.getAbsolutePath, "t")
+    assert(third eq second, "the refreshed entry must serve repeat loads")
+  }
+
+  test("a path java.io.File cannot see bypasses the cache (no poisoned key)") {
+    // java.io.File reports non-local URIs (s3://, hdfs://) and missing
+    // files identically: not exists(), mtime 0. The r14 guard resolves
+    // those fresh every call instead of collapsing all versions onto
+    // one mtime-0 cache key. Pin it with the observable local case: a
+    // failed resolve before the file exists leaves NO cache entry, so
+    // the load after the file appears sees the real data.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tables_spec2").toFile
+    intercept[Exception] { Tables.load(spark, dir.getAbsolutePath, "u").count() }
+    spark.range(2).toDF("id").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/u.parquet")
+    assert(Tables.load(spark, dir.getAbsolutePath, "u").count() == 2)
   }
 }
