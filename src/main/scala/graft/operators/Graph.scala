@@ -797,24 +797,66 @@ object Graph {
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .where(col("u") =!= col("v"))
-      .dropDuplicates("u", "v")
-    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    // r14 restructure (guide §2.4 — remove duplicated subtrees): the
+    // old body ran [[triangleCount]] verbatim, which re-derived the
+    // canonical edge set and the degree table this function ALSO
+    // builds for the wedge census (two symmetrize/distinct shuffles,
+    // two degree aggregates, 4 scans of the edge input), and paid a
+    // per-node triangle aggregate + node left-join only to SUM the
+    // counts back into one number. This query needs one TOTAL: a
+    // closed wedge in the degree-oriented enumeration IS one triangle
+    // (each triangle is generated at exactly one node), so the 1-row
+    // count of the closed-wedge join equals sum(per-node)/3 — same
+    // exact integer, without the explode/groupBy/left-join tail.
+    // Canonical edges + degrees are computed ONCE and shared by the
+    // wedge census and the orientation (before/after plans:
+    // plans/r14/graph_clustering_coef_*).
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+              greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    // same degree values as the symmetrized groupBy: each undirected
+    // edge contributes 1 to each endpoint
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // 3 consumers (wedge census, both orientation sides); bounded |V| rows
     val dec = "decimal(38,0)"
     val wedges = deg.agg(count(lit(1)).as("n_nodes"),
       (sum(col("d").cast(dec)) / 2).cast("long").as("n_edges"),
       sum(col("d").cast(dec) * (col("d") - 1).cast(dec)).as("w2"))
-    val tri = triangleCount(edges, srcCol, dstCol)
-      .agg((coalesce(sum(col("triangles")), lit(0L)) / 3).cast("long")
-        .as("n_triangles")) // per-node counts triple-count each triangle
-    wedges.crossJoin(broadcast(tri)) // two 1-row scalars
+    val ra = deg.select(col("node").as("a"), col("d").as("deg_a"))
+    val rb = deg.select(col("node").as("b"), col("d").as("deg_b"))
+    val fwd = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = canon.join(ra, "a").join(rb, "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("x"),
+        when(fwd, col("b")).otherwise(col("a")).as("y"),
+        when(fwd, struct(col("deg_b").as("d"), col("b").as("n")))
+          .otherwise(struct(col("deg_a").as("d"), col("a").as("n"))).as("rank_y"))
+      .repartition(col("x"))
+      .persist()
+    val e1 = oriented.select(col("x"), col("y"), col("rank_y"))
+    val e2 = oriented.select(col("x"), col("y").as("z"), col("rank_y").as("rank_z"))
+    val tri = e1.join(e2, "x")
+      .where(col("rank_y") < col("rank_z"))
+      .join(oriented.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"),
+            "left_semi")
+      .agg(count(lit(1)).as("n_triangles")) // one row per closed wedge = per triangle
+    val out = wedges.crossJoin(broadcast(tri)) // two 1-row scalars
       .select(col("n_nodes"), col("n_edges"),
         (col("w2") / 2).cast("long").as("n_wedges"), col("n_triangles"),
         when(col("w2") > 0, round(lit(3.0) * col("n_triangles")
           .cast("double") / ((col("w2") / 2).cast("double")), 6))
           .as("clustering_coef"))
+      .localCheckpoint() // 1-row output; materialize so the inputs release
+    unpersistBacking(deg)
+    canon.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    out
   }
 
   /** CORENESS (core number) of every node by the H-INDEX ITERATION
