@@ -173,11 +173,22 @@ object Dedup {
       .where(size(col("ds")).between(2, maxDocFreq))
       .repartition(nPart)
     // ordered pairs via codegen'd double-explode (no join, no
-    // interpreted higher-order functions in the hot path)
+    // interpreted higher-order functions in the hot path).
+    // r14 length-ratio prune (guide §2.3 — shuffle fewer bytes):
+    // J(A,B) = |∩|/(|A|+|B|−|∩|) ≤ min(|A|,|B|)/max(|A|,|B|) (the
+    // intersection is at most the smaller set), so a pair whose size
+    // ratio cannot reach the threshold is dropped BEFORE the pair
+    // aggregate's exchange — the standard exact length filter of the
+    // prefix-filtering literature. Lossless even under the round(·,6)
+    // output: round(j,6) ≥ t implies j ≥ t − 5·10⁻⁷, so pruning only
+    // ratio < t − 10⁻⁶ can never drop a reportable pair.
     val pairs = postings
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
-      .where(col("a.doc") < col("b.doc"))
+      .where(col("a.doc") < col("b.doc") &&
+        least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+          (lit(threshold) - lit(1e-6)) *
+            greatest(col("a.n_sh"), col("b.n_sh")).cast("double"))
       .select(col("a.doc").as("doc_a"), col("a.n_sh").as("n_a"),
               col("b.doc").as("doc_b"), col("b.n_sh").as("n_b"))
     pairs
