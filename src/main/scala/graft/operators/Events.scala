@@ -204,6 +204,16 @@ object Events {
     var reached = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
       .withColumn("reached_step", lit(1L))
+    // r14 depth guard: `reached` is consumed TWICE per step (eligible
+    // + the left join), so the lazy plan references its input
+    // 2^(steps−1) times. At the gates' ≤4 steps that laziness is
+    // load-bearing — count-pruning eliminates the unique left joins —
+    // but past it the doubling is a scale hazard (a 10-step funnel
+    // would build a 512-reference plan). Deep funnels truncate the
+    // lineage with a bounded per-user checkpoint each round (the
+    // sessionFunnel discipline); this makes funnel() EAGER for
+    // steps.size > 4, documented here as the contract.
+    val checkpointRounds = steps.size > 4
     for ((st, i) <- steps.tail.zipWithIndex) {
       // only users who completed ALL previous steps can advance — a
       // user stuck at step k must not match later steps out of order
@@ -214,13 +224,25 @@ object Events {
         .join(eligible, Seq(userCol))
         .where(col("nts") > col("t"))
         .groupBy(col(userCol)).agg(min(col("nts")).as("_t2"))
+      val prev = reached
       reached = reached.join(nxt, Seq(userCol), "left")
         .select(col(userCol),
           coalesce(col("_t2"), col("t")).as("t"),
           (col("reached_step") + when(col("_t2").isNotNull, 1L).otherwise(0L))
             .as("reached_step"))
+      if (checkpointRounds) {
+        reached = reached.localCheckpoint()
+        if (i > 0) graft.operators.Graph.unpersistBacking(prev)
+      }
     }
-    reached.select(col(userCol), col("reached_step"))
+    if (checkpointRounds) {
+      // deep-funnel exit: materialize the bounded per-user output and
+      // release the last round's backing (the pageRank exit shape)
+      val out = reached.select(col(userCol), col("reached_step"))
+        .localCheckpoint()
+      graft.operators.Graph.unpersistBacking(reached)
+      out
+    } else reached.select(col(userCol), col("reached_step"))
   }
 
 

@@ -24,6 +24,27 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 2L), (3L, 1L)))
   }
 
+  test("funnel: 6-step depth guard checkpoints rounds without changing results") {
+    // steps.size > 4 flips funnel() into per-round localCheckpoint
+    // mode (the r14 depth guard against the 2^(steps−1) lazy-plan
+    // doubling). Results must match the hand-computed strict
+    // first-completion semantics exactly.
+    val s6 = Seq("a", "b", "c", "d", "e", "f")
+    val e = Seq(
+      // u1 completes all 6 in order
+      (1L, "a", ts(0)), (1L, "b", ts(1)), (1L, "c", ts(2)),
+      (1L, "d", ts(3)), (1L, "e", ts(4)), (1L, "f", ts(5)),
+      // u2 stalls after d (e never arrives; f out of order is ignored)
+      (2L, "a", ts(0)), (2L, "b", ts(1)), (2L, "f", ts(2)),
+      (2L, "c", ts(3)), (2L, "d", ts(4)),
+      // u3 only the first step
+      (3L, "a", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(e, s6)
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L), (2L, 4L), (3L, 1L)))
+  }
+
   test("funnel: same-timestamp step does not count (strictly after)") {
     val e = Seq(
       (1L, "view", ts(5)), (1L, "click", ts(5)), // simultaneous → click rejected
