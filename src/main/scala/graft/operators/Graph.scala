@@ -1328,8 +1328,8 @@ object Graph {
     val out = prob.select(col("node"), round(col("pr"), 6).as("p_absorb"))
       .localCheckpoint()
     unpersistBacking(prob)
-    norm.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    unpersistBacking(norm)
+    unpersistBacking(nodes)
     out
   }
 
@@ -1367,8 +1367,8 @@ object Graph {
     val out = t.select(col("node"), round(col("et"), 6).as("expected_steps"))
       .localCheckpoint()
     unpersistBacking(t)
-    norm.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    unpersistBacking(norm)
+    unpersistBacking(nodes)
     out
   }
 
@@ -1379,17 +1379,29 @@ object Graph {
     */
   private def normalizedTransitions(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String): (DataFrame, DataFrame) = {
+    // r14: checkpoint the edge projection FIRST — `e` was consumed
+    // twice (out-weight aggregate + the normalize join), so the lazy
+    // plan re-ran everything above the reused upstream exchange (the
+    // events window pass for the transition gates) twice per query.
+    // The transition table is bounded (≤|types|² rows for every
+    // caller), and every caller (absorption legs, Katz, the Markov
+    // attribution) already iterates with eager per-round checkpoints,
+    // so the eager construction here changes no contract. norm/nodes
+    // switch persist → localCheckpoint so `e`'s backing can release
+    // before return; callers release them via [[unpersistBacking]].
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(weightCol).cast("double").as("w"))
+      .localCheckpoint()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val norm = e.join(outW, "src")
       .select(col("src"), col("dst"), round(col("w") / col("out_w"), 9).as("p"))
       .repartition(col("src"))
-      .persist()
+      .localCheckpoint()
     val nodes = norm.select(col("src").as("node"))
       .union(norm.select(col("dst").as("node")))
       .distinct()
-      .persist()
+      .localCheckpoint()
+    unpersistBacking(e)
     (norm, nodes)
   }
 
@@ -1534,8 +1546,8 @@ object Graph {
           round(greatest(col("removal_effect"), lit(0.0)) / col("eff_tot"), 6))
           .as("attribution"))
       .localCheckpoint()
-    norm.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    unpersistBacking(norm)
+    unpersistBacking(nodes)
     unpersistBacking(share)
     unpersistBacking(convAll)
     unpersistBacking(eff)
@@ -2414,8 +2426,8 @@ object Graph {
       .select(col("node"), round(col("c9") / 1e9, 6).as("katz"))
       .localCheckpoint()
     unpersistBacking(state)
-    norm.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    unpersistBacking(norm)
+    unpersistBacking(nodes)
     out
   }
 
